@@ -1,13 +1,139 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a pure `(SparkSession, sfDir) => DataFrame`
+  * over the driver's parquet tables; [[oracleSql]] carries the equivalent
+  * ANSI SQL the driver replays in DuckDB on the same tables. Column names and
+  * value types are aligned between the two on purpose (the driver hash-compares
+  * after sorting columns by name).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("wau_user")(spark, "/root/testdata/sf0.001")
+
+  // Events span 2024-01-01 .. 2024-01-30 (TESTDATA.md).
+  private val Start = "2024-01-01"
+  private val End = "2024-01-31"
+
+  /** DuckDB CTE replicating [[Sessionize.sessionize]] exactly (gap >= 300
+    * whole seconds, deterministic `user#startSec` ids, ts/event_id ordering).
+    */
+  private val sessionCte: String =
+    """WITH lagged AS (
+      |  SELECT event_id, user_id, ts, event_type, value,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+      |         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_epoch_sec
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *, (prev_epoch_sec IS NULL OR epoch_sec - prev_epoch_sec >= 300) AS is_new
+      |  FROM lagged
+      |), sessions AS (
+      |  SELECT *,
+      |         CAST(user_id AS VARCHAR) || '#' || CAST(session_start_sec AS VARCHAR) AS session_id
+      |  FROM (
+      |    SELECT *, max(CASE WHEN is_new THEN epoch_sec END) OVER
+      |             (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_start_sec
+      |    FROM flagged
+      |  )
+      |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── C4: WAU by user_id (ref UserIdBaseWauTransformer.scala:20-40) ──
+    "wau_user" -> ((s, dir) =>
+      Wau.wau(Tables.events(s, dir), "user_id", col("ts"), Start, End)),
+
+    // ── C1: sessionization (ref DataLoadTransformer.scala:57-81) ──
+    "sessionize" -> ((s, dir) =>
+      Sessionize.sessionize(Tables.events(s, dir))
+        .select(
+          col("event_id"), col("user_id"), col("epoch_sec"),
+          col("is_new_session").cast("int").as("is_new_session"),
+          col("session_start_sec"), col("session_id"))
+        .orderBy(col("event_id"))),
+
+    // ── C4 variant: WAU by session_id (ref SessionIdBaseWauTransformer) ──
+    "wau_session" -> ((s, dir) =>
+      Wau.wau(
+        Sessionize.sessionize(Tables.events(s, dir)),
+        "session_id", col("ts"), Start, End)),
+
+    // ── per-session rollup (agg over sessionized stream) ──
+    "session_stats" -> ((s, dir) =>
+      Sessionize.sessionStats(Tables.events(s, dir))
+        .orderBy(col("user_id"), col("session_id"))),
+
+    // ── C2: split-batch sessionize with continuity == whole-stream ──
+    // Splits events at Jan 16, sessionizes each half, carries open sessions
+    // across the boundary; the oracle is the SINGLE-BATCH session SQL — the
+    // hash match proves split-invariance (ref DataLoadTransformer.scala:94-159).
+    "sessionize_split" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val first = ev.where(col("ts") < cut)
+      val second = ev.where(col("ts") >= cut)
+      val firstSess = Sessionize.sessionize(first)
+      val tail = firstSess.where(
+        unix_timestamp(col("ts")) >= unix_timestamp(cut) - 300)
+      val secondSess = Sessionize.sessionizeWithContinuity(second, tail)
+      val cols = Seq("event_id", "user_id", "epoch_sec", "session_id")
+      firstSess.select(cols.map(col): _*)
+        .unionByName(secondSess.select(cols.map(col): _*))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "wau_user" ->
+      s"""SELECT CAST(date_trunc('week', ts) AS DATE) AS event_week,
+         |       count(DISTINCT user_id) AS wau
+         |FROM events
+         |WHERE CAST(date_trunc('week', ts) AS DATE)
+         |      BETWEEN CAST(date_trunc('week', TIMESTAMP '$Start') AS DATE)
+         |          AND CAST(date_trunc('week', TIMESTAMP '$End') AS DATE)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sessionize" ->
+      s"""$sessionCte
+         |SELECT event_id, user_id, epoch_sec,
+         |       CAST(is_new AS INT) AS is_new_session,
+         |       session_start_sec, session_id
+         |FROM sessions ORDER BY event_id""".stripMargin,
+
+    "wau_session" ->
+      s"""$sessionCte
+         |SELECT CAST(date_trunc('week', ts) AS DATE) AS event_week,
+         |       count(DISTINCT session_id) AS wau
+         |FROM sessions
+         |WHERE CAST(date_trunc('week', ts) AS DATE)
+         |      BETWEEN CAST(date_trunc('week', TIMESTAMP '$Start') AS DATE)
+         |          AND CAST(date_trunc('week', TIMESTAMP '$End') AS DATE)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "session_stats" ->
+      s"""$sessionCte
+         |SELECT user_id, session_id,
+         |       count(*) AS n_events,
+         |       min(epoch_sec) AS start_sec,
+         |       max(epoch_sec) AS end_sec,
+         |       max(epoch_sec) - min(epoch_sec) AS duration_sec,
+         |       round(sum(value), 2) AS sum_value
+         |FROM sessions
+         |GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "sessionize_split" ->
+      s"""$sessionCte
+         |SELECT event_id, user_id, epoch_sec, session_id
+         |FROM sessions ORDER BY event_id""".stripMargin
+  )
 }

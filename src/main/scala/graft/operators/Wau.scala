@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Weekly-active-users — the reference's flagship analytic
+  * (`/root/reference/src/main/scala/transformer/UserIdBaseWauTransformer.scala:20-40`
+  * and `SessionIdBaseWauTransformer.scala:20-40`).
+  *
+  * Semantics: project `date_trunc('week', <date>)` (Monday-start), filter the
+  * week between the truncated start/end (inclusive both ends), then
+  * `COUNT(DISTINCT key)` per week, ordered ascending.
+  *
+  * Scale notes: COUNT(DISTINCT) is planned by Catalyst as a two-phase
+  * aggregate — partial dedup on (week, key) map-side, then merge — so the
+  * shuffle carries one row per distinct (week, key), not per event. For
+  * 100 TB-scale interactive use, [[wauApprox]] swaps in HyperLogLog++
+  * (`approx_count_distinct`), collapsing the shuffle to one sketch per week.
+  */
+object Wau {
+
+  /** Truncate to Monday-start week as a DATE (both Spark and ANSI SQL agree). */
+  def week(c: Column): Column = to_date(date_trunc("week", c))
+
+  def wau(
+      df: DataFrame,
+      keyCol: String,
+      dateCol: Column,
+      startDate: String,
+      endDate: String): DataFrame = {
+    val lo = week(to_timestamp(lit(startDate)))
+    val hi = week(to_timestamp(lit(endDate)))
+    df.select(week(dateCol).as("event_week"), col(keyCol))
+      .where(col("event_week").between(lo, hi))
+      .groupBy(col("event_week"))
+      .agg(countDistinct(col(keyCol)).as("wau"))
+      .orderBy(col("event_week"))
+  }
+
+  /** HLL++ variant for interactive queries over 100 TB (not oracle-compared —
+    * approximate by construction).
+    */
+  def wauApprox(
+      df: DataFrame,
+      keyCol: String,
+      dateCol: Column,
+      startDate: String,
+      endDate: String,
+      rsd: Double = 0.01): DataFrame = {
+    val lo = week(to_timestamp(lit(startDate)))
+    val hi = week(to_timestamp(lit(endDate)))
+    df.select(week(dateCol).as("event_week"), col(keyCol))
+      .where(col("event_week").between(lo, hi))
+      .groupBy(col("event_week"))
+      .agg(approx_count_distinct(col(keyCol), rsd).as("wau_approx"))
+      .orderBy(col("event_week"))
+  }
+}
