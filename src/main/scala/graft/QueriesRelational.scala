@@ -1,0 +1,342 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operator coverage (SURVEY.md §2.2–§2.8) over the
+  * TPC-H-ish tables — scans, predicate pushdown, joins of every flavor the
+  * reference exercises (plus semi/anti), exact two-phase distinct aggregates,
+  * window functions (lag / forward-fill / argmax), union-all folds, top-k,
+  * rollup, and the scalar-function surface.
+  *
+  * Cross-engine typing discipline (driver hash-compares against DuckDB):
+  * money math runs on `decimal(18,2)` intermediates (exact, engine-neutral)
+  * and every output lands in double/bigint/string/date space — DuckDB's
+  * `sum(int) → HUGEINT` and decimal widening rules would otherwise make
+  * bit-identical values *look* different.
+  *
+  * Scale notes: each query is a single Catalyst plan with filters/projections
+  * adjacent to the scan (pushed into parquet), joins keyed on the natural
+  * keys (sort-merge for fact-fact, broadcast hint for dims), and aggregations
+  * that combine map-side. No collects, no driver loops.
+  */
+object QueriesRelational {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def d(c: Column): Column = c.cast("double")
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── A1 analog: grouped aggregate with exact sums (TPC-H Q1 shape) ──
+    "q1_pricing" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= ts("1998-12-01 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          d(sum(dec(col("l_quantity")))).as("sum_qty"),
+          d(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(d(sum(dec(col("l_quantity")))) / count(lit(1)), 6).as("avg_qty"),
+          round(d(sum(dec(col("l_discount")))) / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // ── P5/P6 analog: pushed-down range predicates + scalar agg (Q6 shape) ──
+    "q6_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(
+          col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-01-01 00:00:00") &&
+          col("l_discount").between(0.04, 0.08) &&
+          col("l_quantity") < 24)
+        .agg(
+          round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // ── J1: left outer equi-join + grouped agg ──
+    "join_cust_orders" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_cust"),
+          round(d(sum(dec(col("o_totalprice")))), 2).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ── broadcast dim join: fact × part (explicit broadcast of the dim) ──
+    "join_part_brand" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          d(sum(dec(col("l_quantity")))).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ── left-semi join (EXISTS) ──
+    "semi_orders_bigqty" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val big = Tables.lineitem(s, dir).where(col("l_quantity") >= 48)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ── left-anti join (NOT EXISTS) ──
+    "anti_orders_bigqty" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val big = Tables.lineitem(s, dir).where(col("l_quantity") >= 48)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(d(sum(dec(col("o_totalprice")))), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ── U1/U2: positional UNION ALL fold of slice frames ──
+    "union_weekly_counts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cuts = Seq(
+        ("2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+        ("2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+        ("2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+        ("2024-01-22 00:00:00", "2024-02-01 00:00:00"))
+      val slices = cuts.map { case (lo, hi) =>
+        ev.where(col("ts") >= ts(lo) && col("ts") < ts(hi))
+      }
+      slices.reduce(_.union(_))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── W1: lag over user/time window → inter-event gaps ──
+    "window_lag_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          count(col("gap")).as("n_gaps"),
+          sum(col("gap")).as("sum_gap"),
+          round(d(sum(col("gap"))) / count(col("gap")), 6).as("avg_gap"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── W2: last(ignoreNulls) forward-fill over running frame ──
+    "window_ffill_purchase" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn(
+          "carry",
+          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          count(col("carry")).as("n_carried"),
+          round(sum(col("carry")), 2).as("sum_carry"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── W3+P5: per-user argmax (latest event), tie-broken deterministically ──
+    "window_argmax_last_event" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── O1/O2: global top-k with deterministic tie-break ──
+    "topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // ── beyond-reference: ROLLUP hierarchy aggregate ──
+    "rollup_pricing" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          d(sum(dec(col("l_quantity")))).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // ── F1–F8 surface: timestamp parse/trunc/extract buckets ──
+    "date_buckets" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          to_date(date_trunc("week", col("ts"))).as("event_week"),
+          hour(col("ts")).cast("long").as("event_hour"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_week"), col("event_hour"))),
+
+    // ── F5/F6 + regexp extraction: CASE WHEN buckets over parsed payload ──
+    "case_when_buckets" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+        .withColumn(
+          "bucket",
+          when(col("value") < 10, lit("small"))
+            .when(col("value") < 100, lit("mid"))
+            .otherwise(lit("large")))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          round(d(sum(col("k"))) / count(lit(1)), 6).as("avg_k"))
+        .orderBy(col("bucket")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q6_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.04 AND 0.08
+        |  AND l_quantity < 24""".stripMargin,
+
+    "join_cust_orders" ->
+      """SELECT c_mktsegment,
+        |  count(o_orderkey) AS n_orders,
+        |  count(DISTINCT c_custkey) AS n_cust,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "join_part_brand" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "semi_orders_bigqty" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "anti_orders_bigqty" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "union_weekly_counts" ->
+      """WITH u AS (
+        |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  UNION ALL
+        |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+        |  UNION ALL
+        |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+        |  UNION ALL
+        |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-02-01'
+        |)
+        |SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "window_lag_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events
+        |)
+        |SELECT user_id, count(gap) AS n_gaps,
+        |       CAST(sum(gap) AS BIGINT) AS sum_gap,
+        |       round(CAST(sum(gap) AS DOUBLE) / count(gap), 6) AS avg_gap
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "window_ffill_purchase" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+        |  FROM events
+        |)
+        |SELECT user_id, count(carry) AS n_carried,
+        |       round(sum(carry), 2) AS sum_carry
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "window_argmax_last_event" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, event_type, value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "date_buckets" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS event_week,
+        |       CAST(hour(ts) AS BIGINT) AS event_hour,
+        |       count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "case_when_buckets" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN value < 10 THEN 'small'
+        |              WHEN value < 100 THEN 'mid'
+        |              ELSE 'large' END AS bucket,
+        |         CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+        |  FROM events
+        |)
+        |SELECT bucket, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS avg_k
+        |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin
+  )
+}

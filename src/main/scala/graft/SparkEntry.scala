@@ -47,7 +47,10 @@ object SparkEntry {
       |  )
       |)""".stripMargin
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
+    QueriesRelational.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── C4: WAU by user_id (ref UserIdBaseWauTransformer.scala:20-40) ──
     "wau_user" -> ((s, dir) =>
       Wau.wau(Tables.events(s, dir), "user_id", col("ts"), Start, End)),
@@ -92,7 +95,9 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracles ++ QueriesRelational.oracleSql
+
+  private def coreOracles: Map[String, String] = Map(
     "wau_user" ->
       s"""SELECT CAST(date_trunc('week', ts) AS DATE) AS event_week,
          |       count(DISTINCT user_id) AS wau
