@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{EventsEtl, Sessionize}
+import graft.sources.{CsvSource, TableManager}
+
+/** ETL-surface queries: CSV source round-trip (S1/S2), templated-SQL entry
+  * (S3), idempotent dynamic-partition-overwrite load (S4–S7), and the full
+  * boundary-preserving + session-continuity two-batch pipeline (C2+C3).
+  * Each runs the actual machinery inside the query and reduces the resulting
+  * table to an aggregate the DuckDB oracle can recompute from the raw
+  * parquet — a hash match proves the whole pipeline (write → read → query)
+  * preserved the data exactly.
+  */
+object QueriesEtl {
+
+  private val eventsCsvSchema = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = true),
+    StructField("value", DoubleType, nullable = true),
+    StructField("props", StringType, nullable = true)))
+
+  private def scratch(dir: String, name: String): String = {
+    val sf = dir.replaceAll(".*/", "")
+    s"/root/repo/target/etl_scratch/$sf/$name"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── S1/S2: schema-declared CSV scan with month-name path resolution.
+    // parquet → yyyy-LLL.csv → parquet round-trip, then aggregate.
+    "csv_roundtrip" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      val root = scratch(dir, "raw_csv")
+      CsvSource.writeMonth(ev, root, "2024-01")
+      val src = new CsvSource(eventsCsvSchema)
+      src.readMonths(s, root, Seq("2024-01"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(unix_timestamp(col("ts"))).as("min_sec"),
+          max(unix_timestamp(col("ts"))).as("max_sec"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── S3: templated SQL entry ({TABLE} substitution), WAU job verbatim
+    // shape (ref UserIdBaseWauTransformer.scala:20-40).
+    "sql_templated_wau" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val template =
+        """WITH user_activity AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS event_date FROM {TABLE}
+          |)
+          |SELECT CAST(DATE_TRUNC('WEEK', event_date) AS DATE) AS event_week,
+          |       COUNT(DISTINCT user_id) AS wau
+          |FROM user_activity
+          |WHERE DATE_TRUNC('WEEK', event_date) >= DATE_TRUNC('WEEK', CAST('2024-01-01' AS DATE))
+          |  AND DATE_TRUNC('WEEK', event_date) <= DATE_TRUNC('WEEK', CAST('2024-01-31' AS DATE))
+          |GROUP BY DATE_TRUNC('WEEK', event_date)
+          |ORDER BY event_week ASC""".stripMargin
+      s.sql(template.replace("{TABLE}", "events"))
+    }),
+
+    // ── S4–S7: create-if-absent + dynamic partition overwrite, loaded TWICE
+    // to prove idempotency (counts would double under append semantics).
+    "table_load_idempotent" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("user_id", LongType, nullable = false),
+        StructField("event_type", StringType, nullable = true),
+        StructField("value", DoubleType, nullable = true),
+        StructField("event_date", DateType, nullable = false)))
+      val t = new TableManager("graft_events_by_date", schema, Seq("event_date"))
+      t.recreate(s)
+      val batch = Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .select(schema.fieldNames.map(col).toSeq: _*)
+      t.overwritePartitions(s, batch)
+      t.overwritePartitions(s, batch) // idempotent re-run
+      t.read(s)
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_date"))
+    }),
+
+    // ── C2+C3 flagship: two-batch sessionized load into a KST-partitioned
+    // table with continuity + boundary preservation; second batch re-loaded
+    // to prove idempotency. Oracle recomputes from a SINGLE-batch whole-stream
+    // sessionization — matching hashes prove batch-split invariance of the
+    // entire pipeline.
+    "kst_boundary_sessions" -> ((s, dir) => {
+      val t = EventsEtl.manager("graft_user_activity_kst")
+      t.recreate(s)
+      val ev = Tables.events(s, dir)
+      EventsEtl.loadBatch(s, t, ev, "2024-01-01 00:00:00", "2024-01-16 00:00:00")
+      EventsEtl.loadBatch(s, t, ev, "2024-01-16 00:00:00", "2024-02-01 00:00:00")
+      EventsEtl.loadBatch(s, t, ev, "2024-01-16 00:00:00", "2024-02-01 00:00:00")
+      t.read(s)
+        .groupBy(col("event_date_kst"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("session_id")).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_date_kst"))
+    })
+  )
+
+  private val sessionKstCte: String =
+    """WITH lagged AS (
+      |  SELECT event_id, user_id, ts,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+      |         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_epoch_sec
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *, (prev_epoch_sec IS NULL OR epoch_sec - prev_epoch_sec >= 300) AS is_new
+      |  FROM lagged
+      |), sessions AS (
+      |  SELECT *,
+      |         CAST(user_id AS VARCHAR) || '#' || CAST(session_start_sec AS VARCHAR) AS session_id,
+      |         CAST(ts + INTERVAL 9 HOUR AS DATE) AS event_date_kst
+      |  FROM (
+      |    SELECT *, max(CASE WHEN is_new THEN epoch_sec END) OVER
+      |             (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_start_sec
+      |    FROM flagged
+      |  )
+      |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |       CAST(min(floor(epoch(ts))) AS BIGINT) AS min_sec,
+        |       CAST(max(floor(epoch(ts))) AS BIGINT) AS max_sec,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sql_templated_wau" ->
+      """SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS event_week,
+        |       count(DISTINCT user_id) AS wau
+        |FROM events
+        |WHERE date_trunc('week', CAST(ts AS DATE))
+        |      BETWEEN date_trunc('week', DATE '2024-01-01')
+        |          AND date_trunc('week', DATE '2024-01-31')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "table_load_idempotent" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "kst_boundary_sessions" ->
+      s"""$sessionKstCte
+         |SELECT event_date_kst, count(*) AS n_events,
+         |       count(DISTINCT session_id) AS n_sessions,
+         |       count(DISTINCT user_id) AS n_users
+         |FROM sessions GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

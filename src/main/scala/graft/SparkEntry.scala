@@ -48,7 +48,7 @@ object SparkEntry {
       |)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
-    QueriesRelational.queries
+    QueriesRelational.queries ++ QueriesEtl.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── C4: WAU by user_id (ref UserIdBaseWauTransformer.scala:20-40) ──
@@ -95,7 +95,8 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = coreOracles ++ QueriesRelational.oracleSql
+  def oracleSql: Map[String, String] = coreOracles ++
+    QueriesRelational.oracleSql ++ QueriesEtl.oracleSql
 
   private def coreOracles: Map[String, String] = Map(
     "wau_user" ->

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Partitioned-table manager — the reference's Hive connector surface
+  * re-expressed on Spark's catalog
+  * (`/root/reference/src/main/scala/connector/hive/HiveConnector.scala:8-57`).
+  *
+  * - [[ensure]]: create-if-not-exists from the declared schema (empty frame +
+  *   `saveAsTable` `mode("ignore")`, partitioned parquet + snappy — ref :17-27).
+  * - [[extract]]: templated SQL with `{TABLE}` substitution (ref :29-32).
+  * - [[overwritePartitions]]: idempotent load — columns reordered so partition
+  *   keys come last (ref `orderedColumns` :13-15), then a positional
+  *   `insertInto` under `partitionOverwriteMode=dynamic`, which replaces ONLY
+  *   the partitions present in the batch (ref's temp-table + INSERT OVERWRITE
+  *   dance :34-57 collapses to one write on the datasource path — same
+  *   semantics, one less metastore round-trip and no temp-table window).
+  *
+  * Scale notes: dynamic overwrite writes each partition exactly once per
+  * batch; re-running a failed backfill converges (idempotent). The write
+  * shuffle routes rows by partition key, so one task owns one output
+  * partition's files — no small-file explosion at 1000 executors when
+  * combined with AQE coalescing.
+  */
+class TableManager(
+    val name: String,
+    val schema: StructType,
+    val partitionKeys: Seq[String]) {
+
+  /** Non-partition columns first, partition keys last — required row layout
+    * for partitioned writes (ref `HiveConnector.scala:13-15`).
+    */
+  def orderedColumns: Seq[Column] =
+    schema.fieldNames.filterNot(partitionKeys.contains).map(col).toSeq ++
+      partitionKeys.map(col)
+
+  def ensure(spark: SparkSession): Unit = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(orderedColumns.map(c => schema(c.toString))))
+    empty.write
+      .mode("ignore")
+      .format("parquet")
+      .option("compression", "snappy")
+      .partitionBy(partitionKeys: _*)
+      .saveAsTable(name)
+  }
+
+  /** Templated SQL over the table: `{TABLE}` → table name. */
+  def extract(spark: SparkSession, templatedSql: String): DataFrame = {
+    ensure(spark)
+    spark.sql(templatedSql.replace("{TABLE}", name))
+  }
+
+  def read(spark: SparkSession): DataFrame = {
+    ensure(spark)
+    spark.table(name)
+  }
+
+  /** Dynamic-partition-overwrite load; requires
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` (set by GraftSession /
+    * Verify / Bench builders). Idempotent: loading the same batch twice leaves
+    * the table identical.
+    */
+  def overwritePartitions(spark: SparkSession, df: DataFrame): Unit = {
+    ensure(spark)
+    df.select(orderedColumns: _*)
+      .write
+      .mode("overwrite")
+      .insertInto(name)
+  }
+
+  def drop(spark: SparkSession): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+
+  /** Drop and delete any leftover files from a previous JVM's run (the
+    * in-memory catalog forgets tables across sessions but the warehouse
+    * directory survives), then create fresh.
+    */
+  def recreate(spark: SparkSession): Unit = {
+    drop(spark)
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+    val path = new org.apache.hadoop.fs.Path(loc)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    ensure(spark)
+  }
+}
