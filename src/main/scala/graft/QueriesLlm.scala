@@ -1,0 +1,276 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** LLM training-data pipeline queries: dedup (exact / n-gram Jaccard /
+  * MinHash-LSH / SimHash), embedding similarity (brute-force + LSH KNN,
+  * cosine near-dup), text analysis (stats, quality, language-ID), and
+  * multimodal binary plumbing. Every deterministic operator carries a DuckDB
+  * oracle that recomputes the SAME algorithm (incl. md5-derived hashes) from
+  * the raw parquet.
+  */
+object QueriesLlm {
+
+  // DuckDB expression fragments mirroring TextAnalysis exactly
+  private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val toksSql = s"string_split($norm, ' ')"
+  private val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  private val gramsCte =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS w FROM documents
+       |), grams AS (
+       |  SELECT doc_id,
+       |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                        for i in range(1, len(w) - 1)]) AS g
+       |  FROM toks WHERE len(w) >= 3
+       |)""".stripMargin
+
+  private val seedsSql: String = Dedup.MinhashSeeds.zipWithIndex
+    .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+    .mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── text analysis: per-doc stats & quality ──
+    "text_stats" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        size(TextAnalysis.tokens(t)).cast("long").as("n_tokens"),
+        TextAnalysis.tokenCountBpe(t).cast("long").as("n_tokens_bpe"),
+        round(TextAnalysis.avgTokenLen(t), 4).as("avg_token_len"),
+        round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(t), 6).as("stopword_ratio"),
+        round(TextAnalysis.qualityScore(t), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── language-ID heuristic ──
+    "lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))),
+
+    // ── exact dedup on fingerprints (corpus doubled to plant exact dups) ──
+    "dedup_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.exactGroups(doubled).orderBy(col("fingerprint"))
+    }),
+
+    // ── near-dup: exact n-gram Jaccard >= 0.3 via lossless prefix filter ──
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ── near-dup candidates: MinHash signatures + LSH banding ──
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ── near-dup: 60-bit SimHash, hamming <= 12 ──
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ── similarity: exact brute-force cosine top-5 for 10 query vectors ──
+    "knn_brute_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceKnn(emb.where(col("vec_id") < 10), emb, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── similarity: embedding cosine near-dup pairs >= 0.4 ──
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    // ── similarity: LSH-bucketed approximate KNN (scale path; approximate
+    // by construction → rows-only check, no oracle) ──
+    "knn_lsh_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshKnn(emb.where(col("vec_id") < 10), emb, k = 5, nPlanes = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── multimodal: binary payload + stub header decode ──
+    "mm_decode_meta" -> ((s, dir) =>
+      Multimodal.withPayload(Tables.documents(s, dir))
+        .select(col("doc_id"), Multimodal.fakeDecodeMeta(col("payload")).as("m"))
+        .select(
+          col("doc_id"), col("m.n_bytes").as("n_bytes"), col("m.width").as("width"),
+          col("m.height").as("height"), col("m.checksum").as("checksum"))
+        .orderBy(col("doc_id"))),
+
+    // ── multimodal: frame sampling over binary payloads ──
+    "mm_frame_hashes" -> ((s, dir) =>
+      Multimodal.frameHashes(Multimodal.withPayload(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"), col("frame_no")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS w,
+         |         len($toksSql) AS n_tokens,
+         |         CAST(length(replace($norm, ' ', '')) AS DOUBLE) AS tok_chars,
+         |         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |           / length(text) AS punct_ratio
+         |  FROM documents
+         |), t2 AS (
+         |  SELECT doc_id, text, n_tokens, tok_chars, punct_ratio,
+         |         CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE) / n_tokens AS stop_ratio
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
+         |  round(tok_chars / n_tokens, 4) AS avg_token_len,
+         |  round(punct_ratio, 6) AS punct_ratio,
+         |  round(stop_ratio, 6) AS stopword_ratio,
+         |  round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+         |      + least(stop_ratio * 4.0, 1.0) * 0.3
+         |      + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.3, 6) AS quality
+         |FROM t2 ORDER BY doc_id""".stripMargin,
+
+    "lang_id" -> {
+      val scoreExprs = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+        val list = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(w, x -> x IN ($list))) AS s_$lang"
+      }.mkString(",\n         ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val best = langs.zipWithIndex.map { case (l, i) =>
+        val later = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+        val cond = if (later.isEmpty) "TRUE" else later.mkString(" AND ")
+        s"WHEN $cond THEN '$l'"
+      }.mkString("\n           ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |         $scoreExprs
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(${langs.map("s_" + _).mkString(", ")}) = 0 THEN 'und'
+         |           $best
+         |  END AS lang_guess
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_exact" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents
+         |)
+         |SELECT md5($norm) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_docs
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""$gramsCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+         |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""$gramsCte,
+         |hashed AS (
+         |  SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 8))::BIGINT AS h FROM grams
+         |),
+         |seeds(i, a, b) AS (VALUES $seedsSql),
+         |mins AS (
+         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+         |  FROM hashed CROSS JOIN seeds GROUP BY doc_id, i
+         |),
+         |sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
+         |  FROM mins GROUP BY doc_id, i // 4
+         |),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id
+         |)
+         |SELECT c.doc_a, c.doc_b,
+         |       round(CAST(len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, 33)], x -> x)) AS DOUBLE) / 32, 6) AS est_jaccard
+         |FROM cand c
+         |JOIN sigs sa ON sa.doc_id = c.doc_a
+         |JOIN sigs sb ON sb.doc_id = c.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents
+         |), hashed AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+         |), votes AS (
+         |  SELECT doc_id, bit,
+         |         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM hashed, unnest(range(0, 60)) AS t(bit)
+         |  GROUP BY doc_id, bit
+         |), sh AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "knn_brute_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)]) / (q.nrm * c.nrm) AS cos
+        |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 AS width,
+        |  ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 AS height,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_hashes" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |         unnest(range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))) AS frame_no,
+        |         text
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_bytes, CAST(frame_no AS BIGINT) AS frame_no,
+        |       md5(substr(text, CAST(frame_no * 256 + 1 AS INT), 256)) AS frame_hash
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin
+  )
+}

@@ -48,7 +48,7 @@ object SparkEntry {
       |)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
-    QueriesRelational.queries ++ QueriesEtl.queries
+    QueriesRelational.queries ++ QueriesEtl.queries ++ QueriesLlm.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── C4: WAU by user_id (ref UserIdBaseWauTransformer.scala:20-40) ──
@@ -96,7 +96,7 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = coreOracles ++
-    QueriesRelational.oracleSql ++ QueriesEtl.oracleSql
+    QueriesRelational.oracleSql ++ QueriesEtl.oracleSql ++ QueriesLlm.oracleSql
 
   private def coreOracles: Map[String, String] = Map(
     "wau_user" ->

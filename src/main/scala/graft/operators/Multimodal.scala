@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata; decode / feature-extract /
+  * frame-sample are per-row transforms over those bytes.
+  *
+  * The actual codecs are NOT in this container, so the decode step is a
+  * clearly-marked deterministic fake ([[fakeDecodeMeta]]) — byte-derived,
+  * reproducible, oracle-testable — while the Spark-side plumbing (binary
+  * schema, metadata struct, explode-per-frame layout, partitioning) is real.
+  * A real implementation swaps the md5-derived header fields for a container
+  * parse; nothing else changes.
+  *
+  * Scale notes: payload bytes never shuffle — metadata extraction is
+  * map-side; frame explosion multiplies rows but projects the payload away
+  * in the same select. For real media at 100 TB, bucket by content-id so
+  * decode+extract stay within one task per asset.
+  */
+object Multimodal {
+
+  /** Attach a binary payload column built from text (stand-in for real media
+    * bytes in the test tables).
+    */
+  def withPayload(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+
+  /** STUB decode: "header" metadata derived deterministically from the
+    * payload bytes — byte length, a fake width/height from the payload
+    * hash, and the checksum. A real decoder parses the container header
+    * here instead.
+    */
+  def fakeDecodeMeta(payload: Column): Column = struct(
+    length(payload).cast("long").as("n_bytes"),
+    (conv(substring(md5(payload), 1, 4), 16, 10) % 1920).cast("long").as("width"),
+    (conv(substring(md5(payload), 5, 4), 16, 10) % 1080).cast("long").as("height"),
+    md5(payload).as("checksum"))
+
+  /** STUB frame sampler: split the payload into fixed-size "frames"
+    * (`frameBytes` chunks) and hash each — the layout a real video
+    * frame-sampler produces: one row per frame, payload projected away.
+    */
+  def frameHashes(df: DataFrame, frameBytes: Int = 256, idCol: String = "doc_id"): DataFrame =
+    df.withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn(
+        "frame_no",
+        explode(sequence(
+          lit(0),
+          ceil(col("n_bytes").cast("double") / frameBytes).cast("int") - 1)))
+      .withColumn(
+        "frame_hash",
+        md5(expr(s"substring(payload, frame_no * $frameBytes + 1, $frameBytes)")))
+      .select(col(idCol), col("n_bytes"), col("frame_no").cast("long").as("frame_no"), col("frame_hash"))
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups whitespace/case variants under one fingerprint") {
+    val d = docs(
+      (1L, "The quick  brown fox"),
+      (2L, "the quick brown FOX"),   // same after normalize
+      (3L, "a different document"))
+    val g = Dedup.exactGroups(d).collect()
+    assert(g.length == 2)
+    val dupGroup = g.find(_.getLong(2) == 2).get
+    assert(dupGroup.getLong(1) == 1L) // min doc_id survives
+  }
+
+  test("identical docs have jaccard 1.0; disjoint docs don't pair") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six"))
+    val pairs = Dedup.ngramJaccardPairs(d, 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("prefix filtering is lossless: matches naive all-pairs on real docs") {
+    val d = Tables.documents(spark, SfDir)
+    val filtered = Dedup.ngramJaccardPairs(d, 0.2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // naive all-pairs reference
+    val g = Dedup.shingles(d)
+    val a = g.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+    val b = g.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+    val naive = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("ni", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+      .withColumn("j", col("ni") / (size(col("ga")) + size(col("gb")) - col("ni")))
+      .where(col("j") >= 0.2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(filtered == naive)
+    assert(naive.nonEmpty) // planted near-dups exist in the corpus
+  }
+
+  test("minhash est_jaccard is 1.0 for identical docs") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val pairs = Dedup.minhashLshPairs(d).collect()
+    assert(pairs.length == 1 && pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash of identical docs has hamming 0") {
+    val d = docs(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "totally unrelated words here made distinct"))
+    val pairs = Dedup.simhashPairs(d, maxHamming = 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("embedding cosine: identical vectors → 1.0, orthogonal excluded") {
+    import spark.implicits._
+    val v = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(v, 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventsEtl
+import graft.sources.{CsvSource, TableManager}
+
+class TableManagerSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("dynamic partition overwrite load is idempotent") {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_date", DateType, nullable = false)))
+    val t = new TableManager("t_idem_spec", schema, Seq("event_date"))
+    t.recreate(spark)
+    val batch = Tables.events(spark, SfDir)
+      .withColumn("event_date", to_date(col("ts")))
+      .select(col("event_id"), col("user_id"), col("event_date"))
+    t.overwritePartitions(spark, batch)
+    val once = t.read(spark).count()
+    t.overwritePartitions(spark, batch)
+    assert(t.read(spark).count() == once)
+    t.drop(spark)
+  }
+
+  test("overwrite replaces only the partitions present in the batch") {
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("d", StringType, nullable = false)))
+    val t = new TableManager("t_dyn_spec", schema, Seq("d"))
+    t.recreate(spark)
+    import spark.implicits._
+    t.overwritePartitions(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "d"))
+    t.overwritePartitions(spark, Seq((99L, "b")).toDF("k", "d")) // touches only d=b
+    val got = t.read(spark).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (99L, "b")))
+    t.drop(spark)
+  }
+
+  test("kst boundary load preserves the other batch's spill rows") {
+    // one user, two events: 23:58 UTC Jan 15 (KST Jan 16 08:58) and
+    // 00:01 UTC Jan 16 (KST Jan 16 09:01) — same KST partition, different batches.
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 7L, "view", 1.0, "2024-01-15 23:58:00"),
+      (2L, 7L, "view", 2.0, "2024-01-16 00:01:00"))
+      .toDF("event_id", "user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val t = EventsEtl.manager("t_kst_spec")
+    t.recreate(spark)
+    EventsEtl.loadBatch(spark, t, ev, "2024-01-01 00:00:00", "2024-01-16 00:00:00")
+    EventsEtl.loadBatch(spark, t, ev, "2024-01-16 00:00:00", "2024-02-01 00:00:00")
+    val rows = t.read(spark).select("event_id", "session_id").collect()
+    assert(rows.length == 2, "batch-2 overwrite must not drop batch-1's KST spill row")
+    // 3-minute gap → continuity carries ONE session across the batch cut
+    assert(rows.map(_.getString(1)).distinct.length == 1)
+    t.drop(spark)
+  }
+
+  test("csv month-name resolution matches the reference layout") {
+    assert(CsvSource.monthFileName("2019-10") == "2019-Oct.csv")
+    assert(CsvSource.monthFileName("2024-01") == "2024-Jan.csv")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
+
+  test("tokens / counts on a known string") {
+    val df = one("The quick brown fox, jumps! Over 42 dogs.")
+    val row = df.select(
+      size(TextAnalysis.tokens(col("text"))).as("n"),
+      TextAnalysis.tokenCountBpe(col("text")).as("bpe")).head()
+    assert(row.getInt(0) == 8)
+    // alpha runs: The quick brown fox jumps Over dogs (7) + digits 42 (1) + marks , ! . (3)
+    assert(row.getInt(1) == 11)
+  }
+
+  test("fingerprint is whitespace/case invariant") {
+    val fps = Seq((1L, "Hello  World"), (2L, "hello world "), (3L, "HELLO\tWORLD"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint(col("text"))).distinct().count()
+    assert(fps == 1)
+  }
+
+  test("langId picks the marker language, und for no hits") {
+    val df = Seq(
+      (1L, "der hund und die katze ist da"),
+      (2L, "le chat et la maison est grande"),
+      (3L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "de")
+    assert(got(2L) == "fr")
+    assert(got(3L) == "und")
+  }
+
+  test("quality score is in [0,1] and penalizes punctuation soup") {
+    val clean = "the cat sat on the mat and looked at the dog in the garden " * 4
+    val soup = "!!! ??? *** $$$ %%% ### @@@ &&&"
+    val q = Seq((1L, clean), (2L, soup)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L))
+  }
+}
