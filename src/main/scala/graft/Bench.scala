@@ -44,7 +44,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A failed query must be LOUD: it is excluded from `total` (marked -1 in
+    // `queries`), so without the failure count + nonzero exit a regression
+    // would read as a faster run.
+    val failed = results.collect { case (n, v) if v < 0 => n }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":${failed.size},"failed":$failedJson}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

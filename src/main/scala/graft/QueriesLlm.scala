@@ -34,25 +34,28 @@ object QueriesLlm {
     .mkString(", ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ── text analysis: per-doc stats & quality ──
+    // ── text analysis: per-doc stats & quality. Tokenization is projected
+    // ONCE into `toks` and every metric reads that column (single-pass). ──
     "text_stats" -> ((s, dir) => {
-      val t = col("text")
-      Tables.documents(s, dir).select(
+      val staged = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
+      staged.select(
         col("doc_id"),
-        length(t).cast("long").as("n_chars"),
-        size(TextAnalysis.tokens(t)).cast("long").as("n_tokens"),
-        TextAnalysis.tokenCountBpe(t).cast("long").as("n_tokens_bpe"),
-        round(TextAnalysis.avgTokenLen(t), 4).as("avg_token_len"),
-        round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
-        round(TextAnalysis.stopwordRatio(t), 6).as("stopword_ratio"),
-        round(TextAnalysis.qualityScore(t), 6).as("quality"))
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe"),
+        round(TextAnalysis.avgTokenLenOf(col("toks")), 4).as("avg_token_len"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatioOf(col("toks")), 6).as("stopword_ratio"),
+        round(TextAnalysis.qualityScoreOf(col("text"), col("toks")), 6).as("quality"))
         .orderBy(col("doc_id"))
     }),
 
-    // ── language-ID heuristic ──
+    // ── language-ID heuristic (tokens hoisted: one pass, not one per lang) ──
     "lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextAnalysis.langIdOf(col("toks")).as("lang_guess"))
         .orderBy(col("doc_id"))),
 
     // ── exact dedup on fingerprints (corpus doubled to plant exact dups) ──
@@ -84,13 +87,21 @@ object QueriesLlm {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // ── similarity: embedding cosine near-dup pairs >= 0.4 ──
+    // ── similarity: EXACT embedding cosine near-dup pairs >= 0.4 (all-pairs
+    // ground truth; per-pair cost is one codegen'd dot product) ──
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
 
-    // ── similarity: LSH-bucketed approximate KNN (scale path; approximate
-    // by construction → rows-only check, no oracle) ──
+    // ── similarity: banded-LSH near-dup (the 100 TB path: equi-join
+    // candidates, exact cosine verify; oracle replays the identical
+    // deterministic bucketing, recall measured in SimilaritySpec) ──
+    "dedup_embedding_cosine_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    // ── similarity: LSH-bucketed approximate KNN (scale path; deterministic
+    // md5-derived hyperplanes → the DuckDB oracle recomputes the buckets) ──
     "knn_lsh_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshKnn(emb.where(col("vec_id") < 10), emb, k = 5, nPlanes = 4)
@@ -253,6 +264,55 @@ object QueriesLlm {
         |WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // Replays Similarity.bandBuckets exactly: 24 bands × 3 planes, plane
+    // q = band*3 + p, component j = unsigned first-8-hex md5("q_j") / 2^32
+    // - 0.5 (VectorFunctions.planeComponent), then candidate equi-join +
+    // exact cosine verify — bit-for-bit the Spark algorithm.
+    "dedup_embedding_cosine_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+        |bk AS (
+        |  SELECT vec_id, band,
+        |         sum(CASE WHEN list_sum([v[j] * (('0x' || substr(md5(CAST(band * 3 + p AS VARCHAR) || '_' || CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 - 0.5) for j in range(1, len(v) + 1)]) >= 0
+        |                  THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        |  FROM n, unnest(range(0, 24)) AS t(band), unnest(range(0, 3)) AS s(p)
+        |  GROUP BY vec_id, band
+        |),
+        |cand AS (
+        |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+        |  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+        |)
+        |SELECT c.vec_a, c.vec_b,
+        |       round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM cand c JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
+        |WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Replays Similarity.lshBuckets (4 planes, single-probe IVF) then exact
+    // within-bucket cosine top-5 — the one approximate operator is thereby
+    // hash-verified end-to-end.
+    "knn_lsh_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+        |bkt AS (
+        |  SELECT vec_id,
+        |         sum(CASE WHEN list_sum([v[j] * (('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 - 0.5) for j in range(1, len(v) + 1)]) >= 0
+        |                  THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        |  FROM n, unnest(range(0, 4)) AS t(p)
+        |  GROUP BY vec_id
+        |),
+        |b AS (SELECT n.vec_id, n.v, n.nrm, bkt.bucket FROM n JOIN bkt ON n.vec_id = bkt.vec_id),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)]) / (q.nrm * c.nrm) AS cos
+        |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id != q.vec_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "mm_decode_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -261,6 +321,11 @@ object QueriesLlm {
         |  md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // NOTE: the Spark side slices the binary payload by BYTES; DuckDB substr
+    // below slices VARCHAR by CHARACTERS (this DuckDB has no blob slicing /
+    // blob md5). The two agree iff the corpus is pure ASCII — asserted by
+    // MultimodalSpec ("documents corpus is ASCII"), so a corpus change
+    // surfaces as a test failure, not a silent oracle divergence.
     "mm_frame_hashes" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -1,13 +1,12 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines, in increasing
   * fuzziness: exact (fingerprint), n-gram Jaccard (lossless prefix-filtered
-  * all-pairs), MinHash+LSH (probabilistic candidates), SimHash (hamming), and
-  * embedding-cosine near-dup (see [[Similarity]]).
+  * candidates), MinHash+LSH (probabilistic candidates), SimHash (hamming),
+  * and embedding-cosine near-dup (see [[Similarity]]).
   *
   * Scale design: nothing here is O(n²) on the full corpus.
   * - exact: one hash-shuffle on the 16-byte fingerprint.
@@ -15,8 +14,11 @@ import org.apache.spark.sql.functions._
   *   pair if they share a gram inside a (threshold-sized) prefix of their
   *   rarity-sorted gram list, which is *lossless* for Jaccard >= t, so
   *   results are exact while the join fans out on rare grams only.
-  * - minhash-LSH: fixed-size signatures, banded; the only shuffle is on
-  *   (band, bandHash) buckets.
+  * - minhash-LSH: signatures are computed MAP-SIDE (array expressions over
+  *   each doc's gram set — no explode, no shuffle); the only shuffle is the
+  *   (band, bandHash) bucket join.
+  * - simhash: signature map-side; pairing via the block-permuted index
+  *   (pigeonhole-lossless equi-join), never an all-pairs cross join.
   */
 object Dedup {
 
@@ -47,29 +49,28 @@ object Dedup {
     docs.select(col(idCol), grams.as("grams")).where(size(col("grams")) > 0)
   }
 
-  /** Exact all-pairs n-gram Jaccard >= threshold via lossless prefix
-    * filtering (AllPairs/PPJoin family): order every doc's grams by global
-    * rarity; two docs with Jaccard >= t MUST share a gram within the first
+  /** Candidate pairs for [[ngramJaccardPairs]] via lossless prefix filtering
+    * (AllPairs/PPJoin family): order every doc's grams by global rarity; two
+    * docs with Jaccard >= t MUST share a gram within the first
     * `|g| - ceil(t*|g|) + 1` grams of that ordering (pigeonhole), so the
-    * candidate join only fans out on prefix grams. Output: (doc_a, doc_b,
-    * jaccard) with doc_a < doc_b.
+    * candidate join only fans out on prefix grams. Exposed separately so
+    * tests can assert the filter actually prunes (DedupSpec checks the
+    * candidate count is strictly below all-pairs on the real corpus).
     */
-  def ngramJaccardPairs(
-      docs: DataFrame,
+  def ngramJaccardCandidates(
+      grams: DataFrame,
       threshold: Double,
-      n: Int = 3,
-      idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val g = shingles(docs, n, idCol, textCol).cache()
-
-    val exploded = g.select(col(idCol), explode(col("grams")).as("gram"))
+      idCol: String = "doc_id"): DataFrame = {
+    val exploded = grams.select(col(idCol), explode(col("grams")).as("gram"))
     val freq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
 
-    // rarity-sorted gram array per doc: sort by (freq, gram) via a
-    // zero-padded sortable string key, then take the prefix
+    // Rarity-sorted gram array per doc, via a FIXED-WIDTH sortable string key
+    // (10-char zero-padded freq prefix + the gram). The gram is recovered by
+    // position — substring from char 11 — so no separator is needed and no
+    // gram content can break the decode.
     val ranked = exploded
       .join(freq, "gram")
-      .withColumn("key", concat(lpad(col("freq").cast("string"), 10, "0"), lit(""), col("gram")))
+      .withColumn("key", concat(lpad(col("freq").cast("string"), 10, "0"), col("gram")))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("key"))).as("sorted_keys"))
       .withColumn("n_grams", size(col("sorted_keys")))
@@ -77,13 +78,28 @@ object Dedup {
       .select(
         col(idCol),
         transform(slice(col("sorted_keys"), lit(1), col("prefix_len").cast("int")),
-          k => substring_index(k, "", -1)).as("prefix"))
+          k => substring(k, 11, Int.MaxValue)).as("prefix"))
 
     val pf = ranked.select(col(idCol), explode(col("prefix")).as("gram"))
-    val cand = pf.as("l").join(pf.as("r"), Seq("gram"))
+    pf.as("l").join(pf.as("r"), Seq("gram"))
       .where(col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
       .distinct()
+  }
+
+  /** Exact all-pairs n-gram Jaccard >= threshold. Candidates come from the
+    * lossless prefix filter ([[ngramJaccardCandidates]]); each candidate is
+    * then verified with the exact Jaccard. Output: (doc_a, doc_b, jaccard)
+    * with doc_a < doc_b.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      threshold: Double,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val g = shingles(docs, n, idCol, textCol)
+    val cand = ngramJaccardCandidates(g, threshold, idCol)
 
     val ga = g.select(col(idCol).as("doc_a"), col("grams").as("grams_a"))
     val gb = g.select(col(idCol).as("doc_b"), col("grams").as("grams_b"))
@@ -118,17 +134,22 @@ object Dedup {
   def gramHash32(gram: Column): Column =
     conv(substring(md5(gram), 1, 8), 16, 10).cast("long")
 
-  /** MinHash signature (array of 32 longs) per doc over its n-gram set. */
+  /** MinHash signature (array of 32 longs) per doc over its n-gram set.
+    *
+    * Fully MAP-SIDE: each gram is md5-hashed once into an array, then every
+    * permutation's min is an `array_min(transform(...))` over that array —
+    * no explode, no groupBy, no shuffle (the r1 explode+groupBy build cost
+    * 60 s at sf0.1; this is a single projection).
+    */
   def minhashSignatures(docs: DataFrame, n: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val g = shingles(docs, n, idCol, textCol)
-    val hashed = g.select(col(idCol), explode(col("grams")).as("gram"))
-      .withColumn("h", gramHash32(col("gram")))
-    val mins = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % MinhashP).as(s"mh_$i")
-    }
-    hashed.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until MinhashSeeds.size).map(i => col(s"mh_$i")): _*).as("sig"))
+    // separate projection: `hs` is md5-heavy and referenced 32 times below,
+    // so CollapseProject keeps it materialized once per row
+    val hashed = g.select(col(idCol), transform(col("grams"), gr => gramHash32(gr)).as("hs"))
+    val sig = array(MinhashSeeds.map { case (a, b) =>
+      array_min(transform(col("hs"), h => (h * a + b) % MinhashP))
+    }: _*)
+    hashed.select(col(idCol), sig.as("sig"))
   }
 
   /** MinHash+LSH near-dup candidate pairs: band the 32-slot signature into
@@ -145,7 +166,7 @@ object Dedup {
     val k = MinhashSeeds.size
     require(k % bands == 0)
     val rows = k / bands
-    val sigs = minhashSignatures(docs, n, idCol, textCol).cache()
+    val sigs = minhashSignatures(docs, n, idCol, textCol)
 
     val banded = sigs.select(
       col(idCol),
@@ -174,36 +195,52 @@ object Dedup {
 
   /** 60-bit SimHash over unigram tokens: per bit, sum +1/-1 votes from each
     * distinct token's 60-bit md5-derived hash; bit set iff vote > 0.
+    *
+    * MAP-SIDE: the distinct-token hash array is computed once per doc, then
+    * each bit's vote is an `aggregate` over that array — one projection, no
+    * explode-by-60 blowup and no groupBy shuffles (the r1 build shuffled
+    * |tokens|×60 rows twice).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(
-      col(idCol),
-      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
-    // 60-bit hash: first 15 md5 hex chars
-    val hashed = toks.withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    val bits = hashed.select(
-      col(idCol),
-      explode(sequence(lit(0), lit(59))).as("bit"),
-      col("h"))
-      .withColumn("vote", when(expr("shiftright(h, CAST(bit AS INT)) & 1") === 1, 1).otherwise(-1))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(col("vote")).as("votes"))
-    bits
-      .withColumn("bitval", when(col("votes") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(lit(0L)))
-      .groupBy(col(idCol))
-      .agg(sum(col("bitval")).as("simhash"))
+    val hs = transform(
+      array_distinct(TextAnalysis.tokens(col(textCol))),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val hashed = docs.select(col(idCol), hs.as("hs"))
+    val bitvals = (0 until 60).map { bit =>
+      val votes = aggregate(
+        col("hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
+    }
+    hashed.select(col(idCol), bitvals.reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxHamming. All-pairs
-    * at test scale; at 100 TB the standard block-permuted index (split the
-    * 60 bits into maxHamming+1 blocks, join on exact block match) bounds the
-    * candidate set the same lossless way the Jaccard prefix filter does.
+  /** SimHash near-dup pairs with hamming distance <= maxHamming, via the
+    * block-permuted index: split the 60 bits into `maxHamming + 1` blocks —
+    * any pair within the hamming budget must match EXACTLY on at least one
+    * block (pigeonhole), so an equi-join on (block, blockValue) is a lossless
+    * candidate filter. The exact hamming check then runs per candidate. No
+    * cross join anywhere in the plan (asserted by DedupSpec).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 12, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = simhash(docs, idCol, textCol)
-    val a = sh.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"))
-    val b = sh.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
+    val nBlocks = maxHamming + 1
+    val bounds = (0 to nBlocks).map(i => i * 60 / nBlocks)
+    val blockVals = (0 until nBlocks).map { i =>
+      val start = bounds(i)
+      val width = bounds(i + 1) - start
+      shiftright(col("simhash"), start).bitwiseAND(lit((1L << width) - 1L))
+    }
+    val idx = sh.select(
+      col(idCol), col("simhash"),
+      posexplode(array(blockVals: _*)).as(Seq("blk", "blk_val")))
+
+    idx.as("l").join(idx.as("r"), Seq("blk", "blk_val"))
+      .where(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(
+        col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"),
+        col("l.simhash").as("sh_a"), col("r.simhash").as("sh_b"))
+      .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))

@@ -4,27 +4,48 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /** Vector similarity search over an embedding column (`array<float>`).
   *
   * Brute-force cosine top-k is the exact baseline (O(Q·N) — fine when the
-  * query set is small or as the per-bucket step); the LSH/IVF bucketed
-  * variant is the 100 TB path: deterministic random-hyperplane signs bucket
-  * the corpus so each query only scans its probe buckets. All math is plain
-  * column expressions (codegen'd float→double ops), no UDFs.
+  * query set is small or as the per-bucket step); the LSH bucketed variants
+  * are the 100 TB path: deterministic random-hyperplane signs bucket the
+  * corpus so candidate generation is an equi-join, never a cross join.
+  *
+  * All per-pair math runs through the codegen'd [[VectorFunctions.DotProduct]]
+  * expression (the r1 interpreted `aggregate(zip_with(...))` chain was the
+  * 85%-of-bench hotspot), and every vector's norm is computed ONCE map-side —
+  * per-pair work is exactly one primitive dot-product loop.
+  *
+  * Honest scale note on thresholds: random-hyperplane LSH enrichment depends
+  * on the angle margin (collision prob per bit is `1 - θ/π`, Charikar '02).
+  * At cosine ≥ 0.9 the banded index prunes aggressively; at a loose 0.4 on
+  * near-isotropic vectors no sublinear method separates well — the banded
+  * variant still bounds the candidate set and documents its recall, which is
+  * the standard production trade (SemDeDup-style pipelines).
   */
 object Similarity {
 
-  /** Left-to-right dot product of two double arrays (deterministic order —
-    * matches the SQL oracle's list_sum over an index comprehension).
+  /** Left-to-right dot product of two double arrays — codegen'd native
+    * expression; identical accumulation order to the SQL oracle's list_sum
+    * over an index comprehension.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   private def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** (id-as-`alias`, `v` double vector, `nrm` norm) — norm computed once
+    * map-side so pairwise cosine needs only one dot product per pair.
+    */
+  private def withNorm(vectors: DataFrame, idCol: String, vecCol: String, alias: String): DataFrame =
+    vectors
+      .select(col(idCol).as(alias), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** Exact top-k cosine neighbors for each query vector (self excluded).
     * Output: (query_id, neighbor_id, cosine, rank), rank 1..k, deterministic
@@ -36,13 +57,16 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    VectorFunctions.register(queries.sparkSession)
+    val q = withNorm(queries, idCol, vecCol, "query_id")
+      .select(col("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id")
+      .select(col("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     // small query set → broadcast; every corpus partition scans independently
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(
@@ -50,48 +74,54 @@ object Similarity {
         round(col("cos"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
-  /** Embedding near-duplicate pairs: cosine >= threshold, doc_a < doc_b.
-    * Exact all-pairs here; at scale, run per LSH bucket (see [[lshBuckets]])
-    * with multi-probe for recall.
+  /** EXACT embedding near-duplicate pairs: cosine >= threshold, vec_a < vec_b.
+    * All-pairs by definition (exactness at a loose threshold admits no
+    * lossless sublinear filter for dense vectors) — use as the ground-truth /
+    * small-corpus variant; [[cosineNearDupPairsLsh]] is the bounded scale
+    * path. Per-pair cost is a single codegen'd dot product.
     */
   def cosineNearDupPairs(
       vectors: DataFrame,
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val a = vectors.select(col(idCol).as("vec_a"), asDouble(col(vecCol)).as("va"))
-    val b = vectors.select(col(idCol).as("vec_b"), asDouble(col(vecCol)).as("vb"))
+    VectorFunctions.register(vectors.sparkSession)
+    val a = withNorm(vectors, idCol, vecCol, "vec_a")
+      .select(col("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = withNorm(vectors, idCol, vecCol, "vec_b")
+      .select(col("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
   }
 
   /** Deterministic random-hyperplane LSH bucket id (`nPlanes` sign bits).
     * Plane p's component j is a fixed md5-derived pseudo-random value in
-    * [-0.5, 0.5) — reproducible across engines and runs, no RNG state.
+    * [-0.5, 0.5) — reproducible across engines and runs, no RNG state. The
+    * planes are materialized as array literals on the driver
+    * ([[VectorFunctions.planeComponent]]) so bucketing is one codegen'd dot
+    * per plane — the r1 plan re-derived every component via per-row md5.
     */
   def lshBuckets(
       vectors: DataFrame,
       nPlanes: Int = 8,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val v = asDouble(col(vecCol))
+      vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val staged = vectors.withColumn("__v", asDouble(col(vecCol)))
     val bits = (0 until nPlanes).map { p =>
-      // dot(v, plane_p) where plane_p[j] = hash01(p, j) - 0.5
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(col(vecCol)) - 1), (x, j) =>
-          x * (conv(substring(md5(concat_ws("_", lit(p), j)), 1, 8), 16, 10)
-            .cast("double") / lit(4294967296.0) - lit(0.5))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, expr(s"shiftleft(CAST(1 AS BIGINT), $p)")).otherwise(lit(0L))
+      when(dot(col("__v"), VectorFunctions.planeLit(p, dim)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    vectors.withColumn("bucket", bits.reduce(_ + _))
+    staged.withColumn("bucket", bits.reduce(_ + _)).drop("__v")
   }
 
   /** IVF-style approximate KNN: corpus and queries bucketed by [[lshBuckets]];
     * each query scans only its own bucket (single-probe). Approximate —
     * recall grows with fewer planes / multi-probe; exact within the bucket.
+    * Deterministic end-to-end, so oracle-checkable (the DuckDB oracle
+    * recomputes the identical buckets).
     */
   def lshKnn(
       queries: DataFrame,
@@ -99,20 +129,83 @@ object Similarity {
       k: Int,
       nPlanes: Int = 8,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val qb = lshBuckets(queries, nPlanes, idCol, vecCol)
+      vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val qb = lshBuckets(queries, nPlanes, idCol, vecCol, dim)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"), col("bucket"))
-    val cb = lshBuckets(corpus, nPlanes, idCol, vecCol)
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val cb = lshBuckets(corpus, nPlanes, idCol, vecCol, dim)
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"), col("bucket"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cb.join(broadcast(qb), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(
         col("query_id"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Banded-LSH bucket ids: `bands` independent hash tables, each keyed by
+    * `planesPerBand` sign bits (plane index = band * planesPerBand + p, same
+    * md5 derivation as [[lshBuckets]]). Output: one (band, bucket) row per
+    * vector per band.
+    */
+  def bandBuckets(
+      vectors: DataFrame,
+      bands: Int,
+      planesPerBand: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val staged = vectors.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    val bucketExprs = (0 until bands).map { t =>
+      (0 until planesPerBand).map { p =>
+        val plane = t * planesPerBand + p
+        when(dot(col("__v"), VectorFunctions.planeLit(plane, dim)) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    staged.select(
+      col(idCol),
+      posexplode(array(bucketExprs: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** APPROXIMATE embedding near-dup pairs via banded hyperplane LSH with an
+    * exact cosine verify per candidate: pairs sharing any band's bucket are
+    * candidates (OR-amplification across `bands` tables), then only those
+    * with true cosine >= threshold survive. Subset of the exact result by
+    * construction; recall = 1 - (1 - p^b)^L with p = 1 - θ/π per plane
+    * (b=3, L=24 defaults give ≥ 0.999 theoretical recall at cosine 0.4,
+    * measured on the fixture corpus in SimilaritySpec). Deterministic —
+    * the DuckDB oracle replays the identical bucketing, so the result is
+    * hash-verified even where recall < 1.
+    */
+  def cosineNearDupPairsLsh(
+      vectors: DataFrame,
+      threshold: Double,
+      bands: Int = 24,
+      planesPerBand: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val bk = bandBuckets(vectors, bands, planesPerBand, idCol, vecCol, dim)
+    val cand = bk.as("l").join(bk.as("r"), Seq("band", "bucket"))
+      .where(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("vec_a"), col(s"r.$idCol").as("vec_b"))
+      .distinct()
+    val a = withNorm(vectors, idCol, vecCol, "vec_a")
+      .select(col("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = withNorm(vectors, idCol, vecCol, "vec_b")
+      .select(col("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(a, "vec_a").join(b, "vec_b")
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
   }
 }

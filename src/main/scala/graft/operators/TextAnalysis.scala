@@ -33,28 +33,34 @@ object TextAnalysis {
 
   /** Fraction of tokens that are stopwords (quality signal). */
   val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is")
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+
+  /** Variant over a pre-computed token-array column — lets a query tokenize
+    * ONCE and feed every downstream metric (r1 re-ran the regex+split chain
+    * per metric; Catalyst's CollapseProject keeps a separately-projected
+    * token column materialized because it is non-cheap and multiply-used).
+    */
+  def stopwordRatioOf(toks: Column): Column = {
     val stops = filter(toks, t => t.isin(Stopwords.map(lit(_)): _*))
     size(stops).cast("double") / size(toks)
   }
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
 
   /** Mean token length over whitespace tokens. */
-  def avgTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  def avgTokenLenOf(toks: Column): Column =
     aggregate(transform(toks, t => length(t).cast("double")), lit(0.0), _ + _) / size(toks)
-  }
+  def avgTokenLen(text: Column): Column = avgTokenLenOf(tokens(text))
 
   /** Composite quality score in [0,1]: long-enough docs with moderate
     * stopword presence and little punctuation score high. Deterministic,
     * SQL-expressible (mirrored in the DuckDB oracle).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScoreOf(text: Column, toks: Column): Column = {
     val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
-    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val stopScore = least(stopwordRatioOf(toks) * lit(4.0), lit(1.0))
     val punctPenalty = greatest(lit(1.0) - punctRatio(text) * lit(5.0), lit(0.0))
     (lenScore * lit(0.4) + stopScore * lit(0.3) + punctPenalty * lit(0.3))
   }
+  def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
 
   /** Marker-word language-ID heuristic: count hits from a tiny per-language
     * marker list over the token set; argmax with a fixed priority tie-break.
@@ -68,11 +74,17 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "y", "es", "las"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  def langScore(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(markers.map(lit(_)): _*)))
+  def langScoreOf(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
 
-  def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(text, ms) }
+  def langScore(text: Column, markers: Seq[String]): Column =
+    langScoreOf(tokens(text), markers)
+
+  /** Marker argmax over a pre-computed token column — one tokenization pass
+    * regardless of language count (the r1 plan re-tokenized per language).
+    */
+  def langIdOf(toks: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> langScoreOf(toks, ms) }
     // argmax, ties resolved by list order (en first), zero hits → "und"
     val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
       case ((bl, bs), (lang, sc)) =>
@@ -80,6 +92,8 @@ object TextAnalysis {
     }
     when(best._2 > 0, best._1).otherwise(lit("und"))
   }
+
+  def langId(text: Column): Column = langIdOf(tokens(text))
 
   /** Document fingerprint: md5 of the normalized text — identical across
     * engines, the key for exact dedup.

@@ -55,6 +55,23 @@ class DedupSpec extends AnyFunSuite {
     assert(naive.nonEmpty) // planted near-dups exist in the corpus
   }
 
+  test("ngram prefix filter actually prunes: candidate count strictly below all-pairs") {
+    val d = Tables.documents(spark, SfDir)
+    val g = Dedup.shingles(d)
+    val nDocs = g.count()
+    val allPairs = nDocs * (nDocs - 1) / 2
+    val cand = Dedup.ngramJaccardCandidates(g, 0.3).count()
+    assert(cand > 0)
+    assert(cand < allPairs, s"prefix filter degenerated: $cand candidates vs $allPairs all-pairs")
+  }
+
+  test("simhash pairing plan has no cartesian or nested-loop join") {
+    val d = Tables.documents(spark, SfDir)
+    val plan = Dedup.simhashPairs(d, maxHamming = 6).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian in simhash plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in simhash plan")
+  }
+
   test("minhash est_jaccard is 1.0 for identical docs") {
     val d = docs(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

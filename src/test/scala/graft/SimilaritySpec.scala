@@ -31,6 +31,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("banded-lsh near-dup: subset of exact, candidates via equi-join, recall measured") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val exact = Similarity.cosineNearDupPairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshDf = Similarity.cosineNearDupPairsLsh(emb, 0.4)
+    val plan = lshDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "banded-lsh near-dup must not contain an all-pairs join")
+    val lsh = lshDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "lsh pairs must be a subset of exact pairs")
+    // deterministic (fixed planes, fixed corpus): b=3 L=24 gives >= 0.999
+    // theoretical recall at cosine 0.4; assert a conservative floor
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below floor (${lsh.size}/${exact.size})")
+  }
+
   test("lsh buckets are deterministic across invocations") {
     val emb = Tables.embeddings(spark, SfDir)
     val b1 = Similarity.lshBuckets(emb, 4).select("vec_id", "bucket").collect()
