@@ -7,6 +7,13 @@ import org.apache.spark.sql.SparkSession
   * `noop` sink (evaluates all columns, no disk write — `count()` would let
   * Catalyst prune the actual work away). One warmup run pays the JVM/codegen
   * tax outside the timed region.
+  *
+  * Each query runs TWICE back-to-back and reports the MIN: BENCH_r02 showed
+  * 8–13× swings on queries whose code had not changed (GC/old-gen pressure
+  * from heavy predecessors, sandbox noise), so a single sample conflates the
+  * query's cost with its neighbors' garbage. The min of two consecutive runs
+  * is the steady-state number the 100 TB plan comparison needs.
+  * SPARK_GRAFT_ONLY=q1,q2 restricts to a subset for local iteration.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,8 +46,15 @@ object Bench {
     // warmup: JIT + codegen + parquet footer caches, untimed
     materialize("wau_user")
 
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> materialize(n))
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map { n =>
+      val a = materialize(n)
+      val b = materialize(n)
+      // min of two consecutive runs; a failure (-1) on either run is LOUD
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -51,12 +51,23 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
-    // ── language-ID heuristic (tokens hoisted: one pass, not one per lang) ──
-    "lang_id" -> ((s, dir) =>
-      Tables.documents(s, dir)
+    // ── language-ID heuristic. Three stages on purpose: tokenize once, then
+    // project every language score as a REAL column (one interpreted filter
+    // pass each), then argmax over the cheap attribute refs — embedding the
+    // scores inside the when-chain re-evaluates them per branch (the r2
+    // single-Column fold was 4× slower than r1 for exactly that reason). ──
+    "lang_id" -> ((s, dir) => {
+      val staged = Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), TextAnalysis.langIdOf(col("toks")).as("lang_guess"))
-        .orderBy(col("doc_id"))),
+      val scored = staged.select(
+        col("doc_id") +: TextAnalysis.langScores(col("toks")).map {
+          case (lang, sc) => sc.as(s"s_$lang")
+        }: _*)
+      val scoreRefs = TextAnalysis.LangMarkers.map { case (lang, _) => lang -> col(s"s_$lang") }
+      scored.select(
+        col("doc_id"), TextAnalysis.langIdFromScores(scoreRefs).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ── exact dedup on fingerprints (corpus doubled to plant exact dups) ──
     "dedup_exact" -> ((s, dir) => {
@@ -75,9 +86,16 @@ object QueriesLlm {
       Dedup.minhashLshPairs(Tables.documents(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    // ── near-dup: 60-bit SimHash, hamming <= 12 ──
+    // ── near-dup: 60-bit SimHash, hamming <= 6. The minimal 7-block index
+    // fits THIS corpus: it is near-dup-dense, so candidate volume is
+    // combos × true-pairs and the 7-way index beats the wider 9-block one
+    // (measured 4.7 s vs 14.2 s at sf0.1). On a sparse corpus the n²/2^width
+    // collision term dominates instead and nBlocks=9 (C(9,3)=84 tables,
+    // ~20-bit keys, ~n²/12500) is the right setting — both come from the
+    // same lossless combination index; see Dedup.simhashPairs Scaladoc and
+    // DedupSpec's 7-vs-9 equivalence test. ──
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6)
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6, nBlocks = 7)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // ── similarity: exact brute-force cosine top-5 for 10 query vectors ──

@@ -1,0 +1,216 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass codegen'd kernels for the text-dedup signature builders.
+  *
+  * Spark does not codegen higher-order-function lambdas (`transform`,
+  * `aggregate`, `filter` run interpreted, allocating per element), which made
+  * the r2 "map-side" MinHash/SimHash builders 2–9× slower than the shuffling
+  * plans they replaced (BENCH_r02: minhash 119 s, simhash 36 s at sf0.1).
+  * These expressions do the same math as ONE tight primitive loop per row —
+  * the [[DotProduct]] pattern, which took the pairwise-cosine operator from
+  * 167 s to 1.9 s — while staying bit-identical to the DuckDB oracles:
+  *
+  *  - gram hash  = first 8 md5 hex chars as unsigned  (`('0x' || substr(md5(g),1,8))::BIGINT`)
+  *  - token hash = first 15 md5 hex chars as unsigned (`('0x' || substr(md5(t),1,15))::BIGINT`)
+  *  - minhash slot i = min over grams of (a_i*h + b_i) mod (2^31-1)
+  *  - simhash bit b  = 1 iff sum over distinct tokens of ±1 votes > 0
+  *
+  * The static kernel methods are invoked from whole-stage-generated Java via
+  * the Scala object's static forwarders; each is a pure function of its
+  * input array (no shared mutable state beyond a thread-local MD5 instance).
+  */
+object TextKernels {
+
+  /** 32 deterministic affine permutations h_i(x) = (a_i*x + b_i) mod p over a
+    * 32-bit gram hash. p = 2^31-1; a < 2^30 keeps a*x + b < 2^63. (Moved from
+    * Dedup so the kernel and the operators share one source of truth.)
+    */
+  val MinhashP: Long = 2147483647L
+  val MinhashSeeds: Seq[(Long, Long)] = Seq(
+    (686579305L, 239081663L), (26855093L, 590620971L), (262950629L, 479341423L),
+    (149827707L, 220106707L), (726600541L, 186699713L), (634036507L, 906070220L),
+    (34126397L, 63989047L), (100604503L, 469521477L), (249817735L, 56985561L),
+    (602632299L, 427000596L), (768820205L, 900911954L), (236696313L, 964669077L),
+    (632719213L, 597409992L), (869119331L, 13955983L), (814763203L, 342865762L),
+    (749621471L, 907557512L), (365341215L, 596724164L), (166944845L, 462382781L),
+    (1027799705L, 722831292L), (109747453L, 199170184L), (407943841L, 207696843L),
+    (385451173L, 738639288L), (648245889L, 568054227L), (866647393L, 93309105L),
+    (783543541L, 986607411L), (575770531L, 268062140L), (1044875093L, 812896393L),
+    (84611067L, 629595552L), (890566477L, 776605304L), (619927153L, 412936598L),
+    (756528253L, 149368553L), (49203559L, 489407815L))
+
+  private val SeedsA: Array[Long] = MinhashSeeds.map(_._1).toArray
+  private val SeedsB: Array[Long] = MinhashSeeds.map(_._2).toArray
+
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 md5 hex chars (= first 4 digest bytes) as an unsigned long —
+    * identical to `conv(substring(md5(s), 1, 8), 16, 10)`.
+    */
+  def hash32(s: UTF8String): Long = {
+    val d = Md5.get().digest(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** First 15 md5 hex chars (= first 8 digest bytes >>> 4) as an unsigned
+    * long < 2^60 — identical to `conv(substring(md5(s), 1, 15), 16, 10)`.
+    */
+  def hash60(s: UTF8String): Long = {
+    val d = Md5.get().digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Distinct word n-grams of a token array, first-occurrence order (the
+    * semantics of `array_distinct(transform(sequence(...), concat_ws(" ", ...)))`).
+    * Fewer than n tokens → empty array.
+    */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** All 32 minhash slots in one pass over the gram array: hash each gram
+    * once, fold every permutation's running min. Empty input yields slots of
+    * Long.MaxValue (callers filter empty gram sets; [[Dedup.shingles]] does).
+    */
+  def minhashSignature(grams: ArrayData): ArrayData = {
+    val n = grams.numElements()
+    val k = SeedsA.length
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hash32(grams.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val v = (h * SeedsA(j) + SeedsB(j)) % MinhashP
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 60-bit SimHash over an array of (already distinct) tokens: per bit, sum
+    * ±1 votes from each token's 60-bit hash; bit set iff the vote is > 0.
+    * Empty input → 0L (matches the `aggregate` fold's zero start).
+    */
+  def simhash60(tokens: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hash60(tokens.getUTF8String(i))
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  private def requireStringArray(name: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$name requires array<string>, got ${other.sql}")
+  }
+
+  /** Codegen'd distinct word n-grams: array<string> tokens → array<string>. */
+  case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(prettyName, child.dataType)
+    override def nullSafeEval(t: Any): Any =
+      TextKernels.shingles(t.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.TextKernels.shingles($t, $n);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "graft_shingles"
+  }
+
+  /** Codegen'd 32-slot MinHash signature: array<string> grams → array<long>. */
+  case class MinHashSignature(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(prettyName, child.dataType)
+    override def nullSafeEval(g: Any): Any =
+      TextKernels.minhashSignature(g.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, g =>
+        s"${ev.value} = graft.functions.TextKernels.minhashSignature($g);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "graft_minhash"
+  }
+
+  /** Codegen'd 60-bit SimHash: array<string> distinct tokens → long. */
+  case class SimHash60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(prettyName, child.dataType)
+    override def nullSafeEval(t: Any): Any =
+      TextKernels.simhash60(t.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.TextKernels.simhash60($t);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "graft_simhash60"
+  }
+
+  /** Register the kernels on the session's function registry (idempotent —
+    * same lazy-registration contract as [[VectorFunctions.register]]).
+    * `graft_shingles` takes the n-gram width as a literal second argument.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_shingles",
+      exprs => ShinglesExpr(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashSignature(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash60", exprs => SimHash60(exprs(0)), "scala_udf")
+  }
+
+  def shingleGrams(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_shingles", toks, lit(n))
+  }
+  def minhashSig(grams: Column): Column = call_function("graft_minhash", grams)
+  def simhashSig(distinctToks: Column): Column = call_function("graft_simhash60", distinctToks)
+}

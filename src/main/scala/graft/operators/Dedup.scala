@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextKernels
+
 /** Deduplication operators for LLM training-data pipelines, in increasing
   * fuzziness: exact (fingerprint), n-gram Jaccard (lossless prefix-filtered
   * candidates), MinHash+LSH (probabilistic candidates), SimHash (hamming),
@@ -12,15 +14,25 @@ import org.apache.spark.sql.functions._
   * - exact: one hash-shuffle on the 16-byte fingerprint.
   * - ngram-jaccard: AllPairs/PPJoin-style prefix filtering — docs can only
   *   pair if they share a gram inside a (threshold-sized) prefix of their
-  *   rarity-sorted gram list, which is *lossless* for Jaccard >= t, so
-  *   results are exact while the join fans out on rare grams only.
-  * - minhash-LSH: signatures are computed MAP-SIDE (array expressions over
-  *   each doc's gram set — no explode, no shuffle); the only shuffle is the
-  *   (band, bandHash) bucket join.
-  * - simhash: signature map-side; pairing via the block-permuted index
-  *   (pigeonhole-lossless equi-join), never an all-pairs cross join.
+  *   rarity-sorted gram list, with PPJoin length + positional filters on top.
+  *   All three filters are *lossless* for Jaccard >= t, so results are exact
+  *   while the join fans out on rare grams only.
+  * - minhash-LSH: signatures are computed MAP-SIDE by the codegen'd
+  *   [[TextKernels.MinHashSignature]] kernel (one pass per doc — the r2
+  *   interpreted `array_min(transform(...))`×32 build cost 119 s at sf0.1);
+  *   the only shuffle is the (band, bandHash) bucket join.
+  * - simhash: signature map-side via [[TextKernels.SimHash60]] (one pass —
+  *   the r2 interpreted `aggregate()`×60 build cost 36 s); pairing via a
+  *   Manku-style block-combination index (pigeonhole-lossless equi-join on
+  *   multi-block keys), never an all-pairs cross join.
   */
 object Dedup {
+
+  /** Canonical MinHash constants — see [[TextKernels.MinhashSeeds]]. Kept
+    * here as forwarders so oracle builders keep one import site.
+    */
+  val MinhashP: Long = TextKernels.MinhashP
+  val MinhashSeeds: Seq[(Long, Long)] = TextKernels.MinhashSeeds
 
   /** Exact dedup groups: fingerprint → surviving (minimum) doc id + group
     * size. One shuffle on the fingerprint.
@@ -32,30 +44,40 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
   /** Distinct word n-grams (shingles) of the normalized text, as an array
-    * column named `grams`.
+    * column named `grams` — one codegen'd pass per doc
+    * ([[TextKernels.ShinglesExpr]]; semantics identical to
+    * `array_distinct(transform(sequence(...), concat_ws(" ", ...)))`).
+    * Docs with fewer than n tokens have no grams and are dropped.
     */
   def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    // gram i = tokens[i..i+n-1] joined by space, for i in 0 .. size-n;
-    // docs with fewer than n tokens have no grams (guarded — sequence()
-    // would otherwise run backwards on size-n < 0)
-    val grams = when(
-      size(toks) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol), grams.as("grams")).where(size(col("grams")) > 0)
+    TextKernels.register(docs.sparkSession)
+    docs
+      .select(
+        col(idCol),
+        TextKernels.shingleGrams(TextAnalysis.tokens(col(textCol)), n).as("grams"))
+      .where(size(col("grams")) > 0)
   }
 
   /** Candidate pairs for [[ngramJaccardPairs]] via lossless prefix filtering
     * (AllPairs/PPJoin family): order every doc's grams by global rarity; two
     * docs with Jaccard >= t MUST share a gram within the first
     * `|g| - ceil(t*|g|) + 1` grams of that ordering (pigeonhole), so the
-    * candidate join only fans out on prefix grams. Exposed separately so
-    * tests can assert the filter actually prunes (DedupSpec checks the
-    * candidate count is strictly below all-pairs on the real corpus).
+    * candidate join only fans out on prefix grams. Two further *lossless*
+    * PPJoin filters cut the fan-out (essential at low thresholds, where the
+    * prefix alone is ~70% of each doc at t=0.3):
+    *
+    *  - length filter: Jaccard >= t forces min(|a|,|b|) >= t·max(|a|,|b|);
+    *  - positional filter: both gram lists are sorted by the SAME global
+    *    order, so the first shared gram (positions i, j, 0-based) bounds the
+    *    overlap by `1 + min(|a|-i-1, |b|-j-1)`, which must reach the overlap
+    *    threshold `alpha = ceil(t/(1+t)·(|a|+|b|))` (Xiao et al., PPJoin).
+    *
+    * The float guards subtract 1e-9 before ceil/compare so rounding can only
+    * weaken a filter (keep a candidate), never drop a true pair.
+    *
+    * Exposed separately so tests can assert the filter actually prunes
+    * (DedupSpec checks candidates strictly below all-pairs, and losslessness
+    * against a naive all-pairs join on the real corpus).
     */
   def ngramJaccardCandidates(
       grams: DataFrame,
@@ -65,25 +87,37 @@ object Dedup {
     val freq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
 
     // Rarity-sorted gram array per doc, via a FIXED-WIDTH sortable string key
-    // (10-char zero-padded freq prefix + the gram). The gram is recovered by
-    // position — substring from char 11 — so no separator is needed and no
-    // gram content can break the decode.
+    // (19-char zero-padded freq prefix — max-long-proof, so rarity order
+    // holds even for degenerate global gram counts — + the gram). The gram is
+    // recovered by position — substring from char 20 — so no separator is
+    // needed and no gram content can break the decode.
     val ranked = exploded
       .join(freq, "gram")
-      .withColumn("key", concat(lpad(col("freq").cast("string"), 10, "0"), col("gram")))
+      .withColumn("key", concat(lpad(col("freq").cast("string"), 19, "0"), col("gram")))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("key"))).as("sorted_keys"))
       .withColumn("n_grams", size(col("sorted_keys")))
       .withColumn("prefix_len", col("n_grams") - ceil(lit(threshold) * col("n_grams")).cast("int") + 1)
       .select(
-        col(idCol),
+        col(idCol), col("n_grams"),
         transform(slice(col("sorted_keys"), lit(1), col("prefix_len").cast("int")),
-          k => substring(k, 11, Int.MaxValue)).as("prefix"))
+          k => substring(k, 20, Int.MaxValue)).as("prefix"))
 
-    val pf = ranked.select(col(idCol), explode(col("prefix")).as("gram"))
-    pf.as("l").join(pf.as("r"), Seq("gram"))
-      .where(col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
+    val pf = ranked.select(
+      col(idCol), col("n_grams"),
+      posexplode(col("prefix")).as(Seq("pos", "gram")))
+    val l = pf.select(
+      col(idCol).as("doc_a"), col("n_grams").as("na"), col("pos").as("pa"), col("gram"))
+    val r = pf.select(
+      col(idCol).as("doc_b"), col("n_grams").as("nb"), col("pos").as("pb"), col("gram"))
+    val t = threshold
+    val alpha = ceil(lit(t / (1.0 + t)) * (col("na") + col("nb")) - lit(1e-9))
+    l.join(r, "gram")
+      .where(col("doc_a") < col("doc_b"))
+      .where(col("nb") >= lit(t) * col("na") - lit(1e-9) &&
+        col("na") >= lit(t) * col("nb") - lit(1e-9))
+      .where(lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1) >= alpha)
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
 
@@ -112,44 +146,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  // ── MinHash ───────────────────────────────────────────────────────────
-  // 32 deterministic affine permutations h_i(x) = (a_i*x32 + b_i) mod p over
-  // a 32-bit gram hash derived from md5 (engine-neutral: DuckDB reproduces
-  // it bit-for-bit). p = 2^31-1; a < 2^30 keeps a*x + b < 2^63.
-  val MinhashP: Long = 2147483647L
-  val MinhashSeeds: Seq[(Long, Long)] = Seq(
-    (686579305L, 239081663L), (26855093L, 590620971L), (262950629L, 479341423L),
-    (149827707L, 220106707L), (726600541L, 186699713L), (634036507L, 906070220L),
-    (34126397L, 63989047L), (100604503L, 469521477L), (249817735L, 56985561L),
-    (602632299L, 427000596L), (768820205L, 900911954L), (236696313L, 964669077L),
-    (632719213L, 597409992L), (869119331L, 13955983L), (814763203L, 342865762L),
-    (749621471L, 907557512L), (365341215L, 596724164L), (166944845L, 462382781L),
-    (1027799705L, 722831292L), (109747453L, 199170184L), (407943841L, 207696843L),
-    (385451173L, 738639288L), (648245889L, 568054227L), (866647393L, 93309105L),
-    (783543541L, 986607411L), (575770531L, 268062140L), (1044875093L, 812896393L),
-    (84611067L, 629595552L), (890566477L, 776605304L), (619927153L, 412936598L),
-    (756528253L, 149368553L), (49203559L, 489407815L))
-
-  /** 32-bit integer hash of a gram via md5 (first 8 hex chars). */
-  def gramHash32(gram: Column): Column =
-    conv(substring(md5(gram), 1, 8), 16, 10).cast("long")
-
   /** MinHash signature (array of 32 longs) per doc over its n-gram set.
-    *
-    * Fully MAP-SIDE: each gram is md5-hashed once into an array, then every
-    * permutation's min is an `array_min(transform(...))` over that array —
-    * no explode, no groupBy, no shuffle (the r1 explode+groupBy build cost
-    * 60 s at sf0.1; this is a single projection).
+    * Fully MAP-SIDE and codegen'd: one [[TextKernels.MinHashSignature]] pass
+    * hashes each gram once and folds all 32 permutation minima — no explode,
+    * no shuffle, no interpreted lambda allocation.
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val g = shingles(docs, n, idCol, textCol)
-    // separate projection: `hs` is md5-heavy and referenced 32 times below,
-    // so CollapseProject keeps it materialized once per row
-    val hashed = g.select(col(idCol), transform(col("grams"), gr => gramHash32(gr)).as("hs"))
-    val sig = array(MinhashSeeds.map { case (a, b) =>
-      array_min(transform(col("hs"), h => (h * a + b) % MinhashP))
-    }: _*)
-    hashed.select(col(idCol), sig.as("sig"))
+    g.select(col(idCol), TextKernels.minhashSig(col("grams")).as("sig"))
   }
 
   /** MinHash+LSH near-dup candidate pairs: band the 32-slot signature into
@@ -195,47 +199,63 @@ object Dedup {
 
   /** 60-bit SimHash over unigram tokens: per bit, sum +1/-1 votes from each
     * distinct token's 60-bit md5-derived hash; bit set iff vote > 0.
-    *
-    * MAP-SIDE: the distinct-token hash array is computed once per doc, then
-    * each bit's vote is an `aggregate` over that array — one projection, no
-    * explode-by-60 blowup and no groupBy shuffles (the r1 build shuffled
-    * |tokens|×60 rows twice).
+    * MAP-SIDE and codegen'd: one [[TextKernels.SimHash60]] pass per doc.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val hs = transform(
-      array_distinct(TextAnalysis.tokens(col(textCol))),
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    val hashed = docs.select(col(idCol), hs.as("hs"))
-    val bitvals = (0 until 60).map { bit =>
-      val votes = aggregate(
-        col("hs"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
-    }
-    hashed.select(col(idCol), bitvals.reduce(_ + _).as("simhash"))
+    TextKernels.register(docs.sparkSession)
+    docs.select(
+      col(idCol),
+      TextKernels.simhashSig(array_distinct(TextAnalysis.tokens(col(textCol)))).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxHamming, via the
-    * block-permuted index: split the 60 bits into `maxHamming + 1` blocks —
-    * any pair within the hamming budget must match EXACTLY on at least one
-    * block (pigeonhole), so an equi-join on (block, blockValue) is a lossless
-    * candidate filter. The exact hamming check then runs per candidate. No
-    * cross join anywhere in the plan (asserted by DedupSpec).
+  /** SimHash near-dup pairs with hamming distance <= maxHamming, via a
+    * Manku-style block-combination index (WWW'07 §3): split the 60 bits into
+    * `nBlocks` blocks; a pair within the hamming budget flips bits in at most
+    * `maxHamming` blocks, so it must match EXACTLY on some
+    * `r = nBlocks - maxHamming` of them (pigeonhole) — an equi-join on every
+    * C(nBlocks, r) combination of r concatenated blocks is a lossless
+    * candidate filter. The exact hamming check runs per candidate. No cross
+    * join anywhere in the plan (asserted by DedupSpec).
+    *
+    * Candidate-volume bound: TOTAL candidates ≈ random collisions
+    * `C(nBlocks, r) · n² / 2^(r·60/nBlocks)` plus true near-dups emitted up
+    * to C(nBlocks, r) times each. The minimal index
+    * (`nBlocks = maxHamming + 1`, r = 1) has keys of only 60/(maxHamming+1)
+    * bits — at maxHamming=6 that is ~8.5 bits ⇒ ~n²/362 collisions:
+    * effectively quadratic on a large SPARSE corpus. Wider nBlocks trades
+    * true-pair fan-out for exponentially fewer collisions: nBlocks=9 at
+    * maxHamming=6 joins C(9,3)=84 tables on ~20-bit keys ⇒ ~n²/12500.
+    * Pick by corpus: collision-dominated (sparse, huge n) → wide nBlocks;
+    * true-pair-dominated (dense near-dups, as in the fixture corpus, where
+    * 7 blocks measured 3× faster than 9 at sf0.1) → minimal nBlocks. Both
+    * settings return identical results (DedupSpec equivalence test).
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 12, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 12,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      nBlocks: Int = 0): DataFrame = {
+    val m = if (nBlocks > 0) nBlocks else maxHamming + 1
+    require(m > maxHamming, s"need nBlocks ($m) > maxHamming ($maxHamming) for the pigeonhole")
+    require(m <= 60, s"nBlocks ($m) cannot exceed the 60 signature bits")
+    val r = m - maxHamming
     val sh = simhash(docs, idCol, textCol)
-    val nBlocks = maxHamming + 1
-    val bounds = (0 to nBlocks).map(i => i * 60 / nBlocks)
-    val blockVals = (0 until nBlocks).map { i =>
-      val start = bounds(i)
-      val width = bounds(i + 1) - start
-      shiftright(col("simhash"), start).bitwiseAND(lit((1L << width) - 1L))
+    val bounds = (0 to m).map(i => i * 60 / m)
+    def blockVal(i: Int): Column =
+      shiftright(col("simhash"), bounds(i)).bitwiseAND(lit((1L << (bounds(i + 1) - bounds(i))) - 1L))
+    // one packed key per r-combination: fold the combination's block values
+    // into a single long (shift by each block's exact width — total <= 60 bits)
+    val comboKeys = (0 until m).combinations(r).toSeq.map { combo =>
+      combo.foldLeft(lit(0L)) { (acc, blk) =>
+        shiftleft(acc, bounds(blk + 1) - bounds(blk)) + blockVal(blk)
+      }
     }
     val idx = sh.select(
       col(idCol), col("simhash"),
-      posexplode(array(blockVals: _*)).as(Seq("blk", "blk_val")))
+      posexplode(array(comboKeys: _*)).as(Seq("combo", "combo_key")))
 
-    idx.as("l").join(idx.as("r"), Seq("blk", "blk_val"))
+    idx.as("l").join(idx.as("r"), Seq("combo", "combo_key"))
       .where(col(s"l.$idCol") < col(s"r.$idCol"))
       .select(
         col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"),

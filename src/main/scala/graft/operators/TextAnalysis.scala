@@ -80,18 +80,39 @@ object TextAnalysis {
   def langScore(text: Column, markers: Seq[String]): Column =
     langScoreOf(tokens(text), markers)
 
-  /** Marker argmax over a pre-computed token column — one tokenization pass
-    * regardless of language count (the r1 plan re-tokenized per language).
+  /** One (language, score) column per marker language — meant to be
+    * projected as REAL columns in a staging select, with the argmax
+    * ([[langIdFromScores]]) running over the resulting attribute refs in a
+    * second select. Splitting the stages matters: each score is an
+    * interpreted `size(filter(...))`, and embedding them directly in the
+    * argmax when-chain re-evaluates every score once per branch (the r2
+    * single-Column fold duplicated them ~3^5 times per row — 39 s at sf0.1
+    * vs ~5 s staged). The projection boundary survives CollapseProject
+    * because the scores are non-cheap and multiply-referenced.
     */
-  def langIdOf(toks: Column): Column = {
-    val scores = LangMarkers.map { case (lang, ms) => lang -> langScoreOf(toks, ms) }
-    // argmax, ties resolved by list order (en first), zero hits → "und"
-    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bl, bs), (lang, sc)) =>
-        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+  def langScores(toks: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, ms) => lang -> langScoreOf(toks, ms) }
+
+  /** Argmax over already-projected score columns: first language whose score
+    * is >= all later scores (ties resolve to list order, en first); all-zero
+    * scores → "und". Safe to pass plain attribute refs only — any non-cheap
+    * Column gets duplicated into every branch below.
+    */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
+    val cases = scores.zipWithIndex.map { case ((lang, s), i) =>
+      val later = scores.drop(i + 1).map(_._2)
+      val cond = later.foldLeft(lit(true))((acc, o) => acc && s >= o)
+      when(cond, lit(lang))
     }
-    when(best._2 > 0, best._1).otherwise(lit("und"))
+    when(greatest(scores.map(_._2): _*) === 0, lit("und"))
+      .otherwise(coalesce(cases: _*))
   }
+
+  /** Single-Column convenience argmax (small inputs / tests). Hot paths
+    * should stage [[langScores]] as real columns first — see the Scaladoc
+    * there and the `lang_id` query in QueriesLlm.
+    */
+  def langIdOf(toks: Column): Column = langIdFromScores(langScores(toks))
 
   def langId(text: Column): Column = langIdOf(tokens(text))
 

@@ -67,9 +67,20 @@ class DedupSpec extends AnyFunSuite {
 
   test("simhash pairing plan has no cartesian or nested-loop join") {
     val d = Tables.documents(spark, SfDir)
-    val plan = Dedup.simhashPairs(d, maxHamming = 6).queryExecution.executedPlan.toString
+    val plan = Dedup.simhashPairs(d, maxHamming = 6, nBlocks = 9)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "cartesian in simhash plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in simhash plan")
+  }
+
+  test("simhash block-combination index is lossless: nBlocks=9 equals nBlocks=7") {
+    val d = Tables.documents(spark, SfDir)
+    def pairs(nb: Int) = Dedup.simhashPairs(d, maxHamming = 6, nBlocks = nb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val narrow = pairs(7)
+    val wide = pairs(9)
+    assert(narrow == wide)
+    assert(narrow.nonEmpty)
   }
 
   test("minhash est_jaccard is 1.0 for identical docs") {
