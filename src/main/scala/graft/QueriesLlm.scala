@@ -33,6 +33,15 @@ object QueriesLlm {
     .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
     .mkString(", ")
 
+  // LSH geometry interpolated from the Scala constants — the oracle cannot
+  // silently drift if a Similarity/Dedup default changes (ADVICE r2).
+  private val NdBands = Similarity.NearDupBands
+  private val NdPlanes = Similarity.NearDupPlanesPerBand
+  private val KnnPlanes = 4
+  private val MhK = Dedup.MinhashSeeds.size
+  private val MhBands = 8 // minhashLshPairs default
+  private val MhRows = MhK / MhBands
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── text analysis: per-doc stats & quality. Tokenization is projected
     // ONCE into `toks` and every metric reads that column (single-pass). ──
@@ -122,7 +131,7 @@ object QueriesLlm {
     // md5-derived hyperplanes → the DuckDB oracle recomputes the buckets) ──
     "knn_lsh_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshKnn(emb.where(col("vec_id") < 10), emb, k = 5, nPlanes = 4)
+      Similarity.lshKnn(emb.where(col("vec_id") < 10), emb, k = 5, nPlanes = KnnPlanes)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -222,9 +231,9 @@ object QueriesLlm {
          |),
          |sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mins GROUP BY doc_id),
          |banded AS (
-         |  SELECT doc_id, i // 4 AS band,
+         |  SELECT doc_id, i // $MhRows AS band,
          |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
-         |  FROM mins GROUP BY doc_id, i // 4
+         |  FROM mins GROUP BY doc_id, i // $MhRows
          |),
          |cand AS (
          |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -232,7 +241,7 @@ object QueriesLlm {
          |  WHERE l.doc_id < r.doc_id
          |)
          |SELECT c.doc_a, c.doc_b,
-         |       round(CAST(len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, 33)], x -> x)) AS DOUBLE) / 32, 6) AS est_jaccard
+         |       round(CAST(len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, ${MhK + 1})], x -> x)) AS DOUBLE) / $MhK, 6) AS est_jaccard
          |FROM cand c
          |JOIN sigs sa ON sa.doc_id = c.doc_a
          |JOIN sigs sb ON sb.doc_id = c.doc_b
@@ -282,18 +291,20 @@ object QueriesLlm {
         |WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 
-    // Replays Similarity.bandBuckets exactly: 24 bands × 3 planes, plane
-    // q = band*3 + p, component j = unsigned first-8-hex md5("q_j") / 2^32
-    // - 0.5 (VectorFunctions.planeComponent), then candidate equi-join +
-    // exact cosine verify — bit-for-bit the Spark algorithm.
+    // Replays Similarity.bandBuckets exactly: NearDupBands × NearDupPlanes
+    // (both interpolated from the Scala constants), plane
+    // q = band*planesPerBand + p, component j = unsigned first-8-hex
+    // md5("q_j") / 2^32 - 0.5 (VectorFunctions.planeComponent), then
+    // candidate equi-join + exact cosine verify — bit-for-bit the Spark
+    // algorithm.
     "dedup_embedding_cosine_lsh" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
         |bk AS (
         |  SELECT vec_id, band,
-        |         sum(CASE WHEN list_sum([v[j] * (('0x' || substr(md5(CAST(band * 3 + p AS VARCHAR) || '_' || CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 - 0.5) for j in range(1, len(v) + 1)]) >= 0
+        |         sum(CASE WHEN list_sum([v[j] * (('0x' || substr(md5(CAST(band * $NdPlanes + p AS VARCHAR) || '_' || CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 - 0.5) for j in range(1, len(v) + 1)]) >= 0
         |                  THEN (1::BIGINT << p) ELSE 0 END) AS bucket
-        |  FROM n, unnest(range(0, 24)) AS t(band), unnest(range(0, 3)) AS s(p)
+        |  FROM n, unnest(range(0, $NdBands)) AS t(band), unnest(range(0, $NdPlanes)) AS s(p)
         |  GROUP BY vec_id, band
         |),
         |cand AS (
@@ -306,17 +317,18 @@ object QueriesLlm {
         |WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 
-    // Replays Similarity.lshBuckets (4 planes, single-probe IVF) then exact
-    // within-bucket cosine top-5 — the one approximate operator is thereby
-    // hash-verified end-to-end.
+    // Replays Similarity.lshBuckets (KnnPlanes interpolated — same constant
+    // the query passes — single-probe IVF) then exact within-bucket cosine
+    // top-5 — the one approximate operator is thereby hash-verified
+    // end-to-end.
     "knn_lsh_cosine" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
         |bkt AS (
         |  SELECT vec_id,
         |         sum(CASE WHEN list_sum([v[j] * (('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 - 0.5) for j in range(1, len(v) + 1)]) >= 0
         |                  THEN (1::BIGINT << p) ELSE 0 END) AS bucket
-        |  FROM n, unnest(range(0, 4)) AS t(p)
+        |  FROM n, unnest(range(0, $KnnPlanes)) AS t(p)
         |  GROUP BY vec_id
         |),
         |b AS (SELECT n.vec_id, n.v, n.nrm, bkt.bucket FROM n JOIN bkt ON n.vec_id = bkt.vec_id),
@@ -339,21 +351,20 @@ object QueriesLlm {
         |  md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // NOTE: the Spark side slices the binary payload by BYTES; DuckDB substr
-    // below slices VARCHAR by CHARACTERS (this DuckDB has no blob slicing /
-    // blob md5). The two agree iff the corpus is pure ASCII — asserted by
-    // MultimodalSpec ("documents corpus is ASCII"), so a corpus change
-    // surfaces as a test failure, not a silent oracle divergence.
+    // Byte-addressed on both engines: frames are byte ranges of the payload,
+    // and the fingerprint is md5 over the frame's uppercase-hex encoding —
+    // hex is pure ASCII, so slicing the hex VARCHAR at 2× the byte offsets
+    // IS a byte slice, with no assumption about the corpus encoding.
     "mm_frame_hashes" ->
       """WITH f AS (
         |  SELECT doc_id,
         |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |         unnest(range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))) AS frame_no,
-        |         text
+        |         hex(encode(text)) AS hx,
+        |         unnest(range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))) AS frame_no
         |  FROM documents
         |)
         |SELECT doc_id, n_bytes, CAST(frame_no AS BIGINT) AS frame_no,
-        |       md5(substr(text, CAST(frame_no * 256 + 1 AS INT), 256)) AS frame_hash
+        |       md5(substr(hx, CAST(frame_no * 512 + 1 AS INT), 512)) AS frame_hash
         |FROM f ORDER BY doc_id, frame_no""".stripMargin
   )
 }

@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * and the DuckDB `list_sum` oracles — are bit-identical to the r1 plans).
   *
   * Elements must be non-null (embedding vectors are); a null ARRAY input
-  * yields null via the standard BinaryExpression null contract.
+  * yields null via the standard BinaryExpression null contract. Mismatched
+  * lengths (a ragged vector, a wrong-dim hyperplane) THROW rather than
+  * silently truncating — the DuckDB oracles iterate the full vector length,
+  * so a truncated dot product would surface only as an opaque hash mismatch,
+  * or not at all in oracle-less production use.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -35,7 +39,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"graft_dot: mismatched vector lengths $n vs ${y.numElements()}")
+    }
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -48,7 +56,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val s = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: mismatched vector lengths " + $n + " vs " + $b.numElements());
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);

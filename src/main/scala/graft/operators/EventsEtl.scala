@@ -93,4 +93,34 @@ object EventsEtl {
       spark,
       sessionized.select(cols: _*).unionByName(preserved.select(cols: _*)))
   }
+
+  /** Load a SET of `[start, end)` UTC ranges, grouping them into contiguous
+    * runs first (the reference groups requested months the same way —
+    * `/root/reference/src/main/scala/connector/hive/UserActivityHiveConnector.scala:44-59`):
+    * adjacent ranges (one's end == next's start) merge into a single
+    * [[loadBatch]] call, so sessions spanning their boundary are stitched in
+    * one pass instead of relying on cross-batch continuity; non-adjacent
+    * runs load independently (continuity against whatever the table already
+    * holds). Ranges may arrive unsorted; overlapping ranges are rejected —
+    * loading the same rows twice within one call would double-write them.
+    */
+  def loadBatches(
+      spark: SparkSession,
+      table: TableManager,
+      events: DataFrame,
+      ranges: Seq[(String, String)]): Unit = {
+    val sorted = ranges.map { case (s, e) => (parse(s), parse(e)) }.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, e1), (s2, _)) =>
+        require(!s2.isBefore(e1), s"overlapping ranges: [..,$e1) and [$s2,..)")
+      case _ => ()
+    }
+    val runs = sorted.foldLeft(List.empty[(LocalDateTime, LocalDateTime)]) {
+      case ((rs, re) :: rest, (s, e)) if s == re => (rs, e) :: rest
+      case (acc, r) => r :: acc
+    }.reverse
+    runs.foreach { case (s, e) =>
+      loadBatch(spark, table, events, s.toString.replace('T', ' '), e.toString.replace('T', ' '))
+    }
+  }
 }

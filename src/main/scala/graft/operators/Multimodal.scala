@@ -41,6 +41,12 @@ object Multimodal {
   /** STUB frame sampler: split the payload into fixed-size "frames"
     * (`frameBytes` chunks) and hash each — the layout a real video
     * frame-sampler produces: one row per frame, payload projected away.
+    *
+    * Frames are addressed by BYTES (binary semantics, multi-byte-safe); the
+    * fingerprint is md5 over the frame's UPPERCASE HEX encoding — a 1:1
+    * function of the frame bytes that both engines can compute byte-exactly
+    * (this DuckDB build has no blob slicing or md5(BLOB), but hex is pure
+    * ASCII, so the oracle's varchar substr IS a byte slice of hex pairs).
     */
   def frameHashes(df: DataFrame, frameBytes: Int = 256, idCol: String = "doc_id"): DataFrame =
     df.withColumn("n_bytes", length(col("payload")).cast("long"))
@@ -51,6 +57,6 @@ object Multimodal {
           ceil(col("n_bytes").cast("double") / frameBytes).cast("int") - 1)))
       .withColumn(
         "frame_hash",
-        md5(expr(s"substring(payload, frame_no * $frameBytes + 1, $frameBytes)")))
+        md5(hex(expr(s"substring(payload, frame_no * $frameBytes + 1, $frameBytes)"))))
       .select(col(idCol), col("n_bytes"), col("frame_no").cast("long").as("frame_no"), col("frame_hash"))
 }

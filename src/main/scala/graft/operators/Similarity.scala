@@ -27,6 +27,20 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Banded near-dup LSH defaults — single source of truth shared with the
+    * DuckDB oracle strings (QueriesLlm interpolates THESE values, so a
+    * parameter change cannot silently desynchronize oracle from engine).
+    */
+  val NearDupBands = 24
+  val NearDupPlanesPerBand = 3
+
+  /** Hyperplane dimensionality of the fixture embeddings. Every bucketing
+    * operator takes `dim` (defaulted to this); a corpus whose vectors don't
+    * match it fails LOUDLY — [[graft.functions.DotProduct]] throws on
+    * mismatched lengths rather than truncating the projection.
+    */
+  val DefaultDim = 64
+
   /** Left-to-right dot product of two double arrays — codegen'd native
     * expression; identical accumulation order to the SQL oracle's list_sum
     * over an index comprehension.
@@ -108,7 +122,7 @@ object Similarity {
       nPlanes: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      dim: Int = 64): DataFrame = {
+      dim: Int = DefaultDim): DataFrame = {
     VectorFunctions.register(vectors.sparkSession)
     val staged = vectors.withColumn("__v", asDouble(col(vecCol)))
     val bits = (0 until nPlanes).map { p =>
@@ -130,7 +144,7 @@ object Similarity {
       nPlanes: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      dim: Int = 64): DataFrame = {
+      dim: Int = DefaultDim): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
     val qb = lshBuckets(queries, nPlanes, idCol, vecCol, dim)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"), col("bucket"))
@@ -161,7 +175,7 @@ object Similarity {
       planesPerBand: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      dim: Int = 64): DataFrame = {
+      dim: Int = DefaultDim): DataFrame = {
     VectorFunctions.register(vectors.sparkSession)
     val staged = vectors.select(col(idCol), asDouble(col(vecCol)).as("__v"))
     val bucketExprs = (0 until bands).map { t =>
@@ -188,11 +202,11 @@ object Similarity {
   def cosineNearDupPairsLsh(
       vectors: DataFrame,
       threshold: Double,
-      bands: Int = 24,
-      planesPerBand: Int = 3,
+      bands: Int = NearDupBands,
+      planesPerBand: Int = NearDupPlanesPerBand,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      dim: Int = 64): DataFrame = {
+      dim: Int = DefaultDim): DataFrame = {
     VectorFunctions.register(vectors.sparkSession)
     val bk = bandBuckets(vectors, bands, planesPerBand, idCol, vecCol, dim)
     val cand = bk.as("l").join(bk.as("r"), Seq("band", "bucket"))

@@ -8,14 +8,26 @@ import graft.operators.Multimodal
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  test("documents corpus is pure ASCII (precondition of the mm_frame_hashes oracle)") {
-    // The Spark side slices the binary payload by BYTES; the DuckDB oracle
-    // slices VARCHAR by CHARACTERS (no blob slicing in DuckDB). They agree
-    // iff the corpus is ASCII — this test turns a corpus change into a loud
-    // failure instead of a silent frame-boundary divergence.
-    val d = Tables.documents(spark, SfDir)
-    val nonAscii = d.where(length(col("text")) =!= octet_length(col("text"))).count()
-    assert(nonAscii == 0, s"$nonAscii non-ASCII docs — byte/char frame slicing diverges")
+  test("frame hashes are byte-addressed: multi-byte chars straddling a frame boundary") {
+    import spark.implicits._
+    // 'é' is 2 bytes in UTF-8; 200 of them = 400 bytes, so frame 0 ends in
+    // the MIDDLE of the 128th 'é' — a char-sliced engine would disagree.
+    val text = "é" * 200
+    val df = Multimodal.frameHashes(
+      Multimodal.withPayload(Seq((1L, text)).toDF("doc_id", "text")), frameBytes = 256)
+    val got = df.orderBy("frame_no").collect()
+      .map(r => (r.getLong(2), r.getString(3)))
+
+    // independent reference: md5 over the uppercase hex of each byte slice
+    val bytes = text.getBytes("UTF-8")
+    val expected = bytes.grouped(256).zipWithIndex.map { case (frame, i) =>
+      val hx = frame.map(b => f"${b & 0xff}%02X").mkString
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(hx.getBytes("UTF-8"))
+      (i.toLong, digest.map(b => f"${b & 0xff}%02x").mkString)
+    }.toSeq
+    assert(bytes.length == 400)
+    assert(got.toSeq == expected)
   }
 
   test("frame sampling covers every payload byte exactly once") {

@@ -8,6 +8,18 @@ import graft.operators.Similarity
 class SimilaritySpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("dot product rejects mismatched vector lengths instead of truncating") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(graft.functions.VectorFunctions.dot(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("mismatched vector lengths")))
+  }
+
   test("brute-force knn: every query gets k ranked neighbors, rank-1 is the true argmax") {
     val emb = Tables.embeddings(spark, SfDir)
     val out = Similarity.bruteForceKnn(emb.where(col("vec_id") < 5), emb, k = 3).cache()

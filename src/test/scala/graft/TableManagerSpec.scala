@@ -61,6 +61,61 @@ class TableManagerSpec extends AnyFunSuite {
     t.drop(spark)
   }
 
+  test("loadBatches groups contiguous runs and matches individual loads") {
+    import spark.implicits._
+    // four events across three "months"; requested ranges: Jan+Feb (contiguous
+    // → one run, so the session crossing Jan 31/Feb 1 is stitched in-pass)
+    // and Apr (separate run). March is not requested and must stay absent.
+    val ev = Seq(
+      (1L, 7L, "view", 1.0, "2024-01-31 23:58:00"),
+      (2L, 7L, "view", 2.0, "2024-02-01 00:01:00"),
+      (3L, 8L, "view", 3.0, "2024-03-05 12:00:00"),
+      (4L, 9L, "view", 4.0, "2024-04-02 09:00:00"))
+      .toDF("event_id", "user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+
+    val viaRuns = EventsEtl.manager("t_runs_spec")
+    viaRuns.recreate(spark)
+    EventsEtl.loadBatches(spark, viaRuns, ev, Seq(         // unsorted on purpose
+      ("2024-04-01 00:00:00", "2024-05-01 00:00:00"),
+      ("2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+      ("2024-02-01 00:00:00", "2024-03-01 00:00:00")))
+    val got = viaRuns.read(spark)
+      .select("event_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val viaSingles = EventsEtl.manager("t_singles_spec")
+    viaSingles.recreate(spark)
+    EventsEtl.loadBatch(spark, viaSingles, ev, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    EventsEtl.loadBatch(spark, viaSingles, ev, "2024-02-01 00:00:00", "2024-03-01 00:00:00")
+    EventsEtl.loadBatch(spark, viaSingles, ev, "2024-04-01 00:00:00", "2024-05-01 00:00:00")
+    val expected = viaSingles.read(spark)
+      .select("event_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    assert(got == expected)
+    assert(got.map(_._1) == Set(1L, 2L, 4L))              // March excluded
+    // the 3-minute gap across the Jan/Feb boundary is ONE session
+    assert(got.collect { case (id, s) if id == 1L || id == 2L => s }.size == 1)
+    t_overlap_rejected()
+    viaRuns.drop(spark); viaSingles.drop(spark)
+  }
+
+  private def t_overlap_rejected(): Unit = {
+    import spark.implicits._
+    val ev = Seq((1L, 7L, "view", 1.0, "2024-01-02 00:00:00"))
+      .toDF("event_id", "user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val t = EventsEtl.manager("t_overlap_spec")
+    t.recreate(spark)
+    intercept[IllegalArgumentException] {
+      EventsEtl.loadBatches(spark, t, ev, Seq(
+        ("2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+        ("2024-01-15 00:00:00", "2024-03-01 00:00:00")))
+    }
+    t.drop(spark)
+  }
+
   test("csv month-name resolution matches the reference layout") {
     assert(CsvSource.monthFileName("2019-10") == "2019-Oct.csv")
     assert(CsvSource.monthFileName("2024-01") == "2024-Jan.csv")
