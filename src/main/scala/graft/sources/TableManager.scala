@@ -23,11 +23,19 @@ import org.apache.spark.sql.types.StructType
   * shuffle routes rows by partition key, so one task owns one output
   * partition's files — no small-file explosion at 1000 executors when
   * combined with AQE coalescing.
+  *
+  * `location` pins the table to an explicit path, giving the reference's
+  * EXTERNAL-table semantics (`HiveConnector.scala:17-27` creates the Hive
+  * table at `LOCATION '...'`): data lives outside the warehouse, and DROP
+  * TABLE removes only the catalog entry — the files survive and re-creating
+  * the table at the same location sees them again. `None` = managed table
+  * in the warehouse (dropped data is deleted), as before.
   */
 class TableManager(
     val name: String,
     val schema: StructType,
-    val partitionKeys: Seq[String]) {
+    val partitionKeys: Seq[String],
+    val location: Option[String] = None) {
 
   /** Non-partition columns first, partition keys last — required row layout
     * for partitioned writes (ref `HiveConnector.scala:13-15`).
@@ -40,12 +48,16 @@ class TableManager(
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
       StructType(orderedColumns.map(c => schema(c.toString))))
-    empty.write
+    val writer = empty.write
       .mode("ignore")
       .format("parquet")
       .option("compression", "snappy")
       .partitionBy(partitionKeys: _*)
-      .saveAsTable(name)
+    location.fold(writer)(loc => writer.option("path", loc)).saveAsTable(name)
+    // external tables: partitions written by earlier incarnations of the
+    // catalog entry exist on disk but not in the fresh entry — recover them
+    // (the datasource-path analogue of Hive's MSCK REPAIR TABLE)
+    if (location.isDefined) spark.sql(s"MSCK REPAIR TABLE $name")
   }
 
   /** Templated SQL over the table: `{TABLE}` → table name. */
@@ -76,13 +88,14 @@ class TableManager(
     spark.sql(s"DROP TABLE IF EXISTS $name")
 
   /** Drop and delete any leftover files from a previous JVM's run (the
-    * in-memory catalog forgets tables across sessions but the warehouse
-    * directory survives), then create fresh.
+    * in-memory catalog forgets tables across sessions but the warehouse —
+    * or the pinned external location — survives), then create fresh.
     */
   def recreate(spark: SparkSession): Unit = {
     drop(spark)
-    val loc = spark.sessionState.catalog.defaultTablePath(
-      org.apache.spark.sql.catalyst.TableIdentifier(name))
+    val loc = location.map(new java.net.URI(_)).getOrElse(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(name)))
     val path = new org.apache.hadoop.fs.Path(loc)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)

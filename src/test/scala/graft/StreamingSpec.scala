@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sessionize
+import graft.streaming.StreamingSessionize
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // (event_id, user_id, ts): user 7 has a 4-min gap (same session) then an
+  // 8-min gap (new session) that STRADDLES the trigger cut; user 9 interleaves.
+  private val batch1 = Seq(
+    (1L, 7L, ts("2024-01-01 10:00:00")),
+    (2L, 9L, ts("2024-01-01 10:01:00")),
+    (3L, 7L, ts("2024-01-01 10:04:00")),
+    (4L, 9L, ts("2024-01-01 10:02:30")))
+  private val batch2 = Seq(
+    (5L, 7L, ts("2024-01-01 10:07:00")), // 3 min after event 3 → continues
+    (6L, 7L, ts("2024-01-01 10:15:00")), // 8 min gap → new session
+    (7L, 9L, ts("2024-01-01 10:20:00"))) // 17.5 min gap → new session
+
+  test("streaming sessionize across triggers equals batch sessionize of the union") {
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val sessionized = StreamingSessionize.sessionize(
+      input.toDF().toDF("event_id", "user_id", "ts"))
+    val query = sessionized.writeStream
+      .format("memory").queryName("stream_sess").outputMode("append").start()
+    try {
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("stream_sess")
+      .select("event_id", "epoch_sec", "is_new_session", "session_start_sec", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3), r.getString(4)))
+      .toSet
+
+    val expected = Sessionize.sessionize(
+      (batch1 ++ batch2).toDF("event_id", "user_id", "ts"))
+      .select("event_id", "epoch_sec", "is_new_session", "session_start_sec", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3), r.getString(4)))
+      .toSet
+
+    assert(got == expected)
+    assert(got.size == 7)
+  }
+
+  test("streaming wau windows are Monday-aligned weeks with sane counts") {
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    // two ISO weeks: Mon 2024-01-01 .. and Mon 2024-01-08 ..
+    val data = Seq(
+      (1L, 1L, ts("2024-01-02 10:00:00")),
+      (2L, 2L, ts("2024-01-03 10:00:00")),
+      (3L, 1L, ts("2024-01-04 10:00:00")),
+      (4L, 3L, ts("2024-01-09 10:00:00")))
+    val wau = StreamingSessionize.wauApprox(input.toDF().toDF("event_id", "user_id", "ts"))
+    val query = wau.writeStream
+      .format("memory").queryName("stream_wau").outputMode("append").start()
+    try {
+      input.addData(data: _*)
+      query.processAllAvailable()
+      // advance the watermark past both windows so append-mode emits them
+      input.addData((5L, 9L, ts("2024-02-01 00:00:00")))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("stream_wau")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(got.get("2024-01-01").contains(2L)) // users 1,2 (HLL exact at n=2)
+    assert(got.get("2024-01-08").contains(1L)) // user 3
+  }
+}

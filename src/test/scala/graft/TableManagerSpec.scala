@@ -116,6 +116,28 @@ class TableManagerSpec extends AnyFunSuite {
     t.drop(spark)
   }
 
+  test("external table: data survives DROP and is recovered at the pinned location") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("t_ext_spec").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("d", StringType, nullable = false)))
+    val t1 = new TableManager("t_ext_spec", schema, Seq("d"), location = Some(loc))
+    t1.recreate(spark)
+    t1.overwritePartitions(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "d"))
+    t1.drop(spark) // catalog entry gone; EXTERNAL data must survive
+
+    val dataFiles = new java.io.File(loc).listFiles()
+    assert(dataFiles != null && dataFiles.exists(_.getName.startsWith("d=")),
+      "external location lost its partition directories on DROP")
+
+    // a fresh catalog entry at the same location sees the old partitions
+    val t2 = new TableManager("t_ext_spec", schema, Seq("d"), location = Some(loc))
+    val got = t2.read(spark).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+    t2.drop(spark)
+  }
+
   test("csv month-name resolution matches the reference layout") {
     assert(CsvSource.monthFileName("2019-10") == "2019-Oct.csv")
     assert(CsvSource.monthFileName("2024-01") == "2024-Jan.csv")
