@@ -41,6 +41,8 @@ object QueriesLlm {
   private val MhK = Dedup.MinhashSeeds.size
   private val MhBands = 8 // minhashLshPairs default
   private val MhRows = MhK / MhBands
+  private val WinnowN = 3 // gram width for winnowing fingerprints
+  private val WinnowW = 4 // winnow window (selects ~2/(w+1) of grams)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── text analysis: per-doc stats & quality. Tokenization is projected
@@ -84,6 +86,13 @@ object QueriesLlm {
       val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
       Dedup.exactGroups(doubled).orderBy(col("fingerprint"))
     }),
+
+    // ── winnowing fingerprints (MOSS): ordered gram hashes → sliding-window
+    // minima → distinct selected hashes, one row per (doc, fingerprint) ──
+    "fingerprint_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(Tables.documents(s, dir), n = WinnowN, window = WinnowW)
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))),
 
     // ── near-dup: exact n-gram Jaccard >= 0.3 via lossless prefix filter ──
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -208,6 +217,27 @@ object QueriesLlm {
          |)
          |SELECT md5($norm) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_docs
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Replays Dedup.winnowFingerprints: ORDERED (non-distinct) n-grams,
+    // md5-derived 32-bit hash per gram, min per w-wide window, distinct.
+    // Gram width and window come from the same WinnowN/WinnowW constants the
+    // Spark query passes.
+    "fingerprint_winnow" -> {
+      val gramExpr = (0 until WinnowN).map(j => s"wd[i+$j]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS wd FROM documents),
+         |g AS (
+         |  SELECT doc_id, [$gramExpr for i in range(1, len(wd) - ${WinnowN - 2})] AS grams
+         |  FROM toks WHERE len(wd) >= $WinnowN
+         |), h AS (
+         |  SELECT doc_id, [('0x' || substr(md5(x), 1, 8))::BIGINT for x in grams] AS hs FROM g
+         |), wn AS (
+         |  SELECT doc_id,
+         |         list_distinct([list_min(hs[i:i+${WinnowW - 1}])
+         |                        for i in range(1, len(hs) - ${WinnowW - 2})]) AS fps
+         |  FROM h WHERE len(hs) >= $WinnowW
+         |)
+         |SELECT doc_id, unnest(fps) AS fp FROM wn ORDER BY doc_id, fp""".stripMargin
+    },
 
     "dedup_ngram_jaccard" ->
       s"""$gramsCte

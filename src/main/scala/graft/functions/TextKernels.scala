@@ -140,6 +140,45 @@ object TextKernels {
     sig
   }
 
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    * algorithm): hash every n-token gram IN ORDER (duplicates kept — position
+    * matters, unlike [[shingles]]), slide a window of `w` consecutive gram
+    * hashes, keep each window's minimum, return the distinct selected hashes
+    * ascending. Guarantees: any shared token run of length >= n + w - 1
+    * between two docs selects at least one common fingerprint, while only
+    * ~2/(w+1) of grams are kept — a tunable recall/size trade. Docs with
+    * fewer than w grams yield an empty array.
+    */
+  def winnow(toks: ArrayData, n: Int, w: Int): ArrayData = {
+    val m = toks.numElements()
+    val nGrams = m - n + 1
+    if (nGrams < w) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](n)
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      hs(i) = hash32(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    var p = 0
+    while (p <= nGrams - w) {
+      var mn = Long.MaxValue
+      var t = 0
+      while (t < w) { if (hs(p + t) < mn) mn = hs(p + t); t += 1 }
+      selected.add(mn)
+      p += 1
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   private def requireStringArray(name: String, dt: DataType): TypeCheckResult = dt match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other =>
@@ -191,6 +230,23 @@ object TextKernels {
     override def prettyName: String = "graft_simhash60"
   }
 
+  /** Codegen'd winnowing fingerprints: array<string> tokens → array<long>
+    * of distinct selected gram-hash minima, ascending.
+    */
+  case class WinnowFingerprints(child: Expression, n: Int, w: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(prettyName, child.dataType)
+    override def nullSafeEval(t: Any): Any =
+      TextKernels.winnow(t.asInstanceOf[ArrayData], n, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.TextKernels.winnow($t, $n, $w);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "graft_winnow"
+  }
+
   /** Register the kernels on the session's function registry (idempotent —
     * same lazy-registration contract as [[VectorFunctions.register]]).
     * `graft_shingles` takes the n-gram width as a literal second argument.
@@ -205,6 +261,13 @@ object TextKernels {
       "graft_minhash", exprs => MinHashSignature(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_simhash60", exprs => SimHash60(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_winnow",
+      exprs => WinnowFingerprints(
+        exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]),
+      "scala_udf")
   }
 
   def shingleGrams(toks: Column, n: Int): Column = {
@@ -213,4 +276,8 @@ object TextKernels {
   }
   def minhashSig(grams: Column): Column = call_function("graft_minhash", grams)
   def simhashSig(distinctToks: Column): Column = call_function("graft_simhash60", distinctToks)
+  def winnowFingerprints(toks: Column, n: Int, w: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_winnow", toks, lit(n), lit(w))
+  }
 }

@@ -58,6 +58,28 @@ object Dedup {
       .where(size(col("grams")) > 0)
   }
 
+  /** Winnowing document fingerprints ([[TextKernels.winnow]] — MOSS): per
+    * doc, the distinct minima of a `window`-wide slide over the ORDERED
+    * n-gram hash sequence, ascending. ~2/(window+1) of grams selected; any
+    * shared run of `n + window - 1` tokens between two docs is guaranteed a
+    * common fingerprint — the standard overlap/provenance detector where
+    * whole-doc hashing ([[exactGroups]]) is too strict. Map-side, one
+    * codegen'd pass, no shuffle; docs with fewer than `window` grams drop.
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      n: Int = 3,
+      window: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    TextKernels.register(docs.sparkSession)
+    docs
+      .select(
+        col(idCol),
+        TextKernels.winnowFingerprints(TextAnalysis.tokens(col(textCol)), n, window).as("fps"))
+      .where(size(col("fps")) > 0)
+  }
+
   /** Candidate pairs for [[ngramJaccardPairs]] via lossless prefix filtering
     * (AllPairs/PPJoin family): order every doc's grams by global rarity; two
     * docs with Jaccard >= t MUST share a gram within the first

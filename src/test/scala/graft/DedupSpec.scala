@@ -83,6 +83,33 @@ class DedupSpec extends AnyFunSuite {
     assert(narrow.nonEmpty)
   }
 
+  test("winnow fingerprints match a naive reimplementation; shared runs share a print") {
+    val text = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val d = docs((1L, text))
+    val got = Dedup.winnowFingerprints(d, n = 3, window = 4)
+      .selectExpr("explode(fps) as fp").collect().map(_.getLong(0)).toSeq
+
+    // naive reference: md5-derived 32-bit hash per ordered 3-gram, min per
+    // 4-window, distinct ascending
+    val toks = text.toLowerCase.split("\\s+").toSeq
+    val hashes = toks.sliding(3).map { g =>
+      val d5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.mkString(" ").getBytes("UTF-8"))
+      ((d5(0) & 0xffL) << 24) | ((d5(1) & 0xffL) << 16) | ((d5(2) & 0xffL) << 8) | (d5(3) & 0xffL)
+    }.toSeq
+    val expected = hashes.sliding(4).map(_.min).toSeq.distinct.sorted
+    assert(got == expected)
+
+    // guarantee: two docs sharing a long token run share >= 1 fingerprint
+    val pair = docs(
+      (1L, "aaa bbb ccc ddd eee fff ggg unique tail one"),
+      (2L, "zzz yyy aaa bbb ccc ddd eee fff ggg other ending"))
+    val fps = Dedup.winnowFingerprints(pair, n = 3, window = 4)
+      .selectExpr("doc_id", "explode(fps) as fp").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+  }
+
   test("minhash est_jaccard is 1.0 for identical docs") {
     val d = docs(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
