@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injector for every graft Catalyst expression —
+  * the spark-submit integration point:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  * }}}
+  *
+  * makes `graft_dot`, `graft_shingles`, `graft_minhash`, `graft_simhash60`
+  * and `graft_winnow` available to every session (SQL included) without any
+  * library call. The operators themselves still lazily register via
+  * [[VectorFunctions.register]]/[[TextKernels.register]] so plain sessions
+  * (Verify, Bench, tests, notebooks) keep working; this class is the
+  * cluster-deployment path where the functions should exist before user code
+  * runs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - codegen'd dot product of two array<double>"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(tokens, n) - distinct word n-grams"),
+      (exprs: Seq[Expression]) =>
+        TextKernels.ShinglesExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(grams) - 32-slot MinHash signature"),
+      (exprs: Seq[Expression]) => TextKernels.MinHashSignature(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash60"),
+      info("graft_simhash60", "graft_simhash60(tokens) - 60-bit SimHash"),
+      (exprs: Seq[Expression]) => TextKernels.SimHash60(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      info("graft_winnow", "graft_winnow(tokens, n, w) - winnowing fingerprints"),
+      (exprs: Seq[Expression]) => TextKernels.WinnowFingerprints(
+        exprs(0), exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+  }
+}

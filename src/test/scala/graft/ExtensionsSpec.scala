@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions deployment path: a session created with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (SparkTestSession
+  * sets it) must expose every kernel to plain SQL with no library call.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("kernels are available to SQL via spark.sql.extensions injection") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  size(graft_shingles(array('a','b','c','d'), 3)) AS ns,
+        |  size(graft_minhash(array('a b c'))) AS nm,
+        |  graft_simhash60(cast(array() AS array<string>)) AS sh,
+        |  size(graft_winnow(array('a','b','c','d','e','f','g'), 3, 4)) AS nw
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 2)   // grams: "a b c", "b c d"
+    assert(r.getInt(2) == 32)  // 32 minhash slots
+    assert(r.getLong(3) == 0L) // empty token set → zero signature
+    assert(r.getInt(4) >= 1)   // 5 grams, window 4 → >= 1 fingerprint
+  }
+}
