@@ -81,6 +81,25 @@ object QueriesRelational {
         .orderBy(col("p_brand"))
     }),
 
+    // ── salted skew join: same relation/semantics as join_part_brand but
+    // through SkewJoin.saltedEquiJoin (8 salts on l_orderkey) — result is
+    // provably the plain join (oracle is the straightforward SQL), while the
+    // hot partkey's rows spread over 8 reducers instead of one straggler ──
+    "join_salted_skew" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_partkey").as("partkey"),
+        col("l_orderkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      val p = Tables.part(s, dir).select(col("p_partkey").as("partkey"), col("p_brand"))
+      graft.operators.SkewJoin
+        .saltedEquiJoin(li, p, "partkey", col("l_orderkey"), salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(
+          d(sum(dec(col("l_quantity")))).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    }),
+
     // ── left-semi join (EXISTS) ──
     "semi_orders_bigqty" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -235,6 +254,16 @@ object QueriesRelational {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "join_part_brand" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // the salted join must be INDISTINGUISHABLE from the plain join — the
+    // oracle is deliberately the unsalted SQL
+    "join_salted_skew" ->
       """SELECT p_brand,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

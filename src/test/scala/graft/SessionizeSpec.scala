@@ -9,6 +9,29 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Sessionize
 
 class SessionizeSpec extends AnyFunSuite {
+
+  test("session boundaries agree with Spark's native session_window aggregation") {
+    import SparkTestSession._
+    import org.apache.spark.sql.functions._
+    // independent implementation of the same 300 s-gap semantics: Spark's
+    // session_window closes a session when the next event is >= gap after the
+    // last — cross-validating our window-based sessionize against the
+    // built-in (ids differ; compare (user, start_sec, n_events) triples)
+    val ev = Tables.events(spark, SfDir)
+    val ours = Sessionize.sessionize(ev)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("epoch_sec")).as("start_sec"), count(lit(1)).as("n"))
+      .select("user_id", "start_sec", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val native = ev
+      .withColumn("ts_sec", timestamp_seconds(unix_timestamp(col("ts"))))
+      .groupBy(col("user_id"), session_window(col("ts_sec"), "300 seconds"))
+      .agg(min(unix_timestamp(col("ts_sec"))).as("start_sec"), count(lit(1)).as("n"))
+      .select("user_id", "start_sec", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ours == native)
+    assert(ours.nonEmpty)
+  }
   import SparkTestSession._
 
   private def events(rows: (Long, Long, String)*): DataFrame = {

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewJoin
+
+class SkewJoinSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  // a heavily skewed big side: one hot key with most of the rows
+  private lazy val big = ((1L to 80L).map(i => (1L, i)) ++ Seq((2L, 100L), (3L, 101L), (99L, 102L)))
+    .toDF("k", "row_id")
+  private lazy val small = Seq((1L, "hot"), (2L, "warm"), (3L, "cold")).toDF("k", "label")
+
+  test("salted inner join equals the plain join row-for-row") {
+    val plain = big.join(small, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val salted = SkewJoin.saltedEquiJoin(big, small, "k", col("row_id"), salts = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain)
+    assert(plain.size == 82)
+  }
+
+  test("salted left join null-extends unmatched big rows exactly once") {
+    val salted = SkewJoin.saltedEquiJoin(big, small, "k", col("row_id"), salts = 5, joinType = "left")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted.toSeq
+    val plain = big.join(small, Seq("k"), "left")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted.toSeq
+    assert(salted == plain)
+    assert(salted.count(_._3.isEmpty) == 1) // the k=99 row, exactly once
+  }
+
+  test("the hot key's rows actually spread across salt values") {
+    val spread = big.withColumn("__salt", pmod(hash(col("row_id")), lit(7)))
+      .where(col("k") === 1L)
+      .select(countDistinct(col("__salt"))).head().getLong(0)
+    assert(spread >= 5, s"80 hot rows landed on only $spread of 7 salts")
+  }
+}
