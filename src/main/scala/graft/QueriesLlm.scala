@@ -43,6 +43,8 @@ object QueriesLlm {
   private val MhRows = MhK / MhBands
   private val WinnowN = 3 // gram width for winnowing fingerprints
   private val WinnowW = 4 // winnow window (selects ~2/(w+1) of grams)
+  private val MmFeatDim = 16 // stub feature-vector dimensionality
+  private val MmFeatK = 3 // neighbors per query in mm_feature_knn
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── text analysis: per-doc stats & quality. Tokenization is projected
@@ -156,7 +158,23 @@ object QueriesLlm {
     // ── multimodal: frame sampling over binary payloads ──
     "mm_frame_hashes" -> ((s, dir) =>
       Multimodal.frameHashes(Multimodal.withPayload(Tables.documents(s, dir)))
-        .orderBy(col("doc_id"), col("frame_no")))
+        .orderBy(col("doc_id"), col("frame_no"))),
+
+    // ── multimodal → similarity composition: payload → stub feature vector
+    // → exact cosine top-k, the pipeline shape a real media embedder slots
+    // into (checksum staged once; each row's features feed the same
+    // codegen'd-dot-product KNN as the embeddings table) ──
+    "mm_feature_knn" -> ((s, dir) => {
+      val feats = Multimodal.withPayload(Tables.documents(s, dir))
+        .select(col("doc_id"), md5(col("payload")).as("checksum"))
+        .select(
+          col("doc_id"),
+          Multimodal.fakeFeaturesFromChecksum(col("checksum"), MmFeatDim).as("features"))
+      Similarity.bruteForceKnn(
+        feats.where(col("doc_id") < 10), feats, k = MmFeatK,
+        idCol = "doc_id", vecCol = "features")
+        .orderBy(col("query_id"), col("rank"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -372,6 +390,29 @@ object QueriesLlm {
         |)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Replays fakeFeaturesFromChecksum + bruteForceKnn: component j derives
+    // from md5(md5(text) || '_' || (j-1)) exactly as the Spark side (payload
+    // is the UTF-8 encoding of text, so md5(payload) == DuckDB md5(text));
+    // dim and k interpolate from MmFeatDim/MmFeatK.
+    "mm_feature_knn" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         [('0x' || substr(md5(md5(text) || '_' || CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 - 0.5
+         |          for j in range(1, ${MmFeatDim + 1})] AS v
+         |  FROM documents
+         |), n AS (
+         |  SELECT doc_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM f
+         |), p AS (
+         |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         |         list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)]) / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON q.doc_id < 10 AND c.doc_id != q.doc_id
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM p
+         |)
+         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= $MmFeatK ORDER BY query_id, rank""".stripMargin,
 
     "mm_decode_meta" ->
       """SELECT doc_id,

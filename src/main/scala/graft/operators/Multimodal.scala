@@ -38,6 +38,40 @@ object Multimodal {
     (conv(substring(md5(payload), 5, 4), 16, 10) % 1080).cast("long").as("height"),
     md5(payload).as("checksum"))
 
+  /** STUB feature extractor: a deterministic `dim`-component vector in
+    * [-0.5, 0.5) derived from the payload checksum — component j is the
+    * unsigned first-8-hex of md5(checksum || "_j") / 2^32 - 0.5 (the
+    * [[graft.functions.VectorFunctions.planeComponent]] derivation, applied
+    * per row). A real implementation swaps this for an image/audio embedding
+    * model over the decoded media; everything downstream — ANN search,
+    * embedding near-dup — composes unchanged (see the `mm_feature_knn`
+    * query: payload → features → cosine top-k, oracle-verified end-to-end).
+    * Pass an already-projected checksum column so the payload md5 is
+    * computed once, not once per component.
+    */
+  def fakeFeaturesFromChecksum(checksum: Column, dim: Int): Column =
+    array((0 until dim).map { j =>
+      conv(substring(md5(concat(checksum, lit(s"_$j"))), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0) - lit(0.5)
+    }: _*)
+
+  /** STUB resize: target-box dimensions preserving aspect ratio (floor'd),
+    * from the fake-decoded width/height. A real implementation resamples
+    * pixels; the metadata contract — what a pipeline actually joins on — is
+    * identical.
+    */
+  def fakeResizeMeta(meta: Column, targetW: Int, targetH: Int): Column = {
+    // the stub decoder's md5-mod dims can be 0 — clamp so the scale never
+    // divides by zero (a real decoder rejects zero-pixel media upstream)
+    val w = greatest(meta.getField("width").cast("double"), lit(1.0))
+    val h = greatest(meta.getField("height").cast("double"), lit(1.0))
+    val scale = least(lit(targetW) / w, lit(targetH) / h)
+    struct(
+      floor(w * scale).cast("long").as("out_width"),
+      floor(h * scale).cast("long").as("out_height"),
+      meta.getField("checksum").as("checksum"))
+  }
+
   /** STUB frame sampler: split the payload into fixed-size "frames"
     * (`frameBytes` chunks) and hash each — the layout a real video
     * frame-sampler produces: one row per frame, payload projected away.

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table writes — the shuffle-elimination tool for repeated
+  * fact-to-fact joins at 100 TB.
+  *
+  * A bucketed table is hash-partitioned BY FILE LAYOUT on its bucket key:
+  * every join or aggregation keyed on it reads pre-partitioned data, so
+  * Catalyst drops the Exchange on that side entirely (asserted in
+  * BucketingSpec: two tables bucketed on the same key sort-merge-join with
+  * ZERO shuffles). Bucket count is fixed at write time — size it to the
+  * target parallelism (buckets ≈ cluster cores, each bucket < a few GB) and
+  * co-bucket the tables that join together (same key, same count).
+  *
+  * This is the write-side complement of [[TableManager]]'s partition
+  * pruning: partition columns prune WHICH files a query reads, bucket
+  * columns shape HOW the surviving files join.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, bucket-sorted parquet table. Overwrites. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketKey: String,
+      buckets: Int,
+      sortKey: Option[String] = None): Unit = {
+    val w = df.write
+      .mode("overwrite")
+      .format("parquet")
+      .option("compression", "snappy")
+      .bucketBy(buckets, bucketKey)
+    sortKey.fold(w)(k => w.sortBy(k)).saveAsTable(table)
+  }
+}

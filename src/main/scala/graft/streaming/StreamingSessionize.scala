@@ -91,6 +91,26 @@ object StreamingSessionize {
     out.iterator
   }
 
+  /** Streaming exact dedup over a document stream: first occurrence of each
+    * content fingerprint ([[graft.operators.TextAnalysis.fingerprint]] — the
+    * same md5-of-normalized-text key the batch [[graft.operators.Dedup]]
+    * groups on) passes, later duplicates drop.
+    * `dropDuplicatesWithinWatermark` bounds the fingerprint state by the
+    * watermark — the batch operator's "one shuffle on the fingerprint"
+    * becomes "state keyed on the fingerprint, evicted after
+    * `watermarkDelay`", which is the only formulation that survives an
+    * unbounded stream (plain dropDuplicates grows state forever).
+    */
+  def exactDedup(
+      docs: DataFrame,
+      watermarkDelay: String = "1 hour",
+      textCol: String = "text",
+      tsCol: String = "ts"): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Streaming weekly-active-users: Monday-aligned 7-day tumbling windows
     * (epoch day 0 is a Thursday — the 4-day startTime shift aligns window
     * starts to Mondays, matching the batch `date_trunc('week', ts)`), HLL++

@@ -57,6 +57,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == 7)
   }
 
+  test("streaming exact dedup drops later duplicates across triggers") {
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val deduped = StreamingSessionize.exactDedup(
+      input.toDF().toDF("doc_id", "text", "ts"))
+    val query = deduped.writeStream
+      .format("memory").queryName("stream_dedup").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "The quick  brown fox", ts("2024-01-01 10:00:00")),
+        (2L, "a different document", ts("2024-01-01 10:00:05")))
+      query.processAllAvailable()
+      input.addData(
+        (3L, "the quick brown FOX", ts("2024-01-01 10:00:10")), // dup of 1 after normalize
+        (4L, "a third document", ts("2024-01-01 10:00:15")))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val survivors = spark.table("stream_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 4L))
+  }
+
   test("streaming wau windows are Monday-aligned weeks with sane counts") {
     val input = MemoryStream[(Long, Long, Timestamp)]
     // two ISO weeks: Mon 2024-01-01 .. and Mon 2024-01-08 ..
