@@ -46,6 +46,30 @@ object QueriesLlm {
   private val MmFeatDim = 16 // stub feature-vector dimensionality
   private val MmFeatK = 3 // neighbors per query in mm_feature_knn
 
+  /** MinHash signature + band-candidate CTEs, shared by the LSH oracles;
+    * expects [[gramsCte]]'s `grams` relation in scope.
+    */
+  private lazy val minhashCandCte: String =
+    s"""hashed AS (
+       |  SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 8))::BIGINT AS h FROM grams
+       |),
+       |seeds(i, a, b) AS (VALUES $seedsSql),
+       |mins AS (
+       |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+       |  FROM hashed CROSS JOIN seeds GROUP BY doc_id, i
+       |),
+       |sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, i // $MhRows AS band,
+       |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
+       |  FROM mins GROUP BY doc_id, i // $MhRows
+       |),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+       |  WHERE l.doc_id < r.doc_id
+       |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── text analysis: per-doc stats & quality. Tokenization is projected
     // ONCE into `toks` and every metric reads that column (single-pass). ──
@@ -104,6 +128,14 @@ object QueriesLlm {
     // ── near-dup candidates: MinHash signatures + LSH banding ──
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ── n-gram Jaccard routed through MinHash band candidates — the scale
+    // route for low thresholds where lossless prefix filtering degenerates;
+    // approximate recall, but every emitted pair is exact-verified and the
+    // candidate set is deterministic, so the oracle replays it exactly ──
+    "dedup_ngram_jaccard_mh" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsViaMinhash(Tables.documents(s, dir), threshold = 0.3, bands = MhBands)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // ── near-dup: 60-bit SimHash, hamming <= 6. The minimal 7-block index
@@ -267,27 +299,23 @@ object QueriesLlm {
          |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // exact-Jaccard verify over the deterministic MinHash band candidates
+    "dedup_ngram_jaccard_mh" ->
+      s"""$gramsCte,
+         |$minhashCandCte
+         |SELECT c.doc_a, c.doc_b,
+         |       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+         |FROM cand c
+         |JOIN grams a ON a.doc_id = c.doc_a
+         |JOIN grams b ON b.doc_id = c.doc_b
+         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_minhash_lsh" ->
       s"""$gramsCte,
-         |hashed AS (
-         |  SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 8))::BIGINT AS h FROM grams
-         |),
-         |seeds(i, a, b) AS (VALUES $seedsSql),
-         |mins AS (
-         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
-         |  FROM hashed CROSS JOIN seeds GROUP BY doc_id, i
-         |),
-         |sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mins GROUP BY doc_id),
-         |banded AS (
-         |  SELECT doc_id, i // $MhRows AS band,
-         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
-         |  FROM mins GROUP BY doc_id, i // $MhRows
-         |),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
-         |  WHERE l.doc_id < r.doc_id
-         |)
+         |$minhashCandCte
          |SELECT c.doc_a, c.doc_b,
          |       round(CAST(len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, ${MhK + 1})], x -> x)) AS DOUBLE) / $MhK, 6) AS est_jaccard
          |FROM cand c

@@ -64,6 +64,13 @@ object SparkEntry {
           col("session_start_sec"), col("session_id"))
         .orderBy(col("event_id"))),
 
+    // ── C4 approx variant: HLL++ WAU — the interactive path at 100 TB (one
+    // sketch per week through the shuffle instead of one row per distinct
+    // user). No oracle entry on purpose: approximate, not SQL-replayable —
+    // the driver records a rows-only check; WauSpec bounds the error. ──
+    "wau_user_approx" -> ((s, dir) =>
+      Wau.wauApprox(Tables.events(s, dir), "user_id", col("ts"), Start, End)),
+
     // ── C4 variant: WAU by session_id (ref SessionIdBaseWauTransformer) ──
     "wau_session" -> ((s, dir) =>
       Wau.wau(

@@ -155,10 +155,41 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val g = shingles(docs, n, idCol, textCol)
-    val cand = ngramJaccardCandidates(g, threshold, idCol)
+    verifyJaccard(ngramJaccardCandidates(g, threshold, idCol), g, threshold, idCol)
+  }
 
-    val ga = g.select(col(idCol).as("doc_a"), col("grams").as("grams_a"))
-    val gb = g.select(col(idCol).as("doc_b"), col("grams").as("grams_b"))
+  /** APPROXIMATE n-gram Jaccard: candidates from the MinHash LSH bands
+    * (probabilistic — a pair sharing no band bucket is missed), exact
+    * Jaccard verify per candidate, so every emitted pair is TRUE; recall at
+    * threshold t is 1-(1-t^r)^b over b bands of r rows (b=8, r=4 defaults:
+    * ~0.063 at t=0.3 per-pair, but near-identical planted dups with
+    * t ≈ 0.8+ are caught at ~0.97+). This is the scale route when the
+    * lossless prefix filter degenerates — at low thresholds the prefix is
+    * ~(1-t)|g| of each doc, so [[ngramJaccardPairs]]'s candidate join grows
+    * toward all-pairs, while band candidates stay O(true-ish pairs).
+    * Deterministic end-to-end → DuckDB-oracle-replayable despite being
+    * approximate.
+    */
+  def ngramJaccardPairsViaMinhash(
+      docs: DataFrame,
+      threshold: Double,
+      bands: Int = 8,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val g = shingles(docs, n, idCol, textCol)
+    val sigs = g.select(col(idCol), TextKernels.minhashSig(col("grams")).as("sig"))
+    verifyJaccard(minhashBandCandidates(sigs, bands, idCol), g, threshold, idCol)
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs. */
+  private def verifyJaccard(
+      cand: DataFrame,
+      grams: DataFrame,
+      threshold: Double,
+      idCol: String): DataFrame = {
+    val ga = grams.select(col(idCol).as("doc_a"), col("grams").as("grams_a"))
+    val gb = grams.select(col(idCol).as("doc_b"), col("grams").as("grams_b"))
     cand.join(ga, "doc_a").join(gb, "doc_b")
       .withColumn("n_inter", size(array_intersect(col("grams_a"), col("grams_b"))).cast("double"))
       .withColumn(
@@ -183,6 +214,25 @@ object Dedup {
     * up. `est_jaccard` = fraction of matching signature slots. Deterministic
     * (candidates follow from signatures alone), so oracle-checkable.
     */
+  /** Banded candidate pairs from precomputed signatures: docs sharing any
+    * band's full signature slice pair up (equi-join on the band key).
+    */
+  def minhashBandCandidates(sigs: DataFrame, bands: Int, idCol: String = "doc_id"): DataFrame = {
+    val k = MinhashSeeds.size
+    require(k % bands == 0)
+    val rows = k / bands
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(
+        array((0 until bands).map(b =>
+          concat_ws(",", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)): _*))
+        .as(Seq("band", "band_key")))
+    banded.as("l").join(banded.as("r"), Seq("band", "band_key"))
+      .where(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
+      .distinct()
+  }
+
   def minhashLshPairs(
       docs: DataFrame,
       bands: Int = 8,
@@ -190,21 +240,8 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val k = MinhashSeeds.size
-    require(k % bands == 0)
-    val rows = k / bands
     val sigs = minhashSignatures(docs, n, idCol, textCol)
-
-    val banded = sigs.select(
-      col(idCol),
-      posexplode(
-        array((0 until bands).map(b =>
-          concat_ws(",", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)): _*))
-        .as(Seq("band", "band_key")))
-
-    val cand = banded.as("l").join(banded.as("r"), Seq("band", "band_key"))
-      .where(col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
-      .distinct()
+    val cand = minhashBandCandidates(sigs, bands, idCol)
 
     val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))

@@ -83,6 +83,19 @@ class DedupSpec extends AnyFunSuite {
     assert(narrow.nonEmpty)
   }
 
+  test("minhash-routed jaccard: subset of lossless pairs, identical values, dups caught") {
+    val d = Tables.documents(spark, SfDir)
+    val exact = Dedup.ngramJaccardPairs(d, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaMh = Dedup.ngramJaccardPairsViaMinhash(d, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaMh.subsetOf(exact), "approx route emitted a pair the exact route rejects")
+    // near-identical planted dups (jaccard >= 0.8) must all be caught
+    val hot = exact.filter(_._3 >= 0.8)
+    assert(hot.nonEmpty && hot.subsetOf(viaMh),
+      s"missed ${hot.diff(viaMh).size} of ${hot.size} high-jaccard pairs")
+  }
+
   test("winnow fingerprints match a naive reimplementation; shared runs share a print") {
     val text = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
     val d = docs((1L, text))
