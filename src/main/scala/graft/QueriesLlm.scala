@@ -125,6 +125,14 @@ object QueriesLlm {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.3)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ── pairs → groups: connected components over the exact Jaccard pairs
+    // (min-label propagation; every doc labeled with the min reachable id) ──
+    "dedup_components" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.connectedComponents(docs, Dedup.ngramJaccardPairs(docs, threshold = 0.3))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── near-dup candidates: MinHash signatures + LSH banding ──
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir))
@@ -298,6 +306,30 @@ object QueriesLlm {
          |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
          |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // transitive closure via recursive CTE (UNION dedups, so it terminates),
+    // then min reachable id per doc — the declarative twin of the Spark
+    // side's min-label propagation; pairs are the same exact-Jaccard join
+    "dedup_components" ->
+      s"""${gramsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3
+         |),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs
+         |),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |)
+         |SELECT a AS doc_id, min(b) AS component_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     // exact-Jaccard verify over the deterministic MinHash band candidates
     "dedup_ngram_jaccard_mh" ->

@@ -254,6 +254,53 @@ object Dedup {
         round(col("n_match").cast("double") / k, 6).as("est_jaccard"))
   }
 
+  /** Connected components over near-dup pairs — the step that turns ANY of
+    * the pair generators into dedup GROUPS ("keep one doc per cluster"):
+    * every doc gets `component_id` = the minimum doc id reachable through
+    * the pair graph (singletons map to themselves).
+    *
+    * Algorithm: min-label propagation — each round every node takes the min
+    * of its own and its neighbors' labels; converges in O(graph diameter)
+    * rounds. The driver loop iterates ROUNDS (a handful — near-dup clusters
+    * are shallow), never rows; each round is one distributed join+aggregate,
+    * and `localCheckpoint` truncates the growing plan lineage so round N
+    * doesn't replay rounds 1..N-1. At larger diameters swap in the
+    * large-star/small-star contraction (Kiveris et al., SoCC'14) — same
+    * driver-loop shape, O(log²n) rounds.
+    */
+  def connectedComponents(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col(idCol).as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("comp"))
+      val next = viaNeighbor.unionByName(labels)
+        .groupBy(col("node"))
+        .agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("l"), "node")
+        .where(col("n.comp") =!= col("l.comp"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"components did not converge in $maxRounds rounds")
+    labels.select(col("node").as(idCol), col("comp").as("component_id"))
+  }
+
   // ── SimHash ───────────────────────────────────────────────────────────
 
   /** 60-bit SimHash over unigram tokens: per bit, sum +1/-1 votes from each

@@ -83,6 +83,16 @@ class DedupSpec extends AnyFunSuite {
     assert(narrow.nonEmpty)
   }
 
+  test("connected components: chains merge, singletons self-label") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // chain 5-2-3 (given out of order), pair 4-6, singleton 1
+    val pairs = Seq((2L, 5L), (2L, 3L), (4L, 6L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 5L -> 2L, 4L -> 4L, 6L -> 4L))
+  }
+
   test("minhash-routed jaccard: subset of lossless pairs, identical values, dups caught") {
     val d = Tables.documents(spark, SfDir)
     val exact = Dedup.ngramJaccardPairs(d, 0.3).collect()
