@@ -133,6 +133,33 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── the end-to-end curation pipeline: keep docs that are (a) decent
+    // quality, (b) English by the marker heuristic, and (c) the surviving
+    // representative (min doc id) of their near-dup component — the three
+    // stages every LLM training-data pipeline composes, here as ONE plan:
+    // the scoring side is a map-only projection chain, the dedup side joins
+    // in the component labels, and the filter prunes before the sort ──
+    "curate_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val staged = docs.select(
+        col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
+      val scored = staged.select(
+        col("doc_id") +:
+          round(TextAnalysis.qualityScoreOf(col("text"), col("toks")), 6).as("quality") +:
+          TextAnalysis.langScores(col("toks")).map { case (l, sc) => sc.as(s"s_$l") }: _*)
+      val scoreRefs = TextAnalysis.LangMarkers.map { case (l, _) => l -> col(s"s_$l") }
+      val labeled = scored.select(
+        col("doc_id"), col("quality"),
+        TextAnalysis.langIdFromScores(scoreRefs).as("lang_guess"))
+      val comps = Dedup.connectedComponents(docs, Dedup.ngramJaccardPairs(docs, threshold = 0.3))
+      labeled.join(comps, "doc_id")
+        .where(
+          col("quality") >= 0.5 && col("lang_guess") === "en" &&
+            col("doc_id") === col("component_id"))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── near-dup candidates: MinHash signatures + LSH banding ──
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir))
@@ -306,6 +333,56 @@ object QueriesLlm {
          |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
          |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // composes the verified quality / lang-id / components fragments into
+    // the one-pipeline replay: survivors = quality >= 0.5, lang 'en',
+    // doc_id == min reachable id through the Jaccard pair graph
+    "curate_corpus" -> {
+      val scoreExprs = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+        val list = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(w, x -> x IN ($list))) AS s_$lang"
+      }.mkString(",\n         ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val enCond = langs.drop(1).map(o => s"s_en >= s_$o").mkString(" AND ")
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, text, $toksSql AS w FROM documents),
+         |grams AS (
+         |  SELECT doc_id,
+         |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                        for i in range(1, len(w) - 1)]) AS g
+         |  FROM t WHERE len(w) >= 3
+         |),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3
+         |),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |),
+         |comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+         |q AS (
+         |  SELECT doc_id,
+         |         round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+         |             + least((CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE) / len(w)) * 4.0, 1.0) * 0.3
+         |             + greatest(1.0 - (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 0.0) * 0.3, 6) AS quality,
+         |         $scoreExprs
+         |  FROM t
+         |)
+         |SELECT q.doc_id, q.quality
+         |FROM q JOIN comp ON q.doc_id = comp.doc_id
+         |WHERE q.quality >= 0.5
+         |  AND greatest(${langs.map("s_" + _).mkString(", ")}) > 0 AND $enCond
+         |  AND q.doc_id = comp.component_id
+         |ORDER BY q.doc_id""".stripMargin
+    },
 
     // transitive closure via recursive CTE (UNION dedups, so it terminates),
     // then min reachable id per doc — the declarative twin of the Spark
