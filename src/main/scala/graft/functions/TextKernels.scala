@@ -64,6 +64,15 @@ object TextKernels {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** Column form of [[hash32]] from built-in (codegen'd) functions — for
+    * call sites hashing one scalar per row, where a custom kernel buys
+    * nothing over the native md5/conv chain.
+    */
+  def hash32Col(s: Column): Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+  }
+
   /** First 15 md5 hex chars (= first 8 digest bytes >>> 4) as an unsigned
     * long < 2^60 — identical to `conv(substring(md5(s), 1, 15), 16, 10)`.
     */

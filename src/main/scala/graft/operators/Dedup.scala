@@ -105,36 +105,40 @@ object Dedup {
       grams: DataFrame,
       threshold: Double,
       idCol: String = "doc_id"): DataFrame = {
+    // Candidates run on the 32-bit md5 gram hash, not the gram string: the
+    // shuffled rows carry an 8-byte key instead of a ~30-byte string, and
+    // losslessness is UNAFFECTED — a hash collision merges two grams' freq
+    // counts and can only create EXTRA "shared" keys (a superset of
+    // candidates, each later rejected by the exact verify on true grams);
+    // a true shared gram always shares its hash, and a colliding key that
+    // appears earlier in the rarity order only loosens the positional bound.
     val exploded = grams.select(col(idCol), explode(col("grams")).as("gram"))
-    val freq = exploded.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+      .select(col(idCol), TextKernels.hash32Col(col("gram")).as("h"))
+    val freq = exploded.groupBy(col("h")).agg(count(lit(1)).as("freq"))
 
-    // Rarity-sorted gram array per doc, via a FIXED-WIDTH sortable string key
-    // (19-char zero-padded freq prefix — max-long-proof, so rarity order
-    // holds even for degenerate global gram counts — + the gram). The gram is
-    // recovered by position — substring from char 20 — so no separator is
-    // needed and no gram content can break the decode.
+    // rarity-sorted per doc via (freq, hash) struct sort — total order with
+    // no string-key padding/decode tricks
     val ranked = exploded
-      .join(freq, "gram")
-      .withColumn("key", concat(lpad(col("freq").cast("string"), 19, "0"), col("gram")))
+      .join(freq, "h")
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("key"))).as("sorted_keys"))
+      .agg(sort_array(collect_list(struct(col("freq"), col("h")))).as("sorted_keys"))
       .withColumn("n_grams", size(col("sorted_keys")))
       .withColumn("prefix_len", col("n_grams") - ceil(lit(threshold) * col("n_grams")).cast("int") + 1)
       .select(
         col(idCol), col("n_grams"),
         transform(slice(col("sorted_keys"), lit(1), col("prefix_len").cast("int")),
-          k => substring(k, 20, Int.MaxValue)).as("prefix"))
+          k => k.getField("h")).as("prefix"))
 
     val pf = ranked.select(
       col(idCol), col("n_grams"),
-      posexplode(col("prefix")).as(Seq("pos", "gram")))
+      posexplode(col("prefix")).as(Seq("pos", "h")))
     val l = pf.select(
-      col(idCol).as("doc_a"), col("n_grams").as("na"), col("pos").as("pa"), col("gram"))
+      col(idCol).as("doc_a"), col("n_grams").as("na"), col("pos").as("pa"), col("h"))
     val r = pf.select(
-      col(idCol).as("doc_b"), col("n_grams").as("nb"), col("pos").as("pb"), col("gram"))
+      col(idCol).as("doc_b"), col("n_grams").as("nb"), col("pos").as("pb"), col("h"))
     val t = threshold
     val alpha = ceil(lit(t / (1.0 + t)) * (col("na") + col("nb")) - lit(1e-9))
-    l.join(r, "gram")
+    l.join(r, "h")
       .where(col("doc_a") < col("doc_b"))
       .where(col("nb") >= lit(t) * col("na") - lit(1e-9) &&
         col("na") >= lit(t) * col("nb") - lit(1e-9))
