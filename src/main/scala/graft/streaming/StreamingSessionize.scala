@@ -111,6 +111,65 @@ object StreamingSessionize {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Near-dup detection AT INGESTION: each streaming document's MinHash
+    * signature (the same codegen'd [[graft.functions.TextKernels]] kernels —
+    * deterministic expressions, so they run unchanged under streaming) is
+    * banded and joined against the STATIC corpus's band index; matches are
+    * exact-verified on signature agreement before emitting. Stream-static
+    * inner joins are stateless, so the only state is the duplicate
+    * suppressor (watermark-bounded). Output: one row per (incoming doc,
+    * matched corpus doc) with the signature-match estimate.
+    *
+    * This is the production shape for "reject duplicates before they land":
+    * the corpus index is a broadcast-or-bucketed static side refreshed per
+    * deployment, and the per-event cost is one kernel pass + one equi-join
+    * probe.
+    */
+  def nearDupIngest(
+      stream: DataFrame,
+      corpus: DataFrame,
+      minEstJaccard: Double = 0.5,
+      bands: Int = 8,
+      watermarkDelay: String = "10 minutes",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions.{round => sqlRound}
+    import graft.functions.TextKernels
+    import graft.operators.TextAnalysis
+    TextKernels.register(stream.sparkSession)
+    val k = graft.operators.Dedup.MinhashSeeds.size
+    val corpusBanded = bandedSigs(graft.operators.Dedup.minhashSignatures(corpus))
+      .withColumnRenamed("doc_id", "corpus_doc_id")
+      .withColumnRenamed("sig", "corpus_sig")
+    // signatures built inline (not via Dedup.minhashSignatures) so the
+    // event-time column survives for the watermark + duplicate suppressor
+    val streamSigs = stream.withWatermark("ts", watermarkDelay)
+      .select(
+        col("doc_id"), col("ts"),
+        TextKernels.shingleGrams(TextAnalysis.tokens(col(textCol)), 3).as("grams"))
+      .where(size(col("grams")) > 0)
+      .select(col("doc_id"), col("ts"), TextKernels.minhashSig(col("grams")).as("sig"))
+    val streamBanded = bandedSigs(streamSigs)
+    streamBanded.join(corpusBanded, Seq("band", "band_key"))
+      .withColumn(
+        "n_match",
+        size(filter(zip_with(col("sig"), col("corpus_sig"), (x, y) => x === y), b => b)))
+      .withColumn("est_jaccard", sqlRound(col("n_match").cast("double") / k, 6))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("doc_id"), col("corpus_doc_id"), col("est_jaccard"), col("ts"))
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_doc_id")
+  }
+
+  private def bandedSigs(sigs: DataFrame, bands: Int = 8): DataFrame = {
+    val k = graft.operators.Dedup.MinhashSeeds.size
+    val rows = k / bands
+    sigs.select(
+      col("*"),
+      posexplode(
+        array((0 until bands).map(b =>
+          concat_ws(",", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)): _*))
+        .as(Seq("band", "band_key")))
+  }
+
   /** Streaming weekly-active-users: Monday-aligned 7-day tumbling windows
     * (epoch day 0 is a Thursday — the 4-day startTime shift aligns window
     * starts to Mondays, matching the batch `date_trunc('week', ts)`), HLL++

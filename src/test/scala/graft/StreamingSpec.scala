@@ -79,6 +79,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(survivors == Set(1L, 2L, 4L))
   }
 
+  test("near-dup ingest flags stream docs matching the static corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (200L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val flagged = StreamingSessionize.nearDupIngest(
+      input.toDF().toDF("doc_id", "text", "ts"), corpus, minEstJaccard = 0.5)
+    val query = flagged.writeStream
+      .format("memory").queryName("stream_neardup").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", ts("2024-01-01 10:00:00")), // exact dup of 100
+        (2L, "totally unrelated fresh document content here", ts("2024-01-01 10:00:01")))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("stream_neardup")
+      .select("doc_id", "corpus_doc_id", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 100L, 1.0)))
+  }
+
   test("streaming wau windows are Monday-aligned weeks with sane counts") {
     val input = MemoryStream[(Long, Long, Timestamp)]
     // two ISO weeks: Mon 2024-01-01 .. and Mon 2024-01-08 ..
