@@ -39,7 +39,7 @@ object QueriesLlm {
   private val NdPlanes = Similarity.NearDupPlanesPerBand
   private val KnnPlanes = 4
   private val MhK = Dedup.MinhashSeeds.size
-  private val MhBands = 8 // minhashLshPairs default
+  private val MhBands = 8 // LSH bands, passed to the queries AND interpolated into oracles
   private val MhRows = MhK / MhBands
   private val WinnowN = 3 // gram width for winnowing fingerprints
   private val WinnowW = 4 // winnow window (selects ~2/(w+1) of grams)
@@ -160,9 +160,10 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
-    // ── near-dup candidates: MinHash signatures + LSH banding ──
+    // ── near-dup candidates: MinHash signatures + LSH banding (bands passed
+    // explicitly from the same MhBands constant the oracle interpolates) ──
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(Tables.documents(s, dir))
+      Dedup.minhashLshPairs(Tables.documents(s, dir), bands = MhBands)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // ── n-gram Jaccard routed through MinHash band candidates — the scale

@@ -33,7 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       info("graft_shingles", "graft_shingles(tokens, n) - distinct word n-grams"),
       (exprs: Seq[Expression]) =>
-        TextKernels.ShinglesExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+        TextKernels.ShinglesExpr(exprs(0), TextKernels.intArg("graft_shingles", 1, exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(grams) - 32-slot MinHash signature"),
@@ -46,6 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow"),
       info("graft_winnow", "graft_winnow(tokens, n, w) - winnowing fingerprints"),
       (exprs: Seq[Expression]) => TextKernels.WinnowFingerprints(
-        exprs(0), exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+        exprs(0),
+        TextKernels.intArg("graft_winnow", 1, exprs(1)),
+        TextKernels.intArg("graft_winnow", 2, exprs(2)))))
   }
 }

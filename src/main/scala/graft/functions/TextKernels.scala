@@ -256,6 +256,20 @@ object TextKernels {
     override def prettyName: String = "graft_winnow"
   }
 
+  /** Extract a foldable integer literal function argument with a
+    * descriptive failure — `graft_shingles(toks, n_col)` or a non-integer
+    * literal should read as a usage error, not a ClassCastException.
+    */
+  private[functions] def intArg(fn: String, pos: Int, e: Expression): Int = {
+    require(e.foldable, s"$fn: argument ${pos + 1} must be an integer literal, got a non-literal")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+    }
+  }
+
   /** Register the kernels on the session's function registry (idempotent —
     * same lazy-registration contract as [[VectorFunctions.register]]).
     * `graft_shingles` takes the n-gram width as a literal second argument.
@@ -264,7 +278,7 @@ object TextKernels {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "graft_shingles",
-      exprs => ShinglesExpr(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      exprs => ShinglesExpr(exprs(0), intArg("graft_shingles", 1, exprs(1))),
       "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinHashSignature(exprs(0)), "scala_udf")
@@ -274,8 +288,8 @@ object TextKernels {
       "graft_winnow",
       exprs => WinnowFingerprints(
         exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]),
+        intArg("graft_winnow", 1, exprs(1)),
+        intArg("graft_winnow", 2, exprs(2))),
       "scala_udf")
   }
 

@@ -218,19 +218,30 @@ object Dedup {
     * up. `est_jaccard` = fraction of matching signature slots. Deterministic
     * (candidates follow from signatures alone), so oracle-checkable.
     */
-  /** Banded candidate pairs from precomputed signatures: docs sharing any
-    * band's full signature slice pair up (equi-join on the band key).
+  /** Append (band, band_key) rows to a frame carrying a `sig` column —
+    * posexplode, one row per band, all input columns kept. The ONE band-key
+    * encoding (comma-joined signature slots per band), shared by the batch
+    * candidate join and the streaming ingest probe
+    * ([[graft.streaming.StreamingSessionize.nearDupIngest]]) so the two
+    * sides can never band differently.
     */
-  def minhashBandCandidates(sigs: DataFrame, bands: Int, idCol: String = "doc_id"): DataFrame = {
+  def withBandKeys(sigs: DataFrame, bands: Int): DataFrame = {
     val k = MinhashSeeds.size
-    require(k % bands == 0)
+    require(k % bands == 0, s"bands ($bands) must divide the signature size ($k)")
     val rows = k / bands
-    val banded = sigs.select(
-      col(idCol),
+    sigs.select(
+      col("*"),
       posexplode(
         array((0 until bands).map(b =>
           concat_ws(",", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)): _*))
         .as(Seq("band", "band_key")))
+  }
+
+  /** Banded candidate pairs from precomputed signatures: docs sharing any
+    * band's full signature slice pair up (equi-join on the band key).
+    */
+  def minhashBandCandidates(sigs: DataFrame, bands: Int, idCol: String = "doc_id"): DataFrame = {
+    val banded = withBandKeys(sigs.select(col(idCol), col("sig")), bands).drop("sig")
     banded.as("l").join(banded.as("r"), Seq("band", "band_key"))
       .where(col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
@@ -276,10 +287,12 @@ object Dedup {
       nodes: DataFrame,
       pairs: DataFrame,
       idCol: String = "doc_id",
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
       maxRounds: Int = 50): DataFrame = {
     val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(true)
     var labels = nodes.select(col(idCol).as("node")).distinct()
       .withColumn("comp", col("node"))

@@ -45,19 +45,25 @@ class TableManager(
       partitionKeys.map(col)
 
   def ensure(spark: SparkSession): Unit = {
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row],
-      StructType(orderedColumns.map(c => schema(c.toString))))
-    val writer = empty.write
-      .mode("ignore")
-      .format("parquet")
-      .option("compression", "snappy")
-      .partitionBy(partitionKeys: _*)
-    location.fold(writer)(loc => writer.option("path", loc)).saveAsTable(name)
-    // external tables: partitions written by earlier incarnations of the
-    // catalog entry exist on disk but not in the fresh entry — recover them
-    // (the datasource-path analogue of Hive's MSCK REPAIR TABLE)
-    if (location.isDefined) spark.sql(s"MSCK REPAIR TABLE $name")
+    val existed = spark.catalog.tableExists(name)
+    if (!existed) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(orderedColumns.map(c => schema(c.toString))))
+      val writer = empty.write
+        .mode("ignore")
+        .format("parquet")
+        .option("compression", "snappy")
+        .partitionBy(partitionKeys: _*)
+      location.fold(writer)(loc => writer.option("path", loc)).saveAsTable(name)
+      // external tables: partitions written by earlier incarnations of the
+      // catalog entry exist on disk but not in the fresh entry — recover them
+      // (the datasource-path analogue of Hive's MSCK REPAIR TABLE). Runs ONLY
+      // on entry creation: repairing on every ensure() would charge each
+      // read/load an O(partitions) listing and could register half-written
+      // partitions of a concurrent load.
+      if (location.isDefined) spark.sql(s"MSCK REPAIR TABLE $name")
+    }
   }
 
   /** Templated SQL over the table: `{TABLE}` → table name. */

@@ -29,6 +29,20 @@ object StreamingSessionize {
   /** One open session per user: where it started, and the last second seen. */
   case class OpenSession(session_start_sec: Long, last_epoch_sec: Long)
 
+  /** An event awaiting its watermark (buffered so out-of-order arrivals
+    * within the watermark sessionize exactly like the batch pipeline).
+    */
+  case class PendingEvent(event_id: Long, epoch_sec: Long)
+
+  /** Per-user state: the open session (if `has_open`) plus the buffered
+    * not-yet-final events.
+    */
+  case class SessState(
+      start_sec: Long,
+      last_sec: Long,
+      has_open: Boolean,
+      pending: Seq[PendingEvent])
+
   /** Output row — mirrors the batch sessionize columns. */
   case class SessionizedEvent(
       event_id: Long,
@@ -41,10 +55,19 @@ object StreamingSessionize {
   private type InRow = (Long, Long, java.sql.Timestamp, Long)
 
   /** Sessionize a streaming frame with columns (event_id, user_id, ts).
-    * `watermarkDelay` must exceed the expected out-of-orderness; state for a
-    * user is dropped once the watermark passes `last event + gapSeconds`
-    * (after that, any in-order event starts a new session anyway, so
-    * eviction cannot change results).
+    *
+    * Events are BUFFERED in per-user state until the watermark passes their
+    * event time, then emitted in (epoch_sec, event_id) order — so arrivals
+    * reordered across triggers (but within `watermarkDelay`) produce
+    * exactly the batch result; an eager variant that sessionized on arrival
+    * would silently mis-assign sessions when a late event regressed the
+    * gap baseline. The cost is emission latency of one watermark delay —
+    * the same trade watermarked streaming aggregations make. Events older
+    * than the watermark when they arrive are DROPPED (the standard
+    * watermark contract; batch parity is impossible once their successors
+    * are already emitted). State per user is the open session + the
+    * buffered tail, evicted once the watermark passes
+    * `last event + gapSeconds` with nothing buffered.
     */
   def sessionize(
       events: DataFrame,
@@ -65,28 +88,39 @@ object StreamingSessionize {
   private def process(gap: Long)(
       user: Long,
       rows: Iterator[InRow],
-      state: GroupState[OpenSession]): Iterator[SessionizedEvent] = {
-    if (!rows.hasNext) {
-      // timeout firing with no data: the open session can no longer continue
-      if (state.hasTimedOut) state.remove()
-      return Iterator.empty
+      state: GroupState[SessState]): Iterator[SessionizedEvent] = {
+    val wmMs = state.getCurrentWatermarkMs()
+    val prev = state.getOption.getOrElse(SessState(0L, 0L, has_open = false, Seq.empty))
+    // beyond-watermark arrivals are dropped (their successors may already be
+    // emitted); everything else joins the buffer
+    val fresh = rows.map(r => PendingEvent(r._1, r._4)).filter(_.epoch_sec * 1000L >= wmMs)
+    val pending = prev.pending ++ fresh
+    // finalize exactly the events the watermark has passed, in batch order
+    val (ready, held) = pending.partition(_.epoch_sec * 1000L < wmMs)
+    var open: Option[OpenSession] =
+      if (prev.has_open) Some(OpenSession(prev.start_sec, prev.last_sec)) else None
+    val out = ready.sortBy(e => (e.epoch_sec, e.event_id)).map { e =>
+      val isNew = open.forall(s => e.epoch_sec - s.last_epoch_sec >= gap)
+      val start = if (isNew) e.epoch_sec else open.get.session_start_sec
+      open = Some(OpenSession(start, e.epoch_sec))
+      SessionizedEvent(e.event_id, user, e.epoch_sec, isNew, start, s"$user#$start")
     }
-    // within-trigger ordering: (epoch_sec, event_id), same as the batch window
-    val sorted = rows.toSeq.sortBy(e => (e._4, e._1))
-    var open = state.getOption
-    val out = sorted.map { case (eventId, userId, _, sec) =>
-      val isNew = open.forall(s => sec - s.last_epoch_sec >= gap)
-      val start = if (isNew) sec else open.get.session_start_sec
-      open = Some(OpenSession(start, sec))
-      SessionizedEvent(eventId, userId, sec, isNew, start, s"$userId#$start")
-    }
-    open.foreach { s =>
-      state.update(s)
-      // evict once no event could continue this session; the timeout must be
-      // beyond the CURRENT watermark (another user may have advanced it past
-      // this user's horizon, which just means immediate-eligible eviction)
-      state.setTimeoutTimestamp(
-        math.max((s.last_epoch_sec + gap) * 1000L, state.getCurrentWatermarkMs() + 1L))
+    val sessionEvictable =
+      open.forall(s => wmMs >= (s.last_epoch_sec + gap) * 1000L)
+    if (held.isEmpty && sessionEvictable) {
+      if (state.exists) state.remove()
+    } else {
+      state.update(SessState(
+        open.map(_.session_start_sec).getOrElse(0L),
+        open.map(_.last_epoch_sec).getOrElse(0L),
+        open.isDefined, held))
+      // wake when the watermark passes the oldest buffered event, or (with
+      // nothing buffered) when the open session can no longer be continued;
+      // the timestamp must exceed the CURRENT watermark
+      val wake =
+        if (held.nonEmpty) held.map(_.epoch_sec).min * 1000L + 1L
+        else (open.get.last_epoch_sec + gap) * 1000L
+      state.setTimeoutTimestamp(math.max(wake, wmMs + 1L))
     }
     out.iterator
   }
@@ -137,9 +171,14 @@ object StreamingSessionize {
     import graft.operators.TextAnalysis
     TextKernels.register(stream.sparkSession)
     val k = graft.operators.Dedup.MinhashSeeds.size
-    val corpusBanded = bandedSigs(graft.operators.Dedup.minhashSignatures(corpus))
+    // persist: the static side of a stream-static join is re-evaluated every
+    // micro-batch — without the cache each trigger would rebuild the whole
+    // corpus signature index before probing a handful of stream rows
+    val corpusBanded = graft.operators.Dedup
+      .withBandKeys(graft.operators.Dedup.minhashSignatures(corpus), bands)
       .withColumnRenamed("doc_id", "corpus_doc_id")
       .withColumnRenamed("sig", "corpus_sig")
+      .persist()
     // signatures built inline (not via Dedup.minhashSignatures) so the
     // event-time column survives for the watermark + duplicate suppressor
     val streamSigs = stream.withWatermark("ts", watermarkDelay)
@@ -148,7 +187,7 @@ object StreamingSessionize {
         TextKernels.shingleGrams(TextAnalysis.tokens(col(textCol)), 3).as("grams"))
       .where(size(col("grams")) > 0)
       .select(col("doc_id"), col("ts"), TextKernels.minhashSig(col("grams")).as("sig"))
-    val streamBanded = bandedSigs(streamSigs)
+    val streamBanded = graft.operators.Dedup.withBandKeys(streamSigs, bands)
     streamBanded.join(corpusBanded, Seq("band", "band_key"))
       .withColumn(
         "n_match",
@@ -157,17 +196,6 @@ object StreamingSessionize {
       .where(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_id"), col("corpus_doc_id"), col("est_jaccard"), col("ts"))
       .dropDuplicatesWithinWatermark("doc_id", "corpus_doc_id")
-  }
-
-  private def bandedSigs(sigs: DataFrame, bands: Int = 8): DataFrame = {
-    val k = graft.operators.Dedup.MinhashSeeds.size
-    val rows = k / bands
-    sigs.select(
-      col("*"),
-      posexplode(
-        array((0 until bands).map(b =>
-          concat_ws(",", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)): _*))
-        .as(Seq("band", "band_key")))
   }
 
   /** Streaming weekly-active-users: Monday-aligned 7-day tumbling windows

@@ -40,9 +40,14 @@ class StreamingSpec extends AnyFunSuite {
       query.processAllAvailable()
       input.addData(batch2: _*)
       query.processAllAvailable()
+      // flush: a far-future event from an unrelated user pushes the
+      // watermark past every real event so the buffered tail finalizes
+      input.addData((999L, 99L, ts("2024-01-02 00:00:00")))
+      query.processAllAvailable()
     } finally query.stop()
 
     val got = spark.table("stream_sess")
+      .where(col("event_id") <= 7)
       .select("event_id", "epoch_sec", "is_new_session", "session_start_sec", "session_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3), r.getString(4)))
       .toSet
@@ -55,6 +60,36 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(got == expected)
     assert(got.size == 7)
+  }
+
+  test("late-but-within-watermark arrivals sessionize exactly like batch") {
+    // arrival order deliberately scrambles event time across triggers:
+    // 10:10 arrives first, then 10:02 (late, within the 10-min watermark),
+    // then 10:12 — an eager sessionizer would regress its gap baseline to
+    // 10:02 and wrongly split 10:12 into a new session
+    val events = Seq(
+      (1L, 7L, ts("2024-01-01 10:10:00")),
+      (2L, 7L, ts("2024-01-01 10:02:00")),
+      (3L, 7L, ts("2024-01-01 10:12:00")))
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val query = StreamingSessionize.sessionize(
+      input.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("stream_late").outputMode("append").start()
+    try {
+      events.foreach { e => input.addData(e); query.processAllAvailable() }
+      input.addData((999L, 99L, ts("2024-01-02 00:00:00")))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("stream_late")
+      .where(col("event_id") <= 3)
+      .select("event_id", "is_new_session", "session_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSet
+    val expected = Sessionize.sessionize(events.toDF("event_id", "user_id", "ts"))
+      .select("event_id", "is_new_session", "session_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSet
+    assert(got == expected)
+    assert(got.size == 3)
   }
 
   test("streaming exact dedup drops later duplicates across triggers") {
