@@ -55,6 +55,33 @@ class DedupSpec extends AnyFunSuite {
     assert(naive.nonEmpty) // planted near-dups exist in the corpus
   }
 
+  test("prefix+length+positional filters stay lossless on randomized adversarial corpora") {
+    // tiny vocabulary → massive gram collisions, duplicate docs, freq ties:
+    // the regime where the rarity ordering and the fp-epsilon'd bounds are
+    // most likely to break. Fixed seed for reproducibility.
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    (1 to 3).foreach { _ =>
+      val d = docs((1L to 25L).map { id =>
+        val len = 3 + rnd.nextInt(18)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }: _*)
+      val g = Dedup.shingles(d)
+      val a = g.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+      val b = g.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+      Seq(0.2, 0.3, 0.5, 0.8).foreach { t =>
+        val filtered = Dedup.ngramJaccardPairs(d, t)
+          .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val naive = a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("ni", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+          .withColumn("j", col("ni") / (size(col("ga")) + size(col("gb")) - col("ni")))
+          .where(col("j") >= t)
+          .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(filtered == naive, s"filters lost pairs at t=$t: ${naive.diff(filtered)}")
+      }
+    }
+  }
+
   test("ngram prefix filter actually prunes: candidate count strictly below all-pairs") {
     val d = Tables.documents(spark, SfDir)
     val g = Dedup.shingles(d)
