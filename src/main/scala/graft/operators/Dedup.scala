@@ -123,7 +123,13 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("freq"), col("h")))).as("sorted_keys"))
       .withColumn("n_grams", size(col("sorted_keys")))
-      .withColumn("prefix_len", col("n_grams") - ceil(lit(threshold) * col("n_grams")).cast("int") + 1)
+      // epsilon-guarded like the alpha/length filters: IEEE rounding can push
+      // an exact integer product up (0.07*100 = 7.000000000000001 → ceil 8),
+      // which would SHORTEN the prefix and drop a true pair; subtracting the
+      // epsilon means rounding can only lengthen it (weaken the filter)
+      .withColumn(
+        "prefix_len",
+        col("n_grams") - ceil(lit(threshold) * col("n_grams") - lit(1e-9)).cast("int") + 1)
       .select(
         col(idCol), col("n_grams"),
         transform(slice(col("sorted_keys"), lit(1), col("prefix_len").cast("int")),
@@ -277,11 +283,21 @@ object Dedup {
     * Algorithm: min-label propagation — each round every node takes the min
     * of its own and its neighbors' labels; converges in O(graph diameter)
     * rounds. The driver loop iterates ROUNDS (a handful — near-dup clusters
-    * are shallow), never rows; each round is one distributed join+aggregate,
-    * and `localCheckpoint` truncates the growing plan lineage so round N
-    * doesn't replay rounds 1..N-1. At larger diameters swap in the
-    * large-star/small-star contraction (Kiveris et al., SoCC'14) — same
-    * driver-loop shape, O(log²n) rounds.
+    * are shallow), never rows; each round is ONE distributed join+aggregate
+    * job: the previous label rides through the aggregation as `prev_comp`,
+    * so the convergence test is a scan of the round's own output, not an
+    * extra join. At larger diameters swap in the large-star/small-star
+    * contraction (Kiveris et al., SoCC'14) — same driver-loop shape,
+    * O(log²n) rounds.
+    *
+    * Durability contract: per-round lineage truncation defaults to
+    * `localCheckpoint` — blocks live on EXECUTOR LOCAL storage, so on a
+    * real cluster a lost or preempted executor makes them unrecoverable and
+    * fails the job. That is fine for `local[n]` and for clusters without
+    * preemption, but the 100 TB path should pass `checkpointDir`
+    * (HDFS/object-store URI): rounds then write reliable `checkpoint()`
+    * files that survive executor loss, at the cost of one extra write+read
+    * pass per round.
     */
   def connectedComponents(
       nodes: DataFrame,
@@ -289,33 +305,67 @@ object Dedup {
       idCol: String = "doc_id",
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxRounds: Int = 50): DataFrame = {
-    val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint(true)
-    var labels = nodes.select(col(idCol).as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint(true)
+      maxRounds: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithRounds(nodes, pairs, idCol, aCol, bCol, maxRounds, checkpointDir)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it took —
+    * exposed so tests can pin the round count on a known fixture (a
+    * propagation regression then fails loudly instead of just running
+    * longer).
+    */
+  def connectedComponentsWithRounds(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxRounds: Int = 50,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    // reliable path: cache so the checkpoint's write pass re-reads instead of
+    // recomputing, then drop the cache — downstream reads hit the files.
+    // local path: LAZY localCheckpoint, so the round's convergence aggregate
+    // is the one job that computes, caches, and truncates — no separate
+    // materialization action per round.
+    def durable(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(_) =>
+        df.persist()
+        val out = df.checkpoint()
+        df.unpersist()
+        out
+      case None => df.localCheckpoint(false)
+    }
+    val edges = durable(
+      pairs
+        .select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var labels = durable(
+      nodes.select(col(idCol).as("node")).distinct()
+        .withColumn("comp", col("node")))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val viaNeighbor = edges
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), col("comp"))
-      val next = viaNeighbor.unionByName(labels)
-        .groupBy(col("node"))
-        .agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("l"), "node")
-        .where(col("n.comp") =!= col("l.comp"))
-        .isEmpty
-      labels = next
+        .join(labels.withColumnRenamed("node", "dst").select(col("dst"), col("comp")), "dst")
+        .select(col("src").as("node"), col("comp"), lit(false).as("is_self"))
+      val next = durable(
+        viaNeighbor
+          .unionByName(labels.select(col("node"), col("comp"), lit(true).as("is_self")))
+          .groupBy(col("node"))
+          .agg(
+            min(col("comp")).as("comp"),
+            // each node has exactly one self row: its previous label
+            max(when(col("is_self"), col("comp"))).as("prev_comp")))
+      val nChanged = next
+        .agg(count(when(col("comp") =!= col("prev_comp"), lit(1))))
+        .first().getLong(0)
+      converged = nChanged == 0L
+      labels = next.select(col("node"), col("comp"))
       round += 1
     }
     require(converged, s"components did not converge in $maxRounds rounds")
-    labels.select(col("node").as(idCol), col("comp").as("component_id"))
+    (labels.select(col("node").as(idCol), col("comp").as("component_id")), round)
   }
 
   // ── SimHash ───────────────────────────────────────────────────────────
@@ -330,6 +380,19 @@ object Dedup {
       col(idCol),
       TextKernels.simhashSig(array_distinct(TextAnalysis.tokens(col(textCol)))).as("simhash"))
   }
+
+  /** Default block count for [[simhashPairs]]: the smallest `nBlocks` whose
+    * combination keys carry `r·60/nBlocks >= 16` bits (r = nBlocks −
+    * maxHamming), i.e. random collisions <= n²/2^16 per combination.
+    * Solving (m−h)·60/m >= 16 gives m >= 60h/44; the pigeonhole additionally
+    * needs m > h. At the Manku default h=3 this is 5 blocks (C(5,2)=10
+    * combinations, 24-bit keys). Wide hamming budgets inflate the
+    * combination count fast (h=12 ⇒ 17 blocks, C(17,5)=6188 tables) — at
+    * that point pass `nBlocks` explicitly with corpus knowledge, per the
+    * collision-vs-fan-out analysis in the [[simhashPairs]] Scaladoc.
+    */
+  def defaultSimhashBlocks(maxHamming: Int): Int =
+    math.max(maxHamming + 1, math.ceil(60.0 * maxHamming / 44.0).toInt)
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, via a
     * Manku-style block-combination index (WWW'07 §3): split the 60 bits into
@@ -352,14 +415,21 @@ object Dedup {
     * true-pair-dominated (dense near-dups, as in the fixture corpus, where
     * 7 blocks measured 3× faster than 9 at sf0.1) → minimal nBlocks. Both
     * settings return identical results (DedupSpec equivalence test).
+    *
+    * Defaults: `maxHamming = 3` (the Manku WWW'07 operating point for
+    * 64-bit fingerprints) and `nBlocks = 0` ⇒ [[defaultSimhashBlocks]],
+    * which picks the smallest block count whose combination keys are at
+    * least 16 bits wide — the bare-default index is never degenerate
+    * (the r3 default, minimal blocks at maxHamming=12, had ~4.6-bit keys
+    * ⇒ candidates ≈ n²/25: quadratic in disguise).
     */
   def simhashPairs(
       docs: DataFrame,
-      maxHamming: Int = 12,
+      maxHamming: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text",
       nBlocks: Int = 0): DataFrame = {
-    val m = if (nBlocks > 0) nBlocks else maxHamming + 1
+    val m = if (nBlocks > 0) nBlocks else defaultSimhashBlocks(maxHamming)
     require(m > maxHamming, s"need nBlocks ($m) > maxHamming ($maxHamming) for the pigeonhole")
     require(m <= 60, s"nBlocks ($m) cannot exceed the 60 signature bits")
     val r = m - maxHamming

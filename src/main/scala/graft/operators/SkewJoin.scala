@@ -39,6 +39,9 @@ object SkewJoin {
     require(salts > 0, "salts must be positive")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salted join supports inner/left, got $joinType")
+    // the helper column must not shadow (and then silently drop) user data
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "input already has a __salt column; rename it before salting")
     val salted = big.withColumn("__salt", pmod(hash(bigSaltOn), lit(salts)))
     val replicated = small.withColumn(
       "__salt", explode(sequence(lit(0), lit(salts - 1))))

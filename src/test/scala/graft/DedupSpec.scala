@@ -92,6 +92,44 @@ class DedupSpec extends AnyFunSuite {
     assert(cand < allPairs, s"prefix filter degenerated: $cand candidates vs $allPairs all-pairs")
   }
 
+  test("prefix epsilon guard: integer-product rounding cannot shorten the prefix") {
+    // 0.07 * 100 = 7.000000000000001 in IEEE doubles — an unguarded ceil
+    // yields 8, shortening doc A's prefix to 93 slots and hiding its only
+    // shared grams (the 7 most frequent, rarity positions 94..100). The pair
+    // IS true: B ⊂ A with |B| = 7 = 0.07·|A| ⇒ jaccard exactly 0.07.
+    import spark.implicits._
+    val aGrams = (1 to 93).map(i => s"u$i") ++ (1 to 7).map(i => s"s$i")
+    val bGrams = (1 to 7).map(i => s"s$i")
+    val g = Seq((1L, aGrams), (2L, bGrams)).toDF("doc_id", "grams")
+    val cand = Dedup.ngramJaccardCandidates(g, 0.07)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)), "epsilon-guarded prefix must keep the exact-threshold pair")
+  }
+
+  test("simhash default geometry is never degenerate: keys >= 16 bits") {
+    (1 to 20).foreach { h =>
+      val m = Dedup.defaultSimhashBlocks(h)
+      assert(m > h, s"pigeonhole violated at maxHamming=$h")
+      val r = m - h
+      assert(r * 60.0 / m >= 16.0 - 1e-9,
+        s"maxHamming=$h: nBlocks=$m gives ${r * 60.0 / m}-bit keys")
+    }
+    // Manku operating point: h=3 → 5 blocks, C(5,2)=10 combos, 24-bit keys
+    assert(Dedup.defaultSimhashBlocks(3) == 5)
+  }
+
+  test("simhash bare default equals the explicit-geometry call") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "utterly different content with nothing in common at all here"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bare = pairSet(Dedup.simhashPairs(d))
+    val explicit = pairSet(Dedup.simhashPairs(d, maxHamming = 3, nBlocks = 7))
+    assert(bare == explicit)
+  }
+
   test("simhash pairing plan has no cartesian or nested-loop join") {
     val d = Tables.documents(spark, SfDir)
     val plan = Dedup.simhashPairs(d, maxHamming = 6, nBlocks = 9)
@@ -110,14 +148,45 @@ class DedupSpec extends AnyFunSuite {
     assert(narrow.nonEmpty)
   }
 
-  test("connected components: chains merge, singletons self-label") {
+  test("connected components: chains merge, singletons self-label, rounds pinned") {
     import spark.implicits._
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // chain 5-2-3 (given out of order), pair 4-6, singleton 1
     val pairs = Seq((2L, 5L), (2L, 3L), (4L, 6L)).toDF("doc_a", "doc_b")
-    val comps = Dedup.connectedComponents(nodes, pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (labelsDf, rounds) = Dedup.connectedComponentsWithRounds(nodes, pairs)
+    val comps = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 5L -> 2L, 4L -> 4L, 6L -> 4L))
+    // star-of-depth-1 graph: one propagation round + one no-change round.
+    // A propagation regression (e.g. labels not flowing both directions)
+    // would show up as a different count, not just a slower run.
+    assert(rounds == 2, s"expected 2 rounds on the fixture, got $rounds")
+  }
+
+  test("connected components: deep chain converges in diameter rounds") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6: min label needs 5 propagation hops to reach node 6
+    val nodes = (1L to 6L).toDF("doc_id")
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labelsDf, rounds) = Dedup.connectedComponentsWithRounds(nodes, pairs)
+    val comps = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == (1L to 6L).map(_ -> 1L).toMap)
+    assert(rounds == 6, s"expected diameter+1 = 6 rounds, got $rounds")
+  }
+
+  test("connected components: reliable-checkpoint path matches the local path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((2L, 5L), (2L, 3L), (4L, 6L)).toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup.connectedComponents(nodes, pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    // the rounds actually hit the reliable store (files survive executor loss)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable path wrote no checkpoint files")
   }
 
   test("minhash-routed jaccard: subset of lossless pairs, identical values, dups caught") {
