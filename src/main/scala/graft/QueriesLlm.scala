@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
+import graft.streaming.StreamingSessionize
 
 /** LLM training-data pipeline queries: dedup (exact / n-gram Jaccard /
   * MinHash-LSH / SimHash), embedding similarity (brute-force + LSH KNN,
@@ -133,30 +134,27 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
-    // ── the end-to-end curation pipeline: keep docs that are (a) decent
-    // quality, (b) English by the marker heuristic, and (c) the surviving
-    // representative (min doc id) of their near-dup component — the three
-    // stages every LLM training-data pipeline composes, here as ONE plan:
-    // the scoring side is a map-only projection chain, the dedup side joins
-    // in the component labels, and the filter prunes before the sort ──
+    // ── the end-to-end curation pipeline ([[operators.Curation]]): keep docs
+    // that are (a) decent quality, (b) English by the marker heuristic, and
+    // (c) the surviving representative (min doc id) of their near-dup
+    // component. This variant resolves near-dups through the LOSSLESS
+    // exact-Jaccard pair generator — the ground-truth configuration ──
     "curate_corpus" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val staged = docs.select(
-        col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
-      val scored = staged.select(
-        col("doc_id") +:
-          round(TextAnalysis.qualityScoreOf(col("text"), col("toks")), 6).as("quality") +:
-          TextAnalysis.langScores(col("toks")).map { case (l, sc) => sc.as(s"s_$l") }: _*)
-      val scoreRefs = TextAnalysis.LangMarkers.map { case (l, _) => l -> col(s"s_$l") }
-      val labeled = scored.select(
-        col("doc_id"), col("quality"),
-        TextAnalysis.langIdFromScores(scoreRefs).as("lang_guess"))
-      val comps = Dedup.connectedComponents(docs, Dedup.ngramJaccardPairs(docs, threshold = 0.3))
-      labeled.join(comps, "doc_id")
-        .where(
-          col("quality") >= 0.5 && col("lang_guess") === "en" &&
-            col("doc_id") === col("component_id"))
-        .select(col("doc_id"), col("quality"))
+      Curation.curateCorpus(docs, Dedup.ngramJaccardPairs(docs, threshold = 0.3))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── the same pipeline routed through the MinHash band candidates — the
+    // 100 TB configuration: candidate volume stays O(true-ish pairs) where
+    // the lossless prefix filter degenerates at low thresholds. Recall on
+    // the component graph is approximate, but every candidate is
+    // exact-verified and the banding is deterministic, so the oracle
+    // replays it bit-for-bit ──
+    "curate_corpus_mh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.curateCorpus(
+        docs, Dedup.ngramJaccardPairsViaMinhash(docs, threshold = 0.3, bands = MhBands))
         .orderBy(col("doc_id"))
     }),
 
@@ -214,6 +212,50 @@ object QueriesLlm {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── the streaming near-dup ingest, END-TO-END under the oracle: the
+    // documents table replayed as a file-source STREAM probing its own
+    // static band index; micro-batch output lands in a memory table the
+    // query returns. Kernels, banding, and band keys are the exact code
+    // paths of the batch dedup_minhash_lsh, and every step is
+    // deterministic, so the DuckDB replay hash-matches a genuinely
+    // streaming execution (watermark, stream-static join, duplicate
+    // suppressor and all) ──
+    "stream_neardup_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = StreamingSessionize.corpusBandIndex(docs, bands = MhBands).persist()
+      val stream = s.readStream
+        .schema(docs.schema)
+        // the file source wants a directory; the glob filter narrows the
+        // listing to the documents table
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(
+          col("doc_id"), col("text"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+      val out = StreamingSessionize.nearDupIngest(
+        stream, idx, minEstJaccard = 0.5, bands = MhBands)
+      val sink = "stream_neardup_ingest_sink"
+      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        idx.unpersist()
+      }
+      s.table(sink)
+        .select(col("doc_id"), col("corpus_doc_id"), col("est_jaccard"))
+        .orderBy(col("doc_id"), col("corpus_doc_id"))
+    }),
+
+    // ── similarity: multi-probe LSH KNN — same index, plus Hamming-1
+    // neighbor buckets probed per query (the standard recall knob; probe
+    // expansion is query-side so the corpus join stays an equi-join) ──
+    "knn_lsh_cosine_mp" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshKnn(
+        emb.where(col("vec_id") < 10), emb, k = 5, nPlanes = KnnPlanes, probeHamming = 1)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ── multimodal: binary payload + stub header decode ──
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.withPayload(Tables.documents(s, dir))
@@ -244,6 +286,54 @@ object QueriesLlm {
         .orderBy(col("query_id"), col("rank"))
     })
   )
+
+  /** Curation-pipeline oracle, parameterized by the near-dup pairs CTE — a
+    * fragment defining (possibly with helper CTEs) a `pairs(doc_a, doc_b)`
+    * relation, with `t` (tokens) and `grams` in scope. Shared by the
+    * lossless and MinHash-routed variants so the two replays can only
+    * differ in the candidate route, exactly like the Spark side.
+    */
+  private def curateOracle(pairsCte: String): String = {
+    val scoreExprs = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+      val list = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(w, x -> x IN ($list))) AS s_$lang"
+    }.mkString(",\n         ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val enCond = langs.drop(1).map(o => s"s_en >= s_$o").mkString(" AND ")
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, text, $toksSql AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                        for i in range(1, len(w) - 1)]) AS g
+       |  FROM t WHERE len(w) >= 3
+       |),
+       |$pairsCte,
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+       |q AS (
+       |  SELECT doc_id,
+       |         round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+       |             + least((CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE) / len(w)) * 4.0, 1.0) * 0.3
+       |             + greatest(1.0 - (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 0.0) * 0.3, 6) AS quality,
+       |         $scoreExprs
+       |  FROM t
+       |)
+       |SELECT q.doc_id, q.quality
+       |FROM q JOIN comp ON q.doc_id = comp.doc_id
+       |WHERE q.quality >= 0.5
+       |  AND greatest(${langs.map("s_" + _).mkString(", ")}) > 0 AND $enCond
+       |  AND q.doc_id = comp.component_id
+       |ORDER BY q.doc_id""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -338,52 +428,27 @@ object QueriesLlm {
     // composes the verified quality / lang-id / components fragments into
     // the one-pipeline replay: survivors = quality >= 0.5, lang 'en',
     // doc_id == min reachable id through the Jaccard pair graph
-    "curate_corpus" -> {
-      val scoreExprs = TextAnalysis.LangMarkers.map { case (lang, ms) =>
-        val list = ms.map(m => s"'$m'").mkString(", ")
-        s"len(list_filter(w, x -> x IN ($list))) AS s_$lang"
-      }.mkString(",\n         ")
-      val langs = TextAnalysis.LangMarkers.map(_._1)
-      val enCond = langs.drop(1).map(o => s"s_en >= s_$o").mkString(" AND ")
-      s"""WITH RECURSIVE
-         |t AS (SELECT doc_id, text, $toksSql AS w FROM documents),
-         |grams AS (
-         |  SELECT doc_id,
-         |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-         |                        for i in range(1, len(w) - 1)]) AS g
-         |  FROM t WHERE len(w) >= 3
-         |),
-         |pairs AS (
+    "curate_corpus" -> curateOracle(
+      s"""pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
          |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
          |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3
-         |),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs
-         |),
-         |reach(a, b) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-         |),
-         |comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
-         |q AS (
-         |  SELECT doc_id,
-         |         round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
-         |             + least((CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE) / len(w)) * 4.0, 1.0) * 0.3
-         |             + greatest(1.0 - (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 0.0) * 0.3, 6) AS quality,
-         |         $scoreExprs
-         |  FROM t
-         |)
-         |SELECT q.doc_id, q.quality
-         |FROM q JOIN comp ON q.doc_id = comp.doc_id
-         |WHERE q.quality >= 0.5
-         |  AND greatest(${langs.map("s_" + _).mkString(", ")}) > 0 AND $enCond
-         |  AND q.doc_id = comp.component_id
-         |ORDER BY q.doc_id""".stripMargin
-    },
+         |)""".stripMargin),
+
+    // same replay with pairs = exact-Jaccard verify over the deterministic
+    // MinHash band candidates — mirrors Curation.curateCorpus routed through
+    // ngramJaccardPairsViaMinhash
+    "curate_corpus_mh" -> curateOracle(
+      s"""$minhashCandCte,
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN grams a ON a.doc_id = c.doc_a
+         |  JOIN grams b ON b.doc_id = c.doc_b
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3
+         |)""".stripMargin),
 
     // transitive closure via recursive CTE (UNION dedups, so it terminates),
     // then min reachable id per doc — the declarative twin of the Spark
@@ -408,6 +473,26 @@ object QueriesLlm {
          |)
          |SELECT a AS doc_id, min(b) AS component_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // Streaming ingest replay: the probe join is the batch band join WITHOUT
+    // the doc_a < doc_b restriction (a stream doc matches any corpus doc,
+    // including itself), est = signature-slot agreement over the shared
+    // sigs CTE. Un-rounded >= 0.5 is equivalent to the Spark side's rounded
+    // compare: estimates are multiples of 1/$MhK, exact at 6 decimals.
+    "stream_neardup_ingest" ->
+      s"""$gramsCte,
+         |$minhashCandCte,
+         |probe AS (
+         |  SELECT DISTINCT l.doc_id AS doc_id, r.doc_id AS corpus_doc_id
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+         |)
+         |SELECT p.doc_id, p.corpus_doc_id,
+         |       round(CAST(len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, ${MhK + 1})], x -> x)) AS DOUBLE) / $MhK, 6) AS est_jaccard
+         |FROM probe p
+         |JOIN sigs sa ON sa.doc_id = p.doc_id
+         |JOIN sigs sb ON sb.doc_id = p.corpus_doc_id
+         |WHERE CAST(len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, ${MhK + 1})], x -> x)) AS DOUBLE) / $MhK >= 0.5
+         |ORDER BY p.doc_id, p.corpus_doc_id""".stripMargin,
 
     // exact-Jaccard verify over the deterministic MinHash band candidates
     "dedup_ngram_jaccard_mh" ->
@@ -522,6 +607,34 @@ object QueriesLlm {
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |         list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)]) / (q.nrm * c.nrm) AS cos
         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id != q.vec_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Multi-probe replay: identical buckets, join widened to the Hamming-1
+    // ball on the sign bits (bit_count of the bucket xor <= 1 ⟺ own bucket
+    // or one marginal plane flipped — the same probe set the Spark side
+    // expands explicitly).
+    "knn_lsh_cosine_mp" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+        |bkt AS (
+        |  SELECT vec_id,
+        |         sum(CASE WHEN list_sum([v[j] * (('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 - 0.5) for j in range(1, len(v) + 1)]) >= 0
+        |                  THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        |  FROM n, unnest(range(0, $KnnPlanes)) AS t(p)
+        |  GROUP BY vec_id
+        |),
+        |b AS (SELECT n.vec_id, n.v, n.nrm, bkt.bucket FROM n JOIN bkt ON n.vec_id = bkt.vec_id),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)]) / (q.nrm * c.nrm) AS cos
+        |  FROM b q JOIN b c
+        |    ON bit_count(xor(q.bucket, c.bucket)) <= 1
+        |   AND q.vec_id < 10 AND c.vec_id != q.vec_id
         |), r AS (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM p

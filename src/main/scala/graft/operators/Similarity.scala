@@ -132,10 +132,16 @@ object Similarity {
   }
 
   /** IVF-style approximate KNN: corpus and queries bucketed by [[lshBuckets]];
-    * each query scans only its own bucket (single-probe). Approximate —
-    * recall grows with fewer planes / multi-probe; exact within the bucket.
-    * Deterministic end-to-end, so oracle-checkable (the DuckDB oracle
-    * recomputes the identical buckets).
+    * each query scans its own bucket, plus — with `probeHamming = 1` — every
+    * bucket at Hamming distance 1 on the sign bits (standard multi-probe LSH:
+    * the buckets most likely to hide near neighbors are the ones differing in
+    * a single marginal hyperplane sign). Approximate — recall grows with
+    * fewer planes / more probes; exact within the probed set. The probe
+    * expansion happens on the QUERY side (broadcast), so the corpus is still
+    * bucketed once and the join stays a bucket equi-join — per-query cost is
+    * `1 + nPlanes` bucket scans instead of 1, the deterministic recall knob.
+    * Oracle-checkable: the DuckDB oracle recomputes identical buckets and
+    * probes the same Hamming ball.
     */
   def lshKnn(
       queries: DataFrame,
@@ -144,11 +150,23 @@ object Similarity {
       nPlanes: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      dim: Int = DefaultDim): DataFrame = {
+      dim: Int = DefaultDim,
+      probeHamming: Int = 0): DataFrame = {
+    require(probeHamming == 0 || probeHamming == 1,
+      s"probeHamming supports 0 (single-probe) or 1 (probe Hamming-1 buckets), got $probeHamming")
     VectorFunctions.register(queries.sparkSession)
-    val qb = lshBuckets(queries, nPlanes, idCol, vecCol, dim)
+    val qbOwn = lshBuckets(queries, nPlanes, idCol, vecCol, dim)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"), col("bucket"))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    // a corpus vector lives in exactly ONE bucket and the probe targets are
+    // distinct, so the expansion cannot duplicate a (query, neighbor) pair
+    val qb =
+      if (probeHamming == 0) qbOwn
+      else qbOwn.withColumn(
+        "bucket",
+        explode(array(
+          col("bucket") +:
+            (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))
     val cb = lshBuckets(corpus, nPlanes, idCol, vecCol, dim)
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"), col("bucket"))
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))

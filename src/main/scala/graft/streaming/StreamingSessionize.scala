@@ -145,14 +145,39 @@ object StreamingSessionize {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** The static corpus side of [[nearDupIngest]]: MinHash signatures banded
+    * with the SAME band-key encoding the batch candidate join uses
+    * ([[graft.operators.Dedup.withBandKeys]]), columns renamed so the probe
+    * join can't collide with the stream's. The CALLER owns the lifecycle:
+    * `.persist()` it before starting the stream (the static side of a
+    * stream-static join re-evaluates every micro-batch — uncached, each
+    * trigger would rebuild the whole corpus index to probe a handful of
+    * rows) and `.unpersist()` it when the query stops or the corpus
+    * refreshes. r3 persisted inside [[nearDupIngest]] with no handle —
+    * every redeploy leaked a stale cached index for the session's lifetime.
+    */
+  def corpusBandIndex(
+      corpus: DataFrame,
+      bands: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.Dedup
+      .withBandKeys(
+        graft.operators.Dedup.minhashSignatures(corpus, idCol = idCol, textCol = textCol),
+        bands)
+      .withColumnRenamed(idCol, "corpus_doc_id")
+      .withColumnRenamed("sig", "corpus_sig")
+
   /** Near-dup detection AT INGESTION: each streaming document's MinHash
     * signature (the same codegen'd [[graft.functions.TextKernels]] kernels —
     * deterministic expressions, so they run unchanged under streaming) is
-    * banded and joined against the STATIC corpus's band index; matches are
-    * exact-verified on signature agreement before emitting. Stream-static
-    * inner joins are stateless, so the only state is the duplicate
-    * suppressor (watermark-bounded). Output: one row per (incoming doc,
-    * matched corpus doc) with the signature-match estimate.
+    * banded and joined against the static corpus's band index
+    * ([[corpusBandIndex]] — build, persist, and pass it in; `bands` here
+    * must match the value it was built with); matches are exact-verified on
+    * signature agreement before emitting. Stream-static inner joins are
+    * stateless, so the only state is the duplicate suppressor
+    * (watermark-bounded). Output: one row per (incoming doc, matched corpus
+    * doc) with the signature-match estimate.
     *
     * This is the production shape for "reject duplicates before they land":
     * the corpus index is a broadcast-or-bucketed static side refreshed per
@@ -161,7 +186,7 @@ object StreamingSessionize {
     */
   def nearDupIngest(
       stream: DataFrame,
-      corpus: DataFrame,
+      corpusIndex: DataFrame,
       minEstJaccard: Double = 0.5,
       bands: Int = 8,
       watermarkDelay: String = "10 minutes",
@@ -171,14 +196,7 @@ object StreamingSessionize {
     import graft.operators.TextAnalysis
     TextKernels.register(stream.sparkSession)
     val k = graft.operators.Dedup.MinhashSeeds.size
-    // persist: the static side of a stream-static join is re-evaluated every
-    // micro-batch — without the cache each trigger would rebuild the whole
-    // corpus signature index before probing a handful of stream rows
-    val corpusBanded = graft.operators.Dedup
-      .withBandKeys(graft.operators.Dedup.minhashSignatures(corpus), bands)
-      .withColumnRenamed("doc_id", "corpus_doc_id")
-      .withColumnRenamed("sig", "corpus_sig")
-      .persist()
+    val corpusBanded = corpusIndex
     // signatures built inline (not via Dedup.minhashSignatures) so the
     // event-time column survives for the watermark + duplicate suppressor
     val streamSigs = stream.withWatermark("ts", watermarkDelay)

@@ -62,6 +62,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("lang_id: staged score projection survives optimization (no per-branch re-eval)") {
+    // The r2 regression shape: language scores folded into the argmax
+    // when-chain get re-evaluated once per CASE branch (~3^5 copies, 4×
+    // slower). Staged as real columns, each score's marker-filter appears
+    // in the plan EXACTLY once per language — duplication means
+    // CollapseProject swallowed the staging boundary.
+    val p = plan("lang_id")
+    graft.operators.TextAnalysis.LangMarkers.foreach { case (lang, ms) =>
+      // the isin marker list renders as a comma-joined literal run — one
+      // occurrence per evaluation of that language's score expression
+      val listPattern = java.util.regex.Pattern.quote(ms.mkString(","))
+      val n = listPattern.r.findAllIn(p).size
+      assert(n >= 1, s"language $lang's marker list missing from the plan:\n$p")
+      assert(n <= 2, s"language $lang's score expression appears $n times — staged projection collapsed:\n$p")
+    }
+  }
+
   test("wau: distinct aggregation is two-phase (partial before the shuffle)") {
     val p = plan("wau_user")
     // Catalyst plans count(distinct) as partial_count + partial dedup map-side;

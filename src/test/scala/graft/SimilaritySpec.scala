@@ -60,6 +60,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall below floor (${lsh.size}/${exact.size})")
   }
 
+  test("multi-probe lsh knn: recall >= single-probe, cosines exact") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val q = emb.where(col("vec_id") < 5)
+    val brute = Similarity.bruteForceKnn(q, emb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def found(probe: Int) =
+      Similarity.lshKnn(q, emb, k = 3, nPlanes = 4, probeHamming = probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sp = found(0)
+    val mp = found(1)
+    val recallSp = (sp intersect brute).size.toDouble / brute.size
+    val recallMp = (mp intersect brute).size.toDouble / brute.size
+    // the Hamming-1 ball strictly contains the single-probe bucket, and a
+    // true top-k pair can only be outranked by another true top-k pair —
+    // so multi-probe recall is monotonically >= single-probe
+    assert(recallMp >= recallSp, s"multi-probe recall $recallMp < single-probe $recallSp")
+    // every reported cosine is the true cosine of that pair
+    val bmap = Similarity.bruteForceKnn(q, emb, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.lshKnn(q, emb, k = 3, nPlanes = 4, probeHamming = 1).collect().foreach { r =>
+      assert(math.abs(bmap((r.getLong(0), r.getLong(1))) - r.getDouble(2)) < 1e-9)
+    }
+  }
+
   test("lsh buckets are deterministic across invocations") {
     val emb = Tables.embeddings(spark, SfDir)
     val b1 = Similarity.lshBuckets(emb, 4).select("vec_id", "bucket").collect()

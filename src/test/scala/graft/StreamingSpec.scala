@@ -121,8 +121,9 @@ class StreamingSpec extends AnyFunSuite {
       (200L, "one two three four five six seven eight nine ten"))
       .toDF("doc_id", "text")
     val input = MemoryStream[(Long, String, Timestamp)]
+    val corpusIdx = StreamingSessionize.corpusBandIndex(corpus).persist()
     val flagged = StreamingSessionize.nearDupIngest(
-      input.toDF().toDF("doc_id", "text", "ts"), corpus, minEstJaccard = 0.5)
+      input.toDF().toDF("doc_id", "text", "ts"), corpusIdx, minEstJaccard = 0.5)
     val query = flagged.writeStream
       .format("memory").queryName("stream_neardup").outputMode("append").start()
     try {
@@ -130,7 +131,10 @@ class StreamingSpec extends AnyFunSuite {
         (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", ts("2024-01-01 10:00:00")), // exact dup of 100
         (2L, "totally unrelated fresh document content here", ts("2024-01-01 10:00:01")))
       query.processAllAvailable()
-    } finally query.stop()
+    } finally {
+      query.stop()
+      corpusIdx.unpersist()
+    }
 
     val got = spark.table("stream_neardup")
       .select("doc_id", "corpus_doc_id", "est_jaccard").collect()
