@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The Hive suite needs spark.sql.catalogImplementation=hive — a STATIC conf
+// fixed by the first SparkSession of a JVM — so it runs in its own forked
+// JVM, apart from the shared in-memory-catalog SparkTestSession. sbt's
+// default ForkedTestGroup tag keeps the groups sequential.
+Test / testGrouping := {
+  val (hive, rest) = (Test / definedTests).value.partition(_.name.contains("Hive"))
+  val fo = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  Seq(
+    Tests.Group("rest", rest, Tests.SubProcess(fo)),
+    Tests.Group("hive", hive, Tests.SubProcess(fo))).filter(_.tests.nonEmpty)
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
