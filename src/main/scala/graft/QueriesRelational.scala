@@ -178,6 +178,55 @@ object QueriesRelational {
         .orderBy(col("user_id"))
     }),
 
+    // ── beyond-reference: backward as-of join ([[operators.AsofJoin]] —
+    // union-sort formulation, one key exchange, no theta-join blow-up):
+    // every non-purchase event enriched with the user's latest purchase
+    // value at-or-before it; right side pre-aggregated per (user, ts) so
+    // ties are deterministic. DuckDB replays with its native ASOF JOIN —
+    // two independent as-of implementations hash-matching ──
+    "asof_last_purchase" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.where(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      operators.AsofJoin.asofBackward(
+        views, purchases, key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightVals = Seq("purchase_value"))
+        .select(
+          col("event_id"), col("user_id"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── beyond-reference: binned range join ([[operators.RangeJoin]]) —
+    // which events (ANY user's) fall inside the session windows of users
+    // 0-4. No equi-key exists, so a naive range predicate is a nested-loop
+    // cartesian; binning turns it into an equi-join on the 600 s bin with
+    // the exact range re-checked per candidate ──
+    "range_join_sessions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val points = ev.select(col("event_id"), unix_timestamp(col("ts")).as("epoch_sec"))
+      val intervals = operators.Sessionize.sessionStats(ev.where(col("user_id") < 5))
+        .select(col("session_id"), col("start_sec"), col("end_sec"))
+      operators.RangeJoin.pointInInterval(
+        points, intervals, pointCol = "epoch_sec",
+        startCol = "start_sec", endCol = "end_sec", binWidth = 600L)
+        .select(col("event_id"), col("session_id"))
+        .orderBy(col("event_id"), col("session_id"))
+    }),
+
+    // ── beyond-reference: CUBE lattice aggregate (all four grouping sets) ──
+    "cube_pricing" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          d(sum(dec(col("l_quantity")))).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
     // ── O1/O2: global top-k with deterministic tie-break ──
     "topk_orders" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -332,6 +381,60 @@ object QueriesRelational {
         |)
         |SELECT user_id, event_id, event_type, value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // DuckDB's NATIVE ASOF JOIN — an independent implementation of the
+    // backward as-of semantics, so the hash match cross-validates the
+    // union-sort formulation against a second engine's range-lookup one
+    "asof_last_purchase" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'
+        |), r AS (
+        |  SELECT user_id, ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT l.event_id, l.user_id, round(r.purchase_value, 6) AS purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    // replayed as a plain theta join — DuckDB's optimizer handles the small
+    // interval set; the Spark side's binning must be result-invisible
+    "range_join_sessions" ->
+      """WITH lagged AS (
+        |  SELECT event_id, user_id, ts,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+        |         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_epoch_sec
+        |  FROM events WHERE user_id < 5
+        |), flagged AS (
+        |  SELECT *, (prev_epoch_sec IS NULL OR epoch_sec - prev_epoch_sec >= 300) AS is_new
+        |  FROM lagged
+        |), sess AS (
+        |  SELECT *,
+        |         CAST(user_id AS VARCHAR) || '#' || CAST(session_start_sec AS VARCHAR) AS session_id
+        |  FROM (
+        |    SELECT *, max(CASE WHEN is_new THEN epoch_sec END) OVER
+        |             (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_start_sec
+        |    FROM flagged
+        |  )
+        |), iv AS (
+        |  SELECT session_id, min(epoch_sec) AS start_sec, max(epoch_sec) AS end_sec
+        |  FROM sess GROUP BY session_id
+        |), p AS (
+        |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec FROM events
+        |)
+        |SELECT p.event_id, iv.session_id
+        |FROM p JOIN iv ON p.epoch_sec >= iv.start_sec AND p.epoch_sec <= iv.end_sec
+        |ORDER BY p.event_id, iv.session_id""".stripMargin,
+
+    "cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, the most recent right row with
+  * `right.ts <= left.ts` on the same key (the standard time-series
+  * enrichment: "state as of this event": last trade before the quote, last
+  * config push before the request, last purchase before the pageview).
+  *
+  * Spark has no built-in as-of join, and the naive formulation — a theta
+  * join on `l.key = r.key AND r.ts <= l.ts` plus an argmax — plans as an
+  * equi-join whose output EXPLODES to Σ_key |L_k|·|R_k(≤t)| rows before the
+  * per-row argmax prunes them: quadratic per hot key at 100 TB. This
+  * implementation is the union-sort formulation instead: tag both sides,
+  * union, and forward-fill the latest right payload over a
+  * (key)-partitioned (ts, side) ordering — ONE hash exchange on the key and
+  * a sort, O((|L|+|R|) log) per partition, no intermediate blow-up, and the
+  * window is AQE/skew-split friendly. Right rows order BEFORE left rows at
+  * equal timestamps, giving exact `<=` semantics.
+  *
+  * Determinism contract: at most one right row per (key, ts) — pre-aggregate
+  * duplicates (the fixture queries take max(value)) or the "latest" row at a
+  * tied timestamp is undefined in ANY as-of engine. `requireUniqueRightTs`
+  * is not enforced at runtime (it would cost a shuffle); the oracle-checked
+  * queries dedupe explicitly.
+  *
+  * `toleranceSec`: with `Some(n)`, a match older than `n` whole seconds
+  * before the left timestamp is nulled out (pandas `merge_asof(tolerance)`
+  * semantics), computed on `unix_timestamp` whole seconds to match the
+  * engine's session-gap arithmetic.
+  */
+object AsofJoin {
+
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String],
+      toleranceSec: Option[Long] = None): DataFrame = {
+    val clash = rightVals.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"right value columns collide with left columns: ${clash.mkString(", ")}")
+    require(!left.columns.contains("__asof_side") && !right.columns.contains("__asof_side"),
+      "inputs must not carry __asof_side")
+
+    val r = right.select(
+      col(key),
+      col(rightTs).as("__t"),
+      lit(0).as("__asof_side"),
+      struct(col(rightTs).as("__rts") +: rightVals.map(col): _*).as("__rv"))
+    val l = left.select(
+      col(key) +: col(leftTs).as("__t") +: lit(1).as("__asof_side") +:
+        left.columns.filterNot(_ == key).map(col).toSeq: _*)
+
+    // left rows lack __rv, right rows lack the left payload — unionByName
+    // null-extends both; the window then threads the latest right struct
+    // through to every later row of the key
+    val unioned = r.unionByName(l, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__asof_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+
+    val inTolerance = toleranceSec match {
+      case Some(n) =>
+        unix_timestamp(col("__t")) - unix_timestamp(col("__m").getField("__rts")) <= n
+      case None => lit(true)
+    }
+    val matched = when(col("__m").isNotNull && inTolerance, col("__m"))
+
+    val outCols = (col(key) +: left.columns.filterNot(_ == key).map(col).toSeq) ++
+      rightVals.map(v => matched.getField(v).as(v))
+    filled.where(col("__asof_side") === 1).select(outCols: _*)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  private def lefts(rows: (Long, Long, Long)*): DataFrame = // (id, key, sec)
+    rows.toSeq.map { case (i, k, s) => (i, k, ts(s)) }.toDF("event_id", "user_id", "ts")
+
+  private def rights(rows: (Long, Long, Double)*): DataFrame = // (key, sec, v)
+    rows.toSeq.map { case (k, s, v) => (k, ts(s), v) }.toDF("user_id", "ts", "v")
+
+  private def run(l: DataFrame, r: DataFrame, tol: Option[Long] = None): Map[Long, Option[Double]] =
+    AsofJoin.asofBackward(l, r, "user_id", "ts", "ts", Seq("v"), tol)
+      .collect()
+      .map(row => row.getAs[Long]("event_id") -> Option(row.getAs[Any]("v")).map(_.asInstanceOf[Double]))
+      .toMap
+
+  test("backward as-of: latest right at-or-before each left, <= on ties, null before first") {
+    val l = lefts((1L, 7L, 4L), (2L, 7L, 5L), (3L, 7L, 12L), (4L, 8L, 100L))
+    val r = rights((7L, 5L, 1.0), (7L, 10L, 2.0))
+    val got = run(l, r)
+    assert(got == Map(
+      1L -> None,        // before any right row
+      2L -> Some(1.0),   // equal timestamps match (<=)
+      3L -> Some(2.0),   // latest of the two
+      4L -> None))       // key with no right rows at all
+  }
+
+  test("tolerance nulls matches older than the window") {
+    val l = lefts((1L, 7L, 12L), (2L, 7L, 14L))
+    val r = rights((7L, 10L, 2.0))
+    assert(run(l, r, tol = Some(2L)) == Map(1L -> Some(2.0), 2L -> None))
+  }
+
+  test("matches the naive theta-join argmax on randomized data") {
+    val rnd = new scala.util.Random(7)
+    val l = lefts((1L to 60L).map(i => (i, (rnd.nextInt(4) + 1).toLong, rnd.nextInt(50).toLong)): _*)
+    // distinct (key, ts) on the right — the determinism contract
+    val rRows = rnd.shuffle(
+      (for (k <- 1L to 3L; s <- 0L until 50L by 3L) yield (k, s)).toSeq)
+      .take(25).map { case (k, s) => (k, s, rnd.nextDouble()) }
+    val r = rights(rRows: _*)
+
+    val got = run(l, r)
+    val naive = l.as("l").join(
+      r.as("r"), col("l.user_id") === col("r.user_id") && col("r.ts") <= col("l.ts"), "left")
+      .withColumn(
+        "rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l.event_id")).orderBy(col("r.ts").desc_nulls_last)))
+      .where(col("rn") === 1)
+      .select(col("l.event_id"), col("r.v"))
+      .collect().map(row => row.getLong(0) -> Option(row.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(got == naive)
+  }
+
+  test("plan: one key exchange, no theta join blow-up") {
+    val l = lefts((1L, 7L, 4L))
+    val r = rights((7L, 5L, 1.0))
+    val p = AsofJoin.asofBackward(l, r, "user_id", "ts", "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"as-of must be the union-sort plan, not a join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 key exchange, found $exchanges:\n$p")
+  }
+}
