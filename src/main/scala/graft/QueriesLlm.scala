@@ -134,6 +134,15 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── same pairs → groups via the large-star/small-star contraction
+    // (O(log²n) rounds vs O(diameter)) — result identical by construction,
+    // proven here against the same recursive-CTE oracle ──
+    "dedup_components_star" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.connectedComponentsStar(docs, Dedup.ngramJaccardPairs(docs, threshold = 0.3))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── the end-to-end curation pipeline ([[operators.Curation]]): keep docs
     // that are (a) decent quality, (b) English by the marker heuristic, and
     // (c) the surviving representative (min doc id) of their near-dup
@@ -335,6 +344,32 @@ object QueriesLlm {
        |ORDER BY q.doc_id""".stripMargin
   }
 
+  /** Transitive closure via recursive CTE (UNION dedups, so it terminates),
+    * then min reachable id per doc — the declarative twin of BOTH Spark
+    * implementations (min-label propagation and star contraction); pairs
+    * are the same exact-Jaccard join.
+    */
+  private lazy val componentsOracle: String =
+    s"""${gramsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |)
+       |SELECT a AS doc_id, min(b) AS component_id
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
       s"""WITH t AS (
@@ -453,26 +488,11 @@ object QueriesLlm {
     // transitive closure via recursive CTE (UNION dedups, so it terminates),
     // then min reachable id per doc — the declarative twin of the Spark
     // side's min-label propagation; pairs are the same exact-Jaccard join
-    "dedup_components" ->
-      s"""${gramsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-         |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3
-         |),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b, doc_a FROM pairs
-         |),
-         |reach(a, b) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-         |)
-         |SELECT a AS doc_id, min(b) AS component_id
-         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "dedup_components" -> componentsOracle,
+
+    // the star-contraction variant must produce the identical grouping —
+    // one oracle serves both implementations
+    "dedup_components_star" -> componentsOracle,
 
     // Streaming ingest replay: the probe join is the batch band join WITHOUT
     // the doc_a < doc_b restriction (a stream doc matches any corpus doc,

@@ -227,6 +227,52 @@ object QueriesRelational {
           grouping_id().cast("long").as("gid"))
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // ── wider window-function surface (beyond the reference's lag/ffill/
+    // argmax): lead, rank/dense_rank with deterministic tie-break, ntile,
+    // and a 5-minute RANGE-frame sliding sum (decimal intermediate so the
+    // frame sum is exact and engine-neutral). One user-key exchange serves
+    // the ts-ordered windows; the rank windows re-sort in place ──
+    "window_rank_lead" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id") < 30)
+        .withColumn("epoch_sec", unix_timestamp(col("ts")))
+      val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val byValue = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      val last5min = Window.partitionBy(col("user_id")).orderBy(col("epoch_sec"))
+        .rangeBetween(-300L, 0L)
+      ev.select(
+        col("event_id"), col("user_id"),
+        lead(col("event_id"), 1).over(byTime).as("next_event_id"),
+        rank().over(byValue).cast("long").as("value_rank"),
+        dense_rank().over(byValue).cast("long").as("value_dense_rank"),
+        ntile(4).over(byTime).cast("long").as("quartile"),
+        d(sum(dec(col("value"))).over(last5min)).as("val_5min"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── explicit-values pivot (scale-safe: the value list is declared, so
+    // no driver-side distinct pass over the corpus) ──
+    "pivot_event_counts" -> ((s, dir) => {
+      val types = Seq("signup", "view", "click", "purchase", "error")
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .count()
+        .select(
+          col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy(col("user_id"))
+    }),
+
+    // ── INTERSECT / EXCEPT set semantics (distinct, null-safe) ──
+    "set_ops_orders" -> ((s, dir) => {
+      val big = Tables.orders(s, dir)
+        .where(col("o_totalprice") > 100000).select(col("o_custkey"))
+      val fulfilled = Tables.orders(s, dir)
+        .where(col("o_orderstatus") === "F").select(col("o_custkey"))
+      big.intersect(fulfilled).withColumn("tag", lit("both"))
+        .unionByName(big.except(fulfilled).withColumn("tag", lit("big_only")))
+        .orderBy(col("o_custkey"), col("tag"))
+    }),
+
     // ── O1/O2: global top-k with deterministic tie-break ──
     "topk_orders" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -426,6 +472,37 @@ object QueriesRelational {
         |SELECT p.event_id, iv.session_id
         |FROM p JOIN iv ON p.epoch_sec >= iv.start_sec AND p.epoch_sec <= iv.end_sec
         |ORDER BY p.event_id, iv.session_id""".stripMargin,
+
+    "window_rank_lead" ->
+      """SELECT event_id, user_id,
+        |  lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id,
+        |  CAST(rank() OVER w_val AS BIGINT) AS value_rank,
+        |  CAST(dense_rank() OVER w_val AS BIGINT) AS value_dense_rank,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS quartile,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS DOUBLE) AS val_5min
+        |FROM events
+        |WHERE user_id < 30
+        |WINDOW w_val AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "pivot_event_counts" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "set_ops_orders" ->
+      """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),
+        |fulfilled AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM big INTERSECT SELECT o_custkey FROM fulfilled)
+        |UNION ALL
+        |SELECT o_custkey, 'big_only' AS tag FROM (SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM fulfilled)
+        |ORDER BY o_custkey, tag""".stripMargin,
 
     "cube_pricing" ->
       """SELECT l_returnflag, l_linestatus,

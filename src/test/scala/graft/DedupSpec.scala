@@ -173,6 +173,36 @@ class DedupSpec extends AnyFunSuite {
     assert(rounds == 6, s"expected diameter+1 = 6 rounds, got $rounds")
   }
 
+  test("star contraction equals min-label propagation on randomized graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      val n = 30 + rnd.nextInt(20)
+      val nodes = (1L to n.toLong).toDF("doc_id")
+      val pairs = (1 to n).map { _ =>
+        val a = rnd.nextInt(n) + 1L
+        val b = rnd.nextInt(n) + 1L
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+      val viaLabels = Dedup.connectedComponents(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStars = Dedup.connectedComponentsStar(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStars == viaLabels)
+    }
+  }
+
+  test("star contraction handles a path graph deeper than the label-propagation budget") {
+    import spark.implicits._
+    // 64-node path: min-label propagation needs 64 rounds (> its default
+    // maxRounds=50 budget); the star contraction is O(log² n) regardless
+    val nodes = (1L to 64L).toDF("doc_id")
+    val pairs = (1L to 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponentsStar(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == (1L to 64L).map(_ -> 1L).toMap)
+  }
+
   test("connected components: reliable-checkpoint path matches the local path") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
