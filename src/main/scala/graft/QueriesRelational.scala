@@ -273,6 +273,32 @@ object QueriesRelational {
         .orderBy(col("o_custkey"), col("tag"))
     }),
 
+    // ── exact interpolated percentiles (sort-based `percentile`, the
+    // ground-truth twin of approx_percentile's sketch path; both engines
+    // define linear interpolation between adjacent ranks) ──
+    "quantiles_by_flag" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // ── scalar string-function surface (upper/substr/length/regexp_extract/
+    // concat_ws/lpad) — all map-side, codegen'd, pushdown-neutral ──
+    "string_funcs" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_upper"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"))
+        .orderBy(col("p_partkey"))),
+
     // ── O1/O2: global top-k with deterministic tie-break ──
     "topk_orders" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -512,6 +538,23 @@ object QueriesRelational {
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "quantiles_by_flag" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  substr(p_name, 1, 8) AS name_prefix,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice
