@@ -71,6 +71,13 @@ object SparkEntry {
     "wau_user_approx" -> ((s, dir) =>
       Wau.wauApprox(Tables.events(s, dir), "user_id", col("ts"), Start, End)),
 
+    // ── sketch-merge rollup: daily DataSketches-HLL sketches unioned into
+    // weekly estimates without rescanning raw events — the incremental
+    // 100 TB aggregation shape. No oracle (approximate); WauSpec bounds
+    // the error and the driver records a rows-only check. ──
+    "wau_user_sketch_rollup" -> ((s, dir) =>
+      Wau.wauSketchRollup(Tables.events(s, dir), "user_id", col("ts"), Start, End)),
+
     // ── C4 variant: WAU by session_id (ref SessionIdBaseWauTransformer) ──
     "wau_session" -> ((s, dir) =>
       Wau.wau(

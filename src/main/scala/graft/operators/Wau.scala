@@ -37,6 +37,40 @@ object Wau {
       .orderBy(col("event_week"))
   }
 
+  /** Two-stage sketch-merge WAU — the incremental-aggregation shape a
+    * 100 TB pipeline actually runs: stage 1 builds ONE mergeable
+    * DataSketches-HLL per (week, day) — the column a daily job would
+    * persist to its rollup table — and stage 2 unions the day sketches into
+    * week estimates WITHOUT rescanning raw events. Appending a new day
+    * touches one sketch row, not 100 TB of history; the same pattern nests
+    * for month/quarter rollups (sketch unions are associative).
+    *
+    * Not oracle-compared (approximate by construction); WauSpec bounds the
+    * estimate against the exact [[wau]] and proves day-split invariance
+    * (union of partial sketches == sketch of the union).
+    */
+  def wauSketchRollup(
+      df: DataFrame,
+      keyCol: String,
+      dateCol: Column,
+      startDate: String,
+      endDate: String,
+      lgK: Int = 14): DataFrame = {
+    val lo = week(to_timestamp(lit(startDate)))
+    val hi = week(to_timestamp(lit(endDate)))
+    val daily = df.select(
+      week(dateCol).as("event_week"),
+      to_date(dateCol).as("event_day"),
+      col(keyCol))
+      .where(col("event_week").between(lo, hi))
+      .groupBy(col("event_week"), col("event_day"))
+      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("sketch"))
+    daily
+      .groupBy(col("event_week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("wau_est"))
+      .orderBy(col("event_week"))
+  }
+
   /** HLL++ variant for interactive queries over 100 TB (not oracle-compared —
     * approximate by construction).
     */

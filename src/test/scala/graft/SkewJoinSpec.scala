@@ -38,4 +38,12 @@ class SkewJoinSpec extends AnyFunSuite {
       .select(countDistinct(col("__salt"))).head().getLong(0)
     assert(spread >= 5, s"80 hot rows landed on only $spread of 7 salts")
   }
+
+  test("refuses inputs that already carry a __salt column instead of corrupting it") {
+    val poisoned = big.withColumn("__salt", lit(0))
+    val ex = intercept[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoin(poisoned, small, "k", col("row_id"))
+    }
+    assert(ex.getMessage.contains("__salt"))
+  }
 }
