@@ -231,25 +231,28 @@ object QueriesLlm {
     // suppressor and all) ──
     "stream_neardup_ingest" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val idx = StreamingSessionize.corpusBandIndex(docs, bands = MhBands).persist()
-      val stream = s.readStream
-        .schema(docs.schema)
-        // the file source wants a directory; the glob filter narrows the
-        // listing to the documents table
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-        .select(
-          col("doc_id"), col("text"),
-          to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
-      val out = StreamingSessionize.nearDupIngest(
-        stream, idx, minEstJaccard = 0.5, bands = MhBands)
+      // persist inside the try: a failure anywhere up to and including
+      // start() must still unpersist the index (the leak the caller-managed
+      // lifecycle exists to prevent)
+      val idx = StreamingSessionize.corpusBandIndex(docs, bands = MhBands)
       val sink = "stream_neardup_ingest_sink"
-      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable()
-      finally {
-        q.stop()
-        idx.unpersist()
-      }
+      try {
+        idx.persist()
+        val stream = s.readStream
+          .schema(docs.schema)
+          // the file source wants a directory; the glob filter narrows the
+          // listing to the documents table
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .select(
+            col("doc_id"), col("text"),
+            to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+        val out = StreamingSessionize.nearDupIngest(
+          stream, idx, minEstJaccard = 0.5, bands = MhBands)
+        val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally idx.unpersist()
       s.table(sink)
         .select(col("doc_id"), col("corpus_doc_id"), col("est_jaccard"))
         .orderBy(col("doc_id"), col("corpus_doc_id"))

@@ -236,7 +236,12 @@ object QueriesRelational {
       val ev = Tables.events(s, dir).where(col("user_id") < 30)
         .withColumn("epoch_sec", unix_timestamp(col("ts")))
       val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val byValue = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      // rank over the ROUNDED value: real ties exist, so rank gaps and the
+      // rank/dense_rank distinction are actually exercised (an event_id
+      // tie-break would make every row its own peer group and degenerate
+      // both to row_number). Deterministic per row even with ties — a row's
+      // rank depends only on the key multiset, not on sort order within it.
+      val byValue = Window.partitionBy(col("user_id")).orderBy(round(col("value"), 0).desc)
       val last5min = Window.partitionBy(col("user_id")).orderBy(col("epoch_sec"))
         .rangeBetween(-300L, 0L)
       ev.select(
@@ -510,7 +515,7 @@ object QueriesRelational {
         |    RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS DOUBLE) AS val_5min
         |FROM events
         |WHERE user_id < 30
-        |WINDOW w_val AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        |WINDOW w_val AS (PARTITION BY user_id ORDER BY round(value, 0) DESC)
         |ORDER BY event_id""".stripMargin,
 
     "pivot_event_counts" ->

@@ -43,8 +43,10 @@ object AsofJoin {
       toleranceSec: Option[Long] = None): DataFrame = {
     val clash = rightVals.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"right value columns collide with left columns: ${clash.mkString(", ")}")
-    require(!left.columns.contains("__asof_side") && !right.columns.contains("__asof_side"),
-      "inputs must not carry __asof_side")
+    val helpers = Seq("__asof_side", "__t", "__rv", "__rts", "__m")
+    val tainted = (left.columns ++ right.columns).toSet.intersect(helpers.toSet)
+    require(tainted.isEmpty,
+      s"inputs must not carry the as-of helper columns: ${tainted.mkString(", ")}")
 
     val r = right.select(
       col(key),

@@ -322,20 +322,7 @@ object Dedup {
       bCol: String = "doc_b",
       maxRounds: Int = 50,
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
-    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
-    // reliable path: cache so the checkpoint's write pass re-reads instead of
-    // recomputing, then drop the cache — downstream reads hit the files.
-    // local path: LAZY localCheckpoint, so the round's convergence aggregate
-    // is the one job that computes, caches, and truncates — no separate
-    // materialization action per round.
-    def durable(df: DataFrame): DataFrame = checkpointDir match {
-      case Some(_) =>
-        df.persist()
-        val out = df.checkpoint()
-        df.unpersist()
-        out
-      case None => df.localCheckpoint(false)
-    }
+    val durable = durableBy(nodes, checkpointDir)
     val edges = durable(
       pairs
         .select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -368,6 +355,26 @@ object Dedup {
     (labels.select(col("node").as(idCol), col("comp").as("component_id")), round)
   }
 
+  /** Per-round lineage-truncation strategy shared by both components
+    * implementations. Reliable path (checkpointDir set): cache so the
+    * checkpoint's write pass re-reads instead of recomputing, then drop the
+    * cache — downstream reads hit the files. Local path: LAZY
+    * localCheckpoint, so the round's own convergence action is the one job
+    * that computes, caches, and truncates — no separate materialization
+    * action per round.
+    */
+  private def durableBy(anchor: DataFrame, checkpointDir: Option[String]): DataFrame => DataFrame = {
+    checkpointDir.foreach(anchor.sparkSession.sparkContext.setCheckpointDir)
+    df => checkpointDir match {
+      case Some(_) =>
+        df.persist()
+        val out = df.checkpoint()
+        df.unpersist()
+        out
+      case None => df.localCheckpoint(false)
+    }
+  }
+
   /** Connected components via alternating large-star/small-star contraction
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — the deep-graph alternative to [[connectedComponents]]'
@@ -383,9 +390,9 @@ object Dedup {
     * Both steps preserve connectivity and only ever decrease parent
     * pointers; the fixed point is a forest of depth-1 stars centered on
     * each component's minimum id. Convergence is detected with an exact
-    * set-difference (not a checksum — a spurious "converged" would silently
-    * merge/split clusters); its anti-join is one extra job per round, paid
-    * O(log² n) times.
+    * signed-multiplicity set comparison (not a checksum — a spurious
+    * "converged" would silently merge/split clusters) whose single
+    * aggregation job also materializes the round's lazy checkpoint.
     *
     * Same durability contract as [[connectedComponents]]: default
     * `localCheckpoint` (executor-local, fine for local[n]); pass
@@ -400,15 +407,7 @@ object Dedup {
       bCol: String = "doc_b",
       maxRounds: Int = 40,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
-    def durable(df: DataFrame): DataFrame = checkpointDir match {
-      case Some(_) =>
-        df.persist()
-        val out = df.checkpoint()
-        df.unpersist()
-        out
-      case None => df.localCheckpoint(false)
-    }
+    val durable = durableBy(nodes, checkpointDir)
     def symmetric(e: DataFrame): DataFrame =
       e.select(col("u"), col("v"))
         .unionByName(e.select(col("v").as("u"), col("u").as("v")))
@@ -439,7 +438,15 @@ object Dedup {
         .where(col("u") =!= col("v"))
         .distinct()
       val next = durable(small)
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // one-job exact set equality: both sides are distinct, so any (u,v)
+      // whose signed multiplicity doesn't cancel is a difference — and the
+      // aggregation action doubles as `next`'s lazy-checkpoint materializer
+      converged = next.select(col("u"), col("v"), lit(1).as("side"))
+        .unionByName(edges.select(col("u"), col("v"), lit(-1).as("side")))
+        .groupBy(col("u"), col("v"))
+        .agg(sum(col("side")).as("s"))
+        .where(col("s") =!= 0)
+        .isEmpty
       edges = next
       round += 1
     }
