@@ -268,6 +268,57 @@ object QueriesLlm {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── deterministic hash-split ([[operators.Sampling]]): train/val/test
+    // assignment as a pure function of the doc id — stable across runs,
+    // partitionings, engines, and incremental loads (no RNG, no leakage
+    // when the corpus grows). Aggregated per split for the oracle ──
+    "sample_split" -> ((s, dir) =>
+      Sampling.withHashSplit(
+        Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))),
+
+    // ── corpus heavy-hitters: token frequency top-20 (explode → two-phase
+    // count with map-side partial agg → global top-k; integer ordering with
+    // token tie-break, so fully deterministic) ──
+    "top_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
+
+    // ── TF-IDF top terms per doc. Ranking runs on INTEGER keys only
+    // (tf desc, df asc, term asc) so row_number is deterministic and
+    // FP-free; the tfidf double is an output value, rounded, never an
+    // ordering key. N arrives via a broadcast one-row aggregate, not a
+    // driver-side count ──
+    "tfidf_top_terms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val terms = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3 && col("doc_id") < 50)
+        .select(
+          col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"),
+          col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // ── multimodal: binary payload + stub header decode ──
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.withPayload(Tables.documents(s, dir))
@@ -687,6 +738,39 @@ object QueriesLlm {
          |)
          |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= $MmFeatK ORDER BY query_id, rank""".stripMargin,
+
+    // replays Sampling.hashUniform bit-for-bit: first-8-hex md5 of the
+    // stringified id over 2^32, thresholded at the cumulative fractions
+    "sample_split" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "top_tokens" ->
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT unnest($toksSql) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "tfidf_top_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |r AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+         |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfx.df), 4) AS tfidf,
+         |         row_number() OVER (PARTITION BY tf.doc_id
+         |                            ORDER BY tf.tf DESC, dfx.df ASC, tf.term) AS rank
+         |  FROM tf JOIN dfx USING (term) CROSS JOIN n
+         |)
+         |SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 3 AND doc_id < 50
+         |ORDER BY doc_id, rank""".stripMargin,
 
     "mm_decode_meta" ->
       """SELECT doc_id,

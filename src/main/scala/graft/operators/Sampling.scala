@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-independent sampling/splitting — the reproducible
+  * train/validation/test assignment a training-data pipeline needs.
+  *
+  * `df.sample()`/`sampleBy()` are seed-reproducible only within one Spark
+  * version+partitioning (the RNG is per-partition, so a repartition changes
+  * the sample), and no other engine can replay them. Hashing the KEY
+  * instead gives a sample that is a pure function of the data: stable
+  * across runs, partitionings, engines (DuckDB replays the same md5
+  * arithmetic), and incremental loads — a document keeps its split forever,
+  * the property that prevents train/test leakage when the corpus grows.
+  * Map-side only; no shuffle, no RNG state.
+  */
+object Sampling {
+
+  /** Uniform-ish value in [0, 1) from the md5 of the key's string form —
+    * first 8 hex digits as a 32-bit integer over 2^32. ~Uniform because md5
+    * bits are; deterministic because md5 is.
+    */
+  def hashUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") / lit(4294967296.0)
+
+  /** Assign each row a split label by cumulative fraction thresholds over
+    * [[hashUniform]] — e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" ->
+    * 0.1)`. Fractions must sum to 1 (±1e-9); every row gets exactly one
+    * label.
+    */
+  def withHashSplit(
+      df: DataFrame,
+      keyCol: String,
+      fractions: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    require(!df.columns.contains(splitCol), s"input already has a $splitCol column")
+    val u = hashUniform(col(keyCol))
+    val cut = fractions.scanLeft(0.0)(_ + _._2).tail
+    val label = fractions.zip(cut).init.foldRight(lit(fractions.last._1): Column) {
+      case (((name, _), hi), rest) => when(u < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn(splitCol, label)
+  }
+}
