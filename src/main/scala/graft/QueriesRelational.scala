@@ -278,6 +278,47 @@ object QueriesRelational {
         .orderBy(col("o_custkey"), col("tag"))
     }),
 
+    // ── TPC-H q3 shape: fact-fact sort-merge (lineitem ⋈ orders) with a
+    // broadcast dim (filtered customer), agg, top-k. Revenue is summed in
+    // EXACT decimals so the desc ordering — and therefore the limit — is
+    // FP-free and engine-neutral ──
+    "q3_shipping" -> ((s, dir) => {
+      val cut = ts("1998-06-01 00:00:00")
+      val cust = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("rev_exact"))
+        .orderBy(col("rev_exact").desc, col("l_orderkey"))
+        .limit(10)
+        .select(
+          col("l_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"),
+          d(col("rev_exact")).as("revenue"))
+    }),
+
+    // ── scalar-subquery shape (orders above the global mean), decorrelated
+    // as a broadcast one-row aggregate; the comparison multiplies through
+    // by the count so everything stays in exact decimals — no FP boundary
+    // rows from an averaged double ──
+    "above_avg_orders" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+      val tot = ord.agg(sum(dec(col("o_totalprice"))).as("total"), count(lit(1)).as("n"))
+      ord.crossJoin(broadcast(tot))
+        .where(dec(col("o_totalprice")) * col("n") > col("total"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ── exact interpolated percentiles (sort-based `percentile`, the
     // ground-truth twin of approx_percentile's sketch path; both engines
     // define linear interpolation between adjacent ranks) ──
@@ -543,6 +584,31 @@ object QueriesRelational {
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "above_avg_orders" ->
+      """WITH t AS (
+        |  SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total, count(*) AS n FROM orders
+        |)
+        |SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders, t
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * t.n > t.total
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "quantiles_by_flag" ->
       """SELECT l_returnflag,

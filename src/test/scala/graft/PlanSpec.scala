@@ -79,6 +79,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q3: dim side broadcasts and the date predicates reach the parquet scans") {
+    val p = plan("q3_shipping")
+    assert(p.contains("BroadcastHashJoin"), "filtered customer dim must broadcast")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      "lineitem date filter must be pushed into the scan")
+  }
+
   test("wau: distinct aggregation is two-phase (partial before the shuffle)") {
     val p = plan("wau_user")
     // Catalyst plans count(distinct) as partial_count + partial dedup map-side;
