@@ -121,6 +121,14 @@ object QueriesLlm {
         .select(col("doc_id"), explode(col("fps")).as("fp"))
         .orderBy(col("doc_id"), col("fp"))),
 
+    // ── MOSS-style overlap pairs: docs sharing >= 2 winnow prints, with
+    // the shared count — the containment detector (copied passages in
+    // otherwise-dissimilar docs) complementing whole-doc Jaccard ──
+    "dedup_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(
+        Tables.documents(s, dir), minShared = 2, n = WinnowN, window = WinnowW)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // ── near-dup: exact n-gram Jaccard >= 0.3 via lossless prefix filter ──
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.3)
@@ -350,6 +358,28 @@ object QueriesLlm {
     })
   )
 
+  /** Winnowing fingerprint CTE (`wn(doc_id, fps)`) — replays
+    * Dedup.winnowFingerprints: ORDERED (non-distinct) n-grams, md5-derived
+    * 32-bit hash per gram, min per w-wide window, distinct. Gram width and
+    * window come from the same WinnowN/WinnowW constants the Spark queries
+    * pass; shared by the per-print dump and the overlap-pairs oracle.
+    */
+  private lazy val winnowCte: String = {
+    val gramExpr = (0 until WinnowN).map(j => s"wd[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS wd FROM documents),
+       |g AS (
+       |  SELECT doc_id, [$gramExpr for i in range(1, len(wd) - ${WinnowN - 2})] AS grams
+       |  FROM toks WHERE len(wd) >= $WinnowN
+       |), h AS (
+       |  SELECT doc_id, [('0x' || substr(md5(x), 1, 8))::BIGINT for x in grams] AS hs FROM g
+       |), wn AS (
+       |  SELECT doc_id,
+       |         list_distinct([list_min(hs[i:i+${WinnowW - 1}])
+       |                        for i in range(1, len(hs) - ${WinnowW - 2})]) AS fps
+       |  FROM h WHERE len(hs) >= $WinnowW
+       |)""".stripMargin
+  }
+
   /** Curation-pipeline oracle, parameterized by the near-dup pairs CTE — a
     * fragment defining (possibly with helper CTEs) a `pairs(doc_a, doc_b)`
     * relation, with `t` (tokens) and `grams` in scope. Shared by the
@@ -487,22 +517,21 @@ object QueriesLlm {
     // md5-derived 32-bit hash per gram, min per w-wide window, distinct.
     // Gram width and window come from the same WinnowN/WinnowW constants the
     // Spark query passes.
-    "fingerprint_winnow" -> {
-      val gramExpr = (0 until WinnowN).map(j => s"wd[i+$j]").mkString(" || ' ' || ")
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS wd FROM documents),
-         |g AS (
-         |  SELECT doc_id, [$gramExpr for i in range(1, len(wd) - ${WinnowN - 2})] AS grams
-         |  FROM toks WHERE len(wd) >= $WinnowN
-         |), h AS (
-         |  SELECT doc_id, [('0x' || substr(md5(x), 1, 8))::BIGINT for x in grams] AS hs FROM g
-         |), wn AS (
-         |  SELECT doc_id,
-         |         list_distinct([list_min(hs[i:i+${WinnowW - 1}])
-         |                        for i in range(1, len(hs) - ${WinnowW - 2})]) AS fps
-         |  FROM h WHERE len(hs) >= $WinnowW
-         |)
-         |SELECT doc_id, unnest(fps) AS fp FROM wn ORDER BY doc_id, fp""".stripMargin
-    },
+    "fingerprint_winnow" ->
+      s"""$winnowCte
+         |SELECT doc_id, unnest(fps) AS fp FROM wn ORDER BY doc_id, fp""".stripMargin,
+
+    // MOSS-style overlap detection over the same fingerprints: pairs
+    // sharing >= 2 selected prints (fps are distinct per doc, so the
+    // equi-join row count per pair IS the shared-print count)
+    "dedup_winnow_overlap" ->
+      s"""$winnowCte,
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM wn)
+         |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_shared
+         |FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |GROUP BY l.doc_id, r.doc_id
+         |HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""$gramsCte

@@ -80,6 +80,46 @@ object Dedup {
       .where(size(col("fps")) > 0)
   }
 
+  /** MOSS-style overlap pairs over [[winnowFingerprints]]: documents sharing
+    * at least `minShared` selected prints, with the shared count. The
+    * guarantee inherited from winnowing: any common token run of
+    * `n + window - 1` tokens shares at least one print, so substantial
+    * copied passages surface even when whole-doc similarity is low — the
+    * containment/plagiarism detector, complementing Jaccard (whole-doc
+    * near-dup) and exact fingerprints.
+    *
+    * Scale shape: prints are distinct per doc, so one equi-join on the
+    * print + a pair-count aggregation — the same banded-join pattern as
+    * MinHash LSH; candidates are O(pairs actually sharing prints). Skew
+    * knob: `maxPrintFreq` drops prints appearing in more than that many
+    * docs (boilerplate runs — headers, licenses — that would fan out
+    * quadratically); 0 disables the filter (lossless default, which is how
+    * the oracle replays it).
+    */
+  def winnowOverlapPairs(
+      docs: DataFrame,
+      minShared: Int = 2,
+      n: Int = 3,
+      window: Int = 4,
+      maxPrintFreq: Long = 0L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fps = winnowFingerprints(docs, n, window, idCol, textCol)
+      .select(col(idCol), explode(col("fps")).as("fp"))
+    val kept =
+      if (maxPrintFreq <= 0L) fps
+      else {
+        val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .where(col("df") > maxPrintFreq).select(col("fp"))
+        fps.join(hot, Seq("fp"), "left_anti")
+      }
+    kept.as("l").join(kept.as("r"), "fp")
+      .where(col(s"l.$idCol") < col(s"r.$idCol"))
+      .groupBy(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Candidate pairs for [[ngramJaccardPairs]] via lossless prefix filtering
     * (AllPairs/PPJoin family): order every doc's grams by global rarity; two
     * docs with Jaccard >= t MUST share a gram within the first

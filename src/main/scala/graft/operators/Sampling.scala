@@ -35,6 +35,8 @@ object Sampling {
       fractions: Seq[(String, Double)],
       splitCol: String = "split"): DataFrame = {
     require(fractions.nonEmpty, "need at least one split")
+    require(fractions.forall(_._2 > 0),
+      s"every fraction must be positive, got $fractions")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
     require(!df.columns.contains(splitCol), s"input already has a $splitCol column")

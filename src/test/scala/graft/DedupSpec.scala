@@ -259,6 +259,28 @@ class DedupSpec extends AnyFunSuite {
     assert(fps(1L).intersect(fps(2L)).nonEmpty)
   }
 
+  test("winnow overlap detects a copied passage; hot-print filter drops boilerplate") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docs(
+      (1L, s"intro text one two $passage closing remarks here"),
+      (2L, s"completely different opening words $passage and another longer tail"),
+      (3L, "unrelated totally separate content with nothing in common at all"))
+    val pairs = Dedup.winnowOverlapPairs(d, minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected exactly the copied-passage pair, got $pairs")
+
+    // boilerplate: the same passage in EVERY doc makes its prints df=3;
+    // maxPrintFreq=2 drops them, so no pair survives
+    val boiler = docs(
+      (1L, s"$passage one ending"),
+      (2L, s"$passage other closing"),
+      (3L, s"$passage third variant"))
+    val all = Dedup.winnowOverlapPairs(boiler, minShared = 2).collect()
+    assert(all.nonEmpty)
+    val filtered = Dedup.winnowOverlapPairs(boiler, minShared = 2, maxPrintFreq = 2).collect()
+    assert(filtered.isEmpty, "hot prints shared by all docs must be dropped by the freq filter")
+  }
+
   test("minhash est_jaccard is 1.0 for identical docs") {
     val d = docs(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
