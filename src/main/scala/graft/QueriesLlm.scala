@@ -221,6 +221,18 @@ object QueriesLlm {
       Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), threshold = 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // ── semantic dedup GROUPS: connected components over the banded-LSH
+    // cosine pairs — SemDeDup-shaped (embedding-space duplicate clusters),
+    // composing the pluggable pair generator with the components engine ──
+    "dedup_embedding_components" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Dedup.connectedComponents(
+        emb.select(col("vec_id")),
+        Similarity.cosineNearDupPairsLsh(emb, threshold = 0.4),
+        idCol = "vec_id", aCol = "vec_a", bCol = "vec_b")
+        .orderBy(col("vec_id"))
+    }),
+
     // ── similarity: LSH-bucketed approximate KNN (scale path; deterministic
     // md5-derived hyperplanes → the DuckDB oracle recomputes the buckets) ──
     "knn_lsh_cosine" -> ((s, dir) => {
@@ -379,6 +391,29 @@ object QueriesLlm {
        |  FROM h WHERE len(hs) >= $WinnowW
        |)""".stripMargin
   }
+
+  /** Banded-LSH embedding near-dup pairs (vec_a, vec_b, cosine), no final
+    * ORDER BY — usable standalone (the `dedup_embedding_cosine_lsh` oracle)
+    * or nested as a CTE body (the components oracle).
+    */
+  private lazy val embLshPairsSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+       |bk AS (
+       |  SELECT vec_id, band,
+       |         sum(CASE WHEN list_sum([v[j] * (('0x' || substr(md5(CAST(band * $NdPlanes + p AS VARCHAR) || '_' || CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 - 0.5) for j in range(1, len(v) + 1)]) >= 0
+       |                  THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+       |  FROM n, unnest(range(0, $NdBands)) AS t(band), unnest(range(0, $NdPlanes)) AS s(p)
+       |  GROUP BY vec_id, band
+       |),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+       |  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |)
+       |SELECT c.vec_a, c.vec_b,
+       |       round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (a.nrm * b.nrm), 6) AS cosine
+       |FROM cand c JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
+       |WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (a.nrm * b.nrm) >= 0.4""".stripMargin
 
   /** Curation-pipeline oracle, parameterized by the near-dup pairs CTE — a
     * fragment defining (possibly with helper CTEs) a `pairs(doc_a, doc_b)`
@@ -672,24 +707,29 @@ object QueriesLlm {
     // candidate equi-join + exact cosine verify — bit-for-bit the Spark
     // algorithm.
     "dedup_embedding_cosine_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
-        |bk AS (
-        |  SELECT vec_id, band,
-        |         sum(CASE WHEN list_sum([v[j] * (('0x' || substr(md5(CAST(band * $NdPlanes + p AS VARCHAR) || '_' || CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 - 0.5) for j in range(1, len(v) + 1)]) >= 0
-        |                  THEN (1::BIGINT << p) ELSE 0 END) AS bucket
-        |  FROM n, unnest(range(0, $NdBands)) AS t(band), unnest(range(0, $NdPlanes)) AS s(p)
-        |  GROUP BY vec_id, band
-        |),
-        |cand AS (
-        |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
-        |  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
-        |)
-        |SELECT c.vec_a, c.vec_b,
-        |       round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (a.nrm * b.nrm), 6) AS cosine
-        |FROM cand c JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
-        |WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (a.nrm * b.nrm) >= 0.4
+      s"""$embLshPairsSql
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // semantic dedup GROUPS: transitive closure over the same banded-LSH
+    // cosine pairs (the embLshPairsSql fragment nests as a CTE), min
+    // reachable vec_id per vector — composes the two verified pieces the
+    // same way the Spark side composes the pair generator with
+    // connectedComponents
+    "dedup_embedding_components" ->
+      s"""WITH RECURSIVE p AS (
+        |$embLshPairsSql
+        |),
+        |edges AS (
+        |  SELECT vec_a AS a, vec_b AS b FROM p
+        |  UNION ALL SELECT vec_b, vec_a FROM p
+        |),
+        |reach(a, b) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |)
+        |SELECT a AS vec_id, min(b) AS component_id
+        |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
 
     // Replays Similarity.lshBuckets (KnnPlanes interpolated — same constant
     // the query passes — single-probe IVF) then exact within-bucket cosine
