@@ -52,17 +52,27 @@ class AsofJoinSpec extends AnyFunSuite {
       .take(25).map { case (k, s) => (k, s, rnd.nextDouble()) }
     val r = rights(rRows: _*)
 
-    val got = run(l, r)
-    val naive = l.as("l").join(
-      r.as("r"), col("l.user_id") === col("r.user_id") && col("r.ts") <= col("l.ts"), "left")
-      .withColumn(
-        "rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("l.event_id")).orderBy(col("r.ts").desc_nulls_last)))
-      .where(col("rn") === 1)
-      .select(col("l.event_id"), col("r.v"))
-      .collect().map(row => row.getLong(0) -> Option(row.get(1)).map(_.asInstanceOf[Double])).toMap
-    assert(got == naive)
+    def naive(tol: Option[Long]): Map[Long, Option[Double]] = {
+      val inTol = tol match {
+        case Some(n) =>
+          unix_timestamp(col("l.ts")) - unix_timestamp(col("r.ts")) <= n
+        case None => lit(true)
+      }
+      l.as("l").join(
+        r.as("r"), col("l.user_id") === col("r.user_id") && col("r.ts") <= col("l.ts"), "left")
+        .withColumn(
+          "rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("l.event_id")).orderBy(col("r.ts").desc_nulls_last)))
+        .where(col("rn") === 1)
+        .select(col("l.event_id"), when(inTol, col("r.v")).as("v"))
+        .collect().map(row => row.getLong(0) -> Option(row.get(1)).map(_.asInstanceOf[Double])).toMap
+    }
+    assert(run(l, r) == naive(None))
+    // tolerance path against the same naive reference
+    Seq(0L, 5L, 17L).foreach { t =>
+      assert(run(l, r, tol = Some(t)) == naive(Some(t)), s"tolerance $t diverged")
+    }
   }
 
   test("plan: one key exchange, no theta join blow-up") {
