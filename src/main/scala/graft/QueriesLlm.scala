@@ -153,8 +153,9 @@ object QueriesLlm {
 
     // ── the end-to-end curation pipeline ([[operators.Curation]]): keep docs
     // that are (a) decent quality, (b) English by the marker heuristic, and
-    // (c) the surviving representative (min doc id) of their near-dup
-    // component. This variant resolves near-dups through the LOSSLESS
+    // (c) the min-doc-id representative of their near-dup component AMONG
+    // the members passing (a)+(b) — a junk min-id twin can't vanish its
+    // whole cluster. This variant resolves near-dups through the LOSSLESS
     // exact-Jaccard pair generator — the ground-truth configuration ──
     "curate_corpus" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -458,13 +459,17 @@ object QueriesLlm {
        |             + greatest(1.0 - (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 0.0) * 0.3, 6) AS quality,
        |         $scoreExprs
        |  FROM t
-       |)
-       |SELECT q.doc_id, q.quality
-       |FROM q JOIN comp ON q.doc_id = comp.doc_id
-       |WHERE q.quality >= 0.5
-       |  AND greatest(${langs.map("s_" + _).mkString(", ")}) > 0 AND $enCond
-       |  AND q.doc_id = comp.component_id
-       |ORDER BY q.doc_id""".stripMargin
+       |),
+       |surv AS (
+       |  SELECT q.doc_id, q.quality, comp.component_id
+       |  FROM q JOIN comp ON q.doc_id = comp.doc_id
+       |  WHERE q.quality >= 0.5
+       |    AND greatest(${langs.map("s_" + _).mkString(", ")}) > 0 AND $enCond
+       |),
+       |reps AS (SELECT component_id, min(doc_id) AS rep FROM surv GROUP BY component_id)
+       |SELECT s.doc_id, s.quality
+       |FROM surv s JOIN reps r ON s.doc_id = r.rep
+       |ORDER BY s.doc_id""".stripMargin
   }
 
   /** Transitive closure via recursive CTE (UNION dedups, so it terminates),

@@ -1,12 +1,16 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composite every LLM training-data
   * pipeline runs: keep documents that are (a) decent quality, (b) the target
-  * language by the marker heuristic, and (c) the surviving representative
-  * (minimum id) of their near-duplicate component.
+  * language by the marker heuristic, and (c) the representative (minimum id)
+  * of their near-duplicate component AMONG THE MEMBERS THAT PASS (a) and
+  * (b). The representative is chosen after filtering, not before: if a
+  * cluster's global min-id member is junk, the cluster still contributes its
+  * best-surviving twin instead of silently vanishing from the corpus.
   *
   * The near-dup PAIRS frame is a parameter, not a hardcoded route: the
   * caller picks the candidate generator that fits the corpus —
@@ -21,8 +25,10 @@ import org.apache.spark.sql.functions._
   * Plan shape: the scoring leg is a map-only projection chain (tokenize
   * once, score columns staged as real attributes so the language argmax
   * doesn't re-evaluate them per branch); the dedup leg resolves pairs →
-  * groups via [[Dedup.connectedComponents]]; one join ties them together and
-  * the filter prunes before any downstream sort.
+  * groups via [[Dedup.connectedComponents]]; one join ties them together,
+  * the quality/language filter prunes BEFORE the representative window (so
+  * the extra shuffle partitioned on component_id carries only survivors),
+  * and the min-id-over-component window picks one row per surviving group.
   */
 object Curation {
 
@@ -46,10 +52,12 @@ object Curation {
       TextAnalysis.langIdFromScores(scoreRefs).as("lang_guess"))
     val comps = Dedup.connectedComponents(
       docs, pairs, idCol = idCol, checkpointDir = checkpointDir)
-    labeled.join(comps, idCol)
-      .where(
-        col("quality") >= minQuality && col("lang_guess") === lang &&
-          col(idCol) === col("component_id"))
+    val surviving = labeled.join(comps, idCol)
+      .where(col("quality") >= minQuality && col("lang_guess") === lang)
+    val repWindow = Window.partitionBy(col("component_id"))
+    surviving
+      .withColumn("rep_id", min(col(idCol)).over(repWindow))
+      .where(col(idCol) === col("rep_id"))
       .select(col(idCol), col("quality"))
   }
 }

@@ -469,8 +469,11 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
       // small-star on the large-star output: u and its not-larger neighbors
-      // attach to their collective min
-      val symSmall = symmetric(large).where(col("v") < col("u"))
+      // attach to their collective min. Every large-star edge (v, m) already
+      // has m = min(Γ(u) ∪ {u}) <= u < v, so the paper's symmetrize-then-
+      // keep-smaller-neighbor step is the identity here: the reversed copy
+      // (m, v) always has v > m and would be filtered right back out.
+      val symSmall = large
       val minsSmall = symSmall.groupBy(col("u")).agg(min(col("v")).as("m"))
       val small = symSmall.join(minsSmall, "u")
         .select(col("v").as("u"), col("m").as("v"))

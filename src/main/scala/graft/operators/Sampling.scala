@@ -27,7 +27,9 @@ object Sampling {
   /** Assign each row a split label by cumulative fraction thresholds over
     * [[hashUniform]] — e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" ->
     * 0.1)`. Fractions must sum to 1 (±1e-9); every row gets exactly one
-    * label.
+    * label. A NULL key is rejected at runtime (`raise_error`): it has no
+    * stable identity to hash, and silently lumping null-keyed rows into one
+    * split would be exactly the hidden skew this operator exists to prevent.
     */
   def withHashSplit(
       df: DataFrame,
@@ -45,6 +47,10 @@ object Sampling {
     val label = fractions.zip(cut).init.foldRight(lit(fractions.last._1): Column) {
       case (((name, _), hi), rest) => when(u < hi, lit(name)).otherwise(rest)
     }
-    df.withColumn(splitCol, label)
+    df.withColumn(
+      splitCol,
+      when(col(keyCol).isNull,
+        raise_error(lit(s"withHashSplit: NULL $keyCol — a null key has no stable split identity")))
+        .otherwise(label))
   }
 }

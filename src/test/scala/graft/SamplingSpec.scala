@@ -31,6 +31,18 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("rejects NULL keys at runtime instead of silently bucketing them") {
+    import spark.implicits._
+    val d = Seq(Some(1L), None).toDF("doc_id")
+    val ex = intercept[Exception] {
+      Sampling.withHashSplit(d, "doc_id", fractions).collect()
+    }
+    // Spark wraps the raise_error in a SparkRuntimeException whose message
+    // carries the user payload
+    assert(ex.getMessage.contains("null key") || ex.getMessage.contains("NULL doc_id"),
+      s"unexpected error: ${ex.getMessage}")
+  }
+
   test("rejects non-normalized fractions and split-column collisions") {
     val d = Tables.documents(spark, SfDir)
     intercept[IllegalArgumentException] {

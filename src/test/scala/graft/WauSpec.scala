@@ -24,6 +24,8 @@ class WauSpec extends AnyFunSuite {
     // HLL union — the property that makes the incremental rollup valid)
     val direct = ev
       .select(Wau.week(col("ts")).as("event_week"), col("user_id"))
+      .where(col("event_week").between(
+        Wau.week(to_timestamp(lit("2024-01-01"))), Wau.week(to_timestamp(lit("2024-01-31")))))
       .groupBy(col("event_week"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))).as("est"))
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
