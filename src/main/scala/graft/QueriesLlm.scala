@@ -308,6 +308,31 @@ object QueriesLlm {
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("split"))),
 
+    // ── deterministic corpus MIXING ([[Sampling.hashSampleByStratum]]):
+    // thin the over-represented language to a target rate (en → 25%) while
+    // everything else passes through, membership a pure function of the doc
+    // id (stable under growth; raising a rate only ADDS docs). The stratum
+    // is the lang-ID guess, so this is the lang_id → mixer composition a
+    // real pipeline runs. Aggregated per language for the oracle ──
+    "sample_mixture" -> ((s, dir) => {
+      val staged = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      val scored = staged.select(
+        col("doc_id") +: TextAnalysis.langScores(col("toks")).map {
+          case (lang, sc) => sc.as(s"s_$lang")
+        }: _*)
+      val scoreRefs = TextAnalysis.LangMarkers.map { case (lang, _) => lang -> col(s"s_$lang") }
+      val labeled = scored.select(
+        col("doc_id"), TextAnalysis.langIdFromScores(scoreRefs).as("lang_guess"))
+      Sampling.hashSampleByStratum(labeled, "doc_id", col("lang_guess"), Map("en" -> 0.25))
+        .groupBy(col("lang_guess"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang_guess"))
+    }),
+
     // ── corpus heavy-hitters: token frequency top-20 (explode → two-phase
     // count with map-side partial agg → global top-k; integer ordering with
     // token tie-break, so fully deterministic) ──
@@ -828,6 +853,40 @@ object QueriesLlm {
         |SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
         |       count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Corpus mixing — lang-ID guess as the stratum, en thinned to 0.25 via
+    // the same md5 arithmetic as sample_split (both engines compute the
+    // identical double before the compare).
+    "sample_mixture" -> {
+      val scoreExprs = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+        val list = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(w, x -> x IN ($list))) AS s_$lang"
+      }.mkString(",\n         ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val best = langs.zipWithIndex.map { case (l, i) =>
+        val later = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+        val cond = if (later.isEmpty) "TRUE" else later.mkString(" AND ")
+        s"WHEN $cond THEN '$l'"
+      }.mkString("\n           ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |         $scoreExprs
+         |  FROM t
+         |),
+         |l AS (
+         |  SELECT doc_id,
+         |    CASE WHEN greatest(${langs.map("s_" + _).mkString(", ")}) = 0 THEN 'und'
+         |             $best
+         |    END AS lang_guess,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u
+         |  FROM s
+         |)
+         |SELECT lang_guess, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM l
+         |WHERE u < CASE WHEN lang_guess = 'en' THEN 0.25 ELSE 1.0 END
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "top_tokens" ->
       s"""SELECT token, count(*) AS n

@@ -53,4 +53,35 @@ object Sampling {
         raise_error(lit(s"withHashSplit: NULL $keyCol — a null key has no stable split identity")))
         .otherwise(label))
   }
+
+  /** Deterministic per-stratum downsampling — the corpus-MIXING step: keep a
+    * row iff `hashUniform(key) < fraction(stratum)`, thinning
+    * over-represented strata (a dominant language, a crawl domain) to target
+    * rates while the rest pass through. Same identity guarantees as
+    * [[withHashSplit]]: membership is a pure function of the key, stable
+    * across runs, partitionings, engines, and corpus growth — and because
+    * the threshold test is monotone in the fraction, raising a stratum's
+    * rate only ADDS documents (nested samples), never reshuffles the kept
+    * set. Map-side only (literal-map lookup + md5 compare); no shuffle, no
+    * RNG. Strata absent from `fractions` (and NULL strata) keep
+    * `defaultFraction`; NULL keys are rejected at runtime like
+    * [[withHashSplit]].
+    */
+  def hashSampleByStratum(
+      df: DataFrame,
+      keyCol: String,
+      stratum: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0): DataFrame = {
+    require(fractions.nonEmpty, "need at least one stratum fraction")
+    require((defaultFraction +: fractions.values.toList).forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must lie in [0, 1], got $fractions (default $defaultFraction)")
+    val lookup = map(
+      fractions.toSeq.sorted.flatMap { case (k, f) => Seq(lit(k), lit(f)) }: _*)
+    val frac = coalesce(element_at(lookup, stratum.cast("string")), lit(defaultFraction))
+    df.where(
+      when(col(keyCol).isNull,
+        raise_error(lit(s"hashSampleByStratum: NULL $keyCol — a null key has no stable identity")))
+        .otherwise(hashUniform(col(keyCol)) < frac))
+  }
 }

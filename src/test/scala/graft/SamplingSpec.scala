@@ -31,6 +31,41 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample: per-stratum rates honored, non-listed strata untouched, nested in the fraction") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, SfDir)
+      .withColumn("stratum", when(col("doc_id") % 2 === 0, "even").otherwise("odd"))
+    def ids(f: Double) =
+      Sampling.hashSampleByStratum(d, "doc_id", col("stratum"), Map("even" -> f))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = d.select("doc_id").collect().map(_.getLong(0)).toSet
+    val odd = all.filter(_ % 2 == 1)
+    val at25 = ids(0.25)
+    val at50 = ids(0.5)
+    // non-listed stratum passes through at the default fraction 1.0
+    assert(odd.subsetOf(at25) && odd.subsetOf(at50))
+    // thinned stratum is a strict subsample at a plausible rate
+    val evenKept = (at25 -- odd).size.toDouble / (all.size - odd.size)
+    assert(evenKept > 0.1 && evenKept < 0.45, s"even kept rate $evenKept far from 0.25")
+    // monotone thresholds: raising the rate only ADDS docs (nested samples)
+    assert(at25.subsetOf(at50), "sample at 0.25 must be nested inside sample at 0.5")
+    // membership is a pure key function: repartitioning changes nothing
+    assert(ids(0.25) == Sampling.hashSampleByStratum(
+      d.repartition(7), "doc_id", col("stratum"), Map("even" -> 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("stratified sample rejects out-of-range fractions") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, SfDir)
+    intercept[IllegalArgumentException] {
+      Sampling.hashSampleByStratum(d, "doc_id", col("text"), Map("x" -> 1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSampleByStratum(d, "doc_id", col("text"), Map.empty)
+    }
+  }
+
   test("rejects NULL keys at runtime instead of silently bucketing them") {
     import spark.implicits._
     val d = Seq(Some(1L), None).toDF("doc_id")
