@@ -308,6 +308,18 @@ object QueriesLlm {
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("split"))),
 
+    // ── benchmark decontamination ([[Dedup.contaminationReport]]): distinct
+    // 3-gram overlap of each training doc against a BROADCAST eval-set gram
+    // index (docs with doc_id % 50 == 0 play the benchmark); >= 2 shared
+    // grams flags the doc. The check run before any serious training job ──
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationReport(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── deterministic corpus MIXING ([[Sampling.hashSampleByStratum]]):
     // thin the over-represented language to a target rate (en → 25%) while
     // everything else passes through, membership a pure function of the doc
@@ -853,6 +865,23 @@ object QueriesLlm {
         |SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
         |       count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Decontamination — same 32-bit md5 gram keys as the candidate joins
+    // (winnow oracle idiom); a hash collision adds the same count in both
+    // engines, so the report replays bit-for-bit.
+    "decontaminate" ->
+      s"""$gramsCte,
+         |h AS (
+         |  SELECT doc_id,
+         |         list_distinct([('0x' || substr(md5(x), 1, 8))::BIGINT for x in g]) AS hs
+         |  FROM grams
+         |),
+         |e AS (SELECT DISTINCT h FROM (SELECT unnest(hs) AS h FROM h WHERE doc_id % 50 = 0)),
+         |tr AS (SELECT doc_id, unnest(hs) AS h FROM h WHERE doc_id % 50 <> 0)
+         |SELECT tr.doc_id, count(*) AS n_shared
+         |FROM tr JOIN e USING (h)
+         |GROUP BY tr.doc_id HAVING count(*) >= 2
+         |ORDER BY tr.doc_id""".stripMargin,
 
     // Corpus mixing — lang-ID guess as the stratum, en thinned to 0.25 via
     // the same md5 arithmetic as sample_split (both engines compute the

@@ -120,6 +120,42 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Benchmark decontamination: per training doc, the number of distinct
+    * word n-grams it shares with ANY document of an eval/benchmark set —
+    * the contamination check every serious training-data pipeline runs
+    * before training (n-gram overlap against held-out benchmarks, in the
+    * style of the GPT-3 appendix-C / The Pile 13-gram procedure; n is a
+    * parameter because the fixture docs are short).
+    *
+    * Scale shape: the eval side is a benchmark — thousands of docs against
+    * a 100 TB corpus — so its distinct gram-hash set is BROADCAST and the
+    * probe is map-side; the only shuffle is the per-doc count aggregation.
+    * Grams compare by their 32-bit md5 hash (the same key
+    * [[ngramJaccardCandidates]] joins on): a collision can only ADD a
+    * shared-gram count — for decontamination a rare false flag errs toward
+    * over-removal, never under-removal — and both engines compute identical
+    * hashes, so the oracle replays the report bit-for-bit.
+    */
+  def contaminationReport(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      minShared: Int = 2,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def gramHashes(d: DataFrame) =
+      shingles(d, n, idCol, textCol)
+        .select(col(idCol), explode(col("grams")).as("gram"))
+        .select(col(idCol), TextKernels.hash32Col(col("gram")).as("h"))
+        .distinct() // grams are distinct per doc; this also collapses hash collisions
+    val evalGrams = gramHashes(evalDocs).select(col("h")).distinct()
+    gramHashes(docs)
+      .join(broadcast(evalGrams), "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Candidate pairs for [[ngramJaccardPairs]] via lossless prefix filtering
     * (AllPairs/PPJoin family): order every doc's grams by global rarity; two
     * docs with Jaccard >= t MUST share a gram within the first

@@ -298,6 +298,41 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("contamination report: planted eval passage flagged, clean docs pass, counts match string grams") {
+    val evalSet = docs(
+      (100L, "the secret benchmark question about ancient rivers and their deltas flows"),
+      (101L, "unrelated eval content entirely"))
+    val training = docs(
+      // copies a >= 2-gram passage from eval doc 100 → contaminated
+      (1L, "my training doc mentions ancient rivers and their deltas flows too"),
+      // shares single tokens but no 3-gram run → clean
+      (2L, "rivers are nice and ancient things exist"),
+      (3L, "completely disjoint vocabulary paragraph"))
+    val report = Dedup.contaminationReport(training, evalSet)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(report.keySet == Set(1L), s"expected only doc 1 flagged, got $report")
+    // the hashed-key count must equal the naive string-gram intersection
+    // (no collisions at fixture size): "ancient rivers and" / "rivers and
+    // their" / "and their deltas" / "their deltas flows" = 4 shared grams
+    assert(report(1L) == 4L, s"expected 4 shared grams, got ${report(1L)}")
+  }
+
+  test("contamination report on the corpus equals a string-gram replay (hash keys collision-free here)") {
+    val d = Tables.documents(spark, SfDir)
+    val training = d.where(col("doc_id") % 50 =!= 0)
+    val evalSet = d.where(col("doc_id") % 50 === 0)
+    val hashed = Dedup.contaminationReport(training, evalSet)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def stringGrams(df: DataFrame) = Dedup.shingles(df)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val viaStrings = stringGrams(training)
+      .join(stringGrams(evalSet).select(col("gram")).distinct(), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed == viaStrings)
+  }
+
   test("embedding cosine: identical vectors → 1.0, orthogonal excluded") {
     import spark.implicits._
     val v = Seq(

@@ -57,6 +57,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("decontaminate: eval gram index broadcasts; probe stays map-side up to the count") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval gram set must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "gram probe must be an equi-join")
+  }
+
   test("ngram jaccard: candidate join is an equi-join, never a cartesian") {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
