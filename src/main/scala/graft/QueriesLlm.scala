@@ -30,6 +30,38 @@ object QueriesLlm {
        |  FROM toks WHERE len(w) >= 3
        |)""".stripMargin
 
+  /** CTE chain `t` → `s` → `l(doc_id[, carry...], lang_guess)` replaying the
+    * marker-score argmax ([[TextAnalysis.langIdFromScores]]) once — shared
+    * by every lang-ID oracle so the replay can't drift per query; `carry`
+    * threads extra document columns through to `l`.
+    */
+  private def langGuessCte(carry: Seq[String] = Nil): String = {
+    val cols = ("doc_id" +: carry).mkString(", ")
+    val scoreExprs = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+      val list = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(w, x -> x IN ($list))) AS s_$lang"
+    }.mkString(",\n       ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val best = langs.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+      val cond = if (later.isEmpty) "TRUE" else later.mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("\n         ")
+    s"""WITH t AS (SELECT $cols, $toksSql AS w FROM documents),
+       |s AS (
+       |  SELECT $cols,
+       |       $scoreExprs
+       |  FROM t
+       |),
+       |l AS (
+       |  SELECT $cols,
+       |    CASE WHEN greatest(${langs.map("s_" + _).mkString(", ")}) = 0 THEN 'und'
+       |         $best
+       |    END AS lang_guess
+       |  FROM s
+       |)""".stripMargin
+  }
+
   private val seedsSql: String = Dedup.MinhashSeeds.zipWithIndex
     .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
     .mkString(", ")
@@ -105,6 +137,23 @@ object QueriesLlm {
       scored.select(
         col("doc_id"), TextAnalysis.langIdFromScores(scoreRefs).as("lang_guess"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── lang-ID evaluation: confusion matrix of the marker heuristic's
+    // guess against the corpus's ground-truth `lang` column — the accuracy
+    // report a pipeline publishes alongside any heuristic classifier ──
+    "lang_id_confusion" -> ((s, dir) => {
+      val staged = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("toks"))
+      val scored = staged.select(
+        Seq(col("lang")) ++ TextAnalysis.langScores(col("toks")).map {
+          case (l, sc) => sc.as(s"s_$l")
+        }: _*)
+      val scoreRefs = TextAnalysis.LangMarkers.map { case (l, _) => l -> col(s"s_$l") }
+      scored.select(col("lang"), TextAnalysis.langIdFromScores(scoreRefs).as("lang_guess"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("lang_guess"))
     }),
 
     // ── exact dedup on fingerprints (corpus doubled to plant exact dups) ──
@@ -561,29 +610,15 @@ object QueriesLlm {
          |      + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.3, 6) AS quality
          |FROM t2 ORDER BY doc_id""".stripMargin,
 
-    "lang_id" -> {
-      val scoreExprs = TextAnalysis.LangMarkers.map { case (lang, ms) =>
-        val list = ms.map(m => s"'$m'").mkString(", ")
-        s"len(list_filter(w, x -> x IN ($list))) AS s_$lang"
-      }.mkString(",\n         ")
-      val langs = TextAnalysis.LangMarkers.map(_._1)
-      val best = langs.zipWithIndex.map { case (l, i) =>
-        val later = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
-        val cond = if (later.isEmpty) "TRUE" else later.mkString(" AND ")
-        s"WHEN $cond THEN '$l'"
-      }.mkString("\n           ")
-      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
-         |s AS (
-         |  SELECT doc_id,
-         |         $scoreExprs
-         |  FROM t
-         |)
-         |SELECT doc_id,
-         |  CASE WHEN greatest(${langs.map("s_" + _).mkString(", ")}) = 0 THEN 'und'
-         |           $best
-         |  END AS lang_guess
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+    "lang_id" ->
+      s"""${langGuessCte()}
+         |SELECT doc_id, lang_guess FROM l ORDER BY doc_id""".stripMargin,
+
+    // Confusion matrix: guess vs the corpus's ground-truth lang column.
+    "lang_id_confusion" ->
+      s"""${langGuessCte(carry = Seq("lang"))}
+         |SELECT lang, lang_guess, count(*) AS n_docs
+         |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH d AS (
@@ -886,36 +921,17 @@ object QueriesLlm {
     // Corpus mixing — lang-ID guess as the stratum, en thinned to 0.25 via
     // the same md5 arithmetic as sample_split (both engines compute the
     // identical double before the compare).
-    "sample_mixture" -> {
-      val scoreExprs = TextAnalysis.LangMarkers.map { case (lang, ms) =>
-        val list = ms.map(m => s"'$m'").mkString(", ")
-        s"len(list_filter(w, x -> x IN ($list))) AS s_$lang"
-      }.mkString(",\n         ")
-      val langs = TextAnalysis.LangMarkers.map(_._1)
-      val best = langs.zipWithIndex.map { case (l, i) =>
-        val later = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
-        val cond = if (later.isEmpty) "TRUE" else later.mkString(" AND ")
-        s"WHEN $cond THEN '$l'"
-      }.mkString("\n           ")
-      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
-         |s AS (
-         |  SELECT doc_id,
-         |         $scoreExprs
-         |  FROM t
-         |),
-         |l AS (
-         |  SELECT doc_id,
-         |    CASE WHEN greatest(${langs.map("s_" + _).mkString(", ")}) = 0 THEN 'und'
-         |             $best
-         |    END AS lang_guess,
-         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u
-         |  FROM s
+    "sample_mixture" ->
+      s"""${langGuessCte()},
+         |u AS (
+         |  SELECT lang_guess, doc_id,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u
+         |  FROM l
          |)
          |SELECT lang_guess, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
-         |FROM l
+         |FROM u
          |WHERE u < CASE WHEN lang_guess = 'en' THEN 0.25 ELSE 1.0 END
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "top_tokens" ->
       s"""SELECT token, count(*) AS n

@@ -371,6 +371,20 @@ object QueriesRelational {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_week"), col("event_hour"))),
 
+    // ── typed JSON parse (from_json with an explicit schema — codegen'd
+    // Jackson parse once per row, field access on the struct after) over the
+    // event payload; integer-only aggregates per event_type for the oracle ──
+    "json_typed_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("p", from_json(col("props"), lit("k BIGINT")))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("p.k")).as("sum_k"),
+          min(col("p.k")).as("min_k"),
+          max(col("p.k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     // ── F5/F6 + regexp extraction: CASE WHEN buckets over parsed payload ──
     "case_when_buckets" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -648,6 +662,20 @@ object QueriesRelational {
         |       count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Typed-parse replay: the oracle extracts the same field by regexp — two
+    // independent parse routes (Jackson struct vs regexp) must agree on the
+    // integer payload.
+    "json_typed_agg" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "case_when_buckets" ->
       """WITH e AS (
