@@ -139,6 +139,15 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── repetition stats ([[TextAnalysis.repetitionScores]]): per-doc
+    // total/distinct 3-gram counts and the top gram's multiplicity in one
+    // codegen'd map-side pass; the integer-only flag marks docs whose top
+    // gram covers >= 20% of all grams (boilerplate / generation loops) ──
+    "repetition_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionScores(Tables.documents(s, dir))
+        .withColumn("is_repetitive", col("top_count") * 5 >= col("n_grams"))
+        .orderBy(col("doc_id"))),
+
     // ── lang-ID evaluation: confusion matrix of the marker heuristic's
     // guess against the corpus's ground-truth `lang` column — the accuracy
     // report a pipeline publishes alongside any heuristic classifier ──
@@ -613,6 +622,26 @@ object QueriesLlm {
     "lang_id" ->
       s"""${langGuessCte()}
          |SELECT doc_id, lang_guess FROM l ORDER BY doc_id""".stripMargin,
+
+    // Replays the one-pass kernel with unnest + two group-bys over ORDERED
+    // (non-distinct) grams; integer-only columns and flag.
+    "repetition_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                  for i in range(1, len(w) - 1)] AS grams
+         |  FROM t WHERE len(w) >= 3
+         |),
+         |u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |c AS (SELECT doc_id, gram, count(*) AS c FROM u GROUP BY 1, 2),
+         |r AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |         count(*) AS n_distinct, max(c) AS top_count
+         |  FROM c GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_grams, n_distinct, top_count,
+         |       (top_count * 5 >= n_grams) AS is_repetitive
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // Confusion matrix: guess vs the corpus's ground-truth lang column.
     "lang_id_confusion" ->

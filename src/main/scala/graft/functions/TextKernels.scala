@@ -188,6 +188,39 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-doc n-gram repetition stats in ONE pass over the ORDERED grams
+    * (duplicates kept — repetition is exactly what [[shingles]]' distinct
+    * set erases): total gram count, distinct gram count, and the
+    * multiplicity of the most-repeated gram. High top/total is the
+    * boilerplate / degenerate-generation signal quality filters cut on.
+    * Fewer than n tokens → (0, 0, 0).
+    */
+  def repetitionStats(toks: ArrayData, n: Int): Any = {
+    val m = toks.numElements()
+    val out = new Array[Any](3)
+    if (m < n) {
+      out(0) = 0L; out(1) = 0L; out(2) = 0L
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+    }
+    val sep = UTF8String.fromString(" ")
+    val counts = new java.util.HashMap[UTF8String, java.lang.Long]()
+    val parts = new Array[UTF8String](n)
+    val total = m - n + 1
+    var top = 0L
+    var i = 0
+    while (i < total) {
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      val c = counts.merge(
+        UTF8String.concatWs(sep, parts: _*), java.lang.Long.valueOf(1L),
+        (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+      if (c.longValue() > top) top = c.longValue()
+      i += 1
+    }
+    out(0) = total.toLong; out(1) = counts.size.toLong; out(2) = top
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
   private def requireStringArray(name: String, dt: DataType): TypeCheckResult = dt match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other =>
@@ -256,6 +289,27 @@ object TextKernels {
     override def prettyName: String = "graft_winnow"
   }
 
+  /** Codegen'd repetition stats: array<string> tokens →
+    * struct<n_grams, n_distinct, top_count> (all long).
+    */
+  case class RepetitionStats(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_grams", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("top_count", LongType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(prettyName, child.dataType)
+    override def nullSafeEval(t: Any): Any =
+      TextKernels.repetitionStats(t.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) " +
+          s"graft.functions.TextKernels.repetitionStats($t, $n);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "graft_repstats"
+  }
+
   /** Extract a foldable integer literal function argument with a
     * descriptive failure — `graft_shingles(toks, n_col)` or a non-integer
     * literal should read as a usage error, not a ClassCastException.
@@ -291,6 +345,10 @@ object TextKernels {
         intArg("graft_winnow", 1, exprs(1)),
         intArg("graft_winnow", 2, exprs(2))),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_repstats",
+      exprs => RepetitionStats(exprs(0), intArg("graft_repstats", 1, exprs(1))),
+      "scala_udf")
   }
 
   def shingleGrams(toks: Column, n: Int): Column = {
@@ -302,5 +360,9 @@ object TextKernels {
   def winnowFingerprints(toks: Column, n: Int, w: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("graft_winnow", toks, lit(n), lit(w))
+  }
+  def repetitionStatsCol(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_repstats", toks, lit(n))
   }
 }

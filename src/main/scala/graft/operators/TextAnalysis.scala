@@ -21,6 +21,31 @@ object TextAnalysis {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 
+  /** Per-doc n-gram repetition metrics — the boilerplate/degenerate-text
+    * signal quality filters cut on (a doc whose top 3-gram covers a large
+    * share of all its grams is template spam or a generation loop). One
+    * codegen'd pass per doc over the ORDERED grams, duplicates kept
+    * ([[graft.functions.TextKernels.RepetitionStats]]); map-side, no
+    * shuffle. Docs with fewer than n tokens have no grams and are dropped,
+    * mirroring [[Dedup.shingles]].
+    */
+  def repetitionScores(
+      docs: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.TextKernels.register(docs.sparkSession)
+    docs.select(
+      col(idCol),
+      graft.functions.TextKernels.repetitionStatsCol(tokens(col(textCol)), n).as("r"))
+      .where(col("r.n_grams") > 0)
+      .select(
+        col(idCol),
+        col("r.n_grams").as("n_grams"),
+        col("r.n_distinct").as("n_distinct"),
+        col("r.top_count").as("top_count"))
+  }
+
   /** BPE-ish lexer token count: alpha runs, digit runs, and single
     * non-alphanumeric marks (the common pre-tokenizer shape).
     */

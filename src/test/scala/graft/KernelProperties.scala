@@ -78,6 +78,19 @@ object KernelProperties extends Properties("TextKernels") {
       gotSeq == naive
     }
 
+  property("repetitionStats == naive grouped n-gram multiset counts") =
+    forAll(toksGen, Gen.choose(1, 4)) { (toks, n) =>
+      val got = TextKernels.repetitionStats(toks = arr(toks), n = n)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val grams =
+        if (toks.length < n) Seq.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      got.getLong(0) == grams.size.toLong &&
+        got.getLong(1) == counts.size.toLong &&
+        got.getLong(2) == (if (counts.isEmpty) 0L else counts.values.max)
+    }
+
   property("hash32/hash60 match the md5 hex-prefix parses") =
     forAll(tokenGen) { t =>
       val hex = md5(t).map(b => f"${b & 0xff}%02x").mkString

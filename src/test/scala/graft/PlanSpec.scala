@@ -64,6 +64,15 @@ class PlanSpec extends AnyFunSuite {
       "gram probe must be an equi-join")
   }
 
+  test("repetition stats: kernel participates in whole-stage codegen") {
+    val cg = withAqeOff {
+      SparkEntry.queries("repetition_stats")(spark, SfDir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    }
+    assert(cg.contains("TextKernels.repetitionStats"),
+      "generated code must invoke the repetition kernel")
+  }
+
   test("ngram jaccard: candidate join is an equi-join, never a cartesian") {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
