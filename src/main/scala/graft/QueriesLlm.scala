@@ -80,11 +80,13 @@ object QueriesLlm {
   private val MmFeatK = 3 // neighbors per query in mm_feature_knn
 
   /** MinHash signature + band-candidate CTEs, shared by the LSH oracles;
-    * expects [[gramsCte]]'s `grams` relation in scope.
+    * expects a `(doc_id, g)` grams relation named `src` in scope
+    * ([[gramsCte]]'s `grams` by default — override to index a filtered
+    * sub-corpus, e.g. the training pool in `prepare_corpus`).
     */
-  private lazy val minhashCandCte: String =
+  private def minhashCandCte(src: String = "grams"): String =
     s"""hashed AS (
-       |  SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 8))::BIGINT AS h FROM grams
+       |  SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 8))::BIGINT AS h FROM $src
        |),
        |seeds(i, a, b) AS (VALUES $seedsSql),
        |mins AS (
@@ -232,6 +234,32 @@ object QueriesLlm {
       Curation.curateCorpus(
         docs, Dedup.ngramJaccardPairsViaMinhash(docs, threshold = 0.3, bands = MhBands))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── the COMPLETE training-data preparation pipeline, end to end in one
+    // plan: hold out an eval set (doc_id % 50 == 0), curate the training
+    // pool (quality + lang + near-dup survivor representative, candidates
+    // via the MinHash band route — the 100 TB configuration), drop docs
+    // contaminated by the eval set (broadcast gram-index anti-join), then
+    // assign deterministic train/val/test hash splits. Every stage is an
+    // operator exercised alone elsewhere; this is their composition — the
+    // query a real corpus actually runs ──
+    "prepare_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.where(col("doc_id") % 50 =!= 0)
+      val evalSet = docs.where(col("doc_id") % 50 === 0)
+      val kept = Curation.curateCorpus(
+        train, Dedup.ngramJaccardPairsViaMinhash(train, threshold = 0.3, bands = MhBands))
+      val flagged = Dedup.contaminationReport(train, evalSet).select(col("doc_id"))
+      val clean = kept.join(flagged, Seq("doc_id"), "left_anti")
+      Sampling.withHashSplit(
+        clean, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))
     }),
 
     // ── near-dup candidates: MinHash signatures + LSH banding (bands passed
@@ -521,7 +549,13 @@ object QueriesLlm {
     * lossless and MinHash-routed variants so the two replays can only
     * differ in the candidate route, exactly like the Spark side.
     */
-  private def curateOracle(pairsCte: String): String = {
+  /** Curation-pipeline CTE chain through `surv`/`reps` (survivors + their
+    * per-component min-id representative), parameterized by the near-dup
+    * pairs fragment and an optional doc filter applied at the `surv` stage
+    * (e.g. restricting to the training pool in `prepare_corpus` — pairs
+    * must then be restricted to the same pool by the caller's `pairsCte`).
+    */
+  private def curateCtes(pairsCte: String, docFilter: String = "TRUE"): String = {
     val scoreExprs = TextAnalysis.LangMarkers.map { case (lang, ms) =>
       val list = ms.map(m => s"'$m'").mkString(", ")
       s"len(list_filter(w, x -> x IN ($list))) AS s_$lang"
@@ -560,12 +594,16 @@ object QueriesLlm {
        |  FROM q JOIN comp ON q.doc_id = comp.doc_id
        |  WHERE q.quality >= 0.5
        |    AND greatest(${langs.map("s_" + _).mkString(", ")}) > 0 AND $enCond
+       |    AND ($docFilter)
        |),
-       |reps AS (SELECT component_id, min(doc_id) AS rep FROM surv GROUP BY component_id)
+       |reps AS (SELECT component_id, min(doc_id) AS rep FROM surv GROUP BY component_id)""".stripMargin
+  }
+
+  private def curateOracle(pairsCte: String): String =
+    s"""${curateCtes(pairsCte)}
        |SELECT s.doc_id, s.quality
        |FROM surv s JOIN reps r ON s.doc_id = r.rep
        |ORDER BY s.doc_id""".stripMargin
-  }
 
   /** Transitive closure via recursive CTE (UNION dedups, so it terminates),
     * then min reachable id per doc — the declarative twin of BOTH Spark
@@ -703,7 +741,7 @@ object QueriesLlm {
     // MinHash band candidates — mirrors Curation.curateCorpus routed through
     // ngramJaccardPairsViaMinhash
     "curate_corpus_mh" -> curateOracle(
-      s"""$minhashCandCte,
+      s"""${minhashCandCte()},
          |pairs AS (
          |  SELECT c.doc_a, c.doc_b
          |  FROM cand c
@@ -712,6 +750,49 @@ object QueriesLlm {
          |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
          |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3
          |)""".stripMargin),
+
+    // The full preparation pipeline: curation CTEs restricted to the
+    // training pool (tgrams feeds the MinHash index; surv filtered), then
+    // the decontamination gram-index anti-join, then the md5 split —
+    // each fragment identical to its standalone oracle.
+    "prepare_corpus" -> {
+      val keep = curateCtes(
+        s"""tgrams AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0),
+           |${minhashCandCte("tgrams")},
+           |pairs AS (
+           |  SELECT c.doc_a, c.doc_b
+           |  FROM cand c
+           |  JOIN grams a ON a.doc_id = c.doc_a
+           |  JOIN grams b ON b.doc_id = c.doc_b
+           |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+           |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3
+           |)""".stripMargin,
+        docFilter = "q.doc_id % 50 <> 0")
+      s"""$keep,
+         |dh AS (
+         |  SELECT doc_id,
+         |         list_distinct([('0x' || substr(md5(x), 1, 8))::BIGINT for x in g]) AS hs
+         |  FROM grams
+         |),
+         |ev AS (SELECT DISTINCT h FROM (SELECT unnest(hs) AS h FROM dh WHERE doc_id % 50 = 0)),
+         |trh AS (SELECT doc_id, unnest(hs) AS h FROM dh WHERE doc_id % 50 <> 0),
+         |flagged AS (
+         |  SELECT trh.doc_id FROM trh JOIN ev USING (h)
+         |  GROUP BY trh.doc_id HAVING count(*) >= 2
+         |),
+         |kept AS (
+         |  SELECT s.doc_id FROM surv s JOIN reps r ON s.doc_id = r.rep
+         |  WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = s.doc_id)
+         |),
+         |u AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u
+         |  FROM kept
+         |)
+         |SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+         |       count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // transitive closure via recursive CTE (UNION dedups, so it terminates),
     // then min reachable id per doc — the declarative twin of the Spark
@@ -729,7 +810,7 @@ object QueriesLlm {
     // compare: estimates are multiples of 1/$MhK, exact at 6 decimals.
     "stream_neardup_ingest" ->
       s"""$gramsCte,
-         |$minhashCandCte,
+         |${minhashCandCte()},
          |probe AS (
          |  SELECT DISTINCT l.doc_id AS doc_id, r.doc_id AS corpus_doc_id
          |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
@@ -745,7 +826,7 @@ object QueriesLlm {
     // exact-Jaccard verify over the deterministic MinHash band candidates
     "dedup_ngram_jaccard_mh" ->
       s"""$gramsCte,
-         |$minhashCandCte
+         |${minhashCandCte()}
          |SELECT c.doc_a, c.doc_b,
          |       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
          |             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
@@ -758,7 +839,7 @@ object QueriesLlm {
 
     "dedup_minhash_lsh" ->
       s"""$gramsCte,
-         |$minhashCandCte
+         |${minhashCandCte()}
          |SELECT c.doc_a, c.doc_b,
          |       round(CAST(len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, ${MhK + 1})], x -> x)) AS DOUBLE) / $MhK, 6) AS est_jaccard
          |FROM cand c
