@@ -369,6 +369,30 @@ object QueriesLlm {
         .orderBy(col("doc_id"), col("corpus_doc_id"))
     }),
 
+    // ── streaming exact dedup, oracle-checked end to end: TWO stream
+    // readers of the same table unioned, so every fingerprint provably
+    // arrives at least twice and the watermark-bounded duplicate suppressor
+    // (dropDuplicatesWithinWatermark) has real work; the surviving
+    // fingerprint set is order-independent (which doc_id survives a tie is
+    // not — so the query exposes only the fingerprint), making a genuinely
+    // streaming execution hash-comparable to a batch DISTINCT ──
+    "stream_dedup_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sink = "stream_dedup_ingest_sink"
+      def src = s.readStream
+        .schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(
+          col("doc_id"), col("text"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+      val out = StreamingSessionize.exactDedup(src.unionByName(src))
+      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(sink).select(col("fingerprint")).orderBy(col("fingerprint"))
+    }),
+
     // ── similarity: multi-probe LSH KNN — same index, plus Hamming-1
     // neighbor buckets probed per query (the standard recall knob; probe
     // expansion is query-side so the corpus join stays an equi-join) ──
@@ -802,6 +826,12 @@ object QueriesLlm {
     // the star-contraction variant must produce the identical grouping —
     // one oracle serves both implementations
     "dedup_components_star" -> componentsOracle,
+
+    // The streaming duplicate suppressor keeps exactly one row per content
+    // fingerprint regardless of arrival order — the surviving SET is the
+    // batch DISTINCT.
+    "stream_dedup_ingest" ->
+      s"SELECT DISTINCT md5($norm) AS fingerprint FROM documents ORDER BY 1",
 
     // Streaming ingest replay: the probe join is the batch band join WITHOUT
     // the doc_a < doc_b restriction (a stream doc matches any corpus doc,
