@@ -105,6 +105,26 @@ object QueriesLlm {
        |  WHERE l.doc_id < r.doc_id
        |)""".stripMargin
 
+  /** documents → (doc_id[, carry...], lang_guess) with the three-stage
+    * staging — tokenize once, project every language score as a REAL column,
+    * argmax over the cheap attribute refs (the r2-regression-proof shape
+    * PlanSpec locks) — shared by every lang-ID query like [[langGuessCte]]
+    * is by every lang-ID oracle, so the two sides can't drift per query.
+    */
+  private def langGuessed(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val carryCols = carry.map(col)
+    val staged = docs.select(
+      (col("doc_id") +: carryCols) :+ TextAnalysis.tokens(col("text")).as("toks"): _*)
+    val scored = staged.select(
+      (col("doc_id") +: carryCols) ++ TextAnalysis.langScores(col("toks")).map {
+        case (l, sc) => sc.as(s"s_$l")
+      }: _*)
+    val scoreRefs = TextAnalysis.LangMarkers.map { case (l, _) => l -> col(s"s_$l") }
+    scored.select(
+      (col("doc_id") +: carryCols) :+
+        TextAnalysis.langIdFromScores(scoreRefs).as("lang_guess"): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── text analysis: per-doc stats & quality. Tokenization is projected
     // ONCE into `toks` and every metric reads that column (single-pass). ──
@@ -128,18 +148,8 @@ object QueriesLlm {
     // pass each), then argmax over the cheap attribute refs — embedding the
     // scores inside the when-chain re-evaluates them per branch (the r2
     // single-Column fold was 4× slower than r1 for exactly that reason). ──
-    "lang_id" -> ((s, dir) => {
-      val staged = Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      val scored = staged.select(
-        col("doc_id") +: TextAnalysis.langScores(col("toks")).map {
-          case (lang, sc) => sc.as(s"s_$lang")
-        }: _*)
-      val scoreRefs = TextAnalysis.LangMarkers.map { case (lang, _) => lang -> col(s"s_$lang") }
-      scored.select(
-        col("doc_id"), TextAnalysis.langIdFromScores(scoreRefs).as("lang_guess"))
-        .orderBy(col("doc_id"))
-    }),
+    "lang_id" -> ((s, dir) =>
+      langGuessed(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
     // ── repetition stats ([[TextAnalysis.repetitionScores]]): per-doc
     // total/distinct 3-gram counts and the top gram's multiplicity in one
@@ -153,19 +163,11 @@ object QueriesLlm {
     // ── lang-ID evaluation: confusion matrix of the marker heuristic's
     // guess against the corpus's ground-truth `lang` column — the accuracy
     // report a pipeline publishes alongside any heuristic classifier ──
-    "lang_id_confusion" -> ((s, dir) => {
-      val staged = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("toks"))
-      val scored = staged.select(
-        Seq(col("lang")) ++ TextAnalysis.langScores(col("toks")).map {
-          case (l, sc) => sc.as(s"s_$l")
-        }: _*)
-      val scoreRefs = TextAnalysis.LangMarkers.map { case (l, _) => l -> col(s"s_$l") }
-      scored.select(col("lang"), TextAnalysis.langIdFromScores(scoreRefs).as("lang_guess"))
+    "lang_id_confusion" -> ((s, dir) =>
+      langGuessed(Tables.documents(s, dir), carry = Seq("lang"))
         .groupBy(col("lang"), col("lang_guess"))
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("lang"), col("lang_guess"))
-    }),
+        .orderBy(col("lang"), col("lang_guess"))),
 
     // ── exact dedup on fingerprints (corpus doubled to plant exact dups) ──
     "dedup_exact" -> ((s, dir) => {
@@ -437,15 +439,7 @@ object QueriesLlm {
     // is the lang-ID guess, so this is the lang_id → mixer composition a
     // real pipeline runs. Aggregated per language for the oracle ──
     "sample_mixture" -> ((s, dir) => {
-      val staged = Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      val scored = staged.select(
-        col("doc_id") +: TextAnalysis.langScores(col("toks")).map {
-          case (lang, sc) => sc.as(s"s_$lang")
-        }: _*)
-      val scoreRefs = TextAnalysis.LangMarkers.map { case (lang, _) => lang -> col(s"s_$lang") }
-      val labeled = scored.select(
-        col("doc_id"), TextAnalysis.langIdFromScores(scoreRefs).as("lang_guess"))
+      val labeled = langGuessed(Tables.documents(s, dir))
       Sampling.hashSampleByStratum(labeled, "doc_id", col("lang_guess"), Map("en" -> 0.25))
         .groupBy(col("lang_guess"))
         .agg(
@@ -567,12 +561,6 @@ object QueriesLlm {
        |FROM cand c JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
        |WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (a.nrm * b.nrm) >= 0.4""".stripMargin
 
-  /** Curation-pipeline oracle, parameterized by the near-dup pairs CTE — a
-    * fragment defining (possibly with helper CTEs) a `pairs(doc_a, doc_b)`
-    * relation, with `t` (tokens) and `grams` in scope. Shared by the
-    * lossless and MinHash-routed variants so the two replays can only
-    * differ in the candidate route, exactly like the Spark side.
-    */
   /** Curation-pipeline CTE chain through `surv`/`reps` (survivors + their
     * per-component min-id representative), parameterized by the near-dup
     * pairs fragment and an optional doc filter applied at the `surv` stage

@@ -17,7 +17,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // Wipe the previous dump FIRST: a query that fails this run must leave a
+    // hole the compare flags, not last run's stale parquet silently passing
+    // for it. (A COMPILE failure still leaves the previous dump untouched —
+    // that case is only catchable by gating on the sbt exit code; see the
+    // verify skill note.)
+    val root = new java.io.File(outDir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (root.exists()) rm(root)
+    root.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -11,9 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
   * }}}
   *
-  * makes `graft_dot`, `graft_shingles`, `graft_minhash`, `graft_simhash60`
-  * and `graft_winnow` available to every session (SQL included) without any
-  * library call. The operators themselves still lazily register via
+  * makes `graft_dot`, `graft_shingles`, `graft_minhash`, `graft_simhash60`,
+  * `graft_winnow` and `graft_repstats` available to every session (SQL
+  * included) without any library call. The operators themselves still lazily register via
   * [[VectorFunctions.register]]/[[TextKernels.register]] so plain sessions
   * (Verify, Bench, tests, notebooks) keep working; this class is the
   * cluster-deployment path where the functions should exist before user code
@@ -49,5 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(0),
         TextKernels.intArg("graft_winnow", 1, exprs(1)),
         TextKernels.intArg("graft_winnow", 2, exprs(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_repstats"),
+      info("graft_repstats",
+        "graft_repstats(tokens, n) - struct<n_grams, n_distinct, top_count> repetition stats"),
+      (exprs: Seq[Expression]) => TextKernels.RepetitionStats(
+        exprs(0), TextKernels.intArg("graft_repstats", 1, exprs(1)))))
   }
 }

@@ -16,12 +16,15 @@ class ExtensionsSpec extends AnyFunSuite {
         |  size(graft_shingles(array('a','b','c','d'), 3)) AS ns,
         |  size(graft_minhash(array('a b c'))) AS nm,
         |  graft_simhash60(cast(array() AS array<string>)) AS sh,
-        |  size(graft_winnow(array('a','b','c','d','e','f','g'), 3, 4)) AS nw
+        |  size(graft_winnow(array('a','b','c','d','e','f','g'), 3, 4)) AS nw,
+        |  graft_repstats(array('a','b','a','b','a'), 2) AS rs
         |""".stripMargin).head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(1) == 2)   // grams: "a b c", "b c d"
     assert(r.getInt(2) == 32)  // 32 minhash slots
     assert(r.getLong(3) == 0L) // empty token set → zero signature
     assert(r.getInt(4) >= 1)   // 5 grams, window 4 → >= 1 fingerprint
+    val rs = r.getStruct(5)    // grams: a b, b a, a b, b a → top "a b" ×2
+    assert(rs.getLong(0) == 4L && rs.getLong(1) == 2L && rs.getLong(2) == 2L)
   }
 }

@@ -67,6 +67,7 @@ class SamplingSpec extends AnyFunSuite {
   }
 
   test("rejects NULL keys at runtime instead of silently bucketing them") {
+    import org.apache.spark.sql.functions._
     import spark.implicits._
     val d = Seq(Some(1L), None).toDF("doc_id")
     val ex = intercept[Exception] {
@@ -76,6 +77,12 @@ class SamplingSpec extends AnyFunSuite {
     // carries the user payload
     assert(ex.getMessage.contains("null key") || ex.getMessage.contains("NULL doc_id"),
       s"unexpected error: ${ex.getMessage}")
+    val ex2 = intercept[Exception] {
+      Sampling.hashSampleByStratum(
+        d.withColumn("stratum", lit("x")), "doc_id", col("stratum"), Map("x" -> 0.5))
+        .collect()
+    }
+    assert(ex2.getMessage.contains("NULL doc_id"), s"unexpected error: ${ex2.getMessage}")
   }
 
   test("rejects non-normalized fractions and split-column collisions") {
