@@ -151,6 +151,13 @@ object QueriesLlm {
     "lang_id" -> ((s, dir) =>
       langGuessed(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
+    // ── context-window chunking ([[TextAnalysis.chunkDocs]]): disjoint
+    // 50-token training chunks per doc, final partial kept; chunk content
+    // fingerprinted so the oracle hash-compares without shipping text ──
+    "chunk_docs" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(Tables.documents(s, dir))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // ── repetition stats ([[TextAnalysis.repetitionScores]]): per-doc
     // total/distinct 3-gram counts and the top gram's multiplicity in one
     // codegen'd map-side pass; the integer-only flag marks docs whose top
@@ -672,6 +679,27 @@ object QueriesLlm {
     "lang_id" ->
       s"""${langGuessCte()}
          |SELECT doc_id, lang_guess FROM l ORDER BY doc_id""".stripMargin,
+
+    // Chunk grid replay: same ceil-over-stride count, same 1-based slices,
+    // same md5-of-rejoined-tokens fingerprint.
+    "chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |n AS (
+         |  SELECT doc_id, w,
+         |         greatest(CAST(ceil(CAST(len(w) - 50 AS DOUBLE) / 50) AS INT), 0) + 1 AS nc
+         |  FROM t WHERE len(w) > 0
+         |),
+         |c AS (SELECT doc_id, w, unnest(range(nc)) AS chunk_idx FROM n),
+         |sel AS (
+         |  SELECT doc_id, chunk_idx,
+         |         w[chunk_idx * 50 + 1 : chunk_idx * 50 + 50] AS chunk
+         |  FROM c
+         |)
+         |SELECT doc_id, chunk_idx,
+         |       CAST(len(chunk) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(chunk, ' ')) AS chunk_fp
+         |FROM sel WHERE len(chunk) > 0
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // Replays the one-pass kernel with unnest + two group-bys over ORDERED
     // (non-distinct) grams; integer-only columns and flag.

@@ -46,6 +46,48 @@ object TextAnalysis {
         col("r.top_count").as("top_count"))
   }
 
+  /** Split each document's token stream into fixed-size training chunks
+    * (context-window packing, the stage between curation and tokenizer
+    * output): chunk i covers tokens [i*stride, i*stride + chunkTokens), the
+    * final partial chunk kept. `stride < chunkTokens` gives overlapping
+    * windows (the usual long-doc recipe); the default is disjoint packing.
+    * Output: one row per (doc, chunk) with the chunk index, its token
+    * count, and an md5 fingerprint of the re-joined tokens (so chunk
+    * content is hash-comparable without shipping the text twice).
+    *
+    * Scale shape: map-side transform + posexplode — no shuffle; rows fan
+    * out ~tokens/stride per doc, which is the point (chunks are the unit
+    * downstream). The per-doc lambda runs interpreted (Spark doesn't
+    * codegen HOFs) but does O(tokens) slice work per doc — explode cost
+    * dominates either way.
+    */
+  def chunkDocs(
+      docs: DataFrame,
+      chunkTokens: Int = 50,
+      stride: Int = 50,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && stride > 0,
+      s"chunkTokens and stride must be positive, got $chunkTokens/$stride")
+    val toks = tokens(col(textCol))
+    val nChunks = // ceil over the stride grid, but always >= 1 for non-empty docs
+      greatest(ceil((size(col("toks")) - lit(chunkTokens)).cast("double") / stride), lit(0.0))
+        .cast("int") + 1
+    docs.select(col(idCol), toks.as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(
+        col(idCol),
+        posexplode(transform(
+          sequence(lit(0), nChunks - 1),
+          i => slice(col("toks"), i * stride + 1, lit(chunkTokens)))))
+      .where(size(col("col")) > 0)
+      .select(
+        col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("col"))).as("chunk_fp"))
+  }
+
   /** BPE-ish lexer token count: alpha runs, digit runs, and single
     * non-alphanumeric marks (the common pre-tokenizer shape).
     */

@@ -40,6 +40,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) == "und")
   }
 
+  test("chunkDocs: disjoint chunks tile the stream; stride<chunk overlaps; partial final kept") {
+    val d = one((1 to 120).map(i => s"t$i").mkString(" "))
+    val disjoint = TextAnalysis.chunkDocs(d).orderBy("chunk_idx").collect()
+    assert(disjoint.map(_.getLong(2)).toSeq == Seq(50L, 50L, 20L))
+    assert(disjoint.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    // overlapping windows: starts 0/25/50/75 → sizes 50/50/50/45
+    val overlap = TextAnalysis.chunkDocs(d, chunkTokens = 50, stride = 25)
+      .orderBy("chunk_idx").collect()
+    assert(overlap.map(_.getLong(2)).toSeq == Seq(50L, 50L, 50L, 45L))
+    // shorter than one chunk → a single partial chunk
+    val short = TextAnalysis.chunkDocs(one("a b c")).collect()
+    assert(short.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 3L)))
+    // chunk fingerprint is the md5 of the re-joined token slice
+    assert(short.head.getString(3) ==
+      java.security.MessageDigest.getInstance("MD5").digest("a b c".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString)
+  }
+
   test("quality score is in [0,1] and penalizes punctuation soup") {
     val clean = "the cat sat on the mat and looked at the dog in the garden " * 4
     val soup = "!!! ??? *** $$$ %%% ### @@@ &&&"
