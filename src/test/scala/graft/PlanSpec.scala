@@ -64,6 +64,13 @@ class PlanSpec extends AnyFunSuite {
       "gram probe must be an equi-join")
   }
 
+  test("prepare_corpus: full pipeline plans equi-joins only, decon leg broadcasts") {
+    val p = plan("prepare_corpus")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the composed pipeline must stay equi-join end to end")
+    assert(p.contains("BroadcastHashJoin"), "eval gram index must broadcast in the decon leg")
+  }
+
   test("repetition stats: kernel participates in whole-stage codegen") {
     val cg = withAqeOff {
       SparkEntry.queries("repetition_stats")(spark, SfDir)
