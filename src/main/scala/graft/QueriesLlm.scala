@@ -76,6 +76,7 @@ object QueriesLlm {
   private val MhRows = MhK / MhBands
   private val WinnowN = 3 // gram width for winnowing fingerprints
   private val WinnowW = 4 // winnow window (selects ~2/(w+1) of grams)
+  private val ChunkTokens = 50 // chunk width AND stride (disjoint packing), passed to the query AND interpolated into the oracle
   private val MmFeatDim = 16 // stub feature-vector dimensionality
   private val MmFeatK = 3 // neighbors per query in mm_feature_knn
 
@@ -155,7 +156,8 @@ object QueriesLlm {
     // 50-token training chunks per doc, final partial kept; chunk content
     // fingerprinted so the oracle hash-compares without shipping text ──
     "chunk_docs" -> ((s, dir) =>
-      TextAnalysis.chunkDocs(Tables.documents(s, dir))
+      TextAnalysis.chunkDocs(
+        Tables.documents(s, dir), chunkTokens = ChunkTokens, stride = ChunkTokens)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
     // ── repetition stats ([[TextAnalysis.repetitionScores]]): per-doc
@@ -681,18 +683,20 @@ object QueriesLlm {
          |SELECT doc_id, lang_guess FROM l ORDER BY doc_id""".stripMargin,
 
     // Chunk grid replay: same ceil-over-stride count, same 1-based slices,
-    // same md5-of-rejoined-tokens fingerprint.
+    // same md5-of-rejoined-tokens fingerprint, same normalized-text guard
+    // (string_split('', ' ') is [''] in both engines — a len(w) check would
+    // pass phantom chunks).
     "chunk_docs" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents WHERE $norm <> ''),
          |n AS (
          |  SELECT doc_id, w,
-         |         greatest(CAST(ceil(CAST(len(w) - 50 AS DOUBLE) / 50) AS INT), 0) + 1 AS nc
-         |  FROM t WHERE len(w) > 0
+         |         greatest(CAST(ceil(CAST(len(w) - $ChunkTokens AS DOUBLE) / $ChunkTokens) AS INT), 0) + 1 AS nc
+         |  FROM t
          |),
          |c AS (SELECT doc_id, w, unnest(range(nc)) AS chunk_idx FROM n),
          |sel AS (
          |  SELECT doc_id, chunk_idx,
-         |         w[chunk_idx * 50 + 1 : chunk_idx * 50 + 50] AS chunk
+         |         w[chunk_idx * $ChunkTokens + 1 : chunk_idx * $ChunkTokens + $ChunkTokens] AS chunk
          |  FROM c
          |)
          |SELECT doc_id, chunk_idx,

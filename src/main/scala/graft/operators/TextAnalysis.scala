@@ -70,11 +70,14 @@ object TextAnalysis {
     require(chunkTokens > 0 && stride > 0,
       s"chunkTokens and stride must be positive, got $chunkTokens/$stride")
     val toks = tokens(col(textCol))
-    val nChunks = // ceil over the stride grid, but always >= 1 for non-empty docs
+    val nChunks = // ceil over the stride grid, always >= 1 once empty docs are gone
       greatest(ceil((size(col("toks")) - lit(chunkTokens)).cast("double") / stride), lit(0.0))
         .cast("int") + 1
-    docs.select(col(idCol), toks.as("toks"))
-      .where(size(col("toks")) > 0)
+    // guard on the normalized TEXT, not the token array: split("", " ") is
+    // [""] (size 1), so a size check lets empty/whitespace docs through as a
+    // phantom 1-token chunk of the empty string
+    docs.where(length(normalize(col(textCol))) > 0)
+      .select(col(idCol), toks.as("toks"))
       .select(
         col(idCol),
         posexplode(transform(

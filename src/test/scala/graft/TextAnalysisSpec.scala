@@ -56,6 +56,10 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(short.head.getString(3) ==
       java.security.MessageDigest.getInstance("MD5").digest("a b c".getBytes("UTF-8"))
         .map(b => f"${b & 0xff}%02x").mkString)
+    // empty / whitespace-only docs emit NO chunks (split("", " ") is [""],
+    // so a naive token-array size guard would pass a phantom 1-token chunk)
+    assert(TextAnalysis.chunkDocs(one("")).count() == 0L)
+    assert(TextAnalysis.chunkDocs(one("   ")).count() == 0L)
   }
 
   test("quality score is in [0,1] and penalizes punctuation soup") {
