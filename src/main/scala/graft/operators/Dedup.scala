@@ -128,8 +128,12 @@ object Dedup {
     * parameter because the fixture docs are short).
     *
     * Scale shape: the eval side is a benchmark — thousands of docs against
-    * a 100 TB corpus — so its distinct gram-hash set is BROADCAST and the
-    * probe is map-side; the only shuffle is the per-doc count aggregation.
+    * a 100 TB corpus — so its distinct gram-hash set is BROADCAST by
+    * default and the probe is map-side; the only shuffle is the per-doc
+    * count aggregation. For an eval side too big to broadcast (corpus-vs-
+    * corpus contamination, where the "eval" set is itself huge), pass
+    * `broadcastEval = false` to fall back to a shuffled equi-join on the
+    * gram hash — same result, one extra exchange.
     * Grams compare by their 32-bit md5 hash (the same key
     * [[ngramJaccardCandidates]] joins on): a collision can only ADD a
     * shared-gram count — for decontamination a rare false flag errs toward
@@ -141,6 +145,7 @@ object Dedup {
       evalDocs: DataFrame,
       minShared: Int = 2,
       n: Int = 3,
+      broadcastEval: Boolean = true,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     def gramHashes(d: DataFrame) =
@@ -150,7 +155,7 @@ object Dedup {
         .distinct() // grams are distinct per doc; this also collapses hash collisions
     val evalGrams = gramHashes(evalDocs).select(col("h")).distinct()
     gramHashes(docs)
-      .join(broadcast(evalGrams), "h")
+      .join(if (broadcastEval) broadcast(evalGrams) else evalGrams, "h")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)

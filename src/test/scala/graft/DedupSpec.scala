@@ -331,6 +331,10 @@ class DedupSpec extends AnyFunSuite {
       .where(col("n") >= 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hashed == viaStrings)
+    // the shuffled-join fallback (eval side too big to broadcast) agrees
+    val shuffled = Dedup.contaminationReport(training, evalSet, broadcastEval = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == hashed)
   }
 
   test("embedding cosine: identical vectors → 1.0, orthogonal excluded") {
