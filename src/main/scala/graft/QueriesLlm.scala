@@ -77,6 +77,13 @@ object QueriesLlm {
   private val WinnowN = 3 // gram width for winnowing fingerprints
   private val WinnowW = 4 // winnow window (selects ~2/(w+1) of grams)
   private val ChunkTokens = 50 // chunk width AND stride (disjoint packing), passed to the query AND interpolated into the oracle
+  // Word-gram width shared by the repetition/decontamination queries. The
+  // oracle gram CTEs are hand-written as TRIGRAMS (w[i] w[i+1] w[i+2]), so
+  // the constant is pinned — changing it requires rewriting those CTEs, and
+  // the require makes that a loud build failure instead of silent drift.
+  private val GramN = 3
+  require(GramN == 3, "oracle gram CTEs are written for trigrams; rewrite them before changing GramN")
+  private val DeconMinShared = 2 // shared-gram threshold, query AND oracle
   private val MmFeatDim = 16 // stub feature-vector dimensionality
   private val MmFeatK = 3 // neighbors per query in mm_feature_knn
 
@@ -165,7 +172,7 @@ object QueriesLlm {
     // codegen'd map-side pass; the integer-only flag marks docs whose top
     // gram covers >= 20% of all grams (boilerplate / generation loops) ──
     "repetition_stats" -> ((s, dir) =>
-      TextAnalysis.repetitionScores(Tables.documents(s, dir))
+      TextAnalysis.repetitionScores(Tables.documents(s, dir), n = GramN)
         .withColumn("is_repetitive", col("top_count") * 5 >= col("n_grams"))
         .orderBy(col("doc_id"))),
 
@@ -261,7 +268,8 @@ object QueriesLlm {
       val evalSet = docs.where(col("doc_id") % 50 === 0)
       val kept = Curation.curateCorpus(
         train, Dedup.ngramJaccardPairsViaMinhash(train, threshold = 0.3, bands = MhBands))
-      val flagged = Dedup.contaminationReport(train, evalSet).select(col("doc_id"))
+      val flagged = Dedup.contaminationReport(
+        train, evalSet, minShared = DeconMinShared, n = GramN).select(col("doc_id"))
       val clean = kept.join(flagged, Seq("doc_id"), "left_anti")
       Sampling.withHashSplit(
         clean, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -437,7 +445,8 @@ object QueriesLlm {
       val docs = Tables.documents(s, dir)
       Dedup.contaminationReport(
         docs.where(col("doc_id") % 50 =!= 0),
-        docs.where(col("doc_id") % 50 === 0))
+        docs.where(col("doc_id") % 50 === 0),
+        minShared = DeconMinShared, n = GramN)
         .orderBy(col("doc_id"))
     }),
 
@@ -822,7 +831,7 @@ object QueriesLlm {
          |trh AS (SELECT doc_id, unnest(hs) AS h FROM dh WHERE doc_id % 50 <> 0),
          |flagged AS (
          |  SELECT trh.doc_id FROM trh JOIN ev USING (h)
-         |  GROUP BY trh.doc_id HAVING count(*) >= 2
+         |  GROUP BY trh.doc_id HAVING count(*) >= $DeconMinShared
          |),
          |kept AS (
          |  SELECT s.doc_id FROM surv s JOIN reps r ON s.doc_id = r.rep
@@ -1075,7 +1084,7 @@ object QueriesLlm {
          |tr AS (SELECT doc_id, unnest(hs) AS h FROM h WHERE doc_id % 50 <> 0)
          |SELECT tr.doc_id, count(*) AS n_shared
          |FROM tr JOIN e USING (h)
-         |GROUP BY tr.doc_id HAVING count(*) >= 2
+         |GROUP BY tr.doc_id HAVING count(*) >= $DeconMinShared
          |ORDER BY tr.doc_id""".stripMargin,
 
     // Corpus mixing — lang-ID guess as the stratum, en thinned to 0.25 via

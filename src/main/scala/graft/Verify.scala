@@ -24,7 +24,8 @@ object Verify {
     // verify skill note.)
     val root = new java.io.File(outDir)
     def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
+      // listFiles() is null (not empty) for unreadable/racing dirs
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()
     }
     if (root.exists()) rm(root)

@@ -229,6 +229,7 @@ object TextKernels {
 
   /** Codegen'd distinct word n-grams: array<string> tokens → array<string>. */
   case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+    require(n > 0, s"graft_shingles: gram width must be positive, got $n")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult =
       requireStringArray(prettyName, child.dataType)
@@ -276,6 +277,7 @@ object TextKernels {
     * of distinct selected gram-hash minima, ascending.
     */
   case class WinnowFingerprints(child: Expression, n: Int, w: Int) extends UnaryExpression {
+    require(n > 0 && w > 0, s"graft_winnow: gram width and window must be positive, got $n/$w")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult =
       requireStringArray(prettyName, child.dataType)
@@ -293,6 +295,7 @@ object TextKernels {
     * struct<n_grams, n_distinct, top_count> (all long).
     */
   case class RepetitionStats(child: Expression, n: Int) extends UnaryExpression {
+    require(n > 0, s"graft_repstats: gram width must be positive, got $n")
     override def dataType: DataType = StructType(Seq(
       StructField("n_grams", LongType, nullable = false),
       StructField("n_distinct", LongType, nullable = false),
