@@ -261,7 +261,13 @@ object QueriesLlm {
     // contaminated by the eval set (broadcast gram-index anti-join), then
     // assign deterministic train/val/test hash splits. Every stage is an
     // operator exercised alone elsewhere; this is their composition — the
-    // query a real corpus actually runs ──
+    // query a real corpus actually runs.
+    // At-scale note: declared as one lazy plan, the tokenize/shingle scan
+    // is recomputed per leg (MinHash index, Jaccard verify, decon probe) —
+    // free at sf0.1, but at 100 TB persist Dedup.shingles(train) (or
+    // checkpoint the curated frame) so the corpus is read once per
+    // materialization, not once per leg; the operators all accept the
+    // cached frame unchanged ──
     "prepare_corpus" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val train = docs.where(col("doc_id") % 50 =!= 0)
