@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver json.loads the bench's final stdout line verbatim; sbt's
+// default LoggedOutput "[info] " prefix and the "[success] Total time"
+// banner both corrupt it (BENCH_r01–r04 all record parsed:null). Forward
+// the forked JVM's streams raw and drop the banner so the JSON line is
+// the last bytes on stdout.
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // The Hive suite needs spark.sql.catalogImplementation=hive — a STATIC conf
 // fixed by the first SparkSession of a JVM — so it runs in its own forked
 // JVM, apart from the shared in-memory-catalog SparkTestSession. sbt's

@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query at SPARK_GRAFT_SF_DIR,
@@ -61,16 +63,25 @@ object Bench {
       // min of two consecutive runs; a failure (-1) on either run is LOUD
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // A failed query must be LOUD: it is excluded from `total` (marked -1 in
     // `queries`), so without the failure count + nonzero exit a regression
     // would read as a faster run.
     val failed = results.collect { case (n, v) if v < 0 => n }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":${failed.size},"failed":$failedJson}""")
+    def line(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failures":${failed.size},"failed":$failedJson}"""
+    }
+    // Full precision to a repo-local file (survives any stdout truncation)…
+    scala.util.Try(Files.writeString(Paths.get("BENCH_DETAIL.json"), line(_.toString) + "\n"))
     spark.stop()
+    // …and a 3-decimal line as the LAST stdout bytes: the driver captures a
+    // 2000-char tail and json.loads the final line, so this must stay short
+    // (~1.7 KB at 70 queries) and nothing may print after it (log level is
+    // WARN; shutdown hooks are silent at that level).
+    println(line(v => f"$v%.3f"))
     if (failed.nonEmpty) sys.exit(1)
   }
 }
