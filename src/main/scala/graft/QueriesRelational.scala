@@ -669,7 +669,7 @@ object QueriesRelational {
     "json_typed_agg" ->
       """WITH e AS (
         |  SELECT event_type,
-        |         CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+        |         TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
         |  FROM events
         |)
         |SELECT event_type, count(*) AS n,

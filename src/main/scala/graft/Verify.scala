@@ -28,7 +28,17 @@ object Verify {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()
     }
-    if (root.exists()) rm(root)
+    // Wipe guard: a swapped/mistyped CLI arg must not erase an arbitrary
+    // tree. Deleting is allowed only when the target is (a) empty, (b) a
+    // previous dump (carries oracle_sql.json), or (c) under a target/ dir.
+    if (root.exists()) {
+      val entries = Option(root.listFiles()).getOrElse(Array.empty)
+      val isPriorDump = entries.exists(_.getName == "oracle_sql.json")
+      val underTarget = root.getAbsolutePath.split('/').contains("target")
+      require(entries.isEmpty || isPriorDump || underTarget,
+        s"refusing to wipe $outDir: non-empty, not under target/, and not a previous verify dump")
+      rm(root)
+    }
     root.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

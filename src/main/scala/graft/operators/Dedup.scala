@@ -316,12 +316,19 @@ object Dedup {
     val k = MinhashSeeds.size
     require(k % bands == 0, s"bands ($bands) must divide the signature size ($k)")
     val rows = k / bands
-    sigs.select(
+    val banded = sigs.select(
       col("*"),
       posexplode(
         array((0 until bands).map(b =>
           concat_ws(",", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)): _*))
         .as(Seq("band", "band_key")))
+    // Stamp the geometry on the band column (metadata survives parquet
+    // round-trips) so consumers joining a persisted index can verify their
+    // own band count matches how the index was built — a silent mismatch
+    // would produce keys that never match and let duplicates through.
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.bands", bands.toLong).build()
+    banded.withColumn("band", col("band").as("band", meta))
   }
 
   /** Banded candidate pairs from precomputed signatures: docs sharing any
@@ -443,9 +450,19 @@ object Dedup {
     * localCheckpoint, so the round's own convergence action is the one job
     * that computes, caches, and truncates — no separate materialization
     * action per round.
+    *
+    * Note `setCheckpointDir` is SESSION-GLOBAL state: it is only touched
+    * when the requested dir differs from the current one, and the setting
+    * outlives this call. Concurrent components runs in one session must
+    * therefore share a single checkpoint dir (safe — each checkpointed RDD
+    * gets a unique subdirectory); racing two runs with DIFFERENT dirs is
+    * unsupported and would leave whichever dir was set last.
     */
   private def durableBy(anchor: DataFrame, checkpointDir: Option[String]): DataFrame => DataFrame = {
-    checkpointDir.foreach(anchor.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach { dir =>
+      val sc = anchor.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+    }
     df => checkpointDir match {
       case Some(_) =>
         df.persist()

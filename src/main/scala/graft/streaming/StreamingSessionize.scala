@@ -196,6 +196,15 @@ object StreamingSessionize {
     import graft.operators.TextAnalysis
     TextKernels.register(stream.sparkSession)
     val k = graft.operators.Dedup.MinhashSeeds.size
+    // The index carries its band geometry as column metadata
+    // ([[graft.operators.Dedup.withBandKeys]]); a probe banded differently
+    // would silently never match, so a detectable mismatch is fatal.
+    if (corpusIndex.schema.fieldNames.contains("band")) {
+      val m = corpusIndex.schema("band").metadata
+      if (m.contains("graft.bands"))
+        require(m.getLong("graft.bands") == bands.toLong,
+          s"corpusIndex was banded with bands=${m.getLong("graft.bands")} but nearDupIngest was asked to probe with bands=$bands")
+    }
     val corpusBanded = corpusIndex
     // signatures built inline (not via Dedup.minhashSignatures) so the
     // event-time column survives for the watermark + duplicate suppressor

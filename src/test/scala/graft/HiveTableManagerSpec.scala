@@ -26,9 +26,16 @@ object HiveTestSession {
     }
   }
 
+  // Checkout-relative (the forked test JVM's cwd is the project root):
+  // hardcoded absolute paths would break the suite on any other checkout.
+  private val warehouseDir =
+    new java.io.File("target/hive-test-warehouse").getAbsolutePath
+  private val metastoreDir =
+    new java.io.File("target/hive-test-metastore").getAbsolutePath
+
   lazy val spark: SparkSession = {
-    wipe("/root/repo/target/hive-test-warehouse")
-    wipe("/root/repo/target/hive-test-metastore")
+    wipe(warehouseDir)
+    wipe(metastoreDir)
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-hive-test")
@@ -36,10 +43,10 @@ object HiveTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      .config("spark.sql.warehouse.dir", "/root/repo/target/hive-test-warehouse")
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config(
         "javax.jdo.option.ConnectionURL",
-        "jdbc:derby:;databaseName=/root/repo/target/hive-test-metastore;create=true")
+        s"jdbc:derby:;databaseName=$metastoreDir;create=true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
