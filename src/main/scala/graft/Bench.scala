@@ -57,9 +57,20 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // Between timed runs: drop any cache the previous query left behind and
+    // nudge the ContextCleaner (localCheckpoint blocks are freed only when
+    // the driver GC collects the dead RDD). BENCH_r04's 2.5× swing on
+    // dedup_embedding_cosine_lsh (12.2 s recorded vs 5.0 s isolated, code
+    // unchanged) was exactly this neighbor-garbage class.
+    def quiesce(): Unit = {
+      spark.sqlContext.clearCache()
+      System.gc()
+    }
     val results = names.map { n =>
       val a = materialize(n)
+      quiesce()
       val b = materialize(n)
+      quiesce()
       // min of two consecutive runs; a failure (-1) on either run is LOUD
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }

@@ -420,6 +420,9 @@ object Dedup {
         .withColumn("comp", col("node")))
     var round = 0
     var converged = false
+    // the durable frame backing `labels`: superseded rounds are unpersisted
+    // so executor memory holds at most two rounds of labels, not O(rounds)
+    var backing = labels
     while (!converged && round < maxRounds) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("node", "dst").select(col("dst"), col("comp")), "dst")
@@ -435,11 +438,19 @@ object Dedup {
       val nChanged = next
         .agg(count(when(col("comp") =!= col("prev_comp"), lit(1))))
         .first().getLong(0)
+      // the full-shuffle action above materialized `next`; the previous
+      // round's blocks are dead (its lineage is truncated, so it must NOT
+      // be unpersisted any earlier than this)
+      backing.unpersist()
+      backing = next
       converged = nChanged == 0L
       labels = next.select(col("node"), col("comp"))
       round += 1
     }
     require(converged, s"components did not converge in $maxRounds rounds")
+    // the result's lineage stops at the checkpointed labels, so the edge
+    // frame's blocks are no longer reachable from it
+    edges.unpersist()
     (labels.select(col("node").as(idCol), col("comp").as("component_id")), round)
   }
 
@@ -548,6 +559,11 @@ object Dedup {
         .agg(sum(col("side")).as("s"))
         .where(col("s") =!= 0)
         .isEmpty
+      // the equality check's map side read BOTH frames in full, so `next`
+      // is materialized and the superseded round's blocks can be dropped
+      // (never earlier — its lineage is truncated); the final round stays
+      // persisted for the closing join
+      edges.unpersist()
       edges = next
       round += 1
     }
