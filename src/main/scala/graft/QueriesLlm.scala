@@ -77,6 +77,8 @@ object QueriesLlm {
   private val WinnowN = 3 // gram width for winnowing fingerprints
   private val WinnowW = 4 // winnow window (selects ~2/(w+1) of grams)
   private val ChunkTokens = 50 // chunk width AND stride (disjoint packing), passed to the query AND interpolated into the oracle
+  private val PackBudget = 256 // sequence token budget for pack_sequences, query AND oracle
+  private val PackShards = 8 // independent packing streams, query AND oracle
   // Word-gram width shared by the repetition/decontamination queries. The
   // oracle gram CTEs are hand-written as TRIGRAMS (w[i] w[i+1] w[i+2]), so
   // the constant is pinned — changing it requires rewriting those CTEs, and
@@ -348,6 +350,53 @@ object QueriesLlm {
         idCol = "vec_id", aCol = "vec_a", bCol = "vec_b")
         .orderBy(col("vec_id"))
     }),
+
+    // ── per-label embedding centroids: ONE aggregation pass through the
+    // custom graft_vec_sum TypedImperativeAggregate (8·dim bytes per group
+    // through the shuffle; the built-in route would posexplode n·dim rows).
+    // Exploded to (label, pos, centroid) rows for the oracle compare ──
+    "label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir))
+        .select(
+          col("label").cast("long").as("label"), col("n"),
+          posexplode(col("centroid")).as(Seq("pos", "v")))
+        .select(
+          col("label"), col("pos").cast("long").as("pos"), col("n"),
+          round(col("v"), 6).as("centroid"))
+        .orderBy(col("label"), col("pos"))),
+
+    // ── nearest-centroid assignment (k-means E-step / cluster audit):
+    // centroids from the one-pass aggregate, broadcast against the corpus,
+    // |labels| codegen'd dots per vector, map-side ──
+    "centroid_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.centroidAssign(emb, Similarity.labelCentroids(emb))
+        .select(
+          col("vec_id"), col("label").cast("long").as("label"),
+          col("assigned_label").cast("long").as("assigned_label"),
+          col("cosine"), col("is_own"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ── hard-negative mining for contrastive training: top-5 most similar
+    // OTHER-label vectors per query — the label anti-predicate is fused
+    // into the broadcast join, excluded pairs never materialize ──
+    "hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb.where(col("vec_id") < 10), emb, k = 5)
+        .select(
+          col("query_id"), col("query_label").cast("long").as("query_label"),
+          col("neighbor_id"), col("neighbor_label").cast("long").as("neighbor_label"),
+          col("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── context-window sequence packing (concat-and-chunk): md5-sharded
+    // independent token streams, cut every PackBudget tokens; layout is a
+    // pure function of (doc ids, token counts) — see operators/Packing ──
+    "pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(Tables.documents(s, dir), PackBudget, PackShards)
+        .orderBy(col("doc_id"))),
 
     // ── similarity: LSH-bucketed approximate KNN (scale path; deterministic
     // md5-derived hyperplanes → the DuckDB oracle recomputes the buckets) ──
@@ -946,6 +995,72 @@ object QueriesLlm {
         |)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Centroids replayed by unnest + generate_subscripts: per-(label,
+    // position) mean; round(6) absorbs cross-engine summation-order noise
+    // (Spark merges partials in shuffle-fetch order, DuckDB scans in row
+    // order — both double-precision over ≤ shard-sized groups).
+    "label_centroids" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+        |SELECT label, CAST(pos - 1 AS BIGINT) AS pos, count(*) AS n,
+        |       round(sum(x) / count(*), 6) AS centroid
+        |FROM u GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "centroid_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        |cp AS (SELECT label AS c_label, pos, sum(x) / count(*) AS cv FROM u GROUP BY label, pos),
+        |c AS (SELECT c_label, list(cv ORDER BY pos) AS cvec FROM cp GROUP BY c_label),
+        |n AS (SELECT vec_id, label, v, sqrt(list_sum([x * x for x in v])) AS vn FROM e),
+        |cn AS (SELECT c_label, cvec, sqrt(list_sum([x * x for x in cvec])) AS cnrm FROM c),
+        |p AS (
+        |  SELECT n.vec_id, n.label, cn.c_label,
+        |         list_sum([n.v[i] * cn.cvec[i] for i in range(1, len(n.v) + 1)]) / (n.vn * cn.cnrm) AS cos
+        |  FROM n CROSS JOIN cn
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rn FROM p
+        |)
+        |SELECT vec_id, label, c_label AS assigned_label, round(cos, 6) AS cosine,
+        |       CAST(label = c_label AS INT) AS is_own
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, q.label AS query_label,
+        |         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        |         list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)]) / (q.nrm * c.nrm) AS cos
+        |  FROM n q JOIN n c ON q.vec_id < 10 AND q.label != c.label
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM p
+        |)
+        |SELECT query_id, query_label, neighbor_id, neighbor_label,
+        |       round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Packing layout replayed from the same md5 shard + normalized-token
+    // count; the phantom-token guard (CASE length=0) mirrors Packing exactly.
+    "pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $PackShards AS shard,
+         |         CASE WHEN length($norm) = 0 THEN 0 ELSE len($toksSql) END AS n_tokens
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |         COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |  FROM t WHERE n_tokens > 0
+         |)
+         |SELECT doc_id, shard, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+         |       CAST(floor(start_tok / $PackBudget) AS BIGINT) AS seq_in_shard,
+         |       CAST(start_tok % $PackBudget AS BIGINT) AS offset_in_seq,
+         |       CAST(floor((start_tok + n_tokens - 1) / $PackBudget)
+         |            - floor(start_tok / $PackBudget) + 1 AS BIGINT) AS n_seqs
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -11,8 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
   * }}}
   *
-  * makes `graft_dot`, `graft_shingles`, `graft_minhash`, `graft_simhash60`,
-  * `graft_winnow` and `graft_repstats` available to every session (SQL
+  * makes `graft_dot`, `graft_vec_sum`, `graft_shingles`, `graft_minhash`,
+  * `graft_simhash60`, `graft_winnow` and `graft_repstats` available to every session (SQL
   * included) without any library call. The operators themselves still lazily register via
   * [[VectorFunctions.register]]/[[TextKernels.register]] so plain sessions
   * (Verify, Bench, tests, notebooks) keep working; this class is the
@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(0),
         TextKernels.intArg("graft_winnow", 1, exprs(1)),
         TextKernels.intArg("graft_winnow", 2, exprs(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_sum"),
+      info("graft_vec_sum", "graft_vec_sum(v) - element-wise sum aggregate over array<double>"),
+      (exprs: Seq[Expression]) => VectorSumAgg(exprs(0))))
     ext.injectFunction((
       FunctionIdentifier("graft_repstats"),
       info("graft_repstats",

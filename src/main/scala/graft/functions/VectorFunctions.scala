@@ -1,10 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -75,18 +77,123 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "graft_dot"
 }
 
+/** Element-wise sum aggregate over an `array<double>` column — the
+  * embedding-centroid workhorse (`centroid = vec_sum(v) / count`).
+  *
+  * Without it, per-group vector averaging needs `posexplode` → n·dim rows
+  * through the shuffle → per-(group, position) agg → re-collect, i.e. a
+  * 64× row blow-up on 64-dim embeddings. This aggregate keeps ONE
+  * dim-length double buffer per group per task: the map-side partial is a
+  * single array, what crosses the shuffle per group is `8·dim` bytes, and
+  * merge order cannot change the row count — the standard
+  * `TypedImperativeAggregate` shape Spark uses for its own sketches.
+  *
+  * Null input vectors are skipped (contribute nothing); an all-null/empty
+  * group evaluates to null. Mismatched vector lengths THROW — same strict
+  * contract as [[DotProduct]], a ragged corpus must not silently fold into
+  * a wrong-dimension centroid. Summation order across rows is runtime
+  * partition/merge order, so double rounding noise (~1e-15 relative) is
+  * possible run-to-run — consumers comparing against an oracle follow the
+  * repo-wide `round(·, 6)` discipline.
+  */
+case class VectorSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_vec_sum requires array<double>, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  private def addInto(buf: Array[Double], arr: ArrayData): Array[Double] = {
+    val n = arr.numElements()
+    if (buf.isEmpty) {
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = arr.getDouble(i); i += 1 }
+      out
+    } else {
+      if (buf.length != n) {
+        throw new IllegalArgumentException(
+          s"graft_vec_sum: mismatched vector lengths ${buf.length} vs $n")
+      }
+      var i = 0
+      while (i < n) { buf(i) += arr.getDouble(i); i += 1 }
+      buf
+    }
+  }
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) buffer else addInto(buffer, v.asInstanceOf[ArrayData])
+  }
+
+  override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] =
+    if (other.isEmpty) buffer
+    else if (buffer.isEmpty) other
+    else {
+      if (buffer.length != other.length) {
+        throw new IllegalArgumentException(
+          s"graft_vec_sum: mismatched vector lengths ${buffer.length} vs ${other.length}")
+      }
+      var i = 0
+      while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+      buffer
+    }
+
+  override def eval(buffer: Array[Double]): Any =
+    if (buffer.isEmpty) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Double](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren(0))
+  override def prettyName: String = "graft_vec_sum"
+}
+
 object VectorFunctions {
 
   /** Register `graft_dot` on the given session's function registry
     * (idempotent). Operators call this lazily so any session — the driver's,
     * Verify's, Bench's, a test's — can run them without special setup.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_sum", exprs => VectorSumAgg(exprs(0)), "scala_udf")
+  }
 
   /** Codegen'd dot product (requires [[register]] on the session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Element-wise vector-sum aggregate (requires [[register]]). */
+  def vecSum(v: Column): Column = call_function("graft_vec_sum", v)
 
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
     * unsigned first-8-hex-chars of md5("&lt;plane&gt;_&lt;dim&gt;") / 2^32 - 0.5.

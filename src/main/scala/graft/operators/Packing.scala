@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Context-window sequence packing — the concat-and-chunk step that turns a
+  * curated corpus into fixed-length training sequences: documents are laid
+  * end to end in a deterministic order and the token stream is cut every
+  * `budgetTokens` tokens, so every sequence is exactly full (documents may
+  * span a cut; the trainer masks across the boundary).
+  *
+  * Scale design: a single global layout would need one total order over the
+  * corpus — a global sort plus a single-partition running sum, the classic
+  * driver-shaped bottleneck. Instead documents are first assigned to
+  * `nShards` INDEPENDENT streams by md5 hash of their id (the same
+  * engine-neutral idiom as [[Sampling.hashUniform]], so DuckDB replays it),
+  * and the running sum is a window per shard: `nShards` sized to the
+  * cluster bounds every window partition to ~corpus/nShards tokens, all
+  * shards pack in parallel, and a document keeps its (shard, sequence,
+  * offset) forever as the corpus grows shard counts stay fixed. Layout is a
+  * pure function of (ids, token counts) — stable across runs, partitionings,
+  * and engines, the reproducibility a training run needs to resume mid-epoch.
+  *
+  * Beyond-reference extension (the reference has no training-prep surface);
+  * sibling of [[TextAnalysis.chunkDocs]], which cuts WITHIN a document while
+  * this packs ACROSS documents.
+  */
+object Packing {
+
+  /** Deterministic shard id in [0, nShards): first 8 md5 hex digits of the
+    * key's string form, taken mod `nShards`. Engine-neutral (DuckDB:
+    * `('0x' || substr(md5(key), 1, 8))::BIGINT % n`).
+    */
+  def hashShard(key: Column, nShards: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % nShards
+
+  /** Pack documents into `budgetTokens`-token training sequences within
+    * md5-assigned shards. Output, one row per contributing document:
+    *
+    *  - `shard` — which independent token stream the doc landed in
+    *  - `n_tokens` — whitespace token count of the normalized text
+    *  - `start_tok` — the doc's first-token position in its shard's stream
+    *  - `seq_in_shard` — index of the sequence its first token falls in
+    *  - `offset_in_seq` — position within that sequence
+    *  - `n_seqs` — how many sequences the doc touches (≥ 2 iff it spans cuts)
+    *
+    * Documents whose normalized text is empty are dropped — they contribute
+    * no tokens, and `split("", " ")` would otherwise count a phantom token
+    * (the chunkDocs bug class; see EdgeCasesSpec).
+    */
+  def packSequences(
+      docs: DataFrame,
+      budgetTokens: Int,
+      nShards: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val normLen = length(TextAnalysis.normalize(col(textCol)))
+    val nToks = when(normLen === 0, lit(0L))
+      .otherwise(size(TextAnalysis.tokens(col(textCol))).cast("long"))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = lit(budgetTokens.toLong)
+    docs
+      .select(
+        col(idCol),
+        hashShard(col(idCol), nShards).as("shard"),
+        nToks.as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer-exact floor division both engines agree on: values stay far
+      // below 2^53, so the double round-trip in floor(x / b) is lossless
+      .withColumn("seq_in_shard", floor(col("start_tok") / b))
+      .withColumn("offset_in_seq", col("start_tok") % b)
+      .withColumn(
+        "n_seqs",
+        floor((col("start_tok") + col("n_tokens") - lit(1L)) / b) - col("seq_in_shard") + lit(1L))
+  }
+}

@@ -88,6 +88,102 @@ object Similarity {
         round(col("cos"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Per-label embedding centroids in ONE aggregation pass via the
+    * [[graft.functions.VectorSumAgg]] custom aggregate: the map-side partial
+    * per (task, label) is a single dim-length buffer and the shuffle carries
+    * `8·dim` bytes per group — against the only built-in route (posexplode →
+    * n·dim rows shuffled → per-(label, position) agg → re-collect), a 64×
+    * row reduction on 64-dim vectors. At 100 TB this is the difference
+    * between a label-count-sized shuffle and re-shuffling the corpus.
+    *
+    * Output: (labelCol, centroid array<double>, n). Groups whose vectors are
+    * all null get a null centroid (the aggregate's contract).
+    */
+  def labelCentroids(
+      vectors: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    vectors.groupBy(col(labelCol))
+      .agg(
+        VectorFunctions.vecSum(asDouble(col(vecCol))).as("vsum"),
+        count(col(vecCol)).as("n"))
+      .select(
+        col(labelCol),
+        transform(col("vsum"), x => x / col("n")).as("centroid"),
+        col("n"))
+  }
+
+  /** Nearest-centroid assignment (one k-means E-step / cluster-quality
+    * audit): every vector against every label centroid, keep the best by
+    * cosine. The centroid side is tiny (one row per label) and BROADCAST —
+    * per-vector cost is `|labels|` codegen'd dot products, map-side, no
+    * shuffle of the corpus. Deterministic tie-break on centroid label keeps
+    * it oracle-replayable.
+    *
+    * Output: (idCol, labelCol, assigned_label, cosine, is_own) — `is_own`
+    * flags vectors whose nearest centroid is their own label's (its
+    * complement is the cluster-confusion set SemDeDup-style pipelines
+    * inspect).
+    */
+  def centroidAssign(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val v = vectors
+      .select(col(idCol), col(labelCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", sqrt(dot(col("v"), col("v"))))
+    val c = centroids
+      .select(col(labelCol).as("c_label"), col("centroid").as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cos").desc, col("c_label"))
+    v.join(broadcast(c))
+      .withColumn("cos", dot(col("v"), col("cv")) / (col("vn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(
+        col(idCol), col(labelCol),
+        col("c_label").as("assigned_label"),
+        round(col("cos"), 6).as("cosine"),
+        (col(labelCol) === col("c_label")).cast("int").as("is_own"))
+  }
+
+  /** Hard-negative mining for contrastive training: each query's top-k most
+    * similar vectors whose label DIFFERS from the query's — the examples a
+    * retrieval/embedding model most needs to learn to push apart. Same
+    * broadcast + codegen'd-dot plan as [[bruteForceKnn]] with the label
+    * anti-predicate fused into the join condition, so excluded pairs never
+    * materialize.
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(labelCol).as("query_label"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_label") =!= col("neighbor_label"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(
+        col("query_id"), col("query_label"), col("neighbor_id"), col("neighbor_label"),
+        round(col("cos"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   /** EXACT embedding near-duplicate pairs: cosine >= threshold, vec_a < vec_b.
     * All-pairs by definition (exactness at a loose threshold admits no
     * lossless sublinear filter for dense vectors) — use as the ground-truth /

@@ -27,4 +27,12 @@ class ExtensionsSpec extends AnyFunSuite {
     val rs = r.getStruct(5)    // grams: a b, b a, a b, b a → top "a b" ×2
     assert(rs.getLong(0) == 4L && rs.getLong(1) == 2L && rs.getLong(2) == 2L)
   }
+
+  test("the vec_sum aggregate is injected too") {
+    val s = spark.sql(
+      """SELECT graft_vec_sum(v) AS s
+        |FROM VALUES (array(1.0d, 2.0d)), (array(3.0d, 4.0d)) AS t(v)""".stripMargin)
+      .head().getAs[collection.Seq[Double]](0)
+    assert(s == Seq(4.0, 6.0))
+  }
 }

@@ -92,4 +92,87 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(b1 == b2)
   }
+
+  test("vec_sum: element-wise sum, nulls skipped, all-null group null, ragged throws") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq(
+      (0, Option(Array(1.0, 2.0))),
+      (0, Option(Array(3.0, 4.5))),
+      (0, Option.empty[Array[Double]]),
+      (1, Option.empty[Array[Double]])
+    ).toDF("g", "v")
+    val out = df.groupBy("g")
+      .agg(graft.functions.VectorFunctions.vecSum(col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> Option(r.getAs[Seq[Double]]("s"))).toMap
+    assert(out(0).contains(Seq(4.0, 6.5)))
+    assert(out(1).isEmpty)
+    val ragged = Seq((0, Array(1.0)), (0, Array(1.0, 2.0))).toDF("g", "v")
+    val ex = intercept[Exception] {
+      ragged.groupBy("g")
+        .agg(graft.functions.VectorFunctions.vecSum(col("v"))).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("mismatched vector lengths")))
+  }
+
+  test("labelCentroids matches the naive posexplode route") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val fast = Similarity.labelCentroids(emb).collect()
+      .map(r => r.getInt(0) -> r.getAs[collection.Seq[Double]]("centroid")).toMap
+    val naive = emb
+      .select(col("label"), posexplode(transform(col("embedding"), _.cast("double"))))
+      .groupBy("label", "pos").agg(avg("col").as("c"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (l, rs) => l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+    assert(fast.keySet == naive.keySet)
+    fast.foreach { case (l, c) =>
+      c.zip(naive(l)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
+  test("centroid assignment picks the true nearest centroid; clean clusters are is_own") {
+    import spark.implicits._
+    // two orthogonal clusters + one mislabeled vector
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.1f, 0.0f)),
+      (1L, 0, Array(0.9f, 0.0f, 0.1f)),
+      (2L, 1, Array(0.0f, 1.0f, 0.1f)),
+      (3L, 1, Array(0.1f, 0.9f, 0.0f)),
+      (4L, 1, Array(1.0f, 0.0f, 0.0f)) // labeled 1, sits in cluster 0
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity
+      .centroidAssign(vecs, Similarity.labelCentroids(vecs))
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getInt(4))).toMap
+    assert(out(0) == (0, 1) && out(1) == (0, 1))
+    assert(out(2) == (1, 1) && out(3) == (1, 1))
+    assert(out(4)._1 == 0 && out(4)._2 == 0, "mislabeled vector must assign to the other centroid")
+  }
+
+  test("hard negatives: top-k other-label neighbors, never the query's own label") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val q = emb.where(col("vec_id") < 3)
+    val out = Similarity.hardNegatives(q, emb, k = 4).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getInt(1) != r.getInt(3), "a hard negative must differ in label"))
+    // per query: exactly k rows, cosines non-increasing by rank
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.length == 4)
+      val byRank = rs.sortBy(_.getLong(5)).map(_.getDouble(4))
+      assert(byRank.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    // cross-check rank-1 against a collect-side filter of the full knn domain
+    val all = Similarity.bruteForceKnn(q, emb, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.filter(_.getLong(5) == 1L).foreach { r =>
+      val qid = r.getLong(0)
+      val best = all.collect {
+        case ((q2, n), cos) if q2 == qid && labels(n) != labels(qid) => cos
+      }.max
+      assert(math.abs(best - r.getDouble(4)) < 1e-9)
+    }
+  }
 }
