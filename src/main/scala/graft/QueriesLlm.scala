@@ -88,6 +88,54 @@ object QueriesLlm {
   private val DeconMinShared = 2 // shared-gram threshold, query AND oracle
   private val MmFeatDim = 16 // stub feature-vector dimensionality
   private val MmFeatK = 3 // neighbors per query in mm_feature_knn
+  private val KmK = 4 // kmeans_clusters cluster count, query AND oracle
+  private val KmIters = 3 // kmeans_clusters Lloyd iterations, query AND oracle
+
+  /** The kmeans_clusters oracle, UNROLLED: one (assign, recompute) CTE pair
+    * per Lloyd iteration, generated from the same (k, iters) constants the
+    * query passes to [[Similarity.kmeans]]. Each M-step rounds centroid
+    * components to 6 decimals exactly as the engine does — that per-iteration
+    * quantization is what keeps two engines' order-sensitive float sums from
+    * compounding into divergent assignments (see Similarity.kmeans Scaladoc).
+    */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    def assignFrom(cents: String): String =
+      s"""  SELECT vec_id, v, cluster, cos FROM (
+         |    SELECT vec_id, v, cluster, cos,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rn
+         |    FROM (
+         |      SELECT e.vec_id, e.v, $cents.cluster,
+         |             list_sum([e.v[i] * $cents.c[i] for i in range(1, len(e.v) + 1)])
+         |               / (e.vn * sqrt(list_sum([x * x for x in $cents.c]))) AS cos
+         |      FROM e CROSS JOIN $cents
+         |    )
+         |  ) WHERE rn = 1""".stripMargin
+    val head =
+      s"""WITH eraw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS r FROM embeddings),
+         |en AS (SELECT vec_id, r, sqrt(list_sum([x * x for x in r])) AS rn FROM eraw),
+         |e0 AS (SELECT vec_id, [x / rn for x in r] AS v FROM en WHERE rn > 0),
+         |e AS (SELECT vec_id, v, sqrt(list_sum([y * y for y in v])) AS vn FROM e0),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster, v AS c
+         |  FROM e QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= $k
+         |)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""a$t AS (
+         |${assignFrom(s"c${t - 1}")}
+         |),
+         |p$t AS (SELECT cluster, v, unnest(generate_series(1, len(v))) AS i FROM a$t),
+         |c$t AS (
+         |  SELECT cluster, list(m ORDER BY i) AS c FROM (
+         |    SELECT cluster, i, round(avg(v[i]), 6) AS m FROM p$t GROUP BY cluster, i
+         |  ) GROUP BY cluster
+         |)""".stripMargin
+    }
+    (Seq(head) ++ rounds).mkString(",\n") +
+      s"""
+         |SELECT vec_id, cluster, round(cos, 6) AS cosine FROM (
+         |${assignFrom(s"c$iters")}
+         |) ORDER BY vec_id""".stripMargin
+  }
 
   /** MinHash signature + band-candidate CTEs, shared by the LSH oracles;
     * expects a `(doc_id, g)` grams relation named `src` in scope
@@ -378,6 +426,14 @@ object QueriesLlm {
         .orderBy(col("vec_id"))
     }),
 
+    // ── deterministic spherical k-means: md5-ordered seeds, fixed
+    // iterations, per-iteration 6-decimal centroid quantization — the
+    // quantization is what lets DuckDB replay an ITERATIVE algorithm
+    // exactly (see Similarity.kmeans) ──
+    "kmeans_clusters" -> ((s, dir) =>
+      Similarity.kmeans(Tables.embeddings(s, dir), KmK, KmIters)
+        .orderBy(col("vec_id"))),
+
     // ── hard-negative mining for contrastive training: top-5 most similar
     // OTHER-label vectors per query — the label anti-predicate is fused
     // into the broadcast join, excluded pairs never materialize ──
@@ -397,6 +453,12 @@ object QueriesLlm {
     "pack_sequences" -> ((s, dir) =>
       Packing.packSequences(Tables.documents(s, dir), PackBudget, PackShards)
         .orderBy(col("doc_id"))),
+
+    // ── the trainer-facing inverse view: one row per document slice keyed
+    // by the sequence it fills; (shard, seq_in_shard, slice_idx) unique ──
+    "pack_slices" -> ((s, dir) =>
+      Packing.packedSequenceSlices(Tables.documents(s, dir), PackBudget, PackShards)
+        .orderBy(col("shard"), col("seq_in_shard"), col("slice_idx"))),
 
     // ── similarity: LSH-bucketed approximate KNN (scale path; deterministic
     // md5-derived hyperplanes → the DuckDB oracle recomputes the buckets) ──
@@ -1025,6 +1087,8 @@ object QueriesLlm {
         |       CAST(label = c_label AS INT) AS is_own
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
+    "kmeans_clusters" -> kmeansOracleSql(KmK, KmIters),
+
     "hard_negatives" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, label, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
@@ -1061,6 +1125,35 @@ object QueriesLlm {
          |       CAST(floor((start_tok + n_tokens - 1) / $PackBudget)
          |            - floor(start_tok / $PackBudget) + 1 AS BIGINT) AS n_seqs
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Same layout CTEs as pack_sequences, then each doc exploded over the
+    // sequences it touches (unnest(generate_series)) and the slices ranked
+    // within (shard, seq) by stream position — replaying
+    // Packing.packedSequenceSlices slice for slice.
+    "pack_slices" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $PackShards AS shard,
+         |         CASE WHEN length($norm) = 0 THEN 0 ELSE len($toksSql) END AS n_tokens
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |         CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM t WHERE n_tokens > 0
+         |), x AS (
+         |  SELECT doc_id, shard, n_tokens, start_tok,
+         |         unnest(generate_series(
+         |           CAST(floor(start_tok / $PackBudget) AS BIGINT),
+         |           CAST(floor((start_tok + n_tokens - 1) / $PackBudget) AS BIGINT))) AS seq_in_shard
+         |  FROM s
+         |)
+         |SELECT shard, seq_in_shard,
+         |       CAST(row_number() OVER (PARTITION BY shard, seq_in_shard ORDER BY start_tok) - 1 AS BIGINT) AS slice_idx,
+         |       doc_id,
+         |       GREATEST(CAST(0 AS BIGINT), seq_in_shard * $PackBudget - start_tok) AS tok_from,
+         |       LEAST(n_tokens, (seq_in_shard + 1) * $PackBudget - start_tok) AS tok_to
+         |FROM x ORDER BY shard, seq_in_shard, slice_idx""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

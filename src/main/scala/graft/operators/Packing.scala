@@ -78,4 +78,62 @@ object Packing {
         "n_seqs",
         floor((col("start_tok") + col("n_tokens") - lit(1L)) / b) - col("seq_in_shard") + lit(1L))
   }
+
+  /** The trainer-facing inverse of [[packSequences]]: one row per document
+    * SLICE, keyed by the sequence it fills — `(shard, seq_in_shard,
+    * slice_idx)` is unique and `slice_idx` orders the slices within the
+    * sequence. `tok_from`/`tok_to` are the half-open token range IN DOCUMENT
+    * COORDINATES (what a loader passes to the tokenizer), so
+    * `tok_to - tok_from` summed over a sequence is exactly `budgetTokens`
+    * for every sequence except each shard's last (PackingSpec pins this).
+    *
+    * Derived from the per-document layout by exploding each doc over the
+    * `n_seqs` sequences it touches — pure arithmetic, no data read twice.
+    * Cost beyond [[packSequences]]: one extra exchange, because `slice_idx`
+    * ranks within `(shard, seq)` while packing ranks within `shard`. The
+    * exploded slice table is O(docs + cuts) rows of a few longs — at 100 TB
+    * corpus scale it is the metadata table, orders of magnitude smaller
+    * than the text it indexes, so the extra shuffle is immaterial.
+    */
+  def packedSequenceSlices(
+      docs: DataFrame,
+      budgetTokens: Int,
+      nShards: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val b = lit(budgetTokens.toLong)
+    val wSeq = Window.partitionBy(col("shard"), col("seq_in_shard")).orderBy(col("start_tok"))
+    packSequences(docs, budgetTokens, nShards, idCol, textCol)
+      .withColumn("seq", explode(sequence(
+        col("seq_in_shard"), col("seq_in_shard") + col("n_seqs") - lit(1L))))
+      .drop("seq_in_shard").withColumnRenamed("seq", "seq_in_shard")
+      // start_tok is unique within a shard (docs are laid end to end), so
+      // the rank — and therefore the whole output — is deterministic
+      .withColumn("slice_idx", (row_number().over(wSeq) - 1).cast("long"))
+      .select(
+        col("shard"), col("seq_in_shard"), col("slice_idx"), col(idCol),
+        greatest(lit(0L), col("seq_in_shard") * b - col("start_tok")).as("tok_from"),
+        least(col("n_tokens"), (col("seq_in_shard") + lit(1L)) * b - col("start_tok")).as("tok_to"))
+  }
+
+  /** One row per (shard, sequence): the ordered document slices that fill
+    * it, as an array of `(slice_idx, doc_id, tok_from, tok_to)` structs,
+    * plus the sequence's total token count. This is [[packedSequenceSlices]]
+    * re-grouped — the exact manifest a training loader consumes per
+    * sequence. Array columns don't cross the DuckDB hash-compare, so this
+    * view is pinned by PackingSpec invariants while the flat slice table
+    * carries the oracle.
+    */
+  def packedSequenceManifest(
+      docs: DataFrame,
+      budgetTokens: Int,
+      nShards: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    packedSequenceSlices(docs, budgetTokens, nShards, idCol, textCol)
+      .groupBy(col("shard"), col("seq_in_shard"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("slice_idx"), col(idCol), col("tok_from"), col("tok_to")))).as("slices"),
+        sum(col("tok_to") - col("tok_from")).as("seq_tokens"))
 }

@@ -184,6 +184,95 @@ object Similarity {
         round(col("cos"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Deterministic spherical k-means (Dhillon & Modha, Machine Learning 42,
+    * 2001): Lloyd's loop specialized to cosine similarity — assign each
+    * vector to its highest-cosine centroid, recompute each centroid as the
+    * mean of its members' UNIT vectors (the direction maximizing the summed
+    * cosine, so the objective is non-decreasing per iteration; SimilaritySpec
+    * pins that). Fixed iteration count, no data-dependent stopping — the
+    * standard clustering step between embedding and semantic dedup in
+    * SemDeDup-style pipelines.
+    *
+    * Everything is engine-replayable, which is what makes the DuckDB oracle
+    * possible for an iterative algorithm:
+    *  - seeds are the first `k` vectors in `(md5(id), id)` order — a pure
+    *    function of the data, no RNG;
+    *  - each M-step ROUNDS centroid components to 6 decimals: float sums are
+    *    order-sensitive in the last ulps and the two engines aggregate groups
+    *    in different row orders, so without the per-iteration quantization
+    *    the ~1e-15 drift would compound across iterations into divergent
+    *    assignments. At 1e-6 granularity both engines land on the same
+    *    rounded centroid, and every downstream cosine is then bitwise
+    *    identical (same left-to-right dot order);
+    *  - assignment ties break toward the smallest cluster id.
+    *
+    * Scale shape per iteration: the E-step is one map-side pass — centroids
+    * live in the PLAN as literals (k·dim doubles), per-row cost is k
+    * codegen'd dots staged as real columns before a when-chain argmax (the
+    * lang_id pattern) — and the M-step is one [[graft.functions.VectorSumAgg]]
+    * aggregation shuffling 8·dim bytes per cluster. The driver touches k
+    * rows per iteration (the collected centroids), never the corpus; an
+    * empty cluster simply drops out (k shrinks, documented spherical-k-means
+    * behavior).
+    *
+    * Output: (idCol, cluster, cosine) — final assignment, cosine rounded to
+    * 6 decimals.
+    */
+  def kmeans(
+      vectors: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters > 0, s"iters must be positive, got $iters")
+    VectorFunctions.register(vectors.sparkSession)
+    val unit = vectors
+      .select(col(idCol), asDouble(col(vecCol)).as("raw"))
+      .withColumn("rn", norm(col("raw")))
+      .where(col("rn") > 0) // zero vectors have no direction: excluded
+      .select(col(idCol), transform(col("raw"), x => x / col("rn")).as("v"))
+      .withColumn("vn", norm(col("v")))
+    // k seed rows in (md5(id), id) order: TakeOrderedAndProject, no full sort
+    var centroids: Seq[(Long, Array[Double])] = unit
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+      .select(col("v"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i.toLong -> r.getSeq[Double](0).toArray }
+      .toSeq
+
+    def assign(cents: Seq[(Long, Array[Double])]): DataFrame = {
+      val withCos = cents.foldLeft(unit) { case (df, (cid, cv)) =>
+        val cn = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
+        df.withColumn(s"cos_$cid", dot(col("v"), typedLit(cv)) / (col("vn") * lit(cn)))
+      }
+      val best = cents.map { case (cid, _) => col(s"cos_$cid") } match {
+        case Seq(only) => only
+        case cs => greatest(cs: _*)
+      }
+      // first equal cosine in ascending-cid order wins: the smallest-id tie-break
+      val cluster = cents.map(_._1).sorted.foldRight(lit(-1L)) { (cid, rest) =>
+        when(col(s"cos_$cid") === best, lit(cid)).otherwise(rest)
+      }
+      withCos.withColumn("cluster", cluster).withColumn("cos", best)
+    }
+
+    (1 to iters).foreach { _ =>
+      centroids = assign(centroids)
+        .groupBy(col("cluster"))
+        .agg(VectorFunctions.vecSum(col("v")).as("vsum"), count(lit(1)).as("n"))
+        .select(col("cluster"), transform(col("vsum"), x => round(x / col("n"), 6)).as("c"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .toSeq
+        .sortBy(_._1)
+    }
+    assign(centroids)
+      .select(col(idCol), col("cluster"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** EXACT embedding near-duplicate pairs: cosine >= threshold, vec_a < vec_b.
     * All-pairs by definition (exactness at a loose threshold admits no
     * lossless sublinear filter for dense vectors) — use as the ground-truth /

@@ -9,6 +9,12 @@ import graft.operators.{Dedup, Similarity}
 class DedupSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  // Measured on the 2-round star fixture below (stable across runs): each
+  // round's single convergence action splits under AQE into its
+  // materialized query stages. Tied to the current plan shape — re-measure
+  // on a Spark upgrade; any INCREASE means an extra action entered the loop.
+  private val ExpectedComponentsFixtureJobs = 9
+
   private def docs(rows: (Long, String)*): DataFrame = {
     import spark.implicits._
     rows.toSeq.toDF("doc_id", "text")
@@ -171,6 +177,48 @@ class DedupSpec extends AnyFunSuite {
     val comps = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps == (1L to 6L).map(_ -> 1L).toMap)
     assert(rounds == 6, s"expected diameter+1 = 6 rounds, got $rounds")
+  }
+
+  test("connected components: job count per round is pinned (one action per round)") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((2L, 5L), (2L, 3L), (4L, 6L)).toDF("doc_a", "doc_b")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    // suites share the session and may run in parallel: count only THIS
+    // call's jobs via a job group (setJobGroup is thread-local, and the
+    // components loop's actions all run on the calling thread)
+    val group = "dedupspec-cc-job-pin"
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (group == js.properties.getProperty("spark.jobGroup.id")) jobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rounds = try {
+      spark.sparkContext.setJobGroup(group, "cc job pin")
+      val (_, r) = try Dedup.connectedComponentsWithRounds(nodes, pairs)
+      finally spark.sparkContext.clearJobGroup()
+      // listener events are delivered async: poll until the count is stable
+      var last = -1
+      var ticks = 0
+      while (jobs.get() != last && ticks < 50) {
+        last = jobs.get(); Thread.sleep(100); ticks += 1
+      }
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(rounds == 2)
+    // Each round runs EXACTLY ONE action (the convergence agg, which also
+    // materializes the round's lazy local checkpoint); AQE splits that
+    // action into one job per materialized query stage. The pin is the
+    // per-fixture total: a second action sneaking into the loop (the r4
+    // regression class) raises it by >= rounds and fails here loudly
+    // instead of just benching slower. Re-pin deliberately if the plan
+    // legitimately changes (Spark upgrade, AQE stage regrouping).
+    val expected = ExpectedComponentsFixtureJobs
+    assert(jobs.get() == expected,
+      s"components fixture ran ${jobs.get()} jobs, pinned $expected — " +
+        "an extra per-round action or AQE plan change; investigate before re-pinning")
   }
 
   test("star contraction equals min-label propagation on randomized graphs") {

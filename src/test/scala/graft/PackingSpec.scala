@@ -70,4 +70,57 @@ class PackingSpec extends AnyFunSuite {
       .collect()
       .foreach(r => assert(r.getAs[Long]("total") == r.getAs[Long]("stream_end")))
   }
+
+  test("slices: every sequence holds exactly budget tokens except each shard's last") {
+    val slices = Packing.packedSequenceSlices(fixture, Budget, Shards).collect()
+    val byShard = slices.groupBy(_.getAs[Long]("shard"))
+    byShard.foreach { case (_, rs) =>
+      val lastSeq = rs.map(_.getAs[Long]("seq_in_shard")).max
+      rs.groupBy(_.getAs[Long]("seq_in_shard")).foreach { case (seq, ss) =>
+        val toks = ss.map(r => r.getAs[Long]("tok_to") - r.getAs[Long]("tok_from")).sum
+        if (seq < lastSeq) assert(toks == Budget, s"interior seq $seq must be full")
+        else assert(toks > 0 && toks <= Budget, "final seq must be non-empty, not overfull")
+      }
+    }
+  }
+
+  test("slices: per-doc ranges reassemble the whole document in order, no overlap") {
+    val slices = Packing.packedSequenceSlices(fixture, Budget, Shards).collect()
+    val layout = Packing.packSequences(fixture, Budget, Shards).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    slices.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(r => (r.getAs[Long]("seq_in_shard")))
+      var cursor = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("tok_from") == cursor, s"doc $id slices must abut")
+        cursor = r.getAs[Long]("tok_to")
+      }
+      assert(cursor == layout(id).getAs[Long]("n_tokens"), s"doc $id fully covered")
+    }
+  }
+
+  test("slices: slice_idx is 0-based, dense, and ordered by stream position") {
+    Packing.packedSequenceSlices(fixture, Budget, Shards).collect()
+      .groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_in_shard")))
+      .foreach { case (_, ss) =>
+        assert(ss.map(_.getAs[Long]("slice_idx")).sorted.toSeq == (0L until ss.length).toSeq)
+      }
+  }
+
+  test("manifest: grouped view agrees with the flat slice table") {
+    val manifest = Packing.packedSequenceManifest(fixture, Budget, Shards).collect()
+    val slices = Packing.packedSequenceSlices(fixture, Budget, Shards).collect()
+      .groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_in_shard")))
+    assert(manifest.length == slices.size)
+    manifest.foreach { m =>
+      val key = (m.getAs[Long]("shard"), m.getAs[Long]("seq_in_shard"))
+      val expected = slices(key).sortBy(_.getAs[Long]("slice_idx"))
+        .map(r => (r.getAs[Long]("slice_idx"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("tok_from"), r.getAs[Long]("tok_to"))).toSeq
+      val got = m.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("slices")
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expected, s"sequence $key manifest must list slices in order")
+      assert(m.getAs[Long]("seq_tokens") == expected.map(s => s._4 - s._3).sum)
+    }
+  }
 }

@@ -175,4 +175,31 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(best - r.getDouble(4)) < 1e-9)
     }
   }
+
+  test("kmeans: objective (mean assignment cosine) is non-decreasing in iterations") {
+    val emb = Tables.embeddings(spark, SfDir)
+    // spherical Lloyd with mean-of-unit-vectors M-step: each added iteration
+    // cannot lower the summed cosine (modulo the 1e-6 centroid quantization)
+    val objs = (1 to 3).map { t =>
+      Similarity.kmeans(emb, k = 4, iters = t)
+        .agg(avg(col("cosine"))).first().getDouble(0)
+    }
+    objs.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a - 1e-4, s"objective fell: $objs")
+      case _ =>
+    }
+  }
+
+  test("kmeans: deterministic under input partitioning, every vector assigned once") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val a = Similarity.kmeans(emb, 4, 2).orderBy("vec_id").collect().toSeq
+    val b = Similarity.kmeans(emb.repartition(7), 4, 2).orderBy("vec_id").collect().toSeq
+    // the per-iteration 6-decimal centroid rounding absorbs partition-order
+    // float-sum drift, so the layout is a pure function of the data
+    assert(a == b)
+    assert(a.length == emb.count())
+    val clusters = a.map(_.getAs[Long]("cluster")).toSet
+    assert(clusters.nonEmpty && clusters.size <= 4)
+    assert(clusters.forall(c => c >= 0 && c < 4))
+  }
 }
