@@ -460,6 +460,14 @@ object QueriesLlm {
       Packing.packedSequenceSlices(Tables.documents(s, dir), PackBudget, PackShards)
         .orderBy(col("shard"), col("seq_in_shard"), col("slice_idx"))),
 
+    // ── the manifest CONSUMED: slices joined back to the corpus, each
+    // document cut to its token range, sequences reassembled in slice order
+    // — the loader path a trainer runs, and the flat hashable surface the
+    // array manifest can't be ──
+    "pack_gather" -> ((s, dir) =>
+      Packing.gatherSequenceText(Tables.documents(s, dir), PackBudget, PackShards)
+        .orderBy(col("shard"), col("seq_in_shard"))),
+
     // ── similarity: LSH-bucketed approximate KNN (scale path; deterministic
     // md5-derived hyperplanes → the DuckDB oracle recomputes the buckets) ──
     "knn_lsh_cosine" -> ((s, dir) => {
@@ -1154,6 +1162,47 @@ object QueriesLlm {
          |       GREATEST(CAST(0 AS BIGINT), seq_in_shard * $PackBudget - start_tok) AS tok_from,
          |       LEAST(n_tokens, (seq_in_shard + 1) * $PackBudget - start_tok) AS tok_to
          |FROM x ORDER BY shard, seq_in_shard, slice_idx""".stripMargin,
+
+    // pack_slices' layout CTEs, then the LOADER path: join each slice back
+    // to its document, cut the token list to [tok_from+1, tok_to] (DuckDB
+    // list slicing is 1-based inclusive = Spark's slice(toks, from+1, len)),
+    // and string_agg the spans in slice order — replaying
+    // Packing.gatherSequenceText span for span.
+    "pack_gather" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $PackShards AS shard,
+         |         CASE WHEN length($norm) = 0 THEN 0 ELSE len($toksSql) END AS n_tokens
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |         CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM t WHERE n_tokens > 0
+         |), x AS (
+         |  SELECT doc_id, shard, n_tokens, start_tok,
+         |         unnest(generate_series(
+         |           CAST(floor(start_tok / $PackBudget) AS BIGINT),
+         |           CAST(floor((start_tok + n_tokens - 1) / $PackBudget) AS BIGINT))) AS seq_in_shard
+         |  FROM s
+         |), sl AS (
+         |  SELECT shard, seq_in_shard,
+         |         CAST(row_number() OVER (PARTITION BY shard, seq_in_shard ORDER BY start_tok) - 1 AS BIGINT) AS slice_idx,
+         |         doc_id,
+         |         GREATEST(CAST(0 AS BIGINT), seq_in_shard * $PackBudget - start_tok) AS tok_from,
+         |         LEAST(n_tokens, (seq_in_shard + 1) * $PackBudget - start_tok) AS tok_to
+         |  FROM x
+         |), sp AS (
+         |  SELECT sl.shard, sl.seq_in_shard, sl.slice_idx, sl.tok_from, sl.tok_to,
+         |         array_to_string(($toksSql)[sl.tok_from + 1 : sl.tok_to], ' ') AS span
+         |  FROM sl JOIN documents d ON sl.doc_id = d.doc_id
+         |)
+         |SELECT shard, seq_in_shard,
+         |       string_agg(span, ' ' ORDER BY slice_idx) AS seq_text,
+         |       CAST(sum(tok_to - tok_from) AS BIGINT) AS seq_tokens,
+         |       CAST(count(*) AS BIGINT) AS n_slices
+         |FROM sp GROUP BY shard, seq_in_shard
+         |ORDER BY shard, seq_in_shard""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -66,17 +66,44 @@ object SparkEntry {
 
     // ── C4 approx variant: HLL++ WAU — the interactive path at 100 TB (one
     // sketch per week through the shuffle instead of one row per distinct
-    // user). No oracle entry on purpose: approximate, not SQL-replayable —
-    // the driver records a rows-only check; WauSpec bounds the error. ──
-    "wau_user_approx" -> ((s, dir) =>
-      Wau.wauApprox(Tables.events(s, dir), "user_id", col("ts"), Start, End)),
+    // user). SELF-VALIDATING: the declared query joins the exact weekly
+    // count and emits a within-5% boolean the oracle asserts TRUE, so a
+    // drifting sketch fails the hash compare (the estimate itself is not
+    // SQL-replayable and stays out of the hashed columns). rsd=0.01 → the
+    // 5% gate is ~5σ. WauSpec additionally bounds the raw estimate. ──
+    "wau_user_approx" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Wau.wauValidated(
+        Wau.wauApprox(ev, "user_id", col("ts"), Start, End),
+        "wau_approx", ev, "user_id", col("ts"), Start, End)
+    }),
 
     // ── sketch-merge rollup: daily DataSketches-HLL sketches unioned into
     // weekly estimates without rescanning raw events — the incremental
-    // 100 TB aggregation shape. No oracle (approximate); WauSpec bounds
-    // the error and the driver records a rows-only check. ──
-    "wau_user_sketch_rollup" -> ((s, dir) =>
-      Wau.wauSketchRollup(Tables.events(s, dir), "user_id", col("ts"), Start, End)),
+    // 100 TB aggregation shape. Same self-validating harness as
+    // wau_user_approx (lgK=14 → rse ≈ 0.8%, the 5% gate is ~6σ). ──
+    "wau_user_sketch_rollup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Wau.wauValidated(
+        Wau.wauSketchRollup(ev, "user_id", col("ts"), Start, End),
+        "wau_est", ev, "user_id", col("ts"), Start, End)
+    }),
+
+    // ── §2.9: streaming sessionize, oracle-checked END TO END — the events
+    // table replayed as a 3-slice file stream (one file per trigger) so the
+    // watermark genuinely advances across micro-batches, flushing the
+    // event-time-buffered session state; a far-future sentinel pair drives
+    // the final timeout batch (see StreamingSessionize.sessionizeReplay).
+    // The oracle is the SINGLE-BATCH session SQL, so the hash match proves
+    // a real streaming execution (watermark, state eviction, event-time
+    // timeouts) reproduces batch sessionization exactly. ──
+    "stream_sessionize" -> ((s, dir) =>
+      streaming.StreamingSessionize.sessionizeReplay(Tables.events(s, dir))
+        .select(
+          col("event_id"), col("user_id"), col("epoch_sec"),
+          col("is_new_session").cast("int").as("is_new_session"),
+          col("session_start_sec"), col("session_id"))
+        .orderBy(col("event_id"))),
 
     // ── C4 variant: WAU by session_id (ref SessionIdBaseWauTransformer) ──
     "wau_session" -> ((s, dir) =>
@@ -112,6 +139,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] = coreOracles ++
     QueriesRelational.oracleSql ++ QueriesEtl.oracleSql ++ QueriesLlm.oracleSql
 
+  /** Shared oracle for the two self-validating approximate-WAU queries:
+    * exact weekly distinct count plus `TRUE AS within_tol` (the Spark side
+    * computes the boolean from the real sketch; see the query comments).
+    */
+  private val wauValidatedOracle: String =
+    s"""SELECT CAST(date_trunc('week', ts) AS DATE) AS event_week,
+       |       count(DISTINCT user_id) AS wau_exact,
+       |       TRUE AS within_tol
+       |FROM events
+       |WHERE CAST(date_trunc('week', ts) AS DATE)
+       |      BETWEEN CAST(date_trunc('week', TIMESTAMP '$Start') AS DATE)
+       |          AND CAST(date_trunc('week', TIMESTAMP '$End') AS DATE)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def coreOracles: Map[String, String] = Map(
     "wau_user" ->
       s"""SELECT CAST(date_trunc('week', ts) AS DATE) AS event_week,
@@ -128,6 +169,12 @@ object SparkEntry {
          |       CAST(is_new AS INT) AS is_new_session,
          |       session_start_sec, session_id
          |FROM sessions ORDER BY event_id""".stripMargin,
+
+    // Exact weekly count + the tolerance boolean; DuckDB cannot compute the
+    // sketch, so it asserts the boolean — a Spark-side FALSE (estimate off by
+    // more than 5%) hash-mismatches and fails the gate.
+    "wau_user_approx" -> wauValidatedOracle,
+    "wau_user_sketch_rollup" -> wauValidatedOracle,
 
     "wau_session" ->
       s"""$sessionCte
@@ -154,6 +201,15 @@ object SparkEntry {
     "sessionize_split" ->
       s"""$sessionCte
          |SELECT event_id, user_id, epoch_sec, session_id
+         |FROM sessions ORDER BY event_id""".stripMargin,
+
+    // Identical to the batch sessionize oracle on purpose: the streaming
+    // replay must reproduce batch sessionization bit-for-bit.
+    "stream_sessionize" ->
+      s"""$sessionCte
+         |SELECT event_id, user_id, epoch_sec,
+         |       CAST(is_new AS INT) AS is_new_session,
+         |       session_start_sec, session_id
          |FROM sessions ORDER BY event_id""".stripMargin
   )
 }

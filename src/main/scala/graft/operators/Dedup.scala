@@ -462,17 +462,24 @@ object Dedup {
     * that computes, caches, and truncates — no separate materialization
     * action per round.
     *
-    * Note `setCheckpointDir` is SESSION-GLOBAL state: it is only touched
-    * when the requested dir differs from the current one, and the setting
-    * outlives this call. Concurrent components runs in one session must
-    * therefore share a single checkpoint dir (safe — each checkpointed RDD
-    * gets a unique subdirectory); racing two runs with DIFFERENT dirs is
-    * unsupported and would leave whichever dir was set last.
+    * Note `setCheckpointDir` is SESSION-GLOBAL state and the setting
+    * outlives this call. Spark appends a fresh UUID subdirectory on every
+    * `setCheckpointDir`, so each components RUN gets its own namespace under
+    * the requested root (durableBy is called once per run). Two CONCURRENT
+    * runs still share the one global pointer — a run's later rounds may land
+    * under the namespace the other run set — but files never collide (each
+    * checkpointed RDD writes to `rdd-<id>`, unique per SparkContext) and
+    * reads use the path captured at write time, so results are unaffected;
+    * DedupSpec proves two concurrent reliable-checkpoint runs agree with the
+    * sequential results. With DIFFERENT roots, files may land under either
+    * root — treat the roots as one logical scratch area for cleanup.
     */
   private def durableBy(anchor: DataFrame, checkpointDir: Option[String]): DataFrame => DataFrame = {
     checkpointDir.foreach { dir =>
-      val sc = anchor.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      // unconditional on purpose: the fresh UUID subdir IS the per-run
+      // namespace (the old equality check compared the requested root to the
+      // UUID-suffixed resolved path and so never matched anyway)
+      anchor.sparkSession.sparkContext.setCheckpointDir(dir)
     }
     df => checkpointDir match {
       case Some(_) =>

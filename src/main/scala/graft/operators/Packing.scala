@@ -136,4 +136,47 @@ object Packing {
         sort_array(collect_list(struct(
           col("slice_idx"), col(idCol), col("tok_from"), col("tok_to")))).as("slices"),
         sum(col("tok_to") - col("tok_from")).as("seq_tokens"))
+
+  /** The manifest CONSUMED: what a training loader actually executes — join
+    * the slice table back to the documents, cut each document's token array
+    * to its `[tok_from, tok_to)` slice, and reassemble every sequence's text
+    * in `slice_idx` order. Output, one row per (shard, sequence):
+    * `(shard, seq_in_shard, seq_text, seq_tokens, n_slices)` — flat and
+    * engine-replayable, so this is the hashable surface the array-typed
+    * manifest can't be (and the reassembled `seq_text` is exactly the
+    * shard's token stream re-cut, which PackingSpec pins).
+    *
+    * Scale shape: one equi-join of the metadata-scale slice table against
+    * the corpus on the doc id (the text column moves ONCE, map-side after
+    * the join), then one aggregation per (shard, seq). The per-sequence
+    * collect_list holds ~budget/doc-length slices of already-cut text — a
+    * few KB per group — never a whole document set. At 100 TB the join
+    * co-partitions on the same md5 id the layout sharded by, so AQE plans
+    * it shuffle-or-broadcast as the slice side's size dictates.
+    */
+  def gatherSequenceText(
+      docs: DataFrame,
+      budgetTokens: Int,
+      nShards: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val slices = packedSequenceSlices(docs, budgetTokens, nShards, idCol, textCol)
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    slices.join(toks, idCol)
+      // slice() is 1-based; length = tok_to - tok_from (slices are nonempty
+      // by construction — a doc contributes >= 1 token to every sequence it
+      // touches)
+      .withColumn("span", array_join(
+        slice(col("__toks"), (col("tok_from") + 1).cast("int"),
+          (col("tok_to") - col("tok_from")).cast("int")), " "))
+      .groupBy(col("shard"), col("seq_in_shard"))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("slice_idx"), col("span")))),
+            s => s.getField("span")),
+          " ").as("seq_text"),
+        sum(col("tok_to") - col("tok_from")).as("seq_tokens"),
+        count(lit(1)).as("n_slices"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VectorFunctions
 
@@ -226,13 +227,24 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(iters > 0, s"iters must be positive, got $iters")
+    // Centroids ride in the E-step plan as array LITERALS (k·dim doubles per
+    // plan), so very large k inflates every iteration's plan and codegen.
+    // 4096 · dim=64 doubles ≈ 2 MB of literals — already generous; beyond
+    // that an IVF/coreset pre-pass is the right tool, not bigger plans.
+    require(k <= 4096, s"k=$k exceeds the plan-literal budget (centroids are plan literals; use a coarse pre-clustering for larger k)")
     VectorFunctions.register(vectors.sparkSession)
+    // The working set is consumed by the seed collect, `iters` M-step
+    // aggregations, and the final assignment (iters + 2 passes). Persist it
+    // once — at 100 TB recomputing normalize+filter per iteration would be
+    // the dominant cost (MLlib's KMeans caches its norm-augmented input the
+    // same way).
     val unit = vectors
       .select(col(idCol), asDouble(col(vecCol)).as("raw"))
       .withColumn("rn", norm(col("raw")))
       .where(col("rn") > 0) // zero vectors have no direction: excluded
       .select(col(idCol), transform(col("raw"), x => x / col("rn")).as("v"))
       .withColumn("vn", norm(col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // k seed rows in (md5(id), id) order: TakeOrderedAndProject, no full sort
     var centroids: Seq[(Long, Array[Double])] = unit
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
@@ -242,6 +254,7 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => i.toLong -> r.getSeq[Double](0).toArray }
       .toSeq
+    require(centroids.nonEmpty, "kmeans: no nonzero-norm vectors to seed from")
 
     def assign(cents: Seq[(Long, Array[Double])]): DataFrame = {
       val withCos = cents.foldLeft(unit) { case (df, (cid, cv)) =>
@@ -259,19 +272,39 @@ object Similarity {
       withCos.withColumn("cluster", cluster).withColumn("cos", best)
     }
 
-    (1 to iters).foreach { _ =>
-      centroids = assign(centroids)
-        .groupBy(col("cluster"))
-        .agg(VectorFunctions.vecSum(col("v")).as("vsum"), count(lit(1)).as("n"))
-        .select(col("cluster"), transform(col("vsum"), x => round(x / col("n"), 6)).as("c"))
-        .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-        .toSeq
-        .sortBy(_._1)
+    try {
+      (1 to iters).foreach { i =>
+        val mStep = assign(centroids)
+          .groupBy(col("cluster"))
+          .agg(VectorFunctions.vecSum(col("v")).as("vsum"), count(lit(1)).as("n"))
+          .select(col("cluster"), transform(col("vsum"), x => round(x / col("n"), 6)).as("c"))
+        if (i == 1) lastKmeansLoopPlan = mStep.queryExecution.executedPlan.toString
+        centroids = mStep
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+          .toSeq
+          // A centroid whose every component quantizes to 0.0 has no
+          // direction: its cosine would be NaN, and NaN compares greater-than
+          // under Spark's ordering, so every row would silently land there.
+          // Drop it like an empty cluster (k shrinks).
+          .filter { case (_, c) => c.exists(_ != 0.0) }
+          .sortBy(_._1)
+      }
+      require(centroids.nonEmpty, "kmeans: all centroids degenerated to zero")
+      assign(centroids)
+        .select(col(idCol), col("cluster"), round(col("cos"), 6).as("cosine"))
+    } finally {
+      // MLlib semantics: the cache serves the seed collect + `iters` M-steps;
+      // the returned (lazy) assignment recomputes its one pass at consumption.
+      unit.unpersist(blocking = false)
     }
-    assign(centroids)
-      .select(col(idCol), col("cluster"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** Test probe: executed-plan string of the first M-step of the most recent
+    * [[kmeans]] call, captured while the working set is persisted — lets
+    * PlanSpec pin the InMemoryTableScan without widening the signature.
+    */
+  @volatile private[graft] var lastKmeansLoopPlan: String = ""
 
   /** EXACT embedding near-duplicate pairs: cosine >= threshold, vec_a < vec_b.
     * All-pairs by definition (exactness at a loose threshold admits no

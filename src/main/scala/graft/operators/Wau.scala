@@ -71,6 +71,38 @@ object Wau {
       .orderBy(col("event_week"))
   }
 
+  /** Self-validating wrapper: joins an approximate weekly count against the
+    * exact [[wau]] and emits `(event_week, wau_exact, within_tol)` where
+    * `within_tol = |est − exact| ≤ tol·exact`. The estimate itself is NOT in
+    * the output on purpose — a sketch value is not SQL-replayable, but the
+    * boolean is: the DuckDB oracle computes the exact count and asserts
+    * `TRUE`, so a sketch drifting past `tol` flips the boolean and fails the
+    * hash compare. This turns the two approximate queries from rows-only
+    * checks into real oracle entries.
+    *
+    * Scale note: the exact branch is the validation harness, not the serving
+    * path — production serves [[wauApprox]]/[[wauSketchRollup]] alone and
+    * runs this composite on a sampled partition or in CI. The join is
+    * per-week (a handful of rows), broadcast by AQE.
+    */
+  def wauValidated(
+      approx: DataFrame,
+      estCol: String,
+      df: DataFrame,
+      keyCol: String,
+      dateCol: Column,
+      startDate: String,
+      endDate: String,
+      tol: Double = 0.05): DataFrame = {
+    val exact = wau(df, keyCol, dateCol, startDate, endDate)
+    approx.join(exact, "event_week")
+      .select(
+        col("event_week"),
+        col("wau").as("wau_exact"),
+        (abs(col(estCol).cast("double") - col("wau")) <= col("wau") * tol).as("within_tol"))
+      .orderBy(col("event_week"))
+  }
+
   /** HLL++ variant for interactive queries over 100 TB (not oracle-compared —
     * approximate by construction).
     */

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -123,6 +125,104 @@ object StreamingSessionize {
       state.setTimeoutTimestamp(math.max(wake, wmMs + 1L))
     }
     out.iterator
+  }
+
+  /** Replay a BOUNDED events frame through [[sessionize]] as a genuine
+    * multi-micro-batch stream and return the complete sessionized result —
+    * the harness that lets an event-time-buffering streaming operator be
+    * oracle-checked against the batch session SQL.
+    *
+    * Why this exists: a single-file file-source stream is ONE micro-batch,
+    * and the watermark only advances BETWEEN batches — so [[sessionize]]
+    * (which buffers events until the watermark passes them) would emit
+    * nothing and the query could never match the batch oracle. The replay
+    * writes the events into `slices` time-range files consumed one per
+    * trigger (`maxFilesPerTrigger=1`, modification-time + lexicographic file
+    * order), so each batch's max event time advances the watermark and
+    * flushes the previous batches' buffers — a real streaming execution:
+    * watermark movement, state eviction, event-time timeouts and all.
+    *
+    * Two far-future SENTINEL events (user_id = −1, beyond
+    * `last real event + gap + watermark delay`) form the final two
+    * single-file batches: the first advances the watermark past every real
+    * event's flush point, the second triggers the batch in which those
+    * event-time timeouts actually fire (a timeout set in batch N is
+    * evaluated against the watermark at batch N+1 — with no further data
+    * there IS no batch N+1, the reason a sentinel pair rather than one).
+    * Sentinel rows are filtered from the returned result.
+    *
+    * Slicing is on event-time ranges, so no event is ever behind the
+    * watermark on arrival (nothing is dropped) and the emitted set is
+    * EXACTLY the batch sessionization — StreamingSpec proves the equality
+    * in-process; the declared `stream_sessionize` query hash-checks it
+    * against DuckDB.
+    *
+    * Scale note: the replay harness itself is a test/backfill shape (bounded
+    * input, local temp files); production runs [[sessionize]] directly on an
+    * unbounded source. State and watermark behavior are identical — that is
+    * the point of replaying through the real engine.
+    */
+  def sessionizeReplay(
+      events: DataFrame,
+      slices: Int = 3,
+      gapSeconds: Long = 300L,
+      watermarkDelaySec: Long = 600L,
+      queryName: String = "stream_sessionize_sink"): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    require(slices >= 2, s"need >= 2 slices for the watermark to move, got $slices")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_sessionize_")
+    val streamDir = base.resolve("stream")
+    Files.createDirectories(streamDir)
+    try {
+      val proj = events.select(
+        col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("ts"))
+      val bounds = proj.agg(
+        min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
+      require(!bounds.isNullAt(0), "sessionizeReplay: empty events input")
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = hi - lo + 1
+      val sentinel1 = hi + gapSeconds + watermarkDelaySec + 60L
+      val sentinel2 = sentinel1 + 60L
+      // one epoch-range slice per file, then the two sentinel files
+      val sliceDfs = (0 until slices).map { i =>
+        val cutLo = lo + span * i / slices
+        val cutHi = lo + span * (i + 1) / slices
+        val e = unix_timestamp(col("ts"))
+        proj.where(e >= cutLo && e < cutHi)
+      } ++ Seq(sentinel1, sentinel2).map { sec =>
+        Seq((-1L, -1L)).toDF("event_id", "user_id")
+          .select(col("event_id"), col("user_id"), lit(sec).cast("timestamp").as("ts"))
+      }
+      sliceDfs.zipWithIndex.foreach { case (df, i) =>
+        val stage = base.resolve(s"stage_$i")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = Files.list(stage).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written for slice $i"))
+        val dest = streamDir.resolve(f"part_$i%03d.parquet")
+        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+        // the file source orders by (modified time, path); both agree here
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
+      }
+      val src = spark.readStream
+        .schema(proj.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val out = sessionize(src, gapSeconds, s"$watermarkDelaySec seconds")
+      val q = out.writeStream.format("memory").queryName(queryName).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(queryName).where(col("user_id") >= 0)
+    } finally {
+      // the memory sink owns the rows now; the temp files can go
+      import scala.util.Try
+      Try(Files.walk(base).iterator().asScala.toSeq.reverse.foreach(p => Try(Files.delete(p))))
+    }
   }
 
   /** Streaming exact dedup over a document stream: first occurrence of each

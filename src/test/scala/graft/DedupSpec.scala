@@ -184,13 +184,29 @@ class DedupSpec extends AnyFunSuite {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     val pairs = Seq((2L, 5L), (2L, 3L), (4L, 6L)).toDF("doc_a", "doc_b")
     val jobs = new java.util.concurrent.atomic.AtomicInteger
+    // distinct SQL execution ids among the group's jobs = number of ACTIONS:
+    // lets the failure message tell "extra action entered the loop" (the r4
+    // regression class) apart from "AQE regrouped stages" (job count moves,
+    // action count doesn't)
+    val executions = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     // suites share the session and may run in parallel: count only THIS
     // call's jobs via a job group (setJobGroup is thread-local, and the
     // components loop's actions all run on the calling thread)
     val group = "dedupspec-cc-job-pin"
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        if (group == js.properties.getProperty("spark.jobGroup.id")) jobs.incrementAndGet()
+        // properties is nullable (jobs submitted without local properties,
+        // e.g. from concurrently running suites) — an NPE here is swallowed
+        // by the listener bus but corrupts the count
+        val p = js.properties
+        if (p != null && group == p.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet()
+          // AQE sub-executions carry their own execution.id (SPARK-41752);
+          // the ROOT id groups them back to the driving action
+          Option(Option(p.getProperty("spark.sql.execution.root.id"))
+              .getOrElse(p.getProperty("spark.sql.execution.id")))
+            .foreach(executions.add)
+        }
         ()
       }
     }
@@ -216,9 +232,49 @@ class DedupSpec extends AnyFunSuite {
     // instead of just benching slower. Re-pin deliberately if the plan
     // legitimately changes (Spark upgrade, AQE stage regrouping).
     val expected = ExpectedComponentsFixtureJobs
+    // Root-execution census on this fixture (SparkListenerSQLExecutionStart
+    // verified): per round = ONE lazy-localCheckpoint execution (AQE
+    // materializes the plan's non-final stages to hand the checkpoint its
+    // RDD — those stages are REUSED by the convergence agg, not recomputed)
+    // + ONE convergence first(); plus the initial labels checkpoint (1
+    // distinct-shuffle job). The edges checkpoint is shuffle-free here, runs
+    // 0 jobs, and so never enters the job-group count: 2·rounds + 1 = 5.
+    // The two assertions separate the failure modes: execution count moves →
+    // an extra ACTION entered the loop (the r4 regression class, +rounds);
+    // execution count stable but job count moves → AQE stage regrouping
+    // (Spark upgrade/conf), re-pin after eyeballing the descriptions.
+    val expectedExecutions = 2 * rounds + 1
+    assert(executions.size == expectedExecutions,
+      s"components fixture ran ${executions.size} job-running actions, pinned $expectedExecutions — " +
+        "an extra action entered the loop (the r4 regression class)")
     assert(jobs.get() == expected,
-      s"components fixture ran ${jobs.get()} jobs, pinned $expected — " +
-        "an extra per-round action or AQE plan change; investigate before re-pinning")
+      s"components fixture ran ${jobs.get()} jobs across ${executions.size} actions, pinned $expected — " +
+        "action count is still one-per-round, so this is AQE stage regrouping (Spark upgrade/conf?); " +
+        "investigate before re-pinning")
+  }
+
+  test("concurrent reliable-checkpoint runs don't collide (shared session-global dir)") {
+    // setCheckpointDir is session-global; durableBy namespaces each RUN via
+    // the UUID subdir Spark appends, and rdd-<id> paths are unique per
+    // context — so two interleaved runs must both produce their sequential
+    // results even though their checkpoint files may land under either
+    // run's namespace.
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-race").toString
+    val nodesA = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairsA = Seq((2L, 5L), (2L, 3L), (4L, 6L)).toDF("doc_a", "doc_b")
+    val nodesB = (10L to 16L).toDF("doc_id")
+    val pairsB = (10L to 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val fa = Future(Dedup.connectedComponents(nodesA, pairsA, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val fb = Future(Dedup.connectedComponents(nodesB, pairsB, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val (a, b) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(a == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 5L -> 2L, 4L -> 4L, 6L -> 4L))
+    assert(b == (10L to 16L).map(_ -> 10L).toMap)
   }
 
   test("star contraction equals min-label propagation on randomized graphs") {

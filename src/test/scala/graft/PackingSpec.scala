@@ -107,6 +107,35 @@ class PackingSpec extends AnyFunSuite {
       }
   }
 
+  test("gather: sequences reassemble each shard's token stream exactly") {
+    // THE loader invariant: concatenating every sequence's gathered text in
+    // (shard, seq) order must reproduce the shard's full token stream —
+    // i.e. the normalized docs laid end to end in id order. Any slicing,
+    // ordering, or join bug breaks this equality somewhere.
+    val gathered = Packing.gatherSequenceText(fixture, Budget, Shards).collect()
+    val layout = Packing.packSequences(fixture, Budget, Shards).collect()
+    val docText = fixture.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def normToks(s: String): Seq[String] =
+      s.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").toSeq.filter(_.nonEmpty)
+    gathered.groupBy(_.getAs[Long]("shard")).foreach { case (shard, seqs) =>
+      val got = seqs.sortBy(_.getAs[Long]("seq_in_shard"))
+        .flatMap(r => r.getAs[String]("seq_text").split(" ")).toSeq
+      val expected = layout.filter(_.getAs[Long]("shard") == shard)
+        .sortBy(_.getAs[Long]("doc_id"))
+        .flatMap(r => normToks(docText(r.getAs[Long]("doc_id")))).toSeq
+      assert(got == expected, s"shard $shard stream mismatch")
+    }
+    // every interior sequence's gathered text is exactly budget tokens
+    gathered.groupBy(_.getAs[Long]("shard")).foreach { case (_, seqs) =>
+      val lastSeq = seqs.map(_.getAs[Long]("seq_in_shard")).max
+      seqs.foreach { r =>
+        val n = r.getAs[String]("seq_text").split(" ").length
+        assert(n == r.getAs[Long]("seq_tokens"), "seq_tokens must count the gathered tokens")
+        if (r.getAs[Long]("seq_in_shard") < lastSeq) assert(n == Budget)
+      }
+    }
+  }
+
   test("manifest: grouped view agrees with the flat slice table") {
     val manifest = Packing.packedSequenceManifest(fixture, Budget, Shards).collect()
     val slices = Packing.packedSequenceSlices(fixture, Budget, Shards).collect()

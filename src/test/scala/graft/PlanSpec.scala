@@ -117,4 +117,37 @@ class PlanSpec extends AnyFunSuite {
     // a plan without partial aggregation ships every event through the shuffle
     assert(p.contains("partial"), s"expected partial aggregation in:\n$p")
   }
+
+  test("pack_sequences plans exactly one exchange (the shard hash)") {
+    // The whole layout is computed inside per-shard windows that share the
+    // md5-shard partitioning — a second exchange means a window picked up a
+    // different partitioning key and the "one shuffle of the metadata"
+    // scale contract broke.
+    val p = plan("pack_sequences")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shard exchange, found $exchanges:\n$p")
+  }
+
+  test("label_centroids aggregates via the graft_vec_sum ObjectHashAggregate") {
+    // The M-step contract: 8·dim bytes per group through the shuffle via the
+    // TypedImperativeAggregate — if Catalyst ever plans it as a sort-based
+    // aggregate (or the agg silently falls back to collect_list+fold), the
+    // 100 TB memory story is gone.
+    val p = plan("label_centroids")
+    assert(p.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate in:\n$p")
+    assert(p.toLowerCase.contains("graft_vec_sum"), s"expected graft_vec_sum agg in:\n$p")
+    assert(!p.contains("collect_list"), "centroids must not pass through collect_list")
+  }
+
+  test("kmeans loop reads the persisted working set (InMemoryTableScan)") {
+    // r6 finding: the normalize+filter working set was rescanned every
+    // iteration (iters + 2 input scans). The persist is load-bearing at
+    // 100 TB — pin that the M-step plan reads the cache.
+    graft.operators.Similarity.lastKmeansLoopPlan = ""
+    SparkEntry.queries("kmeans_clusters")(spark, SfDir).collect()
+    val p = graft.operators.Similarity.lastKmeansLoopPlan
+    assert(p.nonEmpty, "kmeans did not record its loop plan")
+    assert(p.contains("InMemoryTableScan"),
+      s"M-step must read the persisted working set, not rescan the input:\n$p")
+  }
 }

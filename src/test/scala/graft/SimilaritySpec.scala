@@ -202,4 +202,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(clusters.nonEmpty && clusters.size <= 4)
     assert(clusters.forall(c => c >= 0 && c < 4))
   }
+
+  test("kmeans: degenerate inputs fail loudly, not with NaN assignments") {
+    import spark.implicits._
+    // all-zero vectors → no direction anywhere → empty seed set must throw
+    // a clear requirement, not an opaque zero-arg greatest() analysis error
+    val zeros = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Similarity.kmeans(zeros, k = 2, iters = 1))
+    assert(e.getMessage.contains("no nonzero-norm vectors"))
+    // plan-literal budget guard
+    val ok = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val g = intercept[IllegalArgumentException](Similarity.kmeans(ok, k = 5000, iters = 1))
+    assert(g.getMessage.contains("plan-literal"))
+  }
 }

@@ -15,7 +15,10 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("oracle keys are exactly the query keys minus the documented rows-only set") {
-    val rowsOnly = Set("wau_user_approx", "wau_user_sketch_rollup")
+    // r7: the two approximate-WAU queries became self-validating (exact count
+    // + tolerance boolean), so the rows-only set is now empty — every
+    // declared query has a hash-checked oracle.
+    val rowsOnly = Set.empty[String]
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       s"orphan oracles: ${(SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toSeq.sorted}")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -166,4 +166,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.get("2024-01-01").contains(2L)) // users 1,2 (HLL exact at n=2)
     assert(got.get("2024-01-08").contains(1L)) // user 3
   }
+
+  test("file-replay harness: multi-micro-batch streaming run equals batch sessionize") {
+    // The declared stream_sessionize query's engine: events written as
+    // time-range files, one file per trigger, sentinel pair driving the
+    // final timeout flush. The equality here is against the BATCH operator
+    // on the identical input — complete emission included (no dropped tail).
+    val ev = Tables.events(spark, SfDir)
+    val got = StreamingSessionize.sessionizeReplay(ev, queryName = "replay_spec_sink")
+      .select("event_id", "epoch_sec", "is_new_session", "session_start_sec", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3), r.getString(4)))
+      .toSet
+    val expected = Sessionize.sessionize(ev)
+      .select("event_id", "epoch_sec", "is_new_session", "session_start_sec", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3), r.getString(4)))
+      .toSet
+    assert(got.size == expected.size, s"row count ${got.size} != batch ${expected.size}")
+    assert(got == expected)
+  }
 }
