@@ -90,6 +90,10 @@ object QueriesLlm {
   private val MmFeatK = 3 // neighbors per query in mm_feature_knn
   private val KmK = 4 // kmeans_clusters cluster count, query AND oracle
   private val KmIters = 3 // kmeans_clusters Lloyd iterations, query AND oracle
+  // dedup_embedding_semdedup verify threshold — matches dedup_embedding_cosine
+  // so the spec's "exact pairs restricted to co-clustered ids" law is over
+  // the same pair universe
+  private val SemThreshold = 0.4
 
   /** The kmeans_clusters oracle, UNROLLED: one (assign, recompute) CTE pair
     * per Lloyd iteration, generated from the same (k, iters) constants the
@@ -98,18 +102,25 @@ object QueriesLlm {
     * quantization is what keeps two engines' order-sensitive float sums from
     * compounding into divergent assignments (see Similarity.kmeans Scaladoc).
     */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
-    def assignFrom(cents: String): String =
-      s"""  SELECT vec_id, v, cluster, cos FROM (
-         |    SELECT vec_id, v, cluster, cos,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rn
-         |    FROM (
-         |      SELECT e.vec_id, e.v, $cents.cluster,
-         |             list_sum([e.v[i] * $cents.c[i] for i in range(1, len(e.v) + 1)])
-         |               / (e.vn * sqrt(list_sum([x * x for x in $cents.c]))) AS cos
-         |      FROM e CROSS JOIN $cents
-         |    )
-         |  ) WHERE rn = 1""".stripMargin
+  private def kmeansAssignFrom(cents: String): String =
+    s"""  SELECT vec_id, v, cluster, cos FROM (
+       |    SELECT vec_id, v, cluster, cos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rn
+       |    FROM (
+       |      SELECT e.vec_id, e.v, $cents.cluster,
+       |             list_sum([e.v[i] * $cents.c[i] for i in range(1, len(e.v) + 1)])
+       |               / (e.vn * sqrt(list_sum([x * x for x in $cents.c]))) AS cos
+       |      FROM e CROSS JOIN $cents
+       |    )
+       |  ) WHERE rn = 1""".stripMargin
+
+  /** The iterative-k-means WITH chain (no final SELECT) — shared by the
+    * `kmeans_clusters` oracle and the SemDeDup pair oracle, so the replayed
+    * clustering cannot drift between the two. Exposes `en` (raw vectors +
+    * norms) and `c$iters` (final centroids); compose with
+    * [[kmeansAssignFrom]] for the final assignment.
+    */
+  private def kmeansCtesSql(k: Int, iters: Int): String = {
     val head =
       s"""WITH eraw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS r FROM embeddings),
          |en AS (SELECT vec_id, r, sqrt(list_sum([x * x for x in r])) AS rn FROM eraw),
@@ -121,7 +132,7 @@ object QueriesLlm {
          |)""".stripMargin
     val rounds = (1 to iters).map { t =>
       s"""a$t AS (
-         |${assignFrom(s"c${t - 1}")}
+         |${kmeansAssignFrom(s"c${t - 1}")}
          |),
          |p$t AS (SELECT cluster, v, unnest(generate_series(1, len(v))) AS i FROM a$t),
          |c$t AS (
@@ -130,12 +141,37 @@ object QueriesLlm {
          |  ) GROUP BY cluster
          |)""".stripMargin
     }
-    (Seq(head) ++ rounds).mkString(",\n") +
+    (Seq(head) ++ rounds).mkString(",\n")
+  }
+
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    kmeansCtesSql(k, iters) +
       s"""
          |SELECT vec_id, cluster, round(cos, 6) AS cosine FROM (
-         |${assignFrom(s"c$iters")}
+         |${kmeansAssignFrom(s"c$iters")}
          |) ORDER BY vec_id""".stripMargin
-  }
+
+  /** SemDeDup pair oracle: the same kmeans chain, final assignment as `fin`,
+    * then within-cluster pairs exact-verified on the RAW vectors (`en`) with
+    * the same left-to-right dot the `dedup_embedding_cosine` oracle uses —
+    * so a surviving pair's cosine is bitwise the Spark value.
+    */
+  private def semdedupOracleSql(k: Int, iters: Int, threshold: Double): String =
+    kmeansCtesSql(k, iters) +
+      s""",
+         |fin AS (
+         |${kmeansAssignFrom(s"c$iters")}
+         |)
+         |SELECT fa.vec_id AS vec_a, fb.vec_id AS vec_b, fa.cluster,
+         |       round(list_sum([na.r[i] * nb.r[i] for i in range(1, len(na.r) + 1)])
+         |             / (na.rn * nb.rn), 6) AS cosine
+         |FROM fin fa
+         |JOIN fin fb ON fa.cluster = fb.cluster AND fa.vec_id < fb.vec_id
+         |JOIN en na ON na.vec_id = fa.vec_id
+         |JOIN en nb ON nb.vec_id = fb.vec_id
+         |WHERE list_sum([na.r[i] * nb.r[i] for i in range(1, len(na.r) + 1)])
+         |      / (na.rn * nb.rn) >= $threshold
+         |ORDER BY vec_a, vec_b""".stripMargin
 
   /** MinHash signature + band-candidate CTEs, shared by the LSH oracles;
     * expects a `(doc_id, g)` grams relation named `src` in scope
@@ -433,6 +469,14 @@ object QueriesLlm {
     "kmeans_clusters" -> ((s, dir) =>
       Similarity.kmeans(Tables.embeddings(s, dir), KmK, KmIters)
         .orderBy(col("vec_id"))),
+
+    // ── SemDeDup: k-means cells as the near-dup candidate buckets (the IVF
+    // analog of the LSH bands) — within-cluster pairs exact-verified on the
+    // raw vectors; cross-cluster pairs are the documented recall trade ──
+    "dedup_embedding_semdedup" -> ((s, dir) =>
+      Similarity.semanticNearDupPairsKmeans(
+        Tables.embeddings(s, dir), SemThreshold, KmK, KmIters)
+        .orderBy(col("vec_a"), col("vec_b"))),
 
     // ── hard-negative mining for contrastive training: top-5 most similar
     // OTHER-label vectors per query — the label anti-predicate is fused
@@ -1096,6 +1140,8 @@ object QueriesLlm {
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "kmeans_clusters" -> kmeansOracleSql(KmK, KmIters),
+
+    "dedup_embedding_semdedup" -> semdedupOracleSql(KmK, KmIters, SemThreshold),
 
     "hard_negatives" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -306,6 +306,46 @@ object Similarity {
     */
   @volatile private[graft] var lastKmeansLoopPlan: String = ""
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. '23): cluster the
+    * embeddings with the deterministic [[kmeans]], then verify cosine >=
+    * `threshold` WITHIN each cluster only — k-means cells as the candidate
+    * buckets, the IVF analog of [[cosineNearDupPairsLsh]]'s random-hyperplane
+    * bands. Candidate generation is an equi-join on the cluster id; per-pair
+    * cost is the same single codegen'd dot over the RAW vectors (identical
+    * accumulation to [[cosineNearDupPairs]], so surviving pairs carry
+    * bitwise-identical cosines).
+    *
+    * Recall trade (documented, inherent to SemDeDup): a near-dup pair split
+    * across a cluster boundary is missed — the method's bet is that near-
+    * duplicates co-locate in embedding space, which is exactly what the
+    * clustering optimizes. Choose k ~ N / (desired cell size) so the
+    * per-cluster all-pairs stays bounded; SimilaritySpec proves the output
+    * is the exact pair set restricted to co-clustered ids.
+    *
+    * Output: (vec_a, vec_b, cluster, cosine) — cosine rounded to 6 decimals.
+    */
+  def semanticNearDupPairsKmeans(
+      vectors: DataFrame,
+      threshold: Double,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val assigned = kmeans(vectors, k, iters, idCol, vecCol).select(col(idCol), col("cluster"))
+    val a = withNorm(vectors, idCol, vecCol, "vec_a")
+      .join(assigned.withColumnRenamed(idCol, "vec_a"), "vec_a")
+      .select(col("vec_a"), col("v").as("va"), col("nrm").as("na"), col("cluster"))
+    val b = withNorm(vectors, idCol, vecCol, "vec_b")
+      .join(assigned.withColumnRenamed(idCol, "vec_b"), "vec_b")
+      .select(col("vec_b"), col("v").as("vb"), col("nrm").as("nb"), col("cluster"))
+    a.join(b, Seq("cluster"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cluster"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** EXACT embedding near-duplicate pairs: cosine >= threshold, vec_a < vec_b.
     * All-pairs by definition (exactness at a loose threshold admits no
     * lossless sublinear filter for dense vectors) — use as the ground-truth /

@@ -203,6 +203,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(clusters.forall(c => c >= 0 && c < 4))
   }
 
+  test("semdedup: exactly the exact pair set restricted to co-clustered ids") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val sem = Similarity.semanticNearDupPairsKmeans(emb, 0.4, k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val clusterOf = Similarity.kmeans(emb, 4, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Similarity.cosineNearDupPairs(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = exact.filter { case (a, b, _) => clusterOf(a) == clusterOf(b) }
+    // subset of the ground truth with bitwise-identical cosines, and no
+    // co-clustered pair missing — the recall loss is EXACTLY the
+    // cross-cluster pairs, nothing else
+    assert(sem == expected, s"semdedup must equal exact∩co-clustered; diff ${sem.diff(expected) ++ expected.diff(sem)}")
+    assert(exact.nonEmpty && sem.subsetOf(exact))
+  }
+
   test("kmeans: degenerate inputs fail loudly, not with NaN assignments") {
     import spark.implicits._
     // all-zero vectors → no direction anywhere → empty seed set must throw
