@@ -139,6 +139,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("collect_list"), "centroids must not pass through collect_list")
   }
 
+  test("semdedup: candidate generation is an equi-join on the cluster id") {
+    // The SemDeDup scale contract: per-cluster all-pairs reached through an
+    // equi-join on the cluster assignment — never a cartesian over the
+    // corpus (the vec_a < vec_b predicate must ride ON the equi-join, not
+    // become a nested-loop condition).
+    val p = plan("dedup_embedding_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semdedup pair join degenerated:\n$p")
+  }
+
   test("kmeans loop reads the persisted working set (InMemoryTableScan)") {
     // r6 finding: the normalize+filter working set was rescanned every
     // iteration (iters + 2 input scans). The persist is load-bearing at

@@ -32,6 +32,26 @@ class WauSpec extends AnyFunSuite {
     assert(rolled == direct, "day-split sketch union diverged from the direct week sketch")
   }
 
+  test("wauValidated: boolean is TRUE for the real sketch and FLIPS on a drifted estimate") {
+    // The self-validation harness must be falsifiable, or the oracle's
+    // `TRUE AS within_tol` proves nothing: feed it a deliberately-off
+    // estimate column and require the boolean to go false.
+    val ev = Tables.events(spark, SfDir)
+    val good = Wau.wauValidated(
+      Wau.wauApprox(ev, "user_id", col("ts"), "2024-01-01", "2024-01-31"),
+      "wau_approx", ev, "user_id", col("ts"), "2024-01-01", "2024-01-31")
+      .collect()
+    assert(good.nonEmpty && good.forall(_.getAs[Boolean]("within_tol")),
+      "real HLL++ estimate must sit within the 5% gate")
+    val drifted = Wau.wauApprox(ev, "user_id", col("ts"), "2024-01-01", "2024-01-31")
+      .withColumn("wau_approx", col("wau_approx") * 2)
+    val bad = Wau.wauValidated(
+      drifted, "wau_approx", ev, "user_id", col("ts"), "2024-01-01", "2024-01-31")
+      .collect()
+    assert(bad.nonEmpty && bad.forall(!_.getAs[Boolean]("within_tol")),
+      "a 2x-off estimate must flip the tolerance boolean (and thus the oracle hash)")
+  }
+
   test("approx WAU tracks exact WAU within the sketch's error bound") {
     val ev = Tables.events(spark, SfDir)
     val exact = Wau.wau(ev, "user_id", col("ts"), "2024-01-01", "2024-01-31")
