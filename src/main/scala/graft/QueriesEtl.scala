@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{EventsEtl, Sessionize}
+import graft.operators.{EventsEtl, Histograms, Sessionize}
 import graft.sources.{CsvSource, TableManager}
 
 /** ETL-surface queries: CSV source round-trip (S1/S2), templated-SQL entry
@@ -111,8 +111,26 @@ object QueriesEtl {
           countDistinct(col("session_id")).as("n_sessions"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_date_kst"))
-    })
+    }),
+
+    // ── mergeable binned-histogram percentile rollup: the quantile analog
+    // of the day→week HLL WAU rollup, but EXACTLY replayable — daily
+    // (week, day, bin, count) sketches merged by integer addition into
+    // weekly distributions, p50/p90/p99 upper bounds from integer cumsums.
+    // Appending a day touches bin rows, never history (see Histograms). ──
+    "value_hist_rollup" -> ((s, dir) =>
+      Histograms.weeklyValuePercentiles(
+        Tables.events(s, dir).where(col("value").isNotNull),
+        col("value"), col("ts"), "2024-01-01", "2024-01-31",
+        lo = HistLo, hi = HistHi, nBins = HistBins, qs = HistQs))
   )
+
+  // value_hist_rollup geometry + quantiles — interpolated into the oracle so
+  // the two sides cannot drift
+  private val HistLo = 0.0
+  private val HistHi = 500.0
+  private val HistBins = 50
+  private val HistQs = Seq(0.5, 0.9, 0.99)
 
   private val sessionKstCte: String =
     """WITH lagged AS (
@@ -164,6 +182,43 @@ object QueriesEtl {
          |SELECT event_date_kst, count(*) AS n_events,
          |       count(DISTINCT session_id) AS n_sessions,
          |       count(DISTINCT user_id) AS n_users
-         |FROM sessions GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM sessions GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Replays Histograms bin-for-bin: the bin expression keeps the Spark
+    // operation order (IEEE ops agree), counts/cumsums are BIGINT, and the
+    // rank threshold ceil(q·total) is the same double expression — where
+    // q·total rounds, it rounds identically in both engines.
+    "value_hist_rollup" ->
+      s"""WITH d AS (
+         |  SELECT CAST(date_trunc('week', ts) AS DATE) AS event_week,
+         |         CAST(ts AS DATE) AS event_day,
+         |         least(${HistBins - 1}, greatest(0,
+         |           CAST(floor((value - $HistLo) * $HistBins / ${HistHi - HistLo}) AS BIGINT))) AS bin
+         |  FROM events
+         |  WHERE value IS NOT NULL
+         |    AND CAST(date_trunc('week', ts) AS DATE)
+         |        BETWEEN CAST(date_trunc('week', TIMESTAMP '2024-01-01') AS DATE)
+         |            AND CAST(date_trunc('week', TIMESTAMP '2024-01-31') AS DATE)
+         |), daily AS (
+         |  SELECT event_week, event_day, bin, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM d GROUP BY 1, 2, 3
+         |), weekly AS (
+         |  SELECT event_week, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM daily GROUP BY 1, 2
+         |), c AS (
+         |  SELECT event_week, bin,
+         |         CAST(sum(cnt) OVER (PARTITION BY event_week ORDER BY bin
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |         CAST(sum(cnt) OVER (PARTITION BY event_week) AS BIGINT) AS total
+         |  FROM weekly
+         |), x AS (
+         |  SELECT event_week, q, bin
+         |  FROM c CROSS JOIN (SELECT unnest(CAST(${HistQs.mkString("[", ", ", "]")} AS DOUBLE[])) AS q)
+         |  WHERE cum >= CAST(ceil(q * total) AS BIGINT)
+         |)
+         |SELECT event_week, q, min(bin) AS bin,
+         |       $HistLo + (min(bin) + 1) * ${(HistHi - HistLo) / HistBins} AS upper_edge
+         |FROM x GROUP BY event_week, q
+         |ORDER BY event_week, q""".stripMargin
   )
 }
