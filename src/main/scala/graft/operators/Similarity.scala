@@ -332,7 +332,14 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     VectorFunctions.register(vectors.sparkSession)
-    val assigned = kmeans(vectors, k, iters, idCol, vecCol).select(col(idCol), col("cluster"))
+    // materialize the (id, cluster) assignment ONCE: it feeds BOTH join
+    // sides, and without the checkpoint each side re-derives the final
+    // E-step from the raw corpus (two extra full scans at scale — seen in
+    // the r7 plan audit). The table is two longs per vector; lineage
+    // truncation also keeps the pair join's plan free of the k-dot E-step.
+    val assigned = kmeans(vectors, k, iters, idCol, vecCol)
+      .select(col(idCol), col("cluster"))
+      .localCheckpoint()
     val a = withNorm(vectors, idCol, vecCol, "vec_a")
       .join(assigned.withColumnRenamed(idCol, "vec_a"), "vec_a")
       .select(col("vec_a"), col("v").as("va"), col("nrm").as("na"), col("cluster"))
