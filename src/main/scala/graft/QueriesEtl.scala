@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{EventsEtl, Histograms, Sessionize}
+import graft.operators.{EventsEtl, Histograms, Privacy, Sessionize}
 import graft.sources.{CsvSource, TableManager}
 
 /** ETL-surface queries: CSV source round-trip (S1/S2), templated-SQL entry
@@ -122,7 +122,15 @@ object QueriesEtl {
       Histograms.weeklyValuePercentiles(
         Tables.events(s, dir).where(col("value").isNotNull),
         col("value"), col("ts"), "2024-01-01", "2024-01-31",
-        lo = HistLo, hi = HistHi, nBins = HistBins, qs = HistQs))
+        lo = HistLo, hi = HistHi, nBins = HistBins, qs = HistQs)),
+
+    // ── privacy scrub before training export ([[Privacy.scrubEvents]]):
+    // salted surrogate user keys, hour-generalized integer timestamps,
+    // numeric redaction over the props payload with an audit count — one
+    // codegen'd map-side pass, full row-per-event output hash-checked. ──
+    "pii_scrub_events" -> ((s, dir) =>
+      Privacy.scrubEvents(Tables.events(s, dir), salt = "graft")
+        .orderBy(col("event_id")))
   )
 
   // value_hist_rollup geometry + quantiles — interpolated into the oracle so
@@ -219,6 +227,20 @@ object QueriesEtl {
          |SELECT event_week, q, min(bin) AS bin,
          |       $HistLo + (min(bin) + 1) * ${(HistHi - HistLo) / HistBins} AS upper_edge
          |FROM x GROUP BY event_week, q
-         |ORDER BY event_week, q""".stripMargin
+         |ORDER BY event_week, q""".stripMargin,
+
+    // Replays Privacy.scrubEvents: same salt prefix into md5, the hour
+    // bucket as integer floor-epoch minus its mod-3600 remainder (both
+    // engines: positive epochs, identical % semantics), and the SAME digit
+    // pattern (interpolated from Privacy.NumberPattern) for replace+count.
+    "pii_scrub_events" ->
+      s"""SELECT event_id,
+         |       md5('graft:' || CAST(user_id AS VARCHAR)) AS user_pseudo,
+         |       CAST(floor(epoch(ts)) AS BIGINT)
+         |         - (CAST(floor(epoch(ts)) AS BIGINT) % 3600) AS ts_hour_sec,
+         |       event_type,
+         |       regexp_replace(props, '${Privacy.NumberPattern}', '<NUM>', 'g') AS props_clean,
+         |       CAST(len(regexp_extract_all(props, '${Privacy.NumberPattern}')) AS BIGINT) AS n_redacted
+         |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -94,6 +94,18 @@ object QueriesLlm {
   // so the spec's "exact pairs restricted to co-clustered ids" law is over
   // the same pair universe
   private val SemThreshold = 0.4
+  // dedup_incremental: corpus/fresh hash-split fraction and the signature-
+  // agreement admission threshold, query AND oracle
+  private val IncCorpusFrac = 0.8
+  private val IncThreshold = 0.5
+  // embed_quantize levels (int8-style), query AND oracle
+  private val QuantLevels = 256
+  // bpe_pair_counts top-k, query AND oracle
+  private val BpeTopK = 30
+  // budget_select per-source token budget + binned-variant bin count,
+  // query AND oracle
+  private val BudgetTokens = 700L
+  private val BudgetBins = 100
 
   /** The kmeans_clusters oracle, UNROLLED: one (assign, recompute) CTE pair
     * per Lloyd iteration, generated from the same (k, iters) constants the
@@ -199,6 +211,30 @@ object QueriesLlm {
        |  WHERE l.doc_id < r.doc_id
        |)""".stripMargin
 
+  /** Scoring CTE chain `t` → `t2` → `q(source, doc_id, n_tokens, quality)`
+    * shared by the budget-selection oracles — the same staged quality
+    * expression the text_stats/curate oracles replay, with empty docs
+    * excluded (no tokens to budget; their ratios are 0/0).
+    */
+  private val budgetScoredCte: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id, text, $toksSql AS w FROM documents
+       |  WHERE length($norm) > 0
+       |), t2 AS (
+       |  SELECT source, doc_id, text, w,
+       |         CAST(len(w) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE) / len(w) AS stop_ratio,
+       |         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |           / length(text) AS punct_ratio
+       |  FROM t
+       |), q AS (
+       |  SELECT source, doc_id, n_tokens,
+       |         round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+       |             + least(stop_ratio * 4.0, 1.0) * 0.3
+       |             + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.3, 6) AS quality
+       |  FROM t2
+       |)""".stripMargin
+
   /** documents → (doc_id[, carry...], lang_guess) with the three-stage
     * staging — tokenize once, project every language score as a REAL column,
     * argmax over the cheap attribute refs (the r2-regression-proof shape
@@ -261,6 +297,14 @@ object QueriesLlm {
       TextAnalysis.repetitionScores(Tables.documents(s, dir), n = GramN)
         .withColumn("is_repetitive", col("top_count") * 5 >= col("n_grams"))
         .orderBy(col("doc_id"))),
+
+    // ── BPE trainer statistics kernel ([[TextAnalysis.bpePairCounts]]):
+    // corpus-wide adjacent character-pair counts within whitespace tokens —
+    // the merge-selection scan of a distributed BPE tokenizer trainer's
+    // first iteration. Map-side explode, |alphabet|²-bounded partial agg,
+    // top-k as TakeOrderedAndProject. ──
+    "bpe_pair_counts" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir), topK = BpeTopK)),
 
     // ── lang-ID evaluation: confusion matrix of the marker heuristic's
     // guess against the corpus's ground-truth `lang` column — the accuracy
@@ -387,6 +431,20 @@ object QueriesLlm {
       Dedup.ngramJaccardPairsViaMinhash(Tables.documents(s, dir), threshold = 0.3, bands = MhBands)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ── incremental admission dedup ([[Dedup.incrementalDedupReport]]): the
+    // continuous-ingest shape — a hash-split "new batch" (~20%) probed
+    // against the "existing corpus" band index plus earlier batch-mates;
+    // one verdict row per new doc (n_dups, smallest dup partner). Candidate
+    // cost scales with the batch, never corpus². ──
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val u = Sampling.hashUniform(col("doc_id"))
+      Dedup.incrementalDedupReport(
+        docs.where(u < IncCorpusFrac), docs.where(u >= IncCorpusFrac),
+        threshold = IncThreshold, bands = MhBands)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── near-dup: 60-bit SimHash, hamming <= 6. The minimal 7-block index
     // fits THIS corpus: it is near-dup-dense, so candidate volume is
     // combos × true-pairs and the 7-way index beats the wider 9-block one
@@ -477,6 +535,16 @@ object QueriesLlm {
       Similarity.semanticNearDupPairsKmeans(
         Tables.embeddings(s, dir), SemThreshold, KmK, KmIters)
         .orderBy(col("vec_a"), col("vec_b"))),
+
+    // ── embedding compression ([[Similarity.quantizeEmbeddings]]): per-dim
+    // min-max int8-style codes — stats via the graft_vec_min/max native
+    // aggregates (8·dim-byte partials, no posexplode fan-out), then a
+    // map-side encode with the bounds as plan literals. Integer-only
+    // outputs; the codes array itself stays API-side. ──
+    "embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeEmbeddings(Tables.embeddings(s, dir), levels = QuantLevels)
+        .drop("codes")
+        .orderBy(col("vec_id"))),
 
     // ── hard-negative mining for contrastive training: top-5 most similar
     // OTHER-label vectors per query — the label anti-predicate is fused
@@ -618,6 +686,28 @@ object QueriesLlm {
         minShared = DeconMinShared, n = GramN)
         .orderBy(col("doc_id"))
     }),
+
+    // ── token-budget selection ([[Curation.budgetSelect]]): each source
+    // contributes its best docs quality-first until its token budget is
+    // spent — the EXACT (windowed per-stratum sort) ground truth ──
+    "budget_select" -> ((s, dir) =>
+      Curation.budgetSelect(Tables.documents(s, dir), budgetTokens = BudgetTokens)
+        .orderBy(col("source"), col("doc_id"))),
+
+    // ── the 100 TB route ([[Curation.budgetSelectBinned]]): mergeable
+    // quality-bin token histogram → whole-bin cutoff, no per-stratum sort;
+    // CurationSpec pins binned ⊆ exact ──
+    "budget_select_binned" -> ((s, dir) =>
+      Curation.budgetSelectBinned(
+        Tables.documents(s, dir), budgetTokens = BudgetTokens, nBins = BudgetBins)
+        .orderBy(col("source"), col("doc_id"))),
+
+    // ── temperature mixture weights ([[Sampling.mixtureWeights]]): α=0.5
+    // source propensities in integer ppm — sqrt is the IEEE-portable
+    // temperature, pow() is not ──
+    "mixture_weights" -> ((s, dir) =>
+      Sampling.mixtureWeights(Tables.documents(s, dir))
+        .orderBy(col("source"))),
 
     // ── deterministic corpus MIXING ([[Sampling.hashSampleByStratum]]):
     // thin the over-represented language to a target rate (en → 25%) while
@@ -1075,6 +1165,80 @@ object QueriesLlm {
          |JOIN sigs sb ON sb.doc_id = c.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Incremental admission replay: fresh docs are the hash-split tail
+    // (same md5 arithmetic as sample_split); the probe join is the band
+    // join restricted to fresh probes, partners are corpus docs or
+    // smaller-id batch-mates; verify is signature-slot agreement (exact
+    // multiples of 1/$MhK, un-rounded compare as in stream_neardup_ingest);
+    // LEFT JOIN keeps signature-less fresh docs as (0, null) admit rows.
+    "dedup_incremental" ->
+      s"""$gramsCte,
+         |${minhashCandCte()},
+         |u AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS uu
+         |  FROM documents
+         |),
+         |fr AS (SELECT doc_id FROM u WHERE uu >= $IncCorpusFrac),
+         |pairsi AS (
+         |  SELECT DISTINCT l.doc_id AS f_id, r.doc_id AS p_id
+         |  FROM banded l
+         |  JOIN fr ON fr.doc_id = l.doc_id
+         |  JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+         |  WHERE r.doc_id NOT IN (SELECT doc_id FROM fr) OR r.doc_id < l.doc_id
+         |),
+         |ver AS (
+         |  SELECT f_id, p_id
+         |  FROM pairsi
+         |  JOIN sigs sa ON sa.doc_id = f_id
+         |  JOIN sigs sb ON sb.doc_id = p_id
+         |  WHERE CAST(len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, ${MhK + 1})], x -> x)) AS DOUBLE) / $MhK >= $IncThreshold
+         |)
+         |SELECT fr.doc_id, CAST(count(v.p_id) AS BIGINT) AS n_dups, min(v.p_id) AS dup_of
+         |FROM fr LEFT JOIN ver v ON v.f_id = fr.doc_id
+         |GROUP BY fr.doc_id
+         |ORDER BY fr.doc_id""".stripMargin,
+
+    // BPE pair-count replay: same normalization + whitespace split, pairs
+    // are substr(t, i, 2) for i in [1, len-1] (both engines' substr is
+    // 1-based and character-oriented), every occurrence counted, same
+    // (n DESC, pair) total order before the LIMIT.
+    "bpe_pair_counts" ->
+      s"""WITH tk AS (
+         |  SELECT unnest($toksSql) AS t FROM documents
+         |),
+         |pairs AS (
+         |  SELECT substr(t, i, 2) AS pair
+         |  FROM tk, unnest(range(1, len(t))) AS r(i)
+         |  WHERE len(t) >= 2
+         |)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n
+         |FROM pairs GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT $BpeTopK""".stripMargin,
+
+    // Quantization replay: per-dim bounds are min/max SELECTIONS (no
+    // arithmetic, bit-exact across engines); the code expression keeps the
+    // Spark operation order ((x - mn) * levels, then / (mx - mn)) so the
+    // IEEE doubles agree before floor; constant dims encode as 0.
+    "embed_quantize" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (
+         |  SELECT vec_id, i, v[i] AS x
+         |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+         |),
+         |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
+         |codes AS (
+         |  SELECT vec_id, i,
+         |         CASE WHEN s.mx = s.mn THEN 0
+         |              ELSE CAST(least(floor((x - s.mn) * ${QuantLevels}.0 / (s.mx - s.mn)), ${QuantLevels - 1}) AS BIGINT)
+         |         END AS c
+         |  FROM ex JOIN stats s USING (i)
+         |)
+         |SELECT vec_id,
+         |       md5(string_agg(CAST(c AS VARCHAR), ' ' ORDER BY i)) AS q_fp,
+         |       min(c) AS q_min, max(c) AS q_max, CAST(sum(c) AS BIGINT) AS q_sum
+         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "dedup_simhash" ->
       s"""WITH toks AS (
          |  SELECT DISTINCT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents
@@ -1410,6 +1574,57 @@ object QueriesLlm {
          |FROM u
          |WHERE u < CASE WHEN lang_guess = 'en' THEN 0.25 ELSE 1.0 END
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Budget selection replay: the shared staged-quality CTE, then the
+    // identical (quality DESC, doc_id) window cumsum — all budget
+    // comparisons on BIGINT token sums, quality pre-rounded to 6 decimals
+    // before anything orders by it.
+    "budget_select" ->
+      s"""$budgetScoredCte,
+         |c AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |           ORDER BY quality DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM q
+         |)
+         |SELECT source, doc_id, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= $BudgetTokens
+         |ORDER BY source, doc_id""".stripMargin,
+
+    // Binned-variant replay: quality-bin histogram, bin-descending integer
+    // cumsum, whole kept bins joined back — the same arithmetic at every
+    // step, so the under-fill is identical too.
+    "budget_select_binned" ->
+      s"""$budgetScoredCte,
+         |b AS (
+         |  SELECT *, least(CAST(floor(quality * $BudgetBins) AS BIGINT), ${BudgetBins - 1}) AS bin
+         |  FROM q
+         |), h AS (
+         |  SELECT source, bin, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |  FROM b GROUP BY 1, 2
+         |), hc AS (
+         |  SELECT source, bin, sum(bin_tokens) OVER (PARTITION BY source ORDER BY bin DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM h
+         |), k AS (SELECT source, bin FROM hc WHERE cum_tokens <= $BudgetTokens)
+         |SELECT b.source, b.doc_id, b.n_tokens, b.quality
+         |FROM b JOIN k ON b.source = k.source AND b.bin = k.bin
+         |ORDER BY b.source, b.doc_id""".stripMargin,
+
+    // Mixture-weights replay: integer counts, the 1-row total, and the
+    // α=0.5 propensity via sqrt — correctly rounded IEEE in both engines
+    // (a pow()-based temperature would not be portable across libms).
+    "mixture_weights" ->
+      s"""WITH t AS (SELECT source, len($toksSql) AS nt FROM documents),
+         |p AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(nt) AS BIGINT) AS n_tokens
+         |  FROM t GROUP BY 1
+         |), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM p)
+         |SELECT source, n_docs, n_tokens,
+         |       CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+         |            * 1000000.0) AS BIGINT) AS weight_ppm
+         |FROM p CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "top_tokens" ->
       s"""SELECT token, count(*) AS n

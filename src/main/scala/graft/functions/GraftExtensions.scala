@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
   * }}}
   *
-  * makes `graft_dot`, `graft_vec_sum`, `graft_shingles`, `graft_minhash`,
+  * makes `graft_dot`, `graft_vec_sum`, `graft_vec_min`/`graft_vec_max`,
+  * `graft_shingles`, `graft_minhash`,
   * `graft_simhash60`, `graft_winnow` and `graft_repstats` available to every session (SQL
   * included) without any library call. The operators themselves still lazily register via
   * [[VectorFunctions.register]]/[[TextKernels.register]] so plain sessions
@@ -53,6 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_vec_sum"),
       info("graft_vec_sum", "graft_vec_sum(v) - element-wise sum aggregate over array<double>"),
       (exprs: Seq[Expression]) => VectorSumAgg(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_min"),
+      info("graft_vec_min", "graft_vec_min(v) - element-wise min aggregate over array<double>"),
+      (exprs: Seq[Expression]) => VectorExtremeAgg(exprs(0), isMin = true)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_max"),
+      info("graft_vec_max", "graft_vec_max(v) - element-wise max aggregate over array<double>"),
+      (exprs: Seq[Expression]) => VectorExtremeAgg(exprs(0), isMin = false)))
     ext.injectFunction((
       FunctionIdentifier("graft_repstats"),
       info("graft_repstats",

@@ -176,6 +176,104 @@ case class VectorSumAgg(
   override def prettyName: String = "graft_vec_sum"
 }
 
+/** Element-wise extreme (min or max) aggregate over an `array<double>`
+  * column — the stats pass of scalar quantization (`codes = (v - min) /
+  * (max - min)` needs the per-dimension corpus range).
+  *
+  * Same scale rationale as [[VectorSumAgg]]: the alternative is
+  * `posexplode` → per-(dim) agg, a dim× row fan-out before the map-side
+  * combine kicks in. This keeps ONE dim-length double buffer per group per
+  * task and ships `8·dim` bytes per group through the shuffle. min/max are
+  * order-insensitive, so unlike the sum there is no floating-point
+  * merge-order noise at all — the result is bit-exact across partitionings
+  * and engines (it's a selection, not arithmetic), which is what lets the
+  * quantization oracle replay without rounding.
+  *
+  * Null vectors are skipped; an all-null/empty group evaluates to null;
+  * mismatched lengths THROW (the [[DotProduct]] strictness contract).
+  */
+case class VectorExtremeAgg(
+    child: Expression,
+    isMin: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.sql}")
+  }
+
+  private def pick(a: Double, b: Double): Double =
+    if (isMin) math.min(a, b) else math.max(a, b)
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (buffer.isEmpty) {
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = arr.getDouble(i); i += 1 }
+      out
+    } else {
+      if (buffer.length != n) {
+        throw new IllegalArgumentException(
+          s"$prettyName: mismatched vector lengths ${buffer.length} vs $n")
+      }
+      var i = 0
+      while (i < n) { buffer(i) = pick(buffer(i), arr.getDouble(i)); i += 1 }
+      buffer
+    }
+  }
+
+  override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] =
+    if (other.isEmpty) buffer
+    else if (buffer.isEmpty) other
+    else {
+      if (buffer.length != other.length) {
+        throw new IllegalArgumentException(
+          s"$prettyName: mismatched vector lengths ${buffer.length} vs ${other.length}")
+      }
+      var i = 0
+      while (i < buffer.length) { buffer(i) = pick(buffer(i), other(i)); i += 1 }
+      buffer
+    }
+
+  override def eval(buffer: Array[Double]): Any =
+    if (buffer.isEmpty) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Double](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorExtremeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorExtremeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren(0))
+  override def prettyName: String = if (isMin) "graft_vec_min" else "graft_vec_max"
+}
+
 object VectorFunctions {
 
   /** Register `graft_dot` on the given session's function registry
@@ -187,6 +285,10 @@ object VectorFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vec_sum", exprs => VectorSumAgg(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_min", exprs => VectorExtremeAgg(exprs(0), isMin = true), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_max", exprs => VectorExtremeAgg(exprs(0), isMin = false), "scala_udf")
   }
 
   /** Codegen'd dot product (requires [[register]] on the session). */
@@ -194,6 +296,10 @@ object VectorFunctions {
 
   /** Element-wise vector-sum aggregate (requires [[register]]). */
   def vecSum(v: Column): Column = call_function("graft_vec_sum", v)
+
+  /** Element-wise vector-min / vector-max aggregates (require [[register]]). */
+  def vecMin(v: Column): Column = call_function("graft_vec_min", v)
+  def vecMax(v: Column): Column = call_function("graft_vec_max", v)
 
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
     * unsigned first-8-hex-chars of md5("&lt;plane&gt;_&lt;dim&gt;") / 2^32 - 0.5.

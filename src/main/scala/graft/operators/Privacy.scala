@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy scrubbing for training-data export — the pass a pipeline runs
+  * before raw interaction logs may feed a training corpus: direct
+  * identifiers become salted surrogate keys, quasi-identifying timestamps
+  * are generalized to a coarser bucket, and free-text payloads get pattern
+  * redaction with an audit count per row.
+  *
+  * Everything is a pure column expression (codegen'd, no UDFs), so the
+  * whole scrub is ONE map-side pass at any scale — no shuffle, no state.
+  * Determinism is the point of the salted-hash design: the same user maps
+  * to the same pseudonym across batches and engines (joins on the
+  * pseudonym still work downstream), while reversing it needs the salt.
+  */
+object Privacy {
+
+  /** Digit runs — numeric payloads (amounts, ids, zips) inside free text. */
+  val NumberPattern = "[0-9]+"
+
+  /** Email addresses (the pragmatic pattern, not full RFC 5322). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** http/https URLs up to whitespace. */
+  val UrlPattern = "https?://[^\\s]+"
+
+  /** Salted deterministic surrogate key: md5("&lt;salt&gt;:&lt;key&gt;").
+    * Same key + salt → same pseudonym everywhere (cross-batch joins keep
+    * working); rotating the salt unlinks every historical export at once.
+    */
+  def pseudonymize(key: Column, salt: String): Column =
+    md5(concat(lit(salt + ":"), key.cast("string")))
+
+  /** Replace every match of `pattern` with `token`. */
+  def redact(c: Column, pattern: String, token: String): Column =
+    regexp_replace(c, pattern, token)
+
+  /** How many matches [[redact]] would replace — the per-row audit column
+    * a scrub job emits alongside the cleaned text.
+    */
+  def redactionCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
+  /** Timestamp generalized to its hour bucket, as epoch SECONDS — integer
+    * math end to end (floor-epoch minus its mod-3600 remainder), the
+    * repo-wide cross-engine determinism discipline for time outputs.
+    */
+  def hourBucketSec(ts: Column): Column = {
+    val sec = unix_timestamp(ts)
+    (sec - pmod(sec, lit(3600L))).cast("long")
+  }
+
+  /** The composed scrub over an interaction-log frame shaped like the
+    * `events` table: surrogate user key, hour-generalized timestamp,
+    * numeric redaction over the free-text properties payload, audit count.
+    */
+  def scrubEvents(events: DataFrame, salt: String = "graft"): DataFrame =
+    events.select(
+      col("event_id"),
+      pseudonymize(col("user_id"), salt).as("user_pseudo"),
+      hourBucketSec(col("ts")).as("ts_hour_sec"),
+      col("event_type"),
+      redact(col("props"), NumberPattern, "<NUM>").as("props_clean"),
+      redactionCount(col("props"), NumberPattern).as("n_redacted"))
+}

@@ -67,6 +67,39 @@ object Sampling {
     * `defaultFraction`; NULL keys are rejected at runtime like
     * [[withHashSplit]].
     */
+  /** Temperature-scaled mixture weights per stratum — the knob that decides
+    * how much each source/domain/language contributes to a training mix
+    * (upsampling the tail relative to raw proportions, the standard
+    * multilingual/multi-domain recipe). Temperature is FIXED at α = 0.5,
+    * computed as `sqrt(n_s / N)`: sqrt is correctly rounded under IEEE 754
+    * so both engines produce the identical double, whereas a general
+    * `pow(p, α)` is NOT portable across libm implementations — the repo's
+    * cross-engine determinism discipline picks the portable special case.
+    * Output is an integer propensity in parts-per-million (consumers
+    * normalize across the strata they actually mix); all other columns are
+    * exact integers.
+    *
+    * Scale shape: one partially-aggregated count per stratum (map-side
+    * combine → ≤ strata rows per task), a 1-row scalar broadcast for the
+    * total, and the arithmetic on strata-cardinality rows — nothing here
+    * touches data volume again.
+    */
+  def mixtureWeights(
+      docs: DataFrame,
+      strataCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val per = docs
+      .select(col(strataCol), size(TextAnalysis.tokens(col(textCol))).cast("long").as("nt"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(
+        col(strataCol), col("n_docs"), col("n_tokens"),
+        floor(sqrt(col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+          * lit(1e6)).cast("long").as("weight_ppm"))
+  }
+
   def hashSampleByStratum(
       df: DataFrame,
       keyCol: String,

@@ -505,4 +505,61 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** Per-dimension min-max scalar quantization of an embedding column — the
+    * vector-compression pass a 100 TB embedding store runs before indexing
+    * (int8 codes are 4× smaller than float32 and 8× smaller than the double
+    * working form; IVF/PQ systems quantize exactly this way for their
+    * coarse level).
+    *
+    * `code_d = min(floor((v_d - min_d) * levels / (max_d - min_d)),
+    * levels-1)`, i.e. the corpus range of each dimension split into `levels`
+    * equal cells, value → cell index; a constant dimension (max == min)
+    * encodes as 0. Integer-only outputs (the repo's cross-engine
+    * determinism discipline): the per-vector code fingerprint, code
+    * min/max/sum — plus the raw `codes` array for API consumers (dropped by
+    * the declared query; arrays don't cross the hash compare).
+    *
+    * Two passes, both the shape you want at scale: (1) a stats aggregation
+    * via [[graft.functions.VectorExtremeAgg]] — ONE dim-length buffer per
+    * task, `2·8·dim` bytes per partition through the final gather, no
+    * posexplode fan-out; min/max are selections (not arithmetic), so the
+    * collected bounds are bit-exact regardless of partitioning, which is
+    * what lets the DuckDB oracle replay the codes without rounding. (2) a
+    * map-side encode with the bounds as plan literals (`8·2·dim` doubles —
+    * same plan-literal budget argument as [[kmeans]] centroids), no
+    * shuffle at all.
+    */
+  def quantizeEmbeddings(
+      vectors: DataFrame,
+      levels: Int = 256,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(levels > 1, s"levels must be > 1, got $levels")
+    VectorFunctions.register(vectors.sparkSession)
+    val vecs = vectors.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val statsRow = vecs.agg(
+      VectorFunctions.vecMin(col("v")).as("mn"),
+      VectorFunctions.vecMax(col("v")).as("mx")).head()
+    require(!statsRow.isNullAt(0), "quantizeEmbeddings: no input vectors")
+    val mins = statsRow.getSeq[Double](0)
+    val maxs = statsRow.getSeq[Double](1)
+    val codeExprs: Seq[Column] = mins.indices.map { d =>
+      val mn = mins(d)
+      val mx = maxs(d)
+      if (mx == mn) lit(0L)
+      else least(
+        floor((element_at(col("v"), d + 1) - lit(mn)) * lit(levels.toDouble) / lit(mx - mn)),
+        lit(levels - 1L))
+    }
+    vecs
+      .select(col(idCol), array(codeExprs: _*).as("codes"))
+      .select(
+        col(idCol),
+        col("codes"),
+        md5(concat_ws(" ", transform(col("codes"), _.cast("string")))).as("q_fp"),
+        array_min(col("codes")).as("q_min"),
+        array_max(col("codes")).as("q_max"),
+        aggregate(col("codes"), lit(0L), _ + _).as("q_sum"))
+  }
 }

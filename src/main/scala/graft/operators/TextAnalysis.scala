@@ -91,6 +91,44 @@ object TextAnalysis {
         md5(concat_ws(" ", col("col"))).as("chunk_fp"))
   }
 
+  /** Corpus-wide adjacent-symbol-pair counts — the statistics kernel of a
+    * BPE tokenizer trainer's first merge iteration: with the initial
+    * vocabulary = single characters, the trainer counts every adjacent pair
+    * WITHIN each whitespace token (pairs never span token boundaries, the
+    * standard pre-tokenization cut) and merges the most frequent. Every
+    * occurrence counts (a token containing "aa a" twice contributes twice) —
+    * merge decisions weight by frequency, not document presence.
+    *
+    * Output: the `topK` (pair, n) rows, ordered by count descending with the
+    * pair string as the deterministic tie-break.
+    *
+    * Scale shape: tokenize + explode are map-side; the pair counts partial-
+    * aggregate map-side (pair cardinality is tiny — bounded by |alphabet|²
+    * per iteration — so each task emits at most that many partial rows
+    * regardless of input size), and the global top-k runs as
+    * TakeOrderedAndProject, never a full sort. This is the one-job-per-merge
+    * loop a distributed BPE trainer runs; iterating merges re-runs it with
+    * the merged symbol added to the token stream.
+    */
+  def bpePairCounts(
+      docs: DataFrame,
+      topK: Int = 30,
+      textCol: String = "text"): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    docs
+      .select(explode(tokens(col(textCol))).as("t"))
+      // 1-char tokens have no pairs; the filter also keeps sequence() below
+      // ascending (Spark's sequence(1, 0) is a DESCENDING ramp, not empty)
+      .where(length(col("t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("t")) - 1),
+        i => col("t").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** BPE-ish lexer token count: alpha runs, digit runs, and single
     * non-alphanumeric marks (the common pre-tokenizer shape).
     */

@@ -451,4 +451,60 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.length == 1)
     assert(pairs.head.getDouble(2) == 1.0)
   }
+
+  test("incremental dedup: corpus dup flagged, within-batch resolves to the earlier doc, gramless admits") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      10L -> base,
+      11L -> "totally different words entirely over here right now").toDF("doc_id", "text")
+    val fresh = Seq(
+      20L -> base, // duplicate of corpus doc 10
+      21L -> "unique snowflake content nothing shared with anyone else",
+      22L -> "unique snowflake content nothing shared with anyone else", // batch-mate dup of 21
+      23L -> "xy" // below the gram width: no signature, must still be reported
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedupReport(corpus, fresh).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq((20L, 1L, 10L), (21L, 0L, -1L), (22L, 1L, 21L), (23L, 0L, -1L)))
+  }
+
+  test("incremental dedup against a parquet round-tripped index equals the direct path; geometry mismatch fatal") {
+    val all = Tables.documents(spark, SfDir)
+    val u = graft.operators.Sampling.hashUniform(col("doc_id"))
+    val corpus = all.where(u < 0.8)
+    val fresh = all.where(u >= 0.8)
+    val index = Dedup.withBandKeys(Dedup.minhashSignatures(corpus), bands = 8)
+    val path = "target/test-scratch/inc_index"
+    index.write.mode("overwrite").parquet(path)
+    val loaded = spark.read.parquet(path)
+    // the geometry stamp survives the parquet round-trip
+    assert(loaded.schema("band").metadata.getLong("graft.bands") == 8L)
+    val direct = Dedup.incrementalDedupReport(corpus, fresh)
+      .orderBy("doc_id").collect().toSeq
+    val viaIndex = Dedup.incrementalDedupAgainstIndex(loaded, fresh)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaIndex == direct)
+    // probing with the wrong band count must fail loudly, not miss silently
+    val e = intercept[IllegalArgumentException](
+      Dedup.incrementalDedupAgainstIndex(loaded, fresh, bands = 16))
+    assert(e.getMessage.contains("banded with bands=8"))
+  }
+
+  test("incremental dedup with an empty corpus reduces to the within-batch minhash pair graph") {
+    val docs = Tables.documents(spark, SfDir)
+    val report = Dedup.incrementalDedupReport(docs.where(lit(false)), docs)
+      .orderBy("doc_id").collect().toSeq
+    // expected verdicts from the batch pair generator: each doc's verified
+    // partners of smaller id (est >= 0.5), exactly the report's contract
+    val pairs = Dedup.minhashLshPairs(docs).where(col("est_jaccard") >= 0.5)
+    val expected = docs.select(col("doc_id"))
+      .join(
+        pairs.groupBy(col("doc_b").as("doc_id"))
+          .agg(count(lit(1)).as("n_dups"), min(col("doc_a")).as("dup_of")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_dups"), lit(0L)).as("n_dups"), col("dup_of"))
+      .orderBy("doc_id").collect().toSeq
+    assert(report == expected)
+  }
 }

@@ -35,4 +35,13 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getAs[collection.Seq[Double]](0)
     assert(s == Seq(4.0, 6.0))
   }
+
+  test("the vec_min / vec_max aggregates are injected too") {
+    val r = spark.sql(
+      """SELECT graft_vec_min(v) AS mn, graft_vec_max(v) AS mx
+        |FROM VALUES (array(1.0d, 4.0d)), (array(3.0d, 2.0d)) AS t(v)""".stripMargin)
+      .head()
+    assert(r.getAs[collection.Seq[Double]](0) == Seq(1.0, 2.0))
+    assert(r.getAs[collection.Seq[Double]](1) == Seq(3.0, 4.0))
+  }
 }

@@ -149,6 +149,42 @@ class PlanSpec extends AnyFunSuite {
       s"semdedup pair join degenerated:\n$p")
   }
 
+  test("pii_scrub_events is one map-side pass (no hash exchange, no join)") {
+    // The privacy scrub's contract at 100 TB: pure column expressions, so
+    // the only exchange in the declared query is the output ORDER BY's range
+    // partition — a hash exchange or a join means someone turned the scrub
+    // into a shuffle.
+    val p = plan("pii_scrub_events")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scrub must not hash-shuffle:\n$p")
+    assert(!p.contains("Join"), s"scrub must not join:\n$p")
+  }
+
+  test("bpe_pair_counts: partial aggregation and top-k without a global sort") {
+    val p = plan("bpe_pair_counts")
+    assert(p.contains("partial"),
+      s"pair counts must partial-aggregate map-side before the shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k must plan as TakeOrderedAndProject, not a full Sort:\n$p")
+  }
+
+  test("embed_quantize encode pass is map-side (bounds ride as plan literals)") {
+    // The stats aggregation runs eagerly at query construction (a k-row
+    // collect, like the kmeans centroids); the DECLARED plan is the encode —
+    // which must be a single map-side pass with no hash exchange and no join
+    // back to a stats relation.
+    val p = plan("embed_quantize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"encode must not hash-shuffle:\n$p")
+    assert(!p.contains("Join"), s"bounds must be literals, not a joined relation:\n$p")
+  }
+
+  test("dedup_incremental: probe joins stay equi-joins, never cartesian") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental probe degenerated:\n$p")
+  }
+
   test("kmeans loop reads the persisted working set (InMemoryTableScan)") {
     // r6 finding: the normalize+filter working set was rescanned every
     // iteration (iters + 2 input scans). The persist is load-bearing at

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Privacy
+
+class PrivacySpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  // epoch seconds, TZ-proof (Timestamp.valueOf would parse in the JVM zone)
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  private val H10 = 1704103200L // 2024-01-01 10:00:00 UTC
+
+  private def fixture = Seq(
+    (1L, ts(H10 + 2242), 42L, "click", 1.0, """{"k": 69, "z": 700}"""),
+    (2L, ts(H10 + 3599), 42L, "view", 2.0, """{"k": 7}"""),
+    (3L, ts(H10 + 3600), 43L, "view", 3.0, "no digits here"))
+    .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("scrubEvents: redaction + audit count, salted pseudonyms, hour generalization") {
+    val got = Privacy.scrubEvents(fixture).orderBy("event_id").collect()
+
+    assert(got.map(_.getAs[Long]("n_redacted")).toSeq == Seq(2L, 1L, 0L))
+    assert(got(0).getAs[String]("props_clean") == """{"k": <NUM>, "z": <NUM>}""")
+    assert(got(2).getAs[String]("props_clean") == "no digits here")
+
+    // deterministic surrogate: same user → same pseudonym, and exactly the
+    // salted md5 (the cross-batch join key contract)
+    val p = got.map(_.getAs[String]("user_pseudo"))
+    assert(p(0) == p(1) && p(0) != p(2))
+    assert(p(0) == md5hex("graft:42"))
+
+    // hour buckets: rows 1–2 share 10:00, row 3 rolls to 11:00; buckets are
+    // exact hour marks in integer seconds
+    val h = got.map(_.getAs[Long]("ts_hour_sec"))
+    assert(h.toSeq == Seq(H10, H10, H10 + 3600))
+    assert(h.forall(_ % 3600 == 0))
+  }
+
+  test("rotating the salt unlinks every pseudonym at once") {
+    val a = Privacy.scrubEvents(fixture, salt = "graft")
+      .select("user_pseudo").distinct().collect().map(_.getString(0)).toSet
+    val b = Privacy.scrubEvents(fixture, salt = "rotated")
+      .select("user_pseudo").distinct().collect().map(_.getString(0)).toSet
+    assert(a.intersect(b).isEmpty)
+    assert(a.size == 2 && b.size == 2) // same cardinality: joins still work
+  }
+
+  test("email / URL patterns redact and count (library surface beyond the events query)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "mail a@b.co or see https://x.example/path now")).toDF("id", "text")
+    val r = df.select(
+      Privacy.redact(
+        Privacy.redact(col("text"), Privacy.UrlPattern, "<URL>"),
+        Privacy.EmailPattern, "<EMAIL>").as("clean"),
+      Privacy.redactionCount(col("text"), Privacy.EmailPattern).as("ne"),
+      Privacy.redactionCount(col("text"), Privacy.UrlPattern).as("nu")).head()
+    assert(r.getAs[String]("clean") == "mail <EMAIL> or see <URL> now")
+    assert(r.getAs[Long]("ne") == 1L && r.getAs[Long]("nu") == 1L)
+  }
+}

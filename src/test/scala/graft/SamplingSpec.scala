@@ -9,6 +9,21 @@ class SamplingSpec extends AnyFunSuite {
 
   private val fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  test("mixtureWeights: sqrt temperature in exact ppm, tail share upweighted") {
+    import spark.implicits._
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(("a", 1L, mk(20)), ("b", 2L, mk(80)))
+      .toDF("source", "doc_id", "text")
+    val got = Sampling.mixtureWeights(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // sqrt(0.2)·1e6 = 447213.59… → 447213; sqrt(0.8)·1e6 = 894427.19… → 894427
+    assert(got("a") == ((1L, 20L, 447213L)))
+    assert(got("b") == ((1L, 80L, 894427L)))
+    // the α=0.5 propensity lifts the tail above its raw 20% share
+    val (wa, wb) = (got("a")._3.toDouble, got("b")._3.toDouble)
+    assert(wa / (wa + wb) > 0.2)
+  }
+
   test("hash split is a pure function of the key: repartition-invariant") {
     val d = Tables.documents(spark, SfDir)
     def splits(df: org.apache.spark.sql.DataFrame) =

@@ -233,4 +233,52 @@ class SimilaritySpec extends AnyFunSuite {
     val g = intercept[IllegalArgumentException](Similarity.kmeans(ok, k = 5000, iters = 1))
     assert(g.getMessage.contains("plan-literal"))
   }
+
+  test("quantizeEmbeddings: hand-computed codes; constant dim encodes 0; flat columns agree") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0f, 5.0f, 1.0f)),
+      (2L, Array(1.0f, 5.0f, 3.0f)),
+      (3L, Array(2.0f, 5.0f, 5.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeEmbeddings(df, levels = 4).orderBy("vec_id").collect()
+    // dim1 range [0,2]: code = min(floor(2x), 3) → 0, 2, 3 (max clamps)
+    // dim2 constant → 0; dim3 range [1,5]: min(floor(x-1), 3) → 0, 2, 3
+    def codes(i: Int) = got(i).getAs[collection.Seq[Long]]("codes")
+    assert(codes(0) == Seq(0L, 0L, 0L))
+    assert(codes(1) == Seq(2L, 0L, 2L))
+    assert(codes(2) == Seq(3L, 0L, 3L))
+    got.foreach { r =>
+      val cs = r.getAs[collection.Seq[Long]]("codes")
+      assert(r.getAs[Long]("q_min") == cs.min)
+      assert(r.getAs[Long]("q_max") == cs.max)
+      assert(r.getAs[Long]("q_sum") == cs.sum)
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(cs.mkString(" ").getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      assert(r.getAs[String]("q_fp") == fp)
+    }
+  }
+
+  test("quantizeEmbeddings: codes are monotone in the input values per dimension") {
+    // the property that makes range queries on codes meaningful
+    val emb = Tables.embeddings(spark, SfDir)
+    val q = Similarity.quantizeEmbeddings(emb)
+    val joined = emb.select(col("vec_id"), col("embedding")).join(q, "vec_id")
+      .select(col("embedding").cast("array<double>").as("v"), col("codes")).collect()
+    val byDim = joined.flatMap { r =>
+      val v = r.getAs[collection.Seq[Double]]("v")
+      val c = r.getAs[collection.Seq[Long]]("codes")
+      v.indices.map(d => (d, v(d), c(d)))
+    }.groupBy(_._1)
+    byDim.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
+  test("quantizeEmbeddings: empty input fails loudly") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Similarity.quantizeEmbeddings(empty))
+    assert(e.getMessage.contains("no input vectors"))
+  }
 }

@@ -40,6 +40,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) == "und")
   }
 
+  test("bpePairCounts: every occurrence counted, (n desc, pair) order, 1-char tokens dropped") {
+    val df = Seq((1L, "Abab cd"), (2L, "aba x")).toDF("doc_id", "text")
+    // normalized tokens: abab cd | aba x; pairs within tokens of len >= 2:
+    // abab → ab ba ab, cd → cd, aba → ab ba  ⇒  ab×3, ba×2, cd×1 ("x" has none)
+    val got = TextAnalysis.bpePairCounts(df, topK = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("ab" -> 3L, "ba" -> 2L, "cd" -> 1L))
+    // topK truncates the same ordering
+    val top1 = TextAnalysis.bpePairCounts(df, topK = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(top1 == Seq("ab" -> 3L))
+  }
+
+  test("bpePairCounts conservation: Σn equals Σ(len-1) over multi-char tokens of the corpus") {
+    val docs = Tables.documents(spark, SfDir)
+    val total = TextAnalysis.bpePairCounts(docs, topK = Int.MaxValue)
+      .agg(sum(col("n"))).head().getLong(0)
+    val expected = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .where(length(col("t")) >= 2)
+      .agg(sum(length(col("t")) - 1)).head().getLong(0)
+    assert(total == expected)
+  }
+
   test("chunkDocs: disjoint chunks tile the stream; stride<chunk overlaps; partial final kept") {
     val d = one((1 to 120).map(i => s"t$i").mkString(" "))
     val disjoint = TextAnalysis.chunkDocs(d).orderBy("chunk_idx").collect()
