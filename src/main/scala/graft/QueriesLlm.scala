@@ -106,6 +106,8 @@ object QueriesLlm {
   // query AND oracle
   private val BudgetTokens = 700L
   private val BudgetBins = 100
+  // dedup_containment near-subset threshold, query AND oracle
+  private val ContainThreshold = 0.8
 
   /** The kmeans_clusters oracle, UNROLLED: one (assign, recompute) CTE pair
     * per Lloyd iteration, generated from the same (k, iters) constants the
@@ -445,6 +447,72 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── asymmetric containment ([[Dedup.containmentPairs]]): docs whose
+    // gram set is >= 80% inside another doc's — the excerpt/quote/wrapper
+    // duplicate class Jaccard's union denominator dilutes away ──
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), threshold = ContainThreshold)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ── provenance analysis: near-dup pair counts BETWEEN sources — which
+    // feeds copy from which. MinHash pairs (est >= 0.5, the
+    // stream_neardup threshold) joined to each side's source and counted;
+    // the matrix a corpus audit publishes before deciding source weights ──
+    "dedup_source_matrix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.minhashLshPairs(docs, bands = MhBands)
+        .where(col("est_jaccard") >= 0.5)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // ── split-leakage audit: after the deterministic hash split, which
+    // TRAIN docs share >= 2 grams with any TEST doc — the n-gram leakage
+    // check run on the split itself (same machinery as benchmark
+    // decontamination, aimed at the pipeline's own held-out tail) ──
+    "split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val u = Sampling.hashUniform(col("doc_id"))
+      Dedup.contaminationReport(
+        docs.where(u < 0.8), docs.where(u >= 0.9),
+        minShared = DeconMinShared, n = GramN)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── per-source data card: the corpus-composition summary published
+    // with a dataset — doc/token volume, language mix, exact-dup rate
+    // (distinct fingerprints), and the quality distribution with the sum
+    // carried in integer micro-units (floor(q·1e6): cross-engine safe,
+    // DuckDB's double→int CAST rounds where Spark truncates). Empty docs
+    // are excluded (their quality ratios are 0/0). ──
+    "corpus_datacard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .where(length(TextAnalysis.normalize(col("text"))) > 0)
+      val lang = langGuessed(docs, carry = Seq("source"))
+      val scored = docs
+        .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          round(TextAnalysis.qualityScoreOf(col("text"), col("toks")), 6).as("quality"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+      lang.join(scored, "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(when(col("lang_guess") === "en", 1L).otherwise(0L)).as("n_en_docs"),
+          countDistinct(col("fp")).as("n_distinct_fp"),
+          sum(floor(col("quality") * lit(1e6)).cast("long")).as("q_micro_sum"),
+          min(col("quality")).as("q_min"),
+          max(col("quality")).as("q_max"))
+        .orderBy(col("source"))
+    }),
+
     // ── near-dup: 60-bit SimHash, hamming <= 6. The minimal 7-block index
     // fits THIS corpus: it is near-dup-dense, so candidate volume is
     // combos × true-pairs and the 7-way index beats the wider 9-block one
@@ -535,6 +603,16 @@ object QueriesLlm {
       Similarity.semanticNearDupPairsKmeans(
         Tables.embeddings(s, dir), SemThreshold, KmK, KmIters)
         .orderBy(col("vec_a"), col("vec_b"))),
+
+    // ── true-IVF KNN ([[Similarity.ivfKnn]]): learned k-means cells as the
+    // coarse quantizer (FAISS IVF-flat shape), single-probe, exact
+    // raw-vector cosine inside the probed cell — completing the ANN tier
+    // next to brute force and the two hyperplane-LSH routes ──
+    "knn_ivf_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfKnn(emb.where(col("vec_id") < 10), emb, k = 5, cells = KmK, iters = KmIters)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // ── embedding compression ([[Similarity.quantizeEmbeddings]]): per-dim
     // min-max int8-style codes — stats via the graft_vec_min/max native
@@ -1199,6 +1277,105 @@ object QueriesLlm {
          |GROUP BY fr.doc_id
          |ORDER BY fr.doc_id""".stripMargin,
 
+    // Containment replay: the decontaminate 32-bit gram-hash idiom, both
+    // join directions kept, numerator and denominator both over the
+    // distinct-hash space so a collision inflates identically in both
+    // engines.
+    "dedup_containment" ->
+      s"""$gramsCte,
+         |h AS (
+         |  SELECT DISTINCT doc_id, ('0x' || substr(md5(x), 1, 8))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(g) AS x FROM grams)
+         |),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_h FROM h GROUP BY 1),
+         |sh AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM h a JOIN h b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT sh.doc_a, sh.doc_b,
+         |       round(CAST(n_shared AS DOUBLE) / n_h, 6) AS containment
+         |FROM sh JOIN sz ON sz.doc_id = sh.doc_a
+         |WHERE CAST(n_shared AS DOUBLE) / n_h >= $ContainThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Source-matrix replay: the shared MinHash candidate CTEs, the
+    // stream_neardup 0.5 slot-agreement verify (un-rounded compare —
+    // estimates are exact multiples of 1/$MhK), sources joined per side.
+    "dedup_source_matrix" ->
+      s"""$gramsCte,
+         |${minhashCandCte()},
+         |v AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.doc_a
+         |  JOIN sigs sb ON sb.doc_id = c.doc_b
+         |  WHERE CAST(len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, ${MhK + 1})], x -> x)) AS DOUBLE) / $MhK >= 0.5
+         |)
+         |SELECT da.source AS source_a, db.source AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM v
+         |JOIN documents da ON da.doc_id = v.doc_a
+         |JOIN documents db ON db.doc_id = v.doc_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Split-leakage replay: the decontaminate gram-hash idiom with the
+    // sample_split md5 arithmetic deciding the train (u < 0.8) and test
+    // (u >= 0.9) sides.
+    "split_leakage" ->
+      s"""$gramsCte,
+         |h AS (
+         |  SELECT doc_id,
+         |         list_distinct([('0x' || substr(md5(x), 1, 8))::BIGINT for x in g]) AS hs
+         |  FROM grams
+         |),
+         |u AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS uu
+         |  FROM documents
+         |),
+         |e AS (SELECT DISTINCT h FROM (
+         |  SELECT unnest(hs) AS h FROM h JOIN u USING (doc_id) WHERE uu >= 0.9)),
+         |tr AS (SELECT doc_id, unnest(hs) AS h FROM h JOIN u USING (doc_id) WHERE uu < 0.8)
+         |SELECT tr.doc_id, count(*) AS n_shared
+         |FROM tr JOIN e USING (h)
+         |GROUP BY tr.doc_id HAVING count(*) >= $DeconMinShared
+         |ORDER BY tr.doc_id""".stripMargin,
+
+    // Data-card replay: the lang-guess CTE chain (carrying source) joined
+    // to a staged quality/fingerprint chain; the quality sum crosses in
+    // floor-micro integer units — floor() because DuckDB's double→BIGINT
+    // CAST rounds half-even where Spark's truncates.
+    "corpus_datacard" ->
+      s"""${langGuessCte(Seq("source"))},
+         |d2 AS (
+         |  SELECT doc_id, text, $toksSql AS w FROM documents
+         |  WHERE length($norm) > 0
+         |), d3 AS (
+         |  SELECT doc_id,
+         |         CAST(len(w) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE) / len(w) AS stop_ratio,
+         |         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |           / length(text) AS punct_ratio,
+         |         length(text) AS n_chars,
+         |         md5($norm) AS fp
+         |  FROM d2
+         |), d4 AS (
+         |  SELECT doc_id, n_tokens, fp,
+         |         round(least(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.4
+         |             + least(stop_ratio * 4.0, 1.0) * 0.3
+         |             + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.3, 6) AS quality
+         |  FROM d3
+         |)
+         |SELECT l.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_docs,
+         |       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+         |       CAST(sum(CAST(floor(quality * 1000000.0) AS BIGINT)) AS BIGINT) AS q_micro_sum,
+         |       min(quality) AS q_min, max(quality) AS q_max
+         |FROM l JOIN d4 USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // BPE pair-count replay: same normalization + whitespace split, pairs
     // are substr(t, i, 2) for i in [1, len-1] (both engines' substr is
     // 1-based and character-oriented), every occurrence counted, same
@@ -1215,6 +1392,31 @@ object QueriesLlm {
          |SELECT pair, CAST(count(*) AS BIGINT) AS n
          |FROM pairs GROUP BY pair
          |ORDER BY n DESC, pair LIMIT $BpeTopK""".stripMargin,
+
+    // IVF replay: the shared kmeans chain, final assignment as `fin` for
+    // BOTH sides (queries are corpus members, so their cell is the fitted
+    // one), then the semdedup-style raw-vector cosine ranked within the
+    // probed cell.
+    "knn_ivf_cosine" ->
+      (kmeansCtesSql(KmK, KmIters) +
+        s""",
+           |fin AS (
+           |${kmeansAssignFrom(s"c$KmIters")}
+           |),
+           |p AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         list_sum([nq.r[i] * nc.r[i] for i in range(1, len(nq.r) + 1)]) / (nq.rn * nc.rn) AS cos
+           |  FROM fin q
+           |  JOIN fin c ON q.cluster = c.cluster AND c.vec_id <> q.vec_id
+           |  JOIN en nq ON nq.vec_id = q.vec_id
+           |  JOIN en nc ON nc.vec_id = c.vec_id
+           |  WHERE q.vec_id < 10
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM p
+           |)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     // Quantization replay: per-dim bounds are min/max SELECTIONS (no
     // arithmetic, bit-exact across engines); the code expression keeps the

@@ -161,6 +161,61 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Asymmetric containment near-dup pairs: emit (doc_a, doc_b) when
+    * `|g(a) ∩ g(b)| / |g(a)| >= threshold` — doc_a is a near-SUBSET of
+    * doc_b. This is the duplicate class symmetric Jaccard structurally
+    * misses: a page quoting a whole short document, an excerpt feed, a doc
+    * re-published with a long boilerplate wrapper — the union in Jaccard's
+    * denominator dilutes the score as the size gap grows, while containment
+    * normalizes by the smaller doc's own content. Both directions are
+    * emitted when two docs mutually contain each other (near-identical
+    * twins appear as two rows).
+    *
+    * Grams compare by the same 32-bit md5 hash the other gram joins use
+    * (collisions can only INFLATE containment — errs toward over-flagging,
+    * the safe direction for dedup; both engines hash identically so the
+    * oracle replays exactly). `maxGramFreq > 0` drops grams appearing in
+    * more than that many docs BEFORE both the numerator and the
+    * denominator — containment is then measured within the informative gram
+    * space (boilerplate runs can't fan the join out quadratically OR pin
+    * every doc's ratio near 1); 0 keeps it lossless, which is how the
+    * declared query runs.
+    *
+    * Scale shape: one equi-join on the gram hash + a pair-count aggregation
+    * (the [[contaminationReport]] shuffled-fallback shape); the hot-gram
+    * knob is the skew control. At 100 TB prefer winnowed prints
+    * ([[winnowOverlapPairs]]) as the sparser candidate generator and verify
+    * containment on the candidates only.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      n: Int = 3,
+      maxGramFreq: Long = 0L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hashes = shingles(docs, n, idCol, textCol)
+      .select(col(idCol), explode(col("grams")).as("gram"))
+      .select(col(idCol), TextKernels.hash32Col(col("gram")).as("h"))
+      .distinct() // grams are distinct per doc; this also collapses hash collisions
+    val kept =
+      if (maxGramFreq <= 0L) hashes
+      else {
+        val hot = hashes.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .where(col("df") > maxGramFreq).select(col("h"))
+        hashes.join(hot, Seq("h"), "left_anti")
+      }
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_h"))
+    kept.as("l").join(kept.as("r"), "h")
+      .where(col(s"l.$idCol") =!= col(s"r.$idCol"))
+      .groupBy(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_h")), "doc_a")
+      .withColumn("containment", col("n_shared").cast("double") / col("n_h"))
+      .where(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
+  }
+
   /** Candidate pairs for [[ngramJaccardPairs]] via lossless prefix filtering
     * (AllPairs/PPJoin family): order every doc's grams by global rarity; two
     * docs with Jaccard >= t MUST share a gram within the first

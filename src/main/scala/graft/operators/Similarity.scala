@@ -224,7 +224,51 @@ object Similarity {
       k: Int,
       iters: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    kmeansFit(vectors, k, iters, idCol, vecCol)._1
+
+  /** (`idCol`, unit-normalized `v`, its norm `vn`) — the shared working-set
+    * shape of [[kmeansFit]] and the [[ivfKnn]] query assignment; both sides
+    * must build it with the SAME expressions so an external query assigns
+    * bitwise like a corpus member would.
+    */
+  private def unitized(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors
+      .select(col(idCol), asDouble(col(vecCol)).as("raw"))
+      .withColumn("rn", norm(col("raw")))
+      .where(col("rn") > 0) // zero vectors have no direction: excluded
+      .select(col(idCol), transform(col("raw"), x => x / col("rn")).as("v"))
+      .withColumn("vn", norm(col("v")))
+
+  /** E-step over a [[unitized]] frame: adds `cluster` (best cosine,
+    * smallest-cell tie-break) and `cos`. Centroids ride as plan literals.
+    */
+  private def assignCells(df: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val withCos = cents.foldLeft(df) { case (d, (cid, cv)) =>
+      val cn = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
+      d.withColumn(s"cos_$cid", dot(col("v"), typedLit(cv)) / (col("vn") * lit(cn)))
+    }
+    val best = cents.map { case (cid, _) => col(s"cos_$cid") } match {
+      case Seq(only) => only
+      case cs => greatest(cs: _*)
+    }
+    // first equal cosine in ascending-cid order wins: the smallest-id tie-break
+    val cluster = cents.map(_._1).sorted.foldRight(lit(-1L)) { (cid, rest) =>
+      when(col(s"cos_$cid") === best, lit(cid)).otherwise(rest)
+    }
+    withCos.withColumn("cluster", cluster).withColumn("cos", best)
+  }
+
+  /** [[kmeans]] returning BOTH the assignment and the fitted (rounded)
+    * centroids — consumers like [[ivfKnn]] need the centroids to assign
+    * vectors that were not part of the fit.
+    */
+  def kmeansFit(
+      vectors: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, Seq[(Long, Array[Double])]) = {
     require(k > 0, s"k must be positive, got $k")
     require(iters > 0, s"iters must be positive, got $iters")
     // Centroids ride in the E-step plan as array LITERALS (k·dim doubles per
@@ -238,12 +282,7 @@ object Similarity {
     // once — at 100 TB recomputing normalize+filter per iteration would be
     // the dominant cost (MLlib's KMeans caches its norm-augmented input the
     // same way).
-    val unit = vectors
-      .select(col(idCol), asDouble(col(vecCol)).as("raw"))
-      .withColumn("rn", norm(col("raw")))
-      .where(col("rn") > 0) // zero vectors have no direction: excluded
-      .select(col(idCol), transform(col("raw"), x => x / col("rn")).as("v"))
-      .withColumn("vn", norm(col("v")))
+    val unit = unitized(vectors, idCol, vecCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // k seed rows in (md5(id), id) order: TakeOrderedAndProject, no full sort
     var centroids: Seq[(Long, Array[Double])] = unit
@@ -256,25 +295,9 @@ object Similarity {
       .toSeq
     require(centroids.nonEmpty, "kmeans: no nonzero-norm vectors to seed from")
 
-    def assign(cents: Seq[(Long, Array[Double])]): DataFrame = {
-      val withCos = cents.foldLeft(unit) { case (df, (cid, cv)) =>
-        val cn = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
-        df.withColumn(s"cos_$cid", dot(col("v"), typedLit(cv)) / (col("vn") * lit(cn)))
-      }
-      val best = cents.map { case (cid, _) => col(s"cos_$cid") } match {
-        case Seq(only) => only
-        case cs => greatest(cs: _*)
-      }
-      // first equal cosine in ascending-cid order wins: the smallest-id tie-break
-      val cluster = cents.map(_._1).sorted.foldRight(lit(-1L)) { (cid, rest) =>
-        when(col(s"cos_$cid") === best, lit(cid)).otherwise(rest)
-      }
-      withCos.withColumn("cluster", cluster).withColumn("cos", best)
-    }
-
     try {
       (1 to iters).foreach { i =>
-        val mStep = assign(centroids)
+        val mStep = assignCells(unit, centroids)
           .groupBy(col("cluster"))
           .agg(VectorFunctions.vecSum(col("v")).as("vsum"), count(lit(1)).as("n"))
           .select(col("cluster"), transform(col("vsum"), x => round(x / col("n"), 6)).as("c"))
@@ -291,13 +314,61 @@ object Similarity {
           .sortBy(_._1)
       }
       require(centroids.nonEmpty, "kmeans: all centroids degenerated to zero")
-      assign(centroids)
-        .select(col(idCol), col("cluster"), round(col("cos"), 6).as("cosine"))
+      (assignCells(unit, centroids)
+        .select(col(idCol), col("cluster"), round(col("cos"), 6).as("cosine")),
+        centroids)
     } finally {
       // MLlib semantics: the cache serves the seed collect + `iters` M-steps;
       // the returned (lazy) assignment recomputes its one pass at consumption.
       unit.unpersist(blocking = false)
     }
+  }
+
+  /** True-IVF approximate KNN: the coarse quantizer is LEARNED — the
+    * deterministic spherical [[kmeans]]' cells — rather than [[lshKnn]]'s
+    * random hyperplanes (FAISS's IVF-flat shape: k-means coarse quantizer,
+    * exact scan inside the probed list). Single-probe: each query scans
+    * exactly the corpus cell its vector assigns to, with the assignment
+    * built from the SAME normalized pipeline and rounded centroids as the
+    * fit, so a query that is also a corpus member lands in its fitted cell
+    * bitwise. Ranking inside the cell is the exact raw-vector cosine.
+    * Approximate by construction — neighbors across a cell boundary are the
+    * recall trade, measured against [[bruteForceKnn]] in SimilaritySpec.
+    * Zero-norm queries have no direction and are dropped, like the fit
+    * drops zero-norm corpus vectors.
+    *
+    * Scale shape: the fit touches the corpus `iters + 2` times (see
+    * [[kmeansFit]]); the search is one broadcast of the assigned queries
+    * against the cell-partitioned corpus — an equi-join on the cell id,
+    * never all-pairs.
+    */
+  def ivfKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      cells: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val (corpusAssign, cents) = kmeansFit(corpus, cells, iters, idCol, vecCol)
+    val qAssigned = assignCells(unitized(queries, idCol, vecCol), cents)
+      .select(col(idCol).as("query_id"), col("cluster"))
+      .join(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")), "query_id")
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val cell = corpusAssign.select(col(idCol).as("neighbor_id"), col("cluster"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")), "neighbor_id")
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cell.join(broadcast(qAssigned), Seq("cluster"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(
+        col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
   /** Test probe: executed-plan string of the first M-step of the most recent

@@ -452,6 +452,41 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.head.getDouble(2) == 1.0)
   }
 
+  test("containment: a quoted doc flags against its superset, not vice versa; twins flag both ways") {
+    import spark.implicits._
+    val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      1L -> core,                                         // fully inside 2
+      2L -> (core + " plus a long boilerplate tail wrapping the quoted content here"),
+      3L -> "completely unrelated words about some other topic entirely now",
+      4L -> core,                                         // twin of 1
+      5L -> "xy"                                          // no grams → no rows
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // 1 and 4 are identical: mutual containment 1.0; both sit inside 2
+    assert(got((1L, 4L)) == 1.0 && got((4L, 1L)) == 1.0)
+    assert(got((1L, 2L)) == 1.0 && got((4L, 2L)) == 1.0)
+    // the superset is NOT contained in the quote (8 of 18 grams shared)
+    assert(!got.contains((2L, 1L)) && !got.contains((2L, 4L)))
+    assert(!got.keys.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 5L || p._2 == 5L))
+  }
+
+  test("containment equals a naive string-gram replay on the corpus (hash keys collision-free here)") {
+    val docs = Tables.documents(spark, SfDir)
+    val got = Dedup.containmentPairs(docs, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val g = Dedup.shingles(docs)
+    val naive = g.as("l").join(g.as("r"), col("l.doc_id") =!= col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        (size(array_intersect(col("l.grams"), col("r.grams"))).cast("double")
+          / size(col("l.grams"))).as("c"))
+      .where(col("c") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    assert(got == naive)
+  }
+
   test("incremental dedup: corpus dup flagged, within-batch resolves to the earlier doc, gramless admits") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta"

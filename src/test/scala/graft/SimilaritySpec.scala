@@ -234,6 +234,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(g.getMessage.contains("plan-literal"))
   }
 
+  test("ivf knn: neighbors share the query's fitted cell; cosines exact within the probed cell") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val fitted = Similarity.kmeans(emb, 4, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Similarity.ivfKnn(emb.where(col("vec_id") < 5), emb, k = 3, cells = 4, iters = 2)
+      .collect()
+    assert(got.nonEmpty)
+    // single-probe: every neighbor is a member of the query's own cell, and
+    // a corpus-member query probes exactly its fitted cell
+    got.foreach { r =>
+      assert(fitted(r.getLong(1)) == fitted(r.getLong(0)),
+        s"neighbor ${r.getLong(1)} outside query ${r.getLong(0)}'s cell")
+    }
+    // exact within the cell: cosine equals the brute-force cosine of the pair
+    val bmap = Similarity.bruteForceKnn(emb.where(col("vec_id") < 5), emb, k = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { r =>
+      assert(bmap((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+    // ranks are 1..n per query, descending cosine
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq == (1 to byRank.length).map(_.toLong))
+      assert(byRank.map(_.getDouble(2)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
   test("quantizeEmbeddings: hand-computed codes; constant dim encodes 0; flat columns agree") {
     import spark.implicits._
     val df = Seq(
