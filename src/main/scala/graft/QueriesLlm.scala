@@ -108,6 +108,8 @@ object QueriesLlm {
   private val BudgetBins = 100
   // dedup_containment near-subset threshold, query AND oracle
   private val ContainThreshold = 0.8
+  // knn_ivf_cosine_mp probe count, query AND oracle
+  private val IvfProbes = 2
 
   /** The kmeans_clusters oracle, UNROLLED: one (assign, recompute) CTE pair
     * per Lloyd iteration, generated from the same (k, iters) constants the
@@ -611,6 +613,17 @@ object QueriesLlm {
     "knn_ivf_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfKnn(emb.where(col("vec_id") < 10), emb, k = 5, cells = KmK, iters = KmIters)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── multi-probe IVF: the recall knob — each query scans its 2
+    // nearest-centroid cells instead of 1 (FAISS nprobe); probe expansion
+    // on the broadcast query side, corpus still partitioned once ──
+    "knn_ivf_cosine_mp" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfKnn(
+        emb.where(col("vec_id") < 10), emb, k = 5, cells = KmK, iters = KmIters,
+        nProbes = IvfProbes)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1411,6 +1424,40 @@ object QueriesLlm {
            |  JOIN en nq ON nq.vec_id = q.vec_id
            |  JOIN en nc ON nc.vec_id = c.vec_id
            |  WHERE q.vec_id < 10
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM p
+           |)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // Multi-probe IVF replay: per-query cells ranked by centroid cosine
+    // (DESC, cluster ASC — matching the struct(-cos, cell) ascending sort),
+    // top-$IvfProbes probed, then the same within-set exact ranking.
+    "knn_ivf_cosine_mp" ->
+      (kmeansCtesSql(KmK, KmIters) +
+        s""",
+           |fin AS (
+           |${kmeansAssignFrom(s"c$KmIters")}
+           |),
+           |qa AS (
+           |  SELECT vec_id AS query_id, cluster FROM (
+           |    SELECT e.vec_id, cc.cluster,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY list_sum([e.v[i] * cc.c[i] for i in range(1, len(e.v) + 1)])
+           |                      / (e.vn * sqrt(list_sum([x * x for x in cc.c]))) DESC,
+           |               cc.cluster) AS prn
+           |    FROM e CROSS JOIN c$KmIters cc
+           |    WHERE e.vec_id < 10
+           |  ) WHERE prn <= $IvfProbes
+           |),
+           |p AS (
+           |  SELECT q.query_id, c.vec_id AS neighbor_id,
+           |         list_sum([nq.r[i] * nc.r[i] for i in range(1, len(nq.r) + 1)]) / (nq.rn * nc.rn) AS cos
+           |  FROM qa q
+           |  JOIN fin c ON q.cluster = c.cluster AND c.vec_id <> q.query_id
+           |  JOIN en nq ON nq.vec_id = q.query_id
+           |  JOIN en nc ON nc.vec_id = c.vec_id
            |), r AS (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
            |  FROM p

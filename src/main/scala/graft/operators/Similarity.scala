@@ -327,11 +327,15 @@ object Similarity {
   /** True-IVF approximate KNN: the coarse quantizer is LEARNED — the
     * deterministic spherical [[kmeans]]' cells — rather than [[lshKnn]]'s
     * random hyperplanes (FAISS's IVF-flat shape: k-means coarse quantizer,
-    * exact scan inside the probed list). Single-probe: each query scans
-    * exactly the corpus cell its vector assigns to, with the assignment
-    * built from the SAME normalized pipeline and rounded centroids as the
-    * fit, so a query that is also a corpus member lands in its fitted cell
-    * bitwise. Ranking inside the cell is the exact raw-vector cosine.
+    * exact scan inside the probed list). Default single-probe: each query
+    * scans exactly the corpus cell its vector assigns to, with the
+    * assignment built from the SAME normalized pipeline and rounded
+    * centroids as the fit, so a query that is also a corpus member lands
+    * in its fitted cell bitwise; `nProbes > 1` scans the nProbes
+    * nearest-centroid cells (the standard IVF recall knob — at
+    * `nProbes = cells` the search becomes exact brute force, the law
+    * SimilaritySpec pins). Ranking inside the probed set is the exact
+    * raw-vector cosine.
     * Approximate by construction — neighbors across a cell boundary are the
     * recall trade, measured against [[bruteForceKnn]] in SimilaritySpec.
     * Zero-norm queries have no direction and are dropped, like the fit
@@ -349,11 +353,31 @@ object Similarity {
       cells: Int,
       iters: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      nProbes: Int = 1): DataFrame = {
+    require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
     VectorFunctions.register(queries.sparkSession)
     val (corpusAssign, cents) = kmeansFit(corpus, cells, iters, idCol, vecCol)
-    val qAssigned = assignCells(unitized(queries, idCol, vecCol), cents)
-      .select(col(idCol).as("query_id"), col("cluster"))
+    // nProbes > 1 is the standard IVF recall knob: scan the nProbes cells
+    // whose centroids are nearest the query (cos DESC, smallest cell id on
+    // ties — encoded as an ascending sort on struct(-cos, cell)). A corpus
+    // vector lives in exactly one cell, so probe expansion cannot duplicate
+    // a (query, neighbor) pair. nProbes = 1 keeps the argmax path whose
+    // assignment is bitwise the fit's own (knn_ivf_cosine's oracle contract).
+    val probed =
+      if (nProbes == 1)
+        assignCells(unitized(queries, idCol, vecCol), cents)
+          .select(col(idCol).as("query_id"), col("cluster"))
+      else {
+        val withCos = assignCells(unitized(queries, idCol, vecCol), cents)
+        val ranked = sort_array(array(cents.map { case (cid, _) =>
+          struct((-col(s"cos_$cid")).as("neg"), lit(cid).as("cell"))
+        }: _*))
+        withCos
+          .select(col(idCol).as("query_id"),
+            explode(slice(transform(ranked, s => s.getField("cell")), 1, nProbes)).as("cluster"))
+      }
+    val qAssigned = probed
       .join(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")), "query_id")
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val cell = corpusAssign.select(col(idCol).as("neighbor_id"), col("cluster"))

@@ -261,6 +261,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivf knn multi-probe: recall monotone in probes; probing every cell equals brute force") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val queries = emb.where(col("vec_id") < 5)
+    def run(p: Int) = Similarity.ivfKnn(queries, emb, k = 3, cells = 4, iters = 2, nProbes = p)
+      .collect().groupBy(_.getLong(0))
+    val single = run(1)
+    val mp = run(2)
+    // widening the probe set can only improve (or keep) each rank's cosine
+    mp.foreach { case (q, rows) =>
+      val mpByRank = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      val sByRank = single.getOrElse(q, Array.empty).sortBy(_.getLong(3)).map(_.getDouble(2))
+      sByRank.zip(mpByRank).foreach { case (s, m) => assert(m >= s) }
+      assert(mpByRank.length >= sByRank.length)
+    }
+    // nProbes = cells degenerates to exact brute force
+    val all = run(4).map { case (q, rows) =>
+      q -> rows.sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    }
+    val brute = Similarity.bruteForceKnn(queries, emb, k = 3).collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    assert(all == brute)
+  }
+
   test("quantizeEmbeddings: hand-computed codes; constant dim encodes 0; flat columns agree") {
     import spark.implicits._
     val df = Seq(
