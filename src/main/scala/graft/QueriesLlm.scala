@@ -110,6 +110,11 @@ object QueriesLlm {
   private val ContainThreshold = 0.8
   // knn_ivf_cosine_mp probe count, query AND oracle
   private val IvfProbes = 2
+  // embed_quantize_pq geometry (m subspaces, k cells, Lloyd iterations),
+  // query AND oracle — the oracle unrolls m independent kmeans chains
+  private val PqM = 4
+  private val PqK = 4
+  private val PqIters = 2
 
   /** The kmeans_clusters oracle, UNROLLED: one (assign, recompute) CTE pair
     * per Lloyd iteration, generated from the same (k, iters) constants the
@@ -118,7 +123,7 @@ object QueriesLlm {
     * quantization is what keeps two engines' order-sensitive float sums from
     * compounding into divergent assignments (see Similarity.kmeans Scaladoc).
     */
-  private def kmeansAssignFrom(cents: String): String =
+  private def kmeansAssignFrom(cents: String, prefix: String = ""): String =
     s"""  SELECT vec_id, v, cluster, cos FROM (
        |    SELECT vec_id, v, cluster, cos,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rn
@@ -126,7 +131,7 @@ object QueriesLlm {
        |      SELECT e.vec_id, e.v, $cents.cluster,
        |             list_sum([e.v[i] * $cents.c[i] for i in range(1, len(e.v) + 1)])
        |               / (e.vn * sqrt(list_sum([x * x for x in $cents.c]))) AS cos
-       |      FROM e CROSS JOIN $cents
+       |      FROM ${prefix}e e CROSS JOIN $cents
        |    )
        |  ) WHERE rn = 1""".stripMargin
 
@@ -136,24 +141,34 @@ object QueriesLlm {
     * norms) and `c$iters` (final centroids); compose with
     * [[kmeansAssignFrom]] for the final assignment.
     */
-  private def kmeansCtesSql(k: Int, iters: Int): String = {
+  /** `prefix` namespaces every CTE so several chains compose in one query
+    * (the PQ oracle runs one per subspace); `sliceLo`/`sliceLen` cluster a
+    * SUBVECTOR (`r[lo+1 : lo+len]`, DuckDB's 1-based inclusive slicing —
+    * matching Spark's `slice(vec, lo+1, len)`) instead of the full vector.
+    */
+  private def kmeansCtesSql(
+      k: Int, iters: Int, prefix: String = "", sliceLo: Int = 0, sliceLen: Int = 0): String = {
+    val p = prefix
+    val rawExpr =
+      if (sliceLen <= 0) "CAST(embedding AS DOUBLE[])"
+      else s"(CAST(embedding AS DOUBLE[]))[${sliceLo + 1}:${sliceLo + sliceLen}]"
     val head =
-      s"""WITH eraw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS r FROM embeddings),
-         |en AS (SELECT vec_id, r, sqrt(list_sum([x * x for x in r])) AS rn FROM eraw),
-         |e0 AS (SELECT vec_id, [x / rn for x in r] AS v FROM en WHERE rn > 0),
-         |e AS (SELECT vec_id, v, sqrt(list_sum([y * y for y in v])) AS vn FROM e0),
-         |c0 AS (
+      s"""WITH ${p}eraw AS (SELECT vec_id, $rawExpr AS r FROM embeddings),
+         |${p}en AS (SELECT vec_id, r, sqrt(list_sum([x * x for x in r])) AS rn FROM ${p}eraw),
+         |${p}e0 AS (SELECT vec_id, [x / rn for x in r] AS v FROM ${p}en WHERE rn > 0),
+         |${p}e AS (SELECT vec_id, v, sqrt(list_sum([y * y for y in v])) AS vn FROM ${p}e0),
+         |${p}c0 AS (
          |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster, v AS c
-         |  FROM e QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= $k
+         |  FROM ${p}e QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= $k
          |)""".stripMargin
     val rounds = (1 to iters).map { t =>
-      s"""a$t AS (
-         |${kmeansAssignFrom(s"c${t - 1}")}
+      s"""${p}a$t AS (
+         |${kmeansAssignFrom(s"${p}c${t - 1}", p)}
          |),
-         |p$t AS (SELECT cluster, v, unnest(generate_series(1, len(v))) AS i FROM a$t),
-         |c$t AS (
+         |${p}p$t AS (SELECT cluster, v, unnest(generate_series(1, len(v))) AS i FROM ${p}a$t),
+         |${p}c$t AS (
          |  SELECT cluster, list(m ORDER BY i) AS c FROM (
-         |    SELECT cluster, i, round(avg(v[i]), 6) AS m FROM p$t GROUP BY cluster, i
+         |    SELECT cluster, i, round(avg(v[i]), 6) AS m FROM ${p}p$t GROUP BY cluster, i
          |  ) GROUP BY cluster
          |)""".stripMargin
     }
@@ -626,6 +641,13 @@ object QueriesLlm {
         nProbes = IvfProbes)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // ── product quantization ([[Similarity.quantizePq]]): m independent
+    // per-subspace k-means codebooks (FAISS PQ shape) — the trained
+    // codebook compression next to the scalar min-max codes below ──
+    "embed_quantize_pq" -> ((s, dir) =>
+      Similarity.quantizePq(Tables.embeddings(s, dir), m = PqM, k = PqK, iters = PqIters)
+        .orderBy(col("vec_id"))),
 
     // ── embedding compression ([[Similarity.quantizeEmbeddings]]): per-dim
     // min-max int8-style codes — stats via the graft_vec_min/max native
@@ -1464,6 +1486,33 @@ object QueriesLlm {
            |)
            |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // PQ replay: one namespaced kmeans chain per subspace over the
+    // corresponding vector slice (DuckDB r[a:b] == Spark slice), final
+    // assignments joined on the id — every codebook replays exactly
+    // because each fit is the same md5-seeded 6-decimal-quantized chain
+    // the kmeans_clusters oracle replays.
+    "embed_quantize_pq" -> {
+      val subDim = graft.operators.Similarity.DefaultDim / PqM
+      val chains = (0 until PqM).map { s =>
+        val c = kmeansCtesSql(PqK, PqIters, prefix = s"s${s}_",
+          sliceLo = s * subDim, sliceLen = subDim)
+        if (s == 0) c else c.stripPrefix("WITH ")
+      }
+      val fins = (0 until PqM).map { s =>
+        s"""s${s}_fin AS (
+           |${kmeansAssignFrom(s"s${s}_c$PqIters", s"s${s}_")}
+           |)""".stripMargin
+      }
+      val joins = (1 until PqM).map(s => s"JOIN s${s}_fin f$s USING (vec_id)").mkString("\n")
+      val cols = (0 until PqM).map(s => s"f$s.cluster AS pq_$s").mkString(", ")
+      (chains ++ fins).mkString(",\n") +
+        s"""
+           |SELECT vec_id, $cols
+           |FROM s0_fin f0
+           |$joins
+           |ORDER BY vec_id""".stripMargin
+    },
 
     // Quantization replay: per-dim bounds are min/max SELECTIONS (no
     // arithmetic, bit-exact across engines); the code expression keeps the

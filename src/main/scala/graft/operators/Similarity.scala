@@ -601,6 +601,43 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Product quantization (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", PAMI'11 — the FAISS PQ standard): split each vector
+    * into `m` contiguous subvectors and cluster each subspace independently
+    * with the deterministic spherical [[kmeansFit]]; a vector's code is its
+    * m cell ids — `m·log2(k)` bits instead of `32·dim`, the codebook
+    * compression every billion-vector ANN index runs under its coarse
+    * quantizer. Complements [[quantizeEmbeddings]] (scalar min-max codes:
+    * no training, per-dimension) with the trained, per-subspace variant.
+    *
+    * Output: (`idCol`, pq_0 … pq_{m-1}) — all integers, deterministic
+    * (md5-seeded fits, per-iteration 6-decimal centroid quantization), so
+    * the DuckDB oracle replays all m codebooks exactly. A vector whose
+    * subvector has zero norm in ANY subspace is excluded (no direction in
+    * that subspace — the [[kmeans]] contract applied per slice).
+    *
+    * Scale shape: m independent fits, each `iters + 2` passes over a
+    * `dim/m`-width projection of the corpus (persist the parent frame once
+    * if the scan dominates); per-fit driver state is k rows. The code
+    * columns join back map-side-cheap on the id.
+    */
+  def quantizePq(
+      vectors: DataFrame,
+      m: Int = 4,
+      k: Int = 4,
+      iters: Int = 2,
+      dim: Int = DefaultDim,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      val sub = vectors.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as(vecCol))
+      kmeansFit(sub, k, iters, idCol, vecCol)._1
+        .select(col(idCol), col("cluster").as(s"pq_$s"))
+    }.reduce(_.join(_, idCol))
+  }
+
   /** Per-dimension min-max scalar quantization of an embedding column — the
     * vector-compression pass a 100 TB embedding store runs before indexing
     * (int8 codes are 4× smaller than float32 and 8× smaller than the double

@@ -286,6 +286,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(all == brute)
   }
 
+  test("product quantization: each subspace code equals kmeans on that slice; codes in range") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val pq = Similarity.quantizePq(emb, m = 4, k = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> (0 until 4).map(s => r.getLong(1 + s))).toMap
+    assert(pq.nonEmpty)
+    // subspace 1 (dims 17..32) replayed directly through kmeans on the slice
+    val sub = emb.select(col("vec_id"), slice(col("embedding"), 17, 16).as("embedding"))
+    val km = Similarity.kmeans(sub, 4, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pq.foreach { case (id, codes) => assert(codes(1) == km(id)) }
+    // every code is a seeded cell id
+    pq.values.foreach(cs => cs.foreach(c => assert(c >= 0 && c < 4)))
+    // m must divide dim
+    val e = intercept[IllegalArgumentException](Similarity.quantizePq(emb, m = 5))
+    assert(e.getMessage.contains("must divide"))
+  }
+
   test("quantizeEmbeddings: hand-computed codes; constant dim encodes 0; flat columns agree") {
     import spark.implicits._
     val df = Seq(
