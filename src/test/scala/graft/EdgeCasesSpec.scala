@@ -42,6 +42,41 @@ class EdgeCasesSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("bpe pairs, budget selection, containment, incremental report, mixture weights: degenerate docs handled") {
+    import graft.operators.{Curation, Sampling}
+    // bpe: only docs with >= 2-char tokens contribute ("" / "   " tokenize
+    // to [""], NULL drops); conservation over the surviving tokens
+    val pairsTotal = TextAnalysis.bpePairCounts(corpus, topK = 1000)
+      .agg(sum(col("n"))).head().getLong(0)
+    val expectedPairs = corpus
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .where(length(col("t")) >= 2)
+      .agg(sum(length(col("t")) - 1)).head().getLong(0)
+    assert(pairsTotal == expectedPairs && pairsTotal > 0)
+
+    // budget selection: empty/whitespace/NULL docs are excluded before any
+    // quality math (their ratios are 0/0); solo and the control survive
+    val sel = Curation.budgetSelect(corpus.withColumn("source", lit("s")), budgetTokens = 1000L)
+      .collect()
+    assert(sel.map(_.getLong(1)).toSet == Set(1L, 4L))
+    assert(sel.forall(r => !r.getAs[Double]("quality").isNaN))
+
+    // containment: a single doc with grams cannot pair
+    assert(Dedup.containmentPairs(corpus).collect().isEmpty)
+
+    // incremental report: every fresh doc gets a verdict row — gramless
+    // (empty/solo/NULL) docs are admitted with 0 matches, never dropped
+    val rep = Dedup.incrementalDedupReport(corpus.where(lit(false)), corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(rep.values.forall(_ == 0L))
+
+    // mixture weights: NULL token counts skip the sum but the doc still
+    // counts; the propensity stays a defined non-negative integer
+    val mw = Sampling.mixtureWeights(corpus.withColumn("source", lit("s"))).collect()
+    assert(mw.length == 1 && mw.head.getLong(1) == 5L && mw.head.getLong(3) >= 0L)
+  }
+
   test("lang-ID and fingerprint: defined values on degenerate docs") {
     val langs = corpus.where(col("text").isNotNull)
       .select(col("doc_id"), TextAnalysis.langIdOf(TextAnalysis.tokens(col("text"))).as("l"))
