@@ -649,6 +649,16 @@ object QueriesLlm {
       Similarity.quantizePq(Tables.embeddings(s, dir), m = PqM, k = PqK, iters = PqIters)
         .orderBy(col("vec_id"))),
 
+    // ── ADC search over the PQ codes ([[Similarity.pqAdcKnn]]): query
+    // exact, corpus as m cell ids, score = m codebook lookups + adds per
+    // candidate — the search half of product quantization ──
+    "knn_pq_adc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqAdcKnn(
+        emb.where(col("vec_id") < 10), emb, k = 5, m = PqM, cells = PqK, iters = PqIters)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ── embedding compression ([[Similarity.quantizeEmbeddings]]): per-dim
     // min-max int8-style codes — stats via the graft_vec_min/max native
     // aggregates (8·dim-byte partials, no posexplode fan-out), then a
@@ -1512,6 +1522,58 @@ object QueriesLlm {
            |FROM s0_fin f0
            |$joins
            |ORDER BY vec_id""".stripMargin
+    },
+
+    // ADC replay: the PQ chains again (same fits → identical codes), a
+    // per-(query, subspace, cell) lookup table from the rounded centroids,
+    // and the left-assoc d0 + d1 + ... sum the Spark side mirrors, so the
+    // score doubles agree bitwise before the 6-decimal round.
+    "knn_pq_adc" -> {
+      val subDim = graft.operators.Similarity.DefaultDim / PqM
+      val chains = (0 until PqM).map { s =>
+        val c = kmeansCtesSql(PqK, PqIters, prefix = s"s${s}_",
+          sliceLo = s * subDim, sliceLen = subDim)
+        if (s == 0) c else c.stripPrefix("WITH ")
+      }
+      val fins = (0 until PqM).map { s =>
+        s"""s${s}_fin AS (
+           |${kmeansAssignFrom(s"s${s}_c$PqIters", s"s${s}_")}
+           |)""".stripMargin
+      }
+      val qds = (0 until PqM).map { s =>
+        s"""qd$s AS (
+           |  SELECT q.vec_id AS query_id, c.cluster,
+           |         list_sum([q.qv[i + ${s * subDim}] * c.c[i] for i in range(1, ${subDim + 1})]) AS d
+           |  FROM qs q CROSS JOIN s${s}_c$PqIters c
+           |)""".stripMargin
+      }
+      val codeJoins = (1 until PqM).map(s => s"JOIN s${s}_fin f$s USING (vec_id)").mkString("\n")
+      val codeCols = (0 until PqM).map(s => s"f$s.cluster AS c$s").mkString(", ")
+      val lutJoins = (1 until PqM).map(s =>
+        s"JOIN qd$s q$s ON q$s.cluster = cd.c$s AND q$s.query_id = q0.query_id").mkString("\n")
+      val scoreSum = (0 until PqM).map(s => s"q$s.d").mkString(" + ")
+      (chains ++ fins ++ Seq(
+        "qs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10)") ++
+        qds).mkString(",\n") +
+        s""",
+           |cd AS (
+           |  SELECT f0.vec_id AS neighbor_id, $codeCols
+           |  FROM s0_fin f0
+           |$codeJoins
+           |),
+           |p AS (
+           |  SELECT q0.query_id, cd.neighbor_id, $scoreSum AS adc
+           |  FROM cd
+           |  JOIN qd0 q0 ON q0.cluster = cd.c0
+           |$lutJoins
+           |  WHERE q0.query_id <> cd.neighbor_id
+           |),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+           |  FROM p
+           |)
+           |SELECT query_id, neighbor_id, round(adc, 6) AS adc_score, CAST(rank AS BIGINT) AS rank
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
     // Quantization replay: per-dim bounds are min/max SELECTIONS (no

@@ -638,6 +638,76 @@ object Similarity {
     }.reduce(_.join(_, idCol))
   }
 
+  /** Asymmetric distance computation (ADC) over spherical PQ codes — the
+    * search half of product quantization (Jégou et al. PAMI'11 §III): the
+    * QUERY stays exact, the corpus is represented only by its m cell ids,
+    * and the score is `Σ_s q_s · codebook_s[code_s]` — m table lookups and
+    * adds per candidate instead of a dim-wide dot product. Codebooks are
+    * the [[kmeansFit]] centroids, which live on UNIT-NORMALIZED subvectors,
+    * so the score approximates direction agreement per subspace (spherical
+    * PQ), not the raw inner product — ranking quality is the point, and
+    * SimilaritySpec checks top-ADC against true-cosine neighbors.
+    *
+    * Plan shape: the per-query lookup tables are staged as m·k dot-product
+    * columns on the broadcast QUERY side (centroids are plan literals, the
+    * kmeans discipline); the corpus side carries only its m code columns,
+    * and the scan is a broadcast nested-loop by construction — ADC IS a
+    * linear scan with compressed arithmetic. At 100 TB compose it with the
+    * IVF coarse quantizer ([[ivfKnn]]'s cells) so the scan covers only the
+    * probed cells; the per-candidate cost stays m adds either way.
+    *
+    * Output: (query_id, neighbor_id, adc_score, rank) — `adc_score` is the
+    * raw lookup sum (NOT a cosine; in [-m, m]), rank 1..k per query with
+    * the usual (score DESC, neighbor) tie-break.
+    */
+  def pqAdcKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      m: Int = 4,
+      cells: Int = 4,
+      iters: Int = 2,
+      dim: Int = DefaultDim,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val subDim = dim / m
+    VectorFunctions.register(queries.sparkSession)
+    // fit one codebook per subspace; keep the corpus codes AND the centroids
+    val fits = (0 until m).map { s =>
+      val sub = corpus.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as(vecCol))
+      val (assign, cents) = kmeansFit(sub, cells, iters, idCol, vecCol)
+      (assign.select(col(idCol), col("cluster").as(s"pq_$s")), cents)
+    }
+    val codes = fits.map(_._1).reduce(_.join(_, idCol))
+      .withColumnRenamed(idCol, "neighbor_id")
+    // stage the per-query LUT: one dot column per (subspace, cell)
+    val staged = fits.map(_._2).zipWithIndex.foldLeft(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))) {
+      case (df, (cents, s)) =>
+        cents.foldLeft(df) { case (d, (cid, cv)) =>
+          d.withColumn(s"d_${s}_$cid",
+            dot(slice(col("qv"), s * subDim + 1, subDim), typedLit(cv)))
+        }
+    }.drop("qv")
+    // score = left-assoc sum of the code-selected lookups (same order as the
+    // oracle's d_0 + d_1 + ... so the doubles agree bitwise)
+    val score = fits.map(_._2).zipWithIndex.map { case (cents, s) =>
+      cents.map(_._1).sorted.foldRight(lit(Double.NaN)) { (cid, rest) =>
+        when(col(s"pq_$s") === cid, col(s"d_${s}_$cid")).otherwise(rest)
+      }
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    codes.join(broadcast(staged), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", score)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(
+        col("query_id"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc_score"), col("rank").cast("long").as("rank"))
+  }
+
   /** Per-dimension min-max scalar quantization of an embedding column — the
     * vector-compression pass a 100 TB embedding store runs before indexing
     * (int8 codes are 4× smaller than float32 and 8× smaller than the double

@@ -303,6 +303,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("must divide"))
   }
 
+  test("pq adc: score equals an independent codebook-lookup recomputation; ranks ordered") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val queries = emb.where(col("vec_id") < 3)
+    val got = Similarity.pqAdcKnn(queries, emb, k = 3, m = 4, cells = 4, iters = 2).collect()
+    assert(got.nonEmpty)
+    // rebuild codes and codebooks via the same deterministic fits, then
+    // recompute every score in plain Scala (different join path, same
+    // arithmetic — left-to-right dot, left-assoc subspace sum)
+    val codes = Similarity.quantizePq(emb, m = 4, k = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> (0 until 4).map(s => r.getLong(1 + s))).toMap
+    val subDim = 16
+    val cents: Seq[Map[Long, Array[Double]]] = (0 until 4).map { s =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+      Similarity.kmeansFit(sub, 4, 2)._2.toMap
+    }
+    val qvecs = queries.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    got.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      val expected = (0 until 4).map { s =>
+        val cv = cents(s)(codes(n)(s))
+        val qs = qvecs(q).slice(s * subDim, (s + 1) * subDim)
+        qs.indices.foldLeft(0.0)((acc, i) => acc + qs(i) * cv(i))
+      }.reduce(_ + _)
+      val rounded = BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == rounded, s"adc mismatch for ($q, $n)")
+    }
+    // per-query: ranks 1..n, scores descending
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq == (1 to byRank.length).map(_.toLong))
+      assert(byRank.map(_.getDouble(2)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
   test("quantizeEmbeddings: hand-computed codes; constant dim encodes 0; flat columns agree") {
     import spark.implicits._
     val df = Seq(
