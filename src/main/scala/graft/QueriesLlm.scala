@@ -86,6 +86,21 @@ object QueriesLlm {
   private val GramN = 3
   require(GramN == 3, "oracle gram CTEs are written for trigrams; rewrite them before changing GramN")
   private val DeconMinShared = 2 // shared-gram threshold, query AND oracle
+  // decontaminate_bloom gram-level false-positive rate: doc-level false
+  // flags go as P(Binomial(grams/doc, fpp) >= DeconMinShared) — see the
+  // operator Scaladoc for why 1e-2 would be catastrophic here
+  private val BloomFpp = 1e-4
+  // dedup_substr_spans seed-gram width (L) and global occurrence floor,
+  // query AND oracle
+  private val SubstrL = 8
+  private val SubstrMinOcc = 2
+  // classifier_quality: full-batch GD iterations, learning rate, and the
+  // bootstrap-label threshold (median-ish quality → balanced classes),
+  // query AND oracle (the oracle unrolls one CTE per iteration from these)
+  private val LrIters = 24
+  private val LrRate = 4.0
+  private val QualityCut = 0.75
+  private val LrFeatCols: Seq[String] = Seq("x0", "x1", "x2", "x3")
   private val MmFeatDim = 16 // stub feature-vector dimensionality
   private val MmFeatK = 3 // neighbors per query in mm_feature_knn
   private val KmK = 4 // kmeans_clusters cluster count, query AND oracle
@@ -115,6 +130,72 @@ object QueriesLlm {
   private val PqM = 4
   private val PqK = 4
   private val PqIters = 2
+
+  /** The classifier_quality oracle, UNROLLED: the raw-signal feature CTE,
+    * the rule-quality bootstrap label, the 6-decimal-quantized
+    * standardization, then one CTE per GD iteration — all generated from
+    * the same (iters, lr, cut) constants the query uses. Each iteration
+    * rounds every weight to 6 decimals exactly as the engine does (Spark
+    * round == DuckDB round, half-away-from-zero) — the per-iteration
+    * quantization that keeps two engines' order-sensitive float sums (and
+    * their 1-ulp-different `exp`s) from compounding into divergent fits
+    * (see [[graft.operators.Classifier]] Scaladoc).
+    */
+  private def classifierQualityOracleSql: String = {
+    val feats = LrFeatCols
+    val dims = feats.indices
+    val raws = Seq("r1", "r2", "r3")
+    // the margin written in the SAME left-to-right term order as
+    // Classifier.margin — identical doubles fold identically
+    val zP = dims.map(j => s"p.c$j * ${feats(j)}").mkString(" + ")
+    val it0 = dims.map(j => s"0.0 AS c$j").mkString(", ")
+    val stdStats = raws
+      .map(r => s"round(avg($r), 6) AS m_$r, round(stddev_pop($r), 6) AS s_$r")
+      .mkString(",\n         ")
+    val stdCols = raws.zipWithIndex.map { case (r, i) =>
+      s"round(($r - st.m_$r) / (CASE WHEN st.s_$r = 0 THEN 1.0 ELSE st.s_$r END), 6) AS x${i + 1}"
+    }.mkString(",\n         ")
+    val iterCtes = (1 to LrIters).map { k =>
+      val carry = dims.map(j => s"min(p.c$j) AS p$j").mkString(", ")
+      val grads = dims
+        .map(j => s"avg((1.0 / (1.0 + exp(-($zP))) - y) * ${feats(j)}) AS g$j")
+        .mkString(",\n           ")
+      val step = dims.map(j => s"round(p$j - $LrRate * g$j, 6) AS c$j").mkString(", ")
+      s"""it$k AS (
+         |  SELECT $step
+         |  FROM (SELECT $carry,
+         |           $grads
+         |        FROM f CROSS JOIN it${k - 1} p)
+         |)""".stripMargin
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, text, $toksSql AS w FROM documents WHERE length($norm) > 0
+       |),
+       |f0 AS (
+       |  SELECT doc_id,
+       |         least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS r1,
+       |         least((CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE) / len(w)) * 4.0, 1.0) AS r2,
+       |         greatest(1.0 - (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 0.0) AS r3
+       |  FROM t
+       |),
+       |st AS (
+       |  SELECT $stdStats
+       |  FROM f0
+       |),
+       |f AS (
+       |  SELECT doc_id,
+       |         CASE WHEN r1 * 0.4 + r2 * 0.3 + r3 * 0.3 >= $QualityCut THEN 1.0 ELSE 0.0 END AS y,
+       |         1.0 AS x0,
+       |         $stdCols
+       |  FROM f0 CROSS JOIN st
+       |),
+       |it0 AS (SELECT $it0),
+       |${iterCtes.mkString(",\n")}
+       |SELECT doc_id, round($zP, 6) AS margin, ($zP) > 0 AS pred,
+       |       CAST(y AS BIGINT) AS label
+       |FROM f CROSS JOIN it$LrIters p
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** The kmeans_clusters oracle, UNROLLED: one (assign, recompute) CTE pair
     * per Lloyd iteration, generated from the same (k, iters) constants the
@@ -273,6 +354,30 @@ object QueriesLlm {
       (col("doc_id") +: carryCols) :+
         TextAnalysis.langIdFromScores(scoreRefs).as("lang_guess"): _*)
   }
+
+  /** documents → (doc_id, bias x0 = 1, the three raw quality signals as
+    * features, y = [rule-quality >= QualityCut]) — the feature frame
+    * `classifier_quality` trains on. This is the fastText/CCNet cold-start
+    * shape: bootstrap labels from the hand-written heuristic (here the
+    * [[TextAnalysis.qualityScoreOf]] rule — on a real pipeline, a curated
+    * seed corpus), then distill them into a learned linear filter over
+    * cheap signals. Empty docs are excluded (their ratios are 0/0), same
+    * as the budget oracles. y is computed from the SAME projected feature
+    * refs on both sides, so the label replays exactly.
+    */
+  private def qualityFeatures(docs: DataFrame): DataFrame =
+    docs
+      .where(length(TextAnalysis.normalize(col("text"))) > 0)
+      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        lit(1.0).as("x0"),
+        least(length(col("text")).cast("double") / 200.0, lit(1.0)).as("x1"),
+        least(TextAnalysis.stopwordRatioOf(col("toks")) * 4.0, lit(1.0)).as("x2"),
+        greatest(lit(1.0) - TextAnalysis.punctRatio(col("text")) * 5.0, lit(0.0)).as("x3"))
+      .withColumn(
+        "y",
+        (col("x1") * 0.4 + col("x2") * 0.3 + col("x3") * 0.3 >= QualityCut).cast("double"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── text analysis: per-doc stats & quality. Tokenization is projected
@@ -470,6 +575,37 @@ object QueriesLlm {
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir), threshold = ContainThreshold)
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ── learned quality filter ([[Classifier.trainLogreg]]): logistic
+    // regression distilling the rule-based quality labels into weights over
+    // the raw signals — standardized features, deterministic full-batch GD
+    // (per-iteration 6-decimal weight quantization, the kmeans oracle
+    // trick), scored by the raw margin (sign(w·x), no transcendentals at
+    // inference) ──
+    "classifier_quality" -> ((s, dir) => {
+      val (std, _) =
+        Classifier.standardize(qualityFeatures(Tables.documents(s, dir)), LrFeatCols.tail)
+      val cached = std.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w =
+        try Classifier.trainLogreg(cached, LrFeatCols, "y", LrIters, LrRate)
+        finally cached.unpersist(blocking = false)
+      val z = Classifier.margin(LrFeatCols, w.toSeq)
+      std
+        .select(
+          col("doc_id"),
+          round(z, 6).as("margin"),
+          (z > lit(0.0)).as("pred"),
+          col("y").cast("long").as("label"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── exact-substring duplicated spans ([[Dedup.duplicatedSpans]]):
+    // maximal per-doc token spans covered by L-grams occurring >= minOcc
+    // times corpus-wide — the span-cutting dedup of Lee et al., in its
+    // distributed seed-and-merge shape ──
+    "dedup_substr_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Tables.documents(s, dir), l = SubstrL, minOcc = SubstrMinOcc)
+        .orderBy(col("doc_id"), col("span_start"))),
 
     // ── provenance analysis: near-dup pair counts BETWEEN sources — which
     // feeds copy from which. MinHash pairs (est >= 0.5, the
@@ -807,6 +943,28 @@ object QueriesLlm {
         docs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0),
         minShared = DeconMinShared, n = GramN)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Bloom-route decontamination ([[Dedup.contaminationReportBloom]]),
+    // SELF-VALIDATING: the exact report joined with the Bloom route's
+    // flags; `bloom_caught` must be TRUE on every row (a Bloom filter has
+    // no false negatives) and the oracle asserts exactly that — a probe
+    // that ever drops a truly-contaminated doc fails the hash ──
+    "decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.where(col("doc_id") % 50 =!= 0)
+      val eval = docs.where(col("doc_id") % 50 === 0)
+      val exact =
+        Dedup.contaminationReport(corpus, eval, minShared = DeconMinShared, n = GramN)
+      val bloomed = Dedup.contaminationReportBloom(
+        corpus, eval, minShared = DeconMinShared, n = GramN, fpp = BloomFpp)
+      exact
+        .join(bloomed.select(col("doc_id"), lit(true).as("bloom_caught")), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n_shared"),
+          coalesce(col("bloom_caught"), lit(false)).as("bloom_caught"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1343,6 +1501,45 @@ object QueriesLlm {
          |FROM sh JOIN sz ON sz.doc_id = sh.doc_a
          |WHERE CAST(n_shared AS DOUBLE) / n_h >= $ContainThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Classifier replay: the unrolled per-iteration GD chain — see
+    // classifierQualityOracleSql.
+    "classifier_quality" -> classifierQualityOracleSql,
+
+    // Substr-span replay: positional L-gram hash32 seeds (duplicates kept,
+    // pos = 0-based start token), global occurrence count, then the same
+    // lag/sum interval merge over [pos, pos+L) windows. All-integer output.
+    "dedup_substr_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS w FROM documents
+         |),
+         |seeds AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |         ('0x' || substr(md5(array_to_string(w[i:i+${SubstrL - 1}], ' ')), 1, 8))::BIGINT AS h
+         |  FROM (
+         |    SELECT doc_id, w, unnest(generate_series(1, len(w) - ${SubstrL - 1})) AS i
+         |    FROM toks WHERE len(w) >= $SubstrL
+         |  )
+         |),
+         |dup AS (SELECT h FROM seeds GROUP BY h HAVING count(*) >= $SubstrMinOcc),
+         |ds AS (SELECT s.doc_id, s.pos FROM seeds s JOIN dup USING (h)),
+         |marked AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $SubstrL
+         |              THEN 0 ELSE 1 END AS brk
+         |  FROM ds
+         |),
+         |spans AS (
+         |  SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         |  FROM marked
+         |)
+         |SELECT doc_id,
+         |       CAST(min(pos) AS BIGINT) AS span_start,
+         |       CAST(max(pos) + $SubstrL AS BIGINT) AS span_end,
+         |       CAST(max(pos) + $SubstrL - min(pos) AS BIGINT) AS dup_tokens
+         |FROM spans GROUP BY doc_id, span_id
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     // Source-matrix replay: the shared MinHash candidate CTEs, the
     // stream_neardup 0.5 slot-agreement verify (un-rounded compare —
@@ -1916,6 +2113,23 @@ object QueriesLlm {
          |e AS (SELECT DISTINCT h FROM (SELECT unnest(hs) AS h FROM h WHERE doc_id % 50 = 0)),
          |tr AS (SELECT doc_id, unnest(hs) AS h FROM h WHERE doc_id % 50 <> 0)
          |SELECT tr.doc_id, count(*) AS n_shared
+         |FROM tr JOIN e USING (h)
+         |GROUP BY tr.doc_id HAVING count(*) >= $DeconMinShared
+         |ORDER BY tr.doc_id""".stripMargin,
+
+    // Bloom-route replay: the exact decontaminate report, with the
+    // no-false-negative law as a per-row constant — the Spark side computes
+    // bloom_caught from the real probe, so any missed doc hash-mismatches.
+    "decontaminate_bloom" ->
+      s"""$gramsCte,
+         |h AS (
+         |  SELECT doc_id,
+         |         list_distinct([('0x' || substr(md5(x), 1, 8))::BIGINT for x in g]) AS hs
+         |  FROM grams
+         |),
+         |e AS (SELECT DISTINCT h FROM (SELECT unnest(hs) AS h FROM h WHERE doc_id % 50 = 0)),
+         |tr AS (SELECT doc_id, unnest(hs) AS h FROM h WHERE doc_id % 50 <> 0)
+         |SELECT tr.doc_id, count(*) AS n_shared, TRUE AS bloom_caught
          |FROM tr JOIN e USING (h)
          |GROUP BY tr.doc_id HAVING count(*) >= $DeconMinShared
          |ORDER BY tr.doc_id""".stripMargin,

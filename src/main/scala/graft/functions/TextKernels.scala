@@ -104,6 +104,31 @@ object TextKernels {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** [[hash32]] of every word n-gram IN ORDER, duplicates kept — slot i is
+    * the hash of the gram starting at token i, so `posexplode` over the
+    * result yields the positional seed stream duplicated-span detection
+    * needs ([[graft.operators.Dedup.duplicatedSpans]]). Fewer than n tokens
+    * → empty array. Semantics identical to hashing
+    * `transform(sequence(0, size - n), i -> concat_ws(" ", slice(toks, i + 1, n)))`
+    * element-wise, in one codegen'd pass with no intermediate gram strings
+    * surviving the row.
+    */
+  def orderedGramHashes(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val sep = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](n)
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = hash32(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All 32 minhash slots in one pass over the gram array: hash each gram
     * once, fold every permutation's running min. Empty input yields slots of
     * Long.MaxValue (callers filter empty gram sets; [[Dedup.shingles]] does).
@@ -243,6 +268,24 @@ object TextKernels {
     override def prettyName: String = "graft_shingles"
   }
 
+  /** Codegen'd positional n-gram hashes: array<string> tokens → array<long>,
+    * slot i = hash32 of the gram starting at token i (duplicates kept).
+    */
+  case class OrderedGramHashes(child: Expression, n: Int) extends UnaryExpression {
+    require(n > 0, s"graft_gram_hashes: gram width must be positive, got $n")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(prettyName, child.dataType)
+    override def nullSafeEval(t: Any): Any =
+      TextKernels.orderedGramHashes(t.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.TextKernels.orderedGramHashes($t, $n);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "graft_gram_hashes"
+  }
+
   /** Codegen'd 32-slot MinHash signature: array<string> grams → array<long>. */
   case class MinHashSignature(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -338,6 +381,10 @@ object TextKernels {
       exprs => ShinglesExpr(exprs(0), intArg("graft_shingles", 1, exprs(1))),
       "scala_udf")
     reg.createOrReplaceTempFunction(
+      "graft_gram_hashes",
+      exprs => OrderedGramHashes(exprs(0), intArg("graft_gram_hashes", 1, exprs(1))),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinHashSignature(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_simhash60", exprs => SimHash60(exprs(0)), "scala_udf")
@@ -357,6 +404,10 @@ object TextKernels {
   def shingleGrams(toks: Column, n: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("graft_shingles", toks, lit(n))
+  }
+  def orderedGramHashesCol(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_gram_hashes", toks, lit(n))
   }
   def minhashSig(grams: Column): Column = call_function("graft_minhash", grams)
   def simhashSig(distinctToks: Column): Column = call_function("graft_simhash60", distinctToks)

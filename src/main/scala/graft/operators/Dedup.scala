@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextKernels
+import graft.functions.{BloomFunctions, TextKernels}
 
 /** Deduplication operators for LLM training-data pipelines, in increasing
   * fuzziness: exact (fingerprint), n-gram Jaccard (lossless prefix-filtered
@@ -161,6 +162,57 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** [[contaminationReport]]'s Bloom-filter route — the shape for when the
+    * eval-gram set outgrows a broadcast hash set but its BITMAP still fits
+    * (Dolma/BFF run corpus-scale n-gram dedup exactly this way): the eval
+    * grams aggregate into one deterministic fixed-seed Bloom filter
+    * (~`1.44·log2(1/fpp)` bits/gram — at the 1e-4 default ~2.4 bytes/gram
+    * vs ~50 for a broadcast hash-set entry), and the corpus side probes it
+    * MAP-SIDE — the only shuffle left is the per-doc count. No false
+    * negatives ever (every truly-contaminated doc is flagged — the law the
+    * declared query's oracle asserts row by row); false positives inflate
+    * `n_flagged` at the gram level, so a doc with G grams sees ~`G·fpp`
+    * phantom hits and the DOC-level false-flag rate is roughly
+    * `P(Binomial(G, fpp) >= minShared)` — size fpp accordingly (the 1e-4
+    * default keeps it ~1e-5 at G≈300, where 1e-2 would false-flag most of
+    * a clean corpus at minShared=2).
+    *
+    * `expectedGrams <= 0` counts the distinct eval grams first (one cheap
+    * eval-side job) to size the filter.
+    */
+  def contaminationReportBloom(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      minShared: Int = 2,
+      n: Int = 3,
+      fpp: Double = 1e-4,
+      expectedGrams: Long = 0L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    BloomFunctions.register(docs.sparkSession)
+    def gramHashes(d: DataFrame) =
+      shingles(d, n, idCol, textCol)
+        .select(col(idCol), explode(col("grams")).as("gram"))
+        .select(col(idCol), TextKernels.hash32Col(col("gram")).as("h"))
+        .distinct()
+    val evalGrams = gramHashes(evalDocs).select(col("h")).distinct()
+    val sized = if (expectedGrams > 0) expectedGrams else math.max(evalGrams.count(), 1L)
+    val filterBytes = evalGrams
+      .agg(BloomFunctions.bloomAgg(col("h"), sized, fpp).as("bf"))
+      .collect()(0)
+      .getAs[Array[Byte]](0)
+    if (filterBytes == null) {
+      // empty eval side aggregates to a null filter: nothing can be contaminated
+      docs.select(col(idCol), lit(0L).as("n_flagged")).where(lit(false))
+    } else {
+      gramHashes(docs)
+        .where(BloomFunctions.bloomContains(lit(filterBytes), col("h")))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_flagged"))
+        .where(col("n_flagged") >= minShared)
+    }
+  }
+
   /** Asymmetric containment near-dup pairs: emit (doc_a, doc_b) when
     * `|g(a) ∩ g(b)| / |g(a)| >= threshold` — doc_a is a near-SUBSET of
     * doc_b. This is the duplicate class symmetric Jaccard structurally
@@ -214,6 +266,73 @@ object Dedup {
       .withColumn("containment", col("n_shared").cast("double") / col("n_h"))
       .where(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
+  }
+
+  /** Maximal duplicated token spans — the distributed shape of exact-
+    * substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", which uses a suffix array on one big machine;
+    * the L-gram seed-and-merge here is the standard cluster approximation,
+    * e.g. the n-gram Bloom dedup in AI2's Dolma/BFF): a token position is
+    * "duplicated" when some L-gram covering it occurs at least `minOcc`
+    * times in the whole corpus (within-doc repeats count — self-repetition
+    * is duplication too), and per doc the covering windows `[pos, pos + L)`
+    * merge into maximal spans. A verbatim shared run of R >= L tokens seeds
+    * every start position inside it, so the merged span recovers the run's
+    * exact token extent; runs shorter than L are invisible (the documented
+    * approximation knob — smaller L catches more, fans out more).
+    *
+    * Output: one row per (doc, span): `span_start` (inclusive token index),
+    * `span_end` (exclusive), `dup_tokens` = end - start. Downstream either
+    * cuts the spans out of the training text or drops docs whose duplicated
+    * fraction is too high.
+    *
+    * Scale shape: seeds are one codegen'd map-side pass
+    * ([[TextKernels.OrderedGramHashes]] — gram strings never leave the row)
+    * + posexplode, ~one seed row per corpus token; occurrence counting is
+    * one hash-shuffle on the 32-bit gram hash with map-side partials; the
+    * seed→dup-hash equi-join shuffles on the same key (AQE turns it into a
+    * broadcast when the duplicated-hash set is small, the common case on a
+    * clean corpus); the interval merge is a per-doc window sort — seeds of
+    * one doc, never the corpus, in one partition. Nothing is O(n²); hash
+    * collisions (32-bit) can only ADD a phantom duplicated position —
+    * over-flagging, the safe direction for dedup — and both engines hash
+    * identically so the oracle replays bit-for-bit.
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      l: Int = 8,
+      minOcc: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(l > 0 && minOcc >= 2, s"need l > 0 and minOcc >= 2, got $l/$minOcc")
+    TextKernels.register(docs.sparkSession)
+    val seeds = docs
+      .select(
+        col(idCol),
+        posexplode(TextKernels.orderedGramHashesCol(TextAnalysis.tokens(col(textCol)), l))
+          .as(Seq("pos", "h")))
+    val dupHashes = seeds
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minOcc)
+      .select(col("h"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    seeds
+      .join(dupHashes, "h")
+      .select(col(idCol), col("pos"))
+      // a window starting <= l after the previous one overlaps or abuts it
+      // ([pos, pos+l) vs [prev, prev+l)) — same merged span
+      .withColumn(
+        "brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= l, lit(0)).otherwise(lit(1)))
+      .withColumn("span_id", sum(col("brk")).over(byDoc))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min(col("pos")).as("start"), max(col("pos")).as("last"))
+      .select(
+        col(idCol),
+        col("start").cast("long").as("span_start"),
+        (col("last") + l).cast("long").as("span_end"),
+        (col("last") + l - col("start")).cast("long").as("dup_tokens"))
   }
 
   /** Candidate pairs for [[ngramJaccardPairs]] via lossless prefix filtering

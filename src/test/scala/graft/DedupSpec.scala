@@ -542,4 +542,80 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(report == expected)
   }
+
+  test("bloom decontamination: superset of the exact report, few false flags, no join in the probe") {
+    val docs = Tables.documents(spark, SfDir)
+    val corpus = docs.where(col("doc_id") % 50 =!= 0)
+    val eval = docs.where(col("doc_id") % 50 === 0)
+    val exact = Dedup.contaminationReport(corpus, eval)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty)
+    val bloomed = Dedup.contaminationReportBloom(corpus, eval)
+    val flagged = bloomed.collect().map(_.getLong(0)).toSet
+    // the no-false-negative law the decontaminate_bloom oracle asserts row-wise
+    assert(exact.subsetOf(flagged))
+    // doc-level false flags ~ P(Binomial(grams/doc, 1e-4) >= 2) — tiny
+    val clean = corpus.select("doc_id").distinct().count() - exact.size
+    val fp = (flagged -- exact).size
+    assert(fp <= math.max(1L, (clean * 0.01).toLong),
+      s"$fp bloom-only flags over $clean clean docs")
+    // the scale shape: probe is map-side — the eval side reaches the corpus
+    // as a bitmap literal, never as a join side
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "bloom probe must not join the eval side")
+    assert(plan.contains("might_contain"), "probe should be the native bloom expression")
+  }
+
+  test("bloom decontamination with an empty eval side returns an empty report") {
+    val docs = Tables.documents(spark, SfDir)
+    assert(Dedup.contaminationReportBloom(docs, docs.where(lit(false))).isEmpty)
+  }
+
+  test("duplicated spans: a verbatim cross-doc run is recovered to its exact token extent") {
+    import spark.implicits._
+    val run = (0 until 10).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"zero one two three $run taila tailb tailc"),
+      (1L, s"alpha beta $run gammax")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, l = 4, minOcc = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // run occupies tokens 4..13 of doc 0 and 2..11 of doc 1: seeds at every
+    // start inside the run, merged back to exactly [start, start + 10)
+    assert(spans == Set((0L, 4L, 14L, 10L), (1L, 2L, 12L, 10L)))
+  }
+
+  test("duplicated spans: within-doc self-repetition counts toward minOcc") {
+    import spark.implicits._
+    val docs = Seq((7L, "a b c d x y z w a b c d")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, l = 4, minOcc = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans == Set((7L, 0L, 4L, 4L), (7L, 8L, 12L, 4L)))
+  }
+
+  test("duplicated spans: runs shorter than l are invisible (the approximation knob)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "p q r common1 common2 common3 s t u v"),
+      (1L, "w x common1 common2 common3 y z a1 b1 c1")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(docs, l = 4, minOcc = 2).isEmpty)
+  }
+
+  test("duplicated spans on the real corpus: per-doc spans are sorted, disjoint, each >= l") {
+    val spans = Dedup.duplicatedSpans(Tables.documents(spark, SfDir), l = 8, minOcc = 2)
+      .orderBy(col("doc_id"), col("span_start")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty, "the dup-dense fixture should surface duplicated runs")
+    spans.foreach { case (_, s, e, d) =>
+      assert(e - s == d && d >= 8)
+    }
+    spans.groupBy(_._1).values.foreach { ds =>
+      ds.sortBy(_._2).sliding(2).foreach {
+        // merged-maximal: a seed starting <= l after the previous span's
+        // last seed would have merged, so the next span starts strictly
+        // after this one ends
+        case Array(a, b) => assert(b._2 > a._3)
+        case _ => ()
+      }
+    }
+  }
 }

@@ -77,6 +77,17 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(mw.length == 1 && mw.head.getLong(1) == 5L && mw.head.getLong(3) >= 0L)
   }
 
+  test("duplicated spans: degenerate docs drop; only genuinely duplicated runs span") {
+    // nothing repeats in the base corpus: no spans at all
+    assert(Dedup.duplicatedSpans(corpus, l = 4, minOcc = 2).isEmpty)
+    // doubling the corpus duplicates doc 1's whole run; ""/"   "/"solo"/NULL
+    // still have < l tokens (or null-drop in the kernel) and stay out
+    val doubled = corpus.unionByName(corpus.withColumn("doc_id", col("doc_id") + 100))
+    val spanned = Dedup.duplicatedSpans(doubled, l = 4, minOcc = 2)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(spanned == Set(1L, 101L))
+  }
+
   test("lang-ID and fingerprint: defined values on degenerate docs") {
     val langs = corpus.where(col("text").isNotNull)
       .select(col("doc_id"), TextAnalysis.langIdOf(TextAnalysis.tokens(col("text"))).as("l"))
