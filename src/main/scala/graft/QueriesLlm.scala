@@ -101,6 +101,10 @@ object QueriesLlm {
   private val LrRate = 4.0
   private val QualityCut = 0.75
   private val LrFeatCols: Seq[String] = Seq("x0", "x1", "x2", "x3")
+  // dsir_weights: hashed-bigram feature space size, query AND oracle; the
+  // target corpus is the rule-quality >= QualityCut subset
+  private val DsirN = 2
+  private val DsirBuckets = 4096
   private val MmFeatDim = 16 // stub feature-vector dimensionality
   private val MmFeatK = 3 // neighbors per query in mm_feature_knn
   private val KmK = 4 // kmeans_clusters cluster count, query AND oracle
@@ -168,10 +172,14 @@ object QueriesLlm {
          |        FROM f CROSS JOIN it${k - 1} p)
          |)""".stripMargin
     }
-    s"""WITH t AS (
+    // f is referenced by every iteration CTE and the final select; without
+    // MATERIALIZED, DuckDB inlines the whole feature pipeline into each
+    // reference and the replay goes super-linear in iters (measured ~15 min
+    // vs 8 s at sf0.01)
+    s"""WITH t AS MATERIALIZED (
        |  SELECT doc_id, text, $toksSql AS w FROM documents WHERE length($norm) > 0
        |),
-       |f0 AS (
+       |f0 AS MATERIALIZED (
        |  SELECT doc_id,
        |         least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS r1,
        |         least((CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE) / len(w)) * 4.0, 1.0) AS r2,
@@ -182,7 +190,7 @@ object QueriesLlm {
        |  SELECT $stdStats
        |  FROM f0
        |),
-       |f AS (
+       |f AS MATERIALIZED (
        |  SELECT doc_id,
        |         CASE WHEN r1 * 0.4 + r2 * 0.3 + r3 * 0.3 >= $QualityCut THEN 1.0 ELSE 0.0 END AS y,
        |         1.0 AS x0,
@@ -908,6 +916,40 @@ object QueriesLlm {
       s.table(sink).select(col("fingerprint")).orderBy(col("fingerprint"))
     }),
 
+    // ── decontamination AT INGESTION ([[StreamingSessionize
+    // .decontaminateIngest]]): a REAL streaming execution probes the eval
+    // Bloom filter statelessly per incoming doc; the declared result joins
+    // the exact batch report with the stream's quarantine verdicts and the
+    // oracle asserts the no-false-negative law (`stream_caught` TRUE on
+    // every truly-contaminated row), the decontaminate_bloom shape ──
+    "stream_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val eval = docs.where(col("doc_id") % 50 === 0)
+      val bytes = Dedup.evalGramFilter(eval, n = GramN, fpp = BloomFpp)
+      val sink = "stream_decontaminate_sink"
+      def src = s.readStream
+        .schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .where(col("doc_id") % 50 =!= 0)
+      val out =
+        StreamingSessionize.decontaminateIngest(src, bytes, minShared = DeconMinShared, n = GramN)
+      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val exact = Dedup.contaminationReport(
+        docs.where(col("doc_id") % 50 =!= 0), eval, minShared = DeconMinShared, n = GramN)
+      exact
+        .join(
+          s.table(sink).select(col("doc_id"), lit(true).as("stream_caught")),
+          Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n_shared"),
+          coalesce(col("stream_caught"), lit(false)).as("stream_caught"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── similarity: multi-probe LSH KNN — same index, plus Hamming-1
     // neighbor buckets probed per query (the standard recall knob; probe
     // expansion is query-side so the corpus join stays an equi-join) ──
@@ -916,6 +958,21 @@ object QueriesLlm {
       Similarity.lshKnn(
         emb.where(col("vec_id") < 10), emb, k = 5, nPlanes = KnnPlanes, probeHamming = 1)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── DSIR importance weights ([[Sampling.dsirWeights]]): every doc
+    // scored by hashed-bigram log-likelihood ratio against the HQ target
+    // (rule-quality >= cut) vs the raw pool — the principled data-selection
+    // op; weights and verdicts replay exactly (quantized λ, quantized sums) ──
+    "dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val target = docs
+        .where(length(TextAnalysis.normalize(col("text"))) > 0)
+        .where(
+          TextAnalysis.qualityScoreOf(col("text"), TextAnalysis.tokens(col("text")))
+            >= QualityCut)
+      Sampling.dsirWeights(docs, target, n = DsirN, buckets = DsirBuckets)
+        .orderBy(col("doc_id"))
     }),
 
     // ── deterministic hash-split ([[operators.Sampling]]): train/val/test
@@ -1402,6 +1459,23 @@ object QueriesLlm {
     "stream_dedup_ingest" ->
       s"SELECT DISTINCT md5($norm) AS fingerprint FROM documents ORDER BY 1",
 
+    // Streaming-decontamination replay: the exact report with the
+    // no-false-negative law as a constant — identical to decontaminate_bloom
+    // except the flag comes from a REAL streaming execution.
+    "stream_decontaminate" ->
+      s"""$gramsCte,
+         |h AS (
+         |  SELECT doc_id,
+         |         list_distinct([('0x' || substr(md5(x), 1, 8))::BIGINT for x in g]) AS hs
+         |  FROM grams
+         |),
+         |e AS (SELECT DISTINCT h FROM (SELECT unnest(hs) AS h FROM h WHERE doc_id % 50 = 0)),
+         |tr AS (SELECT doc_id, unnest(hs) AS h FROM h WHERE doc_id % 50 <> 0)
+         |SELECT tr.doc_id, count(*) AS n_shared, TRUE AS stream_caught
+         |FROM tr JOIN e USING (h)
+         |GROUP BY tr.doc_id HAVING count(*) >= $DeconMinShared
+         |ORDER BY tr.doc_id""".stripMargin,
+
     // Streaming ingest replay: the probe join is the batch band join WITHOUT
     // the doc_a < doc_b restriction (a stream doc matches any corpus doc,
     // including itself), est = signature-slot agreement over the shared
@@ -1505,6 +1579,51 @@ object QueriesLlm {
     // Classifier replay: the unrolled per-iteration GD chain — see
     // classifierQualityOracleSql.
     "classifier_quality" -> classifierQualityOracleSql,
+
+    // DSIR replay: positional bigram hash32 % buckets seeds (duplicates
+    // kept — occurrence distributions), integer bucket counts, quantized
+    // add-1-smoothed log-likelihood ratios, quantized per-doc sums. The
+    // target is the same unrounded rule-quality >= cut subset the query
+    // filters.
+    "dsir_weights" ->
+      s"""WITH wtoks AS (
+         |  SELECT doc_id, text, $toksSql AS w FROM documents
+         |),
+         |seeds AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(array_to_string(w[i:i+${DsirN - 1}], ' ')), 1, 8))::BIGINT % $DsirBuckets AS b
+         |  FROM (
+         |    SELECT doc_id, w, unnest(generate_series(1, len(w) - ${DsirN - 1})) AS i
+         |    FROM wtoks WHERE len(w) >= $DsirN
+         |  )
+         |),
+         |hq AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |           least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS r1,
+         |           least((CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE) / len(w)) * 4.0, 1.0) AS r2,
+         |           greatest(1.0 - (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 0.0) AS r3
+         |    FROM wtoks WHERE length($norm) > 0
+         |  ) WHERE r1 * 0.4 + r2 * 0.3 + r3 * 0.3 >= $QualityCut
+         |),
+         |rb AS (SELECT b, count(*) AS r FROM seeds GROUP BY b),
+         |tb AS (SELECT b, count(*) AS t FROM seeds JOIN hq USING (doc_id) GROUP BY b),
+         |tot AS (
+         |  SELECT (SELECT count(*) FROM seeds) AS nr,
+         |         (SELECT count(*) FROM seeds JOIN hq USING (doc_id)) AS nt
+         |),
+         |lam AS (
+         |  SELECT rb.b,
+         |         round(ln(CAST(coalesce(tb.t, 0) + 1 AS DOUBLE) / (tot.nt + $DsirBuckets))
+         |             - ln(CAST(rb.r + 1 AS DOUBLE) / (tot.nr + $DsirBuckets)), 6) AS lam
+         |  FROM rb LEFT JOIN tb USING (b) CROSS JOIN tot
+         |)
+         |SELECT s.doc_id,
+         |       round(sum(l.lam), 6) AS log_weight,
+         |       round(sum(l.lam), 6) > 0 AS selected
+         |FROM seeds s JOIN lam l USING (b)
+         |GROUP BY s.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
 
     // Substr-span replay: positional L-gram hash32 seeds (duplicates kept,
     // pos = 0-based start token), global occurrence count, then the same

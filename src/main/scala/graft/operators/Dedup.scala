@@ -180,6 +180,33 @@ object Dedup {
     * `expectedGrams <= 0` counts the distinct eval grams first (one cheap
     * eval-side job) to size the filter.
     */
+  /** The eval side of the Bloom decontamination route as a reusable
+    * artifact: the distinct eval gram hashes aggregated into one serialized
+    * deterministic Bloom filter. Null when the eval side has no grams
+    * (callers treat that as "nothing can be contaminated"). Batch
+    * ([[contaminationReportBloom]]) and streaming
+    * ([[graft.streaming.StreamingSessionize.decontaminateIngest]]) probe
+    * the SAME bytes, so their verdicts cannot drift.
+    */
+  def evalGramFilter(
+      evalDocs: DataFrame,
+      n: Int = 3,
+      fpp: Double = 1e-4,
+      expectedGrams: Long = 0L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Array[Byte] = {
+    BloomFunctions.register(evalDocs.sparkSession)
+    val evalGrams = shingles(evalDocs, n, idCol, textCol)
+      .select(explode(col("grams")).as("gram"))
+      .select(TextKernels.hash32Col(col("gram")).as("h"))
+      .distinct()
+    val sized = if (expectedGrams > 0) expectedGrams else math.max(evalGrams.count(), 1L)
+    evalGrams
+      .agg(BloomFunctions.bloomAgg(col("h"), sized, fpp).as("bf"))
+      .collect()(0)
+      .getAs[Array[Byte]](0)
+  }
+
   def contaminationReportBloom(
       docs: DataFrame,
       evalDocs: DataFrame,
@@ -189,23 +216,15 @@ object Dedup {
       expectedGrams: Long = 0L,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    BloomFunctions.register(docs.sparkSession)
-    def gramHashes(d: DataFrame) =
-      shingles(d, n, idCol, textCol)
-        .select(col(idCol), explode(col("grams")).as("gram"))
-        .select(col(idCol), TextKernels.hash32Col(col("gram")).as("h"))
-        .distinct()
-    val evalGrams = gramHashes(evalDocs).select(col("h")).distinct()
-    val sized = if (expectedGrams > 0) expectedGrams else math.max(evalGrams.count(), 1L)
-    val filterBytes = evalGrams
-      .agg(BloomFunctions.bloomAgg(col("h"), sized, fpp).as("bf"))
-      .collect()(0)
-      .getAs[Array[Byte]](0)
+    val filterBytes = evalGramFilter(evalDocs, n, fpp, expectedGrams, idCol, textCol)
     if (filterBytes == null) {
       // empty eval side aggregates to a null filter: nothing can be contaminated
       docs.select(col(idCol), lit(0L).as("n_flagged")).where(lit(false))
     } else {
-      gramHashes(docs)
+      shingles(docs, n, idCol, textCol)
+        .select(col(idCol), explode(col("grams")).as("gram"))
+        .select(col(idCol), TextKernels.hash32Col(col("gram")).as("h"))
+        .distinct()
         .where(BloomFunctions.bloomContains(lit(filterBytes), col("h")))
         .groupBy(col(idCol))
         .agg(count(lit(1)).as("n_flagged"))

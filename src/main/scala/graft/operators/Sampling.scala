@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextKernels
+
 /** Deterministic, engine-independent sampling/splitting — the reproducible
   * train/validation/test assignment a training-data pipeline needs.
   *
@@ -98,6 +100,73 @@ object Sampling {
         col(strataCol), col("n_docs"), col("n_tokens"),
         floor(sqrt(col("n_tokens").cast("double") / col("total_tokens").cast("double"))
           * lit(1e6)).cast("long").as("weight_ppm"))
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * score every raw-corpus document by how much its hashed n-gram profile
+    * looks drawn from a TARGET corpus (a curated high-quality seed set)
+    * rather than from the raw pool — the principled replacement for
+    * filtering on hand-written quality rules alone. Per bucket b of the
+    * hashed n-gram space, the log-likelihood ratio
+    * `λ_b = ln(p_target(b)) - ln(p_raw(b))` (add-1 smoothed); per doc, the
+    * log importance weight is the sum of λ over its gram occurrences
+    * (duplicates count — these are occurrence distributions). The paper
+    * resamples with Gumbel noise; the deterministic variant here emits the
+    * weight and a `selected = log_weight > 0` verdict ("more target-like
+    * than raw-like"), leaving top-k/temperature choices to the caller —
+    * no RNG, so the whole computation replays in the oracle.
+    *
+    * Determinism across engines: bucket counts are integers; each λ is
+    * quantized to 6 decimals BEFORE the per-doc sum (the two `ln`s may
+    * differ by 1 ulp between libms — absorbed), and the per-doc sum of
+    * quantized λs re-quantized (absorbing partition-order float wiggle,
+    * the kmeans/classifier trick).
+    *
+    * Scale shape: gram→bucket hashing is one codegen'd
+    * [[TextKernels.OrderedGramHashes]] pass per side; the two
+    * bucket-count aggregations partial-aggregate map-side (each task emits
+    * at most `buckets` rows regardless of input); λ is a `buckets`-row
+    * table broadcast into a map-side join; the only corpus-scale shuffle
+    * is the per-doc weight sum. The raw seed stream is computed twice
+    * (count pass + weight pass) — two map passes beat persisting a
+    * corpus-token-scale frame.
+    */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      n: Int = 2,
+      buckets: Int = 4096,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n > 0, s"gram width must be positive, got $n")
+    require(buckets > 1, s"need at least 2 buckets, got $buckets")
+    TextKernels.register(raw.sparkSession)
+    def bucketSeeds(d: DataFrame): DataFrame =
+      d.select(
+        col(idCol),
+        explode(
+          TextKernels.orderedGramHashesCol(TextAnalysis.tokens(col(textCol)), n)).as("h"))
+        .select(col(idCol), (col("h") % buckets).as("b"))
+    val rawSeeds = bucketSeeds(raw)
+    val tgtSeeds = bucketSeeds(target)
+    val rawCounts = rawSeeds.groupBy(col("b")).agg(count(lit(1)).as("r"))
+    val tgtCounts = tgtSeeds.groupBy(col("b")).agg(count(lit(1)).as("t"))
+    val nR = rawCounts.agg(coalesce(sum(col("r")), lit(0L))).collect()(0).getLong(0)
+    val nT = tgtCounts.agg(coalesce(sum(col("t")), lit(0L))).collect()(0).getLong(0)
+    val lam = rawCounts
+      .join(tgtCounts, Seq("b"), "left")
+      .select(
+        col("b"),
+        round(
+          log((coalesce(col("t"), lit(0L)) + lit(1L)).cast("double") /
+            lit((nT + buckets).toDouble)) -
+            log((col("r") + lit(1L)).cast("double") / lit((nR + buckets).toDouble)),
+          6).as("lam"))
+    rawSeeds
+      .join(broadcast(lam), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("lam")), 6).as("log_weight"))
+      .select(col(idCol), col("log_weight"), (col("log_weight") > 0).as("selected"))
   }
 
   def hashSampleByStratum(

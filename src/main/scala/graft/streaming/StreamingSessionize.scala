@@ -325,6 +325,49 @@ object StreamingSessionize {
       .dropDuplicatesWithinWatermark("doc_id", "corpus_doc_id")
   }
 
+  /** Benchmark decontamination AT INGESTION: each incoming document's
+    * distinct gram hashes (one codegen'd
+    * [[graft.functions.TextKernels.OrderedGramHashes]] pass +
+    * `array_distinct` — hash-space distinct, same as the batch route) probe
+    * the eval-set Bloom filter built by
+    * [[graft.operators.Dedup.evalGramFilter]]; docs with at least
+    * `minShared` probe hits are flagged for quarantine before they ever
+    * land in the corpus. Completely STATELESS — a per-row projection +
+    * filter, no watermark, no state store, no stream-static join — so it
+    * runs at raw ingest throughput; the filter bytes ride the plan as a
+    * literal exactly like the batch probe. No false negatives ever (the
+    * Bloom law); false positives quarantine a clean doc at the documented
+    * `P(Binomial(G, fpp) >= minShared)` rate — the cheap direction, since
+    * quarantine is reviewed downstream. The same bytes probed by batch and
+    * stream make the two verdicts identical row-for-row (StreamingSpec
+    * pins stream == [[graft.operators.Dedup.contaminationReportBloom]]).
+    */
+  def decontaminateIngest(
+      docs: DataFrame,
+      evalFilter: Array[Byte],
+      minShared: Int = 2,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(evalFilter != null && evalFilter.nonEmpty,
+      "decontaminateIngest: eval filter is empty — build it with Dedup.evalGramFilter")
+    import graft.functions.{BloomFunctions, TextKernels}
+    TextKernels.register(docs.sparkSession)
+    BloomFunctions.register(docs.sparkSession)
+    docs
+      .select(
+        col(idCol),
+        array_distinct(
+          TextKernels.orderedGramHashesCol(
+            graft.operators.TextAnalysis.tokens(col(textCol)), n)).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(
+        col(idCol),
+        size(filter(col("hs"), h => BloomFunctions.bloomContains(lit(evalFilter), h)))
+          .cast("long").as("n_flagged"))
+      .where(col("n_flagged") >= minShared)
+  }
+
   /** Streaming weekly-active-users: Monday-aligned 7-day tumbling windows
     * (epoch day 0 is a Thursday — the 4-day startTime shift aligns window
     * starts to Mondays, matching the batch `date_trunc('week', ts)`), HLL++

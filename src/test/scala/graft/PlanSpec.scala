@@ -185,6 +185,23 @@ class PlanSpec extends AnyFunSuite {
       s"incremental probe degenerated:\n$p")
   }
 
+  test("dsir_weights: λ broadcasts into the weight pass, no cartesian anywhere") {
+    val p = plan("dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the buckets-row λ table must broadcast into the seed stream:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dsir must plan equi-joins only:\n$p")
+  }
+
+  test("dedup_substr_spans: seed kernel in codegen, equi-joins only, per-doc window") {
+    val p = plan("dedup_substr_spans")
+    assert(p.contains("graft_gram_hashes"),
+      s"positional seeds must come from the codegen'd kernel:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the dup-seed join must stay an equi-join:\n$p")
+    assert(p.contains("Window"), s"the interval merge must plan as a window:\n$p")
+  }
+
   test("kmeans loop reads the persisted working set (InMemoryTableScan)") {
     // r6 finding: the normalize+filter working set was rescanned every
     // iteration (iters + 2 input scans). The persist is load-bearing at

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Sampling
@@ -109,5 +110,32 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.withHashSplit(
         Sampling.withHashSplit(d, "doc_id", fractions), "doc_id", fractions)
     }
+  }
+
+  test("dsir: target-vocabulary docs score positive, off-target docs negative") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "alpha beta alpha beta alpha beta"),
+      (2L, "alpha beta alpha beta gamma alpha"),
+      (3L, "zulu yankee zulu yankee zulu yankee"),
+      (4L, "zulu yankee xray zulu yankee zulu")).toDF("doc_id", "text")
+    val w = Sampling.dsirWeights(raw, raw.where(col("doc_id") <= 2)).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(w(1L)._2 && w(2L)._2, s"target members must look target-like: $w")
+    assert(!w(3L)._2 && !w(4L)._2, s"off-target docs must score negative: $w")
+    // selected is exactly the sign of the quantized weight
+    w.values.foreach { case (lw, sel) => assert(sel == lw > 0) }
+  }
+
+  test("dsir on the real corpus: one row per 2+-token doc, both verdicts present") {
+    val docs = Tables.documents(spark, SfDir)
+    val out = QueriesLlm.queries("dsir_weights")(spark, SfDir).collect()
+    val expected = docs
+      .where(size(graft.operators.TextAnalysis.tokens(col("text"))) >= 2).count()
+    assert(out.length == expected)
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    val sel = out.count(_.getBoolean(2))
+    assert(sel > 0 && sel < out.length,
+      s"weights should separate the corpus, got $sel/${out.length} selected")
   }
 }

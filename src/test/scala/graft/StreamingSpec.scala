@@ -142,6 +142,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 100L, 1.0)))
   }
 
+  test("streaming decontaminate equals the batch bloom route doc-for-doc") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, SfDir)
+    val corpus = docs.where(col("doc_id") % 50 =!= 0)
+    val eval = docs.where(col("doc_id") % 50 === 0)
+    val bytes = graft.operators.Dedup.evalGramFilter(eval)
+    val input = MemoryStream[(Long, String)]
+    val flagged = StreamingSessionize.decontaminateIngest(
+      input.toDF().toDF("doc_id", "text"), bytes)
+    val query = flagged.writeStream
+      .format("memory").queryName("stream_decon").outputMode("append").start()
+    try {
+      input.addData(corpus.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val stream = spark.table("stream_decon").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the SAME filter bytes probed by the same hash-space distinct grams:
+    // streaming and batch verdicts must agree row-for-row, counts included
+    val batch = graft.operators.Dedup.contaminationReportBloom(corpus, eval).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("streaming wau windows are Monday-aligned weeks with sane counts") {
     val input = MemoryStream[(Long, Long, Timestamp)]
     // two ISO weeks: Mon 2024-01-01 .. and Mon 2024-01-08 ..
