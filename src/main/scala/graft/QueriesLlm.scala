@@ -205,6 +205,55 @@ object QueriesLlm {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The DSIR replay, shared verbatim by `dsir_weights` (batch fit) and
+    * `stream_dsir_score` (frozen λ array applied inside a real streaming
+    * execution — the frozen-model law makes the stream score bitwise the
+    * batch fit's): positional bigram `hash32 % buckets` seeds with
+    * duplicates kept (occurrence distributions), integer bucket counts,
+    * quantized add-1-smoothed log-likelihood ratios, quantized per-doc
+    * sums. `seeds` is multi-referenced → MATERIALIZED (the classifier
+    * oracle lesson).
+    */
+  private def dsirOracleSql: String =
+    s"""WITH wtoks AS MATERIALIZED (
+       |  SELECT doc_id, text, $toksSql AS w FROM documents
+       |),
+       |seeds AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(array_to_string(w[i:i+${DsirN - 1}], ' ')), 1, 8))::BIGINT % $DsirBuckets AS b
+       |  FROM (
+       |    SELECT doc_id, w, unnest(generate_series(1, len(w) - ${DsirN - 1})) AS i
+       |    FROM wtoks WHERE len(w) >= $DsirN
+       |  )
+       |),
+       |hq AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |           least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS r1,
+       |           least((CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE) / len(w)) * 4.0, 1.0) AS r2,
+       |           greatest(1.0 - (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 0.0) AS r3
+       |    FROM wtoks WHERE length($norm) > 0
+       |  ) WHERE r1 * 0.4 + r2 * 0.3 + r3 * 0.3 >= $QualityCut
+       |),
+       |rb AS (SELECT b, count(*) AS r FROM seeds GROUP BY b),
+       |tb AS (SELECT b, count(*) AS t FROM seeds JOIN hq USING (doc_id) GROUP BY b),
+       |tot AS (
+       |  SELECT (SELECT count(*) FROM seeds) AS nr,
+       |         (SELECT count(*) FROM seeds JOIN hq USING (doc_id)) AS nt
+       |),
+       |lam AS (
+       |  SELECT rb.b,
+       |         round(ln(CAST(coalesce(tb.t, 0) + 1 AS DOUBLE) / (tot.nt + $DsirBuckets))
+       |             - ln(CAST(rb.r + 1 AS DOUBLE) / (tot.nr + $DsirBuckets)), 6) AS lam
+       |  FROM rb LEFT JOIN tb USING (b) CROSS JOIN tot
+       |)
+       |SELECT s.doc_id,
+       |       round(sum(l.lam), 6) AS log_weight,
+       |       round(sum(l.lam), 6) > 0 AS selected
+       |FROM seeds s JOIN lam l USING (b)
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   /** The kmeans_clusters oracle, UNROLLED: one (assign, recompute) CTE pair
     * per Lloyd iteration, generated from the same (k, iters) constants the
     * query passes to [[Similarity.kmeans]]. Each M-step rounds centroid
@@ -386,6 +435,17 @@ object QueriesLlm {
       .withColumn(
         "y",
         (col("x1") * 0.4 + col("x2") * 0.3 + col("x3") * 0.3 >= QualityCut).cast("double"))
+
+  /** The DSIR target pool: non-empty docs whose UNROUNDED rule-quality
+    * clears the cut — shared by the batch fit and the frozen-model
+    * streaming score so the two can't drift.
+    */
+  private def dsirTarget(docs: DataFrame): DataFrame =
+    docs
+      .where(length(TextAnalysis.normalize(col("text"))) > 0)
+      .where(
+        TextAnalysis.qualityScoreOf(col("text"), TextAnalysis.tokens(col("text")))
+          >= QualityCut)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── text analysis: per-doc stats & quality. Tokenization is projected
@@ -966,12 +1026,30 @@ object QueriesLlm {
     // op; weights and verdicts replay exactly (quantized λ, quantized sums) ──
     "dsir_weights" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val target = docs
-        .where(length(TextAnalysis.normalize(col("text"))) > 0)
-        .where(
-          TextAnalysis.qualityScoreOf(col("text"), TextAnalysis.tokens(col("text")))
-            >= QualityCut)
-      Sampling.dsirWeights(docs, target, n = DsirN, buckets = DsirBuckets)
+      Sampling.dsirWeights(docs, dsirTarget(docs), n = DsirN, buckets = DsirBuckets)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── DSIR scoring AT INGESTION ([[StreamingSessionize.dsirScoreIngest]]):
+    // the λ model frozen from the batch fit, applied statelessly inside a
+    // REAL streaming execution — a corpus member streamed through the
+    // frozen model scores bitwise its dsir_weights value, so the oracle is
+    // the full DSIR replay itself, hash-checked row for row ──
+    "stream_dsir_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lam =
+        Sampling.dsirLambdaArray(docs, dsirTarget(docs), n = DsirN, buckets = DsirBuckets)
+      val sink = "stream_dsir_score_sink"
+      def src = s.readStream
+        .schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val out = StreamingSessionize.dsirScoreIngest(src, lam, n = DsirN)
+      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(sink)
+        .select(col("doc_id"), col("log_weight"), col("selected"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1584,46 +1662,14 @@ object QueriesLlm {
     // kept — occurrence distributions), integer bucket counts, quantized
     // add-1-smoothed log-likelihood ratios, quantized per-doc sums. The
     // target is the same unrounded rule-quality >= cut subset the query
-    // filters.
-    "dsir_weights" ->
-      s"""WITH wtoks AS (
-         |  SELECT doc_id, text, $toksSql AS w FROM documents
-         |),
-         |seeds AS (
-         |  SELECT doc_id,
-         |         ('0x' || substr(md5(array_to_string(w[i:i+${DsirN - 1}], ' ')), 1, 8))::BIGINT % $DsirBuckets AS b
-         |  FROM (
-         |    SELECT doc_id, w, unnest(generate_series(1, len(w) - ${DsirN - 1})) AS i
-         |    FROM wtoks WHERE len(w) >= $DsirN
-         |  )
-         |),
-         |hq AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id,
-         |           least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS r1,
-         |           least((CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE) / len(w)) * 4.0, 1.0) AS r2,
-         |           greatest(1.0 - (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 0.0) AS r3
-         |    FROM wtoks WHERE length($norm) > 0
-         |  ) WHERE r1 * 0.4 + r2 * 0.3 + r3 * 0.3 >= $QualityCut
-         |),
-         |rb AS (SELECT b, count(*) AS r FROM seeds GROUP BY b),
-         |tb AS (SELECT b, count(*) AS t FROM seeds JOIN hq USING (doc_id) GROUP BY b),
-         |tot AS (
-         |  SELECT (SELECT count(*) FROM seeds) AS nr,
-         |         (SELECT count(*) FROM seeds JOIN hq USING (doc_id)) AS nt
-         |),
-         |lam AS (
-         |  SELECT rb.b,
-         |         round(ln(CAST(coalesce(tb.t, 0) + 1 AS DOUBLE) / (tot.nt + $DsirBuckets))
-         |             - ln(CAST(rb.r + 1 AS DOUBLE) / (tot.nr + $DsirBuckets)), 6) AS lam
-         |  FROM rb LEFT JOIN tb USING (b) CROSS JOIN tot
-         |)
-         |SELECT s.doc_id,
-         |       round(sum(l.lam), 6) AS log_weight,
-         |       round(sum(l.lam), 6) > 0 AS selected
-         |FROM seeds s JOIN lam l USING (b)
-         |GROUP BY s.doc_id
-         |ORDER BY s.doc_id""".stripMargin,
+    // filters. Shared verbatim with stream_dsir_score (frozen-model law).
+    "dsir_weights" -> dsirOracleSql,
+
+    // Frozen-model streaming DSIR replay: the stream scores bitwise what
+    // the batch fit scores (same quantized λ, re-quantized sums), so the
+    // oracle IS the dsir_weights replay — any drift between the frozen
+    // array, the streaming fold, and the batch shuffle-sum fails the hash.
+    "stream_dsir_score" -> dsirOracleSql,
 
     // Substr-span replay: positional L-gram hash32 seeds (duplicates kept,
     // pos = 0-based start token), global occurrence count, then the same

@@ -138,19 +138,43 @@ object Sampling {
       buckets: Int = 4096,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val (lam, _, _) = dsirLambda(raw, target, n, buckets, idCol, textCol)
+    bucketSeeds(raw, n, buckets, idCol, textCol)
+      .join(broadcast(lam), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("lam")), 6).as("log_weight"))
+      .select(col(idCol), col("log_weight"), (col("log_weight") > 0).as("selected"))
+  }
+
+  private def bucketSeeds(
+      d: DataFrame, n: Int, buckets: Int, idCol: String, textCol: String): DataFrame = {
+    TextKernels.register(d.sparkSession)
+    d.select(
+      col(idCol),
+      explode(
+        TextKernels.orderedGramHashesCol(TextAnalysis.tokens(col(textCol)), n)).as("h"))
+      .select(col(idCol), (col("h") % buckets).as("b"))
+  }
+
+  /** The fitted DSIR model itself: the per-bucket quantized log-likelihood
+    * ratio table (`b`, `lam`) plus the two gram totals — what a pipeline
+    * freezes after a fit and applies to later batches or an ingest stream.
+    * Only buckets the raw pool touches appear; everything else takes the
+    * zero-count default ratio (see [[dsirLambdaArray]]).
+    */
+  def dsirLambda(
+      raw: DataFrame,
+      target: DataFrame,
+      n: Int = 2,
+      buckets: Int = 4096,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, Long, Long) = {
     require(n > 0, s"gram width must be positive, got $n")
     require(buckets > 1, s"need at least 2 buckets, got $buckets")
-    TextKernels.register(raw.sparkSession)
-    def bucketSeeds(d: DataFrame): DataFrame =
-      d.select(
-        col(idCol),
-        explode(
-          TextKernels.orderedGramHashesCol(TextAnalysis.tokens(col(textCol)), n)).as("h"))
-        .select(col(idCol), (col("h") % buckets).as("b"))
-    val rawSeeds = bucketSeeds(raw)
-    val tgtSeeds = bucketSeeds(target)
-    val rawCounts = rawSeeds.groupBy(col("b")).agg(count(lit(1)).as("r"))
-    val tgtCounts = tgtSeeds.groupBy(col("b")).agg(count(lit(1)).as("t"))
+    val rawCounts =
+      bucketSeeds(raw, n, buckets, idCol, textCol).groupBy(col("b")).agg(count(lit(1)).as("r"))
+    val tgtCounts =
+      bucketSeeds(target, n, buckets, idCol, textCol).groupBy(col("b")).agg(count(lit(1)).as("t"))
     val nR = rawCounts.agg(coalesce(sum(col("r")), lit(0L))).collect()(0).getLong(0)
     val nT = tgtCounts.agg(coalesce(sum(col("t")), lit(0L))).collect()(0).getLong(0)
     val lam = rawCounts
@@ -162,11 +186,31 @@ object Sampling {
             lit((nT + buckets).toDouble)) -
             log((col("r") + lit(1L)).cast("double") / lit((nR + buckets).toDouble)),
           6).as("lam"))
-    rawSeeds
-      .join(broadcast(lam), Seq("b"))
-      .groupBy(col(idCol))
-      .agg(round(sum(col("lam")), 6).as("log_weight"))
-      .select(col(idCol), col("log_weight"), (col("log_weight") > 0).as("selected"))
+    (lam, nR, nT)
+  }
+
+  /** [[dsirLambda]] densified to one double per bucket — the form that rides
+    * a scoring plan as a literal (32 KB at the 4096 default). Buckets the
+    * raw fit never saw score the add-1 zero-count ratio, computed with the
+    * SAME quantization as the in-plan λ (Spark `round` == BigDecimal
+    * HALF_UP; `Math.log` is the identical JVM function either way), so a
+    * corpus member scored through the array gets bitwise the
+    * [[dsirWeights]] value.
+    */
+  def dsirLambdaArray(
+      raw: DataFrame,
+      target: DataFrame,
+      n: Int = 2,
+      buckets: Int = 4096,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Array[Double] = {
+    val (lam, nR, nT) = dsirLambda(raw, target, n, buckets, idCol, textCol)
+    val default = BigDecimal(
+      math.log(1.0 / (nT + buckets)) - math.log(1.0 / (nR + buckets)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val arr = Array.fill(buckets)(default)
+    lam.collect().foreach(r => arr(r.getLong(0).toInt) = r.getDouble(1))
+    arr
   }
 
   def hashSampleByStratum(

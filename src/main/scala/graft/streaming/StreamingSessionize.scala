@@ -368,6 +368,47 @@ object StreamingSessionize {
       .where(col("n_flagged") >= minShared)
   }
 
+  /** DSIR scoring AT INGESTION: the "fit nightly, score the incoming crawl"
+    * shape — a frozen λ table ([[graft.operators.Sampling.dsirLambdaArray]])
+    * rides the plan as a literal and every incoming document folds its gram
+    * occurrences through it, STATELESS like [[decontaminateIngest]] (no
+    * state store, no join, no watermark). Gram hashing is the codegen'd
+    * kernel; the per-doc fold is a left-to-right `aggregate` over ~doc-gram
+    * elements of pure arithmetic. The fold order differs from the batch
+    * shuffle-sum order, but both sides sum the SAME quantized λs and
+    * re-quantize, so a corpus member streamed through the frozen model
+    * scores bitwise its [[graft.operators.Sampling.dsirWeights]] value
+    * (StreamingSpec pins stream == batch; the declared query's oracle is
+    * the dsir replay itself).
+    */
+  def dsirScoreIngest(
+      docs: DataFrame,
+      lambda: Array[Double],
+      n: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(lambda != null && lambda.length > 1,
+      "dsirScoreIngest: need a dense λ array — build it with Sampling.dsirLambdaArray")
+    import graft.functions.TextKernels
+    TextKernels.register(docs.sparkSession)
+    val buckets = lambda.length
+    docs
+      .select(
+        col(idCol),
+        TextKernels.orderedGramHashesCol(
+          graft.operators.TextAnalysis.tokens(col(textCol)), n).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(
+        col(idCol),
+        round(
+          aggregate(
+            transform(col("hs"), h => element_at(typedLit(lambda), (h % buckets).cast("int") + 1)),
+            lit(0.0),
+            (acc, x) => acc + x),
+          6).as("log_weight"))
+      .withColumn("selected", col("log_weight") > 0)
+  }
+
   /** Streaming weekly-active-users: Monday-aligned 7-day tumbling windows
     * (epoch day 0 is a Thursday — the 4-day startTime shift aligns window
     * starts to Mondays, matching the batch `date_trunc('week', ts)`), HLL++

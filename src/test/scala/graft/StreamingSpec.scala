@@ -168,6 +168,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("frozen-λ streaming dsir score equals the batch fit bitwise") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, SfDir)
+    val target = docs.where(col("doc_id") % 3 === 0) // any fixed target works for the law
+    val lam = graft.operators.Sampling.dsirLambdaArray(docs, target)
+    val input = MemoryStream[(Long, String)]
+    val scored = StreamingSessionize.dsirScoreIngest(
+      input.toDF().toDF("doc_id", "text"), lam)
+    val query = scored.writeStream
+      .format("memory").queryName("stream_dsir").outputMode("append").start()
+    try {
+      input.addData(docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val stream = spark.table("stream_dsir").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val batch = graft.operators.Sampling.dsirWeights(docs, target).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    // same quantized λs, re-quantized sums: the frozen-array fold and the
+    // batch shuffle-sum must agree to the last bit, weights included
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("streaming wau windows are Monday-aligned weeks with sane counts") {
     val input = MemoryStream[(Long, Long, Timestamp)]
     // two ISO weeks: Mon 2024-01-01 .. and Mon 2024-01-08 ..
