@@ -254,6 +254,72 @@ object QueriesLlm {
        |GROUP BY s.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  /** The lm_perplexity replay ([[LanguageModel.perplexity]]): target =
+    * the same `hq` rule-quality pool as DSIR; integer unigram/bigram counts
+    * over it; per doc-bigram, the add-1 log-prob quantized BEFORE the sum
+    * (in-model → backoff-on-context → out-of-vocab via one coalesce — the
+    * later branches are exactly the zero-count rows of the same formula);
+    * quantized per-doc sum, one IEEE division for the per-bigram mean, and
+    * the corpus-relative below-mean verdict on the re-quantized corpus
+    * mean. `wtoks`/`tgt`/`uni`/`bi` are multi-referenced → MATERIALIZED.
+    */
+  private def lmOracleSql: String =
+    s"""WITH wtoks AS MATERIALIZED (
+       |  SELECT doc_id, text, $toksSql AS w FROM documents
+       |),
+       |hq AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |           least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS r1,
+       |           least((CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE) / len(w)) * 4.0, 1.0) AS r2,
+       |           greatest(1.0 - (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) * 5.0, 0.0) AS r3
+       |    FROM wtoks WHERE length($norm) > 0
+       |  ) WHERE r1 * 0.4 + r2 * 0.3 + r3 * 0.3 >= $QualityCut
+       |),
+       |tgt AS MATERIALIZED (
+       |  SELECT w FROM wtoks JOIN hq USING (doc_id)
+       |),
+       |uni AS MATERIALIZED (
+       |  SELECT t AS w1, count(*) AS c1
+       |  FROM (SELECT unnest(w) AS t FROM tgt) GROUP BY 1
+       |),
+       |voc AS (SELECT count(*) AS v FROM uni),
+       |bi AS MATERIALIZED (
+       |  SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS c2
+       |  FROM (
+       |    SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+       |    FROM tgt WHERE len(w) >= 2
+       |  ) GROUP BY 1, 2
+       |),
+       |docbi AS (
+       |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+       |  FROM (
+       |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+       |    FROM wtoks WHERE len(w) >= 2
+       |  )
+       |),
+       |lp AS (
+       |  SELECT d.doc_id,
+       |         round(coalesce(
+       |           ln(CAST(bi.c2 + 1 AS DOUBLE) / (uni.c1 + voc.v)),
+       |           ln(1.0 / (uni.c1 + voc.v)),
+       |           ln(1.0 / voc.v)), 6) AS lp
+       |  FROM docbi d
+       |  LEFT JOIN bi USING (w1, w2)
+       |  LEFT JOIN uni USING (w1)
+       |  CROSS JOIN voc
+       |),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_bigrams, round(sum(lp), 6) AS log_prob,
+       |         round(-round(sum(lp), 6) / count(*), 6) AS avg_nll
+       |  FROM lp GROUP BY doc_id
+       |),
+       |mstat AS (SELECT round(avg(avg_nll), 6) AS mean_nll FROM agg)
+       |SELECT doc_id, n_bigrams, log_prob, avg_nll, mean_nll,
+       |       avg_nll < mean_nll AS selected
+       |FROM agg CROSS JOIN mstat
+       |ORDER BY doc_id""".stripMargin
+
   /** The kmeans_clusters oracle, UNROLLED: one (assign, recompute) CTE pair
     * per Lloyd iteration, generated from the same (k, iters) constants the
     * query passes to [[Similarity.kmeans]]. Each M-step rounds centroid
@@ -1053,6 +1119,19 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── CCNet-style LM quality scoring ([[LanguageModel.perplexity]]): an
+    // add-1-smoothed bigram model fitted on the SAME quality-target pool as
+    // dsir_weights, every doc scored by quantized per-bigram avg negative
+    // log-likelihood — the "does a target-corpus LM find this text fluent"
+    // signal, complementary to DSIR's occurrence-profile ratio. Model tables
+    // are vocab-scale broadcasts; the only corpus-scale shuffle is the
+    // per-doc sum. Selection is corpus-relative (below-mean avg_nll) ──
+    "lm_perplexity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LanguageModel.perplexity(docs, dsirTarget(docs))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── deterministic hash-split ([[operators.Sampling]]): train/val/test
     // assignment as a pure function of the doc id — stable across runs,
     // partitionings, engines, and incremental loads (no RNG, no leakage
@@ -1670,6 +1749,12 @@ object QueriesLlm {
     // oracle IS the dsir_weights replay — any drift between the frozen
     // array, the streaming fold, and the batch shuffle-sum fails the hash.
     "stream_dsir_score" -> dsirOracleSql,
+
+    // CCNet-style bigram-LM scoring replay: same hq target pool as dsir,
+    // integer counts, per-bigram quantized log-probs (in-model / context
+    // backoff / OOV via coalesce), quantized per-doc sum, one IEEE division
+    // for the mean — every branch replays the Scala fit bitwise.
+    "lm_perplexity" -> lmOracleSql,
 
     // Substr-span replay: positional L-gram hash32 seeds (duplicates kept,
     // pos = 0-based start token), global occurrence count, then the same
