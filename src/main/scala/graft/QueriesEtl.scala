@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.{EventsEtl, Histograms, Privacy, Sessionize}
-import graft.sources.{CsvSource, TableManager}
+import graft.sources.{CsvSource, JsonlSource, TableManager}
 
 /** ETL-surface queries: CSV source round-trip (S1/S2), templated-SQL entry
   * (S3), idempotent dynamic-partition-overwrite load (S4–S7), and the full
@@ -49,6 +49,19 @@ object QueriesEtl {
           max(unix_timestamp(col("ts"))).as("max_sec"),
           round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // ── JSONL corpus interchange ([[sources.JsonlSource]]): documents →
+    // gzip JSONL → schema-declared FAILFAST read-back, returned row-for-row.
+    // The oracle is the raw parquet identity, so the hash match proves the
+    // write → compress → parse round trip preserved every byte of text. ──
+    "jsonl_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = scratch(dir, "raw_jsonl")
+      JsonlSource.write(docs, root)
+      JsonlSource.read(s, docs.schema, root)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }),
 
     // ── S3: templated SQL entry ({TABLE} substitution), WAU job verbatim
@@ -163,6 +176,12 @@ object QueriesEtl {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // jsonl_roundtrip returns the corpus itself after a gzip-JSONL round
+    // trip — the oracle is the raw parquet identity
+    "jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "csv_roundtrip" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |       CAST(min(floor(epoch(ts))) AS BIGINT) AS min_sec,

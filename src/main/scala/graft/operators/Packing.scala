@@ -154,6 +154,46 @@ object Packing {
     * co-partitions on the same md5 id the layout sharded by, so AQE plans
     * it shuffle-or-broadcast as the slice side's size dictates.
     */
+  /** Per-epoch loader plan: for each of `epochs` epochs, a DETERMINISTIC
+    * pseudo-random permutation of every packed sequence, dealt across
+    * `nWorkers` data-loader ranks — the "global shuffle each epoch" a
+    * distributed trainer wants, as a pure function of (epoch, shard,
+    * seq_in_shard) so any engine, any run, and any resume replays the same
+    * plan. Input is any frame carrying `shard`/`seq_in_shard` (slice tables
+    * welcome — rows are deduped to sequences first). Output, one row per
+    * (epoch, sequence): `epoch, worker, pos_in_worker, shard,
+    * seq_in_shard`, with `pos_in_worker` a dense 0-based rank.
+    *
+    * The per-epoch md5 of `epoch:shard:seq` drives BOTH the worker deal
+    * (last 8 hex digits → worker id, so a sequence changes workers across
+    * epochs — cross-worker mixing, not just within-worker reordering) and
+    * the within-worker order (full hex string, tie-broken by key). Scale
+    * shape: there is NO global total order anywhere — a dense global
+    * position would need a corpus-wide single-partition window; loaders
+    * only ever need per-rank dense positions, which rank inside (epoch,
+    * worker) partitions that shrink as the cluster grows. Everything else
+    * is map-side hash arithmetic.
+    */
+  def epochPlan(seqs: DataFrame, epochs: Int, nWorkers: Int): DataFrame = {
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    require(nWorkers > 0, s"nWorkers must be positive, got $nWorkers")
+    val w = Window.partitionBy(col("epoch"), col("worker"))
+      .orderBy(col("ord"), col("shard"), col("seq_in_shard"))
+    seqs
+      .select(col("shard"), col("seq_in_shard")).distinct()
+      .withColumn("epoch", explode(sequence(lit(1L), lit(epochs.toLong))))
+      .withColumn(
+        "ord",
+        md5(concat_ws(":", col("epoch"), col("shard"), col("seq_in_shard"))))
+      .withColumn(
+        "worker",
+        conv(substring(col("ord"), 25, 8), 16, 10).cast("long") % nWorkers)
+      .withColumn("pos_in_worker", (row_number().over(w) - 1).cast("long"))
+      .select(
+        col("epoch"), col("worker"), col("pos_in_worker"),
+        col("shard"), col("seq_in_shard"))
+  }
+
   def gatherSequenceText(
       docs: DataFrame,
       budgetTokens: Int,

@@ -152,4 +152,50 @@ class PackingSpec extends AnyFunSuite {
       assert(m.getAs[Long]("seq_tokens") == expected.map(s => s._4 - s._3).sum)
     }
   }
+
+  test("epochPlan: every epoch is a complete permutation with per-worker dense ranks") {
+    val slices = Packing.packedSequenceSlices(fixture, Budget, Shards)
+    val allSeqs = slices.select("shard", "seq_in_shard").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plan = Packing.epochPlan(slices, epochs = 3, nWorkers = 2).collect()
+    (1L to 3L).foreach { e =>
+      val rows = plan.filter(_.getLong(0) == e)
+      // complete: each sequence appears exactly once per epoch
+      assert(rows.map(r => (r.getLong(3), r.getLong(4))).toSet == allSeqs)
+      assert(rows.length == allSeqs.size)
+      // dense 0-based positions within each worker
+      rows.groupBy(_.getLong(1)).foreach { case (_, ws) =>
+        assert(ws.map(_.getLong(2)).sorted.toSeq == (0L until ws.length).toSeq)
+      }
+    }
+  }
+
+  test("epochPlan: epochs permute differently AND re-deal sequences across workers") {
+    val slices = Packing.packedSequenceSlices(fixture, Budget, Shards)
+    val plan = Packing.epochPlan(slices, epochs = 2, nWorkers = 2).collect()
+    def byEpoch(e: Long) = plan.filter(_.getLong(0) == e)
+      .map(r => (r.getLong(3), r.getLong(4)) -> (r.getLong(1), r.getLong(2))).toMap
+    val (e1, e2) = (byEpoch(1L), byEpoch(2L))
+    // the fixture packs enough sequences that identical epoch plans would
+    // mean the epoch salt is dead — some sequence must move worker or rank
+    assert(e1 != e2, "epoch 2 must not replay epoch 1's plan")
+    assert(e1.exists { case (k, (w, _)) => e2(k)._1 != w },
+      "some sequence must change workers between epochs")
+  }
+
+  test("epochPlan is a pure function of the keys: repartition-invariant, slice-dup proof") {
+    val slices = Packing.packedSequenceSlices(fixture, Budget, Shards)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.epochPlan(df, epochs = 2, nWorkers = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // slice tables carry one row per SLICE; the plan must dedupe to sequences
+    assert(run(slices) == run(slices.repartition(7)))
+    assert(run(slices) == run(slices.union(slices)))
+  }
+
+  test("epochPlan rejects degenerate geometry") {
+    val slices = Packing.packedSequenceSlices(fixture, Budget, Shards)
+    intercept[IllegalArgumentException](Packing.epochPlan(slices, epochs = 0, nWorkers = 2))
+    intercept[IllegalArgumentException](Packing.epochPlan(slices, epochs = 1, nWorkers = 0))
+  }
 }
