@@ -79,6 +79,9 @@ object QueriesLlm {
   private val ChunkTokens = 50 // chunk width AND stride (disjoint packing), passed to the query AND interpolated into the oracle
   private val PackBudget = 256 // sequence token budget for pack_sequences, query AND oracle
   private val PackShards = 8 // independent packing streams, query AND oracle
+  private val EpochCount = 2 // epoch_plan epochs, query AND oracle
+  private val EpochWorkers = 4 // epoch_plan loader ranks, query AND oracle
+  private val BpeMerges = 6 // bpe_train merge rounds, query AND oracle
   // Word-gram width shared by the repetition/decontamination queries. The
   // oracle gram CTEs are hand-written as TRIGRAMS (w[i] w[i+1] w[i+2]), so
   // the constant is pinned — changing it requires rewriting those CTEs, and
@@ -320,6 +323,89 @@ object QueriesLlm {
        |FROM agg CROSS JOIN mstat
        |ORDER BY doc_id""".stripMargin
 
+  /** The BPE training replay, UNROLLED — one (pair-count, argmax, fold)
+    * CTE triple per merge round, generated from the same `BpeMerges` the
+    * query passes to [[Bpe.trainMerges]]. The oracle DERIVES each round's
+    * winning pair itself: integer pair counts weighted by word frequency,
+    * argmax tie-broken (count DESC, l, r), then the merge applied by the
+    * same greedy-left fold (`list_reduce` over a chr(31)-delimited
+    * accumulator == Spark's `aggregate` over the symbol array). `rK`/`bK`
+    * are multi-referenced (next round + the tokenize-apply chain) →
+    * MATERIALIZED.
+    */
+  private def bpeCtes: String = {
+    val rounds = (1 to BpeMerges).map { k =>
+      s"""p$k AS (
+         |  SELECT l, r, sum(n) AS c FROM (
+         |    SELECT n, syms[i] AS l, syms[i + 1] AS r
+         |    FROM (SELECT n, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+         |          FROM r${k - 1} WHERE len(syms) >= 2)
+         |  ) GROUP BY l, r
+         |),
+         |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |r$k AS MATERIALIZED (
+         |  SELECT word, n,
+         |         string_split(list_reduce(syms, (acc, x) -> CASE
+         |           WHEN acc = b.l AND x = b.r THEN b.l || b.r
+         |           WHEN ends_with(acc, chr(31) || b.l) AND x = b.r
+         |             THEN substr(acc, 1, length(acc) - length(b.l) - 1) || chr(31) || b.l || b.r
+         |           ELSE acc || chr(31) || x END), chr(31)) AS syms
+         |  FROM r${k - 1} CROSS JOIN b$k b
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wc AS MATERIALIZED (
+       |  SELECT t AS word, count(*) AS n
+       |  FROM (SELECT unnest($toksSql) AS t FROM documents)
+       |  WHERE length(t) > 0 GROUP BY 1
+       |),
+       |r0 AS MATERIALIZED (
+       |  SELECT word, n,
+       |         [substr(word, i, 1) for i in generate_series(1, length(word))] AS syms
+       |  FROM wc
+       |),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeTrainOracleSql: String = {
+    val union = (1 to BpeMerges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, l, r, l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$k"
+    }.mkString("\nUNION ALL ")
+    s"""$bpeCtes
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** bpe_tokenize replay: the b1..bN winners from the SAME derived chain,
+    * applied word by word over the corpus (duplicates kept) with the
+    * identical fold, then per-doc word/subword counts.
+    */
+  private def bpeTokenizeOracleSql: String = {
+    val applies = (1 to BpeMerges).map { k =>
+      s"""a$k AS (
+         |  SELECT doc_id,
+         |         string_split(list_reduce(syms, (acc, x) -> CASE
+         |           WHEN acc = b.l AND x = b.r THEN b.l || b.r
+         |           WHEN ends_with(acc, chr(31) || b.l) AND x = b.r
+         |             THEN substr(acc, 1, length(acc) - length(b.l) - 1) || chr(31) || b.l || b.r
+         |           ELSE acc || chr(31) || x END), chr(31)) AS syms
+         |  FROM a${k - 1} CROSS JOIN b$k b
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$bpeCtes,
+       |a0 AS (
+       |  SELECT doc_id,
+       |         [substr(word, i, 1) for i in generate_series(1, length(word))] AS syms
+       |  FROM (SELECT doc_id, unnest($toksSql) AS word FROM documents)
+       |  WHERE length(word) > 0
+       |),
+       |$applies
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(syms)) AS BIGINT) AS n_subwords
+       |FROM a$BpeMerges GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** The kmeans_clusters oracle, UNROLLED: one (assign, recompute) CTE pair
     * per Lloyd iteration, generated from the same (k, iters) constants the
     * query passes to [[Similarity.kmeans]]. Each M-step rounds centroid
@@ -555,6 +641,36 @@ object QueriesLlm {
       TextAnalysis.repetitionScores(Tables.documents(s, dir), n = GramN)
         .withColumn("is_repetitive", col("top_count") * 5 >= col("n_grams"))
         .orderBy(col("doc_id"))),
+
+    // ── full BPE TRAINING loop ([[Bpe.trainMerges]]): one corpus-scale
+    // word count, then per round a vocab-scale weighted pair aggregation,
+    // a 1-row argmax collect, and a map-side greedy-left merge fold — the
+    // ranked merge table a tokenizer ships. The oracle DERIVES each
+    // round's winning pair itself (unrolled CTEs, list_reduce fold) ──
+    "bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      Bpe.trainMerges(Tables.documents(s, dir), BpeMerges)
+        .toDF().select(
+          col("rank"), col("l"), col("r"), col("merged"),
+          col("count").as("pair_count"))
+        .orderBy(col("rank"))
+    }),
+
+    // ── the trained tokenizer APPLIED ([[Bpe.tokenCol]]): the frozen merge
+    // table as plan literals, every word re-segmented by the same
+    // greedy-left folds, per-doc word/subword counts — the consumer path
+    // (train → freeze → tokenize) in one verifiable query ──
+    "bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = Bpe.trainMerges(docs, BpeMerges)
+      docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .where(length(col("word")) > 0)
+        .select(col("doc_id"), size(Bpe.tokenCol(col("word"), merges)).cast("long").as("ns"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ── BPE trainer statistics kernel ([[TextAnalysis.bpePairCounts]]):
     // corpus-wide adjacent character-pair counts within whitespace tokens —
@@ -972,6 +1088,16 @@ object QueriesLlm {
     "pack_gather" -> ((s, dir) =>
       Packing.gatherSequenceText(Tables.documents(s, dir), PackBudget, PackShards)
         .orderBy(col("shard"), col("seq_in_shard"))),
+
+    // ── per-epoch loader plan ([[Packing.epochPlan]]): each epoch a
+    // deterministic md5-driven permutation of every packed sequence, dealt
+    // across loader workers (sequences CHANGE workers between epochs); no
+    // global total order anywhere — per-rank dense positions only ──
+    "epoch_plan" -> ((s, dir) =>
+      Packing.epochPlan(
+        Packing.packedSequenceSlices(Tables.documents(s, dir), PackBudget, PackShards),
+        epochs = EpochCount, nWorkers = EpochWorkers)
+        .orderBy(col("epoch"), col("worker"), col("pos_in_worker"))),
 
     // ── similarity: LSH-bucketed approximate KNN (scale path; deterministic
     // md5-derived hyperplanes → the DuckDB oracle recomputes the buckets) ──
@@ -1868,6 +1994,13 @@ object QueriesLlm {
          |FROM l JOIN d4 USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Full BPE training replay: every round's winner DERIVED in SQL
+    // (unrolled pair-count → argmax → greedy-left list_reduce fold).
+    "bpe_train" -> bpeTrainOracleSql,
+
+    // The trained tokenizer applied corpus-wide with the same folds.
+    "bpe_tokenize" -> bpeTokenizeOracleSql,
+
     // BPE pair-count replay: same normalization + whitespace split, pairs
     // are substr(t, i, 2) for i in [1, len-1] (both engines' substr is
     // 1-based and character-oriented), every occurrence counted, same
@@ -2220,6 +2353,47 @@ object QueriesLlm {
          |       CAST(count(*) AS BIGINT) AS n_slices
          |FROM sp GROUP BY shard, seq_in_shard
          |ORDER BY shard, seq_in_shard""".stripMargin,
+
+    // pack layout CTEs → distinct sequences → per-epoch md5 key driving
+    // both the worker deal (last 8 hex digits) and the within-worker order
+    // (full hex, tie-broken by key) — replaying Packing.epochPlan exactly.
+    "epoch_plan" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $PackShards AS shard,
+         |         CASE WHEN length($norm) = 0 THEN 0 ELSE len($toksSql) END AS n_tokens
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |         CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM t WHERE n_tokens > 0
+         |), x AS (
+         |  SELECT shard,
+         |         unnest(generate_series(
+         |           CAST(floor(start_tok / $PackBudget) AS BIGINT),
+         |           CAST(floor((start_tok + n_tokens - 1) / $PackBudget) AS BIGINT))) AS seq_in_shard
+         |  FROM s
+         |), q AS (
+         |  SELECT DISTINCT shard, seq_in_shard FROM x
+         |), e AS (
+         |  SELECT shard, seq_in_shard,
+         |         unnest(generate_series(1, $EpochCount)) AS epoch
+         |  FROM q
+         |), k AS (
+         |  SELECT epoch, shard, seq_in_shard,
+         |         md5(epoch::VARCHAR || ':' || shard::VARCHAR || ':' || seq_in_shard::VARCHAR) AS ord
+         |  FROM e
+         |), w AS (
+         |  SELECT epoch, shard, seq_in_shard, ord,
+         |         ('0x' || substr(ord, 25, 8))::BIGINT % $EpochWorkers AS worker
+         |  FROM k
+         |)
+         |SELECT epoch, worker,
+         |       CAST(row_number() OVER (PARTITION BY epoch, worker
+         |              ORDER BY ord, shard, seq_in_shard) - 1 AS BIGINT) AS pos_in_worker,
+         |       shard, seq_in_shard
+         |FROM w ORDER BY epoch, worker, pos_in_worker""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1,0 +1,124 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding TRAINING (Sennrich et al. 2016) — the full iterative
+  * merge loop, not just the first pair scan ([[TextAnalysis.bpePairCounts]]
+  * is that scan): start from characters, repeatedly pick the most frequent
+  * adjacent symbol pair and merge it corpus-wide, emitting the ranked merge
+  * table a tokenizer ships.
+  *
+  * Scale shape — the SentencePiece/HF-trainer decomposition: the only
+  * corpus-scale work is the ONE word-count aggregation (map-side combine,
+  * vocab-sized result); the merge loop then runs entirely on the word-count
+  * table, which is VOCAB-scale (heavy-tailed: ~10⁷–10⁸ distinct words at
+  * web scale, not corpus-scale). Each round is one vocab-scale aggregation
+  * (adjacent pairs weighted by word count, partial-aggregated map-side) +
+  * a 1-ROW argmax collect (the kmeans centroid-collect shape) + a map-side
+  * fold applying the merge. The word table is persisted once so rounds
+  * never rescan the corpus (the kmeans persist lesson).
+  *
+  * Determinism (both engines replay bit-for-bit):
+  *  - integer pair counts, argmax tie-broken by (count DESC, left ASC,
+  *    right ASC) — no floats anywhere;
+  *  - merge application is a GREEDY LEFT single-pass fold per word
+  *    (`[l,l,l,l]` under (l,l) → `[ll,ll]`), expressed as the same
+  *    left-fold in Spark (`aggregate` over the symbol array) and DuckDB
+  *    (`list_reduce` over a chr(31)-delimited accumulator) — the oracle
+  *    derives every round's winning pair itself; nothing is fed back.
+  *
+  * No counterpart in the reference; extension tier (the BPE statistics
+  * kernel precedent is `TextAnalysis.bpePairCounts`).
+  */
+object Bpe {
+
+  /** One learned merge: `rank` is 1-based selection order, `count` the
+    * weighted pair frequency at selection time.
+    */
+  final case class Merge(rank: Long, l: String, r: String, merged: String, count: Long)
+
+  /** Corpus word-count table — the single corpus-scale pass. Phantom-token
+    * guard: empty strings (from empty/whitespace docs) carry no characters.
+    */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Character symbols of a word, 1 char each — explicit `substr` grid so
+    * Spark and DuckDB produce identical arrays (regex-split('') semantics
+    * differ between engines).
+    */
+  private def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Greedy left single-pass merge of (l, r) over a symbol array: left fold
+    * appending each symbol, or replacing the accumulator's tail when it
+    * equals `l` and the incoming symbol is `r`. A symbol minted by this
+    * pass never re-merges within the pass (its string `l+r` ≠ `l` since
+    * `r` is nonempty) — the property that makes `[l,l,l,l] → [ll,ll]`.
+    */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      slice(syms, lit(1), lit(1)),
+      (acc: Column, x: Column) =>
+        when(element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Run `nMerges` rounds over `docs` and return the ranked merge table.
+    * Fails loudly (`require`) if the corpus runs out of adjacent pairs
+    * before `nMerges` — a silently short merge table would ship a tokenizer
+    * that disagrees with its spec.
+    */
+  def trainMerges(docs: DataFrame, nMerges: Int, textCol: String = "text"): Seq[Merge] = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val base = wordCounts(docs, textCol)
+      .select(col("word"), col("n"), charSyms(col("word")).as("syms"))
+      .persist()
+    try {
+      var words = base
+      val out = ArrayBuffer.empty[Merge]
+      for (rank <- 1 to nMerges) {
+        val best = words
+          .where(size(col("syms")) >= 2)
+          .select(
+            col("n"),
+            explode(zip_with(
+              slice(col("syms"), lit(1), size(col("syms")) - 1),
+              slice(col("syms"), lit(2), size(col("syms")) - 1),
+              (a: Column, b: Column) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l"), col("p.r"))
+          .agg(sum(col("n")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1)
+          .collect()
+        require(best.nonEmpty,
+          s"bpe: corpus exhausted after ${rank - 1} merges, $nMerges requested")
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += Merge(rank.toLong, l, r, l + r, c)
+        // vocab-scale map-side rewrite; rounds chain on the persisted base,
+        // so round m recomputes m cheap folds but never the corpus scan
+        words = words.withColumn("syms", applyMerge(col("syms"), l, r))
+      }
+      out.toSeq
+    } finally { base.unpersist(); () }
+  }
+
+  /** TOKENIZE with a frozen merge table: the trainer's inverse — apply the
+    * ranked merges in order to every document's words and count the
+    * resulting subword tokens. The merge table rides the plan as literals
+    * (a shipped tokenizer is KB-scale); one map-side pass, no joins, no
+    * shuffle beyond the caller's aggregation.
+    */
+  def tokenCol(word: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(charSyms(word)) {
+      (syms, m) => applyMerge(syms, m.l, m.r)
+    }
+}

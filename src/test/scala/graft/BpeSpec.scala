@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+import graft.operators.Bpe.Merge
+
+class BpeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("run corpus: greedy-left single-pass semantics, exact ranked table") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "aaaa"), (3L, "aaaa")).toDF("doc_id", "text")
+    // each 'aaaa' has 3 adjacent (a,a) pairs; greedy-left gives [aa, aa],
+    // so round 2's top pair is (aa, aa) — NOT (aa, a), which a sloppy
+    // overlapping count would produce
+    assert(Bpe.trainMerges(docs, 2) ==
+      Seq(Merge(1, "a", "a", "aa", 9L), Merge(2, "aa", "aa", "aaaa", 3L)))
+  }
+
+  test("low/lower corpus: ties break lexicographically, merges chain") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low"), (2L, "low lower lower")).toDF("doc_id", "text")
+    // (l,o) and (o,w) both count 6 — (l,o) wins the (count DESC, l, r)
+    // order; after "lo"+"w" → "low", the only pairs left are in "lower"
+    assert(Bpe.trainMerges(docs, 4) == Seq(
+      Merge(1, "l", "o", "lo", 6L),
+      Merge(2, "lo", "w", "low", 6L),
+      Merge(3, "e", "r", "er", 2L),
+      Merge(4, "low", "er", "lower", 2L)))
+  }
+
+  test("tokenCol reproduces the trained segmentation and handles unseen words") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low"), (2L, "low lower lower")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, 4)
+    val words = Seq("low", "lower", "slow", "wol").toDF("word")
+    val got = words
+      .select(org.apache.spark.sql.functions.col("word"),
+        Bpe.tokenCol(org.apache.spark.sql.functions.col("word"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(got("low") == List("low"))
+    assert(got("lower") == List("lower"))
+    assert(got("slow") == List("s", "low")) // prefix char + learned subword
+    assert(got("wol") == List("w", "o", "l")) // no merge applies backwards
+  }
+
+  test("selection-time pair counts are non-increasing across rounds") {
+    // merging the global max can only shrink old pairs and mint new pairs
+    // bounded by the merged count — the monotonicity a correct weighted
+    // count must show on any corpus
+    val ms = Bpe.trainMerges(Tables.documents(spark, SfDir), 6)
+    assert(ms.map(_.count) == ms.map(_.count).sorted.reverse)
+    assert(ms.map(_.rank) == (1L to 6L))
+  }
+
+  test("degenerate inputs fail loudly") {
+    import spark.implicits._
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](Bpe.trainMerges(tiny, 3))
+    assert(e.getMessage.contains("exhausted"))
+    intercept[IllegalArgumentException](Bpe.trainMerges(tiny, 0))
+  }
+}

@@ -213,4 +213,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"),
       s"M-step must read the persisted working set, not rescan the input:\n$p")
   }
+
+  test("lm_perplexity: model tables broadcast; only the 1-row mean rides a BNLJ") {
+    val p = plan("lm_perplexity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab-scale λ tables must broadcast into the scoring pass:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    // exactly one BroadcastNestedLoopJoin: the 1-row corpus-mean scalar —
+    // a second one would mean a model join degenerated
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj == 1, s"expected exactly the scalar-mean BNLJ, found $bnlj:\n$p")
+  }
+
+  test("epoch_plan: no global total order — windows partition by (epoch, worker)") {
+    // the operator's claim is that a dense GLOBAL position is never
+    // materialized (that would be a single-partition window); only the
+    // query's display orderBy may range-partition, so pin the bare operator
+    val p = graft.operators.Packing.epochPlan(
+      graft.operators.Packing.packedSequenceSlices(
+        Tables.documents(spark, SfDir), 256, 8),
+      epochs = 2, nWorkers = 4).queryExecution.executedPlan.toString
+    assert(p.contains("Window"), s"per-rank positions must plan as a window:\n$p")
+    assert(!p.contains("SinglePartition") && !p.contains("rangepartitioning"),
+      s"epoch_plan must never plan a global total order:\n$p")
+  }
 }
