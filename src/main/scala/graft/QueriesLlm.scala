@@ -661,12 +661,14 @@ object QueriesLlm {
     // greedy-left folds, per-doc word/subword counts — the consumer path
     // (train → freeze → tokenize) in one verifiable query ──
     "bpe_tokenize" -> ((s, dir) => {
+      graft.functions.TextKernels.register(s)
       val docs = Tables.documents(s, dir)
       val merges = Bpe.trainMerges(docs, BpeMerges)
       docs
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
         .where(length(col("word")) > 0)
-        .select(col("doc_id"), size(Bpe.tokenCol(col("word"), merges)).cast("long").as("ns"))
+        .select(col("doc_id"),
+          size(Bpe.tokenKernelCol(col("word"), merges)).cast("long").as("ns"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_subwords"))
         .orderBy(col("doc_id"))

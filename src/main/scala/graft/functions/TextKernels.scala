@@ -356,6 +356,39 @@ object TextKernels {
     override def prettyName: String = "graft_repstats"
   }
 
+  /** Codegen'd frozen-BPE-tokenizer application: string word →
+    * array<string> subwords under a ranked merge table (flattened
+    * `[l1, r1, l2, r2, …]`, riding the plan as a reference object — a
+    * shipped tokenizer is KB-scale). One imperative pass per merge round,
+    * greedy-left semantics identical to the staged fold in
+    * [[graft.operators.Bpe.withBpeTokens]] (BpeSpec pins kernel == fold);
+    * exists because even the staged HOF fold pays per-element interpreted
+    * lambda dispatch — bpe_tokenize at sf0.1 measured 726 s as one nested
+    * expression, 11.1 s staged, 4.2 s on this kernel (the r2→r3
+    * interpreted-HOF lesson, again).
+    */
+  case class BpeApply(child: Expression, flatMerges: Seq[String]) extends UnaryExpression {
+    require(flatMerges.length % 2 == 0,
+      s"graft_bpe_apply: merge table must be (l, r) pairs flattened, got ${flatMerges.length} entries")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"graft_bpe_apply requires string, got ${other.sql}")
+    }
+    @transient private lazy val flat: Array[String] = flatMerges.toArray
+    override def nullSafeEval(w: Any): Any =
+      TextKernels.bpeApply(w.asInstanceOf[UTF8String], flat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+      nullSafeCodeGen(ctx, ev, w =>
+        s"${ev.value} = graft.functions.TextKernels.bpeApply($w, $ref);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "graft_bpe_apply"
+  }
+
   /** Extract a foldable integer literal function argument with a
     * descriptive failure — `graft_shingles(toks, n_col)` or a non-integer
     * literal should read as a usage error, not a ClassCastException.
@@ -399,6 +432,62 @@ object TextKernels {
       "graft_repstats",
       exprs => RepetitionStats(exprs(0), intArg("graft_repstats", 1, exprs(1))),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_bpe_apply",
+      exprs => BpeApply(exprs(0), stringArrayArg("graft_bpe_apply", 1, exprs(1))),
+      "scala_udf")
+  }
+
+  /** Greedy-left BPE merge application: UTF8 word → subword symbols after
+    * applying each (l, r) merge in ranked order. Symbols seed as single
+    * Unicode CODE POINTS (matching both engines' character-based substr);
+    * each round is one linear pass that replaces a trailing `l` when `r`
+    * arrives — a symbol minted in a pass never re-merges within it
+    * (`l+r ≠ l`, r nonempty), which is what makes `llll → [ll, ll]`.
+    */
+  def bpeApply(word: UTF8String, flatMerges: Array[String]): ArrayData = {
+    val w = word.toString
+    var cur = new java.util.ArrayList[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      cur.add(w.substring(i, i + n))
+      i += n
+    }
+    var m = 0
+    while (m < flatMerges.length) {
+      val l = flatMerges(m)
+      val r = flatMerges(m + 1)
+      val next = new java.util.ArrayList[String](cur.size)
+      var j = 0
+      while (j < cur.size) {
+        val s = cur.get(j)
+        val tail = next.size - 1
+        if (tail >= 0 && next.get(tail) == l && s == r) next.set(tail, l + r)
+        else next.add(s)
+        j += 1
+      }
+      cur = next
+      m += 2
+    }
+    val out = new Array[AnyRef](cur.size)
+    var k = 0
+    while (k < cur.size) { out(k) = UTF8String.fromString(cur.get(k)); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Extract a foldable array<string> literal function argument (the
+    * flattened merge table of `graft_bpe_apply`).
+    */
+  private[functions] def stringArrayArg(fn: String, pos: Int, e: Expression): Seq[String] = {
+    require(e.foldable, s"$fn: argument ${pos + 1} must be an array<string> literal")
+    e.eval() match {
+      case a: ArrayData =>
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument ${pos + 1} must be an array<string> literal, got $other")
+    }
   }
 
   def shingleGrams(toks: Column, n: Int): Column = {
@@ -418,5 +507,11 @@ object TextKernels {
   def repetitionStatsCol(toks: Column, n: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("graft_repstats", toks, lit(n))
+  }
+  def bpeApplyCol(word: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    call_function(
+      "graft_bpe_apply", word,
+      typedLit(merges.flatMap(m => Seq(m._1, m._2))))
   }
 }

@@ -116,9 +116,48 @@ object Bpe {
     * resulting subword tokens. The merge table rides the plan as literals
     * (a shipped tokenizer is KB-scale); one map-side pass, no joins, no
     * shuffle beyond the caller's aggregation.
+    *
+    * PERFORMANCE HAZARD: this builds all rounds as ONE nested expression.
+    * [[applyMerge]] references its input several times (slice ×2, size,
+    * element_at), and higher-order functions evaluate on the interpreted
+    * path with NO common-subexpression elimination — so N nested rounds
+    * re-evaluate the inner rounds ~4^N times per word (measured: 726 s for
+    * the corpus at sf0.1 that [[withBpeTokens]] segments in seconds). Fine
+    * for a handful of words or in tests; corpus-scale callers must use
+    * [[withBpeTokens]].
     */
   def tokenCol(word: Column, merges: Seq[Merge]): Column =
     merges.sortBy(_.rank).foldLeft(charSyms(word)) {
       (syms, m) => applyMerge(syms, m.l, m.r)
     }
+
+  /** Corpus-scale tokenize: the same folds STAGED as one projection per
+    * merge round (the lang_id staged-scores lesson). Each stage's alias is
+    * referenced several times by the next round's fold, so CollapseProject
+    * keeps the projections separate and every round evaluates ONCE per
+    * word — linear in rounds where the nested [[tokenCol]] expression is
+    * exponential on the no-CSE interpreted HOF path. Still map-side only:
+    * K narrow projections, no join, no shuffle.
+    */
+  def withBpeTokens(
+      df: DataFrame,
+      wordCol: String,
+      merges: Seq[Merge],
+      outCol: String): DataFrame =
+    merges.sortBy(_.rank).foldLeft(df.withColumn(outCol, charSyms(col(wordCol)))) {
+      (d, m) => d.withColumn(outCol, applyMerge(col(outCol), m.l, m.r))
+    }
+
+  /** The production tokenize route: the codegen'd
+    * [[graft.functions.TextKernels.BpeApply]] kernel — all rounds in one
+    * imperative pass per word, no per-element lambda dispatch (bpe_tokenize
+    * at sf0.1: 11.1 s staged → 4.2 s kernel, of which ~2 s is the
+    * in-query training; the nested expression was 726 s). Same greedy-left
+    * semantics; BpeSpec pins kernel == staged fold == nested expression.
+    * Caller must have run [[graft.functions.TextKernels.register]] on the
+    * session.
+    */
+  def tokenKernelCol(word: Column, merges: Seq[Merge]): Column =
+    graft.functions.TextKernels.bpeApplyCol(
+      word, merges.sortBy(_.rank).map(m => (m.l, m.r)))
 }

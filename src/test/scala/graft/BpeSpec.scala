@@ -54,6 +54,30 @@ class BpeSpec extends AnyFunSuite {
     assert(ms.map(_.rank) == (1L to 6L))
   }
 
+  test("kernel route == staged fold == nested expression, including nasty words") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.functions.TextKernels.register(spark)
+    val docs = Seq((1L, "low low low"), (2L, "low lower lower")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, 4)
+    // runs (greedy-left), learned words, prefixes/suffixes, unicode
+    // multi-byte, and a word equal to a merged symbol
+    val words = Seq("llll", "lll", "low", "lower", "slow", "wol", "lo",
+      "cafélow", "中low文", "o", "lowlow").toDF("word")
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val kernel = asMap(words.select(col("word"),
+      Bpe.tokenKernelCol(col("word"), merges).as("s")).collect())
+    val staged = asMap(Bpe.withBpeTokens(words, "word", merges, "s")
+      .select(col("word"), col("s")).collect())
+    val nested = asMap(words.select(col("word"),
+      Bpe.tokenCol(col("word"), merges).as("s")).collect())
+    assert(kernel == staged)
+    assert(kernel == nested)
+    assert(kernel("lowlow") == List("low", "low"))
+    assert(kernel("cafélow") == List("c", "a", "f", "é", "low"))
+  }
+
   test("degenerate inputs fail loudly") {
     import spark.implicits._
     val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
