@@ -12,8 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   *
   * makes `graft_dot`, `graft_vec_sum`, `graft_vec_min`/`graft_vec_max`,
-  * `graft_shingles`, `graft_minhash`,
-  * `graft_simhash60`, `graft_winnow` and `graft_repstats` available to every session (SQL
+  * `graft_shingles`, `graft_minhash`, `graft_simhash60`, `graft_winnow`,
+  * `graft_repstats` and `graft_bpe_apply` available to every session (SQL
   * included) without any library call. The operators themselves still lazily register via
   * [[VectorFunctions.register]]/[[TextKernels.register]] so plain sessions
   * (Verify, Bench, tests, notebooks) keep working; this class is the
@@ -68,5 +68,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_repstats(tokens, n) - struct<n_grams, n_distinct, top_count> repetition stats"),
       (exprs: Seq[Expression]) => TextKernels.RepetitionStats(
         exprs(0), TextKernels.intArg("graft_repstats", 1, exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe_apply"),
+      info("graft_bpe_apply",
+        "graft_bpe_apply(word, merges) - subword segmentation under a flattened (l1,r1,l2,r2,...) merge table literal"),
+      (exprs: Seq[Expression]) => TextKernels.BpeApply(
+        exprs(0), TextKernels.stringArrayArg("graft_bpe_apply", 1, exprs(1)))))
   }
 }

@@ -28,6 +28,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rs.getLong(0) == 4L && rs.getLong(1) == 2L && rs.getLong(2) == 2L)
   }
 
+  test("graft_bpe_apply is injected: SQL segmentation under a merge-table literal") {
+    val r = spark.sql(
+      """SELECT graft_bpe_apply('lllow', array('l','o', 'lo','w')) AS s,
+        |       graft_bpe_apply('ab', cast(array() AS array<string>)) AS raw
+        |""".stripMargin).head()
+    // chars l,l,l,o,w → merge (l,o): l,l,lo,w → merge (lo,w): l,l,low
+    assert(r.getSeq[String](0).toList == List("l", "l", "low"))
+    assert(r.getSeq[String](1).toList == List("a", "b")) // empty table = chars
+  }
+
   test("the vec_sum aggregate is injected too") {
     val s = spark.sql(
       """SELECT graft_vec_sum(v) AS s
