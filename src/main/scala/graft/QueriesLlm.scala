@@ -76,6 +76,19 @@ object QueriesLlm {
   private val MhRows = MhK / MhBands
   private val WinnowN = 3 // gram width for winnowing fingerprints
   private val WinnowW = 4 // winnow window (selects ~2/(w+1) of grams)
+  private val PrIters = 6 // pagerank fixed iteration count, query AND oracle
+  private val PrScale = 1000000000000L // pagerank total integer mass units
+  private val PrNum = 85 // damping numerator (85/100 = classic 0.85)
+  private val PrDen = 100 // damping denominator
+
+  // Fixed BM25 query set (vocabulary drawn from the documents fixture) and
+  // the hybrid-expansion seed docs — shared by query and oracle.
+  private val Bm25Queries = Seq(
+    "q01" -> "spark window agg",
+    "q02" -> "fast hash join table",
+    "q03" -> "stream batch query",
+    "q04" -> "vector scan filter data")
+  private val HybridSeeds = Seq(3L, 42L, 137L)
   private val ChunkTokens = 50 // chunk width AND stride (disjoint packing), passed to the query AND interpolated into the oracle
   private val PackBudget = 256 // sequence token budget for pack_sequences, query AND oracle
   private val PackShards = 8 // independent packing streams, query AND oracle
@@ -376,15 +389,15 @@ object QueriesLlm {
        |) ORDER BY rank""".stripMargin
   }
 
-  /** bpe_tokenize replay: the b1..bN winners from the SAME derived chain,
-    * applied word by word over the corpus (duplicates kept) with the
-    * identical fold, then per-doc word/subword counts.
+  /** The b1..bN winners from the SAME derived chain, applied word by word
+    * over the corpus (duplicates kept) with the identical fold — a0..aN
+    * CTEs carrying `carry` alongside the symbol lists.
     */
-  private def bpeTokenizeOracleSql: String = {
+  private def bpeApplyCtes(carry: String): String = {
+    val sel = if (carry.isEmpty) "" else s"$carry, "
     val applies = (1 to BpeMerges).map { k =>
       s"""a$k AS (
-         |  SELECT doc_id,
-         |         string_split(list_reduce(syms, (acc, x) -> CASE
+         |  SELECT ${sel}string_split(list_reduce(syms, (acc, x) -> CASE
          |           WHEN acc = b.l AND x = b.r THEN b.l || b.r
          |           WHEN ends_with(acc, chr(31) || b.l) AND x = b.r
          |             THEN substr(acc, 1, length(acc) - length(b.l) - 1) || chr(31) || b.l || b.r
@@ -392,19 +405,32 @@ object QueriesLlm {
          |  FROM a${k - 1} CROSS JOIN b$k b
          |)""".stripMargin
     }.mkString(",\n")
-    s"""$bpeCtes,
-       |a0 AS (
-       |  SELECT doc_id,
-       |         [substr(word, i, 1) for i in generate_series(1, length(word))] AS syms
-       |  FROM (SELECT doc_id, unnest($toksSql) AS word FROM documents)
+    s"""a0 AS (
+       |  SELECT ${sel}[substr(word, i, 1) for i in generate_series(1, length(word))] AS syms
+       |  FROM (SELECT ${sel}unnest($toksSql) AS word FROM documents)
        |  WHERE length(word) > 0
        |),
-       |$applies
+       |$applies""".stripMargin
+  }
+
+  /** bpe_tokenize replay: per-doc word/subword counts after the fold. */
+  private def bpeTokenizeOracleSql: String =
+    s"""$bpeCtes,
+       |${bpeApplyCtes("doc_id")}
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |       CAST(sum(len(syms)) AS BIGINT) AS n_subwords
        |FROM a$BpeMerges GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
-  }
+
+  /** bpe_vocab replay: the OTHER artifact a tokenizer ships — the subword
+    * vocabulary with corpus occurrence counts after all merges.
+    */
+  private def bpeVocabOracleSql: String =
+    s"""$bpeCtes,
+       |${bpeApplyCtes("")}
+       |SELECT s AS subword, CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM (SELECT unnest(syms) AS s FROM a$BpeMerges)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The kmeans_clusters oracle, UNROLLED: one (assign, recompute) CTE pair
     * per Lloyd iteration, generated from the same (k, iters) constants the
@@ -674,6 +700,22 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── the shipped tokenizer's OTHER artifact: the subword vocabulary
+    // with corpus occurrence counts after all merges — segmentation via
+    // the codegen'd kernel, one explode + one count shuffle ──
+    "bpe_vocab" -> ((s, dir) => {
+      graft.functions.TextKernels.register(s)
+      val docs = Tables.documents(s, dir)
+      val merges = Bpe.trainMerges(docs, BpeMerges)
+      docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .where(length(col("word")) > 0)
+        .select(explode(Bpe.tokenKernelCol(col("word"), merges)).as("subword"))
+        .groupBy(col("subword"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("subword"))
+    }),
+
     // ── BPE trainer statistics kernel ([[TextAnalysis.bpePairCounts]]):
     // corpus-wide adjacent character-pair counts within whitespace tokens —
     // the merge-selection scan of a distributed BPE tokenizer trainer's
@@ -712,6 +754,17 @@ object QueriesLlm {
       Dedup.winnowOverlapPairs(
         Tables.documents(s, dir), minShared = 2, n = WinnowN, window = WinnowW)
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ── similarity-graph centrality: integer-arithmetic damped PageRank
+    // over the winnow overlap graph ([[GraphRank.pagerank]]) — global
+    // evidence for representative selection; all state is 64-bit integer,
+    // so the oracle's unrolled CTE chain replays every iteration BITWISE ──
+    "doc_pagerank" -> ((s, dir) => {
+      val pairs = Dedup.winnowOverlapPairs(
+        Tables.documents(s, dir), minShared = 2, n = WinnowN, window = WinnowW)
+      GraphRank.pagerank(pairs, iters = PrIters, scale = PrScale, num = PrNum, den = PrDen)
+        .orderBy(col("doc_id"))
+    }),
 
     // ── near-dup: exact n-gram Jaccard >= 0.3 via lossless prefix filter ──
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -1385,6 +1438,23 @@ object QueriesLlm {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // ── lexical retrieval: Okapi BM25 top-10 for a fixed query set —
+    // inverted-index shuffle (postings by term, broadcast query side),
+    // quantized per-term contributions, doc-id tie-break ──
+    "bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(Tables.documents(s, dir), Bm25Queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // ── hybrid seed expansion: "more docs like these seeds" — BM25 on the
+    // seed's own tokens fused with exact cosine over the aligned embedding
+    // table by INTEGER reciprocal-rank fusion; the data-selection pool
+    // builder (lexical catches wording, dense catches semantics) ──
+    "hybrid_seed_expand" -> ((s, dir) =>
+      Retrieval.hybridSeedExpand(
+        Tables.documents(s, dir), Tables.embeddings(s, dir),
+        HybridSeeds, k = 10, poolK = 100)
+        .orderBy(col("seed_id"), col("rank"))),
+
     // ── multimodal: binary payload + stub header decode ──
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.withPayload(Tables.documents(s, dir))
@@ -1436,6 +1506,126 @@ object QueriesLlm {
        |                        for i in range(1, len(hs) - ${WinnowW - 2})]) AS fps
        |  FROM h WHERE len(hs) >= $WinnowW
        |)""".stripMargin
+  }
+
+  /** doc_pagerank replay: winnow overlap pairs → symmetric weighted edges →
+    * one CTE per PageRank iteration in PURE BIGINT arithmetic (`//` is
+    * DuckDB floor division; all operands nonnegative, so it equals Spark's
+    * truncating `div`). No floats anywhere → bitwise equality per
+    * iteration, the integer-state sibling of the quantized kmeans replay.
+    */
+  private def pagerankOracleSql: String = {
+    val iterCtes = (1 to PrIters).map { k =>
+      s"""r$k AS (
+         |  SELECT nd.node,
+         |         t.tele + (($PrNum * coalesce(inc.s, 0)) // $PrDen) AS rank
+         |  FROM nd CROSS JOIN t
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |                    CAST(sum((r.rank * e.w) // ws.wsum) AS BIGINT) AS s
+         |             FROM e JOIN r${k - 1} r ON r.node = e.src
+         |                    JOIN ws ON ws.src = e.src
+         |             GROUP BY 1) inc ON inc.node = nd.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$winnowCte,
+       |f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+       |p AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS w
+       |      FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS (SELECT a AS src, b AS dst, w FROM p
+       |      UNION ALL SELECT b, a, w FROM p),
+       |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM e GROUP BY 1),
+       |nd AS (SELECT DISTINCT src AS node FROM e),
+       |c AS (SELECT count(*) AS n FROM nd),
+       |r0 AS (SELECT node, $PrScale // n AS rank FROM nd CROSS JOIN c),
+       |t AS (SELECT (($PrScale // n) * ${PrDen - PrNum}) // $PrDen AS tele FROM c),
+       |$iterCtes
+       |SELECT node AS doc_id, rank FROM r$PrIters ORDER BY doc_id""".stripMargin
+  }
+
+  /** BM25 CTE chain through `sc(query_id, doc_id, score)`, parameterized by
+    * the query-terms CTE (named `q`). Expression shapes mirror
+    * [[Retrieval.bm25Scores]] EXACTLY — same literal forms (`(1.2 + 1)`,
+    * `(1.0 - 0.75)`), same association order, idf and both score stages
+    * quantized to 6 decimals — so scores agree cross-engine to the same
+    * tolerance class as the lm_perplexity replay.
+    */
+  private def bm25Ctes(qCte: String): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, term FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+       |  WHERE length(term) > 0
+       |),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+       |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+       |              (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+       |idf AS (SELECT term, round(ln(1.0 + (n - df + 0.5) / (df + 0.5)), 6) AS idf
+       |        FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+       |        CROSS JOIN st),
+       |$qCte,
+       |sc AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |         round(sum(round(
+       |           idf.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + 1)) /
+       |             (tf.tf + CAST(1.2 AS DOUBLE) *
+       |               ((1.0 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * dl.dl / st.avgdl)), 6)), 6) AS score
+       |  FROM q JOIN tf USING (term) JOIN idf USING (term)
+       |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  private def bm25TopkOracleSql: String = {
+    val vals = Bm25Queries
+      .flatMap { case (qid, text) =>
+        text.split("\\s+").filter(_.nonEmpty).distinct.map(t => s"('$qid', '$t')")
+      }
+      .mkString(", ")
+    s"""${bm25Ctes(s"q AS (SELECT * FROM (VALUES $vals) AS t(query_id, term))")}
+       |SELECT query_id, doc_id, score, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** hybrid_seed_expand replay: BM25 pool (seed tokens as query) + cosine
+    * pool (the knn_brute_cosine shape restricted to the seeds), fused by
+    * integer reciprocal-rank: `1000000000 // (60 + rank)` summed over the
+    * rankers present — the fusion arithmetic is all-BIGINT, so given the
+    * two pools the fused ranking replays bitwise.
+    */
+  private def hybridOracleSql: String = {
+    val seedList = HybridSeeds.mkString(", ")
+    s"""${bm25Ctes(s"q AS (SELECT DISTINCT doc_id AS query_id, term FROM tk WHERE doc_id IN ($seedList))")},
+       |lr AS (SELECT query_id, doc_id, rank FROM (
+       |         SELECT query_id, doc_id, CAST(row_number() OVER (
+       |           PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |         FROM sc WHERE doc_id != query_id)
+       |       WHERE rank <= 100),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nv AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
+       |pv AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |              list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+       |                / (q.nrm * c.nrm) AS cos
+       |       FROM nv q JOIN nv c ON q.vec_id IN ($seedList) AND c.vec_id != q.vec_id),
+       |vr AS (SELECT query_id, doc_id, rank FROM (
+       |         SELECT query_id, doc_id, CAST(row_number() OVER (
+       |           PARTITION BY query_id ORDER BY cos DESC, doc_id) AS BIGINT) AS rank
+       |         FROM pv)
+       |       WHERE rank <= 100),
+       |fu AS (
+       |  SELECT coalesce(l.query_id, v.query_id) AS seed_id,
+       |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |         coalesce(l.rank, 0) AS lex_rank,
+       |         coalesce(v.rank, 0) AS vec_rank,
+       |         (CASE WHEN l.rank IS NULL THEN 0 ELSE 1000000000 // (60 + l.rank) END)
+       |           + (CASE WHEN v.rank IS NULL THEN 0 ELSE 1000000000 // (60 + v.rank) END) AS rrf
+       |  FROM lr l FULL JOIN vr v ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+       |SELECT seed_id, doc_id, lex_rank, vec_rank, rrf, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY seed_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fu)
+       |WHERE rank <= 10 ORDER BY seed_id, rank""".stripMargin
   }
 
   /** Banded-LSH embedding near-dup pairs (vec_a, vec_b, cosine), no final
@@ -1650,6 +1840,18 @@ object QueriesLlm {
          |GROUP BY l.doc_id, r.doc_id
          |HAVING count(*) >= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Integer-arithmetic PageRank over the same winnow overlap graph,
+    // every iteration replayed bitwise in BIGINT (see pagerankOracleSql).
+    "doc_pagerank" -> pagerankOracleSql,
+
+    // Okapi BM25 top-10 over the fixed query set; expression shapes and
+    // double-typed literals mirror Retrieval.bm25Scores exactly.
+    "bm25_topk" -> bm25TopkOracleSql,
+
+    // Query-by-example hybrid retrieval: BM25 + cosine pools fused by
+    // integer reciprocal-rank (bitwise once the pools agree).
+    "hybrid_seed_expand" -> hybridOracleSql,
 
     "dedup_ngram_jaccard" ->
       s"""$gramsCte
@@ -2002,6 +2204,9 @@ object QueriesLlm {
 
     // The trained tokenizer applied corpus-wide with the same folds.
     "bpe_tokenize" -> bpeTokenizeOracleSql,
+
+    // The post-merge subword vocabulary with occurrence counts.
+    "bpe_vocab" -> bpeVocabOracleSql,
 
     // BPE pair-count replay: same normalization + whitespace split, pairs
     // are substr(t, i, 2) for i in [1, len-1] (both engines' substr is

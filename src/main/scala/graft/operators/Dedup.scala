@@ -776,7 +776,7 @@ object Dedup {
     * sequential results. With DIFFERENT roots, files may land under either
     * root — treat the roots as one logical scratch area for cleanup.
     */
-  private def durableBy(anchor: DataFrame, checkpointDir: Option[String]): DataFrame => DataFrame = {
+  private[graft] def durableBy(anchor: DataFrame, checkpointDir: Option[String]): DataFrame => DataFrame = {
     checkpointDir.foreach { dir =>
       // unconditional on purpose: the fresh UUID subdir IS the per-run
       // namespace (the old equality check compared the requested root to the

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic integer-arithmetic PageRank over a weighted undirected
+  * graph — the graph-centrality ranking pass of a curation pipeline.
+  * Near-dup pair generators ([[Dedup.winnowOverlapPairs]], MinHash LSH,
+  * embedding LSH) induce a similarity graph over the corpus; damped
+  * centrality over that graph ranks documents by how much duplicated /
+  * boilerplate mass surrounds them, which is global evidence for choosing
+  * cluster representatives (vs the per-pair min-id rule) and the same
+  * machinery CommonCrawl-style source ranking runs over a link graph.
+  *
+  * Cross-engine determinism by construction: ALL arithmetic is 64-bit
+  * integer. The total mass is `scale` integer units, split uniformly at
+  * init (`scale div n` each); each iteration a node sends
+  * `(rank * w) div wsum` units down each incident edge and updates to
+  * `tele + (num * incoming) div den` where
+  * `tele = ((scale div n) * (den - num)) div den`. No floating point
+  * appears anywhere, so an engine replaying the same expressions with
+  * floor division (DuckDB `//`) reproduces every iteration BITWISE — the
+  * same derived-state oracle discipline as the kmeans / BPE replays, but
+  * with exact integer state instead of quantized floats. Floor truncation
+  * leaks a few units of mass per node per round (bounded by n + E units);
+  * the leak is itself deterministic and ranking-irrelevant.
+  *
+  * Scale shape (the Pregel shape): the symmetrized edge relation with its
+  * precomputed out-weight (`src, dst, w, wsum`) is lineage-truncated ONCE
+  * and reused by every iteration; each iteration is one shuffled
+  * join+aggregate (contributions grouped by `dst`) plus a broadcast-able
+  * left join back onto the node set — O(iters) shuffles total, no driver
+  * data beyond the single node count. With the default lazy
+  * local-checkpoint truncation the whole fixed-iteration chain runs in ONE
+  * action and caches at most `iters` rank frames of (long, long) rows; the
+  * 100 TB path passes `checkpointDir` (HDFS/object-store URI) and gets
+  * per-iteration reliable checkpoints that survive executor loss, exactly
+  * like [[Dedup.connectedComponents]].
+  *
+  * Overflow bound: intermediate products are `rank * w <= scale * maxW`
+  * and `num * incoming <= num * scale`; with the default
+  * `scale = 10^12` any `maxW <= 10^6` and `num <= 10^6` stay far inside
+  * Long range. Isolated documents (no qualifying pair) are not graph
+  * nodes and carry no rank — restrict or union downstream as needed.
+  */
+object GraphRank {
+
+  /** Weighted damped PageRank over undirected `pairs`.
+    *
+    * @param pairs   (aCol, bCol, wCol) rows, each an undirected weighted
+    *                edge; symmetrized internally.
+    * @param iters   fixed iteration count (deterministic, no convergence
+    *                test — rank ordering stabilizes in a handful of rounds
+    *                on shallow similarity graphs).
+    * @param scale   total integer mass distributed across nodes.
+    * @param num/den damping factor as an exact rational (85/100 = 0.85).
+    * @param idOut   output id column name.
+    * @return (idOut, rank): one row per graph node, rank in integer mass
+    *         units (descending rank = descending centrality).
+    */
+  def pagerank(
+      pairs: DataFrame,
+      iters: Int = 6,
+      scale: Long = 1000000000000L,
+      num: Long = 85,
+      den: Long = 100,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      wCol: String = "n_shared",
+      idOut: String = "doc_id",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(num > 0 && num < den, s"damping $num/$den must be in (0, 1)")
+    require(scale >= 1000000L && scale <= 1000000000000000L,
+      s"scale $scale outside sane integer-mass range [1e6, 1e15]")
+    val durable = Dedup.durableBy(pairs, checkpointDir)
+
+    val sym = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"), col(wCol).cast("long").as("w"))
+      .unionByName(
+        pairs.select(col(bCol).as("src"), col(aCol).as("dst"), col(wCol).cast("long").as("w")))
+    val wsum = sym.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    // the loop relation: every iteration scans THIS, not the pair generator
+    val ew = durable(sym.join(wsum, "src"))
+    val nodes = ew.select(col("src").as("node")).distinct()
+
+    val n = nodes.count()
+    require(n > 0, "pagerank: empty graph (no pairs)")
+    val r0 = scale / n
+    val tele = ((scale / n) * (den - num)) / den
+
+    var ranks = nodes.withColumn("rank", lit(r0))
+    for (_ <- 1 to iters) {
+      val inc = ew
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("(rank * w) div wsum")).as("inc"))
+      ranks = durable(
+        nodes
+          .join(inc.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(
+            col("node"),
+            (lit(tele) + expr(s"($num * coalesce(inc, cast(0 as bigint))) div $den"))
+              .as("rank")))
+    }
+    ranks.select(col("node").as(idOut), col("rank"))
+  }
+}

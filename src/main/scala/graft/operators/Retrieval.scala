@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical (BM25) and hybrid (reciprocal-rank fusion) retrieval over the
+  * document corpus — the seed-expansion machinery of a data-selection
+  * pipeline: "find more documents like these curated seeds" is how
+  * importance-sampled pretraining pools and domain-targeted subsets get
+  * built, and serving it needs exactly one lexical ranker, one dense
+  * ranker, and a deterministic fusion rule.
+  *
+  * Scale shape: the term-side join is the classic inverted-index shuffle —
+  * per-term postings (`tf` rows) hash-partitioned by term, the query side
+  * broadcast (a query set is KB-scale against a 100 TB corpus); document
+  * stats (`dl`, `avgdl`, `N`) ride as one-row broadcasts. The dense side
+  * here is the declared brute-force ground truth; at corpus scale swap in
+  * the banded-LSH / IVF route ([[Similarity.lshKnn]], [[Similarity.ivfKnn]])
+  * — the fusion is ranker-agnostic by construction.
+  *
+  * Determinism: BM25 scores quantize per (term, doc) contribution AND the
+  * per-doc sum to 6 decimals (the [[LanguageModel]] discipline), ranks
+  * break ties on doc id, and the RRF fusion is pure integer arithmetic
+  * (`scale div (k + rank)` summed over rankers) — so the full hybrid
+  * ranking replays bitwise in the DuckDB oracle.
+  */
+object Retrieval {
+
+  /** Okapi BM25 parameters; the classic defaults. */
+  val K1: Double = 1.2
+  val B: Double = 0.75
+
+  private def toks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+
+  /** BM25 score for every (query, doc) pair with at least one matching
+    * term. `qterms`: (query_id, term) — pre-deduplicated query terms.
+    * Output: (query_id, doc_id, score), score quantized to 6 decimals.
+    */
+  def bm25Scores(docs: DataFrame, qterms: DataFrame): DataFrame = {
+    val t = toks(docs)
+    val tf = t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // one-row scalar frames: corpus size and mean doc length
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val avg = dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val idf = tf
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .withColumn(
+        "idf",
+        round(log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+      .select(col("term"), col("idf"))
+    broadcast(qterms)
+      .join(tf, "term")
+      .join(idf, "term")
+      .join(dl, "doc_id")
+      .crossJoin(avg)
+      .withColumn(
+        "s",
+        round(
+          col("idf") * (col("tf") * lit(K1 + 1)) /
+            (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))),
+          6))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("score"))
+  }
+
+  /** Top-k BM25 hits per query. `queries`: (query_id, query text) literal
+    * pairs; terms are whitespace-split and deduplicated (each query term
+    * scores once — the standard short-query form). Output:
+    * (query_id, doc_id, score, rank), rank 1..k, ties on doc id.
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(String, String)], k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, text) => text.split("\\s+").filter(_.nonEmpty).distinct.map(qid -> _) }
+      .toDF("query_id", "term")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    bm25Scores(docs, qterms)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Query-by-example hybrid seed expansion: for each seed document, rank
+    * the rest of the corpus by reciprocal-rank fusion of (a) BM25 with the
+    * seed's own distinct tokens as the query and (b) exact cosine over the
+    * aligned embedding table. Each ranker contributes its top `poolK`;
+    * a document missing from one ranker's pool contributes 0 from it
+    * (rank columns report 0 for absent). RRF is integer:
+    * `rrfScale div (rrfK + rank)` summed over the two rankers.
+    *
+    * Output: (seed_id, doc_id, lex_rank, vec_rank, rrf, rank), rank 1..k
+    * by descending fused score, ties on doc id; the seed itself is
+    * excluded from both pools.
+    */
+  def hybridSeedExpand(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      seeds: Seq[Long],
+      k: Int = 10,
+      poolK: Int = 100,
+      rrfK: Long = 60L,
+      rrfScale: Long = 1000000000L): DataFrame = {
+    require(seeds.nonEmpty, "hybridSeedExpand: empty seed set")
+    require(k >= 1 && poolK >= k, s"need 1 <= k <= poolK, got k=$k poolK=$poolK")
+    val t = toks(docs)
+    val qterms = t
+      .where(col("doc_id").isin(seeds: _*))
+      .select(col("doc_id").as("query_id"), col("term"))
+      .distinct()
+    val wl = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25Scores(docs, qterms)
+      .where(col("doc_id") =!= col("query_id"))
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .where(col("lex_rank") <= poolK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val vec = Similarity
+      .bruteForceKnn(embeddings.where(col("vec_id").isin(seeds: _*)), embeddings, k = poolK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+    val contrib = (rankCol: String) =>
+      when(col(rankCol).isNotNull, expr(s"$rrfScale div ($rrfK + $rankCol)"))
+        .otherwise(lit(0L))
+    val wf = Window.partitionBy(col("seed_id")).orderBy(col("rrf").desc, col("doc_id"))
+    lex
+      .join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(
+        col("query_id").as("seed_id"),
+        col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        (contrib("lex_rank") + contrib("vec_rank")).as("rrf"))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphRank
+
+/** Integer PageRank: hand-computed fixtures verify every floor-division
+  * step exactly (the same arithmetic the DuckDB oracle unrolls), plus the
+  * structural invariants (mass bound, symmetry, isolated-node exclusion,
+  * reliable-checkpoint path agreement).
+  */
+class GraphRankSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def pathPairs = {
+    import spark.implicits._
+    // path graph 1 — 2 — 3, unit weights
+    Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("doc_a", "doc_b", "n_shared")
+  }
+
+  private def ranksOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("path graph: iteration 1 matches the hand computation exactly") {
+    // n=3, r0 = 1e6 div 3 = 333333, tele = (333333*15) div 100 = 49999
+    // wsum: 1→1, 2→2, 3→1; contribs: 1→2 333333, 2→1 166666,
+    // 2→3 166666, 3→2 333333; r1 = tele + (85·inc) div 100
+    val got = ranksOf(GraphRank.pagerank(pathPairs, iters = 1, scale = 1000000L))
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == got(3L), "symmetric path ends must tie exactly")
+    assert(got(2L) > got(1L), "the center of the path outranks the ends")
+    assert(got(1L) == 49999L + (85L * 166666L) / 100L)
+    assert(got(2L) == 49999L + (85L * (333333L + 333333L)) / 100L)
+  }
+
+  test("path graph: two iterations, exact floor-division chain") {
+    val got = ranksOf(GraphRank.pagerank(pathPairs, iters = 2, scale = 1000000L))
+    // replay in plain Scala Long arithmetic (the reference semantics)
+    val n = 3L; val scale = 1000000L
+    val r0 = scale / n
+    val tele = ((scale / n) * 15L) / 100L
+    def step(r: Map[Long, Long]): Map[Long, Long] = {
+      // edges with wsum: 1:(2,1,1) 2:(1,1,2),(3,1,2) 3:(2,1,1)
+      val inc = Map(
+        1L -> (r(2L) * 1L) / 2L,
+        2L -> ((r(1L) * 1L) / 1L + (r(3L) * 1L) / 1L),
+        3L -> (r(2L) * 1L) / 2L)
+      inc.map { case (k, v) => k -> (tele + (85L * v) / 100L) }
+    }
+    val expected = step(step(Map(1L -> r0, 2L -> r0, 3L -> r0)))
+    assert(got == expected)
+  }
+
+  test("weighted edges steer rank toward the heavy neighbor") {
+    import spark.implicits._
+    // 1 —w=3— 2 and 1 —w=1— 3: node 2 receives 3x node 3's share from 1
+    val pairs = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("doc_a", "doc_b", "n_shared")
+    val got = ranksOf(GraphRank.pagerank(pairs, iters = 1, scale = 1000000L))
+    assert(got(2L) > got(3L))
+    // exact: r0=333333, tele=49999, wsum(1)=4
+    // inc(2) = (333333*3) div 4 = 249999; inc(3) = 333333 div 4 = 83333
+    assert(got(2L) == 49999L + (85L * 249999L) / 100L)
+    assert(got(3L) == 49999L + (85L * 83333L) / 100L)
+  }
+
+  test("total mass never exceeds scale and every node keeps positive rank") {
+    val got = ranksOf(GraphRank.pagerank(pathPairs, iters = 6, scale = 1000000L))
+    assert(got.values.sum <= 1000000L, "floor truncation can only leak mass")
+    assert(got.values.forall(_ > 0L))
+  }
+
+  test("isolated documents are not graph nodes (no rank row)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 2L)).toDF("doc_a", "doc_b", "n_shared")
+    val got = ranksOf(GraphRank.pagerank(pairs, iters = 2, scale = 1000000L))
+    assert(got.keySet == Set(1L, 2L))
+  }
+
+  test("reliable-checkpoint path agrees with the local lineage-truncation path") {
+    val local = ranksOf(GraphRank.pagerank(pathPairs, iters = 3, scale = 1000000L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-ckpt").toString
+    val durable = ranksOf(GraphRank.pagerank(
+      pathPairs, iters = 3, scale = 1000000L, checkpointDir = Some(dir)))
+    assert(local == durable)
+  }
+
+  test("empty pair set fails loudly, not with an opaque plan error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("doc_a", "doc_b", "n_shared")
+    val e = intercept[IllegalArgumentException] {
+      GraphRank.pagerank(empty, iters = 1)
+    }
+    assert(e.getMessage.contains("empty graph"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Retrieval
+
+class RetrievalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("bm25: rarity wins — the doc matching the rare term outranks the common-term doc") {
+    import spark.implicits._
+    // "rare" appears in one doc, "common" in all three; query hits both
+    val docs = Seq(
+      (1L, "common rare alpha beta"),
+      (2L, "common alpha alpha beta beta"),
+      (3L, "common beta alpha gamma")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, Seq("q" -> "rare common"), k = 3)
+      .orderBy(col("rank")).collect()
+    assert(got.head.getAs[Long]("doc_id") == 1L, "doc with the rare term must rank first")
+    assert(got.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    // scores are 6-decimal quantized and strictly ordered with doc-id ties
+    val scores = got.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    assert(scores.forall(s => (math.abs(s * 1e6 - math.rint(s * 1e6))) < 1e-3))
+  }
+
+  test("bm25: length normalization — same tf, shorter doc scores higher") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "term pad"),
+      (2L, "term pad pad pad pad pad pad pad pad pad")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, Seq("q" -> "term"), k = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(got(1L) > got(2L))
+  }
+
+  test("bm25: a query with no matching terms returns no rows, never null scores") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, Seq("q" -> "zzz qqq"), k = 5).collect()
+    assert(got.isEmpty)
+  }
+
+  test("hybrid seed expansion: seeds excluded, ranks bounded, RRF is the exact integer fusion") {
+    val docs = Tables.documents(spark, SfDir)
+    val emb = Tables.embeddings(spark, SfDir)
+    val seeds = Seq(3L, 42L)
+    val got = Retrieval.hybridSeedExpand(docs, emb, seeds, k = 10, poolK = 50).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val seed = r.getAs[Long]("seed_id")
+      val doc = r.getAs[Long]("doc_id")
+      val lex = r.getAs[Long]("lex_rank")
+      val vec = r.getAs[Long]("vec_rank")
+      val rrf = r.getAs[Long]("rrf")
+      assert(doc != seed, "the seed must not retrieve itself")
+      assert(r.getAs[Long]("rank") >= 1L && r.getAs[Long]("rank") <= 10L)
+      assert(lex >= 0L && lex <= 50L && vec >= 0L && vec <= 50L)
+      assert(lex > 0L || vec > 0L, "a fused row must come from at least one pool")
+      val expected =
+        (if (lex > 0L) 1000000000L / (60L + lex) else 0L) +
+          (if (vec > 0L) 1000000000L / (60L + vec) else 0L)
+      assert(rrf == expected, s"seed=$seed doc=$doc: rrf $rrf != $expected")
+    }
+    // within a seed, fused rank order follows (rrf desc, doc_id asc)
+    got.groupBy(_.getAs[Long]("seed_id")).values.foreach { rows =>
+      val ordered = rows.sortBy(_.getAs[Long]("rank"))
+      val keys = ordered.map(r => (-r.getAs[Long]("rrf"), r.getAs[Long]("doc_id"))).toSeq
+      assert(keys == keys.sorted)
+    }
+  }
+
+  test("hybrid: empty seed set fails loudly") {
+    val docs = Tables.documents(spark, SfDir)
+    val emb = Tables.embeddings(spark, SfDir)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.hybridSeedExpand(docs, emb, Seq.empty)
+    }
+    assert(e.getMessage.contains("empty seed set"))
+  }
+}
