@@ -64,6 +64,20 @@ object QueriesEtl {
         .orderBy(col("doc_id"))
     }),
 
+    // ── ORC corpus interchange: documents → snappy ORC → read-back,
+    // returned row-for-row (the other columnar format warehouse estates
+    // actually hold; Spark's ORC path is native + vectorized). The oracle
+    // is the raw parquet identity, so the hash match proves the format
+    // round trip preserved every value. ──
+    "orc_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = scratch(dir, "raw_orc")
+      docs.write.mode("overwrite").option("compression", "snappy").orc(root)
+      s.read.schema(docs.schema).orc(root)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── S3: templated SQL entry ({TABLE} substitution), WAU job verbatim
     // shape (ref UserIdBaseWauTransformer.scala:20-40).
     "sql_templated_wau" -> ((s, dir) => {
@@ -179,6 +193,12 @@ object QueriesEtl {
     // jsonl_roundtrip returns the corpus itself after a gzip-JSONL round
     // trip — the oracle is the raw parquet identity
     "jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // orc_roundtrip: same identity contract as jsonl_roundtrip — the
+    // corpus itself, proving the ORC write/read preserved every value
+    "orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -89,6 +89,7 @@ object QueriesLlm {
     "q03" -> "stream batch query",
     "q04" -> "vector scan filter data")
   private val HybridSeeds = Seq(3L, 42L, 137L)
+  private val AnnealEpochs = 4 // annealing schedule length, query AND oracle
   private val ChunkTokens = 50 // chunk width AND stride (disjoint packing), passed to the query AND interpolated into the oracle
   private val PackBudget = 256 // sequence token budget for pack_sequences, query AND oracle
   private val PackShards = 8 // independent packing streams, query AND oracle
@@ -1385,6 +1386,27 @@ object QueriesLlm {
       Sampling.mixtureWeights(Tables.documents(s, dir))
         .orderBy(col("source"))),
 
+    // ── mid-training ANNEALING schedule: per-epoch source mixture
+    // interpolating from the natural token-share distribution (epoch 0)
+    // to the sqrt-temperature target (final epoch) — the staged-data
+    // schedule trainers run (upweight quality/tail sources late). The
+    // interpolation is the nonneg convex form
+    // (base·(E-1-e) + target·e) div (E-1), all integer, so it replays
+    // exactly (and avoids trunc-vs-floor division on negatives) ──
+    "anneal_schedule" -> ((s, dir) => {
+      val mw = Sampling.mixtureWeights(Tables.documents(s, dir))
+      val tot = mw.agg(sum(col("n_tokens")).as("total_tokens"))
+      val e = AnnealEpochs - 1
+      mw.crossJoin(broadcast(tot))
+        .withColumn("base_ppm", expr("(n_tokens * 1000000) div total_tokens"))
+        .withColumn("epoch", explode(array((0 until AnnealEpochs).map(i => lit(i.toLong)): _*)))
+        .select(
+          col("epoch"), col("source"), col("base_ppm"),
+          col("weight_ppm").as("target_ppm"),
+          expr(s"(base_ppm * ($e - epoch) + weight_ppm * epoch) div $e").as("ppm"))
+        .orderBy(col("epoch"), col("source"))
+    }),
+
     // ── deterministic corpus MIXING ([[Sampling.hashSampleByStratum]]):
     // thin the over-represented language to a target rate (en → 25%) while
     // everything else passes through, membership a pure function of the doc
@@ -1412,6 +1434,33 @@ object QueriesLlm {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)),
+
+    // ── the same heavy hitters through the COUNT-MIN SKETCH path
+    // ([[CountMin]]): per-source sketches (4×256 cells each) merged by
+    // bucket addition — the mergeable-summary route whose state is
+    // corpus-size-independent — then the exact top-20 probed against the
+    // merged sketch; every row asserts est >= exact (the one-sided CMS
+    // guarantee) and the ε·N overcount bound, and the md5-derived bucket
+    // hashing makes the whole sketch cell-exact cross-engine ──
+    "top_tokens_cms" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val global = CountMin.merge(CountMin.sketch(toks, "token", Seq("source")))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(20)
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      exact
+        .join(CountMin.estimate(global, exact.select(col("token")), "token"), "token")
+        .withColumnRenamed("est", "n_est")
+        .crossJoin(broadcast(total))
+        .select(
+          col("token"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overcount"),
+          (col("n_est") >= col("n_exact")).as("ge_exact"),
+          ((col("n_est") - col("n_exact")) * lit(1024L) <= col("n_total") * lit(11L))
+            .as("within_bound"))
+        .orderBy(col("n_exact").desc, col("token"))
+    }),
 
     // ── TF-IDF top terms per doc. Ranking runs on INTEGER keys only
     // (tf desc, df asc, term asc) so row_number is deterministic and
@@ -1848,6 +1897,49 @@ object QueriesLlm {
     // Okapi BM25 top-10 over the fixed query set; expression shapes and
     // double-typed literals mirror Retrieval.bm25Scores exactly.
     "bm25_topk" -> bm25TopkOracleSql,
+
+    // Count-min sketch rebuilt CELL BY CELL (md5-salted bucket hashing is
+    // engine-neutral), per-source sketches merged by bucket addition, the
+    // exact top-20 probed with min-over-rows — est/guarantee/bound all
+    // integer-exact.
+    "top_tokens_cms" ->
+      s"""WITH tk AS (SELECT source, unnest($toksSql) AS token FROM documents),
+         |ce AS (SELECT source, token, r AS row,
+         |              ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '_' || token), 1, 8))::BIGINT % ${CountMin.Width} AS bucket
+         |       FROM tk, unnest(range(0, ${CountMin.Depth})) AS t(r)),
+         |sk AS (SELECT source, row, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM ce GROUP BY 1, 2, 3),
+         |gl AS (SELECT row, bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM sk GROUP BY 1, 2),
+         |ex AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM tk
+         |       GROUP BY 1 ORDER BY n_exact DESC, token LIMIT 20),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tk),
+         |pr AS (SELECT ex.token, r AS row,
+         |              ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '_' || ex.token), 1, 8))::BIGINT % ${CountMin.Width} AS bucket
+         |       FROM ex, unnest(range(0, ${CountMin.Depth})) AS t(r)),
+         |es AS (SELECT pr.token, CAST(min(coalesce(gl.cnt, 0)) AS BIGINT) AS n_est
+         |       FROM pr LEFT JOIN gl ON gl.row = pr.row AND gl.bucket = pr.bucket
+         |       GROUP BY 1)
+         |SELECT ex.token, ex.n_exact, es.n_est, es.n_est - ex.n_exact AS overcount,
+         |       es.n_est >= ex.n_exact AS ge_exact,
+         |       (es.n_est - ex.n_exact) * 1024 <= n_total * 11 AS within_bound
+         |FROM ex JOIN es USING (token) CROSS JOIN tot
+         |ORDER BY n_exact DESC, token""".stripMargin,
+
+    // Annealing schedule: the mixture_weights chain plus the integer
+    // convex interpolation per epoch.
+    "anneal_schedule" ->
+      s"""WITH t AS (SELECT source, len($toksSql) AS nt FROM documents),
+         |p AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM p),
+         |m AS (SELECT source, n_tokens,
+         |             (n_tokens * 1000000) // total_tokens AS base_ppm,
+         |             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+         |                  * 1000000.0) AS BIGINT) AS target_ppm
+         |      FROM p CROSS JOIN tot)
+         |SELECT r AS epoch, source, base_ppm, target_ppm,
+         |       (base_ppm * (${AnnealEpochs - 1} - r) + target_ppm * r) // ${AnnealEpochs - 1} AS ppm
+         |FROM m, unnest(range(0, $AnnealEpochs)) AS tt(r)
+         |ORDER BY epoch, source""".stripMargin,
 
     // Query-by-example hybrid retrieval: BM25 + cosine pools fused by
     // integer reciprocal-rank (bitwise once the pools agree).
