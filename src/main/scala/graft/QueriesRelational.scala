@@ -254,6 +254,38 @@ object QueriesRelational {
         .orderBy(col("event_id"))
     }),
 
+    // ── TPC-H Q5 shape: the six-way join (lineitem⋈orders⋈customer⋈
+    // supplier⋈nation⋈region) with the co-nationality predicate. Join
+    // strategy by size tier: nation⋈region pre-filtered to the target
+    // region and BROADCAST (dims, KB-scale at any SF); orders date-filtered
+    // before its shuffle join; supplier joined by shuffle because at
+    // warehouse SFs it is NOT broadcast-safe. Money math in exact
+    // DECIMAL(18,2) like q1/q3, so the sum has no float order noise ──
+    "q5_region_volume" -> ((s, dir) => {
+      val natAsia = Tables.nation(s, dir)
+        .join(
+          Tables.region(s, dir).where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(
+          Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(natAsia), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(d(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
     // ── explicit-values pivot (scale-safe: the value list is declared, so
     // no driver-side distinct pass over the corpus) ──
     "pivot_event_counts" -> ((s, dir) => {
@@ -614,6 +646,21 @@ object QueriesRelational {
         |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q5_region_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "above_avg_orders" ->
       """WITH t AS (

@@ -237,4 +237,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition") && !p.contains("rangepartitioning"),
       s"epoch_plan must never plan a global total order:\n$p")
   }
+
+  test("q5: the region-filtered nation dim broadcasts; no cartesian anywhere") {
+    val p = plan("q5_region_volume")
+    assert(p.contains("BroadcastHashJoin"), "nation⋈region must broadcast")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in a six-way equi-join:\n$p")
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"),
+      "the order-date range must reach the orders scan")
+  }
+
+  test("bm25: query terms broadcast into the postings join; scalars ride 1-row BNLJs only") {
+    val p = plan("bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), "the KB-scale query set must broadcast")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"only the avgdl/N one-row scalars may ride BNLJs, found $bnlj:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
