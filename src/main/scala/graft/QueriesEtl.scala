@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{EventsEtl, Histograms, Privacy, Sessionize}
+import graft.operators.{Cdc, EventsEtl, Histograms, Privacy, Sessionize}
 import graft.sources.{CsvSource, JsonlSource, TableManager}
 
 /** ETL-surface queries: CSV source round-trip (S1/S2), templated-SQL entry
@@ -76,6 +76,26 @@ object QueriesEtl {
       s.read.schema(docs.schema).orc(root)
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── row-level CDC merge ([[Cdc.applyChanges]]): a deterministic
+    // change batch (updates/deletes/inserts keyed off o_orderkey mod 10)
+    // applied onto orders in one full-outer key join — MERGE INTO without
+    // a table format; full-row-image semantics so updates can NULL columns ──
+    "cdc_merge" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+      val upd = base.where(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+        .withColumn("op", lit("u"))
+      val del = base.where(col("o_orderkey") % 10 === 7)
+        .withColumn("op", lit("d"))
+      val ins = base.where(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderpriority", lit("NEW"))
+        .withColumn("op", lit("i"))
+      Cdc.applyChanges(base, upd.unionByName(del).unionByName(ins), Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // ── S3: templated SQL entry ({TABLE} substitution), WAU job verbatim
@@ -201,6 +221,20 @@ object QueriesEtl {
     "orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // cdc_merge: the merged state expressed directly — deletes filtered,
+    // updates projected in place, inserts unioned with rewritten keys
+    "cdc_merge" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 != 7
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, 'NEW'
+        |FROM orders WHERE o_orderkey % 10 = 1
+        |ORDER BY o_orderkey""".stripMargin,
 
     "csv_roundtrip" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,

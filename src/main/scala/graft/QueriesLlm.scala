@@ -1224,6 +1224,40 @@ object QueriesLlm {
       s.table(sink).select(col("fingerprint")).orderBy(col("fingerprint"))
     }),
 
+    // ── frequency sketching AT INGESTION: [[CountMin.sketch]] run
+    // UNCHANGED as a streaming aggregation — the sketch cells ARE the
+    // state, and at 4×256 rows that state is corpus-size-independent, so
+    // an unwindowed streaming aggregate is safe here precisely where an
+    // exact token count would grow without bound. The declared result
+    // probes the exact top-20 against the STREAMED sketch and pins it
+    // cell-equal to the batch sketch (falsifiable: any drift flips the
+    // boolean AND the estimates) ──
+    "stream_cms_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sink = "stream_cms_ingest_sink"
+      val src = s.readStream
+        .schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val q = CountMin.sketch(src, "token")
+        .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(20)
+      val estStream = CountMin.estimate(s.table(sink), exact.select(col("token")), "token")
+        .withColumnRenamed("est", "n_est_stream")
+      val estBatch = CountMin.estimate(CountMin.sketch(toks, "token"), exact.select(col("token")), "token")
+        .withColumnRenamed("est", "n_est_batch")
+      exact.join(estStream, "token").join(estBatch, "token")
+        .select(
+          col("token"), col("n_exact"), col("n_est_stream"),
+          (col("n_est_stream") === col("n_est_batch")).as("stream_matches_batch"))
+        .orderBy(col("n_exact").desc, col("token"))
+    }),
+
     // ── decontamination AT INGESTION ([[StreamingSessionize
     // .decontaminateIngest]]): a REAL streaming execution probes the eval
     // Bloom filter statelessly per incoming doc; the declared result joins
@@ -1923,6 +1957,27 @@ object QueriesLlm {
          |       es.n_est >= ex.n_exact AS ge_exact,
          |       (es.n_est - ex.n_exact) * 1024 <= n_total * 11 AS within_bound
          |FROM ex JOIN es USING (token) CROSS JOIN tot
+         |ORDER BY n_exact DESC, token""".stripMargin,
+
+    // Streaming CMS ingest: the batch CMS rebuild (complete-mode streaming
+    // over the full replay == batch, so the same cell-exact chain), with
+    // the stream==batch boolean asserted TRUE.
+    "stream_cms_ingest" ->
+      s"""WITH tk AS (SELECT source, unnest($toksSql) AS token FROM documents),
+         |ce AS (SELECT token, r AS row,
+         |              ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '_' || token), 1, 8))::BIGINT % ${CountMin.Width} AS bucket
+         |       FROM tk, unnest(range(0, ${CountMin.Depth})) AS t(r)),
+         |gl AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt FROM ce GROUP BY 1, 2),
+         |ex AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM tk
+         |       GROUP BY 1 ORDER BY n_exact DESC, token LIMIT 20),
+         |pr AS (SELECT ex.token, r AS row,
+         |              ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '_' || ex.token), 1, 8))::BIGINT % ${CountMin.Width} AS bucket
+         |       FROM ex, unnest(range(0, ${CountMin.Depth})) AS t(r)),
+         |es AS (SELECT pr.token, CAST(min(coalesce(gl.cnt, 0)) AS BIGINT) AS n_est_stream
+         |       FROM pr LEFT JOIN gl ON gl.row = pr.row AND gl.bucket = pr.bucket
+         |       GROUP BY 1)
+         |SELECT ex.token, ex.n_exact, es.n_est_stream, TRUE AS stream_matches_batch
+         |FROM ex JOIN es USING (token)
          |ORDER BY n_exact DESC, token""".stripMargin,
 
     // Annealing schedule: the mixture_weights chain plus the integer

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Row-level change-data-capture merge — the MERGE INTO semantics a
+  * warehouse applies when a CDC feed (upserts + deletes) lands on a base
+  * relation, expressed without any table-format dependency: ONE full-outer
+  * shuffle join on the key decides every row's fate. This is the row-level
+  * complement of [[graft.sources.TableManager]]'s partition-level
+  * idempotent overwrite: partitions for append-shaped loads, keyed merge
+  * for mutating feeds.
+  *
+  * Semantics (strict full-row-image CDC):
+  *  - change `op = 'd'`: the key is dropped (a delete for an absent key is
+  *    a no-op);
+  *  - change `op = 'u'` or `'i'`: the change row's full image replaces /
+  *    inserts the key (an update for an absent key inserts — upsert);
+  *  - no change row: the base row passes through untouched.
+  * Changes carry FULL row images, so an update CAN set a column to NULL —
+  * the merge selects sides by change presence, never by value coalescing.
+  * At most one change row per key (CDC compaction is the feed's contract;
+  * feeding two images of one key makes the result depend on join order).
+  *
+  * Scale shape: one shuffle each side hash-partitioned by the key (or zero
+  * exchanges if both sides are bucketed on it — [[graft.sources.Bucketing]]),
+  * no broadcast assumption (CDC batches can be arbitrarily large), and the
+  * output is immediately writable back through the partitioned sink.
+  */
+object Cdc {
+
+  def applyChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "applyChanges: need at least one key column")
+    val ops = Set("i", "u", "d")
+    val dataCols = base.columns.filterNot(keyCols.contains).toSeq
+    val b = base.select(
+      keyCols.map(col) ++ dataCols.map(n => col(n).as(s"__b_$n")): _*)
+    val c = changes.select(
+      keyCols.map(col) ++ dataCols.map(n => col(n).as(s"__c_$n"))
+        :+ col(opCol).as("__c_op"): _*)
+    b.join(c, keyCols, "full_outer")
+      // fail loudly on an unknown op rather than silently passing it through
+      .withColumn(
+        "__c_op",
+        when(col("__c_op").isNull || col("__c_op").isin(ops.toSeq: _*), col("__c_op"))
+          .otherwise(raise_error(concat(lit("applyChanges: unknown op "), col("__c_op")))))
+      .where(col("__c_op").isNull || col("__c_op") =!= "d")
+      .select(
+        keyCols.map(col) ++ dataCols.map { n =>
+          when(col("__c_op").isNotNull, col(s"__c_$n"))
+            .otherwise(col(s"__b_$n")).as(n)
+        }: _*)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Cdc
+
+class CdcSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def base = {
+    import spark.implicits._
+    Seq(
+      (1L, "a", 10.0),
+      (2L, "b", 20.0),
+      (3L, "c", 30.0)).toDF("k", "s", "v")
+  }
+
+  private def collect(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+
+  test("update/delete/insert in one merge; untouched rows pass through") {
+    import spark.implicits._
+    val changes = Seq(
+      (2L, "B", 22.0, "u"),
+      (3L, "c", 30.0, "d"),
+      (9L, "z", 90.0, "i")).toDF("k", "s", "v", "op")
+    val got = collect(Cdc.applyChanges(base, changes, Seq("k")))
+    assert(got == Set(
+      (1L, Some("a"), Some(10.0)),
+      (2L, Some("B"), Some(22.0)),
+      (9L, Some("z"), Some(90.0))))
+  }
+
+  test("full-row-image semantics: an update CAN set a column to NULL") {
+    import spark.implicits._
+    val changes = Seq((1L, null.asInstanceOf[String], Some(11.0), "u"))
+      .toDF("k", "s", "v", "op")
+    val got = collect(Cdc.applyChanges(base, changes, Seq("k")))
+    assert(got.contains((1L, None, Some(11.0))),
+      s"update must overwrite with its full image including NULLs, got $got")
+  }
+
+  test("upsert: an update for an absent key inserts; a delete for an absent key is a no-op") {
+    import spark.implicits._
+    val changes = Seq((7L, "new", 70.0, "u"), (8L, "x", 80.0, "d")).toDF("k", "s", "v", "op")
+    val got = collect(Cdc.applyChanges(base, changes, Seq("k")))
+    assert(got.contains((7L, Some("new"), Some(70.0))))
+    assert(!got.exists(_._1 == 8L))
+    assert(got.size == 4) // 3 base + 1 upsert
+  }
+
+  test("an unknown op fails the job loudly instead of passing rows through") {
+    import spark.implicits._
+    val changes = Seq((2L, "b", 20.0, "x")).toDF("k", "s", "v", "op")
+    val e = intercept[Exception] {
+      Cdc.applyChanges(base, changes, Seq("k")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("idempotence: applying the same change batch twice yields the same state") {
+    import spark.implicits._
+    val changes = Seq((2L, "B", 22.0, "u"), (3L, "c", 30.0, "d")).toDF("k", "s", "v", "op")
+    val once = Cdc.applyChanges(base, changes, Seq("k"))
+    val twice = Cdc.applyChanges(once, changes, Seq("k"))
+    assert(collect(once) == collect(twice))
+  }
+}
