@@ -423,6 +423,33 @@ object QueriesLlm {
        |FROM a$BpeMerges GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** bpe_pack replay: the derived merge chain resegments the corpus, the
+    * per-doc subword counts feed the pack_sequences layout arithmetic —
+    * tokenizer and packer composed in one replay.
+    */
+  private def bpePackOracleSql: String =
+    s"""$bpeCtes,
+       |${bpeApplyCtes("doc_id")},
+       |cnts AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_tokens
+       |         FROM a$BpeMerges GROUP BY doc_id),
+       |pt AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $PackShards AS shard,
+       |         n_tokens
+       |  FROM cnts WHERE n_tokens > 0
+       |), ps AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |  FROM pt
+       |)
+       |SELECT doc_id, shard, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+       |       CAST(floor(start_tok / $PackBudget) AS BIGINT) AS seq_in_shard,
+       |       CAST(start_tok % $PackBudget AS BIGINT) AS offset_in_seq,
+       |       CAST(floor((start_tok + n_tokens - 1) / $PackBudget)
+       |            - floor(start_tok / $PackBudget) + 1 AS BIGINT) AS n_seqs
+       |FROM ps ORDER BY doc_id""".stripMargin
+
   /** bpe_vocab replay: the OTHER artifact a tokenizer ships — the subword
     * vocabulary with corpus occurrence counts after all merges.
     */
@@ -701,6 +728,27 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── the END-TO-END trainer feed: text → TRAINED tokenizer → packed
+    // training sequences in one plan. Per-doc subword counts from the
+    // frozen BPE merges (the codegen'd kernel) drive [[Packing.packLayout]]
+    // — the real-tokenizer composition the whitespace-proxy pack_sequences
+    // stands in for; the oracle rederives the merges, resegments, and
+    // replays the layout arithmetic ──
+    "bpe_pack" -> ((s, dir) => {
+      graft.functions.TextKernels.register(s)
+      val docs = Tables.documents(s, dir)
+      val merges = Bpe.trainMerges(docs, BpeMerges)
+      val counts = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .where(length(col("word")) > 0)
+        .select(col("doc_id"),
+          size(Bpe.tokenKernelCol(col("word"), merges)).cast("long").as("ns"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("ns")).as("n_tokens"))
+      Packing.packLayout(counts, PackBudget, PackShards)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── the shipped tokenizer's OTHER artifact: the subword vocabulary
     // with corpus occurrence counts after all merges — segmentation via
     // the codegen'd kernel, one explode + one count shuffle ──
@@ -765,6 +813,36 @@ object QueriesLlm {
         Tables.documents(s, dir), minShared = 2, n = WinnowN, window = WinnowW)
       GraphRank.pagerank(pairs, iters = PrIters, scale = PrScale, num = PrNum, den = PrDen)
         .orderBy(col("doc_id"))
+    }),
+
+    // ── canonical-document selection by GLOBAL graph evidence: connected
+    // components over the winnow graph joined with the integer PageRank —
+    // each duplicate cluster keeps its most CENTRAL member (argmax rank,
+    // ties to the smaller id) instead of the arbitrary min-id rule. The
+    // pair frame is lineage-truncated ONCE and shared by both consumers,
+    // so the winnow join runs once, not twice ──
+    "dedup_canonical_rank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs0 = Dedup.winnowOverlapPairs(
+        docs, minShared = 2, n = WinnowN, window = WinnowW)
+      val pairs = Dedup.durableBy(pairs0, None)(pairs0)
+      val nodes = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val comps = Dedup.connectedComponents(nodes, pairs)
+      val ranks = GraphRank.pagerank(
+        pairs, iters = PrIters, scale = PrScale, num = PrNum, den = PrDen)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component_id")).orderBy(col("rank").desc, col("doc_id"))
+      comps.join(ranks, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("component_id"))))
+        .where(col("rn") === 1)
+        .select(
+          col("component_id"), col("doc_id").as("canonical_doc_id"),
+          col("n_members"), col("rank").as("canonical_rank"))
+        .orderBy(col("component_id"))
     }),
 
     // ── near-dup: exact n-gram Jaccard >= 0.3 via lossless prefix filter ──
@@ -1597,7 +1675,12 @@ object QueriesLlm {
     * truncating `div`). No floats anywhere → bitwise equality per
     * iteration, the integer-state sibling of the quantized kmeans replay.
     */
-  private def pagerankOracleSql: String = {
+  /** The winnow-pair graph + unrolled integer PageRank chain as a CTE list
+    * (no WITH prefix — `winnowCte` opens it); ends at `r$PrIters(node,
+    * rank)`. Shared by `doc_pagerank` and the canonical-selection
+    * composition so the replay can't drift between them.
+    */
+  private def pagerankChainCtes: String = {
     val iterCtes = (1 to PrIters).map { k =>
       s"""r$k AS (
          |  SELECT nd.node,
@@ -1610,8 +1693,7 @@ object QueriesLlm {
          |             GROUP BY 1) inc ON inc.node = nd.node
          |)""".stripMargin
     }.mkString(",\n")
-    s"""$winnowCte,
-       |f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+    s"""f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
        |p AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS w
        |      FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
        |      GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -1622,9 +1704,36 @@ object QueriesLlm {
        |c AS (SELECT count(*) AS n FROM nd),
        |r0 AS (SELECT node, $PrScale // n AS rank FROM nd CROSS JOIN c),
        |t AS (SELECT (($PrScale // n) * ${PrDen - PrNum}) // $PrDen AS tele FROM c),
-       |$iterCtes
-       |SELECT node AS doc_id, rank FROM r$PrIters ORDER BY doc_id""".stripMargin
+       |$iterCtes""".stripMargin
   }
+
+  private def pagerankOracleSql: String =
+    s"""$winnowCte,
+       |$pagerankChainCtes
+       |SELECT node AS doc_id, rank FROM r$PrIters ORDER BY doc_id""".stripMargin
+
+  /** dedup_canonical_rank replay: min-reachable-id components over the SAME
+    * winnow graph (recursive reachability seeded from GRAPH NODES) joined
+    * with the PageRank chain; canonical member = argmax rank, ties to the
+    * smaller id. All integer, so the whole composition replays bitwise.
+    */
+  private def canonicalRankOracleSql: String =
+    s"""${winnowCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$pagerankChainCtes,
+       |reach(a, b) AS (
+       |  SELECT node, node FROM nd
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+       |),
+       |cm AS (SELECT a AS node, min(b) AS component_id FROM reach GROUP BY a)
+       |SELECT component_id, node AS canonical_doc_id, n_members, rank AS canonical_rank
+       |FROM (
+       |  SELECT cm.component_id, r.node, r.rank,
+       |         row_number() OVER (PARTITION BY cm.component_id
+       |                            ORDER BY r.rank DESC, r.node) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY cm.component_id) AS BIGINT) AS n_members
+       |  FROM cm JOIN r$PrIters r ON r.node = cm.node)
+       |WHERE rn = 1 ORDER BY component_id""".stripMargin
 
   /** BM25 CTE chain through `sc(query_id, doc_id, score)`, parameterized by
     * the query-terms CTE (named `q`). Expression shapes mirror
@@ -1927,6 +2036,10 @@ object QueriesLlm {
     // Integer-arithmetic PageRank over the same winnow overlap graph,
     // every iteration replayed bitwise in BIGINT (see pagerankOracleSql).
     "doc_pagerank" -> pagerankOracleSql,
+
+    // Components x PageRank argmax — canonical selection by centrality,
+    // the full composition replayed bitwise (all-integer state).
+    "dedup_canonical_rank" -> canonicalRankOracleSql,
 
     // Okapi BM25 top-10 over the fixed query set; expression shapes and
     // double-typed literals mirror Retrieval.bm25Scores exactly.
@@ -2354,6 +2467,10 @@ object QueriesLlm {
 
     // The post-merge subword vocabulary with occurrence counts.
     "bpe_vocab" -> bpeVocabOracleSql,
+
+    // Tokenizer → packer composition: BPE subword counts drive the
+    // pack_sequences layout arithmetic.
+    "bpe_pack" -> bpePackOracleSql,
 
     // BPE pair-count replay: same normalization + whitespace split, pairs
     // are substr(t, i, 2) for i in [1, len-1] (both engines' substr is

@@ -55,19 +55,36 @@ object Packing {
       nShards: Int,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
-    require(nShards > 0, s"nShards must be positive, got $nShards")
     val normLen = length(TextAnalysis.normalize(col(textCol)))
     val nToks = when(normLen === 0, lit(0L))
       .otherwise(size(TextAnalysis.tokens(col(textCol))).cast("long"))
+    packLayout(
+      docs.select(col(idCol), nToks.as("n_tokens")),
+      budgetTokens, nShards, idCol)
+  }
+
+  /** The layout arithmetic of [[packSequences]] over an externally supplied
+    * `(idCol, nCol)` token-count relation — the composition point for REAL
+    * tokenizers: feed per-doc subword counts from a trained tokenizer (the
+    * `bpe_pack` query) instead of the whitespace proxy. Rows with
+    * nonpositive counts are dropped (they contribute no tokens).
+    */
+  def packLayout(
+      counts: DataFrame,
+      budgetTokens: Int,
+      nShards: Int,
+      idCol: String = "doc_id",
+      nCol: String = "n_tokens"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val b = lit(budgetTokens.toLong)
-    docs
+    counts
       .select(
         col(idCol),
         hashShard(col(idCol), nShards).as("shard"),
-        nToks.as("n_tokens"))
+        col(nCol).cast("long").as("n_tokens"))
       .where(col("n_tokens") > 0)
       .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // integer-exact floor division both engines agree on: values stay far

@@ -198,4 +198,29 @@ class PackingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Packing.epochPlan(slices, epochs = 0, nWorkers = 2))
     intercept[IllegalArgumentException](Packing.epochPlan(slices, epochs = 1, nWorkers = 0))
   }
+
+  test("packLayout: external counts (a real tokenizer's) obey the same layout laws") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // counts a whitespace proxy could never produce: primes, zeros, negatives
+    val counts = Seq(
+      (1L, 7L), (2L, 0L), (3L, 13L), (4L, -2L), (5L, 29L), (6L, 11L), (7L, 5L))
+      .toDF("doc_id", "n_tokens")
+    val got = Packing.packLayout(counts, budgetTokens = 16, nShards = 2).collect()
+    // nonpositive counts are dropped, everything else kept
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L, 5L, 6L, 7L))
+    // per shard: start_tok is the running sum in doc-id order (dense stream)
+    got.groupBy(_.getAs[Long]("shard")).values.foreach { rows =>
+      val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+      var expect = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("start_tok") == expect)
+        assert(r.getAs[Long]("seq_in_shard") == expect / 16)
+        assert(r.getAs[Long]("offset_in_seq") == expect % 16)
+        val last = expect + r.getAs[Long]("n_tokens") - 1
+        assert(r.getAs[Long]("n_seqs") == last / 16 - expect / 16 + 1)
+        expect += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
 }
