@@ -78,6 +78,28 @@ object QueriesEtl {
         .orderBy(col("doc_id"))
     }),
 
+    // ── schema evolution across batches: batch 1 writes the base schema,
+    // batch 2 adds a `quality_tier` column; the mergeSchema read unions
+    // both vintages with NULLs where the old files lack the column and
+    // surfaces the hive-partition `batch` discriminator — the "a pipeline
+    // added a column mid-corpus" reality every long-lived estate hits ──
+    "schema_evolution" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = scratch(dir, "evolved")
+      docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$root/batch=1")
+      docs.where(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .withColumn("quality_tier", (col("n_chars") % 3).cast("int"))
+        .write.mode("overwrite").parquet(s"$root/batch=2")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .select(
+          col("doc_id"), col("batch").cast("long").as("batch"),
+          col("n_chars"), col("quality_tier").cast("long").as("quality_tier"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── row-level CDC merge ([[Cdc.applyChanges]]): a deterministic
     // change batch (updates/deletes/inserts keyed off o_orderkey mod 10)
     // applied onto orders in one full-outer key join — MERGE INTO without
@@ -220,6 +242,15 @@ object QueriesEtl {
     // corpus itself, proving the ORC write/read preserved every value
     "orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // schema_evolution: the merged two-vintage read expressed directly —
+    // NULL quality_tier for the old batch, derived for the new
+    "schema_evolution" ->
+      """SELECT doc_id,
+        |  CAST(1 + (doc_id % 2) AS BIGINT) AS batch,
+        |  n_chars,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars % 3 END AS quality_tier
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // cdc_merge: the merged state expressed directly — deletes filtered,

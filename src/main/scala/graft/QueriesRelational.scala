@@ -254,6 +254,23 @@ object QueriesRelational {
         .orderBy(col("event_id"))
     }),
 
+    // ── distribution windows: percent_rank + cume_dist over price bands
+    // WITH real ties (banded totalprice), completing the window surface
+    // next to rank/dense_rank/ntile/lag/lead/range-frames. Both are
+    // value-deterministic under ties (a row's result depends only on the
+    // key multiset), rounded to 6 for the cross-engine hash ──
+    "window_pct_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("price_band").desc)
+      Tables.orders(s, dir)
+        .where(col("o_custkey") < 100)
+        .withColumn("price_band", floor(col("o_totalprice") / lit(100.0)).cast("long"))
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("price_band"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ── TPC-H Q5 shape: the six-way join (lineitem⋈orders⋈customer⋈
     // supplier⋈nation⋈region) with the co-nationality predicate. Join
     // strategy by size tier: nation⋈region pre-filtered to the target
@@ -646,6 +663,16 @@ object QueriesRelational {
         |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "window_pct_dist" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(floor(o_totalprice / 100.0) AS BIGINT) AS price_band,
+        |  round(percent_rank() OVER (PARTITION BY o_custkey
+        |        ORDER BY CAST(floor(o_totalprice / 100.0) AS BIGINT) DESC), 6) AS pct_rank,
+        |  round(cume_dist() OVER (PARTITION BY o_custkey
+        |        ORDER BY CAST(floor(o_totalprice / 100.0) AS BIGINT) DESC), 6) AS cume
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q5_region_volume" ->
       """SELECT n_name,
