@@ -687,6 +687,45 @@ object QueriesLlm {
         Tables.documents(s, dir), chunkTokens = ChunkTokens, stride = ChunkTokens)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // ── passage-level exact dedup: chunk the corpus on the context-window
+    // grid and group chunk fingerprints corpus-wide — repeated PASSAGES
+    // (boilerplate headers, license blocks, templated sections) that
+    // doc-level dedup misses because the surrounding text differs ──
+    "dedup_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(
+        Tables.documents(s, dir), chunkTokens = ChunkTokens, stride = ChunkTokens)
+        .groupBy(col("chunk_fp"))
+        .agg(
+          count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keep_doc"))
+        .where(col("n_copies") >= 2)
+        .orderBy(col("chunk_fp"))),
+
+    // ── corpus diversity report: distinct-n ratios per source (distinct
+    // vs total 1/2/3-gram occurrences over the md5 gram hashes) — the
+    // templated/generated-content signal (low distinct-2/3 ratio = the
+    // corpus repeats itself); one codegen'd gram pass per n, a
+    // (source × 3)-row output whatever the corpus size ──
+    "diversity_stats" -> ((s, dir) => {
+      graft.functions.TextKernels.register(s)
+      val docs = Tables.documents(s, dir)
+      def grams(n: Int) = docs.select(
+        col("source"),
+        explode(graft.functions.TextKernels
+          .orderedGramHashesCol(TextAnalysis.tokens(col("text")), n)).as("h"))
+        .withColumn("n", lit(n.toLong))
+      grams(1).unionByName(grams(2)).unionByName(grams(3))
+        .groupBy(col("source"), col("n"))
+        .agg(
+          count(lit(1)).as("total_grams"),
+          countDistinct(col("h")).as("distinct_grams"))
+        .withColumn(
+          "distinct_ratio",
+          round(col("distinct_grams").cast("double") / col("total_grams"), 6))
+        .orderBy(col("source"), col("n"))
+    }),
+
     // ── repetition stats ([[TextAnalysis.repetitionScores]]): per-doc
     // total/distinct 3-gram counts and the top gram's multiplicity in one
     // codegen'd map-side pass; the integer-only flag marks docs whose top
@@ -1669,6 +1708,24 @@ object QueriesLlm {
        |)""".stripMargin
   }
 
+  /** Chunk-grid CTE chain through `sel(doc_id, chunk_idx, chunk)` —
+    * replays [[TextAnalysis.chunkDocs]]' stride grid; shared by
+    * `chunk_docs` and `dedup_chunks` so the grid can't drift.
+    */
+  private lazy val chunkCtes: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents WHERE $norm <> ''),
+       |n AS (
+       |  SELECT doc_id, w,
+       |         greatest(CAST(ceil(CAST(len(w) - $ChunkTokens AS DOUBLE) / $ChunkTokens) AS INT), 0) + 1 AS nc
+       |  FROM t
+       |),
+       |c AS (SELECT doc_id, w, unnest(range(nc)) AS chunk_idx FROM n),
+       |sel AS (
+       |  SELECT doc_id, chunk_idx,
+       |         w[chunk_idx * $ChunkTokens + 1 : chunk_idx * $ChunkTokens + $ChunkTokens] AS chunk
+       |  FROM c
+       |)""".stripMargin
+
   /** doc_pagerank replay: winnow overlap pairs → symmetric weighted edges →
     * one CTE per PageRank iteration in PURE BIGINT arithmetic (`//` is
     * DuckDB floor division; all operands nonnegative, so it equals Spark's
@@ -1960,23 +2017,24 @@ object QueriesLlm {
     // (string_split('', ' ') is [''] in both engines — a len(w) check would
     // pass phantom chunks).
     "chunk_docs" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents WHERE $norm <> ''),
-         |n AS (
-         |  SELECT doc_id, w,
-         |         greatest(CAST(ceil(CAST(len(w) - $ChunkTokens AS DOUBLE) / $ChunkTokens) AS INT), 0) + 1 AS nc
-         |  FROM t
-         |),
-         |c AS (SELECT doc_id, w, unnest(range(nc)) AS chunk_idx FROM n),
-         |sel AS (
-         |  SELECT doc_id, chunk_idx,
-         |         w[chunk_idx * $ChunkTokens + 1 : chunk_idx * $ChunkTokens + $ChunkTokens] AS chunk
-         |  FROM c
-         |)
+      s"""$chunkCtes
          |SELECT doc_id, chunk_idx,
          |       CAST(len(chunk) AS BIGINT) AS n_tokens,
          |       md5(array_to_string(chunk, ' ')) AS chunk_fp
          |FROM sel WHERE len(chunk) > 0
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Passage-level exact dedup: the chunk grid's fingerprints grouped
+    // corpus-wide — repeated passages the doc-level dedup misses.
+    "dedup_chunks" ->
+      s"""$chunkCtes
+         |SELECT md5(array_to_string(chunk, ' ')) AS chunk_fp,
+         |       CAST(count(*) AS BIGINT) AS n_copies,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       min(doc_id) AS keep_doc
+         |FROM sel WHERE len(chunk) > 0
+         |GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY chunk_fp""".stripMargin,
 
     // Replays the one-pass kernel with unnest + two group-bys over ORDERED
     // (non-distinct) grams; integer-only columns and flag.
@@ -2071,6 +2129,25 @@ object QueriesLlm {
          |       (es.n_est - ex.n_exact) * 1024 <= n_total * 11 AS within_bound
          |FROM ex JOIN es USING (token) CROSS JOIN tot
          |ORDER BY n_exact DESC, token""".stripMargin,
+
+    // Distinct-n diversity per source: md5 gram hashes, ordered and
+    // non-distinct, one UNION branch per n.
+    "diversity_stats" -> {
+      val parts = (1 to 3).map { n =>
+        val gramExpr = (0 until n).map(j => s"wd[i+$j]").mkString(" || ' ' || ")
+        s"""SELECT source, CAST($n AS BIGINT) AS n,
+           |       CAST(count(*) AS BIGINT) AS total_grams,
+           |       CAST(count(DISTINCT h) AS BIGINT) AS distinct_grams,
+           |       round(CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS distinct_ratio
+           |FROM (SELECT source, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+           |      FROM (SELECT source, unnest([$gramExpr for i in range(1, len(wd) - ${n - 2})]) AS g
+           |            FROM toks WHERE len(wd) >= $n))
+           |GROUP BY source""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (SELECT source, $toksSql AS wd FROM documents)
+         |$parts
+         |ORDER BY source, n""".stripMargin
+    },
 
     // Streaming CMS ingest: the batch CMS rebuild (complete-mode streaming
     // over the full replay == batch, so the same cell-exact chain), with
