@@ -253,4 +253,27 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 2, s"only the avgdl/N one-row scalars may ride BNLJs, found $bnlj:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("final-r7 batch queries: equi-joins only — no cartesian, scalar BNLJs bounded") {
+    // cap = number of 1-ROW scalar frames the query legitimately crossJoins
+    // (corpus totals, avgdl); anything above it means a real relation fell
+    // off its equi-join keys and would explode at scale
+    // hybrid's third BNLJ is the brute-force cosine scan itself: corpus ×
+    // broadcast seed vectors under a non-equi (self-exclusion) condition —
+    // the declared ground-truth dense ranker, same shape knn_brute_cosine
+    // plans; the LSH/IVF routes are the scale path
+    // anneal counts 3: its own totals scalar, plus mixtureWeights'
+    // internal scalar appearing twice because the mw subtree feeds both
+    // the main branch and the totals aggregate (source-count-sized, cheap)
+    val bnljCaps = Map(
+      "top_tokens_cms" -> 1, "anneal_schedule" -> 3, "cdc_merge" -> 0,
+      "diversity_stats" -> 0, "dedup_chunks" -> 0, "hybrid_seed_expand" -> 3,
+      "window_pct_dist" -> 0, "schema_evolution" -> 0, "orc_roundtrip" -> 0)
+    bnljCaps.foreach { case (q, cap) =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= cap, s"$q: $bnlj BNLJs exceed the $cap one-row-scalar cap:\n$p")
+    }
+  }
 }
