@@ -90,6 +90,7 @@ object QueriesLlm {
     "q04" -> "vector scan filter data")
   private val HybridSeeds = Seq(3L, 42L, 137L)
   private val AnnealEpochs = 4 // annealing schedule length, query AND oracle
+  private val PprSeeds = 3 // personalized-pagerank seed count (smallest graph nodes)
   private val ChunkTokens = 50 // chunk width AND stride (disjoint packing), passed to the query AND interpolated into the oracle
   private val PackBudget = 256 // sequence token budget for pack_sequences, query AND oracle
   private val PackShards = 8 // independent packing streams, query AND oracle
@@ -851,6 +852,24 @@ object QueriesLlm {
       val pairs = Dedup.winnowOverlapPairs(
         Tables.documents(s, dir), minShared = 2, n = WinnowN, window = WinnowW)
       GraphRank.pagerank(pairs, iters = PrIters, scale = PrScale, num = PrNum, den = PrDen)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── graph-structural seed expansion: PERSONALIZED PageRank — the
+    // teleport mass returns only to the seed docs (the PprSeeds smallest
+    // graph nodes, deterministic at every SF), so rank = similarity-graph
+    // proximity to the seed set; the third "more docs like these" route
+    // next to the lexical and dense rankers, same bitwise integer replay ──
+    "seed_ppr" -> ((s, dir) => {
+      val pairs0 = Dedup.winnowOverlapPairs(
+        Tables.documents(s, dir), minShared = 2, n = WinnowN, window = WinnowW)
+      val pairs = Dedup.durableBy(pairs0, None)(pairs0)
+      val seeds = pairs.select(col("doc_a").as("node"))
+        .unionByName(pairs.select(col("doc_b").as("node"))).distinct()
+        .orderBy(col("node")).limit(PprSeeds)
+        .collect().map(_.getLong(0)).toSeq
+      GraphRank.personalizedPagerank(
+        pairs, seeds, iters = PrIters, scale = PrScale, num = PrNum, den = PrDen)
         .orderBy(col("doc_id"))
     }),
 
@@ -1737,12 +1756,19 @@ object QueriesLlm {
     * rank)`. Shared by `doc_pagerank` and the canonical-selection
     * composition so the replay can't drift between them.
     */
-  private def pagerankChainCtes: String = {
+  private def pagerankChainCtes: String = pagerankChainCtesWith(
+    s"t AS (SELECT node, (($PrScale // n) * ${PrDen - PrNum}) // $PrDen AS tele FROM nd CROSS JOIN c)")
+
+  /** The chain with the teleport CTE swapped in: `teleCte` must define
+    * `t(node, tele)` — constant per node for classic PageRank, seed-masked
+    * for the personalized variant. One iteration template serves both.
+    */
+  private def pagerankChainCtesWith(teleCte: String): String = {
     val iterCtes = (1 to PrIters).map { k =>
       s"""r$k AS (
          |  SELECT nd.node,
          |         t.tele + (($PrNum * coalesce(inc.s, 0)) // $PrDen) AS rank
-         |  FROM nd CROSS JOIN t
+         |  FROM nd JOIN t ON t.node = nd.node
          |  LEFT JOIN (SELECT e.dst AS node,
          |                    CAST(sum((r.rank * e.w) // ws.wsum) AS BIGINT) AS s
          |             FROM e JOIN r${k - 1} r ON r.node = e.src
@@ -1760,9 +1786,23 @@ object QueriesLlm {
        |nd AS (SELECT DISTINCT src AS node FROM e),
        |c AS (SELECT count(*) AS n FROM nd),
        |r0 AS (SELECT node, $PrScale // n AS rank FROM nd CROSS JOIN c),
-       |t AS (SELECT (($PrScale // n) * ${PrDen - PrNum}) // $PrDen AS tele FROM c),
+       |$teleCte,
        |$iterCtes""".stripMargin
   }
+
+  /** seed_ppr replay: teleport mass only to the PprSeeds smallest graph
+    * nodes (present by construction), everything else identical.
+    */
+  private def seedPprOracleSql: String =
+    s"""$winnowCte,
+       |${pagerankChainCtesWith(
+        s"""sd AS (SELECT node FROM nd ORDER BY node LIMIT $PprSeeds),
+           |t AS (SELECT nd.node,
+           |             CASE WHEN nd.node IN (SELECT node FROM sd)
+           |                  THEN (($PrScale // $PprSeeds) * ${PrDen - PrNum}) // $PrDen
+           |                  ELSE 0 END AS tele
+           |      FROM nd)""".stripMargin)}
+       |SELECT node AS doc_id, rank FROM r$PrIters ORDER BY doc_id""".stripMargin
 
   private def pagerankOracleSql: String =
     s"""$winnowCte,
@@ -2098,6 +2138,9 @@ object QueriesLlm {
     // Components x PageRank argmax — canonical selection by centrality,
     // the full composition replayed bitwise (all-integer state).
     "dedup_canonical_rank" -> canonicalRankOracleSql,
+
+    // Personalized PageRank: seed-masked teleport, bitwise integer replay.
+    "seed_ppr" -> seedPprOracleSql,
 
     // Okapi BM25 top-10 over the fixed query set; expression shapes and
     // double-typed literals mirror Retrieval.bm25Scores exactly.

@@ -68,7 +68,46 @@ object GraphRank {
       bCol: String = "doc_b",
       wCol: String = "n_shared",
       idOut: String = "doc_id",
+      checkpointDir: Option[String] = None): DataFrame =
+    rankImpl(pairs, None, iters, scale, num, den, aCol, bCol, wCol, idOut, checkpointDir)
+
+  /** PERSONALIZED PageRank: identical integer machinery, but the teleport
+    * mass returns only to `seeds` (uniformly split among the seed nodes
+    * present in the graph) instead of to every node — rank becomes
+    * proximity-to-the-seed-set, the graph-structural sibling of the
+    * lexical/dense seed expansion in [[Retrieval.hybridSeedExpand]]
+    * ("more docs like these" by similarity-graph reachability). Same
+    * bitwise-replayable arithmetic: the per-node teleport is a CASE on
+    * seed membership, everything stays 64-bit integer.
+    */
+  def personalizedPagerank(
+      pairs: DataFrame,
+      seeds: Seq[Long],
+      iters: Int = 6,
+      scale: Long = 1000000000000L,
+      num: Long = 85,
+      den: Long = 100,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      wCol: String = "n_shared",
+      idOut: String = "doc_id",
       checkpointDir: Option[String] = None): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPagerank: empty seed set")
+    rankImpl(pairs, Some(seeds), iters, scale, num, den, aCol, bCol, wCol, idOut, checkpointDir)
+  }
+
+  private def rankImpl(
+      pairs: DataFrame,
+      seeds: Option[Seq[Long]],
+      iters: Int,
+      scale: Long,
+      num: Long,
+      den: Long,
+      aCol: String,
+      bCol: String,
+      wCol: String,
+      idOut: String,
+      checkpointDir: Option[String]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(num > 0 && num < den, s"damping $num/$den must be in (0, 1)")
     require(scale >= 1000000L && scale <= 1000000000000000L,
@@ -87,7 +126,18 @@ object GraphRank {
     val n = nodes.count()
     require(n > 0, "pagerank: empty graph (no pairs)")
     val r0 = scale / n
-    val tele = ((scale / n) * (den - num)) / den
+    // teleport column: uniform everywhere (classic), or the full teleport
+    // budget split uniformly over the seed nodes PRESENT in the graph
+    // (personalized) — absent seeds would silently strand mass otherwise
+    val teleCol = seeds match {
+      case None =>
+        lit(((scale / n) * (den - num)) / den)
+      case Some(ss) =>
+        val present = nodes.where(col("node").isin(ss: _*)).count()
+        require(present > 0, s"personalizedPagerank: no seed is a graph node (seeds=$ss)")
+        val teleSeed = ((scale / present) * (den - num)) / den
+        when(col("node").isin(ss: _*), lit(teleSeed)).otherwise(lit(0L))
+    }
 
     var ranks = nodes.withColumn("rank", lit(r0))
     for (_ <- 1 to iters) {
@@ -100,7 +150,7 @@ object GraphRank {
           .join(inc.withColumnRenamed("dst", "node"), Seq("node"), "left")
           .select(
             col("node"),
-            (lit(tele) + expr(s"($num * coalesce(inc, cast(0 as bigint))) div $den"))
+            (teleCol + expr(s"($num * coalesce(inc, cast(0 as bigint))) div $den"))
               .as("rank")))
     }
     ranks.select(col("node").as(idOut), col("rank"))

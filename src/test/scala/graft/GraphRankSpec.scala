@@ -93,4 +93,27 @@ class GraphRankSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("empty graph"))
   }
+
+  test("personalized: teleport mass lands only on the seed; exact hand computation") {
+    // path 1—2—3 seeded at {1}: tele(1) = ((1e6 div 1)·15) div 100 = 150000,
+    // tele(2) = tele(3) = 0; contribs as in the classic fixture
+    val got = ranksOf(GraphRank.personalizedPagerank(
+      pathPairs, seeds = Seq(1L), iters = 1, scale = 1000000L))
+    assert(got(1L) == 150000L + (85L * 166666L) / 100L)
+    assert(got(2L) == 0L + (85L * (333333L + 333333L)) / 100L)
+    assert(got(3L) == 0L + (85L * 166666L) / 100L)
+    // proximity property: the seed side of the path outranks the far end
+    assert(got(1L) > got(3L))
+  }
+
+  test("personalized: seeds absent from the graph fail loudly; empty seeds rejected") {
+    val e = intercept[IllegalArgumentException] {
+      GraphRank.personalizedPagerank(pathPairs, seeds = Seq(99L), iters = 1,
+        scale = 1000000L).collect()
+    }
+    assert(e.getMessage.contains("no seed is a graph node"))
+    intercept[IllegalArgumentException] {
+      GraphRank.personalizedPagerank(pathPairs, seeds = Seq.empty, iters = 1)
+    }
+  }
 }
