@@ -78,6 +78,26 @@ object QueriesEtl {
         .orderBy(col("doc_id"))
     }),
 
+    // ── small-files compaction: the operational fix for the classic
+    // warehouse pain (a streaming ingest or over-parallel write leaves
+    // thousands of KB-scale files; every later scan pays per-file open
+    // cost and the driver pays per-file listing). Fragment the corpus to
+    // one file per ~12 docs, then compact with a single repartition-write
+    // to a bounded file count; the oracle is the corpus identity — the
+    // rewrite must move bytes, never change them. CompactionSpec pins the
+    // actual file counts before/after ──
+    "compact_files" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val frag = scratch(dir, "fragmented")
+      val comp = scratch(dir, "compacted")
+      docs.repartition(40).write.mode("overwrite").parquet(frag)
+      val readBack = s.read.schema(docs.schema).parquet(frag)
+      readBack.repartition(4).write.mode("overwrite").parquet(comp)
+      s.read.schema(docs.schema).parquet(comp)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── schema evolution across batches: batch 1 writes the base schema,
     // batch 2 adds a `quality_tier` column; the mergeSchema read unions
     // both vintages with NULLs where the old files lack the column and
@@ -241,6 +261,11 @@ object QueriesEtl {
     // orc_roundtrip: same identity contract as jsonl_roundtrip — the
     // corpus itself, proving the ORC write/read preserved every value
     "orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // compact_files: identity — compaction moves bytes, never changes them
+    "compact_files" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -395,7 +395,7 @@ object QueriesLlm {
     * over the corpus (duplicates kept) with the identical fold — a0..aN
     * CTEs carrying `carry` alongside the symbol lists.
     */
-  private def bpeApplyCtes(carry: String): String = {
+  private def bpeApplyCtes(carry: String, wordSrc: Option[String] = None): String = {
     val sel = if (carry.isEmpty) "" else s"$carry, "
     val applies = (1 to BpeMerges).map { k =>
       s"""a$k AS (
@@ -407,9 +407,10 @@ object QueriesLlm {
          |  FROM a${k - 1} CROSS JOIN b$k b
          |)""".stripMargin
     }.mkString(",\n")
+    val src = wordSrc.getOrElse(s"(SELECT ${sel}unnest($toksSql) AS word FROM documents)")
     s"""a0 AS (
        |  SELECT ${sel}[substr(word, i, 1) for i in generate_series(1, length(word))] AS syms
-       |  FROM (SELECT ${sel}unnest($toksSql) AS word FROM documents)
+       |  FROM $src
        |  WHERE length(word) > 0
        |),
        |$applies""".stripMargin
@@ -450,6 +451,32 @@ object QueriesLlm {
        |       CAST(floor((start_tok + n_tokens - 1) / $PackBudget)
        |            - floor(start_tok / $PackBudget) + 1 AS BIGINT) AS n_seqs
        |FROM ps ORDER BY doc_id""".stripMargin
+
+  /** bpe_encode_ids replay: resegment with word ordinality carried
+    * through the fold, mint token ids from the corpus vocabulary
+    * (count DESC, subword ASC — the standard frequency-ranked id
+    * assignment), and emit the dense per-doc position stream.
+    */
+  private def bpeEncodeIdsOracleSql: String =
+    s"""$bpeCtes,
+       |${bpeApplyCtes(
+        "doc_id, wpos",
+        Some(s"(SELECT doc_id, generate_subscripts($toksSql, 1) AS wpos, unnest($toksSql) AS word FROM documents)"))},
+       |enc AS (
+       |  SELECT doc_id, wpos, generate_subscripts(syms, 1) AS spos,
+       |         unnest(syms) AS subword
+       |  FROM a$BpeMerges
+       |),
+       |ids AS (
+       |  SELECT subword,
+       |         CAST(row_number() OVER (ORDER BY count(*) DESC, subword) AS BIGINT) AS token_id
+       |  FROM enc GROUP BY subword
+       |)
+       |SELECT e.doc_id,
+       |       CAST(row_number() OVER (PARTITION BY e.doc_id ORDER BY e.wpos, e.spos) - 1 AS BIGINT) AS pos,
+       |       i.token_id
+       |FROM enc e JOIN ids i USING (subword)
+       |ORDER BY doc_id, pos""".stripMargin
 
   /** bpe_vocab replay: the OTHER artifact a tokenizer ships — the subword
     * vocabulary with corpus occurrence counts after all merges.
@@ -787,6 +814,39 @@ object QueriesLlm {
         .agg(sum(col("ns")).as("n_tokens"))
       Packing.packLayout(counts, PackBudget, PackShards)
         .orderBy(col("doc_id"))
+    }),
+
+    // ── the trainer-consumable encoding: every document as its dense
+    // stream of INTEGER token ids — subwords from the frozen merges
+    // (codegen'd kernel), ids minted from the corpus vocabulary by the
+    // standard frequency-ranked assignment (count DESC, subword ASC; a
+    // VOCAB-scale global window — metadata-sized, same class as the BPE
+    // trainer's argmax), positions dense per doc over (word, subword)
+    // order. The id table broadcasts into the corpus-scale join ──
+    "bpe_encode_ids" -> ((s, dir) => {
+      graft.functions.TextKernels.register(s)
+      val docs = Tables.documents(s, dir)
+      val merges = Bpe.trainMerges(docs, BpeMerges)
+      val words = docs.select(
+        col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("wpos", "word")))
+        .where(length(col("word")) > 0)
+      val subs = words.select(
+        col("doc_id"), col("wpos"),
+        posexplode(Bpe.tokenKernelCol(col("word"), merges)).as(Seq("spos", "subword")))
+      val ids = subs.groupBy(col("subword")).agg(count(lit(1)).as("cnt"))
+        .withColumn("token_id",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("subword"))).cast("long"))
+        .select(col("subword"), col("token_id"))
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("wpos"), col("spos"))
+      subs.join(broadcast(ids), "subword")
+        .select(
+          col("doc_id"),
+          (row_number().over(wd) - 1).cast("long").as("pos"),
+          col("token_id"))
+        .orderBy(col("doc_id"), col("pos"))
     }),
 
     // ── the shipped tokenizer's OTHER artifact: the subword vocabulary
@@ -2591,6 +2651,10 @@ object QueriesLlm {
     // Tokenizer → packer composition: BPE subword counts drive the
     // pack_sequences layout arithmetic.
     "bpe_pack" -> bpePackOracleSql,
+
+    // The trainer-consumable id stream: frequency-ranked vocab ids,
+    // dense per-doc positions over (word, subword) order.
+    "bpe_encode_ids" -> bpeEncodeIdsOracleSql,
 
     // BPE pair-count replay: same normalization + whitespace split, pairs
     // are substr(t, i, 2) for i in [1, len-1] (both engines' substr is

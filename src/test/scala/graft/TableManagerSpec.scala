@@ -142,4 +142,23 @@ class TableManagerSpec extends AnyFunSuite {
     assert(CsvSource.monthFileName("2019-10") == "2019-Oct.csv")
     assert(CsvSource.monthFileName("2024-01") == "2024-Jan.csv")
   }
+
+  test("compaction: fragmented write collapses to the file-count target, bytes unchanged") {
+    val docs = Tables.documents(spark, SfDir)
+    val frag = "/root/repo/target/etl_scratch/spec/fragmented"
+    val comp = "/root/repo/target/etl_scratch/spec/compacted"
+    def parquetFiles(p: String): Int =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    docs.repartition(40).write.mode("overwrite").parquet(frag)
+    assert(parquetFiles(frag) >= 30, "the fixture must actually be fragmented")
+    spark.read.schema(docs.schema).parquet(frag)
+      .repartition(4).write.mode("overwrite").parquet(comp)
+    assert(parquetFiles(comp) <= 4, "compaction must bound the file count")
+    // content identity: same rows, same bytes-of-interest
+    val before = docs.agg(count(lit(1)), sum(col("n_chars")), sum(col("doc_id"))).first()
+    val after = spark.read.schema(docs.schema).parquet(comp)
+      .agg(count(lit(1)), sum(col("n_chars")), sum(col("doc_id"))).first()
+    assert(before == after)
+  }
 }
