@@ -254,6 +254,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("partition_prune_docs: the source predicate prunes at the PARTITION level") {
+    val p = plan("partition_prune_docs")
+    assert(p.contains("PartitionFilters") && p.contains("src3"),
+      s"the source filter must prune partition directories, not rows:\n$p")
+  }
+
   test("final-r7 batch queries: equi-joins only — no cartesian, scalar BNLJs bounded") {
     // cap = number of 1-ROW scalar frames the query legitimately crossJoins
     // (corpus totals, avgdl); anything above it means a real relation fell
