@@ -33,12 +33,10 @@ object CountMin {
   val Depth = 4
   val Width = 256
 
-  /** (row, bucket) cell coordinates for an item column — one output row
-    * per sketch row. `explode` of the literal row range keeps everything
+  /** One output row per sketch row: `explode` of the literal row range —
     * codegen'd and map-side.
     */
-  private def cells(item: Column): Column = explode(
-    array((0 until Depth).map(lit): _*))
+  private def rowIds: Column = explode(array((0 until Depth).map(lit): _*))
 
   private def bucketOf(row: Column, item: Column): Column =
     pmod(TextKernels.hash32Col(concat(lit("cms"), row, lit("_"), item)), lit(Width.toLong))
@@ -50,7 +48,7 @@ object CountMin {
   def sketch(items: DataFrame, itemCol: String, groupCols: Seq[String] = Nil): DataFrame = {
     val it = col(itemCol)
     val withCells = items
-      .withColumn("row", cells(it))
+      .withColumn("row", rowIds)
       .withColumn("bucket", bucketOf(col("row"), it))
     withCells
       .groupBy((groupCols.map(col) :+ col("row")) :+ col("bucket"): _*)
@@ -74,7 +72,7 @@ object CountMin {
   def estimate(sketch: DataFrame, queries: DataFrame, itemCol: String): DataFrame = {
     val it = col(itemCol)
     val probes = queries
-      .withColumn("row", cells(it))
+      .withColumn("row", rowIds)
       .withColumn("bucket", bucketOf(col("row"), it))
     probes
       .join(sketch, Seq("row", "bucket"), "left")
