@@ -915,6 +915,28 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── THREE-MODALITY seed expansion: wording (BM25 on the seed's own
+    // tokens) + semantics (exact cosine) + similarity-graph reachability
+    // (per-seed personalized PageRank — a doc two hops of near-dup away
+    // scores even when it shares neither vocabulary nor embedding
+    // direction with the seed), fused by the same integer RRF; seeds =
+    // the PprSeeds smallest graph nodes so all three rankers rank the
+    // same deterministic seed set at every SF ──
+    "hybrid_trimodal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs0 = Dedup.winnowOverlapPairs(
+        docs, minShared = 2, n = WinnowN, window = WinnowW)
+      val pairs = Dedup.durableBy(pairs0, None)(pairs0)
+      val seeds = pairs.select(col("doc_a").as("node"))
+        .unionByName(pairs.select(col("doc_b").as("node"))).distinct()
+        .orderBy(col("node")).limit(PprSeeds)
+        .collect().map(_.getLong(0)).toSeq
+      Retrieval.trimodalSeedExpand(
+        docs, Tables.embeddings(s, dir), pairs, seeds,
+        k = 10, poolK = 100, pprIters = PrIters, pprScale = PrScale)
+        .orderBy(col("seed_id"), col("rank"))
+    }),
+
     // ── graph-structural seed expansion: PERSONALIZED PageRank — the
     // teleport mass returns only to the seed docs (the PprSeeds smallest
     // graph nodes, deterministic at every SF), so rank = similarity-graph
@@ -1819,23 +1841,10 @@ object QueriesLlm {
   private def pagerankChainCtes: String = pagerankChainCtesWith(
     s"t AS (SELECT node, (($PrScale // n) * ${PrDen - PrNum}) // $PrDen AS tele FROM nd CROSS JOIN c)")
 
-  /** The chain with the teleport CTE swapped in: `teleCte` must define
-    * `t(node, tele)` — constant per node for classic PageRank, seed-masked
-    * for the personalized variant. One iteration template serves both.
+  /** The winnow graph base: symmetric weighted edges, out-weights, node
+    * set, count, and the uniform-init `r0` — everything before teleport.
     */
-  private def pagerankChainCtesWith(teleCte: String): String = {
-    val iterCtes = (1 to PrIters).map { k =>
-      s"""r$k AS (
-         |  SELECT nd.node,
-         |         t.tele + (($PrNum * coalesce(inc.s, 0)) // $PrDen) AS rank
-         |  FROM nd JOIN t ON t.node = nd.node
-         |  LEFT JOIN (SELECT e.dst AS node,
-         |                    CAST(sum((r.rank * e.w) // ws.wsum) AS BIGINT) AS s
-         |             FROM e JOIN r${k - 1} r ON r.node = e.src
-         |                    JOIN ws ON ws.src = e.src
-         |             GROUP BY 1) inc ON inc.node = nd.node
-         |)""".stripMargin
-    }.mkString(",\n")
+  private val pagerankGraphCtes: String =
     s"""f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
        |p AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS w
        |      FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
@@ -1845,9 +1854,106 @@ object QueriesLlm {
        |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM e GROUP BY 1),
        |nd AS (SELECT DISTINCT src AS node FROM e),
        |c AS (SELECT count(*) AS n FROM nd),
-       |r0 AS (SELECT node, $PrScale // n AS rank FROM nd CROSS JOIN c),
+       |r0 AS (SELECT node, $PrScale // n AS rank FROM nd CROSS JOIN c)""".stripMargin
+
+  /** The iteration CTEs with every rank/teleport name suffixed — lets one
+    * oracle hold several independent chains (the per-seed PPR union) over
+    * the SHARED graph base; all chains start from the shared `r0`.
+    */
+  private def pagerankIterCtes(sfx: String): String = (1 to PrIters).map { k =>
+    val prev = if (k == 1) "r0" else s"r${k - 1}$sfx"
+    s"""r$k$sfx AS (
+       |  SELECT nd.node,
+       |         t$sfx.tele + (($PrNum * coalesce(inc.s, 0)) // $PrDen) AS rank
+       |  FROM nd JOIN t$sfx ON t$sfx.node = nd.node
+       |  LEFT JOIN (SELECT e.dst AS node,
+       |                    CAST(sum((r.rank * e.w) // ws.wsum) AS BIGINT) AS s
+       |             FROM e JOIN $prev r ON r.node = e.src
+       |                    JOIN ws ON ws.src = e.src
+       |             GROUP BY 1) inc ON inc.node = nd.node
+       |)""".stripMargin
+  }.mkString(",\n")
+
+  /** The chain with the teleport CTE swapped in: `teleCte` must define
+    * `t(node, tele)` — constant per node for classic PageRank, seed-masked
+    * for the personalized variant. One iteration template serves both.
+    */
+  private def pagerankChainCtesWith(teleCte: String): String =
+    s"""$pagerankGraphCtes,
        |$teleCte,
-       |$iterCtes""".stripMargin
+       |${pagerankIterCtes("")}""".stripMargin
+
+  /** hybrid_trimodal replay: the shared winnow graph base, THREE suffixed
+    * single-seed PPR chains (seed = the i-th smallest graph node, teleport
+    * `((scale // 1) * (den-num)) // den` exactly as the Spark side
+    * computes it for one present seed), the BM25 body with the seeds'
+    * tokens as queries, the cosine pool, and the three-way integer RRF.
+    */
+  private def trimodalOracleSql: String = {
+    val chains = Seq(("_a", 1), ("_b", 2), ("_c", 3))
+    val teleSeed = s"(($PrScale // 1) * ${PrDen - PrNum}) // $PrDen"
+    val pprChains = chains.map { case (sfx, ord) =>
+      s"""t$sfx AS (SELECT nd.node,
+         |             CASE WHEN nd.node = (SELECT node FROM sd WHERE i = $ord)
+         |                  THEN $teleSeed ELSE 0 END AS tele
+         |      FROM nd),
+         |${pagerankIterCtes(sfx)}""".stripMargin
+    }.mkString(",\n")
+    val pprUnion = chains.map { case (sfx, ord) =>
+      s"""SELECT (SELECT node FROM sd WHERE i = $ord) AS query_id,
+         |                node AS doc_id, rank FROM r$PrIters$sfx""".stripMargin
+    }.mkString("\n       UNION ALL ")
+    def contrib(alias: String) =
+      s"(CASE WHEN $alias IS NULL THEN 0 ELSE 1000000000 // (60 + $alias) END)"
+    s"""$winnowCte,
+       |$pagerankGraphCtes,
+       |sd AS (SELECT node, CAST(row_number() OVER (ORDER BY node) AS INT) AS i
+       |       FROM (SELECT node FROM nd ORDER BY node LIMIT $PprSeeds)),
+       |$pprChains,
+       |pru AS ($pprUnion),
+       |pr AS (SELECT query_id, doc_id, rnk AS ppr_rank FROM (
+       |         SELECT query_id, doc_id,
+       |                CAST(row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY rank DESC, doc_id) AS BIGINT) AS rnk
+       |         FROM pru WHERE doc_id != query_id)
+       |       WHERE rnk <= 100),
+       |${bm25CtesBody("q AS (SELECT DISTINCT doc_id AS query_id, term FROM tk WHERE doc_id IN (SELECT node FROM sd))")},
+       |lr AS (SELECT query_id, doc_id, rank FROM (
+       |         SELECT query_id, doc_id, CAST(row_number() OVER (
+       |           PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |         FROM sc WHERE doc_id != query_id)
+       |       WHERE rank <= 100),
+       |em AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nv AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM em),
+       |pv AS (SELECT q.vec_id AS query_id, cc.vec_id AS doc_id,
+       |              list_sum([q.v[i] * cc.v[i] for i in range(1, len(q.v) + 1)])
+       |                / (q.nrm * cc.nrm) AS cos
+       |       FROM nv q JOIN nv cc
+       |         ON q.vec_id IN (SELECT node FROM sd) AND cc.vec_id != q.vec_id),
+       |vr AS (SELECT query_id, doc_id, rank FROM (
+       |         SELECT query_id, doc_id, CAST(row_number() OVER (
+       |           PARTITION BY query_id ORDER BY cos DESC, doc_id) AS BIGINT) AS rank
+       |         FROM pv)
+       |       WHERE rank <= 100),
+       |lv AS (
+       |  SELECT coalesce(l.query_id, v.query_id) AS qid,
+       |         coalesce(l.doc_id, v.doc_id) AS did,
+       |         l.rank AS lrnk, v.rank AS vrnk
+       |  FROM lr l FULL JOIN vr v ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+       |fu AS (
+       |  SELECT coalesce(lv.qid, p3.query_id) AS seed_id,
+       |         coalesce(lv.did, p3.doc_id) AS doc_id,
+       |         coalesce(lv.lrnk, 0) AS lex_rank,
+       |         coalesce(lv.vrnk, 0) AS vec_rank,
+       |         coalesce(p3.ppr_rank, 0) AS ppr_rank,
+       |         ${contrib("lv.lrnk")} + ${contrib("lv.vrnk")}
+       |           + ${contrib("p3.ppr_rank")} AS rrf
+       |  FROM lv FULL JOIN pr p3 ON lv.qid = p3.query_id AND lv.did = p3.doc_id)
+       |SELECT seed_id, doc_id, lex_rank, vec_rank, ppr_rank, rrf, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY seed_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fu)
+       |WHERE rank <= 10 ORDER BY seed_id, rank""".stripMargin
   }
 
   /** seed_ppr replay: teleport mass only to the PprSeeds smallest graph
@@ -1899,8 +2005,13 @@ object QueriesLlm {
     * quantized to 6 decimals — so scores agree cross-engine to the same
     * tolerance class as the lm_perplexity replay.
     */
-  private def bm25Ctes(qCte: String): String =
-    s"""WITH tk AS (
+  private def bm25Ctes(qCte: String): String = s"WITH ${bm25CtesBody(qCte)}"
+
+  /** The same chain without the WITH keyword — embeddable after other CTE
+    * lists (the trimodal oracle). Defines tk, tf, dl, st, idf, q, sc.
+    */
+  private def bm25CtesBody(qCte: String): String =
+    s"""tk AS (
        |  SELECT doc_id, term FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
        |  WHERE length(term) > 0
        |),
@@ -2201,6 +2312,10 @@ object QueriesLlm {
 
     // Personalized PageRank: seed-masked teleport, bitwise integer replay.
     "seed_ppr" -> seedPprOracleSql,
+
+    // Lexical + dense + graph pools fused by integer RRF — three shared-
+    // seed rankers, one replay.
+    "hybrid_trimodal" -> trimodalOracleSql,
 
     // Okapi BM25 top-10 over the fixed query set; expression shapes and
     // double-typed literals mirror Retrieval.bm25Scores exactly.

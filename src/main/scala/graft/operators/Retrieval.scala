@@ -99,6 +99,39 @@ object Retrieval {
     * by descending fused score, ties on doc id; the seed itself is
     * excluded from both pools.
     */
+  /** The lexical query-by-example pool: BM25 with each seed doc's distinct
+    * tokens as the query, seed excluded, top `poolK` per seed. Output:
+    * (query_id, doc_id, lex_rank).
+    */
+  def lexPool(docs: DataFrame, seeds: Seq[Long], poolK: Int): DataFrame = {
+    val qterms = toks(docs)
+      .where(col("doc_id").isin(seeds: _*))
+      .select(col("doc_id").as("query_id"), col("term"))
+      .distinct()
+    val wl = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    bm25Scores(docs, qterms)
+      .where(col("doc_id") =!= col("query_id"))
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .where(col("lex_rank") <= poolK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+  }
+
+  /** The dense pool: exact cosine KNN from each seed's embedding (self
+    * excluded by [[Similarity.bruteForceKnn]]). Output:
+    * (query_id, doc_id, vec_rank).
+    */
+  def vecPool(embeddings: DataFrame, seeds: Seq[Long], poolK: Int): DataFrame =
+    Similarity
+      .bruteForceKnn(embeddings.where(col("vec_id").isin(seeds: _*)), embeddings, k = poolK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+
+  /** Integer RRF contribution for a nullable rank column: 0 when the doc
+    * is absent from that ranker's pool.
+    */
+  def rrfContrib(rankCol: String, rrfK: Long, rrfScale: Long): org.apache.spark.sql.Column =
+    when(col(rankCol).isNotNull, expr(s"$rrfScale div ($rrfK + $rankCol)"))
+      .otherwise(lit(0L))
+
   def hybridSeedExpand(
       docs: DataFrame,
       embeddings: DataFrame,
@@ -109,32 +142,66 @@ object Retrieval {
       rrfScale: Long = 1000000000L): DataFrame = {
     require(seeds.nonEmpty, "hybridSeedExpand: empty seed set")
     require(k >= 1 && poolK >= k, s"need 1 <= k <= poolK, got k=$k poolK=$poolK")
-    val t = toks(docs)
-    val qterms = t
-      .where(col("doc_id").isin(seeds: _*))
-      .select(col("doc_id").as("query_id"), col("term"))
-      .distinct()
-    val wl = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
-    val lex = bm25Scores(docs, qterms)
-      .where(col("doc_id") =!= col("query_id"))
-      .withColumn("lex_rank", row_number().over(wl).cast("long"))
-      .where(col("lex_rank") <= poolK)
-      .select(col("query_id"), col("doc_id"), col("lex_rank"))
-    val vec = Similarity
-      .bruteForceKnn(embeddings.where(col("vec_id").isin(seeds: _*)), embeddings, k = poolK)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
-    val contrib = (rankCol: String) =>
-      when(col(rankCol).isNotNull, expr(s"$rrfScale div ($rrfK + $rankCol)"))
-        .otherwise(lit(0L))
     val wf = Window.partitionBy(col("seed_id")).orderBy(col("rrf").desc, col("doc_id"))
-    lex
-      .join(vec, Seq("query_id", "doc_id"), "full_outer")
+    lexPool(docs, seeds, poolK)
+      .join(vecPool(embeddings, seeds, poolK), Seq("query_id", "doc_id"), "full_outer")
       .select(
         col("query_id").as("seed_id"),
         col("doc_id"),
         coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
         coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
-        (contrib("lex_rank") + contrib("vec_rank")).as("rrf"))
+        (rrfContrib("lex_rank", rrfK, rrfScale) + rrfContrib("vec_rank", rrfK, rrfScale))
+          .as("rrf"))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** TRIMODAL seed expansion: the lexical and dense pools plus a GRAPH
+    * pool — per-seed personalized PageRank over a similarity-pair graph
+    * ([[GraphRank.personalizedPagerank]], one single-seed run per seed) —
+    * fused by the same integer RRF. The three rankers catch different
+    * neighbors: wording (BM25), semantics (cosine), and similarity-graph
+    * reachability (PPR — a doc two hops of near-dup away scores even when
+    * it shares neither vocabulary nor embedding direction with the seed).
+    * Seeds must be graph nodes of `pairs`. Output: (seed_id, doc_id,
+    * lex_rank, vec_rank, ppr_rank, rrf, rank), rank 1..k per seed.
+    */
+  def trimodalSeedExpand(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      pairs: DataFrame,
+      seeds: Seq[Long],
+      k: Int = 10,
+      poolK: Int = 100,
+      pprIters: Int = 6,
+      pprScale: Long = 1000000000000L,
+      rrfK: Long = 60L,
+      rrfScale: Long = 1000000000L): DataFrame = {
+    require(seeds.nonEmpty, "trimodalSeedExpand: empty seed set")
+    require(k >= 1 && poolK >= k, s"need 1 <= k <= poolK, got k=$k poolK=$poolK")
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("rank").desc, col("doc_id"))
+    val ppr = seeds
+      .map { sd =>
+        GraphRank.personalizedPagerank(pairs, Seq(sd), iters = pprIters, scale = pprScale)
+          .withColumn("query_id", lit(sd))
+      }
+      .reduce(_ unionByName _)
+      .where(col("doc_id") =!= col("query_id"))
+      .withColumn("ppr_rank", row_number().over(wp).cast("long"))
+      .where(col("ppr_rank") <= poolK)
+      .select(col("query_id"), col("doc_id"), col("ppr_rank"))
+    val wf = Window.partitionBy(col("seed_id")).orderBy(col("rrf").desc, col("doc_id"))
+    lexPool(docs, seeds, poolK)
+      .join(vecPool(embeddings, seeds, poolK), Seq("query_id", "doc_id"), "full_outer")
+      .join(ppr, Seq("query_id", "doc_id"), "full_outer")
+      .select(
+        col("query_id").as("seed_id"),
+        col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        coalesce(col("ppr_rank"), lit(0L)).as("ppr_rank"),
+        (rrfContrib("lex_rank", rrfK, rrfScale) + rrfContrib("vec_rank", rrfK, rrfScale)
+          + rrfContrib("ppr_rank", rrfK, rrfScale)).as("rrf"))
       .withColumn("rank", row_number().over(wf).cast("long"))
       .where(col("rank") <= k)
   }

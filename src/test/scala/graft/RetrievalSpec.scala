@@ -71,6 +71,26 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("trimodal: three-pool RRF is the exact integer fusion; seeds excluded everywhere") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, SfDir)
+    val emb = Tables.embeddings(spark, SfDir)
+    val pairs = graft.operators.Dedup.winnowOverlapPairs(docs, minShared = 2)
+    val seeds = pairs.select(col("doc_a").as("node"))
+      .unionByName(pairs.select(col("doc_b").as("node"))).distinct()
+      .orderBy(col("node")).limit(2).collect().map(_.getLong(0)).toSeq
+    val got = Retrieval.trimodalSeedExpand(docs, emb, pairs, seeds, k = 5, poolK = 30).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("doc_id") != r.getAs[Long]("seed_id"))
+      val ranks = Seq("lex_rank", "vec_rank", "ppr_rank").map(r.getAs[Long])
+      assert(ranks.forall(x => x >= 0L && x <= 30L))
+      assert(ranks.exists(_ > 0L), "a fused row must come from at least one pool")
+      val expected = ranks.map(x => if (x > 0L) 1000000000L / (60L + x) else 0L).sum
+      assert(r.getAs[Long]("rrf") == expected)
+    }
+  }
+
   test("hybrid: empty seed set fails loudly") {
     val docs = Tables.documents(spark, SfDir)
     val emb = Tables.embeddings(spark, SfDir)
