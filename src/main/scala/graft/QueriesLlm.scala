@@ -1553,6 +1553,33 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── BM25 relevance AT INGESTION ([[StreamingSessionize
+    // .bm25ScoreIngest]]): the frozen per-term idf + corpus avgdl ride the
+    // plan as literals and every incoming doc is scored against the fixed
+    // query set map-side (array-filter tf, no join, no state) in a REAL
+    // streaming execution; the corpus replayed through the frozen scorer
+    // equals the batch BM25 table, so the oracle is the bm25 chain with
+    // no top-k — the third frozen-model ingest scorer (Bloom, DSIR, BM25) ──
+    "stream_bm25_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qterms = Bm25Queries.map { case (qid, text) =>
+        qid -> text.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+      }
+      val (idfMap, avgdl) = Retrieval.frozenLexicon(docs, qterms.flatMap(_._2))
+      val sink = "stream_bm25_score_sink"
+      val src = s.readStream
+        .schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val out = StreamingSessionize.bm25ScoreIngest(src, qterms, idfMap, avgdl)
+      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(sink)
+        .select(col("doc_id"), col("query_id"), col("score"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
     // ── CCNet-style LM quality scoring ([[LanguageModel.perplexity]]): an
     // add-1-smoothed bigram model fitted on the SAME quality-target pool as
     // dsir_weights, every doc scored by quantized per-bigram avg negative
@@ -2316,6 +2343,18 @@ object QueriesLlm {
     // Lexical + dense + graph pools fused by integer RRF — three shared-
     // seed rankers, one replay.
     "hybrid_trimodal" -> trimodalOracleSql,
+
+    // Frozen-lexicon streaming BM25 == the batch score table (no top-k).
+    "stream_bm25_score" -> {
+      val vals = Bm25Queries
+        .flatMap { case (qid, text) =>
+          text.split("\\s+").filter(_.nonEmpty).distinct.map(t => s"('$qid', '$t')")
+        }
+        .mkString(", ")
+      s"""${bm25Ctes(s"q AS (SELECT * FROM (VALUES $vals) AS t(query_id, term))")}
+         |SELECT query_id, doc_id, score FROM sc
+         |ORDER BY query_id, doc_id""".stripMargin
+    },
 
     // Okapi BM25 top-10 over the fixed query set; expression shapes and
     // double-typed literals mirror Retrieval.bm25Scores exactly.

@@ -99,6 +99,28 @@ object Retrieval {
     * by descending fused score, ties on doc id; the seed itself is
     * excluded from both pools.
     */
+  /** Freeze the corpus lexicon for ingestion-time scoring: the round-6
+    * idf of each requested term (terms absent from the corpus get no
+    * entry — [[bm25Scores]] drops them the same way via its join) and the
+    * corpus avgdl, computed with EXACTLY the expressions bm25Scores uses,
+    * so a frozen-model scorer reproduces batch scores bitwise.
+    */
+  def frozenLexicon(docs: DataFrame, terms: Seq[String]): (Map[String, Double], Double) = {
+    val t = toks(docs)
+    val avgdl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .first().getDouble(0)
+    val n = docs.count()
+    val idf = t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .where(col("term").isin(terms.distinct: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn(
+        "idf",
+        round(log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    (idf, avgdl)
+  }
+
   /** The lexical query-by-example pool: BM25 with each seed doc's distinct
     * tokens as the query, seed excluded, top `poolK` per seed. Output:
     * (query_id, doc_id, lex_rank).

@@ -409,6 +409,61 @@ object StreamingSessionize {
       .withColumn("selected", col("log_weight") > 0)
   }
 
+  /** BM25 relevance scoring AT INGESTION with a FROZEN lexicon — the
+    * third frozen-model ingest scorer next to the Bloom probe and the DSIR
+    * λ fold: the fitted per-term idf and the corpus avgdl
+    * ([[graft.operators.Retrieval.frozenLexicon]]) ride the plan as
+    * LITERALS, every incoming document is scored against the fixed query
+    * set entirely map-side (per-term tf via array filters over the doc's
+    * own tokens — no join, no state store, no watermark; append mode at
+    * raw ingest throughput), and a corpus member streamed through the
+    * frozen scorer reproduces its batch [[graft.operators.Retrieval
+    * .bm25Scores]] value to the same round-6 class. The production shape
+    * for "tag incoming docs by curated-topic relevance before they land".
+    *
+    * `queries`: (query_id, distinct terms); terms missing from the frozen
+    * idf map are dropped exactly as the batch join drops them. Output:
+    * (idCol, query_id, score), one row per matched (doc, query).
+    */
+  def bm25ScoreIngest(
+      docs: DataFrame,
+      queries: Seq[(String, Seq[String])],
+      idf: Map[String, Double],
+      avgdl: Double,
+      k1: Double = graft.operators.Retrieval.K1,
+      b: Double = graft.operators.Retrieval.B,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty, "bm25ScoreIngest: empty query set")
+    require(avgdl > 0, s"bm25ScoreIngest: avgdl must be positive, got $avgdl")
+    val tk = graft.operators.TextAnalysis.tokens(col(textCol))
+    val nonEmpty = filter(tk, x => length(x) > 0)
+    def tf(term: String) = size(filter(col("tk"), x => x === lit(term))).cast("long")
+    val perQuery = queries.map { case (qid, terms) =>
+      val known = terms.distinct.filter(idf.contains)
+      if (known.isEmpty)
+        struct(lit(qid).as("query_id"), lit(0.0).as("score"), lit(false).as("m"))
+      else {
+        val termScores = known.map { t =>
+          round(
+            lit(idf(t)) * (tf(t) * lit(k1 + 1)) /
+              (tf(t) + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))),
+            6)
+        }
+        struct(
+          lit(qid).as("query_id"),
+          round(termScores.reduce(_ + _), 6).as("score"),
+          known.map(t => tf(t) > 0).reduce(_ || _).as("m"))
+      }
+    }
+    docs
+      .select(col(idCol), nonEmpty.as("tk"))
+      .withColumn("dl", size(col("tk")).cast("long"))
+      .select(col(idCol), explode(array(perQuery: _*)).as("q"))
+      .where(col("q.m"))
+      .select(col(idCol), col("q.query_id").as("query_id"), col("q.score").as("score"))
+  }
+
   /** Streaming weekly-active-users: Monday-aligned 7-day tumbling windows
     * (epoch day 0 is a Thursday — the 4-day startTime shift aligns window
     * starts to Mondays, matching the batch `date_trunc('week', ts)`), HLL++

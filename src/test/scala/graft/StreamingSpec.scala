@@ -235,4 +235,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == expected.size, s"row count ${got.size} != batch ${expected.size}")
     assert(got == expected)
   }
+
+  test("frozen-lexicon streaming BM25 equals the batch score table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, SfDir)
+    val queries = Seq("qa" -> Seq("spark", "window"), "qb" -> Seq("fast", "hash", "join"))
+    val (idf, avgdl) = graft.operators.Retrieval.frozenLexicon(docs, queries.flatMap(_._2))
+    // batch reference through the SAME public scorer
+    val qterms = queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "term")
+    val batch = graft.operators.Retrieval.bm25Scores(docs, qterms).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val out = StreamingSessionize.bm25ScoreIngest(
+      spark.readStream.schema(docs.schema).option("pathGlobFilter", "documents.parquet")
+        .parquet(SfDir),
+      queries, idf, avgdl)
+    val q = out.writeStream.format("memory").queryName("stream_bm25").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val stream = spark.table("stream_bm25").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getDouble(2))).toSet
+    assert(stream.size == batch.size, s"row count ${stream.size} != batch ${batch.size}")
+    assert(stream == batch)
+  }
 }
