@@ -917,9 +917,9 @@ object QueriesLlm {
 
     // ── THREE-MODALITY seed expansion: wording (BM25 on the seed's own
     // tokens) + semantics (exact cosine) + similarity-graph reachability
-    // (per-seed personalized PageRank — a doc two hops of near-dup away
-    // scores even when it shares neither vocabulary nor embedding
-    // direction with the seed), fused by the same integer RRF; seeds =
+    // (personalized PageRank, ONE batched multi-seed run — a doc two hops
+    // of near-dup away scores even when it shares neither vocabulary nor
+    // embedding direction with the seed), fused by the same integer RRF; seeds =
     // the PprSeeds smallest graph nodes so all three rankers rank the
     // same deterministic seed set at every SF ──
     "hybrid_trimodal" -> ((s, dir) => {

@@ -96,6 +96,93 @@ object GraphRank {
     rankImpl(pairs, Some(seeds), iters, scale, num, den, aCol, bCol, wCol, idOut, checkpointDir)
   }
 
+  /** BATCHED multi-seed personalized PageRank: one rank relation keyed by
+    * `(seed_id, node)` instead of one full PPR run per seed. Each seed's
+    * column of the state evolves under EXACTLY the single-seed arithmetic
+    * of [[personalizedPagerank]] (`present = 1`, so the per-seed teleport
+    * is `(scale * (den - num)) div den` on the seed node and 0 elsewhere),
+    * so every `(seed_id, node, rank)` row is BITWISE equal to the
+    * corresponding single-seed run — integer addition is order-free, and
+    * the grouped contribution sum per `(seed_id, dst)` partitions exactly
+    * as the per-seed sums do.
+    *
+    * Scale shape — the reason this exists: S single-seed runs cost
+    * S · iters full-graph shuffled join+aggregates and a driver-built plan
+    * linear in S; here the seed dimension rides IN the shuffle key, so the
+    * whole batch is one join+aggregate per iteration REGARDLESS of seed
+    * count (the edge relation fans out against the seed-expanded rank
+    * frame on `src`, contributions group by `(seed_id, dst)`). State is
+    * S·N rows of three longs — at 100 TB graph scale with hundreds of
+    * seeds this is the difference between 6 graph passes and 600.
+    * GraphRankSpec pins both the bitwise equality and the
+    * actions-independent-of-seed-count property.
+    *
+    * Seeds must all be graph nodes (each single-seed run would demand the
+    * same); duplicates are collapsed. Output: (seedOut, idOut, rank), one
+    * row per (seed, graph node).
+    */
+  def personalizedPagerankMulti(
+      pairs: DataFrame,
+      seeds: Seq[Long],
+      iters: Int = 6,
+      scale: Long = 1000000000000L,
+      num: Long = 85,
+      den: Long = 100,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      wCol: String = "n_shared",
+      idOut: String = "doc_id",
+      seedOut: String = "seed_id",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPagerankMulti: empty seed set")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(num > 0 && num < den, s"damping $num/$den must be in (0, 1)")
+    require(scale >= 1000000L && scale <= 1000000000000000L,
+      s"scale $scale outside sane integer-mass range [1e6, 1e15]")
+    val distinctSeeds = seeds.distinct
+    val durable = Dedup.durableBy(pairs, checkpointDir)
+
+    val sym = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"), col(wCol).cast("long").as("w"))
+      .unionByName(
+        pairs.select(col(bCol).as("src"), col(aCol).as("dst"), col(wCol).cast("long").as("w")))
+    val wsum = sym.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val ew = durable(sym.join(wsum, "src"))
+    val nodes = ew.select(col("src").as("node")).distinct()
+
+    val n = nodes.count()
+    require(n > 0, "pagerank: empty graph (no pairs)")
+    val r0 = scale / n
+    val present = nodes.where(col("node").isin(distinctSeeds: _*)).count()
+    require(present == distinctSeeds.size,
+      s"personalizedPagerankMulti: ${distinctSeeds.size - present} seed(s) are not graph nodes")
+    // single-seed teleport (present = 1 in each per-seed run)
+    val teleSeed = ((scale / 1L) * (den - num)) / den
+
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // the (seed, node) grid: seeds are a KB-scale literal list, broadcast
+    val grid = nodes.crossJoin(broadcast(distinctSeeds.toDF("seed_id")))
+    val tele = when(col("node") === col("seed_id"), lit(teleSeed)).otherwise(lit(0L))
+
+    var ranks = grid.withColumn("rank", lit(r0))
+    for (_ <- 1 to iters) {
+      val inc = ew
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("seed_id"), col("dst"))
+        .agg(sum(expr("(rank * w) div wsum")).as("inc"))
+      ranks = durable(
+        grid
+          .join(inc.withColumnRenamed("dst", "node"), Seq("seed_id", "node"), "left")
+          .select(
+            col("seed_id"),
+            col("node"),
+            (tele + expr(s"($num * coalesce(inc, cast(0 as bigint))) div $den"))
+              .as("rank")))
+    }
+    ranks.select(col("seed_id").as(seedOut), col("node").as(idOut), col("rank"))
+  }
+
   private def rankImpl(
       pairs: DataFrame,
       seeds: Option[Seq[Long]],

@@ -179,9 +179,13 @@ object Retrieval {
   }
 
   /** TRIMODAL seed expansion: the lexical and dense pools plus a GRAPH
-    * pool — per-seed personalized PageRank over a similarity-pair graph
-    * ([[GraphRank.personalizedPagerank]], one single-seed run per seed) —
-    * fused by the same integer RRF. The three rankers catch different
+    * pool — personalized PageRank over a similarity-pair graph, computed
+    * for ALL seeds in ONE batched run
+    * ([[GraphRank.personalizedPagerankMulti]]: the seed dimension rides in
+    * the shuffle key, so the graph pool costs `iters` full-graph passes
+    * regardless of seed count, while each seed's ranks stay bitwise equal
+    * to a single-seed [[GraphRank.personalizedPagerank]] run) — fused by
+    * the same integer RRF. The three rankers catch different
     * neighbors: wording (BM25), semantics (cosine), and similarity-graph
     * reachability (PPR — a doc two hops of near-dup away scores even when
     * it shares neither vocabulary nor embedding direction with the seed).
@@ -202,12 +206,12 @@ object Retrieval {
     require(seeds.nonEmpty, "trimodalSeedExpand: empty seed set")
     require(k >= 1 && poolK >= k, s"need 1 <= k <= poolK, got k=$k poolK=$poolK")
     val wp = Window.partitionBy(col("query_id")).orderBy(col("rank").desc, col("doc_id"))
-    val ppr = seeds
-      .map { sd =>
-        GraphRank.personalizedPagerank(pairs, Seq(sd), iters = pprIters, scale = pprScale)
-          .withColumn("query_id", lit(sd))
-      }
-      .reduce(_ unionByName _)
+    // ONE batched PPR run for all seeds ([[GraphRank.personalizedPagerankMulti]]:
+    // bitwise equal to per-seed runs, but one join+agg per iteration
+    // regardless of seed count — S·iters graph passes collapse to iters)
+    val ppr = GraphRank
+      .personalizedPagerankMulti(pairs, seeds, iters = pprIters, scale = pprScale,
+        seedOut = "query_id")
       .where(col("doc_id") =!= col("query_id"))
       .withColumn("ppr_rank", row_number().over(wp).cast("long"))
       .where(col("ppr_rank") <= poolK)

@@ -106,6 +106,84 @@ class GraphRankSpec extends AnyFunSuite {
     assert(got(1L) > got(3L))
   }
 
+  // richer fixture for the batched runs: two weighted triangles bridged at 3—4
+  private def bridgedPairs = {
+    import spark.implicits._
+    Seq(
+      (1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 1L),
+      (3L, 4L, 1L),
+      (4L, 5L, 3L), (5L, 6L, 1L), (4L, 6L, 2L)).toDF("doc_a", "doc_b", "n_shared")
+  }
+
+  test("multi-seed PPR is bitwise equal to the union of single-seed runs") {
+    val seeds = Seq(1L, 4L, 6L)
+    val multi = GraphRank
+      .personalizedPagerankMulti(bridgedPairs, seeds, iters = 3, scale = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val single = seeds.flatMap { sd =>
+      GraphRank.personalizedPagerank(bridgedPairs, Seq(sd), iters = 3, scale = 1000000L)
+        .collect().map(r => (sd, r.getLong(0)) -> r.getLong(1))
+    }.toMap
+    assert(multi == single,
+      "every (seed, node, rank) row must replay the single-seed integer chain bitwise")
+    // sanity: each seed's block is a full rank vector over the 6 nodes
+    assert(multi.keySet.map(_._1) == seeds.toSet)
+    assert(multi.size == seeds.size * 6)
+  }
+
+  test("multi-seed PPR: duplicate seeds collapse; absent seed fails loudly") {
+    val dedup = GraphRank
+      .personalizedPagerankMulti(bridgedPairs, Seq(1L, 1L, 4L), iters = 1, scale = 1000000L)
+      .collect()
+    assert(dedup.map(_.getLong(0)).distinct.sorted.toSeq == Seq(1L, 4L))
+    val e = intercept[IllegalArgumentException] {
+      GraphRank.personalizedPagerankMulti(bridgedPairs, Seq(1L, 99L), iters = 1,
+        scale = 1000000L).collect()
+    }
+    assert(e.getMessage.contains("not graph nodes"))
+  }
+
+  test("multi-seed PPR: driver-side action count is independent of seed count") {
+    // The point of the batched form: S seeds must NOT mean S·iters graph
+    // passes. Count distinct root SQL-execution ids (ACTIONS) in a job
+    // group — the DedupSpec job-pin discipline — for S=1 vs S=3 and demand
+    // they match exactly (2 counts + the collect, plus any lazy-checkpoint
+    // materializations, all of which are per-RUN, never per-seed).
+    def actionsFor(seeds: Seq[Long], group: String): Int = {
+      val executions = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val p = js.properties
+          if (p != null && group == p.getProperty("spark.jobGroup.id")) {
+            Option(Option(p.getProperty("spark.sql.execution.root.id"))
+                .getOrElse(p.getProperty("spark.sql.execution.id")))
+              .foreach(executions.add)
+          }
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        spark.sparkContext.setJobGroup(group, "multi-ppr action pin")
+        try {
+          GraphRank.personalizedPagerankMulti(bridgedPairs, seeds, iters = 2,
+            scale = 1000000L).collect()
+        } finally spark.sparkContext.clearJobGroup()
+        // listener events are async: poll until stable
+        var last = -1
+        var ticks = 0
+        while (executions.size != last && ticks < 50) {
+          last = executions.size; Thread.sleep(100); ticks += 1
+        }
+        executions.size
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val one = actionsFor(Seq(1L), "graphrank-multi-pin-s1")
+    val three = actionsFor(Seq(1L, 4L, 6L), "graphrank-multi-pin-s3")
+    assert(one == three,
+      s"actions must not scale with seed count: S=1 ran $one, S=3 ran $three")
+  }
+
   test("personalized: seeds absent from the graph fail loudly; empty seeds rejected") {
     val e = intercept[IllegalArgumentException] {
       GraphRank.personalizedPagerank(pathPairs, seeds = Seq(99L), iters = 1,
