@@ -1720,7 +1720,14 @@ object QueriesLlm {
     // corpus-size-independent — then the exact top-20 probed against the
     // merged sketch; every row asserts est >= exact (the one-sided CMS
     // guarantee) and the ε·N overcount bound, and the md5-derived bucket
-    // hashing makes the whole sketch cell-exact cross-engine ──
+    // hashing makes the whole sketch cell-exact cross-engine.
+    // NOTE: ge_exact is a HARD guarantee of the sketch (holds on any
+    // data); within_bound (overcount <= N·11/1024) is only a
+    // with-high-probability bound — it holds on the driver fixtures at
+    // every SF and is asserted as a FIXTURE-PINNED boolean, so a failure
+    // after a fixture/SF change means re-derive the constant for the new
+    // data, not that the engine regressed (an engine bug still trips
+    // ge_exact or the cell-exact hash first) ──
     "top_tokens_cms" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Row-level change-data-capture merge — the MERGE INTO semantics a
@@ -19,8 +20,15 @@ import org.apache.spark.sql.functions._
   *  - no change row: the base row passes through untouched.
   * Changes carry FULL row images, so an update CAN set a column to NULL —
   * the merge selects sides by change presence, never by value coalescing.
-  * At most one change row per key (CDC compaction is the feed's contract;
-  * feeding two images of one key makes the result depend on join order).
+  * At most one change row per key (CDC compaction is the feed's contract).
+  * The contract is ENFORCED by default (`validate = true`): a second
+  * change row for any key fails the job with `raise_error` instead of
+  * silently emitting join-order-dependent duplicate/contradictory rows.
+  * The guard is a windowed count partitioned by the SAME key the merge
+  * joins on, so its shuffle is the one the join needs anyway — cost is
+  * one extra window aggregation, no extra exchange. Pass
+  * `validate = false` only when the feed is compacted upstream by
+  * construction and the window pass is worth skipping.
   *
   * Scale shape: one shuffle each side hash-partitioned by the key (or zero
   * exchanges if both sides are bucketed on it — [[graft.sources.Bucketing]]),
@@ -33,15 +41,35 @@ object Cdc {
       base: DataFrame,
       changes: DataFrame,
       keyCols: Seq[String],
-      opCol: String = "op"): DataFrame = {
+      opCol: String = "op",
+      validate: Boolean = true): DataFrame = {
     require(keyCols.nonEmpty, "applyChanges: need at least one key column")
     val ops = Set("i", "u", "d")
     val dataCols = base.columns.filterNot(keyCols.contains).toSeq
     val b = base.select(
       keyCols.map(col) ++ dataCols.map(n => col(n).as(s"__b_$n")): _*)
-    val c = changes.select(
+    val c0 = changes.select(
       keyCols.map(col) ++ dataCols.map(n => col(n).as(s"__c_$n"))
         :+ col(opCol).as("__c_op"): _*)
+    val c =
+      if (!validate) c0
+      else {
+        // at-most-one-change-per-key contract: fail the job loudly on a
+        // non-compacted feed instead of corrupting the merged state
+        // the guard rides the __c_op column (used downstream) — a guard on
+        // a column that is immediately dropped would be pruned by Catalyst
+        // and never evaluate
+        val wk = Window.partitionBy(keyCols.map(col): _*)
+        c0.withColumn("__c_n", count(lit(1)).over(wk))
+          .withColumn(
+            "__c_op",
+            when(col("__c_n") === 1L, col("__c_op")).otherwise(
+              raise_error(concat(
+                lit("applyChanges: multiple change rows for key ("),
+                concat_ws(",", keyCols.map(n => col(n).cast("string")): _*),
+                lit(") — compact the CDC feed or pass validate = false")))))
+          .drop("__c_n")
+      }
     b.join(c, keyCols, "full_outer")
       // fail loudly on an unknown op rather than silently passing it through
       .withColumn(

@@ -49,7 +49,7 @@ object Retrieval {
     val avg = dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val idf = tf
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .crossJoin(nDocs)
+      .crossJoin(broadcast(nDocs))
       .withColumn(
         "idf",
         round(log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
@@ -58,7 +58,7 @@ object Retrieval {
       .join(tf, "term")
       .join(idf, "term")
       .join(dl, "doc_id")
-      .crossJoin(avg)
+      .crossJoin(broadcast(avg))
       .withColumn(
         "s",
         round(

@@ -375,11 +375,16 @@ object StreamingSessionize {
     * state store, no join, no watermark). Gram hashing is the codegen'd
     * kernel; the per-doc fold is a left-to-right `aggregate` over ~doc-gram
     * elements of pure arithmetic. The fold order differs from the batch
-    * shuffle-sum order, but both sides sum the SAME quantized λs and
+    * shuffle-sum order; both sides sum the SAME quantized λs and
     * re-quantize, so a corpus member streamed through the frozen model
-    * scores bitwise its [[graft.operators.Sampling.dsirWeights]] value
-    * (StreamingSpec pins stream == batch; the declared query's oracle is
-    * the dsir replay itself).
+    * reproduces its [[graft.operators.Sampling.dsirWeights]] value up to
+    * the round-6 tolerance class (the [[bm25ScoreIngest]] phrasing): FP
+    * addition is order-sensitive, so a sum landing exactly on a rounding
+    * boundary could in principle flip the last quantized digit — on the
+    * driver fixtures the two orders agree exactly (StreamingSpec pins
+    * stream == batch; the declared query's oracle is the dsir replay
+    * itself), but exact agreement is fixture-observed, not an arithmetic
+    * identity.
     */
   def dsirScoreIngest(
       docs: DataFrame,

@@ -50,6 +50,20 @@ class CdcSpec extends AnyFunSuite {
     assert(got.size == 4) // 3 base + 1 upsert
   }
 
+  test("a non-compacted feed (two change rows for one key) fails loudly by default") {
+    import spark.implicits._
+    val changes = Seq((2L, "B", 22.0, "u"), (2L, "BB", 23.0, "u")).toDF("k", "s", "v", "op")
+    val e = intercept[Exception] {
+      Cdc.applyChanges(base, changes, Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("multiple change rows")
+      || Option(e.getCause).exists(_.getMessage.contains("multiple change rows")))
+    // opt-out for feeds compacted upstream by construction: no guard, the
+    // documented join-order hazard is the caller's accepted trade
+    val got = Cdc.applyChanges(base, changes, Seq("k"), validate = false).collect()
+    assert(got.length == 4, "without validation both images survive the join")
+  }
+
   test("an unknown op fails the job loudly instead of passing rows through") {
     import spark.implicits._
     val changes = Seq((2L, "b", 20.0, "x")).toDF("k", "s", "v", "op")
