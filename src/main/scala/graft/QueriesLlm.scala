@@ -150,8 +150,32 @@ object QueriesLlm {
   // embed_quantize_pq geometry (m subspaces, k cells, Lloyd iterations),
   // query AND oracle — the oracle unrolls m independent kmeans chains
   private val PqM = 4
-  private val PqK = 4
+  // 16 cells/subspace (16^4 = 65k codes): the smallest geometry whose
+  // ADC recall is a usable signal on the isotropic fixture embeddings —
+  // at the original k = 4 (256 codes) knn_pq_adc recalled 0/50 at sf0.1,
+  // which is the property the recall columns exist to surface
+  private val PqK = 16
   private val PqIters = 2
+  // ANN recall floors at DEFAULT probe settings (k = 5, 10 queries → pool
+  // of 50 exact neighbor slots), query AND oracle: each ANN query carries
+  // n_hit / pool_hits / recall_ok columns vs the brute-force pool
+  // (Similarity.withRecall — the wauValidated discipline) and the oracle
+  // asserts the POOL floor. FIXTURE-PINNED: recall at default settings is
+  // a data-distribution property, measured across the sf0.001/sf0.01/
+  // sf0.1 driver fixtures and floored below the min observed; a floor
+  // violation on unchanged data is a real bucketing/probing regression,
+  // after a fixture change it means re-derive the floor. The mp
+  // (multi-probe) variants exist as the recall knob — their candidate
+  // pools are supersets, so their floors sit strictly above the
+  // single-probe ones.
+  // measured pool_hits (of 50) at sf0.001 / sf0.01 / sf0.1:
+  //   ivf 23/19/18, ivf_mp 38/37/32, lsh 5/7/6, lsh_mp 18/27/27,
+  //   pq 4/6/3 (at PqK = 16)
+  private val IvfRecallFloor = 15
+  private val IvfMpRecallFloor = 30
+  private val LshRecallFloor = 4
+  private val LshMpRecallFloor = 15
+  private val PqRecallFloor = 2
 
   /** The classifier_quality oracle, UNROLLED: the raw-signal feature CTE,
     * the rule-quality bootstrap label, the 6-decimal-quantized
@@ -546,6 +570,40 @@ object QueriesLlm {
     }
     (Seq(head) ++ rounds).mkString(",\n")
   }
+
+  /** Shared recall tail for the ANN oracles: expects the preceding chain to
+    * expose an `ann` CTE with (query_id, neighbor_id, <score>, rank <= 5);
+    * recomputes the exact brute-force top-5 pool over the same queries
+    * (vec_id < 10) and corpus, and appends the per-query `n_hit` /
+    * `recall_ok` columns exactly as [[graft.operators.Similarity.withRecall]]
+    * does — both rankers tie-break on neighbor id, so n_hit replays
+    * deterministically and the floor assertion rides the hash compare.
+    */
+  private def annRecallTailSql(minHits: Int): String =
+    s""",
+       |bfe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bfn AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM bfe),
+       |bfp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)]) / (q.nrm * c.nrm) AS cos
+       |  FROM bfn q JOIN bfn c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+       |),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM bfp
+       |  ) WHERE rank <= 5
+       |),
+       |hit AS (
+       |  SELECT a.query_id, count(b.neighbor_id) AS n_hit
+       |  FROM ann a LEFT JOIN bf b ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+       |  GROUP BY a.query_id
+       |),
+       |pool AS (SELECT CAST(sum(n_hit) AS BIGINT) AS pool_hits FROM hit)
+       |SELECT a.*, h.n_hit, p.pool_hits, p.pool_hits >= $minHits AS recall_ok
+       |FROM ann a JOIN hit h ON a.query_id = h.query_id CROSS JOIN pool p
+       |ORDER BY a.query_id, a.rank""".stripMargin
 
   private def kmeansOracleSql(k: Int, iters: Int): String =
     kmeansCtesSql(k, iters) +
@@ -1287,7 +1345,10 @@ object QueriesLlm {
     // next to brute force and the two hyperplane-LSH routes ──
     "knn_ivf_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfKnn(emb.where(col("vec_id") < 10), emb, k = 5, cells = KmK, iters = KmIters)
+      val q = emb.where(col("vec_id") < 10)
+      Similarity.withRecall(
+        Similarity.ivfKnn(q, emb, k = 5, cells = KmK, iters = KmIters),
+        q, emb, k = 5, minPoolHits = IvfRecallFloor)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1296,9 +1357,10 @@ object QueriesLlm {
     // on the broadcast query side, corpus still partitioned once ──
     "knn_ivf_cosine_mp" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfKnn(
-        emb.where(col("vec_id") < 10), emb, k = 5, cells = KmK, iters = KmIters,
-        nProbes = IvfProbes)
+      val q = emb.where(col("vec_id") < 10)
+      Similarity.withRecall(
+        Similarity.ivfKnn(q, emb, k = 5, cells = KmK, iters = KmIters, nProbes = IvfProbes),
+        q, emb, k = 5, minPoolHits = IvfMpRecallFloor)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1314,8 +1376,10 @@ object QueriesLlm {
     // candidate — the search half of product quantization ──
     "knn_pq_adc" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.pqAdcKnn(
-        emb.where(col("vec_id") < 10), emb, k = 5, m = PqM, cells = PqK, iters = PqIters)
+      val q = emb.where(col("vec_id") < 10)
+      Similarity.withRecall(
+        Similarity.pqAdcKnn(q, emb, k = 5, m = PqM, cells = PqK, iters = PqIters),
+        q, emb, k = 5, minPoolHits = PqRecallFloor)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1377,7 +1441,10 @@ object QueriesLlm {
     // md5-derived hyperplanes → the DuckDB oracle recomputes the buckets) ──
     "knn_lsh_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshKnn(emb.where(col("vec_id") < 10), emb, k = 5, nPlanes = KnnPlanes)
+      val q = emb.where(col("vec_id") < 10)
+      Similarity.withRecall(
+        Similarity.lshKnn(q, emb, k = 5, nPlanes = KnnPlanes),
+        q, emb, k = 5, minPoolHits = LshRecallFloor)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1515,8 +1582,10 @@ object QueriesLlm {
     // expansion is query-side so the corpus join stays an equi-join) ──
     "knn_lsh_cosine_mp" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshKnn(
-        emb.where(col("vec_id") < 10), emb, k = 5, nPlanes = KnnPlanes, probeHamming = 1)
+      val q = emb.where(col("vec_id") < 10)
+      Similarity.withRecall(
+        Similarity.lshKnn(q, emb, k = 5, nPlanes = KnnPlanes, probeHamming = 1),
+        q, emb, k = 5, minPoolHits = LshMpRecallFloor)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2855,9 +2924,11 @@ object QueriesLlm {
            |), r AS (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
            |  FROM p
-           |)
-           |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
-           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+           |),
+           |ann AS (
+           |  SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+           |  FROM r WHERE rank <= 5
+           |)""".stripMargin + annRecallTailSql(IvfRecallFloor)),
 
     // Multi-probe IVF replay: per-query cells ranked by centroid cosine
     // (DESC, cluster ASC — matching the struct(-cos, cell) ascending sort),
@@ -2889,9 +2960,11 @@ object QueriesLlm {
            |), r AS (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
            |  FROM p
-           |)
-           |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
-           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+           |),
+           |ann AS (
+           |  SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+           |  FROM r WHERE rank <= 5
+           |)""".stripMargin + annRecallTailSql(IvfMpRecallFloor)),
 
     // PQ replay: one namespaced kmeans chain per subspace over the
     // corresponding vector slice (DuckDB r[a:b] == Spark slice), final
@@ -2967,9 +3040,11 @@ object QueriesLlm {
            |r AS (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
            |  FROM p
-           |)
-           |SELECT query_id, neighbor_id, round(adc, 6) AS adc_score, CAST(rank AS BIGINT) AS rank
-           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+           |),
+           |ann AS (
+           |  SELECT query_id, neighbor_id, round(adc, 6) AS adc_score, CAST(rank AS BIGINT) AS rank
+           |  FROM r WHERE rank <= 5
+           |)""".stripMargin + annRecallTailSql(PqRecallFloor)
     },
 
     // Quantization replay: per-dim bounds are min/max SELECTIONS (no
@@ -3256,7 +3331,7 @@ object QueriesLlm {
     // top-5 — the one approximate operator is thereby hash-verified
     // end-to-end.
     "knn_lsh_cosine" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
         |bkt AS (
         |  SELECT vec_id,
@@ -3273,16 +3348,18 @@ object QueriesLlm {
         |), r AS (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM p
-        |)
-        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        |),
+        |ann AS (
+        |  SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+        |  FROM r WHERE rank <= 5
+        |)""".stripMargin + annRecallTailSql(LshRecallFloor)),
 
     // Multi-probe replay: identical buckets, join widened to the Hamming-1
     // ball on the sign bits (bit_count of the bucket xor <= 1 ⟺ own bucket
     // or one marginal plane flipped — the same probe set the Spark side
     // expands explicitly).
     "knn_lsh_cosine_mp" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM e),
         |bkt AS (
         |  SELECT vec_id,
@@ -3301,9 +3378,11 @@ object QueriesLlm {
         |), r AS (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM p
-        |)
-        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        |),
+        |ann AS (
+        |  SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+        |  FROM r WHERE rank <= 5
+        |)""".stripMargin + annRecallTailSql(LshMpRecallFloor)),
 
     // Replays fakeFeaturesFromChecksum + bruteForceKnn: component j derives
     // from md5(md5(text) || '_' || (j-1)) exactly as the Spark side (payload

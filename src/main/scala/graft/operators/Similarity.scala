@@ -89,6 +89,55 @@ object Similarity {
         round(col("cos"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Self-validating ANN recall: append `n_hit` (how many of THIS query's
+    * ANN neighbors appear in the EXACT brute-force top-k), `pool_hits`
+    * (the sum over the whole query set — the numerator of the standard
+    * mean-recall@k eval number), and `recall_ok`
+    * (`pool_hits >= minPoolHits`) columns to an approximate KNN result —
+    * the recall a real pipeline tunes its `nProbes`/band settings against,
+    * emitted as oracle-assertable columns in the result itself (the
+    * approx-WAU `wauValidated` discipline: the quality claim rides the
+    * row and the oracle hashes it). The floor is POOL-level on purpose:
+    * per-query recall at default settings is high-variance (a single
+    * query whose true neighbors straddle a cell boundary scores 0 even
+    * when the method is healthy); the pool total is the tuning signal.
+    *
+    * Scale shape: recall is always measured against a QUERY SAMPLE — the
+    * query side is the same KB-scale broadcast the ANN search itself uses,
+    * so the exact pool costs one extra corpus scan (the knn_brute_cosine
+    * shape), the standard eval-harness overhead; the k·|queries|-row exact
+    * pool and the per-query hit counts are broadcast one-row/KB-scale
+    * frames. `minPoolHits` is FIXTURE-PINNED: recall at default probe
+    * settings is a property of the data distribution, so a floor
+    * violation after a fixture/SF change means re-derive the floor (or
+    * raise the probe setting), while a violation on unchanged data is a
+    * real regression in the bucketing/probing code.
+    *
+    * Both rankers break ties on neighbor id, so every column is
+    * deterministic and the DuckDB oracle replays it exactly.
+    */
+  def withRecall(
+      ann: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      minPoolHits: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(minPoolHits >= 0, s"need minPoolHits >= 0, got $minPoolHits")
+    val exact = bruteForceKnn(queries, corpus, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    val hits = ann
+      .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+    val pool = hits.agg(sum(col("n_hit")).as("pool_hits"))
+    ann
+      .join(broadcast(hits), "query_id")
+      .crossJoin(broadcast(pool))
+      .withColumn("recall_ok", col("pool_hits") >= minPoolHits)
+  }
+
   /** Per-label embedding centroids in ONE aggregation pass via the
     * [[graft.functions.VectorSumAgg]] custom aggregate: the map-side partial
     * per (task, label) is a single dim-length buffer and the shuffle carries

@@ -32,6 +32,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("withRecall: brute force against itself scores a full pool; columns replay the hit count") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val q = emb.where(col("vec_id") < 5)
+    val ann = Similarity.bruteForceKnn(q, emb, k = 3)
+    val out = Similarity.withRecall(ann, q, emb, k = 3, minPoolHits = 15).cache()
+    val rows = out.collect()
+    // the ANN result IS the exact pool → every query hits k, pool = 5*3
+    assert(rows.forall(_.getAs[Long]("n_hit") == 3L))
+    assert(rows.forall(_.getAs[Long]("pool_hits") == 15L))
+    assert(rows.forall(_.getAs[Boolean]("recall_ok")))
+    // row count and ANN columns pass through untouched
+    assert(rows.length == ann.count().toInt)
+  }
+
+  test("withRecall: a miss-only ANN result scores zero and fails a positive floor") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, SfDir)
+    val q = emb.where(col("vec_id") < 5)
+    // fabricate an ANN result whose neighbors are certainly not in the
+    // exact top-3 pool: each query "finds" only itself-shaped ids far
+    // outside the corpus id range
+    val fake = Seq((0L, -1L), (1L, -2L), (2L, -3L), (3L, -4L), (4L, -5L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.withRecall(fake, q, emb, k = 3, minPoolHits = 1).collect()
+    assert(out.forall(_.getAs[Long]("n_hit") == 0L))
+    assert(out.forall(_.getAs[Long]("pool_hits") == 0L))
+    assert(out.forall(!_.getAs[Boolean]("recall_ok")))
+  }
+
   test("lsh knn returns exact-within-bucket results (subset of brute-force domain)") {
     val emb = Tables.embeddings(spark, SfDir)
     val lsh = Similarity.lshKnn(emb.where(col("vec_id") < 5), emb, k = 3, nPlanes = 2)
