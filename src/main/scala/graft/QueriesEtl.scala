@@ -156,6 +156,45 @@ object QueriesEtl {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ── PARTITION-PRUNED CDC merge ([[Cdc.applyChangesPruned]]): the base
+    // written as a REAL partitioned table (by o_orderpriority), a change
+    // batch touching ONLY the 1-URGENT partition, the merge restricted to
+    // that partition via static PartitionFilters (PlanSpec-pinned probe),
+    // and ONLY that partition rewritten through dynamic overwrite — the
+    // other four partitions' files are never read and never rewritten.
+    // Returned: the final table state read back from disk, so the hash
+    // proves passthrough partitions byte-survived and the touched one
+    // merged exactly ──
+    "cdc_merge_pruned" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-cdc-pruned").toString
+      base.write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
+      val pbase = s.read.parquet(root)
+      val urgent = pbase.where(col("o_orderpriority") === "1-URGENT")
+      val upd = urgent.where(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+        .withColumn("op", lit("u"))
+      val del = urgent.where(col("o_orderkey") % 10 === 7)
+        .withColumn("op", lit("d"))
+      val ins = urgent.where(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("op", lit("i"))
+      val mergedTouched = Cdc.applyChangesPruned(
+        pbase, upd.unionByName(del).unionByName(ins),
+        keyCols = Seq("o_orderkey"), partCols = Seq("o_orderpriority"))
+      mergedTouched.write
+        .partitionBy("o_orderpriority")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(root)
+      s.read.parquet(root)
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ── S3: templated SQL entry ({TABLE} substitution), WAU job verbatim
     // shape (ref UserIdBaseWauTransformer.scala:20-40).
     "sql_templated_wau" -> ((s, dir) => {
@@ -313,6 +352,24 @@ object QueriesEtl {
         |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
         |       o_orderdate, 'NEW'
         |FROM orders WHERE o_orderkey % 10 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // cdc_merge_pruned: untouched partitions pass through verbatim; the
+    // 1-URGENT partition replays the same update/delete/insert merge
+    "cdc_merge_pruned" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 != 7
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 1
         |ORDER BY o_orderkey""".stripMargin,
 
     "csv_roundtrip" ->

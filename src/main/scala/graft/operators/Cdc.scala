@@ -37,6 +37,56 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Executed-plan probe for the most recent [[applyChangesPruned]] call —
+    * lets PlanSpec pin that the base scan carries PartitionFilters (the
+    * prune actually reached the source) without widening the signature.
+    */
+  @volatile private[graft] var lastPrunedMergePlan: String = ""
+
+  /** PARTITION-PRUNED CDC merge: at 100 TB a CDC batch typically touches a
+    * fraction of the base's partitions, and the full-outer shape of
+    * [[applyChanges]] would still read (and a rewrite would rewrite) ALL of
+    * them. This variant computes the set of partitions the change batch
+    * touches, restricts the merge to THOSE partitions of the base — the
+    * partition predicate is a literal disjunction, so it reaches the scan
+    * as PartitionFilters (static pruning, PlanSpec-pinned) — and returns
+    * only the touched partitions' merged rows, ready for
+    * [[graft.sources.TableManager]]-style DYNAMIC partition overwrite:
+    * untouched partitions are never read and never rewritten.
+    *
+    * The touched-partition collect is METADATA-scale (bounded by the
+    * number of partitions one CDC batch touches, never by data volume) —
+    * the same class as a partition listing, not a data-plane collect.
+    *
+    * Contract (on top of [[applyChanges]]'s): partition values are STABLE
+    * per key — full-row-image changes carry their key's partition value,
+    * and a feed that MOVES a key across partitions must use the
+    * unpartitioned [[applyChanges]] (the old partition's row lives outside
+    * the pruned read, so a move would duplicate the key; this is the
+    * standard immutable-partition-key constraint of pruned MERGEs). Insert
+    * rows may target partitions absent from the base — dynamic overwrite
+    * creates them.
+    */
+  def applyChangesPruned(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      partCols: Seq[String],
+      opCol: String = "op",
+      validate: Boolean = true): DataFrame = {
+    require(partCols.nonEmpty, "applyChangesPruned: need at least one partition column")
+    require(keyCols.intersect(partCols).isEmpty,
+      s"applyChangesPruned: key and partition columns overlap: ${keyCols.intersect(partCols)}")
+    val touched = changes.select(partCols.map(col): _*).distinct().collect()
+    require(touched.nonEmpty, "applyChangesPruned: empty change batch (no partitions touched)")
+    val pred = touched.map { row =>
+      partCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(row.get(i)) }.reduce(_ && _)
+    }.reduce(_ || _)
+    val merged = applyChanges(base.where(pred), changes, keyCols, opCol, validate)
+    lastPrunedMergePlan = merged.queryExecution.executedPlan.toString
+    merged
+  }
+
   def applyChanges(
       base: DataFrame,
       changes: DataFrame,

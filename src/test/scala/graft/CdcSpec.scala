@@ -64,6 +64,36 @@ class CdcSpec extends AnyFunSuite {
     assert(got.length == 4, "without validation both images survive the join")
   }
 
+  test("pruned merge: returns only touched partitions' merged rows; new partitions insert") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "p1", 10.0), (2L, "p1", 20.0),
+      (3L, "p2", 30.0), (4L, "p2", 40.0),
+      (5L, "p3", 50.0)).toDF("k", "part", "v")
+    val changes = Seq(
+      (2L, "p1", 22.0, "u"),   // update in p1
+      (1L, "p1", 10.0, "d"),   // delete in p1
+      (9L, "p9", 90.0, "i")    // insert into a BRAND-NEW partition
+    ).toDF("k", "part", "v", "op")
+    val got = Cdc.applyChangesPruned(base, changes, Seq("k"), Seq("part"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // p2/p3 rows are NOT in the output — they are the partitions a dynamic
+    // overwrite would leave untouched on disk
+    assert(got == Set((2L, "p1", 22.0), (9L, "p9", 90.0)))
+  }
+
+  test("pruned merge: key and partition columns must not overlap; empty batch fails loudly") {
+    import spark.implicits._
+    val base = Seq((1L, "p1", 10.0)).toDF("k", "part", "v")
+    intercept[IllegalArgumentException] {
+      Cdc.applyChangesPruned(base, base.withColumn("op", lit("u")), Seq("k", "part"), Seq("part"))
+    }
+    val empty = Seq.empty[(Long, String, Double, String)].toDF("k", "part", "v", "op")
+    intercept[IllegalArgumentException] {
+      Cdc.applyChangesPruned(base, empty, Seq("k"), Seq("part"))
+    }
+  }
+
   test("an unknown op fails the job loudly instead of passing rows through") {
     import spark.implicits._
     val changes = Seq((2L, "b", 20.0, "x")).toDF("k", "s", "v", "op")

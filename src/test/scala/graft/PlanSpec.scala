@@ -260,6 +260,14 @@ class PlanSpec extends AnyFunSuite {
       s"the source filter must prune partition directories, not rows:\n$p")
   }
 
+  test("cdc_merge_pruned: the base scan is PARTITION-pruned to the touched partition") {
+    // run the query (it executes the pruned merge and sets the probe)
+    SparkEntry.queries("cdc_merge_pruned")(spark, SfDir).collect()
+    val p = graft.operators.Cdc.lastPrunedMergePlan
+    assert(p.contains("PartitionFilters") && p.contains("1-URGENT"),
+      s"the touched-partition predicate must prune at the partition level, not the row level:\n$p")
+  }
+
   test("final-r7 batch queries: equi-joins only — no cartesian, scalar BNLJs bounded") {
     // cap = number of 1-ROW scalar frames the query legitimately crossJoins
     // (corpus totals, avgdl); anything above it means a real relation fell
