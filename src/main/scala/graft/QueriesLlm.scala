@@ -1649,6 +1649,120 @@ object QueriesLlm {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    // ── the FUSED ingestion pass ([[StreamingSessionize.ingestAnnotate]]):
+    // production runs admission near-dup + Bloom decontamination + DSIR +
+    // BM25 scoring + the CMS update as ONE stream over the incoming batch,
+    // not five — this query proves it: a 3-file replay drives a real
+    // foreachBatch stream whose micro-batches are persisted ONCE and feed
+    // every leg plus the cross-batch CMS accumulator (the only state,
+    // 4×256 cells). Deterministic legs hash-replay in the oracle;
+    // the Bloom verdict (probabilistic in the FP direction) rides the
+    // one-sided decon_ok law; cms_ok pins accumulated-stream cells ==
+    // batch sketch cell-for-cell ──
+    "ingest_batch" -> ((s, dir) => {
+      import java.nio.file.{Files, StandardCopyOption}
+      import java.nio.file.attribute.FileTime
+      val docs = Tables.documents(s, dir)
+      val eval = docs.where(col("doc_id") % 50 === 0)
+      val streamed = docs.where(col("doc_id") % 50 =!= 0).select(col("doc_id"), col("text"))
+      val bytes = Dedup.evalGramFilter(eval, n = GramN, fpp = BloomFpp)
+      val lam = Sampling.dsirLambdaArray(docs, dsirTarget(docs), n = DsirN, buckets = DsirBuckets)
+      val qterms = Bm25Queries.map { case (qid, text) =>
+        qid -> text.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+      }
+      val (idfMap, avgdl) = Retrieval.frozenLexicon(docs, qterms.flatMap(_._2))
+      val idx = StreamingSessionize.corpusBandIndex(docs, bands = MhBands)
+      val base = Files.createTempDirectory("graft_ingest_batch_")
+      val streamDir = base.resolve("stream")
+      Files.createDirectories(streamDir)
+      val accumDir = base.resolve("out").toString
+      val cmsAcc = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+      try {
+        // three deterministic shards, one file each → three real triggers
+        (0 until 3).foreach { i =>
+          val stage = base.resolve(s"stage_$i")
+          streamed.where(pmod(col("doc_id"), lit(3)) === i)
+            .coalesce(1).write.parquet(stage.toString)
+          val part = Files.list(stage).iterator()
+          var found: java.nio.file.Path = null
+          while (part.hasNext) {
+            val p = part.next()
+            if (p.getFileName.toString.endsWith(".parquet")) found = p
+          }
+          require(found != null, s"no parquet part written for shard $i")
+          val dest = streamDir.resolve(f"part_$i%03d.parquet")
+          Files.move(found, dest, StandardCopyOption.ATOMIC_MOVE)
+          Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
+          ()
+        }
+        idx.persist()
+        try {
+          val q = s.readStream
+            .schema(streamed.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(streamDir.toString)
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              b.persist()
+              try {
+                StreamingSessionize.ingestAnnotate(
+                  b, idx, bytes, lam, qterms, idfMap, avgdl,
+                  minEstJaccard = 0.5, bands = MhBands,
+                  deconMinShared = DeconMinShared, deconN = GramN, dsirN = DsirN)
+                  .write.mode("append").parquet(accumDir)
+                CountMin
+                  .sketch(b.select(explode(TextAnalysis.tokens(col("text"))).as("token")), "token")
+                  .collect()
+                  .foreach { r =>
+                    val key = (r.getAs[Number]("row").longValue, r.getAs[Number]("bucket").longValue)
+                    cmsAcc(key) = cmsAcc(key) + r.getAs[Number]("cnt").longValue
+                  }
+              } finally { b.unpersist(); () }
+            }
+            .start()
+          try q.processAllAvailable()
+          finally q.stop()
+        } finally idx.unpersist()
+        val batchCells = CountMin
+          .sketch(streamed.select(explode(TextAnalysis.tokens(col("text"))).as("token")), "token")
+          .collect()
+          .map(r => (r.getAs[Number]("row").longValue, r.getAs[Number]("bucket").longValue)
+            -> r.getAs[Number]("cnt").longValue)
+          .toMap
+        val cmsOk = cmsAcc.toMap == batchCells
+        val perDoc = s.read.parquet(accumDir)
+        val exact = Dedup.contaminationReport(
+          docs.where(col("doc_id") % 50 =!= 0), eval, minShared = DeconMinShared, n = GramN)
+        perDoc
+          .join(exact.select(col("doc_id"), lit(true).as("qe")), Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("n_dup"),
+            coalesce(col("qe"), lit(false)).as("quarantined_exact"),
+            (!coalesce(col("qe"), lit(false)) || col("stream_quarantined")).as("decon_ok"),
+            col("log_weight"), col("selected"),
+            col("bm25_best_q"), col("bm25_best"),
+            (col("n_dup") === 0 && !coalesce(col("qe"), lit(false)) && col("selected"))
+              .as("admitted"),
+            lit(cmsOk).as("cms_ok"))
+          .orderBy(col("doc_id"))
+      } finally {
+        // the returned plan reads accumDir lazily — it is materialized by
+        // Verify's write before this temp tree could matter, but only the
+        // STAGING files are safe to drop here; accumDir must survive the
+        // return. Verify/Bench temp roots are process-temp, cleaned by the
+        // harness environment.
+        import scala.util.Try
+        (0 until 3).foreach { i =>
+          Try(Files.walk(base.resolve(s"stage_$i")).iterator()).foreach { it =>
+            val ps = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+            while (it.hasNext) { ps += it.next(); () }
+            ps.reverse.foreach(p => Try(Files.delete(p)))
+          }
+        }
+      }
+    }),
+
     // ── CCNet-style LM quality scoring ([[LanguageModel.perplexity]]): an
     // add-1-smoothed bigram model fitted on the SAME quality-target pool as
     // dsir_weights, every doc scored by quantized per-bigram avg negative
@@ -2151,6 +2265,79 @@ object QueriesLlm {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** ingest_batch replay: the streamed set is `doc_id % 50 <> 0`; the
+    * near-dup leg reuses the minhash band chain (corpus = ALL documents,
+    * self excluded, signature-verified at 0.5 — ratios are dyadic
+    * multiples of 1/MhK, so the Spark side's round(…, 6) is the identity
+    * and the raw comparison here matches bitwise); exact contamination
+    * reuses the shared gram hash space; the DSIR and BM25 legs embed
+    * their own full oracles as SCOPED subquery CTE chains (DuckDB WITH
+    * inside a parenthesized subquery — name collisions with the outer
+    * chain are impossible); the two stream-only guarantees are
+    * law-asserted TRUE.
+    */
+  private def ingestBatchOracleSql: String = {
+    val vals = Bm25Queries
+      .flatMap { case (qid, text) =>
+        text.split("\\s+").filter(_.nonEmpty).distinct.map(t => s"('$qid', '$t')")
+      }
+      .mkString(", ")
+    val bm25Nested =
+      s"""WITH ${bm25CtesBody(s"q AS (SELECT * FROM (VALUES $vals) AS t(query_id, term))")}
+         |SELECT query_id, doc_id, score FROM sc""".stripMargin
+    s"""$gramsCte,
+       |${minhashCandCte()},
+       |dup AS (
+       |  SELECT l.doc_id, CAST(count(DISTINCT r.doc_id) AS BIGINT) AS n_dup
+       |  FROM banded l
+       |  JOIN banded r ON l.band = r.band AND l.band_key = r.band_key AND r.doc_id <> l.doc_id
+       |  JOIN sigs sa ON sa.doc_id = l.doc_id
+       |  JOIN sigs sb ON sb.doc_id = r.doc_id
+       |  WHERE l.doc_id % 50 <> 0
+       |    AND CAST(len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, ${MhK + 1})], x -> x)) AS DOUBLE) / $MhK >= 0.5
+       |  GROUP BY l.doc_id
+       |),
+       |hh AS (
+       |  SELECT doc_id,
+       |         list_distinct([('0x' || substr(md5(x), 1, 8))::BIGINT for x in g]) AS hs
+       |  FROM grams
+       |),
+       |ev AS (SELECT DISTINCT h FROM (SELECT unnest(hs) AS h FROM hh WHERE doc_id % 50 = 0)),
+       |conta AS (
+       |  SELECT doc_id, count(*) AS ns
+       |  FROM (SELECT doc_id, unnest(hs) AS h FROM hh WHERE doc_id % 50 <> 0) tr
+       |  JOIN ev USING (h) GROUP BY doc_id
+       |),
+       |ds AS (SELECT * FROM (
+       |$dsirOracleSql
+       |) dsq),
+       |bb AS (
+       |  SELECT doc_id, query_id AS bm25_best_q, score AS bm25_best FROM (
+       |    SELECT t.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, query_id) AS rn
+       |    FROM (
+       |$bm25Nested
+       |    ) t
+       |  ) WHERE rn = 1
+       |)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup,
+       |       coalesce(conta.ns, 0) >= $DeconMinShared AS quarantined_exact,
+       |       TRUE AS decon_ok,
+       |       coalesce(ds.log_weight, 0.0) AS log_weight,
+       |       coalesce(ds.selected, FALSE) AS selected,
+       |       coalesce(bb.bm25_best_q, '') AS bm25_best_q,
+       |       coalesce(bb.bm25_best, 0.0) AS bm25_best,
+       |       (coalesce(dup.n_dup, 0) = 0 AND coalesce(conta.ns, 0) < $DeconMinShared
+       |        AND coalesce(ds.selected, FALSE)) AS admitted,
+       |       TRUE AS cms_ok
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+       |LEFT JOIN dup USING (doc_id)
+       |LEFT JOIN conta USING (doc_id)
+       |LEFT JOIN ds USING (doc_id)
+       |LEFT JOIN bb USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** hybrid_seed_expand replay: BM25 pool (seed tokens as query) + cosine
     * pool (the knn_brute_cosine shape restricted to the seeds), fused by
     * integer reciprocal-rank: `1000000000 // (60 + rank)` summed over the
@@ -2435,6 +2622,14 @@ object QueriesLlm {
     // Okapi BM25 top-10 over the fixed query set; expression shapes and
     // double-typed literals mirror Retrieval.bm25Scores exactly.
     "bm25_topk" -> bm25TopkOracleSql,
+
+    // The FUSED ingestion pass: every deterministic leg replayed exactly —
+    // near-dup counts via the minhash/band chain, exact-contamination via
+    // the shared gram hash space, DSIR and BM25 as nested replays of their
+    // own oracles (scoped subquery CTEs) — and the two stream-only claims
+    // (Bloom no-false-negative, accumulated CMS == batch sketch) as
+    // law-asserted TRUE columns, the stream_decontaminate discipline.
+    "ingest_batch" -> ingestBatchOracleSql,
 
     // Count-min sketch rebuilt CELL BY CELL (md5-salted bucket hashing is
     // engine-neutral), per-source sketches merged by bucket addition, the

@@ -3,6 +3,7 @@ package graft.streaming
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -487,4 +488,103 @@ object StreamingSessionize {
       .groupBy(window(col("ts"), "7 days", "7 days", "4 days"))
       .agg(approx_count_distinct(col(keyCol), rsd).as("wau_approx"))
       .select(to_date(col("window.start")).as("event_week"), col("wau_approx"))
+
+  /** FUSED ingestion annotation — the production admission pipeline run as
+    * ONE pass over an incoming micro-batch (the `foreachBatch` shape: the
+    * batch is persisted once and every leg reads the cache, so the source
+    * files are scanned exactly once per trigger and the only cross-batch
+    * state is whatever the caller accumulates — for the declared query,
+    * the 4×256 CMS cells):
+    *
+    *  1. admission near-dup — MinHash band probe against the persisted
+    *     corpus index ([[corpusBandIndex]]; self-matches excluded,
+    *     signature-verified at `minEstJaccard`) → `n_dup`;
+    *  2. benchmark decontamination — stateless Bloom probe
+    *     ([[decontaminateIngest]]'s expression, kept per-doc) →
+    *     `stream_quarantined`;
+    *  3. DSIR selection — frozen-λ scoring ([[dsirScoreIngest]]) →
+    *     `log_weight`, `selected`;
+    *  4. BM25 relevance — frozen-lexicon scoring ([[bm25ScoreIngest]]),
+    *     reduced to the per-doc argmax (ties to the smallest query id) →
+    *     `bm25_best_q`, `bm25_best`.
+    *
+    * Docs missing from a leg (no grams / no matching query) coalesce to
+    * the leg's zero element, so the output is exactly one row per incoming
+    * doc. Every column except `stream_quarantined` is deterministic and
+    * SQL-replayable; the Bloom verdict is probabilistic in the
+    * false-positive direction, so the declared query folds it into the
+    * one-sided no-false-negative law column instead of hashing it raw
+    * (the stream_decontaminate discipline).
+    *
+    * Scale shape: one cache pass per leg over a micro-batch-sized frame;
+    * the corpus index is the only big relation and it arrives banded +
+    * persisted (equi-join probe); the model sides (Bloom bytes, λ table,
+    * idf map, avgdl) are plan literals. Nothing here grows with corpus
+    * size except the index probe, which is the same join the batch
+    * admission dedup runs.
+    */
+  def ingestAnnotate(
+      batch: DataFrame,
+      corpusIndex: DataFrame,
+      evalFilter: Array[Byte],
+      lambda: Array[Double],
+      queries: Seq[(String, Seq[String])],
+      idf: Map[String, Double],
+      avgdl: Double,
+      minEstJaccard: Double = 0.5,
+      bands: Int = 8,
+      deconMinShared: Int = 2,
+      deconN: Int = 3,
+      dsirN: Int = 2): DataFrame = {
+    import graft.functions.{BloomFunctions, TextKernels}
+    import graft.operators.Dedup
+    TextKernels.register(batch.sparkSession)
+    BloomFunctions.register(batch.sparkSession)
+    val k = Dedup.MinhashSeeds.size
+    if (corpusIndex.schema.fieldNames.contains("band")) {
+      val m = corpusIndex.schema("band").metadata
+      if (m.contains("graft.bands"))
+        require(m.getLong("graft.bands") == bands.toLong,
+          s"corpusIndex was banded with bands=${m.getLong("graft.bands")} but ingestAnnotate probes with bands=$bands")
+    }
+    val ids = batch.select(col("doc_id"))
+    val dup = Dedup.withBandKeys(Dedup.minhashSignatures(batch), bands)
+      .join(corpusIndex, Seq("band", "band_key"))
+      .where(col("corpus_doc_id") =!= col("doc_id"))
+      .withColumn(
+        "n_match",
+        size(filter(zip_with(col("sig"), col("corpus_sig"), (x, y) => x === y), b => b)))
+      .where(round(col("n_match").cast("double") / k, 6) >= minEstJaccard)
+      .select(col("doc_id"), col("corpus_doc_id")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    val dec = batch
+      .select(
+        col("doc_id"),
+        array_distinct(
+          TextKernels.orderedGramHashesCol(
+            graft.operators.TextAnalysis.tokens(col("text")), deconN)).as("hs"))
+      .select(
+        col("doc_id"),
+        (size(filter(col("hs"), h => BloomFunctions.bloomContains(lit(evalFilter), h)))
+          .cast("long") >= deconMinShared).as("stream_quarantined"))
+    val dsir = dsirScoreIngest(batch, lambda, n = dsirN)
+      .select(col("doc_id"), col("log_weight"), col("selected"))
+    val wb = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("query_id"))
+    val best = bm25ScoreIngest(batch, queries, idf, avgdl)
+      .withColumn("rn", row_number().over(wb)).where(col("rn") === 1)
+      .select(col("doc_id"), col("query_id").as("bm25_best_q"), col("score").as("bm25_best"))
+    ids
+      .join(dup, Seq("doc_id"), "left")
+      .join(dec, Seq("doc_id"), "left")
+      .join(dsir, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("stream_quarantined"), lit(false)).as("stream_quarantined"),
+        coalesce(col("log_weight"), lit(0.0)).as("log_weight"),
+        coalesce(col("selected"), lit(false)).as("selected"),
+        coalesce(col("bm25_best_q"), lit("")).as("bm25_best_q"),
+        coalesce(col("bm25_best"), lit(0.0)).as("bm25_best"))
+  }
 }

