@@ -111,6 +111,77 @@ object Bpe {
     } finally { base.unpersist(); () }
   }
 
+  /** Driver-local BPE training over the COLLECTED word-count table — the
+    * large-`nMerges` route. [[trainMerges]] runs one vocab-scale Spark
+    * aggregation job plus a 1-row collect PER MERGE ROUND: the right
+    * distributed shape at the fixture's `nMerges = 6`, but a production
+    * tokenizer's 32k merges would schedule 32k SEQUENTIAL Spark jobs —
+    * hours of pure driver/scheduler latency regardless of cluster size,
+    * with each job scanning the persisted word table end to end. The
+    * HF/SentencePiece decomposition applies instead: after the ONE
+    * corpus-scale word-count pass ([[wordCounts]] — this stays
+    * distributed), the working set is VOCAB-scale (the heavy-tailed
+    * ~10⁷–10⁸ distinct words of a web corpus ≈ a few GB of (word, n)
+    * pairs), which fits on the driver; collect it ONCE and run the merge
+    * loop in memory. `maxWords` guards the collect — the loop REFUSES a
+    * larger vocabulary instead of OOMing, and the caller falls back to
+    * [[trainMerges]] (or pre-prunes hapax words, the standard trainer
+    * trick that shrinks the table ~2× with no effect on early merges).
+    *
+    * Semantics are IDENTICAL to [[trainMerges]] by construction — same
+    * integer pair counts, same (count DESC, l ASC, r ASC) argmax, same
+    * greedy-left merge application — BpeSpec pins the equality on fixtures.
+    * Each round recounts pairs over the live word table (O(total symbols)
+    * driver work per round, no JVM-to-cluster round trip); an incremental
+    * pair-delta table is the further refinement real trainers add, noted
+    * here rather than implemented because the recount is already
+    * millisecond-scale at vocab sizes that fit a driver.
+    */
+  def trainMergesLocal(
+      docs: DataFrame,
+      nMerges: Int,
+      textCol: String = "text",
+      maxWords: Long = 20000000L): Seq[Merge] = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val rows = wordCounts(docs, textCol).limit((maxWords + 1).toInt).collect()
+    require(rows.length <= maxWords,
+      s"bpe: vocabulary exceeds maxWords=$maxWords — use trainMerges (distributed) or raise the bound")
+    // (symbols, weight) per distinct word; symbols mutate as merges land
+    val words: Array[(ArrayBuffer[String], Long)] =
+      rows.map(r => (ArrayBuffer(r.getString(0).split("(?!^)").toIndexedSeq: _*), r.getLong(1)))
+    val out = ArrayBuffer.empty[Merge]
+    for (rank <- 1 to nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + n
+          i += 1
+        }
+      }
+      require(counts.nonEmpty,
+        s"bpe: corpus exhausted after ${rank - 1} merges, $nMerges requested")
+      val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      out += Merge(rank.toLong, l, r, l + r, c)
+      // greedy LEFT single pass, the applyMerge fold verbatim: a symbol
+      // minted this round never re-merges within the round
+      words.foreach { case (syms, _) =>
+        if (syms.length >= 2) {
+          val acc = ArrayBuffer(syms.head)
+          var i = 1
+          while (i < syms.length) {
+            if (acc.last == l && syms(i) == r) acc(acc.length - 1) = l + r
+            else acc += syms(i)
+            i += 1
+          }
+          syms.clear(); syms ++= acc; ()
+        }
+      }
+    }
+    out.toSeq
+  }
+
   /** TOKENIZE with a frozen merge table: the trainer's inverse — apply the
     * ranked merges in order to every document's words and count the
     * resulting subword tokens. The merge table rides the plan as literals

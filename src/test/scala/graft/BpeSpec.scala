@@ -85,4 +85,30 @@ class BpeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exhausted"))
     intercept[IllegalArgumentException](Bpe.trainMerges(tiny, 0))
   }
+
+  test("driver-local route == distributed route, merge for merge") {
+    import spark.implicits._
+    // the exact corpora the distributed tests pin, plus the sf fixture —
+    // same argmax tie-break, same greedy-left application, so the ranked
+    // tables must be IDENTICAL including selection-time counts
+    val run = Seq((1L, "aaaa"), (2L, "aaaa"), (3L, "aaaa")).toDF("doc_id", "text")
+    assert(Bpe.trainMergesLocal(run, 2) == Bpe.trainMerges(run, 2))
+    val low = Seq((1L, "low low low"), (2L, "low lower lower")).toDF("doc_id", "text")
+    assert(Bpe.trainMergesLocal(low, 4) == Bpe.trainMerges(low, 4))
+    val docs = Tables.documents(spark, SfDir)
+    assert(Bpe.trainMergesLocal(docs, 6) == Bpe.trainMerges(docs, 6))
+  }
+
+  test("driver-local route refuses a vocabulary larger than maxWords") {
+    val docs = Tables.documents(spark, SfDir)
+    val e = intercept[IllegalArgumentException](
+      Bpe.trainMergesLocal(docs, 2, maxWords = 10L))
+    assert(e.getMessage.contains("maxWords"))
+    intercept[IllegalArgumentException](Bpe.trainMergesLocal(docs, 0))
+    // exhaustion fails loudly on the local route too
+    import spark.implicits._
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val x = intercept[IllegalArgumentException](Bpe.trainMergesLocal(tiny, 3))
+    assert(x.getMessage.contains("exhausted"))
+  }
 }
