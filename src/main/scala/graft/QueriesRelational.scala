@@ -448,7 +448,24 @@ object QueriesRelational {
           count(lit(1)).as("n"),
           sum(col("k")).as("sum_k"),
           round(d(sum(col("k"))) / count(lit(1)), 6).as("avg_k"))
-        .orderBy(col("bucket")))
+        .orderBy(col("bucket"))),
+
+    // ── weekly retention cohort matrix ([[operators.Analytics
+    // .retentionCohorts]]): first-active-week cohorts × still-active
+    // offsets, integer ppm ratios — one user-keyed shuffle + one tiny
+    // (cohort, offset) aggregation, no events self-join ──
+    "retention_cohorts" -> ((s, dir) =>
+      graft.operators.Analytics.retentionCohorts(
+        Tables.events(s, dir), "user_id", col("ts"))),
+
+    // ── ordered event funnel ([[operators.Analytics.funnelSteps]]):
+    // view → click → purchase with at-or-after whole-second chaining;
+    // every join in the chain is user-keyed, each step collapses to one
+    // count row, conversion in integer ppm ──
+    "funnel_steps" -> ((s, dir) =>
+      graft.operators.Analytics.funnelSteps(
+        Tables.events(s, dir), "user_id", col("ts"), col("event_type"),
+        Seq("view", "click", "purchase")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -762,6 +779,57 @@ object QueriesRelational {
         |SELECT bucket, count(*) AS n,
         |       CAST(sum(k) AS BIGINT) AS sum_k,
         |       round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS avg_k
-        |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // retention_cohorts: DISTINCT (user, week) replayed relationally;
+    // week_offset and retention ppm use // — floor division, which matches
+    // Spark's `div` exactly on these nonnegative operands
+    "retention_cohorts" ->
+      """WITH weekly AS (
+        |  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events
+        |), cohort AS (
+        |  SELECT u, min(week) AS cohort_week FROM weekly GROUP BY u
+        |), cells AS (
+        |  SELECT c.cohort_week,
+        |         CAST(date_diff('day', c.cohort_week, w.week) // 7 AS BIGINT) AS week_offset,
+        |         CAST(count(*) AS BIGINT) AS n_active
+        |  FROM weekly w JOIN cohort c ON w.u = c.u
+        |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT cohort_week, n_active AS cohort_size FROM cells WHERE week_offset = 0
+        |)
+        |SELECT cells.cohort_week, week_offset, n_active, cohort_size,
+        |       CAST(n_active * 1000000 // cohort_size AS BIGINT) AS retention_ppm
+        |FROM cells JOIN sizes USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // funnel_steps: the same conditional-min chain — step k's earliest
+    // second at or after the step-k-1 reach second
+    "funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS et,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), s1 AS (
+        |  SELECT u, min(sec) AS t FROM e WHERE et = 'view' GROUP BY u
+        |), s2 AS (
+        |  SELECT e.u, min(e.sec) AS t FROM e JOIN s1 ON e.u = s1.u AND e.sec >= s1.t
+        |  WHERE e.et = 'click' GROUP BY e.u
+        |), s3 AS (
+        |  SELECT e.u, min(e.sec) AS t FROM e JOIN s2 ON e.u = s2.u AND e.sec >= s2.t
+        |  WHERE e.et = 'purchase' GROUP BY e.u
+        |), c AS (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |         CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |  UNION ALL
+        |  SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(*) FROM s3
+        |)
+        |SELECT step, step_name, n_users,
+        |       CAST(n_users * 1000000 // (SELECT n_users FROM c WHERE step = 1) AS BIGINT)
+        |         AS conv_ppm
+        |FROM c ORDER BY step""".stripMargin
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classic user-activity analytics beyond the reference's WAU pair
+  * (`UserIdBaseWauTransformer.scala:20-40` is the precedent surface):
+  * weekly retention cohorts and an ordered event funnel. Both are
+  * all-integer designs (counts, epoch seconds, ppm ratios via floor
+  * division on nonnegative operands) so the DuckDB oracle replays them
+  * bitwise.
+  *
+  * Scale shapes:
+  *  - [[retentionCohorts]] is ONE user-keyed shuffle (the per-user week
+  *    set — bounded by the window length in weeks, not by activity) plus
+  *    one aggregation over the tiny (cohort_week, offset) key space
+  *    (map-side combined); the cohort-size join broadcasts a
+  *    weeks-not-users sized frame. No (user × week) distinct shuffle, no
+  *    self-join on the events table.
+  *  - [[funnelSteps]] chains per-step conditional mins: step k joins the
+  *    step-k events (type filter pushed to the scan) against the step-k-1
+  *    reach frame ON THE SAME user key — every shuffle in the chain
+  *    partitions by user, so AQE/bucketing co-locates them; each step then
+  *    collapses to one count row. S steps cost S filtered passes, the
+  *    standard funnel shape, independent of corpus width.
+  */
+object Analytics {
+
+  /** Weekly retention cohort matrix: users bucketed by their FIRST active
+    * week (the cohort), then for every later week the count still active,
+    * the cohort size, and the retention ratio in integer ppm
+    * (`n_active * 1e6 div cohort_size` — floor division, nonneg operands,
+    * so Spark `div` and DuckDB `//` agree exactly). `week_offset` is
+    * `datediff(week, cohort_week) div 7`, exact because both dates are
+    * week-truncated.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: Column): DataFrame = {
+    val perUser = events
+      .select(col(userCol).as("u"), to_date(date_trunc("week", tsCol)).as("week"))
+      .groupBy(col("u"))
+      .agg(collect_set(col("week")).as("weeks"))
+      .select(array_min(col("weeks")).as("cohort_week"), explode(col("weeks")).as("week"))
+    val cells = perUser
+      .groupBy(
+        col("cohort_week"),
+        expr("CAST(datediff(week, cohort_week) div 7 AS BIGINT)").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    // every user is active in their own cohort week, so offset 0 IS the size
+    val sizes = cells.where(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    cells
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(
+        col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
+        expr("n_active * 1000000 div cohort_size").as("retention_ppm"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Ordered event funnel: a user reaches step k when an event of step k's
+    * type exists AT OR AFTER the second they reached step k-1 (whole-second
+    * epoch comparison — the sessionize time base). Returns one row per step
+    * with the reach count and conversion vs step 1 in integer ppm.
+    */
+  def funnelSteps(
+      events: DataFrame,
+      userCol: String,
+      tsCol: Column,
+      typeCol: Column,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps: at least one step required")
+    val ev = events.select(
+      col(userCol).as("u"), typeCol.as("et"),
+      floor(unix_timestamp(tsCol)).cast("long").as("sec"))
+    // reach frames: (u, t) = earliest second the user completed the prefix
+    val reaches = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val mine = ev.where(col("et") === step)
+        Some(prev match {
+          case None => mine.groupBy(col("u")).agg(min(col("sec")).as("t"))
+          case Some(r) =>
+            mine.join(r.select(col("u"), col("t").as("prev_t")), Seq("u"))
+              .where(col("sec") >= col("prev_t"))
+              .groupBy(col("u")).agg(min(col("sec")).as("t"))
+        })
+    }.flatten
+    val counts = reaches.zip(steps).zipWithIndex.map { case ((r, name), i) =>
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(name).as("step_name"), col("n_users"))
+    }.reduce(_ unionByName _)
+    val first = counts.where(col("step") === 1L).select(col("n_users").as("n_first"))
+    counts
+      .crossJoin(broadcast(first))
+      .select(
+        col("step"), col("step_name"), col("n_users"),
+        expr("n_users * 1000000 div n_first").as("conv_ppm"))
+      .orderBy(col("step"))
+  }
+}
