@@ -1897,6 +1897,30 @@ object QueriesLlm {
         .orderBy(col("n").desc, col("token"))
         .limit(20)),
 
+    // ── GROUP-WISE top-k through the mergeable bounded aggregate
+    // ([[graft.functions.TopKAgg]]): per-source top-5 tokens by exact
+    // count. The window-rank idiom shuffles every (source, token, n) row
+    // and sorts whole groups before discarding all but k; graft_topk
+    // combines map-side down to ≤ k entries per group per partition, so
+    // the exchange carries O(k · partitions) rows and the plan has NO
+    // sort node on the vocabulary — the shape that survives a
+    // vocabulary 1000× wider. Deterministic (n DESC, token ASC)
+    // selection == the oracle's row_number replay, bit for bit ──
+    "top_tokens_grouped" -> ((s, dir) => {
+      graft.functions.TopKFunctions.register(s)
+      val tf = Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      tf.groupBy(col("source"))
+        .agg(graft.functions.TopKFunctions.topK(col("token"), col("n"), 5).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(
+          col("source"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.item").as("token"), col("col.score").as("n"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
     // ── the same heavy hitters through the COUNT-MIN SKETCH path
     // ([[CountMin]]): per-source sketches (4×256 cells each) merged by
     // bucket addition — the mergeable-summary route whose state is
@@ -3718,6 +3742,20 @@ object QueriesLlm {
       s"""SELECT token, count(*) AS n
          |FROM (SELECT unnest($toksSql) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // top_tokens_grouped: the bounded aggregate's deterministic
+    // (n DESC, token ASC) selection replayed as a window rank
+    "top_tokens_grouped" ->
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT source, token, count(*) AS n FROM t GROUP BY source, token),
+         |r AS (
+         |  SELECT source, token, n,
+         |         row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rank
+         |  FROM tf
+         |)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, token, n
+         |FROM r WHERE rank <= 5
+         |ORDER BY source, rank""".stripMargin,
 
     "tfidf_top_terms" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),

@@ -74,5 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bpe_apply(word, merges) - subword segmentation under a flattened (l1,r1,l2,r2,...) merge table literal"),
       (exprs: Seq[Expression]) => TextKernels.BpeApply(
         exprs(0), TextKernels.stringArrayArg("graft_bpe_apply", 1, exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      info("graft_topk",
+        "graft_topk(item, score, k) - bounded (score DESC, item ASC) top-k aggregate, best-first array<struct<item,score>>"),
+      (exprs: Seq[Expression]) => TopKAgg(exprs(0), exprs(1), TopKFunctions.kArg(exprs))))
   }
 }
