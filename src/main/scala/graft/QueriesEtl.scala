@@ -156,6 +156,31 @@ object QueriesEtl {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ── SCD2 history merge ([[Cdc.applyChangesScd2]]): the same
+    // deterministic change batch VERSIONING the base instead of
+    // overwriting it — updated/deleted keys close their current row at
+    // seq 2, updates and inserts open new current versions, untouched
+    // keys stay open from seq 1. Integer sequence numbers, so the full
+    // history replays bitwise ──
+    "scd2_history" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val hist = Cdc.scd2Init(base, 1L)
+      val upd = base.where(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+        .withColumn("op", lit("u"))
+      val del = base.where(col("o_orderkey") % 10 === 7)
+        .withColumn("op", lit("d"))
+      val ins = base.where(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("op", lit("i"))
+      Cdc.applyChangesScd2(
+        hist, upd.unionByName(del).unionByName(ins), Seq("o_orderkey"), 2L)
+        .orderBy(col("o_orderkey"), col("valid_from"))
+    }),
+
     // ── PARTITION-PRUNED CDC merge ([[Cdc.applyChangesPruned]]): the base
     // written as a REAL partitioned table (by o_orderpriority), a change
     // batch touching ONLY the 1-URGENT partition, the merge restricted to
@@ -353,6 +378,26 @@ object QueriesEtl {
         |       o_orderdate, 'NEW'
         |FROM orders WHERE o_orderkey % 10 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    // scd2_history: the versioned state expressed directly — carried
+    // currents, closed old versions for touched keys, opened new versions
+    // for updates and inserts
+    "scd2_history" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |       CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+        |       TRUE AS is_current
+        |FROM orders WHERE o_orderkey % 10 NOT IN (3, 7)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |       1, 2, FALSE
+        |FROM orders WHERE o_orderkey % 10 IN (3, 7)
+        |UNION ALL
+        |SELECT o_orderkey, 'U', o_totalprice + 10.0, 2, NULL, TRUE
+        |FROM orders WHERE o_orderkey % 10 = 3
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, 'N', o_totalprice, 2, NULL, TRUE
+        |FROM orders WHERE o_orderkey % 10 = 1
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
 
     // cdc_merge_pruned: untouched partitions pass through verbatim; the
     // 1-URGENT partition replays the same update/delete/insert merge

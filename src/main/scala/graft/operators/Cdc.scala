@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -87,6 +87,45 @@ object Cdc {
     merged
   }
 
+  /** Prefix the change batch's data columns `__c_*`, carry the op column as
+    * `__c_op`, and (default-on) enforce the at-most-one-change-per-key
+    * contract with a raise_error riding `__c_op` — shared by
+    * [[applyChanges]] and [[applyChangesScd2]]. The guard rides a column
+    * used downstream on purpose: a guard on a dropped column would be
+    * pruned by Catalyst and never evaluate. Its window shuffle partitions
+    * by the SAME key the merge joins on — no extra exchange.
+    */
+  private def prefixedChanges(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      dataCols: Seq[String],
+      opCol: String,
+      validate: Boolean): DataFrame = {
+    val c0 = changes.select(
+      keyCols.map(col) ++ dataCols.map(n => col(n).as(s"__c_$n"))
+        :+ col(opCol).as("__c_op"): _*)
+    if (!validate) c0
+    else {
+      val wk = Window.partitionBy(keyCols.map(col): _*)
+      c0.withColumn("__c_n", count(lit(1)).over(wk))
+        .withColumn(
+          "__c_op",
+          when(col("__c_n") === 1L, col("__c_op")).otherwise(
+            raise_error(concat(
+              lit("applyChanges: multiple change rows for key ("),
+              concat_ws(",", keyCols.map(n => col(n).cast("string")): _*),
+              lit(") — compact the CDC feed or pass validate = false")))))
+        .drop("__c_n")
+    }
+  }
+
+  /** Wrap `__c_op` so an unknown op fails the job loudly. */
+  private def guardOps(df: DataFrame): DataFrame =
+    df.withColumn(
+      "__c_op",
+      when(col("__c_op").isNull || col("__c_op").isin("i", "u", "d"), col("__c_op"))
+        .otherwise(raise_error(concat(lit("applyChanges: unknown op "), col("__c_op")))))
+
   def applyChanges(
       base: DataFrame,
       changes: DataFrame,
@@ -94,43 +133,87 @@ object Cdc {
       opCol: String = "op",
       validate: Boolean = true): DataFrame = {
     require(keyCols.nonEmpty, "applyChanges: need at least one key column")
-    val ops = Set("i", "u", "d")
     val dataCols = base.columns.filterNot(keyCols.contains).toSeq
     val b = base.select(
       keyCols.map(col) ++ dataCols.map(n => col(n).as(s"__b_$n")): _*)
-    val c0 = changes.select(
-      keyCols.map(col) ++ dataCols.map(n => col(n).as(s"__c_$n"))
-        :+ col(opCol).as("__c_op"): _*)
-    val c =
-      if (!validate) c0
-      else {
-        // at-most-one-change-per-key contract: fail the job loudly on a
-        // non-compacted feed instead of corrupting the merged state
-        // the guard rides the __c_op column (used downstream) — a guard on
-        // a column that is immediately dropped would be pruned by Catalyst
-        // and never evaluate
-        val wk = Window.partitionBy(keyCols.map(col): _*)
-        c0.withColumn("__c_n", count(lit(1)).over(wk))
-          .withColumn(
-            "__c_op",
-            when(col("__c_n") === 1L, col("__c_op")).otherwise(
-              raise_error(concat(
-                lit("applyChanges: multiple change rows for key ("),
-                concat_ws(",", keyCols.map(n => col(n).cast("string")): _*),
-                lit(") — compact the CDC feed or pass validate = false")))))
-          .drop("__c_n")
-      }
-    b.join(c, keyCols, "full_outer")
-      // fail loudly on an unknown op rather than silently passing it through
-      .withColumn(
-        "__c_op",
-        when(col("__c_op").isNull || col("__c_op").isin(ops.toSeq: _*), col("__c_op"))
-          .otherwise(raise_error(concat(lit("applyChanges: unknown op "), col("__c_op")))))
+    val c = prefixedChanges(changes, keyCols, dataCols, opCol, validate)
+    guardOps(b.join(c, keyCols, "full_outer"))
       .where(col("__c_op").isNull || col("__c_op") =!= "d")
       .select(
         keyCols.map(col) ++ dataCols.map { n =>
           when(col("__c_op").isNotNull, col(s"__c_$n"))
             .otherwise(col(s"__b_$n")).as(n)
         }: _*)
+  }
+
+  /** SCD2 metadata columns every history relation carries. */
+  val Scd2Meta: Seq[String] = Seq("valid_from", "valid_to", "is_current")
+
+  /** Stamp a plain snapshot as the initial SCD2 history: every row current
+    * from integer sequence `seq` (epoch second or batch number — integer so
+    * the DuckDB replay is bitwise).
+    */
+  def scd2Init(snapshot: DataFrame, seq: Long): DataFrame =
+    snapshot
+      .withColumn("valid_from", lit(seq))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+
+  /** TYPE-2 slowly-changing-dimension merge: instead of overwriting
+    * ([[applyChanges]]), each change VERSIONS its key — the current row is
+    * closed (`valid_to = seq`, `is_current = false`) and, for `i`/`u` ops,
+    * a new current version opens at `seq`; `d` closes without a successor;
+    * closed history rows pass through untouched forever. The full history
+    * answers "what did this dimension row look like when that fact
+    * happened" — the as-of-join input shape ([[AsofJoin]] consumes it).
+    *
+    * Same feed contract as [[applyChanges]] (full row images, at most one
+    * change per key — enforced by default, unknown ops fail loudly), plus:
+    * `seq` must exceed every live `valid_from` (monotone batch sequence —
+    * the caller's clock discipline, not re-derived here with an extra
+    * corpus pass).
+    *
+    * Scale shape: the join touches ONLY the current slice (a dimension's
+    * live cardinality, not its accumulated history); each joined row
+    * expands to ≤ 2 output rows through one typed array-explode pass — one
+    * key-partitioned shuffle total, no second join, no window over
+    * history. Closed rows ride a union that Spark plans as a scan
+    * passthrough; written back through a `valid_from`-partitioned sink,
+    * history partitions stay byte-stable (append-only versioning).
+    */
+  def applyChangesScd2(
+      history: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      seq: Long,
+      opCol: String = "op",
+      validate: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "applyChangesScd2: need at least one key column")
+    val dataCols = history.columns
+      .filterNot(c => keyCols.contains(c) || Scd2Meta.contains(c)).toSeq
+    val outCols = keyCols ++ dataCols ++ Scd2Meta
+    val closedHistory = history.where(!col("is_current")).select(outCols.map(col): _*)
+    val current = history.where(col("is_current"))
+    val b = current.select(
+      keyCols.map(col) ++ (dataCols ++ Scd2Meta).map(n => col(n).as(s"__b_$n")): _*)
+    val c = prefixedChanges(changes, keyCols, dataCols, opCol, validate)
+    val j = guardOps(b.join(c, keyCols, "full_outer"))
+    def out(dataSide: String, from: Column, to: Column, cur: Column): Column =
+      struct(
+        keyCols.map(col) ++ dataCols.map(n => col(s"${dataSide}_$n").as(n))
+          :+ from.as("valid_from") :+ to.as("valid_to") :+ cur.as("is_current"): _*)
+    val carried = out("__b", col("__b_valid_from"), lit(null).cast("long"), lit(true))
+    val closed = out("__b", col("__b_valid_from"), lit(seq), lit(false))
+    val opened = out("__c", lit(seq), lit(null).cast("long"), lit(true))
+    val none = slice(array(carried), 1, 0) // typed empty array
+    val hasBase = col("__b_is_current").isNotNull
+    val hasChange = col("__c_op").isNotNull
+    j.select(explode(concat(
+        when(hasBase && !hasChange, array(carried)).otherwise(none),
+        when(hasBase && hasChange, array(closed)).otherwise(none),
+        when(hasChange && col("__c_op") =!= "d", array(opened)).otherwise(none)))
+        .as("r"))
+      .select(col("r.*"))
+      .unionByName(closedHistory)
   }
 }

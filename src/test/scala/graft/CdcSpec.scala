@@ -110,4 +110,66 @@ class CdcSpec extends AnyFunSuite {
     val twice = Cdc.applyChanges(once, changes, Seq("k"))
     assert(collect(once) == collect(twice))
   }
+
+  private def collectScd2(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      (r.getLong(0), Option(r.getString(1)),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5))
+    }.toSet // (k, s, valid_from, valid_to, is_current)
+
+  test("scd2: updates version, deletes close, inserts open, untouched stay current") {
+    import spark.implicits._
+    val hist = Cdc.scd2Init(base, 1L)
+    val changes = Seq(
+      (2L, "B", 22.0, "u"),
+      (3L, "c", 30.0, "d"),
+      (9L, "z", 90.0, "i")).toDF("k", "s", "v", "op")
+    val got = collectScd2(Cdc.applyChangesScd2(hist, changes, Seq("k"), 2L))
+    assert(got == Set(
+      (1L, Some("a"), 1L, None, true), // untouched: still current from 1
+      (2L, Some("b"), 1L, Some(2L), false), // closed old version
+      (2L, Some("B"), 2L, None, true), // opened new version
+      (3L, Some("c"), 1L, Some(2L), false), // deleted: closed, no successor
+      (9L, Some("z"), 2L, None, true))) // insert opens at 2
+  }
+
+  test("scd2: history accrues across batches; closed rows never change again") {
+    import spark.implicits._
+    val hist1 = Cdc.applyChangesScd2(
+      Cdc.scd2Init(base, 1L),
+      Seq((2L, "B", 22.0, "u")).toDF("k", "s", "v", "op"), Seq("k"), 2L)
+    val hist2 = Cdc.applyChangesScd2(
+      hist1,
+      Seq((2L, "BB", 23.0, "u"), (1L, "a", 10.0, "d")).toDF("k", "s", "v", "op"),
+      Seq("k"), 3L)
+    val got = collectScd2(hist2)
+    assert(got == Set(
+      (1L, Some("a"), 1L, Some(3L), false),
+      (2L, Some("b"), 1L, Some(2L), false), // untouched by batch 3
+      (2L, Some("B"), 2L, Some(3L), false),
+      (2L, Some("BB"), 3L, None, true),
+      (3L, Some("c"), 1L, None, true)))
+    // exactly one current version per live key
+    val currents = got.filter(_._5).groupBy(_._1).map { case (k, vs) => k -> vs.size }
+    assert(currents.values.forall(_ == 1))
+  }
+
+  test("scd2: delete of an absent key is a no-op; upsert for an absent key opens") {
+    import spark.implicits._
+    val changes = Seq((8L, "x", 80.0, "d"), (7L, "new", 70.0, "u")).toDF("k", "s", "v", "op")
+    val got = collectScd2(Cdc.applyChangesScd2(Cdc.scd2Init(base, 1L), changes, Seq("k"), 2L))
+    assert(!got.exists(_._1 == 8L))
+    assert(got.contains((7L, Some("new"), 2L, None, true)))
+    assert(got.size == 4) // 3 carried + 1 opened
+  }
+
+  test("scd2: non-compacted feed fails loudly by default") {
+    import spark.implicits._
+    val changes = Seq((2L, "B", 22.0, "u"), (2L, "BB", 23.0, "u")).toDF("k", "s", "v", "op")
+    val e = intercept[Exception] {
+      Cdc.applyChangesScd2(Cdc.scd2Init(base, 1L), changes, Seq("k"), 2L).collect()
+    }
+    assert(e.getMessage.contains("multiple change rows")
+      || Option(e.getCause).exists(_.getMessage.contains("multiple change rows")))
+  }
 }
