@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Cdc, EventsEtl, Histograms, Privacy, Sessionize}
+import graft.operators.{Cdc, EventsEtl, Histograms, Layout, Materialize, Privacy, Sessionize}
 import graft.sources.{CsvSource, JsonlSource, TableManager}
 
 /** ETL-surface queries: CSV source round-trip (S1/S2), templated-SQL entry
@@ -220,6 +220,21 @@ object QueriesEtl {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ── SNAPSHOT DIFF ([[Cdc.snapshotDiff]]): two synthetic versions of
+    // the corpus (deletions, additions, and lang-mutated rows carved from
+    // the documents table by key arithmetic) classified added / removed /
+    // changed / unchanged in ONE full-outer key join over md5 row
+    // fingerprints; per-class counts and key-sums hash-pin the exact
+    // membership of every class. ──
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val oldV = docs.where(col("doc_id") % 13 =!= 5)
+      val newV = docs.where(col("doc_id") % 17 =!= 2)
+        .withColumn(
+          "lang", when(col("doc_id") % 9 === 0, lit("xx")).otherwise(col("lang")))
+      Cdc.snapshotDiff(oldV, newV, "doc_id", Seq("text", "lang", "source", "n_chars"))
+    }),
+
     // ── S3: templated SQL entry ({TABLE} substitution), WAU job verbatim
     // shape (ref UserIdBaseWauTransformer.scala:20-40).
     "sql_templated_wau" -> ((s, dir) => {
@@ -299,8 +314,72 @@ object QueriesEtl {
     // codegen'd map-side pass, full row-per-event output hash-checked. ──
     "pii_scrub_events" -> ((s, dir) =>
       Privacy.scrubEvents(Tables.events(s, dir), salt = "graft")
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // ── Z-ORDER LAYOUT ([[Layout.scanEfficiency]]): the file-skipping win
+    // multi-dimensional clustering buys over a single-column sort, measured
+    // on the events table for the canonical 100 TB predicate shape
+    // (user band × day band). One report row per layout — file counts,
+    // files/rows a zone-map reader must scan, rows actually matching, and
+    // the read amplification in ppm — all integers, replayed bitwise by the
+    // oracle. The z-order row scanning FEWER rows for the same matches IS
+    // the demonstrated win; at cluster scale the rank-bucket step becomes
+    // sampled range boundaries (see Layout's Scaladoc) and everything else
+    // in the plan is map-side + one file-count-sized groupBy. ──
+    "zorder_prune" -> ((s, dir) =>
+      Layout.scanEfficiency(
+        Tables.events(s, dir).select(
+          col("user_id").as("x"), dayofmonth(col("ts")).as("y")),
+        col("x"), col("y"),
+        dimBits = ZDimBits, fileBits = ZFileBits,
+        xLo = ZXLo, xHi = ZXHi, yLo = ZYLo, yHi = ZYHi)),
+
+    // ── INCREMENTAL MATERIALIZED VIEW ([[Materialize.mergeSummaries]]):
+    // the weekly events rollup absorbs the late-January batch by merging a
+    // DELTA-sized partial aggregate into the summary — the base rows before
+    // the cutoff are aggregated once and never rescanned. SELF-VALIDATING:
+    // the query joins a full recompute and emits per-week `matches_full`
+    // booleans the oracle asserts TRUE, proving the algebraic merge
+    // (sum/min/max) exact; a production run drops the recompute arm. ──
+    "mv_incremental" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def summarize(df: DataFrame): DataFrame = df
+        .groupBy(to_date(date_trunc("week", col("ts"))).as("week"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(unix_timestamp(col("ts"))).as("min_sec"),
+          max(unix_timestamp(col("ts"))).as("max_sec"))
+      val base = summarize(ev.where(to_date(col("ts")) < lit(MvCut)))
+      val delta = summarize(ev.where(to_date(col("ts")) >= lit(MvCut)))
+      val merged = Materialize.mergeSummaries(
+        Seq(base, delta), Seq("week"),
+        sumCols = Seq("n_events"), minCols = Seq("min_sec"), maxCols = Seq("max_sec"))
+      val full = summarize(ev).select(
+        col("week"), col("n_events").as("f_n"),
+        col("min_sec").as("f_min"), col("max_sec").as("f_max"))
+      merged.join(full, Seq("week"), "full_outer")
+        .select(
+          col("week"), col("n_events"), col("min_sec"), col("max_sec"),
+          coalesce(
+            col("n_events") === col("f_n") &&
+              col("min_sec") === col("f_min") && col("max_sec") === col("f_max"),
+            lit(false)).as("matches_full"))
+        .orderBy(col("week"))
+    })
   )
+
+  // mv_incremental cutoff — the "new batch" boundary, interpolated into the
+  // oracle so the two sides cannot drift
+  private val MvCut = "2024-01-25"
+
+  // zorder_prune geometry + predicate box — interpolated into the oracle so
+  // the two sides cannot drift
+  private val ZDimBits = 8
+  private val ZFileBits = 6
+  private val ZXLo = 8L
+  private val ZXHi = 23L
+  private val ZYLo = 8L
+  private val ZYHi = 14L
 
   // value_hist_rollup geometry + quantiles — interpolated into the oracle so
   // the two sides cannot drift
@@ -332,6 +411,42 @@ object QueriesEtl {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // zorder_prune: the generated replay of the exact rank-bucket →
+    // interleave → equal-count-file → zone-map pipeline (Layout
+    // .scanEfficiencySql) over the same geometry constants
+    "zorder_prune" -> Layout.scanEfficiencySql(
+      "SELECT user_id AS x, date_part('day', ts) AS y FROM events",
+      ZDimBits, ZFileBits, ZXLo, ZXHi, ZYLo, ZYHi),
+
+    // mv_incremental: replay the split → partial-agg → merge → recompute
+    // comparison with the same cutoff
+    "mv_incremental" ->
+      s"""WITH wk AS (
+         |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         |         CAST(ts AS DATE) AS d,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+         |  FROM events
+         |), base AS (
+         |  SELECT week, count(*) AS n_events, min(sec) AS min_sec, max(sec) AS max_sec
+         |  FROM wk WHERE d < DATE '$MvCut' GROUP BY week
+         |), delta AS (
+         |  SELECT week, count(*) AS n_events, min(sec) AS min_sec, max(sec) AS max_sec
+         |  FROM wk WHERE d >= DATE '$MvCut' GROUP BY week
+         |), merged AS (
+         |  SELECT week, CAST(sum(n_events) AS BIGINT) AS n_events,
+         |         min(min_sec) AS min_sec, max(max_sec) AS max_sec
+         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+         |  GROUP BY week
+         |), full_sum AS (
+         |  SELECT week, count(*) AS f_n, min(sec) AS f_min, max(sec) AS f_max
+         |  FROM wk GROUP BY week
+         |)
+         |SELECT week, n_events, min_sec, max_sec,
+         |       coalesce(n_events = f_n AND min_sec = f_min AND max_sec = f_max,
+         |                FALSE) AS matches_full
+         |FROM merged FULL OUTER JOIN full_sum USING (week)
+         |ORDER BY week""".stripMargin,
+
     // jsonl_roundtrip returns the corpus itself after a gzip-JSONL round
     // trip — the oracle is the raw parquet identity
     "jsonl_roundtrip" ->
@@ -416,6 +531,31 @@ object QueriesEtl {
         |       o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    // snapshot_diff: the same version carving + md5 row fingerprints
+    // (chr(1)-joined, chr(0) for NULL — matching Cdc.snapshotDiff exactly)
+    "snapshot_diff" ->
+      """WITH o_v AS (
+        |  SELECT doc_id AS k,
+        |         md5(concat_ws(chr(1), coalesce(text, chr(0)),
+        |             coalesce(lang, chr(0)), coalesce(source, chr(0)),
+        |             coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS o_fp
+        |  FROM documents WHERE doc_id % 13 != 5
+        |), n_v AS (
+        |  SELECT doc_id AS k,
+        |         md5(concat_ws(chr(1), coalesce(text, chr(0)),
+        |             coalesce(CASE WHEN doc_id % 9 = 0 THEN 'xx' ELSE lang END, chr(0)),
+        |             coalesce(source, chr(0)),
+        |             coalesce(CAST(n_chars AS VARCHAR), chr(0)))) AS n_fp
+        |  FROM documents WHERE doc_id % 17 != 2
+        |)
+        |SELECT CASE WHEN o_fp IS NULL THEN 'added'
+        |            WHEN n_fp IS NULL THEN 'removed'
+        |            WHEN o_fp != n_fp THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_key
+        |FROM o_v FULL OUTER JOIN n_v USING (k)
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     "csv_roundtrip" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,

@@ -1886,6 +1886,17 @@ object QueriesLlm {
         .orderBy(col("lang_guess"))
     }),
 
+    // ── NEYMAN-STYLE STRATIFIED SAMPLE ([[Sampling.neymanSample]]): a
+    // 500-doc budget split across sources proportionally to
+    // population × length-spread (the integer dispersion proxy for σ), each
+    // stratum's quota filled by md5 rank. One row per source with the
+    // allocation arithmetic and the sum of SELECTED doc ids — the integer
+    // membership pin — all replayed bitwise by the oracle. ──
+    "sample_neyman" -> ((s, dir) =>
+      Sampling.neymanSample(
+        Tables.documents(s, dir), "doc_id", col("source"), col("n_chars"),
+        budget = 500L)),
+
     // ── corpus heavy-hitters: token frequency top-20 (explode → two-phase
     // count with map-side partial agg → global top-k; integer ordering with
     // token tie-break, so fully deterministic) ──
@@ -3686,6 +3697,47 @@ object QueriesLlm {
          |FROM u
          |WHERE u < CASE WHEN lang_guess = 'en' THEN 0.25 ELSE 1.0 END
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sample_neyman: replay the stats → integer allocation → md5-rank
+    // quota fill; sum_key pins the exact sample membership
+    "sample_neyman" ->
+      """WITH base AS (
+        |  SELECT doc_id AS k, source AS stratum, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents
+        |), stats AS (
+        |  SELECT stratum, count(*) AS n_pop, max(v) - min(v) + 1 AS spread
+        |  FROM base GROUP BY stratum
+        |), floors AS (
+        |  SELECT stratum, n_pop, spread,
+        |         500 * (n_pop * spread) // wt AS alloc0,
+        |         (500 * (n_pop * spread)) % wt AS rem
+        |  FROM stats,
+        |       (SELECT CAST(sum(n_pop * spread) AS BIGINT) AS wt FROM stats)
+        |), alloc AS (
+        |  SELECT stratum, n_pop, spread,
+        |         least(alloc0 + CASE WHEN seat <= leftover THEN 1 ELSE 0 END,
+        |               n_pop) AS alloc
+        |  FROM (
+        |    SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) AS seat,
+        |           500 - CAST(sum(alloc0) OVER () AS BIGINT) AS leftover
+        |    FROM floors
+        |  )
+        |), picked AS (
+        |  SELECT stratum, count(*) AS n_sampled, CAST(sum(k) AS BIGINT) AS sum_key
+        |  FROM (
+        |    SELECT stratum, k,
+        |           row_number() OVER (PARTITION BY stratum
+        |             ORDER BY md5(CAST(k AS VARCHAR)), k) AS rn
+        |    FROM base
+        |  ) r JOIN alloc USING (stratum)
+        |  WHERE rn <= alloc
+        |  GROUP BY stratum
+        |)
+        |SELECT stratum, n_pop, spread, alloc,
+        |       coalesce(n_sampled, 0) AS n_sampled,
+        |       coalesce(sum_key, 0) AS sum_key
+        |FROM alloc LEFT JOIN picked USING (stratum)
+        |ORDER BY stratum""".stripMargin,
 
     // Budget selection replay: the shared staged-quality CTE, then the
     // identical (quality DESC, doc_id) window cumsum — all budget

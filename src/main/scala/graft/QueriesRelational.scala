@@ -121,6 +121,53 @@ object QueriesRelational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ── SHUFFLE-SKEW DIAGNOSTIC ([[SkewJoin.shuffleSkewReport]]): the
+    // pre-flight measurement for the salting decision — reducer load
+    // distribution for partition-by-key vs partition-by-(key,salt) on the
+    // events stream, as an engine-portable md5 model of hash partitioning.
+    // All-integer (bucket counts, max load, imbalance in ppm), replayed
+    // bitwise by the oracle. ──
+    "shuffle_skew_report" -> ((s, dir) =>
+      graft.operators.SkewJoin.shuffleSkewReport(
+        Tables.events(s, dir), col("user_id"), col("event_id"),
+        nBuckets = 32, salts = 8)),
+
+    // ── BLOOM-PREFILTERED JOIN: the runtime-filter shape for big⋈small at
+    // 100 TB — the dim side's keys are folded into a ~KB bitmap
+    // ([[graft.functions.BloomFunctions]], Spark's own BloomFilterAggregate)
+    // and the fact side is pruned MAP-SIDE before any shuffle/join, so the
+    // exchange carries only probable matches (Catalyst's injected runtime
+    // filters automate exactly this; here it's explicit and measured). The
+    // bitmap can false-positive but never false-negative, so the exact join
+    // AFTER the prefilter returns the identical result — which is what the
+    // oracle hash proves, plus a `no_false_negatives` law column comparing
+    // survivor and exact semi-join counts (the probabilistic survivor count
+    // itself stays out of the hashed columns). ──
+    "join_bloom_prefilter" -> ((s, dir) => {
+      graft.functions.BloomFunctions.register(s)
+      val cust = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      // bounded model fetch: the ~KB filter bytes become a plan literal
+      val bytes = cust
+        .agg(graft.functions.BloomFunctions.bloomAgg(col("c_custkey"), 4096L, 0.01))
+        .head().getAs[Array[Byte]](0)
+      val o = Tables.orders(s, dir)
+      val pre = o.where(graft.functions.BloomFunctions.bloomContains(lit(bytes), col("o_custkey")))
+      val nPass = pre.agg(count(lit(1)).as("n_bloom_pass"))
+      val nExact = o.join(broadcast(cust), o("o_custkey") === cust("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_exact_semi"))
+      pre.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_orderkey"))
+        .crossJoin(broadcast(nPass))
+        .crossJoin(broadcast(nExact))
+        .select(
+          col("o_orderpriority"), col("n_orders"), col("sum_orderkey"),
+          (col("n_bloom_pass") >= col("n_exact_semi")).as("no_false_negatives"),
+          col("n_exact_semi"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ── U1/U2: positional UNION ALL fold of slice frames ──
     "union_weekly_counts" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -532,6 +579,45 @@ object QueriesRelational {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
         |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // shuffle_skew_report: the same md5 bucket model over both layouts
+    "shuffle_skew_report" ->
+      """WITH b AS (
+        |  SELECT 'raw' AS layout,
+        |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS bucket
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'salted' AS layout,
+        |         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' ||
+        |                             CAST(event_id % 8 AS VARCHAR)), 1, 8))::BIGINT % 32 AS bucket
+        |  FROM events
+        |), g AS (
+        |  SELECT layout, bucket, count(*) AS n_rows FROM b GROUP BY layout, bucket
+        |)
+        |SELECT layout, count(*) AS n_buckets_used,
+        |       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+        |       max(n_rows) AS max_load,
+        |       max(n_rows) * 32 * 1000000 // CAST(sum(n_rows) AS BIGINT) AS imbalance_ppm
+        |FROM g GROUP BY layout ORDER BY layout""".stripMargin,
+
+    // join_bloom_prefilter: the bloom prefilter must not change the exact
+    // join result (no false negatives), so the oracle is the PLAIN join —
+    // the law column replays as literal TRUE
+    "join_bloom_prefilter" ->
+      """WITH cust AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |), j AS (
+        |  SELECT o_orderpriority, count(*) AS n_orders,
+        |         CAST(sum(o_orderkey) AS BIGINT) AS sum_orderkey
+        |  FROM orders JOIN cust ON o_custkey = c_custkey
+        |  GROUP BY o_orderpriority
+        |), e AS (
+        |  SELECT count(*) AS n_exact_semi FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM cust)
+        |)
+        |SELECT o_orderpriority, n_orders, sum_orderkey,
+        |       TRUE AS no_false_negatives, n_exact_semi
+        |FROM j, e ORDER BY o_orderpriority""".stripMargin,
 
     "union_weekly_counts" ->
       """WITH u AS (

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Accessors for the driver-generated test tables (TESTDATA.md).
   *
@@ -19,17 +19,31 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 has no native type
-    * for. We read nanos as a long (`spark.sql.legacy.parquet.nanosAsLong`, set
-    * by [[nanosConf]]) and rebuild a microsecond TimestampType with exact
-    * integer math — the reference's whole-second gap semantics only ever look
-    * at `unix_timestamp` anyway (SURVEY.md §2.8 F4).
+  /** `events.ts` arrives in whatever flavor the generator's writer chose,
+    * and both non-LTZ flavors are normalized to a session-tz (UTC)
+    * `TimestampType` here so every consumer — including the streaming
+    * watermark path, which REQUIRES an LTZ event-time column — sees one
+    * type:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark 4 has no nanos type; read as a long
+    *    (`spark.sql.legacy.parquet.nanosAsLong`, set by [[nanosConf]]) and
+    *    rebuilt as microseconds with exact integer math;
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): inferred as
+    *    `TIMESTAMP_NTZ`; cast to LTZ, which under the project-wide UTC
+    *    session timezone is the exact identity on the underlying micros —
+    *    the same instants the nanos path produced, and the same naive
+    *    values the DuckDB oracle reads.
+    *
+    * The reference's whole-second gap semantics only ever look at
+    * `unix_timestamp` anyway (SURVEY.md §2.8 F4).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = table(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -153,6 +153,45 @@ object Cdc {
     * from integer sequence `seq` (epoch second or batch number — integer so
     * the DuckDB replay is bitwise).
     */
+  /** Snapshot diff — the audit inverse of [[applyChanges]]: given two
+    * versions of a keyed table, classify every key as `added` / `removed` /
+    * `changed` / `unchanged` and emit one row per class with the row count
+    * and the integer sum of the keys in that class (the membership pin the
+    * hash compare locks, without materializing the diff itself).
+    *
+    * Row identity is an md5 fingerprint over `compareCols` in the given
+    * order (`chr(1)`-joined, NULL encoded as `chr(0)` so NULL ≠ empty
+    * string) — the engine-portable row-hash discipline, so any engine
+    * recomputes identical fingerprints from identical values. Cost: one
+    * map-side fingerprint pass per side plus ONE full-outer key shuffle;
+    * at 100 TB both sides bucketed on the key make it exchange-free, and a
+    * partition-pruned variant composes exactly like [[applyChangesPruned]]
+    * (diff only the partitions a manifest says changed).
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff: need at least one compare column")
+    def fingerprinted(df: DataFrame, fpName: String): DataFrame = df.select(
+      col(keyCol).cast("long").as("k"),
+      md5(concat_ws("\u0001",
+        compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+        .as(fpName))
+    fingerprinted(oldDf, "o_fp")
+      .join(fingerprinted(newDf, "n_fp"), Seq("k"), "full_outer")
+      .select(
+        col("k"),
+        when(col("o_fp").isNull, "added")
+          .when(col("n_fp").isNull, "removed")
+          .when(col("o_fp") =!= col("n_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_key"))
+      .orderBy(col("status"))
+  }
+
   def scd2Init(snapshot: DataFrame, seq: Long): DataFrame =
     snapshot
       .withColumn("valid_from", lit(seq))

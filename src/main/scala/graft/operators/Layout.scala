@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering and the
+  * zone-map file-skipping win it buys over a linear sort.
+  *
+  * At 100 TB, queries carrying predicates on MORE THAN ONE column are the
+  * norm (tenant + time, source + date, user + day), and a table sorted on a
+  * single column only prunes on that column: every file's min/max range on
+  * the second column spans the whole domain. Interleaving the bits of
+  * per-column RANGE-BUCKET ids (the public Delta/Iceberg `OPTIMIZE ZORDER`
+  * design: bucket each column by value rank, then Morton-interleave the
+  * bucket ids) gives every file a tight min/max box on EVERY participating
+  * column, so a box predicate skips all files whose box misses it.
+  *
+  * Fixture vs cluster shape: here the per-column bucket id is computed with
+  * an exact global `rank()` so the DuckDB oracle replays it bitwise; on a
+  * cluster the identical bucket id comes from sampled range boundaries
+  * (`repartitionByRange`'s sampling, Delta's `range_partition_id`) — a
+  * map-side lookup against ~2^dimBits broadcast boundaries, no global sort.
+  * Everything downstream of the bucket ids (interleave, file assignment,
+  * zone-map min/max, skip decision) is one map-side pass plus one
+  * `groupBy(file_id)` whose cardinality is the FILE COUNT, not the row
+  * count.
+  */
+object Layout {
+
+  /** Morton interleave of two bucket ids in `[0, 2^bits)`: bit `i` of `x`
+    * lands at position `2i`, bit `i` of `y` at `2i+1`. Pure integer
+    * arithmetic (shift / mask / add) so any engine replays it exactly.
+    */
+  def zorderKey(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** The same interleave as ANSI SQL over columns named `xb`/`yb`, for the
+    * DuckDB oracle (`>>`, `&` and `*` on BIGINT).
+    */
+  def zorderKeySql(bits: Int): String =
+    (0 until bits).map { i =>
+      s"((xb >> $i) & 1) * ${1L << (2 * i)} + ((yb >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Scan-efficiency report for a box predicate `xLo<=x<=xHi AND
+    * yLo<=y<=yHi` under two file layouts over the same rows:
+    *
+    *  - `linear`: files are contiguous runs of the lexicographic key
+    *    `(y_bucket, x_bucket)` — the single-column time-sorted layout.
+    *  - `zorder`: files are contiguous runs of the Morton key over the same
+    *    bucket ids.
+    *
+    * Both layouts cut the SAME `2^(2*dimBits)` key domain into
+    * `2^fileBits` equal-count files (`(row_rank-1) * nFiles div n_total`),
+    * carry a zone map (min/max of the RAW x and y) per file, and scan a
+    * file iff its box intersects the predicate box. Output, one row per
+    * layout: file counts, files/rows scanned, rows actually matching, and
+    * the read amplification in ppm — all integers, hash-compared against
+    * the oracle's identical replay.
+    */
+  def scanEfficiency(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      dimBits: Int,
+      fileBits: Int,
+      xLo: Long,
+      xHi: Long,
+      yLo: Long,
+      yHi: Long): DataFrame = {
+    require(dimBits >= 1 && dimBits <= 20, s"dimBits out of range: $dimBits")
+    require(fileBits >= 1 && fileBits <= 2 * dimBits, s"fileBits out of range: $fileBits")
+    val nBuckets = 1L << dimBits
+    val nFiles = 1L << fileBits
+    val base = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+    // Delta-style per-column range buckets: rank ties share a bucket, so no
+    // tie-break column is needed and the oracle's rank() agrees exactly.
+    val ranked = base
+      .withColumn("rank_x", rank().over(Window.orderBy(col("x"))))
+      .withColumn("rank_y", rank().over(Window.orderBy(col("y"))))
+      .withColumn("n_total", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("xb", expr(s"(rank_x - 1) * ${nBuckets}L div n_total"))
+      .withColumn("yb", expr(s"(rank_y - 1) * ${nBuckets}L div n_total"))
+    val keyed = ranked
+      .withColumn("z_key", zorderKey(col("xb"), col("yb"), dimBits))
+      .withColumn("lex_key", col("yb") * lit(nBuckets) + col("xb"))
+
+    def layout(keyCol: String, name: String): DataFrame = {
+      val zoned = keyed
+        .withColumn(
+          "file_id",
+          expr(s"(rank() OVER (ORDER BY $keyCol) - 1) * ${nFiles}L div n_total"))
+        .groupBy(col("file_id"))
+        .agg(
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col("x").between(xLo, xHi) && col("y").between(yLo, yHi), 1L)
+            .otherwise(0L)).as("n_match"))
+      val hit = col("max_x") >= xLo && col("min_x") <= xHi &&
+        col("max_y") >= yLo && col("min_y") <= yHi
+      zoned.agg(
+        count(lit(1)).as("n_files"),
+        sum(when(hit, 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"),
+        sum(col("n_match")).as("rows_matching"))
+        .select(
+          lit(name).as("layout"), col("n_files"), col("files_scanned"),
+          col("rows_scanned"), col("rows_matching"),
+          expr("rows_scanned * 1000000 div greatest(rows_matching, 1)")
+            .as("amplification_ppm"))
+    }
+
+    layout("z_key", "zorder").unionByName(layout("lex_key", "linear"))
+      .orderBy(col("layout"))
+  }
+
+  /** The oracle replay of [[scanEfficiency]] as one SQL string over a table
+    * expression `src` that must yield BIGINT columns `x` and `y`.
+    */
+  def scanEfficiencySql(
+      src: String,
+      dimBits: Int,
+      fileBits: Int,
+      xLo: Long,
+      xHi: Long,
+      yLo: Long,
+      yHi: Long): String = {
+    val nBuckets = 1L << dimBits
+    val nFiles = 1L << fileBits
+    s"""WITH base AS ($src),
+       |ranked AS (
+       |  SELECT x, y,
+       |         (rank() OVER (ORDER BY x) - 1) * $nBuckets // count(*) OVER () AS xb,
+       |         (rank() OVER (ORDER BY y) - 1) * $nBuckets // count(*) OVER () AS yb,
+       |         count(*) OVER () AS n_total
+       |  FROM base
+       |), keyed AS (
+       |  SELECT x, y, n_total,
+       |         ${zorderKeySql(dimBits)} AS z_key,
+       |         yb * $nBuckets + xb AS lex_key
+       |  FROM ranked
+       |), zoned AS (
+       |  SELECT layout, file_id,
+       |         min(x) AS min_x, max(x) AS max_x,
+       |         min(y) AS min_y, max(y) AS max_y,
+       |         count(*) AS n_rows,
+       |         sum(CASE WHEN x BETWEEN $xLo AND $xHi AND y BETWEEN $yLo AND $yHi
+       |                  THEN 1 ELSE 0 END) AS n_match
+       |  FROM (
+       |    SELECT 'zorder' AS layout, x, y,
+       |           (rank() OVER (ORDER BY z_key) - 1) * $nFiles // n_total AS file_id
+       |    FROM keyed
+       |    UNION ALL
+       |    SELECT 'linear' AS layout, x, y,
+       |           (rank() OVER (ORDER BY lex_key) - 1) * $nFiles // n_total AS file_id
+       |    FROM keyed
+       |  )
+       |  GROUP BY layout, file_id
+       |)
+       |SELECT layout,
+       |       count(*) AS n_files,
+       |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       |       CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       |       CAST(sum(n_match) AS BIGINT) AS rows_matching,
+       |       CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) * 1000000
+       |         // greatest(sum(n_match), 1) AS BIGINT) AS amplification_ppm
+       |FROM (
+       |  SELECT *, (max_x >= $xLo AND min_x <= $xHi AND
+       |             max_y >= $yLo AND min_y <= $yHi) AS hit
+       |  FROM zoned
+       |)
+       |GROUP BY layout
+       |ORDER BY layout""".stripMargin
+  }
+}

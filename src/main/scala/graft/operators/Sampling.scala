@@ -213,6 +213,90 @@ object Sampling {
     arr
   }
 
+  /** Exact-quota stratified sampling with a Neyman-style allocation: a
+    * total `budget` of rows is split across strata proportionally to
+    * `N_h * spread_h`, where `spread_h = max(value) - min(value) + 1` is an
+    * integer dispersion proxy (true Neyman allocates by `N_h * σ_h`; the
+    * range keeps the whole allocation in exact integer arithmetic so any
+    * engine replays it bitwise — a stddev would drag the quota itself into
+    * floating point). High-dispersion strata get more of the budget, the
+    * variance-reduction idea; a constant stratum still has spread 1, so no
+    * stratum starves to zero by rounding alone.
+    *
+    * Within each stratum the quota is filled by md5 rank — the same
+    * stable-identity discipline as [[withHashSplit]]: a row's selection
+    * survives repartitioning, engine changes, and corpus growth that
+    * doesn't change the stratum's quota.
+    *
+    * The integer allocation is Hamilton's largest-remainder method: floor
+    * quotas `budget * w_h div Σw`, then the leftover seats go one each to
+    * the strata with the largest division remainders (ties to the smaller
+    * stratum label), so the pre-cap quotas sum EXACTLY to `budget` — floor
+    * division alone would strand up to S-1 budget rows. Each quota is then
+    * capped at `N_h`; budget bound by a cap stays unspent (redistributing
+    * it is an iterative fixpoint that buys little and costs the replay its
+    * one-pass shape).
+    *
+    * Output, one row per stratum: population, spread, integer allocation,
+    * the realized sample count, and `sum_key` — the integer sum of the
+    * SELECTED keys, which hash-pins the exact membership of the sample
+    * without materializing it. At scale: the stats pass is one
+    * stratum-cardinality aggregate, the seat assignment a window over the
+    * stratum-cardinality frame, the selection one `row_number` window
+    * partitioned by stratum — nothing orders the data globally.
+    */
+  def neymanSample(
+      df: DataFrame,
+      keyCol: String,
+      stratum: Column,
+      value: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val base = df.select(
+      col(keyCol).cast("long").as("k"), stratum.as("stratum"), value.cast("long").as("v"))
+    val stats = base.groupBy(col("stratum"))
+      .agg(
+        count(lit(1)).as("n_pop"),
+        (max(col("v")) - min(col("v")) + lit(1L)).as("spread"))
+      .withColumn("w", col("n_pop") * col("spread"))
+    val floors = stats
+      .crossJoin(broadcast(stats.agg(sum(col("w")).as("w_total"))))
+      .select(
+        col("stratum"), col("n_pop"), col("spread"),
+        expr(s"${budget}L * w div w_total").as("alloc0"),
+        expr(s"(${budget}L * w) % w_total").as("rem"))
+    val alloc = floors
+      .withColumn("leftover", lit(budget) - sum(col("alloc0"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn(
+        "seat",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rem").desc, col("stratum"))))
+      .select(
+        col("stratum"), col("n_pop"), col("spread"),
+        least(
+          col("alloc0") + when(col("seat") <= col("leftover"), 1L).otherwise(0L),
+          col("n_pop")).as("alloc"))
+    val picked = base
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("stratum"))
+            .orderBy(md5(col("k").cast("string")), col("k"))))
+      .join(broadcast(alloc.select(col("stratum"), col("alloc"))), Seq("stratum"))
+      .where(col("rn") <= col("alloc"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("k")).as("sum_key"))
+    alloc.join(picked, Seq("stratum"), "left_outer")
+      .select(
+        col("stratum"), col("n_pop"), col("spread"), col("alloc"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sum_key"), lit(0L)).as("sum_key"))
+      .orderBy(col("stratum"))
+  }
+
   def hashSampleByStratum(
       df: DataFrame,
       keyCol: String,

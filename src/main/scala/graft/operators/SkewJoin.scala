@@ -47,4 +47,48 @@ object SkewJoin {
       "__salt", explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Pre-flight shuffle-load diagnostic: how the rows of `df` would land on
+    * `nBuckets` reducers when partitioned by `key` alone (`raw`) vs by
+    * `(key, salt)` (`salted`, salt = `saltOn % salts`) — the measurement
+    * that tells an operator whether a planned join/agg needs
+    * [[saltedEquiJoin]] BEFORE burning a cluster-day discovering the
+    * straggler. One row per layout: non-empty bucket count, total rows, the
+    * hottest bucket's load, and `imbalance_ppm` = `max_load · nBuckets ·
+    * 10^6 div total` (a perfectly even layout scores 10^6; a single-bucket
+    * pile-up scores `nBuckets · 10^6`).
+    *
+    * The bucket function is the engine-portable md5 arithmetic (the
+    * [[Sampling.hashUniform]] / shard-id discipline), NOT Spark's
+    * internal murmur3 — the point is a deterministic, oracle-replayable
+    * MODEL of hash partitioning, not a byte-exact prediction of Spark's
+    * exchange (same family, same load statistics). Cost: one
+    * bucket-cardinality aggregate per layout over one map-side pass —
+    * diagnostic-sized, not data-sized.
+    */
+  def shuffleSkewReport(
+      df: DataFrame,
+      key: Column,
+      saltOn: Column,
+      nBuckets: Int = 32,
+      salts: Int = 8): DataFrame = {
+    require(nBuckets > 0 && salts > 0, "nBuckets and salts must be positive")
+    def bucketOf(k: Column): Column =
+      conv(substring(md5(k.cast("string")), 1, 8), 16, 10).cast("long") % nBuckets
+    def layout(name: String, k: Column): DataFrame =
+      df.select(bucketOf(k).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+        .agg(
+          count(lit(1)).as("n_buckets_used"),
+          sum(col("n_rows")).as("total_rows"),
+          max(col("n_rows")).as("max_load"))
+        .select(
+          lit(name).as("layout"), col("n_buckets_used"), col("total_rows"),
+          col("max_load"),
+          expr(s"max_load * $nBuckets * 1000000 div total_rows").as("imbalance_ppm"))
+    layout("raw", key)
+      .unionByName(layout(
+        "salted", concat(key.cast("string"), lit("#"), (saltOn % salts).cast("string"))))
+      .orderBy(col("layout"))
+  }
 }

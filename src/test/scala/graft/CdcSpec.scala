@@ -172,4 +172,34 @@ class CdcSpec extends AnyFunSuite {
     assert(e.getMessage.contains("multiple change rows")
       || Option(e.getCause).exists(_.getMessage.contains("multiple change rows")))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged with key-sum pins") {
+    import spark.implicits._
+    val oldV = Seq(
+      (1L, Some("a"), 10L), // unchanged
+      (2L, Some("b"), 20L), // changed (value)
+      (3L, None, 30L), // changed: NULL -> empty string must NOT look equal
+      (4L, Some("d"), 40L)) // removed
+      .toDF("k", "s", "v")
+    val newV = Seq(
+      (1L, Some("a"), 10L),
+      (2L, Some("B"), 20L),
+      (3L, Some(""), 30L),
+      (5L, Some("e"), 50L)) // added
+      .toDF("k", "s", "v")
+    val got = Cdc.snapshotDiff(oldV, newV, "k", Seq("s", "v"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_rows"), r.getAs[Long]("sum_key"))))
+      .toMap
+    assert(got == Map(
+      "added" -> ((1L, 5L)),
+      "removed" -> ((1L, 4L)),
+      "changed" -> ((2L, 2L + 3L)),
+      "unchanged" -> ((1L, 1L))))
+  }
+
+  test("snapshotDiff of a version against itself is all-unchanged") {
+    val got = Cdc.snapshotDiff(base, base, "k", Seq("s", "v")).collect()
+    assert(got.length == 1 && got.head.getString(0) == "unchanged")
+  }
 }

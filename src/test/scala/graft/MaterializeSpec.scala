@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Materialize
+
+class MaterializeSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rows = Seq(
+    ("a", 1L, 10L), ("a", 2L, 5L), ("b", 3L, 7L),
+    ("a", 4L, 2L), ("b", 5L, 9L), ("c", 6L, 6L))
+
+  private def summarize(df: DataFrame): DataFrame = df
+    .groupBy(col("k"))
+    .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+
+  private def collectMap(df: DataFrame): Map[String, (Long, Long, Long)] =
+    df.collect().map(r => r.getString(0) ->
+      ((r.getAs[Long]("n"), r.getAs[Long]("lo"), r.getAs[Long]("hi")))).toMap
+
+  test("mergeSummaries of any batching equals the direct aggregate") {
+    val all = rows.toDF("k", "id", "v")
+    val expect = collectMap(summarize(all))
+    // three different batchings of the same rows
+    val batchings = Seq(
+      Seq(rows.take(2), rows.drop(2)),
+      Seq(rows.take(4), rows.drop(4)),
+      rows.grouped(1).toSeq)
+    for (parts <- batchings) {
+      val merged = Materialize.mergeSummaries(
+        parts.map(_.toDF("k", "id", "v")).map(summarize),
+        Seq("k"), sumCols = Seq("n"), minCols = Seq("lo"), maxCols = Seq("hi"))
+      assert(collectMap(merged) == expect, s"batching of sizes ${parts.map(_.size)}")
+    }
+  }
+
+  test("merge is associative: ((a+b)+c) == (a+(b+c))") {
+    val Seq(a, b, c) =
+      Seq(rows.take(2), rows.slice(2, 4), rows.drop(4))
+        .map(_.toDF("k", "id", "v")).map(summarize)
+    def m(parts: DataFrame*): DataFrame = Materialize.mergeSummaries(
+      parts, Seq("k"), sumCols = Seq("n"), minCols = Seq("lo"), maxCols = Seq("hi"))
+    assert(collectMap(m(m(a, b), c)) == collectMap(m(a, m(b, c))))
+  }
+
+  test("empty parts and missing agg columns are rejected loudly") {
+    val s = summarize(rows.toDF("k", "id", "v"))
+    intercept[IllegalArgumentException](Materialize.mergeSummaries(Nil, Seq("k"), Seq("n")))
+    intercept[IllegalArgumentException](Materialize.mergeSummaries(Seq(s), Seq("k"), Nil))
+  }
+}

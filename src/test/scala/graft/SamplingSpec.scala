@@ -138,4 +138,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(sel > 0 && sel < out.length,
       s"weights should separate the corpus, got $sel/${out.length} selected")
   }
+
+  test("neymanSample: allocation favors dispersion, caps at population, pins membership") {
+    import spark.implicits._
+    // stratum a: 10 rows, constant value (spread 1, w = 10)
+    // stratum b: 5 rows, values 0..900 step 225 (spread 901, w = 4505)
+    // stratum c: 2 rows, spread 2001 (w = 4002) — population cap binds
+    val rows =
+      (0 until 10).map(i => (100L + i, "a", 50L)) ++
+        (0 until 5).map(i => (200L + i, "b", i * 225L)) ++
+        Seq((301L, "c", 0L), (302L, "c", 2000L))
+    val df = rows.toDF("doc_id", "src", "v")
+    val got = Sampling.neymanSample(df, "doc_id", col("src"), col("v"), budget = 8L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_pop"), r.getAs[Long]("spread"),
+          r.getAs[Long]("alloc"), r.getAs[Long]("n_sampled"), r.getAs[Long]("sum_key"))))
+      .toMap
+    assert(got.keySet == Set("a", "b", "c"))
+    assert(got("a")._2 == 1L && got("b")._2 == 901L && got("c")._2 == 2001L)
+    // w_total = 8517; floors are a=0 (rem 80), b=4 (rem 1972), c=3
+    // (rem 6465); the single Hamilton leftover seat goes to c (largest
+    // remainder) whose 2-row population then caps the quota
+    assert(got("a")._3 == 0L && got("b")._3 == 4L && got("c")._3 == 2L, s"got $got")
+    assert(got("c")._4 == 2L && got("c")._5 == 301L + 302L)
+    // the high-dispersion strata outdraw the constant one
+    assert(got("b")._3 > got("a")._3 && got("c")._3 > got("a")._3)
+    // realized == allocated everywhere, never above population
+    got.values.foreach { case (nPop, _, alloc, nSampled, _) =>
+      assert(nSampled == alloc && alloc <= nPop)
+    }
+    // membership is a pure function of the data: a second run pins the
+    // identical sum_key per stratum
+    val again = Sampling.neymanSample(df, "doc_id", col("src"), col("v"), budget = 8L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("sum_key")).toMap
+    assert(again == got.view.mapValues(_._5).toMap)
+  }
 }

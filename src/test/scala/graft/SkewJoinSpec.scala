@@ -46,4 +46,26 @@ class SkewJoinSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("__salt"))
   }
+
+  test("shuffleSkewReport: totals conserved, salting spreads the hot key's load") {
+    // big is 80 rows of k=1 plus three singletons — a pile-up by design
+    val rows = SkewJoin.shuffleSkewReport(
+      big, col("k"), col("row_id"), nBuckets = 16, salts = 8)
+      .collect().map(r => r.getAs[String]("layout") -> r).toMap
+    val raw = rows("raw"); val salted = rows("salted")
+    for (r <- Seq(raw, salted)) {
+      assert(r.getAs[Long]("total_rows") == 83L)
+      assert(r.getAs[Long]("n_buckets_used") <= 16L)
+      assert(r.getAs[Long]("max_load") >= 83L / 16L)
+      // imbalance_ppm is exactly max_load·16·1e6 div total
+      assert(r.getAs[Long]("imbalance_ppm") ==
+        r.getAs[Long]("max_load") * 16L * 1000000L / 83L)
+    }
+    // raw: all 80 hot rows share one bucket; salted: they spread over up
+    // to 8 (key,salt) buckets, so the hottest bucket must shrink a lot
+    assert(raw.getAs[Long]("max_load") >= 80L)
+    assert(salted.getAs[Long]("max_load") < 40L,
+      s"salting left max_load at ${salted.getAs[Long]("max_load")}")
+    assert(salted.getAs[Long]("n_buckets_used") > raw.getAs[Long]("n_buckets_used"))
+  }
 }
