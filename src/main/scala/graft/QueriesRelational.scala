@@ -512,7 +512,17 @@ object QueriesRelational {
     "funnel_steps" -> ((s, dir) =>
       graft.operators.Analytics.funnelSteps(
         Tables.events(s, dir), "user_id", col("ts"), col("event_type"),
-        Seq("view", "click", "purchase")))
+        Seq("view", "click", "purchase"))),
+
+    // ── daily resample + forward-fill ([[operators.Analytics
+    // .resampleDaily]]): one row per (user, calendar day) including GAP
+    // days — zero counts, purchase value carried forward — the time-series
+    // regularization a feature store needs; spine is a broadcast ~30-row
+    // frame, every shuffle user-keyed ──
+    "resample_daily" -> ((s, dir) =>
+      graft.operators.Analytics.resampleDaily(
+        Tables.events(s, dir), "user_id", col("ts"),
+        startDate = "2024-01-01", endDate = "2024-01-30"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -889,6 +899,38 @@ object QueriesRelational {
         |       CAST(n_active * 1000000 // cohort_size AS BIGINT) AS retention_ppm
         |FROM cells JOIN sizes USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // resample_daily: the same carry → end-of-day collapse → spine join →
+    // across-days fill; the carried value is transported untouched from
+    // parquet (no arithmetic), so no rounding is needed
+    "resample_daily" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, CAST(ts AS DATE) AS day,
+        |         last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+        |  FROM events
+        |), eod AS (
+        |  SELECT DISTINCT user_id, day,
+        |         last_value(carry) OVER (PARTITION BY user_id, day
+        |             ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS eod_carry,
+        |         count(*) OVER (PARTITION BY user_id, day) AS n_events
+        |  FROM f
+        |), spine AS (
+        |  SELECT u.user_id, CAST(d AS DATE) AS day
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS d)
+        |)
+        |SELECT s.user_id, s.day,
+        |       CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+        |       last_value(e.eod_carry IGNORE NULLS)
+        |         OVER (PARTITION BY s.user_id ORDER BY s.day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_value,
+        |       coalesce(e.n_events, 0) = 0 AS is_gap
+        |FROM spine s LEFT JOIN eod e ON s.user_id = e.user_id AND s.day = e.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
 
     // funnel_steps: the same conditional-min chain — step k's earliest
     // second at or after the step-k-1 reach second

@@ -105,6 +105,18 @@ object SparkEntry {
           col("session_start_sec"), col("session_id"))
         .orderBy(col("event_id"))),
 
+    // ── stream-STREAM watermarked interval join, oracle-checked END TO
+    // END: views joined to same-user purchases within 30 minutes, both
+    // sides file-replayed streams with their own watermark, state bounded
+    // by the horizon Spark derives from the event-time range predicate
+    // (see StreamingSessionize.intervalJoinReplay). The oracle is the
+    // BATCH interval join, so the hash match proves the streaming state
+    // machine (two-sided buffering + horizon eviction) loses and invents
+    // nothing. ──
+    "stream_interval_join" -> ((s, dir) =>
+      streaming.StreamingSessionize.intervalJoinReplay(Tables.events(s, dir))
+        .orderBy(col("view_id"), col("purchase_id"))),
+
     // ── C4 variant: WAU by session_id (ref SessionIdBaseWauTransformer) ──
     "wau_session" -> ((s, dir) =>
       Wau.wau(
@@ -175,6 +187,18 @@ object SparkEntry {
     // more than 5%) hash-mismatches and fails the gate.
     "wau_user_approx" -> wauValidatedOracle,
     "wau_user_sketch_rollup" -> wauValidatedOracle,
+
+    // stream_interval_join: the batch interval join the streaming replay
+    // must reproduce exactly
+    "stream_interval_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT)
+        |         - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_sec
+        |FROM events v JOIN events p
+        |  ON p.user_id = v.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, purchase_id""".stripMargin,
 
     "wau_session" ->
       s"""$sessionCte

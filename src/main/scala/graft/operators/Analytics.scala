@@ -26,6 +26,63 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Daily resample with forward-fill — time-series regularization: the
+    * event stream becomes one row per `(user, calendar day)` over
+    * `[startDate, endDate]`, carrying the day's event count (0 on gap
+    * days) and the user's last purchase value AS OF that day's end,
+    * carried across gap days by forward-fill. The spine join is what
+    * separates this from a plain daily rollup: models and feature stores
+    * need the GAPS to exist as rows.
+    *
+    * Scale shape: one user-keyed window pass for the running carry, one
+    * `(user, day)`-keyed window for end-of-day collapse, a broadcast
+    * nested-loop against the day spine (a literal ~31-row frame — the
+    * cross join is days-sized, never data-sized), and one user-keyed
+    * window for the across-days fill. Every shuffle partitions by the user
+    * key; the spine inflates rows by at most `|users| × days`, linear in
+    * the user population.
+    */
+  def resampleDaily(
+      events: DataFrame,
+      userCol: String,
+      tsCol: Column,
+      startDate: String,
+      endDate: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRun = Window.partitionBy(col(userCol)).orderBy(tsCol, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDay = Window.partitionBy(col(userCol), col("day"))
+      .orderBy(tsCol, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val eod = events
+      .withColumn(
+        "carry",
+        last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+          .over(wRun))
+      .withColumn("day", to_date(tsCol))
+      .select(
+        col(userCol).as("user_id"), col("day"),
+        last(col("carry")).over(wDay).as("eod_carry"),
+        count(lit(1)).over(Window.partitionBy(col(userCol), col("day"))).as("n_events"))
+      .distinct()
+    val spine = events.select(col(userCol).as("user_id")).distinct()
+      .crossJoin(broadcast(
+        events.sparkSession.range(1).select(
+          explode(sequence(
+            lit(startDate).cast("date"), lit(endDate).cast("date"),
+            expr("interval 1 day"))).as("day"))))
+    spine.join(eod, Seq("user_id", "day"), "left_outer")
+      .select(
+        col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("eod_carry"), ignoreNulls = true)
+          .over(Window.partitionBy(col("user_id")).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("carry_value"),
+        (coalesce(col("n_events"), lit(0L)) === 0L).as("is_gap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** Weekly retention cohort matrix: users bucketed by their FIRST active
     * week (the cohort), then for every later week the count still active,
     * the cohort size, and the retention ratio in integer ppm

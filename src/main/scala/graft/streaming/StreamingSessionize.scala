@@ -489,6 +489,109 @@ object StreamingSessionize {
       .agg(approx_count_distinct(col(keyCol), rsd).as("wau_approx"))
       .select(to_date(col("window.start")).as("event_week"), col("wau_approx"))
 
+  /** Stream-STREAM interval join, replayed end to end: every `view` event
+    * joined to the same user's `purchase` events landing within
+    * `matchWindowSec` seconds AT OR AFTER it — the attribution join — with
+    * BOTH sides read as file streams (one file per trigger) and BOTH sides
+    * watermarked, so the join runs with bounded state: a buffered view is
+    * held only until the watermark passes `view_ts + matchWindowSec` (no
+    * purchase that could still match it remains), a buffered purchase only
+    * one delay — Spark derives both horizons from the time-range predicate,
+    * which is why the predicate must stay in EVENT-TIME arithmetic (casting
+    * to epoch longs would make the state unbounded).
+    *
+    * This is the one streaming shape the rest of the streaming surface
+    * doesn't cover: stream-static joins ([[neardupIngest]]) bound state by
+    * the static side, aggregations by their windows — a stream-STREAM join
+    * is where the watermark horizon math actually bites. The slices are
+    * strict time ranges, so nothing arrives beyond-watermark late and the
+    * append-mode output is EXACTLY the batch interval join — the declared
+    * query's oracle — proving eviction never fired early.
+    *
+    * Scale shape: state is (delay + matchWindow)·arrival-rate rows keyed by
+    * user, shuffled once per side; output flows append-incrementally. The
+    * far-future sentinel pair (same discipline as [[sessionizeReplay]])
+    * only drives the FINAL watermark advance so the last window's state
+    * drains deterministically before the harness stops.
+    */
+  def intervalJoinReplay(
+      events: DataFrame,
+      slices: Int = 3,
+      matchWindowSec: Long = 1800L,
+      watermarkDelaySec: Long = 600L,
+      queryName: String = "stream_interval_join_sink"): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    require(slices >= 2, s"need >= 2 slices for the watermark to move, got $slices")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_ivjoin_")
+    val streamDir = base.resolve("stream")
+    Files.createDirectories(streamDir)
+    try {
+      val proj = events.select(
+        col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("ts"), col("event_type").cast("string").as("event_type"))
+      val bounds = proj.agg(
+        min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
+      require(!bounds.isNullAt(0), "intervalJoinReplay: empty events input")
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = hi - lo + 1
+      val sentinel1 = hi + matchWindowSec + watermarkDelaySec + 60L
+      val sentinel2 = sentinel1 + 60L
+      val sliceDfs = (0 until slices).map { i =>
+        val cutLo = lo + span * i / slices
+        val cutHi = lo + span * (i + 1) / slices
+        val e = unix_timestamp(col("ts"))
+        proj.where(e >= cutLo && e < cutHi)
+      } ++ Seq(sentinel1, sentinel2).map { sec =>
+        Seq((-1L, -1L)).toDF("event_id", "user_id")
+          .select(
+            col("event_id"), col("user_id"),
+            lit(sec).cast("timestamp").as("ts"), lit("sentinel").as("event_type"))
+      }
+      sliceDfs.zipWithIndex.foreach { case (df, i) =>
+        val stage = base.resolve(s"stage_$i")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = Files.list(stage).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written for slice $i"))
+        val dest = streamDir.resolve(f"part_$i%03d.parquet")
+        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
+      }
+      def src(): DataFrame = spark.readStream
+        .schema(proj.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val views = src().where(col("event_type") === "view")
+        .select(
+          col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+        .withWatermark("view_ts", s"$watermarkDelaySec seconds")
+      val purchases = src().where(col("event_type") === "purchase")
+        .select(
+          col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", s"$watermarkDelaySec seconds")
+      val joined = views.join(
+        purchases,
+        expr(s"""user_id = p_user AND p_ts >= view_ts AND
+                 p_ts <= view_ts + interval $matchWindowSec seconds"""))
+        .select(
+          col("view_id"), col("purchase_id"), col("user_id"),
+          (unix_timestamp(col("p_ts")) - unix_timestamp(col("view_ts"))).as("gap_sec"))
+      val q = joined.writeStream.format("memory")
+        .queryName(queryName).outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(queryName).where(col("user_id") >= 0)
+    } finally {
+      import scala.util.Try
+      Try(Files.walk(base).iterator().asScala.toSeq.reverse.foreach(p => Try(Files.delete(p))))
+    }
+  }
+
   /** FUSED ingestion annotation — the production admission pipeline run as
     * ONE pass over an incoming micro-batch (the `foreachBatch` shape: the
     * batch is persisted once and every leg reads the cache, so the source

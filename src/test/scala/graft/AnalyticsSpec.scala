@@ -65,4 +65,34 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq((1L, 1L, 1000000L), (2L, 0L, 0L)))
   }
+
+  test("resampleDaily: gap days materialize, purchase value carries across them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      // u1: purchase 5.0 on day 1, nothing on day 2, view on day 3,
+      //     purchase 9.0 then view on day 4 (carry updates within the day)
+      (1L, 1L, "2024-01-01 10:00:00", "purchase", 5.0),
+      (2L, 1L, "2024-01-03 10:00:00", "view", 0.0),
+      (3L, 1L, "2024-01-04 09:00:00", "purchase", 9.0),
+      (4L, 1L, "2024-01-04 11:00:00", "view", 0.0),
+      // u2: never purchases — carry stays NULL throughout
+      (5L, 2L, "2024-01-02 10:00:00", "view", 0.0))
+      .toDF("event_id", "user_id", "ts_s", "event_type", "value")
+      .selectExpr("event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts",
+        "event_type", "value")
+    val got = Analytics.resampleDaily(events, "user_id", col("ts"), "2024-01-01", "2024-01-04")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01", 1L, Some(5.0), false),
+      (1L, "2024-01-02", 0L, Some(5.0), true), // gap day exists, value carried
+      (1L, "2024-01-03", 1L, Some(5.0), false), // view day keeps the carry
+      (1L, "2024-01-04", 2L, Some(9.0), false), // end-of-day carry, not mid-day
+      (2L, "2024-01-01", 0L, None, true), // before first activity: gap, no carry
+      (2L, "2024-01-02", 1L, None, false),
+      (2L, "2024-01-03", 0L, None, true),
+      (2L, "2024-01-04", 0L, None, true)))
+  }
 }

@@ -218,6 +218,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.get("2024-01-08").contains(1L)) // user 3
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, SfDir)
+    val got = StreamingSessionize.intervalJoinReplay(ev, queryName = "ivjoin_spec_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val v = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val expected = v.join(
+      p, expr("user_id = p_user AND p_ts >= view_ts AND p_ts <= view_ts + interval 1800 seconds"))
+      .select(
+        col("view_id"), col("purchase_id"), col("user_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("view_ts"))).as("gap_sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty, "fixture must produce at least one view→purchase match")
+    assert(got == expected,
+      s"stream join diverged: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("file-replay harness: multi-micro-batch streaming run equals batch sessionize") {
     // The declared stream_sessionize query's engine: events written as
     // time-range files, one file per trigger, sentinel pair driving the
