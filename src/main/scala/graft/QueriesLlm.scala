@@ -1393,6 +1393,14 @@ object QueriesLlm {
         .drop("codes")
         .orderBy(col("vec_id"))),
 
+    // ── JL random projection ([[Similarity.randomProjection]]): 64-float
+    // embeddings to 16 doubles through a ±1 sign matrix baked into the
+    // plan as literals — the distance-preserving shrink run before ANN
+    // indexing. Map-side only; fold order pinned on both engines, so the
+    // replay is bitwise up to the 6-decimal quantization. ──
+    "embed_rp" -> ((s, dir) =>
+      Similarity.randomProjection(Tables.embeddings(s, dir))),
+
     // ── hard-negative mining for contrastive training: top-5 most similar
     // OTHER-label vectors per query — the label anti-predicate is fused
     // into the broadcast join, excluded pairs never materialize ──
@@ -3276,6 +3284,10 @@ object QueriesLlm {
            |  FROM r WHERE rank <= 5
            |)""".stripMargin + annRecallTailSql(PqRecallFloor)
     },
+
+    // embed_rp: generated replay with the identical sign literals and the
+    // identical left-fold order
+    "embed_rp" -> Similarity.randomProjectionSql(),
 
     // Quantization replay: per-dim bounds are min/max SELECTIONS (no
     // arithmetic, bit-exact across engines); the code expression keeps the

@@ -813,4 +813,74 @@ object Similarity {
         array_max(col("codes")).as("q_max"),
         aggregate(col("codes"), lit(0L), _ + _).as("q_sum"))
   }
+
+  /** Deterministic ±1 sign for the random-projection matrix entry
+    * `(outDim j, inDim i)`: parity of the first byte of `md5("rp:j:i")`.
+    * Computed DRIVER-side once per (j, i) — the whole matrix is
+    * `outDim × inDim` signs baked into the PLAN as literals (the λ-table
+    * discipline), so per-row work is pure arithmetic and the generated
+    * oracle carries the identical literals.
+    */
+  private[graft] def rpSign(j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j:$i".getBytes("UTF-8"))
+    if ((d(0) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection: each `inDim`-float embedding
+    * maps to `outDim` doubles `y_j = (Σ_i x_i · s_ji) / sqrt(outDim)` with
+    * the ±1 signs of [[rpSign]] — the cheap distance-preserving
+    * dimensionality reduction run before ANN indexing (Achlioptas' database
+    * JL construction: ±1 entries, no Gaussians needed). Fully
+    * deterministic and ENGINE-BITWISE: the sum is a left fold in fixed
+    * index order on both engines (Spark `aggregate` over
+    * `sequence(0, inDim-1)` seeds 0.0; DuckDB `list_reduce` seeds the
+    * first element — IEEE-identical since `0.0 + x == x`), float→double
+    * widening is exact, and `sqrt(outDim)` with outDim a perfect square is
+    * exact, so only the final 6-decimal round is quantization.
+    *
+    * Output one row per `(vec_id, out_dim)` — the flat shape the oracle
+    * hash-compares. Scale: map-side only (no shuffle, no state); the
+    * matrix is `outDim·inDim` plan literals, ~1 KB at 16×64.
+    */
+  def randomProjection(
+      embeddings: DataFrame,
+      outDim: Int = 16,
+      inDim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(outDim > 0 && inDim > 0, "dims must be positive")
+    val scale = math.sqrt(outDim.toDouble)
+    val ys = (0 until outDim).map { j =>
+      val signs = (0 until inDim).map(i => s"${rpSign(j, i)}D").mkString(",")
+      s"""round(aggregate(sequence(0, ${inDim - 1}), cast(0.0 as double),
+         |  (acc, i) -> acc + element_at($vecCol, i + 1) * element_at(array($signs), i + 1)
+         |) / $scale, 6)""".stripMargin
+    }
+    embeddings
+      .select(col(idCol), expr(s"array(${ys.mkString(",")})").as("ys"))
+      .select(col(idCol), posexplode(col("ys")).as(Seq("out_dim", "val")))
+      .select(col(idCol), col("out_dim").cast("long").as("out_dim"), col("val"))
+      .orderBy(col(idCol), col("out_dim"))
+  }
+
+  /** The DuckDB replay of [[randomProjection]] with the same sign literals
+    * and the same fold order, over table `embeddings`.
+    */
+  def randomProjectionSql(outDim: Int = 16, inDim: Int = 64): String = {
+    val scale = math.sqrt(outDim.toDouble)
+    val ys = (0 until outDim).map { j =>
+      val signs = (0 until inDim).map(i => rpSign(j, i)).mkString(",")
+      s"""round(list_reduce(list_transform(range(0, $inDim),
+         |      i -> embedding[i + 1]::DOUBLE * ([$signs])[i + 1]),
+         |    (a, b) -> a + b) / $scale, 6)""".stripMargin
+    }
+    s"""WITH p AS (
+       |  SELECT vec_id, [${ys.mkString(",\n")}] AS ys
+       |  FROM embeddings
+       |)
+       |SELECT vec_id, CAST(g.j AS BIGINT) AS out_dim, ys[g.j + 1] AS val
+       |FROM p, (SELECT unnest(range(0, $outDim)) AS j) g
+       |ORDER BY vec_id, out_dim""".stripMargin
+  }
 }

@@ -57,6 +57,27 @@ object StreamingSessionize {
 
   private type InRow = (Long, Long, java.sql.Timestamp, Long)
 
+  /** Run `body` (which starts and drains a REPLAY streaming query) with
+    * `spark.sql.shuffle.partitions` temporarily lowered: a replay is a
+    * handful of micro-batches over a fixture-sized stream, and each
+    * stateful operator pays one state-store instance PER shuffle partition
+    * PER micro-batch — at the batch-tuned 32 partitions that is pure
+    * per-trigger overhead (BENCH flagged the stream-stream join at ~22 s,
+    * most of it state-store bookkeeping). 8 partitions keeps the replay
+    * parallel enough for the fixtures while cutting the bookkeeping 4×.
+    * The number of STATE partitions is baked in at query start, so this is
+    * a fixture-scale choice only — a production continuous query sizes it
+    * to the cluster (and this helper restores the session conf either
+    * way).
+    */
+  private def withReplayStatePartitions[T](
+      spark: org.apache.spark.sql.SparkSession, n: Int = 8)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Sessionize a streaming frame with columns (event_id, user_id, ts).
     *
     * Events are BUFFERED in per-user state until the watermark passes their
@@ -215,9 +236,11 @@ object StreamingSessionize {
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString)
       val out = sessionize(src, gapSeconds, s"$watermarkDelaySec seconds")
-      val q = out.writeStream.format("memory").queryName(queryName).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
+      withReplayStatePartitions(spark) {
+        val q = out.writeStream.format("memory").queryName(queryName).outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
       spark.table(queryName).where(col("user_id") >= 0)
     } finally {
       // the memory sink owns the rows now; the temp files can go
@@ -581,10 +604,12 @@ object StreamingSessionize {
         .select(
           col("view_id"), col("purchase_id"), col("user_id"),
           (unix_timestamp(col("p_ts")) - unix_timestamp(col("view_ts"))).as("gap_sec"))
-      val q = joined.writeStream.format("memory")
-        .queryName(queryName).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
+      withReplayStatePartitions(spark) {
+        val q = joined.writeStream.format("memory")
+          .queryName(queryName).outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
       spark.table(queryName).where(col("user_id") >= 0)
     } finally {
       import scala.util.Try

@@ -290,4 +290,27 @@ class PlanSpec extends AnyFunSuite {
       assert(bnlj <= cap, s"$q: $bnlj BNLJs exceed the $cap one-row-scalar cap:\n$p")
     }
   }
+
+  test("join_bloom_prefilter: the bloom probe filters the fact side BEFORE any join") {
+    val p = plan("join_bloom_prefilter")
+    val probeAt = p.indexOf("might_contain")
+    assert(probeAt >= 0, s"bloom probe missing from the plan:\n$p")
+    // the probe must sit below (= printed after) no join: the first join
+    // operator in the printed tree appears before the filter line, and the
+    // orders scan feeding the probe appears after it — i.e. the filter is
+    // on the scan side, not applied to join output
+    val scanAfterProbe = p.indexOf("orders.parquet", probeAt)
+    assert(scanAfterProbe > probeAt,
+      s"bloom probe is not adjacent to the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bloom-prefilter plan:\n$p")
+  }
+
+  test("resample_daily: the calendar spine rides a broadcast, user windows shuffle by user") {
+    val p = plan("resample_daily")
+    // the ~30-row day spine must never shuffle the user side: its join is
+    // a broadcast nested-loop (cross with a broadcast literal frame)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"day spine is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in resample plan:\n$p")
+  }
 }

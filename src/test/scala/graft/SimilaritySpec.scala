@@ -415,4 +415,26 @@ class SimilaritySpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Similarity.quantizeEmbeddings(empty))
     assert(e.getMessage.contains("no input vectors"))
   }
+
+  test("randomProjection: shape, determinism, and JL norm preservation") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, SfDir)
+    val n = emb.count()
+    val p = Similarity.randomProjection(emb)
+    val rows = p.collect()
+    assert(rows.length == n * 16, "one row per (vec, out_dim)")
+    // deterministic: a second run is identical
+    assert(Similarity.randomProjection(emb).collect().toSeq == rows.toSeq)
+    // JL: E[||y||^2] == ||x||^2; with m=16 the per-vector ratio is noisy
+    // but the MEAN ratio over the fixture must sit near 1
+    val projNorm = p.groupBy(col("vec_id"))
+      .agg(sum(col("val") * col("val")).as("y2"))
+    val rawNorm = emb.select(
+      col("vec_id"),
+      expr("aggregate(embedding, cast(0.0 as double), (a, x) -> a + x * x)").as("x2"))
+    val meanRatio = projNorm.join(rawNorm, "vec_id")
+      .agg(avg(col("y2") / col("x2"))).head().getDouble(0)
+    assert(meanRatio > 0.8 && meanRatio < 1.2,
+      s"mean norm ratio $meanRatio outside the JL expectation band")
+  }
 }
