@@ -103,6 +103,8 @@ object QueriesLlm {
   // the require makes that a loud build failure instead of silent drift.
   private val GramN = 3
   require(GramN == 3, "oracle gram CTEs are written for trigrams; rewrite them before changing GramN")
+  // dedup_edit_distance verification cap, interpolated into the oracle
+  private val EditMaxDist = 64
   private val DeconMinShared = 2 // shared-gram threshold, query AND oracle
   // decontaminate_bloom gram-level false-positive rate: doc-level false
   // flags go as P(Binomial(grams/doc, fpp) >= DeconMinShared) — see the
@@ -1129,6 +1131,14 @@ object QueriesLlm {
       Dedup.minhashLshPairs(Tables.documents(s, dir), bands = MhBands)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ── edit-distance near-dup ([[Dedup.editDistancePairs]]): band
+    // candidates verified by Levenshtein with the length-difference prune —
+    // the typo/minor-revision duplicate class Jaccard dilutes; both
+    // engines run the same textbook DP so the pair set replays exactly ──
+    "dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), maxDist = EditMaxDist, bands = MhBands)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // ── n-gram Jaccard routed through MinHash band candidates — the scale
     // route for low thresholds where lossless prefix filtering degenerates;
     // approximate recall, but every emitted pair is exact-verified and the
@@ -1484,9 +1494,11 @@ object QueriesLlm {
             to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
         val out = StreamingSessionize.nearDupIngest(
           stream, idx, minEstJaccard = 0.5, bands = MhBands)
-        val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
-        try q.processAllAvailable()
-        finally q.stop()
+        StreamingSessionize.withReplayStatePartitions(s) {
+          val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+          try q.processAllAvailable()
+          finally q.stop()
+        }
       } finally idx.unpersist()
       s.table(sink)
         .select(col("doc_id"), col("corpus_doc_id"), col("est_jaccard"))
@@ -1511,9 +1523,11 @@ object QueriesLlm {
           col("doc_id"), col("text"),
           to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
       val out = StreamingSessionize.exactDedup(src.unionByName(src))
-      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
+      StreamingSessionize.withReplayStatePartitions(s) {
+        val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
       s.table(sink).select(col("fingerprint")).orderBy(col("fingerprint"))
     }),
 
@@ -1533,10 +1547,12 @@ object QueriesLlm {
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-      val q = CountMin.sketch(src, "token")
-        .writeStream.format("memory").queryName(sink).outputMode("complete").start()
-      try q.processAllAvailable()
-      finally q.stop()
+      StreamingSessionize.withReplayStatePartitions(s) {
+        val q = CountMin.sketch(src, "token")
+          .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
       val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("token")).limit(20)
@@ -1569,9 +1585,11 @@ object QueriesLlm {
         .where(col("doc_id") % 50 =!= 0)
       val out =
         StreamingSessionize.decontaminateIngest(src, bytes, minShared = DeconMinShared, n = GramN)
-      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
+      StreamingSessionize.withReplayStatePartitions(s) {
+        val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
       val exact = Dedup.contaminationReport(
         docs.where(col("doc_id") % 50 =!= 0), eval, minShared = DeconMinShared, n = GramN)
       exact
@@ -1622,9 +1640,11 @@ object QueriesLlm {
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
       val out = StreamingSessionize.dsirScoreIngest(src, lam, n = DsirN)
-      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
+      StreamingSessionize.withReplayStatePartitions(s) {
+        val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
       s.table(sink)
         .select(col("doc_id"), col("log_weight"), col("selected"))
         .orderBy(col("doc_id"))
@@ -1649,9 +1669,11 @@ object QueriesLlm {
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
       val out = StreamingSessionize.bm25ScoreIngest(src, qterms, idfMap, avgdl)
-      val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try q.processAllAvailable()
-      finally q.stop()
+      StreamingSessionize.withReplayStatePartitions(s) {
+        val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
       s.table(sink)
         .select(col("doc_id"), col("query_id"), col("score"))
         .orderBy(col("query_id"), col("doc_id"))
@@ -1704,7 +1726,10 @@ object QueriesLlm {
           ()
         }
         idx.persist()
-        try {
+        // micro-batch-sized frames through every leg — run the replay (and
+        // the per-batch jobs foreachBatch launches) at replay-scale shuffle
+        // partitions; the session conf is restored after the drain
+        try StreamingSessionize.withReplayStatePartitions(s) {
           val q = s.readStream
             .schema(streamed.schema)
             .option("maxFilesPerTrigger", "1")
@@ -2903,6 +2928,21 @@ object QueriesLlm {
          |JOIN grams b ON b.doc_id = c.doc_b
          |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
          |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // dedup_edit_distance: the same band-candidate chain verified by
+    // DuckDB's own levenshtein — two independent DP implementations
+    // hash-matched, with the identical length prune
+    "dedup_edit_distance" ->
+      s"""$gramsCte,
+         |${minhashCandCte()}
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+         |FROM cand c
+         |JOIN documents ta ON ta.doc_id = c.doc_a
+         |JOIN documents tb ON tb.doc_id = c.doc_b
+         |WHERE abs(length(ta.text) - length(tb.text)) <= $EditMaxDist
+         |  AND levenshtein(ta.text, tb.text) <= $EditMaxDist
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_lsh" ->

@@ -514,6 +514,24 @@ object QueriesRelational {
         Tables.events(s, dir), "user_id", col("ts"), col("event_type"),
         Seq("view", "click", "purchase"))),
 
+    // ── referential-integrity audit ([[operators.Audit]]): FK orphan and
+    // PK duplication counts over the star schema's join keys — the
+    // pre-flight that turns silent inner-join row loss / join fan-out into
+    // numbers. Broadcast anti-joins on dim keys, map-side combined PK
+    // counts; one unioned plan ──
+    "fk_integrity_audit" -> ((s, dir) => {
+      import graft.operators.Audit
+      Audit.report(Seq(
+        Audit.fkOrphans("fk_customer_nation",
+          Tables.customer(s, dir), "c_nationkey", Tables.nation(s, dir), "n_nationkey"),
+        Audit.fkOrphans("fk_lineitem_orders",
+          Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey"),
+        Audit.fkOrphans("fk_orders_customer",
+          Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey"),
+        Audit.dupPrimaryKeys("pk_customer", Tables.customer(s, dir), "c_custkey"),
+        Audit.dupPrimaryKeys("pk_orders", Tables.orders(s, dir), "o_orderkey")))
+    }),
+
     // ── daily resample + forward-fill ([[operators.Analytics
     // .resampleDaily]]): one row per (user, calendar day) including GAP
     // days — zero counts, purchase value carried forward — the time-series
@@ -899,6 +917,36 @@ object QueriesRelational {
         |       CAST(n_active * 1000000 // cohort_size AS BIGINT) AS retention_ppm
         |FROM cells JOIN sizes USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // fk_integrity_audit: each check expressed directly — orphans are
+    // non-null keys missing from the parent plus null keys; PK violations
+    // are total minus distinct
+    "fk_integrity_audit" ->
+      """SELECT 'fk_customer_nation' AS check_name,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_checked,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |        WHERE c_nationkey IS NULL OR c_nationkey NOT IN
+        |          (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)
+        |       ) AS n_violations
+        |UNION ALL
+        |SELECT 'fk_lineitem_orders',
+        |       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |        WHERE l_orderkey IS NULL OR l_orderkey NOT IN
+        |          (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))
+        |UNION ALL
+        |SELECT 'fk_orders_customer',
+        |       (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |        WHERE o_custkey IS NULL OR o_custkey NOT IN
+        |          (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+        |UNION ALL
+        |SELECT 'pk_customer', CAST(count(*) AS BIGINT),
+        |       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+        |UNION ALL
+        |SELECT 'pk_orders', CAST(count(*) AS BIGINT),
+        |       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |ORDER BY check_name""".stripMargin,
 
     // resample_daily: the same carry → end-of-day collapse → spine join →
     // across-days fill; the carried value is transported untouched from

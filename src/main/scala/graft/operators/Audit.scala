@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Relational integrity audits — the pre-flight checks a pipeline runs
+  * before trusting its joins: a fact row whose foreign key resolves to
+  * nothing silently VANISHES from an inner join (or null-pads a left one),
+  * and a duplicated primary key silently FANS OUT every downstream join —
+  * both corrupt training data without ever failing a job. Auditing first
+  * turns silent corruption into a number.
+  *
+  * Every check emits the same row shape `(check_name, n_checked, n_violations)`
+  * so reports union cleanly and the whole audit is one plan. Scale: an FK
+  * check is one LEFT ANTI join on the key (broadcast when the parent's key
+  * column is dim-sized; null keys counted map-side, never shuffled); a PK
+  * check is one count-per-key aggregate that combines map-side. Nothing
+  * here is data-shaped beyond the joins the pipeline was about to run
+  * anyway — which is exactly why running the audit first is cheap
+  * insurance.
+  */
+object Audit {
+
+  /** One FK check: rows of `child` whose non-null `childKey` has no match
+    * in `parent.parentKey`, plus null-key rows counted separately as
+    * violations (a null FK can't resolve either — callers that allow
+    * optional references should filter first).
+    */
+  def fkOrphans(
+      check: String,
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String): DataFrame = {
+    val keys = parent.select(col(parentKey).as("__pk")).distinct()
+    val nonNull = child.where(col(childKey).isNotNull)
+    val orphans = nonNull
+      .join(broadcast(keys), col(childKey) === col("__pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val totals = child.agg(
+      count(lit(1)).as("n_checked"),
+      sum(when(col(childKey).isNull, 1L).otherwise(0L)).as("n_null"))
+    totals.crossJoin(broadcast(orphans))
+      .select(
+        lit(check).as("check_name"),
+        col("n_checked"),
+        (col("n_orphans") + col("n_null")).as("n_violations"))
+  }
+
+  /** One PK check: `n_violations = rows - distinct non-null keys` — the
+    * extra copies of a duplicated key count individually, and EVERY
+    * null-keyed row is a violation (a primary key must be non-null AND
+    * unique). A clean table scores 0. One aggregate, map-side combined.
+    */
+  def dupPrimaryKeys(check: String, df: DataFrame, key: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_checked"),
+      (count(lit(1)) - countDistinct(col(key))).as("n_violations"))
+      .select(lit(check).as("check_name"), col("n_checked"), col("n_violations"))
+
+  /** Union a set of checks into one ordered report. */
+  def report(checks: Seq[DataFrame]): DataFrame = {
+    require(checks.nonEmpty, "Audit.report: no checks given")
+    checks.reduce(_.unionByName(_)).orderBy(col("check_name"))
+  }
+}

@@ -483,6 +483,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Edit-distance near-dup pairs: MinHash band candidates verified by
+    * LEVENSHTEIN distance — the typo/small-edit duplicate class that
+    * set-based Jaccard dilutes (a dozen single-character edits barely move
+    * gram overlap on a long doc but are exactly what "same doc, minor
+    * revision" looks like). Candidate generation is the same banded
+    * equi-join as every other dedup route (never all-pairs); verification
+    * prunes with the classic length lower bound
+    * `||a| - |b|| <= maxDist` BEFORE paying the O(|a|·|b|) DP, then keeps
+    * pairs at `levenshtein <= maxDist`. Both engines implement the same
+    * textbook DP, so the distance — and therefore the pair set — replays
+    * exactly.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      maxDist: Int,
+      bands: Int = 8,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be nonnegative, got $maxDist")
+    val g = shingles(docs, n, idCol, textCol)
+    val sigs = g.select(col(idCol), TextKernels.minhashSig(col("grams")).as("sig"))
+    val cand = minhashBandCandidates(sigs, bands, idCol)
+    val ta = docs.select(col(idCol).as("doc_a"), col(textCol).as("text_a"))
+    val tb = docs.select(col(idCol).as("doc_b"), col(textCol).as("text_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .where(abs(length(col("text_a")) - length(col("text_b"))) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")))
+      .where(col("edit_dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist").cast("long").as("edit_dist"))
+  }
+
   /** MinHash signature (array of 32 longs) per doc over its n-gram set.
     * Fully MAP-SIDE and codegen'd: one [[TextKernels.MinHashSignature]] pass
     * hashes each gram once and folds all 32 permutation minima — no explode,

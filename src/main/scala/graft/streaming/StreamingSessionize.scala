@@ -70,7 +70,7 @@ object StreamingSessionize {
     * to the cluster (and this helper restores the session conf either
     * way).
     */
-  private def withReplayStatePartitions[T](
+  private[graft] def withReplayStatePartitions[T](
       spark: org.apache.spark.sql.SparkSession, n: Int = 8)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
