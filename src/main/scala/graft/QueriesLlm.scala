@@ -975,6 +975,14 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── triangle census ([[GraphRank.triangleStats]]): per-node triangle
+    // counts + integer-ppm local clustering over the SAME winnow graph —
+    // clique-vs-hub cohesion, the curation signal centrality alone can't
+    // give. Canonical a<b<c enumeration, two equi-joins, bitwise replay ──
+    "doc_triangles" -> ((s, dir) =>
+      GraphRank.triangleStats(Dedup.winnowOverlapPairs(
+        Tables.documents(s, dir), minShared = 2, n = WinnowN, window = WinnowW))),
+
     // ── THREE-MODALITY seed expansion: wording (BM25 on the seed's own
     // tokens) + semantics (exact cosine) + similarity-graph reachability
     // (personalized PageRank, ONE batched multi-seed run — a doc two hops
@@ -2663,6 +2671,29 @@ object QueriesLlm {
     // Integer-arithmetic PageRank over the same winnow overlap graph,
     // every iteration replayed bitwise in BIGINT (see pagerankOracleSql).
     "doc_pagerank" -> pagerankOracleSql,
+
+    // doc_triangles: the same winnow-pair graph, canonical a<b<c triangle
+    // enumeration, integer clustering coefficient
+    "doc_triangles" ->
+      s"""$winnowCte,
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+         |p AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS w
+         |      FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |tr AS (SELECT x.a, x.b, y.b AS c
+         |       FROM p x JOIN p y ON x.b = y.a
+         |       JOIN p z ON z.a = x.a AND z.b = y.b),
+         |pn AS (SELECT n, CAST(count(*) AS BIGINT) AS n_triangles
+         |       FROM (SELECT unnest([a, b, c]) AS n FROM tr) GROUP BY n),
+         |dg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree
+         |       FROM (SELECT a AS n FROM p UNION ALL SELECT b FROM p) GROUP BY n)
+         |SELECT dg.n AS doc_id, degree,
+         |       coalesce(n_triangles, 0) AS n_triangles,
+         |       CASE WHEN degree >= 2
+         |            THEN coalesce(n_triangles, 0) * 2000000 // (degree * (degree - 1))
+         |            ELSE 0 END AS clustering_ppm
+         |FROM dg LEFT JOIN pn ON pn.n = dg.n
+         |ORDER BY doc_id""".stripMargin,
 
     // Components x PageRank argmax — canonical selection by centrality,
     // the full composition replayed bitwise (all-integer state).

@@ -117,6 +117,21 @@ object SparkEntry {
       streaming.StreamingSessionize.intervalJoinReplay(Tables.events(s, dir))
         .orderBy(col("view_id"), col("purchase_id"))),
 
+    // ── ingestion-time per-user rate limiting, oracle-checked END TO END:
+    // at most 2 events per user per event-time hour admitted, in
+    // deterministic (epoch, event_id) order, through a REAL multi-trigger
+    // replay of the event-time-buffering quota state machine
+    // (StreamingSessionize.rateLimit). The oracle is the batch window-rank
+    // SQL, so the hash match proves watermark buffering makes the admitted
+    // set arrival-order-invariant. ──
+    "stream_rate_limit" -> ((s, dir) =>
+      streaming.StreamingSessionize.rateLimitReplay(
+        Tables.events(s, dir), maxPerWindow = 2L, windowSec = 3600L)
+        .select(
+          col("event_id"), col("user_id"), col("epoch_sec"),
+          col("window_start_sec"), col("rank_in_window"))
+        .orderBy(col("event_id"))),
+
     // ── C4 variant: WAU by session_id (ref SessionIdBaseWauTransformer) ──
     "wau_session" -> ((s, dir) =>
       Wau.wau(
@@ -187,6 +202,24 @@ object SparkEntry {
     // more than 5%) hash-mismatches and fails the gate.
     "wau_user_approx" -> wauValidatedOracle,
     "wau_user_sketch_rollup" -> wauValidatedOracle,
+
+    // stream_rate_limit: the batch window-rank quota the streaming replay
+    // must reproduce exactly
+    "stream_rate_limit" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec
+        |  FROM events
+        |), w AS (
+        |  SELECT *, (epoch_sec // 3600) * 3600 AS window_start_sec,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY user_id, epoch_sec // 3600
+        |           ORDER BY epoch_sec, event_id) AS BIGINT) AS rank_in_window
+        |  FROM ev
+        |)
+        |SELECT event_id, user_id, epoch_sec, window_start_sec, rank_in_window
+        |FROM w WHERE rank_in_window <= 2
+        |ORDER BY event_id""".stripMargin,
 
     // stream_interval_join: the batch interval join the streaming replay
     // must reproduce exactly

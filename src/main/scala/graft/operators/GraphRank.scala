@@ -242,4 +242,51 @@ object GraphRank {
     }
     ranks.select(col("node").as(idOut), col("rank"))
   }
+
+  /** Per-node triangle counts and local clustering coefficient over
+    * undirected `pairs` — the cohesion metric that separates a TIGHT
+    * duplicate cluster (boilerplate families: everyone overlaps everyone,
+    * clustering → 1) from a hub-and-spoke pattern (one template document
+    * loosely touching many unrelated docs, clustering → 0). Centrality
+    * ([[pagerank]]) says "how much mass surrounds this node"; clustering
+    * says whether that mass is one clique or scattered — together they
+    * drive the keep-the-canonical / break-up-the-hub curation decisions.
+    *
+    * Exact and all-integer: `clustering_ppm = 2·10^6 · triangles div
+    * (deg·(deg-1))` (floor division, nonnegative operands — replays
+    * bitwise). Scale shape: triangle enumeration is the standard two-join
+    * canonical-ordering scan — edges kept as `a < b` rows, so each
+    * triangle is generated exactly once as `a < b < c`; both joins are
+    * shuffled equi-joins on a node key, no cartesian. Skew caveat at
+    * 100 TB: a hub node of degree d contributes O(d²) wedge candidates —
+    * the standard mitigation (degree-ordered orientation) is unnecessary
+    * here because the winnow graph's `maxPrintFreq` knob already caps
+    * hot-print degree upstream.
+    */
+  def triangleStats(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      idOut: String = "doc_id"): DataFrame = {
+    val e = pairs.select(
+      least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    val wedges = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+    val tri = wedges.join(
+      e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("n"), "left_outer")
+      .select(
+        col("n").as(idOut), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn(
+        "clustering_ppm",
+        expr("CASE WHEN degree >= 2 THEN n_triangles * 2000000 div (degree * (degree - 1)) ELSE 0L END"))
+      .orderBy(col(idOut))
+  }
 }

@@ -149,6 +149,155 @@ object StreamingSessionize {
     out.iterator
   }
 
+  /** Per-(user, tumbling event-time window) admission quota state. */
+  case class QuotaWindow(window_start_sec: Long, admitted: Long)
+  case class QuotaState(windows: Seq[QuotaWindow], pending: Seq[PendingEvent])
+  case class AdmittedEvent(
+      event_id: Long,
+      user_id: Long,
+      epoch_sec: Long,
+      window_start_sec: Long,
+      rank_in_window: Long)
+
+  /** Ingestion-time per-key RATE LIMITING: admit at most `maxPerWindow`
+    * events per user per `windowSec`-second tumbling event-time window,
+    * in deterministic `(epoch_sec, event_id)` order; everything beyond the
+    * quota drops at the door. The abuse/burst throttle a real ingestion
+    * edge runs — and a second event-time-buffering state machine on the
+    * verified path (the [[sessionize]] discipline: buffer until the
+    * watermark passes, then admit in batch order, so cross-trigger
+    * reordering within the watermark delay cannot change WHICH events win
+    * the quota — an arrival-order limiter would admit a different set on
+    * every replay).
+    *
+    * State per user: admitted-count per window still inside the watermark
+    * horizon plus the buffered tail — bounded by
+    * `delay/windowSec + buffered` entries, evicted as the watermark passes
+    * each window's end. Batch equivalence (the declared query's oracle):
+    * `row_number() OVER (PARTITION BY user, window ORDER BY epoch_sec,
+    * event_id) <= maxPerWindow`.
+    */
+  def rateLimit(
+      events: DataFrame,
+      maxPerWindow: Long,
+      windowSec: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[AdmittedEvent] = {
+    require(maxPerWindow > 0 && windowSec > 0, "quota and window must be positive")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(
+        col("event_id").cast("long"), col("user_id").cast("long"),
+        col("ts"), unix_timestamp(col("ts")).as("epoch_sec"))
+      .as[InRow]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        processQuota(maxPerWindow, windowSec) _)
+  }
+
+  private def processQuota(k: Long, win: Long)(
+      user: Long,
+      rows: Iterator[InRow],
+      state: GroupState[QuotaState]): Iterator[AdmittedEvent] = {
+    val wmMs = state.getCurrentWatermarkMs()
+    val prev = state.getOption.getOrElse(QuotaState(Seq.empty, Seq.empty))
+    val fresh = rows.map(r => PendingEvent(r._1, r._4)).filter(_.epoch_sec * 1000L >= wmMs)
+    val pending = prev.pending ++ fresh
+    val (ready, held) = pending.partition(_.epoch_sec * 1000L < wmMs)
+    val counts = scala.collection.mutable.Map(
+      prev.windows.map(w => w.window_start_sec -> w.admitted): _*)
+    val out = ready.sortBy(e => (e.epoch_sec, e.event_id)).flatMap { e =>
+      val w = (e.epoch_sec / win) * win // nonnegative epochs: floor == trunc
+      val c = counts.getOrElse(w, 0L)
+      if (c < k) {
+        counts(w) = c + 1L
+        Some(AdmittedEvent(e.event_id, user, e.epoch_sec, w, c + 1L))
+      } else None
+    }
+    // a window's count matters only while events inside it can still arrive
+    val live = counts.toSeq
+      .filter { case (w, _) => (w + win) * 1000L >= wmMs }
+      .sortBy(_._1).map { case (w, c) => QuotaWindow(w, c) }
+    if (held.isEmpty && live.isEmpty) {
+      if (state.exists) state.remove()
+    } else {
+      state.update(QuotaState(live, held))
+      val wake =
+        if (held.nonEmpty) held.map(_.epoch_sec).min * 1000L + 1L
+        else live.map(w => (w.window_start_sec + win) * 1000L).min + 1L
+      state.setTimeoutTimestamp(math.max(wake, wmMs + 1L))
+    }
+    out.iterator
+  }
+
+  /** [[rateLimit]] driven by the same multi-slice file replay as
+    * [[sessionizeReplay]] — a genuine multi-trigger streaming execution
+    * whose complete admitted set the batch window-rank oracle must equal.
+    */
+  def rateLimitReplay(
+      events: DataFrame,
+      maxPerWindow: Long,
+      windowSec: Long,
+      slices: Int = 3,
+      watermarkDelaySec: Long = 600L,
+      queryName: String = "stream_rate_limit_sink"): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    require(slices >= 2, s"need >= 2 slices for the watermark to move, got $slices")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_ratelimit_")
+    val streamDir = base.resolve("stream")
+    Files.createDirectories(streamDir)
+    try {
+      val proj = events.select(
+        col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("ts"))
+      val bounds = proj.agg(
+        min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
+      require(!bounds.isNullAt(0), "rateLimitReplay: empty events input")
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = hi - lo + 1
+      val sentinel1 = hi + windowSec + watermarkDelaySec + 60L
+      val sentinel2 = sentinel1 + 60L
+      val sliceDfs = (0 until slices).map { i =>
+        val cutLo = lo + span * i / slices
+        val cutHi = lo + span * (i + 1) / slices
+        val e = unix_timestamp(col("ts"))
+        proj.where(e >= cutLo && e < cutHi)
+      } ++ Seq(sentinel1, sentinel2).map { sec =>
+        Seq((-1L, -1L)).toDF("event_id", "user_id")
+          .select(col("event_id"), col("user_id"), lit(sec).cast("timestamp").as("ts"))
+      }
+      sliceDfs.zipWithIndex.foreach { case (df, i) =>
+        val stage = base.resolve(s"stage_$i")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = Files.list(stage).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written for slice $i"))
+        val dest = streamDir.resolve(f"part_$i%03d.parquet")
+        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
+      }
+      val src = spark.readStream
+        .schema(proj.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val out = rateLimit(src, maxPerWindow, windowSec, s"$watermarkDelaySec seconds")
+      withReplayStatePartitions(spark) {
+        val q = out.writeStream.format("memory").queryName(queryName).outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      spark.table(queryName).where(col("user_id") >= 0)
+    } finally {
+      import scala.util.Try
+      Try(Files.walk(base).iterator().asScala.toSeq.reverse.foreach(p => Try(Files.delete(p))))
+    }
+  }
+
   /** Replay a BOUNDED events frame through [[sessionize]] as a genuine
     * multi-micro-batch stream and return the complete sessionized result —
     * the harness that lets an event-time-buffering streaming operator be

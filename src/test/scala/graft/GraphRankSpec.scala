@@ -194,4 +194,25 @@ class GraphRankSpec extends AnyFunSuite {
       GraphRank.personalizedPagerank(pathPairs, seeds = Seq.empty, iters = 1)
     }
   }
+
+  test("triangleStats: hand-computed census on a triangle plus a hub spoke") {
+    import spark.implicits._
+    // 1-2-3 is a triangle; 4 touches 1 and 5 (wedge, no closure); edges
+    // arrive in MIXED orientation and with one duplicate to prove
+    // canonicalization
+    val pairs = Seq(
+      (1L, 2L), (3L, 2L), (1L, 3L), (4L, 1L), (4L, 5L), (2L, 1L))
+      .toDF("doc_a", "doc_b")
+    val got = GraphRank.triangleStats(pairs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"), r.getAs[Long]("clustering_ppm"))))
+      .toMap
+    assert(got == Map(
+      1L -> ((3L, 1L, 333333L)), // 2*1e6*1 div (3*2)
+      2L -> ((2L, 1L, 1000000L)),
+      3L -> ((2L, 1L, 1000000L)),
+      4L -> ((2L, 0L, 0L)), // open wedge: no triangle
+      5L -> ((1L, 0L, 0L)))) // degree 1: coefficient defined as 0
+  }
 }

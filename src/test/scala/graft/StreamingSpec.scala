@@ -218,6 +218,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.get("2024-01-08").contains(1L)) // user 3
   }
 
+  test("rate-limit replay admits exactly the batch window-rank quota set") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, SfDir)
+    val got = StreamingSessionize.rateLimitReplay(
+      ev, maxPerWindow = 2L, windowSec = 3600L, queryName = "ratelimit_spec_sink")
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("window_start_sec"),
+        r.getAs[Long]("rank_in_window"))).toSet
+    val expected = ev
+      .select(
+        col("event_id").cast("long").as("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("epoch_sec"))
+      .withColumn("window_start_sec", expr("(epoch_sec div 3600) * 3600"))
+      .withColumn(
+        "rank_in_window",
+        expr("""CAST(row_number() OVER (
+                PARTITION BY user_id, window_start_sec
+                ORDER BY epoch_sec, event_id) AS BIGINT)"""))
+      .where(col("rank_in_window") <= 2)
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("window_start_sec"),
+        r.getAs[Long]("rank_in_window"))).toSet
+    assert(expected.nonEmpty)
+    assert(got == expected,
+      s"admitted sets diverge: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, SfDir)
