@@ -117,6 +117,18 @@ object SparkEntry {
       streaming.StreamingSessionize.intervalJoinReplay(Tables.events(s, dir))
         .orderBy(col("view_id"), col("purchase_id"))),
 
+    // ── the LEFT OUTER variant: unmatched views must ALSO surface — and in
+    // a stream-stream join the null-extended row can only be emitted when
+    // the watermark proves no matching purchase can still arrive (emission
+    // on state EXPIRY, the semantics the inner join never exercises). The
+    // hash match against the batch LEFT JOIN proves the expiry machinery
+    // emits every unmatched view exactly once, no dupes, none lost. ──
+    "stream_interval_join_left" -> ((s, dir) =>
+      streaming.StreamingSessionize.intervalJoinReplay(
+        Tables.events(s, dir),
+        queryName = "stream_interval_join_left_sink", joinType = "left_outer")
+        .orderBy(col("view_id"), col("purchase_id"))),
+
     // ── ingestion-time per-user rate limiting, oracle-checked END TO END:
     // at most 2 events per user per event-time hour admitted, in
     // deterministic (epoch, event_id) order, through a REAL multi-trigger
@@ -220,6 +232,18 @@ object SparkEntry {
         |SELECT event_id, user_id, epoch_sec, window_start_sec, rank_in_window
         |FROM w WHERE rank_in_window <= 2
         |ORDER BY event_id""".stripMargin,
+
+    // stream_interval_join_left: the batch LEFT interval join — unmatched
+    // views carry NULL purchase columns
+    "stream_interval_join_left" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT)
+        |         - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_sec
+        |FROM events v LEFT JOIN events p
+        |  ON p.user_id = v.user_id AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        |WHERE v.event_type = 'view'
+        |ORDER BY view_id, purchase_id""".stripMargin,
 
     // stream_interval_join: the batch interval join the streaming replay
     // must reproduce exactly

@@ -691,7 +691,10 @@ object StreamingSessionize {
       slices: Int = 3,
       matchWindowSec: Long = 1800L,
       watermarkDelaySec: Long = 600L,
-      queryName: String = "stream_interval_join_sink"): DataFrame = {
+      queryName: String = "stream_interval_join_sink",
+      joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"stream-stream interval join supports inner/left_outer, got $joinType")
     import java.nio.file.{Files, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     require(slices >= 2, s"need >= 2 slices for the watermark to move, got $slices")
@@ -710,18 +713,30 @@ object StreamingSessionize {
       require(!bounds.isNullAt(0), "intervalJoinReplay: empty events input")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val span = hi - lo + 1
-      val sentinel1 = hi + matchWindowSec + watermarkDelaySec + 60L
-      val sentinel2 = sentinel1 + 60L
+      // Each stream leg FILTERS on event_type BEFORE its watermark node, so
+      // a sentinel only advances a leg's watermark if it passes that leg's
+      // filter: every sentinel batch carries one view-typed row (user -1)
+      // and one purchase-typed row (user -2) — distinct negative users, so
+      // they match nothing and the output filter drops them. The OUTER
+      // variant additionally needs the final watermark to clear every
+      // view's null-emission horizon (Spark derives it conservatively from
+      // the condition bound plus both delays) and at least one further
+      // batch to run the eviction — three far-future sentinel batches
+      // cover both.
+      val margin = 3L * (matchWindowSec + watermarkDelaySec)
+      val sentinels = Seq(
+        hi + margin, hi + margin + 60L, hi + margin + 120L)
       val sliceDfs = (0 until slices).map { i =>
         val cutLo = lo + span * i / slices
         val cutHi = lo + span * (i + 1) / slices
         val e = unix_timestamp(col("ts"))
         proj.where(e >= cutLo && e < cutHi)
-      } ++ Seq(sentinel1, sentinel2).map { sec =>
-        Seq((-1L, -1L)).toDF("event_id", "user_id")
+      } ++ sentinels.map { sec =>
+        Seq((-1L, -1L, "view"), (-2L, -2L, "purchase"))
+          .toDF("event_id", "user_id", "event_type")
           .select(
             col("event_id"), col("user_id"),
-            lit(sec).cast("timestamp").as("ts"), lit("sentinel").as("event_type"))
+            lit(sec).cast("timestamp").as("ts"), col("event_type"))
       }
       sliceDfs.zipWithIndex.foreach { case (df, i) =>
         val stage = base.resolve(s"stage_$i")
@@ -746,10 +761,15 @@ object StreamingSessionize {
           col("event_id").as("purchase_id"), col("user_id").as("p_user"),
           col("ts").as("p_ts"))
         .withWatermark("p_ts", s"$watermarkDelaySec seconds")
+      // for LEFT OUTER the null-extended row for an unmatched view is
+      // emitted only when the watermark passes the view's whole match
+      // horizon (no purchase can still arrive) — the sentinel pair
+      // guarantees that final advance, so the replay drains COMPLETELY
       val joined = views.join(
         purchases,
         expr(s"""user_id = p_user AND p_ts >= view_ts AND
-                 p_ts <= view_ts + interval $matchWindowSec seconds"""))
+                 p_ts <= view_ts + interval $matchWindowSec seconds"""),
+        joinType)
         .select(
           col("view_id"), col("purchase_id"), col("user_id"),
           (unix_timestamp(col("p_ts")) - unix_timestamp(col("view_ts"))).as("gap_sec"))
