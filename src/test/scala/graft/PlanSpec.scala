@@ -282,7 +282,12 @@ class PlanSpec extends AnyFunSuite {
     val bnljCaps = Map(
       "top_tokens_cms" -> 1, "anneal_schedule" -> 3, "cdc_merge" -> 0,
       "diversity_stats" -> 0, "dedup_chunks" -> 0, "hybrid_seed_expand" -> 3,
-      "window_pct_dist" -> 0, "schema_evolution" -> 0, "orc_roundtrip" -> 0)
+      "window_pct_dist" -> 0, "schema_evolution" -> 0, "orc_roundtrip" -> 0,
+      // r8 batch additions: scalar/spine BNLJs only, never data×data
+      "doc_triangles" -> 0, "snapshot_diff" -> 0, "mv_incremental" -> 0,
+      "shuffle_skew_report" -> 0, "dedup_edit_distance" -> 0,
+      "zorder_prune" -> 0, "embed_rp" -> 0,
+      "sample_neyman" -> 2, "fk_integrity_audit" -> 5, "resample_daily" -> 1)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
