@@ -88,11 +88,26 @@ object Bench {
     // Full precision to a repo-local file (survives any stdout truncation)…
     scala.util.Try(Files.writeString(Paths.get("BENCH_DETAIL.json"), line(_.toString) + "\n"))
     spark.stop()
-    // …and a 3-decimal line as the LAST stdout bytes: the driver captures a
-    // 2000-char tail and json.loads the final line, so this must stay short
-    // (~1.7 KB at 70 queries) and nothing may print after it (log level is
-    // WARN; shutdown hooks are silent at that level).
+    // …the full per-query line to stdout for the human-readable record…
     println(line(v => f"$v%.3f"))
+    // …and as the LAST stdout bytes, a line GUARANTEED to fit the driver's
+    // 2000-char tail capture (json.loads of the final line). BENCH_r08 died
+    // exactly here: at 148 queries the full line is ~3.5 KB, so the captured
+    // tail started mid-line and parsed as null. Totals lead; the queries map
+    // keeps only the SLOWEST entries that fit the budget (the ones a plan
+    // review needs); the full map lives in BENCH_DETAIL.json and the line
+    // above. `elided` says how many were dropped so a short map can't read
+    // as a short run.
+    val budget = 1900
+    val slowestFirst = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else -v }
+    def compact(kept: Seq[(String, Double)]): String = {
+      val qs = kept.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","failures":${failed.size},"failed":$failedJson,"n_queries":${results.size},"elided":${results.size - kept.size},"detail":"BENCH_DETAIL.json","queries":$qs}"""
+    }
+    var keep = slowestFirst.length
+    while (keep > 0 && compact(slowestFirst.take(keep)).length > budget) keep -= 1
+    println(compact(slowestFirst.take(keep)))
     if (failed.nonEmpty) sys.exit(1)
   }
 }

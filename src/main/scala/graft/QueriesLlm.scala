@@ -2049,14 +2049,24 @@ object QueriesLlm {
         HybridSeeds, k = 10, poolK = 100)
         .orderBy(col("seed_id"), col("rank"))),
 
-    // ── multimodal: binary payload + stub header decode ──
-    "mm_decode_meta" -> ((s, dir) =>
-      Multimodal.withPayload(Tables.documents(s, dir))
-        .select(col("doc_id"), Multimodal.fakeDecodeMeta(col("payload")).as("m"))
+    // ── multimodal: REAL container-header decode — payloads synthesized
+    // with valid PNG/JPEG/WAV headers ([[Multimodal.withMediaPayload]]),
+    // sniffed by the codegen'd byte-walk kernel; the oracle rebuilds the
+    // identical bytes in hex and replays the identical offset-chained reads
+    // (JPEG segment-length hops, WAV chunk skips) in SQL ──
+    "mm_decode_real" -> ((s, dir) => {
+      graft.functions.MediaKernels.register(s)
+      Multimodal.withMediaPayload(Tables.documents(s, dir))
         .select(
-          col("doc_id"), col("m.n_bytes").as("n_bytes"), col("m.width").as("width"),
-          col("m.height").as("height"), col("m.checksum").as("checksum"))
-        .orderBy(col("doc_id"))),
+          col("doc_id"), length(col("payload")).cast("long").as("n_bytes"),
+          graft.functions.MediaKernels.decodeHeaderCol(col("payload")).as("m"))
+        .select(
+          col("doc_id"), col("m.format").as("format"), col("m.width").as("width"),
+          col("m.height").as("height"), col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"), col("m.bits").as("bits"),
+          col("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ── multimodal: frame sampling over binary payloads ──
     "mm_frame_hashes" -> ((s, dir) =>
@@ -3908,13 +3918,86 @@ object QueriesLlm {
          |FROM r WHERE rank <= 3 AND doc_id < 50
          |ORDER BY doc_id, rank""".stripMargin,
 
-    "mm_decode_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  ('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 AS width,
-        |  ('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 AS height,
-        |  md5(text) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Rebuilds the EXACT payload bytes withMediaPayload synthesizes (as a
+    // hex string; the one exception is the PNG IHDR CRC, zeroed here because
+    // the oracle engine has no crc32 — no parsed field reads it), then
+    // replays the sniffer's byte walk: PNG fixed offsets behind signature +
+    // IHDR tag checks; JPEG chaining o2/o3 from the segment-length FIELDS
+    // read out of the bytes; WAV skipping the optional JUNK chunk by its
+    // little-endian size field. Offsets are 1-indexed bytes; a byte read at
+    // position p is a substr of the hex string at (p-1)*2+1.
+    "mm_decode_real" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS bodyhx,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+        |         doc_id % 3 AS fmt,
+        |         16 + (doc_id * 37) % 4080 AS w, 16 + (doc_id * 53) % 3056 AS h,
+        |         1 + doc_id % 2 AS ch, 8000 + (doc_id % 5) * 8000 AS rate,
+        |         8 * (1 + (doc_id % 7) % 2) AS bits,
+        |         doc_id % 23 AS com_m, 2 * (doc_id % 11) AS junk
+        |  FROM documents
+        |), hxs AS (
+        |  SELECT doc_id,
+        |    CASE fmt
+        |      WHEN 0 THEN '89504E470D0A1A0A' || '0000000D' || '49484452'
+        |        || lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0') || '0806000000' || '00000000' || bodyhx
+        |      WHEN 1 THEN 'FFD8' || 'FFE00010' || '4A46494600' || '0101' || '00' || '00010001' || '0000'
+        |        || 'FFFE' || lpad(hex(2 + com_m), 4, '0') || repeat('63', CAST(com_m AS INT))
+        |        || 'FFC00011' || '08' || lpad(hex(h), 4, '0') || lpad(hex(w), 4, '0')
+        |        || '03' || '012200' || '021101' || '031101' || bodyhx
+        |    END AS hx
+        |  FROM b WHERE fmt < 2
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    '52494646' || substr(lpad(hex(4 + 24 + 8 + blen + CASE WHEN doc_id % 2 = 0 THEN 8 + junk ELSE 0 END), 8, '0'), 7, 2) || substr(lpad(hex(4 + 24 + 8 + blen + CASE WHEN doc_id % 2 = 0 THEN 8 + junk ELSE 0 END), 8, '0'), 5, 2) || substr(lpad(hex(4 + 24 + 8 + blen + CASE WHEN doc_id % 2 = 0 THEN 8 + junk ELSE 0 END), 8, '0'), 3, 2) || substr(lpad(hex(4 + 24 + 8 + blen + CASE WHEN doc_id % 2 = 0 THEN 8 + junk ELSE 0 END), 8, '0'), 1, 2)
+        |    || '57415645'
+        |    || CASE WHEN doc_id % 2 = 0
+        |            THEN '4A554E4B' || substr(lpad(hex(junk), 8, '0'), 7, 2) || substr(lpad(hex(junk), 8, '0'), 5, 2) || substr(lpad(hex(junk), 8, '0'), 3, 2) || substr(lpad(hex(junk), 8, '0'), 1, 2) || repeat('6A', CAST(junk AS INT)) ELSE '' END
+        |    || '666D7420' || '10000000' || '0100' || substr(lpad(hex(ch), 4, '0'), 3, 2) || substr(lpad(hex(ch), 4, '0'), 1, 2) || substr(lpad(hex(rate), 8, '0'), 7, 2) || substr(lpad(hex(rate), 8, '0'), 5, 2) || substr(lpad(hex(rate), 8, '0'), 3, 2) || substr(lpad(hex(rate), 8, '0'), 1, 2)
+        |    || substr(lpad(hex(rate * ch * bits // 8), 8, '0'), 7, 2) || substr(lpad(hex(rate * ch * bits // 8), 8, '0'), 5, 2) || substr(lpad(hex(rate * ch * bits // 8), 8, '0'), 3, 2) || substr(lpad(hex(rate * ch * bits // 8), 8, '0'), 1, 2) || substr(lpad(hex(ch * bits // 8), 4, '0'), 3, 2) || substr(lpad(hex(ch * bits // 8), 4, '0'), 1, 2) || substr(lpad(hex(bits), 4, '0'), 3, 2) || substr(lpad(hex(bits), 4, '0'), 1, 2)
+        |    || '64617461' || substr(lpad(hex(blen), 8, '0'), 7, 2) || substr(lpad(hex(blen), 8, '0'), 5, 2) || substr(lpad(hex(blen), 8, '0'), 3, 2) || substr(lpad(hex(blen), 8, '0'), 1, 2) || bodyhx
+        |  FROM b WHERE fmt = 2
+        |), parsed AS (
+        |  SELECT doc_id, 'png' AS format,
+        |         CASE WHEN substr(hx, (13 - 1) * 2 + 1, 8) = '49484452' THEN ('0x' || substr(hx, (17 - 1) * 2 + 1, 8))::BIGINT END AS width,
+        |         CASE WHEN substr(hx, (13 - 1) * 2 + 1, 8) = '49484452' THEN ('0x' || substr(hx, (21 - 1) * 2 + 1, 8))::BIGINT END AS height,
+        |         CASE WHEN substr(hx, (13 - 1) * 2 + 1, 8) = '49484452' THEN
+        |           CASE ('0x' || substr(hx, (26 - 1) * 2 + 1, 2))::BIGINT WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 4 END
+        |         END AS channels,
+        |         CAST(NULL AS BIGINT) AS sample_rate,
+        |         CASE WHEN substr(hx, (13 - 1) * 2 + 1, 8) = '49484452' THEN ('0x' || substr(hx, (25 - 1) * 2 + 1, 2))::BIGINT END AS bits,
+        |         CAST(length(hx) // 2 AS BIGINT) AS n_bytes
+        |  FROM hxs WHERE substr(hx, (1 - 1) * 2 + 1, 16) = '89504E470D0A1A0A'
+        |  UNION ALL
+        |  SELECT doc_id, 'jpeg' AS format,
+        |         CASE WHEN substr(hx, (o3 - 1) * 2 + 1, 4) IN ('FFC0','FFC1','FFC2','FFC3','FFC5','FFC6','FFC7','FFC9','FFCA','FFCB','FFCD','FFCE','FFCF') THEN ('0x' || substr(hx, (o3 + 7 - 1) * 2 + 1, 4))::BIGINT END AS width,
+        |         CASE WHEN substr(hx, (o3 - 1) * 2 + 1, 4) IN ('FFC0','FFC1','FFC2','FFC3','FFC5','FFC6','FFC7','FFC9','FFCA','FFCB','FFCD','FFCE','FFCF') THEN ('0x' || substr(hx, (o3 + 5 - 1) * 2 + 1, 4))::BIGINT END AS height,
+        |         CASE WHEN substr(hx, (o3 - 1) * 2 + 1, 4) IN ('FFC0','FFC1','FFC2','FFC3','FFC5','FFC6','FFC7','FFC9','FFCA','FFCB','FFCD','FFCE','FFCF') THEN ('0x' || substr(hx, (o3 + 9 - 1) * 2 + 1, 2))::BIGINT END AS channels,
+        |         CAST(NULL AS BIGINT) AS sample_rate,
+        |         CASE WHEN substr(hx, (o3 - 1) * 2 + 1, 4) IN ('FFC0','FFC1','FFC2','FFC3','FFC5','FFC6','FFC7','FFC9','FFCA','FFCB','FFCD','FFCE','FFCF') THEN ('0x' || substr(hx, (o3 + 4 - 1) * 2 + 1, 2))::BIGINT END AS bits,
+        |         CAST(length(hx) // 2 AS BIGINT) AS n_bytes
+        |  FROM (
+        |    SELECT doc_id, hx, o2 + 2 + ('0x' || substr(hx, (o2 + 2 - 1) * 2 + 1, 4))::BIGINT AS o3
+        |    FROM (SELECT doc_id, hx, 3 + 2 + ('0x' || substr(hx, (5 - 1) * 2 + 1, 4))::BIGINT AS o2
+        |          FROM hxs WHERE substr(hx, (1 - 1) * 2 + 1, 4) = 'FFD8')
+        |    WHERE substr(hx, (o2 - 1) * 2 + 1, 4) = 'FFFE'
+        |  )
+        |  UNION ALL
+        |  SELECT doc_id, 'wav' AS format,
+        |         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+        |         CASE WHEN substr(hx, (f - 1) * 2 + 1, 8) = '666D7420' THEN ('0x' || substr(hx, (f + 10 - 1) * 2 + 3, 2) || substr(hx, (f + 10 - 1) * 2 + 1, 2))::BIGINT END AS channels,
+        |         CASE WHEN substr(hx, (f - 1) * 2 + 1, 8) = '666D7420' THEN ('0x' || substr(hx, (f + 12 - 1) * 2 + 7, 2) || substr(hx, (f + 12 - 1) * 2 + 5, 2) || substr(hx, (f + 12 - 1) * 2 + 3, 2) || substr(hx, (f + 12 - 1) * 2 + 1, 2))::BIGINT END AS sample_rate,
+        |         CASE WHEN substr(hx, (f - 1) * 2 + 1, 8) = '666D7420' THEN ('0x' || substr(hx, (f + 22 - 1) * 2 + 3, 2) || substr(hx, (f + 22 - 1) * 2 + 1, 2))::BIGINT END AS bits,
+        |         CAST(length(hx) // 2 AS BIGINT) AS n_bytes
+        |  FROM (
+        |    SELECT doc_id, hx,
+        |           CASE WHEN substr(hx, (13 - 1) * 2 + 1, 8) = '666D7420' THEN 13
+        |                ELSE 13 + 8 + ('0x' || substr(hx, (17 - 1) * 2 + 7, 2) || substr(hx, (17 - 1) * 2 + 5, 2) || substr(hx, (17 - 1) * 2 + 3, 2) || substr(hx, (17 - 1) * 2 + 1, 2))::BIGINT + (('0x' || substr(hx, (17 - 1) * 2 + 7, 2) || substr(hx, (17 - 1) * 2 + 5, 2) || substr(hx, (17 - 1) * 2 + 3, 2) || substr(hx, (17 - 1) * 2 + 1, 2))::BIGINT % 2) END AS f
+        |    FROM hxs WHERE substr(hx, (1 - 1) * 2 + 1, 8) = '52494646' AND substr(hx, (9 - 1) * 2 + 1, 8) = '57415645'
+        |  )
+        |)
+        |SELECT doc_id, format, width, height, channels, sample_rate, bits, n_bytes
+        |FROM parsed ORDER BY doc_id""".stripMargin,
 
     // Byte-addressed on both engines: frames are byte ranges of the payload,
     // and the fingerprint is md5 over the frame's uppercase-hex encoding —

@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata; decode / feature-extract /
   * frame-sample are per-row transforms over those bytes.
   *
-  * The actual codecs are NOT in this container, so the decode step is a
-  * clearly-marked deterministic fake ([[fakeDecodeMeta]]) — byte-derived,
-  * reproducible, oracle-testable — while the Spark-side plumbing (binary
-  * schema, metadata struct, explode-per-frame layout, partitioning) is real.
-  * A real implementation swaps the md5-derived header fields for a container
-  * parse; nothing else changes.
+  * Header DECODE is real: [[graft.functions.MediaKernels.decodeHeaderCol]]
+  * parses actual PNG IHDR / JPEG SOFn (with the marker-segment walk) / WAV
+  * RIFF `fmt ` container headers in one codegen'd pass — no codec needed,
+  * only the formats' public byte layouts. The test tables carry no media, so
+  * [[withMediaPayload]] synthesizes payloads with VALID container headers
+  * (real PNG CRC included) in front of the document bytes; pixel/sample
+  * decode and the feature-embedding model remain out of scope (the libs are
+  * not in this container) — [[fakeFeaturesFromChecksum]] stands in for the
+  * embedder, clearly marked.
   *
   * Scale notes: payload bytes never shuffle — metadata extraction is
   * map-side; frame explosion multiplies rows but projects the payload away
@@ -27,16 +30,66 @@ object Multimodal {
   def withPayload(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("payload", encode(col(textCol), "UTF-8"))
 
-  /** STUB decode: "header" metadata derived deterministically from the
-    * payload bytes — byte length, a fake width/height from the payload
-    * hash, and the checksum. A real decoder parses the container header
-    * here instead.
+  /** Synthesize a binary payload with a REAL container header in front of
+    * the document bytes, format round-robin by id: `id % 3` = 0 → PNG,
+    * 1 → JPEG, 2 → WAV. Every header field a sniffer reads is derived
+    * deterministically from the id, so the DuckDB oracle can rebuild the
+    * identical bytes in hex and replay the identical offset-chained reads:
+    *
+    *  - PNG: signature + a spec-complete IHDR (width/height 4-byte BE, bit
+    *    depth 8, color type 6 = RGBA) with its REAL CRC-32 over type+data
+    *    (the one field the oracle zeroes — nothing a sniffer reads depends
+    *    on it, and `crc32` is not available in the oracle engine).
+    *  - JPEG: SOI + a standard 16-byte JFIF APP0 + a COM segment whose
+    *    length VARIES with the id (so finding SOF0 requires genuinely
+    *    chaining segment-length reads) + SOF0 (precision 8, 3 components).
+    *  - WAV: RIFF/WAVE with a correct riff-size field; even ids interpose a
+    *    JUNK chunk of varying even size before `fmt ` (so the parse must
+    *    walk, not assume offsets); channels/rate/bits all little-endian,
+    *    with consistent byte-rate and block-align.
     */
-  def fakeDecodeMeta(payload: Column): Column = struct(
-    length(payload).cast("long").as("n_bytes"),
-    (conv(substring(md5(payload), 1, 4), 16, 10) % 1920).cast("long").as("width"),
-    (conv(substring(md5(payload), 5, 4), 16, 10) % 1080).cast("long").as("height"),
-    md5(payload).as("checksum"))
+  def withMediaPayload(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val id = col(idCol).cast("long")
+    def beHex(v: Column, n: Int): Column = lpad(hex(v.cast("long")), 2 * n, "0")
+    def leHex(v: Column, n: Int): Column = {
+      val be = beHex(v, n)
+      concat(((n - 1) to 0 by -1).map(i => substring(be, 2 * i + 1, 2)): _*)
+    }
+    val w = lit(16) + (id * 37) % 4080
+    val h = lit(16) + (id * 53) % 3056
+
+    val ihdrData = concat(beHex(w, 4), beHex(h, 4), lit("0806000000"))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"), ihdrData,
+      beHex(crc32(unhex(concat(lit("49484452"), ihdrData))), 4))
+
+    val jpegHex = concat(
+      lit("FFD8" + "FFE00010" + "4A46494600" + "0101" + "00" + "00010001" + "0000" + "FFFE"),
+      beHex(lit(2) + id % 23, 2),
+      expr(s"repeat('63', CAST($idCol % 23 AS INT))"),
+      lit("FFC00011" + "08"), beHex(h, 2), beHex(w, 2),
+      lit("03" + "012200" + "021101" + "031101"))
+
+    val ch = lit(1) + id % 2
+    val rate = lit(8000) + (id % 5) * 8000
+    val bits = (lit(1) + (id % 7) % 2) * 8
+    val blen = octet_length(encode(col(textCol), "UTF-8")).cast("long")
+    val junk = (id % 11) * 2
+    val hasJunk = id % 2 === 0
+    val wavHex = concat(
+      lit("52494646"),
+      leHex(lit(4 + 24 + 8) + blen + when(hasJunk, junk + 8).otherwise(lit(0)), 4),
+      lit("57415645"),
+      when(hasJunk,
+        concat(lit("4A554E4B"), leHex(junk, 4), expr(s"repeat('6A', CAST(($idCol % 11) * 2 AS INT))")))
+        .otherwise(lit("")),
+      lit("666D7420" + "10000000" + "0100"), leHex(ch, 2), leHex(rate, 4),
+      leHex(rate * ch * bits / 8, 4), leHex(ch * bits / 8, 2), leHex(bits, 2),
+      lit("64617461"), leHex(blen, 4))
+
+    val headerHex = when(id % 3 === 0, pngHex).when(id % 3 === 1, jpegHex).otherwise(wavHex)
+    df.withColumn("payload", concat(unhex(headerHex), encode(col(textCol), "UTF-8")))
+  }
 
   /** STUB feature extractor: a deterministic `dim`-component vector in
     * [-0.5, 0.5) derived from the payload checksum — component j is the
@@ -55,21 +108,19 @@ object Multimodal {
         .cast("double") / lit(4294967296.0) - lit(0.5)
     }: _*)
 
-  /** STUB resize: target-box dimensions preserving aspect ratio (floor'd),
-    * from the fake-decoded width/height. A real implementation resamples
+  /** Resize metadata: target-box dimensions preserving aspect ratio
+    * (floor'd), from the decoded width/height (null dims — audio, truncated
+    * headers — propagate to null outputs). A real implementation resamples
     * pixels; the metadata contract — what a pipeline actually joins on — is
     * identical.
     */
-  def fakeResizeMeta(meta: Column, targetW: Int, targetH: Int): Column = {
-    // the stub decoder's md5-mod dims can be 0 — clamp so the scale never
-    // divides by zero (a real decoder rejects zero-pixel media upstream)
-    val w = greatest(meta.getField("width").cast("double"), lit(1.0))
-    val h = greatest(meta.getField("height").cast("double"), lit(1.0))
+  def resizeMeta(meta: Column, targetW: Int, targetH: Int): Column = {
+    val w = meta.getField("width").cast("double")
+    val h = meta.getField("height").cast("double")
     val scale = least(lit(targetW) / w, lit(targetH) / h)
     struct(
       floor(w * scale).cast("long").as("out_width"),
-      floor(h * scale).cast("long").as("out_height"),
-      meta.getField("checksum").as("checksum"))
+      floor(h * scale).cast("long").as("out_height"))
   }
 
   /** STUB frame sampler: split the payload into fixed-size "frames"

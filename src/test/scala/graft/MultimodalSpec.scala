@@ -30,12 +30,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.toSeq == expected)
   }
 
-  test("resize stub fits the target box and preserves aspect ratio") {
-    val d = Multimodal.withPayload(Tables.documents(spark, SfDir).limit(100))
-      .select(col("doc_id"), Multimodal.fakeDecodeMeta(col("payload")).as("m"))
+  test("resize fits the target box and preserves aspect ratio") {
+    graft.functions.MediaKernels.register(spark)
+    val d = Multimodal.withMediaPayload(Tables.documents(spark, SfDir).limit(100))
+      .select(
+        col("doc_id"),
+        graft.functions.MediaKernels.decodeHeaderCol(col("payload")).as("m"))
+      .where(col("m.width").isNotNull) // audio rows carry no dims
       .select(
         col("m.width").as("w"), col("m.height").as("h"),
-        Multimodal.fakeResizeMeta(col("m"), 640, 480).as("r"))
+        Multimodal.resizeMeta(col("m"), 640, 480).as("r"))
       .select(col("w"), col("h"), col("r.out_width"), col("r.out_height"))
       .collect()
     d.foreach { row =>
