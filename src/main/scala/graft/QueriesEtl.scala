@@ -334,6 +334,35 @@ object QueriesEtl {
         dimBits = ZDimBits, fileBits = ZFileBits,
         xLo = ZXLo, xHi = ZXHi, yLo = ZYLo, yHi = ZYHi)),
 
+    // ── PHYSICAL z-order write + read-back ([[Layout.writeLayout]]): both
+    // layouts are actually written as one-parquet-file-per-group with real
+    // footer min/max stats (LayoutSpec pins footer-predicted == actual
+    // skipping and fewer files hit under z-order); this query proves the
+    // rewrite is LOSSLESS — per-layout file counts from the written
+    // file_id directories plus a box-predicate aggregate that must be
+    // byte-identical across layouts and to the source table ──
+    "zorder_write_read" -> ((s, dir) => {
+      val src = Tables.events(s, dir).select(
+        col("user_id").as("x"), dayofmonth(col("ts")).cast("long").as("y"))
+      val boxed = Map(
+        "zorder" -> scratch(dir, "zorder_files"),
+        "linear" -> scratch(dir, "linear_files")).toSeq.map { case (name, path) =>
+        Layout.writeLayout(
+          src, col("x"), col("y"), ZDimBits, ZFileBits,
+          morton = name == "zorder", path = path)
+        val box = col("x").between(ZXLo, ZXHi) && col("y").between(ZYLo, ZYHi)
+        s.read.parquet(path).agg(
+          countDistinct(col("file_id")).as("n_files"),
+          sum(when(box, 1L).otherwise(0L)).as("n_match"),
+          sum(when(box, col("x"))).as("sum_x"),
+          sum(when(box, col("y"))).as("sum_y"))
+          .select(
+            lit(name).as("layout"), col("n_files"), col("n_match"),
+            col("sum_x"), col("sum_y"))
+      }
+      boxed.reduce(_ unionByName _).orderBy(col("layout"))
+    }),
+
     // ── INCREMENTAL MATERIALIZED VIEW ([[Materialize.mergeSummaries]]):
     // the weekly events rollup absorbs the late-January batch by merging a
     // DELTA-sized partial aggregate into the summary — the base rows before
@@ -415,6 +444,13 @@ object QueriesEtl {
     // interleave → equal-count-file → zone-map pipeline (Layout
     // .scanEfficiencySql) over the same geometry constants
     "zorder_prune" -> Layout.scanEfficiencySql(
+      "SELECT user_id AS x, date_part('day', ts) AS y FROM events",
+      ZDimBits, ZFileBits, ZXLo, ZXHi, ZYLo, ZYHi),
+
+    // zorder_write_read: replay the rank-bucket → key → equal-count file
+    // assignment to predict the written file counts, plus the
+    // layout-invariant box aggregate over the source rows
+    "zorder_write_read" -> Layout.writeReadSql(
       "SELECT user_id AS x, date_part('day', ts) AS y FROM events",
       ZDimBits, ZFileBits, ZXLo, ZXHi, ZYLo, ZYHi),
 

@@ -140,9 +140,10 @@ object QueriesRelational {
     // filters automate exactly this; here it's explicit and measured). The
     // bitmap can false-positive but never false-negative, so the exact join
     // AFTER the prefilter returns the identical result — which is what the
-    // oracle hash proves, plus a `no_false_negatives` law column comparing
-    // survivor and exact semi-join counts (the probabilistic survivor count
-    // itself stays out of the hashed columns). ──
+    // oracle hash proves, plus a `no_false_negatives` law column computed
+    // EXACTLY: the count of true join rows (exact semi-join survivors) that
+    // FAIL the bloom probe must be zero — a count comparison could be
+    // numerically masked by false positives; this one cannot. ──
     "join_bloom_prefilter" -> ((s, dir) => {
       graft.functions.BloomFunctions.register(s)
       val cust = Tables.customer(s, dir)
@@ -153,17 +154,19 @@ object QueriesRelational {
         .head().getAs[Array[Byte]](0)
       val o = Tables.orders(s, dir)
       val pre = o.where(graft.functions.BloomFunctions.bloomContains(lit(bytes), col("o_custkey")))
-      val nPass = pre.agg(count(lit(1)).as("n_bloom_pass"))
-      val nExact = o.join(broadcast(cust), o("o_custkey") === cust("c_custkey"), "left_semi")
-        .agg(count(lit(1)).as("n_exact_semi"))
+      val exactSemi = o.join(broadcast(cust), o("o_custkey") === cust("c_custkey"), "left_semi")
+      val law = exactSemi.agg(
+        count(lit(1)).as("n_exact_semi"),
+        sum(when(
+          !graft.functions.BloomFunctions.bloomContains(lit(bytes), col("o_custkey")), 1L)
+          .otherwise(0L)).as("n_semi_missed"))
       pre.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_orderkey"))
-        .crossJoin(broadcast(nPass))
-        .crossJoin(broadcast(nExact))
+        .crossJoin(broadcast(law))
         .select(
           col("o_orderpriority"), col("n_orders"), col("sum_orderkey"),
-          (col("n_bloom_pass") >= col("n_exact_semi")).as("no_false_negatives"),
+          (col("n_semi_missed") === 0L).as("no_false_negatives"),
           col("n_exact_semi"))
         .orderBy(col("o_orderpriority"))
     }),
@@ -517,15 +520,18 @@ object QueriesRelational {
     // ── referential-integrity audit ([[operators.Audit]]): FK orphan and
     // PK duplication counts over the star schema's join keys — the
     // pre-flight that turns silent inner-join row loss / join fan-out into
-    // numbers. Broadcast anti-joins on dim keys, map-side combined PK
-    // counts; one unioned plan ──
+    // numbers. Broadcast anti-joins on DIM keys; the fact→fact check
+    // (lineitem→orders) uses the shuffled anti join — broadcasting a
+    // fact-sized key set would be a driver OOM at warehouse SFs. Map-side
+    // combined PK counts; one unioned plan ──
     "fk_integrity_audit" -> ((s, dir) => {
       import graft.operators.Audit
       Audit.report(Seq(
         Audit.fkOrphans("fk_customer_nation",
           Tables.customer(s, dir), "c_nationkey", Tables.nation(s, dir), "n_nationkey"),
         Audit.fkOrphans("fk_lineitem_orders",
-          Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey"),
+          Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey",
+          broadcastParent = false),
         Audit.fkOrphans("fk_orders_customer",
           Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey"),
         Audit.dupPrimaryKeys("pk_customer", Tables.customer(s, dir), "c_custkey"),

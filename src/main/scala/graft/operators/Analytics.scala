@@ -34,37 +34,44 @@ object Analytics {
     * separates this from a plain daily rollup: models and feature stores
     * need the GAPS to exist as rows.
     *
-    * Scale shape: one user-keyed window pass for the running carry, one
-    * `(user, day)`-keyed window for end-of-day collapse, a broadcast
-    * nested-loop against the day spine (a literal ~31-row frame — the
-    * cross join is days-sized, never data-sized), and one user-keyed
-    * window for the across-days fill. Every shuffle partitions by the user
-    * key; the spine inflates rows by at most `|users| × days`, linear in
-    * the user population.
+    * Scale shape: one user-keyed window pass for the running carry, a
+    * `(user, day)` GROUP BY for the end-of-day collapse (map-side combined
+    * `max_by` — narrower than a windowed pass and independent of any
+    * group-constancy argument), a broadcast nested-loop against the day
+    * spine (a literal ~31-row frame — the cross join is days-sized, never
+    * data-sized), and one user-keyed window for the across-days fill. Every
+    * shuffle partitions by the user key; the spine inflates rows by at most
+    * `|users| × days`, linear in the user population.
+    *
+    * The event schema is parameterized in full (`idCol` breaks same-second
+    * ordering ties, `typeCol`/`valueCol`/`fillType` define the carried
+    * measure) — defaults match the `events` test table.
     */
   def resampleDaily(
       events: DataFrame,
       userCol: String,
       tsCol: Column,
       startDate: String,
-      endDate: String): DataFrame = {
+      endDate: String,
+      idCol: String = "event_id",
+      typeCol: String = "event_type",
+      valueCol: String = "value",
+      fillType: String = "purchase"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wRun = Window.partitionBy(col(userCol)).orderBy(tsCol, col("event_id"))
+    val wRun = Window.partitionBy(col(userCol)).orderBy(tsCol, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wDay = Window.partitionBy(col(userCol), col("day"))
-      .orderBy(tsCol, col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // carry is forward-filled within the user, so the day's LAST row (by
+    // ts, id) carries the end-of-day value — max_by picks exactly that row
     val eod = events
       .withColumn(
         "carry",
-        last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+        last(when(col(typeCol) === fillType, col(valueCol)), ignoreNulls = true)
           .over(wRun))
       .withColumn("day", to_date(tsCol))
-      .select(
-        col(userCol).as("user_id"), col("day"),
-        last(col("carry")).over(wDay).as("eod_carry"),
-        count(lit(1)).over(Window.partitionBy(col(userCol), col("day"))).as("n_events"))
-      .distinct()
+      .groupBy(col(userCol).as("user_id"), col("day"))
+      .agg(
+        max_by(col("carry"), struct(tsCol, col(idCol))).as("eod_carry"),
+        count(lit(1)).as("n_events"))
     val spine = events.select(col(userCol).as("user_id")).distinct()
       .crossJoin(broadcast(
         events.sparkSession.range(1).select(

@@ -25,17 +25,27 @@ object Audit {
     * in `parent.parentKey`, plus null-key rows counted separately as
     * violations (a null FK can't resolve either — callers that allow
     * optional references should filter first).
+    *
+    * `broadcastParent` (default true) suits DIM-sized parents — the anti
+    * join ships the distinct key set to every task and nothing shuffles.
+    * For a FACT-sized parent (e.g. auditing lineitem→orders, where the
+    * parent key set is the orders table itself) pass false: forcing a
+    * broadcast there would build the whole key set on the driver; the
+    * shuffled left-anti join is the scale-correct shape (and exchange-free
+    * when both sides are bucketed on the key).
     */
   def fkOrphans(
       check: String,
       child: DataFrame,
       childKey: String,
       parent: DataFrame,
-      parentKey: String): DataFrame = {
+      parentKey: String,
+      broadcastParent: Boolean = true): DataFrame = {
     val keys = parent.select(col(parentKey).as("__pk")).distinct()
+    val keysSide = if (broadcastParent) broadcast(keys) else keys
     val nonNull = child.where(col(childKey).isNotNull)
     val orphans = nonNull
-      .join(broadcast(keys), col(childKey) === col("__pk"), "left_anti")
+      .join(keysSide, col(childKey) === col("__pk"), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
     val totals = child.agg(
       count(lit(1)).as("n_checked"),

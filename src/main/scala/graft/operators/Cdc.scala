@@ -73,16 +73,36 @@ object Cdc {
       keyCols: Seq[String],
       partCols: Seq[String],
       opCol: String = "op",
-      validate: Boolean = true): DataFrame = {
+      validate: Boolean = true,
+      maxLiteralPartitions: Int = 4096): DataFrame = {
     require(partCols.nonEmpty, "applyChangesPruned: need at least one partition column")
     require(keyCols.intersect(partCols).isEmpty,
       s"applyChangesPruned: key and partition columns overlap: ${keyCols.intersect(partCols)}")
-    val touched = changes.select(partCols.map(col): _*).distinct().collect()
+    // Predicate-width guard: the literal OR-of-conjunctions below is the
+    // STATIC prune (reaches the scan as PartitionFilters, plan-pinned), but
+    // its size is proportional to the touched-partition count — a
+    // pathological batch touching ~10⁴⁺ partitions would push a giant
+    // predicate through the driver and analyzer. Above `maxLiteralPartitions`
+    // the restriction switches to a broadcast LEFT SEMI join against the
+    // distinct touched tuples — the dynamic-partition-pruning shape
+    // (constant driver/plan cost; on a partition-aware source the runtime
+    // filter does the skipping). The touched set is collected only up to
+    // threshold+1, so driver memory is bounded by construction, not by the
+    // feed. Output contract is identical on both routes: ONLY the touched
+    // partitions' merged rows.
+    val touchedDf = changes.select(partCols.map(col): _*).distinct()
+    val touched = touchedDf.limit(maxLiteralPartitions + 1).collect()
     require(touched.nonEmpty, "applyChangesPruned: empty change batch (no partitions touched)")
-    val pred = touched.map { row =>
-      partCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(row.get(i)) }.reduce(_ && _)
-    }.reduce(_ || _)
-    val merged = applyChanges(base.where(pred), changes, keyCols, opCol, validate)
+    val restricted =
+      if (touched.length <= maxLiteralPartitions) {
+        val pred = touched.map { row =>
+          partCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(row.get(i)) }.reduce(_ && _)
+        }.reduce(_ || _)
+        base.where(pred)
+      } else {
+        base.join(broadcast(touchedDf), partCols, "left_semi")
+      }
+    val merged = applyChanges(restricted, changes, keyCols, opCol, validate)
     lastPrunedMergePlan = merged.queryExecution.executedPlan.toString
     merged
   }

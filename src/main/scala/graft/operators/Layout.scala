@@ -62,6 +62,29 @@ object Layout {
     * the read amplification in ppm — all integers, hash-compared against
     * the oracle's identical replay.
     */
+  /** Range-bucket both columns by exact rank and attach the Morton and
+    * lexicographic keys — the shared head of the simulated report
+    * ([[scanEfficiency]]) and the physical write ([[writeLayout]]), factored
+    * so the two cannot drift. Output columns: `x, y, n_total, xb, yb,
+    * z_key, lex_key`.
+    */
+  private def mortonKeyed(df: DataFrame, x: Column, y: Column, dimBits: Int): DataFrame = {
+    val nBuckets = 1L << dimBits
+    val base = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+    // Delta-style per-column range buckets: rank ties share a bucket, so no
+    // tie-break column is needed and the oracle's rank() agrees exactly.
+    base
+      .withColumn("rank_x", rank().over(Window.orderBy(col("x"))))
+      .withColumn("rank_y", rank().over(Window.orderBy(col("y"))))
+      .withColumn("n_total", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("xb", expr(s"(rank_x - 1) * ${nBuckets}L div n_total"))
+      .withColumn("yb", expr(s"(rank_y - 1) * ${nBuckets}L div n_total"))
+      .withColumn("z_key", zorderKey(col("xb"), col("yb"), dimBits))
+      .withColumn("lex_key", col("yb") * lit(nBuckets) + col("xb"))
+      .select(col("x"), col("y"), col("n_total"), col("xb"), col("yb"),
+        col("z_key"), col("lex_key"))
+  }
+
   def scanEfficiency(
       df: DataFrame,
       x: Column,
@@ -74,20 +97,8 @@ object Layout {
       yHi: Long): DataFrame = {
     require(dimBits >= 1 && dimBits <= 20, s"dimBits out of range: $dimBits")
     require(fileBits >= 1 && fileBits <= 2 * dimBits, s"fileBits out of range: $fileBits")
-    val nBuckets = 1L << dimBits
     val nFiles = 1L << fileBits
-    val base = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
-    // Delta-style per-column range buckets: rank ties share a bucket, so no
-    // tie-break column is needed and the oracle's rank() agrees exactly.
-    val ranked = base
-      .withColumn("rank_x", rank().over(Window.orderBy(col("x"))))
-      .withColumn("rank_y", rank().over(Window.orderBy(col("y"))))
-      .withColumn("n_total", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("xb", expr(s"(rank_x - 1) * ${nBuckets}L div n_total"))
-      .withColumn("yb", expr(s"(rank_y - 1) * ${nBuckets}L div n_total"))
-    val keyed = ranked
-      .withColumn("z_key", zorderKey(col("xb"), col("yb"), dimBits))
-      .withColumn("lex_key", col("yb") * lit(nBuckets) + col("xb"))
+    val keyed = mortonKeyed(df, x, y, dimBits)
 
     def layout(keyCol: String, name: String): DataFrame = {
       val zoned = keyed
@@ -176,5 +187,95 @@ object Layout {
        |)
        |GROUP BY layout
        |ORDER BY layout""".stripMargin
+  }
+
+  /** PHYSICAL layout write — the half [[scanEfficiency]] only simulates:
+    * actually sort the rows by the clustering key (Morton when `morton`,
+    * lexicographic `(y_bucket, x_bucket)` otherwise), cut them into
+    * `2^fileBits` equal-count file groups, and write ONE parquet file per
+    * group (`file_id` is a write-partition directory; each id lives in
+    * exactly one task after the hash repartition, so each directory holds
+    * exactly one file). Rows are additionally sorted by the key WITHIN each
+    * file so row-group/page statistics are tight too. The written files
+    * carry REAL parquet min/max column statistics — a box predicate read
+    * back over this layout skips row groups through the pushed filters, and
+    * the footer stats are independently checkable ([[graft.LayoutSpec]]
+    * reads them with parquet-hadoop and pins predicted == actual skipping).
+    *
+    * File assignment uses the same exact-rank equal-count rule as the
+    * simulation (deterministic, oracle-replayable); a cluster writes the
+    * identical shape with sampled range boundaries
+    * (`repartitionByRange(nFiles, z_key)`) — no global-rank bottleneck, same
+    * file semantics. Bounded file size = n_total / 2^fileBits rows by
+    * construction.
+    */
+  def writeLayout(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      dimBits: Int,
+      fileBits: Int,
+      morton: Boolean,
+      path: String): Unit = {
+    require(dimBits >= 1 && dimBits <= 20, s"dimBits out of range: $dimBits")
+    require(fileBits >= 1 && fileBits <= 2 * dimBits, s"fileBits out of range: $fileBits")
+    val nFiles = 1L << fileBits
+    val keyCol = if (morton) "z_key" else "lex_key"
+    mortonKeyed(df, x, y, dimBits)
+      .withColumn(
+        "file_id",
+        expr(s"(rank() OVER (ORDER BY $keyCol) - 1) * ${nFiles}L div n_total"))
+      .repartition(col("file_id"))
+      .sortWithinPartitions(col(keyCol))
+      .select(col("x"), col("y"), col("file_id"))
+      .write.mode("overwrite").partitionBy("file_id").parquet(path)
+  }
+
+  /** Oracle replay for the write-then-read query: per layout, the distinct
+    * file-id count the equal-count rule produces (rank ties can merge
+    * neighbors, so this is computed, not assumed `2^fileBits`) and the box
+    * predicate's aggregate — which is layout-invariant, proving the
+    * physical rewrite lost and duplicated nothing.
+    */
+  def writeReadSql(
+      src: String,
+      dimBits: Int,
+      fileBits: Int,
+      xLo: Long,
+      xHi: Long,
+      yLo: Long,
+      yHi: Long): String = {
+    val nBuckets = 1L << dimBits
+    val nFiles = 1L << fileBits
+    s"""WITH base AS ($src),
+       |ranked AS (
+       |  SELECT x, y,
+       |         (rank() OVER (ORDER BY x) - 1) * $nBuckets // count(*) OVER () AS xb,
+       |         (rank() OVER (ORDER BY y) - 1) * $nBuckets // count(*) OVER () AS yb,
+       |         count(*) OVER () AS n_total
+       |  FROM base
+       |), keyed AS (
+       |  SELECT x, y, n_total,
+       |         ${zorderKeySql(dimBits)} AS z_key,
+       |         yb * $nBuckets + xb AS lex_key
+       |  FROM ranked
+       |), fid AS (
+       |  SELECT 'zorder' AS layout, x, y,
+       |         (rank() OVER (ORDER BY z_key) - 1) * $nFiles // n_total AS file_id
+       |  FROM keyed
+       |  UNION ALL
+       |  SELECT 'linear' AS layout, x, y,
+       |         (rank() OVER (ORDER BY lex_key) - 1) * $nFiles // n_total AS file_id
+       |  FROM keyed
+       |)
+       |SELECT layout,
+       |       count(DISTINCT file_id) AS n_files,
+       |       CAST(sum(CASE WHEN x BETWEEN $xLo AND $xHi AND y BETWEEN $yLo AND $yHi
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |       CAST(sum(CASE WHEN x BETWEEN $xLo AND $xHi AND y BETWEEN $yLo AND $yHi
+       |                THEN x END) AS BIGINT) AS sum_x,
+       |       CAST(sum(CASE WHEN x BETWEEN $xLo AND $xHi AND y BETWEEN $yLo AND $yHi
+       |                THEN y END) AS BIGINT) AS sum_y
+       |FROM fid GROUP BY layout ORDER BY layout""".stripMargin
   }
 }

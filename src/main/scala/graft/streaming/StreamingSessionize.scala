@@ -69,6 +69,16 @@ object StreamingSessionize {
     * a fixture-scale choice only — a production continuous query sizes it
     * to the cluster (and this helper restores the session conf either
     * way).
+    *
+    * CONCURRENCY CONTRACT: this mutates the SHARED session conf for the
+    * duration of `body`, so any query planned concurrently on the same
+    * SparkSession would silently pick up 8 shuffle partitions. Every replay
+    * harness in this repo runs its drains sequentially on the session (the
+    * Verify/Bench mains are sequential by construction; specs that run
+    * checkpointed queries concurrently do NOT route through this helper).
+    * A caller that needs concurrent replays must isolate each one on
+    * `spark.newSession()` (separate conf, shared catalog/state store) —
+    * don't lift this helper into a parallel context as-is.
     */
   private[graft] def withReplayStatePartitions[T](
       spark: org.apache.spark.sql.SparkSession, n: Int = 8)(body: => T): T = {

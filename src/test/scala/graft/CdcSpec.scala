@@ -82,6 +82,26 @@ class CdcSpec extends AnyFunSuite {
     assert(got == Set((2L, "p1", 22.0), (9L, "p9", 90.0)))
   }
 
+  test("pruned merge: width guard falls back to a semi-join restriction with identical output") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "p1", 10.0), (2L, "p1", 20.0),
+      (3L, "p2", 30.0), (4L, "p2", 40.0),
+      (5L, "p3", 50.0)).toDF("k", "part", "v")
+    val changes = Seq(
+      (2L, "p1", 22.0, "u"), (3L, "p2", 30.0, "d"), (9L, "p9", 90.0, "i"))
+      .toDF("k", "part", "v", "op")
+    def run(threshold: Int) =
+      Cdc.applyChangesPruned(base, changes, Seq("k"), Seq("part"),
+        maxLiteralPartitions = threshold)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val expected = Set((1L, "p1", 10.0), (2L, "p1", 22.0), (4L, "p2", 40.0), (9L, "p9", 90.0))
+    assert(run(4096) == expected, "literal-predicate route")
+    // 3 touched partitions > threshold 1 → broadcast-semi-join route; the
+    // untouched-partition row (5, p3) must STILL be excluded
+    assert(run(1) == expected, "semi-join fallback route")
+  }
+
   test("pruned merge: key and partition columns must not overlap; empty batch fails loudly") {
     import spark.implicits._
     val base = Seq((1L, "p1", 10.0)).toDF("k", "part", "v")

@@ -70,4 +70,120 @@ class LayoutSpec extends AnyFunSuite {
     assert(lin.getAs[Long]("rows_scanned") == 256L)
     assert(lin.getAs[Long]("amplification_ppm") == 4000000L)
   }
+
+  // ── physical write path: REAL parquet files, REAL footer stats ──
+
+  private val zRoot = "/root/repo/target/layout_spec"
+  private val (dimBits, fileBits) = (5, 4)
+  private val (bxLo, bxHi, byLo, byHi) = (8L, 15L, 8L, 15L)
+  // same 32x32 uniform grid as the simulation test, so the expected file
+  // geometry (aligned 8x8 tiles vs 2-row y-stripes) carries over exactly
+  private def grid = (0L until 1024L).map(i => (i % 32L, i / 32L)).toDF("x", "y")
+
+  private def writeBoth(): (String, String) = {
+    val (zp, lp) = (s"$zRoot/zorder", s"$zRoot/linear")
+    Layout.writeLayout(grid, col("x"), col("y"), dimBits, fileBits, morton = true, zp)
+    Layout.writeLayout(grid, col("x"), col("y"), dimBits, fileBits, morton = false, lp)
+    (zp, lp)
+  }
+
+  /** Per parquet file under `path`: (rows, min_x, max_x, min_y, max_y) from
+    * the FOOTER's row-group column statistics — read with parquet-hadoop
+    * directly, independent of Spark's scan path.
+    */
+  private def footerStats(path: String): Seq[(Long, Long, Long, Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listFiles(root, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = reader.getFooter.getBlocks.asScala
+          def stat(colName: String, max: Boolean): Long = {
+            val vals = blocks.map { b =>
+              val c = b.getColumns.asScala
+                .find(_.getPath.toDotString == colName)
+                .getOrElse(fail(s"column $colName missing from footer of ${f.getPath}"))
+              val s = c.getStatistics
+              assert(s != null && !s.isEmpty, s"no stats for $colName in ${f.getPath}")
+              val v = if (max) s.genericGetMax else s.genericGetMin
+              v.asInstanceOf[java.lang.Long].longValue()
+            }
+            if (max) vals.max else vals.min
+          }
+          out += ((blocks.map(_.getRowCount).sum,
+            stat("x", max = false), stat("x", max = true),
+            stat("y", max = false), stat("y", max = true)))
+        } finally reader.close()
+      }
+    }
+    out.toSeq
+  }
+
+  test("writeLayout: one real parquet file per equal-count group, all rows present") {
+    val (zp, lp) = writeBoth()
+    for (p <- Seq(zp, lp)) {
+      val stats = footerStats(p)
+      assert(stats.length == (1 << fileBits), s"expected ${1 << fileBits} files at $p")
+      assert(stats.map(_._1).sum == 1024L, "every row written exactly once")
+      assert(stats.forall(_._1 == 1024L / (1 << fileBits)), "equal-count files")
+      // read-back equality against the source grid
+      val got = spark.read.parquet(p).select(col("x"), col("y"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == grid.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted)
+    }
+  }
+
+  test("writeLayout: footer min/max boxes deliver the simulation's predicted skip") {
+    val (zp, lp) = writeBoth()
+    def filesHit(p: String): Int = footerStats(p).count { case (_, mnx, mxx, mny, mxy) =>
+      mxx >= bxLo && mnx <= bxHi && mxy >= byLo && mny <= byHi
+    }
+    // the simulated report's exact numbers, now from REAL footer statistics:
+    // morton files are aligned 8x8 tiles → the 8x8 box hits exactly 1;
+    // linear files are 2-row y-stripes → the y-band hits exactly 4
+    assert(filesHit(zp) == 1, "z-order: box predicate must hit exactly one file's stats box")
+    assert(filesHit(lp) == 4, "linear: box predicate must hit the 4 y-stripes")
+  }
+
+  test("writeLayout: Spark's pushed filters actually skip row groups when reading back") {
+    val (zp, lp) = writeBoth()
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    def recordsRead(p: String): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        read.set(0L)
+        val n = spark.read.parquet(p)
+          .where(col("x").between(bxLo, bxHi) && col("y").between(byLo, byHi))
+          .count()
+        assert(n == 64L, "predicate result must be layout-invariant")
+        // listener events drain asynchronously — wait for the adds to land
+        val deadline = System.nanoTime() + 10e9.toLong
+        var last = -1L
+        while (System.nanoTime() < deadline && read.get() != last) {
+          last = read.get(); Thread.sleep(200)
+        }
+        read.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (zRead, lRead) = (recordsRead(zp), recordsRead(lp))
+    // z-order reads one 64-row file; linear reads four 64-row stripes. Allow
+    // slack only upward bounds — the point is REAL row-group skipping, so
+    // both must read far less than the 1024-row table and z-order less than
+    // linear
+    assert(zRead == 64L, s"z-order read $zRead rows, expected exactly the matching file")
+    assert(lRead == 256L, s"linear read $lRead rows, expected the 4 stripes")
+  }
 }
