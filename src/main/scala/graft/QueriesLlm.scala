@@ -129,6 +129,14 @@ object QueriesLlm {
   private val MmFeatK = 3 // neighbors per query in mm_feature_knn
   private val KmK = 4 // kmeans_clusters cluster count, query AND oracle
   private val KmIters = 3 // kmeans_clusters Lloyd iterations, query AND oracle
+
+  /** Per-SF scratch root for queries that persist real artifacts (the
+    * QueriesEtl discipline — e.g. the stored IVF index).
+    */
+  private def scratch(dir: String, name: String): String = {
+    val sf = dir.replaceAll(".*/", "")
+    s"/root/repo/target/llm_scratch/$sf/$name"
+  }
   // dedup_embedding_semdedup verify threshold — matches dedup_embedding_cosine
   // so the spec's "exact pairs restricted to co-clustered ids" law is over
   // the same pair universe
@@ -1370,6 +1378,23 @@ object QueriesLlm {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── PERSISTED IVF: train the coarse quantizer ONCE, store centroids +
+    // assignments + geometry metadata as parquet tables, probe WITHOUT
+    // re-fitting ([[Similarity.ivfKnnPersisted]] — the real-pipeline shape;
+    // re-fitting per query batch would charge every search the full
+    // kmeans corpus passes). The stored fit is bitwise the fresh fit, so
+    // the oracle and the recall floor are knn_ivf_cosine's own ──
+    "knn_ivf_persisted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = scratch(dir, "ivf_index")
+      Similarity.ivfIndexWrite(emb, cells = KmK, iters = KmIters, indexPath = idx)
+      val q = emb.where(col("vec_id") < 10)
+      Similarity.withRecall(
+        Similarity.ivfKnnPersisted(q, emb, idx, k = 5, cells = KmK, iters = KmIters),
+        q, emb, k = 5, minPoolHits = IvfRecallFloor)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ── multi-probe IVF: the recall knob — each query scans its 2
     // nearest-centroid cells instead of 1 (FAISS nprobe); probe expansion
     // on the broadcast query side, corpus still partitioned once ──
@@ -2569,6 +2594,36 @@ object QueriesLlm {
        |SELECT a AS doc_id, min(b) AS component_id
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  /** IVF replay shared by `knn_ivf_cosine` and `knn_ivf_persisted`: the
+    * stored index's centroids and assignment are BITWISE the deterministic
+    * fit's own (SimilaritySpec pins it), so one replay serves both — the
+    * shared kmeans chain, final assignment as `fin` for BOTH sides
+    * (queries are corpus members, so their cell is the fitted one), then
+    * the semdedup-style raw-vector cosine ranked within the probed cell.
+    */
+  private lazy val knnIvfCosineOracle: String =
+    (kmeansCtesSql(KmK, KmIters) +
+        s""",
+           |fin AS (
+           |${kmeansAssignFrom(s"c$KmIters")}
+           |),
+           |p AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         list_sum([nq.r[i] * nc.r[i] for i in range(1, len(nq.r) + 1)]) / (nq.rn * nc.rn) AS cos
+           |  FROM fin q
+           |  JOIN fin c ON q.cluster = c.cluster AND c.vec_id <> q.vec_id
+           |  JOIN en nq ON nq.vec_id = q.vec_id
+           |  JOIN en nc ON nc.vec_id = c.vec_id
+           |  WHERE q.vec_id < 10
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM p
+           |),
+           |ann AS (
+           |  SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+           |  FROM r WHERE rank <= 5
+           |)""".stripMargin + annRecallTailSql(IvfRecallFloor))
+
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
       s"""WITH t AS (
@@ -3226,28 +3281,11 @@ object QueriesLlm {
     // BOTH sides (queries are corpus members, so their cell is the fitted
     // one), then the semdedup-style raw-vector cosine ranked within the
     // probed cell.
-    "knn_ivf_cosine" ->
-      (kmeansCtesSql(KmK, KmIters) +
-        s""",
-           |fin AS (
-           |${kmeansAssignFrom(s"c$KmIters")}
-           |),
-           |p AS (
-           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           |         list_sum([nq.r[i] * nc.r[i] for i in range(1, len(nq.r) + 1)]) / (nq.rn * nc.rn) AS cos
-           |  FROM fin q
-           |  JOIN fin c ON q.cluster = c.cluster AND c.vec_id <> q.vec_id
-           |  JOIN en nq ON nq.vec_id = q.vec_id
-           |  JOIN en nc ON nc.vec_id = c.vec_id
-           |  WHERE q.vec_id < 10
-           |), r AS (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-           |  FROM p
-           |),
-           |ann AS (
-           |  SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
-           |  FROM r WHERE rank <= 5
-           |)""".stripMargin + annRecallTailSql(IvfRecallFloor)),
+    "knn_ivf_cosine" -> knnIvfCosineOracle,
+
+    // knn_ivf_persisted: probe of the STORED index — same deterministic
+    // fit, same result, same replay
+    "knn_ivf_persisted" -> knnIvfCosineOracle,
 
     // Multi-probe IVF replay: per-query cells ranked by centroid cosine
     // (DESC, cluster ASC — matching the struct(-cos, cell) ascending sort),

@@ -407,6 +407,23 @@ object Similarity {
     require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
     VectorFunctions.register(queries.sparkSession)
     val (corpusAssign, cents) = kmeansFit(corpus, cells, iters, idCol, vecCol)
+    ivfProbe(queries, corpus, corpusAssign, cents, k, nProbes, idCol, vecCol)
+  }
+
+  /** Probe core shared by [[ivfKnn]] (fresh fit) and [[ivfKnnPersisted]]
+    * (stored index): assign queries to their `nProbes` nearest cells from
+    * the given centroids, equi-join against the cell-partitioned corpus
+    * assignment, exact raw-vector cosine rank within the probed set.
+    */
+  private def ivfProbe(
+      queries: DataFrame,
+      corpus: DataFrame,
+      corpusAssign: DataFrame,
+      cents: Seq[(Long, Array[Double])],
+      k: Int,
+      nProbes: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     // nProbes > 1 is the standard IVF recall knob: scan the nProbes cells
     // whose centroids are nearest the query (cos DESC, smallest cell id on
     // ties — encoded as an ascending sort on struct(-cos, cell)). A corpus
@@ -449,6 +466,77 @@ object Similarity {
     * PlanSpec pin the InMemoryTableScan without widening the signature.
     */
   @volatile private[graft] var lastKmeansLoopPlan: String = ""
+
+  /** PERSIST the IVF index: a real pipeline trains the coarse quantizer
+    * ONCE and probes a stored index for every query batch — re-fitting
+    * k-means inside each search would charge every batch the `iters + 2`
+    * corpus passes of [[kmeansFit]]. Three parquet tables under
+    * `indexPath`:
+    *
+    *  - `centroids/` — (cluster, c: array&lt;double&gt;), the fitted ROUNDED
+    *    centroids (k rows; doubles round-trip parquet exactly, so a stored
+    *    probe assigns bitwise like the fit);
+    *  - `assignments/` — (id, cluster, cosine), one row per corpus vector;
+    *  - `meta/` — one geometry row (cells, iters, dim, n_centroids): the
+    *    [[graft.operators.Dedup.incrementalDedupAgainstIndex]]
+    *    band-metadata discipline — a probe against an index built with
+    *    DIFFERENT geometry must fail loudly, not return silently-wrong
+    *    neighbors.
+    */
+  def ivfIndexWrite(
+      corpus: DataFrame,
+      cells: Int,
+      iters: Int,
+      indexPath: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (assign, cents) = kmeansFit(corpus, cells, iters, idCol, vecCol)
+    assign.write.mode("overwrite").parquet(s"$indexPath/assignments")
+    cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("cluster", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    Seq((cells, iters, cents.head._2.length, cents.length))
+      .toDF("cells", "iters", "dim", "n_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** IVF search against a STORED index ([[ivfIndexWrite]]): no re-fit — the
+    * centroids load as k rows (bounded model fetch), the corpus assignment
+    * streams from its table, and the probe is the same cell equi-join as
+    * [[ivfKnn]]. Geometry is re-verified against the meta row before any
+    * work: mismatched `cells`/`iters` or an internally inconsistent index
+    * (centroid count, dimensionality) fails loudly.
+    */
+  def ivfKnnPersisted(
+      queries: DataFrame,
+      corpus: DataFrame,
+      indexPath: String,
+      k: Int,
+      cells: Int,
+      iters: Int,
+      nProbes: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
+    val spark = queries.sparkSession
+    VectorFunctions.register(spark)
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    require(meta.getAs[Int]("cells") == cells && meta.getAs[Int]("iters") == iters,
+      s"index at $indexPath was built with cells=${meta.getAs[Int]("cells")}, " +
+        s"iters=${meta.getAs[Int]("iters")} but the probe expects cells=$cells, iters=$iters")
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getSeq[Double](r.fieldIndex("c")).toArray)
+      .toSeq.sortBy(_._1)
+    require(cents.length == meta.getAs[Int]("n_centroids"),
+      s"index at $indexPath is inconsistent: ${cents.length} centroids stored, " +
+        s"meta says ${meta.getAs[Int]("n_centroids")}")
+    require(cents.forall(_._2.length == meta.getAs[Int]("dim")),
+      s"index at $indexPath is inconsistent: centroid dims differ from meta dim")
+    val corpusAssign = spark.read.parquet(s"$indexPath/assignments")
+    ivfProbe(queries, corpus, corpusAssign, cents, k, nProbes, idCol, vecCol)
+  }
 
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. '23): cluster the
     * embeddings with the deterministic [[kmeans]], then verify cosine >=

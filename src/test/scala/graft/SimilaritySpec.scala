@@ -290,6 +290,45 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("persisted ivf index: parquet round-trip is bitwise the fit; probe without re-fit matches") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val idx = "/root/repo/target/similarity_spec/ivf_index"
+    Similarity.ivfIndexWrite(emb, cells = 4, iters = 2, indexPath = idx)
+    // stored centroids == a fresh deterministic fit's centroids, bitwise
+    // (doubles round-trip parquet exactly)
+    val (freshAssign, freshCents) = Similarity.kmeansFit(emb, 4, 2)
+    val stored = spark.read.parquet(s"$idx/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).sortBy(_._1).toSeq
+    assert(stored == freshCents.map { case (c, v) => c -> v.toSeq }.sortBy(_._1))
+    // stored assignment == the fresh fit's assignment, row for row
+    val sa = spark.read.parquet(s"$idx/assignments").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(sa == freshAssign.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq)
+    // probing the stored index (no re-fit) returns exactly ivfKnn's result
+    val queries = emb.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    assert(
+      rows(Similarity.ivfKnnPersisted(queries, emb, idx, k = 3, cells = 4, iters = 2)) ==
+        rows(Similarity.ivfKnn(queries, emb, k = 3, cells = 4, iters = 2)))
+    // multi-probe parity too (the recall knob works off the stored index)
+    assert(
+      rows(Similarity.ivfKnnPersisted(queries, emb, idx, k = 3, cells = 4, iters = 2, nProbes = 2)) ==
+        rows(Similarity.ivfKnn(queries, emb, k = 3, cells = 4, iters = 2, nProbes = 2)))
+  }
+
+  test("persisted ivf index: probing with mismatched geometry fails loudly") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val idx = "/root/repo/target/similarity_spec/ivf_index_geom"
+    Similarity.ivfIndexWrite(emb, cells = 4, iters = 2, indexPath = idx)
+    val queries = emb.where(col("vec_id") < 5)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfKnnPersisted(queries, emb, idx, k = 3, cells = 8, iters = 2)
+    }
+    assert(e.getMessage.contains("cells=4"))
+  }
+
   test("ivf knn multi-probe: recall monotone in probes; probing every cell equals brute force") {
     val emb = Tables.embeddings(spark, SfDir)
     val queries = emb.where(col("vec_id") < 5)
