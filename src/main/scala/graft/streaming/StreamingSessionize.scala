@@ -88,6 +88,26 @@ object StreamingSessionize {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Test probe: per-trigger state-operator metrics of the most recent
+    * replay drain — `(numRowsTotal, numRowsRemoved,
+    * numRowsDroppedByWatermark)` summed across the trigger's state
+    * operators, one entry per progress that ran one. Captured before
+    * `stop()` so specs can pin MEASURED state-boundedness — eviction
+    * actually fired, the sentinel advance actually drained the state, and
+    * batch parity was not bought by watermark drops — instead of only
+    * arguing those properties from the derived horizons.
+    */
+  @volatile private[graft] var lastReplayStateMetrics: Seq[(Long, Long, Long)] = Nil
+
+  private def captureStateMetrics(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    lastReplayStateMetrics = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map { p =>
+        (p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.numRowsRemoved).sum,
+          p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+      }
+
   /** Sessionize a streaming frame with columns (event_id, user_id, ts).
     *
     * Events are BUFFERED in per-user state until the watermark passes their
@@ -298,7 +318,7 @@ object StreamingSessionize {
       val out = rateLimit(src, maxPerWindow, windowSec, s"$watermarkDelaySec seconds")
       withReplayStatePartitions(spark) {
         val q = out.writeStream.format("memory").queryName(queryName).outputMode("append").start()
-        try q.processAllAvailable()
+        try { q.processAllAvailable(); captureStateMetrics(q) }
         finally q.stop()
       }
       spark.table(queryName).where(col("user_id") >= 0)
@@ -786,7 +806,7 @@ object StreamingSessionize {
       withReplayStatePartitions(spark) {
         val q = joined.writeStream.format("memory")
           .queryName(queryName).outputMode("append").start()
-        try q.processAllAvailable()
+        try { q.processAllAvailable(); captureStateMetrics(q) }
         finally q.stop()
       }
       spark.table(queryName).where(col("user_id") >= 0)

@@ -289,6 +289,39 @@ class StreamingSpec extends AnyFunSuite {
       s"stream join diverged: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("replay state metrics: eviction measured, sentinel drain empties state, no watermark drops") {
+    // State-boundedness has so far been ARGUED from the derived horizons;
+    // these pins MEASURE it from the queries' own state-operator progress
+    // (captured by the replay harnesses before stop()).
+    val ev = Tables.events(spark, SfDir)
+    StreamingSessionize.intervalJoinReplay(ev, queryName = "ivjoin_metrics_sink")
+    val ij = StreamingSessionize.lastReplayStateMetrics
+    assert(ij.nonEmpty, "interval-join replay recorded no state-operator progress")
+    val peak = ij.map(_._1).max
+    val fin = ij.last._1
+    assert(ij.map(_._2).sum > 0,
+      "watermark eviction never fired — the state bound was never exercised")
+    assert(fin < peak, s"state did not drain: final=$fin peak=$peak")
+    // the only rows the final watermark cannot clear are the 3 sentinel
+    // batches' own 2 rows each (their eviction horizon is beyond the last
+    // watermark by construction)
+    assert(fin <= 6, s"only the sentinel rows may remain buffered at stop, got $fin")
+    assert(ij.map(_._3).sum == 0,
+      "batch parity must not be bought by watermark-dropped rows")
+
+    StreamingSessionize.rateLimitReplay(
+      ev, maxPerWindow = 2L, windowSec = 3600L, queryName = "ratelimit_metrics_sink")
+    val rl = StreamingSessionize.lastReplayStateMetrics
+    assert(rl.nonEmpty, "rate-limit replay recorded no state-operator progress")
+    // after the sentinel advance every real user's windows are past their
+    // horizon and their state rows removed; only the sentinel user's own
+    // buffered event may survive
+    assert(rl.last._1 <= 1,
+      s"quota state must be evicted once windows pass the watermark, got ${rl.last._1}")
+    assert(rl.map(_._1).max > rl.last._1, "peak state must exceed the drained tail")
+    assert(rl.map(_._3).sum == 0, "the time-ranged slices must produce no watermark drops")
+  }
+
   test("file-replay harness: multi-micro-batch streaming run equals batch sessionize") {
     // The declared stream_sessionize query's engine: events written as
     // time-range files, one file per trigger, sentinel pair driving the
