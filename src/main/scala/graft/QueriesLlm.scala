@@ -2064,6 +2064,19 @@ object QueriesLlm {
       Retrieval.bm25TopK(Tables.documents(s, dir), Bm25Queries, k = 10)
         .orderBy(col("query_id"), col("rank"))),
 
+    // ── PERSISTED BM25 inverted index: postings/idf/doc-lengths derived
+    // ONCE and stored ([[Retrieval.bm25IndexWrite]]), every later query
+    // batch scored from the tables without a corpus scan or idf
+    // re-derivation — the serving shape, lexical twin of
+    // `knn_ivf_persisted`; stored probe is bitwise the in-query ranker, so
+    // the oracle is bm25_topk's own ──
+    "bm25_topk_persisted" -> ((s, dir) => {
+      val idx = scratch(dir, "bm25_index")
+      Retrieval.bm25IndexWrite(Tables.documents(s, dir), idx)
+      Retrieval.bm25TopKPersisted(s, idx, Bm25Queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ── hybrid seed expansion: "more docs like these seeds" — BM25 on the
     // seed's own tokens fused with exact cosine over the aligned embedding
     // table by INTEGER reciprocal-rank fusion; the data-selection pool
@@ -2786,6 +2799,10 @@ object QueriesLlm {
     // Okapi BM25 top-10 over the fixed query set; expression shapes and
     // double-typed literals mirror Retrieval.bm25Scores exactly.
     "bm25_topk" -> bm25TopkOracleSql,
+
+    // bm25_topk_persisted: the stored index is derived with the identical
+    // expressions, so the replay is the in-query ranker's own
+    "bm25_topk_persisted" -> bm25TopkOracleSql,
 
     // The FUSED ingestion pass: every deterministic leg replayed exactly —
     // near-dup counts via the minhash/band chain, exact-contamination via

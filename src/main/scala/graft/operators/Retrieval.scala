@@ -50,10 +50,28 @@ object Retrieval {
     val idf = tf
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .withColumn(
-        "idf",
-        round(log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+      .withColumn("idf", idfExpr(col("n"), col("df")))
       .select(col("term"), col("idf"))
+    scoreJoined(qterms, tf, idf, dl, avg)
+  }
+
+  /** The round-6 Robertson-Sparck-Jones idf both the in-query derivation
+    * and the stored index share — one expression, no drift.
+    */
+  private def idfExpr(n: org.apache.spark.sql.Column, df: org.apache.spark.sql.Column) =
+    round(log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5))), 6)
+
+  /** The BM25 scoring tail shared by [[bm25Scores]] (components derived
+    * from the corpus in-query) and [[bm25TopKPersisted]] (components read
+    * from the stored inverted index): per-(term, doc) contribution and the
+    * per-doc sum, both quantized to 6 decimals.
+    */
+  private def scoreJoined(
+      qterms: DataFrame,
+      tf: DataFrame,
+      idf: DataFrame,
+      dl: DataFrame,
+      avg: DataFrame): DataFrame =
     broadcast(qterms)
       .join(tf, "term")
       .join(idf, "term")
@@ -67,6 +85,73 @@ object Retrieval {
           6))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("s")), 6).as("score"))
+
+  /** PERSIST the BM25 inverted index — the serving shape: a real retrieval
+    * pipeline derives postings/idf/doc-lengths ONCE at corpus build and
+    * scores every later query batch from the stored tables (the
+    * [[Similarity.ivfIndexWrite]] discipline, lexical side). Four parquet
+    * tables under `indexPath`:
+    *
+    *  - `postings/` — (term, doc_id, tf): the inverted index, the only
+    *    corpus-sized relation, hash-partitioned by term at scale;
+    *  - `terms/` — (term, df, idf): round-6 idf precomputed with the SAME
+    *    expression [[bm25Scores]] derives in-query;
+    *  - `doclens/` — (doc_id, dl);
+    *  - `meta/` — one geometry row (n_docs, avgdl, k1, b): scoring
+    *    parameters are part of the index identity — a probe under
+    *    different k1/b must fail loudly, not return silently-different
+    *    scores.
+    */
+  def bm25IndexWrite(docs: DataFrame, indexPath: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = toks(docs)
+    val tf = t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val nDocs = docs.count()
+    val avgdl = dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .head().getDouble(0)
+    tf.write.mode("overwrite").parquet(s"$indexPath/postings")
+    dl.write.mode("overwrite").parquet(s"$indexPath/doclens")
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf", idfExpr(lit(nDocs), col("df")))
+      .write.mode("overwrite").parquet(s"$indexPath/terms")
+    Seq((nDocs, avgdl, K1, B)).toDF("n_docs", "avgdl", "k1", "b")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** Top-k BM25 from the STORED index ([[bm25IndexWrite]]): no corpus
+    * scan, no idf re-derivation — the query terms broadcast into the
+    * postings join exactly as the in-query ranker plans it, and the
+    * scoring tail is the shared [[scoreJoined]], so the stored probe
+    * returns bitwise [[bm25TopK]]'s result. Meta parameters are
+    * re-verified before any work.
+    */
+  def bm25TopKPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: Seq[(String, String)],
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    require(meta.getAs[Double]("k1") == K1 && meta.getAs[Double]("b") == B,
+      s"index at $indexPath was built with k1=${meta.getAs[Double]("k1")}, " +
+        s"b=${meta.getAs[Double]("b")} but this scorer uses k1=$K1, b=$B")
+    val qterms = queries
+      .flatMap { case (qid, text) => text.split("\\s+").filter(_.nonEmpty).distinct.map(qid -> _) }
+      .toDF("query_id", "term")
+    val avg = spark.read.parquet(s"$indexPath/meta").select(col("avgdl"))
+    val scored = scoreJoined(
+      qterms,
+      spark.read.parquet(s"$indexPath/postings"),
+      spark.read.parquet(s"$indexPath/terms").select(col("term"), col("idf")),
+      spark.read.parquet(s"$indexPath/doclens"),
+      avg)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
   }
 
   /** Top-k BM25 hits per query. `queries`: (query_id, query text) literal

@@ -287,7 +287,17 @@ class PlanSpec extends AnyFunSuite {
       "doc_triangles" -> 0, "snapshot_diff" -> 0, "mv_incremental" -> 0,
       "shuffle_skew_report" -> 0, "dedup_edit_distance" -> 0,
       "zorder_prune" -> 0, "embed_rp" -> 0,
-      "sample_neyman" -> 2, "fk_integrity_audit" -> 5, "resample_daily" -> 1)
+      "sample_neyman" -> 2, "fk_integrity_audit" -> 5, "resample_daily" -> 1,
+      // r9 batch additions: the header decode and the physical-layout
+      // round-trip are join-free; the persisted-IVF probe carries only
+      // withRecall's one-row pool scalar
+      // knn_ivf_persisted counts 3 like hybrid: withRecall's brute-force
+      // pool is itself the declared ground-truth BNLJ scan (corpus ×
+      // broadcast queries, non-equi self-exclusion) plus the hit-count and
+      // pool one-row scalars; bm25_topk_persisted carries only the stored
+      // 1-row avgdl frame
+      "mm_decode_real" -> 0, "zorder_write_read" -> 0, "knn_ivf_persisted" -> 3,
+      "bm25_topk_persisted" -> 1)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

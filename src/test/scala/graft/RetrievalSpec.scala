@@ -42,6 +42,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("persisted bm25 index: stored probe is bitwise the in-query ranker; bad params fail loudly") {
+    val docs = Tables.documents(spark, SfDir)
+    val idx = "/root/repo/target/retrieval_spec/bm25_index"
+    Retrieval.bm25IndexWrite(docs, idx)
+    val queries = Seq("q1" -> "alpha data common", "q2" -> "model training")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))).sorted.toSeq
+    val stored = rows(Retrieval.bm25TopKPersisted(spark, idx, queries, k = 7))
+    val fresh = rows(Retrieval.bm25TopK(docs, queries, k = 7))
+    assert(fresh.nonEmpty, "fixture queries must hit the corpus")
+    assert(stored == fresh, "stored-index scores must be bitwise the in-query ranker's")
+    // scoring parameters are part of the index identity: a probe against an
+    // index recorded under different k1/b must fail loudly
+    import spark.implicits._
+    val m = spark.read.parquet(s"$idx/meta").collect().head
+    Seq((m.getAs[Long]("n_docs"), m.getAs[Double]("avgdl"), 2.0, m.getAs[Double]("b")))
+      .toDF("n_docs", "avgdl", "k1", "b")
+      .write.mode("overwrite").parquet(s"$idx/meta")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKPersisted(spark, idx, queries, k = 7)
+    }
+    assert(e.getMessage.contains("k1=2.0"))
+  }
+
   test("hybrid seed expansion: seeds excluded, ranks bounded, RRF is the exact integer fusion") {
     val docs = Tables.documents(spark, SfDir)
     val emb = Tables.embeddings(spark, SfDir)
