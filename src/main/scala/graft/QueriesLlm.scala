@@ -137,6 +137,40 @@ object QueriesLlm {
     val sf = dir.replaceAll(".*/", "")
     s"/root/repo/target/llm_scratch/$sf/$name"
   }
+
+  /** The shipped tokenizer's id stream and vocabulary, shared by
+    * `bpe_encode_ids` (emits the stream) and `bpe_decode` (reconstructs
+    * text from it) so encode and decode cannot drift: train merges,
+    * segment every word through the codegen'd kernel, mint frequency-ranked
+    * token ids, and flatten to one `(doc_id, pos, token_id)` row per
+    * subword occurrence. Returns (stream, vocab(subword, token_id)).
+    */
+  private def bpeIdStream(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.functions.TextKernels.register(s)
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.trainMerges(docs, BpeMerges)
+    val words = docs.select(
+      col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("wpos", "word")))
+      .where(length(col("word")) > 0)
+    val subs = words.select(
+      col("doc_id"), col("wpos"),
+      posexplode(Bpe.tokenKernelCol(col("word"), merges)).as(Seq("spos", "subword")))
+    val ids = subs.groupBy(col("subword")).agg(count(lit(1)).as("cnt"))
+      .withColumn("token_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("subword"))).cast("long"))
+      .select(col("subword"), col("token_id"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("wpos"), col("spos"))
+    val stream = subs.join(broadcast(ids), "subword")
+      .select(
+        col("doc_id"),
+        (row_number().over(wd) - 1).cast("long").as("pos"),
+        col("token_id"))
+    (stream, ids)
+  }
   // dedup_embedding_semdedup verify threshold — matches dedup_embedding_cosine
   // so the spec's "exact pairs restricted to co-clustered ids" law is over
   // the same pair universe
@@ -511,6 +545,35 @@ object QueriesLlm {
        |       i.token_id
        |FROM enc e JOIN ids i USING (subword)
        |ORDER BY doc_id, pos""".stripMargin
+
+  /** bpe_decode replay: reconstruct each document's boundary-free character
+    * stream from the segmented subwords in (wpos, spos) order and compare
+    * to `concat(tokens)` directly — an INDEPENDENT derivation that skips
+    * the id round-trip entirely, so the hash equality also proves the
+    * Spark side's vocab-join decode is the identity on subwords.
+    */
+  private def bpeDecodeOracleSql: String =
+    s"""$bpeCtes,
+       |${bpeApplyCtes(
+        "doc_id, wpos",
+        Some(s"(SELECT doc_id, generate_subscripts($toksSql, 1) AS wpos, unnest($toksSql) AS word FROM documents)"))},
+       |enc AS (
+       |  SELECT doc_id, wpos, generate_subscripts(syms, 1) AS spos,
+       |         unnest(syms) AS subword
+       |  FROM a$BpeMerges
+       |),
+       |dec AS (
+       |  SELECT doc_id, string_agg(subword, '' ORDER BY wpos, spos) AS decoded
+       |  FROM enc GROUP BY doc_id
+       |),
+       |orig AS (
+       |  SELECT doc_id, array_to_string($toksSql, '') AS original FROM documents
+       |)
+       |SELECT d.doc_id, CAST(length(d.decoded) AS BIGINT) AS n_chars,
+       |       (d.decoded = o.original) AS lossless,
+       |       md5(d.decoded) AS decoded_md5
+       |FROM dec d JOIN orig o USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** bpe_vocab replay: the OTHER artifact a tokenizer ships — the subword
     * vocabulary with corpus occurrence counts after all merges.
@@ -891,30 +954,29 @@ object QueriesLlm {
     // VOCAB-scale global window — metadata-sized, same class as the BPE
     // trainer's argmax), positions dense per doc over (word, subword)
     // order. The id table broadcasts into the corpus-scale join ──
-    "bpe_encode_ids" -> ((s, dir) => {
-      graft.functions.TextKernels.register(s)
-      val docs = Tables.documents(s, dir)
-      val merges = Bpe.trainMerges(docs, BpeMerges)
-      val words = docs.select(
+    "bpe_encode_ids" -> ((s, dir) =>
+      bpeIdStream(s, dir)._1.orderBy(col("doc_id"), col("pos"))),
+
+    // ── BPE DECODE + round-trip audit ([[Bpe.decodeIds]]): the encoded id
+    // stream joined back through the vocabulary and concatenated in pos
+    // order must reconstruct each document's character stream EXACTLY
+    // (merges only concatenate, so decode is lossless; the vocab carries
+    // no end-of-word marker, so the target is the boundary-free
+    // `concat(tokens)`). The `lossless` law column rides every row and the
+    // oracle asserts it TRUE — the self-validating discipline ──
+    "bpe_decode" -> ((s, dir) => {
+      val (stream, vocab) = bpeIdStream(s, dir)
+      val decoded = Bpe.decodeIds(stream, vocab)
+      val orig = Tables.documents(s, dir).select(
         col("doc_id"),
-        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("wpos", "word")))
-        .where(length(col("word")) > 0)
-      val subs = words.select(
-        col("doc_id"), col("wpos"),
-        posexplode(Bpe.tokenKernelCol(col("word"), merges)).as(Seq("spos", "subword")))
-      val ids = subs.groupBy(col("subword")).agg(count(lit(1)).as("cnt"))
-        .withColumn("token_id",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("cnt").desc, col("subword"))).cast("long"))
-        .select(col("subword"), col("token_id"))
-      val wd = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("wpos"), col("spos"))
-      subs.join(broadcast(ids), "subword")
+        concat_ws("", TextAnalysis.tokens(col("text"))).as("original"))
+      decoded.join(orig, "doc_id")
         .select(
           col("doc_id"),
-          (row_number().over(wd) - 1).cast("long").as("pos"),
-          col("token_id"))
-        .orderBy(col("doc_id"), col("pos"))
+          length(col("decoded")).cast("long").as("n_chars"),
+          (col("decoded") === col("original")).as("lossless"),
+          md5(col("decoded")).as("decoded_md5"))
+        .orderBy(col("doc_id"))
     }),
 
     // ── the shipped tokenizer's OTHER artifact: the subword vocabulary
@@ -3276,6 +3338,7 @@ object QueriesLlm {
     // The trainer-consumable id stream: frequency-ranked vocab ids,
     // dense per-doc positions over (word, subword) order.
     "bpe_encode_ids" -> bpeEncodeIdsOracleSql,
+    "bpe_decode" -> bpeDecodeOracleSql,
 
     // BPE pair-count replay: same normalization + whitespace split, pairs
     // are substr(t, i, 2) for i in [1, len-1] (both engines' substr is

@@ -231,4 +231,35 @@ object Bpe {
   def tokenKernelCol(word: Column, merges: Seq[Merge]): Column =
     graft.functions.TextKernels.bpeApplyCol(
       word, merges.sortBy(_.rank).map(m => (m.l, m.r)))
+
+  /** DECODE an encoded id stream back to per-document text — the half a
+    * tokenizer needs for inspection, detokenized eval dumps, and the
+    * round-trip audit (BPE merges only ever concatenate characters, so
+    * decode is exact: the character stream reconstructs losslessly; what
+    * this vocab does NOT carry is word boundaries — no end-of-word marker —
+    * so the reconstruction target is the documents' boundary-free character
+    * stream, `concat(tokens)`).
+    *
+    * `ids`: (docCol, pos, token_id) — the [[graft.QueriesLlm]]
+    * `bpe_encode_ids` stream shape. `vocab`: (subword, token_id). Output:
+    * (docCol, decoded) — subwords of each doc concatenated in `pos` order.
+    *
+    * Scale shape: the vocab is KB-scale and broadcasts into the id join;
+    * the per-doc ordered concat is one `collect_list` + in-row sort
+    * (`array_sort` over (pos, subword) structs — no window, one doc-keyed
+    * shuffle that map-side combines).
+    */
+  def decodeIds(
+      ids: DataFrame,
+      vocab: DataFrame,
+      docCol: String = "doc_id"): DataFrame =
+    ids
+      .join(broadcast(vocab), "token_id")
+      .groupBy(col(docCol))
+      .agg(
+        concat_ws(
+          "",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("subword")))),
+            s => s.getField("subword"))).as("decoded"))
 }

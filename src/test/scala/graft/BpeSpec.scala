@@ -78,6 +78,38 @@ class BpeSpec extends AnyFunSuite {
     assert(kernel("cafélow") == List("c", "a", "f", "é", "low"))
   }
 
+  test("decodeIds reconstructs the character stream from a shuffled id stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.TextKernels.register(spark)
+    val docs = Seq(
+      (1L, "lower lowest low"),
+      (2L, "newer newest new"),
+      (3L, "low new lower")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, 4)
+    // build the (doc, pos, token_id) stream the declared query emits
+    val words = docs.select(
+      col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("wpos", "word")))
+    val subs = words.select(
+      col("doc_id"), col("wpos"),
+      posexplode(Bpe.tokenKernelCol(col("word"), merges)).as(Seq("spos", "subword")))
+    val vocab = subs.select(col("subword")).distinct()
+      .withColumn("token_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("subword"))).cast("long"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("wpos"), col("spos"))
+    val stream = subs.join(vocab, "subword")
+      .select(col("doc_id"), (row_number().over(wd) - 1).cast("long").as("pos"), col("token_id"))
+      // decode must NOT depend on arrival order — only on pos
+      .orderBy(md5(concat(col("doc_id").cast("string"), col("pos").cast("string"))))
+    val got = Bpe.decodeIds(stream, vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "lowerlowestlow", 2L -> "newernewestnew", 3L -> "lownewlower"))
+  }
+
   test("degenerate inputs fail loudly") {
     import spark.implicits._
     val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
