@@ -276,6 +276,33 @@ object QueriesEtl {
         .orderBy(col("event_date"))
     }),
 
+    // ── partition-level retention ([[TableManager.retentionPrune]]): a
+    // date-partitioned log table expired by DROPPING whole partitions
+    // below the cutoff — one metadata op per partition, no row deletes, no
+    // surviving-file rewrites; pruned twice to prove idempotency. The
+    // read-back rollup hash-matches the oracle's cutoff filter over the
+    // source, proving the drop removed exactly the expired partitions ──
+    "retention_prune" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("user_id", LongType, nullable = false),
+        StructField("event_date", DateType, nullable = false)))
+      val t = new TableManager("graft_events_retention", schema, Seq("event_date"))
+      t.recreate(s)
+      val batch = Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .select(schema.fieldNames.map(col).toSeq: _*)
+      t.overwritePartitions(s, batch)
+      val dropped = t.retentionPrune(s, "event_date", RetentionCutoff)
+      require(dropped.nonEmpty, "retention_prune: fixture must expire at least one partition")
+      require(t.retentionPrune(s, "event_date", RetentionCutoff).isEmpty,
+        "retention_prune: second run must be a no-op")
+      t.read(s)
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_event_id"))
+        .orderBy(col("event_date"))
+    }),
+
     // ── C2+C3 flagship: two-batch sessionized load into a KST-partitioned
     // table with continuity + boundary preservation; second batch re-loaded
     // to prove idempotency. Oracle recomputes from a SINGLE-batch whole-stream
@@ -400,6 +427,10 @@ object QueriesEtl {
   // mv_incremental cutoff — the "new batch" boundary, interpolated into the
   // oracle so the two sides cannot drift
   private val MvCut = "2024-01-25"
+
+  // retention_prune cutoff — partitions strictly below it are dropped;
+  // interpolated into the oracle so the two sides cannot drift
+  private val RetentionCutoff = "2024-01-15"
 
   // zorder_prune geometry + predicate box — interpolated into the oracle so
   // the two sides cannot drift
@@ -608,6 +639,15 @@ object QueriesEtl {
         |      BETWEEN date_trunc('week', DATE '2024-01-01')
         |          AND date_trunc('week', DATE '2024-01-31')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // retention_prune: the cutoff filter over the source IS the surviving
+    // partition set — a drop that removed too much or too little breaks
+    // the hash
+    "retention_prune" ->
+      s"""SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+         |       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         |FROM events WHERE CAST(ts AS DATE) >= DATE '$RetentionCutoff'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "table_load_idempotent" ->
       """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,

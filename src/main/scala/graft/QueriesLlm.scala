@@ -2168,6 +2168,26 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── multimodal → relational composition: the decoded header feeding a
+    // per-format rollup (format routing — what a real media pipeline
+    // partitions its downstream processing on); integer sums so the
+    // cross-engine hash is exact, null fields (audio has no dims, images
+    // no sample rate) dropped by SQL sum semantics identically ──
+    "mm_format_stats" -> ((s, dir) => {
+      graft.functions.MediaKernels.register(s)
+      Multimodal.withMediaPayload(Tables.documents(s, dir))
+        .select(
+          length(col("payload")).cast("long").as("n_bytes"),
+          graft.functions.MediaKernels.decodeHeaderCol(col("payload")).as("m"))
+        .groupBy(col("m.format").as("format"))
+        .agg(
+          count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("sum_bytes"),
+          sum(col("m.width")).as("sum_width"), sum(col("m.height")).as("sum_height"),
+          sum(col("m.channels")).as("sum_channels"),
+          sum(col("m.sample_rate")).as("sum_rate"), sum(col("m.bits")).as("sum_bits"))
+        .orderBy(col("format"))
+    }),
+
     // ── multimodal: frame sampling over binary payloads ──
     "mm_frame_hashes" -> ((s, dir) =>
       Multimodal.frameHashes(Multimodal.withPayload(Tables.documents(s, dir)))
@@ -2698,6 +2718,85 @@ object QueriesLlm {
            |  SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
            |  FROM r WHERE rank <= 5
            |)""".stripMargin + annRecallTailSql(IvfRecallFloor))
+
+  /** mm_decode_real replay, shared with the `mm_format_stats` rollup:
+    * rebuild the exact synthesized payload bytes as hex (PNG CRC zeroed —
+    * nothing parsed reads it), then replay the sniffer's offset-chained
+    * byte walk. Offsets are 1-indexed bytes; a byte read at position p is
+    * a substr of the hex string at (p-1)*2+1.
+    */
+  private lazy val mmDecodeRealOracle: String =
+    """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS bodyhx,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+        |         doc_id % 3 AS fmt,
+        |         16 + (doc_id * 37) % 4080 AS w, 16 + (doc_id * 53) % 3056 AS h,
+        |         1 + doc_id % 2 AS ch, 8000 + (doc_id % 5) * 8000 AS rate,
+        |         8 * (1 + (doc_id % 7) % 2) AS bits,
+        |         doc_id % 23 AS com_m, 2 * (doc_id % 11) AS junk
+        |  FROM documents
+        |), hxs AS (
+        |  SELECT doc_id,
+        |    CASE fmt
+        |      WHEN 0 THEN '89504E470D0A1A0A' || '0000000D' || '49484452'
+        |        || lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0') || '0806000000' || '00000000' || bodyhx
+        |      WHEN 1 THEN 'FFD8' || 'FFE00010' || '4A46494600' || '0101' || '00' || '00010001' || '0000'
+        |        || 'FFFE' || lpad(hex(2 + com_m), 4, '0') || repeat('63', CAST(com_m AS INT))
+        |        || 'FFC00011' || '08' || lpad(hex(h), 4, '0') || lpad(hex(w), 4, '0')
+        |        || '03' || '012200' || '021101' || '031101' || bodyhx
+        |    END AS hx
+        |  FROM b WHERE fmt < 2
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    '52494646' || substr(lpad(hex(4 + 24 + 8 + blen + CASE WHEN doc_id % 2 = 0 THEN 8 + junk ELSE 0 END), 8, '0'), 7, 2) || substr(lpad(hex(4 + 24 + 8 + blen + CASE WHEN doc_id % 2 = 0 THEN 8 + junk ELSE 0 END), 8, '0'), 5, 2) || substr(lpad(hex(4 + 24 + 8 + blen + CASE WHEN doc_id % 2 = 0 THEN 8 + junk ELSE 0 END), 8, '0'), 3, 2) || substr(lpad(hex(4 + 24 + 8 + blen + CASE WHEN doc_id % 2 = 0 THEN 8 + junk ELSE 0 END), 8, '0'), 1, 2)
+        |    || '57415645'
+        |    || CASE WHEN doc_id % 2 = 0
+        |            THEN '4A554E4B' || substr(lpad(hex(junk), 8, '0'), 7, 2) || substr(lpad(hex(junk), 8, '0'), 5, 2) || substr(lpad(hex(junk), 8, '0'), 3, 2) || substr(lpad(hex(junk), 8, '0'), 1, 2) || repeat('6A', CAST(junk AS INT)) ELSE '' END
+        |    || '666D7420' || '10000000' || '0100' || substr(lpad(hex(ch), 4, '0'), 3, 2) || substr(lpad(hex(ch), 4, '0'), 1, 2) || substr(lpad(hex(rate), 8, '0'), 7, 2) || substr(lpad(hex(rate), 8, '0'), 5, 2) || substr(lpad(hex(rate), 8, '0'), 3, 2) || substr(lpad(hex(rate), 8, '0'), 1, 2)
+        |    || substr(lpad(hex(rate * ch * bits // 8), 8, '0'), 7, 2) || substr(lpad(hex(rate * ch * bits // 8), 8, '0'), 5, 2) || substr(lpad(hex(rate * ch * bits // 8), 8, '0'), 3, 2) || substr(lpad(hex(rate * ch * bits // 8), 8, '0'), 1, 2) || substr(lpad(hex(ch * bits // 8), 4, '0'), 3, 2) || substr(lpad(hex(ch * bits // 8), 4, '0'), 1, 2) || substr(lpad(hex(bits), 4, '0'), 3, 2) || substr(lpad(hex(bits), 4, '0'), 1, 2)
+        |    || '64617461' || substr(lpad(hex(blen), 8, '0'), 7, 2) || substr(lpad(hex(blen), 8, '0'), 5, 2) || substr(lpad(hex(blen), 8, '0'), 3, 2) || substr(lpad(hex(blen), 8, '0'), 1, 2) || bodyhx
+        |  FROM b WHERE fmt = 2
+        |), parsed AS (
+        |  SELECT doc_id, 'png' AS format,
+        |         CASE WHEN substr(hx, (13 - 1) * 2 + 1, 8) = '49484452' THEN ('0x' || substr(hx, (17 - 1) * 2 + 1, 8))::BIGINT END AS width,
+        |         CASE WHEN substr(hx, (13 - 1) * 2 + 1, 8) = '49484452' THEN ('0x' || substr(hx, (21 - 1) * 2 + 1, 8))::BIGINT END AS height,
+        |         CASE WHEN substr(hx, (13 - 1) * 2 + 1, 8) = '49484452' THEN
+        |           CASE ('0x' || substr(hx, (26 - 1) * 2 + 1, 2))::BIGINT WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 4 END
+        |         END AS channels,
+        |         CAST(NULL AS BIGINT) AS sample_rate,
+        |         CASE WHEN substr(hx, (13 - 1) * 2 + 1, 8) = '49484452' THEN ('0x' || substr(hx, (25 - 1) * 2 + 1, 2))::BIGINT END AS bits,
+        |         CAST(length(hx) // 2 AS BIGINT) AS n_bytes
+        |  FROM hxs WHERE substr(hx, (1 - 1) * 2 + 1, 16) = '89504E470D0A1A0A'
+        |  UNION ALL
+        |  SELECT doc_id, 'jpeg' AS format,
+        |         CASE WHEN substr(hx, (o3 - 1) * 2 + 1, 4) IN ('FFC0','FFC1','FFC2','FFC3','FFC5','FFC6','FFC7','FFC9','FFCA','FFCB','FFCD','FFCE','FFCF') THEN ('0x' || substr(hx, (o3 + 7 - 1) * 2 + 1, 4))::BIGINT END AS width,
+        |         CASE WHEN substr(hx, (o3 - 1) * 2 + 1, 4) IN ('FFC0','FFC1','FFC2','FFC3','FFC5','FFC6','FFC7','FFC9','FFCA','FFCB','FFCD','FFCE','FFCF') THEN ('0x' || substr(hx, (o3 + 5 - 1) * 2 + 1, 4))::BIGINT END AS height,
+        |         CASE WHEN substr(hx, (o3 - 1) * 2 + 1, 4) IN ('FFC0','FFC1','FFC2','FFC3','FFC5','FFC6','FFC7','FFC9','FFCA','FFCB','FFCD','FFCE','FFCF') THEN ('0x' || substr(hx, (o3 + 9 - 1) * 2 + 1, 2))::BIGINT END AS channels,
+        |         CAST(NULL AS BIGINT) AS sample_rate,
+        |         CASE WHEN substr(hx, (o3 - 1) * 2 + 1, 4) IN ('FFC0','FFC1','FFC2','FFC3','FFC5','FFC6','FFC7','FFC9','FFCA','FFCB','FFCD','FFCE','FFCF') THEN ('0x' || substr(hx, (o3 + 4 - 1) * 2 + 1, 2))::BIGINT END AS bits,
+        |         CAST(length(hx) // 2 AS BIGINT) AS n_bytes
+        |  FROM (
+        |    SELECT doc_id, hx, o2 + 2 + ('0x' || substr(hx, (o2 + 2 - 1) * 2 + 1, 4))::BIGINT AS o3
+        |    FROM (SELECT doc_id, hx, 3 + 2 + ('0x' || substr(hx, (5 - 1) * 2 + 1, 4))::BIGINT AS o2
+        |          FROM hxs WHERE substr(hx, (1 - 1) * 2 + 1, 4) = 'FFD8')
+        |    WHERE substr(hx, (o2 - 1) * 2 + 1, 4) = 'FFFE'
+        |  )
+        |  UNION ALL
+        |  SELECT doc_id, 'wav' AS format,
+        |         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+        |         CASE WHEN substr(hx, (f - 1) * 2 + 1, 8) = '666D7420' THEN ('0x' || substr(hx, (f + 10 - 1) * 2 + 3, 2) || substr(hx, (f + 10 - 1) * 2 + 1, 2))::BIGINT END AS channels,
+        |         CASE WHEN substr(hx, (f - 1) * 2 + 1, 8) = '666D7420' THEN ('0x' || substr(hx, (f + 12 - 1) * 2 + 7, 2) || substr(hx, (f + 12 - 1) * 2 + 5, 2) || substr(hx, (f + 12 - 1) * 2 + 3, 2) || substr(hx, (f + 12 - 1) * 2 + 1, 2))::BIGINT END AS sample_rate,
+        |         CASE WHEN substr(hx, (f - 1) * 2 + 1, 8) = '666D7420' THEN ('0x' || substr(hx, (f + 22 - 1) * 2 + 3, 2) || substr(hx, (f + 22 - 1) * 2 + 1, 2))::BIGINT END AS bits,
+        |         CAST(length(hx) // 2 AS BIGINT) AS n_bytes
+        |  FROM (
+        |    SELECT doc_id, hx,
+        |           CASE WHEN substr(hx, (13 - 1) * 2 + 1, 8) = '666D7420' THEN 13
+        |                ELSE 13 + 8 + ('0x' || substr(hx, (17 - 1) * 2 + 7, 2) || substr(hx, (17 - 1) * 2 + 5, 2) || substr(hx, (17 - 1) * 2 + 3, 2) || substr(hx, (17 - 1) * 2 + 1, 2))::BIGINT + (('0x' || substr(hx, (17 - 1) * 2 + 7, 2) || substr(hx, (17 - 1) * 2 + 5, 2) || substr(hx, (17 - 1) * 2 + 3, 2) || substr(hx, (17 - 1) * 2 + 1, 2))::BIGINT % 2) END AS f
+        |    FROM hxs WHERE substr(hx, (1 - 1) * 2 + 1, 8) = '52494646' AND substr(hx, (9 - 1) * 2 + 1, 8) = '57415645'
+        |  )
+        |)
+        |SELECT doc_id, format, width, height, channels, sample_rate, bits, n_bytes
+        |FROM parsed ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -4044,78 +4143,22 @@ object QueriesLlm {
     // read out of the bytes; WAV skipping the optional JUNK chunk by its
     // little-endian size field. Offsets are 1-indexed bytes; a byte read at
     // position p is a substr of the hex string at (p-1)*2+1.
-    "mm_decode_real" ->
-      """WITH b AS (
-        |  SELECT doc_id, hex(encode(text)) AS bodyhx,
-        |         CAST(octet_length(encode(text)) AS BIGINT) AS blen,
-        |         doc_id % 3 AS fmt,
-        |         16 + (doc_id * 37) % 4080 AS w, 16 + (doc_id * 53) % 3056 AS h,
-        |         1 + doc_id % 2 AS ch, 8000 + (doc_id % 5) * 8000 AS rate,
-        |         8 * (1 + (doc_id % 7) % 2) AS bits,
-        |         doc_id % 23 AS com_m, 2 * (doc_id % 11) AS junk
-        |  FROM documents
-        |), hxs AS (
-        |  SELECT doc_id,
-        |    CASE fmt
-        |      WHEN 0 THEN '89504E470D0A1A0A' || '0000000D' || '49484452'
-        |        || lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0') || '0806000000' || '00000000' || bodyhx
-        |      WHEN 1 THEN 'FFD8' || 'FFE00010' || '4A46494600' || '0101' || '00' || '00010001' || '0000'
-        |        || 'FFFE' || lpad(hex(2 + com_m), 4, '0') || repeat('63', CAST(com_m AS INT))
-        |        || 'FFC00011' || '08' || lpad(hex(h), 4, '0') || lpad(hex(w), 4, '0')
-        |        || '03' || '012200' || '021101' || '031101' || bodyhx
-        |    END AS hx
-        |  FROM b WHERE fmt < 2
-        |  UNION ALL
-        |  SELECT doc_id,
-        |    '52494646' || substr(lpad(hex(4 + 24 + 8 + blen + CASE WHEN doc_id % 2 = 0 THEN 8 + junk ELSE 0 END), 8, '0'), 7, 2) || substr(lpad(hex(4 + 24 + 8 + blen + CASE WHEN doc_id % 2 = 0 THEN 8 + junk ELSE 0 END), 8, '0'), 5, 2) || substr(lpad(hex(4 + 24 + 8 + blen + CASE WHEN doc_id % 2 = 0 THEN 8 + junk ELSE 0 END), 8, '0'), 3, 2) || substr(lpad(hex(4 + 24 + 8 + blen + CASE WHEN doc_id % 2 = 0 THEN 8 + junk ELSE 0 END), 8, '0'), 1, 2)
-        |    || '57415645'
-        |    || CASE WHEN doc_id % 2 = 0
-        |            THEN '4A554E4B' || substr(lpad(hex(junk), 8, '0'), 7, 2) || substr(lpad(hex(junk), 8, '0'), 5, 2) || substr(lpad(hex(junk), 8, '0'), 3, 2) || substr(lpad(hex(junk), 8, '0'), 1, 2) || repeat('6A', CAST(junk AS INT)) ELSE '' END
-        |    || '666D7420' || '10000000' || '0100' || substr(lpad(hex(ch), 4, '0'), 3, 2) || substr(lpad(hex(ch), 4, '0'), 1, 2) || substr(lpad(hex(rate), 8, '0'), 7, 2) || substr(lpad(hex(rate), 8, '0'), 5, 2) || substr(lpad(hex(rate), 8, '0'), 3, 2) || substr(lpad(hex(rate), 8, '0'), 1, 2)
-        |    || substr(lpad(hex(rate * ch * bits // 8), 8, '0'), 7, 2) || substr(lpad(hex(rate * ch * bits // 8), 8, '0'), 5, 2) || substr(lpad(hex(rate * ch * bits // 8), 8, '0'), 3, 2) || substr(lpad(hex(rate * ch * bits // 8), 8, '0'), 1, 2) || substr(lpad(hex(ch * bits // 8), 4, '0'), 3, 2) || substr(lpad(hex(ch * bits // 8), 4, '0'), 1, 2) || substr(lpad(hex(bits), 4, '0'), 3, 2) || substr(lpad(hex(bits), 4, '0'), 1, 2)
-        |    || '64617461' || substr(lpad(hex(blen), 8, '0'), 7, 2) || substr(lpad(hex(blen), 8, '0'), 5, 2) || substr(lpad(hex(blen), 8, '0'), 3, 2) || substr(lpad(hex(blen), 8, '0'), 1, 2) || bodyhx
-        |  FROM b WHERE fmt = 2
-        |), parsed AS (
-        |  SELECT doc_id, 'png' AS format,
-        |         CASE WHEN substr(hx, (13 - 1) * 2 + 1, 8) = '49484452' THEN ('0x' || substr(hx, (17 - 1) * 2 + 1, 8))::BIGINT END AS width,
-        |         CASE WHEN substr(hx, (13 - 1) * 2 + 1, 8) = '49484452' THEN ('0x' || substr(hx, (21 - 1) * 2 + 1, 8))::BIGINT END AS height,
-        |         CASE WHEN substr(hx, (13 - 1) * 2 + 1, 8) = '49484452' THEN
-        |           CASE ('0x' || substr(hx, (26 - 1) * 2 + 1, 2))::BIGINT WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 4 END
-        |         END AS channels,
-        |         CAST(NULL AS BIGINT) AS sample_rate,
-        |         CASE WHEN substr(hx, (13 - 1) * 2 + 1, 8) = '49484452' THEN ('0x' || substr(hx, (25 - 1) * 2 + 1, 2))::BIGINT END AS bits,
-        |         CAST(length(hx) // 2 AS BIGINT) AS n_bytes
-        |  FROM hxs WHERE substr(hx, (1 - 1) * 2 + 1, 16) = '89504E470D0A1A0A'
-        |  UNION ALL
-        |  SELECT doc_id, 'jpeg' AS format,
-        |         CASE WHEN substr(hx, (o3 - 1) * 2 + 1, 4) IN ('FFC0','FFC1','FFC2','FFC3','FFC5','FFC6','FFC7','FFC9','FFCA','FFCB','FFCD','FFCE','FFCF') THEN ('0x' || substr(hx, (o3 + 7 - 1) * 2 + 1, 4))::BIGINT END AS width,
-        |         CASE WHEN substr(hx, (o3 - 1) * 2 + 1, 4) IN ('FFC0','FFC1','FFC2','FFC3','FFC5','FFC6','FFC7','FFC9','FFCA','FFCB','FFCD','FFCE','FFCF') THEN ('0x' || substr(hx, (o3 + 5 - 1) * 2 + 1, 4))::BIGINT END AS height,
-        |         CASE WHEN substr(hx, (o3 - 1) * 2 + 1, 4) IN ('FFC0','FFC1','FFC2','FFC3','FFC5','FFC6','FFC7','FFC9','FFCA','FFCB','FFCD','FFCE','FFCF') THEN ('0x' || substr(hx, (o3 + 9 - 1) * 2 + 1, 2))::BIGINT END AS channels,
-        |         CAST(NULL AS BIGINT) AS sample_rate,
-        |         CASE WHEN substr(hx, (o3 - 1) * 2 + 1, 4) IN ('FFC0','FFC1','FFC2','FFC3','FFC5','FFC6','FFC7','FFC9','FFCA','FFCB','FFCD','FFCE','FFCF') THEN ('0x' || substr(hx, (o3 + 4 - 1) * 2 + 1, 2))::BIGINT END AS bits,
-        |         CAST(length(hx) // 2 AS BIGINT) AS n_bytes
-        |  FROM (
-        |    SELECT doc_id, hx, o2 + 2 + ('0x' || substr(hx, (o2 + 2 - 1) * 2 + 1, 4))::BIGINT AS o3
-        |    FROM (SELECT doc_id, hx, 3 + 2 + ('0x' || substr(hx, (5 - 1) * 2 + 1, 4))::BIGINT AS o2
-        |          FROM hxs WHERE substr(hx, (1 - 1) * 2 + 1, 4) = 'FFD8')
-        |    WHERE substr(hx, (o2 - 1) * 2 + 1, 4) = 'FFFE'
-        |  )
-        |  UNION ALL
-        |  SELECT doc_id, 'wav' AS format,
-        |         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
-        |         CASE WHEN substr(hx, (f - 1) * 2 + 1, 8) = '666D7420' THEN ('0x' || substr(hx, (f + 10 - 1) * 2 + 3, 2) || substr(hx, (f + 10 - 1) * 2 + 1, 2))::BIGINT END AS channels,
-        |         CASE WHEN substr(hx, (f - 1) * 2 + 1, 8) = '666D7420' THEN ('0x' || substr(hx, (f + 12 - 1) * 2 + 7, 2) || substr(hx, (f + 12 - 1) * 2 + 5, 2) || substr(hx, (f + 12 - 1) * 2 + 3, 2) || substr(hx, (f + 12 - 1) * 2 + 1, 2))::BIGINT END AS sample_rate,
-        |         CASE WHEN substr(hx, (f - 1) * 2 + 1, 8) = '666D7420' THEN ('0x' || substr(hx, (f + 22 - 1) * 2 + 3, 2) || substr(hx, (f + 22 - 1) * 2 + 1, 2))::BIGINT END AS bits,
-        |         CAST(length(hx) // 2 AS BIGINT) AS n_bytes
-        |  FROM (
-        |    SELECT doc_id, hx,
-        |           CASE WHEN substr(hx, (13 - 1) * 2 + 1, 8) = '666D7420' THEN 13
-        |                ELSE 13 + 8 + ('0x' || substr(hx, (17 - 1) * 2 + 7, 2) || substr(hx, (17 - 1) * 2 + 5, 2) || substr(hx, (17 - 1) * 2 + 3, 2) || substr(hx, (17 - 1) * 2 + 1, 2))::BIGINT + (('0x' || substr(hx, (17 - 1) * 2 + 7, 2) || substr(hx, (17 - 1) * 2 + 5, 2) || substr(hx, (17 - 1) * 2 + 3, 2) || substr(hx, (17 - 1) * 2 + 1, 2))::BIGINT % 2) END AS f
-        |    FROM hxs WHERE substr(hx, (1 - 1) * 2 + 1, 8) = '52494646' AND substr(hx, (9 - 1) * 2 + 1, 8) = '57415645'
-        |  )
-        |)
-        |SELECT doc_id, format, width, height, channels, sample_rate, bits, n_bytes
-        |FROM parsed ORDER BY doc_id""".stripMargin,
+    "mm_decode_real" -> mmDecodeRealOracle,
+
+    // mm_format_stats: the per-format rollup over the same replayed parse
+    // (plain concatenation — stripMargin over the interpolated inner SQL
+    // would eat the leading `||` concat operators)
+    "mm_format_stats" ->
+      ("""SELECT format, count(*) AS n_docs,
+         |       CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+         |       CAST(sum(width) AS BIGINT) AS sum_width,
+         |       CAST(sum(height) AS BIGINT) AS sum_height,
+         |       CAST(sum(channels) AS BIGINT) AS sum_channels,
+         |       CAST(sum(sample_rate) AS BIGINT) AS sum_rate,
+         |       CAST(sum(bits) AS BIGINT) AS sum_bits
+         |FROM (""".stripMargin +
+        mmDecodeRealOracle +
+        ")\nGROUP BY format ORDER BY format"),
 
     // Byte-addressed on both engines: frames are byte ranges of the payload,
     // and the fingerprint is md5 over the frame's uppercase-hex encoding —

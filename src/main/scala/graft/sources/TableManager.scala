@@ -90,6 +90,37 @@ class TableManager(
       .insertInto(name)
   }
 
+  /** Partition-level RETENTION — the 100 TB way to expire a log table:
+    * partitions whose `key` value compares strictly below `cutoff` are
+    * dropped as UNITS (one catalog/metadata operation per partition, the
+    * files go with it) — never a row-level delete, which would rewrite
+    * every surviving file. Returns the dropped `key` values ascending;
+    * running it again is a no-op (idempotent, like the loads).
+    *
+    * The comparison is LEXICOGRAPHIC on the partition-value string —
+    * correct for the zero-padded date/hour formats partition keys use
+    * (`yyyy-MM-dd` sorts chronologically); a numeric un-padded key needs
+    * padding at write time, the standard partition-naming discipline.
+    */
+  def retentionPrune(spark: SparkSession, key: String, cutoff: String): Seq[String] = {
+    require(partitionKeys.contains(key),
+      s"retentionPrune: $key is not a partition key of $name (keys: $partitionKeys)")
+    ensure(spark)
+    val parts = spark.sql(s"SHOW PARTITIONS $name").collect().map(_.getString(0))
+    val dropped = parts.toSeq.flatMap { p =>
+      val kv = p.split("/").map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> v
+      }.toMap
+      if (kv.get(key).exists(_ < cutoff)) Some(kv) else None
+    }
+    dropped.foreach { kv =>
+      val spec = kv.map { case (k, v) => s"$k='$v'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION ($spec)")
+    }
+    dropped.map(_(key)).sorted
+  }
+
   def drop(spark: SparkSession): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $name")
 

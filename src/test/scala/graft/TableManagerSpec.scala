@@ -41,6 +41,28 @@ class TableManagerSpec extends AnyFunSuite {
     t.drop(spark)
   }
 
+  test("retentionPrune drops exactly the expired partitions, idempotently, and loudly rejects a non-key") {
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("d", StringType, nullable = false)))
+    val t = new TableManager("t_retention_spec", schema, Seq("d"))
+    t.recreate(spark)
+    import spark.implicits._
+    t.overwritePartitions(spark, Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-09"), (3L, "2024-01-10"), (4L, "2024-01-11"))
+      .toDF("k", "d"))
+    val dropped = t.retentionPrune(spark, "d", "2024-01-10")
+    assert(dropped == Seq("2024-01-01", "2024-01-09"), "strictly-below partitions drop")
+    val survivors = t.read(spark).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(survivors == Set((3L, "2024-01-10"), (4L, "2024-01-11")),
+      "the cutoff partition itself must survive")
+    assert(t.retentionPrune(spark, "d", "2024-01-10").isEmpty, "second run is a no-op")
+    intercept[IllegalArgumentException] {
+      t.retentionPrune(spark, "k", "0") // not a partition key
+    }
+    t.drop(spark)
+  }
+
   test("kst boundary load preserves the other batch's spill rows") {
     // one user, two events: 23:58 UTC Jan 15 (KST Jan 16 08:58) and
     // 00:01 UTC Jan 16 (KST Jan 16 09:01) — same KST partition, different batches.
