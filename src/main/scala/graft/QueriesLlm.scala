@@ -2168,6 +2168,35 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Unicode NFC normalization audit: normalize-before-anything — a
+    // multilingual pipeline must compose `e + COMBINING ACUTE` and `é` to
+    // ONE form or they dedup/tokenize/hash as different text. The corpus
+    // is already-NFC, so the fixture appends deterministic DECOMPOSED
+    // suffixes to a doc subset (the withMediaPayload discipline: both
+    // engines build identical inputs); output flags which docs
+    // normalization changed, code-point lengths before/after, and the
+    // normalized md5 — JDK Normalizer vs the oracle's utf8proc
+    // nfc_normalize, two independent Unicode implementations hash-matched ──
+    "text_nfc_audit" -> ((s, dir) => {
+      graft.functions.TextKernels.register(s)
+      val aug = Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(col("text"), lit(" cafe\u0301")))
+          .when(col("doc_id") % 4 === 1, concat(col("text"), lit(" A\u030A")))
+          .otherwise(col("text")).as("raw"))
+      aug
+        .select(
+          col("doc_id"), col("raw"),
+          graft.functions.TextKernels.nfcCol(col("raw")).as("nfc"))
+        .select(
+          col("doc_id"),
+          (col("nfc") =!= col("raw")).as("changed"),
+          length(col("raw")).cast("long").as("len_raw"),
+          length(col("nfc")).cast("long").as("len_nfc"),
+          md5(col("nfc")).as("nfc_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── multimodal → relational composition: the decoded header feeding a
     // per-format rollup (format routing — what a real media pipeline
     // partitions its downstream processing on); integer sums so the
@@ -4143,6 +4172,24 @@ object QueriesLlm {
     // read out of the bytes; WAV skipping the optional JUNK chunk by its
     // little-endian size field. Offsets are 1-indexed bytes; a byte read at
     // position p is a substr of the hex string at (p-1)*2+1.
+    // text_nfc_audit: same decomposed-suffix construction (chr(769) =
+    // COMBINING ACUTE, chr(778) = COMBINING RING ABOVE), normalized by
+    // utf8proc's nfc_normalize against the engine's JDK Normalizer
+    "text_nfc_audit" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 4 = 0 THEN text || ' cafe' || chr(769)
+        |              WHEN doc_id % 4 = 1 THEN text || ' A' || chr(778)
+        |              ELSE text END AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       (nfc_normalize(raw) <> raw) AS changed,
+        |       CAST(length(raw) AS BIGINT) AS len_raw,
+        |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+        |       md5(nfc_normalize(raw)) AS nfc_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
     "mm_decode_real" -> mmDecodeRealOracle,
 
     // mm_format_stats: the per-format rollup over the same replayed parse

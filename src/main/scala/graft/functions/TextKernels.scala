@@ -389,6 +389,35 @@ object TextKernels {
     override def prettyName: String = "graft_bpe_apply"
   }
 
+  /** Unicode canonical composition (NFC) — the normalize-before-anything
+    * step a multilingual pipeline runs so that `e + COMBINING ACUTE` and
+    * `é` dedup, tokenize, and hash as the SAME text. JDK
+    * `java.text.Normalizer` implements the same Unicode canonical
+    * composition the oracle engine's `nfc_normalize` (utf8proc) does, so
+    * the audit replays exactly.
+    */
+  def nfc(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
+  /** Codegen'd NFC normalization: string → string. */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"graft_nfc requires string, got ${other.sql}")
+    }
+    override def nullSafeEval(s: Any): Any =
+      TextKernels.nfc(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.TextKernels.nfc($s);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "graft_nfc"
+  }
+
   /** Extract a foldable integer literal function argument with a
     * descriptive failure — `graft_shingles(toks, n_col)` or a non-integer
     * literal should read as a usage error, not a ClassCastException.
@@ -436,6 +465,8 @@ object TextKernels {
       "graft_bpe_apply",
       exprs => BpeApply(exprs(0), stringArrayArg("graft_bpe_apply", 1, exprs(1))),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs(0)), "scala_udf")
   }
 
   /** Greedy-left BPE merge application: UTF8 word → subword symbols after
@@ -508,6 +539,7 @@ object TextKernels {
     import org.apache.spark.sql.functions.lit
     call_function("graft_repstats", toks, lit(n))
   }
+  def nfcCol(s: Column): Column = call_function("graft_nfc", s)
   def bpeApplyCol(word: Column, merges: Seq[(String, String)]): Column = {
     import org.apache.spark.sql.functions.typedLit
     call_function(

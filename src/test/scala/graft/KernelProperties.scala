@@ -97,4 +97,19 @@ object KernelProperties extends Properties("TextKernels") {
       TextKernels.hash32(UTF8String.fromString(t)) == java.lang.Long.parseLong(hex.take(8), 16) &&
       TextKernels.hash60(UTF8String.fromString(t)) == java.lang.Long.parseLong(hex.take(15), 16)
     }
+
+  private val nfcCaseGen: Gen[String] = Gen.oneOf(
+    "plain ascii", "cafe\u0301", "A\u030A", "\u00e9 already composed",
+    "mix cafe\u0301 and A\u030A", "", "\u6f22\u5b57 e\u0301")
+
+  property("nfc composes canonically: known forms, idempotence, composed-input identity") =
+    forAll(nfcCaseGen) { s =>
+      val got = TextKernels.nfc(UTF8String.fromString(s)).toString
+      val again = TextKernels.nfc(UTF8String.fromString(got)).toString
+      // idempotent, and decomposed pairs compose to the precomposed char
+      got == again &&
+        TextKernels.nfc(UTF8String.fromString("cafe\u0301")).toString == "caf\u00e9" &&
+        TextKernels.nfc(UTF8String.fromString("A\u030A")).toString == "\u00c5" &&
+        TextKernels.nfc(UTF8String.fromString("plain")).toString == "plain"
+    }
 }
