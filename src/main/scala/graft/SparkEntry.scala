@@ -155,6 +155,25 @@ object SparkEntry {
       Sessionize.sessionStats(Tables.events(s, dir))
         .orderBy(col("user_id"), col("session_id"))),
 
+    // ── the NATIVE route to C1: Spark's built-in `session_window` operator
+    // — gap-merged session aggregation as ONE groupBy, no window-function
+    // pipeline (the Spark-first idiom next to the hand-built sessionizer;
+    // both live because the hand-built one carries the reference's
+    // whole-second + deterministic-session-id contract while this is the
+    // engine-native shape). session_window merges on RAW event-time
+    // precision — split exactly when ts - prev_ts >= gap in MICROS — which
+    // the oracle replays with an epoch_us lag chain ──
+    "session_window_stats" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "300 seconds").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(
+          col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("start_us"))),
+
     // ── C2: split-batch sessionize with continuity == whole-stream ──
     // Splits events at Jan 16, sessionizes each half, carries open sessions
     // across the boundary; the oracle is the SINGLE-BATCH session SQL — the
@@ -283,6 +302,28 @@ object SparkEntry {
       s"""$sessionCte
          |SELECT event_id, user_id, epoch_sec, session_id
          |FROM sessions ORDER BY event_id""".stripMargin,
+
+    // session_window_stats: the native operator's merge rule at raw
+    // event-time precision — split when the micros gap reaches 300 s
+    // exactly; window end = last event + gap
+    "session_window_stats" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, value, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 300000000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM lagged
+        |), sess AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                              ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(us) AS start_us, max(us) + 300000000 AS end_us,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
 
     // Identical to the batch sessionize oracle on purpose: the streaming
     // replay must reproduce batch sessionization bit-for-bit.
