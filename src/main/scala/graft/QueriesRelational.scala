@@ -430,6 +430,44 @@ object QueriesRelational {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
 
+    // ── SELF-VALIDATING approximate quantiles: percentile_approx (the
+    // mergeable KLL/GK-class sketch — the only quantile a 100 TB single
+    // pass can afford) next to the exact answer, with the sketch's RANK
+    // guARANTEE measured in-query: the returned element's tie range
+    // [#{v<av}, #{v<=av}] must intersect q·n ± (n/accuracy + 1). The raw
+    // approx value stays OUT of the hashed columns (sketch merge order is
+    // partitioning-dependent); what the oracle locks is the exact
+    // quantiles plus the law columns TRUE — the approx-WAU discipline ──
+    "quantiles_approx" -> ((s, dir) => {
+      val acc = 1000
+      val qsArr = array(lit(0.5), lit(0.9), lit(0.99))
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("flag"), col("l_extendedprice").cast("double").as("v"))
+      val approx = li.groupBy(col("flag"))
+        .agg(
+          percentile_approx(col("v"), qsArr, lit(acc)).as("avs"),
+          count(lit(1)).as("n"))
+        .select(col("flag"), col("n"), posexplode(col("avs")).as(Seq("qi", "av")))
+      val ranked = li.join(broadcast(approx), Seq("flag"))
+        .groupBy(col("flag"), col("qi"), col("n"), col("av"))
+        .agg(
+          sum(when(col("v") < col("av"), 1L).otherwise(0L)).as("rank_lo"),
+          sum(when(col("v") <= col("av"), 1L).otherwise(0L)).as("rank_hi"))
+      val exact = li.groupBy(col("flag"))
+        .agg(expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("evs"))
+        .select(col("flag"), posexplode(col("evs")).as(Seq("qi", "exact_v")))
+      ranked.join(exact, Seq("flag", "qi"))
+        .select(
+          col("flag"),
+          element_at(qsArr, col("qi") + 1).as("q"),
+          round(col("exact_v"), 6).as("exact_v"),
+          col("n"),
+          (col("rank_hi") >= element_at(qsArr, col("qi") + 1) * col("n") - (col("n") / acc + 1) &&
+            col("rank_lo") <= element_at(qsArr, col("qi") + 1) * col("n") + (col("n") / acc + 1))
+            .as("rank_ok"))
+        .orderBy(col("flag"), col("q"))
+    }),
+
     // ── scalar string-function surface (upper/substr/length/regexp_extract/
     // concat_ws/lpad) — all map-side, codegen'd, pushdown-neutral ──
     "string_funcs" -> ((s, dir) =>
@@ -834,6 +872,24 @@ object QueriesRelational {
         |FROM orders, t
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * t.n > t.total
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // quantiles_approx: the exact side replays; the sketch's rank law is
+    // asserted TRUE (its guarantee holds under ANY merge order, which is
+    // exactly why the raw approx value is not hashed)
+    "quantiles_approx" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag, CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem
+        |), e AS (
+        |  SELECT flag, 0.5 AS q, round(quantile_cont(v, 0.5), 6) AS exact_v, count(*) AS n
+        |  FROM g GROUP BY flag
+        |  UNION ALL
+        |  SELECT flag, 0.9, round(quantile_cont(v, 0.9), 6), count(*) FROM g GROUP BY flag
+        |  UNION ALL
+        |  SELECT flag, 0.99, round(quantile_cont(v, 0.99), 6), count(*) FROM g GROUP BY flag
+        |)
+        |SELECT flag, q, exact_v, n, TRUE AS rank_ok
+        |FROM e ORDER BY flag, q""".stripMargin,
 
     "quantiles_by_flag" ->
       """SELECT l_returnflag,

@@ -297,7 +297,9 @@ class PlanSpec extends AnyFunSuite {
       // pool one-row scalars; bm25_topk_persisted carries only the stored
       // 1-row avgdl frame
       "mm_decode_real" -> 0, "zorder_write_read" -> 0, "knn_ivf_persisted" -> 3,
-      "bm25_topk_persisted" -> 1)
+      "bm25_topk_persisted" -> 1,
+      "bpe_decode" -> 0, "retention_prune" -> 0, "mm_format_stats" -> 0,
+      "text_nfc_audit" -> 0, "session_window_stats" -> 0, "quantiles_approx" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
