@@ -144,6 +144,14 @@ object SparkEntry {
           col("window_start_sec"), col("rank_in_window"))
         .orderBy(col("event_id"))),
 
+    // ── the native session_window under a watermark, replayed end to end:
+    // ENGINE-managed merging session state (no flatMapGroupsWithState),
+    // complete append-mode output == the batch session_window aggregation
+    // at micros precision — same oracle, same hash ──
+    "stream_session_window" -> ((s, dir) =>
+      streaming.StreamingSessionize.sessionWindowReplay(Tables.events(s, dir))
+        .orderBy(col("user_id"), col("start_us"))),
+
     // ── C4 variant: WAU by session_id (ref SessionIdBaseWauTransformer) ──
     "wau_session" -> ((s, dir) =>
       Wau.wau(
@@ -303,10 +311,25 @@ object SparkEntry {
          |SELECT event_id, user_id, epoch_sec, session_id
          |FROM sessions ORDER BY event_id""".stripMargin,
 
-    // session_window_stats: the native operator's merge rule at raw
-    // event-time precision — split when the micros gap reaches 300 s
-    // exactly; window end = last event + gap
-    "session_window_stats" ->
+    // session_window_stats / stream_session_window: the native operator's
+    // merge rule at raw event-time precision — split when the micros gap
+    // reaches 300 s exactly; window end = last event + gap. ONE replay for
+    // both the batch aggregation and the watermarked streaming replay (the
+    // stream==batch discipline: identical oracle, identical hash)
+    "session_window_stats" -> sessionWindowSql,
+    "stream_session_window" -> sessionWindowSql,
+
+    // Identical to the batch sessionize oracle on purpose: the streaming
+    // replay must reproduce batch sessionization bit-for-bit.
+    "stream_sessionize" ->
+      s"""$sessionCte
+         |SELECT event_id, user_id, epoch_sec,
+         |       CAST(is_new AS INT) AS is_new_session,
+         |       session_start_sec, session_id
+         |FROM sessions ORDER BY event_id""".stripMargin
+  )
+
+  private lazy val sessionWindowSql: String =
       """WITH lagged AS (
         |  SELECT user_id, ts, value, epoch_us(ts) AS us,
         |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
@@ -323,15 +346,5 @@ object SparkEntry {
         |SELECT user_id, min(us) AS start_us, max(us) + 300000000 AS end_us,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, start_us""".stripMargin,
-
-    // Identical to the batch sessionize oracle on purpose: the streaming
-    // replay must reproduce batch sessionization bit-for-bit.
-    "stream_sessionize" ->
-      s"""$sessionCte
-         |SELECT event_id, user_id, epoch_sec,
-         |       CAST(is_new AS INT) AS is_new_session,
-         |       session_start_sec, session_id
-         |FROM sessions ORDER BY event_id""".stripMargin
-  )
+        |ORDER BY user_id, start_us""".stripMargin
 }

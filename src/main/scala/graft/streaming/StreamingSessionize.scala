@@ -428,6 +428,91 @@ object StreamingSessionize {
     }
   }
 
+  /** The NATIVE streaming session aggregation: Spark's `session_window`
+    * under a watermark — merging per-(user, session) state the ENGINE
+    * manages (no `flatMapGroupsWithState` machinery), emitted in append
+    * mode once the watermark passes each merged window's end. This is the
+    * engine-native counterpart of [[sessionize]]'s hand-built state machine
+    * (which exists for the reference's whole-second + deterministic-id
+    * contract); replayed over the same sliced file source, its complete
+    * output must equal the batch `session_window` aggregation at raw
+    * event-time (micros) precision — the `session_window_stats` oracle.
+    *
+    * State per key is the OPEN sessions only (windows close and leave state
+    * as the watermark passes `last event + gap`); the sentinel pair drives
+    * the final advance so every real session flushes before the harness
+    * stops, and [[lastReplayStateMetrics]] records the drain.
+    */
+  def sessionWindowReplay(
+      events: DataFrame,
+      gapSeconds: Long = 300L,
+      slices: Int = 3,
+      watermarkDelaySec: Long = 600L,
+      queryName: String = "stream_session_window_sink"): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    require(slices >= 2, s"need >= 2 slices for the watermark to move, got $slices")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_sesswin_")
+    val streamDir = base.resolve("stream")
+    Files.createDirectories(streamDir)
+    try {
+      val proj = events.select(
+        col("user_id").cast("long").as("user_id"),
+        col("ts"), col("value").cast("double").as("value"))
+      val bounds = proj.agg(
+        min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
+      require(!bounds.isNullAt(0), "sessionWindowReplay: empty events input")
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = hi - lo + 1
+      val sentinel1 = hi + gapSeconds + watermarkDelaySec + 60L
+      val sentinel2 = sentinel1 + 60L
+      val sliceDfs = (0 until slices).map { i =>
+        val cutLo = lo + span * i / slices
+        val cutHi = lo + span * (i + 1) / slices
+        val e = unix_timestamp(col("ts"))
+        proj.where(e >= cutLo && e < cutHi)
+      } ++ Seq(sentinel1, sentinel2).map { sec =>
+        Seq((-1L, 0.0)).toDF("user_id", "value")
+          .select(col("user_id"), lit(sec).cast("timestamp").as("ts"), col("value"))
+      }
+      sliceDfs.zipWithIndex.foreach { case (df, i) =>
+        val stage = base.resolve(s"stage_$i")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = Files.list(stage).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written for slice $i"))
+        val dest = streamDir.resolve(f"part_$i%03d.parquet")
+        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
+      }
+      val src = spark.readStream
+        .schema(proj.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val out = src
+        .withWatermark("ts", s"$watermarkDelaySec seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(
+          col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"), col("sum_value"))
+      withReplayStatePartitions(spark) {
+        val q = out.writeStream.format("memory")
+          .queryName(queryName).outputMode("append").start()
+        try { q.processAllAvailable(); captureStateMetrics(q) }
+        finally q.stop()
+      }
+      spark.table(queryName).where(col("user_id") >= 0)
+    } finally {
+      import scala.util.Try
+      Try(Files.walk(base).iterator().asScala.toSeq.reverse.foreach(p => Try(Files.delete(p))))
+    }
+  }
+
   /** Streaming exact dedup over a document stream: first occurrence of each
     * content fingerprint ([[graft.operators.TextAnalysis.fingerprint]] — the
     * same md5-of-normalized-text key the batch [[graft.operators.Dedup]]
