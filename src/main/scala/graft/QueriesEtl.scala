@@ -361,6 +361,42 @@ object QueriesEtl {
         dimBits = ZDimBits, fileBits = ZFileBits,
         xLo = ZXLo, xHi = ZXHi, yLo = ZYLo, yHi = ZYHi)),
 
+    // ── MANIFEST-DRIVEN data skipping over the physical z-order layout —
+    // the Delta/Iceberg scan-planning shape as an end-to-end query: build a
+    // zone-map MANIFEST (per-file min/max boxes) from the written files,
+    // select the files whose box intersects the predicate (a bounded
+    // file-count-sized collect — scan planning IS a driver/metadata step),
+    // and read ONLY those files back (`file_id` is a partition directory,
+    // so the selection reaches the scan as PartitionFilters — plan-pinned
+    // in LayoutSpec). The oracle replays the file assignment, the zone
+    // boxes, the intersection count, and the aggregate over the selected
+    // files' box rows — so both the SKIP COUNT and the result correctness
+    // are hash-locked ──
+    "zorder_manifest_scan" -> ((s, dir) => {
+      val src = Tables.events(s, dir).select(
+        col("user_id").as("x"), dayofmonth(col("ts")).cast("long").as("y"))
+      val path = scratch(dir, "zorder_manifest_files")
+      Layout.writeLayout(src, col("x"), col("y"), ZDimBits, ZFileBits, morton = true, path)
+      val files = s.read.parquet(path)
+      val manifest = files.groupBy(col("file_id"))
+        .agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+          min(col("y")).as("mny"), max(col("y")).as("mxy"))
+      val zones = manifest.collect() // file-count-sized: the scan-planning fetch
+      val hit = zones.filter { r =>
+        r.getAs[Long]("mxx") >= ZXLo && r.getAs[Long]("mnx") <= ZXHi &&
+          r.getAs[Long]("mxy") >= ZYLo && r.getAs[Long]("mny") <= ZYHi
+      }.map(_.getAs[Int]("file_id"))
+      val selected = files.where(col("file_id").isin(hit.toSeq: _*))
+      Layout.lastManifestScanPlan = selected.queryExecution.executedPlan.toString
+      selected
+        .where(col("x").between(ZXLo, ZXHi) && col("y").between(ZYLo, ZYHi))
+        .agg(count(lit(1)).as("n_match"), sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"))
+        .select(
+          lit(zones.length.toLong).as("n_files_total"),
+          lit(hit.length.toLong).as("n_files_scanned"),
+          col("n_match"), col("sum_x"), col("sum_y"))
+    }),
+
     // ── PHYSICAL z-order write + read-back ([[Layout.writeLayout]]): both
     // layouts are actually written as one-parquet-file-per-group with real
     // footer min/max stats (LayoutSpec pins footer-predicted == actual
@@ -482,6 +518,12 @@ object QueriesEtl {
     // assignment to predict the written file counts, plus the
     // layout-invariant box aggregate over the source rows
     "zorder_write_read" -> Layout.writeReadSql(
+      "SELECT user_id AS x, date_part('day', ts) AS y FROM events",
+      ZDimBits, ZFileBits, ZXLo, ZXHi, ZYLo, ZYHi),
+
+    // zorder_manifest_scan: replay file assignment → zone boxes →
+    // box-intersection skip count → aggregate over the selected files only
+    "zorder_manifest_scan" -> Layout.manifestScanSql(
       "SELECT user_id AS x, date_part('day', ts) AS y FROM events",
       ZDimBits, ZFileBits, ZXLo, ZXHi, ZYLo, ZYHi),
 

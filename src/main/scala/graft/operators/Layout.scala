@@ -231,6 +231,60 @@ object Layout {
       .write.mode("overwrite").partitionBy("file_id").parquet(path)
   }
 
+  /** Executed-plan probe for the most recent manifest-driven scan — lets
+    * LayoutSpec pin that the file selection reached the read as
+    * PartitionFilters on the `file_id` directory column.
+    */
+  @volatile private[graft] var lastManifestScanPlan: String = ""
+
+  /** Oracle replay for the manifest-driven scan: the same rank-bucket →
+    * Morton → equal-count file assignment, the per-file zone boxes, the
+    * boxes intersecting the predicate (the skip count), and the box
+    * aggregate over ONLY the selected files' rows — zone maps have no
+    * false negatives, so this equals the plain box aggregate, and the hash
+    * locks both the skip arithmetic and the result.
+    */
+  def manifestScanSql(
+      src: String,
+      dimBits: Int,
+      fileBits: Int,
+      xLo: Long,
+      xHi: Long,
+      yLo: Long,
+      yHi: Long): String = {
+    val nBuckets = 1L << dimBits
+    val nFiles = 1L << fileBits
+    s"""WITH base AS ($src),
+       |ranked AS (
+       |  SELECT x, y,
+       |         (rank() OVER (ORDER BY x) - 1) * $nBuckets // count(*) OVER () AS xb,
+       |         (rank() OVER (ORDER BY y) - 1) * $nBuckets // count(*) OVER () AS yb,
+       |         count(*) OVER () AS n_total
+       |  FROM base
+       |), keyed AS (
+       |  SELECT x, y, n_total, ${zorderKeySql(dimBits)} AS z_key
+       |  FROM ranked
+       |), fid AS (
+       |  SELECT x, y,
+       |         (rank() OVER (ORDER BY z_key) - 1) * $nFiles // n_total AS file_id
+       |  FROM keyed
+       |), zones AS (
+       |  SELECT file_id, min(x) AS mnx, max(x) AS mxx,
+       |         min(y) AS mny, max(y) AS mxy
+       |  FROM fid GROUP BY file_id
+       |), hits AS (
+       |  SELECT file_id FROM zones
+       |  WHERE mxx >= $xLo AND mnx <= $xHi AND mxy >= $yLo AND mny <= $yHi
+       |)
+       |SELECT (SELECT count(*) FROM zones) AS n_files_total,
+       |       (SELECT count(*) FROM hits) AS n_files_scanned,
+       |       count(*) AS n_match,
+       |       CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y
+       |FROM fid
+       |WHERE file_id IN (SELECT file_id FROM hits)
+       |  AND x BETWEEN $xLo AND $xHi AND y BETWEEN $yLo AND $yHi""".stripMargin
+  }
+
   /** Oracle replay for the write-then-read query: per layout, the distinct
     * file-id count the equal-count rule produces (rank ties can merge
     * neighbors, so this is computed, not assumed `2^fileBits`) and the box

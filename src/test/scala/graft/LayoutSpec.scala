@@ -154,6 +154,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(filesHit(lp) == 4, "linear: box predicate must hit the 4 y-stripes")
   }
 
+  test("manifest-driven scan: the file selection prunes at the PARTITION level") {
+    // run the declared query (it writes the layout, plans the selected
+    // read, and sets the probe) at the spec's SF
+    val r = SparkEntry.queries("zorder_manifest_scan")(spark, SparkTestSession.SfDir)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) < row.getLong(0),
+      s"the box predicate must skip files: scanned ${row.getLong(1)} of ${row.getLong(0)}")
+    val p = graft.operators.Layout.lastManifestScanPlan
+    assert(p.contains("PartitionFilters") && p.contains("file_id"),
+      s"the manifest selection must prune file_id directories, not rows:\n$p")
+  }
+
   test("writeLayout: Spark's pushed filters actually skip row groups when reading back") {
     val (zp, lp) = writeBoth()
     val read = new java.util.concurrent.atomic.AtomicLong()

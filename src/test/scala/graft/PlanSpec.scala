@@ -299,7 +299,8 @@ class PlanSpec extends AnyFunSuite {
       "mm_decode_real" -> 0, "zorder_write_read" -> 0, "knn_ivf_persisted" -> 3,
       "bm25_topk_persisted" -> 1,
       "bpe_decode" -> 0, "retention_prune" -> 0, "mm_format_stats" -> 0,
-      "text_nfc_audit" -> 0, "session_window_stats" -> 0, "quantiles_approx" -> 0)
+      "text_nfc_audit" -> 0, "session_window_stats" -> 0, "quantiles_approx" -> 0,
+      "zorder_manifest_scan" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
