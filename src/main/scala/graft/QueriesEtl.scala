@@ -457,6 +457,43 @@ object QueriesEtl {
               col("min_sec") === col("f_min") && col("max_sec") === col("f_max"),
             lit(false)).as("matches_full"))
         .orderBy(col("week"))
+    }),
+
+    // ── RETRACTABLE incremental MV ([[Materialize.applyRetractions]]): the
+    // change batch carries DELETES (a backfill retracts the base's 'error'
+    // rows) alongside the post-cutoff inserts, absorbed as
+    // summary + agg(inserts) − agg(deletes) with the base never rescanned —
+    // the additive-aggregate group algebra (counts/sums have inverses;
+    // min/max don't and are excluded by design). SELF-VALIDATING like
+    // mv_incremental: a full recompute arm joins in and `matches_full`
+    // must read TRUE; integer measures so the comparison is exact ──
+    "mv_retract" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        to_date(date_trunc("week", col("ts"))).as("week"),
+        to_date(col("ts")).as("d"),
+        unix_timestamp(col("ts")).as("sec"),
+        col("event_type"))
+      def summarize(df: DataFrame): DataFrame = df
+        .groupBy(col("week"))
+        .agg(count(lit(1)).as("n_events"), sum(col("sec")).as("sec_total"))
+      val base = ev.where(col("d") < lit(MvCut))
+      val inserts = ev.where(col("d") >= lit(MvCut))
+      val deletes = base.where(col("event_type") === "error")
+      val maintained = Materialize.applyRetractions(
+        summarize(base).withColumnRenamed("sec_total", "sec"),
+        inserts.select(col("week"), col("sec")),
+        deletes.select(col("week"), col("sec")),
+        Seq("week"), "n_events", Seq("sec"))
+      val full = summarize(
+        base.where(col("event_type") =!= "error").unionByName(inserts))
+        .select(col("week"), col("n_events").as("f_n"), col("sec_total").as("f_sec"))
+      maintained.join(full, Seq("week"), "full_outer")
+        .select(
+          col("week"), col("n_events"), col("sec").as("sec_total"),
+          coalesce(
+            col("n_events") === col("f_n") && col("sec") === col("f_sec"),
+            lit(false)).as("matches_full"))
+        .orderBy(col("week"))
     })
   )
 
@@ -526,6 +563,24 @@ object QueriesEtl {
     "zorder_manifest_scan" -> Layout.manifestScanSql(
       "SELECT user_id AS x, date_part('day', ts) AS y FROM events",
       ZDimBits, ZFileBits, ZXLo, ZXHi, ZYLo, ZYHi),
+
+    // mv_retract: the maintained route must equal the recompute over
+    // (base minus retracted 'error' rows) ∪ inserts, so the oracle IS that
+    // recompute with the law column TRUE
+    "mv_retract" ->
+      s"""WITH wk AS (
+         |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         |         CAST(ts AS DATE) AS d,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         |         event_type
+         |  FROM events
+         |), fin AS (
+         |  SELECT * FROM wk
+         |  WHERE (d < DATE '$MvCut' AND event_type <> 'error') OR d >= DATE '$MvCut'
+         |)
+         |SELECT week, count(*) AS n_events, CAST(sum(sec) AS BIGINT) AS sec_total,
+         |       TRUE AS matches_full
+         |FROM fin GROUP BY week ORDER BY week""".stripMargin,
 
     // mv_incremental: replay the split → partial-agg → merge → recompute
     // comparison with the same cutoff

@@ -44,4 +44,53 @@ object Materialize {
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** RETRACTABLE maintenance: absorb a change batch containing DELETES as
+    * well as inserts, still without touching the base — the classic
+    * incremental view-maintenance algebra for the ADDITIVE aggregate
+    * class: counts and sums form a group (every row has an inverse —
+    * negate its contribution), so
+    * `summary' = summary + agg(inserts) − agg(deletes)`, merged by one
+    * summary-key-spaced re-aggregation. Groups whose count reaches zero
+    * VANISH (a recompute would produce no row for them). `min`/`max` are
+    * NOT retractable — a deleted extremum needs the base's next-best
+    * (semilattice, no inverse); route those through [[mergeSummaries]]
+    * over a recomputed affected-partition slice, the standard contract.
+    *
+    * `summary` carries `(keys, countCol, sumCols)` with sums TOTALED under
+    * the same names the raw change rows carry per-row; `deletes` must be
+    * full images of previously-inserted rows (the [[Cdc]] feed contract) —
+    * retracting a row never inserted would UNDERFLOW a group, and the
+    * count guard fails the job loudly instead of publishing a negative.
+    */
+  def applyRetractions(
+      summary: DataFrame,
+      inserts: DataFrame,
+      deletes: DataFrame,
+      keys: Seq[String],
+      countCol: String,
+      sumCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "applyRetractions: need at least one grouping key")
+    def part(df: DataFrame, sign: Int): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(
+          (count(lit(1)) * sign).as(countCol),
+          sumCols.map(c => (sum(col(c)) * sign).as(c)): _*)
+    val ordered = keys.map(col) ++ (countCol +: sumCols).map(col)
+    val merged = Seq(summary, part(inserts, 1), part(deletes, -1))
+      .map(_.select(ordered: _*))
+      .reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col(countCol)).as(countCol),
+        sumCols.map(c => sum(col(c)).as(c)): _*)
+    merged
+      .withColumn(
+        countCol,
+        when(col(countCol) >= 0, col(countCol)).otherwise(raise_error(concat(
+          lit("applyRetractions: group ("),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+          lit(s") underflowed — a delete retracted rows never inserted")))))
+      .where(col(countCol) > 0)
+  }
 }

@@ -47,6 +47,29 @@ class MaterializeSpec extends AnyFunSuite {
     assert(collectMap(m(m(a, b), c)) == collectMap(m(a, m(b, c))))
   }
 
+  test("applyRetractions == recompute; zero-count groups vanish; underflow fails loudly") {
+    val base = Seq(("a", 10L), ("a", 5L), ("b", 7L), ("c", 6L)).toDF("k", "v")
+    val inserts = Seq(("a", 2L), ("d", 9L)).toDF("k", "v")
+    // retract ALL of c (its group must vanish) and one a-row
+    val deletes = Seq(("c", 6L), ("a", 5L)).toDF("k", "v")
+    val summary0 = base.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v"))
+    val got = Materialize.applyRetractions(
+      summary0, inserts, deletes, Seq("k"), "n", Seq("v"))
+      .collect().map(r => r.getString(0) -> ((r.getAs[Long]("n"), r.getAs[Long]("v")))).toMap
+    assert(got == Map("a" -> ((2L, 12L)), "b" -> ((1L, 7L)), "d" -> ((1L, 9L))),
+      s"maintained state diverged: $got")
+    // underflow: retracting a row never inserted must FAIL, not go negative
+    val bad = Seq(("b", 7L), ("b", 7L)).toDF("k", "v")
+    val e = intercept[Exception] {
+      Materialize.applyRetractions(
+        summary0, inserts.limit(0), bad, Seq("k"), "n", Seq("v")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("underflowed")))
+  }
+
   test("empty parts and missing agg columns are rejected loudly") {
     val s = summarize(rows.toDF("k", "id", "v"))
     intercept[IllegalArgumentException](Materialize.mergeSummaries(Nil, Seq("k"), Seq("n")))

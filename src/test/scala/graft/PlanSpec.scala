@@ -300,7 +300,7 @@ class PlanSpec extends AnyFunSuite {
       "bm25_topk_persisted" -> 1,
       "bpe_decode" -> 0, "retention_prune" -> 0, "mm_format_stats" -> 0,
       "text_nfc_audit" -> 0, "session_window_stats" -> 0, "quantiles_approx" -> 0,
-      "zorder_manifest_scan" -> 0)
+      "zorder_manifest_scan" -> 0, "mv_retract" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
