@@ -584,7 +584,80 @@ object QueriesRelational {
     "resample_daily" -> ((s, dir) =>
       graft.operators.Analytics.resampleDaily(
         Tables.events(s, dir), "user_id", col("ts"),
-        startDate = "2024-01-01", endDate = "2024-01-30"))
+        startDate = "2024-01-01", endDate = "2024-01-30")),
+
+    // ── one-pass data-quality expectation suite ([[operators
+    // .DataQuality]]): Deequ-style contract checks over orders —
+    // completeness, PK uniqueness, domain membership, bounds, pattern —
+    // ALL evaluated in a single aggregate scan (map-side combined, one
+    // 1-row exchange), then exploded to uniform (check, metric, passed)
+    // rows. N checks, one pass — the only audit shape that survives a
+    // 100 TB nightly ──
+    "dq_expectations" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      val o = Tables.orders(s, dir)
+      run(o, Seq(
+        expectZero("complete_custkey", col("o_custkey").isNull),
+        expectUniqueKey("unique_orderkey", col("o_orderkey")),
+        expectZero("status_in_domain",
+          !col("o_orderstatus").isin("O", "F", "P")),
+        expectZero("price_positive", col("o_totalprice") <= 0.0),
+        expectZero("priority_pattern",
+          !col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$")),
+        expectZero("date_in_range",
+          !col("o_orderdate").between("1992-01-01", "2005-12-31")),
+        Check("row_count_min", count(lit(1)), _ >= 1000.0)))
+    }),
+
+    // ── co-bucketed SHUFFLE-FREE join ([[graft.sources.Bucketing]]): both
+    // fact and dim written bucketed + bucket-sorted on the join key, so the
+    // sort-merge join reads pre-partitioned, pre-sorted files and Catalyst
+    // plans ZERO Exchange on either side — the layout that amortizes one
+    // write-time shuffle across every subsequent join at 100 TB. The
+    // `bucketed_no_exchange` law column is computed from the EXECUTED plan
+    // of the forced-SMJ join (broadcast + AQE disabled for the probe, conf
+    // restored after), so the oracle's TRUE hash-pins the no-shuffle claim;
+    // the returned aggregate then runs on the same bucketed tables under
+    // normal conf (where broadcasting the dim side is a legal, equally
+    // bucketed-fed plan) ──
+    "join_bucketed" -> ((s, dir) => {
+      val sf = dir.replaceAll(".*/", "").replace(".", "_")
+      val (to, tc) = (s"b_orders_$sf", s"b_customer_$sf")
+      graft.sources.Bucketing.writeBucketed(
+        Tables.orders(s, dir), to, "o_custkey", 8, sortKey = Some("o_custkey"))
+      graft.sources.Bucketing.writeBucketed(
+        Tables.customer(s, dir), tc, "c_custkey", 8, sortKey = Some("c_custkey"))
+      val joined = s.table(to).join(s.table(tc), col("o_custkey") === col("c_custkey"))
+      val prev = (
+        s.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        s.conf.get("spark.sql.adaptive.enabled"))
+      val noExchange =
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          val plan = joined.queryExecution.executedPlan.toString
+          plan.contains("SortMergeJoin") && !plan.contains("Exchange")
+        } finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev._1)
+          s.conf.set("spark.sql.adaptive.enabled", prev._2)
+        }
+      joined
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          d(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .withColumn("bucketed_no_exchange", lit(noExchange))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ── rolling z-score volume anomalies ([[operators.Analytics
+    // .anomalyZscore]]): per-event-type daily counts vs their trailing
+    // 7-day baseline, the (n·x − s)² > z²·(n·q − s²) test kept in exact
+    // integer space so the flag replays bitwise; one (type, day) rollup +
+    // one frame-bounded window pass, no self-join ──
+    "anomaly_zscore" -> ((s, dir) =>
+      graft.operators.Analytics.anomalyZscore(
+        Tables.events(s, dir), col("event_type"), col("ts")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1068,6 +1141,63 @@ object QueriesRelational {
         |SELECT step, step_name, n_users,
         |       CAST(n_users * 1000000 // (SELECT n_users FROM c WHERE step = 1) AS BIGINT)
         |         AS conv_ppm
-        |FROM c ORDER BY step""".stripMargin
+        |FROM c ORDER BY step""".stripMargin,
+
+    // join_bucketed: the bucketed tables hold exactly the source rows, so
+    // the oracle is the plain join aggregate; TRUE hash-pins the law
+    // column — a shuffling (or non-SMJ) probe plan fails the compare
+    "join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  TRUE AS bucketed_no_exchange
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // dq_expectations: each check's aggregate metric recomputed as a
+    // scalar subquery, stacked in declaration order
+    "dq_expectations" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS DOUBLE) AS m0,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS m1,
+        |    CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS DOUBLE) AS m2,
+        |    CAST(count(*) FILTER (WHERE o_totalprice <= 0.0) AS DOUBLE) AS m3,
+        |    CAST(count(*) FILTER (WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')) AS DOUBLE) AS m4,
+        |    CAST(count(*) FILTER (WHERE o_orderdate NOT BETWEEN TIMESTAMP '1992-01-01' AND TIMESTAMP '2005-12-31') AS DOUBLE) AS m5,
+        |    CAST(count(*) AS DOUBLE) AS m6
+        |  FROM orders
+        |)
+        |SELECT r.* FROM m, LATERAL (VALUES
+        |  (CAST(0 AS BIGINT), 'complete_custkey', m.m0, m.m0 = 0.0),
+        |  (1, 'unique_orderkey',  m.m1, m.m1 = 0.0),
+        |  (2, 'status_in_domain', m.m2, m.m2 = 0.0),
+        |  (3, 'price_positive',   m.m3, m.m3 = 0.0),
+        |  (4, 'priority_pattern', m.m4, m.m4 = 0.0),
+        |  (5, 'date_in_range',    m.m5, m.m5 = 0.0),
+        |  (6, 'row_count_min',    m.m6, m.m6 >= 1000.0)
+        |) AS r(check_rank, check_name, metric, passed)""".stripMargin,
+
+    // anomaly_zscore: the identical integer test over the identical
+    // trailing 7-ROW frame (gap days are absent rows on both sides)
+    "anomaly_zscore" ->
+      """WITH daily AS (
+        |  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT grp, day, n,
+        |    CAST(count(n) OVER w AS BIGINT) AS n_window,
+        |    CAST(sum(n) OVER w AS BIGINT) AS s,
+        |    CAST(sum(n * n) OVER w AS BIGINT) AS q
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY grp ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT grp, day, n, n_window,
+        |       CASE WHEN n_window < 7 THEN NULL
+        |            ELSE (n_window * n - s) * (n_window * n - s)
+        |                 > 9 * (n_window * q - s * s)
+        |       END AS is_anomaly
+        |FROM stats ORDER BY grp, day""".stripMargin
   )
 }

@@ -159,4 +159,63 @@ object Analytics {
         expr("n_users * 1000000 div n_first").as("conv_ppm"))
       .orderBy(col("step"))
   }
+
+  /** Rolling z-score anomaly flags over a per-group daily count series —
+    * the volume-monitoring alarm every ingestion pipeline runs ("did
+    * source X suddenly triple / drop to nothing today?").
+    *
+    * Each `(group, day)` count is compared against the TRAILING `window`
+    * days (excluding the current day — the day under test must not dilute
+    * its own baseline). The flag fires iff `(x - mean)² > z² · var`, but
+    * evaluated in EXACT integer space: with `s = Σxᵢ`, `q = Σxᵢ²` over the
+    * n trailing days, mean `s/n` and population variance `(n·q − s²)/n²`
+    * rearrange the test to
+    *
+    *   `(n·x − s)² > z² · (n·q − s²)`
+    *
+    * — all integer products of daily counts, so no sqrt, no doubles, and
+    * the DuckDB oracle replays it bitwise (`z` is an integer literal,
+    * z = 3 by convention). Days with an incomplete trailing window
+    * (`n_window < window`) emit `is_anomaly = NULL`: a 2-day-old series
+    * has no baseline, and silently flagging (or silently passing) it is
+    * the kind of lie a monitoring system must not tell. A zero-variance
+    * window flags any deviation (`n·q = s²` makes the RHS 0), which is the
+    * correct reading: after 7 identical days, any change is anomalous.
+    *
+    * Scale shape: the daily rollup is one `(group, day)` map-side-combined
+    * aggregation; the rolling stats are ONE window pass partitioned by
+    * group ordered by day — frame-bounded running sums, no self-join, no
+    * spine inflation (gap days are absent from the series and therefore
+    * absent from the baseline; feed [[resampleDaily]]-style zero-filled
+    * frames if calendar gaps must count as zeros).
+    */
+  def anomalyZscore(
+      events: DataFrame,
+      group: Column,
+      tsCol: Column,
+      window: Int = 7,
+      z: Int = 3): DataFrame = {
+    require(window >= 2, s"anomalyZscore: window must be >= 2, got $window")
+    require(z >= 1, s"anomalyZscore: z must be >= 1, got $z")
+    val daily = events
+      .groupBy(group.as("grp"), to_date(tsCol).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("day"))
+      .rowsBetween(-window, -1)
+    daily
+      .withColumn("n_window", count(col("n")).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("q", sum(col("n") * col("n")).over(w))
+      .select(
+        col("grp"), col("day"), col("n"), col("n_window"),
+        when(col("n_window") < window, lit(null).cast("boolean"))
+          .otherwise {
+            val dev = col("n_window") * col("n") - col("s")
+            val varN2 = col("n_window") * col("q") - col("s") * col("s")
+            dev * dev > lit(z.toLong * z) * varN2
+          }.as("is_anomaly"))
+      .orderBy(col("grp"), col("day"))
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Analytics
@@ -94,5 +95,62 @@ class AnalyticsSpec extends AnyFunSuite {
       (2L, "2024-01-02", 1L, None, false),
       (2L, "2024-01-03", 0L, None, true),
       (2L, "2024-01-04", 0L, None, true)))
+  }
+
+  // one synthetic event per desired (day, count): day d gets `n` rows
+  private def dailySeries(group: String, counts: Seq[(Int, Int)]) = {
+    import spark.implicits._
+    counts.flatMap { case (d, n) =>
+      (1 to n).map(i => (group, f"2024-01-$d%02d 12:00:00"))
+    }.toDF("grp", "ts_s").selectExpr("grp", "CAST(ts_s AS TIMESTAMP) AS ts")
+  }
+
+  test("anomalyZscore: integer test agrees with the double z-score; short windows NULL") {
+    // 7 calm days at ~10, then a spike and a normal day
+    val counts = Seq(1 -> 10, 2 -> 11, 3 -> 9, 4 -> 10, 5 -> 10, 6 -> 11,
+      7 -> 9, 8 -> 30, 9 -> 10)
+    val got = Analytics.anomalyZscore(
+      dailySeries("a", counts), col("grp"), col("ts"), window = 7, z = 3)
+      .collect()
+      .map(r => r.getDate(1).toString ->
+        (r.getLong(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Boolean])))
+      .toMap
+    // first 7 days: incomplete trailing window → NULL, never a verdict
+    (1 to 7).foreach { d =>
+      assert(got(f"2024-01-$d%02d")._3.isEmpty, s"day $d should have no verdict")
+    }
+    assert(got("2024-01-08") == ((30L, 7L, Some(true))))
+    // day 9's baseline includes the spike, inflating the variance — but the
+    // double-precision reference must agree with the integer test exactly
+    val window = counts.slice(1, 8).map(_._2.toDouble) // days 2..8 trail day 9
+    val (mean, n) = (window.sum / 7, 7.0)
+    val variance = window.map(x => (x - mean) * (x - mean)).sum / n
+    val z9 = math.abs(10.0 - mean) / math.sqrt(variance)
+    assert(got("2024-01-09")._3.contains(z9 > 3.0))
+  }
+
+  test("anomalyZscore: zero-variance baseline flags any deviation, flat day passes") {
+    val base = (1 to 7).map(_ -> 5)
+    val flat = Analytics.anomalyZscore(
+      dailySeries("a", base :+ (8 -> 5)), col("grp"), col("ts"))
+      .collect().map(r => r.getDate(1).toString -> Option(r.get(4))).toMap
+    assert(flat("2024-01-08").contains(false))
+    val bump = Analytics.anomalyZscore(
+      dailySeries("a", base :+ (8 -> 6)), col("grp"), col("ts"))
+      .collect().map(r => r.getDate(1).toString -> Option(r.get(4))).toMap
+    assert(bump("2024-01-08").contains(true))
+  }
+
+  test("anomalyZscore: groups are independent baselines") {
+    val a = dailySeries("a", (1 to 8).map(_ -> 10))
+    val b = dailySeries("b", (1 to 7).map(_ -> 100) :+ (8 -> 10))
+    val got = Analytics.anomalyZscore(a.unionByName(b), col("grp"), col("ts"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> Option(r.get(4)))
+      .toMap
+    // 10-a-day is normal for group a, anomalous for group b — same count,
+    // different baseline
+    assert(got(("a", "2024-01-08")).contains(false))
+    assert(got(("b", "2024-01-08")).contains(true))
   }
 }
