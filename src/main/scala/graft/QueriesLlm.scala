@@ -2025,6 +2025,30 @@ object QueriesLlm {
         Tables.documents(s, dir), "doc_id", col("source"), col("n_chars"),
         budget = 500L)),
 
+    // ── weighted sampling WITHOUT replacement ([[Sampling
+    // .weightedSample]]): Efraimidis–Spirakis in exact integer form — the
+    // priority is the MAX of w md5 hashes (`max(u_1..u_w) ~ u^(1/w)`), so
+    // longer documents win proportionally more often, nothing is drawn
+    // twice, and the selected set replays bitwise in DuckDB (no pow, no
+    // libm). Map-side-only priorities + TakeOrdered top-k — no shuffle of
+    // the data, no global sort ──
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(
+        Tables.documents(s, dir), "doc_id",
+        expr("1 + least(7, n_chars div 64)"), k = 100, maxWeight = 8)
+        .select(col("k").as("doc_id"), col("wt"), col("priority"))),
+
+    // ── bounded per-stratum sample ([[Sampling.perKeySample]]): 5 example
+    // docs from EVERY source in ONE aggregate pass through the mergeable
+    // bounded graft_topk — map partitions combine to ≤ k per group before
+    // the exchange, no window sort over group-sized frames ──
+    "sample_per_key" -> ((s, dir) =>
+      Sampling.perKeySample(
+        Tables.documents(s, dir), col("source"), "doc_id", k = 5)
+        .select(
+          col("stratum").as("source"), col("rank"),
+          col("k").as("doc_id"), col("priority"))),
+
     // ── corpus heavy-hitters: token frequency top-20 (explode → two-phase
     // count with map-side partial agg → global top-k; integer ordering with
     // token tie-break, so fully deterministic) ──
@@ -4077,6 +4101,39 @@ object QueriesLlm {
         |       coalesce(sum_key, 0) AS sum_key
         |FROM alloc LEFT JOIN picked USING (stratum)
         |ORDER BY stratum""".stripMargin,
+
+    // sample_weighted: the identical max-of-w-hashes priority (exact
+    // integer E-S) and the identical (priority DESC, doc_id) top-100 cut
+    "sample_weighted" ->
+      """WITH w AS (
+        |  SELECT doc_id, 1 + least(7, n_chars // 64) AS wt FROM documents
+        |), p AS (
+        |  SELECT doc_id, wt,
+        |         list_max([('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |             || CAST(c AS VARCHAR)), 1, 8))::BIGINT
+        |           for c in range(1, wt + 1)]) AS priority
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST(wt AS BIGINT) AS wt, priority
+        |FROM p ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+
+    // sample_per_key: graft_topk's deterministic (hash DESC, key-string
+    // ASC) selection replayed as a window rank — note the VARCHAR
+    // tie-break, matching the aggregate's string item ordering
+    "sample_per_key" ->
+      """WITH h AS (
+        |  SELECT source, CAST(doc_id AS VARCHAR) AS ks,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS priority
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, ks, priority,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY priority DESC, ks) AS rank
+        |  FROM h
+        |)
+        |SELECT source, CAST(rank AS BIGINT) AS rank,
+        |       CAST(ks AS BIGINT) AS doc_id, priority
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
     // Budget selection replay: the shared staged-quality CTE, then the
     // identical (quality DESC, doc_id) window cumsum — all budget

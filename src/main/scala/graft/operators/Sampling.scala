@@ -297,6 +297,102 @@ object Sampling {
       .orderBy(col("stratum"))
   }
 
+  /** 64-bit-ish deterministic integer hash of a string — first 8 hex digits
+    * of the md5 as a BIGINT in [0, 2^32). The integer twin of
+    * [[hashUniform]]: comparisons stay in exact integer space, so rankings
+    * built on it are bit-identical across engines (no libm in sight).
+    */
+  def hashLong(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis, exact
+    * integer form): draw `k` rows where a row with integer weight `w` wins
+    * proportionally more often, and no row is drawn twice.
+    *
+    * E-S assigns each row priority `u^(1/w)` (u uniform) and keeps the
+    * top-k. This implementation uses the DISTRIBUTIONAL identity
+    * `max(u_1..u_w) ~ u^(1/w)` (the max of w iid uniforms has CDF `x^w`):
+    * the priority is the MAX of `w` independent md5-derived hashes of
+    * `key#1 .. key#w`. That keeps the whole ranking in exact integer
+    * space — `u^(1/w)` needs `pow`, which is not correctly rounded and
+    * therefore not portable across engines (the [[mixtureWeights]]
+    * lesson), while integer max/compare is bit-exact everywhere, so the
+    * selected SET replays exactly in DuckDB.
+    *
+    * Weights must be integers in `[1, maxWeight]` (runtime `raise_error`
+    * otherwise): the per-row cost is `w` md5 calls, so the bound is the
+    * compute contract — it is a LITERAL in the plan, not data-driven. For
+    * unbounded continuous weights the `-ln(u)/w` exponential-race form is
+    * the alternative, at the price of engine-portable exactness.
+    *
+    * Shape at scale: priority is map-side-only per-row arithmetic
+    * (sequence → transform → array_max, all codegen'd builtins); the top-k
+    * is `TakeOrdered`, which keeps k rows per partition and merges on the
+    * driver — no global sort, no shuffle of the data. Output: `(k, wt,
+    * priority)` best-first.
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weight: Column,
+      k: Int,
+      maxWeight: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxWeight >= 1 && maxWeight <= 64,
+      s"maxWeight must be in [1, 64] (it is the per-row md5 budget), got $maxWeight")
+    val wt = when(
+      weight.isNull || weight =!= weight.cast("long") ||
+        weight < 1 || weight > maxWeight,
+      raise_error(concat(
+        lit(s"weightedSample: weight must be an integer in [1, $maxWeight], got "),
+        weight.cast("string"))))
+      .otherwise(weight.cast("long"))
+    val key = when(col(keyCol).isNull,
+      raise_error(lit(s"weightedSample: NULL $keyCol — a null key has no stable identity")))
+      .otherwise(col(keyCol))
+    val hashes = transform(
+      sequence(lit(1L), wt),
+      c => hashLong(concat(key.cast("string"), lit("#"), c.cast("string"))))
+    df.select(
+      key.as("k"),
+      wt.as("wt"),
+      array_max(hashes).as("priority"))
+      .orderBy(col("priority").desc, col("k"))
+      .limit(k)
+  }
+
+  /** Bounded per-stratum uniform sample: `k` rows from EVERY group in one
+    * aggregate pass, selected by md5-hash rank — the "show me k example
+    * documents per source/language/domain" primitive.
+    *
+    * The window idiom (`row_number() OVER (PARTITION BY g ORDER BY hash)`
+    * then `rank <= k`) shuffles every row to its group and sorts whole
+    * groups before discarding all but k. This routes through the mergeable
+    * bounded [[graft.functions.TopKAgg]] instead: each map partition
+    * combines down to ≤ k candidates per group BEFORE the exchange, so the
+    * shuffle carries `O(k · partitions)` rows per group regardless of group
+    * size and the plan has no sort node — the same reason
+    * `top_tokens_grouped` uses it. Selection is `(hash DESC, key-string
+    * ASC)`, deterministic and engine-replayable. Output: `(stratum, rank,
+    * k, priority)`, rank 1-based best-first.
+    */
+  def perKeySample(df: DataFrame, stratum: Column, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    graft.functions.TopKFunctions.register(df.sparkSession)
+    df
+      .select(stratum.as("stratum"), col(keyCol).cast("string").as("ks"))
+      .groupBy(col("stratum"))
+      .agg(graft.functions.TopKFunctions.topK(
+        col("ks"), hashLong(col("ks")), k).as("top"))
+      .select(col("stratum"), posexplode(col("top")))
+      .select(
+        col("stratum"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").cast("long").as("k"),
+        col("col.score").as("priority"))
+      .orderBy(col("stratum"), col("rank"))
+  }
+
   def hashSampleByStratum(
       df: DataFrame,
       keyCol: String,

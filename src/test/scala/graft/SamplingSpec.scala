@@ -174,4 +174,78 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("sum_key")).toMap
     assert(again == got.view.mapValues(_._5).toMap)
   }
+
+  test("weightedSample: w=1 priority is the plain key hash; max-of-w only grows it") {
+    import spark.implicits._
+    val keys = (1L to 50L).toDF("doc_id")
+    def prios(w: Int) = Sampling
+      .weightedSample(keys, "doc_id", lit(w), k = 50, maxWeight = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("priority")).toMap
+    val p1 = prios(1)
+    // w=1 is exactly one hash of "key#1"
+    val direct = keys
+      .select(col("doc_id"),
+        Sampling.hashLong(concat(col("doc_id").cast("string"), lit("#1"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 == direct)
+    // adding hashes to the max can only raise a key's priority (the
+    // monotonicity that makes weight upgrades stable)
+    val p4 = prios(4)
+    assert(p1.forall { case (k, v) => p4(k) >= v })
+    assert(p4.exists { case (k, v) => v > p1(k) })
+  }
+
+  test("weightedSample: heavier keys win more slots, and the cut is the exact top-k") {
+    import spark.implicits._
+    // 200 keys, half weight 1, half weight 8
+    val df = (1L to 200L).toDF("doc_id")
+      .withColumn("w", when(col("doc_id") <= 100, 1L).otherwise(8L))
+    val got = Sampling.weightedSample(df, "doc_id", col("w"), k = 50, maxWeight = 8)
+      .collect()
+    assert(got.length == 50)
+    val heavy = got.count(_.getLong(0) > 100)
+    // E[heavy] ≈ 44 of 50 under the 8:1 odds; anything near-even means the
+    // weighting is broken. Deterministic fixture, so no flake margin needed.
+    assert(heavy > 35, s"weight-8 keys won only $heavy of 50 slots")
+    // the selected set is EXACTLY the top-k of the full priority ranking
+    val all = Sampling.weightedSample(df, "doc_id", col("w"), k = 200, maxWeight = 8)
+      .collect().sortBy(r => (-r.getAs[Long]("priority"), r.getLong(0)))
+    assert(got.map(_.getLong(0)).toSeq == all.take(50).map(_.getLong(0)).toSeq)
+  }
+
+  test("weightedSample rejects out-of-range and fractional weights at runtime") {
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("doc_id")
+    def run(w: org.apache.spark.sql.Column) =
+      Sampling.weightedSample(df, "doc_id", w, k = 2, maxWeight = 8).collect()
+    intercept[Exception](run(lit(0)))
+    intercept[Exception](run(lit(9)))
+    intercept[Exception](run(lit(2.5)))
+    intercept[IllegalArgumentException](
+      Sampling.weightedSample(df, "doc_id", lit(1), k = 0, maxWeight = 8))
+  }
+
+  test("perKeySample: equals the window-rank reference, k bounds every group") {
+    val docs = Tables.documents(spark, SfDir)
+    val got = Sampling.perKeySample(docs, col("source"), "doc_id", k = 3).collect()
+    // every group emits at most k, ranks are 1..n
+    got.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // reference: the window-rank idiom over the same (hash DESC, string ASC)
+    import org.apache.spark.sql.expressions.Window
+    val ref = docs
+      .select(col("source"), col("doc_id").cast("string").as("ks"))
+      .withColumn("priority", Sampling.hashLong(col("ks")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("priority").desc, col("ks"))))
+      .where(col("rank") <= 3)
+      .select(col("source"), col("rank").cast("long"),
+        col("ks").cast("long"), col("priority"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet == ref.toSet)
+  }
 }
