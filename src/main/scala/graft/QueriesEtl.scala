@@ -156,6 +156,32 @@ object QueriesEtl {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ── STREAMING CDC upsert ([[graft.streaming.StreamingCdc
+    // .upsertReplay]]): the cdc_merge change batch replayed as a REAL
+    // 3-trigger change stream, each micro-batch applied onto the base via
+    // foreachBatch + the batch merge, writing one table version per batch
+    // (the readStream → MERGE INTO shape). The oracle is the ALL-AT-ONCE
+    // merge, so the hash match proves sequential per-batch application
+    // converges to it — the streaming machinery (file triggers,
+    // foreachBatch sequencing, versioned writes) loses and invents
+    // nothing ──
+    "stream_cdc_upsert" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+      val upd = base.where(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+        .withColumn("op", lit("u"))
+      val del = base.where(col("o_orderkey") % 10 === 7)
+        .withColumn("op", lit("d"))
+      val ins = base.where(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderpriority", lit("NEW"))
+        .withColumn("op", lit("i"))
+      graft.streaming.StreamingCdc.upsertReplay(
+        base, upd.unionByName(del).unionByName(ins), Seq("o_orderkey"),
+        root = scratch(dir, "stream_cdc"))
+    }),
+
     // ── SCD2 history merge ([[Cdc.applyChangesScd2]]): the same
     // deterministic change batch VERSIONING the base instead of
     // overwriting it — updated/deleted keys close their current row at
@@ -397,6 +423,62 @@ object QueriesEtl {
           col("n_match"), col("sum_x"), col("sum_y"))
     }),
 
+    // ── per-file BLOOM manifest: point-lookup skipping where zone maps
+    // CAN'T prune ([[Layout.bloomManifest]]/[[Layout.bloomCandidates]]).
+    // Events land hash-scattered across ~n/1000-row files (modeling
+    // unordered ingest: every file's event_id [min,max] spans the whole
+    // domain, so a min/max manifest skips nothing); each file publishes
+    // its id set's bloom bits, and each probed event_id reads ONLY the
+    // files whose filter holds all its bits (the `isin` reaches the scan
+    // as PartitionFilters over the file_id directories). Deterministic
+    // md5 bits → the oracle replays layout, manifest, candidate sets, AND
+    // the `no_false_negative` law (the true file is always a candidate) —
+    // so both the skip counts and the lookup answers are hash-locked ──
+    "bloom_manifest_scan" -> ((s, dir) => {
+      val path = scratch(dir, "bloom_files")
+      val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+      val nFiles = math.max(1L, (ev.count() + BloomRowsPerFile - 1) / BloomRowsPerFile)
+      def fileOf(id: org.apache.spark.sql.Column) =
+        pmod(
+          conv(substring(md5(concat(id.cast("string"), lit("#f"))), 1, 8), 16, 10)
+            .cast("long"),
+          lit(nFiles))
+      ev.withColumn("file_id", fileOf(col("event_id")))
+        .write.mode("overwrite").partitionBy("file_id").parquet(path)
+      val files = s.read.parquet(path)
+      val manifest = Layout.bloomManifest(
+        files, col("event_id"), col("file_id"), BloomM, BloomK)
+      val probes = Tables.events(s, dir)
+        .where(col("event_id") % BloomProbeMod === 0)
+        .select(col("event_id").as("probe_id"))
+      val cand = Layout.bloomCandidates(manifest, probes, "probe_id", BloomM, BloomK)
+      // scan planning: the candidate FILE list is a bounded metadata fetch
+      val candFiles = cand.select(col("file_id")).distinct()
+        .collect().map(_.getAs[Number]("file_id").longValue())
+      val selected = files.where(col("file_id").isin(candFiles.toSeq: _*))
+      Layout.lastManifestScanPlan = selected.queryExecution.executedPlan.toString
+      val found = selected
+        .join(broadcast(probes), col("event_id") === col("probe_id"))
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_found"), round(sum(col("value")), 2).as("value_sum"))
+      val perProbe = cand
+        .groupBy(col("probe_id"))
+        .agg(
+          count(lit(1)).as("n_files_candidate"),
+          max(when(col("file_id") === fileOf(col("probe_id")), 1L).otherwise(0L))
+            .as("hit_true"))
+      probes
+        .join(perProbe, Seq("probe_id"))
+        .join(found, Seq("probe_id"))
+        .select(
+          col("probe_id"),
+          lit(nFiles).as("n_files_total"),
+          col("n_files_candidate"),
+          (col("hit_true") === 1L).as("no_false_negative"),
+          col("n_found"), col("value_sum"))
+        .orderBy(col("probe_id"))
+    }),
+
     // ── PHYSICAL z-order write + read-back ([[Layout.writeLayout]]): both
     // layouts are actually written as one-parquet-file-per-group with real
     // footer min/max stats (LayoutSpec pins footer-predicted == actual
@@ -507,6 +589,11 @@ object QueriesEtl {
 
   // zorder_prune geometry + predicate box — interpolated into the oracle so
   // the two sides cannot drift
+  private val BloomM = 8192L
+  private val BloomK = 3
+  private val BloomRowsPerFile = 1000L
+  private val BloomProbeMod = 997L
+
   private val ZDimBits = 8
   private val ZFileBits = 6
   private val ZXLo = 8L
@@ -544,6 +631,58 @@ object QueriesEtl {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // bloom_manifest_scan: replay the hash-scattered file layout, every
+    // file's bloom bit set, the all-bits-present candidate selection, the
+    // no-false-negative law, and the lookup answers over candidate files
+    "bloom_manifest_scan" ->
+      s"""WITH n AS (SELECT greatest(1, CAST(ceil(count(*) / $BloomRowsPerFile.0) AS BIGINT)) AS n_files
+         |           FROM events),
+         |f AS (
+         |  SELECT event_id, value,
+         |         ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#f'), 1, 8))::BIGINT
+         |           % (SELECT n_files FROM n) AS file_id
+         |  FROM events
+         |),
+         |mb AS (
+         |  SELECT DISTINCT file_id,
+         |         ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#b' || CAST(j AS VARCHAR)), 1, 8))::BIGINT % $BloomM AS bit
+         |  FROM f, generate_series(1, $BloomK) t(j)
+         |),
+         |p AS (SELECT event_id AS probe_id FROM events WHERE event_id % $BloomProbeMod = 0),
+         |pb AS (
+         |  SELECT DISTINCT probe_id,
+         |         ('0x' || substr(md5(CAST(probe_id AS VARCHAR) || '#b' || CAST(j AS VARCHAR)), 1, 8))::BIGINT % $BloomM AS bit
+         |  FROM p, generate_series(1, $BloomK) t(j)
+         |),
+         |nb AS (SELECT probe_id, count(*) AS nb FROM pb GROUP BY 1),
+         |cand AS (
+         |  SELECT pb.probe_id, mb.file_id, count(*) AS hits
+         |  FROM pb JOIN mb USING (bit) GROUP BY 1, 2
+         |),
+         |cand2 AS (
+         |  SELECT c.probe_id, c.file_id
+         |  FROM cand c JOIN nb USING (probe_id) WHERE c.hits = nb.nb
+         |),
+         |agg AS (
+         |  SELECT c.probe_id,
+         |         count(*) AS n_files_candidate,
+         |         max(CASE WHEN c.file_id =
+         |             ('0x' || substr(md5(CAST(c.probe_id AS VARCHAR) || '#f'), 1, 8))::BIGINT % (SELECT n_files FROM n)
+         |           THEN 1 ELSE 0 END) AS hit_true
+         |  FROM cand2 c GROUP BY 1
+         |),
+         |found AS (
+         |  SELECT f.event_id AS probe_id, count(*) AS n_found, round(sum(f.value), 2) AS value_sum
+         |  FROM f JOIN p ON f.event_id = p.probe_id
+         |  WHERE f.file_id IN (SELECT file_id FROM cand2)
+         |  GROUP BY 1
+         |)
+         |SELECT p.probe_id, (SELECT n_files FROM n) AS n_files_total,
+         |       a.n_files_candidate, a.hit_true = 1 AS no_false_negative,
+         |       fo.n_found, fo.value_sum
+         |FROM p JOIN agg a USING (probe_id) JOIN found fo USING (probe_id)
+         |ORDER BY probe_id""".stripMargin,
+
     // zorder_prune: the generated replay of the exact rank-bucket →
     // interleave → equal-count-file → zone-map pipeline (Layout
     // .scanEfficiencySql) over the same geometry constants
@@ -647,6 +786,20 @@ object QueriesEtl {
     // cdc_merge: the merged state expressed directly — deletes filtered,
     // updates projected in place, inserts unioned with rewritten keys
     "cdc_merge" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 != 7
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, 'NEW'
+        |FROM orders WHERE o_orderkey % 10 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // stream_cdc_upsert: the ALL-AT-ONCE merge — sequential micro-batch
+    // application must converge to it exactly (one change per key)
+    "stream_cdc_upsert" ->
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey % 10 = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,

@@ -332,4 +332,67 @@ object Layout {
        |                THEN y END) AS BIGINT) AS sum_y
        |FROM fid GROUP BY layout ORDER BY layout""".stripMargin
   }
+
+  // ── Bloom-filter manifest: point-lookup skipping where zone maps fail ──
+  //
+  // A min/max manifest prunes RANGE predicates over clustered columns; it
+  // is useless for point lookups of a high-cardinality key in a layout the
+  // key is NOT clustered by (hash-scattered ingest, unordered arrival):
+  // every file's [min, max] spans nearly the whole key domain, so nothing
+  // skips. The per-file BLOOM manifest is the standard answer (Parquet
+  // bloom filters, Iceberg puffin blobs): a compact membership summary per
+  // file, probed at scan-planning time, false positives allowed (extra
+  // files read), false negatives impossible (no data missed).
+  //
+  // The filter here is represented RELATIONALLY — (file_id, bit) rows, one
+  // per set bit — rather than as a binary blob: semantically identical
+  // (the blob is exactly the set of set bits), mergeable by set union,
+  // bounded by m rows per file, and probe-able with a plain join, so the
+  // whole structure round-trips through any table format and the DuckDB
+  // oracle replays build + probe bitwise from the same md5 arithmetic.
+
+  /** Bit position `j` (1-based hash index) of `id` in an `m`-bit filter —
+    * md5-derived, exact integer, engine-portable.
+    */
+  def bloomBit(id: Column, j: Int, m: Long): Column =
+    pmod(
+      conv(substring(md5(concat(id.cast("string"), lit(s"#b$j"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(m))
+
+  /** Build the manifest: the distinct set bits of every file's id set.
+    * One explode + distinct, ≤ `m` rows per file regardless of row count.
+    */
+  def bloomManifest(files: DataFrame, id: Column, fileId: Column, m: Long, k: Int): DataFrame = {
+    require(k >= 1 && m >= 2, s"need k >= 1 hashes and m >= 2 bits, got k=$k m=$m")
+    files
+      .select(
+        fileId.as("file_id"),
+        explode(array((1 to k).map(j => bloomBit(id, j, m)): _*)).as("bit"))
+      .distinct()
+  }
+
+  /** Scan-planning probe: `(probe_id, file_id)` pairs where the file's
+    * filter contains ALL of the probe's bits — the candidate files a point
+    * lookup must read. Never misses a file that truly holds the probe (a
+    * present id contributed exactly these bits to its file's manifest);
+    * may keep extra files at the filter's false-positive rate. The probe
+    * side is broadcast — it is query-literal-sized.
+    */
+  def bloomCandidates(
+      manifest: DataFrame, probes: DataFrame, probeId: String, m: Long, k: Int): DataFrame = {
+    val pb = probes
+      .select(
+        col(probeId).as("probe_id"),
+        explode(array((1 to k).map(j => bloomBit(col(probeId), j, m)): _*)).as("bit"))
+      .distinct()
+    val nb = pb.groupBy(col("probe_id")).agg(count(lit(1)).as("nb"))
+    manifest
+      .join(broadcast(pb), Seq("bit"))
+      .groupBy(col("probe_id"), col("file_id"))
+      .agg(count(lit(1)).as("hits"))
+      .join(broadcast(nb), Seq("probe_id"))
+      .where(col("hits") === col("nb"))
+      .select(col("probe_id"), col("file_id"))
+  }
 }

@@ -200,4 +200,34 @@ class LayoutSpec extends AnyFunSuite {
     assert(zRead == 64L, s"z-order read $zRead rows, expected exactly the matching file")
     assert(lRead == 256L, s"linear read $lRead rows, expected the 4 stripes")
   }
+
+  test("bloom manifest: no false negatives for ANY present id, bounded size") {
+    // 400 ids scattered over 8 files — every id's true file must be a
+    // candidate for its own lookup (the bloom law, checked exhaustively)
+    val m = 512L
+    val ids = (0L until 400L).map(i => (i, i % 8)).toDF("id", "file_id")
+    val manifest = Layout.bloomManifest(ids, col("id"), col("file_id"), m, k = 3)
+    // bounded: at most m bits per file, even though 50 ids × 3 hashes landed
+    val perFile = manifest.groupBy("file_id").count().collect()
+    assert(perFile.forall(_.getLong(1) <= m))
+    val probes = ids.select(col("id").as("probe_id"))
+    val cand = Layout.bloomCandidates(manifest, probes, "probe_id", m, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 400L).foreach { i =>
+      assert(cand.contains((i, i % 8)), s"id $i missing its true file ${i % 8}")
+    }
+  }
+
+  test("bloom manifest: absent ids mostly prune (false positives stay rare)") {
+    val m = 8192L
+    val ids = (0L until 800L).map(i => (i, i % 8)).toDF("id", "file_id")
+    val manifest = Layout.bloomManifest(ids, col("id"), col("file_id"), m, k = 3)
+    // 100 ids that are NOT in any file: candidates are pure false positives
+    val absent = (10000L until 10100L).toDF("probe_id")
+    val fpPairs = Layout.bloomCandidates(manifest, absent, "probe_id", m, k = 3).count()
+    // 100 ids × 8 files with per-file fill ≈ 1-exp(-300/8192) ≈ 3.6% →
+    // fp/file ≈ 0.0036³... practically zero; allow generous slack, the
+    // point is ORDER OF MAGNITUDE pruning (deterministic fixture, no flake)
+    assert(fpPairs < 80L, s"$fpPairs false-positive (probe, file) pairs of 800 possible")
+  }
 }
