@@ -650,6 +650,77 @@ object QueriesRelational {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // ── GROUPING SETS beside the cube/rollup pair: two INDEPENDENT
+    // one-column slices in one pass — a shape neither CUBE nor ROLLUP
+    // expresses (no (flag, status) cell, no grand total). Same expand +
+    // one-aggregation plan as cube_pricing; gid = grouping bitmask ──
+    "grouping_sets_pricing" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          d(sum(dec(col("l_quantity")))).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // ── winsorized statistics: per-group p05/p95 thresholds (exact
+    // interpolating percentile, rounded to 6 before ANY comparison so both
+    // engines clamp against the identical literal), tails clamped, mean
+    // over DECIMAL(18,6) sums so the aggregate is order-exact. The scale
+    // shape is the two-pass standard: a group-sized threshold frame
+    // (a sketch at 100 TB) BROADCAST back over the fact ──
+    "winsorized_stats" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+      val th = li.groupBy(col("flag")).agg(
+        round(expr("percentile(v, 0.05)"), 6).as("lo"),
+        round(expr("percentile(v, 0.95)"), 6).as("hi"))
+      val w = when(col("v") < col("lo"), col("lo"))
+        .when(col("v") > col("hi"), col("hi"))
+        .otherwise(col("v"))
+      li.join(broadcast(th), Seq("flag"))
+        .groupBy(col("flag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+          sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+          round(d(sum(w.cast("decimal(28,6)"))) / count(lit(1)), 6).as("mean_winsorized"),
+          round(d(sum(col("v").cast("decimal(28,6)"))) / count(lit(1)), 6).as("mean_raw"))
+        .orderBy(col("flag"))
+    }),
+
+    // ── order-invariant table fingerprint: two independent md5-derived
+    // row digests SUMMED per table — the replication/equality audit that
+    // says "these two copies hold the same rows" without moving either
+    // (sums commute, so the digest is partitioning-, order-, and
+    // engine-independent; two moments make a swap-one-row-for-another
+    // collision need a simultaneous second-hash collision). Rows serialize
+    // through a canonical form (decimal-2 money, yyyy-MM-dd dates, NULL
+    // sentinel) because raw double/timestamp formatting is NOT portable
+    // across engines. One map-side pass + a 1-row agg per table ──
+    "table_fingerprint" -> ((s, dir) => {
+      import graft.operators.Audit.{canonicalField => nn, tableFingerprint => fp}
+      val ordersSer = concat_ws("|",
+        nn(col("o_orderkey").cast("string")),
+        nn(col("o_custkey").cast("string")),
+        nn(col("o_orderstatus")),
+        nn(dec(col("o_totalprice")).cast("string")),
+        nn(date_format(col("o_orderdate"), "yyyy-MM-dd")),
+        nn(col("o_orderpriority")))
+      val custSer = concat_ws("|",
+        nn(col("c_custkey").cast("string")),
+        nn(col("c_name")),
+        nn(col("c_nationkey").cast("string")),
+        nn(dec(col("c_acctbal")).cast("string")),
+        nn(col("c_mktsegment")))
+      fp(Tables.orders(s, dir), "orders", ordersSer)
+        .unionByName(fp(Tables.customer(s, dir), "customer", custSer))
+        .orderBy(col("table_name"))
+    }),
+
     // ── rolling z-score volume anomalies ([[operators.Analytics
     // .anomalyZscore]]): per-event-type daily counts vs their trailing
     // 7-day baseline, the (n·x − s)² > z²·(n·q − s²) test kept in exact
@@ -1142,6 +1213,66 @@ object QueriesRelational {
         |       CAST(n_users * 1000000 // (SELECT n_users FROM c WHERE step = 1) AS BIGINT)
         |         AS conv_ppm
         |FROM c ORDER BY step""".stripMargin,
+
+    "grouping_sets_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // winsorized_stats: identical two-pass clamp — thresholds rounded to 6
+    // BEFORE comparison, winsorized mean over DECIMAL(28,6) sums
+    "winsorized_stats" ->
+      """WITH th AS (
+        |  SELECT l_returnflag AS flag,
+        |         round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+        |         round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT flag, count(*) AS n,
+        |  CAST(count(*) FILTER (WHERE v < lo) AS BIGINT) AS n_clamped_lo,
+        |  CAST(count(*) FILTER (WHERE v > hi) AS BIGINT) AS n_clamped_hi,
+        |  round(CAST(sum(CAST(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END
+        |        AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_winsorized,
+        |  round(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_raw
+        |FROM (SELECT l_returnflag AS flag, l_extendedprice AS v FROM lineitem) x
+        |JOIN th USING (flag)
+        |GROUP BY flag ORDER BY flag""".stripMargin,
+
+    // table_fingerprint: the identical canonical serialization and summed
+    // two-moment md5 digests per table
+    "table_fingerprint" ->
+      """WITH o AS (
+        |  SELECT concat_ws('|',
+        |    coalesce(CAST(o_orderkey AS VARCHAR), '\N'),
+        |    coalesce(CAST(o_custkey AS VARCHAR), '\N'),
+        |    coalesce(o_orderstatus, '\N'),
+        |    coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '\N'),
+        |    coalesce(strftime(o_orderdate, '%Y-%m-%d'), '\N'),
+        |    coalesce(o_orderpriority, '\N')) AS ser
+        |  FROM orders
+        |), c AS (
+        |  SELECT concat_ws('|',
+        |    coalesce(CAST(c_custkey AS VARCHAR), '\N'),
+        |    coalesce(c_name, '\N'),
+        |    coalesce(CAST(c_nationkey AS VARCHAR), '\N'),
+        |    coalesce(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), '\N'),
+        |    coalesce(c_mktsegment, '\N')) AS ser
+        |  FROM customer
+        |)
+        |SELECT 'customer' AS table_name, count(*) AS n_rows,
+        |       CAST(sum(('0x' || substr(md5(ser), 1, 8))::BIGINT) AS BIGINT) AS digest1,
+        |       CAST(sum(('0x' || substr(md5(ser || '#2'), 1, 8))::BIGINT) AS BIGINT) AS digest2
+        |FROM c
+        |UNION ALL
+        |SELECT 'orders', count(*),
+        |       CAST(sum(('0x' || substr(md5(ser), 1, 8))::BIGINT) AS BIGINT),
+        |       CAST(sum(('0x' || substr(md5(ser || '#2'), 1, 8))::BIGINT) AS BIGINT)
+        |FROM o
+        |ORDER BY table_name""".stripMargin,
 
     // join_bucketed: the bucketed tables hold exactly the source rows, so
     // the oracle is the plain join aggregate; TRUE hash-pins the law

@@ -73,4 +73,34 @@ object Audit {
     require(checks.nonEmpty, "Audit.report: no checks given")
     checks.reduce(_.unionByName(_)).orderBy(col("check_name"))
   }
+
+  /** NULL-safe canonical field serialization for [[tableFingerprint]]:
+    * callers cast each field to a PORTABLE string form first (decimal-2
+    * money, `date_format` dates — raw double/timestamp formatting differs
+    * across engines); this only supplies the null sentinel. `concat_ws`
+    * SKIPS nulls, which would make `(a, NULL, b)` collide with `(a, b,
+    * NULL)` — the sentinel keeps every field positional.
+    */
+  def canonicalField(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(c.cast("string"), lit("\\N"))
+
+  /** Order-invariant table digest: two independent md5-derived 32-bit row
+    * hashes SUMMED over the table, plus the row count — the
+    * replication/equality audit that answers "do these two copies hold the
+    * same multiset of rows?" without moving either side. Sums commute, so
+    * the digest is independent of row order, partitioning, file layout,
+    * and engine; comparing two moments means forging a mismatch requires a
+    * simultaneous collision in BOTH hash families. One map-side pass, one
+    * 1-row aggregate — the cheapest possible full-table certificate at
+    * 100 TB (ship 4 numbers, not the table).
+    */
+  def tableFingerprint(df: DataFrame, name: String, serialized: org.apache.spark.sql.Column): DataFrame = {
+    val h1 = conv(substring(md5(serialized), 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(md5(concat(serialized, lit("#2"))), 1, 8), 16, 10).cast("long")
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(h1).as("digest1"),
+      sum(h2).as("digest2"))
+      .select(lit(name).as("table_name"), col("n_rows"), col("digest1"), col("digest2"))
+  }
 }

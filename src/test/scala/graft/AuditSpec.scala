@@ -44,4 +44,37 @@ class AuditSpec extends AnyFunSuite {
     assert(got.size == 5)
     assert(got.values.forall(_ == 0L), s"generator data should be referentially clean: $got")
   }
+
+  private def fpOf(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val ser = concat_ws("|", Audit.canonicalField(col("a")), Audit.canonicalField(col("b")))
+    Audit.tableFingerprint(df, "t", ser).collect().head match {
+      case r => (r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+  }
+
+  test("tableFingerprint: invariant under row order and partitioning, sensitive to any row edit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 500L).map(i => (i, s"v$i"))
+    val base = fpOf(rows.toDF("a", "b"))
+    // same multiset, reversed order, different partitioning → identical digest
+    assert(fpOf(rows.reverse.toDF("a", "b").repartition(7)) == base)
+    // one edited row → both digests move
+    val edited = fpOf((rows.init :+ (500L, "vX")).toDF("a", "b"))
+    assert(edited._1 == base._1 && edited._2 != base._2 && edited._3 != base._3)
+    // one dropped row → count and digests move
+    val dropped = fpOf(rows.init.toDF("a", "b"))
+    assert(dropped._1 == base._1 - 1 && dropped._2 != base._2)
+  }
+
+  test("tableFingerprint: the null sentinel keeps fields positional") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // (a=NULL, b="x") must NOT collide with (a="x", b=NULL) — concat_ws
+    // alone would serialize both as "x"
+    val left = fpOf(Seq((Option.empty[String], Option("x"))).toDF("a", "b"))
+    val right = fpOf(Seq((Option("x"), Option.empty[String])).toDF("a", "b"))
+    assert(left != right)
+  }
 }
