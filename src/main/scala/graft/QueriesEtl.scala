@@ -182,6 +182,52 @@ object QueriesEtl {
         root = scratch(dir, "stream_cdc"))
     }),
 
+    // ── STREAMING incremental MV ([[graft.streaming.StreamingCdc
+    // .replayForeachBatch]] + [[Materialize.mergeSummaries]]): the weekly
+    // events rollup maintained CONTINUOUSLY — each micro-batch's
+    // delta-sized partial aggregate merges into the persisted summary
+    // (one version per batch), base rows never rescanned. Slices are TIME
+    // thirds, so boundary weeks genuinely arrive split across batches and
+    // the algebraic merge (sum/min/max) is exercised, not bypassed. The
+    // oracle is the full one-shot rollup: the hash match proves the
+    // incremental path converges to it exactly ──
+    "stream_mv_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("ts"))
+      def summarize(df: DataFrame): DataFrame = df
+        .groupBy(to_date(date_trunc("week", col("ts"))).as("week"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(unix_timestamp(col("ts"))).as("min_sec"),
+          max(unix_timestamp(col("ts"))).as("max_sec"))
+      val b = ev.agg(
+        min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val span = hi - lo + 1
+      val sliceCol = least(
+        lit(2L),
+        floor((unix_timestamp(col("ts")) - lit(lo)) * lit(3L) / lit(span.toDouble))
+          .cast("long"))
+      val root = scratch(dir, "stream_mv")
+      def vDir(v: Long) = s"$root/summary_v$v"
+      @volatile var current = 0L
+      var initialized = false
+      graft.streaming.StreamingCdc.replayForeachBatch(ev, sliceCol, 3, root) {
+        (batch, id) =>
+          if (!initialized) {
+            summarize(ev.limit(0)).write.mode("overwrite").parquet(vDir(0L))
+            initialized = true
+          }
+          val cur = s.read.parquet(vDir(current))
+          Materialize.mergeSummaries(
+            Seq(cur, summarize(batch)), Seq("week"),
+            sumCols = Seq("n_events"), minCols = Seq("min_sec"),
+            maxCols = Seq("max_sec"))
+            .write.mode("overwrite").parquet(vDir(id + 1))
+          current = id + 1
+      }
+      s.read.parquet(vDir(current)).orderBy(col("week"))
+    }),
+
     // ── SCD2 history merge ([[Cdc.applyChangesScd2]]): the same
     // deterministic change batch VERSIONING the base instead of
     // overwriting it — updated/deleted keys close their current row at
@@ -810,6 +856,15 @@ object QueriesEtl {
         |       o_orderdate, 'NEW'
         |FROM orders WHERE o_orderkey % 10 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    // stream_mv_merge: the full one-shot rollup — the incremental
+    // per-batch merges must converge to it exactly
+    "stream_mv_merge" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |       count(*) AS n_events,
+        |       min(CAST(floor(epoch(ts)) AS BIGINT)) AS min_sec,
+        |       max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_sec
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // scd2_history: the versioned state expressed directly — carried
     // currents, closed old versions for touched keys, opened new versions

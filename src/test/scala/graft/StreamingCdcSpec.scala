@@ -51,6 +51,21 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(versions.distinct.length > 1)
   }
 
+  test("replayForeachBatch: one batch per slice, delivered sequentially in staged order") {
+    import spark.implicits._
+    val input = (0L until 90L).map(i => (i, i % 3)).toDF("v", "slice")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    StreamingCdc.replayForeachBatch(input, col("slice"), 3, root("runner")) {
+      (batch, id) =>
+        seen += ((id, batch.select("v").collect().map(_.getLong(0)).toSet))
+    }
+    assert(seen.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    // each batch is exactly its staged slice
+    (0 until 3).foreach { i =>
+      assert(seen(i)._2 == (0L until 90L).filter(_ % 3 == i).toSet)
+    }
+  }
+
   test("a re-run over the same scratch root converges to the identical state") {
     val (base, changes) = fixture
     val a = StreamingCdc.upsertReplay(base, changes, Seq("k"), root("rerun"))
