@@ -586,6 +586,99 @@ object QueriesRelational {
         Tables.events(s, dir), "user_id", col("ts"),
         startDate = "2024-01-01", endDate = "2024-01-30")),
 
+    // ── rolling RANGE-frame trailing-7-day spend per customer
+    // ([[operators.Analytics.rollingRangeRevenue]]): a TRUE range frame
+    // over epoch-days, so calendar gaps shrink the window (a ROWS frame
+    // would count the last N orders, the classic rolling bug); one daily
+    // pre-agg + one key-partitioned window pass ──
+    "rolling_revenue_7d" -> ((s, dir) =>
+      graft.operators.Analytics.rollingRangeRevenue(
+        Tables.orders(s, dir), "o_custkey", col("o_orderdate"),
+        col("o_totalprice"), days = 7)),
+
+    // ── first-order Markov transition matrix over per-user event
+    // sequences ([[operators.Analytics.eventTransitions]]): lead() pairs
+    // under the sessionizer's deterministic (ts, id) order, counts +
+    // row-normalized integer-ppm probabilities ──
+    "event_transitions" -> ((s, dir) =>
+      graft.operators.Analytics.eventTransitions(
+        Tables.events(s, dir), "user_id", col("ts"),
+        col("event_type"), col("event_id"))),
+
+    // ── theta-sketch week-over-week audience overlap ([[graft.functions
+    // .ThetaFunctions]]): per-week theta sketches of the user set, then
+    // INTERSECTION and A-NOT-B estimates per consecutive-week pair — the
+    // set algebra HLL cannot do (HLL unions only). Self-validating
+    // (wauValidated pattern): the hashed columns are the EXACT counts from
+    // a distinct self-join plus tolerance booleans the sketch estimates
+    // must satisfy; sketches stay exact-mode below 2^14 users/week and the
+    // gate holds through estimation mode ──
+    "theta_wow_overlap" -> ((s, dir) => {
+      import graft.functions.ThetaFunctions
+      ThetaFunctions.register(s)
+      val uw = Tables.events(s, dir)
+        .select(to_date(date_trunc("week", col("ts"))).as("week"), col("user_id"))
+      val weekly = uw.groupBy(col("week"))
+        .agg(
+          ThetaFunctions.thetaSketch(col("user_id"), 14).as("sk"),
+          countDistinct(col("user_id")).as("n"))
+      val du = uw.distinct()
+      val exactBoth = du.as("x")
+        .join(du.as("y"),
+          col("y.user_id") === col("x.user_id") &&
+            col("y.week") === date_add(col("x.week"), 7))
+        .groupBy(col("x.week").as("week"))
+        .agg(count(lit(1)).as("n_both"))
+      val a = weekly.select(col("week"), col("sk").as("sk_a"), col("n").as("n_a"))
+      val b = weekly.select(
+        date_sub(col("week"), 7).as("week"), col("sk").as("sk_b"), col("n").as("n_b"))
+      val churn = col("n_a") - col("n_both")
+      val fresh = col("n_b") - col("n_both")
+      a.join(b, Seq("week")).join(exactBoth, Seq("week"))
+        .select(
+          col("week"), date_add(col("week"), 7).as("next_week"),
+          col("n_a"), col("n_b"), col("n_both"),
+          churn.as("n_churned"), fresh.as("n_new"),
+          (abs(ThetaFunctions.thetaIntersectEst(col("sk_a"), col("sk_b")) - col("n_both"))
+            <= col("n_both") * 0.05 + 1.0).as("inter_ok"),
+          (abs(ThetaFunctions.thetaANotBEst(col("sk_b"), col("sk_a")) - fresh)
+            <= fresh * 0.05 + 1.0).as("new_ok"))
+        .orderBy(col("week"))
+    }),
+
+    // ── theta union rollup: weekly sketch rows union into the month total
+    // WITHOUT rescanning events (the [[operators.Wau.wauSketchRollup]]
+    // incremental shape, theta flavor — what crosses the final agg is 5
+    // sketch blobs, not user ids); validated against the exact
+    // month-distinct count ──
+    "theta_total_rollup" -> ((s, dir) => {
+      import graft.functions.ThetaFunctions
+      ThetaFunctions.register(s)
+      val ev = Tables.events(s, dir)
+      val weekly = ev
+        .select(to_date(date_trunc("week", col("ts"))).as("week"), col("user_id"))
+        .groupBy(col("week"))
+        .agg(ThetaFunctions.thetaSketch(col("user_id"), 14).as("sk"))
+      val rolled = weekly.agg(
+        count(lit(1)).as("n_weeks"),
+        ThetaFunctions.thetaUnion(col("sk"), 14).as("u"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("n_total"))
+      rolled.crossJoin(broadcast(exact))
+        .select(
+          col("n_weeks"), col("n_total"),
+          (abs(ThetaFunctions.thetaEstimate(col("u")) - col("n_total"))
+            <= col("n_total") * 0.05 + 1.0).as("union_ok"))
+    }),
+
+    // ── sliding-window WAU: native window(ts, '7 days', '1 day') slide —
+    // each event explodes into 7 window assignments, exact distinct count
+    // per window; the sketch rollup (wau_user_sketch_rollup) is the same
+    // shape's 100 TB serving path ([[operators.Analytics
+    // .slidingActiveUsers]]) ──
+    "sliding_wau" -> ((s, dir) =>
+      graft.operators.Analytics.slidingActiveUsers(
+        Tables.events(s, dir), "user_id", col("ts"))),
+
     // ── one-pass data-quality expectation suite ([[operators
     // .DataQuality]]): Deequ-style contract checks over orders —
     // completeness, PK uniqueness, domain membership, bounds, pattern —
@@ -1185,6 +1278,85 @@ object QueriesRelational {
         |       coalesce(e.n_events, 0) = 0 AS is_gap
         |FROM spine s LEFT JOIN eod e ON s.user_id = e.user_id AND s.day = e.day
         |ORDER BY s.user_id, s.day""".stripMargin,
+
+    // rolling_revenue_7d: same daily pre-agg + integer-epoch-day RANGE
+    // frame; decimal sums throughout, double only at the boundary
+    "rolling_revenue_7d" ->
+      """WITH daily AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT o_custkey, day,
+        |       CAST(day_rev AS DOUBLE) AS day_revenue,
+        |       CAST(sum(n_orders) OVER w AS BIGINT) AS n_orders_roll,
+        |       CAST(sum(day_rev) OVER w AS DOUBLE) AS revenue_roll
+        |FROM daily
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day""".stripMargin,
+
+    // event_transitions: identical lead() pairing under (ts, event_id)
+    // order; per-from totals via a window over the counts frame
+    "event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+        |         sum(count(*)) OVER (PARTITION BY from_type) AS n_from
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |       CAST(n * 1000000 // n_from AS BIGINT) AS p_ppm
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // theta_wow_overlap: exact distinct self-join per consecutive-week
+    // pair; the sketch estimates only feed the tolerance booleans, which
+    // the oracle pins TRUE
+    "theta_wow_overlap" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+        |  FROM events
+        |), wk AS (
+        |  SELECT week, CAST(count(*) AS BIGINT) AS n FROM uw GROUP BY 1
+        |), bo AS (
+        |  SELECT x.week, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM uw x JOIN uw y
+        |    ON y.user_id = x.user_id AND y.week = x.week + 7
+        |  GROUP BY 1
+        |)
+        |SELECT bo.week, CAST(bo.week + 7 AS DATE) AS next_week,
+        |       a.n AS n_a, c.n AS n_b, bo.n_both,
+        |       a.n - bo.n_both AS n_churned,
+        |       c.n - bo.n_both AS n_new,
+        |       TRUE AS inter_ok, TRUE AS new_ok
+        |FROM bo
+        |JOIN wk a ON a.week = bo.week
+        |JOIN wk c ON c.week = bo.week + 7
+        |ORDER BY bo.week""".stripMargin,
+
+    // theta_total_rollup: exact month-distinct; union_ok pinned TRUE
+    "theta_total_rollup" ->
+      """SELECT CAST(count(DISTINCT date_trunc('week', ts)) AS BIGINT) AS n_weeks,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_total,
+        |       TRUE AS union_ok
+        |FROM events""".stripMargin,
+
+    // sliding_wau: each event belongs to the 7 epoch-aligned 1-day-slide
+    // windows starting day(ts)-6 .. day(ts); distinct users per window
+    "sliding_wau" ->
+      """SELECT CAST(CAST(ts AS DATE) - g.o AS DATE) AS window_start,
+        |       CAST(CAST(ts AS DATE) - g.o + 7 AS DATE) AS window_end,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        |FROM events
+        |CROSS JOIN (SELECT CAST(unnest(generate_series(0, 6)) AS INTEGER) AS o) g
+        |GROUP BY 1, 2
+        |ORDER BY window_start""".stripMargin,
 
     // funnel_steps: the same conditional-min chain — step k's earliest
     // second at or after the step-k-1 reach second

@@ -160,6 +160,112 @@ object Analytics {
       .orderBy(col("step"))
   }
 
+  /** Rolling RANGE-frame aggregate over a per-key daily series — "customer's
+    * trailing 7-day spend as of each active day", the as-of rolling feature
+    * every feature store materializes. The frame is a true RANGE frame over
+    * integer epoch-days (`RANGE BETWEEN days-1 PRECEDING AND CURRENT ROW`),
+    * so calendar GAPS shrink the window — a ROWS frame would silently count
+    * the last N *orders* instead of the last N *days*, which is the classic
+    * rolling-window bug this operator exists to avoid.
+    *
+    * Scale shape: one `(key, day)` map-side-combined pre-aggregation (the
+    * series is days-per-key sized, not orders-sized), then ONE window pass
+    * partitioned by key ordered by epoch-day — running frame sums, no
+    * self-join, no spine inflation. Money stays decimal through both sums
+    * and lands in double only at the output boundary.
+    */
+  def rollingRangeRevenue(
+      orders: DataFrame,
+      keyCol: String,
+      dateCol: Column,
+      amountCol: Column,
+      days: Int = 7): DataFrame = {
+    require(days >= 1, s"rollingRangeRevenue: days must be >= 1, got $days")
+    import org.apache.spark.sql.expressions.Window
+    val daily = orders
+      .groupBy(col(keyCol).as("key"), to_date(dateCol).as("day"))
+      .agg(
+        sum(amountCol.cast("decimal(18,2)")).as("day_rev"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy(col("key")).orderBy(col("epoch_day"))
+      .rangeBetween(-(days - 1L), Window.currentRow)
+    daily.select(
+      col("key").as(keyCol), col("day"),
+      col("day_rev").cast("double").as("day_revenue"),
+      sum(col("n_orders")).over(w).as("n_orders_roll"),
+      sum(col("day_rev")).over(w).cast("double").as("revenue_roll"))
+      .orderBy(col(keyCol), col("day"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * `(from_type, to_type)` counts plus row-normalized probabilities in
+    * integer ppm (`n * 1e6 div n_from` — floor division on nonnegative
+    * operands, bitwise across engines). The input order is `(ts, id)` — the
+    * sessionizer's deterministic tiebreak — so the lead pairing is unique.
+    *
+    * Scale shape: ONE user-keyed window pass builds the pairs (the only
+    * data-sized shuffle), then two map-side-combined aggregations over the
+    * |event types|² key space; the per-from totals come from a window over
+    * the already-tiny counts frame, not a second scan.
+    */
+  def eventTransitions(
+      events: DataFrame,
+      userCol: String,
+      tsCol: Column,
+      typeCol: Column,
+      idCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = events
+      .select(col(userCol), typeCol.as("from_type"), tsCol.as("__ts"), idCol.as("__id"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(
+        Window.partitionBy(col(userCol)).orderBy(col("__ts"), col("__id"))))
+      .where(col("to_type").isNotNull)
+    pairs
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(
+        col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div n_from").as("p_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Sliding-window active-user counts — the 7-day-window / 1-day-slide
+    * rolling DAU/WAU dashboards draw. Uses Spark's native sliding
+    * `window(ts, windowDur, slideDur)` (epoch-aligned starts, end
+    * exclusive): each event lands in `window/slide` overlapping windows and
+    * the distinct-key count runs per window.
+    *
+    * Scale shape: the slide EXPLODES each row into `window/slide` window
+    * assignments before the distinct aggregation — that ×7 inflation is
+    * inherent to exact sliding distinct counts; at 100 TB the serving path
+    * swaps `countDistinct` for per-(day) HLL sketches unioned per window
+    * ([[Wau.wauSketchRollup]] is exactly that rollup shape), keeping the
+    * exact variant for backfill/CI. Output rows are windows, not events.
+    */
+  def slidingActiveUsers(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: Column,
+      windowDays: Int = 7,
+      slideDays: Int = 1): DataFrame = {
+    require(windowDays % slideDays == 0,
+      s"slidingActiveUsers: windowDays ($windowDays) must be a multiple of slideDays ($slideDays)")
+    events
+      .select(
+        window(tsCol, s"$windowDays days", s"$slideDays days").as("w"),
+        col(keyCol))
+      .select(
+        to_date(col("w.start")).as("window_start"),
+        to_date(col("w.end")).as("window_end"),
+        col(keyCol))
+      .groupBy(col("window_start"), col("window_end"))
+      .agg(countDistinct(col(keyCol)).as("active_users"))
+      .orderBy(col("window_start"))
+  }
+
   /** Rolling z-score anomaly flags over a per-group daily count series —
     * the volume-monitoring alarm every ingestion pipeline runs ("did
     * source X suddenly triple / drop to nothing today?").

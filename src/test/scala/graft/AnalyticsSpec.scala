@@ -153,4 +153,78 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(("a", "2024-01-08")).contains(false))
     assert(got(("b", "2024-01-08")).contains(true))
   }
+
+  private def orders(rows: (Long, String, Double)*) = {
+    import spark.implicits._
+    rows.toDF("o_custkey", "d", "o_totalprice")
+      .selectExpr("o_custkey", "CAST(d AS TIMESTAMP) AS o_orderdate", "o_totalprice")
+  }
+
+  test("rollingRangeRevenue: RANGE frame over days — calendar gaps shrink the window") {
+    val got = Analytics.rollingRangeRevenue(
+      orders(
+        (1L, "2024-01-01", 10.0),
+        (1L, "2024-01-03", 20.0), // within 7 days of the 1st
+        (1L, "2024-01-20", 40.0), // far gap: window contains only itself
+        (1L, "2024-01-25", 80.0)), // 20th is 5 days back — still in frame
+      "o_custkey", col("o_orderdate"), col("o_totalprice"), days = 7)
+      .collect().map(r => (r.getDate(1).toString, r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 1L, 10.0),
+      ("2024-01-03", 2L, 30.0),
+      ("2024-01-20", 1L, 40.0), // a ROWS-frame impl would wrongly carry Jan 1+3
+      ("2024-01-25", 2L, 120.0)))
+  }
+
+  test("rollingRangeRevenue: same-day orders pre-aggregate into one series row") {
+    val got = Analytics.rollingRangeRevenue(
+      orders((1L, "2024-01-05", 5.0), (1L, "2024-01-05", 7.0)),
+      "o_custkey", col("o_orderdate"), col("o_totalprice"), days = 7)
+      .collect().map(r => (r.getDate(1).toString, r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(("2024-01-05", 12.0, 2L, 12.0)))
+  }
+
+  test("eventTransitions: lead pairs per user, ppm rows sum to ~1e6 per from_type") {
+    val events = {
+      import spark.implicits._
+      Seq(
+        (1L, 1L, "2024-01-01 10:00:00", "view"),
+        (2L, 1L, "2024-01-01 10:01:00", "click"),
+        (3L, 1L, "2024-01-01 10:02:00", "view"),
+        (4L, 2L, "2024-01-01 09:00:00", "view"),
+        (5L, 2L, "2024-01-01 09:30:00", "purchase"))
+        .toDF("event_id", "user_id", "ts_s", "event_type")
+        .selectExpr("event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+    }
+    val got = Analytics.eventTransitions(
+      events, "user_id", col("ts"), col("event_type"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // u1: view→click, click→view; u2: view→purchase (no cross-user pair)
+    assert(got.toSeq == Seq(
+      ("click", "view", 1L, 1000000L),
+      ("view", "click", 1L, 500000L),
+      ("view", "purchase", 1L, 500000L)))
+    val sums = got.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    sums.foreach { case (from, total) =>
+      assert(total <= 1000000L && total > 1000000L - got.length,
+        s"$from ppm total $total")
+    }
+  }
+
+  test("slidingActiveUsers: every event lands in exactly window/slide windows") {
+    val events = {
+      import spark.implicits._
+      Seq((1L, "2024-01-10 12:00:00"), (2L, "2024-01-10 23:59:59"))
+        .toDF("user_id", "ts_s")
+        .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    }
+    val got = Analytics.slidingActiveUsers(events, "user_id", col("ts"))
+      .collect().map(r => (r.getDate(0).toString, r.getDate(1).toString, r.getLong(2)))
+    assert(got.length == 7) // both events the same day → the same 7 windows
+    assert(got.forall(_._3 == 2L))
+    assert(got.map(_._1).toSeq == (4 to 10).map(d => f"2024-01-$d%02d"))
+    // end = start + 7 days, exclusive
+    assert(got.forall { case (s, e, _) =>
+      java.time.LocalDate.parse(e).minusDays(7) == java.time.LocalDate.parse(s) })
+  }
 }

@@ -300,7 +300,11 @@ class PlanSpec extends AnyFunSuite {
       "bm25_topk_persisted" -> 1,
       "bpe_decode" -> 0, "retention_prune" -> 0, "mm_format_stats" -> 0,
       "text_nfc_audit" -> 0, "session_window_stats" -> 0, "quantiles_approx" -> 0,
-      "zorder_manifest_scan" -> 0, "mv_retract" -> 0)
+      "zorder_manifest_scan" -> 0, "mv_retract" -> 0,
+      // r9 analytics/sketch additions: theta_total_rollup crossJoins the
+      // one-row exact-distinct frame (the wauValidated scalar pattern)
+      "rolling_revenue_7d" -> 0, "event_transitions" -> 0, "sliding_wau" -> 0,
+      "theta_wow_overlap" -> 0, "theta_total_rollup" -> 1)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
