@@ -2192,6 +2192,32 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── multimodal INGESTION round-trip through Spark's binaryFile source
+    // ([[graft.sources.BinaryFiles]]): the synthesized media payloads are
+    // scattered one-FILE-per-asset (the crawl/object-store layout), read
+    // back via format("binaryFile") with a glob filter, the asset id
+    // recovered from the path, and the real header sniffer run over
+    // `content` — n_bytes comes from the source's file-system `length`
+    // metadata, so the hash match also pins metadata == payload size
+    // through the file round-trip. Oracle: mm_decode_real's byte replay ──
+    "binaryfile_ingest" -> ((s, dir) => {
+      graft.functions.MediaKernels.register(s)
+      val files = scratch(dir, "media_files")
+      graft.sources.BinaryFiles.writeFiles(
+        Multimodal.withMediaPayload(Tables.documents(s, dir)),
+        "doc_id", "payload", files)
+      graft.sources.BinaryFiles.readFiles(s, files)
+        .select(
+          col("id").as("doc_id"), col("file_bytes").as("n_bytes"),
+          graft.functions.MediaKernels.decodeHeaderCol(col("content")).as("m"))
+        .select(
+          col("doc_id"), col("m.format").as("format"), col("m.width").as("width"),
+          col("m.height").as("height"), col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"), col("m.bits").as("bits"),
+          col("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Unicode NFC normalization audit: normalize-before-anything — a
     // multilingual pipeline must compose `e + COMBINING ACUTE` and `é` to
     // ONE form or they dedup/tokenize/hash as different text. The corpus
@@ -4248,6 +4274,10 @@ object QueriesLlm {
         |FROM aug ORDER BY doc_id""".stripMargin,
 
     "mm_decode_real" -> mmDecodeRealOracle,
+
+    // binaryfile_ingest: identical per-doc decode — the file scatter +
+    // binaryFile read round-trip must be byte-lossless for this to hash
+    "binaryfile_ingest" -> mmDecodeRealOracle,
 
     // mm_format_stats: the per-format rollup over the same replayed parse
     // (plain concatenation — stripMargin over the interpolated inner SQL

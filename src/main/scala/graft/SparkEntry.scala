@@ -152,6 +152,15 @@ object SparkEntry {
       streaming.StreamingSessionize.sessionWindowReplay(Tables.events(s, dir))
         .orderBy(col("user_id"), col("start_us"))),
 
+    // ── CHAINED stateful streaming: sliding-window WAU as two stacked
+    // windowed aggregations ((window, user) dedup state → per-window user
+    // count) in ONE append-mode query — the multiple-stateful-operator
+    // support; complete replay output == batch slidingActiveUsers,
+    // identical oracle, identical hash ──
+    "stream_sliding_wau" -> ((s, dir) =>
+      streaming.StreamingSessionize.slidingWauReplay(Tables.events(s, dir))
+        .orderBy(col("window_start"))),
+
     // ── C4 variant: WAU by session_id (ref SessionIdBaseWauTransformer) ──
     "wau_session" -> ((s, dir) =>
       Wau.wau(
@@ -318,6 +327,10 @@ object SparkEntry {
     // stream==batch discipline: identical oracle, identical hash)
     "session_window_stats" -> sessionWindowSql,
     "stream_session_window" -> sessionWindowSql,
+
+    // stream_sliding_wau: the batch sliding_wau oracle verbatim — the
+    // chained streaming aggregation must reproduce it bit-for-bit
+    "stream_sliding_wau" -> QueriesRelational.oracleSql("sliding_wau"),
 
     // Identical to the batch sessionize oracle on purpose: the streaming
     // replay must reproduce batch sessionization bit-for-bit.

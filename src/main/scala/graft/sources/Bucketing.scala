@@ -19,13 +19,33 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, bucket-sorted parquet table. Overwrites. */
+  /** Write `df` as a bucketed, bucket-sorted parquet table. Overwrites —
+    * including an ORPHANED location: with an in-memory catalog, a table
+    * written by a previous JVM leaves its warehouse directory behind while
+    * the catalog entry is gone, and `saveAsTable` then fails with
+    * LOCATION_ALREADY_EXISTS. If the catalog does not know the table but
+    * its default location exists, clear the location first (guarded to the
+    * session's own warehouse dir).
+    */
   def writeBucketed(
       df: DataFrame,
       table: String,
       bucketKey: String,
       buckets: Int,
       sortKey: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val loc = new java.io.File(warehouse, table.toLowerCase)
+      if (loc.exists() && loc.getAbsolutePath.split('/').contains("target")) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     val w = df.write
       .mode("overwrite")
       .format("parquet")

@@ -428,6 +428,101 @@ object StreamingSessionize {
     }
   }
 
+  /** Sliding-window distinct-user counts as a CHAINED stateful streaming
+    * pipeline — TWO stacked windowed aggregations in one append-mode query
+    * (the multiple-stateful-operator support added to Spark's Structured
+    * Streaming): stage 1 collapses to one state row per
+    * `(sliding window, user)` — the streaming dedup — and stage 2, keyed on
+    * the propagated event-time window, counts users per window once the
+    * watermark passes the window end. A single-stage `countDistinct` is
+    * unsupported in streaming precisely because its state is unmergeable;
+    * the two-stage form IS the distinct count, with state bounded per stage
+    * by the watermark horizon.
+    *
+    * Replayed over the sliced file source so the watermark genuinely moves
+    * across triggers; the complete output must equal the batch
+    * [[graft.operators.Analytics.slidingActiveUsers]] bit-for-bit (the
+    * `sliding_wau` oracle). Sentinels ride user_id −1 far past the last
+    * real window end + delay, driving the final flush; their own far-future
+    * windows are dropped by the window_start cutoff, which is derived from
+    * the data bounds, not the sentinels.
+    */
+  def slidingWauReplay(
+      events: DataFrame,
+      windowDays: Int = 7,
+      slideDays: Int = 1,
+      slices: Int = 3,
+      watermarkDelaySec: Long = 600L,
+      queryName: String = "stream_sliding_wau_sink"): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    require(slices >= 2, s"need >= 2 slices for the watermark to move, got $slices")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_slidingwau_")
+    val streamDir = base.resolve("stream")
+    Files.createDirectories(streamDir)
+    try {
+      val proj = events.select(col("user_id").cast("long").as("user_id"), col("ts"))
+      val bounds = proj.agg(
+        min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
+      require(!bounds.isNullAt(0), "slidingWauReplay: empty events input")
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = hi - lo + 1
+      // the last real window ends at day(hi) + windowDays; the sentinel must
+      // push the watermark past that end for the final windows to emit
+      val sentinel1 = hi + (windowDays + 1).toLong * 86400L + watermarkDelaySec + 60L
+      val sentinel2 = sentinel1 + 60L
+      val sliceDfs = (0 until slices).map { i =>
+        val cutLo = lo + span * i / slices
+        val cutHi = lo + span * (i + 1) / slices
+        val e = unix_timestamp(col("ts"))
+        proj.where(e >= cutLo && e < cutHi)
+      } ++ Seq(sentinel1, sentinel2).map { sec =>
+        Seq(-1L).toDF("user_id")
+          .select(col("user_id"), lit(sec).cast("timestamp").as("ts"))
+      }
+      sliceDfs.zipWithIndex.foreach { case (df, i) =>
+        val stage = base.resolve(s"stage_$i")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = Files.list(stage).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written for slice $i"))
+        val dest = streamDir.resolve(f"part_$i%03d.parquet")
+        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
+      }
+      val src = spark.readStream
+        .schema(proj.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val out = src
+        .withWatermark("ts", s"$watermarkDelaySec seconds")
+        .groupBy(
+          window(col("ts"), s"$windowDays days", s"$slideDays days").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events")) // stage 1: (window, user) dedup state
+        .groupBy(col("w")) // stage 2: count rows per propagated event-time window
+        .agg(count(lit(1)).as("active_users"))
+        .select(
+          to_date(col("w.start")).as("window_start"),
+          to_date(col("w.end")).as("window_end"),
+          col("active_users"))
+      withReplayStatePartitions(spark) {
+        val q = out.writeStream.format("memory")
+          .queryName(queryName).outputMode("append").start()
+        try { q.processAllAvailable(); captureStateMetrics(q) }
+        finally q.stop()
+      }
+      // drop the sentinels' far-future windows: real starts end at day(hi)
+      val hiDay = java.time.LocalDate.ofEpochDay(hi / 86400L).toString
+      spark.table(queryName).where(col("window_start") <= lit(hiDay).cast("date"))
+    } finally {
+      import scala.util.Try
+      Try(Files.walk(base).iterator().asScala.toSeq.reverse.foreach(p => Try(Files.delete(p))))
+    }
+  }
+
   /** The NATIVE streaming session aggregation: Spark's `session_window`
     * under a watermark — merging per-(user, session) state the ENGINE
     * manages (no `flatMapGroupsWithState` machinery), emitted in append

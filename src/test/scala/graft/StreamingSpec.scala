@@ -322,6 +322,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rl.map(_._3).sum == 0, "the time-ranged slices must produce no watermark drops")
   }
 
+  test("chained sliding-window agg: stream equals batch, two stateful stages, drained state") {
+    val ev = Tables.events(spark, SfDir)
+    val got = StreamingSessionize.slidingWauReplay(ev, queryName = "slidingwau_spec_sink")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(2))).sortBy(_._1).toSeq
+    val expected = graft.operators.Analytics
+      .slidingActiveUsers(ev, "user_id", col("ts"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(2))).sortBy(_._1).toSeq
+    assert(expected.nonEmpty)
+    assert(got == expected, s"chained streaming agg diverged from batch")
+    val m = StreamingSessionize.lastReplayStateMetrics
+    assert(m.nonEmpty, "sliding-wau replay recorded no state-operator progress")
+    assert(m.map(_._2).sum > 0, "window state was never evicted — bound unexercised")
+    assert(m.map(_._3).sum == 0, "parity must not be bought by watermark drops")
+    // both stacked aggregations keep state: peak total rows must exceed the
+    // number of distinct sliding windows alone (stage 1 holds (window,user))
+    val nWindows = expected.length.toLong
+    assert(m.map(_._1).max > nWindows,
+      s"peak state ${m.map(_._1).max} should exceed window count $nWindows — two stages expected")
+  }
+
   test("file-replay harness: multi-micro-batch streaming run equals batch sessionize") {
     // The declared stream_sessionize query's engine: events written as
     // time-range files, one file per trigger, sentinel pair driving the
