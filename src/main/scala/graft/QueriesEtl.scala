@@ -415,6 +415,42 @@ object QueriesEtl {
       Privacy.scrubEvents(Tables.events(s, dir), salt = "graft")
         .orderBy(col("event_id"))),
 
+    // ── right-to-be-forgotten purge ([[Privacy.forgetUsers]]): erase the
+    // subject set (user_id % 37 = 0) from a day-partitioned table by
+    // column-pruned discovery → partition-pruned anti-join rewrite →
+    // emptied-partition drop; a second run must be a no-op. Output is the
+    // purged table's daily rollup plus a measured zero-remnant law column;
+    // the oracle recomputes the rollup from raw events minus the subjects ──
+    "gdpr_forget" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("user_id", LongType, nullable = false),
+        StructField("value", DoubleType, nullable = true),
+        StructField("event_date", DateType, nullable = false)))
+      val t = new TableManager("graft_events_gdpr", schema, Seq("event_date"))
+      t.recreate(s)
+      t.overwritePartitions(s, Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .select(schema.fieldNames.map(col).toSeq: _*))
+      val subjects = Tables.events(s, dir)
+        .select(col("user_id")).where(col("user_id") % 37 === 0).distinct()
+      val touched = Privacy.forgetUsers(s, t, "user_id", "event_date", subjects)
+      require(touched.nonEmpty, "gdpr_forget: fixture must touch at least one partition")
+      require(Privacy.forgetUsers(s, t, "user_id", "event_date", subjects).isEmpty,
+        "gdpr_forget: second run must be a no-op")
+      val remnants = t.read(s)
+        .join(broadcast(subjects), Seq("user_id"), "left_semi")
+        .agg(count(lit(1))).head().getLong(0)
+      t.read(s)
+        .groupBy(col("event_date"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("no_remnants", lit(remnants == 0L))
+        .orderBy(col("event_date"))
+    }),
+
     // ── Z-ORDER LAYOUT ([[Layout.scanEfficiency]]): the file-skipping win
     // multi-dimensional clustering buys over a single-column sort, measured
     // on the events table for the canonical 100 TB predicate shape
@@ -1016,6 +1052,16 @@ object QueriesEtl {
          |       event_type,
          |       regexp_replace(props, '${Privacy.NumberPattern}', '<NUM>', 'g') AS props_clean,
          |       CAST(len(regexp_extract_all(props, '${Privacy.NumberPattern}')) AS BIGINT) AS n_redacted
-         |FROM events ORDER BY event_id""".stripMargin
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    // gdpr_forget: the purged table must equal "events minus subjects"
+    // exactly; no_remnants is MEASURED post-rewrite and pinned TRUE
+    "gdpr_forget" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(sum(value), 2) AS sum_value,
+        |       TRUE AS no_remnants
+        |FROM events WHERE user_id % 37 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

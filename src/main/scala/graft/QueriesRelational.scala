@@ -468,6 +468,57 @@ object QueriesRelational {
         .orderBy(col("flag"), col("q"))
     }),
 
+    // ── KLL quantile SKETCH ROLLUP ([[graft.functions.KllFunctions]]):
+    // per-(flag, ship-year) KLL sketches merged into per-flag percentiles
+    // WITHOUT rescanning the year partials — the mergeable-percentile shape
+    // percentile_approx cannot persist (its sketch dies inside one
+    // aggregation; here the partial sketch IS a column a daily job would
+    // store). Validation mirrors quantiles_approx: the merged estimate's
+    // MEASURED rank must sit within q·n ± ε·n (k=200 → published two-sided
+    // ε ≈ 1.65%; 3% gate), and the estimate itself stays out of the hashed
+    // output (merge order is partitioning-dependent) ──
+    "kll_quantile_rollup" -> ((s, dir) => {
+      import graft.functions.KllFunctions
+      KllFunctions.register(s)
+      val kllK = 200
+      val eps = 0.03
+      val qsArr = array(lit(0.5), lit(0.9), lit(0.99))
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("flag"),
+        year(col("l_shipdate")).as("yr"),
+        col("l_extendedprice").cast("double").as("v"))
+      val partials = li.groupBy(col("flag"), col("yr"))
+        .agg(KllFunctions.kllSketch(col("v"), kllK).as("sk"), count(lit(1)).as("pn"))
+      val rolled = partials.groupBy(col("flag"))
+        .agg(
+          KllFunctions.kllMerge(col("sk"), kllK).as("sk"),
+          sum(col("pn")).as("n"),
+          count(lit(1)).as("n_partials"))
+        .select(
+          col("flag"), col("n"), col("n_partials"), col("sk"),
+          posexplode(qsArr).as(Seq("qi", "q")))
+        .select(
+          col("flag"), col("n"), col("n_partials"), col("q"),
+          KllFunctions.kllQuantile(col("sk"), col("q")).as("av"))
+      val ranked = li.join(broadcast(rolled), Seq("flag"))
+        .groupBy(col("flag"), col("q"), col("n"), col("n_partials"), col("av"))
+        .agg(
+          sum(when(col("v") < col("av"), 1L).otherwise(0L)).as("rank_lo"),
+          sum(when(col("v") <= col("av"), 1L).otherwise(0L)).as("rank_hi"))
+      val exact = li.groupBy(col("flag"))
+        .agg(expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("evs"))
+        .select(col("flag"), posexplode(col("evs")).as(Seq("qi", "exact_v")),
+          element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("qi") + 1).as("q"))
+        .select(col("flag"), col("q"), col("exact_v"))
+      ranked.join(exact, Seq("flag", "q"))
+        .select(
+          col("flag"), col("q"), round(col("exact_v"), 6).as("exact_v"),
+          col("n"), col("n_partials"),
+          (col("rank_hi") >= (col("q") - eps) * col("n") &&
+            col("rank_lo") <= (col("q") + eps) * col("n")).as("rank_ok"))
+        .orderBy(col("flag"), col("q"))
+    }),
+
     // ── scalar string-function surface (upper/substr/length/regexp_extract/
     // concat_ws/lpad) — all map-side, codegen'd, pushdown-neutral ──
     "string_funcs" -> ((s, dir) =>
@@ -1127,6 +1178,29 @@ object QueriesRelational {
         |)
         |SELECT flag, q, exact_v, n, TRUE AS rank_ok
         |FROM e ORDER BY flag, q""".stripMargin,
+
+    // kll_quantile_rollup: exact percentiles + pinned-TRUE rank law; the
+    // n_partials column pins the rollup really had per-year partials
+    "kll_quantile_rollup" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag, CAST(l_extendedprice AS DOUBLE) AS v,
+        |         year(l_shipdate) AS yr
+        |  FROM lineitem
+        |), np AS (
+        |  SELECT flag, CAST(count(DISTINCT yr) AS BIGINT) AS n_partials
+        |  FROM g GROUP BY flag
+        |), e AS (
+        |  SELECT flag, 0.5 AS q, round(quantile_cont(v, 0.5), 6) AS exact_v, count(*) AS n
+        |  FROM g GROUP BY flag
+        |  UNION ALL
+        |  SELECT flag, 0.9, round(quantile_cont(v, 0.9), 6), count(*) FROM g GROUP BY flag
+        |  UNION ALL
+        |  SELECT flag, 0.99, round(quantile_cont(v, 0.99), 6), count(*) FROM g GROUP BY flag
+        |)
+        |SELECT e.flag, q, exact_v, CAST(n AS BIGINT) AS n, n_partials,
+        |       TRUE AS rank_ok
+        |FROM e JOIN np ON np.flag = e.flag
+        |ORDER BY e.flag, q""".stripMargin,
 
     "quantiles_by_flag" ->
       """SELECT l_returnflag,

@@ -64,4 +64,58 @@ object Privacy {
       col("event_type"),
       redact(col("props"), NumberPattern, "<NUM>").as("props_clean"),
       redactionCount(col("props"), NumberPattern).as("n_redacted"))
+
+  /** Right-to-be-forgotten purge over a partitioned table: remove every row
+    * whose `keyCol` appears in `subjects`, rewriting ONLY the partitions
+    * that contain such rows — the erasure-request shape (GDPR art. 17 /
+    * CCPA deletion) a 100 TB log store must serve without rewriting the
+    * whole table.
+    *
+    * Three bounded passes:
+    *  1. DISCOVERY — a column-pruned scan (only `keyCol` + the partition
+    *     key reach the parquet reader) semi-joined against the broadcast
+    *     subject set yields the touched partition values; untouched
+    *     partitions are never read again.
+    *  2. REWRITE — the touched partitions (partition-pruned scan) anti-join
+    *     the subjects and dynamic-partition-overwrite in place (the
+    *     [[graft.sources.TableManager]] idempotent-load path).
+    *  3. SWEEP — a partition whose EVERY row belonged to subjects emits no
+    *     rows, so dynamic overwrite cannot touch it; those are dropped as
+    *     units via ALTER TABLE DROP PARTITION.
+    *
+    * Returns the touched partition values ascending; a second run with the
+    * same subjects returns empty (idempotent — the audit re-check is free).
+    * The subject set is assumed driver-bounded (an erasure queue, not a
+    * fact table); for fact-scale purges use an anti-join rewrite of the
+    * whole table instead.
+    */
+  def forgetUsers(
+      spark: org.apache.spark.sql.SparkSession,
+      table: graft.sources.TableManager,
+      keyCol: String,
+      partitionKey: String,
+      subjects: DataFrame): Seq[String] = {
+    val subj = broadcast(subjects.select(col(keyCol)).distinct())
+    val touched = table.read(spark)
+      .join(subj, Seq(keyCol), "left_semi")
+      .select(col(partitionKey).cast("string").as("pv")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (touched.nonEmpty) {
+      // Materialize the survivors BEFORE the overwrite: the rewrite reads
+      // the very files it replaces, so the plan must not re-scan the table
+      // mid-write. localCheckpoint bounds the staged data to the touched
+      // partitions' survivors; a production purge stages to a scratch
+      // location (or a transactional table format) and swaps — same shape.
+      val purged = table.read(spark)
+        .where(col(partitionKey).cast("string").isin(touched: _*))
+        .join(subj, Seq(keyCol), "left_anti")
+        .localCheckpoint()
+      val kept = purged
+        .select(col(partitionKey).cast("string").as("pv")).distinct()
+        .collect().map(_.getString(0)).toSet
+      table.overwritePartitions(spark, purged)
+      table.dropPartitions(spark, partitionKey, touched.filterNot(kept))
+    }
+    touched
+  }
 }

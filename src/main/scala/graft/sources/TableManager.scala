@@ -121,6 +121,19 @@ class TableManager(
     dropped.map(_(key)).sorted
   }
 
+  /** Drop the named partitions as UNITS (metadata op + their files; no
+    * row-level rewrite) — the targeted sibling of [[retentionPrune]]'s
+    * cutoff sweep, for callers that already know exactly which partitions
+    * must go (e.g. a purge that emptied them).
+    */
+  def dropPartitions(spark: SparkSession, key: String, values: Seq[String]): Unit = {
+    require(partitionKeys.contains(key),
+      s"dropPartitions: $key is not a partition key of $name (keys: $partitionKeys)")
+    values.foreach { v =>
+      spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION ($key='$v')")
+    }
+  }
+
   def drop(spark: SparkSession): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $name")
 

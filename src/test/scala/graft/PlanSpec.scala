@@ -304,7 +304,8 @@ class PlanSpec extends AnyFunSuite {
       // r9 analytics/sketch additions: theta_total_rollup crossJoins the
       // one-row exact-distinct frame (the wauValidated scalar pattern)
       "rolling_revenue_7d" -> 0, "event_transitions" -> 0, "sliding_wau" -> 0,
-      "theta_wow_overlap" -> 0, "theta_total_rollup" -> 1)
+      "theta_wow_overlap" -> 0, "theta_total_rollup" -> 1,
+      "binaryfile_ingest" -> 0, "gdpr_forget" -> 0, "kll_quantile_rollup" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

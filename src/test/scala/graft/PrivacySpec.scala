@@ -66,4 +66,37 @@ class PrivacySpec extends AnyFunSuite {
     assert(r.getAs[String]("clean") == "mail <EMAIL> or see <URL> now")
     assert(r.getAs[Long]("ne") == 1L && r.getAs[Long]("nu") == 1L)
   }
+
+  test("forgetUsers: rewrites touched partitions, drops emptied ones as units, idempotent") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_date", DateType, nullable = false)))
+    val t = new graft.sources.TableManager("graft_forget_spec", schema, Seq("event_date"))
+    t.recreate(spark)
+    // day 1: users 1,2; day 2: ONLY user 2 (fully emptied by the purge);
+    // day 3: user 3 (untouched — must not be rewritten)
+    val rows = Seq(
+      (1L, 1L, "2024-01-01"), (2L, 2L, "2024-01-01"),
+      (3L, 2L, "2024-01-02"), (4L, 2L, "2024-01-02"),
+      (5L, 3L, "2024-01-03"))
+    t.overwritePartitions(spark, rows.toDF("event_id", "user_id", "d")
+      .select(col("event_id"), col("user_id"), col("d").cast("date").as("event_date")))
+    val subjects = Seq(2L).toDF("user_id")
+
+    val touched = Privacy.forgetUsers(spark, t, "user_id", "event_date", subjects)
+    assert(touched == Seq("2024-01-01", "2024-01-02"))
+    // day 2 vanished as a partition unit, not as an empty husk
+    val parts = spark.sql("SHOW PARTITIONS graft_forget_spec")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(parts == Seq("event_date=2024-01-01", "event_date=2024-01-03"))
+    val remaining = t.read(spark).select("event_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(remaining == Seq(1L, 5L))
+    // second run: nothing to discover, nothing rewritten
+    assert(Privacy.forgetUsers(spark, t, "user_id", "event_date", subjects).isEmpty)
+    t.drop(spark)
+  }
 }
