@@ -753,6 +753,21 @@ object QueriesRelational {
         Check("row_count_min", count(lit(1)), _ >= 1000.0)))
     }),
 
+    // ── one-pass table profiler ([[operators.DataQuality.profile]]): the
+    // ANALYZE/data-card statistics per column — nulls, distinct
+    // cardinality (HLL++, self-validated within 5%), min/max — ALL from a
+    // single aggregate scan however many columns are profiled; timestamps
+    // normalized to dates at the boundary so min/max strings are
+    // engine-stable ──
+    "table_profile" -> ((s, dir) =>
+      graft.operators.DataQuality.profile(
+        Tables.orders(s, dir), Seq(
+          "o_orderkey" -> col("o_orderkey"),
+          "o_custkey" -> col("o_custkey"),
+          "o_orderstatus" -> col("o_orderstatus"),
+          "o_orderpriority" -> col("o_orderpriority"),
+          "o_orderdate" -> to_date(col("o_orderdate"))))),
+
     // ── co-bucketed SHUFFLE-FREE join ([[graft.sources.Bucketing]]): both
     // fact and dim written bucketed + bucket-sorted on the join key, so the
     // sort-merge join reads pre-partitioned, pre-sorted files and Catalyst
@@ -1178,6 +1193,24 @@ object QueriesRelational {
         |)
         |SELECT flag, q, exact_v, n, TRUE AS rank_ok
         |FROM e ORDER BY flag, q""".stripMargin,
+
+    // table_profile: exact per-column statistics, approx_ok pinned TRUE
+    "table_profile" -> {
+      def row(name: String, c: String) =
+        s"""SELECT '$name' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_v,
+           |       CAST(max($c) AS VARCHAR) AS max_v,
+           |       TRUE AS approx_ok
+           |FROM orders""".stripMargin
+      Seq(
+        row("o_orderkey", "o_orderkey"), row("o_custkey", "o_custkey"),
+        row("o_orderstatus", "o_orderstatus"),
+        row("o_orderpriority", "o_orderpriority"),
+        row("o_orderdate", "CAST(o_orderdate AS DATE)"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     // kll_quantile_rollup: exact percentiles + pinned-TRUE rank law; the
     // n_partials column pins the rollup really had per-year partials

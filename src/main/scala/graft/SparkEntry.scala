@@ -152,6 +152,14 @@ object SparkEntry {
       streaming.StreamingSessionize.sessionWindowReplay(Tables.events(s, dir))
         .orderBy(col("user_id"), col("start_us"))),
 
+    // ── stream-STATIC enrichment join: each micro-batch inner-joins a
+    // broadcast static dimension (per-user purchase tier — stateless
+    // map-side enrich), then a watermarked daily aggregation per tier;
+    // replay output == the batch join+rollup, same oracle, same hash ──
+    "stream_enrich_static" -> ((s, dir) =>
+      streaming.StreamingSessionize.enrichStaticReplay(Tables.events(s, dir))
+        .orderBy(col("day"), col("tier"))),
+
     // ── CHAINED stateful streaming: sliding-window WAU as two stacked
     // windowed aggregations ((window, user) dedup state → per-window user
     // count) in ONE append-mode query — the multiple-stateful-operator
@@ -171,6 +179,13 @@ object SparkEntry {
     "session_stats" -> ((s, dir) =>
       Sessionize.sessionStats(Tables.events(s, dir))
         .orderBy(col("user_id"), col("session_id"))),
+
+    // ── top navigation paths over sessions ([[Sessionize.sessionPaths]]):
+    // ordered event-type sequences per session (the sessionizer's own
+    // (epoch, id) tiebreak, sorted inside the row), censused and top-k'd
+    // deterministically ──
+    "session_paths" -> ((s, dir) =>
+      Sessionize.sessionPaths(Tables.events(s, dir), k = 20)),
 
     // ── the NATIVE route to C1: Spark's built-in `session_window` operator
     // — gap-merged session aggregation as ONE groupBy, no window-function
@@ -320,6 +335,19 @@ object SparkEntry {
          |SELECT event_id, user_id, epoch_sec, session_id
          |FROM sessions ORDER BY event_id""".stripMargin,
 
+    // session_paths: identical ordered concat per session, censused; the
+    // top-k tiebreak (count DESC, path ASC) is total, so LIMIT is stable
+    "session_paths" ->
+      s"""$sessionCte, p AS (
+         |  SELECT session_id,
+         |         string_agg(event_type, '>' ORDER BY epoch_sec, event_id) AS path
+         |  FROM sessions GROUP BY session_id
+         |)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         |FROM p GROUP BY path
+         |ORDER BY n_sessions DESC, path
+         |LIMIT 20""".stripMargin,
+
     // session_window_stats / stream_session_window: the native operator's
     // merge rule at raw event-time precision — split when the micros gap
     // reaches 300 s exactly; window end = last event + gap. ONE replay for
@@ -331,6 +359,23 @@ object SparkEntry {
     // stream_sliding_wau: the batch sliding_wau oracle verbatim — the
     // chained streaming aggregation must reproduce it bit-for-bit
     "stream_sliding_wau" -> QueriesRelational.oracleSql("sliding_wau"),
+
+    // stream_enrich_static: the dim rebuilt relationally, joined, rolled
+    // up per (day, tier) — the streaming enrich must reproduce it exactly
+    "stream_enrich_static" ->
+      """WITH dim AS (
+        |  SELECT user_id,
+        |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 5
+        |                THEN 'high'
+        |              WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 1
+        |                THEN 'mid'
+        |              ELSE 'none' END AS tier
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT CAST(e.ts AS DATE) AS day, d.tier,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events e JOIN dim d USING (user_id)
+        |GROUP BY 1, 2 ORDER BY day, tier""".stripMargin,
 
     // Identical to the batch sessionize oracle on purpose: the streaming
     // replay must reproduce batch sessionization bit-for-bit.

@@ -67,4 +67,65 @@ object DataQuality {
       .select(explode(array(packed: _*)).as("r"))
       .select(col("r.check_rank"), col("r.check_name"), col("r.metric"), col("r.passed"))
   }
+
+  /** One-pass column profiler — the per-column statistics a catalog's data
+    * card shows (and `ANALYZE TABLE` collects for the CBO): row count,
+    * null count, distinct cardinality, min/max. ONE aggregate scan
+    * regardless of how many columns are profiled (the [[run]] shape: all
+    * metrics ride a single `agg`), with HLL++ sketches (rsd 1%) carrying
+    * the cardinalities.
+    *
+    * At fixture scale a second one-pass aggregate computes the EXACT
+    * distinct counts and the output hashes those plus a tolerance boolean
+    * the sketch must satisfy (the self-validation discipline — estimates
+    * never enter hashed columns). At 100 TB the serving path drops the
+    * exact branch and reads the sketches alone; `approxOnly = true` is
+    * that mode.
+    *
+    * Columns are `(name, expr)` so callers can normalize types at the
+    * boundary (e.g. cast a timestamp to date) — min/max render as strings
+    * for a uniform row shape, so only pass expressions whose string form
+    * is engine-stable (integers, strings, dates).
+    */
+  def profile(
+      df: DataFrame,
+      cols: Seq[(String, Column)],
+      tol: Double = 0.05,
+      approxOnly: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
+    val aggs = cols.zipWithIndex.flatMap { case ((_, c), i) =>
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls_$i"),
+        approx_count_distinct(c, 0.01).as(s"ad_$i"),
+        min(c).cast("string").as(s"min_$i"),
+        max(c).cast("string").as(s"max_$i"))
+    } :+ count(lit(1)).as("n_rows")
+    val prof = df.agg(aggs.head, aggs.tail: _*)
+    val withExact =
+      if (approxOnly) prof
+      else {
+        val exacts = cols.zipWithIndex.map { case ((_, c), i) =>
+          countDistinct(c).as(s"ed_$i")
+        }
+        prof.crossJoin(broadcast(df.agg(exacts.head, exacts.tail: _*)))
+      }
+    val packed = cols.zipWithIndex.map { case ((name, _), i) =>
+      val nd =
+        if (approxOnly) col(s"ad_$i").as("n_distinct")
+        else col(s"ed_$i").as("n_distinct")
+      val ok =
+        if (approxOnly) lit(true).as("approx_ok")
+        else (abs(col(s"ad_$i").cast("double") - col(s"ed_$i")) <=
+          col(s"ed_$i") * tol + 1.0).as("approx_ok")
+      struct(
+        lit(name).as("col_name"), col("n_rows"), col(s"nulls_$i").as("n_nulls"),
+        nd, col(s"min_$i").as("min_v"), col(s"max_$i").as("max_v"), ok)
+    }
+    withExact
+      .select(explode(array(packed: _*)).as("p"))
+      .select(
+        col("p.col_name"), col("p.n_rows"), col("p.n_nulls"), col("p.n_distinct"),
+        col("p.min_v"), col("p.max_v"), col("p.approx_ok"))
+      .orderBy(col("col_name"))
+  }
 }

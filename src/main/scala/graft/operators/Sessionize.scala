@@ -72,6 +72,41 @@ object Sessionize {
         round(sum(col(valueCol)), 2).as("sum_value"))
   }
 
+  /** Top navigation paths: each session's ordered event-type sequence
+    * joined with `>` and counted across sessions — the path-analysis
+    * rollup behind "what do users actually do in a session". Ordering is
+    * the sessionizer's own deterministic `(epoch_sec, event_id)` tiebreak,
+    * applied INSIDE the row (`array_sort` over the collected structs), so
+    * the result never depends on `collect_list`'s arrival order and no
+    * extra window pass is needed.
+    *
+    * Scale shape: one session-keyed aggregation collapses events to paths
+    * (bounded by session length — cap upstream if sessions can run
+    * unbounded), then a map-side-combined census over the path space and a
+    * deterministic top-k (`count DESC, path ASC`).
+    */
+  def sessionPaths(
+      df: DataFrame,
+      k: Int = 20,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieBreakCol: String = "event_id",
+      typeCol: String = "event_type",
+      gapSeconds: Long = 300L): DataFrame = {
+    sessionize(df, userCol, tsCol, tieBreakCol, gapSeconds)
+      .groupBy(col("session_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(
+            col("epoch_sec"), col(tieBreakCol), col(typeCol)))),
+          x => x.getField(typeCol)),
+        ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** Cross-batch session continuity
     * (`DataLoadTransformer.scala:94-159` — `replaceWithExistingSessionId`).
     *

@@ -523,6 +523,91 @@ object StreamingSessionize {
     }
   }
 
+  /** Stream-STATIC enrichment join, replayed end to end — the production
+    * enrichment shape missing between the stateless map transforms and the
+    * stream-stream interval joins: each micro-batch inner-joins a
+    * broadcast STATIC dimension (no state, no watermark needed for the
+    * join itself — the dim is fixed for the query's lifetime), and the
+    * enriched rows feed a watermarked daily aggregation per dimension
+    * attribute, the one stateful stage.
+    *
+    * The dimension here is derived from the batch input (per-user purchase
+    * count → tier), so the DuckDB oracle rebuilds it relationally; the
+    * sentinel rows ride user −1, absent from the dim, and vanish in the
+    * inner join — the cutoff needs no post-filter.
+    */
+  def enrichStaticReplay(
+      events: DataFrame,
+      slices: Int = 3,
+      watermarkDelaySec: Long = 600L,
+      queryName: String = "stream_enrich_static_sink"): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    require(slices >= 2, s"need >= 2 slices for the watermark to move, got $slices")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_enrich_")
+    val streamDir = base.resolve("stream")
+    Files.createDirectories(streamDir)
+    try {
+      val proj = events.select(col("user_id").cast("long").as("user_id"), col("ts"))
+      val dim = events
+        .groupBy(col("user_id").cast("long").as("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .select(
+          col("user_id"),
+          when(col("np") >= 5L, "high")
+            .when(col("np") >= 1L, "mid")
+            .otherwise("none").as("tier"))
+      val bounds = proj.agg(
+        min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
+      require(!bounds.isNullAt(0), "enrichStaticReplay: empty events input")
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = hi - lo + 1
+      val sentinel1 = hi + 2L * 86400L + watermarkDelaySec + 60L
+      val sentinel2 = sentinel1 + 60L
+      val sliceDfs = (0 until slices).map { i =>
+        val cutLo = lo + span * i / slices
+        val cutHi = lo + span * (i + 1) / slices
+        val e = unix_timestamp(col("ts"))
+        proj.where(e >= cutLo && e < cutHi)
+      } ++ Seq(sentinel1, sentinel2).map { sec =>
+        Seq(-1L).toDF("user_id")
+          .select(col("user_id"), lit(sec).cast("timestamp").as("ts"))
+      }
+      sliceDfs.zipWithIndex.foreach { case (df, i) =>
+        val stage = base.resolve(s"stage_$i")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = Files.list(stage).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written for slice $i"))
+        val dest = streamDir.resolve(f"part_$i%03d.parquet")
+        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
+      }
+      val src = spark.readStream
+        .schema(proj.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val out = src
+        .withWatermark("ts", s"$watermarkDelaySec seconds")
+        .join(broadcast(dim), Seq("user_id")) // stateless per-batch enrich
+        .groupBy(window(col("ts"), "1 day").as("w"), col("tier"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(to_date(col("w.start")).as("day"), col("tier"), col("n_events"))
+      withReplayStatePartitions(spark) {
+        val q = out.writeStream.format("memory")
+          .queryName(queryName).outputMode("append").start()
+        try { q.processAllAvailable(); captureStateMetrics(q) }
+        finally q.stop()
+      }
+      spark.table(queryName)
+    } finally {
+      import scala.util.Try
+      Try(Files.walk(base).iterator().asScala.toSeq.reverse.foreach(p => Try(Files.delete(p))))
+    }
+  }
+
   /** The NATIVE streaming session aggregation: Spark's `session_window`
     * under a watermark — merging per-(user, session) state the ENGINE
     * manages (no `flatMapGroupsWithState` machinery), emitted in append

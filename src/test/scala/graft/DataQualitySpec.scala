@@ -67,4 +67,22 @@ class DataQualitySpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException](DataQuality.run(dirty, Nil))
   }
+
+  test("profile: exact per-column stats from one pass; approxOnly serves sketches") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None), (Some(2L), Some("b")), (None, Some("a")))
+      .toDF("k", "s")
+    val got = DataQuality.profile(df, Seq("k" -> col("k"), "s" -> col("s")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getBoolean(6)))
+    assert(got.toSeq == Seq(
+      ("k", 4L, 1L, 2L, "1", "2", true),
+      ("s", 4L, 1L, 2L, "a", "b", true)))
+    // approxOnly: no exact branch, cardinality comes from the sketch alone
+    val ao = DataQuality.profile(df, Seq("k" -> col("k")), approxOnly = true).head()
+    assert(ao.getLong(3) == 2L) // HLL is exact at this cardinality
+    assert(ao.getBoolean(6))
+  }
 }

@@ -109,4 +109,23 @@ class SessionizeSpec extends AnyFunSuite {
     assert(fresh.select("session_id").head().getString(0) !=
       b1.select("session_id").head().getString(0))
   }
+
+  test("sessionPaths: in-row sort orders same-second events by id; top-k tiebreak total") {
+    import spark.implicits._
+    // u1 session: view,click in the SAME second (id order decides),
+    // then a second session after the gap: view alone
+    // u2 session: view>click — same path as u1's first session
+    val ev = Seq(
+      (2L, 1L, "2024-01-01 10:00:00", "click"),
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (3L, 1L, "2024-01-01 11:00:00", "view"),
+      (4L, 2L, "2024-01-01 09:00:00", "view"),
+      (5L, 2L, "2024-01-01 09:00:30", "click"))
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .selectExpr(
+        "event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+    val got = Sessionize.sessionPaths(ev, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("view>click", 2L), ("view", 1L)))
+  }
 }

@@ -322,6 +322,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rl.map(_._3).sum == 0, "the time-ranged slices must produce no watermark drops")
   }
 
+  test("stream-static enrich: broadcast dim join equals batch, sentinels vanish in the join") {
+    val ev = Tables.events(spark, SfDir)
+    val got = StreamingSessionize.enrichStaticReplay(ev, queryName = "enrich_spec_sink")
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSet
+    val np = sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+    val dim = ev.groupBy(col("user_id")).agg(np.as("np"))
+      .select(col("user_id"),
+        when(col("np") >= 5L, "high").when(col("np") >= 1L, "mid")
+          .otherwise("none").as("tier"))
+    val expected = ev.join(dim, Seq("user_id"))
+      .groupBy(to_date(col("ts")).as("day"), col("tier"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty)
+    assert(got == expected,
+      s"enrich diverged: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    val m = StreamingSessionize.lastReplayStateMetrics
+    assert(m.nonEmpty && m.map(_._3).sum == 0, "no watermark drops expected")
+  }
+
   test("chained sliding-window agg: stream equals batch, two stateful stages, drained state") {
     val ev = Tables.events(spark, SfDir)
     val got = StreamingSessionize.slidingWauReplay(ev, queryName = "slidingwau_spec_sink")
