@@ -656,6 +656,34 @@ object QueriesRelational {
         Tables.events(s, dir), "user_id", col("ts"),
         col("event_type"), col("event_id"))),
 
+    // ── deadline-bounded funnel ([[operators.Analytics.funnelStepsWithin]]):
+    // click within an hour of first view, purchase within an hour of that
+    // click — the conversion-window form; same chain, bounded predicate ──
+    "funnel_within" -> ((s, dir) =>
+      graft.operators.Analytics.funnelStepsWithin(
+        Tables.events(s, dir), "user_id", col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"), withinSec = 3600L)),
+
+    // ── two-proportion z-test decided in EXACT integer arithmetic
+    // ([[operators.Analytics.abZTest]]): per-user conversion by user-id
+    // parity split; decimal(38,0) cross-multiplied inequality, so the
+    // significance boolean is bitwise cross-engine ──
+    "ab_ztest" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      graft.operators.Analytics.abZTest(
+        perUser, pmod(col("user_id"), lit(2)), col("conv") === 1L)
+    }),
+
+    // ── time-decayed engagement score ([[operators.Analytics.decayScore]]):
+    // halve per week of age — integer exponents of two, exact binary
+    // fraction weights, bitwise-replayable sum ──
+    "decay_score" -> ((s, dir) =>
+      graft.operators.Analytics.decayScore(
+        Tables.events(s, dir), "user_id", col("ts"), col("value"),
+        asOfDate = "2024-02-01")),
+
     // ── theta-sketch week-over-week audience overlap ([[graft.functions
     // .ThetaFunctions]]): per-week theta sketches of the user set, then
     // INTERSECTION and A-NOT-B estimates per consecutive-week pair — the
@@ -1421,6 +1449,67 @@ object QueriesRelational {
         |SELECT from_type, to_type, n,
         |       CAST(n * 1000000 // n_from AS BIGINT) AS p_ppm
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // funnel_within: the bounded conditional-min chain
+    "funnel_within" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS et,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), s1 AS (
+        |  SELECT u, min(sec) AS t FROM e WHERE et = 'view' GROUP BY u
+        |), s2 AS (
+        |  SELECT e.u, min(e.sec) AS t FROM e JOIN s1
+        |    ON e.u = s1.u AND e.sec >= s1.t AND e.sec <= s1.t + 3600
+        |  WHERE e.et = 'click' GROUP BY e.u
+        |), s3 AS (
+        |  SELECT e.u, min(e.sec) AS t FROM e JOIN s2
+        |    ON e.u = s2.u AND e.sec >= s2.t AND e.sec <= s2.t + 3600
+        |  WHERE e.et = 'purchase' GROUP BY e.u
+        |), c AS (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |         CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |  UNION ALL
+        |  SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(*) FROM s3
+        |)
+        |SELECT step, step_name, n_users,
+        |       CAST(n_users * 1000000 // (SELECT n_users FROM c WHERE step = 1) AS BIGINT)
+        |         AS conv_ppm
+        |FROM c ORDER BY step""".stripMargin,
+
+    // ab_ztest: identical cross-multiplied inequality on HUGEINT (exact
+    // 128-bit — the decimal(38,0) twin of the Spark side)
+    "ab_ztest" ->
+      """WITH pu AS (
+        |  SELECT user_id, user_id % 2 AS grp,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id
+        |), g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x
+        |  FROM pu GROUP BY grp
+        |)
+        |SELECT a.n AS n1, a.x AS x1, b.n AS n2, b.x AS x2,
+        |       CAST(a.x * 1000000 // a.n AS BIGINT) AS rate1_ppm,
+        |       CAST(b.x * 1000000 // b.n AS BIGINT) AS rate2_ppm,
+        |       (CAST(a.x AS HUGEINT) * b.n - CAST(b.x AS HUGEINT) * a.n)
+        |         * (CAST(a.x AS HUGEINT) * b.n - CAST(b.x AS HUGEINT) * a.n)
+        |         * (a.n + b.n) * 10000
+        |         > 38416 * CAST(a.n AS HUGEINT) * b.n * (a.x + b.x)
+        |           * (a.n + b.n - a.x - b.x) AS significant
+        |FROM (SELECT * FROM g WHERE grp = 0) a,
+        |     (SELECT * FROM g WHERE grp = 1) b""".stripMargin,
+
+    // decay_score: identical integer-exponent weights; pow(2, -k) is an
+    // exact binary fraction in both engines
+    "decay_score" ->
+      """SELECT user_id,
+        |       round(sum(value * pow(2.0, -CAST(
+        |         date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') // 7
+        |         AS DOUBLE))), 6) AS decay_score
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // theta_wow_overlap: exact distinct self-join per consecutive-week
     // pair; the sketch estimates only feed the tolerance booleans, which

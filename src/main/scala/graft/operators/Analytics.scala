@@ -160,6 +160,124 @@ object Analytics {
       .orderBy(col("step"))
   }
 
+  /** Deadline-bounded funnel: like [[funnelSteps]], but step k must occur
+    * within `withinSec` whole seconds of reaching step k-1 — "checkout
+    * within an hour of the click", the conversion-window form product
+    * analytics actually reports (an unbounded funnel credits conversions
+    * that took a month). Same per-step conditional-min chain and scale
+    * shape; only the join predicate gains the upper bound.
+    */
+  def funnelStepsWithin(
+      events: DataFrame,
+      userCol: String,
+      tsCol: Column,
+      typeCol: Column,
+      steps: Seq[String],
+      withinSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnelStepsWithin: at least one step required")
+    require(withinSec > 0, s"funnelStepsWithin: withinSec must be positive, got $withinSec")
+    val ev = events.select(
+      col(userCol).as("u"), typeCol.as("et"),
+      floor(unix_timestamp(tsCol)).cast("long").as("sec"))
+    val reaches = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val mine = ev.where(col("et") === step)
+        Some(prev match {
+          case None => mine.groupBy(col("u")).agg(min(col("sec")).as("t"))
+          case Some(r) =>
+            mine.join(r.select(col("u"), col("t").as("prev_t")), Seq("u"))
+              .where(col("sec") >= col("prev_t") &&
+                col("sec") <= col("prev_t") + withinSec)
+              .groupBy(col("u")).agg(min(col("sec")).as("t"))
+        })
+    }.flatten
+    val counts = reaches.zip(steps).zipWithIndex.map { case ((r, name), i) =>
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(name).as("step_name"), col("n_users"))
+    }.reduce(_ unionByName _)
+    val first = counts.where(col("step") === 1L).select(col("n_users").as("n_first"))
+    counts
+      .crossJoin(broadcast(first))
+      .select(
+        col("step"), col("step_name"), col("n_users"),
+        expr("n_users * 1000000 div n_first").as("conv_ppm"))
+      .orderBy(col("step"))
+  }
+
+  /** Two-proportion z-test (pooled), decided in EXACT integer arithmetic —
+    * the A/B readout ("did variant B convert better, significantly?") with
+    * no floating-point in the verdict. With per-group trials `n` and
+    * successes `x`, the pooled z² statistic
+    *
+    *   z² = (x₁n₂ − x₂n₁)² · N / (n₁ n₂ x (N−x)),  N = n₁+n₂, x = x₁+x₂
+    *
+    * rearranges the significance test `z² > crit²` to the cross-multiplied
+    * integer inequality
+    *
+    *   (x₁n₂ − x₂n₁)² · N · 10⁴  >  crit²·10⁴ · n₁ n₂ x (N−x)
+    *
+    * evaluated on `decimal(38,0)` products (exact up to 10³⁸ — ample for
+    * counts to ~10⁸ per side; beyond that, scale counts down first). The
+    * output carries the exact counts, rate ppms, and the boolean verdict —
+    * all bitwise-replayable. crit²·10⁴ = 38416 is z=1.96 (95%, two-sided).
+    *
+    * Scale shape: one map-side-combined aggregation to the two group rows,
+    * then constant-size arithmetic.
+    */
+  def abZTest(
+      events: DataFrame,
+      groupCol: Column,
+      successCol: Column,
+      critSq1e4: Long = 38416L): DataFrame = {
+    val g = events
+      .groupBy(groupCol.cast("long").as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("x"))
+    val a = g.where(col("grp") === 0).select(col("n").as("n1"), col("x").as("x1"))
+    val b = g.where(col("grp") === 1).select(col("n").as("n2"), col("x").as("x2"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    a.crossJoin(broadcast(b)).select(
+      col("n1"), col("x1"), col("n2"), col("x2"),
+      expr("x1 * 1000000 div n1").as("rate1_ppm"),
+      expr("x2 * 1000000 div n2").as("rate2_ppm"),
+      {
+        val bigN = d(col("n1")) + d(col("n2"))
+        val x = d(col("x1")) + d(col("x2"))
+        val diff = d(col("x1")) * d(col("n2")) - d(col("x2")) * d(col("n1"))
+        (diff * diff * bigN * d(lit(10000L)) >
+          d(lit(critSq1e4)) * d(col("n1")) * d(col("n2")) * x * (bigN - x))
+          .as("significant")
+      })
+  }
+
+  /** Time-decayed engagement score per key: each event contributes
+    * `value · 2^(−age_weeks)` with `age_weeks = (asOfDay − day(ts)) div 7`
+    * — integer exponents of two, so the weights are EXACT binary fractions
+    * and the double sum replays bitwise across engines (a continuous decay
+    * `e^(−λΔt)` would put transcendental rounding in the hash path; halving
+    * per week is the standard recency-weighting discipline made exact).
+    *
+    * One map-side weight multiply + one key-grouped sum.
+    */
+  def decayScore(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: Column,
+      valueCol: Column,
+      asOfDate: String): DataFrame = {
+    val dd = datediff(lit(asOfDate).cast("date"), to_date(tsCol))
+    val ageWeeks = ((dd - pmod(dd, lit(7))) / lit(7)).cast("double")
+    events
+      .where(valueCol.isNotNull)
+      .select(
+        col(keyCol),
+        (valueCol * pow(lit(2.0), -ageWeeks)).as("w"))
+      .groupBy(col(keyCol))
+      .agg(round(sum(col("w")), 6).as("decay_score"))
+      .orderBy(col(keyCol))
+  }
+
   /** Rolling RANGE-frame aggregate over a per-key daily series — "customer's
     * trailing 7-day spend as of each active day", the as-of rolling feature
     * every feature store materializes. The frame is a true RANGE frame over

@@ -211,6 +211,66 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelStepsWithin: conversions outside the deadline don't count") {
+    val events = ev(
+      // u1: click 30 min after view — inside the 1 h window
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:30:00", "click"),
+      // u2: click 2 h after view — outside
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 12:00:00", "click"),
+      // u3: click at EXACTLY +3600 s — inclusive bound
+      (3L, "2024-01-01 10:00:00", "view"),
+      (3L, "2024-01-01 11:00:00", "click"))
+    val got = Analytics.funnelStepsWithin(
+      events, "user_id", col("ts"), col("event_type"),
+      Seq("view", "click"), withinSec = 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 2L))) // u1 + u3 convert, u2 times out
+    // the unbounded funnel credits all three
+    val unbounded = Analytics.funnelSteps(
+      events, "user_id", col("ts"), col("event_type"), Seq("view", "click"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(unbounded == Seq((1L, 3L), (2L, 3L)))
+  }
+
+  test("abZTest: integer verdict agrees with the double z² on both sides of the line") {
+    import spark.implicits._
+    def frame(x1: Int, n1: Int, x2: Int, n2: Int) = {
+      val rows =
+        (0 until n1).map(i => (0L, i < x1)) ++ (0 until n2).map(i => (1L, i < x2))
+      rows.toDF("grp", "conv")
+    }
+    def zSq(x1: Double, n1: Double, x2: Double, n2: Double): Double = {
+      val (bigN, x) = (n1 + n2, x1 + x2)
+      math.pow(x1 * n2 - x2 * n1, 2) * bigN / (n1 * n2 * x * (bigN - x))
+    }
+    // clearly significant: 10% vs 20% at n=1000
+    assert(zSq(100, 1000, 200, 1000) > 3.8416)
+    val sig = Analytics.abZTest(frame(100, 1000, 200, 1000), col("grp"), col("conv")).head()
+    assert(sig.getAs[Boolean]("significant"))
+    assert(sig.getAs[Long]("rate1_ppm") == 100000L)
+    // clearly not: 10% vs 10.5% at n=1000
+    assert(zSq(100, 1000, 105, 1000) < 3.8416)
+    val ns = Analytics.abZTest(frame(100, 1000, 105, 1000), col("grp"), col("conv")).head()
+    assert(!ns.getAs[Boolean]("significant"))
+  }
+
+  test("decayScore: halves per whole week of age, exact binary weights") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "2024-01-31 12:00:00", 8.0), // 1 day old  → week 0 → ×1
+      (1L, "2024-01-20 12:00:00", 8.0), // 12 days    → week 1 → ×0.5
+      (1L, "2024-01-10 12:00:00", 8.0), // 22 days    → week 3 → ×0.125
+      (2L, "2024-01-01 00:00:00", 4.0)) // 31 days    → week 4 → ×0.0625
+      .toDF("user_id", "ts_s", "value")
+      .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+    val got = Analytics.decayScore(events, "user_id", col("ts"), col("value"), "2024-02-01")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got(1L) == 8.0 + 4.0 + 1.0)
+    assert(got(2L) == 0.25)
+  }
+
   test("slidingActiveUsers: every event lands in exactly window/slide windows") {
     val events = {
       import spark.implicits._

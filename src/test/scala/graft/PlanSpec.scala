@@ -306,8 +306,10 @@ class PlanSpec extends AnyFunSuite {
       "rolling_revenue_7d" -> 0, "event_transitions" -> 0, "sliding_wau" -> 0,
       "theta_wow_overlap" -> 0, "theta_total_rollup" -> 1,
       "binaryfile_ingest" -> 0, "gdpr_forget" -> 0, "kll_quantile_rollup" -> 0,
-      // table_profile crossJoins the one-row exact-distinct frame
-      "session_paths" -> 0, "table_profile" -> 1)
+      // table_profile crossJoins the one-row exact-distinct frame;
+      // funnel_within and ab_ztest each carry one 1-row scalar crossJoin
+      "session_paths" -> 0, "table_profile" -> 1,
+      "funnel_within" -> 1, "ab_ztest" -> 1, "decay_score" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
