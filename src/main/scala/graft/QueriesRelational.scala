@@ -781,6 +781,18 @@ object QueriesRelational {
         Check("row_count_min", count(lit(1)), _ >= 1000.0)))
     }),
 
+    // ── scalable dense ID assignment ([[operators.Ids.assignStableIds]]):
+    // contiguous 0..n-1 ids in md5-key order WITHOUT a global
+    // single-partition sort — hex-prefix range buckets ranked in parallel
+    // + a 256-row broadcast offset frame; bit-identical to the oracle's
+    // row_number() over the global order ──
+    "assign_ids" -> ((s, dir) =>
+      graft.operators.Ids.assignStableIds(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        col("text"), col("doc_id"))
+        .select(col("doc_id"), col("new_id"))
+        .orderBy(col("doc_id"))),
+
     // ── one-pass table profiler ([[operators.DataQuality.profile]]): the
     // ANALYZE/data-card statistics per column — nulls, distinct
     // cardinality (HLL++, self-validated within 5%), min/max — ALL from a
@@ -1221,6 +1233,14 @@ object QueriesRelational {
         |)
         |SELECT flag, q, exact_v, n, TRUE AS rank_ok
         |FROM e ORDER BY flag, q""".stripMargin,
+
+    // assign_ids: the single-partition-sort formulation the operator
+    // refuses to plan — same total order, same ids
+    "assign_ids" ->
+      """SELECT doc_id,
+        |       CAST(row_number() OVER (ORDER BY md5(text), doc_id) - 1 AS BIGINT)
+        |         AS new_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // table_profile: exact per-column statistics, approx_ok pinned TRUE
     "table_profile" -> {

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ids
+
+class IdsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    spark.range(n).selectExpr("id AS doc_id", "concat('text-', id % 97) AS text")
+
+  test("ids are the exact global row_number order, at any partitioning") {
+    val df = docs(1000)
+    val single = df
+      .withColumn("new_id",
+        row_number().over(Window.orderBy(md5(col("text")), col("doc_id"))) - 1)
+      .select(col("doc_id"), col("new_id"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1).toLong)).toMap
+    Seq(1, 7).foreach { p =>
+      val got = Ids.assignStableIds(df.repartition(p), col("text"), col("doc_id"))
+        .select(col("doc_id"), col("new_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == single, s"partitioning $p changed the assignment")
+    }
+  }
+
+  test("ids are dense 0..n-1 with no gaps or duplicates") {
+    val ids = Ids.assignStableIds(docs(257), col("text"), col("doc_id"))
+      .select("new_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 257L))
+  }
+
+  test("ties on the hash key fall back to the tiebreak deterministically") {
+    // identical text → identical md5; doc_id must decide
+    val df = Seq((5L, "same"), (3L, "same"), (9L, "same"))
+      .toDF("doc_id", "text")
+    val got = Ids.assignStableIds(df, col("text"), col("doc_id"))
+      .orderBy(col("new_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((3L, 0L), (5L, 1L), (9L, 2L)))
+  }
+}
