@@ -519,6 +519,54 @@ object QueriesRelational {
         .orderBy(col("flag"), col("q"))
     }),
 
+    // ── quantile sketching AT INGESTION: [[graft.functions.KllFunctions
+    // .KllSketchAgg]] run UNCHANGED as a streaming aggregation — the KLL
+    // sketch IS the state (k-bounded per group, corpus-size-independent),
+    // exactly where an exact percentile would buffer the whole stream.
+    // KLL compaction is randomized by design, so the STREAMED estimates
+    // validate against the measured rank bound (the kll_quantile_rollup
+    // law), never by equality with a differently-ordered batch build ──
+    "stream_kll_ingest" -> ((s, dir) => {
+      import graft.functions.KllFunctions
+      KllFunctions.register(s)
+      val kllK = 200
+      val eps = 0.03
+      val sink = "stream_kll_ingest_sink"
+      val li = Tables.lineitem(s, dir)
+      val src = s.readStream.schema(li.schema)
+        .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice").cast("double").as("v"))
+      graft.streaming.StreamingSessionize.withReplayStatePartitions(s) {
+        val q = src.groupBy(col("flag"))
+          .agg(KllFunctions.kllSketch(col("v"), kllK).as("sk"))
+          .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      val qsArr = array(lit(0.5), lit(0.9), lit(0.99))
+      val est = s.table(sink)
+        .select(col("flag"), col("sk"), posexplode(qsArr).as(Seq("qi", "q")))
+        .select(col("flag"), col("q"), KllFunctions.kllQuantile(col("sk"), col("q")).as("av"))
+      val vals = li.select(col("l_returnflag").as("flag"), col("l_extendedprice").cast("double").as("v"))
+      val ranked = vals.join(broadcast(est), Seq("flag"))
+        .groupBy(col("flag"), col("q"), col("av"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("v") < col("av"), 1L).otherwise(0L)).as("rank_lo"),
+          sum(when(col("v") <= col("av"), 1L).otherwise(0L)).as("rank_hi"))
+      val exact = vals.groupBy(col("flag"))
+        .agg(expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("evs"))
+        .select(col("flag"), posexplode(col("evs")).as(Seq("qi", "exact_v")),
+          element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("qi") + 1).as("q"))
+        .select(col("flag"), col("q"), col("exact_v"))
+      ranked.join(exact, Seq("flag", "q"))
+        .select(
+          col("flag"), col("q"), round(col("exact_v"), 6).as("exact_v"), col("n"),
+          (col("rank_hi") >= (col("q") - eps) * col("n") &&
+            col("rank_lo") <= (col("q") + eps) * col("n")).as("rank_ok"))
+        .orderBy(col("flag"), col("q"))
+    }),
+
     // ── scalar string-function surface (upper/substr/length/regexp_extract/
     // concat_ws/lpad) — all map-side, codegen'd, pushdown-neutral ──
     "string_funcs" -> ((s, dir) =>
@@ -1282,6 +1330,23 @@ object QueriesRelational {
         |       TRUE AS rank_ok
         |FROM e JOIN np ON np.flag = e.flag
         |ORDER BY e.flag, q""".stripMargin,
+
+    // stream_kll_ingest: the kll_quantile_rollup oracle shape without the
+    // partials column — exact percentiles + pinned rank law
+    "stream_kll_ingest" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag, CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem
+        |), e AS (
+        |  SELECT flag, 0.5 AS q, round(quantile_cont(v, 0.5), 6) AS exact_v, count(*) AS n
+        |  FROM g GROUP BY flag
+        |  UNION ALL
+        |  SELECT flag, 0.9, round(quantile_cont(v, 0.9), 6), count(*) FROM g GROUP BY flag
+        |  UNION ALL
+        |  SELECT flag, 0.99, round(quantile_cont(v, 0.99), 6), count(*) FROM g GROUP BY flag
+        |)
+        |SELECT flag, q, exact_v, CAST(n AS BIGINT) AS n, TRUE AS rank_ok
+        |FROM e ORDER BY flag, q""".stripMargin,
 
     "quantiles_by_flag" ->
       """SELECT l_returnflag,
