@@ -1591,7 +1591,7 @@ object QueriesRelational {
     "decay_score" ->
       """SELECT user_id,
         |       round(sum(value * pow(2.0, -CAST(
-        |         date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') // 7
+        |         greatest(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01'), 0) // 7
         |         AS DOUBLE))), 6) AS decay_score
         |FROM events WHERE value IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -73,11 +73,10 @@ object KllFunctions {
 
     override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
     override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
-    override def deserialize(bytes: Array[Byte]): KllDoublesSketch = {
-      val s = KllDoublesSketch.newHeapInstance(k)
-      s.merge(KllDoublesSketch.heapify(Memory.wrap(bytes)))
-      s
-    }
+    // heapify returns an UPDATABLE heap sketch — no fresh-instance+merge
+    // (which would pay an extra compaction per deserialized buffer)
+    override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+      KllDoublesSketch.heapify(Memory.wrap(bytes))
 
     override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
       copy(mutableAggBufferOffset = newOffset)
@@ -123,11 +122,8 @@ object KllFunctions {
     }
     override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
     override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
-    override def deserialize(bytes: Array[Byte]): KllDoublesSketch = {
-      val s = KllDoublesSketch.newHeapInstance(k)
-      s.merge(KllDoublesSketch.heapify(Memory.wrap(bytes)))
-      s
-    }
+    override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+      KllDoublesSketch.heapify(Memory.wrap(bytes))
     override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
       copy(mutableAggBufferOffset = newOffset)
     override def withNewInputAggBufferOffset(newOffset: Int): KllMergeAgg =
@@ -139,7 +135,11 @@ object KllFunctions {
   }
 
   /** Quantile estimate from sketch bytes (INCLUSIVE search criteria — the
-    * library default: the returned value's rank is &ge; q).
+    * library default: the returned value's rank is &ge; q). An EMPTY
+    * sketch (an all-null group — the build aggregate skips nulls) yields
+    * NaN rather than the library's exception: a data condition must not
+    * crash the query, and NaN propagates visibly through any downstream
+    * math.
     */
   case class KllQuantile(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -165,9 +165,11 @@ object KllFunctions {
   }
 
   // codegen entry point
-  def quantile(bytes: Array[Byte], q: Double): Double =
-    KllDoublesSketch.heapify(Memory.wrap(bytes))
-      .getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
+  def quantile(bytes: Array[Byte], q: Double): Double = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    if (sk.isEmpty) Double.NaN
+    else sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
+  }
 
   private def kArg(name: String, e: Expression): Int = {
     require(e.foldable, s"$name: k must be a literal, got ${e.sql}")

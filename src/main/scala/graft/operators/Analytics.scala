@@ -216,10 +216,15 @@ object Analytics {
     *
     *   (x₁n₂ − x₂n₁)² · N · 10⁴  >  crit²·10⁴ · n₁ n₂ x (N−x)
     *
-    * evaluated on `decimal(38,0)` products (exact up to 10³⁸ — ample for
-    * counts to ~10⁸ per side; beyond that, scale counts down first). The
-    * output carries the exact counts, rate ppms, and the boolean verdict —
-    * all bitwise-replayable. crit²·10⁴ = 38416 is z=1.96 (95%, two-sided).
+    * evaluated on `decimal(38,0)` products. The products fit 38 digits for
+    * counts to ~10⁶ per side unconditionally and to ~10⁸ for moderate
+    * effect sizes; past that the left product can overflow (decimal
+    * multiply → null under non-ANSI), so the verdict falls back to the
+    * IEEE-double z² — at magnitudes where overflow is reachable the effect
+    * is so large the double verdict is unambiguous, and the exact integer
+    * path (and the bitwise-replay guarantee) covers every marginal case.
+    * The output carries the exact counts, rate ppms, and the boolean
+    * verdict. crit²·10⁴ = 38416 is z=1.96 (95%, two-sided).
     *
     * Scale shape: one map-side-combined aggregation to the two group rows,
     * then constant-size arithmetic.
@@ -245,8 +250,17 @@ object Analytics {
         val bigN = d(col("n1")) + d(col("n2"))
         val x = d(col("x1")) + d(col("x2"))
         val diff = d(col("x1")) * d(col("n2")) - d(col("x2")) * d(col("n1"))
-        (diff * diff * bigN * d(lit(10000L)) >
-          d(lit(critSq1e4)) * d(col("n1")) * d(col("n2")) * x * (bigN - x))
+        val exact = diff * diff * bigN * d(lit(10000L)) >
+          d(lit(critSq1e4)) * d(col("n1")) * d(col("n2")) * x * (bigN - x)
+        val dd = (c: Column) => c.cast("double")
+        val dDiff = dd(col("x1")) * dd(col("n2")) - dd(col("x2")) * dd(col("n1"))
+        val dN = dd(col("n1")) + dd(col("n2"))
+        val dX = dd(col("x1")) + dd(col("x2"))
+        val zSqDouble = dDiff * dDiff * dN /
+          (dd(col("n1")) * dd(col("n2")) * dX * (dN - dX))
+        // decimal overflow (non-ANSI) nulls `exact`; only reachable at
+        // magnitudes where the double verdict cannot be marginal
+        coalesce(exact, zSqDouble > lit(critSq1e4.toDouble / 10000.0))
           .as("significant")
       })
   }
@@ -266,7 +280,11 @@ object Analytics {
       tsCol: Column,
       valueCol: Column,
       asOfDate: String): DataFrame = {
-    val dd = datediff(lit(asOfDate).cast("date"), to_date(tsCol))
+    // clamp future-dated events (clock skew, bad ingest) to age 0: a
+    // negative age would EXPONENTIATE instead of decay and one skewed row
+    // would silently dominate the key's score
+    val dd = greatest(
+      datediff(lit(asOfDate).cast("date"), to_date(tsCol)), lit(0))
     val ageWeeks = ((dd - pmod(dd, lit(7))) / lit(7)).cast("double")
     events
       .where(valueCol.isNotNull)

@@ -28,7 +28,9 @@ object Ids {
 
   /** Dense ids over the md5-of-`keyCol` total order, `tieBreak` breaking
     * hash ties (collisions are astronomically unlikely but determinism
-    * must not rest on that). Output: input columns + `new_id`.
+    * must not rest on that). A null key hashes like the empty string —
+    * EVERY input row gets an id; silently dropping null-keyed rows would
+    * break the dense 0..n-1 contract. Output: input columns + `new_id`.
     */
   def assignStableIds(
       df: DataFrame,
@@ -38,7 +40,7 @@ object Ids {
     require(hexPrefixLen >= 1 && hexPrefixLen <= 8,
       s"assignStableIds: hexPrefixLen out of range: $hexPrefixLen")
     val keyed = df
-      .withColumn("__key", md5(keyCol.cast("string")))
+      .withColumn("__key", md5(coalesce(keyCol.cast("string"), lit(""))))
       .withColumn("__bucket",
         conv(substring(col("__key"), 1, hexPrefixLen), 16, 10).cast("long"))
     val ranked = keyed.withColumn("__rank",

@@ -69,7 +69,7 @@ object BinaryFiles {
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(
-        regexp_extract(col("path"), "([0-9]+)\\.[a-z]+$", 1).cast("long").as("id"),
+        regexp_extract(col("path"), "(-?[0-9]+)\\.[a-z]+$", 1).cast("long").as("id"),
         col("length").cast("long").as("file_bytes"),
         col("content"))
 }

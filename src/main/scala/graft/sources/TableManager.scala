@@ -115,7 +115,7 @@ class TableManager(
       if (kv.get(key).exists(_ < cutoff)) Some(kv) else None
     }
     dropped.foreach { kv =>
-      val spec = kv.map { case (k, v) => s"$k='$v'" }.mkString(", ")
+      val spec = kv.map { case (k, v) => s"$k='${v.replace("'", "''")}'" }.mkString(", ")
       spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION ($spec)")
     }
     dropped.map(_(key)).sorted
@@ -130,7 +130,10 @@ class TableManager(
     require(partitionKeys.contains(key),
       s"dropPartitions: $key is not a partition key of $name (keys: $partitionKeys)")
     values.foreach { v =>
-      spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION ($key='$v')")
+      // partition values are data-derived: escape quotes or a value like
+      // "2024'x" breaks the statement mid-purge
+      val esc = v.replace("'", "''")
+      spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION ($key='$esc')")
     }
   }
 

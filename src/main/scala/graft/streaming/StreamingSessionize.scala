@@ -88,6 +88,33 @@ object StreamingSessionize {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Shared replay staging: write each slice frame as ONE parquet file
+    * `part_<i>` under `streamDir` with a PINNED ascending modification
+    * time. The file source orders new files by (modified time, path);
+    * unpinned near-identical stamps can let later files (the sentinels)
+    * overtake a data slice and late-drop it — StreamingRecoverySpec
+    * documents the failure mode. Every replay harness stages through this
+    * one helper so the mtime discipline lives in one place.
+    */
+  private def stageSliceFiles(
+      base: java.nio.file.Path,
+      streamDir: java.nio.file.Path,
+      sliceDfs: Seq[DataFrame]): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    sliceDfs.zipWithIndex.foreach { case (df, i) =>
+      val stage = base.resolve(s"stage_$i")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for slice $i"))
+      val dest = streamDir.resolve(f"part_$i%03d.parquet")
+      Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
+      ()
+    }
+  }
+
   /** Test probe: per-trigger state-operator metrics of the most recent
     * replay drain — `(numRowsTotal, numRowsRemoved,
     * numRowsDroppedByWatermark)` summed across the trigger's state
@@ -301,16 +328,7 @@ object StreamingSessionize {
         Seq((-1L, -1L)).toDF("event_id", "user_id")
           .select(col("event_id"), col("user_id"), lit(sec).cast("timestamp").as("ts"))
       }
-      sliceDfs.zipWithIndex.foreach { case (df, i) =>
-        val stage = base.resolve(s"stage_$i")
-        df.coalesce(1).write.parquet(stage.toString)
-        val part = Files.list(stage).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part written for slice $i"))
-        val dest = streamDir.resolve(f"part_$i%03d.parquet")
-        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
-        Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
-      }
+      stageSliceFiles(base, streamDir, sliceDfs)
       val src = spark.readStream
         .schema(proj.schema)
         .option("maxFilesPerTrigger", "1")
@@ -399,17 +417,7 @@ object StreamingSessionize {
         Seq((-1L, -1L)).toDF("event_id", "user_id")
           .select(col("event_id"), col("user_id"), lit(sec).cast("timestamp").as("ts"))
       }
-      sliceDfs.zipWithIndex.foreach { case (df, i) =>
-        val stage = base.resolve(s"stage_$i")
-        df.coalesce(1).write.parquet(stage.toString)
-        val part = Files.list(stage).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part written for slice $i"))
-        val dest = streamDir.resolve(f"part_$i%03d.parquet")
-        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
-        // the file source orders by (modified time, path); both agree here
-        Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
-      }
+      stageSliceFiles(base, streamDir, sliceDfs)
       val src = spark.readStream
         .schema(proj.schema)
         .option("maxFilesPerTrigger", "1")
@@ -482,16 +490,7 @@ object StreamingSessionize {
         Seq(-1L).toDF("user_id")
           .select(col("user_id"), lit(sec).cast("timestamp").as("ts"))
       }
-      sliceDfs.zipWithIndex.foreach { case (df, i) =>
-        val stage = base.resolve(s"stage_$i")
-        df.coalesce(1).write.parquet(stage.toString)
-        val part = Files.list(stage).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part written for slice $i"))
-        val dest = streamDir.resolve(f"part_$i%03d.parquet")
-        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
-        Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
-      }
+      stageSliceFiles(base, streamDir, sliceDfs)
       val src = spark.readStream
         .schema(proj.schema)
         .option("maxFilesPerTrigger", "1")
@@ -575,16 +574,7 @@ object StreamingSessionize {
         Seq(-1L).toDF("user_id")
           .select(col("user_id"), lit(sec).cast("timestamp").as("ts"))
       }
-      sliceDfs.zipWithIndex.foreach { case (df, i) =>
-        val stage = base.resolve(s"stage_$i")
-        df.coalesce(1).write.parquet(stage.toString)
-        val part = Files.list(stage).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part written for slice $i"))
-        val dest = streamDir.resolve(f"part_$i%03d.parquet")
-        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
-        Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
-      }
+      stageSliceFiles(base, streamDir, sliceDfs)
       val src = spark.readStream
         .schema(proj.schema)
         .option("maxFilesPerTrigger", "1")
@@ -657,16 +647,7 @@ object StreamingSessionize {
         Seq((-1L, 0.0)).toDF("user_id", "value")
           .select(col("user_id"), lit(sec).cast("timestamp").as("ts"), col("value"))
       }
-      sliceDfs.zipWithIndex.foreach { case (df, i) =>
-        val stage = base.resolve(s"stage_$i")
-        df.coalesce(1).write.parquet(stage.toString)
-        val part = Files.list(stage).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part written for slice $i"))
-        val dest = streamDir.resolve(f"part_$i%03d.parquet")
-        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
-        Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
-      }
+      stageSliceFiles(base, streamDir, sliceDfs)
       val src = spark.readStream
         .schema(proj.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1033,16 +1014,7 @@ object StreamingSessionize {
             col("event_id"), col("user_id"),
             lit(sec).cast("timestamp").as("ts"), col("event_type"))
       }
-      sliceDfs.zipWithIndex.foreach { case (df, i) =>
-        val stage = base.resolve(s"stage_$i")
-        df.coalesce(1).write.parquet(stage.toString)
-        val part = Files.list(stage).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part written for slice $i"))
-        val dest = streamDir.resolve(f"part_$i%03d.parquet")
-        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
-        Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
-      }
+      stageSliceFiles(base, streamDir, sliceDfs)
       def src(): DataFrame = spark.readStream
         .schema(proj.schema)
         .option("maxFilesPerTrigger", "1")

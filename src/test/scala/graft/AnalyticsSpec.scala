@@ -271,6 +271,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(2L) == 0.25)
   }
 
+  test("decayScore: future-dated events clamp to weight 1, never amplify") {
+    import spark.implicits._
+    val events = Seq((1L, "2025-06-01 00:00:00", 2.0)) // a year past asOf
+      .toDF("user_id", "ts_s", "value")
+      .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+    val got = Analytics.decayScore(events, "user_id", col("ts"), col("value"), "2024-02-01")
+      .head().getDouble(1)
+    assert(got == 2.0) // an unclamped impl would give 2 * 2^69
+  }
+
   test("slidingActiveUsers: every event lands in exactly window/slide windows") {
     val events = {
       import spark.implicits._

@@ -32,6 +32,14 @@ class BinaryFilesSpec extends AnyFunSuite {
     }
   }
 
+  test("negative ids round-trip with their sign") {
+    BinaryFiles.writeFiles(
+      payloads(-5L -> Array[Byte](1), 5L -> Array[Byte](2)), "doc_id", "payload", dir)
+    val ids = BinaryFiles.readFiles(spark, dir).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(-5L, 5L))
+  }
+
   test("zero-byte files vanish in file-partition planning — documented, not hidden") {
     BinaryFiles.writeFiles(
       payloads(1L -> Array[Byte](5), 2L -> Array[Byte]()), "doc_id", "payload", dir)

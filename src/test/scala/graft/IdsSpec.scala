@@ -34,6 +34,19 @@ class IdsSpec extends AnyFunSuite {
     assert(ids.toSeq == (0L until 257L))
   }
 
+  test("null keys hash like the empty string — no row is silently dropped") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "a"), Row(2L, null), Row(3L, null)),
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))))
+    val got = Ids.assignStableIds(df, col("text"), col("doc_id"))
+      .select("new_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("ties on the hash key fall back to the tiebreak deterministically") {
     // identical text → identical md5; doc_id must decide
     val df = Seq((5L, "same"), (3L, "same"), (9L, "same"))
