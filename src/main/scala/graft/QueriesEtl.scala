@@ -253,6 +253,35 @@ object QueriesEtl {
         .orderBy(col("o_orderkey"), col("valid_from"))
     }),
 
+    // ── TEMPORAL SCD2 lookup ([[Cdc.scd2Lookup]]): orders joined to the
+    // customer-segment VERSION valid at each order's sequence — "what did
+    // the customer look like WHEN the order happened". The history is
+    // built by a real [[Cdc.applyChangesScd2]] merge (seq-2 upgrades for
+    // custkey % 7 = 0), facts carry an alternating as-of seq, and the
+    // rollup shows seq-1 orders still seeing the ORIGINAL segment while
+    // seq-2 orders see the upgrade — the validity-window filter doing real
+    // work, hash-pinned ──
+    "scd2_lookup" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val hist = Cdc.applyChangesScd2(
+        Cdc.scd2Init(base, 1L),
+        base.where(col("c_custkey") % 7 === 0)
+          .withColumn("c_mktsegment", lit("UPGRADED"))
+          .withColumn("op", lit("u")),
+        Seq("c_custkey"), 2L)
+      val facts = Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          (pmod(col("o_orderkey"), lit(2)) + 1).cast("long").as("as_of_seq"))
+      Cdc.scd2Lookup(facts, hist, Seq("o_custkey"), Seq("c_custkey"), col("as_of_seq"))
+        .groupBy(col("c_mktsegment"), col("as_of_seq"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment"), col("as_of_seq"))
+    }),
+
     // ── PARTITION-PRUNED CDC merge ([[Cdc.applyChangesPruned]]): the base
     // written as a REAL partitioned table (by o_orderpriority), a change
     // batch touching ONLY the 1-URGENT partition, the merge restricted to
@@ -1053,6 +1082,30 @@ object QueriesEtl {
          |       regexp_replace(props, '${Privacy.NumberPattern}', '<NUM>', 'g') AS props_clean,
          |       CAST(len(regexp_extract_all(props, '${Privacy.NumberPattern}')) AS BIGINT) AS n_redacted
          |FROM events ORDER BY event_id""".stripMargin,
+
+    // scd2_lookup: the two-version history rebuilt relationally, the same
+    // validity-window join, the same rollup
+    "scd2_lookup" ->
+      """WITH hist AS (
+        |  SELECT c_custkey, c_mktsegment, 1 AS valid_from,
+        |         CASE WHEN c_custkey % 7 = 0 THEN 2 END AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'UPGRADED', 2, NULL
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |), f AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |         o_orderkey % 2 + 1 AS as_of_seq
+        |  FROM orders
+        |)
+        |SELECT h.c_mktsegment, CAST(f.as_of_seq AS BIGINT) AS as_of_seq,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM f JOIN hist h
+        |  ON h.c_custkey = f.o_custkey
+        | AND f.as_of_seq >= h.valid_from
+        | AND (h.valid_to IS NULL OR f.as_of_seq < h.valid_to)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // gdpr_forget: the purged table must equal "events minus subjects"
     // exactly; no_remnants is MEASURED post-rewrite and pinned TRUE

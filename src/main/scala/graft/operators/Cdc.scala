@@ -275,4 +275,44 @@ object Cdc {
       .select(col("r.*"))
       .unionByName(closedHistory)
   }
+
+  /** TEMPORAL lookup against an SCD2 history: each fact row joins the
+    * dimension VERSION that was valid at the fact's sequence number —
+    * `factSeq ∈ [valid_from, valid_to)` with an open `valid_to` meaning
+    * "still current". This is the consuming half of [[applyChangesScd2]]:
+    * "what did the customer look like WHEN the order happened", the query
+    * a versioned warehouse exists to answer.
+    *
+    * Semantics are INNER on the validity window: a fact whose seq precedes
+    * its key's first version (or whose key never existed) drops — make the
+    * initial snapshot's `valid_from` your epoch if every fact must match.
+    *
+    * Scale shape: an EQUI-join on the dimension key (key-partitioned —
+    * sort-merge for big dims, broadcast for small, Catalyst's choice) with
+    * the validity window as a post-join filter. SCD2 keys carry few
+    * versions each, so the pre-filter fan-out is bounded by the version
+    * count, never a range-join blow-up; no theta join is ever planned.
+    * History columns are suffixed `_dim` where they collide with fact
+    * columns.
+    */
+  def scd2Lookup(
+      facts: DataFrame,
+      history: DataFrame,
+      factKeyCols: Seq[String],
+      dimKeyCols: Seq[String],
+      factSeq: Column): DataFrame = {
+    require(factKeyCols.nonEmpty && factKeyCols.length == dimKeyCols.length,
+      "scd2Lookup: fact/dim key column lists must be non-empty and aligned")
+    val factCols = facts.columns.toSet
+    val dim = history.select(history.columns.map { c =>
+      if (factCols.contains(c)) col(c).as(s"${c}_dim") else col(c)
+    }.toSeq: _*)
+    def dimCol(c: String): Column =
+      if (factCols.contains(c)) col(s"${c}_dim") else col(c)
+    val keyEq = factKeyCols.zip(dimKeyCols)
+      .map { case (f, d) => col(f) === dimCol(d) }.reduce(_ && _)
+    facts.join(dim, keyEq)
+      .where(factSeq >= dimCol("valid_from") &&
+        (dimCol("valid_to").isNull || factSeq < dimCol("valid_to")))
+  }
 }

@@ -222,4 +222,34 @@ class CdcSpec extends AnyFunSuite {
     val got = Cdc.snapshotDiff(base, base, "k", Seq("s", "v")).collect()
     assert(got.length == 1 && got.head.getString(0) == "unchanged")
   }
+
+  test("scd2Lookup: each fact sees the version valid at its seq; pre-epoch facts drop") {
+    import spark.implicits._
+    val dim = Seq((7L, "OLD")).toDF("k", "seg")
+    val hist = Cdc.applyChangesScd2(
+      Cdc.scd2Init(dim, 10L),
+      Seq((7L, "NEW", "u")).toDF("k", "seg", "op"),
+      Seq("k"), 20L)
+    val facts = Seq(
+      (1L, 7L, 5L), // before the first version → drops (inner semantics)
+      (2L, 7L, 10L), // at v1 open → OLD
+      (3L, 7L, 19L), // just before the upgrade → OLD
+      (4L, 7L, 20L), // at the upgrade seq → NEW (valid_to is exclusive)
+      (5L, 7L, 99L), // far future → still-current NEW
+      (6L, 8L, 10L)) // unknown key → drops
+      .toDF("fid", "k", "seq")
+    val got = Cdc.scd2Lookup(facts, hist, Seq("k"), Seq("k"), col("seq"))
+      .select(col("fid"), col("seg"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "OLD", 3L -> "OLD", 4L -> "NEW", 5L -> "NEW"))
+  }
+
+  test("scd2Lookup: colliding column names come back suffixed _dim") {
+    import spark.implicits._
+    val hist = Cdc.scd2Init(Seq((1L, "x")).toDF("k", "seg"), 1L)
+    val facts = Seq((9L, 1L, "facty", 5L)).toDF("fid", "k", "seg", "seq")
+    val row = Cdc.scd2Lookup(facts, hist, Seq("k"), Seq("k"), col("seq")).head()
+    assert(row.getAs[String]("seg") == "facty")
+    assert(row.getAs[String]("seg_dim") == "x")
+  }
 }
