@@ -519,6 +519,14 @@ object QueriesRelational {
         .orderBy(col("flag"), col("q"))
     }),
 
+    // ── week-over-week growth per event type ([[operators.Analytics
+    // .wowGrowth]]): signed integer-ppm growth off a lag window; both
+    // engines truncate integral division toward zero, so shrinking weeks
+    // hash too; first weeks NULL ──
+    "wow_growth" -> ((s, dir) =>
+      graft.operators.Analytics.wowGrowth(
+        Tables.events(s, dir), col("event_type"), col("ts"))),
+
     // ── quantile sketching AT INGESTION: [[graft.functions.KllFunctions
     // .KllSketchAgg]] run UNCHANGED as a streaming aggregation — the KLL
     // sketch IS the state (k-bounded per group, corpus-size-independent),
@@ -1330,6 +1338,20 @@ object QueriesRelational {
         |       TRUE AS rank_ok
         |FROM e JOIN np ON np.flag = e.flag
         |ORDER BY e.flag, q""".stripMargin,
+
+    // wow_growth: identical lag + signed truncating division
+    "wow_growth" ->
+      """WITH w AS (
+        |  SELECT event_type AS grp, CAST(date_trunc('week', ts) AS DATE) AS week,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT grp, week, n,
+        |       lag(n) OVER (PARTITION BY grp ORDER BY week) AS prev_n,
+        |       CAST((n - lag(n) OVER (PARTITION BY grp ORDER BY week)) * 1000000
+        |            // lag(n) OVER (PARTITION BY grp ORDER BY week) AS BIGINT)
+        |         AS growth_ppm
+        |FROM w ORDER BY grp, week""".stripMargin,
 
     // stream_kll_ingest: the kll_quantile_rollup oracle shape without the
     // partials column — exact percentiles + pinned rank law

@@ -402,6 +402,33 @@ object Analytics {
       .orderBy(col("window_start"))
   }
 
+  /** Week-over-week growth per group: each `(group, week)` volume beside
+    * the previous week's and the growth rate in SIGNED integer ppm —
+    * `(n − prev) · 1e6 div prev`. Spark's `div` and DuckDB's `//` both
+    * TRUNCATE toward zero (verified: DuckDB `-3 // 2 = -1`, Java/Spark
+    * integral division likewise), so negative growth replays bitwise too —
+    * the one place the repo's "floor division on nonnegative operands"
+    * rule meets signed operands, safe because the engines share the
+    * truncation convention. First weeks (no predecessor) emit NULL growth
+    * rather than a fake 0 — the [[anomalyZscore]] honesty rule.
+    *
+    * Scale shape: one `(group, week)` map-side-combined rollup, then one
+    * window pass over the weeks-per-group-sized series. The dashboard
+    * staple next to [[anomalyZscore]]'s alarm.
+    */
+  def wowGrowth(events: DataFrame, group: Column, tsCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .groupBy(group.as("grp"), to_date(date_trunc("week", tsCol)).as("week"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n",
+        lag(col("n"), 1).over(Window.partitionBy(col("grp")).orderBy(col("week"))))
+      .select(
+        col("grp"), col("week"), col("n"), col("prev_n"),
+        expr("(n - prev_n) * 1000000 div prev_n").as("growth_ppm"))
+      .orderBy(col("grp"), col("week"))
+  }
+
   /** Rolling z-score anomaly flags over a per-group daily count series —
     * the volume-monitoring alarm every ingestion pipeline runs ("did
     * source X suddenly triple / drop to nothing today?").

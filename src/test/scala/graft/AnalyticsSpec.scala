@@ -281,6 +281,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == 2.0) // an unclamped impl would give 2 * 2^69
   }
 
+  test("wowGrowth: signed ppm growth, first week NULL, shrink truncates toward zero") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view"), (2L, "2024-01-02 10:00:00", "view"),
+      (3L, "2024-01-03 10:00:00", "view"), // week 1: 3 views
+      (4L, "2024-01-08 10:00:00", "view"), // week 2: 1 view → (1-3)/3 = -666667? no: trunc
+      (5L, "2024-01-15 10:00:00", "view"), (6L, "2024-01-15 11:00:00", "view"))
+    val got = Analytics.wowGrowth(events, col("event_type"), col("ts"))
+      .collect().map(r => (r.getDate(1).toString, r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 3L, None),
+      ("2024-01-08", 1L, Some(-666666L)), // -2000000/3 truncates toward zero
+      ("2024-01-15", 2L, Some(1000000L))))
+  }
+
   test("slidingActiveUsers: every event lands in exactly window/slide windows") {
     val events = {
       import spark.implicits._

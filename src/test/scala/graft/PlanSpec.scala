@@ -310,7 +310,8 @@ class PlanSpec extends AnyFunSuite {
       // funnel_within and ab_ztest each carry one 1-row scalar crossJoin
       "session_paths" -> 0, "table_profile" -> 1,
       "funnel_within" -> 1, "ab_ztest" -> 1, "decay_score" -> 0,
-      "assign_ids" -> 0, "stream_kll_ingest" -> 0, "scd2_lookup" -> 0)
+      "assign_ids" -> 0, "stream_kll_ingest" -> 0, "scd2_lookup" -> 0,
+      "wow_growth" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
