@@ -983,7 +983,43 @@ object QueriesRelational {
     // one frame-bounded window pass, no self-join ──
     "anomaly_zscore" -> ((s, dir) =>
       graft.operators.Analytics.anomalyZscore(
-        Tables.events(s, dir), col("event_type"), col("ts")))
+        Tables.events(s, dir), col("event_type"), col("ts"))),
+
+    // ── TPC-H Q21 shape: correlated EXISTS + NOT EXISTS chains over
+    // lineitem self-joins — the classic decorrelation stress. "Which
+    // suppliers were the SOLE problem supplier (l_returnflag = 'R' stands
+    // in for receipt-past-commit; this corpus carries no
+    // commitdate/receiptdate) in finished multi-supplier orders?" Written
+    // as CORRELATED subqueries on purpose: Catalyst's
+    // RewritePredicateSubquery must decorrelate both into hash
+    // LEFT SEMI / LEFT ANTI joins on l_orderkey (the non-equi
+    // suppkey <> suppkey rides as the join's extra condition) —
+    // PlanSpec pins semi+anti present and ZERO nested-loop joins. At
+    // 100 TB both self-joins shuffle lineitem by orderkey once each; the
+    // supplier and nation dims broadcast. ──
+    "q21_waiting" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT s_name, n_name, count(*) AS numwait
+          |FROM supplier
+          |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          |JOIN orders ON o_orderkey = l1.l_orderkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |WHERE o_orderstatus = 'F'
+          |  AND l1.l_returnflag = 'R'
+          |  AND EXISTS (
+          |    SELECT 1 FROM lineitem l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey
+          |      AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM lineitem l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey
+          |      AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_returnflag = 'R')
+          |GROUP BY s_name, n_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 100""".stripMargin)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1804,6 +1840,29 @@ object QueriesRelational {
         |            ELSE (n_window * n - s) * (n_window * n - s)
         |                 > 9 * (n_window * q - s * s)
         |       END AS is_anomaly
-        |FROM stats ORDER BY grp, day""".stripMargin
+        |FROM stats ORDER BY grp, day""".stripMargin,
+
+    // q21_waiting: DuckDB runs the identical correlated form natively —
+    // both engines must agree on the EXISTS/NOT-EXISTS semantics exactly
+    "q21_waiting" ->
+      """SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin
   )
 }

@@ -166,6 +166,18 @@ object Analytics {
     * analytics actually reports (an unbounded funnel credits conversions
     * that took a month). Same per-step conditional-min chain and scale
     * shape; only the join predicate gains the upper bound.
+    *
+    * SEMANTICS (greedy earliest-reach, stated deliberately): step k's reach
+    * time is the earliest occurrence within the window of the chain's ONE
+    * earliest step-(k-1) reach time — the chain never restarts from a later
+    * step-(k-1) occurrence. A user whose first step-(k-1) reach misses the
+    * deadline is NOT credited even if a later step-(k-1) occurrence would
+    * put step k inside the window (e.g. view@t0, view@t0+5000s,
+    * click@t0+5100s with withinSec=3600 counts as no conversion). This
+    * UNDERCOUNTS relative to any-sequence funnel semantics; it is the
+    * fixed-anchor form ("from the user's FIRST qualifying touch") and the
+    * one the oracle replays bitwise. Any-sequence semantics would need the
+    * per-occurrence chain restart — a different, join-heavier operator.
     */
   def funnelStepsWithin(
       events: DataFrame,
@@ -239,6 +251,20 @@ object Analytics {
       .agg(
         count(lit(1)).as("n"),
         sum(when(successCol, 1L).otherwise(0L)).as("x"))
+    // a miscoded split column must fail LOUDLY, not return an empty frame:
+    // both variant groups (0 and 1) must exist, and no other group value
+    // (including a null-casting one) may appear. Bounded fetch: g has one
+    // row per distinct group value, and a sane split has two.
+    val chk = g.agg(
+      sum(when(col("grp") === 0, 1L).otherwise(0L)).as("has0"),
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("has1"),
+      count(lit(1)).as("ngrp")).head()
+    require(chk.getLong(0) == 1L && chk.getLong(1) == 1L,
+      s"abZTest: both variant groups (0 and 1) must have rows; " +
+        s"got group-0 present=${chk.getLong(0) == 1L}, group-1 present=${chk.getLong(1) == 1L}")
+    require(chk.getLong(2) == 2L,
+      s"abZTest: group column must carry ONLY values 0 and 1, found " +
+        s"${chk.getLong(2)} distinct group values (miscoded split column?)")
     val a = g.where(col("grp") === 0).select(col("n").as("n1"), col("x").as("x1"))
     val b = g.where(col("grp") === 1).select(col("n").as("n2"), col("x").as("x2"))
     val d = (c: Column) => c.cast("decimal(38,0)")

@@ -35,9 +35,11 @@ object BinaryFiles {
       payloadCol: String,
       dir: String,
       ext: String = "bin"): Unit = {
-    require(dir.split('/').contains("target"),
-      s"refusing to write binary scatter outside a target/ scratch dir: $dir")
-    val root = new java.io.File(dir)
+    // canonicalize BEFORE the guard: a path like target/../../etc would pass
+    // a raw-segment check while the wipe resolves outside the scratch tree
+    val root = new java.io.File(dir).getCanonicalFile
+    require(root.getPath.split('/').contains("target"),
+      s"refusing to write binary scatter outside a target/ scratch dir: $root")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()

@@ -35,10 +35,15 @@ object Bucketing {
       sortKey: Option[String] = None): Unit = {
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) {
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      val loc = new java.io.File(warehouse, table.toLowerCase)
-      if (loc.exists() && loc.getAbsolutePath.split('/').contains("target")) {
+      // resolve the DEFAULT location through the catalog, not by joining the
+      // raw name onto the warehouse dir: a database-qualified 'db.tbl' lives
+      // at warehouse/db.db/tbl, and the raw join would miss it (leaving the
+      // LOCATION_ALREADY_EXISTS failure this cleanup exists to prevent)
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val loc = new java.io.File(
+        spark.sessionState.catalog.defaultTablePath(ident)).getCanonicalFile
+      // canonicalize BEFORE the guard so target/../../x cannot pass it
+      if (loc.exists() && loc.getPath.split('/').contains("target")) {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
           f.delete(); ()

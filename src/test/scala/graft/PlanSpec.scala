@@ -22,6 +22,17 @@ class PlanSpec extends AnyFunSuite {
     try body finally spark.conf.set(key, prev)
   }
 
+  test("q21_waiting: correlated EXISTS/NOT EXISTS decorrelate to hash semi/anti joins") {
+    // the correlated subqueries must leave the plan as LEFT SEMI and LEFT
+    // ANTI hash joins keyed on l_orderkey — a nested-loop-per-outer-row
+    // execution of either subquery is O(n²) over lineitem and would never
+    // finish at 100 TB (the bnljCaps sweep separately pins zero BNLJs)
+    val p = plan("q21_waiting")
+    assert(p.contains("LeftSemi"), s"EXISTS did not decorrelate to a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not decorrelate to an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q21 plans a cartesian:\n$p")
+  }
+
   test("q6: predicates are pushed into the parquet scan and columns pruned") {
     val p = plan("q6_revenue")
     assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
@@ -311,7 +322,11 @@ class PlanSpec extends AnyFunSuite {
       "session_paths" -> 0, "table_profile" -> 1,
       "funnel_within" -> 1, "ab_ztest" -> 1, "decay_score" -> 0,
       "assign_ids" -> 0, "stream_kll_ingest" -> 0, "scd2_lookup" -> 0,
-      "wow_growth" -> 0)
+      "wow_growth" -> 0,
+      // r10: the correlated-EXISTS query must decorrelate fully — zero
+      // nested-loop joins (the dedicated q21 test below pins the semi/anti
+      // shape too)
+      "q21_waiting" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
