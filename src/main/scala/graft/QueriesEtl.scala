@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.{Cdc, EventsEtl, Histograms, Layout, Materialize, Privacy, Sessionize}
-import graft.sources.{CsvSource, JsonlSource, TableManager}
+import graft.sources.{CsvSource, JsonlSource, SnapshotLog, TableManager}
 
 /** ETL-surface queries: CSV source round-trip (S1/S2), templated-SQL entry
   * (S3), idempotent dynamic-partition-overwrite load (S4–S7), and the full
@@ -619,6 +619,83 @@ object QueriesEtl {
       boxed.reduce(_ unionByName _).orderBy(col("layout"))
     }),
 
+    // ── TRANSACTIONAL TIME TRAVEL ([[graft.sources.SnapshotLog]]): the
+    // orders base committed as snapshot v0, a CDC-style merge (updates /
+    // deletes / inserts keyed off o_orderkey mod 10) committed as v1, then
+    // BOTH versions read back AFTER v1 landed — the pinned-manifest read
+    // proves v0 is byte-intact under the newer commit (snapshot isolation,
+    // time-travel-by-version). Every commit is one atomic put-if-absent of
+    // the next manifest; SnapshotLogSpec separately pins the
+    // concurrent-writer conflict and mid-prune reader consistency. The
+    // oracle recomputes both version states relationally — matching hashes
+    // prove the log stored, versioned, and served exactly the right rows ──
+    "time_travel" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_log"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      val v0 = log.append(base, partitions = 4)
+      val merged = base.where(col("o_orderkey") % 10 =!= 7)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 10 === 3, lit("U")).otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 3, col("o_totalprice") + lit(10.0))
+            .otherwise(col("o_totalprice")))
+        .unionByName(base.where(col("o_orderkey") % 10 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+          .withColumn("o_orderpriority", lit("NEW")))
+      val v1 = log.overwrite(merged, partitions = 4)
+      def snap(v: Long) = log.read(s, v)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .withColumn("version", lit(v))
+      snap(v0).unionByName(snap(v1))
+        .orderBy(col("version"), col("o_orderpriority"))
+    }),
+
+    // ── VACUUM under the snapshot log ([[SnapshotLog.vacuum]]): orphan
+    // collection with pinned snapshots kept intact. v0 = 4-file append,
+    // v1 = 2-file compaction, plus one ABORTED stage (files written, never
+    // committed). Vacuum #1 must collect EXACTLY the aborted stage (set
+    // equality, not a count); the pinned v0 must still read completely
+    // AFTER that vacuum; expiring v0 makes its 4 files orphans and vacuum
+    // #2 must collect EXACTLY those; vacuum #3 must collect nothing
+    // (idempotent). All four laws ride as hashed booleans next to the
+    // surviving snapshot's corpus aggregate ──
+    "vacuum_orphans" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_vacuum"))
+      log.recreate()
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val v0 = log.append(docs, partitions = 4)
+      val v1 = log.compact(s, partitions = 2)
+      val abortedStage = log.stageData(
+        docs.where(col("doc_id") % 10 === 0), partitions = 3)
+      val v0Files = log.files(v0).toSet
+      val v1Files = log.files(v1).toSet
+      val collected1 = log.vacuum()
+      val v0RowsAfter = log.read(s, v0).count()
+      val nDocs = docs.count()
+      log.expire(keepFrom = v1)
+      val collected2 = log.vacuum()
+      val collected3 = log.vacuum()
+      log.readLatest(s)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_distinct"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(
+          lit(collected1.toSet == abortedStage.toSet).as("aborted_collected_exactly"),
+          lit(v0RowsAfter == nDocs).as("v0_readable_after_vacuum"),
+          lit(collected2.toSet == v0Files -- v1Files).as("expired_collected_exactly"),
+          lit(collected3.isEmpty).as("vacuum_idempotent"),
+          col("n_docs"), col("n_distinct"), col("sum_chars"))
+    }),
+
     // ── INCREMENTAL MATERIALIZED VIEW ([[Materialize.mergeSummaries]]):
     // the weekly events rollup absorbs the late-January batch by merging a
     // DELTA-sized partial aggregate into the summary — the base rows before
@@ -742,6 +819,47 @@ object QueriesEtl {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // time_travel: v0 is the orders base verbatim; v1 replays the same
+    // update/delete/insert merge cdc_merge uses — both rolled up by
+    // priority. A log that served stale, torn, or cross-contaminated
+    // version state breaks the hash
+    "time_travel" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 != 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice, 'NEW'
+        |  FROM orders WHERE o_orderkey % 10 = 1
+        |)
+        |SELECT CAST(0 AS BIGINT) AS version, o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), o_orderpriority,
+        |       count(*),
+        |       CAST(sum(o_orderkey) AS BIGINT),
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM v1 GROUP BY 2
+        |ORDER BY version, o_orderpriority""".stripMargin,
+
+    // vacuum_orphans: the four vacuum laws are measured Spark-side (set
+    // equalities over actual deleted paths) and pinned TRUE; the surviving
+    // snapshot must hold the corpus exactly
+    "vacuum_orphans" ->
+      """SELECT TRUE AS aborted_collected_exactly,
+        |       TRUE AS v0_readable_after_vacuum,
+        |       TRUE AS expired_collected_exactly,
+        |       TRUE AS vacuum_idempotent,
+        |       count(*) AS n_docs,
+        |       count(DISTINCT doc_id) AS n_distinct,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
+
     // bloom_manifest_scan: replay the hash-scattered file layout, every
     // file's bloom bit set, the all-bits-present candidate selection, the
     // no-false-negative law, and the lookup answers over candidate files

@@ -325,8 +325,8 @@ class PlanSpec extends AnyFunSuite {
       "wow_growth" -> 0,
       // r10: the correlated-EXISTS query must decorrelate fully — zero
       // nested-loop joins (the dedicated q21 test below pins the semi/anti
-      // shape too)
-      "q21_waiting" -> 0)
+      // shape too); the snapshot-log queries are join-free
+      "q21_waiting" -> 0, "time_travel" -> 0, "vacuum_orphans" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -1,0 +1,121 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ConcurrentCommitException, SnapshotLog}
+
+class SnapshotLogSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshLog(name: String): SnapshotLog = {
+    val log = new SnapshotLog(s"/root/repo/target/snaplog_spec/$name")
+    log.recreate()
+    log
+  }
+
+  private def rows(n: Int, tag: String) =
+    (0 until n).map(i => (i.toLong, s"$tag-$i")).toDF("id", "payload")
+
+  test("append/overwrite version and preserve row sets exactly") {
+    val log = freshLog("basic")
+    assert(log.currentVersion.isEmpty)
+    val v0 = log.append(rows(10, "a"), partitions = 2)
+    assert(v0 == 0L && log.currentVersion.contains(0L))
+    val v1 = log.append(rows(5, "b"), partitions = 1)
+    assert(v1 == 1L)
+    // v1 = union of both batches; v0 = first batch only
+    assert(log.read(spark, v0).count() == 10L)
+    assert(log.read(spark, v1).count() == 15L)
+    val v2 = log.overwrite(rows(3, "c"), partitions = 1)
+    assert(log.read(spark, v2).as[(Long, String)].collect().toSet ==
+      Set((0L, "c-0"), (1L, "c-1"), (2L, "c-2")))
+    // older versions untouched by the overwrite
+    assert(log.read(spark, v1).count() == 15L)
+  }
+
+  test("concurrent writers: exactly one commit wins, the loser fails loudly") {
+    val log = freshLog("conflict")
+    log.append(rows(4, "base"), partitions = 1)
+    // both writers read the SAME current version...
+    val seenByA = log.currentVersion
+    val seenByB = log.currentVersion
+    val aFiles = log.stageData(rows(2, "a"), partitions = 1)
+    val bFiles = log.stageData(rows(2, "b"), partitions = 1)
+    // ...writer A commits first and wins...
+    val vA = log.commit(seenByA, log.files(seenByA.get) ++ aFiles)
+    assert(vA == 1L)
+    // ...writer B's conditional commit against the stale version MUST fail
+    val ex = intercept[ConcurrentCommitException] {
+      log.commit(seenByB, log.files(seenByB.get) ++ bFiles)
+    }
+    assert(ex.getMessage.contains("v1"))
+    // the failed commit left no manifest behind and B's files are intact,
+    // so B retries against the NEW current version and succeeds
+    assert(log.versions == Seq(0L, 1L))
+    val vB = log.commit(log.currentVersion, log.files(vA) ++ bFiles)
+    assert(vB == 2L && log.read(spark, vB).count() == 8L)
+  }
+
+  test("a reader pinned mid-prune sees a consistent snapshot throughout") {
+    val log = freshLog("midprune")
+    val v0 = log.append(rows(100, "x"), partitions = 4)
+    // reader pins v0 BEFORE any maintenance: resolves the manifest once
+    val pinnedPaths = log.files(v0)
+    // maintenance storm lands while the reader is "running": compaction,
+    // another append, expiry of v0's snapshot, and a vacuum sweep
+    val v1 = log.compact(spark, partitions = 1)
+    log.append(rows(7, "y"), partitions = 1)
+    // vacuum with v0 still live: nothing referenced may be touched
+    assert(log.vacuum().isEmpty)
+    assert(pinnedPaths.forall(p => new File(log.root, p).exists()),
+      "vacuum deleted a file referenced by a live snapshot")
+    // the pinned read is still complete and correct mid-storm
+    assert(log.read(spark, v0).count() == 100L)
+    // only after the snapshot EXPIRES do its exclusive files collect
+    log.expire(keepFrom = v1)
+    val collected = log.vacuum()
+    assert(collected.toSet == pinnedPaths.toSet,
+      s"expected exactly v0's files collected, got $collected")
+    // the newer snapshots still read completely after the sweep
+    assert(log.readLatest(spark).count() == 107L)
+    assert(log.vacuum().isEmpty, "vacuum must be idempotent")
+  }
+
+  test("vacuum collects aborted stages but never committed files") {
+    val log = freshLog("aborted")
+    log.append(rows(10, "keep"), partitions = 2)
+    val aborted = log.stageData(rows(6, "dead"), partitions = 2)
+    val collected = log.vacuum()
+    assert(collected.toSet == aborted.toSet)
+    assert(log.readLatest(spark).count() == 10L)
+  }
+
+  test("commit is put-if-absent: version numbers are dense and manifests immutable") {
+    val log = freshLog("dense")
+    val f = log.stageData(rows(2, "a"), partitions = 1)
+    assert(log.commit(None, f) == 0L)
+    // re-committing version 0 (expected None again) must conflict, not
+    // overwrite — manifests are immutable once visible
+    intercept[ConcurrentCommitException] { log.commit(None, Nil) }
+    assert(log.files(0L) == f.sorted)
+  }
+
+  test("reading an expired or never-committed version fails loudly") {
+    val log = freshLog("missing")
+    val v0 = log.append(rows(3, "a"), partitions = 1)
+    val v1 = log.append(rows(3, "b"), partitions = 1)
+    log.expire(keepFrom = v1)
+    intercept[IllegalArgumentException] { log.files(v0) }
+    intercept[IllegalArgumentException] { log.read(spark, 99L) }
+  }
+
+  test("recreate refuses to wipe outside target/ scratch") {
+    intercept[IllegalArgumentException] {
+      new SnapshotLog("/root/repo/target/../snaplog_escape").recreate()
+    }
+  }
+}
