@@ -548,6 +548,10 @@ object QueriesEtl {
     "bloom_manifest_scan" -> ((s, dir) => {
       val path = scratch(dir, "bloom_files")
       val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+      // the count FIXES the layout geometry (nFiles) that the write's
+      // hash-bucketing depends on, so it cannot ride the write's own
+      // metrics — it must run first. It is a two-column parquet scan with
+      // no shuffle, and the oracle replays the same ceil-division
       val nFiles = math.max(1L, (ev.count() + BloomRowsPerFile - 1) / BloomRowsPerFile)
       def fileOf(id: org.apache.spark.sql.Column) =
         pmod(

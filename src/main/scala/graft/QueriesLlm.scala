@@ -216,6 +216,7 @@ object QueriesLlm {
   //   ivf 23/19/18, ivf_mp 38/37/32, lsh 5/7/6, lsh_mp 18/27/27,
   //   pq 4/6/3 (at PqK = 16)
   private val IvfRecallFloor = 15
+  private val IvfIncrRecallFloor = 15 // appended-index probe, fit on 4/5 of the corpus
   private val IvfMpRecallFloor = 30
   private val LshRecallFloor = 4
   private val LshMpRecallFloor = 15
@@ -592,7 +593,7 @@ object QueriesLlm {
     * quantization is what keeps two engines' order-sensitive float sums from
     * compounding into divergent assignments (see Similarity.kmeans Scaladoc).
     */
-  private def kmeansAssignFrom(cents: String, prefix: String = ""): String =
+  private def kmeansAssignFrom(cents: String, prefix: String = "", src: String = "e"): String =
     s"""  SELECT vec_id, v, cluster, cos FROM (
        |    SELECT vec_id, v, cluster, cos,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rn
@@ -600,7 +601,7 @@ object QueriesLlm {
        |      SELECT e.vec_id, e.v, $cents.cluster,
        |             list_sum([e.v[i] * $cents.c[i] for i in range(1, len(e.v) + 1)])
        |               / (e.vn * sqrt(list_sum([x * x for x in $cents.c]))) AS cos
-       |      FROM ${prefix}e e CROSS JOIN $cents
+       |      FROM ${prefix}$src e CROSS JOIN $cents
        |    )
        |  ) WHERE rn = 1""".stripMargin
 
@@ -615,24 +616,35 @@ object QueriesLlm {
     * SUBVECTOR (`r[lo+1 : lo+len]`, DuckDB's 1-based inclusive slicing —
     * matching Spark's `slice(vec, lo+1, len)`) instead of the full vector.
     */
+  /** `fitWhere` restricts the FIT (seeding + every M-step) to a subset of
+    * the corpus while `e` keeps all vectors — the final assignment can then
+    * cover vectors the quantizer never saw, which is exactly what
+    * [[graft.operators.Similarity.ivfIndexAppend]] does with an appended
+    * ingest batch (frozen centroids, fresh assignment).
+    */
   private def kmeansCtesSql(
-      k: Int, iters: Int, prefix: String = "", sliceLo: Int = 0, sliceLen: Int = 0): String = {
+      k: Int, iters: Int, prefix: String = "", sliceLo: Int = 0, sliceLen: Int = 0,
+      fitWhere: String = ""): String = {
     val p = prefix
+    val fitSrc = if (fitWhere.isEmpty) "e" else "f"
     val rawExpr =
       if (sliceLen <= 0) "CAST(embedding AS DOUBLE[])"
       else s"(CAST(embedding AS DOUBLE[]))[${sliceLo + 1}:${sliceLo + sliceLen}]"
+    val fitCte =
+      if (fitWhere.isEmpty) ""
+      else s"\n${p}f AS (SELECT * FROM ${p}e WHERE $fitWhere),"
     val head =
       s"""WITH ${p}eraw AS (SELECT vec_id, $rawExpr AS r FROM embeddings),
          |${p}en AS (SELECT vec_id, r, sqrt(list_sum([x * x for x in r])) AS rn FROM ${p}eraw),
          |${p}e0 AS (SELECT vec_id, [x / rn for x in r] AS v FROM ${p}en WHERE rn > 0),
-         |${p}e AS (SELECT vec_id, v, sqrt(list_sum([y * y for y in v])) AS vn FROM ${p}e0),
+         |${p}e AS (SELECT vec_id, v, sqrt(list_sum([y * y for y in v])) AS vn FROM ${p}e0),$fitCte
          |${p}c0 AS (
          |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster, v AS c
-         |  FROM ${p}e QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= $k
+         |  FROM ${p}$fitSrc QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= $k
          |)""".stripMargin
     val rounds = (1 to iters).map { t =>
       s"""${p}a$t AS (
-         |${kmeansAssignFrom(s"${p}c${t - 1}", p)}
+         |${kmeansAssignFrom(s"${p}c${t - 1}", p, fitSrc)}
          |),
          |${p}p$t AS (SELECT cluster, v, unnest(generate_series(1, len(v))) AS i FROM ${p}a$t),
          |${p}c$t AS (
@@ -1348,6 +1360,62 @@ object QueriesLlm {
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6, nBlocks = 7)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ── perceptual image dedup on DECODED PIXELS: synthesize a real
+    // uncompressed PPM per doc ([[Multimodal.withPpmPayload]] — groups of
+    // four variants of one base picture), dHash it through the codegen'd
+    // parser ([[graft.functions.ImageKernels]]: luminance → 9×8 pooled grid
+    // → 64 adjacent-cell comparison bits), then banded Hamming pairs
+    // ([[Dedup.hashBandPairs]], 4×16 bands — LOSSLESS for hamming ≤ 3 by
+    // pigeonhole, so the banded route IS the exact pair set). The oracle
+    // recomputes the luminance field from the generative formula and
+    // replays pool/compare/band arithmetically — two independent
+    // implementations, decode bugs hash-fail ──
+    "dedup_phash" -> ((s, dir) => {
+      graft.functions.ImageKernels.register(s)
+      val imgs = Multimodal.withPpmPayload(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          graft.functions.ImageKernels.ppmDhashCol(col("payload")).as("dhash"))
+      Dedup.hashBandPairs(imgs, maxHamming = 3, nBands = 4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ── perceptual-dedup ADMISSION ([[Dedup.hashBandAdmit]]): the ingest
+    // batch (doc_id % 5 == 0) fingerprints against the already-indexed 4/5
+    // of the corpus plus its own earlier members — batch-scaled band
+    // probing, the `dedup_incremental` discipline on images. The fixture
+    // structure makes the decision mix meaningful: fresh variants 0-2 of a
+    // group collide with their indexed siblings (rejected), the variant-3
+    // checkerboards are genuinely new pictures (admitted) ──
+    "dedup_phash_incr" -> ((s, dir) => {
+      graft.functions.ImageKernels.register(s)
+      val imgs = Multimodal.withPpmPayload(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          graft.functions.ImageKernels.ppmDhashCol(col("payload")).as("dhash"))
+      Dedup.hashBandAdmit(
+        imgs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+        imgs.where(pmod(col("doc_id"), lit(5)) === 0),
+        maxHamming = 3, nBands = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── perceptual AUDIO dedup on DECODED SAMPLES: real 16-bit PCM WAV
+    // payloads ([[Multimodal.withWavPayload]] — groups of four takes of
+    // one recording), fingerprinted by the codegen'd energy-envelope
+    // kernel ([[graft.functions.AudioKernels]]: RIFF chunk walk → 65
+    // windows → 64 adjacent-energy comparison bits), deduped through the
+    // SAME banded Hamming index as the image hash — one index family for
+    // every 64-bit perceptual fingerprint. Oracle recomputes the envelope
+    // from the amplitude formula (energy = 8 × amplitude, so the
+    // comparisons replay exactly) — two independent implementations ──
+    "dedup_audio" -> ((s, dir) => {
+      graft.functions.AudioKernels.register(s)
+      val clips = Multimodal.withWavPayload(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          graft.functions.AudioKernels.wavEnergyHashCol(col("payload")).as("dhash"))
+      Dedup.hashBandPairs(clips, maxHamming = 3, nBands = 4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ── similarity: exact brute-force cosine top-5 for 10 query vectors ──
     "knn_brute_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1454,6 +1522,27 @@ object QueriesLlm {
       Similarity.withRecall(
         Similarity.ivfKnnPersisted(q, emb, idx, k = 5, cells = KmK, iters = KmIters),
         q, emb, k = 5, minPoolHits = IvfRecallFloor)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── INCREMENTAL persisted IVF ([[Similarity.ivfIndexAppend]]): fit on
+    // the already-indexed 4/5 of the corpus, append the new 1/5 against the
+    // FROZEN centroids (batch-sized work, no re-fit), probe the union —
+    // the ingest loop of a persisted vector index. The append equivalence
+    // law (assignment is pure in the stored centroids) makes the probe
+    // bitwise a one-shot frozen-quantizer index, which is what the oracle
+    // replays; drift gate + version bump pinned in SimilaritySpec ──
+    "knn_ivf_persisted_incr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = scratch(dir, "ivf_index_incr")
+      val indexed = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+      Similarity.ivfIndexWrite(indexed, cells = KmK, iters = KmIters, indexPath = idx)
+      Similarity.ivfIndexAppend(batch, idx, cells = KmK, iters = KmIters)
+      val q = emb.where(col("vec_id") < 10)
+      Similarity.withRecall(
+        Similarity.ivfKnnPersisted(q, emb, idx, k = 5, cells = KmK, iters = KmIters),
+        q, emb, k = 5, minPoolHits = IvfIncrRecallFloor)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2163,6 +2252,22 @@ object QueriesLlm {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── INCREMENTAL persisted BM25 ([[Retrieval.bm25IndexMerge]]): build
+    // on the already-ingested 4/5 of the corpus, merge the new 1/5 as a
+    // postings append + vocabulary-sized df merge (batch-sized work, no
+    // corpus rescan). BM25 statistics are additive, so the merged index is
+    // EXACTLY the from-scratch union index — the oracle is the full-corpus
+    // ranking itself, and a merge that dropped or double-counted anything
+    // hash-fails ──
+    "bm25_topk_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = scratch(dir, "bm25_index_incr")
+      Retrieval.bm25IndexWrite(docs.where(pmod(col("doc_id"), lit(5)) =!= 0), idx)
+      Retrieval.bm25IndexMerge(docs.where(pmod(col("doc_id"), lit(5)) === 0), idx)
+      Retrieval.bm25TopKPersisted(s, idx, Bm25Queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ── hybrid seed expansion: "more docs like these seeds" — BM25 on the
     // seed's own tokens fused with exact cosine over the aligned embedding
     // table by INTEGER reciprocal-rank fusion; the data-selection pool
@@ -2775,28 +2880,80 @@ object QueriesLlm {
     * (queries are corpus members, so their cell is the fitted one), then
     * the semdedup-style raw-vector cosine ranked within the probed cell.
     */
+  /** Final-assignment + probed-cell exact-cosine ranking + `ann` CTE shared
+    * by the IVF oracles — the probe side is identical whether the quantizer
+    * was fit on the whole corpus or frozen from a subset.
+    */
+  private lazy val ivfAnnSql: String =
+    s""",
+       |fin AS (
+       |${kmeansAssignFrom(s"c$KmIters")}
+       |),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_sum([nq.r[i] * nc.r[i] for i in range(1, len(nq.r) + 1)]) / (nq.rn * nc.rn) AS cos
+       |  FROM fin q
+       |  JOIN fin c ON q.cluster = c.cluster AND c.vec_id <> q.vec_id
+       |  JOIN en nq ON nq.vec_id = q.vec_id
+       |  JOIN en nc ON nc.vec_id = c.vec_id
+       |  WHERE q.vec_id < 10
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM p
+       |),
+       |ann AS (
+       |  SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+       |  FROM r WHERE rank <= 5
+       |)""".stripMargin
+
   private lazy val knnIvfCosineOracle: String =
-    (kmeansCtesSql(KmK, KmIters) +
-        s""",
-           |fin AS (
-           |${kmeansAssignFrom(s"c$KmIters")}
-           |),
-           |p AS (
-           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           |         list_sum([nq.r[i] * nc.r[i] for i in range(1, len(nq.r) + 1)]) / (nq.rn * nc.rn) AS cos
-           |  FROM fin q
-           |  JOIN fin c ON q.cluster = c.cluster AND c.vec_id <> q.vec_id
-           |  JOIN en nq ON nq.vec_id = q.vec_id
-           |  JOIN en nc ON nc.vec_id = c.vec_id
-           |  WHERE q.vec_id < 10
-           |), r AS (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-           |  FROM p
-           |),
-           |ann AS (
-           |  SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
-           |  FROM r WHERE rank <= 5
-           |)""".stripMargin + annRecallTailSql(IvfRecallFloor))
+    kmeansCtesSql(KmK, KmIters) + ivfAnnSql + annRecallTailSql(IvfRecallFloor)
+
+  /** knn_ivf_persisted_incr replay: the quantizer is FIT on the already-
+    * indexed 4/5 of the corpus (`vec_id % 5 <> 0`), the appended batch is
+    * assigned against those frozen centroids, and the probe covers the
+    * union — exactly the write(A)+append(B) index state, which the append
+    * equivalence law makes bitwise a one-shot frozen-quantizer assignment.
+    */
+  private lazy val knnIvfIncrOracle: String =
+    kmeansCtesSql(KmK, KmIters, fitWhere = "vec_id % 5 <> 0") + ivfAnnSql +
+      annRecallTailSql(IvfIncrRecallFloor)
+
+  /** Shared dedup_phash replay chain: generative luminance field (md5
+    * first byte per (group, x, y) + the variant perturbations — exactly
+    * [[graft.operators.Multimodal.withPpmPayload]]'s formula), 2x2 pooled
+    * cell sums, 64 adjacent-cell comparison bits, and the 4x16-bit band
+    * keys (shifts <= 15 — no 64-bit overflow anywhere). The engine side
+    * fingerprints the DECODED BYTES through the codegen'd PPM parser; this
+    * chain recomputes from arithmetic — two independent implementations.
+    */
+  private lazy val phashCtes: String =
+    """WITH base AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents),
+      |lum AS (
+      |  SELECT doc_id,
+      |    [ (('0x' || substr(md5(g::VARCHAR || '_' || (i % 18)::VARCHAR || '_' || (i // 18)::VARCHAR), 1, 2))::BIGINT
+      |       + CASE WHEN v = 1 AND (i % 18) < 2 AND (i // 18) < 2 THEN 100
+      |              WHEN v = 2 AND (((i % 18) < 2 AND (i // 18) < 2) OR ((i % 18) >= 16 AND (i // 18) >= 14)) THEN 100
+      |              WHEN v = 3 AND ((i % 18) + (i // 18)) % 2 = 0 THEN 128
+      |              ELSE 0 END) % 256
+      |      for i in range(0, 288) ] AS L
+      |  FROM base
+      |), cells AS (
+      |  SELECT doc_id,
+      |    [ L[(k // 9) * 2 * 18 + (k % 9) * 2 + 1] + L[(k // 9) * 2 * 18 + (k % 9) * 2 + 2]
+      |      + L[((k // 9) * 2 + 1) * 18 + (k % 9) * 2 + 1] + L[((k // 9) * 2 + 1) * 18 + (k % 9) * 2 + 2]
+      |      for k in range(0, 72) ] AS cs
+      |  FROM lum
+      |), bits AS (
+      |  SELECT doc_id,
+      |    [ CASE WHEN cs[(k // 8) * 9 + (k % 8) + 1] < cs[(k // 8) * 9 + (k % 8) + 2] THEN 1 ELSE 0 END
+      |      for k in range(0, 64) ] AS bt
+      |  FROM cells
+      |), bands AS (
+      |  SELECT doc_id, t.band,
+      |         CAST(list_sum([ bt[t.band * 16 + j + 1] * (1::BIGINT << j) for j in range(0, 16) ]) AS BIGINT) AS bkey
+      |  FROM bits, range(0, 4) t(band)
+      |)""".stripMargin
 
   /** mm_decode_real replay, shared with the `mm_format_stats` rollup:
     * rebuild the exact synthesized payload bytes as hex (PNG CRC zeroed —
@@ -3043,6 +3200,12 @@ object QueriesLlm {
     // bm25_topk_persisted: the stored index is derived with the identical
     // expressions, so the replay is the in-query ranker's own
     "bm25_topk_persisted" -> bm25TopkOracleSql,
+
+    // bm25_topk_incr: the merged index must equal the from-scratch union
+    // index (BM25 stats are additive), so the oracle is the FULL-corpus
+    // ranking — any merge defect (lost posting, double df, stale idf/avgdl)
+    // shifts a score and hash-fails
+    "bm25_topk_incr" -> bm25TopkOracleSql,
 
     // The FUSED ingestion pass: every deterministic leg replayed exactly —
     // near-dup counts via the minhash/band chain, exact-contamination via
@@ -3545,6 +3708,11 @@ object QueriesLlm {
     // fit, same result, same replay
     "knn_ivf_persisted" -> knnIvfCosineOracle,
 
+    // knn_ivf_persisted_incr: quantizer fit on the indexed 4/5, appended
+    // batch assigned against the frozen centroids, probe over the union —
+    // the oracle replays that exact two-generation index state
+    "knn_ivf_persisted_incr" -> knnIvfIncrOracle,
+
     // Multi-probe IVF replay: per-query cells ranked by centroid cosine
     // (DESC, cluster ASC — matching the struct(-cos, cell) ascending sort),
     // top-$IvfProbes probed, then the same within-set exact ranking.
@@ -3709,6 +3877,79 @@ object QueriesLlm {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // dedup_phash: band-join candidates -> exact bit-array Hamming;
+    // banding is lossless for hamming <= 3 by pigeonhole, which is
+    // exactly the engine index's guarantee
+    "dedup_phash" -> (phashCtes + """,
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), ham AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |         CAST(list_sum([ abs(x.bt[i + 1] - y.bt[i + 1]) for i in range(0, 64) ]) AS BIGINT) AS hamming
+      |  FROM cand c JOIN bits x ON x.doc_id = c.doc_a JOIN bits y ON y.doc_id = c.doc_b
+      |)
+      |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // dedup_audio: amplitude-formula replay — window energy is 8x the
+    // per-window amplitude, so the adjacent-energy comparisons equal the
+    // amplitude comparisons; band join + exact bit-array Hamming as in
+    // dedup_phash (lossless at hamming <= 3 by pigeonhole)
+    "dedup_audio" ->
+      """WITH abase AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents),
+        |aamp AS (
+        |  SELECT doc_id,
+        |    [ (('0x' || substr(md5(g::VARCHAR || '_' || w::VARCHAR || CASE WHEN v = 3 THEN '_x' ELSE '' END), 1, 3))::BIGINT
+        |       + CASE WHEN v = 1 AND w = 0 THEN 20000
+        |              WHEN v = 2 AND (w = 0 OR w = 64) THEN 20000
+        |              ELSE 0 END)
+        |      for w in range(0, 65) ] AS A
+        |  FROM abase
+        |), abits AS (
+        |  SELECT doc_id,
+        |    [ CASE WHEN A[k + 1] < A[k + 2] THEN 1 ELSE 0 END for k in range(0, 64) ] AS bt
+        |  FROM aamp
+        |), abands AS (
+        |  SELECT doc_id, t.band,
+        |         CAST(list_sum([ bt[t.band * 16 + j + 1] * (1::BIGINT << j) for j in range(0, 16) ]) AS BIGINT) AS bkey
+        |  FROM abits, range(0, 4) t(band)
+        |), acand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM abands a JOIN abands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), aham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(list_sum([ abs(x.bt[i + 1] - y.bt[i + 1]) for i in range(0, 64) ]) AS BIGINT) AS hamming
+        |  FROM acand c JOIN abits x ON x.doc_id = c.doc_a JOIN abits y ON y.doc_id = c.doc_b
+        |)
+        |SELECT doc_a, doc_b, hamming FROM aham WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // dedup_phash_incr: same chain; a fresh doc (id % 5 = 0) counts dups
+    // among indexed docs and EARLIER fresh docs, admitted iff none
+    "dedup_phash_incr" -> (phashCtes + """,
+      |cand AS (
+      |  SELECT a.doc_id AS f_id, b.doc_id AS p_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey
+      |   AND a.doc_id % 5 = 0
+      |   AND (b.doc_id % 5 <> 0 OR b.doc_id < a.doc_id)
+      |  GROUP BY 1, 2
+      |), dups AS (
+      |  SELECT c.f_id, count(*) AS n_dups
+      |  FROM cand c JOIN bits x ON x.doc_id = c.f_id JOIN bits y ON y.doc_id = c.p_id
+      |  WHERE list_sum([ abs(x.bt[i + 1] - y.bt[i + 1]) for i in range(0, 64) ]) <= 3
+      |  GROUP BY 1
+      |)
+      |SELECT d.doc_id, CAST(coalesce(u.n_dups, 0) AS BIGINT) AS n_dups,
+      |       (coalesce(u.n_dups, 0) = 0) AS admitted
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+      |LEFT JOIN dups u ON u.f_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin),
+
 
     "knn_brute_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -27,6 +27,15 @@ object QueriesRelational {
   private def d(c: Column): Column = c.cast("double")
   private def ts(s: String): Column = to_timestamp(lit(s))
 
+  /** Per-SF scratch root for queries that persist real artifacts (the
+    * QueriesEtl/QueriesLlm discipline — e.g. the streamed daily sketch
+    * table `stream_sketch_rollup` rolls up).
+    */
+  private def scratch(dir: String, name: String): String = {
+    val sf = dir.replaceAll(".*/", "")
+    s"/root/repo/target/relational_scratch/$sf/$name"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── A1 analog: grouped aggregate with exact sums (TPC-H Q1 shape) ──
     "q1_pricing" -> ((s, dir) =>
@@ -575,6 +584,42 @@ object QueriesRelational {
         .orderBy(col("flag"), col("q"))
     }),
 
+    // ── streaming sketch emission → PERSISTED rollup ([[graft.streaming
+    // .StreamingSessionize.sketchRollupReplay]]): a watermarked append-mode
+    // stream emits each event-time DAY as ONE theta-sketch row to a real
+    // parquet table; weeks roll up downstream by sketch UNION with no
+    // event rescan — the end-to-end incremental-analytics loop. In exact
+    // mode (daily distincts < 2^14) the streamed sketch bytes are pinned
+    // EQUAL to a batch build of the same day (min-of-booleans AND), and
+    // the weekly union estimate IS the exact distinct count the oracle
+    // recomputes — a dropped day, late-arrival loss, or a drifting sketch
+    // all hash-fail ──
+    "stream_sketch_rollup" -> ((s, dir) => {
+      import graft.functions.ThetaFunctions
+      ThetaFunctions.register(s)
+      val lgK = 14
+      val ev = Tables.events(s, dir)
+      val dailyPath = scratch(dir, "stream_sketch_daily")
+      graft.streaming.StreamingSessionize.sketchRollupReplay(ev, lgK = lgK)
+        .write.mode("overwrite").parquet(dailyPath)
+      val daily = s.read.parquet(dailyPath)
+      val batchDaily = ev
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(ThetaFunctions.thetaSketch(col("user_id"), lgK).as("bsk"))
+      val matches = daily.join(batchDaily, Seq("day"), "full_outer")
+        .select((col("sk").isNotNull && col("bsk").isNotNull &&
+          col("sk") === col("bsk")).as("m"))
+        .agg(min(col("m")).as("stream_matches_batch"))
+      daily
+        .groupBy(to_date(date_trunc("week", col("day"))).as("week"))
+        .agg(count(lit(1)).as("n_days"), ThetaFunctions.thetaUnion(col("sk"), lgK).as("u"))
+        .select(col("week"), col("n_days"),
+          round(ThetaFunctions.thetaEstimate(col("u"))).cast("long").as("wau"))
+        .crossJoin(broadcast(matches))
+        .orderBy(col("week"))
+    }),
+
     // ── scalar string-function surface (upper/substr/length/regexp_extract/
     // concat_ws/lpad) — all map-side, codegen'd, pushdown-neutral ──
     "string_funcs" -> ((s, dir) =>
@@ -997,6 +1042,47 @@ object QueriesRelational {
     // PlanSpec pins semi+anti present and ZERO nested-loop joins. At
     // 100 TB both self-joins shuffle lineitem by orderkey once each; the
     // supplier and nation dims broadcast. ──
+    // ── TPC-H Q17 shape: CORRELATED SCALAR AGGREGATE subquery — "orders
+    // for less than 20% of this part's average quantity", the classic
+    // magic-set decorrelation stress. Catalyst rewrites the per-row
+    // correlated avg into one grouped aggregate over lineitem plus an
+    // equi-join on the correlation key — per-brand output instead of
+    // Q17's single scalar so the hash compare covers every group. Money
+    // sums ride decimal(18,2); the correlated avg is exact (integral
+    // quantities sum exactly in doubles). At 100 TB: two shuffles of
+    // lineitem by partkey (the agg and the join), part broadcast ──
+    "q17_small_qty" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT p_brand,
+          |       CAST(count(*) AS BIGINT) AS n_small,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE l_quantity < 0.2 * (SELECT avg(l2.l_quantity)
+          |                          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+          |GROUP BY p_brand
+          |ORDER BY p_brand""".stripMargin)
+    }),
+
+    // ── TPC-H Q20 shape: NESTED IN chains with a grouped HAVING — the
+    // part filter nests inside the lineitem aggregation inside the
+    // supplier semi-join. Catalyst plans both INs as hash semi-joins
+    // (PlanSpec pins zero nested loops); shipped quantity stands in for
+    // the reference schema's partsupp availability (no partsupp table in
+    // the fixture star) ──
+    "q20_heavy_suppliers" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT s_name, n_name
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |WHERE s_suppkey IN (
+          |  SELECT l_suppkey FROM lineitem
+          |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+          |  GROUP BY l_suppkey, l_partkey
+          |  HAVING sum(l_quantity) > 100.0)
+          |ORDER BY s_name""".stripMargin)
+    }),
+
     "q21_waiting" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(
@@ -1388,6 +1474,18 @@ object QueriesRelational {
         |            // lag(n) OVER (PARTITION BY grp ORDER BY week) AS BIGINT)
         |         AS growth_ppm
         |FROM w ORDER BY grp, week""".stripMargin,
+
+    // stream_sketch_rollup: the streamed+rolled weekly estimate is the
+    // EXACT weekly distinct (exact-mode theta), n_days counts the emitted
+    // daily sketch rows, and the stream==batch byte equality rides as a
+    // pinned-TRUE law boolean
+    "stream_sketch_rollup" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events)
+        |SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+        |       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+        |       TRUE AS stream_matches_batch
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // stream_kll_ingest: the kll_quantile_rollup oracle shape without the
     // partials column — exact percentiles + pinned rank law
@@ -1841,6 +1939,29 @@ object QueriesRelational {
         |                 > 9 * (n_window * q - s * s)
         |       END AS is_anomaly
         |FROM stats ORDER BY grp, day""".stripMargin,
+
+    // q17_small_qty / q20_heavy_suppliers: DuckDB runs the identical
+    // correlated/nested forms natively — both engines must agree on the
+    // decorrelated semantics exactly
+    "q17_small_qty" ->
+      """SELECT p_brand,
+        |       CAST(count(*) AS BIGINT) AS n_small,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < 0.2 * (SELECT avg(l2.l_quantity)
+        |                          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q20_heavy_suppliers" ->
+      """SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(l_quantity) > 100.0)
+        |ORDER BY s_name""".stripMargin,
 
     // q21_waiting: DuckDB runs the identical correlated form natively —
     // both engines must agree on the EXISTS/NOT-EXISTS semantics exactly

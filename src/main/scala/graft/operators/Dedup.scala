@@ -1006,4 +1006,112 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
+
+  /** Banded Hamming pairs over an arbitrary 64-BIT hash column — the
+    * perceptual-dedup search half: `dedup_phash` feeds it the
+    * [[graft.functions.ImageKernels]] dHash, but any 64-bit fingerprint
+    * (pHash, aHash, audio chromaprint block) rides the same index. The
+    * hash splits into `nBands` contiguous equal-width bands; two hashes
+    * within `maxHamming` differ in at most `maxHamming < nBands` bands, so
+    * by PIGEONHOLE they agree on at least one band — the single-band
+    * equi-join is a LOSSLESS candidate generator (the same theorem behind
+    * [[simhashPairs]]' r-combination index, at its simplest setting), and
+    * the exact `bit_count(xor)` filter on candidates makes the output the
+    * exact thresholded pair set. Never all-pairs: candidate volume is
+    * Σ_band Σ_key C(bucket, 2), bounded by the band-key collision profile.
+    *
+    * Rows with a null hash (undecodable payloads) are excluded — an
+    * unfingerprintable asset matches nothing rather than everything.
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+    */
+  def hashBandPairs(
+      hashed: DataFrame,
+      maxHamming: Int = 3,
+      nBands: Int = 4,
+      idCol: String = "doc_id",
+      hashCol: String = "dhash"): DataFrame = {
+    require(nBands >= 1 && 64 % nBands == 0,
+      s"nBands ($nBands) must divide the 64 hash bits evenly")
+    require(maxHamming < nBands,
+      s"need maxHamming ($maxHamming) < nBands ($nBands) for the pigeonhole guarantee")
+    val w = 64 / nBands
+    val mask = if (w == 64) lit(-1L) else lit((1L << w) - 1L)
+    val bands = (0 until nBands).map { b =>
+      struct(lit(b).as("band"), shiftrightunsigned(col(hashCol), b * w).bitwiseAND(mask).as("bkey"))
+    }
+    val idx = hashed
+      .where(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol),
+        posexplode(array(bands: _*)).as(Seq("pos", "bk")))
+      .select(col(idCol), col(hashCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    idx.as("l").join(idx.as("r"), Seq("band", "bkey"))
+      .where(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(
+        col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"),
+        col(s"l.$hashCol").as("h_a"), col(s"r.$hashCol").as("h_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Incremental ADMISSION against a perceptually-indexed corpus — the
+    * [[incrementalDedupAgainstIndex]] discipline on the 64-bit
+    * [[hashBandPairs]] index: a fresh asset is admitted iff NO
+    * already-indexed asset and no EARLIER fresh asset (smaller id — the
+    * same monotone within-batch rule the MinHash admission uses) lies
+    * within `maxHamming`. Candidates come from the single-band equi-join
+    * only (lossless for `maxHamming < nBands` by pigeonhole), so the cost
+    * scales with the BATCH's band-bucket collisions, never the corpus.
+    *
+    * An undecodable fresh asset (null hash) is QUARANTINED — `admitted`
+    * false with zero dups — not silently admitted: a pipeline that can't
+    * fingerprint an asset must not vouch for its novelty. Null-hash
+    * indexed rows block nothing (they match nothing).
+    *
+    * Output: one row per fresh asset — (idCol, n_dups, admitted).
+    */
+  def hashBandAdmit(
+      indexed: DataFrame,
+      fresh: DataFrame,
+      maxHamming: Int = 3,
+      nBands: Int = 4,
+      idCol: String = "doc_id",
+      hashCol: String = "dhash"): DataFrame = {
+    require(nBands >= 1 && 64 % nBands == 0,
+      s"nBands ($nBands) must divide the 64 hash bits evenly")
+    require(maxHamming < nBands,
+      s"need maxHamming ($maxHamming) < nBands ($nBands) for the pigeonhole guarantee")
+    val w = 64 / nBands
+    val mask = if (w == 64) lit(-1L) else lit((1L << w) - 1L)
+    def banded(df: DataFrame): DataFrame = {
+      val bands = (0 until nBands).map { b =>
+        struct(lit(b).as("band"), shiftrightunsigned(col(hashCol), b * w).bitwiseAND(mask).as("bkey"))
+      }
+      df.where(col(hashCol).isNotNull)
+        .select(col(idCol), col(hashCol),
+          posexplode(array(bands: _*)).as(Seq("pos", "bk")))
+        .select(col(idCol), col(hashCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    }
+    val fb = banded(fresh)
+    val probe = fb.select(
+      col(idCol).as("f_id"), col(hashCol).as("f_hash"), col("band"), col("bkey"))
+    val partner = banded(indexed)
+      .select(col(idCol).as("p_id"), col(hashCol).as("p_hash"),
+        lit(false).as("p_fresh"), col("band"), col("bkey"))
+      .unionByName(fb.select(col(idCol).as("p_id"), col(hashCol).as("p_hash"),
+        lit(true).as("p_fresh"), col("band"), col("bkey")))
+    val dups = probe.join(partner, Seq("band", "bkey"))
+      .where(!col("p_fresh") || col("p_id") < col("f_id"))
+      .select(col("f_id"), col("f_hash"), col("p_id"), col("p_hash"))
+      .distinct()
+      .where(bit_count(col("f_hash").bitwiseXOR(col("p_hash"))) <= maxHamming)
+      .groupBy(col("f_id")).agg(count(lit(1)).as("n_dups"))
+    fresh.select(col(idCol), col(hashCol))
+      .join(dups.withColumnRenamed("f_id", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (col(hashCol).isNotNull && coalesce(col("n_dups"), lit(0L)) === 0L).as("admitted"))
+  }
 }

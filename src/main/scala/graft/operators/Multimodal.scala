@@ -91,6 +91,115 @@ object Multimodal {
     df.withColumn("payload", concat(unhex(headerHex), encode(col(textCol), "UTF-8")))
   }
 
+  /** Synthesized PPM (P6) image width/height — 18×16 pools 2×2-exactly onto
+    * the [[graft.functions.ImageKernels]] 9×8 dHash grid, so the fixture
+    * exercises real average pooling, not a degenerate 1-pixel-per-cell
+    * identity.
+    */
+  val PpmW = 18
+  val PpmH = 16
+
+  /** Synthesize a REAL uncompressed PPM (P6) image payload per row for the
+    * perceptual-dedup path: ids cluster in groups of four variants of one
+    * base picture (`group = id / 4`, `variant = id % 4`), grayscale
+    * (R = G = B, so ITU-601 integer luminance is exactly the byte value):
+    *
+    *  - the base luminance field is the first md5 byte of
+    *    `"<group>_<x>_<y>"` — an iid-uniform field PER GROUP, so distinct
+    *    groups get near-independent dHashes (cross-group Hamming ~
+    *    Binomial(64, ½): never a pair) and band keys spread uniformly; a
+    *    smooth arithmetic field would collapse thousands of groups onto
+    *    one dHash (adjacent-cell comparisons are shift-invariant) and
+    *    blow the pair set up quadratically;
+    *  - variant 1 brightens only the top-left dHash cell (flips ≤ 1 bit:
+    *    that cell sits in exactly one horizontal comparison);
+    *  - variant 2 brightens the top-left and bottom-right cells (≤ 2 bits);
+    *  - variant 3 overlays a checkerboard (scrambles many bits — a
+    *    DIFFERENT picture that shares the group's low-frequency layout).
+    *
+    * Every byte is a deterministic integer function of (id, x, y), so the
+    * DuckDB oracle replays the identical luminance field from the formula —
+    * the two-independent-implementations discipline (`text_nfc_audit`):
+    * Spark fingerprints the DECODED BYTES through the codegen'd parser, the
+    * oracle recomputes from arithmetic, and a hash match proves the whole
+    * decode+pool+compare pipeline.
+    */
+  def withPpmPayload(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol).cast("long")
+    val g = (id / 4L).cast("long")
+    val v = pmod(id, lit(4L))
+    val body = array_join(
+      transform(sequence(lit(0), lit(PpmW * PpmH - 1)), { i =>
+        val x = pmod(i, lit(PpmW))
+        val y = (i / PpmW).cast("long")
+        val topLeft = x < 2 && y < 2
+        val bottomRight = x >= PpmW - 2 && y >= PpmH - 2
+        val perturb = when(v === 1 && topLeft, 100L)
+          .when(v === 2 && (topLeft || bottomRight), 100L)
+          .when(v === 3 && pmod(x + y, lit(2L)) === 0L, 128L)
+          .otherwise(0L)
+        val key = concat(g.cast("string"), lit("_"), x.cast("string"), lit("_"), y.cast("string"))
+        val base = conv(substring(md5(key), 1, 2), 16, 10).cast("long")
+        val lum = pmod(base + perturb, lit(256L))
+        val h = lpad(hex(lum), 2, "0")
+        concat(h, h, h)
+      }), "")
+    df.withColumn("payload",
+      concat(
+        encode(lit(s"P6\n$PpmW $PpmH\n255\n"), "UTF-8"),
+        unhex(body)))
+  }
+
+  /** Synthesized WAV geometry: 65 energy windows × 8 samples each — the
+    * [[graft.functions.AudioKernels.Windows]] grid with real (non-identity)
+    * windowing, 16-bit PCM mono.
+    */
+  val WavSamplesPerWindow = 8
+  val WavSamples = 65 * WavSamplesPerWindow
+
+  /** Synthesize a REAL 16-bit PCM WAV payload per row for the perceptual
+    * AUDIO dedup path — the [[withPpmPayload]] group/variant structure, one
+    * dimension down: ids cluster in groups of four takes of one recording
+    * (`group = id / 4`, `variant = id % 4`), each a 65-window envelope
+    * whose per-window amplitude is the first 3 md5 hex digits of
+    * `"<group>_<window>"` (0..4095 — an iid series per group, so distinct
+    * groups never collide). All samples in a window carry the amplitude,
+    * so window ENERGY is 8× amplitude and the energy comparisons replay
+    * from the amplitude formula alone:
+    *
+    *  - variant 1 boosts only window 0 (flips ≤ 1 envelope bit);
+    *  - variant 2 boosts windows 0 and 64 (≤ 2 bits);
+    *  - variant 3 draws a FRESH md5 series (salt `_x`) — a different
+    *    recording entirely.
+    */
+  def withWavPayload(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol).cast("long")
+    val g = (id / 4L).cast("long")
+    val v = pmod(id, lit(4L))
+    def leHexLit(value: Long, bytes: Int): String = {
+      (0 until bytes).map(i => f"${(value >> (8 * i)) & 0xffL}%02X").mkString
+    }
+    val dataLen = WavSamples * 2L
+    val headerHex =
+      "52494646" + leHexLit(4 + 24 + 8 + dataLen, 4) + "57415645" +
+        "666D7420" + "10000000" + "0100" + "0100" + leHexLit(8000L, 4) +
+        leHexLit(16000L, 4) + "0200" + "1000" +
+        "64617461" + leHexLit(dataLen, 4)
+    val body = array_join(
+      transform(sequence(lit(0), lit(WavSamples - 1)), { j =>
+        val w = (j / WavSamplesPerWindow).cast("long")
+        val salt = when(v === 3, lit("_x")).otherwise(lit(""))
+        val key = concat(g.cast("string"), lit("_"), w.cast("string"), salt)
+        val baseAmp = conv(substring(md5(key), 1, 3), 16, 10).cast("long")
+        val amp = baseAmp +
+          when(v === 1 && w === 0L, 20000L)
+            .when(v === 2 && (w === 0L || w === 64L), 20000L)
+            .otherwise(0L)
+        concat(lpad(hex(pmod(amp, lit(256L))), 2, "0"), lpad(hex((amp / 256L).cast("long")), 2, "0"))
+      }), "")
+    df.withColumn("payload", unhex(concat(lit(headerHex), body)))
+  }
+
   /** STUB feature extractor: a deterministic `dim`-component vector in
     * [-0.5, 0.5) derived from the payload checksum — component j is the
     * unsigned first-8-hex of md5(checksum || "_j") / 2^32 - 0.5 (the

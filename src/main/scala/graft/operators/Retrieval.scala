@@ -116,7 +116,74 @@ object Retrieval {
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("idf", idfExpr(lit(nDocs), col("df")))
       .write.mode("overwrite").parquet(s"$indexPath/terms")
-    Seq((nDocs, avgdl, K1, B)).toDF("n_docs", "avgdl", "k1", "b")
+    Seq((nDocs, avgdl, K1, B, 0L)).toDF("n_docs", "avgdl", "k1", "b", "version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** Incrementally maintain a PERSISTED BM25 index ([[bm25IndexWrite]])
+    * with a new ingest batch — the postings/df merge that closes the
+    * ingest loop: postings and doc-lengths for the NEW docs append (the
+    * only batch-sized work), per-term `df` merges by addition with the
+    * stored term table (vocabulary-sized, not corpus-sized), and
+    * `idf`/`avgdl`/`n_docs` recompute from the merged statistics with the
+    * SAME expressions the full build uses. BM25's corpus statistics are
+    * all additive (df, dl sums, doc counts), so the merged index is
+    * EXACTLY the index a from-scratch [[bm25IndexWrite]] over the union
+    * corpus would produce — table-for-table set-equal, and therefore
+    * probe-for-probe bitwise (`bm25_topk_incr`'s oracle is the full-corpus
+    * ranking itself; RetrievalSpec pins the table-level equality). Cost
+    * scales with the batch + vocabulary, never the indexed corpus — the
+    * [[graft.operators.Similarity.ivfIndexAppend]] discipline, lexical
+    * side.
+    *
+    * New doc ids must be DISJOINT from the indexed ids (a re-ingested doc
+    * would double its postings and silently inflate every score — fail
+    * loudly; dedup the batch first). `version` bumps so readers can tell
+    * index generations apart; atomicity across the four table writes is
+    * [[graft.sources.SnapshotLog]]'s job under a managed table root.
+    */
+  def bm25IndexMerge(newDocs: DataFrame, indexPath: String): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    require(meta.getAs[Double]("k1") == K1 && meta.getAs[Double]("b") == B,
+      s"index at $indexPath was built with k1=${meta.getAs[Double]("k1")}, " +
+        s"b=${meta.getAs[Double]("b")} but this builder uses k1=$K1, b=$B")
+    val storedDl = spark.read.parquet(s"$indexPath/doclens")
+    val overlap = newDocs.select(col("doc_id"))
+      .join(storedDl.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(overlap == 0L,
+      s"bm25IndexMerge: new batch shares doc ids with the index at $indexPath — " +
+        "re-ingested docs would double-count in every score; dedup the batch first")
+    val t = toks(newDocs)
+    val newTf = t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val newDl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    newTf.write.mode("append").parquet(s"$indexPath/postings")
+    newDl.write.mode("append").parquet(s"$indexPath/doclens")
+    // df merge: stored (vocab-sized) ⊎ batch, summed per term — disjoint
+    // docs mean a (term, doc) posting can't collide, so addition is exact
+    val mergedNDocs = meta.getAs[Long]("n_docs") + newDocs.count()
+    spark.read.parquet(s"$indexPath/terms").select(col("term"), col("df"))
+      .union(newTf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .withColumn("idf", idfExpr(lit(mergedNDocs), col("df")))
+      .write.mode("overwrite").parquet(s"$indexPath/terms_merged")
+    // swap via re-write (terms is vocab-sized): Spark refuses to overwrite
+    // a path it is reading in the same plan, so stage then re-write the
+    // canonical location and drop the staging dir
+    spark.read.parquet(s"$indexPath/terms_merged")
+      .write.mode("overwrite").parquet(s"$indexPath/terms")
+    val fs = new org.apache.hadoop.fs.Path(s"$indexPath/terms_merged")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/terms_merged"), true)
+    // avgdl from the merged doclens relation: dl values are exact longs, so
+    // the double division is bitwise the from-scratch build's
+    val mergedAvgdl = spark.read.parquet(s"$indexPath/doclens")
+      .agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .head().getDouble(0)
+    Seq((mergedNDocs, mergedAvgdl, K1, B, meta.getAs[Long]("version") + 1L))
+      .toDF("n_docs", "avgdl", "k1", "b", "version")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
   }
 

@@ -281,7 +281,7 @@ object Similarity {
     * must build it with the SAME expressions so an external query assigns
     * bitwise like a corpus member would.
     */
-  private def unitized(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[graft] def unitized(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
     vectors
       .select(col(idCol), asDouble(col(vecCol)).as("raw"))
       .withColumn("rn", norm(col("raw")))
@@ -292,7 +292,7 @@ object Similarity {
   /** E-step over a [[unitized]] frame: adds `cluster` (best cosine,
     * smallest-cell tie-break) and `cos`. Centroids ride as plan literals.
     */
-  private def assignCells(df: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
+  private[graft] def assignCells(df: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
     val withCos = cents.foldLeft(df) { case (d, (cid, cv)) =>
       val cn = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
       d.withColumn(s"cos_$cid", dot(col("v"), typedLit(cv)) / (col("vn") * lit(cn)))
@@ -496,9 +496,120 @@ object Similarity {
     assign.write.mode("overwrite").parquet(s"$indexPath/assignments")
     cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("cluster", "c")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
-    Seq((cells, iters, cents.head._2.length, cents.length))
-      .toDF("cells", "iters", "dim", "n_centroids")
+    // Fit-time assignment-quality baseline for [[ivfIndexAppend]]'s drift
+    // gate, aggregated from the parquet just written (a columnar re-read of
+    // one column, not a recompute of the assignment pass).
+    val fit = spark.read.parquet(s"$indexPath/assignments")
+      .agg(count(lit(1)), avg(col("cosine"))).head()
+    Seq((cells, iters, cents.head._2.length, cents.length,
+        0L, fit.getLong(0), fit.getDouble(1)))
+      .toDF("cells", "iters", "dim", "n_centroids",
+        "version", "n_vectors", "mean_cos_fit")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** Load + cross-verify a stored IVF index's geometry — the shared guard
+    * of [[ivfKnnPersisted]] and [[ivfIndexAppend]]: mismatched
+    * `cells`/`iters` or an internally inconsistent index (centroid count,
+    * dimensionality) must fail loudly, never probe silently wrong.
+    * Returns (meta row, centroids sorted by cell id).
+    */
+  private def loadVerifiedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      cells: Int,
+      iters: Int): (org.apache.spark.sql.Row, Seq[(Long, Array[Double])]) = {
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    require(meta.getAs[Int]("cells") == cells && meta.getAs[Int]("iters") == iters,
+      s"index at $indexPath was built with cells=${meta.getAs[Int]("cells")}, " +
+        s"iters=${meta.getAs[Int]("iters")} but the caller expects cells=$cells, iters=$iters")
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getSeq[Double](r.fieldIndex("c")).toArray)
+      .toSeq.sortBy(_._1)
+    require(cents.length == meta.getAs[Int]("n_centroids"),
+      s"index at $indexPath is inconsistent: ${cents.length} centroids stored, " +
+        s"meta says ${meta.getAs[Int]("n_centroids")}")
+    require(cents.forall(_._2.length == meta.getAs[Int]("dim")),
+      s"index at $indexPath is inconsistent: centroid dims differ from meta dim")
+    (meta, cents)
+  }
+
+  /** Incrementally maintain a PERSISTED IVF index ([[ivfIndexWrite]]):
+    * assign a NEW ingest batch against the STORED (frozen) centroids and
+    * append only its assignment rows — the `dedup_incremental` admission
+    * discipline applied to the vector index. Cost scales with the BATCH
+    * (one [[assignCells]] pass over the new vectors plus a k-row centroid
+    * load), never with the indexed corpus; a full [[ivfIndexWrite]] re-fit
+    * would charge every ingest batch the `iters + 2` corpus passes of
+    * [[kmeansFit]].
+    *
+    * EQUIVALENCE LAW (SimilaritySpec pins it): [[assignCells]] is a pure
+    * function of the stored rounded centroids, so write(A) then append(B)
+    * leaves `assignments/` set-equal to assigning A∪B against A's
+    * centroids in one shot — a probe of the appended index is therefore
+    * bitwise a probe of that frozen-quantizer index at any probe count.
+    *
+    * What append deliberately does NOT do is move centroids: distribution
+    * DRIFT degrades cell balance and recall over many appends. The
+    * returned one-row report carries the drift signal — the batch's mean
+    * cosine-to-assigned-centroid against the fit-time baseline stored in
+    * meta — and flags `refit_recommended` when the batch assigns more than
+    * `driftTol` worse than the fit; the caller then schedules a re-fit
+    * (the k-means analog of the MinHash band index's re-band decision).
+    *
+    * Appended ids must be DISJOINT from the indexed ids: a re-ingested id
+    * would duplicate in every later probe, so the overlap fails loudly
+    * (dedup the batch first — [[graft.operators.Dedup]] is the tool).
+    * The meta `version` bumps and `n_vectors` grows so concurrent readers
+    * can tell index generations apart; commit-level atomicity between the
+    * two table writes is [[graft.sources.SnapshotLog]]'s job when the
+    * index lives under a managed table root.
+    */
+  def ivfIndexAppend(
+      newBatch: DataFrame,
+      indexPath: String,
+      cells: Int,
+      iters: Int,
+      driftTol: Double = 0.05,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(driftTol > 0, s"driftTol must be positive, got $driftTol")
+    val spark = newBatch.sparkSession
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val (meta, cents) = loadVerifiedIndex(spark, indexPath, cells, iters)
+    val indexed = spark.read.parquet(s"$indexPath/assignments")
+    val overlap = newBatch.select(col(idCol))
+      .join(indexed.select(col(idCol)), Seq(idCol), "left_semi")
+      .limit(1).count()
+    require(overlap == 0L,
+      s"ivfIndexAppend: new batch shares ids with the index at $indexPath — " +
+        "already-indexed vectors would duplicate in every probe; dedup the batch first")
+    val assigned = assignCells(unitized(newBatch, idCol, vecCol), cents)
+      .select(col(idCol), col("cluster"), round(col("cos"), 6).as("cosine"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (nNew, batchMeanCos) =
+      try {
+        assigned.write.mode("append").parquet(s"$indexPath/assignments")
+        val st = assigned.agg(count(lit(1)), avg(col("cosine"))).head()
+        require(st.getLong(0) > 0,
+          "ivfIndexAppend: new batch contributed no nonzero-norm vectors")
+        (st.getLong(0), st.getDouble(1))
+      } finally assigned.unpersist(blocking = false)
+    val nTotal = meta.getAs[Long]("n_vectors") + nNew
+    val fitMeanCos = meta.getAs[Double]("mean_cos_fit")
+    val version = meta.getAs[Long]("version") + 1L
+    Seq((cells, iters, meta.getAs[Int]("dim"), cents.length,
+        version, nTotal, fitMeanCos))
+      .toDF("cells", "iters", "dim", "n_centroids",
+        "version", "n_vectors", "mean_cos_fit")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+    Seq((version, nTotal, nNew,
+        math.rint(fitMeanCos * 1e6) / 1e6, math.rint(batchMeanCos * 1e6) / 1e6,
+        batchMeanCos < fitMeanCos - driftTol))
+      .toDF("version", "n_indexed", "n_appended",
+        "mean_cos_fit", "mean_cos_batch", "refit_recommended")
   }
 
   /** IVF search against a STORED index ([[ivfIndexWrite]]): no re-fit — the
@@ -521,19 +632,7 @@ object Similarity {
     require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
     val spark = queries.sparkSession
     VectorFunctions.register(spark)
-    val meta = spark.read.parquet(s"$indexPath/meta").head()
-    require(meta.getAs[Int]("cells") == cells && meta.getAs[Int]("iters") == iters,
-      s"index at $indexPath was built with cells=${meta.getAs[Int]("cells")}, " +
-        s"iters=${meta.getAs[Int]("iters")} but the probe expects cells=$cells, iters=$iters")
-    val cents = spark.read.parquet(s"$indexPath/centroids")
-      .collect()
-      .map(r => r.getAs[Long]("cluster") -> r.getSeq[Double](r.fieldIndex("c")).toArray)
-      .toSeq.sortBy(_._1)
-    require(cents.length == meta.getAs[Int]("n_centroids"),
-      s"index at $indexPath is inconsistent: ${cents.length} centroids stored, " +
-        s"meta says ${meta.getAs[Int]("n_centroids")}")
-    require(cents.forall(_._2.length == meta.getAs[Int]("dim")),
-      s"index at $indexPath is inconsistent: centroid dims differ from meta dim")
+    val (_, cents) = loadVerifiedIndex(spark, indexPath, cells, iters)
     val corpusAssign = spark.read.parquet(s"$indexPath/assignments")
     ivfProbe(queries, corpus, corpusAssign, cents, k, nProbes, idCol, vecCol)
   }

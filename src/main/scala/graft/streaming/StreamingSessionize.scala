@@ -522,6 +522,88 @@ object StreamingSessionize {
     }
   }
 
+  /** Streaming SKETCH emission — the incremental-analytics loop the
+    * mergeable sketch columns exist for: a watermarked append-mode query
+    * aggregates each event-time DAY into one theta-sketch ROW
+    * ([[graft.functions.ThetaFunctions.ThetaSketchAgg]] running unchanged
+    * as streaming state — k-bounded per day, corpus-size-independent,
+    * exactly where an exact distinct would buffer every user id), emitting
+    * the day's final sketch once the watermark passes the day end. The
+    * caller persists those rows to a table and rolls them up to weeks with
+    * a sketch UNION — no event rescan, the `wauSketchRollup` shape fed by
+    * a stream instead of a batch.
+    *
+    * Determinism contract (`stream_sketch_rollup` pins it): below 2^lgK
+    * distinct keys per day the sketch stays in EXACT mode, where the
+    * compact representation is the sorted full hash set — order-invariant,
+    * so the streamed bytes (built by cross-trigger union of partials)
+    * equal the batch-built bytes bit-for-bit, and the union's estimate IS
+    * the exact distinct count. Past 2^lgK the bytes stay deterministic
+    * for a fixed input SET but the estimate gains error — the tolerance
+    * discipline of `theta_wow_overlap` applies; size lgK to the expected
+    * per-day cardinality.
+    *
+    * Sentinels ride user_id −1 far past the last real day end + delay to
+    * drive the final flush; their far-future windows are dropped by the
+    * data-derived day cutoff. Output: (day DATE, sk BINARY), one row per
+    * event-time day.
+    */
+  def sketchRollupReplay(
+      events: DataFrame,
+      lgK: Int = 14,
+      slices: Int = 3,
+      watermarkDelaySec: Long = 600L,
+      queryName: String = "stream_sketch_rollup_sink"): DataFrame = {
+    import java.nio.file.Files
+    require(slices >= 2, s"need >= 2 slices for the watermark to move, got $slices")
+    val spark = events.sparkSession
+    import spark.implicits._
+    graft.functions.ThetaFunctions.register(spark)
+    val base = Files.createTempDirectory("graft_stream_sketch_")
+    val streamDir = base.resolve("stream")
+    Files.createDirectories(streamDir)
+    try {
+      val proj = events.select(col("user_id").cast("long").as("user_id"), col("ts"))
+      val bounds = proj.agg(
+        min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
+      require(!bounds.isNullAt(0), "sketchRollupReplay: empty events input")
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = hi - lo + 1
+      val sentinel1 = hi + 2L * 86400L + watermarkDelaySec + 60L
+      val sentinel2 = sentinel1 + 60L
+      val sliceDfs = (0 until slices).map { i =>
+        val cutLo = lo + span * i / slices
+        val cutHi = lo + span * (i + 1) / slices
+        val e = unix_timestamp(col("ts"))
+        proj.where(e >= cutLo && e < cutHi)
+      } ++ Seq(sentinel1, sentinel2).map { sec =>
+        Seq(-1L).toDF("user_id")
+          .select(col("user_id"), lit(sec).cast("timestamp").as("ts"))
+      }
+      stageSliceFiles(base, streamDir, sliceDfs)
+      val src = spark.readStream
+        .schema(proj.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val out = src
+        .withWatermark("ts", s"$watermarkDelaySec seconds")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(graft.functions.ThetaFunctions.thetaSketch(col("user_id"), lgK).as("sk"))
+        .select(to_date(col("w.start")).as("day"), col("sk"))
+      withReplayStatePartitions(spark) {
+        val q = out.writeStream.format("memory")
+          .queryName(queryName).outputMode("append").start()
+        try { q.processAllAvailable(); captureStateMetrics(q) }
+        finally q.stop()
+      }
+      val hiDay = java.time.LocalDate.ofEpochDay(hi / 86400L).toString
+      spark.table(queryName).where(col("day") <= lit(hiDay).cast("date"))
+    } finally {
+      import scala.util.Try
+      Try(Files.walk(base).iterator().asScala.toSeq.reverse.foreach(p => Try(Files.delete(p))))
+    }
+  }
+
   /** Stream-STATIC enrichment join, replayed end to end — the production
     * enrichment shape missing between the stateless map transforms and the
     * stream-stream interval joins: each micro-batch inner-joins a

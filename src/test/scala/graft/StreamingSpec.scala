@@ -362,6 +362,30 @@ class StreamingSpec extends AnyFunSuite {
       s"peak state ${m.map(_._1).max} should exceed window count $nWindows — two stages expected")
   }
 
+  test("sketch rollup replay: one exact-mode daily sketch row per day, drained state, no drops") {
+    import graft.functions.ThetaFunctions
+    ThetaFunctions.register(spark)
+    val ev = Tables.events(spark, SfDir)
+    val daily = StreamingSessionize.sketchRollupReplay(ev, queryName = "sketch_spec_sink")
+      .collect().map(r => r.getDate(0).toString -> r.getAs[Array[Byte]](1)).toMap
+    val expected = ev
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(ThetaFunctions.thetaSketch(col("user_id"), 14).as("sk"))
+      .collect().map(r => r.getDate(0).toString -> r.getAs[Array[Byte]](1)).toMap
+    assert(expected.nonEmpty)
+    assert(daily.keySet == expected.keySet, "a day's sketch row went missing or extra")
+    // exact mode: the streamed cross-trigger union serializes bit-for-bit
+    // like the batch build (sorted full hash set)
+    daily.foreach { case (d, bytes) =>
+      assert(java.util.Arrays.equals(bytes, expected(d)), s"day $d sketch bytes diverged")
+    }
+    val m = StreamingSessionize.lastReplayStateMetrics
+    assert(m.nonEmpty, "sketch replay recorded no state-operator progress")
+    assert(m.map(_._2).sum > 0, "daily sketch state was never evicted — bound unexercised")
+    assert(m.map(_._3).sum == 0, "parity must not be bought by watermark drops")
+  }
+
   test("file-replay harness: multi-micro-batch streaming run equals batch sessionize") {
     // The declared stream_sessionize query's engine: events written as
     // time-range files, one file per trigger, sentinel pair driving the
