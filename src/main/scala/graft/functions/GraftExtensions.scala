@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** SparkSessionExtensions injector for every graft Catalyst expression —
   * the spark-submit integration point:
@@ -79,5 +80,71 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_topk",
         "graft_topk(item, score, k) - bounded (score DESC, item ASC) top-k aggregate, best-first array<struct<item,score>>"),
       (exprs: Seq[Expression]) => TopKAgg(exprs(0), exprs(1), TopKFunctions.kArg(exprs))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_hashes"),
+      info("graft_gram_hashes", "graft_gram_hashes(tokens, n) - ordered 32-bit n-gram hash sequence"),
+      (exprs: Seq[Expression]) => TextKernels.OrderedGramHashes(
+        exprs(0), TextKernels.intArg("graft_gram_hashes", 1, exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(s) - Unicode NFC normalization"),
+      (exprs: Seq[Expression]) => TextKernels.NfcNormalize(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_media_header"),
+      info("graft_media_header",
+        "graft_media_header(payload) - PNG/JPEG/WAV container-header sniff to struct"),
+      (exprs: Seq[Expression]) => MediaKernels.DecodeMediaHeader(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ppm_dhash"),
+      info("graft_ppm_dhash", "graft_ppm_dhash(payload) - 64-bit perceptual dHash of a PPM image"),
+      (exprs: Seq[Expression]) => ImageKernels.PpmDhash(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wav_ehash"),
+      info("graft_wav_ehash", "graft_wav_ehash(payload) - 64-bit energy-envelope hash of a PCM WAV"),
+      (exprs: Seq[Expression]) => AudioKernels.WavEnergyHash(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_sketch"),
+      info("graft_theta_sketch", "graft_theta_sketch(key, lgK) - theta sketch aggregate"),
+      (exprs: Seq[Expression]) => ThetaFunctions.ThetaSketchAgg(
+        exprs(0), ThetaFunctions.lgKArg("graft_theta_sketch", exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_union"),
+      info("graft_theta_union", "graft_theta_union(sk, lgK) - theta sketch union aggregate"),
+      (exprs: Seq[Expression]) => ThetaFunctions.ThetaUnionAgg(
+        exprs(0), ThetaFunctions.lgKArg("graft_theta_union", exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_estimate"),
+      info("graft_theta_estimate", "graft_theta_estimate(sk) - distinct estimate of a theta sketch"),
+      (exprs: Seq[Expression]) => ThetaFunctions.ThetaEstimate(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_intersect_est"),
+      info("graft_theta_intersect_est", "graft_theta_intersect_est(a, b) - intersection estimate"),
+      (exprs: Seq[Expression]) => ThetaFunctions.ThetaIntersectEstimate(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_anotb_est"),
+      info("graft_theta_anotb_est", "graft_theta_anotb_est(a, b) - A-not-B estimate"),
+      (exprs: Seq[Expression]) => ThetaFunctions.ThetaANotBEstimate(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_sketch"),
+      info("graft_kll_sketch", "graft_kll_sketch(v, k) - KLL quantile sketch aggregate"),
+      (exprs: Seq[Expression]) => KllFunctions.KllSketchAgg(
+        exprs(0), KllFunctions.kArg("graft_kll_sketch", exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_merge"),
+      info("graft_kll_merge", "graft_kll_merge(sk, k) - KLL sketch merge aggregate"),
+      (exprs: Seq[Expression]) => KllFunctions.KllMergeAgg(
+        exprs(0), KllFunctions.kArg("graft_kll_merge", exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_quantile"),
+      info("graft_kll_quantile", "graft_kll_quantile(sk, q) - quantile estimate from a KLL sketch"),
+      (exprs: Seq[Expression]) => KllFunctions.KllQuantile(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg", "graft_bloom_agg(key, m, k) - bloom filter aggregate"),
+      (exprs: Seq[Expression]) => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", "graft_bloom_contains(bloom, key) - membership probe"),
+      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

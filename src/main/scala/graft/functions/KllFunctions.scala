@@ -171,7 +171,7 @@ object KllFunctions {
     else sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
   }
 
-  private def kArg(name: String, e: Expression): Int = {
+  private[functions] def kArg(name: String, e: Expression): Int = {
     require(e.foldable, s"$name: k must be a literal, got ${e.sql}")
     e.eval() match {
       case i: Int => i

@@ -54,4 +54,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[collection.Seq[Double]](0) == Seq(1.0, 2.0))
     assert(r.getAs[collection.Seq[Double]](1) == Seq(3.0, 4.0))
   }
+
+  test("media fingerprint kernels and text utilities are injected") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_media_header(cast('not media' AS BINARY)).format AS fmt,
+        |  graft_ppm_dhash(cast('not a ppm' AS BINARY)) AS ph,
+        |  graft_wav_ehash(cast('not a wav' AS BINARY)) AS ah,
+        |  graft_nfc('é') AS nfc,
+        |  size(graft_gram_hashes(array('a','b','c','d'), 3)) AS ng
+        |""".stripMargin).head()
+    assert(r.getString(0) == "unknown")
+    assert(r.isNullAt(1) && r.isNullAt(2)) // classify, never throw
+    assert(r.getString(3) == "é")     // composed NFC form
+    assert(r.getInt(4) == 2)
+  }
+
+  test("sketch aggregates (theta, kll, bloom) are injected") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_theta_estimate(graft_theta_sketch(v, 12)) AS est,
+        |  graft_kll_quantile(graft_kll_sketch(cast(v AS DOUBLE), 200), 0.5d) AS med
+        |FROM VALUES (1L), (2L), (3L) AS t(v)""".stripMargin).head()
+    assert(r.getDouble(0) == 3.0) // exact mode: estimate IS the count
+    assert(r.getDouble(1) >= 1.0 && r.getDouble(1) <= 3.0)
+    // might_contain requires the filter as a constant/scalar subquery
+    val hit = spark.sql(
+      """SELECT graft_bloom_contains(
+        |  (SELECT graft_bloom_agg(xxhash64(v), 3L, 1024L) FROM VALUES (1L), (2L), (3L) AS t(v)),
+        |  xxhash64(2L)) AS hit""".stripMargin).head().getBoolean(0)
+    assert(hit) // no false negatives
+  }
 }
