@@ -1318,6 +1318,37 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── the FIX for what split_leakage detects: split at the NEAR-DUP
+    // COMPONENT level, so a document and its near-duplicates always land
+    // in the SAME split — assigning per doc lets twins straddle
+    // train/test, the classic eval-inflation leak. Components come from
+    // the 100 TB candidate route (MinHash bands → exact-Jaccard verify →
+    // min-label propagation); the split is the same md5-threshold
+    // assignment as prepare_corpus, keyed by component id. The
+    // `naive_leaky_components` column measures how many components a
+    // doc-keyed split WOULD have torn across splits — the leak this
+    // operator closes, quantified in its own output ──
+    "split_component_safe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comp = Dedup.connectedComponents(docs,
+        Dedup.ngramJaccardPairsViaMinhash(docs, threshold = 0.3, bands = MhBands))
+      val safe = Sampling.withHashSplit(
+        comp, "component_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val naiveLeaky = Sampling.withHashSplit(
+        comp, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        splitCol = "nsplit")
+        .groupBy(col("component_id"))
+        .agg(countDistinct(col("nsplit")).as("ns"))
+        .where(col("ns") > 1)
+        .agg(count(lit(1)).as("naive_leaky_components"))
+      safe.groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("component_id")).as("n_components"))
+        .crossJoin(broadcast(naiveLeaky))
+        .orderBy(col("split"))
+    }),
+
     // ── per-source data card: the corpus-composition summary published
     // with a dataset — doc/token volume, language mix, exact-dup rate
     // (distinct fingerprints), and the quality distribution with the sum
@@ -1372,9 +1403,14 @@ object QueriesLlm {
     // implementations, decode bugs hash-fail ──
     "dedup_phash" -> ((s, dir) => {
       graft.functions.ImageKernels.register(s)
+      // repartition = an exchange BARRIER: the synthesis+decode lambda runs
+      // interpreted (higher-order functions never codegen), so it must
+      // evaluate once per doc and ship 8-byte hashes into the self-join —
+      // without the barrier each join side re-derives the payloads
       val imgs = Multimodal.withPpmPayload(Tables.documents(s, dir))
         .select(col("doc_id"),
           graft.functions.ImageKernels.ppmDhashCol(col("payload")).as("dhash"))
+        .repartition(col("doc_id"))
       Dedup.hashBandPairs(imgs, maxHamming = 3, nBands = 4)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -1391,6 +1427,7 @@ object QueriesLlm {
       val imgs = Multimodal.withPpmPayload(Tables.documents(s, dir))
         .select(col("doc_id"),
           graft.functions.ImageKernels.ppmDhashCol(col("payload")).as("dhash"))
+        .repartition(col("doc_id")) // barrier: hash once, join bytes not lambdas
       Dedup.hashBandAdmit(
         imgs.where(pmod(col("doc_id"), lit(5)) =!= 0),
         imgs.where(pmod(col("doc_id"), lit(5)) === 0),
@@ -1412,6 +1449,7 @@ object QueriesLlm {
       val clips = Multimodal.withWavPayload(Tables.documents(s, dir))
         .select(col("doc_id"),
           graft.functions.AudioKernels.wavEnergyHashCol(col("payload")).as("dhash"))
+        .repartition(col("doc_id")) // barrier: hash once, join bytes not lambdas
       Dedup.hashBandPairs(clips, maxHamming = 3, nBands = 4)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -2919,31 +2957,27 @@ object QueriesLlm {
     kmeansCtesSql(KmK, KmIters, fitWhere = "vec_id % 5 <> 0") + ivfAnnSql +
       annRecallTailSql(IvfIncrRecallFloor)
 
-  /** Shared dedup_phash replay chain: generative luminance field (md5
-    * first byte per (group, x, y) + the variant perturbations — exactly
-    * [[graft.operators.Multimodal.withPpmPayload]]'s formula), 2x2 pooled
-    * cell sums, 64 adjacent-cell comparison bits, and the 4x16-bit band
-    * keys (shifts <= 15 — no 64-bit overflow anywhere). The engine side
-    * fingerprints the DECODED BYTES through the codegen'd PPM parser; this
-    * chain recomputes from arithmetic — two independent implementations.
+  /** Shared dedup_phash replay chain: generative cell field (md5 first
+    * byte per (group, cx, cy) + the variant perturbations — exactly
+    * [[graft.operators.Multimodal.withPpmPayload]]'s formula; pixels are
+    * constant within a 2x2 cell, so the engine's pooled sum is 4x the
+    * cell byte and the adjacent-cell comparisons replay on the bytes
+    * directly), 64 comparison bits, and the 4x16-bit band keys (shifts
+    * <= 15 — no 64-bit overflow anywhere). The engine side fingerprints
+    * the DECODED BYTES through the codegen'd PPM parser; this chain
+    * recomputes from arithmetic — two independent implementations.
     */
   private lazy val phashCtes: String =
     """WITH base AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents),
-      |lum AS (
+      |cells AS (
       |  SELECT doc_id,
-      |    [ (('0x' || substr(md5(g::VARCHAR || '_' || (i % 18)::VARCHAR || '_' || (i // 18)::VARCHAR), 1, 2))::BIGINT
-      |       + CASE WHEN v = 1 AND (i % 18) < 2 AND (i // 18) < 2 THEN 100
-      |              WHEN v = 2 AND (((i % 18) < 2 AND (i // 18) < 2) OR ((i % 18) >= 16 AND (i // 18) >= 14)) THEN 100
-      |              WHEN v = 3 AND ((i % 18) + (i // 18)) % 2 = 0 THEN 128
+      |    [ (('0x' || substr(md5(g::VARCHAR || '_' || (k % 9)::VARCHAR || '_' || (k // 9)::VARCHAR), 1, 2))::BIGINT
+      |       + CASE WHEN v = 1 AND k = 0 THEN 100
+      |              WHEN v = 2 AND (k = 0 OR k = 71) THEN 100
+      |              WHEN v = 3 AND ((k % 9) + (k // 9)) % 2 = 0 THEN 128
       |              ELSE 0 END) % 256
-      |      for i in range(0, 288) ] AS L
-      |  FROM base
-      |), cells AS (
-      |  SELECT doc_id,
-      |    [ L[(k // 9) * 2 * 18 + (k % 9) * 2 + 1] + L[(k // 9) * 2 * 18 + (k % 9) * 2 + 2]
-      |      + L[((k // 9) * 2 + 1) * 18 + (k % 9) * 2 + 1] + L[((k // 9) * 2 + 1) * 18 + (k % 9) * 2 + 2]
       |      for k in range(0, 72) ] AS cs
-      |  FROM lum
+      |  FROM base
       |), bits AS (
       |  SELECT doc_id,
       |    [ CASE WHEN cs[(k // 8) * 9 + (k % 8) + 1] < cs[(k // 8) * 9 + (k % 8) + 2] THEN 1 ELSE 0 END
@@ -3378,6 +3412,57 @@ object QueriesLlm {
          |SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
          |       count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // split_component_safe: components over the MinHash candidate route
+    // (banded cand -> exact-Jaccard verify -> transitive closure), then the
+    // md5-threshold split keyed by component id; the naive doc-keyed split
+    // replays alongside to count the components it would tear apart
+    "split_component_safe" -> {
+      s"""${gramsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |${minhashCandCte()},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN grams a ON a.doc_id = c.doc_a
+         |  JOIN grams b ON b.doc_id = c.doc_b
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3
+         |),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs
+         |),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |),
+         |comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+         |lanes AS (
+         |  SELECT doc_id, component_id,
+         |         ('0x' || substr(md5(CAST(component_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS cu,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS du
+         |  FROM comp
+         |),
+         |splits AS (
+         |  SELECT doc_id, component_id,
+         |         CASE WHEN cu < 0.8 THEN 'train' WHEN cu < 0.9 THEN 'val' ELSE 'test' END AS split,
+         |         CASE WHEN du < 0.8 THEN 'train' WHEN du < 0.9 THEN 'val' ELSE 'test' END AS nsplit
+         |  FROM lanes
+         |),
+         |naive AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS naive_leaky_components FROM (
+         |    SELECT component_id FROM splits
+         |    GROUP BY component_id HAVING count(DISTINCT nsplit) > 1)
+         |)
+         |SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT s.component_id) AS BIGINT) AS n_components,
+         |       n.naive_leaky_components
+         |FROM splits s CROSS JOIN naive n
+         |GROUP BY s.split, n.naive_leaky_components
+         |ORDER BY s.split""".stripMargin
     },
 
     // transitive closure via recursive CTE (UNION dedups, so it terminates),

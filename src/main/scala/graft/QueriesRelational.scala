@@ -765,6 +765,17 @@ object QueriesRelational {
         Tables.events(s, dir), "user_id", col("ts"), col("event_type"),
         Seq("view", "click", "purchase"), withinSec = 3600L)),
 
+    // ── last-touch revenue attribution ([[operators.Analytics
+    // .lastTouchAttribution]]): each purchase credits the most recent
+    // preceding view/click of the same user within 7 days, else
+    // "unattributed" — one forward-fill window pass per user (no
+    // touches×conversions self-join), revenue in exact integer cents ──
+    "attribution_last_touch" -> ((s, dir) =>
+      graft.operators.Analytics.lastTouchAttribution(
+        Tables.events(s, dir), "user_id", col("ts"), col("event_type"),
+        col("event_id"), touchTypes = Seq("view", "click"),
+        convType = "purchase", windowSec = 7L * 86400)),
+
     // ── two-proportion z-test decided in EXACT integer arithmetic
     // ([[operators.Analytics.abZTest]]): per-user conversion by user-id
     // parity split; decimal(38,0) cross-multiplied inequality, so the
@@ -1719,6 +1730,27 @@ object QueriesRelational {
         |       CAST(n_users * 1000000 // (SELECT n_users FROM c WHERE step = 1) AS BIGINT)
         |         AS conv_ppm
         |FROM c ORDER BY step""".stripMargin,
+
+    // attribution_last_touch: the same strictly-preceding (ts, event_id)
+    // forward-fill frame, whole-second window arithmetic, exact cents
+    "attribution_last_touch" ->
+      """WITH t AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |         last_value(CASE WHEN event_type IN ('view', 'click')
+        |                         THEN struct_pack(t_sec := CAST(floor(epoch(ts)) AS BIGINT),
+        |                                          t_type := event_type) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM events
+        |), p AS (
+        |  SELECT CASE WHEN lt IS NULL OR CAST(floor(epoch(ts)) AS BIGINT) - lt.t_sec > 604800
+        |              THEN 'unattributed' ELSE lt.t_type END AS channel,
+        |         value
+        |  FROM t WHERE event_type = 'purchase'
+        |)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ab_ztest: identical cross-multiplied inequality on HUGEINT (exact
     // 128-bit — the decimal(38,0) twin of the Spark side)

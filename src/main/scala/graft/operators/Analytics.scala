@@ -513,4 +513,57 @@ object Analytics {
           }.as("is_anomaly"))
       .orderBy(col("grp"), col("day"))
   }
+
+  /** LAST-TOUCH revenue attribution: every conversion is credited to the
+    * most recent PRECEDING touch event (`touchTypes`) of the same user
+    * inside `windowSec`, or to `"unattributed"` when none qualifies — the
+    * standard marketing-attribution rollup, and the forward-fill cousin of
+    * [[funnelStepsWithin]]'s deadline chain.
+    *
+    * One window pass per user (`last(_, ignoreNulls)` over the strictly-
+    * preceding frame — the [[graft.operators.Sessionize]] forward-fill
+    * shape), one aggregation keyed by the touch type: no self-join of the
+    * event log against itself, which is the naive O(touches × conversions)
+    * formulation this operator exists to avoid at 100 TB. Revenue sums in
+    * exact integer CENTS (`floor(value·100)`), so the rollup replays
+    * bit-for-bit cross-engine regardless of aggregation order.
+    *
+    * Ties: the frame orders by (ts, idCol) and excludes the current row,
+    * so a touch at the conversion's own timestamp attributes only if its
+    * id sorts earlier — deterministic and mirrored in the oracle.
+    *
+    * Output: (channel, n_conversions, revenue_cents), one row per touch
+    * type that won at least one attribution (+ `"unattributed"`).
+    */
+  def lastTouchAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: Column,
+      typeCol: Column,
+      idCol: Column,
+      touchTypes: Seq[String],
+      convType: String,
+      windowSec: Long,
+      valueCol: Column = col("value")): DataFrame = {
+    require(touchTypes.nonEmpty, "lastTouchAttribution: at least one touch type required")
+    require(windowSec > 0, s"lastTouchAttribution: windowSec must be positive, got $windowSec")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(tsCol, idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(typeCol.isin(touchTypes: _*),
+      struct(unix_timestamp(tsCol).as("t_sec"), typeCol.as("t_type")))
+    val attributed = events
+      .withColumn("__lt", last(touch, ignoreNulls = true).over(w))
+      .where(typeCol === convType)
+      .withColumn("channel",
+        when(col("__lt").isNull ||
+            unix_timestamp(tsCol) - col("__lt.t_sec") > windowSec, "unattributed")
+          .otherwise(col("__lt.t_type")))
+    attributed
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        sum(floor(valueCol * 100).cast("long")).as("revenue_cents"))
+      .orderBy(col("channel"))
+  }
 }

@@ -102,47 +102,57 @@ object Multimodal {
   /** Synthesize a REAL uncompressed PPM (P6) image payload per row for the
     * perceptual-dedup path: ids cluster in groups of four variants of one
     * base picture (`group = id / 4`, `variant = id % 4`), grayscale
-    * (R = G = B, so ITU-601 integer luminance is exactly the byte value):
+    * (R = G = B, so ITU-601 integer luminance is exactly the byte value),
+    * with luminance CONSTANT WITHIN each 2×2 dHash cell (the pooled sum is
+    * then exactly 4× the cell byte — pooling over unequal pixels is proven
+    * separately in ImageKernelsSpec, and one md5 per CELL instead of per
+    * pixel keeps the interpreted higher-order synthesis lambda 4× cheaper;
+    * `transform` lambdas never enter whole-stage codegen):
     *
-    *  - the base luminance field is the first md5 byte of
-    *    `"<group>_<x>_<y>"` — an iid-uniform field PER GROUP, so distinct
-    *    groups get near-independent dHashes (cross-group Hamming ~
-    *    Binomial(64, ½): never a pair) and band keys spread uniformly; a
+    *  - the base cell field is the first md5 byte of
+    *    `"<group>_<cx>_<cy>"` — an iid-uniform field PER GROUP, so
+    *    distinct groups get near-independent dHashes (cross-group Hamming
+    *    ~ Binomial(64, ½): never a pair) and band keys spread uniformly; a
     *    smooth arithmetic field would collapse thousands of groups onto
     *    one dHash (adjacent-cell comparisons are shift-invariant) and
     *    blow the pair set up quadratically;
     *  - variant 1 brightens only the top-left dHash cell (flips ≤ 1 bit:
     *    that cell sits in exactly one horizontal comparison);
     *  - variant 2 brightens the top-left and bottom-right cells (≤ 2 bits);
-    *  - variant 3 overlays a checkerboard (scrambles many bits — a
+    *  - variant 3 overlays a cell checkerboard (scrambles many bits — a
     *    DIFFERENT picture that shares the group's low-frequency layout).
     *
-    * Every byte is a deterministic integer function of (id, x, y), so the
-    * DuckDB oracle replays the identical luminance field from the formula —
+    * Every byte is a deterministic integer function of (id, cx, cy), so
+    * the DuckDB oracle replays the identical cell field from the formula —
     * the two-independent-implementations discipline (`text_nfc_audit`):
-    * Spark fingerprints the DECODED BYTES through the codegen'd parser, the
-    * oracle recomputes from arithmetic, and a hash match proves the whole
-    * decode+pool+compare pipeline.
+    * Spark fingerprints the DECODED BYTES through the codegen'd parser,
+    * the oracle recomputes from arithmetic, and a hash match proves the
+    * whole decode+pool+compare pipeline.
     */
   def withPpmPayload(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val id = col(idCol).cast("long")
     val g = (id / 4L).cast("long")
     val v = pmod(id, lit(4L))
+    // one element per pixel ROW (16): each row spans 9 cells at cy = y/2,
+    // every cell contributing 2 identical gray pixels (6 identical hex
+    // bytes) — 9 md5 per row, 144 per image, each on a cell-sized key
     val body = array_join(
-      transform(sequence(lit(0), lit(PpmW * PpmH - 1)), { i =>
-        val x = pmod(i, lit(PpmW))
-        val y = (i / PpmW).cast("long")
-        val topLeft = x < 2 && y < 2
-        val bottomRight = x >= PpmW - 2 && y >= PpmH - 2
-        val perturb = when(v === 1 && topLeft, 100L)
-          .when(v === 2 && (topLeft || bottomRight), 100L)
-          .when(v === 3 && pmod(x + y, lit(2L)) === 0L, 128L)
-          .otherwise(0L)
-        val key = concat(g.cast("string"), lit("_"), x.cast("string"), lit("_"), y.cast("string"))
-        val base = conv(substring(md5(key), 1, 2), 16, 10).cast("long")
-        val lum = pmod(base + perturb, lit(256L))
-        val h = lpad(hex(lum), 2, "0")
-        concat(h, h, h)
+      transform(sequence(lit(0), lit(PpmH - 1)), { y =>
+        val cy = (y / 2L).cast("long")
+        array_join(
+          transform(sequence(lit(0), lit(8)), { cx =>
+            val topLeft = cx === 0L && cy === 0L
+            val bottomRight = cx === 8L && cy === 7L
+            val perturb = when(v === 1 && topLeft, 100L)
+              .when(v === 2 && (topLeft || bottomRight), 100L)
+              .when(v === 3 && pmod(cx + cy, lit(2L)) === 0L, 128L)
+              .otherwise(0L)
+            val key = concat(g.cast("string"), lit("_"), cx.cast("string"),
+              lit("_"), cy.cast("string"))
+            val base = conv(substring(md5(key), 1, 2), 16, 10).cast("long")
+            val h = lpad(hex(pmod(base + perturb, lit(256L))), 2, "0")
+            repeat(h, 6)
+          }), "")
       }), "")
     df.withColumn("payload",
       concat(
@@ -155,7 +165,8 @@ object Multimodal {
     * windowing, 16-bit PCM mono.
     */
   val WavSamplesPerWindow = 8
-  val WavSamples = 65 * WavSamplesPerWindow
+  private val Windows65 = 65
+  val WavSamples = Windows65 * WavSamplesPerWindow
 
   /** Synthesize a REAL 16-bit PCM WAV payload per row for the perceptual
     * AUDIO dedup path — the [[withPpmPayload]] group/variant structure, one
@@ -185,9 +196,11 @@ object Multimodal {
         "666D7420" + "10000000" + "0100" + "0100" + leHexLit(8000L, 4) +
         leHexLit(16000L, 4) + "0200" + "1000" +
         "64617461" + leHexLit(dataLen, 4)
+    // one element per WINDOW (65): all 8 samples of a window carry the
+    // window amplitude, so the sample hex just repeats — one md5 per
+    // window, not per sample (transform lambdas run interpreted)
     val body = array_join(
-      transform(sequence(lit(0), lit(WavSamples - 1)), { j =>
-        val w = (j / WavSamplesPerWindow).cast("long")
+      transform(sequence(lit(0), lit(Windows65 - 1)), { w =>
         val salt = when(v === 3, lit("_x")).otherwise(lit(""))
         val key = concat(g.cast("string"), lit("_"), w.cast("string"), salt)
         val baseAmp = conv(substring(md5(key), 1, 3), 16, 10).cast("long")
@@ -195,7 +208,10 @@ object Multimodal {
           when(v === 1 && w === 0L, 20000L)
             .when(v === 2 && (w === 0L || w === 64L), 20000L)
             .otherwise(0L)
-        concat(lpad(hex(pmod(amp, lit(256L))), 2, "0"), lpad(hex((amp / 256L).cast("long")), 2, "0"))
+        repeat(
+          concat(lpad(hex(pmod(amp, lit(256L))), 2, "0"),
+            lpad(hex((amp / 256L).cast("long")), 2, "0")),
+          WavSamplesPerWindow)
       }), "")
     df.withColumn("payload", unhex(concat(lit(headerHex), body)))
   }

@@ -336,7 +336,10 @@ class PlanSpec extends AnyFunSuite {
       // the correlated scalar agg and the nested-IN chain must both
       // decorrelate to hash joins — zero nested loops
       "q17_small_qty" -> 0, "q20_heavy_suppliers" -> 0,
-      "dedup_phash_incr" -> 0, "dedup_audio" -> 0)
+      "dedup_phash_incr" -> 0, "dedup_audio" -> 0,
+      // attribution is one window pass + one agg; the component-safe split
+      // crossJoins only the one-row naive-leak counter
+      "attribution_last_touch" -> 0, "split_component_safe" -> 1)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
