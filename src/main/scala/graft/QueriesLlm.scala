@@ -1727,6 +1727,46 @@ object QueriesLlm {
         .orderBy(col("doc_id"), col("corpus_doc_id"))
     }),
 
+    // ── perceptual near-dup detection AT INGESTION ([[StreamingSessionize
+    // .phashIngest]]): incoming image assets fingerprint map-side through
+    // the codegen'd PPM dHash and probe the STATIC banded corpus index
+    // ([[Dedup.hashBandIndex]], geometry verified from column metadata) —
+    // the nearDupIngest shape on DECODED media, lossless at hamming <= 3
+    // by pigeonhole. Self-matches at hamming 0 are the re-ingest signal
+    // (the whole table streams against its own index, mirroring
+    // stream_neardup_ingest); the stream-side synthesis+decode is the same
+    // deterministic fixture, so the DuckDB replay hash-matches a genuinely
+    // streaming execution ──
+    "stream_phash_ingest" -> ((s, dir) => {
+      graft.functions.ImageKernels.register(s)
+      val docs = Tables.documents(s, dir)
+      val idx = Dedup.hashBandIndex(
+        Multimodal.withPpmPayload(docs)
+          .select(col("doc_id"),
+            graft.functions.ImageKernels.ppmDhashCol(col("payload")).as("dhash")),
+        nBands = 4)
+      val sink = "stream_phash_ingest_sink"
+      try {
+        idx.persist()
+        val stream = s.readStream
+          .schema(docs.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+          .transform(Multimodal.withPpmPayload(_))
+          .select(col("doc_id"), col("payload"),
+            to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+        val out = StreamingSessionize.phashIngest(stream, idx, maxHamming = 3, nBands = 4)
+        StreamingSessionize.withReplayStatePartitions(s) {
+          val q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+          try q.processAllAvailable()
+          finally q.stop()
+        }
+      } finally idx.unpersist()
+      s.table(sink)
+        .select(col("doc_id"), col("corpus_doc_id"), col("hamming"))
+        .orderBy(col("doc_id"), col("corpus_doc_id"))
+    }),
+
     // ── streaming exact dedup, oracle-checked end to end: TWO stream
     // readers of the same table unioned, so every fingerprint provably
     // arrives at least twice and the watermark-bounded duplicate suppressor
@@ -4012,6 +4052,22 @@ object QueriesLlm {
         |)
         |SELECT doc_a, doc_b, hamming FROM aham WHERE hamming <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // stream_phash_ingest: the same chain probing the full-corpus band
+    // index — every (stream doc, corpus partner) ordered pair within
+    // hamming <= 3, self-matches included (re-ingest signal)
+    "stream_phash_ingest" -> (phashCtes + """,
+      |cand AS (
+      |  SELECT a.doc_id AS doc_id, b.doc_id AS corpus_doc_id
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      |  GROUP BY 1, 2
+      |), ham AS (
+      |  SELECT c.doc_id, c.corpus_doc_id,
+      |         CAST(list_sum([ abs(x.bt[i + 1] - y.bt[i + 1]) for i in range(0, 64) ]) AS BIGINT) AS hamming
+      |  FROM cand c JOIN bits x ON x.doc_id = c.doc_id JOIN bits y ON y.doc_id = c.corpus_doc_id
+      |)
+      |SELECT doc_id, corpus_doc_id, hamming FROM ham WHERE hamming <= 3
+      |ORDER BY doc_id, corpus_doc_id""".stripMargin),
 
     // dedup_phash_incr: same chain; a fresh doc (id % 5 = 0) counts dups
     // among indexed docs and EARLIER fresh docs, admitted iff none

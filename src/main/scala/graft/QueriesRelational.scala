@@ -1094,6 +1094,36 @@ object QueriesRelational {
           |ORDER BY s_name""".stripMargin)
     }),
 
+    // ── TPC-H Q22 shape: scalar-aggregate threshold + anti-join — "idle
+    // customers above the average balance with no RECENT order" (every
+    // fixture customer has SOME order, so the idle predicate is
+    // date-bounded; the pushed-down date filter also shrinks the
+    // anti-join's build side, the production shape). The average
+    // comparison is decided by EXACT integer cross-multiplication on
+    // cents (`cents · n > total_cents` instead of a float threshold — the
+    // ab_ztest discipline), so the boundary rows are bitwise
+    // cross-engine; the NOT EXISTS plans as a hash anti-join ──
+    "q22_idle_customers" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH eligible AS (
+          |  SELECT c_custkey, c_nationkey % 7 AS code,
+          |         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+          |  FROM customer WHERE c_nationkey % 7 IN (0, 1, 2)
+          |), pos AS (
+          |  SELECT count(*) AS n, sum(cents) AS tot FROM eligible WHERE cents > 0
+          |)
+          |SELECT e.code, CAST(count(*) AS BIGINT) AS numcust,
+          |       CAST(sum(e.cents) AS BIGINT) AS total_cents
+          |FROM eligible e CROSS JOIN pos
+          |WHERE e.cents * pos.n > pos.tot
+          |  AND NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = e.c_custkey
+          |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+          |GROUP BY e.code
+          |ORDER BY e.code""".stripMargin)
+    }),
+
     "q21_waiting" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(
@@ -1994,6 +2024,27 @@ object QueriesRelational {
         |  GROUP BY l_suppkey, l_partkey
         |  HAVING sum(l_quantity) > 100.0)
         |ORDER BY s_name""".stripMargin,
+
+    // q22_idle_customers: identical exact-integer form runs natively; the
+    // only doubles are the per-row floor(c_acctbal*100) products, IEEE-
+    // deterministic on both engines
+    "q22_idle_customers" ->
+      """WITH eligible AS (
+        |  SELECT c_custkey, c_nationkey % 7 AS code,
+        |         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer WHERE c_nationkey % 7 IN (0, 1, 2)
+        |), pos AS (
+        |  SELECT count(*) AS n, sum(cents) AS tot FROM eligible WHERE cents > 0
+        |)
+        |SELECT e.code, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(e.cents) AS BIGINT) AS total_cents
+        |FROM eligible e CROSS JOIN pos
+        |WHERE e.cents * pos.n > pos.tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = e.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY e.code
+        |ORDER BY e.code""".stripMargin,
 
     // q21_waiting: DuckDB runs the identical correlated form natively —
     // both engines must agree on the EXISTS/NOT-EXISTS semantics exactly

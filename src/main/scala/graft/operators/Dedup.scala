@@ -1007,6 +1007,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** Explode a 64-bit hash column into `nBands` contiguous equal-width
+    * `(band, bkey)` rows — the shared candidate-key builder of
+    * [[hashBandPairs]], [[hashBandAdmit]], and [[hashBandIndex]]. Null
+    * hashes are excluded (an unfingerprintable asset matches nothing).
+    * Keeps every input column.
+    */
+  private[graft] def withHashBands(
+      df: DataFrame, nBands: Int, hashCol: String): DataFrame = {
+    require(nBands >= 1 && 64 % nBands == 0,
+      s"nBands ($nBands) must divide the 64 hash bits evenly")
+    val w = 64 / nBands
+    val mask = if (w == 64) lit(-1L) else lit((1L << w) - 1L)
+    val bands = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col(hashCol), b * w).bitwiseAND(mask).as("bkey"))
+    }
+    df.where(col(hashCol).isNotNull)
+      .select(col("*"), posexplode(array(bands: _*)).as(Seq("pos", "bk")))
+      .select(df.columns.map(col) :+ col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
+  }
+
+  /** PERSISTABLE banded index over a 64-bit perceptual-hash column — the
+    * static side a streaming probe ([[graft.streaming.StreamingSessionize
+    * .phashIngest]]) joins per micro-batch, the [[corpusBandIndex]]
+    * discipline for media fingerprints. Output:
+    * (corpus_<idCol>, corpus_<hashCol>, band, bkey), with the band
+    * geometry stamped on the `band` column's metadata so a probe banded
+    * differently fails loudly instead of silently never matching.
+    */
+  def hashBandIndex(
+      hashed: DataFrame,
+      nBands: Int = 4,
+      idCol: String = "doc_id",
+      hashCol: String = "dhash"): DataFrame = {
+    val banded = withHashBands(
+      hashed.select(col(idCol), col(hashCol)), nBands, hashCol)
+      .select(
+        col(idCol).as(s"corpus_$idCol"), col(hashCol).as(s"corpus_$hashCol"),
+        col("band"), col("bkey"))
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.bands", nBands.toLong).build()
+    banded.withColumn("band", col("band").as("band", meta))
+  }
+
   /** Banded Hamming pairs over an arbitrary 64-BIT hash column — the
     * perceptual-dedup search half: `dedup_phash` feeds it the
     * [[graft.functions.ImageKernels]] dHash, but any 64-bit fingerprint
@@ -1030,20 +1074,9 @@ object Dedup {
       nBands: Int = 4,
       idCol: String = "doc_id",
       hashCol: String = "dhash"): DataFrame = {
-    require(nBands >= 1 && 64 % nBands == 0,
-      s"nBands ($nBands) must divide the 64 hash bits evenly")
     require(maxHamming < nBands,
       s"need maxHamming ($maxHamming) < nBands ($nBands) for the pigeonhole guarantee")
-    val w = 64 / nBands
-    val mask = if (w == 64) lit(-1L) else lit((1L << w) - 1L)
-    val bands = (0 until nBands).map { b =>
-      struct(lit(b).as("band"), shiftrightunsigned(col(hashCol), b * w).bitwiseAND(mask).as("bkey"))
-    }
-    val idx = hashed
-      .where(col(hashCol).isNotNull)
-      .select(col(idCol), col(hashCol),
-        posexplode(array(bands: _*)).as(Seq("pos", "bk")))
-      .select(col(idCol), col(hashCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val idx = withHashBands(hashed.select(col(idCol), col(hashCol)), nBands, hashCol)
     idx.as("l").join(idx.as("r"), Seq("band", "bkey"))
       .where(col(s"l.$idCol") < col(s"r.$idCol"))
       .select(
@@ -1078,21 +1111,10 @@ object Dedup {
       nBands: Int = 4,
       idCol: String = "doc_id",
       hashCol: String = "dhash"): DataFrame = {
-    require(nBands >= 1 && 64 % nBands == 0,
-      s"nBands ($nBands) must divide the 64 hash bits evenly")
     require(maxHamming < nBands,
       s"need maxHamming ($maxHamming) < nBands ($nBands) for the pigeonhole guarantee")
-    val w = 64 / nBands
-    val mask = if (w == 64) lit(-1L) else lit((1L << w) - 1L)
-    def banded(df: DataFrame): DataFrame = {
-      val bands = (0 until nBands).map { b =>
-        struct(lit(b).as("band"), shiftrightunsigned(col(hashCol), b * w).bitwiseAND(mask).as("bkey"))
-      }
-      df.where(col(hashCol).isNotNull)
-        .select(col(idCol), col(hashCol),
-          posexplode(array(bands: _*)).as(Seq("pos", "bk")))
-        .select(col(idCol), col(hashCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    }
+    def banded(df: DataFrame): DataFrame =
+      withHashBands(df.select(col(idCol), col(hashCol)), nBands, hashCol)
     val fb = banded(fresh)
     val probe = fb.select(
       col(idCol).as("f_id"), col(hashCol).as("f_hash"), col("band"), col("bkey"))

@@ -856,6 +856,49 @@ object StreamingSessionize {
       .dropDuplicatesWithinWatermark("doc_id", "corpus_doc_id")
   }
 
+  /** Perceptual near-dup detection AT INGESTION — [[nearDupIngest]]'s
+    * discipline on DECODED media: each incoming asset's payload runs the
+    * codegen'd PPM dHash ([[graft.functions.ImageKernels]]) map-side, its
+    * band keys probe the STATIC corpus index
+    * ([[graft.operators.Dedup.hashBandIndex]] — geometry verified from
+    * the band column's metadata), and candidates verify with the exact
+    * `bit_count(xor)` Hamming filter. The only state is the watermarked
+    * duplicate suppressor; the index is a broadcast-joined static frame,
+    * so throughput is map-side fingerprint + probe. Lossless at
+    * `maxHamming < nBands` by pigeonhole, exactly like the batch pairs.
+    *
+    * Output per match: (doc_id, corpus_doc_id, hamming, ts) — an asset
+    * already in the index reports itself at hamming 0 (the re-ingest
+    * signal), mirroring [[nearDupIngest]]'s self-match contract.
+    */
+  def phashIngest(
+      stream: DataFrame,
+      corpusIndex: DataFrame,
+      maxHamming: Int = 3,
+      nBands: Int = 4,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    graft.functions.ImageKernels.register(stream.sparkSession)
+    require(maxHamming < nBands,
+      s"need maxHamming ($maxHamming) < nBands ($nBands) for the pigeonhole guarantee")
+    if (corpusIndex.schema.fieldNames.contains("band")) {
+      val m = corpusIndex.schema("band").metadata
+      if (m.contains("graft.bands"))
+        require(m.getLong("graft.bands") == nBands.toLong,
+          s"corpusIndex was banded with bands=${m.getLong("graft.bands")} " +
+            s"but phashIngest was asked to probe with bands=$nBands")
+    }
+    val hashed = stream.withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"),
+        graft.functions.ImageKernels.ppmDhashCol(col("payload")).as("dhash"))
+    val probe = graft.operators.Dedup.withHashBands(hashed, nBands, "dhash")
+    probe.join(corpusIndex, Seq("band", "bkey"))
+      .withColumn("hamming",
+        bit_count(col("dhash").bitwiseXOR(col("corpus_dhash"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_id"), col("corpus_doc_id"), col("hamming"), col("ts"))
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_doc_id")
+  }
+
   /** Benchmark decontamination AT INGESTION: each incoming document's
     * distinct gram hashes (one codegen'd
     * [[graft.functions.TextKernels.OrderedGramHashes]] pass +

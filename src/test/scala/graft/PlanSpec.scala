@@ -339,7 +339,11 @@ class PlanSpec extends AnyFunSuite {
       "dedup_phash_incr" -> 0, "dedup_audio" -> 0,
       // attribution is one window pass + one agg; the component-safe split
       // crossJoins only the one-row naive-leak counter
-      "attribution_last_touch" -> 0, "split_component_safe" -> 1)
+      "attribution_last_touch" -> 0, "split_component_safe" -> 1,
+      // q22's one-row (n, tot) scalar rides the only BNLJ; the NOT EXISTS
+      // decorrelates to a hash anti-join; the streaming probe is an
+      // equi-join against the static band index
+      "q22_idle_customers" -> 1, "stream_phash_ingest" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
