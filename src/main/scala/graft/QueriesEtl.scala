@@ -25,6 +25,15 @@ object QueriesEtl {
     StructField("value", DoubleType, nullable = true),
     StructField("props", StringType, nullable = true)))
 
+  /** Test probes: executed-plan strings captured while the special confs /
+    * runtime-filter state were active, so PlanSpec can pin
+    * `dynamicpruning` and `PushedAggregation` without replanning under
+    * its own conf (the [[graft.operators.Layout.lastManifestScanPlan]]
+    * pattern).
+    */
+  @volatile private[graft] var lastDppPlan: String = ""
+  @volatile private[graft] var lastAggPushdownPlan: String = ""
+
   private def scratch(dir: String, name: String): String = {
     val sf = dir.replaceAll(".*/", "")
     s"/root/repo/target/etl_scratch/$sf/$name"
@@ -92,6 +101,69 @@ object QueriesEtl {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // ── DYNAMIC partition pruning: the RUNTIME twin of
+    // partition_prune_docs' static filter — the fact side is partitioned
+    // by day and the pruning day-set comes from a FILTERED DIM whose
+    // qualifying keys exist only at run time (days with >= threshold
+    // purchases), so Catalyst injects a dynamicpruning subquery into the
+    // fact scan's PartitionFilters and only the qualifying day
+    // directories are ever read. At 100 TB this is the difference
+    // between scanning a year and scanning the six days the dim selects;
+    // PlanSpec pins `dynamicpruning` in the scan ──
+    "join_dpp_prune" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val root = scratch(dir, "events_by_day")
+      ev.withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(root)
+      val fact = s.read.parquet(root)
+      // above-average purchase days: the qualifying set exists only at run
+      // time (exact-integer cross-multiplied mean — no float threshold)
+      val daily = ev
+        .where(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("np"))
+      val tot = daily.agg(sum(col("np")).as("tot"), count(lit(1)).as("nd"))
+      val dim = daily.crossJoin(broadcast(tot))
+        .where(col("np") * col("nd") > col("tot"))
+        .select(col("day"))
+      val out = fact.join(broadcast(dim), Seq("day"))
+        .groupBy(col("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy(col("day"))
+      lastDppPlan = out.queryExecution.executedPlan.toString
+      out
+    }),
+
+    // ── parquet AGGREGATE pushdown (DSv2): COUNT/MIN/MAX answered from
+    // parquet FOOTER statistics — zero row groups decompressed, the scan
+    // returns one pre-aggregated row per file. The conf pair routes THIS
+    // query's scan through the v2 source with pushdown on and restores
+    // the session after planning; the plan is forced inside the window so
+    // the probe (PlanSpec pins `PushedAggregation`) sees the v2 scan ──
+    "agg_pushdown_stats" -> ((s, dir) => {
+      val keys = Seq("spark.sql.parquet.aggregatePushdown", "spark.sql.sources.useV1SourceList")
+      val prev = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        s.conf.set("spark.sql.sources.useV1SourceList", "")
+        val out = s.read.parquet(s"$dir/lineitem.parquet")
+          .agg(
+            expr("count(*)").as("n_rows"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"))
+        // force physical planning while the v2+pushdown confs are active;
+        // the cached queryExecution then serves the later execution
+        lastAggPushdownPlan = out.queryExecution.executedPlan.toString
+        out
+      } finally prev.foreach { case (k, v) =>
+        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+      }
     }),
 
     // ── small-files compaction: the operational fix for the classic
@@ -994,6 +1066,27 @@ object QueriesEtl {
     "orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // join_dpp_prune: the runtime-pruned join replayed relationally —
+    // above-average purchase days via exact integer cross-multiplication
+    "join_dpp_prune" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS np FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1
+        |), tot AS (SELECT sum(np) AS tot, count(*) AS nd FROM daily),
+        |dim AS (SELECT day FROM daily CROSS JOIN tot WHERE np * nd > tot)
+        |SELECT e.day, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM (SELECT CAST(ts AS DATE) AS day, value FROM events) e JOIN dim USING (day)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // agg_pushdown_stats: footer statistics equal full-scan statistics by
+    // the parquet contract — the oracle recomputes from the rows
+    "agg_pushdown_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
 
     // partition_prune_docs: the single-source aggregate expressed directly
     "partition_prune_docs" ->

@@ -1584,6 +1584,47 @@ object QueriesLlm {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── SNAPSHOT-PINNED index generations ([[Similarity
+    // .ivfIndexWriteSnapshot]] / [[Similarity.ivfIndexAppendSnapshot]] /
+    // [[Similarity.ivfKnnSnapshot]]): the assignments table lives under
+    // the transactional [[graft.sources.SnapshotLog]], so the fit commits
+    // as generation v0, the append publishes v1 in ONE atomic manifest
+    // link, and probes pin a generation — the atomicity the plain
+    // parquet-append variant defers to the log, made real. The probe at
+    // the latest generation must equal the frozen-quantizer union index
+    // (the incr oracle), and `pinned_v0_stable` measures that v0 still
+    // holds EXACTLY the fit-time assignment after v1 landed (exceptAll
+    // set-equality, the vacuum_orphans law pattern) ──
+    "knn_ivf_snapshot" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = scratch(dir, "ivf_index_snap")
+      val log = new graft.sources.SnapshotLog(s"$idx/assignments_log")
+      log.recreate() // scratch hygiene: deterministic generations per run
+      val indexed = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+      val v0 = Similarity.ivfIndexWriteSnapshot(indexed, KmK, KmIters, idx)
+      Similarity.ivfIndexAppendSnapshot(batch, idx, cells = KmK, iters = KmIters)
+      val q = emb.where(col("vec_id") < 10)
+      val cents = s.read.parquet(s"$idx/centroids").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).toSeq
+      val v0Assign = log.read(s, v0)
+        .select(col("vec_id"), col("cluster"), col("cosine"))
+      val freshA = Similarity.assignCells(
+        Similarity.unitized(indexed, "vec_id", "embedding"), cents)
+        .select(col("vec_id"), col("cluster"), round(col("cos"), 6).as("cosine"))
+      val extra = v0Assign.exceptAll(freshA).agg(count(lit(1)).as("n_extra"))
+      val missing = freshA.exceptAll(v0Assign).agg(count(lit(1)).as("n_missing"))
+      Similarity.withRecall(
+        Similarity.ivfKnnSnapshot(q, emb, idx, k = 5, cells = KmK, iters = KmIters),
+        q, emb, k = 5, minPoolHits = IvfIncrRecallFloor)
+        .crossJoin(broadcast(extra)).crossJoin(broadcast(missing))
+        .select(
+          col("query_id"), col("neighbor_id"), col("cosine"), col("rank"),
+          col("n_hit"), col("pool_hits"), col("recall_ok"),
+          (col("n_extra") === 0L && col("n_missing") === 0L).as("pinned_v0_stable"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ── multi-probe IVF: the recall knob — each query scans its 2
     // nearest-centroid cells instead of 1 (FAISS nprobe); probe expansion
     // on the broadcast query side, corpus still partitioned once ──
@@ -2451,6 +2492,38 @@ object QueriesLlm {
     }),
 
     // ── multimodal: frame sampling over binary payloads ──
+    // ── REAL frame iteration over an animated-GIF container
+    // ([[graft.functions.VideoKernels]]): the codegen'd block walk skips
+    // global/local color tables by their descriptor bits and data
+    // sub-blocks by their length prefixes — the access pattern of a real
+    // demuxer — and emits canvas geometry, frame count, and per-frame
+    // delays. Oracle replays the metadata from the generative formula
+    // while Spark walks the real bytes (two independent implementations;
+    // the non-stub counterpart of mm_frame_hashes' fixed-size chunking) ──
+    "mm_gif_frames" -> ((s, dir) => {
+      graft.functions.VideoKernels.register(s)
+      Multimodal.withGifPayload(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          graft.functions.VideoKernels.gifFramesCol(col("payload")).as("m"))
+        .select(col("doc_id"), col("m.width").as("width"), col("m.height").as("height"),
+          col("m.n_frames").as("n_frames"), col("m.total_delay_cs").as("total_delay_cs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── frame-addressed SAMPLING from the real container walk: every 2nd
+    // frame of each animation, with its true delay — one row per sampled
+    // frame, payload projected away before the explode ──
+    "mm_gif_frame_sample" -> ((s, dir) => {
+      graft.functions.VideoKernels.register(s)
+      Multimodal.withGifPayload(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          graft.functions.VideoKernels.gifFramesCol(col("payload")).as("m"))
+        .select(col("doc_id"), posexplode(col("m.delays_cs")).as(Seq("frame_no", "delay_cs")))
+        .where(pmod(col("frame_no"), lit(2)) === 0)
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"), col("delay_cs"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
     "mm_frame_hashes" -> ((s, dir) =>
       Multimodal.frameHashes(Multimodal.withPayload(Tables.documents(s, dir)))
         .orderBy(col("doc_id"), col("frame_no"))),
@@ -3838,6 +3911,14 @@ object QueriesLlm {
     // the oracle replays that exact two-generation index state
     "knn_ivf_persisted_incr" -> knnIvfIncrOracle,
 
+    // knn_ivf_snapshot: the latest-generation probe is the SAME
+    // frozen-quantizer union state; the pinned-v0 stability law rides as
+    // a measured TRUE (the Spark side computes it from the log's files)
+    "knn_ivf_snapshot" ->
+      s"""SELECT q.*, TRUE AS pinned_v0_stable FROM (
+         |$knnIvfIncrOracle
+         |) q ORDER BY query_id, rank""".stripMargin,
+
     // Multi-probe IVF replay: per-query cells ranked by centroid cosine
     // (DESC, cluster ASC — matching the struct(-cos, cell) ascending sort),
     // top-$IvfProbes probed, then the same within-set exact ranking.
@@ -4656,6 +4737,25 @@ object QueriesLlm {
         |FROM aug ORDER BY doc_id""".stripMargin,
 
     "mm_decode_real" -> mmDecodeRealOracle,
+
+    // mm_gif_frames / mm_gif_frame_sample: metadata replayed from the
+    // generative formula (Spark walks the real container bytes)
+    "mm_gif_frames" ->
+      """SELECT doc_id,
+        |       CAST(16 + (doc_id * 29) % 1000 AS BIGINT) AS width,
+        |       CAST(16 + (doc_id * 41) % 800 AS BIGINT) AS height,
+        |       CAST(1 + doc_id % 6 AS BIGINT) AS n_frames,
+        |       CAST(list_sum([4 + (doc_id * 7 + f * 3) % 96
+        |                      for f in range(0, 1 + doc_id % 6)]) AS BIGINT) AS total_delay_cs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_gif_frame_sample" ->
+      """WITH fr AS (
+        |  SELECT doc_id, unnest(range(0, CAST(1 + doc_id % 6 AS BIGINT))) AS f FROM documents
+        |)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+        |       CAST(4 + (doc_id * 7 + f * 3) % 96 AS BIGINT) AS delay_cs
+        |FROM fr WHERE f % 2 = 0 ORDER BY doc_id, frame_no""".stripMargin,
 
     // binaryfile_ingest: identical per-doc decode — the file scatter +
     // binaryFile read round-trip must be byte-lossless for this to hash

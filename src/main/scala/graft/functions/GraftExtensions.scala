@@ -103,6 +103,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_wav_ehash", "graft_wav_ehash(payload) - 64-bit energy-envelope hash of a PCM WAV"),
       (exprs: Seq[Expression]) => AudioKernels.WavEnergyHash(exprs(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_gif_frames"),
+      info("graft_gif_frames",
+        "graft_gif_frames(payload) - GIF container walk to struct<width,height,n_frames,total_delay_cs,delays_cs>"),
+      (exprs: Seq[Expression]) => VideoKernels.GifFrames(exprs(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_theta_sketch"),
       info("graft_theta_sketch", "graft_theta_sketch(key, lgK) - theta sketch aggregate"),
       (exprs: Seq[Expression]) => ThetaFunctions.ThetaSketchAgg(

@@ -248,6 +248,48 @@ object Multimodal {
       floor(h * scale).cast("long").as("out_height"))
   }
 
+  /** Synthesize a REAL animated GIF89a container per row for the frame
+    * iteration path ([[graft.functions.VideoKernels]]): spec-complete
+    * logical screen descriptor, `1 + id % 6` frames each announced by a
+    * graphic-control extension carrying its delay, image descriptors with
+    * real geometry, length-prefixed data sub-blocks (arbitrary bytes — no
+    * LZW decode reads them), and the trailer. Even ids carry a GLOBAL
+    * color table and odd FRAMES a LOCAL one, so the walk must actually
+    * skip tables by their descriptor bits — assumed offsets break.
+    * Every field is a deterministic integer function of (id, frame), so
+    * the oracle replays the metadata from arithmetic while Spark walks
+    * the real bytes (the [[withPpmPayload]] discipline).
+    */
+  def withGifPayload(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol).cast("long")
+    def le16(v: Column): Column =
+      concat(lpad(hex(pmod(v, lit(256L))), 2, "0"), lpad(hex((v / 256L).cast("long")), 2, "0"))
+    val w = lit(16L) + pmod(id * 29L, lit(1000L))
+    val h = lit(16L) + pmod(id * 41L, lit(800L))
+    val nFrames = (lit(1L) + pmod(id, lit(6L))).cast("int")
+    val hasGct = pmod(id, lit(2L)) === 0L
+    val screen = concat(
+      lit("474946383961"), // GIF89a
+      le16(w), le16(h),
+      when(hasGct, lit("81")).otherwise(lit("00")), // packed: GCT flag + size 1 (12 bytes)
+      lit("0000"), // background, aspect
+      when(hasGct, lit("1C2D3E" * 4)).otherwise(lit(""))) // 12-byte global table
+    val frames = array_join(
+      transform(sequence(lit(0), nFrames - 1), { f =>
+        val delay = lit(4L) + pmod(id * 7L + f.cast("long") * 3L, lit(96L))
+        val hasLct = pmod(f, lit(2)) === 1
+        val dataLen = (lit(1L) + pmod(id + f.cast("long"), lit(5L))).cast("int")
+        concat(
+          lit("21F904" + "00"), le16(delay), lit("00" + "00"), // GCE + terminator
+          lit("2C"), lit("0000" * 2), le16(w), le16(h), // descriptor: left, top, w, h
+          when(hasLct, lit("81")).otherwise(lit("00")),
+          when(hasLct, lit("4F5E6D" * 4)).otherwise(lit("")), // 12-byte local table
+          lit("02"), // LZW minimum code size
+          lpad(hex(dataLen), 2, "0"), repeat(lit("AB"), dataLen), lit("00")) // one sub-block
+      }), "")
+    df.withColumn("payload", unhex(concat(screen, frames, lit("3B"))))
+  }
+
   /** STUB frame sampler: split the payload into fixed-size "frames"
     * (`frameBytes` chunks) and hash each — the layout a real video
     * frame-sampler produces: one row per frame, payload projected away.

@@ -637,6 +637,125 @@ object Similarity {
     ivfProbe(queries, corpus, corpusAssign, cents, k, nProbes, idCol, vecCol)
   }
 
+  /** [[ivfIndexWrite]] with the ASSIGNMENTS table managed by a
+    * [[graft.sources.SnapshotLog]] — index GENERATIONS become snapshots:
+    * the initial fit commits as one atomic manifest version, every
+    * [[ivfIndexAppendSnapshot]] batch commits as the next, and a probe
+    * pins a version ([[ivfKnnSnapshot]]) so a reader racing an append sees
+    * exactly one generation, never a half-visible batch — the atomicity
+    * the plain parquet-append variant explicitly defers to the log.
+    * Centroids and geometry stay immutable plain parquet (frozen at fit
+    * time by design — only the assignment set grows). Returns the
+    * committed version.
+    */
+  def ivfIndexWriteSnapshot(
+      corpus: DataFrame,
+      cells: Int,
+      iters: Int,
+      indexPath: String,
+      partitions: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (assign, cents) = kmeansFit(corpus, cells, iters, idCol, vecCol)
+    cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("cluster", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val log = new graft.sources.SnapshotLog(s"$indexPath/assignments_log")
+    // logical overwrite: a re-fit starts a fresh generation; prior pinned
+    // readers keep their snapshots until expire+vacuum
+    val v = log.overwrite(assign, partitions)
+    val fit = log.read(spark, v).agg(count(lit(1)), avg(col("cosine"))).head()
+    Seq((cells, iters, cents.head._2.length, cents.length,
+        v, fit.getLong(0), fit.getDouble(1)))
+      .toDF("cells", "iters", "dim", "n_centroids",
+        "version", "n_vectors", "mean_cos_fit")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+    v
+  }
+
+  /** [[ivfIndexAppend]] committed through the snapshot log: the batch's
+    * assignment rows stage as immutable files and publish in ONE atomic
+    * manifest commit — a concurrent reader holds either the pre-append or
+    * the post-append generation, and a racing second appender loses the
+    * commit loudly ([[graft.sources.ConcurrentCommitException]]) instead
+    * of interleaving files. Same geometry/overlap/drift contract as the
+    * plain variant; the report's `version` is the committed snapshot.
+    */
+  def ivfIndexAppendSnapshot(
+      newBatch: DataFrame,
+      indexPath: String,
+      cells: Int,
+      iters: Int,
+      driftTol: Double = 0.05,
+      partitions: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(driftTol > 0, s"driftTol must be positive, got $driftTol")
+    val spark = newBatch.sparkSession
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val (meta, cents) = loadVerifiedIndex(spark, indexPath, cells, iters)
+    val log = new graft.sources.SnapshotLog(s"$indexPath/assignments_log")
+    val indexed = log.readLatest(spark)
+    val overlap = newBatch.select(col(idCol))
+      .join(indexed.select(col(idCol)), Seq(idCol), "left_semi")
+      .limit(1).count()
+    require(overlap == 0L,
+      s"ivfIndexAppendSnapshot: new batch shares ids with the index at $indexPath — " +
+        "already-indexed vectors would duplicate in every probe; dedup the batch first")
+    val assigned = assignCells(unitized(newBatch, idCol, vecCol), cents)
+      .select(col(idCol), col("cluster"), round(col("cos"), 6).as("cosine"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (v, nNew, batchMeanCos) =
+      try {
+        val st = assigned.agg(count(lit(1)), avg(col("cosine"))).head()
+        require(st.getLong(0) > 0,
+          "ivfIndexAppendSnapshot: new batch contributed no nonzero-norm vectors")
+        val committed = log.append(assigned, partitions)
+        (committed, st.getLong(0), st.getDouble(1))
+      } finally assigned.unpersist(blocking = false)
+    val nTotal = meta.getAs[Long]("n_vectors") + nNew
+    val fitMeanCos = meta.getAs[Double]("mean_cos_fit")
+    Seq((cells, iters, meta.getAs[Int]("dim"), cents.length,
+        v, nTotal, fitMeanCos))
+      .toDF("cells", "iters", "dim", "n_centroids",
+        "version", "n_vectors", "mean_cos_fit")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+    Seq((v, nTotal, nNew,
+        math.rint(fitMeanCos * 1e6) / 1e6, math.rint(batchMeanCos * 1e6) / 1e6,
+        batchMeanCos < fitMeanCos - driftTol))
+      .toDF("version", "n_indexed", "n_appended",
+        "mean_cos_fit", "mean_cos_batch", "refit_recommended")
+  }
+
+  /** Probe a snapshot-managed IVF index at a PINNED generation (`version`;
+    * latest when None): the assignment set is exactly one committed
+    * manifest's files, so appends landing after the pin cannot change
+    * what this probe scans — snapshot isolation for index reads, time
+    * travel across index generations for free.
+    */
+  def ivfKnnSnapshot(
+      queries: DataFrame,
+      corpus: DataFrame,
+      indexPath: String,
+      k: Int,
+      cells: Int,
+      iters: Int,
+      nProbes: Int = 1,
+      version: Option[Long] = None,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
+    val spark = queries.sparkSession
+    VectorFunctions.register(spark)
+    val (_, cents) = loadVerifiedIndex(spark, indexPath, cells, iters)
+    val log = new graft.sources.SnapshotLog(s"$indexPath/assignments_log")
+    val v = version.orElse(log.currentVersion).getOrElse(
+      throw new IllegalStateException(s"no committed index generation at $indexPath"))
+    ivfProbe(queries, corpus, log.read(spark, v), cents, k, nProbes, idCol, vecCol)
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. '23): cluster the
     * embeddings with the deterministic [[kmeans]], then verify cosine >=
     * `threshold` WITHIN each cluster only — k-means cells as the candidate

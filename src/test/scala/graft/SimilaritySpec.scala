@@ -356,6 +356,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probed.nonEmpty)
   }
 
+  test("snapshot ivf index: generations commit atomically; a pinned probe never sees the append") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val idx = "/root/repo/target/similarity_spec/ivf_index_snap"
+    val idxPlain = "/root/repo/target/similarity_spec/ivf_index_snap_plain"
+    new graft.sources.SnapshotLog(s"$idx/assignments_log").recreate()
+    val a = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val b = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+    val q = emb.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    val v0 = Similarity.ivfIndexWriteSnapshot(a, cells = 4, iters = 2, indexPath = idx)
+    val before = rows(Similarity.ivfKnnSnapshot(q, emb, idx, k = 3, cells = 4, iters = 2,
+      version = Some(v0)))
+    val rep = Similarity.ivfIndexAppendSnapshot(b, idx, cells = 4, iters = 2, driftTol = 0.5)
+      .collect().head
+    assert(rep.getAs[Long]("version") == v0 + 1, "append must commit the next generation")
+    // the PINNED generation is immutable: same probe, same result, after v1
+    val pinned = rows(Similarity.ivfKnnSnapshot(q, emb, idx, k = 3, cells = 4, iters = 2,
+      version = Some(v0)))
+    assert(pinned == before, "a pinned probe must never observe a later append")
+    // the latest generation equals the plain parquet-append index state
+    Similarity.ivfIndexWrite(a, cells = 4, iters = 2, indexPath = idxPlain)
+    Similarity.ivfIndexAppend(b, idxPlain, cells = 4, iters = 2, driftTol = 0.5)
+    assert(
+      rows(Similarity.ivfKnnSnapshot(q, emb, idx, k = 3, cells = 4, iters = 2)) ==
+        rows(Similarity.ivfKnnPersisted(q, emb, idxPlain, k = 3, cells = 4, iters = 2)),
+      "latest snapshot generation must equal the plain appended index")
+  }
+
   test("ivf index append: overlapping ids fail loudly; drift gate fires on an out-of-distribution batch") {
     val emb = Tables.embeddings(spark, SfDir)
     import spark.implicits._
