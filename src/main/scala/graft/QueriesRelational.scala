@@ -1146,7 +1146,252 @@ object QueriesRelational {
           |GROUP BY s_name, n_name
           |ORDER BY numwait DESC, s_name
           |LIMIT 100""".stripMargin)
-    })
+    }),
+
+    // ── TPC-H Q2 shape: correlated scalar MIN subquery over a shared CTE
+    // — "the cheapest supplier per part". The per-(part, supplier) cost
+    // relation is referenced TWICE (join side + correlated min), the
+    // classic CTE-dedup + decorrelation stress; cost is exact integer
+    // cents (min of floor(price*100)) so the min-equality that picks the
+    // winners is FP-free and ties surface deterministically. Catalyst
+    // decorrelates the min to a grouped aggregate + equi-join — PlanSpec
+    // pins zero nested loops. (No partsupp table in the fixture star;
+    // observed lineitem prices stand in for ps_supplycost) ──
+    "q2_min_cost_supp" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH cost AS (
+          |  SELECT l_partkey, l_suppkey,
+          |         min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cents
+          |  FROM lineitem GROUP BY l_partkey, l_suppkey
+          |)
+          |SELECT p_partkey, p_brand, p_type, s_name, c.cents AS min_cents
+          |FROM part JOIN cost c ON c.l_partkey = p_partkey
+          |          JOIN supplier ON s_suppkey = c.l_suppkey
+          |WHERE p_size <= 10
+          |  AND c.cents = (SELECT min(c2.cents) FROM cost c2
+          |                 WHERE c2.l_partkey = p_partkey)
+          |ORDER BY min_cents, p_partkey, s_name
+          |LIMIT 100""".stripMargin)
+    }),
+
+    // ── TPC-H Q4 shape: EXISTS over the fact child per order — planned as
+    // ONE hash left-semi join (lineitem deduped by the semi semantics, no
+    // per-order probe), date range pushed to the orders scan ──
+    "q4_order_priority" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // ── TPC-H Q7 shape: two-sided nation-pair volume — the SAME dim
+    // (nation) joins twice under different roles (supplier's vs
+    // customer's), both broadcast; fact-fact lineitem ⋈ orders stays
+    // sort-merge. Exact decimal revenue; year as long for cross-engine
+    // schema parity ──
+    "q7_nation_volume" -> ((s, dir) => {
+      val pick = Seq("NATION_1", "NATION_2")
+      val ns = broadcast(Tables.nation(s, dir)
+        .where(col("n_name").isin(pick: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val nc = broadcast(Tables.nation(s, dir)
+        .where(col("n_name").isin(pick: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-01-01 00:00:00"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+          col("l_discount"), year(col("l_shipdate")).cast("long").as("l_year"))
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(ns, col("s_nationkey") === col("s_nk"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(nc, col("c_nationkey") === col("c_nk"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(d(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // ── TPC-H Q9 shape: 5-way star profit — per-row margin in EXACT
+    // decimals (revenue minus retail cost; no partsupp in the fixture, so
+    // p_retailprice·qty stands in for ps_supplycost·qty), grouped by
+    // supplier nation × order year. Part/nation broadcast, fact-fact
+    // sort-merge ──
+    "q9_product_profit" -> ((s, dir) => {
+      val gearParts = Tables.part(s, dir)
+        .where(col("p_name").like("%gear%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(d(sum(
+          dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) -
+            dec(col("p_retailprice")) * dec(col("l_quantity")))).as("profit"))
+        .orderBy(col("n_name"), col("o_year"))
+    }),
+
+    // ── TPC-H Q10 shape: returned-revenue top customers — date-bounded
+    // orders ⋈ R-flagged lineitem (both filters pushed to their scans),
+    // customer equi-join, nation broadcast; top-20 ranked on the EXACT
+    // decimal revenue with a key tie-break so the limit is engine-neutral ──
+    "q10_returned_rev" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-04-01 00:00:00"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, dir)
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("rev_exact"))
+        .orderBy(col("rev_exact").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          d(col("rev_exact")).as("revenue"))
+    }),
+
+    // ── TPC-H Q13 shape: customer order-count distribution — LEFT join
+    // with an EXTRA non-key predicate (the classic outer-join-condition
+    // trap: the filter must ride the join, not the WHERE, or no-order
+    // customers vanish), then a second aggregation over the first's
+    // result ──
+    "q13_cust_orders_dist" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+          |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          |      FROM customer LEFT JOIN orders
+          |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          |      GROUP BY c_custkey) t
+          |GROUP BY c_count
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+    }),
+
+    // ── TPC-H Q14 shape: conditional-aggregate share — promo revenue over
+    // total in one pass (no second scan, no self-join); both legs summed
+    // in exact decimals, the single division happens once on the exact
+    // totals ──
+    "q14_promo_share" -> ((s, dir) => {
+      val disc = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= ts("1997-09-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-10-01 00:00:00"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", disc).otherwise(dec(lit(0)))).as("promo_exact"),
+          sum(disc).as("total_exact"))
+        .select(
+          round(d(col("promo_exact")) * 100 / d(col("total_exact")), 6).as("promo_pct"),
+          d(col("promo_exact")).as("promo_revenue"),
+          d(col("total_exact")).as("total_revenue"))
+    }),
+
+    // ── TPC-H Q15 shape: argmax against an uncorrelated scalar subquery
+    // over a CTE used twice — the quarter's top supplier(s) by exact
+    // decimal revenue; the max-equality is decimal-exact so ties are
+    // deterministic, and the scalar plans as a one-row subquery, not a
+    // join ──
+    "q15_top_supplier" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH rev AS (
+          |  SELECT l_suppkey,
+          |         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+          |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+          |WHERE r = (SELECT max(r) FROM rev)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    // ── TPC-H Q16 shape: NOT IN (null-aware anti-join) + multi-key
+    // COUNT(DISTINCT) — supplier variety per part classification,
+    // excluding flagged suppliers (negative balance stands in for the
+    // complaints predicate) ──
+    "q16_supp_variety" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT p_brand, p_type, p_size,
+          |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE p_brand <> 'Brand#1'
+          |  AND p_type <> 'PROMO'
+          |  AND p_size IN (1, 5, 10, 15, 20, 25)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    }),
+
+    // ── TPC-H Q18 shape: IN over a grouped HAVING on the SAME fact — the
+    // large-order semi-join probes lineitem's own aggregation; quantities
+    // are integer-valued doubles so the sums and the threshold are exact ──
+    "q18_large_orders" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+          |       CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+          |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+          |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |LIMIT 100""".stripMargin)
+    }),
+
+    // ── TPC-H Q19 shape: disjunctive brand/size/quantity predicate — ONE
+    // equi-join on partkey with the OR-of-ANDs as a residual filter (the
+    // planner must not expand the disjunction into a union of three
+    // scans), exact decimal revenue ──
+    "q19_disjunctive_rev" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(Tables.part(s, dir)
+            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(20, 40)))
+        .agg(
+          d(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"),
+          count(lit(1)).as("n_items")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2067,6 +2312,162 @@ object QueriesRelational {
         |      AND l3.l_returnflag = 'R')
         |GROUP BY s_name, n_name
         |ORDER BY numwait DESC, s_name
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    // q2/q4/q13/q15/q16/q18: DuckDB runs the identical correlated /
+    // subquery forms natively — both engines must agree on the
+    // decorrelated semantics exactly
+    "q2_min_cost_supp" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |)
+        |SELECT p_partkey, p_brand, p_type, s_name, c.cents AS min_cents
+        |FROM part JOIN cost c ON c.l_partkey = p_partkey
+        |          JOIN supplier ON s_suppkey = c.l_suppkey
+        |WHERE p_size <= 10
+        |  AND c.cents = (SELECT min(c2.cents) FROM cost c2
+        |                 WHERE c2.l_partkey = p_partkey)
+        |ORDER BY min_cents, p_partkey, s_name
+        |LIMIT 100""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |           - CAST(p_retailprice AS DECIMAL(18,2))
+        |             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q10_returned_rev" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q13_cust_orders_dist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // q14_promo_share: both legs exact decimals; the one division runs on
+    // the exact totals cast to double — IEEE-deterministic on both engines
+    "q14_promo_share" ->
+      """WITH t AS (
+        |  SELECT
+        |    sum(CASE WHEN p_type = 'PROMO'
+        |          THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |          ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_exact,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_exact
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+        |)
+        |SELECT round(CAST(promo_exact AS DOUBLE) * 100
+        |             / CAST(total_exact AS DOUBLE), 6) AS promo_pct,
+        |       CAST(promo_exact AS DOUBLE) AS promo_revenue,
+        |       CAST(total_exact AS DOUBLE) AS total_revenue
+        |FROM t""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE r = (SELECT max(r) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supp_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q19_disjunctive_rev" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin
   )
 }

@@ -33,6 +33,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"q21 plans a cartesian:\n$p")
   }
 
+  test("r10 TPC-H batch: every subquery shape decorrelates to its hash-join form") {
+    // Q4's EXISTS → left-semi on o_orderkey; Q16's NOT IN → null-aware
+    // anti (s_suppkey is non-null, so it plans as LeftAnti); Q18's
+    // IN-over-HAVING → left-semi against lineitem's own aggregation;
+    // Q2's correlated scalar min → grouped aggregate + equi-join (no
+    // per-part re-scan). Each shape is a per-outer-row O(n²) nested loop
+    // if decorrelation fails — fatal at 100 TB.
+    val q4 = plan("q4_order_priority")
+    assert(q4.contains("LeftSemi"), s"q4 EXISTS did not become a semi join:\n$q4")
+    val q16 = plan("q16_supp_variety")
+    assert(q16.contains("LeftAnti"), s"q16 NOT IN did not become an anti join:\n$q16")
+    val q18 = plan("q18_large_orders")
+    assert(q18.contains("LeftSemi"), s"q18 IN did not become a semi join:\n$q18")
+    val q2 = plan("q2_min_cost_supp")
+    assert(q2.contains("min("), s"q2 correlated min did not decorrelate to an aggregate:\n$q2")
+    Seq("q4_order_priority" -> q4, "q16_supp_variety" -> q16,
+      "q18_large_orders" -> q18, "q2_min_cost_supp" -> q2).foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+    }
+  }
+
   test("q6: predicates are pushed into the parquet scan and columns pruned") {
     val p = plan("q6_revenue")
     assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
@@ -343,13 +364,46 @@ class PlanSpec extends AnyFunSuite {
       // q22's one-row (n, tot) scalar rides the only BNLJ; the NOT EXISTS
       // decorrelates to a hash anti-join; the streaming probe is an
       // equi-join against the static band index
-      "q22_idle_customers" -> 1, "stream_phash_ingest" -> 0)
+      "q22_idle_customers" -> 1, "stream_phash_ingest" -> 0,
+      // snapshot probe = persisted_incr's 3 plus the two one-row
+      // set-equality law scalars (n_extra / n_missing)
+      "knn_ivf_snapshot" -> 5,
+      // dpp's mean threshold rides the one-row (tot, nd) scalar, and the
+      // dynamicpruning subquery REPLAYS the dim build inside the fact
+      // scan's plan text — the same one-row BNLJ printed twice; the
+      // footer-stats aggregate is scan-only
+      "join_dpp_prune" -> 2, "agg_pushdown_stats" -> 0,
+      // r10 TPC-H batch: every subquery shape (correlated scalar min,
+      // EXISTS, IN-over-HAVING, NOT IN, uncorrelated scalar max) must
+      // decorrelate to hash joins / one-row scalar subqueries — zero
+      // nested loops across the board
+      "q2_min_cost_supp" -> 0, "q4_order_priority" -> 0,
+      "q7_nation_volume" -> 0, "q9_product_profit" -> 0,
+      "q10_returned_rev" -> 0, "q13_cust_orders_dist" -> 0,
+      "q14_promo_share" -> 0, "q15_top_supplier" -> 0,
+      "q16_supp_variety" -> 0, "q18_large_orders" -> 0,
+      "q19_disjunctive_rev" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
       val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
       assert(bnlj <= cap, s"$q: $bnlj BNLJs exceed the $cap one-row-scalar cap:\n$p")
     }
+  }
+
+  test("join_dpp_prune: the runtime day-set reaches the fact scan as a dynamicpruning filter") {
+    plan("join_dpp_prune") // runs the builder, which captures its own plan
+    val p = QueriesEtl.lastDppPlan
+    assert(p.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic partition pruning subquery:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in dpp plan:\n$p")
+  }
+
+  test("agg_pushdown_stats: COUNT/MIN/MAX answered from parquet footers, not row scans") {
+    plan("agg_pushdown_stats")
+    val p = QueriesEtl.lastAggPushdownPlan
+    assert(p.contains("PushedAggregation"),
+      s"v2 parquet scan must push the aggregates to footer statistics:\n$p")
   }
 
   test("join_bloom_prefilter: the bloom probe filters the fact side BEFORE any join") {
