@@ -772,6 +772,34 @@ object QueriesEtl {
           col("n_docs"), col("n_distinct"), col("sum_chars"))
     }),
 
+    // ── SCHEMA EVOLUTION under the snapshot log: v1's append ADDS a
+    // column. The merged latest read serves nulls for pre-evolution rows
+    // ([[SnapshotLog.read]] with mergeSchema), while the PINNED v0 read
+    // keeps the old schema entirely — its manifest never lists the
+    // evolved files, so per-version schema is a property of the file set
+    // and evolution needs no metadata rewrite (the Iceberg/Delta add-column
+    // semantics). The pinned-schema law rides as a hashed boolean ──
+    "snapshot_schema_evolved" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_evolve"))
+      log.recreate()
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val v0 = log.append(docs.where(col("doc_id") % 2 === 0), partitions = 4)
+      val v1 = log.append(
+        docs.where(col("doc_id") % 2 =!= 0)
+          .withColumn("quality_tier", (col("n_chars") % 3).cast("long")),
+        partitions = 4)
+      val pinnedUnevolved = !log.read(s, v0).columns.contains("quality_tier")
+      log.read(s, v1, mergeSchema = true)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("quality_tier")).as("n_with_tier"),
+          sum(col("quality_tier")).as("sum_tier"))
+        .withColumn("pinned_schema_unevolved", lit(pinnedUnevolved))
+        .orderBy(col("lang"))
+    }),
+
     // ── INCREMENTAL MATERIALIZED VIEW ([[Materialize.mergeSummaries]]):
     // the weekly events rollup absorbs the late-January batch by merging a
     // DELTA-sized partial aggregate into the summary — the base rows before
@@ -922,6 +950,16 @@ object QueriesEtl {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |FROM v1 GROUP BY 2
         |ORDER BY version, o_orderpriority""".stripMargin,
+
+    // snapshot_schema_evolved: latest = both halves with tier only on the
+    // evolved (odd) half — old files must serve NULL for the added
+    // column; the pinned-v0-schema law is measured Spark-side
+    "snapshot_schema_evolved" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS BIGINT) AS n_with_tier,
+        |       CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars % 3 END) AS BIGINT) AS sum_tier,
+        |       TRUE AS pinned_schema_unevolved
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // vacuum_orphans: the four vacuum laws are measured Spark-side (set
     // equalities over actual deleted paths) and pinned TRUE; the surviving

@@ -158,10 +158,17 @@ class SnapshotLog(val root: String) {
 
   /** Snapshot-pinned read of version `v`: exactly the manifest's files,
     * regardless of what lands in the log afterwards.
+    *
+    * `mergeSchema = true` unions the schemas of the snapshot's files
+    * (schema EVOLUTION under the log: an append may add columns — old
+    * files serve nulls for them, and a version pinned BEFORE the evolved
+    * append keeps the old schema because its manifest never lists the new
+    * files). Off by default: merging reads every file footer at planning
+    * time, which a homogeneous-schema read doesn't need to pay.
     */
-  def read(spark: SparkSession, version: Long): DataFrame = {
+  def read(spark: SparkSession, version: Long, mergeSchema: Boolean = false): DataFrame = {
     val paths = files(version).map(p => new File(root, p).toString)
-    spark.read.parquet(paths: _*)
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
   }
 
   def readLatest(spark: SparkSession): DataFrame =

@@ -37,6 +37,21 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(log.read(spark, v1).count() == 15L)
   }
 
+  test("schema evolution: an evolved append adds a column; pinned versions keep their schema") {
+    val log = freshLog("evolve")
+    val v0 = log.append(rows(6, "a"), partitions = 1)
+    val evolved = rows(4, "b").withColumn("tier", col("id") % 2)
+    val v1 = log.append(evolved, partitions = 1)
+    // the pinned v0 manifest never lists the evolved files → old schema
+    assert(!log.read(spark, v0).columns.contains("tier"),
+      "a version pinned before the evolved append must keep the old schema")
+    // merged latest: new column present, NULL for pre-evolution rows
+    val latest = log.read(spark, v1, mergeSchema = true)
+    assert(latest.columns.contains("tier"))
+    assert(latest.where(col("tier").isNull).count() == 6L)
+    assert(latest.where(col("tier").isNotNull).count() == 4L)
+  }
+
   test("concurrent writers: exactly one commit wins, the loser fails loudly") {
     val log = freshLog("conflict")
     log.append(rows(4, "base"), partitions = 1)
