@@ -129,6 +129,7 @@ object QueriesLlm {
   private val MmFeatK = 3 // neighbors per query in mm_feature_knn
   private val KmK = 4 // kmeans_clusters cluster count, query AND oracle
   private val KmIters = 3 // kmeans_clusters Lloyd iterations, query AND oracle
+  private val KcK = 5 // sample_kcenter coreset size — the oracle unrolls EXACTLY this many rounds
 
   /** Per-SF scratch root for queries that persist real artifacts (the
     * QueriesEtl discipline — e.g. the stored IVF index).
@@ -2256,6 +2257,17 @@ object QueriesLlm {
         .select(
           col("stratum").as("source"), col("rank"),
           col("k").as("doc_id"), col("priority"))),
+
+    // ── greedy k-center diversity coreset ([[Similarity.kCenterGreedy]],
+    // Gonzalez farthest-point sampling): maximally-SPREAD exemplars, the
+    // coverage-biased counterpart of the frequency-biased samplers above.
+    // k linear corpus passes (one per center) with a persisted running
+    // min-distance; the pick compares round(1−cos, 6) with an id
+    // tie-break so the greedy trajectory is FP-safe cross-engine. The
+    // oracle replays all KcK selection rounds as unrolled CTE stages ──
+    "sample_kcenter" -> ((s, dir) =>
+      Similarity.kCenterGreedy(Tables.embeddings(s, dir), k = KcK)
+        .orderBy(col("step"))),
 
     // ── corpus heavy-hitters: token frequency top-20 (explode → two-phase
     // count with map-side partial agg → global top-k; integer ordering with
@@ -4605,6 +4617,46 @@ object QueriesLlm {
         |)
         |SELECT doc_id, CAST(wt AS BIGINT) AS wt, priority
         |FROM p ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+
+    // sample_kcenter: the five greedy rounds unrolled — each stage folds
+    // the previous min-distance with the newest center's rounded cosine
+    // distance (identical least/round algebra to the Spark loop), then
+    // takes the (md DESC, vec_id) argmax
+    "sample_kcenter" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, [x / sqrt(list_sum([y * y for y in v])) for x in v] AS u
+        |      FROM e WHERE list_sum([y * y for y in v]) > 0),
+        |c0 AS (SELECT min(vec_id) AS id FROM n),
+        |u0 AS (SELECT u FROM n, c0 WHERE n.vec_id = c0.id),
+        |d1 AS (SELECT n.vec_id,
+        |              least(2.0, round(1 - list_sum([n.u[i] * u0.u[i]
+        |                for i in range(1, len(n.u) + 1)]), 6)) AS md FROM n, u0),
+        |c1 AS (SELECT vec_id AS id, md FROM d1 ORDER BY md DESC, vec_id LIMIT 1),
+        |u1 AS (SELECT u FROM n, c1 WHERE n.vec_id = c1.id),
+        |d2 AS (SELECT d1.vec_id,
+        |              least(d1.md, round(1 - list_sum([n.u[i] * u1.u[i]
+        |                for i in range(1, len(n.u) + 1)]), 6)) AS md
+        |       FROM d1 JOIN n ON d1.vec_id = n.vec_id, u1),
+        |c2 AS (SELECT vec_id AS id, md FROM d2 ORDER BY md DESC, vec_id LIMIT 1),
+        |u2 AS (SELECT u FROM n, c2 WHERE n.vec_id = c2.id),
+        |d3 AS (SELECT d2.vec_id,
+        |              least(d2.md, round(1 - list_sum([n.u[i] * u2.u[i]
+        |                for i in range(1, len(n.u) + 1)]), 6)) AS md
+        |       FROM d2 JOIN n ON d2.vec_id = n.vec_id, u2),
+        |c3 AS (SELECT vec_id AS id, md FROM d3 ORDER BY md DESC, vec_id LIMIT 1),
+        |u3 AS (SELECT u FROM n, c3 WHERE n.vec_id = c3.id),
+        |d4 AS (SELECT d3.vec_id,
+        |              least(d3.md, round(1 - list_sum([n.u[i] * u3.u[i]
+        |                for i in range(1, len(n.u) + 1)]), 6)) AS md
+        |       FROM d3 JOIN n ON d3.vec_id = n.vec_id, u3),
+        |c4 AS (SELECT vec_id AS id, md FROM d4 ORDER BY md DESC, vec_id LIMIT 1)
+        |SELECT CAST(0 AS BIGINT) AS step, c0.id AS center_id,
+        |       CAST(NULL AS DOUBLE) AS sel_dist FROM c0
+        |UNION ALL SELECT 1, id, md FROM c1
+        |UNION ALL SELECT 2, id, md FROM c2
+        |UNION ALL SELECT 3, id, md FROM c3
+        |UNION ALL SELECT 4, id, md FROM c4
+        |ORDER BY step""".stripMargin,
 
     // sample_per_key: graft_topk's deterministic (hash DESC, key-string
     // ASC) selection replayed as a window rank — note the VARCHAR

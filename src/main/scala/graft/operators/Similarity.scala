@@ -756,6 +756,64 @@ object Similarity {
     ivfProbe(queries, corpus, log.read(spark, v), cents, k, nProbes, idCol, vecCol)
   }
 
+  /** Greedy k-center coreset selection (Gonzalez '85 farthest-point
+    * sampling) — the diversity-sampling pass a curation pipeline runs to
+    * pick maximally-spread exemplars from an embedding corpus (coverage,
+    * not frequency: the opposite bias of random sampling). Distance is
+    * 1 − cosine on unit vectors; the seed is the smallest id.
+    *
+    * Distributed shape: iteration i scans the corpus ONCE against center
+    * i−1 only, folding into a persisted running min-distance column — k
+    * linear passes total, the standard distributed greedy k-center. The
+    * only driver traffic is one center vector + one argmax row per
+    * iteration (the bounded model-fetch pattern); nothing row-count-sized
+    * ever collects. Selection compares on round(minDist, 6) with an
+    * ascending-id tie-break so the pick — and therefore the whole greedy
+    * trajectory — is FP-safe cross-engine (the [[dot]] accumulation order
+    * already matches the oracle's list_sum).
+    *
+    * Returns exactly k rows (step, center_id, sel_dist): sel_dist is the
+    * covering radius of the previous center set at the moment this center
+    * was chosen (null for the seed) — the monotone non-increasing radius
+    * curve is the op's quality readout.
+    */
+  def kCenterGreedy(
+      vectors: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"kCenterGreedy: k must be >= 1, got $k")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val unit = unitized(vectors, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("v"))
+    val seedId = unit.agg(min(col("id"))).head().getLong(0)
+    var cur = unit.withColumn("md", lit(2.0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var centers = Vector[(Long, Long, Option[Double])]((0L, seedId, None))
+    var lastId = seedId
+    try {
+      var i = 1
+      while (i < k) {
+        val cvec = cur.where(col("id") === lastId)
+          .select(col("v")).head().getSeq[Double](0).toArray
+        val updated = cur
+          .withColumn("md",
+            least(col("md"), round(lit(1.0) - dot(col("v"), typedLit(cvec)), 6)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val pick = updated.orderBy(col("md").desc, col("id"))
+          .limit(1).select(col("id"), col("md")).head()
+        cur.unpersist(blocking = false)
+        cur = updated
+        lastId = pick.getLong(0)
+        centers = centers :+ ((i.toLong, lastId, Some(pick.getDouble(1))))
+        i += 1
+      }
+    } finally cur.unpersist(blocking = false)
+    centers.toDF("step", "center_id", "sel_dist")
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. '23): cluster the
     * embeddings with the deterministic [[kmeans]], then verify cosine >=
     * `threshold` WITHIN each cluster only — k-means cells as the candidate

@@ -382,7 +382,10 @@ class PlanSpec extends AnyFunSuite {
       "q10_returned_rev" -> 0, "q13_cust_orders_dist" -> 0,
       "q14_promo_share" -> 0, "q15_top_supplier" -> 0,
       "q16_supp_variety" -> 0, "q18_large_orders" -> 0,
-      "q19_disjunctive_rev" -> 0)
+      "q19_disjunctive_rev" -> 0,
+      // the k-center result is a model-sized local frame (the greedy
+      // passes run inside the builder); evolution is two scans + an agg
+      "sample_kcenter" -> 0, "snapshot_schema_evolved" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -356,6 +356,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probed.nonEmpty)
   }
 
+  test("kCenterGreedy: matches the naive greedy replay; radius curve non-increasing; centers distinct") {
+    val emb = Tables.embeddings(spark, SfDir).where(col("vec_id") < 60)
+    val out = Similarity.kCenterGreedy(emb, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    assert(out.map(_._2).distinct.length == 4, "centers must be distinct")
+    val radii = out.flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"covering radius must be non-increasing: ${radii.toSeq}")
+    // naive replay: same unitization, same rounded-distance argmax
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .filter { case (_, v) => v.exists(_ != 0.0) }
+      .map { case (id, v) =>
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        id -> v.map(_ / nrm)
+      }.sortBy(_._1)
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      BigDecimal(1.0 - a.zip(b).map { case (x, y) => x * y }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var centers = Vector(vecs.head._1)
+    var md = vecs.map { case (id, _) => id -> 2.0 }.toMap
+    val lookup = vecs.toMap
+    (1 until 4).foreach { _ =>
+      val c = lookup(centers.last)
+      md = md.map { case (id, m) => id -> math.min(m, dist(lookup(id), c)) }
+      val next = md.toSeq.sortBy { case (id, m) => (-m, id) }.head._1
+      centers = centers :+ next
+    }
+    assert(out.map(_._2).toSeq == centers,
+      s"distributed greedy must equal the naive replay: ${out.map(_._2).toSeq} vs $centers")
+  }
+
   test("snapshot ivf index: generations commit atomically; a pinned probe never sees the append") {
     val emb = Tables.embeddings(spark, SfDir)
     val idx = "/root/repo/target/similarity_spec/ivf_index_snap"
