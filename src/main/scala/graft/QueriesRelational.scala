@@ -788,6 +788,27 @@ object QueriesRelational {
         perUser, pmod(col("user_id"), lit(2)), col("conv") === 1L)
     }),
 
+    // ── Cohen's kappa inter-annotator agreement ([[operators.Analytics
+    // .cohenKappa]]): two deterministic heuristic "raters" over documents
+    // (char-count vs word-count quality calls); chance-corrected
+    // agreement as ONE exact integer rational in signed ppm — the
+    // label-quality gate run before trusting an annotation batch ──
+    "annotator_kappa" -> ((s, dir) =>
+      graft.operators.Analytics.cohenKappa(
+        Tables.documents(s, dir),
+        col("n_chars") >= 300,
+        (length(col("text")) - length(translate(col("text"), " ", ""))) >= 39)),
+
+    // ── classifier reliability bins ([[operators.Analytics
+    // .calibrationBins]]): confidence-vs-accuracy per decile over an
+    // exact ppm score — predicted confidence, empirical positive rate,
+    // and the signed gap whose weighted |·| is ECE, all integer-exact ──
+    "calibration_bins" -> ((s, dir) =>
+      graft.operators.Analytics.calibrationBins(
+        Tables.documents(s, dir),
+        least(lit(1000000L), col("n_chars") * 1800),
+        (col("n_chars") + col("doc_id") % 211) >= 400)),
+
     // ── time-decayed engagement score ([[operators.Analytics.decayScore]]):
     // halve per week of age — integer exponents of two, exact binary
     // fraction weights, bitwise-replayable sum ──
@@ -2246,6 +2267,47 @@ object QueriesRelational {
         |                 > 9 * (n_window * q - s * s)
         |       END AS is_anomaly
         |FROM stats ORDER BY grp, day""".stripMargin,
+
+    // annotator_kappa: the same contingency → exact-rational-ppm algebra;
+    // `//` truncates like Spark's `div` (the wow_growth precedent)
+    "annotator_kappa" ->
+      """WITH r AS (
+        |  SELECT (n_chars >= 300) AS a,
+        |         (length(text) - length(replace(text, ' ', '')) >= 39) AS b
+        |  FROM documents
+        |), c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(CASE WHEN NOT a AND NOT b THEN 1 END) AS BIGINT) AS n00,
+        |         CAST(count(CASE WHEN NOT a AND b THEN 1 END) AS BIGINT) AS n01,
+        |         CAST(count(CASE WHEN a AND NOT b THEN 1 END) AS BIGINT) AS n10,
+        |         CAST(count(CASE WHEN a AND b THEN 1 END) AS BIGINT) AS n11
+        |  FROM r
+        |)
+        |SELECT n, n00, n01, n10, n11,
+        |  CAST((n00 + n11) * 1000000 // n AS BIGINT) AS po_ppm,
+        |  CAST(((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)) * 1000000
+        |       // (n * n) AS BIGINT) AS pe_ppm,
+        |  CAST((n * (n00 + n11) - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)))
+        |       * 1000000
+        |       // nullif(n * n - ((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)), 0)
+        |       AS BIGINT) AS kappa_ppm
+        |FROM c""".stripMargin,
+
+    // calibration_bins: identical integer binning and ppm rates
+    "calibration_bins" ->
+      """WITH s AS (
+        |  SELECT least(1000000, n_chars * 1800) AS sp,
+        |         (n_chars + doc_id % 211 >= 400) AS y
+        |  FROM documents
+        |)
+        |SELECT CAST(least(9, sp * 10 // 1000000) AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
+        |       CAST(sum(sp) // count(*) AS BIGINT) AS conf_ppm,
+        |       CAST(count(CASE WHEN y THEN 1 END) * 1000000 // count(*) AS BIGINT) AS acc_ppm,
+        |       CAST(sum(sp) // count(*)
+        |            - count(CASE WHEN y THEN 1 END) * 1000000 // count(*) AS BIGINT) AS gap_ppm
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q17_small_qty / q20_heavy_suppliers: DuckDB runs the identical
     // correlated/nested forms natively — both engines must agree on the

@@ -566,4 +566,82 @@ object Analytics {
         sum(floor(valueCol * 100).cast("long")).as("revenue_cents"))
       .orderBy(col("channel"))
   }
+
+  /** Cohen's kappa inter-annotator agreement between two boolean raters —
+    * the label-quality gate a supervised-data pipeline runs before
+    * trusting (or paying for) an annotation batch: raw agreement
+    * corrected for the agreement two independent raters with these
+    * marginals would reach by chance.
+    *
+    * EXACT integer arithmetic throughout (the ab_ztest discipline): with
+    * contingency counts n00/n01/n10/n11, n = Σ, agree = n00 + n11 and
+    * chance mass pe_raw = (n00+n01)(n00+n10) + (n10+n11)(n01+n11),
+    *
+    *   kappa = (po − pe) / (1 − pe) = (n·agree − pe_raw) / (n² − pe_raw)
+    *
+    * — one integer rational, emitted as signed ppm via `div` (truncation
+    * matches the oracle's `//`), NULL when the denominator is 0 (a
+    * degenerate single-cell table has no chance-corrected agreement).
+    * ONE aggregate pass, one row out; at corpus scales where n² · 10⁶
+    * approaches 2⁶³ (n ≳ 10⁶ rows — always at 100 TB), the counts must be
+    * cast to decimal(38,0) first; [[cohenKappa]] does so unconditionally,
+    * the products stay exact, and `div` returns the integral quotient.
+    */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame =
+    df.select(raterA.cast("boolean").as("a"), raterB.cast("boolean").as("b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"))
+      .select(
+        col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+        expr("CAST((n00 + n11) * CAST(1000000 AS DECIMAL(38,0)) div n AS BIGINT)")
+          .as("po_ppm"),
+        expr("""CAST(((n00 + n01) * CAST(n00 + n10 AS DECIMAL(38,0))
+                      + (n10 + n11) * CAST(n01 + n11 AS DECIMAL(38,0))) * 1000000
+                     div (n * CAST(n AS DECIMAL(38,0))) AS BIGINT)""")
+          .as("pe_ppm"),
+        expr("""CAST((n * CAST(n00 + n11 AS DECIMAL(38,0))
+                      - ((n00 + n01) * CAST(n00 + n10 AS DECIMAL(38,0))
+                         + (n10 + n11) * CAST(n01 + n11 AS DECIMAL(38,0)))) * 1000000
+                     div nullif(n * CAST(n AS DECIMAL(38,0))
+                      - ((n00 + n01) * CAST(n00 + n10 AS DECIMAL(38,0))
+                         + (n10 + n11) * CAST(n01 + n11 AS DECIMAL(38,0))), 0) AS BIGINT)""")
+          .as("kappa_ppm"))
+
+  /** Reliability (calibration) bins for a scored binary classifier — the
+    * diagram a curation pipeline reads before trusting a quality model's
+    * scores as sampling weights: per confidence bin, predicted confidence
+    * vs empirical positive rate.
+    *
+    * Scores arrive as EXACT ppm integers (0..10⁶ — the classifier margin
+    * mapped through whatever link the caller uses, floored to ppm), so
+    * binning (`score_ppm · bins div 10⁶`, top edge clamped) and both
+    * per-bin rates are integer-exact and engine-neutral: mean confidence
+    * `Σscore div n`, accuracy `n_pos · 10⁶ div n`, and the signed
+    * confidence−accuracy gap whose |·|-weighted sum is ECE. ONE
+    * map-side-combined aggregate pass; `bins` rows out.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      scorePpm: Column,
+      label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibrationBins: need >= 2 bins, got $bins")
+    df.select(scorePpm.cast("long").as("sp"), label.cast("boolean").as("y"))
+      .withColumn("bin", least(lit(bins - 1L), expr(s"sp * $bins div 1000000")))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("sp")).as("sum_score"))
+      .select(
+        col("bin"), col("n"), col("n_pos"),
+        expr("sum_score div n").as("conf_ppm"),
+        expr("n_pos * 1000000 div n").as("acc_ppm"),
+        expr("sum_score div n - n_pos * 1000000 div n").as("gap_ppm"))
+      .orderBy(col("bin"))
+  }
 }

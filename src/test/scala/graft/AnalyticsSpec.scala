@@ -312,4 +312,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.forall { case (s, e, _) =>
       java.time.LocalDate.parse(e).minusDays(7) == java.time.LocalDate.parse(s) })
   }
+
+  test("cohenKappa: hand-checked contingency; perfect agreement = 1e6; degenerate table = NULL") {
+    import spark.implicits._
+    // n00=20 n01=5 n10=10 n11=15, n=50: agree=35, pe_raw=(25·30)+(25·20)=1250
+    // kappa = (50·35 − 1250)/(2500 − 1250) = 500/1250 = 0.4 exactly
+    val df = (Seq.fill(20)((false, false)) ++ Seq.fill(5)((false, true)) ++
+      Seq.fill(10)((true, false)) ++ Seq.fill(15)((true, true))).toDF("a", "b")
+    val r = Analytics.cohenKappa(df, col("a"), col("b")).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((20L, 5L, 10L, 15L)))
+    assert(r.getLong(5) == 700000L, "po = 35/50")
+    assert(r.getLong(6) == 500000L, "pe = 1250/2500")
+    assert(r.getLong(7) == 400000L, "kappa = 0.4 exactly")
+    val perfect = Seq.fill(7)((true, true)).toDF("a", "b")
+      .union(Seq.fill(3)((false, false)).toDF("a", "b"))
+    assert(Analytics.cohenKappa(perfect, col("a"), col("b")).collect().head.getLong(7) == 1000000L)
+    // all rows in one cell: pe = 1, chance-corrected agreement undefined
+    val degenerate = Seq.fill(4)((true, true)).toDF("a", "b")
+    assert(Analytics.cohenKappa(degenerate, col("a"), col("b")).collect().head.isNullAt(7))
+  }
+
+  test("calibrationBins: integer binning clamps the top edge; rates exact") {
+    import spark.implicits._
+    // scores land in bins 0, 4, 9 (1e6 clamps into bin 9, not bin 10)
+    val df = Seq(
+      (50000L, false), (99999L, false), // bin 0: conf 74999, acc 0
+      (450000L, true), (450000L, false), // bin 4: conf 450000, acc 500000
+      (999999L, true), (1000000L, true) // bin 9 incl. clamped top edge
+    ).toDF("sp", "y")
+    val got = Analytics.calibrationBins(df, col("sp"), col("y"), bins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 0L, 74999L, 0L, 74999L),
+      (4L, 2L, 1L, 450000L, 500000L, -50000L),
+      (9L, 2L, 2L, 999999L, 1000000L, -1L)))
+  }
 }

@@ -385,7 +385,9 @@ class PlanSpec extends AnyFunSuite {
       "q19_disjunctive_rev" -> 0,
       // the k-center result is a model-sized local frame (the greedy
       // passes run inside the builder); evolution is two scans + an agg
-      "sample_kcenter" -> 0, "snapshot_schema_evolved" -> 0)
+      "sample_kcenter" -> 0, "snapshot_schema_evolved" -> 0,
+      // kappa and the reliability bins are each ONE aggregate pass
+      "annotator_kappa" -> 0, "calibration_bins" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
