@@ -772,6 +772,47 @@ object QueriesEtl {
           col("n_docs"), col("n_distinct"), col("sum_chars"))
     }),
 
+    // ── ROW-LEVEL DELETE under the snapshot log ([[SnapshotLog
+    // .deleteRows]], the deletion-vector / merge-on-read pattern): v1
+    // commits a KB-sized TOMBSTONE instead of rewriting any data file —
+    // every v0 data file is carried untouched (law `no_rewrite_on_delete`
+    // compares the manifests' data-file sets) — and reads apply the
+    // delete as one hash anti-join. compact() then materializes the
+    // survivors and drops the tombstones (the rewrite, deferred to
+    // maintenance time); rows must be IDENTICAL before/after (exceptAll
+    // both ways), the vacuum_orphans law pattern ──
+    "snapshot_delete_rows" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_delete"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      val v0 = log.append(base, partitions = 4)
+      val v1 = log.deleteRows(
+        base.where(col("o_orderkey") % 10 === 7).select(col("o_orderkey")),
+        partitions = 1)
+      val noRewrite = log.dataFiles(v1).toSet == log.dataFiles(v0).toSet
+      val v2 = log.compact(s, partitions = 2)
+      val tombsGone = log.tombstoneFiles(v2).isEmpty &&
+        log.tombstoneFiles(v1).nonEmpty
+      val v1Rows = log.read(s, v1)
+      val v2Rows = log.read(s, v2)
+      val samRows = v1Rows.exceptAll(v2Rows).limit(1).count() == 0 &&
+        v2Rows.exceptAll(v1Rows).limit(1).count() == 0
+      val v0Intact = log.read(s, v0).count() == base.count()
+      log.read(s, v2)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .withColumn("no_rewrite_on_delete", lit(noRewrite))
+        .withColumn("v0_intact", lit(v0Intact))
+        .withColumn("tombstones_compacted", lit(tombsGone))
+        .withColumn("compact_preserves_rows", lit(samRows))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ── SCHEMA EVOLUTION under the snapshot log: v1's append ADDS a
     // column. The merged latest read serves nulls for pre-evolution rows
     // ([[SnapshotLog.read]] with mergeSchema), while the PINNED v0 read
@@ -950,6 +991,21 @@ object QueriesEtl {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |FROM v1 GROUP BY 2
         |ORDER BY version, o_orderpriority""".stripMargin,
+
+    // snapshot_delete_rows: the surviving-row rollup after the tombstone
+    // delete; the four storage laws are measured Spark-side (manifest
+    // set-equality, pinned-read count, exceptAll row identity)
+    "snapshot_delete_rows" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       TRUE AS no_rewrite_on_delete,
+        |       TRUE AS v0_intact,
+        |       TRUE AS tombstones_compacted,
+        |       TRUE AS compact_preserves_rows
+        |FROM orders WHERE o_orderkey % 10 <> 7
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // snapshot_schema_evolved: latest = both halves with tier only on the
     // evolved (odd) half — old files must serve NULL for the added

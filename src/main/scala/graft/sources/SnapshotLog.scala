@@ -66,6 +66,12 @@ class SnapshotLog(val root: String) {
 
   private def manifestFile(v: Long) = new File(logDir, f"v$v%08d.manifest")
 
+  /** Manifest-line marker for tombstone (delete) files — see
+    * [[deleteRows]]. Data lines are bare relative paths; tombstone lines
+    * are `del:<relative path>`.
+    */
+  private val DelPrefix = "del:"
+
   /** Committed versions, ascending. Empty before the first commit. */
   def versions: Seq[Long] =
     Option(logDir.listFiles()).getOrElse(Array.empty)
@@ -76,13 +82,23 @@ class SnapshotLog(val root: String) {
 
   def currentVersion: Option[Long] = versions.lastOption
 
-  /** The data files (relative paths) of a committed snapshot. */
+  /** The manifest lines of a committed snapshot: bare relative paths for
+    * data files, `del:`-prefixed relative paths for tombstone files.
+    */
   def files(version: Long): Seq[String] = {
     val f = manifestFile(version)
     require(f.exists(),
       s"snapshot v$version does not exist at $root (expired or never committed)")
     Files.readAllLines(f.toPath, UTF_8).asScala.filter(_.nonEmpty).toSeq
   }
+
+  /** Data-file relative paths of a snapshot (tombstones excluded). */
+  def dataFiles(version: Long): Seq[String] =
+    files(version).filterNot(_.startsWith(DelPrefix))
+
+  /** Tombstone-file relative paths of a snapshot. */
+  def tombstoneFiles(version: Long): Seq[String] =
+    files(version).filter(_.startsWith(DelPrefix)).map(_.stripPrefix(DelPrefix))
 
   /** Phase 1 of the two-phase write: materialize `df` as immutable parquet
     * files under a fresh unique directory and return their relative paths
@@ -145,6 +161,29 @@ class SnapshotLog(val root: String) {
   def overwrite(df: DataFrame, partitions: Int): Long =
     commit(currentVersion, stageData(df, partitions))
 
+  /** Row-level DELETE without rewriting data (the deletion-vector /
+    * merge-on-read pattern): `keys` — a frame holding ONLY the key
+    * columns of the rows to drop — stages as tombstone files and commits
+    * as the next version; every data file of the prior snapshot is
+    * carried UNTOUCHED. [[read]] applies tombstones as one hash
+    * anti-join on the tombstone schema's columns (merge-on-read);
+    * [[compact]] materializes the surviving rows and drops the
+    * tombstones (the rewrite, deferred to maintenance time). At 100 TB
+    * this is the difference between committing a KB-sized tombstone and
+    * rewriting every partition a delete grazes.
+    *
+    * Tombstones mask matching keys in ALL data files of their snapshot —
+    * including rows appended AFTER the delete; re-inserting a previously
+    * deleted key requires a [[compact]] first (documented merge-on-read
+    * semantics, kept deliberately simple: no per-file sequence numbers).
+    */
+  def deleteRows(keys: DataFrame, partitions: Int): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"deleteRows: no committed snapshot at $root"))
+    val staged = stageData(keys, partitions)
+    commit(Some(cur), files(cur) ++ staged.map(DelPrefix + _))
+  }
+
   /** Rewrite the current snapshot into `partitions` files (small-file
     * compaction under the log: readers of old versions are untouched, and
     * the old files become vacuum-collectable only once their snapshots
@@ -167,8 +206,15 @@ class SnapshotLog(val root: String) {
     * time, which a homogeneous-schema read doesn't need to pay.
     */
   def read(spark: SparkSession, version: Long, mergeSchema: Boolean = false): DataFrame = {
-    val paths = files(version).map(p => new File(root, p).toString)
-    spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+    val paths = dataFiles(version).map(p => new File(root, p).toString)
+    val data = spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+    val tombs = tombstoneFiles(version)
+    if (tombs.isEmpty) data
+    else {
+      // merge-on-read: one hash anti-join on the tombstone key columns
+      val keys = spark.read.parquet(tombs.map(p => new File(root, p).toString): _*)
+      data.join(keys, keys.columns.toSeq, "left_anti")
+    }
   }
 
   def readLatest(spark: SparkSession): DataFrame =
@@ -191,7 +237,7 @@ class SnapshotLog(val root: String) {
     * paths, sorted.
     */
   def vacuum(): Seq[String] = {
-    val live = versions.flatMap(files).toSet
+    val live = versions.flatMap(v => dataFiles(v) ++ tombstoneFiles(v)).toSet
     val writeDirs = Option(dataDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
     val orphans = writeDirs.flatMap { d =>
       Option(d.listFiles()).getOrElse(Array.empty)

@@ -386,8 +386,10 @@ class PlanSpec extends AnyFunSuite {
       // the k-center result is a model-sized local frame (the greedy
       // passes run inside the builder); evolution is two scans + an agg
       "sample_kcenter" -> 0, "snapshot_schema_evolved" -> 0,
-      // kappa and the reliability bins are each ONE aggregate pass
-      "annotator_kappa" -> 0, "calibration_bins" -> 0)
+      // kappa and the reliability bins are each ONE aggregate pass; the
+      // tombstone read is a hash anti-join on the key column
+      "annotator_kappa" -> 0, "calibration_bins" -> 0,
+      "snapshot_delete_rows" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

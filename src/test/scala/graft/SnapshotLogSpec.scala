@@ -52,6 +52,36 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(latest.where(col("tier").isNotNull).count() == 4L)
   }
 
+  test("deleteRows: tombstone masks keys without rewriting; compact materializes; vacuum keeps live tombstones") {
+    val log = freshLog("tombstone")
+    val v0 = log.append(rows(10, "a"), partitions = 2)
+    val v1 = log.deleteRows(Seq(2L, 5L, 7L).toDF("id"), partitions = 1)
+    // no data file rewritten; one tombstone added
+    assert(log.dataFiles(v1) == log.dataFiles(v0))
+    assert(log.tombstoneFiles(v1).nonEmpty)
+    assert(log.read(spark, v1).as[(Long, String)].collect().map(_._1).toSet ==
+      Set(0L, 1L, 3L, 4L, 6L, 8L, 9L))
+    // pinned v0 still sees all 10 rows
+    assert(log.read(spark, v0).count() == 10L)
+    // an append AFTER the delete: tombstones mask matching keys there too
+    val v2 = log.append(Seq((5L, "late")).toDF("id", "payload"), partitions = 1)
+    assert(log.read(spark, v2).where(col("id") === 5L).count() == 0L,
+      "merge-on-read tombstones mask ALL files of the snapshot")
+    // vacuum with live tombstones collects nothing committed
+    assert(log.vacuum().isEmpty)
+    // compact drops the tombstones and re-opens the key
+    val v3 = log.compact(spark, partitions = 1)
+    assert(log.tombstoneFiles(v3).isEmpty)
+    assert(log.read(spark, v3).count() == 7L)
+    val v4 = log.append(Seq((5L, "reborn")).toDF("id", "payload"), partitions = 1)
+    assert(log.read(spark, v4).where(col("id") === 5L).count() == 1L)
+    // deleteRows on an empty log fails loudly
+    val fresh = freshLog("tombstone_empty")
+    intercept[IllegalStateException] {
+      fresh.deleteRows(Seq(1L).toDF("id"), partitions = 1)
+    }
+  }
+
   test("concurrent writers: exactly one commit wins, the loser fails loudly") {
     val log = freshLog("conflict")
     log.append(rows(4, "base"), partitions = 1)
