@@ -362,6 +362,27 @@ object QueriesRelational {
         .orderBy(col("n_name"))
     }),
 
+    // ── ntile / first_value / nth_value window coverage: quartile
+    // banding plus whole-partition value picks under an explicit
+    // unbounded-both frame (nth_value's default running frame would
+    // return NULL for early rows — the classic frame trap, pinned here);
+    // the (floor(price) DESC, key) ordering is a total order so every
+    // window result is deterministic cross-engine ──
+    "window_ntile_nth" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(floor(col("o_totalprice")).desc, col("o_orderkey"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .where(col("o_custkey") < 500)
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice")).cast("long").as("price_floor"),
+          ntile(4).over(ord).cast("long").as("quartile"),
+          first(col("o_orderkey")).over(full).as("top_key"),
+          nth_value(col("o_orderkey"), 3).over(full).as("third_key"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ── explicit-values pivot (scale-safe: the value list is declared, so
     // no driver-side distinct pass over the corpus) ──
     "pivot_event_counts" -> ((s, dir) => {
@@ -1244,6 +1265,46 @@ object QueriesRelational {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
+    // ── TPC-H Q8 shape: market share — ONE nation's fraction of a whole
+    // REGION's import revenue per year, the conditional-numerator /
+    // unconditional-denominator ratio inside one grouped aggregate (no
+    // second scan, no self-join). Both legs summed in exact decimals;
+    // the one division per year runs on the exact totals ──
+    "q8_market_share" -> ((s, dir) => {
+      val asiaNations = Tables.nation(s, dir)
+        .join(Tables.region(s, dir).where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val disc = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey"),
+              year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_nationkey").as("supp_nk")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))),
+          Seq("supp_nk"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", disc)
+            .otherwise(dec(lit(0)))).as("nation_exact"),
+          sum(disc).as("total_exact"))
+        .select(
+          col("o_year"),
+          round(d(col("nation_exact")) / d(col("total_exact")), 6).as("mkt_share"),
+          d(col("nation_exact")).as("nation_revenue"),
+          d(col("total_exact")).as("total_revenue"))
+        .orderBy(col("o_year"))
+    }),
+
     // ── TPC-H Q9 shape: 5-way star profit — per-row margin in EXACT
     // decimals (revenue minus retail cost; no partsupp in the fixture, so
     // p_retailprice·qty stands in for ps_supplycost·qty), grouped by
@@ -1666,6 +1727,20 @@ object QueriesRelational {
         |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "window_ntile_nth" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |        ORDER BY floor(o_totalprice) DESC, o_orderkey) AS BIGINT) AS quartile,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+        |        ORDER BY floor(o_totalprice) DESC, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_key,
+        |  nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderpriority
+        |        ORDER BY floor(o_totalprice) DESC, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_key
+        |FROM orders WHERE o_custkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
 
     "window_pct_dist" ->
       """SELECT o_orderkey, o_custkey,
@@ -2421,6 +2496,31 @@ object QueriesRelational {
         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |          THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |        / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+        |    AS mkt_share,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |          THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q9_product_profit" ->
       """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
