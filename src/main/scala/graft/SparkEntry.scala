@@ -129,6 +129,17 @@ object SparkEntry {
         queryName = "stream_interval_join_left_sink", joinType = "left_outer")
         .orderBy(col("view_id"), col("purchase_id"))),
 
+    // ── the FULL OUTER variant: BOTH unmatched sides surface on watermark
+    // expiry — unmatched views (as in left) AND purchases no view
+    // preceded, each emitted exactly once when its own state horizon
+    // closes. The batch FULL JOIN hash match proves two-sided expiry
+    // emission loses and invents nothing ──
+    "stream_interval_join_full" -> ((s, dir) =>
+      streaming.StreamingSessionize.intervalJoinReplay(
+        Tables.events(s, dir),
+        queryName = "stream_interval_join_full_sink", joinType = "full_outer")
+        .orderBy(col("view_id"), col("purchase_id"), col("user_id"))),
+
     // ── ingestion-time per-user rate limiting, oracle-checked END TO END:
     // at most 2 events per user per event-time hour admitted, in
     // deterministic (epoch, event_id) order, through a REAL multi-trigger
@@ -295,6 +306,20 @@ object SparkEntry {
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
         |WHERE v.event_type = 'view'
         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    // stream_interval_join_full: the batch FULL interval join — both
+    // sides prefiltered BEFORE the join (matching the streaming legs'
+    // pre-watermark filters); the user key coalesces across sides
+    "stream_interval_join_full" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |       coalesce(v.user_id, p.user_id) AS user_id,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT)
+        |         - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_sec
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+        |FULL JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = v.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, purchase_id, user_id""".stripMargin,
 
     // stream_interval_join: the batch interval join the streaming replay
     // must reproduce exactly

@@ -1094,8 +1094,8 @@ object StreamingSessionize {
       watermarkDelaySec: Long = 600L,
       queryName: String = "stream_interval_join_sink",
       joinType: String = "inner"): DataFrame = {
-    require(Seq("inner", "left_outer").contains(joinType),
-      s"stream-stream interval join supports inner/left_outer, got $joinType")
+    require(Seq("inner", "left_outer", "full_outer").contains(joinType),
+      s"stream-stream interval join supports inner/left_outer/full_outer, got $joinType")
     import java.nio.file.{Files, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     require(slices >= 2, s"need >= 2 slices for the watermark to move, got $slices")
@@ -1163,7 +1163,11 @@ object StreamingSessionize {
                  p_ts <= view_ts + interval $matchWindowSec seconds"""),
         joinType)
         .select(
-          col("view_id"), col("purchase_id"), col("user_id"),
+          col("view_id"), col("purchase_id"),
+          // FULL OUTER emits purchase-only rows whose view-side columns
+          // are null — the user key must coalesce across sides (identical
+          // values for inner/left, where the view side is never null)
+          coalesce(col("user_id"), col("p_user")).as("user_id"),
           (unix_timestamp(col("p_ts")) - unix_timestamp(col("view_ts"))).as("gap_sec"))
       withReplayStatePartitions(spark) {
         val q = joined.writeStream.format("memory")

@@ -390,8 +390,10 @@ class PlanSpec extends AnyFunSuite {
       // tombstone read is a hash anti-join on the key column
       "annotator_kappa" -> 0, "calibration_bins" -> 0,
       "snapshot_delete_rows" -> 0,
-      // q8 is a 6-way equi-join star; the window query is join-free
-      "q8_market_share" -> 0, "window_ntile_nth" -> 0)
+      // q8 is a 6-way equi-join star; the window query is join-free; the
+      // full-outer stream replay joins on the user-key equi condition
+      "q8_market_share" -> 0, "window_ntile_nth" -> 0,
+      "stream_interval_join_full" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -269,6 +269,34 @@ class StreamingSpec extends AnyFunSuite {
       s"left join diverged: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("FULL OUTER stream-stream interval join emits both unmatched sides exactly once") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, SfDir)
+    val got = StreamingSessionize.intervalJoinReplay(
+      ev, queryName = "ivjoin_full_spec_sink", joinType = "full_outer")
+      .collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2)))
+      .toSet
+    val v = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val expected = v.join(
+      p, expr("user_id = p_user AND p_ts >= view_ts AND p_ts <= view_ts + interval 1800 seconds"),
+      "full_outer")
+      .select(col("view_id"), col("purchase_id"),
+        coalesce(col("user_id"), col("p_user")).as("user_id"))
+      .collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2)))
+      .toSet
+    assert(expected.exists(_._1.isEmpty), "fixture must contain unmatched purchases")
+    assert(expected.exists(_._2.isEmpty), "fixture must contain unmatched views")
+    assert(got == expected,
+      s"full join diverged: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, SfDir)
