@@ -140,6 +140,17 @@ object SparkEntry {
         queryName = "stream_interval_join_full_sink", joinType = "full_outer")
         .orderBy(col("view_id"), col("purchase_id"), col("user_id"))),
 
+    // ── watermark late-data accounting, demonstrated POSITIVELY
+    // ([[streaming.StreamingSessionize.lateDataAuditReplay]]): the
+    // replay holds the earliest window's rows back until the watermark
+    // has passed them; the hourly aggregation must drop ALL of them and
+    // account for every one in numRowsDroppedByWatermark (measured law
+    // `drops_equal_late`) — every other replay pins zero drops; this
+    // pins the drop path itself ──
+    "stream_late_audit" -> ((s, dir) =>
+      streaming.StreamingSessionize.lateDataAuditReplay(Tables.events(s, dir))
+        .orderBy(col("window_start_sec"))),
+
     // ── ingestion-time per-user rate limiting, oracle-checked END TO END:
     // at most 2 events per user per event-time hour admitted, in
     // deterministic (epoch, event_id) order, through a REAL multi-trigger
@@ -306,6 +317,20 @@ object SparkEntry {
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
         |WHERE v.event_type = 'view'
         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    // stream_late_audit: the per-hour rollup EXCLUDING the held-back
+    // first-window rows (the watermark dropped them; the metric equality
+    // rides as a measured law)
+    "stream_late_audit" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, user_id FROM events
+        |), b AS (SELECT (min(sec) // 3600 + 1) * 3600 AS first_end FROM ev)
+        |SELECT (sec // 3600) * 3600 AS window_start_sec,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_users,
+        |       TRUE AS late_rows_present, TRUE AS drops_equal_late
+        |FROM ev, b WHERE sec >= first_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // stream_interval_join_full: the batch FULL interval join — both
     // sides prefiltered BEFORE the join (matching the streaming legs'

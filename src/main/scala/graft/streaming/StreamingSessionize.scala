@@ -292,6 +292,101 @@ object StreamingSessionize {
     * [[sessionizeReplay]] — a genuine multi-trigger streaming execution
     * whose complete admitted set the batch window-rank oracle must equal.
     */
+  /** Watermark LATE-DATA accounting, demonstrated POSITIVELY — every other
+    * replay pins ZERO watermark drops (batch parity); this one constructs
+    * the drop case and MEASURES it, because a production pipeline needs to
+    * know not just that on-time data aggregates correctly but that late
+    * data is dropped VISIBLY (`numRowsDroppedByWatermark`), not silently
+    * absorbed or silently lost.
+    *
+    * Replay: batch 1 carries every event OUTSIDE the earliest hour-aligned
+    * window — its max event time advances the watermark far past that
+    * window's end; batch 2 replays the held-back earliest-window rows, now
+    * strictly below the watermark, so the hourly aggregation MUST drop all
+    * of them and account for every one in its state-operator metrics; the
+    * sentinel batches flush the surviving windows. Output: per-hour
+    * counts/checksums EXCLUDING the dropped rows (the oracle replays that
+    * exclusion relationally), plus two measured law columns —
+    * `late_rows_present` (the fixture really held rows back) and
+    * `drops_equal_late` (the metric counted EXACTLY the held-back rows).
+    */
+  def lateDataAuditReplay(
+      events: DataFrame,
+      watermarkDelaySec: Long = 600L,
+      queryName: String = "stream_late_audit_sink"): DataFrame = {
+    import java.nio.file.Files
+    val spark = events.sparkSession
+    val base = Files.createTempDirectory("graft_stream_lateaudit_")
+    val streamDir = base.resolve("stream")
+    Files.createDirectories(streamDir)
+    try {
+      val proj = events.select(
+        col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("ts"))
+      val bounds = proj.agg(
+        min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
+      require(!bounds.isNullAt(0), "lateDataAuditReplay: empty events input")
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val firstEnd = (lo / 3600L + 1L) * 3600L
+      require(hi - watermarkDelaySec > firstEnd,
+        "lateDataAuditReplay: the on-time slice cannot advance the watermark past the first window")
+      val e = unix_timestamp(col("ts"))
+      val onTime = proj.where(e >= firstEnd)
+      val late = proj.where(e < firstEnd)
+      val nLate = late.count()
+      // the drop metric counts rows entering the STATE operator — i.e.
+      // map-side partials, one per late (window) key, not raw inputs
+      val nLateWindows = late.select((e.cast("long") / 3600L).cast("long")).distinct().count()
+      // the sentinel watermark must clear the LAST real window's end
+      // (up to hi + 3600) plus the delay; its own window then never
+      // flushes (sentinelSec sits inside a window whose end stays ahead
+      // of the final watermark), so no sentinel row can leak into output
+      val sentinelSec = hi + 3600L + 2L * watermarkDelaySec
+      import spark.implicits._
+      def marker(sec: Long): DataFrame =
+        Seq((-1L, -1L)).toDF("event_id", "user_id")
+          .select(col("event_id"), col("user_id"),
+            lit(sec).cast("timestamp").as("ts"))
+      // SPARK-40925 semantics: the LATE-event filter runs against the
+      // watermark of the PREVIOUS micro-batch (eviction runs against the
+      // current one), so the held-back slice needs one sentinel batch
+      // between it and the advancing slice for the drop to fire. Every
+      // sentinel is far-future: it advances the watermark, its own window
+      // never flushes (end > the final watermark by construction), so no
+      // sentinel row can leak into the append-mode output — a filter
+      // can't exclude them instead, because Catalyst pushes any
+      // pre-aggregation predicate below the watermark node and the
+      // filtered sentinels would then never advance it
+      val slices = Seq(onTime, marker(sentinelSec), late,
+        marker(sentinelSec + 60L), marker(sentinelSec + 120L))
+      stageSliceFiles(base, streamDir, slices)
+      val agged = spark.readStream
+        .schema(proj.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+        .withWatermark("ts", s"$watermarkDelaySec seconds")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"), sum(col("user_id")).as("sum_users"))
+        .select(
+          unix_timestamp(col("window.start")).as("window_start_sec"),
+          col("n_events"), col("sum_users"))
+      withReplayStatePartitions(spark) {
+        val q = agged.writeStream.format("memory")
+          .queryName(queryName).outputMode("append").start()
+        try { q.processAllAvailable(); captureStateMetrics(q) }
+        finally q.stop()
+      }
+      val dropped = lastReplayStateMetrics.map(_._3).sum
+      spark.table(queryName)
+        .where(col("window_start_sec") < sentinelSec)
+        .withColumn("late_rows_present", lit(nLate > 0L))
+        .withColumn("drops_equal_late", lit(dropped == nLateWindows))
+    } finally {
+      import scala.util.Try
+      Try(Files.walk(base).iterator().asScala.toSeq.reverse.foreach(p => Try(Files.delete(p))))
+    }
+  }
+
   def rateLimitReplay(
       events: DataFrame,
       maxPerWindow: Long,

@@ -269,6 +269,29 @@ class StreamingSpec extends AnyFunSuite {
       s"left join diverged: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("late-data audit: held-back rows are dropped, accounted, and absent from output") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, 10L, 0L), (2L, 11L, 100L), (3L, 12L, 3599L), // first window — held back
+      (4L, 20L, 7200L), (5L, 21L, 7300L),
+      (6L, 22L, 14400L), (7L, 23L, 50000L))
+    import spark.implicits._
+    val ev = rows.toDF("event_id", "user_id", "sec")
+      .select(col("event_id"), col("user_id"), col("sec").cast("timestamp").as("ts"))
+    val got = StreamingSessionize.lateDataAuditReplay(
+      ev, watermarkDelaySec = 600L, queryName = "late_audit_spec_sink")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (7200L, 2L, 41L, true, true),
+      (14400L, 1L, 22L, true, true),
+      (46800L, 1L, 23L, true, true)),
+      s"late-audit output diverged: ${got.toSeq}")
+    // the metric really counted the dropped first-window partial
+    assert(StreamingSessionize.lastReplayStateMetrics.map(_._3).sum == 1L)
+  }
+
   test("FULL OUTER stream-stream interval join emits both unmatched sides exactly once") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, SfDir)
