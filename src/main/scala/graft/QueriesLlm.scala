@@ -843,6 +843,34 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Gopher-style hard quality rules ([[TextAnalysis.qualityRules]]):
+    // the public rule-filter family, each verdict in EXACT integer
+    // arithmetic (token band, cross-multiplied mean-length band,
+    // punctuation-mass bound, distinct-stopword evidence) — per-rule
+    // booleans plus the conjunction, one map-side pass ──
+    "quality_rules" -> ((s, dir) => {
+      val rules = TextAnalysis.qualityRules(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id") +:
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_words") +:
+          rules.map { case (nm, c) => c.as(nm) } :+
+          rules.map(_._2).reduce(_ && _).as("pass"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── blocklist screen ([[TextAnalysis.blocklistScreen]]): exact token
+    // match against a literal term list — occurrence count + the distinct
+    // matched terms as audit evidence, flagged docs only; pure scan, no
+    // shuffle ──
+    "blocklist_filter" -> ((s, dir) => {
+      val (nb, terms) = TextAnalysis.blocklistScreen(
+        col("text"), Seq("slow", "hash", "vector"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), nb.as("n_blocked"), terms.as("terms"))
+        .where(col("n_blocked") >= 1L)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── language-ID heuristic. Three stages on purpose: tokenize once, then
     // project every language score as a REAL column (one interpreted filter
     // pass each), then argmax over the cheap attribute refs — embedding the
@@ -3218,6 +3246,39 @@ object QueriesLlm {
          |      + least(stop_ratio * 4.0, 1.0) * 0.3
          |      + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.3, 6) AS quality
          |FROM t2 ORDER BY doc_id""".stripMargin,
+
+    // quality_rules: identical integer verdicts — token mass from the
+    // space-stripped normalized length, stop evidence via list_contains
+    "quality_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS w,
+         |         CAST(len($toksSql) AS BIGINT) AS n,
+         |         CAST(length(replace($norm, ' ', '')) AS BIGINT) AS tok_chars,
+         |         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         |         CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, n,
+         |    (n >= 5 AND n <= 10000) AS wc_ok,
+         |    (tok_chars >= n * 3 AND tok_chars <= n * 10) AS mwl_ok,
+         |    (n_punct * 10 <= n_chars) AS punct_ok,
+         |    (len(list_filter([$stopList], s -> list_contains(w, s))) >= 2) AS stop_ok
+         |  FROM t
+         |)
+         |SELECT doc_id, n AS n_words, wc_ok, mwl_ok, punct_ok, stop_ok,
+         |       (wc_ok AND mwl_ok AND punct_ok AND stop_ok) AS pass
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // blocklist_filter: same exact token screen, flagged docs only
+    "blocklist_filter" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(w, x -> x IN ('hash', 'slow', 'vector'))) AS BIGINT) AS n_blocked,
+         |  array_to_string(list_sort(list_filter(['hash', 'slow', 'vector'],
+         |      s -> list_contains(w, s))), ',') AS terms
+         |FROM t
+         |WHERE len(list_filter(w, x -> x IN ('hash', 'slow', 'vector'))) >= 1
+         |ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
       s"""${langGuessCte()}

@@ -396,6 +396,29 @@ object QueriesRelational {
         .orderBy(col("user_id"))
     }),
 
+    // ── UNPIVOT (melt) coverage: wide metric columns → long (metric,
+    // value) form, then a per-metric rollup — the reshape every
+    // metrics-collection pipeline runs before storage; value legs cast to
+    // one exact decimal type BEFORE the melt (unpivot requires a common
+    // type, and doubles would make the sums order-sensitive) ──
+    "unpivot_metrics" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_quantity")).as("quantity"),
+          dec(col("l_extendedprice")).as("extendedprice"),
+          dec(col("l_discount")).as("discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "metric", "value")
+        .groupBy(col("metric"))
+        .agg(
+          count(lit(1)).as("n"),
+          d(sum(col("value"))).as("total"),
+          d(min(col("value"))).as("vmin"),
+          d(max(col("value"))).as("vmax"))
+        .orderBy(col("metric"))),
+
     // ── INTERSECT / EXCEPT set semantics (distinct, null-safe) ──
     "set_ops_orders" -> ((s, dir) => {
       val big = Tables.orders(s, dir)
@@ -1727,6 +1750,21 @@ object QueriesRelational {
         |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    // unpivot_metrics: the melt replayed as a stacked UNION ALL
+    "unpivot_metrics" ->
+      """WITH u AS (
+        |  SELECT 'quantity' AS metric, CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+        |)
+        |SELECT metric, count(*) AS n,
+        |       CAST(sum(value) AS DOUBLE) AS total,
+        |       CAST(min(value) AS DOUBLE) AS vmin,
+        |       CAST(max(value) AS DOUBLE) AS vmax
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "window_ntile_nth" ->
       """SELECT o_orderkey, o_orderpriority,

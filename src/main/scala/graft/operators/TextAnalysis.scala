@@ -18,6 +18,49 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Gopher-style HARD quality rules (Rae et al. '21, appendix A — the
+    * public rule-filter family every corpus curation pass runs before any
+    * learned scorer), each decided in EXACT integer arithmetic so the
+    * verdicts are engine-neutral: token-count band, mean-token-length
+    * band via cross-multiplication (`3n ≤ Σ|tok| ≤ 10n` — no division),
+    * punctuation-mass bound (`10·punct ≤ chars`), and minimum distinct-
+    * stopword evidence. Returns named rule columns over `textCol`; the
+    * caller conjoins them into `pass` or audits per-rule failure rates.
+    * All inputs derive from the one normalized form: token count from the
+    * split, token mass from the space-stripped normalized length (no
+    * per-token interpreted lambda — the r2 HOF lesson).
+    */
+  def qualityRules(textCol: Column): Seq[(String, Column)] = {
+    val toks = tokens(textCol)
+    val n = size(toks).cast("long")
+    val tokChars = length(translate(normalize(textCol), " ", "")).cast("long")
+    val nPunct = length(regexp_replace(textCol, "[A-Za-z0-9\\s]", "")).cast("long")
+    val nChars = length(textCol).cast("long")
+    val nStops = size(filter(
+      array(Stopwords.map(lit(_)): _*), s => array_contains(toks, s))).cast("long")
+    Seq(
+      "wc_ok" -> (n >= 5L && n <= 10000L),
+      "mwl_ok" -> (tokChars >= n * 3L && tokChars <= n * 10L),
+      "punct_ok" -> (nPunct * 10L <= nChars),
+      "stop_ok" -> (nStops >= 2L))
+  }
+
+  /** Blocklist screen — the term-level content filter (unsafe/banned
+    * vocabulary) a curation pipeline runs at ingest: exact token match
+    * against a broadcast-literal term list, counting total occurrences
+    * and surfacing the distinct matched terms sorted (audit evidence).
+    * Map-side only; the list rides as a plan literal, so at 100 TB this
+    * is a pure scan with no shuffle and no join.
+    */
+  def blocklistScreen(textCol: Column, terms: Seq[String]): (Column, Column) = {
+    require(terms.nonEmpty, "blocklistScreen: empty term list")
+    val toks = tokens(textCol)
+    val nBlocked = size(filter(toks, t => t.isin(terms.map(lit(_)): _*))).cast("long")
+    val matched = array_join(array_sort(filter(
+      array(terms.sorted.map(lit(_)): _*), s => array_contains(toks, s))), ",")
+    (nBlocked, matched)
+  }
+
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 

@@ -391,9 +391,12 @@ class PlanSpec extends AnyFunSuite {
       "annotator_kappa" -> 0, "calibration_bins" -> 0,
       "snapshot_delete_rows" -> 0,
       // q8 is a 6-way equi-join star; the window query is join-free; the
-      // full-outer stream replay joins on the user-key equi condition
+      // full-outer stream replay joins on the user-key equi condition;
+      // the rule/blocklist screens are pure map-side scans
       "q8_market_share" -> 0, "window_ntile_nth" -> 0,
-      "stream_interval_join_full" -> 0)
+      "stream_interval_join_full" -> 0,
+      "quality_rules" -> 0, "blocklist_filter" -> 0,
+      "unpivot_metrics" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

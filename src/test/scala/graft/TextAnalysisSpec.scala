@@ -95,4 +95,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(1L) > q(2L))
   }
+
+  test("qualityRules: each rule fails on its own counterexample, passes on clean prose") {
+    val cases = Seq(
+      (1L, "the quick brown foxes jumped over a lazy sleeping dog in the garden"), // all pass
+      (2L, "too few"), // wc fails (3 tokens); stop fails (no 2 distinct)
+      (3L, "the extraordinarily incomprehensible characteristically a " +
+        "internationalization antidisestablishmentarianism of"), // mwl high
+      (4L, "the !!! cat ??? sat *** mat $$$ and %%% dog ### a of"), // punct mass
+      (5L, "cat dog mat park run jump walk swim fly crawl")) // no stopwords
+    val rules = TextAnalysis.qualityRules(col("text"))
+    val got = cases.toDF("doc_id", "text")
+      .select(col("doc_id") +: rules.map { case (n, c) => c.as(n) }: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    assert(got(1L) == ((true, true, true, true)))
+    assert(!got(2L)._1, "3 tokens must fail the count band")
+    assert(!got(3L)._2, "long-word soup must fail the mean-length band")
+    assert(!got(4L)._3, "symbol soup must fail the punctuation bound")
+    assert(!got(5L)._4, "stopword-free text must fail the evidence rule")
+  }
+
+  test("blocklistScreen: counts every occurrence, reports distinct terms sorted") {
+    val (nb, terms) = TextAnalysis.blocklistScreen(
+      col("text"), Seq("zeta", "alpha"))
+    val got = Seq(
+      (1L, "alpha beta alpha zeta"),
+      (2L, "beta gamma"),
+      (3L, "ZETA mixed case")).toDF("doc_id", "text")
+      .select(col("doc_id"), nb.as("n"), terms.as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 3L, "alpha,zeta"), (2L, 0L, ""), (3L, 1L, "zeta")))
+  }
 }
