@@ -772,6 +772,33 @@ object QueriesEtl {
           col("n_docs"), col("n_distinct"), col("sum_chars"))
     }),
 
+    // ── STREAMING ingest → TRANSACTIONAL snapshot commits
+    // ([[graft.streaming.StreamingCdc.snapshotIngestReplay]]): a real
+    // 3-trigger file replay where every micro-batch publishes as ONE
+    // atomic SnapshotLog version — trigger boundaries are the only states
+    // a reader can observe, and the version history is the trigger
+    // history. Laws: versions dense from 0, one per trigger; per-version
+    // row counts non-decreasing with the final version holding EXACTLY
+    // the input (the rollup the oracle replays proves content) ──
+    "stream_snapshot_ingest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("event_type"))
+      val root = scratch(dir, "stream_snap_ingest")
+      val versions = graft.streaming.StreamingCdc.snapshotIngestReplay(
+        ev, sliceKeys = Seq("event_id"), root = root)
+      val log = new SnapshotLog(s"$root/log")
+      val counts = versions.map(v => log.read(s, v).count())
+      val dense = versions == versions.indices.map(_.toLong)
+      val monotone = counts.zip(counts.tail).forall { case (a, b) => a <= b }
+      log.readLatest(s)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"))
+        .withColumn("versions_dense", lit(dense))
+        .withColumn("history_monotone", lit(monotone))
+        .orderBy(col("event_type"))
+    }),
+
     // ── ROW-LEVEL DELETE under the snapshot log ([[SnapshotLog
     // .deleteRows]], the deletion-vector / merge-on-read pattern): v1
     // commits a KB-sized TOMBSTONE instead of rewriting any data file —
@@ -991,6 +1018,17 @@ object QueriesEtl {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |FROM v1 GROUP BY 2
         |ORDER BY version, o_orderpriority""".stripMargin,
+
+    // stream_snapshot_ingest: the final committed version must hold the
+    // whole input exactly; the version-history laws are measured
+    // Spark-side from the log itself
+    "stream_snapshot_ingest" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |       TRUE AS versions_dense,
+        |       TRUE AS history_monotone
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // snapshot_delete_rows: the surviving-row rollup after the tombstone
     // delete; the four storage laws are measured Spark-side (manifest

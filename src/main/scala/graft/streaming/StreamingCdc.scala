@@ -113,6 +113,33 @@ object StreamingCdc {
     * merge — which is what the oracle checks. Returns the final version,
     * key-ordered.
     */
+  /** Streaming ingest committed TRANSACTIONALLY — `readStream →
+    * foreachBatch(SnapshotLog.append)`, the Delta-streaming-sink shape:
+    * every micro-batch stages immutable files and publishes them in ONE
+    * atomic manifest commit, so a reader racing the stream sees whole
+    * trigger boundaries only (never a half-visible batch), each trigger
+    * becomes one pinnable version (the log's history IS the trigger
+    * history — incremental consumers diff manifests instead of
+    * re-scanning), and a replayed/retried batch would surface as a
+    * version-number conflict instead of silent duplication. Returns the
+    * committed version numbers in commit order.
+    */
+  def snapshotIngestReplay(
+      input: DataFrame,
+      sliceKeys: Seq[String],
+      root: String,
+      slices: Int = 3,
+      partitions: Int = 2): Seq[Long] = {
+    // the runner wipes `root` first, so the log is created lazily by its
+    // own first commit (commit/stageData mkdir what they need)
+    val log = new graft.sources.SnapshotLog(s"$root/log")
+    val versions = scala.collection.mutable.ArrayBuffer[Long]()
+    replayForeachBatch(input, hashSlice(sliceKeys, slices), slices, root) {
+      (batch: DataFrame, _: Long) => versions += log.append(batch, partitions)
+    }
+    versions.toSeq
+  }
+
   def upsertReplay(
       base: DataFrame,
       changes: DataFrame,

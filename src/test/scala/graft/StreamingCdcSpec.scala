@@ -51,6 +51,22 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(versions.distinct.length > 1)
   }
 
+  test("snapshotIngestReplay: one atomic version per trigger, history pinnable, final = input") {
+    import spark.implicits._
+    val input = (0L until 90L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val versions = StreamingCdc.snapshotIngestReplay(
+      input, sliceKeys = Seq("k"), root = root("snap_ingest"), slices = 3)
+    assert(versions == Seq(0L, 1L, 2L), "one dense version per trigger")
+    val log = new graft.sources.SnapshotLog(s"${root("snap_ingest")}/log")
+    val counts = versions.map(v => log.read(spark, v).count())
+    assert(counts.last == 90L && counts.zip(counts.tail).forall { case (a, b) => a < b },
+      s"history must grow per trigger: $counts")
+    // a pinned mid-stream version is exactly the first two triggers' rows
+    assert(log.read(spark, 1L).count() == counts(1))
+    assert(log.readLatest(spark).select("k").as[Long].collect().toSet ==
+      (0L until 90L).toSet)
+  }
+
   test("replayForeachBatch: one batch per slice, delivered sequentially in staged order") {
     import spark.implicits._
     val input = (0L until 90L).map(i => (i, i % 3)).toDF("v", "slice")
