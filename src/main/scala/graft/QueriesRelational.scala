@@ -259,6 +259,27 @@ object QueriesRelational {
         .orderBy(col("event_id"))
     }),
 
+    // ── FORWARD as-of join ([[operators.AsofJoin.asofForward]]): for each
+    // non-purchase event, the user's NEXT purchase within 48 h — the
+    // "what happened next" enrichment, same union-sort shape as the
+    // backward variant mirrored in time (one keyed exchange, no pair
+    // blow-up), with the tolerance nulling matches beyond the horizon ──
+    "asof_next_purchase" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.where(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      operators.AsofJoin.asofForward(
+        views, purchases, key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightVals = Seq("purchase_value"), toleranceSec = Some(48L * 3600))
+        .select(
+          col("event_id"), col("user_id"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── beyond-reference: binned range join ([[operators.RangeJoin]]) —
     // which events (ANY user's) fall inside the session windows of users
     // 0-4. No equi-key exists, so a naive range predicate is a nested-loop
@@ -1662,6 +1683,24 @@ object QueriesRelational {
         |)
         |SELECT l.event_id, l.user_id, round(r.purchase_value, 6) AS purchase_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    // asof_next_purchase: DuckDB's native forward ASOF (l.ts <= r.ts picks
+    // the smallest r.ts >= l.ts); the 48 h tolerance nulls on whole
+    // seconds exactly like the Spark side
+    "asof_next_purchase" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'
+        |), r AS (
+        |  SELECT user_id, ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT l.event_id, l.user_id,
+        |       CASE WHEN r.ts IS NOT NULL
+        |              AND CAST(floor(epoch(r.ts)) AS BIGINT)
+        |                  - CAST(floor(epoch(l.ts)) AS BIGINT) <= 172800
+        |            THEN round(r.purchase_value, 6) END AS purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.event_id""".stripMargin,
 
     // replayed as a plain theta join — DuckDB's optimizer handles the small

@@ -77,4 +77,60 @@ object AsofJoin {
       rightVals.map(v => matched.getField(v).as(v))
     filled.where(col("__asof_side") === 1).select(outCols: _*)
   }
+
+  /** Forward as-of join — for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` on the same key ("what happened next": next
+    * restock after the stock-out, next deploy after the alert, next
+    * purchase after the pageview). Same union-sort formulation as
+    * [[asofBackward]] mirrored in time — ONE keyed exchange, a
+    * backward-fill window over (ts, side) with LEFT rows ordering before
+    * right rows at equal timestamps (exact `>=` semantics), no
+    * intermediate pair blow-up. `toleranceSec`: a match more than `n`
+    * whole seconds AFTER the left timestamp is nulled out. Same
+    * determinism contract: at most one right row per (key, ts).
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String],
+      toleranceSec: Option[Long] = None): DataFrame = {
+    val clash = rightVals.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"right value columns collide with left columns: ${clash.mkString(", ")}")
+    val helpers = Seq("__asof_side", "__t", "__rv", "__rts", "__m")
+    val tainted = (left.columns ++ right.columns).toSet.intersect(helpers.toSet)
+    require(tainted.isEmpty,
+      s"inputs must not carry the as-of helper columns: ${tainted.mkString(", ")}")
+
+    // left rows take side 0 so they sort BEFORE an equal-timestamp right
+    // row and see it in their forward frame (the mirror of backward's
+    // right-before-left ordering)
+    val r = right.select(
+      col(key),
+      col(rightTs).as("__t"),
+      lit(1).as("__asof_side"),
+      struct(col(rightTs).as("__rts") +: rightVals.map(col): _*).as("__rv"))
+    val l = left.select(
+      col(key) +: col(leftTs).as("__t") +: lit(0).as("__asof_side") +:
+        left.columns.filterNot(_ == key).map(col).toSeq: _*)
+
+    val unioned = r.unionByName(l, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__asof_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = unioned.withColumn("__m", first(col("__rv"), ignoreNulls = true).over(w))
+
+    val inTolerance = toleranceSec match {
+      case Some(n) =>
+        unix_timestamp(col("__m").getField("__rts")) - unix_timestamp(col("__t")) <= n
+      case None => lit(true)
+    }
+    val matched = when(col("__m").isNotNull && inTolerance, col("__m"))
+
+    val outCols = (col(key) +: left.columns.filterNot(_ == key).map(col).toSeq) ++
+      rightVals.map(v => matched.getField(v).as(v))
+    filled.where(col("__asof_side") === 0).select(outCols: _*)
+  }
 }

@@ -37,6 +37,23 @@ class AsofJoinSpec extends AnyFunSuite {
       4L -> None))       // key with no right rows at all
   }
 
+  test("forward as-of: earliest right at-or-after each left, >= on ties, null after last, tolerance") {
+    def runF(l: DataFrame, r: DataFrame, tol: Option[Long] = None): Map[Long, Option[Double]] =
+      AsofJoin.asofForward(l, r, "user_id", "ts", "ts", Seq("v"), tol)
+        .collect()
+        .map(row => row.getAs[Long]("event_id") -> Option(row.getAs[Any]("v")).map(_.asInstanceOf[Double]))
+        .toMap
+    val l = lefts((1L, 7L, 4L), (2L, 7L, 5L), (3L, 7L, 12L), (4L, 8L, 100L))
+    val r = rights((7L, 5L, 50.0), (7L, 10L, 100.0), (8L, 90L, 9.0))
+    // id1@4 -> next right @5; id2@5 -> the EQUAL-ts right (>= semantics);
+    // id3@12 -> nothing follows; id4@100 (key 8) -> nothing follows (90 < 100)
+    assert(runF(l, r) == Map(
+      1L -> Some(50.0), 2L -> Some(50.0), 3L -> None, 4L -> None))
+    // tolerance 0: only the exact-ts match survives
+    assert(runF(l, r, tol = Some(0L)) == Map(
+      1L -> None, 2L -> Some(50.0), 3L -> None, 4L -> None))
+  }
+
   test("tolerance nulls matches older than the window") {
     val l = lefts((1L, 7L, 12L), (2L, 7L, 14L))
     val r = rights((7L, 10L, 2.0))

@@ -396,7 +396,9 @@ class PlanSpec extends AnyFunSuite {
       "q8_market_share" -> 0, "window_ntile_nth" -> 0,
       "stream_interval_join_full" -> 0,
       "quality_rules" -> 0, "blocklist_filter" -> 0,
-      "unpivot_metrics" -> 0, "stream_snapshot_ingest" -> 0)
+      "unpivot_metrics" -> 0, "stream_snapshot_ingest" -> 0,
+      // the forward as-of is the same union-sort window shape: no join at all
+      "asof_next_purchase" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
