@@ -417,6 +417,87 @@ object QueriesRelational {
         .orderBy(col("user_id"))
     }),
 
+    // ── TPC-H Q11 shape: grouped HAVING against a GLOBAL scalar — brands
+    // holding more than 2% of total inventory value; the threshold is an
+    // exact-integer cross-multiplication (`brand_cents · 50 > total_cents`)
+    // so the boundary brands are bitwise cross-engine, and the scalar
+    // plans as a one-row subquery, not a join ──
+    "q11_important_brands" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH v AS (
+          |  SELECT p_brand,
+          |         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM lineitem JOIN part ON p_partkey = l_partkey
+          |  GROUP BY p_brand
+          |)
+          |SELECT p_brand, cents
+          |FROM v
+          |WHERE cents * 50 > (SELECT sum(cents) FROM v)
+          |ORDER BY cents DESC, p_brand""".stripMargin)
+    }),
+
+    // ── exact equi-depth histogram (profiling op): decile buckets over a
+    // TOTAL order (value, tie-break key) via ntile, then per-bucket
+    // bounds/counts — the distribution summary a table profiler publishes.
+    // The global sort is the ground-truth leg; percentile_approx
+    // (`quantiles_approx`) is the documented 100 TB route ──
+    "hist_equidepth" -> ((s, dir) => {
+      val w = Window.orderBy(col("cents"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("bucket", ntile(10).over(w).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ── array-function coverage in one exact query: sequence, slice,
+    // zip_with, flatten, array_distinct, sort — every output an integer
+    // or integer array fingerprint, so the hash is FP-free ──
+    "array_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") <= 500)
+        .select(
+          col("o_orderkey"),
+          sequence(lit(1L), pmod(col("o_orderkey"), lit(5L)) + 1L).as("seq"))
+        .select(
+          col("o_orderkey"),
+          size(col("seq")).cast("long").as("n_seq"),
+          aggregate(slice(col("seq"), 1, 3), lit(0L), _ + _).as("first3_sum"),
+          aggregate(zip_with(col("seq"), col("seq"), (a, b) => a * b),
+            lit(0L), _ + _).as("sum_sq"),
+          size(array_distinct(flatten(array(col("seq"), col("seq")))))
+            .cast("long").as("n_distinct"),
+          array_join(transform(sort_array(col("seq"), asc = false),
+            x => x.cast("string")), ",").as("desc_str"))
+        .orderBy(col("o_orderkey"))),
+
+    // ── null-semantics coverage: three-valued logic made explicit —
+    // null-safe equality (<=>), coalesce/nullif, and the count/distinct
+    // treatment of injected nulls, all exactly replayable (DuckDB's
+    // IS NOT DISTINCT FROM is the <=> twin) ──
+    "null_semantics" -> ((s, dir) => {
+      val v = when(col("o_orderkey") % 3 === 0, lit(null).cast("long"))
+        .otherwise(col("o_orderkey") % 7)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), v.as("v"),
+          when(col("o_orderkey") % 5 === 0, lit(null).cast("long"))
+            .otherwise(col("o_orderkey") % 7).as("w"))
+        .groupBy((col("o_orderkey") % 10).as("grp"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("v")).as("n_v"),
+          countDistinct(col("v")).as("n_v_distinct"),
+          sum(when(col("v") <=> col("w"), 1L).otherwise(0L)).as("n_nullsafe_eq"),
+          sum(coalesce(col("v"), lit(-1L))).as("sum_coalesced"),
+          sum(when(nullif(col("v"), lit(3L)).isNull, 1L).otherwise(0L)).as("n_nullified"))
+        .orderBy(col("grp"))
+    }),
+
     // ── UNPIVOT (melt) coverage: wide metric columns → long (metric,
     // value) form, then a per-metric rollup — the reshape every
     // metrics-collection pipeline runs before storage; value legs cast to
@@ -1789,6 +1870,63 @@ object QueriesRelational {
         |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    // q11_important_brands: same exact-integer share threshold natively
+    "q11_important_brands" ->
+      """WITH v AS (
+        |  SELECT p_brand,
+        |         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  GROUP BY p_brand
+        |)
+        |SELECT p_brand, cents
+        |FROM v
+        |WHERE cents * 50 > (SELECT CAST(sum(cents) AS BIGINT) FROM v)
+        |ORDER BY cents DESC, p_brand""".stripMargin,
+
+    // hist_equidepth: SQL-standard ntile over the same total order
+    "hist_equidepth" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |         ntile(10) OVER (ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT),
+        |                         o_orderkey) AS bucket
+        |  FROM orders
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |       min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // array_funcs: list algebra replayed with DuckDB's list functions
+    "array_funcs" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, generate_series(1, o_orderkey % 5 + 1) AS seq
+        |  FROM orders WHERE o_orderkey <= 500
+        |)
+        |SELECT o_orderkey,
+        |  CAST(len(seq) AS BIGINT) AS n_seq,
+        |  CAST(list_sum(seq[1:3]) AS BIGINT) AS first3_sum,
+        |  CAST(list_sum([x * x for x in seq]) AS BIGINT) AS sum_sq,
+        |  CAST(len(list_distinct(flatten([seq, seq]))) AS BIGINT) AS n_distinct,
+        |  array_to_string(list_sort(seq, 'DESC'), ',') AS desc_str
+        |FROM t ORDER BY o_orderkey""".stripMargin,
+
+    // null_semantics: IS NOT DISTINCT FROM is the <=> twin; count/distinct
+    // null treatment is SQL-standard on both engines
+    "null_semantics" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderkey % 7 END AS v,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderkey % 7 END AS w
+        |  FROM orders
+        |)
+        |SELECT CAST(o_orderkey % 10 AS BIGINT) AS grp,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(v) AS BIGINT) AS n_v,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS n_v_distinct,
+        |  CAST(count(CASE WHEN v IS NOT DISTINCT FROM w THEN 1 END) AS BIGINT) AS n_nullsafe_eq,
+        |  CAST(sum(coalesce(v, -1)) AS BIGINT) AS sum_coalesced,
+        |  CAST(count(CASE WHEN nullif(v, 3) IS NULL THEN 1 END) AS BIGINT) AS n_nullified
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // unpivot_metrics: the melt replayed as a stacked UNION ALL
     "unpivot_metrics" ->

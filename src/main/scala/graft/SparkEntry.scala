@@ -140,6 +140,14 @@ object SparkEntry {
         queryName = "stream_interval_join_full_sink", joinType = "full_outer")
         .orderBy(col("view_id"), col("purchase_id"), col("user_id"))),
 
+    // ── COMPLETE-output-mode rollup ([[streaming.StreamingSessionize
+    // .completeRollupReplay]]): the full result re-emitted every trigger
+    // with no watermark/eviction — the dashboard-refresh shape; the
+    // final sink state must equal the all-at-once batch rollup ──
+    "stream_complete_rollup" -> ((s, dir) =>
+      streaming.StreamingSessionize.completeRollupReplay(Tables.events(s, dir))
+        .orderBy(col("event_type"))),
+
     // ── watermark late-data accounting, demonstrated POSITIVELY
     // ([[streaming.StreamingSessionize.lateDataAuditReplay]]): the
     // replay holds the earliest window's rows back until the watermark
@@ -317,6 +325,13 @@ object SparkEntry {
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
         |WHERE v.event_type = 'view'
         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    // stream_complete_rollup: final complete-mode state == batch rollup
+    "stream_complete_rollup" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // stream_late_audit: the per-hour rollup EXCLUDING the held-back
     // first-window rows (the watermark dropped them; the metric equality

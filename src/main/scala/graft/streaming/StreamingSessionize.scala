@@ -387,6 +387,51 @@ object StreamingSessionize {
     }
   }
 
+  /** COMPLETE-output-mode rollup replay — the one output mode the other
+    * replays don't exercise: no watermark, no eviction, the sink
+    * receives the FULL re-emitted result every trigger and the final
+    * table state must equal the all-at-once batch rollup. This is the
+    * dashboard-refresh shape (small cardinality-bounded state, total
+    * recomputation per trigger); append-mode windows remain the route
+    * for unbounded keys.
+    */
+  def completeRollupReplay(
+      events: DataFrame,
+      slices: Int = 3,
+      queryName: String = "stream_complete_sink"): DataFrame = {
+    import java.nio.file.Files
+    require(slices >= 2, s"need >= 2 slices for a multi-trigger replay, got $slices")
+    val spark = events.sparkSession
+    val base = Files.createTempDirectory("graft_stream_complete_")
+    val streamDir = base.resolve("stream")
+    Files.createDirectories(streamDir)
+    try {
+      val proj = events.select(
+        col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type").cast("string").as("event_type"))
+      val sliceDfs = (0 until slices).map(i =>
+        proj.where(pmod(col("event_id"), lit(slices.toLong)) === i.toLong))
+      stageSliceFiles(base, streamDir, sliceDfs)
+      val agged = spark.readStream
+        .schema(proj.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("user_id")).as("sum_users"))
+      withReplayStatePartitions(spark) {
+        val q = agged.writeStream.format("memory")
+          .queryName(queryName).outputMode("complete").start()
+        try { q.processAllAvailable(); captureStateMetrics(q) }
+        finally q.stop()
+      }
+      spark.table(queryName)
+    } finally {
+      import scala.util.Try
+      Try(Files.walk(base).iterator().asScala.toSeq.reverse.foreach(p => Try(Files.delete(p))))
+    }
+  }
+
   def rateLimitReplay(
       events: DataFrame,
       maxPerWindow: Long,

@@ -398,7 +398,13 @@ class PlanSpec extends AnyFunSuite {
       "quality_rules" -> 0, "blocklist_filter" -> 0,
       "unpivot_metrics" -> 0, "stream_snapshot_ingest" -> 0,
       // the forward as-of is the same union-sort window shape: no join at all
-      "asof_next_purchase" -> 0)
+      "asof_next_purchase" -> 0,
+      // q11's global share threshold rides a one-row scalar subquery (no
+      // BNLJ); the histogram/array/null/complete-mode queries are scan +
+      // window/agg only
+      "q11_important_brands" -> 0, "hist_equidepth" -> 0,
+      "array_funcs" -> 0, "null_semantics" -> 0,
+      "stream_complete_rollup" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
