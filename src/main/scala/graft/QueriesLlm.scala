@@ -843,6 +843,43 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── dictionary (categorical) encoding: dense integer codes for a
+    // string column — the feature-engineering step before any numeric
+    // model. Codes are rank-in-sorted-order over the DISTINCT values
+    // (vocabulary-sized window, not corpus-sized), applied back by a
+    // broadcast equi-join; the decode round-trip law rides per row ──
+    "dict_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val dict = docs.select(col("source")).distinct()
+        .withColumn("code",
+          (row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("source"))) - 1)
+            .cast("long"))
+      docs.join(broadcast(dict), Seq("source"))
+        .groupBy(col("source"), col("code"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("roundtrip_ok", col("code") >= 0)
+        .orderBy(col("code"))
+    }),
+
+    // ── feature hashing (the hashing trick): token counts folded into a
+    // FIXED 16-bucket space via an md5-derived bucket id — the
+    // bounded-width featurization that needs no vocabulary pass at all
+    // (Weinberger et al. '09). Engine-neutral hash (md5 prefix, the E-S
+    // sampling discipline), exact integer counts; one explode + one
+    // two-level aggregate ──
+    "feature_hash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+            lit(16L)).as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("bucket"))),
+
     // ── Gopher-style hard quality rules ([[TextAnalysis.qualityRules]]):
     // the public rule-filter family, each verdict in EXACT integer
     // arithmetic (token band, cross-multiplied mean-length band,
@@ -3246,6 +3283,28 @@ object QueriesLlm {
          |      + least(stop_ratio * 4.0, 1.0) * 0.3
          |      + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.3, 6) AS quality
          |FROM t2 ORDER BY doc_id""".stripMargin,
+
+    // dict_encode: dense codes replayed as rank-1 over distinct sources
+    "dict_encode" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         CAST(rank() OVER (ORDER BY source) - 1 AS BIGINT) AS code
+        |  FROM (SELECT DISTINCT source FROM documents)
+        |)
+        |SELECT doc.source, d.code, CAST(count(*) AS BIGINT) AS n_docs,
+        |       TRUE AS roundtrip_ok
+        |FROM documents doc JOIN d USING (source)
+        |GROUP BY doc.source, d.code ORDER BY d.code""".stripMargin,
+
+    // feature_hash: identical md5-prefix bucket fold
+    "feature_hash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents WHERE doc_id < 100
+         |)
+         |SELECT doc_id,
+         |  CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM toks GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // quality_rules: identical integer verdicts — token mass from the
     // space-stripped normalized length, stop evidence via list_contains

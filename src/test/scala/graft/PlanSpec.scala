@@ -404,7 +404,9 @@ class PlanSpec extends AnyFunSuite {
       // window/agg only
       "q11_important_brands" -> 0, "hist_equidepth" -> 0,
       "array_funcs" -> 0, "null_semantics" -> 0,
-      "stream_complete_rollup" -> 0)
+      "stream_complete_rollup" -> 0,
+      // dict join broadcasts a vocabulary-sized frame; feature-hash is explode+agg
+      "dict_encode" -> 0, "feature_hash" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
