@@ -417,6 +417,50 @@ object QueriesRelational {
         .orderBy(col("user_id"))
     }),
 
+    // ── SHUFFLE_HASH join-strategy hint: the 100 TB knob for a build side
+    // too big to broadcast but small enough to hash per partition —
+    // skips BOTH sort passes a sort-merge join would pay. Results are
+    // strategy-invariant (the oracle replays the plain join); PlanSpec
+    // pins ShuffledHashJoin in the plan ──
+    "join_shuffle_hash" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .join(
+          Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_orderpriority")).hint("SHUFFLE_HASH"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          d(sum(dec(col("l_extendedprice")))).as("revenue"))
+        .orderBy(col("o_orderpriority"))),
+
+    // ── Dataset.observe() accounting: named metrics collected DURING a
+    // query's own execution (no second scan) — the in-flight row/revenue
+    // accounting a production pipeline attaches to every stage. The
+    // observed values are re-emitted as a one-row frame the oracle
+    // recomputes relationally: a metrics bus that lied would hash-fail ──
+    "observe_metrics" -> ((s, dir) => {
+      // the CollectMetrics node sits mid-plan: metrics are computed over
+      // the rows FLOWING THROUGH it while the downstream one-row
+      // aggregate executes — no second scan. The metrics attach to the
+      // EXECUTED QueryExecution (running a different action would leave
+      // this one's observedMetrics empty).
+      val out = Tables.lineitem(s, dir)
+        .where(col("l_quantity") >= 25)
+        .observe("acct",
+          count(lit(1)).as("n_rows"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
+          min(col("l_orderkey")).as("min_key"))
+        .groupBy().agg(count(lit(1)).as("n_passed"))
+      out.collect()
+      val row = out.queryExecution.observedMetrics("acct")
+      import s.implicits._
+      Seq((row.getAs[Long]("n_rows"), row.getAs[Long]("rev_cents"),
+        row.getAs[Long]("min_key")))
+        .toDF("n_rows", "rev_cents", "min_key")
+    }),
+
     // ── TPC-H Q11 shape: grouped HAVING against a GLOBAL scalar — brands
     // holding more than 2% of total inventory value; the threshold is an
     // exact-integer cross-multiplication (`brand_cents · 50 > total_cents`)
@@ -1870,6 +1914,22 @@ object QueriesRelational {
         |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    // join_shuffle_hash: strategy hints are result-invisible — the plain
+    // join replays it
+    "join_shuffle_hash" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // observe_metrics: the in-flight metrics recomputed relationally
+    "observe_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |       min(l_orderkey) AS min_key
+        |FROM lineitem WHERE l_quantity >= 25""".stripMargin,
 
     // q11_important_brands: same exact-integer share threshold natively
     "q11_important_brands" ->

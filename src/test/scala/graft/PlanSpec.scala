@@ -68,6 +68,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "no sort-merge for a broadcastable dim")
   }
 
+  test("join_shuffle_hash: the hint selects ShuffledHashJoin over sort-merge") {
+    val p = plan("join_shuffle_hash")
+    assert(p.contains("ShuffledHashJoin"), s"SHUFFLE_HASH hint ignored:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sort-merge must not appear with the hint:\n$p")
+  }
+
   test("sessionize plans exactly one exchange (lag + flag + ffill share a window)") {
     val p = plan("sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
@@ -406,7 +412,8 @@ class PlanSpec extends AnyFunSuite {
       "array_funcs" -> 0, "null_semantics" -> 0,
       "stream_complete_rollup" -> 0,
       // dict join broadcasts a vocabulary-sized frame; feature-hash is explode+agg
-      "dict_encode" -> 0, "feature_hash" -> 0)
+      "dict_encode" -> 0, "feature_hash" -> 0,
+      "join_shuffle_hash" -> 0, "observe_metrics" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
