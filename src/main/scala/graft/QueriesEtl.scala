@@ -799,6 +799,45 @@ object QueriesEtl {
         .orderBy(col("event_type"))
     }),
 
+    // ── OPTIMIZE under the snapshot log ([[SnapshotLog.optimize]], the
+    // Delta OPTIMIZE ... ORDER BY shape): v1 rewrites v0's hash-scattered
+    // layout RANGE-CLUSTERED on the price key, committed atomically.
+    // Laws measured from the actual files: every v1 file holds a DISJOINT
+    // key range (the property min/max scan planning needs — at 100 TB a
+    // point/range predicate then opens the one file whose range matches
+    // instead of all of them), row identity is exact (exceptAll both
+    // ways), and the pinned unclustered v0 still reads ──
+    "snapshot_optimize" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_optimize"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderpriority"))
+      val v0 = log.append(base, partitions = 4)
+      val v1 = log.optimize(s, partitions = 3, sortCols = Seq(col("cents")))
+      val ranges = log.dataFiles(v1)
+        .map { p =>
+          val r = s.read.parquet(s"${log.root}/$p")
+            .agg(count(lit(1)), min(col("cents")), max(col("cents"))).head()
+          (r.getLong(0), r.get(1), r.get(2))
+        }
+        .collect { case (n, lo: Long, hi: Long) if n > 0 => (lo, hi) }
+        .sortBy(_._1)
+      val disjoint = ranges.nonEmpty &&
+        ranges.zip(ranges.tail).forall { case ((_, aMax), (bMin, _)) => bMin > aMax }
+      val v0Rows = log.read(s, v0)
+      val v1Rows = log.read(s, v1)
+      val identical = v1Rows.exceptAll(v0Rows).limit(1).count() == 0 &&
+        v0Rows.exceptAll(v1Rows).limit(1).count() == 0
+      log.read(s, v1)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("files_disjoint", lit(disjoint))
+        .withColumn("rows_identical", lit(identical))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ── ROW-LEVEL DELETE under the snapshot log ([[SnapshotLog
     // .deleteRows]], the deletion-vector / merge-on-read pattern): v1
     // commits a KB-sized TOMBSTONE instead of rewriting any data file —
@@ -1018,6 +1057,16 @@ object QueriesEtl {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |FROM v1 GROUP BY 2
         |ORDER BY version, o_orderpriority""".stripMargin,
+
+    // snapshot_optimize: the clustered rewrite preserves content exactly;
+    // the disjoint-range and identity laws are measured from the files
+    "snapshot_optimize" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS files_disjoint,
+        |       TRUE AS rows_identical
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // stream_snapshot_ingest: the final committed version must hold the
     // whole input exactly; the version-history laws are measured

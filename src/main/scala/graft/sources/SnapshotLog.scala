@@ -195,6 +195,46 @@ class SnapshotLog(val root: String) {
     commit(Some(cur), stageData(read(spark, cur), partitions))
   }
 
+  /** OPTIMIZE under the log (the Delta `OPTIMIZE ... ZORDER/ORDER BY`
+    * shape): rewrite the current snapshot RANGE-CLUSTERED on `sortCols` —
+    * `repartitionByRange` gives every output file a disjoint key range
+    * (Spark's range partitioner maps each key to exactly one partition)
+    * and `sortWithinPartitions` orders rows inside each file, so
+    * min/max-based scan planning (zone maps, parquet footer stats) prunes
+    * to the few files whose range matches instead of sampling every file.
+    * Committed atomically like any rewrite; pinned readers of the
+    * unclustered versions are untouched. The staged files are written
+    * WITHOUT the generic re-repartition (it would destroy the clustering).
+    */
+  def optimize(
+      spark: SparkSession,
+      partitions: Int,
+      sortCols: Seq[org.apache.spark.sql.Column]): Long = {
+    require(sortCols.nonEmpty, "optimize: need at least one clustering column")
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"optimize: no committed snapshot at $root"))
+    val arranged = read(spark, cur)
+      .repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    commit(Some(cur), stageArranged(arranged))
+  }
+
+  /** [[stageData]] minus the repartition: write `df` EXACTLY as arranged
+    * (the caller owns partitioning/order — [[optimize]]'s clustering
+    * would be destroyed by a hash repartition).
+    */
+  private def stageArranged(df: DataFrame): Seq[String] = {
+    val id = java.util.UUID.randomUUID().toString
+    val dir = new File(dataDir, id)
+    df.write.mode("error").parquet(dir.toString)
+    val staged = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map(f => s"data/$id/${f.getName}")
+      .toSeq.sorted
+    require(staged.nonEmpty, s"stageArranged: write produced no parquet files under $dir")
+    staged
+  }
+
   /** Snapshot-pinned read of version `v`: exactly the manifest's files,
     * regardless of what lands in the log afterwards.
     *

@@ -82,6 +82,24 @@ class SnapshotLogSpec extends AnyFunSuite {
     }
   }
 
+  test("optimize: range-clustered rewrite yields disjoint per-file key ranges, rows intact") {
+    val log = freshLog("optimize")
+    val scattered = (0L until 200L).map(i => ((i * 37L) % 200L, s"p$i")).toDF("k", "payload")
+    val v0 = log.append(scattered, partitions = 4)
+    val v1 = log.optimize(spark, partitions = 3, sortCols = Seq(col("k")))
+    assert(v1 == v0 + 1)
+    val ranges = log.dataFiles(v1).map { p =>
+      val r = spark.read.parquet(s"${log.root}/$p").agg(min(col("k")), max(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.size > 1, "optimize must produce multiple clustered files")
+    assert(ranges.zip(ranges.tail).forall { case ((_, aMax), (bMin, _)) => bMin > aMax },
+      s"file key ranges must be disjoint: $ranges")
+    assert(log.read(spark, v1).count() == 200L)
+    // pinned unclustered version untouched
+    assert(log.read(spark, v0).count() == 200L)
+  }
+
   test("concurrent writers: exactly one commit wins, the loser fails loudly") {
     val log = freshLog("conflict")
     log.append(rows(4, "base"), partitions = 1)
