@@ -799,6 +799,41 @@ object QueriesEtl {
         .orderBy(col("event_type"))
     }),
 
+    // ── STATS-BASED FILE PRUNING under the snapshot log ([[SnapshotLog
+    // .appendIndexed]] / [[SnapshotLog.readPruned]], the Delta
+    // add-file-stats shape): the commit records per-file min/max for the
+    // price key, a range read opens ONLY the files whose recorded range
+    // intersects the predicate (metadata-sized planning), and the laws —
+    // the skip actually fired (files_opened < files_total) AND the pruned
+    // result equals the full filtered read (exceptAll both ways) — are
+    // measured, not assumed. Input range-clustered first; unsorted files
+    // would carry full-range stats and prune nothing ──
+    "snapshot_stats_prune" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_stats"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderpriority"))
+        .repartitionByRange(4, col("cents"))
+        .sortWithinPartitions(col("cents"))
+      val v0 = log.appendIndexed(base, Seq("cents"))
+      val b = log.read(s, v0).agg(min(col("cents")), max(col("cents"))).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val pLo = mn + (mx - mn) / 3
+      val pHi = mn + 2 * (mx - mn) / 3
+      val (pruned, (opened, total)) = log.readPruned(s, v0, "cents", pLo, pHi)
+      val full = log.read(s, v0).where(col("cents") >= pLo && col("cents") <= pHi)
+      val equal = pruned.exceptAll(full).limit(1).count() == 0 &&
+        full.exceptAll(pruned).limit(1).count() == 0
+      pruned
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("skip_happened", lit(opened < total))
+        .withColumn("pruned_equals_full", lit(equal))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ── OPTIMIZE under the snapshot log ([[SnapshotLog.optimize]], the
     // Delta OPTIMIZE ... ORDER BY shape): v1 rewrites v0's hash-scattered
     // layout RANGE-CLUSTERED on the price key, committed atomically.
@@ -1057,6 +1092,22 @@ object QueriesEtl {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |FROM v1 GROUP BY 2
         |ORDER BY version, o_orderpriority""".stripMargin,
+
+    // snapshot_stats_prune: the pruned rollup over the SAME derived band
+    // (identical truncating integer thirds); skip/equality laws measured
+    "snapshot_stats_prune" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, o_orderpriority
+        |  FROM orders
+        |), b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c)
+        |SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS skip_happened,
+        |       TRUE AS pruned_equals_full
+        |FROM c, b
+        |WHERE cents >= mn + (mx - mn) // 3 AND cents <= mn + 2 * (mx - mn) // 3
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // snapshot_optimize: the clustered rewrite preserves content exactly;
     // the disjoint-range and identity laws are measured from the files

@@ -219,6 +219,77 @@ class SnapshotLog(val root: String) {
     commit(Some(cur), stageArranged(arranged))
   }
 
+  /** Stage + commit `df` EXACTLY as arranged, with PER-FILE MIN/MAX
+    * STATS for `statsCols` recorded in a `_stats.parquet` sidecar beside
+    * the staged files (the Delta add-file-stats shape): [[readPruned]]
+    * then answers a range predicate by opening only the files whose
+    * recorded range intersects it — metadata-sized scan planning under
+    * the transaction log. The caller owns the arrangement
+    * (range-cluster first, or stats degenerate to full-range files and
+    * prune nothing); stats are computed by one bounded per-staged-file
+    * pass before the commit, so a reader can never observe a committed
+    * file without its stats.
+    */
+  def appendIndexed(df: DataFrame, statsCols: Seq[String]): Long = {
+    require(statsCols.nonEmpty, "appendIndexed: need at least one stats column")
+    val spark = df.sparkSession
+    val cur = currentVersion
+    val staged = stageArranged(df)
+    import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin}
+    import spark.implicits._
+    val stats = staged.flatMap { p =>
+      val one = spark.read.parquet(new File(root, p).toString)
+      statsCols.map { c =>
+        val r = one.agg(smin(col(c)).cast("long"), smax(col(c)).cast("long")).head()
+        (p, c,
+          if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+          if (r.isNullAt(1)) Long.MaxValue else r.getLong(1))
+      }
+    }
+    val dir = new File(root, staged.head).getParentFile
+    stats.toDF("file", "col", "lo", "hi")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new File(dir, "_stats.parquet").toString)
+    commit(cur, cur.map(files).getOrElse(Nil) ++ staged)
+  }
+
+  /** Range-predicate read over a snapshot whose files carry
+    * [[appendIndexed]] stats: prune to the files whose recorded
+    * `[lo, hi]` intersects `[pLo, pHi]` (files from stats-free stages are
+    * kept conservatively), then scan exactly those. Returns the frame
+    * plus (filesOpened, filesTotal) so callers can assert the skip
+    * actually happened. Planning cost is one sidecar read per staged
+    * directory — file-count-sized metadata, never row-count-sized.
+    */
+  def readPruned(
+      spark: SparkSession,
+      version: Long,
+      statsCol: String,
+      pLo: Long,
+      pHi: Long): (DataFrame, (Int, Int)) = {
+    import org.apache.spark.sql.functions.col
+    val data = dataFiles(version)
+    val byDir = data.groupBy(p => new File(root, p).getParent)
+    val keep = byDir.flatMap { case (dir, paths) =>
+      val sidecar = new File(dir, "_stats.parquet")
+      if (!sidecar.exists()) paths // stats-free stage: keep conservatively
+      else {
+        val st = spark.read.parquet(sidecar.toString)
+          .where(col("col") === statsCol)
+          .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+        paths.filter { p =>
+          st.get(p).forall { case (lo, hi) => hi >= pLo && lo <= pHi }
+        }
+      }
+    }.toSeq
+    val pruned =
+      if (keep.isEmpty)
+        read(spark, version).where(org.apache.spark.sql.functions.lit(false))
+      else spark.read.parquet(keep.map(p => new File(root, p).toString): _*)
+        .where(col(statsCol) >= pLo && col(statsCol) <= pHi)
+    (pruned, (keep.size, data.size))
+  }
+
   /** [[stageData]] minus the repartition: write `df` EXACTLY as arranged
     * (the caller owns partitioning/order — [[optimize]]'s clustering
     * would be destroyed by a hash repartition).
@@ -279,19 +350,28 @@ class SnapshotLog(val root: String) {
   def vacuum(): Seq[String] = {
     val live = versions.flatMap(v => dataFiles(v) ++ tombstoneFiles(v)).toSet
     val writeDirs = Option(dataDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+    // underscore-prefixed entries (the `_stats.parquet` sidecar) are
+    // stage METADATA, not data files: never orphan-collected on their
+    // own, dropped with the directory once its last data file dies
     val orphans = writeDirs.flatMap { d =>
       Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".") && !f.getName.startsWith("_"))
         .map(f => s"data/${d.getName}/${f.getName}")
         .filterNot(live.contains)
     }.toSeq.sorted
     orphans.foreach(p => new File(root, p).delete())
-    // a write dir with no parquet left holds only _SUCCESS/.crc markers —
+    // a write dir with no DATA parquet left holds only markers/sidecars —
     // clear it so the data tree shrinks with the snapshots
     writeDirs.foreach { d =>
       val remaining = Option(d.listFiles()).getOrElse(Array.empty)
-      if (!remaining.exists(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))) {
-        remaining.foreach(_.delete())
+      if (!remaining.exists(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".") && !f.getName.startsWith("_"))) {
+        def rm(f: File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        remaining.foreach(rm)
         d.delete()
       }
     }

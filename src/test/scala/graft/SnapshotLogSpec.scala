@@ -100,6 +100,27 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(log.read(spark, v0).count() == 200L)
   }
 
+  test("appendIndexed/readPruned: stats skip non-matching files; vacuum spares the sidecar") {
+    val log = freshLog("stats")
+    val clustered = (0L until 120L).map(i => (i, s"p$i")).toDF("k", "payload")
+      .repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+    val v0 = log.appendIndexed(clustered, Seq("k"))
+    val (pruned, (opened, total)) = log.readPruned(spark, v0, "k", 40L, 70L)
+    assert(total == 4 && opened < total, s"expected a real skip, got $opened/$total")
+    assert(pruned.select("k").as[Long].collect().toSet == (40L to 70L).toSet)
+    // an out-of-range predicate opens nothing
+    val (none, (opened0, _)) = log.readPruned(spark, v0, "k", 5000L, 6000L)
+    assert(opened0 == 0 && none.count() == 0L)
+    // vacuum must not collect the _stats sidecar while its files are live
+    assert(log.vacuum().isEmpty)
+    assert(log.readPruned(spark, v0, "k", 40L, 70L)._2._1 == opened,
+      "stats must survive vacuum while their stage is live")
+    // a stats-free append is kept conservatively
+    log.append(Seq((200L, "late")).toDF("k", "payload"), partitions = 1)
+    val (withLate, (o2, t2)) = log.readPruned(spark, log.currentVersion.get, "k", 199L, 201L)
+    assert(withLate.count() == 1L && o2 >= 1 && t2 == 5)
+  }
+
   test("concurrent writers: exactly one commit wins, the loser fails loudly") {
     val log = freshLog("conflict")
     log.append(rows(4, "base"), partitions = 1)
