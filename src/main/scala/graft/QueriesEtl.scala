@@ -834,6 +834,96 @@ object QueriesEtl {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ── DELTA-LOG metadata protocol under the snapshot log
+    // ([[SnapshotLog.commit]]'s change-sized anchors + periodic
+    // checkpoints, the Delta Lake log design): six appends commit six
+    // `.delta` anchors each listing ONLY that commit's added files (2
+    // lines against a growing 12-file table), checkpoints materialize
+    // exactly at the interval (v0, v4), every version reconstructs by
+    // replaying ≤ interval deltas onto the nearest checkpoint, and
+    // expire re-bases survivors on a freshly materialized floor
+    // checkpoint. All four protocol laws measured from the on-disk log,
+    // then hashed next to the final corpus rollup ──
+    "snapshot_delta_log" -> ((s, dir) => {
+      val root = scratch(dir, "snap_delta")
+      val log = new SnapshotLog(root)
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderpriority").as("prio"))
+      val vs = (0 to 5).map(i =>
+        log.append(base.where(col("k") % 6 === i), partitions = 2))
+      val logDir = new java.io.File(s"$root/_log")
+      def nm(v: Long, ext: String) = new java.io.File(logDir, f"v$v%08d.$ext")
+      def lines(v: Long) = java.nio.file.Files
+        .readAllLines(nm(v, "delta").toPath).toArray
+        .map(_.toString).filter(_.nonEmpty).toSeq
+      val anchorsChangeSized = (1L to 5L).forall { v =>
+        val l = lines(v)
+        l.size == 2 && l.forall(_.startsWith("+"))
+      }
+      val checkpointsAtInterval =
+        (0L to 5L).filter(v => nm(v, "manifest").exists()) == Seq(0L, 4L)
+      val counts = vs.map(v => log.read(s, v).count())
+      val chainMonotone = counts.zip(counts.tail).forall { case (a, b) => a < b }
+      log.expire(keepFrom = 2L)
+      val survivorsReadAfterExpire =
+        log.read(s, 2L).count() == counts(2) && log.read(s, 5L).count() == counts(5)
+      log.readLatest(s)
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .withColumn("anchors_change_sized", lit(anchorsChangeSized))
+        .withColumn("checkpoints_at_interval", lit(checkpointsAtInterval))
+        .withColumn("chain_monotone", lit(chainMonotone))
+        .withColumn("survivors_read_after_expire", lit(survivorsReadAfterExpire))
+        .orderBy(col("prio"))
+    }),
+
+    // ── MERGE (upsert) under the snapshot log, COPY-ON-WRITE with
+    // stats-pruned rewrite scope ([[SnapshotLog.mergeCopyOnWrite]], the
+    // Delta MERGE INTO + file-pruning shape): the base commits
+    // range-clustered with per-file key stats; an update batch whose
+    // matched keys live in the first quarter of the key range (plus
+    // brand-new insert keys beyond it) rewrites ONLY the files whose
+    // recorded range contains an update key. The laws — the rewrite
+    // scope was bounded (files_rewritten < files_total) AND the merged
+    // snapshot equals anti-join-plus-union semantics (exceptAll both
+    // ways) — are measured, not assumed ──
+    "snapshot_merge_upsert" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_merge"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderpriority").as("prio"))
+        .repartitionByRange(4, col("k"))
+        .sortWithinPartitions(col("k"))
+      val v0 = log.appendIndexed(base, Seq("k"))
+      val b = log.read(s, v0).agg(min(col("k")), max(col("k"))).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val band = mn + (mx - mn) / 4
+      val baseRead = log.read(s, v0)
+      val upd = baseRead
+        .where(col("k") <= band && col("k") % 7 === 3)
+        .select(col("k"), (col("cents") + 1).as("cents"), col("prio"))
+        .unionByName(baseRead.where(col("k") % 13 === 5)
+          .select((col("k") + lit(mx) + lit(1000L)).as("k"), col("cents"), col("prio")))
+      val (v1, (rew, tot)) = log.mergeCopyOnWrite(upd, "k")
+      val merged = log.read(s, v1)
+      val expect = baseRead
+        .join(upd.select(col("k")), Seq("k"), "left_anti")
+        .unionByName(upd)
+      val equal = merged.exceptAll(expect).limit(1).count() == 0 &&
+        expect.exceptAll(merged).limit(1).count() == 0
+      merged
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .withColumn("rewrite_bounded", lit(rew >= 1 && rew < tot))
+        .withColumn("merged_equals_expected", lit(equal))
+        .orderBy(col("prio"))
+    }),
+
     // ── OPTIMIZE under the snapshot log ([[SnapshotLog.optimize]], the
     // Delta OPTIMIZE ... ORDER BY shape): v1 rewrites v0's hash-scattered
     // layout RANGE-CLUSTERED on the price key, committed atomically.
@@ -1108,6 +1198,43 @@ object QueriesEtl {
         |FROM c, b
         |WHERE cents >= mn + (mx - mn) // 3 AND cents <= mn + 2 * (mx - mn) // 3
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // snapshot_delta_log: the six appended slices reunite to the whole
+    // orders corpus; the four protocol laws are measured in the Spark path
+    "snapshot_delta_log" ->
+      """SELECT o_orderpriority AS prio,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS anchors_change_sized,
+        |       TRUE AS checkpoints_at_interval,
+        |       TRUE AS chain_monotone,
+        |       TRUE AS survivors_read_after_expire
+        |FROM orders GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
+
+    // snapshot_merge_upsert: anti-join-plus-union merge semantics over
+    // the SAME derived update batch (identical truncating integer
+    // quarter band and modular screens); rewrite-scope/equality laws
+    // measured in the Spark path
+    "snapshot_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderpriority AS prio
+        |  FROM orders
+        |), b AS (SELECT min(k) AS mn, max(k) AS mx FROM base),
+        |upd AS (
+        |  SELECT k, cents + 1 AS cents, prio FROM base, b
+        |  WHERE k <= mn + (mx - mn) // 4 AND k % 7 = 3
+        |  UNION ALL
+        |  SELECT k + mx + 1000 AS k, cents, prio FROM base, b WHERE k % 13 = 5
+        |),
+        |merged AS (
+        |  SELECT * FROM base WHERE k NOT IN (SELECT k FROM upd)
+        |  UNION ALL SELECT * FROM upd
+        |)
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS rewrite_bounded, TRUE AS merged_equals_expected
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
 
     // snapshot_optimize: the clustered rewrite preserves content exactly;
     // the disjoint-range and identity laws are measured from the files

@@ -1402,6 +1402,31 @@ object QueriesRelational {
           |ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // ── TPC-H Q12 shape (shipmode priority counts; ref lineitem lacks
+    // l_shipmode/l_receiptdate so l_linestatus plays the mode dimension
+    // and l_returnflag the IN-list screen — the plan shape is identical):
+    // date-windowed fact scan, equi-join to orders, two-way CONDITIONAL
+    // counts split by an IN-list on the joined dim column. Counts are
+    // exact integers; the join ships only (o_orderkey, o_orderpriority)
+    // across the shuffle ──
+    "q12_shipmode" -> ((s, dir) => {
+      val urgent = Seq("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .where(col("l_returnflag").isin("A", "N") &&
+          col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin(urgent: _*), 1L).otherwise(0L))
+            .cast("long").as("high_line_count"),
+          sum(when(col("o_orderpriority").isin(urgent: _*), 0L).otherwise(1L))
+            .cast("long").as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
     // ── TPC-H Q7 shape: two-sided nation-pair volume — the SAME dim
     // (nation) joins twice under different roles (supplier's vs
     // customer's), both broadcast; fact-fact lineitem ⋈ orders stays
@@ -2753,6 +2778,18 @@ object QueriesRelational {
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q12_shipmode" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag IN ('A','N')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

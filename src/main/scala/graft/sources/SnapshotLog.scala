@@ -27,18 +27,19 @@ class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
   *  1. Data files are IMMUTABLE and written to unique paths
   *     (`data/<writeId>/part-*.parquet`) — a write never touches a byte a
   *     reader could be holding ([[stageData]]).
-  *  2. A SNAPSHOT is a manifest file listing exactly the data files that
-  *     make up one table version: `_log/v00000007.manifest`, one relative
-  *     path per line. Manifests are metadata — file-count-sized, never
-  *     row-count-sized.
-  *  3. A COMMIT is one atomic put-if-absent of the next manifest version
-  *     ([[commit]]): stage the manifest to a temp file, then hard-link it
-  *     to `v<expected+1>` — link creation is atomic and fails if the name
-  *     exists, so of two racing writers exactly ONE wins and the loser
-  *     gets [[ConcurrentCommitException]] (optimistic concurrency). On a
-  *     real object store this maps to a conditional put
-  *     (`If-None-Match: *`) or an HDFS no-overwrite rename; the protocol
-  *     is identical.
+  *  2. A SNAPSHOT is the file listing of one table version, carried in
+  *     the log as a CHANGE record (`_log/v00000007.delta`: `+path` adds,
+  *     `-path` removes against the parent) plus periodic full-listing
+  *     checkpoints (`v00000008.manifest`). Both are metadata —
+  *     change-sized / file-count-sized, never row-count-sized.
+  *  3. A COMMIT is one atomic put-if-absent of the next version's delta
+  *     ([[commit]]): stage the change record to a temp file, then
+  *     hard-link it to `v<expected+1>.delta` — link creation is atomic
+  *     and fails if the name exists, so of two racing writers exactly
+  *     ONE wins and the loser gets [[ConcurrentCommitException]]
+  *     (optimistic concurrency). On a real object store this maps to a
+  *     conditional put (`If-None-Match: *`) or an HDFS no-overwrite
+  *     rename; the protocol is identical.
   *  4. A READ pins a version: list the manifest's files once, then scan
   *     exactly those paths ([[read]]). Later commits, compactions, and
   *     vacuums of OTHER versions cannot change what the pinned reader
@@ -50,21 +51,55 @@ class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
   *     exists keeps every file it references, so old readers never break;
   *     vacuum is idempotent (a second sweep collects nothing).
   *
-  * Scale notes: every manifest here is a FULL file listing
-  * (checkpoint-per-commit) — O(files) metadata per commit, the simple
-  * variant of Delta's delta-log + periodic checkpoint; at 100 TB with
-  * bounded file sizes that is ~10⁶ lines of text per manifest, still
-  * metadata-sized, and the commit itself stays O(1) (one atomic link).
-  * Readers touch one manifest + the files it names; no directory listing
-  * of `data/` ever happens on the read path (listing is only vacuum's
-  * job, and vacuum is an offline maintenance pass).
+  * Scale notes — the DELTA-LOG + PERIODIC-CHECKPOINT metadata protocol
+  * (the Delta Lake log design, public): the atomic commit anchor for
+  * version N is `_log/v<N>.delta`, listing only the CHANGE against the
+  * parent (`+entry` adds, `-entry` removes) — a 3-file append to a
+  * 10⁶-file table commits 3 lines of metadata, not 10⁶. Every
+  * `checkpointInterval`-th commit additionally materializes
+  * `v<N>.manifest`, the full listing at N (written AFTER the anchor wins
+  * the race; purely an optimization, never the atomicity carrier — the
+  * put-if-absent stays on the single `.delta` name, so two racers can
+  * never split-brain across file types). A read reconstructs version V
+  * by walking back at most `checkpointInterval` deltas to the nearest
+  * checkpoint and replaying forward — O(interval) metadata files
+  * touched, each change-sized. [[expire]] materializes a checkpoint at
+  * the oldest surviving version before dropping the chain below it, so
+  * reconstruction never needs an expired file. No directory listing of
+  * `data/` ever happens on the read path (listing is only vacuum's job,
+  * an offline maintenance pass).
   */
-class SnapshotLog(val root: String) {
+class SnapshotLog(val root: String, val checkpointInterval: Int = 4) {
+  require(checkpointInterval >= 1,
+    s"checkpointInterval must be >= 1, got $checkpointInterval")
 
   private val logDir = new File(root, "_log")
   private val dataDir = new File(root, "data")
 
   private def manifestFile(v: Long) = new File(logDir, f"v$v%08d.manifest")
+
+  private def deltaFile(v: Long) = new File(logDir, f"v$v%08d.delta")
+
+  /** Write `lines` to `target` atomically (temp file + hard link —
+    * put-if-absent). Returns false if `target` already exists.
+    */
+  private def writeAtomic(target: File, lines: Seq[String]): Boolean = {
+    logDir.mkdirs()
+    val tmp = File.createTempFile(target.getName + "-", ".tmp", logDir)
+    Files.write(tmp.toPath, (lines.mkString("\n") + "\n").getBytes(UTF_8))
+    try {
+      Files.createLink(target.toPath, tmp.toPath)
+      true
+    } catch {
+      case _: FileAlreadyExistsException => false
+    } finally {
+      tmp.delete()
+      ()
+    }
+  }
+
+  private def readLines(f: File): Seq[String] =
+    Files.readAllLines(f.toPath, UTF_8).asScala.filter(_.nonEmpty).toSeq
 
   /** Manifest-line marker for tombstone (delete) files — see
     * [[deleteRows]]. Data lines are bare relative paths; tombstone lines
@@ -72,24 +107,43 @@ class SnapshotLog(val root: String) {
     */
   private val DelPrefix = "del:"
 
-  /** Committed versions, ascending. Empty before the first commit. */
+  /** Committed versions, ascending. Empty before the first commit. A
+    * version is committed iff its `.delta` anchor exists (or only its
+    * `.manifest` checkpoint survives an [[expire]]).
+    */
   def versions: Seq[Long] =
     Option(logDir.listFiles()).getOrElse(Array.empty)
       .map(_.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
-      .toSeq.sorted
+      .collect {
+        case n if n.startsWith("v") && n.endsWith(".manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toLong
+        case n if n.startsWith("v") && n.endsWith(".delta") =>
+          n.stripPrefix("v").stripSuffix(".delta").toLong
+      }
+      .toSeq.distinct.sorted
 
   def currentVersion: Option[Long] = versions.lastOption
 
   /** The manifest lines of a committed snapshot: bare relative paths for
     * data files, `del:`-prefixed relative paths for tombstone files.
+    * Served from the version's checkpoint when one exists; otherwise
+    * reconstructed by replaying at most [[checkpointInterval]] delta
+    * files onto the nearest ancestor checkpoint — bounded metadata work,
+    * never data-sized.
     */
   def files(version: Long): Seq[String] = {
-    val f = manifestFile(version)
-    require(f.exists(),
-      s"snapshot v$version does not exist at $root (expired or never committed)")
-    Files.readAllLines(f.toPath, UTF_8).asScala.filter(_.nonEmpty).toSeq
+    val mf = manifestFile(version)
+    if (mf.exists()) readLines(mf)
+    else {
+      val df = deltaFile(version)
+      require(df.exists(),
+        s"snapshot v$version does not exist at $root (expired or never committed)")
+      val parent = if (version == 0L) Seq.empty[String] else files(version - 1)
+      val lines = readLines(df)
+      val removed = lines.collect { case l if l.startsWith("-") => l.substring(1) }.toSet
+      val adds = lines.collect { case l if l.startsWith("+") => l.substring(1) }
+      parent.filterNot(removed) ++ adds
+    }
   }
 
   /** Data-file relative paths of a snapshot (tombstones excluded). */
@@ -128,24 +182,28 @@ class SnapshotLog(val root: String) {
     */
   def commit(expectedCurrent: Option[Long], fileList: Seq[String]): Long = {
     val next = expectedCurrent.getOrElse(-1L) + 1L
-    logDir.mkdirs()
-    val tmp = File.createTempFile(f"stage-v$next%08d-", ".tmp", logDir)
-    Files.write(tmp.toPath, (fileList.mkString("\n") + "\n").getBytes(UTF_8))
-    try {
-      // hard-link creation is the local-FS atomic put-if-absent: it either
-      // installs the COMPLETE manifest under the version name or throws —
-      // no reader can ever observe a partially-written manifest
-      Files.createLink(manifestFile(next).toPath, tmp.toPath)
-      next
-    } catch {
-      case _: FileAlreadyExistsException =>
-        throw new ConcurrentCommitException(
-          s"lost the commit race for v$next at $root: another writer " +
-            "committed first — re-read the current snapshot and retry")
-    } finally {
-      tmp.delete()
+    // the anchor is CHANGE-sized: only entries added to / removed from
+    // the parent listing cross the commit, however large the table is
+    val parent = expectedCurrent.map(files).getOrElse(Seq.empty)
+    val parentSet = parent.toSet
+    val nextSet = fileList.toSet
+    val delta = parent.filterNot(nextSet.contains).map("-" + _) ++
+      fileList.filterNot(parentSet.contains).map("+" + _)
+    // hard-link creation is the local-FS atomic put-if-absent: it either
+    // installs the COMPLETE delta under the version name or throws — no
+    // reader can ever observe a partially-written commit
+    if (!writeAtomic(deltaFile(next), delta))
+      throw new ConcurrentCommitException(
+        s"lost the commit race for v$next at $root: another writer " +
+          "committed first — re-read the current snapshot and retry")
+    // periodic checkpoint AFTER the anchor won: a full listing that
+    // bounds every reconstruction walk; losing the race here is benign
+    // (a racer or retry already wrote identical content)
+    if (next % checkpointInterval == 0) {
+      writeAtomic(manifestFile(next), fileList)
       ()
     }
+    next
   }
 
   /** Stage + commit `df` as new files ADDED to the current snapshot. */
@@ -231,11 +289,20 @@ class SnapshotLog(val root: String) {
     * file without its stats.
     */
   def appendIndexed(df: DataFrame, statsCols: Seq[String]): Long = {
-    require(statsCols.nonEmpty, "appendIndexed: need at least one stats column")
-    val spark = df.sparkSession
     val cur = currentVersion
+    val staged = stageIndexed(df, statsCols)
+    commit(cur, cur.map(files).getOrElse(Nil) ++ staged)
+  }
+
+  /** [[stageArranged]] plus the `_stats.parquet` min/max sidecar — the
+    * shared staging step of [[appendIndexed]] and [[mergeCopyOnWrite]].
+    * One bounded per-staged-file aggregation pass; nothing is committed.
+    */
+  private def stageIndexed(df: DataFrame, statsCols: Seq[String]): Seq[String] = {
+    require(statsCols.nonEmpty, "stageIndexed: need at least one stats column")
+    val spark = df.sparkSession
     val staged = stageArranged(df)
-    import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin}
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
     import spark.implicits._
     val stats = staged.flatMap { p =>
       val one = spark.read.parquet(new File(root, p).toString)
@@ -250,7 +317,92 @@ class SnapshotLog(val root: String) {
     stats.toDF("file", "col", "lo", "hi")
       .coalesce(1).write.mode("overwrite")
       .parquet(new File(dir, "_stats.parquet").toString)
-    commit(cur, cur.map(files).getOrElse(Nil) ++ staged)
+    staged
+  }
+
+  /** Per-file `[lo, hi]` stats of `keyCol` for a snapshot's data files,
+    * read from the [[stageIndexed]] sidecars: `Some((lo, hi))` when the
+    * file's stage recorded stats for the column, `None` otherwise
+    * (stats-free files must be treated as full-range). File-count-sized.
+    */
+  private def fileRanges(
+      spark: SparkSession,
+      version: Long,
+      keyCol: String): Seq[(String, Option[(Long, Long)])] = {
+    import org.apache.spark.sql.functions.col
+    dataFiles(version).groupBy(p => new File(root, p).getParent).toSeq.flatMap {
+      case (dir, paths) =>
+        val sidecar = new File(dir, "_stats.parquet")
+        if (!sidecar.exists()) paths.map(_ -> None)
+        else {
+          val st = spark.read.parquet(sidecar.toString)
+            .where(col("col") === keyCol)
+            .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+          paths.map(p => p -> st.get(p))
+        }
+    }
+  }
+
+  /** MERGE (upsert) under the log, COPY-ON-WRITE with stats-pruned
+    * rewrite scope (the Delta `MERGE INTO` + file-pruning shape):
+    * matched keys take the update row, unmatched update rows insert, and
+    * — the scale point — only the data files whose recorded `keyCol`
+    * range ([[stageIndexed]] sidecars) actually CONTAINS an update key
+    * are rewritten; every other file is carried into the new manifest
+    * untouched. Candidacy is exact, not min/max-of-the-batch coarse: the
+    * file ranges (file-count-sized) broadcast against the DISTINCT
+    * update keys, so a narrow update batch over a range-clustered table
+    * rewrites O(touched files), not O(table). Committed atomically as
+    * one new version; pinned readers of the pre-merge snapshot are
+    * untouched. Stats-free files are rewritten conservatively.
+    *
+    * `updates` must carry the base schema; `keyCol` must be unique per
+    * row in both base and updates (upsert key). Returns the committed
+    * version plus (filesRewritten, filesTotal) so callers can assert the
+    * copy-on-write scope was bounded. Merge-on-read tombstones must be
+    * [[compact]]ed away first — mixing the two rewrite disciplines in
+    * one commit would hide which mechanism masked a key.
+    */
+  def mergeCopyOnWrite(updates: DataFrame, keyCol: String): (Long, (Int, Int)) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val spark = updates.sparkSession
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"mergeCopyOnWrite: no committed snapshot at $root"))
+    require(tombstoneFiles(cur).isEmpty,
+      "mergeCopyOnWrite: compact() merge-on-read tombstones before merging")
+    val ranges = fileRanges(spark, cur, keyCol)
+    val alwaysRewrite = ranges.collect { case (p, None) => p }
+    val statted = ranges.collect { case (p, Some((lo, hi))) => (p, lo, hi) }
+    import spark.implicits._
+    // exact candidacy: distinct update keys range-join the broadcast
+    // file-range frame; output is file-count-sized
+    val hit =
+      if (statted.isEmpty) Seq.empty[String]
+      else updates.select(col(keyCol).cast("long").as("k")).distinct()
+        .join(broadcast(statted.toDF("file", "lo", "hi")),
+          col("k") >= col("lo") && col("k") <= col("hi"))
+        .select("file").distinct().as[String].collect().toSeq
+    val rewrite = (alwaysRewrite ++ hit).sorted
+    val untouched = dataFiles(cur).filterNot(rewrite.toSet)
+    val baseCols = read(spark, cur).columns.toSeq
+    require(updates.columns.toSeq.sorted == baseCols.sorted,
+      s"mergeCopyOnWrite: updates schema ${updates.columns.toSeq} != base $baseCols")
+    val keyOnly = updates.select(col(keyCol))
+    val stagedNew = {
+      // survivors of the touched files (update keys anti-joined away)
+      // ride in the SAME stage as the update rows: one write, one sidecar
+      val survivors =
+        if (rewrite.isEmpty) None
+        else Some(spark.read
+          .parquet(rewrite.map(p => new File(root, p).toString): _*)
+          .join(keyOnly, Seq(keyCol), "left_anti"))
+      val fresh = updates.select(baseCols.map(col): _*)
+      stageIndexed(
+        survivors.fold(fresh)(s => s.select(baseCols.map(col): _*).unionByName(fresh)),
+        Seq(keyCol))
+    }
+    val v = commit(Some(cur), untouched ++ stagedNew)
+    (v, (rewrite.size, dataFiles(cur).size))
   }
 
   /** Range-predicate read over a snapshot whose files carry
@@ -269,19 +421,10 @@ class SnapshotLog(val root: String) {
       pHi: Long): (DataFrame, (Int, Int)) = {
     import org.apache.spark.sql.functions.col
     val data = dataFiles(version)
-    val byDir = data.groupBy(p => new File(root, p).getParent)
-    val keep = byDir.flatMap { case (dir, paths) =>
-      val sidecar = new File(dir, "_stats.parquet")
-      if (!sidecar.exists()) paths // stats-free stage: keep conservatively
-      else {
-        val st = spark.read.parquet(sidecar.toString)
-          .where(col("col") === statsCol)
-          .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
-        paths.filter { p =>
-          st.get(p).forall { case (lo, hi) => hi >= pLo && lo <= pHi }
-        }
-      }
-    }.toSeq
+    val keep = fileRanges(spark, version, statsCol).collect {
+      case (p, None) => p // stats-free stage: keep conservatively
+      case (p, Some((lo, hi))) if hi >= pLo && lo <= pHi => p
+    }
     val pruned =
       if (keep.isEmpty)
         read(spark, version).where(org.apache.spark.sql.functions.lit(false))
@@ -332,14 +475,30 @@ class SnapshotLog(val root: String) {
     read(spark, currentVersion.getOrElse(
       throw new IllegalStateException(s"read: no committed snapshot at $root")))
 
-  /** Drop manifests strictly below `keepFrom` (their exclusive files
-    * become orphans for [[vacuum]]). Returns the expired versions.
+  /** Drop commits strictly below `keepFrom` (their exclusive files
+    * become orphans for [[vacuum]]). Before deleting, a checkpoint is
+    * materialized at the oldest SURVIVING version if it doesn't already
+    * have one — the delta chain below it is about to disappear, and
+    * reconstruction of every later version re-bases on that checkpoint.
+    * Returns the expired versions.
     */
-  def expire(keepFrom: Long): Seq[Long] =
-    versions.filter(_ < keepFrom).map { v =>
+  def expire(keepFrom: Long): Seq[Long] = {
+    val vs = versions
+    val expired = vs.filter(_ < keepFrom)
+    if (expired.nonEmpty) {
+      vs.find(_ >= keepFrom).foreach { floor =>
+        if (!manifestFile(floor).exists()) {
+          writeAtomic(manifestFile(floor), files(floor))
+          ()
+        }
+      }
+    }
+    expired.map { v =>
       manifestFile(v).delete()
+      deltaFile(v).delete()
       v
     }
+  }
 
   /** Collect data files referenced by NO live manifest — aborted stages
     * and expired snapshots' exclusive files. Never touches a file any

@@ -414,7 +414,9 @@ class PlanSpec extends AnyFunSuite {
       // dict join broadcasts a vocabulary-sized frame; feature-hash is explode+agg
       "dict_encode" -> 0, "feature_hash" -> 0,
       "join_shuffle_hash" -> 0, "observe_metrics" -> 0,
-      "snapshot_optimize" -> 0, "snapshot_stats_prune" -> 0)
+      "snapshot_optimize" -> 0, "snapshot_stats_prune" -> 0,
+      "snapshot_merge_upsert" -> 0, "q12_shipmode" -> 0,
+      "snapshot_delta_log" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -121,6 +121,71 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(withLate.count() == 1L && o2 >= 1 && t2 == 5)
   }
 
+  test("delta-log metadata: change-sized anchors, periodic checkpoints, chains reconstruct") {
+    val log = freshLog("delta") // checkpointInterval = 4
+    val logDir = new File("/root/repo/target/snaplog_spec/delta/_log")
+    def logName(v: Long, ext: String) = new File(logDir, f"v$v%08d.$ext")
+    def lines(f: File) =
+      java.nio.file.Files.readAllLines(f.toPath).toArray.map(_.toString).filter(_.nonEmpty)
+    (0 to 5).foreach(i => log.append(rows(10, s"b$i"), partitions = 2))
+    // anchors exist for every version; checkpoints only at the interval
+    (0L to 5L).foreach(v => assert(logName(v, "delta").exists(), s"missing anchor v$v"))
+    assert((0L to 5L).filter(v => logName(v, "manifest").exists()) == Seq(0L, 4L))
+    // the v3 anchor records ONLY v3's change (2 added files), not the
+    // 8-file table listing — the O(change) commit claim, measured
+    val d3 = lines(logName(3L, "delta"))
+    assert(d3.length == 2 && d3.forall(_.startsWith("+")), d3.mkString(","))
+    assert(log.dataFiles(3L).size == 8)
+    // reconstruction across the chain is exact at every version
+    (0 to 5).foreach(v => assert(log.read(spark, v.toLong).count() == 10L * (v + 1)))
+    // an overwrite's delta carries removes + adds
+    log.overwrite(rows(4, "ow"), partitions = 1)
+    val d6 = lines(logName(6L, "delta"))
+    assert(d6.count(_.startsWith("-")) == 12 && d6.count(_.startsWith("+")) == 1)
+    assert(log.read(spark, 6L).count() == 4L)
+    // expire materializes a checkpoint at the oldest survivor so the
+    // dropped chain is never needed again; later versions keep reading
+    assert(log.expire(keepFrom = 2L) == Seq(0L, 1L))
+    assert(logName(2L, "manifest").exists(), "expire must checkpoint the floor")
+    assert(!logName(0L, "delta").exists() && !logName(1L, "delta").exists())
+    assert(!logName(0L, "manifest").exists())
+    (2 to 5).foreach(v => assert(log.read(spark, v.toLong).count() == 10L * (v + 1)))
+    assert(log.versions == (2L to 6L))
+    intercept[IllegalArgumentException](log.files(1L))
+    ()
+  }
+
+  test("mergeCopyOnWrite: rewrites only key-matching files; untouched files carry over") {
+    val log = freshLog("merge")
+    val clustered = (0L until 120L).map(i => (i, s"p$i")).toDF("k", "payload")
+      .repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+    val v0 = log.appendIndexed(clustered, Seq("k"))
+    val v0Files = log.dataFiles(v0).toSet
+    // updates hit keys 10..20 (one clustered file) + insert keys 200..204
+    val upd = ((10L to 20L).map(i => (i, s"UP$i")) ++
+      (200L to 204L).map(i => (i, s"NEW$i"))).toDF("k", "payload")
+    val (v1, (rew, tot)) = log.mergeCopyOnWrite(upd, "k")
+    assert(tot == 4 && rew == 1, s"expected exactly one rewritten file, got $rew/$tot")
+    // untouched files are carried by path identity into the new manifest
+    assert((log.dataFiles(v1).toSet intersect v0Files).size == 3)
+    val out = log.read(spark, v1).as[(Long, String)].collect().toMap
+    assert(out.size == 125)
+    assert((10L to 20L).forall(i => out(i) == s"UP$i"), "matched keys must take the update row")
+    assert((200L to 204L).forall(i => out(i) == s"NEW$i"), "unmatched update rows must insert")
+    assert(out(9L) == "p9" && out(21L) == "p21" && out(119L) == "p119")
+    // the pinned pre-merge snapshot still reads the old rows
+    assert(log.read(spark, v0).where(col("k") === 15L)
+      .select("payload").as[String].head() == "p15")
+    // the merged stage carries its own stats: a post-merge pruned read skips
+    val (_, (opened, total)) = log.readPruned(spark, v1, "k", 40L, 70L)
+    assert(opened < total, s"post-merge stats must still prune, got $opened/$total")
+    // a schema-mismatched update batch fails loudly
+    intercept[IllegalArgumentException] {
+      log.mergeCopyOnWrite(Seq((1L, "x", 2L)).toDF("k", "payload", "extra"), "k")
+    }
+    ()
+  }
+
   test("concurrent writers: exactly one commit wins, the loser fails loudly") {
     val log = freshLog("conflict")
     log.append(rows(4, "base"), partitions = 1)
