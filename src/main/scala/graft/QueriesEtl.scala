@@ -834,6 +834,38 @@ object QueriesEtl {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ── CHECK constraints on commit ([[SnapshotLog.appendChecked]], the
+    // Delta table-constraint shape): a clean batch commits; a batch with
+    // negative amounts is rejected LOUDLY (per-constraint violation
+    // counts in the error) in ONE batch-sized validation pass, and the
+    // table state is provably untouched by the rejected batch. Both laws
+    // measured, then hashed next to the committed corpus rollup ──
+    "snapshot_constraints" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_check"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderpriority").as("prio"))
+      val checks = Seq(
+        "cents_nonneg" -> (col("cents") >= 0L),
+        "prio_present" -> col("prio").isNotNull)
+      val v0 = log.appendChecked(base, partitions = 4, checks)
+      val bad = base.limit(50).withColumn("cents", -col("cents") - 1L)
+      val rejected =
+        try { log.appendChecked(bad, partitions = 1, checks); false }
+        catch {
+          case e: IllegalArgumentException => e.getMessage.contains("cents_nonneg")
+        }
+      val unchanged = log.currentVersion.contains(v0)
+      log.readLatest(s)
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .withColumn("bad_batch_rejected", lit(rejected))
+        .withColumn("state_unchanged", lit(unchanged))
+        .orderBy(col("prio"))
+    }),
+
     // ── DELTA-LOG metadata protocol under the snapshot log
     // ([[SnapshotLog.commit]]'s change-sized anchors + periodic
     // checkpoints, the Delta Lake log design): six appends commit six
@@ -1198,6 +1230,16 @@ object QueriesEtl {
         |FROM c, b
         |WHERE cents >= mn + (mx - mn) // 3 AND cents <= mn + 2 * (mx - mn) // 3
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // snapshot_constraints: the committed state is exactly the clean
+    // corpus; rejection/isolation laws measured in the Spark path
+    "snapshot_constraints" ->
+      """SELECT o_orderpriority AS prio,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS bad_batch_rejected,
+        |       TRUE AS state_unchanged
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
 
     // snapshot_delta_log: the six appended slices reunite to the whole
     // orders corpus; the four protocol laws are measured in the Spark path

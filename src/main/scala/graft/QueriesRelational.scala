@@ -1214,6 +1214,62 @@ object QueriesRelational {
         .orderBy(col("flag"))
     }),
 
+    // ── exact-integer simple-regression components (the feature-vs-
+    // target correlation audit a training pipeline runs before trusting
+    // a signal): per group, the six sufficient statistics (n, Σx, Σy,
+    // Σxy, Σx², Σy²) plus the cross-multiplied slope fraction
+    // (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — ALL exact integers (x = whole
+    // units, y = whole dollars), so slope/correlation are recoverable
+    // downstream to any precision with zero FP drift across engines.
+    // One map-side-combinable aggregate pass; headroom audited at sf0.1
+    // (≤ ~4.5e17 < 2⁶³) ──
+    "regr_components" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("flag"),
+        floor(col("l_quantity")).cast("long").as("x"),
+        floor(col("l_extendedprice")).cast("long").as("y"))
+      li.groupBy(col("flag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sum_x"),
+          sum(col("y")).as("sum_y"),
+          sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_xx"),
+          sum(col("y") * col("y")).as("sum_yy"))
+        .select(col("flag"), col("n"), col("sum_x"), col("sum_y"),
+          col("sum_xy"), col("sum_xx"), col("sum_yy"),
+          (col("n") * col("sum_xy") - col("sum_x") * col("sum_y")).as("slope_num"),
+          (col("n") * col("sum_xx") - col("sum_x") * col("sum_x")).as("slope_den"))
+        .orderBy(col("flag"))
+    }),
+
+    // ── exact median via ranked window (percentile_cont semantics with
+    // zero FP interpolation: med2 = the SUM of the two middle values —
+    // twice the single middle when n is odd — stays a whole-cents
+    // integer; divide by 2 downstream at whatever precision you like).
+    // The rank pass shuffles once on the group key; at 100 TB the same
+    // answer comes from the KLL/approx routes (`kll_quantile_rollup`,
+    // `quantiles_approx`) — this is their exact ground-truth leg ──
+    "median_exact" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val r = o
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("prio")).orderBy(col("cents"))))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("prio"))))
+      r.where(col("rn") === expr("(cnt + 1) div 2") ||
+          col("rn") === expr("(cnt + 2) div 2"))
+        .groupBy(col("prio"))
+        .agg(
+          max(col("cnt")).as("n_rows"),
+          sum(
+            when(col("rn") === expr("(cnt + 1) div 2"), col("cents")).otherwise(0L) +
+            when(col("rn") === expr("(cnt + 2) div 2"), col("cents")).otherwise(0L))
+            .as("med2_cents"))
+        .orderBy(col("prio"))
+    }),
+
     // ── order-invariant table fingerprint: two independent md5-derived
     // row digests SUMMED per table — the replication/equality audit that
     // says "these two copies hold the same rows" without moving either
@@ -2553,6 +2609,47 @@ object QueriesRelational {
         |FROM (SELECT l_returnflag AS flag, l_extendedprice AS v FROM lineitem) x
         |JOIN th USING (flag)
         |GROUP BY flag ORDER BY flag""".stripMargin,
+
+    // regr_components: identical exact-integer sufficient statistics and
+    // cross-multiplied slope fraction (HUGEINT-safe in DuckDB, audited
+    // BIGINT headroom in Spark)
+    "regr_components" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(floor(l_quantity) AS BIGINT) AS x,
+        |         CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |)
+        |SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(x) AS BIGINT) AS sum_x,
+        |       CAST(sum(y) AS BIGINT) AS sum_y,
+        |       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+        |       CAST(sum(y * y) AS BIGINT) AS sum_yy,
+        |       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+        |       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den
+        |FROM b GROUP BY flag ORDER BY flag""".stripMargin,
+
+    // median_exact: identical ranked-window middle-two selection; both
+    // engines truncate the rank division identically (div vs //)
+    "median_exact" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), r AS (
+        |  SELECT prio, cents,
+        |         row_number() OVER (PARTITION BY prio ORDER BY cents) AS rn,
+        |         count(*) OVER (PARTITION BY prio) AS cnt
+        |  FROM c
+        |)
+        |SELECT prio, CAST(max(cnt) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN cents ELSE 0 END)
+        |          + sum(CASE WHEN rn = (cnt + 2) // 2 THEN cents ELSE 0 END)
+        |         AS BIGINT) AS med2_cents
+        |FROM r
+        |WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        |GROUP BY prio ORDER BY prio""".stripMargin,
 
     // table_fingerprint: the identical canonical serialization and summed
     // two-moment md5 digests per table

@@ -242,6 +242,36 @@ class SnapshotLog(val root: String, val checkpointInterval: Int = 4) {
     commit(Some(cur), files(cur) ++ staged.map(DelPrefix + _))
   }
 
+  /** [[append]] gated by CHECK constraints (the Delta/Lakehouse table-
+    * constraint shape): every named predicate must hold on EVERY row of
+    * the batch — SQL CHECK semantics, so a NULL predicate passes and
+    * only an explicit FALSE violates. Violations reject the whole batch
+    * LOUDLY (per-constraint violation counts in the error) before
+    * anything stages, so a committed snapshot can never contain a row
+    * that breaks a declared invariant. Validation is ONE aggregate pass
+    * over the batch (batch-sized, never table-sized): all constraint
+    * counters ride in a single job.
+    */
+  def appendChecked(
+      df: DataFrame,
+      partitions: Int,
+      constraints: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    require(constraints.nonEmpty, "appendChecked: need at least one constraint")
+    import org.apache.spark.sql.functions.{coalesce, lit, not, sum => ssum, when}
+    val counters = constraints.map { case (name, pred) =>
+      ssum(when(not(coalesce(pred, lit(true))), 1L).otherwise(0L)).as(name)
+    }
+    val row = df.agg(counters.head, counters.tail: _*).head()
+    val violated = constraints.zipWithIndex.collect {
+      case ((name, _), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"$name (${row.getLong(i)} rows)"
+    }
+    if (violated.nonEmpty)
+      throw new IllegalArgumentException(
+        s"appendChecked: batch violates CHECK constraints: ${violated.mkString(", ")}")
+    append(df, partitions)
+  }
+
   /** Rewrite the current snapshot into `partitions` files (small-file
     * compaction under the log: readers of old versions are untouched, and
     * the old files become vacuum-collectable only once their snapshots

@@ -186,6 +186,26 @@ class SnapshotLogSpec extends AnyFunSuite {
     ()
   }
 
+  test("appendChecked: NULL passes CHECK, FALSE rejects loudly, state untouched") {
+    val log = freshLog("checked")
+    val checks = Seq(
+      "id_nonneg" -> (col("id") >= 0L),
+      "payload_short" -> (length(col("payload")) < lit(100)))
+    val v0 = log.appendChecked(rows(10, "ok"), partitions = 1, checks)
+    // a NULL predicate passes (SQL CHECK semantics)
+    val withNull = Seq((5L, null.asInstanceOf[String])).toDF("id", "payload")
+    log.appendChecked(withNull, partitions = 1,
+      Seq("payload_short" -> (length(col("payload")) < lit(100))))
+    assert(log.readLatest(spark).count() == 11L)
+    // an explicit FALSE rejects with the constraint name and count
+    val err = intercept[IllegalArgumentException] {
+      log.appendChecked(Seq((-1L, "x"), (-2L, "y"), (3L, "z")).toDF("id", "payload"),
+        partitions = 1, checks)
+    }
+    assert(err.getMessage.contains("id_nonneg (2 rows)"), err.getMessage)
+    assert(log.currentVersion.contains(v0 + 1) && log.readLatest(spark).count() == 11L)
+  }
+
   test("concurrent writers: exactly one commit wins, the loser fails loudly") {
     val log = freshLog("conflict")
     log.append(rows(4, "base"), partitions = 1)
