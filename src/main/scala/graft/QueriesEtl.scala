@@ -780,6 +780,46 @@ object QueriesEtl {
     // history. Laws: versions dense from 0, one per trigger; per-version
     // row counts non-decreasing with the final version holding EXACTLY
     // the input (the rollup the oracle replays proves content) ──
+    // ── STREAMING MERGE-UPSERT under the snapshot log
+    // ([[graft.streaming.StreamingCdc.mergeUpsertReplay]]): a real
+    // 3-trigger change-stream replay where every micro-batch commits one
+    // atomic COPY-ON-WRITE merge, with the stats-pruned rewrite scope
+    // asserted bounded on EVERY trigger (rewritten < total files — the
+    // narrow-batch-over-clustered-table guarantee a 100 TB streaming
+    // upsert lives on). The final snapshot must hash-equal the
+    // all-at-once batch merge (anti-join + union), which the oracle
+    // replays ──
+    "stream_merge_upsert" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderpriority").as("prio"))
+      val b = base.agg(min(col("k")), max(col("k"))).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val band = mn + (mx - mn) / 4
+      val changes = base
+        .where(col("k") <= band && col("k") % 7 === 3)
+        .select(col("k"), (col("cents") + 1).as("cents"), col("prio"))
+        .unionByName(base.where(col("k") % 13 === 5)
+          .select((col("k") + lit(mx) + lit(1000L)).as("k"), col("cents"), col("prio")))
+      val (log, perTrigger) = graft.streaming.StreamingCdc.mergeUpsertReplay(
+        base, changes, "k", scratch(dir, "stream_merge"))
+      val merged = log.readLatest(s)
+      val expect = base
+        .join(changes.select(col("k")), Seq("k"), "left_anti")
+        .unionByName(changes)
+      val equal = merged.exceptAll(expect).limit(1).count() == 0 &&
+        expect.exceptAll(merged).limit(1).count() == 0
+      val boundedEvery =
+        perTrigger.nonEmpty && perTrigger.forall { case (_, rew, tot) => rew < tot }
+      merged
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .withColumn("stream_equals_batch_merge", lit(equal))
+        .withColumn("rewrite_bounded_every_trigger", lit(boundedEvery))
+        .orderBy(col("prio"))
+    }),
+
     "stream_snapshot_ingest" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(
         col("event_id").cast("long").as("event_id"),
@@ -1230,6 +1270,31 @@ object QueriesEtl {
         |FROM c, b
         |WHERE cents >= mn + (mx - mn) // 3 AND cents <= mn + 2 * (mx - mn) // 3
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // stream_merge_upsert: the all-at-once merge the trigger-sliced
+    // stream must converge to (identical derived update batch);
+    // per-trigger rewrite-scope and stream==batch laws measured in Spark
+    "stream_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderpriority AS prio
+        |  FROM orders
+        |), b AS (SELECT min(k) AS mn, max(k) AS mx FROM base),
+        |upd AS (
+        |  SELECT k, cents + 1 AS cents, prio FROM base, b
+        |  WHERE k <= mn + (mx - mn) // 4 AND k % 7 = 3
+        |  UNION ALL
+        |  SELECT k + mx + 1000 AS k, cents, prio FROM base, b WHERE k % 13 = 5
+        |),
+        |merged AS (
+        |  SELECT * FROM base WHERE k NOT IN (SELECT k FROM upd)
+        |  UNION ALL SELECT * FROM upd
+        |)
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS stream_equals_batch_merge,
+        |       TRUE AS rewrite_bounded_every_trigger
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
 
     // snapshot_constraints: the committed state is exactly the clean
     // corpus; rejection/isolation laws measured in the Spark path

@@ -140,6 +140,47 @@ object StreamingCdc {
     versions.toSeq
   }
 
+  /** Streaming upsert committed COPY-ON-WRITE under the snapshot log —
+    * `readStream → foreachBatch(SnapshotLog.mergeCopyOnWrite)`: the base
+    * commits once, range-clustered with per-file key stats, then every
+    * micro-batch merges transactionally, rewriting ONLY the files whose
+    * recorded key range contains a batch key (the Delta streaming-MERGE
+    * shape). Trigger boundaries are the only observable states; a narrow
+    * batch rewrites O(touched files) however large the table. Returns
+    * the log plus per-trigger (version, filesRewritten, filesTotal) so
+    * callers can assert the rewrite scope stayed bounded on EVERY
+    * trigger, not just in aggregate.
+    */
+  def mergeUpsertReplay(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      root: String,
+      slices: Int = 3,
+      basePartitions: Int = 4): (graft.sources.SnapshotLog, Seq[(Long, Int, Int)]) = {
+    val log = new graft.sources.SnapshotLog(s"$root/log")
+    val stats = scala.collection.mutable.ArrayBuffer[(Long, Int, Int)]()
+    var initialized = false
+    replayForeachBatch(changes, hashSlice(Seq(keyCol), slices), slices, root) {
+      (batch: DataFrame, _: Long) =>
+        if (!initialized) {
+          // the base commit rides the first trigger (the runner wipes
+          // `root` before staging, so it cannot land earlier)
+          log.appendIndexed(
+            base.repartitionByRange(basePartitions, col(keyCol))
+              .sortWithinPartitions(col(keyCol)),
+            Seq(keyCol))
+          initialized = true
+        }
+        if (!batch.isEmpty) {
+          val (v, (rew, tot)) = log.mergeCopyOnWrite(batch, keyCol)
+          stats += ((v, rew, tot))
+          ()
+        }
+    }
+    (log, stats.toSeq)
+  }
+
   def upsertReplay(
       base: DataFrame,
       changes: DataFrame,

@@ -417,7 +417,8 @@ class PlanSpec extends AnyFunSuite {
       "snapshot_optimize" -> 0, "snapshot_stats_prune" -> 0,
       "snapshot_merge_upsert" -> 0, "q12_shipmode" -> 0,
       "snapshot_delta_log" -> 0, "snapshot_constraints" -> 0,
-      "regr_components" -> 0, "median_exact" -> 0)
+      "regr_components" -> 0, "median_exact" -> 0,
+      "stream_merge_upsert" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
