@@ -91,6 +91,7 @@ object QueriesLlm {
   private val HybridSeeds = Seq(3L, 42L, 137L)
   private val AnnealEpochs = 4 // annealing schedule length, query AND oracle
   private val PprSeeds = 3 // personalized-pagerank seed count (smallest graph nodes)
+  private val BfsMaxHops = 4 // bfs_hops horizon, query AND oracle recursion bound
   private val ChunkTokens = 50 // chunk width AND stride (disjoint packing), passed to the query AND interpolated into the oracle
   private val PackBudget = 256 // sequence token budget for pack_sequences, query AND oracle
   private val PackShards = 8 // independent packing streams, query AND oracle
@@ -1151,6 +1152,23 @@ object QueriesLlm {
         docs, Tables.embeddings(s, dir), pairs, seeds,
         k = 10, poolK = 100, pprIters = PrIters, pprScale = PrScale)
         .orderBy(col("seed_id"), col("rank"))
+    }),
+
+    // ── BFS hop distances ([[GraphRank.hopDistances]]) from the same
+    // deterministic seed set over the winnow similarity graph — metric
+    // reachability ("how many near-dup hops away?") next to components'
+    // "same cluster?" and PPR's proximity mass. Iterative min-relaxation,
+    // one keyed join+agg per hop; oracle is the textbook recursive-CTE
+    // BFS, an INDEPENDENT formulation of the same levels ──
+    "bfs_hops" -> ((s, dir) => {
+      val pairs0 = Dedup.winnowOverlapPairs(
+        Tables.documents(s, dir), minShared = 2, n = WinnowN, window = WinnowW)
+      val pairs = Dedup.durableBy(pairs0, None)(pairs0)
+      val seeds = pairs.select(col("doc_a").as("node"))
+        .unionByName(pairs.select(col("doc_b").as("node"))).distinct()
+        .orderBy(col("node")).limit(PprSeeds)
+        .collect().map(_.getLong(0)).toSeq
+      GraphRank.hopDistances(pairs, seeds, maxHops = BfsMaxHops)
     }),
 
     // ── graph-structural seed expansion: PERSONALIZED PageRank — the
@@ -3455,6 +3473,26 @@ object QueriesLlm {
 
     // Personalized PageRank: seed-masked teleport, bitwise integer replay.
     "seed_ppr" -> seedPprOracleSql,
+
+    // bfs_hops: textbook recursive-CTE BFS over the same winnow graph —
+    // an INDEPENDENT formulation of the hop levels (UNION-dedup recursion
+    // bounded by the shared BfsMaxHops horizon, min per node at the end)
+    "bfs_hops" ->
+      s"""${winnowCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+         |p AS (SELECT l.doc_id AS a, r.doc_id AS b
+         |      FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+         |sd AS (SELECT src AS node FROM e GROUP BY 1 ORDER BY 1 LIMIT $PprSeeds),
+         |bfs AS (
+         |  SELECT node, 0 AS hops FROM sd
+         |  UNION
+         |  SELECT e.dst, b.hops + 1 FROM bfs b JOIN e ON e.src = b.node
+         |  WHERE b.hops < $BfsMaxHops
+         |)
+         |SELECT node AS doc_id, CAST(min(hops) AS BIGINT) AS hops
+         |FROM bfs GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // Lexical + dense + graph pools fused by integer RRF — three shared-
     // seed rankers, one replay.

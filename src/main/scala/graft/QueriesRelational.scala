@@ -955,6 +955,145 @@ object QueriesRelational {
         Tables.events(s, dir), "user_id", col("ts"), col("event_type"),
         Seq("view", "click", "purchase"), withinSec = 3600L)),
 
+    // ── ANY-SEQUENCE deadline funnel ([[operators.Analytics
+    // .funnelStepsWithinAny]]): the per-occurrence chain-restart form —
+    // a later view can still anchor the click window. One LEFT SEMI
+    // equi-join on the user per step; counts dominate funnel_within's ──
+    "funnel_within_any" -> ((s, dir) =>
+      graft.operators.Analytics.funnelStepsWithinAny(
+        Tables.events(s, dir), "user_id", col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"), withinSec = 3600L)),
+
+    // ── deterministic exact MODE per group (most frequent value,
+    // smallest-value tie-break stated explicitly — the builtin mode()
+    // breaks ties arbitrarily, which is useless under a hash gate):
+    // count-per-value then one rank window over the (count desc, value)
+    // order. Two keyed shuffles, no collects ──
+    "mode_exact" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("flag"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      val counted = li.groupBy(col("flag"), col("qty"))
+        .agg(count(lit(1)).as("n"))
+      counted
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("flag")).orderBy(col("n").desc, col("qty"))))
+        .where(col("rk") === 1)
+        .select(col("flag"), col("qty").as("mode_qty"), col("n").as("mode_n"))
+        .orderBy(col("flag"))
+    }),
+
+    // ── correlated LATERAL subquery (the SQL-standard per-row derived
+    // table): top-3 orders by price FOR EACH sampled customer, expressed
+    // as `FROM customer, LATERAL (... WHERE o_custkey = c_custkey ORDER
+    // BY ... LIMIT 3)`. Catalyst decorrelates the LIMIT-per-group into a
+    // ranked window over one equi-join — no per-row re-execution ──
+    "lateral_top_orders" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey, o_orderkey, cents
+          |FROM customer,
+          |LATERAL (
+          |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+          |  FROM orders
+          |  WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey
+          |  LIMIT 3
+          |)
+          |WHERE c_custkey % 97 = 0
+          |ORDER BY c_custkey, cents DESC, o_orderkey""".stripMargin)
+    }),
+
+    // ── EWMA with halving weights ([[operators.Analytics.ewmaHalving]]):
+    // exact-integer truncated binary EWMA per user over daily cents — one
+    // daily aggregation then a horizon-bounded range self-join equi-keyed
+    // on the user ──
+    "ewma_halving" -> ((s, dir) =>
+      graft.operators.Analytics.ewmaHalving(
+        Tables.events(s, dir), "user_id", col("ts"), col("value"),
+        horizonDays = 16)),
+
+    // ── lag-7 autocorrelation per event-type series ([[operators
+    // .Analytics.autocorrLag]]): the mean-cleared n²-scaled ACF sums in
+    // exact BIGINTs, calendar-day lag pairing by equi-join ──
+    "autocorr_lag" -> ((s, dir) =>
+      graft.operators.Analytics.autocorrLag(
+        Tables.events(s, dir), col("event_type"), col("ts"), lagDays = 7)),
+
+    // ── 2-D skyline (Pareto frontier) of suppliers on (total quantity,
+    // total revenue cents), maximizing both: a supplier survives iff no
+    // other weakly dominates it with one strict edge. Two window passes
+    // over the |suppliers|-sized aggregate — the strictly-greater-x max
+    // via a desc RANGE frame ending at 1 PRECEDING, the same-x tie rule
+    // via a per-x partition max. The oracle is the INDEPENDENT NOT-EXISTS
+    // dominance formulation, so the window algebra is cross-checked
+    // against the definition, not itself. The window runs on the
+    // post-aggregation frame (|suppliers| rows, not |lineitem|); a
+    // data-sized skyline would grid-prefilter first ──
+    "skyline_pareto" -> ((s, dir) => {
+      val sup = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(
+          sum(floor(col("l_quantity")).cast("long")).as("qty"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev"))
+      val wGx = Window.orderBy(col("qty").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wSameX = Window.partitionBy(col("qty"))
+      sup
+        .withColumn("max_rev_gx", max(col("rev")).over(wGx))
+        .withColumn("max_rev_same_x", max(col("rev")).over(wSameX))
+        .where(
+          (col("max_rev_gx").isNull || col("max_rev_gx") < col("rev")) &&
+            col("rev") === col("max_rev_same_x"))
+        .select(col("l_suppkey"), col("qty"), col("rev"))
+        .orderBy(col("qty").desc, col("l_suppkey"))
+    }),
+
+    // ── pairwise Pearson correlation matrix over (quantity, price,
+    // discount) per return flag, ONE scan: all nine power/cross sums
+    // accumulate in decimal(38,0) in a single map-side-combined
+    // aggregation (BIGINT would overflow on Σp² at sf≥0.1), the rational
+    // mean clears through the n²-scaled num/den, and only the final
+    // ratio touches doubles (cast→sqrt→divide→round(6), all
+    // correctly-rounded IEEE, so both engines agree bitwise). 3 groups ×
+    // 3 pairs = 9 rows out ──
+    "corr_matrix" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("flag"),
+        floor(col("l_quantity") * 100).cast("long").as("q"),
+        floor(col("l_extendedprice") * 100).cast("long").as("p"),
+        floor(col("l_discount") * 10000).cast("long").as("d"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val agg = li.groupBy(col("flag")).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("q"))).as("sq"), sum(dec(col("p"))).as("sp"),
+        sum(dec(col("d"))).as("sd"),
+        sum(dec(col("q")) * col("q")).as("sqq"),
+        sum(dec(col("p")) * col("p")).as("spp"),
+        sum(dec(col("d")) * col("d")).as("sdd"),
+        sum(dec(col("q")) * col("p")).as("sqp"),
+        sum(dec(col("q")) * col("d")).as("sqd"),
+        sum(dec(col("p")) * col("d")).as("spd"))
+      agg.select(
+          col("flag"), col("n"),
+          expr("n * sqp - sq * sp").as("num_qp"),
+          expr("n * sqd - sq * sd").as("num_qd"),
+          expr("n * spd - sp * sd").as("num_pd"),
+          expr("n * sqq - sq * sq").as("den_q"),
+          expr("n * spp - sp * sp").as("den_p"),
+          expr("n * sdd - sd * sd").as("den_d"))
+        .select(col("flag"), col("n"),
+          expr("stack(3, 'q_p', num_qp, den_q, den_p," +
+            " 'q_d', num_qd, den_q, den_d," +
+            " 'p_d', num_pd, den_p, den_d) AS (pair, num_scaled, dx, dy)"))
+        .select(
+          col("flag"), col("pair"), col("n"), col("num_scaled"),
+          expr("round(CAST(num_scaled AS DOUBLE) / " +
+            "(sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6)")
+            .as("corr_r6"))
+        .orderBy(col("flag"), col("pair"))
+    }),
+
     // ── last-touch revenue attribution ([[operators.Analytics
     // .lastTouchAttribution]]): each purchase credits the most recent
     // preceding view/click of the same user within 7 days, else
@@ -2457,6 +2596,170 @@ object QueriesRelational {
         |       CAST(n_users * 1000000 // (SELECT n_users FROM c WHERE step = 1) AS BIGINT)
         |         AS conv_ppm
         |FROM c ORDER BY step""".stripMargin,
+
+    // funnel_within_any: the same chain as EXISTS subqueries — an event
+    // qualifies via ANY qualifying predecessor occurrence
+    "funnel_within_any" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS et,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), q1 AS (
+        |  SELECT u, sec FROM e WHERE et = 'view'
+        |), q2 AS (
+        |  SELECT e.u, e.sec FROM e WHERE et = 'click' AND EXISTS (
+        |    SELECT 1 FROM q1 WHERE q1.u = e.u
+        |      AND e.sec >= q1.sec AND e.sec <= q1.sec + 3600)
+        |), q3 AS (
+        |  SELECT e.u, e.sec FROM e WHERE et = 'purchase' AND EXISTS (
+        |    SELECT 1 FROM q2 WHERE q2.u = e.u
+        |      AND e.sec >= q2.sec AND e.sec <= q2.sec + 3600)
+        |), c AS (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |         CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM q1
+        |  UNION ALL
+        |  SELECT 2, 'click', count(DISTINCT u) FROM q2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(DISTINCT u) FROM q3
+        |)
+        |SELECT step, step_name, n_users,
+        |       CAST(n_users * 1000000 // (SELECT n_users FROM c WHERE step = 1) AS BIGINT)
+        |         AS conv_ppm
+        |FROM c ORDER BY step""".stripMargin,
+
+    // mode_exact: identical count-then-rank with the stated tie-break
+    "mode_exact" ->
+      """WITH counted AS (
+        |  SELECT l_returnflag AS flag, CAST(floor(l_quantity) AS BIGINT) AS qty,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT flag, qty, n,
+        |         row_number() OVER (PARTITION BY flag ORDER BY n DESC, qty) AS rk
+        |  FROM counted
+        |)
+        |SELECT flag, qty AS mode_qty, n AS mode_n
+        |FROM ranked WHERE rk = 1 ORDER BY flag""".stripMargin,
+
+    // lateral_top_orders: the identical correlated LATERAL limit-per-row
+    "lateral_top_orders" ->
+      """SELECT c_custkey, o_orderkey, cents
+        |FROM customer,
+        |LATERAL (
+        |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 3
+        |)
+        |WHERE c_custkey % 97 = 0
+        |ORDER BY c_custkey, cents DESC, o_orderkey""".stripMargin,
+
+    // ewma_halving: identical daily-cents frame and horizon-bounded
+    // self-join; weights are 1<<d BIGINTs so the sum replays bitwise
+    "ewma_halving" ->
+      """WITH daily AS (
+        |  SELECT user_id AS key,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
+        |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d.key AS user_id,
+        |       DATE '1970-01-01' + CAST(d.eday AS INT) AS day,
+        |       CAST(sum(h.cents * (CAST(1 AS BIGINT) << CAST(15 - (d.eday - h.eday) AS INT))) AS BIGINT)
+        |         AS ewma_scaled,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |FROM daily d JOIN daily h
+        |  ON h.key = d.key AND h.eday <= d.eday AND h.eday > d.eday - 16
+        |GROUP BY 1, 2
+        |ORDER BY user_id, day""".stripMargin,
+
+    // autocorr_lag: same n²-scaled mean-cleared sums, calendar-day pairing
+    "autocorr_lag" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), dev AS (
+        |  SELECT series, eday,
+        |         CAST(count(*) OVER (PARTITION BY series) AS BIGINT) AS n,
+        |         CAST(count(*) OVER (PARTITION BY series) AS BIGINT) * x
+        |           - CAST(sum(x) OVER (PARTITION BY series) AS BIGINT) AS dev
+        |  FROM daily
+        |), num AS (
+        |  SELECT a.series, CAST(sum(a.dev * b.dev) AS BIGINT) AS num_scaled,
+        |         CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM dev a JOIN dev b ON b.series = a.series AND b.eday = a.eday + 7
+        |  GROUP BY 1
+        |), den AS (
+        |  SELECT series, CAST(sum(dev * dev) AS BIGINT) AS den_scaled,
+        |         CAST(max(n) AS BIGINT) AS n_days
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT num.series, n_days, n_pairs, num_scaled, den_scaled,
+        |       round(CAST(num_scaled AS DOUBLE) / CAST(den_scaled AS DOUBLE), 6) AS acf
+        |FROM num JOIN den USING (series)
+        |ORDER BY series""".stripMargin,
+
+    // skyline_pareto: the INDEPENDENT NOT-EXISTS dominance formulation —
+    // cross-checks the window algebra against the definition itself
+    "skyline_pareto" ->
+      """WITH s AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT a.l_suppkey, a.qty, a.rev
+        |FROM s a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM s b
+        |  WHERE b.qty >= a.qty AND b.rev >= a.rev
+        |    AND (b.qty > a.qty OR b.rev > a.rev))
+        |ORDER BY a.qty DESC, a.l_suppkey""".stripMargin,
+
+    // corr_matrix: same one-scan sums in HUGEINT (DuckDB's exact 128-bit),
+    // same cast→sqrt→divide→round float tail
+    "corr_matrix" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(floor(l_quantity * 100) AS BIGINT) AS q,
+        |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS p,
+        |         CAST(floor(l_discount * 10000) AS BIGINT) AS d
+        |  FROM lineitem
+        |), agg AS (
+        |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(q AS HUGEINT)) AS sq, sum(CAST(p AS HUGEINT)) AS sp,
+        |         sum(CAST(d AS HUGEINT)) AS sd,
+        |         sum(CAST(q AS HUGEINT) * q) AS sqq,
+        |         sum(CAST(p AS HUGEINT) * p) AS spp,
+        |         sum(CAST(d AS HUGEINT) * d) AS sdd,
+        |         sum(CAST(q AS HUGEINT) * p) AS sqp,
+        |         sum(CAST(q AS HUGEINT) * d) AS sqd,
+        |         sum(CAST(p AS HUGEINT) * d) AS spd
+        |  FROM li GROUP BY 1
+        |), m AS (
+        |  SELECT flag, n,
+        |         n * sqp - sq * sp AS num_qp,
+        |         n * sqd - sq * sd AS num_qd,
+        |         n * spd - sp * sd AS num_pd,
+        |         n * sqq - sq * sq AS den_q,
+        |         n * spp - sp * sp AS den_p,
+        |         n * sdd - sd * sd AS den_d
+        |  FROM agg
+        |), lng AS (
+        |  SELECT flag, n, 'q_p' AS pair, num_qp AS num_scaled, den_q AS dx, den_p AS dy FROM m
+        |  UNION ALL
+        |  SELECT flag, n, 'q_d', num_qd, den_q, den_d FROM m
+        |  UNION ALL
+        |  SELECT flag, n, 'p_d', num_pd, den_p, den_d FROM m
+        |)
+        |SELECT flag, pair, n, num_scaled,
+        |       round(CAST(num_scaled AS DOUBLE) /
+        |             (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6) AS corr_r6
+        |FROM lng ORDER BY flag, pair""".stripMargin,
 
     // attribution_last_touch: the same strictly-preceding (ts, event_id)
     // forward-fill frame, whole-second window arithmetic, exact cents

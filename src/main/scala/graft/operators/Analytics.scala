@@ -176,8 +176,8 @@ object Analytics {
     * click@t0+5100s with withinSec=3600 counts as no conversion). This
     * UNDERCOUNTS relative to any-sequence funnel semantics; it is the
     * fixed-anchor form ("from the user's FIRST qualifying touch") and the
-    * one the oracle replays bitwise. Any-sequence semantics would need the
-    * per-occurrence chain restart — a different, join-heavier operator.
+    * one the oracle replays bitwise. For the per-occurrence chain-restart
+    * form, use [[funnelStepsWithinAny]].
     */
   def funnelStepsWithin(
       events: DataFrame,
@@ -205,6 +205,60 @@ object Analytics {
     }.flatten
     val counts = reaches.zip(steps).zipWithIndex.map { case ((r, name), i) =>
       r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(name).as("step_name"), col("n_users"))
+    }.reduce(_ unionByName _)
+    val first = counts.where(col("step") === 1L).select(col("n_users").as("n_first"))
+    counts
+      .crossJoin(broadcast(first))
+      .select(
+        col("step"), col("step_name"), col("n_users"),
+        expr("n_users * 1000000 div n_first").as("conv_ppm"))
+      .orderBy(col("step"))
+  }
+
+  /** ANY-SEQUENCE deadline funnel — the per-occurrence chain-restart form
+    * [[funnelStepsWithin]]'s greedy anchor deliberately is not: an event
+    * QUALIFIES at step k iff it is of step k's type and lies within
+    * `withinSec` of ANY qualifying step-(k-1) occurrence (view@t0,
+    * view@t0+5000s, click@t0+5100s with withinSec=3600 now converts via
+    * the second view). A user is counted at step k when any qualifying
+    * step-k event exists, so per-step counts dominate the greedy form's
+    * pointwise.
+    *
+    * Scale shape: one LEFT SEMI join per funnel step, each equi-keyed on
+    * the user (hash/sort-merge on the shuffle key; the deadline bound is
+    * a residual predicate, never a cartesian), and the qualifying set at
+    * step k never exceeds step k's own event count. Steps are a short
+    * static list, so the chain is a fixed-depth plan, not iteration.
+    */
+  def funnelStepsWithinAny(
+      events: DataFrame,
+      userCol: String,
+      tsCol: Column,
+      typeCol: Column,
+      steps: Seq[String],
+      withinSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnelStepsWithinAny: at least one step required")
+    require(withinSec > 0,
+      s"funnelStepsWithinAny: withinSec must be positive, got $withinSec")
+    val ev = events.select(
+      col(userCol).as("u"), typeCol.as("et"),
+      floor(unix_timestamp(tsCol)).cast("long").as("sec"))
+    val quals = steps.scanLeft(Option.empty[DataFrame]) { case (prev, step) =>
+      val mine = ev.where(col("et") === step).select(col("u"), col("sec"))
+      Some(prev match {
+        case None => mine
+        case Some(q) =>
+          val p = q.select(col("u").as("pu"), col("sec").as("prev_sec"))
+          mine.join(p,
+            col("u") === col("pu") &&
+              col("sec") >= col("prev_sec") &&
+              col("sec") <= col("prev_sec") + withinSec,
+            "left_semi")
+      })
+    }.flatten
+    val counts = quals.zip(steps).zipWithIndex.map { case ((q, name), i) =>
+      q.agg(countDistinct(col("u")).as("n_users"))
         .select(lit(i + 1L).as("step"), lit(name).as("step_name"), col("n_users"))
     }.reduce(_ unionByName _)
     val first = counts.where(col("step") === 1L).select(col("n_users").as("n_first"))
@@ -643,5 +697,122 @@ object Analytics {
         expr("n_pos * 1000000 div n").as("acc_ppm"),
         expr("sum_score div n - n_pos * 1000000 div n").as("gap_ppm"))
       .orderBy(col("bin"))
+  }
+
+  /** EWMA with halving weights over a bounded lag horizon, decided in EXACT
+    * integer arithmetic. The textbook recursive EWMA (`s_t = α·x_t +
+    * (1−α)·s_{t−1}`) is an unbounded-history float recurrence no two
+    * engines replay bitwise; this is the truncated binary form with α=1/2:
+    *
+    *   ewma_scaled(t) = Σ_{d=0..H−1} cents(t−d) · 2^(H−1−d)
+    *
+    * — today's daily total weighs 2^(H−1), yesterday's half that, a value
+    * H days back weighs 1, older history weighs 0. Every term is a BIGINT
+    * product of exact daily cents and a power of two, so the oracle
+    * replays the sum bitwise (the decay_score pow-of-2 discipline; cents
+    * via `floor(value·100)` on both engines). `ewma_scaled / 2^H` is the
+    * float EWMA a dashboard would plot; the hashed output stays integer.
+    *
+    * Scale shape: the raw stream first collapses to per-(key, day) cents —
+    * one map-side-combined aggregation, the only data-sized shuffle — then
+    * the weighted sum is a self-join of that daily frame EQUI-KEYED on the
+    * key with the day distance as a residual range predicate, inflating
+    * each row by at most `horizonDays` (a constant, default 16). No window
+    * trick can express a frame-start-relative weight, but the bounded
+    * range join is exactly as shuffle-cheap: both sides partition on the
+    * key. At 100 TB the daily frame is |keys|·|days| — already the
+    * dashboard's own cardinality.
+    */
+  def ewmaHalving(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: Column,
+      valueCol: Column,
+      horizonDays: Int = 16): DataFrame = {
+    require(horizonDays >= 1 && horizonDays <= 62,
+      s"ewmaHalving: horizonDays must be in [1, 62] (weights are 2^d BIGINTs), got $horizonDays")
+    val daily = events
+      .where(valueCol.isNotNull)
+      .groupBy(
+        col(keyCol).as("key"),
+        datediff(to_date(tsCol), lit("1970-01-01").cast("date")).cast("long").as("eday"))
+      .agg(sum(floor(valueCol * 100).cast("long")).as("cents"))
+    val hist = daily.select(
+      col("key").as("hkey"), col("eday").as("heday"), col("cents").as("hcents"))
+    daily.join(hist,
+        col("key") === col("hkey") &&
+          col("heday") <= col("eday") &&
+          col("heday") > col("eday") - horizonDays.toLong)
+      .groupBy(col("key"), col("eday"))
+      .agg(
+        sum(col("hcents") *
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${horizonDays - 1} - (eday - heday) AS INT))")
+        ).as("ewma_scaled"),
+        count(lit(1)).as("n_terms"))
+      .select(
+        col("key").as(keyCol),
+        expr("date_add(DATE '1970-01-01', CAST(eday AS INT))").as("day"),
+        col("ewma_scaled"), col("n_terms"))
+      .orderBy(col(keyCol), col("day"))
+  }
+
+  /** Lag-k autocorrelation per series, decided in EXACT integer arithmetic.
+    * The ACF estimator r_k = Σ_{t≤n−k}(x_t−m)(x_{t+k}−m) / Σ_t(x_t−m)² has
+    * the sample mean m = S/n inside every term; multiplying both sums
+    * through by n² clears the rational mean:
+    *
+    *   num_scaled = Σ (n·x_t − S)(n·x_{t+k} − S)   [pairs t, t+k]
+    *   den_scaled = Σ (n·x_t − S)²                  [all t]
+    *
+    * — every factor is a BIGINT on integer series (daily counts), so both
+    * engines replay the sums bitwise; the float ratio is emitted only as
+    * `round(num/den, 6)` (cross-engine-stable double rounding). Pairing is
+    * by CALENDAR day distance (t+k means k days later, not k rows later),
+    * so gapped series self-report through n_pairs rather than silently
+    * mispairing.
+    *
+    * Scale shape: raw events collapse to per-(series, day) counts first
+    * (one map-side-combined shuffle); n and S come from a window over the
+    * series partition of that daily frame; the lag pairing is a self-join
+    * EQUI-KEYED on (series, day+k). Everything downstream of the first
+    * aggregation is |series|·|days| sized.
+    */
+  def autocorrLag(
+      events: DataFrame,
+      seriesCol: Column,
+      tsCol: Column,
+      lagDays: Int = 7): DataFrame = {
+    require(lagDays >= 1, s"autocorrLag: lagDays must be >= 1, got $lagDays")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(
+        seriesCol.as("series"),
+        datediff(to_date(tsCol), lit("1970-01-01").cast("date")).cast("long").as("eday"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("series"))
+    val stats = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("dev", col("n") * col("x") - col("s"))
+    val lead = stats.select(
+      col("series").as("lseries"), (col("eday") - lagDays.toLong).as("leday"),
+      col("dev").as("lead_dev"))
+    val num = stats.join(lead,
+        col("series") === col("lseries") && col("eday") === col("leday"))
+      .groupBy(col("series"))
+      .agg(
+        sum(col("dev") * col("lead_dev")).as("num_scaled"),
+        count(lit(1)).as("n_pairs"))
+    val den = stats.groupBy(col("series"))
+      .agg(
+        sum(col("dev") * col("dev")).as("den_scaled"),
+        max(col("n")).as("n_days"))
+    num.join(den, Seq("series"))
+      .select(
+        col("series"), col("n_days"), col("n_pairs"),
+        col("num_scaled"), col("den_scaled"),
+        round(col("num_scaled").cast("double") / col("den_scaled").cast("double"), 6)
+          .as("acf"))
+      .orderBy(col("series"))
   }
 }

@@ -243,6 +243,64 @@ object GraphRank {
     ranks.select(col("node").as(idOut), col("rank"))
   }
 
+  /** Single-source(-set) shortest HOP distances — BFS levels — from a seed
+    * set over an undirected graph, by iterative min-relaxation: round k
+    * extends every known distance across one edge and keeps the per-node
+    * minimum, so after `maxHops` rounds every node at distance ≤ maxHops
+    * carries its EXACT hop count (relaxation can only shorten, never
+    * lengthen, and level-k nodes are fixed after round k). Unreachable /
+    * farther nodes are absent, not null — the frontier never visits them.
+    *
+    * All-integer state (`node BIGINT, hops BIGINT`), so an engine replaying
+    * the same relaxation — or the textbook recursive-CTE BFS, which is what
+    * the oracle runs — reproduces the distances bitwise. This is the
+    * reachability primitive next to [[Dedup.connectedComponents]] (which
+    * answers "same cluster?" but not "how far?") and [[personalizedPagerank]]
+    * (proximity mass, not metric distance).
+    *
+    * Scale shape (Pregel, like [[rankImpl]]): the symmetrized edge relation
+    * is lineage-truncated ONCE and reused; each round is one shuffled
+    * equi-join on the frontier key plus a min-aggregate — O(maxHops)
+    * shuffles, no driver-side data. The distance frame never exceeds the
+    * reachable node set. `checkpointDir` upgrades the per-round truncation
+    * to reliable checkpoints for executor-loss survival at 100 TB, exactly
+    * like the components loop.
+    */
+  def hopDistances(
+      pairs: DataFrame,
+      seeds: Seq[Long],
+      maxHops: Int,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      idOut: String = "doc_id",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(seeds.nonEmpty, "hopDistances: at least one seed required")
+    require(maxHops >= 1 && maxHops <= 64,
+      s"hopDistances: maxHops must be in [1, 64], got $maxHops")
+    val durable = Dedup.durableBy(pairs, checkpointDir)
+    val sym = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(
+        pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+    val edges = durable(sym)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val present = nodes.where(col("node").isin(seeds: _*))
+    require(present.count() > 0,
+      s"hopDistances: no seed is a graph node (seeds=$seeds)")
+    var dist = present.select(col("node"), lit(0L).as("hops"))
+    for (_ <- 1 to maxHops) {
+      val reached = edges
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("hops") + lit(1L)).as("hops"))
+      dist = durable(
+        dist.unionByName(reached)
+          .groupBy(col("node"))
+          .agg(min(col("hops")).as("hops")))
+    }
+    dist.select(col("node").as(idOut), col("hops")).orderBy(col(idOut))
+  }
+
   /** Per-node triangle counts and local clustering coefficient over
     * undirected `pairs` — the cohesion metric that separates a TIGHT
     * duplicate cluster (boilerplate families: everyone overlaps everyone,
