@@ -92,6 +92,7 @@ object QueriesLlm {
   private val AnnealEpochs = 4 // annealing schedule length, query AND oracle
   private val PprSeeds = 3 // personalized-pagerank seed count (smallest graph nodes)
   private val BfsMaxHops = 4 // bfs_hops horizon, query AND oracle recursion bound
+  private val MgK = 32 // Misra-Gries counter budget; heavy = n_true*(MgK+1) > n_tot, query AND oracle
   private val ChunkTokens = 50 // chunk width AND stride (disjoint packing), passed to the query AND interpolated into the oracle
   private val PackBudget = 256 // sequence token budget for pack_sequences, query AND oracle
   private val PackShards = 8 // independent packing streams, query AND oracle
@@ -2372,6 +2373,48 @@ object QueriesLlm {
     // sort node on the vocabulary — the shape that survives a
     // vocabulary 1000× wider. Deterministic (n DESC, token ASC)
     // selection == the oracle's row_number replay, bit for bit ──
+    // ── Misra–Gries heavy hitters ([[graft.functions.MisraGriesAgg]]):
+    // ONE bounded-state aggregate pass over the RAW token occurrence
+    // stream per source — no (source, token) pre-count shuffle, ≤ MgK
+    // counters per map-side partial. The summary is merge-tree-dependent,
+    // so the hashed output is the EXACT heavy-hitter set (ground-truth
+    // leg) plus the three MG law booleans the sketch must satisfy
+    // (underestimate-only, deficit ≤ (n−S)/(k+1), no-false-negative
+    // coverage of every token with n_true·(k+1) > n_tot), all pinned TRUE
+    // by the oracle — the theta/KLL law-boolean discipline ──
+    "heavy_hitters_mg" -> ((s, dir) => {
+      graft.functions.FreqFunctions.register(s)
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val mg = toks.groupBy(col("source"))
+        .agg(graft.functions.FreqFunctions.misraGries(col("token"), MgK).as("summ"))
+        .select(col("source"), explode(col("summ")).as("e"))
+        .select(col("source"), col("e.item").as("token"), col("e.est").as("est"))
+      val tf = toks.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n_true"))
+      val tot = toks.groupBy(col("source")).agg(count(lit(1)).as("n_tot"))
+      val sRet = mg.groupBy(col("source")).agg(sum(col("est")).as("s_ret"))
+      val laws = mg
+        .join(tf, Seq("source", "token"), "left")
+        .join(tot, "source")
+        .join(sRet, "source")
+        .select(col("source"),
+          (col("n_true").isNotNull && col("est") <= col("n_true") &&
+            (col("n_true") - col("est")) * lit(MgK + 1L) <= (col("n_tot") - col("s_ret")))
+            .as("ok"))
+        .groupBy(col("source"))
+        .agg((sum(when(col("ok"), 0L).otherwise(1L)) === 0L).as("bounds_ok"))
+      tf.join(tot, "source")
+        .where(col("n_true") * lit(MgK + 1L) > col("n_tot"))
+        .join(mg.select(col("source"), col("token"), lit(true).as("in_mg")),
+          Seq("source", "token"), "left")
+        .join(laws, "source")
+        .select(
+          col("source"), col("token"), col("n_true"),
+          coalesce(col("in_mg"), lit(false)).as("covered"), col("bounds_ok"))
+        .orderBy(col("source"), col("token"))
+    }),
+
     "top_tokens_grouped" -> ((s, dir) => {
       graft.functions.TopKFunctions.register(s)
       val tf = Tables.documents(s, dir)
@@ -4892,6 +4935,18 @@ object QueriesLlm {
 
     // top_tokens_grouped: the bounded aggregate's deterministic
     // (n DESC, token ASC) selection replayed as a window rank
+    // heavy_hitters_mg: the exact heavy-hitter ground truth; the MG law
+    // booleans are pinned TRUE (the sketch must satisfy its guarantees)
+    "heavy_hitters_mg" ->
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n_true
+         |       FROM t GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tot FROM t GROUP BY 1)
+         |SELECT tf.source, token, n_true, TRUE AS covered, TRUE AS bounds_ok
+         |FROM tf JOIN tot ON tf.source = tot.source
+         |WHERE n_true * ${MgK + 1} > n_tot
+         |ORDER BY tf.source, token""".stripMargin,
+
     "top_tokens_grouped" ->
       s"""WITH t AS (SELECT source, unnest($toksSql) AS token FROM documents),
          |tf AS (SELECT source, token, count(*) AS n FROM t GROUP BY source, token),

@@ -81,6 +81,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_topk(item, score, k) - bounded (score DESC, item ASC) top-k aggregate, best-first array<struct<item,score>>"),
       (exprs: Seq[Expression]) => TopKAgg(exprs(0), exprs(1), TopKFunctions.kArg(exprs))))
     ext.injectFunction((
+      FunctionIdentifier("graft_mg"),
+      info("graft_mg",
+        "graft_mg(item, k) - Misra-Gries heavy-hitters summary, (est DESC, item ASC) array<struct<item,est>>"),
+      (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0), FreqFunctions.kArg(exprs))))
+    ext.injectFunction((
       FunctionIdentifier("graft_gram_hashes"),
       info("graft_gram_hashes", "graft_gram_hashes(tokens, n) - ordered 32-bit n-gram hash sequence"),
       (exprs: Seq[Expression]) => TextKernels.OrderedGramHashes(

@@ -423,7 +423,8 @@ class PlanSpec extends AnyFunSuite {
       "stream_merge_upsert" -> 0, "funnel_within_any" -> 1,
       "mode_exact" -> 0, "lateral_top_orders" -> 0,
       "ewma_halving" -> 0, "autocorr_lag" -> 0,
-      "skyline_pareto" -> 0, "corr_matrix" -> 0, "bfs_hops" -> 0)
+      "skyline_pareto" -> 0, "corr_matrix" -> 0, "bfs_hops" -> 0,
+      "heavy_hitters_mg" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
