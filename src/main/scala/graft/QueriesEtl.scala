@@ -952,6 +952,52 @@ object QueriesEtl {
         .orderBy(col("prio"))
     }),
 
+    // ── MULTI-WRITER optimistic concurrency ([[SnapshotLog
+    // .appendWithRetry]]): six writers race the SAME log from a latch —
+    // real lost-commit races, metadata-only retries (data staged once).
+    // The protocol laws — every writer committed (6 versions), the
+    // version chain grew strictly monotonically (appends add, never
+    // remove), and every staged file landed exactly once — are measured
+    // from the on-disk log, then hashed next to the final corpus rollup,
+    // which must equal the plain single-writer aggregate ──
+    "snapshot_concurrent_append" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_concurrent"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val writers = 6
+      val latch = new java.util.concurrent.CountDownLatch(writers)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      try {
+        val futures = (0 until writers).map { i =>
+          pool.submit(new java.util.concurrent.Callable[(Long, Int)] {
+            override def call(): (Long, Int) = {
+              latch.countDown(); latch.await() // line up the race
+              log.appendWithRetry(base.where(col("k") % writers === i), partitions = 2)
+            }
+          })
+        }
+        futures.foreach(_.get())
+      } finally { pool.shutdown() }
+      val vs = log.versions
+      val allCommitted = vs == (0L until writers.toLong)
+      val monotone = vs.dropRight(1).zip(vs.tail).forall { case (a, b) =>
+        val (fa, fb) = (log.files(a).toSet, log.files(b).toSet)
+        fa.subsetOf(fb) && fb.size > fa.size
+      }
+      val stagedOnce =
+        log.dataFiles(vs.last).size == writers * 2 &&
+          log.files(vs.last).distinct.size == log.files(vs.last).size
+      log.readLatest(s)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .withColumn("all_committed", lit(allCommitted))
+        .withColumn("chain_monotone", lit(monotone))
+        .withColumn("staged_once", lit(stagedOnce))
+        .orderBy(col("bucket"))
+    }),
+
     // ── MERGE (upsert) under the snapshot log, COPY-ON-WRITE with
     // stats-pruned rewrite scope ([[SnapshotLog.mergeCopyOnWrite]], the
     // Delta MERGE INTO + file-pruning shape): the base commits
@@ -1317,6 +1363,18 @@ object QueriesEtl {
         |       TRUE AS chain_monotone,
         |       TRUE AS survivors_read_after_expire
         |FROM orders GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
+
+    // snapshot_concurrent_append: the six racing slices reunite to the
+    // whole orders corpus; the multi-writer protocol laws are measured
+    // in the Spark path and pinned TRUE here
+    "snapshot_concurrent_append" ->
+      """SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS all_committed,
+        |       TRUE AS chain_monotone,
+        |       TRUE AS staged_once
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // snapshot_merge_upsert: anti-join-plus-union merge semantics over
     // the SAME derived update batch (identical truncating integer

@@ -219,6 +219,38 @@ class SnapshotLog(val root: String, val checkpointInterval: Int = 4) {
   def overwrite(df: DataFrame, partitions: Int): Long =
     commit(currentVersion, stageData(df, partitions))
 
+  /** [[append]] under MULTI-WRITER contention: optimistic-concurrency
+    * retry. An append COMMUTES with any concurrent commit — it only ADDS
+    * files, touching nothing another writer could have rewritten — so a
+    * lost race needs no conflict analysis: re-read the (now newer) current
+    * listing, re-attach the SAME staged files, commit again. The data is
+    * staged exactly ONCE; every retry is metadata-only (one change-sized
+    * delta write), which is what makes N racing appenders converge in
+    * O(N²) tiny commit attempts rather than re-staging data. Non-commuting
+    * operations (overwrite/delete/merge/compact) deliberately do NOT get a
+    * blind retry — their parent snapshot may have changed meaning, so the
+    * [[ConcurrentCommitException]] stays the caller's signal to re-derive
+    * (the Delta/Iceberg distinction between blind appends and conflicting
+    * transactions).
+    *
+    * @return (committed version, retries consumed)
+    */
+  def appendWithRetry(
+      df: DataFrame, partitions: Int, maxRetries: Int = 50): (Long, Int) = {
+    val staged = stageData(df, partitions)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = currentVersion
+      try {
+        return (commit(cur, cur.map(files).getOrElse(Nil) ++ staged), attempt)
+      } catch {
+        case _: ConcurrentCommitException => attempt += 1
+      }
+    }
+    throw new ConcurrentCommitException(
+      s"appendWithRetry: exhausted $maxRetries retries at $root")
+  }
+
   /** Row-level DELETE without rewriting data (the deletion-vector /
     * merge-on-read pattern): `keys` — a frame holding ONLY the key
     * columns of the rows to drop — stages as tombstone files and commits

@@ -229,6 +229,45 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(vB == 2L && log.read(spark, vB).count() == 8L)
   }
 
+  test("appendWithRetry: racing writers all land, data staged once, chain serializable") {
+    val log = freshLog("retry_race")
+    val writers = 6
+    val latch = new java.util.concurrent.CountDownLatch(writers)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (0 until writers).map { i =>
+        pool.submit(new java.util.concurrent.Callable[(Long, Int)] {
+          override def call(): (Long, Int) = {
+            latch.countDown(); latch.await()
+            log.appendWithRetry(rows(3, s"w$i"), partitions = 1)
+          }
+        })
+      }
+      val results = futures.map(_.get())
+      // every writer committed a DISTINCT version; versions are dense
+      assert(results.map(_._1).sorted == (0L until writers.toLong))
+      assert(log.versions == (0L until writers.toLong))
+    } finally { pool.shutdown() }
+    // each version's listing strictly extends its parent (append-only chain)
+    log.versions.dropRight(1).zip(log.versions.tail).foreach { case (a, b) =>
+      val (fa, fb) = (log.files(a).toSet, log.files(b).toSet)
+      assert(fa.subsetOf(fb) && fb.size == fa.size + 1, s"v$a -> v$b not an append")
+    }
+    // all rows present exactly once: 6 writers x 3 rows, no dup files
+    val fin = log.files(log.currentVersion.get)
+    assert(fin.size == writers && fin.distinct.size == fin.size)
+    assert(log.readLatest(spark).count() == writers * 3L)
+    assert(log.readLatest(spark).select("payload").distinct().count() == writers * 3L)
+  }
+
+  test("appendWithRetry: uncontended append burns zero retries") {
+    val log = freshLog("retry_solo")
+    val (v0, r0) = log.appendWithRetry(rows(2, "a"), partitions = 1)
+    val (v1, r1) = log.appendWithRetry(rows(2, "b"), partitions = 1)
+    assert(v0 == 0L && v1 == 1L && r0 == 0 && r1 == 0)
+    assert(log.readLatest(spark).count() == 4L)
+  }
+
   test("a reader pinned mid-prune sees a consistent snapshot throughout") {
     val log = freshLog("midprune")
     val v0 = log.append(rows(100, "x"), partitions = 4)
