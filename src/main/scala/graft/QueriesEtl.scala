@@ -952,6 +952,45 @@ object QueriesEtl {
         .orderBy(col("prio"))
     }),
 
+    // ── NAMED REFS on the snapshot log ([[SnapshotLog.tag]]/[[SnapshotLog
+    // .fork]], the Iceberg-refs / shallow-clone shape): v0 pinned under an
+    // immutable tag, a zero-copy "dev" branch forked at v1 (no bytes
+    // move — its v0 listing IS the parent's v1 listing), an append on dev
+    // that main never sees, and a SHARED-pool vacuum that collects an
+    // aborted stage while every chain keeps reading. All five ref laws
+    // measured from the logs, hashed next to the three per-ref rollups ──
+    "snapshot_refs" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_refs"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v0 = log.append(base.where(col("k") % 3 === 0), partitions = 2)
+      require(log.tag("baseline", v0), "tag baseline must be fresh")
+      val v1 = log.append(base.where(col("k") % 3 === 1), partitions = 2)
+      val dev = log.fork("dev")
+      dev.append(base.where(col("k") % 3 === 2), partitions = 2)
+      val mainUnmoved = log.currentVersion.contains(v1)
+      val tagImmutable = !log.tag("baseline", v1) &&
+        log.tagVersion("baseline") == v0
+      val forkZeroCopy = dev.dataFiles(0L).toSet == log.files(v1).toSet
+      log.stageData(base.where(col("k") % 3 === 2).limit(10), partitions = 1)
+      val collected = SnapshotLog.vacuumShared(Seq(log, dev))
+      val vacuumSharedSafe = collected.nonEmpty &&
+        log.read(s, v0).count() > 0 && dev.readLatest(s).count() > 0
+      def roll(df: DataFrame, ref: String) = df
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(ref).as("ref"), col("n_rows"), col("sum_cents"))
+      roll(log.readTag(s, "baseline"), "baseline")
+        .unionByName(roll(log.readLatest(s), "main"))
+        .unionByName(roll(dev.readLatest(s), "dev"))
+        .withColumn("main_unmoved", lit(mainUnmoved))
+        .withColumn("tag_immutable", lit(tagImmutable))
+        .withColumn("fork_zero_copy", lit(forkZeroCopy))
+        .withColumn("vacuum_shared_safe", lit(vacuumSharedSafe))
+        .orderBy(col("ref"))
+    }),
+
     // ── MULTI-WRITER optimistic concurrency ([[SnapshotLog
     // .appendWithRetry]]): six writers race the SAME log from a latch —
     // real lost-commit races, metadata-only retries (data staged once).
@@ -1363,6 +1402,29 @@ object QueriesEtl {
         |       TRUE AS chain_monotone,
         |       TRUE AS survivors_read_after_expire
         |FROM orders GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
+
+    // snapshot_refs: the three per-ref rollups are modular slices of
+    // orders (tag = %3==0, main = +%3==1, dev branch = all); the five
+    // ref laws are measured in the Spark path and pinned TRUE
+    "snapshot_refs" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), a AS (
+        |  SELECT 'baseline' AS ref, CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM o WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT 'main', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |  FROM o WHERE k % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'dev', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |  FROM o
+        |)
+        |SELECT ref, n_rows, sum_cents,
+        |       TRUE AS main_unmoved, TRUE AS tag_immutable,
+        |       TRUE AS fork_zero_copy, TRUE AS vacuum_shared_safe
+        |FROM a ORDER BY ref""".stripMargin,
 
     // snapshot_concurrent_append: the six racing slices reunite to the
     // whole orders corpus; the multi-writer protocol laws are measured

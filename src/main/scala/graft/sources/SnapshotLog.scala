@@ -69,12 +69,20 @@ class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
   * `data/` ever happens on the read path (listing is only vacuum's job,
   * an offline maintenance pass).
   */
-class SnapshotLog(val root: String, val checkpointInterval: Int = 4) {
+class SnapshotLog(
+    val root: String,
+    val checkpointInterval: Int = 4,
+    dataRootOpt: Option[String] = None) {
   require(checkpointInterval >= 1,
     s"checkpointInterval must be >= 1, got $checkpointInterval")
 
   private val logDir = new File(root, "_log")
-  private val dataDir = new File(root, "data")
+  // the data pool: this log's own root, or a SHARED parent pool when this
+  // log is a zero-copy branch (see [[fork]]) — every data-relative path
+  // resolves against it
+  private[sources] val dataRootPath: String =
+    new File(dataRootOpt.getOrElse(root)).getCanonicalPath
+  private val dataDir = new File(dataRootPath, "data")
 
   private def manifestFile(v: Long) = new File(logDir, f"v$v%08d.manifest")
 
@@ -251,6 +259,82 @@ class SnapshotLog(val root: String, val checkpointInterval: Int = 4) {
       s"appendWithRetry: exhausted $maxRetries retries at $root")
   }
 
+  // ── named refs: immutable tags + zero-copy branches (the Iceberg
+  // refs / Delta shallow-clone shape) ──────────────────────────────────
+
+  private def refsDir = new File(logDir, "refs")
+
+  private def validateRefName(name: String): Unit =
+    require(name.nonEmpty &&
+        name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"ref name must be [A-Za-z0-9._-]+, got '$name'")
+
+  private def refFile(name: String) = {
+    validateRefName(name)
+    new File(refsDir, name)
+  }
+
+  /** Pin `version` under an IMMUTABLE name — metadata-only (one
+    * version-number file, put-if-absent like every commit anchor).
+    * Returns false if the tag already exists (tags never move; delete +
+    * re-create is deliberately not offered — an audit pin that can be
+    * repointed is not a pin). A tagged version survives [[expire]] only
+    * if the caller keeps it — tagging does not retain; pair tags with the
+    * `keepFrom` floor.
+    */
+  def tag(name: String, version: Long): Boolean = {
+    require(versions.contains(version),
+      s"tag: version $version is not committed at $root (have $versions)")
+    refsDir.mkdirs()
+    writeAtomic(refFile(name), Seq(version.toString))
+  }
+
+  /** The version a tag pins. Loud on unknown names. */
+  def tagVersion(name: String): Long = {
+    val f = refFile(name)
+    require(f.exists(), s"tag '$name' does not exist at $root")
+    readLines(f).head.toLong
+  }
+
+  /** Snapshot-pinned read by tag name — time travel by ref. */
+  def readTag(spark: SparkSession, name: String): DataFrame =
+    read(spark, tagVersion(name))
+
+  /** Tag names present, sorted. */
+  def tags: Seq[String] =
+    Option(refsDir.listFiles()).getOrElse(Array.empty).map(_.getName).toSeq.sorted
+
+  /** ZERO-COPY branch: a new independent commit chain seeded with the
+    * current snapshot's listing, SHARING this log's immutable data pool —
+    * no bytes move (the Delta shallow-clone / Iceberg branch shape, and
+    * the dev/test-against-prod-data workflow it exists for). The branch
+    * commits, deletes, compacts, and expires independently; the parent
+    * never sees its versions. Because the pool is shared, single-log
+    * [[vacuum]] refuses on both sides — orphan collection must see EVERY
+    * chain's live set ([[SnapshotLog.vacuumShared]]).
+    */
+  def fork(name: String): SnapshotLog = {
+    validateRefName(name)
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"fork: no committed snapshot at $root"))
+    val child = new SnapshotLog(
+      s"$root/branches/$name", checkpointInterval, Some(dataRootPath))
+    require(child.currentVersion.isEmpty,
+      s"fork: branch '$name' already exists at ${child.root}")
+    child.commit(None, files(cur))
+    child
+  }
+
+  /** Open an existing branch previously created by [[fork]]. */
+  def branch(name: String): SnapshotLog = {
+    validateRefName(name)
+    val child = new SnapshotLog(
+      s"$root/branches/$name", checkpointInterval, Some(dataRootPath))
+    require(child.currentVersion.isDefined,
+      s"branch '$name' does not exist at $root — fork it first")
+    child
+  }
+
   /** Row-level DELETE without rewriting data (the deletion-vector /
     * merge-on-read pattern): `keys` — a frame holding ONLY the key
     * columns of the rows to drop — stages as tombstone files and commits
@@ -367,7 +451,7 @@ class SnapshotLog(val root: String, val checkpointInterval: Int = 4) {
     import org.apache.spark.sql.functions.{col, max => smax, min => smin}
     import spark.implicits._
     val stats = staged.flatMap { p =>
-      val one = spark.read.parquet(new File(root, p).toString)
+      val one = spark.read.parquet(new File(dataRootPath, p).toString)
       statsCols.map { c =>
         val r = one.agg(smin(col(c)).cast("long"), smax(col(c)).cast("long")).head()
         (p, c,
@@ -375,7 +459,7 @@ class SnapshotLog(val root: String, val checkpointInterval: Int = 4) {
           if (r.isNullAt(1)) Long.MaxValue else r.getLong(1))
       }
     }
-    val dir = new File(root, staged.head).getParentFile
+    val dir = new File(dataRootPath, staged.head).getParentFile
     stats.toDF("file", "col", "lo", "hi")
       .coalesce(1).write.mode("overwrite")
       .parquet(new File(dir, "_stats.parquet").toString)
@@ -392,7 +476,7 @@ class SnapshotLog(val root: String, val checkpointInterval: Int = 4) {
       version: Long,
       keyCol: String): Seq[(String, Option[(Long, Long)])] = {
     import org.apache.spark.sql.functions.col
-    dataFiles(version).groupBy(p => new File(root, p).getParent).toSeq.flatMap {
+    dataFiles(version).groupBy(p => new File(dataRootPath, p).getParent).toSeq.flatMap {
       case (dir, paths) =>
         val sidecar = new File(dir, "_stats.parquet")
         if (!sidecar.exists()) paths.map(_ -> None)
@@ -456,7 +540,7 @@ class SnapshotLog(val root: String, val checkpointInterval: Int = 4) {
       val survivors =
         if (rewrite.isEmpty) None
         else Some(spark.read
-          .parquet(rewrite.map(p => new File(root, p).toString): _*)
+          .parquet(rewrite.map(p => new File(dataRootPath, p).toString): _*)
           .join(keyOnly, Seq(keyCol), "left_anti"))
       val fresh = updates.select(baseCols.map(col): _*)
       stageIndexed(
@@ -490,7 +574,7 @@ class SnapshotLog(val root: String, val checkpointInterval: Int = 4) {
     val pruned =
       if (keep.isEmpty)
         read(spark, version).where(org.apache.spark.sql.functions.lit(false))
-      else spark.read.parquet(keep.map(p => new File(root, p).toString): _*)
+      else spark.read.parquet(keep.map(p => new File(dataRootPath, p).toString): _*)
         .where(col(statsCol) >= pLo && col(statsCol) <= pHi)
     (pruned, (keep.size, data.size))
   }
@@ -522,13 +606,13 @@ class SnapshotLog(val root: String, val checkpointInterval: Int = 4) {
     * time, which a homogeneous-schema read doesn't need to pay.
     */
   def read(spark: SparkSession, version: Long, mergeSchema: Boolean = false): DataFrame = {
-    val paths = dataFiles(version).map(p => new File(root, p).toString)
+    val paths = dataFiles(version).map(p => new File(dataRootPath, p).toString)
     val data = spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
     val tombs = tombstoneFiles(version)
     if (tombs.isEmpty) data
     else {
       // merge-on-read: one hash anti-join on the tombstone key columns
-      val keys = spark.read.parquet(tombs.map(p => new File(root, p).toString): _*)
+      val keys = spark.read.parquet(tombs.map(p => new File(dataRootPath, p).toString): _*)
       data.join(keys, keys.columns.toSeq, "left_anti")
     }
   }
@@ -569,7 +653,26 @@ class SnapshotLog(val root: String, val checkpointInterval: Int = 4) {
     * paths, sorted.
     */
   def vacuum(): Seq[String] = {
-    val live = versions.flatMap(v => dataFiles(v) ++ tombstoneFiles(v)).toSet
+    require(dataRootOpt.isEmpty,
+      s"vacuum: this log borrows the data pool at $dataRootPath — a lone " +
+        "sweep would collect files other refs still read; use " +
+        "SnapshotLog.vacuumShared over every log sharing the pool")
+    require(!branchesDir.exists() ||
+        Option(branchesDir.listFiles()).getOrElse(Array.empty).isEmpty,
+      s"vacuum: branches exist under $root and share this data pool; use " +
+        "SnapshotLog.vacuumShared over the parent and every branch")
+    sweepOrphans(liveFiles)
+  }
+
+  /** All data/tombstone relative paths any live version of THIS log still
+    * references — the per-log contribution to a shared-pool vacuum.
+    */
+  private[sources] def liveFiles: Set[String] =
+    versions.flatMap(v => dataFiles(v) ++ tombstoneFiles(v)).toSet
+
+  private[sources] def branchesDir = new File(root, "branches")
+
+  private[sources] def sweepOrphans(live: Set[String]): Seq[String] = {
     val writeDirs = Option(dataDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
     // underscore-prefixed entries (the `_stats.parquet` sidecar) are
     // stage METADATA, not data files: never orphan-collected on their
@@ -581,7 +684,7 @@ class SnapshotLog(val root: String, val checkpointInterval: Int = 4) {
         .map(f => s"data/${d.getName}/${f.getName}")
         .filterNot(live.contains)
     }.toSeq.sorted
-    orphans.foreach(p => new File(root, p).delete())
+    orphans.foreach(p => new File(dataRootPath, p).delete())
     // a write dir with no DATA parquet left holds only markers/sidecars —
     // clear it so the data tree shrinks with the snapshots
     writeDirs.foreach { d =>
@@ -614,5 +717,23 @@ class SnapshotLog(val root: String, val checkpointInterval: Int = 4) {
     if (canonical.exists()) rm(canonical)
     canonical.mkdirs()
     ()
+  }
+}
+
+object SnapshotLog {
+
+  /** Orphan collection over a SHARED data pool: the union of every
+    * chain's live set protects a file if ANY ref (parent or branch)
+    * still references it. The caller must pass every log sharing the
+    * pool — the per-log [[SnapshotLog.vacuum]] guards refuse to run
+    * solo exactly so this contract can't be skipped silently.
+    */
+  def vacuumShared(logs: Seq[SnapshotLog]): Seq[String] = {
+    require(logs.nonEmpty, "vacuumShared: need at least one log")
+    val pool = logs.head.dataRootPath
+    require(logs.forall(_.dataRootPath == pool),
+      s"vacuumShared: all logs must share one data pool, got " +
+        logs.map(_.dataRootPath).distinct.mkString(", "))
+    logs.head.sweepOrphans(logs.flatMap(_.liveFiles).toSet)
   }
 }

@@ -268,6 +268,65 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(log.readLatest(spark).count() == 4L)
   }
 
+  test("tags pin immutably; unknown tags and uncommitted versions fail loudly") {
+    val log = freshLog("tags")
+    val v0 = log.append(rows(3, "a"), partitions = 1)
+    assert(log.tag("baseline", v0))
+    val v1 = log.append(rows(2, "b"), partitions = 1)
+    // a tag never moves: the second put is refused, the pin stays on v0
+    assert(!log.tag("baseline", v1))
+    assert(log.tagVersion("baseline") == v0)
+    assert(log.readTag(spark, "baseline").count() == 3L)
+    assert(log.tags == Seq("baseline"))
+    intercept[IllegalArgumentException](log.tagVersion("nope"))
+    intercept[IllegalArgumentException](log.tag("future", v1 + 5))
+    intercept[IllegalArgumentException](log.tag("bad/name", v0))
+  }
+
+  test("fork is zero-copy and isolated both ways; branch() reopens it") {
+    val log = freshLog("branching")
+    log.append(rows(4, "base"), partitions = 1)
+    val parentFiles = log.files(log.currentVersion.get).toSet
+    val dev = log.fork("dev")
+    // zero-copy: the branch's v0 listing IS the parent listing — no new data
+    assert(dev.files(0L).toSet == parentFiles)
+    // divergence: each side appends; neither sees the other's commit
+    dev.append(rows(2, "devonly"), partitions = 1)
+    log.append(rows(3, "mainonly"), partitions = 1)
+    assert(dev.readLatest(spark).count() == 6L)
+    assert(log.readLatest(spark).count() == 7L)
+    val mainF = log.files(log.currentVersion.get).toSet
+    val devF = dev.files(dev.currentVersion.get).toSet
+    assert((devF -- mainF).nonEmpty && (mainF -- devF).nonEmpty)
+    // reopen by name; double-fork refused
+    assert(log.branch("dev").readLatest(spark).count() == 6L)
+    intercept[IllegalArgumentException](log.fork("dev"))
+    intercept[IllegalArgumentException](log.branch("ghost"))
+  }
+
+  test("shared-pool vacuum: solo vacuum refuses, vacuumShared keeps every chain readable") {
+    val log = freshLog("sharedvac")
+    log.append(rows(4, "base"), partitions = 1)
+    val dev = log.fork("dev")
+    dev.append(rows(2, "devonly"), partitions = 1)
+    // branch data lives ONLY in dev's chain — a parent-only sweep would
+    // collect it; both solo entry points refuse
+    intercept[IllegalArgumentException](log.vacuum())
+    intercept[IllegalArgumentException](dev.vacuum())
+    // an aborted stage is the only orphan; every live file survives
+    log.stageData(rows(5, "aborted"), partitions = 1)
+    val collected = SnapshotLog.vacuumShared(Seq(log, dev))
+    assert(collected.size == 1)
+    assert(log.readLatest(spark).count() == 4L)
+    assert(dev.readLatest(spark).count() == 6L)
+    // idempotent: a second sweep collects nothing
+    assert(SnapshotLog.vacuumShared(Seq(log, dev)).isEmpty)
+    // mixed pools refused
+    val other = freshLog("sharedvac_other")
+    other.append(rows(1, "x"), partitions = 1)
+    intercept[IllegalArgumentException](SnapshotLog.vacuumShared(Seq(log, other)))
+  }
+
   test("a reader pinned mid-prune sees a consistent snapshot throughout") {
     val log = freshLog("midprune")
     val v0 = log.append(rows(100, "x"), partitions = 4)
