@@ -1013,6 +1013,55 @@ object QueriesRelational {
         Tables.events(s, dir), "user_id", col("ts"), col("value"),
         horizonDays = 16)),
 
+    // ── day-of-week seasonal decomposition ([[operators.Analytics
+    // .seasonalDow]]): centered 7-day trend, per-weekday detrended means,
+    // exact integer sums with a round(6) float tail ──
+    "seasonal_dow" -> ((s, dir) =>
+      graft.operators.Analytics.seasonalDow(
+        Tables.events(s, dir), col("event_type"), col("ts"))),
+
+    // ── JSON payload surface (from_json typed schema + get_json_object
+    // JSONPath over the events.props payload): both extraction APIs run
+    // side by side and the agreement law (n_path_agree == n) rides the
+    // hash. Parsing is one codegen'd pass adjacent to the scan; the
+    // aggregate is map-side combined on the event type ──
+    "json_props_rollup" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_type"),
+          from_json(col("props"), lit("k BIGINT")).getField("k").as("k_typed"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_path"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k_typed")).as("sum_k"),
+          min(col("k_typed")).as("min_k"),
+          max(col("k_typed")).as("max_k"),
+          sum(when(col("k_typed") <=> col("k_path"), 1L).otherwise(0L))
+            .as("n_path_agree"))
+        .orderBy(col("event_type"))),
+
+    // ── rank-family window coverage on one frame: rank, dense_rank,
+    // percent_rank, cume_dist over per-flag quantity levels — the exact
+    // integer ranks hash directly; the two rational ranks land through
+    // the round(6) double tail (identical (rank−1)/(n−1) and
+    // running-count/n formulas on both engines) ──
+    "window_rank_family" -> ((s, dir) => {
+      val lvl = Tables.lineitem(s, dir)
+        .groupBy(
+          col("l_returnflag").as("flag"),
+          floor(col("l_quantity")).cast("long").as("qty"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("flag")).orderBy(col("qty"))
+      lvl.select(
+          col("flag"), col("qty"), col("n"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          round(percent_rank().over(w), 6).as("pct_r6"),
+          round(cume_dist().over(w), 6).as("cume_r6"))
+        .orderBy(col("flag"), col("qty"))
+    }),
+
     // ── lag-7 autocorrelation per event-type series ([[operators
     // .Analytics.autocorrLag]]): the mean-cleared n²-scaled ACF sums in
     // exact BIGINTs, calendar-day lag pairing by equi-join ──
@@ -2674,6 +2723,62 @@ object QueriesRelational {
         |  ON h.key = d.key AND h.eday <= d.eday AND h.eday > d.eday - 16
         |GROUP BY 1, 2
         |ORDER BY user_id, day""".stripMargin,
+
+    // seasonal_dow: identical centered RANGE frame, integer dev sums,
+    // same (eday+4) mod 7 weekday anchor, round(6) float tail
+    "seasonal_dow" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT series, eday, x,
+        |         CAST(sum(x) OVER w AS BIGINT) AS t7,
+        |         CAST(count(x) OVER w AS BIGINT) AS n7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY series ORDER BY eday
+        |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |)
+        |SELECT series, CAST((eday + 4) % 7 AS BIGINT) AS dow,
+        |       CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(x * 7 - t7) AS BIGINT) AS dev_sum,
+        |       round(CAST(sum(x * 7 - t7) AS DOUBLE) / CAST(count(*) * 7 AS DOUBLE), 6)
+        |         AS seasonal_r6
+        |FROM t WHERE n7 = 7
+        |GROUP BY 1, 2 ORDER BY series, dow""".stripMargin,
+
+    // json_props_rollup: DuckDB's JSON extraction over the same payload;
+    // the two-API agreement law collapses to count(*) (no disagreement
+    // is representable when both engines parse the same JSON)
+    "json_props_rollup" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k FROM events
+        |)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(min(k) AS BIGINT) AS min_k,
+        |       CAST(max(k) AS BIGINT) AS max_k,
+        |       CAST(count(*) AS BIGINT) AS n_path_agree
+        |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // window_rank_family: the same four rank functions over the same
+    // per-flag quantity levels
+    "window_rank_family" ->
+      """WITH lvl AS (
+        |  SELECT l_returnflag AS flag, CAST(floor(l_quantity) AS BIGINT) AS qty,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT flag, qty, n,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |       round(percent_rank() OVER w, 6) AS pct_r6,
+        |       round(cume_dist() OVER w, 6) AS cume_r6
+        |FROM lvl
+        |WINDOW w AS (PARTITION BY flag ORDER BY qty)
+        |ORDER BY flag, qty""".stripMargin,
 
     // autocorr_lag: same n²-scaled mean-cleared sums, calendar-day pairing
     "autocorr_lag" ->

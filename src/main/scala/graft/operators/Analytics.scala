@@ -756,6 +756,53 @@ object Analytics {
       .orderBy(col(keyCol), col("day"))
   }
 
+  /** Seasonal (day-of-week) decomposition, decided in EXACT integer
+    * arithmetic — the classical-decomposition shape (trend via centered
+    * moving average, seasonal via per-weekday means of the detrended
+    * series) with every rational kept as an integer-scaled sum:
+    *
+    *   trend7sum(t) = Σ_{|d|≤3} x(t+d)      [only where all 7 days exist]
+    *   dev(t)       = 7·x(t) − trend7sum(t)  [7× the detrended residual]
+    *   seasonal(w)  = Σ_{t: dow(t)=w} dev(t) / (7·n_w)
+    *
+    * The hashed outputs are the BIGINT sums and counts; the float seasonal
+    * lands only as `round(dev_sum / (7·n_days), 6)` — the cross-engine-
+    * stable double tail. Edge days (incomplete 7-day window) are excluded
+    * rather than padded, and self-report through n_days. Day-of-week is
+    * `(eday + 4) mod 7` (1970-01-01 anchor), the same pure-integer
+    * expression on both engines.
+    *
+    * Scale shape: raw events collapse to per-(series, day) counts first
+    * (one map-side-combined shuffle, the only data-sized one); the
+    * centered window is a RANGE frame over the daily frame; the weekday
+    * aggregation runs over |series|·|days| rows into |series|·7 out.
+    */
+  def seasonalDow(
+      events: DataFrame,
+      seriesCol: Column,
+      tsCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(
+        seriesCol.as("series"),
+        datediff(to_date(tsCol), lit("1970-01-01").cast("date")).cast("long").as("eday"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("series")).orderBy(col("eday"))
+      .rangeBetween(-3L, 3L)
+    daily
+      .withColumn("t7", sum(col("x")).over(w))
+      .withColumn("n7", count(col("x")).over(w))
+      .where(col("n7") === 7L)
+      .select(
+        col("series"), ((col("eday") + 4L) % 7L).as("dow"),
+        (col("x") * 7L - col("t7")).as("dev"))
+      .groupBy(col("series"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dev")).as("dev_sum"))
+      .withColumn("seasonal_r6",
+        round(col("dev_sum").cast("double") / (col("n_days") * 7L).cast("double"), 6))
+      .orderBy(col("series"), col("dow"))
+  }
+
   /** Lag-k autocorrelation per series, decided in EXACT integer arithmetic.
     * The ACF estimator r_k = Σ_{t≤n−k}(x_t−m)(x_{t+k}−m) / Σ_t(x_t−m)² has
     * the sample mean m = S/n inside every term; multiplying both sums
