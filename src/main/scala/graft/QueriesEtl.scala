@@ -1196,6 +1196,37 @@ object QueriesEtl {
     // the query joins a full recompute and emits per-week `matches_full`
     // booleans the oracle asserts TRUE, proving the algebraic merge
     // (sum/min/max) exact; a production run drops the recompute arm. ──
+    // ── incremental JOIN-view maintenance ([[Materialize.joinDelta]]):
+    // the classic delta rule Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, applied to
+    // an orders⋈customer view split into old/delta on BOTH sides — the
+    // base join is never recomputed; the recompute arm exists only as
+    // the law (`incremental_equals_recompute`, exceptAll both ways).
+    // Maintenance cost is delta-sized: each leg equi-joins on the
+    // customer key with at least one delta side ──
+    "mv_join_incremental" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir).select(
+        col("o_custkey").as("ck"), col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+      val aOld = ord.where(col("k") % 5 =!= 0)
+      val dA = ord.where(col("k") % 5 === 0)
+      val bOld = cust.where(col("ck") % 7 =!= 3)
+      val dB = cust.where(col("ck") % 7 === 3)
+      val mv = aOld.join(bOld, Seq("ck"))
+        .unionByName(Materialize.joinDelta(aOld, dA, bOld, dB, Seq("ck")))
+      val recomputed = ord.join(cust, Seq("ck"))
+      val equal = mv.exceptAll(recomputed).limit(1).count() == 0 &&
+        recomputed.exceptAll(mv).limit(1).count() == 0
+      mv.groupBy(col("seg"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("sum_cents"),
+          countDistinct(col("ck")).as("n_cust"))
+        .withColumn("incremental_equals_recompute", lit(equal))
+        .orderBy(col("seg"))
+    }),
+
     "mv_incremental" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       def summarize(df: DataFrame): DataFrame = df
@@ -1593,6 +1624,17 @@ object QueriesEtl {
     "zorder_manifest_scan" -> Layout.manifestScanSql(
       "SELECT user_id AS x, date_part('day', ts) AS y FROM events",
       ZDimBits, ZFileBits, ZXLo, ZXHi, ZYLo, ZYHi),
+
+    // mv_join_incremental: the plain recomputed join rollup; the
+    // incremental-equals-recompute law is measured in the Spark path
+    "mv_join_incremental" ->
+      """SELECT c_mktsegment AS seg,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |       TRUE AS incremental_equals_recompute
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
 
     // mv_retract: the maintained route must equal the recompute over
     // (base minus retracted 'error' rows) ∪ inserts, so the oracle IS that

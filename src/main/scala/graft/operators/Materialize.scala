@@ -93,4 +93,42 @@ object Materialize {
           lit(s") underflowed — a delete retracted rows never inserted")))))
       .where(col(countCol) > 0)
   }
+
+  /** Incremental maintenance of a JOIN view — the classic delta rule for
+    * inner equi-joins:
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * Returns exactly the rows to APPEND to the maintained view; the base
+    * join `A_old ⋈ B_old` is never recomputed (that is the whole point —
+    * the complement of [[applyRetractions]]' additive-aggregate class,
+    * covering the join operator itself). Insert-only deltas; deletes
+    * route through the tombstone/retraction machinery upstream.
+    *
+    * Scale shape: all three legs are equi-joins keyed on `keys`, and each
+    * is delta-sized on at least one side — ΔA⋈B and A⋈ΔB broadcast the
+    * delta when it is batch-small (AQE decides), ΔA⋈ΔB is delta×delta.
+    * Maintenance cost scales with the CHANGE, not the view: at 100 TB the
+    * base sides stay bucketed/pruned on the join key and only the delta
+    * shuffles in full.
+    *
+    * Non-key columns of the two sides must be disjoint (the join-view
+    * schema is `keys ++ A-cols ++ B-cols`); checked loudly.
+    */
+  def joinDelta(
+      aOld: DataFrame,
+      aDelta: DataFrame,
+      bOld: DataFrame,
+      bDelta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "joinDelta: need at least one join key")
+    val aCols = aOld.columns.toSet -- keys
+    val bCols = bOld.columns.toSet -- keys
+    val clash = aCols.intersect(bCols)
+    require(clash.isEmpty,
+      s"joinDelta: non-key columns collide across sides: ${clash.toSeq.sorted.mkString(", ")}")
+    aDelta.join(bOld, keys)
+      .unionByName(aOld.join(bDelta, keys))
+      .unionByName(aDelta.join(bDelta, keys))
+  }
 }

@@ -75,4 +75,27 @@ class MaterializeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Materialize.mergeSummaries(Nil, Seq("k"), Seq("n")))
     intercept[IllegalArgumentException](Materialize.mergeSummaries(Seq(s), Seq("k"), Nil))
   }
+
+  test("joinDelta: base-join ∪ delta rows == full recompute, multiplicities included") {
+    val aOld = Seq((1L, "a1"), (2L, "a2"), (2L, "a2b")).toDF("k", "av")
+    val dA = Seq((1L, "a3"), (3L, "a4")).toDF("k", "av")
+    val bOld = Seq((1L, "b1"), (3L, "b2")).toDF("k", "bv")
+    val dB = Seq((2L, "b3"), (1L, "b4"), (9L, "b5")).toDF("k", "bv")
+    val mv = aOld.join(bOld, Seq("k"))
+      .unionByName(Materialize.joinDelta(aOld, dA, bOld, dB, Seq("k")))
+    val full = aOld.unionByName(dA).join(bOld.unionByName(dB), Seq("k"))
+    assert(mv.exceptAll(full).count() == 0 && full.exceptAll(mv).count() == 0)
+    // exact multiset: key 1 has 2 left x 2 right = 4 rows
+    assert(mv.where(col("k") === 1L).count() == 4L)
+    // unmatched delta key 9 contributes nothing
+    assert(mv.where(col("k") === 9L).count() == 0L)
+  }
+
+  test("joinDelta rejects colliding non-key columns loudly") {
+    val a = Seq((1L, "x")).toDF("k", "v")
+    val b = Seq((1L, "y")).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException](
+      Materialize.joinDelta(a, a, b, b, Seq("k")))
+    assert(ex.getMessage.contains("collide"))
+  }
 }

@@ -426,7 +426,8 @@ class PlanSpec extends AnyFunSuite {
       "skyline_pareto" -> 0, "corr_matrix" -> 0, "bfs_hops" -> 0,
       "heavy_hitters_mg" -> 0, "snapshot_concurrent_append" -> 0,
       "snapshot_refs" -> 0, "seasonal_dow" -> 0,
-      "json_props_rollup" -> 0, "window_rank_family" -> 0)
+      "json_props_rollup" -> 0, "window_rank_family" -> 0,
+      "mv_join_incremental" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
