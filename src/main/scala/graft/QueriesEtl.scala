@@ -570,6 +570,22 @@ object QueriesEtl {
         dimBits = ZDimBits, fileBits = ZFileBits,
         xLo = ZXLo, xHi = ZXHi, yLo = ZYLo, yHi = ZYHi)),
 
+    // ── HILBERT-CURVE LAYOUT ([[Layout.scanEfficiencyHilbert]]): the
+    // three space-filling strategies — linear sort, Morton z-order, and
+    // the Hilbert curve — compared on the IDENTICAL bucket grid, file
+    // split, zone maps, and box predicate. Hilbert has no Morton-style
+    // long jumps (consecutive curve positions are always grid neighbors,
+    // pinned exhaustively in LayoutSpec), so its per-file boxes are
+    // tighter and its scan column reads fewer rows; the oracle replays
+    // the full stateful xy2d unroll bitwise through the CTE chain ──
+    "hilbert_prune" -> ((s, dir) =>
+      Layout.scanEfficiencyHilbert(
+        Tables.events(s, dir).select(
+          col("user_id").as("x"), dayofmonth(col("ts")).as("y")),
+        col("x"), col("y"),
+        dimBits = ZDimBits, fileBits = ZFileBits,
+        xLo = ZXLo, xHi = ZXHi, yLo = ZYLo, yHi = ZYHi)),
+
     // ── MANIFEST-DRIVEN data skipping over the physical z-order layout —
     // the Delta/Iceberg scan-planning shape as an end-to-end query: build a
     // zone-map MANIFEST (per-file min/max boxes) from the written files,
@@ -1609,6 +1625,12 @@ object QueriesEtl {
     // interleave → equal-count-file → zone-map pipeline (Layout
     // .scanEfficiencySql) over the same geometry constants
     "zorder_prune" -> Layout.scanEfficiencySql(
+      "SELECT user_id AS x, date_part('day', ts) AS y FROM events",
+      ZDimBits, ZFileBits, ZXLo, ZXHi, ZYLo, ZYHi),
+
+    // hilbert_prune: the same generated replay with the stateful Hilbert
+    // xy2d unroll threaded through (two CTEs per bit level)
+    "hilbert_prune" -> Layout.scanEfficiencyHilbertSql(
       "SELECT user_id AS x, date_part('day', ts) AS y FROM events",
       ZDimBits, ZFileBits, ZXLo, ZXHi, ZYLo, ZYHi),
 

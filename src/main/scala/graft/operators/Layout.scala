@@ -189,6 +189,205 @@ object Layout {
        |ORDER BY layout""".stripMargin
   }
 
+  /** Append the HILBERT index of bucket ids `xbCol`/`ybCol` in
+    * `[0, 2^bits)` as column `out` — the space-filling curve that, unlike
+    * Morton, has NO long jumps: consecutive curve positions are always
+    * grid neighbors (|Δx|+|Δy| = 1, the property [[graft.LayoutSpec]]
+    * pins exhaustively), which is why Hilbert clustering yields tighter
+    * per-file boxes than z-order at the same file count and is what
+    * production layout engines reach for beyond ZORDER.
+    *
+    * This is the textbook xy2d walk (public algorithm): per bit level,
+    * accumulate `s²·((3·rx) XOR ry)` and rotate the quadrant frame
+    * (flip + swap when ry=0). The rotation makes levels STATEFUL — each
+    * level rewrites the working (x, y) — so the unroll materializes one
+    * projection per level (`withColumn`, evaluated once) instead of one
+    * exponentially-shared expression tree. All pure integer arithmetic:
+    * the oracle replays the identical chain ([[hilbertKeySqlCtes]])
+    * bitwise. Cost: `bits` narrow projections inside one codegen stage —
+    * map-side, no shuffle.
+    */
+  def withHilbertKey(
+      df: DataFrame, xbCol: String, ybCol: String, bits: Int, out: String): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"withHilbertKey: bits out of range: $bits")
+    var cur = df
+      .withColumn("__hx", col(xbCol))
+      .withColumn("__hy", col(ybCol))
+      .withColumn(out, lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = when(col("__hx").bitwiseAND(lit(s)) =!= 0L, 1L).otherwise(0L)
+      val ry = when(col("__hy").bitwiseAND(lit(s)) =!= 0L, 1L).otherwise(0L)
+      cur = cur
+        .withColumn("__rx", rx)
+        .withColumn("__ry", ry)
+        .withColumn(out,
+          col(out) + lit(s * s) * (col("__rx") * lit(3L)).bitwiseXOR(col("__ry")))
+        .withColumn("__fx",
+          when(col("__ry") === 0L && col("__rx") === 1L, lit(s - 1L) - col("__hx"))
+            .otherwise(col("__hx")))
+        .withColumn("__fy",
+          when(col("__ry") === 0L && col("__rx") === 1L, lit(s - 1L) - col("__hy"))
+            .otherwise(col("__hy")))
+        .withColumn("__hx", when(col("__ry") === 0L, col("__fy")).otherwise(col("__fx")))
+        .withColumn("__hy", when(col("__ry") === 0L, col("__fx")).otherwise(col("__fy")))
+    }
+    cur.drop("__hx", "__hy", "__rx", "__ry", "__fx", "__fy")
+  }
+
+  /** The oracle replay of [[withHilbertKey]] as a chain of CTEs: enters at
+    * `$from` (which must carry `hx`, `hy`, `hd`) and exits at `hl0` with
+    * the final `hd` and the working registers dropped. One CTE per level —
+    * the same stateful unroll, in ANSI SQL (`>>`, `&`, `xor`, CASE).
+    */
+  def hilbertKeySqlCtes(bits: Int, from: String): String = {
+    // two CTEs per level: compute into FRESH names (nhd/nhx/nhy), then
+    // rename back — a single SELECT redefining `hx` while later
+    // expressions still read `hx` would silently bind the NEW column
+    // under lateral-column-alias scoping
+    val levels = ((bits - 1) to 0 by -1).map { i =>
+      val s = 1L << i
+      val src = if (i == bits - 1) from else s"hl${i + 1}"
+      s"""hc$i AS (
+         |  SELECT *,
+         |    hd + ${s * s} * xor(3 * ((hx >> $i) & 1), (hy >> $i) & 1) AS nhd,
+         |    CASE WHEN ((hy >> $i) & 1) = 0
+         |         THEN (CASE WHEN ((hx >> $i) & 1) = 1 THEN ${s - 1} - hy ELSE hy END)
+         |         ELSE hx END AS nhx,
+         |    CASE WHEN ((hy >> $i) & 1) = 0
+         |         THEN (CASE WHEN ((hx >> $i) & 1) = 1 THEN ${s - 1} - hx ELSE hx END)
+         |         ELSE hy END AS nhy
+         |  FROM $src
+         |),
+         |hl$i AS (
+         |  SELECT * EXCLUDE (hx, hy, hd, nhx, nhy, nhd),
+         |         nhd AS hd, nhx AS hx, nhy AS hy
+         |  FROM hc$i
+         |)""".stripMargin
+    }
+    levels.mkString(",\n")
+  }
+
+  /** [[scanEfficiency]] extended with the HILBERT layout: one report row
+    * per layout (`hilbert`, `linear`, `zorder`) over the identical
+    * rank-bucket grid, equal-count file split, zone-map scan rule, and
+    * box predicate — so the three curves are compared on exactly the
+    * same geometry and the hashed integers prove which one scans less.
+    */
+  def scanEfficiencyHilbert(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      dimBits: Int,
+      fileBits: Int,
+      xLo: Long,
+      xHi: Long,
+      yLo: Long,
+      yHi: Long): DataFrame = {
+    require(dimBits >= 1 && dimBits <= 20, s"dimBits out of range: $dimBits")
+    require(fileBits >= 1 && fileBits <= 2 * dimBits, s"fileBits out of range: $fileBits")
+    val nFiles = 1L << fileBits
+    val keyed = withHilbertKey(mortonKeyed(df, x, y, dimBits), "xb", "yb", dimBits, "h_key")
+
+    def layout(keyCol: String, name: String): DataFrame = {
+      val zoned = keyed
+        .withColumn(
+          "file_id",
+          expr(s"(rank() OVER (ORDER BY $keyCol) - 1) * ${nFiles}L div n_total"))
+        .groupBy(col("file_id"))
+        .agg(
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col("x").between(xLo, xHi) && col("y").between(yLo, yHi), 1L)
+            .otherwise(0L)).as("n_match"))
+      val hit = col("max_x") >= xLo && col("min_x") <= xHi &&
+        col("max_y") >= yLo && col("min_y") <= yHi
+      zoned.agg(
+        count(lit(1)).as("n_files"),
+        sum(when(hit, 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"),
+        sum(col("n_match")).as("rows_matching"))
+        .select(
+          lit(name).as("layout"), col("n_files"), col("files_scanned"),
+          col("rows_scanned"), col("rows_matching"),
+          expr("rows_scanned * 1000000 div greatest(rows_matching, 1)")
+            .as("amplification_ppm"))
+    }
+
+    layout("h_key", "hilbert")
+      .unionByName(layout("lex_key", "linear"))
+      .unionByName(layout("z_key", "zorder"))
+      .orderBy(col("layout"))
+  }
+
+  /** The oracle replay of [[scanEfficiencyHilbert]]: the [[scanEfficiencySql]]
+    * pipeline with the Hilbert CTE chain threaded between the bucket and
+    * file-assignment stages.
+    */
+  def scanEfficiencyHilbertSql(
+      src: String,
+      dimBits: Int,
+      fileBits: Int,
+      xLo: Long,
+      xHi: Long,
+      yLo: Long,
+      yHi: Long): String = {
+    val nBuckets = 1L << dimBits
+    val nFiles = 1L << fileBits
+    s"""WITH base AS ($src),
+       |ranked AS (
+       |  SELECT x, y,
+       |         (rank() OVER (ORDER BY x) - 1) * $nBuckets // count(*) OVER () AS xb,
+       |         (rank() OVER (ORDER BY y) - 1) * $nBuckets // count(*) OVER () AS yb,
+       |         count(*) OVER () AS n_total
+       |  FROM base
+       |), keyed AS (
+       |  SELECT x, y, n_total, xb, yb,
+       |         ${zorderKeySql(dimBits)} AS z_key,
+       |         yb * $nBuckets + xb AS lex_key,
+       |         xb AS hx, yb AS hy, CAST(0 AS BIGINT) AS hd
+       |  FROM ranked
+       |),
+       |${hilbertKeySqlCtes(dimBits, "keyed")},
+       |zoned AS (
+       |  SELECT layout, file_id,
+       |         min(x) AS min_x, max(x) AS max_x,
+       |         min(y) AS min_y, max(y) AS max_y,
+       |         count(*) AS n_rows,
+       |         sum(CASE WHEN x BETWEEN $xLo AND $xHi AND y BETWEEN $yLo AND $yHi
+       |                  THEN 1 ELSE 0 END) AS n_match
+       |  FROM (
+       |    SELECT 'hilbert' AS layout, x, y,
+       |           (rank() OVER (ORDER BY hd) - 1) * $nFiles // n_total AS file_id
+       |    FROM hl0
+       |    UNION ALL
+       |    SELECT 'zorder' AS layout, x, y,
+       |           (rank() OVER (ORDER BY z_key) - 1) * $nFiles // n_total AS file_id
+       |    FROM hl0
+       |    UNION ALL
+       |    SELECT 'linear' AS layout, x, y,
+       |           (rank() OVER (ORDER BY lex_key) - 1) * $nFiles // n_total AS file_id
+       |    FROM hl0
+       |  )
+       |  GROUP BY layout, file_id
+       |)
+       |SELECT layout,
+       |       count(*) AS n_files,
+       |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       |       CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       |       CAST(sum(n_match) AS BIGINT) AS rows_matching,
+       |       CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) * 1000000
+       |         // greatest(sum(n_match), 1) AS BIGINT) AS amplification_ppm
+       |FROM (
+       |  SELECT *, (max_x >= $xLo AND min_x <= $xHi AND
+       |             max_y >= $yLo AND min_y <= $yHi) AS hit
+       |  FROM zoned
+       |)
+       |GROUP BY layout
+       |ORDER BY layout""".stripMargin
+  }
+
   /** PHYSICAL layout write — the half [[scanEfficiency]] only simulates:
     * actually sort the rows by the clustering key (Morton when `morton`,
     * lexicographic `(y_bucket, x_bucket)` otherwise), cut them into

@@ -230,4 +230,51 @@ class LayoutSpec extends AnyFunSuite {
     // point is ORDER OF MAGNITUDE pruning (deterministic fixture, no flake)
     assert(fpPairs < 80L, s"$fpPairs false-positive (probe, file) pairs of 800 possible")
   }
+
+  test("hilbert key: bijective over the full 32x32 grid and adjacency-preserving (Morton is not)") {
+    import spark.implicits._
+    val bits = 5
+    val n = 1 << bits
+    val grid = (0 until n * n).map(i => (i.toLong % n, i.toLong / n)).toDF("xb", "yb")
+    val keyed = Layout.withHilbertKey(grid, "xb", "yb", bits, "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bijection onto [0, n^2)
+    assert(keyed.map(_._3).distinct.length == n * n)
+    assert(keyed.map(_._3).min == 0L && keyed.map(_._3).max == (n * n - 1).toLong)
+    // THE Hilbert property: consecutive curve positions are grid
+    // NEIGHBORS — |dx| + |dy| == 1, no long jumps, ever
+    val byD = keyed.sortBy(_._3)
+    byD.sliding(2).foreach { case Array(a, b) =>
+      val dist = math.abs(a._1 - b._1) + math.abs(a._2 - b._2)
+      assert(dist == 1L, s"jump between d=${a._3} and d=${b._3}: $a -> $b")
+    }
+    // Morton does NOT have it: the same walk over z_key jumps
+    val z = grid.withColumn("z", Layout.zorderKey(col("xb"), col("yb"), bits))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+    val zJumps = z.sliding(2).count { case Array(a, b) =>
+      math.abs(a._1 - b._1) + math.abs(a._2 - b._2) > 1L
+    }
+    assert(zJumps > 0, "expected Morton long jumps on the grid")
+  }
+
+  test("scanEfficiencyHilbert: invariants hold; both curves beat the linear sort on the 2-D box") {
+    import spark.implicits._
+    // deterministic synthetic grid: every (x, y) cell in [0,64)^2 once
+    val rows = (0 until 64 * 64).map(i => (i.toLong % 64, i.toLong / 64)).toDF("x", "y")
+    val rep = Layout.scanEfficiencyHilbert(
+      rows, col("x"), col("y"), dimBits = 6, fileBits = 6,
+      xLo = 8L, xHi = 23L, yLo = 8L, yHi = 23L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(t => t._1 -> t).toMap
+    // same file count and same matching rows for every layout
+    assert(rep.values.map(_._2).toSet.size == 1)
+    assert(rep.values.map(_._5).toSet.size == 1)
+    val matching = rep("hilbert")._5
+    assert(matching == 16L * 16L)
+    // every layout scans at least the matching rows
+    rep.values.foreach(t => assert(t._4 >= matching))
+    // the square box is the multi-dimensional case: both curves beat linear
+    assert(rep("hilbert")._4 < rep("linear")._4)
+    assert(rep("zorder")._4 < rep("linear")._4)
+  }
 }
