@@ -968,6 +968,44 @@ object QueriesEtl {
         .orderBy(col("prio"))
     }),
 
+    // ── BIN-PACKING small-file compaction ([[SnapshotLog.compactSmall]],
+    // the production OPTIMIZE shape): one well-sized file (90% of the
+    // corpus) plus an eight-file KB-sized streaming tail; the rewrite
+    // touches ONLY the tail — the big file is carried byte-identical
+    // (same path, never read), the eight smalls pack into one, and the
+    // maintenance cost scales with the small tail, not the table. The
+    // threshold is the measured big-file size, so the laws hold at every
+    // SF. Laws hashed next to the rollup ──
+    "compact_small_files" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_binpack"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      log.append(base.where(col("k") % 10 =!= 0), partitions = 1)
+      (0 until 8).foreach { i =>
+        log.append(base.where(col("k") % 80 === i.toLong * 10L), partitions = 1)
+        ()
+      }
+      val bigSet = log.dataFiles(0L).toSet
+      val before = log.dataFiles(log.currentVersion.get)
+      val target = new java.io.File(
+        s"${scratch(dir, "snap_binpack")}/${bigSet.head}").length()
+      val (v, (packed, written)) = log.compactSmall(s, targetBytes = target)
+      val after = log.dataFiles(v)
+      val bigCarried = bigSet.subsetOf(after.toSet)
+      val smallsGone = after.toSet.intersect(before.toSet -- bigSet).isEmpty
+      val packedAll = packed == 8 && written == 1 &&
+        after.size == bigSet.size + 1
+      log.readLatest(s)
+        .groupBy((col("k") % 7).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .withColumn("big_carried", lit(bigCarried))
+        .withColumn("smalls_gone", lit(smallsGone))
+        .withColumn("packed_all", lit(packedAll))
+        .orderBy(col("bucket"))
+    }),
+
     // ── NAMED REFS on the snapshot log ([[SnapshotLog.tag]]/[[SnapshotLog
     // .fork]], the Iceberg-refs / shallow-clone shape): v0 pinned under an
     // immutable tag, a zero-copy "dev" branch forked at v1 (no bytes
@@ -1449,6 +1487,16 @@ object QueriesEtl {
         |       TRUE AS chain_monotone,
         |       TRUE AS survivors_read_after_expire
         |FROM orders GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
+
+    // compact_small_files: the nine disjoint modular slices reunite to
+    // the whole orders corpus; the bin-packing laws are measured in the
+    // Spark path and pinned TRUE
+    "compact_small_files" ->
+      """SELECT CAST(o_orderkey % 7 AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS big_carried, TRUE AS smalls_gone, TRUE AS packed_all
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // snapshot_refs: the three per-ref rollups are modular slices of
     // orders (tag = %3==0, main = +%3==1, dev branch = all); the five

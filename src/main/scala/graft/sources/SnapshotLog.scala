@@ -399,6 +399,38 @@ class SnapshotLog(
     commit(Some(cur), stageData(read(spark, cur), partitions))
   }
 
+  /** BIN-PACKING small-file compaction (the production `OPTIMIZE` shape,
+    * unlike [[compact]]'s full rewrite): only data files UNDER
+    * `targetBytes` are read and re-packed into ~targetBytes outputs;
+    * every file already at/above the target is CARRIED into the new
+    * snapshot untouched — byte-identical, same path, no read, no write.
+    * At 100 TB that asymmetry is the whole point: streaming ingest
+    * ([[graft.streaming.StreamingCdc]]) lands thousands of KB-sized
+    * files per day next to TB of well-sized history, and maintenance
+    * cost must scale with the SMALL tail, not the table. Tombstone
+    * files are carried as-is (they keep masking; [[compact]] is the
+    * full materialization). Committed atomically; a no-op (fewer than
+    * two small files) commits nothing and returns the current version.
+    *
+    * @return (version, (smallFilesPacked, filesWritten))
+    */
+  def compactSmall(spark: SparkSession, targetBytes: Long): (Long, (Int, Int)) = {
+    require(targetBytes >= 1L, s"compactSmall: targetBytes must be >= 1, got $targetBytes")
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"compactSmall: no committed snapshot at $root"))
+    val data = dataFiles(cur)
+    val sized = data.map(p => p -> new File(dataRootPath, p).length())
+    val smalls = sized.filter(_._2 < targetBytes).map(_._1)
+    if (smalls.size < 2) return (cur, (0, 0))
+    val carried = files(cur).filterNot(smalls.toSet)
+    val smallBytes = sized.filter(_._2 < targetBytes).map(_._2).sum
+    val nOut = math.max(1L, (smallBytes + targetBytes - 1L) / targetBytes).toInt
+    val merged = spark.read.parquet(
+      smalls.map(p => new File(dataRootPath, p).toString): _*)
+    val staged = stageData(merged, nOut)
+    (commit(Some(cur), carried ++ staged), (smalls.size, staged.size))
+  }
+
   /** OPTIMIZE under the log (the Delta `OPTIMIZE ... ZORDER/ORDER BY`
     * shape): rewrite the current snapshot RANGE-CLUSTERED on `sortCols` —
     * `repartitionByRange` gives every output file a disjoint key range

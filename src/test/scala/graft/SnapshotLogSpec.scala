@@ -268,6 +268,38 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(log.readLatest(spark).count() == 4L)
   }
 
+  test("compactSmall packs only the small tail; big files carried byte-identical; no-op under two smalls") {
+    val log = freshLog("binpack")
+    log.append(rows(500, "big"), partitions = 1)
+    val bigPath = log.dataFiles(0L).head
+    val bigFile = new File(log.root, bigPath)
+    val (bigLen, bigMod) = (bigFile.length(), bigFile.lastModified())
+    (0 until 4).foreach { i => log.append(rows(2, s"tail$i"), partitions = 1); () }
+    val (v, (packed, written)) = log.compactSmall(spark, targetBytes = bigLen)
+    assert(packed == 4 && written == 1)
+    val after = log.dataFiles(v)
+    assert(after.size == 2 && after.contains(bigPath))
+    // carried file untouched on disk — same bytes, same mtime
+    assert(bigFile.length() == bigLen && bigFile.lastModified() == bigMod)
+    assert(log.read(spark, v).count() == 508L)
+    // distinct payloads survive exactly once
+    assert(log.read(spark, v).select("payload").distinct().count() == 508L)
+    // fewer than two smalls -> no new commit
+    val (v2, (p2, w2)) = log.compactSmall(spark, targetBytes = 10L)
+    assert(v2 == v && p2 == 0 && w2 == 0)
+    // tombstones are carried and keep masking after the pack
+    val log2 = freshLog("binpack_tomb")
+    log2.append(rows(300, "big"), partitions = 1)
+    val thr = new File(log2.root, log2.dataFiles(0L).head).length()
+    log2.append(rows(3, "t0"), partitions = 1)
+    log2.append(rows(3, "t1"), partitions = 1)
+    log2.deleteRows(Seq((0L, "t0-0")).toDF("id", "payload"), partitions = 1)
+    val beforeCount = log2.readLatest(spark).count()
+    val (v3, _) = log2.compactSmall(spark, targetBytes = thr)
+    assert(log2.read(spark, v3).count() == beforeCount)
+    assert(log2.tombstoneFiles(v3).nonEmpty)
+  }
+
   test("tags pin immutably; unknown tags and uncommitted versions fail loudly") {
     val log = freshLog("tags")
     val v0 = log.append(rows(3, "a"), partitions = 1)
