@@ -968,6 +968,175 @@ object QueriesEtl {
         .orderBy(col("prio"))
     }),
 
+    // ── CHANGE DATA FEED from the snapshot log ([[SnapshotLog
+    // .changeFeed]], the Delta CDF shape): four commits — two appends, a
+    // tombstone delete, another append — and the feed derives every
+    // row-level change from exactly the files each commit ADDED (deletes
+    // materialized as full images via a delete-sized join against the
+    // pre-commit snapshot). The replay law — fold the feed onto the v0
+    // state and land bitwise on the v3 state — is measured with exceptAll
+    // both ways; the hashed rows are the per-(version, type) rollups ──
+    "snapshot_change_feed" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_cdf"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v0 = log.append(base.where(col("k") % 4 === 0), partitions = 2)
+      log.append(base.where(col("k") % 4 === 1), partitions = 2)
+      log.deleteRows(
+        base.where(col("k") % 8 === 0).select(col("k")), partitions = 1)
+      val v3 = log.append(base.where(col("k") % 4 === 2), partitions = 2)
+      val feed = log.changeFeed(s, v0, v3)
+      val replayed = feed.select(col("_commit_version")).distinct()
+        .orderBy(col("_commit_version"))
+        .collect().map(_.getLong(0))
+        .foldLeft(log.read(s, v0)) { (state, v) =>
+          val ins = feed.where(
+            col("_commit_version") === v && col("_change_type") === "insert")
+            .select(col("k"), col("cents"))
+          val del = feed.where(
+            col("_commit_version") === v && col("_change_type") === "delete")
+            .select(col("k"))
+          state.join(del, Seq("k"), "left_anti").unionByName(ins)
+        }
+      val target = log.read(s, v3)
+      val replayLands = replayed.exceptAll(target).limit(1).count() == 0 &&
+        target.exceptAll(replayed).limit(1).count() == 0
+      feed.groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .withColumn("replay_lands_on_target", lit(replayLands))
+        .orderBy(col("_commit_version"), col("_change_type"))
+    }),
+
+    // ── DESCRIBE HISTORY from log metadata ([[SnapshotLog.history]]):
+    // five commits spanning every operation class the classifier derives
+    // from delta shape alone — two appends, a merge-on-read delete, a
+    // compaction rewrite, and a RESTORE (itself a metadata-only rewrite
+    // that resurrects the pre-delete rows: v4's row count returns to
+    // v1's). Per-version file counts come from the log's metadata; the
+    // per-version row counts are the audit read, bounded by version
+    // count. The oracle re-derives everything from the modular slices ──
+    "snapshot_history" -> ((s, dir) => {
+      import s.implicits._
+      val log = new SnapshotLog(scratch(dir, "snap_history"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      log.append(base.where(col("k") % 3 === 0), partitions = 2)
+      val v1 = log.append(base.where(col("k") % 3 === 1), partitions = 3)
+      log.deleteRows(base.where(col("k") % 6 === 0).select(col("k")), partitions = 1)
+      log.compact(s, partitions = 2)
+      log.restoreTo(v1)
+      val hist = log.history
+        .toDF("version", "op", "added_data", "added_tombstones", "removed", "n_files")
+      val rows = log.versions.map(v => (v, log.read(s, v).count()))
+        .toDF("version", "n_rows")
+      hist.join(rows, Seq("version")).orderBy(col("version"))
+    }),
+
+    // ── RESTORE as disaster recovery ([[SnapshotLog.restoreTo]]): a
+    // buggy job overwrites the table with a 1%-sample; restore
+    // re-commits v0's listing as a NEW version — metadata-only (listing
+    // equality pinned), bitwise-identical content (exceptAll both ways),
+    // and the broken version stays readable for the post-mortem ──
+    "snapshot_restore" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_restore"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v0 = log.append(base, partitions = 3)
+      log.overwrite(base.where(col("k") % 97 === 0), partitions = 1)
+      val brokenRows = log.readLatest(s).count()
+      val v2 = log.restoreTo(v0)
+      val restored = log.read(s, v2)
+      val metadataOnly = log.files(v2) == log.files(v0)
+      val r0 = log.read(s, v0)
+      val bitwise = restored.exceptAll(r0).limit(1).count() == 0 &&
+        r0.exceptAll(restored).limit(1).count() == 0
+      restored.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("broken_version_rows", lit(brokenRows))
+        .withColumn("restore_metadata_only", lit(metadataOnly))
+        .withColumn("restored_bitwise_v0", lit(bitwise))
+        .orderBy(col("prio"))
+    }),
+
+    // ── INCREMENTAL MV FROM THE CHANGE FEED ([[SnapshotLog.changeFeed]]
+    // feeding [[graft.operators.Materialize]]'s merge discipline): the MV
+    // materializes ONCE at v0; three commits later it advances by ONE
+    // change-sized aggregation of the feed (inserts +1, deletes -1)
+    // merged into group-count-sized state — the base table is never
+    // rescanned. The law column pins the maintained MV against a
+    // from-scratch recompute of v3 with exceptAll both ways ──
+    "mv_change_feed" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_mv_cdf"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v0 = log.append(base.where(col("k") % 4 === 0), partitions = 2)
+      val mv0 = log.read(s, v0).groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      log.append(base.where(col("k") % 4 === 1), partitions = 2)
+      log.deleteRows(base.where(col("k") % 8 === 0).select(col("k")), partitions = 1)
+      val v3 = log.append(base.where(col("k") % 4 === 2), partitions = 2)
+      val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+      val deltas = log.changeFeed(s, v0, v3)
+        .groupBy(col("prio"))
+        .agg(sum(sign).as("dn"), sum(sign * col("cents")).as("dc"))
+      val merged = mv0.join(deltas, Seq("prio"), "full_outer")
+        .select(col("prio"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+          (coalesce(col("c"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("sum_cents"))
+        .where(col("n_orders") > 0)
+      val direct = log.read(s, v3).groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      val lands = merged.exceptAll(direct).limit(1).count() == 0 &&
+        direct.exceptAll(merged).limit(1).count() == 0
+      merged.withColumn("mv_matches_recompute", lit(lands))
+        .orderBy(col("prio"))
+    }),
+
+    // ── WRITE-AUDIT-PUBLISH over zero-copy branches ([[SnapshotLog
+    // .fork]] + [[SnapshotLog.appendChecked]] + one atomic publish
+    // commit — the Iceberg WAP pattern): every write lands on an
+    // isolated branch first; a poisoned batch (negative amounts) is
+    // rejected by the branch's CHECK gate with main untouched; the clean
+    // batch passes audit and PUBLISH fast-forwards main to the audited
+    // listing in one put-if-absent metadata commit (a moved main would
+    // lose the race, not tear). Published table == the full corpus ──
+    "snapshot_wap" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_wap"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v0 = log.append(base.where(col("k") % 2 === 0), partitions = 2)
+      val audit = log.fork("audit")
+      val bad = base.where(col("k") % 2 === 1)
+        .withColumn("cents",
+          when(col("k") % 16 === 1, -col("cents") - 1).otherwise(col("cents")))
+      val badRejected =
+        try {
+          audit.appendChecked(bad, 2, Seq("cents_nonneg" -> (col("cents") >= 0)))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val branchCleanAfterReject = audit.currentVersion.contains(0L)
+      val mainCleanDuringAudit = log.currentVersion.contains(v0)
+      audit.appendChecked(base.where(col("k") % 2 === 1), 2,
+        Seq("cents_nonneg" -> (col("cents") >= 0)))
+      val vPub = log.commit(log.currentVersion, audit.files(audit.currentVersion.get))
+      log.read(s, vPub).groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("bad_batch_rejected_on_branch", lit(badRejected))
+        .withColumn("branch_clean_after_reject", lit(branchCleanAfterReject))
+        .withColumn("main_clean_during_audit", lit(mainCleanDuringAudit))
+        .orderBy(col("prio"))
+    }),
+
     // ── BIN-PACKING small-file compaction ([[SnapshotLog.compactSmall]],
     // the production OPTIMIZE shape): one well-sized file (90% of the
     // corpus) plus an eight-file KB-sized streaming tail; the rewrite
@@ -1487,6 +1656,86 @@ object QueriesEtl {
         |       TRUE AS chain_monotone,
         |       TRUE AS survivors_read_after_expire
         |FROM orders GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
+
+    // snapshot_change_feed: each commit's rollup derives straight from
+    // its modular slice (v2's deletes = the k%8 keys, all living in v0's
+    // slice); the replay law is measured in the Spark path
+    "snapshot_change_feed" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), f AS (
+        |  SELECT CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+        |         CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM o WHERE k % 4 = 1
+        |  UNION ALL
+        |  SELECT 2, 'delete', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |  FROM o WHERE k % 8 = 0
+        |  UNION ALL
+        |  SELECT 3, 'insert', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |  FROM o WHERE k % 4 = 2
+        |)
+        |SELECT _commit_version, _change_type, n_rows, sum_cents,
+        |       TRUE AS replay_lands_on_target
+        |FROM f ORDER BY _commit_version, _change_type""".stripMargin,
+
+    // snapshot_history: file counts are fixed by the scripted partitions
+    // (2+3 appends, 1 tombstone, 2-file compact, restore re-lists v1's
+    // 5); row counts re-derive from the modular slices — the restore row
+    // (v4) returning to v1's count IS the resurrect-the-deleted-rows law
+    "snapshot_history" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |c AS (SELECT
+        |  (SELECT count(*) FROM o WHERE k % 3 = 0) AS n0,
+        |  (SELECT count(*) FROM o WHERE k % 3 = 1) AS n1,
+        |  (SELECT count(*) FROM o WHERE k % 6 = 0) AS n6)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS version, 'append' AS op,
+        |         CAST(2 AS INT) AS added_data, CAST(0 AS INT) AS added_tombstones,
+        |         CAST(0 AS INT) AS removed, CAST(2 AS INT) AS n_files,
+        |         CAST(n0 AS BIGINT) AS n_rows FROM c
+        |  UNION ALL SELECT 1, 'append', 3, 0, 0, 5, n0 + n1 FROM c
+        |  UNION ALL SELECT 2, 'delete', 0, 1, 0, 6, n0 + n1 - n6 FROM c
+        |  UNION ALL SELECT 3, 'rewrite', 2, 0, 6, 2, n0 + n1 - n6 FROM c
+        |  UNION ALL SELECT 4, 'rewrite', 5, 0, 2, 5, n0 + n1 FROM c
+        |) ORDER BY version""".stripMargin,
+
+    // snapshot_restore: the restored table is the FULL corpus again; the
+    // broken version's row count is the 1%-sample; laws measured in the
+    // Spark path (listing equality, exceptAll both ways) pinned TRUE
+    "snapshot_restore" ->
+      """SELECT o_orderpriority AS prio,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       (SELECT count(*) FROM orders WHERE o_orderkey % 97 = 0) AS broken_version_rows,
+        |       TRUE AS restore_metadata_only,
+        |       TRUE AS restored_bitwise_v0
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // mv_change_feed: the maintained MV equals the aggregate over the
+    // final state (inserted slices minus the deleted keys); the
+    // recompute law is measured in the Spark path
+    "mv_change_feed" ->
+      """SELECT o_orderpriority AS prio,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS mv_matches_recompute
+        |FROM orders
+        |WHERE o_orderkey % 4 IN (0, 1, 2) AND NOT o_orderkey % 8 = 0
+        |GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // snapshot_wap: the published table is the full corpus (audited
+    // halves reunited); the audit-gate laws are measured in the Spark
+    // path and pinned TRUE
+    "snapshot_wap" ->
+      """SELECT o_orderpriority AS prio,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS bad_batch_rejected_on_branch,
+        |       TRUE AS branch_clean_after_reject,
+        |       TRUE AS main_clean_during_audit
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
 
     // compact_small_files: the nine disjoint modular slices reunite to
     // the whole orders corpus; the bin-packing laws are measured in the

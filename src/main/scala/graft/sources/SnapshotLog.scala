@@ -399,6 +399,112 @@ class SnapshotLog(
     commit(Some(cur), stageData(read(spark, cur), partitions))
   }
 
+  /** CHANGE DATA FEED from the log's own metadata (the Delta CDF shape):
+    * row-level changes across `(fromVersion, toVersion]`, derived from
+    * exactly the files each commit ADDED — never by diffing table states.
+    * An added data file contributes its rows as `insert`s; an added
+    * tombstone contributes `delete`s, materialized as FULL row images by
+    * joining the keys against the pre-commit snapshot (the standard CDF
+    * materialization; the pre-state side prunes on the key predicate /
+    * file stats at scale, so the join is delete-sized, not table-sized).
+    * Feed rows carry `_commit_version` and `_change_type` next to the
+    * table schema.
+    *
+    * Defined for the APPEND/DELETE commit class only: a commit that
+    * REMOVES files (overwrite, compact, optimize, merge rewrites) is
+    * refused loudly — the layout subclass carries no row-level change and
+    * the overwrite subclass needs before/after row diffing, which is
+    * [[graft.operators.Cdc.snapshotDiff]]'s job, not the feed's.
+    */
+  def changeFeed(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
+    val vs = versions
+    require(vs.contains(fromVersion) && vs.contains(toVersion) && fromVersion < toVersion,
+      s"changeFeed: need committed fromVersion < toVersion, got $fromVersion..$toVersion of $vs")
+    import org.apache.spark.sql.functions.lit
+    val parts = ((fromVersion + 1L) to toVersion).flatMap { v =>
+      val prev = files(v - 1L)
+      val prevSet = prev.toSet
+      val curF = files(v)
+      val removed = prevSet -- curF.toSet
+      require(removed.isEmpty,
+        s"changeFeed: v$v removes ${removed.size} file(s) — rewrite/overwrite " +
+          "commits carry no row-level feed (diff states via Cdc.snapshotDiff instead)")
+      val added = curF.filterNot(prevSet)
+      val dataAdds = added.filterNot(_.startsWith(DelPrefix))
+      val delAdds = added.filter(_.startsWith(DelPrefix)).map(_.substring(DelPrefix.length))
+      val ins =
+        if (dataAdds.isEmpty) Nil
+        else Seq(spark.read.parquet(dataAdds.map(p => new File(dataRootPath, p).toString): _*)
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_change_type", lit("insert")))
+      val del =
+        if (delAdds.isEmpty) Nil
+        else {
+          val keys = spark.read.parquet(delAdds.map(p => new File(dataRootPath, p).toString): _*)
+          Seq(read(spark, v - 1L).join(keys, keys.columns.toSeq)
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_change_type", lit("delete")))
+        }
+      ins ++ del
+    }
+    require(parts.nonEmpty, s"changeFeed: no changes in ($fromVersion, $toVersion]")
+    parts.reduce(_ unionByName _)
+  }
+
+  /** DESCRIBE HISTORY from the log's own metadata (the Delta
+    * `DESCRIBE HISTORY` shape): one row per committed version with the
+    * operation CLASS derived from the delta's shape alone — adds-only
+    * commits split into `append` (data files), `delete` (tombstones),
+    * and `append+delete` (both); a commit that removes files is a
+    * `rewrite` (compact / optimize / merge / overwrite / restore), and a
+    * removes-only commit is a `prune`. Purely metadata-sized: the walk
+    * touches delta/checkpoint files, never data. Returned driver-side
+    * (version-count rows) for the caller to lift into a frame.
+    *
+    * Each row: (version, op, addedData, addedTombstones, removed,
+    * filesTotal).
+    */
+  def history: Seq[(Long, String, Int, Int, Int, Int)] =
+    versions.map { v =>
+      val cur = files(v)
+      val prev = if (v == versions.head) Seq.empty[String] else files(v - 1L)
+      val prevSet = prev.toSet
+      val curSet = cur.toSet
+      val added = cur.filterNot(prevSet)
+      val removed = prev.count(p => !curSet.contains(p))
+      val addedData = added.count(!_.startsWith(DelPrefix))
+      val addedTombs = added.size - addedData
+      val op =
+        if (removed > 0 && added.nonEmpty) "rewrite"
+        else if (removed > 0) "prune"
+        else if (addedData > 0 && addedTombs > 0) "append+delete"
+        else if (addedTombs > 0) "delete"
+        else if (addedData > 0) "append"
+        else "noop"
+      (v, op, addedData, addedTombs, removed, cur.size)
+    }
+
+  /** RESTORE the table to the state of `version`, as a NEW commit (the
+    * Delta `RESTORE TABLE ... TO VERSION AS OF` shape): metadata-only —
+    * the old snapshot's file listing is re-committed as the next
+    * version, no data bytes move, and the versions being rolled past
+    * stay fully readable (history is preserved, so the incident can be
+    * audited after the rollback). Because every file the restored
+    * listing names is still referenced by a live manifest, [[vacuum]]
+    * keeps them by construction. Restoring to the current listing is
+    * refused — a no-op commit would only fog the history.
+    */
+  def restoreTo(version: Long): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"restoreTo: no committed snapshot at $root"))
+    require(versions.contains(version),
+      s"restoreTo: version $version is not committed at $root (have $versions)")
+    val target = files(version)
+    require(target.toSet != files(cur).toSet,
+      s"restoreTo: v$version has the same file listing as current v$cur — nothing to restore")
+    commit(Some(cur), target)
+  }
+
   /** BIN-PACKING small-file compaction (the production `OPTIMIZE` shape,
     * unlike [[compact]]'s full rewrite): only data files UNDER
     * `targetBytes` are read and re-packed into ~targetBytes outputs;

@@ -428,7 +428,9 @@ class PlanSpec extends AnyFunSuite {
       "snapshot_refs" -> 0, "seasonal_dow" -> 0,
       "json_props_rollup" -> 0, "window_rank_family" -> 0,
       "mv_join_incremental" -> 0, "hilbert_prune" -> 0,
-      "compact_small_files" -> 0)
+      "compact_small_files" -> 0, "snapshot_change_feed" -> 0,
+      "snapshot_history" -> 0, "snapshot_restore" -> 0,
+      "mv_change_feed" -> 0, "snapshot_wap" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

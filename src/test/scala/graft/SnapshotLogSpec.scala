@@ -268,6 +268,52 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(log.readLatest(spark).count() == 4L)
   }
 
+  test("changeFeed: inserts from added files, deletes as full pre-state images; rewrites refused") {
+    val log = freshLog("cdf")
+    val v0 = log.append(rows(6, "a"), partitions = 1)
+    log.append(rows(4, "b"), partitions = 1)
+    log.deleteRows(Seq((1L, "a-1"), (2L, "b-2")).toDF("id", "payload"), partitions = 1)
+    val v3 = log.append(rows(2, "c"), partitions = 1)
+    val feed = log.changeFeed(spark, v0, v3).as[(Long, String, Long, String)]
+      .collect().map { case (id, p, v, t) => (v, t, id, p) }.sorted
+    // v1: 4 inserts; v2: 2 full-image deletes; v3: 2 inserts
+    assert(feed.count(r => r._1 == 1L && r._2 == "insert") == 4)
+    assert(feed.filter(r => r._1 == 2L && r._2 == "delete").map(r => (r._3, r._4)).toSeq
+      == Seq((1L, "a-1"), (2L, "b-2")))
+    assert(feed.count(r => r._1 == 3L && r._2 == "insert") == 2)
+    assert(feed.length == 8)
+    // a rewrite commit in range is refused loudly
+    log.compact(spark, partitions = 1)
+    val ex = intercept[IllegalArgumentException](
+      log.changeFeed(spark, v0, log.currentVersion.get))
+    assert(ex.getMessage.contains("rewrite"))
+    // an empty window is refused rather than returning an empty frame
+    intercept[IllegalArgumentException](log.changeFeed(spark, v3, v3))
+  }
+
+  test("history classifies every operation class from delta shape; restoreTo is a metadata-only rewrite") {
+    val log = freshLog("history")
+    val v0 = log.append(rows(8, "a"), partitions = 2)
+    log.deleteRows(Seq(1L, 3L).toDF("id"), partitions = 1)
+    log.compact(spark, partitions = 1)
+    log.append(rows(2, "b"), partitions = 1)
+    log.restoreTo(v0)
+    val ops = log.history.map(h => (h._1, h._2))
+    assert(ops == Seq(0L -> "append", 1L -> "delete", 2L -> "rewrite",
+      3L -> "append", 4L -> "rewrite"))
+    // restore re-listed v0's files exactly — no data moved, deleted rows back
+    assert(log.files(4L) == log.files(v0))
+    assert(log.read(spark, 4L).count() == 8L)
+    // file accounting: v1 added one tombstone on two carried data files
+    val h1 = log.history(1)
+    assert(h1._3 == 0 && h1._4 == 1 && h1._5 == 0 && h1._6 == 3)
+    // refusals: unknown version; restore to the current listing
+    intercept[IllegalArgumentException](log.restoreTo(99L))
+    intercept[IllegalArgumentException](log.restoreTo(4L))
+    // the versions rolled past stay readable for the post-mortem
+    assert(log.read(spark, 3L).count() == 8L) // 8 - 2 deleted + 2 appended
+  }
+
   test("compactSmall packs only the small tail; big files carried byte-identical; no-op under two smalls") {
     val log = freshLog("binpack")
     log.append(rows(500, "big"), partitions = 1)
