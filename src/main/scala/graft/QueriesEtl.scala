@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.{Cdc, EventsEtl, Histograms, Layout, Materialize, Privacy, Sessionize}
-import graft.sources.{CsvSource, JsonlSource, SnapshotLog, TableManager}
+import graft.sources.{CsvSource, JsonlSource, SnapshotLog, TableManager, TxnCatalog}
 
 /** ETL-surface queries: CSV source round-trip (S1/S2), templated-SQL entry
   * (S3), idempotent dynamic-partition-overwrite load (S4–S7), and the full
@@ -1137,6 +1137,86 @@ object QueriesEtl {
         .orderBy(col("prio"))
     }),
 
+    // ── TABLE-AS-STREAM: streaming read FROM the snapshot log
+    // ([[graft.streaming.StreamingCdc.logStreamReplay]], the Delta
+    // streaming-source shape): three append commits replay as a REAL
+    // six-trigger streaming aggregation (one trigger per committed file,
+    // staged zero-copy via hard links), and the final complete-mode
+    // output must equal the batch aggregate of the latest snapshot
+    // bitwise — exceptAll both ways, plus the trigger accounting law ──
+    "stream_from_log" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_stream_src"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      (0 until 3).foreach { i =>
+        log.append(base.where(col("k") % 3 === i), partitions = 2); ()
+      }
+      val (tbl, triggers) = graft.streaming.StreamingCdc.logStreamReplay(
+        log,
+        src => src.groupBy(col("prio")).agg(
+          count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents")),
+        outputMode = "complete",
+        queryName = "stream_from_log_sink")
+      val batch = log.readLatest(s).groupBy(col("prio")).agg(
+        count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      val parity = tbl.exceptAll(batch).limit(1).count() == 0 &&
+        batch.exceptAll(tbl).limit(1).count() == 0
+      tbl.withColumn("stream_equals_batch", lit(parity))
+        .withColumn("one_trigger_per_file", lit(triggers == 6L))
+        .orderBy(col("prio"))
+    }),
+
+    // ── MULTI-TABLE ATOMIC TRANSACTIONS ([[TxnCatalog]]): orders and
+    // lineitem advance together or not at all. Two txns publish the even
+    // then odd halves of both tables; a CRASHED third write advances the
+    // orders log but never anchors — catalog readers cannot see it
+    // (count law) and the orphan report names exactly that version. The
+    // pinned txn0 is a consistent cross-table cut: every lineitem key
+    // joins an order of the SAME txn (anti-join empty), and its item
+    // count rides as a data-derived column next to the current-txn join
+    // rollup ──
+    "txn_consistent_read" -> ((s, dir) => {
+      val oLog = new SnapshotLog(scratch(dir, "txn_orders"))
+      val lLog = new SnapshotLog(scratch(dir, "txn_lineitem"))
+      oLog.recreate(); lLog.recreate()
+      val cat = new TxnCatalog(scratch(dir, "txn_catalog"),
+        Map("orders" -> oLog, "lineitem" -> lLog))
+      cat.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
+      val items = Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("lk"),
+        floor(col("l_extendedprice") * 100).cast("long").as("item_cents"))
+      val txn0 = cat.commitTxn(None, Map(
+        "orders" -> oLog.append(orders.where(col("k") % 2 === 0), partitions = 2),
+        "lineitem" -> lLog.append(items.where(col("lk") % 2 === 0), partitions = 2)))
+      val txn1 = cat.commitTxn(Some(txn0), Map(
+        "orders" -> oLog.append(orders.where(col("k") % 2 === 1), partitions = 2),
+        "lineitem" -> lLog.append(items.where(col("lk") % 2 === 1), partitions = 2)))
+      // the crash: a writer advances the orders log, dies before anchoring
+      oLog.append(orders.where(col("k") % 97 === 0), partitions = 1)
+      val tornInvisible =
+        cat.readTable(s, cat.current.get, "orders").count() == orders.count()
+      val orphans = cat.unanchoredVersions
+      val orphanReport = orphans("orders") == Seq(oLog.currentVersion.get) &&
+        orphans("lineitem").isEmpty
+      val cut0Consistent = cat.readTable(s, txn0, "lineitem")
+        .join(cat.readTable(s, txn0, "orders"), col("lk") === col("k"), "left_anti")
+        .limit(1).count() == 0
+      val txn0Items = cat.readTable(s, txn0, "lineitem").count()
+      cat.readTable(s, txn1, "orders")
+        .join(cat.readTable(s, txn1, "lineitem"), col("k") === col("lk"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_items"), sum(col("item_cents")).as("sum_item_cents"))
+        .withColumn("txn0_items", lit(txn0Items))
+        .withColumn("torn_write_invisible", lit(tornInvisible))
+        .withColumn("orphan_report_exact", lit(orphanReport))
+        .withColumn("txn0_cut_consistent", lit(cut0Consistent))
+        .orderBy(col("prio"))
+    }),
+
     // ── BIN-PACKING small-file compaction ([[SnapshotLog.compactSmall]],
     // the production OPTIMIZE shape): one well-sized file (90% of the
     // corpus) plus an eight-file KB-sized streaming tail; the rewrite
@@ -1736,6 +1816,32 @@ object QueriesEtl {
         |       TRUE AS branch_clean_after_reject,
         |       TRUE AS main_clean_during_audit
         |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // stream_from_log: the three streamed commits reunite to the whole
+    // orders corpus; stream/batch parity and trigger accounting are
+    // measured in the Spark path and pinned TRUE
+    "stream_from_log" ->
+      """SELECT o_orderpriority AS prio,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS stream_equals_batch,
+        |       TRUE AS one_trigger_per_file
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // txn_consistent_read: the current txn's cross-table join covers the
+    // full corpus (halves reunited on both sides); txn0's item count
+    // re-derives from the even-key slice; the torn-write / orphan /
+    // consistent-cut laws are measured in the Spark path
+    "txn_consistent_read" ->
+      """SELECT o_orderpriority AS prio,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_item_cents,
+        |       (SELECT count(*) FROM lineitem WHERE l_orderkey % 2 = 0) AS txn0_items,
+        |       TRUE AS torn_write_invisible,
+        |       TRUE AS orphan_report_exact,
+        |       TRUE AS txn0_cut_consistent
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY prio ORDER BY prio""".stripMargin,
 
     // compact_small_files: the nine disjoint modular slices reunite to
     // the whole orders corpus; the bin-packing laws are measured in the

@@ -451,6 +451,34 @@ class SnapshotLog(
     parts.reduce(_ unionByName _)
   }
 
+  /** The data files `version` ADDED over its parent, as ABSOLUTE paths —
+    * the unit a table-as-stream consumer reads ([[graft.streaming
+    * .StreamingCdc.logStreamReplay]]). Append-class commits only: a
+    * commit that removed files is refused loudly (the `ignoreDeletes`
+    * contract every table-as-stream source documents — a rewrite carries
+    * no append-only row delta), and so is one that added tombstones;
+    * route both through [[changeFeed]] / snapshot diffing. For the
+    * oldest surviving version the whole listing counts as added (the
+    * starting-snapshot batch of a from-the-beginning stream).
+    */
+  def appendedFiles(version: Long): Seq[String] = {
+    val vs = versions
+    require(vs.contains(version),
+      s"appendedFiles: v$version is not committed at $root (have $vs)")
+    val cur = files(version)
+    val prev = if (version == vs.head) Seq.empty[String] else files(version - 1L)
+    val prevSet = prev.toSet
+    val removed = prevSet -- cur.toSet
+    require(removed.isEmpty,
+      s"appendedFiles: v$version removes ${removed.size} file(s) — rewrite " +
+        "commits do not stream as appends; consume changeFeed/snapshotDiff instead")
+    val added = cur.filterNot(prevSet)
+    require(!added.exists(_.startsWith(DelPrefix)),
+      s"appendedFiles: v$version adds tombstones — delete commits do not " +
+        "stream as appends; consume changeFeed instead")
+    added.map(p => new File(dataRootPath, p).toString)
+  }
+
   /** DESCRIBE HISTORY from the log's own metadata (the Delta
     * `DESCRIBE HISTORY` shape): one row per committed version with the
     * operation CLASS derived from the delta's shape alone — adds-only

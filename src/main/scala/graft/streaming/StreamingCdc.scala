@@ -140,6 +140,75 @@ object StreamingCdc {
     versions.toSeq
   }
 
+  /** STREAMING READ FROM THE SNAPSHOT LOG (the Delta table-as-stream
+    * source shape, the read-side complement of [[snapshotIngestReplay]]):
+    * the committed history replays as a REAL Structured Streaming
+    * execution — each append-class commit's added data files become
+    * micro-batches, in commit order, each file exactly once. Staging is
+    * ZERO-COPY: the log's data files are immutable by protocol, so the
+    * stream directory hard-links them (metadata-only, no data bytes
+    * move) with mtimes pinned to commit order — the same file-source
+    * trigger discipline every replay harness here uses. Commits that
+    * remove files or add tombstones are refused loudly by
+    * [[graft.sources.SnapshotLog.appendedFiles]] (the `ignoreDeletes`
+    * contract); consume those through `changeFeed`.
+    *
+    * At scale this is the incremental-consumer loop the log's metadata
+    * exists for: a downstream pipeline discovers new work by diffing two
+    * manifest versions (file-count-sized), never by rescanning or
+    * diffing table states.
+    *
+    * Returns (memory-sink table of `transform`'s output, number of
+    * micro-batch triggers that carried rows).
+    */
+  def logStreamReplay(
+      log: graft.sources.SnapshotLog,
+      transform: DataFrame => DataFrame,
+      outputMode: String,
+      queryName: String,
+      fromVersion: Option[Long] = None): (DataFrame, Long) = {
+    val versions = log.versions.filter(v => fromVersion.forall(v > _))
+    require(versions.nonEmpty,
+      s"logStreamReplay: no versions to stream after $fromVersion at ${log.root}")
+    val files = versions.flatMap(log.appendedFiles)
+    require(files.nonEmpty, s"logStreamReplay: no appended files in $versions")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val base = Files.createTempDirectory("graft_log_stream_")
+    val streamDir = base.resolve("stream")
+    Files.createDirectories(streamDir)
+    try {
+      files.zipWithIndex.foreach { case (src, i) =>
+        val dest = streamDir.resolve(f"part_$i%05d.parquet")
+        Files.createLink(dest, Paths.get(src))
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
+        ()
+      }
+      val schema = spark.read.parquet(files.head).schema
+      val src = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val q = transform(src).writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(outputMode)
+        .start()
+      val triggers =
+        try {
+          q.processAllAvailable()
+          q.recentProgress.count(_.numInputRows > 0L).toLong
+        } finally q.stop()
+      (spark.table(queryName), triggers)
+    } finally {
+      import scala.util.Try
+      // the memory sink owns the rows; drop only the hard links (the
+      // log's own files are other links to the same inodes, untouched)
+      Try(Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Try(Files.delete(p))))
+      ()
+    }
+  }
+
   /** Streaming upsert committed COPY-ON-WRITE under the snapshot log —
     * `readStream → foreachBatch(SnapshotLog.mergeCopyOnWrite)`: the base
     * commits once, range-clustered with per-file key stats, then every

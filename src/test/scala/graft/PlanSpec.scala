@@ -430,7 +430,8 @@ class PlanSpec extends AnyFunSuite {
       "mv_join_incremental" -> 0, "hilbert_prune" -> 0,
       "compact_small_files" -> 0, "snapshot_change_feed" -> 0,
       "snapshot_history" -> 0, "snapshot_restore" -> 0,
-      "mv_change_feed" -> 0, "snapshot_wap" -> 0)
+      "mv_change_feed" -> 0, "snapshot_wap" -> 0,
+      "stream_from_log" -> 0, "txn_consistent_read" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

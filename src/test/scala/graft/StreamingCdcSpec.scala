@@ -38,6 +38,47 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(byKey(3L)._2 == "v3") // untouched passthrough
   }
 
+  test("logStreamReplay: commits stream as ordered micro-batches, zero-copy, batch parity") {
+    import spark.implicits._
+    val log = new graft.sources.SnapshotLog(root("log-stream/log"))
+    log.recreate()
+    (0 until 3).foreach { i =>
+      log.append((1L to 20L).filter(_ % 3 == i).map(k => (k, k * 10L)).toDF("k", "amt"),
+        partitions = 2)
+      ()
+    }
+    val before = log.dataFiles(log.currentVersion.get)
+      .map(p => new java.io.File(s"${log.root}/$p").lastModified())
+    val (tbl, triggers) = StreamingCdc.logStreamReplay(
+      log,
+      src => src.groupBy(lit(1).as("g")).agg(count(lit(1)).as("n"), sum(col("amt")).as("s")),
+      outputMode = "complete",
+      queryName = "log_stream_spec_sink")
+    // one trigger per committed file, all rows delivered exactly once
+    assert(triggers == 6L)
+    val r = tbl.select("n", "s").as[(Long, Long)].head()
+    assert(r == ((20L, (1L to 20L).map(_ * 10L).sum)))
+    // the log's own files survive the replay (links dropped, inodes live)
+    assert(log.readLatest(spark).count() == 20L)
+    assert(before.forall(_ > 0L))
+    // append-only discipline: a rewrite in range refuses loudly
+    log.compact(spark, partitions = 1)
+    val ex = intercept[IllegalArgumentException](
+      StreamingCdc.logStreamReplay(log, identity[org.apache.spark.sql.DataFrame],
+        "append", "log_stream_spec_sink2"))
+    assert(ex.getMessage.contains("rewrite"))
+    // streaming from AFTER the rewrite works again (appends since v3)
+    log.append(Seq((100L, 1000L)).toDF("k", "amt"), partitions = 1)
+    val (tail, t2) = StreamingCdc.logStreamReplay(
+      log,
+      src => src.groupBy(lit(1).as("g")).agg(count(lit(1)).as("n"), sum(col("amt")).as("s")),
+      outputMode = "complete",
+      queryName = "log_stream_spec_sink3",
+      fromVersion = Some(3L))
+    assert(t2 == 1L)
+    assert(tail.select("n", "s").as[(Long, Long)].head() == ((1L, 1000L)))
+  }
+
   test("every micro-batch materializes a readable table version") {
     val (base, changes) = fixture
     StreamingCdc.upsertReplay(base, changes, Seq("k"), root("versions"), slices = 3)

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ConcurrentCommitException, SnapshotLog, TxnCatalog}
+
+class TxnCatalogSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixture(name: String): (TxnCatalog, SnapshotLog, SnapshotLog) = {
+    val a = new SnapshotLog(s"/root/repo/target/txn_spec/$name/a")
+    val b = new SnapshotLog(s"/root/repo/target/txn_spec/$name/b")
+    a.recreate(); b.recreate()
+    val cat = new TxnCatalog(s"/root/repo/target/txn_spec/$name/cat",
+      Map("a" -> a, "b" -> b))
+    cat.recreate()
+    (cat, a, b)
+  }
+
+  private def rows(n: Int, tag: String) =
+    (0 until n).map(i => (i.toLong, s"$tag-$i")).toDF("id", "payload")
+
+  test("a txn anchors a complete consistent cut; partial updates inherit; readers resolve only via anchors") {
+    val (cat, a, b) = fixture("basic")
+    val av0 = a.append(rows(4, "a0"), partitions = 1)
+    val bv0 = b.append(rows(6, "b0"), partitions = 1)
+    // the first txn must cover every registered table
+    intercept[IllegalArgumentException](cat.commitTxn(None, Map("a" -> av0)))
+    val t0 = cat.commitTxn(None, Map("a" -> av0, "b" -> bv0))
+    assert(t0 == 0L && cat.current.contains(0L))
+    // advance only table a: b inherits its t0 version in the new anchor
+    val av1 = a.append(rows(2, "a1"), partitions = 1)
+    val t1 = cat.commitTxn(Some(t0), Map("a" -> av1))
+    assert(cat.assignment(t1) == Map("a" -> av1, "b" -> bv0))
+    assert(cat.readTable(spark, t1, "a").count() == 6L)
+    assert(cat.readTable(spark, t1, "b").count() == 6L)
+    // cross-table time travel: the pinned t0 cut is unchanged
+    assert(cat.readTable(spark, t0, "a").count() == 4L)
+    // refusals: unknown table, uncommitted version, unknown txn
+    intercept[IllegalArgumentException](cat.commitTxn(Some(t1), Map("zz" -> 0L)))
+    intercept[IllegalArgumentException](cat.commitTxn(Some(t1), Map("a" -> 99L)))
+    intercept[IllegalArgumentException](cat.readTable(spark, 42L, "a"))
+  }
+
+  test("racing transactions: exactly one wins the anchor; crashed writes stay invisible and reported") {
+    val (cat, a, b) = fixture("race")
+    val t0 = cat.commitTxn(None, Map(
+      "a" -> a.append(rows(4, "a0"), partitions = 1),
+      "b" -> b.append(rows(4, "b0"), partitions = 1)))
+    // two writers race the same expected txn — put-if-absent admits one
+    val av1 = a.append(rows(1, "w1"), partitions = 1)
+    val bv1 = b.append(rows(1, "w2"), partitions = 1)
+    assert(cat.commitTxn(Some(t0), Map("a" -> av1)) == 1L)
+    intercept[ConcurrentCommitException](cat.commitTxn(Some(t0), Map("b" -> bv1)))
+    // the loser retries against current and lands
+    val t2 = cat.commitTxn(cat.current, Map("b" -> bv1))
+    assert(cat.assignment(t2) == Map("a" -> av1, "b" -> bv1))
+    // a crash after the table-log commit, before the anchor: invisible
+    val orphan = a.append(rows(9, "crash"), partitions = 1)
+    assert(cat.readTable(spark, cat.current.get, "a").count() == 5L)
+    assert(cat.unanchoredVersions == Map("a" -> Seq(orphan), "b" -> Seq.empty))
+  }
+}
