@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.{Cdc, EventsEtl, Histograms, Layout, Materialize, Privacy, Sessionize}
-import graft.sources.{CsvSource, JsonlSource, SnapshotLog, TableManager, TxnCatalog}
+import graft.sources.{CsvSource, Incremental, JsonlSource, SnapshotLog, TableManager, TxnCatalog}
 
 /** ETL-surface queries: CSV source round-trip (S1/S2), templated-SQL entry
   * (S3), idempotent dynamic-partition-overwrite load (S4–S7), and the full
@@ -1217,6 +1217,104 @@ object QueriesEtl {
         .orderBy(col("prio"))
     }),
 
+    // ── EXACTLY-ONCE INCREMENTAL CONSUMPTION ([[Incremental.consume]]):
+    // the batch-ETL loop — each run discovers its increment from log
+    // metadata (appended files only), screens+projects it, and anchors
+    // (source cursor, output version) in ONE txn commit. Three real runs
+    // (one, then two source commits, then a post-crash recovery), a
+    // no-op cycle that commits nothing, and a CRASHED half-published
+    // output version that catalog readers never see and the orphan
+    // report names. Total processed rows ride as a data-derived column ──
+    "incremental_consume" -> ((s, dir) => {
+      val srcLog = new SnapshotLog(scratch(dir, "incr_src"))
+      val outLog = new SnapshotLog(scratch(dir, "incr_out"))
+      srcLog.recreate(); outLog.recreate()
+      val cat = new TxnCatalog(scratch(dir, "incr_cat"),
+        Map("events_raw" -> srcLog, "events_clean" -> outLog))
+      cat.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      // the per-increment transform: a row-local screen + projection, so
+      // increments compose to the whole corpus
+      val clean: DataFrame => DataFrame = df => df.where(col("cents") % 10 < 8)
+      def run() = Incremental.consume(
+        s, cat, "events_raw", "events_clean", clean, partitions = 2)
+      srcLog.append(base.where(col("k") % 3 === 0), partitions = 2)
+      val run1 = run()
+      srcLog.append(base.where(col("k") % 3 === 1), partitions = 2)
+      srcLog.append(base.where(col("k") % 3 === 2), partitions = 2)
+      val run2 = run()
+      val noop = run()
+      // the crash: an output version lands, its anchor never does
+      val orphanV = outLog.append(
+        base.where(col("k") % 101 === 5).withColumn("prio", lit("JUNK")),
+        partitions = 1)
+      // late-arriving source rows; the recovery run publishes onto the
+      // last ANCHORED output listing — the junk stays invisible
+      srcLog.append(
+        base.where(col("k") % 97 === 0).withColumn("k", col("k") + 100000000L),
+        partitions = 1)
+      val run3 = run()
+      val processed = Seq(run1, run2, run3).flatten.map(_._2).sum
+      val orphanReported =
+        cat.unanchoredVersions("events_clean") == Seq(orphanV)
+      val out = cat.readTable(s, cat.current.get, "events_clean")
+      out.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .withColumn("n_processed_total", lit(processed))
+        .withColumn("noop_committed_nothing", lit(noop.isEmpty))
+        .withColumn("orphan_reported", lit(orphanReported))
+        .withColumn("junk_invisible",
+          lit(out.where(col("prio") === "JUNK").limit(1).count() == 0))
+        .orderBy(col("prio"))
+    }),
+
+    // ── METADATA-DRIVEN MAINTENANCE PLANNING ([[SnapshotLog
+    // .maintenancePlan]]): a table with a streaming small-file tail (six
+    // KB-sized appends behind two well-sized files), two tombstone
+    // commits, and a nine-version chain trips all three advisor rules —
+    // measured counts, file-listing metadata only, no data scan. The
+    // advised passes execute in order and the re-plan comes back empty;
+    // the surviving corpus rides as data-derived columns ──
+    "maintenance_plan" -> ((s, dir) => {
+      import s.implicits._
+      val log = new SnapshotLog(scratch(dir, "maint"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      log.append(base.where(col("k") % 2 === 0), partitions = 2)
+      (0 until 6).foreach { i =>
+        log.append(base.where(col("k") % 12 === 2 * i + 1), partitions = 1); ()
+      }
+      log.deleteRows(base.where(col("k") % 32 === 0).select(col("k")), partitions = 1)
+      log.deleteRows(base.where(col("k") % 32 === 1).select(col("k")), partitions = 1)
+      // the small/big boundary derives from the listing itself (second-
+      // largest file): scale-invariant — the ingest tail is strictly
+      // under it at any sf
+      val sizes = log.dataFiles(log.currentVersion.get)
+        .map(p => new java.io.File(s"${log.root}/$p").length()).sorted
+      val smallBytes = sizes(sizes.size - 2)
+      val plan = log.maintenancePlan(
+        smallBytes, maxSmallFiles = 4, maxTombstoneFiles = 2, maxVersions = 6)
+      plan.foreach {
+        case ("compact_small", _) => log.compactSmall(s, smallBytes); ()
+        case ("compact", _) => log.compact(s, partitions = 2); ()
+        case ("expire_vacuum", _) =>
+          log.expire(keepFrom = log.currentVersion.get); log.vacuum(); ()
+        case (other, _) => sys.error(s"unknown advised action: $other")
+      }
+      val after = log.maintenancePlan(smallBytes, 4, 2, 6)
+      val roll = log.readLatest(s).agg(
+        count(lit(1)).as("n"), sum(col("cents")).as("c")).head()
+      plan.toDF("action", "n_flagged")
+        .withColumn("post_plan_healthy", lit(after.isEmpty))
+        .withColumn("n_rows_final", lit(roll.getLong(0)))
+        .withColumn("sum_cents_final", lit(roll.getLong(1)))
+        .orderBy(col("action"))
+    }),
+
     // ── BIN-PACKING small-file compaction ([[SnapshotLog.compactSmall]],
     // the production OPTIMIZE shape): one well-sized file (90% of the
     // corpus) plus an eight-file KB-sized streaming tail; the rewrite
@@ -1842,6 +1940,41 @@ object QueriesEtl {
         |       TRUE AS txn0_cut_consistent
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // incremental_consume: the three increments plus the late shifted
+    // slice reunite to the whole corpus, screened by the row-local
+    // cleaner; processed-row accounting re-derives from the same
+    // relation; the no-op / orphan / junk laws are measured Spark-side
+    "incremental_consume" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |u AS (SELECT * FROM o
+        |      UNION ALL SELECT k + 100000000, prio, cents FROM o WHERE k % 97 = 0),
+        |cleaned AS (SELECT * FROM u WHERE cents % 10 < 8)
+        |SELECT prio, count(*) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       (SELECT count(*) FROM cleaned) AS n_processed_total,
+        |       TRUE AS noop_committed_nothing,
+        |       TRUE AS orphan_reported,
+        |       TRUE AS junk_invisible
+        |FROM cleaned GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // maintenance_plan: the advisor counts are fixed by the scripted
+    // state (6-file tail, 2 tombstone commits, 9-version chain); the
+    // surviving corpus re-derives from the delete residues; the healthy
+    // re-plan law is measured Spark-side
+    "maintenance_plan" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |surv AS (SELECT * FROM o WHERE k % 32 NOT IN (0, 1)),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS n_rows_final,
+        |             CAST(sum(cents) AS BIGINT) AS sum_cents_final FROM surv)
+        |SELECT * FROM (
+        |  SELECT 'compact' AS action, CAST(2 AS BIGINT) AS n_flagged,
+        |         TRUE AS post_plan_healthy, n_rows_final, sum_cents_final FROM r
+        |  UNION ALL SELECT 'compact_small', 6, TRUE, n_rows_final, sum_cents_final FROM r
+        |  UNION ALL SELECT 'expire_vacuum', 9, TRUE, n_rows_final, sum_cents_final FROM r
+        |) ORDER BY action""".stripMargin,
 
     // compact_small_files: the nine disjoint modular slices reunite to
     // the whole orders corpus; the bin-packing laws are measured in the

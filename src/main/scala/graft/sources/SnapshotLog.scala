@@ -388,6 +388,75 @@ class SnapshotLog(
     append(df, partitions)
   }
 
+  /** [[append]] with SCHEMA ENFORCEMENT (the Delta write-compatibility
+    * gate): the batch must carry exactly the current snapshot's columns —
+    * same names, same types, order-insensitive — and any drift (missing,
+    * extra, or retyped columns) refuses the WHOLE batch loudly, naming
+    * every offending column. Evolution stays available through plain
+    * [[append]] + `mergeSchema` read: enforcement is the default
+    * discipline, evolution the explicit act — silent widening is how a
+    * 100 TB table rots. The first commit has nothing to enforce against.
+    */
+  def appendStrict(df: DataFrame, partitions: Int): Long = {
+    currentVersion match {
+      case None => append(df, partitions)
+      case Some(cur) =>
+        val spark = df.sparkSession
+        val base = read(spark, cur).schema.map(f => f.name -> f.dataType).toMap
+        val batch = df.schema.map(f => f.name -> f.dataType).toMap
+        val missing = (base.keySet -- batch.keySet).toSeq.sorted
+        val extra = (batch.keySet -- base.keySet).toSeq.sorted
+        val retyped = base.keySet.intersect(batch.keySet).toSeq.sorted
+          .filter(c => base(c) != batch(c))
+          .map(c => s"$c: ${base(c).simpleString} -> ${batch(c).simpleString}")
+        require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
+          s"appendStrict: batch schema drifts from v$cur — " +
+            s"missing=${missing.mkString("[", ",", "]")} " +
+            s"extra=${extra.mkString("[", ",", "]")} " +
+            s"retyped=${retyped.mkString("[", ",", "]")}; " +
+            "use append() if evolution is intended")
+        append(df, partitions)
+    }
+  }
+
+  /** METADATA-DRIVEN MAINTENANCE PLANNING (the auto-OPTIMIZE advisor
+    * shape): inspect the current snapshot's file listing — sizes,
+    * tombstone count, live-version count, all metadata, never a data
+    * scan — and recommend the maintenance passes whose trigger
+    * conditions hold, with the measured count that tripped each:
+    *
+    *  - `compact_small` when at least `maxSmallFiles` data files are
+    *    under `smallBytes` (the streaming-ingest tail — [[compactSmall]]
+    *    repacks just the tail);
+    *  - `compact` when at least `maxTombstoneFiles` tombstone files mask
+    *    reads (every read pays the anti-join until [[compact]]
+    *    materializes);
+    *  - `expire_vacuum` when more than `maxVersions` versions are live
+    *    (metadata walk length and vacuum-protected garbage both grow
+    *    with the chain — [[expire]] + [[vacuum]] bound them).
+    *
+    * Deterministic order, empty when healthy. The caller owns execution
+    * and policy thresholds; this is the planning half of the maintenance
+    * loop, split out so it can run cheaply and often.
+    */
+  def maintenancePlan(
+      smallBytes: Long,
+      maxSmallFiles: Int,
+      maxTombstoneFiles: Int,
+      maxVersions: Int): Seq[(String, Long)] = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"maintenancePlan: no committed snapshot at $root"))
+    val nSmall = dataFiles(cur)
+      .count(p => new File(dataRootPath, p).length() < smallBytes).toLong
+    val nTombs = tombstoneFiles(cur).size.toLong
+    val nVersions = versions.size.toLong
+    Seq(
+      ("compact_small", nSmall, nSmall >= maxSmallFiles),
+      ("compact", nTombs, nTombs >= maxTombstoneFiles),
+      ("expire_vacuum", nVersions, nVersions > maxVersions))
+      .collect { case (action, n, true) => (action, n) }
+  }
+
   /** Rewrite the current snapshot into `partitions` files (small-file
     * compaction under the log: readers of old versions are untouched, and
     * the old files become vacuum-collectable only once their snapshots

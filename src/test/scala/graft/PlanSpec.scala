@@ -431,7 +431,8 @@ class PlanSpec extends AnyFunSuite {
       "compact_small_files" -> 0, "snapshot_change_feed" -> 0,
       "snapshot_history" -> 0, "snapshot_restore" -> 0,
       "mv_change_feed" -> 0, "snapshot_wap" -> 0,
-      "stream_from_log" -> 0, "txn_consistent_read" -> 0)
+      "stream_from_log" -> 0, "txn_consistent_read" -> 0,
+      "incremental_consume" -> 0, "maintenance_plan" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

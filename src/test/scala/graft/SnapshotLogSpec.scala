@@ -314,6 +314,55 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(log.read(spark, 3L).count() == 8L) // 8 - 2 deleted + 2 appended
   }
 
+  test("appendStrict enforces the current schema; drift names every offending column; evolution stays explicit") {
+    val log = freshLog("strict")
+    // first commit: nothing to enforce against
+    assert(log.appendStrict(rows(4, "a"), partitions = 1) == 0L)
+    // conforming batch passes (column order irrelevant)
+    assert(log.appendStrict(
+      rows(2, "b").select(col("payload"), col("id")), partitions = 1) == 1L)
+    // missing + extra + retyped all named in one refusal
+    val drifted = rows(2, "c")
+      .withColumn("id", col("id").cast("int"))
+      .withColumn("tier", lit(1L))
+      .drop("payload")
+    val ex = intercept[IllegalArgumentException](log.appendStrict(drifted, partitions = 1))
+    assert(ex.getMessage.contains("payload") && ex.getMessage.contains("tier") &&
+      ex.getMessage.contains("id: bigint -> int"))
+    // the refusal staged nothing: vacuum finds no orphans, table intact
+    assert(log.vacuum().isEmpty)
+    assert(log.readLatest(spark).count() == 6L)
+    // evolution remains available through the explicit permissive append
+    log.append(rows(1, "d").withColumn("tier", lit(1L)), partitions = 1)
+    assert(log.read(spark, log.currentVersion.get, mergeSchema = true)
+      .columns.contains("tier"))
+  }
+
+  test("maintenancePlan advises from listing metadata only and comes back empty once executed") {
+    val log = freshLog("maint")
+    log.append(rows(400, "big"), partitions = 1)
+    (0 until 4).foreach { i => log.append(rows(3, s"tail$i"), partitions = 1); () }
+    // delete keys that live only in the big file (tombstones mask every
+    // file of the snapshot, tails included — keep the count law clean)
+    log.deleteRows(Seq(100L, 101L).toDF("id"), partitions = 1)
+    log.deleteRows(Seq(102L).toDF("id"), partitions = 1)
+    val sizes = log.dataFiles(log.currentVersion.get)
+      .map(p => new File(s"${log.root}/$p").length()).sorted
+    val small = sizes.last // the 4 tail files sit strictly under the big one
+    val plan = log.maintenancePlan(small, maxSmallFiles = 3, maxTombstoneFiles = 2, maxVersions = 5)
+    assert(plan == Seq(("compact_small", 4L), ("compact", 2L), ("expire_vacuum", 7L)))
+    // under laxer thresholds only the version rule trips
+    assert(log.maintenancePlan(small, 5, 3, 5) == Seq(("expire_vacuum", 7L)))
+    assert(log.maintenancePlan(small, 5, 3, 10) == Seq.empty)
+    // execute the advised passes; the re-plan is empty and the rows survive
+    log.compactSmall(spark, small)
+    log.compact(spark, partitions = 1)
+    log.expire(keepFrom = log.currentVersion.get)
+    log.vacuum()
+    assert(log.maintenancePlan(small, 3, 2, 5).isEmpty)
+    assert(log.readLatest(spark).count() == 400L + 12L - 3L)
+  }
+
   test("compactSmall packs only the small tail; big files carried byte-identical; no-op under two smalls") {
     val log = freshLog("binpack")
     log.append(rows(500, "big"), partitions = 1)

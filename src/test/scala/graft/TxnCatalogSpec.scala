@@ -61,4 +61,40 @@ class TxnCatalogSpec extends AnyFunSuite {
     assert(cat.readTable(spark, cat.current.get, "a").count() == 5L)
     assert(cat.unanchoredVersions == Map("a" -> Seq(orphan), "b" -> Seq.empty))
   }
+
+  test("incremental consume: increments compose, no-op commits nothing, a crashed run re-processes exactly once") {
+    import graft.sources.Incremental
+    import org.apache.spark.sql.functions.col
+    val src = new SnapshotLog("/root/repo/target/txn_spec/incr/src")
+    val out = new SnapshotLog("/root/repo/target/txn_spec/incr/out")
+    src.recreate(); out.recreate()
+    val cat = new TxnCatalog("/root/repo/target/txn_spec/incr/cat",
+      Map("src" -> src, "out" -> out))
+    cat.recreate()
+    val double = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("id"), (col("id") * 2L).as("twice"))
+    def run() = Incremental.consume(spark, cat, "src", "out", double, partitions = 1)
+    // nothing anchored, source empty → loud
+    intercept[IllegalStateException](run())
+    src.append(rows(5, "a"), partitions = 1)
+    assert(run().contains((0L, 5L)))
+    // no-op: source unchanged → None, no txn, no output version
+    assert(run().isEmpty)
+    assert(cat.current.contains(0L) && out.versions.size == 1)
+    // two source commits consumed by ONE run
+    src.append(rows(3, "b").select(col("id") + 100L as "id", col("payload")), partitions = 1)
+    src.append(rows(2, "c").select(col("id") + 200L as "id", col("payload")), partitions = 1)
+    assert(run().contains((1L, 5L)))
+    // crash simulation: the output commit of a run lands, its anchor
+    // does not — the retry publishes onto the ANCHORED listing, so the
+    // derived table sees the increment exactly once
+    src.append(rows(1, "d").select(col("id") + 300L as "id", col("payload")), partitions = 1)
+    val orphanOut = out.append(double(rows(1, "d")
+      .select(col("id") + 300L as "id", col("payload"))), partitions = 1)
+    assert(run().contains((2L, 1L)))
+    val finalOut = cat.readTable(spark, cat.current.get, "out")
+    assert(finalOut.count() == 11L, "the crashed run's rows must not double")
+    assert(finalOut.where(col("id") === 300L).count() == 1L)
+    assert(cat.unanchoredVersions("out") == Seq(orphanOut))
+  }
 }
