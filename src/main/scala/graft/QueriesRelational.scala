@@ -928,6 +928,30 @@ object QueriesRelational {
         Tables.events(s, dir), "user_id", col("ts"),
         startDate = "2024-01-01", endDate = "2024-01-30")),
 
+    // ── LINEAR-INTERPOLATION daily gap fill ([[operators.Analytics
+    // .resampleInterp]]): interior gap days take the straight-line value
+    // between their two anchors in integer cents (truncating division,
+    // measured identical in Spark `div` and DuckDB `//`); exterior days
+    // stay NULL. One observation collapse + spine join + two user-keyed
+    // window passes ──
+    "resample_interp" -> ((s, dir) =>
+      graft.operators.Analytics.resampleInterp(
+        Tables.events(s, dir), "user_id", col("ts"),
+        startDate = "2024-01-01", endDate = "2024-01-30")
+        .orderBy(col("user_id"), col("day"))),
+
+    // ── EXACT Mann-Whitney U over the order-value distributions of the
+    // two customer-parity variants ([[operators.Analytics.mannWhitneyU]]):
+    // tie-averaged ranks in doubled units keep everything integer; both
+    // U's derive from their own rank sums so the U0+U1 = n0·n1 identity
+    // is measured. The corpus collapses to its distinct metric values
+    // before any ranking ──
+    "ab_mannwhitney" -> ((s, dir) =>
+      graft.operators.Analytics.mannWhitneyU(
+        Tables.orders(s, dir),
+        pmod(col("o_custkey"), lit(2)),
+        floor(col("o_totalprice") / 100).cast("long"))),
+
     // ── rolling RANGE-frame trailing-7-day spend per customer
     // ([[operators.Analytics.rollingRangeRevenue]]): a TRUE range frame
     // over epoch-days, so calendar gaps shrink the window (a ROWS frame
@@ -2580,6 +2604,77 @@ object QueriesRelational {
         |       coalesce(e.n_events, 0) = 0 AS is_gap
         |FROM spine s LEFT JOIN eod e ON s.user_id = e.user_id AND s.day = e.day
         |ORDER BY s.user_id, s.day""".stripMargin,
+
+    // resample_interp: identical anchors via IGNORE NULLS windows over
+    // the same spine; `//` replays Spark's `div` truncation bitwise
+    "resample_interp" ->
+      """WITH obs AS (
+        |  SELECT user_id, day, obs FROM (
+        |    SELECT user_id, CAST(ts AS DATE) AS day,
+        |           CAST(floor(value * 100) AS BIGINT) AS obs,
+        |           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events
+        |    WHERE event_type = 'purchase' AND value IS NOT NULL)
+        |  WHERE rn = 1
+        |), spine AS (
+        |  SELECT u.user_id, CAST(d AS DATE) AS day
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS d)
+        |), w AS (
+        |  SELECT s.user_id, s.day, o.obs,
+        |    last_value(o.obs IGNORE NULLS) OVER
+        |      (PARTITION BY s.user_id ORDER BY s.day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        |    last_value(CASE WHEN o.obs IS NOT NULL THEN s.day END IGNORE NULLS) OVER
+        |      (PARTITION BY s.user_id ORDER BY s.day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+        |    first_value(o.obs IGNORE NULLS) OVER
+        |      (PARTITION BY s.user_id ORDER BY s.day
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        |    first_value(CASE WHEN o.obs IS NOT NULL THEN s.day END IGNORE NULLS) OVER
+        |      (PARTITION BY s.user_id ORDER BY s.day
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+        |  FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.day = o.day
+        |)
+        |SELECT user_id, day, obs,
+        |       CASE WHEN obs IS NOT NULL THEN obs
+        |            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+        |            THEN prev_v + (next_v - prev_v) * datediff('day', prev_d, day)
+        |                 // datediff('day', prev_d, next_d)
+        |       END AS filled
+        |FROM w ORDER BY user_id, day""".stripMargin,
+
+    // ab_mannwhitney: identical doubled-rank derivation over the
+    // distinct-value frame; both rank sums independent, identity measured
+    "ab_mannwhitney" ->
+      """WITH g AS (
+        |  SELECT o_custkey % 2 AS grp,
+        |         CAST(floor(o_totalprice / 100) AS BIGINT) AS v FROM orders
+        |), bv AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS t,
+        |         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+        |  FROM g GROUP BY v
+        |), r AS (
+        |  SELECT v, t, t1,
+        |         coalesce(sum(t) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t, 0) AS below
+        |  FROM bv
+        |), a AS (
+        |  SELECT sum(t) AS n, sum(t1) AS n1,
+        |         sum(t1 * (2 * below + t + 1)) AS r1d,
+        |         sum((t - t1) * (2 * below + t + 1)) AS r0d
+        |  FROM r
+        |)
+        |SELECT CAST(n - n1 AS BIGINT) AS n0,
+        |       CAST(n1 AS BIGINT) AS n1,
+        |       CAST(r1d AS BIGINT) AS r1_doubled,
+        |       CAST(r1d - n1 * (n1 + 1) AS BIGINT) AS u1_doubled,
+        |       CAST(r0d - (n - n1) * (n - n1 + 1) AS BIGINT) AS u0_doubled,
+        |       (r0d - (n - n1) * (n - n1 + 1)) + (r1d - n1 * (n1 + 1))
+        |         = 2 * (n - n1) * n1 AS identity_holds
+        |FROM a""".stripMargin,
 
     // rolling_revenue_7d: same daily pre-agg + integer-epoch-day RANGE
     // frame; decimal sums throughout, double only at the boundary

@@ -862,4 +862,116 @@ object Analytics {
           .as("acf"))
       .orderBy(col("series"))
   }
+
+  /** LINEAR-INTERPOLATION gap fill over the daily spine — the resample
+    * [[resampleDaily]]'s forward-fill cannot express: a missing day
+    * BETWEEN two observations takes the straight-line value
+    * `v0 + (v1 − v0)·(d − d0) div (d1 − d0)`, computed in integer cents
+    * with truncating division (Spark `div` and DuckDB `//` both truncate
+    * toward zero, negatives included — measured, so the oracle replays
+    * bitwise). Days before the first / after the last observation stay
+    * NULL: interpolation is defined on the interior only; extrapolation
+    * is a modeling decision, not a resample.
+    *
+    * Scale shape: one `(user, day)` observation collapse (map-side
+    * combined `max_by`), the broadcast day-spine inflation (|users| ×
+    * days — the [[resampleDaily]] argument), then TWO user-keyed window
+    * passes (one backward for the previous anchor, one forward for the
+    * next); no self-join of observations, every shuffle on the user key.
+    */
+  def resampleInterp(
+      events: DataFrame,
+      userCol: String,
+      tsCol: Column,
+      startDate: String,
+      endDate: String,
+      idCol: String = "event_id",
+      typeCol: String = "event_type",
+      valueCol: String = "value",
+      fillType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col(valueCol) * 100).cast("long")
+    val obs = events
+      .where(col(typeCol) === fillType && col(valueCol).isNotNull)
+      .groupBy(col(userCol).as("user_id"), to_date(tsCol).as("day"))
+      .agg(max_by(cents, struct(tsCol, col(idCol))).as("obs"))
+    val spine = events.select(col(userCol).as("user_id")).distinct()
+      .crossJoin(broadcast(
+        events.sparkSession.range(1).select(
+          explode(sequence(
+            lit(startDate).cast("date"), lit(endDate).cast("date"),
+            expr("interval 1 day"))).as("day"))))
+    val wBack = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(obs, Seq("user_id", "day"), "left")
+      .withColumn("prev_v", last(col("obs"), ignoreNulls = true).over(wBack))
+      .withColumn("prev_d",
+        last(when(col("obs").isNotNull, col("day")), ignoreNulls = true).over(wBack))
+      .withColumn("next_v", first(col("obs"), ignoreNulls = true).over(wFwd))
+      .withColumn("next_d",
+        first(when(col("obs").isNotNull, col("day")), ignoreNulls = true).over(wFwd))
+      .withColumn("filled",
+        when(col("obs").isNotNull, col("obs"))
+          .when(col("prev_v").isNotNull && col("next_v").isNotNull,
+            col("prev_v") +
+              expr("(next_v - prev_v) * datediff(day, prev_d) div datediff(next_d, prev_d)")))
+      .select(col("user_id"), col("day"), col("obs"), col("filled"))
+  }
+
+  /** EXACT Mann-Whitney U (Wilcoxon rank-sum) over two variant groups —
+    * the distribution-free complement of [[abZTest]]'s proportion test:
+    * compares the full metric DISTRIBUTIONS, not a success rate, so it
+    * catches shifts a mean/rate test misses and ignores outliers a
+    * t-test drowns in. All-integer derivation: tie-averaged ranks are
+    * half-integers, so the statistic is computed in DOUBLED rank units —
+    * the doubled average rank of a value with `below` smaller rows and
+    * `t` ties is `2·below + t + 1`, an integer — and
+    * `2·U₁ + 2·U₂ = 2·n₁·n₂` rides as the verifiable identity.
+    *
+    * Scale shape: one `(value)` group-by (map-side combined) collapses
+    * the corpus to its distinct metric values, one window pass over that
+    * VALUE-COUNT-sized frame assigns doubled ranks, one final aggregate
+    * emits the statistics — no per-row ranking shuffle of the corpus.
+    */
+  def mannWhitneyU(
+      events: DataFrame,
+      groupCol: Column,
+      metricCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = events.select(groupCol.cast("long").as("grp"), metricCol.as("v"))
+    val byVal = g.groupBy(col("v")).agg(
+      count(lit(1)).as("t"),
+      sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("t1"))
+    val chk = g.agg(
+      sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("has0"),
+      sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("has1"),
+      sum(when(col("grp") === 0L || col("grp") === 1L, 0L).otherwise(1L))
+        .as("other")).head()
+    require(chk.getLong(0) > 0L && chk.getLong(1) > 0L,
+      "mannWhitneyU: both variant groups (0 and 1) must have rows")
+    require(chk.getLong(2) == 0L,
+      s"mannWhitneyU: group column must carry only 0/1, found ${chk.getLong(2)} other rows")
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVal
+      .withColumn("below", coalesce(sum(col("t")).over(w) - col("t"), lit(0L)))
+      .withColumn("dr", lit(2L) * col("below") + col("t") + 1L)
+    ranked.agg(
+        sum(col("t")).as("n"),
+        sum(col("t1")).as("n1"),
+        sum(col("t1") * col("dr")).as("r1_doubled"),
+        sum((col("t") - col("t1")) * col("dr")).as("r0_doubled"))
+      .select(
+        (col("n") - col("n1")).as("n0"), col("n1"),
+        col("r1_doubled"),
+        (col("r1_doubled") - col("n1") * (col("n1") + 1L)).as("u1_doubled"),
+        (col("r0_doubled") - (col("n") - col("n1")) * (col("n") - col("n1") + 1L))
+          .as("u0_doubled"))
+      // both U's derive from their OWN rank sums, so the textbook
+      // identity U0 + U1 = n0·n1 is a measured property, not a tautology
+      .withColumn("identity_holds",
+        col("u0_doubled") + col("u1_doubled") === lit(2L) * col("n0") * col("n1"))
+  }
 }

@@ -347,4 +347,57 @@ class AnalyticsSpec extends AnyFunSuite {
       (4L, 2L, 1L, 450000L, 500000L, -50000L),
       (9L, 2L, 2L, 999999L, 1000000L, -1L)))
   }
+
+  test("resampleInterp: interior gaps take the truncated straight line, exterior days stay null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      // user 1: anchors at Jan 1 (1.00, the day's LAST purchase wins over
+      // the earlier 9.99) and Jan 5 (4.00); noise event ignored
+      (1L, 10L, "2024-01-01 08:00:00", "purchase", Some(9.99)),
+      (1L, 11L, "2024-01-01 10:00:00", "purchase", Some(1.00)),
+      (1L, 12L, "2024-01-02 09:00:00", "view", None),
+      (1L, 13L, "2024-01-05 12:00:00", "purchase", Some(4.00)),
+      // user 2: a single anchor — nothing interpolates
+      (2L, 20L, "2024-01-03 10:00:00", "purchase", Some(2.50)),
+      // user 3: DECREASING segment with non-divisible steps — pins the
+      // toward-zero truncation on negative numerators
+      (3L, 30L, "2024-01-01 10:00:00", "purchase", Some(4.01)),
+      (3L, 31L, "2024-01-04 10:00:00", "purchase", Some(1.00)))
+      .toDF("user_id", "event_id", "ts_s", "event_type", "value")
+      .selectExpr("user_id", "event_id", "CAST(ts_s AS TIMESTAMP) AS ts",
+        "event_type", "value")
+    val out = Analytics.resampleInterp(
+      events, "user_id", col("ts"), "2024-01-01", "2024-01-07")
+      .orderBy(col("user_id"), col("day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString,
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq ==
+      Seq(Some(100L), Some(175L), Some(250L), Some(325L), Some(400L), None, None))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq ==
+      Seq(None, None, Some(250L), None, None, None, None))
+    // 401 → 100 over 3 days: -301·1 div 3 = -100, -301·2 div 3 = -200
+    assert(out.filter(_._1 == 3L).map(_._3).toSeq ==
+      Seq(Some(401L), Some(301L), Some(201L), Some(100L), None, None, None))
+  }
+
+  test("mannWhitneyU: doubled tie-averaged ranks, independent U's, identity measured; miscoded splits refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group 0: {1, 2, 2}; group 1: {2, 3} → avg ranks 1, 3, 3, 3, 5
+    // R1 = 3+5 = 8 → U1 = 5; R0 = 1+3+3 = 7 → U0 = 1; U0+U1 = n0·n1 = 6
+    val df = Seq((0L, 1L), (0L, 2L), (0L, 2L), (1L, 2L), (1L, 3L)).toDF("g", "v")
+    val r = Analytics.mannWhitneyU(df, col("g"), col("v")).head()
+    assert(r.getAs[Long]("n0") == 3L && r.getAs[Long]("n1") == 2L)
+    assert(r.getAs[Long]("r1_doubled") == 16L)
+    assert(r.getAs[Long]("u1_doubled") == 10L)
+    assert(r.getAs[Long]("u0_doubled") == 2L)
+    assert(r.getAs[Boolean]("identity_holds"))
+    intercept[IllegalArgumentException](
+      Analytics.mannWhitneyU(df.where(col("g") === 0L), col("g"), col("v")).head())
+    intercept[IllegalArgumentException](
+      Analytics.mannWhitneyU(
+        df.union(Seq((2L, 9L)).toDF("g", "v")), col("g"), col("v")).head())
+  }
 }

@@ -432,7 +432,10 @@ class PlanSpec extends AnyFunSuite {
       "snapshot_history" -> 0, "snapshot_restore" -> 0,
       "mv_change_feed" -> 0, "snapshot_wap" -> 0,
       "stream_from_log" -> 0, "txn_consistent_read" -> 0,
-      "incremental_consume" -> 0, "maintenance_plan" -> 0)
+      "incremental_consume" -> 0, "maintenance_plan" -> 0,
+      // resample_interp carries the same days-sized broadcast spine
+      // crossJoin as resample_daily
+      "resample_interp" -> 1, "ab_mannwhitney" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
