@@ -2364,6 +2364,18 @@ object QueriesLlm {
         .orderBy(col("n").desc, col("token"))
         .limit(20)),
 
+    // ── VOCABULARY DRIFT between corpus slices ([[TextAnalysis
+    // .vocabDrift]]): χ² one-token-vs-rest over occurrence counts, exact
+    // integer statistic (decimal cross-multiplication + one truncating
+    // div scaled 1e6), top drifted tokens with full deterministic
+    // tiebreak — the corpus-monitoring signal between snapshots/sources ──
+    "vocab_drift" -> ((s, dir) =>
+      TextAnalysis.vocabDrift(
+        Tables.documents(s, dir),
+        pmod(col("doc_id"), lit(2)) === 0, col("text"), minCount = 20L)
+        .orderBy(col("chi2_e6").desc, col("token"))
+        .limit(15)),
+
     // ── GROUP-WISE top-k through the mergeable bounded aggregate
     // ([[graft.functions.TopKAgg]]): per-source top-5 tokens by exact
     // count. The window-rank idiom shuffles every (source, token, n) row
@@ -4927,6 +4939,28 @@ object QueriesLlm {
          |       CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
          |            * 1000000.0) AS BIGINT) AS weight_ppm
          |FROM p CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    // vocab_drift: identical χ² cross-multiplication in HUGEINT with
+    // `//` replaying the truncating div; same tokenizer fragment
+    "vocab_drift" ->
+      s"""WITH t AS (
+         |  SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS in_a,
+         |         unnest($toksSql) AS token FROM documents
+         |), pt AS (
+         |  SELECT token, CAST(sum(in_a) AS BIGINT) AS a,
+         |         CAST(sum(1 - in_a) AS BIGINT) AS b
+         |  FROM t GROUP BY token
+         |), tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM pt)
+         |SELECT token, a, b,
+         |  CAST((CAST(na + nb AS HUGEINT)
+         |        * (CAST(a AS HUGEINT) * nb - CAST(b AS HUGEINT) * na)
+         |        * (CAST(a AS HUGEINT) * nb - CAST(b AS HUGEINT) * na)
+         |        * 1000000)
+         |    // (CAST(na AS HUGEINT) * nb * (a + b) * (na + nb - a - b))
+         |    AS BIGINT) AS chi2_e6
+         |FROM pt, tot
+         |WHERE a + b >= 20 AND na + nb - a - b > 0
+         |ORDER BY chi2_e6 DESC, token LIMIT 15""".stripMargin,
 
     "top_tokens" ->
       s"""SELECT token, count(*) AS n

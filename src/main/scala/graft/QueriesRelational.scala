@@ -952,6 +952,29 @@ object QueriesRelational {
         pmod(col("o_custkey"), lit(2)),
         floor(col("o_totalprice") / 100).cast("long"))),
 
+    // ── ITEM CO-OCCURRENCE pair mining ([[operators.Analytics
+    // .coOccurrencePairs]]): "customers who bought X also bought Y" over
+    // customer baskets — per-basket cap kills the quadratic whale-basket
+    // blow-up before the one self-join on the basket key; pair support
+    // counts baskets, not rows ──
+    "copurchase_pairs" -> ((s, dir) => {
+      val rel = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+      graft.operators.Analytics.coOccurrencePairs(
+        rel, col("o_custkey"), col("l_partkey"), maxPerBasket = 8, minSupport = 2L)
+        .orderBy(col("support").desc, col("item_a"), col("item_b"))
+        .limit(50)
+    }),
+
+    // ── CUSUM change-point detection ([[operators.Analytics
+    // .changePointCusum]]): per event type, the day maximizing the exact
+    // scaled cumulative-sum deviation m·S_i − i·S_m — rate-shift
+    // monitoring in pure integers ──
+    "changepoint_cusum" -> ((s, dir) =>
+      graft.operators.Analytics.changePointCusum(
+        Tables.events(s, dir), col("event_type"), col("ts"))),
+
     // ── rolling RANGE-frame trailing-7-day spend per customer
     // ([[operators.Analytics.rollingRangeRevenue]]): a TRUE range frame
     // over epoch-days, so calendar gaps shrink the window (a ROWS frame
@@ -2604,6 +2627,51 @@ object QueriesRelational {
         |       coalesce(e.n_events, 0) = 0 AS is_gap
         |FROM spine s LEFT JOIN eod e ON s.user_id = e.user_id AND s.day = e.day
         |ORDER BY s.user_id, s.day""".stripMargin,
+
+    // copurchase_pairs: identical cap rank (count desc, item asc) and
+    // ordered self-join; support is basket count on both sides
+    "copurchase_pairs" ->
+      """WITH rel AS (
+        |  SELECT o_custkey AS bk, l_partkey AS it
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), b AS (
+        |  SELECT bk, it, CAST(count(*) AS BIGINT) AS n FROM rel GROUP BY 1, 2
+        |), capped AS (
+        |  SELECT bk, it FROM (
+        |    SELECT bk, it,
+        |           row_number() OVER (PARTITION BY bk ORDER BY n DESC, it) AS rk
+        |    FROM b)
+        |  WHERE rk <= 8
+        |)
+        |SELECT l.it AS item_a, r.it AS item_b, CAST(count(*) AS BIGINT) AS support
+        |FROM capped l JOIN capped r ON l.bk = r.bk AND l.it < r.it
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY support DESC, item_a, item_b LIMIT 50""".stripMargin,
+
+    // changepoint_cusum: identical scaled deviation over observed days;
+    // argmax ties break to the earliest day on both sides
+    "changepoint_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), dev AS (
+        |  SELECT series, day,
+        |    row_number() OVER (PARTITION BY series ORDER BY day) AS i,
+        |    sum(x) OVER (PARTITION BY series ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_i,
+        |    count(*) OVER (PARTITION BY series) AS m,
+        |    sum(x) OVER (PARTITION BY series) AS s_m
+        |  FROM daily
+        |), dd AS (
+        |  SELECT series, day, m * s_i - i * s_m AS d, m, s_m,
+        |    row_number() OVER (PARTITION BY series
+        |      ORDER BY abs(m * s_i - i * s_m) DESC, day) AS rk
+        |  FROM dev
+        |)
+        |SELECT series, day AS change_day, CAST(d AS BIGINT) AS dev_scaled,
+        |       CAST(m AS BIGINT) AS n_days, CAST(s_m AS BIGINT) AS n_events
+        |FROM dd WHERE rk = 1 ORDER BY series""".stripMargin,
 
     // resample_interp: identical anchors via IGNORE NULLS windows over
     // the same spine; `//` replays Spark's `div` truncation bitwise

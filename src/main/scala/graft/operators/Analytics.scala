@@ -920,6 +920,92 @@ object Analytics {
       .select(col("user_id"), col("day"), col("obs"), col("filled"))
   }
 
+  /** ITEM CO-OCCURRENCE pair mining over a `(basket, item)` relation —
+    * the co-purchase / co-engagement graph behind "customers who bought
+    * X also bought Y". The quadratic blow-up lives PER BASKET, so each
+    * basket is first capped to its `maxPerBasket` most-engaged items
+    * (deterministic rank by count desc, item asc — the standard whale-
+    * basket mitigation: one bot account with 10⁵ items would otherwise
+    * emit 10¹⁰ pairs); then ONE self-join on the basket key emits
+    * ordered pairs (`item_a < item_b`) and a pair-keyed aggregation
+    * counts supporting baskets. Pair support is basket-count, not
+    * row-count, so multi-buys never inflate it.
+    *
+    * Scale shape: basket collapse (map-side combined) → one basket-keyed
+    * window for the cap → one basket-keyed equi-self-join with fan-out
+    * ≤ maxPerBasket² per basket → pair-keyed count. Every shuffle is on
+    * the basket or pair key; `minSupport` prunes the long tail before
+    * the final sort.
+    */
+  def coOccurrencePairs(
+      rel: DataFrame,
+      basketCol: Column,
+      itemCol: Column,
+      maxPerBasket: Int,
+      minSupport: Long): DataFrame = {
+    require(maxPerBasket >= 2, s"coOccurrencePairs: maxPerBasket must be >= 2, got $maxPerBasket")
+    require(minSupport >= 1L, s"coOccurrencePairs: minSupport must be >= 1, got $minSupport")
+    import org.apache.spark.sql.expressions.Window
+    val b = rel.groupBy(basketCol.as("bk"), itemCol.as("it"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("bk")).orderBy(col("n").desc, col("it"))
+    val capped = b.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= maxPerBasket)
+      .select(col("bk"), col("it"))
+    val left = capped.select(col("bk"), col("it").as("item_a"))
+    val right = capped.select(col("bk"), col("it").as("item_b"))
+    left.join(right, Seq("bk"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+  }
+
+  /** CUSUM change-point detection over a per-series daily count series —
+    * "which day did the rate shift" — in EXACT scaled integers: with
+    * `S_i` the cumulative count through the i-th observed day (of `m`
+    * days, total `S_m`), the deviation `D_i = m·S_i − i·S_m` is the
+    * cumulative-sum statistic scaled by `m` (integral by construction);
+    * the change point is the day maximizing `|D_i|`, ties broken to the
+    * earliest day. A flat series has all `D_i = 0`; a single level shift
+    * puts the maximum exactly at the last day of the old level.
+    *
+    * Scale shape: one `(series, day)` pre-aggregation (map-side
+    * combined) collapses events to day counts, one series-keyed window
+    * pass forms the cumulative sums, one series-keyed `max_by` picks the
+    * argmax — no self-joins, no per-event windows.
+    */
+  def changePointCusum(
+      events: DataFrame,
+      seriesCol: Column,
+      tsCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(seriesCol.as("series"), to_date(tsCol).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("series")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("series"))
+    val dev = daily
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("series")).orderBy(col("day"))))
+      .withColumn("s_i", sum(col("x")).over(w))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("s_m", sum(col("x")).over(wAll))
+      .withColumn("d", col("m") * col("s_i") - col("i") * col("s_m"))
+    dev.groupBy(col("series"))
+      .agg(
+        max_by(struct(col("day"), col("d")),
+          struct(abs(col("d")), lit(-1L) * datediff(col("day"), lit("1970-01-01").cast("date"))))
+          .as("pick"),
+        max(col("m")).as("n_days"),
+        max(col("s_m")).as("n_events"))
+      .select(
+        col("series"), col("pick.day").as("change_day"),
+        col("pick.d").as("dev_scaled"), col("n_days"), col("n_events"))
+      .orderBy(col("series"))
+  }
+
   /** EXACT Mann-Whitney U (Wilcoxon rank-sum) over two variant groups —
     * the distribution-free complement of [[abZTest]]'s proportion test:
     * compares the full metric DISTRIBUTIONS, not a success rate, so it

@@ -45,6 +45,54 @@ object TextAnalysis {
       "stop_ok" -> (nStops >= 2L))
   }
 
+  /** VOCABULARY DRIFT between two corpus slices — the χ² one-token-vs-
+    * rest contingency test over token OCCURRENCE counts, the standard
+    * corpus-monitoring signal ("which words exploded in slice A vs B":
+    * distribution shift between crawl snapshots, sources, or time
+    * windows). For token t with `a` occurrences among slice A's `NA`
+    * total and `b` of B's `NB`:
+    * `χ² = N·(a·NB − b·NA)² / (NA·NB·(a+b)·(N−a−b))`, `N = NA+NB` —
+    * computed in decimal(38,0) cross-multiplication with ONE final
+    * truncating division scaled to 1e6 (`chi2_e6`), so the statistic is
+    * an exact integer and the ranking replays bitwise across engines
+    * (the [[Analytics.abZTest]] arithmetic discipline).
+    *
+    * Scale shape: tokenize + explode are map-side; one (token, slice)
+    * count (map-side combined), the two slice totals broadcast as a
+    * 1-row frame, one final filter+sort over the VOCABULARY-sized frame.
+    * `minCount` prunes rare tokens whose χ² is noise.
+    */
+  def vocabDrift(
+      docs: DataFrame,
+      inSliceA: Column,
+      textCol: Column,
+      minCount: Long): DataFrame = {
+    val tok = docs.select(
+      when(inSliceA, 1L).otherwise(0L).as("in_a"),
+      explode(tokens(textCol)).as("token"))
+    val perTok = tok.groupBy(col("token")).agg(
+      sum(col("in_a")).as("a"),
+      sum(lit(1L) - col("in_a")).as("b"))
+    val totals = perTok.agg(
+      sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val n = d(col("na")) + d(col("nb"))
+    val diff = d(col("a")) * d(col("nb")) - d(col("b")) * d(col("na"))
+    perTok.crossJoin(broadcast(totals))
+      // the denominator guard excludes the degenerate all-one-token
+      // corpus BEFORE the division (x div 0 is an error class, not a
+      // ranking input, and engines disagree on it)
+      .where(col("a") + col("b") >= minCount &&
+        col("na") + col("nb") - col("a") - col("b") > 0L)
+      .withColumn("chi2_num", n * diff * diff * d(lit(1000000L)))
+      .withColumn("chi2_den", d(col("na")) * d(col("nb")) *
+        (d(col("a")) + d(col("b"))) * (n - d(col("a")) - d(col("b"))))
+      // integral divide (truncating, exact on decimals) — decimal `/`
+      // would round at the result scale and drift from DuckDB's `//`
+      .selectExpr("token", "a", "b",
+        "CAST(chi2_num div chi2_den AS LONG) AS chi2_e6")
+  }
+
   /** Blocklist screen — the term-level content filter (unsafe/banned
     * vocabulary) a curation pipeline runs at ingest: exact token match
     * against a broadcast-literal term list, counting total occurrences

@@ -382,6 +382,50 @@ class AnalyticsSpec extends AnyFunSuite {
       Seq(Some(401L), Some(301L), Some(201L), Some(100L), None, None, None))
   }
 
+  test("coOccurrencePairs: per-basket cap by engagement, basket-counted support, multi-buys don't inflate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rel = (
+      Seq((1L, 1L), (1L, 2L), (1L, 3L)) ++         // b1: {1,2,3}
+        Seq((2L, 1L), (2L, 1L), (2L, 2L)) ++       // b2: {1,2}, item 1 bought twice
+        Seq((3L, 2L), (3L, 3L)) ++                 // b3: {2,3}
+        (10L to 19L).map(i => (4L, i)) ++          // b4: whale, 10 items
+        Seq((4L, 19L), (4L, 19L))                  // item 19 dominates b4
+      ).toDF("bk", "it")
+    val got = Analytics.coOccurrencePairs(rel, col("bk"), col("it"),
+      maxPerBasket = 3, minSupport = 2L)
+      .orderBy(col("item_a"), col("item_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // b4 capped to {19, 10, 11} (count desc, item asc) — its pairs all
+    // have support 1 and vanish under minSupport; b2's double-buy of
+    // item 1 still counts b2 once
+    assert(got.toSeq == Seq((1L, 2L, 2L), (2L, 3L, 2L)))
+    val uncapped = Analytics.coOccurrencePairs(rel, col("bk"), col("it"),
+      maxPerBasket = 10, minSupport = 1L)
+    // without the support floor the whale contributes C(10,2) = 45 pairs
+    assert(uncapped.count() == 45L + 3L)
+  }
+
+  test("changePointCusum: level shift lands on the last old-level day; flat series ties to the earliest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows =
+      Seq(1, 1, 1, 5, 5, 5).zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)(("a", f"2024-01-${i + 1}%02d 10:00:00"))
+      } ++
+        (1 to 3).flatMap(d => Seq.fill(2)(("b", f"2024-01-$d%02d 10:00:00")))
+    val events = rows.toDF("series", "ts_s")
+      .selectExpr("series", "CAST(ts_s AS TIMESTAMP) AS ts")
+    val got = Analytics.changePointCusum(events, col("series"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // a: S=[1,2,3,8,13,18], D_i = 6·S_i − i·18 → min at i=3 (−36): the
+    // last day of the old level; b: flat → all D=0, earliest day wins
+    assert(got.toSeq == Seq(
+      ("a", "2024-01-03", -36L, 6L, 18L),
+      ("b", "2024-01-01", 0L, 3L, 6L)))
+  }
+
   test("mannWhitneyU: doubled tie-averaged ranks, independent U's, identity measured; miscoded splits refuse") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

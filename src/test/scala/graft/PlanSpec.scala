@@ -435,7 +435,11 @@ class PlanSpec extends AnyFunSuite {
       "incremental_consume" -> 0, "maintenance_plan" -> 0,
       // resample_interp carries the same days-sized broadcast spine
       // crossJoin as resample_daily
-      "resample_interp" -> 1, "ab_mannwhitney" -> 0)
+      "resample_interp" -> 1, "ab_mannwhitney" -> 0,
+      "copurchase_pairs" -> 0, "changepoint_cusum" -> 0,
+      // vocab_drift carries one 1-row totals crossJoin (the ab_ztest
+      // scalar-broadcast pattern)
+      "vocab_drift" -> 1)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

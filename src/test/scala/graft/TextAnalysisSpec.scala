@@ -128,4 +128,17 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     assert(got == Seq((1L, 3L, "alpha,zeta"), (2L, 0L, ""), (3L, 1L, "zeta")))
   }
+
+  test("vocabDrift: exact chi2_e6 on a hand-computed contingency; min-count prunes") {
+    // slice A (doc 0): "x x y"  → NA = 3; slice B (doc 1): "y y z" → NB = 3
+    val docs = Seq((0L, "x x y"), (1L, "y y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabDrift(
+      docs, col("doc_id") % 2 === 0, col("text"), minCount = 2L)
+      .orderBy(col("token"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // x: a=2,b=0 → χ² = 6·(2·3−0)²·1e6 / (3·3·2·4) = 216e6/72 = 3.0e6
+    // y: a=1,b=2 → diff = 1·3−2·3 = −3 → 6·9e6/(9·3·3) = 54e6/81 = 666666
+    // z excluded by minCount (a+b = 1)
+    assert(got.toSeq == Seq(("x", 2L, 0L, 3000000L), ("y", 1L, 2L, 666666L)))
+  }
 }
