@@ -1546,6 +1546,16 @@ object QueriesLlm {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ── MAXIMAL MARGINAL RELEVANCE re-ranking ([[Similarity.mmrSelect]]):
+    // diversity-aware top-5 from a top-40 relevance pool, λ = 0.7 in
+    // integer tenths over EXACT quantized-code dot products — the greedy
+    // cascade replays bitwise (float cosines would make pick 2 depend on
+    // pick 1's ULPs). Distributed pool build + bounded driver greedy ──
+    "knn_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrSelect(Tables.embeddings(s, dir),
+        queryId = 0L, poolSize = 40, k = 5, lambdaTenths = 7)
+        .orderBy(col("rank"))),
+
     // ── similarity: EXACT embedding cosine near-dup pairs >= 0.4 (all-pairs
     // ground truth; per-pair cost is one codegen'd dot product) ──
     "dedup_embedding_cosine" -> ((s, dir) =>
@@ -4269,6 +4279,68 @@ object QueriesLlm {
     // arithmetic, bit-exact across engines); the code expression keeps the
     // Spark operation order ((x - mn) * levels, then / (mx - mn)) so the
     // IEEE doubles agree before floor; constant dims encode as 0.
+    // knn_mmr_rerank: identical quantization fragment, integer dots,
+    // and the greedy unrolled to its five picks — each pick is an
+    // argmax over (7·rel − 3·max_sim_to_selected, vec_id)
+    "knn_mmr_rerank" -> {
+      val q = QuantLevels
+      val dotCv = "CAST(list_sum([a.cv[i] * b.cv[i] " +
+        "for i in range(1, len(a.cv) + 1)]) AS BIGINT)"
+      def pick(n: Int): String =
+        s"""p$n AS (
+           |  SELECT * FROM (
+           |    SELECT p.vec_id, p.rel,
+           |      (SELECT max(pr.sim) FROM pairs pr
+           |       WHERE pr.pa = p.vec_id
+           |         AND pr.pb IN (SELECT vec_id FROM s${n - 1})) AS ms
+           |    FROM pool p
+           |    WHERE p.vec_id NOT IN (SELECT vec_id FROM s${n - 1}))
+           |  ORDER BY 7 * rel - 3 * ms DESC, vec_id LIMIT 1
+           |), s$n AS (SELECT vec_id FROM s${n - 1}
+           |           UNION ALL SELECT vec_id FROM p$n)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT vec_id, i, v[i] AS x
+         |       FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+         |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
+         |codes AS (
+         |  SELECT vec_id, i,
+         |         CASE WHEN s.mx = s.mn THEN 0
+         |              ELSE CAST(least(floor((x - s.mn) * $q.0 / (s.mx - s.mn)),
+         |                              ${q - 1}) AS BIGINT) END AS c
+         |  FROM ex JOIN stats s USING (i)
+         |),
+         |cvl AS (SELECT vec_id, list(c ORDER BY i) AS cv FROM codes GROUP BY vec_id),
+         |qv AS (SELECT cv FROM cvl WHERE vec_id = 0),
+         |rel AS (
+         |  SELECT a.vec_id,
+         |         CAST(list_sum([a.cv[i] * b.cv[i]
+         |           for i in range(1, len(a.cv) + 1)]) AS BIGINT) AS rel
+         |  FROM cvl a, qv b WHERE a.vec_id != 0
+         |),
+         |pool AS (
+         |  SELECT r.vec_id, r.rel, c.cv FROM rel r JOIN cvl c USING (vec_id)
+         |  ORDER BY r.rel DESC, r.vec_id LIMIT 40
+         |),
+         |pairs AS (
+         |  SELECT a.vec_id AS pa, b.vec_id AS pb, $dotCv AS sim
+         |  FROM pool a JOIN pool b ON a.vec_id != b.vec_id
+         |),
+         |p1 AS (SELECT vec_id, rel, CAST(0 AS BIGINT) AS ms FROM pool
+         |       ORDER BY rel DESC, vec_id LIMIT 1),
+         |s1 AS (SELECT vec_id FROM p1),
+         |${pick(2)},
+         |${pick(3)},
+         |${pick(4)},
+         |${pick(5)}
+         |SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel AS rel_dot,
+         |       ms AS max_sim_prev FROM p1
+         |UNION ALL SELECT 2, vec_id, rel, ms FROM p2
+         |UNION ALL SELECT 3, vec_id, rel, ms FROM p3
+         |UNION ALL SELECT 4, vec_id, rel, ms FROM p4
+         |UNION ALL SELECT 5, vec_id, rel, ms FROM p5
+         |ORDER BY rank""".stripMargin
+    },
+
     "embed_quantize" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |ex AS (

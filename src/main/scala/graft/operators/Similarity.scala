@@ -1247,4 +1247,80 @@ object Similarity {
        |FROM p, (SELECT unnest(range(0, $outDim)) AS j) g
        |ORDER BY vec_id, out_dim""".stripMargin
   }
+
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein '98) —
+    * diversity-aware top-k: greedily pick the candidate maximizing
+    * `λ·rel − (1−λ)·max_sim_to_selected`, so the result covers the
+    * query's neighborhood instead of returning k near-duplicates (the
+    * retrieval-augmentation and eval-set-construction staple). λ rides
+    * as integer TENTHS and every similarity is an integer dot product
+    * over the [[quantizeEmbeddings]] codes, so the greedy argmax chain —
+    * where one flipped comparison cascades into a different result set —
+    * is EXACT and replays bitwise across engines (raw float cosines
+    * would make the cascade engine-dependent at the ULP level).
+    *
+    * Scale shape, stated honestly: the DISTRIBUTED part is the pool
+    * build — one corpus pass for the integer relevance dot (codegen'd)
+    * and a top-`poolSize` selection. The greedy phase is inherently
+    * sequential in k and runs DRIVER-side over the collected pool
+    * (`poolSize` rows, bounded small — the documented bounded-model
+    * fetch class); its pairwise dots are `poolSize²·dim` primitive
+    * multiplies, microseconds at any corpus size.
+    *
+    * Returns one row per pick: (rank, vec_id, rel_dot, max_sim_prev) —
+    * `max_sim_prev` is the similarity to the already-selected set at
+    * pick time (0 for the first pick), the diversity evidence.
+    */
+  def mmrSelect(
+      vectors: DataFrame,
+      queryId: Long,
+      poolSize: Int,
+      k: Int,
+      lambdaTenths: Int,
+      levels: Int = 256): DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"mmrSelect: need poolSize >= k >= 1, got poolSize=$poolSize k=$k")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"mmrSelect: lambdaTenths must be in [0, 10], got $lambdaTenths")
+    val spark = vectors.sparkSession
+    VectorFunctions.register(spark)
+    val codes = quantizeEmbeddings(vectors, levels)
+      .select(col("vec_id"), asDouble(col("codes")).as("cv"))
+    val qRow = codes.where(col("vec_id") === queryId).collect()
+    require(qRow.length == 1, s"mmrSelect: query vector $queryId not found")
+    val q = qRow.head.getSeq[Double](1)
+    val qLit = array(q.map(lit(_)): _*)
+    val pool = codes
+      .where(col("vec_id") =!= queryId)
+      .withColumn("rel", VectorFunctions.dot(col("cv"), qLit).cast("long"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    def idot(a: Array[Double], b: Array[Double]): Long = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s.toLong
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Long, Long)]()
+    while (selected.size < k) {
+      val chosen = selected.map(_._1).toSet
+      val best = pool.iterator
+        .filterNot(c => chosen.contains(c._1))
+        .map { case (id, cv, rel) =>
+          val maxSim =
+            if (selected.isEmpty) 0L
+            else selected.iterator.map(s => idot(cv, s._2)).max
+          (id, cv, rel, maxSim,
+            lambdaTenths.toLong * rel - (10L - lambdaTenths) * maxSim)
+        }
+        // deterministic greedy: score desc, id asc — exact integers only
+        .reduceLeft((a, b) => if (b._5 > a._5 || (b._5 == a._5 && b._1 < a._1)) b else a)
+      selected += ((best._1, best._2, best._3, best._4))
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, _, rel, maxSim), i) => (i + 1L, id, rel, maxSim) }
+      .toDF("rank", "vec_id", "rel_dot", "max_sim_prev")
+  }
 }

@@ -20,6 +20,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(chain(ex).exists(_.contains("mismatched vector lengths")))
   }
 
+  test("mmrSelect: λ trades relevance for diversity on a hand-quantized fixture") {
+    import spark.implicits._
+    // codes after per-dim [0,1] min-max at 256 levels:
+    // q0 = [255, 0]; v1 = [255, 2]; v2 = [253, 0]; v3 = [0, 255]
+    // rel: v1 = 65025, v2 = 64515, v3 = 0; sims: (1,2) = 64515, (1,3) = 510
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.01f)),
+      (2L, Array(0.99f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    def got(lam: Int, k: Int) =
+      Similarity.mmrSelect(vecs, queryId = 0L, poolSize = 3, k = k,
+        lambdaTenths = lam)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // relevance-heavy λ keeps the near-duplicate second
+    assert(got(7, 2) == Seq((1L, 1L, 65025L, 0L), (2L, 2L, 64515L, 64515L)))
+    // diversity-heavy λ jumps to the orthogonal vector instead
+    assert(got(2, 3) == Seq(
+      (1L, 1L, 65025L, 0L),
+      (2L, 3L, 0L, 510L),
+      (3L, 2L, 64515L, 64515L)))
+    intercept[IllegalArgumentException](
+      Similarity.mmrSelect(vecs, queryId = 99L, poolSize = 3, k = 1, lambdaTenths = 5))
+    intercept[IllegalArgumentException](
+      Similarity.mmrSelect(vecs, queryId = 0L, poolSize = 2, k = 3, lambdaTenths = 5))
+  }
+
   test("brute-force knn: every query gets k ranked neighbors, rank-1 is the true argmax") {
     val emb = Tables.embeddings(spark, SfDir)
     val out = Similarity.bruteForceKnn(emb.where(col("vec_id") < 5), emb, k = 3).cache()
