@@ -897,6 +897,15 @@ object QueriesRelational {
         Tables.events(s, dir), "user_id", col("ts"), col("event_type"),
         Seq("view", "click", "purchase"))),
 
+    // ── FUNNEL STEP-LATENCY distribution ([[operators.Analytics
+    // .funnelStepLatency]]): per adjacent step pair, exact nearest-rank
+    // p50/p90 and truncating mean of the whole-second conversion
+    // latency — every number an exact integer ──
+    "funnel_latency" -> ((s, dir) =>
+      graft.operators.Analytics.funnelStepLatency(
+        Tables.events(s, dir), "user_id", col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))),
+
     // ── referential-integrity audit ([[operators.Audit]]): FK orphan and
     // PK duplication counts over the star schema's join keys — the
     // pre-flight that turns silent inner-join row loss / join fan-out into
@@ -951,6 +960,34 @@ object QueriesRelational {
         Tables.orders(s, dir),
         pmod(col("o_custkey"), lit(2)),
         floor(col("o_totalprice") / 100).cast("long"))),
+
+    // ── POINT-IN-TIME multi-feature join ([[operators.AsofJoin
+    // .pitJoinMulti]]): every click enriched with the latest purchase
+    // and view values as of the click — two features in ONE union + ONE
+    // user-keyed window pass (shuffle count independent of feature
+    // count, the feature-store backfill shape; no future leakage by
+    // construction). Per-user rollup of the enriched requests ──
+    "feature_pit_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cents = floor(col("value") * 100).cast("long")
+      def feat(t: String, name: String) = ev
+        .where(col("event_type") === t && col("value").isNotNull)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(cents).as(name))
+      val requests = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsofJoin.pitJoinMulti(
+        requests, "user_id", "ts",
+        Seq("purchase_cents" -> feat("purchase", "purchase_cents"),
+          "view_cents" -> feat("view", "view_cents")))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_requests"),
+          sum(col("purchase_cents")).as("sum_purchase_pit"),
+          sum(col("view_cents")).as("sum_view_pit"),
+          sum(when(col("purchase_cents").isNull, 1L).otherwise(0L)).as("n_cold_start"))
+        .orderBy(col("user_id"))
+    }),
 
     // ── ITEM CO-OCCURRENCE pair mining ([[operators.Analytics
     // .coOccurrencePairs]]): "customers who bought X also bought Y" over
@@ -2628,6 +2665,41 @@ object QueriesRelational {
         |FROM spine s LEFT JOIN eod e ON s.user_id = e.user_id AND s.day = e.day
         |ORDER BY s.user_id, s.day""".stripMargin,
 
+    // feature_pit_join: identical union + IGNORE NULLS fill with
+    // features ordering before equal-timestamp requests
+    "feature_pit_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type, value,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), fp AS (
+        |  SELECT user_id, ts, max(cents) AS v FROM ev
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1, 2
+        |), fv AS (
+        |  SELECT user_id, ts, max(cents) AS v FROM ev
+        |  WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1, 2
+        |), u AS (
+        |  SELECT user_id, ts, 0 AS side, v AS f_p, CAST(NULL AS BIGINT) AS f_v FROM fp
+        |  UNION ALL SELECT user_id, ts, 1, CAST(NULL AS BIGINT), v FROM fv
+        |  UNION ALL SELECT user_id, ts, 2, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM ev WHERE event_type = 'click'
+        |), w AS (
+        |  SELECT user_id, side,
+        |    last_value(f_p IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, side
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+        |    last_value(f_v IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, side
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vc
+        |  FROM u
+        |)
+        |SELECT user_id, count(*) AS n_requests,
+        |       CAST(sum(pc) AS BIGINT) AS sum_purchase_pit,
+        |       CAST(sum(vc) AS BIGINT) AS sum_view_pit,
+        |       CAST(sum(CASE WHEN pc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cold_start
+        |FROM w WHERE side = 2
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // copurchase_pairs: identical cap rank (count desc, item asc) and
     // ordered self-join; support is basket count on both sides
     "copurchase_pairs" ->
@@ -3152,6 +3224,41 @@ object QueriesRelational {
         |       CAST(n_users * 1000000 // (SELECT n_users FROM c WHERE step = 1) AS BIGINT)
         |         AS conv_ppm
         |FROM c ORDER BY step""".stripMargin,
+
+    // funnel_latency: the same reach chain, then nearest-rank quantiles
+    // over each transition's latency frame — rank `(n+1) // 2` and
+    // `(9n+9) // 10`, truncating mean
+    "funnel_latency" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS et,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), s1 AS (
+        |  SELECT u, min(sec) AS t FROM e WHERE et = 'view' GROUP BY u
+        |), s2 AS (
+        |  SELECT e.u, min(e.sec) AS t FROM e JOIN s1 ON e.u = s1.u AND e.sec >= s1.t
+        |  WHERE e.et = 'click' GROUP BY e.u
+        |), s3 AS (
+        |  SELECT e.u, min(e.sec) AS t FROM e JOIN s2 ON e.u = s2.u AND e.sec >= s2.t
+        |  WHERE e.et = 'purchase' GROUP BY e.u
+        |), lat AS (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view->click' AS transition,
+        |         s2.t - s1.t AS lat
+        |  FROM s2 JOIN s1 USING (u)
+        |  UNION ALL
+        |  SELECT 2, 'click->purchase', s3.t - s2.t FROM s3 JOIN s2 USING (u)
+        |), r AS (
+        |  SELECT step, transition, lat,
+        |         row_number() OVER (PARTITION BY step ORDER BY lat) AS rk,
+        |         count(*) OVER (PARTITION BY step) AS n
+        |  FROM lat
+        |)
+        |SELECT step, transition,
+        |       CAST(max(n) AS BIGINT) AS n_converted,
+        |       CAST(sum(lat) // max(n) AS BIGINT) AS mean_sec,
+        |       CAST(max(CASE WHEN rk = (n + 1) // 2 THEN lat END) AS BIGINT) AS p50_sec,
+        |       CAST(max(CASE WHEN rk = (9 * n + 9) // 10 THEN lat END) AS BIGINT) AS p90_sec
+        |FROM r GROUP BY step, transition ORDER BY step""".stripMargin,
 
     "grouping_sets_pricing" ->
       """SELECT l_returnflag, l_linestatus,

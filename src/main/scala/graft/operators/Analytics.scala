@@ -920,6 +920,69 @@ object Analytics {
       .select(col("user_id"), col("day"), col("obs"), col("filled"))
   }
 
+  /** FUNNEL STEP-LATENCY DISTRIBUTION — "how long does each step take":
+    * for every adjacent step pair of the [[funnelSteps]] chain, the
+    * EXACT nearest-rank quantiles of `t_k − t_{k−1}` whole seconds
+    * across converting users (p50 at rank `(n+1) div 2` — the lower
+    * median — and p90 at rank `ceil(0.9·n) = (9n+9) div 10`), plus the
+    * truncating integer mean. Nearest-rank on whole seconds keeps every
+    * emitted number an exact integer an independent engine reproduces
+    * bitwise — the [[abZTest]] arithmetic discipline applied to latency.
+    *
+    * Scale shape: the reach chain is [[funnelSteps]]'s (per-step
+    * user-keyed join + min); the latency rank pass is ONE window over
+    * each step's converting-user frame (funnel-depth × converted-users
+    * rows, far below corpus size), partitioned by step.
+    */
+  def funnelStepLatency(
+      events: DataFrame,
+      userCol: String,
+      tsCol: Column,
+      typeCol: Column,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"funnelStepLatency: need >= 2 steps, got $steps")
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(
+      col(userCol).as("u"), typeCol.as("et"),
+      floor(unix_timestamp(tsCol)).cast("long").as("sec"))
+    val reaches = steps.scanLeft(Option.empty[DataFrame]) { case (prev, step) =>
+      val mine = ev.where(col("et") === step)
+      Some(prev match {
+        case None => mine.groupBy(col("u")).agg(min(col("sec")).as("t"))
+        case Some(r) =>
+          mine.join(r.select(col("u"), col("t").as("prev_t")), Seq("u"))
+            .where(col("sec") >= col("prev_t"))
+            .groupBy(col("u")).agg(min(col("sec")).as("t"))
+      })
+    }.flatten
+    val lats = reaches.zip(reaches.tail).zip(steps.zip(steps.tail)).zipWithIndex
+      .map { case (((prev, cur), (from, to)), i) =>
+        cur.join(prev.select(col("u"), col("t").as("prev_t")), Seq("u"))
+          .select(
+            lit(i + 1L).as("step"),
+            lit(s"$from->$to").as("transition"),
+            (col("t") - col("prev_t")).as("lat"))
+      }
+      .reduce(_ unionByName _)
+    // rank ties order arbitrarily, but the VALUE at any rank is the tied
+    // latency itself — the emitted quantiles are deterministic
+    val w = Window.partitionBy(col("step")).orderBy(col("lat"))
+    lats
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("step"))))
+      .groupBy(col("step"), col("transition"))
+      .agg(
+        max(col("n")).as("n_converted"),
+        sum(col("lat")).as("sum_lat"),
+        max(when(expr("rk = (n + 1) div 2"), col("lat"))).as("p50_sec"),
+        max(when(expr("rk = (9 * n + 9) div 10"), col("lat"))).as("p90_sec"))
+      .select(
+        col("step"), col("transition"), col("n_converted"),
+        expr("sum_lat div n_converted").as("mean_sec"),
+        col("p50_sec"), col("p90_sec"))
+      .orderBy(col("step"))
+  }
+
   /** ITEM CO-OCCURRENCE pair mining over a `(basket, item)` relation —
     * the co-purchase / co-engagement graph behind "customers who bought
     * X also bought Y". The quadratic blow-up lives PER BASKET, so each

@@ -133,4 +133,62 @@ object AsofJoin {
       rightVals.map(v => matched.getField(v).as(v))
     filled.where(col("__asof_side") === 0).select(outCols: _*)
   }
+
+  /** POINT-IN-TIME MULTI-FEATURE JOIN — the feature-store backfill shape:
+    * enrich every request row with the latest value of EVERY feature
+    * relation as of the request timestamp (`feature.ts <= request.ts`),
+    * with K features resolved in ONE union + ONE key-partitioned window
+    * pass. K chained [[asofBackward]]s would pay K key-shuffles and K
+    * sorts over the (growing) request relation; here the shuffle count is
+    * independent of K — the property that makes 100-feature training-set
+    * backfills tractable (the public point-in-time-correctness discipline
+    * every feature platform documents: no value from the future may leak
+    * into a training row).
+    *
+    * Contract: each feature is `(name, df)` where `df` carries exactly
+    * `(key, ts, value)` under the caller's key/ts column names; at most
+    * one row per `(key, ts)` per feature (pre-aggregate duplicates — the
+    * [[asofBackward]] determinism contract). Feature rows order BEFORE
+    * requests at equal timestamps, giving exact `<=` semantics. Output:
+    * the request rows plus one nullable column per feature name (null =
+    * no observation at or before the request).
+    */
+  def pitJoinMulti(
+      requests: DataFrame,
+      key: String,
+      ts: String,
+      features: Seq[(String, DataFrame)]): DataFrame = {
+    require(features.nonEmpty, "pitJoinMulti: need at least one feature")
+    val names = features.map(_._1)
+    require(names.distinct == names, s"pitJoinMulti: duplicate feature names in $names")
+    val k = features.size
+    val legs = features.zipWithIndex.map { case ((name, df), i) =>
+      require(df.columns.length == 3,
+        s"pitJoinMulti: feature '$name' must carry exactly (key, ts, value), got ${df.columns.toSeq}")
+      val valueCol = df.columns.filterNot(c => c == key || c == ts).head
+      df.select(
+        col(key) +: col(ts).as("__t") +: lit(i).as("__side") +:
+          names.zipWithIndex.map { case (n, j) =>
+            (if (j == i) col(valueCol) else lit(null)).as(s"__f_$n")
+          }: _*)
+    }
+    // requests sort AFTER every equal-timestamp feature row (<= semantics)
+    val reqLeg = requests.select(
+      col(key) +: col(ts).as("__t") +: lit(k).as("__side") +:
+        (requests.columns.filterNot(c => c == key || c == ts).map(col).toSeq ++
+          names.map(n => lit(null).as(s"__f_$n"))): _*)
+    val unioned = legs.reduce(_ unionByName _)
+      .unionByName(reqLeg, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = names.foldLeft(unioned) { (df, n) =>
+      df.withColumn(s"__f_$n", last(col(s"__f_$n"), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__side") === k)
+      .select(
+        (col(key) +: col("__t").as(ts) +:
+          requests.columns.filterNot(c => c == key || c == ts).map(col).toSeq) ++
+          names.map(n => col(s"__f_$n").as(n)): _*)
+  }
 }

@@ -382,6 +382,33 @@ class AnalyticsSpec extends AnyFunSuite {
       Seq(Some(401L), Some(301L), Some(201L), Some(100L), None, None, None))
   }
 
+  test("funnelStepLatency: exact nearest-rank p50/p90 and truncating mean per transition") {
+    // 5 users convert view→click with latencies 10, 20, 30, 40, 50 s;
+    // 2 of them convert click→purchase with latencies 5, 7 s
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view"), (1L, "2024-01-01 10:00:10", "click"),
+      (2L, "2024-01-01 10:00:00", "view"), (2L, "2024-01-01 10:00:20", "click"),
+      (3L, "2024-01-01 10:00:00", "view"), (3L, "2024-01-01 10:00:30", "click"),
+      (4L, "2024-01-01 10:00:00", "view"), (4L, "2024-01-01 10:00:40", "click"),
+      (5L, "2024-01-01 10:00:00", "view"), (5L, "2024-01-01 10:00:50", "click"),
+      (1L, "2024-01-01 10:00:15", "purchase"),
+      (2L, "2024-01-01 10:00:27", "purchase"),
+      // purchase BEFORE the click reach: must not count for user 3
+      (3L, "2024-01-01 10:00:01", "purchase"))
+    val got = Analytics.funnelStepLatency(
+      events, "user_id", org.apache.spark.sql.functions.col("ts"),
+      org.apache.spark.sql.functions.col("event_type"),
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // n=5: p50 rank (5+1) div 2 = 3 → 30; p90 rank (45+9) div 10 = 5 → 50
+    // mean = 150 div 5 = 30
+    // n=2: p50 rank 1 → 5; p90 rank (18+9) div 10 = 2 → 7; mean 12 div 2 = 6
+    assert(got.toSeq == Seq(
+      (1L, "view->click", 5L, 30L, 30L, 50L),
+      (2L, "click->purchase", 2L, 6L, 5L, 7L)))
+  }
+
   test("coOccurrencePairs: per-basket cap by engagement, basket-counted support, multi-buys don't inflate") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -103,4 +103,33 @@ class AsofJoinSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"expected exactly 1 key exchange, found $exchanges:\n$p")
   }
+
+  test("pitJoinMulti: K features fill in one pass, <= semantics, cold-start nulls, contract refusals") {
+    val fa = Seq((1L, 10L, 100L), (1L, 20L, 200L)).toDF("user_id", "t", "a")
+    val fb = Seq((1L, 15L, 7L)).toDF("user_id", "t", "b")
+    val req = Seq((1L, 5L), (1L, 10L), (1L, 17L), (1L, 25L), (2L, 10L))
+      .toDF("user_id", "t")
+    val got = AsofJoin.pitJoinMulti(req, "user_id", "t",
+      Seq("a" -> fa, "b" -> fb))
+      .orderBy(col("user_id"), col("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.toSeq == Seq(
+      (1L, 5L, None, None),            // before any observation
+      (1L, 10L, Some(100L), None),     // equal-timestamp feature visible (<=)
+      (1L, 17L, Some(100L), Some(7L)),
+      (1L, 25L, Some(200L), Some(7L)),
+      (2L, 10L, None, None)))          // key with no features: all cold
+    // exactly ONE key exchange regardless of feature count
+    val p = AsofJoin.pitJoinMulti(req, "user_id", "t",
+      Seq("a" -> fa, "b" -> fb)).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 key exchange, found $exchanges:\n$p")
+    intercept[IllegalArgumentException](
+      AsofJoin.pitJoinMulti(req, "user_id", "t", Seq("a" -> fa, "a" -> fa)))
+    intercept[IllegalArgumentException](
+      AsofJoin.pitJoinMulti(req, "user_id", "t",
+        Seq("bad" -> fa.withColumn("extra", lit(1)))))
+  }
 }
