@@ -1238,6 +1238,38 @@ object QueriesRelational {
         col("event_id"), touchTypes = Seq("view", "click"),
         convType = "purchase", windowSec = 7L * 86400)),
 
+    // ── LINEAR MULTI-TOUCH ATTRIBUTION ([[operators.Analytics
+    // .linearAttribution]]): every in-window touch shares the conversion
+    // equally, remainder to the last touch — exact conservation, the
+    // complement of last-touch's winner-take-all ──
+    "attribution_linear" -> ((s, dir) =>
+      graft.operators.Analytics.linearAttribution(
+        Tables.events(s, dir), "user_id", col("ts"), col("event_type"),
+        col("event_id"), touchTypes = Seq("view", "click"),
+        convType = "purchase", windowSec = 7L * 86400)),
+
+    // ── CMS JOIN-SIZE ESTIMATE ([[operators.CountMin.innerProduct]]):
+    // the self-join cardinality of orders on o_custkey predicted from
+    // one depth×width sketch — the sketch-driven planning signal — with
+    // the one-sided overestimate law and the ε·N² bound MEASURED against
+    // the exact Σc² ──
+    "join_size_cms" -> ((s, dir) => {
+      import graft.operators.CountMin
+      val keys = Tables.orders(s, dir)
+        .select(col("o_custkey").cast("string").as("k"))
+      val sk = CountMin.sketch(keys, "k")
+      val exact = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c"))).head().getLong(0)
+      val n = Tables.orders(s, dir).count()
+      CountMin.innerProduct(sk, sk).select(
+        col("est"),
+        lit(exact).as("exact_size"),
+        (col("est") >= lit(exact)).as("ge_exact"),
+        ((col("est") - lit(exact)) * lit(CountMin.Width.toLong) <= lit(3L * n * n))
+          .as("within_bound"))
+    }),
+
     // ── two-proportion z-test decided in EXACT integer arithmetic
     // ([[operators.Analytics.abZTest]]): per-user conversion by user-id
     // parity split; decimal(38,0) cross-multiplied inequality, so the
@@ -3103,6 +3135,57 @@ object QueriesRelational {
 
     // attribution_last_touch: the same strictly-preceding (ts, event_id)
     // forward-fill frame, whole-second window arithmetic, exact cents
+    // attribution_linear: identical window join, equal split with
+    // remainder to the (tt DESC, id DESC) head; `//` replays `div`
+    "attribution_linear" ->
+      """WITH c AS (
+        |  SELECT user_id AS u, event_id AS conv_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ct,
+        |         CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id AS tu, event_type AS tch,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS tt, event_id AS touch_id
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), j AS (
+        |  SELECT c.conv_id, c.cents, t.tch, t.tt, t.touch_id
+        |  FROM c LEFT JOIN t
+        |    ON c.u = t.tu AND t.tt <= c.ct AND c.ct - t.tt <= 604800
+        |), p AS (
+        |  SELECT *,
+        |    count(touch_id) OVER (PARTITION BY conv_id) AS n,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY tt DESC, touch_id DESC) AS rk
+        |  FROM j
+        |)
+        |SELECT CASE WHEN n = 0 THEN 'unattributed' ELSE tch END AS channel,
+        |       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+        |       CAST(sum(CASE WHEN n = 0 THEN cents
+        |            ELSE cents // n +
+        |                 CASE WHEN rk = 1 THEN cents - (cents // n) * n ELSE 0 END
+        |            END) AS BIGINT) AS credit_cents
+        |FROM p GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // join_size_cms: identical md5 cell chain (the top_tokens_cms
+    // fragment) squared per bucket; laws re-derived from the exact sum
+    "join_size_cms" ->
+      s"""WITH k AS (SELECT CAST(o_custkey AS VARCHAR) AS tok FROM orders),
+         |ce AS (SELECT tok, r AS row,
+         |        ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '_' || tok), 1, 8))::BIGINT
+         |          % ${graft.operators.CountMin.Width} AS bucket
+         |       FROM k, unnest(range(0, ${graft.operators.CountMin.Depth})) AS t(r)),
+         |sk AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt FROM ce GROUP BY 1, 2),
+         |ip AS (SELECT row, sum(cnt * cnt) AS ip FROM sk GROUP BY row),
+         |e AS (SELECT min(ip) AS est FROM ip),
+         |x AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_size
+         |      FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey)),
+         |nn AS (SELECT count(*) AS n FROM orders)
+         |SELECT CAST(e.est AS BIGINT) AS est, x.exact_size,
+         |       e.est >= x.exact_size AS ge_exact,
+         |       (e.est - x.exact_size) * ${graft.operators.CountMin.Width}
+         |         <= 3 * nn.n * nn.n AS within_bound
+         |FROM e, x, nn""".stripMargin,
+
     "attribution_last_touch" ->
       """WITH t AS (
         |  SELECT event_id, ts, user_id, event_type, value,

@@ -621,6 +621,67 @@ object Analytics {
       .orderBy(col("channel"))
   }
 
+  /** LINEAR MULTI-TOUCH ATTRIBUTION — every qualifying touch inside the
+    * lookback window shares the conversion's value EQUALLY, the
+    * complement of [[lastTouchAttribution]]'s winner-take-all. Exact
+    * conservation by construction: with `n` touches each gets
+    * `cents div n` and the LAST touch (latest ts, id tiebreak) absorbs
+    * the remainder, so per-conversion credit sums to the conversion's
+    * cents bit-for-bit — a double `1/n` split would not conserve and
+    * could not be hashed across engines. Zero-touch conversions credit
+    * `unattributed` in full, keeping the channel rollup a partition of
+    * total revenue.
+    *
+    * Scale shape: one user-keyed equi-join (conversions × touches; the
+    * window bound is a residual predicate on the hash join, never a
+    * cartesian), one per-conversion window for the touch count + last
+    * flag, one channel rollup. Fan-out per conversion is its in-window
+    * touch count — the lookback bounds it.
+    */
+  def linearAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: Column,
+      typeCol: Column,
+      idCol: Column,
+      touchTypes: Seq[String],
+      convType: String,
+      windowSec: Long,
+      valueCol: Column = col("value")): DataFrame = {
+    require(touchTypes.nonEmpty, "linearAttribution: at least one touch type required")
+    require(windowSec > 0, s"linearAttribution: windowSec must be positive, got $windowSec")
+    import org.apache.spark.sql.expressions.Window
+    val conv = events.where(typeCol === convType).select(
+      col(userCol).as("u"), idCol.as("conv_id"),
+      unix_timestamp(tsCol).as("ct"),
+      floor(valueCol * 100).cast("long").as("cents"))
+    val touch = events.where(typeCol.isin(touchTypes: _*)).select(
+      col(userCol).as("tu"), typeCol.as("tch"),
+      unix_timestamp(tsCol).as("tt"), idCol.as("touch_id"))
+    val joined = conv.join(touch,
+      col("u") === col("tu") && col("tt") <= col("ct") &&
+        col("ct") - col("tt") <= windowSec,
+      "left")
+    val w = Window.partitionBy(col("conv_id"))
+    val wrk = Window.partitionBy(col("conv_id"))
+      .orderBy(col("tt").desc, col("touch_id").desc)
+    joined
+      .withColumn("n", count(col("touch_id")).over(w))
+      .withColumn("rk", row_number().over(wrk))
+      .withColumn("channel",
+        when(col("n") === 0L, lit("unattributed")).otherwise(col("tch")))
+      .withColumn("credit",
+        when(col("n") === 0L, col("cents")).otherwise(
+          expr("cents div n") +
+            when(col("rk") === 1L, col("cents") - expr("cents div n") * col("n"))
+              .otherwise(0L)))
+      .groupBy(col("channel"))
+      .agg(
+        countDistinct(col("conv_id")).as("n_conversions"),
+        sum(col("credit")).as("credit_cents"))
+      .orderBy(col("channel"))
+  }
+
   /** Cohen's kappa inter-annotator agreement between two boolean raters —
     * the label-quality gate a supervised-data pipeline runs before
     * trusting (or paying for) an annotation batch: raw agreement

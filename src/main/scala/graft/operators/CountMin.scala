@@ -64,6 +64,25 @@ object CountMin {
       .groupBy(col("row"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** SKETCH INNER PRODUCT — the classic CMS join-size estimator
+    * (Cormode–Muthukrishnan '05 §4.2): for two sketches built on the
+    * JOIN KEY of relations A and B, `Σ_b cntA[r,b]·cntB[r,b]` per row
+    * OVERESTIMATES the true `Σ_k cA(k)·cB(k) = |A ⋈ B|` (collisions
+    * only add mass), and the min over the depth rows is the estimate —
+    * join cardinality predicted from two `depth×width` summaries without
+    * touching either relation again. The 100 TB use is PLANNING: join
+    * order and strategy chosen from sketch cells instead of a scan, the
+    * same cells the frequency estimates already maintain. Output: one
+    * row `(est)`; cost is a `depth·width`-row join, metadata-sized.
+    */
+  def innerProduct(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("row"), col("bucket"), col("cnt").as("ca"))
+      .join(b.select(col("row"), col("bucket"), col("cnt").as("cb")),
+        Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est"))
+
   /** Point estimates: min over rows of the queried item's bucket counts.
     * `queries` carries `itemCol`; items absent from the sketch estimate as
     * the collision mass of their buckets (>= 0), never null.

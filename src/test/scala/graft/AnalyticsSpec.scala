@@ -382,6 +382,32 @@ class AnalyticsSpec extends AnyFunSuite {
       Seq(Some(401L), Some(301L), Some(201L), Some(100L), None, None, None))
   }
 
+  test("linearAttribution: equal split conserves cents exactly, remainder to the last touch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      (1L, 10L, 1L, "view", None), (1L, 20L, 2L, "view", None),
+      (1L, 30L, 3L, "purchase", Some(1.00)),
+      (2L, 10L, 4L, "view", None), (2L, 25L, 5L, "click", None),
+      (2L, 30L, 6L, "purchase", Some(0.99)),
+      (3L, 10L, 7L, "purchase", Some(2.00)),
+      (4L, 0L, 8L, "view", None), (4L, 200L, 9L, "purchase", Some(3.00)))
+      .toDF("user_id", "sec", "event_id", "event_type", "value")
+      .selectExpr("user_id", "CAST(sec AS TIMESTAMP) AS ts", "event_id",
+        "event_type", "value")
+    val got = Analytics.linearAttribution(
+      events, "user_id", col("ts"), col("event_type"), col("event_id"),
+      touchTypes = Seq("view", "click"), convType = "purchase", windowSec = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // u1: 100 cents over 2 views → 50 + 50; u2: 99 over view+click →
+    // 49 each, remainder 1 to the LAST touch (the click); u3 no touches;
+    // u4's view is outside the 100 s window
+    assert(got.toSeq == Seq(
+      ("click", 1L, 50L),
+      ("unattributed", 2L, 500L),
+      ("view", 2L, 149L)))
+  }
+
   test("funnelStepLatency: exact nearest-rank p50/p90 and truncating mean per transition") {
     // 5 users convert view→click with latencies 10, 20, 30, 40, 50 s;
     // 2 of them convert click→purchase with latencies 5, 7 s

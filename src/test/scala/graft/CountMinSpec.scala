@@ -41,6 +41,24 @@ class CountMinSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("innerProduct: overestimates the true join size, bounded by the count product") {
+    import spark.implicits._
+    val a = CountMin.sketch(Seq("a", "a", "b").toDF("k"), "k")
+    val b = CountMin.sketch(Seq("a", "c").toDF("k"), "k")
+    // true |A ⋈ B| on k: cA(a)·cB(a) = 2; Σ_b cA·cB never exceeds
+    // (ΣcA)·(ΣcB) = 6 and never undershoots the true product sum
+    val ab = CountMin.innerProduct(a, b).head().getLong(0)
+    assert(ab >= 2L && ab <= 6L, s"cross inner product out of range: $ab")
+    // self-join: Σ c(k)² = 4 + 1 = 5, bounded by N² = 9
+    val aa = CountMin.innerProduct(a, a).head().getLong(0)
+    assert(aa >= 5L && aa <= 9L, s"self inner product out of range: $aa")
+    // estimate from a corpus-scale sketch stays one-sided on real keys
+    val sk = CountMin.sketch(toks, "token")
+    val exact = toks.groupBy(col("token")).count()
+      .agg(sum(col("count") * col("count"))).head().getLong(0)
+    assert(CountMin.innerProduct(sk, sk).head().getLong(0) >= exact)
+  }
+
   test("an item absent from the corpus estimates as nonnegative collision mass, never null") {
     import spark.implicits._
     val sk = CountMin.sketch(toks, "token")
