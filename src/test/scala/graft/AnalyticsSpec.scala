@@ -382,6 +382,39 @@ class AnalyticsSpec extends AnyFunSuite {
       Seq(Some(401L), Some(301L), Some(201L), Some(100L), None, None, None))
   }
 
+  test("laws under seeded random inputs: attribution conserves cents, MWU identity holds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val events = (1 to 200).map { i =>
+        val u = rnd.nextInt(12).toLong
+        val sec = rnd.nextInt(5000).toLong
+        val tpe = Seq("view", "click", "purchase")(rnd.nextInt(3))
+        val v = if (tpe == "purchase") Some(rnd.nextInt(10000) / 100.0) else None
+        (u, sec, (trial * 1000 + i).toLong, tpe, v)
+      }.toDF("user_id", "sec", "event_id", "event_type", "value")
+        .selectExpr("user_id", "CAST(sec AS TIMESTAMP) AS ts", "event_id",
+          "event_type", "value")
+      // conservation: channel credits partition total conversion cents
+      val credited = Analytics.linearAttribution(
+        events, "user_id", col("ts"), col("event_type"), col("event_id"),
+        Seq("view", "click"), "purchase", windowSec = 600L)
+        .agg(org.apache.spark.sql.functions.sum(col("credit_cents"))).head().getLong(0)
+      val total = events.where(col("event_type") === "purchase")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.floor(col("value") * 100).cast("long")))
+        .head().getLong(0)
+      assert(credited == total, s"trial $trial: credited $credited != total $total")
+      // MWU identity on a random split of a random metric
+      val mwu = Analytics.mannWhitneyU(
+        events.where(col("value").isNotNull),
+        col("event_id") % 2,
+        org.apache.spark.sql.functions.floor(col("value") * 10).cast("long")).head()
+      assert(mwu.getAs[Boolean]("identity_holds"), s"trial $trial: MWU identity broke")
+    }
+  }
+
   test("linearAttribution: equal split conserves cents exactly, remainder to the last touch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
