@@ -855,6 +855,37 @@ object QueriesEtl {
         .orderBy(col("event_type"))
     }),
 
+    // ── MULTI-TABLE TRANSACTIONAL STREAMING INGEST ([[graft.streaming
+    // .StreamingCdc.txnIngestReplay]]): each micro-batch routes rows to
+    // two logs (even/odd event ids) and publishes both appends + ONE
+    // txn anchor — readers at any txn see a consistent cross-table cut.
+    // Laws: dense txn ids, monotone cut sizes, the final cut is the
+    // whole input, zero catalog-invisible orphans ──
+    "stream_txn_ingest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("event_type"))
+      val (cat, txns) = graft.streaming.StreamingCdc.txnIngestReplay(
+        ev, sliceKeys = Seq("event_id"),
+        routeToA = pmod(col("event_id"), lit(2)) === 0,
+        root = scratch(dir, "stream_txn"))
+      val dense = txns == txns.indices.map(_.toLong)
+      val cuts = txns.map(t =>
+        cat.readTable(s, t, "a").count() + cat.readTable(s, t, "b").count())
+      val monotone = cuts.zip(cuts.tail).forall { case (x, y) => x <= y }
+      val complete = cuts.nonEmpty && cuts.last == ev.count()
+      val noOrphans = cat.unanchoredVersions.values.forall(_.isEmpty)
+      cat.readTable(s, cat.current.get, "a")
+        .unionByName(cat.readTable(s, cat.current.get, "b"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"))
+        .withColumn("txns_dense", lit(dense))
+        .withColumn("cuts_monotone", lit(monotone))
+        .withColumn("final_cut_complete", lit(complete))
+        .withColumn("no_orphan_versions", lit(noOrphans))
+        .orderBy(col("event_type"))
+    }),
+
     // ── STATS-BASED FILE PRUNING under the snapshot log ([[SnapshotLog
     // .appendIndexed]] / [[SnapshotLog.readPruned]], the Delta
     // add-file-stats shape): the commit records per-file min/max for the
@@ -2055,6 +2086,19 @@ object QueriesEtl {
         |       TRUE AS files_disjoint,
         |       TRUE AS rows_identical
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // stream_txn_ingest: the two routed halves reunite to the whole
+    // events input; the txn-cut laws are measured Spark-side from the
+    // catalog itself
+    "stream_txn_ingest" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |       TRUE AS txns_dense,
+        |       TRUE AS cuts_monotone,
+        |       TRUE AS final_cut_complete,
+        |       TRUE AS no_orphan_versions
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // stream_snapshot_ingest: the final committed version must hold the
     // whole input exactly; the version-history laws are measured

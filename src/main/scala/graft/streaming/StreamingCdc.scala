@@ -140,6 +140,55 @@ object StreamingCdc {
     versions.toSeq
   }
 
+  /** MULTI-TABLE TRANSACTIONAL STREAMING INGEST — the cross-table
+    * exactly-once shape [[snapshotIngestReplay]] cannot give: each
+    * micro-batch routes rows to TWO tables (fact split, table-per-type
+    * landing, data + audit-trail pairs), and the trigger publishes BOTH
+    * appends plus one [[graft.sources.TxnCatalog]] anchor — so a reader
+    * at any txn sees a single consistent cut of the trigger history
+    * across both tables, and a crash between the table commits and the
+    * anchor leaves only catalog-invisible orphans (never a torn pair).
+    * A side with no rows in a trigger simply inherits its version
+    * through the anchor (no empty commits).
+    *
+    * Returns the catalog plus the committed txn ids in trigger order.
+    */
+  def txnIngestReplay(
+      input: DataFrame,
+      sliceKeys: Seq[String],
+      routeToA: Column,
+      root: String,
+      slices: Int = 3,
+      partitions: Int = 2): (graft.sources.TxnCatalog, Seq[Long]) = {
+    val a = new graft.sources.SnapshotLog(s"$root/log_a")
+    val b = new graft.sources.SnapshotLog(s"$root/log_b")
+    val cat = new graft.sources.TxnCatalog(s"$root/cat", Map("a" -> a, "b" -> b))
+    val txns = scala.collection.mutable.ArrayBuffer[Long]()
+    replayForeachBatch(input, hashSlice(sliceKeys, slices), slices, root) {
+      (batch: DataFrame, _: Long) =>
+        val rows = batch.persist()
+        try {
+          val sideA = rows.where(routeToA)
+          val sideB = rows.where(!routeToA)
+          val updates = Seq(
+            "a" -> (if (sideA.isEmpty) None else Some(a.append(sideA, partitions))),
+            "b" -> (if (sideB.isEmpty) None else Some(b.append(sideB, partitions))))
+            .collect { case (n, Some(v)) => n -> v }.toMap
+          if (updates.nonEmpty || cat.current.isEmpty) {
+            // first anchor must cover both tables: an all-one-sided first
+            // trigger seeds the other log with an empty-schema commit is
+            // deliberately NOT done — require both sides by then
+            txns += cat.commitTxn(cat.current, updates)
+            ()
+          }
+        } finally {
+          rows.unpersist()
+          ()
+        }
+    }
+    (cat, txns.toSeq)
+  }
+
   /** STREAMING READ FROM THE SNAPSHOT LOG (the Delta table-as-stream
     * source shape, the read-side complement of [[snapshotIngestReplay]]):
     * the committed history replays as a REAL Structured Streaming

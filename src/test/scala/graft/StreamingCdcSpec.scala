@@ -38,6 +38,25 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(byKey(3L)._2 == "v3") // untouched passthrough
   }
 
+  test("txnIngestReplay: one anchor per trigger, consistent cross-table cuts, clean routing") {
+    import spark.implicits._
+    val input = (1L to 30L).map(k => (k, s"p$k")).toDF("k", "payload")
+    val (cat, txns) = StreamingCdc.txnIngestReplay(
+      input, sliceKeys = Seq("k"), routeToA = col("k") % 2 === 0,
+      root = root("txn-ingest"), slices = 3, partitions = 1)
+    assert(txns == Seq(0L, 1L, 2L))
+    // every anchored cut is internally consistent and grows monotonically
+    val cuts = txns.map(t =>
+      (cat.readTable(spark, t, "a").count(), cat.readTable(spark, t, "b").count()))
+    assert(cuts.last == ((15L, 15L)))
+    assert(cuts.zip(cuts.tail).forall { case ((a1, b1), (a2, b2)) => a1 <= a2 && b1 <= b2 })
+    // routing: table a holds exactly the even keys
+    assert(cat.readTable(spark, cat.current.get, "a")
+      .select("k").as[Long].collect().forall(_ % 2 == 0))
+    // no catalog-invisible versions: every table commit is anchored
+    assert(cat.unanchoredVersions.values.forall(_.isEmpty))
+  }
+
   test("logStreamReplay: commits stream as ordered micro-batches, zero-copy, batch parity") {
     import spark.implicits._
     val log = new graft.sources.SnapshotLog(root("log-stream/log"))
