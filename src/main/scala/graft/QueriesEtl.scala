@@ -886,6 +886,46 @@ object QueriesEtl {
         .orderBy(col("event_type"))
     }),
 
+    // ── CATALOG-DRIVEN ORPHAN GC ([[TxnCatalog.gcOrphanSuffix]] +
+    // [[SnapshotLog.vacuum]]): two writers crash after their orders-log
+    // commits but before anchoring — the catalog names exactly those
+    // suffix versions, drops them metadata-only, vacuum reclaims exactly
+    // their two files, the pinned txn still reads the full corpus, and
+    // a second GC+vacuum pass collects nothing ──
+    "txn_gc" -> ((s, dir) => {
+      val oLog = new SnapshotLog(scratch(dir, "gc_orders"))
+      val lLog = new SnapshotLog(scratch(dir, "gc_lineitem"))
+      oLog.recreate(); lLog.recreate()
+      val cat = new TxnCatalog(scratch(dir, "gc_cat"),
+        Map("orders" -> oLog, "lineitem" -> lLog))
+      cat.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val items = Tables.lineitem(s, dir).select(col("l_orderkey").as("lk"))
+      val t0 = cat.commitTxn(None, Map(
+        "orders" -> oLog.append(orders, partitions = 2),
+        "lineitem" -> lLog.append(items, partitions = 2)))
+      oLog.append(orders.where(col("k") % 11 === 0), partitions = 1)
+      oLog.append(orders.where(col("k") % 13 === 0), partitions = 1)
+      val dropped = cat.gcOrphanSuffix()
+      val vacOrders = oLog.vacuum()
+      val vacItems = lLog.vacuum()
+      val gcExact = dropped == Map(
+        "orders" -> Seq(1L, 2L), "lineitem" -> Seq.empty[Long])
+      val filesReclaimed = vacOrders.size == 2 && vacItems.isEmpty
+      val secondPass = cat.gcOrphanSuffix().values.forall(_.isEmpty) &&
+        oLog.vacuum().isEmpty
+      val intact = cat.readTable(s, t0, "orders").count() == orders.count()
+      cat.readTable(s, t0, "orders").groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("gc_dropped_exact", lit(gcExact))
+        .withColumn("orphan_files_reclaimed", lit(filesReclaimed))
+        .withColumn("gc_idempotent", lit(secondPass))
+        .withColumn("anchored_reads_intact", lit(intact))
+        .orderBy(col("prio"))
+    }),
+
     // ── STATS-BASED FILE PRUNING under the snapshot log ([[SnapshotLog
     // .appendIndexed]] / [[SnapshotLog.readPruned]], the Delta
     // add-file-stats shape): the commit records per-file min/max for the
@@ -2086,6 +2126,18 @@ object QueriesEtl {
         |       TRUE AS files_disjoint,
         |       TRUE AS rows_identical
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // txn_gc: the pinned txn reads the whole corpus after the crashed
+    // suffix is collected; the GC laws are measured Spark-side
+    "txn_gc" ->
+      """SELECT o_orderpriority AS prio,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS gc_dropped_exact,
+        |       TRUE AS orphan_files_reclaimed,
+        |       TRUE AS gc_idempotent,
+        |       TRUE AS anchored_reads_intact
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
 
     // stream_txn_ingest: the two routed halves reunite to the whole
     // events input; the txn-cut laws are measured Spark-side from the

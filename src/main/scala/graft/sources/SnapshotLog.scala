@@ -881,6 +881,27 @@ class SnapshotLog(
     }
   }
 
+  /** Drop commits strictly ABOVE `keepMax` — the crashed-suffix cleanup
+    * (the dual of [[expire]]'s prefix drop, and
+    * [[TxnCatalog.gcOrphanSuffix]]'s per-table step): a writer that died
+    * after its table-log commit but before its catalog anchor leaves a
+    * version suffix nothing references, and chains only look BACKWARD —
+    * no surviving version's reconstruction needs a dropped suffix delta,
+    * so this is safe by construction (a MID-chain version, by contrast,
+    * is a structural ancestor of every later delta and cannot be dropped
+    * without re-checkpointing). The dropped versions' exclusive data
+    * files become [[vacuum]] orphans. Returns the dropped versions.
+    */
+  def truncateAbove(keepMax: Long): Seq[Long] = {
+    require(versions.contains(keepMax),
+      s"truncateAbove: version $keepMax is not committed at $root (have $versions)")
+    versions.filter(_ > keepMax).map { v =>
+      manifestFile(v).delete()
+      deltaFile(v).delete()
+      v
+    }
+  }
+
   /** Collect data files referenced by NO live manifest — aborted stages
     * and expired snapshots' exclusive files. Never touches a file any
     * existing manifest still lists, so every pinned snapshot keeps

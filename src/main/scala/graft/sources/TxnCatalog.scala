@@ -131,6 +131,26 @@ class TxnCatalog(val root: String, val tables: Map[String, SnapshotLog]) {
     log.read(spark, v)
   }
 
+  /** GARBAGE-COLLECT the orphan SUFFIX of every table log — the crashed-
+    * write cleanup: versions ABOVE a table's highest anchored version
+    * belong to writers that died before their anchor; no txn can ever
+    * reference them (anchors are immutable and new txns build on
+    * [[current]]), and nothing structurally depends on a suffix delta,
+    * so they drop via [[SnapshotLog.truncateAbove]]. MID-chain
+    * unanchored versions (superseded but load-bearing in the delta
+    * chain) are deliberately left to [[SnapshotLog.expire]]'s
+    * checkpoint-first prefix discipline. Follow with each log's
+    * `vacuum()` to reclaim the dropped versions' exclusive data files.
+    * Idempotent; returns the dropped versions per table.
+    */
+  def gcOrphanSuffix(): Map[String, Seq[Long]] = {
+    val anchored = txns.map(assignment)
+    tables.map { case (n, log) =>
+      val live = anchored.flatMap(_.get(n))
+      n -> (if (live.isEmpty) Seq.empty[Long] else log.truncateAbove(live.max))
+    }
+  }
+
   /** Wipe and re-init the catalog root — test/fixture reset ONLY (the
     * Verify re-run discipline), canonicalized and guarded to `target/`
     * scratch paths like every destructive helper in this package.

@@ -62,6 +62,31 @@ class TxnCatalogSpec extends AnyFunSuite {
     assert(cat.unanchoredVersions == Map("a" -> Seq(orphan), "b" -> Seq.empty))
   }
 
+  test("gcOrphanSuffix drops only the crashed suffix; mid-chain unanchored versions survive; vacuum reclaims") {
+    val (cat, a, b) = fixture("gc")
+    val t0 = cat.commitTxn(None, Map(
+      "a" -> a.append(rows(6, "a0"), partitions = 1),
+      "b" -> b.append(rows(4, "b0"), partitions = 1)))
+    // a MID-chain unanchored version: a v1 lands, is never anchored, and
+    // v2 builds on it and IS anchored — v1 is load-bearing in the chain
+    a.append(rows(2, "skip"), partitions = 1)
+    val av2 = a.append(rows(3, "a2"), partitions = 1)
+    cat.commitTxn(Some(t0), Map("a" -> av2))
+    // the crashed suffix: two appends above the highest anchor
+    a.append(rows(1, "crash1"), partitions = 1)
+    a.append(rows(1, "crash2"), partitions = 1)
+    assert(cat.gcOrphanSuffix() == Map("a" -> Seq(3L, 4L), "b" -> Seq.empty))
+    // suffix gone, mid-chain survivor still reconstructs its descendants
+    assert(a.versions == Seq(0L, 1L, 2L))
+    assert(a.read(spark, av2).count() == 11L)
+    assert(cat.readTable(spark, cat.current.get, "a").count() == 11L)
+    // vacuum reclaims exactly the two crashed files; second pass is empty
+    assert(a.vacuum().size == 2)
+    assert(cat.gcOrphanSuffix().values.forall(_.isEmpty) && a.vacuum().isEmpty)
+    // truncateAbove refuses an uncommitted floor
+    intercept[IllegalArgumentException](a.truncateAbove(99L))
+  }
+
   test("incremental consume: increments compose, no-op commits nothing, a crashed run re-processes exactly once") {
     import graft.sources.Incremental
     import org.apache.spark.sql.functions.col
