@@ -926,6 +926,76 @@ object QueriesEtl {
         .orderBy(col("prio"))
     }),
 
+    // ── FOREIGN-KEY-GATED APPEND ([[SnapshotLog.appendCheckedRef]]):
+    // child batches validate against a SNAPSHOT-PINNED parent key set —
+    // the orphan batch (shifted keys) is rejected whole with the child
+    // log untouched, valid halves land, and NULL foreign keys pass per
+    // SQL FK semantics. Final child table rolled up by key residue
+    // (incl. the NULL bucket) ──
+    "snapshot_fk_gate" -> ((s, dir) => {
+      val pLog = new SnapshotLog(scratch(dir, "fk_parent"))
+      val cLog = new SnapshotLog(scratch(dir, "fk_child"))
+      pLog.recreate(); cLog.recreate()
+      val orders = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      val items = Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("fk"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val pv = pLog.append(orders, partitions = 2)
+      val refKeys = pLog.read(s, pv).select(col("k"))
+      cLog.appendCheckedRef(items.where(col("fk") % 2 === 0), 2, "fk", refKeys)
+      val badRejected =
+        try {
+          cLog.appendCheckedRef(
+            items.where(col("fk") % 2 === 1)
+              .withColumn("fk", col("fk") + 1000000000L),
+            2, "fk", refKeys)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val childClean = cLog.currentVersion.contains(0L)
+      cLog.appendCheckedRef(
+        items.where(col("fk") % 2 === 1)
+          .withColumn("fk",
+            when(col("fk") % 10 === 1, lit(null).cast("long"))
+              .otherwise(col("fk"))),
+        2, "fk", refKeys)
+      cLog.readLatest(s)
+        .groupBy((col("fk") % 4).as("fk_bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .withColumn("orphan_batch_rejected", lit(badRejected))
+        .withColumn("child_clean_after_reject", lit(childClean))
+        .orderBy(col("fk_bucket"))
+    }),
+
+    // ── CATALOG DESCRIBE HISTORY ([[TxnCatalog.history]]): one row per
+    // (txn, table) with the pinned version and whether that txn ADVANCED
+    // the table — partial txns inherit, and the advanced flag derives
+    // purely from consecutive anchors. Per-cut row counts ride as the
+    // audit read, bounded by txn-count × table-count ──
+    "txn_history" -> ((s, dir) => {
+      import s.implicits._
+      val oLog = new SnapshotLog(scratch(dir, "th_orders"))
+      val lLog = new SnapshotLog(scratch(dir, "th_items"))
+      oLog.recreate(); lLog.recreate()
+      val cat = new TxnCatalog(scratch(dir, "th_cat"),
+        Map("orders" -> oLog, "lineitem" -> lLog))
+      cat.recreate()
+      val orders = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      val items = Tables.lineitem(s, dir).select(col("l_orderkey").as("lk"))
+      val t0 = cat.commitTxn(None, Map(
+        "orders" -> oLog.append(orders.where(col("k") % 2 === 0), partitions = 2),
+        "lineitem" -> lLog.append(items.where(col("lk") % 2 === 0), partitions = 2)))
+      val t1 = cat.commitTxn(Some(t0), Map(
+        "orders" -> oLog.append(orders.where(col("k") % 2 === 1), partitions = 2)))
+      cat.commitTxn(Some(t1), Map(
+        "lineitem" -> lLog.append(items.where(col("lk") % 2 === 1), partitions = 2)))
+      val hist = cat.history.toDF("txn", "table_name", "version", "advanced")
+      val counts = cat.history.map { case (t, n, _, _) =>
+        (t, n, cat.readTable(s, t, n).count())
+      }.toDF("txn", "table_name", "n_rows")
+      hist.join(counts, Seq("txn", "table_name"))
+        .orderBy(col("txn"), col("table_name"))
+    }),
+
     // ── STATS-BASED FILE PRUNING under the snapshot log ([[SnapshotLog
     // .appendIndexed]] / [[SnapshotLog.readPruned]], the Delta
     // add-file-stats shape): the commit records per-file min/max for the
@@ -2126,6 +2196,47 @@ object QueriesEtl {
         |       TRUE AS files_disjoint,
         |       TRUE AS rows_identical
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // snapshot_fk_gate: the surviving child table is the even half plus
+    // the odd half with every fk%10==1 key nulled; NULL % 4 stays NULL
+    // on both engines; the gate laws are measured Spark-side
+    "snapshot_fk_gate" ->
+      """WITH it AS (
+        |  SELECT l_orderkey AS fk,
+        |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |), final AS (
+        |  SELECT fk, cents FROM it WHERE fk % 2 = 0
+        |  UNION ALL
+        |  SELECT CASE WHEN fk % 10 = 1 THEN NULL ELSE fk END, cents
+        |  FROM it WHERE fk % 2 = 1
+        |)
+        |SELECT fk % 4 AS fk_bucket,
+        |       count(*) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS orphan_batch_rejected,
+        |       TRUE AS child_clean_after_reject
+        |FROM final GROUP BY 1 ORDER BY fk_bucket""".stripMargin,
+
+    // txn_history: six deterministic (txn, table) rows — versions and
+    // advanced flags from the scripted anchors, counts from the modular
+    // slices
+    "txn_history" ->
+      """WITH c AS (SELECT
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS oe,
+        |  (SELECT count(*) FROM orders) AS of,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey % 2 = 0) AS le,
+        |  (SELECT count(*) FROM lineitem) AS lf)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS txn, 'lineitem' AS table_name,
+        |         CAST(0 AS BIGINT) AS version, TRUE AS advanced,
+        |         CAST(le AS BIGINT) AS n_rows FROM c
+        |  UNION ALL SELECT 0, 'orders', 0, TRUE, oe FROM c
+        |  UNION ALL SELECT 1, 'lineitem', 0, FALSE, le FROM c
+        |  UNION ALL SELECT 1, 'orders', 1, TRUE, of FROM c
+        |  UNION ALL SELECT 2, 'lineitem', 1, TRUE, lf FROM c
+        |  UNION ALL SELECT 2, 'orders', 1, FALSE, of FROM c
+        |) ORDER BY txn, table_name""".stripMargin,
 
     // txn_gc: the pinned txn reads the whole corpus after the crashed
     // suffix is collected; the GC laws are measured Spark-side

@@ -457,6 +457,37 @@ class SnapshotLog(
       .collect { case (action, n, true) => (action, n) }
   }
 
+  /** [[append]] gated by a REFERENTIAL-INTEGRITY check (the FK
+    * complement of [[appendChecked]]'s row-local CHECK constraints):
+    * every non-null value of `fkCol` in the batch must exist in
+    * `refKeys` (a one-column frame of valid keys — typically a
+    * snapshot-pinned read of the parent table's key column, which makes
+    * the check transactional: validated against a CONSISTENT parent
+    * version, not a moving directory). Violations reject the whole
+    * batch loudly with the orphan count before anything stages. Cost is
+    * one batch-sized left-anti join — at 100 TB the batch is the small
+    * side and the parent key column broadcasts or hash-joins on the key.
+    * SQL FK semantics: NULL foreign keys pass.
+    */
+  def appendCheckedRef(
+      df: DataFrame,
+      partitions: Int,
+      fkCol: String,
+      refKeys: DataFrame): Long = {
+    require(refKeys.columns.length == 1,
+      s"appendCheckedRef: refKeys must carry exactly the key column, got ${refKeys.columns.toSeq}")
+    import org.apache.spark.sql.functions.col
+    val refName = refKeys.columns.head
+    val orphans = df.where(col(fkCol).isNotNull)
+      .join(refKeys, df(fkCol) === refKeys(refName), "left_anti")
+      .count()
+    if (orphans > 0)
+      throw new IllegalArgumentException(
+        s"appendCheckedRef: batch has $orphans row(s) whose '$fkCol' " +
+          s"references no key in '$refName' — foreign-key gate rejects the batch")
+    append(df, partitions)
+  }
+
   /** Rewrite the current snapshot into `partitions` files (small-file
     * compaction under the log: readers of old versions are untouched, and
     * the old files become vacuum-collectable only once their snapshots

@@ -131,6 +131,23 @@ class TxnCatalog(val root: String, val tables: Map[String, SnapshotLog]) {
     log.read(spark, v)
   }
 
+  /** Catalog-level DESCRIBE HISTORY: one row per (txn, table) with the
+    * version that txn pinned and whether the txn ADVANCED that table
+    * over its predecessor (the cross-table audit view: "which
+    * transactions touched which tables"). Purely metadata — txn-count ×
+    * table-count anchor reads.
+    */
+  def history: Seq[(Long, String, Long, Boolean)] = {
+    val ts = txns
+    ts.zipWithIndex.flatMap { case (t, i) =>
+      val asg = assignment(t)
+      val prev = if (i == 0) Map.empty[String, Long] else assignment(ts(i - 1))
+      asg.toSeq.sortBy(_._1).map { case (n, v) =>
+        (t, n, v, !prev.get(n).contains(v))
+      }
+    }
+  }
+
   /** GARBAGE-COLLECT the orphan SUFFIX of every table log — the crashed-
     * write cleanup: versions ABOVE a table's highest anchored version
     * belong to writers that died before their anchor; no txn can ever
