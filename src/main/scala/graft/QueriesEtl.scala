@@ -926,6 +926,33 @@ object QueriesEtl {
         .orderBy(col("prio"))
     }),
 
+    // ── CATEGORICAL VALUE-SET PRUNING ([[SnapshotLog.appendValueIndexed]]
+    // / [[readPrunedByValue]]): per-file DISTINCT-VALUE sidecars — the
+    // categorical complement of min/max stats — prune a point query on
+    // o_orderpriority to the files actually carrying the literal;
+    // laws: the skip fired AND the pruned read equals the full filtered
+    // read (exceptAll both ways) ──
+    "snapshot_value_prune" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_values"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderpriority"))
+        .repartitionByRange(5, col("o_orderpriority"))
+        .sortWithinPartitions(col("o_orderpriority"))
+      val v0 = log.appendValueIndexed(base, Seq("o_orderpriority"))
+      val (pruned, (opened, total)) =
+        log.readPrunedByValue(s, v0, "o_orderpriority", "1-URGENT")
+      val full = log.read(s, v0).where(col("o_orderpriority") === "1-URGENT")
+      val equal = pruned.exceptAll(full).limit(1).count() == 0 &&
+        full.exceptAll(pruned).limit(1).count() == 0
+      pruned
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("skip_happened", lit(opened < total))
+        .withColumn("pruned_equals_full", lit(equal))
+    }),
+
     // ── FOREIGN-KEY-GATED APPEND ([[SnapshotLog.appendCheckedRef]]):
     // child batches validate against a SNAPSHOT-PINNED parent key set —
     // the orphan batch (shifted keys) is rejected whole with the child
@@ -2196,6 +2223,15 @@ object QueriesEtl {
         |       TRUE AS files_disjoint,
         |       TRUE AS rows_identical
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // snapshot_value_prune: the pruned read reduces to the plain
+    // priority filter; the skip/equality laws are measured Spark-side
+    "snapshot_value_prune" ->
+      """SELECT count(*) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS skip_happened,
+        |       TRUE AS pruned_equals_full
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
 
     // snapshot_fk_gate: the surviving child table is the even half plus
     // the odd half with every fk%10==1 key nulled; NULL % 4 stays NULL

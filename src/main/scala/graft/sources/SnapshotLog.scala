@@ -706,6 +706,86 @@ class SnapshotLog(
     commit(cur, cur.map(files).getOrElse(Nil) ++ staged)
   }
 
+  /** Stage + commit `df` EXACTLY as arranged with PER-FILE DISTINCT-VALUE
+    * SETS for `valueCols` recorded in a `_values.parquet` sidecar — the
+    * CATEGORICAL complement of [[appendIndexed]]'s min/max ranges: an
+    * equality predicate on a low-cardinality column (status, priority,
+    * country, tier) prunes to exactly the files whose value set contains
+    * the literal, where min/max can only approximate once values
+    * interleave lexically. A file whose per-column distinct count
+    * exceeds `maxDistinctPerFile` records a FULL marker instead, so the
+    * sidecar stays bounded per file per column and such files read
+    * conservatively. Values are recorded in STRING form (the sidecar is
+    * type-erased; [[readPrunedByValue]] compares the string cast). The
+    * caller owns the arrangement — cluster by the column first, or every
+    * file carries every value and nothing prunes.
+    */
+  def appendValueIndexed(
+      df: DataFrame,
+      valueCols: Seq[String],
+      maxDistinctPerFile: Int = 32): Long = {
+    require(valueCols.nonEmpty, "appendValueIndexed: need at least one value column")
+    require(maxDistinctPerFile >= 1,
+      s"appendValueIndexed: maxDistinctPerFile must be >= 1, got $maxDistinctPerFile")
+    val spark = df.sparkSession
+    val staged = stageArranged(df)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val entries = staged.flatMap { p =>
+      val one = spark.read.parquet(new File(dataRootPath, p).toString)
+      valueCols.flatMap { c =>
+        val vs = one.select(col(c).cast("string")).distinct()
+          .limit(maxDistinctPerFile + 1).collect().map(r => Option(r.getString(0)))
+        if (vs.length > maxDistinctPerFile) Seq((p, c, null: String, true))
+        else vs.toSeq.map(v => (p, c, v.orNull, false))
+      }
+    }
+    val dir = new File(dataRootPath, staged.head).getParentFile
+    entries.toDF("file", "col", "value", "is_full")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new File(dir, "_values.parquet").toString)
+    val cur = currentVersion
+    commit(cur, cur.map(files).getOrElse(Nil) ++ staged)
+  }
+
+  /** Equality-predicate read over a snapshot whose files carry
+    * [[appendValueIndexed]] value sets: open only the files whose
+    * recorded set contains `value` (FULL-marked and sidecar-free files
+    * kept conservatively), then apply the predicate. Returns the frame
+    * plus (filesOpened, filesTotal). Planning is one sidecar read per
+    * staged directory — file-count-sized, never row-count-sized.
+    */
+  def readPrunedByValue(
+      spark: SparkSession,
+      version: Long,
+      valueCol: String,
+      value: String): (DataFrame, (Int, Int)) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val data = dataFiles(version)
+    val keep = data.groupBy(p => new File(dataRootPath, p).getParent).toSeq.flatMap {
+      case (dir, paths) =>
+        val sidecar = new File(dir, "_values.parquet")
+        if (!sidecar.exists()) paths
+        else {
+          val byFile = spark.read.parquet(sidecar.toString)
+            .where(col("col") === valueCol).collect()
+            .map(r => (r.getString(0), Option(r.getString(2)), r.getBoolean(3)))
+            .groupBy(_._1)
+          paths.filter { p =>
+            byFile.get(p) match {
+              case None => true // no entries for this file+column: conservative
+              case Some(es) => es.exists(_._3) || es.exists(_._2.contains(value))
+            }
+          }
+        }
+    }.sorted
+    val pruned =
+      if (keep.isEmpty) read(spark, version).where(lit(false))
+      else spark.read.parquet(keep.map(p => new File(dataRootPath, p).toString): _*)
+        .where(col(valueCol).cast("string") === value)
+    (pruned, (keep.size, data.size))
+  }
+
   /** [[stageArranged]] plus the `_stats.parquet` min/max sidecar — the
     * shared staging step of [[appendIndexed]] and [[mergeCopyOnWrite]].
     * One bounded per-staged-file aggregation pass; nothing is committed.

@@ -314,6 +314,30 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(log.read(spark, 3L).count() == 8L) // 8 - 2 deleted + 2 appended
   }
 
+  test("appendValueIndexed/readPrunedByValue: value sets prune point queries; wide files mark FULL and read conservatively") {
+    val log = freshLog("values")
+    // 3 clustered files: tiers A|B|C (ids 0..29, tier = id div 10)
+    val clustered = (0L until 30L).map(i => (i, Seq("A", "B", "C")((i / 10).toInt)))
+      .toDF("id", "tier")
+      .repartitionByRange(3, col("tier")).sortWithinPartitions(col("tier"))
+    val v0 = log.appendValueIndexed(clustered, Seq("tier"))
+    val (pruned, (opened, total)) = log.readPrunedByValue(spark, v0, "tier", "B")
+    assert(total == 3 && opened == 1, s"expected 1/3 files, got $opened/$total")
+    assert(pruned.select("id").as[Long].collect().toSet == (10L until 20L).toSet)
+    // an absent value opens nothing
+    assert(log.readPrunedByValue(spark, v0, "tier", "Z")._2._1 == 0)
+    // a high-cardinality file exceeds the cap → FULL marker → kept
+    // conservatively for every probe
+    log.append(Seq((100L, "Q")).toDF("id", "tier"), partitions = 1) // sidecar-free: conservative
+    val wide = (0L until 50L).map(i => (1000L + i, s"t$i")).toDF("id", "tier").coalesce(1)
+    log.appendValueIndexed(wide, Seq("tier"), maxDistinctPerFile = 8)
+    val (all, (o2, t2)) = log.readPrunedByValue(spark, log.currentVersion.get, "tier", "B")
+    // value files: B file (pruned in), sidecar-free file (conservative),
+    // wide FULL file (conservative); A and C files pruned out
+    assert(t2 == 5 && o2 == 3, s"expected 3/5 files, got $o2/$t2")
+    assert(all.count() == 10L)
+  }
+
   test("appendStrict enforces the current schema; drift names every offending column; evolution stays explicit") {
     val log = freshLog("strict")
     // first commit: nothing to enforce against
