@@ -2374,6 +2374,17 @@ object QueriesLlm {
         .orderBy(col("n").desc, col("token"))
         .limit(20)),
 
+    // ── COLLOCATION MINING ([[TextAnalysis.collocations]]): top adjacent
+    // word pairs by the exact scaled-integer PMI surrogate
+    // N·c(x,y)·1e6 div (c(x)·c(y)) — a monotone transform of PMI, so the
+    // ranking is PMI's with every number engine-exact; min-count floor
+    // kills hapax noise ──
+    "collocations_pmi" -> ((s, dir) =>
+      TextAnalysis.collocations(
+        Tables.documents(s, dir), col("text"), minPairCount = 10L)
+        .orderBy(col("pmi_ratio_e6").desc, col("x"), col("y"))
+        .limit(20)),
+
     // ── VOCABULARY DRIFT between corpus slices ([[TextAnalysis
     // .vocabDrift]]): χ² one-token-vs-rest over occurrence counts, exact
     // integer statistic (decimal cross-multiplication + one truncating
@@ -5011,6 +5022,28 @@ object QueriesLlm {
          |       CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
          |            * 1000000.0) AS BIGINT) AS weight_ppm
          |FROM p CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    // collocations_pmi: bigrams via zipped list slices, identical
+    // HUGEINT cross-multiplication with `//` replaying the div
+    "collocations_pmi" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS wd FROM documents),
+         |tok AS (SELECT unnest(wd) AS w FROM toks),
+         |big AS (
+         |  SELECT unnest(wd[1:len(wd) - 1]) AS x, unnest(wd[2:len(wd)]) AS y
+         |  FROM toks WHERE len(wd) >= 2
+         |),
+         |pc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+         |       FROM big GROUP BY 1, 2 HAVING count(*) >= 10),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok)
+         |SELECT pc.x, pc.y, pc.c_xy, ux.c AS cx, uy.c AS cy,
+         |  CAST((CAST(n_tokens AS HUGEINT) * c_xy * 1000000)
+         |    // (CAST(ux.c AS HUGEINT) * uy.c) AS BIGINT) AS pmi_ratio_e6
+         |FROM pc
+         |JOIN uni ux ON pc.x = ux.w
+         |JOIN uni uy ON pc.y = uy.w
+         |CROSS JOIN tot
+         |ORDER BY pmi_ratio_e6 DESC, x, y LIMIT 20""".stripMargin,
 
     // vocab_drift: identical χ² cross-multiplication in HUGEINT with
     // `//` replaying the truncating div; same tokenizer fragment

@@ -93,6 +93,47 @@ object TextAnalysis {
         "CAST(chi2_num div chi2_den AS LONG) AS chi2_e6")
   }
 
+  /** COLLOCATION MINING — adjacent word pairs ranked by a scaled-integer
+    * PMI surrogate: `N·c(x,y)·10⁶ div (c(x)·c(y))` is a strictly
+    * monotone transform of pointwise mutual information
+    * (`log` of the same ratio), so the ranking is PMI's ranking with
+    * every number an exact integer (decimal(38,0) cross-multiplication,
+    * one truncating div — the [[vocabDrift]] arithmetic). `minPairCount`
+    * kills the hapax-pair noise PMI is famous for.
+    *
+    * Scale shape: tokenize + posexplode are map-side; bigrams form via
+    * ONE doc-keyed window `lead` (no self-join of the token stream);
+    * pair and unigram counts are map-side-combined aggregations; the
+    * final frame is vocabulary-pair-sized with the two unigram joins on
+    * the word key.
+    */
+  def collocations(
+      docs: DataFrame,
+      textCol: Column,
+      minPairCount: Long): DataFrame = {
+    require(minPairCount >= 1, s"collocations: minPairCount must be >= 1, got $minPairCount")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+        posexplode(tokens(textCol)).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = tok.withColumn("w2", lead(col("w"), 1).over(w))
+      .where(col("w2").isNotNull)
+      .groupBy(col("w").as("x"), col("w2").as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minPairCount)
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = tok.agg(count(lit(1)).as("n_tokens"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    pairs
+      .join(uni.select(col("w").as("x"), col("c").as("cx")), Seq("x"))
+      .join(uni.select(col("w").as("y"), col("c").as("cy")), Seq("y"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_num", d(col("n_tokens")) * d(col("c_xy")) * d(lit(1000000L)))
+      .withColumn("pmi_den", d(col("cx")) * d(col("cy")))
+      .selectExpr("x", "y", "c_xy", "cx", "cy",
+        "CAST(pmi_num div pmi_den AS LONG) AS pmi_ratio_e6")
+  }
+
   /** Blocklist screen — the term-level content filter (unsafe/banned
     * vocabulary) a curation pipeline runs at ingest: exact token match
     * against a broadcast-literal term list, counting total occurrences

@@ -444,7 +444,9 @@ class PlanSpec extends AnyFunSuite {
       "attribution_linear" -> 0, "join_size_cms" -> 0,
       "stream_txn_ingest" -> 0, "txn_gc" -> 0,
       "snapshot_fk_gate" -> 0, "txn_history" -> 0,
-      "snapshot_value_prune" -> 0)
+      "snapshot_value_prune" -> 0,
+      // collocations_pmi carries the 1-row token-total crossJoin
+      "collocations_pmi" -> 1)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -129,6 +129,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq((1L, 3L, "alpha,zeta"), (2L, 0L, ""), (3L, 1L, "zeta")))
   }
 
+  test("collocations: exact scaled PMI on hand-counted bigrams; floor prunes; pairs never span docs") {
+    // doc 1: "a b a b"  → bigrams (a,b) (b,a) (a,b); doc 2: "b c"
+    // N = 6 tokens; c(a)=2, c(b)=3, c(c)=1
+    val docs = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, col("text"), minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    // only (a,b) survives the floor: 6·2·1e6 div (2·3) = 2_000_000;
+    // (b,a) has count 1 and no pair ever spans a document boundary
+    assert(got.toSeq == Seq(("a", "b", 2L, 2000000L)))
+    val full = TextAnalysis.collocations(docs, col("text"), minPairCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(full == Set(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L)))
+  }
+
   test("vocabDrift: exact chi2_e6 on a hand-computed contingency; min-count prunes") {
     // slice A (doc 0): "x x y"  → NA = 3; slice B (doc 1): "y y z" → NB = 3
     val docs = Seq((0L, "x x y"), (1L, "y y z")).toDF("doc_id", "text")
