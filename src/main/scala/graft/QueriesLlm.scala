@@ -2385,6 +2385,51 @@ object QueriesLlm {
         .orderBy(col("pmi_ratio_e6").desc, col("x"), col("y"))
         .limit(20)),
 
+    // ── CLUSTER LABELING ([[Similarity.kmeans]] × the χ² machinery):
+    // top-3 DISTINCTIVE terms per embedding cluster — one-vs-rest χ² in
+    // exact scaled integers over the cluster-joined token counts, with a
+    // positive-lift gate so anti-terms never label a cluster. The
+    // corpus-exploration readout every clustering run needs ──
+    "cluster_top_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val assign = Similarity.kmeans(Tables.embeddings(s, dir), KmK, KmIters)
+        .select(col("vec_id"), col("cluster"))
+      val toks = Tables.documents(s, dir).select(
+        col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val t = toks.join(assign, toks("doc_id") === assign("vec_id"))
+        .select(col("cluster"), col("token"))
+      val ct = t.groupBy(col("cluster"), col("token")).agg(count(lit(1)).as("a"))
+      val tokAll = t.groupBy(col("token")).agg(count(lit(1)).as("c_all"))
+      val cluAll = t.groupBy(col("cluster")).agg(count(lit(1)).as("na"))
+      val grand = t.agg(count(lit(1)).as("n"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val scored = ct
+        .join(tokAll, Seq("token"))
+        .join(cluAll, Seq("cluster"))
+        .crossJoin(broadcast(grand))
+        .withColumn("b", col("c_all") - col("a"))
+        .withColumn("nb", col("n") - col("na"))
+        // all guards BEFORE the division (x div 0 is an error class in
+        // the oracle engine, not a ranking input)
+        .where(col("a") >= 10L && col("nb") > 0L &&
+          col("n") - col("a") - col("b") > 0L &&
+          col("a") * col("nb") > col("b") * col("na"))
+        .withColumn("chi2_num", {
+          val diff = d(col("a")) * d(col("nb")) - d(col("b")) * d(col("na"))
+          d(col("n")) * diff * diff * d(lit(1000000L))
+        })
+        .withColumn("chi2_den", d(col("na")) * d(col("nb")) *
+          (d(col("a")) + d(col("b"))) *
+          (d(col("n")) - d(col("a")) - d(col("b"))))
+        .withColumn("chi2_e6", expr("CAST(chi2_num div chi2_den AS LONG)"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("chi2_e6").desc, col("token"))
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .select(col("cluster"), col("rk").cast("long").as("rank"),
+          col("token"), col("a").as("n_in_cluster"), col("chi2_e6"))
+        .orderBy(col("cluster"), col("rank"))
+    }),
+
     // ── VOCABULARY DRIFT between corpus slices ([[TextAnalysis
     // .vocabDrift]]): χ² one-token-vs-rest over occurrence counts, exact
     // integer statistic (decimal cross-multiplication + one truncating
@@ -5022,6 +5067,45 @@ object QueriesLlm {
          |       CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
          |            * 1000000.0) AS BIGINT) AS weight_ppm
          |FROM p CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    // cluster_top_terms: the shared kmeans chain assigns, then the same
+    // χ² HUGEINT cross-multiplication per cluster; guards precede the
+    // division on both engines
+    "cluster_top_terms" -> (kmeansCtesSql(KmK, KmIters) +
+      s""",
+         |fin AS (
+         |${kmeansAssignFrom(s"c$KmIters")}
+         |),
+         |tk AS (SELECT f.cluster, unnest($toksSql) AS token
+         |       FROM documents d JOIN fin f ON d.doc_id = f.vec_id),
+         |ct AS (SELECT cluster, token, CAST(count(*) AS BIGINT) AS a
+         |       FROM tk GROUP BY 1, 2),
+         |ta AS (SELECT token, CAST(count(*) AS BIGINT) AS c_all FROM tk GROUP BY 1),
+         |ca AS (SELECT cluster, CAST(count(*) AS BIGINT) AS na FROM tk GROUP BY 1),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
+         |sc AS (
+         |  SELECT ct.cluster, ct.token, ct.a, ta.c_all - ct.a AS b,
+         |         ca.na, g.n - ca.na AS nb, g.n
+         |  FROM ct JOIN ta USING (token) JOIN ca USING (cluster) CROSS JOIN g
+         |),
+         |base AS (
+         |  SELECT * FROM sc
+         |  WHERE a >= 10 AND nb > 0 AND n - a - b > 0
+         |    AND CAST(a AS HUGEINT) * nb > CAST(b AS HUGEINT) * na
+         |),
+         |ch AS (
+         |  SELECT cluster, token, a,
+         |    CAST((CAST(n AS HUGEINT)
+         |          * (CAST(a AS HUGEINT) * nb - CAST(b AS HUGEINT) * na)
+         |          * (CAST(a AS HUGEINT) * nb - CAST(b AS HUGEINT) * na) * 1000000)
+         |      // (CAST(na AS HUGEINT) * nb * (a + b) * (n - a - b)) AS BIGINT) AS chi2_e6
+         |  FROM base
+         |)
+         |SELECT cluster, CAST(rk AS BIGINT) AS rank, token,
+         |       a AS n_in_cluster, chi2_e6
+         |FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+         |        ORDER BY chi2_e6 DESC, token) AS rk FROM ch)
+         |WHERE rk <= 3 ORDER BY cluster, rank""".stripMargin),
 
     // collocations_pmi: bigrams via zipped list slices, identical
     // HUGEINT cross-multiplication with `//` replaying the div

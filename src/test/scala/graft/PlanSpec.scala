@@ -445,8 +445,9 @@ class PlanSpec extends AnyFunSuite {
       "stream_txn_ingest" -> 0, "txn_gc" -> 0,
       "snapshot_fk_gate" -> 0, "txn_history" -> 0,
       "snapshot_value_prune" -> 0,
-      // collocations_pmi carries the 1-row token-total crossJoin
-      "collocations_pmi" -> 1)
+      // collocations_pmi / cluster_top_terms carry the 1-row
+      // token-total crossJoin (the ab_ztest scalar-broadcast pattern)
+      "collocations_pmi" -> 1, "cluster_top_terms" -> 1)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
