@@ -1486,6 +1486,26 @@ object QueriesLlm {
     // recomputes the luminance field from the generative formula and
     // replays pool/compare/band arithmetically — two independent
     // implementations, decode bugs hash-fail ──
+    // ── REAL PIXEL RESIZE ([[graft.functions.ImageKernels
+    // .ppmPooledGrid]]): decode the PPM raster and average-pool it onto
+    // the 9×8 grid — the resize step of the multimodal pipeline exposed
+    // as a first-class feature (exact block SUMS, so the grid replays
+    // bitwise; the dHash consumes this same grid one step further).
+    // Hashed per doc as fingerprint + exact aggregates of the 72 cells ──
+    "mm_resize_grid" -> ((s, dir) => {
+      graft.functions.ImageKernels.register(s)
+      Multimodal.withPpmPayload(Tables.documents(s, dir).select(col("doc_id")))
+        .select(col("doc_id"),
+          graft.functions.ImageKernels.ppmResizeCol(col("payload")).as("grid"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", transform(col("grid"), _.cast("string"))))
+            .as("grid_fp"),
+          aggregate(col("grid"), lit(0L), _ + _).as("grid_sum"),
+          array_min(col("grid")).as("grid_min"),
+          array_max(col("grid")).as("grid_max"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_phash" -> ((s, dir) => {
       graft.functions.ImageKernels.register(s)
       // repartition = an exchange BARRIER: the synthesis+decode lambda runs
@@ -4440,6 +4460,27 @@ object QueriesLlm {
     // dedup_phash: band-join candidates -> exact bit-array Hamming;
     // banding is lossless for hamming <= 3 by pigeonhole, which is
     // exactly the engine index's guarantee
+    // mm_resize_grid: the pooled sums re-derive from the synthesis
+    // formula — every 2×2 block is 4 identical gray pixels whose ITU-601
+    // luminance equals the cell byte, so block sum = 4·cell
+    "mm_resize_grid" ->
+      """WITH base AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents),
+        |ex AS (
+        |  SELECT doc_id, t.k,
+        |    ((('0x' || substr(md5(g::VARCHAR || '_' || (t.k % 9)::VARCHAR || '_' || (t.k // 9)::VARCHAR), 1, 2))::BIGINT
+        |      + CASE WHEN v = 1 AND t.k = 0 THEN 100
+        |             WHEN v = 2 AND (t.k = 0 OR t.k = 71) THEN 100
+        |             WHEN v = 3 AND ((t.k % 9) + (t.k // 9)) % 2 = 0 THEN 128
+        |             ELSE 0 END) % 256) * 4 AS s
+        |  FROM base, range(0, 72) t(k)
+        |)
+        |SELECT doc_id,
+        |       md5(string_agg(s::VARCHAR, ' ' ORDER BY k)) AS grid_fp,
+        |       CAST(sum(s) AS BIGINT) AS grid_sum,
+        |       CAST(min(s) AS BIGINT) AS grid_min,
+        |       CAST(max(s) AS BIGINT) AS grid_max
+        |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "dedup_phash" -> (phashCtes + """,
       |cand AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

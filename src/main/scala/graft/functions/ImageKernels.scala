@@ -40,7 +40,14 @@ object ImageKernels {
     * fingerprint. Exposed for the oracle-replay spec; the hot path is the
     * [[PpmDhash]] expression calling this per row.
     */
-  def ppmDhash(bytes: Array[Byte]): Any = {
+  /** The shared decode + RESIZE pass: PPM P6 → the 9×8 average-pooled
+    * luminance grid as 72 row-major BLOCK SUMS (exact integers), or null
+    * for anything the contract can't decode. [[ppmDhash]] consumes this
+    * grid one step further; [[ppmPooledGrid]] exposes it directly as the
+    * real pixel-resize feature (downstream featurizers take the grid as
+    * a dense vector; sums are exact where a rounded mean would not be).
+    */
+  def ppmPooledCells(bytes: Array[Byte]): Array[Long] = {
     val n = bytes.length
     if (n < 2 || bytes(0) != 'P' || bytes(1) != '6') return null
     var p = 2
@@ -93,6 +100,12 @@ object ImageKernels {
       }
       y += 1
     }
+    cells
+  }
+
+  def ppmDhash(bytes: Array[Byte]): Any = {
+    val cells = ppmPooledCells(bytes)
+    if (cells == null) return null
     var hash = 0L
     var k = 0
     while (k < 64) {
@@ -101,6 +114,15 @@ object ImageKernels {
       k += 1
     }
     java.lang.Long.valueOf(hash)
+  }
+
+  /** [[ppmPooledCells]] boxed for the expression layer: GenericArrayData
+    * of 72 longs, or null.
+    */
+  def ppmPooledGrid(bytes: Array[Byte]): Any = {
+    val cells = ppmPooledCells(bytes)
+    if (cells == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(cells)
   }
 
   /** Codegen'd dHash: binary PPM payload → long (null when undecodable). */
@@ -124,13 +146,43 @@ object ImageKernels {
     override def prettyName: String = "graft_ppm_dhash"
   }
 
+  /** Codegen'd decode + resize: binary PPM payload → array&lt;long&gt; of
+    * the 72 pooled block sums (null when undecodable).
+    */
+  case class PpmPooledGrid(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"graft_ppm_resize requires binary, got ${other.sql}")
+    }
+    override def nullSafeEval(b: Any): Any =
+      ImageKernels.ppmPooledGrid(b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => s"""
+        Object r = graft.functions.ImageKernels.ppmPooledGrid($b);
+        if (r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+      """)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "graft_ppm_resize"
+  }
+
   /** Register on the session's function registry (idempotent, same contract
     * as [[TextKernels.register]]).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ppm_dhash", exprs => PpmDhash(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ppm_resize", exprs => PpmPooledGrid(exprs(0)), "scala_udf")
+  }
 
   def ppmDhashCol(payload: Column): Column =
     call_function("graft_ppm_dhash", payload)
+
+  def ppmResizeCol(payload: Column): Column =
+    call_function("graft_ppm_resize", payload)
 }

@@ -49,6 +49,24 @@ class ImageKernelsSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h0 ^ h2) <= 1)
   }
 
+  test("ppmPooledCells: exact block sums, dHash derives from the same grid, corrupt inputs null") {
+    // uniform gray value 7 everywhere: every 2×2 block sums to 28
+    val flat = ImageKernels.ppmPooledCells(ppm(18, 16, (_, _) => 7))
+    assert(flat.length == 72 && flat.forall(_ == 28L))
+    // a single brightened pixel lands in exactly one block's sum
+    val one = ImageKernels.ppmPooledCells(
+      ppm(18, 16, (x, y) => if (x == 0 && y == 0) 107 else 7))
+    assert(one(0) == 128L && one.drop(1).forall(_ == 28L))
+    // the hash is a pure function of this grid: recompute bit 0
+    val g = ImageKernels.ppmPooledCells(ppm(18, 16, (x, y) => (x * 11 + y * 23) % 200))
+    val h = ImageKernels.ppmDhash(ppm(18, 16, (x, y) => (x * 11 + y * 23) % 200))
+      .asInstanceOf[Long]
+    assert(((h & 1L) == 1L) == (g(0) < g(1)))
+    // the sniffer discipline carries over
+    assert(ImageKernels.ppmPooledCells(ppm(10, 16, (_, _) => 7)) == null)
+    assert(ImageKernels.ppmPooledGrid(Array.emptyByteArray) == null)
+  }
+
   test("band index is lossless at maxHamming 3: banded pairs == naive all-pairs (pigeonhole)") {
     val docs = Tables.documents(spark, SfDir)
     graft.functions.ImageKernels.register(spark)

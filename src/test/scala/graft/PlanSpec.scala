@@ -447,7 +447,8 @@ class PlanSpec extends AnyFunSuite {
       "snapshot_value_prune" -> 0,
       // collocations_pmi / cluster_top_terms carry the 1-row
       // token-total crossJoin (the ab_ztest scalar-broadcast pattern)
-      "collocations_pmi" -> 1, "cluster_top_terms" -> 1)
+      "collocations_pmi" -> 1, "cluster_top_terms" -> 1,
+      "mm_resize_grid" -> 0)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
