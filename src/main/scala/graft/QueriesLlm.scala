@@ -1492,6 +1492,25 @@ object QueriesLlm {
     // as a first-class feature (exact block SUMS, so the grid replays
     // bitwise; the dHash consumes this same grid one step further).
     // Hashed per doc as fingerprint + exact aggregates of the 72 cells ──
+    // ── REAL AUDIO FRAME-SAMPLE ([[graft.functions.AudioKernels
+    // .wavEnergyEnvelope]]): decode the 16-bit PCM raster and emit the
+    // 65-window energy ENVELOPE as a first-class feature — what loudness
+    // normalization, silence trimming, and the perceptual hash all read.
+    // Exact integer energies, hashed per doc as fingerprint + aggregates ──
+    "mm_audio_envelope" -> ((s, dir) => {
+      graft.functions.AudioKernels.register(s)
+      Multimodal.withWavPayload(Tables.documents(s, dir).select(col("doc_id")))
+        .select(col("doc_id"),
+          graft.functions.AudioKernels.wavEnvelopeCol(col("payload")).as("env"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", transform(col("env"), _.cast("string"))))
+            .as("env_fp"),
+          aggregate(col("env"), lit(0L), _ + _).as("env_sum"),
+          array_min(col("env")).as("env_min"),
+          array_max(col("env")).as("env_max"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_resize_grid" -> ((s, dir) => {
       graft.functions.ImageKernels.register(s)
       Multimodal.withPpmPayload(Tables.documents(s, dir).select(col("doc_id")))
@@ -4460,6 +4479,26 @@ object QueriesLlm {
     // dedup_phash: band-join candidates -> exact bit-array Hamming;
     // banding is lossless for hamming <= 3 by pigeonhole, which is
     // exactly the engine index's guarantee
+    // mm_audio_envelope: window energy is 8× the per-window amplitude
+    // (all 8 samples of a window carry the amplitude) — the same formula
+    // replay dedup_audio pins, here emitted as the envelope itself
+    "mm_audio_envelope" ->
+      """WITH abase AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents),
+        |ex AS (
+        |  SELECT doc_id, t.w,
+        |    (('0x' || substr(md5(g::VARCHAR || '_' || t.w::VARCHAR || CASE WHEN v = 3 THEN '_x' ELSE '' END), 1, 3))::BIGINT
+        |     + CASE WHEN v = 1 AND t.w = 0 THEN 20000
+        |            WHEN v = 2 AND (t.w = 0 OR t.w = 64) THEN 20000
+        |            ELSE 0 END) * 8 AS e
+        |  FROM abase, range(0, 65) t(w)
+        |)
+        |SELECT doc_id,
+        |       md5(string_agg(e::VARCHAR, ' ' ORDER BY w)) AS env_fp,
+        |       CAST(sum(e) AS BIGINT) AS env_sum,
+        |       CAST(min(e) AS BIGINT) AS env_min,
+        |       CAST(max(e) AS BIGINT) AS env_max
+        |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // mm_resize_grid: the pooled sums re-derive from the synthesis
     // formula — every 2×2 block is 4 identical gray pixels whose ITU-601
     // luminance equals the cell byte, so block sum = 4·cell

@@ -45,8 +45,15 @@ object AudioKernels {
     true
   }
 
-  /** WAV 16-bit PCM → 64-bit energy-envelope hash, or null. */
-  def wavEnergyHash(bytes: Array[Byte]): Any = {
+  /** The shared decode + FRAME-SAMPLE pass: WAV 16-bit PCM → the 65
+    * per-window energies (sum of |sample| per equal-width window, exact
+    * integers), or null for anything the PCM contract can't decode.
+    * [[wavEnergyHash]] consumes this envelope one step further;
+    * [[wavEnergyWindows]] exposes it directly as the real audio feature
+    * (the envelope is what loudness normalization, silence trimming, and
+    * the perceptual hash all read).
+    */
+  def wavEnergyEnvelope(bytes: Array[Byte]): Array[Long] = {
     val n = bytes.length
     if (n < 12 || !tagIs(bytes, 0, "RIFF") || !tagIs(bytes, 8, "WAVE")) return null
     var p = 12
@@ -84,6 +91,13 @@ object AudioKernels {
       energy(w) = e
       w += 1
     }
+    energy
+  }
+
+  /** WAV 16-bit PCM → 64-bit energy-envelope hash, or null. */
+  def wavEnergyHash(bytes: Array[Byte]): Any = {
+    val energy = wavEnergyEnvelope(bytes)
+    if (energy == null) return null
     var hash = 0L
     var k = 0
     while (k < 64) {
@@ -91,6 +105,13 @@ object AudioKernels {
       k += 1
     }
     java.lang.Long.valueOf(hash)
+  }
+
+  /** [[wavEnergyEnvelope]] boxed for the expression layer. */
+  def wavEnvelopeGrid(bytes: Array[Byte]): Any = {
+    val e = wavEnergyEnvelope(bytes)
+    if (e == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(e)
   }
 
   /** Codegen'd fingerprint: binary WAV payload → long (null when
@@ -116,11 +137,41 @@ object AudioKernels {
     override def prettyName: String = "graft_wav_ehash"
   }
 
+  /** Codegen'd decode + frame-sample: binary WAV payload → array&lt;long&gt;
+    * of the 65 window energies (null when undecodable).
+    */
+  case class WavEnvelope(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"graft_wav_envelope requires binary, got ${other.sql}")
+    }
+    override def nullSafeEval(b: Any): Any =
+      AudioKernels.wavEnvelopeGrid(b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => s"""
+        Object r = graft.functions.AudioKernels.wavEnvelopeGrid($b);
+        if (r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+      """)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "graft_wav_envelope"
+  }
+
   /** Register on the session's function registry (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_wav_ehash", exprs => WavEnergyHash(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_wav_envelope", exprs => WavEnvelope(exprs(0)), "scala_udf")
+  }
 
   def wavEnergyHashCol(payload: Column): Column =
     call_function("graft_wav_ehash", payload)
+
+  def wavEnvelopeCol(payload: Column): Column =
+    call_function("graft_wav_envelope", payload)
 }

@@ -39,6 +39,24 @@ class AudioKernelsSpec extends AnyFunSuite {
     assert(AudioKernels.wavEnergyHash(bad) == null)
   }
 
+  test("energy envelope: exact per-window sums, hash derives from the same envelope, corrupt inputs null") {
+    // 520 samples / 65 windows = 8 per window; constant amp 3 → energy 24
+    val flat = AudioKernels.wavEnergyEnvelope(wav(520, _ => 3))
+    assert(flat.length == 65 && flat.forall(_ == 24L))
+    // one louder sample lands in exactly its window's energy
+    val one = AudioKernels.wavEnergyEnvelope(wav(520, j => if (j == 8) 103 else 3))
+    assert(one(1) == 24L + 100L && one.zipWithIndex.forall {
+      case (e, 1) => e == 124L
+      case (e, _) => e == 24L
+    })
+    // the hash is a pure function of this envelope: recompute bit 0
+    val env = AudioKernels.wavEnergyEnvelope(wav(520, j => 50 + (j * 31) % 97))
+    val h = AudioKernels.wavEnergyHash(wav(520, j => 50 + (j * 31) % 97))
+      .asInstanceOf[Long]
+    assert(((h & 1L) == 1L) == (env(0) < env(1)))
+    assert(AudioKernels.wavEnvelopeGrid("OggS not a wav".getBytes) == null)
+  }
+
   test("energy hash: gain invariance; negative samples count by magnitude") {
     val h0 = AudioKernels.wavEnergyHash(wav(520, j => 50 + (j / 8) % 40)).asInstanceOf[Long]
     val h2 = AudioKernels.wavEnergyHash(wav(520, j => 2 * (50 + (j / 8) % 40))).asInstanceOf[Long]
