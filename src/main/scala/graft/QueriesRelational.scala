@@ -1238,6 +1238,36 @@ object QueriesRelational {
         col("event_id"), touchTypes = Seq("view", "click"),
         convType = "purchase", windowSec = 7L * 86400)),
 
+    // ── BENFORD FIRST-DIGIT AUDIT: the classic fabricated-numbers
+    // screen — observed first-digit shares of the order amounts against
+    // Benford's law, everything in exact integer ppm (the expectation
+    // constants log10(1+1/d) are fixed ppm literals summing to exactly
+    // 1e6; observed shares via truncating div). The audit REPORTS
+    // deviation per digit — synthetic uniform prices are not Benford,
+    // and saying so is the point of an audit ──
+    "benford_audit" -> ((s, dir) => {
+      val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      val exp = expected.zipWithIndex
+        .map { case (p, i) => ((i + 1).toLong, p) }
+      import s.implicits._
+      val cents = Tables.orders(s, dir)
+        .select(floor(col("o_totalprice") * 100).cast("long").as("c"))
+        .where(col("c") > 0L)
+      cents
+        .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_observed"))
+        .join(broadcast(exp.toDF("digit", "expected_ppm")), Seq("digit"))
+        .crossJoin(broadcast(cents.agg(count(lit(1)).as("n_total"))))
+        .select(
+          col("digit"), col("n_observed"), col("n_total"),
+          expr("n_observed * 1000000 div n_total").as("observed_ppm"),
+          col("expected_ppm"))
+        .withColumn("abs_dev_ppm",
+          abs(expr("n_observed * 1000000 div n_total") - col("expected_ppm")))
+        .orderBy(col("digit"))
+    }),
+
     // ── LINEAR MULTI-TOUCH ATTRIBUTION ([[operators.Analytics
     // .linearAttribution]]): every in-window touch shares the conversion
     // equally, remainder to the last touch — exact conservation, the
@@ -3135,6 +3165,29 @@ object QueriesRelational {
 
     // attribution_last_touch: the same strictly-preceding (ts, event_id)
     // forward-fill frame, whole-second window arithmetic, exact cents
+    // benford_audit: identical digit extraction and ppm arithmetic; the
+    // expectation constants are the same exact literals
+    "benford_audit" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders
+        |  WHERE floor(o_totalprice * 100) > 0
+        |), d AS (
+        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |         CAST(count(*) AS BIGINT) AS n_observed
+        |  FROM c GROUP BY 1
+        |), e AS (
+        |  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |    (9, 45757)) AS t(digit, expected_ppm)
+        |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM c)
+        |SELECT d.digit, d.n_observed, n.n_total,
+        |       CAST(d.n_observed * 1000000 // n.n_total AS BIGINT) AS observed_ppm,
+        |       CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        |       CAST(abs(d.n_observed * 1000000 // n.n_total - e.expected_ppm) AS BIGINT)
+        |         AS abs_dev_ppm
+        |FROM d JOIN e ON d.digit = e.digit CROSS JOIN n
+        |ORDER BY d.digit""".stripMargin,
+
     // attribution_linear: identical window join, equal split with
     // remainder to the (tt DESC, id DESC) head; `//` replays `div`
     "attribution_linear" ->

@@ -448,7 +448,9 @@ class PlanSpec extends AnyFunSuite {
       // collocations_pmi / cluster_top_terms carry the 1-row
       // token-total crossJoin (the ab_ztest scalar-broadcast pattern)
       "collocations_pmi" -> 1, "cluster_top_terms" -> 1,
-      "mm_resize_grid" -> 0, "mm_audio_envelope" -> 0)
+      "mm_resize_grid" -> 0, "mm_audio_envelope" -> 0,
+      // benford_audit carries the 1-row total crossJoin
+      "benford_audit" -> 1)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
