@@ -1406,6 +1406,56 @@ object QueriesRelational {
             <= col("n_total") * 0.05 + 1.0).as("union_ok"))
     }),
 
+    // ── EXACT roaring-style bitmap overlap ([[graft.functions
+    // .BitmapFunctions]]): weekly user bitmaps over the dense id space,
+    // consecutive-week retention/churn/new counts computed ENTIRELY from
+    // bitwise AND/ANDNOT on the bitmap columns — where theta_wow_overlap
+    // can only pin tolerance booleans, every number here is exact and
+    // hash-compared against the oracle's distinct self-join; what crosses
+    // the final join is one ≤2·n-byte bitmap per week, not user ids ──
+    "bitmap_wow_overlap" -> ((s, dir) => {
+      import graft.functions.BitmapFunctions
+      BitmapFunctions.register(s)
+      val weekly = Tables.events(s, dir)
+        .select(to_date(date_trunc("week", col("ts"))).as("week"), col("user_id"))
+        .groupBy(col("week"))
+        .agg(BitmapFunctions.bitmapAgg(col("user_id")).as("bm"))
+      val a = weekly.select(col("week"), col("bm").as("bm_a"))
+      val b = weekly.select(date_sub(col("week"), 7).as("week"), col("bm").as("bm_b"))
+      a.join(b, Seq("week"))
+        .select(
+          col("week"), date_add(col("week"), 7).as("next_week"),
+          BitmapFunctions.bitmapCount(col("bm_a")).as("n_a"),
+          BitmapFunctions.bitmapCount(col("bm_b")).as("n_b"),
+          BitmapFunctions.bitmapAndCount(col("bm_a"), col("bm_b")).as("n_both"),
+          BitmapFunctions.bitmapAndNotCount(col("bm_a"), col("bm_b")).as("n_churned"),
+          BitmapFunctions.bitmapAndNotCount(col("bm_b"), col("bm_a")).as("n_new"))
+        .orderBy(col("week"))
+    }),
+
+    // ── bitmap rollup without rescanning: DAILY user bitmaps built once,
+    // OR-merged up to weeks by `graft_bitmap_union` — the incremental WAU
+    // serving path with EXACT answers (the theta/HLL rollups' estimate
+    // column replaced by a number the oracle's COUNT(DISTINCT) must equal
+    // bit-for-bit); per-week shuffle payload is ≤7 bitmap blobs ──
+    "bitmap_wau_rollup" -> ((s, dir) => {
+      import graft.functions.BitmapFunctions
+      BitmapFunctions.register(s)
+      Tables.events(s, dir)
+        .select(
+          to_date(col("ts")).as("day"),
+          to_date(date_trunc("week", col("ts"))).as("week"),
+          col("user_id"))
+        .groupBy(col("day"), col("week"))
+        .agg(BitmapFunctions.bitmapAgg(col("user_id")).as("bm"))
+        .groupBy(col("week"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          BitmapFunctions.bitmapCount(
+            BitmapFunctions.bitmapUnion(col("bm"))).as("wau_exact"))
+        .orderBy(col("week"))
+    }),
+
     // ── sliding-window WAU: native window(ts, '7 days', '1 day') slide —
     // each event explodes into 7 window assignments, exact distinct count
     // per window; the sketch rollup (wau_user_sketch_rollup) is the same
@@ -3321,6 +3371,39 @@ object QueriesRelational {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_total,
         |       TRUE AS union_ok
         |FROM events""".stripMargin,
+
+    // bitmap_wow_overlap: every column exact — the distinct self-join IS
+    // the contract, no tolerance booleans (contrast theta_wow_overlap)
+    "bitmap_wow_overlap" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+        |  FROM events
+        |), wk AS (
+        |  SELECT week, CAST(count(*) AS BIGINT) AS n FROM uw GROUP BY 1
+        |), bo AS (
+        |  SELECT x.week, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM uw x JOIN uw y
+        |    ON y.user_id = x.user_id AND y.week = x.week + 7
+        |  GROUP BY 1
+        |)
+        |SELECT bo.week, CAST(bo.week + 7 AS DATE) AS next_week,
+        |       a.n AS n_a, c.n AS n_b, bo.n_both,
+        |       a.n - bo.n_both AS n_churned,
+        |       c.n - bo.n_both AS n_new
+        |FROM bo
+        |JOIN wk a ON a.week = bo.week
+        |JOIN wk c ON c.week = bo.week + 7
+        |ORDER BY bo.week""".stripMargin,
+
+    // bitmap_wau_rollup: the daily→weekly bitmap OR must equal the exact
+    // weekly COUNT(DISTINCT) — no estimate tolerance anywhere
+    "bitmap_wau_rollup" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS wau_exact
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY week""".stripMargin,
 
     // sliding_wau: each event belongs to the 7 epoch-aligned 1-day-slide
     // windows starting day(ts)-6 .. day(ts); distinct users per window

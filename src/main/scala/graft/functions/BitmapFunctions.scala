@@ -1,0 +1,363 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** EXACT distinct-set bitmaps as mergeable aggregate columns — the
+  * Druid/ClickHouse/Doris "bitmap index" technique (all public: roaring
+  * bitmaps, Chambi et al. "Better bitmap performance with Roaring bitmaps",
+  * Software: Practice & Experience 2016). Where [[ThetaFunctions]] trades
+  * exactness for a fixed 2^lgK budget, a bitmap over DENSIFIED ids is
+  * exact at any cardinality: daily per-group bitmaps roll up to
+  * weeks/months by pure bitwise OR without rescanning events, and
+  * intersection / difference — the retention and churn math HLL cannot do
+  * at all and theta can only estimate — come back as EXACT counts that go
+  * straight into hashed query output (no tolerance booleans needed).
+  *
+  * Precondition (documented, not checked away): keys must be DENSE
+  * non-negative ints — run [[graft.operators.Ids.assignStableIds]] first at
+  * ingest. Space then scales with id-space coverage, not row count: the
+  * container layout below is the roaring two-form design, so a day
+  * touching n users costs min(2·n, 8192) bytes per touched 65536-id chunk
+  * across the shuffle. At 1B users a full-corpus bitmap is ~125 MB worst
+  * case but per-day/per-group bitmaps only pay for chunks they touch —
+  * exactly the published engines' trade.
+  *
+  * Wire format (stable across partitionings — containers serialize in key
+  * order, so equal sets produce equal bytes and bitmap columns are safe to
+  * hash-compare): magic 'G', version 1, container count, then per
+  * container `key:int32, form:int8, [n:int32, n×uint16] | [1024×int64]`,
+  * little-endian. Array form when a container holds ≤ [[BitmapFunctions.ArrayFormMax]]
+  * values, bitmap form above — the roaring threshold where 2 bytes/value
+  * overtakes the fixed 8 KiB.
+  *
+  * Surface: `graft_bitmap_agg(id)` (keys → bitmap), `graft_bitmap_union`
+  * (bitmaps → bitmap: the rollup aggregate), and exact scalars
+  * `graft_bitmap_count`, `graft_bitmap_and_count`,
+  * `graft_bitmap_andnot_count` (all codegen'd).
+  */
+object BitmapFunctions {
+
+  /** Containers at or below this cardinality serialize as sorted uint16
+    * arrays (2 bytes/value); above, as fixed 8 KiB bitmaps. */
+  val ArrayFormMax = 4096
+
+  private val ContainerWords = 1024 // 65536 bits
+
+  /** Mutable roaring-style bitmap: dense long[1024] containers keyed by
+    * `id >>> 16`, in a sorted map so serialization is order-stable. */
+  final class GraftBitmap {
+    val containers = new java.util.TreeMap[Integer, Array[Long]]()
+
+    def add(id: Long): Unit = {
+      require(id >= 0 && id <= Int.MaxValue,
+        s"graft_bitmap_agg: key out of dense-int range: $id (densify with assignStableIds)")
+      val key = (id >>> 16).toInt
+      val low = (id & 0xffffL).toInt
+      var c = containers.get(key)
+      if (c == null) { c = new Array[Long](ContainerWords); containers.put(key, c) }
+      c(low >>> 6) |= (1L << (low & 63))
+    }
+
+    def orInPlace(other: GraftBitmap): Unit = {
+      val it = other.containers.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val mine = containers.get(e.getKey)
+        if (mine == null) {
+          containers.put(e.getKey, e.getValue.clone())
+        } else {
+          val theirs = e.getValue
+          var i = 0
+          while (i < ContainerWords) { mine(i) |= theirs(i); i += 1 }
+        }
+      }
+    }
+
+    def cardinality: Long = {
+      var n = 0L
+      val it = containers.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        var i = 0
+        while (i < ContainerWords) { n += java.lang.Long.bitCount(c(i)); i += 1 }
+      }
+      n
+    }
+
+    def serialize(): Array[Byte] = {
+      // first pass: per-container cardinality decides the form and the size
+      val sizes = new java.util.ArrayList[Int]()
+      var total = 1 + 1 + 4 // magic, version, count
+      val it0 = containers.values().iterator()
+      while (it0.hasNext) {
+        val c = it0.next()
+        var card = 0
+        var i = 0
+        while (i < ContainerWords) { card += java.lang.Long.bitCount(c(i)); i += 1 }
+        sizes.add(card)
+        total += 4 + 1 + (if (card <= ArrayFormMax) 4 + 2 * card else 8 * ContainerWords)
+      }
+      val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('G'.toByte).put(1.toByte).putInt(containers.size())
+      val it = containers.entrySet().iterator()
+      var ci = 0
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue
+        val card = sizes.get(ci); ci += 1
+        buf.putInt(e.getKey.intValue())
+        if (card <= ArrayFormMax) {
+          buf.put(0.toByte).putInt(card)
+          var w = 0
+          while (w < ContainerWords) {
+            var bits = c(w)
+            while (bits != 0L) {
+              val low = w * 64 + java.lang.Long.numberOfTrailingZeros(bits)
+              buf.putShort(low.toShort)
+              bits &= bits - 1
+            }
+            w += 1
+          }
+        } else {
+          buf.put(1.toByte)
+          var w = 0
+          while (w < ContainerWords) { buf.putLong(c(w)); w += 1 }
+        }
+      }
+      buf.array()
+    }
+  }
+
+  def deserialize(bytes: Array[Byte]): GraftBitmap = {
+    val bm = new GraftBitmap
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = buf.get(); val version = buf.get()
+    require(magic == 'G'.toByte && version == 1.toByte,
+      s"graft_bitmap: bad header ($magic, $version)")
+    val n = buf.getInt
+    var i = 0
+    while (i < n) {
+      val key = buf.getInt
+      val c = new Array[Long](ContainerWords)
+      bm.containers.put(key, c)
+      buf.get() match {
+        case 0 =>
+          val card = buf.getInt
+          var j = 0
+          while (j < card) {
+            val low = buf.getShort & 0xffff
+            c(low >>> 6) |= (1L << (low & 63))
+            j += 1
+          }
+        case 1 =>
+          var w = 0
+          while (w < ContainerWords) { c(w) = buf.getLong; w += 1 }
+        case other => throw new IllegalStateException(s"graft_bitmap: bad container form $other")
+      }
+      i += 1
+    }
+    bm
+  }
+
+  // ── codegen entry points (static, null-safe via nullSafeCodeGen) ──
+
+  def count(bytes: Array[Byte]): Long = deserialize(bytes).cardinality
+
+  def andCount(a: Array[Byte], b: Array[Byte]): Long = {
+    val x = deserialize(a); val y = deserialize(b)
+    var n = 0L
+    val it = x.containers.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val other = y.containers.get(e.getKey)
+      if (other != null) {
+        val mine = e.getValue
+        var i = 0
+        while (i < ContainerWords) { n += java.lang.Long.bitCount(mine(i) & other(i)); i += 1 }
+      }
+    }
+    n
+  }
+
+  /** |A \ B| — exact, via |A| − |A ∩ B|. */
+  def andNotCount(a: Array[Byte], b: Array[Byte]): Long =
+    count(a) - andCount(a, b)
+
+  /** Build aggregate: dense int/bigint keys → bitmap bytes. */
+  case class BitmapBuildAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[GraftBitmap] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_bitmap_agg requires a dense bigint/int key, got ${other.sql}")
+    }
+
+    override def createAggregationBuffer(): GraftBitmap = new GraftBitmap
+
+    override def update(buf: GraftBitmap, input: InternalRow): GraftBitmap = {
+      child.eval(input) match {
+        case null => ()
+        case l: Long => buf.add(l)
+        case i: Int => buf.add(i.toLong)
+        case other => throw new IllegalStateException(s"unexpected key: $other")
+      }
+      buf
+    }
+
+    override def merge(buf: GraftBitmap, other: GraftBitmap): GraftBitmap = {
+      buf.orInPlace(other); buf
+    }
+
+    override def eval(buf: GraftBitmap): Any = buf.serialize()
+    override def serialize(buf: GraftBitmap): Array[Byte] = buf.serialize()
+    override def deserialize(bytes: Array[Byte]): GraftBitmap =
+      BitmapFunctions.deserialize(bytes)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): BitmapBuildAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BitmapBuildAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren(0))
+    override def prettyName: String = "graft_bitmap_agg"
+  }
+
+  /** Rollup aggregate: already-built bitmap bytes → OR-merged bitmap. */
+  case class BitmapUnionAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[GraftBitmap] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_bitmap_union requires binary bitmaps, got ${other.sql}")
+    }
+
+    override def createAggregationBuffer(): GraftBitmap = new GraftBitmap
+    override def update(buf: GraftBitmap, input: InternalRow): GraftBitmap = {
+      child.eval(input) match {
+        case null => ()
+        case b: Array[Byte] => buf.orInPlace(BitmapFunctions.deserialize(b))
+      }
+      buf
+    }
+    override def merge(buf: GraftBitmap, other: GraftBitmap): GraftBitmap = {
+      buf.orInPlace(other); buf
+    }
+    override def eval(buf: GraftBitmap): Any = buf.serialize()
+    override def serialize(buf: GraftBitmap): Array[Byte] = buf.serialize()
+    override def deserialize(bytes: Array[Byte]): GraftBitmap =
+      BitmapFunctions.deserialize(bytes)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): BitmapUnionAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BitmapUnionAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren(0))
+    override def prettyName: String = "graft_bitmap_union"
+  }
+
+  private def requireBinary(name: String, dts: Seq[DataType]): TypeCheckResult =
+    if (dts.forall(_ == BinaryType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires binary bitmap arguments, got ${dts.map(_.sql).mkString(", ")}")
+
+  /** Exact cardinality of one bitmap. */
+  case class BitmapCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireBinary(prettyName, Seq(child.dataType))
+    override def nullSafeEval(b: Any): Any =
+      BitmapFunctions.count(b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b =>
+        s"${ev.value} = graft.functions.BitmapFunctions.count($b);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "graft_bitmap_count"
+  }
+
+  /** Exact |A ∩ B|. */
+  case class BitmapAndCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireBinary(prettyName, Seq(left.dataType, right.dataType))
+    override def nullSafeEval(a: Any, b: Any): Any =
+      BitmapFunctions.andCount(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.BitmapFunctions.andCount($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "graft_bitmap_and_count"
+  }
+
+  /** Exact |A \ B|. */
+  case class BitmapAndNotCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireBinary(prettyName, Seq(left.dataType, right.dataType))
+    override def nullSafeEval(a: Any, b: Any): Any =
+      BitmapFunctions.andNotCount(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.BitmapFunctions.andNotCount($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "graft_bitmap_andnot_count"
+  }
+
+  /** Register all five functions on the session's registry (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_bitmap_agg", exprs => BitmapBuildAgg(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_bitmap_union", exprs => BitmapUnionAgg(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_bitmap_count", exprs => BitmapCount(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_bitmap_and_count",
+      exprs => BitmapAndCount(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_bitmap_andnot_count",
+      exprs => BitmapAndNotCount(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  def bitmapAgg(key: Column): Column = call_function("graft_bitmap_agg", key)
+  def bitmapUnion(bm: Column): Column = call_function("graft_bitmap_union", bm)
+  def bitmapCount(bm: Column): Column = call_function("graft_bitmap_count", bm)
+  def bitmapAndCount(a: Column, b: Column): Column =
+    call_function("graft_bitmap_and_count", a, b)
+  def bitmapAndNotCount(a: Column, b: Column): Column =
+    call_function("graft_bitmap_andnot_count", a, b)
+}
