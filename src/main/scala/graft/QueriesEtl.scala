@@ -1730,6 +1730,53 @@ object QueriesEtl {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ── POSITION DELETES under the snapshot log ([[SnapshotLog
+    // .deletePositions]], the Iceberg v2 position-delete-file shape):
+    // rows are deleted by (file, row-ordinal) ADDRESS — selected with
+    // [[SnapshotLog.readWithPositions]] and any predicate — so the delete
+    // works without a unique key and, unlike [[SnapshotLog.deleteRows]]'s
+    // equality tombstones, is FILE-SCOPED: the same keys re-inserted in a
+    // later append stay fully visible (law `reinserted_visible`), where a
+    // key tombstone would keep masking them until a compact. v1 carries
+    // every v0 data file untouched (`no_rewrite_on_delete`); compact()
+    // materializes the deletes away (`pos_files_compacted`,
+    // `compact_preserves_rows` via two-way exceptAll) ──
+    "snapshot_pos_delete" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_posdel"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      val v0 = log.append(base, partitions = 4)
+      val v1 = log.deletePositions(
+        log.readWithPositions(s, v0)
+          .where(col("o_orderkey") % 10 === 3)
+          .select(col("_file"), col("_pos")))
+      val noRewrite = log.dataFiles(v1).toSet == log.dataFiles(v0).toSet
+      val reinsert = base.where(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("X"))
+      val v2 = log.append(reinsert, partitions = 2)
+      val reinsertedVisible =
+        log.read(s, v2).where(col("o_orderstatus") === "X").count() == reinsert.count()
+      val v3 = log.compact(s, partitions = 2)
+      val posGone = log.posDeleteFiles(v3).isEmpty && log.posDeleteFiles(v2).nonEmpty
+      val v2Rows = log.read(s, v2)
+      val v3Rows = log.read(s, v3)
+      val sameRows = v2Rows.exceptAll(v3Rows).limit(1).count() == 0 &&
+        v3Rows.exceptAll(v2Rows).limit(1).count() == 0
+      log.read(s, v3)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .withColumn("no_rewrite_on_delete", lit(noRewrite))
+        .withColumn("reinserted_visible", lit(reinsertedVisible))
+        .withColumn("pos_files_compacted", lit(posGone))
+        .withColumn("compact_preserves_rows", lit(sameRows))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ── SCHEMA EVOLUTION under the snapshot log: v1's append ADDS a
     // column. The merged latest read serves nulls for pre-evolution rows
     // ([[SnapshotLog.read]] with mergeSchema), while the PINNED v0 read
@@ -2324,6 +2371,29 @@ object QueriesEtl {
         |       TRUE AS compact_preserves_rows
         |FROM orders WHERE o_orderkey % 10 <> 7
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // snapshot_pos_delete: survivors = every order whose key misses the
+    // deleted residue, plus the SAME keys re-inserted as status 'X' (the
+    // file-scoped-delete contrast with equality tombstones); the four
+    // storage laws are measured Spark-side
+    "snapshot_pos_delete" ->
+      """WITH survivors AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |)
+        |SELECT o_orderstatus,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       TRUE AS no_rewrite_on_delete,
+        |       TRUE AS reinserted_visible,
+        |       TRUE AS pos_files_compacted,
+        |       TRUE AS compact_preserves_rows
+        |FROM survivors
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // snapshot_schema_evolved: latest = both halves with tier only on the
     // evolved (odd) half — old files must serve NULL for the added

@@ -115,6 +115,15 @@ class SnapshotLog(
     */
   private val DelPrefix = "del:"
 
+  /** Manifest-line marker for POSITION-delete files — see
+    * [[deletePositions]]. Lines are `posdel:<relative path>`; the file
+    * holds `(_file string, _pos bigint)` rows naming exact physical rows.
+    */
+  private val PosDelPrefix = "posdel:"
+
+  private def isTombLine(l: String): Boolean =
+    l.startsWith(DelPrefix) || l.startsWith(PosDelPrefix)
+
   /** Committed versions, ascending. Empty before the first commit. A
     * version is committed iff its `.delta` anchor exists (or only its
     * `.manifest` checkpoint survives an [[expire]]).
@@ -156,11 +165,15 @@ class SnapshotLog(
 
   /** Data-file relative paths of a snapshot (tombstones excluded). */
   def dataFiles(version: Long): Seq[String] =
-    files(version).filterNot(_.startsWith(DelPrefix))
+    files(version).filterNot(isTombLine)
 
-  /** Tombstone-file relative paths of a snapshot. */
+  /** Key-tombstone-file relative paths of a snapshot. */
   def tombstoneFiles(version: Long): Seq[String] =
     files(version).filter(_.startsWith(DelPrefix)).map(_.stripPrefix(DelPrefix))
+
+  /** Position-delete-file relative paths of a snapshot. */
+  def posDeleteFiles(version: Long): Seq[String] =
+    files(version).filter(_.startsWith(PosDelPrefix)).map(_.stripPrefix(PosDelPrefix))
 
   /** Phase 1 of the two-phase write: materialize `df` as immutable parquet
     * files under a fresh unique directory and return their relative paths
@@ -358,6 +371,88 @@ class SnapshotLog(
     commit(Some(cur), files(cur) ++ staged.map(DelPrefix + _))
   }
 
+  /** The relative-path + row-ordinal address of every VISIBLE row of
+    * `version` next to the row itself — `_file` (manifest-relative data
+    * path) and `_pos` (parquet row index within that file), both from the
+    * scan's own `_metadata` struct, so the address is exactly what
+    * [[deletePositions]] consumes. This is how callers select rows for a
+    * position delete: read-with-positions, filter by any predicate,
+    * project `(_file, _pos)`.
+    */
+  def readWithPositions(spark: SparkSession, version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val paths = dataFiles(version).map(p => new File(dataRootPath, p).toString)
+    val data = spark.read.parquet(paths: _*)
+      .withColumn("_file",
+        regexp_extract(col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1))
+      .withColumn("_pos", col("_metadata.row_index"))
+    applyMasks(spark, version, data)
+  }
+
+  /** Row-level DELETE by PHYSICAL POSITION (the Iceberg v2
+    * position-delete-file shape, complementing [[deleteRows]]'s
+    * key/equality tombstones): `positions` holds `(_file, _pos)` rows —
+    * typically a filtered projection of [[readWithPositions]] — staged as
+    * a position-delete file and committed as the next version with every
+    * data file carried untouched. Because the address is (file, ordinal),
+    * not a key value, this deletes exact rows on tables WITHOUT a unique
+    * key (duplicate-keyed facts), and — unlike an equality tombstone — it
+    * is file-scoped by construction, so rows appended LATER are never
+    * masked and a deleted key can be re-inserted without compacting
+    * first. [[read]] applies position deletes as one anti-join on the
+    * scan's `_metadata` address; [[compact]] materializes them away.
+    * Every referenced `_file` must be a data file of the current
+    * snapshot (checked loudly — a dangling address is a corrupt delete).
+    */
+  def deletePositions(positions: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"deletePositions: no committed snapshot at $root"))
+    require(positions.columns.sorted.toSeq == Seq("_file", "_pos"),
+      s"deletePositions: positions must be exactly (_file, _pos), got " +
+        positions.columns.toSeq.mkString(", "))
+    val live = dataFiles(cur).toSet
+    import positions.sparkSession.implicits._
+    val referenced = positions.select(col("_file")).distinct().as[String].collect()
+    val dangling = referenced.filterNot(live)
+    require(dangling.isEmpty,
+      s"deletePositions: positions reference file(s) not in snapshot v$cur: " +
+        dangling.sorted.take(5).mkString(", "))
+    val staged = stageData(
+      positions.select(col("_file").cast("string"), col("_pos").cast("long")), 1)
+    commit(Some(cur), files(cur) ++ staged.map(PosDelPrefix + _))
+  }
+
+  /** Apply a snapshot's merge-on-read masks to `data` (a raw scan of the
+    * snapshot's data files): position deletes first — one anti-join on
+    * the `_metadata` (file, row-ordinal) address — then key tombstones —
+    * one anti-join on the tombstone schema's columns. Delete-free
+    * snapshots pay nothing (the input plan is returned untouched).
+    */
+  private def applyMasks(spark: SparkSession, version: Long, data: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val posTombs = posDeleteFiles(version)
+    val afterPos =
+      if (posTombs.isEmpty) data
+      else {
+        val pos = spark.read.parquet(posTombs.map(p => new File(dataRootPath, p).toString): _*)
+        val addressed =
+          if (data.columns.contains("_file")) data
+          else data
+            .withColumn("_file",
+              regexp_extract(col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1))
+            .withColumn("_pos", col("_metadata.row_index"))
+        val masked = addressed.join(pos, Seq("_file", "_pos"), "left_anti")
+        if (data.columns.contains("_file")) masked else masked.drop("_file", "_pos")
+      }
+    val tombs = tombstoneFiles(version)
+    if (tombs.isEmpty) afterPos
+    else {
+      val keys = spark.read.parquet(tombs.map(p => new File(dataRootPath, p).toString): _*)
+      afterPos.join(keys, keys.columns.toSeq, "left_anti")
+    }
+  }
+
   /** [[append]] gated by CHECK constraints (the Delta/Lakehouse table-
     * constraint shape): every named predicate must hold on EVERY row of
     * the batch — SQL CHECK semantics, so a NULL predicate passes and
@@ -448,7 +543,7 @@ class SnapshotLog(
       throw new IllegalStateException(s"maintenancePlan: no committed snapshot at $root"))
     val nSmall = dataFiles(cur)
       .count(p => new File(dataRootPath, p).length() < smallBytes).toLong
-    val nTombs = tombstoneFiles(cur).size.toLong
+    val nTombs = (tombstoneFiles(cur).size + posDeleteFiles(cur).size).toLong
     val nVersions = versions.size.toLong
     Seq(
       ("compact_small", nSmall, nSmall >= maxSmallFiles),
@@ -530,8 +625,9 @@ class SnapshotLog(
         s"changeFeed: v$v removes ${removed.size} file(s) — rewrite/overwrite " +
           "commits carry no row-level feed (diff states via Cdc.snapshotDiff instead)")
       val added = curF.filterNot(prevSet)
-      val dataAdds = added.filterNot(_.startsWith(DelPrefix))
+      val dataAdds = added.filterNot(isTombLine)
       val delAdds = added.filter(_.startsWith(DelPrefix)).map(_.substring(DelPrefix.length))
+      val posAdds = added.filter(_.startsWith(PosDelPrefix)).map(_.substring(PosDelPrefix.length))
       val ins =
         if (dataAdds.isEmpty) Nil
         else Seq(spark.read.parquet(dataAdds.map(p => new File(dataRootPath, p).toString): _*)
@@ -545,7 +641,20 @@ class SnapshotLog(
             .withColumn("_commit_version", lit(v))
             .withColumn("_change_type", lit("delete")))
         }
-      ins ++ del
+      val posDel =
+        if (posAdds.isEmpty) Nil
+        else {
+          // position deletes materialize their full row images by joining
+          // the (file, ordinal) addresses against the pre-commit snapshot
+          // read WITH addresses — delete-sized, the pos file names exactly
+          // which files the scan must visit
+          val pos = spark.read.parquet(posAdds.map(p => new File(dataRootPath, p).toString): _*)
+          Seq(readWithPositions(spark, v - 1L).join(pos, Seq("_file", "_pos"))
+            .drop("_file", "_pos")
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_change_type", lit("delete")))
+        }
+      ins ++ del ++ posDel
     }
     require(parts.nonEmpty, s"changeFeed: no changes in ($fromVersion, $toVersion]")
     parts.reduce(_ unionByName _)
@@ -573,7 +682,7 @@ class SnapshotLog(
       s"appendedFiles: v$version removes ${removed.size} file(s) — rewrite " +
         "commits do not stream as appends; consume changeFeed/snapshotDiff instead")
     val added = cur.filterNot(prevSet)
-    require(!added.exists(_.startsWith(DelPrefix)),
+    require(!added.exists(isTombLine),
       s"appendedFiles: v$version adds tombstones — delete commits do not " +
         "stream as appends; consume changeFeed instead")
     added.map(p => new File(dataRootPath, p).toString)
@@ -600,7 +709,7 @@ class SnapshotLog(
       val curSet = cur.toSet
       val added = cur.filterNot(prevSet)
       val removed = prev.count(p => !curSet.contains(p))
-      val addedData = added.count(!_.startsWith(DelPrefix))
+      val addedData = added.count(!isTombLine(_))
       val addedTombs = added.size - addedData
       val op =
         if (removed > 0 && added.nonEmpty) "rewrite"
@@ -652,6 +761,9 @@ class SnapshotLog(
     require(targetBytes >= 1L, s"compactSmall: targetBytes must be >= 1, got $targetBytes")
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"compactSmall: no committed snapshot at $root"))
+    require(posDeleteFiles(cur).isEmpty,
+      "compactSmall: position deletes address physical (file, ordinal) rows — " +
+        "a repack would orphan them; compact() first")
     val data = dataFiles(cur)
     val sized = data.map(p => p -> new File(dataRootPath, p).length())
     val smalls = sized.filter(_._2 < targetBytes).map(_._1)
@@ -781,8 +893,9 @@ class SnapshotLog(
     }.sorted
     val pruned =
       if (keep.isEmpty) read(spark, version).where(lit(false))
-      else spark.read.parquet(keep.map(p => new File(dataRootPath, p).toString): _*)
-        .where(col(valueCol).cast("string") === value)
+      else applyMasks(spark, version,
+        spark.read.parquet(keep.map(p => new File(dataRootPath, p).toString): _*)
+          .where(col(valueCol).cast("string") === value))
     (pruned, (keep.size, data.size))
   }
 
@@ -860,8 +973,8 @@ class SnapshotLog(
     val spark = updates.sparkSession
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"mergeCopyOnWrite: no committed snapshot at $root"))
-    require(tombstoneFiles(cur).isEmpty,
-      "mergeCopyOnWrite: compact() merge-on-read tombstones before merging")
+    require(tombstoneFiles(cur).isEmpty && posDeleteFiles(cur).isEmpty,
+      "mergeCopyOnWrite: compact() merge-on-read tombstones/position deletes before merging")
     val ranges = fileRanges(spark, cur, keyCol)
     val alwaysRewrite = ranges.collect { case (p, None) => p }
     val statted = ranges.collect { case (p, Some((lo, hi))) => (p, lo, hi) }
@@ -920,8 +1033,9 @@ class SnapshotLog(
     val pruned =
       if (keep.isEmpty)
         read(spark, version).where(org.apache.spark.sql.functions.lit(false))
-      else spark.read.parquet(keep.map(p => new File(dataRootPath, p).toString): _*)
-        .where(col(statsCol) >= pLo && col(statsCol) <= pHi)
+      else applyMasks(spark, version,
+        spark.read.parquet(keep.map(p => new File(dataRootPath, p).toString): _*)
+          .where(col(statsCol) >= pLo && col(statsCol) <= pHi))
     (pruned, (keep.size, data.size))
   }
 
@@ -954,13 +1068,7 @@ class SnapshotLog(
   def read(spark: SparkSession, version: Long, mergeSchema: Boolean = false): DataFrame = {
     val paths = dataFiles(version).map(p => new File(dataRootPath, p).toString)
     val data = spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
-    val tombs = tombstoneFiles(version)
-    if (tombs.isEmpty) data
-    else {
-      // merge-on-read: one hash anti-join on the tombstone key columns
-      val keys = spark.read.parquet(tombs.map(p => new File(dataRootPath, p).toString): _*)
-      data.join(keys, keys.columns.toSeq, "left_anti")
-    }
+    applyMasks(spark, version, data)
   }
 
   def readLatest(spark: SparkSession): DataFrame =
@@ -1035,7 +1143,7 @@ class SnapshotLog(
     * references — the per-log contribution to a shared-pool vacuum.
     */
   private[sources] def liveFiles: Set[String] =
-    versions.flatMap(v => dataFiles(v) ++ tombstoneFiles(v)).toSet
+    versions.flatMap(v => dataFiles(v) ++ tombstoneFiles(v) ++ posDeleteFiles(v)).toSet
 
   private[sources] def branchesDir = new File(root, "branches")
 

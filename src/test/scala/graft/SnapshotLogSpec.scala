@@ -536,4 +536,75 @@ class SnapshotLogSpec extends AnyFunSuite {
       new SnapshotLog("/root/repo/target/../snaplog_escape").recreate()
     }
   }
+
+  test("position deletes remove one of two IDENTICAL rows — the no-unique-key delete") {
+    val log = freshLog("posdel_dup")
+    // two byte-identical rows: an equality tombstone could only drop both
+    val dup = Seq((7L, "same"), (7L, "same"), (8L, "other")).toDF("id", "payload")
+    val v0 = log.append(dup, partitions = 1)
+    val one = log.readWithPositions(spark, v0)
+      .where(col("id") === 7L).orderBy(col("_pos")).limit(1)
+      .select(col("_file"), col("_pos"))
+    val v1 = log.deletePositions(one)
+    assert(log.dataFiles(v1).toSet == log.dataFiles(v0).toSet, "delete must not rewrite data")
+    val left = log.read(spark, v1).as[(Long, String)].collect().sorted
+    assert(left.toSeq == Seq((7L, "same"), (8L, "other")), s"got ${left.toSeq}")
+    // v0 pinned read unaffected
+    assert(log.read(spark, v0).count() == 3L)
+  }
+
+  test("position deletes are file-scoped: re-inserted keys stay visible; compact clears them") {
+    val log = freshLog("posdel_reinsert")
+    val v0 = log.append(rows(10, "a"), partitions = 2)
+    val v1 = log.deletePositions(
+      log.readWithPositions(spark, v0).where(col("id") < 3L)
+        .select(col("_file"), col("_pos")))
+    assert(log.read(spark, v1).count() == 7L)
+    val v2 = log.append(rows(3, "b"), partitions = 1) // ids 0..2 again
+    // unlike deleteRows' equality tombstones, the new rows are NOT masked
+    assert(log.read(spark, v2).where(col("payload").startsWith("b")).count() == 3L)
+    assert(log.read(spark, v2).count() == 10L)
+    val v3 = log.compact(spark, partitions = 1)
+    assert(log.posDeleteFiles(v3).isEmpty && log.posDeleteFiles(v2).nonEmpty)
+    assert(log.read(spark, v3).exceptAll(log.read(spark, v2)).limit(1).count() == 0L)
+    assert(log.read(spark, v2).exceptAll(log.read(spark, v3)).limit(1).count() == 0L)
+  }
+
+  test("dangling position addresses and wrong schemas are refused loudly") {
+    val log = freshLog("posdel_guard")
+    log.append(rows(4, "a"), partitions = 1)
+    intercept[IllegalArgumentException] {
+      log.deletePositions(Seq(("data/nope/f.parquet", 0L)).toDF("_file", "_pos"))
+    }
+    intercept[IllegalArgumentException] {
+      log.deletePositions(Seq((0L, 0L)).toDF("id", "_pos"))
+    }
+  }
+
+  test("changeFeed materializes a position-delete commit as full delete row images") {
+    val log = freshLog("posdel_feed")
+    val v0 = log.append(rows(6, "a"), partitions = 1)
+    val v1 = log.deletePositions(
+      log.readWithPositions(spark, v0).where(col("id") % 2 === 0L)
+        .select(col("_file"), col("_pos")))
+    val feed = log.changeFeed(spark, v0, v1)
+    val dels = feed.where(col("_change_type") === "delete")
+      .select(col("id"), col("payload")).as[(Long, String)].collect().sorted
+    assert(dels.toSeq == Seq((0L, "a-0"), (2L, "a-2"), (4L, "a-4")))
+  }
+
+  test("physical repacks refuse pending position deletes; vacuum keeps the pos files") {
+    val log = freshLog("posdel_repack")
+    val v0 = log.append(rows(8, "a"), partitions = 4)
+    log.deletePositions(
+      log.readWithPositions(spark, v0).where(col("id") === 0L)
+        .select(col("_file"), col("_pos")))
+    intercept[IllegalArgumentException] { log.compactSmall(spark, targetBytes = 1L << 20) }
+    intercept[IllegalArgumentException] {
+      log.mergeCopyOnWrite(rows(1, "u"), keyCol = "id")
+    }
+    val swept = log.vacuum()
+    assert(swept.isEmpty, s"vacuum must keep live pos-delete files, swept: $swept")
+    assert(log.readLatest(spark).count() == 7L)
+  }
 }
