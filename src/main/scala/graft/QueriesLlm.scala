@@ -224,6 +224,7 @@ object QueriesLlm {
   private val LshRecallFloor = 4
   private val LshMpRecallFloor = 15
   private val PqRecallFloor = 2
+  private val IvfPqRecallFloor = 5 // coarse-cell-restricted ADC (knn_ivfpq_adc; 10/50 observed at sf0.01)
 
   /** The classifier_quality oracle, UNROLLED: the raw-signal feature CTE,
     * the rule-quality bootstrap label, the 6-decimal-quantized
@@ -1511,6 +1512,28 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── audio ONSET detection over the real decoded envelope: a window is
+    // an onset when its energy jumps ≥ 10000-amplitude (×8 samples) above
+    // its predecessor AND by more than 2.5× (both tests exact integers —
+    // the cross-multiplied ratio, no division). In-row and shuffle-free:
+    // the adjacent-window comparison runs inside the array before a single
+    // explode of the (sparse) onset list — the envelope column is computed
+    // once per asset and never re-derived across a join ──
+    "mm_audio_onsets" -> ((s, dir) => {
+      graft.functions.AudioKernels.register(s)
+      Multimodal.withWavPayload(Tables.documents(s, dir).select(col("doc_id")))
+        .select(col("doc_id"),
+          graft.functions.AudioKernels.wavEnvelopeCol(col("payload")).as("env"))
+        .select(col("doc_id"), expr(
+          """explode(filter(
+            |  transform(sequence(1, size(env) - 1),
+            |    i -> struct(CAST(i AS BIGINT) AS w, env[i - 1] AS prev_e, env[i] AS e)),
+            |  s -> s.e - s.prev_e > 80000 AND s.e * 2 > s.prev_e * 5)) AS o""".stripMargin))
+        .select(col("doc_id"), col("o.w").as("w"),
+          col("o.prev_e").as("prev_e"), col("o.e").as("e"))
+        .orderBy(col("doc_id"), col("w"))
+    }),
+
     "mm_resize_grid" -> ((s, dir) => {
       graft.functions.ImageKernels.register(s)
       Multimodal.withPpmPayload(Tables.documents(s, dir).select(col("doc_id")))
@@ -1787,6 +1810,22 @@ object QueriesLlm {
       Similarity.withRecall(
         Similarity.pqAdcKnn(q, emb, k = 5, m = PqM, cells = PqK, iters = PqIters),
         q, emb, k = 5, minPoolHits = PqRecallFloor)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ── the FULL IVF-ADC search ([[Similarity.ivfPqAdcKnn]], Jégou et
+    // al.'s IVFADC): coarse cells bound the candidate set (equi-join on
+    // the probed cell ids — the billion-scale FAISS layout), compressed
+    // m-lookup ADC scores only those candidates; recall self-validated
+    // against the exact brute-force pool like every ANN query here ──
+    "knn_ivfpq_adc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 10)
+      Similarity.withRecall(
+        Similarity.ivfPqAdcKnn(q, emb, k = 5,
+          coarseCells = KmK, coarseIters = KmIters, nProbes = IvfProbes,
+          m = PqM, pqCells = PqK, pqIters = PqIters),
+        q, emb, k = 5, minPoolHits = IvfPqRecallFloor)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -4366,6 +4405,77 @@ object QueriesLlm {
            |)""".stripMargin + annRecallTailSql(PqRecallFloor)
     },
 
+    // knn_ivfpq_adc: the knn_pq_adc replay with the coarse kmeans chain
+    // composed in front — candidates are restricted to the query's
+    // top-IvfProbes cells (cos DESC, cluster ASC, the mp ranking) before
+    // the identical LUT-sum ADC scoring; recall tail as every ANN oracle
+    "knn_ivfpq_adc" -> {
+      val subDim = graft.operators.Similarity.DefaultDim / PqM
+      val coarse = kmeansCtesSql(KmK, KmIters)
+      val pqChains = (0 until PqM).map { s =>
+        kmeansCtesSql(PqK, PqIters, prefix = s"s${s}_",
+          sliceLo = s * subDim, sliceLen = subDim).stripPrefix("WITH ")
+      }
+      val fins = (0 until PqM).map { s =>
+        s"""s${s}_fin AS (
+           |${kmeansAssignFrom(s"s${s}_c$PqIters", s"s${s}_")}
+           |)""".stripMargin
+      }
+      val qds = (0 until PqM).map { s =>
+        s"""qd$s AS (
+           |  SELECT q.vec_id AS query_id, c.cluster,
+           |         list_sum([q.qv[i + ${s * subDim}] * c.c[i] for i in range(1, ${subDim + 1})]) AS d
+           |  FROM qs q CROSS JOIN s${s}_c$PqIters c
+           |)""".stripMargin
+      }
+      val codeJoins = (1 until PqM).map(s => s"JOIN s${s}_fin f$s ON f$s.vec_id = f0.vec_id").mkString("\n")
+      val codeCols = (0 until PqM).map(s => s"f$s.cluster AS c$s").mkString(", ")
+      val lutJoins = (1 until PqM).map(s =>
+        s"JOIN qd$s q$s ON q$s.cluster = cd.c$s AND q$s.query_id = q0.query_id").mkString("\n")
+      val scoreSum = (0 until PqM).map(s => s"q$s.d").mkString(" + ")
+      (Seq(coarse) ++ Seq(
+        s"""fin AS (
+           |${kmeansAssignFrom(s"c$KmIters")}
+           |)""".stripMargin,
+        s"""qa AS (
+           |  SELECT vec_id AS query_id, cluster FROM (
+           |    SELECT e.vec_id, cc.cluster,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY list_sum([e.v[i] * cc.c[i] for i in range(1, len(e.v) + 1)])
+           |                      / (e.vn * sqrt(list_sum([x * x for x in cc.c]))) DESC,
+           |               cc.cluster) AS prn
+           |    FROM e CROSS JOIN c$KmIters cc
+           |    WHERE e.vec_id < 10
+           |  ) WHERE prn <= $IvfProbes
+           |)""".stripMargin) ++
+        pqChains ++ fins ++ Seq(
+        "qs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10)") ++
+        qds).mkString(",\n") +
+        s""",
+           |cd AS (
+           |  SELECT f0.vec_id AS neighbor_id, fc.cluster AS cell, $codeCols
+           |  FROM s0_fin f0
+           |  JOIN fin fc ON fc.vec_id = f0.vec_id
+           |$codeJoins
+           |),
+           |p AS (
+           |  SELECT q0.query_id, cd.neighbor_id, $scoreSum AS adc
+           |  FROM cd
+           |  JOIN qa ON qa.cluster = cd.cell
+           |  JOIN qd0 q0 ON q0.cluster = cd.c0 AND q0.query_id = qa.query_id
+           |$lutJoins
+           |  WHERE q0.query_id <> cd.neighbor_id
+           |),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+           |  FROM p
+           |),
+           |ann AS (
+           |  SELECT query_id, neighbor_id, round(adc, 6) AS adc_score, CAST(rank AS BIGINT) AS rank
+           |  FROM r WHERE rank <= 5
+           |)""".stripMargin + annRecallTailSql(IvfPqRecallFloor)
+    },
+
     // embed_rp: generated replay with the identical sign literals and the
     // identical left-fold order
     "embed_rp" -> Similarity.randomProjectionSql(),
@@ -4498,6 +4608,25 @@ object QueriesLlm {
         |       CAST(min(e) AS BIGINT) AS env_min,
         |       CAST(max(e) AS BIGINT) AS env_max
         |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mm_audio_onsets: adjacent-window energy comparison over the same
+    // amplitude-formula replay as mm_audio_envelope; both onset tests
+    // (absolute jump, cross-multiplied 2.5x ratio) are exact integers
+    "mm_audio_onsets" ->
+      """WITH abase AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents),
+        |ex AS (
+        |  SELECT doc_id, t.w,
+        |    (('0x' || substr(md5(g::VARCHAR || '_' || t.w::VARCHAR || CASE WHEN v = 3 THEN '_x' ELSE '' END), 1, 3))::BIGINT
+        |     + CASE WHEN v = 1 AND t.w = 0 THEN 20000
+        |            WHEN v = 2 AND (t.w = 0 OR t.w = 64) THEN 20000
+        |            ELSE 0 END) * 8 AS e
+        |  FROM abase, range(0, 65) t(w)
+        |)
+        |SELECT c.doc_id, CAST(c.w AS BIGINT) AS w,
+        |       CAST(p.e AS BIGINT) AS prev_e, CAST(c.e AS BIGINT) AS e
+        |FROM ex c JOIN ex p ON p.doc_id = c.doc_id AND p.w = c.w - 1
+        |WHERE c.e - p.e > 80000 AND c.e * 2 > p.e * 5
+        |ORDER BY c.doc_id, c.w""".stripMargin,
 
     // mm_resize_grid: the pooled sums re-derive from the synthesis
     // formula — every 2×2 block is 4 identical gray pixels whose ITU-601

@@ -1121,6 +1121,88 @@ object Similarity {
         round(col("adc"), 6).as("adc_score"), col("rank").cast("long").as("rank"))
   }
 
+  /** The full IVF-ADC search (Jégou et al. PAMI'11 §IV: "IVFADC") — the
+    * composition [[pqAdcKnn]]'s own Scaladoc points at for 100 TB: a COARSE
+    * quantizer ([[kmeansFit]], the [[ivfKnn]] cells) restricts the
+    * candidate set to the query's `nProbes` nearest cells, and ONLY those
+    * candidates are scored with the m-lookup compressed ADC arithmetic.
+    * Against [[pqAdcKnn]]'s whole-corpus broadcast-nested-loop scan, the
+    * candidate generation here is an EQUI-JOIN on the cell id — at 1B
+    * vectors with 4096 cells and 8 probes, each query touches ~0.2% of the
+    * corpus and the join shuffles on a bounded key, which is the published
+    * architecture of every billion-scale ANN deployment (FAISS IVF-PQ).
+    *
+    * Determinism contract: coarse cells and PQ codebooks are the same
+    * md5-seeded 6-decimal-quantized Lloyd chains the `kmeans_clusters` /
+    * `knn_pq_adc` oracles replay; probe ranking ties break on the cell id,
+    * ADC sums left-assoc in subspace order — so the DuckDB replay is
+    * bitwise through `round(·, 6)`.
+    *
+    * Output: (query_id, neighbor_id, adc_score, rank 1..k).
+    */
+  def ivfPqAdcKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      coarseCells: Int,
+      coarseIters: Int,
+      nProbes: Int,
+      m: Int = 4,
+      pqCells: Int = 4,
+      pqIters: Int = 2,
+      dim: Int = DefaultDim,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    require(nProbes >= 1, s"nProbes must be >= 1, got $nProbes")
+    val subDim = dim / m
+    VectorFunctions.register(queries.sparkSession)
+    // coarse quantizer: one cell per corpus vector
+    val (coarseAssign, coarseCents) = kmeansFit(corpus, coarseCells, coarseIters, idCol, vecCol)
+    // PQ codebooks per subspace, codes per corpus vector (as pqAdcKnn)
+    val fits = (0 until m).map { s =>
+      val sub = corpus.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as(vecCol))
+      val (assign, cents) = kmeansFit(sub, pqCells, pqIters, idCol, vecCol)
+      (assign.select(col(idCol), col("cluster").as(s"pq_$s")), cents)
+    }
+    val codes = coarseAssign.select(col(idCol), col("cluster"))
+      .join(fits.map(_._1).reduce(_.join(_, idCol)), idCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    // query side: nProbes nearest coarse cells (cos DESC, cell ASC — the
+    // ivfKnn multi-probe ranking) + the per-query ADC lookup table
+    val probeRanked = {
+      val withCos = assignCells(unitized(queries, idCol, vecCol), coarseCents)
+      val ranked = sort_array(array(coarseCents.map { case (cid, _) =>
+        struct((-col(s"cos_$cid")).as("neg"), lit(cid).as("cell"))
+      }: _*))
+      withCos.select(col(idCol).as("query_id"),
+        explode(slice(transform(ranked, s => s.getField("cell")), 1, nProbes)).as("cluster"))
+    }
+    val staged = fits.map(_._2).zipWithIndex.foldLeft(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))) {
+      case (df, (cents, s)) =>
+        cents.foldLeft(df) { case (d, (cid, cv)) =>
+          d.withColumn(s"d_${s}_$cid",
+            dot(slice(col("qv"), s * subDim + 1, subDim), typedLit(cv)))
+        }
+    }.drop("qv")
+    val score = fits.map(_._2).zipWithIndex.map { case (cents, s) =>
+      cents.map(_._1).sorted.foldRight(lit(Double.NaN)) { (cid, rest) =>
+        when(col(s"pq_$s") === cid, col(s"d_${s}_$cid")).otherwise(rest)
+      }
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    codes.join(broadcast(probeRanked.join(staged, "query_id")), Seq("cluster"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", score)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(
+        col("query_id"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc_score"), col("rank").cast("long").as("rank"))
+  }
+
   /** Per-dimension min-max scalar quantization of an embedding column — the
     * vector-compression pass a 100 TB embedding store runs before indexing
     * (int8 codes are 4× smaller than float32 and 8× smaller than the double
