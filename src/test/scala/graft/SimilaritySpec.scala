@@ -569,6 +569,42 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-adc: subset of whole-corpus adc restricted to probed cells, same scores") {
+    val emb = Tables.embeddings(spark, SfDir)
+    val queries = emb.where(col("vec_id") < 5)
+    val got = Similarity.ivfPqAdcKnn(queries, emb, k = 3,
+      coarseCells = 4, coarseIters = 2, nProbes = 2, m = 4, pqCells = 4, pqIters = 2)
+      .collect()
+    assert(got.nonEmpty)
+    // the candidate restriction must only SHRINK the scored set: every
+    // (query, neighbor, score) must appear with the identical ADC score in
+    // the whole-corpus scan (large k so ranking differences don't hide rows)
+    val full = Similarity.pqAdcKnn(queries, emb, k = 10000, m = 4, cells = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(full.get(key).contains(r.getDouble(2)),
+        s"ivf-adc score for $key diverges from whole-corpus adc")
+    }
+    // every neighbor must share one of the query's nProbes probed cells
+    val (assign, cents) = Similarity.kmeansFit(emb, 4, 2)
+    val cellOf = assign.select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = Similarity.ivfKnn(queries, emb, k = 10000, cells = 4, iters = 2, nProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { r =>
+      assert(probed.contains((r.getLong(0), r.getLong(1))),
+        s"neighbor ${r.getLong(1)} of query ${r.getLong(0)} " +
+          s"(cell ${cellOf(r.getLong(1))}) is outside the probed cells")
+    }
+    // ranks 1..n per query, scores descending
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq == (1 to byRank.length).map(_.toLong))
+      assert(byRank.map(_.getDouble(2)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
   test("quantizeEmbeddings: hand-computed codes; constant dim encodes 0; flat columns agree") {
     import spark.implicits._
     val df = Seq(
