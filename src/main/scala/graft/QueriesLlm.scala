@@ -76,6 +76,8 @@ object QueriesLlm {
   private val MhRows = MhK / MhBands
   private val WinnowN = 3 // gram width for winnowing fingerprints
   private val WinnowW = 4 // winnow window (selects ~2/(w+1) of grams)
+  private val KcoreK = 2 // graph_kcore minimum within-core degree (the winnow graph is sparse: max degree 4 at sf0.01)
+  private val KcoreRounds = 12 // unrolled peel rounds in the oracle (>= observed depth)
   private val PrIters = 6 // pagerank fixed iteration count, query AND oracle
   private val PrScale = 1000000000000L // pagerank total integer mass units
   private val PrNum = 85 // damping numerator (85/100 = classic 0.85)
@@ -1133,6 +1135,17 @@ object QueriesLlm {
     "doc_triangles" -> ((s, dir) =>
       GraphRank.triangleStats(Dedup.winnowOverlapPairs(
         Tables.documents(s, dir), minShared = 2, n = WinnowN, window = WinnowW))),
+
+    // ── k-CORE of the winnow similarity graph ([[GraphRank.kCore]]):
+    // iterative peeling until the fixpoint — removals CASCADE (a node
+    // dies because its dead neighbors no longer count), which one
+    // HAVING-degree pass cannot express; the oracle unrolls the peel
+    // rounds and re-derives convergence independently, so both the
+    // surviving set AND the fixpoint claim are hash-checked ──
+    "graph_kcore" -> ((s, dir) =>
+      GraphRank.kCore(Dedup.winnowOverlapPairs(
+        Tables.documents(s, dir), minShared = 2, n = WinnowN, window = WinnowW),
+        k = KcoreK)),
 
     // ── THREE-MODALITY seed expansion: wording (BM25 on the seed's own
     // tokens) + semantics (exact cosine) + similarity-graph reachability
@@ -3665,6 +3678,32 @@ object QueriesLlm {
          |            ELSE 0 END AS clustering_ppm
          |FROM dg LEFT JOIN pn ON pn.n = dg.n
          |ORDER BY doc_id""".stripMargin,
+
+    // graph_kcore: the peel unrolled to KcoreRounds fixed rounds over the
+    // same winnow pair graph; convergence re-derived as count(r_N) ==
+    // count(r_{N-1}) (peeling only removes, so equal counts = equal sets) —
+    // if the unroll were too shallow the flag would read false and the
+    // hash compare would catch it
+    "graph_kcore" -> {
+      // every r$t is referenced three times by round t+1 — without
+      // MATERIALIZED, CTE inlining re-expands the whole chain
+      // exponentially (observed as a fd-exhausting scan storm)
+      val rounds = (1 to KcoreRounds).map { t =>
+        s"""kc$t AS MATERIALIZED (SELECT src FROM r${t - 1} GROUP BY src HAVING count(*) >= $KcoreK),
+           |r$t AS MATERIALIZED (SELECT e.src, e.dst FROM r${t - 1} e
+           |        JOIN kc$t x ON e.src = x.src JOIN kc$t y ON e.dst = y.src)""".stripMargin
+      }.mkString(",\n")
+      s"""$winnowCte,
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+         |p AS (SELECT l.doc_id AS a, r.doc_id AS b
+         |      FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |r0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+         |$rounds
+         |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg,
+         |       (SELECT count(*) FROM r$KcoreRounds) = (SELECT count(*) FROM r${KcoreRounds - 1}) AS converged
+         |FROM r$KcoreRounds GROUP BY src ORDER BY doc_id""".stripMargin
+    },
 
     // Components x PageRank argmax — canonical selection by centrality,
     // the full composition replayed bitwise (all-integer state).

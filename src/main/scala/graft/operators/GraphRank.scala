@@ -347,4 +347,67 @@ object GraphRank {
         expr("CASE WHEN degree >= 2 THEN n_triangles * 2000000 div (degree * (degree - 1)) ELSE 0L END"))
       .orderBy(col(idOut))
   }
+
+  /** k-CORE decomposition by iterative peeling (Seidman 1983; the
+    * distributed round structure of Montresor et al., "Distributed k-Core
+    * Decomposition", IEEE TPDS 2013): repeatedly drop every node whose
+    * degree in the REMAINING graph is below `k` until none is — removals
+    * CASCADE, so a node can die in round 3 because its round-2 neighbors
+    * died, which is exactly what a plain `HAVING count(*) >= k` cannot
+    * express. The survivors are the maximal subgraph where every node
+    * keeps ≥ k neighbors — the dense-cluster extractor that separates a
+    * boilerplate clique from the loose periphery [[triangleStats]]'
+    * clustering coefficient only scores locally.
+    *
+    * Scale shape: each round is ONE degree aggregation plus two
+    * node-keyed semi-joins over the shrinking edge set — all shuffles on
+    * the node key, lineage truncated per round like
+    * [[graft.operators.Dedup.connectedComponents]] (localCheckpoint, or a
+    * real checkpoint dir for multi-executor restarts). Rounds needed =
+    * the peel depth (bounded by the degeneracy ordering length), in
+    * practice single digits on similarity graphs; `maxRounds` is a loud
+    * backstop, and the emitted `converged` flag records that the loop
+    * reached the fixpoint rather than the cap.
+    *
+    * Output: one row per surviving node — (idOut, core_deg ≥ k,
+    * converged), ordered by node.
+    */
+  def kCore(
+      pairs: DataFrame,
+      k: Int,
+      maxRounds: Int = 50,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      idOut: String = "doc_id",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(maxRounds >= 1, s"kCore: maxRounds must be >= 1, got $maxRounds")
+    val durable = Dedup.durableBy(pairs, checkpointDir)
+    val sym = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(
+        pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .where(col("src") =!= col("dst")).distinct()
+    var edges = durable(sym)
+    var nEdges = edges.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds && nEdges > 0L) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("src").as("keep_node"))
+      val pruned = durable(
+        edges
+          .join(keep, col("src") === col("keep_node"), "left_semi")
+          .join(keep, col("dst") === col("keep_node"), "left_semi"))
+      val m = pruned.count()
+      converged = m == nEdges
+      edges = pruned
+      nEdges = m
+      round += 1
+    }
+    if (nEdges == 0L) converged = true // empty fixpoint
+    edges.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as(idOut), col("core_deg"), lit(converged).as("converged"))
+      .orderBy(col(idOut))
+  }
 }

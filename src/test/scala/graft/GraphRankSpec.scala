@@ -215,4 +215,34 @@ class GraphRankSpec extends AnyFunSuite {
       4L -> ((2L, 0L, 0L)), // open wedge: no triangle
       5L -> ((1L, 0L, 0L)))) // degree 1: coefficient defined as 0
   }
+
+  test("kCore: peeling CASCADES — nodes alive in round 1 die when their support peels away") {
+    import spark.implicits._
+    // clique {1,2,3,4} plus a chain engineered so each round kills one node:
+    //   7 is a pendant of 5 (deg 1 → dies round 1)
+    //   5 has {1,7,6}  (deg 3 until 7 dies → dies round 2)
+    //   6 has {5,3,4}  (deg 3 until 5 dies → dies round 3)
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (5L, 7L),
+      (6L, 5L), (6L, 3L), (6L, 4L)).toDF("doc_a", "doc_b")
+    val got = GraphRank.kCore(pairs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L), s"core nodes: ${got.toSeq}")
+    // within the surviving clique every node keeps exactly its 3 clique edges
+    assert(got.forall(r => r._2 == 3L), s"core degrees: ${got.toSeq}")
+    assert(got.forall(_._3), "loop must reach the fixpoint, not the round cap")
+    // a one-round HAVING pass would have kept 5 and 6 — pin the contrast
+    val oneRound = pairs
+      .select(col("doc_a").as("n")).unionByName(pairs.select(col("doc_b").as("n")))
+      .groupBy("n").count().where(col("count") >= 3).collect().map(_.getLong(0)).sorted
+    assert(oneRound.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("kCore: k above the max degree empties the graph and still converges") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = GraphRank.kCore(pairs, k = 5).collect()
+    assert(got.isEmpty)
+  }
 }
