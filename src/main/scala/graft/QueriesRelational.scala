@@ -810,6 +810,38 @@ object QueriesRelational {
         .orderBy(col("week"))
     }),
 
+    // ── streaming daily EXACT bitmaps → weekly exact rollup
+    // ([[graft.streaming.StreamingSessionize.bitmapRollupReplay]]): the
+    // sketch-emission loop with the estimate replaced by a number — the
+    // streamed per-day bitmap BYTES must equal the batch-built bytes
+    // bit-for-bit (order-stable container serialization makes the bytes a
+    // pure function of the id set), and the weekly OR-merge must equal
+    // COUNT(DISTINCT) exactly; both pins ride the hash compare ──
+    "stream_bitmap_ingest" -> ((s, dir) => {
+      import graft.functions.BitmapFunctions
+      BitmapFunctions.register(s)
+      val ev = Tables.events(s, dir)
+      val dailyPath = scratch(dir, "stream_bitmap_daily")
+      graft.streaming.StreamingSessionize.bitmapRollupReplay(ev)
+        .write.mode("overwrite").parquet(dailyPath)
+      val daily = s.read.parquet(dailyPath)
+      val batchDaily = ev
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(BitmapFunctions.bitmapAgg(col("user_id")).as("bbm"))
+      val matches = daily.join(batchDaily, Seq("day"), "full_outer")
+        .select((col("sk").isNotNull && col("bbm").isNotNull &&
+          col("sk") === col("bbm")).as("m"))
+        .agg(min(col("m")).as("stream_matches_batch"))
+      daily
+        .groupBy(to_date(date_trunc("week", col("day"))).as("week"))
+        .agg(count(lit(1)).as("n_days"),
+          BitmapFunctions.bitmapCount(
+            BitmapFunctions.bitmapUnion(col("sk"))).as("wau"))
+        .crossJoin(broadcast(matches))
+        .orderBy(col("week"))
+    }),
+
     // ── scalar string-function surface (upper/substr/length/regexp_extract/
     // concat_ws/lpad) — all map-side, codegen'd, pushdown-neutral ──
     "string_funcs" -> ((s, dir) =>
@@ -2602,6 +2634,16 @@ object QueriesRelational {
     // daily sketch rows, and the stream==batch byte equality rides as a
     // pinned-TRUE law boolean
     "stream_sketch_rollup" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events)
+        |SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+        |       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+        |       TRUE AS stream_matches_batch
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // stream_bitmap_ingest: exact everywhere — wau is the COUNT(DISTINCT)
+    // itself (no estimate), the byte-equality law pinned TRUE
+    "stream_bitmap_ingest" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events)
         |SELECT CAST(date_trunc('week', day) AS DATE) AS week,
         |       CAST(count(DISTINCT day) AS BIGINT) AS n_days,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -694,11 +694,45 @@ object StreamingSessionize {
       slices: Int = 3,
       watermarkDelaySec: Long = 600L,
       queryName: String = "stream_sketch_rollup_sink"): DataFrame = {
+    graft.functions.ThetaFunctions.register(events.sparkSession)
+    dailySetAggReplay(events,
+      graft.functions.ThetaFunctions.thetaSketch(col("user_id"), lgK),
+      slices, watermarkDelaySec, queryName)
+  }
+
+  /** The EXACT twin of [[sketchRollupReplay]]: each micro-batch folds its
+    * user ids into per-day [[graft.functions.BitmapFunctions]] bitmaps —
+    * the append-mode windowed aggregate emits one bitmap ROW per
+    * event-time day at watermark expiry, and because bitmap bytes are a
+    * pure function of the day's id SET (order-stable container
+    * serialization), the streamed bytes equal the batch-built bytes
+    * bit-for-bit at ANY cardinality — no exact-mode threshold to stay
+    * under, the theta contract's caveat gone. Downstream the daily rows
+    * OR-merge into weekly EXACT distinct counts without rescanning
+    * events (`stream_bitmap_ingest` pins stream==batch bytes and
+    * rollup==COUNT DISTINCT).
+    */
+  def bitmapRollupReplay(
+      events: DataFrame,
+      slices: Int = 3,
+      watermarkDelaySec: Long = 600L,
+      queryName: String = "stream_bitmap_ingest_sink"): DataFrame = {
+    graft.functions.BitmapFunctions.register(events.sparkSession)
+    dailySetAggReplay(events,
+      graft.functions.BitmapFunctions.bitmapAgg(col("user_id")),
+      slices, watermarkDelaySec, queryName)
+  }
+
+  private def dailySetAggReplay(
+      events: DataFrame,
+      aggExpr: Column,
+      slices: Int,
+      watermarkDelaySec: Long,
+      queryName: String): DataFrame = {
     import java.nio.file.Files
     require(slices >= 2, s"need >= 2 slices for the watermark to move, got $slices")
     val spark = events.sparkSession
     import spark.implicits._
-    graft.functions.ThetaFunctions.register(spark)
     val base = Files.createTempDirectory("graft_stream_sketch_")
     val streamDir = base.resolve("stream")
     Files.createDirectories(streamDir)
@@ -717,8 +751,12 @@ object StreamingSessionize {
         val e = unix_timestamp(col("ts"))
         proj.where(e >= cutLo && e < cutHi)
       } ++ Seq(sentinel1, sentinel2).map { sec =>
-        Seq(-1L).toDF("user_id")
-          .select(col("user_id"), lit(sec).cast("timestamp").as("ts"))
+        // null user: both set aggregates skip nulls, so the sentinel only
+        // advances the watermark (a negative id would trip the bitmap's
+        // dense-range guard)
+        Seq(1).toDF("one")
+          .select(lit(null).cast("long").as("user_id"),
+            lit(sec).cast("timestamp").as("ts"))
       }
       stageSliceFiles(base, streamDir, sliceDfs)
       val src = spark.readStream
@@ -728,7 +766,7 @@ object StreamingSessionize {
       val out = src
         .withWatermark("ts", s"$watermarkDelaySec seconds")
         .groupBy(window(col("ts"), "1 day").as("w"))
-        .agg(graft.functions.ThetaFunctions.thetaSketch(col("user_id"), lgK).as("sk"))
+        .agg(aggExpr.as("sk"))
         .select(to_date(col("w.start")).as("day"), col("sk"))
       withReplayStatePartitions(spark) {
         val q = out.writeStream.format("memory")

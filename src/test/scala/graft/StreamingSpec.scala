@@ -437,6 +437,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(m.map(_._3).sum == 0, "parity must not be bought by watermark drops")
   }
 
+  test("bitmap rollup replay: streamed daily bitmap bytes equal batch bit-for-bit at any cardinality") {
+    import graft.functions.BitmapFunctions
+    BitmapFunctions.register(spark)
+    val ev = Tables.events(spark, SfDir)
+    val daily = StreamingSessionize.bitmapRollupReplay(ev, queryName = "bitmap_spec_sink")
+      .collect().map(r => r.getDate(0).toString -> r.getAs[Array[Byte]](1)).toMap
+    val expected = ev
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(BitmapFunctions.bitmapAgg(col("user_id")).as("bm"))
+      .collect().map(r => r.getDate(0).toString -> r.getAs[Array[Byte]](1)).toMap
+    assert(expected.nonEmpty)
+    assert(daily.keySet == expected.keySet, "a day's bitmap row went missing or extra")
+    daily.foreach { case (d, bytes) =>
+      assert(java.util.Arrays.equals(bytes, expected(d)), s"day $d bitmap bytes diverged")
+    }
+    // weekly OR-merge of the STREAMED rows equals the exact distinct count
+    val merged = StreamingSessionize.bitmapRollupReplay(ev, queryName = "bitmap_spec_sink2")
+      .agg(BitmapFunctions.bitmapCount(BitmapFunctions.bitmapUnion(col("sk"))).as("n"))
+      .head().getLong(0)
+    val exact = ev.select(col("user_id")).distinct().count()
+    assert(merged == exact, s"rolled-up bitmap count $merged != exact distinct $exact")
+  }
+
   test("file-replay harness: multi-micro-batch streaming run equals batch sessionize") {
     // The declared stream_sessionize query's engine: events written as
     // time-range files, one file per trigger, sentinel pair driving the
