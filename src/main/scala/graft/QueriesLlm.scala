@@ -944,6 +944,15 @@ object QueriesLlm {
         .where(col("n_copies") >= 2)
         .orderBy(col("chunk_fp"))),
 
+    // ── the TRANSFORM dedup_chunks only reports ([[TextAnalysis
+    // .stripHotChunks]], the C4 boilerplate rule at chunk granularity):
+    // corpus-hot chunks stripped from every document, documents
+    // reassembled from surviving chunks in order — clean_fp hashes the
+    // rebuilt text, so one reordered or double-kept chunk fails the gate ──
+    "boilerplate_strip" -> ((s, dir) =>
+      TextAnalysis.stripHotChunks(
+        Tables.documents(s, dir), chunkTokens = ChunkTokens, maxCopies = 1L)),
+
     // ── corpus diversity report: distinct-n ratios per source (distinct
     // vs total 1/2/3-gram occurrences over the md5 gram hashes) — the
     // templated/generated-content signal (low distinct-2/3 ratio = the
@@ -3596,6 +3605,28 @@ object QueriesLlm {
          |FROM sel WHERE len(chunk) > 0
          |GROUP BY 1 HAVING count(*) >= 2
          |ORDER BY chunk_fp""".stripMargin,
+
+    // boilerplate_strip: the chunk grid with hot chunks (corpus copies
+    // >= 2) removed and documents rebuilt in chunk order; clean_fp is the
+    // md5 of the reassembled text on both engines
+    "boilerplate_strip" ->
+      s"""$chunkCtes,
+         |gs AS (SELECT doc_id, chunk_idx, chunk,
+         |              md5(array_to_string(chunk, ' ')) AS fp
+         |       FROM sel WHERE len(chunk) > 0),
+         |hot AS (SELECT fp FROM gs GROUP BY fp HAVING count(*) >= 2),
+         |kept AS (SELECT * FROM gs WHERE fp NOT IN (SELECT fp FROM hot)),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM gs GROUP BY 1),
+         |ks AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |              CAST(sum(len(chunk)) AS BIGINT) AS clean_tokens,
+         |              md5(string_agg(array_to_string(chunk, ' '), ' ' ORDER BY chunk_idx)) AS clean_fp
+         |       FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_chunks,
+         |       t.n_chunks - coalesce(k.n_kept, 0) AS n_removed,
+         |       coalesce(k.clean_tokens, 0) AS clean_tokens,
+         |       coalesce(k.clean_fp, md5('')) AS clean_fp
+         |FROM tot t LEFT JOIN ks k USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
 
     // Replays the one-pass kernel with unnest + two group-bys over ORDERED
     // (non-distinct) grams; integer-only columns and flag.

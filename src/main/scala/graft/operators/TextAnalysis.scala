@@ -223,6 +223,77 @@ object TextAnalysis {
         md5(concat_ws(" ", col("col"))).as("chunk_fp"))
   }
 
+  /** The TRANSFORM half of passage-level dedup (`dedup_chunks` is the
+    * report): the C4/RefinedWeb boilerplate rule — any chunk occurring
+    * more than `maxCopies` times ACROSS THE CORPUS is stripped from every
+    * document, and each document is reassembled from its surviving chunks
+    * in original order (C4 §2.1 does this at line granularity; the corpus
+    * here is newline-free, so the unit is the same disjoint
+    * `chunkTokens`-token grid the dedup report uses). Navigation chrome,
+    * cookie banners, and license headers die corpus-wide in one pass
+    * while the documents that carried them survive.
+    *
+    * Scale shape: the grid explode is map-side; the hot set is one
+    * fingerprint aggregation (partial map-side combine, output bounded by
+    * the number of DUPLICATED chunks, not corpus size); the strip is a
+    * fingerprint anti-join; reassembly is the in-row
+    * `array_sort(collect_list(struct(idx, chunk)))` pattern — per-doc
+    * state bounded by document length, no window function, no global
+    * sort. Fully-stripped documents remain as rows with zero kept chunks
+    * (dropping them is the caller's policy decision, not the operator's).
+    *
+    * Output: (idCol, n_chunks, n_removed, clean_tokens, clean_fp) —
+    * `clean_fp` is the md5 of the reassembled cleaned text, so an engine
+    * that reorders, drops, or double-keeps a single chunk hash-fails.
+    */
+  def stripHotChunks(
+      docs: DataFrame,
+      chunkTokens: Int = 50,
+      maxCopies: Long = 1L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(maxCopies >= 1L, s"maxCopies must be >= 1, got $maxCopies")
+    val nChunks =
+      greatest(ceil((size(col("toks")) - lit(chunkTokens)).cast("double") / chunkTokens), lit(0.0))
+        .cast("int") + 1
+    val grid = docs.where(length(normalize(col(textCol))) > 0)
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(
+        col(idCol),
+        posexplode(transform(
+          sequence(lit(0), nChunks - 1),
+          i => slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens)))))
+      .where(size(col("col")) > 0)
+      .select(
+        col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("col")).as("chunk_txt"))
+      .withColumn("chunk_fp", md5(col("chunk_txt")))
+    val hot = grid.groupBy(col("chunk_fp"))
+      .agg(count(lit(1)).as("n_copies"))
+      .where(col("n_copies") > maxCopies)
+      .select(col("chunk_fp"))
+    val kept = grid.join(hot, Seq("chunk_fp"), "left_anti")
+    val keptStats = kept.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("clean_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_txt")))),
+          s => s.getField("chunk_txt")))).as("clean_fp"))
+    val totals = grid.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+    totals.join(keptStats, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_tokens"), lit(0L)).as("clean_tokens"),
+        coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+      .orderBy(col(idCol))
+  }
+
   /** Corpus-wide adjacent-symbol-pair counts — the statistics kernel of a
     * BPE tokenizer trainer's first merge iteration: with the initial
     * vocabulary = single characters, the trainer counts every adjacent pair

@@ -155,4 +155,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     // z excluded by minCount (a+b = 1)
     assert(got.toSeq == Seq(("x", 2L, 0L, 3000000L), ("y", 1L, 2L, 666666L)))
   }
+
+  test("stripHotChunks: corpus-hot chunks die, docs reassemble in order, stripped docs stay as rows") {
+    import spark.implicits._
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // chunk width 2: "a b" occurs 4x corpus-wide (hot); everything else once
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b z w"),
+      (3L, "a b a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.stripHotChunks(docs, chunkTokens = 2, maxCopies = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, 4L, md5s("c d e f")),
+      (2L, 3L, 1L, 4L, md5s("x y z w")),
+      (3L, 2L, 2L, 0L, md5s(""))))
+    // maxCopies above the hottest count strips nothing; texts round-trip
+    val untouched = TextAnalysis.stripHotChunks(docs, chunkTokens = 2, maxCopies = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+    assert(untouched.toSeq == Seq(
+      (1L, 0L, md5s("a b c d e f")),
+      (2L, 0L, md5s("x y a b z w")),
+      (3L, 0L, md5s("a b a b"))))
+  }
 }
