@@ -91,6 +91,10 @@ object QueriesLlm {
     "q03" -> "stream batch query",
     "q04" -> "vector scan filter data")
   private val HybridSeeds = Seq(3L, 42L, 137L)
+  private val TrigramPhrases = Seq( // literal SUBSTRING queries (substr_trigram_search)
+    "ph_common" -> "spark window",
+    "ph_mid" -> "agg join small",
+    "ph_rare" -> "value table part")
   private val AnnealEpochs = 4 // annealing schedule length, query AND oracle
   private val PprSeeds = 3 // personalized-pagerank seed count (smallest graph nodes)
   private val BfsMaxHops = 4 // bfs_hops horizon, query AND oracle recursion bound
@@ -2667,6 +2671,15 @@ object QueriesLlm {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // ── SUBSTRING search via a char-trigram inverted index
+    // ([[Retrieval.trigramSearch]], the pg_trgm/code-search shape): the
+    // index join + all-trigrams filter provably supersets the answer, so
+    // only candidates pay the exact contains() verification — never a
+    // full-corpus LIKE scan; per-query candidate/match audit counts ride
+    // the hash compare ──
+    "substr_trigram_search" -> ((s, dir) =>
+      Retrieval.trigramSearch(Tables.documents(s, dir), TrigramPhrases)),
+
     // ── lexical retrieval: Okapi BM25 top-10 for a fixed query set —
     // inverted-index shuffle (postings by term, broadcast query side),
     // quantized per-term contributions, doc-id tie-break ──
@@ -3776,6 +3789,35 @@ object QueriesLlm {
         .mkString(", ")
       s"""${bm25Ctes(s"q AS (SELECT * FROM (VALUES $vals) AS t(query_id, term))")}
          |SELECT query_id, doc_id, score FROM sc
+         |ORDER BY query_id, doc_id""".stripMargin
+    },
+
+    // substr_trigram_search: the same index defined relationally — distinct
+    // char trigrams per doc, all-query-trigrams candidacy, position()
+    // verification; phrase trigram sets computed Scala-side as literals so
+    // both engines query the identical set
+    "substr_trigram_search" -> {
+      val rows = TrigramPhrases.map { case (q, p0) =>
+        val p = graft.operators.Retrieval.normalizePhrase(p0)
+        val tris = p.sliding(3).toSet.toSeq.sorted
+        s"('$q', '$p', [${tris.map(t => s"'${t.replace("'", "''")}'").mkString(", ")}])"
+      }.mkString(",\n       ")
+      s"""WITH nt AS (SELECT doc_id, $norm AS t FROM documents WHERE len($norm) >= 3),
+         |tri AS (SELECT doc_id,
+         |               unnest(list_distinct([substr(t, i, 3) for i in range(1, len(t) - 1)])) AS tg
+         |        FROM nt),
+         |q AS (SELECT * FROM (VALUES $rows) v(qid, phrase, tgs)),
+         |qt AS (SELECT qid, unnest(tgs) AS tg, len(tgs) AS n FROM q),
+         |cand AS (SELECT qt.qid, tri.doc_id FROM qt JOIN tri USING (tg)
+         |         GROUP BY 1, 2 HAVING count(*) = max(qt.n)),
+         |nc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY 1),
+         |ver AS (SELECT c.qid, c.doc_id FROM cand c
+         |        JOIN nt ON nt.doc_id = c.doc_id
+         |        JOIN q ON q.qid = c.qid
+         |        WHERE position(q.phrase IN nt.t) > 0),
+         |nm AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_matches FROM ver GROUP BY 1)
+         |SELECT v.qid AS query_id, v.doc_id, nc.n_candidates, nm.n_matches
+         |FROM ver v JOIN nc USING (qid) JOIN nm USING (qid)
          |ORDER BY query_id, doc_id""".stripMargin
     },
 

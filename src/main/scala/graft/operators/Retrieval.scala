@@ -383,4 +383,72 @@ object Retrieval {
       .withColumn("rank", row_number().over(wf).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** The canonical text normalization ([[TextAnalysis.normalize]]) applied
+    * driver-side to a query phrase, so index and query agree on case and
+    * whitespace.
+    */
+  private[graft] def normalizePhrase(p: String): String =
+    p.toLowerCase.replaceAll("\\s+", " ").trim
+
+  /** SUBSTRING search through a character-trigram inverted index — the
+    * pg_trgm / Google-code-search architecture (Cox, "Regular Expression
+    * Matching with a Trigram Index", 2012, public): a literal phrase can
+    * only occur in documents containing ALL of the phrase's character
+    * trigrams, so the index join + count filter yields a candidate set
+    * that provably SUPERSETS the answer, and only candidates pay the
+    * exact `contains` verification scan. At 100 TB the postings are the
+    * standard term-sharded inverted layout (here trigram-sharded), the
+    * query side is a broadcast literal frame, and verification touches
+    * candidate documents only — the full-corpus `LIKE '%…%'` scan this
+    * exists to avoid.
+    *
+    * Per verified match: (query_id, doc_id) plus the per-query
+    * `n_candidates` / `n_matches` audit pair — the index's filtering
+    * power measured in-query (candidates ⊇ matches is structural; a
+    * candidate count below the match count is impossible by
+    * construction, so the two columns also gate index completeness).
+    * Phrases must normalize to ≥ 3 characters.
+    */
+  def trigramSearch(
+      docs: DataFrame,
+      phrases: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "trigramSearch: at least one phrase required")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val normed = phrases.map { case (q, p) => (q, normalizePhrase(p)) }
+    normed.foreach { case (q, p) =>
+      require(p.length >= 3, s"trigramSearch: phrase '$q' normalizes below 3 chars: '$p'")
+    }
+    val qtris = normed
+      .flatMap { case (q, p) =>
+        val tris = p.sliding(3).toSet.toSeq.sorted
+        tris.map(t => (q, t, tris.size.toLong))
+      }
+      .toDF("query_id", "tg", "n_tris")
+    val phraseDf = normed.toDF("query_id", "phrase")
+    val nt = docs
+      .select(col(idCol), TextAnalysis.normalize(col(textCol)).as("t"))
+      .where(length(col("t")) >= 3)
+    val postings = nt.select(col(idCol), explode(array_distinct(
+      expr("transform(sequence(1, length(t) - 2), i -> substr(t, i, 3))"))).as("tg"))
+    val cand = postings.join(broadcast(qtris), Seq("tg"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_hit"), max(col("n_tris")).as("n_tris"))
+      .where(col("n_hit") === col("n_tris"))
+      .select(col("query_id"), col(idCol))
+    val nCand = cand.groupBy(col("query_id")).agg(count(lit(1)).as("n_candidates"))
+    val verified = cand
+      .join(nt, idCol)
+      .join(broadcast(phraseDf), Seq("query_id"))
+      .where(instr(col("t"), col("phrase")) > 0)
+      .select(col("query_id"), col(idCol))
+    val nMatch = verified.groupBy(col("query_id")).agg(count(lit(1)).as("n_matches"))
+    verified
+      .join(broadcast(nCand), Seq("query_id"))
+      .join(broadcast(nMatch), Seq("query_id"))
+      .orderBy(col("query_id"), col(idCol))
+  }
 }

@@ -156,4 +156,22 @@ class RetrievalSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("empty seed set"))
   }
+
+  test("trigramSearch: candidates superset matches; false positives verified away; normalization applied") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abc abc xyz"),    // true match
+      (2L, "abc dbc ax abq"), // carries all 4 phrase trigrams, lacks the phrase
+      (3L, "nothing here")).toDF("doc_id", "text")
+    // phrase deliberately messy: must normalize to "abc abc"
+    val got = graft.operators.Retrieval.trigramSearch(docs, Seq("p" -> "  ABC   abc "))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("p", 1L, 2L, 1L)),
+      s"expected one verified match with two candidates, got ${got.toSeq}")
+    // sub-3-char phrases are refused loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.trigramSearch(docs, Seq("tiny" -> " a "))
+    }
+    assert(e.getMessage.contains("normalizes below 3 chars"))
+  }
 }
