@@ -1021,6 +1021,26 @@ object QueriesRelational {
         .orderBy(col("user_id"))
     }),
 
+    // ── GAPS-AND-ISLANDS over the order calendar ([[operators.Analytics
+    // .calendarIslands]]): maximal runs of present days AND the missing
+    // runs between them — the backfill planner's job list and the
+    // freshness audit in one pass; windows run on the calendar-sized
+    // distinct-day frame, never the fact table ──
+    "calendar_islands" -> ((s, dir) =>
+      graft.operators.Analytics.calendarIslands(
+        Tables.orders(s, dir), col("o_orderdate"))),
+
+    // ── TEMPORAL ALLOCATION ([[operators.Analytics.prorateAmount]]):
+    // each order's cents spread over 7 days by the exact largest-remainder
+    // rule — the revenue-recognition kernel; conservation per order is
+    // MEASURED (window sum == original cents) and hash-pinned ──
+    "revenue_proration" -> ((s, dir) =>
+      graft.operators.Analytics.prorateAmount(
+        Tables.orders(s, dir).where(col("o_orderkey") % 100 === 0),
+        col("o_orderkey"), col("o_orderdate"),
+        floor(col("o_totalprice") * 100).cast("long"), spanDays = 7)
+        .orderBy(col("key"), col("day"))),
+
     // ── ITEM CO-OCCURRENCE pair mining ([[operators.Analytics
     // .coOccurrencePairs]]): "customers who bought X also bought Y" over
     // customer baskets — per-basket cap kills the quadratic whale-basket
@@ -2853,6 +2873,41 @@ object QueriesRelational {
         |       CAST(sum(CASE WHEN pc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cold_start
         |FROM w WHERE side = 2
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // calendar_islands: the row_number-difference run grouping on the
+    // distinct-day frame; gaps derived from island lead()
+    "calendar_islands" ->
+      """WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
+        |i AS (SELECT day, day - CAST(row_number() OVER (ORDER BY day) AS INTEGER) AS grp
+        |      FROM days),
+        |isl AS (SELECT min(day) AS start, max(day) AS "end",
+        |               CAST(count(*) AS BIGINT) AS n_days
+        |        FROM i GROUP BY grp),
+        |g AS (SELECT "end" AS pend, lead(start) OVER (ORDER BY start) AS ns FROM isl)
+        |SELECT * FROM (
+        |  SELECT 'island' AS kind, start, "end", n_days FROM isl
+        |  UNION ALL
+        |  SELECT 'gap', CAST(pend + 1 AS DATE), CAST(ns - 1 AS DATE),
+        |         CAST(date_diff('day', pend, ns) - 1 AS BIGINT)
+        |  FROM g WHERE ns IS NOT NULL
+        |) ORDER BY start, kind""".stripMargin,
+
+    // revenue_proration: the same floor-division largest-remainder split;
+    // conservation holds by the division identity, pinned TRUE
+    "revenue_proration" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS key, CAST(o_orderdate AS DATE) AS day0,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |), e AS (
+        |  SELECT key, day0, cents, CAST(t.i AS INTEGER) AS i
+        |  FROM o CROSS JOIN (SELECT unnest(range(0, 7)) AS i) t
+        |)
+        |SELECT key, day0 + i AS day,
+        |       (cents - cents % 7) // 7
+        |         + CASE WHEN i < cents % 7 THEN 1 ELSE 0 END AS day_cents,
+        |       TRUE AS conservation_ok
+        |FROM e ORDER BY key, day""".stripMargin,
 
     // copurchase_pairs: identical cap rank (count desc, item asc) and
     // ordered self-join; support is basket count on both sides

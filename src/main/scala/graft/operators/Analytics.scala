@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classic user-activity analytics beyond the reference's WAU pair
@@ -1183,5 +1184,87 @@ object Analytics {
       // identity U0 + U1 = n0·n1 is a measured property, not a tautology
       .withColumn("identity_holds",
         col("u0_doubled") + col("u1_doubled") === lit(2L) * col("n0") * col("n1"))
+  }
+
+  /** GAPS-AND-ISLANDS over a date column — the classic contiguous-run
+    * pattern (`grp = day − row_number` buckets consecutive days into one
+    * group), emitted BOTH ways: `island` rows for each maximal run of
+    * present days and `gap` rows for each missing run between islands —
+    * the backfill planner's input (a gap row IS a backfill job spec) and
+    * the freshness auditor's evidence.
+    *
+    * Scale note: runs are computed over the DISTINCT-day frame, which is
+    * calendar-sized (≤ a few thousand rows for years of data) however
+    * large the fact table is — the one distinct aggregation is the only
+    * data-sized job, and the two ordered windows after it run on the
+    * tiny frame, so the unpartitioned window is a calendar-sized sort,
+    * not a data-sized one.
+    *
+    * Output: (kind, start DATE, end DATE, n_days), ordered by start.
+    */
+  def calendarIslands(df: DataFrame, dateCol: Column): DataFrame = {
+    val days = df.select(to_date(dateCol).as("day")).where(col("day").isNotNull).distinct()
+    val w = Window.orderBy(col("day"))
+    val islands = days
+      .withColumn("rn", row_number().over(w))
+      .withColumn("grp", expr("date_sub(day, rn)"))
+      .groupBy(col("grp"))
+      .agg(min(col("day")).as("start"), max(col("day")).as("end"),
+        count(lit(1)).as("n_days"))
+      .drop("grp")
+    val wi = Window.orderBy(col("start"))
+    val gaps = islands
+      .withColumn("next_start", lead(col("start"), 1).over(wi))
+      .where(col("next_start").isNotNull)
+      .select(
+        lit("gap").as("kind"),
+        date_add(col("end"), 1).as("start"),
+        date_sub(col("next_start"), 1).as("end"),
+        (datediff(col("next_start"), col("end")) - 1L).cast("long").as("n_days"))
+    islands.select(lit("island").as("kind"), col("start"), col("end"), col("n_days"))
+      .unionByName(gaps)
+      .orderBy(col("start"), col("kind"))
+  }
+
+  /** TEMPORAL ALLOCATION (proration) of an integer amount across a date
+    * span — the revenue-recognition / cost-allocation kernel: each
+    * order's cents spread over `spanDays` consecutive days by the
+    * LARGEST-REMAINDER rule (`cents div span` per day, the first
+    * `cents mod span` days get one extra cent), which is the only
+    * allocation that is (a) exact — per-order allocations sum back to
+    * the original cents, pinned by the `conservation_ok` column — and
+    * (b) engine-neutral (pure integer div/mod, no rounding mode). The
+    * day explode is map-side (`spanDays` rows per order, no shuffle
+    * before the day rollup); negative amounts prorate symmetrically.
+    *
+    * Output: one row per (key, day offset) — (key, day DATE, cents,
+    * conservation_ok) — plus the caller aggregates as needed.
+    */
+  def prorateAmount(
+      df: DataFrame,
+      keyCol: Column,
+      dateCol: Column,
+      centsCol: Column,
+      spanDays: Int): DataFrame = {
+    require(spanDays >= 1, s"prorateAmount: spanDays must be >= 1, got $spanDays")
+    val span = lit(spanDays.toLong)
+    // floor-division pair: q·span + r = cents with 0 ≤ r < span, exact in
+    // integers for negative cents too (pmod is the nonnegative remainder)
+    val r = pmod(col("cents"), span)
+    val q = ((col("cents") - r) / span).cast("long")
+    df.select(
+        keyCol.as("key"), to_date(dateCol).as("day0"), centsCol.cast("long").as("cents"))
+      .select(col("key"), col("day0"), col("cents"),
+        explode(sequence(lit(0), lit(spanDays - 1))).as("i"))
+      .select(
+        col("key"), col("cents"), col("i"),
+        expr("date_add(day0, i)").as("day"),
+        (q + when(col("i") < r, 1L).otherwise(0L)).as("day_cents"))
+      // conservation measured in-row over the allocation vector, one
+      // groupBy-free pass: Σ over i of day_cents(i) rebuilt symbolically
+      // would be a tautology, so measure it per key with a window sum
+      .withColumn("conservation_ok",
+        sum(col("day_cents")).over(Window.partitionBy(col("key"))) === col("cents"))
+      .select(col("key"), col("day"), col("day_cents"), col("conservation_ok"))
   }
 }

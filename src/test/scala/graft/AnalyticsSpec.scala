@@ -530,4 +530,34 @@ class AnalyticsSpec extends AnyFunSuite {
       Analytics.mannWhitneyU(
         df.union(Seq((2L, 9L)).toDF("g", "v")), col("g"), col("v")).head())
   }
+
+  test("calendarIslands: runs and the gaps between them, duplicates collapsed") {
+    import spark.implicits._
+    val df = Seq("2024-01-01", "2024-01-02", "2024-01-02", "2024-01-03",
+      "2024-01-07", "2024-01-10", "2024-01-11").toDF("d")
+      .select(to_date(col("d")).as("d"))
+    val got = Analytics.calendarIslands(df, col("d"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDate(2).toString, r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("island", "2024-01-01", "2024-01-03", 3L),
+      ("gap", "2024-01-04", "2024-01-06", 3L),
+      ("island", "2024-01-07", "2024-01-07", 1L),
+      ("gap", "2024-01-08", "2024-01-09", 2L),
+      ("island", "2024-01-10", "2024-01-11", 2L)))
+  }
+
+  test("prorateAmount: largest-remainder split conserves cents exactly, front-loads the remainder") {
+    import spark.implicits._
+    val df = Seq((1L, "2024-03-01", 100L), (2L, "2024-03-05", 7L), (3L, "2024-03-09", 0L))
+      .toDF("k", "d", "cents")
+    val got = Analytics.prorateAmount(df, col("k"), to_date(col("d")), col("cents"), spanDays = 7)
+      .orderBy(col("key"), col("day"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2), r.getBoolean(3)))
+    val k1 = got.filter(_._1 == 1L)
+    assert(k1.map(_._3).toSeq == Seq(15L, 15L, 14L, 14L, 14L, 14L, 14L)) // 100 = 14·7 + 2
+    assert(k1.head._2 == "2024-03-01" && k1.last._2 == "2024-03-07")
+    assert(got.filter(_._1 == 2L).map(_._3).toSeq == Seq.fill(7)(1L))
+    assert(got.filter(_._1 == 3L).map(_._3).toSeq == Seq.fill(7)(0L))
+    assert(got.forall(_._4), "conservation must be measured true for every key")
+  }
 }
