@@ -149,6 +149,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_kll_quantile", "graft_kll_quantile(sk, q) - quantile estimate from a KLL sketch"),
       (exprs: Seq[Expression]) => KllFunctions.KllQuantile(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_agg"),
+      info("graft_bitmap_agg", "graft_bitmap_agg(id) - exact roaring-style bitmap aggregate over dense ids"),
+      (exprs: Seq[Expression]) => BitmapFunctions.BitmapBuildAgg(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_union"),
+      info("graft_bitmap_union", "graft_bitmap_union(bm) - bitwise-OR rollup aggregate over bitmaps"),
+      (exprs: Seq[Expression]) => BitmapFunctions.BitmapUnionAgg(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_count"),
+      info("graft_bitmap_count", "graft_bitmap_count(bm) - exact cardinality"),
+      (exprs: Seq[Expression]) => BitmapFunctions.BitmapCount(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_and_count"),
+      info("graft_bitmap_and_count", "graft_bitmap_and_count(a, b) - exact |A intersect B|"),
+      (exprs: Seq[Expression]) => BitmapFunctions.BitmapAndCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_andnot_count"),
+      info("graft_bitmap_andnot_count", "graft_bitmap_andnot_count(a, b) - exact |A minus B|"),
+      (exprs: Seq[Expression]) => BitmapFunctions.BitmapAndNotCount(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       info("graft_bloom_agg", "graft_bloom_agg(key, m, k) - bloom filter aggregate"),
       (exprs: Seq[Expression]) => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))

@@ -85,4 +85,25 @@ class ExtensionsSpec extends AnyFunSuite {
         |  xxhash64(2L)) AS hit""".stripMargin).head().getBoolean(0)
     assert(hit) // no false negatives
   }
+
+  test("exact bitmap aggregates are injected") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_bitmap_count(graft_bitmap_agg(v)) AS n,
+        |  graft_bitmap_and_count(
+        |    (SELECT graft_bitmap_agg(x) FROM VALUES (1L), (2L) AS a(x)),
+        |    (SELECT graft_bitmap_agg(y) FROM VALUES (2L), (3L) AS b(y))) AS inter,
+        |  graft_bitmap_andnot_count(
+        |    (SELECT graft_bitmap_agg(x) FROM VALUES (1L), (2L) AS a(x)),
+        |    (SELECT graft_bitmap_agg(y) FROM VALUES (2L), (3L) AS b(y))) AS anotb
+        |FROM VALUES (1L), (2L), (2L), (5L) AS t(v)""".stripMargin).head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 1L)
+    assert(r.getLong(2) == 1L)
+    val u = spark.sql(
+      """SELECT graft_bitmap_count(graft_bitmap_union(bm)) FROM (
+        |  SELECT graft_bitmap_agg(v) AS bm FROM VALUES (1L, 1L), (1L, 2L), (2L, 2L), (2L, 9L) AS t(g, v)
+        |  GROUP BY g)""".stripMargin).head().getLong(0)
+    assert(u == 3L)
+  }
 }
