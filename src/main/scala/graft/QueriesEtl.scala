@@ -1730,6 +1730,54 @@ object QueriesEtl {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ── VERSION-KEYED RESULT CACHE ([[graft.sources.ResultCache]]): cache
+    // key = (query tag, snapshot version), so invalidation is CORRECT by
+    // construction — a commit changes the version, the next lookup
+    // misses; no timestamps, no manual flush. The compute closure is
+    // instrumented with a driver-side counter, so `computes_bounded`
+    // PROVES the hit served stored bytes (2 computes across 4 reads);
+    // hit==fresh is pinned by two-way exceptAll, and the final rollup is
+    // the post-append table the oracle recomputes relationally ──
+    "result_cache" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_rescache"))
+      log.recreate()
+      val cache = new graft.sources.ResultCache(scratch(dir, "rescache_store"))
+      cache.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      log.append(base.where(col("o_orderkey") % 3 =!= 0), partitions = 4)
+      val nComputes = new java.util.concurrent.atomic.AtomicInteger(0)
+      def agg(df: DataFrame): DataFrame = {
+        nComputes.incrementAndGet()
+        df.groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("sum_key"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      }
+      val (r1, hit1) = cache.resultFor(s, log, "prio_rollup")(agg)
+      val (r2, hit2) = cache.resultFor(s, log, "prio_rollup")(agg)
+      val hitEqualsFresh = r2.exceptAll(r1).limit(1).count() == 0 &&
+        r1.exceptAll(r2).limit(1).count() == 0
+      val v0 = log.currentVersion.get
+      log.append(base.where(col("o_orderkey") % 3 === 0), partitions = 2)
+      val (r3, hit3) = cache.resultFor(s, log, "prio_rollup")(agg)
+      val (_, hit4) = cache.resultFor(s, log, "prio_rollup")(agg)
+      // retention: expire v0 → its entry prunes away, current stays hot
+      log.expire(keepFrom = log.currentVersion.get)
+      val pruned = cache.prune(log)
+      val prunedOldOnly = pruned.exists(_.contains(f"v$v0%08d")) &&
+        !pruned.exists(_.contains(f"v${log.currentVersion.get}%08d"))
+      val (_, hit5) = cache.resultFor(s, log, "prio_rollup")(agg)
+      r3
+        .withColumn("first_miss_then_hit", lit(!hit1 && hit2))
+        .withColumn("hit_equals_fresh", lit(hitEqualsFresh))
+        .withColumn("append_invalidates", lit(!hit3 && hit4))
+        .withColumn("computes_bounded", lit(nComputes.get() == 2))
+        .withColumn("prune_drops_dead_only", lit(prunedOldOnly && hit5))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ── POSITION DELETES under the snapshot log ([[SnapshotLog
     // .deletePositions]], the Iceberg v2 position-delete-file shape):
     // rows are deleted by (file, row-ordinal) ADDRESS — selected with
@@ -2370,6 +2418,22 @@ object QueriesEtl {
         |       TRUE AS tombstones_compacted,
         |       TRUE AS compact_preserves_rows
         |FROM orders WHERE o_orderkey % 10 <> 7
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // result_cache: the post-append rollup over ALL orders (both
+    // appended thirds); the five cache laws are measured Spark-side
+    // (hit flags, compute counter, exceptAll, prune listing)
+    "result_cache" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS first_miss_then_hit,
+        |       TRUE AS hit_equals_fresh,
+        |       TRUE AS append_invalidates,
+        |       TRUE AS computes_bounded,
+        |       TRUE AS prune_drops_dead_only
+        |FROM orders
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // snapshot_pos_delete: survivors = every order whose key misses the
