@@ -516,6 +516,37 @@ object QueriesEtl {
       Privacy.scrubEvents(Tables.events(s, dir), salt = "graft")
         .orderBy(col("event_id"))),
 
+    // ── k-ANONYMITY audit + suppression ([[Privacy.kAnonymityAudit]] /
+    // [[Privacy.kAnonymize]], Sweeney's model): every quasi-identifier
+    // equivalence class below k=5 is a re-identification risk row; the
+    // post_suppression_clean law RE-AUDITS the kAnonymize output (rows in
+    // violating classes quasi-NULLed), measuring — not assuming — that
+    // suppression fixed every class ──
+    "kanon_audit" -> ((s, dir) => {
+      val quasi = Seq(
+        "event_type" -> col("event_type"),
+        "day" -> to_date(col("ts")),
+        "vbucket" -> floor(col("value") / 50).cast("long"))
+      val ev = Tables.events(s, dir)
+      val kk = 5
+      val viol = Privacy.kAnonymityAudit(ev, quasi, k = kk)
+      val anon = Privacy.kAnonymize(ev, quasi, k = kk)
+      val requasi = quasi.map { case (n, _) => n -> col(n) }
+      val postClean = Privacy
+        .kAnonymityAudit(anon.where(col("day").isNotNull), requasi, k = kk)
+        .limit(1).count() == 0
+      val m = ev.select(quasi.map { case (n, c) => c.as(n) }: _*)
+        .groupBy(quasi.map(q => col(q._1)): _*)
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum(when(col("n") < kk, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("n") < kk, col("n")).otherwise(0L)).as("n_rows_at_risk"))
+      viol.crossJoin(broadcast(m))
+        .withColumn("post_suppression_clean", lit(postClean))
+        .orderBy(col("event_type"), col("day"), col("vbucket"))
+    }),
+
     // ── right-to-be-forgotten purge ([[Privacy.forgetUsers]]): erase the
     // subject set (user_id % 37 = 0) from a day-partitioned table by
     // column-pruned discovery → partition-pruned anti-join rewrite →
@@ -2419,6 +2450,29 @@ object QueriesEtl {
         |       TRUE AS compact_preserves_rows
         |FROM orders WHERE o_orderkey % 10 <> 7
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // kanon_audit: violating equivalence classes + global risk metrics;
+    // the suppression re-audit law is measured Spark-side
+    "kanon_audit" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(floor(value / 50) AS BIGINT) AS vbucket
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type, day, vbucket, CAST(count(*) AS BIGINT) AS class_size
+        |  FROM q GROUP BY 1, 2, 3
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |         CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |         CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+        |  FROM c
+        |)
+        |SELECT c.event_type, c.day, c.vbucket, c.class_size,
+        |       m.n_classes, m.n_violating, m.n_rows_at_risk,
+        |       TRUE AS post_suppression_clean
+        |FROM c CROSS JOIN m
+        |WHERE c.class_size < 5
+        |ORDER BY c.event_type, c.day, c.vbucket""".stripMargin,
 
     // result_cache: the post-append rollup over ALL orders (both
     // appended thirds); the five cache laws are measured Spark-side

@@ -118,4 +118,42 @@ object Privacy {
     }
     touched
   }
+
+  /** k-ANONYMITY AUDIT (Sweeney 2002, the published re-identification
+    * model): group rows by their quasi-identifier tuple and report every
+    * EQUIVALENCE CLASS smaller than `k` — each such class is a set of
+    * rows an adversary who knows the quasi values can narrow to fewer
+    * than k candidates. One aggregation, output bounded by the number of
+    * violating classes (never row count). Columns: the quasi columns +
+    * `class_size`, ascending by class for a stable report.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[(String, Column)], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit: at least one quasi-identifier required")
+    require(k >= 2, s"kAnonymityAudit: k must be >= 2, got $k")
+    val named = quasiCols.map { case (n, c) => c.as(n) }
+    df.select(named: _*)
+      .groupBy(quasiCols.map(q => col(q._1)): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .where(col("class_size") < k)
+      .orderBy(quasiCols.map(q => col(q._1)) :+ col("class_size"): _*)
+  }
+
+  /** k-anonymity by SUPPRESSION: rows in violating classes get their
+    * quasi columns NULLed (full-tuple suppression, the baseline
+    * k-anonymization every generalization scheme is measured against);
+    * compliant rows pass untouched. One audit aggregation + one
+    * broadcast-friendly anti-pattern join on the quasi tuple — the
+    * violating-class frame is small by definition (each class < k rows),
+    * so the join's build side is the report, not the data.
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[(String, Column)], k: Int): DataFrame = {
+    val viol = broadcast(
+      kAnonymityAudit(df, quasiCols, k).drop("class_size").withColumn("__viol", lit(true)))
+    val withQuasi = quasiCols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    val joined = withQuasi.join(viol, quasiCols.map(_._1), "left_outer")
+    val suppressed = quasiCols.foldLeft(joined) { case (d, (n, _)) =>
+      d.withColumn(n, when(col("__viol"), lit(null)).otherwise(col(n)))
+    }
+    suppressed.drop("__viol")
+  }
 }

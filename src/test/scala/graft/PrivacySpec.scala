@@ -99,4 +99,27 @@ class PrivacySpec extends AnyFunSuite {
     assert(Privacy.forgetUsers(spark, t, "user_id", "event_date", subjects).isEmpty)
     t.drop(spark)
   }
+
+  test("kAnonymityAudit lists exactly the sub-k classes; suppression fixes them without row loss") {
+    import org.apache.spark.sql.functions.col
+    // classes: (a,1)x3 compliant at k=3; (a,2)x2 and (b,1)x1 violating
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 1L, 11L), ("a", 1L, 12L),
+      ("a", 2L, 13L), ("a", 2L, 14L),
+      ("b", 1L, 15L)).toDF("t", "g", "payload")
+    val quasi = Seq("t" -> col("t"), "g" -> col("g"))
+    val viol = Privacy.kAnonymityAudit(df, quasi, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(viol.toSeq == Seq(("a", 2L, 2L), ("b", 1L, 1L)))
+    val anon = Privacy.kAnonymize(df, quasi, k = 3)
+    assert(anon.count() == 6L, "suppression must not drop rows")
+    val suppressed = anon.where(col("t").isNull && col("g").isNull)
+      .select(col("payload")).collect().map(_.getLong(0)).sorted
+    assert(suppressed.toSeq == Seq(13L, 14L, 15L))
+    // compliant rows untouched; re-audit of the non-suppressed rows is clean
+    assert(anon.where(col("t") === "a" && col("g") === 1L).count() == 3L)
+    assert(Privacy.kAnonymityAudit(
+      anon.where(col("t").isNotNull), Seq("t" -> col("t"), "g" -> col("g")), k = 3)
+      .count() == 0L)
+  }
 }
