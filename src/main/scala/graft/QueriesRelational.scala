@@ -1508,6 +1508,36 @@ object QueriesRelational {
         .orderBy(col("week"))
     }),
 
+    // ── exact DISTINCT-COUNT CUBE from ONE finest-grain scan: distinct
+    // counts are NOT additive, so a grouping-sets cube normally rescans
+    // the facts once per grouping set — bitmaps make the rollup lawful:
+    // (event_type × week) bitmaps built once, every coarser cell derived
+    // by pure bitwise OR of finest-grain rows, all counts EXACT and
+    // hash-matched against a real GROUPING SETS count-distinct ──
+    "bitmap_cube_rollup" -> ((s, dir) => {
+      import graft.functions.BitmapFunctions
+      BitmapFunctions.register(s)
+      val fine = Tables.events(s, dir)
+        .select(col("event_type"),
+          to_date(date_trunc("week", col("ts"))).as("week"), col("user_id"))
+        .groupBy(col("event_type"), col("week"))
+        .agg(BitmapFunctions.bitmapAgg(col("user_id")).as("bm"))
+      def cnt(bm: Column) = BitmapFunctions.bitmapCount(bm)
+      val finest = fine.select(col("event_type"), col("week"), cnt(col("bm")).as("users_exact"))
+      val byEt = fine.groupBy(col("event_type"))
+        .agg(cnt(BitmapFunctions.bitmapUnion(col("bm"))).as("users_exact"))
+        .select(col("event_type"), lit(null).cast("date").as("week"), col("users_exact"))
+      val byWk = fine.groupBy(col("week"))
+        .agg(cnt(BitmapFunctions.bitmapUnion(col("bm"))).as("users_exact"))
+        .select(lit(null).cast("string").as("event_type"), col("week"), col("users_exact"))
+      val total = fine
+        .agg(cnt(BitmapFunctions.bitmapUnion(col("bm"))).as("users_exact"))
+        .select(lit(null).cast("string").as("event_type"),
+          lit(null).cast("date").as("week"), col("users_exact"))
+      finest.unionByName(byEt).unionByName(byWk).unionByName(total)
+        .orderBy(col("event_type"), col("week"))
+    }),
+
     // ── sliding-window WAU: native window(ts, '7 days', '1 day') slide —
     // each event explodes into 7 window assignments, exact distinct count
     // per window; the sketch rollup (wau_user_sketch_rollup) is the same
@@ -3501,6 +3531,16 @@ object QueriesRelational {
         |FROM events
         |GROUP BY 1
         |ORDER BY week""".stripMargin,
+
+    // bitmap_cube_rollup: a REAL grouping-sets count-distinct — the
+    // independent formulation of what the bitmap side derives by OR
+    "bitmap_cube_rollup" ->
+      """SELECT event_type,
+        |       CAST(date_trunc('week', ts) AS DATE) AS week,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS users_exact
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type, week), (event_type), (week), ())
+        |ORDER BY event_type, week""".stripMargin,
 
     // sliding_wau: each event belongs to the 7 epoch-aligned 1-day-slide
     // windows starting day(ts)-6 .. day(ts); distinct users per window
