@@ -78,7 +78,12 @@ object QueriesLlm {
   private val WinnowW = 4 // winnow window (selects ~2/(w+1) of grams)
   private val KcoreK = 2 // graph_kcore minimum within-core degree (the winnow graph is sparse: max degree 4 at sf0.01)
   private val KcoreRounds = 12 // unrolled peel rounds in the oracle (>= observed depth)
+  private val SsspSeeds = 3 // graph_sssp source set: the 3 smallest graph nodes
+  private val SsspHops = 10 // Bellman-Ford rounds, query AND unrolled oracle (convergence law-checked)
   private val PrIters = 6 // pagerank fixed iteration count, query AND oracle
+  private val TrMinLen = 4 // textrank candidate filter: token length floor
+  private val TrMinEdge = 2L // textrank co-occurrence edge count floor
+  private val TrK = 40 // textrank keyword count emitted
   private val PrScale = 1000000000000L // pagerank total integer mass units
   private val PrNum = 85 // damping numerator (85/100 = classic 0.85)
   private val PrDen = 100 // damping denominator
@@ -135,6 +140,9 @@ object QueriesLlm {
   private val DsirBuckets = 4096
   private val MmFeatDim = 16 // stub feature-vector dimensionality
   private val MmFeatK = 3 // neighbors per query in mm_feature_knn
+  private val MmFrames = 12 // frames per synthesized video (mm_scene_cuts)
+  private val MmSceneLen = 4 // frames per scene: cuts land at frames 4 and 8
+  private val MmCutThresh = 10 // Hamming cut threshold (intra-scene <= 2, redraw ~32)
   private val KmK = 4 // kmeans_clusters cluster count, query AND oracle
   private val KmIters = 3 // kmeans_clusters Lloyd iterations, query AND oracle
   private val KcK = 5 // sample_kcenter coreset size — the oracle unrolls EXACTLY this many rounds
@@ -1148,6 +1156,41 @@ object QueriesLlm {
     "doc_triangles" -> ((s, dir) =>
       GraphRank.triangleStats(Dedup.winnowOverlapPairs(
         Tables.documents(s, dir), minShared = 2, n = WinnowN, window = WinnowW))),
+
+    // ── WEIGHTED shortest paths over the winnow graph ([[GraphRank
+    // .shortestPaths]]): synchronous Bellman-Ford rounds from the
+    // SsspSeeds smallest graph nodes, edge cost the all-integer
+    // `1e6 div n_shared` (more shared prints = cheaper hop); convergence
+    // is certified by (count, sum) equality between the last two rounds —
+    // monotone distances make that reduction sound — and the oracle
+    // re-derives it from its own unrolled rounds ──
+    "graph_sssp" -> ((s, dir) => {
+      val pairs0 = Dedup.winnowOverlapPairs(
+        Tables.documents(s, dir), minShared = 2, n = WinnowN, window = WinnowW)
+      val pairs = Dedup.durableBy(pairs0, None)(pairs0)
+      val seeds = pairs.select(col("doc_a").as("node"))
+        .unionByName(pairs.select(col("doc_b").as("node"))).distinct()
+        .orderBy(col("node")).limit(SsspSeeds)
+        .collect().map(_.getLong(0)).toSeq
+      GraphRank.shortestPaths(pairs, seeds,
+        expr("1000000 div n_shared"), maxHops = SsspHops)
+    }),
+
+    // ── Newman MODULARITY of the near-dup partition ([[GraphRank
+    // .modularity]]): how community-like the connected components are on
+    // the weighted winnow graph — exact integer q_num per community over
+    // the implied (2m)² denominator, no float and no floor division in
+    // the hashed output; membership replayed by the oracle's recursive
+    // reachability, the mass terms by plain joins ──
+    "graph_modularity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs0 = Dedup.winnowOverlapPairs(
+        docs, minShared = 2, n = WinnowN, window = WinnowW)
+      val pairs = Dedup.durableBy(pairs0, None)(pairs0)
+      val membership = Dedup.connectedComponents(docs, pairs)
+        .select(col("doc_id"), col("component_id"))
+      GraphRank.modularity(pairs, membership, col("n_shared"))
+    }),
 
     // ── k-CORE of the winnow similarity graph ([[GraphRank.kCore]]):
     // iterative peeling until the fixpoint — removals CASCADE (a node
@@ -2489,6 +2532,45 @@ object QueriesLlm {
         .orderBy(col("pmi_ratio_e6").desc, col("x"), col("y"))
         .limit(20)),
 
+    // ── TEXTRANK keyword extraction (Mihalcea & Tarau 2004): candidate
+    // words (length ≥ TrMinLen, non-stopword) filtered IN THE TOKEN ARRAY
+    // (order preserved, no shuffle), co-occurrence edges from adjacent
+    // candidates via the slice-zip bigram (map-side — no per-doc window
+    // sort), canonical undirected pairs counted corpus-wide and floored at
+    // TrMinEdge, then the SAME integer PageRank core as [[GraphRank
+    // .pagerank]] runs over md5-derived 60-bit word ids (both engines
+    // derive ids identically, so even a collision replays bitwise). Top
+    // TrK words by rank — the unsupervised keyword readout a corpus
+    // datacard wants next to tfidf_top_terms, but GLOBAL (graph
+    // centrality) instead of per-doc (frequency) ──
+    "textrank_keywords" -> ((s, dir) => {
+      val cands = filter(TextAnalysis.tokens(col("text")),
+        w => length(w) >= TrMinLen && !w.isin(TextAnalysis.Stopwords: _*))
+      val toks = Tables.documents(s, dir).select(cands.as("wd"))
+        .where(size(col("wd")) >= 2)
+      val big = toks.select(explode(zip_with(
+          slice(col("wd"), lit(1), size(col("wd")) - 1),
+          slice(col("wd"), lit(2), size(col("wd")) - 1),
+          (l, r) => struct(l.as("x"), r.as("y")))).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .where(col("x") =!= col("y"))
+      val cw = big
+        .select(least(col("x"), col("y")).as("x"), greatest(col("x"), col("y")).as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+        .where(col("w") >= TrMinEdge)
+      val ids = cw.select(col("x").as("word")).unionByName(cw.select(col("y").as("word")))
+        .distinct()
+        .withColumn("wid", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
+      val ed = cw
+        .join(ids.select(col("word").as("x"), col("wid").as("doc_a")), "x")
+        .join(ids.select(col("word").as("y"), col("wid").as("doc_b")), "y")
+        .select(col("doc_a"), col("doc_b"), col("w").as("n_shared"))
+      GraphRank.pagerank(ed, iters = PrIters)
+        .join(ids, col("doc_id") === col("wid"))
+        .select(col("word"), col("rank"))
+        .orderBy(col("rank").desc, col("word")).limit(TrK)
+    }),
+
     // ── CLUSTER LABELING ([[Similarity.kmeans]] × the χ² machinery):
     // top-3 DISTINCTIVE terms per embedding cluster — one-vs-rest χ² in
     // exact scaled integers over the cluster-joined token counts, with a
@@ -2856,6 +2938,28 @@ object QueriesLlm {
     "mm_frame_hashes" -> ((s, dir) =>
       Multimodal.frameHashes(Multimodal.withPayload(Tables.documents(s, dir)))
         .orderBy(col("doc_id"), col("frame_no"))),
+
+    // ── SHOT-BOUNDARY detection on DECODED PIXELS ([[Multimodal
+    // .withVideoFrames]] × [[Multimodal.sceneCuts]]): every 5th document
+    // becomes a video of MmFrames real PPM frames (scene field redrawn
+    // every MmSceneLen frames, bounded intra-scene wiggle), each frame
+    // decoded by the REAL codegen'd dHash kernel, consecutive-frame
+    // Hamming cut detection, and the running cut count as the shot
+    // index. The oracle recomputes signatures from the cell-field
+    // arithmetic — Hamming is bit-permutation invariant, so the two
+    // engines never need to agree on packing, only on the 64 comparison
+    // bits. The repartition is the decode-once barrier from dedup_phash ──
+    "mm_scene_cuts" -> ((s, dir) => {
+      graft.functions.ImageKernels.register(s)
+      val vids = Tables.documents(s, dir)
+        .where(pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id"))
+      val frames = Multimodal.withVideoFrames(vids, MmFrames, MmSceneLen)
+        .select(col("doc_id"), col("frame_no"),
+          graft.functions.ImageKernels.ppmDhashCol(col("payload")).as("dhash"))
+        .repartition(col("doc_id"))
+      Multimodal.sceneCuts(frames, col("dhash"), cutThreshold = MmCutThresh)
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
 
     // ── multimodal → similarity composition: payload → stub feature vector
     // → exact cosine top-k, the pipeline shape a real media embedder slots
@@ -3722,6 +3826,76 @@ object QueriesLlm {
          |            ELSE 0 END AS clustering_ppm
          |FROM dg LEFT JOIN pn ON pn.n = dg.n
          |ORDER BY doc_id""".stripMargin,
+
+    // graph_sssp: Bellman-Ford unrolled to SsspHops materialized rounds
+    // over the winnow pair graph (integer edge costs 1e6 // n_shared,
+    // seeds = the SsspSeeds smallest graph nodes re-derived in SQL);
+    // convergence re-derived as (count, sum) equality of the last rounds
+    "graph_sssp" -> {
+      val rounds = (1 to SsspHops).map { t =>
+        s"""d$t AS MATERIALIZED (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM d${t - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, d.dist + e.w AS dist
+           |    FROM d${t - 1} d JOIN ed e ON e.src = d.node
+           |  ) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""$winnowCte,
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+         |p AS (SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS ns
+         |      FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ed AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, 1000000 // ns AS w FROM p
+         |  UNION ALL
+         |  SELECT b, a, 1000000 // ns FROM p),
+         |sd AS (SELECT DISTINCT src AS node FROM ed ORDER BY node LIMIT $SsspSeeds),
+         |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM sd),
+         |$rounds
+         |SELECT node AS doc_id, dist,
+         |       ((SELECT count(*) FROM d$SsspHops) = (SELECT count(*) FROM d${SsspHops - 1})
+         |        AND (SELECT sum(dist) FROM d$SsspHops) = (SELECT sum(dist) FROM d${SsspHops - 1}))
+         |         AS converged
+         |FROM d$SsspHops ORDER BY doc_id""".stripMargin
+    },
+
+    // graph_modularity: recursive-CTE reachability gives the component
+    // membership; the mass terms (2m, per-community degree and internal
+    // ordered mass) are plain joins, q_num the same integer expression
+    "graph_modularity" ->
+      s"""${winnowCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+         |p AS (SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS ns
+         |      FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ed AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+         |gn AS (SELECT DISTINCT a AS node FROM ed),
+         |reach(a, b) AS (
+         |  SELECT node, node FROM gn
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a
+         |),
+         |mem AS (SELECT a AS node, min(b) AS community FROM reach GROUP BY a),
+         |m2t AS (SELECT CAST(sum(ns) * 2 AS BIGINT) AS m2 FROM p),
+         |dg AS (SELECT node, CAST(sum(w) AS BIGINT) AS deg FROM (
+         |         SELECT a AS node, ns AS w FROM p UNION ALL SELECT b, ns FROM p
+         |       ) GROUP BY node),
+         |cdeg AS (SELECT m.community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |                CAST(sum(d.deg) AS BIGINT) AS deg_sum
+         |         FROM dg d JOIN mem m ON m.node = d.node GROUP BY m.community),
+         |ci AS (SELECT ma.community, CAST(sum(p.ns) * 2 AS BIGINT) AS intra_2x
+         |       FROM p JOIN mem ma ON ma.node = p.a JOIN mem mb ON mb.node = p.b
+         |       WHERE ma.community = mb.community GROUP BY ma.community),
+         |perc AS (
+         |  SELECT cd.community, cd.n_nodes, cd.deg_sum,
+         |         coalesce(ci.intra_2x, 0) AS intra_2x, m2t.m2,
+         |         m2t.m2 * coalesce(ci.intra_2x, 0) - cd.deg_sum * cd.deg_sum AS q_num
+         |  FROM cdeg cd LEFT JOIN ci USING (community) CROSS JOIN m2t
+         |)
+         |SELECT perc.*, t.q_num_total
+         |FROM perc CROSS JOIN (SELECT CAST(sum(q_num) AS BIGINT) AS q_num_total FROM perc) t
+         |ORDER BY community""".stripMargin,
 
     // graph_kcore: the peel unrolled to KcoreRounds fixed rounds over the
     // same winnow pair graph; convergence re-derived as count(r_N) ==
@@ -5450,6 +5624,49 @@ object QueriesLlm {
          |CROSS JOIN tot
          |ORDER BY pmi_ratio_e6 DESC, x, y LIMIT 20""".stripMargin,
 
+    // textrank_keywords: the candidate filter runs in the token list
+    // (order-preserving list_filter), adjacency by the same slice-zip as
+    // collocations_pmi, canonical pairs via least/greatest, word ids from
+    // the identical md5-prefix formula, and the rank chain is the SHARED
+    // pagerankIterCtes template over this graph's e/ws/nd/c/r0/t
+    "textrank_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT list_filter($toksSql,
+         |           w -> length(w) >= $TrMinLen AND NOT list_contains([$stopList], w)) AS wd
+         |  FROM documents
+         |),
+         |big AS (
+         |  SELECT unnest(wd[1:len(wd) - 1]) AS bx, unnest(wd[2:len(wd)]) AS by
+         |  FROM toks WHERE len(wd) >= 2
+         |),
+         |cw AS (
+         |  SELECT least(bx, by) AS x, greatest(bx, by) AS y,
+         |         CAST(count(*) AS BIGINT) AS w
+         |  FROM big WHERE bx <> by GROUP BY 1, 2 HAVING count(*) >= $TrMinEdge
+         |),
+         |ids AS (
+         |  SELECT word, ('0x' || substr(md5(word), 1, 15))::BIGINT AS wid
+         |  FROM (SELECT DISTINCT word FROM
+         |          (SELECT x AS word FROM cw UNION ALL SELECT y FROM cw))
+         |),
+         |e AS (
+         |  SELECT xi.wid AS src, yi.wid AS dst, cw.w
+         |  FROM cw JOIN ids xi ON xi.word = cw.x JOIN ids yi ON yi.word = cw.y
+         |  UNION ALL
+         |  SELECT yi.wid, xi.wid, cw.w
+         |  FROM cw JOIN ids xi ON xi.word = cw.x JOIN ids yi ON yi.word = cw.y
+         |),
+         |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM e GROUP BY 1),
+         |nd AS (SELECT DISTINCT src AS node FROM e),
+         |c AS (SELECT count(*) AS n FROM nd),
+         |r0 AS (SELECT node, $PrScale // n AS rank FROM nd CROSS JOIN c),
+         |t AS (SELECT node, (($PrScale // n) * ${PrDen - PrNum}) // $PrDen AS tele
+         |      FROM nd CROSS JOIN c),
+         |${pagerankIterCtes("")}
+         |SELECT ids.word, r.rank
+         |FROM r$PrIters r JOIN ids ON ids.wid = r.node
+         |ORDER BY r.rank DESC, ids.word LIMIT $TrK""".stripMargin,
+
     // vocab_drift: identical χ² cross-multiplication in HUGEINT with
     // `//` replaying the truncating div; same tokenizer fragment
     "vocab_drift" ->
@@ -5589,6 +5806,50 @@ object QueriesLlm {
     // and the fingerprint is md5 over the frame's uppercase-hex encoding —
     // hex is pure ASCII, so slicing the hex VARCHAR at 2× the byte offsets
     // IS a byte slice, with no assumption about the corpus encoding.
+    // mm_scene_cuts: replay the cell field from the (id, scene, cx, cy)
+    // formula (the dedup_phash discipline — Spark decodes REAL bytes, the
+    // oracle recomputes from arithmetic), pack the 64 comparison bits into
+    // four 16-bit band keys (BIGINT-safe, and Hamming is packing-
+    // invariant), lag per band, sum the per-band popcounts
+    "mm_scene_cuts" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id, unnest(range(0, $MmFrames)) AS frame_no
+         |  FROM documents WHERE doc_id % 5 = 0
+         |), cells AS (
+         |  SELECT doc_id, frame_no,
+         |    [ (('0x' || substr(md5(doc_id::VARCHAR || '_' || (frame_no // $MmSceneLen)::VARCHAR
+         |                       || '_' || (k % 9)::VARCHAR || '_' || (k // 9)::VARCHAR), 1, 2))::BIGINT
+         |       + CASE WHEN frame_no % 4 = 1 AND k = 0 THEN 100
+         |              WHEN frame_no % 4 = 2 AND (k = 0 OR k = 71) THEN 100
+         |              WHEN frame_no % 4 = 3 AND k = 71 THEN 100
+         |              ELSE 0 END) % 256
+         |      for k in range(0, 72) ] AS cs
+         |  FROM fr
+         |), bits AS (
+         |  SELECT doc_id, frame_no,
+         |    [ CASE WHEN cs[(k // 8) * 9 + (k % 8) + 1] < cs[(k // 8) * 9 + (k % 8) + 2]
+         |           THEN 1 ELSE 0 END for k in range(0, 64) ] AS bt
+         |  FROM cells
+         |), bands AS (
+         |  SELECT doc_id, frame_no, t.band,
+         |         CAST(list_sum([ bt[t.band * 16 + j + 1] * (1::BIGINT << j)
+         |                         for j in range(0, 16) ]) AS BIGINT) AS bkey
+         |  FROM bits, range(0, 4) t(band)
+         |), lagd AS (
+         |  SELECT doc_id, frame_no, bkey,
+         |         lag(bkey) OVER (PARTITION BY doc_id, band ORDER BY frame_no) AS pb
+         |  FROM bands
+         |), hm AS (
+         |  SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+         |         CASE WHEN frame_no = 0 THEN CAST(-1 AS BIGINT)
+         |              ELSE CAST(sum(bit_count(xor(bkey, pb))) AS BIGINT) END AS hamming
+         |  FROM lagd GROUP BY doc_id, frame_no
+         |)
+         |SELECT doc_id, frame_no, hamming, hamming >= $MmCutThresh AS is_cut,
+         |       CAST(sum(CASE WHEN hamming >= $MmCutThresh THEN 1 ELSE 0 END)
+         |              OVER (PARTITION BY doc_id ORDER BY frame_no) AS BIGINT) AS shot_no
+         |FROM hm ORDER BY doc_id, frame_no""".stripMargin,
+
     "mm_frame_hashes" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic integer-arithmetic PageRank over a weighted undirected
@@ -372,6 +372,126 @@ object GraphRank {
     * Output: one row per surviving node — (idOut, core_deg ≥ k,
     * converged), ordered by node.
     */
+  /** WEIGHTED single-source (multi-seed) shortest paths by synchronous
+    * Bellman–Ford rounds — the weighted generalization of [[hopDistances]]:
+    * round t relaxes every edge once
+    * (`d_t(v) = min(d_{t-1}(v), min_u d_{t-1}(u) + w(u,v))`), so after H
+    * rounds every ≤H-hop shortest path is final and convergence
+    * (`d_H == d_{H-1}`) certifies the full answer. All-integer costs —
+    * the caller maps similarity to a cost like `1_000_000 div n_shared` —
+    * so the replay is bitwise. Each round is ONE node-keyed join+min
+    * aggregation over the static edge relation (the Pregel shape shared
+    * with [[pagerank]]), lineage truncated per round; distances only
+    * DECREASE and the reached set only GROWS, which is what lets the
+    * emitted `converged` flag reduce to (count, sum) equality between
+    * the last two rounds — and lets the oracle replay the rounds as a
+    * linear unrolled CTE chain instead of enumerating paths.
+    *
+    * Output: (idOut, dist, converged) for every reached node, by node.
+    */
+  def shortestPaths(
+      pairs: DataFrame,
+      seeds: Seq[Long],
+      costCol: Column,
+      maxHops: Int,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      idOut: String = "doc_id",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(seeds.nonEmpty, "shortestPaths: at least one seed required")
+    require(maxHops >= 1 && maxHops <= 64,
+      s"shortestPaths: maxHops must be in [1, 64], got $maxHops")
+    val durable = Dedup.durableBy(pairs, checkpointDir)
+    val sym = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"),
+        costCol.cast("long").as("w"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst"), costCol.cast("long").as("w")))
+      .where(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    val edges = durable(sym)
+    val present = edges.select(col("src").as("node")).distinct()
+      .where(col("node").isin(seeds: _*))
+    require(present.count() > 0, s"shortestPaths: no seed is a graph node (seeds=$seeds)")
+    var dist = durable(present.select(col("node"), lit(0L).as("dist")))
+    var snap = dist.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L))).head()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxHops) {
+      val relaxed = edges
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = durable(
+        dist.unionByName(relaxed).groupBy(col("node")).agg(min(col("dist")).as("dist")))
+      val s = dist.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L))).head()
+      // distances only decrease and nodes only appear: equal (count, sum)
+      // between rounds certifies the fixpoint
+      converged = s.getLong(0) == snap.getLong(0) && s.getLong(1) == snap.getLong(1)
+      snap = s
+      round += 1
+    }
+    dist.select(col("node").as(idOut), col("dist"), lit(converged).as("converged"))
+      .orderBy(col(idOut))
+  }
+
+  /** Newman MODULARITY of a node partition over an undirected weighted
+    * graph, in EXACT integers (Newman & Girvan 2004, eq. 5):
+    * `Q = Σ_c [ I_c/2m − (deg_c/(2m))² ]` with `I_c` the community's
+    * internal ORDERED edge mass — emitted per community as the exact
+    * scaled numerator `q_num = 2m·I_c − deg_c²` whose total over the
+    * denominator `(2m)²` IS Q; no float and no floor division ever
+    * enters the output, so both engines agree bitwise even for negative
+    * (worse-than-random) partitions. One edge pass for degrees, one
+    * community join for intra-edge mass; at 100 TB both are
+    * node/edge-keyed shuffles, and the per-community output is
+    * community-count-sized.
+    *
+    * `membership`: (idOut?, actually (node, community)) — typically
+    * [[graft.operators.Dedup.connectedComponents]] output. Edges whose
+    * endpoints miss a membership row are ignored (documented: audit
+    * membership coverage separately).
+    *
+    * Output: per-community (community, n_nodes, deg_sum, intra_2x, m2,
+    * q_num) ordered by community, plus the same global `q_num_total` on
+    * every row.
+    */
+  def modularity(
+      pairs: DataFrame,
+      membership: DataFrame,
+      weightCol: Column,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val e = pairs.select(
+      col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"),
+      weightCol.cast("long").as("w"))
+    val m2 = e.agg(coalesce(sum(col("w") * 2L), lit(0L)).as("m2")) // 2m
+    val mem = membership.select(
+      col(membership.columns.head).cast("long").as("node"),
+      col(membership.columns(1)).cast("long").as("community"))
+    val deg = e.select(col("a").as("node"), col("w"))
+      .unionByName(e.select(col("b").as("node"), col("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("deg"))
+      .join(mem, "node")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val intra = e
+      .join(mem.select(col("node").as("a"), col("community").as("ca")), "a")
+      .join(mem.select(col("node").as("b"), col("community").as("cb")), "b")
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg((sum(col("w")) * 2L).as("intra_2x"))
+    val perC = deg.join(intra, Seq("community"), "left_outer")
+      .select(col("community"), col("n_nodes"), col("deg_sum"),
+        coalesce(col("intra_2x"), lit(0L)).as("intra_2x"))
+      .crossJoin(broadcast(m2))
+      .withColumn("q_num", col("m2") * col("intra_2x") - col("deg_sum") * col("deg_sum"))
+    // Q = q_num_total / m2² — emitted as the exact integer pair, never a
+    // float or a floor-division whose negative-operand semantics differ
+    // across engines; the consumer divides at display time
+    val total = perC.agg(sum(col("q_num")).as("q_num_total"))
+    perC.crossJoin(broadcast(total)).orderBy(col("community"))
+  }
+
   def kCore(
       pairs: DataFrame,
       k: Int,

@@ -311,4 +311,97 @@ object Multimodal {
         "frame_hash",
         md5(hex(expr(s"substring(payload, frame_no * $frameBytes + 1, $frameBytes)"))))
       .select(col(idCol), col("n_bytes"), col("frame_no").cast("long").as("frame_no"), col("frame_hash"))
+
+  /** Synthesize a REAL PPM frame SEQUENCE per video row for the shot-cut
+    * path: `framesPerVideo` frames of the [[withPpmPayload]] geometry, the
+    * cell field keyed by `(id, scene, cx, cy)` with `scene = frame_no div
+    * sceneLen` — within a scene the picture is stable up to a bounded
+    * wiggle (frame_no mod 4: 0 none, 1 top-left +100, 2 top-left and
+    * bottom-right +100, 3 bottom-right +100 — each wiggle cell sits in
+    * exactly one dHash comparison, so intra-scene Hamming ≤ 2), while a
+    * scene boundary redraws the whole iid md5 field (Hamming ~
+    * Binomial(64, ½)). Every byte is a deterministic integer function of
+    * (id, frame_no, cx, cy): the oracle replays the field from the
+    * formula while Spark decodes the REAL bytes through the codegen'd
+    * parser — the [[withPpmPayload]] two-implementations discipline.
+    *
+    * Output: one row per (idCol, frame_no) with a `payload` column; the
+    * input payload-free projection rides along.
+    */
+  def withVideoFrames(
+      df: DataFrame,
+      framesPerVideo: Int,
+      sceneLen: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(framesPerVideo >= 2 && framesPerVideo <= 64,
+      s"withVideoFrames: framesPerVideo must be in [2, 64], got $framesPerVideo")
+    require(sceneLen >= 2, s"withVideoFrames: sceneLen must be >= 2, got $sceneLen")
+    val id = col(idCol).cast("long")
+    val fr = col("frame_no")
+    val scene = (fr / sceneLen).cast("long")
+    val v = pmod(fr, lit(4L))
+    val body = array_join(
+      transform(sequence(lit(0), lit(PpmH - 1)), { y =>
+        val cy = (y / 2L).cast("long")
+        array_join(
+          transform(sequence(lit(0), lit(8)), { cx =>
+            val topLeft = cx === 0L && cy === 0L
+            val bottomRight = cx === 8L && cy === 7L
+            val perturb = when(v === 1 && topLeft, 100L)
+              .when(v === 2 && (topLeft || bottomRight), 100L)
+              .when(v === 3 && bottomRight, 100L)
+              .otherwise(0L)
+            val key = concat(id.cast("string"), lit("_"), scene.cast("string"),
+              lit("_"), cx.cast("string"), lit("_"), cy.cast("string"))
+            val base = conv(substring(md5(key), 1, 2), 16, 10).cast("long")
+            val h = lpad(hex(pmod(base + perturb, lit(256L))), 2, "0")
+            repeat(h, 6)
+          }), "")
+      }), "")
+    df.withColumn("frame_no", explode(sequence(lit(0L), lit(framesPerVideo - 1L))))
+      .withColumn("payload",
+        concat(
+          encode(lit(s"P6\n$PpmW $PpmH\n255\n"), "UTF-8"),
+          unhex(body)))
+  }
+
+  /** SHOT-BOUNDARY (scene-cut) detection over per-frame perceptual
+    * signatures — the video-preprocessing pass that segments footage into
+    * shots before frame sampling: consecutive-frame Hamming distance of
+    * the 64-bit dHash, a cut wherever the distance jumps past
+    * `cutThreshold`, and the running cut count as the SHOT index (the
+    * gaps-and-islands assignment on perceptual distance). Hamming is
+    * invariant under any fixed bit permutation applied to both operands,
+    * so the oracle can replay it from its own bit packing without
+    * agreeing on the signature's bit order.
+    *
+    * Scale shape: one codegen'd decode per frame; the only shuffle keys
+    * by video id, and each window holds `framesPerVideo` rows (bounded,
+    * never corpus-sized). Frame 0 has no predecessor: hamming = -1, never
+    * a cut, shot 0.
+    *
+    * Output: (idCol, frame_no, hamming, is_cut, shot_no) per frame.
+    */
+  def sceneCuts(
+      frames: DataFrame,
+      hashCol: Column,
+      cutThreshold: Int,
+      idCol: String = "doc_id",
+      frameCol: String = "frame_no"): DataFrame = {
+    require(cutThreshold >= 1 && cutThreshold <= 64,
+      s"sceneCuts: cutThreshold must be in [1, 64], got $cutThreshold")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col(frameCol))
+    frames
+      .select(col(idCol), col(frameCol).cast("long").as(frameCol), hashCol.as("h"))
+      .withColumn("ph", lag(col("h"), 1).over(w))
+      .withColumn("hamming",
+        when(col("ph").isNull, lit(-1L))
+          .otherwise(bit_count(col("h").bitwiseXOR(col("ph"))).cast("long")))
+      .withColumn("is_cut", col("hamming") >= cutThreshold)
+      .withColumn("shot_no",
+        sum(when(col("is_cut"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(idCol), col(frameCol), col("hamming"), col("is_cut"), col("shot_no"))
+  }
 }

@@ -245,4 +245,43 @@ class GraphRankSpec extends AnyFunSuite {
     val got = GraphRank.kCore(pairs, k = 5).collect()
     assert(got.isEmpty)
   }
+
+  test("shortestPaths: a cheap 2-hop path beats an expensive direct edge; multi-seed min; converged") {
+    import spark.implicits._
+    // 1→3 direct costs 10; 1→2→3 costs 2+3=5; seed 9 reaches 4 at 1
+    val pairs = Seq(
+      (1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L), (9L, 4L, 1L)).toDF("doc_a", "doc_b", "w")
+    val got = GraphRank.shortestPaths(pairs, Seq(1L, 9L), col("w"), maxHops = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L)._1 == 0L && got(9L)._1 == 0L)
+    assert(got(2L)._1 == 2L)
+    assert(got(3L)._1 == 5L, "relaxation must prefer the cheaper 2-hop path")
+    assert(got(4L)._1 == 1L)
+    assert(got.values.forall(_._2), "fixpoint must be certified")
+    intercept[IllegalArgumentException] {
+      GraphRank.shortestPaths(pairs, Seq(77L), col("w"), maxHops = 4)
+    }
+  }
+
+  test("modularity: two bridged triangles score the textbook 70/196; one blob scores zero") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("doc_a", "doc_b").withColumn("w", lit(1L))
+    val twoComms = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "community")
+    val got = GraphRank.modularity(pairs, twoComms, col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // per community: deg_sum 7, internal ordered mass 6, m2 = 14:
+    // q_num = 14·6 − 49 = 35 each; Q = 70/196 ≈ 0.357
+    assert(got.toSeq == Seq(
+      (1L, 3L, 7L, 6L, 14L, 35L, 70L),
+      (4L, 3L, 7L, 6L, 14L, 35L, 70L)))
+    // the everything-in-one-community partition scores exactly zero
+    val blob = twoComms.select(col("node"), lit(1L).as("community"))
+    val q0 = GraphRank.modularity(pairs, blob, col("w")).head()
+    assert(q0.getLong(5) == 0L && q0.getLong(6) == 0L)
+  }
 }

@@ -62,4 +62,45 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getLong(1) == expected)
     }
   }
+
+  test("sceneCuts: cuts exactly at scene boundaries, shot index = running cut count") {
+    import spark.implicits._
+    graft.functions.ImageKernels.register(spark)
+    val vids = Seq(0L, 5L).toDF("doc_id")
+    val frames = Multimodal.withVideoFrames(vids, framesPerVideo = 8, sceneLen = 4)
+      .select(col("doc_id"), col("frame_no"),
+        graft.functions.ImageKernels.ppmDhashCol(col("payload")).as("dhash"))
+    val got = Multimodal.sceneCuts(frames, col("dhash"), cutThreshold = 10)
+      .orderBy(col("doc_id"), col("frame_no")).collect()
+    assert(got.length == 16)
+    got.foreach { r =>
+      val (frame, hamming, isCut, shot) =
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4))
+      if (frame == 0L) {
+        assert(hamming == -1L && !isCut && shot == 0L)
+      } else if (frame == 4L) {
+        // scene redraw: iid field flip, far above threshold
+        assert(isCut && hamming >= 10L && shot == 1L)
+      } else {
+        // intra-scene wiggle cells sit in one comparison each
+        assert(!isCut && hamming >= 0L && hamming <= 2L)
+        assert(shot == (if (frame > 4L) 1L else 0L))
+      }
+    }
+  }
+
+  test("sceneCuts: identical consecutive frames have Hamming 0; threshold bounds enforced") {
+    import spark.implicits._
+    // two frames with the SAME hash: distance 0, never a cut
+    val frames = Seq((1L, 0L, 42L), (1L, 1L, 42L), (1L, 2L, ~42L))
+      .toDF("doc_id", "frame_no", "h")
+    val got = Multimodal.sceneCuts(frames, col("h"), cutThreshold = 30)
+      .orderBy(col("frame_no")).collect()
+    assert(got(1).getLong(2) == 0L && !got(1).getBoolean(3))
+    // ~42 ^ 42 = all 64 bits set
+    assert(got(2).getLong(2) == 64L && got(2).getBoolean(3) && got(2).getLong(4) == 1L)
+    intercept[IllegalArgumentException] {
+      Multimodal.sceneCuts(frames, col("h"), cutThreshold = 0)
+    }
+  }
 }
