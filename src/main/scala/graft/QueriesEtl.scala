@@ -547,6 +547,30 @@ object QueriesEtl {
         .orderBy(col("event_type"), col("day"), col("vbucket"))
     }),
 
+    // ── DISTINCT l-DIVERSITY audit ([[Privacy.lDiversityAudit]]): the
+    // homogeneity leak k-anonymity can't see — classes (event_type, day,
+    // value bucket) whose rows name fewer than l distinct users, with the
+    // global exposure summary riding on every row (same readout shape as
+    // kanon_audit, so the two gates read alike) ──
+    "ldiv_audit" -> ((s, dir) => {
+      val quasi = Seq(
+        "event_type" -> col("event_type"),
+        "day" -> to_date(col("ts")),
+        "vbucket" -> floor(col("value") / 50).cast("long"))
+      val ev = Tables.events(s, dir)
+      val ll = 3
+      val viol = Privacy.lDiversityAudit(ev, quasi, col("user_id"), l = ll)
+      val m = ev.select(quasi.map { case (n, c) => c.as(n) } :+ col("user_id"): _*)
+        .groupBy(quasi.map(q => col(q._1)): _*)
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("d"))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum(when(col("d") < ll, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("d") < ll, col("n")).otherwise(0L)).as("n_rows_at_risk"))
+      viol.crossJoin(broadcast(m))
+        .orderBy(col("event_type"), col("day"), col("vbucket"))
+    }),
+
     // ── right-to-be-forgotten purge ([[Privacy.forgetUsers]]): erase the
     // subject set (user_id % 37 = 0) from a day-partitioned table by
     // column-pruned discovery → partition-pruned anti-join rewrite →
@@ -2472,6 +2496,29 @@ object QueriesEtl {
         |       TRUE AS post_suppression_clean
         |FROM c CROSS JOIN m
         |WHERE c.class_size < 5
+        |ORDER BY c.event_type, c.day, c.vbucket""".stripMargin,
+
+    // ldiv_audit: identical quasi classes, distinct-user diversity
+    "ldiv_audit" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(floor(value / 50) AS BIGINT) AS vbucket, user_id
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type, day, vbucket,
+        |         CAST(count(*) AS BIGINT) AS class_size,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+        |  FROM q GROUP BY 1, 2, 3
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |         CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |         CAST(sum(CASE WHEN n_sensitive < 3 THEN class_size ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+        |  FROM c
+        |)
+        |SELECT c.event_type, c.day, c.vbucket, c.class_size, c.n_sensitive,
+        |       m.n_classes, m.n_violating, m.n_rows_at_risk
+        |FROM c CROSS JOIN m
+        |WHERE c.n_sensitive < 3
         |ORDER BY c.event_type, c.day, c.vbucket""".stripMargin,
 
     // result_cache: the post-append rollup over ALL orders (both

@@ -140,6 +140,8 @@ object QueriesLlm {
   private val DsirBuckets = 4096
   private val MmFeatDim = 16 // stub feature-vector dimensionality
   private val MmFeatK = 3 // neighbors per query in mm_feature_knn
+  private val ShapK = 5 // knn_shapley classifier K
+  private val ShapMod = 25 // vec_id % ShapMod == 0 -> held-out test point
   private val MmFrames = 12 // frames per synthesized video (mm_scene_cuts)
   private val MmSceneLen = 4 // frames per scene: cuts land at frames 4 and 8
   private val MmCutThresh = 10 // Hamming cut threshold (intra-scene <= 2, redraw ~32)
@@ -1436,6 +1438,20 @@ object QueriesLlm {
         .orderBy(col("doc_id"))
     }),
 
+    // ── EXACT AUC ([[Analytics.aucExact]]): how well the LENGTH signal
+    // alone (n_words, integer) ranks the full Gopher rule verdict — the
+    // feature-importance readout a filter-design pass wants next to
+    // classifier_quality (which evaluates the LEARNED combination). Label
+    // and score are both exact integers, so the rank statistic replays
+    // bitwise; AUC rides as the (num, den) pair plus floor-ppm ──
+    "classifier_auc" -> ((s, dir) => {
+      val rules = TextAnalysis.qualityRules(col("text"))
+      val scored = Tables.documents(s, dir).select(
+        rules.map(_._2).reduce(_ && _).cast("long").as("pass"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_words"))
+      Analytics.aucExact(scored, col("pass"), col("n_words"))
+    }),
+
     // ── exact-substring duplicated spans ([[Dedup.duplicatedSpans]]):
     // maximal per-doc token spans covered by L-grams occurring >= minOcc
     // times corpus-wide — the span-cutting dedup of Lee et al., in its
@@ -1907,6 +1923,23 @@ object QueriesLlm {
       Similarity.quantizeEmbeddings(Tables.embeddings(s, dir), levels = QuantLevels)
         .drop("codes")
         .orderBy(col("vec_id"))),
+
+    // ── EXACT KNN-SHAPLEY data valuation ([[Similarity.knnShapley]]):
+    // every 25th vector is a held-out test point, the rest are the
+    // training set to be valued; codes from ONE shared quantization pass
+    // (so distances are exact integers), K = ShapK. The per-example
+    // contribution ranking that decides what to prune and which source
+    // to pay — the closed-form Shapley of the KNN classifier, summed
+    // over the test sample ──
+    "knn_shapley" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val coded = Similarity.quantizeEmbeddings(emb, levels = QuantLevels)
+        .select(col("vec_id"), col("codes"))
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      val test = coded.where(pmod(col("vec_id"), lit(ShapMod)) === 0)
+      val train = coded.where(pmod(col("vec_id"), lit(ShapMod)) =!= 0)
+      Similarity.knnShapley(train, test, k = ShapK)
+    }),
 
     // ── JL random projection ([[Similarity.randomProjection]]): 64-float
     // embeddings to 16 doubles through a ±1 sign matrix baked into the
@@ -3684,6 +3717,52 @@ object QueriesLlm {
          |       (wc_ok AND mwl_ok AND punct_ok AND stop_ok) AS pass
          |FROM r ORDER BY doc_id""".stripMargin,
 
+    // classifier_auc: the quality_rules verdict as label, n_words as
+    // score, then the ab_mannwhitney doubled-rank derivation; ppm by
+    // HUGEINT cross-multiply mirroring the decimal div
+    "classifier_auc" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS w,
+         |         CAST(len($toksSql) AS BIGINT) AS n,
+         |         CAST(length(replace($norm, ' ', '')) AS BIGINT) AS tok_chars,
+         |         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         |         CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM documents
+         |), g AS (
+         |  SELECT CASE WHEN (n >= 5 AND n <= 10000)
+         |                AND (tok_chars >= n * 3 AND tok_chars <= n * 10)
+         |                AND (n_punct * 10 <= n_chars)
+         |                AND (len(list_filter([$stopList], s -> list_contains(w, s))) >= 2)
+         |              THEN 1 ELSE 0 END AS grp,
+         |         n AS v
+         |  FROM t
+         |), bv AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS t,
+         |         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+         |  FROM g GROUP BY v
+         |), r AS (
+         |  SELECT v, t, t1,
+         |         coalesce(sum(t) OVER (ORDER BY v
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t, 0) AS below
+         |  FROM bv
+         |), a AS (
+         |  SELECT sum(t) AS n, sum(t1) AS n1,
+         |         sum(t1 * (2 * below + t + 1)) AS r1d,
+         |         sum((t - t1) * (2 * below + t + 1)) AS r0d
+         |  FROM r
+         |), s AS (
+         |  SELECT CAST(n - n1 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+         |         CAST(r1d - n1 * (n1 + 1) AS BIGINT) AS auc_num,
+         |         CAST(2 * (n - n1) * n1 AS BIGINT) AS auc_den,
+         |         (r0d - (n - n1) * (n - n1 + 1)) + (r1d - n1 * (n1 + 1))
+         |           = 2 * (n - n1) * n1 AS identity_holds
+         |  FROM a
+         |)
+         |SELECT n0, n1, auc_num, auc_den, identity_holds,
+         |       CAST(CAST(auc_num AS HUGEINT) * 1000000 // auc_den AS BIGINT) AS auc_ppm,
+         |       CAST(2 * (CAST(auc_num AS HUGEINT) * 1000000 // auc_den) - 1000000 AS BIGINT) AS gini_ppm
+         |FROM s""".stripMargin,
+
     // blocklist_filter: same exact token screen, flagged docs only
     "blocklist_filter" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents)
@@ -4850,6 +4929,64 @@ object QueriesLlm {
          |       md5(string_agg(CAST(c AS VARCHAR), ' ' ORDER BY i)) AS q_fp,
          |       min(c) AS q_min, max(c) AS q_max, CAST(sum(c) AS BIGINT) AS q_sum
          |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // knn_shapley: the embed_quantize codes CTE shared verbatim, exact
+    // integer squared-L2 distances, the suffix recursion replayed with
+    // each 1/max(K,i) term floored positive FIRST (no negative floor
+    // division anywhere), suffix window sum, per-train total
+    "knn_shapley" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |                  CAST(label AS BIGINT) AS y FROM embeddings),
+         |ex AS (
+         |  SELECT vec_id, i, v[i] AS x
+         |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+         |),
+         |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
+         |codes AS (
+         |  SELECT vec_id, i,
+         |         CASE WHEN s.mx = s.mn THEN 0
+         |              ELSE CAST(least(floor((x - s.mn) * ${QuantLevels}.0 / (s.mx - s.mn)), ${QuantLevels - 1}) AS BIGINT)
+         |         END AS c
+         |  FROM ex JOIN stats s USING (i)
+         |),
+         |cv AS (SELECT vec_id, list(c ORDER BY i) AS cs FROM codes GROUP BY vec_id),
+         |m AS (SELECT cv.vec_id, cs, y FROM cv JOIN e USING (vec_id)),
+         |tr AS (SELECT vec_id AS train_id, cs AS rc, y AS ry FROM m WHERE vec_id % $ShapMod <> 0),
+         |te AS (SELECT vec_id AS test_id, cs AS tc, y AS ty FROM m WHERE vec_id % $ShapMod = 0),
+         |n AS (SELECT count(*) AS nt FROM tr),
+         |d AS (
+         |  SELECT test_id, ty, train_id, ry,
+         |         list_sum([ (tc[j + 1] - rc[j + 1]) * (tc[j + 1] - rc[j + 1])
+         |                    for j in range(0, len(tc)) ]) AS dist
+         |  FROM te CROSS JOIN tr
+         |),
+         |rk AS (
+         |  SELECT test_id, train_id, ry,
+         |         CASE WHEN ry = ty THEN 1 ELSE 0 END AS ind,
+         |         row_number() OVER (PARTITION BY test_id ORDER BY dist, train_id) AS i
+         |  FROM d
+         |),
+         |c1 AS (
+         |  SELECT test_id, train_id, ry, i, ind,
+         |         lead(ind) OVER (PARTITION BY test_id ORDER BY i) AS ind_next
+         |  FROM rk
+         |),
+         |c2 AS (
+         |  SELECT test_id, train_id, ry, i,
+         |         CASE WHEN ind_next IS NULL THEN ind * (1000000000000 // (SELECT nt FROM n))
+         |              ELSE (ind - ind_next) * (1000000000000 // greatest(i, $ShapK)) END AS contrib
+         |  FROM c1
+         |),
+         |sv AS (
+         |  SELECT test_id, train_id, ry,
+         |         sum(contrib) OVER (PARTITION BY test_id ORDER BY i
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s
+         |  FROM c2
+         |)
+         |SELECT train_id AS vec_id, ry AS label,
+         |       CAST(sum(s) AS BIGINT) AS shap_sum_e12,
+         |       CAST(count(*) AS BIGINT) AS n_tests
+         |FROM sv GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH toks AS (

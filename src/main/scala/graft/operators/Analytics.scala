@@ -1186,6 +1186,28 @@ object Analytics {
         col("u0_doubled") + col("u1_doubled") === lit(2L) * col("n0") * col("n1"))
   }
 
+  /** EXACT ROC AUC of an integer score against a binary label — the
+    * classifier-evaluation identity AUC = U₁/(n₁·n₀): the probability a
+    * random positive outranks a random negative, ties at half credit.
+    * Pure rank statistic, so it inherits [[mannWhitneyU]]'s all-integer
+    * doubled-rank derivation VERBATIM (label is the group) and its scale
+    * shape — the corpus collapses to its distinct score values before any
+    * ordering touches it. Emitted as the exact pair
+    * (`auc_num` = 2·U₁, `auc_den` = 2·n₁·n₀) plus the floor-divided ppm
+    * readout (decimal cross-multiply, overflow-safe at any n) and the
+    * Gini rescale `2·AUC − 1` in the same ppm units.
+    */
+  def aucExact(events: DataFrame, labelCol: Column, scoreCol: Column): DataFrame =
+    mannWhitneyU(events, labelCol.cast("long"), scoreCol)
+      .select(
+        col("n0"), col("n1"),
+        col("u1_doubled").as("auc_num"),
+        (lit(2L) * col("n0") * col("n1")).as("auc_den"),
+        col("identity_holds"))
+      .withColumn("auc_ppm",
+        expr("CAST((CAST(auc_num AS DECIMAL(38,0)) * 1000000) div CAST(auc_den AS DECIMAL(38,0)) AS LONG)"))
+      .withColumn("gini_ppm", lit(2L) * col("auc_ppm") - lit(1000000L))
+
   /** GAPS-AND-ISLANDS over a date column — the classic contiguous-run
     * pattern (`grp = day − row_number` buckets consecutive days into one
     * group), emitted BOTH ways: `island` rows for each maximal run of

@@ -487,9 +487,13 @@ object GraphRank {
       .withColumn("q_num", col("m2") * col("intra_2x") - col("deg_sum") * col("deg_sum"))
     // Q = q_num_total / m2² — emitted as the exact integer pair, never a
     // float or a floor-division whose negative-operand semantics differ
-    // across engines; the consumer divides at display time
-    val total = perC.agg(sum(col("q_num")).as("q_num_total"))
-    perC.crossJoin(broadcast(total)).orderBy(col("community"))
+    // across engines; the consumer divides at display time. The total
+    // rides a window over the COMMUNITY-sized frame (one tiny exchange)
+    // rather than a scalar crossJoin, which would re-derive the whole
+    // perC subtree a second time
+    import org.apache.spark.sql.expressions.Window
+    perC.withColumn("q_num_total", sum(col("q_num")).over(Window.partitionBy(lit(1))))
+      .orderBy(col("community"))
   }
 
   def kCore(

@@ -146,6 +146,36 @@ object Privacy {
     * violating-class frame is small by definition (each class < k rows),
     * so the join's build side is the report, not the data.
     */
+  /** DISTINCT l-DIVERSITY audit (Machanavajjhala et al. 2007) — the
+    * homogeneity check k-anonymity misses: a class can hold ≥ k rows and
+    * still leak the sensitive attribute outright when every row carries
+    * the SAME sensitive value. A class is l-diverse iff it contains at
+    * least `l` distinct sensitive values; the audit returns the violating
+    * classes with their size and diversity (the re-identification risk
+    * report a release gate reads AFTER the k-audit passes).
+    *
+    * Distinct l-diversity is the exact-integer member of the family
+    * (entropy/recursive variants need logs); one quasi-keyed aggregation
+    * with a distinct count — the same shuffle shape as the k-audit, and
+    * the violating frame is output-sized, never data-sized.
+    */
+  def lDiversityAudit(
+      df: DataFrame,
+      quasiCols: Seq[(String, Column)],
+      sensitiveCol: Column,
+      l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityAudit: at least one quasi-identifier required")
+    require(l >= 2, s"lDiversityAudit: l must be >= 2, got $l")
+    val named = quasiCols.map { case (n, c) => c.as(n) } :+ sensitiveCol.as("__sens")
+    df.select(named: _*)
+      .groupBy(quasiCols.map(q => col(q._1)): _*)
+      .agg(
+        count(lit(1)).as("class_size"),
+        countDistinct(col("__sens")).as("n_sensitive"))
+      .where(col("n_sensitive") < l)
+      .orderBy(quasiCols.map(q => col(q._1)): _*)
+  }
+
   def kAnonymize(df: DataFrame, quasiCols: Seq[(String, Column)], k: Int): DataFrame = {
     val viol = broadcast(
       kAnonymityAudit(df, quasiCols, k).drop("class_size").withColumn("__viol", lit(true)))

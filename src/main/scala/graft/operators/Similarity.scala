@@ -1260,6 +1260,78 @@ object Similarity {
         aggregate(col("codes"), lit(0L), _ + _).as("q_sum"))
   }
 
+  /** EXACT KNN-Shapley data valuation (Jia et al., VLDB 2019): the
+    * Shapley value of every TRAINING point for a K-NN classifier admits a
+    * closed form per test point — sort training points by distance to the
+    * test point and run the suffix recursion
+    * `s_(N) = 1[y_(N)=y_t]/N`,
+    * `s_(i) = s_(i+1) + (1[y_(i)=y_t] − 1[y_(i+1)=y_t]) / max(K, i)` —
+    * so the O(2^N) Shapley sum collapses to one sorted pass. The value
+    * ranks each example's contribution to held-out accuracy: the
+    * principled curation signal for pruning harmful examples and paying
+    * data sources.
+    *
+    * All-integer discipline: distances are exact integer squared L2 over
+    * QUANTIZED codes (ties broken by train id), and each 1/m term is
+    * floored SEPARATELY in `scale` units BEFORE the ±1 multiply —
+    * `(ind_i − ind_{i+1}) · (scale div max(K, i))` — so no negative
+    * floor-division (truncate-vs-floor is the classic cross-engine trap)
+    * and no accumulated drift: the suffix sum of identical integers
+    * replays bitwise. Per-train values are summed over the test set.
+    *
+    * Scale shape: the test side is a broadcast eval sample (KB-scale, the
+    * [[bruteForceKnn]] discipline), so the distance stage is one corpus
+    * scan; the rank window partitions by test id — each partition is
+    * train-count-sized. At 100 TB the train side is first cut to an ANN
+    * candidate pool per test point (the published approximation);
+    * the exact path here IS the ground-truth leg of that pairing.
+    *
+    * Input frames carry (`idCol`, `codes` array&lt;long&gt;, `labelCol`).
+    * Output: one row per training point — (idCol, label,
+    * shap_sum_e12 = Σ_tests s·scale, n_tests), ordered by id.
+    */
+  def knnShapley(
+      train: DataFrame,
+      test: DataFrame,
+      k: Int,
+      scale: Long = 1000000000000L,
+      idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"knnShapley: k must be >= 1, got $k")
+    require(scale >= 1000000L, s"knnShapley: scale too small for the 1/max(K,i) terms, got $scale")
+    val nTrain = train.count()
+    require(nTrain > 0, "knnShapley: empty training set")
+    val t = test.select(
+      col(idCol).as("test_id"), col("codes").as("tc"),
+      col(labelCol).cast("long").as("ty"))
+    val r = train.select(
+      col(idCol).as("train_id"), col("codes").as("rc"),
+      col(labelCol).cast("long").as("ry"))
+    val dist = aggregate(
+      zip_with(col("tc"), col("rc"), (a, b) => (a - b) * (a - b)),
+      lit(0L), _ + _)
+    val w = Window.partitionBy(col("test_id")).orderBy(col("dist"), col("train_id"))
+    val suffix = Window.partitionBy(col("test_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    r.join(broadcast(t), lit(true))
+      .withColumn("dist", dist)
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("ind", when(col("ry") === col("ty"), 1L).otherwise(0L))
+      .withColumn("ind_next", lead(col("ind"), 1).over(w))
+      // last rank carries the base term; every other rank its delta term,
+      // magnitude floored positive first, sign applied after
+      .withColumn("contrib",
+        when(col("ind_next").isNull, col("ind") * lit(scale / nTrain))
+          .otherwise((col("ind") - col("ind_next"))
+            * expr(s"${scale}L div greatest(i, ${k.toLong}L)")))
+      .withColumn("s", sum(col("contrib")).over(suffix))
+      .groupBy(col("train_id"), col("ry"))
+      .agg(sum(col("s")).as("shap_sum_e12"), count(lit(1)).as("n_tests"))
+      .select(col("train_id").as(idCol), col("ry").as(labelCol),
+        col("shap_sum_e12"), col("n_tests"))
+      .orderBy(col(idCol))
+  }
+
   /** Deterministic ±1 sign for the random-projection matrix entry
     * `(outDim j, inDim i)`: parity of the first byte of `md5("rp:j:i")`.
     * Computed DRIVER-side once per (j, i) — the whole matrix is

@@ -531,6 +531,27 @@ class AnalyticsSpec extends AnyFunSuite {
         df.union(Seq((2L, 9L)).toDF("g", "v")), col("g"), col("v")).head())
   }
 
+  test("aucExact: separation 1.0, anti-separation 0.0, all-ties exactly 0.5") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // every positive outranks every negative
+    val sep = Seq((1L, 10L), (1L, 9L), (0L, 2L), (0L, 1L)).toDF("y", "s")
+    val r1 = Analytics.aucExact(sep, col("y"), col("s")).head()
+    assert(r1.getAs[Long]("auc_num") == r1.getAs[Long]("auc_den"))
+    assert(r1.getAs[Long]("auc_ppm") == 1000000L && r1.getAs[Long]("gini_ppm") == 1000000L)
+    assert(r1.getAs[Boolean]("identity_holds"))
+    // every negative outranks every positive
+    val anti = Seq((0L, 10L), (0L, 9L), (1L, 2L), (1L, 1L)).toDF("y", "s")
+    val r2 = Analytics.aucExact(anti, col("y"), col("s")).head()
+    assert(r2.getAs[Long]("auc_num") == 0L && r2.getAs[Long]("auc_ppm") == 0L)
+    assert(r2.getAs[Long]("gini_ppm") == -1000000L)
+    // a constant score is half credit everywhere: AUC exactly 1/2
+    val ties = Seq((1L, 7L), (1L, 7L), (0L, 7L), (0L, 7L), (0L, 7L)).toDF("y", "s")
+    val r3 = Analytics.aucExact(ties, col("y"), col("s")).head()
+    assert(r3.getAs[Long]("auc_num") * 2L == r3.getAs[Long]("auc_den"))
+    assert(r3.getAs[Long]("auc_ppm") == 500000L && r3.getAs[Long]("gini_ppm") == 0L)
+  }
+
   test("calendarIslands: runs and the gaps between them, duplicates collapsed") {
     import spark.implicits._
     val df = Seq("2024-01-01", "2024-01-02", "2024-01-02", "2024-01-03",

@@ -450,7 +450,14 @@ class PlanSpec extends AnyFunSuite {
       "collocations_pmi" -> 1, "cluster_top_terms" -> 1,
       "mm_resize_grid" -> 0, "mm_audio_envelope" -> 0,
       // benford_audit carries the 1-row total crossJoin
-      "benford_audit" -> 1)
+      "benford_audit" -> 1,
+      // r10 closing wave: graph_modularity crossJoins the one-row 2m and
+      // q_num_total scalar frames; knn_shapley's test×train broadcast IS
+      // the declared exact-valuation scan (the knn_ivf_persisted pool
+      // pattern); ldiv_audit carries the one-row exposure summary
+      "graph_sssp" -> 0, "graph_modularity" -> 1,
+      "textrank_keywords" -> 0, "mm_scene_cuts" -> 0,
+      "classifier_auc" -> 0, "ldiv_audit" -> 1, "knn_shapley" -> 1)
     bnljCaps.foreach { case (q, cap) =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

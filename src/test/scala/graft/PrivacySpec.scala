@@ -122,4 +122,23 @@ class PrivacySpec extends AnyFunSuite {
       anon.where(col("t").isNotNull), Seq("t" -> col("t"), "g" -> col("g")), k = 3)
       .count() == 0L)
   }
+
+  test("lDiversityAudit flags homogeneous classes a k-audit passes") {
+    import org.apache.spark.sql.functions.col
+    // class (a,1): 3 rows but ONE user — k=3-anonymous yet l=2-violating;
+    // class (a,2): 3 rows, 3 users — diverse; class (b,1): 2 rows, 2 users
+    val df = Seq(
+      ("a", 1L, "u1"), ("a", 1L, "u1"), ("a", 1L, "u1"),
+      ("a", 2L, "u1"), ("a", 2L, "u2"), ("a", 2L, "u3"),
+      ("b", 1L, "u4"), ("b", 1L, "u5")).toDF("t", "g", "user")
+    val quasi = Seq("t" -> col("t"), "g" -> col("g"))
+    assert(Privacy.kAnonymityAudit(df.where(col("t") === "a"), quasi, k = 3).count() == 0L,
+      "both a-classes are k=3-anonymous")
+    val viol = Privacy.lDiversityAudit(df, quasi, col("user"), l = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(viol.toSeq == Seq(("a", 1L, 3L, 1L)),
+      "only the single-user class violates distinct 2-diversity")
+    intercept[IllegalArgumentException](
+      Privacy.lDiversityAudit(df, quasi, col("user"), l = 1))
+  }
 }

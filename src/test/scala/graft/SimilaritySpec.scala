@@ -674,4 +674,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(meanRatio > 0.8 && meanRatio < 1.2,
       s"mean norm ratio $meanRatio outside the JL expectation band")
   }
+
+  test("knnShapley: hand-computed suffix recursion; nearest same-label high, wrong-label negative") {
+    import spark.implicits._
+    // K=1, one test (code 1, label A=0): train order by distance is
+    // id1(A, d=1), id2(B, d=16), id3(A, d=64); exact values 5/6, -1/6, 1/3
+    val train = Seq(
+      (1L, Seq(0L), 0L), (2L, Seq(5L), 1L), (3L, Seq(9L), 0L))
+      .toDF("vec_id", "codes", "label")
+    val test = Seq((0L, Seq(1L), 0L)).toDF("vec_id", "codes", "label")
+    val got = Similarity.knnShapley(train, test, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 833333333333L, 1L),
+      (2L, 1L, -166666666667L, 1L),
+      (3L, 0L, 333333333333L, 1L)))
+  }
+
+  test("knnShapley: two tests sum per train point; constant-label data values everyone equally at rank-independent base") {
+    import spark.implicits._
+    // all labels equal -> every ind = 1, every delta term 0: each s_i is
+    // exactly scale div N for EVERY test point regardless of distances
+    val train = Seq(
+      (1L, Seq(0L, 0L), 7L), (2L, Seq(3L, 4L), 7L),
+      (3L, Seq(9L, 1L), 7L), (4L, Seq(2L, 8L), 7L))
+      .toDF("vec_id", "codes", "label")
+    val test = Seq((10L, Seq(1L, 1L), 7L), (20L, Seq(5L, 5L), 7L))
+      .toDF("vec_id", "codes", "label")
+    val got = Similarity.knnShapley(train, test, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val perTest = 1000000000000L / 4
+    assert(got.forall { case (_, s, n) => n == 2L && s == 2L * perTest })
+    intercept[IllegalArgumentException](
+      Similarity.knnShapley(train.limit(0), test, k = 2))
+  }
 }
