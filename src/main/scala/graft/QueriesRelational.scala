@@ -3300,7 +3300,12 @@ object QueriesRelational {
         |ORDER BY a.qty DESC, a.l_suppkey""".stripMargin,
 
     // corr_matrix: same one-scan sums in HUGEINT (DuckDB's exact 128-bit),
-    // same cast→sqrt→divide→round float tail
+    // same cast→sqrt→divide→round float tail. The hashed num_scaled column
+    // is cast to DECIMAL(38,0) to carry the SAME logical type as Spark's —
+    // the driver's hasher canonicalizes HUGEINT and DECIMAL differently
+    // even when every value is identical (r10 verdict). Standing rule:
+    // hashed numeric columns must ride the same logical type in both
+    // engines; wide integers go as DECIMAL(38,0) (or STRING) on BOTH sides.
     "corr_matrix" ->
       """WITH li AS (
         |  SELECT l_returnflag AS flag,
@@ -3335,7 +3340,8 @@ object QueriesRelational {
         |  UNION ALL
         |  SELECT flag, n, 'p_d', num_pd, den_p, den_d FROM m
         |)
-        |SELECT flag, pair, n, num_scaled,
+        |SELECT flag, pair, n,
+        |       CAST(num_scaled AS DECIMAL(38,0)) AS num_scaled,
         |       round(CAST(num_scaled AS DOUBLE) /
         |             (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6) AS corr_r6
         |FROM lng ORDER BY flag, pair""".stripMargin,

@@ -34,7 +34,8 @@ object Verify {
     if (root.exists()) {
       val entries = Option(root.listFiles()).getOrElse(Array.empty)
       val isPriorDump = entries.exists(_.getName == "oracle_sql.json")
-      val underTarget = root.getAbsolutePath.split('/').contains("target")
+      // canonicalize FIRST: "target/../.." must not pass as "under target/"
+      val underTarget = root.getCanonicalFile.getPath.split('/').contains("target")
       require(entries.isEmpty || isPriorDump || underTarget,
         s"refusing to wipe $outDir: non-empty, not under target/, and not a previous verify dump")
       rm(root)

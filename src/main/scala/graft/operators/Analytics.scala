@@ -1269,24 +1269,30 @@ object Analytics {
       centsCol: Column,
       spanDays: Int): DataFrame = {
     require(spanDays >= 1, s"prorateAmount: spanDays must be >= 1, got $spanDays")
-    val span = lit(spanDays.toLong)
     // floor-division pair: q·span + r = cents with 0 ≤ r < span, exact in
-    // integers for negative cents too (pmod is the nonnegative remainder)
-    val r = pmod(col("cents"), span)
-    val q = ((col("cents") - r) / span).cast("long")
+    // integers for negative cents too (pmod is the nonnegative remainder).
+    // `div` is SQL INTEGER division — exact over the FULL long range;
+    // Column./ would detour through doubles and silently lose exactness
+    // past 2^53 even though (cents - r) is exactly divisible.
+    val r = pmod(col("cents"), lit(spanDays.toLong))
+    val q = expr(s"(cents - pmod(cents, ${spanDays}L)) div ${spanDays}L")
+    // conservation is measured per ORDER GROUP (key, day0, cents) so the
+    // law holds even when `key` is not unique: a group of n identical
+    // orders allocates n·cents across n·span rows, and
+    // Σday_cents · span = cents · (rows in group) is the exact integer
+    // restatement of per-order conservation.
+    val wg = Window.partitionBy(col("key"), col("day0"), col("cents"))
     df.select(
         keyCol.as("key"), to_date(dateCol).as("day0"), centsCol.cast("long").as("cents"))
       .select(col("key"), col("day0"), col("cents"),
         explode(sequence(lit(0), lit(spanDays - 1))).as("i"))
       .select(
-        col("key"), col("cents"), col("i"),
+        col("key"), col("day0"), col("cents"), col("i"),
         expr("date_add(day0, i)").as("day"),
         (q + when(col("i") < r, 1L).otherwise(0L)).as("day_cents"))
-      // conservation measured in-row over the allocation vector, one
-      // groupBy-free pass: Σ over i of day_cents(i) rebuilt symbolically
-      // would be a tautology, so measure it per key with a window sum
       .withColumn("conservation_ok",
-        sum(col("day_cents")).over(Window.partitionBy(col("key"))) === col("cents"))
+        sum(col("day_cents")).over(wg) * lit(spanDays.toLong) ===
+          col("cents") * count(lit(1)).over(wg))
       .select(col("key"), col("day"), col("day_cents"), col("conservation_ok"))
   }
 }

@@ -177,13 +177,22 @@ object Privacy {
   }
 
   def kAnonymize(df: DataFrame, quasiCols: Seq[(String, Column)], k: Int): DataFrame = {
+    // The suppression join MUST be null-safe: groupBy in the audit groups
+    // NULL quasi values into one class, but a plain equi-join never matches
+    // NULL = NULL — a violating class whose quasi tuple contains a NULL
+    // would be reported by the audit yet escape suppression, leaving its
+    // remaining non-null quasi values exposed. `<=>` keys the join on the
+    // exact same equivalence the audit grouped by.
     val viol = broadcast(
-      kAnonymityAudit(df, quasiCols, k).drop("class_size").withColumn("__viol", lit(true)))
+      quasiCols.foldLeft(kAnonymityAudit(df, quasiCols, k).drop("class_size")) {
+        case (d, (n, _)) => d.withColumnRenamed(n, s"__v_$n")
+      }.withColumn("__viol", lit(true)))
     val withQuasi = quasiCols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
-    val joined = withQuasi.join(viol, quasiCols.map(_._1), "left_outer")
+    val cond = quasiCols.map { case (n, _) => col(n) <=> col(s"__v_$n") }.reduce(_ && _)
+    val joined = withQuasi.join(viol, cond, "left_outer")
     val suppressed = quasiCols.foldLeft(joined) { case (d, (n, _)) =>
       d.withColumn(n, when(col("__viol"), lit(null)).otherwise(col(n)))
     }
-    suppressed.drop("__viol")
+    suppressed.drop("__viol").drop(quasiCols.map(q => s"__v_${q._1}"): _*)
   }
 }

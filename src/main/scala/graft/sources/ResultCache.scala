@@ -66,13 +66,20 @@ class ResultCache(val root: String) {
     * crashed temp directories; returns the deleted entry paths. Entries
     * for LIVE versions (current or still-readable pinned history) stay —
     * a pinned reader's re-run should still hit.
+    *
+    * A dot-prefixed temp dir is swept only past `tempGraceMs` (default
+    * 1 h) of mtime age: a concurrent [[resultFor]] miss may have an
+    * IN-FLIGHT `.tmp-<uuid>` write this old-enough check must not rip out
+    * from under the writer — young temps are a racer, old temps a crash.
     */
-  def prune(log: SnapshotLog): Seq[String] = {
+  def prune(log: SnapshotLog, tempGraceMs: Long = 3600000L): Seq[String] = {
     val live = log.versions.map(v => f"v$v%08d").toSet
+    val cutoff = System.currentTimeMillis() - tempGraceMs
     val tags = Option(new File(root).listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
     val dead = tags.flatMap { t =>
       Option(t.listFiles()).getOrElse(Array.empty).filter { d =>
-        d.getName.startsWith(".") || (d.getName.startsWith("v") && !live.contains(d.getName))
+        (d.getName.startsWith(".") && d.lastModified() < cutoff) ||
+          (d.getName.startsWith("v") && !live.contains(d.getName))
       }
     }.toSeq
     dead.foreach(delete)

@@ -382,11 +382,17 @@ class SnapshotLog(
   def readWithPositions(spark: SparkSession, version: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
     val paths = dataFiles(version).map(p => new File(dataRootPath, p).toString)
-    val data = spark.read.parquet(paths: _*)
+    val raw = spark.read.parquet(paths: _*)
+    val clash = raw.columns.filter(c => c == "_file" || c == "_pos")
+    require(clash.isEmpty,
+      s"readWithPositions: the table's own columns ${clash.mkString(", ")} " +
+        "collide with the derived address columns (_file, _pos); " +
+        "position-delete addressing needs those names free")
+    val data = raw
       .withColumn("_file",
         regexp_extract(col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1))
       .withColumn("_pos", col("_metadata.row_index"))
-    applyMasks(spark, version, data)
+    applyMasks(spark, version, data, addressed = true)
   }
 
   /** Row-level DELETE by PHYSICAL POSITION (the Iceberg v2
@@ -429,21 +435,38 @@ class SnapshotLog(
     * one anti-join on the tombstone schema's columns. Delete-free
     * snapshots pay nothing (the input plan is returned untouched).
     */
-  private def applyMasks(spark: SparkSession, version: Long, data: DataFrame): DataFrame = {
+  private def applyMasks(
+      spark: SparkSession,
+      version: Long,
+      data: DataFrame,
+      addressed: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
+    // `addressed` is an EXPLICIT caller contract ([[readWithPositions]]
+    // already derived `_file`/`_pos` from the scan's `_metadata`), never
+    // inferred by sniffing column names: a user table that legitimately
+    // carries a `_file` or `_pos` column must not silently key the
+    // position-delete anti-join on user data instead of the physical
+    // (file, row-ordinal) address.
+    if (!addressed && posDeleteFiles(version).nonEmpty) {
+      val clash = data.columns.filter(c => c == "_file" || c == "_pos")
+      require(clash.isEmpty,
+        s"read of snapshot v$version with position deletes: the table's own " +
+          s"columns ${clash.mkString(", ")} collide with the position-delete " +
+          "address columns (_file, _pos); rename them or compact the deletes away")
+    }
     val posTombs = posDeleteFiles(version)
     val afterPos =
       if (posTombs.isEmpty) data
       else {
         val pos = spark.read.parquet(posTombs.map(p => new File(dataRootPath, p).toString): _*)
-        val addressed =
-          if (data.columns.contains("_file")) data
+        val withAddr =
+          if (addressed) data
           else data
             .withColumn("_file",
               regexp_extract(col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1))
             .withColumn("_pos", col("_metadata.row_index"))
-        val masked = addressed.join(pos, Seq("_file", "_pos"), "left_anti")
-        if (data.columns.contains("_file")) masked else masked.drop("_file", "_pos")
+        val masked = withAddr.join(pos, Seq("_file", "_pos"), "left_anti")
+        if (addressed) masked else masked.drop("_file", "_pos")
       }
     val tombs = tombstoneFiles(version)
     if (tombs.isEmpty) afterPos

@@ -590,10 +590,12 @@ object StreamingSessionize {
     * Replayed over the sliced file source so the watermark genuinely moves
     * across triggers; the complete output must equal the batch
     * [[graft.operators.Analytics.slidingActiveUsers]] bit-for-bit (the
-    * `sliding_wau` oracle). Sentinels ride user_id −1 far past the last
-    * real window end + delay, driving the final flush; their own far-future
-    * windows are dropped by the window_start cutoff, which is derived from
-    * the data bounds, not the sentinels.
+    * `sliding_wau` oracle). Sentinels here ride user_id −1 (unlike
+    * [[sketchRollupReplay]]'s NULL sentinels — this two-stage count never
+    * feeds a null-skipping set aggregate, so a concrete id is fine) far
+    * past the last real window end + delay, driving the final flush;
+    * their own far-future windows are dropped by the window_start cutoff,
+    * which is derived from the data bounds, not the sentinels.
     */
   def slidingWauReplay(
       events: DataFrame,
@@ -683,10 +685,12 @@ object StreamingSessionize {
     * discipline of `theta_wow_overlap` applies; size lgK to the expected
     * per-day cardinality.
     *
-    * Sentinels ride user_id −1 far past the last real day end + delay to
-    * drive the final flush; their far-future windows are dropped by the
-    * data-derived day cutoff. Output: (day DATE, sk BINARY), one row per
-    * event-time day.
+    * Sentinels ride a NULL user_id far past the last real day end + delay
+    * to drive the final flush (NULL, not −1: the set aggregates skip
+    * nulls, so the sentinel never lands in a sketch and the bitmap
+    * aggregate's dense-range guard is never tripped); their far-future
+    * windows are dropped by the data-derived day cutoff. Output:
+    * (day DATE, sk BINARY), one row per event-time day.
     */
   def sketchRollupReplay(
       events: DataFrame,

@@ -581,4 +581,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 3L).map(_._3).toSeq == Seq.fill(7)(0L))
     assert(got.forall(_._4), "conservation must be measured true for every key")
   }
+
+  test("prorateAmount: exact past 2^53 (integer div, no double detour) and under duplicate keys") {
+    import spark.implicits._
+    // 2^60 + 5 is NOT representable as a double; a Column./ detour would
+    // allocate the wrong per-day quotient and fail conservation
+    val big = (1L << 60) + 7L // ≡ 2 (mod 3): the remainder front-loads
+    val df = Seq((1L, "2024-03-01", big), (2L, "2024-03-02", 9L), (2L, "2024-03-02", 9L))
+      .toDF("k", "d", "cents")
+    val got = Analytics.prorateAmount(df, col("k"), to_date(col("d")), col("cents"), spanDays = 3)
+      .orderBy(col("key"), col("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    val k1 = got.filter(_._1 == 1L).map(_._2)
+    val expected = (0 until 3).map(i => big / 3 + (if (i < big % 3) 1L else 0L))
+    assert(k1.sum == big && k1.toSeq == expected,
+      "big-amount allocation must be exact integer largest-remainder")
+    // duplicate (key, day0, cents) orders: 2 orders × 9 cents over 3 days →
+    // group sums 18 across 6 rows; per-order conservation still measures true
+    val k2 = got.filter(_._1 == 2L)
+    assert(k2.map(_._2).sum == 18L && got.forall(_._3),
+      "conservation must hold per order group even when key is not unique")
+  }
 }

@@ -123,6 +123,26 @@ class PrivacySpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("kAnonymize suppresses violating classes whose quasi tuple contains NULL") {
+    import org.apache.spark.sql.functions.col
+    // (a,1)x3 compliant; (null,2)x2 violating; (b,null)x1 violating — the
+    // audit groups NULLs into classes, and the suppression join must match
+    // them too (null-safe equality): a plain equi-join would leave the
+    // non-null halves of these quasi tuples exposed.
+    val df = Seq(
+      (Some("a"), Some(1L), 10L), (Some("a"), Some(1L), 11L), (Some("a"), Some(1L), 12L),
+      (None: Option[String], Some(2L), 13L), (None: Option[String], Some(2L), 14L),
+      (Some("b"), None: Option[Long], 15L)).toDF("t", "g", "payload")
+    val quasi = Seq("t" -> col("t"), "g" -> col("g"))
+    val anon = Privacy.kAnonymize(df, quasi, k = 3)
+    assert(anon.count() == 6L, "suppression must not drop rows")
+    val suppressed = anon.where(col("t").isNull && col("g").isNull)
+      .select(col("payload")).collect().map(_.getLong(0)).sorted
+    assert(suppressed.toSeq == Seq(13L, 14L, 15L),
+      "NULL-quasi violators must be fully suppressed, exposing neither half")
+    assert(anon.where(col("t") === "a" && col("g") === 1L).count() == 3L)
+  }
+
   test("lDiversityAudit flags homogeneous classes a k-audit passes") {
     import org.apache.spark.sql.functions.col
     // class (a,1): 3 rows but ONE user — k=3-anonymous yet l=2-violating;

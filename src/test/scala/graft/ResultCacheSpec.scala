@@ -55,6 +55,23 @@ class ResultCacheSpec extends AnyFunSuite {
     assert(hit)
   }
 
+  test("prune sweeps only temp dirs older than the grace period") {
+    val (log, cache) = fresh("tempgrace")
+    log.append(Seq((1L, 1L)).toDF("k", "v"), partitions = 1)
+    cache.resultFor(spark, log, "t")(df => df.agg(count(lit(1))))
+    val tagDir = new java.io.File("/root/repo/target/rescache_spec/tempgrace/cache/t")
+    val young = new java.io.File(tagDir, ".v00000001.tmp-inflight")
+    val old = new java.io.File(tagDir, ".v00000001.tmp-crashed")
+    assert(young.mkdirs() && old.mkdirs())
+    assert(old.setLastModified(System.currentTimeMillis() - 7200000L))
+    val gone = cache.prune(log)
+    assert(gone.exists(_.endsWith(".tmp-crashed")), "old temp must be swept")
+    assert(!gone.exists(_.endsWith(".tmp-inflight")) && young.exists(),
+      "an in-flight temp younger than the grace period must survive prune")
+    // an explicit zero grace sweeps everything dot-prefixed
+    assert(cache.prune(log, tempGraceMs = -1L).exists(_.endsWith(".tmp-inflight")))
+  }
+
   test("unsafe tags and wipes outside target/ are refused") {
     val (log, cache) = fresh("guard")
     log.append(Seq((1L, 1L)).toDF("k", "v"), partitions = 1)
