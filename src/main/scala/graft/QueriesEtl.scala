@@ -1908,6 +1908,165 @@ object QueriesEtl {
         .orderBy(col("lang"))
     }),
 
+    // ── COLUMN-MAPPING SCHEMA EVOLUTION ([[SnapshotLog.renameColumn]] /
+    // [[SnapshotLog.appendMapped]] / [[SnapshotLog.readMapped]] — the
+    // Delta/Iceberg name→physical-id indirection): RENAME COLUMN is one
+    // metadata commit (zero data rewritten — `rename_metadata_only`
+    // pins the data-file set unchanged and the history op class
+    // `metadata`); a post-rename append writes the SAME physical column
+    // the pre-rename files carry, and time travel reads the pre-rename
+    // vintage under its ORIGINAL name (`pre_rename_vintage_ok`). The
+    // rollup sums char counts across BOTH vintages under the new
+    // logical name — only possible if the mapping stitched them ──
+    "snapshot_rename_col" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_rename"))
+      log.recreate()
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      log.append(docs.where(col("doc_id") % 2 === 0), partitions = 4)
+      val vMap = log.enableColumnMapping(s)
+      val vRen = log.renameColumn("n_chars", "char_count")
+      val renameMetadataOnly =
+        log.dataFiles(vRen).sorted == log.dataFiles(vMap).sorted &&
+          log.history.exists { case (v, op, _, _, _, _) => v == vRen && op == "metadata" }
+      log.appendMapped(
+        docs.where(col("doc_id") % 2 =!= 0).withColumnRenamed("n_chars", "char_count"),
+        partitions = 4)
+      val oldVintage = log.readMapped(s, vMap)
+      val preRenameOk = oldVintage.columns.toSeq == Seq("doc_id", "lang", "n_chars") &&
+        oldVintage.exceptAll(docs.where(col("doc_id") % 2 === 0)).limit(1).count() == 0 &&
+        docs.where(col("doc_id") % 2 === 0).exceptAll(oldVintage).limit(1).count() == 0
+      log.readMapped(s, log.currentVersion.get)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("char_count")).as("sum_chars"),
+          sum(when(col("doc_id") % 2 === 0, col("char_count"))).as("sum_chars_prerename"))
+        .withColumn("rename_metadata_only", lit(renameMetadataOnly))
+        .withColumn("pre_rename_vintage_ok", lit(preRenameOk))
+        .orderBy(col("lang"))
+    }),
+
+    // ── PREDICATE DELETE + UPDATE under the log ([[SnapshotLog
+    // .deleteWhere]] / [[SnapshotLog.updateWhere]] — the `DELETE FROM …
+    // WHERE` / `UPDATE … SET … WHERE` sugar over merge-on-read):
+    // deleteWhere derives position tombstones from the predicate (zero
+    // data rewritten — `no_rewrite_on_delete`); a re-run matches nothing
+    // (`delete_idempotent`: the predicate runs over the masked view);
+    // updateWhere commits the position-delete AND the updated row images
+    // in ONE version (`update_atomic`), with SET reading the row's own
+    // old values; the pre-update vintage stays pinned ──
+    "snapshot_delete_where" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_delwhere"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v0 = log.append(base, partitions = 4)
+      val (vDel, _) = log.deleteWhere(s, col("o_orderkey") % 7 === 1)
+      val noRewrite = log.dataFiles(vDel).sorted == log.dataFiles(v0).sorted
+      val (vDel2, n2) = log.deleteWhere(s, col("o_orderkey") % 7 === 1)
+      val idem = n2 == 0L && vDel2 == vDel
+      val (vUp, _) = log.updateWhere(s,
+        col("o_orderpriority") === "1-URGENT", Seq("cents" -> (col("cents") * 2L)),
+        partitions = 2)
+      val atomic = vUp == vDel + 1L
+      val pinnedPre = log.read(s, vDel)
+        .where(col("o_orderpriority") === "1-URGENT").count() ==
+        log.read(s, vUp).where(col("o_orderpriority") === "1-URGENT").count()
+      log.read(s, vUp)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(col("cents")).as("sum_cents"))
+        .withColumn("no_rewrite_on_delete", lit(noRewrite))
+        .withColumn("delete_idempotent", lit(idem))
+        .withColumn("update_atomic", lit(atomic))
+        .withColumn("pre_update_vintage_pinned", lit(pinnedPre))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ── DELETE-ABSORBING OPTIMIZE ([[SnapshotLog.optimize]] — the
+    // merge-on-read → copy-on-write compaction law): after deleteWhere +
+    // updateWhere leave position tombstones outstanding, OPTIMIZE
+    // rewrites the table range-clustered and ABSORBS them — the
+    // post-compaction snapshot carries ZERO tombstone lines
+    // (`tombstones_absorbed`) yet reads exactly equal to the
+    // pre-optimize merge-on-read view (`view_preserved`, exceptAll both
+    // ways); the pinned pre-optimize version still reads through its
+    // masks (`pinned_pre_readable`) ──
+    "snapshot_optimize_absorb" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_absorb"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      log.append(base, partitions = 4)
+      log.deleteWhere(s, col("o_orderkey") % 7 === 1)
+      val (vUp, _) = log.updateWhere(s,
+        col("o_orderpriority") === "1-URGENT", Seq("cents" -> (col("cents") * 2L)),
+        partitions = 2)
+      val hadMasks = log.posDeleteFiles(vUp).nonEmpty
+      val preView = log.read(s, vUp)
+      val vOpt = log.optimize(s, partitions = 2, sortCols = Seq(col("o_orderkey")))
+      val absorbed = hadMasks &&
+        log.tombstoneFiles(vOpt).isEmpty && log.posDeleteFiles(vOpt).isEmpty
+      val postView = log.read(s, vOpt)
+      val preserved = preView.exceptAll(postView).limit(1).count() == 0 &&
+        postView.exceptAll(preView).limit(1).count() == 0
+      val pinnedReadable = log.read(s, vUp).count() == postView.count()
+      log.read(s, vOpt)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(col("cents")).as("sum_cents"))
+        .withColumn("tombstones_absorbed", lit(absorbed))
+        .withColumn("view_preserved", lit(preserved))
+        .withColumn("pinned_pre_readable", lit(pinnedReadable))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ── LIQUID-STYLE INCREMENTAL OPTIMIZE ([[SnapshotLog
+    // .optimizeIncremental]]): after a full optimize, an append lands
+    // NEW files; the incremental pass range-clusters ONLY those —
+    // every already-clustered file is carried untouched
+    // (`clustered_untouched`: the full-optimize file set is a subset of
+    // the post-incremental listing), the rewrite is batch-sized
+    // (`only_fresh_rewritten` counts), read-back equals the
+    // pre-incremental content exactly (`content_preserved`), and a
+    // steady-state second call is a no-op (`noop_when_clustered`) —
+    // the maintenance-cost bound that keeps OPTIMIZE affordable under
+    // a steady 100 TB append load ──
+    "snapshot_optimize_incr" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_liquid"))
+      log.recreate()
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      log.append(docs.where(col("doc_id") % 3 === 0), partitions = 4)
+      val vFull = log.optimize(s, partitions = 2, sortCols = Seq(col("n_chars")))
+      val clustered = log.dataFiles(vFull).toSet
+      log.append(docs.where(col("doc_id") % 3 =!= 0), partitions = 3)
+      val before = log.read(s, log.currentVersion.get)
+      val (vIncr, (rewritten, carried)) =
+        log.optimizeIncremental(s, partitions = 1, sortCols = Seq(col("n_chars")))
+      val onlyFresh = rewritten == 3 && carried == clustered.size
+      val untouched = clustered.subsetOf(log.dataFiles(vIncr).toSet)
+      val after = log.read(s, vIncr)
+      val preserved = before.exceptAll(after).limit(1).count() == 0 &&
+        after.exceptAll(before).limit(1).count() == 0
+      val (vAgain, (rAgain, _)) =
+        log.optimizeIncremental(s, partitions = 1, sortCols = Seq(col("n_chars")))
+      val noop = vAgain == vIncr && rAgain == 0
+      after
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("only_fresh_rewritten", lit(onlyFresh))
+        .withColumn("clustered_untouched", lit(untouched))
+        .withColumn("content_preserved", lit(preserved))
+        .withColumn("noop_when_clustered", lit(noop))
+        .orderBy(col("lang"))
+    }),
+
     // ── INCREMENTAL MATERIALIZED VIEW ([[Materialize.mergeSummaries]]):
     // the weekly events rollup absorbs the late-January batch by merging a
     // DELTA-sized partial aggregate into the summary — the base rows before
@@ -2568,6 +2727,67 @@ object QueriesEtl {
         |       CAST(count(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS BIGINT) AS n_with_tier,
         |       CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars % 3 END) AS BIGINT) AS sum_tier,
         |       TRUE AS pinned_schema_unevolved
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // snapshot_rename_col: the stitched-vintage rollup — all docs under
+    // the renamed column, the pre-rename share split out; the
+    // metadata-only and time-travel laws are measured Spark-side
+    "snapshot_rename_col" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars END) AS BIGINT)
+        |         AS sum_chars_prerename,
+        |       TRUE AS rename_metadata_only,
+        |       TRUE AS pre_rename_vintage_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // snapshot_delete_where: survivors of the predicate delete with the
+    // urgent rows' cents doubled by the update; the no-rewrite /
+    // idempotence / atomicity / pinned-vintage laws ride Spark-side
+    "snapshot_delete_where" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) *
+        |           (CASE WHEN o_orderpriority = '1-URGENT' THEN 2 ELSE 1 END) AS cents
+        |  FROM orders WHERE o_orderkey % 7 <> 1
+        |)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS no_rewrite_on_delete,
+        |       TRUE AS delete_idempotent,
+        |       TRUE AS update_atomic,
+        |       TRUE AS pre_update_vintage_pinned
+        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // snapshot_optimize_absorb: same masked content as the delete+update
+    // pipeline — the absorb laws (zero tombstone lines, view equality,
+    // pinned pre-optimize reads) are measured Spark-side
+    "snapshot_optimize_absorb" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) *
+        |           (CASE WHEN o_orderpriority = '1-URGENT' THEN 2 ELSE 1 END) AS cents
+        |  FROM orders WHERE o_orderkey % 7 <> 1
+        |)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS tombstones_absorbed,
+        |       TRUE AS view_preserved,
+        |       TRUE AS pinned_pre_readable
+        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // snapshot_optimize_incr: the full corpus survives the incremental
+    // rewrite; the batch-sized-rewrite and carried-untouched laws are
+    // measured Spark-side
+    "snapshot_optimize_incr" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       TRUE AS only_fresh_rewritten,
+        |       TRUE AS clustered_untouched,
+        |       TRUE AS content_preserved,
+        |       TRUE AS noop_when_clustered
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // vacuum_orphans: the four vacuum laws are measured Spark-side (set

@@ -121,8 +121,43 @@ class SnapshotLog(
     */
   private val PosDelPrefix = "posdel:"
 
+  /** Manifest-line marker for TABLE METADATA entries — key=value pairs
+    * that version WITH the snapshot (column mapping, last-optimize
+    * pointer). Lines are `meta:<key>=<value>`; they ride the same
+    * change-sized delta protocol as file paths, so a metadata change
+    * (e.g. RENAME COLUMN) is one atomic two-line commit that moves zero
+    * data bytes — the Delta/Iceberg metadata-commit class.
+    */
+  private val MetaPrefix = "meta:"
+
+  private def isMetaLine(l: String): Boolean = l.startsWith(MetaPrefix)
+
   private def isTombLine(l: String): Boolean =
     l.startsWith(DelPrefix) || l.startsWith(PosDelPrefix)
+
+  /** Metadata lines of a snapshot (still `meta:`-prefixed). */
+  def metaLines(version: Long): Seq[String] = files(version).filter(isMetaLine)
+
+  /** Metadata key→value view of a snapshot's `meta:` lines. */
+  def metaValues(version: Long): Map[String, String] =
+    metaLines(version).map { l =>
+      val kv = l.stripPrefix(MetaPrefix)
+      val i = kv.indexOf('=')
+      require(i > 0, s"malformed meta line in v$version: $l")
+      kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
+
+  private def metaLine(key: String, value: String): String = {
+    require(!key.contains('=') && !(key + value).exists(c => c == '\n' || c == '\r'),
+      s"meta entry must be newline-free with '='-free key: $key=$value")
+    s"$MetaPrefix$key=$value"
+  }
+
+  /** `other` with the `key` meta entry replaced by (or extended with)
+    * `value` — the building block of every metadata commit.
+    */
+  private def withMeta(lines: Seq[String], key: String, value: String): Seq[String] =
+    lines.filterNot(_.startsWith(s"$MetaPrefix$key=")) :+ metaLine(key, value)
 
   /** Committed versions, ascending. Empty before the first commit. A
     * version is committed iff its `.delta` anchor exists (or only its
@@ -163,9 +198,11 @@ class SnapshotLog(
     }
   }
 
-  /** Data-file relative paths of a snapshot (tombstones excluded). */
+  /** Data-file relative paths of a snapshot (tombstone and metadata
+    * lines excluded).
+    */
   def dataFiles(version: Long): Seq[String] =
-    files(version).filterNot(isTombLine)
+    files(version).filterNot(l => isTombLine(l) || isMetaLine(l))
 
   /** Key-tombstone-file relative paths of a snapshot. */
   def tombstoneFiles(version: Long): Seq[String] =
@@ -237,8 +274,12 @@ class SnapshotLog(
   /** Stage + commit `df` as the ENTIRE next snapshot (logical overwrite —
     * prior versions' files stay on disk for their pinned readers).
     */
-  def overwrite(df: DataFrame, partitions: Int): Long =
-    commit(currentVersion, stageData(df, partitions))
+  def overwrite(df: DataFrame, partitions: Int): Long = {
+    // table metadata survives a logical overwrite (the Delta
+    // overwrite-without-overwriteSchema shape); data files are replaced
+    val cur = currentVersion
+    commit(cur, cur.map(metaLines).getOrElse(Nil) ++ stageData(df, partitions))
+  }
 
   /** [[append]] under MULTI-WRITER contention: optimistic-concurrency
     * retry. An append COMMUTES with any concurrent commit — it only ADDS
@@ -614,7 +655,9 @@ class SnapshotLog(
   def compact(spark: SparkSession, partitions: Int): Long = {
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"compact: no committed snapshot at $root"))
-    commit(Some(cur), stageData(read(spark, cur), partitions))
+    // table metadata (column mapping, optimize pointers) survives the
+    // rewrite; tombstones are absorbed (read() is the merge-on-read view)
+    commit(Some(cur), metaLines(cur) ++ stageData(read(spark, cur), partitions))
   }
 
   /** CHANGE DATA FEED from the log's own metadata (the Delta CDF shape):
@@ -640,9 +683,11 @@ class SnapshotLog(
       s"changeFeed: need committed fromVersion < toVersion, got $fromVersion..$toVersion of $vs")
     import org.apache.spark.sql.functions.lit
     val parts = ((fromVersion + 1L) to toVersion).flatMap { v =>
-      val prev = files(v - 1L)
+      // meta lines are table metadata, not files: a metadata commit
+      // (rename, optimize pointer) carries no row-level change
+      val prev = files(v - 1L).filterNot(isMetaLine)
       val prevSet = prev.toSet
-      val curF = files(v)
+      val curF = files(v).filterNot(isMetaLine)
       val removed = prevSet -- curF.toSet
       require(removed.isEmpty,
         s"changeFeed: v$v removes ${removed.size} file(s) — rewrite/overwrite " +
@@ -697,8 +742,10 @@ class SnapshotLog(
     val vs = versions
     require(vs.contains(version),
       s"appendedFiles: v$version is not committed at $root (have $vs)")
-    val cur = files(version)
-    val prev = if (version == vs.head) Seq.empty[String] else files(version - 1L)
+    val cur = files(version).filterNot(isMetaLine)
+    val prev =
+      if (version == vs.head) Seq.empty[String]
+      else files(version - 1L).filterNot(isMetaLine)
     val prevSet = prev.toSet
     val removed = prevSet -- cur.toSet
     require(removed.isEmpty,
@@ -730,18 +777,26 @@ class SnapshotLog(
       val prev = if (v == versions.head) Seq.empty[String] else files(v - 1L)
       val prevSet = prev.toSet
       val curSet = cur.toSet
-      val added = cur.filterNot(prevSet)
-      val removed = prev.count(p => !curSet.contains(p))
+      val addedAll = cur.filterNot(prevSet)
+      val removedAll = prev.filterNot(curSet)
+      // meta-line churn is table metadata, not file movement: a commit
+      // whose entire delta is meta lines is its own `metadata` class
+      // (RENAME/DROP COLUMN, optimize pointers), and mixed commits
+      // classify by their FILE delta alone
+      val added = addedAll.filterNot(isMetaLine)
+      val removed = removedAll.count(!isMetaLine(_))
       val addedData = added.count(!isTombLine(_))
       val addedTombs = added.size - addedData
       val op =
-        if (removed > 0 && added.nonEmpty) "rewrite"
+        if (added.isEmpty && removed == 0 && (addedAll.nonEmpty || removedAll.nonEmpty))
+          "metadata"
+        else if (removed > 0 && added.nonEmpty) "rewrite"
         else if (removed > 0) "prune"
         else if (addedData > 0 && addedTombs > 0) "append+delete"
         else if (addedTombs > 0) "delete"
         else if (addedData > 0) "append"
         else "noop"
-      (v, op, addedData, addedTombs, removed, cur.size)
+      (v, op, addedData, addedTombs, removed, cur.count(!isMetaLine(_)))
     }
 
   /** RESTORE the table to the state of `version`, as a NEW commit (the
@@ -821,7 +876,290 @@ class SnapshotLog(
     val arranged = read(spark, cur)
       .repartitionByRange(partitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    commit(Some(cur), stageArranged(arranged))
+    // read() is the merge-on-read view, and ONLY the staged rewrite is
+    // committed — outstanding key tombstones and position deletes are
+    // ABSORBED into the clustered files (merge-on-read → copy-on-write
+    // compaction; the post-optimize snapshot carries zero tombstone
+    // lines and reads bitwise-equal to the pre-optimize masked view).
+    // Table metadata survives; `lastopt` records this version so
+    // [[optimizeIncremental]] knows which files are already clustered.
+    val next = cur + 1L
+    commit(Some(cur),
+      withMeta(metaLines(cur), "lastopt", next.toString) ++ stageArranged(arranged))
+  }
+
+  /** INCREMENTAL OPTIMIZE (the liquid-clustering maintenance shape):
+    * range-cluster ONLY the files appended since the last optimize,
+    * leaving every already-clustered file untouched — under a steady
+    * append load this bounds each maintenance pass to the NEW data
+    * (batch-sized), where the full [[optimize]] rewrite is table-sized
+    * and quadratic-ish in total churn at 100 TB. The still-clustered
+    * set is recovered from the `lastopt` meta pointer: files present in
+    * BOTH the last-optimized snapshot and the current one are clustered
+    * by construction (files are immutable). The read-back content equals
+    * a full rewrite's (same rows, only file grouping differs); global
+    * cross-file range disjointness is deliberately NOT maintained — the
+    * new files cluster among themselves, which is exactly the liquid
+    * trade (per-file min/max stats still prune; a periodic full
+    * [[optimize]] restores global disjointness when wanted).
+    *
+    * Falls back to the full rewrite when no optimize ever ran (or its
+    * version expired). Refuses outstanding tombstones loudly — a
+    * partial rewrite cannot both absorb table-wide masks and leave
+    * clustered files untouched; run [[optimize]]/[[compact]] first.
+    *
+    * @return (committed version, (files rewritten, clustered files carried))
+    */
+  def optimizeIncremental(
+      spark: SparkSession,
+      partitions: Int,
+      sortCols: Seq[org.apache.spark.sql.Column]): (Long, (Int, Int)) = {
+    require(sortCols.nonEmpty, "optimizeIncremental: need at least one clustering column")
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"optimizeIncremental: no committed snapshot at $root"))
+    require(tombstoneFiles(cur).isEmpty && posDeleteFiles(cur).isEmpty,
+      "optimizeIncremental: outstanding deletes must be absorbed first (optimize/compact) — " +
+        "a partial rewrite cannot absorb table-wide masks and leave clustered files untouched")
+    val lastOpt = metaValues(cur).get("lastopt").map(_.toLong).filter(versions.contains)
+    lastOpt match {
+      case None =>
+        val v = optimize(spark, partitions, sortCols)
+        (v, (dataFiles(cur).size, 0))
+      case Some(l) =>
+        val clustered = dataFiles(l).toSet.intersect(dataFiles(cur).toSet)
+        val fresh = dataFiles(cur).filterNot(clustered)
+        if (fresh.isEmpty) (cur, (0, clustered.size))
+        else {
+          val arranged = spark.read
+            .parquet(fresh.map(p => new File(dataRootPath, p).toString): _*)
+            .repartitionByRange(partitions, sortCols: _*)
+            .sortWithinPartitions(sortCols: _*)
+          val staged = stageArranged(arranged)
+          val next = cur + 1L
+          val carried = files(cur).filterNot(fresh.toSet)
+          (commit(Some(cur), withMeta(carried, "lastopt", next.toString) ++ staged),
+            (fresh.size, clustered.size))
+        }
+    }
+  }
+
+  /** Predicate-level row DELETE (the `DELETE FROM t WHERE …` sugar over
+    * the merge-on-read machinery): rows matching `predicate` on the
+    * CURRENT snapshot are resolved to their physical (file, row-ordinal)
+    * addresses via [[readWithPositions]] and committed as one position-
+    * delete file — delete-sized work and metadata, zero data rewritten,
+    * no unique key required. The matched set excludes rows already
+    * masked (the predicate runs over the merge-on-read view), so
+    * repeated deletes are idempotent. [[optimize]]/[[compact]] later
+    * absorb the tombstones into rewritten files.
+    *
+    * @return (committed version — unchanged when nothing matched,
+    *         rows deleted)
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      predicate: org.apache.spark.sql.Column): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"deleteWhere: no committed snapshot at $root"))
+    val matched = readWithPositions(spark, cur)
+      .where(predicate).select(col("_file"), col("_pos"))
+    val n = matched.count()
+    if (n == 0L) (cur, 0L) else (deletePositions(matched), n)
+  }
+
+  /** Predicate-level UPDATE (`UPDATE t SET … WHERE …`) as DELETE + APPEND
+    * in ONE atomic commit: matching rows' addresses become a position-
+    * delete file AND their updated images become new data files, both
+    * referenced by the same manifest version — a reader sees either the
+    * fully pre-update or the fully post-update table, never a torn
+    * middle. `set` expressions may reference the row's own old values
+    * (`"v" -> col("v") * 2`). Update-sized work: only matching rows are
+    * rewritten (merge-on-read; the untouched files are carried), where a
+    * copy-on-write UPDATE would rewrite every grazed file.
+    *
+    * @return (committed version — unchanged when nothing matched,
+    *         rows updated)
+    */
+  def updateWhere(
+      spark: SparkSession,
+      predicate: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      partitions: Int = 1): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    require(set.nonEmpty, "updateWhere: need at least one SET assignment")
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"updateWhere: no committed snapshot at $root"))
+    val base = readWithPositions(spark, cur)
+    val baseCols = base.columns.toSeq.filterNot(c => c == "_file" || c == "_pos")
+    set.foreach { case (n, _) =>
+      require(baseCols.contains(n),
+        s"updateWhere: SET names unknown column $n — UPDATE assigns existing columns " +
+          s"only (have ${baseCols.mkString(", ")}); evolve the schema via append instead")
+    }
+    val matched = base.where(predicate)
+    val n = matched.count()
+    if (n == 0L) (cur, 0L)
+    else {
+      val posStaged = stageData(
+        matched.select(col("_file").cast("string"), col("_pos").cast("long")), 1)
+      val updated = set.foldLeft(matched.drop("_file", "_pos")) {
+        case (d, (name, c)) => d.withColumn(name, c)
+      }.select(baseCols.map(col): _*)
+      val dataStaged = stageData(updated, partitions)
+      (commit(Some(cur),
+        files(cur) ++ posStaged.map(PosDelPrefix + _) ++ dataStaged), n)
+    }
+  }
+
+  // ───────────────────────── column mapping ─────────────────────────
+  // The Delta/Iceberg name→physical-id indirection: data files carry
+  // immutable PHYSICAL column names; the snapshot's `colmap` meta line
+  // maps logical names to them. RENAME and DROP COLUMN become one-line
+  // metadata commits (zero data rewritten), time travel reads each
+  // vintage under its own names, and a re-added logical name mints a
+  // FRESH physical id so dropped data is never resurrected.
+  // Meta format: `colmap=<nextId>|log1>phys1,log2>phys2` (ordered).
+
+  private val ColMapKey = "colmap"
+
+  /** The (nextPhysicalId, logical→physical pairs in schema order) of a
+    * snapshot, when column mapping is enabled.
+    */
+  def columnMapping(version: Long): Option[(Int, Seq[(String, String)])] =
+    metaValues(version).get(ColMapKey).map { v =>
+      val i = v.indexOf('|')
+      require(i > 0, s"malformed colmap in v$version: $v")
+      val pairs =
+        if (v.length == i + 1) Seq.empty[(String, String)]
+        else v.substring(i + 1).split(',').toSeq.map { e =>
+          val j = e.indexOf('>')
+          require(j > 0, s"malformed colmap entry in v$version: $e")
+          (e.substring(0, j), e.substring(j + 1))
+        }
+      (v.substring(0, i).toInt, pairs)
+    }
+
+  private def renderColMap(next: Int, pairs: Seq[(String, String)]): String = {
+    pairs.foreach { case (l, p) =>
+      require(!(l + p).exists(c => c == ',' || c == '>' || c == '|' || c == '=' ||
+          c == '\n' || c == '\r'),
+        s"column mapping forbids ',>|=' and newlines in names: $l -> $p")
+    }
+    s"$next|${pairs.map { case (l, p) => s"$l>$p" }.mkString(",")}"
+  }
+
+  /** Turn column mapping ON for an existing table: the current physical
+    * schema becomes the identity mapping in one metadata commit. From
+    * here on, write through [[appendMapped]] and read through
+    * [[readMapped]]; [[renameColumn]]/[[dropColumn]] are metadata-only.
+    */
+  def enableColumnMapping(spark: SparkSession): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"enableColumnMapping: no committed snapshot at $root"))
+    require(columnMapping(cur).isEmpty,
+      s"enableColumnMapping: column mapping is already enabled at $root")
+    require(tombstoneFiles(cur).isEmpty,
+      "enableColumnMapping: key tombstones predate the mapping and would stop " +
+        "composing with renames; compact() them away first")
+    val paths = dataFiles(cur).map(p => new File(dataRootPath, p).toString)
+    require(paths.nonEmpty, "enableColumnMapping: empty table has no schema to map")
+    val fields = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      .schema.fieldNames.toSeq
+    val mapped = withMeta(files(cur), ColMapKey,
+      renderColMap(fields.size, fields.map(f => (f, f))))
+    commit(Some(cur), mapped)
+  }
+
+  /** RENAME COLUMN as a metadata-only commit: the logical name moves,
+    * the physical id (and every data byte) stays. Pinned readers of
+    * pre-rename versions keep the old name — time travel reads each
+    * vintage under its own mapping.
+    */
+  def renameColumn(from: String, to: String): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"renameColumn: no committed snapshot at $root"))
+    val (next, pairs) = columnMapping(cur).getOrElse(throw new IllegalStateException(
+      s"renameColumn: column mapping is not enabled at $root (enableColumnMapping first)"))
+    require(pairs.exists(_._1 == from), s"renameColumn: no column named $from " +
+      s"(have ${pairs.map(_._1).mkString(", ")})")
+    require(!pairs.exists(_._1 == to), s"renameColumn: column $to already exists")
+    val updated = pairs.map { case (l, p) => (if (l == from) to else l, p) }
+    commit(Some(cur), withMeta(files(cur), ColMapKey, renderColMap(next, updated)))
+  }
+
+  /** DROP COLUMN as a metadata-only commit: the mapping entry goes, the
+    * physical data stays (readable by pinned pre-drop versions). A later
+    * [[appendMapped]] re-adding the same logical name mints a FRESH
+    * physical id, so the dropped column's old values never resurrect.
+    */
+  def dropColumn(name: String): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"dropColumn: no committed snapshot at $root"))
+    val (next, pairs) = columnMapping(cur).getOrElse(throw new IllegalStateException(
+      s"dropColumn: column mapping is not enabled at $root (enableColumnMapping first)"))
+    require(pairs.exists(_._1 == name), s"dropColumn: no column named $name " +
+      s"(have ${pairs.map(_._1).mkString(", ")})")
+    require(pairs.size > 1, s"dropColumn: refusing to drop the last column $name")
+    commit(Some(cur),
+      withMeta(files(cur), ColMapKey, renderColMap(next, pairs.filterNot(_._1 == name))))
+  }
+
+  /** [[append]] under column mapping: `df`'s LOGICAL columns are
+    * translated to their physical ids before staging, so post-rename
+    * appends land in the same physical columns as pre-rename files.
+    * Logical columns not yet mapped (ADD COLUMN) mint fresh `c<n>`
+    * physical ids in the same commit as their first data.
+    */
+  def appendMapped(df: DataFrame, partitions: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"appendMapped: no committed snapshot at $root"))
+    val (next0, pairs0) = columnMapping(cur).getOrElse(throw new IllegalStateException(
+      s"appendMapped: column mapping is not enabled at $root (enableColumnMapping first)"))
+    val known = pairs0.toMap
+    var next = next0
+    val added = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val physCols = df.columns.toSeq.map { c =>
+      known.get(c) match {
+        case Some(p) => col(c).as(p)
+        case None =>
+          val p = s"c$next"
+          next += 1
+          added += ((c, p))
+          col(c).as(p)
+      }
+    }
+    val staged = stageData(df.select(physCols: _*), partitions)
+    val lines =
+      if (added.isEmpty) files(cur)
+      else withMeta(files(cur), ColMapKey, renderColMap(next, pairs0 ++ added))
+    commit(Some(cur), lines ++ staged)
+  }
+
+  /** [[read]] under column mapping: scan the snapshot's physical files
+    * (schemas merged — files predating an ADD COLUMN serve nulls) and
+    * project to the snapshot's LOGICAL schema in mapping order. A column
+    * whose physical id appears in no file of this vintage is skipped
+    * (its data arrives with its first mapped append). Key tombstones are
+    * refused — they store delete-time logical names and do not compose
+    * with renames; position deletes ([[deleteWhere]]) compose fine.
+    */
+  def readMapped(spark: SparkSession, version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (_, pairs) = columnMapping(version).getOrElse(throw new IllegalStateException(
+      s"readMapped: column mapping is not enabled at v$version of $root"))
+    require(tombstoneFiles(version).isEmpty,
+      "readMapped: key tombstones do not compose with column mapping " +
+        "(they store delete-time logical names); use deleteWhere/deletePositions, " +
+        "or compact() the tombstones away first")
+    val paths = dataFiles(version).map(p => new File(dataRootPath, p).toString)
+    val data = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val masked = applyMasks(spark, version, data)
+    val present = masked.columns.toSet
+    val projected = pairs.collect { case (log, phys) if present(phys) => col(phys).as(log) }
+    require(projected.nonEmpty, s"readMapped: no mapped column of v$version has data")
+    masked.select(projected: _*)
   }
 
   /** Stage + commit `df` EXACTLY as arranged, with PER-FILE MIN/MAX
@@ -1029,7 +1367,7 @@ class SnapshotLog(
         survivors.fold(fresh)(s => s.select(baseCols.map(col): _*).unionByName(fresh)),
         Seq(keyCol))
     }
-    val v = commit(Some(cur), untouched ++ stagedNew)
+    val v = commit(Some(cur), metaLines(cur) ++ untouched ++ stagedNew)
     (v, (rewrite.size, dataFiles(cur).size))
   }
 

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.SnapshotLog
+
+/** r11 snapshot-log surface: column mapping (RENAME/DROP as metadata
+  * commits), predicate DELETE/UPDATE over the merge-on-read machinery,
+  * the delete-absorbing OPTIMIZE law, and liquid-style incremental
+  * OPTIMIZE. Brief-driven (the reference app has no lakehouse layer);
+  * semantics follow the public Delta/Iceberg protocol designs.
+  */
+class SnapshotDmlSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshLog(name: String): SnapshotLog = {
+    val log = new SnapshotLog(s"/root/repo/target/snapdml_spec/$name")
+    log.recreate()
+    log
+  }
+
+  private def rows(n: Int, tag: String) =
+    (0 until n).map(i => (i.toLong, s"$tag-$i", i.toLong * 10)).toDF("id", "payload", "v")
+
+  private def setEq(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("rename/drop column are metadata-only commits; time travel reads each vintage's names") {
+    val log = freshLog("colmap")
+    val v0 = log.append(rows(10, "a"), partitions = 2)
+    val vMap = log.enableColumnMapping(spark)
+    val vRen = log.renameColumn("payload", "body")
+    // metadata commits move ZERO data: same data files, op class "metadata"
+    assert(log.dataFiles(vRen).sorted == log.dataFiles(v0).sorted)
+    assert(log.history.collect { case (v, op, _, _, _, _) if v == vMap || v == vRen => op }
+      .forall(_ == "metadata"))
+    // post-rename append writes the SAME physical column
+    log.appendMapped(
+      (10 until 15).map(i => (i.toLong, s"b-$i", i.toLong * 10)).toDF("id", "body", "v"),
+      partitions = 1)
+    val latest = log.readMapped(spark, log.currentVersion.get)
+    assert(latest.columns.toSeq == Seq("id", "body", "v") && latest.count() == 15L)
+    // pre-rename vintage still reads under the OLD name, same 10 rows
+    val old = log.readMapped(spark, vMap)
+    assert(old.columns.toSeq == Seq("id", "payload", "v") && old.count() == 10L)
+    // same physical bytes: the old vintage equals the new one's first batch,
+    // modulo the logical rename
+    assert(setEq(old,
+      latest.where(col("id") < 10).withColumnRenamed("body", "payload")
+        .select("id", "payload", "v")))
+  }
+
+  test("drop column hides data without rewrite; re-added name mints a fresh physical id") {
+    val log = freshLog("colmap_drop")
+    log.append(rows(6, "a"), partitions = 1)
+    log.enableColumnMapping(spark)
+    val preDrop = log.currentVersion.get
+    val vDrop = log.dropColumn("payload")
+    assert(log.dataFiles(vDrop).sorted == log.dataFiles(preDrop).sorted, "drop rewrites nothing")
+    assert(log.readMapped(spark, vDrop).columns.toSeq == Seq("id", "v"))
+    // pinned pre-drop reader still sees the column
+    assert(log.readMapped(spark, preDrop).columns.contains("payload"))
+    // re-add the same logical name: fresh physical id, old values DO NOT resurrect
+    log.appendMapped(Seq((100L, 1000L, "fresh")).toDF("id", "v", "payload"), partitions = 1)
+    val cur = log.readMapped(spark, log.currentVersion.get)
+    val payloads = cur.select("payload").collect().map(r => Option(r.getString(0))).toSeq
+    assert(payloads.count(_.isDefined) == 1 && payloads.flatten == Seq("fresh"),
+      "old rows must read NULL in the re-added column — dropped data never resurrects")
+    val (_, pairs) = log.columnMapping(log.currentVersion.get).get
+    assert(pairs.toMap.apply("payload").startsWith("c"), "re-added column rides a minted id")
+  }
+
+  test("deleteWhere masks by position without rewrite; updateWhere is one atomic delete+append") {
+    val log = freshLog("dml")
+    val v0 = log.append(rows(20, "a"), partitions = 2)
+    val (vDel, nDel) = log.deleteWhere(spark, col("id") % 5 === 0)
+    assert(nDel == 4L && vDel == v0 + 1L)
+    assert(log.dataFiles(vDel).sorted == log.dataFiles(v0).sorted, "delete rewrites no data")
+    assert(log.read(spark, vDel).count() == 16L)
+    // idempotent: already-masked rows don't rematch
+    val (vDel2, nDel2) = log.deleteWhere(spark, col("id") % 5 === 0)
+    assert(nDel2 == 0L && vDel2 == vDel, "nothing matched → no commit")
+    // UPDATE: set references the old value; exactly one version bump
+    val (vUp, nUp) = log.updateWhere(spark, col("id") === 7L, Seq("v" -> (col("v") + 1L)))
+    assert(nUp == 1L && vUp == vDel + 1L)
+    val after = log.read(spark, vUp)
+    assert(after.count() == 16L)
+    assert(after.where(col("id") === 7L).select("v").as[Long].collect().toSeq == Seq(71L))
+    // unknown SET column refused
+    intercept[IllegalArgumentException] {
+      log.updateWhere(spark, col("id") === 1L, Seq("nope" -> lit(1)))
+    }
+    // pre-update vintage unchanged
+    assert(log.read(spark, vDel).where(col("id") === 7L)
+      .select("v").as[Long].collect().toSeq == Seq(70L))
+  }
+
+  test("optimize absorbs outstanding deletes: zero tombstone lines, view bitwise preserved") {
+    val log = freshLog("absorb")
+    log.append(rows(30, "a"), partitions = 3)
+    log.deleteWhere(spark, col("id") < 5)
+    log.updateWhere(spark, col("id") >= 25, Seq("payload" -> concat(col("payload"), lit("!"))))
+    val pre = log.currentVersion.get
+    assert(log.posDeleteFiles(pre).nonEmpty, "precondition: outstanding position deletes")
+    val mergeView = log.read(spark, pre).collect().toSet
+    val vOpt = log.optimize(spark, partitions = 2, sortCols = Seq(col("id")))
+    assert(log.tombstoneFiles(vOpt).isEmpty && log.posDeleteFiles(vOpt).isEmpty,
+      "optimize must absorb every tombstone line")
+    assert(log.read(spark, vOpt).collect().toSet == mergeView,
+      "post-compaction snapshot must equal the merge-on-read view")
+    // the pinned pre-optimize version still reads through its masks
+    assert(log.read(spark, pre).count() == 25L)
+  }
+
+  test("optimizeIncremental clusters only post-optimize files; read-back equals full rewrite") {
+    val log = freshLog("liquid")
+    log.append(rows(40, "a"), partitions = 4)
+    val vFull = log.optimize(spark, partitions = 2, sortCols = Seq(col("id")))
+    val clustered = log.dataFiles(vFull).toSet
+    log.append((40 until 60).map(i => (i.toLong, s"b-$i", i.toLong * 10))
+      .toDF("id", "payload", "v"), partitions = 3)
+    val preIncr = log.currentVersion.get
+    val before = log.read(spark, preIncr).collect().toSet
+    val (vIncr, (rewritten, carried)) =
+      log.optimizeIncremental(spark, partitions = 1, sortCols = Seq(col("id")))
+    assert(rewritten == 3 && carried == clustered.size,
+      s"only the 3 fresh files rewrite; got rewritten=$rewritten carried=$carried")
+    // every pre-optimize clustered file is carried UNTOUCHED
+    assert(clustered.subsetOf(log.dataFiles(vIncr).toSet),
+      "incremental optimize must not touch already-clustered files")
+    assert(log.read(spark, vIncr).collect().toSet == before, "content preserved exactly")
+    // steady state: nothing fresh → no-op, no commit
+    val (vAgain, (r2, _)) = log.optimizeIncremental(spark, 1, Seq(col("id")))
+    assert(vAgain == vIncr && r2 == 0)
+    // outstanding deletes are refused loudly
+    log.deleteWhere(spark, col("id") === 1L)
+    intercept[IllegalArgumentException] {
+      log.optimizeIncremental(spark, 1, Seq(col("id")))
+    }
+  }
+}
