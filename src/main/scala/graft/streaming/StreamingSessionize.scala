@@ -1462,4 +1462,114 @@ object StreamingSessionize {
         coalesce(col("bm25_best_q"), lit("")).as("bm25_best_q"),
         coalesce(col("bm25_best"), lit(0.0)).as("bm25_best"))
   }
+
+  /** CHECKPOINT RECOVERY replay — the exactly-once restart law as a
+    * DECLARED, oracle-checked query (promoting
+    * `StreamingRecoverySpec`'s kill-and-restart proof into the driver's
+    * DuckDB gate): a daily per-user count over the events stream runs
+    * against a FILE sink + checkpoint, is STOPPED after only the first
+    * two of six input files, then a brand-new query instance resumes
+    * from the same checkpoint once the rest (incl. the watermark-driving
+    * sentinels) land. The file source's checkpointed offsets and the
+    * file sink's commit log must together neither re-emit phase-1 rows
+    * nor lose in-flight state.
+    *
+    * Three laws ride as measured columns the oracle asserts TRUE:
+    * `interrupted_midstream` (phase 1 emitted strictly less than the
+    * full answer — something was genuinely left to recover),
+    * `no_duplicate_emissions` (sink rows are pairwise distinct), and
+    * batch parity itself is the hash match — the oracle recomputes the
+    * daily counts from the raw table, so one lost or doubled row fails
+    * the gate. Sentinels ride user_id −1 and are filtered from the
+    * output; their far-future day never enters (the watermark cutoff
+    * discipline of every replay in this file).
+    */
+  def recoveryReplay(
+      events: DataFrame,
+      slices: Int = 4,
+      watermarkDelaySec: Long = 600L): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    require(slices >= 3, s"recoveryReplay: need >= 3 slices to interrupt midstream, got $slices")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_recovery_")
+    val (streamDir, sinkDir, ckptDir) =
+      (base.resolve("in"), base.resolve("out"), base.resolve("ckpt"))
+    Files.createDirectories(streamDir)
+    try {
+      val proj = events.select(col("user_id").cast("long").as("user_id"), col("ts"))
+      val bounds = proj.agg(
+        min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
+      require(!bounds.isNullAt(0), "recoveryReplay: empty events input")
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = hi - lo + 1
+      val sliceDfs = (0 until slices).map { i =>
+        val e = unix_timestamp(col("ts"))
+        proj.where(e >= lo + span * i / slices && e < lo + span * (i + 1) / slices)
+      } ++ Seq(hi + 86400L + watermarkDelaySec + 60L,
+        hi + 86400L + watermarkDelaySec + 120L).map { sec =>
+        Seq(-1L).toDF("user_id").select(col("user_id"), lit(sec).cast("timestamp").as("ts"))
+      }
+      // stage every slice up front, but PUBLISH into the source dir in two
+      // phases around the kill (mtimes pinned so the file source's
+      // (mtime, path) order can't let a sentinel overtake a data slice)
+      val staged = sliceDfs.zipWithIndex.map { case (df, i) =>
+        val stage = base.resolve(s"stage_$i")
+        df.coalesce(1).write.parquet(stage.toString)
+        Files.list(stage).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"recoveryReplay: no parquet part for slice $i"))
+      }
+      def publish(i: Int): Unit = {
+        val dest = streamDir.resolve(f"part_$i%03d.parquet")
+        Files.copy(staged(i), dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
+        ()
+      }
+      def runOnce(): Unit = {
+        val q = spark.readStream.schema(proj.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+          .withWatermark("ts", s"$watermarkDelaySec seconds")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(to_date(col("w.start")).as("day"), col("user_id"), col("n"))
+          .writeStream.format("parquet")
+          .option("path", sinkDir.toString)
+          .option("checkpointLocation", ckptDir.toString)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      val sinkSchema = "day date, user_id long, n long"
+      // phase 1: two files land, the query drains them and is KILLED
+      (0 to 1).foreach(publish)
+      withReplayStatePartitions(spark)(runOnce())
+      val afterPhase1 =
+        spark.read.schema(sinkSchema).parquet(sinkDir.toString).count()
+      // phase 2: the rest lands; a NEW instance resumes from the checkpoint
+      (2 until staged.length).foreach(publish)
+      withReplayStatePartitions(spark)(runOnce())
+      val sunk = spark.read.schema(sinkSchema).parquet(sinkDir.toString)
+        .where(col("user_id") >= 0)
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+      val expectedRows = proj
+        .groupBy(to_date(col("ts")).as("day"), col("user_id")).agg(count(lit(1)))
+        .count()
+      val interrupted = afterPhase1 < expectedRows
+      val noDupes = sunk.size == sunk.distinct.size
+      // the memory copy owns the rows now; lift it back into a frame with
+      // the law columns (batch parity is the oracle hash itself)
+      sunk.toDF("day_s", "user_id", "n")
+        .select(
+          col("day_s").cast("date").as("day"), col("user_id"), col("n"),
+          lit(interrupted).as("interrupted_midstream"),
+          lit(noDupes).as("no_duplicate_emissions"))
+        .orderBy(col("day"), col("user_id"))
+    } finally {
+      import scala.util.Try
+      Try(Files.walk(base).iterator().asScala.toSeq.reverse.foreach(p => Try(Files.delete(p))))
+      ()
+    }
+  }
 }
