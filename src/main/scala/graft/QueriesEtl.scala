@@ -2067,6 +2067,51 @@ object QueriesEtl {
         .orderBy(col("lang"))
     }),
 
+    // ── ANALYZE-driven JOIN ORDER ([[SnapshotLog.analyze]] +
+    // [[graft.sources.StatsOptimizer.statsJoin]] — closing the stats
+    // loop from persisted metadata to an actual optimizer decision):
+    // both logs are ANALYZEd (row count + exact per-column NDV committed
+    // as a versioned meta line), then the join picks its BROADCAST build
+    // side from those stats, not from scan-size estimates. Measured
+    // laws: `stats_exact` (the persisted numbers equal recomputed
+    // truth), `dim_chosen_as_build` (the smaller side won),
+    // `plan_broadcasts_build` (the EXECUTED plan carries a
+    // BroadcastHashJoin building the dim side — the decision reached the
+    // physical plan), `build_key_unique` (NDV==rows on the build key, so
+    // the broadcast inner join provably cannot fan out) ──
+    "stats_join_order" -> ((s, dir) => {
+      val factLog = new SnapshotLog(scratch(dir, "stats_fact"))
+      val dimLog = new SnapshotLog(scratch(dir, "stats_dim"))
+      factLog.recreate(); dimLog.recreate()
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_type"),
+        floor(coalesce(col("value"), lit(0.0)) * 100).cast("long").as("cents"))
+      factLog.append(ev, partitions = 4)
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("tier", pmod(col("user_id"), lit(4)).cast("long"))
+      dimLog.append(dim, partitions = 2)
+      factLog.analyze(s, Seq("user_id"))
+      dimLog.analyze(s, Seq("user_id"))
+      val (joined, dec) =
+        graft.sources.StatsOptimizer.statsJoin(s, dimLog, factLog, "user_id")
+      val statsExact = dec.leftRows == dim.count() && dec.rightRows == ev.count()
+      val dimChosen = dec.broadcastLeft // dim is the left log and the smaller
+      val plan = joined.queryExecution.executedPlan.toString
+      val planBroadcasts =
+        plan.contains("BroadcastHashJoin") && plan.contains("BuildRight")
+      joined
+        .groupBy(col("tier"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("cents")).as("sum_cents"))
+        .withColumn("stats_exact", lit(statsExact))
+        .withColumn("dim_chosen_as_build", lit(dimChosen))
+        .withColumn("plan_broadcasts_build", lit(planBroadcasts))
+        .withColumn("build_key_unique", lit(dec.buildKeyUnique))
+        .orderBy(col("tier"))
+    }),
+
     // ── INCREMENTAL MATERIALIZED VIEW ([[Materialize.mergeSummaries]]):
     // the weekly events rollup absorbs the late-January batch by merging a
     // DELTA-sized partial aggregate into the summary — the base rows before
@@ -2789,6 +2834,25 @@ object QueriesEtl {
         |       TRUE AS content_preserved,
         |       TRUE AS noop_when_clustered
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // stats_join_order: the per-tier rollup through the derived user dim;
+    // the stats-exactness and plan-shape laws are measured Spark-side
+    "stats_join_order" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(coalesce(value, 0.0) * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), dim AS (
+        |  SELECT DISTINCT user_id, user_id % 4 AS tier FROM ev
+        |)
+        |SELECT d.tier, count(*) AS n_events,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(e.cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS stats_exact,
+        |       TRUE AS dim_chosen_as_build,
+        |       TRUE AS plan_broadcasts_build,
+        |       TRUE AS build_key_unique
+        |FROM ev e JOIN dim d USING (user_id)
+        |GROUP BY d.tier ORDER BY d.tier""".stripMargin,
 
     // vacuum_orphans: the four vacuum laws are measured Spark-side (set
     // equalities over actual deleted paths) and pinned TRUE; the surviving

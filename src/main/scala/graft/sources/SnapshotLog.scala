@@ -1162,6 +1162,53 @@ class SnapshotLog(
     masked.select(projected: _*)
   }
 
+  // ───────────────────────── table statistics ─────────────────────────
+
+  /** ANALYZE TABLE under the log: one aggregate pass computes the row
+    * count and EXACT per-column distinct counts (NDV) for `cols`, and
+    * commits them as a `tablestats` meta line — versioned WITH the
+    * snapshot (stats from v3 never describe v7; RESTORE brings the old
+    * stats back with the old data). One table-sized pass, run explicitly
+    * as maintenance like every ANALYZE; readers get the numbers for free
+    * from metadata. Serialized `rows|col>ndv,col>ndv` — the
+    * cost-based-optimizer inputs ([[StatsOptimizer.statsJoin]] consumes
+    * them for the broadcast-side decision).
+    */
+  def analyze(spark: SparkSession, cols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, col => c}
+    require(cols.nonEmpty, "analyze: need at least one column")
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"analyze: no committed snapshot at $root"))
+    val data = read(spark, cur)
+    val aggs = count(lit(1)).as("__rows") +:
+      cols.map(n => countDistinct(c(n)).as(s"__ndv_$n"))
+    val row = data.agg(aggs.head, aggs.tail: _*).head()
+    val rows = row.getLong(0)
+    val ndvs = cols.zipWithIndex.map { case (n, i) => (n, row.getLong(i + 1)) }
+    ndvs.foreach { case (n, _) =>
+      require(!n.exists(c => c == ',' || c == '>' || c == '|' || c == '='),
+        s"analyze: column name forbids ',>|=': $n")
+    }
+    val rendered = s"$rows|${ndvs.map { case (n, v) => s"$n>$v" }.mkString(",")}"
+    commit(Some(cur), withMeta(files(cur), "tablestats", rendered))
+  }
+
+  /** The (rowCount, column→NDV) recorded by the latest [[analyze]] at or
+    * before `version`, if any.
+    */
+  def tableStats(version: Long): Option[(Long, Map[String, Long])] =
+    metaValues(version).get("tablestats").map { v =>
+      val i = v.indexOf('|')
+      require(i > 0, s"malformed tablestats in v$version: $v")
+      val ndvs =
+        if (v.length == i + 1) Map.empty[String, Long]
+        else v.substring(i + 1).split(',').map { e =>
+          val j = e.indexOf('>')
+          e.substring(0, j) -> e.substring(j + 1).toLong
+        }.toMap
+      (v.substring(0, i).toLong, ndvs)
+    }
+
   /** Stage + commit `df` EXACTLY as arranged, with PER-FILE MIN/MAX
     * STATS for `statsCols` recorded in a `_stats.parquet` sidecar beside
     * the staged files (the Delta add-file-stats shape): [[readPruned]]

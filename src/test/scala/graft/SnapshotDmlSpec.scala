@@ -115,6 +115,33 @@ class SnapshotDmlSpec extends AnyFunSuite {
     assert(log.read(spark, pre).count() == 25L)
   }
 
+  test("analyze persists exact versioned stats; statsJoin picks the build side from them") {
+    import graft.sources.StatsOptimizer
+    val fact = freshLog("stats_fact")
+    val dim = freshLog("stats_dim")
+    fact.append((0 until 100).map(i => (i.toLong % 10, i.toLong)).toDF("k", "x"), 2)
+    dim.append((0 until 10).map(i => (i.toLong, s"t${i % 3}")).toDF("k", "tier"), 1)
+    // stats missing → refused loudly, never guessed
+    intercept[IllegalStateException] { StatsOptimizer.statsJoin(spark, dim, fact, "k") }
+    fact.analyze(spark, Seq("k"))
+    dim.analyze(spark, Seq("k"))
+    val fv = fact.currentVersion.get
+    assert(fact.tableStats(fv).contains((100L, Map("k" -> 10L))))
+    assert(dim.tableStats(dim.currentVersion.get).contains((10L, Map("k" -> 10L))))
+    val (joined, dec) = StatsOptimizer.statsJoin(spark, dim, fact, "k")
+    assert(dec.broadcastLeft && dec.buildKeyUnique && dec.leftRows == 10L)
+    assert(joined.count() == 100L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("BuildRight"))
+    // stats version WITH the snapshot: an append outdates them only forward;
+    // the analyzed vintage keeps its numbers
+    fact.append(Seq((11L, 1L)).toDF("k", "x"), 1)
+    assert(fact.tableStats(fact.currentVersion.get).contains((100L, Map("k" -> 10L))),
+      "carried stats describe the analyzed vintage until re-analyzed")
+    fact.analyze(spark, Seq("k"))
+    assert(fact.tableStats(fact.currentVersion.get).contains((101L, Map("k" -> 11L))))
+  }
+
   test("optimizeIncremental clusters only post-optimize files; read-back equals full rewrite") {
     val log = freshLog("liquid")
     log.append(rows(40, "a"), partitions = 4)
