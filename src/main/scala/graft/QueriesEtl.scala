@@ -2112,6 +2112,51 @@ object QueriesEtl {
         .orderBy(col("tier"))
     }),
 
+    // ── FULL three-clause MERGE INTO ([[SnapshotLog.mergeInto]] — the
+    // complete Delta MERGE semantics; `snapshot_merge_upsert` covers the
+    // plain-upsert special case): WHEN MATCHED AND F-status DELETE, WHEN
+    // MATCHED UPDATE (cents accumulate, SET reading the OLD row), WHEN
+    // NOT MATCHED INSERT, WHEN NOT MATCHED BY SOURCE AND stale DELETE —
+    // all four effects land in ONE atomic version
+    // (`single_atomic_commit`), with per-clause row metrics returned by
+    // the engine matching independently recomputed truth
+    // (`metrics_match`) ──
+    "snapshot_merge_full" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_mergefull"))
+      log.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val target = orders.where(col("k") % 4 =!= 3)
+      val source = orders.where(col("k") % 2 === 1)
+        .withColumn("cents", col("cents") + 7L)
+      val v0 = log.append(target, partitions = 4)
+      val (v1, (nUpd, nDel, nIns), _) = log.mergeInto(
+        source, "k",
+        updateWhen = Some(lit(true)),
+        updateSet = Seq("cents" -> (col("cents") + col("src_cents"))),
+        deleteWhen = Some(col("status") === "F"),
+        insertNotMatched = true,
+        deleteNotMatchedBySource = Some(col("status") === "O" && col("k") % 10 === 0))
+      val atomic = v1 == v0 + 1L
+      // recompute every clause count independently of the engine's metrics
+      val expUpd = target.where(col("k") % 4 === 1 && col("status") =!= "F").count()
+      val expDel = target.where(col("k") % 4 === 1 && col("status") === "F").count() +
+        target.where(col("k") % 2 === 0 && col("status") === "O" && col("k") % 10 === 0)
+          .count()
+      val expIns = source.where(col("k") % 4 === 3).count()
+      val metricsMatch = nUpd == expUpd && nDel == expDel && nIns == expIns
+      log.read(s, v1)
+        .groupBy(col("status"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("k")).as("sum_key"),
+          sum(col("cents")).as("sum_cents"))
+        .withColumn("single_atomic_commit", lit(atomic))
+        .withColumn("metrics_match", lit(metricsMatch))
+        .orderBy(col("status"))
+    }),
+
     // ── INCREMENTAL MATERIALIZED VIEW ([[Materialize.mergeSummaries]]):
     // the weekly events rollup absorbs the late-January batch by merging a
     // DELTA-sized partial aggregate into the summary — the base rows before
@@ -2834,6 +2879,35 @@ object QueriesEtl {
         |       TRUE AS content_preserved,
         |       TRUE AS noop_when_clustered
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // snapshot_merge_full: replay all four clause effects relationally —
+    // matched-non-F rows accumulate source cents, matched-F rows vanish,
+    // stale unmatched-by-source rows vanish, source-only keys insert;
+    // the atomicity and metrics laws are measured Spark-side
+    "snapshot_merge_full" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 4 <> 3
+        |), s AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) + 7 AS cents
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |), merged AS (
+        |  SELECT t.k, t.status, t.cents + s.cents AS cents
+        |  FROM t JOIN s ON t.k = s.k WHERE t.status <> 'F'
+        |  UNION ALL
+        |  SELECT t.k, t.status, t.cents FROM t
+        |  WHERE t.k % 2 = 0 AND NOT (t.status = 'O' AND t.k % 10 = 0)
+        |  UNION ALL
+        |  SELECT s.k, s.status, s.cents FROM s WHERE s.k % 4 = 3
+        |)
+        |SELECT status, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS single_atomic_commit,
+        |       TRUE AS metrics_match
+        |FROM merged GROUP BY status ORDER BY status""".stripMargin,
 
     // stats_join_order: the per-tier rollup through the derived user dim;
     // the stats-exactness and plan-shape laws are measured Spark-side

@@ -1418,6 +1418,132 @@ class SnapshotLog(
     (v, (rewrite.size, dataFiles(cur).size))
   }
 
+  /** FULL three-clause MERGE INTO (the complete Delta `MERGE` semantics,
+    * where [[mergeCopyOnWrite]] is the plain-upsert special case):
+    *
+    *   - WHEN MATCHED AND `deleteWhen`        THEN DELETE
+    *   - WHEN MATCHED AND `updateWhen`        THEN UPDATE SET `updateSet`
+    *   - WHEN NOT MATCHED (`insertNotMatched`) THEN INSERT *
+    *   - WHEN NOT MATCHED BY SOURCE AND
+    *     `deleteNotMatchedBySource`           THEN DELETE
+    *
+    * Clause order is fixed delete-before-update (first applicable clause
+    * wins, per the SQL MERGE evaluation rule); every SET / condition
+    * expression reads the OLD row — source columns ride `src_`-prefixed
+    * (`col("src_amount")`), target columns plainly. All effects commit as
+    * ONE atomic version.
+    *
+    * Scale scope: without a NOT-MATCHED-BY-SOURCE clause only the data
+    * files whose [[stageIndexed]] key range contains a source key are
+    * rewritten (exact candidacy, as in [[mergeCopyOnWrite]]); with one,
+    * every file is in scope by definition (any target row might lose its
+    * source match). Inserts anti-join the distinct TARGET key column —
+    * one key-column scan, the unavoidable global membership check.
+    * Source keys must be unique (ambiguous multi-match is refused, the
+    * Delta error). Returns (version, (updated, deleted, inserted),
+    * (filesRewritten, filesTotal)).
+    */
+  def mergeInto(
+      source: DataFrame,
+      keyCol: String,
+      updateWhen: Option[org.apache.spark.sql.Column] = None,
+      updateSet: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      insertNotMatched: Boolean = false,
+      deleteNotMatchedBySource: Option[org.apache.spark.sql.Column] = None)
+      : (Long, (Long, Long, Long), (Int, Int)) = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, sum, when}
+    val spark = source.sparkSession
+    require(updateWhen.isDefined == updateSet.nonEmpty,
+      "mergeInto: updateWhen and updateSet come together (use lit(true) for unconditional)")
+    require(updateWhen.isDefined || deleteWhen.isDefined || insertNotMatched ||
+        deleteNotMatchedBySource.isDefined,
+      "mergeInto: at least one clause required")
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"mergeInto: no committed snapshot at $root"))
+    require(tombstoneFiles(cur).isEmpty && posDeleteFiles(cur).isEmpty,
+      "mergeInto: compact() merge-on-read tombstones/position deletes before merging")
+    val baseCols = read(spark, cur).columns.toSeq
+    require(source.columns.toSeq.sorted == baseCols.sorted,
+      s"mergeInto: source schema ${source.columns.toSeq.sorted} != target ${baseCols.sorted}")
+    require(!baseCols.exists(c => c.startsWith("src_") || c == "__matched"),
+      "mergeInto: target columns must not be named src_* or __matched")
+    val srcCounts = source.agg(
+      count(lit(1)), org.apache.spark.sql.functions.countDistinct(col(keyCol))).head()
+    require(srcCounts.getLong(0) == srcCounts.getLong(1),
+      s"mergeInto: source keys must be unique on $keyCol — " +
+        s"${srcCounts.getLong(0)} rows, ${srcCounts.getLong(1)} distinct (ambiguous matches)")
+
+    // rewrite scope: stats-pruned unless a NOT-MATCHED-BY-SOURCE clause
+    // puts every target row in play
+    val rewrite: Seq[String] =
+      if (deleteNotMatchedBySource.isDefined) dataFiles(cur)
+      else {
+        val ranges = fileRanges(spark, cur, keyCol)
+        val alwaysRewrite = ranges.collect { case (p, None) => p }
+        val statted = ranges.collect { case (p, Some((lo, hi))) => (p, lo, hi) }
+        import spark.implicits._
+        val hit =
+          if (statted.isEmpty) Seq.empty[String]
+          else source.select(col(keyCol).cast("long").as("k")).distinct()
+            .join(broadcast(statted.toDF("file", "lo", "hi")),
+              col("k") >= col("lo") && col("k") <= col("hi"))
+            .select("file").distinct().as[String].collect().toSeq
+        (alwaysRewrite ++ hit).sorted
+      }
+    val untouched = dataFiles(cur).filterNot(rewrite.toSet)
+
+    val srcPref = source.columns.foldLeft(source) { (d, c) =>
+      d.withColumnRenamed(c, s"src_$c")
+    }.withColumn("__matched", lit(true))
+    val tgt =
+      if (rewrite.isEmpty) read(spark, cur).limit(0)
+      else spark.read.parquet(rewrite.map(p => new File(dataRootPath, p).toString): _*)
+    val joined = tgt.join(srcPref, col(keyCol) === col(s"src_$keyCol"), "left_outer")
+    val matched = coalesce(col("__matched"), lit(false))
+    // a NULL clause condition means "does not apply" (SQL three-valued)
+    def applies(c: org.apache.spark.sql.Column) = coalesce(c, lit(false))
+    val delApplies = deleteWhen.map(c => matched && applies(c)).getOrElse(lit(false))
+    val updApplies = updateWhen
+      .map(c => matched && !delApplies && applies(c)).getOrElse(lit(false))
+    val nmbsApplies = deleteNotMatchedBySource
+      .map(c => !matched && applies(c)).getOrElse(lit(false))
+    // clause metrics in ONE pass over the rewrite scope
+    val m = joined.agg(
+      sum(when(delApplies, 1L).otherwise(0L)),
+      sum(when(updApplies, 1L).otherwise(0L)),
+      sum(when(nmbsApplies, 1L).otherwise(0L))).head()
+    def metric(i: Int) = if (m.isNullAt(i)) 0L else m.getLong(i)
+    val (nDelM, nUpd, nDelNmbs) = (metric(0), metric(1), metric(2))
+    // every SET expression reads the OLD row: stage new values in temp
+    // columns BEFORE any target column is overwritten
+    val survivors = joined.where(!delApplies && !nmbsApplies)
+    val withTmp = updateSet.zipWithIndex.foldLeft(
+        survivors.withColumn("__upd", updApplies)) {
+      case (d, ((_, c), i)) => d.withColumn(s"__u$i", c)
+    }
+    val updated = updateSet.zipWithIndex.foldLeft(withTmp) {
+      case (d, ((n, _), i)) =>
+        d.withColumn(n, when(col("__upd"), col(s"__u$i")).otherwise(col(n)))
+    }.select(baseCols.map(col): _*)
+    val inserts =
+      if (!insertNotMatched) None
+      else Some(source
+        .join(read(spark, cur).select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .select(baseCols.map(col): _*))
+    val nIns = inserts.map(_.count()).getOrElse(0L)
+    if (rewrite.isEmpty && nIns == 0L) (cur, (0L, 0L, 0L), (0, dataFiles(cur).size))
+    else {
+      val out = inserts.fold(updated)(updated.unionByName(_))
+      // a merge that deletes the entire rewrite scope stages nothing
+      val staged =
+        if (out.limit(1).count() == 0L) Seq.empty[String]
+        else stageIndexed(out, Seq(keyCol))
+      val v = commit(Some(cur), metaLines(cur) ++ untouched ++ staged)
+      (v, (nUpd, nDelM + nDelNmbs, nIns), (rewrite.size, dataFiles(cur).size))
+    }
+  }
+
   /** Range-predicate read over a snapshot whose files carry
     * [[appendIndexed]] stats: prune to the files whose recorded
     * `[lo, hi]` intersects `[pLo, pHi]` (files from stats-free stages are

@@ -115,6 +115,61 @@ class SnapshotDmlSpec extends AnyFunSuite {
     assert(log.read(spark, pre).count() == 25L)
   }
 
+  test("mergeInto: full three-clause MERGE with fixed precedence, one atomic commit") {
+    val log = freshLog("merge_full")
+    // target: ids 0..9, v = id*10
+    log.append((0 until 10).map(i => (i.toLong, i.toLong * 10)).toDF("id", "v"), 2)
+    val v0 = log.currentVersion.get
+    // source: ids 5..14, srcv = id*100
+    val src = (5 until 15).map(i => (i.toLong, i.toLong * 100)).toDF("id", "v")
+    // matched & id==5 → DELETE; matched else → UPDATE v = old v + src v;
+    // not matched → INSERT; not matched by source & id<3 → DELETE
+    val (v1, (nUpd, nDel, nIns), (rewritten, total)) = log.mergeInto(
+      src, "id",
+      updateWhen = Some(lit(true)),
+      updateSet = Seq("v" -> (col("v") + col("src_v"))),
+      deleteWhen = Some(col("id") === 5L),
+      insertNotMatched = true,
+      deleteNotMatchedBySource = Some(col("id") < 3L))
+    assert(v1 == v0 + 1L, "one atomic commit")
+    assert((nUpd, nDel, nIns) == (4L, 4L, 5L), s"got ($nUpd, $nDel, $nIns)")
+    assert(rewritten == total, "an NMBS clause puts every file in scope")
+    val got = log.read(spark, v1).as[(Long, Long)].collect().toMap
+    // survivors 3,4 untouched; 6..9 updated old+new; 10..14 inserted
+    assert(got == Map(
+      3L -> 30L, 4L -> 40L,
+      6L -> 660L, 7L -> 770L, 8L -> 880L, 9L -> 990L,
+      10L -> 1000L, 11L -> 1100L, 12L -> 1200L, 13L -> 1300L, 14L -> 1400L))
+    // ambiguous source keys refused
+    intercept[IllegalArgumentException] {
+      log.mergeInto(Seq((1L, 1L), (1L, 2L)).toDF("id", "v"), "id",
+        updateWhen = Some(lit(true)), updateSet = Seq("v" -> col("src_v")))
+    }
+    // pinned pre-merge vintage unchanged
+    assert(log.read(spark, v0).count() == 10L)
+  }
+
+  test("mergeInto without NMBS prunes the rewrite scope to key-range hits") {
+    val log = freshLog("merge_pruned")
+    // three range-clustered stages via appendIndexed: [0,9], [10,19], [20,29]
+    (0 until 3).foreach { b =>
+      log.appendIndexed(
+        (b * 10 until (b + 1) * 10).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+          .coalesce(1), // one file per batch → contiguous disjoint id ranges
+        statsCols = Seq("id"))
+    }
+    val src = Seq((25L, 999L)).toDF("id", "v")
+    val (v, (nUpd, nDel, nIns), (rewritten, total)) = log.mergeInto(
+      src, "id",
+      updateWhen = Some(lit(true)), updateSet = Seq("v" -> col("src_v")))
+    assert(nUpd == 1L && nDel == 0L && nIns == 0L)
+    assert(total == 3 && rewritten == 1,
+      s"only the [20,29] file may rewrite; got $rewritten of $total")
+    assert(log.read(spark, v).where(col("id") === 25L)
+      .select("v").as[Long].collect().toSeq == Seq(999L))
+    assert(log.read(spark, v).count() == 30L)
+  }
+
   test("analyze persists exact versioned stats; statsJoin picks the build side from them") {
     import graft.sources.StatsOptimizer
     val fact = freshLog("stats_fact")
