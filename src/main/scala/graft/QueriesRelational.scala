@@ -1279,6 +1279,27 @@ object QueriesRelational {
         .orderBy(col("flag"), col("pair"))
     }),
 
+    // ── MATCH_RECOGNIZE-lite row-pattern mining ([[operators.Analytics
+    // .sequencePatterns]]): each user's full history collapses to one
+    // ordered code string (v/c/p/s/e per event type, (ts, event_id)
+    // total order) and regexes count NON-OVERLAPPING structural motifs —
+    // `v[^p]*p` (a view funnel reaching its first purchase) and
+    // `e[^pe]*p` (an error recovered by a purchase with no error or
+    // purchase between). One user-keyed shuffle, codegen'd regexp_count;
+    // the oracle rebuilds the identical strings with ordered string_agg
+    // and counts regexp_extract_all — leftmost non-overlapping scan in
+    // both engines ──
+    "pattern_sequences" -> ((s, dir) =>
+      graft.operators.Analytics.sequencePatterns(
+        Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        codes = Seq("view" -> "v", "click" -> "c", "purchase" -> "p",
+          "signup" -> "s", "error" -> "e"),
+        patterns = Seq(
+          "view_to_purchase" -> "v[^p]*p",
+          "error_recovery" -> "e[^pe]*p"))
+        .orderBy(col("key"))),
+
     // ── last-touch revenue attribution ([[operators.Analytics
     // .lastTouchAttribution]]): each purchase credits the most recent
     // preceding view/click of the same user within 7 days, else
@@ -3421,6 +3442,30 @@ object QueriesRelational {
          |       (e.est - x.exact_size) * ${graft.operators.CountMin.Width}
          |         <= 3 * nn.n * nn.n AS within_bound
          |FROM e, x, nn""".stripMargin,
+
+    // pattern_sequences: identical code strings via ordered string_agg,
+    // identical leftmost non-overlapping match counts
+    "pattern_sequences" ->
+      """WITH coded AS (
+        |  SELECT user_id,
+        |         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+        |              WHEN 'error' THEN 'e' END AS c,
+        |         ts, event_id
+        |  FROM events
+        |), seqs AS (
+        |  SELECT user_id AS key,
+        |         string_agg(c, '' ORDER BY ts, event_id) AS seq,
+        |         CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM coded GROUP BY user_id
+        |)
+        |SELECT key, CAST(length(seq) AS INT) AS seq_len,
+        |       length(seq) = n_ev AS all_types_mapped,
+        |       CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS INT)
+        |         AS n_view_to_purchase,
+        |       CAST(len(regexp_extract_all(seq, 'e[^pe]*p')) AS INT)
+        |         AS n_error_recovery
+        |FROM seqs ORDER BY key""".stripMargin,
 
     "attribution_last_touch" ->
       """WITH t AS (

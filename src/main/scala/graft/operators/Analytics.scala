@@ -1295,4 +1295,64 @@ object Analytics {
           col("cents") * count(lit(1)).over(wg))
       .select(col("key"), col("day"), col("day_cents"), col("conservation_ok"))
   }
+
+  /** MATCH_RECOGNIZE-lite: REGEX pattern mining over per-key ordered
+    * event sequences — the row-pattern-matching class (SQL:2016
+    * MATCH_RECOGNIZE, Flink CEP) expressed Spark-first: each key's
+    * events collapse to ONE code string (single deterministic char per
+    * event type, ordered by (ts, tie) — a total order, so the string is
+    * unique), and every named pattern counts its NON-OVERLAPPING
+    * leftmost matches with the codegen'd `regexp_count`. Where
+    * [[graft.operators.Sessionize.sessionPaths]] censuses exact paths,
+    * this matches STRUCTURE — "a view reaching a purchase with anything
+    * but a purchase between" is one `v[^p]*p`, inexpressible as a path
+    * census and clumsy as a step funnel.
+    *
+    * ONE user-keyed shuffle; per-key state is that key's event count
+    * (the same whale-key caveat as every sequence operator here — at
+    * 100 TB, cap per-key events or run per (key, session) instead; both
+    * are pre-filters, not algorithm changes). Output: one row per key —
+    * (key, seq_len, n_<pattern> per named pattern).
+    *
+    * @param codes    total event_type → single-char code mapping; an
+    *                 unmapped type surfaces as `all_types_mapped = false`
+    *                 on its key (a silent gap would corrupt every
+    *                 downstream pattern — measured, never assumed)
+    * @param patterns (name, Java-regex) pairs over the code alphabet
+    */
+  def sequencePatterns(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      tieCol: Column,
+      typeCol: Column,
+      codes: Seq[(String, String)],
+      patterns: Seq[(String, String)]): DataFrame = {
+    require(codes.nonEmpty && patterns.nonEmpty,
+      "sequencePatterns: need codes and at least one pattern")
+    require(codes.forall(_._2.length == 1),
+      s"sequencePatterns: codes must be single chars, got $codes")
+    require(codes.map(_._2).distinct.size == codes.size,
+      s"sequencePatterns: code chars must be distinct, got $codes")
+    val codeExpr = codes.foldLeft(lit(null).cast("string")) {
+      case (acc, (t, c)) => when(typeCol === t, lit(c)).otherwise(acc)
+    }
+    val seqs = df
+      .select(keyCol.as("key"), struct(tsCol.as("ts"), tieCol.as("tie"),
+        codeExpr.as("c")).as("ev"))
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .withColumn("seq", concat_ws("", expr("transform(evs, e -> e.c)")))
+      // refuse silently-unmapped types: a null code would DROP the char
+      // from concat_ws and shift every downstream match
+      .withColumn("__n_ev", size(col("evs")))
+    val checked = seqs.withColumn("seq_len", length(col("seq")))
+      .withColumn("__all_mapped", col("seq_len") === col("__n_ev"))
+    val withCounts = patterns.foldLeft(checked) { case (d, (name, pat)) =>
+      d.withColumn(s"n_$name", regexp_count(col("seq"), lit(pat)))
+    }
+    withCounts.select(
+      col("key") +: col("seq_len") +: col("__all_mapped").as("all_types_mapped") +:
+        patterns.map { case (name, _) => col(s"n_$name") }: _*)
+  }
 }

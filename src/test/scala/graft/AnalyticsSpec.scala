@@ -582,6 +582,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.forall(_._4), "conservation must be measured true for every key")
   }
 
+  test("sequencePatterns: ordered codes, non-overlapping counts, unmapped types measured") {
+    import spark.implicits._
+    // user 1: v c v p v p  → v[^p]*p matches "vcvp","vp" = 2
+    // user 2: e v p        → e[^pe]*p = 1; v[^p]*p = 1 (overlap with the
+    //   error match is fine — patterns count independently)
+    // user 3: has an unmapped type → all_types_mapped false
+    val rows = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "view"),
+      (1L, 4L, "purchase"), (1L, 5L, "view"), (1L, 6L, "purchase"),
+      (2L, 1L, "error"), (2L, 2L, "view"), (2L, 3L, "purchase"),
+      (3L, 1L, "view"), (3L, 2L, "mystery"), (3L, 3L, "purchase"))
+      .map { case (u, i, t) => (u, new java.sql.Timestamp(i * 1000L), i, t) }
+      .toDF("u", "ts", "eid", "t")
+    val got = Analytics.sequencePatterns(
+      rows, col("u"), col("ts"), col("eid"), col("t"),
+      codes = Seq("view" -> "v", "click" -> "c", "purchase" -> "p", "error" -> "e"),
+      patterns = Seq("conv" -> "v[^p]*p", "recov" -> "e[^pe]*p"))
+      .orderBy(col("key"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getInt(3), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (1L, 6, true, 2, 0),
+      (2L, 3, true, 1, 1),
+      (3L, 2, false, 1, 0)))
+  }
+
   test("prorateAmount: exact past 2^53 (integer div, no double detour) and under duplicate keys") {
     import spark.implicits._
     // 2^60 + 5 is NOT representable as a double; a Column./ detour would
