@@ -1012,6 +1012,34 @@ class SnapshotLog(
     }
   }
 
+  /** Optimistic-concurrency RETRY for the NON-COMMUTING DML class
+    * ([[deleteWhere]]/[[updateWhere]]/[[mergeInto]]/[[optimize]] — the
+    * ops [[appendWithRetry]] deliberately excludes): re-runs `op` after
+    * each lost commit race. Correct because every DML entry point here
+    * RE-DERIVES its whole change from `currentVersion` at invocation —
+    * the retry doesn't re-attach stale staged files to a moved table, it
+    * re-resolves the predicate/source against the NEW snapshot (the
+    * Delta conflict-resolution model: logical intent retries, physical
+    * plans don't). The op's semantic intent must itself be
+    * retry-stable (a predicate, a source batch — not "whatever rows I
+    * staged last time").
+    *
+    * @return (op result, retries consumed)
+    */
+  def withOccRetry[T](maxRetries: Int = 20)(op: => T): (T, Int) = {
+    require(maxRetries >= 0, s"withOccRetry: maxRetries must be >= 0, got $maxRetries")
+    var tries = 0
+    while (true) {
+      try return (op, tries)
+      catch {
+        case e: ConcurrentCommitException =>
+          if (tries >= maxRetries) throw e
+          tries += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   // ───────────────────────── column mapping ─────────────────────────
   // The Delta/Iceberg name→physical-id indirection: data files carry
   // immutable PHYSICAL column names; the snapshot's `colmap` meta line

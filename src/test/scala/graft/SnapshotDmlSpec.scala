@@ -170,6 +170,44 @@ class SnapshotDmlSpec extends AnyFunSuite {
     assert(log.read(spark, v).count() == 30L)
   }
 
+  test("withOccRetry: racing non-commuting DML re-derives and converges, no lost effects") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val log = freshLog("occ_dml")
+    log.append((0 until 100).map(i => (i.toLong, 0L)).toDF("id", "v"), 2)
+    // 4 racing updaters, each incrementing a DISJOINT id stripe by 1, all
+    // re-deriving from the then-current snapshot on every lost race
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val futures = (0 until 4).map { stripe =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          val (_, n) = log.withOccRetry() {
+            log.updateWhere(spark, col("id") % 4 === stripe.toLong,
+              Seq("v" -> (col("v") + 1L)))
+          }
+          retries.addAndGet(n)
+          ()
+        }
+      })
+    }
+    start.countDown()
+    futures.foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // every stripe's increment landed exactly once
+    val got = log.readLatest(spark).agg(sum(col("v")), count(lit(1))).head()
+    assert(got.getLong(0) == 100L && got.getLong(1) == 100L,
+      s"expected all 100 rows incremented once, got sum=${got.getLong(0)}")
+    info(s"retries consumed across 4 racers: ${retries.get()}")
+    // retry budget exhausted → the original exception escapes
+    intercept[graft.sources.ConcurrentCommitException] {
+      log.withOccRetry(maxRetries = 0) {
+        throw new graft.sources.ConcurrentCommitException("synthetic")
+      }
+    }
+  }
+
   test("analyze persists exact versioned stats; statsJoin picks the build side from them") {
     import graft.sources.StatsOptimizer
     val fact = freshLog("stats_fact")
