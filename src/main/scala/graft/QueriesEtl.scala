@@ -522,6 +522,22 @@ object QueriesEtl {
     // post_suppression_clean law RE-AUDITS the kAnonymize output (rows in
     // violating classes quasi-NULLed), measuring — not assuming — that
     // suppression fixed every class ──
+    // ── ε = ln 2 DIFFERENTIALLY-PRIVATE release ([[operators.Privacy
+    // .dpCounts]], the geometric mechanism): weekly per-event-type counts
+    // with integer discrete-Laplace noise from EXACT 2^32-scaled CDF
+    // thresholds — the hash draw, the inverse-CDF walk, and the noise are
+    // pure integer arithmetic, so the oracle replays the release
+    // bit-for-bit (seeded here for verifiability; production swaps in a
+    // fresh draw and drops the audit arms, nothing else changes) ──
+    "dp_counts" -> ((s, dir) =>
+      graft.operators.Privacy.dpCounts(
+        Tables.events(s, dir),
+        Seq(
+          "event_type" -> col("event_type"),
+          "week" -> date_trunc("WEEK", col("ts")).cast("date")),
+        seed = "graft-dp-r11")
+        .orderBy(col("event_type"), col("week"))),
+
     "kanon_audit" -> ((s, dir) => {
       val quasi = Seq(
         "event_type" -> col("event_type"),
@@ -2726,6 +2742,30 @@ object QueriesEtl {
 
     // kanon_audit: violating equivalence classes + global risk metrics;
     // the suppression re-audit law is measured Spark-side
+    // dp_counts: identical 32-bit hash draw, identical exact integer CDF
+    // thresholds (interpolated from the SAME Scala constants), identical
+    // noise — the release replays bit-for-bit
+    "dp_counts" -> {
+      val chain = graft.operators.Privacy.DpGeomThresholds.init
+        .map { case (k, t) => s"WHEN h < ${t} THEN ${k}" }.mkString("\n        |         ")
+      s"""WITH g AS (
+         |  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+         |         CAST(count(*) AS BIGINT) AS n_true
+         |  FROM events GROUP BY 1, 2
+         |), hx AS (
+         |  SELECT *, ('0x' || substr(md5('graft-dp-r11' || '|' || event_type ||
+         |             '|' || CAST(week AS VARCHAR)), 1, 8))::BIGINT AS h
+         |  FROM g
+         |), nz AS (
+         |  SELECT event_type, week, n_true,
+         |         CAST(CASE $chain ELSE 16 END AS BIGINT) AS noise
+         |  FROM hx
+         |)
+         |SELECT event_type, week, n_true, noise, n_true + noise AS n_noisy,
+         |       abs(noise) <= 16 AS noise_within_tail
+         |FROM nz ORDER BY event_type, week""".stripMargin
+    },
+
     "kanon_audit" ->
       """WITH q AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

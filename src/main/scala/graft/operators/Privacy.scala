@@ -176,6 +176,67 @@ object Privacy {
       .orderBy(quasiCols.map(q => col(q._1)): _*)
   }
 
+  /** Inverse-CDF thresholds of the TRUNCATED two-sided geometric
+    * (discrete Laplace) with α = 1/2 — the ε = ln 2 geometric mechanism
+    * for sensitivity-1 counting queries: P(k) = (1/3)·(1/2)^|k|, tail
+    * mass beyond |k| = 16 folded onto the endpoints (< 1.1e-5 — the
+    * truncation every practical integer sampler applies). EXACT integer
+    * rationals scaled by 2^32, computed once offline: a 32-bit hash draw
+    * `h` maps to the first k with h < threshold — pure integer
+    * comparisons, so both engines sample the identical noise from the
+    * identical seed with zero float involvement.
+    */
+  private[graft] val DpGeomThresholds: Seq[(Int, Long)] = Seq(
+    -16 -> 43690L, -15 -> 87381L, -14 -> 174762L, -13 -> 349525L,
+    -12 -> 699050L, -11 -> 1398101L, -10 -> 2796202L, -9 -> 5592405L,
+    -8 -> 11184810L, -7 -> 22369621L, -6 -> 44739242L, -5 -> 89478485L,
+    -4 -> 178956970L, -3 -> 357913941L, -2 -> 715827882L, -1 -> 1431655765L,
+    0 -> 2863311530L, 1 -> 3579139413L, 2 -> 3937053354L, 3 -> 4116010325L,
+    4 -> 4205488810L, 5 -> 4250228053L, 6 -> 4272597674L, 7 -> 4283782485L,
+    8 -> 4289374890L, 9 -> 4292171093L, 10 -> 4293569194L, 11 -> 4294268245L,
+    12 -> 4294617770L, 13 -> 4294792533L, 14 -> 4294879914L, 15 -> 4294923605L,
+    16 -> 4294967296L)
+
+  /** ε = ln 2 DIFFERENTIALLY-PRIVATE noisy counts (the geometric
+    * mechanism over a GROUP BY): each group's true count gets integer
+    * discrete-Laplace noise drawn from a SEEDED hash of its group key —
+    * deterministic on purpose here so the oracle can replay the release
+    * bit-for-bit (the verification discipline of this repo); a
+    * production release swaps the seeded draw for a fresh random one and
+    * drops the audit columns, changing nothing else. Noise is never
+    * negative-clipped (clipping would bias and break the DP guarantee);
+    * a small group can legitimately release a negative count.
+    *
+    * One aggregation (map-side combined) + one map-side noise column —
+    * group-count-sized output at any scale.
+    *
+    * Output: group cols + `n_noisy` + audit arms `n_true` and `noise`
+    * (release gate drops them) + `noise_within_tail`.
+    */
+  def dpCounts(
+      df: DataFrame,
+      groupCols: Seq[(String, Column)],
+      seed: String): DataFrame = {
+    require(groupCols.nonEmpty, "dpCounts: need at least one group column")
+    val named = groupCols.map { case (n, c) => c.as(n) }
+    // '|'-separated on purpose: bare concatenation would let adjacent
+    // string keys collide ("ab","c" vs "a","bc") and draw the same noise
+    val keyStr = concat_ws("|",
+      lit(seed) +: groupCols.map { case (n, _) => col(n).cast("string") }: _*)
+    val h = conv(substring(md5(keyStr), 1, 8), 16, 10).cast("long")
+    // ascending CASE chain over the exact thresholds: first k with h < T(k)
+    val noise = DpGeomThresholds.init.foldRight(
+        lit(DpGeomThresholds.last._1): Column) {
+      case ((k, t), acc) => when(h < t, lit(k)).otherwise(acc)
+    }.cast("long")
+    df.select(named: _*)
+      .groupBy(groupCols.map(g => col(g._1)): _*)
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("noise", noise)
+      .withColumn("n_noisy", col("n_true") + col("noise"))
+      .withColumn("noise_within_tail", abs(col("noise")) <= 16)
+  }
+
   def kAnonymize(df: DataFrame, quasiCols: Seq[(String, Column)], k: Int): DataFrame = {
     // The suppression join MUST be null-safe: groupBy in the audit groups
     // NULL quasi values into one class, but a plain equi-join never matches

@@ -123,6 +123,30 @@ class PrivacySpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("dpCounts: seeded geometric noise is deterministic, unclipped, tail-bounded") {
+    import org.apache.spark.sql.functions.col
+    val df = (0 until 400).map(i => (s"g${i % 40}", i.toLong)).toDF("g", "x")
+    def run() = Privacy.dpCounts(df, Seq("g" -> col("g")), seed = "s1")
+      .orderBy(col("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val a = run(); val b = run()
+    assert(a.toSeq == b.toSeq, "same seed must replay the identical release")
+    assert(a.forall { case (_, nTrue, noise, nNoisy, tail) =>
+      nTrue == 10L && nNoisy == nTrue + noise && math.abs(noise) <= 16 && tail })
+    // a different seed draws different noise somewhere (40 groups —
+    // P(all equal) = (sum p^2)^40 ≈ 0.2^40, effectively impossible)
+    val c = Privacy.dpCounts(df, Seq("g" -> col("g")), seed = "s2")
+      .orderBy(col("g")).collect().map(_.getLong(2))
+    assert(!c.sameElements(a.map(_._3)), "seed must drive the draw")
+    // the mechanism is unbiased in its support: both signs occur over
+    // enough draws (40 groups, P(no negative) ≈ (2/3)^40 < 1e-7)
+    assert(a.exists(_._3 > 0) && a.exists(_._3 < 0))
+    // CDF thresholds are exact, strictly increasing, and cover 2^32
+    val ts = Privacy.DpGeomThresholds
+    assert(ts.map(_._2) == ts.map(_._2).sorted && ts.last._2 == (1L << 32))
+    assert(ts.map(_._1) == (-16 to 16))
+  }
+
   test("kAnonymize suppresses violating classes whose quasi tuple contains NULL") {
     import org.apache.spark.sql.functions.col
     // (a,1)x3 compliant; (null,2)x2 violating; (b,null)x1 violating — the
