@@ -222,6 +222,35 @@ object SparkEntry {
       Sessionize.sessionStats(Tables.events(s, dir))
         .orderBy(col("user_id"), col("session_id"))),
 
+    // ── CONCURRENT SESSIONS ([[operators.Analytics.overlappingIntervals]]
+    // — the binned interval-overlap self-join): which user pairs had
+    // sessions live at the same time. Each session explodes to its hour
+    // bins, pairs equi-join on the bin (hash join, ONE shuffle — the
+    // measured `no_cartesian` law pins that no CartesianProduct or
+    // nested-loop appears in the executed plan), the exact overlap
+    // predicate prunes bin coincidences, and the per-user-pair rollup is
+    // user-pair-bounded however large the session table grows. The
+    // oracle is the NAIVE theta self-join — the hash match proves the
+    // binned decomposition loses and invents no pair ──
+    "interval_overlap_pairs" -> ((s, dir) => {
+      val sess = Sessionize.sessionStats(Tables.events(s, dir))
+      val pairs = graft.operators.Analytics.overlappingIntervals(
+        sess, col("user_id"), col("session_id"),
+        col("start_sec"), col("end_sec"), binSec = 3600L)
+      val noCartesian = {
+        val plan = pairs.queryExecution.executedPlan.toString
+        !plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop")
+      }
+      pairs
+        .groupBy(col("key_a").as("user_a"), col("key_b").as("user_b"))
+        .agg(
+          count(lit(1)).as("n_overlaps"),
+          sum(col("overlap_end_sec") - col("overlap_start_sec")).as("sum_overlap_sec"))
+        .select(col("user_a"), col("user_b"), col("n_overlaps"), col("sum_overlap_sec"))
+        .withColumn("no_cartesian", lit(noCartesian))
+        .orderBy(col("user_a"), col("user_b"))
+    }),
+
     // ── top navigation paths over sessions ([[Sessionize.sessionPaths]]):
     // ordered event-type sequences per session (the sessionizer's own
     // (epoch, id) tiebreak, sorted inside the row), censused and top-k'd
@@ -411,6 +440,25 @@ object SparkEntry {
       s"""$sessionCte
          |SELECT event_id, user_id, epoch_sec, session_id
          |FROM sessions ORDER BY event_id""".stripMargin,
+
+    // interval_overlap_pairs: the NAIVE theta self-join over the same
+    // session intervals — the binned route must reproduce it exactly;
+    // the plan-shape law is measured Spark-side
+    "interval_overlap_pairs" ->
+      s"""$sessionCte, st AS (
+         |  SELECT user_id, session_id,
+         |         min(epoch_sec) AS s, max(epoch_sec) AS e
+         |  FROM sessions GROUP BY user_id, session_id
+         |)
+         |SELECT a.user_id AS user_a, b.user_id AS user_b,
+         |       count(*) AS n_overlaps,
+         |       CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+         |         AS sum_overlap_sec,
+         |       TRUE AS no_cartesian
+         |FROM st a JOIN st b
+         |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+         |GROUP BY a.user_id, b.user_id
+         |ORDER BY user_a, user_b""".stripMargin,
 
     // session_paths: identical ordered concat per session, censused; the
     // top-k tiebreak (count DESC, path ASC) is total, so LIMIT is stable

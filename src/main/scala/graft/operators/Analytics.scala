@@ -1296,6 +1296,53 @@ object Analytics {
       .select(col("key"), col("day"), col("day_cents"), col("conservation_ok"))
   }
 
+  /** BINNED INTERVAL-OVERLAP self-join — the large×large temporal-overlap
+    * shape ("which sessions were concurrent?") that a naive theta join
+    * turns into a cartesian product: every interval explodes to the time
+    * BINS it covers (integer `div`, bin-count rows ≈ duration/binSec + 1),
+    * pairs equi-join ON THE BIN (one hash shuffle, no
+    * cartesian/nested-loop anywhere — the plan law the query pins), the
+    * true overlap predicate filters bin-coincidences, and `distinct`
+    * collapses pairs sharing several bins. Only cross-key pairs surface
+    * (`key_a < key_b` — self-overlap of one user's own sessions is
+    * definitionally zero under gap sessionization anyway).
+    *
+    * Bin sizing is the standard trade: ~the typical interval length.
+    * Too small → each interval explodes to many bins (row blow-up); too
+    * large → many false bin-coincidences for the predicate to discard.
+    * Skewed hot bins (a flash-crowd hour) are [[SkewJoin]] territory.
+    *
+    * Output: (key_a, id_a, key_b, id_b, overlap_start_sec,
+    * overlap_end_sec), one row per overlapping pair.
+    */
+  def overlappingIntervals(
+      intervals: DataFrame,
+      keyCol: Column,
+      idCol: Column,
+      startCol: Column,
+      endCol: Column,
+      binSec: Long): DataFrame = {
+    require(binSec >= 1L, s"overlappingIntervals: binSec must be >= 1, got $binSec")
+    val iv = intervals.select(
+      keyCol.as("key"), idCol.as("id"),
+      startCol.cast("long").as("s"), endCol.cast("long").as("e"))
+    require(Seq("key", "id", "s", "e").forall(iv.columns.contains), "projection failed")
+    val binned = iv.withColumn("bin",
+      explode(expr(s"sequence(s div ${binSec}L, e div ${binSec}L)")))
+    val a = binned.select(col("bin"), col("key").as("key_a"), col("id").as("id_a"),
+      col("s").as("s_a"), col("e").as("e_a"))
+    val b = binned.select(col("bin"), col("key").as("key_b"), col("id").as("id_b"),
+      col("s").as("s_b"), col("e").as("e_b"))
+    a.join(b,
+        a("bin") === b("bin") && col("key_a") < col("key_b") &&
+          col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select(
+        col("key_a"), col("id_a"), col("key_b"), col("id_b"),
+        greatest(col("s_a"), col("s_b")).as("overlap_start_sec"),
+        least(col("e_a"), col("e_b")).as("overlap_end_sec"))
+      .distinct()
+  }
+
   /** MATCH_RECOGNIZE-lite: REGEX pattern mining over per-key ordered
     * event sequences — the row-pattern-matching class (SQL:2016
     * MATCH_RECOGNIZE, Flink CEP) expressed Spark-first: each key's

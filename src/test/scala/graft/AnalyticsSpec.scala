@@ -582,6 +582,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.forall(_._4), "conservation must be measured true for every key")
   }
 
+  test("overlappingIntervals: binned join equals the naive theta join, pairs deduped") {
+    import spark.implicits._
+    // deterministic pseudo-random intervals spanning multiple bins
+    val iv = (0 until 200).map { i =>
+      val k = (i * 2654435761L) % 97
+      val s = (i * 40503L) % 10000
+      (k, i.toLong, s, s + (i * 7919L) % 500)
+    }.toDF("k", "id", "s", "e")
+    val binned = Analytics.overlappingIntervals(
+        iv, col("k"), col("id"), col("s"), col("e"), binSec = 128L)
+      .select("key_a", "id_a", "key_b", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val a = iv.select(col("k").as("ka"), col("id").as("ia"), col("s").as("sa"), col("e").as("ea"))
+    val b = iv.select(col("k").as("kb"), col("id").as("ib"), col("s").as("sb"), col("e").as("eb"))
+    val naive = a.join(b, col("ka") < col("kb") && col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select("ka", "ia", "kb", "ib")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(naive.nonEmpty, "fixture must actually overlap")
+    assert(binned == naive, s"binned != naive: missing=${(naive -- binned).take(3)} " +
+      s"extra=${(binned -- naive).take(3)}")
+    // multi-bin intervals must not duplicate pairs
+    val n = Analytics.overlappingIntervals(
+      iv, col("k"), col("id"), col("s"), col("e"), binSec = 128L).count()
+    assert(n == binned.size.toLong, "distinct must collapse shared-bin duplicates")
+  }
+
   test("sequencePatterns: ordered codes, non-overlapping counts, unmapped types measured") {
     import spark.implicits._
     // user 1: v c v p v p  → v[^p]*p matches "vcvp","vp" = 2
