@@ -1279,6 +1279,22 @@ object QueriesRelational {
         .orderBy(col("flag"), col("pair"))
     }),
 
+    // ── POISSON BOOTSTRAP CI ([[operators.Analytics.poissonBootstrapCi]]):
+    // the distributed bootstrap — every (order, replica) draws a seeded
+    // Poisson(1) weight from EXACT 2^32-scaled integer thresholds (no
+    // floats anywhere in the draw), replica means aggregate in one
+    // map-side-combined pass, and the 95% band reads the integer-rank
+    // percentiles. The oracle replays all 100 resamples bit-for-bit —
+    // every weight, every replica mean, both band endpoints ──
+    "bootstrap_ci" -> ((s, dir) =>
+      graft.operators.Analytics.poissonBootstrapCi(
+        Tables.orders(s, dir),
+        col("o_orderpriority"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long"),
+        replicas = 100, seed = "graft-boot-r11")
+        .withColumnRenamed("g", "priority")
+        .orderBy(col("priority"))),
+
     // ── MATCH_RECOGNIZE-lite row-pattern mining ([[operators.Analytics
     // .sequencePatterns]]): each user's full history collapses to one
     // ordered code string (v/c/p/s/e per event type, (ts, event_id)
@@ -3442,6 +3458,53 @@ object QueriesRelational {
          |       (e.est - x.exact_size) * ${graft.operators.CountMin.Width}
          |         <= 3 * nn.n * nn.n AS within_bound
          |FROM e, x, nn""".stripMargin,
+
+    // bootstrap_ci: replay every seeded Poisson(1) draw from the SAME
+    // exact integer thresholds, the same replica means, the same
+    // integer-rank percentile band
+    "bootstrap_ci" -> {
+      val chain = graft.operators.Analytics.PoissonOneThresholds.init
+        .map { case (k, t) => s"WHEN h < ${t} THEN ${k}" }
+        .mkString("\n         |           ")
+      s"""WITH base AS (
+         |  SELECT o_orderpriority AS g, CAST(o_orderkey AS VARCHAR) AS rid,
+         |         CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+         |  FROM orders
+         |), rep AS (
+         |  SELECT g, rid, x, b,
+         |         ('0x' || substr(md5('graft-boot-r11' || '|' || rid || '|' ||
+         |            CAST(b AS VARCHAR)), 1, 8))::BIGINT AS h
+         |  FROM base CROSS JOIN (SELECT unnest(generate_series(0, 99)) AS b)
+         |), wtd AS (
+         |  SELECT g, b, x,
+         |         CAST(CASE $chain ELSE 12 END AS BIGINT) AS w
+         |  FROM rep
+         |), reps AS (
+         |  SELECT g, b, round(CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS m
+         |  FROM wtd GROUP BY g, b HAVING sum(w) > 0
+         |), ranked AS (
+         |  SELECT g, b, m,
+         |         row_number() OVER (PARTITION BY g ORDER BY m, b) AS rk,
+         |         count(*) OVER (PARTITION BY g) AS nb
+         |  FROM reps
+         |), band AS (
+         |  SELECT g,
+         |         max(CASE WHEN rk = CAST(floor(nb * 5 / 200.0) AS BIGINT) + 1
+         |                  THEN m END) AS ci_lo,
+         |         max(CASE WHEN rk = CAST(ceil(nb * 195 / 200.0) AS BIGINT)
+         |                  THEN m END) AS ci_hi,
+         |         CAST(max(nb) AS BIGINT) AS n_replicas
+         |  FROM ranked GROUP BY g
+         |), obs AS (
+         |  SELECT g, count(*) AS n_rows,
+         |         round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS mean_obs
+         |  FROM base GROUP BY g
+         |)
+         |SELECT o.g AS priority, o.n_rows, o.mean_obs,
+         |       band.n_replicas, band.ci_lo, band.ci_hi
+         |FROM obs o JOIN band USING (g)
+         |ORDER BY priority""".stripMargin
+    },
 
     // pattern_sequences: identical code strings via ordered string_agg,
     // identical leftmost non-overlapping match counts

@@ -1296,6 +1296,94 @@ object Analytics {
       .select(col("key"), col("day"), col("day_cents"), col("conservation_ok"))
   }
 
+  /** Inverse-CDF thresholds of Poisson(1) truncated at k = 12, scaled by
+    * 2^32 — EXACT integers derived from a 30-digit rational approximation
+    * of e⁻¹ (the sampler is DEFINED by these literals, so both engines
+    * draw identically with zero float involvement; the folded tail mass
+    * is ~6e-11). Poisson(1) is the bootstrap's resampling law: the
+    * multinomial count of how often one row appears in a resample of n
+    * from n converges to Poisson(1) — which is what makes the bootstrap
+    * one-pass and distributed (each row draws its own weight
+    * independently; no index-addressed resampling).
+    */
+  private[graft] val PoissonOneThresholds: Seq[(Int, Long)] = Seq(
+    0 -> 1580030168L, 1 -> 3160060337L, 2 -> 3950075421L, 3 -> 4213413783L,
+    4 -> 4279248373L, 5 -> 4292415291L, 6 -> 4294609777L, 7 -> 4294923276L,
+    8 -> 4294962463L, 9 -> 4294966817L, 10 -> 4294967252L, 11 -> 4294967292L,
+    12 -> 4294967296L)
+
+  /** POISSON BOOTSTRAP confidence interval for a per-group MEAN — the
+    * resampling scheme that works at cluster scale: classic bootstrap
+    * resamples by INDEX (n draws from n rows — inherently serial), the
+    * Poisson bootstrap gives every (row, replica) an independent
+    * Poisson(1) weight from a seeded hash, so the whole thing is ONE
+    * explode + ONE map-side-combined aggregation over B·n tiny rows,
+    * shuffling only (group, replica) keys. Replica means sort driver-free
+    * via rank windows; the interval is the empirical
+    * [α/2, 1−α/2] percentile band (integer ranks ⌊α/2·B⌋+1 and
+    * ⌈(1−α/2)·B⌉ over B replicas, 1-indexed).
+    *
+    * Seeded hash weights on purpose (the [[graft.operators.Privacy
+    * .dpCounts]] verification discipline): the oracle replays every draw
+    * bit-for-bit; production swaps the seed per run. Means ride exact
+    * integer (Σw·x, Σw) pairs until one final double division rounded to
+    * 6 places — correctly-rounded IEEE in both engines.
+    *
+    * Output per group: n_rows, mean_obs, B, ci_lo, ci_hi (all means
+    * rounded 6).
+    */
+  def poissonBootstrapCi(
+      df: DataFrame,
+      groupCol: Column,
+      idCol: Column,
+      valueCol: Column,
+      replicas: Int,
+      seed: String,
+      alphaPct: Int = 5): DataFrame = {
+    require(replicas >= 4, s"poissonBootstrapCi: need >= 4 replicas, got $replicas")
+    require(alphaPct >= 1 && alphaPct <= 50, s"alphaPct in [1,50], got $alphaPct")
+    val base = df.select(groupCol.as("g"), idCol.cast("string").as("rid"),
+      valueCol.cast("long").as("x"))
+    val rep = base.withColumn("b", explode(expr(s"sequence(0, ${replicas - 1})")))
+    val h = conv(substring(md5(
+      concat_ws("|", lit(seed), col("rid"), col("b").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val w = PoissonOneThresholds.init.foldRight(
+        lit(PoissonOneThresholds.last._1): Column) {
+      case ((k, t), acc) => when(h < t, lit(k)).otherwise(acc)
+    }.cast("long")
+    val reps = rep
+      .withColumn("w", w)
+      .groupBy(col("g"), col("b"))
+      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+      // an all-zero-weight replica (vanishing probability past tiny n)
+      // contributes a NULL mean, excluded from the percentile band
+      .withColumn("m", when(col("sw") > 0,
+        round(col("swx").cast("double") / col("sw").cast("double"), 6)))
+      .where(col("m").isNotNull)
+    val wAsc = Window.partitionBy(col("g")).orderBy(col("m"), col("b"))
+    val ranked = reps
+      .withColumn("rk", row_number().over(wAsc))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("g"))))
+    val loRk = expr(s"CAST(floor(nb * $alphaPct / 200.0) AS BIGINT) + 1")
+    val hiRk = expr(s"CAST(ceil(nb * (200 - $alphaPct) / 200.0) AS BIGINT)")
+    val band = ranked
+      .withColumn("is_lo", col("rk") === loRk)
+      .withColumn("is_hi", col("rk") === hiRk)
+      .groupBy(col("g"))
+      .agg(
+        max(when(col("is_lo"), col("m"))).as("ci_lo"),
+        max(when(col("is_hi"), col("m"))).as("ci_hi"),
+        max(col("nb")).as("n_replicas"))
+    val obs = base.groupBy(col("g")).agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(col("x")).cast("double") / count(lit(1)).cast("double"), 6).as("mean_obs"))
+    obs.join(band, Seq("g"))
+      .select(col("g"), col("n_rows"), col("mean_obs"),
+        col("n_replicas").cast("long").as("n_replicas"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** BINNED INTERVAL-OVERLAP self-join — the large×large temporal-overlap
     * shape ("which sessions were concurrent?") that a naive theta join
     * turns into a cartesian product: every interval explodes to the time

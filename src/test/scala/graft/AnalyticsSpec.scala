@@ -582,6 +582,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.forall(_._4), "conservation must be measured true for every key")
   }
 
+  test("poissonBootstrapCi: deterministic, CI brackets the mean, sane width") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => ("g", i.toLong, (i % 100).toLong)).toDF("g", "id", "x")
+    def run() = Analytics.poissonBootstrapCi(
+      df, col("g"), col("id"), col("x"), replicas = 50, seed = "t")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val Array((n, mean, b, lo, hi)) = run()
+    assert(run().toSeq == Seq((n, mean, b, lo, hi)), "seeded draws must replay")
+    assert(n == 2000L && b == 50L && mean == 49.5)
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] must bracket the observed mean")
+    assert(lo < hi && hi - lo < 10.0,
+      s"95% band of a mean over 2000 near-uniform values is narrow, got [$lo, $hi]")
+    // thresholds exact, increasing, covering 2^32
+    val ts = Analytics.PoissonOneThresholds
+    assert(ts.map(_._2) == ts.map(_._2).sorted && ts.last._2 == (1L << 32))
+  }
+
   test("overlappingIntervals: binned join equals the naive theta join, pairs deduped") {
     import spark.implicits._
     // deterministic pseudo-random intervals spanning multiple bins
