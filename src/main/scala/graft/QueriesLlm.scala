@@ -1205,6 +1205,25 @@ object QueriesLlm {
         Tables.documents(s, dir), minShared = 2, n = WinnowN, window = WinnowW),
         k = KcoreK)),
 
+    // ── LABEL-PROPAGATION COMMUNITIES ([[GraphRank.labelPropagation]],
+    // deterministic synchronous LPA with min-label tie-break, FOUR fixed
+    // rounds): the dense-region partition of the winnow similarity graph
+    // — where components answer connectivity and modularity scores a
+    // given partition, LPA produces the partition. The oracle unrolls
+    // the four rounds as MATERIALIZED CTEs (the k-core replay
+    // discipline), so every intermediate labeling is replayed exactly ──
+    "graph_lpa" -> ((s, dir) =>
+      GraphRank.labelPropagation(
+        Dedup.winnowOverlapPairs(
+          Tables.documents(s, dir), minShared = 2, n = WinnowN, window = WinnowW),
+        iters = 4)
+        .groupBy(col("lbl").as("community"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          min(col("node")).as("min_member"),
+          max(col("node")).as("max_member"))
+        .orderBy(col("community"))),
+
     // ── THREE-MODALITY seed expansion: wording (BM25 on the seed's own
     // tokens) + semantics (exact cosine) + similarity-graph reachability
     // (personalized PageRank, ONE batched multi-seed run — a doc two hops
@@ -4000,6 +4019,31 @@ object QueriesLlm {
          |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg,
          |       (SELECT count(*) FROM r$KcoreRounds) = (SELECT count(*) FROM r${KcoreRounds - 1}) AS converged
          |FROM r$KcoreRounds GROUP BY src ORDER BY doc_id""".stripMargin
+    },
+
+    // Label propagation: four unrolled sync rounds, min-label tie-break,
+    // every intermediate labeling replayed exactly
+    "graph_lpa" -> {
+      val rounds = (1 to 4).map { t =>
+        s"""l$t AS MATERIALIZED (
+           |  SELECT node, lbl FROM (
+           |    SELECT node, lbl,
+           |           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+           |    FROM (SELECT e.a AS node, l.lbl AS lbl, count(*) AS c
+           |          FROM e JOIN l${t - 1} l ON l.node = e.b GROUP BY 1, 2)
+           |  ) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$winnowCte,
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+         |p AS (SELECT l.doc_id AS a, r.doc_id AS b
+         |      FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS MATERIALIZED (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+         |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM e),
+         |$rounds
+         |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+         |       min(node) AS min_member, max(node) AS max_member
+         |FROM l4 GROUP BY 1 ORDER BY community""".stripMargin
     },
 
     // Components x PageRank argmax — canonical selection by centrality,

@@ -534,4 +534,50 @@ object GraphRank {
       .select(col("src").as(idOut), col("core_deg"), lit(converged).as("converged"))
       .orderBy(col(idOut))
   }
+
+  /** SYNCHRONOUS LABEL PROPAGATION communities (Raghavan et al. 2007, the
+    * near-linear community detector) made fully DETERMINISTIC: every node
+    * starts labeled with itself, and each round reassigns it the label
+    * most frequent among its neighbors with the tie broken toward the
+    * SMALLEST label (classic LPA breaks ties randomly and oscillates;
+    * the min-tie-break plus a FIXED round count gives one well-defined
+    * answer both engines can replay — the oracle unrolls the rounds as
+    * CTEs, the k-means/PageRank discipline). Complements the other graph
+    * ops: components find CONNECTIVITY, modularity SCORES a partition,
+    * LPA finds the dense-region partition itself.
+    *
+    * Each round is one neighbor-label join + one (node, label) count +
+    * one argmax window — all shuffles on the node key, rounds-many jobs
+    * total, state one label per node. Nodes outside the edge set have no
+    * neighbors and keep themselves (they are not emitted — callers union
+    * singletons back if wanted).
+    */
+  def labelPropagation(
+      pairs: DataFrame,
+      iters: Int,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val durable = Dedup.durableBy(pairs, checkpointDir)
+    val edges = durable(pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .unionByName(
+        pairs.select(col(bCol).cast("long").as("a"), col(aCol).cast("long").as("b")))
+      .where(col("a") =!= col("b")).distinct())
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    val byFreqThenMin = Window.partitionBy(col("a"))
+      .orderBy(col("c").desc, col("lbl").asc)
+    (0 until iters).foreach { _ =>
+      labels = durable(edges
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byFreqThenMin))
+        .where(col("rn") === 1)
+        .select(col("a").as("node"), col("lbl")))
+    }
+    labels
+  }
 }

@@ -284,4 +284,23 @@ class GraphRankSpec extends AnyFunSuite {
     val q0 = GraphRank.modularity(pairs, blob, col("w")).head()
     assert(q0.getLong(5) == 0L && q0.getLong(6) == 0L)
   }
+
+  test("labelPropagation: two bridged triangles separate; min-label ties; deterministic") {
+    import spark.implicits._
+    // triangles {1,2,3} and {10,11,12} bridged by 3—10
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (3L, 10L)).toDF("doc_a", "doc_b")
+    def run() = GraphRank.labelPropagation(pairs, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = run()
+    assert(got == run(), "fixed rounds + min-tie-break must be deterministic")
+    val byLbl = got.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    // triangle one collapses to label 1 (min); triangle two is pulled by
+    // the bridge but its internal majority holds — exactly two communities,
+    // split at the bridge
+    assert(byLbl.size == 2, s"expected 2 communities, got $byLbl")
+    assert(byLbl.values.toSet == Set(Seq(1L, 2L, 3L), Seq(10L, 11L, 12L)), s"got $byLbl")
+  }
 }
