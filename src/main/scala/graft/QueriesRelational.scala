@@ -3468,12 +3468,15 @@ object QueriesRelational {
         .mkString("\n         |           ")
       s"""WITH base AS (
          |  SELECT o_orderpriority AS g, CAST(o_orderkey AS VARCHAR) AS rid,
-         |         CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+         |         CAST(floor(o_totalprice * 100) AS BIGINT) AS x,
+         |         ('0x' || substr(md5('graft-boot-r11' || '|' ||
+         |            CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 2147483647
+         |           AS seed64
          |  FROM orders
          |), rep AS (
          |  SELECT g, rid, x, b,
-         |         ('0x' || substr(md5('graft-boot-r11' || '|' || rid || '|' ||
-         |            CAST(b AS VARCHAR)), 1, 8))::BIGINT AS h
+         |         ((((seed64 + b * 1103515245) % 2147483647) * 48271 % 2147483647)
+         |           * 48271) % 2147483647 AS h
          |  FROM base CROSS JOIN (SELECT unnest(generate_series(0, 99)) AS b)
          |), wtd AS (
          |  SELECT g, b, x,

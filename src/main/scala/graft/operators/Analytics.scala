@@ -1297,20 +1297,32 @@ object Analytics {
   }
 
   /** Inverse-CDF thresholds of Poisson(1) truncated at k = 12, scaled by
-    * 2^32 — EXACT integers derived from a 30-digit rational approximation
-    * of e⁻¹ (the sampler is DEFINED by these literals, so both engines
-    * draw identically with zero float involvement; the folded tail mass
-    * is ~6e-11). Poisson(1) is the bootstrap's resampling law: the
-    * multinomial count of how often one row appears in a resample of n
-    * from n converges to Poisson(1) — which is what makes the bootstrap
-    * one-pass and distributed (each row draws its own weight
-    * independently; no index-addressed resampling).
+    * the Lehmer modulus 2³¹−1 — EXACT integers derived from a 30-digit
+    * rational approximation of e⁻¹ (the sampler is DEFINED by these
+    * literals, so both engines draw identically with zero float
+    * involvement; the folded tail mass is ~6e-11). Poisson(1) is the
+    * bootstrap's resampling law: the multinomial count of how often one
+    * row appears in a resample of n from n converges to Poisson(1) —
+    * which is what makes the bootstrap one-pass and distributed (each
+    * row draws its own weight independently; no index-addressed
+    * resampling).
     */
   private[graft] val PoissonOneThresholds: Seq[(Int, Long)] = Seq(
-    0 -> 1580030168L, 1 -> 3160060337L, 2 -> 3950075421L, 3 -> 4213413783L,
-    4 -> 4279248373L, 5 -> 4292415291L, 6 -> 4294609777L, 7 -> 4294923276L,
-    8 -> 4294962463L, 9 -> 4294966817L, 10 -> 4294967252L, 11 -> 4294967292L,
-    12 -> 4294967296L)
+    0 -> 790015083L, 1 -> 1580030167L, 2 -> 1975037709L, 3 -> 2106706890L,
+    4 -> 2139624185L, 5 -> 2146207644L, 6 -> 2147304887L, 7 -> 2147461637L,
+    8 -> 2147481230L, 9 -> 2147483407L, 10 -> 2147483625L, 11 -> 2147483645L,
+    12 -> 2147483647L)
+
+  /** Lehmer / MINSTD modulus and multiplier — the per-(row, replica) draw
+    * is `lehmer(lehmer((seed64 % M + b·1103515245) % M))` with
+    * lehmer(x) = x·48271 % M: every product stays under 2^47, so the
+    * arithmetic is exact BIGINT in Spark and DuckDB alike. One md5 per
+    * ROW seeds the stream; the per-replica fan-out is pure integer
+    * mixing — the difference between 15M string hashes and 15M codegen'd
+    * multiply-mods in the hot path.
+    */
+  private[graft] val LehmerM = 2147483647L
+  private[graft] val LehmerA = 48271L
 
   /** POISSON BOOTSTRAP confidence interval for a per-group MEAN — the
     * resampling scheme that works at cluster scale: classic bootstrap
@@ -1344,10 +1356,15 @@ object Analytics {
     require(alphaPct >= 1 && alphaPct <= 50, s"alphaPct in [1,50], got $alphaPct")
     val base = df.select(groupCol.as("g"), idCol.cast("string").as("rid"),
       valueCol.cast("long").as("x"))
+      // one md5 per ROW (15 hex chars = 60 bits, sign-safe); replicas fan
+      // out below with integer mixing only
+      .withColumn("seed64",
+        conv(substring(md5(concat_ws("|", lit(seed), col("rid"))), 1, 15), 16, 10)
+          .cast("long") % LehmerM)
     val rep = base.withColumn("b", explode(expr(s"sequence(0, ${replicas - 1})")))
-    val h = conv(substring(md5(
-      concat_ws("|", lit(seed), col("rid"), col("b").cast("string"))), 1, 8), 16, 10)
-      .cast("long")
+    val x0 = (col("seed64") + col("b") * lit(1103515245L)) % LehmerM
+    def lehmer(c: Column): Column = c * LehmerA % LehmerM
+    val h = lehmer(lehmer(x0))
     val w = PoissonOneThresholds.init.foldRight(
         lit(PoissonOneThresholds.last._1): Column) {
       case ((k, t), acc) => when(h < t, lit(k)).otherwise(acc)

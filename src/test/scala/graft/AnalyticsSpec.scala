@@ -595,9 +595,9 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] must bracket the observed mean")
     assert(lo < hi && hi - lo < 10.0,
       s"95% band of a mean over 2000 near-uniform values is narrow, got [$lo, $hi]")
-    // thresholds exact, increasing, covering 2^32
+    // thresholds exact, increasing, covering the Lehmer modulus
     val ts = Analytics.PoissonOneThresholds
-    assert(ts.map(_._2) == ts.map(_._2).sorted && ts.last._2 == (1L << 32))
+    assert(ts.map(_._2) == ts.map(_._2).sorted && ts.last._2 == Analytics.LehmerM)
   }
 
   test("overlappingIntervals: binned join equals the naive theta join, pairs deduped") {
