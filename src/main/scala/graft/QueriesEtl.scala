@@ -1962,6 +1962,40 @@ object QueriesEtl {
         .orderBy(col("lang"))
     }),
 
+    // ── TYPE WIDENING under column mapping ([[SnapshotLog.widenColumn]]
+    // — the Delta type-widening shape): INT→BIGINT is one metadata
+    // commit (`widen_metadata_only` pins the data-file set unchanged);
+    // old files keep their narrow physical type and up-cast on read,
+    // while the post-widen append carries values NO int can hold
+    // (+3·10⁹) — the rollup summing both vintages under one BIGINT
+    // column is the proof the widening actually happened ──
+    "snapshot_widen_col" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_widen"))
+      log.recreate()
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      log.append(
+        docs.where(col("doc_id") % 2 === 0)
+          .withColumn("n_chars", col("n_chars").cast("int")),
+        partitions = 4)
+      log.enableColumnMapping(s)
+      val preWiden = log.currentVersion.get
+      val vW = log.widenColumn("n_chars", "bigint")
+      val metadataOnly = log.dataFiles(vW).sorted == log.dataFiles(preWiden).sorted
+      log.appendMapped(
+        docs.where(col("doc_id") % 2 =!= 0)
+          .withColumn("n_chars", col("n_chars") + 3000000000L),
+        partitions = 4)
+      val wide = log.readMapped(s, log.currentVersion.get)
+      val typeWide = wide.schema("n_chars").dataType.sql.toLowerCase == "bigint"
+      wide.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars_wide"))
+        .withColumn("widen_metadata_only", lit(metadataOnly))
+        .withColumn("reads_as_bigint", lit(typeWide))
+        .orderBy(col("lang"))
+    }),
+
     // ── PREDICATE DELETE + UPDATE under the log ([[SnapshotLog
     // .deleteWhere]] / [[SnapshotLog.updateWhere]] — the `DELETE FROM …
     // WHERE` / `UPDATE … SET … WHERE` sugar over merge-on-read):
@@ -2869,6 +2903,18 @@ object QueriesEtl {
         |         AS sum_chars_prerename,
         |       TRUE AS rename_metadata_only,
         |       TRUE AS pre_rename_vintage_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // snapshot_widen_col: both vintages under one BIGINT — the odd half
+    // shifted beyond int range; the metadata-only and schema laws ride
+    // Spark-side
+    "snapshot_widen_col" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars
+        |                     ELSE n_chars + 3000000000 END) AS BIGINT)
+        |         AS sum_chars_wide,
+        |       TRUE AS widen_metadata_only,
+        |       TRUE AS reads_as_bigint
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // snapshot_delete_where: survivors of the predicate delete with the

@@ -1174,21 +1174,99 @@ class SnapshotLog(
     * with renames; position deletes ([[deleteWhere]]) compose fine.
     */
   def readMapped(spark: SparkSession, version: Long): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val (_, pairs) = columnMapping(version).getOrElse(throw new IllegalStateException(
       s"readMapped: column mapping is not enabled at v$version of $root"))
     require(tombstoneFiles(version).isEmpty,
       "readMapped: key tombstones do not compose with column mapping " +
         "(they store delete-time logical names); use deleteWhere/deletePositions, " +
         "or compact() the tombstones away first")
+    val widened = columnTypes(version)
     val paths = dataFiles(version).map(p => new File(dataRootPath, p).toString)
-    val data = spark.read.option("mergeSchema", "true").parquet(paths: _*)
-    val masked = applyMasks(spark, version, data)
+    val data =
+      if (widened.isEmpty) spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      else {
+        // widened columns make the file schemas HETEROGENEOUS (old files
+        // keep the narrow physical type), which mergeSchema refuses —
+        // read each stage directory under its own schema, project every
+        // mapped physical column (absent → typed null), cast widened
+        // ones up, and union. Planning cost is one footer read per stage
+        // dir (append-count-bounded; compact/optimize collapses dirs).
+        val byDir = paths.groupBy(p => new File(p).getParent).toSeq.sortBy(_._1)
+        val raw = byDir.map { case (_, ps) => spark.read.parquet(ps: _*) }
+        val dirTypes = raw.map(_.schema.fields.map(f => f.name -> f.dataType).toMap)
+        // canonical type per physical column: the declared widening, else
+        // the (required-unique) type across the stages that carry it — a
+        // silent union coercion would hide a corrupt write
+        val canon: Map[String, String] = pairs.flatMap { case (_, phys) =>
+          widened.get(phys) match {
+            case Some(t) => Some(phys -> t)
+            case None =>
+              val seen = dirTypes.flatMap(_.get(phys)).distinct
+              require(seen.size <= 1,
+                s"readMapped: physical column $phys has conflicting types " +
+                  s"$seen across stages; declare the widening via widenColumn")
+              seen.headOption.map(dt => phys -> dt.sql)
+          }
+        }.toMap
+        val frames = raw.zip(dirTypes).map { case (one, have) =>
+          one.select(pairs.collect {
+            case (_, phys) if canon.contains(phys) =>
+              if (have.contains(phys)) col(phys).cast(canon(phys)).as(phys)
+              else lit(null).cast(canon(phys)).as(phys)
+          }: _*)
+        }
+        frames.reduce(_.unionByName(_))
+      }
+    val masked =
+      if (widened.isEmpty) applyMasks(spark, version, data)
+      else {
+        require(posDeleteFiles(version).isEmpty && tombstoneFiles(version).isEmpty,
+          "readMapped: outstanding deletes do not compose with type widening " +
+            "(the per-stage union path has no single _metadata address stream); " +
+            "optimize()/compact() the deletes away first")
+        data
+      }
     val present = masked.columns.toSet
     val projected = pairs.collect { case (log, phys) if present(phys) => col(phys).as(log) }
     require(projected.nonEmpty, s"readMapped: no mapped column of v$version has data")
     masked.select(projected: _*)
   }
+
+  /** TYPE WIDENING as a metadata-only commit (the Delta type-widening
+    * shape): the physical column keeps its narrow type in every existing
+    * file; the `coltypes` meta entry declares the LOGICAL type, reads
+    * up-cast old files on the fly, and new [[appendMapped]] batches
+    * write the wide type directly. Only provably-lossless widenings are
+    * allowed — no data rewrite, no precision trap.
+    */
+  def widenColumn(logicalName: String, toType: String): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"widenColumn: no committed snapshot at $root"))
+    val (_, pairs) = columnMapping(cur).getOrElse(throw new IllegalStateException(
+      s"widenColumn: column mapping is not enabled at $root (enableColumnMapping first)"))
+    val phys = pairs.collectFirst { case (l, p) if l == logicalName => p }
+      .getOrElse(throw new IllegalArgumentException(
+        s"widenColumn: no column named $logicalName (have ${pairs.map(_._1).mkString(", ")})"))
+    val allowed = Set("smallint", "int", "bigint", "float", "double")
+    val target = toType.toLowerCase
+    require(allowed.contains(target),
+      s"widenColumn: target $toType is not a supported widening target ($allowed)")
+    val cts = columnTypes(cur) + (phys -> target)
+    val rendered = cts.toSeq.sorted.map { case (p, t) => s"$p>$t" }.mkString(",")
+    commit(Some(cur), withMeta(files(cur), "coltypes", rendered))
+  }
+
+  /** The physical-column → widened-logical-type declarations of a
+    * snapshot ([[widenColumn]]); empty when no widening ever happened.
+    */
+  def columnTypes(version: Long): Map[String, String] =
+    metaValues(version).get("coltypes").map { v =>
+      v.split(',').map { e =>
+        val j = e.indexOf('>')
+        e.substring(0, j) -> e.substring(j + 1)
+      }.toMap
+    }.getOrElse(Map.empty)
 
   // ───────────────────────── table statistics ─────────────────────────
 

@@ -73,6 +73,32 @@ class SnapshotDmlSpec extends AnyFunSuite {
     assert(pairs.toMap.apply("payload").startsWith("c"), "re-added column rides a minted id")
   }
 
+  test("widenColumn: int->bigint as metadata; old narrow files up-cast, new files ride wide") {
+    val log = freshLog("widen")
+    log.append(
+      (0 until 8).map(i => (i.toLong, i * 100)).toDF("id", "v"), // v is INT
+      partitions = 2)
+    log.enableColumnMapping(spark)
+    val preWiden = log.currentVersion.get
+    val vW = log.widenColumn("v", "bigint")
+    assert(log.dataFiles(vW).sorted == log.dataFiles(preWiden).sorted,
+      "widening rewrites nothing")
+    // post-widen append carries values no INT can hold
+    log.appendMapped(
+      (8 until 12).map(i => (i.toLong, i.toLong + 3000000000L)).toDF("id", "v"),
+      partitions = 1)
+    val cur = log.readMapped(spark, log.currentVersion.get)
+    assert(cur.schema("v").dataType.sql.toLowerCase == "bigint")
+    val got = cur.as[(Long, Long)].collect().toMap
+    assert(got(0L) == 0L && got(7L) == 700L && got(11L) == 3000000011L,
+      s"both vintages must read exactly under the widened type; got $got")
+    assert(got.size == 12)
+    // the pre-widen vintage still reads (its only stage is homogeneous int)
+    assert(log.readMapped(spark, preWiden).count() == 8L)
+    // unsupported target refused
+    intercept[IllegalArgumentException] { log.widenColumn("v", "string") }
+  }
+
   test("deleteWhere masks by position without rewrite; updateWhere is one atomic delete+append") {
     val log = freshLog("dml")
     val v0 = log.append(rows(20, "a"), partitions = 2)
