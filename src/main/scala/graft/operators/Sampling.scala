@@ -410,4 +410,72 @@ object Sampling {
         raise_error(lit(s"hashSampleByStratum: NULL $keyCol — a null key has no stable identity")))
         .otherwise(hashUniform(col(keyCol)) < frac))
   }
+
+  /** GROUP-AWARE K-FOLD assignment — the cross-validation split a
+    * grouped dataset needs: every row of one GROUP (a user, a document
+    * family, a session) lands in the SAME fold, or train/validation
+    * leakage makes every score optimistic. Folds are EXACTLY balanced by
+    * group count (not merely hash-expected): groups rank by a seeded
+    * hash (ties by group key — a total order) and fold = (rank−1) mod k,
+    * so fold sizes differ by at most one group. One group-keyed
+    * aggregation plus one broadcast-back join of the (group, fold)
+    * frame; ranking shuffles group-count rows, never data rows.
+    *
+    * Output: the input plus a `fold` column in [0, k).
+    */
+  def groupKFold(
+      df: DataFrame,
+      groupCol: Column,
+      k: Int,
+      seed: String): DataFrame = {
+    require(k >= 2, s"groupKFold: k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val groups = df.select(groupCol.cast("string").as("__g")).where(col("__g").isNotNull)
+      .distinct()
+      .withColumn("__h", hashLong(concat_ws("|", lit(seed), col("__g"))))
+    val ranked = groups.withColumn("fold",
+      (row_number().over(Window.orderBy(col("__h"), col("__g"))) - 1) % k)
+      .select(col("__g"), col("fold").cast("int").as("fold"))
+    df.withColumn("__g", groupCol.cast("string"))
+      .join(broadcast(ranked), Seq("__g"))
+      .drop("__g")
+  }
+
+  /** LEAVE-ONE-OUT TARGET ENCODING with additive smoothing — the
+    * feature-engineering staple whose naive form LEAKS the label: a
+    * category's encoding for row i must exclude row i's own target, or
+    * the encoded feature memorizes the label and validation collapses.
+    * enc_i = (Σ_category − y_i + m·prior) / (n_category − 1 + m), all
+    * numerators exact integers (targets ride as longs; `prior` is the
+    * GLOBAL integer mean carried as an exact (sum, count) pair scaled by
+    * m) until ONE final double division rounded to 6 — both engines
+    * agree bitwise. Singleton categories fall back to the smoothed
+    * prior (n−1 = 0 contributes nothing). ONE category-keyed window pass
+    * (sum + count per category), no self-join.
+    */
+  def targetEncodeLoo(
+      df: DataFrame,
+      categoryCol: Column,
+      targetCol: Column,
+      m: Int = 20): DataFrame = {
+    require(m >= 1, s"targetEncodeLoo: smoothing m must be >= 1, got $m")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__y", targetCol.cast("long"))
+      .withColumn("__cat", categoryCol.cast("string"))
+    val wCat = Window.partitionBy(col("__cat"))
+    val wAll = Window.partitionBy()
+    // prior as an exact rational (gSum / gN); numerator scaled by gN so
+    // everything stays integer: enc = ((catSum - y)·gN + m·gSum) /
+    //                                 ((catN - 1 + m)·gN)
+    base
+      .withColumn("__cs", sum(col("__y")).over(wCat))
+      .withColumn("__cn", count(lit(1)).over(wCat))
+      .withColumn("__gs", sum(col("__y")).over(wAll))
+      .withColumn("__gn", count(lit(1)).over(wAll))
+      .withColumn("te_loo",
+        round(((col("__cs") - col("__y")) * col("__gn") + lit(m.toLong) * col("__gs"))
+          .cast("double") /
+          ((col("__cn") - 1L + m.toLong) * col("__gn")).cast("double"), 6))
+      .drop("__y", "__cs", "__cn", "__gs", "__gn")
+  }
 }
