@@ -1979,7 +1979,7 @@ object QueriesEtl {
         partitions = 4)
       log.enableColumnMapping(s)
       val preWiden = log.currentVersion.get
-      val vW = log.widenColumn("n_chars", "bigint")
+      val vW = log.widenColumn(s, "n_chars", "bigint")
       val metadataOnly = log.dataFiles(vW).sorted == log.dataFiles(preWiden).sorted
       log.appendMapped(
         docs.where(col("doc_id") % 2 =!= 0)
@@ -2205,6 +2205,137 @@ object QueriesEtl {
         .withColumn("single_atomic_commit", lit(atomic))
         .withColumn("metrics_match", lit(metricsMatch))
         .orderBy(col("status"))
+    }),
+
+    // ── MERGE-ON-READ MERGE ([[SnapshotLog.mergeInto]] composing with
+    // OUTSTANDING position deletes — a deleteWhere → mergeInto sequence
+    // with NO compact between two otherwise delete-sized operations):
+    // the rewrite-scope scan runs MASKED, the carried posdel lines keep
+    // masking the untouched files (`no_compact_needed` pins that masks
+    // were still outstanding at merge time), deleted rows never
+    // resurrect, and the result equals the compact-first route BITWISE
+    // (`equals_compact_first_route`: exceptAll both ways against a
+    // second log that compacts before the identical merge) ──
+    "snapshot_merge_mor" -> ((s, dir) => {
+      def mk(name: String): SnapshotLog = {
+        val l = new SnapshotLog(scratch(dir, name)); l.recreate(); l
+      }
+      val log = mk("snap_mor"); val ref = mk("snap_mor_ref")
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val target = orders.where(col("k") % 4 =!= 3)
+      val source = orders.where(col("k") % 2 === 1)
+        .withColumn("cents", col("cents") + 7L)
+      def run(l: SnapshotLog, compactFirst: Boolean): Long = {
+        l.append(target, partitions = 4)
+        l.deleteWhere(s, col("k") % 5 === 0)
+        if (compactFirst) l.compact(s, partitions = 4)
+        val (v, _, _) = l.mergeInto(
+          source, "k",
+          updateWhen = Some(lit(true)),
+          updateSet = Seq("cents" -> (col("cents") + col("src_cents"))),
+          deleteWhen = Some(col("status") === "F"),
+          insertNotMatched = true)
+        v
+      }
+      val vM = run(log, compactFirst = false)
+      val vRef = run(ref, compactFirst = true)
+      val masksOutstanding = log.posDeleteFiles(vM).nonEmpty
+      val a = log.read(s, vM)
+      val b = ref.read(s, vRef)
+      val same = a.exceptAll(b).limit(1).count() == 0 &&
+        b.exceptAll(a).limit(1).count() == 0
+      a.groupBy(col("status"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("k")).as("sum_key"),
+          sum(col("cents")).as("sum_cents"))
+        .withColumn("no_compact_needed", lit(masksOutstanding))
+        .withColumn("equals_compact_first_route", lit(same))
+        .orderBy(col("status"))
+    }),
+
+    // ── DELETION VECTORS ([[SnapshotLog.writeDeleteVectors]] — the
+    // Delta deletion-vector shape over the engine's own exact-bitmap
+    // wire format): two predicate deletes leave two position-delete
+    // files; ONE metadata-sized commit rolls them into a single
+    // per-file-bitmap sidecar (`posdels_collapsed_to_one_dv`,
+    // `metadata_only` pins the data-file set unchanged), the DV read
+    // equals the anti-join route BITWISE (`dv_equals_antijoin` against
+    // the pinned pre-DV version), and the read PLAN carries no join —
+    // the mask became a codegen'd file-local bitmap probe on the scan
+    // (`read_plan_has_no_join`) ──
+    "snapshot_dv_read" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_dv"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      log.append(base, partitions = 4)
+      log.deleteWhere(s, col("o_orderkey") % 7 === 1)
+      val (vPos, _) = log.deleteWhere(s, col("o_orderkey") % 11 === 3)
+      val antiView = log.read(s, vPos)
+      val (vDv, nVecs) = log.writeDeleteVectors(s)
+      val collapsed = log.posDeleteFiles(vDv).isEmpty &&
+        log.dvFiles(vDv).size == 1 && nVecs > 0
+      val metadataOnly = log.dataFiles(vDv).sorted == log.dataFiles(vPos).sorted
+      val dvView = log.read(s, vDv)
+      val bitwise = dvView.exceptAll(antiView).limit(1).count() == 0 &&
+        antiView.exceptAll(dvView).limit(1).count() == 0
+      val noJoin = !dvView.queryExecution.executedPlan.toString.contains("Join")
+      dvView
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(col("cents")).as("sum_cents"))
+        .withColumn("dv_equals_antijoin", lit(bitwise))
+        .withColumn("metadata_only", lit(metadataOnly))
+        .withColumn("posdels_collapsed_to_one_dv", lit(collapsed))
+        .withColumn("read_plan_has_no_join", lit(noJoin))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ── VACUUM vs TIME TRAVEL ([[SnapshotLog.expire]] +
+    // [[SnapshotLog.vacuum]] — the retention-horizon safety law nothing
+    // pinned before): a compact strands the pre-compact append files as
+    // exclusive property of the OLD versions; after `expire` drops those
+    // versions, vacuum collects exactly the expired-exclusive files
+    // (`expired_files_collected`), every RETAINED version still reads
+    // its full content through the sweep
+    // (`retained_reads_survive_vacuum` — measured row counts, not
+    // existence), and a read at the expired version fails LOUDLY
+    // (`expired_read_fails_loudly`), never serves a silent
+    // half-table ──
+    "vacuum_retention_travel" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_vexp"))
+      log.recreate()
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("n_chars"))
+      val nA = docs.where(col("doc_id") % 3 === 0).count()
+      val nB = docs.where(col("doc_id") % 3 === 1).count()
+      val nAll = docs.count()
+      val v0 = log.append(docs.where(col("doc_id") % 3 === 0), partitions = 2)
+      val v1 = log.append(docs.where(col("doc_id") % 3 === 1), partitions = 2)
+      val v2 = log.compact(s, partitions = 2)
+      val v3 = log.append(docs.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 3 =!= 1),
+        partitions = 2)
+      val expired = log.expire(keepFrom = v2)
+      val removed = log.vacuum()
+      val collected = expired.sorted == Seq(v0, v1) && removed.nonEmpty
+      val retainedOk = log.read(s, v2).count() == nA + nB &&
+        log.read(s, v3).count() == nAll
+      val expiredFails =
+        try { log.read(s, v0).count(); false }
+        catch { case _: IllegalArgumentException => true }
+      log.read(s, v3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("expired_files_collected", lit(collected))
+        .withColumn("retained_reads_survive_vacuum", lit(retainedOk))
+        .withColumn("expired_read_fails_loudly", lit(expiredFails))
+        .orderBy(col("lang"))
     }),
 
     // ── INCREMENTAL MATERIALIZED VIEW ([[Materialize.mergeSummaries]]):
@@ -2787,8 +2918,9 @@ object QueriesEtl {
          |         CAST(count(*) AS BIGINT) AS n_true
          |  FROM events GROUP BY 1, 2
          |), hx AS (
-         |  SELECT *, ('0x' || substr(md5('graft-dp-r11' || '|' || event_type ||
-         |             '|' || CAST(week AS VARCHAR)), 1, 8))::BIGINT AS h
+         |  SELECT *, ('0x' || substr(md5('graft-dp-r11' || '|' ||
+         |             coalesce(event_type, '␀') || '|' ||
+         |             coalesce(CAST(week AS VARCHAR), '␀')), 1, 8))::BIGINT AS h
          |  FROM g
          |), nz AS (
          |  SELECT event_type, week, n_true,
@@ -2994,6 +3126,61 @@ object QueriesEtl {
         |       TRUE AS single_atomic_commit,
         |       TRUE AS metrics_match
         |FROM merged GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_merge_mor: the masked target (delete applied) through the
+    // same three clauses; mask-carry, no-resurrection, and
+    // route-equivalence laws are measured Spark-side
+    "snapshot_merge_mor" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 4 <> 3 AND o_orderkey % 5 <> 0
+        |), s AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) + 7 AS cents
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |), merged AS (
+        |  SELECT t.k, t.status, t.cents + s.cents AS cents
+        |  FROM t JOIN s ON t.k = s.k WHERE t.status <> 'F'
+        |  UNION ALL
+        |  SELECT t.k, t.status, t.cents FROM t
+        |  WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.k = t.k)
+        |  UNION ALL
+        |  SELECT s.k, s.status, s.cents FROM s
+        |  WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.k = s.k)
+        |)
+        |SELECT status, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS no_compact_needed,
+        |       TRUE AS equals_compact_first_route
+        |FROM merged GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_dv_read: survivors of both predicate deletes; the
+    // bitwise-equality, metadata-only, and plan-shape laws are measured
+    // Spark-side
+    "snapshot_dv_read" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS dv_equals_antijoin,
+        |       TRUE AS metadata_only,
+        |       TRUE AS posdels_collapsed_to_one_dv,
+        |       TRUE AS read_plan_has_no_join
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 1 AND o_orderkey % 11 <> 3
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // vacuum_retention_travel: the final snapshot is the full documents
+    // set; the collection, retained-read, and loud-failure laws are
+    // measured Spark-side
+    "vacuum_retention_travel" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       TRUE AS expired_files_collected,
+        |       TRUE AS retained_reads_survive_vacuum,
+        |       TRUE AS expired_read_fails_loudly
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // stats_join_order: the per-tier rollup through the derived user dim;
     // the stats-exactness and plan-shape laws are measured Spark-side

@@ -1272,7 +1272,8 @@ object QueriesRelational {
             " 'q_d', num_qd, den_q, den_d," +
             " 'p_d', num_pd, den_p, den_d) AS (pair, num_scaled, dx, dy)"))
         .select(
-          col("flag"), col("pair"), col("n"), col("num_scaled"),
+          col("flag"), col("pair"), col("n"),
+          col("num_scaled").cast("string").as("num_scaled"),
           expr("round(CAST(num_scaled AS DOUBLE) / " +
             "(sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6)")
             .as("corr_r6"))
@@ -3338,11 +3339,11 @@ object QueriesRelational {
 
     // corr_matrix: same one-scan sums in HUGEINT (DuckDB's exact 128-bit),
     // same cast→sqrt→divide→round float tail. The hashed num_scaled column
-    // is cast to DECIMAL(38,0) to carry the SAME logical type as Spark's —
-    // the driver's hasher canonicalizes HUGEINT and DECIMAL differently
-    // even when every value is identical (r10 verdict). Standing rule:
-    // hashed numeric columns must ride the same logical type in both
-    // engines; wide integers go as DECIMAL(38,0) (or STRING) on BOTH sides.
+    // rides as VARCHAR on BOTH sides — the driver's hasher canonicalizes
+    // DECIMAL columns differently across engines even at identical declared
+    // type and bitwise-identical values (r11 verdict falsified the
+    // DECIMAL(38,0) alignment). Standing rule: hashed wide integers ride
+    // as STRING, never DECIMAL.
     "corr_matrix" ->
       """WITH li AS (
         |  SELECT l_returnflag AS flag,
@@ -3378,7 +3379,7 @@ object QueriesRelational {
         |  SELECT flag, n, 'p_d', num_pd, den_p, den_d FROM m
         |)
         |SELECT flag, pair, n,
-        |       CAST(num_scaled AS DECIMAL(38,0)) AS num_scaled,
+        |       CAST(num_scaled AS VARCHAR) AS num_scaled,
         |       round(CAST(num_scaled AS DOUBLE) /
         |             (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6) AS corr_r6
         |FROM lng ORDER BY flag, pair""".stripMargin,

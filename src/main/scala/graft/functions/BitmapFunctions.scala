@@ -5,7 +5,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
@@ -79,6 +79,17 @@ object BitmapFunctions {
           var i = 0
           while (i < ContainerWords) { mine(i) |= theirs(i); i += 1 }
         }
+      }
+    }
+
+    /** O(1) membership probe — two array index steps per call. */
+    def contains(id: Long): Boolean = {
+      if (id < 0 || id > Int.MaxValue) return false
+      val c = containers.get((id >>> 16).toInt)
+      if (c == null) false
+      else {
+        val low = (id & 0xffffL).toInt
+        (c(low >>> 6) & (1L << (low & 63))) != 0L
       }
     }
 
@@ -336,7 +347,57 @@ object BitmapFunctions {
     override def prettyName: String = "graft_bitmap_andnot_count"
   }
 
-  /** Register all five functions on the session's registry (idempotent). */
+  /** File-local DELETION-VECTOR probe (the Delta deletion-vector read
+    * shape): `first` is a LITERAL map of data-file path → serialized
+    * [[GraftBitmap]] of deleted row ordinals, `second`/`third` are the
+    * scan's `_file`/`_pos` address columns. Answers "is this row
+    * deleted" in two array index steps against the file's bitmap — the
+    * read path stays scan → filter (NO join against the delete rows).
+    * The map literal rides to executors with the serialized plan
+    * (file-count-bounded, the plan-attached shape of Delta's DV
+    * descriptors) and deserializes once per expression instance via the
+    * transient lazy index. Codegen'd: the generated code calls
+    * [[probe]] directly.
+    */
+  case class DvContains(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+    override def dataType: DataType = BooleanType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (MapType(StringType, BinaryType, _), StringType, LongType) =>
+          if (first.foldable) TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            "graft_dv_contains: the dv map must be a literal")
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"graft_dv_contains needs (map<string,binary> literal, string, bigint), got $other")
+      }
+    @transient private lazy val index: java.util.HashMap[String, GraftBitmap] = {
+      val m = new java.util.HashMap[String, GraftBitmap]()
+      val md = first.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      if (md != null) md.foreach(StringType, BinaryType, (k, v) =>
+        m.put(k.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+          deserialize(v.asInstanceOf[Array[Byte]])))
+      m
+    }
+    def probe(file: org.apache.spark.unsafe.types.UTF8String, pos: Long): Boolean = {
+      val bm = index.get(file.toString)
+      bm != null && bm.contains(pos)
+    }
+    override protected def nullSafeEval(m: Any, f: Any, p: Any): Any =
+      probe(f.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        p.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dvProbe", this, classOf[DvContains].getName)
+      defineCodeGen(ctx, ev, (_, f, p) => s"$ref.probe($f, $p)")
+    }
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+    override def prettyName: String = "graft_dv_contains"
+  }
+
+  /** Register all six functions on the session's registry (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -351,6 +412,9 @@ object BitmapFunctions {
     reg.createOrReplaceTempFunction(
       "graft_bitmap_andnot_count",
       exprs => BitmapAndNotCount(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_dv_contains",
+      exprs => DvContains(exprs(0), exprs(1), exprs(2)), "scala_udf")
   }
 
   def bitmapAgg(key: Column): Column = call_function("graft_bitmap_agg", key)
@@ -360,4 +424,6 @@ object BitmapFunctions {
     call_function("graft_bitmap_and_count", a, b)
   def bitmapAndNotCount(a: Column, b: Column): Column =
     call_function("graft_bitmap_andnot_count", a, b)
+  def dvContains(dvMap: Column, file: Column, pos: Column): Column =
+    call_function("graft_dv_contains", dvMap, file, pos)
 }

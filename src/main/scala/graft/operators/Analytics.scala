@@ -306,24 +306,25 @@ object Analytics {
       .agg(
         count(lit(1)).as("n"),
         sum(when(successCol, 1L).otherwise(0L)).as("x"))
-    // a miscoded split column must fail LOUDLY, not return an empty frame:
-    // both variant groups (0 and 1) must exist, and no other group value
-    // (including a null-casting one) may appear. Bounded fetch: g has one
-    // row per distinct group value, and a sane split has two.
-    val chk = g.agg(
-      sum(when(col("grp") === 0, 1L).otherwise(0L)).as("has0"),
-      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("has1"),
-      count(lit(1)).as("ngrp")).head()
-    require(chk.getLong(0) == 1L && chk.getLong(1) == 1L,
-      s"abZTest: both variant groups (0 and 1) must have rows; " +
-        s"got group-0 present=${chk.getLong(0) == 1L}, group-1 present=${chk.getLong(1) == 1L}")
-    require(chk.getLong(2) == 2L,
-      s"abZTest: group column must carry ONLY values 0 and 1, found " +
-        s"${chk.getLong(2)} distinct group values (miscoded split column?)")
-    val a = g.where(col("grp") === 0).select(col("n").as("n1"), col("x").as("x1"))
-    val b = g.where(col("grp") === 1).select(col("n").as("n2"), col("x").as("x2"))
+    // a miscoded split column must fail LOUDLY, not return an empty frame
+    // — and the check must not cost a second corpus scan (it did in r11:
+    // a separate chk action re-ran the upstream scan+aggregate, doubling
+    // the operator). The grouped frame has one row per distinct split
+    // value, so ONE bounded three-row fetch both materializes the sane
+    // {0, 1} counts and proves any miscoding; the counts then ride back
+    // as literals — the downstream arithmetic is constant-size either way.
+    val rows = g.limit(3).collect()
+    val keys = rows.map(r => if (r.isNullAt(0)) "null" else r.getLong(0).toString)
+    require(rows.length == 2 && keys.sorted.sameElements(Array("0", "1")),
+      s"abZTest: group column must carry ONLY values 0 and 1, each with rows; " +
+        s"found groups {${keys.sorted.mkString(", ")}}" +
+        (if (rows.length > 2) " (and more)" else "") + " (miscoded split column?)")
+    val byGrp = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ((n1v, x1v), (n2v, x2v)) = (byGrp(0L), byGrp(1L))
     val d = (c: Column) => c.cast("decimal(38,0)")
-    a.crossJoin(broadcast(b)).select(
+    events.sparkSession.range(1).select(
+      lit(n1v).as("n1"), lit(x1v).as("x1"),
+      lit(n2v).as("n2"), lit(x2v).as("x2")).select(
       col("n1"), col("x1"), col("n2"), col("x2"),
       expr("x1 * 1000000 div n1").as("rate1_ppm"),
       expr("x2 * 1000000 div n2").as("rate2_ppm"),
@@ -1154,28 +1155,39 @@ object Analytics {
     val g = events.select(groupCol.cast("long").as("grp"), metricCol.as("v"))
     val byVal = g.groupBy(col("v")).agg(
       count(lit(1)).as("t"),
-      sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("t1"))
-    val chk = g.agg(
-      sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("has0"),
-      sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("has1"),
-      sum(when(col("grp") === 0L || col("grp") === 1L, 0L).otherwise(1L))
-        .as("other")).head()
-    require(chk.getLong(0) > 0L && chk.getLong(1) > 0L,
-      "mannWhitneyU: both variant groups (0 and 1) must have rows")
-    require(chk.getLong(2) == 0L,
-      s"mannWhitneyU: group column must carry only 0/1, found ${chk.getLong(2)} other rows")
+      sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("t1"),
+      sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("t0"))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = byVal
       .withColumn("below", coalesce(sum(col("t")).over(w) - col("t"), lit(0L)))
       .withColumn("dr", lit(2L) * col("below") + col("t") + 1L)
+    // the miscoded-split check rides the SAME single-action plan (a
+    // separate chk action re-ran the corpus scan+aggregate in r11,
+    // doubling the operator): per-value t0 counts fold through the final
+    // aggregate, and a raise_error guard on the first output column fires
+    // loudly when either variant is empty or any non-0/1 group value
+    // (including a null-casting one) appears — one corpus pass total.
+    val chkBad =
+      coalesce(col("n0r"), lit(0L)) === 0L || coalesce(col("n1"), lit(0L)) === 0L ||
+        coalesce(col("n"), lit(0L)) =!= coalesce(col("n0r"), lit(0L)) + coalesce(col("n1"), lit(0L))
     ranked.agg(
         sum(col("t")).as("n"),
         sum(col("t1")).as("n1"),
+        sum(col("t0")).as("n0r"),
         sum(col("t1") * col("dr")).as("r1_doubled"),
-        sum((col("t") - col("t1")) * col("dr")).as("r0_doubled"))
+        sum(col("t0") * col("dr")).as("r0_doubled"))
       .select(
-        (col("n") - col("n1")).as("n0"), col("n1"),
+        when(chkBad, raise_error(concat(
+            lit("mannWhitneyU: both variant groups (0 and 1) must have rows and no "),
+            lit("other group value may appear — group-0 rows="),
+            coalesce(col("n0r"), lit(0L)).cast("string"),
+            lit(", group-1 rows="), coalesce(col("n1"), lit(0L)).cast("string"),
+            lit(", other rows="),
+            (coalesce(col("n"), lit(0L)) - coalesce(col("n0r"), lit(0L)) -
+              coalesce(col("n1"), lit(0L))).cast("string"),
+            lit(" (miscoded split column?)"))).cast("long"))
+          .otherwise(col("n") - col("n1")).as("n0"), col("n1"),
         col("r1_doubled"),
         (col("r1_doubled") - col("n1") * (col("n1") + 1L)).as("u1_doubled"),
         (col("r0_doubled") - (col("n") - col("n1")) * (col("n") - col("n1") + 1L))

@@ -220,9 +220,14 @@ object Privacy {
     require(groupCols.nonEmpty, "dpCounts: need at least one group column")
     val named = groupCols.map { case (n, c) => c.as(n) }
     // '|'-separated on purpose: bare concatenation would let adjacent
-    // string keys collide ("ab","c" vs "a","bc") and draw the same noise
+    // string keys collide ("ab","c" vs "a","bc") and draw the same noise.
+    // Each key rides through coalesce with a NULL-sentinel (U+2400 — a
+    // character no real key contains): concat_ws SKIPS nulls, so without
+    // it two groups differing only in WHICH column is NULL would collide
+    // to the same noise draw, defeating the '|' anti-collision rationale.
     val keyStr = concat_ws("|",
-      lit(seed) +: groupCols.map { case (n, _) => col(n).cast("string") }: _*)
+      lit(seed) +: groupCols.map { case (n, _) =>
+        coalesce(col(n).cast("string"), lit("␀")) }: _*)
     val h = conv(substring(md5(keyStr), 1, 8), 16, 10).cast("long")
     // ascending CASE chain over the exact thresholds: first k with h < T(k)
     val noise = DpGeomThresholds.init.foldRight(

@@ -430,14 +430,22 @@ object Sampling {
       seed: String): DataFrame = {
     require(k >= 2, s"groupKFold: k must be >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
-    val groups = df.select(groupCol.cast("string").as("__g")).where(col("__g").isNotNull)
-      .distinct()
+    // a NULL group key has no stable identity to keep together, and
+    // silently dropping its rows (the r11 behavior: nulls fell out of
+    // the group list, then out of the inner join) contradicts "the input
+    // plus a fold column" — refuse loudly, the hashSampleByStratum
+    // discipline
+    val keyed = df.withColumn("__g",
+      when(groupCol.isNull,
+        raise_error(lit("groupKFold: NULL group key — a null group has no " +
+          "stable identity to hold in one fold; filter or impute first")))
+        .otherwise(groupCol.cast("string")))
+    val groups = keyed.select(col("__g")).distinct()
       .withColumn("__h", hashLong(concat_ws("|", lit(seed), col("__g"))))
     val ranked = groups.withColumn("fold",
       (row_number().over(Window.orderBy(col("__h"), col("__g"))) - 1) % k)
       .select(col("__g"), col("fold").cast("int").as("fold"))
-    df.withColumn("__g", groupCol.cast("string"))
-      .join(broadcast(ranked), Seq("__g"))
+    keyed.join(broadcast(ranked), Seq("__g"))
       .drop("__g")
   }
 

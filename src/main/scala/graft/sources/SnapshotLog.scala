@@ -128,12 +128,18 @@ class SnapshotLog(
     * (e.g. RENAME COLUMN) is one atomic two-line commit that moves zero
     * data bytes — the Delta/Iceberg metadata-commit class.
     */
+  /** Manifest-line prefix for deletion-vector sidecar files
+    * ([[writeDeleteVectors]]): one parquet of (_file, dv) rows, `dv` the
+    * [[graft.functions.BitmapFunctions.GraftBitmap]] wire format over the
+    * file's deleted row ordinals. */
+  private val DvPrefix = "dv:"
+
   private val MetaPrefix = "meta:"
 
   private def isMetaLine(l: String): Boolean = l.startsWith(MetaPrefix)
 
   private def isTombLine(l: String): Boolean =
-    l.startsWith(DelPrefix) || l.startsWith(PosDelPrefix)
+    l.startsWith(DelPrefix) || l.startsWith(PosDelPrefix) || l.startsWith(DvPrefix)
 
   /** Metadata lines of a snapshot (still `meta:`-prefixed). */
   def metaLines(version: Long): Seq[String] = files(version).filter(isMetaLine)
@@ -211,6 +217,11 @@ class SnapshotLog(
   /** Position-delete-file relative paths of a snapshot. */
   def posDeleteFiles(version: Long): Seq[String] =
     files(version).filter(_.startsWith(PosDelPrefix)).map(_.stripPrefix(PosDelPrefix))
+
+  /** Deletion-vector sidecar relative paths of a snapshot
+    * ([[writeDeleteVectors]]). */
+  def dvFiles(version: Long): Seq[String] =
+    files(version).filter(_.startsWith(DvPrefix)).map(_.stripPrefix(DvPrefix))
 
   /** Phase 1 of the two-phase write: materialize `df` as immutable parquet
     * files under a fresh unique directory and return their relative paths
@@ -460,14 +471,70 @@ class SnapshotLog(
         positions.columns.toSeq.mkString(", "))
     val live = dataFiles(cur).toSet
     import positions.sparkSession.implicits._
-    val referenced = positions.select(col("_file")).distinct().as[String].collect()
-    val dangling = referenced.filterNot(live)
-    require(dangling.isEmpty,
-      s"deletePositions: positions reference file(s) not in snapshot v$cur: " +
-        dangling.sorted.take(5).mkString(", "))
+    // stage FIRST, validate from the staged file: `positions` is
+    // evaluated exactly once, so the committed addresses are the very
+    // rows the dangling check inspected (a nondeterministic input can
+    // never pass validation with one row set and commit another)
     val staged = stageData(
       positions.select(col("_file").cast("string"), col("_pos").cast("long")), 1)
+    val referenced = positions.sparkSession.read
+      .parquet(staged.map(p => new File(dataRootPath, p).toString): _*)
+      .select(col("_file")).distinct().as[String].collect()
+    val dangling = referenced.filterNot(live)
+    if (dangling.nonEmpty) {
+      staged.foreach(p => new File(dataRootPath, p).delete())
+      throw new IllegalArgumentException(
+        s"deletePositions: positions reference file(s) not in snapshot v$cur: " +
+          dangling.sorted.take(5).mkString(", "))
+    }
     commit(Some(cur), files(cur) ++ staged.map(PosDelPrefix + _))
+  }
+
+  /** Materialize the snapshot's outstanding POSITION DELETES as per-file
+    * DELETION VECTORS (the Delta deletion-vector shape): one aggregation
+    * rolls the (file, ordinal) delete rows up into a roaring-style
+    * bitmap per file ([[graft.functions.BitmapFunctions.GraftBitmap]]
+    * wire format, the engine's own exact-bitmap machinery), staged as a
+    * single `dv:`-prefixed sidecar replacing every `posdel:` line (and
+    * merged by bitmap OR with any existing sidecar). Data files are
+    * untouched — this is mask COMPACTION, metadata-sized work.
+    *
+    * Why: the anti-join mask pays a per-read shuffle-shaped probe
+    * against delete-count rows; the vector turns it into a file-local
+    * O(1) bitmap probe on the scan (read path: scan → filter, NO join —
+    * see [[applyMasks]]), and N accumulated delete files collapse to one
+    * sidecar. Row ordinals are file-local and bounded far below the
+    * bitmap's dense-int ceiling. Readers of pinned earlier versions
+    * still see the original posdel lines — immutable either way.
+    *
+    * @return (committed version — unchanged when no position deletes
+    *         exist, files carrying a deletion vector)
+    */
+  def writeDeleteVectors(spark: SparkSession): (Long, Int) = {
+    import org.apache.spark.sql.functions.col
+    graft.functions.BitmapFunctions.register(spark)
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"writeDeleteVectors: no committed snapshot at $root"))
+    val pos = posDeleteFiles(cur)
+    if (pos.isEmpty) return (cur, dvFiles(cur).size)
+    val fromPos = spark.read
+      .parquet(pos.map(p => new File(dataRootPath, p).toString): _*)
+      .groupBy(col("_file"))
+      .agg(graft.functions.BitmapFunctions.bitmapAgg(col("_pos")).as("dv"))
+    val existing = dvFiles(cur)
+    val all =
+      if (existing.isEmpty) fromPos
+      else fromPos.unionByName(
+          spark.read.parquet(existing.map(p => new File(dataRootPath, p).toString): _*)
+            .select(col("_file"), col("dv")))
+        .groupBy(col("_file"))
+        .agg(graft.functions.BitmapFunctions.bitmapUnion(col("dv")).as("dv"))
+    val staged = stageData(all.select(col("_file"), col("dv")), 1)
+    val carried = files(cur).filterNot(l =>
+      l.startsWith(PosDelPrefix) || l.startsWith(DvPrefix))
+    val v = commit(Some(cur), carried ++ staged.map(DvPrefix + _))
+    (v, spark.read.parquet(
+      staged.map(p => new File(dataRootPath, p).toString): _*).count().toInt)
   }
 
   /** Apply a snapshot's merge-on-read masks to `data` (a raw scan of the
@@ -488,26 +555,47 @@ class SnapshotLog(
     // carries a `_file` or `_pos` column must not silently key the
     // position-delete anti-join on user data instead of the physical
     // (file, row-ordinal) address.
-    if (!addressed && posDeleteFiles(version).nonEmpty) {
+    val posTombs = posDeleteFiles(version)
+    val dvSides = dvFiles(version)
+    if (!addressed && (posTombs.nonEmpty || dvSides.nonEmpty)) {
       val clash = data.columns.filter(c => c == "_file" || c == "_pos")
       require(clash.isEmpty,
         s"read of snapshot v$version with position deletes: the table's own " +
           s"columns ${clash.mkString(", ")} collide with the position-delete " +
           "address columns (_file, _pos); rename them or compact the deletes away")
     }
-    val posTombs = posDeleteFiles(version)
+    def withAddr(d: DataFrame): DataFrame =
+      if (addressed) d
+      else d
+        .withColumn("_file",
+          regexp_extract(col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1))
+        .withColumn("_pos", col("_metadata.row_index"))
+    def dropAddr(d: DataFrame): DataFrame =
+      if (addressed) d else d.drop("_file", "_pos")
     val afterPos =
-      if (posTombs.isEmpty) data
+      if (posTombs.isEmpty && dvSides.isEmpty) data
       else {
-        val pos = spark.read.parquet(posTombs.map(p => new File(dataRootPath, p).toString): _*)
-        val withAddr =
-          if (addressed) data
-          else data
-            .withColumn("_file",
-              regexp_extract(col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1))
-            .withColumn("_pos", col("_metadata.row_index"))
-        val masked = withAddr.join(pos, Seq("_file", "_pos"), "left_anti")
-        if (addressed) masked else masked.drop("_file", "_pos")
+        var d = withAddr(data)
+        if (posTombs.nonEmpty) {
+          val pos = spark.read.parquet(
+            posTombs.map(p => new File(dataRootPath, p).toString): _*)
+          d = d.join(pos, Seq("_file", "_pos"), "left_anti")
+        }
+        if (dvSides.nonEmpty) {
+          // deletion vectors: the sidecar is file-count-sized (one row
+          // per file carrying deletes), so it collects to a driver map
+          // and rides the plan as a literal — the mask is a codegen'd
+          // per-row bitmap PROBE on the scan, not a join
+          import org.apache.spark.sql.functions.typedlit
+          graft.functions.BitmapFunctions.register(spark)
+          val dvMap: Map[String, Array[Byte]] = spark.read.parquet(
+              dvSides.map(p => new File(dataRootPath, p).toString): _*)
+            .select(col("_file"), col("dv"))
+            .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+          d = d.where(!graft.functions.BitmapFunctions.dvContains(
+            typedlit(dvMap), col("_file"), col("_pos")))
+        }
+        dropAddr(d)
       }
     val tombs = tombstoneFiles(version)
     if (tombs.isEmpty) afterPos
@@ -839,9 +927,9 @@ class SnapshotLog(
     require(targetBytes >= 1L, s"compactSmall: targetBytes must be >= 1, got $targetBytes")
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"compactSmall: no committed snapshot at $root"))
-    require(posDeleteFiles(cur).isEmpty,
-      "compactSmall: position deletes address physical (file, ordinal) rows — " +
-        "a repack would orphan them; compact() first")
+    require(posDeleteFiles(cur).isEmpty && dvFiles(cur).isEmpty,
+      "compactSmall: position deletes / deletion vectors address physical " +
+        "(file, ordinal) rows — a repack would orphan them; compact() first")
     val data = dataFiles(cur)
     val sized = data.map(p => p -> new File(dataRootPath, p).length())
     val smalls = sized.filter(_._2 < targetBytes).map(_._1)
@@ -904,9 +992,15 @@ class SnapshotLog(
     * [[optimize]] restores global disjointness when wanted).
     *
     * Falls back to the full rewrite when no optimize ever ran (or its
-    * version expired). Refuses outstanding tombstones loudly — a
-    * partial rewrite cannot both absorb table-wide masks and leave
-    * clustered files untouched; run [[optimize]]/[[compact]] first.
+    * version expired). COMPOSES with outstanding merge-on-read deletes
+    * (no forced compact between a deleteWhere and the maintenance pass):
+    * the fresh-file scan is read under the snapshot's masks, so the
+    * rewrite absorbs the deletes that hit FRESH files, while every mask
+    * line is carried forward — position-delete entries against the
+    * rewritten files become inert (their file paths leave the manifest)
+    * and entries against clustered files keep masking exactly as before.
+    * Key tombstones mask by key at read on every file, carried unchanged.
+    * Read-back is bitwise the pre-optimize masked view either way.
     *
     * @return (committed version, (files rewritten, clustered files carried))
     */
@@ -917,9 +1011,6 @@ class SnapshotLog(
     require(sortCols.nonEmpty, "optimizeIncremental: need at least one clustering column")
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"optimizeIncremental: no committed snapshot at $root"))
-    require(tombstoneFiles(cur).isEmpty && posDeleteFiles(cur).isEmpty,
-      "optimizeIncremental: outstanding deletes must be absorbed first (optimize/compact) — " +
-        "a partial rewrite cannot absorb table-wide masks and leave clustered files untouched")
     val lastOpt = metaValues(cur).get("lastopt").map(_.toLong).filter(versions.contains)
     lastOpt match {
       case None =>
@@ -930,8 +1021,11 @@ class SnapshotLog(
         val fresh = dataFiles(cur).filterNot(clustered)
         if (fresh.isEmpty) (cur, (0, clustered.size))
         else {
-          val arranged = spark.read
-            .parquet(fresh.map(p => new File(dataRootPath, p).toString): _*)
+          // masked scan: deletes that hit fresh files are absorbed by
+          // the rewrite (never resurrected); mask lines ride in
+          // `carried` below for the untouched clustered files
+          val arranged = applyMasks(spark, cur, spark.read
+              .parquet(fresh.map(p => new File(dataRootPath, p).toString): _*))
             .repartitionByRange(partitions, sortCols: _*)
             .sortWithinPartitions(sortCols: _*)
           val staged = stageArranged(arranged)
@@ -998,12 +1092,27 @@ class SnapshotLog(
           s"only (have ${baseCols.mkString(", ")}); evolve the schema via append instead")
     }
     val matched = base.where(predicate)
-    val n = matched.count()
-    if (n == 0L) (cur, 0L)
-    else {
-      val posStaged = stageData(
-        matched.select(col("_file").cast("string"), col("_pos").cast("long")), 1)
-      val updated = set.foldLeft(matched.drop("_file", "_pos")) {
+    // Freeze the matched row set ONCE: staging the addresses is the only
+    // evaluation of the predicate, and both commit artifacts derive from
+    // that frozen file — the position-delete file IS it, and the updated
+    // images join the deterministic scan back to it by (file, ordinal).
+    // (r11 evaluated `matched` in three independent jobs; a
+    // nondeterministic predicate or input could commit position deletes
+    // and new images describing DIFFERENT row sets in one "atomic"
+    // commit, silently corrupting the table.)
+    val posStaged = stageData(
+      matched.select(col("_file").cast("string"), col("_pos").cast("long")), 1)
+    val addrs = spark.read.parquet(
+      posStaged.map(p => new File(dataRootPath, p).toString): _*)
+    val n = addrs.count()
+    if (n == 0L) {
+      // nothing matched — remove the empty staged address file instead of
+      // leaving an orphan for vacuum
+      posStaged.foreach(p => new File(dataRootPath, p).delete())
+      (cur, 0L)
+    } else {
+      val updated = set.foldLeft(
+          base.join(addrs, Seq("_file", "_pos"), "left_semi")) {
         case (d, (name, c)) => d.withColumn(name, c)
       }.select(baseCols.map(col): _*)
       val dataStaged = stageData(updated, partitions)
@@ -1221,7 +1330,8 @@ class SnapshotLog(
     val masked =
       if (widened.isEmpty) applyMasks(spark, version, data)
       else {
-        require(posDeleteFiles(version).isEmpty && tombstoneFiles(version).isEmpty,
+        require(posDeleteFiles(version).isEmpty && tombstoneFiles(version).isEmpty &&
+            dvFiles(version).isEmpty,
           "readMapped: outstanding deletes do not compose with type widening " +
             "(the per-stage union path has no single _metadata address stream); " +
             "optimize()/compact() the deletes away first")
@@ -1238,9 +1348,14 @@ class SnapshotLog(
     * file; the `coltypes` meta entry declares the LOGICAL type, reads
     * up-cast old files on the fly, and new [[appendMapped]] batches
     * write the wide type directly. Only provably-lossless widenings are
-    * allowed — no data rewrite, no precision trap.
+    * allowed — the column's CURRENT type is resolved (declared widening
+    * first, else the stage directories' parquet footers — metadata-sized,
+    * no data scan) and checked against the lossless from→to pairs, so a
+    * "widening" can never narrow (bigint→int) or lose precision
+    * (bigint→double): Spark's non-ANSI cast would silently overflow
+    * those on read. No data rewrite, no precision trap.
     */
-  def widenColumn(logicalName: String, toType: String): Long = {
+  def widenColumn(spark: SparkSession, logicalName: String, toType: String): Long = {
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"widenColumn: no committed snapshot at $root"))
     val (_, pairs) = columnMapping(cur).getOrElse(throw new IllegalStateException(
@@ -1252,6 +1367,34 @@ class SnapshotLog(
     val target = toType.toLowerCase
     require(allowed.contains(target),
       s"widenColumn: target $toType is not a supported widening target ($allowed)")
+    // every representable value of `from` must map exactly into `to`:
+    // integer chains up, and float→double (every binary32 is a binary64).
+    // int→float (24-bit mantissa) and bigint→double (53-bit) are LOSSY
+    // and refused — the Delta type-widening allow-list.
+    val lossless: Map[String, Set[String]] = Map(
+      "tinyint" -> Set("smallint", "int", "bigint", "float", "double"),
+      "smallint" -> Set("int", "bigint", "float", "double"),
+      "int" -> Set("bigint", "double"),
+      "float" -> Set("double"),
+      "bigint" -> Set.empty,
+      "double" -> Set.empty)
+    val declared = columnTypes(cur)
+    val observed: Seq[String] = declared.get(phys) match {
+      case Some(t) => Seq(t)
+      case None =>
+        val paths = dataFiles(cur).map(p => new File(dataRootPath, p).toString)
+        paths.groupBy(p => new File(p).getParent).toSeq.sortBy(_._1)
+          .flatMap { case (_, ps) =>
+            spark.read.parquet(ps: _*).schema.fields
+              .find(_.name == phys).map(_.dataType.sql.toLowerCase)
+          }.distinct
+    }
+    observed.foreach { from =>
+      require(lossless.getOrElse(from, Set.empty).contains(target),
+        s"widenColumn: $logicalName is currently $from and $from -> $target " +
+          s"is not a provably-lossless widening (allowed from $from: " +
+          s"${lossless.getOrElse(from, Set.empty).toSeq.sorted.mkString(", ")})")
+    }
     val cts = columnTypes(cur) + (phys -> target)
     val rendered = cts.toSeq.sorted.map { case (p, t) => s"$p>$t" }.mkString(",")
     commit(Some(cur), withMeta(files(cur), "coltypes", rendered))
@@ -1296,8 +1439,39 @@ class SnapshotLog(
         s"analyze: column name forbids ',>|=': $n")
     }
     val rendered = s"$rows|${ndvs.map { case (n, v) => s"$n>$v" }.mkString(",")}"
-    commit(Some(cur), withMeta(files(cur), "tablestats", rendered))
+    // the stats meta line is CARRIED by later data commits (append/merge
+    // preserve meta), so a consumer cannot tell from the line alone
+    // whether the numbers still describe the table — record the analyzed
+    // data state (digest over data-file + mask-line sets) beside them;
+    // [[StatsOptimizer.statsJoin]] refuses stats whose recorded state no
+    // longer matches the snapshot it is about to plan
+    commit(Some(cur),
+      withMeta(withMeta(files(cur), "tablestats", rendered),
+        "statsstate", dataStateDigest(cur)))
   }
+
+  /** Stable digest of a snapshot's DATA state — the sorted data-file,
+    * position-delete, and key-tombstone path sets. Two snapshots with
+    * equal digests serve bitwise-identical tables (files are immutable),
+    * so stats analyzed at one describe the other exactly; metadata-only
+    * commits (rename, widen, tags) keep the digest, any data-changing
+    * commit moves it.
+    */
+  def dataStateDigest(version: Long): String = {
+    val lines = (dataFiles(version).map("d:" + _) ++
+      posDeleteFiles(version).map("p:" + _) ++
+      tombstoneFiles(version).map("t:" + _)).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** The data-state digest recorded by the latest [[analyze]] carried at
+    * `version`, if any — compare against [[dataStateDigest]] of the same
+    * version to know whether the carried tablestats are STALE.
+    */
+  def statsState(version: Long): Option[String] =
+    metaValues(version).get("statsstate")
 
   /** The (rowCount, column→NDV) recorded by the latest [[analyze]] at or
     * before `version`, if any.
@@ -1567,14 +1741,26 @@ class SnapshotLog(
       "mergeInto: at least one clause required")
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"mergeInto: no committed snapshot at $root"))
-    require(tombstoneFiles(cur).isEmpty && posDeleteFiles(cur).isEmpty,
-      "mergeInto: compact() merge-on-read tombstones/position deletes before merging")
+    // position deletes COMPOSE (merge-on-read merge): the rewrite-scope
+    // scan is masked, so a deleteWhere → mergeInto sequence needs no
+    // compact between two otherwise delete-sized operations; the
+    // pos-delete lines are carried forward — entries against rewritten
+    // files become inert (their paths leave the manifest), entries
+    // against untouched files keep masking. Key tombstones are still
+    // refused: they mask by KEY over every file at read, so carrying
+    // them would re-delete rows this merge just inserted/updated under
+    // the same keys — absorbing them partially is not expressible.
+    require(tombstoneFiles(cur).isEmpty,
+      "mergeInto: compact() key tombstones before merging (position deletes compose)")
     val baseCols = read(spark, cur).columns.toSeq
     require(source.columns.toSeq.sorted == baseCols.sorted,
       s"mergeInto: source schema ${source.columns.toSeq.sorted} != target ${baseCols.sorted}")
     require(!baseCols.exists(c => c.startsWith("src_") || c == "__matched"),
       "mergeInto: target columns must not be named src_* or __matched")
-    val srcCounts = source.agg(
+    // the source batch feeds four consumers (uniqueness check, rewrite
+    // scope probe, the join, the insert anti-join) — pin ONE evaluation
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcCounts = src.agg(
       count(lit(1)), org.apache.spark.sql.functions.countDistinct(col(keyCol))).head()
     require(srcCounts.getLong(0) == srcCounts.getLong(1),
       s"mergeInto: source keys must be unique on $keyCol — " +
@@ -1591,7 +1777,7 @@ class SnapshotLog(
         import spark.implicits._
         val hit =
           if (statted.isEmpty) Seq.empty[String]
-          else source.select(col(keyCol).cast("long").as("k")).distinct()
+          else src.select(col(keyCol).cast("long").as("k")).distinct()
             .join(broadcast(statted.toDF("file", "lo", "hi")),
               col("k") >= col("lo") && col("k") <= col("hi"))
             .select("file").distinct().as[String].collect().toSeq
@@ -1599,13 +1785,23 @@ class SnapshotLog(
       }
     val untouched = dataFiles(cur).filterNot(rewrite.toSet)
 
-    val srcPref = source.columns.foldLeft(source) { (d, c) =>
+    val srcPref = src.columns.foldLeft(src: DataFrame) { (d, c) =>
       d.withColumnRenamed(c, s"src_$c")
     }.withColumn("__matched", lit(true))
+    // merge-on-read: mask outstanding position deletes out of the
+    // rewrite-scope scan so the rewrite can never resurrect them
     val tgt =
       if (rewrite.isEmpty) read(spark, cur).limit(0)
-      else spark.read.parquet(rewrite.map(p => new File(dataRootPath, p).toString): _*)
+      else applyMasks(spark, cur,
+        spark.read.parquet(rewrite.map(p => new File(dataRootPath, p).toString): _*))
+    // ONE evaluation of the joined scan feeds the clause metrics, the
+    // emptiness probe, and the staging write (r11 re-read it up to four
+    // times — three redundant scans of the rewrite scope at 100 TB, and
+    // a nondeterministic source could commit metrics and images
+    // describing different row sets)
     val joined = tgt.join(srcPref, col(keyCol) === col(s"src_$keyCol"), "left_outer")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val matched = coalesce(col("__matched"), lit(false))
     // a NULL clause condition means "does not apply" (SQL three-valued)
     def applies(c: org.apache.spark.sql.Column) = coalesce(c, lit(false))
@@ -1634,7 +1830,7 @@ class SnapshotLog(
     }.select(baseCols.map(col): _*)
     val inserts =
       if (!insertNotMatched) None
-      else Some(source
+      else Some(src
         .join(read(spark, cur).select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .select(baseCols.map(col): _*))
     val nIns = inserts.map(_.count()).getOrElse(0L)
@@ -1645,9 +1841,14 @@ class SnapshotLog(
       val staged =
         if (out.limit(1).count() == 0L) Seq.empty[String]
         else stageIndexed(out, Seq(keyCol))
-      val v = commit(Some(cur), metaLines(cur) ++ untouched ++ staged)
+      // pos-delete and deletion-vector lines ride forward: still masking
+      // the untouched files, inert against the rewritten ones
+      val posDelLines = files(cur).filter(l =>
+        l.startsWith(PosDelPrefix) || l.startsWith(DvPrefix))
+      val v = commit(Some(cur), metaLines(cur) ++ posDelLines ++ untouched ++ staged)
       (v, (nUpd, nDelM + nDelNmbs, nIns), (rewrite.size, dataFiles(cur).size))
     }
+    } finally { joined.unpersist(); src.unpersist(); () }
   }
 
   /** Range-predicate read over a snapshot whose files carry
@@ -1783,7 +1984,8 @@ class SnapshotLog(
     * references — the per-log contribution to a shared-pool vacuum.
     */
   private[sources] def liveFiles: Set[String] =
-    versions.flatMap(v => dataFiles(v) ++ tombstoneFiles(v) ++ posDeleteFiles(v)).toSet
+    versions.flatMap(v =>
+      dataFiles(v) ++ tombstoneFiles(v) ++ posDeleteFiles(v) ++ dvFiles(v)).toSet
 
   private[sources] def branchesDir = new File(root, "branches")
 

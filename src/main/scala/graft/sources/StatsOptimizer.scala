@@ -49,8 +49,20 @@ object StatsOptimizer {
     def statsOf(log: SnapshotLog, side: String): (Long, Map[String, Long]) = {
       val v = log.currentVersion.getOrElse(throw new IllegalStateException(
         s"statsJoin: $side log at ${log.root} has no committed snapshot"))
-      log.tableStats(v).getOrElse(throw new IllegalStateException(
+      val stats = log.tableStats(v).getOrElse(throw new IllegalStateException(
         s"statsJoin: $side log at ${log.root} has no tablestats — run analyze() first"))
+      // append/merge CARRY the tablestats meta line forward, so the
+      // numbers can describe an arbitrarily stale table — refuse unless
+      // the data state (file + mask sets) still matches the one the
+      // analyze recorded; a cost decision from stale counts is a silently
+      // wrong plan, the exact failure a CBO contract exists to prevent
+      val recorded = log.statsState(v)
+      if (!recorded.contains(log.dataStateDigest(v)))
+        throw new IllegalStateException(
+          s"statsJoin: $side log at ${log.root} has STALE tablestats — " +
+            s"data-changing commits happened after the last analyze " +
+            s"(recorded state ${recorded.getOrElse("<none>")}); re-run analyze()")
+      stats
     }
     val (lRows, lNdv) = statsOf(left, "left")
     val (rRows, rNdv) = statsOf(right, "right")

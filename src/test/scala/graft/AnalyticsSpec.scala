@@ -524,11 +524,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("u1_doubled") == 10L)
     assert(r.getAs[Long]("u0_doubled") == 2L)
     assert(r.getAs[Boolean]("identity_holds"))
-    intercept[IllegalArgumentException](
+    // the guard now rides the single-action plan as a raise_error law
+    // column (no second corpus scan), so the refusal surfaces at action
+    // time wrapped by Spark — assert the loud message, not the class
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    val oneGroup = intercept[Throwable](
       Analytics.mannWhitneyU(df.where(col("g") === 0L), col("g"), col("v")).head())
-    intercept[IllegalArgumentException](
+    assert(messages(oneGroup).contains("mannWhitneyU"))
+    val extraGroup = intercept[Throwable](
       Analytics.mannWhitneyU(
         df.union(Seq((2L, 9L)).toDF("g", "v")), col("g"), col("v")).head())
+    assert(messages(extraGroup).contains("miscoded split"))
   }
 
   test("aucExact: separation 1.0, anti-separation 0.0, all-ties exactly 0.5") {

@@ -248,4 +248,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet == ref.toSet)
   }
+
+  test("groupKFold: groups stay whole, folds balanced to one group, NULL groups refused") {
+    import spark.implicits._
+    // 10 groups x 3 rows; k=4 -> fold sizes differ by at most one GROUP
+    val df = (0 until 10).flatMap(g => (0 until 3).map(i => (s"g$g", g * 3 + i)))
+      .toDF("grp", "x")
+    val out = Sampling.groupKFold(df, col("grp"), k = 4, seed = "kf-test")
+    assert(out.count() == 30L, "the output is the input plus a fold column")
+    assert(out.columns.toSeq == Seq("grp", "x", "fold"))
+    val perGroup = out.groupBy("grp").agg(countDistinct(col("fold")).as("nf"))
+      .collect().map(_.getLong(1))
+    assert(perGroup.forall(_ == 1L), "every row of a group lands in ONE fold")
+    val groupsPerFold = out.select("grp", "fold").distinct()
+      .groupBy("fold").count().collect().map(_.getLong(1))
+    assert(groupsPerFold.sum == 10L && groupsPerFold.max - groupsPerFold.min <= 1L,
+      s"folds balance by group count, got ${groupsPerFold.toSeq}")
+    // deterministic: same seed reproduces the same assignment
+    val again = Sampling.groupKFold(df, col("grp"), k = 4, seed = "kf-test")
+    assert(out.select("grp", "fold").distinct().collect().toSet ==
+      again.select("grp", "fold").distinct().collect().toSet)
+    // NULL group key refused loudly, not silently dropped (the r11 bug)
+    val withNull = df.union(Seq((null.asInstanceOf[String], 99)).toDF("grp", "x"))
+    val ex = intercept[Exception] {
+      Sampling.groupKFold(withNull, col("grp"), k = 4, seed = "kf-test").collect()
+    }
+    assert(ex.getMessage.contains("NULL group key"), s"unexpected: ${ex.getMessage}")
+  }
 }

@@ -80,7 +80,7 @@ class SnapshotDmlSpec extends AnyFunSuite {
       partitions = 2)
     log.enableColumnMapping(spark)
     val preWiden = log.currentVersion.get
-    val vW = log.widenColumn("v", "bigint")
+    val vW = log.widenColumn(spark, "v", "bigint")
     assert(log.dataFiles(vW).sorted == log.dataFiles(preWiden).sorted,
       "widening rewrites nothing")
     // post-widen append carries values no INT can hold
@@ -96,7 +96,15 @@ class SnapshotDmlSpec extends AnyFunSuite {
     // the pre-widen vintage still reads (its only stage is homogeneous int)
     assert(log.readMapped(spark, preWiden).count() == 8L)
     // unsupported target refused
-    intercept[IllegalArgumentException] { log.widenColumn("v", "string") }
+    intercept[IllegalArgumentException] { log.widenColumn(spark, "v", "string") }
+    // NARROWING refused: v is declared bigint now — "widening" to int
+    // would silently overflow the +3e9 values under the non-ANSI cast
+    intercept[IllegalArgumentException] { log.widenColumn(spark, "v", "int") }
+    // lossy float target refused from a bigint current type
+    intercept[IllegalArgumentException] { log.widenColumn(spark, "v", "float") }
+    // and from the FILE-OBSERVED type too (id was written as bigint,
+    // never declared): bigint -> double is lossy past 2^53
+    intercept[IllegalArgumentException] { log.widenColumn(spark, "id", "double") }
   }
 
   test("deleteWhere masks by position without rewrite; updateWhere is one atomic delete+append") {
@@ -257,8 +265,18 @@ class SnapshotDmlSpec extends AnyFunSuite {
     fact.append(Seq((11L, 1L)).toDF("k", "x"), 1)
     assert(fact.tableStats(fact.currentVersion.get).contains((100L, Map("k" -> 10L))),
       "carried stats describe the analyzed vintage until re-analyzed")
+    // but a CONSUMER must not plan from them: the carried numbers no
+    // longer describe the data state, and statsJoin refuses loudly
+    val stale = intercept[IllegalStateException] {
+      StatsOptimizer.statsJoin(spark, dim, fact, "k")
+    }
+    assert(stale.getMessage.contains("STALE"))
     fact.analyze(spark, Seq("k"))
     assert(fact.tableStats(fact.currentVersion.get).contains((101L, Map("k" -> 11L))))
+    // fresh again after re-analyze
+    val (rejoined, dec2) = StatsOptimizer.statsJoin(spark, dim, fact, "k")
+    assert(dec2.leftRows == 10L && dec2.rightRows == 101L && dec2.broadcastLeft)
+    assert(rejoined.count() == 100L)
   }
 
   test("optimizeIncremental clusters only post-optimize files; read-back equals full rewrite") {
@@ -281,10 +299,111 @@ class SnapshotDmlSpec extends AnyFunSuite {
     // steady state: nothing fresh → no-op, no commit
     val (vAgain, (r2, _)) = log.optimizeIncremental(spark, 1, Seq(col("id")))
     assert(vAgain == vIncr && r2 == 0)
-    // outstanding deletes are refused loudly
-    log.deleteWhere(spark, col("id") === 1L)
-    intercept[IllegalArgumentException] {
-      log.optimizeIncremental(spark, 1, Seq(col("id")))
+    // outstanding deletes COMPOSE since r12 (no forced compact): the
+    // masked view is preserved through the maintenance pass
+    val (_, nd) = log.deleteWhere(spark, col("id") === 1L)
+    val maskedView = log.read(spark, log.currentVersion.get).collect().toSet
+    val (vMor, _) = log.optimizeIncremental(spark, 1, Seq(col("id")))
+    assert(nd == 1L && log.read(spark, vMor).collect().toSet == maskedView)
+  }
+
+  test("deletion vectors: posdels collapse to one sidecar, read is join-free and bitwise-equal, later deletes compose") {
+    val log = freshLog("dv")
+    log.append(rows(40, "a"), partitions = 4)
+    log.deleteWhere(spark, col("id") % 7 === 1)
+    val (vPos, _) = log.deleteWhere(spark, col("id") % 11 === 3)
+    assert(log.posDeleteFiles(vPos).size == 2)
+    val antiView = log.read(spark, vPos).collect().toSet
+    val (vDv, nVecs) = log.writeDeleteVectors(spark)
+    assert(log.posDeleteFiles(vDv).isEmpty && log.dvFiles(vDv).size == 1 && nVecs > 0,
+      "both posdel files collapse into ONE dv sidecar")
+    assert(log.dataFiles(vDv).sorted == log.dataFiles(vPos).sorted, "metadata-sized: no data rewrite")
+    val dvView = log.read(spark, vDv)
+    assert(dvView.collect().toSet == antiView, "dv route reads bitwise what the anti-join route read")
+    assert(!dvView.queryExecution.executedPlan.toString.contains("Join"),
+      "the dv mask is a scan-local probe, not a join")
+    // a LATER predicate delete composes: new posdel beside the dv, both applied
+    val (vMix, nMix) = log.deleteWhere(spark, col("id") === 2L)
+    assert(nMix == 1L && log.read(spark, vMix).where(col("id") === 2L).count() == 0L)
+    // and a second materialization ORs it into the vector
+    val (vDv2, _) = log.writeDeleteVectors(spark)
+    assert(log.posDeleteFiles(vDv2).isEmpty && log.dvFiles(vDv2).size == 1)
+    assert(log.read(spark, vDv2).count() == log.read(spark, vMix).count())
+    // no-op when nothing to convert
+    val (vSame, _) = log.writeDeleteVectors(spark)
+    assert(vSame == vDv2)
+    // compact absorbs the vector entirely
+    val before = log.read(spark, vDv2).collect().toSet
+    val vC = log.compact(spark, partitions = 2)
+    assert(log.dvFiles(vC).isEmpty && log.read(spark, vC).collect().toSet == before)
+  }
+
+  test("mergeInto composes with outstanding position deletes and equals the compact-first route") {
+    def seed(name: String): SnapshotLog = {
+      val l = freshLog(name)
+      l.append(rows(30, "a"), partitions = 3)
+      l.deleteWhere(spark, col("id") % 5 === 0)
+      l
     }
+    val mor = seed("merge_mor"); val ref = seed("merge_ref")
+    ref.compact(spark, partitions = 3)
+    val src = (Seq(3L, 10L, 35L)).map(i => (i, s"src-$i", i * 100)).toDF("id", "payload", "v")
+    def merge(l: SnapshotLog) = l.mergeInto(
+      src, "id",
+      updateWhen = Some(lit(true)),
+      updateSet = Seq("v" -> col("src_v")),
+      insertNotMatched = true)
+    val (vM, (nUpd, nDel, nIns), _) = merge(mor)
+    merge(ref)
+    // id=3 exists (update); id=10 was DELETED -> must count as INSERT, not update
+    assert(nUpd == 1L && nDel == 0L && nIns == 2L, s"got ($nUpd, $nDel, $nIns)")
+    assert(mor.posDeleteFiles(vM).nonEmpty, "masks still outstanding — no forced compact")
+    assert(setEq(mor.read(spark, vM), ref.read(spark, ref.currentVersion.get)),
+      "merge-on-read route equals compact-first route")
+    // deleted-but-unmerged rows stay deleted (no resurrection through carried masks)
+    assert(mor.read(spark, vM).where(col("id") === 5L).count() == 0L)
+    // key tombstones still refuse: carrying them would re-delete merged rows
+    val tomb = freshLog("merge_tomb")
+    tomb.append(rows(10, "t"), partitions = 1)
+    tomb.deleteRows(Seq(1L).toDF("id"), partitions = 1)
+    intercept[IllegalArgumentException] { merge(tomb) }
+  }
+
+  test("optimizeIncremental composes with outstanding deletes: fresh rewrite masked, carried masks keep masking") {
+    val log = freshLog("liquid_mor")
+    log.append(rows(40, "a"), partitions = 4)
+    val vFull = log.optimize(spark, partitions = 2, sortCols = Seq(col("id")))
+    val clustered = log.dataFiles(vFull).toSet
+    log.append((40 until 60).map(i => (i.toLong, s"b-$i", i.toLong * 10))
+      .toDF("id", "payload", "v"), partitions = 3)
+    // one delete hits a CLUSTERED file's rows, one hits FRESH rows
+    log.deleteWhere(spark, col("id") === 7L)
+    val (vDel, _) = log.deleteWhere(spark, col("id") === 45L)
+    val before = log.read(spark, vDel).collect().toSet
+    val (vIncr, (rewritten, carried)) =
+      log.optimizeIncremental(spark, partitions = 1, sortCols = Seq(col("id")))
+    assert(rewritten == 3 && carried == clustered.size)
+    assert(clustered.subsetOf(log.dataFiles(vIncr).toSet), "clustered files untouched")
+    assert(log.posDeleteFiles(vIncr).nonEmpty, "masks carried for the untouched files")
+    assert(log.read(spark, vIncr).collect().toSet == before,
+      "read-back equals the pre-optimize masked view: fresh delete absorbed, clustered delete still masked")
+    assert(log.read(spark, vIncr).where(col("id") === 45L).count() == 0L, "absorbed, not resurrected")
+    assert(log.read(spark, vIncr).where(col("id") === 7L).count() == 0L, "carried mask still masks")
+  }
+
+  test("expire + vacuum: retained versions read through the sweep, expired versions fail loudly") {
+    val log = freshLog("retention")
+    val v0 = log.append(rows(20, "a"), partitions = 2)
+    val v1 = log.append((20 until 30).map(i => (i.toLong, s"b-$i", i.toLong * 10))
+      .toDF("id", "payload", "v"), partitions = 1)
+    val v2 = log.compact(spark, partitions = 2)
+    val v3 = log.append((30 until 35).map(i => (i.toLong, s"c-$i", i.toLong * 10))
+      .toDF("id", "payload", "v"), partitions = 1)
+    assert(log.expire(keepFrom = v2).sorted == Seq(v0, v1))
+    val removed = log.vacuum()
+    assert(removed.nonEmpty, "the pre-compact files were exclusive to the expired versions")
+    assert(log.read(spark, v2).count() == 30L && log.read(spark, v3).count() == 35L,
+      "every retained version reads its full content after the sweep")
+    intercept[IllegalArgumentException] { log.read(spark, v0).count() }
   }
 }
