@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.{Cdc, EventsEtl, Histograms, Layout, Materialize, Privacy, Sessionize}
-import graft.sources.{CsvSource, Incremental, JsonlSource, SnapshotLog, TableManager, TxnCatalog}
+import graft.sources.{CsvSource, GraftCatalog, Incremental, JsonlSource, SnapshotLog, TableManager, TxnCatalog}
 
 /** ETL-surface queries: CSV source round-trip (S1/S2), templated-SQL entry
   * (S3), idempotent dynamic-partition-overwrite load (S4–S7), and the full
@@ -2162,6 +2162,59 @@ object QueriesEtl {
         .orderBy(col("tier"))
     }),
 
+    // ── STATS-DRIVEN 3-TABLE JOIN ORDER ([[graft.sources.StatsOptimizer
+    // .statsJoin3]] — the System-R ordering move the pairwise broadcast
+    // pick cannot express): fact ⋈ selective-user-dim ⋈ event-type-dim,
+    // the order chosen from the PERSISTED analyze numbers via the
+    // independence estimate |fact ⋈ dim| = |fact|·|dim|/max(ndv) — the
+    // selective dim joins FIRST so the second join scans a ~10× smaller
+    // intermediate. Laws: `selective_dim_joined_first` (the stats picked
+    // the right order), `estimate_ranked_correctly` (MEASURED
+    // intermediate counts rank the same way the estimates did),
+    // `both_dims_broadcast` (the executed plan broadcasts both dims —
+    // the fact side never shuffles) ──
+    "stats_join_order3" -> ((s, dir) => {
+      val factLog = new SnapshotLog(scratch(dir, "stats3_fact"))
+      val dimALog = new SnapshotLog(scratch(dir, "stats3_dima"))
+      val dimBLog = new SnapshotLog(scratch(dir, "stats3_dimb"))
+      factLog.recreate(); dimALog.recreate(); dimBLog.recreate()
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_type"),
+        floor(coalesce(col("value"), lit(0.0)) * 100).cast("long").as("cents"))
+        .where(col("event_type").isNotNull)
+      factLog.append(ev, partitions = 4)
+      val dimA = ev.select(col("user_id")).distinct()
+        .where(col("user_id") % 10 === 0)
+        .withColumn("tier", pmod(col("user_id"), lit(3)).cast("long"))
+      dimALog.append(dimA, partitions = 1)
+      val dimB = ev.select(col("event_type")).distinct()
+        .withColumn("type_class",
+          when(col("event_type").isin("purchase", "cart"), lit("commerce"))
+            .otherwise(lit("browse")))
+      dimBLog.append(dimB, partitions = 1)
+      factLog.analyze(s, Seq("user_id", "event_type"))
+      dimALog.analyze(s, Seq("user_id"))
+      dimBLog.analyze(s, Seq("event_type"))
+      val (joined, dec) = graft.sources.StatsOptimizer.statsJoin3(
+        s, factLog, dimALog, dimBLog, "user_id", "event_type")
+      val nA = ev.join(dimA, Seq("user_id")).count()
+      val nB = ev.join(dimB, Seq("event_type")).count()
+      val ranked = (dec.estIntermediateA <= dec.estIntermediateB) == (nA <= nB)
+      val plan = joined.queryExecution.executedPlan.toString
+      val bothBroadcast =
+        "BroadcastHashJoin".r.findAllIn(plan).length >= 2
+      joined
+        .groupBy(col("tier"), col("type_class"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("cents")).as("sum_cents"))
+        .withColumn("selective_dim_joined_first", lit(dec.dimAFirst))
+        .withColumn("estimate_ranked_correctly", lit(ranked))
+        .withColumn("both_dims_broadcast", lit(bothBroadcast))
+        .orderBy(col("tier"), col("type_class"))
+    }),
+
     // ── FULL three-clause MERGE INTO ([[SnapshotLog.mergeInto]] — the
     // complete Delta MERGE semantics; `snapshot_merge_upsert` covers the
     // plain-upsert special case): WHEN MATCHED AND F-status DELETE, WHEN
@@ -2205,6 +2258,85 @@ object QueriesEtl {
         .withColumn("single_atomic_commit", lit(atomic))
         .withColumn("metrics_match", lit(metricsMatch))
         .orderBy(col("status"))
+    }),
+
+    // ── DSv2 SQL READ ([[graft.sources.GraftCatalog]] — SQL
+    // addressability for the engine's own storage layer, the reference's
+    // SQL-first entry (HiveConnector.scala:29-32) applied to the
+    // snapshot log): the log registers as a TableCatalog and plain
+    // `spark.sql` reads it through Spark's V2 BatchScan
+    // (`plan_is_v2_scan`) with the range predicate PUSHED into the
+    // parquet scan (`filter_pushed_to_scan`) — full vectorized read,
+    // pruning, and codegen on the transactional table, equal to the API
+    // read bitwise (`equals_api_read`) ──
+    "snapshot_sql_read" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_sql"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      log.append(base, partitions = 4)
+      s.conf.set("spark.sql.catalog.graftsnap", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftsnap.root", scratch(dir, ""))
+      val df = s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders,
+          |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftsnap.snap_sql WHERE o_orderkey >= 1000
+          |GROUP BY o_orderpriority""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      val v2Scan = plan.contains("BatchScan")
+      val pushed = plan.contains("GreaterThanOrEqual(o_orderkey,1000)")
+      val api = log.read(s, log.currentVersion.get)
+        .where(col("o_orderkey") >= 1000)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(col("cents")).as("sum_cents"))
+      val same = df.exceptAll(api).limit(1).count() == 0 &&
+        api.exceptAll(df).limit(1).count() == 0
+      df.withColumn("plan_is_v2_scan", lit(v2Scan))
+        .withColumn("filter_pushed_to_scan", lit(pushed))
+        .withColumn("equals_api_read", lit(same))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ── DSv2 TIME TRAVEL in SQL ([[graft.sources.GraftCatalog]] +
+    // Spark's native `VERSION AS OF` / `TIMESTAMP AS OF` syntax routed
+    // into [[SnapshotLog]]'s pinned-version reads): the v0 arm reads the
+    // FIRST commit only while the current arm reads both, in one SQL
+    // statement each; `version_travel_equals_api` and
+    // `timestamp_travel_equals_version` pin both travel routes to the
+    // API read of the same version ──
+    "snapshot_sql_travel" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_sqltr"))
+      log.recreate()
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("n_chars"))
+      val v0 = log.append(docs.where(col("doc_id") % 2 === 0), partitions = 2)
+      log.append(docs.where(col("doc_id") % 2 =!= 0), partitions = 2)
+      s.conf.set("spark.sql.catalog.graftsnap", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftsnap.root", scratch(dir, ""))
+      def rollup(fromClause: String): DataFrame = s.sql(
+        s"""SELECT lang, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM $fromClause GROUP BY lang""".stripMargin)
+      val atV0 = rollup(s"graftsnap.snap_sqltr VERSION AS OF $v0")
+      val atNow = rollup("graftsnap.snap_sqltr")
+      val apiV0 = log.read(s, v0).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val versionOk = atV0.exceptAll(apiV0).limit(1).count() == 0 &&
+        apiV0.exceptAll(atV0).limit(1).count() == 0
+      val ts = new java.sql.Timestamp(log.commitTimeMillis(v0)).toString
+      val atTs = rollup(s"graftsnap.snap_sqltr TIMESTAMP AS OF '$ts'")
+      val tsOk = atTs.exceptAll(atV0).limit(1).count() == 0 &&
+        atV0.exceptAll(atTs).limit(1).count() == 0
+      atV0.select(col("lang"), lit("v0").as("arm"), col("n_docs"), col("sum_chars"))
+        .unionByName(atNow.select(
+          col("lang"), lit("current").as("arm"), col("n_docs"), col("sum_chars")))
+        .withColumn("version_travel_equals_api", lit(versionOk))
+        .withColumn("timestamp_travel_equals_version", lit(tsOk))
+        .orderBy(col("arm"), col("lang"))
     }),
 
     // ── MERGE-ON-READ MERGE ([[SnapshotLog.mergeInto]] composing with
@@ -3126,6 +3258,67 @@ object QueriesEtl {
         |       TRUE AS single_atomic_commit,
         |       TRUE AS metrics_match
         |FROM merged GROUP BY status ORDER BY status""".stripMargin,
+
+    // stats_join_order3: the star rollup through both derived dims; the
+    // ordering, estimate-ranking, and plan-shape laws are measured
+    // Spark-side
+    "stats_join_order3" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         CAST(floor(coalesce(value, 0.0) * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL
+        |), dima AS (
+        |  SELECT DISTINCT user_id, user_id % 3 AS tier FROM ev
+        |  WHERE user_id % 10 = 0
+        |), dimb AS (
+        |  SELECT DISTINCT event_type,
+        |         CASE WHEN event_type IN ('purchase', 'cart') THEN 'commerce'
+        |              ELSE 'browse' END AS type_class
+        |  FROM ev
+        |)
+        |SELECT a.tier, b.type_class, count(*) AS n_events,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(e.cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS selective_dim_joined_first,
+        |       TRUE AS estimate_ranked_correctly,
+        |       TRUE AS both_dims_broadcast
+        |FROM ev e
+        |JOIN dima a ON e.user_id = a.user_id
+        |JOIN dimb b ON e.event_type = b.event_type
+        |GROUP BY a.tier, b.type_class
+        |ORDER BY tier, type_class""".stripMargin,
+
+    // snapshot_sql_read: same rollup over the range-filtered orders; the
+    // plan-shape and API-equality laws are measured Spark-side
+    "snapshot_sql_read" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS plan_is_v2_scan,
+        |       TRUE AS filter_pushed_to_scan,
+        |       TRUE AS equals_api_read
+        |FROM orders WHERE o_orderkey >= 1000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // snapshot_sql_travel: the v0 arm is the even-doc_id half, the
+    // current arm the whole table; travel-equality laws measured
+    // Spark-side
+    "snapshot_sql_travel" ->
+      """WITH v0 AS (
+        |  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+        |), cur AS (
+        |  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY lang
+        |), u AS (
+        |  SELECT lang, 'v0' AS arm, n_docs, sum_chars FROM v0
+        |  UNION ALL
+        |  SELECT lang, 'current' AS arm, n_docs, sum_chars FROM cur
+        |)
+        |SELECT lang, arm, n_docs, sum_chars,
+        |       TRUE AS version_travel_equals_api,
+        |       TRUE AS timestamp_travel_equals_version
+        |FROM u ORDER BY arm, lang""".stripMargin,
 
     // snapshot_merge_mor: the masked target (delete applied) through the
     // same three clauses; mask-carry, no-resurrection, and

@@ -1391,6 +1391,30 @@ object QueriesLlm {
         .orderBy(col("split"))
     }),
 
+    // ── GROUP-AWARE K-FOLD ([[Sampling.groupKFold]] — the
+    // cross-validation split a grouped dataset needs): every order of one
+    // customer lands in the SAME fold (no train/validation leakage
+    // within a group), folds EXACTLY balanced by group count — groups
+    // rank by a seeded md5 hash (total order, ties by key) and
+    // fold = (rank−1) mod k, so fold sizes differ by at most one GROUP
+    // (`folds_balanced_by_group`, measured). One group-keyed distinct +
+    // one broadcast-back join; the ranking shuffles group-count rows,
+    // never order rows ──
+    "group_kfold" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val out = Sampling.groupKFold(orders, col("o_custkey"), k = 5, seed = "kf-r12")
+      val spread = out.select(col("o_custkey"), col("fold")).distinct()
+        .groupBy(col("fold")).count()
+        .agg(max(col("count")) - min(col("count"))).head().getLong(0)
+      out.groupBy(col("fold"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_groups"),
+          sum(col("o_orderkey")).as("sum_key"))
+        .withColumn("folds_balanced_by_group", lit(spread <= 1L))
+        .orderBy(col("fold"))
+    }),
+
     // ── near-dup candidates: MinHash signatures + LSH banding (bands passed
     // explicitly from the same MhBands constant the oracle interpolates) ──
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -4512,6 +4536,27 @@ object QueriesLlm {
     // add-1-smoothed log-likelihood ratios, quantized per-doc sums. The
     // target is the same unrounded rule-quality >= cut subset the query
     // filters. Shared verbatim with stream_dsir_score (frozen-model law).
+    // group_kfold: identical md5 rank → (rank-1) mod k assignment — the
+    // hash, the (hash, key) total order, and the modulo all replay
+    "group_kfold" ->
+      """WITH g AS (
+        |  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS gk FROM orders
+        |), h AS (
+        |  SELECT gk,
+        |         ('0x' || substr(md5('kf-r12' || '|' || gk), 1, 8))::BIGINT AS hv
+        |  FROM g
+        |), r AS (
+        |  SELECT gk,
+        |         CAST((row_number() OVER (ORDER BY hv, gk) - 1) % 5 AS INT) AS fold
+        |  FROM h
+        |)
+        |SELECT r.fold, count(*) AS n_orders,
+        |       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_groups,
+        |       CAST(sum(o.o_orderkey) AS BIGINT) AS sum_key,
+        |       TRUE AS folds_balanced_by_group
+        |FROM orders o JOIN r ON CAST(o.o_custkey AS VARCHAR) = r.gk
+        |GROUP BY r.fold ORDER BY r.fold""".stripMargin,
+
     "dsir_weights" -> dsirOracleSql,
 
     // Frozen-model streaming DSIR replay: the stream scores bitwise what

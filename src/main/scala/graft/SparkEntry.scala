@@ -117,6 +117,30 @@ object SparkEntry {
     "stream_recovery" -> ((s, dir) =>
       streaming.StreamingSessionize.recoveryReplay(Tables.events(s, dir))),
 
+    // ── CHECKPOINT RECOVERY for the STATEFUL STREAM-STREAM JOIN: the
+    // kill-and-restart law extended to the state store likeliest to
+    // corrupt on resume — two-sided buffered join rows plus the derived
+    // eviction horizon must reconstruct so views buffered before the
+    // kill still meet purchases arriving after it (see
+    // StreamingSessionize.recoveryJoinReplay). Hash match against the
+    // batch interval join == exactly-once across the restart. ──
+    "stream_recovery_join" -> ((s, dir) =>
+      streaming.StreamingSessionize.recoveryJoinReplay(Tables.events(s, dir))),
+
+    // ── CHECKPOINT RECOVERY for the flatMapGroupsWithState SESSIONIZER:
+    // resume must reconstruct open sessions, buffered events, AND the
+    // registered event-time timeouts — sessions begun before the kill
+    // close at exactly the batch boundaries after it (see
+    // StreamingSessionize.recoverySessionizeReplay). ──
+    "stream_recovery_sessionize" -> ((s, dir) =>
+      streaming.StreamingSessionize.recoverySessionizeReplay(Tables.events(s, dir))
+        .select(
+          col("event_id"), col("user_id"), col("epoch_sec"),
+          col("is_new_session").cast("int").as("is_new_session"),
+          col("session_start_sec"), col("session_id"),
+          col("interrupted_midstream"), col("no_duplicate_emissions"))
+        .orderBy(col("event_id"))),
+
     // ── stream-STREAM watermarked interval join, oracle-checked END TO
     // END: views joined to same-user purchases within 30 minutes, both
     // sides file-replayed streams with their own watermark, state bounded
@@ -512,6 +536,33 @@ object SparkEntry {
         |       TRUE AS no_duplicate_emissions
         |FROM events
         |GROUP BY 1, 2 ORDER BY day, user_id""".stripMargin,
+
+    // stream_recovery_join: the batch interval join again — a join row
+    // lost or doubled across the restart breaks the hash; restart laws
+    // measured Spark-side
+    "stream_recovery_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT)
+        |         - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_sec,
+        |       TRUE AS interrupted_midstream,
+        |       TRUE AS no_duplicate_emissions
+        |FROM events v JOIN events p
+        |  ON p.user_id = v.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, purchase_id""".stripMargin,
+
+    // stream_recovery_sessionize: the batch sessionize oracle again — a
+    // session split differently across the restart breaks the hash;
+    // restart laws measured Spark-side
+    "stream_recovery_sessionize" ->
+      s"""$sessionCte
+         |SELECT event_id, user_id, epoch_sec,
+         |       CAST(is_new AS INT) AS is_new_session,
+         |       session_start_sec, session_id,
+         |       TRUE AS interrupted_midstream,
+         |       TRUE AS no_duplicate_emissions
+         |FROM sessions ORDER BY event_id""".stripMargin,
 
     // Identical to the batch sessionize oracle on purpose: the streaming
     // replay must reproduce batch sessionization bit-for-bit.

@@ -182,6 +182,30 @@ class SnapshotLog(
 
   def currentVersion: Option[Long] = versions.lastOption
 
+  /** Commit wall-clock of a version (epoch millis) — the mtime of its
+    * surviving log anchor. Monotone within a chain in practice (commits
+    * serialize through the put-if-absent anchor), good enough for the
+    * TIMESTAMP AS OF resolution every lakehouse offers.
+    */
+  def commitTimeMillis(version: Long): Long = {
+    val df = deltaFile(version)
+    val f = if (df.exists()) df else manifestFile(version)
+    require(f.exists(), s"snapshot v$version does not exist at $root")
+    f.lastModified()
+  }
+
+  /** TIMESTAMP AS OF: the latest committed version whose anchor was
+    * written at or before `millis`. Refuses loudly when the timestamp
+    * predates the table.
+    */
+  def versionAt(millis: Long): Long = {
+    val at = versions.filter(v => commitTimeMillis(v) <= millis)
+    require(at.nonEmpty,
+      s"no snapshot of $root committed at or before epoch-ms $millis " +
+        s"(earliest is ${versions.headOption.map(commitTimeMillis)})")
+    at.max
+  }
+
   /** The manifest lines of a committed snapshot: bare relative paths for
     * data files, `del:`-prefixed relative paths for tombstone files.
     * Served from the version's checkpoint when one exists; otherwise

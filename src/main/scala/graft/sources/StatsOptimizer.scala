@@ -80,4 +80,69 @@ object StatsOptimizer {
     val (bRows, bNdv) = if (broadcastLeft) (lRows, lNdv(key)) else (rRows, rNdv(key))
     (joined, StatsJoinDecision(lRows, rRows, broadcastLeft, bNdv, bNdv == bRows))
   }
+
+  /** Stats-driven JOIN ORDER over a 3-table star (fact ⋈ dimA ⋈ dimB on
+    * distinct keys) — the textbook System-R move the pairwise
+    * [[statsJoin]] cannot express: with the independence estimate
+    * `|fact ⋈ dim| = |fact|·|dim| / max(ndv_fact(k), ndv_dim(k))` from
+    * the PERSISTED analyze numbers, the more SELECTIVE dimension joins
+    * FIRST, so the second join scans the smallest possible intermediate.
+    * Both dims broadcast (they won the statsJoin size test by
+    * construction of a star schema); the fact side never shuffles.
+    * Stats freshness is enforced per table exactly as in [[statsJoin]].
+    *
+    * Returns the joined frame plus the decision record: the two
+    * estimates, which dim was chosen first, and the inputs — so the
+    * declared query can measure that the estimate RANKED the real
+    * intermediate sizes correctly rather than trusting the formula.
+    */
+  def statsJoin3(
+      spark: SparkSession,
+      fact: SnapshotLog,
+      dimA: SnapshotLog,
+      dimB: SnapshotLog,
+      keyA: String,
+      keyB: String): (DataFrame, StatsJoin3Decision) = {
+    def statsOf(log: SnapshotLog, side: String, key: String): (Long, Long) = {
+      val v = log.currentVersion.getOrElse(throw new IllegalStateException(
+        s"statsJoin3: $side log at ${log.root} has no committed snapshot"))
+      val (rows, ndv) = log.tableStats(v).getOrElse(throw new IllegalStateException(
+        s"statsJoin3: $side log at ${log.root} has no tablestats — run analyze() first"))
+      if (!log.statsState(v).contains(log.dataStateDigest(v)))
+        throw new IllegalStateException(
+          s"statsJoin3: $side log at ${log.root} has STALE tablestats — re-run analyze()")
+      require(ndv.contains(key),
+        s"statsJoin3: $side tablestats carry no NDV for $key (have ${ndv.keys.mkString(", ")})")
+      (rows, ndv(key))
+    }
+    val (fRows, _) = statsOf(fact, "fact", keyA)
+    val (_, fNdvB) = statsOf(fact, "fact", keyB)
+    val (_, fNdvA) = statsOf(fact, "fact", keyA)
+    val (aRows, aNdv) = statsOf(dimA, "dimA", keyA)
+    val (bRows, bNdv) = statsOf(dimB, "dimB", keyB)
+    val estA = fRows * aRows / math.max(fNdvA, aNdv).max(1L)
+    val estB = fRows * bRows / math.max(fNdvB, bNdv).max(1L)
+    val aFirst = estA <= estB
+    val f = fact.readLatest(spark)
+    val a = broadcast(dimA.readLatest(spark))
+    val b = broadcast(dimB.readLatest(spark))
+    val joined =
+      if (aFirst) f.join(a, Seq(keyA)).join(b, Seq(keyB))
+      else f.join(b, Seq(keyB)).join(a, Seq(keyA))
+    (joined, StatsJoin3Decision(fRows, estA, estB, aFirst))
+  }
 }
+
+/** The decision record of one stats-driven 3-table join order.
+  *
+  * @param factRows fact row count from its tablestats
+  * @param estIntermediateA estimated |fact ⋈ dimA| from the stats
+  * @param estIntermediateB estimated |fact ⋈ dimB| from the stats
+  * @param dimAFirst true when dimA was chosen as the FIRST join (its
+  *                  estimated intermediate was no larger)
+  */
+case class StatsJoin3Decision(
+    factRows: Long,
+    estIntermediateA: Long,
+    estIntermediateB: Long,
+    dimAFirst: Boolean)

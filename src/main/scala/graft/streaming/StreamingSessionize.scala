@@ -1572,4 +1572,198 @@ object StreamingSessionize {
       ()
     }
   }
+
+  /** Shared KILL-AND-RESTART scaffold for the recovery replays: stage
+    * every slice up front, publish the first `phase1Files` into the
+    * source dir (mtimes pinned), run `buildSink` to drain and STOP (the
+    * kill), publish the rest, run a brand-new instance against the SAME
+    * checkpoint, and return (rows sunk after phase 1, the final sink
+    * read). The file source's checkpointed offsets plus the file sink's
+    * commit log carry the exactly-once burden across the restart —
+    * identical machinery for every stateful operator under test.
+    */
+  private def killRestartDrain(
+      spark: org.apache.spark.sql.SparkSession,
+      base: java.nio.file.Path,
+      sliceDfs: Seq[DataFrame],
+      phase1Files: Int,
+      sinkSchema: String)(
+      buildQuery: (String, String, String) => org.apache.spark.sql.streaming.StreamingQuery)
+      : (Long, DataFrame) = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val (streamDir, sinkDir, ckptDir) =
+      (base.resolve("in"), base.resolve("out"), base.resolve("ckpt"))
+    Files.createDirectories(streamDir)
+    val staged = sliceDfs.zipWithIndex.map { case (df, i) =>
+      val stage = base.resolve(s"stage_$i")
+      df.coalesce(1).write.parquet(stage.toString)
+      Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"killRestartDrain: no parquet part for slice $i"))
+    }
+    def publish(i: Int): Unit = {
+      val dest = streamDir.resolve(f"part_$i%03d.parquet")
+      Files.copy(staged(i), dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + i * 1000L))
+      ()
+    }
+    def runOnce(): Unit = {
+      val q = buildQuery(streamDir.toString, sinkDir.toString, ckptDir.toString)
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    (0 until phase1Files).foreach(publish)
+    withReplayStatePartitions(spark)(runOnce())
+    val afterPhase1 = spark.read.schema(sinkSchema).parquet(sinkDir.toString).count()
+    (phase1Files until staged.length).foreach(publish)
+    withReplayStatePartitions(spark)(runOnce())
+    (afterPhase1, spark.read.schema(sinkSchema).parquet(sinkDir.toString))
+  }
+
+  /** CHECKPOINT RECOVERY for the STATEFUL STREAM-STREAM JOIN — the state
+    * store likeliest to corrupt on resume (two-sided buffered rows plus
+    * the derived eviction horizon must BOTH reconstruct): the inner
+    * view→purchase interval join of [[intervalJoinReplay]] runs against a
+    * file sink + checkpoint, is KILLED after two of the input files, and
+    * a new instance resumes — views buffered but unmatched at the kill
+    * must still meet purchases that only arrive after the restart. Laws
+    * as in [[recoveryReplay]]: `interrupted_midstream`,
+    * `no_duplicate_emissions`, and the hash against the BATCH interval
+    * join is the no-loss/no-invention proof.
+    */
+  def recoveryJoinReplay(
+      events: DataFrame,
+      slices: Int = 4,
+      matchWindowSec: Long = 1800L,
+      watermarkDelaySec: Long = 600L): DataFrame = {
+    import java.nio.file.Files
+    require(slices >= 3, s"recoveryJoinReplay: need >= 3 slices to interrupt midstream, got $slices")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_recov_join_")
+    try {
+      val proj = events.select(
+        col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("ts"), col("event_type").cast("string").as("event_type"))
+      val bounds = proj.agg(
+        min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
+      require(!bounds.isNullAt(0), "recoveryJoinReplay: empty events input")
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = hi - lo + 1
+      val margin = 3L * (matchWindowSec + watermarkDelaySec)
+      val sliceDfs = (0 until slices).map { i =>
+        val e = unix_timestamp(col("ts"))
+        proj.where(e >= lo + span * i / slices && e < lo + span * (i + 1) / slices)
+      } ++ Seq(hi + margin, hi + margin + 60L, hi + margin + 120L).map { sec =>
+        Seq((-1L, -1L, "view"), (-2L, -2L, "purchase"))
+          .toDF("event_id", "user_id", "event_type")
+          .select(col("event_id"), col("user_id"),
+            lit(sec).cast("timestamp").as("ts"), col("event_type"))
+      }
+      val sinkSchema = "view_id long, purchase_id long, user_id long, gap_sec long"
+      val (afterPhase1, sink) = killRestartDrain(
+          spark, base, sliceDfs, phase1Files = 2, sinkSchema) {
+        (inDir, outDir, ckpt) =>
+          def src(): DataFrame = spark.readStream.schema(proj.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir)
+          val views = src().where(col("event_type") === "view")
+            .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+            .withWatermark("view_ts", s"$watermarkDelaySec seconds")
+          val purchases = src().where(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+            .withWatermark("p_ts", s"$watermarkDelaySec seconds")
+          views.join(purchases,
+              expr(s"""user_id = p_user AND p_ts >= view_ts AND
+                       p_ts <= view_ts + interval $matchWindowSec seconds"""))
+            .select(col("view_id"), col("purchase_id"), col("user_id"),
+              (unix_timestamp(col("p_ts")) - unix_timestamp(col("view_ts"))).as("gap_sec"))
+            .writeStream.format("parquet")
+            .option("path", outDir).option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+      }
+      val sunk = sink.where(col("user_id") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val interrupted = afterPhase1 < sunk.size
+      val noDupes = sunk.size == sunk.distinct.size
+      sunk.toDF("view_id", "purchase_id", "user_id", "gap_sec")
+        .withColumn("interrupted_midstream", lit(interrupted))
+        .withColumn("no_duplicate_emissions", lit(noDupes))
+        .orderBy(col("view_id"), col("purchase_id"))
+    } finally {
+      import scala.util.Try
+      Try(Files.walk(base).iterator().asScala.toSeq.reverse.foreach(p => Try(Files.delete(p))))
+      ()
+    }
+  }
+
+  /** CHECKPOINT RECOVERY for the `flatMapGroupsWithState` SESSIONIZER —
+    * the custom-state operator where a resume must reconstruct BOTH the
+    * open sessions and the buffered not-yet-final events, plus the
+    * registered event-time timeouts: the [[sessionize]] state machine
+    * runs against a file sink + checkpoint, is KILLED after two input
+    * files (open sessions straddle the kill), and a new instance resumes
+    * — sessions begun before the kill must close correctly after it.
+    * Laws as in [[recoveryReplay]]; the hash against the BATCH
+    * sessionize oracle proves the resumed state machine splits every
+    * session at exactly the same boundaries.
+    */
+  def recoverySessionizeReplay(
+      events: DataFrame,
+      slices: Int = 4,
+      gapSeconds: Long = 300L,
+      watermarkDelaySec: Long = 600L): DataFrame = {
+    import java.nio.file.Files
+    require(slices >= 3, s"recoverySessionizeReplay: need >= 3 slices to interrupt midstream, got $slices")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_recov_sess_")
+    try {
+      val proj = events.select(
+        col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("ts"))
+      val bounds = proj.agg(
+        min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).head()
+      require(!bounds.isNullAt(0), "recoverySessionizeReplay: empty events input")
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = hi - lo + 1
+      val sentinel1 = hi + gapSeconds + watermarkDelaySec + 60L
+      val sliceDfs = (0 until slices).map { i =>
+        val e = unix_timestamp(col("ts"))
+        proj.where(e >= lo + span * i / slices && e < lo + span * (i + 1) / slices)
+      } ++ Seq(sentinel1, sentinel1 + 60L).map { sec =>
+        Seq((-1L, -1L)).toDF("event_id", "user_id")
+          .select(col("event_id"), col("user_id"), lit(sec).cast("timestamp").as("ts"))
+      }
+      val sinkSchema = "event_id long, user_id long, epoch_sec long, " +
+        "is_new_session boolean, session_start_sec long, session_id string"
+      val (afterPhase1, sink) = killRestartDrain(
+          spark, base, sliceDfs, phase1Files = 2, sinkSchema) {
+        (inDir, outDir, ckpt) =>
+          val src = spark.readStream.schema(proj.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir)
+          sessionize(src, gapSeconds, s"$watermarkDelaySec seconds")
+            .writeStream.format("parquet")
+            .option("path", outDir).option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+      }
+      val sunk = sink.where(col("user_id") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3), r.getLong(4), r.getString(5))).toSeq
+      val interrupted = afterPhase1 < sunk.size
+      val noDupes = sunk.size == sunk.distinct.size
+      sunk.toDF("event_id", "user_id", "epoch_sec",
+          "is_new_session", "session_start_sec", "session_id")
+        .withColumn("interrupted_midstream", lit(interrupted))
+        .withColumn("no_duplicate_emissions", lit(noDupes))
+        .orderBy(col("event_id"))
+    } finally {
+      import scala.util.Try
+      Try(Files.walk(base).iterator().asScala.toSeq.reverse.foreach(p => Try(Files.delete(p))))
+      ()
+    }
+  }
 }
