@@ -2301,6 +2301,50 @@ object QueriesEtl {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ── DSv2 TRANSACTIONAL SQL INSERT ([[graft.sources.GraftCatalog]]'s
+    // V1 write fallback → [[SnapshotLog.appendStrict]] under OCC retry):
+    // `INSERT INTO graftsnap.t SELECT …` lands as EXACTLY ONE atomic
+    // manifest commit (`insert_single_commit`), the API read sees it
+    // (`api_sees_sql_insert`), and `INSERT OVERWRITE` refuses loudly
+    // (`overwrite_refused`) — an untracked overwrite would bypass the
+    // log. SQL reads and writes now both ride the transaction log ──
+    "snapshot_sql_insert" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_sqlins"))
+      log.recreate()
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("n_chars"))
+      log.append(docs.where(col("doc_id") % 2 === 0), partitions = 2)
+      s.conf.set("spark.sql.catalog.graftsnap", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftsnap.root", scratch(dir, ""))
+      docs.where(col("doc_id") % 2 =!= 0).createOrReplaceTempView("sql_ins_src")
+      val vBefore = log.currentVersion.get
+      s.sql("INSERT INTO graftsnap.snap_sqlins SELECT doc_id, lang, n_chars FROM sql_ins_src")
+      val singleCommit = log.currentVersion.get == vBefore + 1L
+      val apiSees = log.read(s, log.currentVersion.get).count() == docs.count()
+      val overwriteRefused =
+        try {
+          s.sql("INSERT OVERWRITE TABLE graftsnap.snap_sqlins " +
+            "SELECT doc_id, lang, n_chars FROM sql_ins_src")
+          false
+        } catch {
+          case e: Throwable =>
+            // analyzer refusal (no OVERWRITE capability) or the V1 path's
+            // own message — either way the overwrite never reached the log
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .exists(x => Option(x.getMessage).exists(m =>
+                m.contains("INSERT OVERWRITE") || m.contains("does not support") ||
+                  m.contains("TABLE_OPERATION")))
+        }
+      s.sql(
+        """SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM graftsnap.snap_sqlins GROUP BY lang""".stripMargin)
+        .withColumn("insert_single_commit", lit(singleCommit))
+        .withColumn("api_sees_sql_insert", lit(apiSees))
+        .withColumn("overwrite_refused", lit(overwriteRefused))
+        .orderBy(col("lang"))
+    }),
+
     // ── DSv2 TIME TRAVEL in SQL ([[graft.sources.GraftCatalog]] +
     // Spark's native `VERSION AS OF` / `TIMESTAMP AS OF` syntax routed
     // into [[SnapshotLog]]'s pinned-version reads): the v0 arm reads the
@@ -3299,6 +3343,17 @@ object QueriesEtl {
         |       TRUE AS equals_api_read
         |FROM orders WHERE o_orderkey >= 1000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // snapshot_sql_insert: the whole documents set (base append + SQL
+    // insert of the odd half); commit-atomicity and refusal laws are
+    // measured Spark-side
+    "snapshot_sql_insert" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       TRUE AS insert_single_commit,
+        |       TRUE AS api_sees_sql_insert,
+        |       TRUE AS overwrite_refused
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // snapshot_sql_travel: the v0 arm is the even-doc_id half, the
     // current arm the whole table; travel-equality laws measured

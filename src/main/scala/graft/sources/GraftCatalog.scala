@@ -5,9 +5,11 @@ import java.util
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
@@ -36,9 +38,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Spark's own vectorized parquet [[ParquetTable]] — full predicate
   * pushdown, column pruning, and whole-stage codegen for free, with
   * snapshot isolation (a concurrent commit never moves a loaded table).
-  * The table is exposed STRICTLY read-only (BATCH_READ capability only):
-  * writes must go through the log's transactional API — an untracked SQL
-  * INSERT would corrupt the manifest contract.
+  *
+  * Write path: `INSERT INTO graftsnap.t …` routes through the log's OWN
+  * transactional append (V1 write fallback →
+  * [[SnapshotLog.appendStrict]] under [[SnapshotLog.withOccRetry]]) —
+  * one atomic manifest commit per INSERT, schema drift refused loudly,
+  * commit races resolved by OCC retry. Never a raw file write past the
+  * manifest. `INSERT OVERWRITE` is refused (run the API's deleteWhere /
+  * overwrite flow), and a time-travelled load is read-only by
+  * capability — history is immutable.
   *
   * Scope (refused loudly, never silently wrong): snapshots carrying
   * outstanding merge-on-read masks (key tombstones, position deletes,
@@ -127,7 +135,8 @@ class GraftCatalog extends TableCatalog {
     val inner = ParquetTable(
       s"$catalogName.${ident.name()}" + version.map(x => s"@v$x").getOrElse(""),
       SparkSession.active, opts, paths, None, classOf[ParquetFileFormat])
-    new GraftCatalog.ReadOnlyTable(inner)
+    if (version.isEmpty) new GraftCatalog.WritableTable(inner, log)
+    else new GraftCatalog.ReadOnlyTable(inner)
   }
 
   private def readOnly(op: String): Nothing =
@@ -155,9 +164,10 @@ object GraftCatalog {
 
   /** Read-only facade over the delegated [[ParquetTable]]: exposes ONLY
     * `BATCH_READ`, so Spark's analyzer refuses INSERT/overwrite at plan
-    * time instead of letting a file write slip past the manifest.
+    * time instead of letting a file write slip past the manifest. Used
+    * for every time-travelled load — history is immutable.
     */
-  private final class ReadOnlyTable(inner: ParquetTable)
+  private sealed class ReadOnlyTable(protected val inner: ParquetTable)
     extends Table with SupportsRead {
     override def name(): String = inner.name
     override def schema(): StructType = inner.schema
@@ -165,5 +175,37 @@ object GraftCatalog {
       util.Collections.singleton(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       inner.newScanBuilder(options)
+  }
+
+  /** The CURRENT snapshot's table: readable as [[ReadOnlyTable]] and
+    * insertable through the log's transactional append — the V1 write
+    * fallback hands the resolved batch frame straight to
+    * [[SnapshotLog.appendStrict]] (schema enforcement) inside
+    * [[SnapshotLog.withOccRetry]] (commit-race retry), so a SQL INSERT
+    * is exactly one atomic manifest commit.
+    */
+  private final class WritableTable(inner0: ParquetTable, log: SnapshotLog)
+    extends ReadOnlyTable(inner0) with SupportsWrite {
+    override def capabilities(): util.Set[TableCapability] =
+      util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder {
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                if (overwrite) throw new UnsupportedOperationException(
+                  "GraftCatalog: INSERT OVERWRITE is not supported — use the " +
+                    "SnapshotLog API (deleteWhere + append, or compact) so the " +
+                    "overwrite is a tracked, time-travellable commit")
+                val parts = math.max(1, math.min(32,
+                  data.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
+                log.withOccRetry()(log.appendStrict(data, parts))
+                ()
+              }
+            }
+        }
+      }
   }
 }

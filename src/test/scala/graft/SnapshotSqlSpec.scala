@@ -43,12 +43,23 @@ class SnapshotSqlSpec extends AnyFunSuite {
     // column pruning reaches the scan: only the selected columns are read
     assert(plan.contains("ReadSchema") && !plan.contains("payload"),
       s"projection not pruned to (id, v):\n$plan")
-    // read-only: INSERT refuses at plan time
+    // transactional INSERT: one atomic manifest commit through appendStrict
+    val vBefore = log.currentVersion.get
+    spark.sql("INSERT INTO graftsnap.t_sql VALUES (99, 'x', 990)")
+    assert(log.currentVersion.get == vBefore + 1L, "INSERT is exactly one commit")
+    assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_sql").head().getLong(0) == 21L)
+    assert(log.read(spark, log.currentVersion.get)
+      .where(col("id") === 99L).count() == 1L, "the API read sees the SQL insert")
+    // INSERT OVERWRITE refuses — an untracked overwrite would bypass the log
     val ex = intercept[Exception] {
-      spark.sql("INSERT INTO graftsnap.t_sql VALUES (99, 'x', 990)")
+      spark.sql("INSERT OVERWRITE TABLE graftsnap.t_sql VALUES (1, 'y', 10)")
     }
-    assert(ex.getMessage.contains("read-only") ||
-      ex.getMessage.toLowerCase.contains("does not support"),
+    // under partitionOverwriteMode=dynamic the analyzer refuses before the
+    // V1 path (no OVERWRITE_DYNAMIC capability); under static, the V1
+    // insert refuses with the catalog's own message — both are loud
+    assert(ex.getMessage.contains("INSERT OVERWRITE is not supported") ||
+      ex.getMessage.contains("does not support dynamic overwrite") ||
+      ex.getMessage.contains("TABLE_OPERATION"),
       s"unexpected: ${ex.getMessage}")
   }
 
