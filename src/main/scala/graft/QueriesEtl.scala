@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.{Cdc, EventsEtl, Histograms, Layout, Materialize, Privacy, Sessionize}
-import graft.sources.{CsvSource, GraftCatalog, Incremental, JsonlSource, SnapshotLog, TableManager, TxnCatalog}
+import graft.sources.{CsvSource, GraftCatalog, GraftSqlDml, Incremental, JsonlSource, SnapshotLog, TableManager, TxnCatalog}
 
 /** ETL-surface queries: CSV source round-trip (S1/S2), templated-SQL entry
   * (S3), idempotent dynamic-partition-overwrite load (S4–S7), and the full
@@ -2345,7 +2345,146 @@ object QueriesEtl {
         .orderBy(col("lang"))
     }),
 
+    // ── DSv2 SQL DELETE ([[graft.sources.GraftCatalog]]'s SupportsDelete
+    // → [[SnapshotLog.deleteWhereCow]], the Iceberg-v1 copy-on-write
+    // shape): `DELETE FROM graftsnap.t WHERE …` rewrites ONLY the grazed
+    // files in one atomic commit and leaves NO merge-on-read masks
+    // outstanding (`scan_clean_after_delete`), so the very next SQL
+    // SELECT — this query's own rollup — scans clean with no compact
+    // step; ungrazed files are carried untouched
+    // (`ungrazed_files_carried`). The merge-on-read deleteWhere stays
+    // the cheaper API-side choice; this is the SQL surface's trade ──
+    "snapshot_sql_delete" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_sqldel"))
+      log.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val vLow = log.append(orders.where(col("o_orderkey") <= 1500), partitions = 2)
+      val lowFiles = log.dataFiles(vLow).toSet
+      val vHigh = log.append(orders.where(col("o_orderkey") > 1500), partitions = 2)
+      val highFiles = log.dataFiles(vHigh).toSet -- lowFiles
+      s.conf.set("spark.sql.catalog.graftsnap", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftsnap.root", scratch(dir, ""))
+      s.sql("DELETE FROM graftsnap.snap_sqldel WHERE o_orderkey <= 700")
+      val vDel = log.currentVersion.get
+      val singleCommit = vDel == vHigh + 1L
+      val scanClean = log.posDeleteFiles(vDel).isEmpty &&
+        log.dvFiles(vDel).isEmpty && log.tombstoneFiles(vDel).isEmpty
+      val ungrazedCarried = highFiles.subsetOf(log.dataFiles(vDel).toSet) &&
+        lowFiles.intersect(log.dataFiles(vDel).toSet).isEmpty
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftsnap.snap_sqldel GROUP BY o_orderstatus""".stripMargin)
+        .withColumn("delete_single_commit", lit(singleCommit))
+        .withColumn("scan_clean_after_delete", lit(scanClean))
+        .withColumn("ungrazed_files_carried", lit(ungrazedCarried))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ── DSv2 TIME TRAVEL in SQL ([[graft.sources.GraftCatalog]] +
+    // ── SQL UPDATE text routed through [[graft.sources.GraftSqlDml]]
+    // (Spark's OWN parser front-ends the statement; execution is the
+    // log's one-evaluation merge-on-read [[SnapshotLog.updateWhere]]
+    // under OCC retry): self-referential SET reads the OLD row, the
+    // commit is atomic (`update_single_commit`), and the work is
+    // update-sized — every base data file is CARRIED, the delta rides as
+    // a position-delete mask + new images (`update_sized_mor`), no
+    // grazed-file rewrite ──
+    "snapshot_sql_update" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_squpd"))
+      log.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v0 = log.append(orders, partitions = 4)
+      val baseFiles = log.dataFiles(v0).toSet
+      s.conf.set("spark.sql.catalog.graftupd", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftupd.root", scratch(dir, ""))
+      val r = GraftSqlDml.exec(s,
+        "UPDATE graftupd.snap_squpd AS t SET t.cents = t.cents + 100, " +
+          "o_orderstatus = lower(o_orderstatus) WHERE t.o_orderkey % 10 = 0")
+      val singleCommit = r.version == v0 + 1L && r.occRetries == 0
+      val mor = baseFiles.subsetOf(log.dataFiles(r.version).toSet) &&
+        log.posDeleteFiles(r.version).nonEmpty
+      log.read(s, r.version)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .withColumn("update_single_commit", lit(singleCommit))
+        .withColumn("update_sized_mor", lit(mor))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ── SQL MERGE INTO text through [[graft.sources.GraftSqlDml]] →
+    // [[SnapshotLog.mergeInto]]: all four clause kinds in ONE statement
+    // (matched-conditional DELETE, matched UPDATE reading source columns,
+    // INSERT *, NOT-MATCHED-BY-SOURCE conditional DELETE), alias-scoped
+    // references resolved per ANSI rules, one atomic commit; the merge
+    // leaves the table scan-clean so this query's own rollup is a plain
+    // SQL SELECT through the DSv2 catalog ──
+    "snapshot_sql_merge" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_sqlmrg"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v0 = log.append(base.where(col("o_orderkey") <= 2000), partitions = 3)
+      base.where(col("o_orderkey").between(1001, 3000))
+        .withColumn("cents", col("cents") + 7)
+        .createOrReplaceTempView("graft_mrg_src")
+      s.conf.set("spark.sql.catalog.graftmrg", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftmrg.root", scratch(dir, ""))
+      val r = GraftSqlDml.exec(s,
+        """MERGE INTO graftmrg.snap_sqlmrg AS t USING graft_mrg_src AS s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET t.cents = s.cents + 1000
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey <= 300 THEN DELETE""".stripMargin)
+      val singleCommit = r.version == v0 + 1L && r.occRetries == 0
+      val scanClean = log.posDeleteFiles(r.version).isEmpty &&
+        log.tombstoneFiles(r.version).isEmpty
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n_rows,
+          |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftmrg.snap_sqlmrg GROUP BY o_orderstatus""".stripMargin)
+        .withColumn("merge_single_commit", lit(singleCommit))
+        .withColumn("scan_clean_after_merge", lit(scanClean))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ── CHANGE DATA FEED ([[SnapshotLog.readChanges]], the Delta CDF
+    // shape computed purely from manifest deltas — zero write-path cost):
+    // five commits (two appends, a merge-on-read DELETE, a merge-on-read
+    // UPDATE, a compact) replayed as per-version insert/delete rows. The
+    // oracle reconstructs every version's exact change set — the UPDATE
+    // must surface as pre-image deletes + post-image inserts under ONE
+    // version, and the compact must net to ZERO rows (no v4 group may
+    // exist), so a reorg leaking phantom changes hash-mismatches ──
+    "snapshot_cdf" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_cdf"))
+      log.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      log.append(orders.where(col("o_orderkey") <= 1000), partitions = 2)
+      log.append(orders.where(col("o_orderkey").between(1001, 2000)), partitions = 2)
+      log.deleteWhere(s, col("o_orderkey") <= 200)
+      log.updateWhere(s, col("o_orderkey").between(500, 600),
+        Seq("cents" -> (col("cents") + 5)))
+      val v4 = log.compact(s, partitions = 2)
+      log.readChanges(s, -1L, v4)
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).cast("long").as("sum_key"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .orderBy(col("commit_version"), col("change_type"))
+    }),
+
     // Spark's native `VERSION AS OF` / `TIMESTAMP AS OF` syntax routed
     // into [[SnapshotLog]]'s pinned-version reads): the v0 arm reads the
     // FIRST commit only while the current arm reads both, in one SQL
@@ -3354,6 +3493,80 @@ object QueriesEtl {
         |       TRUE AS api_sees_sql_insert,
         |       TRUE AS overwrite_refused
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // snapshot_sql_delete: survivors of the key-range delete; the
+    // commit-atomicity, scan-clean, and file-carry laws are measured
+    // Spark-side
+    "snapshot_sql_delete" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS delete_single_commit,
+        |       TRUE AS scan_clean_after_delete,
+        |       TRUE AS ungrazed_files_carried
+        |FROM orders WHERE o_orderkey > 700
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // snapshot_sql_update: the key-range rows ride the SET arithmetic
+    // (+100 cents, lowered status — status moves BETWEEN groups); the
+    // atomicity and merge-on-read laws are measured Spark-side
+    "snapshot_sql_update" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS update_single_commit, TRUE AS update_sized_mor
+        |FROM (SELECT CASE WHEN o_orderkey % 10 = 0 THEN lower(o_orderstatus)
+        |                  ELSE o_orderstatus END AS o_orderstatus,
+        |             CAST(floor(o_totalprice * 100) AS BIGINT)
+        |               + CASE WHEN o_orderkey % 10 = 0 THEN 100 ELSE 0 END AS cents
+        |      FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // snapshot_sql_merge: the four-clause MERGE replayed relationally —
+    // survivors of the matched-delete and NMBS-delete, matched updates
+    // reading source cents, plus the inserted unmatched source rows
+    "snapshot_sql_merge" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |           FROM orders WHERE o_orderkey <= 2000),
+        |     s AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) + 7 AS c
+        |           FROM orders WHERE o_orderkey BETWEEN 1001 AND 3000),
+        |     merged AS (
+        |       SELECT t.k, t.st,
+        |              CASE WHEN s.k IS NOT NULL THEN s.c + 1000 ELSE t.c END AS c
+        |       FROM t LEFT JOIN s ON t.k = s.k
+        |       WHERE NOT (s.k IS NOT NULL AND t.st = 'F')
+        |         AND NOT (s.k IS NULL AND t.k <= 300)
+        |       UNION ALL
+        |       SELECT s.k, s.st, s.c FROM s LEFT JOIN t ON s.k = t.k
+        |       WHERE t.k IS NULL)
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(c) AS BIGINT) AS sum_cents,
+        |       TRUE AS merge_single_commit, TRUE AS scan_clean_after_merge
+        |FROM merged GROUP BY st ORDER BY st""".stripMargin,
+
+    // snapshot_cdf: every version's change set replayed relationally;
+    // the UPDATE is a pre-image delete + post-image insert pair under
+    // v3, and the compact (v4) contributes NO group at all
+    "snapshot_cdf" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |           FROM orders),
+        |     ch AS (
+        |       SELECT 0 AS v, 'insert' AS ct, k, c FROM o WHERE k <= 1000
+        |       UNION ALL
+        |       SELECT 1, 'insert', k, c FROM o WHERE k BETWEEN 1001 AND 2000
+        |       UNION ALL
+        |       SELECT 2, 'delete', k, c FROM o WHERE k <= 200
+        |       UNION ALL
+        |       SELECT 3, 'delete', k, c FROM o WHERE k BETWEEN 500 AND 600
+        |       UNION ALL
+        |       SELECT 3, 'insert', k, c + 5 FROM o WHERE k BETWEEN 500 AND 600)
+        |SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type,
+        |       count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(c) AS BIGINT) AS sum_cents
+        |FROM ch GROUP BY v, ct ORDER BY commit_version, change_type""".stripMargin,
 
     // snapshot_sql_travel: the v0 arm is the even-doc_id half, the
     // current arm the whole table; travel-equality laws measured

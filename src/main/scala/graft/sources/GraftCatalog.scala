@@ -5,11 +5,11 @@ import java.util
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.sources.{And => FAnd, EqualNullSafe => FEqualNullSafe, EqualTo => FEqualTo, Filter, GreaterThan => FGreaterThan, GreaterThanOrEqual => FGreaterThanOrEqual, In => FIn, InsertableRelation, IsNotNull => FIsNotNull, IsNull => FIsNull, LessThan => FLessThan, LessThanOrEqual => FLessThanOrEqual, Not => FNot, Or => FOr, StringContains => FStringContains, StringEndsWith => FStringEndsWith, StringStartsWith => FStringStartsWith}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
@@ -44,9 +44,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[SnapshotLog.appendStrict]] under [[SnapshotLog.withOccRetry]]) —
   * one atomic manifest commit per INSERT, schema drift refused loudly,
   * commit races resolved by OCC retry. Never a raw file write past the
-  * manifest. `INSERT OVERWRITE` is refused (run the API's deleteWhere /
-  * overwrite flow), and a time-travelled load is read-only by
-  * capability — history is immutable.
+  * manifest. `DELETE FROM graftsnap.t WHERE …` routes through the
+  * COPY-ON-WRITE delete ([[SnapshotLog.deleteWhereCow]] — only grazed
+  * files rewrite, NO masks left outstanding, so the next SQL SELECT
+  * still scans clean; the merge-on-read [[SnapshotLog.deleteWhere]]
+  * stays the cheaper API-side choice). `INSERT OVERWRITE` is refused
+  * (run the API's delete/overwrite flow), and a time-travelled load is
+  * read-only by capability — history is immutable.
   *
   * Scope (refused loudly, never silently wrong): snapshots carrying
   * outstanding merge-on-read masks (key tombstones, position deletes,
@@ -162,6 +166,35 @@ class GraftCatalog extends TableCatalog {
 
 object GraftCatalog {
 
+  /** The V1 `Filter` subset a SQL DELETE can push — translated to the
+    * Column predicates [[SnapshotLog.deleteWhereCow]] evaluates. `None`
+    * marks an untranslatable filter; `canDeleteWhere` then refuses the
+    * whole DELETE loudly rather than deleting a superset or subset.
+    */
+  private[sources] def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case FEqualTo(a, v) => Some(col(a) === lit(v))
+      case FEqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case FGreaterThan(a, v) => Some(col(a) > lit(v))
+      case FGreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case FLessThan(a, v) => Some(col(a) < lit(v))
+      case FLessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case FIn(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case FIsNull(a) => Some(col(a).isNull)
+      case FIsNotNull(a) => Some(col(a).isNotNull)
+      case FStringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case FStringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case FStringContains(a, v) => Some(col(a).contains(v))
+      case FAnd(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case FOr(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case FNot(c) => filterToColumn(c).map(!_)
+      case _ => None
+    }
+  }
+
   /** Read-only facade over the delegated [[ParquetTable]]: exposes ONLY
     * `BATCH_READ`, so Spark's analyzer refuses INSERT/overwrite at plan
     * time instead of letting a file write slip past the manifest. Used
@@ -185,9 +218,27 @@ object GraftCatalog {
     * is exactly one atomic manifest commit.
     */
   private final class WritableTable(inner0: ParquetTable, log: SnapshotLog)
-    extends ReadOnlyTable(inner0) with SupportsWrite {
+    extends ReadOnlyTable(inner0) with SupportsWrite with SupportsDelete {
     override def capabilities(): util.Set[TableCapability] =
       util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+    override def canDeleteWhere(filters: Array[Filter]): Boolean =
+      filters.forall(f => GraftCatalog.filterToColumn(f).isDefined)
+
+    /** `DELETE FROM … WHERE …` — copy-on-write so the table stays
+      * scan-clean for the SQL read path; one atomic commit, OCC-retried.
+      */
+    override def deleteWhere(filters: Array[Filter]): Unit = {
+      val cond = filters.toSeq
+        .map(f => GraftCatalog.filterToColumn(f).getOrElse(
+          throw new UnsupportedOperationException(
+            s"GraftCatalog: cannot translate DELETE filter $f — " +
+              "use SnapshotLog.deleteWhere with an arbitrary Column predicate")))
+        .reduceOption(_ && _)
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      log.withOccRetry()(log.deleteWhereCow(SparkSession.active, cond))
+      ()
+    }
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder {
         override def build(): Write = new V1Write {

@@ -1135,13 +1135,200 @@ class SnapshotLog(
       posStaged.foreach(p => new File(dataRootPath, p).delete())
       (cur, 0L)
     } else {
-      val updated = set.foldLeft(
-          base.join(addrs, Seq("_file", "_pos"), "left_semi")) {
-        case (d, (name, c)) => d.withColumn(name, c)
+      // every SET expression reads the OLD row (the SQL UPDATE rule):
+      // stage new values in temp columns BEFORE any target column is
+      // overwritten, so `SET v = v*2, w = v` sees the pre-update v
+      val matchedRows = base.join(addrs, Seq("_file", "_pos"), "left_semi")
+      val withTmp = set.zipWithIndex.foldLeft(matchedRows) {
+        case (d, ((_, c), i)) => d.withColumn(s"__u$i", c)
+      }
+      val updated = set.zipWithIndex.foldLeft(withTmp) {
+        case (d, ((name, _), i)) => d.withColumn(name, col(s"__u$i"))
       }.select(baseCols.map(col): _*)
       val dataStaged = stageData(updated, partitions)
       (commit(Some(cur),
         files(cur) ++ posStaged.map(PosDelPrefix + _) ++ dataStaged), n)
+    }
+  }
+
+  /** CHANGE DATA FEED over a committed version range (the Delta CDF /
+    * Iceberg incremental-changelog shape) computed purely from the log's
+    * per-version FILE DELTAS — zero extra write-path cost, nothing new
+    * persisted: every row the commits in `(fromExclusive, toInclusive]`
+    * inserted or deleted, as the table's columns plus `_change_type`
+    * ('insert' | 'delete') and `_commit_version`. An UPDATE rides as its
+    * delete pre-image + insert post-image under one version (the
+    * add/remove-file representation Delta falls back to without CDC
+    * files); reorg commits — compact, optimize, deletion-vector
+    * collapse — net to ZERO rows by construction. `fromExclusive = -1`
+    * reads from the first commit.
+    *
+    * Scale: the common commits (append, merge-on-read delete / update)
+    * cost CHANGE-sized reads — only the delta's own files open (new data
+    * files; new position-delete files plus the exact rows they address;
+    * a key tombstone pays the one masked read its own semantics require).
+    * Only commits that REMOVE data files (copy-on-write delete, merge,
+    * compact, optimize) pay a multiset diff (`exceptAll`) over the
+    * touched files — rewrite-scoped; a compact in range therefore costs
+    * a scan of what that compact rewrote, and proves itself a no-op.
+    *
+    * Column-mapped snapshots are refused loudly (physical names would
+    * leak into the feed); pre-image reads need the PARENT version's
+    * manifest, so feeds across [[expireVersions]]' horizon refuse too.
+    */
+  def readChanges(
+      spark: SparkSession,
+      fromExclusive: Long,
+      toInclusive: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_extract}
+    val vs = versions
+    require(fromExclusive < toInclusive,
+      s"readChanges: empty range ($fromExclusive, $toInclusive]")
+    require(vs.contains(toInclusive),
+      s"readChanges: v$toInclusive does not exist (have ${vs.mkString(", ")})")
+    require(fromExclusive == -1L || vs.contains(fromExclusive),
+      s"readChanges: from-version v$fromExclusive does not exist " +
+        "(expired or never committed)")
+    val range = vs.filter(v => v > fromExclusive && v <= toInclusive)
+    range.foreach { v =>
+      require(columnMapping(v).isEmpty,
+        s"readChanges: v$v uses column mapping — the feed would expose " +
+          "physical column names; read changes below the mapping commit")
+      require(v == 0L || vs.contains(v - 1L),
+        s"readChanges: v$v's parent v${v - 1} is expired — pre-images are " +
+          "unrecoverable; start the feed at a retained boundary")
+    }
+    val outCols = read(spark, toInclusive).columns.toSeq
+    val reserved = Seq("_change_type", "_commit_version", "_file", "_pos")
+    require(!outCols.exists(reserved.contains),
+      s"readChanges: table columns collide with ${reserved.mkString(", ")}")
+
+    def paths(ps: Seq[String]) = ps.map(p => new File(dataRootPath, p).toString)
+    def withAddr(d: DataFrame): DataFrame = d
+      .withColumn("_file",
+        regexp_extract(col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1))
+      .withColumn("_pos", col("_metadata.row_index"))
+    def shape(d: DataFrame, ct: String, v: Long): DataFrame =
+      d.select(outCols.map(col): _*)
+        .withColumn("_change_type", lit(ct))
+        .withColumn("_commit_version", lit(v))
+
+    val perVersion: Seq[DataFrame] = range.flatMap { v =>
+      val prevLines = if (v == 0L) Seq.empty[String] else files(v - 1L)
+      val curLines = files(v)
+      val prevSet = prevLines.toSet
+      val curSet = curLines.toSet
+      val added = curLines.filterNot(prevSet)
+      val removed = prevLines.filterNot(curSet)
+      def dataOf(ls: Seq[String]) = ls.filter(l => !isMetaLine(l) && !isTombLine(l))
+      val addedData = dataOf(added)
+      val removedData = dataOf(removed)
+      val addedPos = added.filter(_.startsWith(PosDelPrefix)).map(_.stripPrefix(PosDelPrefix))
+      val addedTomb = added.filter(_.startsWith(DelPrefix)).map(_.stripPrefix(DelPrefix))
+      // dv lines are only ever minted by [[writeDeleteVectors]]' pure mask
+      // collapse (masked set unchanged); anything else is an unknown
+      // producer this feed must not guess about
+      if (added.exists(_.startsWith(DvPrefix)))
+        require(addedData.isEmpty && removedData.isEmpty &&
+            addedPos.isEmpty && addedTomb.isEmpty,
+          s"readChanges: v$v adds deletion vectors alongside data changes — " +
+            "not a known commit shape, refusing to infer its change set")
+
+      // deletes minted by NEW masks: position deletes address exact rows
+      // (pre-images read from the immutable referenced files); a key
+      // tombstone masks by value over the parent's visible rows
+      val posPre =
+        if (addedPos.isEmpty) None
+        else {
+          val addrs = spark.read.parquet(paths(addedPos): _*)
+          import spark.implicits._
+          val refs = addrs.select(col("_file")).distinct().as[String].collect().toSeq
+          Some(withAddr(spark.read.parquet(paths(refs): _*))
+            .join(addrs, Seq("_file", "_pos"), "left_semi")
+            .drop("_file", "_pos"))
+        }
+      val keyPre =
+        if (addedTomb.isEmpty) None
+        else {
+          val keys = spark.read.parquet(paths(addedTomb): _*)
+          Some(read(spark, v - 1L).join(keys, keys.columns.toSeq, "left_semi"))
+        }
+
+      // file-level adds/removes, each side mask-visible AT ITS version;
+      // the multiset diff cancels rewrite-carried rows so reorgs net zero
+      val addVis =
+        if (addedData.isEmpty) None
+        else Some(applyMasks(spark, v,
+          spark.read.option("mergeSchema", "true").parquet(paths(addedData): _*))
+          .select(outCols.map(col): _*))
+      val remVis =
+        if (removedData.isEmpty) None
+        else Some(applyMasks(spark, v - 1L,
+          spark.read.option("mergeSchema", "true").parquet(paths(removedData): _*))
+          .select(outCols.map(col): _*))
+      val (ins, fileDel) = (addVis, remVis) match {
+        case (Some(a), Some(r)) => (Some(a.exceptAll(r)), Some(r.exceptAll(a)))
+        case other => other
+      }
+      (posPre.toSeq ++ keyPre.toSeq ++ fileDel.toSeq).map(shape(_, "delete", v)) ++
+        ins.toSeq.map(shape(_, "insert", v))
+    }
+    val empty = shape(read(spark, toInclusive).limit(0), "insert", 0L).limit(0)
+    perVersion.foldLeft(empty)(_.unionByName(_))
+  }
+
+  /** COPY-ON-WRITE predicate DELETE (the Iceberg-v1 delete shape, the
+    * SQL-surface complement of the merge-on-read [[deleteWhere]]):
+    * resolve the matching rows' FILES, rewrite only those grazed files
+    * WITHOUT the matching rows, carry every other file untouched — one
+    * atomic commit, NO outstanding masks afterwards, so a raw scan
+    * (the DSv2 catalog's SQL read) stays valid with no compact step.
+    * Work scales with grazed files, not the table; the merge-on-read
+    * variant stays the cheaper choice when reads go through the API.
+    *
+    * Composes with existing masks: the rewrite reads the MASKED view,
+    * so prior deletes absorb into the rewritten files; carried mask
+    * lines keep masking untouched files and are inert against the
+    * rewritten ones. Addresses are staged ONCE (the [[updateWhere]]
+    * determinism discipline) and both the grazed-file set and the
+    * delete count derive from that frozen file.
+    *
+    * @return (committed version — unchanged when nothing matched,
+    *         rows deleted)
+    */
+  def deleteWhereCow(
+      spark: SparkSession,
+      predicate: org.apache.spark.sql.Column): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"deleteWhereCow: no committed snapshot at $root"))
+    val base = readWithPositions(spark, cur)
+    val addrStaged = stageData(
+      base.where(predicate)
+        .select(col("_file").cast("string"), col("_pos").cast("long")), 1)
+    val addrs = spark.read.parquet(
+      addrStaged.map(p => new File(dataRootPath, p).toString): _*)
+    import spark.implicits._
+    val grazed = addrs.select(col("_file")).distinct().as[String].collect().toSeq.sorted
+    val n = addrs.count()
+    def dropAddrStage(): Unit =
+      addrStaged.foreach(p => new File(dataRootPath, p).delete())
+    if (n == 0L) { dropAddrStage(); (cur, 0L) }
+    else {
+      val inGrazed = base.where(col("_file").isin(grazed: _*))
+      val survivors = inGrazed
+        .join(addrs, Seq("_file", "_pos"), "left_anti")
+        .drop("_file", "_pos")
+      // a delete that empties every grazed file stages nothing (an empty
+      // write can produce zero part files, which stageData refuses)
+      val staged =
+        if (inGrazed.count() == n) Seq.empty[String]
+        else stageData(survivors, math.max(1, grazed.size))
+      val grazedSet = grazed.toSet
+      val carried = files(cur).filterNot(grazedSet)
+      val v = commit(Some(cur), carried ++ staged)
+      dropAddrStage()
+      (v, n)
     }
   }
 

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftCatalog, GraftSqlDml, SnapshotLog}
+
+/** SQL `UPDATE` / `MERGE INTO` / `DELETE` text routed through the
+  * snapshot log's transactional DML ([[GraftSqlDml]]): Spark's own parser
+  * front-ends the statement, the log commits it atomically, and the
+  * result equals the equivalent API call.
+  */
+class GraftSqlDmlSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val root = "/root/repo/target/sqldml_spec"
+
+  private def freshLog(name: String): SnapshotLog = {
+    val log = new SnapshotLog(s"$root/$name")
+    log.recreate()
+    log
+  }
+
+  private def registerCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.graftdml", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdml.root", root)
+  }
+
+  test("SQL UPDATE: qualified and self-referential SET, WHERE honored, one atomic commit") {
+    val log = freshLog("t_upd")
+    val v0 = log.append((0 until 30).map(i => (i.toLong, s"p-$i", i.toLong * 10))
+      .toDF("id", "payload", "v"), partitions = 2)
+    registerCatalog()
+    val r = GraftSqlDml.exec(spark,
+      "UPDATE graftdml.t_upd AS t SET t.v = t.v * 2 + 1, payload = concat(payload, '!') " +
+        "WHERE t.id >= 20")
+    assert(r.op == "UPDATE" && r.rowsUpdated == 10L && r.version == v0 + 1L)
+    val got = log.read(spark, r.version)
+    assert(got.count() == 30L)
+    assert(got.where(col("id") >= 20 &&
+      col("v") === col("id") * 20 + 1 && col("payload").endsWith("!")).count() == 10L)
+    assert(got.where(col("id") < 20 && col("v") === col("id") * 10).count() == 20L)
+    // no-match UPDATE commits nothing
+    val r2 = GraftSqlDml.exec(spark, "UPDATE graftdml.t_upd SET v = 0 WHERE id = 999")
+    assert(r2.rowsUpdated == 0L && r2.version == r.version)
+    // every SET expression reads the OLD row: payload captures v BEFORE v moves
+    val r3 = GraftSqlDml.exec(spark,
+      "UPDATE graftdml.t_upd SET v = v + 1, payload = cast(v AS string) WHERE id = 5")
+    val row5 = log.read(spark, r3.version).where(col("id") === 5).head()
+    assert(row5.getAs[Long]("v") == 51L && row5.getAs[String]("payload") == "50",
+      s"SET must read the pre-update row, got $row5")
+  }
+
+  test("SQL DELETE goes copy-on-write; scan-clean after") {
+    val log = freshLog("t_del2")
+    log.append((0 until 20).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
+    registerCatalog()
+    val r = GraftSqlDml.exec(spark, "DELETE FROM graftdml.t_del2 WHERE id % 2 = 0")
+    assert(r.rowsDeleted == 10L)
+    assert(log.posDeleteFiles(r.version).isEmpty && log.dvFiles(r.version).isEmpty)
+    assert(log.read(spark, r.version).count() == 10L)
+  }
+
+  test("SQL MERGE: three clauses, alias scoping, equals the API route") {
+    val log = freshLog("t_mrg")
+    log.append((0 until 20).map(i => (i.toLong, i.toLong * 10, s"r-$i"))
+      .toDF("id", "amount", "tag"), partitions = 2)
+    // source: updates 5..9 (+1000), deletes 0..4, inserts 20..24; 15..19 not matched by source
+    (Seq.tabulate(10)(i => (i.toLong, i.toLong * 10 + 1000, s"s-$i")) ++
+      Seq.tabulate(5)(i => (20L + i, (20L + i) * 10, s"n-$i")))
+      .toDF("id", "amount", "tag").createOrReplaceTempView("mrg_src")
+    registerCatalog()
+    val r = GraftSqlDml.exec(spark,
+      """MERGE INTO graftdml.t_mrg AS t USING mrg_src AS s ON t.id = s.id
+        |WHEN MATCHED AND s.id < 5 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET amount = s.amount, t.tag = s.tag
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.id >= 18 THEN DELETE""".stripMargin)
+    assert(r.op == "MERGE" && r.rowsUpdated == 5L && r.rowsDeleted == 7L &&
+      r.rowsInserted == 5L)
+    val got = log.read(spark, r.version).orderBy("id")
+    assert(got.count() == 18L, "20 - 5 del - 2 nmbs + 5 ins")
+    assert(got.where(col("id") < 5).count() == 0L)
+    assert(got.where(col("id").between(5, 9) &&
+      col("amount") === col("id") * 10 + 1000 && col("tag").startsWith("s-")).count() == 5L)
+    assert(got.where(col("id").between(10, 17) && col("tag").startsWith("r-")).count() == 8L)
+    assert(got.where(col("id") >= 20 && col("tag").startsWith("n-")).count() == 5L)
+  }
+
+  test("MERGE refuses the inexpressible loudly: update-before-delete order, conditional insert, ambiguous ref") {
+    val log = freshLog("t_mrg_ref")
+    log.append(Seq((1L, 1L)).toDF("id", "v"), partitions = 1)
+    Seq((1L, 2L)).toDF("id", "v").createOrReplaceTempView("mrg_src2")
+    registerCatalog()
+    intercept[IllegalArgumentException] {
+      GraftSqlDml.exec(spark,
+        """MERGE INTO graftdml.t_mrg_ref t USING mrg_src2 s ON t.id = s.id
+          |WHEN MATCHED AND v > 0 THEN UPDATE SET v = s.v
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    intercept[UnsupportedOperationException] {
+      GraftSqlDml.exec(spark,
+        """MERGE INTO graftdml.t_mrg_ref t USING mrg_src2 s ON t.id = s.id
+          |WHEN NOT MATCHED AND s.v > 1 THEN INSERT *""".stripMargin)
+    }
+    // unqualified `v` exists on both sides → ambiguous
+    intercept[IllegalArgumentException] {
+      GraftSqlDml.exec(spark,
+        """MERGE INTO graftdml.t_mrg_ref t USING mrg_src2 s ON t.id = s.id
+          |WHEN MATCHED AND v > 0 THEN UPDATE SET t.v = s.v""".stripMargin)
+    }
+    // SELECT text is not DML
+    intercept[UnsupportedOperationException] {
+      GraftSqlDml.exec(spark, "SELECT 1")
+    }
+  }
+}

@@ -406,4 +406,34 @@ class SnapshotDmlSpec extends AnyFunSuite {
       "every retained version reads its full content after the sweep")
     intercept[IllegalArgumentException] { log.read(spark, v0).count() }
   }
+
+  test("deleteWhereCow rewrites only grazed files, leaves no masks, composes with prior MOR deletes") {
+    val log = freshLog("cow")
+    val vA = log.append(rows(20, "a"), partitions = 1)
+    val fileA = log.dataFiles(vA).head
+    val vB = log.append((20 until 40).map(i => (i.toLong, s"b-$i", i.toLong * 10))
+      .toDF("id", "payload", "v"), partitions = 1)
+    val fileB = (log.dataFiles(vB).toSet - fileA).head
+    // a prior merge-on-read delete composes: its mask absorbs into the rewrite
+    log.deleteWhere(spark, col("id") === 3L)
+    val (vCow, n) = log.deleteWhereCow(spark, col("id") === 5L)
+    assert(n == 1L)
+    assert(log.posDeleteFiles(vCow).nonEmpty, "the untouched mask line rides forward")
+    assert(log.dataFiles(vCow).contains(fileB), "ungrazed file carried untouched")
+    assert(!log.dataFiles(vCow).contains(fileA), "grazed file rewritten")
+    val got = log.read(spark, vCow)
+    assert(got.count() == 38L, "40 - MOR-deleted 3 - COW-deleted 5")
+    assert(got.where(col("id").isin(3L, 5L)).count() == 0L)
+    // absorbed, not resurrected: id=3 lived in the rewritten file
+    // a COW delete on a mask-free table leaves it scan-clean
+    log.compact(spark, partitions = 2)
+    val (vClean, n2) = log.deleteWhereCow(spark, col("id") >= 30L)
+    assert(n2 == 10L)
+    assert(log.posDeleteFiles(vClean).isEmpty && log.dvFiles(vClean).isEmpty &&
+      log.tombstoneFiles(vClean).isEmpty, "no masks outstanding after COW delete")
+    assert(log.read(spark, vClean).count() == 28L)
+    // nothing matched: no commit
+    val (vSame, n3) = log.deleteWhereCow(spark, col("id") === 999L)
+    assert(n3 == 0L && vSame == vClean)
+  }
 }

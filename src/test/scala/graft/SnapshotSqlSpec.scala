@@ -105,4 +105,22 @@ class SnapshotSqlSpec extends AnyFunSuite {
     val names = spark.sql("SHOW TABLES IN graftsnap").collect().map(_.getString(1)).toSet
     assert(Set("t_sql", "t_travel", "t_masked").subsetOf(names), s"got $names")
   }
+
+  test("SQL DELETE routes through the copy-on-write delete; the table stays scan-clean") {
+    val log = freshLog("t_del")
+    val vA = log.append((0 until 20).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
+    val fileA = log.dataFiles(vA).head
+    log.append((20 until 40).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
+    registerCatalog()
+    val vBefore = log.currentVersion.get
+    spark.sql("DELETE FROM graftsnap.t_del WHERE id < 5 OR id = 30")
+    assert(log.currentVersion.get == vBefore + 1L, "DELETE is exactly one commit")
+    assert(log.posDeleteFiles(log.currentVersion.get).isEmpty &&
+      log.dvFiles(log.currentVersion.get).isEmpty, "copy-on-write leaves no masks")
+    // the SQL read keeps working immediately — no compact step
+    assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_del").head().getLong(0) == 34L)
+    assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_del WHERE id < 5 OR id = 30")
+      .head().getLong(0) == 0L)
+    assert(!log.dataFiles(log.currentVersion.get).contains(fileA), "grazed file rewritten")
+  }
 }
