@@ -2485,6 +2485,46 @@ object QueriesEtl {
         .orderBy(col("commit_version"), col("change_type"))
     }),
 
+    // ── EXACTLY-ONCE CDC MIRROR ([[graft.sources.Incremental.mirror]]:
+    // the change data feed driving a keyed downstream replica through the
+    // [[TxnCatalog]] anchor): two cycles — initial load, then one window
+    // holding a merge-on-read DELETE + UPDATE + append — leave the mirror
+    // row-for-row equal to the source (`mirror_equals_source`, exceptAll
+    // both ways) with exactly one atomic txn per cycle
+    // (`one_txn_per_cycle`); deletes really disappear downstream, the
+    // case [[Incremental.consume]]'s append-only loop cannot express ──
+    "cdc_mirror" -> ((s, dir) => {
+      def mk(name: String) = {
+        val l = new SnapshotLog(scratch(dir, name)); l.recreate(); l
+      }
+      val src = mk("cdcmir_src"); val out = mk("cdcmir_out")
+      val cat = new TxnCatalog(scratch(dir, "cdcmir_cat"),
+        Map("src" -> src, "mir" -> out))
+      cat.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      src.append(orders.where(col("o_orderkey") <= 1500), partitions = 2)
+      Incremental.mirror(s, cat, "src", "mir", Seq("o_orderkey"), partitions = 2)
+      src.deleteWhere(s, col("o_orderkey") <= 200)
+      src.updateWhere(s, col("o_orderkey").between(500, 600),
+        Seq("cents" -> (col("cents") + 5)))
+      src.append(orders.where(col("o_orderkey").between(1501, 2000)), partitions = 1)
+      Incremental.mirror(s, cat, "src", "mir", Seq("o_orderkey"), partitions = 2)
+      val mir = cat.readTable(s, cat.current.get, "mir")
+      val srcNow = src.read(s, src.currentVersion.get)
+      val same = mir.exceptAll(srcNow).limit(1).count() == 0 &&
+        srcNow.exceptAll(mir).limit(1).count() == 0
+      val oneTxnPerCycle = cat.current.contains(1L)
+      mir.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).cast("long").as("sum_key"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .withColumn("mirror_equals_source", lit(same))
+        .withColumn("one_txn_per_cycle", lit(oneTxnPerCycle))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Spark's native `VERSION AS OF` / `TIMESTAMP AS OF` syntax routed
     // into [[SnapshotLog]]'s pinned-version reads): the v0 arm reads the
     // FIRST commit only while the current arm reads both, in one SQL
@@ -3572,6 +3612,19 @@ object QueriesEtl {
         |       count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_key,
         |       CAST(sum(c) AS BIGINT) AS sum_cents
         |FROM ch GROUP BY v, ct ORDER BY commit_version, change_type""".stripMargin,
+
+    // cdc_mirror: the mirror's final state replayed relationally — the
+    // source after delete(<=200), update(500..600 +5), both appends;
+    // equality and txn-cadence laws are measured Spark-side
+    "cdc_mirror" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)
+        |             + CASE WHEN o_orderkey BETWEEN 500 AND 600 THEN 5
+        |                    ELSE 0 END) AS BIGINT) AS sum_cents,
+        |       TRUE AS mirror_equals_source, TRUE AS one_txn_per_cycle
+        |FROM orders WHERE o_orderkey <= 2000 AND o_orderkey > 200
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // snapshot_sql_travel: the v0 arm is the even-doc_id half, the
     // current arm the whole table; travel-equality laws measured

@@ -180,6 +180,9 @@ object GraftSqlDml {
   // ────────────────────────────── MERGE ──────────────────────────────
 
   private def execMerge(spark: SparkSession, m: MergeIntoTable): DmlResult = {
+    require(!m.schemaEvolutionEnabled,
+      "GraftSqlDml: MERGE ... WITH SCHEMA EVOLUTION is not supported — the log " +
+        "merge requires source schema == target schema; evolve via append first")
     val (log, name, tgtQuals) = resolveTarget(spark, m.targetTable)
 
     // source: a named table / temp view (optionally aliased); arbitrary
