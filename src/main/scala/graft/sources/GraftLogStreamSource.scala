@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graftshim.StreamingShims
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** NATIVE STRUCTURED-STREAMING SOURCE over a [[SnapshotLog]] table (the
+  * Delta table-as-stream source, as a first-class `format("graft-log")`):
+  *
+  * {{{
+  *   spark.readStream
+  *     .format("graft-log")            // or classOf[GraftLogSourceProvider].getName
+  *     .option("root", "/pool/t")      // the SnapshotLog root
+  *     .load()
+  * }}}
+  *
+  * OFFSETS ARE LOG VERSIONS: the stream's offset after a micro-batch is
+  * the highest committed version whose appended files that batch carried,
+  * so Spark's own checkpoint (offset log + commit log) makes consumption
+  * EXACTLY-ONCE across kill/restart — a resumed query re-reads nothing it
+  * committed and skips nothing, because the restart replays from the
+  * checkpointed version boundary, not from a file listing. This replaces
+  * the hard-link staging of
+  * [[graft.streaming.StreamingCdc.logStreamReplay]] with the log's own
+  * manifest as the progress ledger: discovering a micro-batch is ONE
+  * metadata diff (versions `(start, end]` → their appended files via
+  * [[SnapshotLog.appendedFiles]]), never a directory scan — the property
+  * that keeps a 100 TB table streamable from a laptop-sized driver.
+  *
+  * Append-only contract (every lakehouse streaming source's): a commit
+  * that REMOVES files (compact/optimize/merge rewrites) or adds
+  * tombstones refuses loudly mid-stream via [[SnapshotLog.appendedFiles]]
+  * — consume those through `readChanges`/`changeFeed`. Metadata-only
+  * commits (ALTER/ANALYZE/tags) stream as empty progress, not errors.
+  *
+  * Options: `root` (required) — the log root; `startingVersion` — first
+  * version to serve (default: the oldest surviving version, whose whole
+  * listing counts as the initial snapshot batch).
+  */
+class GraftLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-log"
+
+  private def logFor(parameters: Map[String, String]): SnapshotLog =
+    new SnapshotLog(parameters.getOrElse("root",
+      throw new IllegalArgumentException(
+        "graft-log source: set .option(\"root\", <snapshot-log root>)")))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-log source: the schema comes from the log's committed " +
+        "snapshot — do not pass .schema(...)")
+    val log = logFor(parameters)
+    val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
+      s"graft-log source: no committed snapshot at ${log.root}"))
+    ("graft-log", log.read(sqlContext.sparkSession, cur).schema)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val log = logFor(parameters)
+    new GraftLogSource(sqlContext, log,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      parameters.get("startingVersion").map(_.toLong))
+  }
+}
+
+/** The running source: version-valued offsets over one [[SnapshotLog]].
+  * See [[GraftLogSourceProvider]] for the contract.
+  */
+class GraftLogSource(
+    sqlContext: SQLContext,
+    log: SnapshotLog,
+    override val schema: StructType,
+    startingVersion: Option[Long]) extends Source {
+
+  // versions strictly BELOW the floor never stream; the floor itself is
+  // the initial-snapshot batch (oldest survivor = whole listing, per
+  // [[SnapshotLog.appendedFiles]])
+  private val floor: Long = {
+    val oldest = log.versions.headOption.getOrElse(
+      throw new IllegalStateException(
+        s"graft-log source: no committed snapshot at ${log.root}"))
+    startingVersion match {
+      case Some(v) =>
+        require(log.versions.contains(v),
+          s"graft-log source: startingVersion $v is not a committed " +
+            s"version of ${log.root} (have ${log.versions.mkString(", ")})")
+        v
+      case None => oldest
+    }
+  }
+
+  private def asVersion(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    // a checkpoint restart hands offsets back as their serialized JSON
+    case other => other.json.trim.toLong
+  }
+
+  /** The latest committed version — Spark calls this each trigger; a new
+    * commit is one metadata listing away, never a data scan.
+    */
+  override def getOffset: Option[Offset] =
+    log.currentVersion.map(LongOffset(_))
+
+  /** Rows of versions `(start, end]` — their appended data files scanned
+    * through the normal parquet path (pushdown/pruning intact), tagged
+    * streaming for the micro-batch runner. `start = None` is the very
+    * first batch: everything from the floor.
+    */
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val lo = start.map(asVersion).getOrElse(floor - 1L)
+    val hi = asVersion(end)
+    val slice = log.versions.filter(v => v > lo && v <= hi && v >= floor)
+    val files = slice.flatMap(log.appendedFiles)
+      .filter(_.endsWith(".parquet"))
+    val spark = sqlContext.sparkSession
+    val batch =
+      if (files.isEmpty)
+        // a metadata-only commit window (ALTER/ANALYZE/tags): empty
+        // progress in the declared schema, not an error
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    StreamingShims.asStreamingBatch(batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"GraftLogSource[${new File(log.root).getName} from v$floor]"
+}

@@ -258,6 +258,67 @@ object StreamingCdc {
     }
   }
 
+  /** KILL-AND-RESTART replay of the NATIVE `graft-log` streaming source
+    * ([[graft.sources.GraftLogSourceProvider]] — version-valued offsets,
+    * no staging directory at all): phase 1 streams the versions already
+    * committed to `log` into a FILE sink under a checkpoint and is
+    * STOPPED; `phase2` batches then commit to the log, and a BRAND-NEW
+    * query instance resumes from the same checkpoint. The source's
+    * checkpointed version offsets plus the file sink's commit log must
+    * together re-emit nothing and lose nothing — the exactly-once law of
+    * a lakehouse table-as-stream source, proven across a restart.
+    *
+    * Returns `aggregate(sink)` with two measured law columns appended:
+    * `interrupted_midstream` (phase 1 sank strictly less than the final
+    * total — something was genuinely left to recover) and
+    * `no_duplicate_emissions` (sink rows pairwise distinct). Batch parity
+    * is the caller's oracle hash. The aggregate's result is collected
+    * (group-count-bounded) so the temp sink can be reclaimed before
+    * returning.
+    */
+  def nativeLogSourceReplay(
+      log: graft.sources.SnapshotLog,
+      phase2: Seq[DataFrame],
+      partitions: Int,
+      aggregate: DataFrame => DataFrame): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val base = Files.createTempDirectory("graft_native_src_")
+    val (sinkDir, ckptDir) = (base.resolve("out"), base.resolve("ckpt"))
+    try {
+      val schema = log.readLatest(spark).schema
+      def runOnce(): Unit = {
+        val q = spark.readStream
+          .format("graft-log").option("root", log.root).load()
+          .writeStream.format("parquet")
+          .option("path", sinkDir.toString)
+          .option("checkpointLocation", ckptDir.toString)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      // phase 1: drain what the log holds now, then the KILL
+      runOnce()
+      def sink(): DataFrame = spark.read.schema(schema).parquet(sinkDir.toString)
+      val afterPhase1 = sink().count()
+      // phase 2: more commits land; a NEW instance resumes the checkpoint
+      phase2.foreach { df => log.append(df, partitions); () }
+      runOnce()
+      val total = sink().count()
+      val noDupes = total == sink().distinct().count()
+      val agged = aggregate(sink())
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
+        agged.collectAsList())
+      spark.createDataFrame(rows, agged.schema)
+        .withColumn("interrupted_midstream", lit(afterPhase1 < total))
+        .withColumn("no_duplicate_emissions", lit(noDupes))
+    } finally {
+      import scala.util.Try
+      Try(Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Try(Files.delete(p))))
+      ()
+    }
+  }
+
   /** Streaming upsert committed COPY-ON-WRITE under the snapshot log —
     * `readStream → foreachBatch(SnapshotLog.mergeCopyOnWrite)`: the base
     * commits once, range-clustered with per-file key stats, then every

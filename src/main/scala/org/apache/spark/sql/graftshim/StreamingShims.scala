@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.SparkSession
+
+/** The one internal-API bridge the engine's V1 streaming source needs:
+  * `MicroBatchExecution` asserts that a [[org.apache.spark.sql.execution
+  * .streaming.Source.getBatch]] result carries `isStreaming = true`, and
+  * the only way to tag a batch-planned frame that way is the session's
+  * `private[sql] internalCreateDataFrame` — the exact call Spark's own
+  * `FileStreamSource` makes (`FileStreamSource.scala`, `getBatch`), and
+  * the same bridge Delta's V1 `DeltaSource` ships on. Scoped to this
+  * single method; nothing else reaches past the public API.
+  */
+object StreamingShims {
+
+  /** `df`'s physical plan re-wrapped as a streaming-tagged frame: the
+    * batch plan (with its pushdown/pruning already applied) compiles to
+    * an RDD once, and the wrapper only flips the `isStreaming` bit the
+    * micro-batch runner checks.
+    */
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+}
