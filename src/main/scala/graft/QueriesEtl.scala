@@ -1407,6 +1407,37 @@ object QueriesEtl {
         .orderBy(col("prio"))
     }),
 
+    // ── NATIVE TABLE-AS-STREAM SOURCE with KILL/RESTART
+    // ([[graft.sources.GraftLogSourceProvider]] —
+    // `readStream.format("graft-log")`, offsets ARE log versions, zero
+    // staging): two commits stream into a checkpointed file sink, the
+    // query is STOPPED, two more commits land, and a brand-new instance
+    // resumes from the checkpoint. The source's version offsets + the
+    // sink's commit log must re-emit nothing and lose nothing
+    // (`no_duplicate_emissions`, with `interrupted_midstream` proving the
+    // kill was real); the oracle recomputes the per-status rollup from
+    // the raw table, so one lost or doubled row fails the hash ──
+    "stream_log_native" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "logsrc_native"))
+      log.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      log.append(orders.where(col("o_orderkey") <= 1000), partitions = 2)
+      log.append(orders.where(col("o_orderkey").between(1001, 2000)), partitions = 2)
+      graft.streaming.StreamingCdc.nativeLogSourceReplay(
+        log,
+        phase2 = Seq(
+          orders.where(col("o_orderkey").between(2001, 3000)),
+          orders.where(col("o_orderkey").between(3001, 4000))),
+        partitions = 2,
+        aggregate = df => df.groupBy(col("o_orderstatus")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).cast("long").as("sum_key"),
+          sum(col("cents")).cast("long").as("sum_cents")))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ── MULTI-TABLE ATOMIC TRANSACTIONS ([[TxnCatalog]]): orders and
     // lineitem advance together or not at all. Two txns publish the even
     // then odd halves of both tables; a CRASHED third write advances the
@@ -2457,6 +2488,76 @@ object QueriesEtl {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ── SQL DDL lifecycle ([[graft.sources.GraftCatalog]] CREATE /
+    // CTAS / DROP): `CREATE TABLE` commits a METADATA-ONLY v0 declaring
+    // the schema (`create_is_metadata_commit`; the empty table reads
+    // through SQL immediately, `empty_create_readable`), `INSERT INTO`
+    // fills it transactionally, and `CREATE TABLE … AS SELECT` derives a
+    // second log-backed table whose content this query returns — the
+    // whole create→insert→ctas chain is tracked commits, never a raw
+    // file write ──
+    "snapshot_sql_ddl" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftddl", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftddl.root", scratch(dir, "ddlroot"))
+      s.sql("DROP TABLE IF EXISTS graftddl.ord")
+      s.sql("DROP TABLE IF EXISTS graftddl.ord_sum")
+      s.sql("CREATE TABLE graftddl.ord (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)")
+      val emptyReadable =
+        s.sql("SELECT count(*) AS n FROM graftddl.ord").head().getLong(0) == 0L
+      val log = new SnapshotLog(scratch(dir, "ddlroot") + "/ord")
+      val metadataOnly = log.dataFiles(0L).isEmpty && log.declaredSchema(0L).isDefined
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_ddl_src")
+      s.sql("INSERT INTO graftddl.ord SELECT * FROM graft_ddl_src WHERE o_orderkey <= 2000")
+      s.sql(
+        """CREATE TABLE graftddl.ord_sum AS
+          |SELECT o_orderstatus, count(*) AS n_orders,
+          |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftddl.ord GROUP BY o_orderstatus""".stripMargin)
+      s.sql("SELECT * FROM graftddl.ord_sum")
+        .withColumn("empty_create_readable", lit(emptyReadable))
+        .withColumn("create_is_metadata_commit", lit(metadataOnly))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ── SQL schema evolution ([[graft.sources.GraftCatalog.alterTable]]
+    // → [[SnapshotLog.addColumns]]): `ALTER TABLE … ADD COLUMNS` is ONE
+    // metadata-only commit — version +1 with the data-file listing
+    // byte-identical (`alter_metadata_only`, measured) — after which rows
+    // written BEFORE the alter serve NULL in the added column (counted
+    // per group as `n_legacy`) while post-alter inserts carry real
+    // values; the pinned declared schema makes old and new files scan as
+    // one relation with no mergeSchema footer walk ──
+    "snapshot_sql_alter" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftalter", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftalter.root", scratch(dir, "alterroot"))
+      s.sql("DROP TABLE IF EXISTS graftalter.ord")
+      s.sql("CREATE TABLE graftalter.ord (o_orderkey BIGINT, o_orderstatus STRING)")
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("graft_alter_src")
+      s.sql("INSERT INTO graftalter.ord SELECT * FROM graft_alter_src WHERE o_orderkey <= 2000")
+      val log = new SnapshotLog(scratch(dir, "alterroot") + "/ord")
+      val vBefore = log.currentVersion.get
+      val filesBefore = log.dataFiles(vBefore)
+      s.sql("ALTER TABLE graftalter.ord ADD COLUMNS (cents BIGINT)")
+      val metadataOnly = log.currentVersion.get == vBefore + 1L &&
+        log.dataFiles(vBefore + 1L) == filesBefore
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_alter_src2")
+      s.sql("INSERT INTO graftalter.ord SELECT * FROM graft_alter_src2 " +
+        "WHERE o_orderkey > 2000 AND o_orderkey <= 4000")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |       CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+          |       CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents
+          |FROM graftalter.ord GROUP BY o_orderstatus""".stripMargin)
+        .withColumn("alter_metadata_only", lit(metadataOnly))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ── CHANGE DATA FEED ([[SnapshotLog.readChanges]], the Delta CDF
     // shape computed purely from manifest deltas — zero write-path cost):
     // five commits (two appends, a merge-on-read DELETE, a merge-on-read
@@ -3034,6 +3135,19 @@ object QueriesEtl {
         |       TRUE AS one_trigger_per_file
         |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
 
+    // stream_log_native: the four streamed commits reunite to the
+    // key<=4000 slice; the kill/restart exactly-once laws are measured
+    // in the Spark path and pinned TRUE
+    "stream_log_native" ->
+      """SELECT o_orderstatus,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS interrupted_midstream,
+        |       TRUE AS no_duplicate_emissions
+        |FROM orders WHERE o_orderkey <= 4000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // txn_consistent_read: the current txn's cross-table join covers the
     // full corpus (halves reunited on both sides); txn0's item count
     // re-derives from the even-key slice; the torn-write / orphan /
@@ -3590,6 +3704,31 @@ object QueriesEtl {
         |       CAST(sum(c) AS BIGINT) AS sum_cents,
         |       TRUE AS merge_single_commit, TRUE AS scan_clean_after_merge
         |FROM merged GROUP BY st ORDER BY st""".stripMargin,
+
+    // snapshot_sql_ddl: the CTAS table's content replayed relationally;
+    // the metadata-commit and empty-read laws are measured Spark-side
+    "snapshot_sql_ddl" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS empty_create_readable, TRUE AS create_is_metadata_commit
+        |FROM orders WHERE o_orderkey <= 2000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // snapshot_sql_alter: relational replay — pre-alter rows (key <=
+    // 2000) carry NULL cents, post-alter inserts carry real values; the
+    // metadata-only law is measured Spark-side
+    "snapshot_sql_alter" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+        |       CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents,
+        |       TRUE AS alter_metadata_only
+        |FROM (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderkey <= 2000 THEN NULL
+        |              ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END AS cents
+        |  FROM orders WHERE o_orderkey <= 4000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // snapshot_cdf: every version's change set replayed relationally;
     // the UPDATE is a pre-image delete + post-image insert pair under

@@ -133,32 +133,93 @@ class GraftCatalog extends TableCatalog {
       s"GraftCatalog: ${ident.name()} uses column mapping (physical ids); " +
         "SQL scans would expose physical names — read it via readMapped")
     val paths = log.dataFiles(v).map(p => new File(log.dataRootPath, p).toString)
-    require(paths.nonEmpty,
+    // a DECLARED schema (CREATE TABLE / ALTER TABLE ADD COLUMNS) pins the
+    // scan: files predating an ADD COLUMN serve NULL for the added
+    // columns, and a data-less table reads as the empty relation. Without
+    // one, the scan needs at least one data file — stay loud.
+    val declared = log.declaredSchema(v)
+    require(paths.nonEmpty || declared.isDefined,
       s"GraftCatalog: snapshot v$v of ${ident.name()} has no data files")
     val opts = new CaseInsensitiveStringMap(util.Map.of("mergeSchema", "true"))
     val inner = ParquetTable(
       s"$catalogName.${ident.name()}" + version.map(x => s"@v$x").getOrElse(""),
-      SparkSession.active, opts, paths, None, classOf[ParquetFileFormat])
+      SparkSession.active, opts, paths, declared, classOf[ParquetFileFormat])
     if (version.isEmpty) new GraftCatalog.WritableTable(inner, log)
     else new GraftCatalog.ReadOnlyTable(inner)
   }
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"GraftCatalog is read-only: $op must go through the SnapshotLog " +
-        "transactional API (append/deleteWhere/mergeInto/...) — an untracked " +
-        "SQL write would bypass the manifest")
+      s"GraftCatalog: $op must go through the SnapshotLog transactional API " +
+        "(renameColumn/widenColumn/...) — an untracked metadata change would " +
+        "bypass the manifest")
 
+  /** `CREATE TABLE catalog.t (…)` — one metadata-only v0 commit declaring
+    * the schema ([[SnapshotLog.createEmpty]]); `CREATE TABLE … AS SELECT`
+    * rides Spark's non-atomic CTAS (this create + the V1 append write,
+    * i.e. a transactional [[SnapshotLog.appendStrict]]). `PARTITIONED BY`
+    * is refused loudly: physical layout is the log's own job
+    * ([[SnapshotLog.optimize]] clustering / stats sidecars), not a
+    * directory scheme.
+    */
   override def createTable(
       ident: Identifier,
       schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = readOnly("CREATE TABLE")
+      properties: util.Map[String, String]): Table = {
+    requireNamespace(ident.namespace())
+    require(partitions.isEmpty,
+      "GraftCatalog: PARTITIONED BY is not supported — snapshot-log layout " +
+        "is managed by OPTIMIZE/clustering, not a partition directory scheme")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(name(), ident.name()))
+    val log = new SnapshotLog(new File(rootDir, ident.name()).toString)
+    log.createEmpty(schema)
+    loadTable(ident)
+  }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+  /** `ALTER TABLE catalog.t ADD COLUMNS (…)` — routes to
+    * [[SnapshotLog.addColumns]]: one metadata-only commit, no file
+    * rewrite, OCC-retried. Only top-level nullable end-position adds are
+    * expressible as a pure metadata change; every other ALTER (RENAME /
+    * retype / NOT NULL / FIRST-AFTER placement / nested fields) is
+    * refused loudly toward the API's mapping-aware path.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val log = logFor(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"GraftCatalog: nested ADD COLUMN ${a.fieldNames().mkString(".")} " +
+            "is not supported — add a top-level column")
+        require(a.position() == null,
+          "GraftCatalog: ADD COLUMN … FIRST/AFTER is not supported — " +
+            "added columns always append at the end (metadata-only commit)")
+        require(a.isNullable,
+          s"GraftCatalog: ADD COLUMN ${a.fieldNames()(0)} NOT NULL is not " +
+            "supported — existing rows would violate it; add nullable, " +
+            "backfill, then constrain")
+        (a.fieldNames()(0), a.dataType())
+      case other =>
+        readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
+    }
+    log.withOccRetry()(log.addColumns(SparkSession.active, adds))
+    loadTable(ident)
+  }
 
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  /** `DROP TABLE catalog.t` — removes the table directory (log and data
+    * pool) entirely; snapshot history goes with it, as Delta's DROP does.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new File(rootDir, ident.name()))
+    true
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")

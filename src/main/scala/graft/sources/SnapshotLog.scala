@@ -458,7 +458,13 @@ class SnapshotLog(
   def readWithPositions(spark: SparkSession, version: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
     val paths = dataFiles(version).map(p => new File(dataRootPath, p).toString)
-    val raw = spark.read.parquet(paths: _*)
+    // pin the declared schema when one exists so rows predating an
+    // [[addColumns]] carry NULL for the added columns here too — DML
+    // predicates may reference them
+    val raw = declaredSchema(version) match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
     val clash = raw.columns.filter(c => c == "_file" || c == "_pos")
     require(clash.isEmpty,
       s"readWithPositions: the table's own columns ${clash.mkString(", ")} " +
@@ -1080,6 +1086,7 @@ class SnapshotLog(
     import org.apache.spark.sql.functions.col
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"deleteWhere: no committed snapshot at $root"))
+    if (dataFiles(cur).isEmpty) return (cur, 0L) // declared-empty table
     val matched = readWithPositions(spark, cur)
       .where(predicate).select(col("_file"), col("_pos"))
     val n = matched.count()
@@ -1108,6 +1115,7 @@ class SnapshotLog(
     require(set.nonEmpty, "updateWhere: need at least one SET assignment")
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"updateWhere: no committed snapshot at $root"))
+    if (dataFiles(cur).isEmpty) return (cur, 0L) // declared-empty table
     val base = readWithPositions(spark, cur)
     val baseCols = base.columns.toSeq.filterNot(c => c == "_file" || c == "_pos")
     set.foreach { case (n, _) =>
@@ -1302,6 +1310,7 @@ class SnapshotLog(
     import org.apache.spark.sql.functions.col
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"deleteWhereCow: no committed snapshot at $root"))
+    if (dataFiles(cur).isEmpty) return (cur, 0L) // declared-empty table
     val base = readWithPositions(spark, cur)
     val addrStaged = stageData(
       base.where(predicate)
@@ -2119,8 +2128,79 @@ class SnapshotLog(
     */
   def read(spark: SparkSession, version: Long, mergeSchema: Boolean = false): DataFrame = {
     val paths = dataFiles(version).map(p => new File(dataRootPath, p).toString)
-    val data = spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+    val declared = declaredSchema(version)
+    if (paths.isEmpty && declared.isDefined)
+      // a data-less snapshot with a DECLARED schema ([[createEmpty]] —
+      // CREATE TABLE before the first insert) reads as the empty relation
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), declared.get)
+    // a DECLARED schema is authoritative once present: files written
+    // before an [[addColumns]] lack the added columns physically, and the
+    // pinned-schema scan serves them as NULL — the Delta metadata-only
+    // ADD COLUMN read semantics (no mergeSchema footer walk needed)
+    val data = declared match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+    }
     applyMasks(spark, version, data)
+  }
+
+  /** CREATE an EMPTY table with a DECLARED schema (the `CREATE TABLE`
+    * shape): v0 is one metadata-only commit carrying `meta:schema=<json>`
+    * and ZERO data files. [[read]] of a data-less snapshot returns the
+    * empty relation in this schema; the schema meta line rides every
+    * later commit unchanged, and [[appendStrict]] (the SQL INSERT route)
+    * validates batches against it from the very first insert.
+    */
+  def createEmpty(schema: org.apache.spark.sql.types.StructType): Long = {
+    require(currentVersion.isEmpty,
+      s"createEmpty: $root already has committed snapshots")
+    commit(None, Seq(metaLine("schema", schema.json)))
+  }
+
+  /** The schema a table declared ([[createEmpty]]) or evolved to
+    * ([[addColumns]]), if any. Absent on tables whose schema is derived
+    * purely from their data files.
+    */
+  def declaredSchema(version: Long): Option[org.apache.spark.sql.types.StructType] =
+    metaValues(version).get("schema").map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** `ALTER TABLE … ADD COLUMNS` — ONE METADATA-ONLY COMMIT (the Delta
+    * ADD COLUMN shape): the snapshot's declared schema gains the new
+    * nullable fields at the end; NO data file is touched or rewritten.
+    * Existing files lack the columns physically and every read path
+    * ([[read]], [[readWithPositions]]) pins the declared schema so old
+    * rows serve NULL for them, while [[appendStrict]] (the SQL INSERT
+    * route) starts enforcing the widened shape on the very next batch.
+    * Duplicate names (case-insensitive, against the table or within the
+    * batch), the reserved `_file`/`_pos` address names, and
+    * column-mapped tables (whose physical schema is managed by
+    * [[renameColumn]]/[[widenColumn]]) are refused loudly.
+    */
+  def addColumns(
+      spark: SparkSession,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Long = {
+    require(cols.nonEmpty, "addColumns: need at least one column to add")
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"addColumns: no committed snapshot at $root"))
+    require(columnMapping(cur).isEmpty,
+      s"addColumns: $root uses column mapping — evolve its physical schema " +
+        "through the mapping-aware path (renameColumn/widenColumn)")
+    val base = read(spark, cur).schema
+    val taken = scala.collection.mutable.Set(
+      base.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toIndexedSeq: _*)
+    cols.foreach { case (n, _) =>
+      require(n != "_file" && n != "_pos",
+        s"addColumns: $n collides with the reserved position-delete address columns")
+      require(taken.add(n.toLowerCase(java.util.Locale.ROOT)),
+        s"addColumns: column $n already exists (names are case-insensitive)")
+    }
+    val evolved = org.apache.spark.sql.types.StructType(
+      base.fields ++ cols.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t, nullable = true) })
+    commit(Some(cur), withMeta(files(cur), "schema", evolved.json))
   }
 
   def readLatest(spark: SparkSession): DataFrame =

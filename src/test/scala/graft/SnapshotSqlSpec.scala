@@ -106,6 +106,83 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(Set("t_sql", "t_travel", "t_masked").subsetOf(names), s"got $names")
   }
 
+  test("SQL CREATE TABLE / CTAS / DROP TABLE round-trip through the log") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftsnap.t_ddl")
+    spark.sql("DROP TABLE IF EXISTS graftsnap.t_ddl2")
+    spark.sql("CREATE TABLE graftsnap.t_ddl (id BIGINT, tag STRING)")
+    // the empty table reads with its declared schema
+    val empty = spark.sql("SELECT * FROM graftsnap.t_ddl")
+    assert(empty.count() == 0L && empty.schema.fieldNames.toSeq == Seq("id", "tag"))
+    // IF NOT EXISTS no-ops; a plain re-CREATE refuses
+    spark.sql("CREATE TABLE IF NOT EXISTS graftsnap.t_ddl (id BIGINT, tag STRING)")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graftsnap.t_ddl (id BIGINT, tag STRING)")
+    }
+    // the created table takes transactional INSERT and DELETE
+    spark.sql("INSERT INTO graftsnap.t_ddl VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("DELETE FROM graftsnap.t_ddl WHERE id = 2")
+    assert(spark.sql("SELECT sum(id) AS s FROM graftsnap.t_ddl").head().getLong(0) == 4L)
+    // behind the SQL: a real log with v0 = the schema-only commit
+    val log = new SnapshotLog(s"$root/t_ddl")
+    assert(log.declaredSchema(0L).isDefined && log.dataFiles(0L).isEmpty)
+    assert(log.currentVersion.get >= 2L)
+    // CTAS = CREATE + transactional append
+    spark.sql("CREATE TABLE graftsnap.t_ddl2 AS SELECT id, upper(tag) AS tag FROM graftsnap.t_ddl")
+    assert(spark.sql("SELECT * FROM graftsnap.t_ddl2 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "A"), (3L, "C")))
+    // PARTITIONED BY refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graftsnap.t_ddl3 (id BIGINT, p STRING) PARTITIONED BY (p)")
+    }
+    assert(e.getMessage.contains("PARTITIONED BY"), s"got: ${e.getMessage}")
+    // DROP removes the table; the name resolves no more
+    spark.sql("DROP TABLE graftsnap.t_ddl2")
+    intercept[Exception] { spark.sql("SELECT * FROM graftsnap.t_ddl2").count() }
+  }
+
+  test("SQL ALTER TABLE ADD COLUMNS is a metadata-only commit; old rows serve NULL") {
+    val log = freshLog("t_alter")
+    log.append((0 until 10).map(i => (i.toLong, s"p-$i")).toDF("id", "tag"), partitions = 1)
+    registerCatalog()
+    val vBefore = log.currentVersion.get
+    val filesBefore = log.dataFiles(vBefore).toSet
+    spark.sql("ALTER TABLE graftsnap.t_alter ADD COLUMNS (score BIGINT, note STRING)")
+    // exactly one commit, zero data files touched — metadata-only evolution
+    val vAfter = log.currentVersion.get
+    assert(vAfter == vBefore + 1L, "ADD COLUMNS is exactly one commit")
+    assert(log.dataFiles(vAfter).toSet == filesBefore, "no file rewrite")
+    // old rows read as NULL in the added columns, through SQL and the API
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftsnap.t_alter WHERE score IS NULL AND note IS NULL")
+      .head().getLong(0) == 10L)
+    assert(log.readLatest(spark).schema.fieldNames.toSeq ==
+      Seq("id", "tag", "score", "note"))
+    // INSERT now requires (and accepts) the widened shape
+    spark.sql("INSERT INTO graftsnap.t_alter VALUES (100, 'x', 7, 'n')")
+    assert(spark.sql(
+      "SELECT sum(score) AS s FROM graftsnap.t_alter").head().getLong(0) == 7L)
+    // DML sees the added column (readWithPositions pins the declared schema)
+    spark.sql("DELETE FROM graftsnap.t_alter WHERE score = 7")
+    assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_alter").head().getLong(0) == 10L)
+    // the time-travelled pre-ALTER snapshot keeps the OLD schema
+    assert(spark.sql(s"SELECT * FROM graftsnap.t_alter VERSION AS OF $vBefore")
+      .schema.fieldNames.toSeq == Seq("id", "tag"))
+    // duplicate / positioned / NOT NULL / rename ALTERs refuse loudly
+    val dup = intercept[Exception] {
+      spark.sql("ALTER TABLE graftsnap.t_alter ADD COLUMNS (TAG STRING)")
+    }
+    assert(dup.getMessage.contains("already exists"), s"got: ${dup.getMessage}")
+    val pos = intercept[Exception] {
+      spark.sql("ALTER TABLE graftsnap.t_alter ADD COLUMNS (z BIGINT FIRST)")
+    }
+    assert(pos.getMessage.contains("FIRST/AFTER"), s"got: ${pos.getMessage}")
+    val ren = intercept[Exception] {
+      spark.sql("ALTER TABLE graftsnap.t_alter RENAME COLUMN tag TO label")
+    }
+    assert(ren.getMessage.contains("ALTER TABLE"), s"got: ${ren.getMessage}")
+  }
+
   test("SQL DELETE routes through the copy-on-write delete; the table stays scan-clean") {
     val log = freshLog("t_del")
     val vA = log.append((0 until 20).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
