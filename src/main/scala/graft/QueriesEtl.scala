@@ -1438,6 +1438,50 @@ object QueriesEtl {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ── STREAMING CHANGE DATA FEED ([[GraftLogSourceProvider]] with
+    // `readChangeFeed` — the Delta CDF streaming read): the stream drains
+    // two appends, then a merge-on-read DELETE, UPDATE, and a compact
+    // land MID-STREAM — commits the append-mode source must refuse, the
+    // feed serves as row-level changes: deletes as pre-images, the
+    // update as a delete+insert pair under ONE version, the compact as
+    // ZERO rows. The sunk feed must equal the batch [[SnapshotLog
+    // .readChanges]] over the same range (`stream_equals_batch_feed`,
+    // exceptAll both ways), and the oracle replays every version's exact
+    // change set relationally ──
+    "stream_cdf_native" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "cdf_native"))
+      log.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("c"))
+      log.append(orders.where(col("k") <= 1000), partitions = 2)
+      log.append(orders.where(col("k").between(1001, 2000)), partitions = 2)
+      val q = s.readStream
+        .format("graft-log").option("root", log.root)
+        .option("readChangeFeed", "true").load()
+        .writeStream.format("memory").queryName("stream_cdf_native_sink")
+        .outputMode("append").start()
+      val sunk =
+        try {
+          q.processAllAvailable()
+          log.deleteWhere(s, col("k") <= 200)
+          log.updateWhere(s, col("k").between(500, 600), Seq("c" -> (col("c") + 5)))
+          log.compact(s, partitions = 2)
+          q.processAllAvailable()
+          s.table("stream_cdf_native_sink")
+        } finally q.stop()
+      val batchFeed = log.readChanges(s, -1L, log.currentVersion.get)
+      val parity = sunk.exceptAll(batchFeed).limit(1).count() == 0 &&
+        batchFeed.exceptAll(sunk).limit(1).count() == 0
+      sunk.groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("c")).cast("long").as("sum_cents"))
+        .withColumn("stream_equals_batch_feed", lit(parity))
+        .orderBy(col("commit_version"), col("change_type"))
+    }),
+
     // ── MULTI-TABLE ATOMIC TRANSACTIONS ([[TxnCatalog]]): orders and
     // lineitem advance together or not at all. Two txns publish the even
     // then odd halves of both tables; a CRASHED third write advances the
@@ -3147,6 +3191,30 @@ object QueriesEtl {
         |       TRUE AS no_duplicate_emissions
         |FROM orders WHERE o_orderkey <= 4000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // stream_cdf_native: every version's change set replayed
+    // relationally (the snapshot_cdf shape); the UPDATE is a
+    // delete+insert pair under v3, the compact (v4) contributes NO
+    // group, and stream/batch feed parity is measured Spark-side
+    "stream_cdf_native" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |           FROM orders),
+        |     ch AS (
+        |       SELECT 0 AS v, 'insert' AS ct, k, c FROM o WHERE k <= 1000
+        |       UNION ALL
+        |       SELECT 1, 'insert', k, c FROM o WHERE k BETWEEN 1001 AND 2000
+        |       UNION ALL
+        |       SELECT 2, 'delete', k, c FROM o WHERE k <= 200
+        |       UNION ALL
+        |       SELECT 3, 'delete', k, c FROM o WHERE k BETWEEN 500 AND 600
+        |       UNION ALL
+        |       SELECT 3, 'insert', k, c + 5 FROM o WHERE k BETWEEN 500 AND 600)
+        |SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type,
+        |       count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(c) AS BIGINT) AS sum_cents,
+        |       TRUE AS stream_equals_batch_feed
+        |FROM ch GROUP BY v, ct ORDER BY commit_version, change_type""".stripMargin,
 
     // txn_consistent_read: the current txn's cross-table join covers the
     // full corpus (halves reunited on both sides); txn0's item count

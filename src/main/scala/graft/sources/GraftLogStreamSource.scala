@@ -38,9 +38,21 @@ import org.apache.spark.sql.types.StructType
   * — consume those through `readChanges`/`changeFeed`. Metadata-only
   * commits (ALTER/ANALYZE/tags) stream as empty progress, not errors.
   *
+  * CHANGE-FEED MODE (`option("readChangeFeed", "true")` — the Delta CDF
+  * streaming read): micro-batches carry ROW-LEVEL CHANGES instead of
+  * appended rows — the table schema plus `_change_type`
+  * (insert/delete) and `_commit_version`, computed purely from manifest
+  * deltas by [[SnapshotLog.readChanges]]. Where the append-mode stream
+  * must refuse a delete or rewrite commit, the change feed serves it:
+  * merge-on-read DELETEs stream as `delete` pre-images, UPDATEs as
+  * delete+insert pairs under one version, and reorg commits
+  * (compact/optimize) net to zero rows — so a downstream consumer can
+  * maintain a replica through DML, not just through appends.
+  *
   * Options: `root` (required) — the log root; `startingVersion` — first
   * version to serve (default: the oldest surviving version, whose whole
-  * listing counts as the initial snapshot batch).
+  * listing counts as the initial snapshot batch); `readChangeFeed` —
+  * stream row-level changes instead of appended rows.
   */
 class GraftLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -50,6 +62,9 @@ class GraftLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
     new SnapshotLog(parameters.getOrElse("root",
       throw new IllegalArgumentException(
         "graft-log source: set .option(\"root\", <snapshot-log root>)")))
+
+  private def isCdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
 
   override def sourceSchema(
       sqlContext: SQLContext,
@@ -62,7 +77,15 @@ class GraftLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
     val log = logFor(parameters)
     val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
       s"graft-log source: no committed snapshot at ${log.root}"))
-    ("graft-log", log.read(sqlContext.sparkSession, cur).schema)
+    val table = log.read(sqlContext.sparkSession, cur).schema
+    val out =
+      if (!isCdf(parameters)) table
+      else StructType(table.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    ("graft-log", out)
   }
 
   override def createSource(
@@ -74,7 +97,8 @@ class GraftLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
     val log = logFor(parameters)
     new GraftLogSource(sqlContext, log,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      parameters.get("startingVersion").map(_.toLong))
+      parameters.get("startingVersion").map(_.toLong),
+      changeFeed = isCdf(parameters))
   }
 }
 
@@ -85,7 +109,8 @@ class GraftLogSource(
     sqlContext: SQLContext,
     log: SnapshotLog,
     override val schema: StructType,
-    startingVersion: Option[Long]) extends Source {
+    startingVersion: Option[Long],
+    changeFeed: Boolean = false) extends Source {
 
   // versions strictly BELOW the floor never stream; the floor itself is
   // the initial-snapshot batch (oldest survivor = whole listing, per
@@ -124,17 +149,23 @@ class GraftLogSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(asVersion).getOrElse(floor - 1L)
     val hi = asVersion(end)
-    val slice = log.versions.filter(v => v > lo && v <= hi && v >= floor)
-    val files = slice.flatMap(log.appendedFiles)
-      .filter(_.endsWith(".parquet"))
     val spark = sqlContext.sparkSession
     val batch =
-      if (files.isEmpty)
-        // a metadata-only commit window (ALTER/ANALYZE/tags): empty
-        // progress in the declared schema, not an error
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).parquet(files: _*)
+      if (changeFeed)
+        // row-level changes of versions (lo, hi] straight off the
+        // manifest diff — DML and reorg commits serve, never refuse
+        log.readChanges(spark, math.max(lo, floor - 1L), hi)
+      else {
+        val slice = log.versions.filter(v => v > lo && v <= hi && v >= floor)
+        val files = slice.flatMap(log.appendedFiles)
+          .filter(_.endsWith(".parquet"))
+        if (files.isEmpty)
+          // a metadata-only commit window (ALTER/ANALYZE/tags): empty
+          // progress in the declared schema, not an error
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else spark.read.schema(schema).parquet(files: _*)
+      }
     StreamingShims.asStreamingBatch(batch)
   }
 

@@ -83,6 +83,40 @@ class GraftLogSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readChangeFeed streams row-level changes through DML the append mode refuses") {
+    val log = freshLog("t_cdf")
+    log.append((0 until 10).map(i => (i.toLong, i.toLong * 10)).toDF("id", "v"), partitions = 1)
+    val q = spark.readStream
+      .format("graft-log").option("root", log.root)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("logsrc_cdf")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val initial = spark.table("logsrc_cdf")
+      assert(initial.count() == 10L &&
+        initial.where(col("_change_type") === "insert").count() == 10L)
+      // a merge-on-read DELETE arrives as delete pre-images, not an error
+      log.deleteWhere(spark, col("id") < 3L)
+      q.processAllAvailable()
+      val dels = spark.table("logsrc_cdf").where(col("_change_type") === "delete")
+      assert(dels.count() == 3L &&
+        dels.agg(sum(col("id"))).head().getLong(0) == 3L)
+      // an UPDATE is a delete+insert pair under ONE commit version
+      log.updateWhere(spark, col("id") === 5L, Seq("v" -> lit(999L)))
+      q.processAllAvailable()
+      val vUpd = log.currentVersion.get
+      val upd = spark.table("logsrc_cdf").where(col("_commit_version") === vUpd)
+      assert(upd.count() == 2L)
+      assert(upd.where(col("_change_type") === "insert").head().getLong(1) == 999L)
+      // a compact nets to ZERO change rows — reorgs are invisible to the feed
+      val before = spark.table("logsrc_cdf").count()
+      log.compact(spark, partitions = 1)
+      q.processAllAvailable()
+      assert(spark.table("logsrc_cdf").count() == before, "reorg leaked changes")
+    } finally q.stop()
+  }
+
   test("kill/restart from the checkpoint is exactly-once (the harness's laws hold)") {
     val log = freshLog("t_rec")
     log.append((0 until 20).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "tag"), partitions = 2)
