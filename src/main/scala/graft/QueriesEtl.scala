@@ -1438,6 +1438,51 @@ object QueriesEtl {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ── LOG→LOG STREAMING PIPELINE, EXACTLY-ONCE END TO END
+    // ([[GraftLogSourceProvider]] as BOTH source and sink): version
+    // offsets upstream + the `txn.<appId>=batchId` watermark downstream
+    // ([[SnapshotLog.appendTxn]] — one transactional commit per
+    // micro-batch, redeliveries skipped idempotently). The query is
+    // killed between source commits and resumed from the checkpoint;
+    // the destination must equal the source row for row
+    // (`pipeline_exactly_once`, exceptAll both ways) with the watermark
+    // actually recorded (`watermark_recorded`) ──
+    "stream_log_pipeline" -> ((s, dir) => {
+      val src = new SnapshotLog(scratch(dir, "pipe_src"))
+      val dst = new SnapshotLog(scratch(dir, "pipe_dst"))
+      src.recreate(); dst.recreate()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_pipe_q_")
+      def run(): Unit = {
+        val q = s.readStream
+          .format("graft-log").option("root", src.root).load()
+          .writeStream.format("graft-log")
+          .option("root", dst.root).option("partitions", "2")
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      src.append(orders.where(col("o_orderkey") <= 1000), partitions = 2)
+      src.append(orders.where(col("o_orderkey").between(1001, 2000)), partitions = 2)
+      run() // phase 1, then the KILL
+      src.append(orders.where(col("o_orderkey").between(2001, 3000)), partitions = 2)
+      run() // a NEW instance resumes the checkpoint
+      val (sdf, ddf) = (src.readLatest(s), dst.readLatest(s))
+      val exact = ddf.exceptAll(sdf).limit(1).count() == 0 &&
+        sdf.exceptAll(ddf).limit(1).count() == 0
+      val wmRecorded = dst.metaValues(dst.currentVersion.get)
+        .exists { case (k, v) => k.startsWith("txn.") && v.toLong >= 1L }
+      ddf.groupBy(col("o_orderstatus")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).cast("long").as("sum_key"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .withColumn("pipeline_exactly_once", lit(exact))
+        .withColumn("watermark_recorded", lit(wmRecorded))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ── STREAMING CHANGE DATA FEED ([[GraftLogSourceProvider]] with
     // `readChangeFeed` — the Delta CDF streaming read): the stream drains
     // two appends, then a merge-on-read DELETE, UPDATE, and a compact
@@ -3190,6 +3235,18 @@ object QueriesEtl {
         |       TRUE AS interrupted_midstream,
         |       TRUE AS no_duplicate_emissions
         |FROM orders WHERE o_orderkey <= 4000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // stream_log_pipeline: the three source commits reunite downstream;
+    // the exactly-once and watermark laws are measured Spark-side
+    "stream_log_pipeline" ->
+      """SELECT o_orderstatus,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS pipeline_exactly_once,
+        |       TRUE AS watermark_recorded
+        |FROM orders WHERE o_orderkey <= 3000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // stream_cdf_native: every version's change set replayed

@@ -3,10 +3,11 @@ package graft.sources
 import java.io.File
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftshim.StreamingShims
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** NATIVE STRUCTURED-STREAMING SOURCE over a [[SnapshotLog]] table (the
@@ -53,10 +54,52 @@ import org.apache.spark.sql.types.StructType
   * version to serve (default: the oldest surviving version, whose whole
   * listing counts as the initial snapshot batch); `readChangeFeed` —
   * stream row-level changes instead of appended rows.
+  *
+  * The SAME format is a SINK (`writeStream.format("graft-log")`) — see
+  * [[GraftLogSourceProvider.createSink]]: one watermarked transactional
+  * commit per micro-batch, append or complete mode, redeliveries skipped
+  * idempotently, making a log→log pipeline exactly-once end to end.
   */
-class GraftLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftLogSourceProvider
+  extends StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-log"
+
+  /** `writeStream.format("graft-log")` — the EXACTLY-ONCE sink half:
+    * each micro-batch commits through [[SnapshotLog.appendTxn]] (append
+    * mode — one transactional append per batch) or
+    * [[SnapshotLog.overwriteTxn]] (complete mode — the batch REPLACES
+    * the table, a streaming aggregation maintaining a materialized
+    * view), every commit carrying the `txn.<appId> = batchId` watermark
+    * so a post-crash redelivery of an already-committed batch is
+    * skipped idempotently. Source offsets + sink watermark together make
+    * a log→log pipeline exactly-once END TO END with zero staging
+    * directories. `appId` defaults to the checkpoint's query id via the
+    * batch's own session; set `.option("appId", …)` to share one
+    * watermark across rewritten query graphs (the Delta
+    * `txnAppId` discipline). `partitions` sizes each batch's staged
+    * files (default 1 — micro-batches are small by construction).
+    */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-log sink: partitionBy is not supported — snapshot-log layout " +
+        "is managed by OPTIMIZE/clustering, not a partition directory scheme")
+    val complete = outputMode == OutputMode.Complete()
+    require(complete || outputMode == OutputMode.Append(),
+      s"graft-log sink: unsupported output mode $outputMode — use append " +
+        "(transactional appends) or complete (materialized overwrite)")
+    new GraftLogSink(
+      new SnapshotLog(parameters.getOrElse("root",
+        throw new IllegalArgumentException(
+          "graft-log sink: set .option(\"root\", <snapshot-log root>)"))),
+      parameters.get("appId"),
+      parameters.get("partitions").map(_.toInt).getOrElse(1),
+      complete)
+  }
 
   private def logFor(parameters: Map[String, String]): SnapshotLog =
     new SnapshotLog(parameters.getOrElse("root",
@@ -100,6 +143,36 @@ class GraftLogSourceProvider extends StreamSourceProvider with DataSourceRegiste
       parameters.get("startingVersion").map(_.toLong),
       changeFeed = isCdf(parameters))
   }
+}
+
+/** The running sink: one transactional log commit per micro-batch,
+  * watermarked for idempotent redelivery. See
+  * [[GraftLogSourceProvider.createSink]] for the contract.
+  */
+class GraftLogSink(
+    log: SnapshotLog,
+    appIdOpt: Option[String],
+    partitions: Int,
+    complete: Boolean) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the query id is stable across restarts (it lives in the checkpoint
+    // metadata) — exactly the watermark scope a redelivery check needs
+    val appId = appIdOpt
+      .orElse(Option(data.sparkSession.sparkContext
+        .getLocalProperty("sql.streaming.queryId")))
+      .getOrElse("default")
+    require(!appId.contains('=') && !appId.exists(c => c == '\n' || c == '\r'),
+      s"graft-log sink: appId must be '='-free and newline-free, got $appId")
+    val batch = StreamingShims.asBatch(data)
+    if (complete) log.overwriteTxn(batch, partitions, appId, batchId)
+    else log.appendTxn(batch, partitions, appId, batchId)
+    ()
+  }
+
+  override def toString: String =
+    s"GraftLogSink[${new File(log.root).getName}, " +
+      s"${if (complete) "complete" else "append"}]"
 }
 
 /** The running source: version-valued offsets over one [[SnapshotLog]].

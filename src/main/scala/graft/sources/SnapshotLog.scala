@@ -306,6 +306,71 @@ class SnapshotLog(
     commit(cur, cur.map(files).getOrElse(Nil) ++ staged)
   }
 
+  /** [[append]] carrying a STREAMING-TRANSACTION WATERMARK (the Delta
+    * `SetTransaction` shape, the write-side half of exactly-once): the
+    * commit records `txn.<appId> = batchId` in its metadata, and a batch
+    * at or below the recorded watermark is SKIPPED idempotently — the
+    * redelivery a crashed streaming query makes after its sink commit
+    * but before its checkpoint advance. Staging happens only for batches
+    * that will commit; a skip stages nothing. Commit races retry
+    * metadata-only against the re-read watermark (an append commutes;
+    * the staged files are reused), so N racing sinks converge without
+    * re-staging data.
+    *
+    * @return (current version after the call, true iff this batch
+    *         committed — false = idempotent skip)
+    */
+  def appendTxn(
+      df: DataFrame, partitions: Int, appId: String, batchId: Long,
+      maxRetries: Int = 50): (Long, Boolean) = {
+    val key = s"txn.$appId"
+    def watermark(v: Option[Long]): Long =
+      v.flatMap(x => metaValues(x).get(key)).map(_.toLong).getOrElse(-1L)
+    var cur = currentVersion
+    if (batchId <= watermark(cur)) return (cur.get, false)
+    val staged = stageData(df, partitions)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      if (batchId <= watermark(cur)) {
+        // another instance of the SAME query won the race with this very
+        // batch — drop the duplicate staging, nothing to commit
+        staged.foreach(p => new File(dataRootPath, p).delete())
+        return (cur.get, false)
+      }
+      try {
+        val lines = withMeta(
+          cur.map(files).getOrElse(Nil) ++ staged, key, batchId.toString)
+        return (commit(cur, lines), true)
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+          cur = currentVersion
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** [[overwrite]] under the [[appendTxn]] watermark discipline — the
+    * complete-output-mode sink shape: each committed batch REPLACES the
+    * table's data files (a streaming aggregation maintaining a
+    * materialized table), metadata carried, redeliveries skipped. An
+    * overwrite does NOT commute, so a lost commit race refuses rather
+    * than blind-retrying — the racer may have been a foreign writer
+    * whose state this batch must not clobber.
+    */
+  def overwriteTxn(
+      df: DataFrame, partitions: Int, appId: String, batchId: Long): (Long, Boolean) = {
+    val key = s"txn.$appId"
+    val cur = currentVersion
+    val last = cur.flatMap(x => metaValues(x).get(key)).map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) return (cur.get, false)
+    val lines = withMeta(
+      cur.map(metaLines).getOrElse(Nil) ++ stageData(df, partitions),
+      key, batchId.toString)
+    (commit(cur, lines), true)
+  }
+
   /** Stage + commit `df` as the ENTIRE next snapshot (logical overwrite —
     * prior versions' files stay on disk for their pinned readers).
     */

@@ -24,4 +24,17 @@ object StreamingShims {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The mirror bridge for a V1 `Sink.addBatch`: the frame Spark hands a
+    * sink wraps the micro-batch's ALREADY-PLANNED incremental execution —
+    * re-planning it through `df.write` would re-analyze a plan carrying
+    * a streaming source and refuse. Re-wrapping the planned RDD as a
+    * batch-tagged frame (what Delta's V1 `DeltaSink` does) lets the sink
+    * run normal batch writes over exactly this batch's rows.
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -117,6 +117,81 @@ class GraftLogSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("appendTxn watermarks skip redelivered batches; appIds scope independently") {
+    val log = freshLog("t_txn")
+    val df1 = (0 until 5).map(i => (i.toLong, "a")).toDF("id", "tag")
+    val df2 = (5 until 9).map(i => (i.toLong, "b")).toDF("id", "tag")
+    val (v1, c1) = log.appendTxn(df1, 1, "app", 0L)
+    assert(c1 && log.readLatest(spark).count() == 5L)
+    // the post-crash redelivery: same app, same batch — skipped, no commit
+    val (v2, c2) = log.appendTxn(df1, 1, "app", 0L)
+    assert(!c2 && v2 == v1 && log.currentVersion.get == v1)
+    assert(log.readLatest(spark).count() == 5L, "redelivery must not duplicate")
+    // the next batch commits and advances the watermark
+    val (v3, c3) = log.appendTxn(df2, 1, "app", 1L)
+    assert(c3 && v3 == v1 + 1L && log.readLatest(spark).count() == 9L)
+    // a DIFFERENT app's batch 0 is not confused with this app's history
+    val (v4, c4) = log.appendTxn(df1.where(col("id") === 0L), 1, "other", 0L)
+    assert(c4 && v4 == v3 + 1L && log.readLatest(spark).count() == 10L)
+  }
+
+  test("log-to-log pipeline streams exactly-once end to end across a kill/restart") {
+    val src = freshLog("t_pipe_src")
+    val dst = freshLog("t_pipe_dst")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pipe_ckpt_")
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft-log").option("root", src.root).load()
+        .writeStream.format("graft-log")
+        .option("root", dst.root).option("partitions", "1")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    src.append((0 until 10).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "tag"), partitions = 1)
+    run() // phase 1, then the KILL
+    val afterPhase1 = dst.readLatest(spark).count()
+    assert(afterPhase1 == 10L)
+    src.append((10 until 25).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "tag"), partitions = 1)
+    run() // a NEW instance resumes the checkpoint
+    // exactly-once: destination equals source, row for row
+    val (s0, d0) = (src.readLatest(spark), dst.readLatest(spark))
+    assert(d0.count() == 25L)
+    assert(d0.exceptAll(s0).count() == 0L && s0.exceptAll(d0).count() == 0L)
+    // each committed batch is exactly one sink commit, watermark recorded
+    val wm = dst.metaValues(dst.currentVersion.get)
+      .collect { case (k, v) if k.startsWith("txn.") => v.toLong }
+    assert(wm.nonEmpty && wm.head >= 1L, s"watermark missing: $wm")
+    // a drained restart with nothing new commits nothing
+    val vQuiet = dst.currentVersion.get
+    run()
+    assert(dst.currentVersion.get == vQuiet, "an empty resume must not commit")
+  }
+
+  test("complete-mode sink maintains a materialized aggregate table per batch") {
+    val src = freshLog("t_mv_src")
+    val dst = freshLog("t_mv_dst")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_ckpt_")
+    src.append((0 until 12).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "tag"), partitions = 1)
+    val q = spark.readStream
+      .format("graft-log").option("root", src.root).load()
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+      .writeStream.format("graft-log")
+      .option("root", dst.root).option("partitions", "1")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(dst.readLatest(spark).collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("g0", 4L), ("g1", 4L), ("g2", 4L)))
+      // more source commits: the materialized table is REPLACED, not appended
+      src.append((12 until 18).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "tag"), partitions = 1)
+      q.processAllAvailable()
+      val rows = dst.readLatest(spark).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(("g0", 6L), ("g1", 6L), ("g2", 6L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("kill/restart from the checkpoint is exactly-once (the harness's laws hold)") {
     val log = freshLog("t_rec")
     log.append((0 until 20).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "tag"), partitions = 2)
