@@ -2647,6 +2647,43 @@ object QueriesEtl {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ── SQL METADATA TABLES ([[graft.sources.GraftCatalog]]'s Iceberg
+    // `t.<suffix>` addressing, served by a [[org.apache.spark.sql
+    // .connector.read.LocalScan]] — planned as a LOCAL relation, zero
+    // executor work): a four-commit log (two appends, a merge-on-read
+    // DELETE, a compact) reads back as `graftmeta.ord.history` with the
+    // exact operation classes and add/remove counts the oracle pins as
+    // literals; `files_table_consistent` cross-checks the `files` table's
+    // data-file count against the final history row, and the plan is
+    // asserted local (`plan_is_local_scan`) ──
+    "snapshot_sql_meta" -> ((s, dir) => {
+      val root = scratch(dir, "metaroot")
+      val log = new SnapshotLog(root + "/ord")
+      log.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      log.append(orders.where(col("k") <= 1000), partitions = 2)
+      log.append(orders.where(col("k").between(1001, 2000)), partitions = 2)
+      log.deleteWhere(s, col("k") <= 200)
+      log.compact(s, partitions = 1)
+      s.conf.set("spark.sql.catalog.graftmeta", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftmeta.root", root)
+      val hist = s.sql(
+        """SELECT version, operation, added_data, added_tombstones,
+          |       removed, files_total
+          |FROM graftmeta.ord.history""".stripMargin)
+      val planLocal = hist.queryExecution.executedPlan.toString.contains("LocalTableScan")
+      val nDataFiles = s.sql(
+        "SELECT count(*) AS n FROM graftmeta.ord.files WHERE kind = 'data'")
+        .head().getLong(0)
+      val filesConsistent = nDataFiles == log.dataFiles(log.currentVersion.get).size
+      hist
+        .withColumn("plan_is_local_scan", lit(planLocal))
+        .withColumn("files_table_consistent", lit(filesConsistent))
+        .orderBy(col("version"))
+    }),
+
     // ── CHANGE DATA FEED ([[SnapshotLog.readChanges]], the Delta CDF
     // shape computed purely from manifest deltas — zero write-path cost):
     // five commits (two appends, a merge-on-read DELETE, a merge-on-read
@@ -3854,6 +3891,21 @@ object QueriesEtl {
         |              ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END AS cents
         |  FROM orders WHERE o_orderkey <= 4000)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // snapshot_sql_meta: the history is fully deterministic (two
+    // 2-file appends, one posdel delete, one compact to a single file)
+    // — the oracle pins every row as literals; plan/files laws measured
+    // Spark-side
+    "snapshot_sql_meta" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'append',  2, 0, 0, 2, TRUE, TRUE),
+        |  (CAST(1 AS BIGINT), 'append',  2, 0, 0, 4, TRUE, TRUE),
+        |  (CAST(2 AS BIGINT), 'delete',  0, 1, 0, 5, TRUE, TRUE),
+        |  (CAST(3 AS BIGINT), 'rewrite', 1, 0, 5, 1, TRUE, TRUE)
+        |) AS t(version, operation, added_data, added_tombstones,
+        |       removed, files_total, plan_is_local_scan,
+        |       files_table_consistent)
+        |ORDER BY version""".stripMargin,
 
     // snapshot_cdf: every version's change set replayed relationally;
     // the UPDATE is a pre-image delete + post-image insert pair under

@@ -95,7 +95,8 @@ class GraftCatalog extends TableCatalog {
     (ident.namespace().isEmpty || ident.namespace().sameElements(Array("default"))) &&
       new File(new File(rootDir, ident.name()), "_log").isDirectory
 
-  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+  override def loadTable(ident: Identifier): Table =
+    GraftCatalog.metadataTable(this, rootDir, ident).getOrElse(loadAt(ident, None))
 
   /** `VERSION AS OF <v>` — Spark routes the literal here. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -226,6 +227,100 @@ class GraftCatalog extends TableCatalog {
 }
 
 object GraftCatalog {
+
+  /** SQL METADATA TABLES (the Iceberg `db.table.history`-style suffix
+    * addressing): `SELECT * FROM graftsnap.t.history` / `.files` /
+    * `.properties` resolve when `t` is a snapshot-log table — Spark
+    * parses the three-part name as namespace `[t]` + table `<suffix>`,
+    * which a flat catalog can claim unambiguously (real tables always
+    * carry the empty namespace). Rows are computed from the log's OWN
+    * metadata at load time (metadata-sized — version count, manifest
+    * line count, never a data scan) and served through a [[LocalScan]]:
+    * the planner turns them into a local relation, no executor work at
+    * all.
+    *
+    *  - `history`: one row per committed version — operation class
+    *    ([[SnapshotLog.history]]), add/remove counts, commit time;
+    *  - `files`: the CURRENT manifest's physical files with kind
+    *    (data/tombstone/posdel/dv) and on-disk size;
+    *  - `properties`: the current snapshot's `meta:` key→value pairs.
+    */
+  private def metadataTable(
+      cat: GraftCatalog, rootDir: String, ident: Identifier): Option[Table] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types._
+    val ns = ident.namespace()
+    if (ns.length != 1) return None
+    if (!cat.tableExists(Identifier.of(Array.empty[String], ns(0)))) return None
+    val log = new SnapshotLog(new File(rootDir, ns(0)).toString)
+    def utf(s: String) = UTF8String.fromString(s)
+    ident.name() match {
+      case "history" =>
+        val schema = StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("operation", StringType, nullable = false),
+          StructField("added_data", IntegerType, nullable = false),
+          StructField("added_tombstones", IntegerType, nullable = false),
+          StructField("removed", IntegerType, nullable = false),
+          StructField("files_total", IntegerType, nullable = false),
+          StructField("committed_at", TimestampType, nullable = false)))
+        val rows = log.history.map { case (v, op, ad, at, rm, tot) =>
+          InternalRow(v, utf(op), ad, at, rm, tot, log.commitTimeMillis(v) * 1000L)
+        }.toArray
+        Some(new MetadataTable(s"${cat.name()}.${ns(0)}.history", schema, rows))
+      case "files" =>
+        val cur = log.currentVersion.getOrElse(
+          throw new NoSuchTableException(ident))
+        val schema = StructType(Seq(
+          StructField("path", StringType, nullable = false),
+          StructField("kind", StringType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false),
+          StructField("snapshot_version", LongType, nullable = false)))
+        val kinds = Seq(
+          "data" -> log.dataFiles(cur), "tombstone" -> log.tombstoneFiles(cur),
+          "posdel" -> log.posDeleteFiles(cur), "dv" -> log.dvFiles(cur))
+        val rows = kinds.flatMap { case (kind, paths) =>
+          paths.sorted.map(p => InternalRow(
+            utf(p), utf(kind), new File(log.dataRootPath, p).length(), cur))
+        }.toArray
+        Some(new MetadataTable(s"${cat.name()}.${ns(0)}.files", schema, rows))
+      case "properties" =>
+        val cur = log.currentVersion.getOrElse(
+          throw new NoSuchTableException(ident))
+        val schema = StructType(Seq(
+          StructField("key", StringType, nullable = false),
+          StructField("value", StringType, nullable = false)))
+        val rows = log.metaValues(cur).toSeq.sortBy(_._1)
+          .map { case (k, v) => InternalRow(utf(k), utf(v)) }.toArray
+        Some(new MetadataTable(s"${cat.name()}.${ns(0)}.properties", schema, rows))
+      case _ => None
+    }
+  }
+
+  /** Driver-computed metadata rows as a read-only V2 table: the scan is
+    * a [[org.apache.spark.sql.connector.read.LocalScan]], planned as a
+    * local relation — metadata-table queries never touch an executor.
+    */
+  private final class MetadataTable(
+      tableName: String,
+      tableSchema: StructType,
+      data: Array[org.apache.spark.sql.catalyst.InternalRow])
+    extends Table with SupportsRead {
+    override def name(): String = tableName
+    override def schema(): StructType = tableSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.Collections.singleton(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.LocalScan {
+            override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = data
+            override def readSchema(): StructType = tableSchema
+            override def description(): String = tableName
+          }
+      }
+  }
 
   /** The V1 `Filter` subset a SQL DELETE can push — translated to the
     * Column predicates [[SnapshotLog.deleteWhereCow]] evaluates. `None`

@@ -183,6 +183,39 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(ren.getMessage.contains("ALTER TABLE"), s"got: ${ren.getMessage}")
   }
 
+  test("metadata tables: history, files, properties resolve as t.<suffix>") {
+    val log = freshLog("t_meta")
+    log.append((0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 2)
+    log.append((10 until 20).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
+    log.deleteWhere(spark, col("id") === 3L)
+    registerCatalog()
+    // history: one row per version, operation classes from the log
+    val hist = spark.sql(
+      "SELECT version, operation, added_data, added_tombstones FROM graftsnap.t_meta.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(hist == Seq((0L, "append", 2, 0), (1L, "append", 1, 0), (2L, "delete", 0, 1)),
+      s"got $hist")
+    // the scan is LOCAL — no executor exchange, no file source
+    val plan = spark.sql("SELECT * FROM graftsnap.t_meta.history")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"expected LocalTableScan:\n$plan")
+    // files: 3 data files + 1 position-delete sidecar, sizes real
+    val files = spark.sql(
+      "SELECT kind, count(*) AS n, min(size_bytes) AS mn FROM graftsnap.t_meta.files GROUP BY kind ORDER BY kind")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(files.map(f => (f._1, f._2)) == Seq(("data", 3L), ("posdel", 1L)), s"got $files")
+    assert(files.forall(_._3 > 0L), "sizes must be real on-disk bytes")
+    // properties: ANALYZE stats land as a meta pair SQL can read
+    log.analyze(spark, Seq("id"))
+    val keys = spark.sql("SELECT key FROM graftsnap.t_meta.properties")
+      .collect().map(_.getString(0)).toSet
+    assert(keys.exists(_.startsWith("tablestats")), s"got $keys")
+    // a real table named like a suffix is not shadowed: unknown suffixes refuse
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graftsnap.t_meta.nope").collect()
+    }
+  }
+
   test("SQL DELETE routes through the copy-on-write delete; the table stays scan-clean") {
     val log = freshLog("t_del")
     val vA = log.append((0 until 20).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
