@@ -2647,6 +2647,52 @@ object QueriesEtl {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ── MANIFEST-LEVEL FILE SKIPPING for SQL scans
+    // ([[org.apache.spark.sql.graftshim.PruningScanBuilder]] wired into
+    // the DSv2 catalog): the table commits range-clustered with per-file
+    // [lo,hi] stats sidecars ([[SnapshotLog.appendIndexed]]); a SQL
+    // key-range predicate then PLANS over only the files whose range it
+    // hits — measured off the executed plan's file index
+    // (`files_skipped_at_manifest`: a strict subset survived), the
+    // data-skipping every lakehouse sells, here for plain SELECT. At
+    // 100 TB this is the difference between listing every file into the
+    // scan and never touching the excluded ones ──
+    "snapshot_sql_skip" -> ((s, dir) => {
+      val root = scratch(dir, "skiproot")
+      val log = new SnapshotLog(root + "/ord")
+      log.recreate()
+      log.appendIndexed(
+        Tables.orders(s, dir).select(
+            col("o_orderkey"), col("o_orderstatus"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")),
+        statsCols = Seq("o_orderkey"))
+      s.conf.set("spark.sql.catalog.graftskip", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftskip.root", root)
+      val q = s.sql(
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftskip.ord
+          |WHERE o_orderkey BETWEEN 1000 AND 3000
+          |GROUP BY o_orderstatus""".stripMargin)
+      def scanFiles(p: org.apache.spark.sql.execution.SparkPlan): Option[Int] =
+        p.collectLeaves().flatMap {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scanFiles(a.executedPlan) // AQE wraps the scan behind a leaf
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Some(b.scan
+              .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+              .fileIndex.inputFiles.length)
+          case _ => None
+        }.headOption
+      val planned = scanFiles(q.queryExecution.executedPlan).getOrElse(-1)
+      val skipped = planned >= 1 && planned < 8
+      q.withColumn("files_skipped_at_manifest", lit(skipped))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ── SQL METADATA TABLES ([[graft.sources.GraftCatalog]]'s Iceberg
     // `t.<suffix>` addressing, served by a [[org.apache.spark.sql
     // .connector.read.LocalScan]] — planned as a LOCAL relation, zero
@@ -3890,6 +3936,16 @@ object QueriesEtl {
         |         CASE WHEN o_orderkey <= 2000 THEN NULL
         |              ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END AS cents
         |  FROM orders WHERE o_orderkey <= 4000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // snapshot_sql_skip: the key-range rollup replayed relationally; the
+    // strict-subset file-skipping law is measured off the executed plan
+    "snapshot_sql_skip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS files_skipped_at_manifest
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // snapshot_sql_meta: the history is fully deterministic (two

@@ -142,11 +142,22 @@ class GraftCatalog extends TableCatalog {
     require(paths.nonEmpty || declared.isDefined,
       s"GraftCatalog: snapshot v$v of ${ident.name()} has no data files")
     val opts = new CaseInsensitiveStringMap(util.Map.of("mergeSchema", "true"))
+    val tname =
+      s"$catalogName.${ident.name()}" + version.map(x => s"@v$x").getOrElse("")
+    val spark = SparkSession.active
     val inner = ParquetTable(
-      s"$catalogName.${ident.name()}" + version.map(x => s"@v$x").getOrElse(""),
-      SparkSession.active, opts, paths, declared, classOf[ParquetFileFormat])
-    if (version.isEmpty) new GraftCatalog.WritableTable(inner, log)
-    else new GraftCatalog.ReadOnlyTable(inner)
+      tname, spark, opts, paths, declared, classOf[ParquetFileFormat])
+    // file-skipping context: stats sidecars keyed per column, and a
+    // rebuild of the parquet table over the surviving paths (the
+    // resolved schema pins rebuilds, so even an all-pruned scan plans)
+    val resolved = inner.schema
+    val pruner = GraftCatalog.Pruner(
+      paths,
+      c => log.fileStatsForColumn(spark, v, c),
+      kept => ParquetTable(tname, spark, opts, kept, Some(resolved),
+        classOf[ParquetFileFormat]))
+    if (version.isEmpty) new GraftCatalog.WritableTable(inner, log, pruner)
+    else new GraftCatalog.ReadOnlyTable(inner, pruner)
   }
 
   private def readOnly(op: String): Nothing =
@@ -351,19 +362,39 @@ object GraftCatalog {
     }
   }
 
+  /** File-skipping context for a loaded snapshot: the full path list,
+    * the per-column stats-sidecar fetch, and a parquet-table rebuild
+    * over pruned paths — everything [[org.apache.spark.sql.graftshim
+    * .PruningScanBuilder]] needs.
+    */
+  private[sources] final case class Pruner(
+      paths: Seq[String],
+      statsFor: String => Option[Map[String, (Long, Long)]],
+      rebuildTable: Seq[String] => ParquetTable)
+
   /** Read-only facade over the delegated [[ParquetTable]]: exposes ONLY
     * `BATCH_READ`, so Spark's analyzer refuses INSERT/overwrite at plan
     * time instead of letting a file write slip past the manifest. Used
-    * for every time-travelled load — history is immutable.
+    * for every time-travelled load — history is immutable. Scans go
+    * through the file-skipping builder, so a predicate on a
+    * stats-indexed column prunes FILES at the manifest level before the
+    * parquet scan ever lists them.
     */
-  private sealed class ReadOnlyTable(protected val inner: ParquetTable)
+  private sealed class ReadOnlyTable(
+      protected val inner: ParquetTable, pruner: Pruner)
     extends Table with SupportsRead {
     override def name(): String = inner.name
     override def schema(): StructType = inner.schema
     override def capabilities(): util.Set[TableCapability] =
       util.Collections.singleton(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      inner.newScanBuilder(options)
+      new org.apache.spark.sql.graftshim.PruningScanBuilder(
+        inner.newScanBuilder(options)
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder],
+        pruner.paths,
+        pruner.statsFor,
+        kept => pruner.rebuildTable(kept).newScanBuilder(options)
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder])
   }
 
   /** The CURRENT snapshot's table: readable as [[ReadOnlyTable]] and
@@ -373,8 +404,9 @@ object GraftCatalog {
     * [[SnapshotLog.withOccRetry]] (commit-race retry), so a SQL INSERT
     * is exactly one atomic manifest commit.
     */
-  private final class WritableTable(inner0: ParquetTable, log: SnapshotLog)
-    extends ReadOnlyTable(inner0) with SupportsWrite with SupportsDelete {
+  private final class WritableTable(
+      inner0: ParquetTable, log: SnapshotLog, pruner0: Pruner)
+    extends ReadOnlyTable(inner0, pruner0) with SupportsWrite with SupportsDelete {
     override def capabilities(): util.Set[TableCapability] =
       util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 

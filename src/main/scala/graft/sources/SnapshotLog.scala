@@ -1921,6 +1921,20 @@ class SnapshotLog(
     }
   }
 
+  /** [[fileRanges]] for consumers outside the log (the DSv2 catalog's
+    * file-skipping scan): per-data-file `[lo, hi]` of `keyCol`, keyed by
+    * ABSOLUTE path, for exactly the files whose stage recorded stats.
+    * `None` when no file carries stats for the column (nothing to prune
+    * by). File-count-sized metadata work.
+    */
+  def fileStatsForColumn(
+      spark: SparkSession, version: Long, keyCol: String): Option[Map[String, (Long, Long)]] = {
+    val rs = fileRanges(spark, version, keyCol)
+    val present = rs.collect { case (p, Some(r)) =>
+      new File(dataRootPath, p).toString -> r }
+    if (present.isEmpty) None else Some(present.toMap)
+  }
+
   /** MERGE (upsert) under the log, COPY-ON-WRITE with stats-pruned
     * rewrite scope (the Delta `MERGE INTO` + file-pruning shape):
     * matched keys take the update row, unmatched update rows insert, and

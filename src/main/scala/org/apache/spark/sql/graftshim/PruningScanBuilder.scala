@@ -1,0 +1,124 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
+
+/** MANIFEST-LEVEL FILE SKIPPING for DSv2 SQL scans (the Delta/Iceberg
+  * data-skipping shape): a ScanBuilder wrapper that watches the catalyst
+  * filters Spark pushes, consults the snapshot log's per-file min/max
+  * stats sidecars, and — when the conjunction excludes files — REBUILDS
+  * the parquet scan over only the surviving paths. Planning cost is
+  * file-count-sized (one sidecar read per referenced column); the win at
+  * 100 TB is that a key-range predicate never even LISTS the excluded
+  * files into the scan, where parquet row-group stats alone would still
+  * open every footer.
+  *
+  * Lives in this package because Spark's file sources receive their
+  * filters through the `private[sql]` catalyst-filter channel
+  * (`SupportsPushDownCatalystFilters` — the interface `FileScanBuilder`
+  * itself implements); delegation is total, so pushdown/pruning behave
+  * exactly as the wrapped parquet builder decides.
+  *
+  * Pruning is CONSERVATIVE by construction: only integral-typed
+  * equality/range/IN predicates against recorded per-file `[lo, hi]`
+  * ranges drop a file; any file without stats for the column, any
+  * non-integral literal (a long-cast double bound would truncate and
+  * over-prune), and any other predicate shape keeps the file.
+  *
+  * @param inner    the parquet builder over the snapshot's FULL file list
+  * @param paths    absolute path of every data file in the snapshot
+  * @param statsFor per-column absolute-path → (lo, hi) from the log's
+  *                 stats sidecars; None when the column has no stats
+  * @param rebuild  builds a fresh parquet ScanBuilder over a pruned list
+  */
+class PruningScanBuilder(
+    inner: FileScanBuilder,
+    paths: Seq[String],
+    statsFor: String => Option[Map[String, (Long, Long)]],
+    rebuild: Seq[String] => FileScanBuilder)
+  extends ScanBuilder
+  with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns {
+
+  private var pushedExprs: Seq[Expression] = Nil
+  private var required: Option[StructType] = None
+  private val statsCache =
+    scala.collection.mutable.Map.empty[String, Option[Map[String, (Long, Long)]]]
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushedExprs = filters
+    inner.pushFilters(filters)
+  }
+
+  override def pushedFilters(): Array[Predicate] = inner.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = Some(requiredSchema)
+    inner.pruneColumns(requiredSchema)
+  }
+
+  override def build(): Scan = {
+    val kept = paths.filter(p => pushedExprs.forall(e => mayMatch(e, p)))
+    if (kept.size == paths.size) inner.build()
+    else {
+      val b = rebuild(kept)
+      b.pushFilters(pushedExprs)
+      required.foreach(b.pruneColumns)
+      b.build()
+    }
+  }
+
+  private def ranges(col: String): Option[Map[String, (Long, Long)]] =
+    statsCache.getOrElseUpdate(col, statsFor(col))
+
+  private def longLit(l: Literal): Option[Long] = l.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Option(l.value).map(_.toString.toLong)
+    case _ => None
+  }
+
+  /** False ONLY when the file's recorded range PROVES no row can match
+    * `e` — everything unprovable keeps the file.
+    */
+  private def mayMatch(e: Expression, path: String): Boolean = {
+    def range(a: Attribute): Option[(Long, Long)] =
+      ranges(a.name).flatMap(_.get(path))
+    e match {
+      case EqualTo(a: Attribute, l: Literal) => eqKeeps(range(a), longLit(l))
+      case EqualTo(l: Literal, a: Attribute) => eqKeeps(range(a), longLit(l))
+      case GreaterThan(a: Attribute, l: Literal) => cmpKeeps(range(a), longLit(l))(_._2 > _)
+      case LessThan(l: Literal, a: Attribute) => cmpKeeps(range(a), longLit(l))(_._2 > _)
+      case GreaterThanOrEqual(a: Attribute, l: Literal) => cmpKeeps(range(a), longLit(l))(_._2 >= _)
+      case LessThanOrEqual(l: Literal, a: Attribute) => cmpKeeps(range(a), longLit(l))(_._2 >= _)
+      case LessThan(a: Attribute, l: Literal) => cmpKeeps(range(a), longLit(l))(_._1 < _)
+      case GreaterThan(l: Literal, a: Attribute) => cmpKeeps(range(a), longLit(l))(_._1 < _)
+      case LessThanOrEqual(a: Attribute, l: Literal) => cmpKeeps(range(a), longLit(l))(_._1 <= _)
+      case GreaterThanOrEqual(l: Literal, a: Attribute) => cmpKeeps(range(a), longLit(l))(_._1 <= _)
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        range(a) match {
+          case Some((lo, hi)) =>
+            val lits = vs.map(v => longLit(v.asInstanceOf[Literal]))
+            // any non-integral member keeps the file conservatively
+            lits.exists(_.isEmpty) || lits.flatten.exists(v => v >= lo && v <= hi)
+          case None => true
+        }
+      case _ => true
+    }
+  }
+
+  private def eqKeeps(r: Option[(Long, Long)], v: Option[Long]): Boolean =
+    (r, v) match {
+      case (Some((lo, hi)), Some(x)) => x >= lo && x <= hi
+      case _ => true
+    }
+
+  private def cmpKeeps(r: Option[(Long, Long)], v: Option[Long])(
+      ok: ((Long, Long), Long) => Boolean): Boolean =
+    (r, v) match {
+      case (Some(range), Some(x)) => ok(range, x)
+      case _ => true
+    }
+}

@@ -216,6 +216,43 @@ class SnapshotSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL scans skip files at the manifest level via stats sidecars") {
+    val log = freshLog("t_skip")
+    // four range-clustered files with recorded [lo, hi] stats on id
+    val rows = (0 until 400).map(i => (i.toLong, i.toLong * 3))
+    log.appendIndexed(
+      rows.toDF("id", "v").repartitionByRange(4, col("id")).sortWithinPartitions(col("id")),
+      statsCols = Seq("id"))
+    registerCatalog()
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length
+      }.getOrElse(sys.error("no BatchScanExec leaf"))
+    val all = spark.sql("SELECT * FROM graftsnap.t_skip")
+    assert(plannedFiles(all) == 4, s"expected 4 files, got ${plannedFiles(all)}")
+    // a key-range predicate plans over ONLY the files whose range it hits
+    val narrow = spark.sql("SELECT id, v FROM graftsnap.t_skip WHERE id < 100")
+    assert(plannedFiles(narrow) == 1,
+      s"expected 1 surviving file, got ${plannedFiles(narrow)}")
+    assert(narrow.count() == 100L)
+    val mid = spark.sql("SELECT id FROM graftsnap.t_skip WHERE id >= 150 AND id <= 249")
+    assert(plannedFiles(mid) == 2, s"got ${plannedFiles(mid)}")
+    assert(mid.count() == 100L)
+    val eq = spark.sql("SELECT v FROM graftsnap.t_skip WHERE id = 399")
+    assert(plannedFiles(eq) == 1 && eq.head().getLong(0) == 1197L)
+    // an all-excluding predicate still plans (empty scan) and returns 0
+    val none = spark.sql("SELECT * FROM graftsnap.t_skip WHERE id > 100000")
+    assert(plannedFiles(none) == 0 && none.count() == 0L)
+    // parquet pushdown still reaches the pruned scan
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(id,100)"),
+      s"pushdown lost:\n$plan")
+    // a column without stats keeps every file (conservative)
+    assert(plannedFiles(spark.sql("SELECT * FROM graftsnap.t_skip WHERE v = 30")) == 4)
+  }
+
   test("SQL DELETE routes through the copy-on-write delete; the table stays scan-clean") {
     val log = freshLog("t_del")
     val vA = log.append((0 until 20).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
