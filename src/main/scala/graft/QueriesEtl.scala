@@ -2647,6 +2647,50 @@ object QueriesEtl {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ── SQL MAINTENANCE VERBS ([[graft.sources.GraftSqlParser]] injected
+    // via `SparkSessionExtensions.injectParser`, the Delta approach for
+    // non-ANSI statements): `OPTIMIZE` bin-packs the small-file tail
+    // (`optimize_packed`: fewer files out than in), `OPTIMIZE … ZORDER
+    // BY` range-clusters, `DESCRIBE HISTORY` returns the full commit
+    // chain (`history_complete`), and `VACUUM … RETAIN 1 VERSIONS`
+    // expires history and sweeps real orphans (`vacuum_swept`) — after
+    // all of which the table's CONTENT must be untouched (the oracle
+    // hash over the relational replay) ──
+    "snapshot_sql_maintenance" -> ((s, dir) => {
+      val root = scratch(dir, "mntroot")
+      val log = new SnapshotLog(root + "/ord")
+      log.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 4000)
+      (0 until 3).foreach { i =>
+        log.append(orders.where(col("k") % 3 === i), partitions = 2); ()
+      }
+      s.conf.set("spark.sql.catalog.graftmnt", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftmnt.root", root)
+      val opt = s.sql("OPTIMIZE graftmnt.ord").head()
+      val packed = opt.getString(1) == "bin_pack" &&
+        opt.getInt(2) >= 2 && opt.getInt(3) < opt.getInt(2)
+      val zo = s.sql("OPTIMIZE graftmnt.ord ZORDER BY (k)").head()
+      val zordered = zo.getString(1) == "zorder" && zo.getLong(0) == opt.getLong(0) + 1L
+      val hist = s.sql("DESCRIBE HISTORY graftmnt.ord").collect()
+      val historyComplete = hist.length == log.versions.size &&
+        hist.count(_.getString(1) == "rewrite") == 2
+      val vac = s.sql("VACUUM graftmnt.ord RETAIN 1 VERSIONS").head()
+      val swept = vac.getInt(0) >= 1 && vac.getInt(1) >= 1
+      s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftmnt.ord GROUP BY status""".stripMargin)
+        .withColumn("optimize_packed", lit(packed))
+        .withColumn("zorder_rewrote", lit(zordered))
+        .withColumn("history_complete", lit(historyComplete))
+        .withColumn("vacuum_swept", lit(swept))
+        .orderBy(col("status"))
+    }),
+
     // ── MANIFEST-LEVEL FILE SKIPPING for SQL scans
     // ([[org.apache.spark.sql.graftshim.PruningScanBuilder]] wired into
     // the DSv2 catalog): the table commits range-clustered with per-file
@@ -3937,6 +3981,18 @@ object QueriesEtl {
         |              ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END AS cents
         |  FROM orders WHERE o_orderkey <= 4000)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // snapshot_sql_maintenance: the table content replayed relationally
+    // — OPTIMIZE/ZORDER/VACUUM must not change one row; the maintenance
+    // laws are measured Spark-side
+    "snapshot_sql_maintenance" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS optimize_packed, TRUE AS zorder_rewrote,
+        |       TRUE AS history_complete, TRUE AS vacuum_swept
+        |FROM orders WHERE o_orderkey <= 4000
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     // snapshot_sql_skip: the key-range rollup replayed relationally; the
     // strict-subset file-skipping law is measured off the executed plan

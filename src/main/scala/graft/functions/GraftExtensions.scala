@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // maintenance-verb SQL (OPTIMIZE / VACUUM / DESCRIBE HISTORY over
+    // snapshot-log tables) — a delegating parser, never shadowing real
+    // grammar ([[graft.sources.GraftSqlParser]])
+    ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - codegen'd dot product of two array<double>"),

@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType, TimestampType}
+
+/** SQL MAINTENANCE STATEMENTS for snapshot-log tables — a delegating
+  * parser injected through `SparkSessionExtensions.injectParser` (the
+  * Delta approach: these verbs are not ANSI SQL, so they cannot ride
+  * Spark's own grammar the way [[GraftSqlDml]]'s UPDATE/MERGE/DELETE do):
+  *
+  * {{{
+  *   spark.sql("OPTIMIZE graftsnap.t")                       // bin-pack small files
+  *   spark.sql("OPTIMIZE graftsnap.t ZORDER BY (k)")         // range-cluster on keys
+  *   spark.sql("VACUUM graftsnap.t RETAIN 3 VERSIONS")       // expire + sweep orphans
+  *   spark.sql("DESCRIBE HISTORY graftsnap.t")               // the commit chain
+  * }}}
+  *
+  * Each statement parses to a `LeafRunnableCommand` that executes the
+  * log's OWN maintenance API ([[SnapshotLog.compactSmall]] /
+  * [[SnapshotLog.optimize]] / [[SnapshotLog.expire]]+[[SnapshotLog
+  * .vacuum]] / [[SnapshotLog.history]]) and returns its receipt as rows
+  * — driver-side metadata commands, the same execution class Spark's own
+  * DDL uses. The table name resolves through the registered
+  * [[GraftCatalog]] root (`spark.sql.catalog.<cat>.root`), so the SQL
+  * surface and the catalog agree on what a table is. Everything that is
+  * not one of these three verbs delegates verbatim to Spark's parser —
+  * the extension never shadows real grammar.
+  *
+  * Register next to the function injections:
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.maintenancePlanFor(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+object GraftSqlParser {
+
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+(\w+)\.(\w+)\s*(?:ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+(\w+)\.(\w+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\.(\w+)\s*;?\s*""".r
+
+  private def maintenancePlanFor(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeRe(cat, table, zorder) =>
+        Some(OptimizeGraftTable(cat, table,
+          Option(zorder).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)))
+      case VacuumRe(cat, table, retain) =>
+        Some(VacuumGraftTable(cat, table, Option(retain).map(_.toInt)))
+      case HistoryRe(cat, table) => Some(DescribeGraftHistory(cat, table))
+      case _ => None
+    }
+
+  /** The statement's table, resolved through the SAME catalog-root conf
+    * the DSv2 catalog reads — one definition of what `cat.t` means.
+    */
+  private def logFor(spark: SparkSession, cat: String, table: String): SnapshotLog = {
+    val root = spark.conf.getOption(s"spark.sql.catalog.$cat.root")
+      .getOrElse(throw new IllegalArgumentException(
+        s"GraftSqlParser: no snapshot-log catalog '$cat' is registered — " +
+          s"set spark.sql.catalog.$cat.root"))
+    val dir = new File(root, table)
+    require(new File(dir, "_log").isDirectory,
+      s"GraftSqlParser: $cat.$table is not a snapshot-log table under $root")
+    new SnapshotLog(dir.toString)
+  }
+
+  private def attrs(fields: (String, org.apache.spark.sql.types.DataType)*): Seq[Attribute] =
+    fields.map { case (n, t) => AttributeReference(n, t, nullable = false)() }
+
+  /** `OPTIMIZE cat.t [ZORDER BY (cols)]`: without ZORDER, bin-pack the
+    * small-file tail ([[SnapshotLog.compactSmall]], 128 MiB target) —
+    * files already at size are carried untouched, maintenance cost
+    * scales with the tail; with ZORDER, range-cluster the table on the
+    * named columns ([[SnapshotLog.optimize]]) so stats sidecars and
+    * footer min/max prune reads.
+    */
+  private case class OptimizeGraftTable(
+      cat: String, table: String, zorderCols: Seq[String])
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "version" -> LongType, "operation" -> StringType,
+      "files_in" -> IntegerType, "files_out" -> IntegerType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val log = logFor(spark, cat, table)
+      if (zorderCols.isEmpty) {
+        val (v, (packed, written)) =
+          log.compactSmall(spark, targetBytes = 128L * 1024 * 1024)
+        Seq(Row(v, "bin_pack", packed, written))
+      } else {
+        import org.apache.spark.sql.functions.col
+        val before = log.dataFiles(log.currentVersion.get).size
+        val parts = math.max(1, math.min(32,
+          spark.conf.get("spark.sql.shuffle.partitions").toInt))
+        val v = log.optimize(spark, parts, zorderCols.map(col))
+        Seq(Row(v, "zorder", before, log.dataFiles(v).size))
+      }
+    }
+  }
+
+  /** `VACUUM cat.t [RETAIN n VERSIONS]`: with RETAIN, expire versions
+    * below the keep horizon first ([[SnapshotLog.expire]] — pinned
+    * readers of retained versions stay safe, the vacuum_retention_travel
+    * law); then sweep unreferenced files ([[SnapshotLog.vacuum]]).
+    */
+  private case class VacuumGraftTable(
+      cat: String, table: String, retainVersions: Option[Int])
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "versions_expired" -> IntegerType, "files_removed" -> IntegerType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val log = logFor(spark, cat, table)
+      val expired = retainVersions match {
+        case Some(n) =>
+          require(n >= 1, s"VACUUM: RETAIN must keep at least 1 version, got $n")
+          val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
+            s"VACUUM: no committed snapshot at $cat.$table"))
+          log.expire(keepFrom = cur - n + 1L).size
+        case None => 0
+      }
+      Seq(Row(expired, log.vacuum().size))
+    }
+  }
+
+  /** `DESCRIBE HISTORY cat.t`: the commit chain from the log's own
+    * metadata ([[SnapshotLog.history]]) — the rows `cat.t.history`
+    * serves, as the statement every lakehouse user types first.
+    */
+  private case class DescribeGraftHistory(cat: String, table: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "version" -> LongType, "operation" -> StringType,
+      "added_data" -> IntegerType, "added_tombstones" -> IntegerType,
+      "removed" -> IntegerType, "files_total" -> IntegerType,
+      "committed_at" -> TimestampType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val log = logFor(spark, cat, table)
+      log.history.map { case (v, op, ad, at, rm, tot) =>
+        Row(v, op, ad, at, rm, tot,
+          new java.sql.Timestamp(log.commitTimeMillis(v)))
+      }
+    }
+  }
+}

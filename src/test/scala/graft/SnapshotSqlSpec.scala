@@ -253,6 +253,36 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(plannedFiles(spark.sql("SELECT * FROM graftsnap.t_skip WHERE v = 30")) == 4)
   }
 
+  test("maintenance verbs: OPTIMIZE / ZORDER / VACUUM / DESCRIBE HISTORY parse and run") {
+    val log = freshLog("t_mnt")
+    (0 until 3).foreach { i =>
+      log.append((0 until 50).map(j => ((i * 50 + j).toLong, j.toLong)).toDF("id", "v"),
+        partitions = 2)
+      ()
+    }
+    registerCatalog()
+    // OPTIMIZE bin-packs the six small files
+    val opt = spark.sql("OPTIMIZE graftsnap.t_mnt").head()
+    assert(opt.getString(1) == "bin_pack" && opt.getInt(2) == 6 && opt.getInt(3) == 1,
+      s"got $opt")
+    // ZORDER range-clusters; content survives
+    val zo = spark.sql("OPTIMIZE graftsnap.t_mnt ZORDER BY (id)").head()
+    assert(zo.getString(1) == "zorder")
+    assert(spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graftsnap.t_mnt")
+      .head().toSeq == Seq(150L, (0 until 150).map(_.toLong).sum))
+    // DESCRIBE HISTORY shows the whole chain with the two rewrites
+    val hist = spark.sql("DESCRIBE HISTORY graftsnap.t_mnt").collect()
+    assert(hist.length == 5 && hist.count(_.getString(1) == "rewrite") == 2, s"got ${hist.toSeq}")
+    // VACUUM RETAIN 1 expires history and sweeps the orphaned rewrites
+    val vac = spark.sql("VACUUM graftsnap.t_mnt RETAIN 1 VERSIONS").head()
+    assert(vac.getInt(0) == 4 && vac.getInt(1) >= 6, s"got $vac")
+    assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_mnt").head().getLong(0) == 150L)
+    // real grammar is never shadowed; unknown tables refuse loudly
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    val ex = intercept[Exception] { spark.sql("OPTIMIZE graftsnap.nope") }
+    assert(ex.getMessage.contains("not a snapshot-log table"), s"got: ${ex.getMessage}")
+  }
+
   test("SQL DELETE routes through the copy-on-write delete; the table stays scan-clean") {
     val log = freshLog("t_del")
     val vA = log.append((0 until 20).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
