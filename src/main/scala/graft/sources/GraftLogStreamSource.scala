@@ -164,6 +164,23 @@ class GraftLogSink(
       .getOrElse("default")
     require(!appId.contains('=') && !appId.exists(c => c == '\n' || c == '\r'),
       s"graft-log sink: appId must be '='-free and newline-free, got $appId")
+    // SCHEMA ENFORCEMENT (the appendStrict gate, applied per batch): a
+    // query graph rewritten to emit drifted columns must refuse loudly,
+    // not rot the table — schema-only work, no data pass
+    log.currentVersion.foreach { cur =>
+      val base = log.read(data.sparkSession, cur).schema
+        .map(f => f.name -> f.dataType).toMap
+      val batch = data.schema.map(f => f.name -> f.dataType).toMap
+      val missing = (base.keySet -- batch.keySet).toSeq.sorted
+      val extra = (batch.keySet -- base.keySet).toSeq.sorted
+      val retyped = base.keySet.intersect(batch.keySet).toSeq.sorted
+        .filter(c => base(c) != batch(c))
+      require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
+        s"graft-log sink: batch $batchId drifts from the table schema at " +
+          s"v$cur — missing=${missing.mkString("[", ",", "]")} " +
+          s"extra=${extra.mkString("[", ",", "]")} " +
+          s"retyped=${retyped.mkString("[", ",", "]")}")
+    }
     val batch = StreamingShims.asBatch(data)
     if (complete) log.overwriteTxn(batch, partitions, appId, batchId)
     else log.appendTxn(batch, partitions, appId, batchId)

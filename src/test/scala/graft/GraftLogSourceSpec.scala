@@ -168,6 +168,30 @@ class GraftLogSourceSpec extends AnyFunSuite {
     assert(dst.currentVersion.get == vQuiet, "an empty resume must not commit")
   }
 
+  test("the sink refuses a schema-drifting batch loudly") {
+    val src = freshLog("t_drift_src")
+    val dst = freshLog("t_drift_dst")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_drift_ckpt_")
+    // the destination already holds (id, tag); the stream emits (id, other)
+    dst.append(Seq((1L, "a")).toDF("id", "tag"), partitions = 1)
+    src.append(Seq((2L, 9L)).toDF("id", "other"), partitions = 1)
+    val q = spark.readStream
+      .format("graft-log").option("root", src.root).load()
+      .writeStream.format("graft-log")
+      .option("root", dst.root)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    val ex = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def anywhere(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("drifts from the table schema")) ||
+        anywhere(t.getCause))
+    assert(anywhere(ex), s"got: ${ex.getMessage}")
+    assert(dst.currentVersion.get == 0L && dst.readLatest(spark).count() == 1L,
+      "the drifted batch must not commit")
+  }
+
   test("complete-mode sink maintains a materialized aggregate table per batch") {
     val src = freshLog("t_mv_src")
     val dst = freshLog("t_mv_dst")
