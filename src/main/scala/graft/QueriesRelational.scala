@@ -1296,6 +1296,24 @@ object QueriesRelational {
         .withColumnRenamed("g", "priority")
         .orderBy(col("priority"))),
 
+    // ── KAPLAN-MEIER SURVIVAL ([[operators.Analytics.kaplanMeier]]): the
+    // right-censored life table over order→ship latency — duration =
+    // days from order date to line ship date, event = the line was NOT
+    // returned (returns censor at their duration). Risk sets, events,
+    // and censorings are EXACT integers (one key join + one groupBy + a
+    // duration-count-bounded window); the product-limit `survival_6dp`
+    // rides as the same exp-sum-ln formula the oracle runs, at 6 dp ──
+    "survival_km" -> ((s, dir) =>
+      graft.operators.Analytics.kaplanMeier(
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(
+            datediff(col("l_shipdate"), col("o_orderdate")).as("dur"),
+            when(col("l_returnflag") =!= "R", 1L).otherwise(0L).as("ev")),
+        col("dur"), col("ev"))
+        .orderBy(col("t"))),
+
     // ── MATCH_RECOGNIZE-lite row-pattern mining ([[operators.Analytics
     // .sequencePatterns]]): each user's full history collapses to one
     // ordered code string (v/c/p/s/e per event type, (ts, event_id)
@@ -3459,6 +3477,33 @@ object QueriesRelational {
          |       (e.est - x.exact_size) * ${graft.operators.CountMin.Width}
          |         <= 3 * nn.n * nn.n AS within_bound
          |FROM e, x, nn""".stripMargin,
+
+    // survival_km: the identical life-table arithmetic — integer risk
+    // sets and the same exp-sum-ln product-limit at 6 dp
+    "survival_km" ->
+      """WITH d AS (
+        |  SELECT datediff('day', o.o_orderdate, l.l_shipdate) AS t,
+        |         CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END AS ev
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), byt AS (
+        |  SELECT CAST(t AS BIGINT) AS t, count(*) AS n_t,
+        |         CAST(sum(ev) AS BIGINT) AS d_events,
+        |         CAST(sum(1 - ev) AS BIGINT) AS c_censored
+        |  FROM d WHERE t IS NOT NULL AND t >= 0 GROUP BY t
+        |), risk AS (
+        |  SELECT t, d_events, c_censored,
+        |         CAST(sum(n_t) OVER ()
+        |           - coalesce(sum(n_t) OVER (ORDER BY t
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS n_at_risk
+        |  FROM byt
+        |)
+        |SELECT t, n_at_risk, d_events, c_censored,
+        |       round(exp(sum(ln(CAST(n_at_risk - d_events AS DOUBLE)
+        |                        / CAST(n_at_risk AS DOUBLE)))
+        |         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |         AS survival_6dp
+        |FROM risk ORDER BY t""".stripMargin,
 
     // bootstrap_ci: replay every seeded Poisson(1) draw from the SAME
     // exact integer thresholds, the same replica means, the same

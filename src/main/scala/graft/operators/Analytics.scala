@@ -347,6 +347,56 @@ object Analytics {
       })
   }
 
+  /** KAPLAN-MEIER LIFE TABLE (right-censored survival analysis — the
+    * time-to-event family none of the A/B or funnel operators cover):
+    * for each observed duration `t`, the risk set `n_at_risk` (subjects
+    * whose duration is ≥ t), events `d_events`, and censorings
+    * `c_censored` — ALL EXACT INTEGERS, one groupBy + one bounded
+    * window, so the life table itself hash-replays bitwise on any
+    * engine. The product-limit estimate rides alongside as
+    * `survival_6dp`: the cumulative product `Π (nᵢ−dᵢ)/nᵢ` computed as
+    * `exp(Σ ln(…))` over the time-ordered rows — the identical formula
+    * the oracle runs, rounded to 6 dp (the float tail is display-grade;
+    * the integer columns are the contract, per the house discipline).
+    *
+    * Scale shape: one map-side-combined groupBy on `t` (distinct
+    * durations ≈ dozens), then a window over the DURATION-COUNT rows —
+    * the single-partition window is bounded by distinct durations, never
+    * by subjects, so a 100 TB corpus still reduces to a life table of a
+    * few dozen rows before any per-row window work.
+    *
+    * @param durations one row per subject
+    * @param tCol      non-negative integral duration (days, steps, …)
+    * @param eventCol  1 = the event occurred at `t`, 0 = right-censored
+    */
+  def kaplanMeier(
+      durations: DataFrame, tCol: Column, eventCol: Column): DataFrame = {
+    val byT = durations
+      .select(tCol.cast("long").as("t"), eventCol.cast("long").as("ev"))
+      .where(col("t").isNotNull && col("t") >= 0L)
+      .groupBy(col("t"))
+      .agg(
+        count(lit(1)).as("n_t"),
+        sum(col("ev")).as("d_events"),
+        sum(lit(1L) - col("ev")).as("c_censored"))
+    // risk set at t = everyone still under observation: total minus all
+    // subjects whose duration ended strictly before t
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byT
+      .withColumn("n_at_risk",
+        sum(col("n_t")).over(wAll) - coalesce(
+          sum(col("n_t")).over(wAsc) - col("n_t"), lit(0L)))
+      .withColumn("survival_6dp",
+        round(exp(sum(
+          log((col("n_at_risk") - col("d_events")).cast("double") /
+            col("n_at_risk").cast("double"))).over(wAsc)), 6))
+      .select(col("t"), col("n_at_risk"), col("d_events"),
+        col("c_censored"), col("survival_6dp"))
+  }
+
   /** Time-decayed engagement score per key: each event contributes
     * `value · 2^(−age_weeks)` with `age_weeks = (asOfDay − day(ts)) div 7`
     * — integer exponents of two, so the weights are EXACT binary fractions

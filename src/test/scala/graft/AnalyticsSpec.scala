@@ -679,4 +679,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(k2.map(_._2).sum == 18L && got.forall(_._3),
       "conservation must hold per order group even when key is not unique")
   }
+
+  test("kaplanMeier: textbook life table — risk sets, ties, censoring, product-limit") {
+    import spark.implicits._
+    // durations: 1(event), 2(censored), 3(event), 3(event), 4(censored)
+    val durs = Seq((1L, 1L), (2L, 0L), (3L, 1L), (3L, 1L), (4L, 0L))
+      .toDF("dur", "ev")
+    val got = Analytics.kaplanMeier(durs, col("dur"), col("ev"))
+      .orderBy(col("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, 1L, 0L, 0.8),       // S = 4/5
+      (2L, 4L, 0L, 1L, 0.8),       // censoring leaves S unchanged
+      (3L, 3L, 2L, 0L, 0.266667),  // S = 0.8 * 1/3 (tied events in one step)
+      (4L, 1L, 0L, 1L, 0.266667)), // last subject censors out
+      s"got ${got.toSeq}")
+    // null and negative durations are excluded, not crashed on
+    val messy = Seq((Some(2L), 1L), (None, 1L), (Some(-1L), 0L), (Some(2L), 0L))
+      .toDF("dur", "ev")
+    val clean = Analytics.kaplanMeier(messy, col("dur"), col("ev")).collect()
+    assert(clean.length == 1 && clean.head.getLong(1) == 2L)
+  }
 }
