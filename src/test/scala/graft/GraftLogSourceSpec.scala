@@ -117,6 +117,38 @@ class GraftLogSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readChangeFeed resumes from the checkpoint exactly-once across kill/restart") {
+    val log = freshLog("t_cdf_rec")
+    log.append((0 until 20).map(i => (i.toLong, i.toLong * 10)).toDF("id", "v"), partitions = 1)
+    val base = java.nio.file.Files.createTempDirectory("graft_cdf_rec_")
+    val (sinkDir, ckptDir) = (base.resolve("out"), base.resolve("ckpt"))
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft-log").option("root", log.root)
+        .option("readChangeFeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", sinkDir.toString)
+        .option("checkpointLocation", ckptDir.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // phase 1: the initial snapshot as inserts, then the KILL
+    val schema = "id long, v long, _change_type string, _commit_version long"
+    val afterPhase1 = spark.read.schema(schema).parquet(sinkDir.toString).count()
+    assert(afterPhase1 == 20L)
+    // DML lands while the query is down
+    log.deleteWhere(spark, col("id") < 5L)
+    log.updateWhere(spark, col("id") === 10L, Seq("v" -> lit(999L)))
+    run() // a NEW instance resumes the checkpoint
+    val sunk = spark.read.schema(schema).parquet(sinkDir.toString)
+    // exactly-once: the sunk feed equals the batch feed, row for row
+    val batchFeed = log.readChanges(spark, -1L, log.currentVersion.get)
+    assert(sunk.exceptAll(batchFeed).count() == 0L &&
+      batchFeed.exceptAll(sunk).count() == 0L,
+      "resumed CDF stream must equal the batch change feed")
+    assert(sunk.count() == sunk.distinct().count(), "no duplicate emissions")
+  }
+
   test("appendTxn watermarks skip redelivered batches; appIds scope independently") {
     val log = freshLog("t_txn")
     val df1 = (0 until 5).map(i => (i.toLong, "a")).toDF("id", "tag")
