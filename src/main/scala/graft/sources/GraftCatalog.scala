@@ -48,9 +48,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * COPY-ON-WRITE delete ([[SnapshotLog.deleteWhereCow]] — only grazed
   * files rewrite, NO masks left outstanding, so the next SQL SELECT
   * still scans clean; the merge-on-read [[SnapshotLog.deleteWhere]]
-  * stays the cheaper API-side choice). `INSERT OVERWRITE` is refused
-  * (run the API's delete/overwrite flow), and a time-travelled load is
-  * read-only by capability — history is immutable.
+  * stays the cheaper API-side choice). `INSERT OVERWRITE` commits one
+  * tracked LOGICAL overwrite (schema enforced, prior versions stay
+  * time-travellable), `TRUNCATE TABLE` rides the copy-on-write delete,
+  * and a time-travelled load is read-only by capability — history is
+  * immutable.
   *
   * Scope (refused loudly, never silently wrong): snapshots carrying
   * outstanding merge-on-read masks (key tombstones, position deletes,
@@ -341,6 +343,8 @@ object GraftCatalog {
   private[sources] def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{col, lit}
     f match {
+      case _: org.apache.spark.sql.sources.AlwaysTrue => Some(lit(true))
+      case _: org.apache.spark.sql.sources.AlwaysFalse => Some(lit(false))
       case FEqualTo(a, v) => Some(col(a) === lit(v))
       case FEqualNullSafe(a, v) => Some(col(a) <=> lit(v))
       case FGreaterThan(a, v) => Some(col(a) > lit(v))
@@ -407,8 +411,26 @@ object GraftCatalog {
   private final class WritableTable(
       inner0: ParquetTable, log: SnapshotLog, pruner0: Pruner)
     extends ReadOnlyTable(inner0, pruner0) with SupportsWrite with SupportsDelete {
+    // TRUNCATE: SupportsDelete's default truncateTable() routes through
+    // deleteWhere(AlwaysTrue) — the same copy-on-write commit, so
+    // `TRUNCATE TABLE cat.t` is tracked and time-travellable for free
     override def capabilities(): util.Set[TableCapability] =
-      util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+      util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
+
+    private def requireSameSchema(data: org.apache.spark.sql.DataFrame): Unit = {
+      val base = inner.schema.map(f => f.name -> f.dataType).toMap
+      val batch = data.schema.map(f => f.name -> f.dataType).toMap
+      val missing = (base.keySet -- batch.keySet).toSeq.sorted
+      val extra = (batch.keySet -- base.keySet).toSeq.sorted
+      val retyped = base.keySet.intersect(batch.keySet).toSeq.sorted
+        .filter(c => base(c) != batch(c))
+      require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
+        s"GraftCatalog: INSERT OVERWRITE batch drifts from the table schema — " +
+          s"missing=${missing.mkString("[", ",", "]")} " +
+          s"extra=${extra.mkString("[", ",", "]")} " +
+          s"retyped=${retyped.mkString("[", ",", "]")}")
+    }
 
     override def canDeleteWhere(filters: Array[Filter]): Boolean =
       filters.forall(f => GraftCatalog.filterToColumn(f).isDefined)
@@ -428,19 +450,32 @@ object GraftCatalog {
       ()
     }
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-      new WriteBuilder {
+      new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+        // INSERT OVERWRITE arrives as overwrite-by-TRUE: the planner
+        // demands a truncating builder. The V1 exec does NOT thread the
+        // flag into insert(), so the builder records it itself.
+        private var truncateFirst = false
+        override def truncate(): WriteBuilder = { truncateFirst = true; this }
         override def build(): Write = new V1Write {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame,
                   overwrite: Boolean): Unit = {
-                if (overwrite) throw new UnsupportedOperationException(
-                  "GraftCatalog: INSERT OVERWRITE is not supported — use the " +
-                    "SnapshotLog API (deleteWhere + append, or compact) so the " +
-                    "overwrite is a tracked, time-travellable commit")
                 val parts = math.max(1, math.min(32,
                   data.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
-                log.withOccRetry()(log.appendStrict(data, parts))
+                if (overwrite || truncateFirst) {
+                  // INSERT OVERWRITE = one tracked LOGICAL overwrite
+                  // commit ([[SnapshotLog.overwrite]]): prior versions
+                  // stay time-travellable, metadata carries. Schema
+                  // still enforced — an overwrite may replace the rows,
+                  // never silently retype the table. (Under
+                  // partitionOverwriteMode=dynamic the analyzer refuses
+                  // upstream — the table declares no partitions.)
+                  requireSameSchema(data)
+                  log.overwrite(data, parts)
+                } else {
+                  log.withOccRetry()(log.appendStrict(data, parts))
+                }
                 ()
               }
             }

@@ -1400,7 +1400,15 @@ class SnapshotLog(
         else stageData(survivors, math.max(1, grazed.size))
       val grazedSet = grazed.toSet
       val carried = files(cur).filterNot(grazedSet)
-      val v = commit(Some(cur), carried ++ staged)
+      // a delete that empties the WHOLE table (TRUNCATE) declares the
+      // pre-delete schema in the commit, so the data-less table keeps
+      // reading as the empty relation — the [[createEmpty]] state
+      val lines =
+        if (staged.isEmpty && !carried.exists(l => !isMetaLine(l) && !isTombLine(l)))
+          withMeta(carried, "schema", org.apache.spark.sql.types.StructType(
+            base.schema.filterNot(f => f.name == "_file" || f.name == "_pos")).json)
+        else carried ++ staged
+      val v = commit(Some(cur), lines)
       dropAddrStage()
       (v, n)
     }

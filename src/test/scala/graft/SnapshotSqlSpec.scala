@@ -50,17 +50,34 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_sql").head().getLong(0) == 21L)
     assert(log.read(spark, log.currentVersion.get)
       .where(col("id") === 99L).count() == 1L, "the API read sees the SQL insert")
-    // INSERT OVERWRITE refuses — an untracked overwrite would bypass the log
-    val ex = intercept[Exception] {
-      spark.sql("INSERT OVERWRITE TABLE graftsnap.t_sql VALUES (1, 'y', 10)")
-    }
-    // under partitionOverwriteMode=dynamic the analyzer refuses before the
-    // V1 path (no OVERWRITE_DYNAMIC capability); under static, the V1
-    // insert refuses with the catalog's own message — both are loud
-    assert(ex.getMessage.contains("INSERT OVERWRITE is not supported") ||
-      ex.getMessage.contains("does not support dynamic overwrite") ||
-      ex.getMessage.contains("TABLE_OPERATION"),
-      s"unexpected: ${ex.getMessage}")
+    // INSERT OVERWRITE = ONE tracked logical overwrite commit; history
+    // stays time-travellable. (partitionOverwriteMode=static — under
+    // dynamic the analyzer refuses upstream: no partitions to be
+    // dynamic about.)
+    val vPre = log.currentVersion.get
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      spark.sql("INSERT OVERWRITE TABLE graftsnap.t_sql VALUES (7, 'y', 70)")
+      assert(log.currentVersion.get == vPre + 1L, "overwrite is exactly one commit")
+      assert(spark.sql("SELECT count(*) AS n, sum(v) AS s FROM graftsnap.t_sql")
+        .head().toSeq == Seq(1L, 70L))
+      // the pre-overwrite snapshot still reads — a tracked overwrite
+      assert(spark.sql(s"SELECT count(*) AS n FROM graftsnap.t_sql VERSION AS OF $vPre")
+        .head().getLong(0) == 21L)
+      // a drifted overwrite refuses loudly, nothing committed
+      val drift = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE TABLE graftsnap.t_sql VALUES (1, 'z')")
+      }
+      assert(drift.getMessage.contains("drifts from the table schema") ||
+        drift.getMessage.contains("INSERT_COLUMN_ARITY_MISMATCH"), s"got: ${drift.getMessage}")
+      assert(log.currentVersion.get == vPre + 1L)
+      // TRUNCATE TABLE rides the copy-on-write delete — tracked, scan-clean
+      spark.sql("TRUNCATE TABLE graftsnap.t_sql")
+      assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_sql").head().getLong(0) == 0L)
+      assert(log.currentVersion.get == vPre + 2L &&
+        log.posDeleteFiles(log.currentVersion.get).isEmpty)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
 
   test("VERSION AS OF and TIMESTAMP AS OF pin historical snapshots; snapshot isolation holds") {
