@@ -2647,6 +2647,53 @@ object QueriesEtl {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ── SQL OVERWRITE + TRUNCATE lifecycle ([[GraftCatalog]]'s
+    // truncating V1 write builder + `SupportsDelete`'s always-true
+    // route): INSERT fills the table, INSERT OVERWRITE replaces it in
+    // ONE tracked commit with the pre-overwrite version still readable
+    // (`overwrite_time_travels`, measured via VERSION AS OF), TRUNCATE
+    // empties it copy-on-write with the schema carried so the empty
+    // relation still scans (`truncate_empty_readable`), and a final
+    // INSERT refills — the returned rollup is the refill the oracle
+    // replays ──
+    "snapshot_sql_overwrite" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftow", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftow.root", scratch(dir, "owroot"))
+      val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      try {
+        s.sql("DROP TABLE IF EXISTS graftow.ord")
+        s.sql("CREATE TABLE graftow.ord (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)")
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("graft_ow_src")
+        s.sql("INSERT INTO graftow.ord SELECT * FROM graft_ow_src WHERE o_orderkey <= 1000")
+        val log = new SnapshotLog(scratch(dir, "owroot") + "/ord")
+        val vPre = log.currentVersion.get
+        s.sql("INSERT OVERWRITE graftow.ord SELECT * FROM graft_ow_src " +
+          "WHERE o_orderkey BETWEEN 1001 AND 2000")
+        val travels =
+          log.currentVersion.get == vPre + 1L &&
+            s.sql(s"SELECT count(*) AS n FROM graftow.ord VERSION AS OF $vPre")
+              .head().getLong(0) ==
+            s.sql("SELECT count(*) AS n FROM graft_ow_src WHERE o_orderkey <= 1000")
+              .head().getLong(0)
+        s.sql("TRUNCATE TABLE graftow.ord")
+        val emptyReadable =
+          s.sql("SELECT count(*) AS n FROM graftow.ord").head().getLong(0) == 0L
+        s.sql("INSERT INTO graftow.ord SELECT * FROM graft_ow_src " +
+          "WHERE o_orderkey BETWEEN 2001 AND 3000")
+        s.sql(
+          """SELECT o_orderstatus, count(*) AS n_orders,
+            |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+            |       CAST(sum(cents) AS BIGINT) AS sum_cents
+            |FROM graftow.ord GROUP BY o_orderstatus""".stripMargin)
+          .withColumn("overwrite_time_travels", lit(travels))
+          .withColumn("truncate_empty_readable", lit(emptyReadable))
+          .orderBy(col("o_orderstatus"))
+      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    }),
+
     // ── SQL MAINTENANCE VERBS ([[graft.sources.GraftSqlParser]] injected
     // via `SparkSessionExtensions.injectParser`, the Delta approach for
     // non-ANSI statements): `OPTIMIZE` bin-packs the small-file tail
@@ -3980,6 +4027,18 @@ object QueriesEtl {
         |         CASE WHEN o_orderkey <= 2000 THEN NULL
         |              ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END AS cents
         |  FROM orders WHERE o_orderkey <= 4000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // snapshot_sql_overwrite: the post-truncate refill replayed
+    // relationally; the time-travel and empty-read laws are measured
+    // Spark-side
+    "snapshot_sql_overwrite" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS overwrite_time_travels,
+        |       TRUE AS truncate_empty_readable
+        |FROM orders WHERE o_orderkey BETWEEN 2001 AND 3000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // snapshot_sql_maintenance: the table content replayed relationally
