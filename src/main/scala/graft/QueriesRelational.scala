@@ -1314,6 +1314,25 @@ object QueriesRelational {
         col("dur"), col("ev"))
         .orderBy(col("t"))),
 
+    // ── LOG-RANK TEST ([[operators.Analytics.logRankTest]], Mantel-Cox):
+    // do urgent orders (priority 1-2, group 1) ship on a different
+    // survival curve than the rest? Integer risk sets and event counts
+    // per pooled event time; O/E/variance run the identical double
+    // formula in both engines at 6 dp, χ² against 3.8415 (α=0.05) ──
+    "survival_logrank" -> ((s, dir) =>
+      graft.operators.Analytics.logRankTest(
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir).select(
+              col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(
+            datediff(col("l_shipdate"), col("o_orderdate")).as("dur"),
+            when(col("l_returnflag") =!= "R", 1L).otherwise(0L).as("ev"),
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("grp")),
+        col("dur"), col("ev"), col("grp"))
+        .orderBy(col("grp"))),
+
     // ── MATCH_RECOGNIZE-lite row-pattern mining ([[operators.Analytics
     // .sequencePatterns]]): each user's full history collapses to one
     // ordered code string (v/c/p/s/e per event type, (ts, event_id)
@@ -3504,6 +3523,58 @@ object QueriesRelational {
         |         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
         |         AS survival_6dp
         |FROM risk ORDER BY t""".stripMargin,
+
+    // survival_logrank: the identical Mantel-Cox arithmetic — integer
+    // risk sets per pooled event time, same double O/E/variance sums
+    "survival_logrank" ->
+      """WITH d AS (
+        |  SELECT datediff('day', o.o_orderdate, l.l_shipdate) AS t,
+        |         CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END AS ev,
+        |         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |              THEN 1 ELSE 0 END AS grp
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), byt AS (
+        |  SELECT t, count(*) AS n_t,
+        |         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1_t,
+        |         sum(ev) AS d, sum(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS d1
+        |  FROM d WHERE t IS NOT NULL AND t >= 0 GROUP BY t
+        |), lt AS (
+        |  SELECT *,
+        |    sum(n_t) OVER () - coalesce(sum(n_t) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+        |    sum(n1_t) OVER () - coalesce(sum(n1_t) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+        |  FROM byt
+        |), agg AS (
+        |  SELECT CAST(sum(n_t) AS BIGINT) AS subj_all,
+        |         CAST(sum(n1_t) AS BIGINT) AS subj_1,
+        |         CAST(sum(d - d1) AS BIGINT) AS o0,
+        |         CAST(sum(d1) AS BIGINT) AS o1,
+        |         sum(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) AS e1,
+        |         sum(CAST(d AS DOUBLE)) AS d_all,
+        |         sum(CASE WHEN n > 1 THEN
+        |               CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |                 * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |                 * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+        |                 / (CAST(n AS DOUBLE) - 1.0)
+        |             ELSE 0.0 END) AS v
+        |  FROM lt
+        |)
+        |SELECT grp, n_subjects, observed, expected_6dp, chi2_6dp, significant
+        |FROM (
+        |  SELECT CAST(0 AS BIGINT) AS grp, subj_all - subj_1 AS n_subjects, o0 AS observed,
+        |         round(d_all - e1, 6) AS expected_6dp,
+        |         round((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v, 6)
+        |           AS chi2_6dp,
+        |         (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v > 3.8415
+        |           AS significant
+        |  FROM agg
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), subj_1, o1, round(e1, 6),
+        |         round((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v, 6),
+        |         (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v > 3.8415
+        |  FROM agg)
+        |ORDER BY grp""".stripMargin,
 
     // bootstrap_ci: replay every seeded Poisson(1) draw from the SAME
     // exact integer thresholds, the same replica means, the same

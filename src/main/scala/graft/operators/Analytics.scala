@@ -397,6 +397,99 @@ object Analytics {
         col("c_censored"), col("survival_6dp"))
   }
 
+  /** LOG-RANK TEST (Mantel-Cox) — "do two survival curves differ?", the
+    * hypothesis-test companion of [[kaplanMeier]] and the time-to-event
+    * analog of [[abZTest]]: at every pooled event time, group 1's
+    * observed events are compared against the expectation under the
+    * null (events distribute proportionally to the at-risk split), and
+    * the standardized squared deviation is χ²₁-distributed. Inputs to
+    * every term (risk sets, event counts) are EXACT INTEGERS from one
+    * groupBy + a duration-count-bounded window; the O/E/variance sums
+    * run the IDENTICAL double formula in both engines (the
+    * [[kaplanMeier]] float discipline), rounded to 6 dp, with
+    * `significant` = χ² > 3.8415 (α = 0.05, 1 df).
+    *
+    * The group column must carry ONLY 0 and 1 — any other value fails
+    * LOUDLY through a raise_error-wrapped output column (no second
+    * corpus scan; the house guard discipline).
+    *
+    * Output: one row per group — subjects, observed events, expected
+    * events — with the shared χ² and verdict on both rows.
+    */
+  def logRankTest(
+      durations: DataFrame,
+      tCol: Column,
+      eventCol: Column,
+      groupCol: Column): DataFrame = {
+    val base = durations.select(
+      tCol.cast("long").as("t"), eventCol.cast("long").as("ev"),
+      groupCol.cast("long").as("grp"))
+      .where(col("t").isNotNull && col("t") >= 0L)
+    val byT = base
+      .withColumn("bad",
+        when(col("grp").isNull || !col("grp").isin(0L, 1L), 1L).otherwise(0L))
+      .groupBy(col("t"))
+      .agg(
+        count(lit(1)).as("n_t"),
+        sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("n1_t"),
+        sum(col("ev")).as("d"),
+        sum(when(col("grp") === 1L, col("ev")).otherwise(0L)).as("d1"),
+        sum(col("bad")).as("bad_t"))
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lt = byT
+      .withColumn("n",
+        sum(col("n_t")).over(wAll) - coalesce(
+          sum(col("n_t")).over(wAsc) - col("n_t"), lit(0L)))
+      .withColumn("n1",
+        sum(col("n1_t")).over(wAll) - coalesce(
+          sum(col("n1_t")).over(wAsc) - col("n1_t"), lit(0L)))
+    val d = (c: Column) => c.cast("double")
+    val one = lt.agg(
+      sum(col("bad_t")).as("n_bad"),
+      sum(col("n_t")).as("subj_all"),
+      sum(col("n1_t")).as("subj_1"),
+      sum(col("d") - col("d1")).as("o0"),
+      sum(col("d1")).as("o1"),
+      sum(d(col("d")) * d(col("n1")) / d(col("n"))).as("e1"),
+      sum(d(col("d"))).as("d_all"),
+      sum(when(col("n") > 1L,
+        d(col("d")) * (d(col("n1")) / d(col("n"))) *
+          (lit(1.0) - d(col("n1")) / d(col("n"))) *
+          (d(col("n")) - d(col("d"))) / (d(col("n")) - 1.0))
+        .otherwise(0.0)).as("v"))
+    val chi2 = when(col("v") > 0.0,
+      (d(col("o1")) - col("e1")) * (d(col("o1")) - col("e1")) / col("v"))
+    one.select(
+      col("n_bad"), col("subj_all"), col("subj_1"),
+      col("o0"), col("o1"), col("e1"), col("d_all"), col("v"),
+      round(chi2, 6).as("chi2_6dp"),
+      coalesce(chi2 > lit(3.8415), lit(false)).as("significant"))
+      .select(explode(array(
+        struct(lit(0L).as("grp"), (col("subj_all") - col("subj_1")).as("n_subjects"),
+          col("o0").as("observed"),
+          round(col("d_all") - col("e1"), 6).as("expected_6dp"),
+          col("chi2_6dp"), col("significant"), col("n_bad")),
+        struct(lit(1L).as("grp"), col("subj_1").as("n_subjects"),
+          col("o1").as("observed"),
+          round(col("e1"), 6).as("expected_6dp"),
+          col("chi2_6dp"), col("significant"), col("n_bad")))).as("r"))
+      .select(
+        col("r.grp").as("grp"),
+        col("r.n_subjects").as("n_subjects"),
+        col("r.observed").as("observed"),
+        col("r.expected_6dp").as("expected_6dp"),
+        col("r.chi2_6dp").as("chi2_6dp"),
+        // the miscoded-group guard rides the output column: evaluating
+        // any row of a polluted frame fails loudly, no extra action
+        when(col("r.n_bad") > 0L,
+          raise_error(concat(lit("logRankTest: group column must carry ONLY 0 and 1; "),
+            col("r.n_bad").cast("string"), lit(" offending rows"))).cast("boolean"))
+          .otherwise(col("r.significant")).as("significant"))
+  }
+
   /** Time-decayed engagement score per key: each event contributes
     * `value · 2^(−age_weeks)` with `age_weeks = (asOfDay − day(ts)) div 7`
     * — integer exponents of two, so the weights are EXACT binary fractions

@@ -156,6 +156,7 @@ class GraftCatalog extends TableCatalog {
     val pruner = GraftCatalog.Pruner(
       paths,
       c => log.fileStatsForColumn(spark, v, c),
+      c => log.fileValueSetsForColumn(spark, v, c),
       kept => ParquetTable(tname, spark, opts, kept, Some(resolved),
         classOf[ParquetFileFormat]))
     if (version.isEmpty) new GraftCatalog.WritableTable(inner, log, pruner)
@@ -374,6 +375,7 @@ object GraftCatalog {
   private[sources] final case class Pruner(
       paths: Seq[String],
       statsFor: String => Option[Map[String, (Long, Long)]],
+      valuesFor: String => Option[Map[String, Option[Set[String]]]],
       rebuildTable: Seq[String] => ParquetTable)
 
   /** Read-only facade over the delegated [[ParquetTable]]: exposes ONLY
@@ -397,6 +399,7 @@ object GraftCatalog {
           .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder],
         pruner.paths,
         pruner.statsFor,
+        pruner.valuesFor,
         kept => pruner.rebuildTable(kept).newScanBuilder(options)
           .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder])
   }

@@ -1943,6 +1943,41 @@ class SnapshotLog(
     if (present.isEmpty) None else Some(present.toMap)
   }
 
+  /** The categorical complement of [[fileStatsForColumn]] for outside
+    * consumers: per-data-file DISTINCT-VALUE SETS of `valueCol` from the
+    * [[appendValueIndexed]] sidecars, keyed by ABSOLUTE path. `None` for
+    * a file means FULL (its distinct count overflowed the sidecar bound
+    * — prune conservatively); a file absent from the map recorded no
+    * entries for the column. Outer `None` when no sidecar carries the
+    * column at all. File-count-sized metadata work.
+    */
+  def fileValueSetsForColumn(
+      spark: SparkSession,
+      version: Long,
+      valueCol: String): Option[Map[String, Option[Set[String]]]] = {
+    import org.apache.spark.sql.functions.col
+    val entries = dataFiles(version)
+      .groupBy(p => new File(dataRootPath, p).getParent).toSeq.flatMap {
+        case (dir, paths) =>
+          val sidecar = new File(dir, "_values.parquet")
+          if (!sidecar.exists()) Nil
+          else {
+            val byFile = spark.read.parquet(sidecar.toString)
+              .where(col("col") === valueCol).collect()
+              .map(r => (r.getString(0), Option(r.getString(2)), r.getBoolean(3)))
+              .groupBy(_._1)
+            paths.flatMap { p =>
+              byFile.get(p).map { es =>
+                val abs = new File(dataRootPath, p).toString
+                abs -> (if (es.exists(_._3)) None
+                        else Some(es.flatMap(_._2).toSet))
+              }
+            }
+          }
+      }
+    if (entries.isEmpty) None else Some(entries.toMap)
+  }
+
   /** MERGE (upsert) under the log, COPY-ON-WRITE with stats-pruned
     * rewrite scope (the Delta `MERGE INTO` + file-pruning shape):
     * matched keys take the update row, unmatched update rows insert, and

@@ -5,7 +5,7 @@ import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, StructType}
 
 /** MANIFEST-LEVEL FILE SKIPPING for DSv2 SQL scans (the Delta/Iceberg
   * data-skipping shape): a ScanBuilder wrapper that watches the catalyst
@@ -29,16 +29,22 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
   * non-integral literal (a long-cast double bound would truncate and
   * over-prune), and any other predicate shape keeps the file.
   *
-  * @param inner    the parquet builder over the snapshot's FULL file list
-  * @param paths    absolute path of every data file in the snapshot
-  * @param statsFor per-column absolute-path → (lo, hi) from the log's
-  *                 stats sidecars; None when the column has no stats
-  * @param rebuild  builds a fresh parquet ScanBuilder over a pruned list
+  * @param inner     the parquet builder over the snapshot's FULL file list
+  * @param paths     absolute path of every data file in the snapshot
+  * @param statsFor  per-column absolute-path → (lo, hi) from the log's
+  *                  stats sidecars; None when the column has no stats
+  * @param valuesFor per-column absolute-path → distinct-value set from
+  *                  the log's categorical sidecars (inner None = the
+  *                  file's set overflowed — keep it); string equality/IN
+  *                  prunes to exactly the files whose set holds the
+  *                  literal
+  * @param rebuild   builds a fresh parquet ScanBuilder over a pruned list
   */
 class PruningScanBuilder(
     inner: FileScanBuilder,
     paths: Seq[String],
     statsFor: String => Option[Map[String, (Long, Long)]],
+    valuesFor: String => Option[Map[String, Option[Set[String]]]],
     rebuild: Seq[String] => FileScanBuilder)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns {
@@ -47,6 +53,8 @@ class PruningScanBuilder(
   private var required: Option[StructType] = None
   private val statsCache =
     scala.collection.mutable.Map.empty[String, Option[Map[String, (Long, Long)]]]
+  private val valuesCache =
+    scala.collection.mutable.Map.empty[String, Option[Map[String, Option[Set[String]]]]]
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushedExprs = filters
@@ -74,11 +82,31 @@ class PruningScanBuilder(
   private def ranges(col: String): Option[Map[String, (Long, Long)]] =
     statsCache.getOrElseUpdate(col, statsFor(col))
 
+  private def valueSets(col: String): Option[Map[String, Option[Set[String]]]] =
+    valuesCache.getOrElseUpdate(col, valuesFor(col))
+
   private def longLit(l: Literal): Option[Long] = l.dataType match {
     case ByteType | ShortType | IntegerType | LongType =>
       Option(l.value).map(_.toString.toLong)
     case _ => None
   }
+
+  private def stringLit(l: Literal): Option[String] = l.dataType match {
+    case StringType => Option(l.value).map(_.toString)
+    case _ => None
+  }
+
+  /** Keep unless the file's recorded value set PROVES the string literal
+    * absent: an overflowed (FULL) set and a file with no entry both keep.
+    */
+  private def valueKeeps(a: Attribute, path: String, lits: Seq[String]): Boolean =
+    valueSets(a.name) match {
+      case Some(byFile) => byFile.get(path) match {
+        case Some(Some(set)) => lits.exists(set.contains)
+        case _ => true // FULL marker or no entry for this file
+      }
+      case None => true
+    }
 
   /** False ONLY when the file's recorded range PROVES no row can match
     * `e` — everything unprovable keeps the file.
@@ -87,6 +115,14 @@ class PruningScanBuilder(
     def range(a: Attribute): Option[(Long, Long)] =
       ranges(a.name).flatMap(_.get(path))
     e match {
+      case EqualTo(a: Attribute, l: Literal) if stringLit(l).isDefined =>
+        valueKeeps(a, path, stringLit(l).toSeq)
+      case EqualTo(l: Literal, a: Attribute) if stringLit(l).isDefined =>
+        valueKeeps(a, path, stringLit(l).toSeq)
+      case In(a: Attribute, vs) if vs.nonEmpty &&
+          vs.forall(v => v.isInstanceOf[Literal] &&
+            stringLit(v.asInstanceOf[Literal]).isDefined) =>
+        valueKeeps(a, path, vs.flatMap(v => stringLit(v.asInstanceOf[Literal])))
       case EqualTo(a: Attribute, l: Literal) => eqKeeps(range(a), longLit(l))
       case EqualTo(l: Literal, a: Attribute) => eqKeeps(range(a), longLit(l))
       case GreaterThan(a: Attribute, l: Literal) => cmpKeeps(range(a), longLit(l))(_._2 > _)

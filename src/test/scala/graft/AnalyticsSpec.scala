@@ -701,4 +701,29 @@ class AnalyticsSpec extends AnyFunSuite {
     val clean = Analytics.kaplanMeier(messy, col("dur"), col("ev")).collect()
     assert(clean.length == 1 && clean.head.getLong(1) == 2L)
   }
+
+  test("logRankTest: hand-computed Mantel-Cox O/E/variance; miscoded groups refuse") {
+    import spark.implicits._
+    // g0: events at 1 and 3; g1: event at 2, censored at 3
+    val durs = Seq((1L, 1L, 0L), (3L, 1L, 0L), (2L, 1L, 1L), (3L, 0L, 1L))
+      .toDF("dur", "ev", "grp")
+    val got = Analytics.logRankTest(durs, col("dur"), col("ev"), col("grp"))
+      .orderBy(col("grp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    // E1 = 2/4 + 2/3 + 1/2 = 1.666667; V = 1/4 + 2/9 + 1/4 = 0.722222
+    // chi2 = (1 - 5/3)^2 / (13/18) = 0.615385
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, 1.333333, 0.615385, false),
+      (1L, 2L, 1L, 1.666667, 0.615385, false)), s"got ${got.toSeq}")
+    // a third group value fails loudly at evaluation
+    val bad = Seq((1L, 1L, 0L), (2L, 1L, 2L)).toDF("dur", "ev", "grp")
+    val ex = intercept[Exception] {
+      Analytics.logRankTest(bad, col("dur"), col("ev"), col("grp")).collect()
+    }
+    def anywhere(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("ONLY 0 and 1")) ||
+        anywhere(t.getCause))
+    assert(anywhere(ex), s"got: ${ex.getMessage}")
+  }
 }

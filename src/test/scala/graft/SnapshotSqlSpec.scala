@@ -300,6 +300,31 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a snapshot-log table"), s"got: ${ex.getMessage}")
   }
 
+  test("SQL equality on a categorical column skips files via value-set sidecars") {
+    val log = freshLog("t_vskip")
+    // cluster by category so each file carries one value set
+    val rows = (0 until 300).map(i => (i.toLong, s"cat${i / 100}"))
+    log.appendValueIndexed(
+      rows.toDF("id", "cat").repartitionByRange(3, col("cat")).sortWithinPartitions(col("cat")),
+      valueCols = Seq("cat"))
+    registerCatalog()
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length
+      }.getOrElse(sys.error("no BatchScanExec leaf"))
+    assert(plannedFiles(spark.sql("SELECT * FROM graftsnap.t_vskip")) == 3)
+    val one = spark.sql("SELECT id FROM graftsnap.t_vskip WHERE cat = 'cat1'")
+    assert(plannedFiles(one) == 1, s"got ${plannedFiles(one)}")
+    assert(one.count() == 100L)
+    val in2 = spark.sql("SELECT id FROM graftsnap.t_vskip WHERE cat IN ('cat0', 'cat2')")
+    assert(plannedFiles(in2) == 2 && in2.count() == 200L)
+    // an absent value plans an empty scan; correctness intact
+    val none = spark.sql("SELECT * FROM graftsnap.t_vskip WHERE cat = 'nope'")
+    assert(plannedFiles(none) == 0 && none.count() == 0L)
+  }
+
   test("SQL DELETE routes through the copy-on-write delete; the table stays scan-clean") {
     val log = freshLog("t_del")
     val vA = log.append((0 until 20).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
