@@ -2577,6 +2577,48 @@ object QueriesEtl {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ── spark.sql UPDATE / MERGE JUST WORK ([[graft.sources
+    // .GraftSqlParser.interceptDml]]): the injected parser spots a
+    // row-level DML plan whose target is a registered graft catalog and
+    // wraps it as a command running [[GraftSqlDml]]'s one-evaluation
+    // interpretation — no library call, no SupportsRowLevelOperations
+    // analysis failure. Both statements return RECEIPT rows (op,
+    // version, row counts) whose laws ride the output; the final table
+    // state replays relationally in the oracle ──
+    "snapshot_sql_dml_native" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_sqnat"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v0 = log.append(base.where(col("o_orderkey") <= 2000), partitions = 3)
+      s.conf.set("spark.sql.catalog.graftnat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftnat.root", scratch(dir, ""))
+      val upd = s.sql(
+        "UPDATE graftnat.snap_sqnat SET cents = cents + 100 " +
+          "WHERE o_orderkey % 10 = 0").head()
+      val updOk = upd.getString(0) == "UPDATE" && upd.getLong(2) == v0 + 1L &&
+        upd.getLong(3) > 0L
+      base.where(col("o_orderkey").between(1001, 3000))
+        .withColumn("cents", col("cents") + 7)
+        .createOrReplaceTempView("graft_nat_src")
+      val mrg = s.sql(
+        """MERGE INTO graftnat.snap_sqnat AS t USING graft_nat_src AS s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET t.cents = s.cents + 1000
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+      val mrgOk = mrg.getString(0) == "MERGE" && mrg.getLong(2) == v0 + 2L &&
+        mrg.getLong(3) > 0L && mrg.getLong(5) > 0L
+      log.readLatest(s)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).cast("long").as("sum_key"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .withColumn("update_receipt_ok", lit(updOk))
+        .withColumn("merge_receipt_ok", lit(mrgOk))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ── SQL DDL lifecycle ([[graft.sources.GraftCatalog]] CREATE /
     // CTAS / DROP): `CREATE TABLE` commits a METADATA-ONLY v0 declaring
     // the schema (`create_is_metadata_commit`; the empty table reads
@@ -4003,6 +4045,24 @@ object QueriesEtl {
         |       CAST(sum(c) AS BIGINT) AS sum_cents,
         |       TRUE AS merge_single_commit, TRUE AS scan_clean_after_merge
         |FROM merged GROUP BY st ORDER BY st""".stripMargin,
+
+    // snapshot_sql_dml_native: the spark.sql UPDATE-then-MERGE state
+    // replayed relationally; receipt laws measured Spark-side
+    "snapshot_sql_dml_native" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS update_receipt_ok, TRUE AS merge_receipt_ok
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey <= 1000 THEN
+        |                c0 + CASE WHEN o_orderkey % 10 = 0 THEN 100 ELSE 0 END
+        |              WHEN o_orderkey <= 2000 THEN c0 + 7 + 1000
+        |              ELSE c0 + 7 END AS cents
+        |  FROM (SELECT o_orderkey, o_orderstatus,
+        |               CAST(floor(o_totalprice * 100) AS BIGINT) AS c0
+        |        FROM orders WHERE o_orderkey <= 3000))
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // snapshot_sql_ddl: the CTAS table's content replayed relationally;
     // the metadata-commit and empty-read laws are measured Spark-side

@@ -3521,7 +3521,10 @@ object QueriesRelational {
         |       round(exp(sum(ln(CAST(n_at_risk - d_events AS DOUBLE)
         |                        / CAST(n_at_risk AS DOUBLE)))
         |         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
-        |         AS survival_6dp
+        |         AS survival_6dp,
+        |       round(sum(CAST(d_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+        |         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |         AS cumhaz_6dp
         |FROM risk ORDER BY t""".stripMargin,
 
     // survival_logrank: the identical Mantel-Cox arithmetic — integer

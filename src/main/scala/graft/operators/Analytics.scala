@@ -393,8 +393,13 @@ object Analytics {
         round(exp(sum(
           log((col("n_at_risk") - col("d_events")).cast("double") /
             col("n_at_risk").cast("double"))).over(wAsc)), 6))
+      // Nelson-Aalen cumulative hazard: Σ dᵢ/nᵢ — the additive
+      // counterpart of the product-limit, same float discipline
+      .withColumn("cumhaz_6dp",
+        round(sum(col("d_events").cast("double") /
+          col("n_at_risk").cast("double")).over(wAsc), 6))
       .select(col("t"), col("n_at_risk"), col("d_events"),
-        col("c_censored"), col("survival_6dp"))
+        col("c_censored"), col("survival_6dp"), col("cumhaz_6dp"))
   }
 
   /** LOG-RANK TEST (Mantel-Cox) — "do two survival curves differ?", the

@@ -477,7 +477,10 @@ object GraftCatalog {
                   requireSameSchema(data)
                   log.overwrite(data, parts)
                 } else {
-                  log.withOccRetry()(log.appendStrict(data, parts))
+                  // footer-derived stats ride every SQL INSERT, so the
+                  // file-skipping scan works over freshly-inserted data
+                  // with zero extra passes
+                  log.withOccRetry()(log.appendStrictStats(data, parts))
                 }
                 ()
               }

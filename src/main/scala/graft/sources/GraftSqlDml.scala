@@ -59,12 +59,21 @@ object GraftSqlDml {
     * [[GraftCatalog]] SQL reads.
     */
   def exec(spark: SparkSession, sql: String): DmlResult =
-    spark.sessionState.sqlParser.parsePlan(sql) match {
+    execPlan(spark, spark.sessionState.sqlParser.parsePlan(sql))
+
+  /** [[exec]] from an already-parsed plan — the entry the injected
+    * parser's command wrapper uses (the session parser may BE
+    * [[GraftSqlParser]], whose parsePlan re-wraps DML plans; accepting
+    * the plan directly keeps one interpretation, no re-parse loop).
+    */
+  def execPlan(spark: SparkSession, plan: LogicalPlan): DmlResult =
+    plan match {
       case UpdateTable(table, assignments, condition) =>
         execUpdate(spark, table, assignments, condition)
       case m: MergeIntoTable => execMerge(spark, m)
       case DeleteFromTable(table, condition) =>
         execDelete(spark, table, condition)
+      case w: GraftSqlParser.GraftDmlCommand => execPlan(spark, w.inner)
       case other => throw new UnsupportedOperationException(
         s"GraftSqlDml: only UPDATE / MERGE INTO / DELETE statements run here " +
           s"(got ${other.nodeName}) — SELECT and INSERT go through spark.sql " +

@@ -39,7 +39,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.maintenancePlanFor(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftSqlParser.maintenancePlanFor(sqlText).getOrElse(
+      GraftSqlParser.interceptDml(delegate.parsePlan(sqlText), sqlText))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -78,6 +79,60 @@ object GraftSqlParser {
       case HistoryRe(cat, table) => Some(DescribeGraftHistory(cat, table))
       case _ => None
     }
+
+  /** `spark.sql("UPDATE graftsnap.t SET …")` / `MERGE INTO` — JUST WORK:
+    * Spark parses the full ANSI statement, and when its target is a
+    * registered graft-catalog table (a `spark.sql.catalog.<cat>.root`
+    * conf whose catalog class is [[GraftCatalog]]), the plan is wrapped
+    * as a command that executes [[GraftSqlDml]]'s interpretation — the
+    * log's one-evaluation transactional DML — and returns the receipt
+    * row (op, version, row counts). Without this, analysis dies on
+    * `SupportsRowLevelOperations`, which the raw-parquet delegate scan
+    * cannot honestly provide. Statements whose target is any OTHER
+    * catalog pass through untouched, as does DELETE (it already routes
+    * natively through `SupportsDelete`'s copy-on-write path).
+    */
+  private def interceptDml(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      sqlText: String): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.{MergeIntoTable, SubqueryAlias, UpdateTable}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    def graftTarget(p: LogicalPlan): Boolean = p match {
+      case SubqueryAlias(_, child) => graftTarget(child)
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 2 =>
+        val cat = u.multipartIdentifier.head
+        try {
+          val spark = SparkSession.active
+          spark.conf.getOption(s"spark.sql.catalog.$cat.root").isDefined &&
+            spark.conf.getOption(s"spark.sql.catalog.$cat")
+              .contains(classOf[GraftCatalog].getName)
+        } catch { case _: IllegalStateException => false } // no active session
+      case _ => false
+    }
+    plan match {
+      case u @ UpdateTable(t, _, _) if graftTarget(t) => GraftDmlCommand(u)
+      case m: MergeIntoTable if graftTarget(m.targetTable) => GraftDmlCommand(m)
+      case other => other
+    }
+  }
+
+  /** The runnable wrapper: [[GraftSqlDml.execPlan]] on the plan Spark's
+    * grammar produced, receipt as the result row. `inner` is a
+    * constructor field, NOT a child — the analyzer must not descend into
+    * the unresolved DML plan (the interpreter owns its resolution).
+    */
+  private[sources] case class GraftDmlCommand(inner: LogicalPlan)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "op" -> StringType, "table" -> StringType, "version" -> LongType,
+      "rows_updated" -> LongType, "rows_deleted" -> LongType,
+      "rows_inserted" -> LongType, "occ_retries" -> IntegerType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val r = GraftSqlDml.execPlan(spark, inner)
+      Seq(Row(r.op, r.table, r.version, r.rowsUpdated, r.rowsDeleted,
+        r.rowsInserted, r.occRetries))
+    }
+  }
 
   /** The statement's table, resolved through the SAME catalog-root conf
     * the DSv2 catalog reads — one definition of what `cat.t` means.

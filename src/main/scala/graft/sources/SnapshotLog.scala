@@ -1880,6 +1880,92 @@ class SnapshotLog(
     (pruned, (keep.size, data.size))
   }
 
+  /** Per-file `[lo, hi]` for every INTEGRAL column of the staged files,
+    * read from the PARQUET FOOTERS the write already produced — the
+    * Delta stats-at-write shape with ZERO extra data pass: footer reads
+    * are driver-side, file-count-sized metadata work. Columns whose
+    * statistics are absent or non-integral are skipped (pruning stays
+    * conservative for them); a row group with no stats poisons the whole
+    * file's entry for that column (dropped — never a guessed range).
+    */
+  private def footerStats(staged: Seq[String]): Seq[(String, String, Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val conf = new org.apache.hadoop.conf.Configuration()
+    staged.flatMap { p =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(new File(dataRootPath, p).toString), conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks
+        import scala.jdk.CollectionConverters._
+        val perCol = scala.collection.mutable.Map.empty[String, (Long, Long)]
+        val poisoned = scala.collection.mutable.Set.empty[String]
+        blocks.asScala.foreach { b =>
+          b.getColumns.asScala.foreach { c =>
+            if (c.getPath.size() == 1) {
+              val name = c.getPath.toDotString
+              val tpe = c.getPrimitiveType.getPrimitiveTypeName
+              val logical = c.getPrimitiveType.getLogicalTypeAnnotation
+              val isPlainInt = (tpe == PrimitiveTypeName.INT64 ||
+                tpe == PrimitiveTypeName.INT32) &&
+                (logical == null || logical.isInstanceOf[
+                  org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+              val st = c.getStatistics
+              if (!isPlainInt) ()
+              else if (st == null || !st.hasNonNullValue() || st.isEmpty) {
+                poisoned += name; ()
+              } else {
+                val (lo, hi) = st.genericGetMin match {
+                  case l: java.lang.Long => (l.longValue(), st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+                  case i: java.lang.Integer => (i.longValue(), st.genericGetMax.asInstanceOf[java.lang.Integer].longValue())
+                  case _ => (Long.MinValue, Long.MaxValue)
+                }
+                perCol.updateWith(name) {
+                  case Some((a, b)) => Some((math.min(a, lo), math.max(b, hi)))
+                  case None => Some((lo, hi))
+                }
+                ()
+              }
+            }
+          }
+        }
+        (perCol.keySet -- poisoned).toSeq.sorted.map { c =>
+          val (lo, hi) = perCol(c); (p, c, lo, hi)
+        }
+      } finally reader.close()
+    }
+  }
+
+  /** Write (or extend) the staged directory's `_stats.parquet` sidecar
+    * from [[footerStats]] — the zero-scan path SQL INSERTs take so a
+    * plain `INSERT INTO` gets manifest-level file skipping for free.
+    */
+  private def writeFooterStatsSidecar(spark: SparkSession, staged: Seq[String]): Unit = {
+    val rows = footerStats(staged)
+    if (rows.nonEmpty) {
+      import spark.implicits._
+      val dir = new File(dataRootPath, staged.head).getParentFile
+      rows.toDF("file", "col", "lo", "hi")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new File(dir, "_stats.parquet").toString)
+    }
+  }
+
+  /** [[appendStrict]] + footer-derived stats sidecars — the SQL INSERT
+    * path: schema enforcement, then min/max for every integral column
+    * recorded from the parquet footers the write just produced, so
+    * catalog scans skip files over freshly-inserted data with no extra
+    * data pass and no caller ceremony.
+    */
+  def appendStrictStats(df: DataFrame, partitions: Int): Long = {
+    val v = appendStrict(df, partitions)
+    writeFooterStatsSidecar(df.sparkSession, appendedFiles(v)
+      .map(abs => new File(abs).toString.stripPrefix(dataRootPath + "/")))
+    v
+  }
+
   /** [[stageArranged]] plus the `_stats.parquet` min/max sidecar — the
     * shared staging step of [[appendIndexed]] and [[mergeCopyOnWrite]].
     * One bounded per-staged-file aggregation pass; nothing is committed.

@@ -688,12 +688,13 @@ class AnalyticsSpec extends AnyFunSuite {
     val got = Analytics.kaplanMeier(durs, col("dur"), col("ev"))
       .orderBy(col("t"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
     assert(got.toSeq == Seq(
-      (1L, 5L, 1L, 0L, 0.8),       // S = 4/5
-      (2L, 4L, 0L, 1L, 0.8),       // censoring leaves S unchanged
-      (3L, 3L, 2L, 0L, 0.266667),  // S = 0.8 * 1/3 (tied events in one step)
-      (4L, 1L, 0L, 1L, 0.266667)), // last subject censors out
+      (1L, 5L, 1L, 0L, 0.8, 0.2),           // S = 4/5; H = 1/5
+      (2L, 4L, 0L, 1L, 0.8, 0.2),           // censoring changes neither
+      (3L, 3L, 2L, 0L, 0.266667, 0.866667), // S = 0.8/3; H = 1/5 + 2/3
+      (4L, 1L, 0L, 1L, 0.266667, 0.866667)),
       s"got ${got.toSeq}")
     // null and negative durations are excluded, not crashed on
     val messy = Seq((Some(2L), 1L), (None, 1L), (Some(-1L), 0L), (Some(2L), 0L))

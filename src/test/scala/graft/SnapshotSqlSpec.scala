@@ -26,6 +26,14 @@ class SnapshotSqlSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.graftsnap.root", root)
   }
 
+  /** Files the executed plan's V2 scan actually lists. */
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+          .fileIndex.inputFiles.length
+    }.getOrElse(sys.error("no BatchScanExec leaf"))
+
   test("SQL reads the current snapshot through a V2 scan with pushdown; writes refuse") {
     val log = freshLog("t_sql")
     log.append((0 until 20).map(i => (i.toLong, s"p-$i", i.toLong * 10))
@@ -241,12 +249,6 @@ class SnapshotSqlSpec extends AnyFunSuite {
       rows.toDF("id", "v").repartitionByRange(4, col("id")).sortWithinPartitions(col("id")),
       statsCols = Seq("id"))
     registerCatalog()
-    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.executedPlan.collectLeaves().collectFirst {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
-            .fileIndex.inputFiles.length
-      }.getOrElse(sys.error("no BatchScanExec leaf"))
     val all = spark.sql("SELECT * FROM graftsnap.t_skip")
     assert(plannedFiles(all) == 4, s"expected 4 files, got ${plannedFiles(all)}")
     // a key-range predicate plans over ONLY the files whose range it hits
@@ -268,6 +270,27 @@ class SnapshotSqlSpec extends AnyFunSuite {
       s"pushdown lost:\n$plan")
     // a column without stats keeps every file (conservative)
     assert(plannedFiles(spark.sql("SELECT * FROM graftsnap.t_skip WHERE v = 30")) == 4)
+  }
+
+  test("spark.sql UPDATE and MERGE run the one-evaluation DML and return receipts") {
+    val log = freshLog("t_dmlnat")
+    log.append((0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
+    registerCatalog()
+    val upd = spark.sql(
+      "UPDATE graftsnap.t_dmlnat SET v = v + 100 WHERE id < 5").head()
+    assert(upd.getString(0) == "UPDATE" && upd.getLong(3) == 5L, s"got $upd")
+    assert(log.readLatest(spark).where(col("v") >= 100L).count() == 5L)
+    Seq((3L, 7L), (20L, 20L)).toDF("id", "v").createOrReplaceTempView("dmlnat_src")
+    val mrg = spark.sql(
+      """MERGE INTO graftsnap.t_dmlnat AS t USING dmlnat_src AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert(mrg.getString(0) == "MERGE" &&
+      mrg.getLong(3) == 1L && mrg.getLong(5) == 1L, s"got $mrg")
+    val rows = log.readLatest(spark).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.contains((3L, 7L)) && rows.contains((20L, 20L)) && rows.length == 11)
   }
 
   test("maintenance verbs: OPTIMIZE / ZORDER / VACUUM / DESCRIBE HISTORY parse and run") {
@@ -300,6 +323,30 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a snapshot-log table"), s"got: ${ex.getMessage}")
   }
 
+  test("SQL INSERTs record footer stats; later range queries skip whole inserts") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftsnap.t_fstats")
+    spark.sql("CREATE TABLE graftsnap.t_fstats (id BIGINT, v BIGINT)")
+    // three inserts, each a disjoint key slice (the time-ordered ingest
+    // pattern): footer-derived stats land without any extra data pass
+    Seq((0, 100), (100, 200), (200, 300)).foreach { case (lo, hi) =>
+      (lo until hi).map(i => (i.toLong, i.toLong * 2)).toDF("id", "v")
+        .createOrReplaceTempView("graft_fstats_src")
+      spark.sql("INSERT INTO graftsnap.t_fstats SELECT * FROM graft_fstats_src")
+    }
+    val log = new SnapshotLog(s"$root/t_fstats")
+    val cur = log.currentVersion.get
+    val total = log.dataFiles(cur).size
+    val firstInsertFiles = log.appendedFiles(1L).size
+    // the first slice's keys plan over ONLY the first insert's files
+    val narrow = spark.sql("SELECT v FROM graftsnap.t_fstats WHERE id < 100")
+    assert(plannedFiles(narrow) == firstInsertFiles && firstInsertFiles < total,
+      s"planned ${plannedFiles(narrow)}, first insert $firstInsertFiles, total $total")
+    assert(narrow.count() == 100L)
+    // stats really came from footers: the sidecar exists for each insert
+    assert(log.fileStatsForColumn(spark, cur, "id").exists(_.size == total))
+  }
+
   test("SQL equality on a categorical column skips files via value-set sidecars") {
     val log = freshLog("t_vskip")
     // cluster by category so each file carries one value set
@@ -308,12 +355,6 @@ class SnapshotSqlSpec extends AnyFunSuite {
       rows.toDF("id", "cat").repartitionByRange(3, col("cat")).sortWithinPartitions(col("cat")),
       valueCols = Seq("cat"))
     registerCatalog()
-    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.executedPlan.collectLeaves().collectFirst {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
-            .fileIndex.inputFiles.length
-      }.getOrElse(sys.error("no BatchScanExec leaf"))
     assert(plannedFiles(spark.sql("SELECT * FROM graftsnap.t_vskip")) == 3)
     val one = spark.sql("SELECT id FROM graftsnap.t_vskip WHERE cat = 'cat1'")
     assert(plannedFiles(one) == 1, s"got ${plannedFiles(one)}")
