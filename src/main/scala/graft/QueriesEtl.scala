@@ -529,6 +529,44 @@ object QueriesEtl {
     // pure integer arithmetic, so the oracle replays the release
     // bit-for-bit (seeded here for verifiability; production swaps in a
     // fresh draw and drops the audit arms, nothing else changes) ──
+    // ── MULTI-CLASS PII SCAN + MASK ([[operators.Privacy.piiScan]], the
+    // pre-training corpus scrub): a PII-bearing text is CONSTRUCTED
+    // deterministically from customer rows (the real c_phone, a derived
+    // email, a key-derived IPv4, a 9+-digit account number inside the
+    // comment), then one codegen'd map-side pass counts every class on
+    // the original text and masks them in taxonomy order. The rollup
+    // hashes per-class counts AND the masked text's total length — one
+    // mask slipped or doubled anywhere in the corpus shifts the sum ──
+    "pii_scan" -> ((s, dir) => {
+      val txt = Tables.customer(s, dir).select(
+        col("c_mktsegment"),
+        concat(
+          col("c_name"), lit(" call "),
+          (pmod(col("c_custkey"), lit(90)) + 10).cast("string"), lit("-"),
+          (pmod(col("c_custkey") * 3, lit(900)) + 100).cast("string"), lit("-"),
+          (pmod(col("c_custkey") * 11, lit(900)) + 100).cast("string"), lit("-"),
+          (pmod(col("c_custkey") * 17, lit(9000)) + 1000).cast("string"),
+          lit(" or "),
+          lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+          lit("@example.com from "),
+          pmod(col("c_custkey"), lit(256)).cast("string"), lit("."),
+          pmod(col("c_custkey") * 7, lit(256)).cast("string"), lit("."),
+          pmod(col("c_custkey") * 13, lit(256)).cast("string"), lit("."),
+          pmod(col("c_custkey") * 29, lit(256)).cast("string"),
+          lit(" acct "), (col("c_custkey") + 100000000L).cast("string"))
+          .as("text"))
+      graft.operators.Privacy.piiScan(txt, "text")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("n_email")).cast("long").as("emails"),
+          sum(col("n_phone")).cast("long").as("phones"),
+          sum(col("n_ipv4")).cast("long").as("ipv4s"),
+          sum(col("n_idnum")).cast("long").as("idnums"),
+          sum(length(col("text_masked"))).cast("long").as("masked_len"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "dp_counts" -> ((s, dir) =>
       graft.operators.Privacy.dpCounts(
         Tables.events(s, dir),
@@ -3725,6 +3763,46 @@ object QueriesEtl {
     // dp_counts: identical 32-bit hash draw, identical exact integer CDF
     // thresholds (interpolated from the SAME Scala constants), identical
     // noise — the release replays bit-for-bit
+    // pii_scan: identical text construction, identical RE2-safe regex
+    // text, identical taxonomy-order masking — counts and the masked
+    // length replay exactly
+    "pii_scan" ->
+      """WITH t AS (
+        |  SELECT c_mktsegment,
+        |         c_name || ' call ' ||
+        |         (c_custkey % 90 + 10)::VARCHAR || '-' ||
+        |         (c_custkey * 3 % 900 + 100)::VARCHAR || '-' ||
+        |         (c_custkey * 11 % 900 + 100)::VARCHAR || '-' ||
+        |         (c_custkey * 17 % 9000 + 1000)::VARCHAR || ' or ' ||
+        |         lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) ||
+        |         '@example.com from ' ||
+        |         (c_custkey % 256)::VARCHAR || '.' ||
+        |         (c_custkey * 7 % 256)::VARCHAR || '.' ||
+        |         (c_custkey * 13 % 256)::VARCHAR || '.' ||
+        |         (c_custkey * 29 % 256)::VARCHAR ||
+        |         ' acct ' || (c_custkey + 100000000)::VARCHAR AS text
+        |  FROM customer
+        |), scanned AS (
+        |  SELECT c_mktsegment,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(text, '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+        |    len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |    len(regexp_extract_all(text, '\b\d{9,16}\b')) AS n_idnum,
+        |    length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{9,16}\b', '<ID>', 'g')) AS mlen
+        |  FROM t
+        |)
+        |SELECT c_mktsegment, count(*) AS n_rows,
+        |       CAST(sum(n_email) AS BIGINT) AS emails,
+        |       CAST(sum(n_phone) AS BIGINT) AS phones,
+        |       CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+        |       CAST(sum(n_idnum) AS BIGINT) AS idnums,
+        |       CAST(sum(mlen) AS BIGINT) AS masked_len
+        |FROM scanned GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "dp_counts" -> {
       val chain = graft.operators.Privacy.DpGeomThresholds.init
         .map { case (k, t) => s"WHEN h < ${t} THEN ${k}" }.mkString("\n        |         ")

@@ -43,6 +43,39 @@ object Privacy {
   def redactionCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
 
+  /** The multi-class PII taxonomy a corpus scrub detects and masks:
+    * (class, pattern, mask token), in MASKING ORDER — email first so a
+    * later digit-class can never fire inside an address it should have
+    * consumed whole. Patterns are deliberately RE2-safe (no backrefs, no
+    * lookaround) so the same regex text runs identically on Spark's Java
+    * engine and any RE2-class engine an oracle replays on.
+    */
+  val PiiClasses: Seq[(String, String, String)] = Seq(
+    ("email", EmailPattern, "<EMAIL>"),
+    ("phone", "\\b\\d{2}-\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("idnum", "\\b\\d{9,16}\\b", "<ID>"))
+
+  /** MULTI-CLASS PII SCAN + MASK (the pre-training corpus scrub every
+    * LLM pipeline runs): per row, one audit count per [[PiiClasses]]
+    * class (`n_email`, `n_phone`, `n_ipv4`, `n_idnum` — counted on the
+    * ORIGINAL text, word-boundary anchored so a digit run inside a
+    * larger token never double-counts) plus the fully masked text
+    * (`<textCol>_masked`) with classes replaced in taxonomy order.
+    *
+    * Pure codegen'd column expressions — one map-side pass, no shuffle,
+    * no UDFs — so the scan runs at scan speed over 100 TB of text.
+    */
+  def piiScan(df: DataFrame, textCol: String): DataFrame = {
+    val counted = PiiClasses.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name", redactionCount(col(textCol), pat))
+    }
+    val masked = PiiClasses.foldLeft(col(textCol)) { case (c, (_, pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+    counted.withColumn(s"${textCol}_masked", masked)
+  }
+
   /** Timestamp generalized to its hour bucket, as epoch SECONDS — integer
     * math end to end (floor-epoch minus its mod-3600 remainder), the
     * repo-wide cross-engine determinism discipline for time outputs.

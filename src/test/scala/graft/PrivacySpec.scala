@@ -185,4 +185,22 @@ class PrivacySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Privacy.lDiversityAudit(df, quasi, col("user"), l = 1))
   }
+
+  test("piiScan: per-class counts on the original text, taxonomy-order masking") {
+    val df = Seq(
+      "mail a@b.co or c.d-e@f.org call 12-345-678-9012 from 10.0.0.1 acct 123456789",
+      "no pii here at all",
+      "id 9999999999999999 and boundary x123456789 stays").toDF("text")
+    val got = Privacy.piiScan(df, "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(got(0) == (
+      "mail a@b.co or c.d-e@f.org call 12-345-678-9012 from 10.0.0.1 acct 123456789",
+      2L, 1L, 1L, 1L,
+      "mail <EMAIL> or <EMAIL> call <PHONE> from <IP> acct <ID>"), s"got ${got(0)}")
+    assert(got(1) == ("no pii here at all", 0L, 0L, 0L, 0L, "no pii here at all"))
+    // a digit run glued to a word char has no boundary — never masked
+    assert(got(2)._5 == 1L &&
+      got(2)._6 == "id <ID> and boundary x123456789 stays", s"got ${got(2)}")
+  }
 }
