@@ -68,6 +68,8 @@ object GraftSqlParser {
     """(?is)\s*VACUUM\s+(\w+)\.(\w+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\.(\w+)\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\w+)\.(\w+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
   private def maintenancePlanFor(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -77,6 +79,7 @@ object GraftSqlParser {
       case VacuumRe(cat, table, retain) =>
         Some(VacuumGraftTable(cat, table, Option(retain).map(_.toInt)))
       case HistoryRe(cat, table) => Some(DescribeGraftHistory(cat, table))
+      case RestoreRe(cat, table, v) => Some(RestoreGraftTable(cat, table, v.toLong))
       case _ => None
     }
 
@@ -202,6 +205,21 @@ object GraftSqlParser {
         case None => 0
       }
       Seq(Row(expired, log.vacuum().size))
+    }
+  }
+
+  /** `RESTORE [TABLE] cat.t [TO] VERSION AS OF n` — the incident
+    * rollback ([[SnapshotLog.restoreTo]]): the old listing re-commits as
+    * the NEXT version, no data bytes move, rolled-past history stays
+    * readable for the post-mortem.
+    */
+  private case class RestoreGraftTable(cat: String, table: String, toVersion: Long)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "restored_to" -> LongType, "new_version" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val log = logFor(spark, cat, table)
+      Seq(Row(toVersion, log.restoreTo(toVersion)))
     }
   }
 

@@ -323,6 +323,19 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a snapshot-log table"), s"got: ${ex.getMessage}")
   }
 
+  test("RESTORE rolls the table back as a new commit; rolled-past history reads") {
+    val log = freshLog("t_restore")
+    log.append((0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
+    log.append((10 until 30).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
+    registerCatalog()
+    val r = spark.sql("RESTORE graftsnap.t_restore TO VERSION AS OF 0").head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 2L, s"got $r")
+    assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_restore").head().getLong(0) == 10L)
+    // the rolled-past version stays readable for the post-mortem
+    assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_restore VERSION AS OF 1")
+      .head().getLong(0) == 30L)
+  }
+
   test("SQL INSERTs record footer stats; later range queries skip whole inserts") {
     registerCatalog()
     spark.sql("DROP TABLE IF EXISTS graftsnap.t_fstats")
