@@ -247,6 +247,22 @@ class GraftLogSource(
         log.readChanges(spark, math.max(lo, floor - 1L), hi)
       else {
         val slice = log.versions.filter(v => v > lo && v <= hi && v >= floor)
+        // appended-file discovery treats the OLDEST SURVIVING version as
+        // "everything added" — correct only for the stream's own initial
+        // batch. If an expire() ran under this checkpoint and ate the
+        // parent of a pending version, serving it would RE-EMIT the whole
+        // carried listing as fresh rows: refuse loudly instead.
+        slice.headOption.foreach { h =>
+          // `start.isEmpty` marks the stream's genuinely-first batch (no
+          // prior offset anywhere, checkpoint included) — the only case
+          // the whole-listing semantics is for. A RESTART recomputes the
+          // floor from the now-shorter chain, so the floor alone cannot
+          // distinguish "initial" from "resumed past an expire".
+          require((start.isEmpty && h == floor) || log.versions.contains(h - 1L),
+            s"graft-log source: v${h - 1L} of ${log.root} was expired under " +
+              s"a running stream — discovering v$h's appends would re-emit " +
+              "carried files; restart from a fresh checkpoint or startingVersion")
+        }
         val files = slice.flatMap(log.appendedFiles)
           .filter(_.endsWith(".parquet"))
         if (files.isEmpty)

@@ -66,6 +66,34 @@ class GraftLogSourceSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no committed snapshot"), s"got: ${ex.getMessage}")
   }
 
+  test("an expire under a running checkpoint refuses instead of re-emitting") {
+    val log = freshLog("t_expire")
+    log.append((0 until 10).map(i => (i.toLong, 0L)).toDF("id", "v"), partitions = 1)
+    val base = java.nio.file.Files.createTempDirectory("graft_expire_ckpt_")
+    val (sinkDir, ckptDir) = (base.resolve("out"), base.resolve("ckpt"))
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft-log").option("root", log.root).load()
+        .writeStream.format("parquet")
+        .option("path", sinkDir.toString)
+        .option("checkpointLocation", ckptDir.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // checkpoint lands at v0
+    // two commits land, then v0..v1 expire — v2's parent is gone
+    log.append((10 until 15).map(i => (i.toLong, 1L)).toDF("id", "v"), partitions = 1)
+    log.append((15 until 20).map(i => (i.toLong, 2L)).toDF("id", "v"), partitions = 1)
+    log.expire(keepFrom = 2L)
+    val ex = intercept[Exception] { run() }
+    def anywhere(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("expired under")) ||
+        anywhere(t.getCause))
+    assert(anywhere(ex), s"got: ${ex.getMessage}")
+    // nothing was re-emitted into the sink
+    assert(spark.read.schema("id long, v long").parquet(sinkDir.toString).count() == 10L)
+  }
+
   test("a rewrite commit mid-stream fails the append contract loudly") {
     val log = freshLog("t_rw")
     log.append((0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
