@@ -2804,8 +2804,12 @@ object QueriesEtl {
       val hist = s.sql("DESCRIBE HISTORY graftmnt.ord").collect()
       val historyComplete = hist.length == log.versions.size &&
         hist.count(_.getString(1) == "rewrite") == 2
+      val dry = s.sql("VACUUM graftmnt.ord RETAIN 1 VERSIONS DRY RUN").head()
+      val untouchedAfterDry = log.versions.size == hist.length
       val vac = s.sql("VACUUM graftmnt.ord RETAIN 1 VERSIONS").head()
       val swept = vac.getInt(0) >= 1 && vac.getInt(1) >= 1
+      val previewExact = untouchedAfterDry &&
+        dry.getInt(0) == vac.getInt(0) && dry.getInt(1) == vac.getInt(1)
       s.sql(
         """SELECT status, count(*) AS n_orders,
           |       CAST(sum(k) AS BIGINT) AS sum_key,
@@ -2815,6 +2819,7 @@ object QueriesEtl {
         .withColumn("zorder_rewrote", lit(zordered))
         .withColumn("history_complete", lit(historyComplete))
         .withColumn("vacuum_swept", lit(swept))
+        .withColumn("dry_run_preview_exact", lit(previewExact))
         .orderBy(col("status"))
     }),
 
@@ -4187,7 +4192,8 @@ object QueriesEtl {
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |       TRUE AS optimize_packed, TRUE AS zorder_rewrote,
-        |       TRUE AS history_complete, TRUE AS vacuum_swept
+        |       TRUE AS history_complete, TRUE AS vacuum_swept,
+        |       TRUE AS dry_run_preview_exact
         |FROM orders WHERE o_orderkey <= 4000
         |GROUP BY status ORDER BY status""".stripMargin,
 

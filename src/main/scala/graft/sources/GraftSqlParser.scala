@@ -65,7 +65,7 @@ object GraftSqlParser {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+(\w+)\.(\w+)\s*(?:ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+(\w+)\.(\w+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+(\w+)\.(\w+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*(DRY\s+RUN)?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\.(\w+)\s*;?\s*""".r
   private val RestoreRe =
@@ -76,8 +76,9 @@ object GraftSqlParser {
       case OptimizeRe(cat, table, zorder) =>
         Some(OptimizeGraftTable(cat, table,
           Option(zorder).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)))
-      case VacuumRe(cat, table, retain) =>
-        Some(VacuumGraftTable(cat, table, Option(retain).map(_.toInt)))
+      case VacuumRe(cat, table, retain, dry) =>
+        Some(VacuumGraftTable(cat, table, Option(retain).map(_.toInt),
+          dryRun = dry != null))
       case HistoryRe(cat, table) => Some(DescribeGraftHistory(cat, table))
       case RestoreRe(cat, table, v) => Some(RestoreGraftTable(cat, table, v.toLong))
       case _ => None
@@ -184,27 +185,45 @@ object GraftSqlParser {
     }
   }
 
-  /** `VACUUM cat.t [RETAIN n VERSIONS]`: with RETAIN, expire versions
-    * below the keep horizon first ([[SnapshotLog.expire]] — pinned
-    * readers of retained versions stay safe, the vacuum_retention_travel
-    * law); then sweep unreferenced files ([[SnapshotLog.vacuum]]).
+  /** `VACUUM cat.t [RETAIN n VERSIONS] [DRY RUN]`: with RETAIN, expire
+    * versions below the keep horizon first ([[SnapshotLog.expire]] —
+    * pinned readers of retained versions stay safe, the
+    * vacuum_retention_travel law); then sweep unreferenced files
+    * ([[SnapshotLog.vacuum]]). `DRY RUN` previews the orphan listing
+    * WITHOUT expiring or deleting anything ([[SnapshotLog.vacuumDryRun]]
+    * — the Delta preview discipline before a destructive sweep).
     */
   private case class VacuumGraftTable(
-      cat: String, table: String, retainVersions: Option[Int])
+      cat: String, table: String, retainVersions: Option[Int], dryRun: Boolean)
     extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs(
-      "versions_expired" -> IntegerType, "files_removed" -> IntegerType)
+      "versions_expired" -> IntegerType, "files_removed" -> IntegerType,
+      "dry_run" -> org.apache.spark.sql.types.BooleanType)
     override def run(spark: SparkSession): Seq[Row] = {
       val log = logFor(spark, cat, table)
-      val expired = retainVersions match {
-        case Some(n) =>
+      if (dryRun) {
+        // preview only: nothing expires, nothing deletes — the live set
+        // is computed from the versions the RETAIN horizon would keep,
+        // so the file count matches what the real sequence removes
+        val keepFrom = retainVersions.map { n =>
           require(n >= 1, s"VACUUM: RETAIN must keep at least 1 version, got $n")
           val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
             s"VACUUM: no committed snapshot at $cat.$table"))
-          log.expire(keepFrom = cur - n + 1L).size
-        case None => 0
+          cur - n + 1L
+        }
+        val wouldExpire = keepFrom.map(k => log.versions.count(_ < k)).getOrElse(0)
+        Seq(Row(wouldExpire, log.vacuumDryRun(keepFrom).size, true))
+      } else {
+        val expired = retainVersions match {
+          case Some(n) =>
+            require(n >= 1, s"VACUUM: RETAIN must keep at least 1 version, got $n")
+            val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
+              s"VACUUM: no committed snapshot at $cat.$table"))
+            log.expire(keepFrom = cur - n + 1L).size
+          case None => 0
+        }
+        Seq(Row(expired, log.vacuum().size, false))
       }
-      Seq(Row(expired, log.vacuum().size))
     }
   }
 

@@ -2479,6 +2479,33 @@ class SnapshotLog(
     sweepOrphans(liveFiles)
   }
 
+  /** What [[vacuum]] WOULD delete, touching nothing — the dry run every
+    * operator wants before a destructive sweep. Same guards, same orphan
+    * listing, zero deletions; a following [[vacuum]] removes exactly
+    * this list (modulo concurrent commits). With `keepFrom`, the live
+    * set is computed from the versions an [[expire]]`(keepFrom)` would
+    * RETAIN — previewing the full expire-then-vacuum sequence without
+    * running either.
+    */
+  def vacuumDryRun(keepFrom: Option[Long] = None): Seq[String] = {
+    require(dataRootOpt.isEmpty,
+      s"vacuumDryRun: this log borrows the data pool at $dataRootPath — " +
+        "preview against every log sharing the pool")
+    require(!branchesDir.exists() ||
+        Option(branchesDir.listFiles()).getOrElse(Array.empty).isEmpty,
+      s"vacuumDryRun: branches exist under $root and share this data pool")
+    val retained = keepFrom match {
+      case Some(k) =>
+        val vs = versions.filter(_ >= k)
+        require(vs.nonEmpty,
+          s"vacuumDryRun: keepFrom $k would retain no version of $root")
+        vs
+      case None => versions
+    }
+    listOrphans(retained.flatMap(v =>
+      dataFiles(v) ++ tombstoneFiles(v) ++ posDeleteFiles(v) ++ dvFiles(v)).toSet)
+  }
+
   /** All data/tombstone relative paths any live version of THIS log still
     * references — the per-log contribution to a shared-pool vacuum.
     */
@@ -2488,18 +2515,25 @@ class SnapshotLog(
 
   private[sources] def branchesDir = new File(root, "branches")
 
+  /** The orphan listing [[sweepOrphans]] deletes and [[vacuumDryRun]]
+    * previews — underscore-prefixed entries (the `_stats.parquet`
+    * sidecar) are stage METADATA, not data files: never orphan-collected
+    * on their own, dropped with the directory once its last data file
+    * dies.
+    */
+  private def listOrphans(live: Set[String]): Seq[String] =
+    Option(dataDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+      .flatMap { d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+          .map(f => s"data/${d.getName}/${f.getName}")
+          .filterNot(live.contains)
+      }.toSeq.sorted
+
   private[sources] def sweepOrphans(live: Set[String]): Seq[String] = {
     val writeDirs = Option(dataDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
-    // underscore-prefixed entries (the `_stats.parquet` sidecar) are
-    // stage METADATA, not data files: never orphan-collected on their
-    // own, dropped with the directory once its last data file dies
-    val orphans = writeDirs.flatMap { d =>
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.endsWith(".parquet") &&
-          !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-        .map(f => s"data/${d.getName}/${f.getName}")
-        .filterNot(live.contains)
-    }.toSeq.sorted
+    val orphans = listOrphans(live)
     orphans.foreach(p => new File(dataRootPath, p).delete())
     // a write dir with no DATA parquet left holds only markers/sidecars —
     // clear it so the data tree shrinks with the snapshots

@@ -313,9 +313,15 @@ class SnapshotSqlSpec extends AnyFunSuite {
     // DESCRIBE HISTORY shows the whole chain with the two rewrites
     val hist = spark.sql("DESCRIBE HISTORY graftsnap.t_mnt").collect()
     assert(hist.length == 5 && hist.count(_.getString(1) == "rewrite") == 2, s"got ${hist.toSeq}")
-    // VACUUM RETAIN 1 expires history and sweeps the orphaned rewrites
+    // DRY RUN previews the expire-then-sweep outcome, touching nothing
+    val dry = spark.sql("VACUUM graftsnap.t_mnt RETAIN 1 VERSIONS DRY RUN").head()
+    assert(dry.getBoolean(2) && dry.getInt(0) == 4 && dry.getInt(1) >= 6, s"got $dry")
+    val log2 = new SnapshotLog(s"$root/t_mnt")
+    assert(log2.versions.size == 5, "dry run must not expire")
+    // VACUUM RETAIN 1 expires history and sweeps EXACTLY the preview
     val vac = spark.sql("VACUUM graftsnap.t_mnt RETAIN 1 VERSIONS").head()
-    assert(vac.getInt(0) == 4 && vac.getInt(1) >= 6, s"got $vac")
+    assert(vac.getInt(0) == 4 && vac.getInt(1) == dry.getInt(1) &&
+      !vac.getBoolean(2), s"got $vac vs preview $dry")
     assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_mnt").head().getLong(0) == 150L)
     // real grammar is never shadowed; unknown tables refuse loudly
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
