@@ -2906,6 +2906,48 @@ object QueriesEtl {
         .orderBy(col("version"))
     }),
 
+    // ── SQL DROP COLUMN ([[SnapshotLog.dropColumns]], the dual of ADD):
+    // one metadata-only commit (`drop_metadata_only` — version +1,
+    // data-file listing byte-identical) after which the column projects
+    // away from every read while old files keep the bytes; the
+    // time-travelled pre-drop snapshot keeps the wide shape
+    // (`travel_keeps_wide`), and re-ADDing the dropped name is REFUSED
+    // (`resurrection_refused`) — the ghost-value hazard Delta needs
+    // column mapping for, made loud here ──
+    "snapshot_sql_drop" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftdrop", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftdrop.root", scratch(dir, "droproot"))
+      s.sql("DROP TABLE IF EXISTS graftdrop.ord")
+      s.sql("CREATE TABLE graftdrop.ord (o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_drop_src")
+      s.sql("INSERT INTO graftdrop.ord SELECT * FROM graft_drop_src WHERE o_orderkey <= 2000")
+      val log = new SnapshotLog(scratch(dir, "droproot") + "/ord")
+      val vBefore = log.currentVersion.get
+      val filesBefore = log.dataFiles(vBefore)
+      s.sql("ALTER TABLE graftdrop.ord DROP COLUMN cents")
+      val metadataOnly = log.currentVersion.get == vBefore + 1L &&
+        log.dataFiles(vBefore + 1L) == filesBefore
+      val travelWide = s.sql(
+        s"SELECT * FROM graftdrop.ord VERSION AS OF $vBefore")
+        .schema.fieldNames.contains("cents")
+      s.sql("INSERT INTO graftdrop.ord SELECT o_orderkey, o_orderstatus " +
+        "FROM graft_drop_src WHERE o_orderkey > 2000 AND o_orderkey <= 3000")
+      val resurrectionRefused =
+        try { s.sql("ALTER TABLE graftdrop.ord ADD COLUMNS (cents BIGINT)"); false }
+        catch { case e: Throwable =>
+          Option(e.getMessage).exists(_.contains("previously DROPPED")) }
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+          |FROM graftdrop.ord GROUP BY o_orderstatus""".stripMargin)
+        .withColumn("drop_metadata_only", lit(metadataOnly))
+        .withColumn("travel_keeps_wide", lit(travelWide))
+        .withColumn("resurrection_refused", lit(resurrectionRefused))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ── CHANGE DATA FEED ([[SnapshotLog.readChanges]], the Delta CDF
     // shape computed purely from manifest deltas — zero write-path cost):
     // five commits (two appends, a merge-on-read DELETE, a merge-on-read
@@ -4221,6 +4263,16 @@ object QueriesEtl {
         |       removed, files_total, plan_is_local_scan,
         |       files_table_consistent)
         |ORDER BY version""".stripMargin,
+
+    // snapshot_sql_drop: the narrow post-drop relation replayed; the
+    // metadata-only / travel / resurrection laws are measured Spark-side
+    "snapshot_sql_drop" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       TRUE AS drop_metadata_only, TRUE AS travel_keeps_wide,
+        |       TRUE AS resurrection_refused
+        |FROM orders WHERE o_orderkey <= 3000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // snapshot_cdf: every version's change set replayed relationally;
     // the UPDATE is a pre-image delete + post-image insert pair under

@@ -194,32 +194,43 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  /** `ALTER TABLE catalog.t ADD COLUMNS (…)` — routes to
-    * [[SnapshotLog.addColumns]]: one metadata-only commit, no file
-    * rewrite, OCC-retried. Only top-level nullable end-position adds are
-    * expressible as a pure metadata change; every other ALTER (RENAME /
+  /** `ALTER TABLE catalog.t ADD COLUMNS (…)` / `DROP COLUMN c` — route
+    * to [[SnapshotLog.addColumns]] / [[SnapshotLog.dropColumns]]: one
+    * metadata-only commit each, no file rewrite, OCC-retried. Only
+    * top-level nullable end-position adds and top-level drops are
+    * expressible as pure metadata changes; every other ALTER (RENAME /
     * retype / NOT NULL / FIRST-AFTER placement / nested fields) is
-    * refused loudly toward the API's mapping-aware path.
+    * refused loudly toward the API's mapping-aware path. Dropped names
+    * are blocklisted against resurrection (ghost values in old files).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val log = logFor(ident)
-    val adds = changes.map {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          s"GraftCatalog: nested ADD COLUMN ${a.fieldNames().mkString(".")} " +
-            "is not supported — add a top-level column")
-        require(a.position() == null,
-          "GraftCatalog: ADD COLUMN … FIRST/AFTER is not supported — " +
-            "added columns always append at the end (metadata-only commit)")
-        require(a.isNullable,
-          s"GraftCatalog: ADD COLUMN ${a.fieldNames()(0)} NOT NULL is not " +
-            "supported — existing rows would violate it; add nullable, " +
-            "backfill, then constrain")
-        (a.fieldNames()(0), a.dataType())
-      case other =>
-        readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
+    val (addChanges, dropChanges) = changes.partition {
+      case _: TableChange.AddColumn => true
+      case _: TableChange.DeleteColumn => false
+      case other => readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
     }
-    log.withOccRetry()(log.addColumns(SparkSession.active, adds))
+    val adds = addChanges.collect { case a: TableChange.AddColumn =>
+      require(a.fieldNames().length == 1,
+        s"GraftCatalog: nested ADD COLUMN ${a.fieldNames().mkString(".")} " +
+          "is not supported — add a top-level column")
+      require(a.position() == null,
+        "GraftCatalog: ADD COLUMN … FIRST/AFTER is not supported — " +
+          "added columns always append at the end (metadata-only commit)")
+      require(a.isNullable,
+        s"GraftCatalog: ADD COLUMN ${a.fieldNames()(0)} NOT NULL is not " +
+          "supported — existing rows would violate it; add nullable, " +
+          "backfill, then constrain")
+      (a.fieldNames()(0), a.dataType())
+    }
+    val drops = dropChanges.collect { case d: TableChange.DeleteColumn =>
+      require(d.fieldNames().length == 1,
+        s"GraftCatalog: nested DROP COLUMN ${d.fieldNames().mkString(".")} " +
+          "is not supported — drop a top-level column")
+      d.fieldNames()(0)
+    }
+    if (adds.nonEmpty) log.withOccRetry()(log.addColumns(SparkSession.active, adds))
+    if (drops.nonEmpty) log.withOccRetry()(log.dropColumns(SparkSession.active, drops))
     loadTable(ident)
   }
 

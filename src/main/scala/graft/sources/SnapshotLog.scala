@@ -2405,10 +2405,64 @@ class SnapshotLog(
       require(taken.add(n.toLowerCase(java.util.Locale.ROOT)),
         s"addColumns: column $n already exists (names are case-insensitive)")
     }
+    val dropped = droppedColumns(cur)
+    cols.foreach { case (n, _) =>
+      require(!dropped.contains(n.toLowerCase(java.util.Locale.ROOT)),
+        s"addColumns: $n was previously DROPPED — re-adding the name would " +
+          "resurrect ghost values from files that still carry it physically; " +
+          "pick a new name, or evolve under column mapping (physical ids)")
+    }
     val evolved = org.apache.spark.sql.types.StructType(
       base.fields ++ cols.map { case (n, t) =>
         org.apache.spark.sql.types.StructField(n, t, nullable = true) })
     commit(Some(cur), withMeta(files(cur), "schema", evolved.json))
+  }
+
+  /** Column names a [[dropColumns]] retired (lower-cased) — the
+    * resurrection blocklist [[addColumns]] enforces.
+    */
+  private def droppedColumns(version: Long): Set[String] =
+    metaValues(version).get("droppedcols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /** `ALTER TABLE … DROP COLUMN` — ONE METADATA-ONLY COMMIT, the dual of
+    * [[addColumns]]: the declared schema loses the named columns and NO
+    * data file is touched — the pinned-schema read simply stops
+    * projecting them (files keep the bytes; a [[compact]] materializes
+    * the narrow shape physically). Time-travelled reads keep the old
+    * schema. The dropped names join a RESURRECTION BLOCKLIST carried in
+    * the commit metadata: re-adding one later would silently expose the
+    * ghost values old files still carry, so [[addColumns]] refuses it —
+    * the hazard Delta solves with column mapping, here made loud
+    * instead. Dropping the last column, unknown names, and column-mapped
+    * tables are refused.
+    */
+  def dropColumns(spark: SparkSession, names: Seq[String]): Long = {
+    require(names.nonEmpty, "dropColumns: need at least one column to drop")
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"dropColumns: no committed snapshot at $root"))
+    require(columnMapping(cur).isEmpty,
+      s"dropColumns: $root uses column mapping — evolve its physical schema " +
+        "through the mapping-aware path")
+    names.foreach(n => require(!n.contains(',') && !n.contains('='),
+      s"dropColumns: column name $n cannot ride the metadata line"))
+    val base = read(spark, cur).schema
+    val lower = names.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    require(lower.size == names.size, "dropColumns: duplicate names in the batch")
+    val missing = lower.filterNot(
+      base.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+    require(missing.isEmpty,
+      s"dropColumns: no column(s) named ${missing.toSeq.sorted.mkString(", ")} " +
+        s"(have ${base.fieldNames.mkString(", ")})")
+    val kept = base.fields.filterNot(f =>
+      lower.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+    require(kept.nonEmpty, "dropColumns: a table cannot lose its last column")
+    val blocklist = (droppedColumns(cur) ++ lower).toSeq.sorted.mkString(",")
+    commit(Some(cur), withMeta(
+      withMeta(files(cur), "schema",
+        org.apache.spark.sql.types.StructType(kept).json),
+      "droppedcols", blocklist))
   }
 
   def readLatest(spark: SparkSession): DataFrame =

@@ -208,6 +208,40 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(ren.getMessage.contains("ALTER TABLE"), s"got: ${ren.getMessage}")
   }
 
+  test("SQL DROP COLUMN is metadata-only; ghosts cannot resurrect") {
+    val log = freshLog("t_dropcol")
+    log.append((0 until 10).map(i => (i.toLong, s"p-$i", i.toLong * 10))
+      .toDF("id", "tag", "score"), partitions = 1)
+    registerCatalog()
+    val filesBefore = log.dataFiles(log.currentVersion.get).toSet
+    spark.sql("ALTER TABLE graftsnap.t_dropcol DROP COLUMN score")
+    // one commit, zero files touched; the column projects away everywhere
+    assert(log.currentVersion.get == 1L &&
+      log.dataFiles(1L).toSet == filesBefore)
+    assert(spark.sql("SELECT * FROM graftsnap.t_dropcol").schema.fieldNames.toSeq ==
+      Seq("id", "tag"))
+    assert(log.readLatest(spark).schema.fieldNames.toSeq == Seq("id", "tag"))
+    // time travel keeps the wide shape
+    assert(spark.sql("SELECT * FROM graftsnap.t_dropcol VERSION AS OF 0")
+      .schema.fieldNames.toSeq == Seq("id", "tag", "score"))
+    // INSERT now takes the narrow shape
+    spark.sql("INSERT INTO graftsnap.t_dropcol VALUES (100, 'x')")
+    assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_dropcol")
+      .head().getLong(0) == 11L)
+    // resurrection refused: old files still carry the bytes
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE graftsnap.t_dropcol ADD COLUMNS (score BIGINT)")
+    }
+    assert(ex.getMessage.contains("previously DROPPED"), s"got: ${ex.getMessage}")
+    // a fresh name is fine; dropping the last column refuses
+    spark.sql("ALTER TABLE graftsnap.t_dropcol ADD COLUMNS (score2 BIGINT)")
+    val last = intercept[Exception] {
+      new SnapshotLog(s"$root/t_dropcol")
+        .dropColumns(spark, Seq("id", "tag", "score2"))
+    }
+    assert(last.getMessage.contains("last column"), s"got: ${last.getMessage}")
+  }
+
   test("metadata tables: history, files, properties resolve as t.<suffix>") {
     val log = freshLog("t_meta")
     log.append((0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 2)
