@@ -1225,8 +1225,15 @@ object QueriesEtl {
         .readAllLines(nm(v, "delta").toPath).toArray
         .map(_.toString).filter(_.nonEmpty).toSeq
       val anchorsChangeSized = (1L to 5L).forall { v =>
-        val l = lines(v)
+        // first line is the `#ts=` commit-wall-clock header; the CHANGE
+        // payload behind it is what must stay O(change)
+        val l = lines(v).filterNot(_.startsWith("#"))
         l.size == 2 && l.forall(_.startsWith("+"))
+      }
+      val anchorsCarryCommitTs = (0L to 5L).forall { v =>
+        lines(v).headOption.exists(_.startsWith("#ts=")) &&
+          log.commitTimeMillis(v) ==
+            lines(v).head.stripPrefix("#ts=").toLong
       }
       val checkpointsAtInterval =
         (0L to 5L).filter(v => nm(v, "manifest").exists()) == Seq(0L, 4L)
@@ -1239,6 +1246,7 @@ object QueriesEtl {
         .groupBy(col("prio"))
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
         .withColumn("anchors_change_sized", lit(anchorsChangeSized))
+        .withColumn("anchors_carry_commit_ts", lit(anchorsCarryCommitTs))
         .withColumn("checkpoints_at_interval", lit(checkpointsAtInterval))
         .withColumn("chain_monotone", lit(chainMonotone))
         .withColumn("survivors_read_after_expire", lit(survivorsReadAfterExpire))
@@ -1563,6 +1571,189 @@ object QueriesEtl {
           sum(col("c")).cast("long").as("sum_cents"))
         .withColumn("stream_equals_batch_feed", lit(parity))
         .orderBy(col("commit_version"), col("change_type"))
+    }),
+
+    // ── BOUNDED STREAM ADMISSION ([[GraftLogSourceProvider]] with
+    // `maxFilesPerTrigger` — the Delta rate-limit shape, the difference
+    // between a backfill that checkpoints incrementally and one that
+    // scans 100 TB in a single micro-batch): a four-commit backlog (2
+    // files each) drains under a 3-file budget as FOUR data triggers —
+    // one atomic version per micro-batch, measured from
+    // StreamingQueryProgress (`backlog_over_four_triggers`) — and the
+    // bounded drain's content is bitwise the batch read
+    // (`bounded_equals_batch`, exceptAll both ways) ──
+    "stream_from_log_bounded" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "logsrc_bounded"))
+      log.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 4000)
+      (0 until 4).foreach { i =>
+        log.append(orders.where(col("k") % 4 === i), partitions = 2); ()
+      }
+      val q = s.readStream
+        .format("graft-log").option("root", log.root)
+        .option("maxFilesPerTrigger", "3").load()
+        .writeStream.format("memory").queryName("stream_bounded_sink")
+        .outputMode("append").start()
+      val (sunk, dataTriggers) =
+        try {
+          q.processAllAvailable()
+          (s.table("stream_bounded_sink"),
+            q.recentProgress.count(_.numInputRows > 0))
+        } finally q.stop()
+      val batch = log.readLatest(s)
+      val parity = sunk.exceptAll(batch).limit(1).count() == 0 &&
+        batch.exceptAll(sunk).limit(1).count() == 0
+      sunk.groupBy(col("status")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .withColumn("backlog_over_four_triggers", lit(dataTriggers == 4))
+        .withColumn("bounded_equals_batch", lit(parity))
+        .orderBy(col("status"))
+    }),
+
+    // ── STREAMING TIME TRAVEL ([[GraftLogSourceProvider]]'s
+    // `startingTimestamp` — the mirror of batch `TIMESTAMP AS OF`,
+    // resolved against the commit wall-clocks RECORDED INSIDE the
+    // anchors): a cutoff taken between v0 and v1 resolves to v0's
+    // version (`ts_resolves_between_commits`), and the stream serves
+    // from the NEXT commits on — v0's history never enters, exactly the
+    // startingVersion run at the resolved floor ──
+    "stream_from_log_ts" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "logsrc_ts"))
+      log.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      log.append(orders.where(col("k") <= 1000), partitions = 2)
+      Thread.sleep(20)
+      val cutoff = System.currentTimeMillis()
+      Thread.sleep(20)
+      log.append(orders.where(col("k").between(1001, 2000)), partitions = 2)
+      log.append(orders.where(col("k").between(2001, 3000)), partitions = 2)
+      val resolved = log.versionAt(cutoff) == 0L
+      val q = s.readStream
+        .format("graft-log").option("root", log.root)
+        .option("startingTimestamp", cutoff.toString).load()
+        .writeStream.format("memory").queryName("stream_ts_sink")
+        .outputMode("append").start()
+      val sunk =
+        try { q.processAllAvailable(); s.table("stream_ts_sink") }
+        finally q.stop()
+      // the resolved floor is v0 — its listing is the initial snapshot
+      // batch, so the full corpus streams; hash-equal to startingVersion=0
+      sunk.groupBy(col("status")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .withColumn("ts_resolves_between_commits", lit(resolved))
+        .orderBy(col("status"))
+    }),
+
+    // ── STREAMING SCHEMA-EVOLUTION HANDSHAKE (the Delta behavior): the
+    // source pins its schema for the life of the checkpoint, so an
+    // `ALTER TABLE ADD COLUMNS` landing mid-stream REFUSES LOUDLY at the
+    // next batch (`evolution_refused` — a pinned-schema scan would
+    // silently serve NULL for the new column forever) — and a FRESH
+    // checkpoint restarted with the evolved schema drains everything:
+    // pre-evolution files serve typed NULL (counted as `n_legacy`),
+    // post-evolution appends carry real values ──
+    "stream_schema_guard" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val log = new SnapshotLog(scratch(dir, "logsrc_evoguard"))
+      log.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      log.createEmpty(StructType(Seq(
+        StructField("k", LongType), StructField("cents", LongType))))
+      log.appendStrict(orders.where(col("k") <= 1500), partitions = 2)
+      // the checkpointed phases write to a FILE sink (the memory sink
+      // does not support checkpoint recovery)
+      val base = java.nio.file.Files.createTempDirectory("graft_evoguard_")
+      def start() = s.readStream
+        .format("graft-log").option("root", log.root).load()
+        .writeStream.format("parquet")
+        .option("path", base.resolve("out").toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append").start()
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // the evolution + a post-evolution append land AFTER the drain
+      log.addColumns(s, Seq(("status", StringType)))
+      val withStatus = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderstatus").as("status"))
+      log.appendStrict(withStatus.where(col("k").between(1501, 3000)), partitions = 2)
+      // resuming the OLD checkpoint must die on the evolution, not rot
+      val q2 = start()
+      val refused =
+        try {
+          q2.processAllAvailable()
+          false
+        } catch {
+          case e: Exception =>
+            def anywhere(t: Throwable): Boolean = t != null &&
+              (Option(t.getMessage).exists(_.contains("evolved mid-stream")) ||
+                anywhere(t.getCause))
+            anywhere(e)
+        } finally q2.stop()
+      // a FRESH checkpoint picks up the evolved schema and drains all
+      val q3 = s.readStream
+        .format("graft-log").option("root", log.root).load()
+        .writeStream.format("memory").queryName("stream_evoguard_fresh")
+        .outputMode("append").start()
+      val sunk =
+        try { q3.processAllAvailable(); s.table("stream_evoguard_fresh") }
+        finally q3.stop()
+      val batch = log.read(s, log.currentVersion.get)
+      val parity = sunk.exceptAll(batch).limit(1).count() == 0 &&
+        batch.exceptAll(sunk).limit(1).count() == 0
+      sunk.groupBy(coalesce(col("status"), lit("legacy")).as("status_grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .withColumn("evolution_refused", lit(refused))
+        .withColumn("fresh_checkpoint_drains", lit(parity))
+        .orderBy(col("status_grp"))
+    }),
+
+    // ── CDF ACROSS SCHEMA EVOLUTION ([[SnapshotLog.readChanges]] over a
+    // range spanning an `ALTER TABLE ADD COLUMNS` commit): pre-evolution
+    // versions' inserts serve TYPED NULL for the later-added column
+    // (exactly what a batch read of those versions sees — grouped as
+    // `legacy` below), the metadata commit itself contributes zero rows,
+    // and post-evolution appends carry real values — the feed never dies
+    // on the missing attribute ──
+    "cdf_schema_evolution" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val log = new SnapshotLog(scratch(dir, "cdf_evolution"))
+      log.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      log.createEmpty(StructType(Seq(
+        StructField("k", LongType), StructField("cents", LongType))))
+      log.appendStrict(orders.where(col("k") <= 1500), partitions = 2)
+      log.addColumns(s, Seq(("status", StringType)))
+      val withStatus = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderstatus").as("status"))
+      val v3 = log.appendStrict(
+        withStatus.where(col("k").between(1501, 3000)), partitions = 2)
+      val feed = log.readChanges(s, -1L, v3)
+      feed.groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"),
+          coalesce(col("status"), lit("legacy")).as("status_grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .orderBy(col("commit_version"), col("change_type"), col("status_grp"))
     }),
 
     // ── MULTI-TABLE ATOMIC TRANSACTIONS ([[TxnCatalog]]): orders and
@@ -2823,6 +3014,187 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── SQL RENAME COLUMN ([[GraftCatalog.alterTable]] →
+    // [[SnapshotLog.renameColumn]] under column mapping, auto-upgraded on
+    // first use): the rename is METADATA-ONLY (two commits — the mapping
+    // upgrade + the rename — with the data-file listing byte-identical,
+    // `rename_metadata_only`), the renamed table stays fully SQL-readable
+    // through the name-translating scan (old files serve under the NEW
+    // name), post-rename INSERTs land in the SAME physical column, and
+    // time travel to the pre-rename vintage serves the OLD name
+    // (`old_name_time_travels`) ──
+    "snapshot_sql_rename" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftren", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftren.root", scratch(dir, "renroot"))
+      s.sql("DROP TABLE IF EXISTS graftren.ord")
+      s.sql("CREATE TABLE graftren.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 4000)
+        .createOrReplaceTempView("graft_ren_src")
+      s.sql("INSERT INTO graftren.ord SELECT * FROM graft_ren_src WHERE k <= 2000")
+      val log = new SnapshotLog(scratch(dir, "renroot") + "/ord")
+      val vPre = log.currentVersion.get
+      val filesPre = log.dataFiles(vPre)
+      s.sql("ALTER TABLE graftren.ord RENAME COLUMN status TO prio")
+      val metadataOnly = log.currentVersion.get == vPre + 2L &&
+        log.dataFiles(log.currentVersion.get) == filesPre
+      s.sql("INSERT INTO graftren.ord SELECT k, status AS prio, cents " +
+        "FROM graft_ren_src WHERE k > 2000")
+      val oldNameTravels = s.sql(
+        s"SELECT count(*) AS n FROM graftren.ord VERSION AS OF $vPre " +
+          "WHERE status = 'O'").head().getLong(0) ==
+        s.sql("SELECT count(*) AS n FROM graft_ren_src " +
+          "WHERE k <= 2000 AND status = 'O'").head().getLong(0)
+      s.sql(
+        """SELECT prio, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftren.ord GROUP BY prio""".stripMargin)
+        .withColumn("rename_metadata_only", lit(metadataOnly))
+        .withColumn("old_name_time_travels", lit(oldNameTravels))
+        .orderBy(col("prio"))
+    }),
+
+    // ── SQL TYPE WIDENING ([[GraftCatalog.alterTable]] →
+    // [[SnapshotLog.widenColumn]]): `ALTER COLUMN k TYPE BIGINT` from INT
+    // is one metadata-only commit (`widen_metadata_only`) — old INT32
+    // files up-cast in place through parquet's lossless type promotion,
+    // post-widen INSERTs carry genuine 64-bit values (offset past 2^31),
+    // and LOSSY retypes refuse loudly: the narrowing dies in Spark's own
+    // analyzer, bigint→double (an "up-cast" to Spark, precision loss past
+    // 2^53) dies in the engine's lossless allow-list (`lossy_refused`) ──
+    "snapshot_sql_widen" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftwid", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftwid.root", scratch(dir, "widroot"))
+      s.sql("DROP TABLE IF EXISTS graftwid.ord")
+      s.sql("CREATE TABLE graftwid.ord (k INT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 4000)
+        .createOrReplaceTempView("graft_wid_src")
+      s.sql("INSERT INTO graftwid.ord SELECT CAST(k AS INT), status, cents " +
+        "FROM graft_wid_src WHERE k <= 2000")
+      val log = new SnapshotLog(scratch(dir, "widroot") + "/ord")
+      val filesPre = log.dataFiles(log.currentVersion.get)
+      s.sql("ALTER TABLE graftwid.ord ALTER COLUMN k TYPE BIGINT")
+      val metadataOnly = log.dataFiles(log.currentVersion.get) == filesPre
+      s.sql("INSERT INTO graftwid.ord SELECT k + 3000000000, status, cents " +
+        "FROM graft_wid_src WHERE k > 2000")
+      val narrowRefused =
+        try { s.sql("ALTER TABLE graftwid.ord ALTER COLUMN cents TYPE INT"); false }
+        catch { case e: Exception =>
+          e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") }
+      val lossyRefused =
+        try { s.sql("ALTER TABLE graftwid.ord ALTER COLUMN cents TYPE DOUBLE"); false }
+        catch { case e: Exception => e.getMessage.contains("lossless") }
+      s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftwid.ord GROUP BY status""".stripMargin)
+        .withColumn("widen_metadata_only", lit(metadataOnly))
+        .withColumn("narrow_refused", lit(narrowRefused))
+        .withColumn("lossy_refused", lit(lossyRefused))
+        .orderBy(col("status"))
+    }),
+
+    // ── ATOMIC CTAS ([[GraftCatalog]] as a `StagingTableCatalog`):
+    // `CREATE TABLE … AS SELECT` stages the SELECT's files INVISIBLY and
+    // publishes schema + data as ONE put-if-absent v0 commit
+    // (`ctas_single_commit`) — and a CTAS whose SELECT dies mid-write
+    // publishes NOTHING: no log, no directory, `SHOW TABLES` clean
+    // (`failed_ctas_left_no_table`), where Spark's non-atomic fallback
+    // leaves an empty committed husk ──
+    "snapshot_sql_ctas_atomic" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftctas", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftctas.root", scratch(dir, "ctasroot"))
+      s.sql("DROP TABLE IF EXISTS graftctas.ord_sum")
+      s.sql("DROP TABLE IF EXISTS graftctas.boom")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 3000)
+        .createOrReplaceTempView("graft_ctas_src")
+      s.sql(
+        """CREATE TABLE graftctas.ord_sum AS
+          |SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graft_ctas_src GROUP BY status""".stripMargin)
+      val log = new SnapshotLog(scratch(dir, "ctasroot") + "/ord_sum")
+      val singleCommit = log.currentVersion.contains(0L) &&
+        log.declaredSchema(0L).isDefined && log.dataFiles(0L).nonEmpty
+      // a mid-write failure (assert_true trips on a real row) aborts the
+      // staged files — tableExists stays false throughout
+      val crashed =
+        try {
+          s.sql("CREATE TABLE graftctas.boom AS " +
+            "SELECT k, CAST(assert_true(k <> 7) AS STRING) AS chk " +
+            "FROM graft_ctas_src")
+          false
+        } catch { case _: Exception => true }
+      val noHusk = crashed &&
+        !new java.io.File(scratch(dir, "ctasroot") + "/boom/_log").exists() &&
+        s.sql("SHOW TABLES IN graftctas").collect()
+          .forall(_.getString(1) != "boom")
+      s.sql("SELECT * FROM graftctas.ord_sum")
+        .withColumn("ctas_single_commit", lit(singleCommit))
+        .withColumn("failed_ctas_left_no_table", lit(noHusk))
+        .orderBy(col("status"))
+    }),
+
+    // ── LIQUID-CLUSTERING DECLARATION (`clusterBy` table property →
+    // `OPTIMIZE` default keys): the table DECLARES its clustering keys
+    // at CREATE (`TBLPROPERTIES('clusterBy'='k')`), three interleaved
+    // INSERTs scatter the key space, and a bare `OPTIMIZE t` — no ZORDER
+    // clause, keys from the declaration — range-clusters and rebuilds
+    // the stats sidecars (`optimize_used_declared_keys`), after which a
+    // key-range SQL predicate plans over a strict subset of files
+    // (`files_skipped_after_optimize`) ──
+    "snapshot_sql_cluster" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftclu", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftclu.root", scratch(dir, "cluroot"))
+      s.sql("DROP TABLE IF EXISTS graftclu.ord")
+      s.sql("CREATE TABLE graftclu.ord (k BIGINT, status STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('clusterBy' = 'k')")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 6000)
+        .createOrReplaceTempView("graft_clu_src")
+      (0 until 3).foreach { i =>
+        s.sql(s"INSERT INTO graftclu.ord SELECT * FROM graft_clu_src WHERE k % 3 = $i")
+      }
+      val receipt = s.sql("OPTIMIZE graftclu.ord").head()
+      val usedDeclared = receipt.getString(1) == "cluster_by"
+      val log = new SnapshotLog(scratch(dir, "cluroot") + "/ord")
+      val q = s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftclu.ord WHERE k BETWEEN 1000 AND 2000
+          |GROUP BY status""".stripMargin)
+      def scanFiles(p: org.apache.spark.sql.execution.SparkPlan): Option[Int] =
+        p.collectLeaves().flatMap {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scanFiles(a.executedPlan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Some(b.scan
+              .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+              .fileIndex.inputFiles.length)
+          case _ => None
+        }.headOption
+      val planned = scanFiles(q.queryExecution.executedPlan).getOrElse(-1)
+      val total = log.dataFiles(log.currentVersion.get).size
+      val skipped = planned >= 1 && planned < total
+      q.withColumn("optimize_used_declared_keys", lit(usedDeclared))
+        .withColumn("files_skipped_after_optimize", lit(skipped))
+        .orderBy(col("status"))
+    }),
+
     // ── MANIFEST-LEVEL FILE SKIPPING for SQL scans
     // ([[org.apache.spark.sql.graftshim.PruningScanBuilder]] wired into
     // the DSv2 catalog): the table commits range-clustered with per-file
@@ -3429,6 +3801,7 @@ object QueriesEtl {
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |       TRUE AS anchors_change_sized,
+        |       TRUE AS anchors_carry_commit_ts,
         |       TRUE AS checkpoints_at_interval,
         |       TRUE AS chain_monotone,
         |       TRUE AS survivors_read_after_expire
@@ -3573,6 +3946,120 @@ object QueriesEtl {
         |       CAST(sum(c) AS BIGINT) AS sum_cents,
         |       TRUE AS stream_equals_batch_feed
         |FROM ch GROUP BY v, ct ORDER BY commit_version, change_type""".stripMargin,
+
+    // stream_from_log_bounded: the four bounded triggers reunite to the
+    // k<=4000 corpus; the trigger accounting and stream/batch parity are
+    // measured in the Spark path and pinned TRUE
+    "stream_from_log_bounded" ->
+      """SELECT o_orderstatus AS status,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS backlog_over_four_triggers,
+        |       TRUE AS bounded_equals_batch
+        |FROM orders WHERE o_orderkey <= 4000
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // stream_from_log_ts: the cutoff resolves to v0, whose listing is the
+    // initial snapshot batch — the full k<=3000 corpus streams; the
+    // resolution law is measured in the Spark path
+    "stream_from_log_ts" ->
+      """SELECT o_orderstatus AS status,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS ts_resolves_between_commits
+        |FROM orders WHERE o_orderkey <= 3000
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // stream_schema_guard: pre-evolution rows (k<=1500) stream as NULL
+    // status under the fresh checkpoint ('legacy'), post-evolution rows
+    // carry real statuses; the refusal and drain laws are measured
+    // Spark-side
+    "stream_schema_guard" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 3000),
+        |     u AS (SELECT 'legacy' AS status_grp, k, cents FROM o WHERE k <= 1500
+        |           UNION ALL
+        |           SELECT status, k, cents FROM o WHERE k > 1500)
+        |SELECT status_grp, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS evolution_refused,
+        |       TRUE AS fresh_checkpoint_drains
+        |FROM u GROUP BY status_grp ORDER BY status_grp""".stripMargin,
+
+    // cdf_schema_evolution: v1's inserts serve typed-NULL status
+    // ('legacy'), the ADD COLUMNS commit (v2) contributes no group, v3's
+    // inserts carry real statuses
+    "cdf_schema_evolution" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 3000),
+        |     ch AS (SELECT 1 AS v, 'insert' AS ct, 'legacy' AS status_grp, k, cents
+        |            FROM o WHERE k <= 1500
+        |            UNION ALL
+        |            SELECT 3, 'insert', status, k, cents FROM o WHERE k > 1500)
+        |SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type, status_grp,
+        |       count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM ch GROUP BY v, ct, status_grp
+        |ORDER BY commit_version, change_type, status_grp""".stripMargin,
+
+    // snapshot_sql_rename: the renamed column reunites both INSERT halves
+    // under the new name; the metadata-only and time-travel laws are
+    // measured in the Spark path
+    "snapshot_sql_rename" ->
+      """SELECT o_orderstatus AS prio, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS rename_metadata_only,
+        |       TRUE AS old_name_time_travels
+        |FROM orders WHERE o_orderkey <= 4000
+        |GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // snapshot_sql_widen: pre-widen rows keep their INT-ranged keys, the
+    // post-widen half rides offset past 2^31 — one BIGINT relation; the
+    // metadata-only and refusal laws are measured Spark-side
+    "snapshot_sql_widen" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 4000),
+        |     u AS (SELECT k, status, cents FROM o WHERE k <= 2000
+        |           UNION ALL
+        |           SELECT k + 3000000000, status, cents FROM o WHERE k > 2000)
+        |SELECT status, count(*) AS n_orders,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS widen_metadata_only,
+        |       TRUE AS narrow_refused,
+        |       TRUE AS lossy_refused
+        |FROM u GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_ctas_atomic: the CTAS result is the k<=3000 rollup;
+    // the single-commit and no-husk laws are measured in the Spark path
+    "snapshot_sql_ctas_atomic" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS ctas_single_commit,
+        |       TRUE AS failed_ctas_left_no_table
+        |FROM orders WHERE o_orderkey <= 3000
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_cluster: the clustered table's k-range rollup; the
+    // declared-keys and file-skipping laws are measured off the receipt
+    // and the executed plan's file index
+    "snapshot_sql_cluster" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS optimize_used_declared_keys,
+        |       TRUE AS files_skipped_after_optimize
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     // txn_consistent_read: the current txn's cross-table join covers the
     // full corpus (halves reunited on both sides); txn0's item count

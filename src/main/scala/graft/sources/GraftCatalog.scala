@@ -5,7 +5,7 @@ import java.util
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, StagingTableCatalog, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
@@ -54,15 +54,34 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * and a time-travelled load is read-only by capability — history is
   * immutable.
   *
+  * COLUMN-MAPPED tables (RENAME COLUMN / type widening) are first-class
+  * SQL citizens: the scan is built over the PHYSICAL schema (widened
+  * types declared, so parquet's lossless type promotion up-casts old
+  * narrow files) and a name-translating facade re-reports logical names
+  * — same bytes, full pushdown/pruning, see
+  * [[org.apache.spark.sql.graftshim.PruningScanBuilder]]. `ALTER TABLE
+  * … RENAME COLUMN` / `ALTER COLUMN … TYPE` route to
+  * [[SnapshotLog.renameColumn]]/[[SnapshotLog.widenColumn]]
+  * (metadata-only commits; lossy retypes refused by the widening
+  * allow-list), auto-upgrading the table to column mapping on first use.
+  *
+  * ATOMIC CTAS: this catalog is a [[StagingTableCatalog]] — `CREATE
+  * TABLE … AS SELECT` stages the SELECT's files invisibly and publishes
+  * schema + data as ONE put-if-absent v0 commit
+  * ([[SnapshotLog.commitCreate]]); a crash mid-write leaves NO table
+  * (where Spark's non-atomic fallback leaves an empty committed husk).
+  * `REPLACE TABLE … AS SELECT` publishes the same way over the old
+  * listing ([[SnapshotLog.commitReplace]]), prior versions still
+  * time-travellable.
+  *
   * Scope (refused loudly, never silently wrong): snapshots carrying
   * outstanding merge-on-read masks (key tombstones, position deletes,
-  * deletion vectors) or column-mapping metadata need mask/projection
-  * application that a raw file scan cannot express — read those via
-  * [[SnapshotLog.read]]/[[SnapshotLog.readMapped]], or `compact()` first.
+  * deletion vectors) need mask application that a raw file scan cannot
+  * express — read those via [[SnapshotLog.read]], or `compact()` first.
   * The same trade early Delta DSv2 made; lifting it means a custom scan
   * that plants the masks, which the API read already is.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var initOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
@@ -132,35 +151,55 @@ class GraftCatalog extends TableCatalog {
       s"GraftCatalog: snapshot v$v of ${ident.name()} carries outstanding " +
         "merge-on-read masks a raw SQL scan cannot apply — read it via the " +
         "SnapshotLog API or compact() first")
-    require(log.columnMapping(v).isEmpty,
-      s"GraftCatalog: ${ident.name()} uses column mapping (physical ids); " +
-        "SQL scans would expose physical names — read it via readMapped")
     val paths = log.dataFiles(v).map(p => new File(log.dataRootPath, p).toString)
-    // a DECLARED schema (CREATE TABLE / ALTER TABLE ADD COLUMNS) pins the
-    // scan: files predating an ADD COLUMN serve NULL for the added
-    // columns, and a data-less table reads as the empty relation. Without
-    // one, the scan needs at least one data file — stay loud.
-    val declared = log.declaredSchema(v)
-    require(paths.nonEmpty || declared.isDefined,
-      s"GraftCatalog: snapshot v$v of ${ident.name()} has no data files")
     val opts = new CaseInsensitiveStringMap(util.Map.of("mergeSchema", "true"))
     val tname =
       s"$catalogName.${ident.name()}" + version.map(x => s"@v$x").getOrElse("")
     val spark = SparkSession.active
-    val inner = ParquetTable(
-      tname, spark, opts, paths, declared, classOf[ParquetFileFormat])
-    // file-skipping context: stats sidecars keyed per column, and a
-    // rebuild of the parquet table over the surviving paths (the
-    // resolved schema pins rebuilds, so even an all-pruned scan plans)
-    val resolved = inner.schema
-    val pruner = GraftCatalog.Pruner(
-      paths,
-      c => log.fileStatsForColumn(spark, v, c),
-      c => log.fileValueSetsForColumn(spark, v, c),
-      kept => ParquetTable(tname, spark, opts, kept, Some(resolved),
-        classOf[ParquetFileFormat]))
-    if (version.isEmpty) new GraftCatalog.WritableTable(inner, log, pruner)
-    else new GraftCatalog.ReadOnlyTable(inner, pruner)
+    log.columnMapping(v) match {
+      case Some((_, pairs)) =>
+        // COLUMN-MAPPED snapshot: the parquet scan runs over the PHYSICAL
+        // schema (widened logical types declared — parquet's lossless
+        // promotion up-casts old narrow files in place) and the pruner's
+        // translating facade re-reports LOGICAL names; see mappedSchemas.
+        require(paths.nonEmpty,
+          s"GraftCatalog: mapped snapshot v$v of ${ident.name()} has no data files")
+        val (physSchema, logSchema, l2p) =
+          GraftCatalog.mappedSchemas(spark, log, v, pairs, paths)
+        val inner = ParquetTable(
+          tname, spark, opts, paths, Some(physSchema), classOf[ParquetFileFormat])
+        val pruner = GraftCatalog.Pruner(
+          paths,
+          c => log.fileStatsForColumn(spark, v, c),
+          c => log.fileValueSetsForColumn(spark, v, c),
+          kept => ParquetTable(tname, spark, opts, kept, Some(physSchema),
+            classOf[ParquetFileFormat]),
+          l2p, Some(logSchema))
+        if (version.isEmpty) new GraftCatalog.MappedWritableTable(inner, log, pruner)
+        else new GraftCatalog.ReadOnlyTable(inner, pruner)
+      case None =>
+        // a DECLARED schema (CREATE TABLE / ALTER TABLE ADD COLUMNS) pins
+        // the scan: files predating an ADD COLUMN serve NULL for the added
+        // columns, and a data-less table reads as the empty relation.
+        // Without one, the scan needs at least one data file — stay loud.
+        val declared = log.declaredSchema(v)
+        require(paths.nonEmpty || declared.isDefined,
+          s"GraftCatalog: snapshot v$v of ${ident.name()} has no data files")
+        val inner = ParquetTable(
+          tname, spark, opts, paths, declared, classOf[ParquetFileFormat])
+        // file-skipping context: stats sidecars keyed per column, and a
+        // rebuild of the parquet table over the surviving paths (the
+        // resolved schema pins rebuilds, so even an all-pruned scan plans)
+        val resolved = inner.schema
+        val pruner = GraftCatalog.Pruner(
+          paths,
+          c => log.fileStatsForColumn(spark, v, c),
+          c => log.fileValueSetsForColumn(spark, v, c),
+          kept => ParquetTable(tname, spark, opts, kept, Some(resolved),
+            classOf[ParquetFileFormat]))
+        if (version.isEmpty) new GraftCatalog.WritableTable(inner, log, pruner)
+        else new GraftCatalog.ReadOnlyTable(inner, pruner)
+    }
   }
 
   private def readOnly(op: String): Nothing =
@@ -177,6 +216,15 @@ class GraftCatalog extends TableCatalog {
     * ([[SnapshotLog.optimize]] clustering / stats sidecars), not a
     * directory scheme.
     */
+  /** The table properties this engine persists (`meta:prop.<key>`).
+    * `clusterBy` declares the clustering keys `OPTIMIZE cat.t` defaults
+    * to (the liquid-clustering declaration); everything else in the map
+    * is Spark bookkeeping (owner/provider/…) and is dropped.
+    */
+  private def persistedProps(properties: util.Map[String, String]): Map[String, String] =
+    Option(properties.get("clusterBy")).map(v => Map("clusterBy" -> v))
+      .getOrElse(Map.empty)
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -190,27 +238,92 @@ class GraftCatalog extends TableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(name(), ident.name()))
     val log = new SnapshotLog(new File(rootDir, ident.name()).toString)
-    log.createEmpty(schema)
+    log.commitCreate(schema, Nil, persistedProps(properties))
     loadTable(ident)
   }
 
-  /** `ALTER TABLE catalog.t ADD COLUMNS (…)` / `DROP COLUMN c` — route
-    * to [[SnapshotLog.addColumns]] / [[SnapshotLog.dropColumns]]: one
-    * metadata-only commit each, no file rewrite, OCC-retried. Only
-    * top-level nullable end-position adds and top-level drops are
-    * expressible as pure metadata changes; every other ALTER (RENAME /
-    * retype / NOT NULL / FIRST-AFTER placement / nested fields) is
-    * refused loudly toward the API's mapping-aware path. Dropped names
-    * are blocklisted against resurrection (ghost values in old files).
+  /** ATOMIC `CREATE TABLE … AS SELECT`: stage the SELECT's files
+    * invisibly, publish schema + properties + data as ONE v0 commit on
+    * [[StagedTable.commitStagedChanges]]. A crash or abort anywhere
+    * before the publish leaves NO table.
+    */
+  override def stageCreate(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    requireNamespace(ident.namespace())
+    require(partitions.isEmpty,
+      "GraftCatalog: PARTITIONED BY is not supported — snapshot-log layout " +
+        "is managed by OPTIMIZE/clustering, not a partition directory scheme")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(name(), ident.name()))
+    new GraftCatalog.StagedGraftTable(
+      new SnapshotLog(new File(rootDir, ident.name()).toString),
+      s"$catalogName.${ident.name()}", schema, persistedProps(properties),
+      replace = false)
+  }
+
+  /** ATOMIC `REPLACE TABLE … AS SELECT`: same staging, published as one
+    * commit over the previous listing — old versions stay
+    * time-travellable, carried metadata belongs to the old definition
+    * and is dropped with it.
+    */
+  override def stageReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    requireNamespace(ident.namespace())
+    require(partitions.isEmpty,
+      "GraftCatalog: PARTITIONED BY is not supported — snapshot-log layout " +
+        "is managed by OPTIMIZE/clustering, not a partition directory scheme")
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftCatalog.StagedGraftTable(
+      new SnapshotLog(new File(rootDir, ident.name()).toString),
+      s"$catalogName.${ident.name()}", schema, persistedProps(properties),
+      replace = true)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    if (tableExists(ident)) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
+
+  /** `ALTER TABLE catalog.t` — the metadata-only evolution verbs:
+    *
+    *  - `ADD COLUMNS (…)` / `DROP COLUMN c` → [[SnapshotLog.addColumns]]
+    *    / [[SnapshotLog.dropColumns]] (declared-schema commits; dropped
+    *    names blocklisted against resurrection);
+    *  - `RENAME COLUMN a TO b` → [[SnapshotLog.renameColumn]] under
+    *    column mapping — the table auto-upgrades to mapping on first use
+    *    (one extra metadata commit, refused if a declared column has no
+    *    physical data yet: the upgrade would silently drop it). An empty
+    *    declared table renames by schema rewrite, no mapping needed;
+    *  - `ALTER COLUMN c TYPE t` → [[SnapshotLog.widenColumn]] — only
+    *    provably-lossless widenings (the Delta allow-list); lossy
+    *    retypes (bigint→int, bigint→double) refuse loudly;
+    *  - `SET TBLPROPERTIES ('clusterBy' = …)` → the declared clustering
+    *    keys `OPTIMIZE cat.t` defaults to.
+    *
+    * Everything else (NOT NULL, FIRST/AFTER placement, nested fields) is
+    * refused loudly. All commits OCC-retried; no data file is ever
+    * touched.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val log = logFor(ident)
-    val (addChanges, dropChanges) = changes.partition {
-      case _: TableChange.AddColumn => true
-      case _: TableChange.DeleteColumn => false
+    val spark = SparkSession.active
+    changes.foreach {
+      case _: TableChange.AddColumn | _: TableChange.DeleteColumn |
+           _: TableChange.RenameColumn | _: TableChange.UpdateColumnType |
+           _: TableChange.SetProperty => ()
       case other => readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
     }
-    val adds = addChanges.collect { case a: TableChange.AddColumn =>
+    val adds = changes.collect { case a: TableChange.AddColumn =>
       require(a.fieldNames().length == 1,
         s"GraftCatalog: nested ADD COLUMN ${a.fieldNames().mkString(".")} " +
           "is not supported — add a top-level column")
@@ -223,15 +336,80 @@ class GraftCatalog extends TableCatalog {
           "backfill, then constrain")
       (a.fieldNames()(0), a.dataType())
     }
-    val drops = dropChanges.collect { case d: TableChange.DeleteColumn =>
+    val drops = changes.collect { case d: TableChange.DeleteColumn =>
       require(d.fieldNames().length == 1,
         s"GraftCatalog: nested DROP COLUMN ${d.fieldNames().mkString(".")} " +
           "is not supported — drop a top-level column")
       d.fieldNames()(0)
     }
-    if (adds.nonEmpty) log.withOccRetry()(log.addColumns(SparkSession.active, adds))
-    if (drops.nonEmpty) log.withOccRetry()(log.dropColumns(SparkSession.active, drops))
+    val renames = changes.collect { case r: TableChange.RenameColumn =>
+      require(r.fieldNames().length == 1,
+        s"GraftCatalog: nested RENAME COLUMN ${r.fieldNames().mkString(".")} " +
+          "is not supported — rename a top-level column")
+      (r.fieldNames()(0), r.newName())
+    }
+    val retypes = changes.collect { case t: TableChange.UpdateColumnType =>
+      require(t.fieldNames().length == 1,
+        s"GraftCatalog: nested ALTER COLUMN ${t.fieldNames().mkString(".")} " +
+          "is not supported — retype a top-level column")
+      (t.fieldNames()(0), t.newDataType())
+    }
+    val props = changes.collect { case p: TableChange.SetProperty =>
+      require(p.property() == "clusterBy",
+        s"GraftCatalog: only the clusterBy table property is supported, " +
+          s"got ${p.property()}")
+      (p.property(), p.value())
+    }
+    if (adds.nonEmpty) log.withOccRetry()(log.addColumns(spark, adds))
+    if (drops.nonEmpty) log.withOccRetry()(log.dropColumns(spark, drops))
+    renames.foreach { case (from, to) =>
+      log.withOccRetry() {
+        val cur = log.currentVersion.getOrElse(throw new NoSuchTableException(ident))
+        if (log.dataFiles(cur).isEmpty && log.columnMapping(cur).isEmpty &&
+            log.declaredSchema(cur).isDefined)
+          log.renameEmptyDeclared(from, to)
+        else {
+          ensureColumnMapping(spark, log, ident)
+          log.renameColumn(from, to)
+        }
+      }
+    }
+    retypes.foreach { case (name, dt) =>
+      log.withOccRetry() {
+        ensureColumnMapping(spark, log, ident)
+        log.widenColumn(spark, name, dt.sql.toLowerCase(java.util.Locale.ROOT))
+      }
+    }
+    props.foreach { case (k, v) => log.withOccRetry()(log.setProperty(k, v)) }
     loadTable(ident)
+  }
+
+  /** Upgrade a table to column mapping if it isn't yet — the RENAME /
+    * widen prerequisite. Refused when a DECLARED column has no physical
+    * data in any file: the upgrade maps the files' physical schema, so
+    * the never-backfilled column would silently vanish from the table.
+    */
+  private def ensureColumnMapping(
+      spark: SparkSession, log: SnapshotLog, ident: Identifier): Unit = {
+    val cur = log.currentVersion.getOrElse(throw new NoSuchTableException(ident))
+    if (log.columnMapping(cur).isEmpty) {
+      log.declaredSchema(cur).foreach { ds =>
+        val paths = log.dataFiles(cur).map(p => new File(log.dataRootPath, p).toString)
+        require(paths.nonEmpty,
+          s"GraftCatalog: ${ident.name()} declares a schema but holds no data — " +
+            "INSERT first, or rename via the empty-table schema rewrite")
+        val physical = spark.read.option("mergeSchema", "true")
+          .parquet(paths: _*).schema.fieldNames.toSet
+        val missing = ds.fieldNames.filterNot(physical)
+        require(missing.isEmpty,
+          s"GraftCatalog: declared column(s) ${missing.mkString(", ")} of " +
+            s"${ident.name()} carry no physical data yet — the column-mapping " +
+            "upgrade would silently drop them; backfill (INSERT) before " +
+            "RENAME COLUMN / ALTER COLUMN TYPE")
+      }
+      log.enableColumnMapping(spark)
+      ()
+    }
   }
 
   /** `DROP TABLE catalog.t` — removes the table directory (log and data
@@ -381,13 +559,59 @@ object GraftCatalog {
   /** File-skipping context for a loaded snapshot: the full path list,
     * the per-column stats-sidecar fetch, and a parquet-table rebuild
     * over pruned paths — everything [[org.apache.spark.sql.graftshim
-    * .PruningScanBuilder]] needs.
+    * .PruningScanBuilder]] needs. For COLUMN-MAPPED snapshots,
+    * `logicalToPhysical` drives the builder's name translation and
+    * `reportedSchema` is the LOGICAL schema the table presents (the
+    * delegate parquet table holds the physical one).
     */
   private[sources] final case class Pruner(
       paths: Seq[String],
       statsFor: String => Option[Map[String, (Long, Long)]],
       valuesFor: String => Option[Map[String, Option[Set[String]]]],
-      rebuildTable: Seq[String] => ParquetTable)
+      rebuildTable: Seq[String] => ParquetTable,
+      logicalToPhysical: Map[String, String] = Map.empty,
+      reportedSchema: Option[StructType] = None)
+
+  /** The PHYSICAL scan schema, the LOGICAL table schema, and the
+    * logical→physical name map of a column-mapped snapshot. Types come
+    * from the declared widenings ([[SnapshotLog.columnTypes]]) first,
+    * else the (required-unique) parquet footer type across the stage
+    * directories that carry the physical column — metadata-sized (one
+    * footer read per stage dir, the same planning cost every schema
+    * inference pays). A mapped column present in NO file is skipped
+    * (its data arrives with its first mapped append — the
+    * [[SnapshotLog.readMapped]] semantics).
+    */
+  private[sources] def mappedSchemas(
+      spark: SparkSession,
+      log: SnapshotLog,
+      v: Long,
+      pairs: Seq[(String, String)],
+      paths: Seq[String]): (StructType, StructType, Map[String, String]) = {
+    import org.apache.spark.sql.types.{DataType, StructField}
+    val widened = log.columnTypes(v)
+    val dirTypes: Seq[Map[String, DataType]] = paths
+      .groupBy(p => new File(p).getParent).toSeq.sortBy(_._1)
+      .map { case (_, ps) =>
+        spark.read.parquet(ps: _*).schema.fields.map(f => f.name -> f.dataType).toMap
+      }
+    val canon: Seq[(String, String, DataType)] = pairs.flatMap { case (l, p) =>
+      widened.get(p) match {
+        case Some(t) => Some((l, p, DataType.fromDDL(t)))
+        case None =>
+          val seen = dirTypes.flatMap(_.get(p)).distinct
+          require(seen.size <= 1,
+            s"GraftCatalog: physical column $p has conflicting types $seen " +
+              "across stages; declare the widening via ALTER COLUMN TYPE")
+          seen.headOption.map(dt => (l, p, dt))
+      }
+    }
+    require(canon.nonEmpty,
+      s"GraftCatalog: no mapped column of v$v has data")
+    (StructType(canon.map { case (_, p, dt) => StructField(p, dt) }),
+      StructType(canon.map { case (l, _, dt) => StructField(l, dt) }),
+      canon.map { case (l, p, _) => l -> p }.toMap)
+  }
 
   /** Read-only facade over the delegated [[ParquetTable]]: exposes ONLY
     * `BATCH_READ`, so Spark's analyzer refuses INSERT/overwrite at plan
@@ -395,13 +619,14 @@ object GraftCatalog {
     * for every time-travelled load — history is immutable. Scans go
     * through the file-skipping builder, so a predicate on a
     * stats-indexed column prunes FILES at the manifest level before the
-    * parquet scan ever lists them.
+    * parquet scan ever lists them. Column-mapped loads present the
+    * pruner's LOGICAL schema; the builder translates names both ways.
     */
   private sealed class ReadOnlyTable(
       protected val inner: ParquetTable, pruner: Pruner)
     extends Table with SupportsRead {
     override def name(): String = inner.name
-    override def schema(): StructType = inner.schema
+    override def schema(): StructType = pruner.reportedSchema.getOrElse(inner.schema)
     override def capabilities(): util.Set[TableCapability] =
       util.Collections.singleton(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -412,7 +637,8 @@ object GraftCatalog {
         pruner.statsFor,
         pruner.valuesFor,
         kept => pruner.rebuildTable(kept).newScanBuilder(options)
-          .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder])
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder],
+        pruner.logicalToPhysical)
   }
 
   /** The CURRENT snapshot's table: readable as [[ReadOnlyTable]] and
@@ -465,6 +691,7 @@ object GraftCatalog {
     }
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+        // (WritableTable)
         // INSERT OVERWRITE arrives as overwrite-by-TRUE: the planner
         // demands a truncating builder. The V1 exec does NOT thread the
         // flag into insert(), so the builder records it itself.
@@ -498,5 +725,116 @@ object GraftCatalog {
             }
         }
       }
+  }
+
+  /** The writable face of a COLUMN-MAPPED table: reads through the
+    * translating scan ([[ReadOnlyTable]]) and `INSERT INTO` routes
+    * through [[SnapshotLog.appendMapped]] — logical columns translated
+    * to their physical ids, so post-rename inserts land in the same
+    * physical columns as pre-rename files. The batch must carry EXACTLY
+    * the table's logical columns (an unknown column would silently mint
+    * a fresh physical id). OVERWRITE/TRUNCATE/DELETE are refused at plan
+    * time (no TRUNCATE capability, no SupportsDelete) — those need the
+    * mapping-aware API paths.
+    */
+  private final class MappedWritableTable(
+      inner0: ParquetTable, log: SnapshotLog, pruner0: Pruner)
+    extends ReadOnlyTable(inner0, pruner0) with SupportsWrite {
+    override def capabilities(): util.Set[TableCapability] =
+      util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder {
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                require(!overwrite,
+                  "GraftCatalog: INSERT OVERWRITE is not supported on a " +
+                    "column-mapped table — use the SnapshotLog API")
+                val logical = schema()
+                val base = logical.map(f => f.name -> f.dataType).toMap
+                val batch = data.schema.map(f => f.name -> f.dataType).toMap
+                val missing = (base.keySet -- batch.keySet).toSeq.sorted
+                val extra = (batch.keySet -- base.keySet).toSeq.sorted
+                val retyped = base.keySet.intersect(batch.keySet).toSeq.sorted
+                  .filter(c => base(c) != batch(c))
+                require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
+                  s"GraftCatalog: INSERT batch drifts from the mapped table " +
+                    s"schema — missing=${missing.mkString("[", ",", "]")} " +
+                    s"extra=${extra.mkString("[", ",", "]")} " +
+                    s"retyped=${retyped.mkString("[", ",", "]")}")
+                val parts = math.max(1, math.min(32,
+                  data.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
+                val ordered = data.select(logical.fieldNames.map(
+                  org.apache.spark.sql.functions.col(_)).toIndexedSeq: _*)
+                log.withOccRetry()(log.appendMapped(ordered, parts))
+                ()
+              }
+            }
+        }
+      }
+  }
+
+  /** The in-flight half of an atomic CTAS/RTAS: the SELECT's output is
+    * STAGED (immutable parquet under the table's pool, invisible — no
+    * manifest references it) and `commitStagedChanges` publishes schema
+    * + properties + files as ONE put-if-absent commit
+    * ([[SnapshotLog.commitCreate]] / [[SnapshotLog.commitReplace]]).
+    * `abortStagedChanges` removes the staged files — and for a CREATE,
+    * the whole table directory (nothing was ever committed, so nothing
+    * was ever visible: `tableExists` stays false throughout).
+    */
+  private final class StagedGraftTable(
+      log: SnapshotLog,
+      tname: String,
+      tableSchema: StructType,
+      props: Map[String, String],
+      replace: Boolean)
+    extends StagedTable with SupportsWrite {
+
+    @volatile private var staged: Seq[String] = Nil
+
+    override def name(): String = tname
+    override def schema(): StructType = tableSchema
+    // TRUNCATE: a REPLACE TABLE AS SELECT plans its write as
+    // truncate-then-append; the staged publish IS the whole-table swap,
+    // so the flag is implicit — the builder just accepts it
+    override def capabilities(): util.Set[TableCapability] =
+      util.Set.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+        override def truncate(): WriteBuilder = this
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                val parts = math.max(1, math.min(32,
+                  data.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
+                // an empty SELECT stages zero files and publishes a
+                // declared-empty table — still atomic
+                staged = log.stageData(data, parts, allowEmpty = true)
+              }
+            }
+        }
+      }
+
+    override def commitStagedChanges(): Unit = {
+      if (replace) log.commitReplace(tableSchema, staged, props)
+      else log.commitCreate(tableSchema, staged, props)
+      ()
+    }
+
+    override def abortStagedChanges(): Unit = {
+      def rmTree(f: File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete(); ()
+      }
+      staged.map(rel => new File(log.dataRootPath, rel).getParentFile)
+        .distinct.foreach(rmTree)
+      if (!replace && log.currentVersion.isEmpty) rmTree(new File(log.root))
+    }
   }
 }

@@ -52,8 +52,26 @@ import org.apache.spark.sql.types.StructType
   *
   * Options: `root` (required) — the log root; `startingVersion` — first
   * version to serve (default: the oldest surviving version, whose whole
-  * listing counts as the initial snapshot batch); `readChangeFeed` —
-  * stream row-level changes instead of appended rows.
+  * listing counts as the initial snapshot batch); `startingTimestamp` —
+  * the TIMESTAMP AS OF mirror of `startingVersion`: resolved against the
+  * recorded commit wall-clocks exactly as the batch read's time travel
+  * ([[SnapshotLog.versionAt]] over [[SnapshotLog.commitTimeMillis]]),
+  * accepting epoch millis or an ISO `yyyy-MM-dd['T'HH:mm:ss]` instant;
+  * `readChangeFeed` — stream row-level changes instead of appended rows.
+  *
+  * ADMISSION CONTROL (`maxFilesPerTrigger` / `maxBytesPerTrigger` — the
+  * Delta rate-limit pair, the difference between a backfill that
+  * checkpoints incrementally and one that scans 100 TB in a single
+  * micro-batch): when set, [[GraftLogSource.getOffset]] returns the
+  * highest version whose CUMULATIVE appended data files (or bytes —
+  * manifest-listed sizes, no data read) fit the bound instead of the
+  * log head, so Spark's checkpoint advances version by version through
+  * a backlog. A version is atomic — one commit never splits across
+  * triggers, so a single commit larger than the bound still serves
+  * whole (and alone). Bounds compose with kill/restart: the admission
+  * cursor re-seeds from the checkpoint's own offsets, never re-serving
+  * an admitted version. Not yet offered for change-feed mode (refused
+  * loudly — CDF batches are version-diff-shaped, not file-shaped).
   *
   * The SAME format is a SINK (`writeStream.format("graft-log")`) — see
   * [[GraftLogSourceProvider.createSink]]: one watermarked transactional
@@ -109,6 +127,26 @@ class GraftLogSourceProvider
   private def isCdf(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.toBoolean)
 
+  /** Option sanity, checked at `load()` time (sourceSchema) so a bad
+    * combination refuses BEFORE a checkpoint directory ever exists —
+    * createSource re-validates for the resume path.
+    */
+  private def validateOptions(parameters: Map[String, String]): Unit = {
+    val cdf = isCdf(parameters)
+    parameters.get("maxFilesPerTrigger").map(_.toInt).foreach(m => require(m >= 1,
+      s"graft-log source: maxFilesPerTrigger must be >= 1, got $m"))
+    parameters.get("maxBytesPerTrigger").map(_.toLong).foreach(m => require(m >= 1L,
+      s"graft-log source: maxBytesPerTrigger must be >= 1, got $m"))
+    require(!cdf || (!parameters.contains("maxFilesPerTrigger") &&
+        !parameters.contains("maxBytesPerTrigger")),
+      "graft-log source: maxFilesPerTrigger/maxBytesPerTrigger do not " +
+        "compose with readChangeFeed yet — CDF batches are version-diff-" +
+        "shaped; bound the feed with startingVersion instead")
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graft-log source: set startingVersion OR startingTimestamp, not both")
+  }
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
@@ -117,6 +155,7 @@ class GraftLogSourceProvider
     require(schema.isEmpty,
       "graft-log source: the schema comes from the log's committed " +
         "snapshot — do not pass .schema(...)")
+    validateOptions(parameters)
     val log = logFor(parameters)
     val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
       s"graft-log source: no committed snapshot at ${log.root}"))
@@ -137,11 +176,27 @@ class GraftLogSourceProvider
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source = {
+    validateOptions(parameters)
     val log = logFor(parameters)
+    val fromVersion = parameters.get("startingVersion").map(_.toLong)
+    val fromTimestamp = parameters.get("startingTimestamp").map { raw =>
+      // epoch millis, or an ISO instant/date in the session's local zone —
+      // the forms batch TIMESTAMP AS OF accepts
+      val millis = raw.trim.toLongOption.getOrElse {
+        val t = if (raw.trim.length == 10) raw.trim + " 00:00:00" else raw.trim
+        java.sql.Timestamp.valueOf(t.replace('T', ' ')).getTime
+      }
+      log.versionAt(millis)
+    }
+    val cdf = isCdf(parameters)
+    val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toInt)
+    val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
     new GraftLogSource(sqlContext, log,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      parameters.get("startingVersion").map(_.toLong),
-      changeFeed = isCdf(parameters))
+      fromVersion.orElse(fromTimestamp),
+      changeFeed = cdf,
+      maxFilesPerTrigger = maxFiles,
+      maxBytesPerTrigger = maxBytes)
   }
 }
 
@@ -200,7 +255,9 @@ class GraftLogSource(
     log: SnapshotLog,
     override val schema: StructType,
     startingVersion: Option[Long],
-    changeFeed: Boolean = false) extends Source {
+    changeFeed: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   // versions strictly BELOW the floor never stream; the floor itself is
   // the initial-snapshot batch (oldest survivor = whole listing, per
@@ -225,11 +282,69 @@ class GraftLogSource(
     case other => other.json.trim.toLong
   }
 
-  /** The latest committed version — Spark calls this each trigger; a new
-    * commit is one metadata listing away, never a data scan.
+  // The highest version this source has ADMITTED (returned from
+  // getOffset or replayed through getBatch). Seeds the bounded-admission
+  // cursor; across a restart Spark re-calls getBatch with the
+  // checkpointed offsets BEFORE the first getOffset (the V1 restart
+  // contract KafkaSource relies on), so the cursor never resets below
+  // what the checkpoint committed and a resumed backfill re-serves
+  // nothing.
+  @volatile private var admittedHi: Option[Long] = None
+
+  private def bounded: Boolean =
+    maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
+
+  /** The appended DATA files of `v` with their manifest-listed sizes —
+    * metadata-only (a listing diff plus `File.length`, never a data
+    * read). Same refusal semantics as the batch path: delete/rewrite
+    * commits throw toward the change feed.
+    */
+  private def appendedParquet(v: Long): Seq[String] =
+    log.appendedFiles(v).filter(_.endsWith(".parquet"))
+
+  /** The highest version in `(fromExclusive, latest]` whose cumulative
+    * appended files/bytes fit the trigger bounds. A version is atomic:
+    * the first data-carrying version always admits (even alone over the
+    * bound — a commit never splits); later versions stop at the bound.
+    * Metadata-only commits ride free with whatever precedes them.
+    */
+  private def admitUpTo(fromExclusive: Long, latest: Long): Long = {
+    val pending = log.versions
+      .filter(v => v > fromExclusive && v <= latest && v >= floor)
+    var end = fromExclusive
+    var files = 0L
+    var bytes = 0L
+    var admittedData = false
+    pending.foreach { v =>
+      val fs = appendedParquet(v)
+      val n = fs.size.toLong
+      val b =
+        if (maxBytesPerTrigger.isDefined) fs.map(new File(_).length()).sum
+        else 0L
+      val over = maxFilesPerTrigger.exists(m => files + n > m) ||
+        maxBytesPerTrigger.exists(m => bytes + b > m)
+      if (admittedData && n > 0 && over) return end
+      end = v; files += n; bytes += b
+      if (n > 0) admittedData = true
+    }
+    end
+  }
+
+  /** The next micro-batch's end offset — unbounded: the log head (one
+    * metadata listing, never a data scan); bounded: the furthest version
+    * the admission budget reaches past the checkpoint cursor, so a
+    * backlog drains over as many checkpointed triggers as it needs.
     */
   override def getOffset: Option[Offset] =
-    log.currentVersion.map(LongOffset(_))
+    log.currentVersion.map { cur =>
+      if (!bounded) LongOffset(cur)
+      else {
+        val from = admittedHi.getOrElse(floor - 1L)
+        val end = if (from >= cur) from else admitUpTo(from, cur)
+        admittedHi = Some(end)
+        LongOffset(end)
+      }
+    }
 
   /** Rows of versions `(start, end]` — their appended data files scanned
     * through the normal parquet path (pushdown/pruning intact), tagged
@@ -239,7 +354,32 @@ class GraftLogSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(asVersion).getOrElse(floor - 1L)
     val hi = asVersion(end)
+    // keep the admission cursor at least at what Spark's checkpoint has
+    // already claimed — on restart this getBatch replay runs BEFORE the
+    // first getOffset, re-seeding bounded admission past committed work
+    admittedHi = Some(math.max(admittedHi.getOrElse(Long.MinValue), hi))
     val spark = sqlContext.sparkSession
+    // SCHEMA-EVOLUTION HANDSHAKE (the Delta behavior): the source schema
+    // is pinned for the life of the checkpoint, so an ALTER TABLE that
+    // changed the declared schema mid-stream must refuse LOUDLY — a
+    // pinned-schema scan would silently serve NULL for the new column in
+    // every post-evolution append forever. Metadata-sized check (the
+    // declared-schema meta line), no data touched. A replayed batch of an
+    // EXPIRED version skips the check (its metadata is gone; the expire
+    // guard below owns that refusal).
+    (if (log.versions.contains(hi)) log.declaredSchema(hi) else None).foreach { declared =>
+      val pinnedData = schema.fields
+        .filterNot(f => changeFeed &&
+          (f.name == "_change_type" || f.name == "_commit_version"))
+        .map(f => (f.name, f.dataType)).toSeq
+      val nowDeclared = declared.fields.map(f => (f.name, f.dataType)).toSeq
+      require(pinnedData == nowDeclared,
+        s"graft-log source: the schema of ${log.root} evolved mid-stream " +
+          s"(pinned ${pinnedData.map(_._1).mkString("[", ",", "]")}, " +
+          s"declared at v$hi ${nowDeclared.map(_._1).mkString("[", ",", "]")}) " +
+          "— a pinned-schema scan would silently drop the evolution; " +
+          "restart the query with a fresh checkpoint to pick up the new schema")
+    }
     val batch =
       if (changeFeed)
         // row-level changes of versions (lo, hi] straight off the

@@ -71,16 +71,32 @@ object GraftSqlParser {
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\w+)\.(\w+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
+  /** True only when `<cat>` resolves to a REGISTERED [[GraftCatalog]]
+    * with a root — the same gate [[interceptDml]]'s graftTarget applies.
+    * Without it, a Delta/Iceberg catalog's identically-spelled OPTIMIZE/
+    * VACUUM/RESTORE in the same session would parse into graft commands
+    * and die at run instead of delegating to their own extension.
+    */
+  private def isGraftCatalog(cat: String): Boolean =
+    try {
+      val spark = SparkSession.active
+      spark.conf.getOption(s"spark.sql.catalog.$cat.root").isDefined &&
+        spark.conf.getOption(s"spark.sql.catalog.$cat")
+          .contains(classOf[GraftCatalog].getName)
+    } catch { case _: IllegalStateException => false } // no active session
+
   private def maintenancePlanFor(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case OptimizeRe(cat, table, zorder) =>
+      case OptimizeRe(cat, table, zorder) if isGraftCatalog(cat) =>
         Some(OptimizeGraftTable(cat, table,
           Option(zorder).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)))
-      case VacuumRe(cat, table, retain, dry) =>
+      case VacuumRe(cat, table, retain, dry) if isGraftCatalog(cat) =>
         Some(VacuumGraftTable(cat, table, Option(retain).map(_.toInt),
           dryRun = dry != null))
-      case HistoryRe(cat, table) => Some(DescribeGraftHistory(cat, table))
-      case RestoreRe(cat, table, v) => Some(RestoreGraftTable(cat, table, v.toLong))
+      case HistoryRe(cat, table) if isGraftCatalog(cat) =>
+        Some(DescribeGraftHistory(cat, table))
+      case RestoreRe(cat, table, v) if isGraftCatalog(cat) =>
+        Some(RestoreGraftTable(cat, table, v.toLong))
       case _ => None
     }
 
@@ -155,12 +171,17 @@ object GraftSqlParser {
   private def attrs(fields: (String, org.apache.spark.sql.types.DataType)*): Seq[Attribute] =
     fields.map { case (n, t) => AttributeReference(n, t, nullable = false)() }
 
-  /** `OPTIMIZE cat.t [ZORDER BY (cols)]`: without ZORDER, bin-pack the
-    * small-file tail ([[SnapshotLog.compactSmall]], 128 MiB target) —
-    * files already at size are carried untouched, maintenance cost
-    * scales with the tail; with ZORDER, range-cluster the table on the
-    * named columns ([[SnapshotLog.optimize]]) so stats sidecars and
-    * footer min/max prune reads.
+  /** `OPTIMIZE cat.t [ZORDER BY (cols)]`: with ZORDER, range-cluster the
+    * table on the named columns ([[SnapshotLog.optimize]]) so stats
+    * sidecars and footer min/max prune reads. Without ZORDER, the
+    * table's DECLARED clustering keys take over — the `clusterBy`
+    * property (`CREATE TABLE … TBLPROPERTIES('clusterBy'='k')` or `ALTER
+    * TABLE … SET TBLPROPERTIES`), the liquid-clustering declaration: a
+    * bare `OPTIMIZE t` after streaming appends restores file skipping on
+    * the declared keys without the caller re-stating them. With neither,
+    * bin-pack the small-file tail ([[SnapshotLog.compactSmall]], 128 MiB
+    * target) — files already at size are carried untouched, maintenance
+    * cost scales with the tail.
     */
   private case class OptimizeGraftTable(
       cat: String, table: String, zorderCols: Seq[String])
@@ -170,7 +191,13 @@ object GraftSqlParser {
       "files_in" -> IntegerType, "files_out" -> IntegerType)
     override def run(spark: SparkSession): Seq[Row] = {
       val log = logFor(spark, cat, table)
-      if (zorderCols.isEmpty) {
+      val declared =
+        if (zorderCols.nonEmpty) Nil
+        else log.currentVersion
+          .flatMap(v => log.property(v, "clusterBy")).toSeq
+          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+      val keys = if (zorderCols.nonEmpty) zorderCols else declared
+      if (keys.isEmpty) {
         val (v, (packed, written)) =
           log.compactSmall(spark, targetBytes = 128L * 1024 * 1024)
         Seq(Row(v, "bin_pack", packed, written))
@@ -179,8 +206,9 @@ object GraftSqlParser {
         val before = log.dataFiles(log.currentVersion.get).size
         val parts = math.max(1, math.min(32,
           spark.conf.get("spark.sql.shuffle.partitions").toInt))
-        val v = log.optimize(spark, parts, zorderCols.map(col))
-        Seq(Row(v, "zorder", before, log.dataFiles(v).size))
+        val v = log.optimize(spark, parts, keys.map(col))
+        val op = if (zorderCols.nonEmpty) "zorder" else "cluster_by"
+        Seq(Row(v, op, before, log.dataFiles(v).size))
       }
     }
   }

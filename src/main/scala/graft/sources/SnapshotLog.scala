@@ -136,6 +136,11 @@ class SnapshotLog(
 
   private val MetaPrefix = "meta:"
 
+  /** Anchor-header prefix recording the commit wall-clock (epoch millis)
+    * as the anchor's first line — see [[commitTimeMillis]].
+    */
+  private val TsPrefix = "#ts="
+
   private def isMetaLine(l: String): Boolean = l.startsWith(MetaPrefix)
 
   private def isTombLine(l: String): Boolean =
@@ -182,16 +187,23 @@ class SnapshotLog(
 
   def currentVersion: Option[Long] = versions.lastOption
 
-  /** Commit wall-clock of a version (epoch millis) — the mtime of its
-    * surviving log anchor. Monotone within a chain in practice (commits
-    * serialize through the put-if-absent anchor), good enough for the
-    * TIMESTAMP AS OF resolution every lakehouse offers.
+  /** Commit wall-clock of a version (epoch millis) — the `#ts=` header
+    * RECORDED INSIDE the commit anchor at commit time (the Delta
+    * `commitInfo.timestamp` discipline): it survives log compaction,
+    * checkpoint re-materialization, and table copies/restores, none of
+    * which preserve file mtimes. Anchors written before the header
+    * existed fall back to the anchor's mtime (legacy). Monotone within a
+    * chain in practice (commits serialize through the put-if-absent
+    * anchor) — the resolution TIMESTAMP AS OF needs.
     */
   def commitTimeMillis(version: Long): Long = {
     val df = deltaFile(version)
     val f = if (df.exists()) df else manifestFile(version)
     require(f.exists(), s"snapshot v$version does not exist at $root")
-    f.lastModified()
+    readLines(f).headOption match {
+      case Some(l) if l.startsWith(TsPrefix) => l.stripPrefix(TsPrefix).toLong
+      case _ => f.lastModified()
+    }
   }
 
   /** TIMESTAMP AS OF: the latest committed version whose anchor was
@@ -215,7 +227,10 @@ class SnapshotLog(
     */
   def files(version: Long): Seq[String] = {
     val mf = manifestFile(version)
-    if (mf.exists()) readLines(mf)
+    // `#`-prefixed lines are anchor headers (`#ts=` commit wall-clock),
+    // not listing entries — stripped on read, so headers never leak into
+    // a reconstructed listing or a later commit's delta
+    if (mf.exists()) readLines(mf).filterNot(_.startsWith("#"))
     else {
       val df = deltaFile(version)
       require(df.exists(),
@@ -253,7 +268,7 @@ class SnapshotLog(
     * these paths; a crash here leaves an orphaned stage that [[vacuum]]
     * collects.
     */
-  def stageData(df: DataFrame, partitions: Int): Seq[String] = {
+  def stageData(df: DataFrame, partitions: Int, allowEmpty: Boolean = false): Seq[String] = {
     require(partitions >= 1, s"stageData: partitions must be >= 1, got $partitions")
     val id = java.util.UUID.randomUUID().toString
     val dir = new File(dataDir, id)
@@ -262,7 +277,8 @@ class SnapshotLog(
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
       .map(f => s"data/$id/${f.getName}")
       .toSeq.sorted
-    require(staged.nonEmpty, s"stageData: write produced no parquet files under $dir")
+    require(allowEmpty || staged.nonEmpty,
+      s"stageData: write produced no parquet files under $dir")
     staged
   }
 
@@ -282,10 +298,13 @@ class SnapshotLog(
     val nextSet = fileList.toSet
     val delta = parent.filterNot(nextSet.contains).map("-" + _) ++
       fileList.filterNot(parentSet.contains).map("+" + _)
+    // the commit wall-clock rides INSIDE the anchor (a `#ts=` header) so
+    // TIMESTAMP AS OF survives compaction and copies — mtimes don't
+    val ts = s"$TsPrefix${System.currentTimeMillis()}"
     // hard-link creation is the local-FS atomic put-if-absent: it either
     // installs the COMPLETE delta under the version name or throws — no
     // reader can ever observe a partially-written commit
-    if (!writeAtomic(deltaFile(next), delta))
+    if (!writeAtomic(deltaFile(next), ts +: delta))
       throw new ConcurrentCommitException(
         s"lost the commit race for v$next at $root: another writer " +
           "committed first — re-read the current snapshot and retry")
@@ -293,7 +312,7 @@ class SnapshotLog(
     // bounds every reconstruction walk; losing the race here is benign
     // (a racer or retry already wrote identical content)
     if (next % checkpointInterval == 0) {
-      writeAtomic(manifestFile(next), fileList)
+      writeAtomic(manifestFile(next), ts +: fileList)
       ()
     }
     next
@@ -1067,8 +1086,14 @@ class SnapshotLog(
     // Table metadata survives; `lastopt` records this version so
     // [[optimizeIncremental]] knows which files are already clustered.
     val next = cur + 1L
-    commit(Some(cur),
-      withMeta(metaLines(cur), "lastopt", next.toString) ++ stageArranged(arranged))
+    val staged = stageArranged(arranged)
+    val v = commit(Some(cur),
+      withMeta(metaLines(cur), "lastopt", next.toString) ++ staged)
+    // footer-derived min/max sidecars over the freshly-clustered files:
+    // zero extra data pass (driver-side footer reads), and the point of
+    // clustering — manifest-level file skipping — works immediately
+    writeFooterStatsSidecar(spark, staged)
+    v
   }
 
   /** INCREMENTAL OPTIMIZE (the liquid-clustering maintenance shape):
@@ -1183,6 +1208,12 @@ class SnapshotLog(
     if (dataFiles(cur).isEmpty) return (cur, 0L) // declared-empty table
     val base = readWithPositions(spark, cur)
     val baseCols = base.columns.toSeq.filterNot(c => c == "_file" || c == "_pos")
+    // __u<i> are this method's staging names: a table column spelled that
+    // way would be silently overwritten by the temp value and committed —
+    // refuse loudly (the mergeInto reserved-name discipline)
+    require(!baseCols.exists(_.matches("__u\\d+")),
+      s"updateWhere: table columns ${baseCols.filter(_.matches("__u\\d+")).mkString(", ")} " +
+        "collide with the reserved UPDATE staging names __u<n>; rename them first")
     set.foreach { case (n, _) =>
       require(baseCols.contains(n),
         s"updateWhere: SET names unknown column $n — UPDATE assigns existing columns " +
@@ -1271,7 +1302,8 @@ class SnapshotLog(
         s"readChanges: v$v's parent v${v - 1} is expired — pre-images are " +
           "unrecoverable; start the feed at a retained boundary")
     }
-    val outCols = read(spark, toInclusive).columns.toSeq
+    val outSchema = read(spark, toInclusive).schema
+    val outCols = outSchema.fieldNames.toSeq
     val reserved = Seq("_change_type", "_commit_version", "_file", "_pos")
     require(!outCols.exists(reserved.contains),
       s"readChanges: table columns collide with ${reserved.mkString(", ")}")
@@ -1281,8 +1313,19 @@ class SnapshotLog(
       .withColumn("_file",
         regexp_extract(col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1))
       .withColumn("_pos", col("_metadata.row_index"))
+    // a range spanning a metadata-only ADD COLUMNS commit serves
+    // pre-evolution versions' rows with typed NULL for the later-added
+    // columns (exactly what a batch read of those versions sees) instead
+    // of dying on the missing attribute
+    def conform(d: DataFrame): DataFrame = {
+      val have = d.columns.toSet
+      outSchema.fields.foldLeft(d) { (acc, f) =>
+        if (have(f.name)) acc
+        else acc.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+    }
     def shape(d: DataFrame, ct: String, v: Long): DataFrame =
-      d.select(outCols.map(col): _*)
+      conform(d).select(outCols.map(col): _*)
         .withColumn("_change_type", lit(ct))
         .withColumn("_commit_version", lit(v))
 
@@ -1331,13 +1374,13 @@ class SnapshotLog(
       // the multiset diff cancels rewrite-carried rows so reorgs net zero
       val addVis =
         if (addedData.isEmpty) None
-        else Some(applyMasks(spark, v,
-          spark.read.option("mergeSchema", "true").parquet(paths(addedData): _*))
+        else Some(conform(applyMasks(spark, v,
+          spark.read.option("mergeSchema", "true").parquet(paths(addedData): _*)))
           .select(outCols.map(col): _*))
       val remVis =
         if (removedData.isEmpty) None
-        else Some(applyMasks(spark, v - 1L,
-          spark.read.option("mergeSchema", "true").parquet(paths(removedData): _*))
+        else Some(conform(applyMasks(spark, v - 1L,
+          spark.read.option("mergeSchema", "true").parquet(paths(removedData): _*)))
           .select(outCols.map(col): _*))
       val (ins, fileDel) = (addVis, remVis) match {
         case (Some(a), Some(r)) => (Some(a.exceptAll(r)), Some(r.exceptAll(a)))
@@ -2360,10 +2403,87 @@ class SnapshotLog(
     * later commit unchanged, and [[appendStrict]] (the SQL INSERT route)
     * validates batches against it from the very first insert.
     */
-  def createEmpty(schema: org.apache.spark.sql.types.StructType): Long = {
+  def createEmpty(schema: org.apache.spark.sql.types.StructType): Long =
+    commitCreate(schema, Nil)
+
+  /** The table-definition meta lines of a CREATE/REPLACE: the declared
+    * schema plus `prop.<key>` table properties (e.g. `clusterBy`, the
+    * declared clustering keys OPTIMIZE defaults to).
+    */
+  private def definitionMeta(
+      schema: org.apache.spark.sql.types.StructType,
+      properties: Map[String, String]): Seq[String] =
+    metaLine("schema", schema.json) +:
+      properties.toSeq.sorted.map { case (k, v) => metaLine(s"prop.$k", v) }
+
+  /** CREATE a table whose v0 carries the declared schema, table
+    * properties, AND `staged` data files in ONE atomic commit — the
+    * publish half of an ATOMIC CTAS ([[graft.sources.GraftCatalog]]'s
+    * `StagingTableCatalog` route): the SELECT's output is staged first
+    * (invisible), and this single put-if-absent commit makes schema and
+    * data appear together, so a crash anywhere before it leaves NO
+    * table — never the empty-but-committed husk Spark's non-atomic CTAS
+    * can leave.
+    */
+  def commitCreate(
+      schema: org.apache.spark.sql.types.StructType,
+      staged: Seq[String],
+      properties: Map[String, String] = Map.empty): Long = {
     require(currentVersion.isEmpty,
-      s"createEmpty: $root already has committed snapshots")
-    commit(None, Seq(metaLine("schema", schema.json)))
+      s"commitCreate: $root already has committed snapshots")
+    commit(None, definitionMeta(schema, properties) ++ staged)
+  }
+
+  /** REPLACE the table definition and content in ONE commit (the atomic
+    * `REPLACE TABLE … AS SELECT` publish): the new declared schema,
+    * properties, and staged files supersede the ENTIRE previous listing —
+    * carried metadata (column mapping, stats pointers) belongs to the
+    * old definition and is dropped with it. Prior versions stay
+    * time-travellable as always.
+    */
+  def commitReplace(
+      schema: org.apache.spark.sql.types.StructType,
+      staged: Seq[String],
+      properties: Map[String, String] = Map.empty): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"commitReplace: no committed snapshot at $root"))
+    commit(Some(cur), definitionMeta(schema, properties) ++ staged)
+  }
+
+  /** Set one `prop.<key>` table property as a metadata-only commit (the
+    * `ALTER TABLE … SET TBLPROPERTIES` route).
+    */
+  def setProperty(key: String, value: String): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"setProperty: no committed snapshot at $root"))
+    commit(Some(cur), withMeta(files(cur), s"prop.$key", value))
+  }
+
+  /** The `prop.<key>` table property of a snapshot, if set. */
+  def property(version: Long, key: String): Option[String] =
+    metaValues(version).get(s"prop.$key")
+
+  /** RENAME COLUMN on a DECLARED-BUT-EMPTY table: with zero data files
+    * there is no physical name to preserve, so the rename is a pure
+    * declared-schema rewrite — no column-mapping upgrade needed. The
+    * moment data exists, renames must go through [[renameColumn]] under
+    * column mapping.
+    */
+  def renameEmptyDeclared(from: String, to: String): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"renameEmptyDeclared: no committed snapshot at $root"))
+    require(dataFiles(cur).isEmpty,
+      s"renameEmptyDeclared: $root has data files — rename under column mapping")
+    require(columnMapping(cur).isEmpty,
+      s"renameEmptyDeclared: $root uses column mapping — use renameColumn")
+    val ds = declaredSchema(cur).getOrElse(throw new IllegalStateException(
+      s"renameEmptyDeclared: $root declares no schema"))
+    require(ds.fieldNames.contains(from),
+      s"renameEmptyDeclared: no column named $from (have ${ds.fieldNames.mkString(", ")})")
+    require(!ds.fieldNames.contains(to), s"renameEmptyDeclared: column $to already exists")
+    val renamed = org.apache.spark.sql.types.StructType(
+      ds.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    commit(Some(cur), withMeta(files(cur), "schema", renamed.json))
   }
 
   /** The schema a table declared ([[createEmpty]]) or evolved to
@@ -2482,7 +2602,11 @@ class SnapshotLog(
     if (expired.nonEmpty) {
       vs.find(_ >= keepFrom).foreach { floor =>
         if (!manifestFile(floor).exists()) {
-          writeAtomic(manifestFile(floor), files(floor))
+          // carry the ORIGINAL commit wall-clock into the materialized
+          // checkpoint — TIMESTAMP AS OF must not shift because an
+          // expire re-based the chain
+          writeAtomic(manifestFile(floor),
+            s"$TsPrefix${commitTimeMillis(floor)}" +: files(floor))
           ()
         }
       }

@@ -39,15 +39,41 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
   *                  prunes to exactly the files whose set holds the
   *                  literal
   * @param rebuild   builds a fresh parquet ScanBuilder over a pruned list
+  * @param logicalToPhysical COLUMN-MAPPING translation (empty = identity):
+  *                  the snapshot's logical→physical name pairs. Pushed
+  *                  filters and pruned columns are translated to physical
+  *                  names before reaching the parquet builder (whose
+  *                  declared schema is the PHYSICAL one), and the built
+  *                  scan re-reports its read schema under LOGICAL names —
+  *                  the row bytes are untouched (mapping renames, never
+  *                  retypes within one scan; type widening rides the
+  *                  declared physical schema's parquet promotion). exprIds
+  *                  survive `withName`, so post-scan filter residue still
+  *                  binds to the logical output attributes.
   */
 class PruningScanBuilder(
     inner: FileScanBuilder,
     paths: Seq[String],
     statsFor: String => Option[Map[String, (Long, Long)]],
     valuesFor: String => Option[Map[String, Option[Set[String]]]],
-    rebuild: Seq[String] => FileScanBuilder)
+    rebuild: Seq[String] => FileScanBuilder,
+    logicalToPhysical: Map[String, String] = Map.empty)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns {
+
+  private val physicalToLogical: Map[String, String] = logicalToPhysical.map(_.swap)
+
+  private def toPhysical(e: Expression): Expression =
+    if (logicalToPhysical.isEmpty) e
+    else e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if logicalToPhysical.contains(a.name) =>
+        a.withName(logicalToPhysical(a.name))
+    }
+
+  private def renameFields(s: StructType, m: Map[String, String]): StructType =
+    if (m.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
 
   private var pushedExprs: Seq[Expression] = Nil
   private var required: Option[StructType] = None
@@ -57,25 +83,43 @@ class PruningScanBuilder(
     scala.collection.mutable.Map.empty[String, Option[Map[String, Option[Set[String]]]]]
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    pushedExprs = filters
-    inner.pushFilters(filters)
+    pushedExprs = filters.map(toPhysical)
+    inner.pushFilters(pushedExprs)
   }
 
   override def pushedFilters(): Array[Predicate] = inner.pushedFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    required = Some(requiredSchema)
-    inner.pruneColumns(requiredSchema)
+    required = Some(renameFields(requiredSchema, logicalToPhysical))
+    inner.pruneColumns(required.get)
   }
 
   override def build(): Scan = {
     val kept = paths.filter(p => pushedExprs.forall(e => mayMatch(e, p)))
-    if (kept.size == paths.size) inner.build()
-    else {
-      val b = rebuild(kept)
-      b.pushFilters(pushedExprs)
-      required.foreach(b.pruneColumns)
-      b.build()
+    val built =
+      if (kept.size == paths.size) inner.build()
+      else {
+        val b = rebuild(kept)
+        b.pushFilters(pushedExprs)
+        required.foreach(b.pruneColumns)
+        b.build()
+      }
+    if (logicalToPhysical.isEmpty) built
+    else new Scan {
+      // the mapped facade: same bytes, logical names — readSchema order
+      // tracks the inner pruned schema positionally
+      override def readSchema(): StructType =
+        renameFields(built.readSchema(), physicalToLogical)
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = built.toBatch
+      override def description(): String = built.description()
+      override def supportedCustomMetrics()
+          : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+        built.supportedCustomMetrics()
+      override def reportDriverMetrics()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        built.reportDriverMetrics()
+      override def columnarSupportMode(): Scan.ColumnarSupportMode =
+        built.columnarSupportMode()
     }
   }
 

@@ -295,4 +295,153 @@ class GraftLogSourceSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
       expected.toSet)
   }
+
+  test("maxFilesPerTrigger drains a backlog version-by-version; content equals batch") {
+    val log = freshLog("t_bounded")
+    // 4 versions x 2 files each, all committed BEFORE the stream starts
+    (0 until 4).foreach { i =>
+      log.append((i * 10 until (i + 1) * 10).map(j => (j.toLong, i.toLong))
+        .toDF("id", "v"), partitions = 2)
+    }
+    val q = spark.readStream
+      .format("graft-log").option("root", log.root)
+      .option("maxFilesPerTrigger", "3").load()
+      .writeStream.format("memory").queryName("logsrc_bounded")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // 3-file budget admits exactly one 2-file version per trigger: the
+      // 8-file backlog takes 4 data triggers, never one giant batch
+      val dataTriggers = q.recentProgress.filter(_.numInputRows > 0)
+      assert(dataTriggers.length == 4, s"got ${dataTriggers.length} data triggers")
+      assert(dataTriggers.forall(_.numInputRows == 10L),
+        "each trigger carries exactly one version's rows")
+      assert(spark.table("logsrc_bounded").count() == 40L)
+      // offsets advanced to the head only at the END of the drain
+      assert(q.lastProgress.sources.head.endOffset.trim.toLong ==
+        log.currentVersion.get)
+    } finally q.stop()
+  }
+
+  test("a single commit larger than the bound still serves whole (atomic version)") {
+    val log = freshLog("t_bigcommit")
+    log.append((0 until 30).map(i => (i.toLong, 0L)).toDF("id", "v"), partitions = 6)
+    log.append((30 until 40).map(i => (i.toLong, 1L)).toDF("id", "v"), partitions = 2)
+    val q = spark.readStream
+      .format("graft-log").option("root", log.root)
+      .option("maxFilesPerTrigger", "2").load()
+      .writeStream.format("memory").queryName("logsrc_bigcommit")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val dataTriggers = q.recentProgress.filter(_.numInputRows > 0)
+      // v0 (6 files) exceeds the 2-file budget but cannot split: one
+      // trigger of 30 rows, then v1 alone
+      assert(dataTriggers.map(_.numInputRows).toSeq == Seq(30L, 10L),
+        dataTriggers.map(_.numInputRows).mkString(","))
+      assert(spark.table("logsrc_bigcommit").count() == 40L)
+    } finally q.stop()
+  }
+
+  test("maxBytesPerTrigger bounds admission; restart mid-backlog re-serves nothing") {
+    val log = freshLog("t_bytes")
+    (0 until 3).foreach { i =>
+      log.append((i * 5 until (i + 1) * 5).map(j => (j.toLong, i.toLong))
+        .toDF("id", "v"), partitions = 1)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bytes_ckpt_")
+    val dest = java.nio.file.Files.createTempDirectory("graft_bytes_out_")
+    def run(max: String): Unit = {
+      val q = spark.readStream
+        .format("graft-log").option("root", log.root)
+        .option("maxBytesPerTrigger", max).load()
+        .writeStream.format("parquet")
+        .option("path", dest.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run("1") // 1-byte budget: every trigger admits exactly one version
+    assert(spark.read.parquet(dest.toString).count() == 15L)
+    // two more commits land AFTER the kill; the restarted instance picks
+    // up from the checkpoint cursor — nothing re-emitted, nothing lost
+    (3 until 5).foreach { i =>
+      log.append((i * 5 until (i + 1) * 5).map(j => (j.toLong, i.toLong))
+        .toDF("id", "v"), partitions = 1)
+    }
+    run("1")
+    val rows = spark.read.parquet(dest.toString)
+    assert(rows.count() == 25L, "exactly-once across the bounded restart")
+    assert(rows.select("id").distinct().count() == 25L)
+  }
+
+  test("bounds refuse to compose with readChangeFeed; startingTimestamp mirrors batch") {
+    val log = freshLog("t_ts")
+    log.append((0 until 5).map(i => (i.toLong, 0L)).toDF("id", "v"), partitions = 1)
+    Thread.sleep(15)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(15)
+    log.append((5 until 9).map(i => (i.toLong, 1L)).toDF("id", "v"), partitions = 1)
+    val bad = intercept[Exception] {
+      spark.readStream.format("graft-log").option("root", log.root)
+        .option("readChangeFeed", "true")
+        .option("maxFilesPerTrigger", "1").load()
+    }
+    assert(bad.getMessage.contains("do not compose with readChangeFeed"))
+    val both = intercept[Exception] {
+      spark.readStream.format("graft-log").option("root", log.root)
+        .option("startingVersion", "1")
+        .option("startingTimestamp", cutoff.toString).load()
+    }
+    assert(both.getMessage.contains("not both"))
+    // startingTimestamp resolves to the version at the cutoff (v0) — the
+    // stream's first batch is v0's whole listing, then v1
+    assert(log.versionAt(cutoff) == 0L)
+    val q = spark.readStream
+      .format("graft-log").option("root", log.root)
+      .option("startingTimestamp", cutoff.toString).load()
+      .writeStream.format("memory").queryName("logsrc_ts")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("logsrc_ts").count() == 9L)
+    } finally q.stop()
+    // a post-head timestamp starts at the head version (v1 onward only)
+    val q2 = spark.readStream
+      .format("graft-log").option("root", log.root)
+      .option("startingTimestamp", System.currentTimeMillis().toString).load()
+      .writeStream.format("memory").queryName("logsrc_ts2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("logsrc_ts2").count() == 4L,
+        "head-resolved start serves the head version's appends only")
+    } finally q2.stop()
+  }
+
+  test("a mid-stream ALTER TABLE schema evolution refuses loudly, never serves NULL") {
+    val log = freshLog("t_evolve")
+    log.createEmpty(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType))))
+    log.appendStrict((0 until 5).map(i => (i.toLong, 0L)).toDF("id", "v"), 1)
+    val q = spark.readStream
+      .format("graft-log").option("root", log.root).load()
+      .writeStream.format("memory").queryName("logsrc_evolve")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("logsrc_evolve").count() == 5L)
+      log.addColumns(spark, Seq(("extra", org.apache.spark.sql.types.LongType)))
+      val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      assert(died.getMessage.contains("evolved mid-stream") ||
+        Option(died.getCause).exists(_.getMessage.contains("evolved mid-stream")),
+        s"wrong failure: ${died.getMessage}")
+    } finally q.stop()
+  }
 }

@@ -125,9 +125,16 @@ class SnapshotLogSpec extends AnyFunSuite {
     val log = freshLog("delta") // checkpointInterval = 4
     val logDir = new File("/root/repo/target/snaplog_spec/delta/_log")
     def logName(v: Long, ext: String) = new File(logDir, f"v$v%08d.$ext")
-    def lines(f: File) =
+    def rawLines(f: File) =
       java.nio.file.Files.readAllLines(f.toPath).toArray.map(_.toString).filter(_.nonEmpty)
+    // `#ts=` anchor headers are commit metadata, not change lines
+    def lines(f: File) = rawLines(f).filterNot(_.startsWith("#"))
     (0 to 5).foreach(i => log.append(rows(10, s"b$i"), partitions = 2))
+    // every anchor records its commit wall-clock INSIDE the file, and
+    // commitTimeMillis resolves from it (not from the copy-fragile mtime)
+    val rawD3 = rawLines(logName(3L, "delta"))
+    assert(rawD3.head.startsWith("#ts="), rawD3.head)
+    assert(log.commitTimeMillis(3L) == rawD3.head.stripPrefix("#ts=").toLong)
     // anchors exist for every version; checkpoints only at the interval
     (0L to 5L).foreach(v => assert(logName(v, "delta").exists(), s"missing anchor v$v"))
     assert((0L to 5L).filter(v => logName(v, "manifest").exists()) == Seq(0L, 4L))

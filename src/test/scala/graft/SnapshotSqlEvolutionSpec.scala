@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftCatalog, SnapshotLog}
+
+/** SQL-first schema evolution and atomic CTAS over snapshot-log tables
+  * ([[GraftCatalog]]): `ALTER TABLE … RENAME COLUMN` / `ALTER COLUMN …
+  * TYPE` as metadata-only commits under column mapping (the table
+  * auto-upgrades on first use), mapped tables still fully SQL-readable
+  * through the name-translating scan; `CREATE TABLE … AS SELECT` staged
+  * and published as ONE commit so a crashed CTAS leaves no table; the
+  * `clusterBy` property as OPTIMIZE's default keys.
+  */
+class SnapshotSqlEvolutionSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val root = "/root/repo/target/snapsql_evo_spec"
+
+  private def register(): Unit = {
+    spark.conf.set("spark.sql.catalog.graftevo", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftevo.root", root)
+  }
+
+  private def logOf(table: String) = new SnapshotLog(s"$root/$table")
+
+  test("RENAME COLUMN is metadata-only; mapped reads translate, time travel keeps vintages") {
+    register()
+    spark.sql("DROP TABLE IF EXISTS graftevo.ren")
+    spark.sql("CREATE TABLE graftevo.ren (k BIGINT, status STRING, cents BIGINT)")
+    (0 until 20).map(i => (i.toLong, s"s${i % 3}", i * 10L))
+      .toDF("k", "status", "cents").createOrReplaceTempView("ren_src")
+    spark.sql("INSERT INTO graftevo.ren SELECT * FROM ren_src WHERE k < 10")
+    val log = logOf("ren")
+    val vPre = log.currentVersion.get
+    val filesPre = log.dataFiles(vPre)
+    spark.sql("ALTER TABLE graftevo.ren RENAME COLUMN status TO prio")
+    // auto-upgrade to mapping (1 commit) + the rename (1 commit), zero
+    // data files touched
+    val vPost = log.currentVersion.get
+    assert(vPost == vPre + 2L && log.dataFiles(vPost) == filesPre,
+      "rename must be metadata-only commits")
+    // the renamed column reads through SQL — old files under the new name
+    assert(spark.sql("SELECT count(*) AS n FROM graftevo.ren WHERE prio = 's1'")
+      .head().getLong(0) == 3L)
+    // the OLD name is gone from the current schema
+    val gone = intercept[Exception] {
+      spark.sql("SELECT status FROM graftevo.ren").collect()
+    }
+    assert(gone.getMessage.contains("status"))
+    // post-rename INSERT lands in the SAME physical column as old files
+    spark.sql("INSERT INTO graftevo.ren SELECT k, status AS prio, cents " +
+      "FROM ren_src WHERE k >= 10")
+    assert(spark.sql("SELECT count(*) AS n FROM graftevo.ren WHERE prio = 's1'")
+      .head().getLong(0) == 7L)
+    assert(spark.sql("SELECT sum(cents) AS s FROM graftevo.ren").head().getLong(0) ==
+      (0 until 20).map(_ * 10L).sum)
+    // time travel to the pre-rename vintage serves the OLD name
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graftevo.ren VERSION AS OF $vPre WHERE status = 's1'")
+      .head().getLong(0) == 3L)
+    // filter pushdown still reaches parquet on the mapped scan
+    val plan = spark.sql("SELECT k FROM graftevo.ren WHERE k >= 5")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(k,5)"), s"filter not pushed:\n$plan")
+  }
+
+  test("RENAME COLUMN on an empty declared table rewrites the schema, no mapping") {
+    register()
+    spark.sql("DROP TABLE IF EXISTS graftevo.ren_empty")
+    spark.sql("CREATE TABLE graftevo.ren_empty (a BIGINT, b STRING)")
+    spark.sql("ALTER TABLE graftevo.ren_empty RENAME COLUMN a TO a2")
+    val log = logOf("ren_empty")
+    assert(log.columnMapping(log.currentVersion.get).isEmpty,
+      "empty-table rename must not upgrade to mapping")
+    assert(spark.table("graftevo.ren_empty").columns.toSeq == Seq("a2", "b"))
+    spark.sql("INSERT INTO graftevo.ren_empty VALUES (1, 'x')")
+    assert(spark.sql("SELECT a2 FROM graftevo.ren_empty").head().getLong(0) == 1L)
+  }
+
+  test("ALTER COLUMN TYPE widens losslessly; lossy retypes refuse; old files promote") {
+    register()
+    spark.sql("DROP TABLE IF EXISTS graftevo.wid")
+    spark.sql("CREATE TABLE graftevo.wid (k INT, cents BIGINT)")
+    spark.sql("INSERT INTO graftevo.wid SELECT CAST(id AS INT) AS k, id * 10 AS cents " +
+      "FROM range(10)")
+    val log = logOf("wid")
+    val filesPre = log.dataFiles(log.currentVersion.get)
+    spark.sql("ALTER TABLE graftevo.wid ALTER COLUMN k TYPE BIGINT")
+    assert(log.dataFiles(log.currentVersion.get) == filesPre,
+      "widen must be metadata-only")
+    // the widened table declares BIGINT and serves 64-bit values from
+    // new files while promoting the old INT32 files in place
+    assert(spark.table("graftevo.wid").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    spark.sql("INSERT INTO graftevo.wid VALUES (3000000000, 77)")
+    val out = spark.sql(
+      "SELECT count(*) AS n, sum(k) AS sk FROM graftevo.wid").head()
+    assert(out.getLong(0) == 11L && out.getLong(1) == (0 until 10).sum + 3000000000L)
+    assert(spark.sql("SELECT k FROM graftevo.wid WHERE k > 100").head().getLong(0) ==
+      3000000000L)
+    // LOSSY retypes refuse loudly. A NARROWING (bigint→int) dies in
+    // Spark's own analyzer (canUpCast) before reaching the catalog;
+    // bigint→double is an "up-cast" to Spark but LOSES precision past
+    // 2^53 — the engine's lossless allow-list catches that one.
+    val narrow = intercept[Exception] {
+      spark.sql("ALTER TABLE graftevo.wid ALTER COLUMN cents TYPE INT")
+    }
+    assert(narrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), narrow.getMessage)
+    val lossy = intercept[Exception] {
+      spark.sql("ALTER TABLE graftevo.wid ALTER COLUMN cents TYPE DOUBLE")
+    }
+    assert(lossy.getMessage.contains("lossless"), lossy.getMessage)
+  }
+
+  test("a declared-but-unbackfilled column blocks the mapping upgrade loudly") {
+    register()
+    spark.sql("DROP TABLE IF EXISTS graftevo.ghost")
+    spark.sql("CREATE TABLE graftevo.ghost (a BIGINT, b STRING)")
+    spark.sql("INSERT INTO graftevo.ghost VALUES (1, 'x')")
+    spark.sql("ALTER TABLE graftevo.ghost ADD COLUMNS (c BIGINT)")
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE graftevo.ghost RENAME COLUMN a TO a2")
+    }
+    assert(ex.getMessage.contains("no physical data"), ex.getMessage)
+  }
+
+  test("CTAS is atomic: one v0 commit with schema+data; a failed CTAS leaves NO table") {
+    register()
+    spark.sql("DROP TABLE IF EXISTS graftevo.ctas_ok")
+    spark.sql("CREATE TABLE graftevo.ctas_ok AS SELECT id AS k, id * 2 AS v FROM range(50)")
+    val log = logOf("ctas_ok")
+    // schema AND data land in the SINGLE v0 commit — no empty husk ever
+    assert(log.currentVersion.contains(0L), "CTAS must publish exactly one commit")
+    assert(log.declaredSchema(0L).isDefined && log.dataFiles(0L).nonEmpty)
+    assert(spark.sql("SELECT count(*) AS n, sum(v) AS sv FROM graftevo.ctas_ok")
+      .head().toSeq == Seq(50L, (0 until 50).map(_ * 2L).sum))
+    // a CTAS whose SELECT dies mid-write publishes NOTHING: no table, no
+    // directory — tableExists stays false throughout
+    spark.sql("DROP TABLE IF EXISTS graftevo.ctas_boom")
+    val boom = intercept[Exception] {
+      spark.sql("CREATE TABLE graftevo.ctas_boom AS " +
+        "SELECT id, CAST(1 AS INT) / (CAST(id AS INT) - 5) AS bad FROM range(10)")
+    }
+    assert(boom != null)
+    assert(spark.sql("SHOW TABLES IN graftevo").collect()
+      .forall(_.getString(1) != "ctas_boom"), "a crashed CTAS must leave no table")
+    assert(!new java.io.File(s"$root/ctas_boom/_log").exists())
+    val noTable = intercept[Exception] {
+      spark.sql("SELECT * FROM graftevo.ctas_boom").collect()
+    }
+    assert(noTable.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("REPLACE TABLE AS SELECT publishes atomically; old versions time-travel") {
+    register()
+    spark.sql("DROP TABLE IF EXISTS graftevo.rtas")
+    spark.sql("CREATE TABLE graftevo.rtas AS SELECT id AS k FROM range(10)")
+    val log = logOf("rtas")
+    val v0 = log.currentVersion.get
+    spark.sql("REPLACE TABLE graftevo.rtas AS SELECT id AS k2, id * 3 AS w FROM range(5)")
+    assert(log.currentVersion.contains(v0 + 1L), "replace is exactly one commit")
+    assert(spark.table("graftevo.rtas").columns.toSeq == Seq("k2", "w"))
+    assert(spark.sql("SELECT sum(w) AS s FROM graftevo.rtas").head().getLong(0) ==
+      (0 until 5).map(_ * 3L).sum)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graftevo.rtas VERSION AS OF $v0")
+      .head().getLong(0) == 10L)
+  }
+
+  test("clusterBy property drives a bare OPTIMIZE; skipping works on the declared keys") {
+    register()
+    spark.sql("DROP TABLE IF EXISTS graftevo.clu")
+    spark.sql("CREATE TABLE graftevo.clu (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('clusterBy' = 'k')")
+    val log = logOf("clu")
+    assert(log.property(log.currentVersion.get, "clusterBy").contains("k"))
+    // unsorted small appends — the state OPTIMIZE exists to fix
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO graftevo.clu SELECT id * 4 + $i AS k, id AS v FROM range(250)")
+    }
+    val receipt = spark.sql("OPTIMIZE graftevo.clu").head()
+    assert(receipt.getString(1) == "cluster_by", receipt.toString)
+    // the clustered scan skips files on a k-range predicate
+    val q = spark.sql("SELECT sum(v) AS s FROM graftevo.clu WHERE k BETWEEN 0 AND 99")
+    def scanFiles(p: org.apache.spark.sql.execution.SparkPlan): Option[Int] =
+      p.collectLeaves().flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scanFiles(a.executedPlan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Some(b.scan
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length)
+        case _ => None
+      }.headOption
+    val planned = scanFiles(q.queryExecution.executedPlan).getOrElse(-1)
+    val total = log.dataFiles(log.currentVersion.get).size
+    assert(planned >= 1 && planned < total,
+      s"expected manifest-level skipping after OPTIMIZE: planned $planned of $total")
+    // content untouched by the rewrite
+    assert(spark.sql("SELECT count(*) AS n FROM graftevo.clu").head().getLong(0) == 1000L)
+    // SET TBLPROPERTIES re-declares the keys
+    spark.sql("ALTER TABLE graftevo.clu SET TBLPROPERTIES ('clusterBy' = 'v')")
+    assert(log.property(log.currentVersion.get, "clusterBy").contains("v"))
+  }
+}
