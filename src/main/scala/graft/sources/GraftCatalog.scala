@@ -156,6 +156,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val tname =
       s"$catalogName.${ident.name()}" + version.map(x => s"@v$x").getOrElse("")
     val spark = SparkSession.active
+    val tableProps = log.metaValues(v).collect {
+      case (k, pv) if k.startsWith("prop.") => k.stripPrefix("prop.") -> pv
+    }
     log.columnMapping(v) match {
       case Some((_, pairs)) =>
         // COLUMN-MAPPED snapshot: the parquet scan runs over the PHYSICAL
@@ -174,7 +177,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
           c => log.fileValueSetsForColumn(spark, v, c),
           kept => ParquetTable(tname, spark, opts, kept, Some(physSchema),
             classOf[ParquetFileFormat]),
-          l2p, Some(logSchema))
+          l2p, Some(logSchema), tableProps)
         if (version.isEmpty) new GraftCatalog.MappedWritableTable(inner, log, pruner)
         else new GraftCatalog.ReadOnlyTable(inner, pruner)
       case None =>
@@ -196,7 +199,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
           c => log.fileStatsForColumn(spark, v, c),
           c => log.fileValueSetsForColumn(spark, v, c),
           kept => ParquetTable(tname, spark, opts, kept, Some(resolved),
-            classOf[ParquetFileFormat]))
+            classOf[ParquetFileFormat]),
+          tableProps = tableProps)
         if (version.isEmpty) new GraftCatalog.WritableTable(inner, log, pruner)
         else new GraftCatalog.ReadOnlyTable(inner, pruner)
     }
@@ -570,7 +574,8 @@ object GraftCatalog {
       valuesFor: String => Option[Map[String, Option[Set[String]]]],
       rebuildTable: Seq[String] => ParquetTable,
       logicalToPhysical: Map[String, String] = Map.empty,
-      reportedSchema: Option[StructType] = None)
+      reportedSchema: Option[StructType] = None,
+      tableProps: Map[String, String] = Map.empty)
 
   /** The PHYSICAL scan schema, the LOGICAL table schema, and the
     * logical→physical name map of a column-mapped snapshot. Types come
@@ -590,13 +595,17 @@ object GraftCatalog {
       paths: Seq[String]): (StructType, StructType, Map[String, String]) = {
     import org.apache.spark.sql.types.{DataType, StructField}
     val widened = log.columnTypes(v)
-    val dirTypes: Seq[Map[String, DataType]] = paths
+    val base = log.columnBaseTypes(v)
+    // footer reads happen ONLY for physical columns with neither a
+    // widening nor a recorded base type (legacy enables, encoding-unsafe
+    // DDL) — the common mapped table plans from metadata alone
+    lazy val dirTypes: Seq[Map[String, DataType]] = paths
       .groupBy(p => new File(p).getParent).toSeq.sortBy(_._1)
       .map { case (_, ps) =>
         spark.read.parquet(ps: _*).schema.fields.map(f => f.name -> f.dataType).toMap
       }
     val canon: Seq[(String, String, DataType)] = pairs.flatMap { case (l, p) =>
-      widened.get(p) match {
+      widened.get(p).orElse(base.get(p)) match {
         case Some(t) => Some((l, p, DataType.fromDDL(t)))
         case None =>
           val seen = dirTypes.flatMap(_.get(p)).distinct
@@ -627,6 +636,12 @@ object GraftCatalog {
     extends Table with SupportsRead {
     override def name(): String = inner.name
     override def schema(): StructType = pruner.reportedSchema.getOrElse(inner.schema)
+    // `SHOW TBLPROPERTIES cat.t` serves the log's prop.* metadata
+    override def properties(): util.Map[String, String] = {
+      val m = new util.HashMap[String, String]()
+      pruner.tableProps.foreach { case (k, v) => m.put(k, v) }
+      m
+    }
     override def capabilities(): util.Set[TableCapability] =
       util.Collections.singleton(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -768,7 +783,7 @@ object GraftCatalog {
                   data.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
                 val ordered = data.select(logical.fieldNames.map(
                   org.apache.spark.sql.functions.col(_)).toIndexedSeq: _*)
-                log.withOccRetry()(log.appendMapped(ordered, parts))
+                log.withOccRetry()(log.appendMappedStats(ordered, parts))
                 ()
               }
             }

@@ -59,19 +59,21 @@ import org.apache.spark.sql.types.StructType
   * accepting epoch millis or an ISO `yyyy-MM-dd['T'HH:mm:ss]` instant;
   * `readChangeFeed` — stream row-level changes instead of appended rows.
   *
-  * ADMISSION CONTROL (`maxFilesPerTrigger` / `maxBytesPerTrigger` — the
-  * Delta rate-limit pair, the difference between a backfill that
-  * checkpoints incrementally and one that scans 100 TB in a single
-  * micro-batch): when set, [[GraftLogSource.getOffset]] returns the
-  * highest version whose CUMULATIVE appended data files (or bytes —
-  * manifest-listed sizes, no data read) fit the bound instead of the
-  * log head, so Spark's checkpoint advances version by version through
-  * a backlog. A version is atomic — one commit never splits across
-  * triggers, so a single commit larger than the bound still serves
-  * whole (and alone). Bounds compose with kill/restart: the admission
-  * cursor re-seeds from the checkpoint's own offsets, never re-serving
-  * an admitted version. Not yet offered for change-feed mode (refused
-  * loudly — CDF batches are version-diff-shaped, not file-shaped).
+  * ADMISSION CONTROL (`maxFilesPerTrigger` / `maxBytesPerTrigger` /
+  * `maxVersionsPerTrigger` — the Delta rate-limit family, the
+  * difference between a backfill that checkpoints incrementally and one
+  * that scans 100 TB in a single micro-batch): when set,
+  * [[GraftLogSource.getOffset]] returns the highest version whose
+  * CUMULATIVE appended data files (or bytes — manifest-listed sizes, no
+  * data read; or commit count) fit the budget instead of the log head,
+  * so Spark's checkpoint advances version by version through a backlog.
+  * A version is atomic — one commit never splits across triggers, so a
+  * single commit larger than the budget still serves whole (and alone).
+  * Bounds compose with kill/restart: the admission cursor re-seeds from
+  * the checkpoint's own offsets, never re-serving an admitted version.
+  * Change-feed mode takes only `maxVersionsPerTrigger` (CDF batches are
+  * version-diff-shaped, not file-shaped — the file/byte pair refuses
+  * loudly there).
   *
   * The SAME format is a SINK (`writeStream.format("graft-log")`) — see
   * [[GraftLogSourceProvider.createSink]]: one watermarked transactional
@@ -137,11 +139,13 @@ class GraftLogSourceProvider
       s"graft-log source: maxFilesPerTrigger must be >= 1, got $m"))
     parameters.get("maxBytesPerTrigger").map(_.toLong).foreach(m => require(m >= 1L,
       s"graft-log source: maxBytesPerTrigger must be >= 1, got $m"))
+    parameters.get("maxVersionsPerTrigger").map(_.toInt).foreach(m => require(m >= 1,
+      s"graft-log source: maxVersionsPerTrigger must be >= 1, got $m"))
     require(!cdf || (!parameters.contains("maxFilesPerTrigger") &&
         !parameters.contains("maxBytesPerTrigger")),
       "graft-log source: maxFilesPerTrigger/maxBytesPerTrigger do not " +
-        "compose with readChangeFeed yet — CDF batches are version-diff-" +
-        "shaped; bound the feed with startingVersion instead")
+        "compose with readChangeFeed — CDF batches are version-diff-" +
+        "shaped; bound the feed with maxVersionsPerTrigger instead")
     require(!(parameters.contains("startingVersion") &&
         parameters.contains("startingTimestamp")),
       "graft-log source: set startingVersion OR startingTimestamp, not both")
@@ -189,14 +193,13 @@ class GraftLogSourceProvider
       log.versionAt(millis)
     }
     val cdf = isCdf(parameters)
-    val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toInt)
-    val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
     new GraftLogSource(sqlContext, log,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       fromVersion.orElse(fromTimestamp),
       changeFeed = cdf,
-      maxFilesPerTrigger = maxFiles,
-      maxBytesPerTrigger = maxBytes)
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toInt),
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toInt))
   }
 }
 
@@ -257,7 +260,8 @@ class GraftLogSource(
     startingVersion: Option[Long],
     changeFeed: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends Source {
+    maxBytesPerTrigger: Option[Long] = None,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source {
 
   // versions strictly BELOW the floor never stream; the floor itself is
   // the initial-snapshot batch (oldest survivor = whole listing, per
@@ -292,7 +296,8 @@ class GraftLogSource(
   @volatile private var admittedHi: Option[Long] = None
 
   private def bounded: Boolean =
-    maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
+    maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined ||
+      maxVersionsPerTrigger.isDefined
 
   /** The appended DATA files of `v` with their manifest-listed sizes —
     * metadata-only (a listing diff plus `File.length`, never a data
@@ -303,28 +308,39 @@ class GraftLogSource(
     log.appendedFiles(v).filter(_.endsWith(".parquet"))
 
   /** The highest version in `(fromExclusive, latest]` whose cumulative
-    * appended files/bytes fit the trigger bounds. A version is atomic:
-    * the first data-carrying version always admits (even alone over the
-    * bound — a commit never splits); later versions stop at the bound.
-    * Metadata-only commits ride free with whatever precedes them.
+    * appended files/bytes (or commit count) fit the trigger budgets. A
+    * version is atomic: the first version always admits (even alone over
+    * a budget — a commit never splits); later versions stop at whichever
+    * budget trips. Metadata-only commits ride free past the file/byte
+    * budgets but count toward `maxVersionsPerTrigger`. In change-feed
+    * mode only the version budget applies (no file sizing — delete/
+    * rewrite commits have no "appended files" to count).
     */
   private def admitUpTo(fromExclusive: Long, latest: Long): Long = {
+    val sizeBounded = maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
     val pending = log.versions
       .filter(v => v > fromExclusive && v <= latest && v >= floor)
     var end = fromExclusive
     var files = 0L
     var bytes = 0L
+    var admitted = 0
     var admittedData = false
     pending.foreach { v =>
-      val fs = appendedParquet(v)
-      val n = fs.size.toLong
-      val b =
-        if (maxBytesPerTrigger.isDefined) fs.map(new File(_).length()).sum
-        else 0L
-      val over = maxFilesPerTrigger.exists(m => files + n > m) ||
-        maxBytesPerTrigger.exists(m => bytes + b > m)
-      if (admittedData && n > 0 && over) return end
-      end = v; files += n; bytes += b
+      val (n, b) =
+        if (!sizeBounded) (0L, 0L)
+        else {
+          val fs = appendedParquet(v)
+          (fs.size.toLong,
+            if (maxBytesPerTrigger.isDefined) fs.map(new File(_).length()).sum
+            else 0L)
+        }
+      if (admitted > 0) {
+        val versionOver = maxVersionsPerTrigger.exists(admitted >= _)
+        val sizeOver = maxFilesPerTrigger.exists(m => files + n > m) ||
+          maxBytesPerTrigger.exists(m => bytes + b > m)
+        if (versionOver || (admittedData && n > 0 && sizeOver)) return end
+      }
+      end = v; files += n; bytes += b; admitted += 1
       if (n > 0) admittedData = true
     }
     end

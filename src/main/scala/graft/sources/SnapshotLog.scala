@@ -1537,12 +1537,44 @@ class SnapshotLog(
         "composing with renames; compact() them away first")
     val paths = dataFiles(cur).map(p => new File(dataRootPath, p).toString)
     require(paths.nonEmpty, "enableColumnMapping: empty table has no schema to map")
-    val fields = spark.read.option("mergeSchema", "true").parquet(paths: _*)
-      .schema.fieldNames.toSeq
+    val schema = spark.read.option("mergeSchema", "true").parquet(paths: _*).schema
+    val fields = schema.fieldNames.toSeq
     val mapped = withMeta(files(cur), ColMapKey,
       renderColMap(fields.size, fields.map(f => (f, f))))
-    commit(Some(cur), mapped)
+    // record the physical BASE types alongside the mapping (a separate
+    // `colbasetypes` line — the `coltypes` line stays reserved for real
+    // widenings, which readMapped's heterogeneous path keys on): every
+    // future mapped scan plans from METADATA alone — no per-statement
+    // parquet footer walk, the 100 TB planning shape. Types whose DDL
+    // would break the `p>t,p>t` encoding (nested commas/angles) are
+    // skipped — those fall back to the footer route.
+    val baseTypes = schema.fields
+      .map(f => f.name -> f.dataType.sql.toLowerCase(java.util.Locale.ROOT))
+      .filter { case (n, t) => !(n + t).exists(c =>
+        c == ',' || c == '>' || c == '|' || c == '=' || c == '\n' || c == '\r') }
+      .toMap
+    val withTypes =
+      if (baseTypes.isEmpty) mapped
+      else withMeta(mapped, BaseTypesKey,
+        baseTypes.toSeq.sorted.map { case (p, t) => s"$p>$t" }.mkString(","))
+    commit(Some(cur), withTypes)
   }
+
+  private val BaseTypesKey = "colbasetypes"
+
+  /** Physical-column → BASE type declarations recorded at
+    * [[enableColumnMapping]] (and extended by [[appendMapped]] for
+    * freshly-minted columns) — the metadata that lets a mapped scan plan
+    * without touching parquet footers. Distinct from [[columnTypes]]
+    * (declared WIDENINGS, which win where both exist).
+    */
+  def columnBaseTypes(version: Long): Map[String, String] =
+    metaValues(version).get(BaseTypesKey).map { v =>
+      v.split(',').map { e =>
+        val j = e.indexOf('>')
+        e.substring(0, j) -> e.substring(j + 1)
+      }.toMap
+    }.getOrElse(Map.empty)
 
   /** RENAME COLUMN as a metadata-only commit: the logical name moves,
     * the physical id (and every data byte) stays. Pinned readers of
@@ -1606,8 +1638,36 @@ class SnapshotLog(
     val staged = stageData(df.select(physCols: _*), partitions)
     val lines =
       if (added.isEmpty) files(cur)
-      else withMeta(files(cur), ColMapKey, renderColMap(next, pairs0 ++ added))
+      else {
+        // freshly-minted physical columns record their base type too, so
+        // mapped scans keep planning from metadata alone
+        val dfTypes = df.schema.fields
+          .map(f => f.name -> f.dataType.sql.toLowerCase(java.util.Locale.ROOT)).toMap
+        val newTypes = added.toSeq.flatMap { case (l, p) =>
+          dfTypes.get(l).filter(t => !(p + t).exists(c =>
+            c == ',' || c == '>' || c == '|' || c == '=' || c == '\n' || c == '\r'))
+            .map(p -> _)
+        }
+        val withMap = withMeta(files(cur), ColMapKey, renderColMap(next, pairs0 ++ added))
+        if (newTypes.isEmpty) withMap
+        else withMeta(withMap, BaseTypesKey,
+          (columnBaseTypes(cur) ++ newTypes).toSeq.sorted
+            .map { case (p, t) => s"$p>$t" }.mkString(","))
+      }
     commit(Some(cur), lines ++ staged)
+  }
+
+  /** [[appendMapped]] + footer-derived min/max stats sidecars — the
+    * mapped SQL INSERT path: manifest-level file skipping keeps working
+    * over post-rename inserts with zero extra data passes (sidecars are
+    * keyed by PHYSICAL column names, which is exactly what the
+    * translating scan asks for after pushdown translation).
+    */
+  def appendMappedStats(df: DataFrame, partitions: Int): Long = {
+    val v = appendMapped(df, partitions)
+    writeFooterStatsSidecar(df.sparkSession, appendedFiles(v)
+      .map(abs => new File(abs).toString.stripPrefix(dataRootPath + "/")))
+    v
   }
 
   /** [[read]] under column mapping: scan the snapshot's physical files
@@ -1715,7 +1775,8 @@ class SnapshotLog(
       "bigint" -> Set.empty,
       "double" -> Set.empty)
     val declared = columnTypes(cur)
-    val observed: Seq[String] = declared.get(phys) match {
+    val observed: Seq[String] = declared.get(phys)
+      .orElse(columnBaseTypes(cur).get(phys)) match {
       case Some(t) => Seq(t)
       case None =>
         val paths = dataFiles(cur).map(p => new File(dataRootPath, p).toString)

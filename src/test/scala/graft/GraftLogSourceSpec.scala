@@ -419,6 +419,30 @@ class GraftLogSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("maxVersionsPerTrigger bounds the CHANGE FEED one commit per trigger") {
+    val log = freshLog("t_cdfbound")
+    log.append((0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
+    log.append((10 until 20).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
+    log.deleteWhere(spark, col("id") < 3)
+    log.updateWhere(spark, col("id").between(5, 7), Seq("v" -> (col("v") + 100)))
+    val q = spark.readStream
+      .format("graft-log").option("root", log.root)
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("logsrc_cdfbound")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // four commits → four data triggers (one version per batch), and
+      // the drained feed equals the batch feed bitwise
+      val dataTriggers = q.recentProgress.filter(_.numInputRows > 0)
+      assert(dataTriggers.length == 4, s"got ${dataTriggers.length}")
+      val sunk = spark.table("logsrc_cdfbound")
+      val batch = log.readChanges(spark, -1L, log.currentVersion.get)
+      assert(sunk.exceptAll(batch).isEmpty && batch.exceptAll(sunk).isEmpty)
+    } finally q.stop()
+  }
+
   test("a mid-stream ALTER TABLE schema evolution refuses loudly, never serves NULL") {
     val log = freshLog("t_evolve")
     log.createEmpty(org.apache.spark.sql.types.StructType(Seq(

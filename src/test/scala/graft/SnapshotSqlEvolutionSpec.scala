@@ -200,8 +200,12 @@ class SnapshotSqlEvolutionSpec extends AnyFunSuite {
       s"expected manifest-level skipping after OPTIMIZE: planned $planned of $total")
     // content untouched by the rewrite
     assert(spark.sql("SELECT count(*) AS n FROM graftevo.clu").head().getLong(0) == 1000L)
-    // SET TBLPROPERTIES re-declares the keys
+    // SET TBLPROPERTIES re-declares the keys, and SHOW TBLPROPERTIES
+    // serves them from the log's own metadata
     spark.sql("ALTER TABLE graftevo.clu SET TBLPROPERTIES ('clusterBy' = 'v')")
     assert(log.property(log.currentVersion.get, "clusterBy").contains("v"))
+    val shown = spark.sql("SHOW TBLPROPERTIES graftevo.clu").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(shown.get("clusterBy").contains("v"), shown.toString)
   }
 }
