@@ -3146,6 +3146,50 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── SQL CHECK CONSTRAINTS ([[GraftCatalog]] declaring
+    // `SUPPORT_TABLE_CONSTRAINT`; the stored predicate reports through
+    // `Table.constraints()` so SPARK'S OWN ANALYZER plants enforcement
+    // into every INSERT's plan — zero extra passes, the check rides the
+    // write scan): a violating batch fails the WRITE JOB with nothing
+    // committed (`violating_batch_rejected`: exception + version
+    // unchanged — the negated-cents batch would break the oracle hash if
+    // one row slipped through), the clean batch passes, and `DROP
+    // CONSTRAINT` lifts the gate as one metadata commit
+    // (`constraint_dropped`) ──
+    "snapshot_sql_constraint" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftchk", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftchk.root", scratch(dir, "chkroot"))
+      s.sql("DROP TABLE IF EXISTS graftchk.ord")
+      s.sql("CREATE TABLE graftchk.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 3000)
+        .createOrReplaceTempView("graft_chk_src")
+      s.sql("INSERT INTO graftchk.ord SELECT * FROM graft_chk_src WHERE k <= 1500")
+      s.sql("ALTER TABLE graftchk.ord ADD CONSTRAINT cents_nonneg CHECK (cents >= 0)")
+      val log = new SnapshotLog(scratch(dir, "chkroot") + "/ord")
+      val vPre = log.currentVersion.get
+      val rejected =
+        try {
+          s.sql("INSERT INTO graftchk.ord SELECT k, status, -cents - 1 " +
+            "FROM graft_chk_src WHERE k > 1500")
+          false
+        } catch { case _: Exception => true }
+      val violatingRejected = rejected && log.currentVersion.contains(vPre)
+      s.sql("INSERT INTO graftchk.ord SELECT * FROM graft_chk_src WHERE k > 1500")
+      s.sql("ALTER TABLE graftchk.ord DROP CONSTRAINT cents_nonneg")
+      val dropped = log.property(log.currentVersion.get, "check.cents_nonneg").isEmpty
+      s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftchk.ord GROUP BY status""".stripMargin)
+        .withColumn("violating_batch_rejected", lit(violatingRejected))
+        .withColumn("constraint_dropped", lit(dropped))
+        .orderBy(col("status"))
+    }),
+
     // ── LIQUID-CLUSTERING DECLARATION (`clusterBy` table property →
     // `OPTIMIZE` default keys): the table DECLARES its clustering keys
     // at CREATE (`TBLPROPERTIES('clusterBy'='k')`), three interleaved
@@ -4046,6 +4090,18 @@ object QueriesEtl {
         |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |       TRUE AS ctas_single_commit,
         |       TRUE AS failed_ctas_left_no_table
+        |FROM orders WHERE o_orderkey <= 3000
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_constraint: both halves reunite (the violating
+    // negated-cents batch never committed); the rejection and drop laws
+    // are measured in the Spark path
+    "snapshot_sql_constraint" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS violating_batch_rejected,
+        |       TRUE AS constraint_dropped
         |FROM orders WHERE o_orderkey <= 3000
         |GROUP BY status ORDER BY status""".stripMargin,
 

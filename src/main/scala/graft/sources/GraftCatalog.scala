@@ -93,6 +93,13 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   override def name(): String = catalogName
 
+  // `ALTER TABLE … ADD CONSTRAINT … CHECK (…)` routes through alterTable;
+  // without this capability the analyzer refuses constraint DDL upfront
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.Set.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def rootDir: String =
     SparkSession.active.conf.getOption(s"spark.sql.catalog.$catalogName.root")
       .orElse(Option(initOptions.get("root")))
@@ -324,7 +331,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     changes.foreach {
       case _: TableChange.AddColumn | _: TableChange.DeleteColumn |
            _: TableChange.RenameColumn | _: TableChange.UpdateColumnType |
-           _: TableChange.SetProperty => ()
+           _: TableChange.SetProperty | _: TableChange.AddConstraint |
+           _: TableChange.DropConstraint => ()
       case other => readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
     }
     val adds = changes.collect { case a: TableChange.AddColumn =>
@@ -385,6 +393,32 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       }
     }
     props.foreach { case (k, v) => log.withOccRetry()(log.setProperty(k, v)) }
+    changes.foreach {
+      case a: TableChange.AddConstraint =>
+        val c = a.constraint() match {
+          case chk: org.apache.spark.sql.connector.catalog.constraints.Check => chk
+          case other => readOnly(
+            s"ALTER TABLE ADD CONSTRAINT (${other.getClass.getSimpleName} — " +
+              "only enforced CHECK constraints are supported)")
+        }
+        require(c.enforced(),
+          "GraftCatalog: NOT ENFORCED CHECK constraints are not supported — " +
+            "an unenforced gate would be a silent no-op")
+        val sql = Option(c.predicateSql()).getOrElse(readOnly(
+          "ALTER TABLE ADD CONSTRAINT without a predicate SQL"))
+        require(!sql.exists(ch => ch == '\n' || ch == '\r'),
+          "GraftCatalog: CHECK predicate must be single-line")
+        log.withOccRetry()(log.setProperty(s"check.${c.name()}", sql))
+        ()
+      case d: TableChange.DropConstraint =>
+        val key = s"check.${d.name()}"
+        val cur = log.currentVersion.getOrElse(throw new NoSuchTableException(ident))
+        require(d.ifExists() || log.property(cur, key).isDefined,
+          s"GraftCatalog: no CHECK constraint named ${d.name()} on ${ident.name()}")
+        log.withOccRetry()(log.removeProperty(key))
+        ()
+      case _ => ()
+    }
     loadTable(ident)
   }
 
@@ -642,6 +676,19 @@ object GraftCatalog {
       pruner.tableProps.foreach { case (k, v) => m.put(k, v) }
       m
     }
+    // stored CHECK constraints report through the DSv2 contract, so
+    // Spark's OWN analyzer plants the enforcement into every INSERT's
+    // plan (a violating batch fails the WRITE JOB — before anything is
+    // committed; aborted stage files are vacuum fodder). Zero extra
+    // passes: the check rides the write scan.
+    override def constraints()
+        : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+      pruner.tableProps.toSeq.sortBy(_._1).collect {
+        case (k, sql) if k.startsWith("check.") =>
+          org.apache.spark.sql.connector.catalog.constraints.Constraint
+            .check(k.stripPrefix("check.")).predicateSql(sql).build()
+            : org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
     override def capabilities(): util.Set[TableCapability] =
       util.Collections.singleton(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

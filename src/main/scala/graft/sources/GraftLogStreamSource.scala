@@ -163,6 +163,14 @@ class GraftLogSourceProvider
     val log = logFor(parameters)
     val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
       s"graft-log source: no committed snapshot at ${log.root}"))
+    // COLUMN-MAPPED tables refuse: the source's raw-parquet batch scan
+    // reads PHYSICAL names, and after a rename (or a drop + re-add that
+    // minted a fresh physical id) the pinned schema would silently bind
+    // the wrong physical column to a logical name — wrong data, no error
+    require(log.columnMapping(cur).isEmpty,
+      s"graft-log source: ${log.root} uses column mapping (physical ids); " +
+        "streaming scans would mis-bind renamed columns — stream a compacted " +
+        "copy, or consume readChanges below the mapping commit")
     val table = log.read(sqlContext.sparkSession, cur).schema
     val out =
       if (!isCdf(parameters)) table
@@ -383,6 +391,14 @@ class GraftLogSource(
     // declared-schema meta line), no data touched. A replayed batch of an
     // EXPIRED version skips the check (its metadata is gone; the expire
     // guard below owns that refusal).
+    // a column-mapping upgrade mid-stream gets the same loud refusal the
+    // start-time check gives (a later rename/drop under the mapping
+    // would silently mis-bind or NULL physical columns)
+    if (!changeFeed && log.versions.contains(hi))
+      require(log.columnMapping(hi).isEmpty,
+        s"graft-log source: ${log.root} enabled column mapping mid-stream — " +
+          "the pinned physical-name scan cannot follow renames; restart " +
+          "from a fresh checkpoint via the SnapshotLog API or a compacted copy")
     (if (log.versions.contains(hi)) log.declaredSchema(hi) else None).foreach { declared =>
       val pinnedData = schema.fields
         .filterNot(f => changeFeed &&

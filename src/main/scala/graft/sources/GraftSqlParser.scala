@@ -68,6 +68,8 @@ object GraftSqlParser {
     """(?is)\s*VACUUM\s+(\w+)\.(\w+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*(DRY\s+RUN)?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\.(\w+)\s*;?\s*""".r
+  private val DetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+(\w+)\.(\w+)\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\w+)\.(\w+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
@@ -95,6 +97,8 @@ object GraftSqlParser {
           dryRun = dry != null))
       case HistoryRe(cat, table) if isGraftCatalog(cat) =>
         Some(DescribeGraftHistory(cat, table))
+      case DetailRe(cat, table) if isGraftCatalog(cat) =>
+        Some(DescribeGraftDetail(cat, table))
       case RestoreRe(cat, table, v) if isGraftCatalog(cat) =>
         Some(RestoreGraftTable(cat, table, v.toLong))
       case _ => None
@@ -267,6 +271,37 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       val log = logFor(spark, cat, table)
       Seq(Row(toVersion, log.restoreTo(toVersion)))
+    }
+  }
+
+  /** `DESCRIBE DETAIL cat.t` (the Delta shape): ONE metadata-only row
+    * summarizing the current snapshot — version, commit wall-clock, file
+    * counts per kind, on-disk bytes, the declared clustering keys, and
+    * whether column mapping / a declared schema are in force. Everything
+    * comes from the manifest and `File.length` — never a data scan.
+    */
+  private case class DescribeGraftDetail(cat: String, table: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "format" -> StringType, "name" -> StringType, "version" -> LongType,
+      "committed_at" -> TimestampType, "num_data_files" -> IntegerType,
+      "num_mask_files" -> IntegerType, "size_bytes" -> LongType,
+      "cluster_by" -> StringType, "column_mapping" -> org.apache.spark.sql.types.BooleanType,
+      "declared_schema" -> org.apache.spark.sql.types.BooleanType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val log = logFor(spark, cat, table)
+      val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
+        s"DESCRIBE DETAIL: no committed snapshot at $cat.$table"))
+      val data = log.dataFiles(cur)
+      val masks = log.tombstoneFiles(cur).size + log.posDeleteFiles(cur).size +
+        log.dvFiles(cur).size
+      val bytes = data.map(p => new File(log.dataRootPath, p).length()).sum
+      Seq(Row("graft", s"$cat.$table", cur,
+        new java.sql.Timestamp(log.commitTimeMillis(cur)),
+        data.size, masks, bytes,
+        log.property(cur, "clusterBy").getOrElse(""),
+        log.columnMapping(cur).isDefined,
+        log.declaredSchema(cur).isDefined))
     }
   }
 

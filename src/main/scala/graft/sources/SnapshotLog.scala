@@ -2524,6 +2524,18 @@ class SnapshotLog(
   def property(version: Long, key: String): Option[String] =
     metaValues(version).get(s"prop.$key")
 
+  /** Remove one `prop.<key>` table property as a metadata-only commit
+    * (the `ALTER TABLE … DROP CONSTRAINT`/UNSET route). Returns the
+    * current version unchanged when the property was never set.
+    */
+  def removeProperty(key: String): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"removeProperty: no committed snapshot at $root"))
+    if (property(cur, key).isEmpty) cur
+    else commit(Some(cur),
+      files(cur).filterNot(_.startsWith(s"${MetaPrefix}prop.$key=")))
+  }
+
   /** RENAME COLUMN on a DECLARED-BUT-EMPTY table: with zero data files
     * there is no physical name to preserve, so the rename is a pure
     * declared-schema rewrite — no column-mapping upgrade needed. The

@@ -207,5 +207,58 @@ class SnapshotSqlEvolutionSpec extends AnyFunSuite {
     val shown = spark.sql("SHOW TBLPROPERTIES graftevo.clu").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(shown.get("clusterBy").contains("v"), shown.toString)
+    // DESCRIBE DETAIL: one metadata-only summary row
+    val det = spark.sql("DESCRIBE DETAIL graftevo.clu").head()
+    assert(det.getString(0) == "graft" && det.getString(1) == "graftevo.clu")
+    assert(det.getLong(2) == log.currentVersion.get)
+    assert(det.getInt(4) == log.dataFiles(log.currentVersion.get).size)
+    assert(det.getLong(6) > 0L, "size_bytes from the manifest listing")
+    assert(det.getString(7) == "v" && !det.getBoolean(8) && det.getBoolean(9))
+  }
+
+  test("SQL CHECK constraints gate INSERTs; DROP CONSTRAINT lifts the gate") {
+    register()
+    spark.sql("DROP TABLE IF EXISTS graftevo.chk")
+    spark.sql("CREATE TABLE graftevo.chk (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO graftevo.chk VALUES (1, 10)")
+    spark.sql("ALTER TABLE graftevo.chk ADD CONSTRAINT cents_nonneg CHECK (cents >= 0)")
+    val log = logOf("chk")
+    assert(log.property(log.currentVersion.get, "check.cents_nonneg")
+      .exists(_.contains("cents")), "constraint stored in the log metadata")
+    // a violating batch fails the WRITE JOB — nothing commits
+    val vPre = log.currentVersion.get
+    val bad = intercept[Exception] {
+      spark.sql("INSERT INTO graftevo.chk VALUES (2, -5)")
+    }
+    assert(bad.getMessage.contains("cents_nonneg") ||
+      bad.getMessage.contains("CHECK_CONSTRAINT") ||
+      bad.getMessage.toLowerCase.contains("constraint"), bad.getMessage)
+    assert(log.currentVersion.contains(vPre), "violating INSERT must not commit")
+    // a clean batch passes
+    spark.sql("INSERT INTO graftevo.chk VALUES (3, 30)")
+    assert(spark.sql("SELECT count(*) AS n FROM graftevo.chk").head().getLong(0) == 2L)
+    // DROP CONSTRAINT lifts the gate (one metadata commit)
+    spark.sql("ALTER TABLE graftevo.chk DROP CONSTRAINT cents_nonneg")
+    spark.sql("INSERT INTO graftevo.chk VALUES (4, -1)")
+    assert(spark.sql("SELECT count(*) AS n FROM graftevo.chk WHERE cents < 0")
+      .head().getLong(0) == 1L)
+    // unknown names refuse unless IF EXISTS
+    val unknown = intercept[Exception] {
+      spark.sql("ALTER TABLE graftevo.chk DROP CONSTRAINT nope")
+    }
+    assert(unknown.getMessage.contains("nope"), unknown.getMessage)
+  }
+
+  test("the stream source refuses column-mapped tables loudly (mis-binding hazard)") {
+    register()
+    spark.sql("DROP TABLE IF EXISTS graftevo.mapstream")
+    spark.sql("CREATE TABLE graftevo.mapstream (a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO graftevo.mapstream VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE graftevo.mapstream RENAME COLUMN a TO a2")
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft-log")
+        .option("root", s"$root/mapstream").load()
+    }
+    assert(ex.getMessage.contains("column mapping"), ex.getMessage)
   }
 }
