@@ -253,6 +253,41 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     loadTable(ident)
   }
 
+  /** `CREATE TABLE … (…, CONSTRAINT nn CHECK (…))` — the TableInfo
+    * route the analyzer takes when the catalog declares
+    * `SUPPORT_TABLE_CONSTRAINT`: declared CHECK constraints land as
+    * `prop.check.<name>` metadata in the same v0 commit as the schema,
+    * so the gate is in force from the very first INSERT.
+    */
+  override def createTable(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    requireNamespace(ident.namespace())
+    require(info.partitions().isEmpty,
+      "GraftCatalog: PARTITIONED BY is not supported — snapshot-log layout " +
+        "is managed by OPTIMIZE/clustering, not a partition directory scheme")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(name(), ident.name()))
+    val checks = info.constraints().toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(c.enforced(),
+          "GraftCatalog: NOT ENFORCED CHECK constraints are not supported")
+        val sql = Option(c.predicateSql()).getOrElse(readOnly(
+          "CREATE TABLE CONSTRAINT without a predicate SQL"))
+        require(!sql.exists(ch => ch == '\n' || ch == '\r'),
+          "GraftCatalog: CHECK predicate must be single-line")
+        s"check.${c.name()}" -> sql
+      case other => readOnly(
+        s"CREATE TABLE CONSTRAINT (${other.getClass.getSimpleName} — " +
+          "only enforced CHECK constraints are supported)")
+    }
+    val log = new SnapshotLog(new File(rootDir, ident.name()).toString)
+    log.commitCreate(info.schema(), Nil,
+      persistedProps(info.properties()) ++ checks)
+    loadTable(ident)
+  }
+
   /** ATOMIC `CREATE TABLE … AS SELECT`: stage the SELECT's files
     * invisibly, publish schema + properties + data as ONE v0 commit on
     * [[StagedTable.commitStagedChanges]]. A crash or abort anywhere

@@ -232,8 +232,14 @@ class GraftLogSink(
       s"graft-log sink: appId must be '='-free and newline-free, got $appId")
     // SCHEMA ENFORCEMENT (the appendStrict gate, applied per batch): a
     // query graph rewritten to emit drifted columns must refuse loudly,
-    // not rot the table — schema-only work, no data pass
+    // not rot the table — schema-only work, no data pass. Column-mapped
+    // destinations refuse: the sink stages LOGICAL column names, which
+    // post-rename no longer match the physical ids mapped reads project.
     log.currentVersion.foreach { cur =>
+      require(log.columnMapping(cur).isEmpty,
+        s"graft-log sink: ${log.root} uses column mapping — streamed batches " +
+          "would land under logical names the mapping cannot address; " +
+          "write through SnapshotLog.appendMapped instead")
       val base = log.read(data.sparkSession, cur).schema
         .map(f => f.name -> f.dataType).toMap
       val batch = data.schema.map(f => f.name -> f.dataType).toMap

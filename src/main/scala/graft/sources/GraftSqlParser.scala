@@ -72,6 +72,8 @@ object GraftSqlParser {
     """(?is)\s*DESCRIBE\s+DETAIL\s+(\w+)\.(\w+)\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\w+)\.(\w+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\w+)\.(\w+)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
 
   /** True only when `<cat>` resolves to a REGISTERED [[GraftCatalog]]
     * with a root — the same gate [[interceptDml]]'s graftTarget applies.
@@ -100,7 +102,9 @@ object GraftSqlParser {
       case DetailRe(cat, table) if isGraftCatalog(cat) =>
         Some(DescribeGraftDetail(cat, table))
       case RestoreRe(cat, table, v) if isGraftCatalog(cat) =>
-        Some(RestoreGraftTable(cat, table, v.toLong))
+        Some(RestoreGraftTable(cat, table, Left(v.toLong)))
+      case RestoreTsRe(cat, table, ts) if isGraftCatalog(cat) =>
+        Some(RestoreGraftTable(cat, table, Right(ts)))
       case _ => None
     }
 
@@ -259,17 +263,30 @@ object GraftSqlParser {
     }
   }
 
-  /** `RESTORE [TABLE] cat.t [TO] VERSION AS OF n` — the incident
-    * rollback ([[SnapshotLog.restoreTo]]): the old listing re-commits as
-    * the NEXT version, no data bytes move, rolled-past history stays
-    * readable for the post-mortem.
+  /** `RESTORE [TABLE] cat.t [TO] VERSION AS OF n` / `TIMESTAMP AS OF
+    * '<ts>'` — the incident rollback ([[SnapshotLog.restoreTo]]): the
+    * old listing re-commits as the NEXT version, no data bytes move,
+    * rolled-past history stays readable for the post-mortem. The
+    * timestamp form resolves against the commit wall-clocks recorded
+    * inside the anchors ([[SnapshotLog.versionAt]]), accepting epoch
+    * millis or `yyyy-MM-dd[ HH:mm:ss]`.
     */
-  private case class RestoreGraftTable(cat: String, table: String, toVersion: Long)
+  private case class RestoreGraftTable(
+      cat: String, table: String, target: Either[Long, String])
     extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs(
       "restored_to" -> LongType, "new_version" -> LongType)
     override def run(spark: SparkSession): Seq[Row] = {
       val log = logFor(spark, cat, table)
+      val toVersion = target match {
+        case Left(v) => v
+        case Right(raw) =>
+          val millis = raw.trim.toLongOption.getOrElse {
+            val t = if (raw.trim.length == 10) raw.trim + " 00:00:00" else raw.trim
+            java.sql.Timestamp.valueOf(t.replace('T', ' ')).getTime
+          }
+          log.versionAt(millis)
+      }
       Seq(Row(toVersion, log.restoreTo(toVersion)))
     }
   }

@@ -247,6 +247,28 @@ class SnapshotSqlEvolutionSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE graftevo.chk DROP CONSTRAINT nope")
     }
     assert(unknown.getMessage.contains("nope"), unknown.getMessage)
+    // constraints declared AT CREATE land in the v0 commit and gate the
+    // first INSERT already
+    spark.sql("DROP TABLE IF EXISTS graftevo.chk0")
+    spark.sql("CREATE TABLE graftevo.chk0 " +
+      "(k BIGINT, cents BIGINT, CONSTRAINT pos_k CHECK (k > 0))")
+    val log0 = logOf("chk0")
+    assert(log0.property(0L, "check.pos_k").isDefined)
+    val firstBad = intercept[Exception] {
+      spark.sql("INSERT INTO graftevo.chk0 VALUES (0, 1)")
+    }
+    assert(firstBad.getMessage.toLowerCase.contains("constraint") ||
+      firstBad.getMessage.contains("pos_k"), firstBad.getMessage)
+    spark.sql("INSERT INTO graftevo.chk0 VALUES (1, 1)")
+    assert(spark.sql("SELECT count(*) AS n FROM graftevo.chk0").head().getLong(0) == 1L)
+    // RESTORE ... TIMESTAMP AS OF resolves from the recorded commit
+    // wall-clocks (epoch-millis form)
+    val tsAtV1 = log0.commitTimeMillis(log0.currentVersion.get)
+    spark.sql("INSERT INTO graftevo.chk0 VALUES (2, 2)")
+    val res = spark.sql(
+      s"RESTORE TABLE graftevo.chk0 TO TIMESTAMP AS OF '$tsAtV1'").head()
+    assert(res.getLong(0) == 1L, res.toString)
+    assert(spark.sql("SELECT count(*) AS n FROM graftevo.chk0").head().getLong(0) == 1L)
   }
 
   test("the stream source refuses column-mapped tables loudly (mis-binding hazard)") {
@@ -260,5 +282,24 @@ class SnapshotSqlEvolutionSpec extends AnyFunSuite {
         .option("root", s"$root/mapstream").load()
     }
     assert(ex.getMessage.contains("column mapping"), ex.getMessage)
+    // the SINK refuses mapped destinations too (logical-name staging
+    // cannot address the physical ids)
+    spark.sql("DROP TABLE IF EXISTS graftevo.mapsrc")
+    spark.sql("CREATE TABLE graftevo.mapsrc (a2 BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO graftevo.mapsrc VALUES (1, 10)")
+    val q = spark.readStream.format("graft-log")
+      .option("root", s"$root/mapsrc").load()
+      .writeStream.format("graft-log")
+      .option("root", s"$root/mapstream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_mapsink_").toString)
+      .outputMode("append").start()
+    val sunk = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def anywhere(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("column mapping")) ||
+        anywhere(t.getCause))
+    assert(anywhere(sunk), sunk.getMessage)
   }
 }
