@@ -3146,6 +3146,96 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── ATOMIC RTAS + DESCRIBE DETAIL ([[GraftCatalog]] staging a
+    // `REPLACE TABLE … AS SELECT` as ONE publish commit over the old
+    // listing, prior versions still time-travellable; `DESCRIBE DETAIL`
+    // summarizing the result from the log's own metadata): the CTAS
+    // builds a k<=1500 rollup, the RTAS swaps in the k<=3000 rollup as
+    // exactly one commit (`rtas_single_commit`), the pre-replace content
+    // stays readable via VERSION AS OF (`old_version_time_travels`), and
+    // the DETAIL row's version/file-count/size fields agree with the log
+    // (`detail_consistent`) ──
+    "snapshot_sql_rtas_detail" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftrtas", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftrtas.root", scratch(dir, "rtasroot"))
+      s.sql("DROP TABLE IF EXISTS graftrtas.ord_sum")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 3000)
+        .createOrReplaceTempView("graft_rtas_src")
+      s.sql(
+        """CREATE TABLE graftrtas.ord_sum AS
+          |SELECT status, count(*) AS n_orders FROM graft_rtas_src
+          |WHERE k <= 1500 GROUP BY status""".stripMargin)
+      val log = new SnapshotLog(scratch(dir, "rtasroot") + "/ord_sum")
+      val v0 = log.currentVersion.get
+      val preCount = s.sql("SELECT count(*) AS n FROM graftrtas.ord_sum")
+        .head().getLong(0)
+      s.sql(
+        """REPLACE TABLE graftrtas.ord_sum AS
+          |SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graft_rtas_src GROUP BY status""".stripMargin)
+      val singleCommit = log.currentVersion.contains(v0 + 1L)
+      val travels = s.sql(
+        s"SELECT count(*) AS n FROM graftrtas.ord_sum VERSION AS OF $v0")
+        .head().getLong(0) == preCount
+      val det = s.sql("DESCRIBE DETAIL graftrtas.ord_sum").head()
+      val detailConsistent = det.getString(0) == "graft" &&
+        det.getLong(2) == log.currentVersion.get &&
+        det.getInt(4) == log.dataFiles(log.currentVersion.get).size &&
+        det.getLong(6) > 0L && det.getBoolean(9)
+      s.sql("SELECT * FROM graftrtas.ord_sum")
+        .withColumn("rtas_single_commit", lit(singleCommit))
+        .withColumn("old_version_time_travels", lit(travels))
+        .withColumn("detail_consistent", lit(detailConsistent))
+        .orderBy(col("status"))
+    }),
+
+    // ── BOUNDED CHANGE-FEED STREAM ([[GraftLogSourceProvider]] with
+    // `readChangeFeed` + `maxVersionsPerTrigger` — admission control for
+    // the CDF mode, where file budgets don't apply because delete/
+    // rewrite commits have no "appended files"): a three-commit DML
+    // backlog (append, append, merge-on-read DELETE) drains ONE COMMIT
+    // PER TRIGGER (`one_version_per_trigger`) and the drained feed
+    // equals the batch [[SnapshotLog.readChanges]] bitwise
+    // (`bounded_feed_equals_batch`) ──
+    "stream_cdf_bounded" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "cdf_bounded"))
+      log.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("c"))
+      log.append(orders.where(col("k") <= 1000), partitions = 2)
+      log.append(orders.where(col("k").between(1001, 2000)), partitions = 2)
+      log.deleteWhere(s, col("k") <= 150)
+      val q = s.readStream
+        .format("graft-log").option("root", log.root)
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.format("memory").queryName("stream_cdf_bounded_sink")
+        .outputMode("append").start()
+      val (sunk, dataTriggers) =
+        try {
+          q.processAllAvailable()
+          (s.table("stream_cdf_bounded_sink"),
+            q.recentProgress.count(_.numInputRows > 0))
+        } finally q.stop()
+      val batchFeed = log.readChanges(s, -1L, log.currentVersion.get)
+      val parity = sunk.exceptAll(batchFeed).limit(1).count() == 0 &&
+        batchFeed.exceptAll(sunk).limit(1).count() == 0
+      sunk.groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("c")).cast("long").as("sum_cents"))
+        .withColumn("one_version_per_trigger", lit(dataTriggers == 3))
+        .withColumn("bounded_feed_equals_batch", lit(parity))
+        .orderBy(col("commit_version"), col("change_type"))
+    }),
+
     // ── SQL CHECK CONSTRAINTS ([[GraftCatalog]] declaring
     // `SUPPORT_TABLE_CONSTRAINT`; the stored predicate reports through
     // `Table.constraints()` so SPARK'S OWN ANALYZER plants enforcement
@@ -4092,6 +4182,39 @@ object QueriesEtl {
         |       TRUE AS failed_ctas_left_no_table
         |FROM orders WHERE o_orderkey <= 3000
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_rtas_detail: the replaced table is the k<=3000
+    // rollup; the single-commit, time-travel, and detail-consistency
+    // laws are measured in the Spark path
+    "snapshot_sql_rtas_detail" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS rtas_single_commit,
+        |       TRUE AS old_version_time_travels,
+        |       TRUE AS detail_consistent
+        |FROM orders WHERE o_orderkey <= 3000
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // stream_cdf_bounded: the three commits' exact change sets replayed
+    // relationally (the snapshot_cdf shape); the trigger-accounting and
+    // stream/batch parity laws are measured Spark-side
+    "stream_cdf_bounded" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |           FROM orders),
+        |     ch AS (
+        |       SELECT 0 AS v, 'insert' AS ct, k, c FROM o WHERE k <= 1000
+        |       UNION ALL
+        |       SELECT 1, 'insert', k, c FROM o WHERE k BETWEEN 1001 AND 2000
+        |       UNION ALL
+        |       SELECT 2, 'delete', k, c FROM o WHERE k <= 150)
+        |SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type,
+        |       count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(c) AS BIGINT) AS sum_cents,
+        |       TRUE AS one_version_per_trigger,
+        |       TRUE AS bounded_feed_equals_batch
+        |FROM ch GROUP BY v, ct ORDER BY commit_version, change_type""".stripMargin,
 
     // snapshot_sql_constraint: both halves reunite (the violating
     // negated-cents batch never committed); the rejection and drop laws

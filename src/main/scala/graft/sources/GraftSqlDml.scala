@@ -98,6 +98,17 @@ object GraftSqlDml {
           s"GraftSqlDml: '${parts.head}' is not a configured graft catalog " +
             s"(set spark.sql.catalog.${parts.head}.root)"))
       val log = new SnapshotLog(new java.io.File(root, parts(1)).toString)
+      // mapped tables refuse UP FRONT with the real reason — the DML
+      // machinery addresses rows by raw-file (file, pos) under LOGICAL
+      // names, which a rename invalidates (without this the failure is a
+      // confusing unresolved-column error deep in the plan)
+      log.currentVersion.foreach { cur =>
+        require(log.columnMapping(cur).isEmpty,
+          s"GraftSqlDml: ${parts.mkString(".")} uses column mapping — SQL " +
+            "UPDATE/MERGE/DELETE do not compose with renamed physical ids " +
+            "yet; rewrite through the SnapshotLog API (readMapped + " +
+            "appendMapped/overwrite) instead")
+      }
       (log, parts(1), Set(parts(1).toLowerCase))
     case other => throw new UnsupportedOperationException(
       s"GraftSqlDml: unsupported target relation ${other.nodeName}")
