@@ -3146,6 +3146,43 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── SQL COLUMN DEFAULTS ([[GraftCatalog]] declaring
+    // `SUPPORT_COLUMN_DEFAULT_VALUE`; defaults ride the declared
+    // schema's field metadata, which the schema-json meta line persists
+    // verbatim — Spark's own analyzer fills omitted INSERT columns):
+    // CREATE-time defaults fill the first insert wave, `ALTER COLUMN …
+    // SET DEFAULT` switches future inserts in ONE metadata-only commit
+    // (`set_default_metadata_only`) without touching existing rows, and
+    // explicit values always win ──
+    "snapshot_sql_defaults" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftdef", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftdef.root", scratch(dir, "defroot"))
+      s.sql("DROP TABLE IF EXISTS graftdef.ord")
+      s.sql("CREATE TABLE graftdef.ord (k BIGINT, " +
+        "status STRING DEFAULT 'NONE', cents BIGINT DEFAULT 0)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 3000)
+        .createOrReplaceTempView("graft_def_src")
+      s.sql("INSERT INTO graftdef.ord (k) SELECT k FROM graft_def_src WHERE k <= 1500")
+      val log = new SnapshotLog(scratch(dir, "defroot") + "/ord")
+      val filesPre = log.dataFiles(log.currentVersion.get)
+      s.sql("ALTER TABLE graftdef.ord ALTER COLUMN status SET DEFAULT 'LATE'")
+      val metadataOnly = log.dataFiles(log.currentVersion.get) == filesPre
+      s.sql("INSERT INTO graftdef.ord (k) SELECT k FROM graft_def_src " +
+        "WHERE k > 1500 AND k <= 2000")
+      s.sql("INSERT INTO graftdef.ord SELECT k, status, cents FROM graft_def_src " +
+        "WHERE k > 2000")
+      s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftdef.ord GROUP BY status""".stripMargin)
+        .withColumn("set_default_metadata_only", lit(metadataOnly))
+        .orderBy(col("status"))
+    }),
+
     // ── ATOMIC RTAS + DESCRIBE DETAIL ([[GraftCatalog]] staging a
     // `REPLACE TABLE … AS SELECT` as ONE publish commit over the old
     // listing, prior versions still time-travellable; `DESCRIBE DETAIL`
@@ -4182,6 +4219,24 @@ object QueriesEtl {
         |       TRUE AS failed_ctas_left_no_table
         |FROM orders WHERE o_orderkey <= 3000
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_defaults: the three insert waves replay with their
+    // default regimes (CREATE-time, post-SET, explicit); the
+    // metadata-only law is measured in the Spark path
+    "snapshot_sql_defaults" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 3000),
+        |     u AS (SELECT k, 'NONE' AS status, 0 AS cents FROM o WHERE k <= 1500
+        |           UNION ALL
+        |           SELECT k, 'LATE', 0 FROM o WHERE k > 1500 AND k <= 2000
+        |           UNION ALL
+        |           SELECT k, status, cents FROM o WHERE k > 2000)
+        |SELECT status, count(*) AS n_orders,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS set_default_metadata_only
+        |FROM u GROUP BY status ORDER BY status""".stripMargin,
 
     // snapshot_sql_rtas_detail: the replaced table is the k<=3000
     // rollup; the single-commit, time-travel, and detail-consistency

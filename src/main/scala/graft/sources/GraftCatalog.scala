@@ -93,12 +93,19 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   override def name(): String = catalogName
 
-  // `ALTER TABLE … ADD CONSTRAINT … CHECK (…)` routes through alterTable;
-  // without this capability the analyzer refuses constraint DDL upfront
+  // `ALTER TABLE … ADD CONSTRAINT … CHECK (…)` routes through alterTable
+  // and `CREATE TABLE (… DEFAULT …)` keeps its defaults; without these
+  // capabilities the analyzer refuses the DDL upfront. Column defaults
+  // ride the declared schema's field metadata (CURRENT_DEFAULT /
+  // EXISTS_DEFAULT), which the schema-json meta line persists verbatim —
+  // Spark's own analyzer fills omitted columns at INSERT time.
   override def capabilities()
       : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.Set.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.Set.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def rootDir: String =
     SparkSession.active.conf.getOption(s"spark.sql.catalog.$catalogName.root")
@@ -367,7 +374,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       case _: TableChange.AddColumn | _: TableChange.DeleteColumn |
            _: TableChange.RenameColumn | _: TableChange.UpdateColumnType |
            _: TableChange.SetProperty | _: TableChange.AddConstraint |
-           _: TableChange.DropConstraint => ()
+           _: TableChange.DropConstraint |
+           _: TableChange.UpdateColumnDefaultValue => ()
       case other => readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
     }
     val adds = changes.collect { case a: TableChange.AddColumn =>
@@ -428,6 +436,17 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       }
     }
     props.foreach { case (k, v) => log.withOccRetry()(log.setProperty(k, v)) }
+    changes.foreach {
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames().length == 1,
+          s"GraftCatalog: nested ALTER COLUMN ${u.fieldNames().mkString(".")} " +
+            "is not supported")
+        // DROP DEFAULT arrives as an empty default text
+        val d = Option(u.newDefaultValue()).map(_.trim).filter(_.nonEmpty)
+        log.withOccRetry()(log.setColumnDefault(u.fieldNames()(0), d))
+        ()
+      case _ => ()
+    }
     changes.foreach {
       case a: TableChange.AddConstraint =>
         val c = a.constraint() match {

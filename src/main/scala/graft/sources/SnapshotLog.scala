@@ -2536,6 +2536,38 @@ class SnapshotLog(
       files(cur).filterNot(_.startsWith(s"${MetaPrefix}prop.$key=")))
   }
 
+  /** SET / DROP a column's DEFAULT (the `ALTER TABLE … ALTER COLUMN c
+    * SET DEFAULT expr` route) as ONE metadata-only commit: only the
+    * declared schema's `CURRENT_DEFAULT` field metadata moves — future
+    * INSERTs that omit the column get the new default (applied by
+    * Spark's own analyzer), existing rows and files-lacking-the-column
+    * semantics (`EXISTS_DEFAULT`) are untouched, exactly the Delta
+    * behavior. `None` drops the default.
+    */
+  def setColumnDefault(name: String, sqlText: Option[String]): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"setColumnDefault: no committed snapshot at $root"))
+    require(columnMapping(cur).isEmpty,
+      s"setColumnDefault: $root uses column mapping — defaults ride the " +
+        "declared schema, which mapping supersedes")
+    val ds = declaredSchema(cur).getOrElse(throw new IllegalStateException(
+      s"setColumnDefault: $root declares no schema (CREATE TABLE first)"))
+    require(ds.fieldNames.contains(name),
+      s"setColumnDefault: no column named $name (have ${ds.fieldNames.mkString(", ")})")
+    val updated = org.apache.spark.sql.types.StructType(ds.fields.map { f =>
+      if (f.name != name) f
+      else {
+        val b = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+        sqlText match {
+          case Some(t) => b.putString("CURRENT_DEFAULT", t)
+          case None => b.remove("CURRENT_DEFAULT")
+        }
+        f.copy(metadata = b.build())
+      }
+    })
+    commit(Some(cur), withMeta(files(cur), "schema", updated.json))
+  }
+
   /** RENAME COLUMN on a DECLARED-BUT-EMPTY table: with zero data files
     * there is no physical name to preserve, so the rename is a pure
     * declared-schema rewrite — no column-mapping upgrade needed. The

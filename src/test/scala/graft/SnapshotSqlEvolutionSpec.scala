@@ -271,6 +271,34 @@ class SnapshotSqlEvolutionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM graftevo.chk0").head().getLong(0) == 1L)
   }
 
+  test("column DEFAULT values fill omitted INSERT columns from the declared schema") {
+    register()
+    spark.sql("DROP TABLE IF EXISTS graftevo.dflt")
+    spark.sql("CREATE TABLE graftevo.dflt (k BIGINT, tag STRING DEFAULT 'none', " +
+      "w BIGINT DEFAULT 7)")
+    spark.sql("INSERT INTO graftevo.dflt (k) VALUES (1)")
+    spark.sql("INSERT INTO graftevo.dflt VALUES (2, 'real', 20)")
+    spark.sql("INSERT INTO graftevo.dflt (k, tag) VALUES (3, DEFAULT)")
+    val rows = spark.sql("SELECT k, tag, w FROM graftevo.dflt ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "none", 7L), (2L, "real", 20L), (3L, "none", 7L)), rows)
+    // ALTER COLUMN SET DEFAULT applies to FUTURE inserts only
+    val log = logOf("dflt")
+    val filesPre = log.dataFiles(log.currentVersion.get)
+    spark.sql("ALTER TABLE graftevo.dflt ALTER COLUMN tag SET DEFAULT 'later'")
+    assert(log.dataFiles(log.currentVersion.get) == filesPre,
+      "SET DEFAULT must be metadata-only")
+    spark.sql("INSERT INTO graftevo.dflt (k) VALUES (4)")
+    assert(spark.sql("SELECT tag FROM graftevo.dflt WHERE k = 4")
+      .head().getString(0) == "later")
+    assert(spark.sql("SELECT count(*) AS n FROM graftevo.dflt WHERE tag = 'none'")
+      .head().getLong(0) == 2L, "existing rows keep their values")
+    // DROP DEFAULT: omitted columns go back to NULL
+    spark.sql("ALTER TABLE graftevo.dflt ALTER COLUMN tag DROP DEFAULT")
+    spark.sql("INSERT INTO graftevo.dflt (k) VALUES (5)")
+    assert(spark.sql("SELECT tag FROM graftevo.dflt WHERE k = 5").head().isNullAt(0))
+  }
+
   test("the stream source refuses column-mapped tables loudly (mis-binding hazard)") {
     register()
     spark.sql("DROP TABLE IF EXISTS graftevo.mapstream")
