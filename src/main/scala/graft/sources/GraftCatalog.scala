@@ -133,14 +133,20 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   override def loadTable(ident: Identifier): Table =
     GraftCatalog.metadataTable(this, rootDir, ident).getOrElse(loadAt(ident, None))
 
-  /** `VERSION AS OF <v>` — Spark routes the literal here. */
+  /** `VERSION AS OF <v>` — Spark routes the literal here. A non-numeric
+    * literal resolves as a TAG NAME (`VERSION AS OF 'release1'` — the
+    * Iceberg tag-read shape) against the log's refs.
+    */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadAt(ident, Some(
-      try version.toLong
+    loadAt(ident, Some(version.toLongOption.getOrElse {
+      val log = logFor(ident)
+      try log.tagVersion(version)
       catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"GraftCatalog: VERSION AS OF wants a numeric snapshot version, got '$version'")
-      }))
+        case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"GraftCatalog: VERSION AS OF wants a snapshot version or a tag " +
+            s"name, and '$version' is neither — ${e.getMessage}")
+      }
+    }))
 
   /** `TIMESTAMP AS OF <ts>` — Spark passes epoch MICROseconds. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {

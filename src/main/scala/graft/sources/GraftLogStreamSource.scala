@@ -340,6 +340,8 @@ class GraftLogSource(
     var admitted = 0
     var admittedData = false
     pending.foreach { v =>
+      // version budget first — never walks metadata past the stop point
+      if (admitted > 0 && maxVersionsPerTrigger.exists(admitted >= _)) return end
       val (n, b) =
         if (!sizeBounded) (0L, 0L)
         else {
@@ -348,12 +350,9 @@ class GraftLogSource(
             if (maxBytesPerTrigger.isDefined) fs.map(new File(_).length()).sum
             else 0L)
         }
-      if (admitted > 0) {
-        val versionOver = maxVersionsPerTrigger.exists(admitted >= _)
-        val sizeOver = maxFilesPerTrigger.exists(m => files + n > m) ||
-          maxBytesPerTrigger.exists(m => bytes + b > m)
-        if (versionOver || (admittedData && n > 0 && sizeOver)) return end
-      }
+      if (admitted > 0 && admittedData && n > 0 &&
+          (maxFilesPerTrigger.exists(m => files + n > m) ||
+            maxBytesPerTrigger.exists(m => bytes + b > m))) return end
       end = v; files += n; bytes += b; admitted += 1
       if (n > 0) admittedData = true
     }

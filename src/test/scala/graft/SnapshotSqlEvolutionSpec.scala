@@ -271,6 +271,23 @@ class SnapshotSqlEvolutionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM graftevo.chk0").head().getLong(0) == 1L)
   }
 
+  test("VERSION AS OF resolves tag names against the log's refs") {
+    register()
+    spark.sql("DROP TABLE IF EXISTS graftevo.tagged")
+    spark.sql("CREATE TABLE graftevo.tagged (k BIGINT)")
+    spark.sql("INSERT INTO graftevo.tagged VALUES (1), (2)")
+    val log = logOf("tagged")
+    log.tag("release1", log.currentVersion.get)
+    spark.sql("INSERT INTO graftevo.tagged VALUES (3)")
+    assert(spark.sql("SELECT count(*) AS n FROM graftevo.tagged VERSION AS OF 'release1'")
+      .head().getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) AS n FROM graftevo.tagged").head().getLong(0) == 3L)
+    val bad = intercept[Exception] {
+      spark.sql("SELECT * FROM graftevo.tagged VERSION AS OF 'nope'").collect()
+    }
+    assert(bad.getMessage.contains("neither"), bad.getMessage)
+  }
+
   test("column DEFAULT values fill omitted INSERT columns from the declared schema") {
     register()
     spark.sql("DROP TABLE IF EXISTS graftevo.dflt")
