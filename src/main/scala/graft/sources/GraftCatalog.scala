@@ -397,6 +397,18 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
           "backfill, then constrain")
       (a.fieldNames()(0), a.dataType())
     }
+    // `ADD COLUMNS (c T DEFAULT v)`: the default lands as a follow-up
+    // metadata commit setting BOTH CURRENT_DEFAULT (future inserts) and
+    // EXISTS_DEFAULT (the ANSI rule: rows written before the column
+    // existed read the default — Spark's file readers fill missing
+    // columns from that metadata). Silently dropping it would betray
+    // the statement.
+    val addDefaults = changes.collect {
+      case a: TableChange.AddColumn if a.defaultValue() != null =>
+        val sql = Option(a.defaultValue().getSql).getOrElse(readOnly(
+          s"ADD COLUMN ${a.fieldNames()(0)} with an expression-only default"))
+        (a.fieldNames()(0), sql)
+    }
     val drops = changes.collect { case d: TableChange.DeleteColumn =>
       require(d.fieldNames().length == 1,
         s"GraftCatalog: nested DROP COLUMN ${d.fieldNames().mkString(".")} " +
@@ -422,6 +434,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       (p.property(), p.value())
     }
     if (adds.nonEmpty) log.withOccRetry()(log.addColumns(spark, adds))
+    addDefaults.foreach { case (n, sql) =>
+      log.withOccRetry()(log.setColumnDefault(n, Some(sql), forExistingRows = true))
+    }
     if (drops.nonEmpty) log.withOccRetry()(log.dropColumns(spark, drops))
     renames.foreach { case (from, to) =>
       log.withOccRetry() {

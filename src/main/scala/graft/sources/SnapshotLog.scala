@@ -2542,9 +2542,16 @@ class SnapshotLog(
     * INSERTs that omit the column get the new default (applied by
     * Spark's own analyzer), existing rows and files-lacking-the-column
     * semantics (`EXISTS_DEFAULT`) are untouched, exactly the Delta
-    * behavior. `None` drops the default.
+    * behavior. `None` drops the default. `forExistingRows` additionally
+    * sets `EXISTS_DEFAULT` — the `ADD COLUMNS (c T DEFAULT v)` case,
+    * where ANSI says rows written BEFORE the column existed read the
+    * default too (Spark's file readers fill missing columns from that
+    * metadata).
     */
-  def setColumnDefault(name: String, sqlText: Option[String]): Long = {
+  def setColumnDefault(
+      name: String,
+      sqlText: Option[String],
+      forExistingRows: Boolean = false): Long = {
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"setColumnDefault: no committed snapshot at $root"))
     require(columnMapping(cur).isEmpty,
@@ -2559,7 +2566,9 @@ class SnapshotLog(
       else {
         val b = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
         sqlText match {
-          case Some(t) => b.putString("CURRENT_DEFAULT", t)
+          case Some(t) =>
+            b.putString("CURRENT_DEFAULT", t)
+            if (forExistingRows) b.putString("EXISTS_DEFAULT", t)
           case None => b.remove("CURRENT_DEFAULT")
         }
         f.copy(metadata = b.build())

@@ -314,6 +314,14 @@ class SnapshotSqlEvolutionSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE graftevo.dflt ALTER COLUMN tag DROP DEFAULT")
     spark.sql("INSERT INTO graftevo.dflt (k) VALUES (5)")
     assert(spark.sql("SELECT tag FROM graftevo.dflt WHERE k = 5").head().isNullAt(0))
+    // ADD COLUMNS with a DEFAULT: metadata-only, and the ANSI rule holds
+    // — rows written BEFORE the column existed read the default, not NULL
+    spark.sql("ALTER TABLE graftevo.dflt ADD COLUMNS (score BIGINT DEFAULT 42)")
+    assert(spark.sql("SELECT count(*) AS n FROM graftevo.dflt WHERE score = 42")
+      .head().getLong(0) == 5L, "existing rows read the ADD COLUMN default")
+    spark.sql("INSERT INTO graftevo.dflt (k) VALUES (6)")
+    assert(spark.sql("SELECT score FROM graftevo.dflt WHERE k = 6")
+      .head().getLong(0) == 42L, "future inserts get it too")
   }
 
   test("the stream source refuses column-mapped tables loudly (mis-binding hazard)") {
