@@ -178,9 +178,25 @@ object GraftSqlDml {
     val set = assignments.map(a =>
       assignmentName(a.key, quals) -> toColumn(stripQualifiers(a.value, quals)))
     val cond = condition.map(c => toColumn(stripQualifiers(c, quals))).getOrElse(lit(true))
-    val ((v, n), retries) = log.withOccRetry()(log.updateWhere(spark, cond, set))
+    // stored CHECK constraints gate the UPDATED rows too (Spark's
+    // analyzer only plants enforcement into INSERT plans — this route
+    // writes through the log's own machinery, so the gate rides the
+    // staged write as a raise_error guard)
+    val checks = storedChecks(log)
+    val ((v, n), retries) =
+      log.withOccRetry()(log.updateWhere(spark, cond, set, checks = checks))
     DmlResult("UPDATE", name, v, n, 0L, 0L, retries)
   }
+
+  /** The table's stored `prop.check.<name>` CHECK constraints as
+    * (name, predicate) pairs.
+    */
+  private def storedChecks(
+      log: SnapshotLog): Seq[(String, org.apache.spark.sql.Column)] =
+    log.currentVersion.toSeq.flatMap(cur => log.metaValues(cur).collect {
+      case (k, sql) if k.startsWith("prop.check.") =>
+        k.stripPrefix("prop.check.") -> org.apache.spark.sql.functions.expr(sql)
+    }.toSeq.sortBy(_._1))
 
   // ───────────────────────────── DELETE ─────────────────────────────
 
@@ -300,6 +316,14 @@ object GraftSqlDml {
         "GraftSqlDml: WHEN NOT MATCHED BY SOURCE supports a single DELETE only")
     }
 
+    // MERGE writes updated/inserted images through the log's own
+    // machinery, where CHECK enforcement is not folded in yet — refuse
+    // LOUDLY on constrained tables rather than silently committing a
+    // violation (the UPDATE route enforces; INSERTs ride Spark's gate)
+    require(storedChecks(log).isEmpty,
+      s"GraftSqlDml: MERGE INTO does not enforce the CHECK constraint(s) " +
+        s"declared on $name yet — DROP CONSTRAINT first, or express the " +
+        "change as UPDATE/INSERT statements, which do enforce")
     val ((v, (nUpd, nDel, nIns), _), retries) = log.withOccRetry()(
       log.mergeInto(srcDf, keyCol, updateWhen, updateSet, deleteWhen,
         insertNotMatched, deleteNmbs))

@@ -1200,7 +1200,8 @@ class SnapshotLog(
       spark: SparkSession,
       predicate: org.apache.spark.sql.Column,
       set: Seq[(String, org.apache.spark.sql.Column)],
-      partitions: Int = 1): (Long, Long) = {
+      partitions: Int = 1,
+      checks: Seq[(String, org.apache.spark.sql.Column)] = Nil): (Long, Long) = {
     import org.apache.spark.sql.functions.col
     require(set.nonEmpty, "updateWhere: need at least one SET assignment")
     val cur = currentVersion.getOrElse(
@@ -1246,9 +1247,25 @@ class SnapshotLog(
       val withTmp = set.zipWithIndex.foldLeft(matchedRows) {
         case (d, ((_, c), i)) => d.withColumn(s"__u$i", c)
       }
-      val updated = set.zipWithIndex.foldLeft(withTmp) {
+      val updated0 = set.zipWithIndex.foldLeft(withTmp) {
         case (d, ((name, _), i)) => d.withColumn(name, col(s"__u$i"))
-      }.select(baseCols.map(col): _*)
+      }
+      // CHECK enforcement rides the staged write itself (a raise_error
+      // guard folded into the first output column — the repo's
+      // zero-extra-scan loud-failure discipline): an updated row that
+      // violates a constraint fails the WRITE JOB before anything
+      // commits. ANSI semantics: only FALSE violates, NULL passes.
+      val updated = (if (checks.isEmpty) updated0
+        else {
+          import org.apache.spark.sql.functions.{coalesce, lit, raise_error, when}
+          val allOk = checks.map { case (_, c) => coalesce(c, lit(true)) }
+            .reduce(_ && _)
+          val names = checks.map(_._1).mkString(", ")
+          updated0.withColumn(baseCols.head,
+            when(allOk, col(baseCols.head)).otherwise(raise_error(lit(
+              s"updateWhere: an updated row violates CHECK constraint(s) " +
+                s"[$names] — nothing committed"))))
+        }).select(baseCols.map(col): _*)
       val dataStaged = stageData(updated, partitions)
       (commit(Some(cur),
         files(cur) ++ posStaged.map(PosDelPrefix + _) ++ dataStaged), n)

@@ -247,6 +247,35 @@ class SnapshotSqlEvolutionSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE graftevo.chk DROP CONSTRAINT nope")
     }
     assert(unknown.getMessage.contains("nope"), unknown.getMessage)
+    // SQL UPDATE enforces the stored checks on the UPDATED rows too
+    // (the DML interpreter bypasses Spark's INSERT-plan gate, so the
+    // guard rides the staged write)
+    spark.sql("ALTER TABLE graftevo.chk ADD CONSTRAINT cents_small CHECK (cents < 1000)")
+    val log2 = logOf("chk")
+    val vU = log2.currentVersion.get
+    val updBad = intercept[Exception] {
+      spark.sql("UPDATE graftevo.chk SET cents = cents + 100000 WHERE k = 3")
+    }
+    def mentions(t: Throwable, s: String): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains(s)) || mentions(t.getCause, s))
+    assert(mentions(updBad, "cents_small"), updBad.getMessage)
+    assert(log2.currentVersion.contains(vU), "violating UPDATE must not commit")
+    spark.sql("UPDATE graftevo.chk SET cents = cents + 1 WHERE k = 3")
+    // post-update reads go through the API (the UPDATE is merge-on-read;
+    // raw SQL scans refuse outstanding masks by design)
+    assert(log2.readLatest(spark).where(col("k") === 3)
+      .head().getLong(1) == 31L)
+    // MERGE on a constrained table refuses loudly (enforcement not
+    // folded into the merge machinery yet)
+    spark.sql("SELECT 3 AS k, CAST(900 AS BIGINT) AS cents")
+      .createOrReplaceTempView("chk_merge_src")
+    val mergeRefused = intercept[Exception] {
+      spark.sql("MERGE INTO graftevo.chk t USING chk_merge_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET t.cents = s.cents")
+    }
+    assert(mergeRefused.getMessage.contains("does not enforce"),
+      mergeRefused.getMessage)
+
     // constraints declared AT CREATE land in the v0 commit and gate the
     // first INSERT already
     spark.sql("DROP TABLE IF EXISTS graftevo.chk0")
