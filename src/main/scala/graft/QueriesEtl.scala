@@ -1681,19 +1681,19 @@ object QueriesEtl {
         .option("checkpointLocation", base.resolve("ckpt").toString)
         .outputMode("append").start()
       val q1 = start()
-      try q1.processAllAvailable() finally q1.stop()
-      // the evolution + a post-evolution append land AFTER the drain
-      log.addColumns(s, Seq(("status", StringType)))
-      val withStatus = Tables.orders(s, dir).select(
-        col("o_orderkey").as("k"),
-        floor(col("o_totalprice") * 100).cast("long").as("cents"),
-        col("o_orderstatus").as("status"))
-      log.appendStrict(withStatus.where(col("k").between(1501, 3000)), partitions = 2)
-      // resuming the OLD checkpoint must die on the evolution, not rot
-      val q2 = start()
       val refused =
         try {
-          q2.processAllAvailable()
+          q1.processAllAvailable()
+          // the evolution + a post-evolution append land while the query
+          // RUNS — the pinned-schema run must die at the next batch
+          // (fail-once; a restart re-pins and adopts)
+          log.addColumns(s, Seq(("status", StringType)))
+          val withStatus = Tables.orders(s, dir).select(
+            col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"),
+            col("o_orderstatus").as("status"))
+          log.appendStrict(withStatus.where(col("k").between(1501, 3000)), partitions = 2)
+          q1.processAllAvailable()
           false
         } catch {
           case e: Exception =>
@@ -1701,7 +1701,7 @@ object QueriesEtl {
               (Option(t.getMessage).exists(_.contains("evolved mid-stream")) ||
                 anywhere(t.getCause))
             anywhere(e)
-        } finally q2.stop()
+        } finally q1.stop()
       // a FRESH checkpoint picks up the evolved schema and drains all
       val q3 = s.readStream
         .format("graft-log").option("root", log.root).load()
@@ -1720,6 +1720,165 @@ object QueriesEtl {
         .withColumn("evolution_refused", lit(refused))
         .withColumn("fresh_checkpoint_drains", lit(parity))
         .orderBy(col("status_grp"))
+    }),
+
+    // ── SCHEMA-TRACKING RESUME ACROSS ADDITIVE EVOLUTION (the Delta
+    // schema-tracking shape, closing r13's full-re-ingest gap): an
+    // `ALTER TABLE ADD COLUMNS` under a RUNNING checkpointed stream
+    // fails exactly ONCE (`failed_once_mid_stream`); restarting the SAME
+    // checkpoint re-pins the evolved schema at load() and continues —
+    // pre-evolution rows already sunk stay sunk (ZERO re-emission,
+    // `zero_rows_reemitted`: every key lands exactly once), and the new
+    // column serves real values from the evolution commit on. At 100 TB
+    // this is the difference between adopting a column and re-ingesting
+    // the table ──
+    "stream_schema_evolve_resume" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val log = new SnapshotLog(scratch(dir, "logsrc_evoresume"))
+      log.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      log.createEmpty(StructType(Seq(
+        StructField("k", LongType), StructField("cents", LongType))))
+      log.appendStrict(orders.where(col("k") <= 700), partitions = 2)
+      val base = java.nio.file.Files.createTempDirectory("graft_evoresume_")
+      def start() = s.readStream
+        .format("graft-log").option("root", log.root).load()
+        .writeStream.format("parquet")
+        .option("path", base.resolve("out").toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append").start()
+      val q1 = start()
+      val failedOnce =
+        try {
+          q1.processAllAvailable()
+          log.addColumns(s, Seq(("status", StringType)))
+          log.appendStrict(Tables.orders(s, dir).select(
+              col("o_orderkey").as("k"),
+              floor(col("o_totalprice") * 100).cast("long").as("cents"),
+              col("o_orderstatus").as("status"))
+            .where(col("k").between(701, 1400)), partitions = 2)
+          q1.processAllAvailable()
+          false
+        } catch {
+          case e: Exception =>
+            def anywhere(t: Throwable): Boolean = t != null &&
+              (Option(t.getMessage).exists(_.contains("evolved mid-stream")) ||
+                anywhere(t.getCause))
+            anywhere(e)
+        } finally q1.stop()
+      // SAME checkpoint, new run: load() re-pins the evolved schema; the
+      // replay serves typed NULL for pre-evolution versions and nothing
+      // already committed re-emits
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val sunk = s.read.option("mergeSchema", "true")
+        .parquet(base.resolve("out").toString)
+      val total = sunk.count()
+      val distinctKeys = sunk.select(col("k")).distinct().count()
+      val zeroReemit = total == distinctKeys &&
+        total == log.readLatest(s).count()
+      sunk.groupBy(coalesce(col("status"), lit("legacy")).as("status_grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .withColumn("failed_once_mid_stream", lit(failedOnce))
+        .withColumn("zero_rows_reemitted", lit(zeroReemit))
+        .orderBy(col("status_grp"))
+    }),
+
+    // ── STREAMING A COLUMN-MAPPED TABLE ([[GraftLogSource]]'s per-batch
+    // translating facade — closing r13's "a renamed table can never be
+    // streamed" refusal): the table renames `cents` → `pennies`
+    // (metadata-only, physical ids untouched), takes a post-rename
+    // INSERT, and the stream serves BOTH vintages under the current
+    // LOGICAL names — each micro-batch scans physical names under the
+    // pinned physical schema and re-projects, so the drain is bitwise
+    // the batch read of the same renamed table
+    // (`mapped_stream_equals_batch`, exceptAll both ways). Only a
+    // mid-stream mapping CHANGE refuses ──
+    "stream_from_log_mapped" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftms", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftms.root", scratch(dir, "msroot"))
+      s.sql("DROP TABLE IF EXISTS graftms.ord")
+      s.sql("CREATE TABLE graftms.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 1400)
+        .createOrReplaceTempView("graft_ms_src")
+      s.sql("INSERT INTO graftms.ord SELECT * FROM graft_ms_src WHERE k <= 700")
+      s.sql("ALTER TABLE graftms.ord RENAME COLUMN cents TO pennies")
+      s.sql("INSERT INTO graftms.ord SELECT k, status, cents AS pennies " +
+        "FROM graft_ms_src WHERE k > 700")
+      val q = s.readStream
+        .format("graft-log").option("root", scratch(dir, "msroot") + "/ord").load()
+        .writeStream.format("memory").queryName("stream_mapped_sink")
+        .outputMode("append").start()
+      val sunk =
+        try { q.processAllAvailable(); s.table("stream_mapped_sink") }
+        finally q.stop()
+      val batch = s.sql("SELECT * FROM graftms.ord")
+      val parity = sunk.exceptAll(batch).limit(1).count() == 0 &&
+        batch.exceptAll(sunk).limit(1).count() == 0
+      sunk.groupBy(col("status")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("pennies")).cast("long").as("sum_pennies"))
+        .withColumn("mapped_stream_equals_batch", lit(parity))
+        .orderBy(col("status"))
+    }),
+
+    // ── SQL DML ON A COLUMN-MAPPED TABLE ([[GraftSqlDml]]'s
+    // logical→physical translation — closing r13's refusal, where a
+    // renamed table lost UPDATE/MERGE/DELETE entirely): after `RENAME
+    // COLUMN cents TO pennies`, `spark.sql` UPDATE (new name in SET and
+    // WHERE) and DELETE run against the same physical ids the mapped
+    // scan reads — the interpreter translates references through the
+    // colmap, the merge-on-read machinery stays untouched, and the
+    // post-rename INSERT + UPDATE land in the SAME physical column
+    // (`same_physical_column`: no fresh id minted). Content reads back
+    // through the catalog after a compact (the SQL scan's documented
+    // mask-free scope) ──
+    "snapshot_sql_dml_mapped" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftdm", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftdm.root", scratch(dir, "dmroot"))
+      s.sql("DROP TABLE IF EXISTS graftdm.ord")
+      s.sql("CREATE TABLE graftdm.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 1400)
+        .createOrReplaceTempView("graft_dm_src")
+      s.sql("INSERT INTO graftdm.ord SELECT * FROM graft_dm_src WHERE k <= 700")
+      s.sql("ALTER TABLE graftdm.ord RENAME COLUMN cents TO pennies")
+      s.sql("INSERT INTO graftdm.ord SELECT k, status, cents AS pennies " +
+        "FROM graft_dm_src WHERE k > 700")
+      val log = new SnapshotLog(scratch(dir, "dmroot") + "/ord")
+      // no fresh physical id minted by the post-rename insert
+      val samePhysical = log.columnMapping(log.currentVersion.get)
+        .exists(_._2.toSet == Set("k" -> "k", "status" -> "status",
+          "pennies" -> "cents"))
+      // DELETE through spark.sql first (native SupportsDelete, filters
+      // translated logical→physical; copy-on-write keeps the scan clean
+      // for the UPDATE's analysis)
+      s.sql("DELETE FROM graftdm.ord WHERE k >= 10 AND k <= 19")
+      // UPDATE through spark.sql, referencing the NEW logical name
+      val upd = s.sql("UPDATE graftdm.ord SET pennies = pennies + 100 " +
+        "WHERE k % 10 = 0").head()
+      val updOk = upd.getString(0) == "UPDATE" && upd.getLong(3) > 0L
+      // compact absorbs the UPDATE's merge-on-read masks so the catalog
+      // scan (this query's own rollup) reads clean
+      log.compact(s, partitions = 2)
+      s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(pennies) AS BIGINT) AS sum_pennies
+          |FROM graftdm.ord GROUP BY status""".stripMargin)
+        .withColumn("same_physical_column", lit(samePhysical))
+        .withColumn("update_through_sql", lit(updOk))
+        .orderBy(col("status"))
     }),
 
     // ── CDF ACROSS SCHEMA EVOLUTION ([[SnapshotLog.readChanges]] over a
@@ -3339,7 +3498,13 @@ object QueriesEtl {
       (0 until 3).foreach { i =>
         s.sql(s"INSERT INTO graftclu.ord SELECT * FROM graft_clu_src WHERE k % 3 = $i")
       }
-      val receipt = s.sql("OPTIMIZE graftclu.ord").head()
+      // a small target file size so the byte-sized output partitioning
+      // still yields several files at test scale (the skipping probe
+      // needs >1 file; at 100 TB the default 128 MiB takes over)
+      s.conf.set("spark.graft.optimize.maxFileSize", "8192")
+      val receipt =
+        try s.sql("OPTIMIZE graftclu.ord").head()
+        finally s.conf.unset("spark.graft.optimize.maxFileSize")
       val usedDeclared = receipt.getString(1) == "cluster_by"
       val log = new SnapshotLog(scratch(dir, "cluroot") + "/ord")
       val q = s.sql(
@@ -3363,6 +3528,214 @@ object QueriesEtl {
       val skipped = planned >= 1 && planned < total
       q.withColumn("optimize_used_declared_keys", lit(usedDeclared))
         .withColumn("files_skipped_after_optimize", lit(skipped))
+        .orderBy(col("status"))
+    }),
+
+    // ── INCREMENTAL OPTIMIZE ROUTING (`OPTIMIZE t` on a clusterBy table
+    // → [[SnapshotLog.optimizeIncremental]]): the first bare OPTIMIZE
+    // full-clusters (no lastopt yet); a later small append + second bare
+    // OPTIMIZE rewrites ONLY the appended tail — `files_in` equals the
+    // tail's file count and every clustered file is carried
+    // BYTE-IDENTICAL (`incr_rewrote_only_tail`) — the steady-state
+    // maintenance pass stays batch-sized where r13's routing re-rewrote
+    // the whole table per tick (quadratic-ish in churn at 100 TB).
+    // Skipping still plans over a strict file subset after the
+    // incremental pass (`files_skipped_after_incr`) ──
+    "snapshot_sql_cluster_incr" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftci", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftci.root", scratch(dir, "ciroot"))
+      s.sql("DROP TABLE IF EXISTS graftci.ord")
+      s.sql("CREATE TABLE graftci.ord (k BIGINT, status STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('clusterBy' = 'k')")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 1400)
+        .createOrReplaceTempView("graft_ci_src")
+      (0 until 3).foreach { i =>
+        s.sql(s"INSERT INTO graftci.ord SELECT * FROM graft_ci_src " +
+          s"WHERE k > 100 AND k % 3 = $i")
+      }
+      s.conf.set("spark.graft.optimize.maxFileSize", "8192")
+      try {
+        s.sql("OPTIMIZE graftci.ord") // full fallback: no lastopt yet
+        ()
+      } finally s.conf.unset("spark.graft.optimize.maxFileSize")
+      val log = new SnapshotLog(scratch(dir, "ciroot") + "/ord")
+      val clustered = log.dataFiles(log.currentVersion.get).toSet
+      // the steady-state tick: one small append, then bare OPTIMIZE
+      s.sql("INSERT INTO graftci.ord SELECT * FROM graft_ci_src WHERE k <= 100")
+      val tail = log.dataFiles(log.currentVersion.get).filterNot(clustered)
+      val receipt = s.sql("OPTIMIZE graftci.ord").head()
+      val after = log.dataFiles(log.currentVersion.get).toSet
+      val incrOnly = receipt.getString(1) == "cluster_by" &&
+        receipt.getInt(2) == tail.size && clustered.subsetOf(after)
+      val q = s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftci.ord WHERE k BETWEEN 300 AND 900
+          |GROUP BY status""".stripMargin)
+      def scanFiles(p: org.apache.spark.sql.execution.SparkPlan): Option[Int] =
+        p.collectLeaves().flatMap {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scanFiles(a.executedPlan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Some(b.scan
+              .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+              .fileIndex.inputFiles.length)
+          case _ => None
+        }.headOption
+      val planned = scanFiles(q.queryExecution.executedPlan).getOrElse(-1)
+      val skipped = planned >= 1 && planned < after.size
+      q.withColumn("incr_rewrote_only_tail", lit(incrOnly))
+        .withColumn("files_skipped_after_incr", lit(skipped))
+        .orderBy(col("status"))
+    }),
+
+    // ── PARTITION-SCOPED OPTIMIZE (`OPTIMIZE t WHERE <pred>` — the
+    // Delta shape generalized to stats ranges): three key-disjoint
+    // INSERTs; `WHERE k <= <mid>` resolves through the stats sidecars to
+    // exactly the two low-range stages, the bare-OPTIMIZE clusterBy
+    // route rewrites ONLY those ([[SnapshotLog.optimizeFiles]]), and
+    // every out-of-scope file is carried BYTE-IDENTICAL — pinned by
+    // relative path (`out_of_scope_carried`). Maintenance cost scales
+    // with the matched slice, never the table ──
+    "snapshot_sql_optimize_where" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftow", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftow.root", scratch(dir, "owroot"))
+      s.sql("DROP TABLE IF EXISTS graftow.ord")
+      s.sql("CREATE TABLE graftow.ord (k BIGINT, status STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('clusterBy' = 'k')")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 1400)
+        .createOrReplaceTempView("graft_ow_src")
+      s.sql("INSERT INTO graftow.ord SELECT * FROM graft_ow_src WHERE k <= 500")
+      s.sql("INSERT INTO graftow.ord SELECT * FROM graft_ow_src WHERE k > 500 AND k <= 1000")
+      s.sql("INSERT INTO graftow.ord SELECT * FROM graft_ow_src WHERE k > 1000")
+      val log = new SnapshotLog(scratch(dir, "owroot") + "/ord")
+      val before = log.dataFiles(log.currentVersion.get)
+      // the high-range stage must stay untouched: find its files via the
+      // same stats the scoping reads
+      val owRoot = new java.io.File(scratch(dir, "owroot") + "/ord").getCanonicalPath
+      val hiFiles = log.fileStatsForColumn(s, log.currentVersion.get, "k")
+        .map(_.collect { case (abs, (lo, _)) if lo > 1000L =>
+          abs.stripPrefix(owRoot + "/") }.toSet)
+        .getOrElse(Set.empty)
+      val receipt = s.sql("OPTIMIZE graftow.ord WHERE k <= 1000").head()
+      val after = log.dataFiles(log.currentVersion.get).toSet
+      val scoped = receipt.getString(1) == "cluster_by" &&
+        receipt.getInt(2) == before.size - hiFiles.size &&
+        hiFiles.nonEmpty && hiFiles.subsetOf(after)
+      s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftow.ord GROUP BY status""".stripMargin)
+        .withColumn("out_of_scope_carried", lit(scoped))
+        .orderBy(col("status"))
+    }),
+
+    // ── STREAMING SINK CHECK ENFORCEMENT ([[GraftLogSink.addBatch]] —
+    // the Delta invariant discipline: EVERY write path enforces,
+    // streaming included): the destination declares `cents >= 0`; a
+    // clean log→log drain commits through the gate, then a VIOLATING
+    // source commit fails its trigger with the destination version
+    // PINNED (`violating_trigger_failed`, `dst_version_pinned`) — the
+    // same rows through SQL INSERT would fail identically, so the two
+    // write paths can no longer disagree. The guard is a raise_error
+    // folded into the staged batch: one evaluation, zero extra scans ──
+    "stream_constraint_sink" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val src = new SnapshotLog(scratch(dir, "chksink_src"))
+      val dst = new SnapshotLog(scratch(dir, "chksink_dst"))
+      src.recreate(); dst.recreate()
+      dst.createEmpty(StructType(Seq(
+        StructField("k", LongType), StructField("status", StringType),
+        StructField("cents", LongType))))
+      dst.setProperty("check.cents_nonneg", "cents >= 0")
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      src.append(orders.where(col("k") <= 500), partitions = 2)
+      src.append(orders.where(col("k").between(501, 1000)), partitions = 2)
+      val base = java.nio.file.Files.createTempDirectory("graft_chksink_")
+      def start() = s.readStream
+        .format("graft-log").option("root", src.root).load()
+        .writeStream.format("graft-log")
+        .option("root", dst.root).option("partitions", "1")
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append").start()
+      // the clean backlog drains THROUGH the constraint gate
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      val vClean = dst.currentVersion.get
+      // a violating commit fails its trigger; nothing lands
+      src.append(orders.where(col("k").between(1001, 1200))
+        .withColumn("cents", -col("cents") - 1), partitions = 1)
+      val q2 = start()
+      val failed =
+        try { q2.processAllAvailable(); false }
+        catch {
+          case e: Exception =>
+            def anywhere(t: Throwable): Boolean = t != null &&
+              (Option(t.getMessage).exists(_.contains("violates CHECK constraint")) ||
+                anywhere(t.getCause))
+            anywhere(e)
+        } finally q2.stop()
+      val pinned = dst.currentVersion.contains(vClean)
+      dst.readLatest(s)
+        .groupBy(col("status")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .withColumn("violating_trigger_failed", lit(failed))
+        .withColumn("dst_version_pinned", lit(pinned))
+        .orderBy(col("status"))
+    }),
+
+    // ── MERGE INTO under CHECK constraints ([[SnapshotLog.mergeInto]]'s
+    // `checks` guard through [[GraftSqlDml]]): the constraint gates
+    // exactly the row images the merge WRITES — a matched-UPDATE that
+    // violates fails the write job with the version PINNED
+    // (`violating_merge_rejected`), then the clean MERGE upserts through
+    // the same gate (`clean_merge_upserted`) — closing the r13 gap where
+    // constrained tables lost MERGE entirely. The guard rides the
+    // merge's ONE evaluation: no second scan, no partial commit ──
+    "snapshot_sql_merge_constraint" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftmc", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftmc.root", scratch(dir, "mcroot"))
+      s.sql("DROP TABLE IF EXISTS graftmc.ord")
+      s.sql("CREATE TABLE graftmc.ord (k BIGINT, status STRING, cents BIGINT, " +
+        "CONSTRAINT cents_nonneg CHECK (cents >= 0))")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 1400)
+        .createOrReplaceTempView("graft_mc_src")
+      s.sql("INSERT INTO graftmc.ord SELECT * FROM graft_mc_src WHERE k <= 1000")
+      val log = new SnapshotLog(scratch(dir, "mcroot") + "/ord")
+      val vPre = log.currentVersion.get
+      val rejected =
+        try {
+          s.sql("MERGE INTO graftmc.ord t USING graft_mc_src s ON t.k = s.k " +
+            "WHEN MATCHED THEN UPDATE SET t.cents = -s.cents - 1")
+          false
+        } catch { case _: Exception => true }
+      val violatingRejected = rejected && log.currentVersion.contains(vPre)
+      val r = s.sql("MERGE INTO graftmc.ord t USING graft_mc_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET t.cents = s.cents + 7 " +
+        "WHEN NOT MATCHED THEN INSERT *").head()
+      val upserted = r.getLong(3) > 0L && r.getLong(5) > 0L
+      s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftmc.ord GROUP BY status""".stripMargin)
+        .withColumn("violating_merge_rejected", lit(violatingRejected))
+        .withColumn("clean_merge_upserted", lit(upserted))
         .orderBy(col("status"))
     }),
 
@@ -4161,6 +4534,51 @@ object QueriesEtl {
         |       TRUE AS fresh_checkpoint_drains
         |FROM u GROUP BY status_grp ORDER BY status_grp""".stripMargin,
 
+    // stream_schema_evolve_resume: rows sunk before the evolution carry
+    // NULL status ('legacy'); the post-evolution append carries real
+    // statuses; the fail-once and zero-re-emission laws are measured
+    // Spark-side
+    "stream_schema_evolve_resume" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 1400),
+        |     u AS (SELECT 'legacy' AS status_grp, k, cents FROM o WHERE k <= 700
+        |           UNION ALL
+        |           SELECT status, k, cents FROM o WHERE k > 700)
+        |SELECT status_grp, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS failed_once_mid_stream,
+        |       TRUE AS zero_rows_reemitted
+        |FROM u GROUP BY status_grp ORDER BY status_grp""".stripMargin,
+
+    // stream_from_log_mapped: both INSERT vintages reunite under the
+    // renamed column; the stream/batch parity law is measured Spark-side
+    "stream_from_log_mapped" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_pennies,
+        |       TRUE AS mapped_stream_equals_batch
+        |FROM orders WHERE o_orderkey <= 1400
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_dml_mapped: UPDATE adds 100 cents to every k%10==0
+    // row, DELETE removes k in [10,19]; the physical-id and receipt laws
+    // are measured Spark-side
+    "snapshot_sql_dml_mapped" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 1400),
+        |     u AS (SELECT k, status,
+        |                  CASE WHEN k % 10 = 0 THEN cents + 100 ELSE cents END AS pennies
+        |           FROM o WHERE NOT (k BETWEEN 10 AND 19))
+        |SELECT status, count(*) AS n_orders,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(pennies) AS BIGINT) AS sum_pennies,
+        |       TRUE AS same_physical_column,
+        |       TRUE AS update_through_sql
+        |FROM u GROUP BY status ORDER BY status""".stripMargin,
+
     // cdf_schema_evolution: v1's inserts serve typed-NULL status
     // ('legacy'), the ADD COLUMNS commit (v2) contributes no group, v3's
     // inserts carry real statuses
@@ -4282,6 +4700,59 @@ object QueriesEtl {
         |       TRUE AS constraint_dropped
         |FROM orders WHERE o_orderkey <= 3000
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_cluster_incr: the k-range rollup over the fully
+    // reunited corpus; the incremental-rewrite and skipping laws are
+    // measured off the receipt and the file manifests
+    "snapshot_sql_cluster_incr" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS incr_rewrote_only_tail,
+        |       TRUE AS files_skipped_after_incr
+        |FROM orders WHERE o_orderkey BETWEEN 300 AND 900
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_optimize_where: content untouched by the scoped
+    // rewrite; the carried-byte-identical law is measured off the
+    // manifests and stats sidecars
+    "snapshot_sql_optimize_where" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS out_of_scope_carried
+        |FROM orders WHERE o_orderkey <= 1400
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // stream_constraint_sink: only the CLEAN half (k<=2000) ever
+    // commits — the violating negated-cents commit failed its trigger;
+    // the failure and version-pin laws are measured Spark-side
+    "stream_constraint_sink" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS violating_trigger_failed,
+        |       TRUE AS dst_version_pinned
+        |FROM orders WHERE o_orderkey <= 1000
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_merge_constraint: the violating merge never
+    // committed, so the table is the clean merge's image — matched rows
+    // (k<=2000) carry cents+7, inserted rows (2001-3000) the source
+    // cents; the rejection and upsert laws are measured Spark-side
+    "snapshot_sql_merge_constraint" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 1400),
+        |     u AS (SELECT k, status, cents + 7 AS cents FROM o WHERE k <= 1000
+        |           UNION ALL
+        |           SELECT k, status, cents FROM o WHERE k > 1000)
+        |SELECT status, count(*) AS n_orders,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS violating_merge_rejected,
+        |       TRUE AS clean_merge_upserted
+        |FROM u GROUP BY status ORDER BY status""".stripMargin,
 
     // snapshot_sql_cluster: the clustered table's k-range rollup; the
     // declared-keys and file-skipping laws are measured off the receipt

@@ -483,7 +483,25 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
           "ALTER TABLE ADD CONSTRAINT without a predicate SQL"))
         require(!sql.exists(ch => ch == '\n' || ch == '\r'),
           "GraftCatalog: CHECK predicate must be single-line")
-        log.withOccRetry()(log.setProperty(s"check.${c.name()}", sql))
+        // EXISTING rows must already satisfy the constraint (the Delta
+        // ADD CONSTRAINT discipline: one validation scan BEFORE the
+        // certifying commit) — silently certifying violated history
+        // would turn every later write-path guard into a lie. ANSI
+        // three-valued: only FALSE violates, NULL passes.
+        log.withOccRetry() {
+          val cur = log.currentVersion.getOrElse(throw new NoSuchTableException(ident))
+          if (log.dataFiles(cur).nonEmpty) {
+            import org.apache.spark.sql.functions.{coalesce, expr, lit}
+            val view =
+              if (log.columnMapping(cur).isDefined) log.readMapped(spark, cur)
+              else log.read(spark, cur)
+            val violating = view.where(!coalesce(expr(sql), lit(true))).limit(1).count()
+            require(violating == 0L,
+              s"GraftCatalog: existing rows of ${ident.name()} violate CHECK " +
+                s"(${sql}) — fix the data before ADD CONSTRAINT ${c.name()}")
+          }
+          log.setProperty(s"check.${c.name()}", sql)
+        }
         ()
       case d: TableChange.DropConstraint =>
         val key = s"check.${d.name()}"
@@ -643,8 +661,11 @@ object GraftCatalog {
     * marks an untranslatable filter; `canDeleteWhere` then refuses the
     * whole DELETE loudly rather than deleting a superset or subset.
     */
-  private[sources] def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions.{col, lit}
+  private[sources] def filterToColumn(
+      f: Filter,
+      rename: String => String = identity): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{lit}
+    def col(a: String) = org.apache.spark.sql.functions.col(rename(a))
     f match {
       case _: org.apache.spark.sql.sources.AlwaysTrue => Some(lit(true))
       case _: org.apache.spark.sql.sources.AlwaysFalse => Some(lit(false))
@@ -661,10 +682,12 @@ object GraftCatalog {
       case FStringEndsWith(a, v) => Some(col(a).endsWith(v))
       case FStringContains(a, v) => Some(col(a).contains(v))
       case FAnd(l, r) =>
-        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+        for (lc <- filterToColumn(l, rename); rc <- filterToColumn(r, rename))
+          yield lc && rc
       case FOr(l, r) =>
-        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
-      case FNot(c) => filterToColumn(c).map(!_)
+        for (lc <- filterToColumn(l, rename); rc <- filterToColumn(r, rename))
+          yield lc || rc
+      case FNot(c) => filterToColumn(c, rename).map(!_)
       case _ => None
     }
   }
@@ -865,20 +888,47 @@ object GraftCatalog {
   }
 
   /** The writable face of a COLUMN-MAPPED table: reads through the
-    * translating scan ([[ReadOnlyTable]]) and `INSERT INTO` routes
-    * through [[SnapshotLog.appendMapped]] — logical columns translated
-    * to their physical ids, so post-rename inserts land in the same
-    * physical columns as pre-rename files. The batch must carry EXACTLY
-    * the table's logical columns (an unknown column would silently mint
-    * a fresh physical id). OVERWRITE/TRUNCATE/DELETE are refused at plan
-    * time (no TRUNCATE capability, no SupportsDelete) — those need the
-    * mapping-aware API paths.
+    * translating scan ([[ReadOnlyTable]]); `INSERT INTO` routes through
+    * [[SnapshotLog.appendMapped]] — logical columns translated to their
+    * physical ids, so post-rename inserts land in the same physical
+    * columns as pre-rename files (the batch must carry EXACTLY the
+    * table's logical columns — an unknown column would silently mint a
+    * fresh physical id); `DELETE FROM … WHERE …` translates the pushed
+    * filters through the same logical→physical map and runs the normal
+    * copy-on-write delete (rows are addressed by (file, pos) — physical
+    * ids make the predicate rename-stable). Tables with declared type
+    * WIDENINGS refuse DELETE (the heterogeneous-stage read has no
+    * single address stream). OVERWRITE is refused at plan time.
     */
   private final class MappedWritableTable(
       inner0: ParquetTable, log: SnapshotLog, pruner0: Pruner)
-    extends ReadOnlyTable(inner0, pruner0) with SupportsWrite {
+    extends ReadOnlyTable(inner0, pruner0) with SupportsWrite with SupportsDelete {
     override def capabilities(): util.Set[TableCapability] =
-      util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+      util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
+
+    private def physName(logical: String): String =
+      pruner0.logicalToPhysical.getOrElse(logical, logical)
+
+    override def canDeleteWhere(filters: Array[Filter]): Boolean =
+      log.currentVersion.exists { v =>
+        // declared schema pins the (file, pos) scan in physical names;
+        // without it a heterogeneous mapped table (API-minted columns)
+        // could silently drop columns in the rewrite — refuse those
+        log.columnTypes(v).isEmpty && log.declaredSchema(v).isDefined
+      } && filters.forall(f => GraftCatalog.filterToColumn(f, physName).isDefined)
+
+    override def deleteWhere(filters: Array[Filter]): Unit = {
+      val cond = filters.toSeq
+        .map(f => GraftCatalog.filterToColumn(f, physName).getOrElse(
+          throw new UnsupportedOperationException(
+            s"GraftCatalog: cannot translate DELETE filter $f on a mapped " +
+              "table — use SnapshotLog.deleteWhere with a Column predicate")))
+        .reduceOption(_ && _)
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      log.withOccRetry()(log.deleteWhereCow(SparkSession.active, cond))
+      ()
+    }
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder {
         override def build(): Write = new V1Write {

@@ -151,6 +151,31 @@ class GraftLogSourceProvider
       "graft-log source: set startingVersion OR startingTimestamp, not both")
   }
 
+  /** The streaming view of a COLUMN-MAPPED snapshot: the pinned
+    * PHYSICAL scan schema, the LOGICAL schema the stream serves, and
+    * the logical→physical pairs — derived from the same metadata the
+    * batch catalog scan plans from ([[GraftCatalog.mappedSchemas]]).
+    * Widened and tombstoned mapped tables refuse (no single typed scan /
+    * no rename-stable mask), exactly as the batch facade does.
+    */
+  private def mappedView(
+      spark: org.apache.spark.sql.SparkSession,
+      log: SnapshotLog,
+      cur: Long): Option[(StructType, StructType, Seq[(String, String)])] =
+    log.columnMapping(cur).map { case (_, pairs) =>
+      require(log.columnTypes(cur).isEmpty,
+        s"graft-log source: ${log.root} declares type widenings — the " +
+          "pinned-schema stream scan cannot read heterogeneous stages; " +
+          "optimize() the table to materialize the widening first")
+      require(log.tombstoneFiles(cur).isEmpty,
+        s"graft-log source: ${log.root} carries key tombstones, which do " +
+          "not compose with column mapping — compact() them away first")
+      val paths = log.dataFiles(cur).map(p =>
+        new java.io.File(log.dataRootPath, p).toString)
+      val (phys, logical, _) = GraftCatalog.mappedSchemas(spark, log, cur, pairs, paths)
+      (phys, logical, pairs)
+    }
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
@@ -163,15 +188,22 @@ class GraftLogSourceProvider
     val log = logFor(parameters)
     val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
       s"graft-log source: no committed snapshot at ${log.root}"))
-    // COLUMN-MAPPED tables refuse: the source's raw-parquet batch scan
-    // reads PHYSICAL names, and after a rename (or a drop + re-add that
-    // minted a fresh physical id) the pinned schema would silently bind
-    // the wrong physical column to a logical name — wrong data, no error
-    require(log.columnMapping(cur).isEmpty,
-      s"graft-log source: ${log.root} uses column mapping (physical ids); " +
-        "streaming scans would mis-bind renamed columns — stream a compacted " +
-        "copy, or consume readChanges below the mapping commit")
-    val table = log.read(sqlContext.sparkSession, cur).schema
+    // COLUMN-MAPPED tables stream through the same translating facade
+    // the batch scan uses: the batch reads PHYSICAL names under a pinned
+    // physical schema and re-projects to the mapping's LOGICAL names per
+    // micro-batch. CDF mode still refuses (readChanges owns that
+    // refusal: physical names would leak into the feed).
+    val mapped = mappedView(sqlContext.sparkSession, log, cur)
+    mapped.foreach { _ =>
+      require(!isCdf(parameters),
+        s"graft-log source: ${log.root} uses column mapping — the change " +
+          "feed would expose physical column names; read changes below " +
+          "the mapping commit")
+    }
+    val table = mapped match {
+      case Some((_, logical, _)) => logical
+      case None => log.read(sqlContext.sparkSession, cur).schema
+    }
     val out =
       if (!isCdf(parameters)) table
       else StructType(table.fields ++ Seq(
@@ -201,13 +233,17 @@ class GraftLogSourceProvider
       log.versionAt(millis)
     }
     val cdf = isCdf(parameters)
+    val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
+      s"graft-log source: no committed snapshot at ${log.root}"))
     new GraftLogSource(sqlContext, log,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       fromVersion.orElse(fromTimestamp),
       changeFeed = cdf,
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toInt),
       maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong),
-      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toInt))
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toInt),
+      mapping = mappedView(sqlContext.sparkSession, log, cur)
+        .map { case (phys, _, pairs) => (phys, pairs) })
   }
 }
 
@@ -232,30 +268,77 @@ class GraftLogSink(
       s"graft-log sink: appId must be '='-free and newline-free, got $appId")
     // SCHEMA ENFORCEMENT (the appendStrict gate, applied per batch): a
     // query graph rewritten to emit drifted columns must refuse loudly,
-    // not rot the table — schema-only work, no data pass. Column-mapped
-    // destinations refuse: the sink stages LOGICAL column names, which
-    // post-rename no longer match the physical ids mapped reads project.
-    log.currentVersion.foreach { cur =>
-      require(log.columnMapping(cur).isEmpty,
-        s"graft-log sink: ${log.root} uses column mapping — streamed batches " +
-          "would land under logical names the mapping cannot address; " +
-          "write through SnapshotLog.appendMapped instead")
-      val base = log.read(data.sparkSession, cur).schema
-        .map(f => f.name -> f.dataType).toMap
-      val batch = data.schema.map(f => f.name -> f.dataType).toMap
-      val missing = (base.keySet -- batch.keySet).toSeq.sorted
-      val extra = (batch.keySet -- base.keySet).toSeq.sorted
-      val retyped = base.keySet.intersect(batch.keySet).toSeq.sorted
-        .filter(c => base(c) != batch(c))
-      require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
-        s"graft-log sink: batch $batchId drifts from the table schema at " +
-          s"v$cur — missing=${missing.mkString("[", ",", "]")} " +
-          s"extra=${extra.mkString("[", ",", "]")} " +
-          s"retyped=${retyped.mkString("[", ",", "]")}")
-    }
+    // not rot the table — schema-only work, no data pass. COLUMN-MAPPED
+    // destinations validate against the mapping's LOGICAL names, and the
+    // staged batch is translated logical→physical below, so post-rename
+    // streamed appends land in the same physical columns batch INSERTs
+    // do — never a freshly-minted id, never a logical-name file.
+    val physProject: Option[Seq[org.apache.spark.sql.Column]] =
+      log.currentVersion.flatMap { cur =>
+        val mapped = log.columnMapping(cur).map(_._2)
+        val base: Map[String, org.apache.spark.sql.types.DataType] = mapped match {
+          case Some(pairs) =>
+            require(log.columnTypes(cur).isEmpty,
+              s"graft-log sink: ${log.root} declares type widenings — " +
+                "streamed batches cannot target heterogeneous stages; " +
+                "optimize() the table to materialize the widening first")
+            val paths = log.dataFiles(cur).map(p =>
+              new File(log.dataRootPath, p).toString)
+            val (_, logical, _) = GraftCatalog.mappedSchemas(
+              data.sparkSession, log, cur, pairs, paths)
+            logical.map(f => f.name -> f.dataType).toMap
+          case None => log.read(data.sparkSession, cur).schema
+            .map(f => f.name -> f.dataType).toMap
+        }
+        val batchT = data.schema.map(f => f.name -> f.dataType).toMap
+        val missing = (base.keySet -- batchT.keySet).toSeq.sorted
+        val extra = (batchT.keySet -- base.keySet).toSeq.sorted
+        val retyped = base.keySet.intersect(batchT.keySet).toSeq.sorted
+          .filter(c => base(c) != batchT(c))
+        require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
+          s"graft-log sink: batch $batchId drifts from the table schema at " +
+            s"v$cur — missing=${missing.mkString("[", ",", "]")} " +
+            s"extra=${extra.mkString("[", ",", "]")} " +
+            s"retyped=${retyped.mkString("[", ",", "]")}")
+        mapped.map(_.collect {
+          case (l, p) if base.contains(l) =>
+            org.apache.spark.sql.functions.col(l).as(p)
+        })
+      }
     val batch = StreamingShims.asBatch(data)
-    if (complete) log.overwriteTxn(batch, partitions, appId, batchId)
-    else log.appendTxn(batch, partitions, appId, batchId)
+    // CHECK ENFORCEMENT (the Delta invariant discipline — EVERY write
+    // path enforces, streaming included): the destination's stored
+    // `prop.check.*` constraints fold into the staged batch as a
+    // raise_error guard on the first column — one evaluation, zero extra
+    // scans; a violating batch FAILS ITS TRIGGER with nothing committed,
+    // exactly as the same rows through SQL INSERT would fail the write
+    // job. ANSI semantics: only FALSE violates, NULL passes. The
+    // constraint list is metadata-sized (parsed from the snapshot's meta
+    // lines, no data touched).
+    val checks = log.currentVersion.toSeq.flatMap(cur =>
+      log.metaValues(cur).collect {
+        case (k, sql) if k.startsWith("prop.check.") =>
+          k.stripPrefix("prop.check.") -> sql
+      }.toSeq.sortBy(_._1))
+    val guarded =
+      if (checks.isEmpty) batch
+      else {
+        import org.apache.spark.sql.functions.{coalesce, col, expr, lit, raise_error, when}
+        val allOk = checks.map { case (_, sql) => coalesce(expr(sql), lit(true)) }
+          .reduce(_ && _)
+        val first = batch.columns.head
+        batch.withColumn(first,
+          when(allOk, col(first)).otherwise(raise_error(lit(
+            s"graft-log sink: batch $batchId violates CHECK constraint(s) " +
+              s"[${checks.map(_._1).mkString(", ")}] on ${log.root} — " +
+              "nothing committed"))))
+      }
+    // mapped destinations: stage under PHYSICAL ids (the appendMapped
+    // translation, under the txn watermark) — the colmap metadata rides
+    // the carried meta lines unchanged
+    val staged = physProject.fold(guarded)(cols => guarded.select(cols: _*))
+    if (complete) log.overwriteTxn(staged, partitions, appId, batchId)
+    else log.appendTxn(staged, partitions, appId, batchId)
     ()
   }
 
@@ -275,7 +358,12 @@ class GraftLogSource(
     changeFeed: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    maxVersionsPerTrigger: Option[Int] = None) extends Source {
+    maxVersionsPerTrigger: Option[Int] = None,
+    // COLUMN-MAPPED tables: the pinned PHYSICAL scan schema plus the
+    // logical→physical pairs pinned at start — each micro-batch scans
+    // physical names and re-projects to `schema`'s logical names (the
+    // batch facade, per batch)
+    mapping: Option[(StructType, Seq[(String, String)])] = None) extends Source {
 
   // versions strictly BELOW the floor never stream; the floor itself is
   // the initial-snapshot batch (oldest survivor = whole listing, per
@@ -388,35 +476,57 @@ class GraftLogSource(
     // first getOffset, re-seeding bounded admission past committed work
     admittedHi = Some(math.max(admittedHi.getOrElse(Long.MinValue), hi))
     val spark = sqlContext.sparkSession
-    // SCHEMA-EVOLUTION HANDSHAKE (the Delta behavior): the source schema
-    // is pinned for the life of the checkpoint, so an ALTER TABLE that
-    // changed the declared schema mid-stream must refuse LOUDLY — a
-    // pinned-schema scan would silently serve NULL for the new column in
-    // every post-evolution append forever. Metadata-sized check (the
-    // declared-schema meta line), no data touched. A replayed batch of an
-    // EXPIRED version skips the check (its metadata is gone; the expire
-    // guard below owns that refusal).
-    // a column-mapping upgrade mid-stream gets the same loud refusal the
-    // start-time check gives (a later rename/drop under the mapping
-    // would silently mis-bind or NULL physical columns)
-    if (!changeFeed && log.versions.contains(hi))
-      require(log.columnMapping(hi).isEmpty,
-        s"graft-log source: ${log.root} enabled column mapping mid-stream — " +
-          "the pinned physical-name scan cannot follow renames; restart " +
-          "from a fresh checkpoint via the SnapshotLog API or a compacted copy")
+    // SCHEMA-EVOLUTION HANDSHAKE (the Delta schema-tracking shape): the
+    // source schema is pinned for the life of the RUN, so an ALTER TABLE
+    // that WIDENED the declared schema mid-stream must refuse LOUDLY —
+    // a pinned-schema scan would silently serve NULL for the new column
+    // in every post-evolution append forever. The refusal is fail-ONCE:
+    // a restart of the SAME checkpoint re-resolves the source schema at
+    // load(), adopts the evolved one, and replays committed batches with
+    // pre-evolution rows serving TYPED NULL for the added columns (batch
+    // semantics) — no re-ingest, zero rows re-emitted. Conversely a
+    // batch whose declared schema is a PREFIX of the pin (a bounded
+    // backfill or startingVersion below a past ADD COLUMNS) serves fine
+    // under the pin — refusing there would break exactly the
+    // incremental-backfill case the rate limits exist for. Metadata-
+    // sized check; a replayed batch of an EXPIRED version skips it (its
+    // metadata is gone; the expire guard below owns that refusal).
     (if (log.versions.contains(hi)) log.declaredSchema(hi) else None).foreach { declared =>
       val pinnedData = schema.fields
         .filterNot(f => changeFeed &&
           (f.name == "_change_type" || f.name == "_commit_version"))
-        .map(f => (f.name, f.dataType)).toSeq
+        .map(f => (f.name, f.dataType)).toSet
+      // mapped sources pin the PHYSICAL schema (= declared names); the
+      // logical evolution guard below compares mapping pairs instead
+      val pinnedNames: Set[(String, org.apache.spark.sql.types.DataType)] =
+        mapping.fold(pinnedData)(_._1.fields.map(f => (f.name, f.dataType)).toSet)
       val nowDeclared = declared.fields.map(f => (f.name, f.dataType)).toSeq
-      require(pinnedData == nowDeclared,
+      val novel = nowDeclared.filterNot(pinnedNames)
+      require(novel.isEmpty,
         s"graft-log source: the schema of ${log.root} evolved mid-stream " +
-          s"(pinned ${pinnedData.map(_._1).mkString("[", ",", "]")}, " +
-          s"declared at v$hi ${nowDeclared.map(_._1).mkString("[", ",", "]")}) " +
-          "— a pinned-schema scan would silently drop the evolution; " +
-          "restart the query with a fresh checkpoint to pick up the new schema")
+          s"(v$hi declares ${novel.map(_._1).mkString("[", ",", "]")} beyond " +
+          "the pinned schema) — a pinned-schema scan would silently drop the " +
+          "evolution; RESTART the query on the SAME checkpoint to adopt it " +
+          "(pre-evolution batches then serve typed NULL, nothing re-emits)")
     }
+    // COLUMN-MAPPING guard: a mapping whose pairs go BEYOND what this
+    // run pinned (a rename, a drop + re-add minting a fresh physical id,
+    // an added column) must refuse — the pinned projection would
+    // mis-bind or silently hide it. Same fail-once/restart-adopts
+    // discipline as the declared-schema handshake. Pairs at or below the
+    // pin (identity enable, pre-evolution vintages) serve fine.
+    if (!changeFeed && log.versions.contains(hi))
+      log.columnMapping(hi).foreach { case (_, pairsAtHi) =>
+        val pinnedPairs = mapping.map(_._2.toSet).getOrElse(
+          schema.fields.map(f => (f.name, f.name)).toSet)
+        val novel = pairsAtHi.filterNot(pinnedPairs)
+        require(novel.isEmpty,
+          s"graft-log source: the column mapping of ${log.root} moved " +
+            s"mid-stream (v$hi maps ${novel.map(p => s"${p._1}>${p._2}")
+              .mkString("[", ",", "]")} beyond the pin) — the pinned " +
+            "projection would mis-bind physical columns; RESTART the query " +
+            "on the SAME checkpoint to adopt the new mapping")
+      }
     val batch =
       if (changeFeed)
         // row-level changes of versions (lo, hi] straight off the
@@ -447,7 +557,20 @@ class GraftLogSource(
           // progress in the declared schema, not an error
           spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        else spark.read.schema(schema).parquet(files: _*)
+        else mapping match {
+          case Some((physSchema, pairs)) =>
+            // the mapped facade, per micro-batch: scan PHYSICAL names
+            // under the pinned physical schema (files predating an
+            // append-minted column serve NULL) and re-project to the
+            // pinned LOGICAL names — pushdown/pruning intact, identical
+            // to the batch read of the same renamed table
+            val l2p = pairs.toMap
+            import org.apache.spark.sql.functions.col
+            spark.read.schema(physSchema).parquet(files: _*)
+              .select(schema.fieldNames.toSeq.map(l =>
+                col(l2p(l)).as(l)): _*)
+          case None => spark.read.schema(schema).parquet(files: _*)
+        }
       }
     StreamingShims.asStreamingBatch(batch)
   }

@@ -82,13 +82,27 @@ object GraftSqlDml {
 
   // ───────────────────────── table resolution ─────────────────────────
 
-  /** (log, table name, the qualifier spellings that refer to it). */
+  /** A resolved DML target: the log, the table name, the qualifier
+    * spellings that refer to it, and — for COLUMN-MAPPED tables — the
+    * logical→physical name map the interpreter translates every
+    * reference through. The DML machinery itself always runs in
+    * PHYSICAL names (the names the files and the declared schema carry;
+    * renames move only the `colmap` logical side), so after translation
+    * the one-evaluation semantics are untouched — the same facade the
+    * read path's PruningScanBuilder applies, here for writes.
+    */
+  private final case class Target(
+      log: SnapshotLog, name: String, quals: Set[String],
+      physMap: Map[String, String]) {
+    def phys(n: String): String = physMap.getOrElse(n, n)
+  }
+
   private def resolveTarget(
       spark: SparkSession,
-      plan: LogicalPlan): (SnapshotLog, String, Set[String]) = plan match {
+      plan: LogicalPlan): Target = plan match {
     case SubqueryAlias(alias, child) =>
-      val (log, name, quals) = resolveTarget(spark, child)
-      (log, name, quals + alias.name.toLowerCase)
+      val t = resolveTarget(spark, child)
+      t.copy(quals = t.quals + alias.name.toLowerCase)
     case r: UnresolvedRelation =>
       val parts = r.multipartIdentifier
       require(parts.length == 2,
@@ -98,18 +112,33 @@ object GraftSqlDml {
           s"GraftSqlDml: '${parts.head}' is not a configured graft catalog " +
             s"(set spark.sql.catalog.${parts.head}.root)"))
       val log = new SnapshotLog(new java.io.File(root, parts(1)).toString)
-      // mapped tables refuse UP FRONT with the real reason — the DML
-      // machinery addresses rows by raw-file (file, pos) under LOGICAL
-      // names, which a rename invalidates (without this the failure is a
-      // confusing unresolved-column error deep in the plan)
-      log.currentVersion.foreach { cur =>
-        require(log.columnMapping(cur).isEmpty,
-          s"GraftSqlDml: ${parts.mkString(".")} uses column mapping — SQL " +
-            "UPDATE/MERGE/DELETE do not compose with renamed physical ids " +
-            "yet; rewrite through the SnapshotLog API (readMapped + " +
-            "appendMapped/overwrite) instead")
-      }
-      (log, parts(1), Set(parts(1).toLowerCase))
+      val physMap = log.currentVersion.flatMap { cur =>
+        log.columnMapping(cur).map { case (_, pairs) =>
+          // widened mapped tables refuse: the per-stage union read has
+          // no single `_metadata` address stream for (file, pos) DML
+          require(log.columnTypes(cur).isEmpty,
+            s"GraftSqlDml: ${parts.mkString(".")} declares type widenings — " +
+              "row-level DML does not compose with the heterogeneous-stage " +
+              "read; optimize() the table to materialize the widening first")
+          // the DML scan pins the DECLARED schema, whose names are the
+          // PHYSICAL ids (renames move only the colmap logical side) —
+          // a mapped table without that invariant cannot be addressed
+          val ds = log.declaredSchema(cur).getOrElse(
+            throw new UnsupportedOperationException(
+              s"GraftSqlDml: ${parts.mkString(".")} uses column mapping " +
+                "without a declared schema — rewrite through the " +
+                "SnapshotLog API (readMapped + appendMapped/overwrite)"))
+          // every live mapping must resolve into the pinned scan; extra
+          // declared fields (DROPPED columns' physical ids) are fine —
+          // the mapping hides them and a re-add mints a fresh id
+          require(pairs.map(_._2).toSet.subsetOf(ds.fieldNames.toSet),
+            s"GraftSqlDml: ${parts.mkString(".")}'s declared schema " +
+              s"(${ds.fieldNames.mkString(", ")}) does not cover its physical " +
+              s"ids (${pairs.map(_._2).mkString(", ")}) — DML cannot address rows")
+          pairs.toMap // logical -> physical
+        }
+      }.getOrElse(Map.empty)
+      Target(log, parts(1), Set(parts(1).toLowerCase), physMap)
     case other => throw new UnsupportedOperationException(
       s"GraftSqlDml: unsupported target relation ${other.nodeName}")
   }
@@ -124,6 +153,19 @@ object GraftSqlDml {
       case a: UnresolvedAttribute if a.nameParts.length > 1 &&
           quals.contains(a.nameParts.head.toLowerCase) =>
         UnresolvedAttribute(a.nameParts.tail)
+    }
+
+  /** Rewrite LOGICAL column references to their PHYSICAL ids (column-
+    * mapped targets; identity otherwise). Names outside the mapping pass
+    * through — a pre-rename-stored CHECK already speaks physical names,
+    * and a genuinely unknown name still fails loudly downstream.
+    */
+  private def translatePhys(e: Expression, physMap: Map[String, String]): Expression =
+    if (physMap.isEmpty) e
+    else e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+          physMap.contains(a.nameParts.head) =>
+        UnresolvedAttribute(Seq(physMap(a.nameParts.head)))
     }
 
   private def toColumn(e: Expression): Column = expr(e.sql)
@@ -174,28 +216,34 @@ object GraftSqlDml {
       table: LogicalPlan,
       assignments: Seq[Assignment],
       condition: Option[Expression]): DmlResult = {
-    val (log, name, quals) = resolveTarget(spark, table)
+    val t = resolveTarget(spark, table)
     val set = assignments.map(a =>
-      assignmentName(a.key, quals) -> toColumn(stripQualifiers(a.value, quals)))
-    val cond = condition.map(c => toColumn(stripQualifiers(c, quals))).getOrElse(lit(true))
+      t.phys(assignmentName(a.key, t.quals)) ->
+        toColumn(translatePhys(stripQualifiers(a.value, t.quals), t.physMap)))
+    val cond = condition
+      .map(c => toColumn(translatePhys(stripQualifiers(c, t.quals), t.physMap)))
+      .getOrElse(lit(true))
     // stored CHECK constraints gate the UPDATED rows too (Spark's
     // analyzer only plants enforcement into INSERT plans — this route
     // writes through the log's own machinery, so the gate rides the
     // staged write as a raise_error guard)
-    val checks = storedChecks(log)
+    val checks = storedChecks(spark, t)
     val ((v, n), retries) =
-      log.withOccRetry()(log.updateWhere(spark, cond, set, checks = checks))
-    DmlResult("UPDATE", name, v, n, 0L, 0L, retries)
+      t.log.withOccRetry()(t.log.updateWhere(spark, cond, set, checks = checks))
+    DmlResult("UPDATE", t.name, v, n, 0L, 0L, retries)
   }
 
   /** The table's stored `prop.check.<name>` CHECK constraints as
-    * (name, predicate) pairs.
+    * (name, predicate) pairs — references translated to physical ids on
+    * mapped targets (the DML scan runs in physical names).
     */
   private def storedChecks(
-      log: SnapshotLog): Seq[(String, org.apache.spark.sql.Column)] =
-    log.currentVersion.toSeq.flatMap(cur => log.metaValues(cur).collect {
+      spark: SparkSession,
+      t: Target): Seq[(String, org.apache.spark.sql.Column)] =
+    t.log.currentVersion.toSeq.flatMap(cur => t.log.metaValues(cur).collect {
       case (k, sql) if k.startsWith("prop.check.") =>
-        k.stripPrefix("prop.check.") -> org.apache.spark.sql.functions.expr(sql)
+        k.stripPrefix("prop.check.") -> toColumn(translatePhys(
+          spark.sessionState.sqlParser.parseExpression(sql), t.physMap))
     }.toSeq.sortBy(_._1))
 
   // ───────────────────────────── DELETE ─────────────────────────────
@@ -204,13 +252,13 @@ object GraftSqlDml {
       spark: SparkSession,
       table: LogicalPlan,
       condition: Expression): DmlResult = {
-    val (log, name, quals) = resolveTarget(spark, table)
+    val t = resolveTarget(spark, table)
     val cond = condition match {
       case Literal(true, _) => lit(true)
-      case c => toColumn(stripQualifiers(c, quals))
+      case c => toColumn(translatePhys(stripQualifiers(c, t.quals), t.physMap))
     }
-    val ((v, n), retries) = log.withOccRetry()(log.deleteWhereCow(spark, cond))
-    DmlResult("DELETE", name, v, 0L, n, 0L, retries)
+    val ((v, n), retries) = t.log.withOccRetry()(t.log.deleteWhereCow(spark, cond))
+    DmlResult("DELETE", t.name, v, 0L, n, 0L, retries)
   }
 
   // ────────────────────────────── MERGE ──────────────────────────────
@@ -219,11 +267,12 @@ object GraftSqlDml {
     require(!m.schemaEvolutionEnabled,
       "GraftSqlDml: MERGE ... WITH SCHEMA EVOLUTION is not supported — the log " +
         "merge requires source schema == target schema; evolve via append first")
-    val (log, name, tgtQuals) = resolveTarget(spark, m.targetTable)
+    val t = resolveTarget(spark, m.targetTable)
+    val (log, name, tgtQuals) = (t.log, t.name, t.quals)
 
     // source: a named table / temp view (optionally aliased); arbitrary
     // subqueries would need the analyzer — register them as a view first
-    val (srcDf, srcQuals) = m.sourceTable match {
+    val (srcDf0, srcQuals) = m.sourceTable match {
       case SubqueryAlias(alias, r: UnresolvedRelation) =>
         (spark.table(r.multipartIdentifier.mkString(".")),
           Set(alias.name.toLowerCase, r.multipartIdentifier.last.toLowerCase))
@@ -236,10 +285,30 @@ object GraftSqlDml {
     }
     val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
       s"GraftSqlDml: MERGE target $name has no committed snapshot"))
-    val tgtCols = log.read(spark, cur).columns.toSet
-    val srcCols = srcDf.columns.toSet
-    def rw(e: Expression): Column =
-      toColumn(rewriteMergeExpr(e, tgtQuals, srcQuals, tgtCols, srcCols))
+    // resolution runs over LOGICAL names (what the statement and the
+    // source speak); the merge machinery runs over PHYSICAL names — on a
+    // mapped target the source columns are renamed logical→physical and
+    // every resolved reference is translated the same way
+    val tgtPhysical = log.read(spark, cur).columns.toSet
+    val tgtCols =
+      if (t.physMap.isEmpty) tgtPhysical else t.physMap.keySet
+    val srcCols = srcDf0.columns.toSet
+    val srcDf =
+      if (t.physMap.isEmpty) srcDf0
+      else srcDf0.select(srcDf0.columns.toSeq.map(c =>
+        org.apache.spark.sql.functions.col(c).as(t.phys(c))): _*)
+    def rwExpr(e: Expression): Expression = {
+      val r = rewriteMergeExpr(e, tgtQuals, srcQuals, tgtCols, srcCols)
+      if (t.physMap.isEmpty) r
+      else r.transformUp {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+          val n = a.nameParts.head
+          if (n.startsWith("src_"))
+            UnresolvedAttribute(Seq("src_" + t.phys(n.stripPrefix("src_"))))
+          else UnresolvedAttribute(Seq(t.phys(n)))
+      }
+    }
+    def rw(e: Expression): Column = toColumn(rwExpr(e))
 
     // ON t.k = s.k — the single equi-key the log merge joins on
     val keyCol = m.mergeCondition match {
@@ -248,7 +317,7 @@ object GraftSqlDml {
         require(ln == rn,
           s"GraftSqlDml: MERGE ON must equate the same-named key column " +
             s"on both sides (got $ln = $rn)")
-        ln
+        t.phys(ln)
       case other => throw new UnsupportedOperationException(
         s"GraftSqlDml: MERGE ON must be a single equality t.k = s.k, " +
           s"got ${other.sql}")
@@ -272,7 +341,7 @@ object GraftSqlDml {
         require(updateWhen.isEmpty, "GraftSqlDml: one WHEN MATCHED UPDATE clause only")
         updateWhen = Some(cond.map(rw).getOrElse(lit(true)))
         updateSet = assigns.map(a =>
-          assignmentName(a.key, tgtQuals) -> rw(a.value))
+          t.phys(assignmentName(a.key, tgtQuals)) -> rw(a.value))
       case UpdateStarAction(cond) =>
         require(updateWhen.isEmpty, "GraftSqlDml: one WHEN MATCHED UPDATE clause only")
         updateWhen = Some(cond.map(rw).getOrElse(lit(true)))
@@ -288,8 +357,8 @@ object GraftSqlDml {
       case Seq(InsertStarAction(None)) => true
       case Seq(InsertAction(None, assigns)) =>
         val pairs = assigns.map { a =>
-          val tgt = assignmentName(a.key, tgtQuals)
-          rewriteMergeExpr(a.value, tgtQuals, srcQuals, tgtCols, srcCols) match {
+          val tgt = t.phys(assignmentName(a.key, tgtQuals))
+          rwExpr(a.value) match {
             case v: UnresolvedAttribute if v.nameParts == Seq("src_" + tgt) => tgt
             case other => throw new UnsupportedOperationException(
               s"GraftSqlDml: INSERT must map each column to the same-named source " +
@@ -297,9 +366,9 @@ object GraftSqlDml {
                 "source rows; reshape the source view instead")
           }
         }
-        require(pairs.toSet == tgtCols,
+        require(pairs.toSet == tgtPhysical,
           s"GraftSqlDml: INSERT must cover every target column " +
-            s"(missing ${(tgtCols -- pairs).mkString(", ")})")
+            s"(missing ${(tgtPhysical -- pairs).mkString(", ")})")
         true
       case Seq(InsertStarAction(Some(_))) | Seq(InsertAction(Some(_), _)) =>
         throw new UnsupportedOperationException(
@@ -316,17 +385,13 @@ object GraftSqlDml {
         "GraftSqlDml: WHEN NOT MATCHED BY SOURCE supports a single DELETE only")
     }
 
-    // MERGE writes updated/inserted images through the log's own
-    // machinery, where CHECK enforcement is not folded in yet — refuse
-    // LOUDLY on constrained tables rather than silently committing a
-    // violation (the UPDATE route enforces; INSERTs ride Spark's gate)
-    require(storedChecks(log).isEmpty,
-      s"GraftSqlDml: MERGE INTO does not enforce the CHECK constraint(s) " +
-        s"declared on $name yet — DROP CONSTRAINT first, or express the " +
-        "change as UPDATE/INSERT statements, which do enforce")
+    // stored CHECK constraints gate the row images this MERGE writes
+    // (updated + inserted), folded into the merge's one evaluation as a
+    // raise_error guard — same discipline as UPDATE: a violation fails
+    // the write job with nothing committed, zero extra scans
     val ((v, (nUpd, nDel, nIns), _), retries) = log.withOccRetry()(
       log.mergeInto(srcDf, keyCol, updateWhen, updateSet, deleteWhen,
-        insertNotMatched, deleteNmbs))
+        insertNotMatched, deleteNmbs, checks = storedChecks(spark, t)))
     DmlResult("MERGE", name, v, nUpd, nDel, nIns, retries)
   }
 }

@@ -200,7 +200,14 @@ class SnapshotLog(
     val df = deltaFile(version)
     val f = if (df.exists()) df else manifestFile(version)
     require(f.exists(), s"snapshot v$version does not exist at $root")
-    readLines(f).headOption match {
+    // only the FIRST line is inspected — a checkpoint manifest can list
+    // every file of a 100 TB table, and [[versionAt]] calls this per
+    // version of the chain; materializing whole listings would make
+    // TIMESTAMP AS OF resolution O(chain × listing) instead of O(chain)
+    val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(f), UTF_8))
+    val first = try Option(br.readLine()) finally br.close()
+    first match {
       case Some(l) if l.startsWith(TsPrefix) => l.stripPrefix(TsPrefix).toLong
       case _ => f.lastModified()
     }
@@ -1037,7 +1044,10 @@ class SnapshotLog(
     *
     * @return (version, (smallFilesPacked, filesWritten))
     */
-  def compactSmall(spark: SparkSession, targetBytes: Long): (Long, (Int, Int)) = {
+  def compactSmall(
+      spark: SparkSession,
+      targetBytes: Long,
+      scope: Option[Set[String]] = None): (Long, (Int, Int)) = {
     require(targetBytes >= 1L, s"compactSmall: targetBytes must be >= 1, got $targetBytes")
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"compactSmall: no committed snapshot at $root"))
@@ -1046,7 +1056,10 @@ class SnapshotLog(
         "(file, ordinal) rows — a repack would orphan them; compact() first")
     val data = dataFiles(cur)
     val sized = data.map(p => p -> new File(dataRootPath, p).length())
+    // `scope` (the OPTIMIZE … WHERE shape): only in-scope files are
+    // candidates for the repack; everything else is carried untouched
     val smalls = sized.filter(_._2 < targetBytes).map(_._1)
+      .filter(p => scope.forall(_.contains(p)))
     if (smalls.size < 2) return (cur, (0, 0))
     val carried = files(cur).filterNot(smalls.toSet)
     val smallBytes = sized.filter(_._2 < targetBytes).map(_._2).sum
@@ -1151,10 +1164,55 @@ class SnapshotLog(
           val staged = stageArranged(arranged)
           val next = cur + 1L
           val carried = files(cur).filterNot(fresh.toSet)
-          (commit(Some(cur), withMeta(carried, "lastopt", next.toString) ++ staged),
-            (fresh.size, clustered.size))
+          val v = commit(Some(cur),
+            withMeta(carried, "lastopt", next.toString) ++ staged)
+          // footer-derived min/max sidecars over the freshly-clustered
+          // files (same zero-data-pass step as the full [[optimize]]):
+          // without them the incremental route's output files would
+          // plan conservatively and skipping would decay per pass
+          writeFooterStatsSidecar(spark, staged)
+          (v, (fresh.size, clustered.size))
         }
     }
+  }
+
+  /** OPTIMIZE scoped to an explicit FILE SUBSET (the engine half of the
+    * Delta `OPTIMIZE t WHERE <predicate>` shape — the caller resolves
+    * the predicate to candidate files via stats sidecars, this method
+    * rewrites exactly those): the subset is read under the snapshot's
+    * masks, range-clustered on `sortCols`, and committed with every
+    * out-of-scope file CARRIED BYTE-IDENTICAL — maintenance cost scales
+    * with the matched partition of the data, never the table. Mask
+    * lines ride forward exactly as in [[optimizeIncremental]] (absorbed
+    * for rewritten files, still masking carried ones). `lastopt` is NOT
+    * advanced — a later bare incremental pass conservatively treats the
+    * scoped output as fresh, which only re-clusters, never corrupts.
+    *
+    * @return (committed version, (files rewritten, files staged))
+    */
+  def optimizeFiles(
+      spark: SparkSession,
+      partitions: Int,
+      sortCols: Seq[org.apache.spark.sql.Column],
+      subset: Seq[String]): (Long, (Int, Int)) = {
+    require(sortCols.nonEmpty, "optimizeFiles: need at least one clustering column")
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"optimizeFiles: no committed snapshot at $root"))
+    val live = dataFiles(cur).toSet
+    val dangling = subset.filterNot(live)
+    require(dangling.isEmpty,
+      s"optimizeFiles: ${dangling.take(3).mkString(", ")} are not data files " +
+        s"of v$cur — the scope must name current-snapshot files")
+    if (subset.size < 2) return (cur, (0, 0)) // nothing to regroup
+    val arranged = applyMasks(spark, cur, spark.read
+        .parquet(subset.map(p => new File(dataRootPath, p).toString): _*))
+      .repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val staged = stageArranged(arranged)
+    val carried = files(cur).filterNot(subset.toSet)
+    val v = commit(Some(cur), carried ++ staged)
+    writeFooterStatsSidecar(spark, staged)
+    (v, (subset.size, staged.size))
   }
 
   /** Predicate-level row DELETE (the `DELETE FROM t WHERE …` sugar over
@@ -2271,6 +2329,14 @@ class SnapshotLog(
     * Source keys must be unique (ambiguous multi-match is refused, the
     * Delta error). Returns (version, (updated, deleted, inserted),
     * (filesRewritten, filesTotal)).
+    *
+    * `checks` — declared CHECK constraints as (name, predicate) pairs:
+    * enforced on exactly the row images this merge WRITES (updated
+    * images and inserted rows — carried survivors are certified by the
+    * constraint's own admission scan), folded into the one evaluation as
+    * a raise_error guard so a violation fails the write job with nothing
+    * committed and zero extra scans. ANSI semantics: only FALSE
+    * violates, NULL passes.
     */
   def mergeInto(
       source: DataFrame,
@@ -2279,7 +2345,8 @@ class SnapshotLog(
       updateSet: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
       insertNotMatched: Boolean = false,
-      deleteNotMatchedBySource: Option[org.apache.spark.sql.Column] = None)
+      deleteNotMatchedBySource: Option[org.apache.spark.sql.Column] = None,
+      checks: Seq[(String, org.apache.spark.sql.Column)] = Nil)
       : (Long, (Long, Long, Long), (Int, Int)) = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, sum, when}
     val spark = source.sparkSession
@@ -2373,15 +2440,31 @@ class SnapshotLog(
         survivors.withColumn("__upd", updApplies)) {
       case (d, ((_, c), i)) => d.withColumn(s"__u$i", c)
     }
-    val updated = updateSet.zipWithIndex.foldLeft(withTmp) {
-      case (d, ((n, _), i)) =>
-        d.withColumn(n, when(col("__upd"), col(s"__u$i")).otherwise(col(n)))
-    }.select(baseCols.map(col): _*)
+    // CHECK enforcement rides the rows this merge writes — the guard
+    // fires only where the row image CHANGED (updated or inserted), so a
+    // pre-existing violation in a carried survivor can never fail an
+    // unrelated merge
+    def guardChecks(d: DataFrame, changed: org.apache.spark.sql.Column): DataFrame =
+      if (checks.isEmpty) d
+      else {
+        import org.apache.spark.sql.functions.raise_error
+        val allOk = checks.map { case (_, c) => coalesce(c, lit(true)) }.reduce(_ && _)
+        val names = checks.map(_._1).mkString(", ")
+        d.withColumn(baseCols.head,
+          when(!changed || allOk, col(baseCols.head)).otherwise(raise_error(lit(
+            s"mergeInto: a written row violates CHECK constraint(s) " +
+              s"[$names] — nothing committed"))))
+      }
+    val updated = guardChecks(
+      updateSet.zipWithIndex.foldLeft(withTmp) {
+        case (d, ((n, _), i)) =>
+          d.withColumn(n, when(col("__upd"), col(s"__u$i")).otherwise(col(n)))
+      }, col("__upd")).select(baseCols.map(col): _*)
     val inserts =
       if (!insertNotMatched) None
-      else Some(src
+      else Some(guardChecks(src
         .join(read(spark, cur).select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-        .select(baseCols.map(col): _*))
+        .select(baseCols.map(col): _*), lit(true)))
     val nIns = inserts.map(_.count()).getOrElse(0L)
     if (rewrite.isEmpty && nIns == 0L) (cur, (0L, 0L, 0L), (0, dataFiles(cur).size))
     else {

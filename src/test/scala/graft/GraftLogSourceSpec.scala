@@ -252,6 +252,97 @@ class GraftLogSourceSpec extends AnyFunSuite {
       "the drifted batch must not commit")
   }
 
+  test("the sink enforces the destination's CHECK constraints per batch") {
+    val src = freshLog("t_chk_src")
+    val dst = freshLog("t_chk_dst")
+    dst.append(Seq((1L, 5L)).toDF("id", "v"), partitions = 1)
+    dst.setProperty("check.v_nonneg", "v >= 0")
+    val vPre = dst.currentVersion.get
+    src.append(Seq((2L, -7L)).toDF("id", "v"), partitions = 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_chk_ckpt_")
+    val q = spark.readStream
+      .format("graft-log").option("root", src.root).load()
+      .writeStream.format("graft-log")
+      .option("root", dst.root)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    val ex = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def anywhere(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("violates CHECK constraint")) ||
+        anywhere(t.getCause))
+    assert(anywhere(ex), s"got: ${ex.getMessage}")
+    assert(dst.currentVersion.contains(vPre) && dst.readLatest(spark).count() == 1L,
+      "the violating batch must not commit")
+    // a clean stream commits through the same gate (fresh checkpoint —
+    // the failed trigger's offset is already claimed by the old one)
+    val src2 = freshLog("t_chk_src2")
+    src2.append(Seq((3L, 9L), (4L, 0L)).toDF("id", "v"), partitions = 1)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_chk_ckpt2_")
+    val q2 = spark.readStream
+      .format("graft-log").option("root", src2.root).load()
+      .writeStream.format("graft-log")
+      .option("root", dst.root)
+      .option("checkpointLocation", ckpt2.toString)
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(dst.readLatest(spark).count() == 3L)
+    // NULL passes (ANSI three-valued CHECK semantics)
+    val src3 = freshLog("t_chk_src3")
+    src3.append(Seq((5L, Option.empty[Long])).toDF("id", "v"), partitions = 1)
+    val ckpt3 = java.nio.file.Files.createTempDirectory("graft_chk_ckpt3_")
+    val q3 = spark.readStream
+      .format("graft-log").option("root", src3.root).load()
+      .writeStream.format("graft-log")
+      .option("root", dst.root)
+      .option("checkpointLocation", ckpt3.toString)
+      .outputMode("append").start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(dst.readLatest(spark).count() == 4L)
+  }
+
+  test("complete-mode sink enforces CHECK constraints on the materialized image") {
+    val src = freshLog("t_chkmv_src")
+    val dst = freshLog("t_chkmv_dst")
+    dst.append(Seq(("g0", 1L)).toDF("tag", "n"), partitions = 1)
+    dst.setProperty("check.n_small", "n < 5")
+    src.append((0 until 9).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "tag"), 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_chkmv_ckpt_")
+    def start() = spark.readStream
+      .format("graft-log").option("root", src.root).load()
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+      .writeStream.format("graft-log")
+      .option("root", dst.root).option("partitions", "1")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("complete").start()
+    val q = start()
+    try {
+      // 3 per group: passes n < 5, the aggregate materializes
+      q.processAllAvailable()
+      assert(dst.readLatest(spark).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("g0", 3L), ("g1", 3L), ("g2", 3L)))
+    } finally q.stop()
+    val vOk = dst.currentVersion.get
+    // push g0 to 6 rows: the violating materialized image fails its
+    // trigger; the last GOOD image stays committed
+    src.append((9 until 18).map(i => (i.toLong, "g0")).toDF("id", "tag"), 1)
+    val q2 = start()
+    val ex = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def anywhere(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("violates CHECK constraint")) ||
+        anywhere(t.getCause))
+    assert(anywhere(ex), s"got: ${ex.getMessage}")
+    assert(dst.currentVersion.contains(vOk),
+      "the violating materialized image must not commit")
+    assert(dst.readLatest(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("g0", 3L), ("g1", 3L), ("g2", 3L)))
+  }
+
   test("complete-mode sink maintains a materialized aggregate table per batch") {
     val src = freshLog("t_mv_src")
     val dst = freshLog("t_mv_dst")

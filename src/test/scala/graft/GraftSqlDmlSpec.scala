@@ -115,4 +115,49 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       GraftSqlDml.exec(spark, "SELECT 1")
     }
   }
+
+  test("DML on a column-mapped table translates logical names to physical ids") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdml.t_mapped")
+    spark.sql("CREATE TABLE graftdml.t_mapped (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftdml.t_mapped SELECT id, id * 10 AS v FROM range(20)")
+    spark.sql("ALTER TABLE graftdml.t_mapped RENAME COLUMN v TO w")
+    // post-rename INSERT lands in the SAME physical column (no fresh id)
+    spark.sql("INSERT INTO graftdml.t_mapped SELECT id + 20, (id + 20) * 10 AS w FROM range(10)")
+    val log = new SnapshotLog(s"$root/t_mapped")
+    assert(log.columnMapping(log.currentVersion.get).get._2.toSet ==
+      Set("id" -> "id", "w" -> "v"), "insert must not mint a fresh physical id")
+    // DELETE through the translated native route (before the merge-on-
+    // read UPDATE: the SQL surface refuses masked snapshots by scope)
+    spark.sql("DELETE FROM graftdml.t_mapped WHERE id >= 28")
+    assert(log.readMapped(spark, log.currentVersion.get).count() == 28L)
+    // UPDATE referencing the NEW name, in SET target, SET value and WHERE
+    val r = GraftSqlDml.exec(spark,
+      "UPDATE graftdml.t_mapped SET w = w + 1 WHERE w >= 250 AND id < 28")
+    assert(r.op == "UPDATE" && r.rowsUpdated == 3L, r.toString) // ids 25,26,27
+    // the update landed in the physical column: the mapped read serves it
+    val got = log.readMapped(spark, log.currentVersion.get)
+    assert(got.columns.toSeq == Seq("id", "w"))
+    assert(got.where(col("id") === 26).head().getLong(1) == 261L)
+    assert(got.where(col("id") === 5).head().getLong(1) == 50L, "pre-rename rows intact")
+    // MERGE: source speaks LOGICAL names; images land physical
+    spark.range(2).selectExpr("id + 26 AS id", "(id + 26) * 1000 AS w")
+      .createOrReplaceTempView("mapped_mrg_src")
+    val m = GraftSqlDml.exec(spark,
+      """MERGE INTO graftdml.t_mapped t USING mapped_mrg_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.w = s.w
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(m.rowsUpdated == 2L && m.rowsInserted == 0L, m.toString)
+    val after = log.readMapped(spark, log.currentVersion.get)
+    assert(after.where(col("id") === 27).head().getLong(1) == 27000L)
+    // widened mapped tables refuse DML loudly (heterogeneous stages)
+    spark.sql("DROP TABLE IF EXISTS graftdml.t_mapwide")
+    spark.sql("CREATE TABLE graftdml.t_mapwide (id INT, v INT)")
+    spark.sql("INSERT INTO graftdml.t_mapwide VALUES (1, 1)")
+    spark.sql("ALTER TABLE graftdml.t_mapwide ALTER COLUMN v TYPE BIGINT")
+    val ex = intercept[Exception] {
+      GraftSqlDml.exec(spark, "UPDATE graftdml.t_mapwide SET v = 2 WHERE id = 1")
+    }
+    assert(ex.getMessage.contains("widening"), ex.getMessage)
+  }
 }

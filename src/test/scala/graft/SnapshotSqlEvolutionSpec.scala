@@ -180,7 +180,12 @@ class SnapshotSqlEvolutionSpec extends AnyFunSuite {
     (0 until 4).foreach { i =>
       spark.sql(s"INSERT INTO graftevo.clu SELECT id * 4 + $i AS k, id AS v FROM range(250)")
     }
-    val receipt = spark.sql("OPTIMIZE graftevo.clu").head()
+    // small target file size: the byte-sized output partitioning must
+    // still yield several files at test scale for the skipping probe
+    spark.conf.set("spark.graft.optimize.maxFileSize", "4096")
+    val receipt =
+      try spark.sql("OPTIMIZE graftevo.clu").head()
+      finally spark.conf.unset("spark.graft.optimize.maxFileSize")
     assert(receipt.getString(1) == "cluster_by", receipt.toString)
     // the clustered scan skips files on a k-range predicate
     val q = spark.sql("SELECT sum(v) AS s FROM graftevo.clu WHERE k BETWEEN 0 AND 99")
@@ -214,6 +219,62 @@ class SnapshotSqlEvolutionSpec extends AnyFunSuite {
     assert(det.getInt(4) == log.dataFiles(log.currentVersion.get).size)
     assert(det.getLong(6) > 0L, "size_bytes from the manifest listing")
     assert(det.getString(7) == "v" && !det.getBoolean(8) && det.getBoolean(9))
+  }
+
+  test("bare OPTIMIZE is incremental after the first pass; WHERE scopes the rewrite") {
+    register()
+    spark.sql("DROP TABLE IF EXISTS graftevo.incr")
+    spark.sql("CREATE TABLE graftevo.incr (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('clusterBy' = 'k')")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO graftevo.incr SELECT id * 3 + $i AS k, id AS v FROM range(200)")
+    }
+    val log = logOf("incr")
+    spark.conf.set("spark.graft.optimize.maxFileSize", "4096")
+    try {
+      // first bare OPTIMIZE: no lastopt — full rewrite
+      val r1 = spark.sql("OPTIMIZE graftevo.incr").head()
+      assert(r1.getString(1) == "cluster_by", r1.toString)
+      val clustered = log.dataFiles(log.currentVersion.get).toSet
+      assert(clustered.size > 1, "byte-sized partitioning yields several files")
+      // steady-state tick: small append + bare OPTIMIZE → only the tail
+      // is rewritten; every clustered file carried byte-identical
+      spark.sql("INSERT INTO graftevo.incr SELECT id + 600 AS k, id AS v FROM range(50)")
+      val tail = log.dataFiles(log.currentVersion.get).filterNot(clustered)
+      val r2 = spark.sql("OPTIMIZE graftevo.incr").head()
+      assert(r2.getString(1) == "cluster_by" && r2.getInt(2) == tail.size,
+        s"expected the tail (${tail.size}) rewritten, got $r2")
+      val after = log.dataFiles(log.currentVersion.get).toSet
+      assert(clustered.subsetOf(after), "clustered files carried byte-identical")
+      // explicit ZORDER stays the full rewrite (the user asked for it)
+      val r3 = spark.sql("OPTIMIZE graftevo.incr ZORDER BY (k)").head()
+      assert(r3.getString(1) == "zorder")
+      assert(log.dataFiles(log.currentVersion.get).toSet.intersect(after).isEmpty,
+        "ZORDER re-clusters everything")
+      // OPTIMIZE WHERE: only files whose stats range intersects rewrite
+      spark.sql("INSERT INTO graftevo.incr SELECT id + 5000 AS k, id AS v FROM range(50)")
+      spark.sql("INSERT INTO graftevo.incr SELECT id + 9000 AS k, id AS v FROM range(50)")
+      val canonRoot = new java.io.File(log.root).getCanonicalPath
+      val preScoped = log.dataFiles(log.currentVersion.get).size
+      val zClustered = log.fileStatsForColumn(spark, log.currentVersion.get, "k")
+        .get.collect { case (abs, (lo, _)) if lo < 5000L =>
+          abs.stripPrefix(canonRoot + "/") }.toSet
+      val r4 = spark.sql("OPTIMIZE graftevo.incr WHERE k >= 5000").head()
+      assert(r4.getString(1) == "cluster_by" &&
+        r4.getInt(2) == preScoped - zClustered.size, r4.toString)
+      val after4 = log.dataFiles(log.currentVersion.get).toSet
+      assert(zClustered.subsetOf(after4),
+        "out-of-scope files carried byte-identical under WHERE")
+      // content never changes across any route
+      assert(spark.sql("SELECT count(*) AS n, sum(v) AS s FROM graftevo.incr")
+        .head().toSeq == Seq(750L, (0 until 200).map(_.toLong).sum * 3 +
+          (0 until 50).map(_.toLong).sum * 3))
+      // unexpressible WHERE predicates refuse loudly
+      val ex = intercept[Exception] {
+        spark.sql("OPTIMIZE graftevo.incr WHERE k IN (1, 2)")
+      }
+      assert(ex.getMessage.contains("file-stats range"), ex.getMessage)
+    } finally spark.conf.unset("spark.graft.optimize.maxFileSize")
   }
 
   test("SQL CHECK constraints gate INSERTs; DROP CONSTRAINT lifts the gate") {
@@ -265,16 +326,52 @@ class SnapshotSqlEvolutionSpec extends AnyFunSuite {
     // raw SQL scans refuse outstanding masks by design)
     assert(log2.readLatest(spark).where(col("k") === 3)
       .head().getLong(1) == 31L)
-    // MERGE on a constrained table refuses loudly (enforcement not
-    // folded into the merge machinery yet)
-    spark.sql("SELECT 3 AS k, CAST(900 AS BIGINT) AS cents")
-      .createOrReplaceTempView("chk_merge_src")
-    val mergeRefused = intercept[Exception] {
-      spark.sql("MERGE INTO graftevo.chk t USING chk_merge_src s ON t.k = s.k " +
+    // MERGE enforces the stored checks on exactly the row images it
+    // WRITES (updated + inserted) — the raise_error guard rides the
+    // merge's one-evaluation staged scan, so a violating matched-UPDATE
+    // fails the write job with nothing committed
+    spark.sql("SELECT CAST(3 AS BIGINT) AS k, CAST(100000 AS BIGINT) AS cents")
+      .createOrReplaceTempView("chk_merge_bad")
+    val vM = log2.currentVersion.get
+    val mergeBad = intercept[Exception] {
+      spark.sql("MERGE INTO graftevo.chk t USING chk_merge_bad s ON t.k = s.k " +
         "WHEN MATCHED THEN UPDATE SET t.cents = s.cents")
     }
-    assert(mergeRefused.getMessage.contains("does not enforce"),
-      mergeRefused.getMessage)
+    assert(mentions(mergeBad, "cents_small"), mergeBad.getMessage)
+    assert(log2.currentVersion.contains(vM), "violating MERGE must not commit")
+    // a clean MERGE upserts through the same gate
+    spark.sql("SELECT CAST(3 AS BIGINT) AS k, CAST(900 AS BIGINT) AS cents " +
+      "UNION ALL SELECT CAST(99 AS BIGINT), CAST(500 AS BIGINT)")
+      .createOrReplaceTempView("chk_merge_src")
+    spark.sql("MERGE INTO graftevo.chk t USING chk_merge_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET t.cents = s.cents " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(log2.readLatest(spark).where(col("k") === 3).head().getLong(1) == 900L)
+    assert(log2.readLatest(spark).where(col("k") === 99).head().getLong(1) == 500L)
+    // a violating INSERT image through MERGE fails too (the guard covers
+    // both written-row classes)
+    spark.sql("SELECT CAST(77 AS BIGINT) AS k, CAST(100000 AS BIGINT) AS cents")
+      .createOrReplaceTempView("chk_merge_badins")
+    val vI = log2.currentVersion.get
+    val insBad = intercept[Exception] {
+      spark.sql("MERGE INTO graftevo.chk t USING chk_merge_badins s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(mentions(insBad, "cents_small"), insBad.getMessage)
+    assert(log2.currentVersion.contains(vI), "violating MERGE-INSERT must not commit")
+    // ADD CONSTRAINT validates EXISTING rows before certifying (one
+    // scan, the Delta discipline) — history that violates refuses; the
+    // table still holds k=4, cents=-1 from the post-DROP insert above.
+    // (compact away the UPDATE's merge-on-read masks first — the SQL
+    // surface refuses masked snapshots by documented scope)
+    log2.compact(spark, partitions = 1)
+    val vC = log2.currentVersion.get
+    val addBad = intercept[Exception] {
+      spark.sql("ALTER TABLE graftevo.chk ADD CONSTRAINT cents_pos CHECK (cents > 0)")
+    }
+    assert(mentions(addBad, "existing rows"), addBad.getMessage)
+    assert(log2.currentVersion.contains(vC),
+      "violated ADD CONSTRAINT must not certify")
 
     // constraints declared AT CREATE land in the v0 commit and gate the
     // first INSERT already
@@ -353,35 +450,64 @@ class SnapshotSqlEvolutionSpec extends AnyFunSuite {
       .head().getLong(0) == 42L, "future inserts get it too")
   }
 
-  test("the stream source refuses column-mapped tables loudly (mis-binding hazard)") {
+  test("column-mapped tables stream through the translating facade; a mid-stream rename refuses") {
     register()
+    def anywhere(t: Throwable, s: String): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains(s)) || anywhere(t.getCause, s))
     spark.sql("DROP TABLE IF EXISTS graftevo.mapstream")
     spark.sql("CREATE TABLE graftevo.mapstream (a BIGINT, b BIGINT)")
     spark.sql("INSERT INTO graftevo.mapstream VALUES (1, 10), (2, 20)")
     spark.sql("ALTER TABLE graftevo.mapstream RENAME COLUMN a TO a2")
-    val ex = intercept[Exception] {
-      spark.readStream.format("graft-log")
-        .option("root", s"$root/mapstream").load()
-    }
-    assert(ex.getMessage.contains("column mapping"), ex.getMessage)
-    // the SINK refuses mapped destinations too (logical-name staging
-    // cannot address the physical ids)
-    spark.sql("DROP TABLE IF EXISTS graftevo.mapsrc")
-    spark.sql("CREATE TABLE graftevo.mapsrc (a2 BIGINT, b BIGINT)")
-    spark.sql("INSERT INTO graftevo.mapsrc VALUES (1, 10)")
+    spark.sql("INSERT INTO graftevo.mapstream VALUES (3, 30)")
+    // SOURCE: the per-batch physical scan re-projects to LOGICAL names —
+    // post-rename content streams exactly as the batch read serves it
     val q = spark.readStream.format("graft-log")
+      .option("root", s"$root/mapstream").load()
+      .writeStream.format("memory").queryName("mapstream_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("mapstream_mem")
+      assert(got.columns.toSeq == Seq("a2", "b"))
+      assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 10L), (2L, 20L), (3L, 30L)))
+      // a RENAME landing mid-stream refuses loudly (fail once; a restart
+      // of the same checkpoint re-pins and adopts)
+      spark.sql("ALTER TABLE graftevo.mapstream RENAME COLUMN b TO b2")
+      spark.sql("INSERT INTO graftevo.mapstream VALUES (4, 40)")
+      val died = intercept[Exception] { q.processAllAvailable() }
+      assert(anywhere(died, "mid-stream"), died.getMessage)
+    } finally q.stop()
+    // a fresh load() re-pins the moved mapping and serves everything
+    val q2 = spark.readStream.format("graft-log")
+      .option("root", s"$root/mapstream").load()
+      .writeStream.format("memory").queryName("mapstream_mem2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("mapstream_mem2").columns.toSeq == Seq("a2", "b2"))
+      assert(spark.table("mapstream_mem2").count() == 4L)
+    } finally q2.stop()
+    // SINK: a mapped destination stages streamed batches under PHYSICAL
+    // ids — post-rename streamed appends land in the same physical
+    // column as batch INSERTs, read back under the current logical names
+    spark.sql("DROP TABLE IF EXISTS graftevo.mapsrc")
+    spark.sql("CREATE TABLE graftevo.mapsrc (a2 BIGINT, b2 BIGINT)")
+    spark.sql("INSERT INTO graftevo.mapsrc VALUES (5, 50)")
+    val q3 = spark.readStream.format("graft-log")
       .option("root", s"$root/mapsrc").load()
       .writeStream.format("graft-log")
       .option("root", s"$root/mapstream")
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_mapsink_").toString)
       .outputMode("append").start()
-    val sunk = intercept[Exception] {
-      try q.processAllAvailable() finally q.stop()
-    }
-    def anywhere(t: Throwable): Boolean = t != null &&
-      (Option(t.getMessage).exists(_.contains("column mapping")) ||
-        anywhere(t.getCause))
-    assert(anywhere(sunk), sunk.getMessage)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.sql("SELECT a2, b2 FROM graftevo.mapstream ORDER BY a2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L)))
+    // no fresh physical id was minted by the streamed append
+    val mlog = logOf("mapstream")
+    assert(mlog.columnMapping(mlog.currentVersion.get).get._2.toSet ==
+      Set("a2" -> "a", "b2" -> "b"))
   }
 }
