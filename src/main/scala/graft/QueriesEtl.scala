@@ -2965,6 +2965,48 @@ object QueriesEtl {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ── CONDITIONAL NOT-MATCHED INSERT + INLINE SUBQUERY SOURCE
+    // ([[GraftSqlDml]] — closing two documented r13 refusals): the MERGE
+    // source is an inline `USING (SELECT …) AS s` derived table
+    // (analyzed through the session, no temp-view ceremony), and `WHEN
+    // NOT MATCHED AND s.k % 2 = 0 THEN INSERT *` lands only the even
+    // unmatched keys — the condition filters the anti-joined SOURCE rows
+    // inside the merge's one evaluation. A condition referencing TARGET
+    // columns still refuses (ANSI: those are NULL on not-matched rows) ──
+    "snapshot_sql_merge_cond" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftmcd", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftmcd.root", scratch(dir, "mcdroot"))
+      s.sql("DROP TABLE IF EXISTS graftmcd.ord")
+      s.sql("CREATE TABLE graftmcd.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 1400)
+        .createOrReplaceTempView("graft_mcd_src")
+      s.sql("INSERT INTO graftmcd.ord SELECT * FROM graft_mcd_src WHERE k <= 1000")
+      val r = s.sql(
+        """MERGE INTO graftmcd.ord t
+          |USING (SELECT k, status, cents FROM graft_mcd_src WHERE k > 900) AS s
+          |ON t.k = s.k
+          |WHEN NOT MATCHED AND s.k % 2 = 0 THEN INSERT *""".stripMargin).head()
+      val condInserted = r.getLong(5) > 0L && r.getLong(3) == 0L
+      val targetRefRefused =
+        try {
+          s.sql("MERGE INTO graftmcd.ord t USING graft_mcd_src s ON t.k = s.k " +
+            "WHEN NOT MATCHED AND t.cents > 0 THEN INSERT *")
+          false
+        } catch { case e: Exception =>
+          Option(e.getMessage).exists(_.contains("source columns only")) }
+      s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftmcd.ord GROUP BY status""".stripMargin)
+        .withColumn("conditional_insert_filtered", lit(condInserted))
+        .withColumn("target_ref_refused", lit(targetRefRefused))
+        .orderBy(col("status"))
+    }),
+
     // ── spark.sql UPDATE / MERGE JUST WORK ([[graft.sources
     // .GraftSqlParser.interceptDml]]): the injected parser spots a
     // row-level DML plan whose target is a registered graft catalog and
@@ -4700,6 +4742,23 @@ object QueriesEtl {
         |       TRUE AS constraint_dropped
         |FROM orders WHERE o_orderkey <= 3000
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_merge_cond: the table is k<=1000 plus the EVEN keys
+    // of (1000, 1400]; the conditional-filter and refusal laws are
+    // measured Spark-side
+    "snapshot_sql_merge_cond" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 1400),
+        |     u AS (SELECT k, status, cents FROM o WHERE k <= 1000
+        |           UNION ALL
+        |           SELECT k, status, cents FROM o WHERE k > 1000 AND k % 2 = 0)
+        |SELECT status, count(*) AS n_orders,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS conditional_insert_filtered,
+        |       TRUE AS target_ref_refused
+        |FROM u GROUP BY status ORDER BY status""".stripMargin,
 
     // snapshot_sql_cluster_incr: the k-range rollup over the fully
     // reunited corpus; the incremental-rewrite and skipping laws are

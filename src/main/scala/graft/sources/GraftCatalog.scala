@@ -433,6 +433,26 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
           s"got ${p.property()}")
       (p.property(), p.value())
     }
+    // a RENAME or DROP of a column a stored CHECK references would leave
+    // the constraint unresolvable — every later INSERT/UPDATE/MERGE
+    // would die on the stale name instead of enforcing (or, dropped,
+    // silently certify nothing). Refuse up front, the Delta discipline.
+    (renames.map(_._1) ++ drops).foreach { colName =>
+      log.currentVersion.foreach { cur =>
+        log.metaValues(cur).foreach { case (k, sql) =>
+          if (k.startsWith("prop.check.")) {
+            val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                a.nameParts.last
+            }.toSet
+            require(!refs.contains(colName),
+              s"GraftCatalog: column $colName of ${ident.name()} is referenced " +
+                s"by CHECK constraint ${k.stripPrefix("prop.check.")} ($sql) — " +
+                "DROP CONSTRAINT first, then rename/drop the column")
+          }
+        }
+      }
+    }
     if (adds.nonEmpty) log.withOccRetry()(log.addColumns(spark, adds))
     addDefaults.foreach { case (n, sql) =>
       log.withOccRetry()(log.setColumnDefault(n, Some(sql), forExistingRows = true))

@@ -29,9 +29,13 @@ import org.apache.spark.sql.functions.{expr, lit}
   *     log API fixes delete-before-update, so a MERGE declaring UPDATE
   *     before DELETE (where the order could matter) is refused rather
   *     than silently reordered.
-  *   - `WHEN NOT MATCHED THEN INSERT` must be the full-row insert
-  *     (`INSERT *` or an identity column list) — the log's merge takes
-  *     whole source rows.
+  *   - `WHEN NOT MATCHED [AND cond] THEN INSERT` must be the full-row
+  *     insert (`INSERT *` or an identity column list) — the log's merge
+  *     takes whole source rows. The optional condition may reference
+  *     SOURCE columns only (ANSI evaluates target refs as NULL there,
+  *     which the one-pass source filter cannot express — refused).
+  *   - the source may be a table, a view, or an inline aliased subquery
+  *     (`USING (SELECT …) AS s` — analyzed through the session).
   *   - DELETE takes the copy-on-write route ([[SnapshotLog
   *     .deleteWhereCow]]) so the table stays scan-clean for the SQL
   *     read path, same as [[GraftCatalog]]'s `DELETE FROM`.
@@ -279,9 +283,15 @@ object GraftSqlDml {
       case r: UnresolvedRelation =>
         (spark.table(r.multipartIdentifier.mkString(".")),
           Set(r.multipartIdentifier.last.toLowerCase))
+      case SubqueryAlias(alias, child) =>
+        // an inline derived table — `USING (SELECT …) AS s`: the
+        // subquery analyzes through Spark's own session (any relation
+        // it names resolves normally, graft catalogs included)
+        (org.apache.spark.sql.graftshim.StreamingShims.analyze(spark, child),
+          Set(alias.name.toLowerCase))
       case other => throw new UnsupportedOperationException(
-        s"GraftSqlDml: MERGE source must be a table or view (got ${other.nodeName}) " +
-          "— register a subquery as a temp view first")
+        s"GraftSqlDml: MERGE source must be a table, view, or aliased " +
+          s"subquery (got ${other.nodeName})")
     }
     val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
       s"GraftSqlDml: MERGE target $name has no committed snapshot"))
@@ -351,11 +361,36 @@ object GraftSqlDml {
         s"GraftSqlDml: unsupported WHEN MATCHED action ${other.getClass.getSimpleName}")
     }
 
-    // not matched: INSERT * (or an identity column list) only
+    // not matched: INSERT * (or an identity column list), optionally
+    // conditional — `WHEN NOT MATCHED AND <cond>` may reference SOURCE
+    // columns only (a not-matched row has no target image; ANSI says
+    // target refs there are NULL, which the one-pass source filter
+    // cannot express — refuse rather than silently coerce)
+    def insertCondition(cond: Expression): Column = {
+      val r = rewriteMergeExpr(cond, tgtQuals, srcQuals, tgtCols, srcCols)
+      val targetRefs = r.collect {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+            !a.nameParts.head.startsWith("src_") => a.nameParts.head
+      }
+      require(targetRefs.isEmpty,
+        s"GraftSqlDml: WHEN NOT MATCHED AND may reference source columns " +
+          s"only (got target ref(s) ${targetRefs.mkString(", ")} — those are " +
+          "NULL on not-matched rows; restate the predicate over the source)")
+      // the filter runs over the bare anti-joined SOURCE rows (physical
+      // names on mapped targets): strip the src_ scope prefix
+      toColumn(r.transformUp {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+            a.nameParts.head.startsWith("src_") =>
+          UnresolvedAttribute(Seq(t.phys(a.nameParts.head.stripPrefix("src_"))))
+      })
+    }
+    var insertWhen: Option[Column] = None
     val insertNotMatched = m.notMatchedActions match {
       case Nil => false
-      case Seq(InsertStarAction(None)) => true
-      case Seq(InsertAction(None, assigns)) =>
+      case Seq(InsertStarAction(cond)) =>
+        insertWhen = cond.map(insertCondition)
+        true
+      case Seq(InsertAction(cond, assigns)) =>
         val pairs = assigns.map { a =>
           val tgt = t.phys(assignmentName(a.key, tgtQuals))
           rwExpr(a.value) match {
@@ -369,11 +404,8 @@ object GraftSqlDml {
         require(pairs.toSet == tgtPhysical,
           s"GraftSqlDml: INSERT must cover every target column " +
             s"(missing ${(tgtPhysical -- pairs).mkString(", ")})")
+        insertWhen = cond.map(insertCondition)
         true
-      case Seq(InsertStarAction(Some(_))) | Seq(InsertAction(Some(_), _)) =>
-        throw new UnsupportedOperationException(
-          "GraftSqlDml: conditional WHEN NOT MATCHED AND ... is not expressible " +
-            "in the log merge — filter the source view instead")
       case _ => throw new UnsupportedOperationException(
         "GraftSqlDml: one WHEN NOT MATCHED clause only")
     }
@@ -391,7 +423,8 @@ object GraftSqlDml {
     // the write job with nothing committed, zero extra scans
     val ((v, (nUpd, nDel, nIns), _), retries) = log.withOccRetry()(
       log.mergeInto(srcDf, keyCol, updateWhen, updateSet, deleteWhen,
-        insertNotMatched, deleteNmbs, checks = storedChecks(spark, t)))
+        insertNotMatched, deleteNmbs, checks = storedChecks(spark, t),
+        insertWhen = insertWhen))
     DmlResult("MERGE", name, v, nUpd, nDel, nIns, retries)
   }
 }

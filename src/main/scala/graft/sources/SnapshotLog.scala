@@ -2346,7 +2346,8 @@ class SnapshotLog(
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
       insertNotMatched: Boolean = false,
       deleteNotMatchedBySource: Option[org.apache.spark.sql.Column] = None,
-      checks: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      checks: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      insertWhen: Option[org.apache.spark.sql.Column] = None)
       : (Long, (Long, Long, Long), (Int, Int)) = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, sum, when}
     val spark = source.sparkSession
@@ -2460,10 +2461,16 @@ class SnapshotLog(
         case (d, ((n, _), i)) =>
           d.withColumn(n, when(col("__upd"), col(s"__u$i")).otherwise(col(n)))
       }, col("__upd")).select(baseCols.map(col): _*)
+    // `insertWhen` (the `WHEN NOT MATCHED AND <cond>` filter): evaluated
+    // over the SOURCE row alone — a not-matched row has no target image,
+    // so the caller restricts the predicate to source columns
+    require(insertWhen.isEmpty || insertNotMatched,
+      "mergeInto: insertWhen requires insertNotMatched")
     val inserts =
       if (!insertNotMatched) None
       else Some(guardChecks(src
         .join(read(spark, cur).select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .where(insertWhen.getOrElse(lit(true)))
         .select(baseCols.map(col): _*), lit(true)))
     val nIns = inserts.map(_.count()).getOrElse(0L)
     if (rewrite.isEmpty && nIns == 0L) (cur, (0L, 0L, 0L), (0, dataFiles(cur).size))

@@ -37,4 +37,16 @@ object StreamingShims {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** Analyze an UNRESOLVED logical plan into a frame through the
+    * session's own analyzer — the bridge [[graft.sources.GraftSqlDml]]
+    * uses to accept an inline `USING (SELECT …) AS s` MERGE source: the
+    * subquery resolves exactly as `spark.sql` would resolve it, no temp
+    * view registration required.
+    */
+  def analyze(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[SparkSession], plan)
 }

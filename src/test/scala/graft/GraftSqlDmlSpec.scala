@@ -99,10 +99,12 @@ class GraftSqlDmlSpec extends AnyFunSuite {
           |WHEN MATCHED AND v > 0 THEN UPDATE SET v = s.v
           |WHEN MATCHED THEN DELETE""".stripMargin)
     }
-    intercept[UnsupportedOperationException] {
+    // a NOT MATCHED condition referencing TARGET columns refuses (ANSI
+    // evaluates them as NULL there — not expressible as a source filter)
+    intercept[IllegalArgumentException] {
       GraftSqlDml.exec(spark,
         """MERGE INTO graftdml.t_mrg_ref t USING mrg_src2 s ON t.id = s.id
-          |WHEN NOT MATCHED AND s.v > 1 THEN INSERT *""".stripMargin)
+          |WHEN NOT MATCHED AND t.v > 1 THEN INSERT *""".stripMargin)
     }
     // unqualified `v` exists on both sides → ambiguous
     intercept[IllegalArgumentException] {
@@ -114,6 +116,29 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] {
       GraftSqlDml.exec(spark, "SELECT 1")
     }
+  }
+
+  test("MERGE takes conditional NOT MATCHED inserts and inline subquery sources") {
+    val log = freshLog("t_mrg_cond")
+    log.append((0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
+    registerCatalog()
+    // conditional INSERT *: only source rows passing the condition land
+    (10 until 20).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+      .createOrReplaceTempView("mrg_cond_src")
+    val r = GraftSqlDml.exec(spark,
+      """MERGE INTO graftdml.t_mrg_cond t USING mrg_cond_src s ON t.id = s.id
+        |WHEN NOT MATCHED AND s.v % 2 = 0 THEN INSERT *""".stripMargin)
+    assert(r.rowsInserted == 5L, r.toString)
+    assert(log.readLatest(spark).count() == 15L)
+    assert(log.readLatest(spark).where(col("id") >= 10 && col("id") % 2 =!= 0)
+      .count() == 0L, "odd not-matched rows filtered by the condition")
+    // inline subquery source — no temp view registration
+    val r2 = GraftSqlDml.exec(spark,
+      """MERGE INTO graftdml.t_mrg_cond t
+        |USING (SELECT id, id * 100 AS v FROM range(3)) AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    assert(r2.rowsUpdated == 3L, r2.toString)
+    assert(log.readLatest(spark).where(col("id") === 2).head().getLong(1) == 200L)
   }
 
   test("DML on a column-mapped table translates logical names to physical ids") {

@@ -395,6 +395,17 @@ class SnapshotSqlEvolutionSpec extends AnyFunSuite {
       s"RESTORE TABLE graftevo.chk0 TO TIMESTAMP AS OF '$tsAtV1'").head()
     assert(res.getLong(0) == 1L, res.toString)
     assert(spark.sql("SELECT count(*) AS n FROM graftevo.chk0").head().getLong(0) == 1L)
+    // RENAME / DROP of a column a stored CHECK references refuses up
+    // front (the constraint would become unresolvable — every later
+    // write would die on the stale name instead of enforcing)
+    val renBad = intercept[Exception] {
+      spark.sql("ALTER TABLE graftevo.chk0 RENAME COLUMN k TO kk")
+    }
+    assert(renBad.getMessage.contains("referenced by CHECK"), renBad.getMessage)
+    val dropBad = intercept[Exception] {
+      spark.sql("ALTER TABLE graftevo.chk0 DROP COLUMN k")
+    }
+    assert(dropBad.getMessage.contains("referenced by CHECK"), dropBad.getMessage)
   }
 
   test("VERSION AS OF resolves tag names against the log's refs") {
