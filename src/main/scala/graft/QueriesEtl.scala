@@ -1881,6 +1881,42 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── CHANGE FEED OVER A COLUMN-MAPPED RANGE ([[SnapshotLog
+    // .readChanges]]'s uniform-mapping translation — closing the last
+    // mapped-table refusal): after `cents` → `pennies`, the feed serves
+    // post-rename inserts AND merge-on-read delete pre-images under the
+    // current LOGICAL names (the machinery runs in physical ids, one
+    // projection translates at the end); a range SPANNING the rename
+    // commit refuses — two namings cannot mix in one feed
+    // (`naming_move_splits_feed`) ──
+    "cdf_mapped" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "cdf_mapped"))
+      log.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      log.append(orders.where(col("k") <= 1000), partitions = 2)
+      log.enableColumnMapping(s)
+      val vRen = log.renameColumn("cents", "pennies")
+      val vIns = log.appendMapped(orders.where(col("k").between(1001, 1400))
+        .withColumnRenamed("cents", "pennies"), partitions = 2)
+      val (vDel, _) = log.deleteWhere(s, col("k") <= 50)
+      val feed = log.readChanges(s, vRen, vDel)
+      val splits =
+        try { log.readChanges(s, -1L, vDel); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("mapping moves inside") }
+      feed.groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("pennies")).cast("long").as("sum_pennies"))
+        .withColumn("feed_offset", col("commit_version") - lit(vIns))
+        .drop("commit_version")
+        .withColumn("naming_move_splits_feed", lit(splits))
+        .orderBy(col("feed_offset"), col("change_type"))
+    }),
+
     // ── CDF ACROSS SCHEMA EVOLUTION ([[SnapshotLog.readChanges]] over a
     // range spanning an `ALTER TABLE ADD COLUMNS` commit): pre-evolution
     // versions' inserts serve TYPED NULL for the later-added column
@@ -4620,6 +4656,25 @@ object QueriesEtl {
         |       TRUE AS same_physical_column,
         |       TRUE AS update_through_sql
         |FROM u GROUP BY status ORDER BY status""".stripMargin,
+
+    // cdf_mapped: the post-rename insert commit (offset 0) and the
+    // delete pre-images (offset 1, drawn from the PRE-rename corpus but
+    // served under the new name); the split law is measured Spark-side
+    "cdf_mapped" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS pennies
+        |           FROM orders),
+        |     ch AS (SELECT 0 AS off, 'insert' AS change_type, k, pennies
+        |            FROM o WHERE k BETWEEN 1001 AND 1400
+        |            UNION ALL
+        |            SELECT 1, 'delete', k, pennies FROM o WHERE k <= 50)
+        |SELECT change_type, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(pennies) AS BIGINT) AS sum_pennies,
+        |       CAST(off AS BIGINT) AS feed_offset,
+        |       TRUE AS naming_move_splits_feed
+        |FROM ch GROUP BY off, change_type
+        |ORDER BY feed_offset, change_type""".stripMargin,
 
     // cdf_schema_evolution: v1's inserts serve typed-NULL status
     // ('legacy'), the ADD COLUMNS commit (v2) contributes no group, v3's

@@ -193,13 +193,11 @@ class GraftLogSourceProvider
     // physical schema and re-projects to the mapping's LOGICAL names per
     // micro-batch. CDF mode still refuses (readChanges owns that
     // refusal: physical names would leak into the feed).
+    // CDF mode composes too: [[SnapshotLog.readChanges]] serves mapped
+    // ranges under LOGICAL names (uniform-mapping rule), matching the
+    // logical schema pinned here; mid-stream mapping moves refuse in
+    // getBatch exactly as in append mode.
     val mapped = mappedView(sqlContext.sparkSession, log, cur)
-    mapped.foreach { _ =>
-      require(!isCdf(parameters),
-        s"graft-log source: ${log.root} uses column mapping — the change " +
-          "feed would expose physical column names; read changes below " +
-          "the mapping commit")
-    }
     val table = mapped match {
       case Some((_, logical, _)) => logical
       case None => log.read(sqlContext.sparkSession, cur).schema
@@ -515,7 +513,7 @@ class GraftLogSource(
     // mis-bind or silently hide it. Same fail-once/restart-adopts
     // discipline as the declared-schema handshake. Pairs at or below the
     // pin (identity enable, pre-evolution vintages) serve fine.
-    if (!changeFeed && log.versions.contains(hi))
+    if ((!changeFeed || mapping.isDefined) && log.versions.contains(hi))
       log.columnMapping(hi).foreach { case (_, pairsAtHi) =>
         val pinnedPairs = mapping.map(_._2.toSet).getOrElse(
           schema.fields.map(f => (f.name, f.name)).toSet)

@@ -65,7 +65,7 @@ object GraftSqlParser {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+(\w+)\.(\w+)\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+(\w+)\.(\w+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*(DRY\s+RUN)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+(\w+)\.(\w+)\s*(?:RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*(DRY\s+RUN)?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\.(\w+)\s*;?\s*""".r
   private val DetailRe =
@@ -95,8 +95,9 @@ object GraftSqlParser {
         Some(OptimizeGraftTable(cat, table,
           Option(zorder).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
           Option(where).map(_.trim)))
-      case VacuumRe(cat, table, retain, dry) if isGraftCatalog(cat) =>
+      case VacuumRe(cat, table, retain, unit, dry) if isGraftCatalog(cat) =>
         Some(VacuumGraftTable(cat, table, Option(retain).map(_.toInt),
+          retainHours = unit != null && unit.equalsIgnoreCase("HOURS"),
           dryRun = dry != null))
       case HistoryRe(cat, table) if isGraftCatalog(cat) =>
         Some(DescribeGraftHistory(cat, table))
@@ -180,68 +181,100 @@ object GraftSqlParser {
   private def attrs(fields: (String, org.apache.spark.sql.types.DataType)*): Seq[Attribute] =
     fields.map { case (n, t) => AttributeReference(n, t, nullable = false)() }
 
-  /** One term of an `OPTIMIZE … WHERE` predicate, normalized to a
-    * closed interval over an integral column.
+  /** One term of an `OPTIMIZE … WHERE` predicate: a closed interval
+    * over an integral column, or a string equality over a categorical
+    * one.
     */
   private val WhereBetween =
     """(?i)(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)""".r
   private val WhereCmp = """(\w+)\s*(<=|>=|=|<|>)\s*(-?\d+)""".r
+  private val WhereStrEq = """(\w+)\s*=\s*'([^']*)'""".r
 
-  /** Parse an OPTIMIZE WHERE predicate — conjunctions of integral
-    * range terms (`k >= 5`, `k BETWEEN 2 AND 9`) — to per-column
-    * [lo, hi] intervals. Anything not expressible as a stats range
+  /** The parsed scope of an OPTIMIZE WHERE predicate: per-column
+    * [lo, hi] intervals (pruned via the min/max stats sidecars) and
+    * per-column required string values (pruned via the distinct-value
+    * sidecars).
+    */
+  private[sources] final case class OptimizeScope(
+      intervals: Map[String, (Long, Long)],
+      values: Map[String, Set[String]])
+
+  /** Parse an OPTIMIZE WHERE predicate — conjunctions of integral range
+    * terms (`k >= 5`, `k BETWEEN 2 AND 9`) and string equalities
+    * (`lang = 'en'`). Anything not expressible against a stats sidecar
     * refuses loudly (never a silent full-table rewrite under a narrower
     * promise).
     */
-  private[sources] def parseOptimizeWhere(pred: String): Map[String, (Long, Long)] = {
+  private[sources] def parseOptimizeWhere(pred: String): OptimizeScope = {
     val betweens = WhereBetween.findAllMatchIn(pred).map(m =>
       (m.group(1), (m.group(2).toLong, m.group(3).toLong))).toSeq
     val rest = WhereBetween.replaceAllIn(pred, " TRUE ")
     val parts = rest.split("(?i)\\bAND\\b").map(_.trim).filter(_.nonEmpty)
-    val cmps = parts.filterNot(_.equalsIgnoreCase("TRUE")).map {
+    val terms = parts.filterNot(_.equalsIgnoreCase("TRUE")).map {
+      case WhereStrEq(c, v) => Right((c, v))
       case WhereCmp(c, op, n) =>
         val v = n.toLong
-        op match {
+        Left(op match {
           case ">=" => (c, (v, Long.MaxValue))
           case ">" => (c, (v + 1L, Long.MaxValue))
           case "<=" => (c, (Long.MinValue, v))
           case "<" => (c, (Long.MinValue, v - 1L))
           case _ => (c, (v, v))
-        }
+        })
       case other => throw new IllegalArgumentException(
         s"OPTIMIZE WHERE: cannot express '$other' as a file-stats range — " +
-          "use conjunctions of <col> <=|>=|<|>|= <int> or BETWEEN")
+          "use conjunctions of <col> <=|>=|<|>|= <int>, BETWEEN, or " +
+          "<col> = '<string>'")
     }
-    (betweens ++ cmps).groupBy(_._1).map { case (c, ts) =>
-      c -> ts.map(_._2).reduce { (a, b) =>
-        (math.max(a._1, b._1), math.min(a._2, b._2))
-      }
-    }
+    OptimizeScope(
+      terms.collect { case Left(t) => t }.groupBy(_._1).map { case (c, ts) =>
+        c -> ts.map(_._2).reduce { (a, b) =>
+          (math.max(a._1, b._1), math.min(a._2, b._2))
+        }
+      },
+      terms.collect { case Right((c, v)) => (c, v) }.groupBy(_._1)
+        .map { case (c, vs) => c -> vs.map(_._2).toSet })
   }
 
-  /** The data files of the current snapshot whose recorded stats range
-    * INTERSECTS every predicate interval — files without stats for a
-    * predicate column are kept conservatively (rewriting more than
-    * asked is safe; skipping a matching file would betray the WHERE).
-    * File-count-sized metadata work (one sidecar read per column).
+  /** The data files of the current snapshot that MAY satisfy the scope:
+    * the recorded stats range must intersect every interval and the
+    * recorded distinct-value set must contain every required value —
+    * files without sidecar entries for a predicate column are kept
+    * conservatively (rewriting more than asked is safe; skipping a
+    * matching file would betray the WHERE). File-count-sized metadata
+    * work (one sidecar read per column).
     */
   private def scopeFiles(
       spark: SparkSession, log: SnapshotLog,
-      intervals: Map[String, (Long, Long)]): Set[String] = {
+      scope: OptimizeScope): Set[String] = {
     val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
       s"OPTIMIZE WHERE: no committed snapshot at ${log.root}"))
     val all = log.dataFiles(cur)
-    intervals.foldLeft(all.toSet) { case (keep, (c, (pLo, pHi))) =>
-      log.fileStatsForColumn(spark, cur, c) match {
-        case None => keep // no stats anywhere for this column: keep all
+    def rel(abs: String): String = abs.stripPrefix(log.dataRootPath + "/")
+    val afterIntervals =
+      scope.intervals.foldLeft(all.toSet) { case (keep, (c, (pLo, pHi))) =>
+        log.fileStatsForColumn(spark, cur, c) match {
+          case None => keep // no stats anywhere for this column: keep all
+          case Some(byAbs) =>
+            val byRel = byAbs.map { case (abs, r) => rel(abs) -> r }
+            keep.filter { p =>
+              byRel.get(p) match {
+                case Some((lo, hi)) => lo <= pHi && hi >= pLo
+                case None => true // this file recorded no stats: conservative
+              }
+            }
+        }
+      }
+    scope.values.foldLeft(afterIntervals) { case (keep, (c, required)) =>
+      log.fileValueSetsForColumn(spark, cur, c) match {
+        case None => keep // no value sidecar anywhere: keep all
         case Some(byAbs) =>
-          val byRel = byAbs.map { case (abs, r) =>
-            abs.stripPrefix(log.dataRootPath + "/") -> r
-          }
+          val byRel = byAbs.map { case (abs, r) => rel(abs) -> r }
           keep.filter { p =>
             byRel.get(p) match {
-              case Some((lo, hi)) => lo <= pHi && hi >= pLo
-              case None => true // this file recorded no stats: conservative
+              case Some(Some(set)) => required.subsetOf(set)
+              case Some(None) => true // FULL marker: distincts overflowed
+              case None => true // no entries recorded: conservative
             }
           }
       }
@@ -358,34 +391,43 @@ object GraftSqlParser {
     * — the Delta preview discipline before a destructive sweep).
     */
   private case class VacuumGraftTable(
-      cat: String, table: String, retainVersions: Option[Int], dryRun: Boolean)
+      cat: String, table: String, retainVersions: Option[Int],
+      retainHours: Boolean, dryRun: Boolean)
     extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs(
       "versions_expired" -> IntegerType, "files_removed" -> IntegerType,
       "dry_run" -> org.apache.spark.sql.types.BooleanType)
+
+    /** The expire floor the RETAIN clause resolves to. `RETAIN n
+      * VERSIONS` counts back from the head; `RETAIN n HOURS` (the Delta
+      * time-based form) keeps every version committed inside the window,
+      * resolved against the commit wall-clocks RECORDED INSIDE the
+      * anchors — the current version is always kept.
+      */
+    private def keepFromFor(log: SnapshotLog): Option[Long] =
+      retainVersions.map { n =>
+        val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
+          s"VACUUM: no committed snapshot at $cat.$table"))
+        if (retainHours) {
+          val cutoff = System.currentTimeMillis() - n.toLong * 3600L * 1000L
+          log.versions.find(v => log.commitTimeMillis(v) >= cutoff).getOrElse(cur)
+        } else {
+          require(n >= 1, s"VACUUM: RETAIN must keep at least 1 version, got $n")
+          cur - n + 1L
+        }
+      }
+
     override def run(spark: SparkSession): Seq[Row] = {
       val log = logFor(spark, cat, table)
+      val keepFrom = keepFromFor(log)
       if (dryRun) {
         // preview only: nothing expires, nothing deletes — the live set
         // is computed from the versions the RETAIN horizon would keep,
         // so the file count matches what the real sequence removes
-        val keepFrom = retainVersions.map { n =>
-          require(n >= 1, s"VACUUM: RETAIN must keep at least 1 version, got $n")
-          val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
-            s"VACUUM: no committed snapshot at $cat.$table"))
-          cur - n + 1L
-        }
         val wouldExpire = keepFrom.map(k => log.versions.count(_ < k)).getOrElse(0)
         Seq(Row(wouldExpire, log.vacuumDryRun(keepFrom).size, true))
       } else {
-        val expired = retainVersions match {
-          case Some(n) =>
-            require(n >= 1, s"VACUUM: RETAIN must keep at least 1 version, got $n")
-            val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
-              s"VACUUM: no committed snapshot at $cat.$table"))
-            log.expire(keepFrom = cur - n + 1L).size
-          case None => 0
-        }
+        val expired = keepFrom.map(k => log.expire(keepFrom = k).size).getOrElse(0)
         Seq(Row(expired, log.vacuum().size, false))
       }
     }

@@ -1370,17 +1370,34 @@ class SnapshotLog(
         "(expired or never committed)")
     val range = vs.filter(v => v > fromExclusive && v <= toInclusive)
     range.foreach { v =>
-      require(columnMapping(v).isEmpty,
-        s"readChanges: v$v uses column mapping — the feed would expose " +
-          "physical column names; read changes below the mapping commit")
       require(v == 0L || vs.contains(v - 1L),
         s"readChanges: v$v's parent v${v - 1} is expired — pre-images are " +
           "unrecoverable; start the feed at a retained boundary")
     }
+    // COLUMN-MAPPED ranges serve under the mapping's LOGICAL names —
+    // the change machinery below runs in physical names (exactly as the
+    // mapped batch scan does) and the final projection translates. The
+    // mapping must be UNIFORM across the range: a rename or enable
+    // INSIDE it would mix two namings in one feed — split there instead.
+    val mappedPairs: Option[Seq[(String, String)]] = {
+      val per = range.map(v => columnMapping(v).map(_._2))
+      val defined = per.flatten.distinct
+      require(defined.size <= 1 && (defined.isEmpty || per.forall(_.isDefined)),
+        s"readChanges: the column mapping moves inside " +
+          s"($fromExclusive, $toInclusive] — a feed cannot mix namings; " +
+          "split the feed at the mapping commit")
+      defined.headOption
+    }
+    mappedPairs.foreach { _ =>
+      require(columnTypes(toInclusive).isEmpty,
+        s"readChanges: v$toInclusive declares type widenings — the feed's " +
+          "physical scan cannot read heterogeneous stages; optimize() first")
+    }
     val outSchema = read(spark, toInclusive).schema
     val outCols = outSchema.fieldNames.toSeq
     val reserved = Seq("_change_type", "_commit_version", "_file", "_pos")
-    require(!outCols.exists(reserved.contains),
+    require(!outCols.exists(reserved.contains) &&
+        !mappedPairs.exists(_.exists(p => reserved.contains(p._1))),
       s"readChanges: table columns collide with ${reserved.mkString(", ")}")
 
     def paths(ps: Seq[String]) = ps.map(p => new File(dataRootPath, p).toString)
@@ -1465,7 +1482,17 @@ class SnapshotLog(
         ins.toSeq.map(shape(_, "insert", v))
     }
     val empty = shape(read(spark, toInclusive).limit(0), "insert", 0L).limit(0)
-    perVersion.foldLeft(empty)(_.unionByName(_))
+    val physical = perVersion.foldLeft(empty)(_.unionByName(_))
+    mappedPairs match {
+      case None => physical
+      case Some(pairs) =>
+        // translate to the mapping's logical names (physical columns a
+        // dropped mapping entry no longer names simply fall away)
+        val present = physical.columns.toSet
+        physical.select(pairs.collect {
+          case (l, p) if present(p) => col(p).as(l)
+        } ++ Seq(col("_change_type"), col("_commit_version")): _*)
+    }
   }
 
   /** COPY-ON-WRITE predicate DELETE (the Iceberg-v1 delete shape, the

@@ -80,4 +80,32 @@ class SnapshotCdfSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { log.readChanges(spark, vDv, vDv) }
     intercept[IllegalArgumentException] { log.readChanges(spark, -1L, vDv + 99L) }
   }
+
+  test("the feed serves column-mapped ranges under LOGICAL names; a mapping move splits it") {
+    val log = freshLog("t_cdf_mapped")
+    log.append((0 until 10).map(i => (i.toLong, i.toLong * 10)).toDF("id", "v"), 1)
+    val vMap = log.enableColumnMapping(spark)
+    val vRen = log.renameColumn("v", "w")
+    // post-rename changes: appends land physical, the feed serves logical
+    val vIns = log.appendMapped(
+      (10 until 15).map(i => (i.toLong, i.toLong * 10)).toDF("id", "w"), 1)
+    val (vDel, nDel) = log.deleteWhere(spark, col("id") === 11L)
+    assert(nDel == 1L)
+    val feed = log.readChanges(spark, vRen, vDel)
+    assert(feed.columns.toSeq == Seq("id", "w", "_change_type", "_commit_version"))
+    val counts = feed.groupBy("_commit_version", "_change_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts((vIns, "insert")) == 5L && counts((vDel, "delete")) == 1L)
+    assert(feed.where(col("_change_type") === "delete").head().getLong(0) == 11L)
+    // a range spanning the RENAME mixes two namings: refuse, split there
+    val ex = intercept[IllegalArgumentException] {
+      log.readChanges(spark, vMap - 1L, vDel)
+    }
+    assert(ex.getMessage.contains("mapping moves inside"), ex.getMessage)
+    // a range spanning the ENABLE commit mixes unmapped + mapped: refuse
+    val ex2 = intercept[IllegalArgumentException] {
+      log.readChanges(spark, -1L, vMap)
+    }
+    assert(ex2.getMessage.contains("mapping moves inside"), ex2.getMessage)
+  }
 }

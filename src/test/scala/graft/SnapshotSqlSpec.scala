@@ -366,6 +366,51 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a snapshot-log table"), s"got: ${ex.getMessage}")
   }
 
+  test("VACUUM RETAIN HOURS resolves wall-clocks; OPTIMIZE WHERE prunes by value sidecars") {
+    val log = freshLog("t_hours")
+    (0 until 3).foreach { i =>
+      log.append((0 until 20).map(j => ((i * 20 + j).toLong, j.toLong)).toDF("id", "v"),
+        partitions = 1)
+      ()
+    }
+    registerCatalog()
+    // a wide window keeps everything (preview proves it: zero expired)
+    val dry = spark.sql("VACUUM graftsnap.t_hours RETAIN 1000 HOURS DRY RUN").head()
+    assert(dry.getInt(0) == 0 && dry.getBoolean(2), dry.toString)
+    // a zero window keeps only the current version (cutoff = now; every
+    // commit wall-clock is in the past) — the time-based expire floor
+    val vac = spark.sql("VACUUM graftsnap.t_hours RETAIN 0 HOURS").head()
+    assert(vac.getInt(0) == 2 && !vac.getBoolean(2), vac.toString)
+    assert(new SnapshotLog(s"$root/t_hours").versions == Seq(2L))
+    assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_hours")
+      .head().getLong(0) == 60L)
+
+    // OPTIMIZE ... WHERE <col> = '<string>': the scope resolves through
+    // the categorical value sidecars — only files that may hold the
+    // value rewrite; the rest are carried byte-identical
+    val vlog = freshLog("t_valscope")
+    Seq("a", "b", "c").foreach { tag =>
+      vlog.appendValueIndexed(
+        (0 until 40).map(j => (j.toLong, tag)).toDF("id", "tag").repartition(2),
+        valueCols = Seq("tag"))
+      ()
+    }
+    val before = vlog.dataFiles(vlog.currentVersion.get)
+    assert(before.size == 6)
+    val receipt = spark.sql(
+      "OPTIMIZE graftsnap.t_valscope WHERE tag = 'a' ZORDER BY (id)").head()
+    assert(receipt.getString(1) == "zorder" && receipt.getInt(2) == 2,
+      s"only the two tag='a' files are in scope, got $receipt")
+    val after = vlog.dataFiles(vlog.currentVersion.get).toSet
+    val scoped = spark.read.parquet(
+      (after -- before.toSet).map(p => s"$root/t_valscope/" + p).toSeq: _*)
+    assert(scoped.where(col("tag") =!= "a").count() == 0L &&
+      scoped.count() == 40L, "exactly the tag='a' rows were rewritten")
+    // content is untouched across the scoped rewrite
+    assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_valscope")
+      .head().getLong(0) == 120L)
+  }
+
   test("RESTORE rolls the table back as a new commit; rolled-past history reads") {
     val log = freshLog("t_restore")
     log.append((0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
