@@ -3001,6 +3001,49 @@ object QueriesEtl {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ── MERGE WITH SCHEMA EVOLUTION ([[GraftSqlDml]] → [[SnapshotLog
+    // .addColumns]] — the Delta automatic-evolution shape, closing the
+    // r13 refusal): the source carries a `prio` column the target
+    // lacks; the evolution lands as ONE metadata-only commit
+    // (`evolution_metadata_only`: the data-file listing is
+    // byte-identical across it), then the merge updates matched rows
+    // and inserts the rest — pre-evolution unmatched rows serve typed
+    // NULL in the new column, exactly what a batch read after ALTER ADD
+    // COLUMNS serves ──
+    "snapshot_sql_merge_evolve" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftme", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftme.root", scratch(dir, "meroot"))
+      s.sql("DROP TABLE IF EXISTS graftme.ord")
+      s.sql("CREATE TABLE graftme.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderpriority").as("prio"))
+        .where(col("k") <= 1400)
+        .createOrReplaceTempView("graft_me_src")
+      s.sql("INSERT INTO graftme.ord SELECT k, status, cents FROM graft_me_src " +
+        "WHERE k <= 1000")
+      val log = new SnapshotLog(scratch(dir, "meroot") + "/ord")
+      val vPre = log.currentVersion.get
+      val r = s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graftme.ord t
+          |USING (SELECT * FROM graft_me_src WHERE k > 500) AS s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+      val evolved = log.dataFiles(vPre + 1L) == log.dataFiles(vPre) &&
+        log.declaredSchema(vPre + 1L).exists(_.fieldNames.contains("prio"))
+      val merged = r.getLong(3) > 0L && r.getLong(5) > 0L
+      s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+          |       count(prio) AS n_with_prio
+          |FROM graftme.ord GROUP BY status""".stripMargin)
+        .withColumn("evolution_metadata_only", lit(evolved))
+        .withColumn("merge_after_evolution", lit(merged))
+        .orderBy(col("status"))
+    }),
+
     // ── CONDITIONAL NOT-MATCHED INSERT + INLINE SUBQUERY SOURCE
     // ([[GraftSqlDml]] — closing two documented r13 refusals): the MERGE
     // source is an inline `USING (SELECT …) AS s` derived table
@@ -4797,6 +4840,26 @@ object QueriesEtl {
         |       TRUE AS constraint_dropped
         |FROM orders WHERE o_orderkey <= 3000
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_merge_evolve: rows k<=500 predate the evolution
+    // (NULL prio), the merge updates 501-1000 and inserts 1001-1400
+    // with real priorities; the metadata-only and receipt laws are
+    // measured Spark-side
+    "snapshot_sql_merge_evolve" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |                  o_orderpriority AS prio
+        |           FROM orders WHERE o_orderkey <= 1400),
+        |     u AS (SELECT k, status, cents, NULL AS prio FROM o WHERE k <= 500
+        |           UNION ALL
+        |           SELECT k, status, cents, prio FROM o WHERE k > 500)
+        |SELECT status, count(*) AS n_orders,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       count(prio) AS n_with_prio,
+        |       TRUE AS evolution_metadata_only,
+        |       TRUE AS merge_after_evolution
+        |FROM u GROUP BY status ORDER BY status""".stripMargin,
 
     // snapshot_sql_merge_cond: the table is k<=1000 plus the EVEN keys
     // of (1000, 1400]; the conditional-filter and refusal laws are

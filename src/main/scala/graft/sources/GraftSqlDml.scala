@@ -268,9 +268,6 @@ object GraftSqlDml {
   // ────────────────────────────── MERGE ──────────────────────────────
 
   private def execMerge(spark: SparkSession, m: MergeIntoTable): DmlResult = {
-    require(!m.schemaEvolutionEnabled,
-      "GraftSqlDml: MERGE ... WITH SCHEMA EVOLUTION is not supported — the log " +
-        "merge requires source schema == target schema; evolve via append first")
     val t = resolveTarget(spark, m.targetTable)
     val (log, name, tgtQuals) = (t.log, t.name, t.quals)
 
@@ -292,6 +289,29 @@ object GraftSqlDml {
       case other => throw new UnsupportedOperationException(
         s"GraftSqlDml: MERGE source must be a table, view, or aliased " +
           s"subquery (got ${other.nodeName})")
+    }
+    // MERGE … WITH SCHEMA EVOLUTION (the Delta automatic-evolution
+    // shape): SOURCE columns the target lacks are added to the declared
+    // schema FIRST (one metadata-only [[SnapshotLog.addColumns]] commit —
+    // existing rows serve typed NULL), then the merge proceeds against
+    // the widened target. Mapped targets refuse (their physical schema
+    // evolves through the mapping-aware appendMapped path). The
+    // evolution and the merge are two commits — a crash between them
+    // leaves only the benign widened schema, never partial data.
+    if (m.withSchemaEvolution) {
+      require(t.physMap.isEmpty,
+        s"GraftSqlDml: MERGE WITH SCHEMA EVOLUTION on column-mapped $name " +
+          "is not supported — new physical ids are minted by appendMapped; " +
+          "evolve through the SnapshotLog API instead")
+      val cur0 = log.currentVersion.getOrElse(throw new IllegalStateException(
+        s"GraftSqlDml: MERGE target $name has no committed snapshot"))
+      val have = log.read(spark, cur0).columns.toSet
+      val extra = srcDf0.schema.fields.filterNot(f => have.contains(f.name))
+      if (extra.nonEmpty) {
+        log.withOccRetry()(
+          log.addColumns(spark, extra.toSeq.map(f => (f.name, f.dataType))))
+        ()
+      }
     }
     val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
       s"GraftSqlDml: MERGE target $name has no committed snapshot"))

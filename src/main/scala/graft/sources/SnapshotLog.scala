@@ -2433,11 +2433,19 @@ class SnapshotLog(
       d.withColumnRenamed(c, s"src_$c")
     }.withColumn("__matched", lit(true))
     // merge-on-read: mask outstanding position deletes out of the
-    // rewrite-scope scan so the rewrite can never resurrect them
+    // rewrite-scope scan so the rewrite can never resurrect them. The
+    // DECLARED schema pins the scan when one exists — files predating an
+    // ADD COLUMNS lack the added columns physically and must serve typed
+    // NULL here exactly as the table read does (without the pin, a merge
+    // touching pre-evolution files dies on the missing attribute)
     val tgt =
       if (rewrite.isEmpty) read(spark, cur).limit(0)
-      else applyMasks(spark, cur,
-        spark.read.parquet(rewrite.map(p => new File(dataRootPath, p).toString): _*))
+      else applyMasks(spark, cur, declaredSchema(cur) match {
+        case Some(s) => spark.read.schema(s)
+          .parquet(rewrite.map(p => new File(dataRootPath, p).toString): _*)
+        case None => spark.read
+          .parquet(rewrite.map(p => new File(dataRootPath, p).toString): _*)
+      })
     // ONE evaluation of the joined scan feeds the clause metrics, the
     // emptiness probe, and the staging write (r11 re-read it up to four
     // times — three redundant scans of the rewrite scope at 100 TB, and

@@ -141,6 +141,42 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(log.readLatest(spark).where(col("id") === 2).head().getLong(1) == 200L)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the target from the source") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdml.t_evo")
+    spark.sql("CREATE TABLE graftdml.t_evo (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftdml.t_evo SELECT id, id * 10 AS v FROM range(10)")
+    val log = new SnapshotLog(s"$root/t_evo")
+    val vPre = log.currentVersion.get
+    spark.range(10).selectExpr("id + 5 AS id", "(id + 5) * 10 AS v",
+        "concat('t-', id) AS tag")
+      .createOrReplaceTempView("evo_src")
+    val r = GraftSqlDml.exec(spark,
+      """MERGE WITH SCHEMA EVOLUTION INTO graftdml.t_evo t USING evo_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(r.rowsUpdated == 5L && r.rowsInserted == 5L, r.toString)
+    // the evolution commit is metadata-only (no data file touched)
+    assert(log.dataFiles(vPre + 1L) == log.dataFiles(vPre),
+      "schema evolution must not move data")
+    val got = log.readLatest(spark)
+    assert(got.columns.toSeq == Seq("id", "v", "tag"))
+    assert(got.count() == 15L)
+    assert(got.where(col("id") === 7).head().getAs[String]("tag") == "t-2")
+    assert(got.where(col("id") === 12).head().getAs[String]("tag") == "t-7")
+    assert(got.where(col("id") === 3).head().isNullAt(2),
+      "pre-evolution unmatched rows serve typed NULL")
+    // without the keyword, a widened source still refuses (no silent drop)
+    val ex = intercept[Exception] {
+      GraftSqlDml.exec(spark,
+        """MERGE INTO graftdml.t_evo t USING
+          |(SELECT id, v, tag, 'x' AS extra FROM evo_src) AS s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    }
+    assert(ex.getMessage.contains("source schema"), ex.getMessage)
+  }
+
   test("DML on a column-mapped table translates logical names to physical ids") {
     registerCatalog()
     spark.sql("DROP TABLE IF EXISTS graftdml.t_mapped")
