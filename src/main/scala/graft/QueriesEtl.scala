@@ -3001,6 +3001,58 @@ object QueriesEtl {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ── COPY INTO: IDEMPOTENT BULK FILE INGEST ([[GraftSqlParser]] →
+    // [[SnapshotLog.copyIngest]] — the Databricks verb): two source
+    // parquet files load as one transactional append whose commit
+    // carries the loaded-file ledger ATOMICALLY; re-running the SAME
+    // statement skips everything (`recopy_skipped_all` — the receipt
+    // shows 0 loaded / 2 skipped with the version pinned), and a third
+    // file arriving later loads ALONE (`incremental_loaded_new`) — the
+    // schedule-it-and-forget ingest loop where every source file lands
+    // exactly once, crash or no crash ──
+    "snapshot_sql_copy_into" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftcp", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftcp.root", scratch(dir, "cproot"))
+      s.sql("DROP TABLE IF EXISTS graftcp.ord")
+      s.sql("CREATE TABLE graftcp.ord (k BIGINT, status STRING, cents BIGINT)")
+      val srcDir = new java.io.File(scratch(dir, "cp_src"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(srcDir); srcDir.mkdirs()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      def drop(df: DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cp_tmp_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("w").toString)
+        val part = new java.io.File(tmp.resolve("w").toString).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .get
+        java.nio.file.Files.move(part.toPath, new java.io.File(srcDir, name).toPath)
+        ()
+      }
+      drop(orders.where(col("k") <= 500), "a.parquet")
+      drop(orders.where(col("k").between(501, 1000)), "b.parquet")
+      val stmt = s"COPY INTO graftcp.ord FROM '$srcDir' FILEFORMAT = PARQUET"
+      val r1 = s.sql(stmt).head()
+      val r2 = s.sql(stmt).head()
+      val skippedAll = r1.getInt(0) == 2 && r2.getInt(0) == 0 &&
+        r2.getInt(2) == 2 && r2.getLong(3) == r1.getLong(3)
+      drop(orders.where(col("k").between(1001, 1400)), "c.parquet")
+      val r3 = s.sql(stmt).head()
+      val incremental = r3.getInt(0) == 1 && r3.getInt(2) == 2
+      s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftcp.ord GROUP BY status""".stripMargin)
+        .withColumn("recopy_skipped_all", lit(skippedAll))
+        .withColumn("incremental_loaded_new", lit(incremental))
+        .orderBy(col("status"))
+    }),
+
     // ── MERGE WITH SCHEMA EVOLUTION ([[GraftSqlDml]] → [[SnapshotLog
     // .addColumns]] — the Delta automatic-evolution shape, closing the
     // r13 refusal): the source carries a `prio` column the target
@@ -4839,6 +4891,18 @@ object QueriesEtl {
         |       TRUE AS violating_batch_rejected,
         |       TRUE AS constraint_dropped
         |FROM orders WHERE o_orderkey <= 3000
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_copy_into: the three source files reunite to the
+    // k<=1400 corpus exactly once; the idempotency and incremental laws
+    // are measured off the receipts
+    "snapshot_sql_copy_into" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS recopy_skipped_all,
+        |       TRUE AS incremental_loaded_new
+        |FROM orders WHERE o_orderkey <= 1400
         |GROUP BY status ORDER BY status""".stripMargin,
 
     // snapshot_sql_merge_evolve: rows k<=500 predate the evolution

@@ -74,6 +74,8 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\w+)\.(\w+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTsRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\w+)\.(\w+)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val CopyIntoRe =
+    """(?is)\s*COPY\s+INTO\s+(\w+)\.(\w+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*(?:PATTERN\s*=\s*'([^']+)')?\s*;?\s*""".r
 
   /** True only when `<cat>` resolves to a REGISTERED [[GraftCatalog]]
     * with a root — the same gate [[interceptDml]]'s graftTarget applies.
@@ -107,6 +109,9 @@ object GraftSqlParser {
         Some(RestoreGraftTable(cat, table, Left(v.toLong)))
       case RestoreTsRe(cat, table, ts) if isGraftCatalog(cat) =>
         Some(RestoreGraftTable(cat, table, Right(ts)))
+      case CopyIntoRe(cat, table, from, fmt, pattern) if isGraftCatalog(cat) =>
+        Some(CopyIntoGraftTable(cat, table, from,
+          fmt.toLowerCase(java.util.Locale.ROOT), Option(pattern)))
       case _ => None
     }
 
@@ -379,6 +384,101 @@ object GraftSqlParser {
         }
         Seq(Row(v, "cluster_by", fin, fout))
       }
+    }
+  }
+
+  /** `COPY INTO cat.t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+    * [PATTERN = '<glob>']` — IDEMPOTENT bulk file ingest (the
+    * Databricks `COPY INTO` shape): source files already loaded by a
+    * prior COPY (identified by path + size + mtime against the table's
+    * ledger, [[SnapshotLog.copiedSources]]) are SKIPPED; new files load
+    * as one transactional append whose commit carries the updated
+    * ledger reference atomically ([[SnapshotLog.copyIngest]]) — re-run
+    * the same statement after a crash, a partial upload, or on a
+    * schedule and each source file lands EXACTLY ONCE. CSV (with
+    * header) and JSON read under the table's declared schema; stored
+    * CHECK constraints gate the batch like every other write path.
+    * Listing is file-count-sized driver metadata; the data pass reads
+    * only the NEW files.
+    */
+  private case class CopyIntoGraftTable(
+      cat: String, table: String, from: String, format: String,
+      pattern: Option[String])
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "loaded_files" -> IntegerType, "loaded_rows" -> LongType,
+      "skipped_files" -> IntegerType, "version" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      require(Seq("parquet", "csv", "json").contains(format),
+        s"COPY INTO: FILEFORMAT must be PARQUET, CSV, or JSON — got $format")
+      val log = logFor(spark, cat, table)
+      val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
+        s"COPY INTO: no committed snapshot at $cat.$table"))
+      require(log.columnMapping(cur).isEmpty,
+        s"COPY INTO: $cat.$table uses column mapping — load through the " +
+          "SnapshotLog API (appendMapped) instead")
+      val src = new File(from)
+      require(src.exists(), s"COPY INTO: source path $from does not exist")
+      val glob = java.nio.file.FileSystems.getDefault
+        .getPathMatcher("glob:" + pattern.getOrElse(s"*.$format"))
+      val listed =
+        (if (src.isFile) Array(src)
+         else Option(src.listFiles()).getOrElse(Array.empty))
+          .filter(f => f.isFile && !f.getName.startsWith(".") &&
+            !f.getName.startsWith("_") &&
+            glob.matches(java.nio.file.Paths.get(f.getName)))
+          .sortBy(_.getName)
+      val cands = listed.map(f =>
+        (f.getCanonicalPath, f.length(), f.lastModified())).toSeq
+      import spark.implicits._
+      val fresh = cands.toDF("path", "size", "mtime")
+        .join(log.copiedSources(spark, cur), Seq("path", "size", "mtime"),
+          "left_anti")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(_._1)
+      if (fresh.isEmpty)
+        return Seq(Row(0, 0L, cands.size, cur))
+      val paths = fresh.map(_._1)
+      val declared = log.declaredSchema(cur)
+      val raw = format match {
+        case "parquet" => declared match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        }
+        case "csv" =>
+          val s = declared.getOrElse(throw new IllegalStateException(
+            s"COPY INTO: CSV loads need $cat.$table's declared schema " +
+              "(CREATE TABLE with columns first)"))
+          spark.read.schema(s).option("header", "true").csv(paths: _*)
+        case _ =>
+          val s = declared.getOrElse(throw new IllegalStateException(
+            s"COPY INTO: JSON loads need $cat.$table's declared schema " +
+              "(CREATE TABLE with columns first)"))
+          spark.read.schema(s).json(paths: _*)
+      }
+      // stored CHECK constraints gate this write path like every other:
+      // a violating source file fails the load with nothing committed
+      val checks = log.metaValues(cur).collect {
+        case (k, sql) if k.startsWith("prop.check.") =>
+          k.stripPrefix("prop.check.") -> sql
+      }.toSeq.sortBy(_._1)
+      val guarded =
+        if (checks.isEmpty) raw
+        else {
+          import org.apache.spark.sql.functions.{coalesce, col, expr, lit, raise_error, when}
+          val allOk = checks.map { case (_, sql) => coalesce(expr(sql), lit(true)) }
+            .reduce(_ && _)
+          val first = raw.columns.head
+          raw.withColumn(first,
+            when(allOk, col(first)).otherwise(raise_error(lit(
+              s"COPY INTO: a source row violates CHECK constraint(s) " +
+                s"[${checks.map(_._1).mkString(", ")}] — nothing committed"))))
+        }
+      val rows = guarded.count()
+      val parts = math.max(1, math.min(32,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt))
+      val (v, _) = log.withOccRetry()(log.copyIngest(fresh, guarded, parts))
+      Seq(Row(fresh.size, rows, cands.size - fresh.size, v))
     }
   }
 

@@ -787,6 +787,76 @@ class SnapshotLog(
     }
   }
 
+  // ─────────────────────────── COPY INTO ───────────────────────────
+  // Idempotent bulk file ingest (the Databricks `COPY INTO` shape): the
+  // set of already-loaded source files is a LEDGER of parquet files
+  // under `data/_copyledger/` (an underscore pool the vacuum walk never
+  // enters), referenced from ONE `copyledgers` meta value. Ledger and
+  // data commit ATOMICALLY: the ledger file is staged first (invisible
+  // — nothing references it), and the single commit adds the data files
+  // AND the meta reference together, so a crash anywhere loads either
+  // the whole batch exactly once or nothing. A REPLACE TABLE drops the
+  // meta with the old definition — dedup state resets with the table.
+
+  private val CopyLedgerKey = "copyledgers"
+
+  /** The (path, size, mtime) identities of every source file a past
+    * [[copyIngest]] loaded into this snapshot's lineage — empty frame
+    * when no COPY ever ran.
+    */
+  def copiedSources(spark: SparkSession, version: Long): DataFrame = {
+    import spark.implicits._
+    metaValues(version).get(CopyLedgerKey)
+      .map(_.split(',').filter(_.nonEmpty).toSeq) match {
+      case Some(ids) if ids.nonEmpty =>
+        spark.read.parquet(ids.map(id =>
+          new File(dataDir, s"_copyledger/$id").toString): _*)
+      case _ =>
+        Seq.empty[(String, Long, Long)].toDF("path", "size", "mtime")
+    }
+  }
+
+  /** Load one COPY batch: `sources` are the new files' identities (the
+    * caller already anti-joined against [[copiedSources]]), `data` their
+    * rows. Stages the data AND a ledger file recording the identities,
+    * then commits both in ONE version — the ledger meta reference makes
+    * re-running the same COPY a no-op even across a crash at any point
+    * (an unreferenced ledger stage is simply invisible). Schema is
+    * enforced strictly ([[appendStrict]] semantics).
+    */
+  def copyIngest(
+      sources: Seq[(String, Long, Long)],
+      data: DataFrame,
+      partitions: Int): Long = {
+    require(sources.nonEmpty, "copyIngest: no source files to load")
+    val spark = data.sparkSession
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"copyIngest: no committed snapshot at $root"))
+    val base = read(spark, cur).schema.map(f => f.name -> f.dataType).toMap
+    val batch = data.schema.map(f => f.name -> f.dataType).toMap
+    val missing = (base.keySet -- batch.keySet).toSeq.sorted
+    val extra = (batch.keySet -- base.keySet).toSeq.sorted
+    val retyped = base.keySet.intersect(batch.keySet).toSeq.sorted
+      .filter(c => base(c) != batch(c))
+    require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
+      s"copyIngest: source schema drifts from v$cur — " +
+        s"missing=${missing.mkString("[", ",", "]")} " +
+        s"extra=${extra.mkString("[", ",", "]")} " +
+        s"retyped=${retyped.mkString("[", ",", "]")}")
+    // stage the ledger (invisible until the meta line references it)
+    import spark.implicits._
+    val id = java.util.UUID.randomUUID().toString
+    val ledgerDir = new File(dataDir, s"_copyledger/$id")
+    sources.toDF("path", "size", "mtime")
+      .coalesce(1).write.mode("error").parquet(ledgerDir.toString)
+    val staged = stageData(
+      data.select(read(spark, cur).columns.map(org.apache.spark.sql.functions.col).toSeq: _*),
+      partitions)
+    val prev = metaValues(cur).get(CopyLedgerKey).filter(_.nonEmpty)
+    commit(Some(cur), withMeta(files(cur) ++ staged, CopyLedgerKey,
+      prev.map(_ + ",").getOrElse("") + id))
+  }
+
   /** METADATA-DRIVEN MAINTENANCE PLANNING (the auto-OPTIMIZE advisor
     * shape): inspect the current snapshot's file listing — sizes,
     * tombstone count, live-version count, all metadata, never a data
@@ -2956,7 +3026,11 @@ class SnapshotLog(
     * dies.
     */
   private def listOrphans(live: Set[String]): Seq[String] =
-    Option(dataDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+    Option(dataDir.listFiles()).getOrElse(Array.empty)
+      // underscore-prefixed DIRECTORIES are engine metadata pools (the
+      // COPY INTO ledger) — referenced from meta values, not manifest
+      // file lines, so the orphan walk must never enter them
+      .filter(d => d.isDirectory && !d.getName.startsWith("_"))
       .flatMap { d =>
         Option(d.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.endsWith(".parquet") &&

@@ -366,6 +366,59 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a snapshot-log table"), s"got: ${ex.getMessage}")
   }
 
+  test("COPY INTO loads each source file exactly once; violations load nothing") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftsnap.cpy")
+    spark.sql("CREATE TABLE graftsnap.cpy (id BIGINT, v BIGINT)")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_copy_src_")
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_copy_tmp_")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("w").toString)
+      val part = new java.io.File(tmp.resolve("w").toString).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .get
+      java.nio.file.Files.move(part.toPath, srcDir.resolve(name))
+      ()
+    }
+    drop(spark.range(10).selectExpr("id", "id * 2 AS v"), "a.parquet")
+    drop(spark.range(10, 20).selectExpr("id", "id * 2 AS v"), "b.parquet")
+    val r1 = spark.sql(
+      s"COPY INTO graftsnap.cpy FROM '$srcDir' FILEFORMAT = PARQUET").head()
+    assert(r1.getInt(0) == 2 && r1.getLong(1) == 20L && r1.getInt(2) == 0, r1.toString)
+    // idempotent: the same statement re-runs as a no-op
+    val r2 = spark.sql(
+      s"COPY INTO graftsnap.cpy FROM '$srcDir' FILEFORMAT = PARQUET").head()
+    assert(r2.getInt(0) == 0 && r2.getInt(2) == 2 &&
+      r2.getLong(3) == r1.getLong(3), s"re-copy must skip everything: $r2")
+    // a new file arriving loads alone
+    drop(spark.range(20, 25).selectExpr("id", "id * 2 AS v"), "c.parquet")
+    val r3 = spark.sql(
+      s"COPY INTO graftsnap.cpy FROM '$srcDir' FILEFORMAT = PARQUET").head()
+    assert(r3.getInt(0) == 1 && r3.getLong(1) == 5L && r3.getInt(2) == 2, r3.toString)
+    assert(spark.sql("SELECT count(*) AS n, count(DISTINCT id) AS d FROM graftsnap.cpy")
+      .head().toSeq == Seq(25L, 25L), "each file's rows land exactly once")
+    // CHECK constraints gate the load; a failed load marks NOTHING loaded
+    spark.sql("ALTER TABLE graftsnap.cpy ADD CONSTRAINT v_nonneg CHECK (v >= 0)")
+    drop(spark.range(25, 30).selectExpr("id", "-id AS v"), "bad.parquet")
+    val log = new SnapshotLog(s"$root/cpy")
+    val vPre = log.currentVersion.get
+    val ex = intercept[Exception] {
+      spark.sql(s"COPY INTO graftsnap.cpy FROM '$srcDir' FILEFORMAT = PARQUET")
+    }
+    def anywhere(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("violates CHECK constraint")) ||
+        anywhere(t.getCause))
+    assert(anywhere(ex), ex.getMessage)
+    assert(log.currentVersion.contains(vPre), "failed COPY must not commit")
+    assert(log.copiedSources(spark, vPre).count() == 3L,
+      "a failed load must not mark its files as loaded")
+    // unknown-format and missing-path refusals
+    val badFmt = intercept[Exception] {
+      spark.sql(s"COPY INTO graftsnap.cpy FROM '$srcDir' FILEFORMAT = AVRO")
+    }
+    assert(badFmt.getMessage.contains("FILEFORMAT"), badFmt.getMessage)
+  }
+
   test("VACUUM RETAIN HOURS resolves wall-clocks; OPTIMIZE WHERE prunes by value sidecars") {
     val log = freshLog("t_hours")
     (0 until 3).foreach { i =>
