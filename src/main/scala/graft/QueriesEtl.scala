@@ -1615,6 +1615,57 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── SINK AUTO-COMPACTION ([[GraftLogSink]]'s `autoCompact` — the
+    // Delta shape, the streaming small-file answer): a six-commit
+    // backlog drains one version per trigger into a fresh table, and the
+    // sink bin-packs its own tail every 3 committed batches — the final
+    // layout holds FEWER files than micro-batches ran
+    // (`files_bounded_by_compaction`) while the content stays exactly
+    // the batch corpus (`compacted_equals_batch`). At 100 TB this is the
+    // difference between a queryable table and a million-file listing
+    // after a week of triggers ──
+    "stream_sink_autocompact" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val src = new SnapshotLog(scratch(dir, "ac_src"))
+      val dst = new SnapshotLog(scratch(dir, "ac_dst"))
+      src.recreate(); dst.recreate()
+      dst.createEmpty(StructType(Seq(
+        StructField("k", LongType), StructField("status", StringType),
+        StructField("cents", LongType))))
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 1200)
+      (0 until 6).foreach { i =>
+        src.append(base.where(col("k") % 6 === i), partitions = 1); ()
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ac_q_")
+      val q = s.readStream
+        .format("graft-log").option("root", src.root)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.format("graft-log")
+        .option("root", dst.root)
+        .option("autoCompact", "true").option("autoCompactMinFiles", "3")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      val triggers =
+        try {
+          q.processAllAvailable()
+          q.recentProgress.count(_.numInputRows > 0)
+        } finally q.stop()
+      val bounded = dst.dataFiles(dst.currentVersion.get).size < triggers
+      val sunk = dst.readLatest(s)
+      val parity = sunk.exceptAll(base).limit(1).count() == 0 &&
+        base.exceptAll(sunk).limit(1).count() == 0
+      sunk.groupBy(col("status")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .withColumn("files_bounded_by_compaction", lit(bounded))
+        .withColumn("compacted_equals_batch", lit(parity))
+        .orderBy(col("status"))
+    }),
+
     // ── STREAMING TIME TRAVEL ([[GraftLogSourceProvider]]'s
     // `startingTimestamp` — the mirror of batch `TIMESTAMP AS OF`,
     // resolved against the commit wall-clocks RECORDED INSIDE the
@@ -4663,6 +4714,18 @@ object QueriesEtl {
         |       CAST(sum(c) AS BIGINT) AS sum_cents,
         |       TRUE AS stream_equals_batch_feed
         |FROM ch GROUP BY v, ct ORDER BY commit_version, change_type""".stripMargin,
+
+    // stream_sink_autocompact: the six bounded triggers reunite to the
+    // k<=1200 corpus; the file-bounding and parity laws are measured
+    // Spark-side
+    "stream_sink_autocompact" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS files_bounded_by_compaction,
+        |       TRUE AS compacted_equals_batch
+        |FROM orders WHERE o_orderkey <= 1200
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     // stream_from_log_bounded: the four bounded triggers reunite to the
     // k<=4000 corpus; the trigger accounting and stream/batch parity are

@@ -118,7 +118,12 @@ class GraftLogSourceProvider
           "graft-log sink: set .option(\"root\", <snapshot-log root>)"))),
       parameters.get("appId"),
       parameters.get("partitions").map(_.toInt).getOrElse(1),
-      complete)
+      complete,
+      autoCompactEvery =
+        if (!parameters.get("autoCompact").exists(_.toBoolean)) 0
+        else parameters.get("autoCompactMinFiles").map(_.toInt).getOrElse(16),
+      autoCompactTargetBytes = parameters.get("autoCompactTargetBytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024))
   }
 
   private def logFor(parameters: Map[String, String]): SnapshotLog =
@@ -253,7 +258,22 @@ class GraftLogSink(
     log: SnapshotLog,
     appIdOpt: Option[String],
     partitions: Int,
-    complete: Boolean) extends Sink {
+    complete: Boolean,
+    // AUTO-COMPACTION (`.option("autoCompact", "true")` — the Delta
+    // autoCompact shape): every `autoCompactEvery` committed batches the
+    // sink bin-packs the destination's small-file tail
+    // ([[SnapshotLog.compactSmall]], `autoCompactTargetBytes` target) as
+    // its own follow-up commit — a micro-batch-per-file ingest stream
+    // stays at O(data/target) files instead of O(batches), the
+    // difference between a queryable table and a million-file listing
+    // after a week of triggers. The compaction commit is a REWRITE:
+    // downstream log-streams of this table must consume the change feed
+    // (append-mode streams refuse rewrites by contract). Skipped
+    // while merge-on-read masks are outstanding (compactSmall's scope).
+    autoCompactEvery: Int = 0,
+    autoCompactTargetBytes: Long = 128L * 1024 * 1024) extends Sink {
+
+  private var batchesSinceCompact = 0
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the query id is stable across restarts (it lives in the checkpoint
@@ -335,8 +355,20 @@ class GraftLogSink(
     // translation, under the txn watermark) — the colmap metadata rides
     // the carried meta lines unchanged
     val staged = physProject.fold(guarded)(cols => guarded.select(cols: _*))
-    if (complete) log.overwriteTxn(staged, partitions, appId, batchId)
-    else log.appendTxn(staged, partitions, appId, batchId)
+    val committed =
+      if (complete) log.overwriteTxn(staged, partitions, appId, batchId)._2
+      else log.appendTxn(staged, partitions, appId, batchId)._2
+    if (committed && !complete && autoCompactEvery > 0) {
+      batchesSinceCompact += 1
+      if (batchesSinceCompact >= autoCompactEvery) {
+        val cur = log.currentVersion.get
+        if (log.posDeleteFiles(cur).isEmpty && log.dvFiles(cur).isEmpty) {
+          log.withOccRetry()(
+            log.compactSmall(data.sparkSession, autoCompactTargetBytes))
+          batchesSinceCompact = 0
+        }
+      }
+    }
     ()
   }
 

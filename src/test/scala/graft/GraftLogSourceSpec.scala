@@ -343,6 +343,34 @@ class GraftLogSourceSpec extends AnyFunSuite {
       Set(("g0", 3L), ("g1", 3L), ("g2", 3L)))
   }
 
+  test("the sink auto-compacts its small-file tail under autoCompact") {
+    val src = freshLog("t_ac_src")
+    val dst = freshLog("t_ac_dst")
+    dst.append(Seq((0L, 0L)).toDF("id", "v"), partitions = 1)
+    (1 to 6).foreach { i =>
+      src.append(Seq((i.toLong, i.toLong)).toDF("id", "v"), partitions = 1); ()
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ac_ckpt_")
+    val q = spark.readStream
+      .format("graft-log").option("root", src.root)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format("graft-log")
+      .option("root", dst.root)
+      .option("autoCompact", "true")
+      .option("autoCompactMinFiles", "3")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // content exactly once, layout bounded: six one-file micro-batches
+    // would leave 7 files; the every-3-batches compaction packs the tail
+    assert(dst.readLatest(spark).count() == 7L)
+    val nFiles = dst.dataFiles(dst.currentVersion.get).size
+    assert(nFiles < 7, s"auto-compact must bound the file count, got $nFiles")
+    assert(dst.history.exists(_._2 == "rewrite"),
+      "compaction commits as its own rewrite")
+    assert(dst.readLatest(spark).select(col("id")).distinct().count() == 7L)
+  }
+
   test("complete-mode sink maintains a materialized aggregate table per batch") {
     val src = freshLog("t_mv_src")
     val dst = freshLog("t_mv_dst")
