@@ -3052,6 +3052,43 @@ object QueriesEtl {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ── SQL ANALYZE ([[GraftSqlParser]] → [[SnapshotLog.analyze]]): one
+    // aggregation pass persists the row count and EXACT per-column NDVs
+    // in the log metadata, stamped with the analyzed data-state digest —
+    // the numbers [[StatsOptimizer]]'s stats-driven join planning
+    // consumes, refusing stale ones. The receipt and recorded NDVs are
+    // cross-checked against recomputed exact values
+    // (`stats_match_recount`) ──
+    "snapshot_sql_analyze" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftan", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftan.root", scratch(dir, "anroot"))
+      s.sql("DROP TABLE IF EXISTS graftan.ord")
+      s.sql("CREATE TABLE graftan.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 1400)
+        .createOrReplaceTempView("graft_an_src")
+      s.sql("INSERT INTO graftan.ord SELECT * FROM graft_an_src")
+      val r = s.sql(
+        "ANALYZE TABLE graftan.ord COMPUTE STATISTICS FOR COLUMNS k, status").head()
+      val log = new SnapshotLog(scratch(dir, "anroot") + "/ord")
+      val (rows, ndvs) = log.tableStats(log.currentVersion.get).get
+      val exact = s.sql(
+        """SELECT count(*), count(DISTINCT k), count(DISTINCT status)
+          |FROM graftan.ord""".stripMargin).head()
+      val statsMatch = r.getLong(1) == exact.getLong(0) &&
+        rows == exact.getLong(0) && ndvs("k") == exact.getLong(1) &&
+        ndvs("status") == exact.getLong(2)
+      s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftan.ord GROUP BY status""".stripMargin)
+        .withColumn("stats_match_recount", lit(statsMatch))
+        .orderBy(col("status"))
+    }),
+
     // ── COPY INTO: IDEMPOTENT BULK FILE INGEST ([[GraftSqlParser]] →
     // [[SnapshotLog.copyIngest]] — the Databricks verb): two source
     // parquet files load as one transactional append whose commit
@@ -3814,6 +3851,52 @@ object QueriesEtl {
       val skipped = planned >= 1 && planned < after.size
       q.withColumn("incr_rewrote_only_tail", lit(incrOnly))
         .withColumn("files_skipped_after_incr", lit(skipped))
+        .orderBy(col("status"))
+    }),
+
+    // ── CLUSTER ON WRITE (the liquid-clustering ingest half): a table
+    // with DECLARED clusterBy keys range-arranges every SQL INSERT batch
+    // before staging, so per-file footer min/max ranges come out
+    // DISJOINT within each batch and a key-range probe plans over a
+    // strict file subset IMMEDIATELY — no OPTIMIZE pass ever ran
+    // (`skipped_without_optimize`, measured off the executed plan's file
+    // index). The steady-state ingest→query loop needs no maintenance
+    // tick before freshly-landed data prunes ──
+    "snapshot_sql_cluster_on_write" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftcw", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftcw.root", scratch(dir, "cwroot"))
+      s.sql("DROP TABLE IF EXISTS graftcw.ord")
+      s.sql("CREATE TABLE graftcw.ord (k BIGINT, status STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('clusterBy' = 'k')")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 1400)
+        .createOrReplaceTempView("graft_cw_src")
+      (0 until 3).foreach { i =>
+        s.sql(s"INSERT INTO graftcw.ord SELECT * FROM graft_cw_src WHERE k % 3 = $i")
+      }
+      val log = new SnapshotLog(scratch(dir, "cwroot") + "/ord")
+      val q = s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftcw.ord WHERE k BETWEEN 300 AND 600
+          |GROUP BY status""".stripMargin)
+      def scanFiles(p: org.apache.spark.sql.execution.SparkPlan): Option[Int] =
+        p.collectLeaves().flatMap {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scanFiles(a.executedPlan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Some(b.scan
+              .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+              .fileIndex.inputFiles.length)
+          case _ => None
+        }.headOption
+      val planned = scanFiles(q.queryExecution.executedPlan).getOrElse(-1)
+      val total = log.dataFiles(log.currentVersion.get).size
+      val skipped = planned >= 1 && planned < total
+      q.withColumn("skipped_without_optimize", lit(skipped))
         .orderBy(col("status"))
     }),
 
@@ -4956,6 +5039,16 @@ object QueriesEtl {
         |FROM orders WHERE o_orderkey <= 3000
         |GROUP BY status ORDER BY status""".stripMargin,
 
+    // snapshot_sql_analyze: the analyzed table's rollup; the
+    // stats-recount law is measured Spark-side
+    "snapshot_sql_analyze" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS stats_match_recount
+        |FROM orders WHERE o_orderkey <= 1400
+        |GROUP BY status ORDER BY status""".stripMargin,
+
     // snapshot_sql_copy_into: the three source files reunite to the
     // k<=1400 corpus exactly once; the idempotency and incremental laws
     // are measured off the receipts
@@ -5015,6 +5108,16 @@ object QueriesEtl {
         |       TRUE AS incr_rewrote_only_tail,
         |       TRUE AS files_skipped_after_incr
         |FROM orders WHERE o_orderkey BETWEEN 300 AND 900
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_cluster_on_write: the k-range rollup; the
+    // no-OPTIMIZE skipping law is measured off the executed plan
+    "snapshot_sql_cluster_on_write" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS skipped_without_optimize
+        |FROM orders WHERE o_orderkey BETWEEN 300 AND 600
         |GROUP BY status ORDER BY status""".stripMargin,
 
     // snapshot_sql_optimize_where: content untouched by the scoped

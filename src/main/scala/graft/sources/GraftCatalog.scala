@@ -895,10 +895,31 @@ object GraftCatalog {
                   requireSameSchema(data)
                   log.overwrite(data, parts)
                 } else {
-                  // footer-derived stats ride every SQL INSERT, so the
-                  // file-skipping scan works over freshly-inserted data
-                  // with zero extra passes
-                  log.withOccRetry()(log.appendStrictStats(data, parts))
+                  // CLUSTER ON WRITE (the liquid-clustering ingest half):
+                  // a table with DECLARED clusterBy keys range-arranges
+                  // each INSERT batch on them before staging, so the
+                  // footer min/max stats below give DISJOINT per-file
+                  // ranges and the skipping scan prunes freshly-inserted
+                  // data immediately — no OPTIMIZE pass needed first.
+                  // One batch-sized range shuffle; disable with
+                  // spark.graft.insert.clusterOnWrite=false.
+                  val session = data.sparkSession
+                  val clusterKeys =
+                    if (!session.conf.getOption("spark.graft.insert.clusterOnWrite")
+                        .forall(_.toBoolean)) Nil
+                    else log.currentVersion
+                      .flatMap(v => log.property(v, "clusterBy")).toSeq
+                      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+                      .filter(data.columns.contains)
+                  if (clusterKeys.isEmpty)
+                    log.withOccRetry()(log.appendStrictStats(data, parts))
+                  else {
+                    val arranged = data.repartitionByRange(parts,
+                        clusterKeys.map(org.apache.spark.sql.functions.col): _*)
+                      .sortWithinPartitions(clusterKeys.map(
+                        org.apache.spark.sql.functions.col): _*)
+                    log.withOccRetry()(log.appendArrangedStrictStats(arranged))
+                  }
                 }
                 ()
               }

@@ -74,6 +74,8 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\w+)\.(\w+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTsRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\w+)\.(\w+)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val AnalyzeRe =
+    """(?is)\s*ANALYZE\s+TABLE\s+(\w+)\.(\w+)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+(\w+(?:\s*,\s*\w+)*)\s*;?\s*""".r
   private val CopyIntoRe =
     """(?is)\s*COPY\s+INTO\s+(\w+)\.(\w+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*(?:PATTERN\s*=\s*'([^']+)')?\s*;?\s*""".r
 
@@ -109,6 +111,9 @@ object GraftSqlParser {
         Some(RestoreGraftTable(cat, table, Left(v.toLong)))
       case RestoreTsRe(cat, table, ts) if isGraftCatalog(cat) =>
         Some(RestoreGraftTable(cat, table, Right(ts)))
+      case AnalyzeRe(cat, table, cols) if isGraftCatalog(cat) =>
+        Some(AnalyzeGraftTable(cat, table,
+          cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
       case CopyIntoRe(cat, table, from, fmt, pattern) if isGraftCatalog(cat) =>
         Some(CopyIntoGraftTable(cat, table, from,
           fmt.toLowerCase(java.util.Locale.ROOT), Option(pattern)))
@@ -384,6 +389,26 @@ object GraftSqlParser {
         }
         Seq(Row(v, "cluster_by", fin, fout))
       }
+    }
+  }
+
+  /** `ANALYZE TABLE cat.t COMPUTE STATISTICS FOR COLUMNS c1, c2` —
+    * persist row count + exact per-column NDVs in the log's metadata
+    * ([[SnapshotLog.analyze]]), stamped with the analyzed data-state
+    * digest so a consumer ([[StatsOptimizer]]'s stats-driven join
+    * planning) can refuse stale numbers. One aggregation pass; the
+    * receipt returns what was recorded.
+    */
+  private case class AnalyzeGraftTable(cat: String, table: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "version" -> LongType, "row_count" -> LongType,
+      "analyzed_columns" -> StringType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val log = logFor(spark, cat, table)
+      val v = log.withOccRetry()(log.analyze(spark, cols))._1
+      val (rows, _) = log.tableStats(v).getOrElse((-1L, Map.empty[String, Long]))
+      Seq(Row(v, rows, cols.mkString(",")))
     }
   }
 

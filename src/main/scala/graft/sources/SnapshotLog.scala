@@ -857,6 +857,37 @@ class SnapshotLog(
       prev.map(_ + ",").getOrElse("") + id))
   }
 
+  /** [[appendStrictStats]] staging the frame's OWN partitioning (the
+    * cluster-on-write INSERT path): a pre-arranged batch
+    * (`repartitionByRange` + `sortWithinPartitions` on the declared
+    * clustering keys) must NOT go through [[stageData]]'s generic
+    * re-repartition — it would destroy the disjoint per-file ranges the
+    * arrangement exists to produce. Schema enforced exactly as
+    * [[appendStrict]]; footer min/max sidecars written so the skipping
+    * scan prunes the fresh files immediately.
+    */
+  def appendArrangedStrictStats(df: DataFrame): Long = {
+    val spark = df.sparkSession
+    currentVersion.foreach { cur =>
+      val base = read(spark, cur).schema.map(f => f.name -> f.dataType).toMap
+      val batch = df.schema.map(f => f.name -> f.dataType).toMap
+      val missing = (base.keySet -- batch.keySet).toSeq.sorted
+      val extra = (batch.keySet -- base.keySet).toSeq.sorted
+      val retyped = base.keySet.intersect(batch.keySet).toSeq.sorted
+        .filter(c => base(c) != batch(c))
+      require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
+        s"appendArrangedStrictStats: batch schema drifts from v$cur — " +
+          s"missing=${missing.mkString("[", ",", "]")} " +
+          s"extra=${extra.mkString("[", ",", "]")} " +
+          s"retyped=${retyped.mkString("[", ",", "]")}")
+    }
+    val cur = currentVersion
+    val staged = stageArranged(df)
+    val v = commit(cur, cur.map(files).getOrElse(Nil) ++ staged)
+    writeFooterStatsSidecar(spark, staged)
+    v
+  }
+
   /** METADATA-DRIVEN MAINTENANCE PLANNING (the auto-OPTIMIZE advisor
     * shape): inspect the current snapshot's file listing — sizes,
     * tombstone count, live-version count, all metadata, never a data

@@ -562,6 +562,40 @@ class GraftLogSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the change feed streams a column-mapped table under logical names") {
+    val log = freshLog("t_cdf_map")
+    log.append((0 until 8).map(i => (i.toLong, i.toLong * 10)).toDF("id", "v"), 1)
+    log.enableColumnMapping(spark)
+    log.renameColumn("v", "w")
+    val q = spark.readStream
+      .format("graft-log").option("root", log.root)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", log.currentVersion.get.toString).load()
+      .writeStream.format("memory").queryName("logsrc_cdf_map")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // post-rename DML streams as changes under the CURRENT logical name
+      log.appendMapped(Seq((8L, 80L)).toDF("id", "w"), 1)
+      log.deleteWhere(spark, col("id") === 2L)
+      q.processAllAvailable()
+      val got = spark.table("logsrc_cdf_map")
+      assert(got.columns.take(2).toSeq == Seq("id", "w"))
+      val changes = got.where(col("_change_type").isNotNull)
+        .collect().map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSet
+      assert(changes.contains(("insert", 8L)) && changes.contains(("delete", 2L)),
+        s"got $changes")
+      // a rename mid-stream refuses the pinned projection loudly
+      log.renameColumn("w", "w2")
+      log.appendMapped(Seq((9L, 90L)).toDF("id", "w2"), 1)
+      val died = intercept[Exception] { q.processAllAvailable() }
+      def anywhere(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains("mid-stream")) ||
+          anywhere(t.getCause))
+      assert(anywhere(died), died.getMessage)
+    } finally q.stop()
+  }
+
   test("a mid-stream ALTER TABLE schema evolution refuses loudly, never serves NULL") {
     val log = freshLog("t_evolve")
     log.createEmpty(org.apache.spark.sql.types.StructType(Seq(

@@ -366,6 +366,21 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a snapshot-log table"), s"got: ${ex.getMessage}")
   }
 
+  test("ANALYZE TABLE persists row count and NDVs through the SQL verb") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftsnap.anl")
+    spark.sql("CREATE TABLE graftsnap.anl (id BIGINT, grp STRING)")
+    spark.sql("INSERT INTO graftsnap.anl SELECT id, concat('g', id % 7) AS grp FROM range(500)")
+    val r = spark.sql(
+      "ANALYZE TABLE graftsnap.anl COMPUTE STATISTICS FOR COLUMNS id, grp").head()
+    assert(r.getLong(1) == 500L && r.getString(2) == "id,grp", r.toString)
+    val log = new SnapshotLog(s"$root/anl")
+    val (rows, ndvs) = log.tableStats(log.currentVersion.get).get
+    assert(rows == 500L && ndvs("id") == 500L && ndvs("grp") == 7L, ndvs.toString)
+    // the stats carry the analyzed data-state digest (staleness guard)
+    assert(log.metaValues(log.currentVersion.get).contains("statsstate"))
+  }
+
   test("COPY INTO loads each source file exactly once; violations load nothing") {
     registerCatalog()
     spark.sql("DROP TABLE IF EXISTS graftsnap.cpy")
