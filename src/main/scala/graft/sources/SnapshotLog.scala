@@ -1359,7 +1359,7 @@ class SnapshotLog(
       spark: SparkSession,
       predicate: org.apache.spark.sql.Column,
       set: Seq[(String, org.apache.spark.sql.Column)],
-      partitions: Int = 1,
+      partitions: Int = 0,
       checks: Seq[(String, org.apache.spark.sql.Column)] = Nil): (Long, Long) = {
     import org.apache.spark.sql.functions.col
     require(set.nonEmpty, "updateWhere: need at least one SET assignment")
@@ -1425,7 +1425,14 @@ class SnapshotLog(
               s"updateWhere: an updated row violates CHECK constraint(s) " +
                 s"[$names] — nothing committed"))))
         }).select(baseCols.map(col): _*)
-      val dataStaged = stageData(updated, partitions)
+      // partitions = 0 (the default) auto-sizes the staged update
+      // images by MATCHED ROWS (~1M per file, capped): a 10-row UPDATE
+      // stages one file, a billion-row UPDATE never funnels through a
+      // single writer — the update-sized-at-100-TB shape
+      val parts =
+        if (partitions > 0) partitions
+        else math.max(1, math.min(200, ((n + 999999L) / 1000000L).toInt))
+      val dataStaged = stageData(updated, parts)
       (commit(Some(cur),
         files(cur) ++ posStaged.map(PosDelPrefix + _) ++ dataStaged), n)
     }
@@ -2418,12 +2425,17 @@ class SnapshotLog(
     val keyOnly = updates.select(col(keyCol))
     val stagedNew = {
       // survivors of the touched files (update keys anti-joined away)
-      // ride in the SAME stage as the update rows: one write, one sidecar
+      // ride in the SAME stage as the update rows: one write, one
+      // sidecar. The declared schema pins the scan when one exists so
+      // files predating an ADD COLUMNS serve typed NULL here too.
       val survivors =
         if (rewrite.isEmpty) None
-        else Some(spark.read
-          .parquet(rewrite.map(p => new File(dataRootPath, p).toString): _*)
-          .join(keyOnly, Seq(keyCol), "left_anti"))
+        else Some((declaredSchema(cur) match {
+          case Some(s) => spark.read.schema(s)
+            .parquet(rewrite.map(p => new File(dataRootPath, p).toString): _*)
+          case None => spark.read
+            .parquet(rewrite.map(p => new File(dataRootPath, p).toString): _*)
+        }).join(keyOnly, Seq(keyCol), "left_anti"))
       val fresh = updates.select(baseCols.map(col): _*)
       stageIndexed(
         survivors.fold(fresh)(s => s.select(baseCols.map(col): _*).unionByName(fresh)),

@@ -432,6 +432,20 @@ class SnapshotSqlSpec extends AnyFunSuite {
       spark.sql(s"COPY INTO graftsnap.cpy FROM '$srcDir' FILEFORMAT = AVRO")
     }
     assert(badFmt.getMessage.contains("FILEFORMAT"), badFmt.getMessage)
+    // CSV loads under the DECLARED schema (header + typed columns)
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_copy_csv_")
+    java.nio.file.Files.write(csvDir.resolve("d.csv"),
+      "id,v\n100,1\n101,2\n".getBytes("UTF-8"))
+    val rc = spark.sql(
+      s"COPY INTO graftsnap.cpy FROM '$csvDir' FILEFORMAT = CSV").head()
+    assert(rc.getInt(0) == 1 && rc.getLong(1) == 2L, rc.toString)
+    assert(spark.sql("SELECT v FROM graftsnap.cpy WHERE id = 101")
+      .head().getLong(0) == 2L)
+    // PATTERN narrows the candidate listing
+    java.nio.file.Files.write(csvDir.resolve("skipme.txt"), "x".getBytes("UTF-8"))
+    val rp = spark.sql(s"COPY INTO graftsnap.cpy FROM '$csvDir' " +
+      "FILEFORMAT = CSV PATTERN = '*.csv'").head()
+    assert(rp.getInt(0) == 0 && rp.getInt(2) == 1, rp.toString)
   }
 
   test("VACUUM RETAIN HOURS resolves wall-clocks; OPTIMIZE WHERE prunes by value sidecars") {
