@@ -1615,6 +1615,53 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── STREAMING UPSERT SINK ([[GraftLogSink]]'s `mergeKey` — the CDC
+    // apply shape as a first-class sink mode): three source commits
+    // drain as MERGES on the key — the re-keyed second commit UPDATES
+    // the rows the first inserted instead of duplicating them, the
+    // third inserts fresh keys — and the destination holds exactly the
+    // LATEST image per key (`upsert_equals_latest`, exceptAll both
+    // ways vs the relational latest-per-key). Exactly-once rides the
+    // same txn watermark as the append sink; each merge's rewrite
+    // scope stays stats-pruned (O(touched files), not O(table)) ──
+    "stream_upsert_sink" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val src = new SnapshotLog(scratch(dir, "ups_src"))
+      val dst = new SnapshotLog(scratch(dir, "ups_dst"))
+      src.recreate(); dst.recreate()
+      dst.createEmpty(StructType(Seq(
+        StructField("k", LongType), StructField("status", StringType),
+        StructField("cents", LongType))))
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      src.append(base.where(col("k") <= 800), partitions = 2)
+      src.append(base.where(col("k") <= 200)
+        .withColumn("cents", col("cents") + 1000), partitions = 1)
+      src.append(base.where(col("k").between(801, 1000)), partitions = 1)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ups_q_")
+      val q = s.readStream
+        .format("graft-log").option("root", src.root)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.format("graft-log")
+        .option("root", dst.root).option("mergeKey", "k")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val expected = base.where(col("k") <= 1000)
+        .withColumn("cents",
+          when(col("k") <= 200, col("cents") + 1000).otherwise(col("cents")))
+      val sunk = dst.readLatest(s)
+      val parity = sunk.exceptAll(expected).limit(1).count() == 0 &&
+        expected.exceptAll(sunk).limit(1).count() == 0
+      sunk.groupBy(col("status")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .withColumn("upsert_equals_latest", lit(parity))
+        .orderBy(col("status"))
+    }),
+
     // ── SINK AUTO-COMPACTION ([[GraftLogSink]]'s `autoCompact` — the
     // Delta shape, the streaming small-file answer): a six-commit
     // backlog drains one version per trigger into a fresh table, and the
@@ -4797,6 +4844,22 @@ object QueriesEtl {
         |       CAST(sum(c) AS BIGINT) AS sum_cents,
         |       TRUE AS stream_equals_batch_feed
         |FROM ch GROUP BY v, ct ORDER BY commit_version, change_type""".stripMargin,
+
+    // stream_upsert_sink: the destination is the latest image per key —
+    // k<=200 carries the re-keyed +1000 cents, the rest the original;
+    // the parity law is measured Spark-side
+    "stream_upsert_sink" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 1000),
+        |     u AS (SELECT k, status,
+        |                  CASE WHEN k <= 200 THEN cents + 1000 ELSE cents END AS cents
+        |           FROM o)
+        |SELECT status, count(*) AS n_orders,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS upsert_equals_latest
+        |FROM u GROUP BY status ORDER BY status""".stripMargin,
 
     // stream_sink_autocompact: the six bounded triggers reunite to the
     // k<=1200 corpus; the file-bounding and parity laws are measured

@@ -119,6 +119,7 @@ class GraftLogSourceProvider
       parameters.get("appId"),
       parameters.get("partitions").map(_.toInt).getOrElse(1),
       complete,
+      mergeKey = parameters.get("mergeKey"),
       autoCompactEvery =
         if (!parameters.get("autoCompact").exists(_.toBoolean)) 0
         else parameters.get("autoCompactMinFiles").map(_.toInt).getOrElse(16),
@@ -259,6 +260,17 @@ class GraftLogSink(
     appIdOpt: Option[String],
     partitions: Int,
     complete: Boolean,
+    // UPSERT MODE (`.option("mergeKey", "<col>")` — the streaming CDC
+    // apply shape): each micro-batch MERGES into the destination on the
+    // key instead of appending — matched keys take the batch row
+    // (update), unmatched insert — through [[SnapshotLog.mergeInto]]'s
+    // stats-pruned copy-on-write scope, so a narrow batch over a
+    // range-clustered table rewrites O(touched files). Exactly-once via
+    // the same `txn.<appId>=batchId` watermark the append sink records:
+    // redelivered batches skip; batches must be UNIQUE on the key
+    // (pre-aggregate a CDC feed to last-per-key first — ambiguous
+    // multi-matches refuse loudly). Append output mode only.
+    mergeKey: Option[String] = None,
     // AUTO-COMPACTION (`.option("autoCompact", "true")` — the Delta
     // autoCompact shape): every `autoCompactEvery` committed batches the
     // sink bin-packs the destination's small-file tail
@@ -355,9 +367,33 @@ class GraftLogSink(
     // translation, under the txn watermark) — the colmap metadata rides
     // the carried meta lines unchanged
     val staged = physProject.fold(guarded)(cols => guarded.select(cols: _*))
-    val committed =
-      if (complete) log.overwriteTxn(staged, partitions, appId, batchId)._2
-      else log.appendTxn(staged, partitions, appId, batchId)._2
+    require(mergeKey.isEmpty || !complete,
+      "graft-log sink: mergeKey does not compose with complete mode — " +
+        "a complete batch already replaces the table")
+    require(mergeKey.isEmpty || physProject.isEmpty,
+      s"graft-log sink: mergeKey on the column-mapped ${log.root} is not " +
+        "supported — merge through the SnapshotLog API")
+    val committed = mergeKey match {
+      case Some(key) =>
+        require(staged.columns.contains(key),
+          s"graft-log sink: mergeKey '$key' is not a batch column " +
+            s"(${staged.columns.mkString(", ")})")
+        val wm = log.currentVersion
+          .flatMap(v => log.metaValues(v).get(s"txn.$appId")).map(_.toLong)
+          .getOrElse(-1L)
+        if (batchId <= wm) false // redelivery: already merged
+        else {
+          import org.apache.spark.sql.functions.{col, lit}
+          val setAll = staged.columns.toSeq.map(c => c -> col(s"src_$c"))
+          log.withOccRetry()(log.mergeInto(staged, key,
+            updateWhen = Some(lit(true)), updateSet = setAll,
+            insertNotMatched = true, txn = Some((appId, batchId))))
+          true
+        }
+      case None =>
+        if (complete) log.overwriteTxn(staged, partitions, appId, batchId)._2
+        else log.appendTxn(staged, partitions, appId, batchId)._2
+    }
     if (committed && !complete && autoCompactEvery > 0) {
       batchesSinceCompact += 1
       if (batchesSinceCompact >= autoCompactEvery) {

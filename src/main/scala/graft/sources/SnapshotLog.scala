@@ -2487,7 +2487,13 @@ class SnapshotLog(
       insertNotMatched: Boolean = false,
       deleteNotMatchedBySource: Option[org.apache.spark.sql.Column] = None,
       checks: Seq[(String, org.apache.spark.sql.Column)] = Nil,
-      insertWhen: Option[org.apache.spark.sql.Column] = None)
+      insertWhen: Option[org.apache.spark.sql.Column] = None,
+      // streaming-transaction watermark (the [[appendTxn]] discipline
+      // for MERGE commits — the upsert sink's exactly-once half): the
+      // commit records `txn.<appId> = batchId` so the CALLER can skip
+      // redelivered batches; a no-change merge commits nothing (a
+      // redelivery of it re-runs to the same no-change, idempotent)
+      txn: Option[(String, Long)] = None)
       : (Long, (Long, Long, Long), (Int, Int)) = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, sum, when}
     val spark = source.sparkSession
@@ -2632,7 +2638,10 @@ class SnapshotLog(
       // the untouched files, inert against the rewritten ones
       val posDelLines = files(cur).filter(l =>
         l.startsWith(PosDelPrefix) || l.startsWith(DvPrefix))
-      val v = commit(Some(cur), metaLines(cur) ++ posDelLines ++ untouched ++ staged)
+      val lines0 = metaLines(cur) ++ posDelLines ++ untouched ++ staged
+      val lines = txn.fold(lines0) { case (app, b) =>
+        withMeta(lines0, s"txn.$app", b.toString) }
+      val v = commit(Some(cur), lines)
       (v, (nUpd, nDelM + nDelNmbs, nIns), (rewrite.size, dataFiles(cur).size))
     }
     } finally { joined.unpersist(); src.unpersist(); () }

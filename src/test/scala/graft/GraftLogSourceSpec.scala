@@ -343,6 +343,49 @@ class GraftLogSourceSpec extends AnyFunSuite {
       Set(("g0", 3L), ("g1", 3L), ("g2", 3L)))
   }
 
+  test("mergeKey turns the sink into an exactly-once streaming upsert") {
+    val src = freshLog("t_ups_src")
+    val dst = freshLog("t_ups_dst")
+    dst.appendIndexed(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), Seq("id"))
+    src.append(Seq((2L, 200L), (3L, 300L)).toDF("id", "v"), partitions = 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ups_ckpt_")
+    def start() = spark.readStream
+      .format("graft-log").option("root", src.root).load()
+      .writeStream.format("graft-log")
+      .option("root", dst.root).option("mergeKey", "id")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(dst.readLatest(spark).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 10L), (2L, 200L), (3L, 300L)), "update matched, insert rest")
+      // a later commit updates again through the same checkpoint
+      src.append(Seq((1L, 111L)).toDF("id", "v"), partitions = 1)
+      q.processAllAvailable()
+      assert(dst.readLatest(spark).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 111L), (2L, 200L), (3L, 300L)))
+    } finally q.stop()
+    // restart replays the last batch: the txn watermark skips it —
+    // the destination version does not move
+    val vAfter = dst.currentVersion.get
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(dst.currentVersion.contains(vAfter),
+      "a redelivered batch must skip idempotently")
+    // ambiguous multi-matches refuse loudly (pre-aggregate CDC first)
+    src.append(Seq((5L, 1L), (5L, 2L)).toDF("id", "v"), partitions = 1)
+    val q3 = start()
+    val ex = intercept[Exception] {
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    def anywhere(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("unique")) || anywhere(t.getCause))
+    assert(anywhere(ex), s"got: ${ex.getMessage}")
+  }
+
   test("the sink auto-compacts its small-file tail under autoCompact") {
     val src = freshLog("t_ac_src")
     val dst = freshLog("t_ac_dst")
