@@ -120,6 +120,7 @@ class GraftLogSourceProvider
       parameters.get("partitions").map(_.toInt).getOrElse(1),
       complete,
       mergeKey = parameters.get("mergeKey"),
+      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
       autoCompactEvery =
         if (!parameters.get("autoCompact").exists(_.toBoolean)) 0
         else parameters.get("autoCompactMinFiles").map(_.toInt).getOrElse(16),
@@ -271,6 +272,14 @@ class GraftLogSink(
     // (pre-aggregate a CDC feed to last-per-key first — ambiguous
     // multi-matches refuse loudly). Append output mode only.
     mergeKey: Option[String] = None,
+    // SCHEMA EVOLUTION ON WRITE (`.option("mergeSchema", "true")` — the
+    // Delta autoMerge shape): a batch carrying columns the DECLARED
+    // destination schema lacks EVOLVES it first (one metadata-only
+    // addColumns commit; existing rows serve typed NULL), and a batch
+    // MISSING declared columns appends anyway (the pinned-schema read
+    // serves NULL for them). Retypes still refuse. Off by default —
+    // silent evolution is opt-in, exactly as in Delta.
+    mergeSchema: Boolean = false,
     // AUTO-COMPACTION (`.option("autoCompact", "true")` — the Delta
     // autoCompact shape): every `autoCompactEvery` committed batches the
     // sink bin-packs the destination's small-file tail
@@ -325,11 +334,27 @@ class GraftLogSink(
         val extra = (batchT.keySet -- base.keySet).toSeq.sorted
         val retyped = base.keySet.intersect(batchT.keySet).toSeq.sorted
           .filter(c => base(c) != batchT(c))
-        require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
-          s"graft-log sink: batch $batchId drifts from the table schema at " +
-            s"v$cur — missing=${missing.mkString("[", ",", "]")} " +
-            s"extra=${extra.mkString("[", ",", "]")} " +
-            s"retyped=${retyped.mkString("[", ",", "]")}")
+        if (mergeSchema && mapped.isEmpty && retyped.isEmpty && extra.nonEmpty) {
+          // evolve-on-write: the new columns land as one metadata-only
+          // commit BEFORE the batch (schema first, data second — a crash
+          // between leaves only the benign widened schema)
+          require(log.declaredSchema(cur).isDefined,
+            s"graft-log sink: mergeSchema needs ${log.root}'s declared " +
+              "schema (create the table first) — evolving a derived " +
+              "schema would be guesswork")
+          val fields = data.schema.fields.filter(f => extra.contains(f.name))
+          log.withOccRetry()(
+            log.addColumns(data.sparkSession, fields.toSeq.map(f => (f.name, f.dataType))))
+          ()
+        } else
+          require((missing.isEmpty || (mergeSchema && mapped.isEmpty)) &&
+              extra.isEmpty && retyped.isEmpty,
+            s"graft-log sink: batch $batchId drifts from the table schema at " +
+              s"v$cur — missing=${missing.mkString("[", ",", "]")} " +
+              s"extra=${extra.mkString("[", ",", "]")} " +
+              s"retyped=${retyped.mkString("[", ",", "]")}" +
+              (if (mergeSchema) "" else "; set .option(\"mergeSchema\", " +
+                "\"true\") to evolve the destination from the batch"))
         mapped.map(_.collect {
           case (l, p) if base.contains(l) =>
             org.apache.spark.sql.functions.col(l).as(p)

@@ -343,6 +343,45 @@ class GraftLogSourceSpec extends AnyFunSuite {
       Set(("g0", 3L), ("g1", 3L), ("g2", 3L)))
   }
 
+  test("mergeSchema evolves the sink destination from the batch") {
+    val src = freshLog("t_ms_src")
+    val dst = freshLog("t_ms_dst")
+    dst.createEmpty(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType))))
+    dst.appendStrict(Seq((1L, 10L)).toDF("id", "v"), 1)
+    src.append(Seq((2L, 20L, "x")).toDF("id", "v", "tag"), 1)
+    // without the option the widened batch refuses (the strict gate)
+    val q1 = spark.readStream
+      .format("graft-log").option("root", src.root).load()
+      .writeStream.format("graft-log").option("root", dst.root)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ms1_").toString)
+      .outputMode("append").start()
+    val ex = intercept[Exception] {
+      try q1.processAllAvailable() finally q1.stop()
+    }
+    def anywhere(t: Throwable, m: String): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains(m)) || anywhere(t.getCause, m))
+    assert(anywhere(ex, "drifts"), ex.getMessage)
+    // with mergeSchema the destination evolves, then the batch lands
+    val q2 = spark.readStream
+      .format("graft-log").option("root", src.root).load()
+      .writeStream.format("graft-log").option("root", dst.root)
+      .option("mergeSchema", "true")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ms2_").toString)
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = dst.readLatest(spark)
+    assert(got.columns.toSeq == Seq("id", "v", "tag"))
+    assert(got.where(col("id") === 1).head().isNullAt(2),
+      "pre-evolution rows serve typed NULL")
+    assert(got.where(col("id") === 2).head().getString(2) == "x")
+  }
+
   test("mergeKey turns the sink into an exactly-once streaming upsert") {
     val src = freshLog("t_ups_src")
     val dst = freshLog("t_ups_dst")
