@@ -892,8 +892,23 @@ object GraftCatalog {
                   // never silently retype the table. (Under
                   // partitionOverwriteMode=dynamic the analyzer refuses
                   // upstream — the table declares no partitions.)
+                  // clusterBy tables cluster the replacement on write,
+                  // same as the append path.
                   requireSameSchema(data)
-                  log.overwrite(data, parts)
+                  val session = data.sparkSession
+                  val ck =
+                    if (!session.conf.getOption("spark.graft.insert.clusterOnWrite")
+                        .forall(_.toBoolean)) Nil
+                    else log.currentVersion
+                      .flatMap(v => log.property(v, "clusterBy")).toSeq
+                      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+                      .filter(data.columns.contains)
+                  if (ck.isEmpty) log.overwrite(data, parts)
+                  else log.overwriteArrangedStats(
+                    data.repartitionByRange(parts,
+                        ck.map(org.apache.spark.sql.functions.col): _*)
+                      .sortWithinPartitions(
+                        ck.map(org.apache.spark.sql.functions.col): _*))
                 } else {
                   // CLUSTER ON WRITE (the liquid-clustering ingest half):
                   // a table with DECLARED clusterBy keys range-arranges

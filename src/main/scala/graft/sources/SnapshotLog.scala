@@ -857,6 +857,19 @@ class SnapshotLog(
       prev.map(_ + ",").getOrElse("") + id))
   }
 
+  /** [[overwrite]] staging the frame's OWN partitioning plus footer
+    * stats sidecars — the cluster-on-write half of `INSERT OVERWRITE`
+    * into a clusterBy table: the replacement content lands range-
+    * arranged and immediately skippable, exactly like the append path.
+    */
+  def overwriteArrangedStats(df: DataFrame): Long = {
+    val cur = currentVersion
+    val staged = stageArranged(df)
+    val v = commit(cur, cur.map(metaLines).getOrElse(Nil) ++ staged)
+    writeFooterStatsSidecar(df.sparkSession, staged)
+    v
+  }
+
   /** [[appendStrictStats]] staging the frame's OWN partitioning (the
     * cluster-on-write INSERT path): a pre-arranged batch
     * (`repartitionByRange` + `sortWithinPartitions` on the declared

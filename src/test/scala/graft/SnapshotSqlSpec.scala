@@ -366,6 +366,41 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a snapshot-log table"), s"got: ${ex.getMessage}")
   }
 
+  test("INSERT and INSERT OVERWRITE cluster on write for clusterBy tables") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftsnap.cw")
+    spark.sql("CREATE TABLE graftsnap.cw (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('clusterBy' = 'k')")
+    spark.sql("INSERT INTO graftsnap.cw SELECT id * 3 AS k, id AS v FROM range(400)")
+    // OVERWRITE replaces with interleaved keys — still clustered on
+    // write (static overwrite: the table declares no partitions)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try spark.sql("INSERT OVERWRITE graftsnap.cw " +
+      "SELECT (id * 7919) % 1200 AS k, id AS v FROM range(400)")
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val q = spark.sql("SELECT sum(v) AS s FROM graftsnap.cw WHERE k BETWEEN 0 AND 99")
+    def scanFiles(p: org.apache.spark.sql.execution.SparkPlan): Option[Int] =
+      p.collectLeaves().flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scanFiles(a.executedPlan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Some(b.scan
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length)
+        case _ => None
+      }.headOption
+    val log = new SnapshotLog(s"$root/cw")
+    val planned = scanFiles(q.queryExecution.executedPlan).getOrElse(-1)
+    val total = log.dataFiles(log.currentVersion.get).size
+    assert(planned >= 1 && planned < total,
+      s"overwritten content must skip on write-clustered ranges: $planned of $total")
+    assert(spark.sql("SELECT count(*) AS n FROM graftsnap.cw").head().getLong(0) == 400L)
+  }
+
   test("ANALYZE TABLE persists row count and NDVs through the SQL verb") {
     registerCatalog()
     spark.sql("DROP TABLE IF EXISTS graftsnap.anl")
