@@ -156,6 +156,9 @@ class GraftLogSourceProvider
     require(!(parameters.contains("startingVersion") &&
         parameters.contains("startingTimestamp")),
       "graft-log source: set startingVersion OR startingTimestamp, not both")
+    require(!(cdf && parameters.get("skipChangeCommits").exists(_.toBoolean)),
+      "graft-log source: skipChangeCommits does not compose with " +
+        "readChangeFeed — the change feed SERVES change commits")
   }
 
   /** The streaming view of a COLUMN-MAPPED snapshot: the pinned
@@ -248,7 +251,8 @@ class GraftLogSourceProvider
       maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong),
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toInt),
       mapping = mappedView(sqlContext.sparkSession, log, cur)
-        .map { case (phys, _, pairs) => (phys, pairs) })
+        .map { case (phys, _, pairs) => (phys, pairs) },
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
   }
 }
 
@@ -454,7 +458,13 @@ class GraftLogSource(
     // logical→physical pairs pinned at start — each micro-batch scans
     // physical names and re-projects to `schema`'s logical names (the
     // batch facade, per batch)
-    mapping: Option[(StructType, Seq[(String, String)])] = None) extends Source {
+    mapping: Option[(StructType, Seq[(String, String)])] = None,
+    // `.option("skipChangeCommits", "true")` (the Delta option): a
+    // commit that REMOVES files or adds tombstones (compact / OPTIMIZE /
+    // DML) is silently SKIPPED instead of failing the stream — appends
+    // keep serving. The documented trade: the stream does NOT reflect
+    // the skipped deletes/updates; consume the change feed when it must.
+    skipChangeCommits: Boolean = false) extends Source {
 
   // versions strictly BELOW the floor never stream; the floor itself is
   // the initial-snapshot batch (oldest survivor = whole listing, per
@@ -498,7 +508,8 @@ class GraftLogSource(
     * commits throw toward the change feed.
     */
   private def appendedParquet(v: Long): Seq[String] =
-    log.appendedFiles(v).filter(_.endsWith(".parquet"))
+    if (skipChangeCommits && !log.isAppendOnlyCommit(v)) Nil
+    else log.appendedFiles(v).filter(_.endsWith(".parquet"))
 
   /** The highest version in `(fromExclusive, latest]` whose cumulative
     * appended files/bytes (or commit count) fit the trigger budgets. A
@@ -641,8 +652,10 @@ class GraftLogSource(
               s"a running stream — discovering v$h's appends would re-emit " +
               "carried files; restart from a fresh checkpoint or startingVersion")
         }
-        val files = slice.flatMap(log.appendedFiles)
-          .filter(_.endsWith(".parquet"))
+        val files = slice.flatMap { v =>
+          if (skipChangeCommits && !log.isAppendOnlyCommit(v)) Nil
+          else log.appendedFiles(v)
+        }.filter(_.endsWith(".parquet"))
         if (files.isEmpty)
           // a metadata-only commit window (ALTER/ANALYZE/tags): empty
           // progress in the declared schema, not an error

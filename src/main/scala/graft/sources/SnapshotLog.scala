@@ -1061,6 +1061,23 @@ class SnapshotLog(
     * oldest surviving version the whole listing counts as added (the
     * starting-snapshot batch of a from-the-beginning stream).
     */
+  /** Whether `version`'s delta is APPEND-ONLY (no file removed, no
+    * tombstone added) — the commit class [[appendedFiles]] accepts and
+    * a `skipChangeCommits` stream silently skips when it is not.
+    * Metadata-sized.
+    */
+  def isAppendOnlyCommit(version: Long): Boolean = {
+    val vs = versions
+    require(vs.contains(version),
+      s"isAppendOnlyCommit: v$version is not committed at $root (have $vs)")
+    val cur = files(version).filterNot(isMetaLine)
+    val prev =
+      if (version == vs.head) Seq.empty[String]
+      else files(version - 1L).filterNot(isMetaLine)
+    val prevSet = prev.toSet
+    (prevSet -- cur.toSet).isEmpty && !cur.filterNot(prevSet).exists(isTombLine)
+  }
+
   def appendedFiles(version: Long): Seq[String] = {
     val vs = versions
     require(vs.contains(version),

@@ -343,6 +343,40 @@ class GraftLogSourceSpec extends AnyFunSuite {
       Set(("g0", 3L), ("g1", 3L), ("g2", 3L)))
   }
 
+  test("skipChangeCommits rides over compaction and DML commits") {
+    val log = freshLog("t_skipcc")
+    log.append((0 until 5).map(i => (i.toLong, i.toLong)).toDF("id", "v"), 1)
+    val q = spark.readStream
+      .format("graft-log").option("root", log.root)
+      .option("skipChangeCommits", "true").load()
+      .writeStream.format("memory").queryName("logsrc_skipcc")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("logsrc_skipcc").count() == 5L)
+      // a compaction mid-stream is skipped; later appends keep serving
+      log.compact(spark, partitions = 1)
+      log.append((5 until 8).map(i => (i.toLong, i.toLong)).toDF("id", "v"), 1)
+      q.processAllAvailable()
+      assert(spark.table("logsrc_skipcc").count() == 8L,
+        "the rewrite contributes nothing; the appends serve")
+      // a merge-on-read delete commit is skipped too — the DOCUMENTED
+      // trade: the stream does not reflect it (consume CDF when it must)
+      log.deleteWhere(spark, col("id") === 0L)
+      log.append(Seq((9L, 9L)).toDF("id", "v"), 1)
+      q.processAllAvailable()
+      assert(spark.table("logsrc_skipcc").count() == 9L)
+    } finally q.stop()
+    // the option refuses to compose with the change feed
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft-log")
+        .option("root", log.root)
+        .option("readChangeFeed", "true")
+        .option("skipChangeCommits", "true").load()
+    }
+    assert(ex.getMessage.contains("skipChangeCommits"), ex.getMessage)
+  }
+
   test("mergeSchema evolves the sink destination from the batch") {
     val src = freshLog("t_ms_src")
     val dst = freshLog("t_ms_dst")
