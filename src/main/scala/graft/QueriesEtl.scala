@@ -3901,6 +3901,58 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── TRUE MULTI-DIMENSIONAL Z-ORDER ([[SnapshotLog.clusterArrange]]
+    // — bit-interleaved, not lexicographic): `OPTIMIZE … ZORDER BY (k,
+    // cents)` interleaves the two columns' bucket bits into one
+    // z-value, so file min/max ranges come out narrow in BOTH
+    // dimensions — a predicate on the TRAILING column alone plans over
+    // a strict file subset (`trailing_dim_skips`), which a
+    // lexicographic (k, cents) sort can never give (k is near-unique,
+    // so every file's cents range would stay full-width). The leading
+    // dimension keeps skipping too (`leading_dim_skips`) ──
+    "snapshot_sql_zorder_2d" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftz2", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftz2.root", scratch(dir, "z2root"))
+      s.sql("DROP TABLE IF EXISTS graftz2.ord")
+      s.sql("CREATE TABLE graftz2.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 1400)
+        .createOrReplaceTempView("graft_z2_src")
+      s.sql("INSERT INTO graftz2.ord SELECT * FROM graft_z2_src")
+      s.conf.set("spark.graft.optimize.maxFileSize", "4096")
+      try { s.sql("OPTIMIZE graftz2.ord ZORDER BY (k, cents)"); () }
+      finally s.conf.unset("spark.graft.optimize.maxFileSize")
+      val log = new SnapshotLog(scratch(dir, "z2root") + "/ord")
+      val total = log.dataFiles(log.currentVersion.get).size
+      def scanFiles(p: org.apache.spark.sql.execution.SparkPlan): Option[Int] =
+        p.collectLeaves().flatMap {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scanFiles(a.executedPlan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Some(b.scan
+              .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+              .fileIndex.inputFiles.length)
+          case _ => None
+        }.headOption
+      val q = s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftz2.ord WHERE cents BETWEEN 10000000 AND 15000000
+          |GROUP BY status""".stripMargin)
+      val trailing = scanFiles(q.queryExecution.executedPlan).exists(p =>
+        p >= 1 && p < total)
+      val qk = s.sql(
+        "SELECT count(*) AS n FROM graftz2.ord WHERE k BETWEEN 100 AND 300")
+      val leading = scanFiles(qk.queryExecution.executedPlan).exists(p =>
+        p >= 1 && p < total)
+      q.withColumn("trailing_dim_skips", lit(trailing))
+        .withColumn("leading_dim_skips", lit(leading))
+        .orderBy(col("status"))
+    }),
+
     // ── CLUSTER ON WRITE (the liquid-clustering ingest half): a table
     // with DECLARED clusterBy keys range-arranges every SQL INSERT batch
     // before staging, so per-file footer min/max ranges come out
@@ -5171,6 +5223,18 @@ object QueriesEtl {
         |       TRUE AS incr_rewrote_only_tail,
         |       TRUE AS files_skipped_after_incr
         |FROM orders WHERE o_orderkey BETWEEN 300 AND 900
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_zorder_2d: the cents-range rollup; both skipping
+    // laws are measured off executed plans' file indexes
+    "snapshot_sql_zorder_2d" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS trailing_dim_skips,
+        |       TRUE AS leading_dim_skips
+        |FROM orders WHERE o_orderkey <= 1400
+        |  AND CAST(floor(o_totalprice * 100) AS BIGINT) BETWEEN 10000000 AND 15000000
         |GROUP BY status ORDER BY status""".stripMargin,
 
     // snapshot_sql_cluster_on_write: the k-range rollup; the

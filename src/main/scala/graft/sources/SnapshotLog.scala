@@ -1212,6 +1212,59 @@ class SnapshotLog(
     * unclustered versions are untouched. The staged files are written
     * WITHOUT the generic re-repartition (it would destroy the clustering).
     */
+  /** Range-cluster `df` on `sortCols` — ONE column sorts directly; TWO
+    * or more interleave as a Z-ORDER curve (true multi-dimensional
+    * clustering, the Delta ZORDER shape): each column linearly buckets
+    * into 256 cells between its min and max (one aggregation pass for
+    * the bounds — at 100 TB that single pass is the price of making
+    * EVERY listed dimension skippable, not just the leading one; a
+    * lexicographic multi-column sort leaves trailing columns' file
+    * ranges full-width and unprunable), the per-column bucket bits
+    * interleave into one z-value, and the frame range-partitions + sorts
+    * on it. Codegen-friendly: the z-value is shifts/ands/ors, no UDF.
+    * NULLs bucket to cell 0; a column with no non-null values buckets
+    * constant. Linear bucketing is skew-sensitive where Delta's
+    * range-ids are not — a periodic re-run re-derives the bounds.
+    */
+  private[sources] def clusterArrange(
+      df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column],
+      partitions: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (sortCols.size <= 1)
+      df.repartitionByRange(partitions, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+    else {
+      val aggs = sortCols.flatMap(c =>
+        Seq(min(c).cast("double"), max(c).cast("double")))
+      val stats = df.agg(aggs.head, aggs.tail: _*).head()
+      val bucketed = sortCols.zipWithIndex.map { case (c, i) =>
+        if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1)) lit(0)
+        else {
+          val lo = stats.getDouble(2 * i)
+          val hi = stats.getDouble(2 * i + 1)
+          val width = math.max(hi - lo, 1e-12)
+          coalesce(least(lit(255), greatest(lit(0),
+            floor((c.cast("double") - lit(lo)) / lit(width) * 256.0)
+              .cast("int"))), lit(0))
+        }
+      }
+      require(!df.columns.contains("__zorder"),
+        "clusterArrange: a table column named __zorder collides with the " +
+          "z-value staging name; rename it first")
+      val n = bucketed.size
+      val z = (0 until 8).flatMap { bit =>
+        bucketed.zipWithIndex.map { case (b, j) =>
+          shiftleft(shiftright(b, bit).bitwiseAND(lit(1)), bit * n + (n - 1 - j))
+        }
+      }.reduce(_.bitwiseOR(_))
+      df.withColumn("__zorder", z)
+        .repartitionByRange(partitions, col("__zorder"))
+        .sortWithinPartitions(col("__zorder"))
+        .drop("__zorder")
+    }
+  }
+
   def optimize(
       spark: SparkSession,
       partitions: Int,
@@ -1219,9 +1272,7 @@ class SnapshotLog(
     require(sortCols.nonEmpty, "optimize: need at least one clustering column")
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"optimize: no committed snapshot at $root"))
-    val arranged = read(spark, cur)
-      .repartitionByRange(partitions, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
+    val arranged = clusterArrange(read(spark, cur), sortCols, partitions)
     // read() is the merge-on-read view, and ONLY the staged rewrite is
     // committed — outstanding key tombstones and position deletes are
     // ABSORBED into the clustered files (merge-on-read → copy-on-write
@@ -1288,10 +1339,10 @@ class SnapshotLog(
           // masked scan: deletes that hit fresh files are absorbed by
           // the rewrite (never resurrected); mask lines ride in
           // `carried` below for the untouched clustered files
-          val arranged = applyMasks(spark, cur, spark.read
-              .parquet(fresh.map(p => new File(dataRootPath, p).toString): _*))
-            .repartitionByRange(partitions, sortCols: _*)
-            .sortWithinPartitions(sortCols: _*)
+          val arranged = clusterArrange(
+            applyMasks(spark, cur, spark.read
+              .parquet(fresh.map(p => new File(dataRootPath, p).toString): _*)),
+            sortCols, partitions)
           val staged = stageArranged(arranged)
           val next = cur + 1L
           val carried = files(cur).filterNot(fresh.toSet)
@@ -1335,10 +1386,10 @@ class SnapshotLog(
       s"optimizeFiles: ${dangling.take(3).mkString(", ")} are not data files " +
         s"of v$cur — the scope must name current-snapshot files")
     if (subset.size < 2) return (cur, (0, 0)) // nothing to regroup
-    val arranged = applyMasks(spark, cur, spark.read
-        .parquet(subset.map(p => new File(dataRootPath, p).toString): _*))
-      .repartitionByRange(partitions, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
+    val arranged = clusterArrange(
+      applyMasks(spark, cur, spark.read
+        .parquet(subset.map(p => new File(dataRootPath, p).toString): _*)),
+      sortCols, partitions)
     val staged = stageArranged(arranged)
     val carried = files(cur).filterNot(subset.toSet)
     val v = commit(Some(cur), carried ++ staged)
