@@ -456,38 +456,44 @@ object GraftSqlParser {
       val cands = listed.map(f =>
         (f.getCanonicalPath, f.length(), f.lastModified())).toSeq
       import spark.implicits._
-      val fresh = cands.toDF("path", "size", "mtime")
-        .join(log.copiedSources(spark, cur), Seq("path", "size", "mtime"),
+      // the anti-join runs INSIDE the OCC retry: a racing COPY of the
+      // same directory that wins the commit updates the ledger, and the
+      // retry re-derives the fresh set against it — two concurrent runs
+      // of the same statement never double-load a file
+      def freshAt(v: Long): Seq[(String, Long, Long)] = cands
+        .toDF("path", "size", "mtime")
+        .join(log.copiedSources(spark, v), Seq("path", "size", "mtime"),
           "left_anti")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
         .sortBy(_._1)
-      if (fresh.isEmpty)
+      val fresh0 = freshAt(cur)
+      if (fresh0.isEmpty)
         return Seq(Row(0, 0L, cands.size, cur))
-      val paths = fresh.map(_._1)
       val declared = log.declaredSchema(cur)
-      val raw = format match {
-        case "parquet" => declared match {
-          case Some(s) => spark.read.schema(s).parquet(paths: _*)
-          case None => spark.read.parquet(paths: _*)
+      def readerFor(paths: Seq[String]): org.apache.spark.sql.DataFrame =
+        format match {
+          case "parquet" => declared match {
+            case Some(s) => spark.read.schema(s).parquet(paths: _*)
+            case None => spark.read.parquet(paths: _*)
+          }
+          case "csv" =>
+            val s = declared.getOrElse(throw new IllegalStateException(
+              s"COPY INTO: CSV loads need $cat.$table's declared schema " +
+                "(CREATE TABLE with columns first)"))
+            spark.read.schema(s).option("header", "true").csv(paths: _*)
+          case _ =>
+            val s = declared.getOrElse(throw new IllegalStateException(
+              s"COPY INTO: JSON loads need $cat.$table's declared schema " +
+                "(CREATE TABLE with columns first)"))
+            spark.read.schema(s).json(paths: _*)
         }
-        case "csv" =>
-          val s = declared.getOrElse(throw new IllegalStateException(
-            s"COPY INTO: CSV loads need $cat.$table's declared schema " +
-              "(CREATE TABLE with columns first)"))
-          spark.read.schema(s).option("header", "true").csv(paths: _*)
-        case _ =>
-          val s = declared.getOrElse(throw new IllegalStateException(
-            s"COPY INTO: JSON loads need $cat.$table's declared schema " +
-              "(CREATE TABLE with columns first)"))
-          spark.read.schema(s).json(paths: _*)
-      }
       // stored CHECK constraints gate this write path like every other:
       // a violating source file fails the load with nothing committed
       val checks = log.metaValues(cur).collect {
         case (k, sql) if k.startsWith("prop.check.") =>
           k.stripPrefix("prop.check.") -> sql
       }.toSeq.sortBy(_._1)
-      val guarded =
+      def guard(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
         if (checks.isEmpty) raw
         else {
           import org.apache.spark.sql.functions.{coalesce, col, expr, lit, raise_error, when}
@@ -499,11 +505,19 @@ object GraftSqlParser {
               s"COPY INTO: a source row violates CHECK constraint(s) " +
                 s"[${checks.map(_._1).mkString(", ")}] — nothing committed"))))
         }
-      val rows = guarded.count()
       val parts = math.max(1, math.min(32,
         spark.conf.get("spark.sql.shuffle.partitions").toInt))
-      val (v, _) = log.withOccRetry()(log.copyIngest(fresh, guarded, parts))
-      Seq(Row(fresh.size, rows, cands.size - fresh.size, v))
+      val ((loaded, rows, v), _) = log.withOccRetry() {
+        val now = log.currentVersion.getOrElse(cur)
+        val fresh = if (now == cur) fresh0 else freshAt(now)
+        if (fresh.isEmpty) (0, 0L, now)
+        else {
+          val df = guard(readerFor(fresh.map(_._1)))
+          val n = df.count() // evaluates the CHECK guard before staging
+          (fresh.size, n, log.copyIngest(fresh, df, parts))
+        }
+      }
+      Seq(Row(loaded, rows, cands.size - loaded, v))
     }
   }
 

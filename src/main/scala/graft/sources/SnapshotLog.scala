@@ -1238,22 +1238,27 @@ class SnapshotLog(
       val aggs = sortCols.flatMap(c =>
         Seq(min(c).cast("double"), max(c).cast("double")))
       val stats = df.agg(aggs.head, aggs.tail: _*).head()
+      // bits per column shrink with dimensionality so the interleaved
+      // z-value stays inside 31 bits (never drop HIGH bucket bits — that
+      // would destroy the curve's ordering)
+      val n = sortCols.size
+      val bits = math.max(1, math.min(8, 31 / n))
+      val cells = 1 << bits
       val bucketed = sortCols.zipWithIndex.map { case (c, i) =>
         if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1)) lit(0)
         else {
           val lo = stats.getDouble(2 * i)
           val hi = stats.getDouble(2 * i + 1)
           val width = math.max(hi - lo, 1e-12)
-          coalesce(least(lit(255), greatest(lit(0),
-            floor((c.cast("double") - lit(lo)) / lit(width) * 256.0)
+          coalesce(least(lit(cells - 1), greatest(lit(0),
+            floor((c.cast("double") - lit(lo)) / lit(width) * cells.toDouble)
               .cast("int"))), lit(0))
         }
       }
       require(!df.columns.contains("__zorder"),
         "clusterArrange: a table column named __zorder collides with the " +
           "z-value staging name; rename it first")
-      val n = bucketed.size
-      val z = (0 until 8).flatMap { bit =>
+      val z = (0 until bits).flatMap { bit =>
         bucketed.zipWithIndex.map { case (b, j) =>
           shiftleft(shiftright(b, bit).bitwiseAND(lit(1)), bit * n + (n - 1 - j))
         }
