@@ -407,18 +407,24 @@ class GraftLogSink(
         require(staged.columns.contains(key),
           s"graft-log sink: mergeKey '$key' is not a batch column " +
             s"(${staged.columns.mkString(", ")})")
-        val wm = log.currentVersion
+        import org.apache.spark.sql.functions.{col, lit}
+        val setAll = staged.columns.toSeq.map(c => c -> col(s"src_$c"))
+        // the watermark re-checks INSIDE the retry (the appendTxn
+        // discipline): a racing instance of the SAME query that commits
+        // this very batch makes the loser's retry a skip, never a
+        // double merge
+        def wmNow: Long = log.currentVersion
           .flatMap(v => log.metaValues(v).get(s"txn.$appId")).map(_.toLong)
           .getOrElse(-1L)
-        if (batchId <= wm) false // redelivery: already merged
-        else {
-          import org.apache.spark.sql.functions.{col, lit}
-          val setAll = staged.columns.toSeq.map(c => c -> col(s"src_$c"))
-          log.withOccRetry()(log.mergeInto(staged, key,
-            updateWhen = Some(lit(true)), updateSet = setAll,
-            insertNotMatched = true, txn = Some((appId, batchId))))
-          true
-        }
+        log.withOccRetry() {
+          if (batchId <= wmNow) false
+          else {
+            log.mergeInto(staged, key,
+              updateWhen = Some(lit(true)), updateSet = setAll,
+              insertNotMatched = true, txn = Some((appId, batchId)))
+            true
+          }
+        }._1
       case None =>
         if (complete) log.overwriteTxn(staged, partitions, appId, batchId)._2
         else log.appendTxn(staged, partitions, appId, batchId)._2
