@@ -1662,6 +1662,128 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── CDC DELETES THROUGH THE UPSERT SINK ([[GraftLogSink]]'s
+    // `deleteIndicator` — completing the CDC-apply shape): the feed
+    // carries an extra boolean control column; indicator-true rows
+    // DELETE their key inside the same one-evaluation merge that
+    // updates/inserts the rest, so a Debezium-style changelog replays
+    // into an exact replica (`cdc_equals_net_apply`). Exactly-once is
+    // the same txn watermark: a REDELIVERED delete-carrying batch is an
+    // idempotent skip — the destination version does not move
+    // (`redelivered_delete_noop`). The indicator never lands in the
+    // destination schema ──
+    "stream_upsert_delete" -> ((s, dir) => {
+      val src = new SnapshotLog(scratch(dir, "upsdel_src"))
+      val dst = new SnapshotLog(scratch(dir, "upsdel_dst"))
+      src.recreate(); dst.recreate()
+      dst.createEmpty(StructType(Seq(
+        StructField("k", LongType), StructField("status", StringType),
+        StructField("cents", LongType))))
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      def feed(df: DataFrame, del: Boolean): Unit = {
+        src.append(df.withColumn("_is_delete", lit(del)), partitions = 1); ()
+      }
+      feed(base.where(col("k") <= 800), del = false)
+      feed(base.where(col("k") <= 200)
+        .withColumn("cents", col("cents") + 1000), del = false)
+      feed(base.where(col("k").between(301, 400)), del = true)
+      val lastFeed = base.where(col("k").between(801, 1000))
+      feed(lastFeed, del = false)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_upsdel_q_")
+      val q = s.readStream
+        .format("graft-log").option("root", src.root)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.format("graft-log")
+        .option("root", dst.root).option("mergeKey", "k")
+        .option("deleteIndicator", "_is_delete")
+        .option("appId", "upsdel_q")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      val lastBatch =
+        try { q.processAllAvailable(); q.recentProgress.map(_.batchId).max }
+        finally q.stop()
+      val expected = base.where(col("k") <= 1000 &&
+          !col("k").between(301, 400))
+        .withColumn("cents",
+          when(col("k") <= 200, col("cents") + 1000).otherwise(col("cents")))
+      val sunk = dst.readLatest(s)
+      val parity = sunk.exceptAll(expected).limit(1).count() == 0 &&
+        expected.exceptAll(sunk).limit(1).count() == 0 &&
+        sunk.columns.toSeq == Seq("k", "status", "cents")
+      // redeliver the LAST batch through a fresh sink instance with the
+      // same appId: the watermark must skip it, version pinned
+      val vBefore = dst.currentVersion.get
+      new graft.sources.GraftLogSink(dst, Some("upsdel_q"), 1,
+        complete = false, mergeKey = Some("k"),
+        deleteIndicator = Some("_is_delete"))
+        .addBatch(lastBatch, lastFeed.withColumn("_is_delete", lit(false)))
+      val noop = dst.currentVersion.contains(vBefore)
+      sunk.groupBy(col("status")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .withColumn("cdc_equals_net_apply", lit(parity))
+        .withColumn("redelivered_delete_noop", lit(noop))
+        .orderBy(col("status"))
+    }),
+
+    // ── UPSERT SINK INTO A COLUMN-MAPPED DESTINATION (closing the r14
+    // refusal): the feed speaks the post-rename LOGICAL name; the sink
+    // translates to physical ids and MERGES in physical names (the
+    // GraftSqlDml discipline) — updates land in the SAME physical
+    // column as pre-rename data, no fresh id minted
+    // (`mapped_upsert_same_physical`), and the destination holds the
+    // latest image per key (`upsert_equals_latest`) ──
+    "stream_upsert_mapped" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftum", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftum.root", scratch(dir, "umroot"))
+      s.sql("DROP TABLE IF EXISTS graftum.ord")
+      s.sql("CREATE TABLE graftum.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 1000)
+        .createOrReplaceTempView("graft_um_src")
+      s.sql("INSERT INTO graftum.ord SELECT * FROM graft_um_src WHERE k <= 700")
+      s.sql("ALTER TABLE graftum.ord RENAME COLUMN cents TO pennies")
+      val src = new SnapshotLog(scratch(dir, "um_src"))
+      src.recreate()
+      // the feed: updates for 301..700, inserts for 701..1000 — logical
+      // column names, +555 so updated rows are provably the feed's image
+      src.append(s.table("graft_um_src").where(col("k").between(301, 1000))
+        .select(col("k"), col("status"), (col("cents") + 555).as("pennies")),
+        partitions = 2)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_um_q_")
+      val q = s.readStream
+        .format("graft-log").option("root", src.root).load()
+        .writeStream.format("graft-log")
+        .option("root", scratch(dir, "umroot") + "/ord")
+        .option("mergeKey", "k")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val dst = new SnapshotLog(scratch(dir, "umroot") + "/ord")
+      val samePhysical = dst.columnMapping(dst.currentVersion.get)
+        .exists(_._2.toSet == Set("k" -> "k", "status" -> "status",
+          "pennies" -> "cents"))
+      val expected = s.table("graft_um_src")
+        .select(col("k"), col("status"),
+          when(col("k") >= 301, col("cents") + 555).otherwise(col("cents"))
+            .as("pennies"))
+      val sunk = s.sql("SELECT * FROM graftum.ord")
+      val parity = sunk.exceptAll(expected).limit(1).count() == 0 &&
+        expected.exceptAll(sunk).limit(1).count() == 0
+      sunk.groupBy(col("status")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("pennies")).cast("long").as("sum_pennies"))
+        .withColumn("mapped_upsert_same_physical", lit(samePhysical))
+        .withColumn("upsert_equals_latest", lit(parity))
+        .orderBy(col("status"))
+    }),
+
     // ── SINK AUTO-COMPACTION ([[GraftLogSink]]'s `autoCompact` — the
     // Delta shape, the streaming small-file answer): a six-commit
     // backlog drains one version per trigger into a fresh table, and the
@@ -1925,6 +2047,51 @@ object QueriesEtl {
           sum(col("k")).cast("long").as("sum_key"),
           sum(col("pennies")).cast("long").as("sum_pennies"))
         .withColumn("mapped_stream_equals_batch", lit(parity))
+        .orderBy(col("status"))
+    }),
+
+    // ── STREAMING A TYPE-WIDENED MAPPED TABLE (closing the r14 refusal):
+    // the table renames cents→pennies AND widens INT→BIGINT mid-history;
+    // the stream pins the WIDENED physical schema and the parquet reader
+    // up-casts narrow pre-widening files on the scan (the Spark 4
+    // type-widening read — the exact pin the batch catalog scan plans),
+    // so the drained stream is row-for-row the batch read
+    // (`widened_stream_equals_batch`); post-widening values exceed INT32
+    // to prove the wide axis is real ──
+    "stream_from_log_mapped_widened" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftwm", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftwm.root", scratch(dir, "wmroot"))
+      s.sql("DROP TABLE IF EXISTS graftwm.ord")
+      s.sql("CREATE TABLE graftwm.ord (k BIGINT, status STRING, cents INT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 1400)
+        .createOrReplaceTempView("graft_wm_src")
+      s.sql("INSERT INTO graftwm.ord SELECT k, status, CAST(cents AS INT) " +
+        "FROM graft_wm_src WHERE k <= 700")
+      s.sql("ALTER TABLE graftwm.ord RENAME COLUMN cents TO pennies")
+      s.sql("ALTER TABLE graftwm.ord ALTER COLUMN pennies TYPE BIGINT")
+      s.sql("INSERT INTO graftwm.ord SELECT k, status, " +
+        "cents + CAST(3000000000 AS BIGINT) AS pennies " +
+        "FROM graft_wm_src WHERE k > 700")
+      val q = s.readStream
+        .format("graft-log").option("root", scratch(dir, "wmroot") + "/ord").load()
+        .writeStream.format("memory").queryName("stream_widened_sink")
+        .outputMode("append").start()
+      val sunk =
+        try { q.processAllAvailable(); s.table("stream_widened_sink") }
+        finally q.stop()
+      val batch = s.sql("SELECT * FROM graftwm.ord")
+      val parity = sunk.exceptAll(batch).limit(1).count() == 0 &&
+        batch.exceptAll(sunk).limit(1).count() == 0 &&
+        sunk.schema("pennies").dataType ==
+          org.apache.spark.sql.types.LongType
+      sunk.groupBy(col("status")).agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("pennies")).cast("long").as("sum_pennies"))
+        .withColumn("widened_stream_equals_batch", lit(parity))
         .orderBy(col("status"))
     }),
 
@@ -3124,9 +3291,14 @@ object QueriesEtl {
       val exact = s.sql(
         """SELECT count(*), count(DISTINCT k), count(DISTINCT status)
           |FROM graftan.ord""".stripMargin).head()
+      // rows are exact; NDVs are HLL++ sketches (the single-pass
+      // no-Expand plan — the 100 TB route) bounded at 5% relative error
+      def close(approx: Long, ex: Long): Boolean =
+        math.abs(approx - ex).toDouble / math.max(ex, 1L) <= 0.05
       val statsMatch = r.getLong(1) == exact.getLong(0) &&
-        rows == exact.getLong(0) && ndvs("k") == exact.getLong(1) &&
-        ndvs("status") == exact.getLong(2)
+        rows == exact.getLong(0) && close(ndvs("k"), exact.getLong(1)) &&
+        close(ndvs("status"), exact.getLong(2)) &&
+        !graft.sources.SnapshotLog.lastAnalyzePlan.contains("Expand")
       s.sql(
         """SELECT status, count(*) AS n_orders,
           |       CAST(sum(k) AS BIGINT) AS sum_key,
@@ -3227,6 +3399,90 @@ object QueriesEtl {
           |       count(prio) AS n_with_prio
           |FROM graftme.ord GROUP BY status""".stripMargin)
         .withColumn("evolution_metadata_only", lit(evolved))
+        .withColumn("merge_after_evolution", lit(merged))
+        .orderBy(col("status"))
+    }),
+
+    // ── COMPOUND + DIFFERENTLY-NAMED MERGE KEYS ([[GraftSqlDml]] →
+    // [[SnapshotLog.mergeIntoKeys]] — closing the r14 single-same-named-
+    // key restriction): the ON clause is a conjunction equating the
+    // target's (k, grp) business key to the source's differently-spelled
+    // (sk, sgrp); the interpreter resolves each term to one target and
+    // one source column, reshapes the source to the target spelling, and
+    // the log merge joins/uniquifies/anti-joins on the column TUPLE.
+    // Receipt counts pinned (`compound_receipt_ok`) ──
+    "snapshot_sql_merge_compound" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftmck", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftmck.root", scratch(dir, "mckroot"))
+      s.sql("DROP TABLE IF EXISTS graftmck.ord")
+      s.sql("CREATE TABLE graftmck.ord (k BIGINT, grp STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 2 === 0, "even").otherwise("odd").as("grp"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 1400)
+        .createOrReplaceTempView("graft_mck_src")
+      s.sql("INSERT INTO graftmck.ord SELECT * FROM graft_mck_src WHERE k <= 1000")
+      val r = s.sql(
+        """MERGE INTO graftmck.ord t
+          |USING (SELECT k AS sk, grp AS sgrp, cents + 777 AS cents
+          |       FROM graft_mck_src WHERE k > 500) AS s
+          |ON t.k = s.sk AND t.grp = s.sgrp
+          |WHEN MATCHED THEN UPDATE SET t.cents = s.cents
+          |WHEN NOT MATCHED THEN INSERT (k, grp, cents)
+          |  VALUES (s.sk, s.sgrp, s.cents)""".stripMargin).head()
+      val receiptOk = r.getLong(3) == 500L && r.getLong(5) == 400L
+      s.sql(
+        """SELECT grp, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftmck.ord GROUP BY grp""".stripMargin)
+        .withColumn("compound_receipt_ok", lit(receiptOk))
+        .orderBy(col("grp"))
+    }),
+
+    // ── MERGE WITH SCHEMA EVOLUTION ON A COLUMN-MAPPED TARGET
+    // ([[SnapshotLog.addColumnsMapped]] — closing the r14 refusal): the
+    // evolution mints a FRESH physical id for the source-only column in
+    // ONE metadata commit (data listing byte-identical,
+    // `mapped_evolution_metadata_only`; the minted id never equals the
+    // logical name, `fresh_physical_id`), then the merge runs in the
+    // widened physical names — pre-evolution unmatched rows serve typed
+    // NULL exactly as the unmapped evolve does ──
+    "snapshot_sql_merge_evolve_mapped" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftmem", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftmem.root", scratch(dir, "memroot"))
+      s.sql("DROP TABLE IF EXISTS graftmem.ord")
+      s.sql("CREATE TABLE graftmem.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderpriority").as("prio"))
+        .where(col("k") <= 1400)
+        .createOrReplaceTempView("graft_mem_src")
+      s.sql("INSERT INTO graftmem.ord SELECT k, status, cents FROM graft_mem_src " +
+        "WHERE k <= 1000")
+      s.sql("ALTER TABLE graftmem.ord RENAME COLUMN cents TO pennies")
+      val log = new SnapshotLog(scratch(dir, "memroot") + "/ord")
+      val vPre = log.currentVersion.get
+      val r = s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graftmem.ord t
+          |USING (SELECT k, status, cents AS pennies, prio
+          |       FROM graft_mem_src WHERE k > 500) AS s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+      val pairs = log.columnMapping(log.currentVersion.get).get._2.toMap
+      val evolved = log.dataFiles(vPre + 1L) == log.dataFiles(vPre) &&
+        pairs.get("pennies").contains("cents") &&
+        pairs.contains("prio") && pairs("prio") != "prio"
+      val merged = r.getLong(3) > 0L && r.getLong(5) > 0L
+      s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(pennies) AS BIGINT) AS sum_pennies,
+          |       count(prio) AS n_with_prio
+          |FROM graftmem.ord GROUP BY status""".stripMargin)
+        .withColumn("mapped_evolution_fresh_id", lit(evolved))
         .withColumn("merge_after_evolution", lit(merged))
         .orderBy(col("status"))
     }),
@@ -4042,6 +4298,48 @@ object QueriesEtl {
           |FROM graftow.ord GROUP BY status""".stripMargin)
         .withColumn("out_of_scope_carried", lit(scoped))
         .orderBy(col("status"))
+    }),
+
+    // ── OPTIMIZE … WHERE WITH DATE LITERALS (closing the r14
+    // integers-and-strings-only scope): DATE terms map to the epoch-day
+    // axis parquet stores a date as, and the same footer [lo, hi]
+    // sidecars prune — the commonest maintenance scope of all
+    // ("optimize yesterday's partition") without a full-table rewrite.
+    // Files whose recorded date range misses the scope are carried
+    // byte-identical (`date_scope_pruned`) ──
+    "snapshot_sql_optimize_where_date" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftod", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftod.root", scratch(dir, "odroot"))
+      s.sql("DROP TABLE IF EXISTS graftod.ord")
+      s.sql("CREATE TABLE graftod.ord (k BIGINT, d DATE, cents BIGINT)")
+      val log = new SnapshotLog(scratch(dir, "odroot") + "/ord")
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      // three monthly vintages, two files each, with footer DATE stats
+      Seq(("2024-01-15", 0L, 500L), ("2024-02-15", 501L, 1000L),
+          ("2024-03-15", 1001L, 1400L)).foreach { case (day, lo, hi) =>
+        log.appendStrictStats(orders.where(col("k").between(lo, hi))
+          .select(col("k"), lit(day).cast("date").as("d"), col("cents")),
+          partitions = 2)
+        ()
+      }
+      val before = log.dataFiles(log.currentVersion.get)
+      val receipt = s.sql("OPTIMIZE graftod.ord " +
+        "WHERE d >= DATE '2024-03-01' ZORDER BY (k)").head()
+      val after = log.dataFiles(log.currentVersion.get).toSet
+      val rewritten = before.filterNot(after.contains)
+      // the January+February files carry byte-identical; only March
+      // (2 files) is in scope
+      val pruned = receipt.getInt(2) == 2 && rewritten.size == 2 &&
+        before.size == 6
+      s.sql(
+        """SELECT d, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftod.ord GROUP BY d""".stripMargin)
+        .withColumn("date_scope_pruned", lit(pruned))
+        .orderBy(col("d"))
     }),
 
     // ── STREAMING SINK CHECK ENFORCEMENT ([[GraftLogSink.addBatch]] —
@@ -4913,6 +5211,41 @@ object QueriesEtl {
         |       TRUE AS upsert_equals_latest
         |FROM u GROUP BY status ORDER BY status""".stripMargin,
 
+    // stream_upsert_delete: the destination is the NET apply of the CDC
+    // feed — k<=200 updated (+1000 cents), [301,400] deleted, the rest
+    // the latest image; the parity and redelivery laws are measured
+    // Spark-side
+    "stream_upsert_delete" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 1000),
+        |     u AS (SELECT k, status,
+        |                  CASE WHEN k <= 200 THEN cents + 1000 ELSE cents END AS cents
+        |           FROM o WHERE NOT (k BETWEEN 301 AND 400))
+        |SELECT status, count(*) AS n_orders,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS cdc_equals_net_apply,
+        |       TRUE AS redelivered_delete_noop
+        |FROM u GROUP BY status ORDER BY status""".stripMargin,
+
+    // stream_upsert_mapped: rows k in [301,1000] carry the feed's +555
+    // image under the renamed column; the physical-id and parity laws
+    // are measured Spark-side
+    "stream_upsert_mapped" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 1000),
+        |     u AS (SELECT k, status,
+        |                  CASE WHEN k >= 301 THEN cents + 555 ELSE cents END AS pennies
+        |           FROM o)
+        |SELECT status, count(*) AS n_orders,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(pennies) AS BIGINT) AS sum_pennies,
+        |       TRUE AS mapped_upsert_same_physical,
+        |       TRUE AS upsert_equals_latest
+        |FROM u GROUP BY status ORDER BY status""".stripMargin,
+
     // stream_sink_autocompact: the six bounded triggers reunite to the
     // k<=1200 corpus; the file-bounding and parity laws are measured
     // Spark-side
@@ -5287,6 +5620,74 @@ object QueriesEtl {
         |       TRUE AS violating_merge_rejected,
         |       TRUE AS clean_merge_upserted
         |FROM u GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_merge_compound: matched (k, grp) tuples for k in
+    // (500, 1000] carry +777, inserted rows (1000, 1400] the source
+    // image; the receipt law is measured Spark-side
+    "snapshot_sql_merge_compound" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |                  CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS grp,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 1400),
+        |     u AS (SELECT k, grp, CASE WHEN k > 500 THEN cents + 777 ELSE cents END AS cents
+        |           FROM o)
+        |SELECT grp, count(*) AS n_orders,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS compound_receipt_ok
+        |FROM u GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // snapshot_sql_merge_evolve_mapped: rows k<=500 predate the mapped
+    // evolution and serve NULL prio; the fresh-physical-id and
+    // metadata-only laws are measured Spark-side
+    "snapshot_sql_merge_evolve_mapped" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS pennies,
+        |                  o_orderpriority AS prio
+        |           FROM orders WHERE o_orderkey <= 1400),
+        |     u AS (SELECT k, status, pennies, NULL AS prio FROM o WHERE k <= 500
+        |           UNION ALL
+        |           SELECT k, status, pennies, prio FROM o WHERE k > 500)
+        |SELECT status, count(*) AS n_orders,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(pennies) AS BIGINT) AS sum_pennies,
+        |       count(prio) AS n_with_prio,
+        |       TRUE AS mapped_evolution_fresh_id,
+        |       TRUE AS merge_after_evolution
+        |FROM u GROUP BY status ORDER BY status""".stripMargin,
+
+    // stream_from_log_mapped_widened: pre-widening rows (k<=700) carry
+    // the INT32-era cents, post-widening rows the +3e9 wide values; the
+    // up-cast parity law is measured Spark-side
+    "stream_from_log_mapped_widened" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 1400),
+        |     u AS (SELECT k, status,
+        |                  CASE WHEN k > 700 THEN cents + 3000000000 ELSE cents END AS pennies
+        |           FROM o)
+        |SELECT status, count(*) AS n_orders,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(pennies) AS BIGINT) AS sum_pennies,
+        |       TRUE AS widened_stream_equals_batch
+        |FROM u GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_optimize_where_date: content untouched by the scoped
+    // rewrite — the monthly rollup re-derives from the raw orders; the
+    // pruning law is measured off the receipt and the file listings
+    "snapshot_sql_optimize_where_date" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 1400),
+        |     u AS (SELECT k, CASE WHEN k <= 500 THEN DATE '2024-01-15'
+        |                         WHEN k <= 1000 THEN DATE '2024-02-15'
+        |                         ELSE DATE '2024-03-15' END AS d, cents
+        |           FROM o)
+        |SELECT d, count(*) AS n_orders,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS date_scope_pruned
+        |FROM u GROUP BY d ORDER BY d""".stripMargin,
 
     // snapshot_sql_cluster: the clustered table's k-range rollup; the
     // declared-keys and file-skipping laws are measured off the receipt

@@ -142,12 +142,73 @@ object QueriesLlm {
   private val MmFeatK = 3 // neighbors per query in mm_feature_knn
   private val ShapK = 5 // knn_shapley classifier K
   private val ShapMod = 25 // vec_id % ShapMod == 0 -> held-out test point
+  private val ShapProbes = 3 // knn_shapley_ivf probed cells (of the KmK fit)
+  private val ShapTopM = 20 // ivf-vs-exact agreement window (top contributors)
+  private val ShapAgreeFloor = 14 // required top-M overlap at default probes (17-18 observed)
   private val MmFrames = 12 // frames per synthesized video (mm_scene_cuts)
   private val MmSceneLen = 4 // frames per scene: cuts land at frames 4 and 8
   private val MmCutThresh = 10 // Hamming cut threshold (intra-scene <= 2, redraw ~32)
   private val KmK = 4 // kmeans_clusters cluster count, query AND oracle
   private val KmIters = 3 // kmeans_clusters Lloyd iterations, query AND oracle
   private val KcK = 5 // sample_kcenter coreset size — the oracle unrolls EXACTLY this many rounds
+
+  /** The exact KNN-Shapley DuckDB replay shared by `knn_shapley` and
+    * `knn_shapley_ivf` (whose output rows are the exact contributions;
+    * the IVF agreement flag is appended via `extra`).
+    */
+  private def knnShapleyOracleSql(extra: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |                  CAST(label AS BIGINT) AS y FROM embeddings),
+         |ex AS (
+         |  SELECT vec_id, i, v[i] AS x
+         |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+         |),
+         |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
+         |codes AS (
+         |  SELECT vec_id, i,
+         |         CASE WHEN s.mx = s.mn THEN 0
+         |              ELSE CAST(least(floor((x - s.mn) * ${QuantLevels}.0 / (s.mx - s.mn)), ${QuantLevels - 1}) AS BIGINT)
+         |         END AS c
+         |  FROM ex JOIN stats s USING (i)
+         |),
+         |cv AS (SELECT vec_id, list(c ORDER BY i) AS cs FROM codes GROUP BY vec_id),
+         |m AS (SELECT cv.vec_id, cs, y FROM cv JOIN e USING (vec_id)),
+         |tr AS (SELECT vec_id AS train_id, cs AS rc, y AS ry FROM m WHERE vec_id % $ShapMod <> 0),
+         |te AS (SELECT vec_id AS test_id, cs AS tc, y AS ty FROM m WHERE vec_id % $ShapMod = 0),
+         |n AS (SELECT count(*) AS nt FROM tr),
+         |d AS (
+         |  SELECT test_id, ty, train_id, ry,
+         |         list_sum([ (tc[j + 1] - rc[j + 1]) * (tc[j + 1] - rc[j + 1])
+         |                    for j in range(0, len(tc)) ]) AS dist
+         |  FROM te CROSS JOIN tr
+         |),
+         |rk AS (
+         |  SELECT test_id, train_id, ry,
+         |         CASE WHEN ry = ty THEN 1 ELSE 0 END AS ind,
+         |         row_number() OVER (PARTITION BY test_id ORDER BY dist, train_id) AS i
+         |  FROM d
+         |),
+         |c1 AS (
+         |  SELECT test_id, train_id, ry, i, ind,
+         |         lead(ind) OVER (PARTITION BY test_id ORDER BY i) AS ind_next
+         |  FROM rk
+         |),
+         |c2 AS (
+         |  SELECT test_id, train_id, ry, i,
+         |         CASE WHEN ind_next IS NULL THEN ind * (1000000000000 // (SELECT nt FROM n))
+         |              ELSE (ind - ind_next) * (1000000000000 // greatest(i, $ShapK)) END AS contrib
+         |  FROM c1
+         |),
+         |sv AS (
+         |  SELECT test_id, train_id, ry,
+         |         sum(contrib) OVER (PARTITION BY test_id ORDER BY i
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s
+         |  FROM c2
+         |)
+         |SELECT train_id AS vec_id, ry AS label,
+         |       CAST(sum(s) AS BIGINT) AS shap_sum_e12,
+         |       CAST(count(*) AS BIGINT) AS n_tests$extra
+         |FROM sv GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
 
   /** Per-SF scratch root for queries that persist real artifacts (the
     * QueriesEtl discipline — e.g. the stored IVF index).
@@ -1982,6 +2043,34 @@ object QueriesLlm {
       val test = coded.where(pmod(col("vec_id"), lit(ShapMod)) === 0)
       val train = coded.where(pmod(col("vec_id"), lit(ShapMod)) =!= 0)
       Similarity.knnShapley(train, test, k = ShapK)
+    }),
+
+    // ── ANN-BOUNDED KNN-SHAPLEY ([[Similarity.knnShapleyIvf]] — the
+    // scale route paired with the exact `knn_shapley`, the dedup-family
+    // exact-vs-scale discipline): each test point scores only the train
+    // vectors in its ShapProbes nearest IVF cells (equi-join on the cell
+    // id — |test|·|train|/cells·probes pairs, never the all-pairs
+    // broadcast), contributions exact integers WITHIN the pool. The
+    // oracle replays the exact route; the IVF route must agree with it
+    // on the top-ShapTopM contributor set to the asserted floor
+    // (`ivf_top_agreement_met` — the withRecall discipline) ──
+    "knn_shapley_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val coded = Similarity.quantizeEmbeddings(emb, levels = QuantLevels)
+        .select(col("vec_id"), col("codes"))
+        .join(emb.select(col("vec_id"), col("label"), col("embedding")), "vec_id")
+      val test = coded.where(pmod(col("vec_id"), lit(ShapMod)) === 0)
+      val train = coded.where(pmod(col("vec_id"), lit(ShapMod)) =!= 0)
+      val exact = Similarity.knnShapley(train, test, k = ShapK)
+      val ivf = Similarity.knnShapleyIvf(train, test, k = ShapK,
+        cells = KmK, iters = KmIters, nProbes = ShapProbes)
+      def topM(df: DataFrame): Set[Long] = df
+        .orderBy(col("shap_sum_e12").desc, col("vec_id")).limit(ShapTopM)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val hits = topM(exact).intersect(topM(ivf)).size
+      exact
+        .withColumn("ivf_top_agreement_met", lit(hits >= ShapAgreeFloor))
+        .orderBy(col("vec_id"))
     }),
 
     // ── JL random projection ([[Similarity.randomProjection]]): 64-float
@@ -5023,59 +5112,15 @@ object QueriesLlm {
     // integer squared-L2 distances, the suffix recursion replayed with
     // each 1/max(K,i) term floored positive FIRST (no negative floor
     // division anywhere), suffix window sum, per-train total
-    "knn_shapley" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |                  CAST(label AS BIGINT) AS y FROM embeddings),
-         |ex AS (
-         |  SELECT vec_id, i, v[i] AS x
-         |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
-         |),
-         |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
-         |codes AS (
-         |  SELECT vec_id, i,
-         |         CASE WHEN s.mx = s.mn THEN 0
-         |              ELSE CAST(least(floor((x - s.mn) * ${QuantLevels}.0 / (s.mx - s.mn)), ${QuantLevels - 1}) AS BIGINT)
-         |         END AS c
-         |  FROM ex JOIN stats s USING (i)
-         |),
-         |cv AS (SELECT vec_id, list(c ORDER BY i) AS cs FROM codes GROUP BY vec_id),
-         |m AS (SELECT cv.vec_id, cs, y FROM cv JOIN e USING (vec_id)),
-         |tr AS (SELECT vec_id AS train_id, cs AS rc, y AS ry FROM m WHERE vec_id % $ShapMod <> 0),
-         |te AS (SELECT vec_id AS test_id, cs AS tc, y AS ty FROM m WHERE vec_id % $ShapMod = 0),
-         |n AS (SELECT count(*) AS nt FROM tr),
-         |d AS (
-         |  SELECT test_id, ty, train_id, ry,
-         |         list_sum([ (tc[j + 1] - rc[j + 1]) * (tc[j + 1] - rc[j + 1])
-         |                    for j in range(0, len(tc)) ]) AS dist
-         |  FROM te CROSS JOIN tr
-         |),
-         |rk AS (
-         |  SELECT test_id, train_id, ry,
-         |         CASE WHEN ry = ty THEN 1 ELSE 0 END AS ind,
-         |         row_number() OVER (PARTITION BY test_id ORDER BY dist, train_id) AS i
-         |  FROM d
-         |),
-         |c1 AS (
-         |  SELECT test_id, train_id, ry, i, ind,
-         |         lead(ind) OVER (PARTITION BY test_id ORDER BY i) AS ind_next
-         |  FROM rk
-         |),
-         |c2 AS (
-         |  SELECT test_id, train_id, ry, i,
-         |         CASE WHEN ind_next IS NULL THEN ind * (1000000000000 // (SELECT nt FROM n))
-         |              ELSE (ind - ind_next) * (1000000000000 // greatest(i, $ShapK)) END AS contrib
-         |  FROM c1
-         |),
-         |sv AS (
-         |  SELECT test_id, train_id, ry,
-         |         sum(contrib) OVER (PARTITION BY test_id ORDER BY i
-         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s
-         |  FROM c2
-         |)
-         |SELECT train_id AS vec_id, ry AS label,
-         |       CAST(sum(s) AS BIGINT) AS shap_sum_e12,
-         |       CAST(count(*) AS BIGINT) AS n_tests
-         |FROM sv GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+    "knn_shapley" -> knnShapleyOracleSql(""),
+
+    // knn_shapley_ivf: the oracle replays the EXACT route (the IVF
+    // variant's output rows ARE the exact contributions); the top-M
+    // agreement floor vs the IVF re-ranking is measured Spark-side and
+    // pinned TRUE
+    "knn_shapley_ivf" -> knnShapleyOracleSql(
+      ",\n       TRUE AS ivf_top_agreement_met"),
+
 
     "dedup_simhash" ->
       s"""WITH toks AS (

@@ -1332,6 +1332,94 @@ object Similarity {
       .orderBy(col(idCol))
   }
 
+  /** ANN-BOUNDED KNN-Shapley — the scale route paired with [[knnShapley]]
+    * (the exact/scale duality the dedup family keeps): instead of scoring
+    * every (test, train) pair, each test point's candidate pool is the
+    * TRAIN vectors living in its `nProbes` nearest IVF cells (the
+    * [[kmeansFit]] coarse quantizer — deterministic, so the pool is
+    * replayable), and the closed-form Shapley recursion runs EXACTLY
+    * within that pool (`pool_n` replaces the train count in the base
+    * term). Contributions stay exact integers over the shared
+    * quantization codes; the approximation is purely WHICH pairs enter —
+    * the standard ANN-Shapley construction (Jia et al.'s KNN-Shapley
+    * with an ANN candidate stage).
+    *
+    * Scale shape: candidate generation is an equi-join on the cell id
+    * (never the all-pairs broadcast of the exact path), so the pair
+    * count drops from |test|·|train| to |test|·|train|/cells·nProbes —
+    * at 100 TB that factor is the difference between a scoring job and
+    * an impossibility. Agreement vs the exact ranking is measured by the
+    * caller (the recall-floor discipline of [[withRecall]]).
+    *
+    * Input frames carry (`idCol`, `vecCol` raw embeddings for the
+    * quantizer, `codes` for distances, `labelCol`).
+    */
+  def knnShapleyIvf(
+      train: DataFrame,
+      test: DataFrame,
+      k: Int,
+      cells: Int,
+      iters: Int,
+      nProbes: Int = 1,
+      scale: Long = 1000000000000L,
+      idCol: String = "vec_id",
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"knnShapleyIvf: k must be >= 1, got $k")
+    require(nProbes >= 1, s"knnShapleyIvf: nProbes must be >= 1, got $nProbes")
+    VectorFunctions.register(train.sparkSession)
+    val (assign, cents) = kmeansFit(train, cells, iters, idCol, vecCol)
+    val probed =
+      if (nProbes == 1)
+        assignCells(unitized(test, idCol, vecCol), cents)
+          .select(col(idCol).as("test_id"), col("cluster"))
+      else {
+        val withCos = assignCells(unitized(test, idCol, vecCol), cents)
+        val ranked = sort_array(array(cents.map { case (cid, _) =>
+          struct((-col(s"cos_$cid")).as("neg"), lit(cid).as("cell"))
+        }: _*))
+        withCos.select(col(idCol).as("test_id"),
+          explode(slice(transform(ranked, s => s.getField("cell")), 1, nProbes))
+            .as("cluster"))
+      }
+    // a train vector lives in exactly one cell — probe expansion cannot
+    // duplicate a (test, train) pair
+    val cand = probed
+      .join(assign.select(col(idCol).as("train_id"), col("cluster")), "cluster")
+      .select(col("test_id"), col("train_id"))
+    val t = test.select(
+      col(idCol).as("test_id"), col("codes").as("tc"),
+      col(labelCol).cast("long").as("ty"))
+    val r = train.select(
+      col(idCol).as("train_id"), col("codes").as("rc"),
+      col(labelCol).cast("long").as("ry"))
+    val dist = aggregate(
+      zip_with(col("tc"), col("rc"), (a, b) => (a - b) * (a - b)),
+      lit(0L), _ + _)
+    val w = Window.partitionBy(col("test_id")).orderBy(col("dist"), col("train_id"))
+    val pool = Window.partitionBy(col("test_id"))
+    val suffix = Window.partitionBy(col("test_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cand.join(broadcast(t), "test_id").join(r, "train_id")
+      .withColumn("dist", dist)
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("pool_n", count(lit(1)).over(pool))
+      .withColumn("ind", when(col("ry") === col("ty"), 1L).otherwise(0L))
+      .withColumn("ind_next", lead(col("ind"), 1).over(w))
+      // exact recursion WITHIN the pool: the last pooled rank carries the
+      // base term over pool_n, every other rank its delta term
+      .withColumn("contrib",
+        when(col("ind_next").isNull, col("ind") * expr(s"${scale}L div pool_n"))
+          .otherwise((col("ind") - col("ind_next"))
+            * expr(s"${scale}L div greatest(i, ${k.toLong}L)")))
+      .withColumn("s", sum(col("contrib")).over(suffix))
+      .groupBy(col("train_id"), col("ry"))
+      .agg(sum(col("s")).as("shap_sum_e12"), count(lit(1)).as("n_tests"))
+      .select(col("train_id").as(idCol), col("ry").as(labelCol),
+        col("shap_sum_e12"), col("n_tests"))
+      .orderBy(col(idCol))
+  }
+
   /** Deterministic ±1 sign for the random-projection matrix entry
     * `(outDim j, inDim i)`: parity of the first byte of `md5("rp:j:i")`.
     * Computed DRIVER-side once per (j, i) — the whole matrix is

@@ -959,9 +959,12 @@ object GraftCatalog {
   private final class MappedWritableTable(
       inner0: ParquetTable, log: SnapshotLog, pruner0: Pruner)
     extends ReadOnlyTable(inner0, pruner0) with SupportsWrite with SupportsDelete {
+    // deliberately NO TRUNCATE capability: INSERT OVERWRITE on a mapped
+    // table must refuse at ANALYSIS (the capability gate), not
+    // mid-execution after the source query already ran — the mapped
+    // overwrite path would need mapping-aware physical-id staging
     override def capabilities(): util.Set[TableCapability] =
-      util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-        TableCapability.TRUNCATE)
+      util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
     private def physName(logical: String): String =
       pruner0.logicalToPhysical.getOrElse(logical, logical)

@@ -120,10 +120,17 @@ class GraftLogSourceProvider
       parameters.get("partitions").map(_.toInt).getOrElse(1),
       complete,
       mergeKey = parameters.get("mergeKey"),
+      deleteIndicator = parameters.get("deleteIndicator"),
       mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
+      // `autoCompactEveryBatches` is a committed-BATCH cadence (compact
+      // every N batches), not Delta's small-file-count threshold — named
+      // for what it counts; `autoCompactMinFiles` stays as a deprecated
+      // alias for checkpoints written against the old spelling
       autoCompactEvery =
         if (!parameters.get("autoCompact").exists(_.toBoolean)) 0
-        else parameters.get("autoCompactMinFiles").map(_.toInt).getOrElse(16),
+        else parameters.get("autoCompactEveryBatches")
+          .orElse(parameters.get("autoCompactMinFiles"))
+          .map(_.toInt).getOrElse(16),
       autoCompactTargetBytes = parameters.get("autoCompactTargetBytes")
         .map(_.toLong).getOrElse(128L * 1024 * 1024))
   }
@@ -165,18 +172,18 @@ class GraftLogSourceProvider
     * PHYSICAL scan schema, the LOGICAL schema the stream serves, and
     * the logical→physical pairs — derived from the same metadata the
     * batch catalog scan plans from ([[GraftCatalog.mappedSchemas]]).
-    * Widened and tombstoned mapped tables refuse (no single typed scan /
-    * no rename-stable mask), exactly as the batch facade does.
+    * WIDENED mapped tables serve: the pinned physical schema carries the
+    * DECLARED widened types and the parquet reader up-casts narrow
+    * pre-widening files on the scan (the Spark 4 type-widening read —
+    * the same pin the batch catalog scan plans), so each micro-batch is
+    * hash-equal to the batch read of the same files. Tombstoned mapped
+    * tables still refuse (no rename-stable mask).
     */
   private def mappedView(
       spark: org.apache.spark.sql.SparkSession,
       log: SnapshotLog,
       cur: Long): Option[(StructType, StructType, Seq[(String, String)])] =
     log.columnMapping(cur).map { case (_, pairs) =>
-      require(log.columnTypes(cur).isEmpty,
-        s"graft-log source: ${log.root} declares type widenings — the " +
-          "pinned-schema stream scan cannot read heterogeneous stages; " +
-          "optimize() the table to materialize the widening first")
       require(log.tombstoneFiles(cur).isEmpty,
         s"graft-log source: ${log.root} carries key tombstones, which do " +
           "not compose with column mapping — compact() them away first")
@@ -276,6 +283,14 @@ class GraftLogSink(
     // (pre-aggregate a CDC feed to last-per-key first — ambiguous
     // multi-matches refuse loudly). Append output mode only.
     mergeKey: Option[String] = None,
+    // CDC DELETES (`.option("deleteIndicator", "<col>")`, with mergeKey
+    // — the full CDC-apply shape): the indicator is an EXTRA boolean
+    // batch column, never written to the destination. Rows where it is
+    // true DELETE their key (a delete for an absent key is a no-op);
+    // the rest update/insert as before — so a Debezium-style feed
+    // (upserts + deletes, pre-aggregated to last-per-key) replays into
+    // an exact replica. Same txn watermark, same one-evaluation merge.
+    deleteIndicator: Option[String] = None,
     // SCHEMA EVOLUTION ON WRITE (`.option("mergeSchema", "true")` — the
     // Delta autoMerge shape): a batch carrying columns the DECLARED
     // destination schema lacks EVOLVES it first (one metadata-only
@@ -293,8 +308,9 @@ class GraftLogSink(
     // difference between a queryable table and a million-file listing
     // after a week of triggers. The compaction commit is a REWRITE:
     // downstream log-streams of this table must consume the change feed
-    // (append-mode streams refuse rewrites by contract). Skipped
-    // while merge-on-read masks are outstanding (compactSmall's scope).
+    // (append-mode streams refuse rewrites by contract). Outstanding
+    // merge-on-read masks don't stall it: only UNMASKED small files
+    // repack; masked ones carry untouched with their masks live.
     autoCompactEvery: Int = 0,
     autoCompactTargetBytes: Long = 128L * 1024 * 1024) extends Sink {
 
@@ -316,7 +332,7 @@ class GraftLogSink(
     // staged batch is translated logical→physical below, so post-rename
     // streamed appends land in the same physical columns batch INSERTs
     // do — never a freshly-minted id, never a logical-name file.
-    val physProject: Option[Seq[org.apache.spark.sql.Column]] =
+    val physProject: Option[Seq[(String, String)]] =
       log.currentVersion.flatMap { cur =>
         val mapped = log.columnMapping(cur).map(_._2)
         val base: Map[String, org.apache.spark.sql.types.DataType] = mapped match {
@@ -333,7 +349,11 @@ class GraftLogSink(
           case None => log.read(data.sparkSession, cur).schema
             .map(f => f.name -> f.dataType).toMap
         }
-        val batchT = data.schema.map(f => f.name -> f.dataType).toMap
+        // the CDC delete indicator is a control column, not payload —
+        // never part of the destination schema, so the drift check and
+        // the mapped translation both look straight through it
+        val batchT = data.schema.map(f => f.name -> f.dataType).toMap --
+          deleteIndicator
         val missing = (base.keySet -- batchT.keySet).toSeq.sorted
         val extra = (batchT.keySet -- base.keySet).toSeq.sorted
         val retyped = base.keySet.intersect(batchT.keySet).toSeq.sorted
@@ -359,10 +379,7 @@ class GraftLogSink(
               s"retyped=${retyped.mkString("[", ",", "]")}" +
               (if (mergeSchema) "" else "; set .option(\"mergeSchema\", " +
                 "\"true\") to evolve the destination from the batch"))
-        mapped.map(_.collect {
-          case (l, p) if base.contains(l) =>
-            org.apache.spark.sql.functions.col(l).as(p)
-        })
+        mapped.map(_.filter { case (l, _) => base.contains(l) })
       }
     val batch = StreamingShims.asBatch(data)
     // CHECK ENFORCEMENT (the Delta invariant discipline — EVERY write
@@ -394,21 +411,45 @@ class GraftLogSink(
       }
     // mapped destinations: stage under PHYSICAL ids (the appendMapped
     // translation, under the txn watermark) — the colmap metadata rides
-    // the carried meta lines unchanged
-    val staged = physProject.fold(guarded)(cols => guarded.select(cols: _*))
+    // the carried meta lines unchanged; the delete indicator (a control
+    // column outside the mapping) passes through untranslated
+    import org.apache.spark.sql.functions.{coalesce => cl, col, lit, not}
+    val staged = physProject.fold(guarded) { pairs =>
+      guarded.select(pairs.map { case (l, p) => col(l).as(p) } ++
+        deleteIndicator.filter(guarded.columns.contains).map(col): _*)
+    }
     require(mergeKey.isEmpty || !complete,
       "graft-log sink: mergeKey does not compose with complete mode — " +
         "a complete batch already replaces the table")
-    require(mergeKey.isEmpty || physProject.isEmpty,
-      s"graft-log sink: mergeKey on the column-mapped ${log.root} is not " +
-        "supported — merge through the SnapshotLog API")
+    require(deleteIndicator.isEmpty || mergeKey.isDefined,
+      "graft-log sink: deleteIndicator needs mergeKey (deletes address a key)")
+    deleteIndicator.foreach(i => require(data.columns.contains(i),
+      s"graft-log sink: deleteIndicator '$i' is not a batch column " +
+        s"(${data.columns.mkString(", ")})"))
     val committed = mergeKey match {
-      case Some(key) =>
+      case Some(key0) =>
+        // on a mapped destination the merge runs in PHYSICAL names (the
+        // [[GraftSqlDml]] discipline): the key and every SET column
+        // translate through the mapping; the declared schema pins the
+        // rewrite-scope scan so pre-evolution files serve typed NULL
+        val l2p = physProject.map(_.toMap).getOrElse(Map.empty[String, String])
+        physProject.foreach { _ =>
+          require(log.currentVersion.flatMap(log.declaredSchema).isDefined,
+            s"graft-log sink: mergeKey on the column-mapped ${log.root} " +
+              "needs a declared schema (create the table first) — without " +
+              "it the rewrite scan cannot pin physical ids")
+        }
+        val key = l2p.getOrElse(key0, key0)
         require(staged.columns.contains(key),
-          s"graft-log sink: mergeKey '$key' is not a batch column " +
-            s"(${staged.columns.mkString(", ")})")
-        import org.apache.spark.sql.functions.{col, lit}
-        val setAll = staged.columns.toSeq.map(c => c -> col(s"src_$c"))
+          s"graft-log sink: mergeKey '$key0' is not a batch column " +
+            s"(${data.columns.mkString(", ")})")
+        val payload = staged.columns.toSeq.filterNot(deleteIndicator.contains)
+        val setAll = payload.map(c => c -> col(s"src_$c"))
+        // indicator semantics: TRUE deletes the key; NULL/false upserts
+        val delWhen = deleteIndicator.map(i =>
+          cl(col(s"src_$i").cast("boolean"), lit(false)))
+        val insWhen = deleteIndicator.map(i =>
+          not(cl(col(i).cast("boolean"), lit(false))))
         // the watermark re-checks INSIDE the retry (the appendTxn
         // discipline): a racing instance of the SAME query that commits
         // this very batch makes the loser's retry a skip, never a
@@ -419,25 +460,32 @@ class GraftLogSink(
         log.withOccRetry() {
           if (batchId <= wmNow) false
           else {
-            log.mergeInto(staged, key,
-              updateWhen = Some(lit(true)), updateSet = setAll,
-              insertNotMatched = true, txn = Some((appId, batchId)))
+            log.mergeIntoKeys(staged, Seq(key),
+              updateWhen = Some(delWhen.map(d => !d).getOrElse(lit(true))),
+              updateSet = setAll,
+              deleteWhen = delWhen,
+              insertNotMatched = true, insertWhen = insWhen,
+              txn = Some((appId, batchId)),
+              sourceExtras = deleteIndicator.toSet)
             true
           }
         }._1
       case None =>
+        require(deleteIndicator.isEmpty,
+          "graft-log sink: deleteIndicator needs mergeKey")
         if (complete) log.overwriteTxn(staged, partitions, appId, batchId)._2
         else log.appendTxn(staged, partitions, appId, batchId)._2
     }
     if (committed && !complete && autoCompactEvery > 0) {
       batchesSinceCompact += 1
       if (batchesSinceCompact >= autoCompactEvery) {
-        val cur = log.currentVersion.get
-        if (log.posDeleteFiles(cur).isEmpty && log.dvFiles(cur).isEmpty) {
-          log.withOccRetry()(
-            log.compactSmall(data.sparkSession, autoCompactTargetBytes))
-          batchesSinceCompact = 0
-        }
+        // merge-on-read masks no longer stall the pass: compactSmall
+        // repacks only UNMASKED small files (masked ones carry with
+        // their mask lines live), so auto-compaction keeps firing
+        // through a stream that interleaves DML on its destination
+        log.withOccRetry()(
+          log.compactSmall(data.sparkSession, autoCompactTargetBytes))
+        batchesSinceCompact = 0
       }
     }
     ()
@@ -508,13 +556,27 @@ class GraftLogSource(
     maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined ||
       maxVersionsPerTrigger.isDefined
 
+  // the type-widening declarations in force when this run pinned its
+  // schemas — the baseline the mid-stream widening guard compares against
+  private val pinnedWidenings: Map[String, String] =
+    if (mapping.isEmpty) Map.empty
+    else log.currentVersion.map(log.columnTypes).getOrElse(Map.empty)
+
   /** The appended DATA files of `v` with their manifest-listed sizes —
     * metadata-only (a listing diff plus `File.length`, never a data
     * read). Same refusal semantics as the batch path: delete/rewrite
     * commits throw toward the change feed.
     */
   private def appendedParquet(v: Long): Seq[String] =
-    if (skipChangeCommits && !log.isAppendOnlyCommit(v)) Nil
+    if (skipChangeCommits && !log.isAppendOnlyCommit(v))
+      // the OLDEST retained version's "delta" is the whole listing (the
+      // initial snapshot, not a change commit) — when it carries mask
+      // lines it must still SERVE (getBatch reads it as the masked
+      // snapshot), so size admission by its live data files; later
+      // non-append commits skip for real
+      (if (v == log.versions.head)
+        log.dataFiles(v).map(p => new File(log.dataRootPath, p).toString)
+      else Nil)
     else log.appendedFiles(v).filter(_.endsWith(".parquet"))
 
   /** The highest version in `(fromExclusive, latest]` whose cumulative
@@ -605,10 +667,19 @@ class GraftLogSource(
           (f.name == "_change_type" || f.name == "_commit_version"))
         .map(f => (f.name, f.dataType)).toSet
       // mapped sources pin the PHYSICAL schema (= declared names); the
-      // logical evolution guard below compares mapping pairs instead
+      // logical evolution guard below compares mapping pairs instead.
+      // The pin carries WIDENED types (mappedSchemas applies coltypes),
+      // while the declared schema keeps the physical base type — apply
+      // the same widenings to the declared side before comparing, or a
+      // legitimately-pinned widening would read as novel evolution
       val pinnedNames: Set[(String, org.apache.spark.sql.types.DataType)] =
         mapping.fold(pinnedData)(_._1.fields.map(f => (f.name, f.dataType)).toSet)
-      val nowDeclared = declared.fields.map(f => (f.name, f.dataType)).toSeq
+      val widenedAtHi: Map[String, org.apache.spark.sql.types.DataType] =
+        if (mapping.isEmpty) Map.empty
+        else log.columnTypes(hi).map { case (p, t) =>
+          p -> org.apache.spark.sql.types.DataType.fromDDL(t) }
+      val nowDeclared = declared.fields
+        .map(f => (f.name, widenedAtHi.getOrElse(f.name, f.dataType))).toSeq
       val novel = nowDeclared.filterNot(pinnedNames)
       require(novel.isEmpty,
         s"graft-log source: the schema of ${log.root} evolved mid-stream " +
@@ -635,6 +706,20 @@ class GraftLogSource(
             "projection would mis-bind physical columns; RESTART the query " +
             "on the SAME checkpoint to adopt the new mapping")
       }
+    // TYPE-WIDENING guard (the mapped-table mirror of the declared-schema
+    // handshake): widenings at or below the pin serve — the pinned
+    // physical schema already carries them and the parquet reader
+    // up-casts narrow files on the scan; a widening declared AFTER the
+    // pin must refuse loudly (post-widen appends would scan under a
+    // narrower pin). Fail-once: a restart re-pins the widened types.
+    if (mapping.isDefined && log.versions.contains(hi)) {
+      val novelTypes = log.columnTypes(hi).toSet -- pinnedWidenings.toSet
+      require(novelTypes.isEmpty,
+        s"graft-log source: ${log.root} widened column type(s) mid-stream " +
+          s"(v$hi declares ${novelTypes.map(t => s"${t._1}>${t._2}")
+            .mkString("[", ",", "]")} beyond the pin) — RESTART the query " +
+          "on the SAME checkpoint to adopt the widening")
+    }
     val batch =
       if (changeFeed)
         // row-level changes of versions (lo, hi] straight off the
@@ -658,28 +743,57 @@ class GraftLogSource(
               s"a running stream — discovering v$h's appends would re-emit " +
               "carried files; restart from a fresh checkpoint or startingVersion")
         }
-        val files = slice.flatMap { v =>
+        // the OLDEST retained version counts as the INITIAL SNAPSHOT, not
+        // a change commit: under skipChangeCommits a masked listing there
+        // must still serve (Delta's skipChangeCommits serves the initial
+        // snapshot too) — as the MASKED snapshot read, so outstanding
+        // deletes never resurrect; classifying it as skippable would
+        // silently emit ZERO rows for the entire base table
+        val snapHead = slice.headOption.filter(h =>
+          skipChangeCommits && h == log.versions.head &&
+            !log.isAppendOnlyCommit(h))
+        val files = slice.filterNot(snapHead.contains).flatMap { v =>
           if (skipChangeCommits && !log.isAppendOnlyCommit(v)) Nil
           else log.appendedFiles(v)
         }.filter(_.endsWith(".parquet"))
-        if (files.isEmpty)
-          // a metadata-only commit window (ALTER/ANALYZE/tags): empty
-          // progress in the declared schema, not an error
-          spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        else mapping match {
-          case Some((physSchema, pairs)) =>
-            // the mapped facade, per micro-batch: scan PHYSICAL names
-            // under the pinned physical schema (files predating an
-            // append-minted column serve NULL) and re-project to the
-            // pinned LOGICAL names — pushdown/pruning intact, identical
-            // to the batch read of the same renamed table
-            val l2p = pairs.toMap
-            import org.apache.spark.sql.functions.col
-            spark.read.schema(physSchema).parquet(files: _*)
-              .select(schema.fieldNames.toSeq.map(l =>
-                col(l2p(l)).as(l)): _*)
-          case None => spark.read.schema(schema).parquet(files: _*)
+        import org.apache.spark.sql.functions.col
+        val snapDf = snapHead.map { h =>
+          val base = mapping match {
+            case Some(_) => log.readMapped(spark, h)
+            case None => log.read(spark, h)
+          }
+          // columns the run's pin carries beyond this oldest vintage
+          // (a later ADD COLUMNS) serve typed NULL, batch semantics
+          val have = base.columns.toSet
+          base.select(schema.fields.toSeq.map(f =>
+            if (have(f.name)) col(f.name)
+            else org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType).as(f.name)): _*)
+        }
+        val appendDf =
+          if (files.isEmpty) None
+          else Some(mapping match {
+            case Some((physSchema, pairs)) =>
+              // the mapped facade, per micro-batch: scan PHYSICAL names
+              // under the pinned physical schema (files predating an
+              // append-minted column serve NULL) and re-project to the
+              // pinned LOGICAL names — pushdown/pruning intact, identical
+              // to the batch read of the same renamed table
+              val l2p = pairs.toMap
+              spark.read.schema(physSchema).parquet(files: _*)
+                .select(schema.fieldNames.toSeq.map(l =>
+                  col(l2p(l)).as(l)): _*)
+            case None => spark.read.schema(schema).parquet(files: _*)
+          })
+        (snapDf, appendDf) match {
+          case (Some(a), Some(b)) => a.unionByName(b)
+          case (Some(a), None) => a
+          case (None, Some(b)) => b
+          case (None, None) =>
+            // a metadata-only commit window (ALTER/ANALYZE/tags): empty
+            // progress in the declared schema, not an error
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         }
       }
     StreamingShims.asStreamingBatch(batch)

@@ -268,8 +268,8 @@ object GraftSqlDml {
   // ────────────────────────────── MERGE ──────────────────────────────
 
   private def execMerge(spark: SparkSession, m: MergeIntoTable): DmlResult = {
-    val t = resolveTarget(spark, m.targetTable)
-    val (log, name, tgtQuals) = (t.log, t.name, t.quals)
+    val t0 = resolveTarget(spark, m.targetTable)
+    val (log, name, tgtQuals) = (t0.log, t0.name, t0.quals)
 
     // source: a named table / temp view (optionally aliased); arbitrary
     // subqueries would need the analyzer — register them as a view first
@@ -292,27 +292,34 @@ object GraftSqlDml {
     }
     // MERGE … WITH SCHEMA EVOLUTION (the Delta automatic-evolution
     // shape): SOURCE columns the target lacks are added to the declared
-    // schema FIRST (one metadata-only [[SnapshotLog.addColumns]] commit —
-    // existing rows serve typed NULL), then the merge proceeds against
-    // the widened target. Mapped targets refuse (their physical schema
-    // evolves through the mapping-aware appendMapped path). The
-    // evolution and the merge are two commits — a crash between them
-    // leaves only the benign widened schema, never partial data.
+    // schema FIRST (one metadata-only commit — existing rows serve typed
+    // NULL), then the merge proceeds against the widened target. On a
+    // COLUMN-MAPPED target the evolution mints fresh physical ids
+    // through [[SnapshotLog.addColumnsMapped]] (the appendMapped
+    // discipline, metadata-only) — the merge then runs in the widened
+    // physical names like every mapped DML. The evolution and the merge
+    // are two commits — a crash between them leaves only the benign
+    // widened schema, never partial data.
     if (m.withSchemaEvolution) {
-      require(t.physMap.isEmpty,
-        s"GraftSqlDml: MERGE WITH SCHEMA EVOLUTION on column-mapped $name " +
-          "is not supported — new physical ids are minted by appendMapped; " +
-          "evolve through the SnapshotLog API instead")
       val cur0 = log.currentVersion.getOrElse(throw new IllegalStateException(
         s"GraftSqlDml: MERGE target $name has no committed snapshot"))
-      val have = log.read(spark, cur0).columns.toSet
+      val have: Set[String] =
+        if (t0.physMap.isEmpty) log.read(spark, cur0).columns.toSet
+        else t0.physMap.keySet
       val extra = srcDf0.schema.fields.filterNot(f => have.contains(f.name))
       if (extra.nonEmpty) {
-        log.withOccRetry()(
-          log.addColumns(spark, extra.toSeq.map(f => (f.name, f.dataType))))
+        if (t0.physMap.isEmpty)
+          log.withOccRetry()(
+            log.addColumns(spark, extra.toSeq.map(f => (f.name, f.dataType))))
+        else
+          log.withOccRetry()(
+            log.addColumnsMapped(spark, extra.toSeq.map(f => (f.name, f.dataType))))
         ()
       }
     }
+    // re-resolve AFTER a possible evolution commit: on a mapped target
+    // the logical→physical map just gained the minted pairs
+    val t = if (m.withSchemaEvolution) resolveTarget(spark, m.targetTable) else t0
     val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
       s"GraftSqlDml: MERGE target $name has no committed snapshot"))
     // resolution runs over LOGICAL names (what the statement and the
@@ -323,12 +330,80 @@ object GraftSqlDml {
     val tgtCols =
       if (t.physMap.isEmpty) tgtPhysical else t.physMap.keySet
     val srcCols = srcDf0.columns.toSet
-    val srcDf =
-      if (t.physMap.isEmpty) srcDf0
-      else srcDf0.select(srcDf0.columns.toSeq.map(c =>
-        org.apache.spark.sql.functions.col(c).as(t.phys(c))): _*)
+
+    // ON <conj of equalities> — COMPOUND and DIFFERENTLY-NAMED keys both
+    // resolve here: each term equates one target-side and one source-side
+    // column (by qualifier, or unambiguously by schema membership), and a
+    // source key named differently from its target key is RENAMED to the
+    // target spelling in the source reshape below, so the log merge joins
+    // on the target names throughout. Non-equality terms and ambiguous
+    // references refuse loudly.
+    def splitConj(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        splitConj(l) ++ splitConj(r)
+      case other => Seq(other)
+    }
+    // Some(true) = target side, Some(false) = source side
+    def sideOf(a: UnresolvedAttribute): Option[Boolean] =
+      if (a.nameParts.length > 1) {
+        val q = a.nameParts.head.toLowerCase
+        if (tgtQuals.contains(q)) Some(true)
+        else if (srcQuals.contains(q)) Some(false)
+        else None
+      } else {
+        val n = a.nameParts.head
+        (tgtCols.contains(n), srcCols.contains(n)) match {
+          case (true, false) => Some(true)
+          case (false, true) => Some(false)
+          case _ => None
+        }
+      }
+    val keyPairs: Seq[(String, String)] = splitConj(m.mergeCondition).map {
+      case eq @ EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
+        (sideOf(l), sideOf(r)) match {
+          case (Some(true), Some(false)) => (l.nameParts.last, r.nameParts.last)
+          case (Some(false), Some(true)) => (r.nameParts.last, l.nameParts.last)
+          case _ if l.nameParts.length == 1 && r.nameParts.length == 1 &&
+              l.nameParts == r.nameParts && tgtCols.contains(l.nameParts.head) &&
+              srcCols.contains(l.nameParts.head) =>
+            // `ON k = k` with k on both sides: the only consistent
+            // reading is target-k = source-k
+            (l.nameParts.head, r.nameParts.head)
+          case _ => throw new UnsupportedOperationException(
+            s"GraftSqlDml: cannot resolve MERGE ON term ${eq.sql} to one " +
+              "target and one source column — qualify both sides")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"GraftSqlDml: MERGE ON must be a conjunction of equalities " +
+          s"t.k = s.k, got ${other.sql}")
+    }
+    require(keyPairs.map(_._1).distinct.size == keyPairs.size,
+      s"GraftSqlDml: MERGE ON equates target column(s) " +
+        s"${keyPairs.map(_._1).diff(keyPairs.map(_._1).distinct).mkString(", ")} " +
+        "more than once")
+    // source keys spelled differently from their target key are renamed
+    // to the target spelling; a collision with another source column
+    // would silently shadow it — refuse
+    val srcRename: Map[String, String] =
+      keyPairs.collect { case (tk, sk) if tk != sk => sk -> tk }.toMap
+    srcRename.foreach { case (sk, tk) =>
+      require(!srcCols.contains(tk),
+        s"GraftSqlDml: MERGE ON maps source $sk to target $tk, but the " +
+          s"source already has a column named $tk — reshape the source first")
+    }
+    val srcDf = srcDf0.select(srcDf0.columns.toSeq.map(c =>
+      org.apache.spark.sql.functions.col(c)
+        .as(t.phys(srcRename.getOrElse(c, c)))): _*)
     def rwExpr(e: Expression): Expression = {
-      val r = rewriteMergeExpr(e, tgtQuals, srcQuals, tgtCols, srcCols)
+      val r0 = rewriteMergeExpr(e, tgtQuals, srcQuals, tgtCols, srcCols)
+      val r = if (srcRename.isEmpty) r0
+        else r0.transformUp {
+          case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+              a.nameParts.head.startsWith("src_") &&
+              srcRename.contains(a.nameParts.head.stripPrefix("src_")) =>
+            UnresolvedAttribute(
+              Seq("src_" + srcRename(a.nameParts.head.stripPrefix("src_"))))
+        }
       if (t.physMap.isEmpty) r
       else r.transformUp {
         case a: UnresolvedAttribute if a.nameParts.length == 1 =>
@@ -340,18 +415,7 @@ object GraftSqlDml {
     }
     def rw(e: Expression): Column = toColumn(rwExpr(e))
 
-    // ON t.k = s.k — the single equi-key the log merge joins on
-    val keyCol = m.mergeCondition match {
-      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
-        val (ln, rn) = (l.nameParts.last, r.nameParts.last)
-        require(ln == rn,
-          s"GraftSqlDml: MERGE ON must equate the same-named key column " +
-            s"on both sides (got $ln = $rn)")
-        t.phys(ln)
-      case other => throw new UnsupportedOperationException(
-        s"GraftSqlDml: MERGE ON must be a single equality t.k = s.k, " +
-          s"got ${other.sql}")
-    }
+    val keyCols = keyPairs.map(p => t.phys(p._1))
 
     // matched clauses: at most one DELETE and one UPDATE; the log API
     // evaluates delete-before-update, so an UPDATE declared first (whose
@@ -401,7 +465,8 @@ object GraftSqlDml {
       toColumn(r.transformUp {
         case a: UnresolvedAttribute if a.nameParts.length == 1 &&
             a.nameParts.head.startsWith("src_") =>
-          UnresolvedAttribute(Seq(t.phys(a.nameParts.head.stripPrefix("src_"))))
+          val orig = a.nameParts.head.stripPrefix("src_")
+          UnresolvedAttribute(Seq(t.phys(srcRename.getOrElse(orig, orig))))
       })
     }
     var insertWhen: Option[Column] = None
@@ -442,7 +507,7 @@ object GraftSqlDml {
     // raise_error guard — same discipline as UPDATE: a violation fails
     // the write job with nothing committed, zero extra scans
     val ((v, (nUpd, nDel, nIns), _), retries) = log.withOccRetry()(
-      log.mergeInto(srcDf, keyCol, updateWhen, updateSet, deleteWhen,
+      log.mergeIntoKeys(srcDf, keyCols, updateWhen, updateSet, deleteWhen,
         insertNotMatched, deleteNmbs, checks = storedChecks(spark, t),
         insertWhen = insertWhen))
     DmlResult("MERGE", name, v, nUpd, nDel, nIns, retries)

@@ -199,6 +199,15 @@ object GraftSqlParser {
     """(?i)(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)""".r
   private val WhereCmp = """(\w+)\s*(<=|>=|=|<|>)\s*(-?\d+)""".r
   private val WhereStrEq = """(\w+)\s*=\s*'([^']*)'""".r
+  // DATE literals map to the epoch-day axis parquet stores a date as —
+  // the same integral [lo, hi] machinery then prunes date-partitioned
+  // history (the commonest OPTIMIZE WHERE scope of all)
+  private val WhereDateBetween =
+    """(?i)(\w+)\s+BETWEEN\s+DATE\s*'(\d{4}-\d{2}-\d{2})'\s+AND\s+DATE\s*'(\d{4}-\d{2}-\d{2})'""".r
+  private val WhereDateCmp =
+    """(?i)(\w+)\s*(<=|>=|=|<|>)\s*DATE\s*'(\d{4}-\d{2}-\d{2})'""".r
+
+  private def epochDay(d: String): Long = java.time.LocalDate.parse(d).toEpochDay
 
   /** The parsed scope of an OPTIMIZE WHERE predicate: per-column
     * [lo, hi] intervals (pruned via the min/max stats sidecars) and
@@ -216,32 +225,40 @@ object GraftSqlParser {
     * promise).
     */
   private[sources] def parseOptimizeWhere(pred: String): OptimizeScope = {
-    val betweens = WhereBetween.findAllMatchIn(pred).map(m =>
+    val dateBetweens = WhereDateBetween.findAllMatchIn(pred).map(m =>
+      (m.group(1), (epochDay(m.group(2)), epochDay(m.group(3))))).toSeq
+    val pred1 = WhereDateBetween.replaceAllIn(pred, " TRUE ")
+    val betweens = dateBetweens ++ WhereBetween.findAllMatchIn(pred1).map(m =>
       (m.group(1), (m.group(2).toLong, m.group(3).toLong))).toSeq
-    val rest = WhereBetween.replaceAllIn(pred, " TRUE ")
+    val rest = WhereBetween.replaceAllIn(pred1, " TRUE ")
     val parts = rest.split("(?i)\\bAND\\b").map(_.trim).filter(_.nonEmpty)
+    def interval(c: String, op: String, v: Long): (String, (Long, Long)) =
+      op match {
+        case ">=" => (c, (v, Long.MaxValue))
+        case ">" => (c, (v + 1L, Long.MaxValue))
+        case "<=" => (c, (Long.MinValue, v))
+        case "<" => (c, (Long.MinValue, v - 1L))
+        case _ => (c, (v, v))
+      }
     val terms = parts.filterNot(_.equalsIgnoreCase("TRUE")).map {
+      case WhereDateCmp(c, op, d) => Left(interval(c, op, epochDay(d)))
       case WhereStrEq(c, v) => Right((c, v))
-      case WhereCmp(c, op, n) =>
-        val v = n.toLong
-        Left(op match {
-          case ">=" => (c, (v, Long.MaxValue))
-          case ">" => (c, (v + 1L, Long.MaxValue))
-          case "<=" => (c, (Long.MinValue, v))
-          case "<" => (c, (Long.MinValue, v - 1L))
-          case _ => (c, (v, v))
-        })
+      case WhereCmp(c, op, n) => Left(interval(c, op, n.toLong))
       case other => throw new IllegalArgumentException(
         s"OPTIMIZE WHERE: cannot express '$other' as a file-stats range — " +
-          "use conjunctions of <col> <=|>=|<|>|= <int>, BETWEEN, or " +
-          "<col> = '<string>'")
+          "use conjunctions of <col> <=|>=|<|>|= <int>|DATE '<date>', " +
+          "BETWEEN, or <col> = '<string>'")
     }
     OptimizeScope(
-      terms.collect { case Left(t) => t }.groupBy(_._1).map { case (c, ts) =>
-        c -> ts.map(_._2).reduce { (a, b) =>
-          (math.max(a._1, b._1), math.min(a._2, b._2))
-        }
-      },
+      // BETWEEN terms fold in with the comparison terms (r14 parsed them
+      // and then dropped them — a BETWEEN-only WHERE silently widened to
+      // the full table; safe direction, but not what was asked)
+      (betweens ++ terms.collect { case Left(t) => t })
+        .groupBy(_._1).map { case (c, ts) =>
+          c -> ts.map(_._2).reduce { (a, b) =>
+            (math.max(a._1, b._1), math.min(a._2, b._2))
+          }
+        },
       terms.collect { case Right((c, v)) => (c, v) }.groupBy(_._1)
         .map { case (c, vs) => c -> vs.map(_._2).toSet })
   }
@@ -393,11 +410,14 @@ object GraftSqlParser {
   }
 
   /** `ANALYZE TABLE cat.t COMPUTE STATISTICS FOR COLUMNS c1, c2` —
-    * persist row count + exact per-column NDVs in the log's metadata
+    * persist row count + per-column NDVs in the log's metadata
     * ([[SnapshotLog.analyze]]), stamped with the analyzed data-state
     * digest so a consumer ([[StatsOptimizer]]'s stats-driven join
-    * planning) can refuse stale numbers. One aggregation pass; the
-    * receipt returns what was recorded.
+    * planning) can refuse stale numbers. ONE single-pass aggregation:
+    * NDVs are `approx_count_distinct` sketches by default (multi-column
+    * exact NDVs plan as an Expand — an N-columns× input blowup at
+    * 100 TB); set `spark.graft.analyze.exactNdv=true` for the exact
+    * pass. The receipt returns what was recorded.
     */
   private case class AnalyzeGraftTable(cat: String, table: String, cols: Seq[String])
     extends LeafRunnableCommand {
@@ -406,7 +426,9 @@ object GraftSqlParser {
       "analyzed_columns" -> StringType)
     override def run(spark: SparkSession): Seq[Row] = {
       val log = logFor(spark, cat, table)
-      val v = log.withOccRetry()(log.analyze(spark, cols))._1
+      val exact = spark.conf.getOption("spark.graft.analyze.exactNdv")
+        .exists(_.toBoolean)
+      val v = log.withOccRetry()(log.analyze(spark, cols, exact))._1
       val (rows, _) = log.tableStats(v).getOrElse((-1L, Map.empty[String, Long]))
       Seq(Row(v, rows, cols.mkString(",")))
     }
@@ -424,7 +446,9 @@ object GraftSqlParser {
     * header) and JSON read under the table's declared schema; stored
     * CHECK constraints gate the batch like every other write path.
     * Listing is file-count-sized driver metadata; the data pass reads
-    * only the NEW files.
+    * only the NEW files, EXACTLY ONCE (the loaded-row count is an
+    * observed metric on the staging write, not a second scan), and the
+    * staged output is byte-sized to `spark.graft.optimize.maxFileSize`.
     */
   private case class CopyIntoGraftTable(
       cat: String, table: String, from: String, format: String,
@@ -505,16 +529,30 @@ object GraftSqlParser {
               s"COPY INTO: a source row violates CHECK constraint(s) " +
                 s"[${checks.map(_._1).mkString(", ")}] — nothing committed"))))
         }
-      val parts = math.max(1, math.min(32,
-        spark.conf.get("spark.sql.shuffle.partitions").toInt))
+      // write partitions are BYTE-SIZED from the fresh source listing
+      // (sizes already in hand — zero extra IO): ceil(bytes / target),
+      // the same `spark.graft.optimize.maxFileSize` knob OPTIMIZE sizes
+      // by — a fixed cap would mean ~3 TB files at a 100 TB backfill
+      val target = spark.conf.getOption("spark.graft.optimize.maxFileSize")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
       val ((loaded, rows, v), _) = log.withOccRetry() {
         val now = log.currentVersion.getOrElse(cur)
         val fresh = if (now == cur) fresh0 else freshAt(now)
         if (fresh.isEmpty) (0, 0L, now)
         else {
-          val df = guard(readerFor(fresh.map(_._1)))
-          val n = df.count() // evaluates the CHECK guard before staging
-          (fresh.size, n, log.copyIngest(fresh, df, parts))
+          val parts = math.max(1L,
+            (fresh.map(_._2).sum + target - 1L) / target).toInt
+          // ONE source scan: the row count rides the staging write as an
+          // observed metric instead of a separate count() pass (which
+          // would read every fresh file twice); the CHECK guard rides
+          // the same write — a violation fails the write job with
+          // nothing committed, its aborted stage is vacuum fodder
+          val obs = new org.apache.spark.sql.Observation()
+          val df = guard(readerFor(fresh.map(_._1))).observe(obs,
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("rows"))
+          val ver = log.copyIngest(fresh, df, parts)
+          (fresh.size, obs.get.apply("rows").asInstanceOf[Long], ver)
         }
       }
       Seq(Row(loaded, rows, cands.size - loaded, v))

@@ -256,6 +256,21 @@ class SnapshotLog(
   def dataFiles(version: Long): Seq[String] =
     files(version).filterNot(l => isTombLine(l) || isMetaLine(l))
 
+  /** The relative data-file paths ADDRESSED by outstanding
+    * position-delete / deletion-vector masks at `version` — the files a
+    * physical repack must carry untouched. Mask-file-sized read (the
+    * sidecars' `_file` column), never a data scan.
+    */
+  def maskedFiles(spark: SparkSession, version: Long): Set[String] = {
+    def filesOf(paths: Seq[String]): Set[String] =
+      if (paths.isEmpty) Set.empty
+      else spark.read
+        .parquet(paths.map(p => new File(dataRootPath, p).toString): _*)
+        .select("_file").distinct()
+        .collect().map(_.getString(0)).toSet
+    filesOf(posDeleteFiles(version)) ++ filesOf(dvFiles(version))
+  }
+
   /** Key-tombstone-file relative paths of a snapshot. */
   def tombstoneFiles(version: Long): Seq[String] =
     files(version).filter(_.startsWith(DelPrefix)).map(_.stripPrefix(DelPrefix))
@@ -1182,15 +1197,22 @@ class SnapshotLog(
     require(targetBytes >= 1L, s"compactSmall: targetBytes must be >= 1, got $targetBytes")
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"compactSmall: no committed snapshot at $root"))
-    require(posDeleteFiles(cur).isEmpty && dvFiles(cur).isEmpty,
-      "compactSmall: position deletes / deletion vectors address physical " +
-        "(file, ordinal) rows — a repack would orphan them; compact() first")
+    // position deletes / deletion vectors address physical (file,
+    // ordinal) rows, and the repack reads its candidates RAW — so files
+    // a mask addresses are simply NOT candidates: they carry untouched
+    // (their mask lines stay live against them), and only the unmasked
+    // small tail repacks. A streaming sink's auto-compaction keeps
+    // firing through interleaved DML instead of stalling until a full
+    // compact() — the mask-file-sized address read is the entire cost.
+    val masked: Set[String] =
+      if (posDeleteFiles(cur).isEmpty && dvFiles(cur).isEmpty) Set.empty
+      else maskedFiles(spark, cur)
     val data = dataFiles(cur)
     val sized = data.map(p => p -> new File(dataRootPath, p).length())
     // `scope` (the OPTIMIZE … WHERE shape): only in-scope files are
     // candidates for the repack; everything else is carried untouched
     val smalls = sized.filter(_._2 < targetBytes).map(_._1)
-      .filter(p => scope.forall(_.contains(p)))
+      .filter(p => scope.forall(_.contains(p)) && !masked.contains(p))
     if (smalls.size < 2) return (cur, (0, 0))
     val carried = files(cur).filterNot(smalls.toSet)
     val smallBytes = sized.filter(_._2 < targetBytes).map(_._2).sum
@@ -1231,12 +1253,33 @@ class SnapshotLog(
       sortCols: Seq[org.apache.spark.sql.Column],
       partitions: Int): DataFrame = {
     import org.apache.spark.sql.functions._
-    if (sortCols.size <= 1)
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    // the linear z-bucketing below needs a NUMERIC axis per column —
+    // dates map to epoch-day, timestamps to epoch-second; anything else
+    // (strings, binaries) has no meaningful linear min/max (a string's
+    // lexicographic bounds cast to NaN/NULL, bucketing EVERY row to cell
+    // 0 and funneling the whole rewrite into one partition), so a mixed
+    // or non-numeric key set falls back to the lexicographic multi-
+    // column range sort — trailing columns prune worse, but every file
+    // still gets a disjoint leading-key range and correctness is exact
+    lazy val numericAxes: Option[Seq[org.apache.spark.sql.Column]] = {
+      val fields = df.select(sortCols: _*).schema.fields
+      val axes = fields.zip(sortCols).map {
+        case (f, c) => f.dataType match {
+          case _: NumericType => Some(c.cast("double"))
+          case DateType => Some(unix_date(c).cast("double"))
+          case TimestampType => Some(c.cast("double"))
+          case _ => None
+        }
+      }
+      if (axes.forall(_.isDefined)) Some(axes.map(_.get).toSeq) else None
+    }
+    if (sortCols.size <= 1 || numericAxes.isEmpty)
       df.repartitionByRange(partitions, sortCols: _*)
         .sortWithinPartitions(sortCols: _*)
     else {
-      val aggs = sortCols.flatMap(c =>
-        Seq(min(c).cast("double"), max(c).cast("double")))
+      val axes = numericAxes.get
+      val aggs = axes.flatMap(c => Seq(min(c), max(c)))
       val stats = df.agg(aggs.head, aggs.tail: _*).head()
       // bits per column shrink with dimensionality so the interleaved
       // z-value stays inside 31 bits (never drop HIGH bucket bits — that
@@ -1244,14 +1287,14 @@ class SnapshotLog(
       val n = sortCols.size
       val bits = math.max(1, math.min(8, 31 / n))
       val cells = 1 << bits
-      val bucketed = sortCols.zipWithIndex.map { case (c, i) =>
+      val bucketed = axes.zipWithIndex.map { case (c, i) =>
         if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1)) lit(0)
         else {
           val lo = stats.getDouble(2 * i)
           val hi = stats.getDouble(2 * i + 1)
           val width = math.max(hi - lo, 1e-12)
           coalesce(least(lit(cells - 1), greatest(lit(0),
-            floor((c.cast("double") - lit(lo)) / lit(width) * cells.toDouble)
+            floor((c - lit(lo)) / lit(width) * cells.toDouble)
               .cast("int"))), lit(0))
         }
       }
@@ -1966,6 +2009,61 @@ class SnapshotLog(
     v
   }
 
+  /** `ALTER TABLE … ADD COLUMNS` for a COLUMN-MAPPED table — ONE
+    * metadata-only commit minting fresh `c<n>` physical ids (the
+    * [[appendMapped]] discipline, without waiting for first data): the
+    * mapping gains (logical → minted-physical) pairs, the DECLARED
+    * schema gains the minted PHYSICAL fields (the invariant every mapped
+    * DML path pins its scan on), and the base-type line records the
+    * types so mapped scans keep planning from metadata alone. Existing
+    * files lack the ids physically and serve typed NULL — exactly the
+    * Delta mapped-evolution shape. Re-adding a DROPPED logical name is
+    * safe here by construction: the fresh id never matches the retired
+    * one, so ghost values cannot resurrect.
+    */
+  def addColumnsMapped(
+      spark: SparkSession,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Long = {
+    require(cols.nonEmpty, "addColumnsMapped: need at least one column to add")
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"addColumnsMapped: no committed snapshot at $root"))
+    val (next0, pairs) = columnMapping(cur).getOrElse(throw new IllegalStateException(
+      s"addColumnsMapped: column mapping is not enabled at $root — use addColumns"))
+    val ds = declaredSchema(cur).getOrElse(throw new IllegalStateException(
+      s"addColumnsMapped: $root declares no schema — the mapped DML scan " +
+        "needs the physical-id pin; create the table first"))
+    val taken = scala.collection.mutable.Set(
+      pairs.map(_._1.toLowerCase(java.util.Locale.ROOT)): _*)
+    cols.foreach { case (n, _) =>
+      require(n != "_file" && n != "_pos",
+        s"addColumnsMapped: $n collides with the reserved address columns")
+      require(taken.add(n.toLowerCase(java.util.Locale.ROOT)),
+        s"addColumnsMapped: column $n already exists (names are case-insensitive)")
+    }
+    var next = next0
+    val minted = cols.map { case (n, t) =>
+      val p = s"c$next"; next += 1; (n, p, t)
+    }
+    val evolved = org.apache.spark.sql.types.StructType(
+      ds.fields ++ minted.map { case (_, p, t) =>
+        org.apache.spark.sql.types.StructField(p, t, nullable = true) })
+    val newTypes = minted.flatMap { case (_, p, t) =>
+      val ddl = t.sql.toLowerCase(java.util.Locale.ROOT)
+      if ((p + ddl).exists(c => c == ',' || c == '>' || c == '|' || c == '=' ||
+          c == '\n' || c == '\r')) None
+      else Some(p -> ddl)
+    }
+    val withMap = withMeta(
+      withMeta(files(cur), ColMapKey,
+        renderColMap(next, pairs ++ minted.map { case (l, p, _) => (l, p) })),
+      "schema", evolved.json)
+    commit(Some(cur),
+      if (newTypes.isEmpty) withMap
+      else withMeta(withMap, BaseTypesKey,
+        (columnBaseTypes(cur) ++ newTypes).toSeq.sorted
+          .map { case (p, t) => s"$p>$t" }.mkString(",")))
+  }
+
   /** [[read]] under column mapping: scan the snapshot's physical files
     * (schemas merged — files predating an ADD COLUMN serve nulls) and
     * project to the snapshot's LOGICAL schema in mapping order. A column
@@ -2106,25 +2204,39 @@ class SnapshotLog(
 
   // ───────────────────────── table statistics ─────────────────────────
 
-  /** ANALYZE TABLE under the log: one aggregate pass computes the row
-    * count and EXACT per-column distinct counts (NDV) for `cols`, and
+  /** ANALYZE TABLE under the log: ONE aggregate pass computes the row
+    * count and per-column distinct counts (NDV) for `cols`, and
     * commits them as a `tablestats` meta line — versioned WITH the
     * snapshot (stats from v3 never describe v7; RESTORE brings the old
-    * stats back with the old data). One table-sized pass, run explicitly
-    * as maintenance like every ANALYZE; readers get the numbers for free
+    * stats back with the old data). NDVs are APPROXIMATE by default
+    * (HLL++ sketches, ~2% rsd — a true single partial-aggregation pass;
+    * multi-column exact NDVs would plan an Expand, an N× input blowup
+    * at 100 TB); `exact = true` restores the exact pass for callers
+    * that pin equality. One table-sized pass, run explicitly as
+    * maintenance like every ANALYZE; readers get the numbers for free
     * from metadata. Serialized `rows|col>ndv,col>ndv` — the
     * cost-based-optimizer inputs ([[StatsOptimizer.statsJoin]] consumes
     * them for the broadcast-side decision).
     */
-  def analyze(spark: SparkSession, cols: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.{count, countDistinct, lit, col => c}
+  def analyze(spark: SparkSession, cols: Seq[String], exact: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, count, countDistinct, lit, col => c}
     require(cols.nonEmpty, "analyze: need at least one column")
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"analyze: no committed snapshot at $root"))
     val data = read(spark, cur)
+    // DEFAULT APPROXIMATE (HLL++, ~2% rsd): multi-column EXACT NDVs plan
+    // as an Expand — N copies of every input row through the aggregate,
+    // an N× blowup at 100 TB — where the sketches ride ONE single-pass
+    // partial aggregation. CBO consumers (broadcast-side choice) only
+    // need the magnitude; `exact = true` keeps the old plan for callers
+    // that truly need equality.
     val aggs = count(lit(1)).as("__rows") +:
-      cols.map(n => countDistinct(c(n)).as(s"__ndv_$n"))
-    val row = data.agg(aggs.head, aggs.tail: _*).head()
+      cols.map(n =>
+        (if (exact) countDistinct(c(n))
+         else approx_count_distinct(c(n), 0.02)).as(s"__ndv_$n"))
+    val agged = data.agg(aggs.head, aggs.tail: _*)
+    SnapshotLog.lastAnalyzePlan = agged.queryExecution.executedPlan.toString
+    val row = agged.head()
     val rows = row.getLong(0)
     val ndvs = cols.zipWithIndex.map { case (n, i) => (n, row.getLong(i + 1)) }
     ndvs.foreach { case (n, _) =>
@@ -2312,8 +2424,15 @@ class SnapshotLog(
                 tpe == PrimitiveTypeName.INT32) &&
                 (logical == null || logical.isInstanceOf[
                   org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+              // DATE columns are INT32 epoch-days under the hood — their
+              // footer stats record as that integral axis, so date-range
+              // scopes (OPTIMIZE … WHERE d >= DATE '…') prune on the
+              // same [lo, hi] machinery as any long column
+              val isDate = tpe == PrimitiveTypeName.INT32 &&
+                logical != null && logical.isInstanceOf[
+                  org.apache.parquet.schema.LogicalTypeAnnotation.DateLogicalTypeAnnotation]
               val st = c.getStatistics
-              if (!isPlainInt) ()
+              if (!isPlainInt && !isDate) ()
               else if (st == null || !st.hasNonNullValue() || st.isEmpty) {
                 poisoned += name; ()
               } else {
@@ -2378,7 +2497,14 @@ class SnapshotLog(
     import spark.implicits._
     val stats = staged.flatMap { p =>
       val one = spark.read.parquet(new File(dataRootPath, p).toString)
-      statsCols.map { c =>
+      // min/max ranges exist only on the integral axis: non-numeric
+      // stats columns (a string member of a compound merge key) record
+      // nothing — consumers treat the file as full-range for them, and
+      // under ANSI a string→long cast would fail the stage outright
+      val numeric = one.schema.fields
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        .map(_.name).toSet
+      statsCols.filter(numeric.contains).map { c =>
         val r = one.agg(smin(col(c)).cast("long"), smax(col(c)).cast("long")).head()
         (p, c,
           if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
@@ -2386,9 +2512,10 @@ class SnapshotLog(
       }
     }
     val dir = new File(dataRootPath, staged.head).getParentFile
-    stats.toDF("file", "col", "lo", "hi")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(new File(dir, "_stats.parquet").toString)
+    if (stats.nonEmpty)
+      stats.toDF("file", "col", "lo", "hi")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new File(dir, "_stats.parquet").toString)
     staged
   }
 
@@ -2580,9 +2707,41 @@ class SnapshotLog(
       // redelivered batches; a no-change merge commits nothing (a
       // redelivery of it re-runs to the same no-change, idempotent)
       txn: Option[(String, Long)] = None)
+      : (Long, (Long, Long, Long), (Int, Int)) =
+    mergeIntoKeys(source, Seq(keyCol), updateWhen, updateSet, deleteWhen,
+      insertNotMatched, deleteNotMatchedBySource, checks, insertWhen, txn)
+
+  /** [[mergeInto]] generalized two ways:
+    *
+    *   - `keyCols` — a COMPOUND merge key: the join, the uniqueness
+    *     check, the insert anti-join, and the staged stats all run over
+    *     the column tuple (the business-key MERGE every warehouse needs;
+    *     rewrite-scope pruning stays stats-driven on the LEADING key —
+    *     trailing keys refine matches, not candidacy).
+    *   - `sourceExtras` — source columns BEYOND the target schema
+    *     (a CDC delete indicator, a change-type tag): visible to clause
+    *     conditions as `src_<name>` (and by bare name in `insertWhen`,
+    *     which evaluates over the raw source), NEVER written — every
+    *     staged row image projects exactly the target columns.
+    */
+  def mergeIntoKeys(
+      source: DataFrame,
+      keyCols: Seq[String],
+      updateWhen: Option[org.apache.spark.sql.Column] = None,
+      updateSet: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      insertNotMatched: Boolean = false,
+      deleteNotMatchedBySource: Option[org.apache.spark.sql.Column] = None,
+      checks: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      insertWhen: Option[org.apache.spark.sql.Column] = None,
+      txn: Option[(String, Long)] = None,
+      sourceExtras: Set[String] = Set.empty)
       : (Long, (Long, Long, Long), (Int, Int)) = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, sum, when}
     val spark = source.sparkSession
+    require(keyCols.nonEmpty, "mergeInto: need at least one key column")
+    require(keyCols.distinct == keyCols,
+      s"mergeInto: duplicate key columns in ${keyCols.mkString(", ")}")
     require(updateWhen.isDefined == updateSet.nonEmpty,
       "mergeInto: updateWhen and updateSet come together (use lit(true) for unconditional)")
     require(updateWhen.isDefined || deleteWhen.isDefined || insertNotMatched ||
@@ -2602,31 +2761,47 @@ class SnapshotLog(
     require(tombstoneFiles(cur).isEmpty,
       "mergeInto: compact() key tombstones before merging (position deletes compose)")
     val baseCols = read(spark, cur).columns.toSeq
-    require(source.columns.toSeq.sorted == baseCols.sorted,
-      s"mergeInto: source schema ${source.columns.toSeq.sorted} != target ${baseCols.sorted}")
+    require(sourceExtras.intersect(baseCols.toSet).isEmpty,
+      s"mergeInto: sourceExtras ${sourceExtras.mkString(", ")} collide with " +
+        "target columns")
+    require(source.columns.toSeq.sorted == (baseCols ++ sourceExtras).sorted,
+      s"mergeInto: source schema ${source.columns.toSeq.sorted} != target " +
+        s"${(baseCols ++ sourceExtras).sorted}")
+    require(keyCols.forall(baseCols.contains),
+      s"mergeInto: key column(s) ${keyCols.filterNot(baseCols.contains).mkString(", ")} " +
+        s"not in target schema (${baseCols.mkString(", ")})")
+    require(!keyCols.exists(sourceExtras.contains),
+      "mergeInto: a key column cannot be a sourceExtra")
     require(!baseCols.exists(c => c.startsWith("src_") || c == "__matched"),
       "mergeInto: target columns must not be named src_* or __matched")
     // the source batch feeds four consumers (uniqueness check, rewrite
     // scope probe, the join, the insert anti-join) — pin ONE evaluation
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srcCounts = src.agg(
-      count(lit(1)), org.apache.spark.sql.functions.countDistinct(col(keyCol))).head()
+      count(lit(1)),
+      org.apache.spark.sql.functions.countDistinct(
+        keyCols.head, keyCols.tail: _*)).head()
     require(srcCounts.getLong(0) == srcCounts.getLong(1),
-      s"mergeInto: source keys must be unique on $keyCol — " +
+      s"mergeInto: source keys must be unique on (${keyCols.mkString(", ")}) — " +
         s"${srcCounts.getLong(0)} rows, ${srcCounts.getLong(1)} distinct (ambiguous matches)")
 
-    // rewrite scope: stats-pruned unless a NOT-MATCHED-BY-SOURCE clause
-    // puts every target row in play
+    // rewrite scope: stats-pruned on the LEADING key unless a
+    // NOT-MATCHED-BY-SOURCE clause puts every target row in play
+    // (trailing compound keys refine match identity, not file candidacy
+    // — a file whose leading-key range misses every source key cannot
+    // hold a matched row)
+    val headNumeric = source.schema.fields.find(_.name == keyCols.head)
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     val rewrite: Seq[String] =
-      if (deleteNotMatchedBySource.isDefined) dataFiles(cur)
+      if (deleteNotMatchedBySource.isDefined || !headNumeric) dataFiles(cur)
       else {
-        val ranges = fileRanges(spark, cur, keyCol)
+        val ranges = fileRanges(spark, cur, keyCols.head)
         val alwaysRewrite = ranges.collect { case (p, None) => p }
         val statted = ranges.collect { case (p, Some((lo, hi))) => (p, lo, hi) }
         import spark.implicits._
         val hit =
           if (statted.isEmpty) Seq.empty[String]
-          else src.select(col(keyCol).cast("long").as("k")).distinct()
+          else src.select(col(keyCols.head).cast("long").as("k")).distinct()
             .join(broadcast(statted.toDF("file", "lo", "hi")),
               col("k") >= col("lo") && col("k") <= col("hi"))
             .select("file").distinct().as[String].collect().toSeq
@@ -2656,7 +2831,8 @@ class SnapshotLog(
     // times — three redundant scans of the rewrite scope at 100 TB, and
     // a nondeterministic source could commit metrics and images
     // describing different row sets)
-    val joined = tgt.join(srcPref, col(keyCol) === col(s"src_$keyCol"), "left_outer")
+    val joined = tgt.join(srcPref,
+        keyCols.map(k => col(k) === col(s"src_$k")).reduce(_ && _), "left_outer")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val matched = coalesce(col("__matched"), lit(false))
@@ -2709,7 +2885,8 @@ class SnapshotLog(
     val inserts =
       if (!insertNotMatched) None
       else Some(guardChecks(src
-        .join(read(spark, cur).select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .join(read(spark, cur).select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
         .where(insertWhen.getOrElse(lit(true)))
         .select(baseCols.map(col): _*), lit(true)))
     val nIns = inserts.map(_.count()).getOrElse(0L)
@@ -2719,7 +2896,7 @@ class SnapshotLog(
       // a merge that deletes the entire rewrite scope stages nothing
       val staged =
         if (out.limit(1).count() == 0L) Seq.empty[String]
-        else stageIndexed(out, Seq(keyCol))
+        else stageIndexed(out, keyCols)
       // pos-delete and deletion-vector lines ride forward: still masking
       // the untouched files, inert against the rewritten ones
       val posDelLines = files(cur).filter(l =>
@@ -3118,7 +3295,7 @@ class SnapshotLog(
         Option(branchesDir.listFiles()).getOrElse(Array.empty).isEmpty,
       s"vacuum: branches exist under $root and share this data pool; use " +
         "SnapshotLog.vacuumShared over the parent and every branch")
-    sweepOrphans(liveFiles)
+    sweepOrphans(liveFiles, liveLedgerIds)
   }
 
   /** What [[vacuum]] WOULD delete, touching nothing — the dry run every
@@ -3144,8 +3321,12 @@ class SnapshotLog(
         vs
       case None => versions
     }
+    val liveLedgers = retained.flatMap(v =>
+      metaValues(v).get(CopyLedgerKey).toSeq
+        .flatMap(_.split(',')).filter(_.nonEmpty)).toSet
     listOrphans(retained.flatMap(v =>
-      dataFiles(v) ++ tombstoneFiles(v) ++ posDeleteFiles(v) ++ dvFiles(v)).toSet)
+      dataFiles(v) ++ tombstoneFiles(v) ++ posDeleteFiles(v) ++ dvFiles(v)).toSet) ++
+      orphanLedgerDirs(liveLedgers).map(d => s"data/_copyledger/${d.getName}")
   }
 
   /** All data/tombstone relative paths any live version of THIS log still
@@ -3154,6 +3335,27 @@ class SnapshotLog(
   private[sources] def liveFiles: Set[String] =
     versions.flatMap(v =>
       dataFiles(v) ++ tombstoneFiles(v) ++ posDeleteFiles(v) ++ dvFiles(v)).toSet
+
+  /** COPY INTO ledger ids any live version's `copyledgers` meta still
+    * references — the per-log contribution to the ledger sweep. The meta
+    * value is cumulative (each COPY appends its id), so committed
+    * ledgers stay referenced for the life of the chain; only ABORTED
+    * stages (a crash before the commit, each losing side of an OCC
+    * retry) ever fall out of this set.
+    */
+  private[sources] def liveLedgerIds: Set[String] =
+    versions.flatMap(v => metaValues(v).get(CopyLedgerKey).toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty)).toSet
+
+  /** The `_copyledger/<uuid>` staging dirs referenced by NO live
+    * version — a crashed or OCC-retried COPY INTO leaves one per lost
+    * attempt, and nothing else ever collects them (the orphan walk
+    * skips underscore dirs by design).
+    */
+  private def orphanLedgerDirs(liveLedgers: Set[String]): Seq[File] =
+    Option(new File(dataDir, "_copyledger").listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !liveLedgers.contains(d.getName))
+      .toSeq.sortBy(_.getName)
 
   private[sources] def branchesDir = new File(root, "branches")
 
@@ -3177,10 +3379,22 @@ class SnapshotLog(
           .filterNot(live.contains)
       }.toSeq.sorted
 
-  private[sources] def sweepOrphans(live: Set[String]): Seq[String] = {
-    val writeDirs = Option(dataDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+  private[sources] def sweepOrphans(
+      live: Set[String], liveLedgers: Set[String] = Set.empty): Seq[String] = {
+    val writeDirs = Option(dataDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !d.getName.startsWith("_"))
     val orphans = listOrphans(live)
     orphans.foreach(p => new File(dataRootPath, p).delete())
+    // ledger stages referenced by no retained version (aborted COPY INTO
+    // attempts) are an unbounded on-disk leak without this sweep
+    val deadLedgers = orphanLedgerDirs(liveLedgers)
+    deadLedgers.foreach { d =>
+      def rm(f: File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
     // a write dir with no DATA parquet left holds only markers/sidecars —
     // clear it so the data tree shrinks with the snapshots
     writeDirs.foreach { d =>
@@ -3195,7 +3409,7 @@ class SnapshotLog(
         d.delete()
       }
     }
-    orphans
+    orphans ++ deadLedgers.map(d => s"data/_copyledger/${d.getName}")
   }
 
   /** Wipe and re-init the log root — test/fixture reset ONLY (the Verify
@@ -3218,6 +3432,12 @@ class SnapshotLog(
 
 object SnapshotLog {
 
+  /** Test probe: executed-plan string of the most recent [[analyze]]
+    * aggregation — lets a spec pin the single-pass (no Expand) shape of
+    * the approximate-NDV route without widening the signature.
+    */
+  @volatile private[graft] var lastAnalyzePlan: String = ""
+
   /** Orphan collection over a SHARED data pool: the union of every
     * chain's live set protects a file if ANY ref (parent or branch)
     * still references it. The caller must pass every log sharing the
@@ -3230,6 +3450,7 @@ object SnapshotLog {
     require(logs.forall(_.dataRootPath == pool),
       s"vacuumShared: all logs must share one data pool, got " +
         logs.map(_.dataRootPath).distinct.mkString(", "))
-    logs.head.sweepOrphans(logs.flatMap(_.liveFiles).toSet)
+    logs.head.sweepOrphans(logs.flatMap(_.liveFiles).toSet,
+      logs.flatMap(_.liveLedgerIds).toSet)
   }
 }

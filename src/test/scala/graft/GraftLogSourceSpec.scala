@@ -737,4 +737,229 @@ class GraftLogSourceSpec extends AnyFunSuite {
         s"wrong failure: ${died.getMessage}")
     } finally q.stop()
   }
+
+  test("skipChangeCommits still serves the initial snapshot of a masked base table") {
+    val log = freshLog("t_skipcc_init")
+    log.append((0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v"), 1)
+    // a merge-on-read delete puts mask lines into the listing...
+    log.deleteWhere(spark, col("id") < 3L)
+    // ...and expire makes THAT listing the oldest retained version — the
+    // stream's initial snapshot now carries masks
+    log.expire(keepFrom = log.currentVersion.get)
+    val q = spark.readStream
+      .format("graft-log").option("root", log.root)
+      .option("skipChangeCommits", "true").load()
+      .writeStream.format("memory").queryName("logsrc_skipcc_init")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the base table serves MASKED (7 rows), not zero (the silent-drop
+      // hazard) and not 10 (resurrected deletes)
+      assert(spark.table("logsrc_skipcc_init").count() == 7L,
+        "the initial snapshot must serve the masked base table")
+      assert(spark.table("logsrc_skipcc_init").where(col("id") < 3L).count() == 0L)
+      // later appends keep serving; later change commits skip as before
+      log.append(Seq((20L, 20L)).toDF("id", "v"), 1)
+      q.processAllAvailable()
+      assert(spark.table("logsrc_skipcc_init").count() == 8L)
+      log.deleteWhere(spark, col("id") === 4L)
+      log.append(Seq((21L, 21L)).toDF("id", "v"), 1)
+      q.processAllAvailable()
+      assert(spark.table("logsrc_skipcc_init").count() == 9L,
+        "mid-stream change commits still skip; appends still serve")
+    } finally q.stop()
+  }
+
+  test("the autoCompactEveryBatches spelling drives sink auto-compaction") {
+    val src = freshLog("t_acname_src")
+    val dst = freshLog("t_acname_dst")
+    dst.createEmpty(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType))))
+    (0 until 4).foreach { i =>
+      src.append(Seq((i.toLong, i.toLong)).toDF("id", "v"), 1); ()
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_acname_")
+    val q = spark.readStream
+      .format("graft-log").option("root", src.root)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format("graft-log")
+      .option("root", dst.root)
+      .option("autoCompact", "true").option("autoCompactEveryBatches", "2")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(dst.dataFiles(dst.currentVersion.get).size < 4,
+      "compaction must fire under the new option name")
+    assert(dst.readLatest(spark).count() == 4L)
+  }
+
+  test("upsert sink applies CDC deletes via deleteIndicator; redelivery is a no-op") {
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+    val src = freshLog("t_cdcdel_src")
+    val dst = freshLog("t_cdcdel_dst")
+    dst.createEmpty(StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    // commit 1: insert 0..9; commit 2: update 0..2 (+100); commit 3:
+    // delete 4..6; commit 4: insert 20..22 + delete absent key 99 (no-op)
+    def feed(rows: Seq[(Long, Long, Boolean)]) =
+      src.append(rows.toDF("id", "v", "_del"), partitions = 1)
+    feed((0L until 10L).map(i => (i, i * 10L, false)))
+    feed((0L until 3L).map(i => (i, i * 10L + 100L, false)))
+    feed((4L until 7L).map(i => (i, 0L, true)))
+    feed(Seq((20L, 200L, false), (21L, 210L, false), (22L, 220L, false),
+      (99L, 0L, true)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcdel_")
+    val q = spark.readStream
+      .format("graft-log").option("root", src.root)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format("graft-log")
+      .option("root", dst.root)
+      .option("mergeKey", "id").option("deleteIndicator", "_del")
+      .option("appId", "cdcdel")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    val lastBatch =
+      try { q.processAllAvailable(); q.recentProgress.map(_.batchId).max }
+      finally q.stop()
+    val got = dst.readLatest(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = ((0L until 10L).map(i => i -> (i * 10L)).toMap
+      ++ (0L until 3L).map(i => i -> (i * 10L + 100L)).toMap
+      -- (4L until 7L)) ++ Map(20L -> 200L, 21L -> 210L, 22L -> 220L)
+    assert(got == want, s"got $got\nwant $want")
+    // the indicator column itself never lands in the destination
+    assert(dst.readLatest(spark).columns.toSeq == Seq("id", "v"))
+    // REDELIVERY of the last (delete-carrying) batch: same appId + same
+    // batchId → the txn watermark skips it, version count pinned
+    val vBefore = dst.currentVersion.get
+    val sink = new graft.sources.GraftLogSink(dst, Some("cdcdel"), 1,
+      complete = false, mergeKey = Some("id"), deleteIndicator = Some("_del"))
+    sink.addBatch(lastBatch,
+      Seq((20L, 200L, false), (21L, 210L, false), (22L, 220L, false),
+        (99L, 0L, true)).toDF("id", "v", "_del"))
+    assert(dst.currentVersion.contains(vBefore),
+      "a redelivered CDC batch must be an idempotent skip")
+    // deleteIndicator without mergeKey refuses loudly
+    intercept[IllegalArgumentException] {
+      new graft.sources.GraftLogSink(dst, Some("x"), 1, complete = false,
+        deleteIndicator = Some("_del"))
+        .addBatch(999L, Seq((1L, 1L, false)).toDF("id", "v", "_del"))
+    }
+  }
+
+  test("upsert sink merges into a column-mapped destination in physical names") {
+    val dstRoot = s"$root/t_upsmap_dst"
+    spark.conf.set("spark.sql.catalog.graftups", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftups.root", root)
+    spark.sql("DROP TABLE IF EXISTS graftups.t_upsmap_dst")
+    spark.sql("CREATE TABLE graftups.t_upsmap_dst (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftups.t_upsmap_dst SELECT id, id * 10 AS v FROM range(10)")
+    spark.sql("ALTER TABLE graftups.t_upsmap_dst RENAME COLUMN v TO w")
+    val dst = new graft.sources.SnapshotLog(dstRoot)
+    val src = freshLog("t_upsmap_src")
+    // the feed speaks the LOGICAL post-rename name
+    src.append((5L until 12L).map(i => (i, i * 1000L)).toDF("id", "w"), 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsmap_")
+    val q = spark.readStream
+      .format("graft-log").option("root", src.root).load()
+      .writeStream.format("graft-log")
+      .option("root", dstRoot).option("mergeKey", "id")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // no fresh physical id; updates landed in the SAME physical column
+    assert(dst.columnMapping(dst.currentVersion.get).get._2.toSet ==
+      Set("id" -> "id", "w" -> "v"))
+    val got = dst.readMapped(spark, dst.currentVersion.get).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = (0L until 5L).map(i => i -> i * 10L).toMap ++
+      (5L until 12L).map(i => i -> i * 1000L).toMap
+    assert(got == want, s"got $got")
+    // the catalog SQL read agrees (same translating facade)
+    assert(spark.sql("SELECT sum(w) FROM graftups.t_upsmap_dst").head().getLong(0) ==
+      want.values.sum)
+  }
+
+  test("widened mapped tables stream through the pinned physical schema") {
+    spark.conf.set("spark.sql.catalog.graftws", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftws.root", root)
+    spark.sql("DROP TABLE IF EXISTS graftws.t_widestream")
+    spark.sql("CREATE TABLE graftws.t_widestream (id BIGINT, v INT, u INT)")
+    spark.sql("INSERT INTO graftws.t_widestream " +
+      "SELECT id, CAST(id AS INT) AS v, CAST(id AS INT) AS u FROM range(5)")
+    spark.sql("ALTER TABLE graftws.t_widestream RENAME COLUMN v TO amount")
+    spark.sql("ALTER TABLE graftws.t_widestream ALTER COLUMN amount TYPE BIGINT")
+    spark.sql("INSERT INTO graftws.t_widestream " +
+      "SELECT id + 5, CAST((id + 5) * 1000000000000 AS BIGINT) AS amount, " +
+      "CAST(id AS INT) AS u FROM range(5)")
+    val log = new graft.sources.SnapshotLog(s"$root/t_widestream")
+    val q = spark.readStream
+      .format("graft-log").option("root", log.root).load()
+      .writeStream.format("memory").queryName("logsrc_widestream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val sunk = spark.table("logsrc_widestream")
+      assert(sunk.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ==
+        Seq(("id", "BIGINT"), ("amount", "BIGINT"), ("u", "INT")),
+        "the stream serves the widened LOGICAL schema")
+      // hash-equal to the batch read: narrow pre-widening files up-cast
+      val batch = spark.sql("SELECT * FROM graftws.t_widestream")
+      assert(sunk.exceptAll(batch).count() == 0 && batch.exceptAll(sunk).count() == 0)
+      // a widening declared MID-STREAM refuses loudly (fail-once; a
+      // restart on the same checkpoint re-pins the widened types)
+      spark.sql("ALTER TABLE graftws.t_widestream ALTER COLUMN u TYPE BIGINT")
+      spark.sql("INSERT INTO graftws.t_widestream VALUES (100, 100, 100)")
+      val died = intercept[Exception] { q.processAllAvailable() }
+      // either guard is the right refusal: the declared-schema handshake
+      // (widenings applied) or the explicit widening pin
+      def anywhere(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(m => m.contains("widened column type") ||
+          m.contains("evolved mid-stream")) || anywhere(t.getCause))
+      assert(anywhere(died), s"wrong failure: ${died.getMessage}")
+    } finally q.stop()
+  }
+
+  test("sink auto-compaction keeps firing through interleaved DML on the destination") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val src = freshLog("t_acdml_src")
+    val dst = freshLog("t_acdml_dst")
+    dst.createEmpty(StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    (0 until 3).foreach { i =>
+      src.append((i * 10 until i * 10 + 10).map(j => (j.toLong, j.toLong))
+        .toDF("id", "v"), 1); ()
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_acdml_")
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft-log").option("root", src.root)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.format("graft-log")
+        .option("root", dst.root)
+        .option("autoCompact", "true").option("autoCompactEveryBatches", "2")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    // DML between triggers: a merge-on-read delete masks one sunk file
+    dst.deleteWhere(spark, col("id") === 0L)
+    assert(dst.posDeleteFiles(dst.currentVersion.get).nonEmpty)
+    // more backlog; the next compaction tick must FIRE (not stall on the
+    // mask): unmasked smalls repack, the masked file carries with its mask
+    (3 until 6).foreach { i =>
+      src.append((i * 10 until i * 10 + 10).map(j => (j.toLong, j.toLong))
+        .toDF("id", "v"), 1); ()
+    }
+    drain()
+    val cur = dst.currentVersion.get
+    assert(dst.posDeleteFiles(cur).nonEmpty, "the mask must survive the repack")
+    assert(dst.dataFiles(cur).size < 6,
+      s"auto-compaction must have fired under the mask, got ${dst.dataFiles(cur).size} files")
+    assert(dst.readLatest(spark).count() == 59L, "content: 60 sunk minus 1 deleted")
+  }
 }

@@ -221,4 +221,87 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("widening"), ex.getMessage)
   }
+
+  test("MERGE ON compound and differently-named business keys") {
+    val log = freshLog("t_mrg_ck")
+    log.append(
+      Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "a", 30L), (2L, "b", 40L))
+        .toDF("k1", "k2", "v"), partitions = 1)
+    registerCatalog()
+    Seq((1L, "b", 200L), (2L, "c", 300L)).toDF("k1", "k2", "v")
+      .createOrReplaceTempView("ck_src")
+    // two-column key: only the exact (k1, k2) tuple matches
+    val r = GraftSqlDml.exec(spark,
+      """MERGE INTO graftdml.t_mrg_ck t USING ck_src s
+        |ON t.k1 = s.k1 AND t.k2 = s.k2
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(r.rowsUpdated == 1L && r.rowsInserted == 1L, r.toString)
+    val got = log.readLatest(spark)
+      .collect().map(x => ((x.getLong(0), x.getString(1)), x.getLong(2))).toMap
+    assert(got == Map((1L, "a") -> 10L, (1L, "b") -> 200L,
+      (2L, "a") -> 30L, (2L, "b") -> 40L, (2L, "c") -> 300L), got.toString)
+    // differently-named single key: ON t.k = s.sk (source reshaped so the
+    // log merge joins on the target spelling)
+    val log2 = freshLog("t_mrg_dk")
+    log2.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), partitions = 1)
+    Seq((2L, 200L), (3L, 300L)).toDF("sk", "v").createOrReplaceTempView("dk_src")
+    val r2 = GraftSqlDml.exec(spark,
+      """MERGE INTO graftdml.t_mrg_dk t USING dk_src s ON t.k = s.sk
+        |WHEN MATCHED AND s.sk > 1 THEN UPDATE SET t.v = s.v""".stripMargin)
+    assert(r2.rowsUpdated == 1L, r2.toString)
+    val got2 = log2.readLatest(spark).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got2 == Map(1L -> 10L, 2L -> 200L), got2.toString)
+    // refusals: a non-equality term, and an ON term with both sides on
+    // one relation, stay loud
+    intercept[UnsupportedOperationException] {
+      GraftSqlDml.exec(spark,
+        """MERGE INTO graftdml.t_mrg_dk t USING dk_src s ON t.k >= s.sk
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    }
+    intercept[UnsupportedOperationException] {
+      GraftSqlDml.exec(spark,
+        """MERGE INTO graftdml.t_mrg_dk t USING dk_src s ON s.sk = s.v
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    }
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION on a column-mapped target mints physical ids") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdml.t_evomap")
+    spark.sql("CREATE TABLE graftdml.t_evomap (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftdml.t_evomap SELECT id, id * 10 AS v FROM range(10)")
+    spark.sql("ALTER TABLE graftdml.t_evomap RENAME COLUMN v TO w")
+    val log = new SnapshotLog(s"$root/t_evomap")
+    val vPre = log.currentVersion.get
+    spark.range(10).selectExpr("id + 5 AS id", "(id + 5) * 10 AS w",
+        "concat('t-', id) AS tag")
+      .createOrReplaceTempView("evomap_src")
+    val r = GraftSqlDml.exec(spark,
+      """MERGE WITH SCHEMA EVOLUTION INTO graftdml.t_evomap t USING evomap_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(r.rowsUpdated == 5L && r.rowsInserted == 5L, r.toString)
+    // the evolution commit is metadata-only and mints a FRESH physical id
+    assert(log.dataFiles(vPre + 1L) == log.dataFiles(vPre),
+      "mapped schema evolution must not move data")
+    val pairs = log.columnMapping(log.currentVersion.get).get._2.toMap
+    assert(pairs("w") == "v" && pairs.contains("tag") && pairs("tag") != "tag",
+      s"the evolved column must mint a physical id, got $pairs")
+    // the declared schema carries the physical id (the DML scan pin)
+    assert(log.declaredSchema(log.currentVersion.get).get
+      .fieldNames.contains(pairs("tag")))
+    val got = log.readMapped(spark, log.currentVersion.get)
+    assert(got.columns.toSeq == Seq("id", "w", "tag"))
+    assert(got.count() == 15L)
+    assert(got.where(col("id") === 7).head().getAs[String]("tag") == "t-2")
+    assert(got.where(col("id") === 3).head().isNullAt(2),
+      "pre-evolution unmatched rows serve typed NULL")
+    // a mapped UPDATE can now address the minted column by logical name
+    val u = GraftSqlDml.exec(spark,
+      "UPDATE graftdml.t_evomap SET tag = 'fixed' WHERE id = 3")
+    assert(u.rowsUpdated == 1L, u.toString)
+  }
 }

@@ -250,8 +250,8 @@ class SnapshotDmlSpec extends AnyFunSuite {
     dim.append((0 until 10).map(i => (i.toLong, s"t${i % 3}")).toDF("k", "tier"), 1)
     // stats missing → refused loudly, never guessed
     intercept[IllegalStateException] { StatsOptimizer.statsJoin(spark, dim, fact, "k") }
-    fact.analyze(spark, Seq("k"))
-    dim.analyze(spark, Seq("k"))
+    fact.analyze(spark, Seq("k"), exact = true)
+    dim.analyze(spark, Seq("k"), exact = true)
     val fv = fact.currentVersion.get
     assert(fact.tableStats(fv).contains((100L, Map("k" -> 10L))))
     assert(dim.tableStats(dim.currentVersion.get).contains((10L, Map("k" -> 10L))))
@@ -271,7 +271,7 @@ class SnapshotDmlSpec extends AnyFunSuite {
       StatsOptimizer.statsJoin(spark, dim, fact, "k")
     }
     assert(stale.getMessage.contains("STALE"))
-    fact.analyze(spark, Seq("k"))
+    fact.analyze(spark, Seq("k"), exact = true)
     assert(fact.tableStats(fact.currentVersion.get).contains((101L, Map("k" -> 11L))))
     // fresh again after re-analyze
     val (rejoined, dec2) = StatsOptimizer.statsJoin(spark, dim, fact, "k")

@@ -600,18 +600,109 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(dels.toSeq == Seq((0L, "a-0"), (2L, "a-2"), (4L, "a-4")))
   }
 
-  test("physical repacks refuse pending position deletes; vacuum keeps the pos files") {
+  test("physical repacks under position deletes: masked files carry, the rest repack") {
     val log = freshLog("posdel_repack")
     val v0 = log.append(rows(8, "a"), partitions = 4)
     log.deletePositions(
       log.readWithPositions(spark, v0).where(col("id") === 0L)
         .select(col("_file"), col("_pos")))
-    intercept[IllegalArgumentException] { log.compactSmall(spark, targetBytes = 1L << 20) }
+    // the masked file is NOT a repack candidate (its mask stays live
+    // against the carried path); the three unmasked smalls bin-pack —
+    // auto-compaction keeps working through interleaved DML
+    val maskedBefore = log.maskedFiles(spark, log.currentVersion.get)
+    assert(maskedBefore.size == 1)
+    val (v1, (packed, written)) = log.compactSmall(spark, targetBytes = 1L << 20)
+    assert(packed == 3 && written == 1, s"got ($packed, $written)")
+    assert(maskedBefore.subsetOf(log.dataFiles(v1).toSet),
+      "the masked file must carry byte-identical")
+    assert(log.readLatest(spark).count() == 7L,
+      "the mask keeps masking after the repack")
+    // mergeCopyOnWrite still refuses (its rewrite scans candidates raw)
     intercept[IllegalArgumentException] {
       log.mergeCopyOnWrite(rows(1, "u"), keyCol = "id")
     }
     val swept = log.vacuum()
     assert(swept.isEmpty, s"vacuum must keep live pos-delete files, swept: $swept")
     assert(log.readLatest(spark).count() == 7L)
+  }
+
+  test("vacuum sweeps unreferenced COPY INTO ledger stages, keeps referenced ones") {
+    val log = freshLog("ledger_sweep")
+    log.append(rows(10, "a"), partitions = 1)
+    // a real COPY ledger, referenced from the commit's meta
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ledger_src_")
+    val f = tmp.resolve("x.parquet").toFile
+    rows(3, "cp").coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("w").toString)
+    val part = new File(tmp.resolve("w").toString).listFiles()
+      .find(x => x.getName.endsWith(".parquet") && !x.getName.startsWith(".")).get
+    java.nio.file.Files.move(part.toPath, f.toPath)
+    log.copyIngest(Seq((f.getCanonicalPath, f.length(), f.lastModified())),
+      spark.read.parquet(f.toString), partitions = 1)
+    val ledgerPool = new File(log.root, "data/_copyledger")
+    val referenced = ledgerPool.listFiles().filter(_.isDirectory)
+    assert(referenced.length == 1, "the committed COPY left one ledger stage")
+    // an ABORTED attempt: a staged ledger dir no commit ever referenced
+    val dead = new File(ledgerPool, "deadbeef-aborted")
+    dead.mkdirs()
+    java.nio.file.Files.write(new File(dead, "part-0.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    val swept = log.vacuum()
+    assert(swept.contains("data/_copyledger/deadbeef-aborted"),
+      s"the aborted ledger stage must sweep, got $swept")
+    assert(!dead.exists(), "the aborted ledger dir must be gone")
+    assert(referenced.head.exists(),
+      "the committed ledger stage is still referenced and must survive")
+    // the ledger still reads — a re-run of the same COPY stays a no-op
+    assert(log.copiedSources(spark, log.currentVersion.get).count() == 1L)
+    // dry run previews the same ledger orphan without deleting
+    val dead2 = new File(ledgerPool, "deadbeef-again")
+    dead2.mkdirs()
+    assert(log.vacuumDryRun().contains("data/_copyledger/deadbeef-again"))
+    assert(dead2.exists(), "dry run must not delete")
+  }
+
+  test("optimize on non-numeric clustering keys falls back to lexicographic ranges") {
+    val log = freshLog("cluster_strings")
+    // 40 distinct string keys; a linear double-cast z-order would bucket
+    // every row to a constant and funnel the rewrite into ONE file
+    val df = (0 until 400).map(i => (f"cat-${i % 40}%03d", i.toLong))
+      .toDF("grp", "k")
+    log.append(df, partitions = 2)
+    val before = log.readLatest(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    log.optimize(spark, partitions = 4, Seq(col("grp"), col("k")))
+    val cur = log.currentVersion.get
+    assert(log.dataFiles(cur).size == 4,
+      s"the string-keyed rewrite must spread over the asked partitions, " +
+        s"got ${log.dataFiles(cur).size} files")
+    val after = log.readLatest(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == before, "content must survive the rewrite exactly")
+    // per-file leading-key ranges are DISJOINT (range partitioning), so
+    // footer min/max on grp still prunes
+    val ranges = log.dataFiles(cur).map { p =>
+      val one = spark.read.parquet(new File(log.root, "data").toString + "/" +
+        p.stripPrefix("data/"))
+      val r = one.agg(min(col("grp")), max(col("grp"))).head()
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file grp ranges must be disjoint: $ranges")
+      case _ =>
+    }
+  }
+
+  test("mixed numeric + date clustering keys still take the z-order route") {
+    val log = freshLog("cluster_date")
+    val df = (0 until 300).map(i =>
+      (i.toLong, java.sql.Date.valueOf(f"2024-${1 + i % 12}%02d-15")))
+      .toDF("k", "d")
+    log.append(df, partitions = 2)
+    val before = log.readLatest(spark).count()
+    // dates map to epoch-day axes — must not throw, must preserve rows
+    log.optimize(spark, partitions = 3, Seq(col("k"), col("d")))
+    assert(log.readLatest(spark).count() == before)
   }
 }

@@ -411,9 +411,25 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(r.getLong(1) == 500L && r.getString(2) == "id,grp", r.toString)
     val log = new SnapshotLog(s"$root/anl")
     val (rows, ndvs) = log.tableStats(log.currentVersion.get).get
-    assert(rows == 500L && ndvs("id") == 500L && ndvs("grp") == 7L, ndvs.toString)
+    // DEFAULT route: approximate NDVs (HLL++, 2% rsd) in ONE single-pass
+    // aggregation — rows exact, NDVs within the sketch bound, and the
+    // executed plan must NOT carry the multi-column-exact Expand blowup
+    def close(approx: Long, exact: Long): Boolean =
+      math.abs(approx - exact).toDouble / exact <= 0.05
+    assert(rows == 500L && close(ndvs("id"), 500L) && close(ndvs("grp"), 7L),
+      ndvs.toString)
+    assert(!SnapshotLog.lastAnalyzePlan.contains("Expand"),
+      s"approx ANALYZE must plan single-pass, no Expand:\n${SnapshotLog.lastAnalyzePlan}")
     // the stats carry the analyzed data-state digest (staleness guard)
     assert(log.metaValues(log.currentVersion.get).contains("statsstate"))
+    // EXACT route stays behind the conf — equality pinned
+    spark.conf.set("spark.graft.analyze.exactNdv", "true")
+    try {
+      spark.sql("ANALYZE TABLE graftsnap.anl COMPUTE STATISTICS FOR COLUMNS id, grp")
+      val (rows2, ndvs2) = log.tableStats(log.currentVersion.get).get
+      assert(rows2 == 500L && ndvs2("id") == 500L && ndvs2("grp") == 7L,
+        ndvs2.toString)
+    } finally spark.conf.unset("spark.graft.analyze.exactNdv")
   }
 
   test("COPY INTO loads each source file exactly once; violations load nothing") {
@@ -600,5 +616,125 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_del WHERE id < 5 OR id = 30")
       .head().getLong(0) == 0L)
     assert(!log.dataFiles(log.currentVersion.get).contains(fileA), "grazed file rewritten")
+  }
+
+  test("OPTIMIZE WHERE takes DATE literals and folds BETWEEN terms into the scope") {
+    val log = freshLog("t_datescope")
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftsnap.t_datescope")
+    spark.sql("CREATE TABLE graftsnap.t_datescope (id BIGINT, d DATE)")
+    // three monthly two-file appends → three stage dirs with footer
+    // DATE stats (the appendStrictStats SQL-INSERT machinery)
+    Seq("2024-01", "2024-02", "2024-03").foreach { m =>
+      log.appendStrictStats(
+        spark.sql(s"SELECT id, DATE '$m-15' AS d FROM range(40)"), partitions = 2)
+      ()
+    }
+    val before = log.dataFiles(log.currentVersion.get)
+    assert(before.size == 6)
+    // date-range scope: only the two March files satisfy d >= 2024-03-01
+    val r = spark.sql("OPTIMIZE graftsnap.t_datescope " +
+      "WHERE d >= DATE '2024-03-01' ZORDER BY (id)").head()
+    assert(r.getString(1) == "zorder" && r.getInt(2) == 2,
+      s"only the two March files are in scope, got $r")
+    val after = log.dataFiles(log.currentVersion.get).toSet
+    val rewritten = before.filterNot(after.contains)
+    assert(rewritten.size == 2, s"exactly the March files rewrite, got $rewritten")
+    val scoped = spark.read.parquet(
+      (after -- before.toSet).map(p => s"$root/t_datescope/" + p).toSeq: _*)
+    assert(scoped.count() == 40L &&
+      scoped.where(col("d") =!= lit("2024-03-15").cast("date")).count() == 0L,
+      "exactly the March rows were rewritten")
+    assert(spark.sql("SELECT count(*) FROM graftsnap.t_datescope")
+      .head().getLong(0) == 120L, "content untouched")
+    // date BETWEEN narrows the same way
+    val r2 = spark.sql("OPTIMIZE graftsnap.t_datescope " +
+      "WHERE d BETWEEN DATE '2024-02-01' AND DATE '2024-02-28' ZORDER BY (id)")
+      .head()
+    assert(r2.getInt(2) == 2, s"only February in scope, got $r2")
+
+    // integral BETWEEN folds into the interval scope (r14 dropped it —
+    // a BETWEEN-only WHERE silently widened to the whole table)
+    val blog = freshLog("t_betscope")
+    (0 until 3).foreach { i =>
+      blog.appendIndexed(
+        (i * 100 until i * 100 + 100).map(j => (j.toLong, j.toLong))
+          .toDF("id", "v").repartition(2),
+        statsCols = Seq("id"))
+      ()
+    }
+    val r3 = spark.sql("OPTIMIZE graftsnap.t_betscope " +
+      "WHERE id BETWEEN 100 AND 150 ZORDER BY (id)").head()
+    assert(r3.getInt(2) == 2,
+      s"BETWEEN must scope to the one intersecting append (2 files), got $r3")
+  }
+
+  test("COPY INTO byte-sizes its staged output and scans the source exactly once") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftsnap.cpsz")
+    spark.sql("CREATE TABLE graftsnap.cpsz (id BIGINT, v BIGINT)")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cpsz_")
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cpsz_tmp_")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("w").toString)
+      val part = new java.io.File(tmp.resolve("w").toString).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .get
+      java.nio.file.Files.move(part.toPath, srcDir.resolve(name))
+      ()
+    }
+    (0 until 4).foreach(i => drop(
+      spark.range(i * 200000, (i + 1) * 200000).selectExpr("id", "id * 2 AS v"),
+      s"f$i.parquet"))
+    val totalBytes = new java.io.File(srcDir.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target a third of the source bytes → ceil gives 3-4 staged files,
+    // never the fixed cap
+    val target = totalBytes / 3
+    spark.conf.set("spark.graft.optimize.maxFileSize", target.toString)
+    // count ACTIONS whose plan scans the source directory: exactly one
+    // (the staging write; the r14 shape ran a separate count() first)
+    val srcTag = srcDir.getFileName.toString
+    val scans = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def scansSource(
+          qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        qe.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if l.relation.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+                l.relation.asInstanceOf[
+                    org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                  .location.rootPaths.exists(_.toString.contains(srcTag)) => ()
+        }.isDefined
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (scansSource(qe)) { scans.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val r = spark.sql(
+        s"COPY INTO graftsnap.cpsz FROM '$srcDir' FILEFORMAT = PARQUET").head()
+      assert(r.getInt(0) == 4 && r.getLong(1) == 800000L, r.toString)
+      val log = new SnapshotLog(s"$root/cpsz")
+      val staged = log.appendedFiles(log.currentVersion.get)
+      val expected = ((totalBytes + target - 1) / target).toInt
+      assert(staged.size == expected,
+        s"staged ${staged.size} files, expected ceil(bytes/target) = $expected")
+      // the listener bus is async — poll until the write's event lands
+      var waited = 0
+      while (scans.get() == 0 && waited < 100) { Thread.sleep(100); waited += 1 }
+      Thread.sleep(1000)
+      assert(scans.get() == 1,
+        s"the source must be scanned exactly once, saw ${scans.get()} " +
+          "source-scanning actions (count+write would be two)")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.unset("spark.graft.optimize.maxFileSize")
+    }
   }
 }
