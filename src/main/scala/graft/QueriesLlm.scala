@@ -2056,21 +2056,36 @@ object QueriesLlm {
     // (`ivf_top_agreement_met` — the withRecall discipline) ──
     "knn_shapley_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // ONE evaluation of the quantize+join feeds six consumers (the
+      // exact route's two sides, the IVF route's two sides, the kmeans
+      // fit, and the agreement collects) — unpinned, the per-dimension
+      // stats pass re-runs for each
       val coded = Similarity.quantizeEmbeddings(emb, levels = QuantLevels)
         .select(col("vec_id"), col("codes"))
         .join(emb.select(col("vec_id"), col("label"), col("embedding")), "vec_id")
-      val test = coded.where(pmod(col("vec_id"), lit(ShapMod)) === 0)
-      val train = coded.where(pmod(col("vec_id"), lit(ShapMod)) =!= 0)
-      val exact = Similarity.knnShapley(train, test, k = ShapK)
-      val ivf = Similarity.knnShapleyIvf(train, test, k = ShapK,
-        cells = KmK, iters = KmIters, nProbes = ShapProbes)
-      def topM(df: DataFrame): Set[Long] = df
-        .orderBy(col("shap_sum_e12").desc, col("vec_id")).limit(ShapTopM)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      val hits = topM(exact).intersect(topM(ivf)).size
-      exact
-        .withColumn("ivf_top_agreement_met", lit(hits >= ShapAgreeFloor))
-        .orderBy(col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val test = coded.where(pmod(col("vec_id"), lit(ShapMod)) === 0)
+        val train = coded.where(pmod(col("vec_id"), lit(ShapMod)) =!= 0)
+        // per-train summaries are train-count-sized (the bounded-model
+        // fetch class): ONE evaluation each, agreement computed locally,
+        // result served as a local relation — the exact route never
+        // re-runs for the final materialization
+        val exactDf = Similarity.knnShapley(train, test, k = ShapK)
+        val exact = exactDf.collect()
+        val ivfTop = Similarity.knnShapleyIvf(train, test, k = ShapK,
+            cells = KmK, iters = KmIters, nProbes = ShapProbes)
+          .orderBy(col("shap_sum_e12").desc, col("vec_id")).limit(ShapTopM)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val exactTop = exact
+          .sortBy(r => (-r.getLong(2), r.getLong(0))).take(ShapTopM)
+          .map(_.getLong(0)).toSet
+        val hits = exactTop.intersect(ivfTop).size
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(exact.toSeq.asJava, exactDf.schema)
+          .withColumn("ivf_top_agreement_met", lit(hits >= ShapAgreeFloor))
+          .orderBy(col("vec_id"))
+      } finally { coded.unpersist(blocking = false); () }
     }),
 
     // ── JL random projection ([[Similarity.randomProjection]]): 64-float

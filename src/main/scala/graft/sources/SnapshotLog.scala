@@ -2882,10 +2882,17 @@ class SnapshotLog(
     // so the caller restricts the predicate to source columns
     require(insertWhen.isEmpty || insertNotMatched,
       "mergeInto: insertWhen requires insertNotMatched")
+    // insert anti-join against the REWRITE SCOPE's keys, not the whole
+    // table: a target key equal to a source key must live in a file
+    // whose recorded leading-key range contains it — exactly the files
+    // the scope already holds (stats-free files are always in scope, and
+    // non-numeric/NMBS merges scope to the full table anyway). A narrow
+    // CDC batch over a range-clustered 100 TB table pays O(touched
+    // files) for the membership check instead of a table-wide key scan.
     val inserts =
       if (!insertNotMatched) None
       else Some(guardChecks(src
-        .join(read(spark, cur).select(keyCols.map(col): _*).distinct(),
+        .join(tgt.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti")
         .where(insertWhen.getOrElse(lit(true)))
         .select(baseCols.map(col): _*), lit(true)))

@@ -202,6 +202,64 @@ class SnapshotDmlSpec extends AnyFunSuite {
     assert(log.read(spark, v).where(col("id") === 25L)
       .select("v").as[Long].collect().toSeq == Seq(999L))
     assert(log.read(spark, v).count() == 30L)
+    // insertNotMatched stays correct under the pruned membership check:
+    // the anti-join probes only the rewrite scope's keys, so an
+    // out-of-all-ranges key INSERTS while an in-scope match UPDATES —
+    // and the scope stays one file, never a table-wide key scan
+    val src2 = Seq((21L, 555L), (100L, 111L)).toDF("id", "v")
+    val (v2, (u2, d2, i2), (rw2, tot2)) = log.mergeInto(
+      src2, "id",
+      updateWhen = Some(lit(true)), updateSet = Seq("v" -> col("src_v")),
+      insertNotMatched = true)
+    assert((u2, d2, i2) == (1L, 0L, 1L), s"got ($u2, $d2, $i2)")
+    assert(rw2 <= 2 && tot2 == 3,
+      s"membership must not widen the scope; got $rw2 of $tot2")
+    val after = log.read(spark, v2)
+    assert(after.count() == 31L)
+    assert(after.where(col("id") === 100L).select("v").as[Long]
+      .collect().toSeq == Seq(111L), "the out-of-range key must insert")
+    assert(after.where(col("id") === 21L).select("v").as[Long]
+      .collect().toSeq == Seq(555L))
+  }
+
+  test("mergeIntoKeys joins, uniquifies, and anti-joins on a compound key") {
+    val log = freshLog("merge_compound")
+    log.append(Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "a", 30L))
+      .toDF("k", "grp", "v"), partitions = 1)
+    val src = Seq((1L, "b", 200L), (2L, "b", 300L)).toDF("k", "grp", "v")
+    val (v, (nUpd, nDel, nIns), _) = log.mergeIntoKeys(
+      src, Seq("k", "grp"),
+      updateWhen = Some(lit(true)), updateSet = Seq("v" -> col("src_v")),
+      insertNotMatched = true)
+    assert((nUpd, nDel, nIns) == (1L, 0L, 1L), s"got ($nUpd, $nDel, $nIns)")
+    val got = log.read(spark, v).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map((1L, "a") -> 10L, (1L, "b") -> 200L,
+      (2L, "a") -> 30L, (2L, "b") -> 300L), got.toString)
+    // duplicate TUPLES refuse; distinct tuples sharing one column don't
+    intercept[IllegalArgumentException] {
+      log.mergeIntoKeys(Seq((1L, "a", 1L), (1L, "a", 2L)).toDF("k", "grp", "v"),
+        Seq("k", "grp"),
+        updateWhen = Some(lit(true)), updateSet = Seq("v" -> col("src_v")))
+    }
+    // sourceExtras: an extra control column drives clause conditions but
+    // never lands in a written row image
+    val cdc = Seq((1L, "a", 0L, true), (3L, "c", 99L, false))
+      .toDF("k", "grp", "v", "_del")
+    val (v3, (u3, d3, i3), _) = log.mergeIntoKeys(
+      cdc, Seq("k", "grp"),
+      updateWhen = Some(!coalesce(col("src__del"), lit(false))),
+      updateSet = Seq("v" -> col("src_v")),
+      deleteWhen = Some(coalesce(col("src__del"), lit(false))),
+      insertNotMatched = true,
+      insertWhen = Some(!coalesce(col("_del"), lit(false))),
+      sourceExtras = Set("_del"))
+    assert((u3, d3, i3) == (0L, 1L, 1L), s"got ($u3, $d3, $i3)")
+    val after = log.read(spark, v3)
+    assert(after.columns.toSeq.sorted == Seq("grp", "k", "v"),
+      "the control column must never be written")
+    assert(after.where(col("k") === 1L && col("grp") === "a").count() == 0L)
+    assert(after.where(col("k") === 3L).count() == 1L)
   }
 
   test("withOccRetry: racing non-commuting DML re-derives and converges, no lost effects") {
