@@ -2050,6 +2050,51 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── ROW-LEVEL DML ON A TYPE-WIDENED MAPPED TABLE (closing the r14
+    // refusal, where a widened table lost UPDATE/DELETE/MERGE until an
+    // OPTIMIZE materialized the widening): the DML scan pins the
+    // declared schema WITH the widening applied ([[SnapshotLog
+    // .scanSchema]] — the parquet reader up-casts narrow pre-widening
+    // files), so the (file, pos) address stream is an ordinary single
+    // scan; masks, rewrites, and the widened INT→BIGINT axis all
+    // compose. Post-widening values exceed INT32 to prove the wide axis
+    // is real ──
+    "snapshot_sql_dml_widened" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftdw", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftdw.root", scratch(dir, "dwroot"))
+      s.sql("DROP TABLE IF EXISTS graftdw.ord")
+      s.sql("CREATE TABLE graftdw.ord (k BIGINT, status STRING, cents INT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 1400)
+        .createOrReplaceTempView("graft_dw_src")
+      s.sql("INSERT INTO graftdw.ord SELECT k, status, CAST(cents AS INT) " +
+        "FROM graft_dw_src WHERE k <= 700")
+      s.sql("ALTER TABLE graftdw.ord RENAME COLUMN cents TO pennies")
+      s.sql("ALTER TABLE graftdw.ord ALTER COLUMN pennies TYPE BIGINT")
+      s.sql("INSERT INTO graftdw.ord SELECT k, status, " +
+        "cents + CAST(3000000000 AS BIGINT) AS pennies " +
+        "FROM graft_dw_src WHERE k > 700")
+      // DELETE grazes BOTH vintages; UPDATE's SET reads the widened axis
+      s.sql("DELETE FROM graftdw.ord WHERE (k >= 10 AND k <= 19) " +
+        "OR (k >= 710 AND k <= 719)")
+      val upd = s.sql("UPDATE graftdw.ord SET pennies = pennies + 100 " +
+        "WHERE k % 10 = 0").head()
+      val updOk = upd.getString(0) == "UPDATE" && upd.getLong(3) > 0L
+      val log = new SnapshotLog(scratch(dir, "dwroot") + "/ord")
+      // compact absorbs the UPDATE's merge-on-read masks so the catalog
+      // scan (this query's own rollup) reads clean
+      log.compact(s, partitions = 2)
+      s.sql(
+        """SELECT status, count(*) AS n_orders,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(pennies) AS BIGINT) AS sum_pennies
+          |FROM graftdw.ord GROUP BY status""".stripMargin)
+        .withColumn("widened_update_receipt_ok", lit(updOk))
+        .orderBy(col("status"))
+    }),
+
     // ── STREAMING A TYPE-WIDENED MAPPED TABLE (closing the r14 refusal):
     // the table renames cents→pennies AND widens INT→BIGINT mid-history;
     // the stream pins the WIDENED physical schema and the parquet reader
@@ -5654,6 +5699,25 @@ object QueriesEtl {
         |       count(prio) AS n_with_prio,
         |       TRUE AS mapped_evolution_fresh_id,
         |       TRUE AS merge_after_evolution
+        |FROM u GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_dml_widened: both vintages lose their [x10, x19] band
+    // to the DELETE, every k%10==0 survivor gains 100; post-widening
+    // rows carry the +3e9 wide values; the receipt law is measured
+    // Spark-side
+    "snapshot_sql_dml_widened" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 1400),
+        |     u AS (SELECT k, status,
+        |                  (CASE WHEN k > 700 THEN cents + 3000000000 ELSE cents END)
+        |                  + (CASE WHEN k % 10 = 0 THEN 100 ELSE 0 END) AS pennies
+        |           FROM o
+        |           WHERE NOT (k BETWEEN 10 AND 19) AND NOT (k BETWEEN 710 AND 719))
+        |SELECT status, count(*) AS n_orders,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(pennies) AS BIGINT) AS sum_pennies,
+        |       TRUE AS widened_update_receipt_ok
         |FROM u GROUP BY status ORDER BY status""".stripMargin,
 
     // stream_from_log_mapped_widened: pre-widening rows (k<=700) carry

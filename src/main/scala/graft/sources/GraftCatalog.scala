@@ -973,8 +973,10 @@ object GraftCatalog {
       log.currentVersion.exists { v =>
         // declared schema pins the (file, pos) scan in physical names;
         // without it a heterogeneous mapped table (API-minted columns)
-        // could silently drop columns in the rewrite — refuse those
-        log.columnTypes(v).isEmpty && log.declaredSchema(v).isDefined
+        // could silently drop columns in the rewrite — refuse those.
+        // Declared widenings ride the pin (scanSchema up-casts narrow
+        // vintages); only float targets stay out of reach.
+        log.wideningsPinnable(v) && log.declaredSchema(v).isDefined
       } && filters.forall(f => GraftCatalog.filterToColumn(f, physName).isDefined)
 
     override def deleteWhere(filters: Array[Filter]): Unit = {

@@ -337,9 +337,12 @@ class GraftLogSink(
         val mapped = log.columnMapping(cur).map(_._2)
         val base: Map[String, org.apache.spark.sql.types.DataType] = mapped match {
           case Some(pairs) =>
-            require(log.columnTypes(cur).isEmpty,
-              s"graft-log sink: ${log.root} declares type widenings — " +
-                "streamed batches cannot target heterogeneous stages; " +
+            // declared widenings ride the pinned scan (mappedSchemas
+            // reports the WIDENED logical types, so enforcement expects
+            // the wide batch shape); only float targets stay refused
+            require(log.wideningsPinnable(cur),
+              s"graft-log sink: ${log.root} declares a float-target type " +
+                "widening, which the pinned scan cannot up-cast; " +
                 "optimize() the table to materialize the widening first")
             val paths = log.dataFiles(cur).map(p =>
               new File(log.dataRootPath, p).toString)

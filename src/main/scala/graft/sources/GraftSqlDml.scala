@@ -118,12 +118,15 @@ object GraftSqlDml {
       val log = new SnapshotLog(new java.io.File(root, parts(1)).toString)
       val physMap = log.currentVersion.flatMap { cur =>
         log.columnMapping(cur).map { case (_, pairs) =>
-          // widened mapped tables refuse: the per-stage union read has
-          // no single `_metadata` address stream for (file, pos) DML
-          require(log.columnTypes(cur).isEmpty,
-            s"GraftSqlDml: ${parts.mkString(".")} declares type widenings — " +
-              "row-level DML does not compose with the heterogeneous-stage " +
-              "read; optimize() the table to materialize the widening first")
+          // widened mapped tables serve: the DML scan pins the declared
+          // schema WITH widenings applied ([[SnapshotLog.scanSchema]] —
+          // the parquet reader up-casts narrow vintages), so the
+          // (file, pos) address stream is the ordinary single scan. Only
+          // float-target widenings (no reader promotion) still refuse.
+          require(log.wideningsPinnable(cur),
+            s"GraftSqlDml: ${parts.mkString(".")} declares a float-target " +
+              "type widening, which the pinned scan cannot up-cast — " +
+              "optimize() the table to materialize the widening first")
           // the DML scan pins the DECLARED schema, whose names are the
           // PHYSICAL ids (renames move only the colmap logical side) —
           // a mapped table without that invariant cannot be addressed

@@ -542,17 +542,15 @@ object GraftSqlParser {
         else {
           val parts = math.max(1L,
             (fresh.map(_._2).sum + target - 1L) / target).toInt
-          // ONE source scan: the row count rides the staging write as an
-          // observed metric instead of a separate count() pass (which
-          // would read every fresh file twice); the CHECK guard rides
-          // the same write — a violation fails the write job with
+          // ONE source scan: the loaded-row count comes from the staged
+          // parquet FOOTERS after the commit (driver-side metadata, one
+          // footer read per staged file) instead of a separate count()
+          // pass that would read every fresh file twice; the CHECK guard
+          // rides the same write — a violation fails the write job with
           // nothing committed, its aborted stage is vacuum fodder
-          val obs = new org.apache.spark.sql.Observation()
-          val df = guard(readerFor(fresh.map(_._1))).observe(obs,
-            org.apache.spark.sql.functions.count(
-              org.apache.spark.sql.functions.lit(1)).as("rows"))
+          val df = guard(readerFor(fresh.map(_._1)))
           val ver = log.copyIngest(fresh, df, parts)
-          (fresh.size, obs.get.apply("rows").asInstanceOf[Long], ver)
+          (fresh.size, log.footerRowCount(log.appendedFiles(ver)), ver)
         }
       }
       Seq(Row(loaded, rows, cands.size - loaded, v))

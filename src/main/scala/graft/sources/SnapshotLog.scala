@@ -261,6 +261,22 @@ class SnapshotLog(
     * physical repack must carry untouched. Mask-file-sized read (the
     * sidecars' `_file` column), never a data scan.
     */
+  /** Total row count of `absPaths` parquet files from their FOOTERS —
+    * driver-side, file-count-sized metadata work (the parquet block
+    * record counts), never a data scan. The one-scan COPY INTO receipt
+    * reads its loaded-row count here instead of a second source pass.
+    */
+  def footerRowCount(absPaths: Seq[String]): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    absPaths.map { p =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p), conf))
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
+
   def maskedFiles(spark: SparkSession, version: Long): Set[String] = {
     def filesOf(paths: Seq[String]): Set[String] =
       if (paths.isEmpty) Set.empty
@@ -564,10 +580,10 @@ class SnapshotLog(
   def readWithPositions(spark: SparkSession, version: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
     val paths = dataFiles(version).map(p => new File(dataRootPath, p).toString)
-    // pin the declared schema when one exists so rows predating an
-    // [[addColumns]] carry NULL for the added columns here too — DML
-    // predicates may reference them
-    val raw = declaredSchema(version) match {
+    // pin the declared scan schema (widenings applied) when one exists
+    // so rows predating an [[addColumns]] carry NULL for the added
+    // columns here too — DML predicates may reference them
+    val raw = scanSchema(version) match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
@@ -2084,7 +2100,16 @@ class SnapshotLog(
     val paths = dataFiles(version).map(p => new File(dataRootPath, p).toString)
     val data =
       if (widened.isEmpty) spark.read.option("mergeSchema", "true").parquet(paths: _*)
-      else {
+      else if (wideningsPinnable(version)) {
+        // the PINNED widened physical schema serves every vintage in ONE
+        // scan: the parquet reader up-casts narrow pre-widening files
+        // (the Spark 4 widening read — the same pin the catalog scan and
+        // the stream facade plan), so masks and DML compose exactly as
+        // on an unwidened table; the per-stage union below survives only
+        // for the FLOAT-target widenings the reader cannot promote
+        val (phys, _, _) = GraftCatalog.mappedSchemas(spark, this, version, pairs, paths)
+        spark.read.schema(phys).parquet(paths: _*)
+      } else {
         // widened columns make the file schemas HETEROGENEOUS (old files
         // keep the narrow physical type), which mergeSchema refuses —
         // read each stage directory under its own schema, project every
@@ -2118,13 +2143,14 @@ class SnapshotLog(
         frames.reduce(_.unionByName(_))
       }
     val masked =
-      if (widened.isEmpty) applyMasks(spark, version, data)
+      if (widened.isEmpty || wideningsPinnable(version))
+        applyMasks(spark, version, data)
       else {
         require(posDeleteFiles(version).isEmpty && tombstoneFiles(version).isEmpty &&
             dvFiles(version).isEmpty,
-          "readMapped: outstanding deletes do not compose with type widening " +
-            "(the per-stage union path has no single _metadata address stream); " +
-            "optimize()/compact() the deletes away first")
+          "readMapped: outstanding deletes do not compose with a float-target " +
+            "widening (the per-stage union path has no single _metadata " +
+            "address stream); optimize()/compact() the deletes away first")
         data
       }
     val present = masked.columns.toSet
@@ -2643,7 +2669,7 @@ class SnapshotLog(
       // files predating an ADD COLUMNS serve typed NULL here too.
       val survivors =
         if (rewrite.isEmpty) None
-        else Some((declaredSchema(cur) match {
+        else Some((scanSchema(cur) match {
           case Some(s) => spark.read.schema(s)
             .parquet(rewrite.map(p => new File(dataRootPath, p).toString): _*)
           case None => spark.read
@@ -2820,7 +2846,7 @@ class SnapshotLog(
     // touching pre-evolution files dies on the missing attribute)
     val tgt =
       if (rewrite.isEmpty) read(spark, cur).limit(0)
-      else applyMasks(spark, cur, declaredSchema(cur) match {
+      else applyMasks(spark, cur, scanSchema(cur) match {
         case Some(s) => spark.read.schema(s)
           .parquet(rewrite.map(p => new File(dataRootPath, p).toString): _*)
         case None => spark.read
@@ -2974,7 +3000,9 @@ class SnapshotLog(
     */
   def read(spark: SparkSession, version: Long, mergeSchema: Boolean = false): DataFrame = {
     val paths = dataFiles(version).map(p => new File(dataRootPath, p).toString)
-    val declared = declaredSchema(version)
+    // the scan pin carries declared type widenings — one homogeneous
+    // typed relation over narrow and wide file vintages alike
+    val declared = scanSchema(version)
     if (paths.isEmpty && declared.isDefined)
       // a data-less snapshot with a DECLARED schema ([[createEmpty]] —
       // CREATE TABLE before the first insert) reads as the empty relation
@@ -3142,6 +3170,50 @@ class SnapshotLog(
     metaValues(version).get("schema").map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The schema a pinned DATA SCAN of `version` uses: the declared
+    * schema with any declared type WIDENINGS ([[widenColumn]]'s
+    * `coltypes`) applied — narrow pre-widening files up-cast on the scan
+    * itself (the Spark 4 parquet widening read), post-widening files
+    * match exactly, and every consumer (reads, DML rewrite scans,
+    * position addressing) sees ONE homogeneous typed relation. Identity
+    * when nothing widened.
+    */
+  def scanSchema(version: Long): Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    val widened = columnTypes(version)
+    declaredSchema(version).map { ds =>
+      if (widened.isEmpty) ds
+      else StructType(ds.fields.map(f =>
+        widened.get(f.name).fold(f)(t =>
+          f.copy(dataType = DataType.fromDDL(t)))))
+    }.orElse {
+      // a WIDENED mapped table without a declared schema (API-built):
+      // the pin derives from the mapping metadata — live physical ids
+      // under their widened-or-base types ([[columnBaseTypes]]); absent
+      // base types (legacy enables) fall through to the callers' own
+      // handling rather than a guessed pin
+      if (widened.isEmpty) None
+      else columnMapping(version).flatMap { case (_, pairs) =>
+        val base = columnBaseTypes(version)
+        val fields = pairs.map { case (_, p) =>
+          p -> widened.get(p).orElse(base.get(p)) }
+        if (fields.forall(_._2.isDefined))
+          Some(StructType(fields.map { case (p, t) =>
+            StructField(p, DataType.fromDDL(t.get)) }))
+        else None
+      }
+    }
+  }
+
+  /** Whether every declared widening of `version` is servable by the
+    * PINNED-schema scan (the parquet reader's up-cast set). The one hole
+    * is a FLOAT target (tinyint/smallint → float): lossless on paper but
+    * not a reader promotion — those tables keep the per-stage union read
+    * and its mask/DML refusals.
+    */
+  def wideningsPinnable(version: Long): Boolean =
+    !columnTypes(version).values.exists(_ == "float")
 
   /** `ALTER TABLE … ADD COLUMNS` — ONE METADATA-ONLY COMMIT (the Delta
     * ADD COLUMN shape): the snapshot's declared schema gains the new

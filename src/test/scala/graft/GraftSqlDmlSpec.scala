@@ -211,15 +211,29 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(m.rowsUpdated == 2L && m.rowsInserted == 0L, m.toString)
     val after = log.readMapped(spark, log.currentVersion.get)
     assert(after.where(col("id") === 27).head().getLong(1) == 27000L)
-    // widened mapped tables refuse DML loudly (heterogeneous stages)
+    // widened mapped tables take DML through the pinned-widened scan:
+    // the narrow pre-widening file up-casts, the UPDATE writes wide
     spark.sql("DROP TABLE IF EXISTS graftdml.t_mapwide")
     spark.sql("CREATE TABLE graftdml.t_mapwide (id INT, v INT)")
-    spark.sql("INSERT INTO graftdml.t_mapwide VALUES (1, 1)")
+    spark.sql("INSERT INTO graftdml.t_mapwide VALUES (1, 1), (2, 2)")
     spark.sql("ALTER TABLE graftdml.t_mapwide ALTER COLUMN v TYPE BIGINT")
-    val ex = intercept[Exception] {
-      GraftSqlDml.exec(spark, "UPDATE graftdml.t_mapwide SET v = 2 WHERE id = 1")
-    }
-    assert(ex.getMessage.contains("widening"), ex.getMessage)
+    val wlog = new SnapshotLog(s"$root/t_mapwide")
+    val u = GraftSqlDml.exec(spark,
+      "UPDATE graftdml.t_mapwide SET v = v + 3000000000 WHERE id = 1")
+    assert(u.rowsUpdated == 1L, u.toString)
+    wlog.compact(spark, partitions = 1)
+    val wide = spark.sql("SELECT id, v FROM graftdml.t_mapwide ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(wide == Seq((1, 3000000001L), (2, 2L)), wide.toString)
+    // MERGE over the widened table — the rewrite scan pins wide too
+    spark.range(1).selectExpr("2 AS id", "CAST(9000000000 AS BIGINT) AS v")
+      .createOrReplaceTempView("mapwide_src")
+    val wm = GraftSqlDml.exec(spark,
+      """MERGE INTO graftdml.t_mapwide t USING mapwide_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    assert(wm.rowsUpdated == 1L, wm.toString)
+    assert(spark.sql("SELECT v FROM graftdml.t_mapwide WHERE id = 2")
+      .head().getLong(0) == 9000000000L)
   }
 
   test("MERGE ON compound and differently-named business keys") {

@@ -107,6 +107,25 @@ class SnapshotDmlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { log.widenColumn(spark, "id", "double") }
   }
 
+  test("widened mapped tables compose with merge-on-read masks via the pinned scan") {
+    val log = freshLog("widen_mask")
+    log.append((0 until 10).map(i => (i.toLong, i * 100)).toDF("id", "v"), 2)
+    log.enableColumnMapping(spark)
+    log.widenColumn(spark, "v", "bigint")
+    log.appendMapped(
+      (10 until 14).map(i => (i.toLong, i.toLong + 3000000000L)).toDF("id", "v"), 1)
+    // a position delete over the widened table: the pinned-widened scan
+    // is ONE relation with a _metadata address stream, so the mask
+    // composes — no forced compact between a widen and a delete
+    val (_, nDel) = log.deleteWhere(spark, col("id") === 3L || col("id") === 12L)
+    assert(nDel == 2L)
+    val cur = log.readMapped(spark, log.currentVersion.get)
+    assert(cur.schema("v").dataType.sql.toLowerCase == "bigint")
+    val got = cur.as[(Long, Long)].collect().toMap
+    assert(got.size == 12 && !got.contains(3L) && !got.contains(12L) &&
+      got(11L) == 3000000011L && got(7L) == 700L, got.toString)
+  }
+
   test("deleteWhere masks by position without rewrite; updateWhere is one atomic delete+append") {
     val log = freshLog("dml")
     val v0 = log.append(rows(20, "a"), partitions = 2)
