@@ -962,4 +962,43 @@ class GraftLogSourceSpec extends AnyFunSuite {
       s"auto-compaction must have fired under the mask, got ${dst.dataFiles(cur).size} files")
     assert(dst.readLatest(spark).count() == 59L, "content: 60 sunk minus 1 deleted")
   }
+
+  test("CDC deletes compose with a column-mapped, widened upsert destination") {
+    spark.conf.set("spark.sql.catalog.graftcdm", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcdm.root", root)
+    spark.sql("DROP TABLE IF EXISTS graftcdm.t_cdm_dst")
+    spark.sql("CREATE TABLE graftcdm.t_cdm_dst (id BIGINT, v INT)")
+    spark.sql("INSERT INTO graftcdm.t_cdm_dst SELECT id, CAST(id AS INT) AS v FROM range(10)")
+    spark.sql("ALTER TABLE graftcdm.t_cdm_dst RENAME COLUMN v TO amount")
+    spark.sql("ALTER TABLE graftcdm.t_cdm_dst ALTER COLUMN amount TYPE BIGINT")
+    val dst = new graft.sources.SnapshotLog(s"$root/t_cdm_dst")
+    val src = freshLog("t_cdm_src")
+    // one CDC batch: update id 1 (wide value), delete ids 3 and 99
+    // (99 absent -> no-op), insert id 20 — logical names + indicator
+    src.append(Seq(
+      (1L, 5000000001L, false), (3L, 0L, true),
+      (99L, 0L, true), (20L, 5000000020L, false))
+      .toDF("id", "amount", "_del"), 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdm_")
+    val q = spark.readStream
+      .format("graft-log").option("root", src.root).load()
+      .writeStream.format("graft-log")
+      .option("root", dst.root)
+      .option("mergeKey", "id").option("deleteIndicator", "_del")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // updates landed in the SAME physical column, wide values intact,
+    // deletes applied, indicator never written
+    assert(dst.columnMapping(dst.currentVersion.get).get._2.toSet ==
+      Set("id" -> "id", "amount" -> "v"))
+    val got = dst.readMapped(spark, dst.currentVersion.get).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = (0L until 10L).map(i => i -> i).toMap - 3L +
+      (1L -> 5000000001L) + (20L -> 5000000020L)
+    assert(got == want, s"got $got")
+    assert(spark.sql("SELECT sum(amount) FROM graftcdm.t_cdm_dst")
+      .head().getLong(0) == want.values.sum,
+      "the catalog read agrees with the mapped API read")
+  }
 }
