@@ -184,6 +184,10 @@ class GraftLogSourceProvider
       log: SnapshotLog,
       cur: Long): Option[(StructType, StructType, Seq[(String, String)])] =
     log.columnMapping(cur).map { case (_, pairs) =>
+      require(log.wideningsPinnable(cur),
+        s"graft-log source: ${log.root} declares a float-target type " +
+          "widening, which the pinned scan cannot up-cast — optimize() " +
+          "the table to materialize the widening first")
       require(log.tombstoneFiles(cur).isEmpty,
         s"graft-log source: ${log.root} carries key tombstones, which do " +
           "not compose with column mapping — compact() them away first")
@@ -766,10 +770,12 @@ class GraftLogSource(
             case None => log.read(spark, h)
           }
           // columns the run's pin carries beyond this oldest vintage
-          // (a later ADD COLUMNS) serve typed NULL, batch semantics
+          // (a later ADD COLUMNS) serve typed NULL; present columns CAST
+          // to the pinned type (a widening declared after this vintage
+          // would otherwise leak its narrow type into the batch schema)
           val have = base.columns.toSet
           base.select(schema.fields.toSeq.map(f =>
-            if (have(f.name)) col(f.name)
+            if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
             else org.apache.spark.sql.functions.lit(null)
               .cast(f.dataType).as(f.name)): _*)
         }

@@ -256,11 +256,6 @@ class SnapshotLog(
   def dataFiles(version: Long): Seq[String] =
     files(version).filterNot(l => isTombLine(l) || isMetaLine(l))
 
-  /** The relative data-file paths ADDRESSED by outstanding
-    * position-delete / deletion-vector masks at `version` — the files a
-    * physical repack must carry untouched. Mask-file-sized read (the
-    * sidecars' `_file` column), never a data scan.
-    */
   /** Total row count of `absPaths` parquet files from their FOOTERS —
     * driver-side, file-count-sized metadata work (the parquet block
     * record counts), never a data scan. The one-scan COPY INTO receipt
@@ -277,6 +272,11 @@ class SnapshotLog(
     }.sum
   }
 
+  /** The relative data-file paths ADDRESSED by outstanding
+    * position-delete / deletion-vector masks at `version` — the files a
+    * physical repack must carry untouched. Mask-file-sized read (the
+    * sidecars' `_file` column), never a data scan.
+    */
   def maskedFiles(spark: SparkSession, version: Long): Set[String] = {
     def filesOf(paths: Seq[String]): Set[String] =
       if (paths.isEmpty) Set.empty
@@ -1231,10 +1231,20 @@ class SnapshotLog(
       .filter(p => scope.forall(_.contains(p)) && !masked.contains(p))
     if (smalls.size < 2) return (cur, (0, 0))
     val carried = files(cur).filterNot(smalls.toSet)
-    val smallBytes = sized.filter(_._2 < targetBytes).map(_._2).sum
+    // output sizing counts ONLY the files actually repacked — sizing by
+    // the full small tail while masks/scope exclude most of it would
+    // emit more tiny files than it packs
+    val smallSet = smalls.toSet
+    val smallBytes = sized.collect { case (p, b) if smallSet(p) => b }.sum
     val nOut = math.max(1L, (smallBytes + targetBytes - 1L) / targetBytes).toInt
-    val merged = spark.read.parquet(
-      smalls.map(p => new File(dataRootPath, p).toString): _*)
+    // the repack scan pins the scan schema (declared + widenings) so
+    // pre-evolution vintages serve typed NULL / up-cast instead of a
+    // footer-lottery schema silently dropping columns; schema-free
+    // tables union footers (mergeSchema) for the same reason
+    val merged = (scanSchema(cur) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read.option("mergeSchema", "true")
+    }).parquet(smalls.map(p => new File(dataRootPath, p).toString): _*)
     val staged = stageData(merged, nOut)
     (commit(Some(cur), carried ++ staged), (smalls.size, staged.size))
   }
@@ -2063,11 +2073,18 @@ class SnapshotLog(
     val evolved = org.apache.spark.sql.types.StructType(
       ds.fields ++ minted.map { case (_, p, t) =>
         org.apache.spark.sql.types.StructField(p, t, nullable = true) })
-    val newTypes = minted.flatMap { case (_, p, t) =>
+    val newTypes = minted.map { case (l, p, t) =>
       val ddl = t.sql.toLowerCase(java.util.Locale.ROOT)
-      if ((p + ddl).exists(c => c == ',' || c == '>' || c == '|' || c == '=' ||
-          c == '\n' || c == '\r')) None
-      else Some(p -> ddl)
+      // a METADATA-ONLY column must be recoverable from metadata alone —
+      // with no data file carrying the minted id yet, a base type that
+      // cannot ride the `p>t` encoding (decimal's comma, nested types'
+      // angle brackets) would make the column silently invisible to
+      // mapped scans until first data; refuse loudly instead
+      require(!(p + ddl).exists(c => c == ',' || c == '>' || c == '|' ||
+          c == '=' || c == '\n' || c == '\r'),
+        s"addColumnsMapped: the type of $l ($ddl) cannot ride the base-type " +
+          "metadata encoding — add it with its first data (appendMapped) instead")
+      p -> ddl
     }
     val withMap = withMeta(
       withMeta(files(cur), ColMapKey,
@@ -3458,8 +3475,11 @@ class SnapshotLog(
           .filterNot(live.contains)
       }.toSeq.sorted
 
+  // `liveLedgers` is deliberately NOT defaulted: an implicit empty set
+  // would classify every committed COPY INTO ledger as dead and destroy
+  // the copy-dedup state — every caller must state what it protects
   private[sources] def sweepOrphans(
-      live: Set[String], liveLedgers: Set[String] = Set.empty): Seq[String] = {
+      live: Set[String], liveLedgers: Set[String]): Seq[String] = {
     val writeDirs = Option(dataDir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && !d.getName.startsWith("_"))
     val orphans = listOrphans(live)

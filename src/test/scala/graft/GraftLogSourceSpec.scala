@@ -1001,4 +1001,15 @@ class GraftLogSourceSpec extends AnyFunSuite {
       .head().getLong(0) == want.values.sum,
       "the catalog read agrees with the mapped API read")
   }
+
+  test("a float-target widening refuses the stream loudly (no reader promotion)") {
+    val log = freshLog("t_floatwiden")
+    log.append(Seq((1L, 7.toShort), (2L, 9.toShort)).toDF("id", "v"), 1)
+    log.enableColumnMapping(spark)
+    log.widenColumn(spark, "v", "float")
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft-log").option("root", log.root).load()
+    }
+    assert(ex.getMessage.contains("float-target"), ex.getMessage)
+  }
 }

@@ -705,4 +705,45 @@ class SnapshotLogSpec extends AnyFunSuite {
     log.optimize(spark, partitions = 3, Seq(col("k"), col("d")))
     assert(log.readLatest(spark).count() == before)
   }
+
+  test("compactSmall pins the scan schema: evolved columns survive the repack") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val log = freshLog("compact_evolved")
+    log.createEmpty(StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    log.append((0 until 5).map(i => (i.toLong, i.toLong)).toDF("id", "v"), 1)
+    log.addColumns(spark, Seq(("tag", StringType)))
+    log.append((5 until 10).map(i => (i.toLong, i.toLong, s"t-$i"))
+      .toDF("id", "v", "tag"), 1)
+    val (v, (packed, _)) = log.compactSmall(spark, targetBytes = 1L << 20)
+    assert(packed == 2)
+    val got = log.read(spark, v).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+    assert(got.size == 10)
+    assert(got(7L).contains("t-7"),
+      "post-evolution values must survive the repack (schema pinned, not footer lottery)")
+    assert(got(2L).isEmpty, "pre-evolution rows keep serving typed NULL")
+  }
+
+  test("compactSmall sizes its output by the files it actually repacks") {
+    val log = freshLog("compact_sizing")
+    // six small files; only two are in scope — output sizing must count
+    // those two, not the whole small tail (which would shatter a 2-file
+    // repack into N tiny outputs)
+    val paths = (0 until 6).map { i =>
+      log.append((0 until 2000).map(j =>
+        ((i * 2000 + j).toLong, s"payload-$i-$j-${"x" * 40}"))
+        .toDF("id", "payload"), 1)
+      log.appendedFiles(log.currentVersion.get).head
+        .stripPrefix(log.root + "/")
+    }
+    val oneFile = new java.io.File(log.root, paths.head).length()
+    val target = oneFile * 3 // all six are "small"; two fit in one output
+    val scope = paths.take(2).toSet
+    val (v, (packed, written)) = log.compactSmall(spark, target, Some(scope))
+    assert(packed == 2 && written == 1,
+      s"two scoped files must pack into ONE output, got ($packed, $written)")
+    assert(log.readLatest(spark).count() == 12000L)
+    assert(log.dataFiles(v).size == 5, "6 files -> 4 carried + 1 packed")
+  }
 }
