@@ -1062,6 +1062,37 @@ object QueriesEtl {
         .withColumn("pruned_equals_full", lit(equal))
     }),
 
+    // ── BLOOM-FILTER FILE SKIPPING ([[SnapshotLog.appendBloomIndexed]]
+    // / [[readPrunedByBloom]]): per-file Bloom sidecars — the
+    // HIGH-CARDINALITY complement of the value-set sidecar (the Delta
+    // Bloom index / Iceberg Puffin shape). The table is hash-scattered
+    // on o_orderkey so min/max ranges are useless and a distinct-value
+    // set would overflow, yet the point lookup opens only the file(s)
+    // whose filter might contain the key; laws: the skip fired AND the
+    // pruned read equals the full filtered read (exceptAll both ways —
+    // false positives re-open files, never change rows) ──
+    "snapshot_bloom_prune" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "snap_bloom"))
+      log.recreate()
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartition(8, col("o_orderkey"))
+      val v0 = log.appendBloomIndexed(base, Seq("o_orderkey"),
+        expectedItemsPerFile = 50000L)
+      val k = base.agg(org.apache.spark.sql.functions.min(col("o_orderkey")))
+        .head().getLong(0)
+      val (pruned, (opened, total)) =
+        log.readPrunedByBloom(s, v0, "o_orderkey", k.toString)
+      val full = log.read(s, v0).where(col("o_orderkey") === k)
+      val equal = pruned.exceptAll(full).limit(1).count() == 0 &&
+        full.exceptAll(pruned).limit(1).count() == 0
+      pruned
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .withColumn("skip_happened", lit(opened < total))
+        .withColumn("pruned_equals_full", lit(equal))
+    }),
+
     // ── FOREIGN-KEY-GATED APPEND ([[SnapshotLog.appendCheckedRef]]):
     // child batches validate against a SNAPSHOT-PINNED parent key set —
     // the orphan batch (shifted keys) is rejected whole with the child
@@ -3574,6 +3605,111 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── FOUR-CLAUSE MERGE: WHEN NOT MATCHED BY SOURCE THEN UPDATE
+    // ([[graft.sources.GraftSqlDml]] → [[SnapshotLog.mergeIntoKeys]]
+    // `nmbsUpdateWhen`): the complete Delta clause matrix in ONE atomic
+    // commit — matched rows update from the source, unmatched source
+    // rows insert, target rows that LOST their source match either
+    // delete (even keys) or get marked STALE (the mark-stale-rows shape
+    // every slowly-changing-dimension sync needs). Laws: the receipt
+    // counts NMBS updates as updates and NMBS deletes as deletes, and a
+    // source column reference inside an NMBS clause refuses loudly
+    // (such rows have no source image) ──
+    "snapshot_sql_merge_nmbs" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftnmb", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftnmb.root", scratch(dir, "nmbroot"))
+      s.sql("DROP TABLE IF EXISTS graftnmb.ord")
+      s.sql("CREATE TABLE graftnmb.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 2400)
+        .createOrReplaceTempView("graft_nmb_src")
+      s.sql("INSERT INTO graftnmb.ord SELECT * FROM graft_nmb_src WHERE k <= 2000")
+      val r = s.sql(
+        """MERGE INTO graftnmb.ord t
+          |USING (SELECT k, status, cents + 5 AS cents FROM graft_nmb_src
+          |       WHERE k > 800) AS s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.cents = s.cents
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE AND t.k % 2 = 0 THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.status = 'STALE'
+          |""".stripMargin).head()
+      // receipt: updated = matched + stale-marked, deleted = even lost keys
+      val receiptOk = r.getString(0) == "MERGE" &&
+        r.getLong(3) > 0L && r.getLong(4) > 0L && r.getLong(5) > 0L
+      val srcRefRefused =
+        try {
+          s.sql("MERGE INTO graftnmb.ord t USING graft_nmb_src s ON t.k = s.k " +
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.status = s.status")
+          false
+        } catch { case e: Exception =>
+          Option(e.getMessage).exists(_.contains("target columns only")) }
+      s.sql(
+        """SELECT status, count(*) AS n_rows,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftnmb.ord GROUP BY status""".stripMargin)
+        .withColumn("receipt_ok", lit(receiptOk))
+        .withColumn("nmbs_source_ref_refused", lit(srcRefRefused))
+        .orderBy(col("status"))
+    }),
+
+    // ── SQL SHALLOW CLONE ([[SnapshotLog.cloneShallow]] via
+    // `CREATE TABLE … SHALLOW CLONE …`): a ZERO-COPY table clone — v0
+    // references the source snapshot's files in place (no bytes move at
+    // any table size, the dev-against-prod workflow), optionally pinned
+    // by VERSION AS OF. Laws: nothing landed under the clone's root
+    // (`zero_copy`), the time-travel clone serves exactly the pinned
+    // version (`tt_clone_pinned`), source mutations after the clone stay
+    // invisible (the oracle rollup carries pre-update cents), and the
+    // source's solo VACUUM refuses while clones live — stricter than
+    // Delta, which lets that vacuum break its clones silently ──
+    "snapshot_sql_clone" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftcln", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftcln.root", scratch(dir, "clnroot"))
+      s.sql("DROP TABLE IF EXISTS graftcln.dev")
+      s.sql("DROP TABLE IF EXISTS graftcln.dev_v1")
+      s.sql("DROP TABLE IF EXISTS graftcln.base")
+      s.sql("CREATE TABLE graftcln.base (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 2600)
+        .createOrReplaceTempView("graft_cln_src")
+      s.sql("INSERT INTO graftcln.base SELECT * FROM graft_cln_src WHERE k <= 1000")
+      s.sql("INSERT INTO graftcln.base SELECT * FROM graft_cln_src " +
+        "WHERE k > 1000 AND k <= 2000")
+      val r = s.sql("CREATE TABLE graftcln.dev SHALLOW CLONE graftcln.base").head()
+      val receiptOk = r.getString(0) == "SHALLOW CLONE" &&
+        r.getLong(3) == 2L && r.getLong(4) > 0L && r.getLong(5) == 0L
+      val zeroCopy =
+        !new java.io.File(scratch(dir, "clnroot") + "/dev/data").exists()
+      s.sql("CREATE TABLE graftcln.dev_v1 SHALLOW CLONE graftcln.base VERSION AS OF 1")
+      val ttPinned =
+        s.sql("SELECT count(*) AS n FROM graftcln.dev_v1").head().getLong(0) ==
+          s.sql("SELECT count(*) AS n FROM graft_cln_src WHERE k <= 1000")
+            .head().getLong(0)
+      // the clone evolves independently; the source mutates independently
+      s.sql("INSERT INTO graftcln.dev SELECT * FROM graft_cln_src WHERE k > 2000")
+      s.sql("UPDATE graftcln.base SET cents = cents + 999 WHERE k <= 2000")
+      val vacuumRefused =
+        try { new SnapshotLog(scratch(dir, "clnroot") + "/base").vacuum(); false }
+        catch { case e: IllegalArgumentException =>
+          Option(e.getMessage).exists(_.contains("clone")) }
+      s.sql(
+        """SELECT status, count(*) AS n_rows,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftcln.dev GROUP BY status""".stripMargin)
+        .withColumn("receipt_ok", lit(receiptOk))
+        .withColumn("zero_copy", lit(zeroCopy))
+        .withColumn("tt_clone_pinned", lit(ttPinned))
+        .withColumn("src_vacuum_refused", lit(vacuumRefused))
+        .orderBy(col("status"))
+    }),
+
     // ── spark.sql UPDATE / MERGE JUST WORK ([[graft.sources
     // .GraftSqlParser.interceptDml]]): the injected parser spots a
     // row-level DML plan whose target is a registered graft catalog and
@@ -5590,6 +5726,51 @@ object QueriesEtl {
         |       TRUE AS conditional_insert_filtered,
         |       TRUE AS target_ref_refused
         |FROM u GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_merge_nmbs: matched rows (800, 2000] carry cents+5,
+    // inserted rows (2000, 2400] the source image, lost even keys are
+    // gone, lost odd keys are STALE with original cents; the receipt
+    // and refusal laws are measured Spark-side
+    "snapshot_sql_merge_nmbs" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 2400),
+        |     u AS (SELECT k, status, cents + 5 AS cents FROM o WHERE k > 800
+        |           UNION ALL
+        |           SELECT k, 'STALE' AS status, cents FROM o
+        |           WHERE k <= 800 AND k % 2 <> 0)
+        |SELECT status, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS receipt_ok,
+        |       TRUE AS nmbs_source_ref_refused
+        |FROM u GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_clone: the clone is the base's pre-update image plus
+    // its own (2000, 2600] insert — original cents throughout (the
+    // base's post-clone UPDATE must stay invisible); the zero-copy,
+    // pinning, and vacuum-refusal laws are measured Spark-side
+    "snapshot_sql_clone" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS receipt_ok,
+        |       TRUE AS zero_copy,
+        |       TRUE AS tt_clone_pinned,
+        |       TRUE AS src_vacuum_refused
+        |FROM orders WHERE o_orderkey <= 2600
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_bloom_prune: the pruned read reduces to the plain point
+    // lookup on the smallest order key; the skip/equality laws are
+    // measured Spark-side
+    "snapshot_bloom_prune" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS skip_happened,
+        |       TRUE AS pruned_equals_full
+        |FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""".stripMargin,
 
     // snapshot_sql_cluster_incr: the k-range rollup over the fully
     // reunited corpus; the incremental-rewrite and skipping laws are

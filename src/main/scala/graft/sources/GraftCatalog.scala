@@ -568,11 +568,25 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     */
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
+    val dir = new File(rootDir, ident.name())
+    // a pool OWNER with live shallow clones must not vanish under them —
+    // dropping it would orphan every clone's data references (the silent
+    // breakage Delta allows; we refuse loudly — drop the clones first)
+    // a borrower (its `_pool` marker points elsewhere) is always safe to
+    // drop; registrations self-prune on the owner's next cloneRoots walk
+    if (new File(dir, "_log").isDirectory && !new File(dir, "_pool").exists()) {
+      val log = new SnapshotLog(dir.toString)
+      val live = log.cloneRoots
+      require(live.isEmpty,
+        s"DROP TABLE ${ident.name()}: shallow clone(s) at " +
+          s"${live.mkString(", ")} still read this table's data pool — " +
+          "drop the clones first")
+    }
     def rm(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()
     }
-    rm(new File(rootDir, ident.name()))
+    rm(dir)
     true
   }
 

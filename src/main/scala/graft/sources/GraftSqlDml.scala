@@ -498,11 +498,45 @@ object GraftSqlDml {
         "GraftSqlDml: one WHEN NOT MATCHED clause only")
     }
 
-    val deleteNmbs = m.notMatchedBySourceActions match {
-      case Nil => None
-      case Seq(DeleteAction(cond)) => Some(cond.map(rw).getOrElse(lit(true)))
-      case _ => throw new UnsupportedOperationException(
-        "GraftSqlDml: WHEN NOT MATCHED BY SOURCE supports a single DELETE only")
+    // not matched by source: at most one DELETE and one UPDATE (the full
+    // Delta NMBS pair), delete-declared-first like the matched clauses.
+    // Conditions and SET expressions may reference TARGET columns only —
+    // source columns are absent (NULL) on a row with no source match, so
+    // a source reference is almost certainly a bug; refuse loudly.
+    def rwNmbs(e: Expression): Column = {
+      val r = rwExpr(e)
+      val srcRefs = r.collect {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+            a.nameParts.head.startsWith("src_") =>
+          a.nameParts.head.stripPrefix("src_")
+      }
+      require(srcRefs.isEmpty,
+        s"GraftSqlDml: WHEN NOT MATCHED BY SOURCE clauses may reference " +
+          s"target columns only (got source ref(s) ${srcRefs.mkString(", ")} " +
+          "— source columns are NULL on rows with no source match)")
+      toColumn(r)
+    }
+    var deleteNmbs: Option[Column] = None
+    var nmbsUpdateWhen: Option[Column] = None
+    var nmbsUpdateSet: Seq[(String, Column)] = Nil
+    m.notMatchedBySourceActions.foreach {
+      case DeleteAction(cond) =>
+        require(deleteNmbs.isEmpty,
+          "GraftSqlDml: one WHEN NOT MATCHED BY SOURCE DELETE clause only")
+        require(nmbsUpdateWhen.isEmpty,
+          "GraftSqlDml: declare WHEN NOT MATCHED BY SOURCE ... DELETE before " +
+            "... UPDATE — the log merge evaluates delete first, and honoring " +
+            "an update-first declaration would silently change first-match-wins")
+        deleteNmbs = Some(cond.map(rwNmbs).getOrElse(lit(true)))
+      case UpdateAction(cond, assigns, _) =>
+        require(nmbsUpdateWhen.isEmpty,
+          "GraftSqlDml: one WHEN NOT MATCHED BY SOURCE UPDATE clause only")
+        nmbsUpdateWhen = Some(cond.map(rwNmbs).getOrElse(lit(true)))
+        nmbsUpdateSet = assigns.map(a =>
+          t.phys(assignmentName(a.key, tgtQuals)) -> rwNmbs(a.value))
+      case other => throw new UnsupportedOperationException(
+        s"GraftSqlDml: unsupported WHEN NOT MATCHED BY SOURCE action " +
+          s"${other.getClass.getSimpleName}")
     }
 
     // stored CHECK constraints gate the row images this MERGE writes
@@ -512,7 +546,8 @@ object GraftSqlDml {
     val ((v, (nUpd, nDel, nIns), _), retries) = log.withOccRetry()(
       log.mergeIntoKeys(srcDf, keyCols, updateWhen, updateSet, deleteWhen,
         insertNotMatched, deleteNmbs, checks = storedChecks(spark, t),
-        insertWhen = insertWhen))
+        insertWhen = insertWhen,
+        nmbsUpdateWhen = nmbsUpdateWhen, nmbsUpdateSet = nmbsUpdateSet))
     DmlResult("MERGE", name, v, nUpd, nDel, nIns, retries)
   }
 }

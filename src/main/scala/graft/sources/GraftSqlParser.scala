@@ -78,6 +78,8 @@ object GraftSqlParser {
     """(?is)\s*ANALYZE\s+TABLE\s+(\w+)\.(\w+)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+(\w+(?:\s*,\s*\w+)*)\s*;?\s*""".r
   private val CopyIntoRe =
     """(?is)\s*COPY\s+INTO\s+(\w+)\.(\w+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*(?:PATTERN\s*=\s*'([^']+)')?\s*;?\s*""".r
+  private val CloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+(\w+)\.(\w+)\s+SHALLOW\s+CLONE\s+(\w+)\.(\w+)\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
 
   /** True only when `<cat>` resolves to a REGISTERED [[GraftCatalog]]
     * with a root — the same gate [[interceptDml]]'s graftTarget applies.
@@ -117,6 +119,10 @@ object GraftSqlParser {
       case CopyIntoRe(cat, table, from, fmt, pattern) if isGraftCatalog(cat) =>
         Some(CopyIntoGraftTable(cat, table, from,
           fmt.toLowerCase(java.util.Locale.ROOT), Option(pattern)))
+      case CloneRe(dstCat, dstTable, srcCat, srcTable, v)
+          if isGraftCatalog(dstCat) && isGraftCatalog(srcCat) =>
+        Some(CloneGraftTable(dstCat, dstTable, srcCat, srcTable,
+          Option(v).map(_.toLong)))
       case _ => None
     }
 
@@ -633,6 +639,34 @@ object GraftSqlParser {
           log.versionAt(millis)
       }
       Seq(Row(toVersion, log.restoreTo(toVersion)))
+    }
+  }
+
+  /** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` — the
+    * zero-copy table clone ([[SnapshotLog.cloneShallow]]): the new
+    * table's v0 references the source snapshot's files in place; no
+    * data moves regardless of table size (the dev/test-against-prod
+    * workflow, and the instant time-travel materialization). The
+    * receipt row reports what was referenced; the source registers the
+    * clone so its solo VACUUM refuses instead of silently breaking the
+    * clone (stricter than Delta).
+    */
+  private case class CloneGraftTable(
+      dstCat: String, dstTable: String,
+      srcCat: String, srcTable: String, version: Option[Long])
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "op" -> StringType, "table" -> StringType, "source" -> StringType,
+      "cloned_version" -> LongType, "files_referenced" -> LongType,
+      "bytes_copied" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val src = logFor(spark, srcCat, srcTable)
+      val dstRoot = new File(
+        spark.conf.get(s"spark.sql.catalog.$dstCat.root"), dstTable).toString
+      val child = src.cloneShallow(dstRoot, version)
+      val v = version.getOrElse(src.currentVersion.get)
+      Seq(Row("SHALLOW CLONE", s"$dstCat.$dstTable", s"$srcCat.$srcTable",
+        v, child.dataFiles(0L).size.toLong, 0L))
     }
   }
 

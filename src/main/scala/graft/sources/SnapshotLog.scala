@@ -78,10 +78,19 @@ class SnapshotLog(
 
   private val logDir = new File(root, "_log")
   // the data pool: this log's own root, or a SHARED parent pool when this
-  // log is a zero-copy branch (see [[fork]]) — every data-relative path
-  // resolves against it
-  private[sources] val dataRootPath: String =
-    new File(dataRootOpt.getOrElse(root)).getCanonicalPath
+  // log is a zero-copy branch ([[fork]]) or shallow clone
+  // ([[cloneShallow]]) — every data-relative path resolves against it.
+  // Borrowing logs are SELF-DESCRIBING on disk via a `_pool` marker file
+  // (written at fork/clone time) so reopening one by bare root — the
+  // catalog's only handle — resolves the shared pool without the caller
+  // having to know the table's lineage.
+  private[sources] val dataRootPath: String = {
+    val marker = new File(root, "_pool")
+    val declared = dataRootOpt.orElse {
+      if (marker.exists()) Some(readLines(marker).head) else None
+    }
+    new File(declared.getOrElse(root)).getCanonicalPath
+  }
   private val dataDir = new File(dataRootPath, "data")
 
   private def manifestFile(v: Long) = new File(logDir, f"v$v%08d.manifest")
@@ -532,8 +541,77 @@ class SnapshotLog(
       s"$root/branches/$name", checkpointInterval, Some(dataRootPath))
     require(child.currentVersion.isEmpty,
       s"fork: branch '$name' already exists at ${child.root}")
+    child.writePoolMarker()
     child.commit(None, files(cur))
     child
+  }
+
+  /** Persist the shared-pool pointer so a bare `new SnapshotLog(root)`
+    * reopen resolves data against the pool this log borrows.
+    */
+  private def writePoolMarker(): Unit = {
+    new File(root).mkdirs()
+    Files.write(new File(root, "_pool").toPath,
+      (dataRootPath + "\n").getBytes(UTF_8))
+    ()
+  }
+
+  /** ZERO-COPY SHALLOW CLONE to an ARBITRARY root (the Delta
+    * `CREATE TABLE … SHALLOW CLONE` shape): a new independent table
+    * whose v0 is the source snapshot's complete listing — schema, CHECK
+    * constraints, column mapping, masks, data files — sharing this log's
+    * immutable data pool; no bytes move regardless of table size. Where
+    * [[fork]] nests the child under `branches/` (a ref of this table),
+    * a clone is a FIRST-CLASS table anywhere (typically a sibling in the
+    * same catalog root): it commits, evolves, and time-travels
+    * independently, starting its own history at v0.
+    *
+    * Pool safety is stricter than Delta's (where vacuuming the source
+    * silently breaks clones): the clone registers itself under the POOL
+    * root (`_clones/<id>` → clone root), and the owner's [[vacuum]]
+    * refuses while live registrations exist — sweep with
+    * [[SnapshotLog.vacuumShared]] over the owner plus [[cloneRoots]].
+    * A dropped clone (its `_log` gone) self-prunes at guard time.
+    *
+    * `version` pins which snapshot to clone (time-travel clone);
+    * default the current one.
+    */
+  def cloneShallow(dstRoot: String, version: Option[Long] = None): SnapshotLog = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"cloneShallow: no committed snapshot at $root"))
+    val v = version.getOrElse(cur)
+    require(versions.contains(v),
+      s"cloneShallow: version $v does not exist at $root (have ${versions.mkString(", ")})")
+    val dstCanonical = new File(dstRoot).getCanonicalPath
+    require(dstCanonical != new File(root).getCanonicalPath,
+      "cloneShallow: destination is the source itself")
+    val child = new SnapshotLog(dstRoot, checkpointInterval, Some(dataRootPath))
+    require(child.currentVersion.isEmpty,
+      s"cloneShallow: a table already exists at $dstRoot")
+    child.writePoolMarker()
+    // register under the POOL root (not this log's root — a clone of a
+    // branch must still block the pool owner's solo vacuum)
+    val clonesDir = new File(dataRootPath, "_clones")
+    clonesDir.mkdirs()
+    Files.write(
+      new File(clonesDir, java.util.UUID.randomUUID().toString).toPath,
+      (dstCanonical + "\n").getBytes(UTF_8))
+    child.commit(None, files(v))
+    child
+  }
+
+  /** Roots of the LIVE shallow clones registered against this pool —
+    * registrations whose `_log` directory no longer exists (a dropped
+    * clone) are pruned as they are discovered. Meaningful on the pool
+    * OWNER; a borrower sees the same listing (the pool's).
+    */
+  def cloneRoots: Seq[String] = {
+    val dir = new File(dataRootPath, "_clones")
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+      val dst = readLines(f).head
+      if (new File(dst, "_log").isDirectory) Some(dst)
+      else { f.delete(); None } // dropped clone: self-prune
+    }.sorted
   }
 
   /** Open an existing branch previously created by [[fork]]. */
@@ -2435,6 +2513,114 @@ class SnapshotLog(
     (pruned, (keep.size, data.size))
   }
 
+  /** Stage + commit `df` EXACTLY as arranged with a PER-FILE BLOOM
+    * FILTER for each of `bloomCols` recorded in a `_blooms.parquet`
+    * sidecar — the HIGH-CARDINALITY complement of [[appendValueIndexed]]:
+    * a point lookup on a high-NDV column (order id, user id, content
+    * hash) cannot prune on min/max once values scatter across files, and
+    * a distinct-value set overflows its bound at exactly the cardinality
+    * where skipping matters most (the FULL marker reads conservatively).
+    * A Bloom filter stays bits-per-row-sized regardless of NDV and
+    * answers "definitely absent" — a false POSITIVE only re-opens a
+    * file, never changes a result (the asymmetry every caller of
+    * [[graft.functions.BloomFunctions]] leans on). This is the Delta
+    * Bloom-filter-index / Iceberg Puffin shape.
+    *
+    * Built in ONE distributed pass over the staged files (group by
+    * `input_file_name` → [[graft.functions.BloomFunctions.bloomAgg]] per
+    * column — mergeable map-side partials, never a per-file driver
+    * loop); values hash in STRING form (the sidecar is type-erased, like
+    * [[appendValueIndexed]]) so [[readPrunedByBloom]] probes with the
+    * same cast. `fpp` trades sidecar bytes for re-opened files (1% ≈
+    * 9.6 bits per row); `expectedItemsPerFile` sizes each filter — an
+    * overfull file degrades toward more false positives (more files
+    * opened), never wrong answers.
+    */
+  def appendBloomIndexed(
+      df: DataFrame,
+      bloomCols: Seq[String],
+      expectedItemsPerFile: Long = 100000L,
+      fpp: Double = 0.01): Long = {
+    require(bloomCols.nonEmpty, "appendBloomIndexed: need at least one bloom column")
+    require(bloomCols.forall(df.columns.contains),
+      s"appendBloomIndexed: column(s) " +
+        s"${bloomCols.filterNot(df.columns.contains).mkString(", ")} not in " +
+        s"the frame (${df.columns.mkString(", ")})")
+    val spark = df.sparkSession
+    graft.functions.BloomFunctions.register(spark)
+    import org.apache.spark.sql.functions.{col, element_at, input_file_name, lit, split}
+    val staged = stageArranged(df)
+    val dir = new File(dataRootPath, staged.head).getParentFile
+    val stageId = dir.getName
+    // one pass over the freshly-staged files: per (file, column) a
+    // serialized filter; `input_file_name` is reduced to the bare file
+    // name (staged names are unique within the stage directory)
+    val one = spark.read
+      .parquet(staged.map(p => new File(dataRootPath, p).toString): _*)
+      .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
+    val perCol = bloomCols.map { c =>
+      one.groupBy(col("__fname"))
+        .agg(graft.functions.BloomFunctions
+          .bloomAgg(col(c).cast("string"), expectedItemsPerFile, fpp).as("bits"))
+        .select(col("__fname"), lit(c).as("col"), col("bits"))
+    }.reduce(_ unionByName _)
+      .withColumn("file",
+        org.apache.spark.sql.functions.concat(
+          lit(s"data/$stageId/"), col("__fname")))
+      .select("file", "col", "bits")
+    perCol.coalesce(1).write.mode("overwrite")
+      .parquet(new File(dir, "_blooms.parquet").toString)
+    val cur = currentVersion
+    commit(cur, cur.map(files).getOrElse(Nil) ++ staged)
+  }
+
+  /** Point-equality read over a snapshot whose files carry
+    * [[appendBloomIndexed]] filters: open only the files whose Bloom
+    * filter might contain `value` (sidecar-free files and files with no
+    * recorded filter kept conservatively — false positives re-open, false
+    * negatives cannot happen), then apply the predicate. Returns the
+    * frame plus (filesOpened, filesTotal) so callers can assert the skip
+    * fired. Planning is one sidecar read per staged directory —
+    * file-count-sized metadata work, never a data scan.
+    */
+  def readPrunedByBloom(
+      spark: SparkSession,
+      version: Long,
+      bloomCol: String,
+      value: String): (DataFrame, (Int, Int)) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    // the probe hash must be BIT-IDENTICAL to the build side's
+    // `xxhash64(cast(c as string))` — computed through the same Catalyst
+    // expression, evaluated driver-side (might_contain demands a
+    // constant filter, so membership is tested here, not in a plan)
+    val probeHash = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        value, org.apache.spark.sql.types.StringType))).eval(null)
+      .asInstanceOf[Long]
+    val data = dataFiles(version)
+    val keep = data.groupBy(p => new File(dataRootPath, p).getParent).toSeq.flatMap {
+      case (dir, paths) =>
+        val sidecar = new File(dir, "_blooms.parquet")
+        if (!sidecar.exists()) paths
+        else {
+          val might = spark.read.parquet(sidecar.toString)
+            .where(col("col") === bloomCol).select("file", "bits")
+            .collect().map { r =>
+              val filter = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+              r.getString(0) -> filter.mightContainLong(probeHash)
+            }.toMap
+          paths.filter(p => might.getOrElse(p, true))
+        }
+    }.sorted
+    val pruned =
+      if (keep.isEmpty) read(spark, version).where(lit(false))
+      else applyMasks(spark, version,
+        spark.read.parquet(keep.map(p => new File(dataRootPath, p).toString): _*)
+          .where(col(bloomCol).cast("string") === value))
+    (pruned, (keep.size, data.size))
+  }
+
   /** Per-file `[lo, hi]` for every INTEGRAL column of the staged files,
     * read from the PARQUET FOOTERS the write already produced — the
     * Delta stats-at-write shape with ZERO extra data pass: footer reads
@@ -2766,6 +2952,12 @@ class SnapshotLog(
     *     conditions as `src_<name>` (and by bare name in `insertWhen`,
     *     which evaluates over the raw source), NEVER written — every
     *     staged row image projects exactly the target columns.
+    *
+    * Plus the fourth Delta clause: WHEN NOT MATCHED BY SOURCE THEN
+    * UPDATE (`nmbsUpdateWhen`/`nmbsUpdateSet` — mark-stale-rows).
+    * Either NMBS clause puts EVERY file in the rewrite scope by
+    * definition (any target row might lose its source match), so both
+    * carry the same full-table scale caveat.
     */
   def mergeIntoKeys(
       source: DataFrame,
@@ -2778,7 +2970,16 @@ class SnapshotLog(
       checks: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       insertWhen: Option[org.apache.spark.sql.Column] = None,
       txn: Option[(String, Long)] = None,
-      sourceExtras: Set[String] = Set.empty)
+      sourceExtras: Set[String] = Set.empty,
+      // WHEN NOT MATCHED BY SOURCE AND `nmbsUpdateWhen`
+      //   THEN UPDATE SET `nmbsUpdateSet` — the "mark stale rows" half of
+      // the Delta NMBS pair (delete evaluates first when both are given,
+      // same first-match-wins discipline as the matched clauses). SET /
+      // condition expressions read the OLD target row; source columns are
+      // NULL by definition on such rows, so callers restrict them to
+      // target references.
+      nmbsUpdateWhen: Option[org.apache.spark.sql.Column] = None,
+      nmbsUpdateSet: Seq[(String, org.apache.spark.sql.Column)] = Nil)
       : (Long, (Long, Long, Long), (Int, Int)) = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, sum, when}
     val spark = source.sparkSession
@@ -2787,8 +2988,11 @@ class SnapshotLog(
       s"mergeInto: duplicate key columns in ${keyCols.mkString(", ")}")
     require(updateWhen.isDefined == updateSet.nonEmpty,
       "mergeInto: updateWhen and updateSet come together (use lit(true) for unconditional)")
+    require(nmbsUpdateWhen.isDefined == nmbsUpdateSet.nonEmpty,
+      "mergeInto: nmbsUpdateWhen and nmbsUpdateSet come together " +
+        "(use lit(true) for unconditional)")
     require(updateWhen.isDefined || deleteWhen.isDefined || insertNotMatched ||
-        deleteNotMatchedBySource.isDefined,
+        deleteNotMatchedBySource.isDefined || nmbsUpdateWhen.isDefined,
       "mergeInto: at least one clause required")
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"mergeInto: no committed snapshot at $root"))
@@ -2836,7 +3040,8 @@ class SnapshotLog(
     val headNumeric = source.schema.fields.find(_.name == keyCols.head)
       .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     val rewrite: Seq[String] =
-      if (deleteNotMatchedBySource.isDefined || !headNumeric) dataFiles(cur)
+      if (deleteNotMatchedBySource.isDefined || nmbsUpdateWhen.isDefined ||
+          !headNumeric) dataFiles(cur)
       else {
         val ranges = fileRanges(spark, cur, keyCols.head)
         val alwaysRewrite = ranges.collect { case (p, None) => p }
@@ -2886,19 +3091,29 @@ class SnapshotLog(
       .map(c => matched && !delApplies && applies(c)).getOrElse(lit(false))
     val nmbsApplies = deleteNotMatchedBySource
       .map(c => !matched && applies(c)).getOrElse(lit(false))
+    // NMBS UPDATE evaluates after NMBS DELETE (first applicable wins)
+    val nmbsUpdApplies = nmbsUpdateWhen
+      .map(c => !matched && !nmbsApplies && applies(c)).getOrElse(lit(false))
     // clause metrics in ONE pass over the rewrite scope
     val m = joined.agg(
       sum(when(delApplies, 1L).otherwise(0L)),
       sum(when(updApplies, 1L).otherwise(0L)),
-      sum(when(nmbsApplies, 1L).otherwise(0L))).head()
+      sum(when(nmbsApplies, 1L).otherwise(0L)),
+      sum(when(nmbsUpdApplies, 1L).otherwise(0L))).head()
     def metric(i: Int) = if (m.isNullAt(i)) 0L else m.getLong(i)
-    val (nDelM, nUpd, nDelNmbs) = (metric(0), metric(1), metric(2))
+    val (nDelM, nUpd, nDelNmbs, nUpdNmbs) =
+      (metric(0), metric(1), metric(2), metric(3))
     // every SET expression reads the OLD row: stage new values in temp
-    // columns BEFORE any target column is overwritten
+    // columns BEFORE any target column is overwritten (both clause
+    // families — a row is matched-updated XOR nmbs-updated, never both)
     val survivors = joined.where(!delApplies && !nmbsApplies)
-    val withTmp = updateSet.zipWithIndex.foldLeft(
-        survivors.withColumn("__upd", updApplies)) {
-      case (d, ((_, c), i)) => d.withColumn(s"__u$i", c)
+    val withTmp = nmbsUpdateSet.zipWithIndex.foldLeft(
+        updateSet.zipWithIndex.foldLeft(
+            survivors.withColumn("__upd", updApplies)
+              .withColumn("__nupd", nmbsUpdApplies)) {
+          case (d, ((_, c), i)) => d.withColumn(s"__u$i", c)
+        }) {
+      case (d, ((_, c), i)) => d.withColumn(s"__n$i", c)
     }
     // CHECK enforcement rides the rows this merge writes — the guard
     // fires only where the row image CHANGED (updated or inserted), so a
@@ -2916,10 +3131,14 @@ class SnapshotLog(
               s"[$names] — nothing committed"))))
       }
     val updated = guardChecks(
-      updateSet.zipWithIndex.foldLeft(withTmp) {
+      nmbsUpdateSet.zipWithIndex.foldLeft(
+          updateSet.zipWithIndex.foldLeft(withTmp) {
+            case (d, ((n, _), i)) =>
+              d.withColumn(n, when(col("__upd"), col(s"__u$i")).otherwise(col(n)))
+          }) {
         case (d, ((n, _), i)) =>
-          d.withColumn(n, when(col("__upd"), col(s"__u$i")).otherwise(col(n)))
-      }, col("__upd")).select(baseCols.map(col): _*)
+          d.withColumn(n, when(col("__nupd"), col(s"__n$i")).otherwise(col(n)))
+      }, col("__upd") || col("__nupd")).select(baseCols.map(col): _*)
     // `insertWhen` (the `WHEN NOT MATCHED AND <cond>` filter): evaluated
     // over the SOURCE row alone — a not-matched row has no target image,
     // so the caller restricts the predicate to source columns
@@ -2955,7 +3174,8 @@ class SnapshotLog(
       val lines = txn.fold(lines0) { case (app, b) =>
         withMeta(lines0, s"txn.$app", b.toString) }
       val v = commit(Some(cur), lines)
-      (v, (nUpd, nDelM + nDelNmbs, nIns), (rewrite.size, dataFiles(cur).size))
+      (v, (nUpd + nUpdNmbs, nDelM + nDelNmbs, nIns),
+        (rewrite.size, dataFiles(cur).size))
     }
     } finally { joined.unpersist(); src.unpersist(); () }
   }
@@ -3383,7 +3603,7 @@ class SnapshotLog(
     * paths, sorted.
     */
   def vacuum(): Seq[String] = {
-    require(dataRootOpt.isEmpty,
+    require(ownsPool,
       s"vacuum: this log borrows the data pool at $dataRootPath — a lone " +
         "sweep would collect files other refs still read; use " +
         "SnapshotLog.vacuumShared over every log sharing the pool")
@@ -3391,8 +3611,18 @@ class SnapshotLog(
         Option(branchesDir.listFiles()).getOrElse(Array.empty).isEmpty,
       s"vacuum: branches exist under $root and share this data pool; use " +
         "SnapshotLog.vacuumShared over the parent and every branch")
+    val liveClones = cloneRoots
+    require(liveClones.isEmpty,
+      s"vacuum: shallow clone(s) at ${liveClones.mkString(", ")} share this " +
+        "data pool; use SnapshotLog.vacuumShared over the owner and every clone")
     sweepOrphans(liveFiles, liveLedgerIds)
   }
+
+  /** Whether this log's data pool is its own root (false for branches
+    * and shallow clones, however they were opened).
+    */
+  private def ownsPool: Boolean =
+    dataRootPath == new File(root).getCanonicalPath
 
   /** What [[vacuum]] WOULD delete, touching nothing — the dry run every
     * operator wants before a destructive sweep. Same guards, same orphan
@@ -3403,12 +3633,14 @@ class SnapshotLog(
     * running either.
     */
   def vacuumDryRun(keepFrom: Option[Long] = None): Seq[String] = {
-    require(dataRootOpt.isEmpty,
+    require(ownsPool,
       s"vacuumDryRun: this log borrows the data pool at $dataRootPath — " +
         "preview against every log sharing the pool")
     require(!branchesDir.exists() ||
         Option(branchesDir.listFiles()).getOrElse(Array.empty).isEmpty,
       s"vacuumDryRun: branches exist under $root and share this data pool")
+    require(cloneRoots.isEmpty,
+      s"vacuumDryRun: shallow clone(s) share this data pool")
     val retained = keepFrom match {
       case Some(k) =>
         val vs = versions.filter(_ >= k)

@@ -281,6 +281,44 @@ class SnapshotDmlSpec extends AnyFunSuite {
     assert(after.where(col("k") === 3L).count() == 1L)
   }
 
+  test("mergeIntoKeys: NOT MATCHED BY SOURCE UPDATE marks lost rows, delete-first when both clauses given") {
+    val log = freshLog("merge_nmbs_upd")
+    log.append(Seq((1L, "live", 10L), (2L, "live", 20L), (3L, "live", 30L),
+      (4L, "live", 40L)).toDF("id", "status", "v"), partitions = 2)
+    // source holds only id=1 (update) and id=9 (insert); ids 2-4 lose
+    // their match: even ones delete, the rest mark STALE with v zeroed
+    val src = Seq((1L, "live", 100L), (9L, "new", 90L)).toDF("id", "status", "v")
+    val (v, (nUpd, nDel, nIns), (rw, tot)) = log.mergeIntoKeys(
+      src, Seq("id"),
+      updateWhen = Some(lit(true)), updateSet = Seq("v" -> col("src_v")),
+      insertNotMatched = true,
+      deleteNotMatchedBySource = Some(col("id") % 2 === 0),
+      nmbsUpdateWhen = Some(lit(true)),
+      nmbsUpdateSet = Seq("status" -> lit("STALE"), "v" -> lit(0L)))
+    // nUpd counts matched (id=1) + stale-marked (id=3); deletes are 2,4
+    assert((nUpd, nDel, nIns) == (2L, 2L, 1L), s"got ($nUpd, $nDel, $nIns)")
+    assert(rw == tot, "an NMBS clause puts every file in the rewrite scope")
+    val got = log.read(spark, v).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ("live", 100L), 3L -> ("STALE", 0L),
+      9L -> ("new", 90L)), got.toString)
+    // SET expressions read the OLD row (v doubles from its pre-image,
+    // not from any partially-applied state)
+    val (v2, (u2, _, _), _) = log.mergeIntoKeys(
+      Seq((99L, "x", 0L)).toDF("id", "status", "v"), Seq("id"),
+      insertNotMatched = true,
+      nmbsUpdateWhen = Some(col("status") === "STALE"),
+      nmbsUpdateSet = Seq("v" -> (col("v") * 2 + 1L)))
+    assert(u2 == 1L)
+    assert(log.read(spark, v2).where(col("id") === 3L)
+      .select("v").as[Long].head() == 1L)
+    // pairing is enforced
+    intercept[IllegalArgumentException] {
+      log.mergeIntoKeys(src, Seq("id"),
+        nmbsUpdateWhen = Some(lit(true)))
+    }
+  }
+
   test("withOccRetry: racing non-commuting DML re-derives and converges, no lost effects") {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     val log = freshLog("occ_dml")

@@ -345,6 +345,69 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(all.count() == 10L)
   }
 
+  test("appendBloomIndexed/readPrunedByBloom: per-file blooms prune high-NDV point lookups, never lose rows") {
+    val log = freshLog("blooms")
+    // 4 files hash-scattered on a HIGH-NDV key: min/max ranges overlap
+    // completely, a value set would overflow — exactly the bloom's case
+    val scattered = (0L until 400L).map(i => (i, i * 7L)).toDF("id", "v")
+      .repartition(4, col("id"))
+    val v0 = log.appendBloomIndexed(scattered, Seq("id"),
+      expectedItemsPerFile = 200L)
+    // every key answers exactly its row, opening fewer files than total
+    Seq(0L, 123L, 399L).foreach { k =>
+      val (pruned, (opened, total)) =
+        log.readPrunedByBloom(spark, v0, "id", k.toString)
+      assert(total == 4 && opened < total, s"key $k opened $opened/$total")
+      assert(pruned.select("v").as[Long].collect().toSeq == Seq(k * 7L))
+    }
+    // an absent key opens nothing (modulo false positives: assert <= 1
+    // would be flaky by construction; assert CORRECTNESS instead — zero
+    // rows regardless of how many files a false positive re-opened)
+    assert(log.readPrunedByBloom(spark, v0, "id", "999999")._1.count() == 0L)
+    // a sidecar-free stage stays conservative (opened includes it)
+    log.append(Seq((10000L, 1L)).toDF("id", "v"), partitions = 1)
+    val (withLate, (o2, t2)) =
+      log.readPrunedByBloom(spark, log.currentVersion.get, "id", "10000")
+    assert(t2 == 5 && o2 >= 1 && withLate.count() == 1L, s"got $o2/$t2")
+    // masks compose: a position delete on the looked-up row hides it
+    // from the pruned read exactly as from the full read
+    val (vDel, nDel) = log.deleteWhere(spark, col("id") === 123L)
+    assert(nDel == 1L)
+    assert(log.readPrunedByBloom(spark, vDel, "id", "123")._1.count() == 0L)
+  }
+
+  test("cloneShallow: zero-copy, time-travel-pinned, independent, self-describing, vacuum-safe") {
+    val log = freshLog("clone_src")
+    log.append(rows(10, "a"), partitions = 2) // v0
+    log.append(rows(5, "b"), partitions = 1) // v1: 15 rows
+    val dst = "/root/repo/target/snaplog_spec/clone_dst"
+    new SnapshotLog(dst).recreate() // clear any prior run
+    val clone = log.cloneShallow(dst, version = Some(0L))
+    // pinned at v0: 10 rows, and NO bytes under the clone root
+    assert(clone.readLatest(spark).count() == 10L)
+    assert(!new File(dst, "data").exists(), "a shallow clone must copy nothing")
+    // the catalog's bare-root reopen resolves the pool via the marker
+    val reopened = new SnapshotLog(dst)
+    assert(reopened.read(spark, 0L).count() == 10L)
+    // independent histories: clone commits never reach the source
+    reopened.append(rows(3, "c"), partitions = 1)
+    assert(reopened.readLatest(spark).count() == 13L)
+    assert(log.readLatest(spark).count() == 15L)
+    // solo vacuum refuses on BOTH sides; the shared sweep keeps both live
+    intercept[IllegalArgumentException](log.vacuum())
+    intercept[IllegalArgumentException](reopened.vacuum())
+    SnapshotLog.vacuumShared(Seq(log, reopened))
+    assert(log.readLatest(spark).count() == 15L)
+    assert(reopened.readLatest(spark).count() == 13L)
+    // an occupied destination refuses
+    intercept[IllegalArgumentException](log.cloneShallow(dst))
+    // dropping the clone self-prunes its registration → vacuum unblocks
+    // and collects the clone's now-orphaned exclusive file
+    new SnapshotLog(dst).recreate()
+    assert(log.vacuum().nonEmpty)
+    assert(log.readLatest(spark).count() == 15L)
+  }
+
   test("appendStrict enforces the current schema; drift names every offending column; evolution stays explicit") {
     val log = freshLog("strict")
     // first commit: nothing to enforce against
