@@ -3710,6 +3710,99 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── GENERATED COLUMNS (`generate.<col>` TBLPROPERTIES →
+    // [[GraftCatalog]] write-path fold + [[GraftSqlDml]] DML guard): a
+    // GENERATED ALWAYS AS column is COMPUTED where the insert provides
+    // NULL, KEPT where it provides the matching value, and a mismatch
+    // fails the write job with nothing committed — on INSERT and on
+    // row-level DML alike (an UPDATE that breaks the derivation refuses
+    // instead of silently de-deriving). Because the column is
+    // materialized, the footer stats sidecars skip on it for free ──
+    "snapshot_sql_generated" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftgen", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftgen.root", scratch(dir, "genroot"))
+      s.sql("DROP TABLE IF EXISTS graftgen.ord")
+      s.sql("""CREATE TABLE graftgen.ord (k BIGINT, cents BIGINT, bucket BIGINT)
+              |TBLPROPERTIES ('generate.bucket' = 'k % 8')""".stripMargin)
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 2000)
+        .createOrReplaceTempView("graft_gen_src")
+      def refused(sql: String, needle: String): Boolean =
+        try { s.sql(sql); false }
+        catch { case e: Exception =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .exists(t => Option(t.getMessage).exists(_.contains(needle))) }
+      // computed where NULL …
+      s.sql("INSERT INTO graftgen.ord SELECT k, cents, CAST(NULL AS BIGINT) " +
+        "FROM graft_gen_src WHERE k <= 1000")
+      // … kept where provided-and-matching …
+      s.sql("INSERT INTO graftgen.ord SELECT k, cents, k % 8 " +
+        "FROM graft_gen_src WHERE k > 1000")
+      // … and a mismatched value fails the write with nothing committed
+      val mismatchRefused = refused(
+        "INSERT INTO graftgen.ord VALUES (999999, 1, 5)",
+        "generated column bucket")
+      // the derivation guards DML too: shifting k without restating
+      // bucket refuses; touching an underived column passes
+      val dmlGuarded = refused(
+        "UPDATE graftgen.ord SET k = k + 1 WHERE k <= 1000",
+        "generated(bucket)")
+      s.sql("UPDATE graftgen.ord SET cents = cents + 1 WHERE k <= 100")
+      // the UPDATE leaves merge-on-read masks; roll up through the
+      // mask-applying API read (the SQL scan refuses masked snapshots)
+      new SnapshotLog(scratch(dir, "genroot") + "/ord").readLatest(s)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .withColumn("mismatch_refused", lit(mismatchRefused))
+        .withColumn("dml_guarded", lit(dmlGuarded))
+        .orderBy(col("bucket"))
+    }),
+
+    // ── IDENTITY COLUMNS (`identity.<col>` TBLPROPERTIES →
+    // [[SnapshotLog.appendIdentityStats]]): GENERATED ALWAYS AS IDENTITY
+    // — each INSERT mints one contiguous id block above a high watermark
+    // persisted IN THE SAME COMMIT as the data (OCC losers re-derive
+    // from the winner's watermark, so racing inserts can never collide);
+    // assignment is distributed (per-partition offsets + rank, one
+    // batch-sized shuffle, no global sort). Laws: ids are exactly
+    // 1..N across two inserts (min/max/distinct/sum all pinned) and an
+    // explicit id refuses loudly ──
+    "snapshot_sql_identity" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftidn", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftidn.root", scratch(dir, "idnroot"))
+      s.sql("DROP TABLE IF EXISTS graftidn.ord")
+      s.sql("""CREATE TABLE graftidn.ord (id BIGINT, k BIGINT, cents BIGINT)
+              |TBLPROPERTIES ('identity.id' = '1,1')""".stripMargin)
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 2000)
+        .createOrReplaceTempView("graft_idn_src")
+      s.sql("INSERT INTO graftidn.ord SELECT CAST(NULL AS BIGINT), k, cents " +
+        "FROM graft_idn_src WHERE k <= 1000")
+      s.sql("INSERT INTO graftidn.ord SELECT CAST(NULL AS BIGINT), k, cents " +
+        "FROM graft_idn_src WHERE k > 1000")
+      val explicitRefused =
+        try { s.sql("INSERT INTO graftidn.ord VALUES (999, 999999, 1)"); false }
+        catch { case e: Exception =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .exists(t => Option(t.getMessage)
+              .exists(_.contains("GENERATED ALWAYS AS IDENTITY"))) }
+      s.sql(
+        """SELECT count(*) AS n_rows,
+          |       count(DISTINCT id) AS n_ids,
+          |       CAST(min(id) AS BIGINT) AS min_id,
+          |       CAST(max(id) AS BIGINT) AS max_id,
+          |       CAST(sum(id) AS BIGINT) AS sum_id,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftidn.ord""".stripMargin)
+        .withColumn("explicit_refused", lit(explicitRefused))
+    }),
+
     // ── spark.sql UPDATE / MERGE JUST WORK ([[graft.sources
     // .GraftSqlParser.interceptDml]]): the injected parser spots a
     // row-level DML plan whose target is a registered graft catalog and
@@ -5760,6 +5853,38 @@ object QueriesEtl {
         |       TRUE AS src_vacuum_refused
         |FROM orders WHERE o_orderkey <= 2600
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_generated: bucket replays as k % 8 (computed for the
+    // NULL half, verified-kept for the provided half); the k<=100 slice
+    // carries the post-guard cents+1; refusal laws are measured
+    // Spark-side
+    "snapshot_sql_generated" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT)
+        |                    + CASE WHEN o_orderkey <= 100 THEN 1 ELSE 0 END AS cents
+        |           FROM orders WHERE o_orderkey <= 2000)
+        |SELECT k % 8 AS bucket, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS mismatch_refused,
+        |       TRUE AS dml_guarded
+        |FROM o GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // snapshot_sql_identity: ids are exactly 1..N over the two inserts,
+    // so every aggregate law derives from the row count alone; the
+    // explicit-id refusal is measured Spark-side
+    "snapshot_sql_identity" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 2000),
+        |     n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM o)
+        |SELECT (SELECT c FROM n) AS n_rows,
+        |       (SELECT c FROM n) AS n_ids,
+        |       CAST(1 AS BIGINT) AS min_id,
+        |       (SELECT c FROM n) AS max_id,
+        |       (SELECT CAST((c * (c + 1)) // 2 AS BIGINT) FROM n) AS sum_id,
+        |       (SELECT CAST(sum(cents) AS BIGINT) FROM o) AS sum_cents,
+        |       TRUE AS explicit_refused""".stripMargin,
 
     // snapshot_bloom_prune: the pruned read reduces to the plain point
     // lookup on the smallest order key; the skip/equality laws are

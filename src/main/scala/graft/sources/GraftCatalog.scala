@@ -246,8 +246,66 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     * is Spark bookkeeping (owner/provider/…) and is dropped.
     */
   private def persistedProps(properties: util.Map[String, String]): Map[String, String] =
-    Option(properties.get("clusterBy")).map(v => Map("clusterBy" -> v))
-      .getOrElse(Map.empty)
+    persistedProps(properties, None)
+
+  /** The TBLPROPERTIES this catalog persists: `clusterBy`, plus the
+    * CREATE-time column semantics `generate.<col>` (a GENERATED ALWAYS
+    * AS expression — computed when the insert provides NULL, enforced
+    * CHECK-style when it provides a value) and `identity.<col>`
+    * (`'start[,step]'` — a GENERATED ALWAYS AS IDENTITY column: the
+    * insert must provide NULL; values are minted monotonically above a
+    * persisted high watermark). Both are validated against the declared
+    * schema when one is available; ALTER refuses them, so CREATE is the
+    * single point of truth.
+    */
+  private def persistedProps(
+      properties: util.Map[String, String],
+      schema: Option[StructType],
+      allowGenerated: Boolean = true): Map[String, String] = {
+    val kept = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toMap.filter { case (k, _) =>
+        k == "clusterBy" || k.startsWith("generate.") || k.startsWith("identity.")
+      }
+    }
+    val gens = kept.keys.filter(_.startsWith("generate."))
+      .map(_.stripPrefix("generate.")).toSeq.sorted
+    val idents = kept.keys.filter(_.startsWith("identity."))
+      .map(_.stripPrefix("identity.")).toSeq.sorted
+    if (!allowGenerated)
+      require(gens.isEmpty && idents.isEmpty,
+        "GraftCatalog: generate./identity. columns are not supported on " +
+          "CTAS/RTAS — the staged write bypasses the column-minting insert " +
+          "path; CREATE TABLE, then INSERT INTO")
+    require(idents.size <= 1,
+      s"GraftCatalog: at most one identity column (got ${idents.mkString(", ")})")
+    require(gens.intersect(idents).isEmpty,
+      s"GraftCatalog: ${gens.intersect(idents).mkString(", ")} cannot be both " +
+        "generated and identity")
+    kept.foreach {
+      case (k, v) if k.startsWith("generate.") =>
+        require(!v.exists(ch => ch == '\n' || ch == '\r'),
+          s"GraftCatalog: $k expression must be single-line")
+      case (k, v) if k.startsWith("identity.") =>
+        val parts = v.split(',').map(_.trim)
+        require(parts.nonEmpty && parts.length <= 2 &&
+            parts.forall(p => scala.util.Try(p.toLong).isSuccess),
+          s"GraftCatalog: $k must be 'start' or 'start,step', got '$v'")
+        require(parts.length < 2 || parts(1).toLong != 0L,
+          s"GraftCatalog: $k step must be non-zero")
+      case _ => ()
+    }
+    schema.foreach { s =>
+      (gens ++ idents).foreach(c => require(s.fieldNames.contains(c),
+        s"GraftCatalog: generated/identity column $c is not in the schema " +
+          s"(${s.fieldNames.mkString(", ")})"))
+      idents.foreach(c => require(
+        s(c).dataType == org.apache.spark.sql.types.LongType,
+        s"GraftCatalog: identity column $c must be BIGINT, got " +
+          s"${s(c).dataType.simpleString}"))
+    }
+    kept
+  }
 
   override def createTable(
       ident: Identifier,
@@ -262,7 +320,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(name(), ident.name()))
     val log = new SnapshotLog(new File(rootDir, ident.name()).toString)
-    log.commitCreate(schema, Nil, persistedProps(properties))
+    log.commitCreate(schema, Nil, persistedProps(properties, Some(schema)))
     loadTable(ident)
   }
 
@@ -297,7 +355,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     }
     val log = new SnapshotLog(new File(rootDir, ident.name()).toString)
     log.commitCreate(info.schema(), Nil,
-      persistedProps(info.properties()) ++ checks)
+      persistedProps(info.properties(), Some(info.schema())) ++ checks)
     loadTable(ident)
   }
 
@@ -320,7 +378,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         Seq(name(), ident.name()))
     new GraftCatalog.StagedGraftTable(
       new SnapshotLog(new File(rootDir, ident.name()).toString),
-      s"$catalogName.${ident.name()}", schema, persistedProps(properties),
+      s"$catalogName.${ident.name()}", schema,
+      persistedProps(properties, Some(schema), allowGenerated = false),
       replace = false)
   }
 
@@ -341,7 +400,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftCatalog.StagedGraftTable(
       new SnapshotLog(new File(rootDir, ident.name()).toString),
-      s"$catalogName.${ident.name()}", schema, persistedProps(properties),
+      s"$catalogName.${ident.name()}", schema,
+      persistedProps(properties, Some(schema), allowGenerated = false),
       replace = true)
   }
 
@@ -449,6 +509,23 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
               s"GraftCatalog: column $colName of ${ident.name()} is referenced " +
                 s"by CHECK constraint ${k.stripPrefix("prop.check.")} ($sql) — " +
                 "DROP CONSTRAINT first, then rename/drop the column")
+          } else if (k.startsWith("prop.generate.")) {
+            // same hazard for generated columns: renaming the column (or
+            // one its expression reads) would orphan the stored
+            // expression and every later INSERT would enforce a lie
+            val genCol = k.stripPrefix("prop.generate.")
+            val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                a.nameParts.last
+            }.toSet + genCol
+            require(!refs.contains(colName),
+              s"GraftCatalog: column $colName of ${ident.name()} is part of " +
+                s"generated column $genCol ($sql) — generated columns are " +
+                "CREATE-time-fixed; recreate the table to change them")
+          } else if (k.startsWith("prop.identity.")) {
+            require(colName != k.stripPrefix("prop.identity."),
+              s"GraftCatalog: column $colName of ${ident.name()} is the " +
+                "identity column — identity is CREATE-time-fixed")
           }
         }
       }
@@ -595,6 +672,46 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
 }
 
 object GraftCatalog {
+
+  /** GENERATED ALWAYS AS (expr) columns (`prop.generate.<col>`): the
+    * write contract folded into the batch as one expression per column —
+    * computed where the batch provides NULL, kept where it provides the
+    * matching value, and a MISMATCHED provided value fails the write job
+    * (raise_error) with nothing committed. Null-safe equality (`<=>`)
+    * so a computed-NULL expression round-trips. Schema unchanged; rides
+    * whole-stage codegen, zero extra passes.
+    */
+  private def generatedTransform(
+      log: SnapshotLog,
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, raise_error, when}
+    val gens = log.currentVersion.toSeq.flatMap(v => log.metaValues(v).collect {
+      case (k, sql) if k.startsWith("prop.generate.") =>
+        k.stripPrefix("prop.generate.") -> sql
+    }).sortBy(_._1)
+    gens.foldLeft(data) { case (d, (c, sql)) =>
+      require(d.columns.contains(c),
+        s"GraftCatalog: generated column $c is missing from the batch")
+      val gen = expr(sql).cast(d.schema(c).dataType)
+      d.withColumn(c,
+        when(col(c).isNull, gen)
+          .otherwise(when(col(c) <=> gen, col(c)).otherwise(raise_error(lit(
+            s"GraftCatalog: provided value for generated column $c does not " +
+              s"match its expression ($sql) — nothing committed")))))
+    }
+  }
+
+  /** The table's GENERATED ALWAYS AS IDENTITY column, if declared
+    * (`prop.identity.<col>` = `'start[,step]'`).
+    */
+  private def identitySpec(log: SnapshotLog): Option[(String, Long, Long)] =
+    log.currentVersion.flatMap(v => log.metaValues(v).collectFirst {
+      case (k, spec) if k.startsWith("prop.identity.") =>
+        val parts = spec.split(',').map(_.trim.toLong)
+        (k.stripPrefix("prop.identity."), parts(0),
+          if (parts.length > 1) parts(1) else 1L)
+    })
+
 
   /** SQL METADATA TABLES (the Iceberg `db.table.history`-style suffix
     * addressing): `SELECT * FROM graftsnap.t.history` / `.files` /
@@ -894,11 +1011,19 @@ object GraftCatalog {
         override def build(): Write = new V1Write {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
-              override def insert(data: org.apache.spark.sql.DataFrame,
+              override def insert(data0: org.apache.spark.sql.DataFrame,
                   overwrite: Boolean): Unit = {
                 val parts = math.max(1, math.min(32,
-                  data.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
+                  data0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
+                // generated columns fold into the batch expressions;
+                // identity tables route to the watermark-advancing append
+                val data = generatedTransform(log, data0)
+                val ident = identitySpec(log)
                 if (overwrite || truncateFirst) {
+                  require(ident.isEmpty,
+                    s"GraftCatalog: INSERT OVERWRITE on identity table is not " +
+                      "supported — the replacement would reset minted ids; " +
+                      "DELETE + INSERT instead")
                   // INSERT OVERWRITE = one tracked LOGICAL overwrite
                   // commit ([[SnapshotLog.overwrite]]): prior versions
                   // stay time-travellable, metadata carries. Schema
@@ -940,14 +1065,18 @@ object GraftCatalog {
                       .flatMap(v => log.property(v, "clusterBy")).toSeq
                       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
                       .filter(data.columns.contains)
-                  if (clusterKeys.isEmpty)
-                    log.withOccRetry()(log.appendStrictStats(data, parts))
-                  else {
-                    val arranged = data.repartitionByRange(parts,
-                        clusterKeys.map(org.apache.spark.sql.functions.col): _*)
-                      .sortWithinPartitions(clusterKeys.map(
-                        org.apache.spark.sql.functions.col): _*)
-                    log.withOccRetry()(log.appendArrangedStrictStats(arranged))
+                  ident match {
+                    case Some((idc, st, sp)) =>
+                      log.withOccRetry()(log.appendIdentityStats(
+                        data, idc, st, sp, parts, clusterKeys))
+                    case None if clusterKeys.isEmpty =>
+                      log.withOccRetry()(log.appendStrictStats(data, parts))
+                    case None =>
+                      val arranged = data.repartitionByRange(parts,
+                          clusterKeys.map(org.apache.spark.sql.functions.col): _*)
+                        .sortWithinPartitions(clusterKeys.map(
+                          org.apache.spark.sql.functions.col): _*)
+                      log.withOccRetry()(log.appendArrangedStrictStats(arranged))
                   }
                 }
                 ()

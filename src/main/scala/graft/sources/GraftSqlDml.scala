@@ -251,6 +251,16 @@ object GraftSqlDml {
       case (k, sql) if k.startsWith("prop.check.") =>
         k.stripPrefix("prop.check.") -> toColumn(translatePhys(
           spark.sessionState.sqlParser.parseExpression(sql), t.physMap))
+      // GENERATED ALWAYS AS columns guard row-level DML too: a written
+      // row must still satisfy `col <=> expr` (null-safe, so a
+      // computed-NULL expression round-trips) — an UPDATE that changes a
+      // source column without restating the generated one refuses
+      // instead of silently de-deriving it
+      case (k, sql) if k.startsWith("prop.generate.") =>
+        val c = k.stripPrefix("prop.generate.")
+        s"generated($c)" -> toColumn(translatePhys(
+          spark.sessionState.sqlParser.parseExpression(s"$c <=> ($sql)"),
+          t.physMap))
     }.toSeq.sortBy(_._1))
 
   // ───────────────────────────── DELETE ─────────────────────────────

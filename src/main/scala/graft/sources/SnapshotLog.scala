@@ -2714,6 +2714,80 @@ class SnapshotLog(
     v
   }
 
+  /** [[appendStrictStats]] for a table with a GENERATED ALWAYS AS
+    * IDENTITY column: the batch must provide NULL for `idCol` (ALWAYS
+    * semantics — an explicit value refuses loudly, the Delta error);
+    * values are minted as ONE CONTIGUOUS block above the persisted high
+    * watermark (`prop.idhwm.<col>`, advanced in the SAME commit as the
+    * data — atomic, so an OCC loser re-derives from the winner's
+    * watermark and ids can never collide across racing inserts).
+    *
+    * Assignment is distributed and batch-shaped: the batch is pinned to
+    * ONE evaluation (persist), a partition-count-sized counts pass
+    * yields per-partition offsets, and a per-partition `row_number`
+    * completes `hwm + step · (offset + rank)` — no global sort, no
+    * single-partition window, one batch-sized shuffle. Which ROW gets
+    * which id is partitioning-dependent (unspecified, as in every
+    * warehouse); uniqueness and monotonic blocks are the contract.
+    */
+  def appendIdentityStats(
+      df: DataFrame,
+      idCol: String,
+      start: Long,
+      step: Long,
+      partitions: Int,
+      clusterKeys: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit,
+      monotonically_increasing_id, row_number, spark_partition_id}
+    val spark = df.sparkSession
+    require(df.columns.contains(idCol),
+      s"appendIdentityStats: identity column $idCol not in the batch")
+    require(step != 0L, "appendIdentityStats: step must be non-zero")
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"appendIdentityStats: no committed snapshot at $root"))
+    // appendStrict's drift gate (same message shape): evolution through
+    // the identity path is never intended
+    val base = read(df.sparkSession, cur).schema.map(f => f.name -> f.dataType).toMap
+    val batch = df.schema.map(f => f.name -> f.dataType).toMap
+    require(base.keySet == batch.keySet &&
+        base.forall { case (c, t) => c == idCol || batch(c) == t },
+      s"appendIdentityStats: batch schema drifts from v$cur — " +
+        s"missing=${(base.keySet -- batch.keySet).toSeq.sorted.mkString("[", ",", "]")} " +
+        s"extra=${(batch.keySet -- base.keySet).toSeq.sorted.mkString("[", ",", "]")}")
+    val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(src.where(col(idCol).isNotNull).limit(1).count() == 0L,
+        s"appendIdentityStats: $idCol is GENERATED ALWAYS AS IDENTITY — " +
+          "provide NULL (or omit the column via an INSERT column list)")
+      val hwm = property(cur, s"idhwm.$idCol").map(_.toLong)
+        .getOrElse(start - step)
+      val withPid = src.withColumn("__pid", spark_partition_id())
+      val counts = withPid.groupBy("__pid").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      if (n == 0L) return cur
+      var acc = 0L
+      val offs = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__pid").orderBy(monotonically_increasing_id())
+      val assigned = withPid
+        .join(broadcast(offs.toSeq.toDF("__pid", "__off")), "__pid")
+        .withColumn(idCol,
+          lit(hwm) + lit(step) * (col("__off") + row_number().over(w)))
+        .select(df.columns.toSeq.map(col): _*)
+      val arranged =
+        if (clusterKeys.isEmpty) assigned.repartition(partitions)
+        else assigned.repartitionByRange(partitions, clusterKeys.map(col): _*)
+          .sortWithinPartitions(clusterKeys.map(col): _*)
+      val staged = stageArranged(arranged)
+      writeFooterStatsSidecar(spark, staged)
+      commit(Some(cur),
+        withMeta(files(cur), s"prop.idhwm.$idCol",
+          (hwm + step * n).toString) ++ staged)
+    } finally { src.unpersist(); () }
+  }
+
   /** [[stageArranged]] plus the `_stats.parquet` min/max sidecar — the
     * shared staging step of [[appendIndexed]] and [[mergeCopyOnWrite]].
     * One bounded per-staged-file aggregation pass; nothing is committed.

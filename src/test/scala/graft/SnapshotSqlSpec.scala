@@ -737,4 +737,52 @@ class SnapshotSqlSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.optimize.maxFileSize")
     }
   }
+
+  test("generated/identity columns: CREATE-time-fixed, guarded against rename/CTAS, watermark survives reopen") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftsnap.genid")
+    spark.sql("""CREATE TABLE graftsnap.genid (id BIGINT, k BIGINT, b BIGINT)
+                |TBLPROPERTIES ('identity.id' = '10,2', 'generate.b' = 'k % 3')
+                |""".stripMargin)
+    spark.sql("INSERT INTO graftsnap.genid " +
+      "SELECT CAST(NULL AS BIGINT), id, CAST(NULL AS BIGINT) FROM range(5)")
+    // start=10, step=2 → ids {10,12,14,16,18}; b computed as k % 3
+    val log = new SnapshotLog(s"$root/genid")
+    val got = log.readLatest(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).sorted.toSeq == Seq(10L, 12L, 14L, 16L, 18L), got.mkString(","))
+    assert(got.forall { case (_, k, b) => b == k % 3 })
+    // the watermark persists: a second insert (fresh catalog load)
+    // continues above it
+    spark.sql("INSERT INTO graftsnap.genid " +
+      "SELECT CAST(NULL AS BIGINT), id + 100, CAST(NULL AS BIGINT) FROM range(2)")
+    val ids2 = log.readLatest(spark).select("id").as[Long].collect().sorted.toSeq
+    assert(ids2 == Seq(10L, 12L, 14L, 16L, 18L, 20L, 22L), ids2.mkString(","))
+    // renaming a column a generated expression reads — or the identity
+    // column itself — refuses (CREATE-time-fixed semantics)
+    def refuses(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(t => Option(t.getMessage).exists(_.contains(needle))),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    refuses("ALTER TABLE graftsnap.genid RENAME COLUMN k TO kk",
+      "generated column b")
+    refuses("ALTER TABLE graftsnap.genid RENAME COLUMN id TO id2",
+      "identity column")
+    // INSERT OVERWRITE on an identity table refuses (would reset ids)
+    intercept[Exception] {
+      spark.sql("INSERT OVERWRITE graftsnap.genid " +
+        "SELECT CAST(NULL AS BIGINT), id, CAST(NULL AS BIGINT) FROM range(1)")
+    }
+    // CTAS cannot mint identity/generated tables (the staged write
+    // bypasses the column-minting insert path)
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graftsnap.genid2 " +
+        "TBLPROPERTIES ('identity.id' = '1') AS SELECT 1L AS id, 2L AS k")
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("CTAS"))), e.getMessage)
+    spark.sql("DROP TABLE IF EXISTS graftsnap.genid")
+  }
 }
