@@ -1484,6 +1484,36 @@ object QueriesEtl {
         .orderBy(col("prio"))
     }),
 
+    // ── TRIGGER.AVAILABLENOW CATCH-UP
+    // ([[graft.streaming.StreamingCdc.availableNowDrain]] over the
+    // native `graft-log` source): the batch-shaped scheduled-pipeline
+    // run — the end offset snapshots at start, the four-commit backlog
+    // drains in version-bounded micro-batches through a checkpoint, and
+    // the query TERMINATES ON ITS OWN (`self_terminated`, awaited — not
+    // stopped); `admission_respected` pins that the drain really was
+    // multiple bounded batches, not one monolith. The rollup must equal
+    // the plain batch read (the oracle recomputes it) ──
+    "stream_available_now" -> ((s, dir) => {
+      val log = new SnapshotLog(scratch(dir, "avnow_src"))
+      log.recreate()
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 2000)
+      (0 until 4).foreach { i =>
+        log.append(orders.where(col("k") % 4 === i), partitions = 2); ()
+      }
+      val (drained, selfTerminated, batches) =
+        graft.streaming.StreamingCdc.availableNowDrain(log, maxVersionsPerTrigger = 1)
+      drained.groupBy(col("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("sum_key"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .withColumn("self_terminated", lit(selfTerminated))
+        .withColumn("admission_respected", lit(batches > 1L))
+        .orderBy(col("status"))
+    }),
+
     // ── NATIVE TABLE-AS-STREAM SOURCE with KILL/RESTART
     // ([[graft.sources.GraftLogSourceProvider]] —
     // `readStream.format("graft-log")`, offsets ARE log versions, zero
@@ -5419,6 +5449,18 @@ object QueriesEtl {
         |       TRUE AS stream_equals_batch,
         |       TRUE AS one_trigger_per_file
         |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // stream_available_now: the drained sink replays as the plain
+    // k<=2000 rollup; the self-termination and bounded-batch laws are
+    // measured in the Spark path
+    "stream_available_now" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS self_terminated,
+        |       TRUE AS admission_respected
+        |FROM orders WHERE o_orderkey <= 2000
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     // stream_log_native: the four streamed commits reunite to the
     // key<=4000 slice; the kill/restart exactly-once laws are measured

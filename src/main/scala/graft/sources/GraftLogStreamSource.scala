@@ -525,7 +525,8 @@ class GraftLogSource(
     // DML) is silently SKIPPED instead of failing the stream — appends
     // keep serving. The documented trade: the stream does NOT reflect
     // the skipped deletes/updates; consume the change feed when it must.
-    skipChangeCommits: Boolean = false) extends Source {
+    skipChangeCommits: Boolean = false) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   // versions strictly BELOW the floor never stream; the floor itself is
   // the initial-snapshot batch (oldest survivor = whole listing, per
@@ -630,15 +631,45 @@ class GraftLogSource(
     * backlog drains over as many checkpointed triggers as it needs.
     */
   override def getOffset: Option[Offset] =
-    log.currentVersion.map { cur =>
-      if (!bounded) LongOffset(cur)
+    nextEndVersion().map(LongOffset(_))
+
+  private def nextEndVersion(): Option[Long] =
+    log.currentVersion.map { cur0 =>
+      // under Trigger.AvailableNow the run's end is FROZEN at prepare
+      // time: commits landing during the drain wait for the next run
+      val cur = availableNowCap.fold(cur0)(math.min(_, cur0))
+      if (!bounded) cur
       else {
         val from = admittedHi.getOrElse(floor - 1L)
         val end = if (from >= cur) from else admitUpTo(from, cur)
         admittedHi = Some(end)
-        LongOffset(end)
+        end
       }
     }
+
+  // ── Trigger.AvailableNow (the FileStreamSource discipline): without
+  // this, Spark wraps a plain v1 Source in AvailableNowSourceWrapper,
+  // which snapshots ONE end offset and serves the whole backlog as a
+  // single monolithic batch — admission options silently ignored. A
+  // 100 TB backlog must drain in bounded, checkpointed batches, so the
+  // source implements the interface itself: prepare freezes the target,
+  // latestOffset keeps stepping the SAME bounded admission toward it,
+  // and the run self-terminates when the cursor reaches the freeze.
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = log.currentVersion
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    nextEndVersion().map(LongOffset(_)).orNull
 
   /** Rows of versions `(start, end]` — their appended data files scanned
     * through the normal parquet path (pushdown/pruning intact), tagged

@@ -319,6 +319,46 @@ object StreamingCdc {
     }
   }
 
+  /** `Trigger.AvailableNow` over the native log source — the
+    * batch-shaped catch-up run every scheduled pipeline wants: the end
+    * offset is snapshotted at start, the backlog drains in
+    * admission-bounded micro-batches (checkpointed like any stream, so
+    * a later run resumes incrementally), and the query TERMINATES ON
+    * ITS OWN. Returns (drained rows materialized, selfTerminated,
+    * non-empty batch count).
+    */
+  def availableNowDrain(
+      log: graft.sources.SnapshotLog,
+      maxVersionsPerTrigger: Int): (DataFrame, Boolean, Long) = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val base = Files.createTempDirectory("graft_avnow_")
+    val (sinkDir, ckptDir) = (base.resolve("out"), base.resolve("ckpt"))
+    try {
+      val schema = log.readLatest(spark).schema
+      val q = spark.readStream
+        .format("graft-log").option("root", log.root)
+        .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString).load()
+        .writeStream.format("parquet")
+        .option("path", sinkDir.toString)
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      // self-termination IS the law under test — no stop() on success
+      val finished = q.awaitTermination(180000L)
+      val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+      if (!finished) q.stop()
+      val out = spark.read.schema(schema).parquet(sinkDir.toString)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
+        out.collectAsList())
+      (spark.createDataFrame(rows, schema), finished, batches)
+    } finally {
+      import scala.util.Try
+      Try(Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => Try(Files.delete(p))))
+      ()
+    }
+  }
+
   /** Streaming upsert committed COPY-ON-WRITE under the snapshot log —
     * `readStream → foreachBatch(SnapshotLog.mergeCopyOnWrite)`: the base
     * commits once, range-clustered with per-file key stats, then every

@@ -1012,4 +1012,46 @@ class GraftLogSourceSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("float-target"), ex.getMessage)
   }
+
+  test("Trigger.AvailableNow drains the backlog in bounded batches, self-terminates, and a second run catches up incrementally") {
+    val log = freshLog("t_avnow")
+    (0 until 3).foreach { i =>
+      log.append(((i * 10) until (i * 10 + 10)).map(j => (j.toLong, j.toLong))
+        .toDF("id", "v"), partitions = 1); ()
+    }
+    val sink = s"$root/t_avnow_sink"
+    val ckpt = s"$root/t_avnow_ckpt"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(sink)); rm(new java.io.File(ckpt))
+    def drainOnce(): (Boolean, Long) = {
+      val q = spark.readStream
+        .format("graft-log").option("root", log.root)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      val finished = q.awaitTermination(120000L)
+      val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+      if (!finished) q.stop()
+      (finished, batches)
+    }
+    val (fin1, batches1) = drainOnce()
+    assert(fin1, "the AvailableNow run must terminate on its own")
+    assert(batches1 == 3L,
+      s"expected 3 version-bounded batches (one per commit), got $batches1")
+    val schema = log.readLatest(spark).schema
+    assert(spark.read.schema(schema).parquet(sink).count() == 30L)
+    // commits landing AFTER the drain wait for the next run, which picks
+    // up the SAME checkpoint and emits only the delta
+    log.append(Seq((100L, 100L), (101L, 101L)).toDF("id", "v"), partitions = 1)
+    val (fin2, batches2) = drainOnce()
+    assert(fin2 && batches2 == 1L, s"expected one delta batch, got $batches2")
+    val all = spark.read.schema(schema).parquet(sink)
+    assert(all.count() == 32L && all.distinct().count() == 32L,
+      "the second run must emit exactly the delta, no re-emission")
+  }
 }
