@@ -3740,6 +3740,57 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── BLOOM SKIPPING IN THE SQL SCAN (`bloomBy` TBLPROPERTIES →
+    // [[SnapshotLog.writeBloomSidecarFor]] on every INSERT +
+    // [[org.apache.spark.sql.graftshim.PruningScanBuilder]] consulting
+    // the sidecars for equality/IN literals): the table is plainly
+    // INSERTed (round-robin partitioning — every file's k-range overlaps
+    // every other's, so min/max stats prune NOTHING), yet the SQL point
+    // lookup plans a scan over only the files whose Bloom filter might
+    // contain the key (`bloom_files_skipped`, pinned off the EXECUTED
+    // plan's file index), and a lookup of an absent key returns empty.
+    // This is the high-NDV skipping route a 100 TB id-lookup needs ──
+    "snapshot_sql_bloom_scan" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftblm", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftblm.root", scratch(dir, "blmroot"))
+      s.sql("DROP TABLE IF EXISTS graftblm.ord")
+      s.sql("""CREATE TABLE graftblm.ord (k BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('bloomBy' = 'k')""".stripMargin)
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 2400)
+        .createOrReplaceTempView("graft_blm_src")
+      s.sql("INSERT INTO graftblm.ord SELECT * FROM graft_blm_src WHERE k <= 1200")
+      s.sql("INSERT INTO graftblm.ord SELECT * FROM graft_blm_src WHERE k > 1200")
+      val kLit = s.sql("SELECT min(k) AS k FROM graft_blm_src").head().getLong(0)
+      val q = s.sql(
+        s"""SELECT status, count(*) AS n_rows,
+           |       CAST(sum(k) AS BIGINT) AS sum_key,
+           |       CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM graftblm.ord WHERE k = $kLit GROUP BY status""".stripMargin)
+      def scanFiles(p: org.apache.spark.sql.execution.SparkPlan): Option[Int] =
+        p.collectLeaves().flatMap {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scanFiles(a.executedPlan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Some(b.scan
+              .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+              .fileIndex.inputFiles.length)
+          case _ => None
+        }.headOption
+      val planned = scanFiles(q.queryExecution.executedPlan).getOrElse(-1)
+      val log = new SnapshotLog(scratch(dir, "blmroot") + "/ord")
+      val total = log.dataFiles(log.currentVersion.get).size
+      val skipped = planned >= 1 && planned < total
+      val absentEmpty = s.sql(
+        "SELECT count(*) AS n FROM graftblm.ord WHERE k = 999999999")
+        .head().getLong(0) == 0L
+      q.withColumn("bloom_files_skipped", lit(skipped))
+        .withColumn("absent_key_empty", lit(absentEmpty))
+        .orderBy(col("status"))
+    }),
+
     // ── GENERATED COLUMNS (`generate.<col>` TBLPROPERTIES →
     // [[GraftCatalog]] write-path fold + [[GraftSqlDml]] DML guard): a
     // GENERATED ALWAYS AS column is COMPUTED where the insert provides
@@ -5894,6 +5945,21 @@ object QueriesEtl {
         |       TRUE AS tt_clone_pinned,
         |       TRUE AS src_vacuum_refused
         |FROM orders WHERE o_orderkey <= 2600
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_bloom_scan: the point lookup reduces to the smallest
+    // source key's rollup; the plan-level skipping and absent-key laws
+    // are measured Spark-side
+    "snapshot_sql_bloom_scan" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 2400)
+        |SELECT status, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS bloom_files_skipped,
+        |       TRUE AS absent_key_empty
+        |FROM o WHERE k = (SELECT min(k) FROM o)
         |GROUP BY status ORDER BY status""".stripMargin,
 
     // snapshot_sql_generated: bucket replays as k % 8 (computed for the

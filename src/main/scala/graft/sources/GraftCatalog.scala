@@ -197,7 +197,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
           c => log.fileValueSetsForColumn(spark, v, c),
           kept => ParquetTable(tname, spark, opts, kept, Some(physSchema),
             classOf[ParquetFileFormat]),
-          l2p, Some(logSchema), tableProps)
+          l2p, Some(logSchema), tableProps,
+          bloomsFor = c => log.fileBloomsForColumn(spark, v, c))
         if (version.isEmpty) new GraftCatalog.MappedWritableTable(inner, log, pruner)
         else new GraftCatalog.ReadOnlyTable(inner, pruner)
       case None =>
@@ -220,7 +221,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
           c => log.fileValueSetsForColumn(spark, v, c),
           kept => ParquetTable(tname, spark, opts, kept, Some(resolved),
             classOf[ParquetFileFormat]),
-          tableProps = tableProps)
+          tableProps = tableProps,
+          bloomsFor = c => log.fileBloomsForColumn(spark, v, c))
         if (version.isEmpty) new GraftCatalog.WritableTable(inner, log, pruner)
         else new GraftCatalog.ReadOnlyTable(inner, pruner)
     }
@@ -265,7 +267,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val kept = {
       import scala.jdk.CollectionConverters._
       properties.asScala.toMap.filter { case (k, _) =>
-        k == "clusterBy" || k.startsWith("generate.") || k.startsWith("identity.")
+        k == "clusterBy" || k == "bloomBy" ||
+          k.startsWith("generate.") || k.startsWith("identity.")
       }
     }
     val gens = kept.keys.filter(_.startsWith("generate."))
@@ -858,7 +861,8 @@ object GraftCatalog {
       rebuildTable: Seq[String] => ParquetTable,
       logicalToPhysical: Map[String, String] = Map.empty,
       reportedSchema: Option[StructType] = None,
-      tableProps: Map[String, String] = Map.empty)
+      tableProps: Map[String, String] = Map.empty,
+      bloomsFor: String => Option[Map[String, Array[Byte]]] = _ => None)
 
   /** The PHYSICAL scan schema, the LOGICAL table schema, and the
     * logical→physical name map of a column-mapped snapshot. Types come
@@ -949,7 +953,8 @@ object GraftCatalog {
         pruner.valuesFor,
         kept => pruner.rebuildTable(kept).newScanBuilder(options)
           .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder],
-        pruner.logicalToPhysical)
+        pruner.logicalToPhysical,
+        pruner.bloomsFor)
   }
 
   /** The CURRENT snapshot's table: readable as [[ReadOnlyTable]] and
@@ -1042,12 +1047,18 @@ object GraftCatalog {
                       .flatMap(v => log.property(v, "clusterBy")).toSeq
                       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
                       .filter(data.columns.contains)
-                  if (ck.isEmpty) log.overwrite(data, parts)
-                  else log.overwriteArrangedStats(
-                    data.repartitionByRange(parts,
-                        ck.map(org.apache.spark.sql.functions.col): _*)
-                      .sortWithinPartitions(
-                        ck.map(org.apache.spark.sql.functions.col): _*))
+                  val vNew =
+                    if (ck.isEmpty) log.overwrite(data, parts)
+                    else log.overwriteArrangedStats(
+                      data.repartitionByRange(parts,
+                          ck.map(org.apache.spark.sql.functions.col): _*)
+                        .sortWithinPartitions(
+                          ck.map(org.apache.spark.sql.functions.col): _*))
+                  val bloomCols = log.property(vNew, "bloomBy").toSeq
+                    .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+                    .filter(data.columns.contains)
+                  if (bloomCols.nonEmpty)
+                    log.writeBloomSidecarFor(session, vNew, bloomCols)
                 } else {
                   // CLUSTER ON WRITE (the liquid-clustering ingest half):
                   // a table with DECLARED clusterBy keys range-arranges
@@ -1065,7 +1076,7 @@ object GraftCatalog {
                       .flatMap(v => log.property(v, "clusterBy")).toSeq
                       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
                       .filter(data.columns.contains)
-                  ident match {
+                  val (vNew, _) = ident match {
                     case Some((idc, st, sp)) =>
                       log.withOccRetry()(log.appendIdentityStats(
                         data, idc, st, sp, parts, clusterKeys))
@@ -1078,6 +1089,15 @@ object GraftCatalog {
                           org.apache.spark.sql.functions.col): _*)
                       log.withOccRetry()(log.appendArrangedStrictStats(arranged))
                   }
+                  // `bloomBy` maintenance: extend the Bloom sidecars over
+                  // the freshly-committed files (post-commit is safe —
+                  // a reader planning in the window just keeps the new
+                  // files conservatively)
+                  val bloomCols = log.property(vNew, "bloomBy").toSeq
+                    .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+                    .filter(data.columns.contains)
+                  if (bloomCols.nonEmpty)
+                    log.writeBloomSidecarFor(session, vNew, bloomCols)
                 }
                 ()
               }

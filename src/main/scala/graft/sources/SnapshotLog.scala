@@ -2547,14 +2547,33 @@ class SnapshotLog(
         s"${bloomCols.filterNot(df.columns.contains).mkString(", ")} not in " +
         s"the frame (${df.columns.mkString(", ")})")
     val spark = df.sparkSession
+    val staged = stageArranged(df)
+    writeBloomSidecar(spark, staged, bloomCols, expectedItemsPerFile, fpp)
+    val cur = currentVersion
+    commit(cur, cur.map(files).getOrElse(Nil) ++ staged)
+  }
+
+  /** Build the `_blooms.parquet` sidecar for a set of staged files in
+    * ONE distributed pass (group by `input_file_name` → Bloom aggregate
+    * per column — mergeable map-side partials, never a per-file driver
+    * loop). All `staged` paths must share one stage directory. Safe to
+    * run before OR after the commit that references the files: a reader
+    * that plans before the sidecar lands just keeps every file
+    * (conservative), never wrong.
+    */
+  private[sources] def writeBloomSidecar(
+      spark: SparkSession,
+      staged: Seq[String],
+      bloomCols: Seq[String],
+      expectedItemsPerFile: Long,
+      fpp: Double): Unit = {
+    if (staged.isEmpty || bloomCols.isEmpty) return
     graft.functions.BloomFunctions.register(spark)
     import org.apache.spark.sql.functions.{col, element_at, input_file_name, lit, split}
-    val staged = stageArranged(df)
     val dir = new File(dataRootPath, staged.head).getParentFile
     val stageId = dir.getName
-    // one pass over the freshly-staged files: per (file, column) a
-    // serialized filter; `input_file_name` is reduced to the bare file
-    // name (staged names are unique within the stage directory)
+    // `input_file_name` is reduced to the bare file name (staged names
+    // are unique within the stage directory)
     val one = spark.read
       .parquet(staged.map(p => new File(dataRootPath, p).toString): _*)
       .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
@@ -2570,8 +2589,57 @@ class SnapshotLog(
       .select("file", "col", "bits")
     perCol.coalesce(1).write.mode("overwrite")
       .parquet(new File(dir, "_blooms.parquet").toString)
-    val cur = currentVersion
-    commit(cur, cur.map(files).getOrElse(Nil) ++ staged)
+    ()
+  }
+
+  /** Extend the bloom sidecars to cover the files a COMMITTED version
+    * appended — the `bloomBy` table-property maintenance hook the SQL
+    * INSERT path calls after its commit. Stage-dir-grouped; existing
+    * sidecar rows for OTHER stages are untouched (each stage dir owns
+    * its own sidecar).
+    */
+  def writeBloomSidecarFor(
+      spark: SparkSession,
+      version: Long,
+      bloomCols: Seq[String],
+      expectedItemsPerFile: Long = 100000L,
+      fpp: Double = 0.01): Unit = {
+    val appended = appendedFiles(version)
+      .map(abs => abs.stripPrefix(dataRootPath + "/"))
+      .filter(_.endsWith(".parquet"))
+    appended.groupBy(p => new File(dataRootPath, p).getParent).foreach {
+      case (_, staged) =>
+        writeBloomSidecar(spark, staged.toSeq, bloomCols, expectedItemsPerFile, fpp)
+    }
+  }
+
+  /** Per-file serialized Bloom filters of `bloomCol` keyed by ABSOLUTE
+    * path — the [[GraftCatalog]] scan-pruning feed, mirroring
+    * [[fileValueSetsForColumn]]. None when no sidecar anywhere carries
+    * the column; files without an entry are simply absent (readers keep
+    * them conservatively).
+    */
+  def fileBloomsForColumn(
+      spark: SparkSession,
+      version: Long,
+      bloomCol: String): Option[Map[String, Array[Byte]]] = {
+    import org.apache.spark.sql.functions.col
+    val entries = dataFiles(version)
+      .groupBy(p => new File(dataRootPath, p).getParent).toSeq.flatMap {
+        case (dir, paths) =>
+          val sidecar = new File(dir, "_blooms.parquet")
+          if (!sidecar.exists()) Nil
+          else {
+            val byFile = spark.read.parquet(sidecar.toString)
+              .where(col("col") === bloomCol).collect()
+              .map(r => r.getString(0) -> r.getAs[Array[Byte]]("bits")).toMap
+            paths.flatMap { p =>
+              byFile.get(p).map(bits =>
+                new File(dataRootPath, p).toString -> bits)
+            }
+          }
+      }
+    if (entries.isEmpty) None else Some(entries.toMap)
   }
 
   /** Point-equality read over a snapshot whose files carry

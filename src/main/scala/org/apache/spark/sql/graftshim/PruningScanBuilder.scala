@@ -57,7 +57,14 @@ class PruningScanBuilder(
     statsFor: String => Option[Map[String, (Long, Long)]],
     valuesFor: String => Option[Map[String, Option[Set[String]]]],
     rebuild: Seq[String] => FileScanBuilder,
-    logicalToPhysical: Map[String, String] = Map.empty)
+    logicalToPhysical: Map[String, String] = Map.empty,
+    // per-column absolute-path → serialized Bloom filter (the
+    // `_blooms.parquet` sidecars): equality/IN point lookups on a
+    // HIGH-NDV column prune to the files whose filter might contain the
+    // literal — where min/max ranges overlap completely and value sets
+    // overflow. False positives only re-open files; a file with no
+    // recorded filter keeps.
+    bloomsFor: String => Option[Map[String, Array[Byte]]] = _ => None)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns {
 
@@ -129,6 +136,36 @@ class PruningScanBuilder(
   private def valueSets(col: String): Option[Map[String, Option[Set[String]]]] =
     valuesCache.getOrElseUpdate(col, valuesFor(col))
 
+  // deserialized per-column bloom filters and per-literal xxhash64 values
+  // (the build side hashed `xxhash64(cast(c as string))`; the probe MUST
+  // be bit-identical, so it evaluates the same catalyst expression)
+  private val bloomCache = scala.collection.mutable.Map
+    .empty[String, Option[Map[String, org.apache.spark.util.sketch.BloomFilter]]]
+  private val hashCache = scala.collection.mutable.Map.empty[String, Long]
+
+  private def blooms(col: String)
+      : Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+    bloomCache.getOrElseUpdate(col, bloomsFor(col).map(_.map { case (p, bits) =>
+      p -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bits))
+    }))
+
+  private def probeHash(s: String): Long =
+    hashCache.getOrElseUpdate(s,
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        Literal.create(s, StringType))).eval(null).asInstanceOf[Long])
+
+  /** Keep unless the file's Bloom filter PROVES every literal absent —
+    * no filter recorded (for the column or the file) keeps, and an
+    * empty literal list (a non-probeable literal type) keeps.
+    */
+  private def bloomKeeps(a: Attribute, path: String, lits: Seq[String]): Boolean =
+    lits.isEmpty || (blooms(a.name) match {
+      case Some(byFile) => byFile.get(path)
+        .forall(f => lits.exists(l => f.mightContainLong(probeHash(l))))
+      case None => true
+    })
+
   private def longLit(l: Literal): Option[Long] = l.dataType match {
     case ByteType | ShortType | IntegerType | LongType =>
       Option(l.value).map(_.toString.toLong)
@@ -160,15 +197,22 @@ class PruningScanBuilder(
       ranges(a.name).flatMap(_.get(path))
     e match {
       case EqualTo(a: Attribute, l: Literal) if stringLit(l).isDefined =>
-        valueKeeps(a, path, stringLit(l).toSeq)
+        valueKeeps(a, path, stringLit(l).toSeq) &&
+          bloomKeeps(a, path, stringLit(l).toSeq)
       case EqualTo(l: Literal, a: Attribute) if stringLit(l).isDefined =>
-        valueKeeps(a, path, stringLit(l).toSeq)
+        valueKeeps(a, path, stringLit(l).toSeq) &&
+          bloomKeeps(a, path, stringLit(l).toSeq)
       case In(a: Attribute, vs) if vs.nonEmpty &&
           vs.forall(v => v.isInstanceOf[Literal] &&
             stringLit(v.asInstanceOf[Literal]).isDefined) =>
-        valueKeeps(a, path, vs.flatMap(v => stringLit(v.asInstanceOf[Literal])))
-      case EqualTo(a: Attribute, l: Literal) => eqKeeps(range(a), longLit(l))
-      case EqualTo(l: Literal, a: Attribute) => eqKeeps(range(a), longLit(l))
+        val lits = vs.flatMap(v => stringLit(v.asInstanceOf[Literal]))
+        valueKeeps(a, path, lits) && bloomKeeps(a, path, lits)
+      case EqualTo(a: Attribute, l: Literal) =>
+        eqKeeps(range(a), longLit(l)) &&
+          bloomKeeps(a, path, longLit(l).map(_.toString).toSeq)
+      case EqualTo(l: Literal, a: Attribute) =>
+        eqKeeps(range(a), longLit(l)) &&
+          bloomKeeps(a, path, longLit(l).map(_.toString).toSeq)
       case GreaterThan(a: Attribute, l: Literal) => cmpKeeps(range(a), longLit(l))(_._2 > _)
       case LessThan(l: Literal, a: Attribute) => cmpKeeps(range(a), longLit(l))(_._2 > _)
       case GreaterThanOrEqual(a: Attribute, l: Literal) => cmpKeeps(range(a), longLit(l))(_._2 >= _)
@@ -178,13 +222,15 @@ class PruningScanBuilder(
       case LessThanOrEqual(a: Attribute, l: Literal) => cmpKeeps(range(a), longLit(l))(_._1 <= _)
       case GreaterThanOrEqual(l: Literal, a: Attribute) => cmpKeeps(range(a), longLit(l))(_._1 <= _)
       case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        range(a) match {
+        val lits = vs.map(v => longLit(v.asInstanceOf[Literal]))
+        val rangeKeeps = range(a) match {
           case Some((lo, hi)) =>
-            val lits = vs.map(v => longLit(v.asInstanceOf[Literal]))
             // any non-integral member keeps the file conservatively
             lits.exists(_.isEmpty) || lits.flatten.exists(v => v >= lo && v <= hi)
           case None => true
         }
+        rangeKeeps && (lits.exists(_.isEmpty) ||
+          bloomKeeps(a, path, lits.flatten.map(_.toString)))
       case _ => true
     }
   }
