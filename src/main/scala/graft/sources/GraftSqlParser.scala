@@ -370,7 +370,7 @@ object GraftSqlParser {
       val keys = if (zorderCols.nonEmpty) zorderCols else declared
       val scope = wherePred.map(p =>
         scopeFiles(spark, log, parseOptimizeWhere(p)))
-      if (keys.isEmpty) {
+      val out = if (keys.isEmpty) {
         val (v, (packed, written)) =
           log.compactSmall(spark, targetBytes(spark), scope)
         Seq(Row(v, "bin_pack", packed, written))
@@ -412,6 +412,16 @@ object GraftSqlParser {
         }
         Seq(Row(v, "cluster_by", fin, fout))
       }
+      // `bloomBy` maintenance: a rewrite replaces files whose Bloom
+      // sidecars covered the originals — rebuild filters over the
+      // rewritten outputs so point-lookup skipping survives OPTIMIZE
+      // (absence is only conservative, but a maintenance op must not
+      // silently degrade the scan plan it exists to improve)
+      val vOut = out.head.getLong(0)
+      val bloomCols = log.property(vOut, "bloomBy").toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+      if (bloomCols.nonEmpty) log.writeBloomSidecarFor(spark, vOut, bloomCols)
+      out
     }
   }
 

@@ -2604,9 +2604,13 @@ class SnapshotLog(
       bloomCols: Seq[String],
       expectedItemsPerFile: Long = 100000L,
       fpp: Double = 0.01): Unit = {
-    val appended = appendedFiles(version)
-      .map(abs => abs.stripPrefix(dataRootPath + "/"))
-      .filter(_.endsWith(".parquet"))
+    // the ADDED data files of `version` as a manifest diff — unlike
+    // [[appendedFiles]] this serves rewrite commits too (OPTIMIZE
+    // replaces files; its outputs are exactly what needs fresh filters)
+    val before = versions.takeWhile(_ < version).lastOption
+      .map(dataFiles(_).toSet).getOrElse(Set.empty[String])
+    val appended = dataFiles(version)
+      .filterNot(before).filter(_.endsWith(".parquet"))
     appended.groupBy(p => new File(dataRootPath, p).getParent).foreach {
       case (_, staged) =>
         writeBloomSidecar(spark, staged.toSeq, bloomCols, expectedItemsPerFile, fpp)

@@ -785,4 +785,32 @@ class SnapshotSqlSpec extends AnyFunSuite {
       .exists(t => Option(t.getMessage).exists(_.contains("CTAS"))), e.getMessage)
     spark.sql("DROP TABLE IF EXISTS graftsnap.genid")
   }
+
+  test("OPTIMIZE rebuilds bloomBy sidecars over the rewritten files") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftsnap.blmopt")
+    spark.sql("CREATE TABLE graftsnap.blmopt (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('bloomBy' = 'k')")
+    spark.sql("INSERT INTO graftsnap.blmopt SELECT id, id * 7 FROM range(0, 20000)")
+    spark.sql("INSERT INTO graftsnap.blmopt SELECT id, id * 7 FROM range(20000, 40000)")
+    val log = new SnapshotLog(s"$root/blmopt")
+    spark.conf.set("spark.graft.optimize.maxFileSize", "65536")
+    try {
+      spark.sql("OPTIMIZE graftsnap.blmopt")
+      val cur = log.currentVersion.get
+      val blooms = log.fileBloomsForColumn(spark, cur, "k")
+      assert(blooms.isDefined, "rewritten files must carry rebuilt bloom filters")
+      val all = log.dataFiles(cur)
+        .map(p => new java.io.File(s"$root/blmopt", p).getCanonicalPath).toSet
+      assert(all.subsetOf(blooms.get.keySet),
+        s"every post-OPTIMIZE file needs a filter: ${all -- blooms.get.keySet}")
+      // and the point-lookup skip still fires on the packed layout
+      val (pruned, (opened, total)) = log.readPrunedByBloom(spark, cur, "k", "5")
+      assert(pruned.count() == 1L && total >= 2 && opened < total,
+        s"expected a live skip, got $opened/$total")
+    } finally {
+      spark.conf.unset("spark.graft.optimize.maxFileSize")
+      spark.sql("DROP TABLE IF EXISTS graftsnap.blmopt"); ()
+    }
+  }
 }
