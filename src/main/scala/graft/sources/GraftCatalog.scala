@@ -684,7 +684,7 @@ object GraftCatalog {
     * so a computed-NULL expression round-trips. Schema unchanged; rides
     * whole-stage codegen, zero extra passes.
     */
-  private def generatedTransform(
+  private[sources] def generatedTransform(
       log: SnapshotLog,
       data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit, raise_error, when}
@@ -707,7 +707,7 @@ object GraftCatalog {
   /** The table's GENERATED ALWAYS AS IDENTITY column, if declared
     * (`prop.identity.<col>` = `'start[,step]'`).
     */
-  private def identitySpec(log: SnapshotLog): Option[(String, Long, Long)] =
+  private[sources] def identitySpec(log: SnapshotLog): Option[(String, Long, Long)] =
     log.currentVersion.flatMap(v => log.metaValues(v).collectFirst {
       case (k, spec) if k.startsWith("prop.identity.") =>
         val parts = spec.split(',').map(_.trim.toLong)

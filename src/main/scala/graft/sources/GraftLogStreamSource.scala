@@ -388,7 +388,19 @@ class GraftLogSink(
                 "\"true\") to evolve the destination from the batch"))
         mapped.map(_.filter { case (l, _) => base.contains(l) })
       }
-    val batch = StreamingShims.asBatch(data)
+    // GENERATED/IDENTITY column semantics hold on the streaming path
+    // too: an identity destination refuses (the sink cannot mint
+    // watermarked id blocks per trigger — route through INSERT INTO),
+    // and generated columns fold in compute-when-NULL / enforce-else
+    // exactly as the batch insert does. Skipping either here would make
+    // the sink the one write path that silently breaks the invariant.
+    GraftCatalog.identitySpec(log).foreach { case (c, _, _) =>
+      throw new IllegalArgumentException(
+        s"graft-log sink: destination ${log.root} declares GENERATED " +
+          s"ALWAYS AS IDENTITY column $c — the sink cannot mint ids; " +
+          "write through INSERT INTO / foreachBatch")
+    }
+    val batch = GraftCatalog.generatedTransform(log, StreamingShims.asBatch(data))
     // CHECK ENFORCEMENT (the Delta invariant discipline — EVERY write
     // path enforces, streaming included): the destination's stored
     // `prop.check.*` constraints fold into the staged batch as a

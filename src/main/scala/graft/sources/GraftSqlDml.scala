@@ -227,6 +227,13 @@ object GraftSqlDml {
     val set = assignments.map(a =>
       t.phys(assignmentName(a.key, t.quals)) ->
         toColumn(translatePhys(stripQualifiers(a.value, t.quals), t.physMap)))
+    // a GENERATED ALWAYS AS IDENTITY column is engine-owned: assigning
+    // it would forge ids past the watermark (the Delta refusal)
+    GraftCatalog.identitySpec(t.log).foreach { case (c, _, _) =>
+      require(!set.exists(_._1 == t.phys(c)),
+        s"GraftSqlDml: column $c of ${t.name} is GENERATED ALWAYS AS " +
+          "IDENTITY — UPDATE cannot assign it")
+    }
     val cond = condition
       .map(c => toColumn(translatePhys(stripQualifiers(c, t.quals), t.physMap)))
       .getOrElse(lit(true))
@@ -549,6 +556,20 @@ object GraftSqlDml {
           s"${other.getClass.getSimpleName}")
     }
 
+    // identity columns are engine-owned on the MERGE path too: SET
+    // cannot assign one, and NOT MATCHED INSERT would land
+    // source-provided ids past the watermark — both refuse (the insert
+    // shape belongs to INSERT INTO, which mints)
+    GraftCatalog.identitySpec(log).foreach { case (c, _, _) =>
+      val pc = t.phys(c)
+      require(!updateSet.exists(_._1 == pc) && !nmbsUpdateSet.exists(_._1 == pc),
+        s"GraftSqlDml: column $c of $name is GENERATED ALWAYS AS IDENTITY — " +
+          "MERGE cannot assign it")
+      require(!insertNotMatched,
+        s"GraftSqlDml: WHEN NOT MATCHED INSERT into $name is not supported — " +
+          s"$c is GENERATED ALWAYS AS IDENTITY and the merge cannot mint " +
+          "ids; insert new rows via INSERT INTO")
+    }
     // stored CHECK constraints gate the row images this MERGE writes
     // (updated + inserted), folded into the merge's one evaluation as a
     // raise_error guard — same discipline as UPDATE: a violation fails

@@ -533,18 +533,30 @@ object GraftSqlParser {
         case (k, sql) if k.startsWith("prop.check.") =>
           k.stripPrefix("prop.check.") -> sql
       }.toSeq.sortBy(_._1)
-      def guard(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-        if (checks.isEmpty) raw
+      // identity/generated semantics hold for bulk ingest too: an
+      // identity destination refuses (COPY's ledgered commit cannot
+      // also mint watermarked id blocks), generated columns fold into
+      // the same staged-write guard as INSERT
+      GraftCatalog.identitySpec(log).foreach { case (c, _, _) =>
+        throw new IllegalArgumentException(
+          s"COPY INTO: $cat.$table declares GENERATED ALWAYS AS IDENTITY " +
+            s"column $c — bulk ingest cannot mint ids; INSERT INTO ... SELECT " +
+            "from the staged files instead")
+      }
+      def guard(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val derived = GraftCatalog.generatedTransform(log, raw)
+        if (checks.isEmpty) derived
         else {
           import org.apache.spark.sql.functions.{coalesce, col, expr, lit, raise_error, when}
           val allOk = checks.map { case (_, sql) => coalesce(expr(sql), lit(true)) }
             .reduce(_ && _)
-          val first = raw.columns.head
-          raw.withColumn(first,
+          val first = derived.columns.head
+          derived.withColumn(first,
             when(allOk, col(first)).otherwise(raise_error(lit(
               s"COPY INTO: a source row violates CHECK constraint(s) " +
                 s"[${checks.map(_._1).mkString(", ")}] — nothing committed"))))
         }
+      }
       // write partitions are BYTE-SIZED from the fresh source listing
       // (sizes already in hand — zero extra IO): ceil(bytes / target),
       // the same `spark.graft.optimize.maxFileSize` knob OPTIMIZE sizes

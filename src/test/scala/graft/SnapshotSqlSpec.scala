@@ -783,6 +783,14 @@ class SnapshotSqlSpec extends AnyFunSuite {
     }
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(t => Option(t.getMessage).exists(_.contains("CTAS"))), e.getMessage)
+    // identity ids are engine-owned: UPDATE cannot assign them, and
+    // MERGE cannot insert (no minting on that path)
+    refuses("UPDATE graftsnap.genid SET id = 1 WHERE k = 100",
+      "GENERATED ALWAYS AS")
+    spark.sql("SELECT 999L AS id, 999L AS k, 0L AS b")
+      .createOrReplaceTempView("genid_merge_src")
+    refuses("MERGE INTO graftsnap.genid t USING genid_merge_src s ON t.id = s.id " +
+      "WHEN NOT MATCHED THEN INSERT *", "cannot mint")
     spark.sql("DROP TABLE IF EXISTS graftsnap.genid")
   }
 
