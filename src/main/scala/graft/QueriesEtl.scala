@@ -3740,6 +3740,41 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── CDF AS A SQL TABLE-VALUED FUNCTION (`table_changes('cat.t',
+    // startV [, endV])` — the Delta TVF, spliced at parse time with
+    // [[SnapshotLog.changeFeed]]'s own logical plan so projections,
+    // filters, and aggregates COMPOSE and optimize normally): two
+    // inserts and a merge-on-read delete replay as typed change rows,
+    // and a narrower version window returns exactly that window's
+    // changes (`window_composes`) ──
+    "snapshot_sql_cdf_tvf" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftcft", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftcft.root", scratch(dir, "cftroot"))
+      s.sql("DROP TABLE IF EXISTS graftcft.ord")
+      s.sql("CREATE TABLE graftcft.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 2000)
+        .createOrReplaceTempView("graft_cft_src")
+      s.sql("INSERT INTO graftcft.ord SELECT * FROM graft_cft_src WHERE k <= 1000")
+      s.sql("INSERT INTO graftcft.ord SELECT * FROM graft_cft_src WHERE k > 1000")
+      val log = new SnapshotLog(scratch(dir, "cftroot") + "/ord")
+      log.deleteWhere(s, col("k") % 5 === 0) // v3: merge-on-read delete
+      val v2Expected = s.sql(
+        "SELECT count(*) AS n FROM graft_cft_src WHERE k > 1000").head().getLong(0)
+      val windowComposes = s.sql(
+        "SELECT count(*) AS n FROM table_changes('graftcft.ord', 2, 2)")
+        .head().getLong(0) == v2Expected
+      s.sql(
+        """SELECT _change_type, count(*) AS n_rows,
+          |       CAST(sum(k) AS BIGINT) AS sum_key
+          |FROM table_changes('graftcft.ord', 1, 3)
+          |GROUP BY _change_type""".stripMargin)
+        .withColumn("window_composes", lit(windowComposes))
+        .orderBy(col("_change_type"))
+    }),
+
     // ── BLOOM SKIPPING IN THE SQL SCAN (`bloomBy` TBLPROPERTIES →
     // [[SnapshotLog.writeBloomSidecarFor]] on every INSERT +
     // [[org.apache.spark.sql.graftshim.PruningScanBuilder]] consulting
@@ -5946,6 +5981,18 @@ object QueriesEtl {
         |       TRUE AS src_vacuum_refused
         |FROM orders WHERE o_orderkey <= 2600
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_cdf_tvf: inserts are all source rows, deletes are the
+    // k%5 slice; the version-window law is measured Spark-side
+    "snapshot_sql_cdf_tvf" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000),
+        |     c AS (SELECT 'insert' AS _change_type, k FROM o
+        |           UNION ALL
+        |           SELECT 'delete' AS _change_type, k FROM o WHERE k % 5 = 0)
+        |SELECT _change_type, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       TRUE AS window_composes
+        |FROM c GROUP BY _change_type ORDER BY _change_type""".stripMargin,
 
     // snapshot_sql_bloom_scan: the point lookup reduces to the smallest
     // source key's rollup; the plan-level skipping and absent-key laws

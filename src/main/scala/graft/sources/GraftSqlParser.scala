@@ -155,7 +155,45 @@ object GraftSqlParser {
         } catch { case _: IllegalStateException => false } // no active session
       case _ => false
     }
-    plan match {
+    // `table_changes('cat.t', startV [, endV])` — the Delta CDF
+    // table-valued function, versions INCLUSIVE on both ends: the TVF
+    // node is spliced with the change feed's own logical plan
+    // ([[SnapshotLog.changeFeed]] reads exactly the files each commit
+    // added — never a table-state diff), so the surrounding SQL
+    // (projections, filters, aggregates, joins) composes and optimizes
+    // normally. Non-graft or malformed calls pass through untouched
+    // (Spark then reports the unknown function itself).
+    val planT = plan.transformUp {
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("table_changes") && tvf.functionArgs.nonEmpty =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val parsed = tvf.functionArgs.head match {
+          case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+            s.toString.split('.') match {
+              case Array(cat, table) => Some((cat, table))
+              case _ => None
+            }
+          case _ => None
+        }
+        def longArg(i: Int): Option[Long] = tvf.functionArgs.lift(i).collect {
+          case Literal(v, org.apache.spark.sql.types.ByteType |
+              org.apache.spark.sql.types.ShortType |
+              org.apache.spark.sql.types.IntegerType |
+              org.apache.spark.sql.types.LongType) if v != null =>
+            v.toString.toLong
+        }
+        (for {
+          (cat, table) <- parsed
+          if isGraftCatalog(cat)
+          from <- longArg(1)
+          spark = SparkSession.active
+          log = logFor(spark, cat, table)
+          to = longArg(2).orElse(log.currentVersion).getOrElse(-1L)
+        } yield log.changeFeed(spark, from - 1L, to).queryExecution.logical)
+          .getOrElse(tvf)
+    }
+    planT match {
       case u @ UpdateTable(t, _, _) if graftTarget(t) => GraftDmlCommand(u)
       case m: MergeIntoTable if graftTarget(m.targetTable) => GraftDmlCommand(m)
       case other => other

@@ -319,6 +319,37 @@ class SnapshotDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("appendIdentityStats: racing inserts re-derive the watermark under OCC — ids never collide") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val log = freshLog("identity_race")
+    log.commitCreate(
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT"),
+      Nil, Map.empty)
+    val pool = Executors.newFixedThreadPool(4)
+    val gate = new CountDownLatch(1)
+    (0 until 4).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          gate.await()
+          val batch = (0 until 25)
+            .map(i => (null: java.lang.Long, (w * 100 + i).toLong))
+            .toDF("id", "v")
+          log.withOccRetry()(
+            log.appendIdentityStats(batch, "id", start = 1L, step = 1L,
+              partitions = 2))
+          ()
+        }
+      })
+    }
+    gate.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "racing inserts hung")
+    val ids = log.readLatest(spark).select("id").as[Long].collect().sorted.toSeq
+    // 4 × 25 rows: contiguous blocks, zero collisions, exactly 1..100 —
+    // each OCC loser re-derived from the winner's committed watermark
+    assert(ids == (1L to 100L), s"got ${ids.take(10).mkString(",")}…")
+  }
+
   test("withOccRetry: racing non-commuting DML re-derives and converges, no lost effects") {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     val log = freshLog("occ_dml")
