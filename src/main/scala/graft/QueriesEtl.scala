@@ -3740,6 +3740,38 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── SQL READS OF MERGE-ON-READ SNAPSHOTS ([[GraftCatalog]] masked
+    // facade): a table carrying outstanding position deletes reads
+    // DIRECTLY through `SELECT … FROM cat.t` — masks applied via the
+    // V1Scan bridge (the Delta DV-read shape; previously every SELECT
+    // after a merge-on-read DELETE demanded a compact() first). Column
+    // pruning and translatable filters push into the masked plan and
+    // flow through the anti-join to the parquet scans
+    // (`filters_reached_scan`, pinned off the executed plan) ──
+    "snapshot_sql_read_mor" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftmor", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftmor.root", scratch(dir, "morroot"))
+      s.sql("DROP TABLE IF EXISTS graftmor.ord")
+      s.sql("CREATE TABLE graftmor.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 2000)
+        .createOrReplaceTempView("graft_mor_src")
+      s.sql("INSERT INTO graftmor.ord SELECT * FROM graft_mor_src")
+      val log = new SnapshotLog(scratch(dir, "morroot") + "/ord")
+      log.deleteWhere(s, col("k") % 7 === 0) // outstanding position deletes
+      val q = s.sql(
+        """SELECT status, count(*) AS n_rows,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftmor.ord WHERE k > 100 GROUP BY status""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      val pushed = plan.contains("GreaterThan(k,100)")
+      q.withColumn("filters_reached_scan", lit(pushed))
+        .orderBy(col("status"))
+    }),
+
     // ── CDF AS A SQL TABLE-VALUED FUNCTION (`table_changes('cat.t',
     // startV [, endV])` — the Delta TVF, spliced at parse time with
     // [[SnapshotLog.changeFeed]]'s own logical plan so projections,
@@ -5980,6 +6012,17 @@ object QueriesEtl {
         |       TRUE AS tt_clone_pinned,
         |       TRUE AS src_vacuum_refused
         |FROM orders WHERE o_orderkey <= 2600
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_read_mor: the masked SQL read reduces to the
+    // delete-filtered rollup; the pushdown law is measured Spark-side
+    "snapshot_sql_read_mor" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS filters_reached_scan
+        |FROM orders
+        |WHERE o_orderkey <= 2000 AND o_orderkey % 7 <> 0 AND o_orderkey > 100
         |GROUP BY status ORDER BY status""".stripMargin,
 
     // snapshot_sql_cdf_tvf: inserts are all source rows, deletes are the

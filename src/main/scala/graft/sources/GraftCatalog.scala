@@ -166,16 +166,25 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     require(log.versions.contains(v),
       s"GraftCatalog: snapshot v$v of ${ident.name()} does not exist " +
         s"(have ${log.versions.mkString(", ")} — expired or never committed)")
-    require(log.tombstoneFiles(v).isEmpty && log.posDeleteFiles(v).isEmpty &&
-        log.dvFiles(v).isEmpty,
-      s"GraftCatalog: snapshot v$v of ${ident.name()} carries outstanding " +
-        "merge-on-read masks a raw SQL scan cannot apply — read it via the " +
-        "SnapshotLog API or compact() first")
     val paths = log.dataFiles(v).map(p => new File(log.dataRootPath, p).toString)
     val opts = new CaseInsensitiveStringMap(util.Map.of("mergeSchema", "true"))
     val tname =
       s"$catalogName.${ident.name()}" + version.map(x => s"@v$x").getOrElse("")
     val spark = SparkSession.active
+    val masked = log.tombstoneFiles(v).nonEmpty || log.posDeleteFiles(v).nonEmpty ||
+      log.dvFiles(v).nonEmpty
+    if (masked) {
+      // merge-on-read snapshot: SQL reads serve through the mask-applying
+      // facade (read-only); mapped+masked still refuses — the translating
+      // masked read is the API's job
+      require(log.columnMapping(v).isEmpty,
+        s"GraftCatalog: snapshot v$v of ${ident.name()} is both column-mapped " +
+          "and mask-carrying — read it via SnapshotLog.readMapped or compact() first")
+      return new GraftCatalog.MaskedReadTable(tname, log, v,
+        log.metaValues(v).collect {
+          case (k, pv) if k.startsWith("prop.") => k.stripPrefix("prop.") -> pv
+        })
+    }
     val tableProps = log.metaValues(v).collect {
       case (k, pv) if k.startsWith("prop.") => k.stripPrefix("prop.") -> pv
     }
@@ -918,6 +927,89 @@ object GraftCatalog {
     * parquet scan ever lists them. Column-mapped loads present the
     * pruner's LOGICAL schema; the builder translates names both ways.
     */
+  /** SQL-readable facade over a MERGE-ON-READ snapshot (outstanding key
+    * tombstones / position deletes / deletion vectors): the scan routes
+    * through [[SnapshotLog.read]]'s mask application via the V1Scan
+    * bridge — the masked plan (parquet scans + mask anti-joins) runs
+    * fully optimized; only the final row handoff crosses the V1
+    * boundary. Delta serves DV-masked tables in SQL the same way a DML
+    * mix expects; refusing until compact() made every SELECT after a
+    * merge-on-read DELETE a maintenance event.
+    *
+    * Column pruning and translatable filters push into the masked frame
+    * ([[PrunedFilteredScan]]) — Catalyst then pushes them through the
+    * anti-join to the parquet scans, so a point lookup on a masked
+    * 100 TB table still prunes and skips; untranslatable filters are
+    * re-applied by Spark above (the `unhandledFilters` default).
+    * Read-only by capability: writes land through the log API or the
+    * unmasked table. Mapped+masked still refuses at [[loadAt]] (the
+    * translating read is [[SnapshotLog.readMapped]]'s job, API-side).
+    */
+  private final class MaskedReadTable(
+      tname: String, log: SnapshotLog, v: Long,
+      tableProps: Map[String, String] = Map.empty)
+    extends Table with SupportsRead {
+    private lazy val reportedSchema: StructType =
+      log.read(SparkSession.active, v).schema
+    override def name(): String = tname
+    override def schema(): StructType = reportedSchema
+    override def properties(): util.Map[String, String] = {
+      val m = new util.HashMap[String, String]()
+      tableProps.foreach { case (k, pv) => m.put(k, pv) }
+      m
+    }
+    override def capabilities(): util.Set[TableCapability] =
+      util.Collections.singleton(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder
+          with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+          with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+        // DSv2 pushdown feeding the V1 bridge (the JDBC-connector
+        // shape): translatable filters are claimed as pushed — they are
+        // FULLY applied inside the masked frame via the same translation
+        // DELETE trusts, and Catalyst pushes them through the mask
+        // anti-joins to the parquet scans; the residue re-applies above
+        private var pushed: Array[Filter] = Array.empty
+        private var required: Option[StructType] = None
+        override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+          val (ok, residual) =
+            filters.partition(f => GraftCatalog.filterToColumn(f).isDefined)
+          pushed = ok
+          residual
+        }
+        override def pushedFilters(): Array[Filter] = pushed
+        override def pruneColumns(requiredSchema: StructType): Unit =
+          required = Some(requiredSchema)
+        override def build(): org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.V1Scan {
+            override def readSchema(): StructType =
+              required.getOrElse(reportedSchema)
+            override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+                with org.apache.spark.sql.sources.TableScan](
+                context: org.apache.spark.sql.SQLContext): T = {
+              val rel = new org.apache.spark.sql.sources.BaseRelation
+                  with org.apache.spark.sql.sources.TableScan {
+                override def sqlContext: org.apache.spark.sql.SQLContext = context
+                override def schema: StructType = readSchema()
+                override def buildScan()
+                    : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+                  val masked = log.read(context.sparkSession, v)
+                  val conds = pushed.toSeq.flatMap(f =>
+                    GraftCatalog.filterToColumn(f))
+                  val filtered = conds.foldLeft(masked)(_ where _)
+                  val cols = required.map(_.fieldNames.toSeq)
+                    .getOrElse(reportedSchema.fieldNames.toSeq)
+                  (if (cols.isEmpty) filtered
+                   else filtered.select(cols.map(
+                     org.apache.spark.sql.functions.col): _*)).rdd
+                }
+              }
+              rel.asInstanceOf[T]
+            }
+          }
+      }
+  }
+
   private sealed class ReadOnlyTable(
       protected val inner: ParquetTable, pruner: Pruner)
     extends Table with SupportsRead {

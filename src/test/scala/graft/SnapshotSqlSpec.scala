@@ -115,18 +115,27 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_travel").head().getLong(0) == 26L)
   }
 
-  test("masked or mapped snapshots refuse a raw SQL scan loudly; listTables sees the pool") {
+  test("masked snapshots serve SQL reads through the mask facade; writes stay refused; listTables sees the pool") {
     val log = freshLog("t_masked")
     log.append((0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
     log.deleteWhere(spark, col("id") === 3L)
     registerCatalog()
-    val ex = intercept[Exception] {
-      spark.sql("SELECT * FROM graftsnap.t_masked").collect()
+    // the merge-on-read snapshot reads DIRECTLY in SQL — masks applied,
+    // no compact() needed (the Delta DV-read shape)
+    assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_masked").head().getLong(0) == 9L)
+    assert(spark.sql("SELECT v FROM graftsnap.t_masked WHERE id = 3").count() == 0L,
+      "the masked row must stay hidden through SQL")
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) AS s FROM graftsnap.t_masked " +
+      "WHERE id >= 5").head().getLong(0) == (5 until 10).map(_.toLong).sum)
+    // read-only by capability: INSERT refuses while masks are outstanding
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftsnap.t_masked VALUES (100, 100)")
     }
-    assert(ex.getMessage.contains("merge-on-read masks"), s"unexpected: ${ex.getMessage}")
-    // compact() clears the masks and SQL works again — the documented remediation
+    // compact() absorbs the masks and the full read/write table returns
     log.compact(spark, partitions = 1)
     assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_masked").head().getLong(0) == 9L)
+    spark.sql("INSERT INTO graftsnap.t_masked VALUES (100, 100)")
+    assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_masked").head().getLong(0) == 10L)
     val names = spark.sql("SHOW TABLES IN graftsnap").collect().map(_.getString(1)).toSet
     assert(Set("t_sql", "t_travel", "t_masked").subsetOf(names), s"got $names")
   }
