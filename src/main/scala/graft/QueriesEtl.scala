@@ -3898,13 +3898,13 @@ object QueriesEtl {
         "UPDATE graftgen.ord SET k = k + 1 WHERE k <= 1000",
         "generated(bucket)")
       s.sql("UPDATE graftgen.ord SET cents = cents + 1 WHERE k <= 100")
-      // the UPDATE leaves merge-on-read masks; roll up through the
-      // mask-applying API read (the SQL scan refuses masked snapshots)
-      new SnapshotLog(scratch(dir, "genroot") + "/ord").readLatest(s)
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("k")).cast("long").as("sum_key"),
-          sum(col("cents")).cast("long").as("sum_cents"))
+      // the UPDATE leaves merge-on-read masks; the SQL read serves them
+      // through the masked facade (snapshot_sql_read_mor's capability)
+      s.sql(
+        """SELECT bucket, count(*) AS n_rows,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftgen.ord GROUP BY bucket""".stripMargin)
         .withColumn("mismatch_refused", lit(mismatchRefused))
         .withColumn("dml_guarded", lit(dmlGuarded))
         .orderBy(col("bucket"))

@@ -207,7 +207,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
           kept => ParquetTable(tname, spark, opts, kept, Some(physSchema),
             classOf[ParquetFileFormat]),
           l2p, Some(logSchema), tableProps,
-          bloomsFor = c => log.fileBloomsForColumn(spark, v, c))
+          bloomProbe = (c, lits) => log.fileBloomProbe(spark, v, c, lits))
         if (version.isEmpty) new GraftCatalog.MappedWritableTable(inner, log, pruner)
         else new GraftCatalog.ReadOnlyTable(inner, pruner)
       case None =>
@@ -231,7 +231,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
           kept => ParquetTable(tname, spark, opts, kept, Some(resolved),
             classOf[ParquetFileFormat]),
           tableProps = tableProps,
-          bloomsFor = c => log.fileBloomsForColumn(spark, v, c))
+          bloomProbe = (c, lits) => log.fileBloomProbe(spark, v, c, lits))
         if (version.isEmpty) new GraftCatalog.WritableTable(inner, log, pruner)
         else new GraftCatalog.ReadOnlyTable(inner, pruner)
     }
@@ -871,7 +871,8 @@ object GraftCatalog {
       logicalToPhysical: Map[String, String] = Map.empty,
       reportedSchema: Option[StructType] = None,
       tableProps: Map[String, String] = Map.empty,
-      bloomsFor: String => Option[Map[String, Array[Byte]]] = _ => None)
+      bloomProbe: (String, Seq[String]) => Option[Map[String, Boolean]] =
+        (_, _) => None)
 
   /** The PHYSICAL scan schema, the LOGICAL table schema, and the
     * logical→physical name map of a column-mapped snapshot. Types come
@@ -1046,7 +1047,7 @@ object GraftCatalog {
         kept => pruner.rebuildTable(kept).newScanBuilder(options)
           .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder],
         pruner.logicalToPhysical,
-        pruner.bloomsFor)
+        pruner.bloomProbe)
   }
 
   /** The CURRENT snapshot's table: readable as [[ReadOnlyTable]] and

@@ -2617,17 +2617,35 @@ class SnapshotLog(
     }
   }
 
-  /** Per-file serialized Bloom filters of `bloomCol` keyed by ABSOLUTE
-    * path — the [[GraftCatalog]] scan-pruning feed, mirroring
-    * [[fileValueSetsForColumn]]. None when no sidecar anywhere carries
-    * the column; files without an entry are simply absent (readers keep
-    * them conservatively).
+  /** Bloom membership of `values` per data file of `version`, keyed by
+    * ABSOLUTE path — the [[GraftCatalog]] scan-pruning feed. Membership
+    * is evaluated INSIDE the sidecar read (a deserialize-and-probe UDF
+    * over the file-count-sized sidecar rows), so only per-file BOOLEANS
+    * ever reach the driver — at 100 TB the filters themselves are
+    * GB-scale in aggregate and must never be collected. None when no
+    * sidecar anywhere carries the column; files without an entry are
+    * simply absent (readers keep them conservatively). The probe hash is
+    * the build side's `xxhash64(cast(c as string))`, computed through
+    * the same Catalyst expression.
     */
-  def fileBloomsForColumn(
+  def fileBloomProbe(
       spark: SparkSession,
       version: Long,
-      bloomCol: String): Option[Map[String, Array[Byte]]] = {
-    import org.apache.spark.sql.functions.col
+      bloomCol: String,
+      values: Seq[String]): Option[Map[String, Boolean]] = {
+    if (values.isEmpty) return None
+    val hashes = values.map(s =>
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          s, org.apache.spark.sql.types.StringType))).eval(null)
+        .asInstanceOf[Long])
+    import org.apache.spark.sql.functions.{col, udf}
+    val hit = udf((bits: Array[Byte]) =>
+      bits == null || {
+        val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bits))
+        hashes.exists(f.mightContainLong)
+      })
     val entries = dataFiles(version)
       .groupBy(p => new File(dataRootPath, p).getParent).toSeq.flatMap {
         case (dir, paths) =>
@@ -2635,11 +2653,12 @@ class SnapshotLog(
           if (!sidecar.exists()) Nil
           else {
             val byFile = spark.read.parquet(sidecar.toString)
-              .where(col("col") === bloomCol).collect()
-              .map(r => r.getString(0) -> r.getAs[Array[Byte]]("bits")).toMap
+              .where(col("col") === bloomCol)
+              .select(col("file"), hit(col("bits")).as("hit"))
+              .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
             paths.flatMap { p =>
-              byFile.get(p).map(bits =>
-                new File(dataRootPath, p).toString -> bits)
+              byFile.get(p).map(h =>
+                new File(dataRootPath, p).toString -> h)
             }
           }
       }
@@ -2661,30 +2680,11 @@ class SnapshotLog(
       bloomCol: String,
       value: String): (DataFrame, (Int, Int)) = {
     import org.apache.spark.sql.functions.{col, lit}
-    // the probe hash must be BIT-IDENTICAL to the build side's
-    // `xxhash64(cast(c as string))` — computed through the same Catalyst
-    // expression, evaluated driver-side (might_contain demands a
-    // constant filter, so membership is tested here, not in a plan)
-    val probeHash = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
-      org.apache.spark.sql.catalyst.expressions.Literal.create(
-        value, org.apache.spark.sql.types.StringType))).eval(null)
-      .asInstanceOf[Long]
     val data = dataFiles(version)
-    val keep = data.groupBy(p => new File(dataRootPath, p).getParent).toSeq.flatMap {
-      case (dir, paths) =>
-        val sidecar = new File(dir, "_blooms.parquet")
-        if (!sidecar.exists()) paths
-        else {
-          val might = spark.read.parquet(sidecar.toString)
-            .where(col("col") === bloomCol).select("file", "bits")
-            .collect().map { r =>
-              val filter = org.apache.spark.util.sketch.BloomFilter.readFrom(
-                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-              r.getString(0) -> filter.mightContainLong(probeHash)
-            }.toMap
-          paths.filter(p => might.getOrElse(p, true))
-        }
-    }.sorted
+    val might = fileBloomProbe(spark, version, bloomCol, Seq(value))
+      .getOrElse(Map.empty)
+    val keep = data.filter(p =>
+      might.getOrElse(new File(dataRootPath, p).toString, true)).sorted
     val pruned =
       if (keep.isEmpty) read(spark, version).where(lit(false))
       else applyMasks(spark, version,

@@ -58,13 +58,15 @@ class PruningScanBuilder(
     valuesFor: String => Option[Map[String, Option[Set[String]]]],
     rebuild: Seq[String] => FileScanBuilder,
     logicalToPhysical: Map[String, String] = Map.empty,
-    // per-column absolute-path → serialized Bloom filter (the
-    // `_blooms.parquet` sidecars): equality/IN point lookups on a
-    // HIGH-NDV column prune to the files whose filter might contain the
+    // per-(column, literals) Bloom membership keyed by absolute path
+    // (the `_blooms.parquet` sidecars, probed INSIDE the sidecar read so
+    // only booleans reach the planner): equality/IN point lookups on a
+    // HIGH-NDV column prune to the files whose filter might contain a
     // literal — where min/max ranges overlap completely and value sets
     // overflow. False positives only re-open files; a file with no
     // recorded filter keeps.
-    bloomsFor: String => Option[Map[String, Array[Byte]]] = _ => None)
+    bloomProbe: (String, Seq[String]) => Option[Map[String, Boolean]] =
+      (_, _) => None)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns {
 
@@ -136,33 +138,20 @@ class PruningScanBuilder(
   private def valueSets(col: String): Option[Map[String, Option[Set[String]]]] =
     valuesCache.getOrElseUpdate(col, valuesFor(col))
 
-  // deserialized per-column bloom filters and per-literal xxhash64 values
-  // (the build side hashed `xxhash64(cast(c as string))`; the probe MUST
-  // be bit-identical, so it evaluates the same catalyst expression)
-  private val bloomCache = scala.collection.mutable.Map
-    .empty[String, Option[Map[String, org.apache.spark.util.sketch.BloomFilter]]]
-  private val hashCache = scala.collection.mutable.Map.empty[String, Long]
-
-  private def blooms(col: String)
-      : Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] =
-    bloomCache.getOrElseUpdate(col, bloomsFor(col).map(_.map { case (p, bits) =>
-      p -> org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bits))
-    }))
-
-  private def probeHash(s: String): Long =
-    hashCache.getOrElseUpdate(s,
-      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
-        Literal.create(s, StringType))).eval(null).asInstanceOf[Long])
+  // one probe job per (column, literal-set) per build — results cached;
+  // the sidecar read evaluates membership distributed and hands back
+  // only per-file booleans (never filter bits)
+  private val bloomProbeCache = scala.collection.mutable.Map
+    .empty[(String, Seq[String]), Option[Map[String, Boolean]]]
 
   /** Keep unless the file's Bloom filter PROVES every literal absent —
     * no filter recorded (for the column or the file) keeps, and an
     * empty literal list (a non-probeable literal type) keeps.
     */
   private def bloomKeeps(a: Attribute, path: String, lits: Seq[String]): Boolean =
-    lits.isEmpty || (blooms(a.name) match {
-      case Some(byFile) => byFile.get(path)
-        .forall(f => lits.exists(l => f.mightContainLong(probeHash(l))))
+    lits.isEmpty || (bloomProbeCache
+      .getOrElseUpdate((a.name, lits), bloomProbe(a.name, lits)) match {
+      case Some(byFile) => byFile.getOrElse(path, true)
       case None => true
     })
 

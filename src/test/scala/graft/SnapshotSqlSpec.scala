@@ -815,12 +815,12 @@ class SnapshotSqlSpec extends AnyFunSuite {
     try {
       spark.sql("OPTIMIZE graftsnap.blmopt")
       val cur = log.currentVersion.get
-      val blooms = log.fileBloomsForColumn(spark, cur, "k")
-      assert(blooms.isDefined, "rewritten files must carry rebuilt bloom filters")
+      val probe = log.fileBloomProbe(spark, cur, "k", Seq("5"))
+      assert(probe.isDefined, "rewritten files must carry rebuilt bloom filters")
       val all = log.dataFiles(cur)
         .map(p => new java.io.File(s"$root/blmopt", p).getCanonicalPath).toSet
-      assert(all.subsetOf(blooms.get.keySet),
-        s"every post-OPTIMIZE file needs a filter: ${all -- blooms.get.keySet}")
+      assert(all.subsetOf(probe.get.keySet),
+        s"every post-OPTIMIZE file needs a filter: ${all -- probe.get.keySet}")
       // and the point-lookup skip still fires on the packed layout
       val (pruned, (opened, total)) = log.readPrunedByBloom(spark, cur, "k", "5")
       assert(pruned.count() == 1L && total >= 2 && opened < total,
