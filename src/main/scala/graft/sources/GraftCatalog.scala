@@ -175,15 +175,13 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       log.dvFiles(v).nonEmpty
     if (masked) {
       // merge-on-read snapshot: SQL reads serve through the mask-applying
-      // facade (read-only); mapped+masked still refuses — the translating
-      // masked read is the API's job
-      require(log.columnMapping(v).isEmpty,
-        s"GraftCatalog: snapshot v$v of ${ident.name()} is both column-mapped " +
-          "and mask-carrying — read it via SnapshotLog.readMapped or compact() first")
+      // facade (read-only); a column-mapped one rides the translating
+      // masked read (logical names out)
       return new GraftCatalog.MaskedReadTable(tname, log, v,
         log.metaValues(v).collect {
           case (k, pv) if k.startsWith("prop.") => k.stripPrefix("prop.") -> pv
-        })
+        },
+        mapped = log.columnMapping(v).isDefined)
     }
     val tableProps = log.metaValues(v).collect {
       case (k, pv) if k.startsWith("prop.") => k.stripPrefix("prop.") -> pv
@@ -948,10 +946,17 @@ object GraftCatalog {
     */
   private final class MaskedReadTable(
       tname: String, log: SnapshotLog, v: Long,
-      tableProps: Map[String, String] = Map.empty)
+      tableProps: Map[String, String] = Map.empty,
+      // column-mapped snapshots route through the translating masked
+      // read (logical names out, so SQL filters apply untranslated);
+      // its own guards refuse the non-composable corners (key
+      // tombstones, float-target widenings) at analysis time
+      mapped: Boolean = false)
     extends Table with SupportsRead {
+    private def masked(spark: SparkSession): org.apache.spark.sql.DataFrame =
+      if (mapped) log.readMapped(spark, v) else log.read(spark, v)
     private lazy val reportedSchema: StructType =
-      log.read(SparkSession.active, v).schema
+      masked(SparkSession.active).schema
     override def name(): String = tname
     override def schema(): StructType = reportedSchema
     override def properties(): util.Map[String, String] = {
@@ -994,10 +999,9 @@ object GraftCatalog {
                 override def schema: StructType = readSchema()
                 override def buildScan()
                     : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-                  val masked = log.read(context.sparkSession, v)
                   val conds = pushed.toSeq.flatMap(f =>
                     GraftCatalog.filterToColumn(f))
-                  val filtered = conds.foldLeft(masked)(_ where _)
+                  val filtered = conds.foldLeft(masked(context.sparkSession))(_ where _)
                   val cols = required.map(_.fieldNames.toSeq)
                     .getOrElse(reportedSchema.fieldNames.toSeq)
                   (if (cols.isEmpty) filtered

@@ -138,6 +138,20 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_masked").head().getLong(0) == 10L)
     val names = spark.sql("SHOW TABLES IN graftsnap").collect().map(_.getString(1)).toSet
     assert(Set("t_sql", "t_travel", "t_masked").subsetOf(names), s"got $names")
+    // column-mapped + masked composes too: the facade rides the
+    // translating masked read — logical names out, masks applied
+    spark.sql("DROP TABLE IF EXISTS graftsnap.t_maskmap")
+    spark.sql("CREATE TABLE graftsnap.t_maskmap (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftsnap.t_maskmap SELECT id, id * 3 FROM range(10)")
+    spark.sql("ALTER TABLE graftsnap.t_maskmap RENAME COLUMN v TO val")
+    val mlog = new SnapshotLog(s"$root/t_maskmap")
+    mlog.deleteWhere(spark, col("v") === 9L) // physical name, masks id=3
+    assert(spark.sql("SELECT count(*) AS n FROM graftsnap.t_maskmap")
+      .head().getLong(0) == 9L)
+    assert(spark.sql("SELECT val FROM graftsnap.t_maskmap WHERE id = 3").count() == 0L)
+    assert(spark.sql("SELECT CAST(sum(val) AS BIGINT) AS s FROM graftsnap.t_maskmap")
+      .head().getLong(0) == (0 until 10).filter(_ != 3).map(_ * 3L).sum)
+    spark.sql("DROP TABLE IF EXISTS graftsnap.t_maskmap"); ()
   }
 
   test("SQL CREATE TABLE / CTAS / DROP TABLE round-trip through the log") {
