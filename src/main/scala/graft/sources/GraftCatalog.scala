@@ -296,6 +296,21 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       case (k, v) if k.startsWith("generate.") =>
         require(!v.exists(ch => ch == '\n' || ch == '\r'),
           s"GraftCatalog: $k expression must be single-line")
+        // a generated expression reading another engine-owned column
+        // would evaluate against its PRE-derivation value (fold order),
+        // silently deriving from NULL — refuse at CREATE
+        val refs =
+          try SparkSession.active.sessionState.sqlParser
+            .parseExpression(v).collect {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                a.nameParts.last
+            }.toSet
+          catch { case _: IllegalStateException => Set.empty[String] }
+        val owned = refs.intersect((gens ++ idents).toSet)
+        require(owned.isEmpty,
+          s"GraftCatalog: $k ($v) references engine-owned column(s) " +
+            s"${owned.mkString(", ")} — generated expressions may read " +
+            "plain columns only (self-references included)")
       case (k, v) if k.startsWith("identity.") =>
         val parts = v.split(',').map(_.trim)
         require(parts.nonEmpty && parts.length <= 2 &&

@@ -176,20 +176,33 @@ object GraftSqlParser {
             }
           case _ => None
         }
-        def longArg(i: Int): Option[Long] = tvf.functionArgs.lift(i).collect {
-          case Literal(v, org.apache.spark.sql.types.ByteType |
-              org.apache.spark.sql.types.ShortType |
-              org.apache.spark.sql.types.IntegerType |
-              org.apache.spark.sql.types.LongType) if v != null =>
-            v.toString.toLong
-        }
+        // version args: integral literals verbatim; STRING literals are
+        // timestamps — a start-timestamp resolves to the EARLIEST commit
+        // at or after it (the Delta startingTimestamp rule: "changes
+        // since ts"), an end-timestamp to the snapshot as of it
+        def versionArg(log: SnapshotLog, i: Int, start: Boolean): Option[Long] =
+          tvf.functionArgs.lift(i).flatMap {
+            case Literal(v, org.apache.spark.sql.types.ByteType |
+                org.apache.spark.sql.types.ShortType |
+                org.apache.spark.sql.types.IntegerType |
+                org.apache.spark.sql.types.LongType) if v != null =>
+              Some(v.toString.toLong)
+            case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+              val raw = s.toString.trim
+              val t = if (raw.length == 10) raw + " 00:00:00" else raw
+              val millis = java.sql.Timestamp.valueOf(t.replace('T', ' ')).getTime
+              if (start) log.versions.find(v => log.commitTimeMillis(v) >= millis)
+              else Some(log.versionAt(millis))
+            case _ => None
+          }
         (for {
           (cat, table) <- parsed
           if isGraftCatalog(cat)
-          from <- longArg(1)
           spark = SparkSession.active
           log = logFor(spark, cat, table)
-          to = longArg(2).orElse(log.currentVersion).getOrElse(-1L)
+          from <- versionArg(log, 1, start = true)
+          to = versionArg(log, 2, start = false)
+            .orElse(log.currentVersion).getOrElse(-1L)
         } yield log.changeFeed(spark, from - 1L, to).queryExecution.logical)
           .getOrElse(tvf)
     }

@@ -817,6 +817,42 @@ class SnapshotSqlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graftsnap.genid")
   }
 
+  test("table_changes TVF: version and timestamp windows compose with SQL; generated refs guard at CREATE") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftsnap.t_tvf")
+    spark.sql("CREATE TABLE graftsnap.t_tvf (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftsnap.t_tvf SELECT id, id FROM range(5)") // v1
+    Thread.sleep(15)
+    val cut = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    Thread.sleep(15)
+    spark.sql("INSERT INTO graftsnap.t_tvf SELECT id + 10, id FROM range(3)") // v2
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM table_changes('graftsnap.t_tvf', 1)")
+      .head().getLong(0) == 8L, "open-ended window = both inserts")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM table_changes('graftsnap.t_tvf', 2, 2)")
+      .head().getLong(0) == 3L, "pinned window = v2 only")
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM table_changes('graftsnap.t_tvf', '$cut')")
+      .head().getLong(0) == 3L, "timestamp start = changes since the cut")
+    assert(spark.sql(
+      "SELECT CAST(sum(id) AS BIGINT) AS s FROM " +
+        "table_changes('graftsnap.t_tvf', 1) WHERE _change_type = 'insert'")
+      .head().getLong(0) == (0L until 5L).sum + (10L until 13L).sum,
+      "the spliced feed composes with filters/aggregates above")
+    spark.sql("DROP TABLE IF EXISTS graftsnap.t_tvf")
+    // a generated expression reading another engine-owned column refuses
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE graftsnap.t_genref (a BIGINT, b BIGINT, c BIGINT) " +
+        "TBLPROPERTIES ('generate.b' = 'a % 2', 'generate.c' = 'b + 1')"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("engine-owned"))),
+      e.getMessage)
+    assert(!spark.sql("SHOW TABLES IN graftsnap").collect()
+      .map(_.getString(1)).contains("t_genref"),
+      "a refused CREATE must leave no table")
+  }
+
   test("OPTIMIZE rebuilds bloomBy sidecars over the rewritten files") {
     registerCatalog()
     spark.sql("DROP TABLE IF EXISTS graftsnap.blmopt")
