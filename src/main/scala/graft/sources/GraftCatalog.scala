@@ -254,9 +254,6 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     * to (the liquid-clustering declaration); everything else in the map
     * is Spark bookkeeping (owner/provider/…) and is dropped.
     */
-  private def persistedProps(properties: util.Map[String, String]): Map[String, String] =
-    persistedProps(properties, None)
-
   /** The TBLPROPERTIES this catalog persists: `clusterBy`, plus the
     * CREATE-time column semantics `generate.<col>` (a GENERATED ALWAYS
     * AS expression — computed when the insert provides NULL, enforced
@@ -645,6 +642,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   private def ensureColumnMapping(
       spark: SparkSession, log: SnapshotLog, ident: Identifier): Unit = {
     val cur = log.currentVersion.getOrElse(throw new NoSuchTableException(ident))
+    // identity tables refuse the mapping upgrade itself (not just the
+    // later insert): a rename would strand the table in a state where
+    // every INSERT refuses — surface the incompatibility at the DDL
+    GraftCatalog.identitySpec(log).foreach { case (c, _, _) =>
+      throw new IllegalArgumentException(
+        s"GraftCatalog: ${ident.name()} declares GENERATED ALWAYS AS " +
+          s"IDENTITY column $c — identity tables do not support column " +
+          "mapping (rename/widen); recreate the table instead")
+    }
     if (log.columnMapping(cur).isEmpty) {
       log.declaredSchema(cur).foreach { ds =>
         val paths = log.dataFiles(cur).map(p => new File(log.dataRootPath, p).toString)
@@ -956,8 +962,9 @@ object GraftCatalog {
     * 100 TB table still prunes and skips; untranslatable filters are
     * re-applied by Spark above (the `unhandledFilters` default).
     * Read-only by capability: writes land through the log API or the
-    * unmasked table. Mapped+masked still refuses at [[loadAt]] (the
-    * translating read is [[SnapshotLog.readMapped]]'s job, API-side).
+    * unmasked table. Column-mapped snapshots ride [[SnapshotLog.readMapped]]
+    * (logical names out — SQL filters apply untranslated); its guards
+    * refuse the non-composable corners at analysis time.
     */
   private final class MaskedReadTable(
       tname: String, log: SnapshotLog, v: Long,
@@ -1166,9 +1173,7 @@ object GraftCatalog {
                           ck.map(org.apache.spark.sql.functions.col): _*)
                         .sortWithinPartitions(
                           ck.map(org.apache.spark.sql.functions.col): _*))
-                  val bloomCols = log.property(vNew, "bloomBy").toSeq
-                    .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
-                    .filter(data.columns.contains)
+                  val bloomCols = log.bloomColumns(vNew)
                   if (bloomCols.nonEmpty)
                     log.writeBloomSidecarFor(session, vNew, bloomCols)
                 } else {
@@ -1205,9 +1210,7 @@ object GraftCatalog {
                   // the freshly-committed files (post-commit is safe —
                   // a reader planning in the window just keeps the new
                   // files conservatively)
-                  val bloomCols = log.property(vNew, "bloomBy").toSeq
-                    .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
-                    .filter(data.columns.contains)
+                  val bloomCols = log.bloomColumns(vNew)
                   if (bloomCols.nonEmpty)
                     log.writeBloomSidecarFor(session, vNew, bloomCols)
                 }
@@ -1289,7 +1292,19 @@ object GraftCatalog {
                     s"retyped=${retyped.mkString("[", ",", "]")}")
                 val parts = math.max(1, math.min(32,
                   data.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt))
-                val ordered = data.select(logical.fieldNames.map(
+                // generated/identity semantics hold on the mapped insert
+                // path too (the batch is LOGICAL-named here, pre-
+                // translation, so the stored expressions apply directly);
+                // identity minting does not compose with the mapped
+                // staging yet — refuse loudly rather than commit NULL ids
+                GraftCatalog.identitySpec(log).foreach { case (c, _, _) =>
+                  throw new IllegalArgumentException(
+                    s"GraftCatalog: mapped table ${name()} declares GENERATED " +
+                      s"ALWAYS AS IDENTITY column $c — identity minting does " +
+                      "not compose with column mapping")
+                }
+                val derived = GraftCatalog.generatedTransform(log, data)
+                val ordered = derived.select(logical.fieldNames.map(
                   org.apache.spark.sql.functions.col(_)).toIndexedSeq: _*)
                 log.withOccRetry()(log.appendMappedStats(ordered, parts))
                 ()

@@ -670,7 +670,10 @@ class GraftLogSource(
   @volatile private var availableNowCap: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    availableNowCap = log.currentVersion
+    // a data-less log freezes BELOW the floor (sentinel, not None —
+    // None would mean "uncapped" and a busy writer could keep the
+    // self-terminating run alive forever)
+    availableNowCap = Some(log.currentVersion.getOrElse(floor - 1L))
   }
 
   override def getDefaultReadLimit

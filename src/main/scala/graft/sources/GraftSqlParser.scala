@@ -189,11 +189,19 @@ object GraftSqlParser {
               Some(v.toString.toLong)
             case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
               val raw = s.toString.trim
-              val t = if (raw.length == 10) raw + " 00:00:00" else raw
-              val millis = java.sql.Timestamp.valueOf(t.replace('T', ' ')).getTime
+              val millis =
+                try {
+                  val t = if (raw.length == 10) raw + " 00:00:00" else raw
+                  java.sql.Timestamp.valueOf(t.replace('T', ' ')).getTime
+                } catch { case _: IllegalArgumentException =>
+                  throw new IllegalArgumentException(
+                    s"table_changes: cannot parse timestamp '$raw'")
+                }
               if (start) log.versions.find(v => log.commitTimeMillis(v) >= millis)
               else Some(log.versionAt(millis))
-            case _ => None
+            case other => throw new IllegalArgumentException(
+              s"table_changes: version arguments must be integer literals or " +
+                s"timestamp strings, got ${other.sql}")
           }
         (for {
           (cat, table) <- parsed
@@ -469,8 +477,7 @@ object GraftSqlParser {
       // (absence is only conservative, but a maintenance op must not
       // silently degrade the scan plan it exists to improve)
       val vOut = out.head.getLong(0)
-      val bloomCols = log.property(vOut, "bloomBy").toSeq
-        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+      val bloomCols = log.bloomColumns(vOut)
       if (bloomCols.nonEmpty) log.writeBloomSidecarFor(spark, vOut, bloomCols)
       out
     }

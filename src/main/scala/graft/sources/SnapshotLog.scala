@@ -1111,13 +1111,19 @@ class SnapshotLog(
     */
   def changeFeed(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
     val vs = versions
-    require(vs.contains(fromVersion) && vs.contains(toVersion) && fromVersion < toVersion,
+    // fromVersion == head - 1 is the FROM-THE-BEGINNING window: the
+    // earliest surviving version's "delta" is its whole listing (the
+    // initial snapshot — exactly how the streaming source serves it), so
+    // `table_changes(t, 0)` and post-expire floors both work
+    require((vs.contains(fromVersion) || fromVersion == vs.head - 1L) &&
+        vs.contains(toVersion) && fromVersion < toVersion,
       s"changeFeed: need committed fromVersion < toVersion, got $fromVersion..$toVersion of $vs")
     import org.apache.spark.sql.functions.lit
     val parts = ((fromVersion + 1L) to toVersion).flatMap { v =>
       // meta lines are table metadata, not files: a metadata commit
       // (rename, optimize pointer) carries no row-level change
-      val prev = files(v - 1L).filterNot(isMetaLine)
+      val prev =
+        if (v == vs.head) Nil else files(v - 1L).filterNot(isMetaLine)
       val prevSet = prev.toSet
       val curF = files(v).filterNot(isMetaLine)
       val removed = prevSet -- curF.toSet
@@ -2561,13 +2567,21 @@ class SnapshotLog(
     * that plans before the sidecar lands just keeps every file
     * (conservative), never wrong.
     */
+  /** The `bloomBy` table-property columns of a version, parsed — the one
+    * place the comma list is interpreted (INSERT, OVERWRITE, and
+    * OPTIMIZE maintenance all consume this).
+    */
+  def bloomColumns(version: Long): Seq[String] =
+    property(version, "bloomBy").toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+
   private[sources] def writeBloomSidecar(
       spark: SparkSession,
       staged: Seq[String],
-      bloomCols: Seq[String],
+      bloomCols0: Seq[String],
       expectedItemsPerFile: Long,
       fpp: Double): Unit = {
-    if (staged.isEmpty || bloomCols.isEmpty) return
+    if (staged.isEmpty || bloomCols0.isEmpty) return
     graft.functions.BloomFunctions.register(spark)
     import org.apache.spark.sql.functions.{col, element_at, input_file_name, lit, split}
     val dir = new File(dataRootPath, staged.head).getParentFile
@@ -2577,6 +2591,11 @@ class SnapshotLog(
     val one = spark.read
       .parquet(staged.map(p => new File(dataRootPath, p).toString): _*)
       .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
+    // a declared bloom column absent from these files (typo'd property,
+    // dropped column) records nothing — absence reads conservatively,
+    // and a maintenance pass must not die after its rewrite committed
+    val bloomCols = bloomCols0.filter(one.columns.contains)
+    if (bloomCols.isEmpty) return
     val perCol = bloomCols.map { c =>
       one.groupBy(col("__fname"))
         .agg(graft.functions.BloomFunctions
@@ -2646,22 +2665,21 @@ class SnapshotLog(
           new java.io.ByteArrayInputStream(bits))
         hashes.exists(f.mightContainLong)
       })
-    val entries = dataFiles(version)
-      .groupBy(p => new File(dataRootPath, p).getParent).toSeq.flatMap {
-        case (dir, paths) =>
-          val sidecar = new File(dir, "_blooms.parquet")
-          if (!sidecar.exists()) Nil
-          else {
-            val byFile = spark.read.parquet(sidecar.toString)
-              .where(col("col") === bloomCol)
-              .select(col("file"), hit(col("bits")).as("hit"))
-              .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-            paths.flatMap { p =>
-              byFile.get(p).map(h =>
-                new File(dataRootPath, p).toString -> h)
-            }
-          }
-      }
+    // ONE union read over every stage directory's sidecar — planning
+    // stays a single job however many commits built the table (the
+    // sidecar's `file` column carries the stage-qualified relative path,
+    // so rows stay unambiguous across directories)
+    val data = dataFiles(version)
+    val sidecars = data.map(p => new File(dataRootPath, p).getParent).distinct
+      .map(dir => new File(dir, "_blooms.parquet")).filter(_.exists())
+      .map(_.toString)
+    if (sidecars.isEmpty) return None
+    val byFile = spark.read.parquet(sidecars: _*)
+      .where(col("col") === bloomCol)
+      .select(col("file"), hit(col("bits")).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val entries = data.flatMap(p =>
+      byFile.get(p).map(h => new File(dataRootPath, p).toString -> h))
     if (entries.isEmpty) None else Some(entries.toMap)
   }
 
