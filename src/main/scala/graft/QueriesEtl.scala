@@ -3740,6 +3740,63 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── STREAMING SURROGATE KEYS ([[SnapshotLog.appendIdentityStats]]
+    // under the `graft-log` sink): an identity destination mints one
+    // contiguous id block PER TRIGGER, with the block advance and the
+    // `txn.<appId>` watermark in ONE commit — a redelivered batch can
+    // neither re-mint nor double-commit. The drain composes two r15
+    // features: Trigger.AvailableNow over a version-bounded source into
+    // the identity sink; laws: ids are exactly 1..N across the
+    // multi-trigger run and the watermark is recorded ──
+    "stream_identity_sink" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftsid", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftsid.root", scratch(dir, "sidroot"))
+      s.sql("DROP TABLE IF EXISTS graftsid.ord")
+      s.sql("""CREATE TABLE graftsid.ord (id BIGINT, k BIGINT, cents BIGINT)
+              |TBLPROPERTIES ('identity.id' = '1,1')""".stripMargin)
+      val src = new SnapshotLog(scratch(dir, "sid_src"))
+      src.recreate()
+      val rows = Tables.orders(s, dir).select(
+        lit(null).cast("long").as("id"),
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 1800)
+      (0 until 3).foreach { i =>
+        src.append(rows.where(col("k") % 3 === i), partitions = 2); ()
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sid_ckpt_")
+      try {
+        val q = s.readStream
+          .format("graft-log").option("root", src.root)
+          .option("maxVersionsPerTrigger", "1").load()
+          .writeStream.format("graft-log")
+          .option("root", scratch(dir, "sidroot") + "/ord")
+          .option("checkpointLocation", ckpt.toString)
+          .option("appId", "sid").option("partitions", "2")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append").start()
+        require(q.awaitTermination(180000L),
+          "stream_identity_sink: the AvailableNow drain must self-terminate")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        scala.util.Try(java.nio.file.Files.walk(ckpt).iterator().asScala
+          .toSeq.reverse.foreach(p => scala.util.Try(java.nio.file.Files.delete(p))))
+        ()
+      }
+      val dst = new SnapshotLog(scratch(dir, "sidroot") + "/ord")
+      val wmRecorded = dst.currentVersion
+        .exists(v => dst.metaValues(v).contains("txn.sid"))
+      s.sql(
+        """SELECT count(*) AS n_rows,
+          |       count(DISTINCT id) AS n_ids,
+          |       CAST(min(id) AS BIGINT) AS min_id,
+          |       CAST(max(id) AS BIGINT) AS max_id,
+          |       CAST(sum(id) AS BIGINT) AS sum_id,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftsid.ord""".stripMargin)
+        .withColumn("watermark_recorded", lit(wmRecorded))
+    }),
+
     // ── SQL READS OF MERGE-ON-READ SNAPSHOTS ([[GraftCatalog]] masked
     // facade): a table carrying outstanding position deletes reads
     // DIRECTLY through `SELECT … FROM cat.t` — masks applied via the
@@ -6013,6 +6070,22 @@ object QueriesEtl {
         |       TRUE AS src_vacuum_refused
         |FROM orders WHERE o_orderkey <= 2600
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    // stream_identity_sink: ids are exactly 1..N over the drained
+    // k<=1800 slice; the self-termination and watermark laws are
+    // measured Spark-side
+    "stream_identity_sink" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 1800),
+        |     n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM o)
+        |SELECT (SELECT c FROM n) AS n_rows,
+        |       (SELECT c FROM n) AS n_ids,
+        |       CAST(1 AS BIGINT) AS min_id,
+        |       (SELECT c FROM n) AS max_id,
+        |       (SELECT CAST((c * (c + 1)) // 2 AS BIGINT) FROM n) AS sum_id,
+        |       (SELECT CAST(sum(cents) AS BIGINT) FROM o) AS sum_cents,
+        |       TRUE AS watermark_recorded""".stripMargin,
 
     // snapshot_sql_read_mor: the masked SQL read reduces to the
     // delete-filtered rollup; the pushdown law is measured Spark-side

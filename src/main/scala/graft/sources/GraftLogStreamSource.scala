@@ -389,16 +389,18 @@ class GraftLogSink(
         mapped.map(_.filter { case (l, _) => base.contains(l) })
       }
     // GENERATED/IDENTITY column semantics hold on the streaming path
-    // too: an identity destination refuses (the sink cannot mint
-    // watermarked id blocks per trigger — route through INSERT INTO),
-    // and generated columns fold in compute-when-NULL / enforce-else
-    // exactly as the batch insert does. Skipping either here would make
+    // too: generated columns fold in compute-when-NULL / enforce-else
+    // exactly as the batch insert does, and an identity destination
+    // mints its id block per trigger through the watermark-carrying
+    // append below (append mode only — complete would reset minted ids,
+    // and the merge path cannot mint). Skipping either here would make
     // the sink the one write path that silently breaks the invariant.
-    GraftCatalog.identitySpec(log).foreach { case (c, _, _) =>
-      throw new IllegalArgumentException(
+    val identSpec = GraftCatalog.identitySpec(log)
+    identSpec.foreach { case (c, _, _) =>
+      require(!complete && mergeKey.isEmpty,
         s"graft-log sink: destination ${log.root} declares GENERATED " +
-          s"ALWAYS AS IDENTITY column $c — the sink cannot mint ids; " +
-          "write through INSERT INTO / foreachBatch")
+          s"ALWAYS AS IDENTITY column $c — identity composes with append " +
+          "mode only (complete overwrites minted ids; mergeKey cannot mint)")
     }
     val batch = GraftCatalog.generatedTransform(log, StreamingShims.asBatch(data))
     // CHECK ENFORCEMENT (the Delta invariant discipline — EVERY write
@@ -492,8 +494,27 @@ class GraftLogSink(
       case None =>
         require(deleteIndicator.isEmpty,
           "graft-log sink: deleteIndicator needs mergeKey")
-        if (complete) log.overwriteTxn(staged, partitions, appId, batchId)._2
-        else log.appendTxn(staged, partitions, appId, batchId)._2
+        identSpec match {
+          case Some((c, st, sp)) =>
+            // identity append: the id-block advance and the txn
+            // watermark land in ONE commit; the watermark re-checks
+            // inside the OCC retry so a racing instance of the same
+            // query can neither double-mint nor double-commit
+            def wmNow: Long = log.currentVersion
+              .flatMap(v => log.metaValues(v).get(s"txn.$appId"))
+              .map(_.toLong).getOrElse(-1L)
+            log.withOccRetry() {
+              if (batchId <= wmNow) false
+              else {
+                log.appendIdentityStats(staged, c, st, sp, partitions,
+                  txn = Some((appId, batchId)))
+                true
+              }
+            }._1
+          case None =>
+            if (complete) log.overwriteTxn(staged, partitions, appId, batchId)._2
+            else log.appendTxn(staged, partitions, appId, batchId)._2
+        }
     }
     if (committed && !complete && autoCompactEvery > 0) {
       batchesSinceCompact += 1
@@ -502,8 +523,13 @@ class GraftLogSink(
         // repacks only UNMASKED small files (masked ones carry with
         // their mask lines live), so auto-compaction keeps firing
         // through a stream that interleaves DML on its destination
-        log.withOccRetry()(
+        val ((vc, _), _) = log.withOccRetry()(
           log.compactSmall(data.sparkSession, autoCompactTargetBytes))
+        // bloomBy destinations: rebuild filters over the repacked files
+        // (same discipline as OPTIMIZE — maintenance must not silently
+        // degrade the point-lookup skip it coexists with)
+        val bc = log.bloomColumns(vc)
+        if (bc.nonEmpty) log.writeBloomSidecarFor(data.sparkSession, vc, bc)
         batchesSinceCompact = 0
       }
     }

@@ -2826,7 +2826,12 @@ class SnapshotLog(
       start: Long,
       step: Long,
       partitions: Int,
-      clusterKeys: Seq[String] = Nil): Long = {
+      clusterKeys: Seq[String] = Nil,
+      // streaming-transaction watermark (the [[appendTxn]] discipline):
+      // the id-block advance and the `txn.<appId>=batchId` mark land in
+      // ONE commit, so a redelivered batch can neither re-mint nor skip
+      // the watermark separately
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{broadcast, col, lit,
       monotonically_increasing_id, row_number, spark_partition_id}
     val spark = df.sparkSession
@@ -2872,9 +2877,11 @@ class SnapshotLog(
           .sortWithinPartitions(clusterKeys.map(col): _*)
       val staged = stageArranged(arranged)
       writeFooterStatsSidecar(spark, staged)
-      commit(Some(cur),
-        withMeta(files(cur), s"prop.idhwm.$idCol",
-          (hwm + step * n).toString) ++ staged)
+      val lines0 = withMeta(files(cur), s"prop.idhwm.$idCol",
+        (hwm + step * n).toString)
+      val lines = txn.fold(lines0) { case (app, b) =>
+        withMeta(lines0, s"txn.$app", b.toString) }
+      commit(Some(cur), lines ++ staged)
     } finally { src.unpersist(); () }
   }
 
