@@ -639,6 +639,12 @@ object GraftSqlParser {
           (fresh.size, log.footerRowCount(log.appendedFiles(ver)), ver)
         }
       }
+      // bloomBy maintenance over the freshly-loaded files (post-commit
+      // is safe: absence reads conservatively)
+      if (loaded > 0) {
+        val bc = log.bloomColumns(v)
+        if (bc.nonEmpty) log.writeBloomSidecarFor(spark, v, bc)
+      }
       Seq(Row(loaded, rows, cands.size - loaded, v))
     }
   }

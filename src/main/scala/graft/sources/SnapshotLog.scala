@@ -958,9 +958,26 @@ class SnapshotLog(
     val ledgerDir = new File(dataDir, s"_copyledger/$id")
     sources.toDF("path", "size", "mtime")
       .coalesce(1).write.mode("error").parquet(ledgerDir.toString)
-    val staged = stageData(
-      data.select(read(spark, cur).columns.map(org.apache.spark.sql.functions.col).toSeq: _*),
-      partitions)
+    import org.apache.spark.sql.functions.col
+    val projected =
+      data.select(read(spark, cur).columns.map(col).toSeq: _*)
+    // cluster-on-write (the INSERT discipline): a clusterBy table's bulk
+    // backfill lands range-arranged so its footer stats give disjoint
+    // per-file ranges immediately — no OPTIMIZE pass needed first
+    val clusterKeys =
+      if (!spark.conf.getOption("spark.graft.insert.clusterOnWrite")
+          .forall(_.toBoolean)) Nil
+      else property(cur, "clusterBy").toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+        .filter(projected.columns.contains)
+    val staged =
+      if (clusterKeys.isEmpty) stageData(projected, partitions)
+      else stageArranged(projected
+        .repartitionByRange(partitions, clusterKeys.map(col): _*)
+        .sortWithinPartitions(clusterKeys.map(col): _*))
+    // footer-derived min/max sidecars (zero extra data pass) — COPY'd
+    // data skips like INSERTed data does
+    writeFooterStatsSidecar(spark, staged)
     val prev = metaValues(cur).get(CopyLedgerKey).filter(_.nonEmpty)
     commit(Some(cur), withMeta(files(cur) ++ staged, CopyLedgerKey,
       prev.map(_ + ",").getOrElse("") + id))
