@@ -510,9 +510,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       (t.fieldNames()(0), t.newDataType())
     }
     val props = changes.collect { case p: TableChange.SetProperty =>
-      require(p.property() == "clusterBy",
-        s"GraftCatalog: only the clusterBy table property is supported, " +
-          s"got ${p.property()}")
+      // clusterBy re-declares OPTIMIZE's default keys; bloomBy enables
+      // the Bloom point-lookup index post-hoc (new writes get filters
+      // immediately; existing files read conservatively until an
+      // OPTIMIZE rewrite backfills them). generate./identity. stay
+      // CREATE-time-only — adopting them later would need a
+      // certification scan over history this ALTER does not run.
+      require(p.property() == "clusterBy" || p.property() == "bloomBy",
+        s"GraftCatalog: only the clusterBy/bloomBy table properties can be " +
+          s"altered, got ${p.property()}")
       (p.property(), p.value())
     }
     // a RENAME or DROP of a column a stored CHECK references would leave

@@ -853,12 +853,14 @@ class SnapshotSqlSpec extends AnyFunSuite {
       "a refused CREATE must leave no table")
   }
 
-  test("OPTIMIZE rebuilds bloomBy sidecars over the rewritten files") {
+  test("OPTIMIZE rebuilds bloomBy sidecars over the rewritten files; ALTER enables the index post-hoc") {
     registerCatalog()
     spark.sql("DROP TABLE IF EXISTS graftsnap.blmopt")
-    spark.sql("CREATE TABLE graftsnap.blmopt (k BIGINT, v BIGINT) " +
-      "TBLPROPERTIES ('bloomBy' = 'k')")
+    spark.sql("CREATE TABLE graftsnap.blmopt (k BIGINT, v BIGINT)")
     spark.sql("INSERT INTO graftsnap.blmopt SELECT id, id * 7 FROM range(0, 20000)")
+    // post-hoc enablement: the pre-existing files stay filterless
+    // (conservative) until a rewrite; writes from here on get filters
+    spark.sql("ALTER TABLE graftsnap.blmopt SET TBLPROPERTIES ('bloomBy' = 'k')")
     spark.sql("INSERT INTO graftsnap.blmopt SELECT id, id * 7 FROM range(20000, 40000)")
     val log = new SnapshotLog(s"$root/blmopt")
     spark.conf.set("spark.graft.optimize.maxFileSize", "65536")
