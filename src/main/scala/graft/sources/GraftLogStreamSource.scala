@@ -497,19 +497,19 @@ class GraftLogSink(
         identSpec match {
           case Some((c, st, sp)) =>
             // identity append: the id-block advance and the txn
-            // watermark land in ONE commit; the watermark re-checks
-            // inside the OCC retry so a racing instance of the same
-            // query can neither double-mint nor double-commit
-            def wmNow: Long = log.currentVersion
-              .flatMap(v => log.metaValues(v).get(s"txn.$appId"))
-              .map(_.toLong).getOrElse(-1L)
+            // watermark land in ONE commit, and the watermark check is
+            // INSIDE appendIdentityStats, anchored to the very version
+            // the commit targets (the appendTxn discipline) — a racing
+            // instance of the same query can neither double-mint nor
+            // double-commit
+            require(physProject.isEmpty,
+              s"graft-log sink: identity destination ${log.root} is " +
+                "column-mapped — unsupported (the mapping upgrade refuses " +
+                "on identity tables; this state implies an API-side enable)")
             log.withOccRetry() {
-              if (batchId <= wmNow) false
-              else {
-                log.appendIdentityStats(staged, c, st, sp, partitions,
-                  txn = Some((appId, batchId)))
-                true
-              }
+              val before = log.currentVersion.getOrElse(-1L)
+              log.appendIdentityStats(staged, c, st, sp, partitions,
+                txn = Some((appId, batchId))) != before
             }._1
           case None =>
             if (complete) log.overwriteTxn(staged, partitions, appId, batchId)._2
@@ -523,13 +523,16 @@ class GraftLogSink(
         // repacks only UNMASKED small files (masked ones carry with
         // their mask lines live), so auto-compaction keeps firing
         // through a stream that interleaves DML on its destination
-        val ((vc, _), _) = log.withOccRetry()(
+        val ((vc, (repacked, _)), _) = log.withOccRetry()(
           log.compactSmall(data.sparkSession, autoCompactTargetBytes))
         // bloomBy destinations: rebuild filters over the repacked files
         // (same discipline as OPTIMIZE — maintenance must not silently
-        // degrade the point-lookup skip it coexists with)
-        val bc = log.bloomColumns(vc)
-        if (bc.nonEmpty) log.writeBloomSidecarFor(data.sparkSession, vc, bc)
+        // degrade the point-lookup skip it coexists with). A no-op pass
+        // (nothing repacked) rebuilds nothing.
+        if (repacked > 0) {
+          val bc = log.bloomColumns(vc)
+          if (bc.nonEmpty) log.writeBloomSidecarFor(data.sparkSession, vc, bc)
+        }
         batchesSinceCompact = 0
       }
     }

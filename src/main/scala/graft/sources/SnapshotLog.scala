@@ -2857,6 +2857,15 @@ class SnapshotLog(
     require(step != 0L, "appendIdentityStats: step must be non-zero")
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"appendIdentityStats: no committed snapshot at $root"))
+    // the watermark check anchors to the SAME `cur` the commit below
+    // targets (the [[appendTxn]] discipline): a racing instance's commit
+    // between check and commit raises ConcurrentCommitException, the
+    // caller's OCC retry re-runs, and the re-read watermark skips —
+    // double-minting is structurally impossible, not just unlikely
+    txn.foreach { case (app, b) =>
+      val wm = metaValues(cur).get(s"txn.$app").map(_.toLong).getOrElse(-1L)
+      if (b <= wm) return cur
+    }
     // appendStrict's drift gate (same message shape): evolution through
     // the identity path is never intended
     val base = read(df.sparkSession, cur).schema.map(f => f.name -> f.dataType).toMap
@@ -2877,7 +2886,13 @@ class SnapshotLog(
       val counts = withPid.groupBy("__pid").count().collect()
         .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
       val n = counts.map(_._2).sum
-      if (n == 0L) return cur
+      if (n == 0L)
+        // an empty batch mints nothing, but a WATERMARKED empty batch
+        // still records its txn mark (metadata-only commit) — the
+        // watermark must never lag a processed batch
+        return txn.fold(cur) { case (app, b) =>
+          commit(Some(cur), withMeta(files(cur), s"txn.$app", b.toString))
+        }
       var acc = 0L
       val offs = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
       import spark.implicits._
