@@ -3740,6 +3740,59 @@ object QueriesEtl {
         .orderBy(col("status"))
     }),
 
+    // ── PREDICATE-SCOPED ATOMIC OVERWRITE (`INSERT INTO … REPLACE
+    // WHERE …` → [[SnapshotLog.replaceWhere]] — Delta's replaceWhere,
+    // THE idempotent-backfill statement): matching rows leave and the
+    // SELECT's rows land in ONE commit; only predicate-grazed files
+    // rewrite. Laws: re-running the same statement is a NO-OP on
+    // content (`rerun_idempotent`), and a replacement row outside the
+    // predicate fails the write with nothing committed
+    // (`scope_guarded`) ──
+    "snapshot_sql_replace_where" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftrw", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftrw.root", scratch(dir, "rwroot"))
+      s.sql("DROP TABLE IF EXISTS graftrw.ord")
+      s.sql("CREATE TABLE graftrw.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 2000)
+        .createOrReplaceTempView("graft_rw_src")
+      s.sql("INSERT INTO graftrw.ord SELECT * FROM graft_rw_src")
+      val backfill = "INSERT INTO graftrw.ord REPLACE WHERE k BETWEEN 500 AND 1000 " +
+        "SELECT k, status, cents + 7 AS cents FROM graft_rw_src " +
+        "WHERE k BETWEEN 500 AND 1000"
+      val r = s.sql(backfill).head()
+      val receiptOk = r.getString(0) == "REPLACE WHERE" &&
+        r.getLong(3) > 0L && r.getLong(4) > 0L && r.getLong(3) == r.getLong(4)
+      val before = s.sql(
+        "SELECT count(*), CAST(sum(cents) AS BIGINT), CAST(sum(k) AS BIGINT) " +
+          "FROM graftrw.ord").head()
+      s.sql(backfill) // the re-run: deletes its own rows, re-lands them
+      val after = s.sql(
+        "SELECT count(*), CAST(sum(cents) AS BIGINT), CAST(sum(k) AS BIGINT) " +
+          "FROM graftrw.ord").head()
+      val rerunIdempotent = before == after
+      val scopeGuarded =
+        try {
+          s.sql("INSERT INTO graftrw.ord REPLACE WHERE k BETWEEN 500 AND 1000 " +
+            "SELECT k, status, cents FROM graft_rw_src WHERE k > 1500")
+          false
+        } catch { case e: Exception =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .exists(t => Option(t.getMessage)
+              .exists(_.contains("outside the REPLACE WHERE"))) }
+      s.sql(
+        """SELECT status, count(*) AS n_rows,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftrw.ord GROUP BY status""".stripMargin)
+        .withColumn("receipt_ok", lit(receiptOk))
+        .withColumn("rerun_idempotent", lit(rerunIdempotent))
+        .withColumn("scope_guarded", lit(scopeGuarded))
+        .orderBy(col("status"))
+    }),
+
     // ── STREAMING SURROGATE KEYS ([[SnapshotLog.appendIdentityStats]]
     // under the `graft-log` sink): an identity destination mints one
     // contiguous id block PER TRIGGER, with the block advance and the
@@ -6070,6 +6123,23 @@ object QueriesEtl {
         |       TRUE AS src_vacuum_refused
         |FROM orders WHERE o_orderkey <= 2600
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_replace_where: the [500,1000] slice carries cents+7
+    // (the backfill), everything else the original cents; the receipt,
+    // idempotence, and scope-guard laws are measured Spark-side
+    "snapshot_sql_replace_where" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT)
+        |                    + CASE WHEN o_orderkey BETWEEN 500 AND 1000
+        |                           THEN 7 ELSE 0 END AS cents
+        |           FROM orders WHERE o_orderkey <= 2000)
+        |SELECT status, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS receipt_ok,
+        |       TRUE AS rerun_idempotent,
+        |       TRUE AS scope_guarded
+        |FROM o GROUP BY status ORDER BY status""".stripMargin,
 
     // stream_identity_sink: ids are exactly 1..N over the drained
     // k<=1800 slice; the self-termination and watermark laws are

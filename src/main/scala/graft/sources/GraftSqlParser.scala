@@ -80,6 +80,8 @@ object GraftSqlParser {
     """(?is)\s*COPY\s+INTO\s+(\w+)\.(\w+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*(?:PATTERN\s*=\s*'([^']+)')?\s*;?\s*""".r
   private val CloneRe =
     """(?is)\s*CREATE\s+TABLE\s+(\w+)\.(\w+)\s+SHALLOW\s+CLONE\s+(\w+)\.(\w+)\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val ReplaceWhereRe =
+    """(?is)\s*INSERT\s+INTO\s+(\w+)\.(\w+)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\s.*?)\s*;?\s*""".r
 
   /** True only when `<cat>` resolves to a REGISTERED [[GraftCatalog]]
     * with a root — the same gate [[interceptDml]]'s graftTarget applies.
@@ -123,6 +125,8 @@ object GraftSqlParser {
           if isGraftCatalog(dstCat) && isGraftCatalog(srcCat) =>
         Some(CloneGraftTable(dstCat, dstTable, srcCat, srcTable,
           Option(v).map(_.toLong)))
+      case ReplaceWhereRe(cat, table, cond, select) if isGraftCatalog(cat) =>
+        Some(ReplaceWhereGraftTable(cat, table, cond.trim, select.trim))
       case _ => None
     }
 
@@ -725,6 +729,57 @@ object GraftSqlParser {
           log.versionAt(millis)
       }
       Seq(Row(toVersion, log.restoreTo(toVersion)))
+    }
+  }
+
+  /** `INSERT INTO cat.t REPLACE WHERE <cond> SELECT …` — Delta's
+    * predicate-scoped atomic overwrite ([[SnapshotLog.replaceWhere]]):
+    * the idempotent-backfill statement. Matching rows leave, the
+    * SELECT's rows land, ONE commit; only predicate-grazed files
+    * rewrite. Replacement rows outside the predicate fail the write
+    * (nothing committed), stored CHECK constraints and generated-column
+    * derivations guard the new rows exactly as INSERT does, and
+    * identity destinations refuse (the replacement cannot mint).
+    */
+  private case class ReplaceWhereGraftTable(
+      cat: String, table: String, condSql: String, selectSql: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs(
+      "op" -> StringType, "table" -> StringType, "version" -> LongType,
+      "rows_deleted" -> LongType, "rows_inserted" -> LongType)
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{coalesce, col, expr, lit, raise_error, when}
+      val log = logFor(spark, cat, table)
+      GraftCatalog.identitySpec(log).foreach { case (c, _, _) =>
+        throw new IllegalArgumentException(
+          s"REPLACE WHERE: $cat.$table declares GENERATED ALWAYS AS IDENTITY " +
+            s"column $c — the replacement cannot mint ids")
+      }
+      val df0 = GraftCatalog.generatedTransform(log, spark.sql(selectSql))
+      val checks = log.currentVersion.toSeq.flatMap(v =>
+        log.metaValues(v).collect {
+          case (k, sql) if k.startsWith("prop.check.") =>
+            k.stripPrefix("prop.check.") -> sql
+        }.toSeq.sortBy(_._1))
+      val df =
+        if (checks.isEmpty) df0
+        else {
+          val allOk = checks.map { case (_, sql) =>
+            coalesce(expr(sql), lit(true)) }.reduce(_ && _)
+          val first = df0.columns.head
+          df0.withColumn(first,
+            when(allOk, col(first)).otherwise(raise_error(lit(
+              s"REPLACE WHERE: a replacement row violates CHECK " +
+                s"constraint(s) [${checks.map(_._1).mkString(", ")}] — " +
+                "nothing committed"))))
+        }
+      val parts = math.max(1, math.min(32,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt))
+      val ((v, (nDel, nIns)), _) = log.withOccRetry()(
+        log.replaceWhere(spark, df, expr(condSql), parts))
+      val bc = log.bloomColumns(v)
+      if (bc.nonEmpty) log.writeBloomSidecarFor(spark, v, bc)
+      Seq(Row("REPLACE WHERE", s"$cat.$table", v, nDel, nIns))
     }
   }
 

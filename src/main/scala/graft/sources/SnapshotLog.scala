@@ -1923,6 +1923,83 @@ class SnapshotLog(
     }
   }
 
+  /** Predicate-scoped atomic OVERWRITE (Delta's `replaceWhere` — THE
+    * idempotent-backfill primitive): in ONE commit, every row matching
+    * `predicate` leaves the table and `df`'s rows land. Only the files
+    * the predicate actually GRAZES rewrite (their non-matching survivors
+    * are carried into fresh files); every other file rides the manifest
+    * untouched — a day-scoped backfill over a date-clustered 100 TB
+    * table rewrites that day's files, not the table. Every NEW row must
+    * satisfy `predicate` (a raise_error guard riding the staged write —
+    * the Delta replaceWhere constraint): without it the statement could
+    * write outside its declared scope and a re-run would not be
+    * idempotent. Masks compose as in [[deleteWhereCow]] (the scan is
+    * position-aware; carried mask lines stay live for untouched files,
+    * inert for rewritten ones). Footer stats sidecars cover both the
+    * survivor and the new files, so skipping keeps working.
+    * Returns (version, (rowsDeleted, rowsInserted)).
+    */
+  def replaceWhere(
+      spark: SparkSession,
+      df: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      partitions: Int): (Long, (Long, Long)) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, raise_error, when}
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"replaceWhere: no committed snapshot at $root"))
+    val baseCols = read(spark, cur).columns.toSeq
+    require(df.columns.toSeq.sorted == baseCols.sorted,
+      s"replaceWhere: batch schema ${df.columns.toSeq.sorted} != table ${baseCols.sorted}")
+    // scope guard: NULL counts as outside the scope (only TRUE admits)
+    val guarded = df.withColumn(baseCols.head,
+      when(coalesce(predicate, lit(false)), col(baseCols.head))
+        .otherwise(raise_error(lit(
+          "replaceWhere: a replacement row falls outside the REPLACE WHERE " +
+            "predicate — nothing committed"))))
+      .select(baseCols.map(col): _*)
+    // an EMPTY replacement is the scoped-delete form of the statement
+    val stagedNew = stageData(guarded, partitions, allowEmpty = true)
+    val nIns = footerRowCount(stagedNew.map(p => new File(dataRootPath, p).toString))
+    // grazed files + survivor rewrite — the deleteWhereCow shape
+    val base = if (dataFiles(cur).isEmpty) null else readWithPositions(spark, cur)
+    val (grazed, nDel, stagedSurv) =
+      if (base == null) (Seq.empty[String], 0L, Seq.empty[String])
+      else {
+        val matching = base.where(predicate)
+          .select(col("_file").cast("string"), col("_pos").cast("long"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          import spark.implicits._
+          val g = matching.select(col("_file")).distinct().as[String]
+            .collect().toSeq.sorted
+          val n = matching.count()
+          if (n == 0L) (Seq.empty[String], 0L, Seq.empty[String])
+          else {
+            val inGrazed = base.where(col("_file").isin(g: _*))
+            val survivors = inGrazed.where(!coalesce(predicate, lit(false)))
+              .drop("_file", "_pos")
+            val s =
+              if (survivors.limit(1).count() == 0L) Seq.empty[String]
+              else stageData(survivors, math.max(1, g.size))
+            (g, n, s)
+          }
+        } finally { matching.unpersist(); () }
+      }
+    writeFooterStatsSidecar(spark, stagedNew)
+    if (stagedSurv.nonEmpty) writeFooterStatsSidecar(spark, stagedSurv)
+    val grazedSet = grazed.toSet
+    val carried = files(cur).filterNot(grazedSet)
+    // the scoped-delete form can empty the whole table: declare the
+    // schema in the commit so it keeps reading as the empty relation
+    val lines =
+      if (stagedSurv.isEmpty && stagedNew.isEmpty &&
+          !carried.exists(l => !isMetaLine(l) && !isTombLine(l)))
+        withMeta(carried, "schema", read(spark, cur).schema.json)
+      else carried ++ stagedSurv ++ stagedNew
+    val v = commit(Some(cur), lines)
+    (v, (nDel, nIns))
+  }
+
   /** Optimistic-concurrency RETRY for the NON-COMMUTING DML class
     * ([[deleteWhere]]/[[updateWhere]]/[[mergeInto]]/[[optimize]] — the
     * ops [[appendWithRetry]] deliberately excludes): re-runs `op` after

@@ -319,6 +319,41 @@ class SnapshotDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("replaceWhere rewrites only grazed files, guards scope, and serves the empty (scoped-delete) form") {
+    val log = freshLog("replace_where")
+    // three range-clustered files: [0,99], [100,199], [200,299]
+    log.appendIndexed((0L until 300L).map(i => (i, i))
+      .toDF("k", "v")
+      .repartitionByRange(3, col("k")).sortWithinPartitions(col("k")),
+      Seq("k"))
+    val filesBefore = log.dataFiles(log.currentVersion.get).toSet
+    val (v1, (nDel, nIns)) = log.replaceWhere(spark,
+      (100L until 150L).map(i => (i, i * 10)).toDF("k", "v"),
+      col("k").between(100, 199), partitions = 1)
+    assert((nDel, nIns) == (100L, 50L), s"got ($nDel, $nIns)")
+    // the two un-grazed files are carried byte-identical
+    val filesAfter = log.dataFiles(v1).toSet
+    assert(filesBefore.intersect(filesAfter).size == 2,
+      s"expected 2 carried files, got ${filesBefore.intersect(filesAfter).size}")
+    val got = log.read(spark, v1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 250)
+    assert((100L until 150L).forall(i => got(i) == i * 10))
+    assert((150L until 200L).forall(i => !got.contains(i)))
+    assert(got(0L) == 0L && got(250L) == 250L)
+    // a replacement row outside the scope fails the write job
+    intercept[Exception] {
+      log.replaceWhere(spark, Seq((999L, 1L)).toDF("k", "v"),
+        col("k").between(100, 199), partitions = 1)
+    }
+    assert(log.currentVersion.contains(v1), "a refused replace commits nothing")
+    // the empty replacement is the scoped delete
+    val (v2, (d2, i2)) = log.replaceWhere(spark,
+      Seq.empty[(Long, Long)].toDF("k", "v"), col("k") < 50, partitions = 1)
+    assert((d2, i2) == (50L, 0L))
+    assert(log.read(spark, v2).where(col("k") < 50).count() == 0L)
+    assert(log.read(spark, v2).count() == 200L)
+  }
+
   test("appendIdentityStats: racing inserts re-derive the watermark under OCC — ids never collide") {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     val log = freshLog("identity_race")
