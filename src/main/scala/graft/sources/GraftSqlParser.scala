@@ -126,6 +126,11 @@ object GraftSqlParser {
         Some(CloneGraftTable(dstCat, dstTable, srcCat, srcTable,
           Option(v).map(_.toLong)))
       case ReplaceWhereRe(cat, table, cond, select) if isGraftCatalog(cat) =>
+        // the regex splits at the first SELECT, so a subquery predicate
+        // would misparse into a truncated condition — refuse clearly
+        require(!"""(?i)\bselect\b""".r.findFirstIn(cond).isDefined,
+          "REPLACE WHERE: subqueries are not supported in the predicate — " +
+            "stage the key set into the SELECT instead")
         Some(ReplaceWhereGraftTable(cat, table, cond.trim, select.trim))
       case _ => None
     }
@@ -754,6 +759,14 @@ object GraftSqlParser {
         throw new IllegalArgumentException(
           s"REPLACE WHERE: $cat.$table declares GENERATED ALWAYS AS IDENTITY " +
             s"column $c — the replacement cannot mint ids")
+      }
+      // mapped tables refuse up front (the COPY INTO rule): the engine
+      // path stages physical-name files outside appendMapped's
+      // metadata discipline
+      log.currentVersion.foreach { v =>
+        require(log.columnMapping(v).isEmpty,
+          s"REPLACE WHERE: $cat.$table uses column mapping — unsupported; " +
+            "use the SnapshotLog API")
       }
       val df0 = GraftCatalog.generatedTransform(log, spark.sql(selectSql))
       val checks = log.currentVersion.toSeq.flatMap(v =>

@@ -1933,10 +1933,13 @@ class SnapshotLog(
     * satisfy `predicate` (a raise_error guard riding the staged write —
     * the Delta replaceWhere constraint): without it the statement could
     * write outside its declared scope and a re-run would not be
-    * idempotent. Masks compose as in [[deleteWhereCow]] (the scan is
-    * position-aware; carried mask lines stay live for untouched files,
-    * inert for rewritten ones). Footer stats sidecars cover both the
-    * survivor and the new files, so skipping keeps working.
+    * idempotent. Position deletes and deletion vectors compose (the
+    * scan is position-aware; those mask lines are file-scoped — live
+    * for untouched files, inert for rewritten and new ones); KEY
+    * tombstones are refused (key-addressed, they would silently mask
+    * re-inserted rows — compact() first, the [[mergeIntoKeys]] rule).
+    * Footer stats sidecars cover both the survivor and the new files,
+    * so skipping keeps working.
     * Returns (version, (rowsDeleted, rowsInserted)).
     */
   def replaceWhere(
@@ -1947,9 +1950,26 @@ class SnapshotLog(
     import org.apache.spark.sql.functions.{coalesce, col, lit, raise_error, when}
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"replaceWhere: no committed snapshot at $root"))
-    val baseCols = read(spark, cur).columns.toSeq
-    require(df.columns.toSeq.sorted == baseCols.sorted,
-      s"replaceWhere: batch schema ${df.columns.toSeq.sorted} != table ${baseCols.sorted}")
+    // key tombstones are KEY-addressed, not file-scoped: carried forward
+    // they would silently mask re-inserted rows with tombstoned keys —
+    // refuse, exactly as mergeInto does (position deletes/DVs are
+    // file-scoped and genuinely inert for the staged files)
+    require(tombstoneFiles(cur).isEmpty,
+      "replaceWhere: compact() key tombstones first (position deletes compose)")
+    // appendStrict's gate, names AND types: a retyped replacement column
+    // would commit parquet the declared-schema scan can never read back
+    val baseSchema = read(spark, cur).schema
+    val baseCols = baseSchema.fieldNames.toSeq
+    val baseT = baseSchema.map(f => f.name -> f.dataType).toMap
+    val batchT = df.schema.map(f => f.name -> f.dataType).toMap
+    val retyped = baseT.keySet.intersect(batchT.keySet).toSeq.sorted
+      .filter(c => baseT(c) != batchT(c))
+      .map(c => s"$c: ${baseT(c).simpleString} -> ${batchT(c).simpleString}")
+    require(df.columns.toSeq.sorted == baseCols.sorted && retyped.isEmpty,
+      s"replaceWhere: batch schema drifts from v$cur — " +
+        s"batch=${df.columns.toSeq.sorted.mkString("[", ",", "]")} " +
+        s"table=${baseCols.sorted.mkString("[", ",", "]")} " +
+        s"retyped=${retyped.mkString("[", ",", "]")}")
     // scope guard: NULL counts as outside the scope (only TRUE admits)
     val guarded = df.withColumn(baseCols.head,
       when(coalesce(predicate, lit(false)), col(baseCols.head))
@@ -1994,7 +2014,7 @@ class SnapshotLog(
     val lines =
       if (stagedSurv.isEmpty && stagedNew.isEmpty &&
           !carried.exists(l => !isMetaLine(l) && !isTombLine(l)))
-        withMeta(carried, "schema", read(spark, cur).schema.json)
+        withMeta(carried, "schema", baseSchema.json)
       else carried ++ stagedSurv ++ stagedNew
     val v = commit(Some(cur), lines)
     (v, (nDel, nIns))
