@@ -352,6 +352,28 @@ class SnapshotDmlSpec extends AnyFunSuite {
     assert((d2, i2) == (50L, 0L))
     assert(log.read(spark, v2).where(col("k") < 50).count() == 0L)
     assert(log.read(spark, v2).count() == 200L)
+    // position deletes COMPOSE: a masked row in an untouched file stays
+    // hidden through the replace (file-scoped masks carry live)
+    val (_, nPd) = log.deleteWhere(spark, col("k") === 250L)
+    assert(nPd == 1L)
+    val (v3, _) = log.replaceWhere(spark,
+      Seq((120L, 1L)).toDF("k", "v"), col("k").between(100, 199), partitions = 1)
+    assert(log.read(spark, v3).where(col("k") === 250L).count() == 0L,
+      "the position-deleted row must stay masked after an unrelated replace")
+    // a retyped replacement column refuses before anything commits
+    intercept[IllegalArgumentException] {
+      log.replaceWhere(spark, Seq((120L, 1.5)).toDF("k", "v"),
+        col("k").between(100, 199), partitions = 1)
+    }
+    // outstanding KEY tombstones refuse (they would re-mask inserts)
+    val log2 = freshLog("replace_where_tomb")
+    log2.append(Seq((1L, 1L), (2L, 2L)).toDF("k", "v"), partitions = 1)
+    log2.deleteRows(Seq(1L).toDF("k"), partitions = 1)
+    val e2 = intercept[IllegalArgumentException] {
+      log2.replaceWhere(spark, Seq((1L, 10L)).toDF("k", "v"),
+        col("k") === 1L, partitions = 1)
+    }
+    assert(e2.getMessage.contains("tombstones"), e2.getMessage)
   }
 
   test("appendIdentityStats: racing inserts re-derive the watermark under OCC — ids never collide") {
