@@ -851,6 +851,26 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(!spark.sql("SHOW TABLES IN graftsnap").collect()
       .map(_.getString(1)).contains("t_genref"),
       "a refused CREATE must leave no table")
+    // refusal contracts: malformed timestamps and non-version literals
+    // refuse loudly with the real reason (never a silent wider window)
+    spark.sql("DROP TABLE IF EXISTS graftsnap.t_tvfg")
+    spark.sql("CREATE TABLE graftsnap.t_tvfg (id BIGINT)")
+    spark.sql("INSERT INTO graftsnap.t_tvfg SELECT id FROM range(3)")
+    def tvfRefuses(sql: String, needle: String): Unit = {
+      val ex = intercept[Exception](spark.sql(sql).collect())
+      assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(t => Option(t.getMessage).exists(_.contains(needle))),
+        s"expected '$needle' in: ${ex.getMessage}")
+    }
+    tvfRefuses("SELECT * FROM table_changes('graftsnap.t_tvfg', 'not-a-time')",
+      "cannot parse timestamp")
+    tvfRefuses("SELECT * FROM table_changes('graftsnap.t_tvfg', 1, 2.5)",
+      "integer literals or timestamp strings")
+    // and the from-the-beginning window serves v0's initial listing
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM table_changes('graftsnap.t_tvfg', 0)")
+      .head().getLong(0) == 3L)
+    spark.sql("DROP TABLE IF EXISTS graftsnap.t_tvfg"); ()
   }
 
   test("OPTIMIZE rebuilds bloomBy sidecars over the rewritten files; ALTER enables the index post-hoc") {
