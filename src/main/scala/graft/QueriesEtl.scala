@@ -3775,8 +3775,11 @@ object QueriesEtl {
       val rerunIdempotent = before == after
       val scopeGuarded =
         try {
+          // k+5000 guarantees out-of-scope rows at ANY scale factor (a
+          // filter that happens to be empty would legally run as the
+          // scoped-delete form instead of tripping the guard)
           s.sql("INSERT INTO graftrw.ord REPLACE WHERE k BETWEEN 500 AND 1000 " +
-            "SELECT k, status, cents FROM graft_rw_src WHERE k > 1500")
+            "SELECT k + 5000 AS k, status, cents FROM graft_rw_src WHERE k <= 10")
           false
         } catch { case e: Exception =>
           Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
@@ -3848,6 +3851,72 @@ object QueriesEtl {
           |       CAST(sum(cents) AS BIGINT) AS sum_cents
           |FROM graftsid.ord""".stripMargin)
         .withColumn("watermark_recorded", lit(wmRecorded))
+    }),
+
+    // ── STREAMING REPLACE WHERE (`.option("replaceWhere", …)` on the
+    // graft-log sink → [[SnapshotLog.replaceWhere]] with the txn
+    // watermark — the Delta idempotent-partition-backfill shape as a
+    // first-class sink option): an AvailableNow drain of a recomputed
+    // [500,1000] slice REPLACES exactly that scope of the destination in
+    // one commit, riding the byte-sized stats-pruned write path. Laws:
+    // a SECOND drain of the same source under the same appId (a fresh
+    // checkpoint — the redelivery shape) commits NOTHING
+    // (`redelivery_skipped`: the version is unchanged, the watermark
+    // made the trigger a structural skip) ──
+    "stream_replace_where" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftsrw", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftsrw.root", scratch(dir, "srwroot"))
+      s.sql("DROP TABLE IF EXISTS graftsrw.ord")
+      s.sql("CREATE TABLE graftsrw.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 2000)
+        .createOrReplaceTempView("graft_srw_src")
+      s.sql("INSERT INTO graftsrw.ord SELECT * FROM graft_srw_src")
+      // the recomputed slice arrives as a one-version source log
+      val src = new SnapshotLog(scratch(dir, "srw_src"))
+      src.recreate()
+      src.append(s.table("graft_srw_src")
+        .where(col("k").between(500, 1000))
+        .withColumn("cents", col("cents") + 7), partitions = 1)
+      val dstRoot = scratch(dir, "srwroot") + "/ord"
+      def drain(): Unit = {
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_srw_ckpt_")
+        try {
+          val q = s.readStream
+            .format("graft-log").option("root", src.root).load()
+            .writeStream.format("graft-log")
+            .option("root", dstRoot)
+            .option("checkpointLocation", ckpt.toString)
+            .option("appId", "srw")
+            .option("replaceWhere", "k BETWEEN 500 AND 1000")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .outputMode("append").start()
+          require(q.awaitTermination(180000L),
+            "stream_replace_where: the AvailableNow drain must self-terminate")
+        } finally {
+          import scala.jdk.CollectionConverters._
+          scala.util.Try(java.nio.file.Files.walk(ckpt).iterator().asScala
+            .toSeq.reverse.foreach(p => scala.util.Try(java.nio.file.Files.delete(p))))
+          ()
+        }
+      }
+      drain()
+      val log = new SnapshotLog(dstRoot)
+      val vAfter1 = log.currentVersion.get
+      // a fresh checkpoint under the SAME appId redelivers batch 0: the
+      // watermark makes it a structural skip — zero commits
+      drain()
+      val redeliverySkipped = log.currentVersion.get == vAfter1 &&
+        log.metaValues(vAfter1).get("txn.srw").contains("0")
+      s.sql(
+        """SELECT status, count(*) AS n_rows,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftsrw.ord GROUP BY status""".stripMargin)
+        .withColumn("redelivery_skipped", lit(redeliverySkipped))
+        .orderBy(col("status"))
     }),
 
     // ── SQL READS OF MERGE-ON-READ SNAPSHOTS ([[GraftCatalog]] masked
@@ -3965,6 +4034,337 @@ object QueriesEtl {
         .head().getLong(0) == 0L
       q.withColumn("bloom_files_skipped", lit(skipped))
         .withColumn("absent_key_empty", lit(absentEmpty))
+        .orderBy(col("status"))
+    }),
+
+    // ── BLOOM SIDECARS SURVIVE ROW-LEVEL DML ([[GraftSqlDml]] +
+    // [[GraftCatalog]] post-commit hooks → [[SnapshotLog
+    // .writeBloomSidecarFor]] — closing the r15 gap): MERGE's grazed-file
+    // rewrites, DELETE's survivor rewrites, and UPDATE's merge-on-read
+    // image files all get fresh `_blooms.parquet` entries in the same
+    // statement, so point-lookup skipping keeps firing on exactly the
+    // hot DML tables that need it — no OPTIMIZE pass required first.
+    // Laws: the point lookup after MERGE+DELETE plans fewer files than
+    // the manifest (`bloom_files_skipped`), and EVERY data file —
+    // including UPDATE's staged images — carries a filter entry
+    // (`dml_files_bloomed`) ──
+    "snapshot_sql_bloom_dml" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftbdm", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftbdm.root", scratch(dir, "bdmroot"))
+      s.sql("DROP TABLE IF EXISTS graftbdm.ord")
+      s.sql("""CREATE TABLE graftbdm.ord (k BIGINT, status STRING, cents BIGINT)
+              |TBLPROPERTIES ('bloomBy' = 'k')""".stripMargin)
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 2400)
+        .createOrReplaceTempView("graft_bdm_src")
+      s.sql("INSERT INTO graftbdm.ord SELECT * FROM graft_bdm_src WHERE k <= 1200")
+      s.sql("INSERT INTO graftbdm.ord SELECT * FROM graft_bdm_src WHERE k > 1200")
+      s.sql(
+        """MERGE INTO graftbdm.ord t
+          |USING (SELECT k, status, cents + 777 AS cents FROM graft_bdm_src
+          |       WHERE k <= 600) AS s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.cents = s.cents""".stripMargin)
+      s.sql("DELETE FROM graftbdm.ord WHERE k > 2000")
+      // the point lookup still skips, with zero OPTIMIZE between
+      val kLit = s.sql("SELECT min(k) AS k FROM graft_bdm_src").head().getLong(0)
+      def scanFiles(p: org.apache.spark.sql.execution.SparkPlan): Option[Int] =
+        p.collectLeaves().flatMap {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scanFiles(a.executedPlan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Some(b.scan
+              .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+              .fileIndex.inputFiles.length)
+          case _ => None
+        }.headOption
+      val lookup = s.sql(s"SELECT k, cents FROM graftbdm.ord WHERE k = $kLit")
+      val log = new SnapshotLog(scratch(dir, "bdmroot") + "/ord")
+      val planned = scanFiles(lookup.queryExecution.executedPlan).getOrElse(-1)
+      val totalPre = log.dataFiles(log.currentVersion.get).size
+      val skipped = planned >= 1 && planned < totalPre
+      // a merge-on-read UPDATE stages image files — they get filters too
+      s.sql("UPDATE graftbdm.ord SET cents = cents + 5 WHERE k <= 100")
+      val cur = log.currentVersion.get
+      val probe = log.fileBloomProbe(s, cur, "k", Seq(kLit.toString))
+      val allBloomed = probe.exists { m =>
+        log.dataFiles(cur)
+          .map(p => new java.io.File(scratch(dir, "bdmroot") + "/ord", p)
+            .getCanonicalPath).toSet.subsetOf(m.keySet)
+      }
+      s.sql(
+        """SELECT status, count(*) AS n_rows,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftbdm.ord GROUP BY status""".stripMargin)
+        .withColumn("bloom_files_skipped", lit(skipped))
+        .withColumn("dml_files_bloomed", lit(allBloomed))
+        .orderBy(col("status"))
+    }),
+
+    // ── COPY INTO MINTS IDENTITY IDS ([[GraftSqlParser]] →
+    // [[SnapshotLog.copyIngestIdentity]] — closing the r15 refusal, the
+    // Delta COPY-INTO-mints shape): the source-file LEDGER entry, the
+    // id-block watermark advance, and the data files land in ONE commit,
+    // so bulk ingest into a GENERATED ALWAYS AS IDENTITY table is
+    // exactly-once for rows AND ids. Laws: re-running the same COPY
+    // loads zero files and mints nothing (`recopy_minted_nothing`), a
+    // later third file loads alone and CONTINUES the id block
+    // (`incremental_continued`), and the rollup's min/max/distinct/sum
+    // prove the ids are exactly 1..N across the whole multi-statement
+    // load ──
+    "snapshot_sql_copy_identity" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftcpi", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftcpi.root", scratch(dir, "cpiroot"))
+      s.sql("DROP TABLE IF EXISTS graftcpi.ord")
+      s.sql("""CREATE TABLE graftcpi.ord (id BIGINT, k BIGINT, cents BIGINT)
+              |TBLPROPERTIES ('identity.id' = '1,1')""".stripMargin)
+      val srcDir = new java.io.File(scratch(dir, "cpi_src"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(srcDir); srcDir.mkdirs()
+      // the source files carry NO id column — the declared-schema read
+      // serves NULL and the load mints
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      def drop(df: DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cpi_tmp_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("w").toString)
+        val part = new java.io.File(tmp.resolve("w").toString).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .get
+        java.nio.file.Files.move(part.toPath, new java.io.File(srcDir, name).toPath)
+        ()
+      }
+      drop(orders.where(col("k") <= 900), "a.parquet")
+      drop(orders.where(col("k").between(901, 1800)), "b.parquet")
+      val stmt = s"COPY INTO graftcpi.ord FROM '$srcDir' FILEFORMAT = PARQUET"
+      val r1 = s.sql(stmt).head()
+      val r2 = s.sql(stmt).head()
+      val recopyMintedNothing = r1.getInt(0) == 2 && r2.getInt(0) == 0 &&
+        r2.getLong(3) == r1.getLong(3)
+      drop(orders.where(col("k").between(1801, 2400)), "c.parquet")
+      val r3 = s.sql(stmt).head()
+      val incremental = r3.getInt(0) == 1 && r3.getInt(2) == 2
+      s.sql(
+        """SELECT count(*) AS n_rows,
+          |       count(DISTINCT id) AS n_ids,
+          |       CAST(min(id) AS BIGINT) AS min_id,
+          |       CAST(max(id) AS BIGINT) AS max_id,
+          |       CAST(sum(id) AS BIGINT) AS sum_id,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftcpi.ord""".stripMargin)
+        .withColumn("recopy_minted_nothing", lit(recopyMintedNothing))
+        .withColumn("incremental_continued", lit(incremental))
+    }),
+
+    // ── COPY INTO ON A COLUMN-MAPPED TABLE ([[SnapshotLog
+    // .copyIngestMapped]] — closing the r15 refusal): after ALTER RENAME
+    // COLUMN, bulk ingest keeps working — source files speak the NEW
+    // logical names, the load translates through the mapping, and the
+    // staged parquet lands in the SAME physical column pre-rename
+    // inserts used (`mapped_physical_landed` inspects the staged file's
+    // own footer). The ledger idempotency law carries over verbatim ──
+    "snapshot_sql_copy_into_mapped" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftcpm", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftcpm.root", scratch(dir, "cpmroot"))
+      s.sql("DROP TABLE IF EXISTS graftcpm.ord")
+      s.sql("CREATE TABLE graftcpm.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("pennies"))
+        .where(col("k") <= 2400)
+        .createOrReplaceTempView("graft_cpm_src")
+      s.sql("INSERT INTO graftcpm.ord SELECT k, status, pennies FROM graft_cpm_src " +
+        "WHERE k <= 800")
+      s.sql("ALTER TABLE graftcpm.ord RENAME COLUMN cents TO pennies")
+      val srcDir = new java.io.File(scratch(dir, "cpm_src"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(srcDir); srcDir.mkdirs()
+      def drop(df: DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cpm_tmp_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("w").toString)
+        val part = new java.io.File(tmp.resolve("w").toString).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .get
+        java.nio.file.Files.move(part.toPath, new java.io.File(srcDir, name).toPath)
+        ()
+      }
+      val srcRows = s.table("graft_cpm_src")
+      drop(srcRows.where(col("k").between(801, 1600)), "a.parquet")
+      drop(srcRows.where(col("k").between(1601, 2400)), "b.parquet")
+      val stmt = s"COPY INTO graftcpm.ord FROM '$srcDir' FILEFORMAT = PARQUET"
+      val r1 = s.sql(stmt).head()
+      val r2 = s.sql(stmt).head()
+      val skippedAll = r1.getInt(0) == 2 && r2.getInt(0) == 0 &&
+        r2.getLong(3) == r1.getLong(3)
+      // the COPY'd rows live in the PHYSICAL column `cents` — the staged
+      // parquet's own footer says so (the appendMapped discipline)
+      val log = new SnapshotLog(scratch(dir, "cpmroot") + "/ord")
+      val staged = log.appendedFiles(r1.getLong(3))
+      val physLanded = staged.nonEmpty &&
+        s.read.parquet(staged.head).schema.fieldNames.contains("cents")
+      s.sql(
+        """SELECT status, count(*) AS n_rows,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(pennies) AS BIGINT) AS sum_pennies
+          |FROM graftcpm.ord GROUP BY status""".stripMargin)
+        .withColumn("recopy_skipped_all", lit(skippedAll))
+        .withColumn("mapped_physical_landed", lit(physLanded))
+        .orderBy(col("status"))
+    }),
+
+    // ── REPLACE WHERE ON A COLUMN-MAPPED TABLE (closing the r15
+    // refusal): the statement speaks the post-rename LOGICAL names, the
+    // engine translates the replacement frame AND the predicate to
+    // physical ids, and only grazed files rewrite — the day-backfill
+    // workflow survives a rename untouched. The replacement lands in
+    // the pre-rename PHYSICAL column (`mapped_physical_landed`), and
+    // the re-run stays idempotent ──
+    "snapshot_sql_replace_where_mapped" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftrwp", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftrwp.root", scratch(dir, "rwproot"))
+      s.sql("DROP TABLE IF EXISTS graftrwp.ord")
+      s.sql("CREATE TABLE graftrwp.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("pennies"))
+        .where(col("k") <= 2000)
+        .createOrReplaceTempView("graft_rwp_src")
+      s.sql("INSERT INTO graftrwp.ord SELECT * FROM graft_rwp_src")
+      s.sql("ALTER TABLE graftrwp.ord RENAME COLUMN cents TO pennies")
+      val backfill = "INSERT INTO graftrwp.ord REPLACE WHERE k BETWEEN 500 AND 1000 " +
+        "SELECT k, status, pennies + 7 AS pennies FROM graft_rwp_src " +
+        "WHERE k BETWEEN 500 AND 1000"
+      val r = s.sql(backfill).head()
+      val receiptOk = r.getString(0) == "REPLACE WHERE" &&
+        r.getLong(3) > 0L && r.getLong(3) == r.getLong(4)
+      val before = s.sql(
+        "SELECT count(*), CAST(sum(pennies) AS BIGINT) FROM graftrwp.ord").head()
+      s.sql(backfill)
+      val after = s.sql(
+        "SELECT count(*), CAST(sum(pennies) AS BIGINT) FROM graftrwp.ord").head()
+      val rerunIdempotent = before == after
+      val log = new SnapshotLog(scratch(dir, "rwproot") + "/ord")
+      val curFiles = log.dataFiles(log.currentVersion.get)
+      val physLanded = curFiles.nonEmpty && curFiles.forall(p =>
+        s.read.parquet(new java.io.File(scratch(dir, "rwproot") + "/ord", p)
+          .toString).schema.fieldNames.contains("cents"))
+      s.sql(
+        """SELECT status, count(*) AS n_rows,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(pennies) AS BIGINT) AS sum_pennies
+          |FROM graftrwp.ord GROUP BY status""".stripMargin)
+        .withColumn("receipt_ok", lit(receiptOk))
+        .withColumn("rerun_idempotent", lit(rerunIdempotent))
+        .withColumn("mapped_physical_landed", lit(physLanded))
+        .orderBy(col("status"))
+    }),
+
+    // ── REPLACE WHERE COMPOSES WITH KEY TOMBSTONES (closing the r15
+    // blanket refusal): on a merge-on-read table carrying key
+    // tombstones, the scoped backfill lands in ONE commit — the
+    // tombstones' carried-file maskings materialize as file-scoped
+    // position deletes, the key-addressed lines drop, and a tombstoned
+    // key RE-INSERTED by the replacement serves the new row while every
+    // pre-delete row stays dead (`tombstones_materialized`) — no
+    // table-sized compact() required first, and the re-run stays
+    // idempotent ──
+    "snapshot_sql_replace_where_mor" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftrwt", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftrwt.root", scratch(dir, "rwtroot"))
+      s.sql("DROP TABLE IF EXISTS graftrwt.ord")
+      s.sql("CREATE TABLE graftrwt.ord (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 2000)
+        .createOrReplaceTempView("graft_rwt_src")
+      s.sql("INSERT INTO graftrwt.ord SELECT * FROM graft_rwt_src")
+      val log = new SnapshotLog(scratch(dir, "rwtroot") + "/ord")
+      // a MOR delete: keys 100..199 tombstoned, nothing rewritten
+      import s.implicits._
+      log.deleteRows((100L to 199L).toDF("k"), partitions = 1)
+      val backfill = "INSERT INTO graftrwt.ord REPLACE WHERE k BETWEEN 150 AND 300 " +
+        "SELECT k, status, cents + 7 AS cents FROM graft_rwt_src " +
+        "WHERE k BETWEEN 150 AND 300"
+      s.sql(backfill)
+      val cur = log.currentVersion.get
+      // the key-addressed tombstone lines are GONE from the manifest
+      // (their surviving maskings — if any files were carried — live on
+      // as file-scoped position deletes; [[SnapshotDmlSpec]] pins that
+      // materialization deterministically); the oracle hash pins the
+      // semantic point: 100..149 stay dead, 150..199 serve the NEW rows
+      val materialized = log.tombstoneFiles(cur).isEmpty
+      val before = s.sql(
+        "SELECT count(*), CAST(sum(cents) AS BIGINT) FROM graftrwt.ord").head()
+      s.sql(backfill)
+      val rerunIdempotent = s.sql(
+        "SELECT count(*), CAST(sum(cents) AS BIGINT) FROM graftrwt.ord").head() == before
+      s.sql(
+        """SELECT status, count(*) AS n_rows,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftrwt.ord GROUP BY status""".stripMargin)
+        .withColumn("tombstones_materialized", lit(materialized))
+        .withColumn("rerun_idempotent", lit(rerunIdempotent))
+        .orderBy(col("status"))
+    }),
+
+    // ── DEEP CLONE (`CREATE TABLE … CLONE …` → [[SnapshotLog
+    // .cloneDeep]] — the archival/fork shape, closing the r15 gap): a
+    // MATERIALIZED copy at the pinned version with ZERO lifetime
+    // coupling — no pool sharing, no registration — so the source can be
+    // overwritten, expired, VACUUMed, and DROPPED and the clone still
+    // reads its bytes (`survives_source_vacuum_and_drop`); contrast the
+    // SHALLOW clone, whose guards must refuse exactly that sweep ──
+    "snapshot_sql_clone_deep" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graftcld", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftcld.root", scratch(dir, "cldroot"))
+      s.sql("DROP TABLE IF EXISTS graftcld.dev")
+      s.sql("DROP TABLE IF EXISTS graftcld.base")
+      s.sql("CREATE TABLE graftcld.base (k BIGINT, status STRING, cents BIGINT)")
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("k") <= 2000)
+        .createOrReplaceTempView("graft_cld_src")
+      s.sql("INSERT INTO graftcld.base SELECT * FROM graft_cld_src WHERE k <= 1000")
+      s.sql("INSERT INTO graftcld.base SELECT * FROM graft_cld_src WHERE k > 1000")
+      val r = s.sql("CREATE TABLE graftcld.dev CLONE graftcld.base").head()
+      val receiptOk = r.getString(0) == "CLONE" && r.getLong(4) > 0L &&
+        r.getLong(5) > 0L
+      // the source moves on: overwrite, expire the cloned vintage, sweep
+      // its files, and finally DROP the table — the deep clone keeps
+      // reading its own bytes through all of it
+      val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      try {
+        s.sql("INSERT OVERWRITE TABLE graftcld.base " +
+          "SELECT k, status, cents FROM graft_cld_src WHERE k <= 5")
+      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      val srcLog = new SnapshotLog(scratch(dir, "cldroot") + "/base")
+      srcLog.expire(keepFrom = srcLog.currentVersion.get)
+      srcLog.vacuum()
+      s.sql("DROP TABLE graftcld.base")
+      val survives = s.sql("SELECT count(*) AS n FROM graftcld.dev")
+        .head().getLong(0) ==
+        s.sql("SELECT count(*) AS n FROM graft_cld_src").head().getLong(0)
+      s.sql(
+        """SELECT status, count(*) AS n_rows,
+          |       CAST(sum(k) AS BIGINT) AS sum_key,
+          |       CAST(sum(cents) AS BIGINT) AS sum_cents
+          |FROM graftcld.dev GROUP BY status""".stripMargin)
+        .withColumn("receipt_ok", lit(receiptOk))
+        .withColumn("survives_source_vacuum_and_drop", lit(survives))
         .orderBy(col("status"))
     }),
 
@@ -6157,6 +6557,21 @@ object QueriesEtl {
         |       (SELECT CAST(sum(cents) AS BIGINT) FROM o) AS sum_cents,
         |       TRUE AS watermark_recorded""".stripMargin,
 
+    // stream_replace_where: the [500,1000] slice carries cents+7 (the
+    // streamed backfill), everything else the original cents; the
+    // redelivery-skip law is measured Spark-side
+    "stream_replace_where" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT)
+        |                    + CASE WHEN o_orderkey BETWEEN 500 AND 1000
+        |                           THEN 7 ELSE 0 END AS cents
+        |           FROM orders WHERE o_orderkey <= 2000)
+        |SELECT status, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS redelivery_skipped
+        |FROM o GROUP BY status ORDER BY status""".stripMargin,
+
     // snapshot_sql_read_mor: the masked SQL read reduces to the
     // delete-filtered rollup; the pushdown law is measured Spark-side
     "snapshot_sql_read_mor" ->
@@ -6194,6 +6609,103 @@ object QueriesEtl {
         |       TRUE AS absent_key_empty
         |FROM o WHERE k = (SELECT min(k) FROM o)
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_bloom_dml: merge adds +777 to k<=600, delete drops
+    // k>2000, update adds +5 to k<=100; the skipping and
+    // sidecar-coverage laws are measured Spark-side
+    "snapshot_sql_bloom_dml" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT)
+        |                    + CASE WHEN o_orderkey <= 600 THEN 777 ELSE 0 END
+        |                    + CASE WHEN o_orderkey <= 100 THEN 5 ELSE 0 END AS cents
+        |           FROM orders WHERE o_orderkey <= 2400)
+        |SELECT status, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS bloom_files_skipped,
+        |       TRUE AS dml_files_bloomed
+        |FROM o WHERE k <= 2000
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_copy_into_mapped: the post-rename COPY reunites the
+    // k<=2400 corpus under the logical name `pennies`; the idempotency
+    // and physical-landing laws are measured Spark-side
+    "snapshot_sql_copy_into_mapped" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_pennies,
+        |       TRUE AS recopy_skipped_all,
+        |       TRUE AS mapped_physical_landed
+        |FROM orders WHERE o_orderkey <= 2400
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_replace_where_mapped: the [500,1000] slice carries
+    // pennies+7 under the post-rename logical name; the receipt,
+    // idempotence, and physical-landing laws are measured Spark-side
+    "snapshot_sql_replace_where_mapped" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT)
+        |                    + CASE WHEN o_orderkey BETWEEN 500 AND 1000
+        |                           THEN 7 ELSE 0 END AS pennies
+        |           FROM orders WHERE o_orderkey <= 2000)
+        |SELECT status, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(pennies) AS BIGINT) AS sum_pennies,
+        |       TRUE AS receipt_ok,
+        |       TRUE AS rerun_idempotent,
+        |       TRUE AS mapped_physical_landed
+        |FROM o GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_replace_where_mor: keys 100..149 stay dead (their
+    // tombstone maskings carry as position deletes), 150..300 serve the
+    // replacement (+7) — including the RE-INSERTED tombstoned 150..199 —
+    // and everything else is untouched; the materialization and
+    // idempotence laws are measured Spark-side
+    "snapshot_sql_replace_where_mor" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 2000),
+        |     u AS (SELECT k, status, cents FROM o
+        |           WHERE k < 100 OR k > 300
+        |           UNION ALL
+        |           SELECT k, status, cents + 7 AS cents FROM o
+        |           WHERE k BETWEEN 150 AND 300)
+        |SELECT status, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS sum_key,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS tombstones_materialized,
+        |       TRUE AS rerun_idempotent
+        |FROM u GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_clone_deep: the clone serves the full k<=2000 corpus
+    // with original cents, through the source's overwrite + expire +
+    // vacuum + drop; the receipt and survival laws are measured
+    // Spark-side
+    "snapshot_sql_clone_deep" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS receipt_ok,
+        |       TRUE AS survives_source_vacuum_and_drop
+        |FROM orders WHERE o_orderkey <= 2000
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // snapshot_sql_copy_identity: ids are exactly 1..N over the three
+    // loaded files' k<=2400 rows; the exactly-once and continuation
+    // laws are measured off the receipts Spark-side
+    "snapshot_sql_copy_identity" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_orderkey <= 2400),
+        |     n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM o)
+        |SELECT (SELECT c FROM n) AS n_rows,
+        |       (SELECT c FROM n) AS n_ids,
+        |       CAST(1 AS BIGINT) AS min_id,
+        |       (SELECT c FROM n) AS max_id,
+        |       (SELECT CAST((c * (c + 1)) // 2 AS BIGINT) FROM n) AS sum_id,
+        |       (SELECT CAST(sum(cents) AS BIGINT) FROM o) AS sum_cents,
+        |       TRUE AS recopy_minted_nothing,
+        |       TRUE AS incremental_continued""".stripMargin,
 
     // snapshot_sql_generated: bucket replays as k % 8 (computed for the
     // NULL half, verified-kept for the provided half); the k<=100 slice

@@ -1127,7 +1127,13 @@ object GraftCatalog {
               "use SnapshotLog.deleteWhere with an arbitrary Column predicate")))
         .reduceOption(_ && _)
         .getOrElse(org.apache.spark.sql.functions.lit(true))
-      log.withOccRetry()(log.deleteWhereCow(SparkSession.active, cond))
+      val ((vDel, _), _) = log.withOccRetry()(
+        log.deleteWhereCow(SparkSession.active, cond))
+      // `bloomBy` maintenance over the survivor files the rewrite staged
+      // (the INSERT-path hook; absence only reads conservatively)
+      val bcDel = log.bloomColumns(vDel)
+      if (bcDel.nonEmpty)
+        log.writeBloomSidecarFor(SparkSession.active, vDel, bcDel)
       ()
     }
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -1271,7 +1277,13 @@ object GraftCatalog {
               "table — use SnapshotLog.deleteWhere with a Column predicate")))
         .reduceOption(_ && _)
         .getOrElse(org.apache.spark.sql.functions.lit(true))
-      log.withOccRetry()(log.deleteWhereCow(SparkSession.active, cond))
+      val ((vDel, _), _) = log.withOccRetry()(
+        log.deleteWhereCow(SparkSession.active, cond))
+      // `bloomBy` maintenance over the survivor files the rewrite staged
+      // (the INSERT-path hook; absence only reads conservatively)
+      val bcDel = log.bloomColumns(vDel)
+      if (bcDel.nonEmpty)
+        log.writeBloomSidecarFor(SparkSession.active, vDel, bcDel)
       ()
     }
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

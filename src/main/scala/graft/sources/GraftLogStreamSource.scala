@@ -121,6 +121,7 @@ class GraftLogSourceProvider
       complete,
       mergeKey = parameters.get("mergeKey"),
       deleteIndicator = parameters.get("deleteIndicator"),
+      replaceWhere = parameters.get("replaceWhere"),
       mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
       // `autoCompactEveryBatches` is a committed-BATCH cadence (compact
       // every N batches), not Delta's small-file-count threshold — named
@@ -295,6 +296,20 @@ class GraftLogSink(
     // (upserts + deletes, pre-aggregated to last-per-key) replays into
     // an exact replica. Same txn watermark, same one-evaluation merge.
     deleteIndicator: Option[String] = None,
+    // STREAMING REPLACE WHERE (`.option("replaceWhere", "<pred>")` — the
+    // Delta idempotent-partition-backfill shape, as a first-class option
+    // instead of a foreachBatch idiom): every trigger's rows REPLACE the
+    // predicate's scope in ONE commit ([[SnapshotLog.replaceWhere]] —
+    // byte-sized writes, stats-pruned grazed-file discovery, rows
+    // outside the scope fail the trigger), with the `txn.<appId>`
+    // watermark riding the same commit so a redelivered trigger is a
+    // structural skip. The natural shapes: an AvailableNow backfill of
+    // one slice, or a per-trigger recomputation that owns its scope.
+    // An EMPTY trigger commits NOTHING (a transient no-data batch must
+    // not wipe the scope — replace-with-empty is an explicit DELETE's
+    // job). Append output mode only; composes with neither mergeKey nor
+    // identity (the replacement cannot mint).
+    replaceWhere: Option[String] = None,
     // SCHEMA EVOLUTION ON WRITE (`.option("mergeSchema", "true")` — the
     // Delta autoMerge shape): a batch carrying columns the DECLARED
     // destination schema lacks EVOLVES it first (one metadata-only
@@ -447,7 +462,43 @@ class GraftLogSink(
     deleteIndicator.foreach(i => require(data.columns.contains(i),
       s"graft-log sink: deleteIndicator '$i' is not a batch column " +
         s"(${data.columns.mkString(", ")})"))
-    val committed = mergeKey match {
+    replaceWhere.foreach { _ =>
+      require(mergeKey.isEmpty && !complete && identSpec.isEmpty,
+        "graft-log sink: replaceWhere composes with append mode only, and " +
+          "with neither mergeKey nor an identity destination (the scoped " +
+          "replacement cannot merge or mint)")
+    }
+    val committed = replaceWhere match {
+      case Some(predSql) =>
+        // predicate speaks the table's LOGICAL names; on a mapped
+        // destination it translates to physical ids exactly as the
+        // staged batch does
+        val sql = physProject.map(_.toMap).filter(_.nonEmpty) match {
+          case Some(m) => GraftSqlDml.translatePhys(
+            data.sparkSession.sessionState.sqlParser.parseExpression(predSql),
+            m).sql
+          case None => predSql
+        }
+        val target = data.sparkSession.conf
+          .getOption("spark.graft.optimize.maxFileSize")
+          .map(_.toLong).getOrElse(128L * 1024 * 1024)
+        // an empty trigger is a NO-OP, never a scope wipe (the check
+        // rides the guarded plan, so a violating first row still fails
+        // the trigger here); micro-batches are small by construction
+        if (staged.limit(1).count() == 0L) false
+        else log.withOccRetry() {
+          val before = log.currentVersion.getOrElse(-1L)
+          val (vRw, _) = log.replaceWhere(data.sparkSession, staged,
+            org.apache.spark.sql.functions.expr(sql),
+            targetBytes = target, txn = Some((appId, batchId)))
+          if (vRw != before) {
+            val bc = log.bloomColumns(vRw)
+            if (bc.nonEmpty)
+              log.writeBloomSidecarFor(data.sparkSession, vRw, bc)
+          }
+          vRw != before
+        }._1
+      case None => mergeKey match {
       case Some(key0) =>
         // on a mapped destination the merge runs in PHYSICAL names (the
         // [[GraftSqlDml]] discipline): the key and every SET column
@@ -515,6 +566,7 @@ class GraftLogSink(
             if (complete) log.overwriteTxn(staged, partitions, appId, batchId)._2
             else log.appendTxn(staged, partitions, appId, batchId)._2
         }
+      }
     }
     if (committed && !complete && autoCompactEvery > 0) {
       batchesSinceCompact += 1

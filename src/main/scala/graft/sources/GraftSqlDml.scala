@@ -167,7 +167,7 @@ object GraftSqlDml {
     * through — a pre-rename-stored CHECK already speaks physical names,
     * and a genuinely unknown name still fails loudly downstream.
     */
-  private def translatePhys(e: Expression, physMap: Map[String, String]): Expression =
+  private[sources] def translatePhys(e: Expression, physMap: Map[String, String]): Expression =
     if (physMap.isEmpty) e
     else e.transformUp {
       case a: UnresolvedAttribute if a.nameParts.length == 1 &&
@@ -244,7 +244,18 @@ object GraftSqlDml {
     val checks = storedChecks(spark, t)
     val ((v, n), retries) =
       t.log.withOccRetry()(t.log.updateWhere(spark, cond, set, checks = checks))
+    maintainBlooms(spark, t.log, v)
     DmlResult("UPDATE", t.name, v, n, 0L, 0L, retries)
+  }
+
+  /** `bloomBy` maintenance over the data files a DML commit staged —
+    * the same post-commit hook INSERT/OVERWRITE/OPTIMIZE/COPY INTO run
+    * (absence only reads conservatively, but point-lookup skipping must
+    * not silently degrade on exactly the hot DML tables that need it).
+    */
+  private def maintainBlooms(spark: SparkSession, log: SnapshotLog, v: Long): Unit = {
+    val bc = log.bloomColumns(v)
+    if (bc.nonEmpty) log.writeBloomSidecarFor(spark, v, bc)
   }
 
   /** The table's stored `prop.check.<name>` CHECK constraints as
@@ -282,6 +293,7 @@ object GraftSqlDml {
       case c => toColumn(translatePhys(stripQualifiers(c, t.quals), t.physMap))
     }
     val ((v, n), retries) = t.log.withOccRetry()(t.log.deleteWhereCow(spark, cond))
+    maintainBlooms(spark, t.log, v)
     DmlResult("DELETE", t.name, v, 0L, n, 0L, retries)
   }
 
@@ -579,6 +591,7 @@ object GraftSqlDml {
         insertNotMatched, deleteNmbs, checks = storedChecks(spark, t),
         insertWhen = insertWhen,
         nmbsUpdateWhen = nmbsUpdateWhen, nmbsUpdateSet = nmbsUpdateSet))
+    maintainBlooms(spark, log, v)
     DmlResult("MERGE", name, v, nUpd, nDel, nIns, retries)
   }
 }

@@ -79,7 +79,7 @@ object GraftSqlParser {
   private val CopyIntoRe =
     """(?is)\s*COPY\s+INTO\s+(\w+)\.(\w+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*(?:PATTERN\s*=\s*'([^']+)')?\s*;?\s*""".r
   private val CloneRe =
-    """(?is)\s*CREATE\s+TABLE\s+(\w+)\.(\w+)\s+SHALLOW\s+CLONE\s+(\w+)\.(\w+)\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(\w+)\.(\w+)\s+(SHALLOW\s+)?CLONE\s+(\w+)\.(\w+)\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val ReplaceWhereRe =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\.(\w+)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\s.*?)\s*;?\s*""".r
 
@@ -121,14 +121,27 @@ object GraftSqlParser {
       case CopyIntoRe(cat, table, from, fmt, pattern) if isGraftCatalog(cat) =>
         Some(CopyIntoGraftTable(cat, table, from,
           fmt.toLowerCase(java.util.Locale.ROOT), Option(pattern)))
-      case CloneRe(dstCat, dstTable, srcCat, srcTable, v)
+      case CloneRe(dstCat, dstTable, shallow, srcCat, srcTable, v)
           if isGraftCatalog(dstCat) && isGraftCatalog(srcCat) =>
         Some(CloneGraftTable(dstCat, dstTable, srcCat, srcTable,
-          Option(v).map(_.toLong)))
+          Option(v).map(_.toLong), shallow = shallow != null))
       case ReplaceWhereRe(cat, table, cond, select) if isGraftCatalog(cat) =>
-        // the regex splits at the first SELECT, so a subquery predicate
-        // would misparse into a truncated condition — refuse clearly
-        require(!"""(?i)\bselect\b""".r.findFirstIn(cond).isDefined,
+        // the statement splits at the first top-level SELECT, so a
+        // subquery predicate cannot ride it. Refusal is PARSE-BASED, not
+        // regex: the condition must parse as a standalone expression
+        // (a subquery's opening paren would have been truncated by the
+        // split — unparseable) and must contain no subquery expression —
+        // a string literal that merely SAYS 'select' passes fine.
+        val parsedCond =
+          try SparkSession.active.sessionState.sqlParser.parseExpression(cond)
+          catch { case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+            throw new IllegalArgumentException(
+              "REPLACE WHERE: the predicate does not parse as a standalone " +
+                "expression — subqueries are not supported there; stage the " +
+                s"key set into the SELECT instead (predicate: $cond)", e)
+          }
+        require(!parsedCond.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
           "REPLACE WHERE: subqueries are not supported in the predicate — " +
             "stage the key set into the SELECT instead")
         Some(ReplaceWhereGraftTable(cat, table, cond.trim, select.trim))
@@ -185,10 +198,15 @@ object GraftSqlParser {
             }
           case _ => None
         }
-        // version args: integral literals verbatim; STRING literals are
-        // timestamps — a start-timestamp resolves to the EARLIEST commit
-        // at or after it (the Delta startingTimestamp rule: "changes
-        // since ts"), an end-timestamp to the snapshot as of it
+        // version args: integral literals verbatim; STRING literals
+        // resolve as a TAG NAME first (the `VERSION AS OF 'tag'`
+        // symmetry — both TVF bounds take refs), else as timestamps — a
+        // start-timestamp resolves to the EARLIEST commit at or after it
+        // (the Delta startingTimestamp rule: "changes since ts"), an
+        // end-timestamp to the snapshot as of it. A start-timestamp past
+        // the latest commit refuses loudly instead of leaving the TVF
+        // unspliced (which would surface as a baffling unresolved-
+        // function error).
         def versionArg(log: SnapshotLog, i: Int, start: Boolean): Option[Long] =
           tvf.functionArgs.lift(i).flatMap {
             case Literal(v, org.apache.spark.sql.types.ByteType |
@@ -198,16 +216,26 @@ object GraftSqlParser {
               Some(v.toString.toLong)
             case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
               val raw = s.toString.trim
-              val millis =
-                try {
-                  val t = if (raw.length == 10) raw + " 00:00:00" else raw
-                  java.sql.Timestamp.valueOf(t.replace('T', ' ')).getTime
-                } catch { case _: IllegalArgumentException =>
-                  throw new IllegalArgumentException(
-                    s"table_changes: cannot parse timestamp '$raw'")
-                }
-              if (start) log.versions.find(v => log.commitTimeMillis(v) >= millis)
-              else Some(log.versionAt(millis))
+              val asTag = try Some(log.tagVersion(raw))
+                catch { case _: IllegalArgumentException => None }
+              asTag match {
+                case Some(v) => Some(v)
+                case None =>
+                  val millis =
+                    try {
+                      val t = if (raw.length == 10) raw + " 00:00:00" else raw
+                      java.sql.Timestamp.valueOf(t.replace('T', ' ')).getTime
+                    } catch { case _: IllegalArgumentException =>
+                      throw new IllegalArgumentException(
+                        s"table_changes: '$raw' is neither a tag name nor a " +
+                          "parseable timestamp")
+                    }
+                  if (!start) Some(log.versionAt(millis))
+                  else log.versions.find(v => log.commitTimeMillis(v) >= millis)
+                    .orElse(throw new IllegalArgumentException(
+                      s"table_changes: start timestamp '$raw' is after the " +
+                        "latest commit — there are no changes since it"))
+              }
             case other => throw new IllegalArgumentException(
               s"table_changes: version arguments must be integer literals or " +
                 s"timestamp strings, got ${other.sql}")
@@ -546,9 +574,13 @@ object GraftSqlParser {
       val log = logFor(spark, cat, table)
       val cur = log.currentVersion.getOrElse(throw new IllegalStateException(
         s"COPY INTO: no committed snapshot at $cat.$table"))
-      require(log.columnMapping(cur).isEmpty,
-        s"COPY INTO: $cat.$table uses column mapping — load through the " +
-          "SnapshotLog API (appendMapped) instead")
+      // COLUMN-MAPPED destinations serve (closing the r15 refusal): the
+      // source files speak LOGICAL names; the load reads them under the
+      // logical schema and translates through the mapping before staging
+      // ([[SnapshotLog.copyIngestMapped]]) — post-rename bulk ingest
+      // lands in the same physical columns batch INSERTs do
+      val mapping: Option[Seq[(String, String)]] =
+        log.columnMapping(cur).map(_._2)
       val src = new File(from)
       require(src.exists(), s"COPY INTO: source path $from does not exist")
       val glob = java.nio.file.FileSystems.getDefault
@@ -576,7 +608,19 @@ object GraftSqlParser {
       val fresh0 = freshAt(cur)
       if (fresh0.isEmpty)
         return Seq(Row(0, 0L, cands.size, cur))
-      val declared = log.declaredSchema(cur)
+      // the reader schema speaks the table's USER-FACING names: the
+      // declared schema, or — mapped — the logical projection of it
+      val declared: Option[org.apache.spark.sql.types.StructType] =
+        mapping match {
+          case Some(pairs) =>
+            val ds = log.scanSchema(cur).getOrElse(throw new IllegalStateException(
+              s"COPY INTO: $cat.$table uses column mapping without a " +
+                "declared schema"))
+            val byPhys = ds.map(f => f.name -> f).toMap
+            Some(org.apache.spark.sql.types.StructType(pairs.flatMap {
+              case (l, p) => byPhys.get(p).map(f => f.copy(name = l)) }))
+          case None => log.declaredSchema(cur)
+        }
       def readerFor(paths: Seq[String]): org.apache.spark.sql.DataFrame =
         format match {
           case "parquet" => declared match {
@@ -600,16 +644,18 @@ object GraftSqlParser {
         case (k, sql) if k.startsWith("prop.check.") =>
           k.stripPrefix("prop.check.") -> sql
       }.toSeq.sortBy(_._1)
-      // identity/generated semantics hold for bulk ingest too: an
-      // identity destination refuses (COPY's ledgered commit cannot
-      // also mint watermarked id blocks), generated columns fold into
-      // the same staged-write guard as INSERT
-      GraftCatalog.identitySpec(log).foreach { case (c, _, _) =>
-        throw new IllegalArgumentException(
-          s"COPY INTO: $cat.$table declares GENERATED ALWAYS AS IDENTITY " +
-            s"column $c — bulk ingest cannot mint ids; INSERT INTO ... SELECT " +
-            "from the staged files instead")
-      }
+      // identity destinations MINT (the Delta COPY INTO shape): the
+      // ledger entry, the id-block advance, and the data land in ONE
+      // commit ([[SnapshotLog.copyIngestIdentity]] — the streaming
+      // sink's watermark discipline, here keyed by the source-file
+      // ledger), so re-running after any crash can neither double-load
+      // nor double-mint; generated columns fold into the same
+      // staged-write guard as INSERT
+      val identity = GraftCatalog.identitySpec(log)
+      require(identity.isEmpty || mapping.isEmpty,
+        s"COPY INTO: $cat.$table is both column-mapped and identity-minting " +
+          "— that combination is not supported on the bulk path; " +
+          "INSERT INTO ... SELECT from the staged files instead")
       def guard(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
         val derived = GraftCatalog.generatedTransform(log, raw)
         if (checks.isEmpty) derived
@@ -643,8 +689,24 @@ object GraftSqlParser {
           // pass that would read every fresh file twice; the CHECK guard
           // rides the same write — a violation fails the write job with
           // nothing committed, its aborted stage is vacuum fodder
-          val df = guard(readerFor(fresh.map(_._1)))
-          val ver = log.copyIngest(fresh, df, parts)
+          // on a mapped destination the frame translates logical →
+          // physical BEFORE the guard (stored CHECK / generated props
+          // speak physical names, like every mapped write path)
+          val logical = readerFor(fresh.map(_._1))
+          val translated = mapping match {
+            case Some(pairs) =>
+              val m = pairs.toMap
+              logical.select(logical.columns.toSeq.map(c =>
+                org.apache.spark.sql.functions.col(c).as(m(c))): _*)
+            case None => logical
+          }
+          val df = guard(translated)
+          val ver = (identity, mapping) match {
+            case (Some((idc, st, sp)), _) =>
+              log.copyIngestIdentity(fresh, df, idc, st, sp, parts)
+            case (_, Some(_)) => log.copyIngestMapped(fresh, df, parts)
+            case _ => log.copyIngest(fresh, df, parts)
+          }
           (fresh.size, log.footerRowCount(log.appendedFiles(ver)), ver)
         }
       }
@@ -760,15 +822,25 @@ object GraftSqlParser {
           s"REPLACE WHERE: $cat.$table declares GENERATED ALWAYS AS IDENTITY " +
             s"column $c — the replacement cannot mint ids")
       }
-      // mapped tables refuse up front (the COPY INTO rule): the engine
-      // path stages physical-name files outside appendMapped's
-      // metadata discipline
-      log.currentVersion.foreach { v =>
-        require(log.columnMapping(v).isEmpty,
-          s"REPLACE WHERE: $cat.$table uses column mapping — unsupported; " +
-            "use the SnapshotLog API")
+      // COLUMN-MAPPED targets serve (closing the r15 refusal): the
+      // statement speaks LOGICAL names, the engine runs in PHYSICAL
+      // ones — the replacement frame and the predicate are translated
+      // through the mapping (appendMapped's discipline, the same facade
+      // every mapped DML path applies), so a post-rename backfill lands
+      // in the same physical columns batch INSERTs do
+      val mapping: Option[Map[String, String]] =
+        log.currentVersion.flatMap(v => log.columnMapping(v).map(_._2.toMap))
+      val raw = spark.sql(selectSql)
+      val dfPhys = mapping match {
+        case Some(m) =>
+          val unknown = raw.columns.filterNot(m.contains)
+          require(unknown.isEmpty,
+            s"REPLACE WHERE: column(s) ${unknown.mkString(", ")} are not in " +
+              s"$cat.$table's mapping")
+          raw.select(raw.columns.toSeq.map(c => col(c).as(m(c))): _*)
+        case None => raw
       }
-      val df0 = GraftCatalog.generatedTransform(log, spark.sql(selectSql))
+      val df0 = GraftCatalog.generatedTransform(log, dfPhys)
       val checks = log.currentVersion.toSeq.flatMap(v =>
         log.metaValues(v).collect {
           case (k, sql) if k.startsWith("prop.check.") =>
@@ -786,10 +858,17 @@ object GraftSqlParser {
                 s"constraint(s) [${checks.map(_._1).mkString(", ")}] — " +
                 "nothing committed"))))
         }
-      val parts = math.max(1, math.min(32,
-        spark.conf.get("spark.sql.shuffle.partitions").toInt))
+      // byte-sized writes, never a fixed task cap — the same
+      // `optimize.maxFileSize` knob OPTIMIZE and COPY INTO size by
+      val target = spark.conf.getOption("spark.graft.optimize.maxFileSize")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
+      val condPhys = mapping match {
+        case Some(m) => GraftSqlDml.translatePhys(
+          spark.sessionState.sqlParser.parseExpression(condSql), m).sql
+        case None => condSql
+      }
       val ((v, (nDel, nIns)), _) = log.withOccRetry()(
-        log.replaceWhere(spark, df, expr(condSql), parts))
+        log.replaceWhere(spark, df, expr(condPhys), target))
       val bc = log.bloomColumns(v)
       if (bc.nonEmpty) log.writeBloomSidecarFor(spark, v, bc)
       Seq(Row("REPLACE WHERE", s"$cat.$table", v, nDel, nIns))
@@ -807,7 +886,8 @@ object GraftSqlParser {
     */
   private case class CloneGraftTable(
       dstCat: String, dstTable: String,
-      srcCat: String, srcTable: String, version: Option[Long])
+      srcCat: String, srcTable: String, version: Option[Long],
+      shallow: Boolean)
     extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs(
       "op" -> StringType, "table" -> StringType, "source" -> StringType,
@@ -817,10 +897,21 @@ object GraftSqlParser {
       val src = logFor(spark, srcCat, srcTable)
       val dstRoot = new File(
         spark.conf.get(s"spark.sql.catalog.$dstCat.root"), dstTable).toString
-      val child = src.cloneShallow(dstRoot, version)
       val v = version.getOrElse(src.currentVersion.get)
-      Seq(Row("SHALLOW CLONE", s"$dstCat.$dstTable", s"$srcCat.$srcTable",
-        v, child.dataFiles(0L).size.toLong, 0L))
+      if (shallow) {
+        val child = src.cloneShallow(dstRoot, version)
+        Seq(Row("SHALLOW CLONE", s"$dstCat.$dstTable", s"$srcCat.$srcTable",
+          v, child.dataFiles(0L).size.toLong, 0L))
+      } else {
+        // deep: a MATERIALIZED copy at the pinned version — no lifetime
+        // coupling to the source (its VACUUM/expire/DROP cannot break
+        // this table)
+        val child = src.cloneDeep(dstRoot, version)
+        val copied = child.dataFiles(0L)
+        val bytes = copied.map(p => new File(dstRoot, p).length()).sum
+        Seq(Row("CLONE", s"$dstCat.$dstTable", s"$srcCat.$srcTable",
+          v, copied.size.toLong, bytes))
+      }
     }
   }
 

@@ -87,7 +87,12 @@ class SnapshotLog(
   private[sources] val dataRootPath: String = {
     val marker = new File(root, "_pool")
     val declared = dataRootOpt.orElse {
-      if (marker.exists()) Some(readLines(marker).head) else None
+      if (marker.exists()) Some(readLines(marker).headOption.getOrElse(
+        throw new IllegalStateException(
+          s"SnapshotLog: the _pool marker at $marker is empty/truncated — " +
+            "this table borrows a shared data pool and cannot resolve it; " +
+            "restore the marker (one line: the pool root path)")))
+      else None
     }
     new File(declared.getOrElse(root)).getCanonicalPath
   }
@@ -327,6 +332,41 @@ class SnapshotLog(
     require(allowEmpty || staged.nonEmpty,
       s"stageData: write produced no parquet files under $dir")
     staged
+  }
+
+  /** [[stageData]] with BYTE-SIZED output partitioning for a frame whose
+    * size is unknown until it is evaluated (a REPLACE WHERE replacement
+    * SELECT, an arbitrary backfill): the write rides an AQE REBALANCE
+    * with `advisoryPartitionSizeInBytes` pinned to `targetBytes`, so the
+    * runtime both COALESCES a small replacement into few files and
+    * SPLITS a 100 TB backfill into ~target-sized ones — never a fixed
+    * task cap (a fixed 32 means ~3 TB files at 100 TB), and never a
+    * second evaluation pass just to count bytes first.
+    */
+  def stageDataSized(
+      df: DataFrame, targetBytes: Long, allowEmpty: Boolean = false): Seq[String] = {
+    require(targetBytes >= 1L, s"stageDataSized: targetBytes must be >= 1, got $targetBytes")
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, targetBytes.toString)
+    try {
+      val id = java.util.UUID.randomUUID().toString
+      val dir = new File(dataDir, id)
+      df.hint("rebalance").write.mode("error").parquet(dir.toString)
+      val staged = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .map(f => s"data/$id/${f.getName}")
+        .toSeq.sorted
+      require(allowEmpty || staged.nonEmpty,
+        s"stageDataSized: write produced no parquet files under $dir")
+      staged
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   /** Phase 2: atomically publish `fileList` as the next version after
@@ -600,6 +640,74 @@ class SnapshotLog(
     child
   }
 
+  /** MATERIALIZED (deep) CLONE to an arbitrary root (the Delta
+    * `CREATE TABLE … CLONE` shape, complementing [[cloneShallow]]): the
+    * source snapshot's manifest lines commit as the new table's v0 and
+    * every referenced file's BYTES are copied under the clone's OWN data
+    * pool — the archival/fork shape with zero lifetime coupling: no pool
+    * marker, no clone registration, and the source's VACUUM/expire/DROP
+    * can never touch it. Stats/Bloom/value sidecars of the copied stage
+    * directories ride along, so file skipping works on the clone
+    * immediately. Copy cost is the snapshot's bytes (driver-side NIO
+    * copy per file — the local-FS translation of a distributed object
+    * copy); metadata stays manifest-sized.
+    */
+  def cloneDeep(dstRoot: String, version: Option[Long] = None): SnapshotLog = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"cloneDeep: no committed snapshot at $root"))
+    val v = version.getOrElse(cur)
+    require(versions.contains(v),
+      s"cloneDeep: version $v does not exist at $root (have ${versions.mkString(", ")})")
+    val dstCanonical = new File(dstRoot).getCanonicalPath
+    require(dstCanonical != new File(root).getCanonicalPath,
+      "cloneDeep: destination is the source itself")
+    val child = new SnapshotLog(dstRoot, checkpointInterval)
+    require(child.currentVersion.isEmpty,
+      s"cloneDeep: a table already exists at $dstRoot")
+    // COPY INTO ledgers and streaming txn watermarks are SOURCE-lifetime
+    // state (the Delta clone rule): the ledger dirs live under the
+    // source's pool and the txn marks belong to the source's streams —
+    // carrying either would break the clone's own ingest. Everything
+    // else (schema, mapping, checks, identity watermark, clusterBy)
+    // clones verbatim.
+    val lines = files(v).filterNot(l =>
+      l.startsWith(s"${MetaPrefix}copyledgers=") ||
+        l.startsWith(s"${MetaPrefix}txn."))
+    val rels = lines.filterNot(isMetaLine).map { l =>
+      if (l.startsWith(DelPrefix)) l.stripPrefix(DelPrefix)
+      else if (l.startsWith(PosDelPrefix)) l.stripPrefix(PosDelPrefix)
+      else if (l.startsWith(DvPrefix)) l.stripPrefix(DvPrefix)
+      else l
+    }
+    def copyTree(from: File, to: File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        Option(from.listFiles()).getOrElse(Array.empty)
+          .foreach(f => copyTree(f, new File(to, f.getName)))
+      } else {
+        to.getParentFile.mkdirs()
+        Files.copy(from.toPath, to.toPath)
+        ()
+      }
+    }
+    rels.foreach { rel =>
+      copyTree(new File(dataRootPath, rel), new File(dstCanonical, rel))
+    }
+    // per-stage sidecars (stats / blooms / value sets) are directory
+    // metadata, not manifest lines — copy them with their stages so the
+    // clone skips exactly like the source
+    rels.map(r => new File(dataRootPath, r).getParentFile).distinct.foreach { dir =>
+      val relDir = dir.getCanonicalPath.stripPrefix(dataRootPath + "/")
+      Seq("_stats.parquet", "_blooms.parquet", "_values.parquet").foreach { s =>
+        val side = new File(dir, s)
+        if (side.exists())
+          copyTree(side, new File(new File(dstCanonical, relDir), s))
+      }
+    }
+    child.commit(None, lines)
+    child
+  }
+
   /** Roots of the LIVE shallow clones registered against this pool —
     * registrations whose `_log` directory no longer exists (a dropped
     * clone) are pruned as they are discovered. Meaningful on the pool
@@ -655,9 +763,23 @@ class SnapshotLog(
     * position delete: read-with-positions, filter by any predicate,
     * project `(_file, _pos)`.
     */
-  def readWithPositions(spark: SparkSession, version: Long): DataFrame = {
+  def readWithPositions(spark: SparkSession, version: Long): DataFrame =
+    readWithPositionsOf(spark, version, dataFiles(version))
+
+  /** [[readWithPositions]] restricted to a SUBSET of the snapshot's data
+    * files — the stats-pruned DML discovery scan ([[replaceWhere]] reads
+    * only the files whose sidecar stats intersect its predicate, never
+    * the whole table). Masks still apply exactly (position-delete and DV
+    * masks are per-(file, pos) anti-joins/probes — restricting the data
+    * side never changes which of ITS rows are masked).
+    */
+  private[sources] def readWithPositionsOf(
+      spark: SparkSession, version: Long, subset: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
-    val paths = dataFiles(version).map(p => new File(dataRootPath, p).toString)
+    val live = dataFiles(version).toSet
+    require(subset.forall(live.contains),
+      s"readWithPositionsOf: subset names file(s) outside snapshot v$version")
+    val paths = subset.map(p => new File(dataRootPath, p).toString)
     // pin the declared scan schema (widenings applied) when one exists
     // so rows predating an [[addColumns]] carry NULL for the added
     // columns here too — DML predicates may reference them
@@ -983,6 +1105,129 @@ class SnapshotLog(
       prev.map(_ + ",").getOrElse("") + id))
   }
 
+  /** [[copyIngest]] for a COLUMN-MAPPED table: `data` arrives already in
+    * PHYSICAL names (the caller translates through the mapping, exactly
+    * as every mapped DML path does) and the strict schema gate pins the
+    * LIVE mapped physical fields of the declared scan schema — no
+    * minting, no evolution; bulk ingest must match the table. Ledger and
+    * data commit atomically exactly as [[copyIngest]].
+    */
+  def copyIngestMapped(
+      sources: Seq[(String, Long, Long)],
+      data: DataFrame,
+      partitions: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    require(sources.nonEmpty, "copyIngestMapped: no source files to load")
+    val spark = data.sparkSession
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"copyIngestMapped: no committed snapshot at $root"))
+    val (_, pairs) = columnMapping(cur).getOrElse(throw new IllegalStateException(
+      s"copyIngestMapped: column mapping is not enabled at $root — use copyIngest"))
+    require(wideningsPinnable(cur),
+      "copyIngestMapped: a float-target type widening is in force — " +
+        "optimize() first")
+    val ds = scanSchema(cur).getOrElse(throw new IllegalStateException(
+      s"copyIngestMapped: $root uses column mapping without a declared schema"))
+    val live = pairs.map(_._2)
+    require(data.columns.toSeq.sorted == live.sorted,
+      s"copyIngestMapped: source schema drifts from v$cur — " +
+        s"batch=${data.columns.toSeq.sorted.mkString("[", ",", "]")} " +
+        s"live physical=${live.sorted.mkString("[", ",", "]")}")
+    val liveT = ds.filter(f => live.contains(f.name))
+      .map(f => f.name -> f.dataType).toMap
+    val retyped = data.schema.filter(f => liveT.get(f.name).exists(_ != f.dataType))
+      .map(f => s"${f.name}: ${liveT(f.name).simpleString} -> ${f.dataType.simpleString}")
+    require(retyped.isEmpty,
+      s"copyIngestMapped: retyped column(s) ${retyped.mkString("[", ",", "]")}")
+    import spark.implicits._
+    val id = java.util.UUID.randomUUID().toString
+    val ledgerDir = new File(dataDir, s"_copyledger/$id")
+    sources.toDF("path", "size", "mtime")
+      .coalesce(1).write.mode("error").parquet(ledgerDir.toString)
+    val staged = stageData(data.select(live.map(col): _*), partitions)
+    writeFooterStatsSidecar(spark, staged)
+    val prev = metaValues(cur).get(CopyLedgerKey).filter(_.nonEmpty)
+    commit(Some(cur), withMeta(files(cur) ++ staged, CopyLedgerKey,
+      prev.map(_ + ",").getOrElse("") + id))
+  }
+
+  /** [[copyIngest]] into a GENERATED ALWAYS AS IDENTITY table (the Delta
+    * COPY-INTO-mints shape): ids are assigned with [[appendIdentityStats]]'
+    * distributed discipline — per-partition offsets + `row_number`, one
+    * contiguous block above the persisted `prop.idhwm.<col>` watermark —
+    * and the LEDGER entry, the id-block advance, and the data files land
+    * in ONE commit, so a crash or OCC race can neither double-load a
+    * source file nor double-mint its ids (re-running the statement after
+    * any failure is a no-op or a clean completion, never a skip).
+    * `data` must carry `idCol` all-NULL (ALWAYS semantics — the reader
+    * serves NULL when the source files lack the column entirely).
+    */
+  def copyIngestIdentity(
+      sources: Seq[(String, Long, Long)],
+      data: DataFrame,
+      idCol: String,
+      start: Long,
+      step: Long,
+      partitions: Int): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit,
+      monotonically_increasing_id, row_number, spark_partition_id}
+    require(sources.nonEmpty, "copyIngestIdentity: no source files to load")
+    require(step != 0L, "copyIngestIdentity: step must be non-zero")
+    val spark = data.sparkSession
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"copyIngestIdentity: no committed snapshot at $root"))
+    require(data.columns.contains(idCol),
+      s"copyIngestIdentity: identity column $idCol not in the batch")
+    val base = read(spark, cur).schema.map(f => f.name -> f.dataType).toMap
+    val batch = data.schema.map(f => f.name -> f.dataType).toMap
+    require(base.keySet == batch.keySet &&
+        base.forall { case (c, t) => c == idCol || batch(c) == t },
+      s"copyIngestIdentity: source schema drifts from v$cur — " +
+        s"missing=${(base.keySet -- batch.keySet).toSeq.sorted.mkString("[", ",", "]")} " +
+        s"extra=${(batch.keySet -- base.keySet).toSeq.sorted.mkString("[", ",", "]")}")
+    val baseCols = read(spark, cur).columns.toSeq
+    val src = data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(src.where(col(idCol).isNotNull).limit(1).count() == 0L,
+        s"copyIngestIdentity: $idCol is GENERATED ALWAYS AS IDENTITY — " +
+          "source files must not provide values for it")
+      val hwm = property(cur, s"idhwm.$idCol").map(_.toLong)
+        .getOrElse(start - step)
+      val withPid = src.withColumn("__pid", spark_partition_id())
+      val counts = withPid.groupBy("__pid").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      var acc = 0L
+      val offs = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__pid").orderBy(monotonically_increasing_id())
+      val assigned =
+        if (n == 0L) src.select(baseCols.map(col): _*)
+        else withPid
+          .join(broadcast(offs.toSeq.toDF("__pid", "__off")), "__pid")
+          .withColumn(idCol,
+            lit(hwm) + lit(step) * (col("__off") + row_number().over(w)))
+          .select(baseCols.map(col): _*)
+      // ledger staged first (invisible until the meta line references it)
+      val id = java.util.UUID.randomUUID().toString
+      val ledgerDir = new File(dataDir, s"_copyledger/$id")
+      sources.toDF("path", "size", "mtime")
+        .coalesce(1).write.mode("error").parquet(ledgerDir.toString)
+      val staged =
+        if (n == 0L) Seq.empty[String]
+        else stageData(assigned, partitions)
+      if (staged.nonEmpty) writeFooterStatsSidecar(spark, staged)
+      val prev = metaValues(cur).get(CopyLedgerKey).filter(_.nonEmpty)
+      val lines0 = withMeta(files(cur) ++ staged, CopyLedgerKey,
+        prev.map(_ + ",").getOrElse("") + id)
+      val lines =
+        if (n == 0L) lines0
+        else withMeta(lines0, s"prop.idhwm.$idCol", (hwm + step * n).toString)
+      commit(Some(cur), lines)
+    } finally { src.unpersist(); () }
+  }
+
   /** [[overwrite]] staging the frame's OWN partitioning plus footer
     * stats sidecars — the cluster-on-write half of `INSERT OVERWRITE`
     * into a clusterBy table: the replacement content lands range-
@@ -1137,10 +1382,32 @@ class SnapshotLog(
       s"changeFeed: need committed fromVersion < toVersion, got $fromVersion..$toVersion of $vs")
     import org.apache.spark.sql.functions.lit
     val parts = ((fromVersion + 1L) to toVersion).flatMap { v =>
+      if (v == vs.head) {
+        // the from-the-beginning window: the earliest surviving version
+        // is served as its MASKED SNAPSHOT (exactly the streaming
+        // source's initial-snapshot batch) — after an expire the head
+        // version may carry mask lines, and materializing those as
+        // deletes would report dead rows live AND join against v-1,
+        // which no longer exists
+        if (dataFiles(v).isEmpty) Nil
+        else Seq(read(spark, v)
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_change_type", lit("insert")))
+      } else changeDelta(spark, v)
+    }
+    require(parts.nonEmpty, s"changeFeed: no changes in ($fromVersion, $toVersion]")
+    parts.reduce(_ unionByName _)
+  }
+
+  /** One version's row-level delta for [[changeFeed]] — the
+    * non-initial-window commit class (v has a committed parent).
+    */
+  private def changeDelta(spark: SparkSession, v: Long): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    {
       // meta lines are table metadata, not files: a metadata commit
       // (rename, optimize pointer) carries no row-level change
-      val prev =
-        if (v == vs.head) Nil else files(v - 1L).filterNot(isMetaLine)
+      val prev = files(v - 1L).filterNot(isMetaLine)
       val prevSet = prev.toSet
       val curF = files(v).filterNot(isMetaLine)
       val removed = prevSet -- curF.toSet
@@ -1179,8 +1446,6 @@ class SnapshotLog(
         }
       ins ++ del ++ posDel
     }
-    require(parts.nonEmpty, s"changeFeed: no changes in ($fromVersion, $toVersion]")
-    parts.reduce(_ unionByName _)
   }
 
   /** The data files `version` ADDED over its parent, as ABSOLUTE paths —
@@ -1936,29 +2201,72 @@ class SnapshotLog(
     * idempotent. Position deletes and deletion vectors compose (the
     * scan is position-aware; those mask lines are file-scoped — live
     * for untouched files, inert for rewritten and new ones); KEY
-    * tombstones are refused (key-addressed, they would silently mask
-    * re-inserted rows — compact() first, the [[mergeIntoKeys]] rule).
+    * tombstones compose too — their carried-file maskings materialize
+    * as position deletes in the same commit and the key-addressed lines
+    * drop, so a tombstoned key re-inserted by the replacement serves
+    * the new row (hash-equal to the compact-first route).
     * Footer stats sidecars cover both the survivor and the new files,
     * so skipping keeps working.
+    *
+    * Scale shape (the 100× plan): grazed-file DISCOVERY scans only the
+    * [[statsCandidateFiles]] whose sidecar stats intersect the predicate
+    * — a day-scoped backfill over a date-clustered 100 TB table reads
+    * that day's files to find matches, never the table; the replacement
+    * and survivor writes are BYTE-SIZED (`targetBytes` per output file —
+    * [[stageDataSized]]'s AQE rebalance for the unknown-size replacement,
+    * `ceil(grazedBytes / target)` for the known-size survivors), never a
+    * fixed task cap.
     * Returns (version, (rowsDeleted, rowsInserted)).
     */
   def replaceWhere(
       spark: SparkSession,
       df: DataFrame,
       predicate: org.apache.spark.sql.Column,
-      partitions: Int): (Long, (Long, Long)) = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      // streaming-transaction watermark (the [[appendTxn]] discipline):
+      // the `txn.<appId>=batchId` mark rides the SAME commit as the
+      // scoped overwrite, so a redelivered trigger re-replacing its own
+      // scope is a structural no-op, not a hopeful one
+      txn: Option[(String, Long)] = None): (Long, (Long, Long)) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, raise_error, when}
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"replaceWhere: no committed snapshot at $root"))
-    // key tombstones are KEY-addressed, not file-scoped: carried forward
-    // they would silently mask re-inserted rows with tombstoned keys —
-    // refuse, exactly as mergeInto does (position deletes/DVs are
-    // file-scoped and genuinely inert for the staged files)
-    require(tombstoneFiles(cur).isEmpty,
-      "replaceWhere: compact() key tombstones first (position deletes compose)")
+    txn.foreach { case (app, b) =>
+      val wm = metaValues(cur).get(s"txn.$app").map(_.toLong).getOrElse(-1L)
+      if (b <= wm) return (cur, (0L, 0L))
+    }
+    // KEY tombstones COMPOSE (the r16 lift of the old refusal): their
+    // maskings on CARRIED files are materialized as file-scoped POSITION
+    // deletes in this same commit and the key-addressed lines dropped —
+    // so a tombstoned key re-inserted by the replacement serves the NEW
+    // row while every pre-delete row stays dead (hash-equal to the
+    // compact-first route, without the table-sized compaction). Grazed
+    // files need nothing: their survivors are read mask-applied.
+    val tombs = tombstoneFiles(cur)
     // appendStrict's gate, names AND types: a retyped replacement column
-    // would commit parquet the declared-schema scan can never read back
-    val baseSchema = read(spark, cur).schema
+    // would commit parquet the declared-schema scan can never read back.
+    // On a COLUMN-MAPPED table the machinery runs in PHYSICAL names (the
+    // names the files and sidecars carry — callers translate): the gate
+    // pins the LIVE mapped physical fields of the declared scan schema.
+    val mappedPairs = columnMapping(cur)
+    val baseSchema = mappedPairs match {
+      case Some((_, pairs)) =>
+        require(tombs.isEmpty,
+          "replaceWhere: key tombstones do not compose with column mapping " +
+            "(they store delete-time logical names); compact() first")
+        require(wideningsPinnable(cur),
+          "replaceWhere: a float-target type widening is in force — the " +
+            "pinned scan cannot up-cast it; optimize() first")
+        val ds = scanSchema(cur).getOrElse(throw new IllegalStateException(
+          s"replaceWhere: $root uses column mapping without a declared " +
+            "schema — the physical scan cannot be pinned"))
+        val live = pairs.map(_._2).toSet
+        require(live.subsetOf(ds.fieldNames.toSet),
+          s"replaceWhere: declared schema does not cover the mapping's " +
+            s"physical ids (${(live -- ds.fieldNames.toSet).mkString(", ")})")
+        org.apache.spark.sql.types.StructType(ds.filter(f => live(f.name)))
+      case None => read(spark, cur).schema
+    }
     val baseCols = baseSchema.fieldNames.toSeq
     val baseT = baseSchema.map(f => f.name -> f.dataType).toMap
     val batchT = df.schema.map(f => f.name -> f.dataType).toMap
@@ -1978,10 +2286,19 @@ class SnapshotLog(
             "predicate — nothing committed"))))
       .select(baseCols.map(col): _*)
     // an EMPTY replacement is the scoped-delete form of the statement
-    val stagedNew = stageData(guarded, partitions, allowEmpty = true)
+    val stagedNew = stageDataSized(guarded, targetBytes, allowEmpty = true)
     val nIns = footerRowCount(stagedNew.map(p => new File(dataRootPath, p).toString))
-    // grazed files + survivor rewrite — the deleteWhereCow shape
-    val base = if (dataFiles(cur).isEmpty) null else readWithPositions(spark, cur)
+    // grazed files + survivor rewrite — the deleteWhereCow shape, with
+    // the discovery scan STATS-PRUNED to the files whose recorded
+    // sidecar ranges/values intersect the predicate (a file the stats
+    // exclude cannot hold a matching row, so the grazed set is exact)
+    val candidates =
+      if (dataFiles(cur).isEmpty) Seq.empty[String]
+      else statsCandidateFiles(spark, cur, predicate)
+    SnapshotLog.lastReplaceWhereScan = (candidates.size, dataFiles(cur).size)
+    val base =
+      if (candidates.isEmpty) null
+      else readWithPositionsOf(spark, cur, candidates)
     val (grazed, nDel, stagedSurv) =
       if (base == null) (Seq.empty[String], 0L, Seq.empty[String])
       else {
@@ -1996,11 +2313,19 @@ class SnapshotLog(
           if (n == 0L) (Seq.empty[String], 0L, Seq.empty[String])
           else {
             val inGrazed = base.where(col("_file").isin(g: _*))
+            // survivors project to the LIVE columns (on a mapped table
+            // the pinned scan also carries dropped-column physical ids —
+            // re-staging those would re-materialize ghost data)
             val survivors = inGrazed.where(!coalesce(predicate, lit(false)))
-              .drop("_file", "_pos")
+              .select(baseCols.map(col): _*)
+            // survivor bytes are bounded by the grazed files' on-disk
+            // bytes (already in hand from the manifest walk — zero IO):
+            // ceil(bytes / target), the byte-sizing OPTIMIZE uses
+            val grazedBytes = g.map(p => new File(dataRootPath, p).length()).sum
+            val parts = math.max(1L, (grazedBytes + targetBytes - 1L) / targetBytes).toInt
             val s =
               if (survivors.limit(1).count() == 0L) Seq.empty[String]
-              else stageData(survivors, math.max(1, g.size))
+              else stageData(survivors, parts)
             (g, n, s)
           }
         } finally { matching.unpersist(); () }
@@ -2008,15 +2333,47 @@ class SnapshotLog(
     writeFooterStatsSidecar(spark, stagedNew)
     if (stagedSurv.nonEmpty) writeFooterStatsSidecar(spark, stagedSurv)
     val grazedSet = grazed.toSet
+    // key-tombstone composition: every masking a tombstone still owes on
+    // a CARRIED data file becomes a position delete (file-scoped — inert
+    // for the staged replacement), and the key-addressed lines drop in
+    // this same commit. The conversion scan touches only carried files
+    // (the table's MOR debt), never a rewrite.
+    val stagedTombPos: Seq[String] =
+      if (tombs.isEmpty) Seq.empty
+      else {
+        import org.apache.spark.sql.functions.regexp_extract
+        val carriedData = dataFiles(cur).filterNot(grazedSet)
+        if (carriedData.isEmpty) Seq.empty
+        else {
+          val keys = spark.read.parquet(
+            tombs.map(p => new File(dataRootPath, p).toString): _*)
+          val paths = carriedData.map(p => new File(dataRootPath, p).toString)
+          val raw = scanSchema(cur) match {
+            case Some(s) => spark.read.schema(s).parquet(paths: _*)
+            case None => spark.read.parquet(paths: _*)
+          }
+          val owed = raw
+            .withColumn("_file",
+              regexp_extract(col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1))
+            .withColumn("_pos", col("_metadata.row_index"))
+            .join(keys, keys.columns.toSeq, "left_semi")
+            .select(col("_file").cast("string"), col("_pos").cast("long"))
+          stageData(owed, 1, allowEmpty = true)
+        }
+      }
     val carried = files(cur).filterNot(grazedSet)
+      .filterNot(_.startsWith(DelPrefix))
+    val masks = stagedTombPos.map(PosDelPrefix + _)
     // the scoped-delete form can empty the whole table: declare the
     // schema in the commit so it keeps reading as the empty relation
     val lines =
-      if (stagedSurv.isEmpty && stagedNew.isEmpty &&
+      if (stagedSurv.isEmpty && stagedNew.isEmpty && masks.isEmpty &&
           !carried.exists(l => !isMetaLine(l) && !isTombLine(l)))
         withMeta(carried, "schema", baseSchema.json)
-      else carried ++ stagedSurv ++ stagedNew
-    val v = commit(Some(cur), lines)
+      else carried ++ masks ++ stagedSurv ++ stagedNew
+    val lines2 = txn.fold(lines) { case (app, b) =>
+      withMeta(lines, s"txn.$app", b.toString) }
+    val v = commit(Some(cur), lines2)
     (v, (nDel, nIns))
   }
 
@@ -3120,6 +3477,135 @@ class SnapshotLog(
     if (entries.isEmpty) None else Some(entries.toMap)
   }
 
+  /** The data files of `version` that MAY hold a row satisfying
+    * `predicate` — the stats-pruned DML discovery set. The predicate's
+    * TOP-LEVEL CONJUNCTS are walked on the Catalyst tree (never regex —
+    * a `NOT (a AND b)` must not leak `b` as a prunable term): each
+    * `col <cmp> literal` over an integral/date column becomes an
+    * interval probe against the footer-stats sidecars
+    * ([[fileStatsForColumn]]), each `col = 'string'` a membership probe
+    * against the distinct-value sidecars ([[fileValueSetsForColumn]]),
+    * and EVERY other conjunct is simply not pruned by (conservative —
+    * dropping a conjunct only widens the candidate set, since any row
+    * satisfying the whole AND satisfies each kept term). Files without
+    * sidecar entries for a probed column are kept. File-count-sized
+    * metadata work; never a data scan.
+    */
+  def statsCandidateFiles(
+      spark: SparkSession,
+      version: Long,
+      predicate: org.apache.spark.sql.Column): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.StringType
+    // the Column may come from the SQL path (a real Catalyst comparison
+    // tree) or from the Column API (UnresolvedFunction("and"/">="/...)
+    // nodes that only the analyzer would resolve) — both shapes match
+    def fname(f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction): String =
+      f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if fname(f) == "and" && f.arguments.size == 2 =>
+        conjuncts(f.arguments(0)) ++ conjuncts(f.arguments(1))
+      case other => Seq(other)
+    }
+    // (op, left, right) of a binary comparison, op in =, >=, <=, >, <
+    def cmpOf(e: Expression): Option[(String, Expression, Expression)] = e match {
+      case EqualTo(l, r) => Some(("=", l, r))
+      case GreaterThanOrEqual(l, r) => Some((">=", l, r))
+      case LessThanOrEqual(l, r) => Some(("<=", l, r))
+      case GreaterThan(l, r) => Some((">", l, r))
+      case LessThan(l, r) => Some(("<", l, r))
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.arguments.size == 2 &&
+            Set("=", "==", ">=", "<=", ">", "<").contains(fname(f)) =>
+        Some((if (fname(f) == "==") "=" else fname(f), f.arguments(0), f.arguments(1)))
+      case _ => None
+    }
+    def attrOf(e: Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 => Some(a.nameParts.head)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def longOf(e: Expression): Option[Long] = e match {
+      case Literal(v: Byte, _) => Some(v.toLong)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Int, _) => Some(v.toLong) // DateType stores epoch days
+      case Literal(v: Long, _) => Some(v)
+      case _ => None
+    }
+    def strOf(e: Expression): Option[String] = e match {
+      case Literal(s, StringType) if s != null => Some(s.toString)
+      case _ => None
+    }
+    // `col <op> lit` normalized so the attribute is on the left
+    def flip(op: String): String = op match {
+      case ">=" => "<="
+      case "<=" => ">="
+      case ">" => "<"
+      case "<" => ">"
+      case o => o
+    }
+    def interval(op: String, v: Long): (Long, Long) = op match {
+      case "=" => (v, v)
+      case ">=" => (v, Long.MaxValue)
+      case ">" => (v + 1L, Long.MaxValue)
+      case "<=" => (Long.MinValue, v)
+      case _ => (Long.MinValue, v - 1L) // "<"
+    }
+    val terms: Seq[Either[(String, (Long, Long)), (String, String)]] =
+      conjuncts(
+        org.apache.spark.sql.graftshim.StreamingShims.expressionOf(predicate))
+        .flatMap(cmpOf).flatMap { case (op, l, r) =>
+          (attrOf(l), attrOf(r)) match {
+            case (Some(c), None) =>
+              longOf(r).map(v => scala.util.Left((c, interval(op, v))))
+                .orElse(if (op == "=") strOf(r).map(s => scala.util.Right((c, s)))
+                        else None).toSeq
+            case (None, Some(c)) =>
+              longOf(l).map(v => scala.util.Left((c, interval(flip(op), v))))
+                .orElse(if (op == "=") strOf(l).map(s => scala.util.Right((c, s)))
+                        else None).toSeq
+            case _ => Nil // col-col or lit-lit term: no pruning by it
+          }
+        }
+    val intervals = terms.collect { case scala.util.Left(t) => t }
+      .groupBy(_._1).map { case (c, ts) =>
+        c -> ts.map(_._2).reduce { (a, b) =>
+          (math.max(a._1, b._1), math.min(a._2, b._2)) } }
+    val values = terms.collect { case scala.util.Right(t) => t }
+      .groupBy(_._1).map { case (c, vs) => c -> vs.map(_._2).toSet }
+    val all = dataFiles(version)
+    def rel(abs: String): String = abs.stripPrefix(dataRootPath + "/")
+    val afterIntervals = intervals.foldLeft(all.toSet) { case (keep, (c, (pLo, pHi))) =>
+      fileStatsForColumn(spark, version, c) match {
+        case None => keep
+        case Some(byAbs) =>
+          val byRel = byAbs.map { case (abs, r) => rel(abs) -> r }
+          keep.filter(p => byRel.get(p) match {
+            case Some((lo, hi)) => lo <= pHi && hi >= pLo
+            case None => true
+          })
+      }
+    }
+    val afterValues = values.foldLeft(afterIntervals) { case (keep, (c, required)) =>
+      fileValueSetsForColumn(spark, version, c) match {
+        case None => keep
+        case Some(byAbs) =>
+          val byRel = byAbs.map { case (abs, r) => rel(abs) -> r }
+          keep.filter(p => byRel.get(p) match {
+            // an AND of equalities over one column needs every value in
+            // the file's recorded set; the sidecar records full distincts
+            case Some(Some(set)) => required.subsetOf(set)
+            case Some(None) => true // FULL marker: distincts overflowed
+            case None => true
+          })
+      }
+    }
+    all.filter(afterValues)
+  }
+
   /** MERGE (upsert) under the log, COPY-ON-WRITE with stats-pruned
     * rewrite scope (the Delta `MERGE INTO` + file-pruning shape):
     * matched keys take the update row, unmatched update rows insert, and
@@ -3987,6 +4473,14 @@ class SnapshotLog(
 
   private[sources] def branchesDir = new File(root, "branches")
 
+  /** Canonical roots of this log's LIVE branches ([[fork]]) — the chains
+    * a shared-pool sweep must also protect.
+    */
+  private[sources] def liveBranchRoots: Seq[String] =
+    Option(branchesDir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(d => new File(d, "_log").isDirectory)
+      .map(_.getCanonicalPath).sorted
+
   /** The orphan listing [[sweepOrphans]] deletes and [[vacuumDryRun]]
     * previews — underscore-prefixed entries (the `_stats.parquet`
     * sidecar) are stage METADATA, not data files: never orphan-collected
@@ -4069,6 +4563,12 @@ object SnapshotLog {
     */
   @volatile private[graft] var lastAnalyzePlan: String = ""
 
+  /** Test probe: (candidateFiles, totalFiles) of the most recent
+    * [[SnapshotLog.replaceWhere]] discovery scan — lets a spec pin that
+    * out-of-scope files were never read, without widening the receipt.
+    */
+  @volatile private[graft] var lastReplaceWhereScan: (Int, Int) = (0, 0)
+
   /** Orphan collection over a SHARED data pool: the union of every
     * chain's live set protects a file if ANY ref (parent or branch)
     * still references it. The caller must pass every log sharing the
@@ -4081,6 +4581,20 @@ object SnapshotLog {
     require(logs.forall(_.dataRootPath == pool),
       s"vacuumShared: all logs must share one data pool, got " +
         logs.map(_.dataRootPath).distinct.mkString(", "))
+    // the "every log sharing the pool" contract is CHECKED, not trusted:
+    // a caller passing the owner but forgetting a live clone or branch
+    // would otherwise bypass the solo-vacuum guards and delete files the
+    // forgotten ref still reads — silent breakage the clone registry and
+    // the branches/ convention exist to prevent
+    val present = logs.map(l => new File(l.root).getCanonicalPath).toSet
+    val missingClones = logs.head.cloneRoots.filterNot(present)
+    require(missingClones.isEmpty,
+      s"vacuumShared: live shallow clone(s) share this pool but were not " +
+        s"passed: ${missingClones.mkString(", ")}")
+    val missingBranches = logs.flatMap(_.liveBranchRoots).distinct.filterNot(present)
+    require(missingBranches.isEmpty,
+      s"vacuumShared: live branch(es) share this pool but were not " +
+        s"passed: ${missingBranches.mkString(", ")}")
     logs.head.sweepOrphans(logs.flatMap(_.liveFiles).toSet,
       logs.flatMap(_.liveLedgerIds).toSet)
   }

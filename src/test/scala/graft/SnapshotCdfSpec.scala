@@ -108,4 +108,26 @@ class SnapshotCdfSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage.contains("mapping moves inside"), ex2.getMessage)
   }
+
+  test("changeFeed's from-the-beginning window serves the MASKED head snapshot after an expire") {
+    val log = freshLog("t_cdf_expirehead")
+    log.append((0 until 6).map(i => (i.toLong, i.toLong * 10)).toDF("id", "v"), 1) // v0
+    val (v1, nDel) = log.deleteWhere(spark, col("id") === 1L) // v1: mask lines
+    val v2 = log.append(Seq((100L, 1000L)).toDF("id", "v"), 1)
+    assert(nDel == 1L)
+    // expire v0: the surviving head (v1) now CARRIES mask lines — the
+    // from-the-beginning window must serve v1 as its masked snapshot
+    // (the deleted row absent, NO delete rows, and no doomed join
+    // against the expired v0)
+    log.expire(keepFrom = v1)
+    val feed = log.changeFeed(spark, v1 - 1L, v2)
+    assert(feed.where(col("_change_type") === "delete").count() == 0L,
+      "the initial snapshot window reports state, not history")
+    val headIns = feed.where(col("_commit_version") === v1 &&
+      col("_change_type") === "insert")
+    assert(headIns.count() == 5L, "the masked head: 6 rows minus the deleted one")
+    assert(headIns.where(col("id") === 1L).count() == 0L,
+      "a row deleted before the window floor must not resurrect as an insert")
+    assert(feed.where(col("_commit_version") === v2).count() == 1L)
+  }
 }

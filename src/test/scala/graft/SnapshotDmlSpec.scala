@@ -329,8 +329,14 @@ class SnapshotDmlSpec extends AnyFunSuite {
     val filesBefore = log.dataFiles(log.currentVersion.get).toSet
     val (v1, (nDel, nIns)) = log.replaceWhere(spark,
       (100L until 150L).map(i => (i, i * 10)).toDF("k", "v"),
-      col("k").between(100, 199), partitions = 1)
+      col("k").between(100, 199))
     assert((nDel, nIns) == (100L, 50L), s"got ($nDel, $nIns)")
+    // the discovery scan was STATS-PRUNED: of the three range-clustered
+    // files only [100,199] intersects the predicate — out-of-scope files
+    // are never read, not merely never rewritten
+    assert(graft.sources.SnapshotLog.lastReplaceWhereScan == ((1, 3)),
+      s"expected a (1 of 3)-file discovery scan, got " +
+        graft.sources.SnapshotLog.lastReplaceWhereScan)
     // the two un-grazed files are carried byte-identical
     val filesAfter = log.dataFiles(v1).toSet
     assert(filesBefore.intersect(filesAfter).size == 2,
@@ -343,12 +349,12 @@ class SnapshotDmlSpec extends AnyFunSuite {
     // a replacement row outside the scope fails the write job
     intercept[Exception] {
       log.replaceWhere(spark, Seq((999L, 1L)).toDF("k", "v"),
-        col("k").between(100, 199), partitions = 1)
+        col("k").between(100, 199))
     }
     assert(log.currentVersion.contains(v1), "a refused replace commits nothing")
     // the empty replacement is the scoped delete
     val (v2, (d2, i2)) = log.replaceWhere(spark,
-      Seq.empty[(Long, Long)].toDF("k", "v"), col("k") < 50, partitions = 1)
+      Seq.empty[(Long, Long)].toDF("k", "v"), col("k") < 50)
     assert((d2, i2) == (50L, 0L))
     assert(log.read(spark, v2).where(col("k") < 50).count() == 0L)
     assert(log.read(spark, v2).count() == 200L)
@@ -357,23 +363,63 @@ class SnapshotDmlSpec extends AnyFunSuite {
     val (_, nPd) = log.deleteWhere(spark, col("k") === 250L)
     assert(nPd == 1L)
     val (v3, _) = log.replaceWhere(spark,
-      Seq((120L, 1L)).toDF("k", "v"), col("k").between(100, 199), partitions = 1)
+      Seq((120L, 1L)).toDF("k", "v"), col("k").between(100, 199))
     assert(log.read(spark, v3).where(col("k") === 250L).count() == 0L,
       "the position-deleted row must stay masked after an unrelated replace")
     // a retyped replacement column refuses before anything commits
     intercept[IllegalArgumentException] {
       log.replaceWhere(spark, Seq((120L, 1.5)).toDF("k", "v"),
-        col("k").between(100, 199), partitions = 1)
+        col("k").between(100, 199))
     }
-    // outstanding KEY tombstones refuse (they would re-mask inserts)
+    // outstanding KEY tombstones COMPOSE: the re-inserted tombstoned key
+    // serves the NEW row, out-of-scope tombstoned keys stay dead (their
+    // maskings materialize as position deletes), and the key-addressed
+    // lines are gone — hash-equal to the compact-first route
     val log2 = freshLog("replace_where_tomb")
-    log2.append(Seq((1L, 1L), (2L, 2L)).toDF("k", "v"), partitions = 1)
-    log2.deleteRows(Seq(1L).toDF("k"), partitions = 1)
-    val e2 = intercept[IllegalArgumentException] {
-      log2.replaceWhere(spark, Seq((1L, 10L)).toDF("k", "v"),
-        col("k") === 1L, partitions = 1)
+    log2.append(Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("k", "v"), partitions = 1)
+    log2.deleteRows(Seq(1L, 3L).toDF("k"), partitions = 1)
+    val (vT, (dT, iT)) = log2.replaceWhere(spark,
+      Seq((1L, 10L)).toDF("k", "v"), col("k") === 1L)
+    assert((dT, iT) == (0L, 1L), s"the tombstoned key has no VISIBLE row to delete, got ($dT, $iT)")
+    assert(log2.tombstoneFiles(vT).isEmpty, "key tombstones must drop in the commit")
+    assert(log2.posDeleteFiles(vT).nonEmpty, "carried maskings must materialize")
+    val gotT = log2.read(spark, vT).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotT == Map(1L -> 10L, 2L -> 2L),
+      s"re-inserted key serves the new row, out-of-scope tombstone holds: $gotT")
+  }
+
+  test("replaceWhere byte-sizes its writes: output file count tracks ceil(bytes/target), never a fixed cap") {
+    val log = freshLog("replace_where_sized")
+    // high-entropy strings so parquet cannot compress them away
+    def rows(from: Long, until: Long) = (from until until).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (i, h * 4)
     }
-    assert(e2.getMessage.contains("tombstones"), e2.getMessage)
+    log.appendIndexed(
+      rows(0L, 20000L).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions(col("k")),
+      Seq("k"))
+    def newFiles(pre: Set[String], v: Long): Seq[String] =
+      log.dataFiles(v).filterNot(pre)
+    // small target: the replacement splits into several ~target files
+    val pre1 = log.dataFiles(log.currentVersion.get).toSet
+    val (v1, _) = log.replaceWhere(spark,
+      rows(0L, 10000L).toDF("k", "v"), col("k") < 10000L,
+      targetBytes = 64L * 1024)
+    val small = newFiles(pre1, v1)
+    assert(small.size >= 2,
+      s"a ~1 MB replacement under a 64 KiB target must split, got ${small.size} file(s)")
+    // huge target: the same replacement coalesces to one file
+    val pre2 = log.dataFiles(v1).toSet
+    val (v2, _) = log.replaceWhere(spark,
+      rows(0L, 10000L).toDF("k", "v"), col("k") < 10000L,
+      targetBytes = 1L * 1024 * 1024 * 1024)
+    val big = newFiles(pre2, v2).filter(p =>
+      new java.io.File(log.root, p).length() > 0)
+    assert(big.size <= 2, // replacement + survivor stages
+      s"a ~1 MB replacement under a 1 GiB target must coalesce, got ${big.size} file(s)")
   }
 
   test("appendIdentityStats: racing inserts re-derive the watermark under OCC — ids never collide") {

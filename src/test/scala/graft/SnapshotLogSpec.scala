@@ -376,6 +376,34 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(log.readPrunedByBloom(spark, vDel, "id", "123")._1.count() == 0L)
   }
 
+  test("cloneDeep: materialized at the pinned version, zero lifetime coupling to the source") {
+    def rmTree(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    val dst = new File("/root/repo/target/snaplog_spec/deep_clone_dst")
+    rmTree(dst)
+    val log = freshLog("deep_clone_src")
+    log.append(rows(10, "a"), partitions = 2) // v0
+    log.append(rows(5, "b"), partitions = 1) // v1: 15 rows
+    val clone = log.cloneDeep(dst.toString, version = Some(0L))
+    // materialized: the clone owns its bytes (a data tree exists) and is
+    // pinned at v0
+    assert(clone.readLatest(spark).count() == 10L)
+    assert(new File(dst, "data").exists(), "a deep clone must copy bytes")
+    assert(!new File(dst, "_pool").exists(), "a deep clone borrows nothing")
+    // no registration: the source's solo vacuum runs (the shallow-clone
+    // guard must NOT fire), and the swept source leaves the clone whole
+    log.overwrite(rows(1, "z"), partitions = 1)
+    log.expire(keepFrom = log.currentVersion.get)
+    log.vacuum()
+    assert(clone.readLatest(spark).count() == 10L,
+      "the deep clone reads through the source's expire+vacuum")
+    // reopening by bare root (the catalog handle) sees its own pool
+    assert(new SnapshotLog(dst.toString).readLatest(spark).count() == 10L)
+    rmTree(dst)
+  }
+
   test("cloneShallow: zero-copy, time-travel-pinned, independent, self-describing, vacuum-safe") {
     val log = freshLog("clone_src")
     log.append(rows(10, "a"), partitions = 2) // v0
@@ -523,6 +551,38 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(log.branch("dev").readLatest(spark).count() == 6L)
     intercept[IllegalArgumentException](log.fork("dev"))
     intercept[IllegalArgumentException](log.branch("ghost"))
+  }
+
+  test("vacuumShared checks its contract: a forgotten clone or branch refuses; an empty _pool marker is loud") {
+    def rmTree(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    val dst = new File("/root/repo/target/snaplog_spec/sharedvac_guard_clone")
+    rmTree(dst)
+    val log = freshLog("sharedvac_guard")
+    log.append(rows(4, "base"), partitions = 1)
+    val dev = log.fork("guarddev")
+    dev.append(rows(2, "devonly"), partitions = 1)
+    // forgetting the branch refuses BEFORE anything is swept
+    val e1 = intercept[IllegalArgumentException](SnapshotLog.vacuumShared(Seq(log)))
+    assert(e1.getMessage.contains("branch"), e1.getMessage)
+    val clone = log.cloneShallow(dst.toString)
+    // forgetting the clone refuses too — passing owner+branches is not
+    // enough while a live clone still reads the pool
+    val e2 = intercept[IllegalArgumentException](SnapshotLog.vacuumShared(Seq(log, dev)))
+    assert(e2.getMessage.contains("clone"), e2.getMessage)
+    // the complete set sweeps; every chain keeps reading
+    SnapshotLog.vacuumShared(Seq(log, dev, clone))
+    assert(log.readLatest(spark).count() == 4L)
+    assert(dev.readLatest(spark).count() == 6L)
+    assert(clone.readLatest(spark).count() == 4L)
+    // an empty _pool marker fails loudly at OPEN (a borrower that cannot
+    // resolve its pool must never silently fall back to its own root)
+    java.nio.file.Files.write(new File(dst, "_pool").toPath, Array.empty[Byte])
+    val e3 = intercept[IllegalStateException](new SnapshotLog(dst.toString))
+    assert(e3.getMessage.contains("_pool marker"), e3.getMessage)
+    rmTree(dst)
   }
 
   test("shared-pool vacuum: solo vacuum refuses, vacuumShared keeps every chain readable") {

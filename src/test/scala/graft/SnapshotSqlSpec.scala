@@ -863,13 +863,29 @@ class SnapshotSqlSpec extends AnyFunSuite {
         s"expected '$needle' in: ${ex.getMessage}")
     }
     tvfRefuses("SELECT * FROM table_changes('graftsnap.t_tvfg', 'not-a-time')",
-      "cannot parse timestamp")
+      "neither a tag name nor a parseable timestamp")
     tvfRefuses("SELECT * FROM table_changes('graftsnap.t_tvfg', 1, 2.5)",
       "integer literals or timestamp strings")
+    // a start timestamp PAST the latest commit refuses with the real
+    // reason (previously the TVF was left unspliced — a baffling
+    // unresolved-function error)
+    tvfRefuses("SELECT * FROM table_changes('graftsnap.t_tvfg', '2099-01-01')",
+      "after the latest commit")
     // and the from-the-beginning window serves v0's initial listing
     assert(spark.sql(
       "SELECT count(*) AS n FROM table_changes('graftsnap.t_tvfg', 0)")
       .head().getLong(0) == 3L)
+    // TAG NAMES resolve as TVF bounds — the VERSION AS OF 'tag' symmetry
+    val tlog = new SnapshotLog(s"$root/t_tvfg")
+    assert(tlog.tag("start", 0L) && tlog.tag("cut", 1L))
+    spark.sql("INSERT INTO graftsnap.t_tvfg SELECT id + 10 FROM range(2)") // v2
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM table_changes('graftsnap.t_tvfg', 'start', 'cut')")
+      .head().getLong(0) == 3L, "tag-to-tag window = v0 through the cut")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM table_changes('graftsnap.t_tvfg', 'cut')")
+      .head().getLong(0) == 5L,
+      "tag start behaves exactly like its version: inclusive")
     spark.sql("DROP TABLE IF EXISTS graftsnap.t_tvfg"); ()
   }
 
@@ -900,6 +916,51 @@ class SnapshotSqlSpec extends AnyFunSuite {
     } finally {
       spark.conf.unset("spark.graft.optimize.maxFileSize")
       spark.sql("DROP TABLE IF EXISTS graftsnap.blmopt"); ()
+    }
+  }
+
+  test("REPLACE WHERE: parse-based subquery guard, stats-pruned discovery, byte-sized writes") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftsnap.rwsql")
+    spark.sql("CREATE TABLE graftsnap.rwsql (k BIGINT, note STRING, v BIGINT)")
+    spark.sql(
+      "INSERT INTO graftsnap.rwsql SELECT id, concat('n-', id), id * 3 " +
+        "FROM range(0, 30000)")
+    val log = new SnapshotLog(s"$root/rwsql")
+    // range-cluster so the footer stats give disjoint per-file k ranges
+    spark.conf.set("spark.graft.optimize.maxFileSize", "65536")
+    try {
+      spark.sql("OPTIMIZE graftsnap.rwsql ZORDER BY (k)")
+      val filesBefore = log.dataFiles(log.currentVersion.get).size
+      assert(filesBefore >= 4, s"need a multi-file layout, got $filesBefore")
+      spark.sql(
+        "INSERT INTO graftsnap.rwsql REPLACE WHERE k < 1000 " +
+          "SELECT id AS k, concat('n-', id) AS note, id * 5 AS v " +
+          "FROM range(0, 1000)")
+      // the discovery scan was stats-pruned: only the files whose [lo, hi]
+      // intersects k < 1000 were read — out-of-scope files never opened
+      val (cands, total) = graft.sources.SnapshotLog.lastReplaceWhereScan
+      assert(total == filesBefore && cands < total,
+        s"expected a pruned discovery scan, got $cands of $total")
+      assert(spark.sql(
+        "SELECT sum(v) AS sv FROM graftsnap.rwsql WHERE k < 1000").head().getLong(0) ==
+        (0L until 1000L).map(_ * 5).sum)
+      // a predicate whose string literal merely SAYS select still parses
+      spark.sql(
+        "INSERT INTO graftsnap.rwsql REPLACE WHERE note = 'select' " +
+          "SELECT id AS k, 'x' AS note, id AS v FROM range(0, 1) WHERE false")
+      // a REAL subquery predicate refuses loudly (never a misparse)
+      val e = intercept[Exception] {
+        spark.sql(
+          "INSERT INTO graftsnap.rwsql REPLACE WHERE k IN (SELECT 1) " +
+            "SELECT id AS k, concat('n-', id) AS note, id AS v FROM range(0, 1)")
+      }
+      assert(Option(e.getMessage).exists(m =>
+          m.contains("subqueries are not supported")),
+        s"expected the subquery refusal, got: ${e.getMessage}")
+    } finally {
+      spark.conf.unset("spark.graft.optimize.maxFileSize")
+      spark.sql("DROP TABLE IF EXISTS graftsnap.rwsql"); ()
     }
   }
 }
