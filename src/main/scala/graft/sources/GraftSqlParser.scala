@@ -71,7 +71,7 @@ object GraftSqlParser {
   private val DetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+(\w+)\.(\w+)\s*;?\s*""".r
   private val RestoreRe =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\w+)\.(\w+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\w+)\.(\w+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+|'[^']+')\s*;?\s*""".r
   private val RestoreTsRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\w+)\.(\w+)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val AnalyzeRe =
@@ -79,7 +79,7 @@ object GraftSqlParser {
   private val CopyIntoRe =
     """(?is)\s*COPY\s+INTO\s+(\w+)\.(\w+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*(?:PATTERN\s*=\s*'([^']+)')?\s*;?\s*""".r
   private val CloneRe =
-    """(?is)\s*CREATE\s+TABLE\s+(\w+)\.(\w+)\s+(SHALLOW\s+)?CLONE\s+(\w+)\.(\w+)\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(\w+)\.(\w+)\s+(SHALLOW\s+)?CLONE\s+(\w+)\.(\w+)\s*(?:VERSION\s+AS\s+OF\s+(\d+|'[^']+'))?\s*;?\s*""".r
   private val ReplaceWhereRe =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\.(\w+)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\s.*?)\s*;?\s*""".r
 
@@ -112,7 +112,7 @@ object GraftSqlParser {
       case DetailRe(cat, table) if isGraftCatalog(cat) =>
         Some(DescribeGraftDetail(cat, table))
       case RestoreRe(cat, table, v) if isGraftCatalog(cat) =>
-        Some(RestoreGraftTable(cat, table, Left(v.toLong)))
+        Some(RestoreGraftTable(cat, table, Left(v)))
       case RestoreTsRe(cat, table, ts) if isGraftCatalog(cat) =>
         Some(RestoreGraftTable(cat, table, Right(ts)))
       case AnalyzeRe(cat, table, cols) if isGraftCatalog(cat) =>
@@ -124,7 +124,7 @@ object GraftSqlParser {
       case CloneRe(dstCat, dstTable, shallow, srcCat, srcTable, v)
           if isGraftCatalog(dstCat) && isGraftCatalog(srcCat) =>
         Some(CloneGraftTable(dstCat, dstTable, srcCat, srcTable,
-          Option(v).map(_.toLong), shallow = shallow != null))
+          Option(v), shallow = shallow != null))
       case ReplaceWhereRe(cat, table, cond, select) if isGraftCatalog(cat) =>
         // the statement splits at the first top-level SELECT, so a
         // subquery predicate cannot ride it. Refusal is PARSE-BASED, not
@@ -464,8 +464,19 @@ object GraftSqlParser {
           .flatMap(v => log.property(v, "clusterBy")).toSeq
           .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
       val keys = if (zorderCols.nonEmpty) zorderCols else declared
+      // a column-mapped table's WHERE speaks LOGICAL names; the stats
+      // sidecars are keyed by PHYSICAL ids — translate the parsed scope
+      // (names outside the mapping pass through, conservative)
+      val physMap: Map[String, String] = log.currentVersion
+        .flatMap(v => log.columnMapping(v).map(_._2.toMap))
+        .getOrElse(Map.empty)
+      def toPhys(sc: OptimizeScope): OptimizeScope =
+        if (physMap.isEmpty) sc
+        else OptimizeScope(
+          sc.intervals.map { case (c, iv) => physMap.getOrElse(c, c) -> iv },
+          sc.values.map { case (c, vs) => physMap.getOrElse(c, c) -> vs })
       val scope = wherePred.map(p =>
-        scopeFiles(spark, log, parseOptimizeWhere(p)))
+        scopeFiles(spark, log, toPhys(parseOptimizeWhere(p))))
       val out = if (keys.isEmpty) {
         val (v, (packed, written)) =
           log.compactSmall(spark, targetBytes(spark), scope)
@@ -780,14 +791,18 @@ object GraftSqlParser {
     * millis or `yyyy-MM-dd[ HH:mm:ss]`.
     */
   private case class RestoreGraftTable(
-      cat: String, table: String, target: Either[Long, String])
+      cat: String, table: String, target: Either[String, String])
     extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs(
       "restored_to" -> LongType, "new_version" -> LongType)
     override def run(spark: SparkSession): Seq[Row] = {
       val log = logFor(spark, cat, table)
       val toVersion = target match {
-        case Left(v) => v
+        // VERSION AS OF takes a snapshot number or a quoted TAG name
+        // (the Iceberg ref-read symmetry — same rule as the catalog's
+        // time travel and the table_changes bounds)
+        case Left(v) if !v.startsWith("'") => v.toLong
+        case Left(tag) => log.tagVersion(tag.stripPrefix("'").stripSuffix("'"))
         case Right(raw) =>
           val millis = raw.trim.toLongOption.getOrElse {
             val t = if (raw.trim.length == 10) raw.trim + " 00:00:00" else raw.trim
@@ -886,7 +901,7 @@ object GraftSqlParser {
     */
   private case class CloneGraftTable(
       dstCat: String, dstTable: String,
-      srcCat: String, srcTable: String, version: Option[Long],
+      srcCat: String, srcTable: String, versionArg: Option[String],
       shallow: Boolean)
     extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs(
@@ -897,6 +912,12 @@ object GraftSqlParser {
       val src = logFor(spark, srcCat, srcTable)
       val dstRoot = new File(
         spark.conf.get(s"spark.sql.catalog.$dstCat.root"), dstTable).toString
+      // VERSION AS OF: a snapshot number or a quoted TAG name (the same
+      // ref-read rule the catalog's time travel applies)
+      val version: Option[Long] = versionArg.map { raw =>
+        if (raw.startsWith("'")) src.tagVersion(raw.stripPrefix("'").stripSuffix("'"))
+        else raw.toLong
+      }
       val v = version.getOrElse(src.currentVersion.get)
       if (shallow) {
         val child = src.cloneShallow(dstRoot, version)

@@ -1396,7 +1396,26 @@ class SnapshotLog(
       } else changeDelta(spark, v)
     }
     require(parts.nonEmpty, s"changeFeed: no changes in ($fromVersion, $toVersion]")
-    parts.reduce(_ unionByName _)
+    val feed = parts.reduce(_ unionByName _)
+    // COLUMN-MAPPED tables serve the feed under LOGICAL names (the
+    // machinery above reads physical files; users speak the mapping) —
+    // the [[readChanges]] rule, including its uniform-mapping guard: a
+    // rename INSIDE the window would mix two namings in one feed.
+    columnMapping(toVersion).map(_._2) match {
+      case None => feed
+      case Some(pairs) =>
+        import org.apache.spark.sql.functions.col
+        val range = versions.filter(v => v > fromVersion && v <= toVersion)
+        val per = range.map(v => columnMapping(v).map(_._2))
+        require(per.forall(_.contains(pairs)),
+          s"changeFeed: the column mapping moves inside " +
+            s"($fromVersion, $toVersion] — a feed cannot mix namings; " +
+            "split the feed at the mapping commit")
+        val present = feed.columns.toSet
+        feed.select(pairs.collect {
+          case (l, p) if present(p) => col(p).as(l)
+        } ++ Seq(col("_commit_version"), col("_change_type")): _*)
+    }
   }
 
   /** One version's row-level delta for [[changeFeed]] — the
@@ -2341,12 +2360,49 @@ class SnapshotLog(
     val stagedTombPos: Seq[String] =
       if (tombs.isEmpty) Seq.empty
       else {
-        import org.apache.spark.sql.functions.regexp_extract
-        val carriedData = dataFiles(cur).filterNot(grazedSet)
+        import org.apache.spark.sql.functions.{max => smax, min => smin, regexp_extract}
+        val carriedData0 = dataFiles(cur).filterNot(grazedSet)
+        val keys = spark.read.parquet(
+          tombs.map(p => new File(dataRootPath, p).toString): _*)
+        // the conversion scan is STATS-PRUNED too: a carried file whose
+        // recorded [lo, hi] for an integral/date tombstone key column
+        // cannot contain ANY tombstoned key owes no masking — bounds
+        // come from one tombstone-sized aggregate, so a narrow delete
+        // over a range-clustered table converts O(touched files)
+        val integral = keys.schema.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ByteType => true
+          case _: org.apache.spark.sql.types.ShortType => true
+          case _: org.apache.spark.sql.types.IntegerType => true
+          case _: org.apache.spark.sql.types.LongType => true
+          case _ => false // date/string keys: keep all (conservative)
+        }).map(_.name)
+        val carriedData =
+          if (carriedData0.isEmpty || integral.isEmpty) carriedData0
+          else {
+            val aggs = integral.flatMap(c => Seq(
+              smin(col(c).cast("long")).as(s"lo_$c"),
+              smax(col(c).cast("long")).as(s"hi_$c")))
+            val row = keys.agg(aggs.head, aggs.tail: _*).head()
+            def rel(abs: String): String = abs.stripPrefix(dataRootPath + "/")
+            integral.zipWithIndex.foldLeft(carriedData0.toSet) {
+              case (keep, (c, i)) =>
+                if (row.isNullAt(2 * i)) keep
+                else {
+                  val (kLo, kHi) = (row.getLong(2 * i), row.getLong(2 * i + 1))
+                  fileStatsForColumn(spark, cur, c) match {
+                    case None => keep
+                    case Some(byAbs) =>
+                      val byRel = byAbs.map { case (a, r) => rel(a) -> r }
+                      keep.filter(p => byRel.get(p) match {
+                        case Some((lo, hi)) => lo <= kHi && hi >= kLo
+                        case None => true
+                      })
+                  }
+                }
+            }.toSeq.sorted
+          }
         if (carriedData.isEmpty) Seq.empty
         else {
-          val keys = spark.read.parquet(
-            tombs.map(p => new File(dataRootPath, p).toString): _*)
           val paths = carriedData.map(p => new File(dataRootPath, p).toString)
           val raw = scanSchema(cur) match {
             case Some(s) => spark.read.schema(s).parquet(paths: _*)
@@ -3507,6 +3563,15 @@ class SnapshotLog(
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if fname(f) == "and" && f.arguments.size == 2 =>
         conjuncts(f.arguments(0)) ++ conjuncts(f.arguments(1))
+      // SQL BETWEEN parses to a between node (RuntimeReplaceable or the
+      // unresolved function, depending on the path), not an And —
+      // desugar to its two bounds so the interval machinery sees them
+      case Between(in, lo, hi, _) =>
+        Seq(GreaterThanOrEqual(in, lo), LessThanOrEqual(in, hi))
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if fname(f) == "between" && f.arguments.size == 3 =>
+        Seq(GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
+          LessThanOrEqual(f.arguments(0), f.arguments(2)))
       case other => Seq(other)
     }
     // (op, left, right) of a binary comparison, op in =, >=, <=, >, <

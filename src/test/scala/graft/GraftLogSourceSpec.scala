@@ -228,6 +228,66 @@ class GraftLogSourceSpec extends AnyFunSuite {
     assert(dst.currentVersion.get == vQuiet, "an empty resume must not commit")
   }
 
+  test("sink replaceWhere: scoped per-trigger overwrite; out-of-scope fails; empty batch is a no-op") {
+    val src = freshLog("t_rw_src")
+    val dst = freshLog("t_rw_dst")
+    dst.append((0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v"), partitions = 1)
+    src.append((3 until 6).map(i => (i.toLong, i.toLong * 100)).toDF("id", "v"), partitions = 1)
+    def drain(ckptName: String, appId: String, pred: String): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory(ckptName)
+      val q = spark.readStream
+        .format("graft-log").option("root", src.root).load()
+        .writeStream.format("graft-log")
+        .option("root", dst.root)
+        .option("checkpointLocation", ckpt.toString)
+        .option("appId", appId)
+        .option("replaceWhere", pred)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain("graft_rwsink_a_", "rwsink", "id BETWEEN 3 AND 5")
+    val got = dst.readLatest(spark).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 10 &&
+      (3 until 6).forall(i => got(i.toLong) == i * 100L) &&
+      got(0L) == 0L && got(9L) == 9L, got.toString)
+    val vAfter = dst.currentVersion.get
+    // a batch with rows OUTSIDE the declared scope fails its trigger
+    // with nothing committed (the replaceWhere constraint)
+    src.append(Seq((99L, 1L)).toDF("id", "v"), partitions = 1)
+    // a FRESH appId: the first drain's watermark must not structurally
+    // skip the violating batch before the guard can see it
+    val ex = intercept[Exception](
+      drain("graft_rwsink_b_", "rwsink-b", "id BETWEEN 3 AND 5"))
+    def anywhere(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("outside the REPLACE WHERE")) ||
+        anywhere(t.getCause))
+    assert(anywhere(ex), s"got: ${ex.getMessage}")
+    assert(dst.currentVersion.get == vAfter, "a violating trigger must not commit")
+    // a drained resume (no new source versions → zero triggers) commits
+    // nothing and leaves the scope untouched
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rwsink_c_")
+    def drainFrom(root: String): Unit = {
+      val q = spark.readStream
+        .format("graft-log").option("root", root).load()
+        .writeStream.format("graft-log")
+        .option("root", dst.root)
+        .option("checkpointLocation", ckpt.toString)
+        .option("appId", "rwsink2")
+        .option("replaceWhere", "id BETWEEN 3 AND 5")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    src.recreate()
+    src.append((3 until 6).map(i => (i.toLong, i.toLong * 7)).toDF("id", "v"), partitions = 1)
+    drainFrom(src.root)
+    val vBusy = dst.currentVersion.get
+    drainFrom(src.root) // same checkpoint, nothing new: zero batches
+    assert(dst.currentVersion.get == vBusy, "a drained resume must not commit")
+    assert(dst.readLatest(spark).where(col("id").between(3, 5)).count() == 3L,
+      "the scope must survive an empty resume untouched")
+  }
+
   test("the sink refuses a schema-drifting batch loudly") {
     val src = freshLog("t_drift_src")
     val dst = freshLog("t_drift_dst")

@@ -389,6 +389,39 @@ class SnapshotDmlSpec extends AnyFunSuite {
       s"re-inserted key serves the new row, out-of-scope tombstone holds: $gotT")
   }
 
+  test("statsCandidateFiles: conjunct pruning is exact on ranges and CONSERVATIVE on everything else") {
+    val log = freshLog("stats_cands")
+    log.appendIndexed((0L until 300L).map(i => (i, i)).toDF("k", "v")
+      .repartitionByRange(3, col("k")).sortWithinPartitions(col("k")), Seq("k"))
+    val cur = log.currentVersion.get
+    val all = log.dataFiles(cur)
+    def cands(p: org.apache.spark.sql.Column): Set[String] =
+      log.statsCandidateFiles(spark, cur, p).toSet
+    def fileOf(k: Long): String = {
+      import org.apache.spark.sql.functions.{col => c, input_file_name}
+      val abs = log.read(spark, cur).where(c("k") === k)
+        .select(input_file_name()).head().getString(0)
+        .stripPrefix("file://")
+      all.find(p => abs.endsWith(p)).get
+    }
+    val (f0, f1, f2) = (fileOf(50L), fileOf(150L), fileOf(250L))
+    // exact range pruning, Column-API and SQL-text alike, either operand order
+    assert(cands(col("k") === 150L) == Set(f1))
+    assert(cands(col("k") > 250L) == Set(f2))
+    assert(cands(lit(120L) <= col("k") && col("k") < 130L) == Set(f1))
+    assert(cands(org.apache.spark.sql.functions.expr("k BETWEEN 100 AND 199")) == Set(f1))
+    assert(cands(org.apache.spark.sql.functions.expr("200 <= k")) == Set(f2))
+    // an unprunable conjunct WIDENS nothing it shouldn't and NARROWS nothing
+    assert(cands(col("k") === 150L && col("v") % 2 === 0) == Set(f1))
+    // OR at top level: no per-term pruning (a disjunct is not a bound)
+    assert(cands(col("k") === 50L || col("k") === 250L) == all.toSet)
+    // NOT must never leak its inner comparison as a prunable term
+    assert(cands(!(col("k") === 150L)) == all.toSet)
+    assert(cands(org.apache.spark.sql.functions.expr(
+      "NOT (k >= 100 AND k <= 199)")) == all.toSet)
+    assert((f0, f1, f2).productIterator.toSet.size == 3)
+  }
+
   test("replaceWhere byte-sizes its writes: output file count tracks ceil(bytes/target), never a fixed cap") {
     val log = freshLog("replace_where_sized")
     // high-entropy strings so parquet cannot compress them away

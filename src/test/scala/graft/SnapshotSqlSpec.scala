@@ -919,6 +919,55 @@ class SnapshotSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("table_changes serves column-mapped tables under LOGICAL names") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftsnap.t_tvfm")
+    spark.sql("CREATE TABLE graftsnap.t_tvfm (id BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO graftsnap.t_tvfm SELECT id, id * 7 FROM range(4)") // v1
+    spark.sql("ALTER TABLE graftsnap.t_tvfm RENAME COLUMN cents TO pennies") // v2
+    spark.sql("INSERT INTO graftsnap.t_tvfm SELECT id + 10, id FROM range(2)") // v3
+    // a post-rename window serves the LOGICAL name `pennies`
+    val feed = spark.sql(
+      "SELECT id, pennies, _change_type FROM table_changes('graftsnap.t_tvfm', 3)")
+    assert(feed.columns.toSeq == Seq("id", "pennies", "_change_type"))
+    assert(feed.count() == 2L)
+    // a window STRADDLING the rename refuses (one feed cannot mix namings)
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM table_changes('graftsnap.t_tvfm', 1)").collect())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("mapping moves inside"))),
+      e.getMessage)
+    spark.sql("DROP TABLE IF EXISTS graftsnap.t_tvfm"); ()
+  }
+
+  test("VERSION AS OF takes tag names in RESTORE and CLONE — the ref-read symmetry") {
+    registerCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftsnap.rtag_c")
+    spark.sql("DROP TABLE IF EXISTS graftsnap.rtag")
+    spark.sql("CREATE TABLE graftsnap.rtag (k BIGINT)")
+    spark.sql("INSERT INTO graftsnap.rtag SELECT id FROM range(5)") // v1
+    val log = new SnapshotLog(s"$root/rtag")
+    assert(log.tag("stable", log.currentVersion.get))
+    spark.sql("INSERT INTO graftsnap.rtag SELECT id + 10 FROM range(3)") // v2
+    // deep CLONE pinned by tag
+    spark.sql("CREATE TABLE graftsnap.rtag_c CLONE graftsnap.rtag VERSION AS OF 'stable'")
+    assert(spark.sql("SELECT count(*) AS n FROM graftsnap.rtag_c")
+      .head().getLong(0) == 5L)
+    // RESTORE by tag
+    val r = spark.sql("RESTORE TABLE graftsnap.rtag TO VERSION AS OF 'stable'").head()
+    assert(r.getLong(0) == log.tagVersion("stable"))
+    assert(spark.sql("SELECT count(*) AS n FROM graftsnap.rtag")
+      .head().getLong(0) == 5L)
+    // unknown tags refuse loudly
+    val e = intercept[Exception](
+      spark.sql("RESTORE TABLE graftsnap.rtag TO VERSION AS OF 'ghost'").collect())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("does not exist"))),
+      e.getMessage)
+    spark.sql("DROP TABLE IF EXISTS graftsnap.rtag_c")
+    spark.sql("DROP TABLE IF EXISTS graftsnap.rtag"); ()
+  }
+
   test("REPLACE WHERE: parse-based subquery guard, stats-pruned discovery, byte-sized writes") {
     registerCatalog()
     spark.sql("DROP TABLE IF EXISTS graftsnap.rwsql")
