@@ -926,8 +926,8 @@ object GraftSqlParser {
       } else {
         // deep: a MATERIALIZED copy at the pinned version — no lifetime
         // coupling to the source (its VACUUM/expire/DROP cannot break
-        // this table)
-        val child = src.cloneDeep(dstRoot, version)
+        // this table); file copies fan out over the cluster
+        val child = src.cloneDeep(dstRoot, version, parallelCopyWith = Some(spark))
         val copied = child.dataFiles(0L)
         val bytes = copied.map(p => new File(dstRoot, p).length()).sum
         Seq(Row("CLONE", s"$dstCat.$dstTable", s"$srcCat.$srcTable",

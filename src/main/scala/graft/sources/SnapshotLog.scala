@@ -648,11 +648,17 @@ class SnapshotLog(
     * marker, no clone registration, and the source's VACUUM/expire/DROP
     * can never touch it. Stats/Bloom/value sidecars of the copied stage
     * directories ride along, so file skipping works on the clone
-    * immediately. Copy cost is the snapshot's bytes (driver-side NIO
-    * copy per file — the local-FS translation of a distributed object
-    * copy); metadata stays manifest-sized.
+    * immediately. Copy cost is the snapshot's bytes; with
+    * `parallelCopyWith` the per-file copies DISTRIBUTE over the
+    * cluster (one task per file batch, idempotent under task retry —
+    * at 100 TB a driver-side byte loop is days, a 1000-executor fan-out
+    * is minutes), and only the manifest-sized listing plus the small
+    * per-stage sidecars stay driver-side.
     */
-  def cloneDeep(dstRoot: String, version: Option[Long] = None): SnapshotLog = {
+  def cloneDeep(
+      dstRoot: String,
+      version: Option[Long] = None,
+      parallelCopyWith: Option[SparkSession] = None): SnapshotLog = {
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"cloneDeep: no committed snapshot at $root"))
     val v = version.getOrElse(cur)
@@ -690,8 +696,27 @@ class SnapshotLog(
         ()
       }
     }
-    rels.foreach { rel =>
-      copyTree(new File(dataRootPath, rel), new File(dstCanonical, rel))
+    parallelCopyWith match {
+      case Some(spark) if rels.nonEmpty =>
+        // distributed copy: executors each copy a slice of the file list
+        // (file paths only cross the wire — manifest-sized). REPLACE on
+        // the target makes a retried task idempotent over its own
+        // partial copy; nothing references the destination until the
+        // commit below, so a failed job leaves only sweepable orphans.
+        val (srcPool, dst) = (dataRootPath, dstCanonical)
+        spark.sparkContext
+          .parallelize(rels, math.max(1, math.min(rels.size, 64)))
+          .foreach { rel =>
+            val to = new File(dst, rel)
+            to.getParentFile.mkdirs()
+            Files.copy(new File(srcPool, rel).toPath, to.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+          }
+      case _ =>
+        rels.foreach { rel =>
+          copyTree(new File(dataRootPath, rel), new File(dstCanonical, rel))
+        }
     }
     // per-stage sidecars (stats / blooms / value sets) are directory
     // metadata, not manifest lines — copy them with their stages so the
