@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_dot", "graft_dot(a, b) - codegen'd dot product of two array<double>"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_sqdist_l"),
+      info("graft_sqdist_l", "graft_sqdist_l(a, b) - codegen'd integer squared-L2 distance of two array<bigint>"),
+      (exprs: Seq[Expression]) => SqDistLong(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_eq_count"),
+      info("graft_eq_count", "graft_eq_count(a, b) - codegen'd equal-slot count of two array<bigint>"),
+      (exprs: Seq[Expression]) => EqSlotCount(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       info("graft_shingles", "graft_shingles(tokens, n) - distinct word n-grams"),
       (exprs: Seq[Expression]) =>

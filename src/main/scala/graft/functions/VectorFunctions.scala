@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst dot product over two `array<double>` columns.
   *
@@ -96,6 +96,132 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * possible run-to-run — consumers comparing against an oracle follow the
   * repo-wide `round(·, 6)` discipline.
   */
+/** Native Catalyst integer squared-L2 distance over two `array<long>`
+  * quantization-code columns: `Σ_i (a_i − b_i)²` as one exact long.
+  *
+  * The KNN-Shapley routes expressed this as
+  * `aggregate(zip_with(a, b, (x, y) => (x−y)·(x−y)), 0L, _+_)` — higher-order
+  * functions are interpreted (no whole-stage codegen) and allocate an
+  * intermediate 64-element array per PAIR, and the exact route evaluates it
+  * |test|·|train| times. Same [[DotProduct]] discipline: a tight primitive
+  * loop, left-to-right accumulation (integer adds — bitwise-identical to the
+  * HOF chain and the DuckDB `list_sum` replays), null ARRAY inputs null out
+  * via the BinaryExpression contract, and mismatched lengths THROW rather
+  * than silently truncating.
+  */
+case class SqDistLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_sqdist_l requires two array<bigint> arguments, got ${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"graft_sqdist_l: mismatched vector lengths $n vs ${y.numElements()}")
+    }
+    var s = 0L
+    var i = 0
+    while (i < n) { val d = x.getLong(i) - y.getLong(i); s += d * d; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_sqdist_l: mismatched vector lengths " + $n + " vs " + $b.numElements());
+         |}
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sqdist_l"
+}
+
+/** Native Catalyst equal-slot count over two `array<long>` signature
+  * columns — the MinHash slot-agreement estimator
+  * (`est_jaccard = eq_count(sig_a, sig_b) / k`).
+  *
+  * The LSH verify stages expressed this as
+  * `size(filter(zip_with(a, b, _===_), identity))` — three interpreted
+  * higher-order functions and TWO intermediate 32-element arrays per
+  * candidate PAIR. Identical result for the equal-length non-null
+  * signatures both sides produce; mismatched lengths THROW (a bands/width
+  * drift must not read as disagreement), null ARRAY inputs null out.
+  */
+case class EqSlotCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_eq_count requires two array<bigint> arguments, got ${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"graft_eq_count: mismatched signature lengths $n vs ${y.numElements()}")
+    }
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("cnt")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_eq_count: mismatched signature lengths " + $n + " vs " + $b.numElements());
+         |}
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_eq_count"
+}
+
 case class VectorSumAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
@@ -289,10 +415,24 @@ object VectorFunctions {
       "graft_vec_min", exprs => VectorExtremeAgg(exprs(0), isMin = true), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vec_max", exprs => VectorExtremeAgg(exprs(0), isMin = false), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sqdist_l", exprs => SqDistLong(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_eq_count", exprs => EqSlotCount(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Codegen'd dot product (requires [[register]] on the session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Codegen'd integer squared-L2 over two array<long> code columns
+    * (requires [[register]]).
+    */
+  def sqDistLong(a: Column, b: Column): Column = call_function("graft_sqdist_l", a, b)
+
+  /** Codegen'd equal-slot count over two array<long> signature columns
+    * (requires [[register]]).
+    */
+  def eqSlotCount(a: Column, b: Column): Column = call_function("graft_eq_count", a, b)
 
   /** Element-wise vector-sum aggregate (requires [[register]]). */
   def vecSum(v: Column): Column = call_function("graft_vec_sum", v)

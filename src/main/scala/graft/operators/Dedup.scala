@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{BloomFunctions, TextKernels}
+import graft.functions.{BloomFunctions, TextKernels, VectorFunctions}
 
 /** Deduplication operators for LLM training-data pipelines, in increasing
   * fuzziness: exact (fingerprint), n-gram Jaccard (lossless prefix-filtered
@@ -579,10 +579,11 @@ object Dedup {
 
     val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b"))
+    // codegen'd slot-agreement count (identical to the interpreted
+    // size(filter(zip_with(...))) chain it replaces)
+    VectorFunctions.register(docs.sparkSession)
     cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn(
-        "n_match",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
+      .withColumn("n_match", VectorFunctions.eqSlotCount(col("sig_a"), col("sig_b")))
       .select(
         col("doc_a"), col("doc_b"),
         round(col("n_match").cast("double") / k, 6).as("est_jaccard"))
@@ -682,10 +683,9 @@ object Dedup {
     val sa = freshSigs.select(col(idCol).as("f_id"), col("sig").as("sig_a"))
     val sb = corpusSigs.select(col(idCol).as("p_id"), col("sig").as("sig_b"))
       .unionByName(freshSigs.select(col(idCol).as("p_id"), col("sig").as("sig_b")))
+    VectorFunctions.register(fresh.sparkSession)
     val verified = cand.join(sa, "f_id").join(sb, "p_id")
-      .withColumn(
-        "n_match",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
+      .withColumn("n_match", VectorFunctions.eqSlotCount(col("sig_a"), col("sig_b")))
       .where(col("n_match").cast("double") / k >= threshold)
     val matches = verified.groupBy(col("f_id"))
       .agg(count(lit(1)).as("n_dups"), min(col("p_id")).as("dup_of"))

@@ -1299,17 +1299,22 @@ object Similarity {
       labelCol: String = "label"): DataFrame = {
     require(k >= 1, s"knnShapley: k must be >= 1, got $k")
     require(scale >= 1000000L, s"knnShapley: scale too small for the 1/max(K,i) terms, got $scale")
-    val nTrain = train.count()
-    require(nTrain > 0, "knnShapley: empty training set")
+    // emptiness probe only (limit-1, stops at the first row) — the full
+    // count() this replaces forced one extra evaluation of the whole
+    // upstream quantize+join per query; the 1/N base term now reads `i`
+    // on the last rank instead (i == N there by construction)
+    require(!train.isEmpty, "knnShapley: empty training set")
+    VectorFunctions.register(train.sparkSession)
     val t = test.select(
       col(idCol).as("test_id"), col("codes").as("tc"),
       col(labelCol).cast("long").as("ty"))
     val r = train.select(
       col(idCol).as("train_id"), col("codes").as("rc"),
       col(labelCol).cast("long").as("ry"))
-    val dist = aggregate(
-      zip_with(col("tc"), col("rc"), (a, b) => (a - b) * (a - b)),
-      lit(0L), _ + _)
+    // codegen'd integer squared L2 (bitwise == the interpreted
+    // aggregate(zip_with(...)) chain it replaces — integer adds in the
+    // same left-to-right order)
+    val dist = VectorFunctions.sqDistLong(col("tc"), col("rc"))
     val w = Window.partitionBy(col("test_id")).orderBy(col("dist"), col("train_id"))
     val suffix = Window.partitionBy(col("test_id")).orderBy(col("i"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -1319,9 +1324,13 @@ object Similarity {
       .withColumn("ind", when(col("ry") === col("ty"), 1L).otherwise(0L))
       .withColumn("ind_next", lead(col("ind"), 1).over(w))
       // last rank carries the base term; every other rank its delta term,
-      // magnitude floored positive first, sign applied after
+      // magnitude floored positive first, sign applied after. On the last
+      // rank i == |train| by construction (each test partition holds every
+      // train row exactly once), so `scale div i` IS the 1/N base term —
+      // computing it in-plan removes the train.count() pre-action that
+      // re-evaluated the whole upstream quantize+join once per query.
       .withColumn("contrib",
-        when(col("ind_next").isNull, col("ind") * lit(scale / nTrain))
+        when(col("ind_next").isNull, col("ind") * expr(s"${scale}L div i"))
           .otherwise((col("ind") - col("ind_next"))
             * expr(s"${scale}L div greatest(i, ${k.toLong}L)")))
       .withColumn("s", sum(col("contrib")).over(suffix))
@@ -1393,9 +1402,8 @@ object Similarity {
     val r = train.select(
       col(idCol).as("train_id"), col("codes").as("rc"),
       col(labelCol).cast("long").as("ry"))
-    val dist = aggregate(
-      zip_with(col("tc"), col("rc"), (a, b) => (a - b) * (a - b)),
-      lit(0L), _ + _)
+    // codegen'd integer squared L2 — same swap as [[knnShapley]]
+    val dist = VectorFunctions.sqDistLong(col("tc"), col("rc"))
     val w = Window.partitionBy(col("test_id")).orderBy(col("dist"), col("train_id"))
     val pool = Window.partitionBy(col("test_id"))
     val suffix = Window.partitionBy(col("test_id")).orderBy(col("i"))

@@ -1028,10 +1028,12 @@ object StreamingSessionize {
       .where(size(col("grams")) > 0)
       .select(col("doc_id"), col("ts"), TextKernels.minhashSig(col("grams")).as("sig"))
     val streamBanded = graft.operators.Dedup.withBandKeys(streamSigs, bands)
+    // codegen'd slot-agreement count (identical to the interpreted
+    // size(filter(zip_with(...))) chain it replaces)
+    graft.functions.VectorFunctions.register(stream.sparkSession)
     streamBanded.join(corpusBanded, Seq("band", "band_key"))
-      .withColumn(
-        "n_match",
-        size(filter(zip_with(col("sig"), col("corpus_sig"), (x, y) => x === y), b => b)))
+      .withColumn("n_match",
+        graft.functions.VectorFunctions.eqSlotCount(col("sig"), col("corpus_sig")))
       .withColumn("est_jaccard", sqlRound(col("n_match").cast("double") / k, 6))
       .where(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_id"), col("corpus_doc_id"), col("est_jaccard"), col("ts"))
@@ -1423,12 +1425,12 @@ object StreamingSessionize {
           s"corpusIndex was banded with bands=${m.getLong("graft.bands")} but ingestAnnotate probes with bands=$bands")
     }
     val ids = batch.select(col("doc_id"))
+    graft.functions.VectorFunctions.register(batch.sparkSession)
     val dup = Dedup.withBandKeys(Dedup.minhashSignatures(batch), bands)
       .join(corpusIndex, Seq("band", "band_key"))
       .where(col("corpus_doc_id") =!= col("doc_id"))
-      .withColumn(
-        "n_match",
-        size(filter(zip_with(col("sig"), col("corpus_sig"), (x, y) => x === y), b => b)))
+      .withColumn("n_match",
+        graft.functions.VectorFunctions.eqSlotCount(col("sig"), col("corpus_sig")))
       .where(round(col("n_match").cast("double") / k, 6) >= minEstJaccard)
       .select(col("doc_id"), col("corpus_doc_id")).distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))

@@ -38,6 +38,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](1).toList == List("a", "b")) // empty table = chars
   }
 
+  test("graft_sqdist_l / graft_eq_count match their interpreted HOF chains") {
+    // the pair kernels the KNN-Shapley and LSH-verify hot paths swapped to:
+    // same value as the aggregate(zip_with(...)) / size(filter(zip_with(...)))
+    // chains they replaced, null arrays null out, ragged lengths throw
+    val r = spark.sql(
+      """SELECT
+        |  graft_sqdist_l(array(1L, 5L, 2L), array(4L, 5L, 0L)) AS d,
+        |  aggregate(zip_with(array(1L, 5L, 2L), array(4L, 5L, 0L),
+        |            (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x) AS d_hof,
+        |  graft_eq_count(array(1L, 5L, 2L), array(4L, 5L, 2L)) AS c,
+        |  size(filter(zip_with(array(1L, 5L, 2L), array(4L, 5L, 2L),
+        |              (x, y) -> x = y), b -> b)) AS c_hof,
+        |  graft_sqdist_l(cast(null AS array<bigint>), array(1L)) AS dn,
+        |  graft_eq_count(array(1L), cast(null AS array<bigint>)) AS cn
+        |""".stripMargin).head()
+    assert(r.getLong(0) == 13L && r.getLong(1) == 13L)
+    assert(r.getInt(2) == 2 && r.getInt(3) == 2)
+    assert(r.isNullAt(4) && r.isNullAt(5))
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_sqdist_l(array(1L), array(1L, 2L))").head()
+    }
+    assert(e.getMessage.contains("mismatched") ||
+      Option(e.getCause).exists(_.getMessage.contains("mismatched")))
+  }
+
   test("the vec_sum aggregate is injected too") {
     val s = spark.sql(
       """SELECT graft_vec_sum(v) AS s
