@@ -48,6 +48,19 @@ object ProfileQuery {
           rows += ((e.time - t0, site))
         }
     })
+    // per-STATEMENT attribution: multi-statement queries (SQL DML proofs)
+    // run dozens of actions — group wall-clock by the executed plan's root
+    val stmts = mutable.ArrayBuffer[(Long, String)]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val root = qe.analyzed.getClass.getSimpleName
+        val head = qe.analyzed.simpleString(60).take(100).replace('\n', ' ')
+        stmts += ((durationNs / 1000000L, s"$funcName | $root | $head"))
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    })
 
     // warmup (codegen/JIT) exactly like the bench
     graft.SparkEntry.queries("wau_user")(spark, sfDir)
@@ -70,6 +83,13 @@ object ProfileQuery {
     println(f"[profile] total job ms ${rows.map(_._1).sum}")
     bySite.take(40).foreach { case (site, (ms, n)) =>
       println(f"[profile] $ms%8d ms  $n%4d jobs  $site")
+    }
+    val byStmt = stmts.groupBy(_._2).view
+      .mapValues(v => (v.map(_._1).sum, v.size)).toSeq
+      .sortBy { case (_, (ms, _)) => -ms }
+    println(f"[profile] total stmt ms ${stmts.map(_._1).sum} over ${stmts.size} statements")
+    byStmt.take(50).foreach { case (s, (ms, n)) =>
+      println(f"[stmt] $ms%8d ms  $n%4d x  $s")
     }
     spark.stop()
   }

@@ -3462,22 +3462,45 @@ class SnapshotLog(
     val staged = stageArranged(df)
     import org.apache.spark.sql.functions.{col, max => smax, min => smin}
     import spark.implicits._
-    val stats = staged.flatMap { p =>
-      val one = spark.read.parquet(new File(dataRootPath, p).toString)
-      // min/max ranges exist only on the integral axis: non-numeric
-      // stats columns (a string member of a compound merge key) record
-      // nothing — consumers treat the file as full-range for them, and
-      // under ANSI a string→long cast would fail the stage outright
-      val numeric = one.schema.fields
+    // min/max ranges exist only on the integral axis: non-numeric stats
+    // columns (a string member of a compound merge key) record nothing —
+    // consumers treat the file as full-range for them, and under ANSI a
+    // string→long cast would fail the stage outright
+    val numericStats = {
+      val numeric = df.schema.fields
         .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
         .map(_.name).toSet
-      statsCols.filter(numeric.contains).map { c =>
-        val r = one.agg(smin(col(c)).cast("long"), smax(col(c)).cast("long")).head()
-        (p, c,
-          if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
-          if (r.isNullAt(1)) Long.MaxValue else r.getLong(1))
+      statsCols.filter(numeric.contains)
+    }
+    // parquet footers record EXACT min/max for integral columns: read the
+    // footers the write just produced (driver-side metadata, zero Spark
+    // jobs, zero data re-scan) instead of one aggregation ACTION per
+    // staged file — the old shape ran a merge staging F files as F
+    // sequential jobs, a per-file driver loop at 100 TB scale
+    val fromFooters = footerStats(staged).filter {
+      case (_, c, _, _) => numericStats.contains(c)
+    }
+    val covered = fromFooters.map { case (p, c, _, _) => (p, c) }.toSet
+    // residue the footers cannot serve exactly — non-integral numeric
+    // columns (double/decimal members of a stats set) and files whose
+    // footer carries no usable stats (empty or all-null): the old
+    // bounded per-file aggregation, now only over that residue
+    // (typically empty), keeping the recorded rows bit-identical
+    val fallback = staged.flatMap { p =>
+      val need = numericStats.filterNot(c => covered((p, c)))
+      if (need.isEmpty) Nil
+      else {
+        val one = spark.read.parquet(new File(dataRootPath, p).toString)
+        val present = one.columns.toSet
+        need.filter(present.contains).map { c =>
+          val r = one.agg(smin(col(c)).cast("long"), smax(col(c)).cast("long")).head()
+          (p, c,
+            if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+            if (r.isNullAt(1)) Long.MaxValue else r.getLong(1))
+        }
       }
     }
+    val stats = fromFooters ++ fallback
     val dir = new File(dataRootPath, staged.head).getParentFile
     if (stats.nonEmpty)
       stats.toDF("file", "col", "lo", "hi")
